@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet source catalog over a testdata scale-factor directory.
+  *
+  * Spark-native analog of the reference's dbt source declarations
+  * (`/root/reference/models/sources.yml:3-20`): a name -> DataFrame
+  * resolver with schema-on-read (parquet footers carry the schema).
+  *
+  * At cluster scale the same API fronts a real catalog (Hive/Unity/Glue);
+  * here it is a directory of parquet files. Reads are lazy — Catalyst
+  * prunes columns and pushes filters into the scan, so `table(...)` is
+  * free until an action runs.
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = table("events")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view so spark.sql(...) works too. */
+  def registerAll(): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(n => table(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}
