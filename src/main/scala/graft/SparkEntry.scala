@@ -1,19 +1,51 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{OperatorQueries => OQ, OperatorOracles}
+import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, OperatorOracles}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * One `queries` entry per implemented SURVEY §2 operator row; oracle
+  * SQL lives in graft.queries.OperatorOracles.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     OQ.q1Agg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 aggregations
     "q1_agg" -> (OQ.q1Agg _),
     "q_agg_having_countdistinct" -> (OQ.qAggHavingCountDistinct _),
     "q_dedup_groupby" -> (OQ.qDedupGroupBy _),
-    "q_scalar_score" -> (OQ.qScalarScore _)
+    "q_scalar_score" -> (OQ.qScalarScore _),
+    "q_agg_stats" -> (SQ.qAggStats _),
+    // §2.2 projections / filters
+    "q_proj_alias" -> (RQ.qProjAlias _),
+    "q_star_except" -> (RQ.qStarExcept _),
+    "q_filter_in" -> (RQ.qFilterIn _),
+    "q_filter_cmp_null" -> (RQ.qFilterCmpNull _),
+    "q_like" -> (RQ.qLike _),
+    // §2.3 joins
+    "q_join_inner" -> (RQ.qJoinInner _),
+    "q_join_multi" -> (RQ.qJoinMulti _),
+    "q_join_residual" -> (RQ.qJoinResidual _),
+    "q_join_left_chain" -> (RQ.qJoinLeftChain _),
+    "q_join_expr" -> (RQ.qJoinExpr _),
+    "q_join_exists_flag" -> (RQ.qJoinExistsFlag _),
+    "q_join_semi" -> (RQ.qJoinSemi _),
+    "q_join_anti" -> (RQ.qJoinAnti _),
+    // §2.5 windows, §2.6 sort, §2.7 set ops
+    "q_window_top1" -> (RQ.qWindowTop1 _),
+    "q_window_agg_rank" -> (RQ.qWindowAggRank _),
+    "q_sort_global_limit" -> (RQ.qSortGlobalLimit _),
+    "q_union_all_typed_nulls" -> (RQ.qUnionAllTypedNulls _),
+    // §2.8 strings / cascades
+    "q_string_funcs" -> (SQ.qStringFuncs _),
+    "q_case_buckets" -> (SQ.qCaseBuckets _),
+    // §2.9 dates / geo
+    "q_date_funcs" -> (SQ.qDateFuncs _),
+    "q_age_composite" -> (SQ.qAgeComposite _),
+    "q_haversine" -> (SQ.qHaversine _),
+    "q_events_hourly" -> (SQ.qEventsHourly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,13 +1,17 @@
 package graft.queries
 
-/** DuckDB oracle SQL, one entry per query in the SparkEntry.queries map.
-  * Runs against the same parquet tables (driver registers them by name).
-  * Arithmetic mirrors the Spark side exactly (same scaling, same
-  * operation order) so doubles are bit-identical.
+/** DuckDB oracle SQL, one entry per SQL-expressible query in
+  * SparkEntry.queries. Runs against the same parquet tables. Mirrors
+  * the Spark side exactly — same arithmetic shape and operation order
+  * so doubles are bit-identical; integer-typed outputs cast to match
+  * Spark's types (DuckDB year()/length() return BIGINT, Spark INT).
+  * DuckDB regexp_replace needs the 'g' flag to match Spark's
+  * replace-all semantics.
   */
 object OperatorOracles {
 
   val all: Map[String, String] = Map(
+    // ----- aggregations --------------------------------------------------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
@@ -21,13 +25,11 @@ object OperatorOracles {
 
     "q_agg_having_countdistinct" ->
       """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
-        |FROM lineitem
-        |GROUP BY l_orderkey
+        |FROM lineitem GROUP BY l_orderkey
         |HAVING COUNT(DISTINCT l_suppkey) > 3""".stripMargin,
 
     "q_dedup_groupby" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
-        |FROM lineitem""".stripMargin,
+      "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
 
     "q_scalar_score" ->
       """SELECT c_custkey,
@@ -35,6 +37,228 @@ object OperatorOracles {
         |   + CASE WHEN c_mktsegment IS NOT NULL THEN 1 ELSE 0 END
         |   + CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END
         |   + CASE WHEN c_nationkey IS NOT NULL THEN 1 ELSE 0 END) AS score
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price,
+        |  SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // ----- projections / filters ----------------------------------------
+    "q_proj_alias" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |  l_quantity AS qty,
+        |  l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem""".stripMargin,
+
+    "q_star_except" ->
+      "SELECT * EXCLUDE (p_retailprice) FROM part",
+
+    "q_filter_in" ->
+      """SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |WHERE p_size IN (1,5,10,15) AND p_type IN ('ECONOMY','SMALL')""".stripMargin,
+
+    "q_filter_cmp_null" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus != 'F' AND o_totalprice > 150000
+        |  AND o_custkey IS NOT NULL""".stripMargin,
+
+    "q_like" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_name LIKE '%00001%'
+        |   OR (c_mktsegment LIKE 'B%' AND lower(c_name) LIKE '%customer%7')""".stripMargin,
+
+    // ----- joins ---------------------------------------------------------
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_lines,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_residual" ->
+      """SELECT l_orderkey, l_partkey, p_size
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND p_size IN (1,5,10)""".stripMargin,
+
+    "q_join_left_chain" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q_join_expr" ->
+      """SELECT c_custkey, seg_uc
+        |FROM customer
+        |JOIN (SELECT DISTINCT upper(c_mktsegment) AS seg_uc FROM customer) d
+        |  ON lower(trim(c_mktsegment)) = lower(trim(seg_uc))""".stripMargin,
+
+    "q_join_exists_flag" ->
+      """SELECT o_orderkey, (debt_key IS NOT NULL) AS cust_low_bal
+        |FROM orders
+        |LEFT JOIN (SELECT c_custkey AS debt_key FROM customer WHERE c_acctbal < 500) d
+        |  ON o_custkey = debt_key""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    // ----- windows / sort / set ops --------------------------------------
+    "q_window_top1" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1""".stripMargin,
+
+    "q_window_agg_rank" ->
+      """SELECT l_partkey, l_suppkey, qty FROM (
+        |  SELECT l_partkey, l_suppkey, qty,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |                       ORDER BY qty DESC, l_suppkey) AS rn
+        |  FROM (SELECT l_partkey, l_suppkey,
+        |          SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |        FROM lineitem GROUP BY l_partkey, l_suppkey) a) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q_sort_global_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_union_all_typed_nulls" ->
+      """SELECT c_custkey AS entity_id, c_name AS entity_name,
+        |  CAST(NULL AS DOUBLE) AS total, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT o_custkey, CAST(NULL AS VARCHAR), o_totalprice, 'order' FROM orders""".stripMargin,
+
+    // ----- scalar functions ----------------------------------------------
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  lower(c_name) AS name_lower,
+        |  lower(trim(c_name)) || '-' || c_mktsegment AS tagged,
+        |  substr(c_name, 1, 9) AS name_prefix,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |  CASE WHEN regexp_matches(c_name, '[13579]$') THEN 'odd' ELSE 'even' END AS key_parity,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_coal,
+        |  CAST(length(c_name) AS INTEGER) AS name_len
+        |FROM customer""".stripMargin,
+
+    "q_case_buckets" ->
+      """WITH tagged AS (
+        |  SELECT c_custkey,
+        |    CASE CAST(c_custkey % 11 AS INTEGER)
+        |      WHEN 0 THEN NULL
+        |      WHEN 1 THEN 'Prefer not to say'
+        |      WHEN 2 THEN 'White'
+        |      WHEN 3 THEN 'White, Black or African American'
+        |      WHEN 4 THEN 'Hispanic or Latinx'
+        |      WHEN 5 THEN 'South Asian'
+        |      WHEN 6 THEN 'Native Hawaiian or other Pacific Islander'
+        |      WHEN 7 THEN 'Other'
+        |      WHEN 8 THEN 'White, Hispanic or Latinx, Other'
+        |      WHEN 9 THEN 'Black or African American'
+        |      ELSE 'East Asian' END AS race_ethnicity,
+        |    CASE CAST(c_custkey % 7 AS INTEGER)
+        |      WHEN 0 THEN NULL
+        |      WHEN 1 THEN 'Man'
+        |      WHEN 2 THEN 'Woman'
+        |      WHEN 3 THEN 'Man, Woman'
+        |      WHEN 4 THEN 'Prefer not to say'
+        |      WHEN 5 THEN 'Prefer to self-describe'
+        |      ELSE 'Genderfluid' END AS gender
+        |  FROM customer)
+        |SELECT c_custkey, race_ethnicity, gender,
+        |  CASE
+        |    WHEN lower(race_ethnicity) LIKE '%prefer not to say%' OR race_ethnicity IS NULL THEN 'Prefer Not To Say'
+        |    WHEN ( (CASE WHEN race_ethnicity LIKE '%White%' THEN 1 ELSE 0 END)
+        |         + (CASE WHEN race_ethnicity LIKE '%Hispanic%' OR race_ethnicity LIKE '%Latinx%' THEN 1 ELSE 0 END)
+        |         + (CASE WHEN race_ethnicity LIKE '%Black%' OR race_ethnicity LIKE '%African American%' THEN 1 ELSE 0 END)
+        |         + (CASE WHEN race_ethnicity LIKE '%South Asian%' OR race_ethnicity LIKE '%East Asian%' THEN 1 ELSE 0 END)
+        |         + (CASE WHEN race_ethnicity LIKE '%Native Hawaiian or other Pacific Islander%' THEN 1 ELSE 0 END)
+        |         + (CASE WHEN race_ethnicity LIKE '%Native American or Alaska Native' THEN 1 ELSE 0 END)
+        |         + (CASE WHEN race_ethnicity LIKE '%Other%' THEN 1 ELSE 0 END) ) > 1 THEN 'Multiracial'
+        |    WHEN race_ethnicity LIKE 'Hispanic or Latinx' THEN 'Hispanic'
+        |    WHEN race_ethnicity LIKE 'Black or African American' THEN 'Black'
+        |    WHEN race_ethnicity LIKE '%South Asian%' OR race_ethnicity LIKE '%East Asian%' THEN 'Asian'
+        |    WHEN race_ethnicity LIKE 'Native Hawaiian or other Pacific Islander' THEN 'Native Hawaiian or other Pacific Islander'
+        |    WHEN race_ethnicity LIKE 'Native American or Alaska Native' THEN 'Native American or Alaska Native'
+        |    WHEN race_ethnicity LIKE 'White' THEN 'White'
+        |    WHEN race_ethnicity LIKE 'Other' THEN 'Other'
+        |    ELSE 'Other' END AS race,
+        |  CASE
+        |    WHEN gender LIKE '%Prefer not to say%' OR gender IS NULL THEN 'Prefer Not To Say'
+        |    WHEN gender LIKE '%Prefer to self-describe%' THEN 'Prefer Not To Say'
+        |    WHEN gender LIKE '%Man%' AND gender LIKE '%Woman%' THEN 'Prefer Not To Say'
+        |    WHEN gender LIKE '%Man%' THEN 'Man'
+        |    WHEN gender LIKE '%Woman%' THEN 'Woman'
+        |    ELSE 'Non-binary' END AS gender_sum
+        |FROM tagged""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  strftime(o_orderdate, '%m%d') AS mmdd,
+        |  CAST(year(DATE '2026-08-12') - year(o_orderdate) AS INTEGER) AS bq_year_diff,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-08-12') AS INTEGER) AS days_to_asof
+        |FROM orders""".stripMargin,
+
+    "q_age_composite" ->
+      """WITH b AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 17 = 0 THEN NULL
+        |         WHEN c_custkey % 23 = 0 THEN 'garbage'
+        |         ELSE lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0')
+        |              || '-' || CAST(c_custkey % 60 + 1950 AS VARCHAR) END AS birthday
+        |  FROM customer)
+        |SELECT c_custkey, birthday,
+        |  CAST(CASE WHEN birthday IS NULL THEN NULL
+        |    ELSE year(DATE '2026-08-12')
+        |         - year(CAST(try_strptime(substr(birthday,4,4) || '-' || substr(birthday,1,2) || '-01', '%Y-%m-%d') AS DATE))
+        |         - (CASE WHEN strftime(DATE '2026-08-12', '%m%d') < substr(birthday,1,2) || '01'
+        |                 THEN 1 ELSE 0 END)
+        |    END AS INTEGER) AS age
+        |FROM b""".stripMargin,
+
+    "q_haversine" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 120) - 60 + 0.25 AS lat1,
+        |    (c_custkey % 300) - 150 + 0.5 AS lon1,
+        |    (n_nationkey % 100) - 50 + 0.75 AS lat2,
+        |    (n_nationkey * 13 % 330) - 165 + 0.25 AS lon2
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT c_custkey,
+        |  round(3958.7613 * 2 * asin(sqrt(
+        |    pow(sin(radians(lat2 - lat1) / 2), 2)
+        |    + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)
+        |  )), 4) AS dist_mi,
+        |  CASE WHEN round(3958.7613 * 2 * asin(sqrt(
+        |    pow(sin(radians(lat2 - lat1) / 2), 2)
+        |    + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)
+        |  )), 4) > 10 THEN 'far' ELSE 'near' END AS proximity
+        |FROM pts""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
