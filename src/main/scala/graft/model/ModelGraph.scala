@@ -1,0 +1,128 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** dbt-orchestration parity (SURVEY §2.11): models form a DAG via
+  * declared deps (the reference's ref()/source() calls — e.g.
+  * user_base.sql:81-82), are topologically executed with bounded
+  * parallelism (profiles.example.yml:9 `threads: 4`), and materialize
+  * as views (lazy temp view) or tables (physical parquet) per
+  * dbt_project.yml:11-17.
+  */
+sealed trait Materialization
+object Materialization {
+  /** Lazy: downstream models recompute through the plan (dbt view). */
+  case object View extends Materialization
+  /** Physical: written to parquet and re-read, cutting lineage (dbt table). */
+  case object Table extends Materialization
+}
+
+/** One named transformation. `transform` sees every source table and
+  * every upstream model output by name — the engine's ref()/source().
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization = Materialization.View,
+    tags: Set[String] = Set.empty)(
+    val transform: Map[String, DataFrame] => DataFrame)
+
+final class CycleException(msg: String) extends RuntimeException(msg)
+
+object ModelGraph {
+  /** Kahn topological sort restricted to model-to-model edges (deps
+    * naming source tables are satisfied from the input map). Throws
+    * CycleException on cycles, IllegalArgumentException on duplicate
+    * names.
+    */
+  def topoSort(models: Seq[Model]): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    require(byName.size == models.size, s"duplicate model names in ${models.map(_.name)}")
+    val indeg = mutable.Map(models.map(m =>
+      m.name -> m.deps.count(byName.contains)): _*)
+    val out = mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    for (m <- models; d <- m.deps if byName.contains(d))
+      out(d) = m.name :: out(d)
+    // deterministic order: ready queue kept sorted
+    val ready = mutable.SortedSet(models.collect {
+      case m if indeg(m.name) == 0 => m.name }: _*)
+    val order = mutable.ArrayBuffer.empty[Model]
+    while (ready.nonEmpty) {
+      val n = ready.head; ready -= n
+      order += byName(n)
+      for (succ <- out(n)) {
+        indeg(succ) -= 1
+        if (indeg(succ) == 0) ready += succ
+      }
+    }
+    if (order.size != models.size) {
+      val stuck = models.map(_.name).filterNot(order.map(_.name).toSet)
+      throw new CycleException(s"cycle among models: $stuck")
+    }
+    order.toSeq
+  }
+}
+
+/** Executes a model DAG. Models whose deps are all satisfied run
+  * concurrently (bounded by `threads`) as separate Spark jobs — the
+  * Spark scheduler interleaves their stages, which is exactly how
+  * dbt's thread pool maps onto a shared cluster.
+  *
+  * @param warehouseDir where Table-materialized outputs land
+  */
+final class Runner(
+    spark: SparkSession,
+    sources: Map[String, DataFrame],
+    warehouseDir: String,
+    threads: Int = 4) {
+
+  /** Run all models in dependency order; returns name -> result
+    * DataFrame (for Table materializations, the re-read parquet). */
+  def run(models: Seq[Model]): Map[String, DataFrame] = {
+    val order = ModelGraph.topoSort(models)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(threads))
+    val done = mutable.Map.empty[String, Future[(String, DataFrame)]]
+    for (m <- order) {
+      val depFutures = m.deps.flatMap(done.get)
+      done(m.name) = Future.sequence(depFutures).map { resolved =>
+        val env = sources ++ resolved.toMap
+        val df = m.transform(env)
+        m.materialization match {
+          case Materialization.View =>
+            df.createOrReplaceTempView(m.name)
+            m.name -> df
+          case Materialization.Table =>
+            val path = s"$warehouseDir/${m.name}"
+            df.write.mode("overwrite").parquet(path)
+            val reread = spark.read.parquet(path)
+            reread.createOrReplaceTempView(m.name)
+            m.name -> reread
+        }
+      }
+    }
+    val res = Await.result(Future.sequence(order.map(m => done(m.name))), Duration.Inf)
+    res.toMap
+  }
+}
+
+/** dbt data-test primitives (marts_schema.yml:6-15): a test is a query
+  * returning violating rows; pass ⇔ zero violations. */
+object DataChecks {
+  import org.apache.spark.sql.functions._
+
+  /** `not_null` (marts_schema.yml:6-7). */
+  def notNull(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column).isNull).select(column)
+
+  /** `dbt_utils.unique_combination_of_columns` (marts_schema.yml:13-15). */
+  def uniqueCombination(df: DataFrame, columns: Seq[String]): DataFrame =
+    df.groupBy(columns.map(col): _*)
+      .count()
+      .filter(col("count") > 1)
+
+  def passes(violations: DataFrame): Boolean = violations.isEmpty
+}
