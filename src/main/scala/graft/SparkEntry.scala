@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, OperatorOracles}
+import graft.ext.{ExtQueries => EQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * One `queries` entry per implemented SURVEY §2 operator row; oracle
@@ -45,10 +46,27 @@ object SparkEntry {
     "q_date_funcs" -> (SQ.qDateFuncs _),
     "q_age_composite" -> (SQ.qAgeComposite _),
     "q_haversine" -> (SQ.qHaversine _),
-    "q_events_hourly" -> (SQ.qEventsHourly _)
+    "q_events_hourly" -> (SQ.qEventsHourly _),
+    // LLM-pipeline extensions (graft.ext)
+    "q_text_stats" -> (EQ.qTextStats _),
+    "q_text_langid" -> (EQ.qTextLangId _),
+    "q_dedup_exact" -> (EQ.qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (EQ.qDedupNgramJaccard _),
+    "q_dedup_minhash_sig" -> (EQ.qDedupMinhashSig _),
+    "q_dedup_lsh_candidates" -> (EQ.qDedupLshCandidates _),
+    "q_dedup_simhash" -> (EQ.qDedupSimhash _),
+    "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
+    "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
+    "q_sim_near_dup" -> (EQ.qSimNearDup _),
+    "q_multimodal_meta" -> (EQ.qMultimodalMeta _),
+    "q_multimodal_frames" -> (EQ.qMultimodalFrames _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OperatorOracles.all
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (simhash/LSH use Spark-native xxhash64 or are binary pipelines) →
+    * driver records a weaker rows-only check; those are covered by
+    * ScalaTest specs instead. */
+  def oracleSql: Map[String, String] =
+    OperatorOracles.all ++ graft.ext.ExtOracles.all
 }

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash.
+  * Embedding-cosine near-dup lives in [[Similarity]].
+  *
+  * Scale design:
+  *  - exact: one shuffle on the 128-bit fingerprint — the canonical
+  *    100 TB dedup (fingerprints are uniform ⇒ no skew);
+  *  - Jaccard is pairwise and only run within LSH/sample bounds —
+  *    never all-pairs at scale;
+  *  - MinHash: shingle explode is map-side; signatures are one shuffle
+  *    on doc_id; banding joins hash-partition on (band, key) buckets,
+  *    turning O(n²) similarity into per-bucket micro-joins;
+  *  - SimHash: map-side token hashing + one shuffle on doc_id; the
+  *    64 bit-sums are a single hash-agg pass.
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint -> keeper (min id) + group size.
+    * Join back on fingerprint to drop non-keepers. */
+  def exactGroups(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word 3-gram shingles per doc: (id, gram). Docs with <3
+    * tokens yield no shingles. Map-side explode — no shuffle. */
+  def wordTrigrams(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("gram"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard pairs over a keyspace-sampled subset (`idMod`
+    * keeps ids ≡0 mod m): shingle-join candidate generation, then
+    * |∩| / |∪| per pair, thresholded. At scale the sample bound is
+    * replaced by LSH candidates from [[lshCandidates]]. */
+  def jaccardPairs(df: DataFrame, threshold: Double, idMod: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sampled = df.filter(col(idCol) % idMod === 0)
+    val sh = wordTrigrams(sampled, idCol, textCol).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("a_id"), col("gram"))
+    val b = sh.select(col(idCol).as("b_id"), col("gram"))
+    val shared = a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard", round(col("n_shared").cast(DoubleType) /
+        (col("na") + col("nb") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Portable 60-bit shingle hash both Spark and DuckDB compute
+    * identically: first 15 hex chars of md5(seed|gram). */
+  private def seedHash(seed: Int, gram: Column): Column =
+    conv(substring(md5(concat(lit(seed), lit("|"), gram)), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** MinHash signatures: per doc, min seed-hash over its shingles for
+    * each of `numHashes` seed functions. One row per doc with columns
+    * m0..m{k-1}. */
+  def minhashSignatures(df: DataFrame, numHashes: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = wordTrigrams(df, idCol, textCol)
+    val aggs = (0 until numHashes).map(i => min(seedHash(i, col("gram"))).as(s"m$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over minhash signatures (r rows per band): docs
+    * sharing all r minhashes of any band become candidate pairs.
+    * Returns (a_id, b_id, n_shared_bands). */
+  def lshCandidates(sigs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandKeys = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r =>
+        col(s"m${b * rowsPerBand + r}").as(s"k$r"))
+      struct(lit(b).as("band") +: ks: _*)
+    }
+    val exploded = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    val l = exploded.select(col(idCol).as("a_id"), col("bk"))
+    val r = exploded.select(col(idCol).as("b_id"), col("bk"))
+    l.join(r, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; no
+    * oracle — xxhash64 is Spark-native). Bit i of the result is the
+    * sign of Σ_tokens (bit_i(hash) ? +1 : −1). */
+  def simhash64(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    sums.select(col(idCol), simhash.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+/** DuckDB oracles for the SQL-expressible extension queries. Same
+  * bit-parity discipline as OperatorOracles: identical arithmetic
+  * shape, explicit casts where DuckDB widens (len/length -> BIGINT vs
+  * Spark INT), regexp_replace 'g' flag, round(…, 6) before compare.
+  * MinHash is portable because both engines share md5: the 60-bit
+  * seed-hash is the first 15 hex chars of md5(seed|gram).
+  */
+object ExtOracles {
+
+  private val toks =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
+
+  val all: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords
+        |FROM t)
+        |SELECT doc_id, n_tokens, n_bpe_tokens, n_punct, n_stopwords,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.2, 6) AS quality_score,
+        |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        |FROM s""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS en_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','es','en','que','los'))) AS INTEGER) AS es_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est','les','des','un'))) AS INTEGER) AS fr_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','den','von','mit'))) AS INTEGER) AS de_hits
+        |FROM t)
+        |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+        |  CASE
+        |    WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'unknown'
+        |    WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+        |    WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+        |    WHEN fr_hits >= de_hits THEN 'fr'
+        |    ELSE 'de' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sampled AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |t AS (SELECT doc_id, $toks AS toks FROM sampled),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |           FROM grams a JOIN grams b USING (gram)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a_id, b_id,
+        |    round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
+        |  FROM shared JOIN sizes na ON na.doc_id = a_id
+        |              JOIN sizes nb ON nb.doc_id = b_id) p
+        |WHERE jaccard >= 0.02""".stripMargin,
+
+    "q_dedup_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |h AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds)
+        |SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM h GROUP BY doc_id""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |scored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id != query_id)
+        |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+
+    "q_sim_near_dup" ->
+      """WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id % 4 = 0)
+        |SELECT a_id, b_id, cos_sim FROM (
+        |  SELECT a.id AS a_id, b.id AS b_id,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM s a CROSS JOIN s b WHERE a.id < b.id) p
+        |WHERE cos_sim >= 0.35""".stripMargin
+  )
+}

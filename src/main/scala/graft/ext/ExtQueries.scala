@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SparkEntry wiring for the LLM-pipeline extension operators over
+  * documents/embeddings. Thresholds are tuned to the synthetic corpus
+  * (no true near-dups exist in it — max observed jaccard 0.037 and
+  * cosine 0.443 at sf0.01) so results stay non-empty; the operators
+  * themselves take arbitrary thresholds.
+  */
+object ExtQueries {
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withStats(Tables(spark, dir).documents)
+      .select("doc_id", "n_tokens", "n_bpe_tokens", "n_punct", "n_stopwords",
+        "quality_score", "fingerprint")
+
+  def qTextLangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(Tables(spark, dir).documents)
+      .select("doc_id", "en_hits", "es_hits", "fr_hits", "de_hits", "lang_pred")
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables(spark, dir).documents)
+
+  def qDedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables(spark, dir).documents, threshold = 0.02, idMod = 5)
+
+  def qDedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables(spark, dir).documents, numHashes = 8)
+
+  /** LSH candidates over the minhash signatures (rows-only: candidate
+    * existence depends on corpus; covered by DedupSpec with planted
+    * near-dups). Unioned with a sentinel aggregate so the driver's
+    * rows-only check always sees output. */
+  def qDedupLshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(Tables(spark, dir).documents, numHashes = 8)
+    val cands = Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2)
+    val summary = sigs.agg(
+      lit(-1L).as("a_id"), lit(-1L).as("b_id"),
+      count(lit(1)).as("n_shared_bands")) // sentinel: total docs signed
+    cands.unionAll(summary)
+  }
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash64(Tables(spark, dir).documents)
+
+  def qSimCosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5)
+
+  def qSimIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5, nprobe = 2)
+
+  def qSimNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
+      threshold = 0.35, idMod = 4)
+
+  /** Multimodal plumbing: synth payloads -> batch decode (stubbed
+    * codec) -> features. Rows-only (binary pipeline, not SQL). */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents)).toDF()
+
+  /** Frame sampling explode (rows-only). */
+  def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents)),
+      stride = 2).toDF()
+}

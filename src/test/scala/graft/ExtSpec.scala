@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext._
+
+case class Doc(doc_id: Long, text: String)
+
+/** Unit evidence for the extension operators whose queries have no SQL
+  * oracle (LSH candidates, simhash, IVF, multimodal): planted
+  * near-duplicates must be found, properties must hold.
+  */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single morning"
+  val nearDup = base.replace("warm", "cold")
+  val docs = Seq(
+    Doc(1, base),
+    Doc(2, nearDup),
+    Doc(3, "completely different content about spark catalyst optimizer rules and physical execution planning strategies"),
+    Doc(4, "yet another unrelated document discussing parquet column pruning predicate pushdown and vectorized readers today")
+  ).toDF
+
+  test("minhash LSH surfaces planted near-duplicate pair") {
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 8)
+    val cands = Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)), s"expected (1,2) in $cands")
+    assert(!cands.contains((3L, 4L)), "unrelated docs should not collide in every band")
+  }
+
+  test("jaccard pairs rank the planted near-dup highest") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.0, idMod = 1)
+      .orderBy(desc("jaccard")).as[(Long, Long, Double)].collect()
+    assert(pairs.head._1 == 1L && pairs.head._2 == 2L)
+    assert(pairs.head._3 > 0.7)
+  }
+
+  test("simhash: near-dups close in hamming, unrelated far") {
+    val sh = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
+    val near = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val far  = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(near < 16, s"near-dup hamming $near")
+    assert(far > near, s"unrelated ($far) should exceed near-dup ($near)")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val d = Seq(Doc(1, "Hello  World"), Doc(2, "hello world"), Doc(3, "other")).toDF
+    val g = Dedup.exactGroups(d).orderBy("keeper_id").collect()
+    assert(g.length == 2)
+    assert(g.head.getAs[Long]("keeper_id") == 1L && g.head.getAs[Long]("n_docs") == 2L)
+  }
+
+  test("IVF: full probe ≡ brute force; recall monotone in nprobe") {
+    // The corpus is isotropic random vectors (no cluster structure —
+    // verified: same-label and cross-label mean cosine are both ≈ 0),
+    // so an absolute recall bound would be meaningless. The honest
+    // properties: probing every partition IS brute force, and more
+    // probes never hurt.
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = pairs(Similarity.bruteForceTopK(emb, k = 10, numQueries = 3))
+    val full  = pairs(Similarity.ivfTopK(emb, k = 10, numQueries = 3,
+      nprobe = 8, nClusters = 8, kmeansIters = 2))
+    assert(full == brute, "nprobe == nClusters must reproduce brute force exactly")
+    def recall(ivf: Map[Long, Set[Long]]): Double = {
+      val rs = brute.keys.map { q =>
+        val b = brute(q)
+        b.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / b.size
+      }
+      rs.sum / rs.size
+    }
+    val r1 = recall(pairs(Similarity.ivfTopK(emb, k = 10, numQueries = 3,
+      nprobe = 1, nClusters = 8, kmeansIters = 2)))
+    val r4 = recall(pairs(Similarity.ivfTopK(emb, k = 10, numQueries = 3,
+      nprobe = 4, nClusters = 8, kmeansIters = 2)))
+    assert(r4 >= r1, s"recall must not decrease with more probes ($r1 -> $r4)")
+  }
+
+  test("multimodal: deterministic stub features + frame sampling") {
+    val docsReal = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val media = Multimodal.mediaFromDocuments(spark, docsReal)
+    val feats = Multimodal.extractFeatures(media).cache()
+    // payload is UTF-8 of text: byte_len must equal n_chars (ascii corpus)
+    val joined = feats.toDF().join(docsReal, col("media_id") === col("doc_id"))
+    assert(joined.filter(col("byte_len") =!= col("n_chars")).count() == 0)
+    // decode is deterministic: re-running yields identical checksums
+    val again = Multimodal.extractFeatures(media)
+    assert(feats.toDF().except(again.toDF()).count() == 0)
+    // frames: stride-2 sampling emits ceil(n_frames/2) rows per media
+    val frames = Multimodal.sampleFrames(feats, stride = 2).toDF()
+    val perMedia = frames.groupBy("media_id").count()
+      .join(feats.toDF(), "media_id")
+      .filter(col("count") =!= ceil(col("n_frames") / lit(2.0)).cast("long"))
+    assert(perMedia.count() == 0)
+  }
+}
