@@ -50,7 +50,8 @@ object ExtQueries {
     Similarity.bruteForceTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5)
 
   def qSimIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5, nprobe = 2)
+    Similarity.ivfTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
+      nprobe = 2, nClusters = 8, kmeansIters = 2)
 
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
