@@ -1,0 +1,153 @@
+package graft.sql
+
+import scala.util.matching.Regex
+
+/** BigQuery-dialect → Spark SQL translator covering the constructs the
+  * reference's models actually use (SURVEY §2.10): Jinja
+  * source()/ref() resolution, raw r'' strings, SAFE.PARSE_DATE,
+  * FORMAT_DATE, DATE_DIFF argument order + unit semantics,
+  * ST_GEOGPOINT/ST_DISTANCE, REGEXP_CONTAINS, QUALIFY row_number()=1,
+  * and optional current_date pinning. `SELECT * EXCEPT(...)` and
+  * ordinal GROUP BY are native in Spark 4 and pass through.
+  *
+  * This is a pragmatic textual shim (the reference corpus is 372 lines
+  * of SQL in a known shape), not a full BigQuery parser: QUALIFY is
+  * desugared only in its `select * … qualify row_number() over (…) = 1`
+  * form, which is the only form the reference uses
+  * (locations_clean.sql:83,89,95).
+  */
+object BigQueryDialect {
+
+  private val sourceRe: Regex = """\{\{\s*source\(\s*'[^']*'\s*,\s*'(\w+)'\s*\)\s*\}\}""".r
+  private val refRe: Regex = """\{\{\s*ref\(\s*'(\w+)'\s*\)\s*\}\}""".r
+
+  /** Model dependencies: names pulled in via {{ ref(...) }}. */
+  def refs(sql: String): Seq[String] = refRe.findAllMatchIn(sql).map(_.group(1)).toSeq
+
+  /** Source tables pulled in via {{ source(...) }}. */
+  def sources(sql: String): Seq[String] = sourceRe.findAllMatchIn(sql).map(_.group(1)).toSeq
+
+  /** %-style BigQuery date format → JVM DateTimeFormatter pattern. */
+  def mapDateFormat(fmt: String): String =
+    fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+
+  /** Find the argument list of `fn(` starting at the '(' after `from`,
+    * returning (args, endIndexExclusiveOfClosingParen). Splits on
+    * top-level commas, respects nesting and quoted strings. */
+  private def parseArgs(s: String, openParen: Int): (Seq[String], Int) = {
+    var depth = 0; var i = openParen; var inStr = false
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; if (depth > 1) cur += c
+        case ')' =>
+          depth -= 1
+          if (depth == 0) { args += cur.toString.trim; return (args.toSeq, i + 1) }
+          cur += c
+        case ',' if depth == 1 => args += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens after offset $openParen")
+  }
+
+  /** Rewrite every `name(args…)` using `build(args)`, case-insensitive. */
+  private def rewriteCalls(sql: String, name: String)(build: Seq[String] => String): String = {
+    val lower = name.toLowerCase
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val idx = sql.toLowerCase.indexOf(lower + "(", i) match {
+        case -1 => -1
+        // require a non-word char before the name (avoid suffix matches)
+        case j if j > 0 && (sql.charAt(j - 1).isLetterOrDigit || sql.charAt(j - 1) == '_' || sql.charAt(j - 1) == '.') =>
+          // skip this occurrence; continue scanning after it
+          out.append(sql.substring(i, j + 1)); i = j + 1; -2
+        case j => j
+      }
+      idx match {
+        case -1 => out.append(sql.substring(i)); return out.toString
+        case -2 => // already advanced
+        case j =>
+          out.append(sql.substring(i, j))
+          val (args, end) = parseArgs(sql, j + lower.length)
+          out.append(build(args))
+          i = end
+      }
+    }
+    out.toString
+  }
+
+  /** The haversine ST_DISTANCE in meters (sphere R=6371008.8 m; BigQuery
+    * uses a spheroid, ≤0.5% difference — SURVEY §7.3 risk register). */
+  private def haversineMetersSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"(6371008.8 * 2 * asin(sqrt(pow(sin(radians(($lat2) - ($lat1)) / 2), 2) " +
+    s"+ cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
+
+  private val qualifyRe: Regex =
+    """(?is)select\s+\*\s+from\s+(\w+)\s+where\s+(.*?)\s+qualify\s+(row_number\(\)\s*over\s*\([^)]*\))\s*=\s*1""".r
+
+  /** Translate one model's BigQuery SQL to Spark SQL.
+    * @param currentDateOverride pin `current_date` to a literal
+    *        ISO date for deterministic results (risk register §7.3). */
+  def translate(bqSql: String, currentDateOverride: Option[String] = None): String = {
+    var s = bqSql
+    // 1. Jinja resolution: names become (temp-view) table names
+    s = sourceRe.replaceAllIn(s, m => m.group(1))
+    s = refRe.replaceAllIn(s, m => m.group(1))
+    // 2. raw strings: r'…' — escape backslashes for Spark's literal
+    // parser. The lookbehind demands a delimiter before the r: without
+    // it, `like 'Other' then '…'` would parse `r' then '` as a raw
+    // string and eat the trailing r of "Other".
+    s = """(?<=[\s(,=])r'([^']*)'""".r.replaceAllIn(s,
+      m => Regex.quoteReplacement("'" + m.group(1).replace("\\", "\\\\") + "'"))
+    // 3. SAFE.PARSE_DATE(fmt, x) -> TRY_TO_DATE(x, jvmFmt)
+    s = rewriteCalls(s, "safe.parse_date") { args =>
+      val fmt = mapDateFormat(args.head.stripPrefix("'").stripSuffix("'"))
+      s"TRY_TO_DATE(${args(1)}, '$fmt')"
+    }
+    // 4. FORMAT_DATE(fmt, d) -> DATE_FORMAT(d, jvmFmt)
+    s = rewriteCalls(s, "format_date") { args =>
+      val fmt = mapDateFormat(args.head.stripPrefix("'").stripSuffix("'"))
+      s"DATE_FORMAT(${args(1)}, '$fmt')"
+    }
+    // 5. DATE_DIFF(a, b, unit) — BigQuery boundary-crossing semantics
+    s = rewriteCalls(s, "date_diff") { args =>
+      args(2).trim.toLowerCase match {
+        case "year"  => s"(year(${args(0)}) - year(${args(1)}))"
+        case "month" => s"((year(${args(0)}) - year(${args(1)})) * 12 + (month(${args(0)}) - month(${args(1)})))"
+        case "day"   => s"datediff(${args(0)}, ${args(1)})"
+        case u => throw new IllegalArgumentException(s"DATE_DIFF unit $u not supported")
+      }
+    }
+    // 6. ST_DISTANCE(ST_GEOGPOINT(lon1,lat1), ST_GEOGPOINT(lon2,lat2))
+    s = rewriteCalls(s, "st_distance") { args =>
+      def point(a: String): (String, String) = {
+        val inner = a.trim
+        require(inner.toLowerCase.startsWith("st_geogpoint("),
+          s"st_distance arg must be st_geogpoint(...), got: $inner")
+        val (pargs, _) = parseArgs(inner, inner.indexOf('('))
+        (pargs(1), pargs(0)) // (lat, lon)
+      }
+      val (lat1, lon1) = point(args(0)); val (lat2, lon2) = point(args(1))
+      haversineMetersSql(lat1, lon1, lat2, lon2)
+    }
+    // 7. REGEXP_CONTAINS(s, p) -> (s RLIKE p)
+    s = rewriteCalls(s, "regexp_contains")(args => s"(${args(0)} RLIKE ${args(1)})")
+    // 8. QUALIFY row_number() over (…) = 1  (select * … form)
+    s = qualifyRe.replaceAllIn(s, m => Regex.quoteReplacement(
+      s"select * except(__rn) from (select *, ${m.group(3)} as __rn " +
+      s"from ${m.group(1)} where ${m.group(2)}) where __rn = 1"))
+    // 9. pin current_date for determinism
+    currentDateOverride.foreach { d =>
+      s = """(?i)\bcurrent_date\b""".r.replaceAllIn(s, s"DATE '$d'")
+    }
+    s
+  }
+}

@@ -1,0 +1,32 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.{Materialization, Model, ModelGraph, Runner}
+
+/** Runs a dbt-style project of BigQuery-dialect SQL models on Spark:
+  * Jinja source()/ref() calls define the DAG (SURVEY §2.11/§3), each
+  * model's SQL is translated by [[BigQueryDialect]] and executed via
+  * spark.sql in topological order with the same Runner/materialization
+  * machinery as the DataFrame models. This is the "switch without
+  * rewriting your queries" path for a user of the reference.
+  */
+final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
+    currentDateOverride: Option[String] = None, threads: Int = 4) {
+
+  /** @param modelSql   model name -> raw (Jinja + BigQuery) SQL
+    * @param sources    source table name -> DataFrame
+    * @param materializations model name -> View/Table (default View)
+    */
+  def run(modelSql: Map[String, String], sources: Map[String, DataFrame],
+      materializations: Map[String, Materialization] = Map.empty): Map[String, DataFrame] = {
+    sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val models = modelSql.map { case (name, sql) =>
+      val translated = BigQueryDialect.translate(sql, currentDateOverride)
+      Model(name, BigQueryDialect.refs(sql),
+        materializations.getOrElse(name, Materialization.View))(
+        _ => spark.sql(translated))
+    }.toSeq
+    ModelGraph.topoSort(models) // fail fast on cycles before any work
+    new Runner(spark, sources, warehouseDir, threads).run(models)
+  }
+}

@@ -27,17 +27,14 @@ case class Loc(id: Long, display_name: String, long_name: String,
 case class LLAC(from_location_id: Long, to_location_id: Long)
 case class LType(location_id: Long, locationtype_id: Long)
 
-/** End-to-end run of the three reference models over hand-built
-  * fixtures covering FIXTURES.md §3's edge cases, through the Runner
-  * DAG, plus the dbt-parity data tests (marts_schema.yml:6-15).
-  */
-class ReferenceModelsSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.get
-  import spark.implicits._
-
+/** Shared reference-model fixtures (FIXTURES.md §3 edge cases) — used
+  * by both the DataFrame-model spec and the SQL-shim cross-check. */
+object RefFixtures {
   def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 
-  lazy val sources: Map[String, DataFrame] = Map(
+  def sources(spark: org.apache.spark.sql.SparkSession): Map[String, DataFrame] = {
+    import spark.implicits._
+    Map(
     "user_user" -> Seq(
       UU(1, "u1", "Ann", "Lee", "educator1@example.com", "E",
         Some("White, Other"), Some("Man, Woman"), None, ts("2020-01-01"),
@@ -96,7 +93,19 @@ class ReferenceModelsSpec extends AnyFunSuite {
     "location_location_types" -> Seq(
       LType(101, 3), LType(102, 4), LType(103, 7), LType(104, 1), LType(105, 8),
       LType(401, 3), LType(402, 4), LType(501, 3), LType(502, 4)).toDF
-  )
+    )
+  }
+}
+
+/** End-to-end run of the three reference models over hand-built
+  * fixtures covering FIXTURES.md §3's edge cases, through the Runner
+  * DAG, plus the dbt-parity data tests (marts_schema.yml:6-15).
+  */
+class ReferenceModelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  lazy val sources: Map[String, DataFrame] = RefFixtures.sources(spark)
 
   lazy val results: Map[String, DataFrame] = {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
