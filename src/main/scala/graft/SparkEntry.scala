@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, OperatorOracles}
+import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, AnalyticsQueries => AQ, OperatorOracles}
 import graft.ext.{ExtQueries => EQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,6 +47,18 @@ object SparkEntry {
     "q_age_composite" -> (SQ.qAgeComposite _),
     "q_haversine" -> (SQ.qHaversine _),
     "q_events_hourly" -> (SQ.qEventsHourly _),
+    // analytics breadth (rollup/cube/sets, set ops, pivot, percentiles…)
+    "q_rollup" -> (AQ.qRollup _),
+    "q_cube" -> (AQ.qCube _),
+    "q_grouping_sets" -> (AQ.qGroupingSets _),
+    "q_intersect" -> (AQ.qIntersect _),
+    "q_except" -> (AQ.qExcept _),
+    "q_pivot" -> (AQ.qPivot _),
+    "q_percentiles" -> (AQ.qPercentiles _),
+    "q_array_agg" -> (AQ.qArrayAgg _),
+    "q_scalar_subquery" -> (AQ.qScalarSubquery _),
+    "q_posexplode" -> (AQ.qPosexplode _),
+    "q_events_props" -> (AQ.qEventsProps _),
     // LLM-pipeline extensions (graft.ext)
     "q_text_stats" -> (EQ.qTextStats _),
     "q_text_langid" -> (EQ.qTextLangId _),

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Analytics-operator breadth beyond the reference's own surface:
+  * multi-dimensional aggregation (ROLLUP/CUBE/GROUPING SETS), set
+  * intersection/difference, pivot, exact percentiles, ordered array /
+  * string aggregation, scalar subqueries, lateral explode. All with
+  * DuckDB oracles.
+  */
+object AnalyticsQueries {
+
+  /** ROLLUP over (returnflag, linestatus): hierarchy subtotals + grand
+    * total. Spark plans this as a single Expand + hash agg — one
+    * shuffle regardless of grouping-set count. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+
+  /** CUBE over (orderstatus, orderpriority): all 4 grouping sets. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Explicit GROUPING SETS ((status), (priority)) via SQL — disjoint
+    * dimensions, no cross-product rows. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+  }
+
+  /** INTERSECT (distinct) of customer vs supplier nation keys. */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+  }
+
+  /** EXCEPT (distinct): nations with customers but no suppliers. */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .except(t.supplier.select(col("s_nationkey").as("nationkey")))
+  }
+
+  /** PIVOT: order counts per priority, statuses as columns. Missing
+    * combinations are NULL (pivot left-join semantics; the oracle uses
+    * NULLIF(count,0) to mirror that). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+
+  /** Exact linear-interpolation percentiles (median + p90) per group —
+    * Spark `percentile` ≡ DuckDB `quantile_cont`. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"))
+
+  /** Ordered collection aggregates: first-5 sorted ids and an ordered
+    * string_agg per group. */
+  def qArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).supplier
+      .groupBy(col("s_nationkey"))
+      .agg(
+        slice(sort_array(collect_list(col("s_suppkey"))), 1, 5).as("first_ids"),
+        concat_ws(",", sort_array(collect_list(col("s_name")))).as("names_csv"))
+
+  /** Scalar subquery: orders within 10% of the global max price. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val mx = o.agg(max(col("o_totalprice")).as("mx"))
+    o.crossJoin(broadcast(mx))
+      .filter(col("o_totalprice") > col("mx") * 0.9)
+      .select("o_orderkey", "o_totalprice")
+  }
+
+  /** Lateral posexplode of document tokens (0-based positions). */
+  def qPosexplode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(graft.ext.TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+
+  /** JSON-ish field extraction from the events props column via regex
+    * (portable to the oracle without a JSON extension). */
+  def qEventsProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType).as("k"))
+}

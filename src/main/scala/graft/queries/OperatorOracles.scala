@@ -259,6 +259,66 @@ object OperatorOracles {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(*) AS n,
         |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // ----- analytics breadth --------------------------------------------
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  NULLIF(COUNT(*) FILTER (o_orderstatus = 'F'), 0) AS "F",
+        |  NULLIF(COUNT(*) FILTER (o_orderstatus = 'O'), 0) AS "O",
+        |  NULLIF(COUNT(*) FILTER (o_orderstatus = 'P'), 0) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT s_nationkey,
+        |  list_slice(list_sort(list(s_suppkey)), 1, 5) AS first_ids,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS names_csv
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9""".stripMargin,
+
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+        |FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |      FROM (SELECT doc_id,
+        |              list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS toks
+        |            FROM documents WHERE doc_id < 50) t) u""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin
   )
 }
