@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink breadth (SURVEY §2.1 S4/S5): the reference's only I/O
+  * is the BigQuery adapter; the Spark-native engine fronts parquet
+  * (primary), csv and json, plus the write shapes that matter at
+  * 100 TB — partitioned layout for pruning and bucketed tables for
+  * shuffle-free joins.
+  */
+object IO {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned layout: scans filtered on `cols` prune
+    * whole directories (partition pruning — the 100 TB table layout). */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: joins/aggregations on the bucket
+    * key skip the shuffle entirely (requires saveAsTable — bucket
+    * metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+}
+
+/** Skew mitigation for hot keys (SURVEY §7.2 step 8: "salting for
+  * skewed keys like the invite-code fan-outs"). AQE's skew-join
+  * handles sort-merge skew automatically; salting is the explicit
+  * fallback when a single key dominates a shuffle hash join or
+  * aggregation.
+  */
+object Skew {
+
+  /** Salted inner equi-join: left's hot keys spread over `salts`
+    * partitions; right replicated `salts` ways. Correct for any key
+    * distribution; use when one key holds >~1/partitions of the rows. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      (rand(seed = 42) * salts).cast("int"))
+    val saltedR = right.crossJoin(
+      right.sparkSession.range(salts).select(col("id").cast("int").as("__salt")))
+    saltedL.join(saltedR,
+        saltedL(key) === saltedR(key) && saltedL("__salt") === saltedR("__salt"))
+      .drop(saltedR(key)).drop("__salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial agg on
+    * (key, salt), then final agg on key. `aggs` maps column -> "sum" |
+    * "count" (the decomposable aggregates). */
+  def saltedCountSum(df: DataFrame, key: String, sumCol: String,
+      salts: Int = 8): DataFrame = {
+    val salted = df.withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
+    salted.groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(sumCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{IO, Skew, Tables}
+
+class IOSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("csv and json round-trip preserves data") {
+    val src = Tables(spark, "/root/testdata/sf0.001").nation
+    val c = tmp("graft-csv"); val j = tmp("graft-json")
+    IO.writeCsv(src, c); IO.writeJson(src, j)
+    val viaCsv = IO.readCsv(spark, c).select("n_nationkey", "n_name", "n_regionkey")
+    val viaJson = IO.readJson(spark, j).select("n_nationkey", "n_name", "n_regionkey")
+    assert(viaCsv.count() === 25 && viaJson.count() === 25)
+    assert(viaCsv.except(src).isEmpty && src.except(viaCsv).isEmpty)
+    assert(viaJson.except(src).isEmpty && src.except(viaJson).isEmpty)
+  }
+
+  test("partitioned write enables partition pruning") {
+    val src = Tables(spark, "/root/testdata/sf0.001").orders
+    val p = tmp("graft-part")
+    IO.writePartitioned(src, p, Seq("o_orderstatus"))
+    val pruned = spark.read.parquet(p).filter(col("o_orderstatus") === "F")
+    // pruning is visible in the plan: only the F partition is listed
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() === src.filter($"o_orderstatus" === "F").count())
+    assert(new java.io.File(p).listFiles().exists(_.getName == "o_orderstatus=F"))
+  }
+
+  test("bucketed table join avoids shuffle") {
+    val src = Tables(spark, "/root/testdata/sf0.001")
+    IO.writeBucketed(src.orders, "orders_b", "o_orderkey", 4)
+    IO.writeBucketed(
+      src.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b",
+      "o_orderkey", 4)
+    val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === 6000)
+  }
+
+  test("salted join equals plain join; salted agg equals plain agg") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val li = t.lineitem.select($"l_orderkey".as("k"), $"l_quantity")
+    val o = t.orders.select($"o_orderkey".as("k"), $"o_orderpriority")
+    val plain = li.join(o, "k").count()
+    val salted = Skew.saltedJoin(li, o, "k").count()
+    assert(salted === plain)
+    val plainAgg = li.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum"))
+      .select(sum($"n"), count(lit(1))).as[(Long, Long)].first()
+    val saltedAgg = Skew.saltedCountSum(li, "k", "l_quantity")
+      .select(sum($"n"), count(lit(1))).as[(Long, Long)].first()
+    assert(saltedAgg === plainAgg)
+  }
+}
