@@ -22,13 +22,19 @@ object Materialization {
 
 /** One named transformation. `transform` sees every source table and
   * every upstream model output by name — the engine's ref()/source().
+  * `checks` are dbt-style data tests: each maps the model's output to
+  * its violating rows; the model passes iff all are empty
+  * (marts_schema.yml:6-15).
   */
 final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization = Materialization.View,
-    tags: Set[String] = Set.empty)(
+    tags: Set[String] = Set.empty,
+    checks: Seq[(String, DataFrame => DataFrame)] = Seq.empty)(
     val transform: Map[String, DataFrame] => DataFrame)
+
+final class DataCheckException(msg: String) extends RuntimeException(msg)
 
 final class CycleException(msg: String) extends RuntimeException(msg)
 
@@ -79,9 +85,15 @@ final class Runner(
     warehouseDir: String,
     threads: Int = 4) {
 
+  /** dbt `build` semantics: run each model, then run its data checks
+    * before any dependent starts (SURVEY §3.3); a failing check aborts
+    * the DAG with DataCheckException. */
+  def build(models: Seq[Model]): Map[String, DataFrame] =
+    run(models, runChecks = true)
+
   /** Run all models in dependency order; returns name -> result
     * DataFrame (for Table materializations, the re-read parquet). */
-  def run(models: Seq[Model]): Map[String, DataFrame] = {
+  def run(models: Seq[Model], runChecks: Boolean = false): Map[String, DataFrame] = {
     val order = ModelGraph.topoSort(models)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(threads))
@@ -102,6 +114,18 @@ final class Runner(
             reread.createOrReplaceTempView(m.name)
             m.name -> reread
         }
+      }.map { case (name, result) =>
+        if (runChecks) {
+          val m = models.find(_.name == name).get
+          for ((checkName, check) <- m.checks) {
+            val violations = check(result)
+            if (!violations.isEmpty)
+              throw new DataCheckException(
+                s"model $name failed check '$checkName': " +
+                s"${violations.count()} violating rows")
+          }
+        }
+        name -> result
       }
     }
     val res = Await.result(Future.sequence(order.map(m => done(m.name))), Duration.Inf)

@@ -46,6 +46,15 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence of each id wins; state
+    * for ids older than the watermark is dropped — the unbounded-input
+    * form of Dedup.exactGroups (state stays O(ids-per-watermark-window),
+    * which is what makes it viable on an infinite stream). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermarkCol: String = "ts", delay: String = "2 hours"): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

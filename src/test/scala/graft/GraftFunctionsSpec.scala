@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftFunctions
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  test("registered SQL functions: st_distance / regexp_contains / date_diff_years") {
+    GraftFunctions.register(spark)
+    // JFK (40.6413, -73.7781) to LAX (33.9416, -118.4085): ~3974 km
+    val km = spark.sql(
+      """SELECT st_distance(st_geogpoint(-73.7781, 40.6413),
+        |                   st_geogpoint(-118.4085, 33.9416)) / 1000.0 AS km""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(km - 3974) < 15, s"JFK-LAX ~3974km, got $km")
+    assert(spark.sql("SELECT regexp_contains('abc123', '\\\\d{3}')").head().getBoolean(0))
+    assert(!spark.sql("SELECT regexp_contains('abcdef', '\\\\d{3}')").head().getBoolean(0))
+    // boundary-crossing semantics: Dec 31 -> Jan 1 is 1 "year"
+    assert(spark.sql(
+      "SELECT date_diff_years(DATE '2021-01-01', DATE '2020-12-31')").head().getInt(0) == 1)
+    assert(spark.sql(
+      "SELECT date_diff_years(DATE '2021-12-31', DATE '2021-01-01')").head().getInt(0) == 0)
+  }
+
+  test("haversine Column function: known city pair") {
+    import org.apache.spark.sql.functions._
+    val mi = spark.range(1).select(
+      graft.functions.BqFunctions.haversineMiles(
+        lit(40.6413), lit(-73.7781), lit(33.9416), lit(-118.4085)).as("mi"))
+      .head().getDouble(0)
+    assert(math.abs(mi - 2469) < 10, s"JFK-LAX ~2469mi, got $mi")
+  }
+}

@@ -28,6 +28,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated ids across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val deduped = StreamingOps.dedupStream(mem.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    def ev(id: Long, t: String) =
+      StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), 1, "click", 1.0)
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"),
+        ev(1, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 10:03:00"), ev(3, "2024-01-01 10:04:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("Runner.build runs dbt-style checks in DAG order and aborts on failure") {
+    import graft.model._
+    val wh = java.nio.file.Files.createTempDirectory("graft-build").toString
+    val src = Map("t" -> Seq((1L, "a"), (2L, "b"), (2L, "c")).toDF("id", "v"))
+    val ok = Model("ok", Seq(),
+      checks = Seq("not_null_id" -> (df => DataChecks.notNull(df, "id"))))(
+      env => env("t"))
+    assert(new Runner(spark, src, wh).build(Seq(ok))("ok").count() == 3)
+    val bad = Model("bad", Seq(),
+      checks = Seq("unique_id" -> (df => DataChecks.uniqueCombination(df, Seq("id")))))(
+      env => env("t"))
+    val downstream = Model("child", Seq("bad"))(env => env("bad"))
+    val e = intercept[Exception] {
+      new Runner(spark, src, wh).build(Seq(bad, downstream))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[DataCheckException]))
+  }
+
   test("gap sessionization on hand-built events") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), u, "click", v)
