@@ -24,9 +24,15 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast(DoubleType))
 
-  /** Left-to-right fold dot product — same summation order as the
-    * DuckDB oracle. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right-summed dot product. Uses the native codegen'd
+    * [[graft.expressions.DotProduct]] — bit-identical to the
+    * higher-order-function fold (see foldDot) and to DuckDB's
+    * list_dot_product, but stays inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = graft.expressions.DotProduct.dot(a, b)
+
+  /** The built-in-composed fold (interpreted lambda path); kept as the
+    * semantics reference the native expression is asserted against. */
+  def foldDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =

@@ -57,7 +57,10 @@ object GraftFunctions {
     "st_geogpoint" -> stGeogpoint _,
     "st_distance" -> stDistance _,
     "regexp_contains" -> regexpContains _,
-    "date_diff_years" -> dateDiffYears _)
+    "date_diff_years" -> dateDiffYears _,
+    // native codegen'd ANN hot-loop (graft.expressions.DotProduct)
+    "dot_product" -> ((args: Seq[Expression]) =>
+      graft.expressions.DotProduct(args(0), args(1))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -81,6 +81,16 @@ class ExtSpec extends AnyFunSuite {
     assert(r4 >= r1, s"recall must not decrease with more probes ($r1 -> $r4)")
   }
 
+  test("native DotProduct is bit-identical to the HOF fold") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val both = emb.crossJoin(emb.limit(3).select(col("v").as("w")))
+      .select(Similarity.dot(col("v"), col("w")).as("native"),
+        Similarity.foldDot(col("v"), col("w")).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+  }
+
   test("multimodal: deterministic stub features + frame sampling") {
     val docsReal = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
     val media = Multimodal.mediaFromDocuments(spark, docsReal)
