@@ -98,6 +98,30 @@ object Dedup {
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** The production near-dup shape: LSH candidates verified with exact
+    * Jaccard — only candidate pairs ever pay the shingle-intersection
+    * cost. The verify join keys on (doc_id, gram), so per-pair work is
+    * a hash probe, not a cross product. */
+  def lshVerifiedPairs(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = wordTrigrams(df, idCol, textCol).cache()
+    val sigs = minhashSignatures(df, numHashes, idCol, textCol)
+    val cand = lshCandidates(sigs, numHashes, rowsPerBand, idCol)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shB = sh.select(col(idCol).as("b_id2"), col("gram").as("gram_b"))
+    val shared = cand
+      .join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id")
+      .join(shB, col("b_id") === col("b_id2") && col("gram") === col("gram_b"))
+      .groupBy("a_id", "b_id", "n_shared_bands")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared_bands"),
+        round(col("n_shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; no
     * oracle — xxhash64 is Spark-native). Bit i of the result is the
     * sign of Σ_tokens (bit_i(hash) ? +1 : −1). */

@@ -82,6 +82,62 @@ object ExtOracles {
         |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
         |FROM h GROUP BY doc_id""".stripMargin,
 
+    "q_dedup_lsh_verified" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |h AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sig UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM sig),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        |          AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |shared AS (SELECT c.a_id, c.b_id, c.n_shared_bands, count(*) AS n_shared
+        |           FROM cand c
+        |           JOIN grams ga ON ga.doc_id = c.a_id
+        |           JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+        |           GROUP BY 1, 2, 3)
+        |SELECT s.a_id, s.b_id, s.n_shared_bands,
+        |  round(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 6) AS jaccard
+        |FROM shared s JOIN sizes na ON na.doc_id = s.a_id
+        |              JOIN sizes nb ON nb.doc_id = s.b_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        |           FROM events),
+        |m AS (SELECT *,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |marked AS (SELECT *,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM m),
+        |seq AS (SELECT *,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM seq GROUP BY user_id, session_seq""".stripMargin,
+
     "q_sim_cosine_topk" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -43,6 +43,12 @@ object ExtQueries {
     cands.unionAll(summary)
   }
 
+  /** LSH candidates verified with exact Jaccard — the production
+    * near-dup pipeline shape (oracle-verified end to end: md5 minhash
+    * → banding → candidate join → shingle intersection). */
+  def qDedupLshVerified(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshVerifiedPairs(Tables(spark, dir).documents, numHashes = 8, rowsPerBand = 2)
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash64(Tables(spark, dir).documents)
 

@@ -118,6 +118,31 @@ object ScalarQueries {
         (sum(round(col("o_totalprice") * 100, 0).cast(LongType)) / 100.0 / count(lit(1)))
           .as("avg_price"))
 
+  /** Batch gap-sessionization (30-min inactivity) via lag + running
+    * sum of session-start markers — the SQL-expressible twin of
+    * StreamingOps.sessionize. One shuffle on user_id; both windows and
+    * the final group reuse that clustering. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val marked = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast(LongType)) / 100.0).as("sum_value"))
+  }
+
   /** Streaming-shaped batch: tumbling 1-hour windowed counts/sums over
     * the events table (the batch twin of the structured-streaming path
     * in graft.streaming). */
