@@ -59,6 +59,8 @@ object SparkEntry {
     "q_scalar_subquery" -> (AQ.qScalarSubquery _),
     "q_posexplode" -> (AQ.qPosexplode _),
     "q_events_props" -> (AQ.qEventsProps _),
+    "q_asof_join" -> (AQ.qAsofJoin _),
+    "q_range_join" -> (AQ.qRangeJoin _),
     // LLM-pipeline extensions (graft.ext)
     "q_text_stats" -> (EQ.qTextStats _),
     "q_text_langid" -> (EQ.qTextLangId _),

@@ -95,6 +95,39 @@ object AnalyticsQueries {
       .select(col("doc_id"),
         posexplode(graft.ext.TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
 
+  /** As-of join (graft.operators.TemporalJoins): each event picks the
+    * most recent rate-change at or before its timestamp. The rate
+    * table derives deterministically from the event stream (every 5th
+    * epoch-hour present in the data). Oracle: DuckDB's native ASOF
+    * LEFT JOIN. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val rates = e
+      .select(expr("unix_micros(ts) div 3600000000").as("h")).distinct()
+      .filter(col("h") % 5 === 0)
+      .select(timestamp_micros(col("h") * 3600000000L).as("rate_ts"),
+        (col("h") % 97).cast(IntegerType).as("rate"))
+    graft.operators.TemporalJoins.asofJoin(
+        e.select("event_id", "ts"), rates, "ts", "rate_ts",
+        toleranceSeconds = 45L * 24 * 3600, rightTieBreak = "rate_ts")
+      .select("event_id", "ts", "rate_ts", "rate")
+  }
+
+  /** Range (interval-containment) join: events assigned to 6-hour
+    * blocks by `start <= ts < end`, then aggregated per block. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val blocks = spark.range(0, 124).select(
+      col("id").as("block_id"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, cast(6 * id as int), 0, 0)").as("block_start"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, cast(6 * id + 6 as int), 0, 0)").as("block_end"))
+    graft.operators.TemporalJoins.rangeJoin(e, broadcast(blocks),
+        "ts", "block_start", "block_end")
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+  }
+
   /** JSON-ish field extraction from the events props column via regex
     * (portable to the oracle without a JSON extension). */
   def qEventsProps(spark: SparkSession, dir: String): DataFrame =

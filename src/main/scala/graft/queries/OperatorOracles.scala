@@ -319,6 +319,29 @@ object OperatorOracles {
     "q_events_props" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |rates AS (
+        |  SELECT CAST(to_timestamp(h * 3600) AS TIMESTAMP) AS rate_ts,
+        |         CAST(h % 97 AS INTEGER) AS rate
+        |  FROM (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+        |        FROM events) t
+        |  WHERE h % 5 = 0)
+        |SELECT e.event_id, e.ts, r.rate_ts, r.rate
+        |FROM e ASOF LEFT JOIN rates r ON e.ts >= r.rate_ts""".stripMargin,
+
+    "q_range_join" ->
+      """WITH blocks AS (
+        |  SELECT i AS block_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 6 HOUR AS block_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (i + 1) * INTERVAL 6 HOUR AS block_end
+        |  FROM range(0, 124) t(i))
+        |SELECT block_id, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events e JOIN blocks b
+        |  ON e.ts >= b.block_start AND e.ts < b.block_end
+        |GROUP BY block_id""".stripMargin
   )
 }
