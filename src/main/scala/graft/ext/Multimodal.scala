@@ -43,6 +43,17 @@ object Multimodal {
     def sampleFramesStub(f: MediaFeatures, stride: Int): Seq[FrameRow] =
       (0 until f.n_frames by stride).map(i =>
         FrameRow(f.media_id, i, f.checksum ^ (0x9E3779B97F4A7C15L * (i + 1))))
+
+    /** STUB resize — real impl would rescale pixel data; the stub
+      * rescales the metadata and re-derives the checksum the way a
+      * real resampler changes bytes deterministically. */
+    def resizeStub(f: MediaFeatures, maxDim: Int): MediaFeatures = {
+      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      f.copy(
+        width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt),
+        checksum = f.checksum ^ (maxDim.toLong << 32))
+    }
   }
 
   /** Synthesize a media table from the documents corpus: payload =
@@ -73,5 +84,13 @@ object Multimodal {
   def sampleFrames(feats: Dataset[MediaFeatures], stride: Int = 2): Dataset[FrameRow] = {
     import feats.sparkSession.implicits._
     feats.flatMap(f => MediaCodec.sampleFramesStub(f, stride))
+  }
+
+  /** Bounded-dimension resize pass (narrow map — payload metadata only
+    * moves; at scale the resized bytes would be written back
+    * partitioned by kind). */
+  def resizeAll(feats: Dataset[MediaFeatures], maxDim: Int = 32): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map(MediaCodec.resizeStub(_, maxDim))
   }
 }

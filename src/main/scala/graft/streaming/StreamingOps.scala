@@ -55,6 +55,13 @@ object StreamingOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (broadcastable) static dimension — no stream-side state at all,
+    * the canonical fact-stream × dim shape. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -101,6 +101,10 @@ class ExtSpec extends AnyFunSuite {
     // decode is deterministic: re-running yields identical checksums
     val again = Multimodal.extractFeatures(media)
     assert(feats.toDF().except(again.toDF()).count() == 0)
+    // resize: dims bounded by maxDim, ids/kind/frames preserved
+    val resized = Multimodal.resizeAll(feats, maxDim = 32).cache()
+    assert(resized.filter(f => f.width > 32 || f.height > 32).count() == 0)
+    assert(resized.count() == feats.count())
     // frames: stride-2 sampling emits ceil(n_frames/2) rows per media
     val frames = Multimodal.sampleFrames(feats, stride = 2).toDF()
     val perMedia = frames.groupBy("media_id").count()

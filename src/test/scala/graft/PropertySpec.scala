@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5 "unit level"): the bucketing cascades are
+  * total functions into fixed codomains for ANY string input, age is
+  * null-safe on garbage, and the dialect translator preserves
+  * SQL-text invariants. Generators are sampled with fixed seeds (the
+  * scalatest-scalacheck bridge isn't on the offline classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+  import graft.functions.BqFunctions
+  import graft.sql.BigQueryDialect
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  def forAll[A](gen: Gen[List[A]])(check: List[A] => Unit): Unit =
+    (1L to 8L).foreach { seed =>
+      gen.apply(Gen.Parameters.default, Seed(seed)).foreach(check)
+    }
+
+  val raceCodomain = Set("Prefer Not To Say", "Multiracial", "Hispanic", "Black",
+    "Asian", "Native Hawaiian or other Pacific Islander",
+    "Native American or Alaska Native", "White", "Other")
+  val genderCodomain = Set("Prefer Not To Say", "Man", "Woman", "Non-binary")
+
+  // strings biased toward the cascade's trigger words + arbitrary junk
+  val tagGen: Gen[String] = Gen.oneOf(
+    Gen.oneOf("White", "Other", "Man", "Woman", "Prefer not to say",
+      "South Asian", "East Asian", "Hispanic or Latinx",
+      "White, Black or African American", "Man, Woman", ""),
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr.map(_.take(40)))
+
+  test("race/gender cascades are total with fixed codomains") {
+    forAll(Gen.listOfN(40, tagGen)) { tags =>
+      val df = tags.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "tag")
+      val out = df.select(
+        BqFunctions.raceBucket(col("tag")).as("race"),
+        BqFunctions.genderBucket(col("tag")).as("gender"))
+        .collect()
+      out.foreach { r =>
+        assert(raceCodomain.contains(r.getString(0)), s"race: ${r.getString(0)}")
+        assert(genderCodomain.contains(r.getString(1)), s"gender: ${r.getString(1)}")
+      }
+    }
+  }
+
+  test("age is null or plausible for arbitrary birthday strings") {
+    forAll(Gen.listOfN(40, Gen.asciiPrintableStr.map(_.take(12)))) { bdays =>
+      val df = bdays.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "birthday")
+      val out = df.select(BqFunctions.ageAsOf(col("birthday"),
+        to_date(lit("2026-08-12"))).as("age")).collect()
+      out.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val a = r.getInt(0)
+          assert(a > -10000 && a < 10000) // garbage years parse to garbage ages, never throw
+        }
+      }
+    }
+  }
+
+  test("dialect translator: balanced quotes preserved, no Jinja remains") {
+    val models = Seq("intermediate/locations_clean.sql",
+      "intermediate/stacked_users_partners.sql", "marts/user_base.sql")
+    for (m <- models) {
+      val p = java.nio.file.Paths.get(s"/root/reference/models/$m")
+      assume(java.nio.file.Files.exists(p))
+      val sql = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val out = BigQueryDialect.translate(sql, Some("2026-08-12"))
+      assert(!out.contains("{{") && !out.contains("}}"), s"$m: Jinja left behind")
+      assert(out.count(_ == '\'') % 2 == 0, s"$m: unbalanced quotes")
+      assert(!out.toLowerCase.contains("qualify"), s"$m: QUALIFY left behind")
+      assert(!out.toLowerCase.contains("safe."), s"$m: SAFE. left behind")
+    }
+  }
+}

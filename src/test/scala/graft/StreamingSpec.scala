@@ -69,6 +69,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(causes(e).exists(_.isInstanceOf[DataCheckException]))
   }
 
+  test("stream-static enrichment joins each micro-batch to the dim") {
+    val stream = StreamingOps.readEventsStream(spark, dir)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val q = StreamingOps.enrich(stream, dim, "user_id", "uid")
+      .select("event_id", "user_id", "tier")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() == 1000)  // sf0.001 events, no fan-out
+      assert(out.filter($"user_id" === 1 && $"tier" =!= "gold").count() == 0)
+      assert(out.filter($"user_id" > 2 && $"tier".isNotNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("gap sessionization on hand-built events") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), u, "click", v)
