@@ -70,15 +70,21 @@ object Dedup {
     conv(substring(md5(concat(lit(seed), lit("|"), gram)), 1, 15), 16, 10)
       .cast(LongType)
 
+  /** MinHash signatures from a precomputed (id, gram) shingle table —
+    * lets pipelines cache the shingles once and derive signatures,
+    * sizes, and verify joins from the same scan. */
+  def minhashFromShingles(sh: DataFrame, numHashes: Int,
+      idCol: String): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(seedHash(i, col("gram"))).as(s"m$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash signatures: per doc, min seed-hash over its shingles for
     * each of `numHashes` seed functions. One row per doc with columns
     * m0..m{k-1}. */
   def minhashSignatures(df: DataFrame, numHashes: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = wordTrigrams(df, idCol, textCol)
-    val aggs = (0 until numHashes).map(i => min(seedHash(i, col("gram"))).as(s"m$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashFromShingles(wordTrigrams(df, idCol, textCol), numHashes, idCol)
 
   /** LSH banding over minhash signatures (r rows per band): docs
     * sharing all r minhashes of any band become candidate pairs.
@@ -105,7 +111,7 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = wordTrigrams(df, idCol, textCol).cache()
-    val sigs = minhashSignatures(df, numHashes, idCol, textCol)
+    val sigs = minhashFromShingles(sh, numHashes, idCol).cache()
     val cand = lshCandidates(sigs, numHashes, rowsPerBand, idCol)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val shB = sh.select(col(idCol).as("b_id2"), col("gram").as("gram_b"))
