@@ -61,6 +61,10 @@ object SparkEntry {
     "q_events_props" -> (AQ.qEventsProps _),
     "q_asof_join" -> (AQ.qAsofJoin _),
     "q_range_join" -> (AQ.qRangeJoin _),
+    "q_window_funcs" -> (AQ.qWindowFuncs _),
+    "q_histogram" -> (AQ.qHistogram _),
+    "q_text_levenshtein" -> (AQ.qTextLevenshtein _),
+    "q_exists_in_subquery" -> (AQ.qExistsInSubquery _),
     // LLM-pipeline extensions (graft.ext)
     "q_text_stats" -> (EQ.qTextStats _),
     "q_text_langid" -> (EQ.qTextLangId _),

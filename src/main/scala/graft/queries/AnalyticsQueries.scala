@@ -128,6 +128,68 @@ object AnalyticsQueries {
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
   }
 
+  /** Window-function breadth: lag/lead/first_value/ntile over a unique
+    * ordering; rank/dense_rank/percent_rank/cume_dist over a tie-prone
+    * ordering (deterministic under ties — equal rows get equal ranks). */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir).orders
+    val unique = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val tied = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(unique).as("rn"),
+      rank().over(tied).as("rk"),
+      dense_rank().over(tied).as("drk"),
+      lag(col("o_totalprice"), 1).over(unique).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(unique).as("next_price"),
+      first_value(col("o_orderkey")).over(unique).as("first_ok"),
+      ntile(4).over(unique).as("quartile"),
+      round(percent_rank().over(tied), 6).as("pct_rank"),
+      round(cume_dist().over(tied), 6).as("cume"))
+  }
+
+  /** Equi-width histogram via floor-division bucketing. */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+
+  /** Levenshtein distance between consecutive sampled documents —
+    * the classic fuzzy-dedup metric (exact DP, deterministic in both
+    * engines). Prefixes bound the O(n²) cost. */
+  def qTextLevenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val a = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("a_id"), substring(lower(col("text")), 1, 40).as("ta"))
+    val b = d.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"),
+      substring(lower(col("text")), 1, 40).as("tb"))
+    a.join(b, "a_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).as("lev"),
+        greatest(length(col("ta")), length(col("tb")), lit(1)).as("maxlen"))
+      .withColumn("sim_ratio",
+        round(lit(1.0) - col("lev").cast("double") / col("maxlen"), 6))
+      .drop("maxlen")
+  }
+
+  /** Correlated EXISTS + uncorrelated IN subqueries through the SQL
+    * path (Catalyst decorrelates both into joins). */
+  def qExistsInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("sq_orders")
+    t.lineitem.createOrReplaceTempView("sq_lineitem")
+    t.customer.createOrReplaceTempView("sq_customer")
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM sq_orders
+        |WHERE EXISTS (SELECT 1 FROM sq_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |  AND o_custkey IN (SELECT c_custkey FROM sq_customer
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+  }
+
   /** JSON-ish field extraction from the events props column via regex
     * (portable to the oracle without a JSON extension). */
   def qEventsProps(spark: SparkSession, dir: String): DataFrame =

@@ -332,6 +332,44 @@ object OperatorOracles {
         |SELECT e.event_id, e.ts, r.rate_ts, r.rate
         |FROM e ASOF LEFT JOIN rates r ON e.ts >= r.rate_ts""".stripMargin,
 
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER u AS INTEGER) AS rn,
+        |  CAST(rank() OVER t AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER t AS INTEGER) AS drk,
+        |  lag(o_totalprice, 1) OVER u AS prev_price,
+        |  lead(o_totalprice, 1) OVER u AS next_price,
+        |  first_value(o_orderkey) OVER u AS first_ok,
+        |  CAST(ntile(4) OVER u AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER t, 6) AS pct_rank,
+        |  round(cume_dist() OVER t, 6) AS cume
+        |FROM orders
+        |WINDOW u AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       t AS (PARTITION BY o_custkey ORDER BY o_orderdate)""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_text_levenshtein" ->
+      """WITH a AS (SELECT doc_id AS a_id, substr(lower(text), 1, 40) AS ta
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |b AS (SELECT doc_id - 1 AS a_id, doc_id AS b_id,
+        |        substr(lower(text), 1, 40) AS tb FROM documents)
+        |SELECT a.a_id, b.b_id,
+        |  CAST(levenshtein(ta, tb) AS INTEGER) AS lev,
+        |  round(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+        |        / greatest(length(ta), length(tb), 1), 6) AS sim_ratio
+        |FROM a JOIN b USING (a_id)""".stripMargin,
+
+    "q_exists_in_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
     "q_range_join" ->
       """WITH blocks AS (
         |  SELECT i AS block_id,
