@@ -15,6 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 aggregations
     "q1_agg" -> (OQ.q1Agg _),
+    "q_tpch_q3" -> (OQ.qTpchQ3 _),
+    "q_tpch_q5" -> (OQ.qTpchQ5 _),
     "q_agg_having_countdistinct" -> (OQ.qAggHavingCountDistinct _),
     "q_dedup_groupby" -> (OQ.qDedupGroupBy _),
     "q_scalar_score" -> (OQ.qScalarScore _),

@@ -51,6 +51,45 @@ object OperatorQueries {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    * revenue per order, top 10. Filters reach all three scans before
+    * the joins; lineitem⋈orders is the only fact-fact shuffle;
+    * TakeOrderedAndProject avoids a global sort. */
+  def qTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
+    t.lineitem.filter(col("l_shipdate") > cutoff)
+      .join(t.orders.filter(col("o_orderdate") < cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast(LongType)) / 100.0).as("revenue_x100"))
+      .orderBy(col("revenue_x100").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join (region→nation→customer→orders→
+    * lineitem→supplier with same-nation residual), revenue per nation.
+    * All dims broadcast; the two fact tables shuffle once each on
+    * orderkey. */
+  def qTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name").isin("AMERICA", "ASIA"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast(LongType)) / 100.0).as("revenue_x100"))
+  }
+
   /** A1 proper: GROUP BY + HAVING COUNT(DISTINCT) — suppliers shipping
     * >3 distinct parts per order-priority bucket... expressed on
     * lineitem: orders with more than 3 distinct suppliers. Spark plans

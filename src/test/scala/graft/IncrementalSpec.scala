@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Incremental
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+  def tmp(n: String) = java.nio.file.Files.createTempDirectory(n).toString + "/t"
+
+  test("incremental merge: upsert by key across three batches") {
+    val path = tmp("graft-incr")
+    val b1 = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n")
+    val b2 = Seq((2L, "b2", 21), (3L, "c", 30)).toDF("id", "v", "n")
+    val b3 = Seq((1L, "a3", 12)).toDF("id", "v", "n")
+    Incremental.merge(spark, b1, path, Seq("id"))
+    Incremental.merge(spark, b2, path, Seq("id"))
+    val r = Incremental.merge(spark, b3, path, Seq("id"))
+      .orderBy("id").as[(Long, String, Int)].collect().toSeq
+    assert(r === Seq((1L, "a3", 12), (2L, "b2", 21), (3L, "c", 30)))
+  }
+
+  test("snapshot SCD2: change tracking with valid_from/valid_to") {
+    val path = tmp("graft-snap")
+    val day1 = Seq((1L, "alice", "NY"), (2L, "bob", "LA")).toDF("id", "name", "city")
+    val day2 = Seq((1L, "alice", "SF"), (2L, "bob", "LA"), (3L, "cara", "CHI"))
+      .toDF("id", "name", "city")
+    Incremental.snapshot(spark, day1, path, Seq("id"), ts("2026-01-01"))
+    val snap = Incremental.snapshot(spark, day2, path, Seq("id"), ts("2026-01-02"))
+
+    // id=1 moved: closed NY version + open SF version
+    val v1 = snap.filter($"id" === 1).orderBy("valid_from").collect()
+    assert(v1.length === 2)
+    assert(v1(0).getAs[String]("city") === "NY" &&
+      !v1(0).getAs[Boolean]("is_current") &&
+      v1(0).getAs[java.sql.Timestamp]("valid_to") === ts("2026-01-02"))
+    assert(v1(1).getAs[String]("city") === "SF" &&
+      v1(1).getAs[Boolean]("is_current") &&
+      v1(1).isNullAt(v1(1).fieldIndex("valid_to")))
+    // id=2 unchanged: single open version from day 1
+    val v2 = snap.filter($"id" === 2).collect()
+    assert(v2.length === 1 && v2.head.getAs[Boolean]("is_current") &&
+      v2.head.getAs[java.sql.Timestamp]("valid_from") === ts("2026-01-01"))
+    // id=3 new: one open version from day 2
+    val v3 = snap.filter($"id" === 3).collect()
+    assert(v3.length === 1 && v3.head.getAs[Boolean]("is_current"))
+    // invariant: exactly one current row per present key
+    assert(snap.filter($"is_current").groupBy("id").count()
+      .filter($"count" > 1).isEmpty)
+  }
+
+  test("snapshot SCD2: deleted keys get closed") {
+    val path = tmp("graft-snap-del")
+    val day1 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val day2 = Seq((1L, "x")).toDF("id", "v") // key 2 disappears
+    Incremental.snapshot(spark, day1, path, Seq("id"), ts("2026-02-01"))
+    val snap = Incremental.snapshot(spark, day2, path, Seq("id"), ts("2026-02-02"))
+    val v2 = snap.filter($"id" === 2).collect()
+    assert(v2.length === 1 && !v2.head.getAs[Boolean]("is_current") &&
+      v2.head.getAs[java.sql.Timestamp]("valid_to") === ts("2026-02-02"))
+  }
+}
