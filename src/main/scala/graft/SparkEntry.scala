@@ -80,6 +80,7 @@ object SparkEntry {
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
     "q_sim_near_dup" -> (EQ.qSimNearDup _),
+    "q_profile_orders" -> (EQ.qProfileOrders _),
     "q_multimodal_meta" -> (EQ.qMultimodalMeta _),
     "q_multimodal_frames" -> (EQ.qMultimodalFrames _)
   )

@@ -138,6 +138,27 @@ object ExtOracles {
         |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
         |FROM seq GROUP BY user_id, session_seq""".stripMargin,
 
+    "q_profile_orders" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT 'o_orderkey' AS column_name, n_rows,
+        |  (SELECT COUNT(o_orderkey) FROM orders) AS n_nonnull,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct FROM n
+        |UNION ALL SELECT 'o_custkey', n_rows,
+        |  (SELECT COUNT(o_custkey) FROM orders),
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders) FROM n
+        |UNION ALL SELECT 'o_orderstatus', n_rows,
+        |  (SELECT COUNT(o_orderstatus) FROM orders),
+        |  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders) FROM n
+        |UNION ALL SELECT 'o_totalprice', n_rows,
+        |  (SELECT COUNT(o_totalprice) FROM orders),
+        |  (SELECT COUNT(DISTINCT o_totalprice) FROM orders) FROM n
+        |UNION ALL SELECT 'o_orderdate', n_rows,
+        |  (SELECT COUNT(o_orderdate) FROM orders),
+        |  (SELECT COUNT(DISTINCT o_orderdate) FROM orders) FROM n
+        |UNION ALL SELECT 'o_orderpriority', n_rows,
+        |  (SELECT COUNT(o_orderpriority) FROM orders),
+        |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders) FROM n""".stripMargin,
+
     "q_sim_cosine_topk" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -63,6 +63,10 @@ object ExtQueries {
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, idMod = 4)
 
+  /** One-pass per-column profiling of orders (schema-driven). */
+  def qProfileOrders(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables(spark, dir).orders)
+
   /** Multimodal plumbing: synth payloads -> batch decode (stubbed
     * codec) -> features. Rows-only (binary pipeline, not SQL). */
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -55,6 +55,24 @@ object StreamingOps {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream interval join: match each right-stream event to
+    * left-stream events of the same key within [0, windowSeconds]
+    * before it. Watermarks on both sides bound the join state — the
+    * only shape that survives two unbounded inputs. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      windowSeconds: Int, delay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", delay)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcastable) static dimension — no stream-side state at all,
     * the canonical fact-stream × dim shape. */

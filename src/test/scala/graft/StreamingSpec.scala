@@ -69,6 +69,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(causes(e).exists(_.isInstanceOf[DataCheckException]))
   }
 
+  test("stream-stream interval join matches within window only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[StreamingOps.Event]
+    val buys  = MemoryStream[StreamingOps.Event]
+    def ev(id: Long, t: String, u: Long) =
+      StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), u, "x", 1.0)
+    val joined = StreamingOps.streamStreamJoin(
+      views.toDF(), buys.toDF(), "user_id", windowSeconds = 600)
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+    try {
+      views.addData(ev(1, "2024-01-01 10:00:00", 7), ev(2, "2024-01-01 12:00:00", 7))
+      buys.addData(
+        ev(100, "2024-01-01 10:05:00", 7),  // within 10min of view 1
+        ev(101, "2024-01-01 11:00:00", 7),  // matches nothing (>10min)
+        ev(102, "2024-01-01 12:01:00", 8))  // other user
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch to the dim") {
     val stream = StreamingOps.readEventsStream(spark, dir)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
