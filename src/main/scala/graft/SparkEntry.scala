@@ -81,6 +81,8 @@ object SparkEntry {
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
     "q_sim_near_dup" -> (EQ.qSimNearDup _),
     "q_profile_orders" -> (EQ.qProfileOrders _),
+    "q_embed_quantize" -> (EQ.qEmbedQuantize _),
+    "q_approx_aggs" -> (EQ.qApproxAggs _),
     "q_multimodal_meta" -> (EQ.qMultimodalMeta _),
     "q_multimodal_frames" -> (EQ.qMultimodalFrames _)
   )

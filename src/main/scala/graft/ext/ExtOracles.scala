@@ -138,6 +138,16 @@ object ExtOracles {
         |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
         |FROM seq GROUP BY user_id, session_seq""".stripMargin,
 
+    "q_embed_quantize" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS s
+        |      FROM c)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  list_transform(v, x -> CAST(round(x / s * 127, 0) AS INTEGER)) AS q
+        |FROM m""".stripMargin,
+
     "q_profile_orders" ->
       """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
         |SELECT 'o_orderkey' AS column_name, n_rows,

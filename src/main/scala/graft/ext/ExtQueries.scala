@@ -63,6 +63,24 @@ object ExtQueries {
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, idMod = 4)
 
+  /** int8 embedding quantization (4× storage cut; per-vector scale). */
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("q"))
+
+  /** Approximate distinct counts (HLL++) — the 100 TB cardinality
+    * tool. Rows-only (sketches differ across engines); the error bound
+    * vs exact is asserted in ExtSpec. */
+  def qApproxAggs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+  }
+
   /** One-pass per-column profiling of orders (schema-driven). */
   def qProfileOrders(spark: SparkSession, dir: String): DataFrame =
     Profiler.profile(Tables(spark, dir).orders)

@@ -127,6 +127,20 @@ object Similarity {
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * max-abs scale, values in [-127, 127]. 4× storage cut — the
+    * standard trick before shipping 100 TB of vectors; keep `scale` to
+    * dequantize (x ≈ q * scale / 127). */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    emb.select(col(idCol),
+      greatest(maxAbs, lit(1e-30)).as("scale"),
+      transform(v, x => round(x / greatest(maxAbs, lit(1e-30)) * 127, 0)
+        .cast("int")).as("q"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within an id-sampled subset
     * (cf. Dedup.jaccardPairs bounding): pairs with cosine ≥ threshold. */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double, idMod: Int = 4,

@@ -34,6 +34,20 @@ object IO {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Range-partitioned, sorted-within-partition layout: maximizes
+    * parquet zone-map (row-group min/max) effectiveness, so point and
+    * range filters on `cols` skip whole row groups — the right layout
+    * for append-mostly 100 TB fact tables queried by time/key range. */
+  def writeSortedBy(df: DataFrame, path: String, cols: Seq[String],
+      partitions: Int = 0): Unit = {
+    val keyCols = cols.map(col)
+    val ranged = if (partitions > 0)
+      df.repartitionByRange(partitions, keyCols: _*)
+    else df.repartitionByRange(keyCols: _*)
+    ranged.sortWithinPartitions(keyCols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed + sorted managed table: joins/aggregations on the bucket
     * key skip the shuffle entirely (requires saveAsTable — bucket
     * metadata lives in the catalog). */

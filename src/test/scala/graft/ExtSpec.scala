@@ -91,6 +91,33 @@ class ExtSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("approx aggregates stay within HLL error bounds of exact") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables(spark, "/root/testdata/sf0.01").lineitem
+    val approx = ExtQueries.qApproxAggs(spark, "/root/testdata/sf0.01")
+      .select("l_returnflag", "approx_orders").as[(String, Long)].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey")).as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.1,
+        s"$k: approx $ap vs exact $ex beyond 10%")
+    }
+  }
+
+  test("int8 quantization round-trips within quantization error") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val q = Similarity.quantizeInt8(emb)
+    // max quantization step is scale/127; allow half-step + fp dust
+    val worst = q.join(emb, "vec_id")
+      .select((expr(
+        "array_max(zip_with(transform(embedding, x -> cast(x as double)), q, (a, b) -> abs(a - b * scale / 127.0)))"
+      ) / col("scale")).as("rel"))
+      .agg(max(col("rel"))).head().getDouble(0)
+    assert(worst <= 0.5 / 127 + 1e-9, s"worst relative quant error $worst")
+  }
+
   test("multimodal: deterministic stub features + frame sampling") {
     val docsReal = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
     val media = Multimodal.mediaFromDocuments(spark, docsReal)

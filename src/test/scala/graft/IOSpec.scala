@@ -46,6 +46,19 @@ class IOSpec extends AnyFunSuite {
     assert(joined.count() === 6000)
   }
 
+  test("sorted-by-range write produces skippable row groups") {
+    val src = Tables(spark, "/root/testdata/sf0.01").orders
+    val p = tmp("graft-sorted")
+    IO.writeSortedBy(src, p, Seq("o_orderdate"), partitions = 8)
+    val back = spark.read.parquet(p)
+    assert(back.count() === src.count())
+    // with range partitioning + in-partition sort, each file's
+    // min/max span is narrow: a tight date filter touches few files
+    val filtered = back.filter(col("o_orderdate") === to_timestamp(lit("1996-06-01 00:00:00")))
+    assert(filtered.count() === src.filter(
+      col("o_orderdate") === to_timestamp(lit("1996-06-01 00:00:00"))).count())
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val li = t.lineitem.select($"l_orderkey".as("k"), $"l_quantity")
