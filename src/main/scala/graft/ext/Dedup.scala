@@ -128,6 +128,39 @@ object Dedup {
           (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair list (HashMin label
+    * propagation): each node converges to the minimum id reachable
+    * from it — the canonical "cluster the near-dup graph, keep one doc
+    * per cluster" step. Iterations are bounded by graph diameter; each
+    * is one join + one min-aggregate (all shuffles on node id). The
+    * candidate graph from LSH is sparse, so this scales as
+    * O(edges · diameter). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node"))
+      .distinct().withColumn("component", col("node")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("component"))
+      val next = labels.select("node", "component").unionAll(viaNeighbors)
+        .groupBy("node").agg(min("component").as("component")).cache()
+      val changes = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; no
     * oracle — xxhash64 is Spark-native). Bit i of the result is the
     * sign of Σ_tokens (bit_i(hash) ? +1 : −1). */

@@ -49,6 +49,14 @@ object ExtQueries {
   def qDedupLshVerified(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshVerifiedPairs(Tables(spark, dir).documents, numHashes = 8, rowsPerBand = 2)
 
+  /** Near-dup clusters: connected components over the LSH candidate
+    * graph; component id = min doc_id reachable (the keeper). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(Tables(spark, dir).documents, numHashes = 8)
+    val cand = Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2)
+    Dedup.connectedComponents(cand)
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash64(Tables(spark, dir).documents)
 

@@ -73,6 +73,19 @@ object StreamingOps {
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Streaming upsert sink: every micro-batch merges into a keyed
+    * parquet target via Incremental.merge (foreachBatch — the standard
+    * way to drive a batch writer from a stream). The target always
+    * holds the latest row per key. */
+  def upsertSink(stream: DataFrame, path: String, uniqueKey: Seq[String],
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.model.Incremental.merge(batch.sparkSession, batch.toDF(), path, uniqueKey): Unit
+      }
+      .start()
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcastable) static dimension — no stream-side state at all,
     * the canonical fact-stream × dim shape. */

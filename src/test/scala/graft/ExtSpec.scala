@@ -38,6 +38,14 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.7)
   }
 
+  test("connected components: planted chain and separate pair cluster correctly") {
+    // chain 1-2-3 plus pair (10,11): two components keyed by min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: near-dups close in hamming, unrelated far") {
     val sh = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
     val near = java.lang.Long.bitCount(sh(1L) ^ sh(2L))

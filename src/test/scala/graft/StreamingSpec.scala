@@ -69,6 +69,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(causes(e).exists(_.isInstanceOf[DataCheckException]))
   }
 
+  test("streaming upsert sink keeps latest row per key across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    def ev(id: Long, t: String, v: Double) =
+      StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), 1, "click", v)
+    val q = StreamingOps.upsertSink(mem.toDF(), path, Seq("event_id"), "upsert_q")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1.0), ev(2, "2024-01-01 10:01:00", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 10:02:00", 22.0), ev(3, "2024-01-01 10:03:00", 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(path).select("event_id", "value")
+        .as[(Long, Double)].collect().toMap
+      assert(out == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within window only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
