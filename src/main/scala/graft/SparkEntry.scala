@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_lsh_candidates" -> (EQ.qDedupLshCandidates _),
     "q_dedup_lsh_verified" -> (EQ.qDedupLshVerified _),
     "q_dedup_clusters" -> (EQ.qDedupClusters _),
+    "q_curation_pipeline" -> (EQ.qCurationPipeline _),
     "q_sessionize" -> (SQ.qSessionize _),
     "q_dedup_simhash" -> (EQ.qDedupSimhash _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),

@@ -170,6 +170,66 @@ object ExtOracles {
         |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
         |FROM seq GROUP BY user_id, session_seq""".stripMargin,
 
+    "q_curation_pipeline" ->
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, $toks AS toks FROM documents),
+        |st AS (SELECT doc_id, text, toks,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS en_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','es','en','que','los'))) AS INTEGER) AS es_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est','les','des','un'))) AS INTEGER) AS fr_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','den','von','mit'))) AS INTEGER) AS de_hits,
+        |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        |FROM t0),
+        |scored AS (SELECT *,
+        |  round(CAST(en_hits AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.2, 6) AS quality_score,
+        |  CASE
+        |    WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'unknown'
+        |    WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+        |    WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+        |    WHEN fr_hits >= de_hits THEN 'fr'
+        |    ELSE 'de' END AS lang_pred
+        |FROM st),
+        |gated AS (SELECT * FROM scored
+        |          WHERE n_tokens BETWEEN 15 AND 95 AND quality_score >= 0.4),
+        |keepers AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM gated GROUP BY 1),
+        |deduped AS (SELECT g.* FROM gated g
+        |            JOIN keepers k ON g.fingerprint = k.fingerprint AND g.doc_id = k.keep_id),
+        |long_docs AS (SELECT doc_id, toks FROM deduped WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |h AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sig UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM sig),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        |          AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM cand
+        |          UNION SELECT b_id, a_id FROM cand),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.label FROM reach r JOIN edges e ON e.d = r.node),
+        |cc AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+        |SELECT d.doc_id, d.lang_pred, d.n_tokens, d.quality_score
+        |FROM deduped d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        |WHERE cc.component IS NULL OR cc.component = d.doc_id""".stripMargin,
+
     "q_embed_quantize" ->
       """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

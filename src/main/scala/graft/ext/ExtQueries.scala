@@ -71,6 +71,30 @@ object ExtQueries {
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, idMod = 4)
 
+  /** The flagship composition — a complete training-data curation
+    * pipeline: stats -> quality/length gate -> exact dedup (keep min
+    * id per fingerprint) -> MinHash-LSH near-dup clustering (keep each
+    * cluster's min id). Every stage reuses an individually
+    * oracle-verified operator; the whole chain is itself verified
+    * against a DuckDB replica. */
+  def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val st = TextAnalysis.withLangId(
+        TextAnalysis.withStats(Tables(spark, dir).documents))
+      .filter(col("n_tokens").between(15, 95) && col("quality_score") >= 0.4)
+    val keepers = st.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val deduped = st.join(keepers,
+      st("fingerprint") === keepers("fingerprint") &&
+        st("doc_id") === keepers("keep_id"))
+    val sigs = Dedup.minhashFromShingles(
+      Dedup.wordTrigrams(deduped.select("doc_id", "text")), 8, "doc_id")
+    val cc = Dedup.connectedComponents(Dedup.lshCandidates(sigs, 8, 2))
+      .withColumnRenamed("node", "doc_id")
+    deduped.join(cc, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality_score"))
+  }
+
   /** int8 embedding quantization (4× storage cut; per-vector scale). */
   def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables(spark, dir).embeddings)
