@@ -140,6 +140,10 @@ object BigQueryDialect {
     }
     // 7. REGEXP_CONTAINS(s, p) -> (s RLIKE p)
     s = rewriteCalls(s, "regexp_contains")(args => s"(${args(0)} RLIKE ${args(1)})")
+    // 7b. SAFE_DIVIDE / SAFE_CAST / COUNTIF -> Spark's try_/count_if
+    s = rewriteCalls(s, "safe_divide")(args => s"TRY_DIVIDE(${args(0)}, ${args(1)})")
+    s = """(?i)\bSAFE_CAST\s*\(""".r.replaceAllIn(s, "TRY_CAST(")
+    s = """(?i)\bCOUNTIF\s*\(""".r.replaceAllIn(s, "COUNT_IF(")
     // 8. QUALIFY row_number() over (…) = 1  (select * … form)
     s = qualifyRe.replaceAllIn(s, m => Regex.quoteReplacement(
       s"select * except(__rn) from (select *, ${m.group(3)} as __rn " +

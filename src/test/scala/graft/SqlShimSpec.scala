@@ -64,6 +64,16 @@ class SqlShimSpec extends AnyFunSuite {
     }
   }
 
+  test("translator unit: SAFE_DIVIDE / SAFE_CAST / COUNTIF execute on Spark") {
+    spark.range(3).selectExpr("id", "cast(id as string) s")
+      .createOrReplaceTempView("shim_t")
+    val df = spark.sql(BigQueryDialect.translate(
+      """select safe_divide(id, 0) as d, safe_cast('x' as int) as c,
+        |countif(id > 0) as n from shim_t group by id, s""".stripMargin))
+    val rows = df.collect()
+    assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("translator unit: QUALIFY, SAFE.PARSE_DATE, DATE_DIFF, r-strings, st_distance") {
     val t1 = BigQueryDialect.translate(
       "select * from t where x = 1 qualify row_number() over (partition by a order by b) = 1")
