@@ -137,11 +137,15 @@ object Dedup {
     * O(edges · diameter). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) after every step: iterative plans
+    // double in size each round otherwise — cache truncates execution
+    // but NOT analysis, and Catalyst planning time explodes
+    // exponentially with the lineage.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node"))
-      .distinct().withColumn("component", col("node")).cache()
+      .distinct().withColumn("component", col("node")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -150,10 +154,10 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("component"))
       val next = labels.select("node", "component").unionAll(viaNeighbors)
-        .groupBy("node").agg(min("component").as("component")).cache()
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
       val changes = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changes == 0
       iter += 1
