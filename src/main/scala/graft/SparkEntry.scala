@@ -67,6 +67,8 @@ object SparkEntry {
     "q_histogram" -> (AQ.qHistogram _),
     "q_text_levenshtein" -> (AQ.qTextLevenshtein _),
     "q_exists_in_subquery" -> (AQ.qExistsInSubquery _),
+    "q_union_distinct" -> (AQ.qUnionDistinct _),
+    "q_stats_moments" -> (AQ.qStatsMoments _),
     // LLM-pipeline extensions (graft.ext)
     "q_text_stats" -> (EQ.qTextStats _),
     "q_text_langid" -> (EQ.qTextLangId _),

@@ -190,6 +190,33 @@ object AnalyticsQueries {
         |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin)
   }
 
+  /** UNION (distinct) — the set-union complement of q_intersect. */
+  def qUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .union(t.supplier.select(col("s_nationkey").as("nationkey"))).distinct()
+  }
+
+  /** Exact mean/variance/stddev per group via decomposable integer
+    * moments: cents and squared cents summed in DECIMAL(38,0)
+    * (DuckDB: HUGEINT) — overflow-safe and order-independent, then one
+    * integer→double conversion at the end. The pattern for exact
+    * second moments over 100 TB where naive double summation diverges
+    * run-to-run. */
+  def qStatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val c = round(col("o_totalprice") * 100, 0).cast(DecimalType(38, 0))
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(c).as("s1"), sum(c * c).as("s2"))
+      .select(col("o_orderpriority"), col("n"),
+        round((col("s1").cast(DoubleType) / col("n")) / 100.0, 4).as("mean"),
+        round((((col("n") * col("s2") - col("s1") * col("s1")).cast(DoubleType)
+          / (col("n").cast(DoubleType) * col("n")))
+          / 10000.0), 4).as("var_pop"))
+      .withColumn("std_pop", round(sqrt(col("var_pop")), 4))
+  }
+
   /** JSON-ish field extraction from the events props column via regex
     * (portable to the oracle without a JSON extension). */
   def qEventsProps(spark: SparkSession, dir: String): DataFrame =

@@ -344,6 +344,24 @@ object OperatorOracles {
         |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
         |FROM events""".stripMargin,
 
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey FROM supplier""".stripMargin,
+
+    "q_stats_moments" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)) AS s1,
+        |    SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+        |        * CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)) AS s2
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |  round((CAST(s1 AS DOUBLE) / n) / 100.0, 4) AS mean,
+        |  round((CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n)) / 10000.0, 4) AS var_pop,
+        |  round(sqrt(round((CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n)) / 10000.0, 4)), 4) AS std_pop
+        |FROM m""".stripMargin,
+
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |rates AS (
