@@ -68,6 +68,8 @@ object SparkEntry {
     "q_text_levenshtein" -> (AQ.qTextLevenshtein _),
     "q_exists_in_subquery" -> (AQ.qExistsInSubquery _),
     "q_union_distinct" -> (AQ.qUnionDistinct _),
+    "q_gapfill" -> (AQ.qGapfill _),
+    "q_cohort_retention" -> (AQ.qCohortRetention _),
     "q_stats_moments" -> (AQ.qStatsMoments _),
     // LLM-pipeline extensions (graft.ext)
     "q_text_stats" -> (EQ.qTextStats _),

@@ -190,6 +190,35 @@ object AnalyticsQueries {
         |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin)
   }
 
+  /** Calendar gap-filling: densify per-user daily event counts over
+    * the full January grid (users × days left-joined to actuals,
+    * missing days = 0) — the standard time-series densification before
+    * windowed metrics. */
+  def qGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val days = spark.range(0, 30).select(
+      date_add(to_date(lit("2024-01-01")), col("id").cast("int")).as("day"))
+    val users = e.select(col("user_id")).distinct()
+    val daily = e.groupBy(col("user_id").as("u"),
+        col("ts").cast(DateType).as("d"))
+      .agg(count(lit(1)).as("n_actual"))
+    users.crossJoin(broadcast(days))
+      .join(daily, col("user_id") === col("u") && col("day") === col("d"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_actual"), lit(0L)).as("n"))
+  }
+
+  /** Cohort retention: users cohorted by first-seen day; distinct
+    * active users per (cohort_day, day_offset). */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("ts").cast(DateType).as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** UNION (distinct) — the set-union complement of q_intersect. */
   def qUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -344,6 +344,25 @@ object OperatorOracles {
         |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
         |FROM events""".stripMargin,
 
+    "q_gapfill" ->
+      """WITH days AS (SELECT CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS DATE) AS day
+        |              FROM range(0, 30) t(i)),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |daily AS (SELECT user_id AS u, CAST(ts AS DATE) AS d, COUNT(*) AS n_actual
+        |          FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, coalesce(n_actual, 0) AS n
+        |FROM users CROSS JOIN days
+        |LEFT JOIN daily ON user_id = u AND day = d""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN cohorts ON e.user_id = cohorts.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_union_distinct" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
