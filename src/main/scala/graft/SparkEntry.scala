@@ -73,6 +73,7 @@ object SparkEntry {
     "q_stats_moments" -> (AQ.qStatsMoments _),
     // LLM-pipeline extensions (graft.ext)
     "q_text_stats" -> (EQ.qTextStats _),
+    "q_text_redact" -> (EQ.qTextRedact _),
     "q_text_langid" -> (EQ.qTextLangId _),
     "q_dedup_exact" -> (EQ.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (EQ.qDedupNgramJaccard _),

@@ -45,6 +45,25 @@ object ExtOracles {
         |    ELSE 'de' END AS lang_pred
         |FROM s""".stripMargin,
 
+    "q_text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |            ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM planted""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS keeper_id, count(*) AS n_docs

@@ -21,6 +21,23 @@ object ExtQueries {
     TextAnalysis.withLangId(Tables(spark, dir).documents)
       .select("doc_id", "en_hits", "es_hits", "fr_hits", "de_hits", "lang_pred")
 
+  /** PII redaction over documents with deterministic synthetic PII
+    * planted (every 3rd doc gets an email, every 5th a phone) so the
+    * masking paths actually execute. */
+  def qTextRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.redact(planted)
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+  }
+
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir).documents)
 

@@ -59,6 +59,22 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
   }
 
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction for training corpora: mask emails and phone-shaped
+    * numbers, report replacement counts. Pure regex Columns — runs at
+    * scan speed. */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+  }
+
   /** Stopword-profile language-ID heuristic with a fixed precedence
     * (en > es > fr > de > unknown) on ties. A real system would use
     * char-n-gram profiles; the *shape* (per-row scoring + argmax) is
