@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, AnalyticsQueries => AQ, OperatorOracles}
+import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, AnalyticsQueries => AQ, AdvancedAnalytics => AA, OperatorOracles}
 import graft.ext.{ExtQueries => EQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -70,6 +70,11 @@ object SparkEntry {
     "q_union_distinct" -> (AQ.qUnionDistinct _),
     "q_gapfill" -> (AQ.qGapfill _),
     "q_cohort_retention" -> (AQ.qCohortRetention _),
+    "q_tfidf_topk" -> (AA.qTfidfTopK _),
+    "q_zscore" -> (AA.qZscore _),
+    "q_funnel" -> (AA.qFunnel _),
+    "q_mode" -> (AA.qMode _),
+    "q_monthly_growth" -> (AA.qMonthlyGrowth _),
     "q_stats_moments" -> (AQ.qStatsMoments _),
     // LLM-pipeline extensions (graft.ext)
     "q_text_stats" -> (EQ.qTextStats _),

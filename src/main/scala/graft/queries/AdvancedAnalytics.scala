@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.ext.TextAnalysis
+
+/** Second analytics batch: TF-IDF term weighting, exact z-score
+  * normalization, sequential funnel analysis, per-group mode, and
+  * period-over-period growth. All oracle-verified; doubles only ever
+  * derive from exact integer aggregates or per-row arithmetic shared
+  * with the oracle.
+  */
+object AdvancedAnalytics {
+
+  /** TF-IDF with top-3 terms per document. tf/df/N are exact integer
+    * counts; idf = ln(N/df) as the only transcendental, computed
+    * identically on both sides. */
+  def qTfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "tfidf", "rn")
+  }
+
+  /** Z-score normalization per group from exact integer moments (the
+    * q_stats_moments pattern, unrounded until the final 6dp). */
+  def qZscore(spark: SparkSession, dir: String): DataFrame = {
+    val c = round(col("o_totalprice") * 100, 0)
+    val cd = c.cast(DecimalType(38, 0))
+    val moments = Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cd).as("s1"), sum(cd * cd).as("s2"))
+      .select(col("o_orderpriority").as("p"),
+        (col("s1").cast(DoubleType) / col("n")).as("mean_c"),
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("n"))).as("std_c"))
+    Tables(spark, dir).orders
+      .join(broadcast(moments), col("o_orderpriority") === col("p"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round((c - col("mean_c")) / col("std_c"), 6).as("z"))
+  }
+
+  /** Strict sequential funnel view -> click -> purchase per user:
+    * each step's timestamp must follow the previous step's. Output:
+    * furthest stage reached -> user count. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events.select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val users = e.select("user_id").distinct()
+    users
+      .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+      .select(
+        (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+          coalesce(col("s3"), lit(0))).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Mode (most frequent value) per group, deterministic tie-break on
+    * the smaller value. */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+  }
+
+  /** Month-over-month revenue growth per priority (lag window over
+    * exact monthly cents). */
+  def qMonthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("rev_cents"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+    monthly
+      .withColumn("prev", lag(col("rev_cents"), 1).over(w))
+      .select(col("o_orderpriority"), col("month"),
+        (col("rev_cents") / 100.0).as("revenue"),
+        round((col("rev_cents") - col("prev")).cast(DoubleType) / col("prev"), 6)
+          .as("mom_growth"))
+  }
+}

@@ -344,6 +344,76 @@ object OperatorOracles {
         |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
         |FROM events""".stripMargin,
 
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                    x -> x != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored) t WHERE rn <= 3""".stripMargin,
+
+    "q_zscore" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS p, COUNT(*) AS n,
+        |    SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)) AS s1,
+        |    SUM(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)
+        |        * CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS HUGEINT)) AS s2
+        |  FROM orders GROUP BY 1),
+        |stats AS (SELECT p, CAST(s1 AS DOUBLE) / n AS mean_c,
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS std_c
+        |  FROM m)
+        |SELECT o_orderkey, o_orderpriority,
+        |  round((ROUND(o_totalprice * 100, 0) - mean_c) / std_c, 6) AS z
+        |FROM orders JOIN stats ON o_orderpriority = p""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(ts) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(ts) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts > t_click GROUP BY 1),
+        |users AS (SELECT DISTINCT user_id FROM e)
+        |SELECT (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+        |      + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |      + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage,
+        |  COUNT(*) AS n_users
+        |FROM users u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |GROUP BY 1""".stripMargin,
+
+    "q_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q_monthly_growth" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month,
+        |  rev_cents / 100.0 AS revenue,
+        |  round(CAST(rev_cents - prev AS DOUBLE) / prev, 6) AS mom_growth
+        |FROM (SELECT *, lag(rev_cents) OVER (PARTITION BY o_orderpriority
+        |                                     ORDER BY month) AS prev
+        |      FROM monthly) t""".stripMargin,
+
     "q_gapfill" ->
       """WITH days AS (SELECT CAST(DATE '2024-01-01' + i * INTERVAL 1 DAY AS DATE) AS day
         |              FROM range(0, 30) t(i)),
