@@ -62,6 +62,7 @@ object SparkEntry {
     "q_posexplode" -> (AQ.qPosexplode _),
     "q_events_props" -> (AQ.qEventsProps _),
     "q_asof_join" -> (AQ.qAsofJoin _),
+    "q_asof_native" -> (AQ.qAsofNative _),
     "q_range_join" -> (AQ.qRangeJoin _),
     "q_window_funcs" -> (AQ.qWindowFuncs _),
     "q_histogram" -> (AQ.qHistogram _),

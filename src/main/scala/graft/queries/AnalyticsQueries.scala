@@ -113,6 +113,20 @@ object AnalyticsQueries {
       .select("event_id", "ts", "rate_ts", "rate")
   }
 
+  /** The NATIVE as-of operator (graft.plans.AsofJoin — custom
+    * LogicalPlan/Strategy/SparkPlan, single merge pass per partition):
+    * each purchase matched to the user's latest prior view. */
+  def qAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts")).distinct()
+    graft.plans.AsofJoin.asofJoin(purchases, views,
+        Seq("user_id"), Seq("v_user"), "ts", "v_ts")
+      .select("event_id", "ts", "v_ts")
+  }
+
   /** Range (interval-containment) join: events assigned to 6-hour
     * blocks by `start <= ts < end`, then aggregated per block. */
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {

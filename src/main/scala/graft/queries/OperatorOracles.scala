@@ -500,6 +500,14 @@ object OperatorOracles {
         |  AND o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')""".stripMargin,
 
+    "q_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT DISTINCT user_id AS v_user, CAST(ts AS TIMESTAMP) AS v_ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT event_id, ts, v_ts
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
+
     "q_range_join" ->
       """WITH blocks AS (
         |  SELECT i AS block_id,
