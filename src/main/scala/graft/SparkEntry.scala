@@ -69,6 +69,8 @@ object SparkEntry {
     "q_text_levenshtein" -> (AQ.qTextLevenshtein _),
     "q_exists_in_subquery" -> (AQ.qExistsInSubquery _),
     "q_union_distinct" -> (AQ.qUnionDistinct _),
+    "q_bit_aggs" -> (AQ.qBitAggs _),
+    "q_misc_funcs" -> (AQ.qMiscFuncs _),
     "q_gapfill" -> (AQ.qGapfill _),
     "q_cohort_retention" -> (AQ.qCohortRetention _),
     "q_tfidf_topk" -> (AA.qTfidfTopK _),

@@ -233,6 +233,30 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Bitwise aggregates over int key bits per group. */
+  def qBitAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .groupBy(col("p_type"))
+      .agg(
+        bit_and(col("p_size")).as("band"),
+        bit_or(col("p_size")).as("bor"),
+        bit_xor(col("p_size")).as("bxor"))
+
+  /** Misc scalar grab-bag: translate/initcap/repeat/reverse/ascii,
+    * array construction + set ops with sorted output. */
+  def qMiscFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).nation.select(
+      col("n_nationkey"),
+      translate(col("n_name"), "AEIOU", "aeiou").as("translated"),
+      concat(upper(substring(col("n_name"), 1, 1)),
+        lower(expr("substring(n_name, 2)"))).as("title"),
+      reverse(col("n_name")).as("rev"),
+      repeat(lit("ab"), 3).as("rep"),
+      ascii(col("n_name")).as("first_code"),
+      array_sort(array_union(
+        array(col("n_nationkey"), col("n_regionkey")),
+        array(col("n_regionkey"), col("n_regionkey") * 2))).as("keys_union"))
+
   /** UNION (distinct) — the set-union complement of q_intersect. */
   def qUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -433,6 +433,23 @@ object OperatorOracles {
         |FROM e JOIN cohorts ON e.user_id = cohorts.user_id
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_bit_aggs" ->
+      """SELECT p_type,
+        |  CAST(bit_and(p_size) AS INTEGER) AS band,
+        |  CAST(bit_or(p_size) AS INTEGER) AS bor,
+        |  CAST(bit_xor(p_size) AS INTEGER) AS bxor
+        |FROM part GROUP BY p_type""".stripMargin,
+
+    "q_misc_funcs" ->
+      """SELECT n_nationkey,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS translated,
+        |  upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2)) AS title,
+        |  reverse(n_name) AS rev,
+        |  repeat('ab', 3) AS rep,
+        |  CAST(ascii(n_name) AS INTEGER) AS first_code,
+        |  list_sort(list_distinct([n_nationkey, n_regionkey, n_regionkey, n_regionkey * 2])) AS keys_union
+        |FROM nation""".stripMargin,
+
     "q_union_distinct" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION

@@ -69,6 +69,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(causes(e).exists(_.isInstanceOf[DataCheckException]))
   }
 
+  test("watermark drops late data in append-mode windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    def ev(id: Long, t: String) =
+      StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), 1, "click", 1.0)
+    val agg = mem.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // advance watermark far past the first window, closing it
+      mem.addData(ev(3, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      // this event is now behind the watermark — must be dropped
+      mem.addData(ev(4, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      mem.addData(ev(5, "2024-01-01 12:00:00")) // closes the 11:00 window
+      q.processAllAvailable()
+      val out = spark.table("late_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(out("2024-01-01 10:00:00.0") == 2L,
+        s"late event must not be counted: $out")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink keeps latest row per key across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
