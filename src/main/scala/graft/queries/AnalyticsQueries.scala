@@ -233,6 +233,15 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** ROLLUP with GROUPING() flags — distinguishes "NULL because
+    * subtotal" from "NULL because data" in multi-level aggregates. */
+  def qGroupingFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"))
+
   /** Bitwise aggregates over int key bits per group. */
   def qBitAggs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).part

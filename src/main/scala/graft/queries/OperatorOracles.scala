@@ -433,6 +433,12 @@ object OperatorOracles {
         |FROM e JOIN cohorts ON e.user_id = cohorts.user_id
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_grouping_flags" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
     "q_bit_aggs" ->
       """SELECT p_type,
         |  CAST(bit_and(p_size) AS INTEGER) AS band,

@@ -73,6 +73,53 @@ object StreamingOps {
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Production unbounded-stream sessionizer: state carries the open
+    * session per user; the event-time timeout (watermark past
+    * session_end + gap) closes and emits it. Unlike [[sessionize]]
+    * (bounded replay), this never waits for "all" of a user's events —
+    * the only correct shape on an infinite stream. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (evs.isEmpty) {
+            // timeout fired: watermark passed session_end + gap — emit & clear
+            val out = state.getOption.map(s => Session(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.map(s => Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total)).iterator
+          }
+      }
+  }
+
   /** Streaming upsert sink: every micro-batch merges into a keyed
     * parquet target via Incremental.merge (foreachBatch — the standard
     * way to drive a batch writer from a stream). The target always
@@ -97,7 +144,7 @@ object StreamingOps {
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
-  private case class SessionState(start: Long, end: Long, n: Int, total: Double)
+  case class SessionState(start: Long, end: Long, n: Int, total: Double)
 
   /** Gap-based sessionization: a session closes after `gapMinutes` of
     * user inactivity (event-time via state timeout). Works identically

@@ -158,6 +158,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unbounded sessionizer emits on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    def ev(id: Long, t: String, u: Long, v: Double) =
+      StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), u, "click", v)
+    val sessions = StreamingOps.sessionizeStream(mem.toDS(), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1, 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open
+      // watermark jumps past 10:10 + 30min -> user 1's session times out
+      mem.addData(ev(3, "2024-01-01 12:00:00", 2, 5.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 12:05:00", 2, 1.0)) // trigger timeout batch
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(out.contains((1L, 2, 3.0)), s"expected closed session, got ${out.toSeq}")
+      assert(!out.exists(_._1 == 2L), "user 2's session must still be open")
+    } finally q.stop()
+  }
+
   test("gap sessionization on hand-built events") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), u, "click", v)
