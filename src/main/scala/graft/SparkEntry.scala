@@ -70,6 +70,7 @@ object SparkEntry {
     "q_exists_in_subquery" -> (AQ.qExistsInSubquery _),
     "q_union_distinct" -> (AQ.qUnionDistinct _),
     "q_grouping_flags" -> (AQ.qGroupingFlags _),
+    "q_lateral" -> (AQ.qLateral _),
     "q_bit_aggs" -> (AQ.qBitAggs _),
     "q_misc_funcs" -> (AQ.qMiscFuncs _),
     "q_gapfill" -> (AQ.qGapfill _),

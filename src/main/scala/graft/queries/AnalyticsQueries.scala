@@ -233,6 +233,21 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** LATERAL correlated subquery: per customer, their top-2 orders by
+    * price — the decorrelated-subquery shape (Catalyst rewrites the
+    * lateral into a ranked join). */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.createOrReplaceTempView("lat_cust")
+    t.orders.createOrReplaceTempView("lat_orders")
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM lat_cust,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+  }
+
   /** ROLLUP with GROUPING() flags — distinguishes "NULL because
     * subtotal" from "NULL because data" in multi-level aggregates. */
   def qGroupingFlags(spark: SparkSession, dir: String): DataFrame =

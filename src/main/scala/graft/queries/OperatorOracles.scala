@@ -433,6 +433,13 @@ object OperatorOracles {
         |FROM e JOIN cohorts ON e.user_id = cohorts.user_id
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+
     "q_grouping_flags" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
