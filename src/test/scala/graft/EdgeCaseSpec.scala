@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.BigQueryDialect
+
+/** Defensive edge cases: translator parsing, empty inputs through the
+  * operators, degenerate shapes. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("dialect: nested parens and commas inside strings survive") {
+    val t = BigQueryDialect.translate(
+      "select date_diff(coalesce(a, b, date('2020-01-01')), least(c, d), year) from t")
+    assert(t.contains("(year(coalesce(a, b, date('2020-01-01'))) - year(least(c, d)))"))
+    val t2 = BigQueryDialect.translate(
+      "select regexp_contains(concat(a, ', ', b), 'x,y') from t")
+    assert(t2.contains("(concat(a, ', ', b) RLIKE 'x,y')"))
+    // function-name suffix must not match (aregexp_contains is untouched)
+    val t3 = BigQueryDialect.translate("select aregexp_contains(x, y) from t")
+    assert(t3.contains("aregexp_contains(x, y)"))
+  }
+
+  test("as-of join with empty right side keeps all left rows unmatched") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("k", "l_ts", "l_id")
+    val r = Seq.empty[(Long, java.sql.Timestamp)].toDF("rk", "r_ts")
+    val out = graft.plans.AsofJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "l_ts", "r_ts")
+    assert(out.count() == 1)
+    assert(out.filter(col("r_ts").isNull).count() == 1)
+  }
+
+  test("dedup operators on empty and single-doc inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ext.Dedup.exactGroups(empty).count() == 0)
+    assert(graft.ext.Dedup.minhashSignatures(empty).count() == 0)
+    val single = Seq((1L, "one two three four")).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.lshCandidates(
+      graft.ext.Dedup.minhashSignatures(single)).count() == 0)
+    val short = Seq((1L, "ab")).toDF("doc_id", "text") // <3 tokens: no shingles
+    assert(graft.ext.Dedup.wordTrigrams(short).count() == 0)
+  }
+
+  test("connected components on empty pair list") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(graft.ext.Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("incremental merge bootstrap from empty batch sequence") {
+    val path = java.nio.file.Files.createTempDirectory("graft-edge").toString + "/t"
+    val b = Seq((1L, "x")).toDF("id", "v")
+    val r1 = graft.model.Incremental.merge(spark, b, path, Seq("id"))
+    assert(r1.count() == 1)
+    // idempotent re-merge of identical batch
+    val r2 = graft.model.Incremental.merge(spark, b, path, Seq("id"))
+    assert(r2.count() == 1)
+  }
+}
