@@ -43,17 +43,33 @@ object Dedup {
   }
 
   /** n-gram Jaccard pairs over a keyspace-sampled subset (`idMod`
-    * keeps ids ≡0 mod m): shingle-join candidate generation, then
-    * |∩| / |∪| per pair, thresholded. At scale the sample bound is
-    * replaced by LSH candidates from [[lshCandidates]]. */
+    * keeps ids ≡0 mod m). Two phases, both shuffle-keyed:
+    * candidate generation joins only on grams with document frequency
+    * ≤ `dfCap` (a hot shingle shared by n docs would otherwise emit n²
+    * candidate rows — the cap bounds per-gram fanout to dfCap², the
+    * standard guard at corpus scale), then the exact |∩| / |∪| is
+    * computed over the FULL shingle sets of each surviving pair, so
+    * the score is unaffected by the cap; only pairs whose every shared
+    * gram is hot can be missed. localCheckpoint (not cache) so no
+    * pinned blocks outlive the query in a long session. */
   def jaccardPairs(df: DataFrame, threshold: Double, idMod: Int = 5,
+      dfCap: Int = 100,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sampled = df.filter(col(idCol) % idMod === 0)
-    val sh = wordTrigrams(sampled, idCol, textCol).cache()
+    val sh = wordTrigrams(sampled, idCol, textCol).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = sh.select(col(idCol).as("a_id"), col("gram"))
-    val b = sh.select(col(idCol).as("b_id"), col("gram"))
-    val shared = a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
+    val rareGrams = sh.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gdf")).filter(col("gdf") <= dfCap)
+      .select("gram")
+    val rare = sh.join(rareGrams, Seq("gram"))
+    val cand = rare.select(col(idCol).as("a_id"), col("gram"))
+      .join(rare.select(col(idCol).as("b_id"), col("gram")), Seq("gram"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val shared = cand
+      .join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id")
+      .join(sh.select(col(idCol).as("b_id2"), col("gram").as("gram_b")),
+        col("b_id") === col("b_id2") && col("gram") === col("gram_b"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
     shared
       .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
@@ -106,17 +122,26 @@ object Dedup {
 
   /** The production near-dup shape: LSH candidates verified with exact
     * Jaccard — only candidate pairs ever pay the shingle-intersection
-    * cost. The verify join keys on (doc_id, gram), so per-pair work is
-    * a hash probe, not a cross product. */
+    * cost. The candidate set is small by construction (post-banding),
+    * so it is BROADCAST into both shingle joins: the shingle table is
+    * probed map-side and never shuffles for the verify.
+    * localCheckpoint (not cache) so no pinned blocks outlive the
+    * query in a long session. */
   def lshVerifiedPairs(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = wordTrigrams(df, idCol, textCol).cache()
-    val sigs = minhashFromShingles(sh, numHashes, idCol).cache()
+    val sh = wordTrigrams(df, idCol, textCol).localCheckpoint()
+    val sigs = minhashFromShingles(sh, numHashes, idCol)
     val cand = lshCandidates(sigs, numHashes, rowsPerBand, idCol)
+      .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val shB = sh.select(col(idCol).as("b_id2"), col("gram").as("gram_b"))
-    val shared = cand
-      .join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id")
+    // Both verify joins stay map-side: cand is broadcast into the
+    // a-side probe, and the (pair × a-grams) result — still candidate-
+    // bounded — is broadcast into the b-side probe, so the shingle
+    // table never shuffles for verification.
+    val pairGrams = broadcast(
+      broadcast(cand).join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id"))
+    val shared = pairGrams
       .join(shB, col("b_id") === col("b_id2") && col("gram") === col("gram_b"))
       .groupBy("a_id", "b_id", "n_shared_bands")
       .agg(count(lit(1)).as("n_shared"))

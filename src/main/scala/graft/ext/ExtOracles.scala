@@ -76,9 +76,17 @@ object ExtOracles {
         |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-        |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
-        |           FROM grams a JOIN grams b USING (gram)
-        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |rare AS (SELECT g.doc_id, g.gram FROM grams g
+        |         JOIN (SELECT gram, count(*) AS gdf FROM grams GROUP BY 1) d USING (gram)
+        |         WHERE d.gdf <= 100),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM rare a JOIN rare b USING (gram)
+        |         WHERE a.doc_id < b.doc_id),
+        |shared AS (SELECT c.a_id, c.b_id, count(*) AS n_shared
+        |           FROM cand c
+        |           JOIN grams ga ON ga.doc_id = c.a_id
+        |           JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+        |           GROUP BY 1, 2)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a_id, b_id,
         |    round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
@@ -180,8 +188,8 @@ object ExtOracles {
         |         ELSE 0 END AS is_new
         |  FROM m),
         |seq AS (SELECT *,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM marked)
         |SELECT user_id, session_seq,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -256,7 +264,8 @@ object ExtOracles {
         |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS s
         |      FROM c)
         |SELECT vec_id, round(s, 6) AS scale,
-        |  list_transform(v, x -> CAST(round(x / s * 127, 0) AS INTEGER)) AS q
+        |  array_to_string(list_transform(v,
+        |    x -> CAST(CAST(round(x / s * 127, 0) AS INTEGER) AS VARCHAR)), ',') AS q
         |FROM m""".stripMargin,
 
     "q_profile_orders" ->
@@ -295,12 +304,25 @@ object ExtOracles {
 
     "q_sim_near_dup" ->
       """WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings WHERE vec_id % 4 = 0)
+        |           FROM embeddings),
+        |pc AS (SELECT j, i,
+        |         2 * (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              / pow(2, 60)) - 1 AS c
+        |       FROM (SELECT unnest(range(0, 16)) AS j) a
+        |       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b),
+        |planes AS (SELECT j, list(c ORDER BY i) AS plane FROM pc GROUP BY j),
+        |bits AS (SELECT id, j,
+        |           CASE WHEN list_dot_product(v, plane) >= 0 THEN 1 ELSE 0 END AS bit
+        |         FROM s CROSS JOIN planes),
+        |bk AS (SELECT id, j // 4 AS band, SUM(bit * (1 << (j % 4))) AS k
+        |       FROM bits GROUP BY id, j // 4),
+        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k AND a.id < b.id)
         |SELECT a_id, b_id, cos_sim FROM (
-        |  SELECT a.id AS a_id, b.id AS b_id,
-        |    round(list_dot_product(a.v, b.v)
-        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-        |  FROM s a CROSS JOIN s b WHERE a.id < b.id) p
+        |  SELECT a_id, b_id,
+        |    round(list_dot_product(va.v, vb.v)
+        |      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos_sim
+        |  FROM cand JOIN s va ON va.id = a_id JOIN s vb ON vb.id = b_id) t
         |WHERE cos_sim >= 0.35""".stripMargin
   )
 }

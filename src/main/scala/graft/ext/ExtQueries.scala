@@ -86,7 +86,7 @@ object ExtQueries {
 
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
-      threshold = 0.35, idMod = 4)
+      threshold = 0.35, numPlanes = 16, rowsPerBand = 4)
 
   /** The flagship composition — a complete training-data curation
     * pipeline: stats -> quality/length gate -> exact dedup (keep min
@@ -118,7 +118,8 @@ object ExtQueries {
   /** int8 embedding quantization (4× storage cut; per-vector scale). */
   def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables(spark, dir).embeddings)
-      .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("q"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        concat_ws(",", col("q").cast("array<string>")).as("q"))
 
   /** Approximate distinct counts (HLL++) — the 100 TB cardinality
     * tool. Rows-only (sketches differ across engines); the error bound

@@ -141,15 +141,54 @@ object Similarity {
         .cast("int")).as("q"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within an id-sampled subset
-    * (cf. Dedup.jaccardPairs bounding): pairs with cosine ≥ threshold. */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double, idMod: Int = 4,
+  /** Deterministic random hyperplanes, shared bit-for-bit with the
+    * DuckDB oracle: component (j,i) = 2·(hex60(md5("j|i"))/2^60) − 1,
+    * where hex60 is the first 15 hex chars of the digest. Both engines
+    * evaluate the identical IEEE expression, so sign bits agree. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { i =>
+        val hex = md.digest(s"$j|$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        2 * (java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60)) - 1
+      }
+    }
+  }
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    * (sign-bit signatures, banded like [[Dedup.lshCandidates]]) with
+    * exact-cosine verification — no corpus×corpus cross product ever
+    * forms. Candidate generation is a hash-partitioned self-join on
+    * (band, key) buckets; the verify step joins vectors back onto the
+    * (sparse) candidate set. This is the shape that survives 100 TB:
+    * signatures are one map-side pass (numPlanes dot products/row) and
+    * every join is keyed. Defaults (16 planes, 4-bit bands) suit the
+    * synthetic low-threshold test; production near-dup at cosine ≥ 0.9
+    * wants more planes (e.g. 64–256) for selectivity. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+      numPlanes: Int = 16, rowsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val s = emb.filter(col(idCol) % idMod === 0)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val a = s.select(col("id").as("a_id"), col("v").as("va"))
-    val b = s.select(col("id").as("b_id"), col("v").as("vb"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+    val s = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val planes = hyperplanes(numPlanes, dim)
+    val bits = planes.zipWithIndex.map { case (pl, j) =>
+      when(dot(col("v"), typedLit(pl)) >= 0, 1).otherwise(0).as(s"bit$j") }
+    val sig = s.select(col("id") +: bits: _*)
+    val nBands = numPlanes / rowsPerBand
+    val bandKeys = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until rowsPerBand).map(r =>
+          col(s"bit${b * rowsPerBand + r}") * (1 << r)).reduce(_ + _).as("k"))
+    }
+    val exploded = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val cand = exploded.select(col("id").as("a_id"), col("bk"))
+      .join(exploded.select(col("id").as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(s.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(s.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
       .select(col("a_id"), col("b_id"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

@@ -58,8 +58,10 @@ object BqFunctions {
     * lowercase name/email contains 'test', or the literal email. */
   def isTestUser(firstName: Column, lastName: Column, email: Column): Column = {
     def strip(c: Column) = regexp_replace(lower(trim(c)), "\\s+", "")
-    strip(firstName).like("%test%") || strip(lastName).like("%test%") ||
-      strip(email).like("%test%") || email.like("educatorst1@example.com")
+    coalesce(
+      strip(firstName).like("%test%") || strip(lastName).like("%test%") ||
+        strip(email).like("%test%") || email.like("educatorst1@example.com"),
+      lit(false))
   }
 
   /** Race/ethnicity bucketing cascade (user_base.sql:18-34), preserved

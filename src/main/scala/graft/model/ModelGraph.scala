@@ -95,9 +95,10 @@ final class Runner(
     * DataFrame (for Table materializations, the re-read parquet). */
   def run(models: Seq[Model], runChecks: Boolean = false): Map[String, DataFrame] = {
     val order = ModelGraph.topoSort(models)
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutor(java.util.concurrent.Executors.newFixedThreadPool(threads))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val done = mutable.Map.empty[String, Future[(String, DataFrame)]]
+    try {
     for (m <- order) {
       val depFutures = m.deps.flatMap(done.get)
       done(m.name) = Future.sequence(depFutures).map { resolved =>
@@ -130,6 +131,7 @@ final class Runner(
     }
     val res = Await.result(Future.sequence(order.map(m => done(m.name))), Duration.Inf)
     res.toMap
+    } finally pool.shutdown()
   }
 }
 

@@ -97,28 +97,41 @@ case class AsofJoinExec(
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTsVal = lTsProj(lRow).getLong(0)
+        val lTsRow = lTsProj(lRow)
+        // SQL/DuckDB ASOF null semantics: a null key or null timestamp
+        // on either side never matches (left rows still emitted
+        // unmatched). Null-first ascending sort puts these rows before
+        // all real work, so skipping them here cannot desync the merge.
+        if (lKey.anyNull || lTsRow.isNullAt(0)) {
+          joined(lRow, nullRight)
+          resultProj(joined)
+        } else {
+        val lTsVal = lTsRow.getLong(0)
         // advance right while its (key, ts) is <= (lKey, lTs)
         var continue = true
         while (continue && rBuf.hasNext) {
           val rRow = rBuf.head
           val rKey = rKeyProj(rRow)
-          val cmp = keyOrdering.compare(rKey, lKey)
-          if (cmp < 0) { rBuf.next(); candidate = null } // stale key
-          else if (cmp == 0) {
-            val rTsVal = rTsProj(rRow).getLong(0)
-            if (rTsVal <= lTsVal) {
-              candidate = rRow.copy(); candidateTs = rTsVal
-              candidateKey = rKey.copy()
-              rBuf.next()
+          if (rKey.anyNull || rTsProj(rRow).isNullAt(0)) rBuf.next()
+          else {
+            val cmp = keyOrdering.compare(rKey, lKey)
+            if (cmp < 0) { rBuf.next(); candidate = null } // stale key
+            else if (cmp == 0) {
+              val rTsVal = rTsProj(rRow).getLong(0)
+              if (rTsVal <= lTsVal) {
+                candidate = rRow.copy(); candidateTs = rTsVal
+                candidateKey = rKey.copy()
+                rBuf.next()
+              } else continue = false
             } else continue = false
-          } else continue = false
+          }
         }
         val matched = candidate != null && candidateKey != null &&
           keyOrdering.compare(candidateKey, lKey) == 0 &&
           lTsVal - candidateTs <= tol
         joined(lRow, if (matched) candidate else nullRight)
         resultProj(joined)
+        }
       }
     }
   }

@@ -76,7 +76,8 @@ object AnalyticsQueries {
     Tables(spark, dir).supplier
       .groupBy(col("s_nationkey"))
       .agg(
-        slice(sort_array(collect_list(col("s_suppkey"))), 1, 5).as("first_ids"),
+        concat_ws(",", slice(sort_array(collect_list(col("s_suppkey"))), 1, 5)
+          .cast("array<string>")).as("first_ids"),
         concat_ws(",", sort_array(collect_list(col("s_name")))).as("names_csv"))
 
   /** Scalar subquery: orders within 10% of the global max price. */
@@ -277,9 +278,10 @@ object AnalyticsQueries {
       reverse(col("n_name")).as("rev"),
       repeat(lit("ab"), 3).as("rep"),
       ascii(col("n_name")).as("first_code"),
-      array_sort(array_union(
+      concat_ws(",", array_sort(array_union(
         array(col("n_nationkey"), col("n_regionkey")),
-        array(col("n_regionkey"), col("n_regionkey") * 2))).as("keys_union"))
+        array(col("n_regionkey"), col("n_regionkey") * 2)))
+        .cast("array<string>")).as("keys_union"))
 
   /** UNION (distinct) — the set-union complement of q_intersect. */
   def qUnionDistinct(spark: SparkSession, dir: String): DataFrame = {

@@ -14,7 +14,7 @@ object OperatorOracles {
     // ----- aggregations --------------------------------------------------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
         |  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 100.0 AS sum_disc_price_x100,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
@@ -102,7 +102,7 @@ object OperatorOracles {
 
     "q_join_multi" ->
       """SELECT c_mktsegment, COUNT(*) AS n_lines,
-        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -155,7 +155,7 @@ object OperatorOracles {
         |    row_number() OVER (PARTITION BY l_partkey
         |                       ORDER BY qty DESC, l_suppkey) AS rn
         |  FROM (SELECT l_partkey, l_suppkey,
-        |          SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |        FROM lineitem GROUP BY l_partkey, l_suppkey) a) t
         |WHERE rn = 1""".stripMargin,
 
@@ -287,7 +287,7 @@ object OperatorOracles {
     // ----- analytics breadth --------------------------------------------
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_cube" ->
@@ -324,7 +324,8 @@ object OperatorOracles {
 
     "q_array_agg" ->
       """SELECT s_nationkey,
-        |  list_slice(list_sort(list(s_suppkey)), 1, 5) AS first_ids,
+        |  array_to_string(list_transform(list_slice(list_sort(list(s_suppkey)), 1, 5),
+        |    x -> CAST(x AS VARCHAR)), ',') AS first_ids,
         |  string_agg(s_name, ',' ORDER BY s_name) AS names_csv
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
 
@@ -460,7 +461,9 @@ object OperatorOracles {
         |  reverse(n_name) AS rev,
         |  repeat('ab', 3) AS rep,
         |  CAST(ascii(n_name) AS INTEGER) AS first_code,
-        |  list_sort(list_distinct([n_nationkey, n_regionkey, n_regionkey, n_regionkey * 2])) AS keys_union
+        |  array_to_string(list_transform(
+        |    list_sort(list_distinct([n_nationkey, n_regionkey, n_regionkey, n_regionkey * 2])),
+        |    x -> CAST(x AS VARCHAR)), ',') AS keys_union
         |FROM nation""".stripMargin,
 
     "q_union_distinct" ->

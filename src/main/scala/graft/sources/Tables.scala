@@ -34,11 +34,15 @@ final class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** Register every table as a temp view so spark.sql(...) works too. */
-  def registerAll(): Unit =
+  /** Register every table as a temp view so spark.sql(...) works too.
+    * `events` registers through the converting accessor so SQL sees the
+    * same µs-timestamp schema as the DataFrame path. */
+  def registerAll(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
+        "lineitem", "documents", "embeddings")
       .foreach(n => table(n).createOrReplaceTempView(n))
+    events.createOrReplaceTempView("events")
+  }
 }
 
 object Tables {

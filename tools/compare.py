@@ -4,30 +4,40 @@ DuckDB compare). Usage: python3 tools/compare.py <sfDir> <verifyOut>
 
 For each query dir in <verifyOut>: read the Spark parquet result, run the
 matching oracle SQL from oracle_sql.json in DuckDB (tables registered as
-views over <sfDir>/*.parquet), canonicalize both (columns sorted by name,
-rows sorted, doubles rounded) and diff. Build-time tool only — NOT part
-of the Scala library.
+views over <sfDir>/*.parquet), and diff the two the way the driver does:
+through pandas (so a DuckDB HUGEINT that pandas widens to float64/object
+fails against Spark's int64 even when the values print the same), columns
+sorted by name, rows sorted, doubles rounded. Build-time tool only — NOT
+part of the Scala library.
 """
 import json, os, sys, glob
 import duckdb
+import pandas as pd
+import numpy as np
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-def canon(rows, cols, ndigits=6):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        rr = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, ndigits)
-                if v == 0: v = 0.0
-            rr.append(repr(v))
-        out.append(tuple(rr))
-    out.sort()
-    return sorted(c for c in cols), out
+def canon(df, ndigits=6):
+    """(dtype-kinds, sorted-row-tuples) — dtype-kind mismatch is how the
+    driver's hasher sees DuckDB HUGEINT vs Spark int64."""
+    df = df[sorted(df.columns)]
+    kinds = []
+    rows = []
+    cols = []
+    for c in df.columns:
+        s = df[c]
+        k = s.dtype.kind  # i/u int, f float, O object, M datetime, b bool
+        # normalize: nullable pandas ints and plain ints hash alike
+        if k == "u": k = "i"
+        kinds.append(k)
+        if k == "f":
+            s = s.round(ndigits).apply(lambda v: 0.0 if v == 0 else v)
+        cols.append(s.tolist())
+    for tup in zip(*cols) if cols else []:
+        rows.append(tuple(repr(v) for v in tup))
+    rows.sort()
+    return list(df.columns), kinds, rows
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -43,23 +53,26 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"[FAIL] {name}: no spark output"); n_fail += 1; continue
-        srel = con.execute(
-            f"SELECT * FROM read_parquet({files!r})")
-        scols = [d[0] for d in srel.description]
-        srows = srel.fetchall()
+        sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
         if name not in oracles:
-            print(f"[ROWS-ONLY] {name}: {len(srows)} rows (no oracle)")
+            print(f"[ROWS-ONLY] {name}: {len(sdf)} rows (no oracle)")
             n_noop += 1; continue
         try:
-            orel = con.execute(oracles[name])
-            ocols = [d[0] for d in orel.description]
-            orows = orel.fetchall()
+            odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: oracle error: {e}"); n_fail += 1; continue
-        sc, sr = canon(srows, scols)
-        oc, orr = canon(orows, ocols)
+        try:
+            sc, sk, sr = canon(sdf)
+            oc, ok, orr = canon(odf)
+        except TypeError as e:
+            print(f"[FAIL] {name}: canon error (unsortable/array col?): {e}")
+            n_fail += 1; continue
         if sc != oc:
             print(f"[FAIL] {name}: schema mismatch spark={sc} oracle={oc}")
+            n_fail += 1; continue
+        if sk != ok:
+            print(f"[FAIL] {name}: dtype mismatch (driver hash would differ) "
+                  f"spark={list(zip(sc, sk))} oracle={list(zip(oc, ok))}")
             n_fail += 1; continue
         if len(sr) != len(orr):
             print(f"[FAIL] {name}: rowcount spark={len(sr)} oracle={len(orr)}")
