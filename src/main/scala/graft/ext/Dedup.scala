@@ -80,11 +80,14 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Portable 60-bit shingle hash both Spark and DuckDB compute
-    * identically: first 15 hex chars of md5(seed|gram). */
+  /** Portable 60-bit hash both Spark and DuckDB compute identically:
+    * first 15 hex chars of md5(input), parsed as hex. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Portable seeded shingle hash: portableHash60 of "seed|gram". */
   private def seedHash(seed: Int, gram: Column): Column =
-    conv(substring(md5(concat(lit(seed), lit("|"), gram)), 1, 15), 16, 10)
-      .cast(LongType)
+    portableHash60(concat(lit(seed), lit("|"), gram))
 
   /** MinHash signatures from a precomputed (id, gram) shingle table —
     * lets pipelines cache the shingles once and derive signatures,
@@ -190,14 +193,17 @@ object Dedup {
     labels
   }
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; no
-    * oracle — xxhash64 is Spark-native). Bit i of the result is the
-    * sign of Σ_tokens (bit_i(hash) ? +1 : −1). */
+  /** 64-bit SimHash over whitespace tokens. Bit i of the result is the
+    * sign of Σ_tokens (bit_i(hash) ? +1 : −1). `tokenHash` defaults to
+    * Spark-native xxhash64 (the fast path); pass a portable hash (e.g.
+    * portableHash60-based) for cross-engine verification — the
+    * q_dedup_simhash oracle uses md5("sh|" + token). */
   def simhash64(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)

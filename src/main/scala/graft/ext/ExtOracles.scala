@@ -109,6 +109,47 @@ object ExtOracles {
         |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
         |FROM h GROUP BY doc_id""".stripMargin,
 
+    "q_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5('sh|' || tok), 1, 15)) AS BIGINT) AS h
+        |      FROM tok),
+        |bitsum AS (SELECT doc_id, i,
+        |             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS b
+        |           FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i) r
+        |           GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN b > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bitsum GROUP BY doc_id""".stripMargin,
+
+    "q_dedup_lsh_candidates" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |h AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sig UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM sig)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        | AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT -1, -1, count(*) FROM sig""".stripMargin,
+
     "q_dedup_lsh_verified" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

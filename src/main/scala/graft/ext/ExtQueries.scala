@@ -75,7 +75,8 @@ object ExtQueries {
   }
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash64(Tables(spark, dir).documents)
+    Dedup.simhash64(Tables(spark, dir).documents,
+      tokenHash = t => Dedup.portableHash60(concat(lit("sh|"), t)))
 
   def qSimCosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5)

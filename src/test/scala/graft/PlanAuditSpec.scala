@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical query shapes: these
+  * lock in the plans that survive 100 TB, so a regression (a cartesian
+  * product sneaking back in, a top-1 window losing its group-limit, a
+  * global sort materializing fully) fails the suite — not just the
+  * bench.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("row_number top-1 shapes plan a WindowGroupLimit (pushed partial top-k)") {
+    for (q <- Seq("q_window_top1", "q_window_agg_rank")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q plan lacks WindowGroupLimit:\n$p")
+    }
+  }
+
+  test("embedding near-dup has no cartesian product over the corpus") {
+    val p = plan("q_sim_near_dup")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in q_sim_near_dup:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"BroadcastNestedLoopJoin in q_sim_near_dup:\n$p")
+  }
+
+  test("n-gram jaccard has no cartesian product") {
+    val p = plan("q_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in q_dedup_ngram_jaccard:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"BroadcastNestedLoopJoin in q_dedup_ngram_jaccard:\n$p")
+  }
+
+  test("global sort+limit plans TakeOrderedAndProject (no full range shuffle)") {
+    val p = plan("q_sort_global_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"q_sort_global_limit plan:\n$p")
+  }
+
+  test("flagship joins broadcast their small sides") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q5")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q has no broadcast join:\n$p")
+    }
+  }
+
+  test("projection/filter queries push filters into the parquet scan") {
+    val p = plan("q_filter_in")
+    assert(p.contains("PushedFilters: [In("), s"q_filter_in scan has no pushed filter:\n$p")
+  }
+}

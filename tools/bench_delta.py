@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Per-query bench regression check.
+Usage: python3 tools/bench_delta.py <current_bench.json> [floor_bench.json]
+
+Compares the current bench run against the committed floor
+(BENCH_FLOOR.json by default: the best known per-query times). Flags
+any query slower than 1.5x its floor, and prints the deltas sorted by
+regression ratio. Exit 1 if any regression exceeds the threshold.
+Build-time tool only — NOT part of the Scala library.
+"""
+import json, sys
+
+THRESH = 1.5
+MIN_SECONDS = 0.5  # ignore noise on sub-half-second queries
+
+def load(p):
+    with open(p) as f:
+        return json.loads(f.read().strip())
+
+def main(cur_path, floor_path="BENCH_FLOOR.json"):
+    cur = load(cur_path)["queries"]
+    floor = load(floor_path)["queries"]
+    rows = []
+    for q, t in sorted(cur.items()):
+        f = floor.get(q)
+        if f is None or f <= 0 or t <= 0:
+            continue
+        rows.append((t / f, q, t, f))
+    rows.sort(reverse=True)
+    bad = 0
+    for ratio, q, t, f in rows:
+        flag = ""
+        if ratio > THRESH and t > MIN_SECONDS:
+            flag = "  <-- REGRESSION"
+            bad += 1
+        if ratio > THRESH or ratio < 1 / THRESH:
+            print(f"{q:32s} {t:8.2f}s vs floor {f:8.2f}s  ({ratio:4.2f}x){flag}")
+    tot_c = sum(t for _, _, t, _ in rows)
+    tot_f = sum(f for _, _, _, f in rows)
+    print(f"\ntotal {tot_c:.1f}s vs floor {tot_f:.1f}s ({tot_c/tot_f:.2f}x); "
+          f"{bad} regression(s) > {THRESH}x")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
