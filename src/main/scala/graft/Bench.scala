@@ -12,9 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (JVM/codegen/scheduler init) so the first
-    // measured query isn't charged for startup.
+    // Warm the session (JVM/codegen/scheduler init, Hadoop FS +
+    // parquet reader paths) so the first measured query isn't charged
+    // for one-time startup. Reads one small table fully and only the
+    // footer/one row of the largest.
     spark.range(1000).selectExpr("sum(id)").collect()
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -85,9 +85,15 @@ object Dedup {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Portable seeded shingle hash: portableHash60 of "seed|gram". */
+  /** Portable seeded shingle hash. One 128-bit md5 digest yields TWO
+    * independent 60-bit hashes (hex chars 1-15 and 16-30), so k seed
+    * hashes cost only ceil(k/2) md5 evaluations per shingle — md5 is
+    * the dominant map-side cost of MinHash at corpus scale. Seed i
+    * reads half (i%2) of digest md5("(i/2)|gram"); the DuckDB oracles
+    * compute the identical expression. */
   private def seedHash(seed: Int, gram: Column): Column =
-    portableHash60(concat(lit(seed), lit("|"), gram))
+    conv(substring(md5(concat(lit(seed / 2), lit("|"), gram)),
+      1 + 15 * (seed % 2), 15), 16, 10).cast(LongType)
 
   /** MinHash signatures from a precomputed (id, gram) shingle table —
     * lets pipelines cache the shingles once and derive signatures,
@@ -177,13 +183,20 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("component"))
-      val next = labels.select("node", "component").unionAll(viaNeighbors)
-        .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
+      // Two HashMin rounds per convergence check: each round every
+      // node adopts min(own label, neighbors' labels). The check is a
+      // driver job, which dominates wall-clock on sparse candidate
+      // graphs — batching rounds halves those jobs while the
+      // per-round shuffles stay keyed on node id.
+      var next = labels
+      for (_ <- 0 until 2) {
+        val viaNeighbors = edges
+          .join(next.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("component"))
+        next = next.select("node", "component").unionAll(viaNeighbors)
+          .groupBy("node").agg(min("component").as("component"))
+      }
+      next = next.localCheckpoint()
       val changes = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") =!= col("old")).count()
       labels = next

@@ -100,7 +100,7 @@ object ExtOracles {
         |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
         |h AS (SELECT doc_id, s,
-        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
         |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds)
         |SELECT doc_id,
         |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
@@ -129,7 +129,7 @@ object ExtOracles {
         |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
         |h AS (SELECT doc_id, s,
-        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
         |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
         |sig AS (SELECT doc_id,
         |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
@@ -156,7 +156,7 @@ object ExtOracles {
         |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
         |h AS (SELECT doc_id, s,
-        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
         |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
         |sig AS (SELECT doc_id,
         |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
@@ -191,7 +191,7 @@ object ExtOracles {
         |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
         |h AS (SELECT doc_id, s,
-        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
         |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
         |sig AS (SELECT doc_id,
         |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
@@ -269,7 +269,7 @@ object ExtOracles {
         |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
         |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
         |h AS (SELECT doc_id, s,
-        |        CAST(concat('0x', substr(md5(CAST(s AS VARCHAR) || '|' || gram), 1, 15)) AS BIGINT) AS hv
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
         |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
         |sig AS (SELECT doc_id,
         |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,

@@ -21,21 +21,36 @@ import org.apache.spark.sql.functions._
 object TemporalJoins {
 
   /** As-of join: for each left row, the single most recent right row
-    * with `rightTs <= leftTs` within `toleranceSeconds`. Left rows
-    * with no candidate survive with nulls (left-outer semantics).
-    * Ties on rightTs break on the smallest `rightTieBreak`. */
+    * with `rightTs <= leftTs` within `toleranceSeconds` (timestamp
+    * columns). Left rows with no candidate survive with nulls
+    * (left-outer semantics). Ties on rightTs break on the smallest
+    * `rightTieBreak`.
+    *
+    * Top-1-per-left is computed with min_by over (inverted-µs ts,
+    * tie-break) rather than a row_number window: min_by partially
+    * aggregates MAP-SIDE, so only one row per left row crosses the
+    * shuffle — the window formulation sorts the full
+    * |L| × candidates-per-row intermediate through an exchange, which
+    * is the term that explodes with right-side density at scale. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String,
       toleranceSeconds: Long, rightTieBreak: String): DataFrame = {
     val leftKeyed = left.withColumn("__lid", monotonically_increasing_id())
     val cond = col(rightTs) <= col(leftTs) &&
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $toleranceSeconds SECONDS")
-    val w = Window.partitionBy(col("__lid"))
-      .orderBy(col(rightTs).desc_nulls_last, col(rightTieBreak).asc_nulls_last)
+    // Latest rightTs = min of (Long.MaxValue - µs); ties = min tie-break.
+    // A left row with no candidate forms a single all-null group, so
+    // min_by can only ever return its null payload (left-outer nulls).
+    val ord = struct(
+      lit(Long.MaxValue) - unix_micros(col(rightTs)), col(rightTieBreak))
+    val payload = struct(right.columns.map(col): _*)
+    val leftAggs = left.columns.map(c => first(col(c)).as(c))
+    val aggs = leftAggs :+ min_by(payload, ord).as("__best")
     leftKeyed.join(right, cond, "left")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__lid")
+      .groupBy(col("__lid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col(s"__best.$c").as(c)): _*)
   }
 
   /** Range (interval-containment) join: left rows matched to every
