@@ -85,6 +85,11 @@ object SparkEntry {
     "q_text_stats" -> (EQ.qTextStats _),
     "q_text_redact" -> (EQ.qTextRedact _),
     "q_text_langid" -> (EQ.qTextLangId _),
+    "q_repetition" -> (EQ.qRepetition _),
+    "q_hash_split" -> (EQ.qHashSplit _),
+    "q_stratified_sample" -> (EQ.qStratifiedSample _),
+    "q_contamination" -> (EQ.qContamination _),
+    "q_vocab_topk" -> (EQ.qVocabTopk _),
     "q_dedup_exact" -> (EQ.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (EQ.qDedupNgramJaccard _),
     "q_dedup_minhash_sig" -> (EQ.qDedupMinhashSig _),

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity: within-document repetition scoring,
+  * deterministic train/val/test splitting, stratified sampling,
+  * benchmark-contamination detection, and vocabulary building.
+  *
+  * Scale design: every operator is one keyed shuffle (or none).
+  * Splits and samples hash the ID — no global sort, no sampling
+  * state, reproducible across engines (portable md5, see
+  * [[Dedup.portableHash60]]) and across reruns — the property that
+  * matters when 100 TB is re-materialized incrementally.
+  */
+object Curation {
+
+  /** Within-document n-gram repetition: 1 − distinct/total trigrams.
+    * The standard "looping text" quality gate (boilerplate, keyword
+    * stuffing, decoding loops score high). Map-side explode + one
+    * shuffle on doc id. Docs with <3 tokens have no trigrams and are
+    * excluded. */
+  def repetitionScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams"), 6)
+          .as("repetition"))
+  }
+
+  /** Deterministic train/val/test split: bucket = portable hash of
+    * "split|id" mod 100. Stable under corpus growth (a doc's split
+    * never changes when new docs arrive) — the property a 100 TB
+    * incremental pipeline needs; a random() split reshuffles on every
+    * run. Map-side only, no shuffle. */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = Dedup.portableHash60(
+      concat(lit("split|"), col(idCol).cast(StringType))) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified sample: keep ~`permille`/1000 of rows,
+    * hashed on "sample|id" so the sample is reproducible and
+    * stratum-independent; strata columns pass through for downstream
+    * per-stratum accounting. Map-side only. */
+  def stratifiedSample(df: DataFrame, permille: Int,
+      idCol: String = "doc_id"): DataFrame =
+    df.filter(Dedup.portableHash60(
+      concat(lit("sample|"), col(idCol).cast(StringType))) % 1000 < permille)
+
+  /** Benchmark-contamination check: which training docs share ≥
+    * `minShared` distinct trigrams with any held-out/benchmark doc
+    * (ids ≡ 0 mod `benchMod` here; in production the benchmark corpus
+    * is its own table). The join is keyed on gram — candidate-bounded
+    * by the (small) benchmark gram set, never corpus×corpus. */
+  def contamination(df: DataFrame, benchMod: Int = 97, minShared: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = Dedup.wordTrigrams(df, idCol, textCol)
+    val bench = grams.filter(col(idCol) % benchMod === 0)
+      .select(col(idCol).as("bench_id"), col("gram"))
+    val train = grams.filter(col(idCol) % benchMod =!= 0)
+    train.join(bench, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** Corpus vocabulary: top-`k` tokens by frequency (ties break on the
+    * token). Map-side token explode, partial-aggregated count, then a
+    * TakeOrdered top-k — no global sort materializes. */
+  def vocabTopK(df: DataFrame, k: Int = 100,
+      textCol: String = "text"): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+}

@@ -64,6 +64,45 @@ object ExtOracles {
         |                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM planted""".stripMargin,
 
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x)
+        |SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS repetition
+        |FROM grams GROUP BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |      FROM documents) t""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 != 0)
+        |SELECT t.doc_id,
+        |  count(DISTINCT t.gram) AS n_shared_grams,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM train t JOIN bench b ON t.gram = b.gram
+        |GROUP BY 1
+        |HAVING count(DISTINCT t.gram) >= 3""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM tok
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS keeper_id, count(*) AS n_docs

@@ -89,6 +89,24 @@ object ExtQueries {
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, numPlanes = 16, rowsPerBand = 4)
 
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    Curation.repetitionScore(Tables(spark, dir).documents)
+
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(Tables(spark, dir).documents)
+      .select("doc_id", "split")
+
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(Tables(spark, dir).documents, permille = 100)
+      .select("doc_id", "lang", "source")
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame =
+    Curation.contamination(Tables(spark, dir).documents,
+      benchMod = 97, minShared = 3)
+
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Curation.vocabTopK(Tables(spark, dir).documents, k = 100)
+
   /** The flagship composition — a complete training-data curation
     * pipeline: stats -> quality/length gate -> exact dedup (keep min
     * id per fingerprint) -> MinHash-LSH near-dup clustering (keep each
