@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Source/sink breadth (SURVEY §2.1 S4/S5): the reference's only I/O
   * is the BigQuery adapter; the Spark-native engine fronts parquet
-  * (primary), csv and json, plus the write shapes that matter at
+  * (primary), orc, csv and json, plus the write shapes that matter at
   * 100 TB — partitioned layout for pruning and bucketed tables for
   * shuffle-free joins.
   */
@@ -22,6 +22,14 @@ object IO {
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** ORC — the other columnar format Spark supports natively; same
+    * pushdown/pruning behavior as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

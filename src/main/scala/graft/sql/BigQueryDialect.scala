@@ -90,8 +90,14 @@ object BigQueryDialect {
     s"(6371008.8 * 2 * asin(sqrt(pow(sin(radians(($lat2) - ($lat1)) / 2), 2) " +
     s"+ cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
 
+  /** QUALIFY shapes handled: row_number()/rank()/dense_rank() OVER
+    * (...) compared with = | <= | < against an integer literal, with
+    * an optional WHERE before the QUALIFY. Covers the reference's
+    * top-1 filters (locations_clean.sql:83,89,95) plus the common
+    * top-k variants. */
   private val qualifyRe: Regex =
-    """(?is)select\s+\*\s+from\s+(\w+)\s+where\s+(.*?)\s+qualify\s+(row_number\(\)\s*over\s*\([^)]*\))\s*=\s*1""".r
+    ("""(?is)select\s+\*\s+from\s+(\w+)(?:\s+where\s+(.*?))?\s+qualify\s+""" +
+     """((?:row_number|rank|dense_rank)\(\)\s*over\s*\([^)]*\))\s*(=|<=|<)\s*(\d+)""").r
 
   /** Translate one model's BigQuery SQL to Spark SQL.
     * @param currentDateOverride pin `current_date` to a literal
@@ -144,10 +150,13 @@ object BigQueryDialect {
     s = rewriteCalls(s, "safe_divide")(args => s"TRY_DIVIDE(${args(0)}, ${args(1)})")
     s = """(?i)\bSAFE_CAST\s*\(""".r.replaceAllIn(s, "TRY_CAST(")
     s = """(?i)\bCOUNTIF\s*\(""".r.replaceAllIn(s, "COUNT_IF(")
-    // 8. QUALIFY row_number() over (…) = 1  (select * … form)
-    s = qualifyRe.replaceAllIn(s, m => Regex.quoteReplacement(
-      s"select * except(__rn) from (select *, ${m.group(3)} as __rn " +
-      s"from ${m.group(1)} where ${m.group(2)}) where __rn = 1"))
+    // 8. QUALIFY <ranker>() over (…) (=|<=|<) k  (select * … form)
+    s = qualifyRe.replaceAllIn(s, { m =>
+      val where = Option(m.group(2)).map(w => s" where $w").getOrElse("")
+      Regex.quoteReplacement(
+        s"select * except(__rn) from (select *, ${m.group(3)} as __rn " +
+        s"from ${m.group(1)}$where) where __rn ${m.group(4)} ${m.group(5)}")
+    })
     // 9. pin current_date for determinism
     currentDateOverride.foreach { d =>
       s = """(?i)\bcurrent_date\b""".r.replaceAllIn(s, s"DATE '$d'")

@@ -22,6 +22,19 @@ class IOSpec extends AnyFunSuite {
     assert(viaJson.except(src).isEmpty && src.except(viaJson).isEmpty)
   }
 
+  test("orc round-trip preserves data and pushes filters") {
+    val src = Tables(spark, "/root/testdata/sf0.001").nation
+    val o = tmp("graft-orc")
+    IO.writeOrc(src, o)
+    val via = IO.readOrc(spark, o)
+    assert(via.count() === 25)
+    assert(via.except(src).isEmpty && src.except(via).isEmpty)
+    val plan = via.filter(col("n_regionkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("n_regionkey"),
+      s"no pushed filter in ORC scan:\n$plan")
+  }
+
   test("partitioned write enables partition pruning") {
     val src = Tables(spark, "/root/testdata/sf0.001").orders
     val p = tmp("graft-part")

@@ -90,4 +90,19 @@ class SqlShimSpec extends AnyFunSuite {
       "select st_distance(st_geogpoint(lon1, lat1), st_geogpoint(lon2, lat2)) / 1609.34 from t")
     assert(t5.contains("6371008.8") && t5.contains("radians"))
   }
+
+  test("translator unit: QUALIFY top-k, rank/dense_rank, and no-WHERE forms execute") {
+    import spark.implicits._
+    Seq((1, "a", 10), (1, "b", 20), (1, "c", 30), (2, "d", 40))
+      .toDF("g", "x", "v").createOrReplaceTempView("qt")
+    // rank() <= k without a WHERE clause
+    val topk = spark.sql(BigQueryDialect.translate(
+      "select * from qt qualify rank() over (partition by g order by v desc) <= 2"))
+    assert(topk.count() == 3)
+    assert(!topk.columns.contains("__rn"))
+    // dense_rank() = 1 with a WHERE clause
+    val top1 = spark.sql(BigQueryDialect.translate(
+      "select * from qt where v > 10 qualify dense_rank() over (partition by g order by v desc) = 1"))
+    assert(top1.select("x").as[String].collect().toSet == Set("c", "d"))
+  }
 }
