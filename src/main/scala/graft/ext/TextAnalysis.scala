@@ -24,9 +24,13 @@ object TextAnalysis {
     * both engines implement identically). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Whitespace tokens, empties removed. */
+  /** Whitespace tokens, empties removed. array_remove (codegen'd)
+    * rather than a filter() lambda: higher-order functions evaluate
+    * interpreted per element, and this expression is inlined into
+    * every downstream stat — the difference is ~10x on the curation
+    * gate. Identical output (removes exactly the "" elements). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** BPE-ish subword segmentation: runs of alphanumerics or single
     * non-space symbols (the classic pre-tokenizer regex). */
