@@ -42,13 +42,19 @@ object Similarity {
     * numQueries as the query set). Excludes self-matches. */
   def bruteForceTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Norms are precomputed once per row (not once per pair): each of
+    // the Q·N scored pairs then costs ONE dot product instead of
+    // three. sqrt(dot(v,v)) is the same IEEE value either way, so
+    // results are bit-identical to the per-pair formulation.
     val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
     val queries = emb.filter(col(idCol) < numQueries)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("qv"), col("dv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -119,10 +125,12 @@ object Similarity {
       .join(assign.select(col(idCol).as("nn_id"), col("cluster")), "nn_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
-    corpus.join(broadcast(probes), Seq("cluster"))
+    corpus.withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+      .join(broadcast(probes.withColumn("qn", sqrt(dot(col("qv"), col("qv"))))),
+        Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        round(cosine(col("qv"), col("dv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
@@ -186,11 +194,12 @@ object Similarity {
       .join(exploded.select(col("id").as("b_id"), col("bk")), Seq("bk"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    val sn = s.withColumn("n", sqrt(dot(col("v"), col("v"))))
     cand
-      .join(s.select(col("id").as("a_id"), col("v").as("va")), "a_id")
-      .join(s.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .join(sn.select(col("id").as("a_id"), col("v").as("va"), col("n").as("na")), "a_id")
+      .join(sn.select(col("id").as("b_id"), col("v").as("vb"), col("n").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -49,6 +49,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF layout: cluster-partitioned parquet prunes unprobed partitions") {
+    import graft.ext.Similarity
+    import graft.sources.{IO, Tables}
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir).embeddings
+    val (assign, _) = Similarity.kmeans(emb, k = 4, iters = 1)
+    val clustered = emb.join(assign, "vec_id")
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IO.writePartitioned(clustered, out, Seq("cluster"))
+    val probe = IO.readParquet(spark, out).filter(col("cluster").isin(1, 2))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("cluster"),
+      s"no partition filter in IVF probe scan:\n$scan")
+    assert(probe.count() > 0)
+  }
+
   test("projection/filter queries push filters into the parquet scan") {
     val p = plan("q_filter_in")
     assert(p.contains("PushedFilters: [In("), s"q_filter_in scan has no pushed filter:\n$p")
