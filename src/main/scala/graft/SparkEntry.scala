@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (EQ.qDedupClusters _),
     "q_curation_pipeline" -> (EQ.qCurationPipeline _),
     "q_sessionize" -> (SQ.qSessionize _),
+    "q_rolling" -> (SQ.qRolling _),
     "q_dedup_simhash" -> (EQ.qDedupSimhash _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),

@@ -277,6 +277,17 @@ object ExtOracles {
         |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
         |FROM seq GROUP BY user_id, session_seq""".stripMargin,
 
+    "q_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |  round(avg(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 6) AS ma7,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS sum1h
+        |FROM e""".stripMargin,
+
     "q_curation_pipeline" ->
       s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, $toks AS toks FROM documents),
         |st AS (SELECT doc_id, text, toks,

@@ -143,6 +143,27 @@ object ScalarQueries {
         (sum(round(col("value") * 100, 0).cast(LongType)) / 100.0).as("sum_value"))
   }
 
+  /** Rolling-frame breadth: a 7-row moving average (ROWS BETWEEN) and
+    * a trailing 1-hour sum (RANGE BETWEEN over epoch-µs) per user —
+    * the two window-frame families analytics rely on. Integer-cents
+    * arithmetic inside the frames keeps double summation order out of
+    * the result (oracle-parity discipline). One shuffle on user_id
+    * shared by both frames. */
+  def qRolling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast(LongType).as("cents"))
+    val rows7 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+    val hourUs = 3600L * 1000000
+    val range1h = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts"))).rangeBetween(-hourUs, 0)
+    e.select(col("event_id"), col("user_id"),
+      round(avg(col("cents")).over(rows7) / 100.0, 6).as("ma7"),
+      (sum(col("cents")).over(range1h) / 100.0).as("sum1h"))
+  }
+
   /** Streaming-shaped batch: tumbling 1-hour windowed counts/sums over
     * the events table (the batch twin of the structured-streaming path
     * in graft.streaming). */
