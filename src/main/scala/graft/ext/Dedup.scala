@@ -30,16 +30,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
   /** Distinct word 3-gram shingles per doc: (id, gram). Docs with <3
-    * tokens yield no shingles. Map-side explode — no shuffle. */
+    * tokens yield no shingles. Deduplication happens INSIDE each row
+    * (array_distinct before the explode) — "distinct per doc" needs no
+    * cross-row comparison, so the full (id, gram) table never
+    * shuffles; the whole operator is map-side. */
   def wordTrigrams(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     df.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("gram"))
-      .distinct()
+        "array_distinct(transform(sequence(1, size(toks) - 2), " +
+        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])))")).as("gram"))
   }
 
   /** n-gram Jaccard pairs over a keyspace-sampled subset (`idMod`
