@@ -19,20 +19,22 @@ object Curation {
 
   /** Within-document n-gram repetition: 1 − distinct/total trigrams.
     * The standard "looping text" quality gate (boilerplate, keyword
-    * stuffing, decoding loops score high). Map-side explode + one
-    * shuffle on doc id. Docs with <3 tokens have no trigrams and are
-    * excluded. */
+    * stuffing, decoding loops score high). Fully map-side — both
+    * counts are per-row array facts. Docs with <3 tokens have no
+    * trigrams and are excluded. */
   def repetitionScore(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     df.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col(idCol), explode(expr(
+      .withColumn("grams", expr(
         "transform(sequence(1, size(toks) - 2), " +
-        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))")).as("gram"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("gram")).as("n_distinct"))
+        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
+      // both counts are per-row array facts — no explode, no shuffle;
+      // the whole operator runs map-side at scan speed
+      .select(col(idCol),
+        size(col("grams")).cast(LongType).as("n_grams"),
+        size(array_distinct(col("grams"))).cast(LongType).as("n_distinct"))
       .select(col(idCol), col("n_grams"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams"), 6)
           .as("repetition"))
@@ -73,7 +75,9 @@ object Curation {
     val bench = grams.filter(col(idCol) % benchMod === 0)
       .select(col(idCol).as("bench_id"), col("gram"))
     val train = grams.filter(col(idCol) % benchMod =!= 0)
-    train.join(bench, Seq("gram"))
+    // benchmark gram set is small by definition — broadcast it so the
+    // training-corpus gram stream is probed map-side, never shuffled
+    train.join(broadcast(bench), Seq("gram"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))

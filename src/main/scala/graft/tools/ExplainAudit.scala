@@ -7,7 +7,9 @@ object ExplainAudit {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    for (n <- Seq("q1_agg","q_join_multi","q_window_top1","q_proj_alias","q_filter_in","q_join_left_chain")) {
+    for (n <- Seq("q1_agg","q_join_multi","q_window_top1","q_window_agg_rank",
+      "q_proj_alias","q_filter_in","q_join_left_chain",
+      "q_sim_near_dup","q_asof_join","q_contamination")) {
       println(s"===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
