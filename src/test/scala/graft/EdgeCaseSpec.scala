@@ -31,6 +31,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.filter(col("r_ts").isNull).count() == 1)
   }
 
+  test("as-of join: null keys and null timestamps never match (SQL ASOF semantics)") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val l = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 1L),   // normal: matches
+      (None,       Option(ts("2024-01-01 10:00:00")), 2L),   // null key
+      (Option(1L), None,                              3L))   // null ts
+      .toDF("k", "l_ts", "l_id")
+    val r = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), 10L),
+      (None,       Option(ts("2024-01-01 09:00:00")), 11L),  // null key: never a candidate
+      (Option(1L), None,                              12L))  // null ts: never a candidate
+      .toDF("rk", "r_ts", "r_id")
+    val out = graft.plans.AsofJoin.asofJoin(l, r, Seq("k"), Seq("rk"), "l_ts", "r_ts")
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(10L), s"normal row should match r_id 10: $out")
+    assert(out(2L).isEmpty, s"null-key left row must be unmatched: $out")
+    assert(out(3L).isEmpty, s"null-ts left row must be unmatched: $out")
+  }
+
+  test("isTestUser is false (not null) when name/email are null") {
+    val df = Seq(
+      (Some("test"), Some("x"), Some("a@b.com")),
+      (None: Option[String], None: Option[String], None: Option[String]),
+      (Some("alice"), None: Option[String], None: Option[String]))
+      .toDF("fn", "ln", "em")
+      .select(graft.functions.BqFunctions.isTestUser(col("fn"), col("ln"), col("em")).as("t"))
+    val vals = df.as[Boolean].collect().toSeq   // would throw on NULL boolean
+    assert(vals == Seq(true, false, false), s"got $vals")
+  }
+
   test("dedup operators on empty and single-doc inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ext.Dedup.exactGroups(empty).count() == 0)
