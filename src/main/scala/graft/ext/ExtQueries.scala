@@ -115,16 +115,17 @@ object ExtQueries {
     * against a DuckDB replica. */
   def qCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     // the gated stats feed three consumers (keeper agg, keeper join,
-    // LSH shingles) — cache once, regex work runs a single time
+    // LSH shingles) — materialize once (localCheckpoint, not cache: no
+    // pinned blocks outlive the query in a long session)
     val st = TextAnalysis.withLangId(
         TextAnalysis.withStats(Tables(spark, dir).documents))
       .filter(col("n_tokens").between(15, 95) && col("quality_score") >= 0.4)
-      .cache()
+      .localCheckpoint()
     val keepers = st.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"))
     val deduped = st.join(keepers,
       st("fingerprint") === keepers("fingerprint") &&
-        st("doc_id") === keepers("keep_id")).cache()
+        st("doc_id") === keepers("keep_id")).localCheckpoint()
     val sigs = Dedup.minhashFromShingles(
       Dedup.wordTrigrams(deduped.select("doc_id", "text")), 8, "doc_id")
     val cc = Dedup.connectedComponents(Dedup.lshCandidates(sigs, 8, 2))

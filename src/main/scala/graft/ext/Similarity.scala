@@ -75,8 +75,10 @@ object Similarity {
     import spark.implicits._
     val nv = {
       val v = asDouble(col(vecCol))
+      // localCheckpoint (not cache): reused every iteration, and the
+      // blocks are released with the RDD instead of pinning the store
       emb.select(col(idCol).as("id"),
-        transform(v, x => x / sqrt(dot(v, v))).as("nv")).cache()
+        transform(v, x => x / sqrt(dot(v, v))).as("nv")).localCheckpoint()
     }
     var cents: Seq[(Int, Seq[Double])] =
       nv.orderBy("id").limit(k).collect().zipWithIndex
