@@ -65,6 +65,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("native as-of join plans AsofJoinExec (single merge pass, no window)") {
+    val p = plan("q_asof_native")
+    assert(p.contains("AsofJoin"), s"q_asof_native does not use the native operator:\n$p")
+    assert(!p.contains("Window"), s"native as-of should not plan a window:\n$p")
+  }
+
   test("projection/filter queries push filters into the parquet scan") {
     val p = plan("q_filter_in")
     assert(p.contains("PushedFilters: [In("), s"q_filter_in scan has no pushed filter:\n$p")

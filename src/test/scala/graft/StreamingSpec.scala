@@ -28,6 +28,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text curation operators run unchanged on a stream (map-side = stream-safe)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // stats + quality gate + split: all per-row transforms, so the
+    // same Columns compose on a stream with no extra operators
+    val curated = graft.ext.Curation.hashSplit(
+      graft.ext.TextAnalysis.withStats(docs).filter(col("n_tokens") >= 3))
+      .select("doc_id", "n_tokens", "quality_score", "split")
+    val q = curated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curated_out").start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "ab"), (3L, "one two three four five six"))
+      q.processAllAvailable()
+      val out = spark.table("curated_out")
+      assert(out.count() == 2) // doc 2 gated out (<3 tokens)
+      val batch = graft.ext.Curation.hashSplit(
+        graft.ext.TextAnalysis.withStats(
+          Seq((1L, "the quick brown fox jumps over the lazy dog"),
+            (3L, "one two three four five six")).toDF("doc_id", "text")))
+        .select("doc_id", "n_tokens", "quality_score", "split")
+      assert(out.collect().toSet == batch.collect().toSet)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
