@@ -99,6 +99,7 @@ object SparkEntry {
     "q_curation_pipeline" -> (EQ.qCurationPipeline _),
     "q_sessionize" -> (SQ.qSessionize _),
     "q_rolling" -> (SQ.qRolling _),
+    "q_range_join_bucketed" -> (AQ.qRangeJoinBucketed _),
     "q_dedup_simhash" -> (EQ.qDedupSimhash _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),

@@ -56,8 +56,34 @@ object TemporalJoins {
   /** Range (interval-containment) join: left rows matched to every
     * right interval with `start <= ts < end`. Caller bounds interval
     * width; with disjoint intervals this is the standard
-    * event-to-window assignment. */
+    * event-to-window assignment. Theta-join form — right when the
+    * interval side broadcasts; for a large interval side use
+    * [[rangeJoinBucketed]]. */
   def rangeJoin(left: DataFrame, right: DataFrame,
       ts: String, start: String, end: String): DataFrame =
     left.join(right, col(ts) >= col(start) && col(ts) < col(end), "inner")
+
+  /** Range join for a LARGE interval side: both sides key onto a
+    * coarse time grid — each interval explodes to the cells it covers
+    * (≤ width/bucket + 1 rows), each event to its single cell — and
+    * the match becomes a hash-partitioned EQUI-join on the cell plus
+    * an exact residual filter. No broadcast, no nested-loop: this is
+    * the shape that joins 100 TB of events to millions of intervals.
+    * Each (event, interval) pair meets in exactly one cell (the
+    * event's), so no dedup is needed. Pick `bucketUs` near the median
+    * interval width: larger buckets mean fewer interval replicas,
+    * smaller buckets a tighter candidate set. */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame,
+      ts: String, start: String, end: String,
+      bucketUs: Long): DataFrame = {
+    val cells = right
+      .filter(col(end) > col(start))
+      .withColumn("__cell", explode(sequence(
+        floor(unix_micros(col(start)) / bucketUs),
+        floor((unix_micros(col(end)) - 1) / bucketUs))))
+    val keyed = left.withColumn("__cell", floor(unix_micros(col(ts)) / bucketUs))
+    keyed.join(cells, Seq("__cell"))
+      .filter(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__cell")
+  }
 }

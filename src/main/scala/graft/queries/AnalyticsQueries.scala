@@ -143,6 +143,23 @@ object AnalyticsQueries {
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
   }
 
+  /** The same interval assignment through the grid-bucketed equi-join
+    * path (TemporalJoins.rangeJoinBucketed, 1-hour cells) — the plan
+    * that survives an interval side too large to broadcast. Identical
+    * results to q_range_join, verified against the same oracle. */
+  def qRangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val blocks = spark.range(0, 124).select(
+      col("id").as("block_id"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, cast(6 * id as int), 0, 0)").as("block_start"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, cast(6 * id + 6 as int), 0, 0)").as("block_end"))
+    graft.operators.TemporalJoins.rangeJoinBucketed(e, blocks,
+        "ts", "block_start", "block_end", bucketUs = 3600L * 1000000)
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+  }
+
   /** Window-function breadth: lag/lead/first_value/ntile over a unique
     * ordering; rank/dense_rank/percent_rank/cume_dist over a tie-prone
     * ordering (deterministic under ties — equal rows get equal ranks). */

@@ -541,6 +541,18 @@ object OperatorOracles {
         |SELECT event_id, ts, v_ts
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
 
+    "q_range_join_bucketed" ->
+      """WITH blocks AS (
+        |  SELECT i AS block_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 6 HOUR AS block_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (i + 1) * INTERVAL 6 HOUR AS block_end
+        |  FROM range(0, 124) t(i))
+        |SELECT block_id, COUNT(*) AS n,
+        |  SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+        |FROM events e JOIN blocks b
+        |  ON e.ts >= b.block_start AND e.ts < b.block_end
+        |GROUP BY block_id""".stripMargin,
+
     "q_range_join" ->
       """WITH blocks AS (
         |  SELECT i AS block_id,

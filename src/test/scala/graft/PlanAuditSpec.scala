@@ -71,6 +71,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"native as-of should not plan a window:\n$p")
   }
 
+  test("bucketed range join is a pure equi-join (no nested loop)") {
+    val p = plan("q_range_join_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed range join fell back to a nested loop:\n$p")
+  }
+
   test("projection/filter queries push filters into the parquet scan") {
     val p = plan("q_filter_in")
     assert(p.contains("PushedFilters: [In("), s"q_filter_in scan has no pushed filter:\n$p")
