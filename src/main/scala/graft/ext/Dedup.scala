@@ -99,7 +99,10 @@ object Dedup {
 
   /** MinHash signatures from a precomputed (id, gram) shingle table —
     * lets pipelines cache the shingles once and derive signatures,
-    * sizes, and verify joins from the same scan. */
+    * sizes, and verify joins from the same scan. (Measured: hoisting
+    * the md5 digests into a pre-aggregate projection is SLOWER —
+    * codegen subexpression elimination already dedupes the shared
+    * digests across the k min-aggregate inputs.) */
   def minhashFromShingles(sh: DataFrame, numHashes: Int,
       idCol: String): DataFrame = {
     val aggs = (0 until numHashes).map(i => min(seedHash(i, col("gram"))).as(s"m$i"))
