@@ -90,6 +90,8 @@ object SparkEntry {
     "q_stratified_sample" -> (EQ.qStratifiedSample _),
     "q_contamination" -> (EQ.qContamination _),
     "q_vocab_topk" -> (EQ.qVocabTopk _),
+    "q_source_quality" -> (EQ.qSourceQuality _),
+    "q_unigram_logprob" -> (EQ.qUnigramLogprob _),
     "q_dedup_exact" -> (EQ.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (EQ.qDedupNgramJaccard _),
     "q_dedup_minhash_sig" -> (EQ.qDedupMinhashSig _),

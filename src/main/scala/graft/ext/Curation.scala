@@ -84,6 +84,49 @@ object Curation {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  /** Per-source corpus governance: doc counts, mean quality, and the
+    * exact-duplicate rate of each source — the table a curation run
+    * reports per crawl/provider. Quality means are summed in integer
+    * micro-units so double summation order cannot diverge (the same
+    * discipline as the financial sums). One shuffle on source. */
+  def sourceQuality(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = TextAnalysis.withStats(df, textCol)
+    st.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(round(col("quality_score") * 1e6, 0).cast(LongType)) / 1e6 /
+          count(lit(1))).as("mean_quality"),
+        countDistinct(col("fingerprint")).as("n_distinct"))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("mean_quality"), 6).as("mean_quality"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"), 6)
+          .as("dup_rate"))
+  }
+
+  /** Unigram negative-log-likelihood per document — the cheap LM
+    * quality proxy (gibberish and off-distribution text score high).
+    * Token log-probs come from the corpus's own unigram counts; each
+    * token's −ln p is rounded to 6dp and summed in integer
+    * micro-units, so the per-doc mean is order-independent and
+    * engine-portable. Two keyed shuffles (vocab count, per-doc agg);
+    * the vocab join is a hash join on token. */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tok_n"))
+    val total = vocab.agg(sum(col("tok_n")).as("total_n"))
+    toks.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        round(-log(col("tok_n").cast(DoubleType) / col("total_n")) * 1e6, 0)
+          .cast(LongType))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("nll_micro")) / 1e6) / count(lit(1)), 6).as("mean_nll"))
+  }
+
   /** Corpus vocabulary: top-`k` tokens by frequency (ties break on the
     * token). Map-side token explode, partial-aggregated count, then a
     * TakeOrdered top-k — no global sort materializes. */

@@ -148,6 +148,37 @@ object ExtOracles {
         |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
         |FROM h GROUP BY doc_id""".stripMargin,
 
+    "q_source_quality" ->
+      s"""WITH t AS (SELECT source, text, $toks AS toks FROM documents),
+        |st AS (SELECT source,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+        |  length(text) AS n_chars,
+        |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        |FROM t),
+        |q AS (SELECT source, fingerprint,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 0.2, 6) AS quality_score
+        |FROM st)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(SUM(CAST(ROUND(quality_score * 1e6, 0) AS BIGINT)) AS BIGINT) / 1e6
+        |        / count(*), 6) AS mean_quality,
+        |  round(1.0 - CAST(count(DISTINCT fingerprint) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM q GROUP BY source""".stripMargin,
+
+    "q_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+        |vocab AS (SELECT token, count(*) AS tok_n FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tok_n) AS BIGINT) AS total_n FROM vocab),
+        |terms AS (SELECT doc_id,
+        |    CAST(ROUND(-ln(CAST(tok_n AS DOUBLE) / total_n) * 1e6, 0) AS BIGINT) AS nll_micro
+        |  FROM tok JOIN vocab USING (token) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round((CAST(SUM(nll_micro) AS BIGINT) / 1e6) / count(*), 6) AS mean_nll
+        |FROM terms GROUP BY doc_id""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),

@@ -104,6 +104,12 @@ object ExtQueries {
     Curation.contamination(Tables(spark, dir).documents,
       benchMod = 97, minShared = 3)
 
+  def qSourceQuality(spark: SparkSession, dir: String): DataFrame =
+    Curation.sourceQuality(Tables(spark, dir).documents)
+
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    Curation.unigramLogProb(Tables(spark, dir).documents)
+
   def qVocabTopk(spark: SparkSession, dir: String): DataFrame =
     Curation.vocabTopK(Tables(spark, dir).documents, k = 100)
 
