@@ -53,6 +53,30 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged == Set(5L), s"flagged $flagged")
   }
 
+  test("sourceQuality: dup_rate reflects exact duplicates per source") {
+    val docs = Seq(
+      (1L, "same exact text here", "srcA"),
+      (2L, "same exact text here", "srcA"),   // dup of 1 in srcA
+      (3L, "different text entirely", "srcA"),
+      (4L, "unique text for source b", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.sourceQuality(docs)
+      .select("source", "n_docs", "dup_rate")
+      .as[(String, Long, Double)].collect()
+      .map { case (s, n, d) => (s, (n, d)) }.toMap
+    assert(r("srcA")._1 == 3 && math.abs(r("srcA")._2 - (1.0 - 2.0 / 3)) < 1e-6)
+    assert(r("srcB")._1 == 1 && r("srcB")._2 == 0.0)
+  }
+
+  test("unigramLogProb: rare-token docs score higher than common-token docs") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rareword")).toDF("doc_id", "text")
+    val r = Curation.unigramLogProb(docs)
+      .select("doc_id", "mean_nll").as[(Long, Double)].collect().toMap
+    assert(r(2L) > r(1L), s"doc with the rare token should score higher: $r")
+  }
+
   test("vocabTopK: most frequent token first, ties on token") {
     val docs = Seq(Doc(1, "b b b a a c"), Doc(2, "a b d d")).toDF
     val top = Curation.vocabTopK(docs, k = 3)
