@@ -26,10 +26,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the whole line ~2.4 KB: the
+    // driver captures a bounded tail of stdout, and full-precision
+    // doubles pushed the single JSON line past that window (r1/r2
+    // ended with "parsed": null). ms precision loses nothing a
+    // wall-clock benchmark can legitimately claim.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also persist the JSON: sbt prefixes stdout lines with "[info] ",
     // which can defeat line-oriented parsers. The file is the robust

@@ -424,6 +424,36 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin,
 
+    // The multimodal stub codec derives all metadata from the portable
+    // 60-bit md5 hash of the payload bytes; payload = UTF-8(text), and
+    // DuckDB's md5(VARCHAR) hashes the same UTF-8 bytes, so the oracle
+    // replays the decode exactly.
+    "q_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
+        |  FROM documents)
+        |SELECT media_id, kind, byte_len,
+        |  CAST(16 + cks % 64 AS INTEGER) AS width,
+        |  CAST(16 + (cks >> 8) % 64 AS INTEGER) AS height,
+        |  CAST(1 + byte_len % 8 AS INTEGER) AS n_frames,
+        |  cks AS checksum
+        |FROM m""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
+        |  FROM documents),
+        |f AS (SELECT media_id, cks,
+        |    unnest(range(0, 1 + byte_len % 8, 2)) AS i
+        |  FROM m)
+        |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+        |  xor(cks, CAST(concat('0x', substr(md5('f|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS frame_hash
+        |FROM f""".stripMargin,
+
     "q_sim_near_dup" ->
       """WITH s AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -165,12 +165,14 @@ object ExtQueries {
     Profiler.profile(Tables(spark, dir).orders)
 
   /** Multimodal plumbing: synth payloads -> batch decode (stubbed
-    * codec) -> features. Rows-only (binary pipeline, not SQL). */
+    * codec) -> features. The stub derives metadata from the portable
+    * md5-60 hash of the payload, so the binary mapPartitions pipeline
+    * is hash-verified end to end against a DuckDB replay. */
   def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents)).toDF()
 
-  /** Frame sampling explode (rows-only). */
+  /** Frame sampling explode (oracle-verified like the meta query). */
   def qMultimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.extractFeatures(

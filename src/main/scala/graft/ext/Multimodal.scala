@@ -25,24 +25,38 @@ object Multimodal {
   case class FrameRow(media_id: Long, frame_idx: Int, frame_hash: Long)
 
   object MediaCodec {
+    /** Portable 60-bit hash (first 15 hex chars of md5) — same
+      * construction as [[Dedup.portableHash60]], evaluated here on the
+      * executor over raw bytes so the DuckDB oracle can recompute the
+      * stub's outputs exactly (md5 of a VARCHAR hashes its UTF-8
+      * bytes, which is precisely the payload). */
+    private def hash60(bytes: Array[Byte]): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+
     /** STUB — stands in for a real image/audio decoder (???: swap for
       * an actual codec; e.g. javax.imageio / ffmpeg JNI). Derives
       * deterministic pseudo-metadata from the payload bytes so tests
-      * can assert exact values. */
+      * and the cross-engine oracle can assert exact values. */
     def decodeStub(m: MediaRow): MediaFeatures = {
       val len = m.payload.length
-      val cks = m.payload.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+      val cks = hash60(m.payload)
       MediaFeatures(m.media_id, m.kind, len,
-        width = 16 + math.floorMod(cks, 64).toInt,
-        height = 16 + math.floorMod(cks >> 8, 64).toInt,
+        width = 16 + (cks % 64).toInt,
+        height = 16 + ((cks >> 8) % 64).toInt,
         n_frames = 1 + math.floorMod(len, 8),
         checksum = cks)
     }
 
-    /** STUB frame sampler — real impl would seek/decode keyframes. */
+    /** STUB frame sampler — real impl would seek/decode keyframes.
+      * frame_hash XORs the payload checksum with a per-index portable
+      * hash (no multiplication: 64-bit wrap-around isn't portable to
+      * engines with strict overflow checks). */
     def sampleFramesStub(f: MediaFeatures, stride: Int): Seq[FrameRow] =
       (0 until f.n_frames by stride).map(i =>
-        FrameRow(f.media_id, i, f.checksum ^ (0x9E3779B97F4A7C15L * (i + 1))))
+        FrameRow(f.media_id, i, f.checksum ^ hash60(s"f|$i".getBytes("UTF-8"))))
 
     /** STUB resize — real impl would rescale pixel data; the stub
       * rescales the metadata and re-derives the checksum the way a
