@@ -105,6 +105,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (EQ.qDedupSimhash _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
+    "q_sim_ivf_flat" -> (EQ.qSimIvfFlat _),
     "q_sim_near_dup" -> (EQ.qSimNearDup _),
     "q_profile_orders" -> (EQ.qProfileOrders _),
     "q_embed_quantize" -> (EQ.qEmbedQuantize _),

@@ -424,6 +424,39 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin,
 
+    // IVF-flat replay: centroids = 8 lowest-id vectors; assignment and
+    // probing rank by the identical cosine expression (left-to-right
+    // list_dot_product), ties to the lowest cluster id — bit-for-bit
+    // the argmax graft computes map-side with greatest(struct(...)).
+    "q_sim_ivf_flat" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, v AS cv
+        |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 8)),
+        |asg AS (SELECT vec_id, cluster FROM (
+        |    SELECT c.vec_id, cent.cluster,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        cluster) AS arn
+        |    FROM c CROSS JOIN cent) t WHERE arn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |probes AS (SELECT query_id, qv, cluster FROM (
+        |    SELECT query_id, qv, cent.cluster,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        cluster) AS prn
+        |    FROM q CROSS JOIN cent) t WHERE prn <= 2),
+        |scored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c JOIN asg ON c.vec_id = asg.vec_id
+        |  JOIN probes ON asg.cluster = probes.cluster
+        |  WHERE c.vec_id != query_id)
+        |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+
     // The multimodal stub codec derives all metadata from the portable
     // 60-bit md5 hash of the payload bytes; payload = UTF-8(text), and
     // DuckDB's md5(VARCHAR) hashes the same UTF-8 bytes, so the oracle

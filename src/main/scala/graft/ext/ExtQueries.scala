@@ -85,6 +85,13 @@ object ExtQueries {
     Similarity.ivfTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
       nprobe = 2, nClusters = 8, kmeansIters = 2)
 
+  /** Deterministic IVF (flat seeds, no Lloyd iterations) — the
+    * oracle-verifiable ANN scale path; q_sim_ivf_topk keeps the
+    * k-means quantizer (rows-only: float averaging isn't portable). */
+  def qSimIvfFlat(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfFlatTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
+      nprobe = 2, nClusters = 8)
+
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, numPlanes = 16, rowsPerBand = 4)

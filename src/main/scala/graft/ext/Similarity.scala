@@ -137,6 +137,62 @@ object Similarity {
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
 
+  /** Non-iterative IVF ("flat" coarse quantizer): centroids are the
+    * nClusters lowest-id vectors — no Lloyd averaging, so index build
+    * and search are pure deterministic arithmetic that a second engine
+    * replays bit-for-bit (the DuckDB oracle hash-checks this end to
+    * end, which the k-means variant can't offer because float
+    * averaging is summation-order-dependent).
+    *
+    * Scale shape: cluster assignment is a single MAP-SIDE projection —
+    * the centroid list is a broadcast-sized literal and `greatest` over
+    * (cosine, -cluster) structs picks the argmax without any
+    * shuffle/window, so the index build is one narrow pass over the
+    * corpus. Only the candidate rows from probed clusters reach the
+    * per-query top-k window. At 100 TB the corpus is written
+    * partitioned BY `cluster` so a probe is a partition-pruned scan. */
+  def ivfFlatTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      nprobe: Int = 2, nClusters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+    // nClusters×dim doubles — the only driver collect, same as k-means
+    val cents: Seq[(Int, Seq[Double])] =
+      corpus.orderBy("nn_id").limit(nClusters).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    def cosTo(v: Column, cv: Seq[Double]): Column = {
+      val c = typedLit(cv)
+      dot(v, c) / (sqrt(dot(v, v)) * sqrt(dot(c, c)))
+    }
+    // argmax(cosine) with ties to the LOWEST cluster id: structs order
+    // lexicographically, so max of (csim, -cluster) is exactly
+    // row_number() OVER (ORDER BY csim DESC, cluster) = 1
+    def bestCluster(v: Column): Column = -greatest(
+      cents.map { case (cid, cv) =>
+        struct(cosTo(v, cv).as("csim"), lit(-cid).as("nc")) }: _*).getField("nc")
+    val assigned = corpus.withColumn("cluster", bestCluster(col("dv")))
+    val queries = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = queries
+      .crossJoin(broadcast(cents.toDF("cluster", "cv")))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    assigned.withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+      .join(broadcast(probes.withColumn("qn", sqrt(dot(col("qv"), col("qv"))))),
+        Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos_sim", "rn")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * max-abs scale, values in [-127, 127]. 4× storage cut — the
     * standard trick before shipping 100 TB of vectors; keep `scale` to

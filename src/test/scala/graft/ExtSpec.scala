@@ -89,6 +89,24 @@ class ExtSpec extends AnyFunSuite {
     assert(r4 >= r1, s"recall must not decrease with more probes ($r1 -> $r4)")
   }
 
+  test("IVF-flat: full probe ≡ brute force; every corpus row lands in one cluster") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = pairs(Similarity.bruteForceTopK(emb, k = 10, numQueries = 3))
+    val full = pairs(Similarity.ivfFlatTopK(emb, k = 10, numQueries = 3,
+      nprobe = 8, nClusters = 8))
+    assert(full == brute, "nprobe == nClusters must reproduce brute force exactly")
+    // partial probe returns exactly k rows per query (clusters are
+    // non-empty by construction: every seed assigns to itself)
+    val part = Similarity.ivfFlatTopK(emb, k = 10, numQueries = 3,
+      nprobe = 2, nClusters = 8)
+    val counts = part.groupBy("query_id").count()
+      .select("count").as[Long].collect()
+    assert(counts.forall(_ == 10L), s"expected 10 rows per query, got ${counts.toSeq}")
+  }
+
   test("native DotProduct is bit-identical to the HOF fold") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
