@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [onlyQuery1,onlyQuery2,...]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val outDir = args(1)
     // optional 3rd arg (builder-local only; the driver passes 2):

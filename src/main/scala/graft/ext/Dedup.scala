@@ -136,11 +136,13 @@ object Dedup {
 
   /** The production near-dup shape: LSH candidates verified with exact
     * Jaccard — only candidate pairs ever pay the shingle-intersection
-    * cost. The candidate set is small by construction (post-banding),
-    * so it is BROADCAST into both shingle joins: the shingle table is
-    * probed map-side and never shuffles for the verify.
-    * localCheckpoint (not cache) so no pinned blocks outlive the
-    * query in a long session. */
+    * cost. The verify joins are plain keyed equi-joins on a_id/b_id —
+    * the scale-safe default: a post-banding candidate set can still be
+    * 10⁷+ pairs at corpus scale, so no broadcast is forced here; AQE
+    * converts either side to a broadcast join at runtime when its
+    * actual size is under the threshold, and falls back to shuffle
+    * joins when it isn't (no driver OOM path). localCheckpoint (not
+    * cache) so no pinned blocks outlive the query in a long session. */
   def lshVerifiedPairs(df: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = wordTrigrams(df, idCol, textCol).localCheckpoint()
@@ -149,12 +151,8 @@ object Dedup {
       .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val shB = sh.select(col(idCol).as("b_id2"), col("gram").as("gram_b"))
-    // Both verify joins stay map-side: cand is broadcast into the
-    // a-side probe, and the (pair × a-grams) result — still candidate-
-    // bounded — is broadcast into the b-side probe, so the shingle
-    // table never shuffles for verification.
-    val pairGrams = broadcast(
-      broadcast(cand).join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id"))
+    val pairGrams =
+      cand.join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id")
     val shared = pairGrams
       .join(shB, col("b_id") === col("b_id2") && col("gram") === col("gram_b"))
       .groupBy("a_id", "b_id", "n_shared_bands")
@@ -188,13 +186,15 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // Two HashMin rounds per convergence check: each round every
+      // Batched HashMin rounds per convergence check: each round every
       // node adopts min(own label, neighbors' labels). The check is a
       // driver job, which dominates wall-clock on sparse candidate
-      // graphs — batching rounds halves those jobs while the
+      // graphs — so the first check is preceded by a 4-round warm
+      // start (LSH near-dup components are almost always short chains
+      // that converge within 4 hops), then 2 rounds per check. The
       // per-round shuffles stay keyed on node id.
       var next = labels
-      for (_ <- 0 until 2) {
+      for (_ <- 0 until (if (iter == 0) 4 else 2)) {
         val viaNeighbors = edges
           .join(next.withColumnRenamed("node", "dst"), "dst")
           .select(col("src").as("node"), col("component"))

@@ -216,9 +216,7 @@ object ExtOracles {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
         | AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2
-        |UNION ALL
-        |SELECT -1, -1, count(*) FROM sig""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_lsh_verified" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -390,6 +388,16 @@ object ExtOracles {
         |    x -> CAST(CAST(round(x / s * 127, 0) AS INTEGER) AS VARCHAR)), ',') AS q
         |FROM m""".stripMargin,
 
+    // Exact columns are hash-checked; the ok_* flags are computed on
+    // the Spark side (estimate within bound of exact) and must all be
+    // TRUE — a drifting sketch therefore fails the hash.
+    "q_approx_aggs" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS ok_orders, TRUE AS ok_parts, TRUE AS ok_p50
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q_profile_orders" ->
       """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
         |SELECT 'o_orderkey' AS column_name, n_rows,
@@ -451,6 +459,66 @@ object ExtOracles {
         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
         |  FROM c JOIN asg ON c.vec_id = asg.vec_id
         |  JOIN probes ON asg.cluster = probes.cluster
+        |  WHERE c.vec_id != query_id)
+        |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+
+    // Full replay of the Lloyd k-means IVF build (2 iterations,
+    // nClusters=8, nprobe=2): seeds are the 8 lowest-id normalized
+    // vectors; assignment ranks by plain dot against the current
+    // centroids (ties to the lowest cluster id); the update step sums
+    // each component in integer micro-units — CAST(ROUND(x*1e6) AS
+    // BIGINT) — so the mean is summation-order-independent and both
+    // engines land on bit-identical centroids. Positions are 1-based
+    // here vs 0-based in Spark; only their ORDER matters (components
+    // are reassembled in pos order on both sides).
+    "q_sim_ivf_topk" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id AS id,
+        |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |        FROM c),
+        |dims AS (SELECT unnest(range(1, (SELECT len(nv) FROM nrm LIMIT 1) + 1)) AS pos),
+        |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cluster,
+        |            nv AS cv
+        |          FROM (SELECT id, nv FROM nrm ORDER BY id LIMIT 8) s),
+        |asg1 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent0.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent0.cv) DESC, cent0.cluster) AS rn
+        |    FROM nrm n CROSS JOIN cent0) t WHERE rn = 1),
+        |cent1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg1 a JOIN nrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |asg2 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent1.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent1.cv) DESC, cent1.cluster) AS rn
+        |    FROM nrm n CROSS JOIN cent1) t WHERE rn = 1),
+        |cent2 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg2 a JOIN nrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |probes AS (SELECT query_id, qv, cluster FROM (
+        |    SELECT q.query_id, q.qv, cent2.cluster,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qv, cent2.cv)
+        |          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent2.cv, cent2.cv))) DESC,
+        |        cent2.cluster) AS prn
+        |    FROM q CROSS JOIN cent2) t WHERE prn <= 2),
+        |scored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c JOIN asg2 ON c.vec_id = asg2.id
+        |  JOIN probes ON asg2.cluster = probes.cluster
         |  WHERE c.vec_id != query_id)
         |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -47,17 +47,13 @@ object ExtQueries {
   def qDedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables(spark, dir).documents, numHashes = 8)
 
-  /** LSH candidates over the minhash signatures (rows-only: candidate
-    * existence depends on corpus; covered by DedupSpec with planted
-    * near-dups). Unioned with a sentinel aggregate so the driver's
-    * rows-only check always sees output. */
+  /** LSH candidates over the minhash signatures — pure operator
+    * output (the portable-md5 minhash makes the candidate set itself
+    * oracle-checkable; non-emptiness at the verified SFs is a property
+    * of the corpus, asserted by the oracle's identical row count). */
   def qDedupLshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.minhashSignatures(Tables(spark, dir).documents, numHashes = 8)
-    val cands = Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2)
-    val summary = sigs.agg(
-      lit(-1L).as("a_id"), lit(-1L).as("b_id"),
-      count(lit(1)).as("n_shared_bands")) // sentinel: total docs signed
-    cands.unionAll(summary)
+    Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2)
   }
 
   /** LSH candidates verified with exact Jaccard — the production
@@ -81,13 +77,16 @@ object ExtQueries {
   def qSimCosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5)
 
+  /** IVF with the Lloyd k-means quantizer — oracle-verified: centroid
+    * averaging accumulates integer micro-units, so the DuckDB oracle
+    * replays both iterations (seeds → assign → update → probe → top-k)
+    * bit-for-bit. */
   def qSimIvfTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
       nprobe = 2, nClusters = 8, kmeansIters = 2)
 
   /** Deterministic IVF (flat seeds, no Lloyd iterations) — the
-    * oracle-verifiable ANN scale path; q_sim_ivf_topk keeps the
-    * k-means quantizer (rows-only: float averaging isn't portable). */
+    * simplest oracle-verifiable ANN scale path. */
   def qSimIvfFlat(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfFlatTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
       nprobe = 2, nClusters = 8)
@@ -154,17 +153,33 @@ object ExtQueries {
       .select(col("vec_id"), round(col("scale"), 6).as("scale"),
         concat_ws(",", col("q").cast("array<string>")).as("q"))
 
-  /** Approximate distinct counts (HLL++) — the 100 TB cardinality
-    * tool. Rows-only (sketches differ across engines); the error bound
-    * vs exact is asserted in ExtSpec. */
+  /** Approximate distinct counts / percentiles (HLL++, t-digest-style
+    * quantile sketch) — the 100 TB cardinality tools. Sketch values
+    * can't hash across engines, so the query emits the EXACT answers
+    * (which the DuckDB oracle hash-checks) plus in-query booleans
+    * asserting each estimate lands within its error bound — the
+    * oracle expects every flag true, so a drifting sketch fails the
+    * hash just like a wrong join would. Bounds: HLL++ default rsd is
+    * 5% (1σ); 15% = 3σ. approx_percentile(accuracy=1000) is exact
+    * whenever a group's value count is ≤ accuracy·10; 5% relative
+    * slack covers bigger groups. */
   def qApproxAggs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables(spark, dir).lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50e"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.15).as("ok_orders"),
+        (abs(col("ap") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.15).as("ok_parts"),
+        (abs(col("p50a") - col("p50e")) / col("p50e") <= 0.05).as("ok_p50"))
   }
 
   /** One-pass per-column profiling of orders (schema-driven). */

@@ -61,11 +61,34 @@ object Similarity {
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
 
+  /** Map-side cluster argmax over a driver-side centroid list:
+    * greatest over (score, -cluster) structs picks the highest score
+    * with ties to the LOWEST cluster id (structs order
+    * lexicographically) — exactly
+    * row_number() OVER (ORDER BY score DESC, cluster) = 1, with no
+    * shuffle/window: the centroid list is baked into the projection as
+    * literals, so assignment is one narrow pass over the corpus.
+    * greatest() needs ≥2 args — a single centroid means that cluster. */
+  private def argmaxCluster(cents: Seq[(Int, Seq[Double])])(
+      score: Seq[Double] => Column): Column =
+    if (cents.size == 1) lit(cents.head._1)
+    else -greatest(cents.map { case (cid, cv) =>
+      struct(score(cv).as("s"), lit(-cid).as("nc")) }: _*).getField("nc")
+
   /** Lloyd's k-means over L2-normalized vectors (cosine geometry) —
     * the IVF coarse quantizer. Distributed assign/update; ONLY the
     * k×d centroid table ever touches the driver (the standard Spark
-    * k-means shape — no data collect). Deterministic: seeds are the k
-    * lowest-id vectors; assignment ties break on cluster id.
+    * k-means shape — no data collect). Deterministic AND
+    * engine-portable: seeds are the k lowest-id vectors; assignment is
+    * a map-side argmax with ties to the lowest cluster id; centroid
+    * averaging accumulates each component in integer MICRO-UNITS
+    * (sum of round(x·1e6) as long, then /n/1e6 on the driver) so the
+    * result is independent of summation order — a second engine
+    * replaying the same iterations lands on bit-identical centroids,
+    * which is what lets the q_sim_ivf_topk DuckDB oracle hash-check
+    * the whole index build. The ≤1e-6 per-component quantization is
+    * noise for a coarse quantizer (ExtSpec's full-probe ≡ brute-force
+    * and recall-monotonicity invariants are unaffected).
     *
     * @return (assignments: idCol/cluster, centroids: cluster/centroid)
     */
@@ -85,20 +108,19 @@ object Similarity {
         .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     var assign: DataFrame = null
     for (_ <- 0 until iters) {
-      val centsDf = cents.toDF("cluster", "centroid")
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("sim").desc, col("cluster"))
-      assign = nv.crossJoin(broadcast(centsDf))
-        .withColumn("sim", dot(col("nv"), col("centroid")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assign = nv.withColumn("cluster",
+          argmaxCluster(cents)(cv => dot(col("nv"), typedLit(cv))))
         .select(col("id"), col("cluster"))
       cents = assign.join(nv, "id")
         .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos").agg(avg(col("v")).as("c"))
+        .groupBy("cluster", "pos")
+        .agg(sum(round(col("v") * 1e6, 0).cast(LongType)).as("s"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq) }
+          (cid, rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e6).toSeq) }
         .toSeq.sortBy(_._1)
     }
     (assign.withColumnRenamed("id", idCol),
@@ -165,13 +187,8 @@ object Similarity {
       val c = typedLit(cv)
       dot(v, c) / (sqrt(dot(v, v)) * sqrt(dot(c, c)))
     }
-    // argmax(cosine) with ties to the LOWEST cluster id: structs order
-    // lexicographically, so max of (csim, -cluster) is exactly
-    // row_number() OVER (ORDER BY csim DESC, cluster) = 1
-    def bestCluster(v: Column): Column = -greatest(
-      cents.map { case (cid, cv) =>
-        struct(cosTo(v, cv).as("csim"), lit(-cid).as("nc")) }: _*).getField("nc")
-    val assigned = corpus.withColumn("cluster", bestCluster(col("dv")))
+    val assigned = corpus.withColumn("cluster",
+      argmaxCluster(cents)(cv => cosTo(col("dv"), cv)))
     val queries = emb.filter(col(idCol) < numQueries)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val pw = Window.partitionBy(col("query_id"))

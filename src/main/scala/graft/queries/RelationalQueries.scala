@@ -143,19 +143,22 @@ object RelationalQueries {
       .select("o_custkey", "o_orderkey", "o_orderdate")
   }
 
-  /** W4-flavor: aggregate then rank-desc top-1 per group (the
-    * reference's highest-score-per-location dedup). One shuffle on
-    * (partkey,suppkey) for the agg; window reuses the partkey
-    * clustering. */
+  /** W4-flavor: aggregate then top-1 per group (the reference's
+    * highest-score-per-location dedup). Two-level aggregation instead
+    * of agg+window: the second groupBy's max(struct(qty, -suppkey))
+    * IS "row_number() over (order by qty desc, suppkey) = 1" (struct
+    * comparison is lexicographic), but partial aggregation crosses the
+    * second shuffle with ONE row per partkey — no sort, no window, and
+    * the second exchange moves |partkey| rows instead of the full
+    * (partkey, suppkey) aggregate. */
   def qWindowAggRank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
     val agg = li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(LongType)).as("qty"))
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("qty").desc, col("l_suppkey"))
-    agg.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_partkey", "l_suppkey", "qty")
+    agg.groupBy(col("l_partkey"))
+      .agg(max(struct(col("qty"), (-col("l_suppkey")).as("neg_sk"))).as("top"))
+      .select(col("l_partkey"), (-col("top.neg_sk")).as("l_suppkey"),
+        col("top.qty").as("qty"))
   }
 
   // ----- §2.6 sort / limit ----------------------------------------------

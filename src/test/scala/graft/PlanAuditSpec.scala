@@ -17,10 +17,21 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
 
   test("row_number top-1 shapes plan a WindowGroupLimit (pushed partial top-k)") {
-    for (q <- Seq("q_window_top1", "q_window_agg_rank")) {
-      val p = plan(q)
-      assert(p.contains("WindowGroupLimit"), s"$q plan lacks WindowGroupLimit:\n$p")
-    }
+    val p = plan("q_window_top1")
+    assert(p.contains("WindowGroupLimit"), s"q_window_top1 plan lacks WindowGroupLimit:\n$p")
+  }
+
+  test("agg-then-top-1 is a two-level hash agg, not a window") {
+    val p = plan("q_window_agg_rank")
+    assert(!p.contains("Window"), s"q_window_agg_rank should not plan a window:\n$p")
+    assert(p.contains("HashAggregate"), s"q_window_agg_rank plan lacks hash agg:\n$p")
+  }
+
+  test("LSH verify path carries no forced broadcast hint (AQE decides at runtime)") {
+    val lp = SparkEntry.queries("q_dedup_lsh_verified")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("strategy=broadcast"),
+      s"unconditional broadcast hint on the LSH verify path:\n$lp")
   }
 
   test("embedding near-dup has no cartesian product over the corpus") {
