@@ -17,6 +17,7 @@ object SparkEntry {
     "q1_agg" -> (OQ.q1Agg _),
     "q_tpch_q3" -> (OQ.qTpchQ3 _),
     "q_tpch_q5" -> (OQ.qTpchQ5 _),
+    "q_tpch_q18" -> (OQ.qTpchQ18 _),
     "q_agg_having_countdistinct" -> (OQ.qAggHavingCountDistinct _),
     "q_dedup_groupby" -> (OQ.qDedupGroupBy _),
     "q_scalar_score" -> (OQ.qScalarScore _),

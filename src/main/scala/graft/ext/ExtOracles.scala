@@ -525,34 +525,58 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin,
 
-    // The multimodal stub codec derives all metadata from the portable
-    // 60-bit md5 hash of the payload bytes; payload = UTF-8(text), and
-    // DuckDB's md5(VARCHAR) hashes the same UTF-8 bytes, so the oracle
-    // replays the decode exactly.
+    // Image rows carry a REAL PNG whose dims/color are pure functions
+    // of the id and whose stored-deflate encoding has a closed byte
+    // length (h*(1+3w)+68); the oracle predicts what javax.imageio
+    // must decode. The image checksum is content-addressed from the
+    // DECODED dims+pixel (md5-60 of 'img|w|h|r|g|b'). Audio/video
+    // payloads are UTF-8(text) through the stub codec: all metadata
+    // derives from the portable 60-bit md5 of the text bytes, which
+    // DuckDB's md5(VARCHAR) recomputes exactly.
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
-        |    CASE CAST(doc_id % 3 AS INTEGER)
-        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    CAST(doc_id % 3 AS INTEGER) AS k3,
+        |    CAST(16 + doc_id % 48 AS INTEGER) AS iw,
+        |    CAST(16 + (doc_id // 3) % 48 AS INTEGER) AS ih,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS text_len,
         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
         |  FROM documents)
-        |SELECT media_id, kind, byte_len,
-        |  CAST(16 + cks % 64 AS INTEGER) AS width,
-        |  CAST(16 + (cks >> 8) % 64 AS INTEGER) AS height,
-        |  CAST(1 + byte_len % 8 AS INTEGER) AS n_frames,
-        |  cks AS checksum
+        |SELECT media_id,
+        |  CASE k3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(CASE WHEN k3 = 0 THEN ih * (1 + 3 * iw) + 68 ELSE text_len END AS INTEGER) AS byte_len,
+        |  CAST(CASE WHEN k3 = 0 THEN iw ELSE 16 + cks % 64 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN k3 = 0 THEN ih ELSE 16 + (cks >> 8) % 64 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN k3 = 0 THEN 1 ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
+        |  CASE WHEN k3 = 0 THEN CAST(concat('0x', substr(md5(
+        |         'img|' || CAST(iw AS VARCHAR) || '|' || CAST(ih AS VARCHAR)
+        |         || '|' || CAST(media_id % 256 AS VARCHAR)
+        |         || '|' || CAST((media_id // 256) % 256 AS VARCHAR)
+        |         || '|' || CAST((media_id // 65536) % 256 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       ELSE cks END AS checksum
         |FROM m""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
-        |    CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    CAST(doc_id % 3 AS INTEGER) AS k3,
+        |    CAST(16 + doc_id % 48 AS INTEGER) AS iw,
+        |    CAST(16 + (doc_id // 3) % 48 AS INTEGER) AS ih,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS text_len,
         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
         |  FROM documents),
-        |f AS (SELECT media_id, cks,
-        |    unnest(range(0, 1 + byte_len % 8, 2)) AS i
-        |  FROM m)
+        |feat AS (SELECT media_id,
+        |    CAST(CASE WHEN k3 = 0 THEN 1 ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
+        |    CASE WHEN k3 = 0 THEN CAST(concat('0x', substr(md5(
+        |           'img|' || CAST(iw AS VARCHAR) || '|' || CAST(ih AS VARCHAR)
+        |           || '|' || CAST(media_id % 256 AS VARCHAR)
+        |           || '|' || CAST((media_id // 256) % 256 AS VARCHAR)
+        |           || '|' || CAST((media_id // 65536) % 256 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         ELSE cks END AS checksum
+        |  FROM m),
+        |f AS (SELECT media_id, checksum,
+        |    unnest(range(0, n_frames, 2)) AS i
+        |  FROM feat)
         |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
-        |  xor(cks, CAST(concat('0x', substr(md5('f|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS frame_hash
+        |  xor(checksum, CAST(concat('0x', substr(md5('f|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS frame_hash
         |FROM f""".stripMargin,
 
     "q_sim_near_dup" ->

@@ -1,16 +1,24 @@
 package graft.ext
 
+import java.io.ByteArrayInputStream
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video carried as opaque
   * `binary` payloads with typed metadata, processed in partition-sized
   * batches. The Spark-side mechanics — schema, partitioning, batch
-  * iterator shape, explode of per-frame rows — are real and tested;
-  * the actual codec call is STUBBED (this container has no image/audio
-  * libraries) behind [[MediaCodec.decodeStub]], a deterministic fake
-  * with the same signature a JNI/codec-backed implementation would
-  * have.
+  * iterator shape, explode of per-frame rows — are real and tested.
+  *
+  * The IMAGE path is real end to end: payloads are genuine PNG files
+  * (written by [[PngCodec]], a deterministic stored-deflate encoder)
+  * and decode goes through `javax.imageio.ImageIO` — width/height/
+  * pixel values come out of an actual PNG parse, so a codec bug fails
+  * the cross-engine hash check. Audio/video decode remains STUBBED
+  * behind [[MediaCodec.decodeStub]] (this container has no audio/video
+  * libraries), a deterministic fake with the same signature a
+  * JNI/ffmpeg-backed implementation would have.
   *
   * Scale: payloads never pass through a shuffle — decode/feature
   * extraction is mapPartitions (narrow); only the small extracted
@@ -24,30 +32,130 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int, checksum: Long)
   case class FrameRow(media_id: Long, frame_idx: Int, frame_hash: Long)
 
-  object MediaCodec {
-    /** Portable 60-bit hash (first 15 hex chars of md5) — same
-      * construction as [[Dedup.portableHash60]], evaluated here on the
-      * executor over raw bytes so the DuckDB oracle can recompute the
-      * stub's outputs exactly (md5 of a VARCHAR hashes its UTF-8
-      * bytes, which is precisely the payload). */
-    private def hash60(bytes: Array[Byte]): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(bytes).map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
+  /** Minimal deterministic PNG writer: 8-bit truecolor, single STORED
+    * (uncompressed) deflate block, None filter per scanline. Every
+    * byte is a pure function of (w, h, rgb), so the encoded size is a
+    * closed formula — `pngLength` — that a second engine can compute
+    * without running the encoder, while the bytes remain a fully
+    * compliant PNG that any decoder (javax.imageio here) parses.
+    * Limited to rawLen = h·(1+3w) ≤ 65535 (one stored block), plenty
+    * for synthetic test media. */
+  object PngCodec {
+    private val SIG = Array[Byte](137.toByte, 80, 78, 71, 13, 10, 26, 10)
+
+    /** Encoded size: 8 (sig) + 25 (IHDR) + [12 + 2 + 5 + raw + 4]
+      * (IDAT: chunk overhead, zlib header, stored-block header, raw
+      * scanlines, adler) + 12 (IEND) = raw + 68. */
+    def pngLength(w: Int, h: Int): Int = h * (1 + 3 * w) + 68
+
+    def encode(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val rawLen = h * (1 + 3 * w)
+      require(rawLen <= 0xffff, s"single stored block only (raw $rawLen)")
+      val raw = new Array[Byte](rawLen)
+      var p = 0
+      for (_ <- 0 until h) {
+        raw(p) = 0 // filter: None
+        p += 1
+        for (_ <- 0 until w) {
+          raw(p) = r.toByte; raw(p + 1) = g.toByte; raw(p + 2) = b.toByte
+          p += 3
+        }
+      }
+      val out = java.nio.ByteBuffer.allocate(pngLength(w, h))
+      out.put(SIG)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(2.toByte)  // color type: truecolor
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+      putChunk(out, "IHDR", ihdr.array())
+      val idat = java.nio.ByteBuffer.allocate(rawLen + 11)
+      idat.put(0x78.toByte).put(0x01.toByte)        // zlib CMF/FLG (31-check ok)
+      idat.put(0x01.toByte)                         // final stored block
+      idat.put((rawLen & 0xff).toByte).put(((rawLen >> 8) & 0xff).toByte)
+      idat.put((~rawLen & 0xff).toByte).put(((~rawLen >> 8) & 0xff).toByte)
+      idat.put(raw)
+      val adler = new java.util.zip.Adler32
+      adler.update(raw)
+      idat.putInt(adler.getValue.toInt)
+      putChunk(out, "IDAT", idat.array())
+      putChunk(out, "IEND", Array.emptyByteArray)
+      out.array()
     }
 
-    /** STUB — stands in for a real image/audio decoder (???: swap for
-      * an actual codec; e.g. javax.imageio / ffmpeg JNI). Derives
-      * deterministic pseudo-metadata from the payload bytes so tests
-      * and the cross-engine oracle can assert exact values. */
-    def decodeStub(m: MediaRow): MediaFeatures = {
+    private def putChunk(out: java.nio.ByteBuffer, kind: String,
+        data: Array[Byte]): Unit = {
+      out.putInt(data.length)
+      val kb = kind.getBytes("US-ASCII")
+      out.put(kb).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(kb); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+    }
+  }
+
+  object MediaCodec {
+    /** Portable 60-bit hash (value of the first 15 hex chars of md5 —
+      * bytes 0..6 plus the high nibble of byte 7), same construction
+      * as [[Dedup.portableHash60]] so the DuckDB oracle recomputes it
+      * exactly. The digest instance is caller-provided: hoisted once
+      * per partition in [[extractFeatures]], not allocated per row. */
+    def hash60(md: MessageDigest, bytes: Array[Byte]): Long = {
+      val d = md.digest(bytes)
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      (v << 4) | ((d(7) & 0xffL) >>> 4)
+    }
+
+    /** REAL image decode: parses the PNG payload with javax.imageio.
+      * Width/height/pixel come from the actual decoder, so the
+      * oracle's formula-predicted dims only hash-match if encoder and
+      * decoder both work. The checksum is content-addressed from the
+      * DECODED values (dims + top-left pixel) — the oracle replays it
+      * without needing md5-over-binary. The reader is caller-provided
+      * (hoisted once per partition): ImageIO.read's per-call reader
+      * lookup dominates tiny-image decode cost. */
+    def decodeImage(md: MessageDigest, reader: javax.imageio.ImageReader,
+        m: MediaRow): MediaFeatures = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(m.payload))
+      reader.setInput(iis)
+      val img = try reader.read(0) finally iis.close()
+      require(img != null, s"media ${m.media_id}: undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = img.getRGB(0, 0)
+      val key = s"img|$w|$h|${(rgb >> 16) & 0xff}|${(rgb >> 8) & 0xff}|${rgb & 0xff}"
+      MediaFeatures(m.media_id, m.kind, m.payload.length, w, h,
+        n_frames = 1, checksum = hash60(md, key.getBytes("UTF-8")))
+    }
+
+    /** STUB — stands in for a real audio/video decoder (???: swap for
+      * an ffmpeg-JNI build). Derives deterministic pseudo-metadata
+      * from the payload bytes so tests and the cross-engine oracle can
+      * assert exact values. */
+    def decodeStub(md: MessageDigest, m: MediaRow): MediaFeatures = {
       val len = m.payload.length
-      val cks = hash60(m.payload)
+      val cks = hash60(md, m.payload)
       MediaFeatures(m.media_id, m.kind, len,
         width = 16 + (cks % 64).toInt,
         height = 16 + ((cks >> 8) % 64).toInt,
         n_frames = 1 + math.floorMod(len, 8),
         checksum = cks)
+    }
+
+    /** Dispatch: image payloads hit the real PNG decoder; audio/video
+      * fall back to the stub. */
+    def decode(md: MessageDigest, reader: javax.imageio.ImageReader,
+        m: MediaRow): MediaFeatures =
+      if (m.kind == "image") decodeImage(md, reader, m) else decodeStub(md, m)
+
+    /** Per-frame-index portable hash, precomputed once per JVM
+      * (n_frames ≤ 8 by construction — the stub's floorMod(len, 8)). */
+    private lazy val frameIdxHash: Array[Long] = {
+      val md = MessageDigest.getInstance("MD5")
+      Array.tabulate(8)(i => hash60(md, s"f|$i".getBytes("UTF-8")))
     }
 
     /** STUB frame sampler — real impl would seek/decode keyframes.
@@ -56,7 +164,7 @@ object Multimodal {
       * engines with strict overflow checks). */
     def sampleFramesStub(f: MediaFeatures, stride: Int): Seq[FrameRow] =
       (0 until f.n_frames by stride).map(i =>
-        FrameRow(f.media_id, i, f.checksum ^ hash60(s"f|$i".getBytes("UTF-8"))))
+        FrameRow(f.media_id, i, f.checksum ^ frameIdxHash(i)))
 
     /** STUB resize — real impl would rescale pixel data; the stub
       * rescales the metadata and re-derives the checksum the way a
@@ -70,27 +178,41 @@ object Multimodal {
     }
   }
 
-  /** Synthesize a media table from the documents corpus: payload =
-    * UTF-8 bytes standing in for encoded media. Kind rotates through
-    * the three modalities. */
+  /** Width/height an image payload is generated with — a pure
+    * function of the media id, which is exactly what lets the DuckDB
+    * oracle predict what the real decoder must recover. */
+  def imageDims(id: Long): (Int, Int) =
+    ((16 + id % 48).toInt, (16 + (id / 3) % 48).toInt)
+
+  /** Synthesize a media table from the documents corpus. Kind rotates
+    * through the three modalities; image rows carry a REAL PNG
+    * (dims/color derived from the id), audio/video carry UTF-8 text
+    * standing in for encoded media. A narrow map — payload bytes are
+    * born on the executor and never shuffle. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      (id % 3) match {
+        case 0 =>
+          val (w, h) = imageDims(id)
+          MediaRow(id, "image", PngCodec.encode(w, h,
+            (id % 256).toInt, ((id / 256) % 256).toInt, ((id / 65536) % 256).toInt))
+        case 1 => MediaRow(id, "audio", text.getBytes("UTF-8"))
+        case _ => MediaRow(id, "video", text.getBytes("UTF-8"))
+      }
+    }
   }
 
-  /** Batch decode: one codec context per partition (the expensive init
-    * a real codec needs), then per-row decode — the canonical
-    * mapPartitions shape. */
+  /** Batch decode: one codec context (the PNG ImageReader + digest)
+    * per partition — the expensive init a real codec needs — then
+    * per-row decode: the canonical mapPartitions shape. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: acquire codec/thread-local buffers here, once
-      rows.map(MediaCodec.decodeStub)
+      val md = MessageDigest.getInstance("MD5")
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      rows.map(MediaCodec.decode(md, reader, _))
     }
   }
 

@@ -46,6 +46,19 @@ object OperatorOracles {
         |JOIN region ON n_regionkey = r_regionkey AND r_name IN ('AMERICA', 'ASIA')
         |GROUP BY n_name""".stripMargin,
 
+    // Q18: the salt columns never reach the output — the oracle's
+    // plain join proves the salted path is semantics-preserving.
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |             GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250),
+        |qty AS (SELECT l_orderkey,
+        |          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |        FROM lineitem JOIN big USING (l_orderkey) GROUP BY 1)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM qty JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
     "q_agg_having_countdistinct" ->
       """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem GROUP BY l_orderkey

@@ -90,6 +90,33 @@ object OperatorQueries {
         .cast(LongType)) / 100.0).as("revenue_x100"))
   }
 
+  /** TPC-H Q18 shape (large-quantity orders) routed through the
+    * explicit skew path: the lineitem⋈big-orders join goes through
+    * [[graft.sources.Skew.saltedJoin]] — the fact side's rows spread
+    * over random sub-keys and the (small) key list replicates per
+    * salt, so a hot orderkey can't pin a single reducer. The re-sum
+    * after the salted join is decomposable, so map-side partial agg
+    * still fires. Correctness is independent of the salt values — the
+    * DuckDB oracle hash proves the salting is semantics-preserving
+    * end to end. Customer is broadcast; top-100 is
+    * TakeOrderedAndProject. */
+  def qTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("tq"))
+      .filter(col("tq") > 250).select("l_orderkey")
+    val fat = graft.sources.Skew.saltedJoin(
+      t.lineitem.select("l_orderkey", "l_quantity"), big, "l_orderkey", salts = 8)
+    val qty = fat.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"))
+    qty.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** A1 proper: GROUP BY + HAVING COUNT(DISTINCT) — suppliers shipping
     * >3 distinct parts per order-priority bucket... expressed on
     * lineitem: orders with more than 3 distinct suppliers. Spark plans

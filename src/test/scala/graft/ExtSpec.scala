@@ -140,13 +140,32 @@ class ExtSpec extends AnyFunSuite {
     assert(worst <= 0.5 / 127 + 1e-9, s"worst relative quant error $worst")
   }
 
-  test("multimodal: deterministic stub features + frame sampling") {
+  test("multimodal: real PNG decode round-trip (javax.imageio)") {
+    import Multimodal._
+    // encoder output is a compliant PNG: the JDK decoder recovers the
+    // exact dims and pixel we encoded
+    val png = PngCodec.encode(37, 21, 200, 5, 0)
+    assert(png.length == PngCodec.pngLength(37, 21))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO could not parse the generated PNG")
+    assert(img.getWidth == 37 && img.getHeight == 21)
+    val rgb = img.getRGB(36, 20) // far corner: every pixel carries the color
+    assert(((rgb >> 16) & 0xff) == 200 && ((rgb >> 8) & 0xff) == 5 && (rgb & 0xff) == 0)
+  }
+
+  test("multimodal: deterministic features + frame sampling") {
     val docsReal = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
     val media = Multimodal.mediaFromDocuments(spark, docsReal)
     val feats = Multimodal.extractFeatures(media).cache()
-    // payload is UTF-8 of text: byte_len must equal n_chars (ascii corpus)
+    // audio/video payload is UTF-8 of text: byte_len == n_chars (ascii
+    // corpus); image payload is a real PNG of formula-derived dims
     val joined = feats.toDF().join(docsReal, col("media_id") === col("doc_id"))
-    assert(joined.filter(col("byte_len") =!= col("n_chars")).count() == 0)
+    assert(joined.filter(col("kind") =!= "image")
+      .filter(col("byte_len") =!= col("n_chars")).count() == 0)
+    assert(joined.filter(col("kind") === "image")
+      .filter(col("width") =!= (lit(16) + col("media_id") % 48).cast("int") ||
+        col("height") =!= (lit(16) + (col("media_id") / 3).cast("long") % 48).cast("int"))
+      .count() == 0)
     // decode is deterministic: re-running yields identical checksums
     val again = Multimodal.extractFeatures(media)
     assert(feats.toDF().except(again.toDF()).count() == 0)
