@@ -127,7 +127,12 @@ object Dedup {
         col(s"m${b * rowsPerBand + r}").as(s"k$r"))
       struct(lit(b).as("band") +: ks: _*)
     }
+    // materialize the banded table before the self-join: both join
+    // sides reference it, and without a checkpoint the whole upstream
+    // shingle→md5→minhash pipeline is evaluated twice (the md5 digests
+    // are the dominant map-side cost of the dedup family)
     val exploded = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .localCheckpoint()
     val l = exploded.select(col(idCol).as("a_id"), col("bk"))
     val r = exploded.select(col(idCol).as("b_id"), col("bk"))
     l.join(r, Seq("bk")).filter(col("a_id") < col("b_id"))
@@ -177,9 +182,20 @@ object Dedup {
     // localCheckpoint (not cache) after every step: iterative plans
     // double in size each round otherwise — cache truncates execution
     // but NOT analysis, and Catalyst planning time explodes
-    // exponentially with the lineage.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // exponentially with the lineage. Edges are hash-partitioned on
+    // the probe key (dst) BEFORE the checkpoint (LogicalRDD keeps the
+    // partitioning), so each round's label join reuses that layout and
+    // only the min-aggregate shuffles — one shuffle per round at
+    // scale; locally AQE broadcasts the tiny label side anyway.
+    // pairs is referenced twice (both edge directions) — materialize
+    // it first so an expensive upstream (an LSH banding join, say) is
+    // computed once, not once per direction. The distinct's shuffle
+    // leaves edges hash-clustered for the per-round joins; at 100 TB
+    // the label side shuffles on node id each round while locally AQE
+    // just broadcasts it.
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("node"))
       .distinct().withColumn("component", col("node")).localCheckpoint()
@@ -189,20 +205,27 @@ object Dedup {
       // Batched HashMin rounds per convergence check: each round every
       // node adopts min(own label, neighbors' labels). The check is a
       // driver job, which dominates wall-clock on sparse candidate
-      // graphs — so the first check is preceded by a 4-round warm
+      // graphs — so the first check comes only after a 4-round warm
       // start (LSH near-dup components are almost always short chains
-      // that converge within 4 hops), then 2 rounds per check. The
-      // per-round shuffles stay keyed on node id.
+      // that converge within 4 hops), then every 2 rounds. The check
+      // compares the LAST round against the one before it: HashMin is
+      // monotone and deterministic, so a round that changed no label
+      // IS the fixed point — small-diameter graphs finish in a single
+      // checkpoint + count batch instead of needing a second batch to
+      // observe quiescence.
+      var prev = labels
       var next = labels
       for (_ <- 0 until (if (iter == 0) 4 else 2)) {
+        prev = next
         val viaNeighbors = edges
-          .join(next.withColumnRenamed("node", "dst"), "dst")
+          .join(prev.withColumnRenamed("node", "dst"), "dst")
           .select(col("src").as("node"), col("component"))
-        next = next.select("node", "component").unionAll(viaNeighbors)
+        next = prev.select("node", "component").unionAll(viaNeighbors)
           .groupBy("node").agg(min("component").as("component"))
       }
       next = next.localCheckpoint()
-      val changes = next.join(labels.withColumnRenamed("component", "old"), "node")
+      val changes = next.join(
+          prev.select(col("node"), col("component").as("old")), "node")
         .filter(col("component") =!= col("old")).count()
       labels = next
       converged = changes == 0
