@@ -18,6 +18,8 @@ object SparkEntry {
     "q_tpch_q3" -> (OQ.qTpchQ3 _),
     "q_tpch_q5" -> (OQ.qTpchQ5 _),
     "q_tpch_q18" -> (OQ.qTpchQ18 _),
+    "q_tpch_q17" -> (OQ.qTpchQ17 _),
+    "q_tpch_q21" -> (OQ.qTpchQ21 _),
     "q_agg_having_countdistinct" -> (OQ.qAggHavingCountDistinct _),
     "q_dedup_groupby" -> (OQ.qDedupGroupBy _),
     "q_scalar_score" -> (OQ.qScalarScore _),
@@ -107,6 +109,8 @@ object SparkEntry {
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
     "q_sim_ivf_flat" -> (EQ.qSimIvfFlat _),
+    "q_embed_pq_codes" -> (EQ.qEmbedPqCodes _),
+    "q_sim_pq_topk" -> (EQ.qSimPqTopK _),
     "q_sim_near_dup" -> (EQ.qSimNearDup _),
     "q_profile_orders" -> (EQ.qProfileOrders _),
     "q_embed_quantize" -> (EQ.qEmbedQuantize _),

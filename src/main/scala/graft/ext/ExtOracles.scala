@@ -465,6 +465,66 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin,
 
+    // Product quantization replay: codebook = subvector slices of the
+    // 16 lowest-id vectors (8 subspaces × 8 dims); encode = per
+    // subspace argmax of ip(x_j, c) − ½‖c‖² (≡ argmin L2, ties to the
+    // lowest code) — the same greatest-struct argmax graft computes
+    // map-side.
+    "q_embed_pq_codes" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code, v
+        |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16) s),
+        |subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS j),
+        |cb AS (SELECT j, code, list_slice(v, j*8 + 1, j*8 + 8) AS cent
+        |       FROM seed CROSS JOIN subs),
+        |enc AS (SELECT vec_id, j, code FROM (
+        |    SELECT c.vec_id, cb.j, cb.code,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.j
+        |        ORDER BY list_dot_product(list_slice(c.v, cb.j*8 + 1, cb.j*8 + 8), cb.cent)
+        |                 - 0.5 * list_dot_product(cb.cent, cb.cent) DESC, cb.code) AS rn
+        |    FROM c CROSS JOIN cb) t WHERE rn = 1)
+        |SELECT vec_id,
+        |  CAST(MIN(CASE WHEN j = 0 THEN code END) AS INTEGER) AS c0,
+        |  CAST(MIN(CASE WHEN j = 1 THEN code END) AS INTEGER) AS c1,
+        |  CAST(MIN(CASE WHEN j = 2 THEN code END) AS INTEGER) AS c2,
+        |  CAST(MIN(CASE WHEN j = 3 THEN code END) AS INTEGER) AS c3,
+        |  CAST(MIN(CASE WHEN j = 4 THEN code END) AS INTEGER) AS c4,
+        |  CAST(MIN(CASE WHEN j = 5 THEN code END) AS INTEGER) AS c5,
+        |  CAST(MIN(CASE WHEN j = 6 THEN code END) AS INTEGER) AS c6,
+        |  CAST(MIN(CASE WHEN j = 7 THEN code END) AS INTEGER) AS c7
+        |FROM enc GROUP BY vec_id""".stripMargin,
+
+    // ADC search: every subspace inner-product term is rounded to
+    // integer micro-units BEFORE the sum, so the approximate score is
+    // an exact BIGINT both engines agree on — no float tolerance in
+    // the ranking.
+    "q_sim_pq_topk" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code, v
+        |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16) s),
+        |subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS j),
+        |cb AS (SELECT j, code, list_slice(v, j*8 + 1, j*8 + 8) AS cent
+        |       FROM seed CROSS JOIN subs),
+        |enc AS (SELECT vec_id, j, code FROM (
+        |    SELECT c.vec_id, cb.j, cb.code,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.j
+        |        ORDER BY list_dot_product(list_slice(c.v, cb.j*8 + 1, cb.j*8 + 8), cb.cent)
+        |                 - 0.5 * list_dot_product(cb.cent, cb.cent) DESC, cb.code) AS rn
+        |    FROM c CROSS JOIN cb) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |sc AS (SELECT q.query_id, e.vec_id AS nn_id,
+        |         CAST(SUM(CAST(ROUND(list_dot_product(
+        |             list_slice(q.qv, e.j*8 + 1, e.j*8 + 8), cb.cent) * 1e6, 0) AS BIGINT)) AS BIGINT) AS ip_micro
+        |       FROM q CROSS JOIN enc e JOIN cb ON cb.j = e.j AND cb.code = e.code
+        |       WHERE e.vec_id != q.query_id
+        |       GROUP BY 1, 2)
+        |SELECT query_id, nn_id, ip_micro, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY ip_micro DESC, nn_id) AS rn
+        |  FROM sc) t WHERE rn <= 10""".stripMargin,
+
     // Full replay of the Lloyd k-means IVF build (2 iterations,
     // nClusters=8, nprobe=2): seeds are the 8 lowest-id normalized
     // vectors; assignment ranks by plain dot against the current

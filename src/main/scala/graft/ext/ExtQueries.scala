@@ -91,6 +91,18 @@ object ExtQueries {
     Similarity.ivfFlatTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
       nprobe = 2, nClusters = 8)
 
+  /** PQ codes: every embedding compressed to 8 4-bit codes (64×
+    * smaller than the raw doubles) in one map-side pass. */
+  def qEmbedPqCodes(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Tables(spark, dir).embeddings, m = 8, ks = 16)
+
+  /** PQ ADC top-k: exact query against code-compressed corpus;
+    * integer-micro subspace terms make the approximate score an exact
+    * integer both engines replay. */
+  def qSimPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
+      m = 8, ks = 16)
+
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, numPlanes = 16, rowsPerBand = 4)

@@ -210,6 +210,88 @@ object Similarity {
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
 
+  /** Scala-side left-to-right dot — the same IEEE fold DotProduct and
+    * DuckDB's list_dot_product evaluate, for driver-side codebook
+    * constants. */
+  private def dotS(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Product-quantization codebook: the vector space split into `m`
+    * subspaces of dim/m dims; per subspace, `ks` centroids taken from
+    * the ks lowest-id vectors' subvectors (flat seeds — deterministic
+    * and engine-replayable; a production build would Lloyd-iterate
+    * each subspace with the same integer-micro discipline as
+    * [[kmeans]]). Returns codebook(j) = Seq of (code, centroid). */
+  def pqCodebook(emb: DataFrame, m: Int = 8, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Double])]] = {
+    val seeds: Seq[Seq[Double]] = emb
+      .select(col(idCol), asDouble(col(vecCol)).as("dv"))
+      .orderBy(idCol).limit(ks).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      seeds.zipWithIndex.map { case (v, i) => (i, v.slice(j * sub, j * sub + sub)) }
+    }
+  }
+
+  /** PQ encode: each vector compresses to `m` small codes (ks=16 →
+    * 4 bits each; 64 doubles → 8 codes is a 64× storage cut — THE
+    * technique for holding 100 TB of vectors in serving memory).
+    * Per subspace the code is argmin-L2 to the subspace centroid,
+    * computed as argmax of ip(x_j, c) − ½‖c‖² (equivalent ordering,
+    * fewer terms) — a single MAP-SIDE projection over codebook
+    * literals, ties to the lowest code: one narrow pass, no shuffle.
+    * Output: idCol, c0..c{m-1}. */
+  def pqEncode(emb: DataFrame, m: Int = 8, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(emb, m, ks, idCol, vecCol)
+    val sub = cb.head.head._2.length
+    val dv = asDouble(col(vecCol))
+    val codes = (0 until m).map { j =>
+      argmaxCluster(cb(j)) { cv =>
+        dot(slice(dv, j * sub + 1, sub), typedLit(cv)) - lit(0.5 * dotS(cv, cv))
+      }.as(s"c$j")
+    }
+    emb.select(col(idCol) +: codes: _*)
+  }
+
+  /** PQ top-k search (asymmetric distance computation): the query
+    * stays exact; each corpus vector is scored from its codes alone —
+    * approx_ip(q, x) = Σ_j ip(q_j, centroid[j][code_j(x)]). Each
+    * subspace term is rounded to integer MICRO-UNITS before the sum,
+    * so the score is an exact integer both engines agree on
+    * (`ip_micro`), and ranking needs no float tolerance. The scan is
+    * map-side (queries broadcast, codebooks literal); per-query top-k
+    * is the only window. At 100 TB the codes table is 64× smaller
+    * than the vectors — the whole corpus scan reads 8 bytes/row. */
+  def pqTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      m: Int = 8, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(emb, m, ks, idCol, vecCol)
+    val sub = cb.head.head._2.length
+    val enc = pqEncode(emb, m, ks, idCol, vecCol)
+      .withColumnRenamed(idCol, "nn_id")
+    val queries = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val terms = (0 until m).map { j =>
+      round(dot(slice(col("qv"), j * sub + 1, sub),
+        element_at(typedLit(cb(j).map(_._2)), col(s"c$j") + 1)) * 1e6, 0)
+        .cast(LongType)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip_micro").desc, col("nn_id"))
+    enc.crossJoin(broadcast(queries))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"), terms.reduce(_ + _).as("ip_micro"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "nn_id", "ip_micro", "rn")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * max-abs scale, values in [-127, 127]. 4× storage cut — the
     * standard trick before shipping 100 TB of vectors; keep `scale` to

@@ -59,6 +59,29 @@ object OperatorOracles {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    "q_tpch_q17" ->
+      """WITH avgq AS (SELECT l_partkey,
+        |    0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) AS thr
+        |  FROM lineitem GROUP BY 1)
+        |SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#12' AND p_size < 15
+        |JOIN avgq USING (l_partkey)
+        |WHERE l_quantity < thr""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH late AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |              JOIN orders ON o_orderkey = l_orderkey
+        |              WHERE o_orderstatus = 'F'
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name""".stripMargin,
+
     "q_agg_having_countdistinct" ->
       """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem GROUP BY l_orderkey

@@ -117,6 +117,52 @@ object OperatorQueries {
       .limit(100)
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * scalar subquery ("20% of this part's average quantity") decorrelates
+    * into a per-partkey aggregate joined back — the form Catalyst
+    * would produce, written directly. The per-part threshold is an
+    * integer-exact average (BIGINT quantity sum / count) so both
+    * engines compare against bit-identical doubles; the brand/size
+    * filter broadcasts into the fact scan. (p_container isn't in the
+    * synthetic schema — p_size stands in.) */
+  def qTpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+    val avgq = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity").cast(LongType)).cast(DoubleType) /
+        count(lit(1)))).as("thr"))
+    li.join(broadcast(t.part.filter(col("p_brand") === "Brand#12" && col("p_size") < 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgq, "l_partkey")
+      .filter(col("l_quantity") < col("thr"))
+      .agg((sumCents(col("l_extendedprice")) / 100.0 / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept 'F' orders waiting): the
+    * EXISTS becomes a left-semi join, the NOT EXISTS a left-anti join
+    * — Spark's native decorrelated forms, no subquery re-execution.
+    * "Late" is shipped >90 days after the order date (the synthetic
+    * schema has no receipt/commit dates). Both correlated probes join
+    * on l_orderkey — the same shuffle key — so the semi and anti
+    * stages reuse the clustering. */
+  def qTpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val late = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val others = t.lineitem.select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+    val lateOthers = late.select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+    late
+      .join(others, col("l_orderkey") === col("lo") &&
+        col("l_suppkey") =!= col("ls"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("lo") &&
+        col("l_suppkey") =!= col("ls"), "left_anti")
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+  }
+
   /** A1 proper: GROUP BY + HAVING COUNT(DISTINCT) — suppliers shipping
     * >3 distinct parts per order-priority bucket... expressed on
     * lineitem: orders with more than 3 distinct suppliers. Spark plans

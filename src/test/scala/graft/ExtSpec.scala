@@ -117,6 +117,32 @@ class ExtSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("PQ: seed vectors self-quantize exactly; search returns k per query") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    // the 16 seed vectors' subvectors ARE the codebook: their codes
+    // must equal their own seed index in every subspace
+    val codes = Similarity.pqEncode(emb, m = 8, ks = 16)
+    val seedIds = emb.orderBy("vec_id").limit(16)
+      .select("vec_id").as[Long].collect()
+    val seedCodes = codes.filter(col("vec_id").isin(seedIds: _*))
+      .orderBy("vec_id").collect()
+    seedCodes.zipWithIndex.foreach { case (row, i) =>
+      (0 until 8).foreach { j =>
+        assert(row.getInt(1 + j) == i,
+          s"seed $i subspace $j coded as ${row.getInt(1 + j)}")
+      }
+    }
+    // all codes live in [0, ks)
+    val outOfRange = (0 until 8).map(j =>
+      codes.filter(col(s"c$j") < 0 || col(s"c$j") >= 16).count()).sum
+    assert(outOfRange == 0)
+    // ADC search: exactly k rows per query, ranked by ip_micro desc
+    val top = Similarity.pqTopK(emb, k = 10, numQueries = 3, m = 8, ks = 16)
+    val counts = top.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.length == 3 && counts.forall(_ == 10L))
+  }
+
   test("approx aggregates stay within error bounds of exact") {
     val rows = ExtQueries.qApproxAggs(spark, "/root/testdata/sf0.01")
       .select("l_returnflag", "ok_orders", "ok_parts", "ok_p50")
