@@ -133,6 +133,34 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming curation gate: the batch TextAnalysis stats/quality
+    * expressions applied unchanged to a document STREAM — entirely
+    * stateless (pure column expressions, no watermark, no state
+    * store), so it scales as a narrow map over an unbounded corpus
+    * feed. StreamingSpec asserts the streamed output is row-identical
+    * to the batch gate on the same documents (streaming ≡ batch
+    * twin). */
+  def curationGateStream(docs: DataFrame, minTokens: Int = 15,
+      maxTokens: Int = 95, minQuality: Double = 0.4): DataFrame =
+    graft.ext.TextAnalysis.withStats(docs)
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("fingerprint"))
+
+  /** Streaming per-source governance: running doc counts, integer-micro
+    * mean quality, and approximate distinct fingerprints (HLL — exact
+    * count-distinct is unsupported on streams, and the sketch is the
+    * right tool at 100 TB anyway). State is bounded by source
+    * cardinality, not stream length. */
+  def sourceQualityStream(docs: DataFrame): DataFrame =
+    graft.ext.TextAnalysis.withStats(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(round(col("quality_score") * 1e6, 0).cast(LongType)) / 1e6 /
+          count(lit(1))).as("mean_quality"),
+        approx_count_distinct(col("fingerprint")).as("approx_distinct"))
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcastable) static dimension — no stream-side state at all,
     * the canonical fact-stream × dim shape. */

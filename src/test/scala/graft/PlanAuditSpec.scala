@@ -92,4 +92,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_filter_in")
     assert(p.contains("PushedFilters: [In("), s"q_filter_in scan has no pushed filter:\n$p")
   }
+
+  test("Q17's part filter reaches the scan; threshold join broadcasts") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("EqualTo(p_brand"), s"q_tpch_q17 brand filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q_tpch_q17 has no broadcast join:\n$p")
+  }
+
+  test("Q21 decorrelates EXISTS/NOT EXISTS into semi/anti joins") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), s"q_tpch_q21 lost its semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"q_tpch_q21 lost its anti join:\n$p")
+  }
+
+  test("PQ top-k pushes a partial WindowGroupLimit; no cartesian product") {
+    val p = plan("q_sim_pq_topk")
+    assert(p.contains("WindowGroupLimit"), s"q_sim_pq_topk lacks WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"CartesianProduct in q_sim_pq_topk:\n$p")
+  }
 }

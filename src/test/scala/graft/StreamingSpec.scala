@@ -55,6 +55,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gate ≡ batch twin; per-source governance agg runs Complete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "ab", "web"),
+      (3L, "one two three four five six", "books"),
+      (4L, "the quick brown fox jumps over the lazy dog", "web"))
+    val q1 = StreamingOps.curationGateStream(docs, minTokens = 3, minQuality = 0.0)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gate_out").start()
+    val q2 = StreamingOps.sourceQualityStream(docs)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("gov_out").start()
+    try {
+      mem.addData(rows: _*)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      // gate: identical rows to the batch expressions on the same docs
+      val batchGate = graft.ext.TextAnalysis.withStats(rows.toDF("doc_id", "text", "source"))
+        .filter(col("n_tokens").between(3, 95) && col("quality_score") >= 0.0)
+        .select("doc_id", "n_tokens", "quality_score", "fingerprint")
+      assert(spark.table("gate_out").collect().toSet == batchGate.collect().toSet)
+      // governance: running counts per source; docs 1 and 4 share a
+      // fingerprint (HLL is exact at this cardinality)
+      assert(spark.table("gov_out").count() == 2)
+      val web = spark.table("gov_out").filter(col("source") === "web")
+        .select("n_docs", "approx_distinct").as[(Long, Long)].head()
+      assert(web._1 == 3 && web._2 == 2, s"web governance row: $web")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming dedup drops repeated ids across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
