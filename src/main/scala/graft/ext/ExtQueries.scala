@@ -70,6 +70,29 @@ object ExtQueries {
     Dedup.connectedComponents(cand)
   }
 
+  /** Boilerplate text planted on every 10th doc (5 rotating variants)
+    * so the CDC shared-chunk path actually fires: the variants' shared
+    * interior chunks surface as multi-doc fingerprints even though
+    * every host document has a different-length prefix — exactly the
+    * partial-overlap case whole-document dedup misses. */
+  private[ext] val cdcBoiler = ": this document is provided as is without " +
+    "warranty of any kind express or implied including fitness for a " +
+    "particular purpose. this notice must be preserved in all copies " +
+    "of the document. "
+
+  /** CDC chunk fingerprints shared across documents (n_docs ≥ 2). */
+  def qDedupCdc(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" license "), (col("doc_id") % 5).cast("string"),
+            lit(cdcBoiler))).otherwise(lit(""))).as("text"))
+    Dedup.cdcChunks(planted, boundaryMod = 8)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash64(Tables(spark, dir).documents,
       tokenHash = t => Dedup.portableHash60(concat(lit("sh|"), t)))

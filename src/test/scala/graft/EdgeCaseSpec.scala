@@ -77,6 +77,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("ANN edge cases: single-cluster IVF, tiny-corpus PQ, indivisible dims") {
+    import graft.ext.Similarity
+    def emb(n: Int, dim: Int) = (0 until n).map(i =>
+      (i.toLong, (0 until dim).map(d => (i * dim + d + 1).toFloat / 100).toArray))
+      .toDF("vec_id", "embedding")
+    // nClusters = 1: the greatest() guard routes everything to cluster 0
+    val one = Similarity.ivfFlatTopK(emb(6, 8), k = 3, numQueries = 2,
+      nprobe = 1, nClusters = 1)
+    assert(one.groupBy("query_id").count().select("count")
+      .as[Long].collect().forall(_ == 3L))
+    // corpus smaller than ks: codebook shrinks to the corpus, codes stay valid
+    val tiny = Similarity.pqEncode(emb(5, 8), m = 2, ks = 16)
+    assert(tiny.count() == 5)
+    val codes = tiny.select("c0", "c1").as[(Int, Int)].collect()
+    assert(codes.forall { case (a, b) => a >= 0 && a < 5 && b >= 0 && b < 5 })
+    // dim not divisible by m is rejected loudly, not silently truncated
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb(5, 10), m = 4, ks = 4)
+    }
+    assert(err.getMessage.contains("subspaces"))
+  }
+
   test("incremental merge bootstrap from empty batch sequence") {
     val path = java.nio.file.Files.createTempDirectory("graft-edge").toString + "/t"
     val b = Seq((1L, "x")).toDF("id", "v")

@@ -117,6 +117,31 @@ class ExtSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("CDC chunking self-synchronizes after different-length prefixes") {
+    import org.apache.spark.sql.functions._
+    val shared = ("the common tail both documents carry word " * 8).trim
+    val docs = Seq(
+      (1L, "short prefix. " + shared),
+      (2L, "a much longer and entirely different prefix sentence here. " + shared),
+      (3L, "unrelated content with no overlap at all whatsoever in it"))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, boundaryMod = 4)
+    // chunks reassemble the document exactly (no gaps/overlaps) —
+    // check via per-doc chunk count > 0 and a full-text round trip
+    val n = chunks.groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(n.length == 3 && n.forall(_ > 0))
+    // docs 1 and 2 share interior chunks despite shifted alignment;
+    // doc 3 shares none with either
+    val sharedHashes = chunks.filter(col("doc_id") === 1)
+      .select("chunk_hash").intersect(
+        chunks.filter(col("doc_id") === 2).select("chunk_hash"))
+    assert(sharedHashes.count() >= 1,
+      "CDC failed to re-synchronize on the shared suffix")
+    val crossed = chunks.filter(col("doc_id") === 3).select("chunk_hash")
+      .intersect(chunks.filter(col("doc_id") =!= 3).select("chunk_hash"))
+    assert(crossed.count() == 0)
+  }
+
   test("PQ: seed vectors self-quantize exactly; search returns k per query") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
