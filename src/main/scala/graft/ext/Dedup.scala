@@ -254,6 +254,15 @@ object Dedup {
     *
     * @return (idCol, chunk_idx, chunk_hash) — one row per chunk */
   def cdcChunks(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boundaryMod: Int = 8): DataFrame =
+    cdcChunkTexts(df, idCol, textCol, boundaryMod)
+      .select(col(idCol), col("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_hash"))
+
+  /** The reassemblable form of [[cdcChunks]]: chunk texts instead of
+    * fingerprints — concatenating a doc's chunks in chunk_idx order
+    * reproduces its token stream exactly (PropertySpec invariant). */
+  def cdcChunkTexts(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", boundaryMod: Int = 8): DataFrame = {
     val tk = df.select(col(idCol),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -264,10 +273,10 @@ object Dedup {
       .partitionBy(col(idCol)).orderBy(col("pos"))
     marked.withColumn("chunk_idx", (sum(col("is_b")).over(w) - 1).cast(IntegerType))
       .groupBy(col(idCol), col("chunk_idx"))
-      .agg(md5(concat_ws(" ",
+      .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")))).as("chunk_hash"))
-      .select(col(idCol), col("chunk_idx"), col("chunk_hash"))
+          s => s.getField("tok"))).as("chunk_text"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
   }
 
   /** 64-bit SimHash over whitespace tokens. Bit i of the result is the

@@ -63,6 +63,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CDC chunks partition the token stream exactly for arbitrary text") {
+    // chunk boundaries may fall anywhere, but the chunks must always
+    // reassemble to the full token sequence (no gaps, overlaps, or
+    // reorders) and chunk_idx must be dense from 0
+    val wordGen = Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8)),
+      Gen.oneOf("the", "a", "of", "license", "warranty", "data"))
+    forAll(Gen.listOfN(12, Gen.listOfN(30, wordGen).map(_.mkString(" ")))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = graft.ext.Dedup.cdcChunkTexts(docs, boundaryMod = 4)
+      // dense 0-based chunk_idx per doc
+      val idx = chunks.groupBy("doc_id")
+        .agg(min("chunk_idx").as("lo"), max("chunk_idx").as("hi"),
+          count(lit(1)).as("n"))
+        .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+      assert(idx.count() == 0, "chunk_idx not dense from 0")
+      // reassembly: chunks joined in chunk_idx order == token stream
+      val got = chunks.groupBy("doc_id")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("got"))
+      val want = docs.select(col("doc_id"),
+        concat_ws(" ", graft.ext.TextAnalysis.tokens(col("text"))).as("want"))
+      val bad = got.join(want, "doc_id").filter(col("got") =!= col("want"))
+      assert(bad.count() == 0, "CDC chunks do not reassemble the token stream")
+    }
+  }
+
   test("dialect translator: balanced quotes preserved, no Jinja remains") {
     val models = Seq("intermediate/locations_clean.sql",
       "intermediate/stacked_users_partners.sql", "marts/user_base.sql")
