@@ -610,33 +610,49 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin,
 
-    // Image rows carry a REAL PNG whose dims/color are pure functions
-    // of the id and whose stored-deflate encoding has a closed byte
-    // length (h*(1+3w)+68); the oracle predicts what javax.imageio
-    // must decode. The image checksum is content-addressed from the
-    // DECODED dims+pixel (md5-60 of 'img|w|h|r|g|b'). Audio/video
-    // payloads are UTF-8(text) through the stub codec: all metadata
-    // derives from the portable 60-bit md5 of the text bytes, which
-    // DuckDB's md5(VARCHAR) recomputes exactly.
+    // Image rows carry a REAL PNG (stored-deflate: byte length is the
+    // closed formula h*(1+3w)+68) decoded by javax.imageio; audio
+    // rows a REAL WAV (44-byte canonical header: 44+2n) parsed by
+    // javax.sound.sampled — the oracle predicts what the decoders
+    // must recover, and the checksums are content-addressed from the
+    // DECODED values ('img|w|h|r|g|b', 'wav|rate|frames|amp'), so no
+    // md5-over-binary is ever needed. Video payloads are UTF-8(text)
+    // through the stub codec: metadata derives from the portable
+    // 60-bit md5 of the text bytes, which DuckDB's md5(VARCHAR)
+    // recomputes exactly.
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(doc_id % 3 AS INTEGER) AS k3,
         |    CAST(16 + doc_id % 48 AS INTEGER) AS iw,
         |    CAST(16 + (doc_id // 3) % 48 AS INTEGER) AS ih,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate,
+        |    CAST(32 + (doc_id // 3) % 64 AS INTEGER) AS ns,
+        |    CAST((doc_id % 100) * 100 AS INTEGER) AS amp,
         |    CAST(octet_length(encode(text)) AS INTEGER) AS text_len,
         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
         |  FROM documents)
         |SELECT media_id,
         |  CASE k3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(CASE WHEN k3 = 0 THEN ih * (1 + 3 * iw) + 68 ELSE text_len END AS INTEGER) AS byte_len,
-        |  CAST(CASE WHEN k3 = 0 THEN iw ELSE 16 + cks % 64 END AS INTEGER) AS width,
-        |  CAST(CASE WHEN k3 = 0 THEN ih ELSE 16 + (cks >> 8) % 64 END AS INTEGER) AS height,
-        |  CAST(CASE WHEN k3 = 0 THEN 1 ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN k3 = 0 THEN ih * (1 + 3 * iw) + 68
+        |            WHEN k3 = 1 THEN 44 + 2 * ns
+        |            ELSE text_len END AS INTEGER) AS byte_len,
+        |  CAST(CASE WHEN k3 = 0 THEN iw
+        |            WHEN k3 = 1 THEN rate // 1000
+        |            ELSE 16 + cks % 64 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN k3 = 0 THEN ih
+        |            WHEN k3 = 1 THEN 16
+        |            ELSE 16 + (cks >> 8) % 64 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN k3 = 0 THEN 1
+        |            WHEN k3 = 1 THEN 1 + ns % 8
+        |            ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
         |  CASE WHEN k3 = 0 THEN CAST(concat('0x', substr(md5(
         |         'img|' || CAST(iw AS VARCHAR) || '|' || CAST(ih AS VARCHAR)
         |         || '|' || CAST(media_id % 256 AS VARCHAR)
         |         || '|' || CAST((media_id // 256) % 256 AS VARCHAR)
         |         || '|' || CAST((media_id // 65536) % 256 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       WHEN k3 = 1 THEN CAST(concat('0x', substr(md5(
+        |         'wav|' || CAST(rate AS VARCHAR) || '|' || CAST(ns AS VARCHAR)
+        |         || '|' || CAST(amp AS VARCHAR)), 1, 15)) AS BIGINT)
         |       ELSE cks END AS checksum
         |FROM m""".stripMargin,
 
@@ -645,16 +661,24 @@ object ExtOracles {
         |    CAST(doc_id % 3 AS INTEGER) AS k3,
         |    CAST(16 + doc_id % 48 AS INTEGER) AS iw,
         |    CAST(16 + (doc_id // 3) % 48 AS INTEGER) AS ih,
+        |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate,
+        |    CAST(32 + (doc_id // 3) % 64 AS INTEGER) AS ns,
+        |    CAST((doc_id % 100) * 100 AS INTEGER) AS amp,
         |    CAST(octet_length(encode(text)) AS INTEGER) AS text_len,
         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
         |  FROM documents),
         |feat AS (SELECT media_id,
-        |    CAST(CASE WHEN k3 = 0 THEN 1 ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
+        |    CAST(CASE WHEN k3 = 0 THEN 1
+        |              WHEN k3 = 1 THEN 1 + ns % 8
+        |              ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
         |    CASE WHEN k3 = 0 THEN CAST(concat('0x', substr(md5(
         |           'img|' || CAST(iw AS VARCHAR) || '|' || CAST(ih AS VARCHAR)
         |           || '|' || CAST(media_id % 256 AS VARCHAR)
         |           || '|' || CAST((media_id // 256) % 256 AS VARCHAR)
         |           || '|' || CAST((media_id // 65536) % 256 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         WHEN k3 = 1 THEN CAST(concat('0x', substr(md5(
+        |           'wav|' || CAST(rate AS VARCHAR) || '|' || CAST(ns AS VARCHAR)
+        |           || '|' || CAST(amp AS VARCHAR)), 1, 15)) AS BIGINT)
         |         ELSE cks END AS checksum
         |  FROM m),
         |f AS (SELECT media_id, checksum,

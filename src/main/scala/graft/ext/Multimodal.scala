@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * batches. The Spark-side mechanics — schema, partitioning, batch
   * iterator shape, explode of per-frame rows — are real and tested.
   *
-  * The IMAGE path is real end to end: payloads are genuine PNG files
-  * (written by [[PngCodec]], a deterministic stored-deflate encoder)
-  * and decode goes through `javax.imageio.ImageIO` — width/height/
-  * pixel values come out of an actual PNG parse, so a codec bug fails
-  * the cross-engine hash check. Audio/video decode remains STUBBED
-  * behind [[MediaCodec.decodeStub]] (this container has no audio/video
-  * libraries), a deterministic fake with the same signature a
-  * JNI/ffmpeg-backed implementation would have.
+  * The IMAGE and AUDIO paths are real end to end: payloads are
+  * genuine PNG files (written by [[PngCodec]], a deterministic
+  * stored-deflate encoder) decoded through `javax.imageio.ImageIO`,
+  * and genuine WAV files (written by [[WavCodec]]) parsed through
+  * `javax.sound.sampled` — dims/pixels/sample-rate/frames come out of
+  * actual decoders, so a codec bug fails the cross-engine hash check.
+  * Only VIDEO decode remains STUBBED behind
+  * [[MediaCodec.decodeStub]] (the JDK ships no video codec), a
+  * deterministic fake with the same signature a JNI/ffmpeg-backed
+  * implementation would have.
   *
   * Scale: payloads never pass through a shuffle — decode/feature
   * extraction is mapPartitions (narrow); only the small extracted
@@ -94,6 +96,35 @@ object Multimodal {
     }
   }
 
+  /** Minimal deterministic WAV writer: canonical 44-byte PCM16-mono
+    * RIFF header + constant-amplitude samples. Like [[PngCodec]],
+    * every byte is a pure function of (sampleRate, nSamples, amp) and
+    * the encoded size is a closed formula (44 + 2·nSamples), while
+    * the bytes remain a fully compliant WAV that javax.sound.sampled
+    * parses. */
+  object WavCodec {
+    def wavLength(nSamples: Int): Int = 44 + 2 * nSamples
+
+    def encode(sampleRate: Int, nSamples: Int, amp: Int): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1)                  // PCM
+      bb.putShort(1)                  // mono
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * 2)       // byte rate
+      bb.putShort(2)                  // block align
+      bb.putShort(16)                 // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) { bb.putShort(amp.toShort); i += 1 }
+      bb.array()
+    }
+  }
+
   object MediaCodec {
     /** Portable 60-bit hash (value of the first 15 hex chars of md5 —
       * bytes 0..6 plus the high nibble of byte 7), same construction
@@ -131,10 +162,35 @@ object Multimodal {
         n_frames = 1, checksum = hash60(md, key.getBytes("UTF-8")))
     }
 
-    /** STUB — stands in for a real audio/video decoder (???: swap for
-      * an ffmpeg-JNI build). Derives deterministic pseudo-metadata
-      * from the payload bytes so tests and the cross-engine oracle can
-      * assert exact values. */
+    /** REAL audio decode: parses the WAV payload with
+      * javax.sound.sampled. Sample rate, bit depth, frame count, and
+      * the first decoded sample all come from the actual parser; the
+      * checksum is content-addressed from those DECODED values, so the
+      * oracle's formula predictions only hash-match if encoder and
+      * decoder both work. Feature mapping: width = kHz, height = bits
+      * per sample. */
+    def decodeAudio(md: MessageDigest, m: MediaRow): MediaFeatures = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(m.payload))
+      val fmt = ais.getFormat
+      val rate = fmt.getSampleRate.toInt
+      val bits = fmt.getSampleSizeInBits
+      val frames = ais.getFrameLength.toInt
+      val buf = new Array[Byte](2)
+      val n = ais.read(buf)
+      require(n == 2, s"media ${m.media_id}: could not read first sample")
+      val first = (buf(1) << 8) | (buf(0) & 0xff) // little-endian int16
+      val key = s"wav|$rate|$frames|$first"
+      MediaFeatures(m.media_id, m.kind, m.payload.length,
+        width = rate / 1000, height = bits,
+        n_frames = 1 + frames % 8,
+        checksum = hash60(md, key.getBytes("UTF-8")))
+    }
+
+    /** STUB — stands in for a real video decoder (???: swap for an
+      * ffmpeg-JNI build; the JDK ships no video codec). Derives
+      * deterministic pseudo-metadata from the payload bytes so tests
+      * and the cross-engine oracle can assert exact values. */
     def decodeStub(md: MessageDigest, m: MediaRow): MediaFeatures = {
       val len = m.payload.length
       val cks = hash60(md, m.payload)
@@ -145,11 +201,15 @@ object Multimodal {
         checksum = cks)
     }
 
-    /** Dispatch: image payloads hit the real PNG decoder; audio/video
-      * fall back to the stub. */
+    /** Dispatch: image and audio payloads hit the real JDK decoders
+      * (PNG via javax.imageio, WAV via javax.sound.sampled); only
+      * video falls back to the stub. */
     def decode(md: MessageDigest, reader: javax.imageio.ImageReader,
-        m: MediaRow): MediaFeatures =
-      if (m.kind == "image") decodeImage(md, reader, m) else decodeStub(md, m)
+        m: MediaRow): MediaFeatures = m.kind match {
+      case "image" => decodeImage(md, reader, m)
+      case "audio" => decodeAudio(md, m)
+      case _ => decodeStub(md, m)
+    }
 
     /** Per-frame-index portable hash, precomputed once per JVM
       * (n_frames ≤ 8 by construction — the stub's floorMod(len, 8)). */
@@ -184,11 +244,19 @@ object Multimodal {
   def imageDims(id: Long): (Int, Int) =
     ((16 + id % 48).toInt, (16 + (id / 3) % 48).toInt)
 
+  /** Audio parameters a WAV payload is generated with — pure
+    * functions of the media id, which the DuckDB oracle replays to
+    * predict what the real parser must recover. */
+  def audioParams(id: Long): (Int, Int, Int) =
+    (8000 + (id % 8).toInt * 1000,      // sample rate (8–15 kHz)
+      32 + ((id / 3) % 64).toInt,       // sample count
+      ((id % 100) * 100).toInt)         // constant amplitude (≤ 9900)
+
   /** Synthesize a media table from the documents corpus. Kind rotates
-    * through the three modalities; image rows carry a REAL PNG
-    * (dims/color derived from the id), audio/video carry UTF-8 text
-    * standing in for encoded media. A narrow map — payload bytes are
-    * born on the executor and never shuffle. */
+    * through the three modalities; image rows carry a REAL PNG and
+    * audio rows a REAL WAV (parameters derived from the id), video
+    * carries UTF-8 text standing in for encoded media. A narrow map —
+    * payload bytes are born on the executor and never shuffle. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
@@ -197,7 +265,9 @@ object Multimodal {
           val (w, h) = imageDims(id)
           MediaRow(id, "image", PngCodec.encode(w, h,
             (id % 256).toInt, ((id / 256) % 256).toInt, ((id / 65536) % 256).toInt))
-        case 1 => MediaRow(id, "audio", text.getBytes("UTF-8"))
+        case 1 =>
+          val (rate, n, amp) = audioParams(id)
+          MediaRow(id, "audio", WavCodec.encode(rate, n, amp))
         case _ => MediaRow(id, "video", text.getBytes("UTF-8"))
       }
     }

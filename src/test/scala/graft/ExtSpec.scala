@@ -204,19 +204,39 @@ class ExtSpec extends AnyFunSuite {
     assert(((rgb >> 16) & 0xff) == 200 && ((rgb >> 8) & 0xff) == 5 && (rgb & 0xff) == 0)
   }
 
+  test("multimodal: real WAV parse round-trip (javax.sound.sampled)") {
+    import Multimodal._
+    val wav = WavCodec.encode(11000, 50, 700)
+    assert(wav.length == WavCodec.wavLength(50))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate.toInt == 11000)
+    assert(ais.getFormat.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == 50L)
+    val buf = new Array[Byte](2)
+    assert(ais.read(buf) == 2)
+    assert(((buf(1) << 8) | (buf(0) & 0xff)) == 700)
+  }
+
   test("multimodal: deterministic features + frame sampling") {
     val docsReal = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
     val media = Multimodal.mediaFromDocuments(spark, docsReal)
     val feats = Multimodal.extractFeatures(media).cache()
-    // audio/video payload is UTF-8 of text: byte_len == n_chars (ascii
-    // corpus); image payload is a real PNG of formula-derived dims
+    // video payload is UTF-8 of text: byte_len == n_chars (ascii
+    // corpus); image/audio payloads are real PNG/WAV of
+    // formula-derived parameters
     val joined = feats.toDF().join(docsReal, col("media_id") === col("doc_id"))
-    assert(joined.filter(col("kind") =!= "image")
+    assert(joined.filter(col("kind") === "video")
       .filter(col("byte_len") =!= col("n_chars")).count() == 0)
     assert(joined.filter(col("kind") === "image")
       .filter(col("width") =!= (lit(16) + col("media_id") % 48).cast("int") ||
         col("height") =!= (lit(16) + (col("media_id") / 3).cast("long") % 48).cast("int"))
       .count() == 0)
+    // audio: decoded sample rate (kHz) and bit depth match the
+    // generation formulas
+    assert(joined.filter(col("kind") === "audio")
+      .filter(col("width") =!= (lit(8) + col("media_id") % 8).cast("int") ||
+        col("height") =!= 16).count() == 0)
     // decode is deterministic: re-running yields identical checksums
     val again = Multimodal.extractFeatures(media)
     assert(feats.toDF().except(again.toDF()).count() == 0)
