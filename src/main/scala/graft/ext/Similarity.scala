@@ -248,11 +248,16 @@ object Similarity {
     * literals, ties to the lowest code: one narrow pass, no shuffle.
     * Output: idCol, c0..c{m-1}. */
   def pqEncode(emb: DataFrame, m: Int = 8, ks: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = pqCodebook(emb, m, ks, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqEncodeWith(pqCodebook(emb, m, ks, idCol, vecCol), emb, idCol, vecCol)
+
+  /** Encode against a caller-built codebook — lets [[pqTopK]] collect
+    * the seed vectors once instead of once per stage. */
+  private def pqEncodeWith(cb: Seq[Seq[(Int, Seq[Double])]], emb: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val sub = cb.head.head._2.length
     val dv = asDouble(col(vecCol))
-    val codes = (0 until m).map { j =>
+    val codes = cb.indices.map { j =>
       argmaxCluster(cb(j)) { cv =>
         dot(slice(dv, j * sub + 1, sub), typedLit(cv)) - lit(0.5 * dotS(cv, cv))
       }.as(s"c$j")
@@ -274,7 +279,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = pqCodebook(emb, m, ks, idCol, vecCol)
     val sub = cb.head.head._2.length
-    val enc = pqEncode(emb, m, ks, idCol, vecCol)
+    val enc = pqEncodeWith(cb, emb, idCol, vecCol)
       .withColumnRenamed(idCol, "nn_id")
     val queries = emb.filter(col(idCol) < numQueries)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
