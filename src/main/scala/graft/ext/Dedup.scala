@@ -83,9 +83,22 @@ object Dedup {
   }
 
   /** Portable 60-bit hash both Spark and DuckDB compute identically:
-    * first 15 hex chars of md5(input), parsed as hex. */
+    * first 15 hex chars of md5(input), parsed as hex — evaluated by
+    * the native codegen'd [[graft.expressions.Md5Hash60]], which
+    * reads the bits straight from the digest (no hex-string
+    * round-trip; bit-equality with [[composedHash60]] is asserted in
+    * ExtSpec). */
   def portableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    graft.expressions.Md5Hash60.hash60(c)
+
+  /** The built-in-composed construction of the same hash (three
+    * string ops per row) — kept as the semantics reference the native
+    * expression is asserted against, and as documentation of the
+    * DuckDB oracle contract (`CAST(concat('0x', substr(md5(c), 1,
+    * 15)) AS BIGINT)`). */
+  def composedHash60(c: Column, second: Boolean = false): Column =
+    conv(substring(md5(c), 1 + (if (second) 15 else 0), 15), 16, 10)
+      .cast(LongType)
 
   /** Portable seeded shingle hash. One 128-bit md5 digest yields TWO
     * independent 60-bit hashes (hex chars 1-15 and 16-30), so k seed
@@ -94,8 +107,8 @@ object Dedup {
     * reads half (i%2) of digest md5("(i/2)|gram"); the DuckDB oracles
     * compute the identical expression. */
   private def seedHash(seed: Int, gram: Column): Column =
-    conv(substring(md5(concat(lit(seed / 2), lit("|"), gram)),
-      1 + 15 * (seed % 2), 15), 16, 10).cast(LongType)
+    graft.expressions.Md5Hash60.hash60(
+      concat(lit(seed / 2), lit("|"), gram), second = seed % 2 == 1)
 
   /** MinHash signatures from a precomputed (id, gram) shingle table —
     * lets pipelines cache the shingles once and derive signatures,

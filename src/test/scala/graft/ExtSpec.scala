@@ -117,6 +117,18 @@ class ExtSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("fold")).count() == 0)
   }
 
+  test("native Md5Hash60 is bit-identical to the composed hex construction") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val both = docs.select(
+      graft.expressions.Md5Hash60.hash60(col("text")).as("n1"),
+      Dedup.composedHash60(col("text")).as("c1"),
+      graft.expressions.Md5Hash60.hash60(col("text"), second = true).as("n2"),
+      Dedup.composedHash60(col("text"), second = true).as("c2"))
+    assert(both.filter(col("n1") =!= col("c1") || col("n2") =!= col("c2"))
+      .count() == 0)
+  }
+
   test("CDC chunking self-synchronizes after different-length prefixes") {
     import org.apache.spark.sql.functions._
     val shared = ("the common tail both documents carry word " * 8).trim
