@@ -202,16 +202,23 @@ object Dedup {
     // scale; locally AQE broadcasts the tiny label side anyway.
     // pairs is referenced twice (both edge directions) — materialize
     // it first so an expensive upstream (an LSH banding join, say) is
-    // computed once, not once per direction. The distinct's shuffle
+    // computed once, not once per direction. Self-loop edges are
+    // added ONCE so each HashMin round is a single join + min-agg
+    // that references the previous labels exactly once: the naive
+    // "union(prev, neighbors-of-prev)" form references prev twice per
+    // round and the in-batch plan doubles every round (2^rounds label
+    // subtrees before the next checkpoint). The distinct's shuffle
     // leaves edges hash-clustered for the per-round joins; at 100 TB
     // the label side shuffles on node id each round while locally AQE
     // just broadcasts it.
     val p = pairs.localCheckpoint()
+    var labels = p.select(col(aCol).as("node"))
+      .unionAll(p.select(col(bCol).as("node")))
+      .distinct().withColumn("component", col("node")).localCheckpoint()
     val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .unionAll(labels.select(col("node").as("src"), col("node").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node"))
-      .distinct().withColumn("component", col("node")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -230,10 +237,11 @@ object Dedup {
       var next = labels
       for (_ <- 0 until (if (iter == 0) 4 else 2)) {
         prev = next
-        val viaNeighbors = edges
+        // self-loops are in `edges`, so min-over-neighbors already
+        // includes the node's own label — one reference to prev
+        next = edges
           .join(prev.withColumnRenamed("node", "dst"), "dst")
           .select(col("src").as("node"), col("component"))
-        next = prev.select("node", "component").unionAll(viaNeighbors)
           .groupBy("node").agg(min("component").as("component"))
       }
       next = next.localCheckpoint()
