@@ -20,6 +20,7 @@ object SparkEntry {
     "q_tpch_q18" -> (OQ.qTpchQ18 _),
     "q_tpch_q17" -> (OQ.qTpchQ17 _),
     "q_tpch_q21" -> (OQ.qTpchQ21 _),
+    "q_salted_agg" -> (OQ.qSaltedAgg _),
     "q_agg_having_countdistinct" -> (OQ.qAggHavingCountDistinct _),
     "q_dedup_groupby" -> (OQ.qDedupGroupBy _),
     "q_scalar_score" -> (OQ.qScalarScore _),

@@ -163,6 +163,21 @@ object OperatorQueries {
       .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
   }
 
+  /** Two-phase salted aggregation under the oracle: lineitem grouped
+    * by l_returnflag — 3 values over 600k rows, the textbook skewed
+    * group key. [[graft.sources.Skew.saltedCountSum]] partial-aggs on
+    * (key, salt) then finalizes on key, so no single reducer owns a
+    * whole hot key. The summed column is pre-cast to long, making
+    * both aggregation levels exact integers — the random salt
+    * assignment cannot perturb the result, which is exactly what the
+    * hash-match proves. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .withColumn("qty", col("l_quantity").cast(LongType))
+    graft.sources.Skew.saltedCountSum(li, "l_returnflag", "qty", salts = 8)
+      .withColumnRenamed("sum", "sum_qty")
+  }
+
   /** A1 proper: GROUP BY + HAVING COUNT(DISTINCT) — suppliers shipping
     * >3 distinct parts per order-priority bucket... expressed on
     * lineitem: orders with more than 3 distinct suppliers. Spark plans
