@@ -189,7 +189,12 @@ object Dedup {
     * per cluster" step. Iterations are bounded by graph diameter; each
     * is one join + one min-aggregate (all shuffles on node id). The
     * candidate graph from LSH is sparse, so this scales as
-    * O(edges · diameter). */
+    * O(edges · diameter).
+    *
+    * `maxIter` bounds convergence-check BATCHES, not HashMin rounds:
+    * the first batch runs 4 rounds, later ones 2, so the total round
+    * cap is 2·maxIter + 2 (driver convergence jobs dominate wall-clock
+    * on sparse graphs, hence the batching). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not cache) after every step: iterative plans
@@ -232,11 +237,16 @@ object Dedup {
       // monotone and deterministic, so a round that changed no label
       // IS the fixed point — small-diameter graphs finish in a single
       // checkpoint + count batch instead of needing a second batch to
-      // observe quiescence.
+      // observe quiescence. The final round's INPUT is checkpointed
+      // too: the changes count joins two materialized label tables, so
+      // it never re-executes the batch's join+agg lineage (a count
+      // against an uncheckpointed 3-round-deep `prev` would re-run
+      // nearly the whole batch).
+      val rounds = if (iter == 0) 4 else 2
       var prev = labels
       var next = labels
-      for (_ <- 0 until (if (iter == 0) 4 else 2)) {
-        prev = next
+      for (r <- 0 until rounds) {
+        prev = if (r == rounds - 1) next.localCheckpoint() else next
         // self-loops are in `edges`, so min-over-neighbors already
         // includes the node's own label — one reference to prev
         next = edges

@@ -172,19 +172,21 @@ object Multimodal {
     def decodeAudio(md: MessageDigest, m: MediaRow): MediaFeatures = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(m.payload))
-      val fmt = ais.getFormat
-      val rate = fmt.getSampleRate.toInt
-      val bits = fmt.getSampleSizeInBits
-      val frames = ais.getFrameLength.toInt
-      val buf = new Array[Byte](2)
-      val n = ais.read(buf)
-      require(n == 2, s"media ${m.media_id}: could not read first sample")
-      val first = (buf(1) << 8) | (buf(0) & 0xff) // little-endian int16
-      val key = s"wav|$rate|$frames|$first"
-      MediaFeatures(m.media_id, m.kind, m.payload.length,
-        width = rate / 1000, height = bits,
-        n_frames = 1 + frames % 8,
-        checksum = hash60(md, key.getBytes("UTF-8")))
+      try {
+        val fmt = ais.getFormat
+        val rate = fmt.getSampleRate.toInt
+        val bits = fmt.getSampleSizeInBits
+        val frames = ais.getFrameLength.toInt
+        val buf = new Array[Byte](2)
+        val n = ais.read(buf)
+        require(n == 2, s"media ${m.media_id}: could not read first sample")
+        val first = (buf(1) << 8) | (buf(0) & 0xff) // little-endian int16
+        val key = s"wav|$rate|$frames|$first"
+        MediaFeatures(m.media_id, m.kind, m.payload.length,
+          width = rate / 1000, height = bits,
+          n_frames = 1 + frames % 8,
+          checksum = hash60(md, key.getBytes("UTF-8")))
+      } finally ais.close()
     }
 
     /** STUB — stands in for a real video decoder (???: swap for an
@@ -282,7 +284,17 @@ object Multimodal {
       val md = MessageDigest.getInstance("MD5")
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("png").next()
-      rows.map(MediaCodec.decode(md, reader, _))
+      // dispose the reader's native/cached state once the partition's
+      // iterator is exhausted (a leak if the codec holds real buffers)
+      var disposed = false
+      new Iterator[MediaFeatures] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { disposed = true; reader.dispose() }
+          h
+        }
+        def next(): MediaFeatures = MediaCodec.decode(md, reader, rows.next())
+      }
     }
   }
 

@@ -231,6 +231,7 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("dv"))
       .orderBy(idCol).limit(ks).collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
+    require(seeds.nonEmpty, "pqCodebook: embeddings table is empty — no seed vectors")
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
