@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, AnalyticsQueries => AQ, AdvancedAnalytics => AA, OperatorOracles}
+import graft.queries.{OperatorQueries => OQ, RelationalQueries => RQ, ScalarQueries => SQ, AnalyticsQueries => AQ, AdvancedAnalytics => AA, TpchQueries => TQ, OperatorOracles, TpchOracles}
 import graft.ext.{ExtQueries => EQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,6 +20,23 @@ object SparkEntry {
     "q_tpch_q18" -> (OQ.qTpchQ18 _),
     "q_tpch_q17" -> (OQ.qTpchQ17 _),
     "q_tpch_q21" -> (OQ.qTpchQ21 _),
+    // the adapted TPC-H remainder (graft.queries.TpchQueries)
+    "q_tpch_q2" -> (TQ.qTpchQ2 _),
+    "q_tpch_q4" -> (TQ.qTpchQ4 _),
+    "q_tpch_q6" -> (TQ.qTpchQ6 _),
+    "q_tpch_q7" -> (TQ.qTpchQ7 _),
+    "q_tpch_q8" -> (TQ.qTpchQ8 _),
+    "q_tpch_q9" -> (TQ.qTpchQ9 _),
+    "q_tpch_q10" -> (TQ.qTpchQ10 _),
+    "q_tpch_q11" -> (TQ.qTpchQ11 _),
+    "q_tpch_q12" -> (TQ.qTpchQ12 _),
+    "q_tpch_q13" -> (TQ.qTpchQ13 _),
+    "q_tpch_q14" -> (TQ.qTpchQ14 _),
+    "q_tpch_q15" -> (TQ.qTpchQ15 _),
+    "q_tpch_q16" -> (TQ.qTpchQ16 _),
+    "q_tpch_q19" -> (TQ.qTpchQ19 _),
+    "q_tpch_q20" -> (TQ.qTpchQ20 _),
+    "q_tpch_q22" -> (TQ.qTpchQ22 _),
     "q_salted_agg" -> (OQ.qSaltedAgg _),
     "q_agg_having_countdistinct" -> (OQ.qAggHavingCountDistinct _),
     "q_dedup_groupby" -> (OQ.qDedupGroupBy _),
@@ -127,5 +144,5 @@ object SparkEntry {
     * driver records a weaker rows-only check; those are covered by
     * ScalaTest specs instead. */
   def oracleSql: Map[String, String] =
-    OperatorOracles.all ++ graft.ext.ExtOracles.all
+    OperatorOracles.all ++ TpchOracles.all ++ graft.ext.ExtOracles.all
 }

@@ -110,4 +110,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"q_sim_pq_topk lacks WindowGroupLimit:\n$p")
     assert(!p.contains("CartesianProduct"), s"CartesianProduct in q_sim_pq_topk:\n$p")
   }
+
+  // --- adapted TPC-H remainder (TpchQueries) -------------------------------
+
+  test("TPC-H remainder: no accidental cartesian; dims broadcast") {
+    // q11/q15/q22 deliberately cross-join a broadcast 1-row scalar —
+    // excluded from the cartesian sweep, covered by the oracle instead
+    val crossFree = Seq("q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7",
+      "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q12", "q_tpch_q13",
+      "q_tpch_q14", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20")
+    for (q <- crossFree) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"CartesianProduct in $q:\n$p")
+    }
+    for (q <- Seq("q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+        "q_tpch_q10", "q_tpch_q14", "q_tpch_q16", "q_tpch_q19")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q has no broadcast join:\n$p")
+    }
+  }
+
+  test("TPC-H top-k (Q2/Q10) plans TakeOrderedAndProject, no global sort") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q10")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q sorts globally:\n$p")
+    }
+  }
+
+  test("Q19's disjunction pushes the per-branch hulls into both scans") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"q_tpch_q19 quantity hull not pushed to the lineitem scan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      s"q_tpch_q19 brand branch not pushed to the part scan:\n$p")
+  }
+
+  test("Q4's EXISTS decorrelates to a semi join with the lateness residual") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"q_tpch_q4 lost its semi join:\n$p")
+  }
+
+  test("Q22's NOT EXISTS decorrelates to an anti join") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), s"q_tpch_q22 lost its anti join:\n$p")
+  }
 }
