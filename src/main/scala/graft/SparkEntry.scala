@@ -131,6 +131,7 @@ object SparkEntry {
     "q_embed_pq_codes" -> (EQ.qEmbedPqCodes _),
     "q_sim_pq_topk" -> (EQ.qSimPqTopK _),
     "q_sim_near_dup" -> (EQ.qSimNearDup _),
+    "q_sim_clusters" -> (EQ.qSimClusters _),
     "q_profile_orders" -> (EQ.qProfileOrders _),
     "q_embed_quantize" -> (EQ.qEmbedQuantize _),
     "q_approx_aggs" -> (EQ.qApproxAggs _),

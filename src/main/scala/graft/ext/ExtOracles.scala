@@ -709,6 +709,41 @@ object ExtOracles {
         |    round(list_dot_product(va.v, vb.v)
         |      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos_sim
         |  FROM cand JOIN s va ON va.id = a_id JOIN s vb ON vb.id = b_id) t
-        |WHERE cos_sim >= 0.35""".stripMargin
+        |WHERE cos_sim >= 0.35""".stripMargin,
+
+    // the q_sim_near_dup pipeline + a recursive label-propagation CTE:
+    // the oracle replays LSH banding, exact-cosine verify, AND the
+    // transitive clustering the Spark side runs as HashMin rounds
+    "q_sim_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pc AS (SELECT j, i,
+        |         2 * (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              / pow(2, 60)) - 1 AS c
+        |       FROM (SELECT unnest(range(0, 16)) AS j) a
+        |       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b),
+        |planes AS (SELECT j, list(c ORDER BY i) AS plane FROM pc GROUP BY j),
+        |bits AS (SELECT id, j,
+        |           CASE WHEN list_dot_product(v, plane) >= 0 THEN 1 ELSE 0 END AS bit
+        |         FROM s CROSS JOIN planes),
+        |bk AS (SELECT id, j // 4 AS band, SUM(bit * (1 << (j % 4))) AS k
+        |       FROM bits GROUP BY id, j // 4),
+        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.k = b.k AND a.id < b.id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |      round(list_dot_product(va.v, vb.v)
+        |        / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos_sim
+        |    FROM cand JOIN s va ON va.id = a_id JOIN s vb ON vb.id = b_id) t
+        |  WHERE cos_sim >= 0.35),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.label FROM reach r JOIN edges e ON e.d = r.node)
+        |SELECT node, MIN(label) AS component FROM reach GROUP BY node""".stripMargin
   )
 }

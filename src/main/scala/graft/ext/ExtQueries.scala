@@ -130,6 +130,18 @@ object ExtQueries {
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, numPlanes = 16, rowsPerBand = 4)
 
+  /** Semantic dedup end to end: embedding near-dup pairs (hyperplane
+    * LSH + exact cosine verify) clustered with HashMin connected
+    * components — "keep one vector per semantic cluster", the
+    * embedding-space analog of the MinHash q_dedup_clusters chain.
+    * Every stage shuffles keyed (band buckets, then node id); the
+    * oracle replays the full composition, recursive CTE included. */
+  def qSimClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
+      threshold = 0.35, numPlanes = 16, rowsPerBand = 4)
+    Dedup.connectedComponents(pairs)
+  }
+
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     Curation.repetitionScore(Tables(spark, dir).documents)
 
