@@ -284,16 +284,22 @@ object Multimodal {
       val md = MessageDigest.getInstance("MD5")
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("png").next()
-      // dispose the reader's native/cached state once the partition's
-      // iterator is exhausted (a leak if the codec holds real buffers)
+      // dispose the reader's native/cached state no matter how the
+      // partition ends: normal exhaustion, an early stop (limit), or a
+      // decode throw — task-completion fires in all three
       var disposed = false
+      def dispose(): Unit = if (!disposed) { disposed = true; reader.dispose() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dispose()))
       new Iterator[MediaFeatures] {
         def hasNext: Boolean = {
           val h = rows.hasNext
-          if (!h && !disposed) { disposed = true; reader.dispose() }
+          if (!h) dispose()
           h
         }
-        def next(): MediaFeatures = MediaCodec.decode(md, reader, rows.next())
+        def next(): MediaFeatures =
+          try MediaCodec.decode(md, reader, rows.next())
+          catch { case e: Throwable => dispose(); throw e }
       }
     }
   }

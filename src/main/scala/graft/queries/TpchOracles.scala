@@ -219,8 +219,8 @@ object TpchOracles {
         |           / COUNT(*) / 100.0
         |    FROM sel WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey
-                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |          WHERE o_custkey = c_custkey
+        |            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY cntrycode""".stripMargin
   )
 }
