@@ -109,22 +109,33 @@ object Curation {
     * Token log-probs come from the corpus's own unigram counts; each
     * token's −ln p is rounded to 6dp and summed in integer
     * micro-units, so the per-doc mean is order-independent and
-    * engine-portable. Two keyed shuffles (vocab count, per-doc agg);
-    * the vocab join is a hash join on token. */
+    * engine-portable.
+    *
+    * Shape: occurrences collapse to (doc, token, cnt) FIRST — the
+    * partial-aggregated count runs map-side — and that compact table
+    * is localCheckpoint'd because it feeds two consumers (the vocab
+    * rollup and the per-doc join); without the materialization each
+    * branch would re-tokenize the whole corpus. Every later stage
+    * moves one row per distinct (doc, token) instead of one per
+    * occurrence: cnt · nll_micro (exact long arithmetic) restores the
+    * per-occurrence sum bit-for-bit. */
   def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tok_n"))
+    val counted = df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val vocab = counted.groupBy(col("token")).agg(sum(col("cnt")).as("tok_n"))
     val total = vocab.agg(sum(col("tok_n")).as("total_n"))
-    toks.join(vocab, Seq("token"))
+    counted.join(vocab, Seq("token"))
       .crossJoin(broadcast(total))
       .withColumn("nll_micro",
         round(-log(col("tok_n").cast(DoubleType) / col("total_n")) * 1e6, 0)
           .cast(LongType))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round((sum(col("nll_micro")) / 1e6) / count(lit(1)), 6).as("mean_nll"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round((sum(col("nll_micro") * col("cnt")) / 1e6) / sum(col("cnt")), 6)
+          .as("mean_nll"))
   }
 
   /** Corpus vocabulary: top-`k` tokens by frequency (ties break on the

@@ -52,20 +52,29 @@ object OperatorQueries {
   }
 
   /** TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
-    * revenue per order, top 10. Filters reach all three scans before
-    * the joins; lineitem⋈orders is the only fact-fact shuffle;
-    * TakeOrderedAndProject avoids a global sort. */
+    * revenue per order, top 10. Revenue is pre-aggregated by
+    * l_orderkey BEFORE the orders join: o_orderdate is functionally
+    * dependent on the join key, so group-then-join ≡ join-then-group,
+    * and the fact-fact shuffle moves one partial-agg row per order
+    * instead of every (price, discount) line. Filters reach all three
+    * scans; customer broadcasts; TakeOrderedAndProject avoids a
+    * global sort. */
   def qTpchQ3(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cutoff = to_timestamp(lit("1998-01-01 00:00:00"))
-    t.lineitem.filter(col("l_shipdate") > cutoff)
-      .join(t.orders.filter(col("o_orderdate") < cutoff),
+    val rev = t.lineitem.filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast(LongType)).as("rev_e4"))
+    rev
+      .join(t.orders.filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+      .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")),
         col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
-        .cast(LongType)) / 100.0).as("revenue_x100"))
+      .select(col("l_orderkey"), col("o_orderdate"),
+        (col("rev_e4") / 100.0).as("revenue_x100"))
       .orderBy(col("revenue_x100").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -139,28 +148,38 @@ object OperatorQueries {
   }
 
   /** TPC-H Q21 shape (suppliers who kept 'F' orders waiting): the
-    * EXISTS becomes a left-semi join, the NOT EXISTS a left-anti join
-    * — Spark's native decorrelated forms, no subquery re-execution.
+    * EXISTS/NOT EXISTS pair collapses into one pass — a late row
+    * survives iff its order has >1 distinct supplier (EXISTS another
+    * line) and exactly 1 distinct LATE supplier (NOT EXISTS another
+    * late line). Instead of a semi join + anti join that scan
+    * lineitem three times, lineitem joins orders ONCE and a two-level
+    * aggregation ((orderkey, suppkey) then orderkey — partial-agg
+    * map-side, no count-distinct Expand) derives both existence
+    * facts; since the qualifying order has a single late supplier,
+    * max(late suppkey) recovers it and sum(late rows) preserves the
+    * original per-row count(*) multiplicity. All three shuffles share
+    * the orderkey clustering until the final broadcast to supplier.
     * "Late" is shipped >90 days after the order date (the synthetic
-    * schema has no receipt/commit dates). Both correlated probes join
-    * on l_orderkey — the same shuffle key — so the semi and anti
-    * stages reuse the clustering. */
+    * schema has no receipt/commit dates). */
   def qTpchQ21(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val late = t.lineitem
-      .join(t.orders.filter(col("o_orderstatus") === "F"),
+    val li = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .select("l_orderkey", "l_suppkey")
-    val others = t.lineitem.select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
-    val lateOthers = late.select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
-    late
-      .join(others, col("l_orderkey") === col("lo") &&
-        col("l_suppkey") =!= col("ls"), "left_semi")
-      .join(lateOthers, col("l_orderkey") === col("lo") &&
-        col("l_suppkey") =!= col("ls"), "left_anti")
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .withColumn("is_late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .cast(LongType))
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("is_late")).as("late_rows"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum((col("late_rows") > 0).cast(LongType)).as("n_late_supp"),
+        sum(col("late_rows")).as("n_late_rows"),
+        max(when(col("late_rows") > 0, col("l_suppkey"))).as("late_supp"))
+    perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(broadcast(t.supplier), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(sum(col("n_late_rows")).as("numwait"))
   }
 
   /** Two-phase salted aggregation under the oracle: lineitem grouped

@@ -99,7 +99,7 @@ object TpchQueries {
     * the shipment year. */
   def qTpchQ7(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val names = Seq("NATION_1", "NATION_2")
+    val names = Seq("NATION_13", "NATION_19")
     val n1 = t.nation.filter(col("n_name").isin(names: _*))
       .select(col("n_nationkey").as("n1key"), col("n_name").as("supp_nation"))
     val n2 = t.nation.filter(col("n_name").isin(names: _*))
@@ -112,8 +112,8 @@ object TpchQueries {
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19") ||
+              (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg((sum(discPriceX1e4) / 100.0).as("revenue_x100"))

@@ -99,10 +99,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"q_tpch_q17 has no broadcast join:\n$p")
   }
 
-  test("Q21 decorrelates EXISTS/NOT EXISTS into semi/anti joins") {
+  test("Q21's one-pass rewrite: single lineitem scan, no semi/anti joins") {
     val p = plan("q_tpch_q21")
-    assert(p.contains("LeftSemi"), s"q_tpch_q21 lost its semi join:\n$p")
-    assert(p.contains("LeftAnti"), s"q_tpch_q21 lost its anti join:\n$p")
+    // the EXISTS/NOT EXISTS pair is folded into the two-level agg, so
+    // the plan must not re-scan lineitem for semi/anti probes
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"q_tpch_q21 regressed to semi/anti probe joins:\n$p")
+    val lineitemScans = "lineitem".r.findAllIn(
+      "Location.*".r.findAllIn(p).mkString("\n")).size
+    assert(lineitemScans <= 1, s"q_tpch_q21 scans lineitem ${lineitemScans}x:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q_tpch_q21 supplier join not broadcast:\n$p")
   }
 
   test("PQ top-k pushes a partial WindowGroupLimit; no cartesian product") {
