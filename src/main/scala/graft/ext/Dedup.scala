@@ -168,9 +168,17 @@ object Dedup {
     val cand = lshCandidates(sigs, numHashes, rowsPerBand, idCol)
       .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val shB = sh.select(col(idCol).as("b_id2"), col("gram").as("gram_b"))
+    // The candidate set is sparse by construction (that's the point of
+    // LSH): semi-filter the trigram table to candidate docs BEFORE the
+    // (b_id, gram) intersection join, so only candidate docs' grams
+    // reach it instead of every shingle row. No forced broadcast —
+    // AQE sees the candidate set's runtime size and picks broadcast
+    // itself when it is small (a loose threshold can make it huge).
+    val shB = sh.join(cand.select(col("b_id").as("b_id2")).distinct(),
+        col(idCol) === col("b_id2"), "left_semi")
+      .select(col(idCol).as("b_id2"), col("gram").as("gram_b"))
     val pairGrams =
-      cand.join(sh.select(col(idCol).as("a_id"), col("gram")), "a_id")
+      sh.select(col(idCol).as("a_id"), col("gram")).join(cand, "a_id")
     val shared = pairGrams
       .join(shB, col("b_id") === col("b_id2") && col("gram") === col("gram_b"))
       .groupBy("a_id", "b_id", "n_shared_bands")
@@ -217,6 +225,21 @@ object Dedup {
     // the label side shuffles on node id each round while locally AQE
     // just broadcasts it.
     val p = pairs.localCheckpoint()
+    // Size the iteration's shuffle parallelism to the MEASURED edge
+    // count (the count is free — p is already materialized). AQE
+    // coalesces tiny shuffles inside one query, but localCheckpoint
+    // pins each round's partitioning, so without this a sparse
+    // candidate graph pays full-width task scheduling every round.
+    // ~100k edges per partition; at 100 TB the quotient exceeds the
+    // session default and the cap keeps the configured width.
+    val spark = pairs.sparkSession
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nEdges = p.count()
+    val parts = math.min(defaultParts,
+      math.max(1L, nEdges / 100000L).toInt)
+    if (parts < defaultParts)
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     var labels = p.select(col(aCol).as("node"))
       .unionAll(p.select(col(bCol).as("node")))
       .distinct().withColumn("component", col("node")).localCheckpoint()
@@ -263,6 +286,10 @@ object Dedup {
       iter += 1
     }
     labels
+    } finally {
+      if (parts < defaultParts)
+        spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+    }
   }
 
   /** Content-defined chunking (CDC) over tokens: a chunk boundary
