@@ -113,6 +113,8 @@ object SparkEntry {
     "q_vocab_topk" -> (EQ.qVocabTopk _),
     "q_source_quality" -> (EQ.qSourceQuality _),
     "q_unigram_logprob" -> (EQ.qUnigramLogprob _),
+    "q_pack_chunks" -> (EQ.qPackChunks _),
+    "q_zorder_key" -> (EQ.qZorderKey _),
     "q_dedup_exact" -> (EQ.qDedupExact _),
     "q_dedup_ngram_jaccard" -> (EQ.qDedupNgramJaccard _),
     "q_dedup_minhash_sig" -> (EQ.qDedupMinhashSig _),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -147,4 +148,37 @@ object Curation {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Concat-and-chunk sequence packing — the LLM-pretraining layout:
+    * documents are concatenated into one token stream and cut into
+    * fixed `contextLen` windows, so no window is padded and a document
+    * may span adjacent chunks. Returns each document's placement:
+    * its token interval [tok_start, tok_end) in the stream and the
+    * first/last chunk it lands in plus its offset inside the first.
+    *
+    * Scale shape: a single global stream would serialize the running
+    * sum through one window partition, so the corpus is hash-sharded
+    * FIRST (deterministic portable-md5 shard, like [[hashSplit]]) and
+    * each shard packs its own stream independently — the window is
+    * per-shard, chunk ids are globally unique as (shard, chunk), and
+    * 1000 executors pack 1000 shards with no coordination. Empty
+    * documents are dropped (they occupy no tokens). BPE-ish token
+    * counts come from [[TextAnalysis.bpeTokenCount]]; every step is
+    * integer arithmetic, so a DuckDB oracle replays the packing
+    * exactly. */
+  def packChunks(df: DataFrame, contextLen: Int = 512, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shard = (Dedup.portableHash60(
+      concat(lit("pack|"), col(idCol).cast(StringType))) % nShards)
+      .cast(IntegerType)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), shard.as("shard"),
+        TextAnalysis.bpeTokenCount(col(textCol)).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tok"))
+      .withColumn("first_chunk", floor(col("tok_start") / contextLen))
+      .withColumn("last_chunk", floor((col("tok_end") - 1) / contextLen))
+      .withColumn("chunk_offset", col("tok_start") % contextLen)
+  }
 }

@@ -744,6 +744,42 @@ object ExtOracles {
         |  SELECT DISTINCT s, s FROM edges
         |  UNION
         |  SELECT e.s, r.label FROM reach r JOIN edges e ON e.d = r.node)
-        |SELECT node, MIN(label) AS component FROM reach GROUP BY node""".stripMargin
+        |SELECT node, MIN(label) AS component FROM reach GROUP BY node""".stripMargin,
+
+    // concat-and-chunk packing: per-shard running token sum replayed
+    // with the same portable md5 shard and BPE-ish token count; the
+    // windowed SUM is cast to BIGINT (DuckDB widens to HUGEINT)
+    "q_pack_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS tok_end
+        |  FROM base WHERE n_tok > 0)
+        |SELECT doc_id, shard, n_tok, tok_end,
+        |  tok_end - n_tok AS tok_start,
+        |  CAST(floor(CAST(tok_end - n_tok AS DOUBLE) / 512) AS BIGINT) AS first_chunk,
+        |  CAST(floor(CAST(tok_end - 1 AS DOUBLE) / 512) AS BIGINT) AS last_chunk,
+        |  (tok_end - n_tok) % 512 AS chunk_offset
+        |FROM packed""".stripMargin,
+
+    // Morton dilation replayed as the same 4-round shift/mask cascade
+    "q_zorder_key" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    l_partkey % 65536 AS x, l_orderkey % 65536 AS y
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |r1 AS (SELECT l_orderkey, l_linenumber,
+        |    (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y FROM base),
+        |r2 AS (SELECT l_orderkey, l_linenumber,
+        |    (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y FROM r1),
+        |r3 AS (SELECT l_orderkey, l_linenumber,
+        |    (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM r2),
+        |r4 AS (SELECT l_orderkey, l_linenumber,
+        |    (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM r3)
+        |SELECT l_orderkey, l_linenumber, x | (y << 1) AS zv FROM r4""".stripMargin
   )
 }

@@ -247,4 +247,24 @@ object ExtQueries {
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents)),
       stride = 2).toDF()
+
+  /** Concat-and-chunk sequence packing of the document corpus into
+    * 512-token context windows across 8 hash shards (per-shard window
+    * = no global serial pass; see [[Curation.packChunks]]). */
+  def qPackChunks(spark: SparkSession, dir: String): DataFrame =
+    Curation.packChunks(Tables(spark, dir).documents,
+      contextLen = 512, nShards = 8)
+
+  /** Z-order (Morton) codes over a 2-d key — the multi-dimensional
+    * layout key [[graft.operators.ZOrder.writeZOrdered]] sorts by.
+    * Pure codegen'd bit arithmetic, replayed bit-for-bit by the
+    * DuckDB oracle. */
+  def qZorderKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    Tables(spark, dir).lineitem
+      .filter(col("l_partkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ZOrder.zValue(pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_orderkey"), lit(65536))).as("zv"))
+  }
 }
