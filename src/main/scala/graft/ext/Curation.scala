@@ -114,11 +114,13 @@ object Curation {
     *
     * Shape: occurrences collapse to (doc, token, cnt) FIRST — the
     * partial-aggregated count runs map-side — and that compact table
-    * is localCheckpoint'd because it feeds two consumers (the vocab
-    * rollup and the per-doc join); without the materialization each
-    * branch would re-tokenize the whole corpus. Every later stage
-    * moves one row per distinct (doc, token) instead of one per
-    * occurrence: cnt · nll_micro (exact long arithmetic) restores the
+    * is localCheckpoint'd because it feeds THREE consumers (the vocab
+    * rollup, the grand total, and the per-doc join) whose exchanges
+    * are not identical subtrees, so ReuseExchange does not dedupe
+    * them (verified: without the materialization the plan scans and
+    * re-tokenizes the corpus three times). Every later stage moves
+    * one row per distinct (doc, token) instead of one per occurrence:
+    * cnt · nll_micro (exact long arithmetic) restores the
     * per-occurrence sum bit-for-bit. */
   def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
