@@ -69,6 +69,7 @@ object SparkEntry {
     "q_date_funcs" -> (SQ.qDateFuncs _),
     "q_age_composite" -> (SQ.qAgeComposite _),
     "q_haversine" -> (SQ.qHaversine _),
+    "q_geo_radius" -> (SQ.qGeoRadius _),
     "q_events_hourly" -> (SQ.qEventsHourly _),
     // analytics breadth (rollup/cube/sets, set ops, pivot, percentiles…)
     "q_rollup" -> (AQ.qRollup _),

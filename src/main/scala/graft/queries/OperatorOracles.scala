@@ -300,6 +300,23 @@ object OperatorOracles {
         |    END AS INTEGER) AS age
         |FROM b""".stripMargin,
 
+    "q_geo_radius" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 120) - 60 + 0.25 AS lat,
+        |    (c_custkey % 300) - 150 + 0.5 AS lon
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  round(3958.7613 * 2 * asin(sqrt(
+        |    pow(sin(radians(10.25 - lat) / 2), 2)
+        |    + cos(radians(lat)) * cos(radians(10.25)) * pow(sin(radians(20.5 - lon) / 2), 2)
+        |  )), 4) AS dist_mi
+        |FROM pts
+        |WHERE 3958.7613 * 2 * asin(sqrt(
+        |    pow(sin(radians(10.25 - lat) / 2), 2)
+        |    + cos(radians(lat)) * cos(radians(10.25)) * pow(sin(radians(20.5 - lon) / 2), 2)
+        |  )) <= 3000.0""".stripMargin,
+
     "q_haversine" ->
       """WITH pts AS (
         |  SELECT c_custkey,

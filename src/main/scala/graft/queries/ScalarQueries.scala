@@ -105,6 +105,30 @@ object ScalarQueries {
       .withColumn("proximity", when(col("dist_mi") > 10, "far").otherwise("near"))
   }
 
+  /** Geo radius search through the [[graft.expressions.StDWithin]]
+    * marker predicate + [[graft.plans.RewriteStDWithin]] optimizer
+    * rule: the rule (registered here via extraOptimizations for
+    * sessions built without GraftExtensions) expands the predicate
+    * into a literal bounding box — pushdown-able comparisons on the
+    * point columns — AND the exact codegen'd haversine residual, so
+    * only box rows pay the transcendentals. The oracle filters on the
+    * plain haversine compare: the rewrite must not change a single
+    * row. */
+  def qGeoRadius(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteStDWithin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteStDWithin
+    val t = Tables(spark, dir)
+    val lat = (col("c_custkey") % 120) - 60 + 0.25
+    val lon = (col("c_custkey") % 300) - 150 + 0.5
+    t.customer.select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+      .filter(graft.expressions.StDWithin.stDWithin(
+        col("lat"), col("lon"), lit(10.25), lit(20.5), lit(3000.0)))
+      .select(col("c_custkey"),
+        round(haversineMiles(col("lat"), col("lon"), lit(10.25), lit(20.5)), 4)
+          .as("dist_mi"))
+  }
+
   /** §2.4-adjacent stats pack: min/max/count/count-distinct + exact avg
     * via integer cents. */
   def qAggStats(spark: SparkSession, dir: String): DataFrame =

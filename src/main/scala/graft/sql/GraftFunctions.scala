@@ -60,7 +60,11 @@ object GraftFunctions {
     "date_diff_years" -> dateDiffYears _,
     // native codegen'd ANN hot-loop (graft.expressions.DotProduct)
     "dot_product" -> ((args: Seq[Expression]) =>
-      graft.expressions.DotProduct(args(0), args(1))))
+      graft.expressions.DotProduct(args(0), args(1))),
+    // geo radius predicate; RewriteStDWithin expands it to a pushed
+    // bounding box + exact residual (graft.plans.GeoRules)
+    "st_dwithin" -> ((args: Seq[Expression]) =>
+      graft.expressions.StDWithin(args(0), args(1), args(2), args(3), args(4))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =
@@ -74,9 +78,12 @@ object GraftFunctions {
   * injection path for sessions created with the functions from the
   * start. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.sql.GraftFunctions", name), builder))
     }
+    // geo radius predicate → pushed bounding box + exact residual
+    e.injectOptimizerRule(_ => graft.plans.RewriteStDWithin)
+  }
 }

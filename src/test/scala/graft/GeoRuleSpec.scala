@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.StDWithin
+import graft.functions.BqFunctions
+import graft.plans.RewriteStDWithin
+
+/** The st_dwithin geo-radius rewrite: marker predicate → literal
+  * bounding box (pushed to the parquet scan) + exact codegen'd
+  * residual, with identical results rule-on and rule-off. */
+class GeoRuleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    val had = spark.experimental.extraOptimizations.contains(RewriteStDWithin)
+    if (!had) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteStDWithin
+    try f
+    finally if (!had) spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteStDWithin)
+  }
+
+  private lazy val ptsPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-geo").toString
+    // deterministic point cloud with REAL stored lat/lon columns (so
+    // the box comparisons are scan-pushable, unlike computed columns);
+    // co-prime multipliers decorrelate the dims (a shared id modulus
+    // would collapse the cloud onto a sparse diagonal lattice)
+    spark.range(20000).select(col("id"),
+        ((col("id") * 37 % 2400) / 20.0 - 60 + 0.025).as("lat"),
+        ((col("id") * 101 % 6000) / 20.0 - 150 + 0.025).as("lon"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def radius(latC: Double, lonC: Double, r: Double) =
+    spark.read.parquet(ptsPath).filter(StDWithin.stDWithin(
+      col("lat"), col("lon"), lit(latC), lit(lonC), lit(r)))
+
+  test("rewrite pushes the bounding box into the parquet scan") {
+    // default 100-char metadata truncation cuts the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val (plan, n) = try withRule {
+      val df = radius(10.25, 20.5, 500.0)
+      (df.queryExecution.executedPlan.toString, df.count())
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(!plan.contains("StDWithin") && !plan.contains("st_dwithin"),
+      s"marker predicate not rewritten:\n$plan")
+    // box legs reach PushedFilters on both coordinates
+    def pushed(c: String): Boolean =
+      s"PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\($c".r.findFirstIn(plan).isDefined
+    assert(pushed("lat"), s"lat bound not pushed:\n$plan")
+    assert(pushed("lon"), s"lon bound not pushed:\n$plan")
+    // exact residual survives (ASIN of the haversine formula)
+    assert(plan.contains("ASIN"), s"exact residual missing:\n$plan")
+    assert(n > 0, "radius query returned no rows")
+  }
+
+  test("rule-on and rule-off return identical rows") {
+    val on = withRule(radius(10.25, 20.5, 1234.5).collect()).map(_.getLong(0)).sorted
+    val off = radius(10.25, 20.5, 1234.5).collect().map(_.getLong(0)).sorted
+    assert(on.sameElements(off), "rewrite changed the result set")
+    // and both match the plain built-in haversine filter
+    val exact = spark.read.parquet(ptsPath)
+      .filter(BqFunctions.haversineMiles(col("lat"), col("lon"),
+        lit(10.25), lit(20.5)) <= 1234.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(on.sameElements(exact), "st_dwithin diverges from haversineMiles")
+  }
+
+  test("pole-crossing and antimeridian boxes are left as the exact fallback") {
+    withRule {
+      for ((la, lo) <- Seq((88.0, 0.0), (0.0, 179.5))) {
+        val plan = radius(la, lo, 500.0).queryExecution.executedPlan.toString
+        assert(plan.contains("stdwithin") || plan.contains("StDWithin"),
+          s"unsafe box ($la,$lo) was rewritten:\n$plan")
+      }
+    }
+  }
+
+  test("the box is conservative: every circle member is inside it") {
+    // 3000-mile radius at mid latitude — box must be a superset
+    val inCircle = radius(45.25, 10.5, 3000.0)
+    val boxed = withRule(radius(45.25, 10.5, 3000.0).collect()).length
+    assert(inCircle.count() === boxed.toLong)
+  }
+}
