@@ -2,10 +2,10 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
 
 /** `st_dwithin(lat1, lon1, lat2, lon2, radius_miles)` — true when the
   * haversine distance between the two points is ≤ the radius.
@@ -24,20 +24,28 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   */
 case class StDWithin(lat1: Expression, lon1: Expression,
     lat2: Expression, lon2: Expression, radiusMiles: Expression)
-  extends Expression with CodegenFallback {
+  extends Expression with ImplicitCastInputTypes with CodegenFallback {
 
   override def children: Seq[Expression] =
     Seq(lat1, lon1, lat2, lon2, radiusMiles)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
+  /** Analyzer-inserted casts: plain SQL fractional literals parse as
+    * DECIMAL (which is NOT a java.lang.Number subclass internally) and
+    * ints as INT — declaring DoubleType inputs makes every surface
+    * (SQL text, Column API, shim) reach eval with doubles, and makes
+    * [[graft.plans.RewriteStDWithin]]'s DoubleType-literal pattern
+    * match after constant folding collapses the casts. */
+  // return type inferred — AbstractDataType is private[sql]
+  override def inputTypes = Seq.fill(5)(DoubleType)
+
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null
     else {
-      // numeric inputs of any width; doubles expected on hot paths
-      val Seq(a1, o1, a2, o2, r) =
-        vs.map(_.asInstanceOf[Number].doubleValue())
+      // post-analysis children are DoubleType (inputTypes above)
+      val Seq(a1, o1, a2, o2, r) = vs.map(_.asInstanceOf[Double])
       StDWithin.haversineMiles(a1, o1, a2, o2) <= r
     }
   }

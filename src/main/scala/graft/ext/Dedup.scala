@@ -224,22 +224,36 @@ object Dedup {
     // leaves edges hash-clustered for the per-round joins; at 100 TB
     // the label side shuffles on node id each round while locally AQE
     // just broadcasts it.
-    val p = pairs.localCheckpoint()
+    val p0 = pairs.localCheckpoint()
     // Size the iteration's shuffle parallelism to the MEASURED edge
-    // count (the count is free — p is already materialized). AQE
+    // count (the count is free — p0 is already materialized). AQE
     // coalesces tiny shuffles inside one query, but localCheckpoint
     // pins each round's partitioning, so without this a sparse
     // candidate graph pays full-width task scheduling every round.
     // ~100k edges per partition; at 100 TB the quotient exceeds the
     // session default and the cap keeps the configured width.
-    val spark = pairs.sparkSession
-    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nEdges = p.count()
+    // The reduced width lives in a CHILD session (newSession: same
+    // SparkContext and data, separate SQLConf) — mutating the
+    // caller's spark.sql.shuffle.partitions would silently re-width
+    // any concurrent query on the shared session, and restoring it
+    // in finally would clobber a concurrent conf change. The edge
+    // RDD is already checkpointed, so re-wrapping it in the child
+    // session costs one row conversion of a 2-column id table.
+    val callerSession = pairs.sparkSession
+    val defaultParts =
+      callerSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nEdges = p0.count()
     val parts = math.min(defaultParts,
       math.max(1L, nEdges / 100000L).toInt)
-    if (parts < defaultParts)
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    val isolated = parts < defaultParts
+    val spark = if (isolated) {
+      val s = callerSession.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s
+    } else callerSession
+    val p =
+      if (isolated) spark.createDataFrame(p0.rdd, p0.schema).localCheckpoint()
+      else p0
     var labels = p.select(col(aCol).as("node"))
       .unionAll(p.select(col(bCol).as("node")))
       .distinct().withColumn("component", col("node")).localCheckpoint()
@@ -285,11 +299,10 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
-    labels
-    } finally {
-      if (parts < defaultParts)
-        spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
-    }
+    // hand the result back on the CALLER's session (checkpointed, so
+    // the re-wrap reads materialized rows, not the loop's lineage)
+    if (isolated) callerSession.createDataFrame(labels.rdd, labels.schema)
+    else labels
   }
 
   /** Content-defined chunking (CDC) over tokens: a chunk boundary

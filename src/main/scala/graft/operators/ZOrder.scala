@@ -46,10 +46,31 @@ object ZOrder {
     * a tight 2-d bounding box. `files` controls layout granularity
     * (at scale: one file per executor-sized slice). A repartitionRange
     * by z is one extra shuffle at write time; every 2-d range query
-    * after it prunes files by footer stats. */
+    * after it prunes files by footer stats.
+    *
+    * Both dimensions are quantized HERE onto the 16-bit grid from
+    * their observed min/max (one pre-pass aggregate — at 100 TB a
+    * column-pruned scan of two columns, or free if the caller's
+    * catalog already has stats). Feeding raw keys into [[spread16]]
+    * would alias values mod 65536 (e.g. an orderkey of 65537 lands
+    * next to 1), silently destroying the per-file bounding-box
+    * property this API exists for; quantization is monotone per dim,
+    * so already-gridded 0..65535 inputs keep their order. */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
       path: String, files: Int = 16): Unit = {
-    val z = zValue(col(xCol), col(yCol)).as("zv")
+    val xd = col(xCol).cast(DoubleType)
+    val yd = col(yCol).cast(DoubleType)
+    val b = df.agg(min(xd), max(xd), min(yd), max(yd)).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input or all-null dims: nothing to order on
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    def q(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo) quantize16(c, lo, hi) else lit(0L)
+    val z = zValue(
+      q(xd, b.getDouble(0), b.getDouble(1)),
+      q(yd, b.getDouble(2), b.getDouble(3)))
     df.withColumn("zv", z)
       .repartitionByRange(files, col("zv"))
       .sortWithinPartitions(col("zv"))

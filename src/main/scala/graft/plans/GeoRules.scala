@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 import graft.expressions.StDWithin
@@ -38,8 +38,19 @@ object RewriteStDWithin extends Rule[LogicalPlan] {
 
   private val MilesPerDegree = 69.0 // < π/180 · 3958.7613 = 69.086…
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+  /** Filter conditions ONLY: `And(box, exact)` and the marker agree
+    * under WHERE (null ≡ row dropped) but differ as a VALUE — with
+    * lat outside the box and lon null the marker is null while the
+    * rewritten form is false. A projected/CASE'd st_dwithin therefore
+    * keeps the marker's exact 3-valued eval. */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f: Filter =>
+      val rewritten = rewriteCondition(f.condition)
+      if (rewritten fastEquals f.condition) f else f.copy(condition = rewritten)
+  }
+
+  private def rewriteCondition(cond: Expression): Expression =
+    cond.transform {
       case sd @ StDWithin(lat, lon,
           Literal(clat: Double, DoubleType),
           Literal(clon: Double, DoubleType),

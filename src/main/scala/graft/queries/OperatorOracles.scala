@@ -315,7 +315,7 @@ object OperatorOracles {
         |WHERE 3958.7613 * 2 * asin(sqrt(
         |    pow(sin(radians(10.25 - lat) / 2), 2)
         |    + cos(radians(lat)) * cos(radians(10.25)) * pow(sin(radians(20.5 - lon) / 2), 2)
-        |  )) <= 3000.0""".stripMargin,
+        |  )) <= 3500.0""".stripMargin,
 
     "q_haversine" ->
       """WITH pts AS (

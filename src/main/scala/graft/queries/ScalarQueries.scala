@@ -107,23 +107,26 @@ object ScalarQueries {
 
   /** Geo radius search through the [[graft.expressions.StDWithin]]
     * marker predicate + [[graft.plans.RewriteStDWithin]] optimizer
-    * rule: the rule (registered here via extraOptimizations for
-    * sessions built without GraftExtensions) expands the predicate
-    * into a literal bounding box — pushdown-able comparisons on the
-    * point columns — AND the exact codegen'd haversine residual, so
-    * only box rows pay the transcendentals. The oracle filters on the
-    * plain haversine compare: the rewrite must not change a single
-    * row. */
+    * rule: the rule expands the predicate into a literal bounding
+    * box — pushdown-able comparisons on the point columns — AND the
+    * exact codegen'd haversine residual, so only box rows pay the
+    * transcendentals. The rule is registered at session BUILD
+    * (GraftExtensions / Verify / Bench), never here: a query function
+    * mutating the shared session's extraOptimizations would leak the
+    * rule into unrelated queries and tests. On a session without the
+    * rule this is still exactly correct — just unindexed (the
+    * marker's own eval). The oracle filters on the plain haversine
+    * compare: the rewrite must not change a single row. */
   def qGeoRadius(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteStDWithin))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RewriteStDWithin
     val t = Tables(spark, dir)
     val lat = (col("c_custkey") % 120) - 60 + 0.25
     val lon = (col("c_custkey") % 300) - 150 + 0.5
     t.customer.select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
       .filter(graft.expressions.StDWithin.stDWithin(
-        col("lat"), col("lon"), lit(10.25), lit(20.5), lit(3000.0)))
+        // 3500 mi: the sf0.001 lon grid is all-negative (custkey ≤ 150
+        // → lon ≤ 0.5) and its nearest point is 3157 mi out — a 3000
+        // radius matches nothing at smoke SF
+        col("lat"), col("lon"), lit(10.25), lit(20.5), lit(3500.0)))
       .select(col("c_custkey"),
         round(haversineMiles(col("lat"), col("lon"), lit(10.25), lit(20.5)), 4)
           .as("dist_mi"))

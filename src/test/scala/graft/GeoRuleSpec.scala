@@ -22,6 +22,15 @@ class GeoRuleSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == RewriteStDWithin)
   }
 
+  /** Rule-off baseline: strip ANY pre-existing registration (another
+    * suite may share this session), restore after. */
+  private def withoutRule[T](f: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == RewriteStDWithin)
+    try f finally spark.experimental.extraOptimizations = saved
+  }
+
   private lazy val ptsPath: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-geo").toString
     // deterministic point cloud with REAL stored lat/lon columns (so
@@ -60,7 +69,7 @@ class GeoRuleSpec extends AnyFunSuite {
 
   test("rule-on and rule-off return identical rows") {
     val on = withRule(radius(10.25, 20.5, 1234.5).collect()).map(_.getLong(0)).sorted
-    val off = radius(10.25, 20.5, 1234.5).collect().map(_.getLong(0)).sorted
+    val off = withoutRule(radius(10.25, 20.5, 1234.5).collect()).map(_.getLong(0)).sorted
     assert(on.sameElements(off), "rewrite changed the result set")
     // and both match the plain built-in haversine filter
     val exact = spark.read.parquet(ptsPath)
@@ -80,10 +89,46 @@ class GeoRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-surface st_dwithin: decimal/int literals implicit-cast to double") {
+    // plain SQL fractional literals parse as DECIMAL and whole ones as
+    // INT — inputTypes on StDWithin must cast them (a raw eval would
+    // ClassCastException on Decimal) and, after constant folding, the
+    // rewrite rule must still match the folded double literals
+    graft.sql.GraftFunctions.register(spark)
+    spark.read.parquet(ptsPath).createOrReplaceTempView("geo_pts")
+    def sqlCount(pred: String): Long = spark.sql(
+      s"SELECT count(*) AS n FROM geo_pts WHERE $pred").head().getLong(0)
+    val exact = radius(10.25, 20.5, 3000.0).count()
+    assert(sqlCount("st_dwithin(lat, lon, 10.25, 20.5, 3000.0)") === exact,
+      "decimal literals diverge from Column-API path")
+    assert(sqlCount("st_dwithin(lat, lon, 10.25, 20.5, 3000)") === exact,
+      "int radius literal diverges")
+    // the rewrite fires on the SQL path too (casts fold to doubles)
+    withRule {
+      val plan = spark.sql(
+        "SELECT * FROM geo_pts WHERE st_dwithin(lat, lon, 10.25, 20.5, 3000.0)")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("StDWithin") && !plan.contains("st_dwithin"),
+        s"SQL decimal literals kept the marker unrewritten:\n$plan")
+    }
+  }
+
+  test("projected st_dwithin keeps 3-valued null semantics (no rewrite)") {
+    // as a VALUE (not a WHERE leg) the marker must stay: with lat
+    // outside the box and lon NULL the answer is NULL, not false
+    import spark.implicits._
+    val df = Seq((89.9, Option.empty[Double])).toDF("la", "lo")
+      .select(StDWithin.stDWithin(col("la"), col("lo"),
+        lit(10.25), lit(20.5), lit(100.0)).as("within"))
+    val got = withRule(df.collect())
+    assert(got.length === 1 && got(0).isNullAt(0),
+      "projected st_dwithin with a null coordinate must be NULL")
+  }
+
   test("the box is conservative: every circle member is inside it") {
     // 3000-mile radius at mid latitude — box must be a superset
-    val inCircle = radius(45.25, 10.5, 3000.0)
+    val inCircle = withoutRule(radius(45.25, 10.5, 3000.0).count())
     val boxed = withRule(radius(45.25, 10.5, 3000.0).collect()).length
-    assert(inCircle.count() === boxed.toLong)
+    assert(inCircle === boxed.toLong)
   }
 }
