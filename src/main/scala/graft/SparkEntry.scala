@@ -111,6 +111,10 @@ object SparkEntry {
     "q_hash_split" -> (EQ.qHashSplit _),
     "q_stratified_sample" -> (EQ.qStratifiedSample _),
     "q_contamination" -> (EQ.qContamination _),
+    "q_gopher_filters" -> (EQ.qGopherFilters _),
+    "q_data_mixture" -> (EQ.qDataMixture _),
+    "q_bm25_topk" -> (EQ.qBm25Topk _),
+    "q_semantic_dedup" -> (EQ.qSemanticDedup _),
     "q_vocab_topk" -> (EQ.qVocabTopk _),
     "q_source_quality" -> (EQ.qSourceQuality _),
     "q_unigram_logprob" -> (EQ.qUnigramLogprob _),

@@ -65,6 +65,75 @@ object Curation {
     df.filter(Dedup.portableHash60(
       concat(lit("sample|"), col(idCol).cast(StringType))) % 1000 < permille)
 
+  /** Gopher-style document quality gate (cf. the published Gopher /
+    * C4 rule sets): per-document word count, mean word length,
+    * alphabetic-token ratio, symbol ratio, and stopword presence,
+    * each thresholded, `keep` = conjunction. Every metric is a
+    * per-row array/string fact — the whole gate is one narrow
+    * map-side pass at scan speed, the shape a 100 TB pre-filter must
+    * have (it runs BEFORE any shuffle-bearing dedup). Thresholds are
+    * parameters; the defaults produce a meaningful split on the
+    * synthetic corpus. */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+      minTokens: Int = 40, maxTokens: Int = 5000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaRatio: Double = 0.8, maxSymbolRatio: Double = 0.1,
+      minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = TextAnalysis.tokens(t)
+    val norm = TextAnalysis.normalize(t)
+    val nTok = greatest(col("n_tokens"), lit(1))
+    df.withColumn("n_tokens", size(toks))
+      // token chars = normalized text minus its single spaces — avoids
+      // an interpreted aggregate() fold over the token array
+      .withColumn("mean_word_len", round(
+        length(translate(norm, " ", "")).cast(DoubleType) / nTok, 6))
+      .withColumn("alpha_ratio", round(
+        size(filter(toks, x => x.rlike("[a-z]"))).cast(DoubleType) / nTok, 6))
+      .withColumn("symbol_ratio", round(
+        (length(t) - length(regexp_replace(t, "[.!?,;:]", "")))
+          .cast(DoubleType) / nTok, 6))
+      .withColumn("n_stopwords",
+        size(filter(toks, x => x.isin(TextAnalysis.EnStop: _*))))
+      .withColumn("r_wordcount", col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_meanlen", col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("r_alpha", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("r_symbol", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("r_stop", col("n_stopwords") >= minStopwords)
+      .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+        col("r_alpha") && col("r_symbol") && col("r_stop"))
+  }
+
+  /** Deterministic mixture resampling: given target mixture weights
+    * per source, accept each row with probability
+    * rate(s) = (w_s/share_s) / max_t(w_t/share_t) — the maximal
+    * subsample whose source distribution hits the target mixture
+    * (the source at the max retains everything). Acceptance is a
+    * portable-md5 coin on the row id: reproducible across engines
+    * and reruns, no RNG state — the property corpus re-mixes need.
+    *
+    * Scale: per-source counts are one partial-aggregated groupBy on a
+    * LOW-cardinality key (sources, not rows); the 20-row rate table
+    * computes its windows locally and broadcast-joins back, so the
+    * corpus itself is touched by exactly one narrow filter pass. */
+  def mixtureSample(df: DataFrame, weights: Map[String, Double],
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+      case ((s, wt), acc) => when(col(srcCol) === s, lit(wt)).otherwise(acc)
+    }
+    val everything = Window.partitionBy()
+    val rates = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(everything))
+      .withColumn("ratio", (w * col("total")) / col("n"))
+      .withColumn("rate", col("ratio") / max(col("ratio")).over(everything))
+      .select(col(srcCol), col("rate"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(Dedup.portableHash60(
+          concat(lit("mix|"), col(idCol).cast(StringType))) % 1000000
+        < col("rate") * 1000000.0)
+      .select(col(idCol), col(srcCol), round(col("rate"), 6).as("rate"))
+  }
+
   /** Benchmark-contamination check: which training docs share ≥
     * `minShared` distinct trigrams with any held-out/benchmark doc
     * (ids ≡ 0 mod `benchMod` here; in production the benchmark corpus

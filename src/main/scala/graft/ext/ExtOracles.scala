@@ -84,6 +84,98 @@ object ExtOracles {
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(concat('0x', substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100""".stripMargin,
 
+    "q_gopher_filters" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks,
+        |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  round(CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+        |    / greatest(CAST(len(toks) AS INTEGER), 1), 6) AS mean_word_len,
+        |  round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS INTEGER)
+        |    / CAST(greatest(CAST(len(toks) AS INTEGER), 1) AS DOUBLE), 6) AS alpha_ratio,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / greatest(CAST(len(toks) AS INTEGER), 1), 6) AS symbol_ratio,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords
+        |FROM t)
+        |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, symbol_ratio, n_stopwords,
+        |  n_tokens BETWEEN 40 AND 5000 AS r_wordcount,
+        |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_meanlen,
+        |  alpha_ratio >= 0.8 AS r_alpha,
+        |  symbol_ratio <= 0.1 AS r_symbol,
+        |  n_stopwords >= 2 AS r_stop,
+        |  (n_tokens BETWEEN 40 AND 5000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1 AND n_stopwords >= 2 AS keep
+        |FROM m""".stripMargin,
+
+    "q_data_mixture" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM cnt),
+        |r AS (SELECT source, n,
+        |        (CASE WHEN CAST(substr(source, 4, 10) AS INTEGER) % 2 = 0
+        |              THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END
+        |         * CAST(total AS DOUBLE)) / CAST(n AS DOUBLE) AS ratio
+        |      FROM cnt, tot),
+        |rr AS (SELECT source, ratio / (SELECT max(ratio) FROM r) AS rate FROM r)
+        |SELECT d.doc_id, d.source, round(rr.rate, 6) AS rate
+        |FROM documents d JOIN rr USING (source)
+        |WHERE CAST(concat('0x', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 < rate * 1000000.0""".stripMargin,
+
+    "q_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |wtf AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS dl,
+        |  CAST(len(list_filter(toks, x -> x = 'spark')) AS INTEGER) AS tf0,
+        |  CAST(len(list_filter(toks, x -> x = 'data')) AS INTEGER) AS tf1,
+        |  CAST(len(list_filter(toks, x -> x = 'join')) AS INTEGER) AS tf2
+        |FROM t),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |FROM wtf),
+        |scored AS (SELECT doc_id, dl, tf0, tf1, tf2,
+        |  ln(((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) + 1.0)
+        |    * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |  + ln(((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) + 1.0)
+        |    * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |  + ln(((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) + 1.0)
+        |    * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS score
+        |FROM wtf CROSS JOIN stats)
+        |SELECT doc_id, dl, tf0, tf1, tf2, round(score, 6) AS bm25
+        |FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // SemDeDup replay: same flat-seed centroids + argmax assignment as
+    // q_sim_ivf_flat, then within-cluster pairwise cosine (a<b) and
+    // is_kept = no lower-id partner at cos >= 0.35.
+    "q_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, v AS cv
+        |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 8)),
+        |asg AS (SELECT vec_id, v, cluster FROM (
+        |    SELECT c.vec_id, c.v, cent.cluster,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        cluster) AS arn
+        |    FROM c CROSS JOIN cent) t WHERE arn = 1),
+        |dups AS (SELECT b.vec_id AS b_id,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |better AS (SELECT b_id, count(*) AS n_better FROM dups
+        |           WHERE cos_sim >= 0.35 GROUP BY 1)
+        |SELECT asg.vec_id, asg.cluster,
+        |  COALESCE(better.n_better, 0) AS n_better,
+        |  COALESCE(better.n_better, 0) = 0 AS is_kept
+        |FROM asg LEFT JOIN better ON asg.vec_id = better.b_id""".stripMargin,
+
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

@@ -153,6 +153,33 @@ object ExtQueries {
     Curation.stratifiedSample(Tables(spark, dir).documents, permille = 100)
       .select("doc_id", "lang", "source")
 
+  /** Gopher/C4-style rule gate: per-doc metrics, per-rule flags,
+    * conjunction keep — one narrow map-side pass. */
+  def qGopherFilters(spark: SparkSession, dir: String): DataFrame =
+    Curation.gopherRules(Tables(spark, dir).documents)
+      .select("doc_id", "n_tokens", "mean_word_len", "alpha_ratio",
+        "symbol_ratio", "n_stopwords", "r_wordcount", "r_meanlen",
+        "r_alpha", "r_symbol", "r_stop", "keep")
+
+  /** Deterministic mixture resampling toward a 2:1 even:odd source
+    * weighting — per-source rates from one low-cardinality aggregate,
+    * broadcast back, md5-coin acceptance. */
+  def qDataMixture(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(Tables(spark, dir).documents,
+      weights = (0 until 20).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 2.0 else 1.0)).toMap)
+
+  /** BM25 retrieval over the corpus for a fixed bag-of-words query. */
+  def qBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables(spark, dir).documents,
+      terms = Seq("spark", "data", "join"), k = 20)
+
+  /** SemDeDup-shaped embedding dedup: cluster-blocked pairwise cosine,
+    * keep the lowest id per duplicate neighborhood. */
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables(spark, dir).embeddings,
+      nClusters = 8, threshold = 0.35)
+
   def qContamination(spark: SparkSession, dir: String): DataFrame =
     Curation.contamination(Tables(spark, dir).documents,
       benchMod = 97, minShared = 3)

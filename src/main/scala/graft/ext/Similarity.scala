@@ -210,6 +210,52 @@ object Similarity {
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
 
+  /** SemDeDup-shaped semantic dedup: partition the embedding space
+    * with a coarse quantizer (deterministic flat seeds — the
+    * nClusters lowest-id vectors, as [[ivfFlatTopK]]), then compare
+    * pairs ONLY within a cluster and drop every vector that has a
+    * lower-id partner with cosine ≥ `threshold`. The cluster blocking
+    * is what makes embedding dedup tractable at corpus scale: the
+    * quadratic pairwise step runs per-cluster (shuffle keyed on
+    * cluster id, N²/k pairs instead of N²), the published SemDeDup
+    * recipe. Complements [[cosineNearDupPairs]] (hyperplane-LSH
+    * blocking): k-means blocking has no band false-negatives within a
+    * cluster but misses cross-cluster pairs; LSH is probabilistic
+    * both ways — a production pipeline picks by corpus geometry.
+    *
+    * Returns every vector with its cluster, the count of lower-id
+    * near-dup partners, and `is_kept` (no such partner — exactly one
+    * keeper per duplicate chain, lowest id). */
+  def semanticDedup(emb: DataFrame, nClusters: Int = 8,
+      threshold: Double = 0.35,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cents: Seq[(Int, Seq[Double])] =
+      corpus.orderBy("id").limit(nClusters).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    def cosTo(v: Column, cv: Seq[Double]): Column = {
+      val c = typedLit(cv)
+      dot(v, c) / (sqrt(dot(v, v)) * sqrt(dot(c, c)))
+    }
+    val assigned = corpus
+      .withColumn("cluster", argmaxCluster(cents)(cv => cosTo(col("v"), cv)))
+      .withColumn("nm", sqrt(dot(col("v"), col("v"))))
+    val a = assigned.select(col("cluster"),
+      col("id").as("a_id"), col("v").as("va"), col("nm").as("na"))
+    val bb = assigned.select(col("cluster"),
+      col("id").as("b_id"), col("v").as("vb"), col("nm").as("nb"))
+    val dups = a.join(bb, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val better = dups.groupBy(col("b_id")).agg(count(lit(1)).as("n_better"))
+    assigned.select(col("id").as(idCol), col("cluster"))
+      .join(better.withColumnRenamed("b_id", idCol), Seq(idCol), "left")
+      .withColumn("n_better", coalesce(col("n_better"), lit(0L)))
+      .withColumn("is_kept", col("n_better") === 0)
+  }
+
   /** Scala-side left-to-right dot — the same IEEE fold DotProduct and
     * DuckDB's list_dot_product evaluate, for driver-side codebook
     * constants. */

@@ -263,4 +263,57 @@ class ExtSpec extends AnyFunSuite {
       .filter(col("count") =!= ceil(col("n_frames") / lit(2.0)).cast("long"))
     assert(perMedia.count() == 0)
   }
+
+  test("gopher gate: planted degenerate docs are rejected, clean doc kept") {
+    val planted = Seq(
+      Doc(1, Seq.fill(3)("the quick brown fox jumps over a lazy dog and it runs far").mkString(" ")),
+      Doc(2, "tiny doc"),                                  // word count
+      Doc(3, Seq.fill(60)("!!! ???").mkString(" ")),       // symbols, no alpha
+      Doc(4, Seq.fill(50)("internationalization").mkString(" ")) // mean word len, no stopwords
+    ).toDF
+    val g = Curation.gopherRules(planted, minTokens = 20)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(g(1), "clean repeated-sentence doc should pass the gate")
+    assert(!g(2) && !g(3) && !g(4), s"degenerate docs slipped through: $g")
+  }
+
+  test("mixture sample hits the target mixture and keeps the max source whole") {
+    val docs = spark.range(3000).select(col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 3).cast("string")).as("source"))
+    // target 2:1:1 over three equal sources → src0 keeps all, others ~half
+    val out = Curation.mixtureSample(docs,
+      Map("src0" -> 2.0, "src1" -> 1.0, "src2" -> 1.0)).cache()
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000, "max-ratio source must be kept whole")
+    assert(math.abs(bySrc("src1") - 500) < 100 && math.abs(bySrc("src2") - 500) < 100,
+      s"off-target mixture: $bySrc")
+    // deterministic: rerun is identical
+    assert(Curation.mixtureSample(docs, Map("src0" -> 2.0, "src1" -> 1.0,
+      "src2" -> 1.0)).except(out).count() == 0)
+  }
+
+  test("bm25: docs dense in a query term outrank docs without it") {
+    val d = Seq(
+      Doc(1, "spark spark spark runs spark jobs on spark clusters"),
+      Doc(2, "spark appears once in this much longer document about various other completely unrelated topics"),
+      Doc(3, "no relevant terms at all in here")).toDF
+    val r = TextAnalysis.bm25TopK(d, Seq("spark", "data", "join"), k = 10)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(r.headOption.contains(1L), s"term-dense doc not ranked first: ${r.toSeq}")
+    assert(!r.contains(3L), "zero-score doc must be filtered")
+  }
+
+  test("semantic dedup: identical vectors dedup to the lowest id, one keeper per chain") {
+    val vecs = Seq(
+      (0L, Seq.fill(4)(1.0f)), (1L, Seq(1.0f, 0.9f, 1.1f, 1.0f)),
+      (10L, Seq.fill(4)(1.0f)),             // exact dup of 0
+      (11L, Seq(-1.0f, 1.0f, -1.0f, 1.0f)), // its own direction
+      (12L, Seq(1.0f, 0.9f, 1.1f, 1.0f))    // exact dup of 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, nClusters = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(0) && out(1) && out(11), s"originals must be kept: $out")
+    assert(!out(10) && !out(12), s"exact dups must be dropped: $out")
+  }
 }
