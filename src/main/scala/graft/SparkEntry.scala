@@ -98,6 +98,7 @@ object SparkEntry {
     "q_gapfill" -> (AQ.qGapfill _),
     "q_cohort_retention" -> (AQ.qCohortRetention _),
     "q_tfidf_topk" -> (AA.qTfidfTopK _),
+    "q_pagerank" -> (AA.qPagerank _),
     "q_zscore" -> (AA.qZscore _),
     "q_funnel" -> (AA.qFunnel _),
     "q_mode" -> (AA.qMode _),
@@ -132,6 +133,9 @@ object SparkEntry {
     "q_range_join_bucketed" -> (AQ.qRangeJoinBucketed _),
     "q_dedup_simhash" -> (EQ.qDedupSimhash _),
     "q_dedup_cdc" -> (EQ.qDedupCdc _),
+    "q_dedup_passage" -> (EQ.qDedupPassage _),
+    "q_dedup_incremental" -> (EQ.qDedupIncremental _),
+    "q_centroid_classify" -> (EQ.qCentroidClassify _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
     "q_sim_ivf_flat" -> (EQ.qSimIvfFlat _),

@@ -371,4 +371,84 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** C4-style duplicate-passage removal with reassembly: split each
+    * doc into consecutive `span`-token passages, drop every passage
+    * whose exact text occurred earlier in the corpus (global first
+    * occurrence by (doc_id, idx) wins — so boilerplate like cookie
+    * banners and copyright footers survives exactly once), and
+    * reassemble the surviving passages in order. This is corpus
+    * REWRITE, complementing [[cdcChunkTexts]] (which only identifies
+    * shared chunks).
+    *
+    * Scale shape: the passage explode is map-side; first-occurrence is
+    * ONE shuffle keyed on the 128-bit passage hash (uniform ⇒ no
+    * skew; a boilerplate passage shared by 10⁸ docs is still one
+    * min-aggregation key with map-side partial combine, never a
+    * fanout); the keeper join is keyed on the same hash so AQE can
+    * co-locate it; reassembly is one shuffle back on doc_id.
+    * sort_array(collect_list(struct(idx, …))) makes the rebuild order
+    * deterministic under parallel collection.
+    *
+    * @return doc_id, n_passages, n_kept, clean_text (kept passages
+    *         joined with single spaces; empty string if every passage
+    *         was a duplicate of an earlier doc's).
+    */
+  def passageDedup(df: DataFrame, span: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val passages = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast((size(toks) - 1) div $span as int)), " +
+        s"i -> array_join(slice(toks, i * $span + 1, $span), ' '))"))
+        .as(Seq("idx", "passage")))
+      .withColumn("ph", md5(col("passage")))
+    val keepers = passages.groupBy("ph")
+      .agg(min(struct(col(idCol).as("kid"), col("idx").as("kidx"))).as("k"))
+    passages.join(keepers, "ph")
+      .withColumn("kept",
+        (col(idCol) === col("k.kid") && col("idx") === col("k.kidx"))
+          .cast(LongType))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(col("kept")).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept") === 1,
+            struct(col("idx"), col("passage"))))),
+          s => s.getField("passage"))).as("clean_text"))
+  }
+
+  /** Incremental (delta) dedup: screen a NEW batch of documents
+    * against a historical fingerprint index WITHOUT touching the
+    * historical corpus — the nightly-ingest production shape, where
+    * the index (fingerprint → keeper id) is the only state carried
+    * between runs. A new doc is `dup_history` if its fingerprint is
+    * already indexed, `dup_batch` if another new doc with a smaller id
+    * shares the fingerprint, else `kept`; `dup_of` names the keeper.
+    * Union of `kept` rows with the old index is the next index — the
+    * update is append-only.
+    *
+    * Scale shape: two joins, both keyed on the uniform 128-bit
+    * fingerprint (the batch-internal min-agg combines map-side); the
+    * historical index is the big side and is never re-fingerprinted —
+    * cost per run is O(batch) + one index probe, not O(corpus).
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = newDocs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    val batchMin = fp.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("batch_keeper"))
+    fp.join(batchMin, "fingerprint")
+      .join(index.select(col("fingerprint"),
+        col("keeper_id").as("hist_keeper")), Seq("fingerprint"), "left")
+      .select(col(idCol), col("fingerprint"),
+        when(col("hist_keeper").isNotNull, lit("dup_history"))
+          .when(col(idCol) =!= col("batch_keeper"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("hist_keeper"),
+          when(col(idCol) =!= col("batch_keeper"), col("batch_keeper")))
+          .as("dup_of"))
+  }
 }

@@ -872,6 +872,76 @@ object ExtOracles {
         |    (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM r2),
         |r4 AS (SELECT l_orderkey, l_linenumber,
         |    (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM r3)
-        |SELECT l_orderkey, l_linenumber, x | (y << 1) AS zv FROM r4""".stripMargin
+        |SELECT l_orderkey, l_linenumber, x | (y << 1) AS zv FROM r4""".stripMargin,
+
+    // global first occurrence by (doc_id, idx) = row_number() = 1,
+    // identical to Spark's min-struct keeper
+    "q_dedup_passage" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN 'copyright notice all rights reserved do not reproduce this content '
+        |         ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN ' subscribe to our newsletter for updates and follow us online'
+        |            ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, $toks AS toks FROM planted),
+        |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+        |p AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        |        array_to_string(toks[i*10+1 : i*10+10], ' ') AS passage
+        |      FROM tt, unnest(range(0, (len(toks) - 1) // 10 + 1)) AS u(i)),
+        |k AS (SELECT doc_id, idx, passage,
+        |        row_number() OVER (PARTITION BY md5(passage)
+        |                           ORDER BY doc_id, idx) AS rn
+        |      FROM p)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY idx),
+        |           '') AS clean_text
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id,
+        |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |      FROM documents),
+        |hist AS (SELECT * FROM fp WHERE doc_id % 5 != 4),
+        |idx AS (SELECT fingerprint, min(doc_id) AS keeper_id FROM hist GROUP BY 1),
+        |newb AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 4
+        |         UNION ALL
+        |         SELECT doc_id + 1000000, fingerprint FROM hist WHERE doc_id % 7 = 0),
+        |bm AS (SELECT fingerprint, min(doc_id) AS batch_keeper FROM newb GROUP BY 1)
+        |SELECT n.doc_id, n.fingerprint,
+        |  CASE WHEN i.keeper_id IS NOT NULL THEN 'dup_history'
+        |       WHEN n.doc_id != b.batch_keeper THEN 'dup_batch'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(i.keeper_id,
+        |    CASE WHEN n.doc_id != b.batch_keeper THEN b.batch_keeper END) AS dup_of
+        |FROM newb n JOIN bm b USING (fingerprint)
+        |LEFT JOIN idx i USING (fingerprint)""".stripMargin,
+
+    // full fit+classify replay: integer-micro components, truncating
+    // centroid division, argmin with ties to the lowest label
+    "q_centroid_classify" ->
+      """WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |        list_transform(embedding,
+        |          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS mv
+        |      FROM embeddings),
+        |cells AS (SELECT vec_id, lbl, i AS pos, mv[i] AS v
+        |          FROM m, unnest(range(1, len(mv) + 1)) AS u(i)),
+        |cent AS (SELECT lbl, pos, CAST(sum(v) AS BIGINT) // count(*) AS c
+        |         FROM cells WHERE vec_id % 5 != 0 GROUP BY lbl, pos),
+        |d AS (SELECT te.vec_id, te.lbl, cent.lbl AS clbl,
+        |        sum((te.v - cent.c) * (te.v - cent.c)) AS dist
+        |      FROM (SELECT * FROM cells WHERE vec_id % 5 = 0) te
+        |      JOIN cent ON te.pos = cent.pos
+        |      GROUP BY 1, 2, 3),
+        |pr AS (SELECT vec_id, lbl, clbl,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dist, clbl) AS rn
+        |       FROM d)
+        |SELECT lbl AS label, clbl AS pred_label, count(*) AS n
+        |FROM pr WHERE rn = 1 GROUP BY 1, 2""".stripMargin
   )
 }

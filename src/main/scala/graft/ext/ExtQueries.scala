@@ -294,4 +294,42 @@ object ExtQueries {
         ZOrder.zValue(pmod(col("l_partkey"), lit(65536)),
           pmod(col("l_orderkey"), lit(65536))).as("zv"))
   }
+
+  /** Duplicate-passage removal with deterministic boilerplate planted
+    * (every 4th doc gets a footer passage appended, every 7th a header
+    * prepended) so the drop-and-reassemble paths actually execute on
+    * the synthetic corpus — the operator itself is generic. */
+  def qDedupPassage(spark: SparkSession, dir: String): DataFrame = {
+    val footer = "subscribe to our newsletter for updates and follow us online"
+    val header = "copyright notice all rights reserved do not reproduce this content"
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 7 === 0, lit(header + " ")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" " + footer)).otherwise(lit("")))
+        .as("text"))
+    Dedup.passageDedup(planted, span = 10)
+  }
+
+  /** Incremental dedup of a new batch against the historical
+    * fingerprint index: history = doc_id % 5 ≠ 4; the new batch is the
+    * held-out docs plus simulated re-crawls of every 7th historical
+    * doc (same text, new id) — those must flag `dup_history`. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val hist = docs.filter(col("doc_id") % 5 =!= 4)
+    val index = hist
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint").agg(min(col("doc_id")).as("keeper_id"))
+    val newBatch = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+      .unionAll(hist.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.dedupAgainstIndex(newBatch, index)
+  }
+
+  /** Nearest-centroid classification of the embeddings table: fit on
+    * vec_id % 5 ≠ 0, classify the rest, confusion counts. */
+  def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidClassify(Tables(spark, dir).embeddings, trainMod = 5)
 }

@@ -411,4 +411,58 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Nearest-centroid embedding classifier — the FineWeb-Edu-style
+    * quality-classifier shape: fit per-label centroids on a train
+    * split, classify everything else by nearest centroid, report the
+    * confusion matrix. The train aggregation is one shuffle over
+    * (label, dim) cells; the fitted model is a tiny k×d table collected
+    * to the driver and baked into the scoring projection as literals,
+    * so classification is a single narrow map-side pass — the exact
+    * shape that scores 100 TB of embeddings with zero shuffle.
+    *
+    * Deterministic/portable like [[kmeans]]: components are summed in
+    * integer micro-units and divided by the truncating integer `div`
+    * (DuckDB `//` agrees), distances are squared-L2 in integer micro
+    * space (|x|≤~1e6 ⇒ Σ over 64 dims ≤ ~3e14, far inside int64), and
+    * argmin breaks ties toward the LOWEST label via least() over
+    * (dist, label) structs — so a DuckDB oracle replays the fit AND
+    * the classification bit-for-bit.
+    *
+    * @return (label, pred_label, n) confusion counts over the test
+    *         split.
+    */
+  def centroidClassify(emb: DataFrame, trainMod: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
+      transform(asDouble(col(vecCol)),
+        x => round(x * 1e6, 0).cast(LongType)).as("m"))
+    val cents: Seq[(Long, Seq[Long])] = micro
+      .filter(col(idCol) % trainMod =!= 0)
+      .select(col("lbl"), posexplode(col("m")).as(Seq("pos", "v")))
+      .groupBy("lbl", "pos")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .select("lbl", "pos", "c")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
+      .toSeq.sortBy(_._1)
+    def dist(cv: Seq[Long]): Column =
+      aggregate(zip_with(col("m"), typedLit(cv),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    // least() over (dist, label) structs = argmin with ties to the
+    // lowest label — no shuffle, no window
+    val pred =
+      if (cents.size == 1) lit(cents.head._1)
+      else least(cents.map { case (l, cv) =>
+        struct(dist(cv).as("d"), lit(l).as("l")) }: _*).getField("l")
+    micro.filter(col(idCol) % trainMod === 0)
+      .select(col("lbl").as("label"), pred.as("pred_label"))
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
 }

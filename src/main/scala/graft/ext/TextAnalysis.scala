@@ -102,10 +102,16 @@ object TextAnalysis {
     // tf via size − size(array_remove): array_remove is codegen'd and
     // CSE-shares the one split across all terms, where a filter()
     // lambda evaluates interpreted per element per term (measured
-    // ~10× on this query); the count is identical
+    // ~10× on this query); the count is identical.
+    // localCheckpoint the narrow (id, dl, tf…) projection: BOTH passes
+    // (corpus stats, scoring) read it, so the corpus is tokenized ONCE
+    // — at 100 TB re-tokenizing the text for the second pass is the
+    // dominant cost, and the checkpointed projection is k+2 ints per
+    // doc, not the text.
     val tfCols = terms.zipWithIndex.map { case (tm, i) =>
       (size(toks) - size(array_remove(toks, tm))).as(s"tf$i") }
     val wtf = df.select(col(idCol) +: size(toks).as("dl") +: tfCols: _*)
+      .localCheckpoint()
     val dfAggs = terms.indices.map(i =>
       sum((col(s"tf$i") > 0).cast(LongType)).as(s"df$i"))
     // the corpus stats are ONE row — collect and inline as literals

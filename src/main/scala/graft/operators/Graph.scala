@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Iterative graph analytics expressed as DataFrame joins/aggregates —
+  * the other half of the graph story next to
+  * [[graft.ext.Dedup.connectedComponents]] (HashMin CC).
+  *
+  * Scale design: each PageRank iteration is one join of the rank
+  * vector against the edge list (shuffle keyed on `src`) followed by
+  * one aggregation (shuffle keyed on `dst`) — the classic Pregel
+  * message-passing shape flattened into relational operators, which is
+  * exactly what a 1000-executor cluster wants: no driver-side state
+  * beyond the loop counter, edges partition-pruned and reused across
+  * iterations via localCheckpoint (bounded lineage), and partial
+  * aggregation combines contributions map-side before the `dst`
+  * shuffle so hub nodes (high in-degree) don't funnel raw messages to
+  * one reducer.
+  *
+  * Determinism/portability: ranks are held in integer MICRO-UNITS
+  * (rank 1.0 = 1,000,000) and every per-iteration operation is integer
+  * arithmetic — contribution = rank `div` out-degree, damping =
+  * 150000 + 85·Σcontrib `div` 100 (both truncating division, which
+  * Java/Spark `div` and DuckDB `//` agree on) — so a second engine
+  * replaying the same iterations lands on bit-identical ranks: the
+  * q_pagerank DuckDB oracle replays the full loop. The ≤1e-6
+  * truncation per step is noise for ranking; order-independence of
+  * integer sums is what buys the cross-engine hash.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over a directed edge list
+    * (`src`, `dst` long columns; parallel edges should be
+    * pre-deduplicated if unweighted semantics are wanted). Every node
+    * starts at rank 1.0 (micro 1,000,000); nodes appearing only as
+    * `dst` still receive the damping floor. Dangling nodes (out-degree
+    * 0) keep redistribution simple by dropping their mass — the
+    * standard relational-PageRank simplification; callers needing
+    * strict mass conservation can add the dangling-sum term.
+    *
+    * @return (node, rank_micro) after `iters` iterations.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Int = 85 /* percent */): DataFrame = {
+    val e = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst"))
+    // out-degree rides along with each edge so the per-iteration join
+    // touches ONE small table (src, dst, odeg) instead of two
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr("rank_micro div odeg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit((100 - damping) * 10000L) +
+            expr(s"($damping * coalesce(inflow, 0L)) div 100")).as("rank_micro"))
+    }
+    ranks
+  }
+}

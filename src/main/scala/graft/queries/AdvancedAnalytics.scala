@@ -103,4 +103,18 @@ object AdvancedAnalytics {
         round((col("rev_cents") - col("prev")).cast(DoubleType) / col("prev"), 6)
           .as("mom_growth"))
   }
+
+  /** 3-iteration damped PageRank over the undirected part↔supplier
+    * sourcing graph (distinct (l_partkey, l_suppkey) pairs from
+    * lineitem; part nodes even = 2·partkey, supplier nodes odd =
+    * 2·suppkey+1). Integer-micro ranks — the DuckDB oracle replays
+    * the full loop; see [[graft.operators.Graph.pageRank]]. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = li.select(col("p").as("src"), col("s").as("dst"))
+      .union(li.select(col("s").as("src"), col("p").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+  }
 }

@@ -420,6 +420,38 @@ object OperatorOracles {
         |                               ORDER BY tfidf DESC, term) AS rn
         |  FROM scored) t WHERE rn <= 3""".stripMargin,
 
+    // full 3-iteration integer-micro PageRank replay: contribution =
+    // rank // out-degree, damping = 150000 + 85·inflow // 100 — both
+    // truncating division, which Spark `div` and DuckDB `//` agree on
+    "q_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+        |            FROM lineitem),
+        |e AS (SELECT p AS src, s AS dst FROM li
+        |      UNION ALL SELECT s AS src, p AS dst FROM li),
+        |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |          UNION SELECT DISTINCT dst AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // deg.odeg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(i1.inflow, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // deg.odeg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(i2.inflow, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.r // deg.odeg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(i3.inflow, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3""".stripMargin,
+
     "q_zscore" ->
       """WITH m AS (
         |  SELECT o_orderpriority AS p, COUNT(*) AS n,

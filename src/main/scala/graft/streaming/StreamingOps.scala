@@ -161,6 +161,21 @@ object StreamingOps {
           count(lit(1))).as("mean_quality"),
         approx_count_distinct(col("fingerprint")).as("approx_distinct"))
 
+  /** Streaming incremental dedup: drop every incoming doc whose
+    * fingerprint is already in the static historical index
+    * (stream-static LEFT ANTI join — re-planned per micro-batch, no
+    * stream-side state), then drop within-stream repeats via
+    * dropDuplicates on the fingerprint (state = one fingerprint per
+    * distinct doc; a production pipeline bounds it with
+    * withWatermark + dropDuplicatesWithinWatermark). The batch twin is
+    * [[graft.ext.Dedup.dedupAgainstIndex]]; StreamingSpec asserts the
+    * streamed survivors equal the batch `kept` set. */
+  def dedupAgainstIndexStream(docs: DataFrame, index: DataFrame): DataFrame =
+    docs.withColumn("fingerprint",
+        graft.ext.TextAnalysis.fingerprint(col("text")))
+      .join(index.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .dropDuplicates("fingerprint")
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (broadcastable) static dimension — no stream-side state at all,
     * the canonical fact-stream × dim shape. */

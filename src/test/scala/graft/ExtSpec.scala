@@ -316,4 +316,54 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0) && out(1) && out(11), s"originals must be kept: $out")
     assert(!out(10) && !out(12), s"exact dups must be dropped: $out")
   }
+
+  test("passage dedup: later copies of a passage drop, order is preserved") {
+    val boiler = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      Doc(1, s"$boiler alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Doc(2, s"$boiler lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      Doc(3, "unique words only in this document nothing repeats here at all")).toDF
+    val out = Dedup.passageDedup(d, span = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1) == ((2L, 2L,
+      s"$boiler alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+      s"first occurrence keeps everything: ${out(1)}")
+    assert(out(2) == ((2L, 1L,
+      "lambda mu nu xi omicron pi rho sigma tau upsilon")),
+      s"doc 2 must lose the boilerplate passage but keep its own: ${out(2)}")
+    assert(out(3)._1 == 2L && out(3)._2 == 2L, s"unique doc unchanged: ${out(3)}")
+  }
+
+  test("incremental dedup: recrawls flag dup_history, batch dups flag dup_batch") {
+    val hist = Seq(Doc(1, "historical content alpha"), Doc(2, "historical content beta")).toDF
+    val index = Dedup.exactGroups(hist).select(col("fingerprint"), col("keeper_id"))
+    val batch = Seq(
+      Doc(100, "historical content alpha"), // recrawl of 1
+      Doc(101, "fresh new content"),
+      Doc(102, "fresh new content"),        // batch dup of 101
+      Doc(103, "another fresh document")).toDF
+    val out = Dedup.dedupAgainstIndex(batch, index).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), Option(r.get(3)))).toMap
+    assert(out(100L) == (("dup_history", Some(1L))), s"$out")
+    assert(out(101L) == (("kept", None)), s"$out")
+    assert(out(102L) == (("dup_batch", Some(101L))), s"$out")
+    assert(out(103L) == (("kept", None)), s"$out")
+  }
+
+  test("centroid classifier: separable labels classify perfectly") {
+    // label 0 near (1,0,0,0), label 1 near (0,1,0,0) — vec_id % 5 == 0
+    // rows are the test split and must land on their own label
+    val rows = (0L until 20L).map { i =>
+      val l = (i % 2).toInt
+      val base = if (l == 0) Seq(1.0f, 0.01f * i, 0f, 0f)
+                 else Seq(0.01f * i, 1.0f, 0f, 0f)
+      (i, base, l)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val conf = Similarity.centroidClassify(emb, trainMod = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(conf.keys.forall { case (t, p) => t == p },
+      s"misclassification in separable data: $conf")
+    assert(conf.values.sum == 4L, s"4 test rows expected: $conf")
+  }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Unit evidence for the DataFrame PageRank: hand-computed integer
+  * ranks on a tiny directed graph, hub dominance on a star, and
+  * run-to-run determinism (the integer-micro arithmetic has no
+  * summation-order sensitivity to hide).
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("pagerank: hand-computed ranks on a single directed edge") {
+    // A(1)→B(2): rB = 150000 + 85·rA div 100 each round; rA stays at
+    // the damping floor after round 1 ⇒ rA=150000, rB=277500
+    val ranks = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks == Map(1L -> 150000L, 2L -> 277500L), s"$ranks")
+  }
+
+  test("pagerank: star hub outranks every leaf; deterministic re-run") {
+    val edges = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(l => r(0L) > r(l)), s"hub must dominate: $r")
+    assert((1L to 5L).map(r).toSet.size == 1, s"leaves are symmetric: $r")
+    val r2 = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap
+    assert(r == r2, "integer-micro ranks must be bit-identical across runs")
+  }
+}

@@ -246,6 +246,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup ≡ batch kept set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val hist = Seq((1L, "historical content alpha"),
+      (2L, "historical content beta")).toDF("doc_id", "text")
+    val index = graft.ext.Dedup.exactGroups(hist)
+      .select(col("fingerprint"), col("keeper_id"))
+    val batchRows = Seq((100L, "historical content alpha"), // recrawl
+      (101L, "fresh new content"),
+      (102L, "fresh new content"),                          // in-stream dup
+      (103L, "another fresh document"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupAgainstIndexStream(
+        mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("incdedup_out").start()
+    try {
+      mem.addData(batchRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(batchRows.drop(2): _*) // dup arrives a batch later
+      q.processAllAvailable()
+      val streamed = spark.table("incdedup_out")
+        .select("fingerprint").as[String].collect().toSet
+      val batchKept = graft.ext.Dedup.dedupAgainstIndex(
+          batchRows.toDF("doc_id", "text"), index)
+        .filter(col("status") === "kept")
+        .select("fingerprint").as[String].collect().toSet
+      assert(streamed == batchKept, s"stream $streamed vs batch $batchKept")
+      assert(streamed.size == 2) // 101/102 collapse, recrawl dropped
+    } finally q.stop()
+  }
+
   test("gap sessionization on hand-built events") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), u, "click", v)
