@@ -136,6 +136,9 @@ object SparkEntry {
     "q_dedup_passage" -> (EQ.qDedupPassage _),
     "q_dedup_incremental" -> (EQ.qDedupIncremental _),
     "q_centroid_classify" -> (EQ.qCentroidClassify _),
+    "q_embed_outliers" -> (EQ.qEmbedOutliers _),
+    "q_domain_cap" -> (EQ.qDomainCap _),
+    "q_weighted_sample" -> (EQ.qWeightedSample _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
     "q_sim_ivf_flat" -> (EQ.qSimIvfFlat _),

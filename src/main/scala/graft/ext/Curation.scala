@@ -252,4 +252,53 @@ object Curation {
       .withColumn("last_chunk", floor((col("tok_end") - 1) / contextLen))
       .withColumn("chunk_offset", col("tok_start") % contextLen)
   }
+
+  /** Per-domain quota cap (the RefinedWeb/C4 anti-dominance rule):
+    * keep at most `k` documents per source/domain, best quality
+    * first, ties to the lowest id. One shuffle keyed on the domain.
+    *
+    * Scale note: row_number sorts each domain partition; for a
+    * pathologically hot domain (10⁸ docs at 100 TB) the exact top-k
+    * per group is still fine — Spark's window sort spills — but the
+    * cheaper production variant is a two-pass approximate quality
+    * threshold per domain (percentile_approx broadcast back, then a
+    * narrow filter), trading exactness for a zero-sort pass; this
+    * exact form is the oracle-checkable contract both share. */
+  def domainCap(df: DataFrame, k: Int, srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = TextAnalysis.withStats(df)
+      .select(col(idCol), col(srcCol), col("quality_score"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    scored.withColumn("rank_in_domain", row_number().over(w))
+      .filter(col("rank_in_domain") <= k)
+  }
+
+  /** Quality-weighted Bernoulli sampling: accept each row with
+    * probability min(1, w_i · targetFrac · N / Σw) — expected sample
+    * size ≈ targetFrac·N with inclusion probability proportional to
+    * the weight (quality-proportional upsampling). The coin is the
+    * portable md5 hash of the row id, so the sample is reproducible
+    * across engines and reruns; Σw is accumulated in integer
+    * micro-units (order-independent), and the acceptance rate uses
+    * only IEEE *,/ (exactly-rounded, engine-identical) — no
+    * transcendentals — so a DuckDB replay keeps the exact row set.
+    *
+    * Scale: Σw/N is ONE map-side-combined aggregate broadcast back;
+    * the corpus pass is a narrow filter. */
+  def weightedSample(df: DataFrame, targetFrac: Double,
+      weightCol: String = "quality_score",
+      idCol: String = "doc_id"): DataFrame = {
+    val wMicro = round(col(weightCol) * 1e6, 0).cast(LongType)
+    val stats = df.agg(sum(wMicro).as("sum_w_micro"),
+      count(lit(1)).as("n"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("accept_rate", least(lit(1.0),
+        wMicro.cast(DoubleType) * targetFrac * col("n")
+          / col("sum_w_micro").cast(DoubleType)))
+      .filter(Dedup.portableHash60(
+          concat(lit("wsample|"), col(idCol).cast(StringType))) % 1000000
+        < col("accept_rate") * 1000000.0)
+      .select(col(idCol), round(col("accept_rate"), 6).as("accept_rate"))
+  }
 }

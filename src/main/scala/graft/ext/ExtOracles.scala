@@ -942,6 +942,66 @@ object ExtOracles {
         |                            ORDER BY dist, clbl) AS rn
         |       FROM d)
         |SELECT lbl AS label, clbl AS pred_label, count(*) AS n
-        |FROM pr WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+        |FROM pr WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    // whole-table centroid fit + integer squared distance to the own-
+    // label centroid, replayed exactly
+    "q_embed_outliers" ->
+      """WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |        list_transform(embedding,
+        |          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS mv
+        |      FROM embeddings),
+        |cells AS (SELECT vec_id, lbl, i AS pos, mv[i] AS v
+        |          FROM m, unnest(range(1, len(mv) + 1)) AS u(i)),
+        |cent AS (SELECT lbl, pos, CAST(sum(v) AS BIGINT) // count(*) AS c
+        |         FROM cells GROUP BY lbl, pos)
+        |SELECT cells.vec_id, cells.lbl AS label,
+        |  CAST(sum((v - c) * (v - c)) AS BIGINT) AS dist_micro2,
+        |  CAST(sum((v - c) * (v - c)) AS BIGINT) > 1000000000000 AS is_outlier
+        |FROM cells JOIN cent ON cells.lbl = cent.lbl AND cells.pos = cent.pos
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+        |  length(text) AS tlen
+        |FROM t),
+        |q AS (SELECT doc_id, source,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(tlen, 1)) * 0.2, 6) AS quality_score
+        |FROM s)
+        |SELECT doc_id, source, quality_score, CAST(rn AS INTEGER) AS rank_in_domain
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY quality_score DESC, doc_id) AS rn FROM q) r
+        |WHERE rn <= 15""".stripMargin,
+
+    // Σw in integer micro-units; the acceptance rate uses only
+    // exactly-rounded IEEE *,/ so the row set replays exactly
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+        |  length(text) AS tlen
+        |FROM t),
+        |q AS (SELECT doc_id,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(tlen, 1)) * 0.2, 6) AS qs
+        |FROM s),
+        |st AS (SELECT CAST(sum(CAST(ROUND(qs * 1e6, 0) AS BIGINT)) AS BIGINT) AS sum_w,
+        |         count(*) AS n FROM q),
+        |a AS (SELECT doc_id,
+        |        least(1.0, CAST(CAST(ROUND(qs * 1e6, 0) AS BIGINT) AS DOUBLE)
+        |          * 0.3 * n / CAST(sum_w AS DOUBLE)) AS accept_rate
+        |      FROM q CROSS JOIN st)
+        |SELECT doc_id, round(accept_rate, 6) AS accept_rate FROM a
+        |WHERE CAST(concat('0x', substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1000000 < accept_rate * 1000000""".stripMargin
   )
 }

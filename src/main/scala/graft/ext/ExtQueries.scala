@@ -332,4 +332,24 @@ object ExtQueries {
     * vec_id % 5 ≠ 0, classify the rest, confusion counts. */
   def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =
     Similarity.centroidClassify(Tables(spark, dir).embeddings, trainMod = 5)
+
+  /** Prototypicality outliers: distance to own-label centroid in
+    * integer micro space; threshold tuned so the synthetic corpus
+    * splits (its labels are random, so distances are broad). */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embedOutliers(Tables(spark, dir).embeddings,
+      threshold = 1000000000000L)
+
+  /** Per-source quota: top-15 docs per source by quality (the corpus
+    * has 25 docs/source at sf0.01, so the cap binds at the verified
+    * scale factors). */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(Tables(spark, dir).documents, k = 15)
+
+  /** Quality-weighted Bernoulli sample targeting ~30% of the corpus,
+    * weighted by the [[TextAnalysis.withStats]] quality score. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(
+      TextAnalysis.withStats(Tables(spark, dir).documents),
+      targetFrac = 0.3)
 }

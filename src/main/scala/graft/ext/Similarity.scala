@@ -432,15 +432,18 @@ object Similarity {
     * @return (label, pred_label, n) confusion counts over the test
     *         split.
     */
-  def centroidClassify(emb: DataFrame, trainMod: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
-      transform(asDouble(col(vecCol)),
-        x => round(x * 1e6, 0).cast(LongType)).as("m"))
-    val cents: Seq[(Long, Seq[Long])] = micro
-      .filter(col(idCol) % trainMod =!= 0)
-      .select(col("lbl"), posexplode(col("m")).as(Seq("pos", "v")))
+  /** Integer-micro projection of an embedding column: each component
+    * as round(x·1e6) in a long — the shared representation of the
+    * centroid family ([[centroidClassify]], [[embedOutliers]]). */
+  private def microVec(vecCol: String): Column =
+    transform(asDouble(col(vecCol)), x => round(x * 1e6, 0).cast(LongType))
+
+  /** Per-label integer-micro centroids over `rows` (expects columns
+    * lbl, m from [[microVec]]): one (label, dim) shuffle, truncating
+    * `div` for the mean so a DuckDB `//` replay is bit-identical.
+    * Only the k×d model touches the driver. */
+  private def fitCentroidsMicro(rows: DataFrame): Seq[(Long, Seq[Long])] =
+    rows.select(col("lbl"), posexplode(col("m")).as(Seq("pos", "v")))
       .groupBy("lbl", "pos")
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .withColumn("c", expr("s div n"))
@@ -450,10 +453,22 @@ object Similarity {
       .map { case (l, rows) =>
         (l, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
       .toSeq.sortBy(_._1)
-    def dist(cv: Seq[Long]): Column =
-      aggregate(zip_with(col("m"), typedLit(cv),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+
+  /** Squared L2 distance from the micro vector column `m` to a
+    * centroid literal — pure integer arithmetic (≤ ~3e14 over 64
+    * dims, far inside int64). */
+  private def microDist2(cv: Seq[Long]): Column =
+    aggregate(zip_with(col("m"), typedLit(cv),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  def centroidClassify(emb: DataFrame, trainMod: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
+      microVec(vecCol).as("m"))
+    val cents = fitCentroidsMicro(micro.filter(col(idCol) % trainMod =!= 0))
+    def dist(cv: Seq[Long]): Column = microDist2(cv)
     // least() over (dist, label) structs = argmin with ties to the
     // lowest label — no shuffle, no window
     val pred =
@@ -464,5 +479,35 @@ object Similarity {
       .select(col("lbl").as("label"), pred.as("pred_label"))
       .groupBy("label", "pred_label")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Prototypicality-based outlier pruning (the SemDeDup-era data-
+    * cleaning step): fit per-label centroids over the WHOLE table,
+    * then flag every vector whose squared micro-distance to its OWN
+    * label's centroid exceeds `threshold` — mislabeled or atypical
+    * rows a curation pipeline drops or routes for review. The fit is
+    * one (label, dim) shuffle; scoring is a zero-shuffle map over the
+    * corpus with the k×d model inlined as a literal lookup
+    * (element_at over a label→centroid map), so the 100 TB pass is a
+    * narrow scan. Pure integer arithmetic end to end — the oracle
+    * replays fit and distances exactly.
+    *
+    * @return (vec_id, label, dist_micro2, is_outlier)
+    */
+  def embedOutliers(emb: DataFrame, threshold: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
+      microVec(vecCol).as("m"))
+    val cents = fitCentroidsMicro(micro)
+    val centMap = map(cents.flatMap { case (l, cv) =>
+      Seq(lit(l), typedLit(cv)) }: _*)
+    micro
+      .withColumn("dist_micro2",
+        aggregate(zip_with(col("m"), element_at(centMap, col("lbl")),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .select(col(idCol), col("lbl").as("label"), col("dist_micro2"),
+        (col("dist_micro2") > threshold).as("is_outlier"))
   }
 }

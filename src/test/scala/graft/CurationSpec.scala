@@ -83,4 +83,31 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("b", 4L), ("a", 3L), ("d", 2L)), s"got $top")
   }
+
+  test("domainCap: hot domain capped at k by quality, small domain untouched") {
+    val hot = (1L to 10L).map(i =>
+      // lower ids get more stopwords -> higher quality score
+      (i, ("the a of and is to in it that" * 2).take(60 - 3 * i.toInt) +
+        " filler words here", "hot"))
+    val docs = (hot :+ ((100L, "the a of and is unique small domain text", "cold")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.domainCap(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(out.count(_._2._1 == "hot") == 3, s"hot domain must cap at 3: $out")
+    assert(out.contains(100L), s"small domain survives: $out")
+    assert(out.values.forall(_._2 <= 3))
+  }
+
+  test("weightedSample: zero-weight rows never sampled; rate proportional to weight") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) 1.0 else 0.0)).toDF("doc_id", "w")
+    val out = Curation.weightedSample(docs, targetFrac = 0.5, weightCol = "w")
+      .as[(Long, Double)].collect()
+    assert(out.forall(_._1 % 2 == 0), "zero-weight rows must never be sampled")
+    // accept rate for w=1 rows is min(1, 1e6*0.5*200/1e8) = 1.0 -> all kept
+    assert(out.length == 100, s"unit-weight rows all kept at rate 1.0: ${out.length}")
+    val rerun = Curation.weightedSample(docs, targetFrac = 0.5, weightCol = "w")
+      .as[(Long, Double)].collect()
+    assert(out.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq, "deterministic")
+  }
 }

@@ -350,6 +350,21 @@ class ExtSpec extends AnyFunSuite {
     assert(out(103L) == (("kept", None)), s"$out")
   }
 
+  test("embed outliers: planted far vector flagged, cluster members clean") {
+    // 4 vectors near (1,0,0,0) with label 0, one far row with the
+    // same label must exceed any tight threshold
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.99f, 0.01f, 0f, 0f), 0),
+      (3L, Seq(1.01f, -0.01f, 0f, 0f), 0),
+      (4L, Seq(1.0f, 0.02f, 0f, 0f), 0),
+      (5L, Seq(-1.0f, 5.0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedOutliers(vecs, threshold = 2000000000000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(5L), s"far vector must be an outlier: $out")
+    assert(Seq(1L, 2L, 3L, 4L).forall(!out(_)), s"cluster members clean: $out")
+  }
+
   test("centroid classifier: separable labels classify perfectly") {
     // label 0 near (1,0,0,0), label 1 near (0,1,0,0) — vec_id % 5 == 0
     // rows are the test split and must land on their own label
