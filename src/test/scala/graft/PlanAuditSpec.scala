@@ -164,4 +164,40 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_tpch_q22")
     assert(p.contains("LeftAnti"), s"q_tpch_q22 lost its anti join:\n$p")
   }
+
+  test("centroid scoring passes are shuffle-free maps (model inlined as literals)") {
+    // the FIT collects a k×d model at construction time; the returned
+    // scoring plan over the corpus must be a pure narrow scan — any
+    // corpus Exchange here would shuffle 100 TB
+    val po = plan("q_embed_outliers")
+    assert(!po.contains("Exchange"),
+      s"q_embed_outliers scoring pass must be shuffle-free:\n$po")
+    val pc = plan("q_centroid_classify")
+    // exactly one exchange: the (≤k²)-row confusion-matrix agg
+    assert("Exchange".r.findAllIn(pc).size <= 1,
+      s"q_centroid_classify should shuffle only the confusion agg:\n$pc")
+    for (p <- Seq(po, pc))
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"centroid scoring must not join the corpus against the model:\n$p")
+  }
+
+  test("weighted sample broadcasts the one-row stats; corpus pass is a filter") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q_weighted_sample stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q_weighted_sample must not sort-merge the corpus against 1 row:\n$p")
+  }
+
+  test("passage dedup: keeper join is hash-keyed, no cartesian") {
+    val p = plan("q_dedup_passage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_dedup_passage joins must stay equi-keyed:\n$p")
+  }
+
+  test("incremental dedup probes the index with equi joins only") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_dedup_incremental must stay equi-keyed:\n$p")
+  }
 }
