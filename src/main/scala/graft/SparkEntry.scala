@@ -139,6 +139,10 @@ object SparkEntry {
     "q_embed_outliers" -> (EQ.qEmbedOutliers _),
     "q_domain_cap" -> (EQ.qDomainCap _),
     "q_weighted_sample" -> (EQ.qWeightedSample _),
+    "q_corpus_diff" -> (EQ.qCorpusDiff _),
+    "q_oov_rate" -> (EQ.qOovRate _),
+    "q_bigram_logprob" -> (EQ.qBigramLogprob _),
+    "q_sim_filtered_topk" -> (EQ.qSimFilteredTopk _),
     "q_sim_cosine_topk" -> (EQ.qSimCosineTopK _),
     "q_sim_ivf_topk" -> (EQ.qSimIvfTopK _),
     "q_sim_ivf_flat" -> (EQ.qSimIvfFlat _),

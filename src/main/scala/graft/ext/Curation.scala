@@ -253,6 +253,76 @@ object Curation {
       .withColumn("chunk_offset", col("tok_start") % contextLen)
   }
 
+  /** Out-of-vocabulary rate of the held-out split against a vocabulary
+    * learned on the train split — the tokenizer-coverage check a
+    * pretraining pipeline runs before committing to a vocab. The
+    * train/test assignment is the deterministic [[hashSplit]]; the
+    * vocabulary is [[vocabTopK]] (top-`vocabSize` by count, ties to
+    * the token), broadcast so the held-out token stream is probed
+    * map-side — one narrow pass over the corpus after the small vocab
+    * agg, no corpus-sized shuffle beyond the per-doc rollup.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_rate) per held-out doc.
+    */
+  def oovRate(df: DataFrame, vocabSize: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val split = hashSplit(df, idCol)
+    val vocab = vocabTopK(split.filter(col("split") === "train"), vocabSize,
+      textCol).select(col("token"), lit(true).as("in_vocab"))
+    split.filter(col("split") === "test")
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6))
+  }
+
+  /** Bigram-LM quality proxy (the CCNet-style perplexity filter shape,
+    * with the corpus itself as the LM): per-document mean −ln P(w₂|w₁)
+    * under add-one smoothing, P = (c(w₁w₂)+1)/(c(w₁·)+V). Like
+    * [[unigramLogProb]], each bigram's NLL is rounded to integer
+    * micro-units BEFORE the per-doc sum, so summation order cannot
+    * perturb the result; the per-doc mean is then a truncating integer
+    * division in micro-units (NOT a rounded double — a ratio of exact
+    * integers frequently lands exactly on a .5 rounding boundary,
+    * where decimal-string and binary round() implementations disagree)
+    * so a DuckDB replay is bit-identical.
+    *
+    * Scale: the corpus collapses to (doc, w₁, w₂) counts in one
+    * shuffle; the bigram LM and prefix counts are keyed aggregations
+    * of that table; V is one scalar broadcast back. Docs with <2
+    * tokens have no bigrams and drop out. */
+  def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val counted = toks.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val bigramN = counted.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cnt")).as("bg_n"))
+    val prefixN = bigramN.groupBy(col("w1")).agg(sum(col("bg_n")).as("w1_n"))
+    val vocabV = toks.select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("v_size"))
+    counted.join(bigramN, Seq("w1", "w2")).join(prefixN, Seq("w1"))
+      .crossJoin(broadcast(vocabV))
+      .withColumn("nll_micro",
+        round(-log((col("bg_n") + 1).cast(DoubleType) /
+            (col("w1_n") + col("v_size"))) * 1e6, 0)
+          .cast(LongType))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("nll_micro") * col("cnt")).as("sum_nll_micro"))
+      .withColumn("mean_nll_micro", expr("sum_nll_micro div n_bigrams"))
+      .select(idCol, "n_bigrams", "mean_nll_micro")
+  }
+
   /** Per-domain quota cap (the RefinedWeb/C4 anti-dominance rule):
     * keep at most `k` documents per source/domain, best quality
     * first, ties to the lowest id. One shuffle keyed on the domain.

@@ -434,6 +434,30 @@ object Dedup {
     * historical index is the big side and is never re-fingerprinted —
     * cost per run is O(batch) + one index probe, not O(corpus).
     */
+  /** Corpus snapshot diff — the versioning audit between two corpus
+    * states: per doc id, `added` (new only), `removed` (old only),
+    * `changed` (both, different content fingerprint), or `unchanged`.
+    * The ops counterpart of [[dedupAgainstIndex]]: that screens a
+    * delta, this explains one.
+    *
+    * Scale: each side collapses to (id, fingerprint) map-side; the
+    * full-outer join is ONE shuffle keyed on the uniform id — at
+    * 100 TB both snapshots are typically already bucketed by id, which
+    * makes this a zero-shuffle zip of co-located buckets.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as(name))
+    fp(oldDf, "old_fp").join(fp(newDf, "new_fp"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = newDocs.select(col(idCol),

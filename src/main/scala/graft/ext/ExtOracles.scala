@@ -1002,6 +1002,85 @@ object ExtOracles {
         |      FROM q CROSS JOIN st)
         |SELECT doc_id, round(accept_rate, 6) AS accept_rate FROM a
         |WHERE CAST(concat('0x', substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      % 1000000 < accept_rate * 1000000""".stripMargin
+        |      % 1000000 < accept_rate * 1000000""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH fp AS (SELECT doc_id, text,
+        |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+        |      FROM documents),
+        |old AS (SELECT doc_id,
+        |          md5(trim(regexp_replace(lower(
+        |            CASE WHEN doc_id % 11 = 0 THEN text || ' legacy trailer'
+        |                 ELSE text END), '\s+', ' ', 'g'))) AS old_fp
+        |        FROM fp WHERE doc_id % 17 != 0
+        |        UNION ALL
+        |        SELECT doc_id + 3000000, f FROM fp WHERE doc_id % 19 = 0),
+        |new AS (SELECT doc_id, f AS new_fp FROM fp)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_fp IS NULL THEN 'added'
+        |       WHEN n.new_fp IS NULL THEN 'removed'
+        |       WHEN o.old_fp != n.new_fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  o.old_fp, n.new_fp
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // vocab = top-50 train tokens (count desc, token asc); test docs
+    // probe it; splits via the portable md5 bucket of q_hash_split
+    "q_oov_rate" ->
+      s"""WITH b AS (SELECT doc_id, text,
+        |        CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bk
+        |      FROM documents),
+        |train_tok AS (SELECT unnest($toks) AS token FROM b WHERE bk < 80),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token, count(*) AS n,
+        |      row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        |    FROM train_tok GROUP BY token) v WHERE rn <= 50),
+        |test_tok AS (SELECT doc_id, unnest($toks) AS token FROM b WHERE bk >= 90)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS oov_rate
+        |FROM test_tok t LEFT JOIN vocab v USING (token)
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // add-one bigram LM; per-bigram NLL rounded to integer micro
+    // BEFORE the doc sum (the unigram_logprob discipline)
+    "q_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM t, unnest(range(1, len(toks))) AS u(i)
+        |       WHERE len(toks) >= 2),
+        |counted AS (SELECT doc_id, w1, w2, count(*) AS cnt
+        |            FROM bg GROUP BY 1, 2, 3),
+        |bn AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS bg_n
+        |       FROM counted GROUP BY 1, 2),
+        |pn AS (SELECT w1, CAST(sum(bg_n) AS BIGINT) AS w1_n FROM bn GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT token) AS v_size
+        |       FROM (SELECT unnest(toks) AS token FROM t) x),
+        |nll AS (SELECT c.doc_id, c.cnt,
+        |          CAST(ROUND(-ln(CAST(bn.bg_n + 1 AS DOUBLE)
+        |            / (pn.w1_n + vv.v_size)) * 1e6, 0) AS BIGINT) AS nll_micro
+        |        FROM counted c
+        |        JOIN bn ON c.w1 = bn.w1 AND c.w2 = bn.w2
+        |        JOIN pn ON c.w1 = pn.w1 CROSS JOIN vv)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(nll_micro * cnt) AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+        |    AS mean_nll_micro
+        |FROM nll GROUP BY doc_id""".stripMargin,
+
+    "q_sim_filtered_topk" ->
+      """WITH c AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |scored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q
+        |  WHERE c.label IN (1, 2, 3) AND c.vec_id != query_id)
+        |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM scored) t WHERE rn <= 10""".stripMargin
   )
 }

@@ -352,4 +352,32 @@ object ExtQueries {
     Curation.weightedSample(
       TextAnalysis.withStats(Tables(spark, dir).documents),
       targetFrac = 0.3)
+
+  /** Corpus diff between a simulated previous snapshot (every 17th doc
+    * absent = `added` now; every 11th doc carries a stale suffix =
+    * `changed`; extra legacy rows = `removed`) and the current table. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val old = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" legacy trailer")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    Dedup.corpusDiff(old, docs)
+  }
+
+  /** OOV rate of the held-out split against the top-50 train vocab. */
+  def qOovRate(spark: SparkSession, dir: String): DataFrame =
+    Curation.oovRate(Tables(spark, dir).documents, vocabSize = 50)
+
+  /** Bigram-LM (add-one smoothed) mean NLL per document. */
+  def qBigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    Curation.bigramLogProb(Tables(spark, dir).documents)
+
+  /** Label-filtered exact ANN: top-10 among corpus rows with label in
+    * {1,2,3} for each of the first 5 query vectors. */
+  def qSimFilteredTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.filteredTopK(Tables(spark, dir).embeddings,
+      col("label").isin(1, 2, 3), k = 10, numQueries = 5)
 }

@@ -61,6 +61,33 @@ object Similarity {
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
 
+  /** Metadata-filtered exact ANN: top-k among only the corpus rows
+    * satisfying `corpusPred` (pre-filter semantics — the production
+    * "search within label/language/license" shape). The predicate is
+    * applied BEFORE scoring, so Catalyst pushes it into the corpus
+    * scan (with a cluster/label-partitioned layout it becomes
+    * partition pruning) and the Q·N' cross scoring touches only
+    * survivors — filtered ANN costs less than unfiltered, never more
+    * (post-filter top-k would return short lists instead). */
+  def filteredTopK(emb: DataFrame, corpusPred: Column, k: Int = 10,
+      numQueries: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.filter(corpusPred)
+      .select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val queries = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos_sim", "rn")
+  }
+
   /** Map-side cluster argmax over a driver-side centroid list:
     * greatest over (score, -cluster) structs picks the highest score
     * with ties to the LOWEST cluster id (structs order

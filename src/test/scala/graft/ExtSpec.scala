@@ -350,6 +350,52 @@ class ExtSpec extends AnyFunSuite {
     assert(out(103L) == (("kept", None)), s"$out")
   }
 
+  test("corpus diff labels added/removed/changed/unchanged correctly") {
+    val old = Seq(Doc(1, "alpha"), Doc(2, "beta"), Doc(3, "gamma")).toDF
+    val nw = Seq(Doc(1, "alpha"), Doc(2, "beta EDITED"), Doc(4, "delta")).toDF
+    val out = Dedup.corpusDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"$out")
+  }
+
+  test("oov rate: full vocab -> zero OOV; empty vocab -> all OOV") {
+    val d = (1L to 40L).map(i => Doc(i, s"tok${i % 7} tok${i % 5} shared words")).toDF
+    val full = Curation.oovRate(d, vocabSize = 1000).collect()
+    assert(full.nonEmpty, "hash split must yield test docs")
+    assert(full.forall(_.getLong(2) == 0L),
+      "vocab covering every train token may still miss test-only tokens" +
+        " only if the token never occurs in train; with shared tokens all hit")
+    val none = Curation.oovRate(d, vocabSize = 0).collect()
+    assert(none.forall(r => r.getLong(2) == r.getLong(1)),
+      "empty vocab: every token is OOV")
+  }
+
+  test("bigram NLL: repetitive-bigram doc scores lower than novel-bigram doc") {
+    val d = Seq(
+      Doc(1, "a b a b a b a b a b"),   // one dominant bigram pattern
+      Doc(2, "c d e f g h i j k l")).toDF // all bigrams unique
+    val out = Curation.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) < out(2L), s"repetition must lower the NLL: $out")
+  }
+
+  test("filtered ANN respects the corpus predicate and matches brute force unfiltered") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq(1.0f + i, 2.0f - i, 0.5f * i, 1.0f), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val filtered = Similarity.filteredTopK(vecs, col("label") === 1, k = 5,
+      numQueries = 2).collect()
+    val allowed = (0L until 20L).filter(_ % 4 == 1).toSet
+    assert(filtered.nonEmpty && filtered.forall(r => allowed(r.getLong(1))),
+      "every neighbor must satisfy the predicate")
+    val unfiltered = Similarity.filteredTopK(vecs, lit(true), k = 5, numQueries = 2)
+    val brute = Similarity.bruteForceTopK(vecs, k = 5, numQueries = 2)
+    assert(unfiltered.except(brute).count() == 0 &&
+      brute.except(unfiltered).count() == 0,
+      "pred=true must equal brute force")
+  }
+
   test("embed outliers: planted far vector flagged, cluster members clean") {
     // 4 vectors near (1,0,0,0) with label 0, one far row with the
     // same label must exceed any tight threshold
