@@ -140,6 +140,8 @@ object SparkEntry {
     "q_domain_cap" -> (EQ.qDomainCap _),
     "q_weighted_sample" -> (EQ.qWeightedSample _),
     "q_corpus_diff" -> (EQ.qCorpusDiff _),
+    "q_bpe_apply" -> (EQ.qBpeApply _),
+    "q_score_calibrate" -> (EQ.qScoreCalibrate _),
     "q_oov_rate" -> (EQ.qOovRate _),
     "q_bigram_logprob" -> (EQ.qBigramLogprob _),
     "q_sim_filtered_topk" -> (EQ.qSimFilteredTopk _),

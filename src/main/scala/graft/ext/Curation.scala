@@ -253,6 +253,25 @@ object Curation {
       .withColumn("chunk_offset", col("tok_start") % contextLen)
   }
 
+  /** Per-source percentile calibration of a score: percent_rank of
+    * the quality score within each source, ties sharing a rank — the
+    * standard fix for mixing scores across heterogeneous sources
+    * (a 0.6 from a high-quality crawl ≠ a 0.6 from a forum dump; the
+    * percentile within the source IS comparable). One shuffle keyed
+    * on the source; the rank arithmetic is (rank−1)/(n−1) from exact
+    * integers, so it replays exactly.
+    *
+    * @return (doc_id, source, quality_score, pct_rank)
+    */
+  def calibrateBySource(df: DataFrame, srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = TextAnalysis.withStats(df)
+      .select(col(idCol), col(srcCol), col("quality_score"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality_score"))
+    scored.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
   /** Out-of-vocabulary rate of the held-out split against a vocabulary
     * learned on the train split — the tokenizer-coverage check a
     * pretraining pipeline runs before committing to a vocab. The

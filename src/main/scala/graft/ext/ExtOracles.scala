@@ -1068,6 +1068,37 @@ object ExtOracles {
         |    AS mean_nll_micro
         |FROM nll GROUP BY doc_id""".stripMargin,
 
+    // identical spell-out + ordered literal replace() cascade; both
+    // engines' replace() share the left-to-right non-overlap contract
+    "q_bpe_apply" ->
+      """SELECT doc_id, CAST(len(string_split(s, ' ')) AS INTEGER) AS n_bpe_symbols,
+        |  s AS bpe_symbols
+        |FROM (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        |    trim(regexp_replace(replace(lower(text), ' ', '_'), '(.)', '\1 ', 'g')),
+        |    't h', 'th'), 'th e', 'the'), 'i n', 'in'), 'a n', 'an'),
+        |    'an d', 'and'), 'e r', 'er'), 'o r', 'or'), 's t', 'st'),
+        |    'the _', 'the_'), 'and _', 'and_') AS s
+        |FROM documents) t""".stripMargin,
+
+    "q_score_calibrate" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+        |  length(text) AS tlen
+        |FROM t),
+        |q AS (SELECT doc_id, source,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(tlen, 1)) * 0.2, 6) AS quality_score
+        |FROM s)
+        |SELECT doc_id, source, quality_score,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality_score), 6)
+        |    AS pct_rank
+        |FROM q""".stripMargin,
+
     "q_sim_filtered_topk" ->
       """WITH c AS (SELECT vec_id, label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

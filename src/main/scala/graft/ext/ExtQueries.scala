@@ -380,4 +380,13 @@ object ExtQueries {
   def qSimFilteredTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.filteredTopK(Tables(spark, dir).embeddings,
       col("label").isin(1, 2, 3), k = 10, numQueries = 5)
+
+  /** Fixed-merge-table BPE application over the corpus. */
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeApply(Tables(spark, dir).documents)
+      .select("doc_id", "n_bpe_symbols", "bpe_symbols")
+
+  /** Per-source percentile calibration of the quality score. */
+  def qScoreCalibrate(spark: SparkSession, dir: String): DataFrame =
+    Curation.calibrateBySource(Tables(spark, dir).documents)
 }

@@ -163,4 +163,38 @@ object TextAnalysis {
         .when(col("fr_hits") >= col("de_hits"), "fr")
         .otherwise("de"))
   }
+
+  /** Apply a FIXED ordered BPE merge table to a document: the text is
+    * spelled as a space-separated symbol stream (characters, original
+    * spaces as the `▁`-style marker `_`), then each merge rewrites
+    * every non-overlapping left-to-right occurrence of its pair —
+    * exactly the iterative merge application of a learned BPE
+    * tokenizer (the table here is a literal; production loads the
+    * learned one). The whole cascade is a chain of literal replace()
+    * calls, fully codegen'd, zero shuffle — tokenization at scan
+    * speed, the property a 100 TB tokenize pass needs. Both engines'
+    * replace() share the left-to-right non-overlap contract, so a
+    * DuckDB replay is character-identical.
+    *
+    * @return original columns + bpe_symbols (the merged stream) and
+    *         n_bpe_symbols.
+    */
+  def bpeApply(df: DataFrame,
+      merges: Seq[(String, String)] = DefaultMerges,
+      textCol: String = "text"): DataFrame = {
+    // "abc d" -> "a b c _ d": one space after every char, spaces
+    // become the word-boundary marker
+    val spelled = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), " ", "_"), "(.)", "$1 "))
+    val merged = merges.foldLeft(spelled) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"$a $b"), lit(a + b)) }
+    df.withColumn("bpe_symbols", merged)
+      .withColumn("n_bpe_symbols", size(split(col("bpe_symbols"), " ")))
+  }
+
+  /** A small frequency-plausible English merge table for [[bpeApply]]
+    * demos/tests; ordered (later merges may consume earlier outputs). */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "r", "s" -> "t", "the" -> "_", "and" -> "_")
 }

@@ -350,6 +350,27 @@ class ExtSpec extends AnyFunSuite {
     assert(out(103L) == (("kept", None)), s"$out")
   }
 
+  test("bpe apply: hand-checked merge cascade on a tiny doc") {
+    // "the cat" -> "t h e _ c a t" -> th -> the -> the_ : "the_ c a t"
+    val out = TextAnalysis.bpeApply(Seq(Doc(1, "the cat")).toDF)
+      .select("bpe_symbols", "n_bpe_symbols").head()
+    assert(out.getString(0) == "the_ c a t", s"got '${out.getString(0)}'")
+    assert(out.getInt(1) == 4)
+  }
+
+  test("calibrateBySource: per-source percentiles span 0..1, ties share ranks") {
+    val d = Seq(
+      (1L, "the a of and is to in it that words here now", "s1"),
+      (2L, "zz qq ww", "s1"),
+      (3L, "the a of and is to in it that words here now", "s2"),
+      (4L, "the the the the a a a of of is", "s2"),
+      (5L, "mid quality the a of text", "s2")).toDF("doc_id", "text", "source")
+    val out = Curation.calibrateBySource(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0, s"2-doc source spans 0..1: $out")
+    assert(Seq(3L, 4L, 5L).map(out).sorted == Seq(0.0, 0.5, 1.0), s"$out")
+  }
+
   test("corpus diff labels added/removed/changed/unchanged correctly") {
     val old = Seq(Doc(1, "alpha"), Doc(2, "beta"), Doc(3, "gamma")).toDF
     val nw = Seq(Doc(1, "alpha"), Doc(2, "beta EDITED"), Doc(4, "delta")).toDF
