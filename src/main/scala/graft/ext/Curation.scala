@@ -329,7 +329,10 @@ object Curation {
     val prefixN = bigramN.groupBy(col("w1")).agg(sum(col("bg_n")).as("w1_n"))
     val vocabV = toks.select(explode(col("toks")).as("token"))
       .agg(countDistinct(col("token")).as("v_size"))
-    counted.join(bigramN, Seq("w1", "w2")).join(prefixN, Seq("w1"))
+    // pre-join the (small) LM tables so the big (doc,w1,w2) side
+    // shuffles ONCE on (w1,w2) instead of once per LM table
+    val lm = bigramN.join(prefixN, Seq("w1"))
+    counted.join(lm, Seq("w1", "w2"))
       .crossJoin(broadcast(vocabV))
       .withColumn("nll_micro",
         round(-log((col("bg_n") + 1).cast(DoubleType) /
