@@ -384,10 +384,15 @@ object Curation {
     val wMicro = round(col(weightCol) * 1e6, 0).cast(LongType)
     val stats = df.agg(sum(wMicro).as("sum_w_micro"),
       count(lit(1)).as("n"))
+    // Σw = 0 guard: 0·frac·n/0 is NaN, and least(1.0, NaN) = 1.0 in
+    // Spark's ordering (NaN sorts greatest) — which would sample
+    // EVERYTHING from an all-zero-weight corpus instead of nothing
     df.crossJoin(broadcast(stats))
-      .withColumn("accept_rate", least(lit(1.0),
-        wMicro.cast(DoubleType) * targetFrac * col("n")
-          / col("sum_w_micro").cast(DoubleType)))
+      .withColumn("accept_rate",
+        when(col("sum_w_micro") > 0, least(lit(1.0),
+          wMicro.cast(DoubleType) * targetFrac * col("n")
+            / col("sum_w_micro").cast(DoubleType)))
+        .otherwise(lit(0.0)))
       .filter(Dedup.portableHash60(
           concat(lit("wsample|"), col(idCol).cast(StringType))) % 1000000
         < col("accept_rate") * 1000000.0)

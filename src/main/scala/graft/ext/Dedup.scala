@@ -434,6 +434,49 @@ object Dedup {
     * historical index is the big side and is never re-fingerprinted —
     * cost per run is O(batch) + one index probe, not O(corpus).
     */
+  /** Exact duplicated-substring spans (the "Deduplicating Training
+    * Data Makes Language Models Better" operation, re-expressed
+    * relationally): find every MAXIMAL token span whose every
+    * `span`-token sliding window (stride 1) also occurs somewhere
+    * else in the corpus — the spans an exact-substring dedup pass
+    * would cut. Two docs sharing a 30-token run report one 30-token
+    * span each, not 23 overlapping windows.
+    *
+    * Relational shape instead of the paper's suffix array: the
+    * sliding-window explode is map-side; duplicated windows are ONE
+    * shuffle on the uniform 128-bit window hash (map-side partial
+    * count; a boilerplate window shared by 10⁸ docs is one count key,
+    * never a fanout); the probe back is keyed on the same hash; the
+    * gaps-and-islands merge (island = pos − row_number) is a per-doc
+    * window over only the duplicated positions — sparse by
+    * construction. All integer arithmetic, so a DuckDB replay is
+    * exact.
+    *
+    * @return (doc_id, span_start, span_end, n_tokens) per maximal
+    *         duplicated span; token positions 0-based inclusive.
+    */
+  def duplicateSpans(df: DataFrame, span: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val windows = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= span)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $span), " +
+        s"i -> md5(array_join(slice(toks, i + 1, $span), ' ')))"))
+        .as(Seq("pos", "wh")))
+    val dups = windows.groupBy("wh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("wh")
+    val dupPos = windows.join(dups, "wh").select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    dupPos.withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(span - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
   /** Corpus snapshot diff — the versioning audit between two corpus
     * states: per doc id, `added` (new only), `removed` (old only),
     * `changed` (both, different content fingerprint), or `unchanged`.

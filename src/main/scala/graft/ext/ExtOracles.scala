@@ -997,8 +997,10 @@ object ExtOracles {
         |st AS (SELECT CAST(sum(CAST(ROUND(qs * 1e6, 0) AS BIGINT)) AS BIGINT) AS sum_w,
         |         count(*) AS n FROM q),
         |a AS (SELECT doc_id,
-        |        least(1.0, CAST(CAST(ROUND(qs * 1e6, 0) AS BIGINT) AS DOUBLE)
-        |          * 0.3 * n / CAST(sum_w AS DOUBLE)) AS accept_rate
+        |        CASE WHEN sum_w > 0
+        |          THEN least(1.0, CAST(CAST(ROUND(qs * 1e6, 0) AS BIGINT) AS DOUBLE)
+        |            * 0.3 * n / CAST(sum_w AS DOUBLE))
+        |          ELSE 0.0 END AS accept_rate
         |      FROM q CROSS JOIN st)
         |SELECT doc_id, round(accept_rate, 6) AS accept_rate FROM a
         |WHERE CAST(concat('0x', substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -1098,6 +1100,30 @@ object ExtOracles {
         |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality_score), 6)
         |    AS pct_rank
         |FROM q""".stripMargin,
+
+    // stride-1 window hashes -> duplicated windows -> gaps-and-islands
+    // merge to maximal spans; pos - row_number() island ids exactly as
+    // the Spark side computes them
+    "q_dedup_spans" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 6 = 0
+        |         THEN ' all rights reserved unauthorized reproduction of this material is strictly prohibited by law'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, $toks AS toks FROM planted),
+        |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        |w AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        md5(array_to_string(toks[i+1 : i+8], ' ')) AS wh
+        |      FROM tt, unnest(range(0, len(toks) - 7)) AS u(i)),
+        |d AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+        |dp AS (SELECT doc_id, pos FROM w JOIN d USING (wh)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM dp)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |  max(pos) + 7 - min(pos) + 1 AS n_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     "q_sim_filtered_topk" ->
       """WITH c AS (SELECT vec_id, label,

@@ -389,4 +389,17 @@ object ExtQueries {
   /** Per-source percentile calibration of the quality score. */
   def qScoreCalibrate(spark: SparkSession, dir: String): DataFrame =
     Curation.calibrateBySource(Tables(spark, dir).documents)
+
+  /** Maximal duplicated token spans with a 12-token boilerplate run
+    * planted on every 6th doc (so ≥8-token shared windows exist and
+    * the island merge has multi-window spans to collapse). */
+  def qDedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val boiler = "all rights reserved unauthorized reproduction of this " +
+      "material is strictly prohibited by law"
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" " + boiler)).otherwise(lit("")))
+        .as("text"))
+    Dedup.duplicateSpans(planted, span = 8)
+  }
 }

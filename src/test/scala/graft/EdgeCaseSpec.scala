@@ -99,6 +99,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(err.getMessage.contains("subspaces"))
   }
 
+  test("round-8 operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.pageRank(emptyEdges).count() == 0)
+    assert(graft.ext.Dedup.passageDedup(emptyDocs).count() == 0)
+    assert(graft.ext.Dedup.duplicateSpans(emptyDocs).count() == 0)
+    assert(graft.ext.Dedup.corpusDiff(emptyDocs, emptyDocs).count() == 0)
+    // index dedup with an empty index keeps batch-internal semantics
+    val batch = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    val emptyIdx = Seq.empty[(String, Long)].toDF("fingerprint", "keeper_id")
+    val st = graft.ext.Dedup.dedupAgainstIndex(batch, emptyIdx)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(st == Map(1L -> "kept", 2L -> "dup_batch"))
+    // all-zero weights: acceptance rate is null/0 everywhere -> empty
+    val zw = Seq((1L, 0.0), (2L, 0.0)).toDF("doc_id", "w")
+    assert(graft.ext.Curation.weightedSample(zw, 0.5, weightCol = "w").count() == 0)
+    // single-token docs have no bigrams
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(graft.ext.Curation.bigramLogProb(one).count() == 0)
+  }
+
   test("incremental merge bootstrap from empty batch sequence") {
     val path = java.nio.file.Files.createTempDirectory("graft-edge").toString + "/t"
     val b = Seq((1L, "x")).toDF("id", "v")

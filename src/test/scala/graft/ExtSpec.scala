@@ -317,6 +317,18 @@ class ExtSpec extends AnyFunSuite {
     assert(!out(10) && !out(12), s"exact dups must be dropped: $out")
   }
 
+  test("duplicate spans: shared 10-token run reported as ONE maximal span each") {
+    val shared = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      Doc(1, s"aa bb cc $shared dd ee"),      // shared at tokens 3..12
+      Doc(2, s"$shared xx yy zz"),            // shared at tokens 0..9
+      Doc(3, "totally unrelated words that never repeat anywhere else at all")).toDF
+    val out = Dedup.duplicateSpans(d, span = 8).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSet == Set(1L -> ((3, 12, 10)), 2L -> ((0, 9, 10))),
+      s"expected one exact maximal span per doc: ${out.toSeq}")
+  }
+
   test("passage dedup: later copies of a passage drop, order is preserved") {
     val boiler = "one two three four five six seven eight nine ten"
     val d = Seq(
