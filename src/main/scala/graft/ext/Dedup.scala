@@ -204,7 +204,8 @@ object Dedup {
     * cap is 2·maxIter + 2 (driver convergence jobs dominate wall-clock
     * on sparse graphs, hence the batching). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+      bCol: String = "b_id", maxIter: Int = 20,
+      collectThreshold: Long = 500000L): DataFrame = {
     // localCheckpoint (not cache) after every step: iterative plans
     // double in size each round otherwise — cache truncates execution
     // but NOT analysis, and Catalyst planning time explodes
@@ -243,6 +244,38 @@ object Dedup {
     val defaultParts =
       callerSession.conf.get("spark.sql.shuffle.partitions").toInt
     val nEdges = p0.count()
+    // Size-gated driver fast path — the broadcast-join discipline
+    // applied to graphs: a candidate graph at or under
+    // `collectThreshold` edges (~16 MB of longs at the default) is
+    // union-found in memory in one collect, replacing ~8 Spark jobs
+    // of per-round planning overhead (measured 3–4 s on a 2k-edge
+    // graph regardless of shuffle width — it is ALL fixed cost).
+    // Identical output: component = min reachable id. At 100 TB the
+    // gate simply never fires and the distributed HashMin loop below
+    // runs; pass collectThreshold = 0 to force it (the equivalence
+    // spec does).
+    if (nEdges <= collectThreshold) {
+      import callerSession.implicits._
+      val es = p0.select(col(aCol).cast(LongType), col(bCol).cast(LongType))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent.getOrElse(c, c); parent(c) = r; c = nx
+        }
+        r
+      }
+      for ((a, b) <- es) {
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toSeq.map(n => (n, find(n)))
+      return labels.toDF("node", "component")
+    }
     val parts = math.min(defaultParts,
       math.max(1L, nEdges / 100000L).toInt)
     val isolated = parts < defaultParts

@@ -46,6 +46,18 @@ class ExtSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: driver fast path ≡ distributed HashMin loop") {
+    // star + long chain + isolated pair, deliberately out of order
+    val pairs = (Seq((7L, 3L), (3L, 9L), (9L, 1L)) ++
+      (20L to 26L).map(i => (i + 1, i)) ++ Seq((100L, 90L)))
+      .toDF("a_id", "b_id")
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, collectThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist, s"fast $fast vs distributed $dist")
+    assert(fast(7L) == 1L && fast(26L) == 20L && fast(100L) == 90L)
+  }
+
   test("simhash: near-dups close in hamming, unrelated far") {
     val sh = Dedup.simhash64(docs).as[(Long, Long)].collect().toMap
     val near = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
