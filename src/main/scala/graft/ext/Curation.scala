@@ -316,7 +316,11 @@ object Curation {
     * tokens have no bigrams and drop out. */
   def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // tokenize ONCE: both the bigram-count subtree and the vocab scan
+    // read this materialization instead of re-running the tokenizer
+    // over the corpus (the single most expensive scalar pass here)
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
     val counted = toks.filter(size(col("toks")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
@@ -324,15 +328,26 @@ object Curation {
       .select(col(idCol), col("b.w1"), col("b.w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
+    // the LM table is read twice (prefix counts + final probe) —
+    // materialize it so `counted` is aggregated once, and learn its
+    // size for the broadcast gate below
     val bigramN = counted.groupBy(col("w1"), col("w2"))
       .agg(sum(col("cnt")).as("bg_n"))
+      .localCheckpoint()
     val prefixN = bigramN.groupBy(col("w1")).agg(sum(col("bg_n")).as("w1_n"))
     val vocabV = toks.select(explode(col("toks")).as("token"))
       .agg(countDistinct(col("token")).as("v_size"))
     // pre-join the (small) LM tables so the big (doc,w1,w2) side
     // shuffles ONCE on (w1,w2) instead of once per LM table
     val lm = bigramN.join(prefixN, Seq("w1"))
-    counted.join(lm, Seq("w1", "w2"))
+    // Size-gated broadcast of the LM: when the observed-bigram table
+    // is small (it is vocabulary-bound, not corpus-bound), shipping it
+    // to every task means the big (doc,w1,w2) side never reshuffles on
+    // (w1,w2). At web scale the bigram table is itself huge — the gate
+    // falls back to the keyed shuffle join, which is always safe.
+    val probe =
+      if (bigramN.count() <= 2000000L) broadcast(lm) else lm
+    counted.join(probe, Seq("w1", "w2"))
       .crossJoin(broadcast(vocabV))
       .withColumn("nll_micro",
         round(-log((col("bg_n") + 1).cast(DoubleType) /

@@ -497,6 +497,12 @@ object Dedup {
         s"transform(sequence(0, size(toks) - $span), " +
         s"i -> md5(array_join(slice(toks, i + 1, $span), ' ')))"))
         .as(Seq("pos", "wh")))
+      // materialized once: this table feeds BOTH the duplicate count
+      // and the probe-back join — without the checkpoint the tokenize
+      // + per-position md5 (the dominant scalar cost) runs twice.
+      // Storage is O(corpus tokens), the same order as the shuffle
+      // files the count/probe write anyway.
+      .localCheckpoint()
     val dups = windows.groupBy("wh").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("wh")
     val dupPos = windows.join(dups, "wh").select(col(idCol), col("pos"))

@@ -43,7 +43,8 @@ object Graph {
     * @return (node, rank_micro) after `iters` iterations.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      damping: Int = 85 /* percent */): DataFrame = {
+      damping: Int = 85 /* percent */,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
     val e = edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
     // out-degree rides along with each edge so the per-iteration join
@@ -54,15 +55,25 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
+    // Size gate (same discipline as Dedup.connectedComponents' driver
+    // fast path): the rank vector is node-bound, not edge-bound. When
+    // it fits a broadcast, shipping it to every task means the edge
+    // table is NEVER reshuffled — each iteration costs one map-side
+    // join plus the dst aggregation, instead of two full shuffles of
+    // the edges. Web-scale graphs exceed the gate and take the keyed
+    // shuffle joins, which are always safe. nodes is checkpointed, so
+    // the count here is a cheap scan of materialized partitions.
+    val bcast = nodes.count() <= broadcastMaxNodes
+    def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 0 until iters) {
       val contribs = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(small(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"),
           expr("rank_micro div odeg").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
       ranks = nodes
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .join(small(contribs.withColumnRenamed("dst", "node")), Seq("node"), "left")
         .select(col("node"),
           (lit((100 - damping) * 10000L) +
             expr(s"($damping * coalesce(inflow, 0L)) div 100")).as("rank_micro"))
