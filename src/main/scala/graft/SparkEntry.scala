@@ -135,6 +135,7 @@ object SparkEntry {
     "q_dedup_cdc" -> (EQ.qDedupCdc _),
     "q_dedup_passage" -> (EQ.qDedupPassage _),
     "q_dedup_spans" -> (EQ.qDedupSpans _),
+    "q_winnow_fingerprints" -> (EQ.qWinnowFingerprints _),
     "q_dedup_incremental" -> (EQ.qDedupIncremental _),
     "q_centroid_classify" -> (EQ.qCentroidClassify _),
     "q_embed_outliers" -> (EQ.qEmbedOutliers _),

@@ -557,4 +557,48 @@ object Dedup {
           when(col(idCol) =!= col("batch_keeper"), col("batch_keeper")))
           .as("dup_of"))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, and in each window select the MINIMUM
+    * hash — rightmost occurrence on ties (the paper's robust-winnowing
+    * tie-break). The selected (position, hash) set is the document's
+    * fingerprint: any shared token run of length ≥ k + w − 1 between
+    * two documents is guaranteed to share at least one fingerprint,
+    * with density 2/(w+1) — the principled sampling guarantee that
+    * plain "every j-th gram" fingerprinting lacks.
+    *
+    * Scale shape: the whole selection is per-row array arithmetic —
+    * tokenize, gram-hash (60-bit md5 prefix, the engine's portable
+    * hash contract), window-argmin, dedup selected positions — so the
+    * operator is ZERO-shuffle: a pure map over the corpus emitting
+    * O(2·tokens/(w+1)) fingerprint rows. Downstream match-finding is
+    * one groupBy on the uniform fingerprint (same shape as
+    * [[exactDedupGroups]]). O(m·w) comparisons per doc happen inside
+    * codegen'd array expressions, never across rows.
+    *
+    * @return (doc_id, pos, fp): 0-based gram position and 60-bit
+    *         fingerprint hash, one row per selected fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .withColumn("hv", transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => graft.expressions.Md5Hash60.hash60(
+          array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+    // window start s selects position s + w − rpos, where rpos is the
+    // 1-based position of the min in the REVERSED window — reversing
+    // makes "first occurrence" mean "rightmost in the original"
+    val sel = grams.withColumn("sel", array_distinct(transform(
+      sequence(lit(0), size(col("hv")) - w),
+      s => s.cast(LongType) + lit(w.toLong) - array_position(
+        reverse(slice(col("hv"), s + 1, lit(w))),
+        array_min(slice(col("hv"), s + 1, lit(w)))))))
+    sel.select(col(idCol), col("hv"), explode(col("sel")).as("pos"))
+      .select(col(idCol), col("pos"),
+        element_at(col("hv"), (col("pos") + 1).cast(IntegerType)).as("fp"))
+  }
 }

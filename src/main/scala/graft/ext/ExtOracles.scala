@@ -1138,6 +1138,23 @@ object ExtOracles {
         |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
-        |  FROM scored) t WHERE rn <= 10""".stripMargin
+        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+
+    // winnowing: k=3 token grams, window w=4, min-hash per window with
+    // rightmost tie-break (reverse + first-position = rightmost);
+    // 60-bit md5-prefix hash is the shared cross-engine contract
+    "q_winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |ld AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
+        |g AS (SELECT doc_id,
+        |    list_transform(range(0, len(toks) - 2), i ->
+        |      CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15)) AS BIGINT)) AS hv
+        |  FROM ld),
+        |sel AS (SELECT doc_id, hv,
+        |    list_distinct(list_transform(range(0, len(hv) - 3), s ->
+        |      s + 4 - list_position(list_reverse(hv[s+1:s+4]), list_min(hv[s+1:s+4])))) AS sels
+        |  FROM g)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hv[CAST(pos AS INTEGER)+1] AS fp
+        |FROM (SELECT doc_id, hv, unnest(sels) AS pos FROM sel) x""".stripMargin
   )
 }

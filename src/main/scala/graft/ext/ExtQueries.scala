@@ -402,4 +402,8 @@ object ExtQueries {
         .as("text"))
     Dedup.duplicateSpans(planted, span = 8)
   }
+
+  /** MOSS winnowing fingerprints (k=3-token grams, window w=4). */
+  def qWinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables(spark, dir).documents)
 }

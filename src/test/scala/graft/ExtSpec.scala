@@ -472,4 +472,25 @@ class ExtSpec extends AnyFunSuite {
       s"misclassification in separable data: $conf")
     assert(conf.values.sum == 4L, s"4 test rows expected: $conf")
   }
+
+  test("winnowing: shared run ≥ k+w-1 tokens guarantees a shared fingerprint") {
+    import spark.implicits._
+    val shared = "quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two $shared three four five six"),
+      (3L, "completely different words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // the winnowing guarantee: any shared substring of ≥ k+w-1 = 6
+    // tokens must contribute at least one common fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, s"guarantee violated: $byDoc")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs share nothing")
+    // density: selections ≈ 2/(w+1) of windows, never more than windows
+    val g1 = docs.filter($"doc_id" === 1L).select(
+      graft.ext.TextAnalysis.tokens($"text")).head.getSeq[String](0).size
+    assert(byDoc(1L).size <= g1 - 2, "cannot select more than gram count")
+  }
 }
