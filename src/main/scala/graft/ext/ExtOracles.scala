@@ -1155,6 +1155,48 @@ object ExtOracles {
         |      s + 4 - list_position(list_reverse(hv[s+1:s+4]), list_min(hv[s+1:s+4])))) AS sels
         |  FROM g)
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hv[CAST(pos AS INTEGER)+1] AS fp
-        |FROM (SELECT doc_id, hv, unnest(sels) AS pos FROM sel) x""".stripMargin
+        |FROM (SELECT doc_id, hv, unnest(sels) AS pos FROM sel) x""".stripMargin,
+
+    // TextRank: adjacent-token co-occurrence graph (string-level
+    // distinct, then 60-bit md5-prefix node ids), full 3-iteration
+    // integer-micro PageRank replay, top-20 by (rank desc, token)
+    "q_textrank" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |bg AS (SELECT DISTINCT toks[i] AS a, toks[i+1] AS b
+        |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2) x
+        |       WHERE toks[i] != toks[i+1]),
+        |e0 AS (SELECT a, b FROM bg UNION SELECT b AS a, a AS b FROM bg),
+        |vid AS (SELECT token,
+        |          CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS nid
+        |        FROM (SELECT a AS token FROM bg UNION SELECT b FROM bg) v),
+        |e AS (SELECT va.nid AS src, vb.nid AS dst FROM e0
+        |      JOIN vid va ON va.token = e0.a JOIN vid vb ON vb.token = e0.b),
+        |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |          UNION SELECT DISTINCT dst AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // deg.odeg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(i1.inflow, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // deg.odeg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(i2.inflow, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.r // deg.odeg) AS inflow
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(i3.inflow, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN i3 USING (node))
+        |SELECT token, r AS rank_micro, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT v.token, r3.r, row_number() OVER (ORDER BY r3.r DESC, v.token) AS rn
+        |  FROM r3 JOIN vid v ON v.nid = r3.node) ranked
+        |WHERE rn <= 20""".stripMargin
   )
 }

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Iterative graph analytics expressed as DataFrame joins/aggregates —
   * the other half of the graph story next to
@@ -79,5 +79,48 @@ object Graph {
             expr(s"($damping * coalesce(inflow, 0L)) div 100")).as("rank_micro"))
     }
     ranks
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    * corpus-level word co-occurrence graph — an undirected unweighted
+    * edge between each pair of ADJACENT distinct tokens — then the
+    * top-`topK` tokens by rank. Runs on the engine's integer-micro
+    * [[pageRank]], so a second engine replaying the same iterations
+    * lands on bit-identical ranks and an identical keyword list.
+    *
+    * Scale shape: bigram explode is map-side; the edge list dedups on
+    * the token-pair strings in one shuffle (vocabulary-bound, not
+    * corpus-bound — the graph size is O(distinct bigrams)); nodes are
+    * 60-bit portable token hashes so the iteration loop runs on
+    * fixed-width longs, with names joined back only for the final
+    * top-k, taken as TakeOrdered (no global sort) before the
+    * 20-row-local rank window.
+    */
+  def textRank(docs: DataFrame, iters: Int = 3, topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val h60 = graft.expressions.Md5Hash60.hash60(_: Column)
+    val bi = docs
+      .select(graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] as a, toks[i] as b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = bi.select(col("a"), col("b"))
+      .union(bi.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .select(h60(col("a")).as("src"), h60(col("b")).as("dst"))
+    val names = bi.select(col("a").as("token"))
+      .union(bi.select(col("b").as("token"))).distinct()
+      .select(col("token"), h60(col("token")).as("node"))
+    val top = pageRank(edges, iters)
+      .join(names, "node")
+      .orderBy(col("rank_micro").desc, col("token"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank_micro").desc, col("token"))
+    top.select(col("token"), col("rank_micro"),
+      row_number().over(w).cast(IntegerType).as("rn"))
   }
 }

@@ -117,4 +117,9 @@ object AdvancedAnalytics {
       .union(li.select(col("s").as("src"), col("p").as("dst")))
     graft.operators.Graph.pageRank(edges, iters = 3)
   }
+
+  /** TextRank top-20 corpus keywords — PageRank over the adjacent-token
+    * co-occurrence graph; see [[graft.operators.Graph.textRank]]. */
+  def qTextrank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.textRank(Tables(spark, dir).documents)
 }

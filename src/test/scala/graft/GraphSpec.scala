@@ -28,4 +28,18 @@ class GraphSpec extends AnyFunSuite {
     val r2 = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap
     assert(r == r2, "integer-micro ranks must be bit-identical across runs")
   }
+
+  test("textrank: connective tokens outrank rare ones; rn dense from 1") {
+    // "the" neighbors every content word — highest co-occurrence
+    // degree ⇒ highest rank. "zzz" appears once at a sentence edge.
+    val docs = Seq(
+      "the cat sat on the mat",
+      "the dog ate the bone",
+      "the bird sang to the cat",
+      "zzz the end").toDF("text")
+    val out = Graph.textRank(docs, topK = 5).collect()
+    assert(out.head.getString(0) == "the", s"hub token first: ${out.toSeq}")
+    assert(out.map(_.getInt(2)).toSeq == (1 to out.length), "rn dense from 1")
+    assert(out.length == 5)
+  }
 }
