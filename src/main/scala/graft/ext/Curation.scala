@@ -413,4 +413,37 @@ object Curation {
         < col("accept_rate") * 1000000.0)
       .select(col(idCol), round(col("accept_rate"), 6).as("accept_rate"))
   }
+
+  /** Deterministic epoch shuffle — the training-order materialization
+    * pass: every document lands in a shard (`pmod` of the portable
+    * 60-bit hash of "epoch|id") at a position (rank of the digest's
+    * independent second 60-bit half within the shard). Changing
+    * `epoch` re-deals both shard and order with no state carried
+    * between epochs; identical inputs replay to the identical order on
+    * any engine, which is what makes a training run resumable and
+    * auditable.
+    *
+    * Scale shape: one shuffle, keyed on shard. The per-shard
+    * row_number is NOT a scale smell: `numShards` is the
+    * parallelism/output-file knob — a 100 TB corpus runs with 10k+
+    * shards of ~10 GB (one output file each), so each rank window is
+    * bounded by the shard size the operator was told to produce. No
+    * global sort ever happens; ties cannot occur (position key is
+    * (hash, id), id unique).
+    *
+    * @return (doc_id, shard, pos): shard in [0, numShards), pos
+    *         1-based within the shard.
+    */
+  def epochShuffle(df: DataFrame, epoch: Int = 0, numShards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    val key = concat(lit(s"epoch$epoch|"), col(idCol).cast(StringType))
+    df.select(col(idCol),
+        pmod(Dedup.portableHash60(key), lit(numShards.toLong))
+          .cast(IntegerType).as("shard"),
+        graft.expressions.Md5Hash60.hash60(key, second = true).as("ord_hash"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("ord_hash"), col(idCol))))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

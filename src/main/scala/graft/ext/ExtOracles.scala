@@ -1197,6 +1197,20 @@ object ExtOracles {
         |SELECT token, r AS rank_micro, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT v.token, r3.r, row_number() OVER (ORDER BY r3.r DESC, v.token) AS rn
         |  FROM r3 JOIN vid v ON v.nid = r3.node) ranked
-        |WHERE rn <= 20""".stripMargin
+        |WHERE rn <= 20""".stripMargin,
+
+    // epoch shuffle: shard = first 60-bit md5 half mod 8, order = the
+    // digest's second half (hex chars 16..30) — one digest, two keys
+    "q_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(concat('epoch1|', CAST(doc_id AS VARCHAR))) AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CAST(concat('0x', substr(d, 1, 15)) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(concat('0x', substr(d, 1, 15)) AS BIGINT) % 8
+        |    ORDER BY CAST(concat('0x', substr(d, 16, 15)) AS BIGINT), doc_id)
+        |    AS INTEGER) AS pos
+        |FROM h""".stripMargin
   )
 }

@@ -406,4 +406,8 @@ object ExtQueries {
   /** MOSS winnowing fingerprints (k=3-token grams, window w=4). */
   def qWinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowFingerprints(Tables(spark, dir).documents)
+
+  /** Epoch-1 deterministic training shuffle into 8 shards. */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    Curation.epochShuffle(Tables(spark, dir).documents, epoch = 1)
 }

@@ -110,4 +110,23 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(out.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq, "deterministic")
   }
+
+  test("epochShuffle: valid dense per-shard positions; epochs re-deal; reruns identical") {
+    val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
+    val e0 = Curation.epochShuffle(docs, epoch = 0, numShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(e0.length == 400 && e0.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions within each shard are exactly 1..shardSize
+    e0.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $s positions must be dense from 1")
+    }
+    val e0b = Curation.epochShuffle(docs, epoch = 0, numShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(e0.sortBy(_._1).toSeq == e0b.sortBy(_._1).toSeq, "deterministic rerun")
+    val e1 = Curation.epochShuffle(docs, epoch = 1, numShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(e0.sortBy(_._1).toSeq != e1.sortBy(_._1).toSeq,
+      "a new epoch must re-deal the order")
+  }
 }
