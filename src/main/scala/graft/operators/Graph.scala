@@ -123,4 +123,55 @@ object Graph {
     top.select(col("token"), col("rank_micro"),
       row_number().over(w).cast(IntegerType).as("rn"))
   }
+
+  /** Exact triangle count over an undirected graph, with the classic
+    * degree-ordering optimization: every edge is oriented from its
+    * (degree, id)-smaller endpoint to the larger, wedges are pairs of
+    * out-edges of one node, and a triangle is a wedge whose far ends
+    * are themselves an oriented edge. Orientation bounds total wedge
+    * generation to O(m^1.5) regardless of skew — a celebrity node with
+    * 10⁸ neighbors has almost NO out-edges (everything orients toward
+    * it), so the quadratic neighbor-pair explosion that kills the
+    * naive plan never happens. The three joins are keyed on node id /
+    * the (b,c) pair; the oriented edge list is checkpointed once and
+    * reused by all three consumers.
+    *
+    * @param edges (src, dst) rows in either orientation; normalized,
+    *              deduplicated, self-loops dropped internally.
+    * @return one row: (n_edges, n_wedges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast(LongType).as("u"),
+        greatest(col("src"), col("dst")).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(flip, col("v")).otherwise(col("u")).as("src"),
+        when(flip, col("u")).otherwise(col("v")).as("dst"),
+        when(flip, col("du")).otherwise(col("dv")).as("ddeg"))
+      .localCheckpoint()
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+          struct(col("x.ddeg"), col("x.dst")) <
+            struct(col("y.ddeg"), col("y.dst")))
+      .select(col("x.dst").as("b"), col("y.dst").as("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // wedge count = Σ C(outdeg, 2) — an aggregation over the oriented
+    // list, NOT a second run of the wedge join
+    val nWedges = oriented.groupBy("src").agg(count(lit(1)).as("od"))
+      .agg(sum(expr("od * (od - 1) div 2")).as("n_wedges"))
+    wedges.join(closing, Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(nWedges)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
 }

@@ -122,4 +122,16 @@ object AdvancedAnalytics {
     * co-occurrence graph; see [[graft.operators.Graph.textRank]]. */
   def qTextrank(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.textRank(Tables(spark, dir).documents)
+
+  /** Exact triangle count of the co-purchase graph (parts sharing an
+    * order), degree-oriented; see
+    * [[graft.operators.Graph.triangleCount]]. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graph.triangleCount(e)
+  }
 }

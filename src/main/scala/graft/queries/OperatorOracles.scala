@@ -452,6 +452,30 @@ object OperatorOracles {
         |       FROM nodes n LEFT JOIN i3 USING (node))
         |SELECT node, r AS rank_micro FROM r3""".stripMargin,
 
+    // degree-oriented triangle count of the co-purchase graph: edges
+    // oriented (deg, id)-ascending; wedge count = Σ C(outdeg, 2)
+    "q_triangles" ->
+      """WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) x
+        |  GROUP BY node),
+        |o AS (SELECT
+        |    CASE WHEN (du.deg, p.u) > (dv.deg, p.v) THEN p.v ELSE p.u END AS src,
+        |    CASE WHEN (du.deg, p.u) > (dv.deg, p.v) THEN p.u ELSE p.v END AS dst,
+        |    CASE WHEN (du.deg, p.u) > (dv.deg, p.v) THEN du.deg ELSE dv.deg END AS ddeg
+        |  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+        |w AS (SELECT x.dst AS b, y.dst AS c FROM o x JOIN o y
+        |      ON x.src = y.src AND (x.ddeg, x.dst) < (y.ddeg, y.dst)),
+        |nw AS (SELECT CAST(sum(od * (od - 1) // 2) AS BIGINT) AS n_wedges FROM (
+        |    SELECT src, count(*) AS od FROM o GROUP BY src) z),
+        |nt AS (SELECT count(*) AS n_triangles FROM w
+        |       JOIN o ON o.src = w.b AND o.dst = w.c)
+        |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+        |       nw.n_wedges, nt.n_triangles
+        |FROM nt CROSS JOIN nw""".stripMargin,
+
     "q_zscore" ->
       """WITH m AS (
         |  SELECT o_orderpriority AS p, COUNT(*) AS n,

@@ -42,4 +42,16 @@ class GraphSpec extends AnyFunSuite {
     assert(out.map(_.getInt(2)).toSeq == (1 to out.length), "rn dense from 1")
     assert(out.length == 5)
   }
+
+  test("triangles: K4 plus a pendant edge has exactly 4 triangles") {
+    // K4 on {1,2,3,4} (6 edges, C(4,3)=4 triangles) + pendant 4–5;
+    // input deliberately messy: duplicates, reversed pairs, self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (3L, 3L), (4L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(edges).as[(Long, Long, Long)].head()
+    assert(r._1 == 7L, s"7 distinct undirected edges, got ${r._1}")
+    assert(r._3 == 4L, s"K4 has 4 triangles, got ${r._3}")
+    assert(r._2 >= r._3, "every triangle closes a wedge")
+  }
 }
