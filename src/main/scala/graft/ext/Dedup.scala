@@ -558,6 +558,67 @@ object Dedup {
           .as("dup_of"))
   }
 
+  /** Prefix-filtered exact Jaccard similarity self-join (the
+    * PPJoin/AllPairs candidate-generation family — a THIRD
+    * candidate-generation strategy next to MinHash-LSH banding and the
+    * df-capped all-pairs): order every document's distinct tokens by
+    * ascending global document frequency (rarest first, ties by token),
+    * keep only the prefix of length |d| − ⌈t·|d|⌉ + 1, and join
+    * documents on shared PREFIX tokens only. The prefix-filter lemma
+    * guarantees completeness: any pair with Jaccard ≥ t shares at
+    * least one prefix token, so unlike LSH this is exact with NO
+    * probabilistic recall caveat; the verify step then computes true
+    * Jaccard on the candidate pairs.
+    *
+    * Scale shape: the candidate join is keyed on prefix tokens, and
+    * rarest-first ordering is the skew defense — a stop-word with df
+    * 10⁸ sorts to the END of every document and never enters a prefix,
+    * so join fanout concentrates on rare tokens with tiny posting
+    * lists. Token sets are checkpointed once and reused by the
+    * explode and both verify probes; the per-doc rank window is
+    * bounded by document length, not corpus size.
+    *
+    * @return (a_id, b_id, jaccard) for pairs with Jaccard ≥ threshold.
+    */
+  def prefixJaccardJoin(df: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // similarity unit = distinct word-trigram shingles (not raw
+    // tokens): a small shared vocabulary makes token SETS of unrelated
+    // documents overlap heavily, while shingle sets only overlap on
+    // shared phrasing — same discrimination argument as
+    // [[ngramJaccardPairs]]
+    val ts = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), array_sort(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))).as("s"))
+      .localCheckpoint()
+    val ex = ts.select(col(idCol), explode(col("s")).as("token"))
+    val dfreq = ex.groupBy("token").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "token")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("token"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val pref = ranked
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol), col("token"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.token") === col("b.token") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    cand
+      .join(ts.select(col(idCol).as("a_id"), col("s").as("sa")), "a_id")
+      .join(ts.select(col(idCol).as("b_id"), col("s").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
     * consecutive gram hashes, and in each window select the MINIMUM

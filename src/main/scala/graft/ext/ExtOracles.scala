@@ -1211,6 +1211,35 @@ object ExtOracles {
         |    PARTITION BY CAST(concat('0x', substr(d, 1, 15)) AS BIGINT) % 8
         |    ORDER BY CAST(concat('0x', substr(d, 16, 15)) AS BIGINT), doc_id)
         |    AS INTEGER) AS pos
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // prefix-filtered Jaccard self-join: rarest-first token order,
+    // prefix |d| − ceil(t·|d|) + 1, candidates on shared prefix
+    // tokens, exact Jaccard verify at t = 0.5
+    "q_prefix_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |ts AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |         range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |       FROM t WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS token FROM ts),
+        |df AS (SELECT token, count(*) AS df FROM ex GROUP BY token),
+        |ranked AS (SELECT e.doc_id, e.token,
+        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.token) AS rnk,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS sz
+        |  FROM ex e JOIN df d USING (token)),
+        |pref AS (SELECT doc_id, token FROM ranked
+        |         WHERE rnk <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM pref a JOIN pref b
+        |           ON a.token = b.token AND a.doc_id < b.doc_id),
+        |ver AS (SELECT a_id, b_id,
+        |    len(list_intersect(sa.s, sb.s)) AS inter,
+        |    len(sa.s) AS la, len(sb.s) AS lb
+        |  FROM cand JOIN ts sa ON sa.doc_id = a_id
+        |            JOIN ts sb ON sb.doc_id = b_id)
+        |SELECT a_id, b_id,
+        |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+        |FROM ver WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin
   )
 }

@@ -410,4 +410,8 @@ object ExtQueries {
   /** Epoch-1 deterministic training shuffle into 8 shards. */
   def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
     Curation.epochShuffle(Tables(spark, dir).documents, epoch = 1)
+
+  /** Prefix-filtered exact Jaccard self-join at t = 0.5. */
+  def qPrefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardJoin(Tables(spark, dir).documents)
 }

@@ -473,6 +473,30 @@ class ExtSpec extends AnyFunSuite {
     assert(conf.values.sum == 4L, s"4 test rows expected: $conf")
   }
 
+  test("prefix-filtered Jaccard join ≡ brute-force all-pairs (exactness)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (3L, "a completely different story about ships and harbors at dawn"),
+      (4L, "a completely different story about ships and harbors at dusk"),
+      (5L, "nothing shares any phrasing with anything else whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(docs, threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute force over the same shingle sets
+    def sh(s: String) = s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val texts = docs.as[(Long, String)].collect()
+    val want = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      inter = (sh(ta) & sh(tb)).size
+      jac = inter.toDouble / (sh(ta) | sh(tb)).size if jac >= 0.3
+    } yield (a, b)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 2L)) && want.contains((3L, 4L)),
+      "planted near-dup pairs present")
+  }
+
   test("winnowing: shared run ≥ k+w-1 tokens guarantees a shared fingerprint") {
     import spark.implicits._
     val shared = "quick brown fox jumps over the lazy dog tonight"
