@@ -650,6 +650,14 @@ object Dedup {
         sequence(lit(0), size(col("toks")) - k),
         i => graft.expressions.Md5Hash60.hash60(
           array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      // materialization barrier, NOT a cache nicety: without it,
+      // projection collapse inlines this hv definition into every
+      // slice() inside the window-argmin lambda below, so each of the
+      // m windows re-runs tokenize + all m gram hashes — O(m²) md5
+      // per document (observed: one sf0.1 partition pinned a core for
+      // 10+ minutes). The checkpoint stays per-partition local, so
+      // the operator is still a zero-shuffle map at any scale.
+      .localCheckpoint()
     // window start s selects position s + w − rpos, where rpos is the
     // 1-based position of the min in the REVERSED window — reversing
     // makes "first occurrence" mean "rightmost in the original"
