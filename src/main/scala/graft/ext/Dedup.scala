@@ -587,13 +587,19 @@ object Dedup {
     // tokens): a small shared vocabulary makes token SETS of unrelated
     // documents overlap heavily, while shingle sets only overlap on
     // shared phrasing — same discrimination argument as
-    // [[ngramJaccardPairs]]
+    // [[ngramJaccardPairs]]. Shingles are reduced to their 60-bit
+    // portable hash IMMEDIATELY: every downstream shuffle, sort, join
+    // key, and intersection then moves 8-byte longs instead of
+    // ~30-char strings.
     val ts = df
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col(idCol), array_sort(array_distinct(expr(
-        "transform(sequence(1, size(toks) - 2), " +
-        "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))).as("s"))
+      .select(col(idCol), array_sort(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => graft.expressions.Md5Hash60.hash60(concat(
+          element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2)))))).as("s"))
       .localCheckpoint()
     val ex = ts.select(col(idCol), explode(col("s")).as("token"))
     val dfreq = ex.groupBy("token").agg(count(lit(1)).as("df"))
@@ -609,9 +615,18 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
       .distinct()
+    // Size-gated broadcast of the shingle-set table for the verify
+    // probes: candidate pairs carry two ~KB array payloads through a
+    // shuffle otherwise. At corpus scale the gate fails and the
+    // verify falls back to keyed joins (sets are corpus-bound).
+    def sets(k: String) =
+      ts.select(col(idCol).as(s"${k}_id"), col("s").as(s"s$k"))
+    val (sa, sb) =
+      if (ts.count() <= 1000000L) (broadcast(sets("a")), broadcast(sets("b")))
+      else (sets("a"), sets("b"))
     cand
-      .join(ts.select(col(idCol).as("a_id"), col("s").as("sa")), "a_id")
-      .join(ts.select(col(idCol).as("b_id"), col("s").as("sb")), "b_id")
+      .join(sa, "a_id")
+      .join(sb, "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("inter").cast(DoubleType) /
         (size(col("sa")) + size(col("sb")) - col("inter")))

@@ -1213,14 +1213,16 @@ object ExtOracles {
         |    AS INTEGER) AS pos
         |FROM h""".stripMargin,
 
-    // prefix-filtered Jaccard self-join: rarest-first token order,
+    // prefix-filtered Jaccard self-join: rarest-first shingle order,
     // prefix |d| − ceil(t·|d|) + 1, candidates on shared prefix
-    // tokens, exact Jaccard verify at t = 0.5
+    // shingles, exact Jaccard verify at t = 0.5; shingles carried as
+    // their 60-bit md5-prefix hash (the shared cross-engine contract)
     "q_prefix_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |ts AS (SELECT doc_id, list_sort(list_distinct(list_transform(
         |         range(1, len(toks) - 1),
-        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        |         i -> CAST(concat('0x', substr(md5(
+        |           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT)))) AS s
         |       FROM t WHERE len(toks) >= 3),
         |ex AS (SELECT doc_id, unnest(s) AS token FROM ts),
         |df AS (SELECT token, count(*) AS df FROM ex GROUP BY token),

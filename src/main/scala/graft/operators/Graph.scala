@@ -108,6 +108,9 @@ object Graph {
       .select(col("p.a"), col("p.b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      // bi feeds both the edge list and the name table — materialize
+      // so the tokenize + bigram explode + distinct runs once
+      .localCheckpoint()
     val edges = bi.select(col("a"), col("b"))
       .union(bi.select(col("b").as("a"), col("a").as("b"))).distinct()
       .select(h60(col("a")).as("src"), h60(col("b")).as("dst"))
