@@ -315,7 +315,8 @@ object Curation {
     * of that table; V is one scalar broadcast back. Docs with <2
     * tokens have no bigrams and drop out. */
   def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastMaxBigrams: Long = 2000000L): DataFrame = {
     // tokenize ONCE: both the bigram-count subtree and the vocab scan
     // read this materialization instead of re-running the tokenizer
     // over the corpus (the single most expensive scalar pass here)
@@ -346,7 +347,7 @@ object Curation {
     // (w1,w2). At web scale the bigram table is itself huge — the gate
     // falls back to the keyed shuffle join, which is always safe.
     val probe =
-      if (bigramN.count() <= 2000000L) broadcast(lm) else lm
+      if (bigramN.count() <= broadcastMaxBigrams) broadcast(lm) else lm
     counted.join(probe, Seq("w1", "w2"))
       .crossJoin(broadcast(vocabV))
       .withColumn("nll_micro",

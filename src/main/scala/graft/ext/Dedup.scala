@@ -581,7 +581,8 @@ object Dedup {
     * @return (a_id, b_id, jaccard) for pairs with Jaccard ≥ threshold.
     */
   def prefixJaccardJoin(df: DataFrame, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastMaxSets: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // similarity unit = distinct word-trigram shingles (not raw
     // tokens): a small shared vocabulary makes token SETS of unrelated
@@ -622,7 +623,7 @@ object Dedup {
     def sets(k: String) =
       ts.select(col(idCol).as(s"${k}_id"), col("s").as(s"s$k"))
     val (sa, sb) =
-      if (ts.count() <= 1000000L) (broadcast(sets("a")), broadcast(sets("b")))
+      if (ts.count() <= broadcastMaxSets) (broadcast(sets("a")), broadcast(sets("b")))
       else (sets("a"), sets("b"))
     cand
       .join(sa, "a_id")

@@ -143,7 +143,8 @@ object Graph {
     *              deduplicated, self-loops dropped internally.
     * @return one row: (n_edges, n_wedges, n_triangles).
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame,
+      broadcastMaxEdges: Long = 20000000L): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).cast(LongType).as("u"),
         greatest(col("src"), col("dst")).cast(LongType).as("v"))
@@ -152,7 +153,7 @@ object Graph {
     // node-bound tables (degrees, adjacency) broadcast under one edge
     // gate so the edge stream never shuffles on small graphs;
     // web-scale graphs fall back to keyed joins
-    val smallGraph = und.count() <= 20000000L
+    val smallGraph = und.count() <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))

@@ -200,4 +200,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q_dedup_incremental must stay equi-keyed:\n$p")
   }
+
+  test("prefix-Jaccard join stays equi-keyed and its gate has a shuffle fallback") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables(spark, dir).documents
+    val p = graft.ext.Dedup.prefixJaccardJoin(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay equi-keyed:\n$p")
+    // gate forced OFF: identical rows via keyed shuffle joins
+    val on = graft.ext.Dedup.prefixJaccardJoin(docs).collect().toSet
+    val off = graft.ext.Dedup.prefixJaccardJoin(docs, broadcastMaxSets = 0L)
+      .collect().toSet
+    assert(on == off, "broadcast gate must not change results")
+  }
+
+  test("graph operators: gated broadcast off ≡ on (pageRank, triangles)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val prOn = graft.operators.Graph.pageRank(edges).collect().toSet
+    val prOff = graft.operators.Graph.pageRank(edges, broadcastMaxNodes = 0L)
+      .collect().toSet
+    assert(prOn == prOff, "pageRank gate must not change ranks")
+    val tOn = graft.operators.Graph.triangleCount(edges).collect().toSet
+    val tOff = graft.operators.Graph
+      .triangleCount(edges, broadcastMaxEdges = 0L).collect().toSet
+    assert(tOn == tOff, "triangleCount gate must not change counts")
+  }
 }
