@@ -140,6 +140,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> (EQ.qEpochShuffle _),
     "q_triangles" -> (AA.qTriangles _),
     "q_prefix_jaccard" -> (EQ.qPrefixJaccard _),
+    "q_bpe_train" -> (EQ.qBpeTrain _),
     "q_dedup_incremental" -> (EQ.qDedupIncremental _),
     "q_centroid_classify" -> (EQ.qCentroidClassify _),
     "q_embed_outliers" -> (EQ.qEmbedOutliers _),

@@ -1242,6 +1242,38 @@ object ExtOracles {
         |            JOIN ts sb ON sb.doc_id = b_id)
         |SELECT a_id, b_id,
         |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
-        |FROM ver WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin
+        |FROM ver WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin,
+
+    // BPE training, 3 merges unrolled: count adjacent symbol pairs,
+    // take (cnt desc, a, b) top-1, apply with the same literal
+    // replace() contract as q_bpe_apply, repeat
+    "q_bpe_train" ->
+      """WITH s0 AS (SELECT trim(regexp_replace(replace(lower(text), ' ', '_'),
+        |                        '(.)', '\1 ', 'g')) AS s FROM documents),
+        |p1 AS (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
+        |       FROM (SELECT string_split(s, ' ') AS arr FROM s0) t,
+        |            unnest(range(1, len(arr))) AS u(j)
+        |       GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p1
+        |       ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(s, (SELECT a || ' ' || b FROM b1),
+        |                         (SELECT a || b FROM b1)) AS s FROM s0),
+        |p2 AS (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
+        |       FROM (SELECT string_split(s, ' ') AS arr FROM s1) t,
+        |            unnest(range(1, len(arr))) AS u(j)
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p2
+        |       ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(s, (SELECT a || ' ' || b FROM b2),
+        |                         (SELECT a || b FROM b2)) AS s FROM s1),
+        |p3 AS (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
+        |       FROM (SELECT string_split(s, ' ') AS arr FROM s2) t,
+        |            unnest(range(1, len(arr))) AS u(j)
+        |       GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p3
+        |       ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS step, a, b, cnt FROM b1
+        |UNION ALL SELECT CAST(2 AS INTEGER), a, b, cnt FROM b2
+        |UNION ALL SELECT CAST(3 AS INTEGER), a, b, cnt FROM b3""".stripMargin
   )
 }

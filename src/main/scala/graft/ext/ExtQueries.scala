@@ -414,4 +414,8 @@ object ExtQueries {
   /** Prefix-filtered exact Jaccard self-join at t = 0.5. */
   def qPrefixJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardJoin(Tables(spark, dir).documents)
+
+  /** Learn the first 3 BPE merges from the corpus. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTrain(Tables(spark, dir).documents)
 }

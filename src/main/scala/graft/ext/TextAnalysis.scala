@@ -197,4 +197,54 @@ object TextAnalysis {
   val DefaultMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
     "e" -> "r", "o" -> "r", "s" -> "t", "the" -> "_", "and" -> "_")
+
+  /** BPE merge-table TRAINING — the other half of [[bpeApply]]: start
+    * from the character-spelled corpus, and `merges` times (a) count
+    * every adjacent symbol pair, (b) take the most frequent (ties →
+    * lexicographically smallest pair, so the loop is deterministic and
+    * engine-portable), (c) apply the merge with the same literal
+    * replace() contract bpeApply uses. The result is the ordered merge
+    * table a tokenizer trainer would ship to [[bpeApply]].
+    *
+    * Scale shape: each iteration is ONE pair-count shuffle (map-side
+    * partial agg — a pair appearing 10⁹ times is one key) + a top-1
+    * TakeOrdered; only the k winning rows ever reach the driver (the
+    * centroid-table discipline). The merge application is a pure map,
+    * and the corpus is re-checkpointed per round so iteration i+1
+    * rescans materialized symbols instead of a k-deep replace chain.
+    *
+    * @return (step, a, b, cnt): 1-based merge order, the pair, and its
+    *         count at selection time.
+    */
+  def bpeTrain(df: DataFrame, merges: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spelled = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), " ", "_"), "(.)", "$1 "))
+    var corpus = df.select(spelled.as("s")).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    while (step <= merges) {
+      val best = corpus
+        .select(split(col("s"), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(arr) - 1), " +
+          "j -> struct(arr[j-1] as a, arr[j] as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).as[(String, String, Long)].collect().headOption
+      best match {
+        case Some((a, b, cnt)) =>
+          learned += ((step, a, b, cnt))
+          corpus = corpus.select(call_function("replace", col("s"),
+            lit(a + " " + b), lit(a + b)).as("s")).localCheckpoint()
+          step += 1
+        case None => step = merges + 1 // corpus has no pairs left
+      }
+    }
+    learned.toSeq.toDF("step", "a", "b", "cnt")
+  }
 }

@@ -473,6 +473,17 @@ class ExtSpec extends AnyFunSuite {
     assert(conf.values.sum == 4L, s"4 test rows expected: $conf")
   }
 
+  test("bpeTrain: hand-computed merge sequence with deterministic tie-break") {
+    import spark.implicits._
+    // "a a a b" ×2 docs: (a,a)=4 wins; then (a,b)=2 ties (aa,a)=2 and
+    // wins lexicographically; then (aa,ab)=2 is the only pair left
+    val docs = Seq((1L, "aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, merges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "a", "a", 4L), (2, "a", "b", 2L),
+      (3, "aa", "ab", 2L)), s"unexpected merges: $out")
+  }
+
   test("prefix-filtered Jaccard join ≡ brute-force all-pairs (exactness)") {
     import spark.implicits._
     val docs = Seq(
