@@ -141,6 +141,7 @@ object SparkEntry {
     "q_triangles" -> (AA.qTriangles _),
     "q_prefix_jaccard" -> (EQ.qPrefixJaccard _),
     "q_bpe_train" -> (EQ.qBpeTrain _),
+    "q_sim_ivfpq_topk" -> (EQ.qSimIvfPq _),
     "q_dedup_incremental" -> (EQ.qDedupIncremental _),
     "q_centroid_classify" -> (EQ.qCentroidClassify _),
     "q_embed_outliers" -> (EQ.qEmbedOutliers _),

@@ -1244,6 +1244,57 @@ object ExtOracles {
         |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
         |FROM ver WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin,
 
+    // IVF-PQ replay: coarse centroids = 8 lowest-id vectors; residual
+    // codebook = residuals of the 16 lowest-id vectors under the SAME
+    // assignment argmax; ADC = micro-rounded coarse term + per-subspace
+    // micro-rounded residual terms — an exact BIGINT in both engines
+    "q_sim_ivfpq_topk" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cluster, v AS cv
+        |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 8)),
+        |asg AS (SELECT vec_id, cluster FROM (
+        |    SELECT c.vec_id, cent.cluster,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        cluster) AS arn
+        |    FROM c CROSS JOIN cent) t WHERE arn = 1),
+        |res AS (SELECT c.vec_id, asg.cluster,
+        |          list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rv
+        |        FROM c JOIN asg ON c.vec_id = asg.vec_id
+        |        JOIN cent ON cent.cluster = asg.cluster),
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS code, rv
+        |         FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16) s),
+        |subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS j),
+        |cb AS (SELECT j, code, list_slice(rv, j*8 + 1, j*8 + 8) AS cent
+        |       FROM seed CROSS JOIN subs),
+        |enc AS (SELECT vec_id, cluster, j, code FROM (
+        |    SELECT res.vec_id, res.cluster, cb.j, cb.code,
+        |      row_number() OVER (PARTITION BY res.vec_id, cb.j
+        |        ORDER BY list_dot_product(list_slice(res.rv, cb.j*8 + 1, cb.j*8 + 8), cb.cent)
+        |                 - 0.5 * list_dot_product(cb.cent, cb.cent) DESC, cb.code) AS rn
+        |    FROM res CROSS JOIN cb) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |probes AS (SELECT query_id, qv, cluster FROM (
+        |    SELECT query_id, qv, cent.cluster,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        cluster) AS prn
+        |    FROM q CROSS JOIN cent) t WHERE prn <= 2),
+        |sc AS (SELECT p.query_id, e.vec_id AS nn_id,
+        |    MIN(CAST(ROUND(list_dot_product(p.qv, cent.cv) * 1e6, 0) AS BIGINT))
+        |    + CAST(SUM(CAST(ROUND(list_dot_product(
+        |        list_slice(p.qv, e.j*8 + 1, e.j*8 + 8), cb.cent) * 1e6, 0) AS BIGINT)) AS BIGINT) AS ip_micro
+        |  FROM probes p JOIN enc e ON e.cluster = p.cluster
+        |  JOIN cb ON cb.j = e.j AND cb.code = e.code
+        |  JOIN cent ON cent.cluster = p.cluster
+        |  WHERE e.vec_id != p.query_id
+        |  GROUP BY p.query_id, e.vec_id)
+        |SELECT query_id, nn_id, ip_micro, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY ip_micro DESC, nn_id) AS rn
+        |  FROM sc) t WHERE rn <= 10""".stripMargin,
+
     // BPE training, 3 merges unrolled: count adjacent symbol pairs,
     // take (cnt desc, a, b) top-1, apply with the same literal
     // replace() contract as q_bpe_apply, repeat

@@ -126,6 +126,12 @@ object ExtQueries {
     Similarity.pqTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
       m = 8, ks = 16)
 
+  /** IVF-PQ combined search: coarse routing + PQ-coded residuals,
+    * integer-micro ADC scoring — the FAISS-style serving shape. */
+  def qSimIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables(spark, dir).embeddings, k = 10,
+      numQueries = 5, nprobe = 2, nClusters = 8, m = 8, ks = 16)
+
   def qSimNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables(spark, dir).embeddings,
       threshold = 0.35, numPlanes = 16, rowsPerBand = 4)

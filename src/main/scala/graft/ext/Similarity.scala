@@ -371,6 +371,96 @@ object Similarity {
       .select("query_id", "nn_id", "ip_micro", "rn")
   }
 
+  /** IVF-PQ combined index and search — the production serving shape
+    * (FAISS IVFPQ): a coarse quantizer routes vectors to `nClusters`
+    * inverted lists, and each vector stores only the PQ codes of its
+    * RESIDUAL against its coarse centroid. Search probes `nprobe`
+    * lists and scores candidates by ADC: approx ip(q, x) =
+    * ip(q, centroid) + Σⱼ ip(qⱼ, residual-centroid[codeⱼ]). Every term
+    * is rounded to integer MICRO-UNITS before summing, so the score is
+    * an exact BIGINT a second engine reproduces bit-for-bit (the
+    * DuckDB oracle replays build + encode + search end to end).
+    *
+    * Determinism: coarse centroids are the nClusters lowest-id
+    * vectors; the residual codebook comes from the ks lowest-id
+    * vectors' residuals, assigned on the driver with the SAME
+    * left-to-right dot and lowest-cluster tie-break the map side uses.
+    *
+    * Scale shape: assignment, residual, and encoding are one narrow
+    * map pass (centroids and codebooks ride as literals); only probed
+    * lists are scanned at query time (partition-prunable when the
+    * codes table is written partitioned by cluster); the codes table
+    * reads ~m bytes per row instead of the full vector — the 64×
+    * memory cut that makes 100 TB of vectors servable at all.
+    */
+  def ivfPqTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      nprobe: Int = 2, nClusters: Int = 8, m: Int = 8, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+    val lowest = corpus.orderBy("nn_id").limit(math.max(nClusters, ks))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cents: Seq[(Int, Seq[Double])] =
+      lowest.take(nClusters).zipWithIndex.map { case (v, i) => (i, v) }
+    def cosTo(v: Column, cv: Seq[Double]): Column = {
+      val c = typedLit(cv)
+      dot(v, c) / (sqrt(dot(v, v)) * sqrt(dot(c, c)))
+    }
+    val centArr = typedLit(cents.map(_._2))
+    val resid = corpus
+      .withColumn("cluster", argmaxCluster(cents)(cv => cosTo(col("dv"), cv)))
+      .withColumn("rv", zip_with(col("dv"),
+        element_at(centArr, col("cluster") + 1), (a, b) => a - b))
+    // residual codebook seeds: driver-side assignment replays the
+    // map-side argmax exactly (same left-to-right dot, same
+    // lowest-cluster tie-break)
+    def cosS(a: Seq[Double], b: Seq[Double]): Double =
+      dotS(a, b) / (math.sqrt(dotS(a, a)) * math.sqrt(dotS(b, b)))
+    val seedRes: Seq[Seq[Double]] = lowest.take(ks).map { v =>
+      val best = cents.map { case (i, cv) => (cosS(v, cv), i) }
+        .reduceLeft((x, y) => if (y._1 > x._1) y else x)
+      v.zip(cents(best._2)._2).map { case (a, b) => a - b }
+    }
+    val dim = lowest.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cb: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      seedRes.zipWithIndex.map { case (v, i) => (i, v.slice(j * sub, j * sub + sub)) }
+    }
+    val codes = (0 until m).map { j =>
+      argmaxCluster(cb(j)) { cv =>
+        dot(slice(col("rv"), j * sub + 1, sub), typedLit(cv)) -
+          lit(0.5 * dotS(cv, cv))
+      }.as(s"c$j")
+    }
+    val enc = resid.select(col("nn_id") +: col("cluster") +: codes: _*)
+    val queries = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cluster"))
+    val probes = queries
+      .crossJoin(broadcast(cents.toDF("cluster", "cv")))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val coarseTerm = round(dot(col("qv"),
+      element_at(centArr, col("cluster") + 1)) * 1e6, 0).cast(LongType)
+    val resTerms = (0 until m).map { j =>
+      round(dot(slice(col("qv"), j * sub + 1, sub),
+        element_at(typedLit(cb(j).map(_._2)), col(s"c$j") + 1)) * 1e6, 0)
+        .cast(LongType)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip_micro").desc, col("nn_id"))
+    enc.join(broadcast(probes), Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        (coarseTerm +: resTerms).reduce(_ + _).as("ip_micro"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "nn_id", "ip_micro", "rn")
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * max-abs scale, values in [-127, 127]. 4× storage cut — the
     * standard trick before shipping 100 TB of vectors; keep `scale` to

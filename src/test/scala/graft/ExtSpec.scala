@@ -473,6 +473,35 @@ class ExtSpec extends AnyFunSuite {
     assert(conf.values.sum == 4L, s"4 test rows expected: $conf")
   }
 
+  test("IVF-PQ: deterministic rerun; k per query with dense ranks; candidates respect probes") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val out = Similarity.ivfPqTopK(emb, k = 10, numQueries = 3,
+      nprobe = 2, nClusters = 8, m = 8, ks = 16)
+      .as[(Long, Long, Long, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L), s"3 queries expected: ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"query $q ranks must be dense from 1")
+      assert(rows.length <= 10)
+    }
+    // exact rerun (codebooks + ADC arithmetic fully deterministic)
+    val rerun = Similarity.ivfPqTopK(emb, k = 10, numQueries = 3,
+      nprobe = 2, nClusters = 8, m = 8, ks = 16)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.sortBy(r => (r._1, r._4)).toSeq ==
+      rerun.sortBy(r => (r._1, r._4)).toSeq, "IVF-PQ must be bit-deterministic")
+    // more probes never shrink the candidate pool for any query
+    val p1 = Similarity.ivfPqTopK(emb, k = 1000, numQueries = 3,
+      nprobe = 1, nClusters = 8).as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val p8 = Similarity.ivfPqTopK(emb, k = 1000, numQueries = 3,
+      nprobe = 8, nClusters = 8).as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(p1.forall { case (q, n) => p8.getOrElse(q, 0) >= n },
+      s"full probe must dominate: $p1 vs $p8")
+  }
+
   test("bpeTrain: hand-computed merge sequence with deterministic tie-break") {
     import spark.implicits._
     // "a a a b" ×2 docs: (a,a)=4 wins; then (a,b)=2 ties (aa,a)=2 and
