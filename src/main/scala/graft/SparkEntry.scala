@@ -142,6 +142,7 @@ object SparkEntry {
     "q_prefix_jaccard" -> (EQ.qPrefixJaccard _),
     "q_bpe_train" -> (EQ.qBpeTrain _),
     "q_sim_ivfpq_topk" -> (EQ.qSimIvfPq _),
+    "q_label_prop" -> (AA.qLabelProp _),
     "q_dedup_incremental" -> (EQ.qDedupIncremental _),
     "q_centroid_classify" -> (EQ.qCentroidClassify _),
     "q_embed_outliers" -> (EQ.qEmbedOutliers _),

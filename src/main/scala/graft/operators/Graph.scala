@@ -127,6 +127,49 @@ object Graph {
       row_number().over(w).cast(IntegerType).as("rn"))
   }
 
+  /** Deterministic synchronous label propagation (community
+    * detection): every node starts labeled with its own id; each round
+    * a node adopts the most frequent label among its neighbors, ties
+    * broken toward the SMALLEST label — the deterministic variant of
+    * LPA (classic async LPA is run-order-dependent and could never be
+    * oracle-checked). Isolated behavior matches HashMin CC on
+    * structureless graphs but converges to denser communities on
+    * clustered ones.
+    *
+    * Scale shape: each round is one neighbor-label join (keyed on the
+    * neighbor endpoint) + one (node, label) count aggregation + one
+    * per-node argmin(struct(-cnt, label)) aggregation — all
+    * partial-agg'd map-side, so a community of 10⁸ members is one
+    * count key per adjacent node, never a fanout. The rank-vector
+    * broadcast gate from [[pageRank]] applies identically; labels are
+    * checkpointed per round to bound lineage.
+    *
+    * @param edges undirected edge list (symmetrized internally).
+    * @return (node, label) after `iters` rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    val e0 = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val bcast = nodes.count() <= broadcastMaxNodes
+    def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 0 until iters) {
+      labels = e
+        .join(small(labels.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("src").as("node"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Exact triangle count over an undirected graph, with the classic
     * degree-ordering optimization: every edge is oriented from its
     * (degree, id)-smaller endpoint to the larger, wedges are pairs of

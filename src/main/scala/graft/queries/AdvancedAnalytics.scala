@@ -123,6 +123,17 @@ object AdvancedAnalytics {
   def qTextrank(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.textRank(Tables(spark, dir).documents)
 
+  /** Deterministic label-propagation communities over the
+    * part↔supplier sourcing graph (same node encoding as
+    * [[qPagerank]]); see [[graft.operators.Graph.labelPropagation]]. */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    graft.operators.Graph.labelPropagation(li, iters = 3)
+  }
+
   /** Exact triangle count of the co-purchase graph (parts sharing an
     * order), degree-oriented; see
     * [[graft.operators.Graph.triangleCount]]. */

@@ -452,6 +452,36 @@ object OperatorOracles {
         |       FROM nodes n LEFT JOIN i3 USING (node))
         |SELECT node, r AS rank_micro FROM r3""".stripMargin,
 
+    // deterministic synchronous LPA, 3 rounds unrolled: adopt the most
+    // frequent neighbor label, ties to the smallest label
+    "q_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM li UNION ALL SELECT dst AS src, src AS dst FROM li) x
+        |  WHERE src != dst),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM n),
+        |r1 AS (SELECT node, label FROM (
+        |    SELECT e.src AS node, l.label, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY e.src
+        |        ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM e JOIN l0 l ON l.node = e.dst GROUP BY e.src, l.label) t
+        |  WHERE rn = 1),
+        |r2 AS (SELECT node, label FROM (
+        |    SELECT e.src AS node, l.label, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY e.src
+        |        ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM e JOIN r1 l ON l.node = e.dst GROUP BY e.src, l.label) t
+        |  WHERE rn = 1),
+        |r3 AS (SELECT node, label FROM (
+        |    SELECT e.src AS node, l.label, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY e.src
+        |        ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM e JOIN r2 l ON l.node = e.dst GROUP BY e.src, l.label) t
+        |  WHERE rn = 1)
+        |SELECT node, label FROM r3""".stripMargin,
+
     // degree-oriented triangle count of the co-purchase graph: edges
     // oriented (deg, id)-ascending; wedge count = Σ C(outdeg, 2)
     "q_triangles" ->

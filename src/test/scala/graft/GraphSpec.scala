@@ -43,6 +43,18 @@ class GraphSpec extends AnyFunSuite {
     assert(out.length == 5)
   }
 
+  test("label propagation: disjoint triangles converge to their min ids") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == 1L), s"first clique: $labels")
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), s"second clique: $labels")
+    val rerun = Graph.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == rerun, "synchronous LPA must be deterministic")
+  }
+
   test("triangles: K4 plus a pendant edge has exactly 4 triangles") {
     // K4 on {1,2,3,4} (6 edges, C(4,3)=4 triangles) + pendant 4–5;
     // input deliberately messy: duplicates, reversed pairs, self-loop
