@@ -221,13 +221,14 @@ object Graph {
       .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("od"))
       .localCheckpoint()
     // wedge count = Σ C(outdeg, 2) — an aggregation, never a join
-    val nWedges = adj.agg(sum(expr("od * (od - 1) div 2")).as("n_wedges"))
+    val nWedges = adj.agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L))
+      .as("n_wedges"))
     def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
     oriented
       .join(gate(side("a")), col("src") === col("a"))
       .join(gate(side("b")), col("dst") === col("b"))
       .select(size(array_intersect(col("n_a"), col("n_b"))).as("tc"))
-      .agg(sum(col("tc")).as("n_triangles"))
+      .agg(coalesce(sum(col("tc")), lit(0L)).as("n_triangles"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .crossJoin(nWedges)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))

@@ -120,6 +120,30 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.ext.Curation.bigramLogProb(one).count() == 0)
   }
 
+  test("late round-8 operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ext.Dedup.winnowFingerprints(emptyDocs).count() == 0)
+    assert(graft.ext.Dedup.prefixJaccardJoin(emptyDocs).count() == 0)
+    assert(graft.ext.Curation.epochShuffle(emptyDocs).count() == 0)
+    assert(graft.ext.TextAnalysis.bpeTrain(emptyDocs).count() == 0)
+    assert(graft.operators.Graph.textRank(emptyDocs).count() == 0)
+    assert(graft.operators.Graph.labelPropagation(emptyEdges).count() == 0)
+    val tri = graft.operators.Graph.triangleCount(emptyEdges)
+      .as[(Long, Long, Long)].head()
+    assert(tri == ((0L, 0L, 0L)), s"empty graph must count zeros: $tri")
+    // docs shorter than k+w-1 yield no winnowing windows; short docs
+    // yield no shingles for the prefix join
+    val short = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.winnowFingerprints(short).count() == 0)
+    assert(graft.ext.Dedup.prefixJaccardJoin(short).count() == 0)
+    // self-loop-only graph: no labels to propagate, no triangles
+    val loops = Seq((5L, 5L)).toDF("src", "dst")
+    assert(graft.operators.Graph.labelPropagation(loops).count() == 0)
+    assert(graft.operators.Graph.triangleCount(loops)
+      .as[(Long, Long, Long)].head() == ((0L, 0L, 0L)))
+  }
+
   test("incremental merge bootstrap from empty batch sequence") {
     val path = java.nio.file.Files.createTempDirectory("graft-edge").toString + "/t"
     val b = Seq((1L, "x")).toDF("id", "v")
