@@ -1244,6 +1244,59 @@ object ExtOracles {
         |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
         |FROM ver WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5""".stripMargin,
 
+    // overlapping chunker: starts every (chunk − overlap) tokens
+    "q_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(len(toks[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+        |FROM t, unnest(range(0, (len(toks) - 1) // 48 + 1)) AS u(i)
+        |WHERE len(toks) > 0""".stripMargin,
+
+    // PMI collocations: one-ln fixed-order double ratio, micro-rounded
+    "q_pmi_collocations" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(toks) AS w FROM t) x GROUP BY w),
+        |bi AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS pair_n
+        |       FROM (SELECT toks FROM t WHERE len(toks) >= 2) y,
+        |            unnest(range(1, len(toks))) AS u(i)
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_tokens,
+        |               (SELECT CAST(sum(pair_n) AS BIGINT) FROM bi) AS n_bigrams),
+        |scored AS (SELECT bi.a, bi.b, CAST(bi.pair_n AS BIGINT) AS pair_n,
+        |    CAST(ROUND(ln((CAST(bi.pair_n AS DOUBLE) * n_tokens * n_tokens)
+        |      / (CAST(n_bigrams AS DOUBLE) * ua.c * ub.c)) * 1e6, 0) AS BIGINT) AS pmi_micro
+        |  FROM bi JOIN uni ua ON ua.w = bi.a JOIN uni ub ON ub.w = bi.b
+        |  CROSS JOIN tot WHERE bi.pair_n >= 5)
+        |SELECT a, b, pair_n, pmi_micro, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, a, b) AS rn
+        |  FROM scored) t WHERE rn <= 20""".stripMargin,
+
+    // exact 5-NN majority vote on integer-micro squared L2
+    "q_knn_classify" ->
+      """WITH c AS (SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |t AS (SELECT vec_id AS tid, CAST(label AS BIGINT) AS true_lbl, m AS tm
+        |      FROM c WHERE vec_id % 5 = 0),
+        |tr AS (SELECT vec_id AS nid, CAST(label AS BIGINT) AS n_lbl, m AS nm
+        |       FROM c WHERE vec_id % 5 != 0),
+        |sc AS (SELECT tid, true_lbl, nid, n_lbl,
+        |    CAST(list_sum(list_transform(range(1, len(tm) + 1),
+        |      i -> (tm[i] - nm[i]) * (tm[i] - nm[i]))) AS BIGINT) AS d2
+        |  FROM t CROSS JOIN tr),
+        |top AS (SELECT tid, true_lbl, n_lbl FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tid ORDER BY d2, nid) AS rn
+        |    FROM sc) x WHERE rn <= 5),
+        |vote AS (SELECT tid, true_lbl, n_lbl, count(*) AS cnt
+        |         FROM top GROUP BY 1, 2, 3),
+        |pred AS (SELECT tid, true_lbl, n_lbl AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tid
+        |      ORDER BY cnt DESC, n_lbl) AS vr FROM vote) y WHERE vr = 1)
+        |SELECT true_lbl AS label, pred_label, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
     // IVF-PQ replay: coarse centroids = 8 lowest-id vectors; residual
     // codebook = residuals of the 16 lowest-id vectors under the SAME
     // assignment argmax; ADC = micro-rounded coarse term + per-subspace

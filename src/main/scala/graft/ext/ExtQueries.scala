@@ -424,4 +424,16 @@ object ExtQueries {
   /** Learn the first 3 BPE merges from the corpus. */
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(Tables(spark, dir).documents)
+
+  /** 64-token chunks with 16-token overlap (RAG/embedding prep). */
+  def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWithOverlap(Tables(spark, dir).documents)
+
+  /** Top-20 PMI collocations with a min-count-5 floor. */
+  def qPmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables(spark, dir).documents)
+
+  /** Exact 5-NN majority-vote label prediction on the held-out split. */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnClassify(Tables(spark, dir).embeddings)
 }

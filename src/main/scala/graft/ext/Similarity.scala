@@ -598,6 +598,57 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Exact k-NN label prediction on the held-out split — the eval
+    * harness for embedding-space labeling: every test vector
+    * (id % trainMod == 0) takes the majority label of its `k` nearest
+    * TRAIN vectors by integer-micro squared L2 (ties: nearer id, then
+    * smaller label), reported as a confusion matrix. Pure integer
+    * arithmetic end to end, so the DuckDB oracle replays distances,
+    * ranking, and votes exactly.
+    *
+    * Scale shape: the held-out split is the SMALL side by construction
+    * (1/trainMod of the corpus) and broadcasts; the train stream is
+    * scanned once map-side. The per-test top-k window ranks over train
+    * candidates — at corpus scale the candidate set comes from an ANN
+    * preselection ([[ivfPqTopK]]/[[ivfFlatTopK]]); this operator is
+    * the exact-evaluation contract those paths are measured against.
+    *
+    * @return (label, pred_label, n) confusion counts.
+    */
+  def knnClassify(emb: DataFrame, k: Int = 5, trainMod: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    // micro components held as DOUBLES so the hot per-pair distance is
+    // ONE native codegen'd DotProduct instead of an interpreted
+    // zip_with fold (10x on the cross product). Exactness holds: every
+    // micro value, square, and sum stays far below 2^53, so the double
+    // arithmetic is integer-exact and the final cast reproduces the
+    // oracle's pure-BIGINT distances bit-for-bit.
+    val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
+      transform(microVec(vecCol), x => x.cast(DoubleType)).as("m"))
+      .withColumn("sq", dot(col("m"), col("m")))
+    val test = micro.filter(col(idCol) % trainMod === 0)
+      .select(col(idCol).as("tid"), col("lbl").as("true_lbl"),
+        col("m").as("tm"), col("sq").as("tsq"))
+    val train = micro.filter(col(idCol) % trainMod =!= 0)
+      .select(col(idCol).as("nid"), col("lbl").as("n_lbl"),
+        col("m").as("nm"), col("sq").as("nsq"))
+    // Σ(a−b)² = Σa² + Σb² − 2·a·b — all terms integer-exact doubles
+    val d2 = (col("tsq") + col("nsq") -
+      lit(2.0) * dot(col("tm"), col("nm"))).cast(LongType)
+    val w = Window.partitionBy(col("tid")).orderBy(col("d2"), col("nid"))
+    val top = train.crossJoin(broadcast(test))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    top.groupBy(col("tid"), col("true_lbl"), col("n_lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("tid"), col("true_lbl"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("n_lbl").as("l"))).as("v"))
+      .select(col("true_lbl").as("label"), col("v.l").as("pred_label"))
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Prototypicality-based outlier pruning (the SemDeDup-era data-
     * cleaning step): fit per-label centroids over the WHOLE table,
     * then flag every vector whose squared micro-distance to its OWN

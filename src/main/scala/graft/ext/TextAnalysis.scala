@@ -192,11 +192,84 @@ object TextAnalysis {
       .withColumn("n_bpe_symbols", size(split(col("bpe_symbols"), " ")))
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * token pairs: PMI(a,b) = ln(c(ab)·N² / (B·c(a)·c(b))), with N =
+    * total tokens and B = total bigrams. The ratio is assembled in
+    * DOUBLE with a FIXED operation order and passed through ONE ln —
+    * the engine-agreement discipline the bigram-LM NLL already proved
+    * out — then micro-rounded, so ranking needs no float tolerance.
+    * `minCount` suppresses the classic PMI pathology (hapax pairs
+    * scoring highest).
+    *
+    * Scale shape: unigram and bigram counts are each one map-side
+    * partial-agg'd shuffle; N and B are one-row aggregates broadcast
+    * back; the two count joins key on the token; top-k is TakeOrdered.
+    *
+    * @return (a, b, pair_n, pmi_micro, rn) — top `topK` by
+    *         (pmi desc, a, b).
+    */
+  def pmiCollocations(df: DataFrame, minCount: Long = 5, topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val toksed = df.select(tokens(col(textCol)).as("toks")).localCheckpoint()
+    val uni = toksed.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bi = toksed.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] as a, toks[i] as b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .localCheckpoint()
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+      .crossJoin(bi.agg(sum(col("pair_n")).as("n_bigrams")))
+    bi.filter(col("pair_n") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro", round(log(
+        (col("pair_n").cast(DoubleType) * col("n_tokens") * col("n_tokens")) /
+          (col("n_bigrams").cast(DoubleType) * col("ca") * col("cb"))) * 1e6, 0)
+        .cast(LongType))
+      .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+      .limit(topK)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi_micro").desc, col("a"), col("b"))).cast(IntegerType))
+      .select("a", "b", "pair_n", "pmi_micro", "rn")
+  }
+
   /** A small frequency-plausible English merge table for [[bpeApply]]
     * demos/tests; ordered (later merges may consume earlier outputs). */
   val DefaultMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
     "e" -> "r", "o" -> "r", "s" -> "t", "the" -> "_", "and" -> "_")
+
+  /** Overlapping fixed-size chunker — the RAG/embedding-prep shape:
+    * windows of `chunkTokens` tokens starting every
+    * `chunkTokens − overlap` positions, so consecutive chunks share
+    * `overlap` tokens and no boundary sentence is ever split without a
+    * copy that contains it whole. The final chunk may be shorter.
+    * Entirely per-row array arithmetic + one posexplode — ZERO
+    * shuffle, chunking runs at scan speed at any corpus size.
+    *
+    * @return (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+    */
+  def chunkWithOverlap(df: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $stride), " +
+        s"i -> slice(toks, i * $stride + 1, $chunkTokens))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
 
   /** BPE merge-table TRAINING — the other half of [[bpeApply]]: start
     * from the character-spelled corpus, and `merges` times (a) count

@@ -502,6 +502,47 @@ class ExtSpec extends AnyFunSuite {
       s"full probe must dominate: $p1 vs $p8")
   }
 
+  test("chunkWithOverlap: hand-computed windows; overlap shared between neighbors") {
+    import spark.implicits._
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWithOverlap(docs, chunkTokens = 4, overlap = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(out == Seq((0, 4, "t0 t1 t2 t3"), (1, 4, "t2 t3 t4 t5"),
+      (2, 3, "t4 t5 t6"), (3, 1, "t6")), s"unexpected chunks: $out")
+  }
+
+  test("pmiCollocations: planted collocation outranks frequent-but-independent pairs") {
+    import spark.implicits._
+    // "aurora borealis" always co-occur (perfect association); "the"
+    // pairs are frequent but promiscuous, so their PMI is low
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"the cat saw the aurora borealis over the dog and the bird $i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 5, topK = 5)
+      .as[(String, String, Long, Long, Int)].collect()
+    assert(out.head._1 == "aurora" && out.head._2 == "borealis",
+      s"planted collocation must rank first: ${out.toSeq}")
+    assert(out.head._3 == 10L)
+  }
+
+  test("knnClassify: separable labels classify perfectly; ties break to lowest label") {
+    import spark.implicits._
+    val rows = (0L until 30L).map { i =>
+      val l = (i % 2).toInt
+      val base = if (l == 0) Seq(1.0f, 0.001f * i, 0f, 0f)
+                 else Seq(0.001f * i, 1.0f, 0f, 0f)
+      (i, base, l)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val conf = Similarity.knnClassify(emb, k = 3, trainMod = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(conf.forall { case (t, p, _) => t == p },
+      s"separable data must classify perfectly: ${conf.toSeq}")
+    assert(conf.map(_._3).sum == 6L, s"6 test rows expected: ${conf.toSeq}")
+  }
+
   test("bpeTrain: hand-computed merge sequence with deterministic tie-break") {
     import spark.implicits._
     // "a a a b" ×2 docs: (a,a)=4 wins; then (a,b)=2 ties (aa,a)=2 and
