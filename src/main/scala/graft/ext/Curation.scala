@@ -415,6 +415,56 @@ object Curation {
       .select(col(idCol), round(col("accept_rate"), 6).as("accept_rate"))
   }
 
+  /** Benchmark decontamination with SPAN REMOVAL — [[contamination]]
+    * flags documents; this operator actually cuts the overlapping
+    * text: every maximal train-doc token span whose `span`-token
+    * sliding windows all appear in the benchmark window set is removed
+    * (the gaps-and-islands merge from `Dedup.duplicateSpans`), and the
+    * cleaned text is re-emitted. This is the production decontam pass
+    * — dropping whole documents for one shared sentence wastes data;
+    * cutting the span keeps the rest.
+    *
+    * Scale shape: window hashing is map-side; the benchmark window set
+    * is broadcast (benchmarks are tiny by definition) so the training
+    * stream is probed without a shuffle; the island merge windows over
+    * only contaminated positions (sparse); covered-position sets are
+    * per-doc arrays, and the final text rebuild is a per-row filter.
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text) for every
+    *         TRAIN document (benchmark docs are not emitted).
+    */
+  def decontaminate(df: DataFrame, benchMod: Int = 97, span: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toksed = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
+    val windows = toksed.filter(size(col("toks")) >= span)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $span), " +
+        s"i -> md5(array_join(slice(toks, i + 1, $span), ' ')))"))
+        .as(Seq("pos", "wh")))
+      .localCheckpoint() // feeds both the bench set and the train probe
+    val benchW = windows.filter(col(idCol) % benchMod === 0)
+      .select("wh").distinct()
+    val dirtyPos = windows.filter(col(idCol) % benchMod =!= 0)
+      .join(broadcast(benchW), "wh").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = dirtyPos.withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(span - 1)).as("e"))
+    val cov = spans
+      .select(col(idCol), explode(sequence(col("s"), col("e"))).as("p"))
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("cov"))
+    toksed.filter(col(idCol) % benchMod =!= 0)
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), size(col("toks")).as("n_tokens"),
+        when(col("cov").isNull, lit(0)).otherwise(size(col("cov")))
+          .as("n_removed"),
+        when(col("cov").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(filter(col("toks"),
+            (_, i) => !array_contains(col("cov"), i)), " "))
+          .as("clean_text"))
+  }
+
   /** Deterministic epoch shuffle — the training-order materialization
     * pass: every document lands in a shard (`pmod` of the portable
     * 60-bit hash of "epoch|id") at a position (rank of the digest's

@@ -1273,6 +1273,37 @@ object ExtOracles {
         |  SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, a, b) AS rn
         |  FROM scored) t WHERE rn <= 20""".stripMargin,
 
+    // span-removal decontamination: benchmark window set (8-token md5
+    // windows of the id%97 split) probed against the train stream,
+    // gaps-and-islands span merge, covered positions cut from the text
+    "q_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 0
+        |      THEN ' the quick brown fox jumps over the lazy dog near the riverbank'
+        |      ELSE '' END) AS text FROM documents),
+        |t AS (SELECT doc_id, $toks AS toks FROM d),
+        |win AS (SELECT doc_id, i AS pos,
+        |          md5(array_to_string(toks[i+1:i+8], ' ')) AS wh
+        |        FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 8) x,
+        |             unnest(range(0, len(toks) - 7)) AS u(i)),
+        |bw AS (SELECT DISTINCT wh FROM win WHERE doc_id % 97 = 0),
+        |dp AS (SELECT w.doc_id, w.pos FROM win w JOIN bw USING (wh)
+        |       WHERE w.doc_id % 97 != 0),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM dp),
+        |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |       FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT doc_id, list(p) AS cov FROM (
+        |    SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS p FROM sp) z
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(coalesce(len(cov), 0) AS INTEGER) AS n_removed,
+        |  CASE WHEN cov IS NULL THEN array_to_string(toks, ' ')
+        |       ELSE array_to_string(list_filter(toks,
+        |         (x, i) -> NOT list_contains(cov, i - 1)), ' ') END AS clean_text
+        |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
+
     // exact 5-NN majority vote on integer-micro squared L2
     "q_knn_classify" ->
       """WITH c AS (SELECT vec_id, label, list_transform(embedding,

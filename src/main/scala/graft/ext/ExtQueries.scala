@@ -436,4 +436,16 @@ object ExtQueries {
   /** Exact 5-NN majority-vote label prediction on the held-out split. */
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnClassify(Tables(spark, dir).embeddings)
+
+  /** Span-removal decontamination: a 12-token benchmark sentence is
+    * planted on the bench split (id % 97 == 0) and on every 13th
+    * train doc, whose copies must then be cut. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val boiler = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 97 === 0 || col("doc_id") % 13 === 0,
+          lit(" " + boiler)).otherwise(lit(""))).as("text"))
+    Curation.decontaminate(planted)
+  }
 }

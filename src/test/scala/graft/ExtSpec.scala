@@ -502,6 +502,24 @@ class ExtSpec extends AnyFunSuite {
       s"full probe must dominate: $p1 vs $p8")
   }
 
+  test("decontaminate: planted benchmark span is cut, clean docs untouched") {
+    import spark.implicits._
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, bench), // benchMod split (0 % 97 == 0)
+      (1L, s"intro words then $bench closing words"),
+      (2L, "an entirely unrelated document with plenty of ordinary words"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(docs, benchMod = 97, span = 8)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(0L), "benchmark docs are not emitted")
+    assert(out(1L) == ((1L, 13, 8, "intro words then closing words")),
+      s"span must be cut exactly: ${out(1L)}")
+    assert(out(2L)._3 == 0 && out(2L)._4 ==
+      "an entirely unrelated document with plenty of ordinary words",
+      s"clean doc must be untouched: ${out(2L)}")
+  }
+
   test("chunkWithOverlap: hand-computed windows; overlap shared between neighbors") {
     import spark.implicits._
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
