@@ -61,6 +61,30 @@ object Similarity {
       .select("query_id", "nn_id", "cos_sim", "rn")
   }
 
+  /** Serving-shaped exact top-k: an ARRIVING query set (a micro-batch
+    * in streaming, an RPC batch in serving) against a static corpus.
+    * The query side is the small side by construction and broadcasts;
+    * scoring is a map over the corpus; the only window is per-query
+    * top-k. Used by `StreamingOps` inside foreachBatch — the
+    * composition that turns the ANN family into an online service.
+    * Same output contract as [[bruteForceTopK]].
+    */
+  def serveTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "nn_id", "cos_sim", "rn")
+  }
+
   /** Metadata-filtered exact ANN: top-k among only the corpus rows
     * satisfying `corpusPred` (pre-filter semantics — the production
     * "search within label/language/license" shape). The predicate is

@@ -183,6 +183,24 @@ object StreamingOps {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
 
+  /** Online ANN serving: every micro-batch of query vectors gets its
+    * exact top-k against the static corpus via
+    * [[graft.ext.Similarity.serveTopK]] inside foreachBatch (window
+    * functions aren't allowed on an unbounded stream, but a micro-batch
+    * is a bounded DataFrame — the standard serve composition). The
+    * arriving batch is the broadcast side; the corpus scan is
+    * stateless per batch, so an IVF/PQ-indexed corpus slots in
+    * unchanged. `sink` receives each batch's results. */
+  def annServeStream(queries: DataFrame, corpus: DataFrame, k: Int = 10)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Similarity.serveTopK(batch.toDF(), corpus, k))
+      }
+      .start()
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

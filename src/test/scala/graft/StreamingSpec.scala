@@ -278,6 +278,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN serving ≡ batch serveTopK per arriving query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queryRows = corpus.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+    val q = StreamingOps.annServeStream(
+        mem.toDF().toDF("vec_id", "embedding"), corpus, k = 5) { batch =>
+      got ++= batch.as[(Long, Long, Double, Int)].collect()
+    }
+    try {
+      mem.addData(queryRows.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(queryRows.drop(1): _*) // two more queries a batch later
+      q.processAllAvailable()
+      val want = graft.ext.Similarity.serveTopK(
+          queryRows.toDF("vec_id", "embedding"), corpus, k = 5)
+        .as[(Long, Long, Double, Int)].collect()
+      assert(got.sortBy(r => (r._1, r._4)).toSeq ==
+        want.sortBy(r => (r._1, r._4)).toSeq,
+        "streamed top-k must equal the batch twin")
+      assert(got.map(_._1).distinct.size == 3)
+    } finally q.stop()
+  }
+
   test("gap sessionization on hand-built events") {
     def ev(id: Long, t: String, u: Long, v: Double) =
       StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), u, "click", v)
