@@ -415,6 +415,37 @@ object Curation {
       .select(col(idCol), round(col("accept_rate"), 6).as("accept_rate"))
   }
 
+  /** Length-bucketed batch assignment — the padding-minimization pass:
+    * documents sort by token count within their hash shard, and
+    * consecutive runs of `batchSize` become one batch, so every batch
+    * holds similar-length documents and pad-token waste is bounded by
+    * within-batch length spread instead of corpus-wide spread. The
+    * shard hash keeps batches representative (pure length sort would
+    * correlate batch order with content).
+    *
+    * Scale shape: one shard-keyed shuffle; the per-shard rank window
+    * is bounded by design exactly as in [[epochShuffle]] (numShards is
+    * the parallelism knob). Ties inside a length are broken by the
+    * portable hash then id, so batch composition replays exactly.
+    *
+    * @return (doc_id, n_tokens, shard, batch_id, pos_in_batch).
+    */
+  def lengthBucketBatches(df: DataFrame, batchSize: Int = 8,
+      numShards: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keyed = df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).as("n_tokens"),
+      pmod(Dedup.portableHash60(
+          concat(lit("lbb|"), col(idCol).cast(StringType))),
+        lit(numShards.toLong)).cast(IntegerType).as("shard"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("n_tokens"), col(idCol))
+    keyed.withColumn("r", row_number().over(w) - 1)
+      .select(col(idCol), col("n_tokens"), col("shard"),
+        expr(s"cast(r div $batchSize as int)").as("batch_id"),
+        expr(s"cast(r % $batchSize as int)").as("pos_in_batch"))
+  }
+
   /** Benchmark decontamination with SPAN REMOVAL — [[contamination]]
     * flags documents; this operator actually cuts the overlapping
     * text: every maximal train-doc token span whose `span`-token

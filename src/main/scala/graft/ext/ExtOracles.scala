@@ -1273,6 +1273,41 @@ object ExtOracles {
         |  SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, a, b) AS rn
         |  FROM scored) t WHERE rn <= 20""".stripMargin,
 
+    // hard negatives: nearest different-label neighbors
+    "q_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, lbl AS query_label, v AS qv
+        |      FROM c WHERE vec_id < 5),
+        |scored AS (SELECT query_id, query_label, c.vec_id AS nn_id,
+        |    c.lbl AS nn_label,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q
+        |  WHERE c.vec_id != query_id AND c.lbl != query_label)
+        |SELECT query_id, query_label, nn_id, nn_label, cos_sim,
+        |  CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+
+    // length-bucketed batching: rank by (n_tokens, id) within hash
+    // shard, runs of 8 become a batch
+    "q_length_batches" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS INTEGER) AS n_tokens,
+        |    CAST(CAST(concat('0x', substr(md5(concat('lbb|',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 4 AS INTEGER) AS shard
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens, shard,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens, doc_id) - 1 AS r
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(r // 8 AS INTEGER) AS batch_id,
+        |  CAST(r % 8 AS INTEGER) AS pos_in_batch
+        |FROM r""".stripMargin,
+
     // span-removal decontamination: benchmark window set (8-token md5
     // windows of the id%97 split) probed against the train stream,
     // gaps-and-islands span merge, covered positions cut from the text

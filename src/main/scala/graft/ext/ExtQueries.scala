@@ -437,6 +437,15 @@ object ExtQueries {
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnClassify(Tables(spark, dir).embeddings)
 
+  /** Top-10 hard negatives (different-label near neighbors) for the
+    * first 5 query vectors — contrastive-training mining. */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables(spark, dir).embeddings)
+
+  /** Length-bucketed batch assignment (8 docs/batch, 4 shards). */
+  def qLengthBatches(spark: SparkSession, dir: String): DataFrame =
+    Curation.lengthBucketBatches(Tables(spark, dir).documents)
+
   /** Span-removal decontamination: a 12-token benchmark sentence is
     * planted on the bench split (id % 97 == 0) and on every 13th
     * train doc, whose copies must then be cut. */

@@ -395,6 +395,41 @@ object Similarity {
       .select("query_id", "nn_id", "ip_micro", "rn")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most similar corpus vectors with a DIFFERENT
+    * label — the "looks like a positive but isn't" set that makes
+    * embedding training data effective (random negatives are too easy
+    * and teach nothing). Same scan shape as [[bruteForceTopK]] with a
+    * label-inequality residual on the scoring join; at corpus scale
+    * the candidate set comes from an ANN preselection, mining then
+    * re-ranks candidates only.
+    *
+    * @return (query_id, query_label, nn_id, nn_label, cos_sim, rn).
+    */
+  def hardNegatives(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = emb.select(col(idCol).as("nn_id"),
+        col(labelCol).cast(LongType).as("nn_label"),
+        asDouble(col(vecCol)).as("dv"))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val q = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"),
+        col(labelCol).cast(LongType).as("query_label"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id") &&
+        col("nn_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("nn_id"),
+        col("nn_label"),
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "query_label", "nn_id", "nn_label", "cos_sim", "rn")
+  }
+
   /** IVF-PQ combined index and search — the production serving shape
     * (FAISS IVFPQ): a coarse quantizer routes vectors to `nClusters`
     * inverted lists, and each vector stores only the PQ codes of its

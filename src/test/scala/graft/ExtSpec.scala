@@ -502,6 +502,45 @@ class ExtSpec extends AnyFunSuite {
       s"full probe must dominate: $p1 vs $p8")
   }
 
+  test("hardNegatives: never returns the query's own label; nearest other-label first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f), 0),    // query, label 0
+      (5L, Seq(0.99f, 0.01f, 0f, 0f), 0), // same-label near dup — must be excluded
+      (6L, Seq(0.9f, 0.1f, 0f, 0f), 1),   // the hard negative
+      (7L, Seq(0f, 1.0f, 0f, 0f), 1),
+      (8L, Seq(0f, 0f, 1.0f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, k = 3, numQueries = 1)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().sortBy(_._6)
+    assert(out.forall(r => r._4 != r._2), s"own label leaked: ${out.toSeq}")
+    assert(!out.exists(_._3 == 5L), "same-label near-dup must be excluded")
+    assert(out.head._3 == 6L, s"hardest negative first: ${out.toSeq}")
+  }
+
+  test("lengthBucketBatches: dense positions, bounded batches, monotone lengths") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, ("w " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = Curation.lengthBucketBatches(docs, batchSize = 8, numShards = 4)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out.length == 100)
+    out.groupBy(r => (r._3, r._4)).foreach { case ((s, b), rows) =>
+      assert(rows.length <= 8, s"batch ($s,$b) overflows")
+      assert(rows.map(_._5).sorted.toSeq == (0 until rows.length),
+        s"batch ($s,$b) positions must be dense")
+    }
+    // within a shard, batches are length-ordered: max of batch b ≤ min of b+1
+    out.groupBy(_._3).foreach { case (s, rows) =>
+      val byBatch = rows.groupBy(_._4).toSeq.sortBy(_._1)
+        .map { case (b, rs) => (b, rs.map(_._2).min, rs.map(_._2).max) }
+      byBatch.sliding(2).foreach {
+        case Seq((_, _, hiPrev), (_, loNext, _)) =>
+          assert(hiPrev <= loNext, s"shard $s batches out of length order")
+        case _ => ()
+      }
+    }
+  }
+
   test("decontaminate: planted benchmark span is cut, clean docs untouched") {
     import spark.implicits._
     val bench = "alpha beta gamma delta epsilon zeta eta theta"
