@@ -215,6 +215,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(on == off, "broadcast gate must not change results")
   }
 
+  test("decontaminate: bench window set broadcasts; all joins equi-keyed") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastExchange"),
+      s"benchmark window set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q_decontaminate must stay equi-keyed:\n$p")
+  }
+
+  test("knn/hard-negative scans broadcast the small query side") {
+    for (q <- Seq("q_knn_classify", "q_hard_negatives")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q must broadcast its query side:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not sort-merge the corpus against the query batch:\n$p")
+    }
+  }
+
   test("graph operators: gated broadcast off ≡ on (pageRank, triangles)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
