@@ -324,8 +324,7 @@ object Curation {
       .localCheckpoint()
     val counted = toks.filter(size(col("toks")) >= 2)
       .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-        "i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("b"))
+        TextAnalysis.adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
       .select(col(idCol), col("b.w1"), col("b.w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
@@ -468,22 +467,15 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toksed = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .localCheckpoint()
-    val windows = toksed.filter(size(col("toks")) >= span)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $span), " +
-        s"i -> md5(array_join(slice(toks, i + 1, $span), ' ')))"))
-        .as(Seq("pos", "wh")))
-      .localCheckpoint() // feeds both the bench set and the train probe
+    // window hashing + island merge shared with Dedup.duplicateSpans
+    val windows = Dedup.slidingWindowHashes(toksed, span, idCol)
     val benchW = windows.filter(col(idCol) % benchMod === 0)
       .select("wh").distinct()
     val dirtyPos = windows.filter(col(idCol) % benchMod =!= 0)
       .join(broadcast(benchW), "wh").select(col(idCol), col("pos"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val spans = dirtyPos.withColumn("island", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("island"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(span - 1)).as("e"))
-    val cov = spans
-      .select(col(idCol), explode(sequence(col("s"), col("e"))).as("p"))
+    val cov = Dedup.mergeIslands(dirtyPos, span, idCol)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("p"))
       .groupBy(col(idCol)).agg(collect_set(col("p")).as("cov"))
     toksed.filter(col(idCol) % benchMod =!= 0)
       .join(cov, Seq(idCol), "left")

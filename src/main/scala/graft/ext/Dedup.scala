@@ -254,9 +254,17 @@ object Dedup {
     // gate simply never fires and the distributed HashMin loop below
     // runs; pass collectThreshold = 0 to force it (the equivalence
     // spec does).
-    if (nEdges <= collectThreshold) {
+    // The fast path is additionally gated on BOTH id columns already
+    // being LongType: the in-memory union-find works on longs, and
+    // taking it for int/string ids would return a different schema
+    // (bigint) than the distributed loop (input type) — a behavior
+    // fork that would flip on data VOLUME. Non-long ids always take
+    // the type-preserving distributed path.
+    val longIds = p0.schema(aCol).dataType == LongType &&
+      p0.schema(bCol).dataType == LongType
+    if (nEdges <= collectThreshold && longIds) {
       import callerSession.implicits._
-      val es = p0.select(col(aCol).cast(LongType), col(bCol).cast(LongType))
+      val es = p0.select(col(aCol), col(bCol))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -488,30 +496,47 @@ object Dedup {
     * @return (doc_id, span_start, span_end, n_tokens) per maximal
     *         duplicated span; token positions 0-based inclusive.
     */
-  def duplicateSpans(df: DataFrame, span: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val windows = df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= span)
+  /** (idCol, pos, wh): md5 of every `span`-token sliding window over a
+    * pre-tokenized frame (column `toks`), materialized once — every
+    * call site feeds this table to more than one consumer, and without
+    * the checkpoint the tokenize + per-position md5 (the dominant
+    * scalar cost) would re-run per consumer. Storage is O(corpus
+    * tokens), the same order as the shuffle files downstream writes.
+    * Shared by [[duplicateSpans]] and `Curation.decontaminate`. */
+  private[graft] def slidingWindowHashes(toksed: DataFrame, span: Int,
+      idCol: String): DataFrame =
+    toksed.filter(size(col("toks")) >= span)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(toks) - $span), " +
         s"i -> md5(array_join(slice(toks, i + 1, $span), ' ')))"))
         .as(Seq("pos", "wh")))
-      // materialized once: this table feeds BOTH the duplicate count
-      // and the probe-back join — without the checkpoint the tokenize
-      // + per-position md5 (the dominant scalar cost) runs twice.
-      // Storage is O(corpus tokens), the same order as the shuffle
-      // files the count/probe write anyway.
       .localCheckpoint()
-    val dups = windows.groupBy("wh").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).select("wh")
-    val dupPos = windows.join(dups, "wh").select(col(idCol), col("pos"))
+
+  /** Gaps-and-islands merge: contiguous flagged window positions →
+    * maximal token spans (idCol, span_start, span_end), inclusive; the
+    * per-doc window runs over only the flagged positions (sparse by
+    * construction). Shared by [[duplicateSpans]] and
+    * `Curation.decontaminate`. */
+  private[graft] def mergeIslands(flaggedPos: DataFrame, span: Int,
+      idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    dupPos.withColumn("island", col("pos") - row_number().over(w))
+    flaggedPos.withColumn("island", col("pos") - row_number().over(w))
       .groupBy(col(idCol), col("island"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + lit(span - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  def duplicateSpans(df: DataFrame, span: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val windows = slidingWindowHashes(
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks")),
+      span, idCol)
+    val dups = windows.groupBy("wh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("wh")
+    val dupPos = windows.join(dups, "wh").select(col(idCol), col("pos"))
+    mergeIslands(dupPos, span, idCol)
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
   }

@@ -1250,7 +1250,7 @@ object ExtOracles {
         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
         |  CAST(len(toks[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_chunk_tokens,
         |  array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
-        |FROM t, unnest(range(0, (len(toks) - 1) // 48 + 1)) AS u(i)
+        |FROM t, unnest(range(0, greatest(0, (len(toks) - 17) // 48) + 1)) AS u(i)
         |WHERE len(toks) > 0""".stripMargin,
 
     // PMI collocations: one-ln fixed-order double ratio, micro-rounded

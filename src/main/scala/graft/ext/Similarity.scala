@@ -77,8 +77,12 @@ object Similarity {
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
+    // NO self-exclusion here: queries and corpus are DISTINCT id
+    // spaces in the serving contract (a request id coinciding with a
+    // corpus id is a coincidence, not identity) — the self-join eval
+    // operators exclude, a server must not. Callers sharing one id
+    // space filter `query_id =!= nn_id` downstream.
     c.crossJoin(broadcast(q))
-      .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -460,6 +464,10 @@ object Similarity {
     val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
     val lowest = corpus.orderBy("nn_id").limit(math.max(nClusters, ks))
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    // empty corpus: no centroids to seed — empty result, right schema
+    if (lowest.isEmpty)
+      return emb.select(col(idCol).as("query_id"), col(idCol).as("nn_id"),
+        lit(0L).as("ip_micro"), lit(0).as("rn")).limit(0)
     val cents: Seq[(Int, Seq[Double])] =
       lowest.take(nClusters).zipWithIndex.map { case (v, i) => (i, v) }
     def cosTo(v: Column, cv: Seq[Double]): Column = {
@@ -644,6 +652,11 @@ object Similarity {
     val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
       microVec(vecCol).as("m"))
     val cents = fitCentroidsMicro(micro.filter(col(idCol) % trainMod =!= 0))
+    // no train rows at all (empty input, or every id on the test
+    // split): nothing to predict with — empty confusion matrix
+    if (cents.isEmpty)
+      return micro.select(col("lbl").as("label"),
+        col("lbl").as("pred_label"), lit(0L).as("n")).limit(0)
     def dist(cv: Seq[Long]): Column = microDist2(cv)
     // least() over (dist, label) structs = argmin with ties to the
     // lowest label — no shuffle, no window

@@ -32,6 +32,14 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     array_remove(split(lower(text), "\\s+"), "")
 
+  /** Adjacent-pair struct-explode SQL over an array column — the one
+    * bigram expression bigramLogProb / pmiCollocations / textRank /
+    * bpeTrain all build (field names vary per caller). */
+  def adjacentPairsExpr(arrCol: String = "toks", f1: String = "a",
+      f2: String = "b"): String =
+    s"transform(sequence(1, size($arrCol) - 1), " +
+    s"i -> struct($arrCol[i-1] as $f1, $arrCol[i] as $f2))"
+
   /** BPE-ish subword segmentation: runs of alphanumerics or single
     * non-space symbols (the classic pre-tokenizer regex). */
   def bpeTokenCount(text: Column): Column =
@@ -121,6 +129,12 @@ object TextAnalysis {
     val st = wtf.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).as("sum_dl") +: dfAggs): _*).head()
     val nDocs = st.getLong(0)
+    // empty corpus: sum(dl) aggregates to null and avgdl would be 0/0
+    // — return the empty result with the output schema instead
+    if (nDocs == 0L)
+      return wtf.select(col(idCol) +: col("dl") +:
+        terms.indices.map(i => col(s"tf$i")) :+
+        lit(0.0).as("bm25"): _*).limit(0)
     val avgdl = st.getLong(1).toDouble / nDocs
     def termScore(i: Int): Column = {
       val tf = col(s"tf$i").cast(DoubleType)
@@ -215,9 +229,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val bi = toksed.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-        "i -> struct(toks[i-1] as a, toks[i] as b))")).as("p"))
+      .select(explode(expr(adjacentPairsExpr())).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("pair_n"))
       .localCheckpoint()
@@ -260,10 +272,14 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(overlap < chunkTokens, "overlap must be < chunkTokens")
     val stride = chunkTokens - overlap
+    // last start: once a start position would add no tokens beyond the
+    // previous chunk's coverage (start ≥ n − overlap), the chunk would
+    // be a pure suffix-duplicate of its neighbor — stop before it
     df.select(col(idCol), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, (size(toks) - 1) div $stride), " +
+        s"transform(sequence(0, greatest(0, " +
+        s"(size(toks) - $overlap - 1) div $stride)), " +
         s"i -> slice(toks, i * $stride + 1, $chunkTokens))"))
         .as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx"),
@@ -302,9 +318,7 @@ object TextAnalysis {
       val best = corpus
         .select(split(col("s"), " ").as("arr"))
         .filter(size(col("arr")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(arr) - 1), " +
-          "j -> struct(arr[j-1] as a, arr[j] as b))")).as("p"))
+        .select(explode(expr(adjacentPairsExpr("arr"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))

@@ -103,8 +103,7 @@ object Graph {
       .select(graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-        "i -> struct(toks[i-1] as a, toks[i] as b))")).as("p"))
+        graft.ext.TextAnalysis.adjacentPairsExpr())).as("p"))
       .select(col("p.a"), col("p.b"))
       .filter(col("a") =!= col("b"))
       .distinct()

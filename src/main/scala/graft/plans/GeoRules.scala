@@ -49,24 +49,34 @@ object RewriteStDWithin extends Rule[LogicalPlan] {
       if (rewritten fastEquals f.condition) f else f.copy(condition = rewritten)
   }
 
-  private def rewriteCondition(cond: Expression): Expression =
-    cond.transform {
-      case sd @ StDWithin(lat, lon,
-          Literal(clat: Double, DoubleType),
-          Literal(clon: Double, DoubleType),
-          Literal(r: Double, DoubleType))
-          if lat.dataType == DoubleType && lon.dataType == DoubleType &&
-            boxable(clat, clon, r) =>
-        val dLat = r / MilesPerDegree
-        val farLat = math.min(math.abs(clat) + dLat, 89.999)
-        val dLon = r / (MilesPerDegree * math.cos(math.toRadians(farLat)))
-        val box = And(
-          And(GreaterThanOrEqual(lat, Literal(clat - dLat)),
-            LessThanOrEqual(lat, Literal(clat + dLat))),
-          And(GreaterThanOrEqual(lon, Literal(clon - dLon)),
-            LessThanOrEqual(lon, Literal(clon + dLon))))
-        And(box, exact(sd))
-    }
+  /** Descends ONLY through And/Or legs: under WHERE, null ≡ false
+    * propagates through conjunction/disjunction (Kleene: a null leg
+    * can never turn a kept row into a dropped one or vice versa when
+    * the marker is replaced by a false-on-null form). It does NOT
+    * descend into Not / coalesce / CASE / comparison operands, where
+    * null and false are observable as different VALUES — e.g.
+    * `NOT st_dwithin(lat, NULL, …)` is null (row dropped) while
+    * `NOT And(box, exact)` would be true (row kept). */
+  private def rewriteCondition(cond: Expression): Expression = cond match {
+    case And(l, r) => And(rewriteCondition(l), rewriteCondition(r))
+    case Or(l, r) => Or(rewriteCondition(l), rewriteCondition(r))
+    case sd @ StDWithin(lat, lon,
+        Literal(clat: Double, DoubleType),
+        Literal(clon: Double, DoubleType),
+        Literal(r: Double, DoubleType))
+        if lat.dataType == DoubleType && lon.dataType == DoubleType &&
+          boxable(clat, clon, r) =>
+      val dLat = r / MilesPerDegree
+      val farLat = math.min(math.abs(clat) + dLat, 89.999)
+      val dLon = r / (MilesPerDegree * math.cos(math.toRadians(farLat)))
+      val box = And(
+        And(GreaterThanOrEqual(lat, Literal(clat - dLat)),
+          LessThanOrEqual(lat, Literal(clat + dLat))),
+        And(GreaterThanOrEqual(lon, Literal(clon - dLon)),
+          LessThanOrEqual(lon, Literal(clon + dLon))))
+      And(box, exact(sd))
+    case other => other
+  }
 
   /** Conservative applicability: positive radius, box inside one pole
     * and one antimeridian period. */

@@ -169,7 +169,11 @@ object StreamingOps {
     * distinct doc; a production pipeline bounds it with
     * withWatermark + dropDuplicatesWithinWatermark). The batch twin is
     * [[graft.ext.Dedup.dedupAgainstIndex]]; StreamingSpec asserts the
-    * streamed survivors equal the batch `kept` set. */
+    * streamed survivors equal the batch `kept` set BY FINGERPRINT —
+    * that is the guarantee. WHICH doc id survives a within-batch tie
+    * is arrival-order-dependent (dropDuplicates keeps the first row
+    * seen), unlike the batch twin's deterministic min-id keeper; the
+    * cross-batch rule is first-arrival-wins either way. */
   def dedupAgainstIndexStream(docs: DataFrame, index: DataFrame): DataFrame =
     docs.withColumn("fingerprint",
         graft.ext.TextAnalysis.fingerprint(col("text")))

@@ -566,8 +566,13 @@ class ExtSpec extends AnyFunSuite {
       .orderBy("chunk_idx")
       .select("chunk_idx", "n_chunk_tokens", "chunk_text")
       .as[(Int, Int, String)].collect().toSeq
+    // no trailing pure-suffix-duplicate chunk: a start ≥ n − overlap
+    // would add no new tokens, so "t6" alone is never emitted
     assert(out == Seq((0, 4, "t0 t1 t2 t3"), (1, 4, "t2 t3 t4 t5"),
-      (2, 3, "t4 t5 t6"), (3, 1, "t6")), s"unexpected chunks: $out")
+      (2, 3, "t4 t5 t6")), s"unexpected chunks: $out")
+    // a doc shorter than the overlap still yields its single chunk
+    val tiny = Seq((2L, "a")).toDF("doc_id", "text")
+    assert(TextAnalysis.chunkWithOverlap(tiny, 4, 2).count() == 1)
   }
 
   test("pmiCollocations: planted collocation outranks frequent-but-independent pairs") {
