@@ -142,6 +142,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.operators.Graph.labelPropagation(loops).count() == 0)
     assert(graft.operators.Graph.triangleCount(loops)
       .as[(Long, Long, Long)].head() == ((0L, 0L, 0L)))
+    // empty-corpus guards (each used to throw): bm25 stats row, IVF-PQ
+    // seed collect, centroid fit
+    assert(graft.ext.TextAnalysis.bm25TopK(emptyDocs, Seq("spark")).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.ivfPqTopK(emptyEmb).count() == 0)
+    assert(graft.ext.Similarity.centroidClassify(emptyEmb).count() == 0)
+    // every id on the test split -> no train rows -> empty confusion
+    val allTest = Seq((0L, Seq(1.0f, 0f), 0), (5L, Seq(0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.centroidClassify(allTest, trainMod = 5).count() == 0)
+    // string-id pair list under the collect threshold must take the
+    // type-preserving distributed CC path, not the long fast path
+    val strPairs = Seq(("fp-a", "fp-b"), ("fp-b", "fp-c")).toDF("a", "b")
+    val cc = graft.ext.Dedup.connectedComponents(strPairs, "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(cc.values.toSet == Set("fp-a"), s"one component rooted at min id: $cc")
   }
 
   test("incremental merge bootstrap from empty batch sequence") {

@@ -125,6 +125,21 @@ class GeoRuleSpec extends AnyFunSuite {
       "projected st_dwithin with a null coordinate must be NULL")
   }
 
+  test("negated st_dwithin in a Filter is NOT rewritten (null ≠ false under NOT)") {
+    // lat far outside the box, lon NULL: the marker is NULL, NOT(NULL)
+    // is NULL → row dropped. A naive rewrite gives NOT(false) = true →
+    // row kept. Rule-on must match rule-off exactly.
+    val df = Seq((89.9, Option.empty[Double]), (10.26, Some(20.5)))
+      .toDF("la", "lo")
+    def survivors(): Seq[Double] = df.filter(!StDWithin.stDWithin(
+        col("la"), col("lo"), lit(10.25), lit(20.5), lit(100.0)))
+      .select("la").as[Double].collect().toSeq.sorted
+    val on = withRule(survivors())
+    val off = withoutRule(survivors())
+    assert(on == off, s"NOT-position rewrite changed results: $on vs $off")
+    assert(on.isEmpty, "null-coord row drops under NOT; near row is within")
+  }
+
   test("the box is conservative: every circle member is inside it") {
     // 3000-mile radius at mid latitude — box must be a superset
     val inCircle = withoutRule(radius(45.25, 10.5, 3000.0).count())
