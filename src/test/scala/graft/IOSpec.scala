@@ -59,6 +59,38 @@ class IOSpec extends AnyFunSuite {
     assert(joined.count() === 6000)
   }
 
+  test("bucketed fingerprint index makes the nightly dedup probe shuffle-free on the index side") {
+    // the production incremental-dedup shape: the historical index is
+    // PERSISTED bucketed by fingerprint, so the nightly
+    // dedupAgainstIndex probe co-locates without re-shuffling the
+    // (corpus-sized) index — only the small new batch moves
+    val hist = Seq((1L, "historical content alpha"),
+      (2L, "historical content beta"), (3L, "historical content gamma"))
+      .toDF("doc_id", "text")
+    val index = graft.ext.Dedup.exactGroups(hist)
+      .select(col("fingerprint"), col("keeper_id"))
+    // bucket count = the session's shuffle width: the planner then
+    // reads the index bucketed and shuffles ONLY the batch side to
+    // match (a bucket/width mismatch makes it give up and shuffle both)
+    IO.writeBucketed(index, "fp_index_b", "fingerprint",
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val batch = Seq((100L, "historical content alpha"),
+      (101L, "fresh new content")).toDF("doc_id", "text")
+    // at corpus scale the index CANNOT broadcast — model that by
+    // disabling auto-broadcast for this plan (restored in finally) so
+    // the planner must rely on the bucketed layout
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.ext.Dedup.dedupAgainstIndex(batch, spark.table("fp_index_b"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan must use its bucketed layout (no index-side shuffle):\n$plan")
+      val st = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(st == Map(100L -> "dup_history", 101L -> "kept"), s"$st")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("sorted-by-range write produces skippable row groups") {
     val src = Tables(spark, "/root/testdata/sf0.01").orders
     val p = tmp("graft-sorted")
