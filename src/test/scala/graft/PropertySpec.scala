@@ -105,4 +105,68 @@ class PropertySpec extends AnyFunSuite {
       assert(!out.toLowerCase.contains("safe."), s"$m: SAFE. left behind")
     }
   }
+
+  // small-alphabet word gen: forces token repeats so winnowing ties,
+  // duplicate windows, and shingle overlaps actually occur
+  val wordGen: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+  val docGen: Gen[List[String]] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
+
+  test("winnowing coverage: every w-window of grams contains a selected position") {
+    val k = 3; val w = 4
+    forAll(Gen.listOfN(6, docGen)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sel = graft.ext.Dedup.winnowFingerprints(df, k, w)
+        .select("doc_id", "pos").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val m = ws.length - k + 1 // gram count
+        if (ws.length >= k + w - 1) {
+          val ps = sel.getOrElse(i.toLong, Set.empty)
+          (0 to m - w).foreach { s =>
+            assert(ps.exists(p => p >= s && p < s + w),
+              s"doc $i window $s has no fingerprint: $ps (${ws.mkString(" ")})")
+          }
+        } else assert(!sel.contains(i.toLong), s"short doc $i fingerprinted")
+      }
+    }
+  }
+
+  test("chunker partition property: concatenating stride prefixes rebuilds the doc") {
+    val chunk = 6; val overlap = 2; val stride = chunk - overlap
+    forAll(Gen.listOfN(6, docGen)) { docs =>
+      val nonEmpty = docs.filter(_.nonEmpty)
+      val df = nonEmpty.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.chunkWithOverlap(df, chunk, overlap)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      nonEmpty.zipWithIndex.foreach { case (ws, i) =>
+        val chunks = got(i.toLong).map(_.split(" ").toList)
+        // every chunk except the last is full-size or doc-bounded;
+        // dropping each chunk's overlap-with-next prefix rebuilds the doc
+        val rebuilt = chunks.init.map(_.take(stride)).flatten ++ chunks.last
+        assert(rebuilt == ws, s"doc $i not rebuilt: $chunks vs $ws")
+        assert(chunks.forall(_.nonEmpty), "no empty chunk")
+      }
+    }
+  }
+
+  test("epoch shuffle is a bijection onto dense per-shard positions for any id set") {
+    forAll(Gen.listOfN(60, Gen.choose(0L, 100000L))) { ids0 =>
+      val ids = ids0.distinct
+      val df = ids.map(Tuple1(_)).toDF("doc_id")
+      val out = graft.ext.Curation.epochShuffle(df, epoch = 2, numShards = 3)
+        .as[(Long, Int, Int)].collect()
+      assert(out.length == ids.length, "every id appears exactly once")
+      out.groupBy(_._2).foreach { case (s, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+          s"shard $s positions not dense")
+      }
+    }
+  }
 }
