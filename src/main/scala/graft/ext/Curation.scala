@@ -445,6 +445,49 @@ object Curation {
         expr(s"cast(r % $batchSize as int)").as("pos_in_batch"))
   }
 
+  /** Temperature-rebalanced source sampling (the multilingual-corpus
+    * rebalancing rule): instead of caller-provided weights
+    * ([[mixtureSample]]), sampling weights derive from the corpus
+    * itself as wₛ ∝ √pₛ — temperature τ = 2, the standard "flatten the
+    * source distribution" choice that upweights rare sources without
+    * letting them dominate. √ is the ONE exponent IEEE guarantees
+    * exactly rounded, so unlike pow(p, 1/τ) the whole rate computation
+    * is bit-identical across engines with no micro-rounding games
+    * until the final rate literal; the √-sum folds left-to-right in
+    * sorted source order on both sides (summation order is pinned).
+    *
+    * Scale shape: per-source counts are one tiny source-bound
+    * aggregate collected to the driver; rates inline as literals and
+    * the corpus pass is a zero-shuffle filtered map on the portable
+    * hash coin — identical to the [[weightedSample]] discipline.
+    *
+    * @return sampled (doc_id, source, rate_micro) rows.
+    */
+  def temperatureSample(df: DataFrame, targetFrac: Double = 0.3,
+      idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .orderBy(srcCol).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (counts.isEmpty)
+      return df.select(col(idCol), col(srcCol), lit(0L).as("rate_micro"))
+        .limit(0)
+    val total = counts.map(_._2).sum
+    val s = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble) }
+    val rateMicro: Map[String, Long] = counts.map { case (src, n) =>
+      val rate = math.min(1.0,
+        math.sqrt(n.toDouble) / s * targetFrac * total.toDouble / n.toDouble)
+      (src, math.round(rate * 1e6))
+    }.toMap
+    val rateCol = counts.foldRight(lit(0L): Column) { case ((src, _), acc) =>
+      when(col(srcCol) === src, lit(rateMicro(src))).otherwise(acc) }
+    df.withColumn("rate_micro", rateCol)
+      .filter(Dedup.portableHash60(
+          concat(lit("tsample|"), col(idCol).cast(StringType))) % 1000000L
+        < col("rate_micro"))
+      .select(col(idCol), col(srcCol), col("rate_micro"))
+  }
+
   /** Benchmark decontamination with SPAN REMOVAL — [[contamination]]
     * flags documents; this operator actually cuts the overlapping
     * text: every maximal train-doc token span whose `span`-token

@@ -1273,6 +1273,25 @@ object ExtOracles {
         |  SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, a, b) AS rn
         |  FROM scored) t WHERE rn <= 20""".stripMargin,
 
+    // √-temperature source rebalancing: w ∝ √p (τ=2; sqrt is the one
+    // exactly-rounded exponent), √-sum folded in sorted source order,
+    // portable-hash acceptance coin
+    "q_temperature_sample" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+        |ssum AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+        |           (a, b) -> a + b) AS s FROM cnt),
+        |rates AS (SELECT source,
+        |    CAST(ROUND(least(1.0,
+        |      sqrt(CAST(n AS DOUBLE)) / s * 0.3 * total / n) * 1e6, 0) AS BIGINT)
+        |      AS rate_micro
+        |  FROM cnt CROSS JOIN tot CROSS JOIN ssum)
+        |SELECT d.doc_id, d.source, r.rate_micro
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST(concat('0x', substr(md5(concat('tsample|',
+        |    CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+        |  < r.rate_micro""".stripMargin,
+
     // hard negatives: nearest different-label neighbors
     "q_hard_negatives" ->
       """WITH c AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,

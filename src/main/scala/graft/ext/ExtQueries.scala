@@ -446,6 +446,10 @@ object ExtQueries {
   def qLengthBatches(spark: SparkSession, dir: String): DataFrame =
     Curation.lengthBucketBatches(Tables(spark, dir).documents)
 
+  /** √-temperature source rebalancing at targetFrac = 0.3. */
+  def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.temperatureSample(Tables(spark, dir).documents)
+
   /** Span-removal decontamination: a 12-token benchmark sentence is
     * planted on the bench split (id % 97 == 0) and on every 13th
     * train doc, whose copies must then be cut. */

@@ -111,6 +111,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq, "deterministic")
   }
 
+  test("temperatureSample: rare sources upweighted, hot sources capped below 1") {
+    // source "hot": 900 docs, "rare": 100 docs. √-temperature gives
+    // rare a ~3x higher accept rate than hot (√900:√100 = 3:1 weight
+    // on a 9:1 corpus → per-doc rate ratio 3x).
+    val docs = ((1L to 900L).map(i => (i, "hot")) ++
+      (1001L to 1100L).map(i => (i, "rare"))).toDF("doc_id", "source")
+    val out = Curation.temperatureSample(docs, targetFrac = 0.3)
+      .as[(Long, String, Long)].collect()
+    val rates = out.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(rates.keySet == Set("hot", "rare"))
+    val ratio = rates("rare").toDouble / rates("hot")
+    assert(math.abs(ratio - 3.0) < 1e-3, s"rate ratio must be ~3x: $rates")
+    assert(rates.values.forall(_ <= 1000000L), "rates capped at 1")
+    val rerun = Curation.temperatureSample(docs, targetFrac = 0.3)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq, "deterministic")
+  }
+
   test("epochShuffle: valid dense per-shard positions; epochs re-deal; reruns identical") {
     val docs = (1L to 400L).map(Tuple1(_)).toDF("doc_id")
     val e0 = Curation.epochShuffle(docs, epoch = 0, numShards = 4)
