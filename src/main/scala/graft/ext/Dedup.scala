@@ -627,12 +627,14 @@ object Dedup {
           element_at(col("toks"), i + 1), lit(" "),
           element_at(col("toks"), i + 2)))))).as("s"))
       .localCheckpoint()
-    val ex = ts.select(col(idCol), explode(col("s")).as("token"))
+    // sz rides along from the array length at explode time — one
+    // window pass (the df-rank) instead of two
+    val ex = ts.select(col(idCol), size(col("s")).as("sz"),
+      explode(col("s")).as("token"))
     val dfreq = ex.groupBy("token").agg(count(lit(1)).as("df"))
     val ranked = ex.join(dfreq, "token")
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("token"))))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
     val pref = ranked
       .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col(idCol), col("token"))
