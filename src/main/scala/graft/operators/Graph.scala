@@ -156,7 +156,7 @@ object Graph {
     val bcast = nodes.count() <= broadcastMaxNodes
     def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       labels = e
         .join(small(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src"), col("label"))
@@ -164,7 +164,10 @@ object Graph {
         .groupBy(col("src"))
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("src").as("node"), col("m.l").as("label"))
-        .localCheckpoint()
+      // lineage checkpoint every 4th round: a short loop (the common
+      // 3-iteration call) runs as ONE lazy job with no eager
+      // materialization barriers; long loops stay bounded
+      if ((i + 1) % 4 == 0) labels = labels.localCheckpoint()
     }
     labels
   }
