@@ -457,15 +457,26 @@ object Curation {
     * sorted source order on both sides (summation order is pinned).
     *
     * Scale shape: per-source counts are one tiny source-bound
-    * aggregate collected to the driver; rates inline as literals and
-    * the corpus pass is a zero-shuffle filtered map on the portable
-    * hash coin — identical to the [[weightedSample]] discipline.
+    * aggregate collected to the driver; the rate table broadcast-joins
+    * back (source-bound, like [[mixtureSample]]) and the corpus pass
+    * is a shuffle-free filtered map on the portable hash coin. Rows
+    * with a NULL source are excluded from both the weights and the
+    * sample.
     *
     * @return sampled (doc_id, source, rate_micro) rows.
     */
   def temperatureSample(df: DataFrame, targetFrac: Double = 0.3,
       idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
-    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // NULL sources are excluded from the weights AND the sample: a row
+    // that cannot be attributed to a source has no place in a
+    // source-rebalanced mixture (and counting it would deflate every
+    // real source's rate while its rows could never be drawn). This
+    // also pins the √-sum fold order: with nulls gone, "sorted source
+    // order" means the same thing to both engines.
+    val counts = df.filter(col(srcCol).isNotNull)
+      .groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
       .orderBy(srcCol).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     if (counts.isEmpty)
@@ -474,14 +485,17 @@ object Curation {
     val total = counts.map(_._2).sum
     val s = counts.foldLeft(0.0) { case (acc, (_, n)) =>
       acc + math.sqrt(n.toDouble) }
-    val rateMicro: Map[String, Long] = counts.map { case (src, n) =>
+    // rates as a broadcast-joined table, NOT a per-source when()
+    // cascade: a web-scale corpus has 10⁵+ distinct sources, and a
+    // #sources-deep CaseWhen blows codegen limits / driver stacks
+    // while charging every row O(#sources) comparisons. The inner
+    // join also drops null-source rows for free.
+    val rates = counts.map { case (src, n) =>
       val rate = math.min(1.0,
         math.sqrt(n.toDouble) / s * targetFrac * total.toDouble / n.toDouble)
       (src, math.round(rate * 1e6))
-    }.toMap
-    val rateCol = counts.foldRight(lit(0L): Column) { case ((src, _), acc) =>
-      when(col(srcCol) === src, lit(rateMicro(src))).otherwise(acc) }
-    df.withColumn("rate_micro", rateCol)
+    }.toDF(srcCol, "rate_micro")
+    df.join(broadcast(rates), srcCol)
       .filter(Dedup.portableHash60(
           concat(lit("tsample|"), col(idCol).cast(StringType))) % 1000000L
         < col("rate_micro"))

@@ -1277,7 +1277,8 @@ object ExtOracles {
     // exactly-rounded exponent), √-sum folded in sorted source order,
     // portable-hash acceptance coin
     "q_temperature_sample" ->
-      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents
+        |             WHERE source IS NOT NULL GROUP BY source),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
         |ssum AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
         |           (a, b) -> a + b) AS s FROM cnt),

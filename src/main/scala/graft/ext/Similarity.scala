@@ -67,7 +67,8 @@ object Similarity {
     * scoring is a map over the corpus; the only window is per-query
     * top-k. Used by `StreamingOps` inside foreachBatch — the
     * composition that turns the ANN family into an online service.
-    * Same output contract as [[bruteForceTopK]].
+    * Same output columns as [[bruteForceTopK]], but WITHOUT its
+    * self-exclusion — see the note below.
     */
   def serveTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

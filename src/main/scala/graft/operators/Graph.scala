@@ -140,8 +140,10 @@ object Graph {
     * per-node argmin(struct(-cnt, label)) aggregation — all
     * partial-agg'd map-side, so a community of 10⁸ members is one
     * count key per adjacent node, never a fanout. The rank-vector
-    * broadcast gate from [[pageRank]] applies identically; labels are
-    * checkpointed per round to bound lineage.
+    * broadcast gate from [[pageRank]] applies identically; labels
+    * checkpoint every 4th round, so short loops (the common
+    * 3-iteration call) run as one lazy job while long loops keep
+    * their lineage bounded.
     *
     * @param edges undirected edge list (symmetrized internally).
     * @return (node, label) after `iters` rounds.

@@ -127,6 +127,15 @@ class CurationSpec extends AnyFunSuite {
     val rerun = Curation.temperatureSample(docs, targetFrac = 0.3)
       .as[(Long, String, Long)].collect()
     assert(out.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq, "deterministic")
+    // NULL sources are excluded from weights AND sample: rates for the
+    // real sources must be identical with or without the null rows
+    val withNulls = docs.unionAll(
+      (2001L to 2500L).map(i => (i, null: String)).toDF("doc_id", "source"))
+    val out2 = Curation.temperatureSample(withNulls, targetFrac = 0.3)
+      .as[(Long, String, Long)].collect()
+    assert(out2.forall(_._2 != null), "null-source rows never sampled")
+    assert(out2.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq,
+      "null rows must not perturb real sources' rates or draws")
   }
 
   test("epochShuffle: valid dense per-shard positions; epochs re-deal; reruns identical") {
