@@ -572,7 +572,7 @@ object Similarity {
       numPlanes: Int = 16, rowsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val dim = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
     val planes = hyperplanes(numPlanes, dim)
     val bits = planes.zipWithIndex.map { case (pl, j) =>
       when(dot(col("v"), typedLit(pl)) >= 0, 1).otherwise(0).as(s"bit$j") }

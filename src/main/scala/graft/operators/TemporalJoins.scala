@@ -43,14 +43,14 @@ object TemporalJoins {
     // min_by can only ever return its null payload (left-outer nulls).
     val ord = struct(
       lit(Long.MaxValue) - unix_micros(col(rightTs)), col(rightTieBreak))
-    val payload = struct(right.columns.map(col): _*)
-    val leftAggs = left.columns.map(c => first(col(c)).as(c))
+    val payload = struct(right.columns.toIndexedSeq.map(col): _*)
+    val leftAggs = left.columns.toIndexedSeq.map(c => first(col(c)).as(c))
     val aggs = leftAggs :+ min_by(payload, ord).as("__best")
     leftKeyed.join(right, cond, "left")
       .groupBy(col("__lid"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(left.columns.map(col) ++
-        right.columns.map(c => col(s"__best.$c").as(c)): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        right.columns.toIndexedSeq.map(c => col(s"__best.$c").as(c)): _*)
   }
 
   /** Range (interval-containment) join: left rows matched to every
