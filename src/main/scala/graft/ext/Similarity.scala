@@ -679,27 +679,57 @@ object Similarity {
     * arithmetic end to end, so the DuckDB oracle replays distances,
     * ranking, and votes exactly.
     *
-    * Scale shape: the held-out split is the SMALL side by construction
-    * (1/trainMod of the corpus) and broadcasts; the train stream is
-    * scanned once map-side. The per-test top-k window ranks over train
-    * candidates — at corpus scale the candidate set comes from an ANN
-    * preselection ([[ivfPqTopK]]/[[ivfFlatTopK]]); this operator is
-    * the exact-evaluation contract those paths are measured against.
+    * Scale shape: the held-out split is 1/trainMod of the corpus — a
+    * FRACTION, not a bounded query set — so the broadcast is
+    * size-gated like every other corpus-bound broadcast in the tree:
+    * up to `broadcastMaxTest` rows the test side broadcasts and the
+    * train stream is scanned once map-side; past the gate the pair
+    * space is hash-blocked (train keyed by nid % numBlocks, test
+    * replicated per block) into an equi-keyed shuffle join, so no
+    * corpus fraction ever lands on the driver. Exact k-NN is
+    * inherently Q×N either way — at corpus scale the candidate set
+    * comes from an ANN preselection ([[ivfPqTopK]]/[[ivfFlatTopK]]);
+    * this operator is the exact-evaluation contract those paths are
+    * measured against.
+    *
+    * Exactness guard: the fast path holds micro components as DOUBLES
+    * so the hot per-pair distance is ONE native codegen'd DotProduct
+    * instead of an interpreted zip_with fold (10x on the cross
+    * product). That is integer-exact only while every intermediate
+    * (Σa², Σb², partial dot sums, their combination) stays below 2^53
+    * — bounded by 4·dim·maxm² where maxm = max |component|·1e6. The
+    * same stats pass that sizes the gate measures that bound; when it
+    * is exceeded the distance falls back to the pure-long zip_with
+    * fold (headroom 2^63), keeping the BIGINT oracle replay exact for
+    * any input.
     *
     * @return (label, pred_label, n) confusion counts.
     */
   def knnClassify(emb: DataFrame, k: Int = 5, trainMod: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
-    // micro components held as DOUBLES so the hot per-pair distance is
-    // ONE native codegen'd DotProduct instead of an interpreted
-    // zip_with fold (10x on the cross product). Exactness holds: every
-    // micro value, square, and sum stays far below 2^53, so the double
-    // arithmetic is integer-exact and the final cast reproduces the
-    // oracle's pure-BIGINT distances bit-for-bit.
-    val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
-      transform(microVec(vecCol), x => x.cast(DoubleType)).as("m"))
-      .withColumn("sq", dot(col("m"), col("m")))
+      labelCol: String = "label",
+      broadcastMaxTest: Long = 1000000L, numBlocks: Int = 64): DataFrame = {
+    val microL = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
+      microVec(vecCol).as("ml"))
+    // one narrow map-side-combined pass: test-split size (broadcast
+    // gate) + the exactness bound inputs (max |micro|, dim)
+    val st = microL.agg(
+      count(when(col(idCol) % trainMod === 0, 1)).as("ntest"),
+      max(aggregate(col("ml"), lit(0L),
+        (acc, x) => greatest(acc, abs(x)))).as("maxm"),
+      max(size(col("ml"))).as("dim")).head()
+    val nTest = st.getLong(0)
+    val maxM = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val dim = if (st.isNullAt(2)) 0L else st.getInt(2).toLong
+    val doubleExact =
+      4.0 * maxM.toDouble * maxM.toDouble * dim.toDouble < math.pow(2, 53)
+    val micro =
+      if (doubleExact)
+        microL.select(col(idCol), col("lbl"),
+          transform(col("ml"), x => x.cast(DoubleType)).as("m"))
+          .withColumn("sq", dot(col("m"), col("m")))
+      else microL.select(col(idCol), col("lbl"), col("ml").as("m"))
+        .withColumn("sq", lit(0L))
     val test = micro.filter(col(idCol) % trainMod === 0)
       .select(col(idCol).as("tid"), col("lbl").as("true_lbl"),
         col("m").as("tm"), col("sq").as("tsq"))
@@ -707,10 +737,23 @@ object Similarity {
       .select(col(idCol).as("nid"), col("lbl").as("n_lbl"),
         col("m").as("nm"), col("sq").as("nsq"))
     // Σ(a−b)² = Σa² + Σb² − 2·a·b — all terms integer-exact doubles
-    val d2 = (col("tsq") + col("nsq") -
-      lit(2.0) * dot(col("tm"), col("nm"))).cast(LongType)
+    // inside the measured 2^53 bound; else the pure-long fold
+    val d2 =
+      if (doubleExact) (col("tsq") + col("nsq") -
+        lit(2.0) * dot(col("tm"), col("nm"))).cast(LongType)
+      else aggregate(zip_with(col("tm"), col("nm"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val pairs =
+      if (nTest <= broadcastMaxTest) train.crossJoin(broadcast(test))
+      else {
+        val b = math.max(1, numBlocks)
+        train.withColumn("blk", pmod(col("nid"), lit(b)).cast(IntegerType))
+          .join(test.withColumn("blk",
+            explode(sequence(lit(0), lit(b - 1)))), "blk")
+      }
     val w = Window.partitionBy(col("tid")).orderBy(col("d2"), col("nid"))
-    val top = train.crossJoin(broadcast(test))
+    val top = pairs
       .withColumn("d2", d2)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
     top.groupBy(col("tid"), col("true_lbl"), col("n_lbl"))

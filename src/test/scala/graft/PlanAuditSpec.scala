@@ -233,6 +233,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("knnClassify: broadcast gate off ≡ on; gated path forces no broadcast") {
+    val emb = graft.sources.Tables(spark, dir).embeddings
+    val on = graft.ext.Similarity.knnClassify(emb, k = 3).collect().toSet
+    val offDf = graft.ext.Similarity
+      .knnClassify(emb, k = 3, broadcastMaxTest = 0L, numBlocks = 7)
+    val lp = offDf.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("strategy=broadcast"),
+      s"gated kNN path must not force a broadcast hint:\n$lp")
+    val pp = offDf.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"),
+      s"gated kNN path must stay equi-keyed:\n$pp")
+    assert(on == offDf.collect().toSet,
+      "kNN broadcast gate must not change the confusion matrix")
+  }
+
   test("graph operators: gated broadcast off ≡ on (pageRank, triangles)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
