@@ -22,10 +22,21 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
+    // Min-of-reps per query (default 2, back-to-back): the first rep
+    // of a 151-query alphabetical sweep routinely reads 2-6x warm
+    // because it pays that query's JIT/codegen compile, so single-shot
+    // numbers are a JIT lottery, not a regression gate. The min of two
+    // adjacent reps measures the PLAN (rep 2 reuses the compiled
+    // codegen), which is what BENCH_FLOOR.json holds.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // 3-decimal (ms) precision keeps the whole line ~2.4 KB: the
     // driver captures a bounded tail of stdout, and full-precision

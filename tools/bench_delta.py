@@ -6,6 +6,13 @@ Compares the current bench run against the committed floor
 (BENCH_FLOOR.json by default: the best known per-query times). Flags
 any query slower than 1.5x its floor, and prints the deltas sorted by
 regression ratio. Exit 1 if any regression exceeds the threshold.
+
+Warm-min protocol: graft.Bench reports the MIN of SPARK_GRAFT_BENCH_REPS
+(default 2) back-to-back reps per query, so both sides of this
+comparison are warm (plan-cost) numbers — a flag here is a real plan
+regression, not cold-JIT noise from a single-shot alphabetical sweep.
+Floors folded into BENCH_FLOOR.json must likewise be warm minimums
+(graft.tools.QBench with QBENCH_REPS>=2, or a prior warm-min Bench run).
 Build-time tool only — NOT part of the Scala library.
 """
 import json, sys
