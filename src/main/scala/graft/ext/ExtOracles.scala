@@ -702,16 +702,15 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin,
 
-    // Image rows carry a REAL PNG (stored-deflate: byte length is the
-    // closed formula h*(1+3w)+68) decoded by javax.imageio; audio
-    // rows a REAL WAV (44-byte canonical header: 44+2n) parsed by
-    // javax.sound.sampled — the oracle predicts what the decoders
-    // must recover, and the checksums are content-addressed from the
-    // DECODED values ('img|w|h|r|g|b', 'wav|rate|frames|amp'), so no
-    // md5-over-binary is ever needed. Video payloads are UTF-8(text)
-    // through the stub codec: metadata derives from the portable
-    // 60-bit md5 of the text bytes, which DuckDB's md5(VARCHAR)
-    // recomputes exactly.
+    // Every modality carries a REAL container the oracle predicts:
+    // PNG (stored-deflate: closed byte length h*(1+3w)+68) decoded by
+    // javax.imageio; WAV (canonical 44-byte header: 44+2n) parsed by
+    // javax.sound.sampled; AVI (RIFF: 224 + frames*(8+stride*h),
+    // stride = 3w padded to 4) parsed by the RIFF chunk walk. The
+    // checksums are content-addressed from the DECODED values
+    // ('img|w|h|r|g|b', 'wav|rate|frames|amp', 'avi|w|h|n|r|g|b'),
+    // so no md5-over-binary is ever needed — a codec bug on either
+    // side breaks the hash match.
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(doc_id % 3 AS INTEGER) AS k3,
@@ -720,23 +719,25 @@ object ExtOracles {
         |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate,
         |    CAST(32 + (doc_id // 3) % 64 AS INTEGER) AS ns,
         |    CAST((doc_id % 100) * 100 AS INTEGER) AS amp,
-        |    CAST(octet_length(encode(text)) AS INTEGER) AS text_len,
-        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
+        |    CAST(16 + doc_id % 24 AS INTEGER) AS vw,
+        |    CAST(16 + (doc_id // 3) % 24 AS INTEGER) AS vh,
+        |    CAST(1 + doc_id % 6 AS INTEGER) AS vn
         |  FROM documents)
         |SELECT media_id,
         |  CASE k3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(CASE WHEN k3 = 0 THEN ih * (1 + 3 * iw) + 68
         |            WHEN k3 = 1 THEN 44 + 2 * ns
-        |            ELSE text_len END AS INTEGER) AS byte_len,
+        |            ELSE 224 + vn * (8 + ((3 * vw + 3) // 4) * 4 * vh)
+        |       END AS INTEGER) AS byte_len,
         |  CAST(CASE WHEN k3 = 0 THEN iw
         |            WHEN k3 = 1 THEN rate // 1000
-        |            ELSE 16 + cks % 64 END AS INTEGER) AS width,
+        |            ELSE vw END AS INTEGER) AS width,
         |  CAST(CASE WHEN k3 = 0 THEN ih
         |            WHEN k3 = 1 THEN 16
-        |            ELSE 16 + (cks >> 8) % 64 END AS INTEGER) AS height,
+        |            ELSE vh END AS INTEGER) AS height,
         |  CAST(CASE WHEN k3 = 0 THEN 1
         |            WHEN k3 = 1 THEN 1 + ns % 8
-        |            ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
+        |            ELSE vn END AS INTEGER) AS n_frames,
         |  CASE WHEN k3 = 0 THEN CAST(concat('0x', substr(md5(
         |         'img|' || CAST(iw AS VARCHAR) || '|' || CAST(ih AS VARCHAR)
         |         || '|' || CAST(media_id % 256 AS VARCHAR)
@@ -745,7 +746,13 @@ object ExtOracles {
         |       WHEN k3 = 1 THEN CAST(concat('0x', substr(md5(
         |         'wav|' || CAST(rate AS VARCHAR) || '|' || CAST(ns AS VARCHAR)
         |         || '|' || CAST(amp AS VARCHAR)), 1, 15)) AS BIGINT)
-        |       ELSE cks END AS checksum
+        |       ELSE CAST(concat('0x', substr(md5(
+        |         'avi|' || CAST(vw AS VARCHAR) || '|' || CAST(vh AS VARCHAR)
+        |         || '|' || CAST(vn AS VARCHAR)
+        |         || '|' || CAST(media_id % 256 AS VARCHAR)
+        |         || '|' || CAST((media_id // 256) % 256 AS VARCHAR)
+        |         || '|' || CAST((media_id // 65536) % 256 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  END AS checksum
         |FROM m""".stripMargin,
 
     "q_multimodal_frames" ->
@@ -756,13 +763,14 @@ object ExtOracles {
         |    CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS rate,
         |    CAST(32 + (doc_id // 3) % 64 AS INTEGER) AS ns,
         |    CAST((doc_id % 100) * 100 AS INTEGER) AS amp,
-        |    CAST(octet_length(encode(text)) AS INTEGER) AS text_len,
-        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS cks
+        |    CAST(16 + doc_id % 24 AS INTEGER) AS vw,
+        |    CAST(16 + (doc_id // 3) % 24 AS INTEGER) AS vh,
+        |    CAST(1 + doc_id % 6 AS INTEGER) AS vn
         |  FROM documents),
         |feat AS (SELECT media_id,
         |    CAST(CASE WHEN k3 = 0 THEN 1
         |              WHEN k3 = 1 THEN 1 + ns % 8
-        |              ELSE 1 + text_len % 8 END AS INTEGER) AS n_frames,
+        |              ELSE vn END AS INTEGER) AS n_frames,
         |    CASE WHEN k3 = 0 THEN CAST(concat('0x', substr(md5(
         |           'img|' || CAST(iw AS VARCHAR) || '|' || CAST(ih AS VARCHAR)
         |           || '|' || CAST(media_id % 256 AS VARCHAR)
@@ -771,7 +779,13 @@ object ExtOracles {
         |         WHEN k3 = 1 THEN CAST(concat('0x', substr(md5(
         |           'wav|' || CAST(rate AS VARCHAR) || '|' || CAST(ns AS VARCHAR)
         |           || '|' || CAST(amp AS VARCHAR)), 1, 15)) AS BIGINT)
-        |         ELSE cks END AS checksum
+        |         ELSE CAST(concat('0x', substr(md5(
+        |           'avi|' || CAST(vw AS VARCHAR) || '|' || CAST(vh AS VARCHAR)
+        |           || '|' || CAST(vn AS VARCHAR)
+        |           || '|' || CAST(media_id % 256 AS VARCHAR)
+        |           || '|' || CAST((media_id // 256) % 256 AS VARCHAR)
+        |           || '|' || CAST((media_id // 65536) % 256 AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    END AS checksum
         |  FROM m),
         |f AS (SELECT media_id, checksum,
         |    unnest(range(0, n_frames, 2)) AS i

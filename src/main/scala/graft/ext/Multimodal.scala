@@ -11,16 +11,19 @@ import org.apache.spark.sql.functions._
   * batches. The Spark-side mechanics — schema, partitioning, batch
   * iterator shape, explode of per-frame rows — are real and tested.
   *
-  * The IMAGE and AUDIO paths are real end to end: payloads are
+  * All three modality paths are real end to end: payloads are
   * genuine PNG files (written by [[PngCodec]], a deterministic
   * stored-deflate encoder) decoded through `javax.imageio.ImageIO`,
-  * and genuine WAV files (written by [[WavCodec]]) parsed through
-  * `javax.sound.sampled` — dims/pixels/sample-rate/frames come out of
-  * actual decoders, so a codec bug fails the cross-engine hash check.
-  * Only VIDEO decode remains STUBBED behind
-  * [[MediaCodec.decodeStub]] (the JDK ships no video codec), a
-  * deterministic fake with the same signature a JNI/ffmpeg-backed
-  * implementation would have.
+  * genuine WAV files (written by [[WavCodec]]) parsed through
+  * `javax.sound.sampled`, and genuine AVI containers (written by
+  * [[AviCodec]], uncompressed 24-bit DIB frames) parsed by a RIFF
+  * chunk walk in [[MediaCodec.decodeVideo]] — dims/pixels/sample-
+  * rate/frame-counts come out of actual decoders, so a codec bug
+  * fails the cross-engine hash check. (The JDK ships no video FRAME
+  * codec, so video frames are uncompressed DIB — the container
+  * parse, the level a 100 TB ingest pipeline reads for metadata
+  * extraction and frame chunking, is real; only pixel-level
+  * transcode would need an ffmpeg-JNI build.)
   *
   * Scale: payloads never pass through a shuffle — decode/feature
   * extraction is mapPartitions (narrow); only the small extracted
@@ -125,6 +128,84 @@ object Multimodal {
     }
   }
 
+  /** Minimal deterministic AVI writer: RIFF('AVI ') with the
+    * canonical hdrl LIST (avih + one 'vids' strl with a 24-bit
+    * BI_RGB BITMAPINFOHEADER) and a movi LIST of `frames`
+    * uncompressed '00db' DIB frames in constant color. Like
+    * [[PngCodec]]/[[WavCodec]], every byte is a pure function of
+    * (w, h, frames, r, g, b) and the encoded size is the closed
+    * formula [[aviLength]], while the bytes remain a structurally
+    * compliant AVI any RIFF walker parses. DIB discipline: rows
+    * bottom-up, BGR byte order, rows padded to 4 bytes. */
+  object AviCodec {
+    /** DIB scanline stride: 3w rounded up to a 4-byte boundary. */
+    def rowBytes(w: Int): Int = (3 * w + 3) & ~3
+
+    /** Encoded size: 12 (RIFF hdr) + 200 (hdrl LIST: 8+4 + avih 64 +
+      * strl LIST 124) + 12 (movi LIST hdr) + frames·(8 + stride·h). */
+    def aviLength(w: Int, h: Int, frames: Int): Int =
+      224 + frames * (8 + rowBytes(w) * h)
+
+    def encode(w: Int, h: Int, frames: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val rb = rowBytes(w)
+      val fb = rb * h
+      val bb = java.nio.ByteBuffer.allocate(aviLength(w, h, frames))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); bb.putInt(aviLength(w, h, frames) - 8); fcc("AVI ")
+      fcc("LIST"); bb.putInt(192); fcc("hdrl")
+      fcc("avih"); bb.putInt(56)
+      bb.putInt(40000)          // dwMicroSecPerFrame: 25 fps
+      bb.putInt(fb * 25)        // dwMaxBytesPerSec
+      bb.putInt(0)              // dwPaddingGranularity
+      bb.putInt(0)              // dwFlags: no index
+      bb.putInt(frames)         // dwTotalFrames
+      bb.putInt(0)              // dwInitialFrames
+      bb.putInt(1)              // dwStreams
+      bb.putInt(fb)             // dwSuggestedBufferSize
+      bb.putInt(w); bb.putInt(h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // dwReserved
+      fcc("LIST"); bb.putInt(116); fcc("strl")
+      fcc("strh"); bb.putInt(56)
+      fcc("vids"); fcc("DIB ")  // fccType / fccHandler
+      bb.putInt(0)              // dwFlags
+      bb.putShort(0); bb.putShort(0) // wPriority / wLanguage
+      bb.putInt(0)              // dwInitialFrames
+      bb.putInt(1); bb.putInt(25) // dwScale / dwRate
+      bb.putInt(0)              // dwStart
+      bb.putInt(frames)         // dwLength
+      bb.putInt(fb)             // dwSuggestedBufferSize
+      bb.putInt(0)              // dwQuality
+      bb.putInt(fb)             // dwSampleSize
+      bb.putShort(0); bb.putShort(0) // rcFrame left/top
+      bb.putShort(w.toShort); bb.putShort(h.toShort) // rcFrame right/bottom
+      fcc("strf"); bb.putInt(40)
+      bb.putInt(40)             // biSize
+      bb.putInt(w); bb.putInt(h)
+      bb.putShort(1); bb.putShort(24) // biPlanes / biBitCount
+      bb.putInt(0)              // biCompression: BI_RGB
+      bb.putInt(fb)             // biSizeImage
+      bb.putInt(0); bb.putInt(0) // biXPelsPerMeter / biYPelsPerMeter
+      bb.putInt(0); bb.putInt(0) // biClrUsed / biClrImportant
+      fcc("LIST"); bb.putInt(4 + frames * (8 + fb)); fcc("movi")
+      val row = new Array[Byte](rb)
+      var x = 0
+      while (x < w) { // BGR order, tail padding stays zero
+        row(3 * x) = b.toByte; row(3 * x + 1) = g.toByte
+        row(3 * x + 2) = r.toByte
+        x += 1
+      }
+      var f = 0
+      while (f < frames) {
+        fcc("00db"); bb.putInt(fb)
+        var y = 0
+        while (y < h) { bb.put(row); y += 1 }
+        f += 1
+      }
+      bb.array()
+    }
+  }
+
   object MediaCodec {
     /** Portable 60-bit hash (value of the first 15 hex chars of md5 —
       * bytes 0..6 plus the high nibble of byte 7), same construction
@@ -189,32 +270,72 @@ object Multimodal {
       } finally ais.close()
     }
 
-    /** STUB — stands in for a real video decoder (???: swap for an
-      * ffmpeg-JNI build; the JDK ships no video codec). Derives
-      * deterministic pseudo-metadata from the payload bytes so tests
-      * and the cross-engine oracle can assert exact values. */
-    def decodeStub(md: MessageDigest, m: MediaRow): MediaFeatures = {
-      val len = m.payload.length
-      val cks = hash60(md, m.payload)
-      MediaFeatures(m.media_id, m.kind, len,
-        width = 16 + (cks % 64).toInt,
-        height = 16 + ((cks >> 8) % 64).toInt,
-        n_frames = 1 + math.floorMod(len, 8),
-        checksum = cks)
+    /** REAL video container parse: a RIFF chunk walk over the AVI
+      * payload — signature check, avih main header (dims + declared
+      * frame total), then the movi frame chunks counted one by one
+      * with the first frame's bottom-left pixel read out of the DIB
+      * data (BGR order). Dims, frame count, and pixel all come from
+      * the actual walk — the declared total must equal the counted
+      * '00db'/'00dc' chunks or the payload is rejected — and the
+      * checksum is content-addressed from the DECODED values, so the
+      * oracle's formula predictions only hash-match if encoder and
+      * parser both work. This is the metadata/chunking level a corpus
+      * ingest reads; pixel-level transcode would be an ffmpeg-JNI
+      * build with this exact signature. */
+    def decodeVideo(md: MessageDigest, m: MediaRow): MediaFeatures = {
+      val bb = java.nio.ByteBuffer.wrap(m.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      require(fourcc() == "RIFF" && { bb.getInt; fourcc() == "AVI " },
+        s"media ${m.media_id}: not a RIFF/AVI payload")
+      var w = -1; var h = -1; var declared = -1
+      var nFrames = 0
+      var pr = -1; var pg = -1; var pb = -1
+      while (bb.remaining >= 8) {
+        val id = fourcc()
+        val sz = bb.getInt
+        val next = bb.position() + sz + (sz & 1) // RIFF word alignment
+        if (id == "LIST") fourcc() // descend: sub-chunks follow inline
+        else if (id == "avih") {
+          val base = bb.position()
+          declared = bb.getInt(base + 16)
+          w = bb.getInt(base + 32)
+          h = bb.getInt(base + 36)
+          bb.position(next)
+        } else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc"))) {
+          if (nFrames == 0 && sz >= 3) { // bottom-left pixel, BGR
+            val p = bb.position()
+            pb = m.payload(p) & 0xff
+            pg = m.payload(p + 1) & 0xff
+            pr = m.payload(p + 2) & 0xff
+          }
+          nFrames += 1
+          bb.position(next)
+        } else bb.position(next)
+      }
+      require(w > 0 && h > 0, s"media ${m.media_id}: no avih header")
+      require(nFrames == declared,
+        s"media ${m.media_id}: avih declares $declared frames, movi has $nFrames")
+      val key = s"avi|$w|$h|$nFrames|$pr|$pg|$pb"
+      MediaFeatures(m.media_id, m.kind, m.payload.length, w, h,
+        n_frames = nFrames, checksum = hash60(md, key.getBytes("UTF-8")))
     }
 
-    /** Dispatch: image and audio payloads hit the real JDK decoders
-      * (PNG via javax.imageio, WAV via javax.sound.sampled); only
-      * video falls back to the stub. */
+    /** Dispatch: every modality hits a real parser (PNG via
+      * javax.imageio, WAV via javax.sound.sampled, AVI via the RIFF
+      * chunk walk). */
     def decode(md: MessageDigest, reader: javax.imageio.ImageReader,
         m: MediaRow): MediaFeatures = m.kind match {
       case "image" => decodeImage(md, reader, m)
       case "audio" => decodeAudio(md, m)
-      case _ => decodeStub(md, m)
+      case _ => decodeVideo(md, m)
     }
 
     /** Per-frame-index portable hash, precomputed once per JVM
-      * (n_frames ≤ 8 by construction — the stub's floorMod(len, 8)). */
+      * (n_frames ≤ 8 by construction: image 1, audio 1 + frames % 8,
+      * video 1 + id % 6 generated frames). */
     private lazy val frameIdxHash: Array[Long] = {
       val md = MessageDigest.getInstance("MD5")
       Array.tabulate(8)(i => hash60(md, s"f|$i".getBytes("UTF-8")))
@@ -254,14 +375,22 @@ object Multimodal {
       32 + ((id / 3) % 64).toInt,       // sample count
       ((id % 100) * 100).toInt)         // constant amplitude (≤ 9900)
 
+  /** Video parameters an AVI payload is generated with — pure
+    * functions of the media id, which the DuckDB oracle replays to
+    * predict what the RIFF walk must recover. */
+  def videoParams(id: Long): (Int, Int, Int) =
+    ((16 + id % 24).toInt,              // width
+      (16 + (id / 3) % 24).toInt,       // height
+      (1 + id % 6).toInt)               // frame count (≤ 6)
+
   /** Synthesize a media table from the documents corpus. Kind rotates
-    * through the three modalities; image rows carry a REAL PNG and
-    * audio rows a REAL WAV (parameters derived from the id), video
-    * carries UTF-8 text standing in for encoded media. A narrow map —
-    * payload bytes are born on the executor and never shuffle. */
+    * through the three modalities; every row carries a REAL container
+    * — PNG, WAV, or AVI — with parameters derived from the id. A
+    * narrow map — payload bytes are born on the executor and never
+    * shuffle. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, _) =>
       (id % 3) match {
         case 0 =>
           val (w, h) = imageDims(id)
@@ -270,7 +399,10 @@ object Multimodal {
         case 1 =>
           val (rate, n, amp) = audioParams(id)
           MediaRow(id, "audio", WavCodec.encode(rate, n, amp))
-        case _ => MediaRow(id, "video", text.getBytes("UTF-8"))
+        case _ =>
+          val (w, h, n) = videoParams(id)
+          MediaRow(id, "video", AviCodec.encode(w, h, n,
+            (id % 256).toInt, ((id / 256) % 256).toInt, ((id / 65536) % 256).toInt))
       }
     }
   }

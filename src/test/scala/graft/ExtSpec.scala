@@ -242,16 +242,41 @@ class ExtSpec extends AnyFunSuite {
     assert(((buf(1) << 8) | (buf(0) & 0xff)) == 700)
   }
 
+  test("multimodal: real AVI container round-trip (RIFF chunk walk)") {
+    import Multimodal._
+    val avi = AviCodec.encode(37, 21, 4, 200, 5, 9)
+    assert(avi.length == AviCodec.aviLength(37, 21, 4))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val f = MediaCodec.decodeVideo(md, MediaRow(7L, "video", avi))
+    assert(f.width == 37 && f.height == 21 && f.n_frames == 4)
+    assert(f.byte_len == avi.length)
+    // checksum is content-addressed from the DECODED dims/frames/pixel
+    assert(f.checksum ==
+      MediaCodec.hash60(md, "avi|37|21|4|200|5|9".getBytes("UTF-8")))
+    // a frame-count lie in the header is caught by the chunk count
+    val bad = avi.clone()
+    // dwTotalFrames sits at RIFF(12) + LIST hdr(12) + avih hdr(8) + 16
+    bad(12 + 12 + 8 + 16) = 5
+    assertThrows[IllegalArgumentException] {
+      MediaCodec.decodeVideo(md, MediaRow(8L, "video", bad))
+    }
+  }
+
   test("multimodal: deterministic features + frame sampling") {
     val docsReal = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
     val media = Multimodal.mediaFromDocuments(spark, docsReal)
     val feats = Multimodal.extractFeatures(media).cache()
-    // video payload is UTF-8 of text: byte_len == n_chars (ascii
-    // corpus); image/audio payloads are real PNG/WAV of
-    // formula-derived parameters
+    // every payload is a real container of formula-derived parameters:
+    // PNG / WAV / AVI — byte lengths follow each codec's closed formula
     val joined = feats.toDF().join(docsReal, col("media_id") === col("doc_id"))
     assert(joined.filter(col("kind") === "video")
-      .filter(col("byte_len") =!= col("n_chars")).count() == 0)
+      .filter(col("byte_len") =!= expr(
+        "cast(224 + (1 + media_id % 6) * (8 + ((3 * (16 + media_id % 24) + 3) div 4) * 4 * (16 + (media_id div 3) % 24)) as int)"))
+      .count() == 0)
+    assert(joined.filter(col("kind") === "video")
+      .filter(col("width") =!= (lit(16) + col("media_id") % 24).cast("int") ||
+        col("n_frames") =!= (lit(1) + col("media_id") % 6).cast("int"))
+      .count() == 0)
     assert(joined.filter(col("kind") === "image")
       .filter(col("width") =!= (lit(16) + col("media_id") % 48).cast("int") ||
         col("height") =!= (lit(16) + (col("media_id") / 3).cast("long") % 48).cast("int"))
