@@ -18,6 +18,17 @@ import org.apache.spark.sql.types._
   */
 object Curation {
 
+  /** Shard-count default for the sharded operators ([[epochShuffle]],
+    * [[lengthBucketBatches]], [[packChunks]]): an explicit positive
+    * knob wins; otherwise the session's `defaultParallelism`, so the
+    * default tracks the cluster (32 shards on local[32], thousands on
+    * a real one) instead of a literal sized for the test SF. Callers
+    * that need replayable shard assignment (the oracle queries) pin
+    * the knob explicitly. */
+  private def resolveShards(df: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+
   /** Within-document n-gram repetition: 1 − distinct/total trigrams.
     * The standard "looping text" quality gate (boilerplate, keyword
     * stuffing, decoding loops score high). Fully map-side — both
@@ -237,10 +248,11 @@ object Curation {
     * counts come from [[TextAnalysis.bpeTokenCount]]; every step is
     * integer arithmetic, so a DuckDB oracle replays the packing
     * exactly. */
-  def packChunks(df: DataFrame, contextLen: Int = 512, nShards: Int = 8,
+  def packChunks(df: DataFrame, contextLen: Int = 512, nShards: Int = 0,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shards = resolveShards(df, nShards)
     val shard = (Dedup.portableHash60(
-      concat(lit("pack|"), col(idCol).cast(StringType))) % nShards)
+      concat(lit("pack|"), col(idCol).cast(StringType))) % shards)
       .cast(IntegerType)
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     df.select(col(idCol), shard.as("shard"),
@@ -424,19 +436,20 @@ object Curation {
     *
     * Scale shape: one shard-keyed shuffle; the per-shard rank window
     * is bounded by design exactly as in [[epochShuffle]] (numShards is
-    * the parallelism knob). Ties inside a length are broken by the
-    * portable hash then id, so batch composition replays exactly.
+    * the parallelism knob). Ties inside a length are broken by id
+    * (unique), so batch composition replays exactly.
     *
     * @return (doc_id, n_tokens, shard, batch_id, pos_in_batch).
     */
   def lengthBucketBatches(df: DataFrame, batchSize: Int = 8,
-      numShards: Int = 4, idCol: String = "doc_id",
+      numShards: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val shards = resolveShards(df, numShards)
     val keyed = df.select(col(idCol),
       size(TextAnalysis.tokens(col(textCol))).as("n_tokens"),
       pmod(Dedup.portableHash60(
           concat(lit("lbb|"), col(idCol).cast(StringType))),
-        lit(numShards.toLong)).cast(IntegerType).as("shard"))
+        lit(shards.toLong)).cast(IntegerType).as("shard"))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("n_tokens"), col(idCol))
     keyed.withColumn("r", row_number().over(w) - 1)
@@ -565,11 +578,12 @@ object Curation {
     * @return (doc_id, shard, pos): shard in [0, numShards), pos
     *         1-based within the shard.
     */
-  def epochShuffle(df: DataFrame, epoch: Int = 0, numShards: Int = 8,
+  def epochShuffle(df: DataFrame, epoch: Int = 0, numShards: Int = 0,
       idCol: String = "doc_id"): DataFrame = {
+    val shards = resolveShards(df, numShards)
     val key = concat(lit(s"epoch$epoch|"), col(idCol).cast(StringType))
     df.select(col(idCol),
-        pmod(Dedup.portableHash60(key), lit(numShards.toLong))
+        pmod(Dedup.portableHash60(key), lit(shards.toLong))
           .cast(IntegerType).as("shard"),
         graft.expressions.Md5Hash60.hash60(key, second = true).as("ord_hash"))
       .withColumn("pos", row_number().over(

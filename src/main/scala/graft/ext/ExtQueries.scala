@@ -413,9 +413,12 @@ object ExtQueries {
   def qWinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowFingerprints(Tables(spark, dir).documents)
 
-  /** Epoch-1 deterministic training shuffle into 8 shards. */
+  /** Epoch-1 deterministic training shuffle into 8 shards (pinned so
+    * the oracle replays shard assignment independent of session
+    * parallelism). */
   def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
-    Curation.epochShuffle(Tables(spark, dir).documents, epoch = 1)
+    Curation.epochShuffle(Tables(spark, dir).documents, epoch = 1,
+      numShards = 8)
 
   /** Prefix-filtered exact Jaccard self-join at t = 0.5. */
   def qPrefixJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -442,9 +445,11 @@ object ExtQueries {
   def qHardNegatives(spark: SparkSession, dir: String): DataFrame =
     Similarity.hardNegatives(Tables(spark, dir).embeddings)
 
-  /** Length-bucketed batch assignment (8 docs/batch, 4 shards). */
+  /** Length-bucketed batch assignment (8 docs/batch, 4 shards —
+    * pinned for oracle replay). */
   def qLengthBatches(spark: SparkSession, dir: String): DataFrame =
-    Curation.lengthBucketBatches(Tables(spark, dir).documents)
+    Curation.lengthBucketBatches(Tables(spark, dir).documents,
+      batchSize = 8, numShards = 4)
 
   /** √-temperature source rebalancing at targetFrac = 0.3. */
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =

@@ -156,4 +156,24 @@ class CurationSpec extends AnyFunSuite {
     assert(e0.sortBy(_._1).toSeq != e1.sortBy(_._1).toSeq,
       "a new epoch must re-deal the order")
   }
+
+  test("sharded operators: default shard count tracks session parallelism") {
+    val dp = spark.sparkContext.defaultParallelism
+    val docs = (1L to 2000L).map(i => (i, s"some text tokens $i"))
+      .toDF("doc_id", "text")
+    // default (knob unset) spreads over [0, defaultParallelism) with
+    // every shard index in range; the explicit knob still wins
+    for (shards <- Seq(
+        Curation.epochShuffle(docs).select("shard"),
+        Curation.lengthBucketBatches(docs).select("shard"),
+        Curation.packChunks(docs).select("shard"))) {
+      val vals = shards.distinct().as[Int].collect()
+      assert(vals.forall(s => s >= 0 && s < dp),
+        s"default shard ids must sit in [0, $dp): ${vals.sorted.toSeq}")
+      if (dp > 1)
+        assert(vals.length > 1, "hash sharding must use more than one shard")
+    }
+    assert(Curation.epochShuffle(docs, numShards = 3)
+      .agg(max(col("shard"))).head().getInt(0) < 3, "explicit knob wins")
+  }
 }
