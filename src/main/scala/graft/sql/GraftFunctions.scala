@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** BigQuery-surface functions registered as real SQL functions —
   * Catalyst expression compositions (tier (b) of the extension
@@ -19,6 +20,13 @@ import org.apache.spark.sql.catalyst.expressions._
   * `st_distance(st_geogpoint(lon1, lat1), st_geogpoint(lon2, lat2))`
   * (meters, haversine) and `regexp_contains(s, pattern)` directly —
   * no textual rewrite required.
+  *
+  * The LLM-pipeline family (whole-table operators) is additionally
+  * exposed as TABLE functions — `gopher_rules('tbl')`,
+  * `hash_split('tbl', 80, 10)`, `dedup_candidates('tbl')` — so a
+  * SQL-text user reaches the same implementations the Scala API
+  * runs (the TVF splices the operator's logical plan into the
+  * query; see `tableFns`).
   */
 object GraftFunctions {
 
@@ -66,12 +74,81 @@ object GraftFunctions {
     "st_dwithin" -> ((args: Seq[Expression]) =>
       graft.expressions.StDWithin(args(0), args(1), args(2), args(3), args(4))))
 
+  // ---- table-valued surface for the LLM-pipeline operators ----
+  // The ext family (dedup / curation) is whole-table → whole-table,
+  // so its SQL entry point is a TVF, not a scalar:
+  //   SELECT doc_id FROM gopher_rules('documents') WHERE keep
+  //   SELECT * FROM hash_split('documents', 80, 10)
+  //   SELECT * FROM dedup_candidates('documents')
+  // The builder resolves the quoted table name against the ACTIVE
+  // session (temp views and catalog tables both work) and splices the
+  // operator's own logical plan in — SQL and Scala callers share one
+  // implementation, so they cannot drift.
+
+  private def strArg(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a string literal")
+    String.valueOf(e.eval())
+  }
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+  private def tableOf(name: String) = SparkSession.active.table(name)
+
+  /** gopher_rules(tbl[, minTokens]) — [[graft.ext.Curation.gopherRules]]. */
+  def gopherRulesTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "gopher_rules(table)"))
+    val out =
+      if (args.length > 1)
+        graft.ext.Curation.gopherRules(df,
+          minTokens = intArg(args(1), "gopher_rules(minTokens)"))
+      else graft.ext.Curation.gopherRules(df)
+    out.queryExecution.logical
+  }
+
+  /** hash_split(tbl[, trainPct, valPct]) — [[graft.ext.Curation.hashSplit]]. */
+  def hashSplitTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "hash_split(table)"))
+    val (tr, va) =
+      if (args.length > 2) (intArg(args(1), "hash_split(trainPct)"),
+        intArg(args(2), "hash_split(valPct)"))
+      else (80, 10)
+    graft.ext.Curation.hashSplit(df, trainPct = tr, valPct = va)
+      .queryExecution.logical
+  }
+
+  /** dedup_candidates(tbl[, numHashes, rowsPerBand]) — MinHash+LSH
+    * candidate pairs ([[graft.ext.Dedup.minhashSignatures]] →
+    * [[graft.ext.Dedup.lshCandidates]]). */
+  def dedupCandidatesTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "dedup_candidates(table)"))
+    val nh =
+      if (args.length > 1) intArg(args(1), "dedup_candidates(numHashes)")
+      else 8
+    val rpb =
+      if (args.length > 2) intArg(args(2), "dedup_candidates(rowsPerBand)")
+      else 2
+    graft.ext.Dedup.lshCandidates(
+      graft.ext.Dedup.minhashSignatures(df, numHashes = nh),
+      numHashes = nh, rowsPerBand = rpb).queryExecution.logical
+  }
+
+  val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "gopher_rules" -> (gopherRulesTvf _),
+    "hash_split" -> (hashSplitTvf _),
+    "dedup_candidates" -> (dedupCandidatesTvf _))
+
   /** Register on a live session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    tableFns.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }
 
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — the
@@ -81,6 +158,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.sql.GraftFunctions", name), builder))
+    }
+    GraftFunctions.tableFns.foreach { case (name, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.sql.GraftFunctions", name), builder))
     }
     // geo radius predicate → pushed bounding box + exact residual

@@ -31,4 +31,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(mi - 2469) < 10, s"JFK-LAX ~2469mi, got $mi")
   }
+
+  test("LLM-pipeline TVFs from SQL text are row-identical to the Scala API") {
+    GraftFunctions.register(spark)
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    docs.createOrReplaceTempView("docs_tvf")
+    def sameAs(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.sorted.sameElements(api.columns.sorted),
+        s"schema drift: ${viaSql.columns.toSeq} vs ${api.columns.toSeq}")
+      assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty,
+        s"SQL and Scala results differ for: $sql")
+    }
+    sameAs("SELECT * FROM gopher_rules('docs_tvf')",
+      graft.ext.Curation.gopherRules(docs))
+    sameAs("SELECT * FROM gopher_rules('docs_tvf', 20)",
+      graft.ext.Curation.gopherRules(docs, minTokens = 20))
+    sameAs("SELECT * FROM hash_split('docs_tvf', 70, 20)",
+      graft.ext.Curation.hashSplit(docs, trainPct = 70, valPct = 20))
+    sameAs("SELECT * FROM dedup_candidates('docs_tvf')",
+      graft.ext.Dedup.lshCandidates(graft.ext.Dedup.minhashSignatures(docs)))
+    // the TVF surface composes with plain SQL downstream of the call
+    val kept = spark.sql(
+      "SELECT count(*) FROM gopher_rules('docs_tvf') WHERE keep").head().getLong(0)
+    val keptApi = graft.ext.Curation.gopherRules(docs)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(kept == keptApi, s"composed SQL filter: $kept vs $keptApi")
+  }
 }
