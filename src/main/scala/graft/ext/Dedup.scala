@@ -592,8 +592,10 @@ object Dedup {
     * documents on shared PREFIX tokens only. The prefix-filter lemma
     * guarantees completeness: any pair with Jaccard ≥ t shares at
     * least one prefix token, so unlike LSH this is exact with NO
-    * probabilistic recall caveat; the verify step then computes true
-    * Jaccard on the candidate pairs.
+    * probabilistic recall caveat; the PPJoin+ positional filter then
+    * prunes candidates whose first-match positions already bound the
+    * overlap below the threshold, and the verify step computes true
+    * Jaccard on the surviving pairs.
     *
     * Scale shape: the candidate join is keyed on prefix tokens, and
     * rarest-first ordering is the skew defense — a stop-word with df
@@ -637,12 +639,31 @@ object Dedup {
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("token"))))
     val pref = ranked
       .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col(idCol), col("token"))
+      .select(col(idCol), col("token"), col("rnk"), col("sz"))
+    // PPJoin+ positional filter: both docs rank tokens in the SAME
+    // global (df, token) order, so among a pair's matched prefix
+    // tokens the one with minimal a-rank also has minimal b-rank —
+    // it is the pair's FIRST match, nothing common precedes it in
+    // both lists, and overlap ≤ 1 + min(|a|−ra, |b|−rb). Jaccard ≥ t
+    // needs overlap ≥ t·(|a|+|b|)/(1+t); pairs whose bound already
+    // fails are pruned BEFORE the verify join ever moves their
+    // shingle arrays. The 1e-9 slack makes float rounding err only
+    // toward KEEPING a candidate — the verify step computes true
+    // Jaccard, so a loose filter costs a row of work while a tight
+    // one would lose a true pair.
     val cand = pref.as("a").join(pref.as("b"),
         col("a.token") === col("b.token") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
-      .distinct()
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        col("a.rnk").as("ra"), col("a.sz").as("sza"),
+        col("b.rnk").as("rb"), col("b.sz").as("szb"))
+      .groupBy("a_id", "b_id")
+      .agg(min(col("ra")).as("ra"), max(col("sza")).as("sza"),
+        min(col("rb")).as("rb"), max(col("szb")).as("szb"))
+      .filter((lit(1) + least(col("sza") - col("ra"), col("szb") - col("rb")))
+        .cast(DoubleType) * (1.0 + threshold) >=
+        lit(threshold) * (col("sza") + col("szb")) - 1e-9)
+      .select(col("a_id"), col("b_id"))
     // Size-gated broadcast of the shingle-set table for the verify
     // probes: candidate pairs carry two ~KB array payloads through a
     // shuffle otherwise. At corpus scale the gate fails and the
@@ -665,8 +686,9 @@ object Dedup {
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
     * consecutive gram hashes, and in each window select the MINIMUM
-    * hash — rightmost occurrence on ties (the paper's robust-winnowing
-    * tie-break). The selected (position, hash) set is the document's
+    * hash — rightmost occurrence on ties (base winnowing; the robust
+    * variant would additionally prefer re-selecting the previous
+    * window's pick). The selected (position, hash) set is the document's
     * fingerprint: any shared token run of length ≥ k + w − 1 between
     * two documents is guaranteed to share at least one fingerprint,
     * with density 2/(w+1) — the principled sampling guarantee that
