@@ -1451,33 +1451,97 @@ object ExtOracles {
     // BPE training, 3 merges unrolled: count adjacent symbol pairs,
     // take (cnt desc, a, b) top-1, apply with the same literal
     // replace() contract as q_bpe_apply, repeat
+    // Batched-greedy BPE replay (3 merges): per round take the top
+    // `remaining` pairs by (cnt desc, a, b), greedily keep the
+    // pairwise-disjoint prefix-subset (used-set = each keep's symbols
+    // + its merged token), apply the batch in selection order, and
+    // re-count. Worst case 3 rounds (all conflicts), best 1 (all
+    // disjoint); the unrolled SQL covers every case — a round whose
+    // quota is exhausted ranks zero rows and its replaces no-op on a
+    // chr(1) pattern. CTEs are MATERIALIZED: the scalar subqueries
+    // fan out multiplicatively otherwise (each replace() argument
+    // would re-evaluate the whole upstream chain).
     "q_bpe_train" ->
-      """WITH s0 AS (SELECT trim(regexp_replace(replace(lower(text), ' ', '_'),
+      """WITH s0 AS MATERIALIZED (SELECT trim(regexp_replace(replace(lower(text), ' ', '_'),
         |                        '(.)', '\1 ', 'g')) AS s FROM documents),
-        |p1 AS (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
+        |p1 AS MATERIALIZED (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
         |       FROM (SELECT string_split(s, ' ') AS arr FROM s0) t,
         |            unnest(range(1, len(arr))) AS u(j)
         |       GROUP BY 1, 2),
-        |b1 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p1
-        |       ORDER BY cnt DESC, a, b LIMIT 1),
-        |s1 AS (SELECT replace(s, (SELECT a || ' ' || b FROM b1),
-        |                         (SELECT a || b FROM b1)) AS s FROM s0),
-        |p2 AS (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
+        |t1 AS MATERIALIZED (SELECT a, b, CAST(cnt AS BIGINT) AS cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+        |       FROM p1 QUALIFY rn <= 3),
+        |g1 AS MATERIALIZED (SELECT
+        |    (SELECT a FROM t1 WHERE rn = 1) AS a1,
+        |    (SELECT b FROM t1 WHERE rn = 1) AS b1,
+        |    (SELECT cnt FROM t1 WHERE rn = 1) AS c1,
+        |    (SELECT a FROM t1 WHERE rn = 2) AS a2,
+        |    (SELECT b FROM t1 WHERE rn = 2) AS b2,
+        |    (SELECT cnt FROM t1 WHERE rn = 2) AS c2,
+        |    (SELECT a FROM t1 WHERE rn = 3) AS a3,
+        |    (SELECT b FROM t1 WHERE rn = 3) AS b3,
+        |    (SELECT cnt FROM t1 WHERE rn = 3) AS c3),
+        |f1 AS MATERIALIZED (SELECT *,
+        |    (a2 IS NOT NULL AND a2 NOT IN (a1, b1, a1||b1)
+        |                    AND b2 NOT IN (a1, b1, a1||b1)) AS s2,
+        |    (a3 IS NOT NULL AND a3 NOT IN (a1, b1, a1||b1)
+        |                    AND b3 NOT IN (a1, b1, a1||b1)
+        |     AND (NOT (a2 IS NOT NULL AND a2 NOT IN (a1, b1, a1||b1)
+        |                               AND b2 NOT IN (a1, b1, a1||b1))
+        |          OR (a3 NOT IN (a2, b2, a2||b2) AND b3 NOT IN (a2, b2, a2||b2))))
+        |      AS s3
+        |  FROM g1),
+        |r1 AS MATERIALIZED (SELECT *,
+        |    1 + CAST(s2 AS INTEGER) + CAST(s3 AS INTEGER) AS n1 FROM f1),
+        |s1 AS MATERIALIZED (SELECT replace(replace(replace(s,
+        |         (SELECT a1 || ' ' || b1 FROM r1), (SELECT a1 || b1 FROM r1)),
+        |         COALESCE((SELECT CASE WHEN s2 THEN a2 || ' ' || b2 END FROM r1), chr(1)),
+        |         COALESCE((SELECT CASE WHEN s2 THEN a2 || b2 END FROM r1), '')),
+        |         COALESCE((SELECT CASE WHEN s3 THEN a3 || ' ' || b3 END FROM r1), chr(1)),
+        |         COALESCE((SELECT CASE WHEN s3 THEN a3 || b3 END FROM r1), '')) AS s
+        |       FROM s0),
+        |p2 AS MATERIALIZED (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
         |       FROM (SELECT string_split(s, ' ') AS arr FROM s1) t,
         |            unnest(range(1, len(arr))) AS u(j)
         |       GROUP BY 1, 2),
-        |b2 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p2
-        |       ORDER BY cnt DESC, a, b LIMIT 1),
-        |s2 AS (SELECT replace(s, (SELECT a || ' ' || b FROM b2),
-        |                         (SELECT a || b FROM b2)) AS s FROM s1),
-        |p3 AS (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
-        |       FROM (SELECT string_split(s, ' ') AS arr FROM s2) t,
+        |t2 AS MATERIALIZED (SELECT a, b, CAST(cnt AS BIGINT) AS cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+        |       FROM p2 QUALIFY rn <= 3 - (SELECT n1 FROM r1)),
+        |g2 AS MATERIALIZED (SELECT
+        |    (SELECT a FROM t2 WHERE rn = 1) AS a1,
+        |    (SELECT b FROM t2 WHERE rn = 1) AS b1,
+        |    (SELECT cnt FROM t2 WHERE rn = 1) AS c1,
+        |    (SELECT a FROM t2 WHERE rn = 2) AS a2,
+        |    (SELECT b FROM t2 WHERE rn = 2) AS b2,
+        |    (SELECT cnt FROM t2 WHERE rn = 2) AS c2),
+        |f2 AS MATERIALIZED (SELECT *,
+        |    (a2 IS NOT NULL AND a2 NOT IN (a1, b1, a1||b1)
+        |                    AND b2 NOT IN (a1, b1, a1||b1)) AS s2
+        |  FROM g2),
+        |r2 AS MATERIALIZED (SELECT *,
+        |    CAST(a1 IS NOT NULL AS INTEGER) + CAST(s2 AS INTEGER) AS n2 FROM f2),
+        |s2c AS MATERIALIZED (SELECT replace(replace(s,
+        |         COALESCE((SELECT a1 || ' ' || b1 FROM r2), chr(1)),
+        |         COALESCE((SELECT a1 || b1 FROM r2), '')),
+        |         COALESCE((SELECT CASE WHEN s2 THEN a2 || ' ' || b2 END FROM r2), chr(1)),
+        |         COALESCE((SELECT CASE WHEN s2 THEN a2 || b2 END FROM r2), '')) AS s
+        |       FROM s1),
+        |p3 AS MATERIALIZED (SELECT arr[j] AS a, arr[j+1] AS b, count(*) AS cnt
+        |       FROM (SELECT string_split(s, ' ') AS arr FROM s2c) t,
         |            unnest(range(1, len(arr))) AS u(j)
         |       GROUP BY 1, 2),
-        |b3 AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p3
-        |       ORDER BY cnt DESC, a, b LIMIT 1)
-        |SELECT CAST(1 AS INTEGER) AS step, a, b, cnt FROM b1
-        |UNION ALL SELECT CAST(2 AS INTEGER), a, b, cnt FROM b2
-        |UNION ALL SELECT CAST(3 AS INTEGER), a, b, cnt FROM b3""".stripMargin
+        |t3 AS MATERIALIZED (SELECT a, b, CAST(cnt AS BIGINT) AS cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+        |       FROM p3
+        |       QUALIFY rn <= 3 - (SELECT n1 FROM r1) - (SELECT n2 FROM r2)),
+        |sel AS (
+        |  SELECT 1 AS ord, a1 AS a, b1 AS b, c1 AS cnt FROM r1
+        |  UNION ALL SELECT 2, a2, b2, c2 FROM r1 WHERE s2
+        |  UNION ALL SELECT 3, a3, b3, c3 FROM r1 WHERE s3
+        |  UNION ALL SELECT 4, a1, b1, c1 FROM r2 WHERE a1 IS NOT NULL
+        |  UNION ALL SELECT 5, a2, b2, c2 FROM r2 WHERE s2
+        |  UNION ALL SELECT 6, a, b, cnt FROM t3 WHERE rn = 1)
+        |SELECT CAST(row_number() OVER (ORDER BY ord) AS INTEGER) AS step, a, b, cnt
+        |FROM sel""".stripMargin
   )
 }

@@ -288,19 +288,29 @@ object TextAnalysis {
   }
 
   /** BPE merge-table TRAINING — the other half of [[bpeApply]]: start
-    * from the character-spelled corpus, and `merges` times (a) count
-    * every adjacent symbol pair, (b) take the most frequent (ties →
-    * lexicographically smallest pair, so the loop is deterministic and
-    * engine-portable), (c) apply the merge with the same literal
-    * replace() contract bpeApply uses. The result is the ordered merge
-    * table a tokenizer trainer would ship to [[bpeApply]].
+    * from the character-spelled corpus and repeat until `merges`
+    * merges are learned: (a) count every adjacent symbol pair in ONE
+    * corpus pass, (b) take the top `remaining` pairs in (cnt desc, a,
+    * b) order and greedily keep the ones pairwise-DISJOINT from every
+    * earlier keep in that order (no shared symbol, and no symbol
+    * equal to an earlier keep's merged token), (c) apply the whole
+    * batch in one rewrite with the same literal replace() contract
+    * bpeApply uses, in selection order. Disjointness makes each
+    * kept pair's count exact at selection time (merging (a,b)
+    * cannot create or destroy (c,d) adjacencies when the symbols are
+    * disjoint), so batching k compatible merges costs one corpus
+    * pass instead of k — the standard batched-BPE trainer speedup.
+    * Conflicting runner-ups are NOT applied; they are re-counted
+    * next round. The greedy order keeps the loop deterministic and
+    * engine-portable.
     *
-    * Scale shape: each iteration is ONE pair-count shuffle (map-side
-    * partial agg — a pair appearing 10⁹ times is one key) + a top-1
-    * TakeOrdered; only the k winning rows ever reach the driver (the
-    * centroid-table discipline). The merge application is a pure map,
-    * and the corpus is re-checkpointed per round so iteration i+1
-    * rescans materialized symbols instead of a k-deep replace chain.
+    * Scale shape: each round is ONE pair-count shuffle (map-side
+    * partial agg — a pair appearing 10⁹ times is one key) + a
+    * top-`remaining` TakeOrdered; only ≤ `merges` rows ever reach
+    * the driver (the centroid-table discipline). The batch rewrite
+    * is a pure map, and the corpus is re-checkpointed per round so
+    * the next round rescans materialized symbols instead of a
+    * k-deep replace chain.
     *
     * @return (step, a, b, cnt): 1-based merge order, the pair, and its
     *         count at selection time.
@@ -313,23 +323,31 @@ object TextAnalysis {
       regexp_replace(lower(col(textCol)), " ", "_"), "(.)", "$1 "))
     var corpus = df.select(spelled.as("s")).localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    var step = 1
-    while (step <= merges) {
-      val best = corpus
+    var exhausted = false
+    while (learned.size < merges && !exhausted) {
+      val remaining = merges - learned.size
+      val top = corpus
         .select(split(col("s"), " ").as("arr"))
         .filter(size(col("arr")) >= 2)
         .select(explode(expr(adjacentPairsExpr("arr"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).as[(String, String, Long)].collect().headOption
-      best match {
-        case Some((a, b, cnt)) =>
-          learned += ((step, a, b, cnt))
-          corpus = corpus.select(call_function("replace", col("s"),
-            lit(a + " " + b), lit(a + b)).as("s")).localCheckpoint()
-          step += 1
-        case None => step = merges + 1 // corpus has no pairs left
+        .limit(remaining).as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true // corpus has no pairs left
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val batch = top.filter { case (a, b, _) =>
+          val ok = !used(a) && !used(b)
+          if (ok) { used += a; used += b; used += (a + b) }
+          ok
+        } // first row always survives: used starts empty
+        batch.foreach { case (a, b, cnt) =>
+          learned += ((learned.size + 1, a, b, cnt)) }
+        corpus = corpus.select(batch.foldLeft(col("s")) {
+            case (c, (a, b, _)) =>
+              call_function("replace", c, lit(a + " " + b), lit(a + b))
+          }.as("s")).localCheckpoint()
       }
     }
     learned.toSeq.toDF("step", "a", "b", "cnt")
