@@ -591,4 +591,73 @@ object Curation {
           .orderBy(col("ord_hash"), col(idCol))))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  /** DSIR-style importance resampling (cf. Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by its log importance weight under hashed-unigram
+    * bag-of-words LMs — llr(d) = Σ_tokens [ln p_target(bucket) −
+    * ln p_raw(bucket)], add-one smoothing over `buckets` hash buckets
+    * — then draw the top `k` by Gumbel-perturbed weight (score = llr
+    * + g), the exact-sampling-without-replacement trick: Gumbel
+    * top-k on log weights IS importance sampling ∝ weight. The
+    * Gumbel noise is a portable-md5 coin (u = (h+0.5)/2^60,
+    * g = −ln(−ln u)), so the draw is reproducible across engines and
+    * reruns — no RNG state.
+    *
+    * Portability discipline: each bucket's LLR is rounded to integer
+    * MICRO-units before any per-doc sum (the [[unigramLogProb]]
+    * rule: summation order cannot perturb longs), the Gumbel term is
+    * micro-rounded the same way, and the output carries the exact
+    * micro longs — ln and IEEE division are the only float ops and
+    * both replay bit-identically in DuckDB.
+    *
+    * Scale shape: the target corpus collapses to ≤ `buckets` rows
+    * (one narrow pass), the raw corpus to (doc, bucket, cnt) in one
+    * shuffle — checkpointed once, feeding both the raw-LM rollup and
+    * the scoring join — the ≤ `buckets`-row LLR table broadcast-joins
+    * back, and selection is a TakeOrdered top-k: no global sort, no
+    * driver state beyond k winners. Zero-token docs drop out (they
+    * have no buckets, hence no weight).
+    *
+    * @return (doc_id, n_tokens, llr_micro, score_micro), the k
+    *         selected docs, highest perturbed score first by
+    *         (score desc, id).
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame, k: Int = 100,
+      buckets: Int = 8192, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def bucketOf(tok: Column): Column =
+      pmod(Dedup.portableHash60(concat(lit("dsirb|"), tok)),
+        lit(buckets.toLong))
+    val counted = raw.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col(idCol), bucketOf(col("token")).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rawLm = counted.groupBy(col("bucket")).agg(sum(col("cnt")).as("rc"))
+    val tgtLm = target.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(bucketOf(col("token")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val rawTot = rawLm.agg(coalesce(sum(col("rc")), lit(0L)).as("rn"))
+    val tgtTot = tgtLm.agg(coalesce(sum(col("tc")), lit(0L)).as("tn"))
+    val bucketLlr = rawLm.join(tgtLm, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"), round((
+          log((coalesce(col("tc"), lit(0L)) + 1).cast(DoubleType) /
+            (col("tn") + buckets)) -
+          log((col("rc") + 1).cast(DoubleType) / (col("rn") + buckets))
+        ) * 1e6, 0).cast(LongType).as("llr_micro"))
+    val u = (Dedup.portableHash60(
+        concat(lit("dsir|"), col(idCol).cast(StringType))).cast(DoubleType)
+      + 0.5) / 1152921504606846976.0 // 2^60: exact power-of-two division
+    counted.join(broadcast(bucketLlr), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("llr_micro")).as("llr_micro"))
+      .withColumn("score_micro", col("llr_micro") +
+        round(-log(-log(u)) * 1e6, 0).cast(LongType))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

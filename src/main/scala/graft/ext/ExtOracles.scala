@@ -1451,6 +1451,40 @@ object ExtOracles {
     // BPE training, 3 merges unrolled: count adjacent symbol pairs,
     // take (cnt desc, a, b) top-1, apply with the same literal
     // replace() contract as q_bpe_apply, repeat
+    // DSIR replay: hashed-unigram bucket LMs for target (src0-src3)
+    // and raw, add-one smoothing, per-bucket LLR micro-rounded BEFORE
+    // the per-doc sum (order-free long arithmetic), portable-md5
+    // Gumbel perturbation, top-100 by (score desc, id). ln and IEEE
+    // division are the only float ops — both replay bit-identically.
+    "q_dsir_sample" ->
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('dsirb|' || t.token), 1, 15)) AS BIGINT) % 8192 AS bucket
+        |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents) t),
+        |counted AS MATERIALIZED (SELECT doc_id, bucket, count(*) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |rawlm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc
+        |  FROM counted GROUP BY 1),
+        |tgtlm AS (SELECT bucket, count(*) AS tc FROM (
+        |    SELECT CAST(concat('0x', substr(md5('dsirb|' || t.token), 1, 15)) AS BIGINT) % 8192 AS bucket
+        |    FROM (SELECT unnest($toks) AS token FROM documents
+        |          WHERE source IN ('src0', 'src1', 'src2', 'src3')) t)
+        |  GROUP BY 1),
+        |rt AS (SELECT COALESCE(CAST(sum(rc) AS BIGINT), 0) AS rn FROM rawlm),
+        |tt AS (SELECT COALESCE(CAST(sum(tc) AS BIGINT), 0) AS tn FROM tgtlm),
+        |bl AS (SELECT bucket,
+        |    CAST(round((ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / (tn + 8192))
+        |              - ln(CAST(rc + 1 AS DOUBLE) / (rn + 8192))) * 1e6, 0)
+        |      AS BIGINT) AS llr_micro
+        |  FROM rawlm LEFT JOIN tgtlm USING (bucket) CROSS JOIN rt CROSS JOIN tt),
+        |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt * llr_micro) AS BIGINT) AS llr_micro
+        |  FROM counted JOIN bl USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_tokens, llr_micro,
+        |  llr_micro + CAST(round(-ln(-ln(
+        |    (CAST(concat('0x', substr(md5('dsir|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+        |    / 1152921504606846976.0)) * 1e6, 0) AS BIGINT) AS score_micro
+        |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100""".stripMargin,
+
     // Batched-greedy BPE replay (3 merges): per round take the top
     // `remaining` pairs by (cnt desc, a, b), greedily keep the
     // pairwise-disjoint prefix-subset (used-set = each keep's symbols

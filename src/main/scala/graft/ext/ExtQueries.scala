@@ -455,6 +455,14 @@ object ExtQueries {
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(Tables(spark, dir).documents)
 
+  /** DSIR importance resample: target = the src0–src3 slice of the
+    * corpus, top-100 Gumbel-perturbed draw over 8192 hash buckets. */
+  def qDsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Curation.dsirSample(docs,
+      docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
+  }
+
   /** Span-removal decontamination: a 12-token benchmark sentence is
     * planted on the bench split (id % 97 == 0) and on every 13th
     * train doc, whose copies must then be cut. */

@@ -157,6 +157,32 @@ class CurationSpec extends AnyFunSuite {
       "a new epoch must re-deal the order")
   }
 
+  test("dsirSample: target-like docs win the importance draw; deterministic") {
+    // two disjoint vocabularies; the target speaks only vocab A, so
+    // vocab-A raw docs carry positive LLR and must fill the top-k
+    val vocabA = Seq("alpha", "beta", "gamma", "delta")
+    val vocabB = Seq("omega", "sigma", "theta", "kappa")
+    val raw = (1L to 40L).map { i =>
+      val v = if (i <= 20) vocabA else vocabB
+      (i, Seq.tabulate(12)(j => v((i + j).toInt % 4)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = (100L to 119L).map(i =>
+      (i, Seq.tabulate(12)(j => vocabA((i + j).toInt % 4)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val picked = Curation.dsirSample(raw, target, k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == (1L to 20L).toSet,
+      s"vocab-A docs must win the draw, got $picked")
+    // deterministic rerun, and zero-token docs never appear
+    val again = Curation.dsirSample(raw, target, k = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == again, "portable-hash Gumbel draw must be reproducible")
+    val withEmpty = raw.union(Seq((99L, "   ")).toDF("doc_id", "text"))
+    assert(!Curation.dsirSample(withEmpty, target, k = 41)
+      .select("doc_id").as[Long].collect().contains(99L),
+      "zero-token docs have no weight and must drop out")
+  }
+
   test("sharded operators: default shard count tracks session parallelism") {
     val dp = spark.sparkContext.defaultParallelism
     val docs = (1L to 2000L).map(i => (i, s"some text tokens $i"))
