@@ -372,6 +372,42 @@ object Curation {
       .select(idCol, "n_bigrams", "mean_nll_micro")
   }
 
+  /** CCNet-style perplexity bucketing: split each source's documents
+    * into head / middle / tail by LM negative-log-likelihood terciles
+    * (the corpus-as-LM [[bigramLogProb]] score — lowest NLL = most
+    * fluent = head), the standard web-corpus quality partition that
+    * downstream mixing weights by bucket. Ranks are per SOURCE, so a
+    * clean source's tail is not punished for another source's noise —
+    * the same reasoning as [[calibrateBySource]]. Buckets are exact
+    * ntile(n) over (mean_nll_micro, id): integer keys, deterministic
+    * ties, bit-replayable.
+    *
+    * Scale: one shuffle keyed on source for the ntile window; like
+    * [[domainCap]], a pathologically hot source serializes its sort —
+    * at corpus scale the cutoffs would come from a per-source
+    * approx-quantile agg (one pass) with assignment by comparison;
+    * the exact ntile is the oracle-verified reference semantics. Docs
+    * with <2 tokens have no bigram NLL and drop out.
+    *
+    * @return (doc_id, source, mean_nll_micro, bucket, ppl_bucket):
+    *         bucket in [1, nBuckets], head = 1, tail = nBuckets.
+    */
+  def perplexityBuckets(df: DataFrame, nBuckets: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val nll = bigramLogProb(df, idCol, textCol)
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("mean_nll_micro"), col(idCol))
+    df.select(col(idCol), col(srcCol)).join(nll, Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .withColumn("ppl_bucket",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(srcCol), col("mean_nll_micro"),
+        col("bucket"), col("ppl_bucket"))
+  }
+
   /** Per-domain quota cap (the RefinedWeb/C4 anti-dominance rule):
     * keep at most `k` documents per source/domain, best quality
     * first, ties to the lowest id. One shuffle keyed on the domain.

@@ -1451,6 +1451,40 @@ object ExtOracles {
     // BPE training, 3 merges unrolled: count adjacent symbol pairs,
     // take (cnt desc, a, b) top-1, apply with the same literal
     // replace() contract as q_bpe_apply, repeat
+    // CCNet bucketing replay: the bigram-NLL pipeline (identical to
+    // q_bigram_logprob) + per-source exact ntile(3) over the integer
+    // (mean_nll_micro, doc_id) key.
+    "q_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM t, unnest(range(1, len(toks))) AS u(i)
+        |       WHERE len(toks) >= 2),
+        |counted AS (SELECT doc_id, w1, w2, count(*) AS cnt
+        |            FROM bg GROUP BY 1, 2, 3),
+        |bn AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS bg_n
+        |       FROM counted GROUP BY 1, 2),
+        |pn AS (SELECT w1, CAST(sum(bg_n) AS BIGINT) AS w1_n FROM bn GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT token) AS v_size
+        |       FROM (SELECT unnest(toks) AS token FROM t) x),
+        |nllt AS (SELECT c.doc_id, c.cnt,
+        |          CAST(ROUND(-ln(CAST(bn.bg_n + 1 AS DOUBLE)
+        |            / (pn.w1_n + vv.v_size)) * 1e6, 0) AS BIGINT) AS nll_micro
+        |        FROM counted c
+        |        JOIN bn ON c.w1 = bn.w1 AND c.w2 = bn.w2
+        |        JOIN pn ON c.w1 = pn.w1 CROSS JOIN vv),
+        |docnll AS (SELECT doc_id,
+        |    CAST(sum(nll_micro * cnt) AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+        |      AS mean_nll_micro
+        |  FROM nllt GROUP BY doc_id),
+        |ranked AS (SELECT d.doc_id, d.source, n.mean_nll_micro,
+        |    CAST(ntile(3) OVER (PARTITION BY d.source
+        |      ORDER BY n.mean_nll_micro, d.doc_id) AS INTEGER) AS bucket
+        |  FROM documents d JOIN docnll n ON d.doc_id = n.doc_id)
+        |SELECT doc_id, source, mean_nll_micro, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+        |       ELSE 'middle' END AS ppl_bucket
+        |FROM ranked""".stripMargin,
+
     // DSIR replay: hashed-unigram bucket LMs for target (src0-src3)
     // and raw, add-one smoothing, per-bucket LLR micro-rounded BEFORE
     // the per-doc sum (order-free long arithmetic), portable-md5

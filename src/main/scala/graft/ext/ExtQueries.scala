@@ -455,6 +455,10 @@ object ExtQueries {
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(Tables(spark, dir).documents)
 
+  /** CCNet-style per-source head/middle/tail perplexity terciles. */
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame =
+    Curation.perplexityBuckets(Tables(spark, dir).documents)
+
   /** DSIR importance resample: target = the src0–src3 slice of the
     * corpus, top-100 Gumbel-perturbed draw over 8192 hash buckets. */
   def qDsirSample(spark: SparkSession, dir: String): DataFrame = {

@@ -183,6 +183,25 @@ class CurationSpec extends AnyFunSuite {
       "zero-token docs have no weight and must drop out")
   }
 
+  test("perplexityBuckets: fluent repeats rank head, gibberish ranks tail, per source") {
+    // six docs share phrasing (high-count bigrams -> low NLL); three
+    // are singleton-bigram gibberish (high NLL). ntile(3) over nine
+    // docs puts the gibberish squarely in the tail of its source.
+    val fluent = (1L to 6L).map(i =>
+      (i, "the cat sat on the mat and the dog sat on the rug", "a"))
+    val noise = Seq(
+      (7L, "zq xv wk jm pl nt rb gf dc hs", "a"),
+      (8L, "yw uq os ia ne tr bm kd lf cg", "a"),
+      (9L, "vv bb nn mm pp qq rr ss tt uu", "a"))
+    val docs = (fluent ++ noise).toDF("doc_id", "text", "source")
+    val out = Curation.perplexityBuckets(docs)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(Seq(7L, 8L, 9L).forall(out(_) == "tail"),
+      s"gibberish docs must land in the tail: $out")
+    assert(Seq(1L, 2L, 3L).forall(out(_) == "head"),
+      s"fluent low-NLL docs must land in the head: $out")
+  }
+
   test("sharded operators: default shard count tracks session parallelism") {
     val dp = spark.sparkContext.defaultParallelism
     val docs = (1L to 2000L).map(i => (i, s"some text tokens $i"))
