@@ -1451,6 +1451,61 @@ object ExtOracles {
     // BPE training, 3 merges unrolled: count adjacent symbol pairs,
     // take (cnt desc, a, b) top-1, apply with the same literal
     // replace() contract as q_bpe_apply, repeat
+    // RRF hybrid-retrieval replay: the BM25 top-20 (identical scoring
+    // to q_bm25_topk) and dense cosine top-20 for query 0 (identical
+    // to q_sim_cosine_topk), each re-ranked, fused by
+    // round(1e6/(60+rank)) micro-terms summed as longs.
+    "q_rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |wtf AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS dl,
+        |  CAST(len(list_filter(toks, x -> x = 'spark')) AS INTEGER) AS tf0,
+        |  CAST(len(list_filter(toks, x -> x = 'data')) AS INTEGER) AS tf1,
+        |  CAST(len(list_filter(toks, x -> x = 'join')) AS INTEGER) AS tf2
+        |FROM t),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |FROM wtf),
+        |scored AS (SELECT doc_id,
+        |  ln(((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)) + 1.0)
+        |    * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |  + ln(((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)) + 1.0)
+        |    * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |  + ln(((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)) + 1.0)
+        |    * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS score
+        |FROM wtf CROSS JOIN stats),
+        |lex AS (SELECT doc_id AS item_id,
+        |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+        |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20) x
+        |  WHERE score > 0),
+        |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 1),
+        |dscored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id != query_id),
+        |dense AS (SELECT nn_id AS item_id, rn AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM dscored) t WHERE rn <= 20),
+        |terms AS (
+        |  SELECT item_id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) AS term_micro FROM lex
+        |  UNION ALL
+        |  SELECT item_id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) AS term_micro FROM dense),
+        |fused AS (SELECT item_id, CAST(sum(term_micro) AS BIGINT) AS rrf_micro,
+        |    CAST(count(*) AS BIGINT) AS n_lists
+        |  FROM terms GROUP BY 1)
+        |SELECT item_id, rrf_micro, n_lists, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, item_id) AS rank
+        |  FROM fused) f WHERE rank <= 10""".stripMargin,
+
     // CCNet bucketing replay: the bigram-NLL pipeline (identical to
     // q_bigram_logprob) + per-source exact ntile(3) over the integer
     // (mean_nll_micro, doc_id) key.

@@ -455,6 +455,20 @@ object ExtQueries {
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(Tables(spark, dir).documents)
 
+  /** Hybrid-retrieval RRF: fuse the BM25 top-20 lexical list with the
+    * dense cosine top-20 of query vector 0 over the shared id space. */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25TopK(Tables(spark, dir).documents,
+        terms = Seq("spark", "data", "join"), k = 20)
+      .select(col("doc_id").as("item_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank"))
+    val dense = Similarity.bruteForceTopK(Tables(spark, dir).embeddings,
+        k = 20, numQueries = 1)
+      .select(col("nn_id").as("item_id"), col("rn").as("rank"))
+    TextAnalysis.rrfFuse(Seq(lex, dense), topK = 10)
+  }
+
   /** CCNet-style per-source head/middle/tail perplexity terciles. */
   def qPplBuckets(spark: SparkSession, dir: String): DataFrame =
     Curation.perplexityBuckets(Tables(spark, dir).documents)

@@ -158,6 +158,42 @@ object TextAnalysis {
         round(col("score"), 6).as("bm25"): _*)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) — the standard
+    * hybrid-retrieval combiner: given N ranked lists over the same
+    * item space (lexical BM25, dense cosine, …), score every item by
+    * Σ_lists 1/(rrfK + rank) and re-rank. Rank-based, so incomparable
+    * score scales fuse without calibration. Each list's term is
+    * rounded to integer MICRO-units before the sum (the
+    * order-free-longs rule), so the fused ordering replays
+    * bit-for-bit cross-engine.
+    *
+    * Scale shape: inputs are top-k lists — bounded by construction
+    * (lists × k rows, NOT corpus-bound) — so the union, the groupBy,
+    * and the single-partition rank window all operate on a few
+    * hundred rows regardless of corpus size; the heavy lifting
+    * happened inside the per-modality retrievers.
+    *
+    * @param rankings DataFrames each carrying (idCol, rankCol),
+    *                 rank 1-based.
+    * @return (item_id, rrf_micro, n_lists, rank) for the fused
+    *         top `topK`, best first, ties by id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60, topK: Int = 10,
+      idCol: String = "item_id", rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val terms = rankings.map(_.select(col(idCol),
+      round(lit(1e6) / (lit(rrfK.toDouble) + col(rankCol)), 0)
+        .cast(org.apache.spark.sql.types.LongType).as("term_micro")))
+    terms.reduce(_ union _)
+      .groupBy(col(idCol))
+      .agg(sum(col("term_micro")).as("rrf_micro"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micro").desc, col(idCol))))
+      .filter(col("rank") <= topK)
+  }
+
   /** Stopword-profile language-ID heuristic with a fixed precedence
     * (en > es > fr > de > unknown) on ties. A real system would use
     * char-n-gram profiles; the *shape* (per-row scoring + argmax) is

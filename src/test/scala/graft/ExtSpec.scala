@@ -341,6 +341,20 @@ class ExtSpec extends AnyFunSuite {
     assert(!r.contains(3L), "zero-score doc must be filtered")
   }
 
+  test("rrfFuse: hand-computed fusion — consensus items beat single-list items") {
+    // lists A=[1,2,3], B=[3,2,4] at rrfK=60 (micro-rounded terms):
+    //   item3 = 15873+16393 = 32266, item2 = 16129*2 = 32258,
+    //   item1 = 16393, item4 = 15873 -> order 3, 2, 1, 4
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("item_id", "rank")
+    val b = Seq((3L, 1), (2L, 2), (4L, 3)).toDF("item_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), topK = 10)
+      .orderBy("rank")
+      .select("item_id", "rrf_micro", "n_lists")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 32266L, 2L), (2L, 32258L, 2L),
+      (1L, 16393L, 1L), (4L, 15873L, 1L)), s"got $out")
+  }
+
   test("semantic dedup: identical vectors dedup to the lowest id, one keeper per chain") {
     val vecs = Seq(
       (0L, Seq.fill(4)(1.0f)), (1L, Seq(1.0f, 0.9f, 1.1f, 1.0f)),
