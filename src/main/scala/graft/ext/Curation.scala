@@ -662,28 +662,13 @@ object Curation {
   def dsirSample(raw: DataFrame, target: DataFrame, k: Int = 100,
       buckets: Int = 8192, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    def bucketOf(tok: Column): Column =
-      pmod(Dedup.portableHash60(concat(lit("dsirb|"), tok)),
-        lit(buckets.toLong))
     val counted = raw.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .select(col(idCol), bucketOf(col("token")).as("bucket"))
+      .select(col(idCol), dsirBucket(col("token"), buckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val rawLm = counted.groupBy(col("bucket")).agg(sum(col("cnt")).as("rc"))
-    val tgtLm = target.select(
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .select(bucketOf(col("token")).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
-    val rawTot = rawLm.agg(coalesce(sum(col("rc")), lit(0L)).as("rn"))
-    val tgtTot = tgtLm.agg(coalesce(sum(col("tc")), lit(0L)).as("tn"))
-    val bucketLlr = rawLm.join(tgtLm, Seq("bucket"), "left")
-      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
-      .select(col("bucket"), round((
-          log((coalesce(col("tc"), lit(0L)) + 1).cast(DoubleType) /
-            (col("tn") + buckets)) -
-          log((col("rc") + 1).cast(DoubleType) / (col("rn") + buckets))
-        ) * 1e6, 0).cast(LongType).as("llr_micro"))
+    val bucketLlr = dsirLlrTable(rawLm, target, buckets, textCol)
     val u = (Dedup.portableHash60(
         concat(lit("dsir|"), col(idCol).cast(StringType))).cast(DoubleType)
       + 0.5) / 1152921504606846976.0 // 2^60: exact power-of-two division
@@ -696,4 +681,70 @@ object Curation {
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(k)
   }
+
+  /** The shared DSIR bucket hash: portable-md5 of the salted token
+    * mod `buckets`. */
+  private def dsirBucket(tok: Column, buckets: Int): Column =
+    pmod(Dedup.portableHash60(concat(lit("dsirb|"), tok)),
+      lit(buckets.toLong))
+
+  /** Per-bucket LLR table from a prebuilt raw-LM (bucket, rc) and the
+    * target corpus — the factored-out model half of [[dsirSample]],
+    * reused by [[dsirModel]] so the batch sampler and the streaming
+    * scorer share one formula. The table is DENSE over all `buckets`
+    * (rc = 0 rows carry the smoothed unseen-bucket LLR), so scoring a
+    * NEW document whose tokens were never seen in the raw corpus
+    * still weighs every token. */
+  private def dsirLlrTable(rawLm: DataFrame, target: DataFrame,
+      buckets: Int, textCol: String): DataFrame = {
+    val spark = rawLm.sparkSession
+    val tgtLm = target.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(dsirBucket(col("token"), buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val rawTot = rawLm.agg(coalesce(sum(col("rc")), lit(0L)).as("rn"))
+    val tgtTot = tgtLm.agg(coalesce(sum(col("tc")), lit(0L)).as("tn"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(rawLm, Seq("bucket"), "left")
+      .join(tgtLm, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"), round((
+          log((coalesce(col("tc"), lit(0L)) + 1).cast(DoubleType) /
+            (col("tn") + buckets)) -
+          log((coalesce(col("rc"), lit(0L)) + 1).cast(DoubleType) /
+            (col("rn") + buckets))
+        ) * 1e6, 0).cast(LongType).as("llr_micro"))
+  }
+
+  /** Train the DSIR model — the ≤ `buckets`-row (bucket, llr_micro)
+    * table — once, offline, for reuse by [[dsirScore]] and the
+    * streaming scorer ([[graft.streaming.StreamingOps.dsirScoreStream]]).
+    * Exactly the table [[dsirSample]] builds internally. */
+  def dsirModel(raw: DataFrame, target: DataFrame, buckets: Int = 8192,
+      textCol: String = "text"): DataFrame = {
+    val rawLm = raw.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(dsirBucket(col("token"), buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).cast(LongType).as("rc"))
+    dsirLlrTable(rawLm, target, buckets, textCol)
+  }
+
+  /** Score documents against a prebuilt DSIR model ([[dsirModel]]):
+    * per-doc log importance weight in exact micro longs — the scoring
+    * half of [[dsirSample]], usable standalone on any batch (or
+    * micro-batch: the streaming twin wraps exactly this). One narrow
+    * tokenize pass + a broadcast model join + one per-doc agg of
+    * longs; zero-token docs drop out.
+    *
+    * @return (doc_id, n_tokens, llr_micro). */
+  def dsirScore(docs: DataFrame, model: DataFrame, buckets: Int = 8192,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col(idCol), dsirBucket(col("token"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("llr_micro")).as("llr_micro"))
 }

@@ -205,6 +205,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Online DSIR scoring: every arriving micro-batch of documents is
+    * scored against the STATIC pretrained bucket-LLR model
+    * ([[graft.ext.Curation.dsirModel]]) with exactly the batch scorer
+    * ([[graft.ext.Curation.dsirScore]]) inside foreachBatch — the
+    * per-doc aggregation needs a bounded frame, and a micro-batch is
+    * one. The model is a broadcast ≤ buckets-row table; no
+    * stream-side state at all, so the ingest-time data-selection
+    * gate scales with batch size, not stream length. */
+  def dsirScoreStream(docs: DataFrame, model: DataFrame,
+      buckets: Int = 8192)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Curation.dsirScore(batch.toDF(), model, buckets))
+      }
+      .start()
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -324,4 +324,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(1).n_events == 1 && sessions(1).total_value == 3.0)
     assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
   }
+
+  test("online DSIR scoring == batch scorer; model covers unseen tokens") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val raw = (1L to 30L).map(i => (i, s"alpha beta w$i gamma"))
+      .toDF("doc_id", "text")
+    val target = (101L to 110L).map(i => (i, "alpha alpha beta"))
+      .toDF("doc_id", "text")
+    val model = graft.ext.Curation.dsirModel(raw, target).localCheckpoint()
+    // the factored scorer agrees with dsirSample's internal llr on
+    // the training corpus itself (model half ≡ sampler half)
+    val viaSample = graft.ext.Curation.dsirSample(raw, target, k = 30)
+      .select("doc_id", "llr_micro").as[(Long, Long)].collect().toMap
+    val viaScore = graft.ext.Curation.dsirScore(raw, model)
+      .select("doc_id", "llr_micro").as[(Long, Long)].collect().toMap
+    assert(viaSample == viaScore, "dsirScore must reproduce dsirSample's llr")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val docs = Seq((51L, "alpha beta gamma"),
+      (52L, "zzz yyy unseen tokens"), (53L, "alpha w3"))
+    val q = graft.streaming.StreamingOps.dsirScoreStream(
+        mem.toDF().toDF("doc_id", "text"), model) { b =>
+      got ++= b.as[(Long, Long, Long)].collect()
+    }
+    try {
+      mem.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val want = graft.ext.Curation.dsirScore(
+          docs.toDF("doc_id", "text"), model)
+        .as[(Long, Long, Long)].collect()
+      assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq,
+        "streamed scores must equal the batch twin")
+      // doc 52 is all tokens the raw corpus never saw: the dense
+      // model still weighs all 4 of them
+      assert(got.find(_._1 == 52L).exists(_._2 == 4L),
+        s"unseen-token doc must score all its tokens: $got")
+    } finally q.stop()
+  }
 }
