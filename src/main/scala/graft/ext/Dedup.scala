@@ -132,14 +132,21 @@ object Dedup {
   /** LSH banding over minhash signatures (r rows per band): docs
     * sharing all r minhashes of any band become candidate pairs.
     * Returns (a_id, b_id, n_shared_bands). */
-  def lshCandidates(sigs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      idCol: String = "doc_id"): DataFrame = {
+  /** The banded key structs over a signature table's m0..m{n-1}
+    * columns — shared by the self-join ([[lshCandidates]]) and the
+    * cross-corpus ([[crossNearDups]]) banding. */
+  private def bandStructs(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
     val bands = numHashes / rowsPerBand
-    val bandKeys = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r =>
         col(s"m${b * rowsPerBand + r}").as(s"k$r"))
       struct(lit(b).as("band") +: ks: _*)
     }
+  }
+
+  def lshCandidates(sigs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    val bandKeys = bandStructs(numHashes, rowsPerBand)
     // materialize the banded table before the self-join: both join
     // sides reference it, and without a checkpoint the whole upstream
     // shingle→md5→minhash pipeline is evaluated twice (the md5 digests
@@ -186,6 +193,60 @@ object Dedup {
     shared
       .join(sizes.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared_bands"),
+        round(col("n_shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** Fuzzy cross-corpus contamination — MinHash-LSH near-duplicate
+    * pairs BETWEEN two corpora (training candidates × benchmark/eval
+    * set): the fuzzy complement to the exact n-gram paths
+    * ([[graft.ext.Curation.contamination]] membership,
+    * [[graft.ext.Curation.decontaminate]] span removal), catching
+    * lightly-edited benchmark copies those exact matches miss. Same
+    * banding as [[lshCandidates]] but joined ACROSS the corpora (no
+    * self-pairs, no a<b constraint — the id spaces are independent),
+    * then the sparse candidates verified with exact trigram-shingle
+    * Jaccard exactly as [[lshVerifiedPairs]] does.
+    *
+    * Scale shape: banding is keyed (band, minhashes) — never
+    * all-pairs; the right side is typically the SMALL benchmark set,
+    * so its banded table and shingles are tiny and AQE broadcasts
+    * them at runtime (no forced hint, same policy as
+    * lshVerifiedPairs); the verify joins touch only candidate docs'
+    * shingles via the left-semi prefilter.
+    *
+    * @return (a_id, b_id, n_shared_bands, jaccard): a from `left`,
+    *         b from `right`, every banded collision with its exact
+    *         similarity.
+    */
+  def crossNearDups(left: DataFrame, right: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shL = wordTrigrams(left, idCol, textCol).localCheckpoint()
+    val shR = wordTrigrams(right, idCol, textCol).localCheckpoint()
+    val keys = bandStructs(numHashes, rowsPerBand)
+    val exL = minhashFromShingles(shL, numHashes, idCol)
+      .select(col(idCol).as("a_id"), explode(array(keys: _*)).as("bk"))
+    val exR = minhashFromShingles(shR, numHashes, idCol)
+      .select(col(idCol).as("b_id"), explode(array(keys: _*)).as("bk"))
+    val cand = exL.join(exR, Seq("bk"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_bands"))
+      .localCheckpoint()
+    val shB = shR.join(cand.select(col("b_id").as("b_id2")).distinct(),
+        col(idCol) === col("b_id2"), "left_semi")
+      .select(col(idCol).as("b_id2"), col("gram").as("gram_b"))
+    val pairGrams =
+      shL.select(col(idCol).as("a_id"), col("gram")).join(cand, "a_id")
+    val shared = pairGrams
+      .join(shB, col("b_id") === col("b_id2") && col("gram") === col("gram_b"))
+      .groupBy("a_id", "b_id", "n_shared_bands")
+      .agg(count(lit(1)).as("n_shared"))
+    val sizesL = shL.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sizesR = shR.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    shared
+      .join(sizesL.select(col(idCol).as("a_id"), col("n").as("na")), "a_id")
+      .join(sizesR.select(col(idCol).as("b_id"), col("n").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"), col("n_shared_bands"),
         round(col("n_shared").cast(DoubleType) /
           (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))

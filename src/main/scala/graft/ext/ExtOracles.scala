@@ -345,6 +345,67 @@ object ExtOracles {
         |FROM shared s JOIN sizes na ON na.doc_id = s.a_id
         |              JOIN sizes nb ON nb.doc_id = s.b_id""".stripMargin,
 
+    // Cross-corpus LSH replay: identical shingle/minhash/banding
+    // construction on both corpora (benchmark = every 40th doc,
+    // 'eval prompt ' prefix, id+100000), banded keys joined ACROSS
+    // them, exact-Jaccard verify on the collisions.
+    "q_cross_near_dups" ->
+      s"""WITH corp AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id + 100000 AS doc_id,
+        |    'eval prompt ' || text AS text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |tl AS (SELECT doc_id, $toks AS toks FROM corp),
+        |tr AS (SELECT doc_id, $toks AS toks FROM bench),
+        |gl AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+        |             FROM tl WHERE len(toks) >= 3) x),
+        |gr AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+        |             FROM tr WHERE len(toks) >= 3) x),
+        |hl AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
+        |      FROM gl CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |hr AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
+        |      FROM gr CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |sl AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM hl GROUP BY doc_id),
+        |sr AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM hr GROUP BY doc_id),
+        |bl AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sl UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM sl UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM sl UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM sl),
+        |br AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sr UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM sr UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM sr UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM sr),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+        |         FROM bl a JOIN br b
+        |           ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        |         GROUP BY 1, 2),
+        |szl AS (SELECT doc_id, count(*) AS n FROM gl GROUP BY 1),
+        |szr AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+        |shared AS (SELECT c.a_id, c.b_id, c.n_shared_bands, count(*) AS n_shared
+        |           FROM cand c
+        |           JOIN gl ga ON ga.doc_id = c.a_id
+        |           JOIN gr gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+        |           GROUP BY 1, 2, 3)
+        |SELECT s.a_id, s.b_id, s.n_shared_bands,
+        |  round(CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared), 6) AS jaccard
+        |FROM shared s JOIN szl na ON na.doc_id = s.a_id
+        |              JOIN szr nb ON nb.doc_id = s.b_id""".stripMargin,
+
     // CDC replay: a boundary opens at every token whose portable
     // md5-60 hash is ≡0 mod 8; chunks are the token runs between
     // boundaries, fingerprinted as md5 of the space-joined run.

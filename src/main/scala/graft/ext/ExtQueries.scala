@@ -455,6 +455,18 @@ object ExtQueries {
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(Tables(spark, dir).documents)
 
+  /** Fuzzy cross-corpus contamination: every 40th doc becomes a
+    * lightly-edited "benchmark" copy (two extra leading tokens,
+    * re-identified +100000) that exact n-gram membership would only
+    * partially catch — the LSH cross join must find it. */
+  def qCrossNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bench = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("eval prompt "), col("text")).as("text"))
+    Dedup.crossNearDups(docs, bench)
+  }
+
   /** Hybrid-retrieval RRF: fuse the BM25 top-20 lexical list with the
     * dense cosine top-20 of query vector 0 over the shared id space. */
   def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {

@@ -341,6 +341,23 @@ class ExtSpec extends AnyFunSuite {
     assert(!r.contains(3L), "zero-score doc must be filtered")
   }
 
+  test("crossNearDups: benchmark copies caught across corpora, disjoint text is not") {
+    val left = Seq(
+      Doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      Doc(2, "one two three four five six seven eight nine ten")).toDF
+    val right = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "totally different words sharing nothing with anything else here")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.crossNearDups(left, right)
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.exists(p => p._1 == 1L && p._2 == 11L && p._3 == 1.0),
+      s"identical cross-corpus copy must be found with jaccard 1: $out")
+    assert(!out.exists(_._2 == 12L), s"disjoint benchmark doc must not pair: $out")
+    assert(!out.exists(_._1 == 2L), s"unrelated corpus doc must not pair: $out")
+  }
+
   test("rrfFuse: hand-computed fusion — consensus items beat single-list items") {
     // lists A=[1,2,3], B=[3,2,4] at rrfK=60 (micro-rounded terms):
     //   item3 = 15873+16393 = 32266, item2 = 16129*2 = 32258,
