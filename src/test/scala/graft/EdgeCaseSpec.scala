@@ -161,6 +161,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(cc.values.toSet == Set("fp-a"), s"one component rooted at min id: $cc")
   }
 
+  test("round-9 operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    // DSIR: empty raw -> empty sample; empty target still scores
+    // (pure raw-LM surprise, tc=0 smoothing everywhere)
+    assert(graft.ext.Curation.dsirSample(emptyDocs, someDocs).count() == 0)
+    assert(graft.ext.Curation.dsirSample(someDocs, emptyDocs).count() == 1)
+    assert(graft.ext.Curation
+      .dsirScore(emptyDocs, graft.ext.Curation.dsirModel(someDocs, someDocs))
+      .count() == 0)
+    // perplexity buckets: empty corpus and no-bigram corpus both empty
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(graft.ext.Curation.perplexityBuckets(emptySrc).count() == 0)
+    val solo = Seq((1L, "solo", "a")).toDF("doc_id", "text", "source")
+    assert(graft.ext.Curation.perplexityBuckets(solo).count() == 0)
+    // RRF: single list is an identity re-rank
+    val one = Seq((7L, 1), (8L, 2)).toDF("item_id", "rank")
+    val rrf = graft.ext.TextAnalysis.rrfFuse(Seq(one))
+      .select("item_id", "rank").as[(Long, Int)].collect().toSet
+    assert(rrf == Set((7L, 1), (8L, 2)), s"single-list RRF is identity: $rrf")
+    // cross-corpus near-dups: either side empty -> no pairs
+    assert(graft.ext.Dedup.crossNearDups(emptyDocs, someDocs).count() == 0)
+    assert(graft.ext.Dedup.crossNearDups(someDocs, emptyDocs).count() == 0)
+  }
+
   test("incremental merge bootstrap from empty batch sequence") {
     val path = java.nio.file.Files.createTempDirectory("graft-edge").toString + "/t"
     val b = Seq((1L, "x")).toDF("id", "v")
