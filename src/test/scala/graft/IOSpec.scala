@@ -91,6 +91,48 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("on-disk IVF index: probes are partition-pruned and lose no answers") {
+    import graft.operators.IvfIndex
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val p = tmp("graft-ivf") + "/idx"
+    IvfIndex.writeIndex(emb, p, nClusters = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = IvfIndex.probeTopK(spark, p, queries, k = 5, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the scan must prune DIRECTORIES, not filter rows post-read: the
+    // cluster IN (...) literal shows up as a PartitionFilter and the
+    // data filters stay empty of it
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      s"probe must prune on the cluster partition column:\n$plan")
+    // pruning changes I/O, never answers: identical to the same
+    // (query, cluster) scoring over the UNPRUNED corpus
+    val cents = spark.read.parquet(p + ".centroids")
+    val full = spark.read.parquet(p)
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("csim").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", graft.ext.Similarity.cosine(col("qv"), col("centroid")))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 2)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("nn_id"))
+    val want = full
+      .select(col("cluster"), col("vec_id").as("nn_id"),
+        transform(col("embedding"), x => x.cast("double")).as("dv"))
+      .join(probes, Seq("cluster"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(graft.ext.Similarity.cosine(col("qv"), col("dv")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("query_id", "nn_id", "cos_sim", "rn")
+    assert(out.collect().toSet == want.collect().toSet,
+      "pruned probe must equal unpruned scoring of the same probes")
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
   test("sorted-by-range write produces skippable row groups") {
     val src = Tables(spark, "/root/testdata/sf0.01").orders
     val p = tmp("graft-sorted")
