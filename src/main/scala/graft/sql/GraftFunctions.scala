@@ -133,10 +133,28 @@ object GraftFunctions {
       numHashes = nh, rowsPerBand = rpb).queryExecution.logical
   }
 
+  /** text_stats(tbl) — [[graft.ext.TextAnalysis.withStats]]. */
+  def textStatsTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.TextAnalysis.withStats(
+      tableOf(strArg(args.head, "text_stats(table)"))).queryExecution.logical
+
+  /** dsir_score(docsTbl, modelTbl[, buckets]) —
+    * [[graft.ext.Curation.dsirScore]] against a model trained with
+    * [[graft.ext.Curation.dsirModel]] (stored as a table/view). */
+  def dsirScoreTvf(args: Seq[Expression]): LogicalPlan = {
+    val docs = tableOf(strArg(args.head, "dsir_score(docsTable)"))
+    val model = tableOf(strArg(args(1), "dsir_score(modelTable)"))
+    val buckets =
+      if (args.length > 2) intArg(args(2), "dsir_score(buckets)") else 8192
+    graft.ext.Curation.dsirScore(docs, model, buckets).queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
-    "dedup_candidates" -> (dedupCandidatesTvf _))
+    "dedup_candidates" -> (dedupCandidatesTvf _),
+    "text_stats" -> (textStatsTvf _),
+    "dsir_score" -> (dsirScoreTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -51,6 +51,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.ext.Curation.hashSplit(docs, trainPct = 70, valPct = 20))
     sameAs("SELECT * FROM dedup_candidates('docs_tvf')",
       graft.ext.Dedup.lshCandidates(graft.ext.Dedup.minhashSignatures(docs)))
+    sameAs("SELECT * FROM text_stats('docs_tvf')",
+      graft.ext.TextAnalysis.withStats(docs))
+    graft.ext.Curation.dsirModel(docs,
+        docs.filter(org.apache.spark.sql.functions.col("source") === "src0"))
+      .createOrReplaceTempView("dsir_model_tvf")
+    sameAs("SELECT * FROM dsir_score('docs_tvf', 'dsir_model_tvf')",
+      graft.ext.Curation.dsirScore(docs, spark.table("dsir_model_tvf")))
     // the TVF surface composes with plain SQL downstream of the call
     val kept = spark.sql(
       "SELECT count(*) FROM gopher_rules('docs_tvf') WHERE keep").head().getLong(0)

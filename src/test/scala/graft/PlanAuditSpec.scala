@@ -248,6 +248,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "kNN broadcast gate must not change the confusion matrix")
   }
 
+  test("round-9 queries: DSIR broadcasts its model, cross-LSH stays equi-keyed") {
+    val pDsir = plan("q_dsir_sample")
+    assert(pDsir.contains("BroadcastExchange"),
+      s"q_dsir_sample must broadcast the bucket-LLR model:\n$pDsir")
+    assert(pDsir.contains("TakeOrderedAndProject"),
+      s"q_dsir_sample selection must be a top-k, not a global sort:\n$pDsir")
+    for (q <- Seq("q_cross_near_dups", "q_ppl_buckets")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must stay equi-keyed:\n$p")
+    }
+  }
+
   test("graph operators: gated broadcast off ≡ on (pageRank, triangles)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
