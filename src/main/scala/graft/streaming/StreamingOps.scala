@@ -205,6 +205,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Online fuzzy-contamination gate: every arriving micro-batch is
+    * LSH-joined against the STATIC benchmark corpus with exactly the
+    * batch operator ([[graft.ext.Dedup.crossNearDups]]) inside
+    * foreachBatch — near-duplicate benchmark copies are flagged at
+    * ingest, before they ever reach the training corpus. The
+    * benchmark side is small and static; per-batch state is bounded
+    * by the micro-batch, nothing accumulates stream-side. */
+  def contaminationGateStream(docs: DataFrame, bench: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Dedup.crossNearDups(batch.toDF(), bench,
+            numHashes, rowsPerBand))
+      }
+      .start()
+
   /** Online DSIR scoring: every arriving micro-batch of documents is
     * scored against the STATIC pretrained bucket-LLR model
     * ([[graft.ext.Curation.dsirModel]]) with exactly the batch scorer

@@ -325,6 +325,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
   }
 
+  test("online fuzzy-contamination gate == batch crossNearDups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog by the river"),
+      (901L, "completely unrelated benchmark prompt about something else entirely")
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "independent training document with its own fresh wording here"))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = graft.streaming.StreamingOps.contaminationGateStream(
+        mem.toDF().toDF("doc_id", "text"), bench) { b =>
+      got ++= b.select("a_id", "b_id").as[(Long, Long)].collect()
+    }
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val want = graft.ext.Dedup.crossNearDups(
+          docs.toDF("doc_id", "text"), bench)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.sorted.toSeq == want.sorted.toSeq,
+        s"streamed gate must equal the batch twin: $got vs ${want.toSeq}")
+      assert(got.contains((1L, 900L)), s"benchmark copy must be flagged: $got")
+      assert(!got.exists(_._1 == 2L), s"clean doc must pass: $got")
+    } finally q.stop()
+  }
+
   test("online DSIR scoring == batch scorer; model covers unseen tokens") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
