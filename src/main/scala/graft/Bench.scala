@@ -22,14 +22,20 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
-    // Min-of-reps per query (default 2, back-to-back): the first rep
-    // of a 151-query alphabetical sweep routinely reads 2-6x warm
-    // because it pays that query's JIT/codegen compile, so single-shot
-    // numbers are a JIT lottery, not a regression gate. The min of two
-    // adjacent reps measures the PLAN (rep 2 reuses the compiled
-    // codegen), which is what BENCH_FLOOR.json holds.
+    // Warm-then-measure: one UNTIMED full sweep compiles every query's
+    // codegen before anything is measured, then min-of-reps per query
+    // (default 2, back-to-back). Without the warmup sweep, a query's
+    // reading depends on which alphabetical neighbors happened to
+    // pre-warm shared generated-code shapes — adding one new query
+    // shifted q_unigram_logprob 0.49s -> 2.3s with identical plans.
+    // Post-warmup, readings measure the PLAN, which is what
+    // BENCH_FLOOR.json holds. Disable via SPARK_GRAFT_BENCH_WARMUP=0.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
