@@ -156,6 +156,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PPJoin+ positional filter loses no true pair on arbitrary corpora") {
+    // tiny vocabulary forces heavy shingle overlap, stressing both the
+    // prefix-filter completeness lemma and the positional-filter bound
+    val wordGen = Gen.oneOf("red", "blue", "green", "fox", "dog", "cat")
+    val docGen = Gen.choose(5, 12)
+      .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    forAll(Gen.listOfN(12, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sets = texts.zipWithIndex.map { case (txt, i) =>
+        val w = txt.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)
+        (i.toLong, w.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty)
+      for (t <- Seq(0.4, 0.6)) {
+        val got = graft.ext.Dedup.prefixJaccardJoin(docs, threshold = t)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (a, sa) <- sets
+          (b, sb) <- sets
+          if a < b
+          inter = (sa & sb).size
+          if inter.toDouble / (sa.size + sb.size - inter) >= t
+        } yield (a, b)).toSet
+        assert(got == want, s"t=$t: got $got want $want for $texts")
+      }
+    }
+  }
+
   test("epoch shuffle is a bijection onto dense per-shard positions for any id set") {
     forAll(Gen.listOfN(60, Gen.choose(0L, 100000L))) { ids0 =>
       val ids = ids0.distinct
