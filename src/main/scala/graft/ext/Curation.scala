@@ -682,6 +682,47 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-document n-gram memorization/overlap audit against a
+    * reference corpus (the Carlini-style "how much of this doc already
+    * exists verbatim in the training set" measurement — used both to
+    * audit generated data for regurgitation and to score crawl
+    * re-snapshots for novelty): the fraction of each document's
+    * DISTINCT n-token grams present anywhere in `reference`. Exact
+    * containment, not similarity — the complement to
+    * [[graft.ext.Dedup.crossNearDups]]'s fuzzy matching.
+    *
+    * Scale shape: the reference collapses to a distinct 60-bit gram-
+    * hash set (corpus-bound, so the probe is a KEYED join on the
+    * hash, one shuffle — at 100 TB the reference set is persisted
+    * bucketed by hash exactly like the fingerprint index in
+    * [[graft.sources.IO]], making the nightly audit shuffle-free on
+    * the index side); docs contribute one row per distinct gram and
+    * aggregate back to one row per doc. Docs with < n tokens have no
+    * grams and drop out.
+    *
+    * @return (doc_id, n_grams, n_hit, mem_score): distinct grams,
+    *         grams found in reference, and their ratio (6dp).
+    */
+  def memorizationScore(docs: DataFrame, reference: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def gramHashes(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("toks"): _*)
+        .filter(size(col("toks")) >= n)
+        .select(cols :+ explode(expr(
+          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' ')))")).as("g"): _*)
+        .select(cols :+ Dedup.portableHash60(
+          concat(lit("mem|"), col("g"))).as("h"): _*)
+    val refSet = gramHashes(reference).distinct()
+    gramHashes(docs, col(idCol))
+      .join(refSet.withColumn("hit", lit(1L)), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("mem_score",
+        round(col("n_hit").cast(DoubleType) / col("n_grams"), 6))
+  }
+
   /** The shared DSIR bucket hash: portable-md5 of the salted token
     * mod `buckets`. */
   private def dsirBucket(tok: Column, buckets: Int): Column =

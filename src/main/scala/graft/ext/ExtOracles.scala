@@ -345,6 +345,23 @@ object ExtOracles {
         |FROM shared s JOIN sizes na ON na.doc_id = s.a_id
         |              JOIN sizes nb ON nb.doc_id = s.b_id""".stripMargin,
 
+    // Memorization replay: distinct salted-md5 8-gram hashes on both
+    // sides, reference = the doc_id % 5 slice, per-doc hit ratio.
+    "q_memorization" ->
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+        |dg AS (SELECT DISTINCT doc_id,
+        |    CAST(concat('0x', substr(md5('mem|' ||
+        |      array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |        FROM tok WHERE len(toks) >= 8) x),
+        |ref AS (SELECT DISTINCT h FROM dg WHERE doc_id % 5 = 0)
+        |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ref.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN ref.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS mem_score
+        |FROM dg LEFT JOIN ref ON dg.h = ref.h
+        |GROUP BY dg.doc_id""".stripMargin,
+
     // Cross-corpus LSH replay: identical shingle/minhash/banding
     // construction on both corpora (benchmark = every 40th doc,
     // 'eval prompt ' prefix, id+100000), banded keys joined ACROSS

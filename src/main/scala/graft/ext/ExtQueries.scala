@@ -455,6 +455,15 @@ object ExtQueries {
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(Tables(spark, dir).documents)
 
+  /** Memorization audit: score every doc's 8-gram containment in a
+    * reference = the doc_id % 5 == 0 slice (those docs score 1.0 by
+    * construction; the planted near-dup chains give the rest
+    * non-trivial partial overlap). */
+  def qMemorization(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    Curation.memorizationScore(docs, docs.filter(col("doc_id") % 5 === 0))
+  }
+
   /** Fuzzy cross-corpus contamination: every 40th doc becomes a
     * lightly-edited "benchmark" copy (two extra leading tokens,
     * re-identified +100000) that exact n-gram membership would only

@@ -183,6 +183,25 @@ class CurationSpec extends AnyFunSuite {
       "zero-token docs have no weight and must drop out")
   }
 
+  test("memorizationScore: verbatim copy scores 1, partial overlap in between, fresh scores 0") {
+    val ref = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // verbatim
+      (2L, "one two three four five six seven eight fresh tail here now"),
+      (3L, "totally novel words that the reference has never seen before ever"),
+      (4L, "short doc")                                          // < n tokens
+    ).toDF("doc_id", "text")
+    val out = Curation.memorizationScore(docs, ref, n = 8)
+      .select("doc_id", "n_grams", "n_hit", "mem_score")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 1.0, s"verbatim copy must score 1: ${out(1L)}")
+    // doc 2: 5 distinct 8-grams, exactly one ("one..eight") is in ref
+    assert(out(2L) == ((2L, 5L, 1L, 0.2)), s"partial overlap: ${out(2L)}")
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0.0, s"fresh doc: ${out(3L)}")
+    assert(!out.contains(4L), "docs with < n tokens have no grams")
+  }
+
   test("perplexityBuckets: fluent repeats rank head, gibberish ranks tail, per source") {
     // six docs share phrasing (high-count bigrams -> low NLL); three
     // are singleton-bigram gibberish (high NLL). ntile(3) over nine
