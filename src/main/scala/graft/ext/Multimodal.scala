@@ -147,6 +147,10 @@ object Multimodal {
       224 + frames * (8 + rowBytes(w) * h)
 
     def encode(w: Int, h: Int, frames: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && frames > 0,
+        s"AVI dims/frames must be positive: ${w}x$h x$frames")
+      require(frames.toLong * (8L + rowBytes(w).toLong * h) + 224L <= Int.MaxValue,
+        s"AVI payload exceeds one allocation: ${w}x$h x$frames")
       val rb = rowBytes(w)
       val fb = rb * h
       val bb = java.nio.ByteBuffer.allocate(aviLength(w, h, frames))

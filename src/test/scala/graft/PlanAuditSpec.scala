@@ -254,7 +254,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_dsir_sample must broadcast the bucket-LLR model:\n$pDsir")
     assert(pDsir.contains("TakeOrderedAndProject"),
       s"q_dsir_sample selection must be a top-k, not a global sort:\n$pDsir")
-    for (q <- Seq("q_cross_near_dups", "q_ppl_buckets")) {
+    for (q <- Seq("q_cross_near_dups", "q_ppl_buckets", "q_memorization")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q must stay equi-keyed:\n$p")
