@@ -372,6 +372,31 @@ object Curation {
       .select(idCol, "n_bigrams", "mean_nll_micro")
   }
 
+  /** Per-source dedup governance report — the accounting layer every
+    * production dedup run ships with: for each source, total docs,
+    * exact-duplicate docs (fingerprint matches an earlier id), the
+    * distinct-fingerprint count, and the dup rate. One fingerprint
+    * groupBy + one keyed join back + one source-keyed aggregate; the
+    * report is source-cardinality-sized, never corpus-sized.
+    *
+    * @return (source, n_docs, n_dups, n_distinct, dup_rate).
+    */
+  def dedupReport(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val fp = df.select(col(idCol), col(srcCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    val groups = fp.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"))
+    fp.join(groups, Seq("fingerprint"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(idCol) =!= col("keeper_id"), 1L).otherwise(0L))
+          .as("n_dups"),
+        countDistinct(col("fingerprint")).as("n_distinct"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast(DoubleType) / col("n_docs"), 6))
+  }
+
   /** CCNet-style perplexity bucketing: split each source's documents
     * into head / middle / tail by LM negative-log-likelihood terciles
     * (the corpus-as-LM [[bigramLogProb]] score — lowest NLL = most

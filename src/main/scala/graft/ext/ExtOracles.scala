@@ -345,6 +345,24 @@ object ExtOracles {
         |FROM shared s JOIN sizes na ON na.doc_id = s.a_id
         |              JOIN sizes nb ON nb.doc_id = s.b_id""".stripMargin,
 
+    "q_dedup_report" ->
+      """WITH planted AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'common boilerplate page please enable javascript to continue'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |fp AS (SELECT doc_id, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM planted),
+        |g AS (SELECT fingerprint, min(doc_id) AS keeper_id FROM fp GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN fp.doc_id != g.keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(count(DISTINCT fp.fingerprint) AS BIGINT) AS n_distinct,
+        |  round(CAST(sum(CASE WHEN fp.doc_id != g.keeper_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_rate
+        |FROM fp JOIN g USING (fingerprint)
+        |GROUP BY source""".stripMargin,
+
     // Memorization replay: distinct salted-md5 8-gram hashes on both
     // sides, reference = the doc_id % 5 slice, per-doc hit ratio.
     "q_memorization" ->

@@ -455,6 +455,19 @@ object ExtQueries {
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(Tables(spark, dir).documents)
 
+  /** Per-source exact-dedup governance report. The synthetic corpus
+    * has no exact duplicates, so every 7th doc's text is replaced
+    * with shared boilerplate — one cross-source duplicate family
+    * whose non-keepers must show up in each source's dup count. */
+  def qDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0,
+          lit("common boilerplate page please enable javascript to continue"))
+          .otherwise(col("text")).as("text"))
+    Curation.dedupReport(planted)
+  }
+
   /** Memorization audit: score every doc's 8-gram containment in a
     * reference = the doc_id % 5 == 0 slice (those docs score 1.0 by
     * construction; the planted near-dup chains give the rest

@@ -183,6 +183,21 @@ class CurationSpec extends AnyFunSuite {
       "zero-token docs have no weight and must drop out")
   }
 
+  test("dedupReport: per-source counts with one cross-source dup family") {
+    val docs = Seq(
+      (1L, "dup text", "a"), (2L, "dup text", "a"), (3L, "dup text", "b"),
+      (4L, "unique one", "a"), (5L, "unique two", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.dedupReport(docs)
+      .select("source", "n_docs", "n_dups", "n_distinct", "dup_rate")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // keeper of "dup text" is id 1 (source a): a has one dup (id 2),
+    // b's copy (id 3) also counts as a dup in b's accounting
+    assert(out("a") == (("a", 3L, 1L, 2L, 0.333333)), s"${out("a")}")
+    assert(out("b") == (("b", 2L, 1L, 2L, 0.5)), s"${out("b")}")
+  }
+
   test("memorizationScore: verbatim copy scores 1, partial overlap in between, fresh scores 0") {
     val ref = Seq((100L, "one two three four five six seven eight nine ten"))
       .toDF("doc_id", "text")
