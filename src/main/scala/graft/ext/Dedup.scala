@@ -474,6 +474,47 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs (the Manku/Jain/Sarma web-dedup
+    * pipeline — the FOURTH candidate-generation strategy next to
+    * MinHash-LSH banding, the df-capped all-pairs, and the PPJoin
+    * prefix filter): band each 64-bit simhash into four 16-bit
+    * blocks; by pigeonhole, any pair within Hamming distance
+    * `maxHamming` < 4 differs in at most 3 blocks and so SHARES at
+    * least one block exactly — candidates are an equi-join on
+    * (block index, block value), never all-pairs, and the verify is
+    * one xor/bit_count per candidate. Completeness is exact for
+    * maxHamming ≤ 3 (the classic f=64, k=3 setting); larger radii
+    * would need more blocks.
+    *
+    * Scale shape: 4 rows per doc join on uniform 16-bit block keys
+    * (worst-case fanout is per-block-value collisions, not corpus²);
+    * the signature table is checkpointed once and reused by the
+    * banding and both verify probes.
+    *
+    * @return (a_id, b_id, hamming) for pairs within `maxHamming`.
+    */
+  def simhashNearDups(df: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
+    val sh = simhash64(df, idCol, textCol, tokenHash).localCheckpoint()
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("v")))
+    val ex = sh.select(col(idCol), explode(array(blocks: _*)).as("bk"))
+    val cand = ex.select(col(idCol).as("a_id"), col("bk"))
+      .join(ex.select(col(idCol).as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col(idCol).as("a_id"), col("simhash").as("ha")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("simhash").as("hb")), "b_id")
+      .withColumn("hamming", hamming(col("ha"), col("hb")).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** C4-style duplicate-passage removal with reassembly: split each
     * doc into consecutive `span`-token passages, drop every passage
     * whose exact text occurred earlier in the corpus (global first

@@ -285,6 +285,28 @@ object ExtOracles {
         |  CAST(SUM(CASE WHEN b > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bitsum GROUP BY doc_id""".stripMargin,
 
+    // SimHash near-dup replay: the oracle deliberately does the FULL
+    // all-pairs Hamming filter (no banding) — 4x16 banding is complete
+    // for radius <= 3 by pigeonhole, so any banding bug that drops a
+    // true pair breaks the hash match.
+    "q_simhash_near_dups" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |h AS (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5('sh|' || tok), 1, 15)) AS BIGINT) AS h
+        |      FROM tok),
+        |bitsum AS (SELECT doc_id, i,
+        |             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS b
+        |           FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i) r
+        |           GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN b > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bitsum GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
     "q_dedup_lsh_candidates" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

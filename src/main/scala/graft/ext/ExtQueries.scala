@@ -97,6 +97,12 @@ object ExtQueries {
     Dedup.simhash64(Tables(spark, dir).documents,
       tokenHash = t => Dedup.portableHash60(concat(lit("sh|"), t)))
 
+  /** SimHash banded near-dup pairs at Hamming radius 3 (portable
+    * token hash so the oracle replays signatures and bands exactly). */
+  def qSimhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables(spark, dir).documents,
+      tokenHash = t => Dedup.portableHash60(concat(lit("sh|"), t)))
+
   def qSimCosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5)
 

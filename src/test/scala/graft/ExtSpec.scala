@@ -341,6 +341,21 @@ class ExtSpec extends AnyFunSuite {
     assert(!r.contains(3L), "zero-score doc must be filtered")
   }
 
+  test("simhashNearDups: identical docs pair at hamming 0, disjoint text does not pair") {
+    val docs = Seq(
+      Doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(2, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(3, "one two three four five six seven eight nine ten eleven")).toDF
+    val out = graft.ext.Dedup.simhashNearDups(docs)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.contains((1L, 2L, 0)), s"identical docs must pair at 0: $out")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint-vocabulary doc must not pair: $out")
+    assertThrows[IllegalArgumentException] {
+      graft.ext.Dedup.simhashNearDups(docs, maxHamming = 4)
+    }
+  }
+
   test("crossNearDups: benchmark copies caught across corpora, disjoint text is not") {
     val left = Seq(
       Doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
