@@ -198,6 +198,39 @@ object Dedup {
           (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Quality-aware cluster representative selection — the keep policy
+    * production dedup actually ships: given near-dup pairs (from any
+    * candidate strategy), cluster them with [[connectedComponents]]
+    * and keep the HIGHEST-QUALITY doc per cluster
+    * ([[TextAnalysis.withStats]] score, ties to the lowest id) instead
+    * of the arbitrary min-id keeper. Docs in no pair are their own
+    * singleton keepers, so the output covers the whole corpus and
+    * `is_keeper` rows ARE the deduplicated corpus.
+    *
+    * Scale shape: CC is the bounded-iteration HashMin loop; quality
+    * is a map-side pass; the final argmax is one window over
+    * components (cluster-sized partitions — near-dup clusters are
+    * small by nature; a pathological mega-cluster is the same
+    * hot-key caveat as [[graft.ext.Curation.domainCap]]).
+    *
+    * @return (doc_id, component, quality_score, is_keeper).
+    */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs)
+    val q = TextAnalysis.withStats(docs)
+      .select(col(idCol), col("quality_score"))
+    val labeled = q
+      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col(idCol))
+    labeled.withColumn("rn", row_number().over(w))
+      .select(col(idCol), col("component"), col("quality_score"),
+        (col("rn") === 1).as("is_keeper"))
+  }
+
   /** Fuzzy cross-corpus contamination — MinHash-LSH near-duplicate
     * pairs BETWEEN two corpora (training candidates × benchmark/eval
     * set): the fuzzy complement to the exact n-gram paths

@@ -520,6 +520,55 @@ object ExtOracles {
         |  SELECT e.s, r.label FROM reach r JOIN edges e ON e.d = r.node)
         |SELECT node, MIN(label) AS component FROM reach GROUP BY node""".stripMargin,
 
+    // Keep-best replay: the q_dedup_clusters CC construction, quality
+    // from the q_text_stats formula, argmax per component with
+    // singleton docs as their own components.
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+        |long_docs AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |h AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
+        |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sig UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM sig),
+        |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        |          AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM cand
+        |          UNION SELECT b_id, a_id FROM cand),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.label FROM reach r JOIN edges e ON e.d = r.node),
+        |cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+        |q AS (SELECT doc_id,
+        |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS DOUBLE)
+        |      / greatest(len(toks), 1) * 0.4
+        |    + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)) * 0.2, 6) AS quality_score
+        |  FROM t),
+        |labeled AS (SELECT q.doc_id, COALESCE(cc.component, q.doc_id) AS component,
+        |    q.quality_score
+        |  FROM q LEFT JOIN cc ON q.doc_id = cc.node)
+        |SELECT doc_id, component, quality_score,
+        |  row_number() OVER (PARTITION BY component
+        |    ORDER BY quality_score DESC, doc_id) = 1 AS is_keeper
+        |FROM labeled""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
         |           FROM events),

@@ -70,6 +70,17 @@ object ExtQueries {
     Dedup.connectedComponents(cand)
   }
 
+  /** Quality-aware keeper selection over the LSH near-dup clusters:
+    * same candidate graph as q_dedup_clusters, but the keeper is the
+    * best-quality doc per component, not the min id. */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docs, numHashes = 8),
+      numHashes = 8, rowsPerBand = 2)
+    Dedup.dedupKeepBest(docs, cand)
+  }
+
   /** Boilerplate text planted on every 10th doc (5 rotating variants)
     * so the CDC shared-chunk path actually fires: the variants' shared
     * interior chunks surface as multi-doc fingerprints even though

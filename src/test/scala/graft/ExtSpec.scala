@@ -341,6 +341,22 @@ class ExtSpec extends AnyFunSuite {
     assert(!r.contains(3L), "zero-score doc must be filtered")
   }
 
+  test("dedupKeepBest: highest-quality doc keeps, singletons keep themselves") {
+    // doc 2 is longer + stopword-richer than doc 1 -> higher quality;
+    // they are paired, so 2 must be the keeper even though 1 < 2
+    val docs = Seq(
+      Doc(1L, "alpha beta"),
+      Doc(2L, "the alpha and the beta of it is that a long document wins quality"),
+      Doc(3L, "standalone singleton document")).toDF
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = graft.ext.Dedup.dedupKeepBest(docs, pairs)
+      .select("doc_id", "component", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L)._3 && !out(1L)._3, s"quality must pick the keeper: $out")
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L, "paired docs share a component")
+    assert(out(3L)._3 && out(3L)._2 == 3L, "singleton keeps itself")
+  }
+
   test("simhashNearDups: identical docs pair at hamming 0, disjoint text does not pair") {
     val docs = Seq(
       Doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
