@@ -367,6 +367,21 @@ object ExtOracles {
         |FROM shared s JOIN sizes na ON na.doc_id = s.a_id
         |              JOIN sizes nb ON nb.doc_id = s.b_id""".stripMargin,
 
+    // NFC replay: identical planted canonical-equivalence cases (all
+    // non-ASCII built with chr() so the SQL stays ASCII), DuckDB's
+    // utf8proc nfc_normalize vs java.text.Normalizer per row.
+    "q_nfc_normalize" ->
+      """WITH planted AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' decomposed'
+        |                 WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) || ' composed'
+        |                 ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_raw_bytes,
+        |  CAST(octet_length(encode(nfc_normalize(text))) AS INTEGER) AS n_nfc_bytes,
+        |  nfc_normalize(text) != text AS changed
+        |FROM planted""".stripMargin,
+
     "q_dedup_report" ->
       """WITH planted AS (SELECT doc_id, source,
         |    CASE WHEN doc_id % 7 = 0

@@ -472,6 +472,23 @@ object ExtQueries {
   def qTemperatureSample(spark: SparkSession, dir: String): DataFrame =
     Curation.temperatureSample(Tables(spark, dir).documents)
 
+  /** Unicode NFC normalization over planted canonical-equivalence
+    * cases: every 3rd doc gets a DECOMPOSED suffix (e + combining
+    * acute), every 3rd+1 the precomposed form — the normalizer must
+    * rewrite exactly the decomposed rows. */
+  def qNfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.NfcNormalize.nfc
+    val marker = when(col("doc_id") % 3 === 0, lit(" cafe\u0301 decomposed"))
+      .when(col("doc_id") % 3 === 1, lit(" caf\u00e9 composed"))
+      .otherwise(lit(""))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), concat(col("text"), marker).as("text"))
+      .select(col("doc_id"), nfc(col("text")).as("nfc_text"),
+        octet_length(col("text")).as("n_raw_bytes"),
+        octet_length(nfc(col("text"))).as("n_nfc_bytes"),
+        (nfc(col("text")) =!= col("text")).as("changed"))
+  }
+
   /** Per-source exact-dedup governance report. The synthetic corpus
     * has no exact duplicates, so every 7th doc's text is replaced
     * with shared boilerplate — one cross-source duplicate family

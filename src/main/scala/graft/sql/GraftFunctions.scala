@@ -69,6 +69,9 @@ object GraftFunctions {
     // native codegen'd ANN hot-loop (graft.expressions.DotProduct)
     "dot_product" -> ((args: Seq[Expression]) =>
       graft.expressions.DotProduct(args(0), args(1))),
+    // native Unicode NFC normalization (pre-dedup cleaning pass)
+    "nfc_normalize" -> ((args: Seq[Expression]) =>
+      graft.expressions.NfcNormalize(args(0))),
     // geo radius predicate; RewriteStDWithin expands it to a pushed
     // bounding box + exact residual (graft.plans.GeoRules)
     "st_dwithin" -> ((args: Seq[Expression]) =>

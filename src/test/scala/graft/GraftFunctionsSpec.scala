@@ -32,6 +32,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(math.abs(mi - 2469) < 10, s"JFK-LAX ~2469mi, got $mi")
   }
 
+  test("nfc_normalize: canonical equivalence collapses, ascii fast-path is identity") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT nfc_normalize('cafe\u0301') = 'caf\u00e9' AS eq, " +
+      "nfc_normalize('plain ascii') AS p, nfc_normalize(NULL) AS n").head()
+    assert(r.getBoolean(0), "decomposed must normalize to precomposed")
+    assert(r.getString(1) == "plain ascii")
+    assert(r.isNullAt(2), "null-safe")
+    // the Column entry point and the fingerprint interplay: canonically
+    // equivalent docs dedup identically once normalized
+    import org.apache.spark.sql.functions._
+    import graft.expressions.NfcNormalize.nfc
+    import spark.implicits._
+    val docs = Seq((1L, "result cafe\u0301"), (2L, "result caf\u00e9"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(
+      graft.ext.TextAnalysis.fingerprint(nfc(col("text"))).as("fp"))
+      .distinct().count()
+    assert(fps == 1L, "NFC must collapse equivalent docs to one fingerprint")
+  }
+
   test("LLM-pipeline TVFs from SQL text are row-identical to the Scala API") {
     GraftFunctions.register(spark)
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
