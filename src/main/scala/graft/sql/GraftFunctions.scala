@@ -152,12 +152,22 @@ object GraftFunctions {
     graft.ext.Curation.dsirScore(docs, model, buckets).queryExecution.logical
   }
 
+  /** memorization_score(docsTbl, refTbl[, n]) —
+    * [[graft.ext.Curation.memorizationScore]]. */
+  def memorizationTvf(args: Seq[Expression]): LogicalPlan = {
+    val docs = tableOf(strArg(args.head, "memorization_score(docsTable)"))
+    val ref = tableOf(strArg(args(1), "memorization_score(refTable)"))
+    val n = if (args.length > 2) intArg(args(2), "memorization_score(n)") else 8
+    graft.ext.Curation.memorizationScore(docs, ref, n).queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
     "dedup_candidates" -> (dedupCandidatesTvf _),
     "text_stats" -> (textStatsTvf _),
-    "dsir_score" -> (dsirScoreTvf _))
+    "dsir_score" -> (dsirScoreTvf _),
+    "memorization_score" -> (memorizationTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -78,6 +78,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("dsir_model_tvf")
     sameAs("SELECT * FROM dsir_score('docs_tvf', 'dsir_model_tvf')",
       graft.ext.Curation.dsirScore(docs, spark.table("dsir_model_tvf")))
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)
+      .createOrReplaceTempView("mem_ref_tvf")
+    sameAs("SELECT * FROM memorization_score('docs_tvf', 'mem_ref_tvf', 6)",
+      graft.ext.Curation.memorizationScore(docs,
+        spark.table("mem_ref_tvf"), n = 6))
     // the TVF surface composes with plain SQL downstream of the call
     val kept = spark.sql(
       "SELECT count(*) FROM gopher_rules('docs_tvf') WHERE keep").head().getLong(0)

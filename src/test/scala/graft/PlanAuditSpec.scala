@@ -254,11 +254,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_dsir_sample must broadcast the bucket-LLR model:\n$pDsir")
     assert(pDsir.contains("TakeOrderedAndProject"),
       s"q_dsir_sample selection must be a top-k, not a global sort:\n$pDsir")
-    for (q <- Seq("q_cross_near_dups", "q_ppl_buckets", "q_memorization")) {
+    for (q <- Seq("q_cross_near_dups", "q_ppl_buckets", "q_memorization",
+        "q_simhash_near_dups", "q_dedup_keep_best", "q_dedup_report")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q must stay equi-keyed:\n$p")
     }
+    // NFC is a pure narrow map: no exchange at all
+    val pNfc = plan("q_nfc_normalize")
+    assert(!pNfc.contains("Exchange"),
+      s"q_nfc_normalize must be a zero-shuffle map:\n$pNfc")
   }
 
   test("graph operators: gated broadcast off ≡ on (pageRank, triangles)") {
