@@ -1550,9 +1550,10 @@ object ExtOracles {
         |  GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
         |  CAST(coalesce(len(cov), 0) AS INTEGER) AS n_removed,
-        |  CASE WHEN cov IS NULL THEN array_to_string(toks, ' ')
+        |  COALESCE(CASE WHEN cov IS NULL THEN array_to_string(toks, ' ')
         |       ELSE array_to_string(list_filter(toks,
-        |         (x, i) -> NOT list_contains(cov, i - 1)), ' ') END AS clean_text
+        |         (x, i) -> NOT list_contains(cov, i - 1)), ' ')
+        |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
     // exact 5-NN majority vote on integer-micro squared L2
