@@ -32,15 +32,27 @@ object Bench {
     // BENCH_FLOOR.json holds. Disable via SPARK_GRAFT_BENCH_WARMUP=0.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // Between queries (and reps), drop every pinned RDD block:
+    // localCheckpoint blocks are never released by Spark itself, and
+    // 160 queries × reps of accumulated pinned storage squeezes
+    // execution memory until mid-sweep queries spill — the r9 artifact
+    // read checkpoint-heavy queries at 7-10x their isolated floor.
+    // Released OUTSIDE the timed region: the artifact measures plans,
+    // and a production caller reclaims the same way once a stage's
+    // results are consumed.
+    def reclaim(): Unit = graft.ext.Checkpoints.releaseAll(spark)
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        reclaim()
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        reclaim()
+        dt
       }
       name -> times.min
     }

@@ -3,7 +3,7 @@ package graft.expressions
 import java.text.Normalizer
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -27,9 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `nfc_normalize` (utf8proc) on the oracle-checked paths — asserted
   * per row by the q_nfc_normalize hash match.
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
   override def dataType: DataType = StringType
+
+  // analysis-time rejection of non-string inputs: without the
+  // constraint, SQL nfc_normalize(123) passes analysis and dies at
+  // runtime with a ClassCastException inside eval/codegen
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     NfcNormalize.normalize(input.asInstanceOf[UTF8String])

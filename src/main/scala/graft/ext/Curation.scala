@@ -347,8 +347,13 @@ object Curation {
       .agg(sum(col("cnt")).as("bg_n"))
       .localCheckpoint()
     val prefixN = bigramN.groupBy(col("w1")).agg(sum(col("bg_n")).as("w1_n"))
-    val vocabV = toks.select(explode(col("toks")).as("token"))
-      .agg(countDistinct(col("token")).as("v_size"))
+    // V is ONE scalar (the bm25 literal-stats discipline) — computing
+    // it now, rather than leaving the vocab scan lazy in the returned
+    // plan, lets the tokenized corpus's pinned blocks be released here:
+    // every consumer of `toks` has run
+    val vSize = toks.select(explode(col("toks")).as("token"))
+      .agg(countDistinct(col("token")).as("v_size")).head().getLong(0)
+    Checkpoints.release(toks)
     // pre-join the (small) LM tables so the big (doc,w1,w2) side
     // shuffles ONCE on (w1,w2) instead of once per LM table
     val lm = bigramN.join(prefixN, Seq("w1"))
@@ -360,10 +365,9 @@ object Curation {
     val probe =
       if (bigramN.count() <= broadcastMaxBigrams) broadcast(lm) else lm
     counted.join(probe, Seq("w1", "w2"))
-      .crossJoin(broadcast(vocabV))
       .withColumn("nll_micro",
         round(-log((col("bg_n") + 1).cast(DoubleType) /
-            (col("w1_n") + col("v_size"))) * 1e6, 0)
+            (col("w1_n") + lit(vSize))) * 1e6, 0)
           .cast(LongType))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_bigrams"),

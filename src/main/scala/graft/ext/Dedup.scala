@@ -129,9 +129,6 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     minhashFromShingles(wordTrigrams(df, idCol, textCol), numHashes, idCol)
 
-  /** LSH banding over minhash signatures (r rows per band): docs
-    * sharing all r minhashes of any band become candidate pairs.
-    * Returns (a_id, b_id, n_shared_bands). */
   /** The banded key structs over a signature table's m0..m{n-1}
     * columns — shared by the self-join ([[lshCandidates]]) and the
     * cross-corpus ([[crossNearDups]]) banding. */
@@ -144,6 +141,9 @@ object Dedup {
     }
   }
 
+  /** LSH banding over minhash signatures (r rows per band): docs
+    * sharing all r minhashes of any band become candidate pairs.
+    * Returns (a_id, b_id, n_shared_bands). */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
       idCol: String = "doc_id"): DataFrame = {
     val bandKeys = bandStructs(numHashes, rowsPerBand)
@@ -376,6 +376,7 @@ object Dedup {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       val labels = parent.keys.toSeq.map(n => (n, find(n)))
+      Checkpoints.release(p0) // edges are on the driver now
       return labels.toDF("node", "component")
     }
     val parts = math.min(defaultParts,
@@ -389,6 +390,7 @@ object Dedup {
     val p =
       if (isolated) spark.createDataFrame(p0.rdd, p0.schema).localCheckpoint()
       else p0
+    if (isolated) Checkpoints.release(p0) // re-wrapped into p's blocks
     var labels = p.select(col(aCol).as("node"))
       .unionAll(p.select(col(bCol).as("node")))
       .distinct().withColumn("component", col("node")).localCheckpoint()
@@ -396,6 +398,8 @@ object Dedup {
       .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .unionAll(labels.select(col("node").as("src"), col("node").as("dst")))
       .distinct().localCheckpoint()
+    // the input pair list is fully folded into labels + edges now
+    Checkpoints.release(p)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -430,10 +434,15 @@ object Dedup {
       val changes = next.join(
           prev.select(col("node"), col("component").as("old")), "node")
         .filter(col("component") =!= col("old")).count()
+      // both the batch input (`labels`) and the final round's input
+      // (`prev`) are superseded: `next` is materialized and the
+      // convergence count has run — release their pinned blocks
+      Checkpoints.release(prev, labels)
       labels = next
       converged = changes == 0
       iter += 1
     }
+    Checkpoints.release(edges) // the loop is the only consumer
     // hand the result back on the CALLER's session (checkpointed, so
     // the re-wrap reads materialized rows, not the loop's lineage)
     if (isolated) callerSession.createDataFrame(labels.rdd, labels.schema)

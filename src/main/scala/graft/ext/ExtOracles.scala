@@ -1631,9 +1631,6 @@ object ExtOracles {
         |                               ORDER BY ip_micro DESC, nn_id) AS rn
         |  FROM sc) t WHERE rn <= 10""".stripMargin,
 
-    // BPE training, 3 merges unrolled: count adjacent symbol pairs,
-    // take (cnt desc, a, b) top-1, apply with the same literal
-    // replace() contract as q_bpe_apply, repeat
     // RRF hybrid-retrieval replay: the BM25 top-20 (identical scoring
     // to q_bm25_topk) and dense cosine top-20 for query 0 (identical
     // to q_sim_cosine_topk), each re-ranked, fused by

@@ -682,11 +682,16 @@ object Similarity {
     * Scale shape: the held-out split is 1/trainMod of the corpus — a
     * FRACTION, not a bounded query set — so the broadcast is
     * size-gated like every other corpus-bound broadcast in the tree:
-    * up to `broadcastMaxTest` rows the test side broadcasts and the
-    * train stream is scanned once map-side; past the gate the pair
-    * space is hash-blocked (train keyed by nid % numBlocks, test
-    * replicated per block) into an equi-keyed shuffle join, so no
-    * corpus fraction ever lands on the driver. Exact k-NN is
+    * the test side broadcasts only while BOTH its row count stays at
+    * or under `broadcastMaxTest` AND its estimated payload
+    * (rows × (dim×8 B + per-row overhead), from the same stats pass
+    * that sizes the exactness bound) stays at or under
+    * `broadcastMaxTestBytes` — a row gate alone would let 10⁶
+    * high-dimensional embedding rows (multiple GB) through Spark's
+    * byte checks via the forced broadcast() hint and OOM the driver.
+    * Past either gate the pair space is hash-blocked (train keyed by
+    * nid % numBlocks, test replicated per block) into an equi-keyed
+    * shuffle join, so no corpus fraction ever lands on the driver. Exact k-NN is
     * inherently Q×N either way — at corpus scale the candidate set
     * comes from an ANN preselection ([[ivfPqTopK]]/[[ivfFlatTopK]]);
     * this operator is the exact-evaluation contract those paths are
@@ -708,7 +713,8 @@ object Similarity {
   def knnClassify(emb: DataFrame, k: Int = 5, trainMod: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label",
-      broadcastMaxTest: Long = 1000000L, numBlocks: Int = 64): DataFrame = {
+      broadcastMaxTest: Long = 1000000L,
+      broadcastMaxTestBytes: Long = 128L << 20, numBlocks: Int = 64): DataFrame = {
     val microL = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
       microVec(vecCol).as("ml"))
     // one narrow map-side-combined pass: test-split size (broadcast
@@ -744,8 +750,14 @@ object Similarity {
       else aggregate(zip_with(col("tm"), col("nm"),
           (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
+    // estimated broadcast payload: per test row, the vector (dim
+    // doubles/longs at 8 B) plus id/label/Σ² fields and array header
+    // — conservative enough that the byte gate trips before the
+    // driver is at risk, cheap because dim rode along with the stats
+    val estBytes = nTest * (dim * 8L + 64L)
     val pairs =
-      if (nTest <= broadcastMaxTest) train.crossJoin(broadcast(test))
+      if (nTest <= broadcastMaxTest && estBytes <= broadcastMaxTestBytes)
+        train.crossJoin(broadcast(test))
       else {
         val b = math.max(1, numBlocks)
         train.withColumn("blk", pmod(col("nid"), lit(b)).cast(IntegerType))

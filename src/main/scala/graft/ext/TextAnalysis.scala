@@ -269,6 +269,9 @@ object TextAnalysis {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("pair_n"))
       .localCheckpoint()
+    // both consumers of the tokenized corpus are now materialized —
+    // release its pinned blocks; the returned plan reads only uni/bi
+    Checkpoints.release(toksed)
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
       .crossJoin(bi.agg(sum(col("pair_n")).as("n_bigrams")))
     bi.filter(col("pair_n") >= minCount)
@@ -340,6 +343,14 @@ object TextAnalysis {
     * next round. The greedy order keeps the loop deterministic and
     * engine-portable.
     *
+    * Caveat vs classical sequential BPE: counts are exact at
+    * selection time, but ranking is not re-evaluated WITHIN a round —
+    * a pair created by an earlier merge in the same batch (("ab","c")
+    * after merging ("a","b")) is never considered against the kept
+    * runner-ups, even if it would outrank them. The learned table can
+    * therefore differ from a strict top-1-per-pass trainer; batching
+    * trades that re-ranking for k× fewer corpus passes.
+    *
     * Scale shape: each round is ONE pair-count shuffle (map-side
     * partial agg — a pair appearing 10⁹ times is one key) + a
     * top-`remaining` TakeOrdered; only ≤ `merges` rows ever reach
@@ -380,12 +391,19 @@ object TextAnalysis {
         } // first row always survives: used starts empty
         batch.foreach { case (a, b, cnt) =>
           learned += ((learned.size + 1, a, b, cnt)) }
+        val superseded = corpus
         corpus = corpus.select(batch.foldLeft(col("s")) {
             case (c, (a, b, _)) =>
               call_function("replace", c, lit(a + " " + b), lit(a + b))
           }.as("s")).localCheckpoint()
+        // the new checkpoint materialized FROM the old one — the old
+        // round's blocks are dead the moment the rewrite lands
+        Checkpoints.release(superseded)
       }
     }
+    // the merge table was collected on the driver; nothing reads the
+    // final corpus materialization again
+    Checkpoints.release(corpus)
     learned.toSeq.toDF("step", "a", "b", "cnt")
   }
 }

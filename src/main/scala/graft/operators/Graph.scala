@@ -158,6 +158,7 @@ object Graph {
     val bcast = nodes.count() <= broadcastMaxNodes
     def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var labels = nodes.withColumn("label", col("node"))
+    var lastCkpt: DataFrame = null
     for (i <- 0 until iters) {
       labels = e
         .join(small(labels.withColumnRenamed("node", "dst")), "dst")
@@ -168,8 +169,15 @@ object Graph {
         .select(col("src").as("node"), col("m.l").as("label"))
       // lineage checkpoint every 4th round: a short loop (the common
       // 3-iteration call) runs as ONE lazy job with no eager
-      // materialization barriers; long loops stay bounded
-      if ((i + 1) % 4 == 0) labels = labels.localCheckpoint()
+      // materialization barriers; long loops stay bounded. Each new
+      // checkpoint materializes FROM the previous one, whose pinned
+      // blocks are then dead — release them (long loops would
+      // otherwise pin every 4th round's labels simultaneously).
+      if ((i + 1) % 4 == 0) {
+        labels = labels.localCheckpoint()
+        if (lastCkpt != null) graft.ext.Checkpoints.release(lastCkpt)
+        lastCkpt = labels
+      }
     }
     labels
   }
@@ -199,8 +207,10 @@ object Graph {
       .localCheckpoint()
     // node-bound tables (degrees, adjacency) broadcast under one edge
     // gate so the edge stream never shuffles on small graphs;
-    // web-scale graphs fall back to keyed joins
-    val smallGraph = und.count() <= broadcastMaxEdges
+    // web-scale graphs fall back to keyed joins. The count doubles as
+    // the final n_edges output (und is already materialized — free).
+    val nEdges = und.count()
+    val smallGraph = nEdges <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
@@ -213,6 +223,9 @@ object Graph {
         when(flip, col("v")).otherwise(col("u")).as("src"),
         when(flip, col("u")).otherwise(col("v")).as("dst"))
       .localCheckpoint()
+    // und is fully folded into `oriented` (deg was a lazy subtree of
+    // the orientation job) and n_edges is the literal above — release
+    graft.ext.Checkpoints.release(und)
     // Adjacency-intersection counting: for each oriented edge (a, b),
     // triangles closed through it are |N⁺(a) ∩ N⁺(b)| (the third
     // vertex is the ≺-max, so each triangle is counted exactly once
@@ -233,7 +246,7 @@ object Graph {
       .join(gate(side("b")), col("dst") === col("b"))
       .select(size(array_intersect(col("n_a"), col("n_b"))).as("tc"))
       .agg(coalesce(sum(col("tc")), lit(0L)).as("n_triangles"))
-      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .withColumn("n_edges", lit(nEdges))
       .crossJoin(nWedges)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
   }

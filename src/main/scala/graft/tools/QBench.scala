@@ -25,7 +25,9 @@ object QBench {
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.ext.Checkpoints.releaseAll(spark) // same protocol as Bench
+        dt
       }
       println(f"$n%-30s ${times.map(t => f"$t%6.2f").mkString(" ")}  min=${times.min}%6.2f")
     }

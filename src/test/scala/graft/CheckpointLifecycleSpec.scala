@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Checkpoints, Curation, Dedup, TextAnalysis}
+import graft.operators.Graph
+
+/** The zero-leak contract for localCheckpoint blocks: operators
+  * release provably-dead intermediates inline, and a session owner's
+  * [[Checkpoints.releaseAll]] reclaims the rest once results are
+  * consumed — a long-lived session running many pipeline stages must
+  * not accumulate pinned storage (the round-9 bench read
+  * checkpoint-heavy queries at 7-10x their isolated floor purely from
+  * accumulated pins). */
+class CheckpointLifecycleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the quiet river bend"),
+    (3L, "spark catalyst optimizer rules rewrite logical plans into physical plans"),
+    (4L, "parquet column pruning and predicate pushdown keep the scan narrow today")
+  ).toDF("doc_id", "text")
+
+  private def pinned: Int = Checkpoints.pinnedCount(spark)
+
+  test("release() drops the blocks behind a checkpointed DataFrame") {
+    Checkpoints.releaseAll(spark)
+    val d = spark.range(100).toDF("id").localCheckpoint()
+    assert(pinned >= 1)
+    Checkpoints.release(d)
+    assert(pinned === 0)
+    // no-op on a non-checkpointed frame
+    Checkpoints.release(spark.range(5).toDF("id"))
+  }
+
+  test("bpeTrain releases every internal checkpoint (fully self-cleaning)") {
+    Checkpoints.releaseAll(spark)
+    val merges = TextAnalysis.bpeTrain(docs, merges = 3).collect()
+    assert(merges.nonEmpty)
+    assert(pinned === 0, "bpeTrain collects its result; nothing may stay pinned")
+  }
+
+  test("connectedComponents driver fast path leaves nothing pinned") {
+    Checkpoints.releaseAll(spark)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).collect()
+    assert(cc.length === 5)
+    assert(pinned === 0)
+  }
+
+  test("connectedComponents distributed loop pins only the result labels") {
+    Checkpoints.releaseAll(spark)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    // collectThreshold=0 forces the HashMin loop (the equivalence spec's knob)
+    val cc = Dedup.connectedComponents(pairs, collectThreshold = 0L)
+    assert(cc.count() === 5)
+    // superseded per-batch labels, the edge table, and the input pair
+    // checkpoints are all released inline; only the final label
+    // checkpoint (which backs the returned frame) may remain
+    assert(pinned <= 1,
+      s"expected at most the final labels pinned, saw $pinned")
+    Checkpoints.releaseAll(spark)
+    assert(pinned === 0)
+  }
+
+  test("pmiCollocations releases the tokenized corpus once counts exist") {
+    Checkpoints.releaseAll(spark)
+    val top = TextAnalysis.pmiCollocations(docs, minCount = 2, topK = 5)
+    assert(top.count() >= 0)
+    // uni + bi count checkpoints back the (lazy) returned plan; the
+    // tokenized corpus intermediate must already be gone
+    assert(pinned <= 2, s"expected <=2 (uni, bi), saw $pinned")
+    Checkpoints.releaseAll(spark)
+    assert(pinned === 0)
+  }
+
+  test("bigramLogProb releases the tokenized corpus (V collected as literal)") {
+    Checkpoints.releaseAll(spark)
+    val nll = Curation.bigramLogProb(docs)
+    assert(nll.count() === 4)
+    assert(pinned <= 2, s"expected <=2 (counted, bigramN), saw $pinned")
+    Checkpoints.releaseAll(spark)
+    assert(pinned === 0)
+  }
+
+  test("triangleCount releases the undirected edge checkpoint") {
+    Checkpoints.releaseAll(spark)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val row = Graph.triangleCount(edges).collect()(0)
+    assert(row.getAs[Long]("n_triangles") === 1L)
+    assert(row.getAs[Long]("n_edges") === 4L)
+    // oriented + adj back the returned plan; und must be gone
+    assert(pinned <= 2, s"expected <=2 (oriented, adj), saw $pinned")
+    Checkpoints.releaseAll(spark)
+    assert(pinned === 0)
+  }
+
+  test("releaseAll after consuming a query restores a clean session") {
+    Checkpoints.releaseAll(spark)
+    // a representative checkpoint-heavy composite: near-dup candidates
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 8)
+    Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2).count()
+    Checkpoints.releaseAll(spark)
+    assert(pinned === 0)
+  }
+}
