@@ -413,10 +413,10 @@ object Curation {
     *
     * Scale: one shuffle keyed on source for the ntile window; like
     * [[domainCap]], a pathologically hot source serializes its sort —
-    * at corpus scale the cutoffs would come from a per-source
-    * approx-quantile agg (one pass) with assignment by comparison;
-    * the exact ntile is the oracle-verified reference semantics. Docs
-    * with <2 tokens have no bigram NLL and drop out.
+    * at corpus scale use [[perplexityBucketsApprox]] (histogram-CDF
+    * cutoffs, zero-sort assignment); this exact ntile is the
+    * oracle-verified reference semantics. Docs with <2 tokens have no
+    * bigram NLL and drop out.
     *
     * @return (doc_id, source, mean_nll_micro, bucket, ppl_bucket):
     *         bucket in [1, nBuckets], head = 1, tail = nBuckets.
@@ -437,6 +437,72 @@ object Curation {
         col("bucket"), col("ppl_bucket"))
   }
 
+  /** The 100 TB assignment path for [[perplexityBuckets]]: per-source
+    * NLL cutoffs derived from a FIXED-RESOLUTION HISTOGRAM CDF instead
+    * of sorting each source's documents. Documents hash into NLL cells
+    * of `cellMicros` width (0.01 nats at the default — CCNet's
+    * bucketing works at exactly this kind of resolution); cell counts
+    * are one map-side-combined aggregate whose cardinality is bounded
+    * by the NLL RANGE, not the corpus (a few thousand cells per
+    * source); the running-count window runs over those cells only; and
+    * cutoff j is the first cell whose cumulative count reaches the
+    * ntile target j·(n div k) + min(j, n mod k) — the exact rank
+    * boundary ntile(k) uses — so on data where no two documents of a
+    * source share a cell the buckets are IDENTICAL to the exact form
+    * (the equivalence spec asserts it). Documents sharing a cutoff
+    * cell land together (the cell width is the approximation bound).
+    * Assignment is a ZERO-SORT narrow map: the (source, k−1 cutoffs)
+    * table broadcasts and each doc counts the cutoffs below its cell.
+    *
+    * Deliberately NOT percentile_approx: the GK sketch's boundary
+    * answers shift with partial-aggregate merge order (measured: the
+    * p=2/3 cutoff over 1..9 lands on 7, not 6, once partials merge),
+    * so results would vary with partitioning — unverifiable by hash
+    * and irreproducible across layouts. Integer cells replay
+    * bit-identically anywhere.
+    *
+    * @return (doc_id, source, mean_nll_micro, bucket, ppl_bucket) —
+    *         same shape as the exact form.
+    */
+  def perplexityBucketsApprox(df: DataFrame, nBuckets: Int = 3,
+      cellMicros: Long = 10000L, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val nll = bigramLogProb(df, idCol, textCol)
+    // two consumers (histogram, assignment) — materialize the joined
+    // (doc, source, nll) projection once; NLL ≥ 0 always (add-one
+    // smoothing keeps every probability < 1), so div is a floor
+    val scored = df.select(col(idCol), col(srcCol))
+      .join(nll.select(col(idCol), col("mean_nll_micro")), Seq(idCol))
+      .withColumn("cell", expr(s"mean_nll_micro div $cellMicros"))
+      .localCheckpoint()
+    val hist = scored.groupBy(col(srcCol), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col(srcCol)).orderBy(col("cell"))
+    val cdf = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val nBySrc = hist.groupBy(col(srcCol)).agg(sum(col("cnt")).as("n"))
+    val targets = nBySrc.select(col(srcCol), col("n"),
+        explode(array((1 until nBuckets).map(lit): _*)).as("j"))
+      .withColumn("target",
+        col("j") * expr(s"n div $nBuckets") +
+          least(col("j"), col("n") % nBuckets))
+    val cuts = targets.join(cdf, Seq(srcCol))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col(srcCol), col("j")).agg(min(col("cell")).as("cut"))
+      .groupBy(col(srcCol))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("cut")))),
+        s => s.getField("cut")).as("cuts"))
+    scored.join(broadcast(cuts), Seq(srcCol))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("cuts"), c => c < col("cell"))))
+          .cast(IntegerType))
+      .withColumn("ppl_bucket",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(srcCol), col("mean_nll_micro"),
+        col("bucket"), col("ppl_bucket"))
+  }
+
   /** Per-domain quota cap (the RefinedWeb/C4 anti-dominance rule):
     * keep at most `k` documents per source/domain, best quality
     * first, ties to the lowest id. One shuffle keyed on the domain.
@@ -444,10 +510,10 @@ object Curation {
     * Scale note: row_number sorts each domain partition; for a
     * pathologically hot domain (10⁸ docs at 100 TB) the exact top-k
     * per group is still fine — Spark's window sort spills — but the
-    * cheaper production variant is a two-pass approximate quality
-    * threshold per domain (percentile_approx broadcast back, then a
-    * narrow filter), trading exactness for a zero-sort pass; this
-    * exact form is the oracle-checkable contract both share. */
+    * cheaper production variant is [[domainCapApprox]] (per-domain
+    * quality threshold from value counts, then a narrow filter),
+    * trading boundary-tie exactness for a zero-sort pass; this exact
+    * form is the oracle-checkable contract both share. */
   def domainCap(df: DataFrame, k: Int, srcCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     val scored = TextAnalysis.withStats(df)
@@ -456,6 +522,50 @@ object Curation {
       .orderBy(col("quality_score").desc, col(idCol))
     scored.withColumn("rank_in_domain", row_number().over(w))
       .filter(col("rank_in_domain") <= k)
+  }
+
+  /** The 100 TB path for [[domainCap]]: instead of ranking every
+    * document inside its domain, derive each domain's quality
+    * THRESHOLD (the k-th highest score) from quality-value counts and
+    * keep documents at or above it with a narrow filter. The quality
+    * score is 6-dp-rounded in [0, 1], so its integer-micro image has
+    * AT MOST 10⁶+1 distinct values — the value-count aggregate is
+    * map-side combined and value-bounded regardless of corpus size,
+    * and the descending running-count window runs over values, never
+    * documents. The threshold table is domain-cardinality-sized and
+    * broadcasts; the corpus pass is zero-sort.
+    *
+    * Approximation bound: every document TIED with the k-th score is
+    * kept (the threshold cannot split a value), so a domain can
+    * return more than `k` rows exactly when the boundary is tied —
+    * on tie-free data the kept set is identical to [[domainCap]]'s
+    * (the equivalence spec asserts it). Deterministic and integer-
+    * exact, so the oracle replays it by hash (vs a sketch-based
+    * threshold, whose boundary answers shift with merge order).
+    *
+    * @return (doc_id, source, quality_score, thr_micro) for kept docs.
+    */
+  def domainCapApprox(df: DataFrame, k: Int, srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = TextAnalysis.withStats(df)
+      .select(col(idCol), col(srcCol), col("quality_score"))
+      .withColumn("q_micro",
+        round(col("quality_score") * 1e6, 0).cast(LongType))
+      .localCheckpoint()
+    val counts = scored.groupBy(col(srcCol), col("q_micro"))
+      .agg(count(lit(1)).as("cnt"))
+    // descending cumulative count over DISTINCT quality values: cum(v)
+    // = #docs with quality ≥ v; the k-th highest value is the largest
+    // v with cum(v) ≥ k (min value when the domain has < k docs)
+    val wdesc = Window.partitionBy(col(srcCol)).orderBy(col("q_micro").desc)
+    val thr = counts.withColumn("cum", sum(col("cnt")).over(wdesc))
+      .groupBy(col(srcCol))
+      .agg(coalesce(max(when(col("cum") >= k, col("q_micro"))),
+        min(col("q_micro"))).as("thr_micro"))
+    scored.join(broadcast(thr), Seq(srcCol))
+      .filter(col("q_micro") >= col("thr_micro"))
+      .select(col(idCol), col(srcCol), col("quality_score"),
+        col("thr_micro"))
   }
 
   /** Quality-weighted Bernoulli sampling: accept each row with

@@ -1175,6 +1175,36 @@ object ExtOracles {
         |        ORDER BY quality_score DESC, doc_id) AS rn FROM q) r
         |WHERE rn <= 15""".stripMargin,
 
+    // Threshold-filter cap replay (the zero-sort path): per-source
+    // descending cumulative counts over DISTINCT 6dp-micro quality
+    // values; threshold = largest value whose cum ≥ k (min value for
+    // small sources); keep every doc at/above it — boundary ties stay.
+    "q_domain_cap_approx" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+        |  length(text) AS tlen
+        |FROM t),
+        |q AS (SELECT doc_id, source,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(tlen, 1)) * 0.2, 6) AS quality_score
+        |FROM s),
+        |q2 AS MATERIALIZED (SELECT doc_id, source, quality_score,
+        |  CAST(round(quality_score * 1e6, 0) AS BIGINT) AS q_micro FROM q),
+        |counts AS (SELECT source, q_micro, count(*) AS cnt FROM q2 GROUP BY 1, 2),
+        |cdf AS (SELECT source, q_micro,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY q_micro DESC) AS BIGINT) AS cum
+        |  FROM counts),
+        |thr AS (SELECT source,
+        |    COALESCE(max(CASE WHEN cum >= 15 THEN q_micro END), min(q_micro)) AS thr_micro
+        |  FROM cdf GROUP BY 1)
+        |SELECT q2.doc_id, q2.source, q2.quality_score, thr.thr_micro
+        |FROM q2 JOIN thr ON thr.source = q2.source
+        |WHERE q2.q_micro >= thr.thr_micro""".stripMargin,
+
     // Σw in integer micro-units; the acceptance rate uses only
     // exactly-rounded IEEE *,/ so the row set replays exactly
     "q_weighted_sample" ->
@@ -1719,6 +1749,57 @@ object ExtOracles {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS ppl_bucket
         |FROM ranked""".stripMargin,
+
+    // Histogram-CDF bucketing replay (the zero-sort assignment path):
+    // same bigram-NLL pipeline, then 0.01-nat cells, per-source
+    // cumulative cell counts, ntile-rank targets j·(n div 3) +
+    // least(j, n mod 3), cutoff = first cell reaching the target,
+    // bucket = 1 + #cutoffs below the doc's cell. All-integer — the
+    // hash match IS the determinism proof the GK sketch can't give.
+    "q_ppl_buckets_approx" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |       FROM t, unnest(range(1, len(toks))) AS u(i)
+        |       WHERE len(toks) >= 2),
+        |counted AS (SELECT doc_id, w1, w2, count(*) AS cnt
+        |            FROM bg GROUP BY 1, 2, 3),
+        |bn AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS bg_n
+        |       FROM counted GROUP BY 1, 2),
+        |pn AS (SELECT w1, CAST(sum(bg_n) AS BIGINT) AS w1_n FROM bn GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT token) AS v_size
+        |       FROM (SELECT unnest(toks) AS token FROM t) x),
+        |nllt AS (SELECT c.doc_id, c.cnt,
+        |          CAST(ROUND(-ln(CAST(bn.bg_n + 1 AS DOUBLE)
+        |            / (pn.w1_n + vv.v_size)) * 1e6, 0) AS BIGINT) AS nll_micro
+        |        FROM counted c
+        |        JOIN bn ON c.w1 = bn.w1 AND c.w2 = bn.w2
+        |        JOIN pn ON c.w1 = pn.w1 CROSS JOIN vv),
+        |docnll AS (SELECT doc_id,
+        |    CAST(sum(nll_micro * cnt) AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+        |      AS mean_nll_micro
+        |  FROM nllt GROUP BY doc_id),
+        |scored AS MATERIALIZED (SELECT d.doc_id, d.source, n.mean_nll_micro,
+        |    n.mean_nll_micro // 10000 AS cell
+        |  FROM documents d JOIN docnll n ON d.doc_id = n.doc_id),
+        |hist AS MATERIALIZED (SELECT source, cell, count(*) AS cnt
+        |  FROM scored GROUP BY 1, 2),
+        |cdf AS (SELECT source, cell,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY cell) AS BIGINT) AS cum
+        |  FROM hist),
+        |nsrc AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |targets AS (SELECT source, j, j * (n // 3) + least(j, n % 3) AS target
+        |  FROM nsrc, unnest([1, 2]) AS u(j)),
+        |cuts AS (SELECT t.source, t.j, min(c.cell) AS cut
+        |  FROM targets t JOIN cdf c ON c.source = t.source AND c.cum >= t.target
+        |  GROUP BY 1, 2),
+        |b AS (SELECT s.doc_id, s.source, s.mean_nll_micro,
+        |    CAST(1 + sum(CASE WHEN c.cut < s.cell THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM scored s JOIN cuts c ON c.source = s.source
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, source, mean_nll_micro, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+        |       ELSE 'middle' END AS ppl_bucket
+        |FROM b""".stripMargin,
 
     // DSIR replay: hashed-unigram bucket LMs for target (src0-src3)
     // and raw, add-one smoothing, per-bucket LLR micro-rounded BEFORE

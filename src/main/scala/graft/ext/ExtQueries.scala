@@ -541,6 +541,16 @@ object ExtQueries {
   def qPplBuckets(spark: SparkSession, dir: String): DataFrame =
     Curation.perplexityBuckets(Tables(spark, dir).documents)
 
+  /** The histogram-CDF twin of [[qPplBuckets]]: cutoffs from 0.01-nat
+    * NLL cells, zero-sort assignment. */
+  def qPplBucketsApprox(spark: SparkSession, dir: String): DataFrame =
+    Curation.perplexityBucketsApprox(Tables(spark, dir).documents)
+
+  /** The threshold-filter twin of [[qDomainCap]]: per-source quality
+    * threshold from value counts, boundary ties kept. */
+  def qDomainCapApprox(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainCapApprox(Tables(spark, dir).documents, k = 15)
+
   /** DSIR importance resample: target = the src0–src3 slice of the
     * corpus, top-100 Gumbel-perturbed draw over 8192 hash buckets. */
   def qDsirSample(spark: SparkSession, dir: String): DataFrame = {

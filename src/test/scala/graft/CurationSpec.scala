@@ -255,4 +255,62 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.epochShuffle(docs, numShards = 3)
       .agg(max(col("shard"))).head().getInt(0) < 3, "explicit knob wins")
   }
+
+  // a small two-source corpus whose docs all have DISTINCT bigram-NLL
+  // values (different token patterns), so cell ties cannot occur at
+  // cellMicros = 1 — the precondition for exact histogram equivalence
+  private def tieFreeDocs = (1L to 12L).map { i =>
+    val words = (0 to (i % 6).toInt + 2).map(j => s"w${(i * 7 + j * j) % 13}")
+    (i, words.mkString(" ") + s" tail$i marker${i % 5}",
+      if (i <= 6) "sa" else "sb")
+  }.toDF("doc_id", "text", "source")
+
+  test("perplexityBucketsApprox ≡ exact ntile form on cell-tie-free data") {
+    val docs = tieFreeDocs
+    // precondition: at cellMicros = 1 the cell IS the exact NLL —
+    // assert no two docs of a source share one (else the test data
+    // regressed, not the operator)
+    val nll = Curation.bigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val dups = nll.groupBy("source", "mean_nll_micro").count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0, "test corpus must be NLL-tie-free per source")
+    val exact = Curation.perplexityBuckets(docs)
+      .select("doc_id", "bucket", "ppl_bucket")
+      .as[(Long, Int, String)].collect().toSet
+    val approx = Curation.perplexityBucketsApprox(docs, cellMicros = 1L)
+      .select("doc_id", "bucket", "ppl_bucket")
+      .as[(Long, Int, String)].collect().toSet
+    assert(approx === exact)
+  }
+
+  test("perplexityBucketsApprox: coarse cells keep cutoff-cell docs together") {
+    val docs = tieFreeDocs
+    // one giant cell per source → nothing is ever above a cutoff →
+    // every doc lands in bucket 1 (cells cannot be split)
+    val coarse = Curation.perplexityBucketsApprox(docs,
+      cellMicros = 1000000000L)
+    assert(coarse.filter(col("bucket") =!= 1).count() === 0)
+    assert(coarse.count() === 12)
+  }
+
+  test("domainCapApprox ≡ exact domainCap kept set on tie-free data; ties widen") {
+    val docs = tieFreeDocs
+    val qs = graft.ext.TextAnalysis.withStats(docs)
+      .groupBy(col("source"), col("quality_score")).count()
+      .filter(col("count") > 1).count()
+    assert(qs === 0, "test corpus must be quality-tie-free per source")
+    val k = 3
+    val exact = Curation.domainCap(docs, k)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Curation.domainCapApprox(docs, k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(approx === exact)
+    // planted boundary tie: 5 docs share one quality value; k = 2
+    // must keep ALL of them (threshold cannot split a value)
+    val tied = (1L to 5L).map(i => (i, "same words here", "sx"))
+      .toDF("doc_id", "text", "source")
+    assert(Curation.domainCapApprox(tied, 2).count() === 5)
+    assert(Curation.domainCap(tied, 2).count() === 2)
+  }
 }

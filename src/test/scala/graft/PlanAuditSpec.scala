@@ -266,6 +266,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_nfc_normalize must be a zero-shuffle map:\n$pNfc")
   }
 
+  test("approx bucket/cap paths: zero-sort corpus assignment, cutoffs broadcast") {
+    // the exact forms sort the corpus (ntile / row_number windows);
+    // the approx twins must NOT — their only window runs over the
+    // value-bounded histogram, the corpus pass is a broadcast-join map
+    val pExact = plan("q_ppl_buckets")
+    assert(pExact.contains("ntile"), s"exact form lost its ntile:\n$pExact")
+    val pApx = plan("q_ppl_buckets_approx")
+    assert(!pApx.contains("ntile"),
+      s"approx bucketing must not rank the corpus:\n$pApx")
+    assert(!pApx.contains("rangepartitioning"),
+      s"approx bucketing must not global-sort anything:\n$pApx")
+    assert(pApx.contains("BroadcastHashJoin"),
+      s"cutoff table must broadcast to the corpus side:\n$pApx")
+    val pCap = plan("q_domain_cap_approx")
+    assert(!pCap.contains("row_number"),
+      s"approx cap must not rank the corpus:\n$pCap")
+    assert(!pCap.contains("rangepartitioning"),
+      s"approx cap must not global-sort anything:\n$pCap")
+    assert(pCap.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast to the corpus side:\n$pCap")
+  }
+
   test("graph operators: gated broadcast off ≡ on (pageRank, triangles)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
