@@ -96,6 +96,14 @@ object GraftFunctions {
     require(e.foldable, s"$what must be an integer literal")
     e.eval().asInstanceOf[Number].intValue
   }
+  private def dblArg(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a numeric literal")
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue
+      case other => sys.error(s"$what must be numeric, got $other")
+    }
+  }
   private def tableOf(name: String) = SparkSession.active.table(name)
 
   /** gopher_rules(tbl[, minTokens]) — [[graft.ext.Curation.gopherRules]]. */
@@ -161,13 +169,96 @@ object GraftFunctions {
     graft.ext.Curation.memorizationScore(docs, ref, n).queryExecution.logical
   }
 
+  /** simhash_near_dups(tbl[, maxHamming]) —
+    * [[graft.ext.Dedup.simhashNearDups]]. */
+  def simhashNearDupsTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "simhash_near_dups(table)"))
+    val mh =
+      if (args.length > 1) intArg(args(1), "simhash_near_dups(maxHamming)")
+      else 3
+    graft.ext.Dedup.simhashNearDups(df, maxHamming = mh)
+      .queryExecution.logical
+  }
+
+  /** cross_near_dups(trainTbl, benchTbl[, numHashes, rowsPerBand]) —
+    * [[graft.ext.Dedup.crossNearDups]]. */
+  def crossNearDupsTvf(args: Seq[Expression]): LogicalPlan = {
+    val l = tableOf(strArg(args.head, "cross_near_dups(trainTable)"))
+    val r = tableOf(strArg(args(1), "cross_near_dups(benchTable)"))
+    val nh =
+      if (args.length > 2) intArg(args(2), "cross_near_dups(numHashes)")
+      else 8
+    val rpb =
+      if (args.length > 3) intArg(args(3), "cross_near_dups(rowsPerBand)")
+      else 2
+    graft.ext.Dedup.crossNearDups(l, r, numHashes = nh, rowsPerBand = rpb)
+      .queryExecution.logical
+  }
+
+  /** prefix_jaccard(tbl[, threshold]) —
+    * [[graft.ext.Dedup.prefixJaccardJoin]]. */
+  def prefixJaccardTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "prefix_jaccard(table)"))
+    val thr =
+      if (args.length > 1) dblArg(args(1), "prefix_jaccard(threshold)")
+      else 0.5
+    graft.ext.Dedup.prefixJaccardJoin(df, threshold = thr)
+      .queryExecution.logical
+  }
+
+  /** rrf_fuse('tblA', 'tblB', ...[, rrfK, topK]) — every leading
+    * string literal names a ranked-list table carrying
+    * (item_id, rank); trailing integer literals override the fusion
+    * constant and cutoff ([[graft.ext.TextAnalysis.rrfFuse]]). */
+  def rrfFuseTvf(args: Seq[Expression]): LogicalPlan = {
+    val (tblArgs, numArgs) =
+      args.span(_.dataType == org.apache.spark.sql.types.StringType)
+    require(tblArgs.nonEmpty, "rrf_fuse needs at least one ranking table")
+    val tables = tblArgs.map(a => tableOf(strArg(a, "rrf_fuse(table)")))
+    val rrfK =
+      if (numArgs.nonEmpty) intArg(numArgs(0), "rrf_fuse(rrfK)") else 60
+    val topK =
+      if (numArgs.length > 1) intArg(numArgs(1), "rrf_fuse(topK)") else 10
+    graft.ext.TextAnalysis.rrfFuse(tables, rrfK = rrfK, topK = topK)
+      .queryExecution.logical
+  }
+
+  /** ppl_buckets(tbl[, nBuckets]) — exact per-source perplexity
+    * terciles ([[graft.ext.Curation.perplexityBuckets]]); the
+    * zero-sort twin is reachable as ppl_buckets_approx. */
+  def pplBucketsTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "ppl_buckets(table)"))
+    val nb =
+      if (args.length > 1) intArg(args(1), "ppl_buckets(nBuckets)") else 3
+    graft.ext.Curation.perplexityBuckets(df, nBuckets = nb)
+      .queryExecution.logical
+  }
+
+  /** ppl_buckets_approx(tbl[, nBuckets]) — histogram-CDF cutoffs,
+    * zero-sort assignment
+    * ([[graft.ext.Curation.perplexityBucketsApprox]]). */
+  def pplBucketsApproxTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "ppl_buckets_approx(table)"))
+    val nb =
+      if (args.length > 1) intArg(args(1), "ppl_buckets_approx(nBuckets)")
+      else 3
+    graft.ext.Curation.perplexityBucketsApprox(df, nBuckets = nb)
+      .queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
     "dedup_candidates" -> (dedupCandidatesTvf _),
     "text_stats" -> (textStatsTvf _),
     "dsir_score" -> (dsirScoreTvf _),
-    "memorization_score" -> (memorizationTvf _))
+    "memorization_score" -> (memorizationTvf _),
+    "simhash_near_dups" -> (simhashNearDupsTvf _),
+    "cross_near_dups" -> (crossNearDupsTvf _),
+    "prefix_jaccard" -> (prefixJaccardTvf _),
+    "rrf_fuse" -> (rrfFuseTvf _),
+    "ppl_buckets" -> (pplBucketsTvf _),
+    "ppl_buckets_approx" -> (pplBucketsApproxTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -90,4 +90,48 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("keep")).count()
     assert(kept == keptApi, s"composed SQL filter: $kept vs $keptApi")
   }
+
+  test("round-9/10 family TVFs from SQL text are row-identical to the Scala API") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    docs.createOrReplaceTempView("docs_tvf9")
+    def sameAs(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.sorted.sameElements(api.columns.sorted),
+        s"schema drift: ${viaSql.columns.toSeq} vs ${api.columns.toSeq}")
+      assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty,
+        s"SQL and Scala results differ for: $sql")
+    }
+    sameAs("SELECT * FROM simhash_near_dups('docs_tvf9')",
+      graft.ext.Dedup.simhashNearDups(docs))
+    sameAs("SELECT * FROM simhash_near_dups('docs_tvf9', 2)",
+      graft.ext.Dedup.simhashNearDups(docs, maxHamming = 2))
+    docs.filter(col("doc_id") % 7 === 0).createOrReplaceTempView("bench_tvf9")
+    sameAs("SELECT * FROM cross_near_dups('docs_tvf9', 'bench_tvf9')",
+      graft.ext.Dedup.crossNearDups(docs, spark.table("bench_tvf9")))
+    sameAs("SELECT * FROM prefix_jaccard('docs_tvf9', 0.4)",
+      graft.ext.Dedup.prefixJaccardJoin(docs, threshold = 0.4))
+    // two ranked lists built in plain SQL, fused by the TVF
+    spark.sql("""SELECT * FROM (SELECT doc_id AS item_id,
+        row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
+      FROM docs_tvf9) WHERE rank <= 20""").createOrReplaceTempView("rank_a_tvf9")
+    spark.sql("""SELECT * FROM (SELECT doc_id AS item_id,
+        row_number() OVER (ORDER BY doc_id) AS rank
+      FROM docs_tvf9) WHERE rank <= 20""").createOrReplaceTempView("rank_b_tvf9")
+    sameAs("SELECT * FROM rrf_fuse('rank_a_tvf9', 'rank_b_tvf9', 60, 5)",
+      graft.ext.TextAnalysis.rrfFuse(
+        Seq(spark.table("rank_a_tvf9"), spark.table("rank_b_tvf9")),
+        rrfK = 60, topK = 5))
+    sameAs("SELECT * FROM ppl_buckets('docs_tvf9')",
+      graft.ext.Curation.perplexityBuckets(docs))
+    sameAs("SELECT * FROM ppl_buckets_approx('docs_tvf9')",
+      graft.ext.Curation.perplexityBucketsApprox(docs))
+    // composes downstream: bucket histogram over the TVF output
+    val viaSql = spark.sql(
+      "SELECT ppl_bucket, count(*) AS n FROM ppl_buckets('docs_tvf9') GROUP BY 1")
+    val viaApi = graft.ext.Curation.perplexityBuckets(docs)
+      .groupBy(col("ppl_bucket")).agg(count(lit(1)).as("n"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
 }
