@@ -843,24 +843,45 @@ object Curation {
     *         grams found in reference, and their ratio (6dp).
     */
   def memorizationScore(docs: DataFrame, reference: DataFrame, n: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def gramHashes(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("toks"): _*)
-        .filter(size(col("toks")) >= n)
-        .select(cols :+ explode(expr(
-          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> array_join(slice(toks, i, $n), ' ')))")).as("g"): _*)
-        .select(cols :+ Dedup.portableHash60(
-          concat(lit("mem|"), col("g"))).as("h"): _*)
-    val refSet = gramHashes(reference).distinct()
-    gramHashes(docs, col(idCol))
-      .join(refSet.withColumn("hit", lit(1L)), Seq("h"), "left")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    memorizationScoreAgainst(docs,
+      memorizationRefSet(reference, n, textCol), n, idCol, textCol)
+
+  /** One row per distinct salted n-gram hash of `df` (plus any
+    * carried `cols`) — the shared gram construction of both sides of
+    * [[memorizationScore]]. */
+  private def gramHashes(df: DataFrame, n: Int, textCol: String,
+      cols: Column*): DataFrame =
+    df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("toks"): _*)
+      .filter(size(col("toks")) >= n)
+      .select(cols :+ explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+        s"i -> array_join(slice(toks, i, $n), ' ')))")).as("g"): _*)
+      .select(cols :+ Dedup.portableHash60(
+        concat(lit("mem|"), col("g"))).as("h"): _*)
+
+  /** The reference side of [[memorizationScore]] as a standalone
+    * single-column (h) DataFrame — build once, persist (bucketed by h,
+    * [[graft.operators.MemorizationIndex]]), probe nightly. */
+  def memorizationRefSet(reference: DataFrame, n: Int = 8,
+      textCol: String = "text"): DataFrame =
+    gramHashes(reference, n, textCol).distinct()
+
+  /** Probe half of [[memorizationScore]]: score `docs` against a
+    * prebuilt reference gram-hash set (any DataFrame with column `h`,
+    * e.g. a [[memorizationRefSet]] persisted bucketed on disk). `n`
+    * and `textCol` must match the values the set was built with. */
+  def memorizationScoreAgainst(docs: DataFrame, refSet: DataFrame,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    gramHashes(docs, n, textCol, col(idCol))
+      .join(refSet.select(col("h")).withColumn("hit", lit(1L)),
+        Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
       .withColumn("mem_score",
         round(col("n_hit").cast(DoubleType) / col("n_grams"), 6))
-  }
 
   /** The shared DSIR bucket hash: portable-md5 of the salted token
     * mod `buckets`. */

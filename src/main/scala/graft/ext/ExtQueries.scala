@@ -351,6 +351,23 @@ object ExtQueries {
     Dedup.dedupAgainstIndex(newBatch, index)
   }
 
+  /** Disk-index twin of [[qDedupIncremental]]: history's fingerprint
+    * map persisted as a bucketed external table
+    * ([[graft.operators.FingerprintIndex]]), the same new batch
+    * probed against the written table — identical answers, but the
+    * corpus-sized side never re-shuffles (IOSpec plan-asserts). */
+  def qDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val hist = docs.filter(col("doc_id") % 5 =!= 4)
+    graft.operators.FingerprintIndex.writeIndex(hist, "graft_fp_idx",
+      System.getProperty("java.io.tmpdir") + "/graft_fp_idx")
+    val newBatch = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text"))
+      .unionAll(hist.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.FingerprintIndex.probe(spark, "graft_fp_idx", newBatch)
+  }
+
   /** Nearest-centroid classification of the embeddings table: fit on
     * vec_id % 5 ≠ 0, classify the rest, confusion counts. */
   def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =
@@ -509,6 +526,19 @@ object ExtQueries {
   def qMemorization(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     Curation.memorizationScore(docs, docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  /** Disk-index twin of [[qMemorization]]: the reference gram set
+    * written as a bucketed external table
+    * ([[graft.operators.MemorizationIndex]]) and probed — the 100 TB
+    * shape where the training-set index is built once and every
+    * candidate batch audits against it. */
+  def qMemorizationIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    graft.operators.MemorizationIndex.writeIndex(
+      docs.filter(col("doc_id") % 5 === 0), "graft_mem_idx",
+      System.getProperty("java.io.tmpdir") + "/graft_mem_idx")
+    graft.operators.MemorizationIndex.probe(spark, "graft_mem_idx", docs)
   }
 
   /** Fuzzy cross-corpus contamination: every 40th doc becomes a

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, TextAnalysis}
+
+/** Shared write path for the on-disk hash indexes below: an EXTERNAL
+  * bucketed+sorted parquet table (bucket metadata in the catalog,
+  * files at `path`), bucket count defaulting to the session's shuffle
+  * width. That equality is what makes the nightly probe shuffle-free
+  * on the index side: the planner reads the index's bucketed layout
+  * as-is and exchanges ONLY the (small) batch side to match — a
+  * bucket/width mismatch makes it give up and shuffle both
+  * (plan-asserted in IOSpec; same discipline as
+  * [[graft.sources.IO.writeBucketed]]).
+  *
+  * The reference's incremental models re-scan history every run
+  * (`/root/reference/models/marts/user_base.sql` joins full upstream
+  * tables); at 100 TB the reference set must instead be built once
+  * and probed — the same build-once/probe-many layout [[IvfIndex]]
+  * gives the ANN family.
+  */
+private[operators] object HashIndexWriter {
+  def write(idx: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit = {
+    val spark = idx.sparkSession
+    val b = if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    idx.write.mode(SaveMode.Overwrite)
+      .bucketBy(b, bucketCol).sortBy(bucketCol)
+      .option("path", path).format("parquet").saveAsTable(table)
+  }
+}
+
+/** On-disk exact-dedup fingerprint index: (fingerprint, keeper_id) of
+  * a historical corpus, bucketed by fingerprint. [[writeIndex]] once
+  * over history; [[probe]] each new batch with
+  * [[graft.ext.Dedup.dedupAgainstIndex]] — the index side co-locates
+  * from its bucketed layout, so only the batch moves. Append newly
+  * kept docs' fingerprints periodically (a bucketed INSERT preserves
+  * the layout) rather than rebuilding.
+  */
+object FingerprintIndex {
+
+  /** Build + persist the fingerprint→keeper map of `corpus` (keeper =
+    * min id per normalized-text fingerprint). */
+  def writeIndex(corpus: DataFrame, table: String, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = 0): Unit = {
+    val idx = corpus.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint").agg(min(col(idCol)).as("keeper_id"))
+    HashIndexWriter.write(idx, table, path, "fingerprint", numBuckets)
+  }
+
+  /** Screen `newDocs` against a written index: (id, fingerprint,
+    * status ∈ kept|dup_batch|dup_history, dup_of). */
+  def probe(spark: SparkSession, table: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup.dedupAgainstIndex(newDocs, spark.table(table), idCol, textCol)
+}
+
+/** On-disk memorization/contamination gram index: the distinct salted
+  * n-gram 60-bit hash set of a reference corpus
+  * ([[graft.ext.Curation.memorizationRefSet]]), bucketed by hash.
+  * [[writeIndex]] once over the training set; [[probe]] audits any
+  * batch of candidate documents for verbatim overlap without
+  * re-granulating the (much larger) reference.
+  */
+object MemorizationIndex {
+
+  /** Build + persist the distinct gram-hash set of `reference`. `n`
+    * is baked into the files; probes must use the same value. */
+  def writeIndex(reference: DataFrame, table: String, path: String,
+      n: Int = 8, textCol: String = "text", numBuckets: Int = 0): Unit =
+    HashIndexWriter.write(Curation.memorizationRefSet(reference, n, textCol),
+      table, path, "h", numBuckets)
+
+  /** Score `docs` against a written index: (doc_id, n_grams, n_hit,
+    * mem_score) — identical to
+    * [[graft.ext.Curation.memorizationScore]] over the same reference
+    * (IOSpec asserts both identity and the shuffle-free index scan). */
+  def probe(spark: SparkSession, table: String, docs: DataFrame,
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Curation.memorizationScoreAgainst(docs, spark.table(table), n,
+      idCol, textCol)
+}

@@ -61,19 +61,15 @@ class IOSpec extends AnyFunSuite {
 
   test("bucketed fingerprint index makes the nightly dedup probe shuffle-free on the index side") {
     // the production incremental-dedup shape: the historical index is
-    // PERSISTED bucketed by fingerprint, so the nightly
-    // dedupAgainstIndex probe co-locates without re-shuffling the
-    // (corpus-sized) index — only the small new batch moves
+    // PERSISTED bucketed by fingerprint (bucket count defaults to the
+    // session's shuffle width — the equality the planner needs to
+    // read the index's layout as-is and shuffle ONLY the batch side;
+    // a mismatch makes it give up and shuffle both)
     val hist = Seq((1L, "historical content alpha"),
       (2L, "historical content beta"), (3L, "historical content gamma"))
       .toDF("doc_id", "text")
-    val index = graft.ext.Dedup.exactGroups(hist)
-      .select(col("fingerprint"), col("keeper_id"))
-    // bucket count = the session's shuffle width: the planner then
-    // reads the index bucketed and shuffles ONLY the batch side to
-    // match (a bucket/width mismatch makes it give up and shuffle both)
-    IO.writeBucketed(index, "fp_index_b", "fingerprint",
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    graft.operators.FingerprintIndex.writeIndex(hist, "fp_index_b",
+      tmp("graft-fpidx") + "/idx")
     val batch = Seq((100L, "historical content alpha"),
       (101L, "fresh new content")).toDF("doc_id", "text")
     // at corpus scale the index CANNOT broadcast — model that by
@@ -82,12 +78,32 @@ class IOSpec extends AnyFunSuite {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val out = graft.ext.Dedup.dedupAgainstIndex(batch, spark.table("fp_index_b"))
+      val out = graft.operators.FingerprintIndex.probe(spark, "fp_index_b", batch)
       val plan = out.queryExecution.executedPlan.toString
       assert(plan.contains("SelectedBucketsCount"),
         s"index scan must use its bucketed layout (no index-side shuffle):\n$plan")
       val st = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
       assert(st == Map(100L -> "dup_history", 101L -> "kept"), s"$st")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("bucketed memorization gram index: shuffle-free probe, identical to the in-memory score") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    graft.operators.MemorizationIndex.writeIndex(ref, "mem_index_b",
+      tmp("graft-memidx") + "/idx")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = graft.operators.MemorizationIndex.probe(spark, "mem_index_b", docs)
+      val plan = out.queryExecution.executedPlan.toString
+      // the index side must come straight off its bucketed layout…
+      assert(plan.contains("SelectedBucketsCount"),
+        s"gram-index scan must use its bucketed layout:\n$plan")
+      // …and the on-disk layout changes I/O, never answers
+      val mem = graft.ext.Curation.memorizationScore(docs, ref)
+      assert(out.exceptAll(mem).isEmpty && mem.exceptAll(out).isEmpty,
+        "indexed probe must equal the in-memory memorizationScore")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
