@@ -32,6 +32,24 @@ private[operators] object HashIndexWriter {
       .bucketBy(b, bucketCol).sortBy(bucketCol)
       .option("path", path).format("parquet").saveAsTable(table)
   }
+
+  /** Append rows to a written index preserving its bucketed layout:
+    * the writer's bucket spec is read back from the catalog (NOT
+    * re-derived from the session — the session's shuffle width may
+    * have changed since the index was built, and a mismatched append
+    * would silently break the shuffle-free probe for every future
+    * reader). Each append adds one file per bucket; periodic
+    * [[graft.sources.IO.compact]]-style rewrites bound file counts. */
+  def append(spark: SparkSession, table: String, rows: DataFrame,
+      bucketCol: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val b = meta.bucketSpec.map(_.numBuckets).getOrElse(sys.error(
+      s"$table is not bucketed — not a hash index"))
+    rows.write.mode(SaveMode.Append)
+      .bucketBy(b, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+  }
 }
 
 /** On-disk exact-dedup fingerprint index: (fingerprint, keeper_id) of
@@ -60,6 +78,20 @@ object FingerprintIndex {
   def probe(spark: SparkSession, table: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     Dedup.dedupAgainstIndex(newDocs, spark.table(table), idCol, textCol)
+
+  /** Fold a probe's accepted docs back into the index — the
+    * append-only update that keeps the nightly cycle
+    * probe → ingest kept → append O(batch) forever, never an
+    * O(corpus) rebuild. `probeResult` is a [[probe]] output; its
+    * `kept` rows are one-per-fingerprint by construction (kept means
+    * "batch keeper and not in history"), so appending them preserves
+    * the index's fingerprint uniqueness. */
+  def appendKept(spark: SparkSession, table: String,
+      probeResult: DataFrame, idCol: String = "doc_id"): Unit =
+    HashIndexWriter.append(spark, table,
+      probeResult.filter(col("status") === "kept")
+        .select(col("fingerprint"), col(idCol).as("keeper_id")),
+      "fingerprint")
 }
 
 /** On-disk memorization/contamination gram index: the distinct salted
@@ -87,4 +119,17 @@ object MemorizationIndex {
       textCol: String = "text"): DataFrame =
     Curation.memorizationScoreAgainst(docs, spark.table(table), n,
       idCol, textCol)
+
+  /** Grow the reference with newly ingested documents: only gram
+    * hashes NOT already indexed are appended (left-anti against the
+    * bucketed table — shuffle-free on the index side, same plan shape
+    * as the probe), preserving the h-uniqueness [[probe]] depends on
+    * (a duplicate h would fan out the probe join and inflate both
+    * n_grams and n_hit). `n`/`textCol` must match the build. */
+  def append(spark: SparkSession, table: String, newReference: DataFrame,
+      n: Int = 8, textCol: String = "text"): Unit =
+    HashIndexWriter.append(spark, table,
+      Curation.memorizationRefSet(newReference, n, textCol)
+        .join(spark.table(table), Seq("h"), "left_anti"),
+      "h")
 }

@@ -64,6 +64,61 @@ object IO {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * table needs: streaming sinks and per-batch appends leave
+    * thousands of KB-scale files, and scan/planning cost grows with
+    * FILE COUNT (task scheduling, footer reads, listing pressure),
+    * not bytes. Rewrites `path` to ≈ ceil(totalBytes/targetBytes)
+    * files (parquet re-encodes, so output sizes track input bytes
+    * approximately); with `partitionCols` the Hive layout is
+    * preserved and rows re-cluster one-file-per-partition-value
+    * (right for the many-small-partitions case; a jumbo partition
+    * stays one file — split those by bucketing instead).
+    *
+    * Swap discipline: the rewrite lands at `<path>.compacting` and
+    * only replaces the original after success, via rename — atomic on
+    * HDFS/local, NOT on object stores (there, compact into a table
+    * format's transaction log instead; this operator is the raw-
+    * parquet fallback).
+    *
+    * @return (filesBefore, filesAfter) data-file counts. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(d, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) buf += f
+      }
+      buf.toSeq
+    }
+    val before = dataFiles(p)
+    val n = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val tmp = new Path(path + ".compacting")
+    fs.delete(tmp, true)
+    val src = spark.read.parquet(path)
+    val w =
+      if (partitionCols.nonEmpty)
+        src.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else src.repartition(n).write
+    w.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(path + ".precompact")
+    fs.delete(bak, true)
+    require(fs.rename(p, bak) && fs.rename(tmp, p),
+      s"compact swap failed for $path")
+    fs.delete(bak, true)
+    (before.size, dataFiles(p).size)
+  }
 }
 
 /** Skew mitigation for hot keys (SURVEY §7.2 step 8: "salting for

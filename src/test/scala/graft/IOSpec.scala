@@ -87,6 +87,77 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("compact collapses small files without changing data; partitioned layout survives") {
+    val src = Tables(spark, "/root/testdata/sf0.001").orders
+    // flat case: 16 shards -> 1 file at a generous target
+    val flat = tmp("graft-compact") + "/t"
+    src.repartition(16).write.parquet(flat)
+    val (fb, fa) = IO.compact(spark, flat, targetBytes = 1L << 30)
+    assert(fb == 16 && fa == 1, s"($fb, $fa)")
+    val after = spark.read.parquet(flat)
+    assert(after.count() === src.count())
+    assert(after.except(src).isEmpty && src.except(after).isEmpty)
+    // partitioned case: shards per partition collapse to one file per
+    // partition value, and pruning still works on the compacted layout
+    val part = tmp("graft-compact") + "/p"
+    src.repartition(8).write.partitionBy("o_orderstatus").parquet(part)
+    val (pb, pa) = IO.compact(spark, part,
+      partitionCols = Seq("o_orderstatus"))
+    val nParts = src.select("o_orderstatus").distinct().count().toInt
+    assert(pa == nParts && pb > pa, s"($pb, $pa) vs $nParts partitions")
+    assert(new java.io.File(part).listFiles()
+      .exists(_.getName.startsWith("o_orderstatus=")))
+    assert(spark.read.parquet(part).count() === src.count())
+  }
+
+  test("fingerprint index append-only cycle: probe, fold kept back, next wave sees them as history") {
+    import graft.operators.FingerprintIndex
+    val hist = Seq((1L, "wave zero alpha"), (2L, "wave zero beta"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.writeIndex(hist, "fp_app_b", tmp("graft-fpapp") + "/idx")
+    val wave1 = Seq((10L, "wave one gamma"), (11L, "wave zero alpha"))
+      .toDF("doc_id", "text")
+    val p1 = FingerprintIndex.probe(spark, "fp_app_b", wave1)
+    assert(p1.collect().map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(10L -> "kept", 11L -> "dup_history"))
+    FingerprintIndex.appendKept(spark, "fp_app_b", p1)
+    // wave 2 re-sends wave 1's kept doc: now dup_history, keeper = 10
+    val wave2 = Seq((20L, "wave one gamma"), (21L, "totally new delta"))
+      .toDF("doc_id", "text")
+    val p2 = FingerprintIndex.probe(spark, "fp_app_b", wave2)
+    val st = p2.collect().map(r =>
+      r.getLong(0) -> (r.getString(2), Option(r.get(3)))).toMap
+    assert(st == Map(20L -> ("dup_history", Some(10L)),
+      21L -> ("kept", None)), s"$st")
+    // the appended table still probes off its bucketed layout
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = FingerprintIndex.probe(spark, "fp_app_b", wave2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("memorization index append keeps gram hashes distinct (scores stay exact)") {
+    import graft.operators.MemorizationIndex
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val ref0 = docs.filter(col("doc_id") % 10 === 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0) // superset: overlaps ref0
+    MemorizationIndex.writeIndex(ref0, "mem_app_b", tmp("graft-memapp") + "/idx")
+    MemorizationIndex.append(spark, "mem_app_b", delta)
+    // anti-join append: the grown index equals the one-shot build over
+    // the union (no duplicate h rows to fan out the probe join)
+    val grown = spark.table("mem_app_b")
+    assert(grown.count() === grown.distinct().count())
+    val probe = docs.filter(col("doc_id") < 100)
+    val viaAppend = MemorizationIndex.probe(spark, "mem_app_b", probe)
+    val oneShot = graft.ext.Curation.memorizationScore(probe, delta)
+    assert(viaAppend.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(viaAppend).isEmpty,
+      "appended index must score identically to a one-shot build")
+  }
+
   test("bucketed memorization gram index: shuffle-free probe, identical to the in-memory score") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val ref = docs.filter(col("doc_id") % 5 === 0)
