@@ -246,6 +246,27 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** fp_index_probe(indexTbl, batchTbl) — screen a batch against a
+    * written [[graft.operators.FingerprintIndex]] (the index table
+    * must exist; build it with `FingerprintIndex.writeIndex`). */
+  def fpIndexProbeTvf(args: Seq[Expression]): LogicalPlan = {
+    val idx = strArg(args.head, "fp_index_probe(indexTable)")
+    val batch = tableOf(strArg(args(1), "fp_index_probe(batchTable)"))
+    graft.operators.FingerprintIndex.probe(SparkSession.active, idx, batch)
+      .queryExecution.logical
+  }
+
+  /** mem_index_probe(indexTbl, docsTbl[, n]) — score docs against a
+    * written [[graft.operators.MemorizationIndex]]; `n` must match
+    * the build (default 8). */
+  def memIndexProbeTvf(args: Seq[Expression]): LogicalPlan = {
+    val idx = strArg(args.head, "mem_index_probe(indexTable)")
+    val docs = tableOf(strArg(args(1), "mem_index_probe(docsTable)"))
+    val n = if (args.length > 2) intArg(args(2), "mem_index_probe(n)") else 8
+    graft.operators.MemorizationIndex.probe(SparkSession.active, idx, docs, n)
+      .queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
@@ -258,7 +279,9 @@ object GraftFunctions {
     "prefix_jaccard" -> (prefixJaccardTvf _),
     "rrf_fuse" -> (rrfFuseTvf _),
     "ppl_buckets" -> (pplBucketsTvf _),
-    "ppl_buckets_approx" -> (pplBucketsApproxTvf _))
+    "ppl_buckets_approx" -> (pplBucketsApproxTvf _),
+    "fp_index_probe" -> (fpIndexProbeTvf _),
+    "mem_index_probe" -> (memIndexProbeTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

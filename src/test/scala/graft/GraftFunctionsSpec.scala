@@ -134,4 +134,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .groupBy(col("ppl_bucket")).agg(count(lit(1)).as("n"))
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
+
+  test("on-disk index probe TVFs are row-identical to the Scala probes") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tvf-idx").toString
+    graft.operators.FingerprintIndex.writeIndex(
+      docs.filter(col("doc_id") % 5 =!= 4), "fp_tvf_b", tmp + "/fp")
+    docs.filter(col("doc_id") % 5 === 4).createOrReplaceTempView("batch_tvf10")
+    val fpSql = spark.sql("SELECT * FROM fp_index_probe('fp_tvf_b', 'batch_tvf10')")
+    val fpApi = graft.operators.FingerprintIndex.probe(
+      spark, "fp_tvf_b", spark.table("batch_tvf10"))
+    assert(fpSql.exceptAll(fpApi).isEmpty && fpApi.exceptAll(fpSql).isEmpty)
+    graft.operators.MemorizationIndex.writeIndex(
+      docs.filter(col("doc_id") % 5 === 0), "mem_tvf_b", tmp + "/mem")
+    docs.createOrReplaceTempView("docs_tvf10")
+    val memSql = spark.sql("SELECT * FROM mem_index_probe('mem_tvf_b', 'docs_tvf10')")
+    val memApi = graft.operators.MemorizationIndex.probe(spark, "mem_tvf_b", docs)
+    assert(memSql.exceptAll(memApi).isEmpty && memApi.exceptAll(memSql).isEmpty)
+  }
 }
