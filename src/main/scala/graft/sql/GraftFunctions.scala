@@ -267,6 +267,65 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  // ---- graph family: edge tables (src, dst) → whole-table results ----
+
+  /** page_rank(edgesTbl[, iters, damping]) —
+    * [[graft.operators.Graph.pageRank]] (damping in percent). */
+  def pageRankTvf(args: Seq[Expression]): LogicalPlan = {
+    val edges = tableOf(strArg(args.head, "page_rank(edgesTable)"))
+    val it = if (args.length > 1) intArg(args(1), "page_rank(iters)") else 3
+    val d = if (args.length > 2) intArg(args(2), "page_rank(damping)") else 85
+    graft.operators.Graph.pageRank(edges, iters = it, damping = d)
+      .queryExecution.logical
+  }
+
+  /** label_prop(edgesTbl[, iters]) —
+    * [[graft.operators.Graph.labelPropagation]]. */
+  def labelPropTvf(args: Seq[Expression]): LogicalPlan = {
+    val edges = tableOf(strArg(args.head, "label_prop(edgesTable)"))
+    val it = if (args.length > 1) intArg(args(1), "label_prop(iters)") else 3
+    graft.operators.Graph.labelPropagation(edges, iters = it)
+      .queryExecution.logical
+  }
+
+  /** triangle_count(edgesTbl) —
+    * [[graft.operators.Graph.triangleCount]]. */
+  def triangleCountTvf(args: Seq[Expression]): LogicalPlan =
+    graft.operators.Graph.triangleCount(
+      tableOf(strArg(args.head, "triangle_count(edgesTable)")))
+      .queryExecution.logical
+
+  /** connected_components(pairsTbl) — union-find over an (a_id, b_id)
+    * pair table ([[graft.ext.Dedup.connectedComponents]]); the SQL
+    * path to cluster any candidate-pair TVF's output. */
+  def connectedComponentsTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Dedup.connectedComponents(
+      tableOf(strArg(args.head, "connected_components(pairsTable)")))
+      .queryExecution.logical
+
+  // ---- ANN / retrieval family ----
+
+  /** ann_topk(queriesTbl, corpusTbl[, k]) — brute-force cosine top-k
+    * of each query vector over the corpus
+    * ([[graft.ext.Similarity.serveTopK]]; both tables carry
+    * (vec_id, embedding)). */
+  def annTopkTvf(args: Seq[Expression]): LogicalPlan = {
+    val q = tableOf(strArg(args.head, "ann_topk(queriesTable)"))
+    val c = tableOf(strArg(args(1), "ann_topk(corpusTable)"))
+    val k = if (args.length > 2) intArg(args(2), "ann_topk(k)") else 10
+    graft.ext.Similarity.serveTopK(q, c, k).queryExecution.logical
+  }
+
+  /** bm25_topk(tbl, 'term term ...'[, k]) — whitespace-separated
+    * query terms ([[graft.ext.TextAnalysis.bm25TopK]]). */
+  def bm25TopkTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "bm25_topk(table)"))
+    val terms = strArg(args(1), "bm25_topk(terms)")
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val k = if (args.length > 2) intArg(args(2), "bm25_topk(k)") else 20
+    graft.ext.TextAnalysis.bm25TopK(df, terms, k).queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
@@ -281,7 +340,13 @@ object GraftFunctions {
     "ppl_buckets" -> (pplBucketsTvf _),
     "ppl_buckets_approx" -> (pplBucketsApproxTvf _),
     "fp_index_probe" -> (fpIndexProbeTvf _),
-    "mem_index_probe" -> (memIndexProbeTvf _))
+    "mem_index_probe" -> (memIndexProbeTvf _),
+    "page_rank" -> (pageRankTvf _),
+    "label_prop" -> (labelPropTvf _),
+    "triangle_count" -> (triangleCountTvf _),
+    "connected_components" -> (connectedComponentsTvf _),
+    "ann_topk" -> (annTopkTvf _),
+    "bm25_topk" -> (bm25TopkTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -135,6 +135,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
   }
 
+  test("graph and ANN TVFs are row-identical to the Scala API") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    def sameAs(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql)
+      assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty, sql)
+    }
+    val li = graft.sources.Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    li.createOrReplaceTempView("edges_tvf")
+    sameAs("SELECT * FROM page_rank('edges_tvf', 2, 85)",
+      graft.operators.Graph.pageRank(li, iters = 2))
+    sameAs("SELECT * FROM label_prop('edges_tvf', 2)",
+      graft.operators.Graph.labelPropagation(li, iters = 2))
+    sameAs("SELECT * FROM triangle_count('edges_tvf')",
+      graft.operators.Graph.triangleCount(li))
+    li.select(col("src").as("a_id"), col("dst").as("b_id"))
+      .createOrReplaceTempView("pairs_tvf")
+    sameAs("SELECT * FROM connected_components('pairs_tvf')",
+      graft.ext.Dedup.connectedComponents(spark.table("pairs_tvf")))
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    emb.createOrReplaceTempView("corpus_tvf")
+    emb.filter(col("vec_id") < 3).createOrReplaceTempView("queries_tvf")
+    sameAs("SELECT * FROM ann_topk('queries_tvf', 'corpus_tvf', 5)",
+      graft.ext.Similarity.serveTopK(
+        spark.table("queries_tvf"), emb, 5))
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    docs.createOrReplaceTempView("docs_bm25_tvf")
+    sameAs("SELECT * FROM bm25_topk('docs_bm25_tvf', 'spark data join', 7)",
+      graft.ext.TextAnalysis.bm25TopK(docs, Seq("spark", "data", "join"), 7))
+  }
+
   test("on-disk index probe TVFs are row-identical to the Scala probes") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
