@@ -604,6 +604,55 @@ object Dedup {
           s => s.getField("passage"))).as("clean_text"))
   }
 
+  /** Cross-document line-level boilerplate removal (the CCNet /
+    * RefinedWeb cleaning pass): any line whose trimmed content
+    * appears in at least `minDocs` DISTINCT documents is boilerplate
+    * (nav bars, cookie banners, license footers) and is struck from
+    * EVERY document; remaining lines are reassembled in order.
+    * Complements [[passageDedup]] (which keeps ONE copy of a repeated
+    * passage; boilerplate must instead be dropped everywhere).
+    *
+    * Scale shape: one posexplode of the corpus into lines; the
+    * boilerplate census is a map-side-combined count-distinct on the
+    * line hash (a footer shared by 10⁸ docs is ONE key, never a
+    * fanout); the qualifying set is bounded by totalLines/minDocs and
+    * in practice tiny, so it size-gate-broadcasts back (shuffle join
+    * fallback above `broadcastMaxFps`); reassembly is ONE shuffle
+    * keyed on doc id — the membership flag rides the line rows into a
+    * conditional collect, so no anti-join + re-join with the source
+    * is needed. sort_array over (pos, line) structs makes rebuild
+    * order deterministic under parallel collection.
+    *
+    * @return (doc_id, text, n_lines, n_removed) — text is "" when
+    *         every line was boilerplate.
+    */
+  def lineDedup(df: DataFrame, minDocs: Long = 3,
+      broadcastMaxFps: Long = 5000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("f", md5(trim(col("line"))))
+    val boiler = lines.groupBy("f")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("f"), lit(true).as("isb"))
+      .localCheckpoint()
+    val small = boiler.count() <= broadcastMaxFps
+    val flagged = lines.join(
+      if (small) broadcast(boiler) else boiler, Seq("f"), "left")
+    // boiler's pinned blocks stay live until the caller consumes the
+    // result (session owners reclaim via Checkpoints.releaseAll)
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("isb")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("isb").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text"))
+      .select(col(idCol), col("text"),
+        col("n_lines").cast(IntegerType).as("n_lines"),
+        col("n_removed").cast(IntegerType).as("n_removed"))
+  }
+
   /** Incremental (delta) dedup: screen a NEW batch of documents
     * against a historical fingerprint index WITHOUT touching the
     * historical corpus — the nightly-ingest production shape, where

@@ -1070,6 +1070,29 @@ object ExtOracles {
         |    (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM r3)
         |SELECT l_orderkey, l_linenumber, x | (y << 1) AS zv FROM r4""".stripMargin,
 
+    // cross-doc boilerplate: lines (planted banners + near-dup-chain
+    // repeats) in >= 3 distinct docs struck everywhere, rebuild by pos
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |pl AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' END,
+        |    regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g'),
+        |    CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved' END) AS text FROM t),
+        |lines AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, sl[CAST(i+1 AS INTEGER)] AS line
+        |  FROM (SELECT doc_id, sl, unnest(range(0, len(sl))) AS i
+        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM pl) s0) s1),
+        |fp AS (SELECT doc_id, pos, line, md5(trim(line)) AS f FROM lines),
+        |boiler AS (SELECT f FROM fp GROUP BY f HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM fp WHERE f NOT IN (SELECT f FROM boiler)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |        count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM fp GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(a.text, '') AS text,
+        |  CAST(tot.n_lines AS INTEGER) AS n_lines,
+        |  CAST(tot.n_lines - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed
+        |FROM t JOIN tot ON t.doc_id = tot.doc_id
+        |LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+
     // global first occurrence by (doc_id, idx) = row_number() = 1,
     // identical to Spark's min-struct keeper
     "q_dedup_passage" ->

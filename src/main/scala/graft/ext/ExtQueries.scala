@@ -334,6 +334,22 @@ object ExtQueries {
     Dedup.passageDedup(planted, span = 10)
   }
 
+  /** Line-level boilerplate removal: docs reflowed into 10-token
+    * lines, a "subscribe" banner planted on every 3rd doc and a
+    * rights footer on every 4th — those (plus any line the corpus's
+    * planted near-dup chains repeat across ≥3 docs) must vanish from
+    * every document, with the remaining lines reassembled in order. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val planted = docs.select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter")),
+        regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n"),
+        when(col("doc_id") % 4 === 0, lit("all rights reserved")))
+        .as("text"))
+    Dedup.lineDedup(planted, minDocs = 3)
+  }
+
   /** Incremental dedup of a new batch against the historical
     * fingerprint index: history = doc_id % 5 ≠ 4; the new batch is the
     * held-out docs plus simulated re-crawls of every 7th historical

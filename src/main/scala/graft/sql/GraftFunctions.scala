@@ -267,6 +267,14 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** line_dedup(tbl[, minDocs]) — cross-document boilerplate-line
+    * removal ([[graft.ext.Dedup.lineDedup]]). */
+  def lineDedupTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "line_dedup(table)"))
+    val md = if (args.length > 1) intArg(args(1), "line_dedup(minDocs)") else 3
+    graft.ext.Dedup.lineDedup(df, minDocs = md).queryExecution.logical
+  }
+
   // ---- graph family: edge tables (src, dst) → whole-table results ----
 
   /** page_rank(edgesTbl[, iters, damping]) —
@@ -341,6 +349,7 @@ object GraftFunctions {
     "ppl_buckets_approx" -> (pplBucketsApproxTvf _),
     "fp_index_probe" -> (fpIndexProbeTvf _),
     "mem_index_probe" -> (memIndexProbeTvf _),
+    "line_dedup" -> (lineDedupTvf _),
     "page_rank" -> (pageRankTvf _),
     "label_prop" -> (labelPropTvf _),
     "triangle_count" -> (triangleCountTvf _),

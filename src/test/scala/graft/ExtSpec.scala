@@ -445,6 +445,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3)._1 == 2L && out(3)._2 == 2L, s"unique doc unchanged: ${out(3)}")
   }
 
+  test("line dedup: boilerplate lines vanish everywhere, order preserved, both join paths agree") {
+    val d = Seq(
+      Doc(1, "cookie banner\nreal content of doc one\ncookie banner"),
+      Doc(2, "cookie banner\nsomething else entirely"),
+      Doc(3, "  cookie banner \nthird doc body"),
+      Doc(4, "cookie banner")).toDF
+    val out = Dedup.lineDedup(d, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // trim-normalized "cookie banner" appears in 4 distinct docs (doc 1
+    // twice counts once) -> struck from all, including the padded form
+    assert(out(1) == (("real content of doc one", 3, 2)), s"${out(1)}")
+    assert(out(2) == (("something else entirely", 2, 1)), s"${out(2)}")
+    assert(out(3) == (("third doc body", 2, 1)), s"${out(3)}")
+    assert(out(4) == (("", 1, 1)), "fully-boilerplate doc keeps a row with empty text")
+    // below threshold nothing is removed
+    val keep = Dedup.lineDedup(d, minDocs = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(keep.values.forall(_ == 0), s"minDocs above fan-in removes nothing: $keep")
+    // shuffle-join fallback (broadcast gate forced off) is identical
+    val bc = Dedup.lineDedup(d, minDocs = 3).collect().toSet
+    val sh = Dedup.lineDedup(d, minDocs = 3, broadcastMaxFps = 0L).collect().toSet
+    assert(bc == sh, "size-gated broadcast and shuffle paths must agree")
+  }
+
   test("incremental dedup: recrawls flag dup_history, batch dups flag dup_batch") {
     val hist = Seq(Doc(1, "historical content alpha"), Doc(2, "historical content beta")).toDF
     val index = Dedup.exactGroups(hist).select(col("fingerprint"), col("keeper_id"))

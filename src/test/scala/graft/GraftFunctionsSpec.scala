@@ -166,6 +166,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
     docs.createOrReplaceTempView("docs_bm25_tvf")
     sameAs("SELECT * FROM bm25_topk('docs_bm25_tvf', 'spark data join', 7)",
       graft.ext.TextAnalysis.bm25TopK(docs, Seq("spark", "data", "join"), 7))
+    sameAs("SELECT * FROM line_dedup('docs_bm25_tvf', 3)",
+      graft.ext.Dedup.lineDedup(docs, minDocs = 3))
   }
 
   test("on-disk index probe TVFs are row-identical to the Scala probes") {
