@@ -127,6 +127,45 @@ object Curation {
     * LOW-cardinality key (sources, not rows); the 20-row rate table
     * computes its windows locally and broadcast-joins back, so the
     * corpus itself is touched by exactly one narrow filter pass. */
+  /** C4-style line-quality cleaning (Raffel et al. 2020 §2.2): a line
+    * survives only if it ends in terminal punctuation (optionally
+    * quote-closed), has at least `minWords` words, and contains
+    * neither "lorem ipsum" nor a curly brace (code/boilerplate
+    * markers); a document is flagged keep only when at least
+    * `minKeptLines` lines survive. Complements [[gopherRules]]
+    * (document-level stats) and [[graft.ext.Dedup.lineDedup]]
+    * (cross-document line census): this pass is per-line LOCAL.
+    *
+    * Scale shape: every predicate is a codegen'd string op on the
+    * exploded line rows — no joins, no census, no broadcast; the ONLY
+    * shuffle is the doc-id reassembly group-by (partition-local when
+    * the source is bucketed by id). sort_array over (pos, line)
+    * structs keeps rebuild order deterministic.
+    *
+    * @return (doc_id, text, n_lines, n_kept, keep_doc) — text holds
+    *         the surviving lines, "" when none survive.
+    */
+  def c4Clean(df: DataFrame, minWords: Int = 3, minKeptLines: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val keep = trim(col("line")).rlike("[.!?][\"']?$") &&
+      size(split(trim(col("line")), "\\s+")) >= minWords &&
+      !lower(col("line")).contains("lorem ipsum") &&
+      !col("line").contains("{")
+    lines.withColumn("keep", keep)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("keep").cast(IntegerType)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("line"))))), s => s.getField("line")),
+          "\n").as("text"))
+      .select(col(idCol), col("text"),
+        col("n_lines").cast(IntegerType).as("n_lines"),
+        col("n_kept").cast(IntegerType).as("n_kept"),
+        (col("n_kept") >= minKeptLines).as("keep_doc"))
+  }
+
   def mixtureSample(df: DataFrame, weights: Map[String, Double],
       idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
     val w = weights.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {

@@ -1093,6 +1093,35 @@ object ExtOracles {
         |FROM t JOIN tot ON t.doc_id = tot.doc_id
         |LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
 
+    // C4 line rules: terminal punct + >=3 words + no lorem/brace;
+    // keep_doc when >=3 lines survive; rebuild by pos
+    "q_c4_clean" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |rf AS (SELECT doc_id, regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS b FROM t),
+        |pu AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |         THEN regexp_replace(b, chr(10), '.' || chr(10), 'g') || '.' ELSE b END AS b FROM rf),
+        |pl AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+        |    b,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'config { display none }' END) AS text FROM pu),
+        |lines AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, sl[CAST(i+1 AS INTEGER)] AS line
+        |  FROM (SELECT doc_id, sl, unnest(range(0, len(sl))) AS i
+        |        FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM pl) s0) s1),
+        |k AS (SELECT doc_id, pos, line,
+        |    (regexp_matches(trim(line), '[.!?]["'']?$')
+        |     AND len(regexp_split_to_array(trim(line), '\s+')) >= 3
+        |     AND position('lorem ipsum' IN lower(line)) = 0
+        |     AND position('{' IN line) = 0) AS keep
+        |  FROM lines),
+        |agg AS (SELECT doc_id,
+        |        string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos) AS text,
+        |        count(*) AS n_lines,
+        |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
+        |        FROM k GROUP BY doc_id)
+        |SELECT doc_id, COALESCE(text, '') AS text,
+        |  CAST(n_lines AS INTEGER) AS n_lines, n_kept,
+        |  n_kept >= 3 AS keep_doc FROM agg""".stripMargin,
+
     // global first occurrence by (doc_id, idx) = row_number() = 1,
     // identical to Spark's min-struct keeper
     "q_dedup_passage" ->

@@ -350,6 +350,26 @@ object ExtQueries {
     Dedup.lineDedup(planted, minDocs = 3)
   }
 
+  /** C4 line-quality cleaning: docs reflowed into 10-token lines;
+    * even docs get every line terminally punctuated (survive unless
+    * too short), odd docs none (every line drops); a lorem-ipsum
+    * line planted on every 5th doc and a curly-brace config line on
+    * every 7th must fall to their dedicated rules even when
+    * punctuated. */
+  def qC4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val reflow = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n")
+    val punct = when(col("doc_id") % 2 === 0,
+      concat(regexp_replace(reflow, "\n", ".\n"), lit("."))).otherwise(reflow)
+    val planted = docs.select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 5 === 0, lit("lorem ipsum dolor sit amet.")),
+        punct,
+        when(col("doc_id") % 7 === 0, lit("config { display none }")))
+        .as("text"))
+    Curation.c4Clean(planted)
+  }
+
   /** Incremental dedup of a new batch against the historical
     * fingerprint index: history = doc_id % 5 ≠ 4; the new batch is the
     * held-out docs plus simulated re-crawls of every 7th historical

@@ -275,6 +275,16 @@ object GraftFunctions {
     graft.ext.Dedup.lineDedup(df, minDocs = md).queryExecution.logical
   }
 
+  /** c4_clean(tbl[, minWords, minKeptLines]) — C4 line-quality
+    * cleaning ([[graft.ext.Curation.c4Clean]]). */
+  def c4CleanTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "c4_clean(table)"))
+    val mw = if (args.length > 1) intArg(args(1), "c4_clean(minWords)") else 3
+    val ml = if (args.length > 2) intArg(args(2), "c4_clean(minKeptLines)") else 3
+    graft.ext.Curation.c4Clean(df, minWords = mw, minKeptLines = ml)
+      .queryExecution.logical
+  }
+
   // ---- graph family: edge tables (src, dst) → whole-table results ----
 
   /** page_rank(edgesTbl[, iters, damping]) —
@@ -350,6 +360,7 @@ object GraftFunctions {
     "fp_index_probe" -> (fpIndexProbeTvf _),
     "mem_index_probe" -> (memIndexProbeTvf _),
     "line_dedup" -> (lineDedupTvf _),
+    "c4_clean" -> (c4CleanTvf _),
     "page_rank" -> (pageRankTvf _),
     "label_prop" -> (labelPropTvf _),
     "triangle_count" -> (triangleCountTvf _),

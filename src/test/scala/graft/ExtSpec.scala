@@ -469,6 +469,26 @@ class ExtSpec extends AnyFunSuite {
     assert(bc == sh, "size-gated broadcast and shuffle paths must agree")
   }
 
+  test("c4 clean: each line rule fires independently, doc gate needs 3 survivors") {
+    val d = Seq(
+      Doc(1, "a good long sentence here.\nno terminal punctuation line\n" +
+        "too short.\nlorem ipsum dolor sit amet.\nvar x = { a: 1 }.\n" +
+        "another quality sentence survives!\nand a third one does too?"),
+      Doc(2, "only one good sentence here.\nsecond good sentence right here.")).toDF
+    val out = Curation.c4Clean(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(out(1) == (("a good long sentence here.\n" +
+      "another quality sentence survives!\nand a third one does too?",
+      7, 3, true)), s"${out(1)}")
+    assert(out(2) == (("only one good sentence here.\nsecond good sentence right here.",
+      2, 2, false)), "two survivors fail the 3-line doc gate")
+    // quote-closed terminal punctuation is accepted
+    val q = Curation.c4Clean(
+      Seq(Doc(3, "he said \"this is a quote.\"")).toDF, minKeptLines = 1).collect()
+    assert(q.head.getBoolean(4), "punct+closing-quote line must survive")
+  }
+
   test("incremental dedup: recrawls flag dup_history, batch dups flag dup_batch") {
     val hist = Seq(Doc(1, "historical content alpha"), Doc(2, "historical content beta")).toDF
     val index = Dedup.exactGroups(hist).select(col("fingerprint"), col("keeper_id"))

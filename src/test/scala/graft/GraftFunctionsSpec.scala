@@ -168,6 +168,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.ext.TextAnalysis.bm25TopK(docs, Seq("spark", "data", "join"), 7))
     sameAs("SELECT * FROM line_dedup('docs_bm25_tvf', 3)",
       graft.ext.Dedup.lineDedup(docs, minDocs = 3))
+    sameAs("SELECT * FROM c4_clean('docs_bm25_tvf', 3, 1)",
+      graft.ext.Curation.c4Clean(docs, minWords = 3, minKeptLines = 1))
   }
 
   test("on-disk index probe TVFs are row-identical to the Scala probes") {
