@@ -166,6 +166,52 @@ object Curation {
         (col("n_kept") >= minKeptLines).as("keep_doc"))
   }
 
+  /** Model-based quality filtering — the fastText-classifier-apply
+    * stage of CCNet/LLaMA-style pipelines: each document scores the
+    * MEAN WEIGHT of its hashed word bigrams under a linear model over
+    * `dims` hash buckets (weights: (bucket, w_micro) rows, trained
+    * offline), and `keep` thresholds that score. Integer micro
+    * weights summed as longs keep the result replay-exact under any
+    * partitioning (the [[bigramLogProb]] discipline); the mean is a
+    * truncating integer division for the same reason.
+    *
+    * Scale shape: tokenize-once checkpoint (the adjacent-pairs lambda
+    * would otherwise re-inline the tokenizer per element), bigrams
+    * hash map-side into buckets, the weight table (≤ dims rows)
+    * size-gate-broadcasts so scoring is a narrow probe, and the only
+    * corpus shuffle is the per-doc rollup. Docs with <2 tokens score
+    * 0 with n_grams = 0.
+    *
+    * @return (doc_id, n_grams, score_micro, keep).
+    */
+  def qualityClassify(docs: DataFrame, weights: DataFrame,
+      dims: Int = 1 << 16, thresholdMicro: Long = 0L,
+      broadcastMaxWeights: Long = 50000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint()
+    val grams = toks.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        TextAnalysis.adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+      .select(col(idCol), pmod(Dedup.portableHash60(
+        concat(col("b.w1"), lit(" "), col("b.w2"))), lit(dims.toLong))
+        .as("bucket"))
+    val w = weights.select(col("bucket"), col("w_micro")).localCheckpoint()
+    val small = w.count() <= broadcastMaxWeights
+    val scored = grams
+      .join(if (small) broadcast(w) else w, Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("w_micro"), lit(0L))).as("sw"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).cast(IntegerType).as("n_grams"),
+        coalesce(expr("sw div n_grams"), lit(0L)).as("score_micro"),
+        (coalesce(expr("sw div n_grams"), lit(0L)) >= thresholdMicro)
+          .as("keep"))
+  }
+
   def mixtureSample(df: DataFrame, weights: Map[String, Double],
       idCol: String = "doc_id", srcCol: String = "source"): DataFrame = {
     val w = weights.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {

@@ -1093,6 +1093,21 @@ object ExtOracles {
         |FROM t JOIN tot ON t.doc_id = tot.doc_id
         |LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
 
+    // classifier-apply: hashed-bigram mean micro-weight under the
+    // wrapper's Knuth-hash pseudo-model; 60-bit md5 hash contract
+    "q_quality_classify" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |g AS (SELECT doc_id, concat(toks[CAST(i AS INTEGER)], ' ', toks[CAST(i+1 AS INTEGER)]) AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t) x),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(gram),1,15)) AS BIGINT) % 65536 AS bucket FROM g),
+        |w AS (SELECT doc_id, (bucket * 2654435761) % 2000001 - 1000000 AS wm FROM h),
+        |s AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams, CAST(sum(wm) AS BIGINT) AS sw
+        |      FROM w GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+        |  CAST(COALESCE(sw // s.n_grams, 0) AS BIGINT) AS score_micro,
+        |  COALESCE(sw // s.n_grams, 0) >= 0 AS keep
+        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin,
+
     // C4 line rules: terminal punct + >=3 words + no lorem/brace;
     // keep_doc when >=3 lines survive; rebuild by pos
     "q_c4_clean" ->

@@ -370,6 +370,17 @@ object ExtQueries {
     Curation.c4Clean(planted)
   }
 
+  /** Classifier-apply quality gate: a deterministic pseudo-trained
+    * weight table (Knuth-hash micro weights in ±1e6 over 2^16
+    * buckets) scores every doc's hashed bigrams; keep = mean weight
+    * ≥ 0. */
+  def qQualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 1 << 16
+    val weights = spark.range(dims).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_micro"))
+    Curation.qualityClassify(Tables(spark, dir).documents, weights, dims)
+  }
+
   /** Incremental dedup of a new batch against the historical
     * fingerprint index: history = doc_id % 5 ≠ 4; the new batch is the
     * held-out docs plus simulated re-crawls of every 7th historical

@@ -285,6 +285,23 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** quality_classify(docsTbl, weightsTbl[, dims, thresholdMicro]) —
+    * hashed-bigram linear-model scoring
+    * ([[graft.ext.Curation.qualityClassify]]); weightsTbl carries
+    * (bucket, w_micro). */
+  def qualityClassifyTvf(args: Seq[Expression]): LogicalPlan = {
+    val docs = tableOf(strArg(args.head, "quality_classify(docsTable)"))
+    val w = tableOf(strArg(args(1), "quality_classify(weightsTable)"))
+    val dims =
+      if (args.length > 2) intArg(args(2), "quality_classify(dims)")
+      else 1 << 16
+    val thr =
+      if (args.length > 3) intArg(args(3), "quality_classify(thresholdMicro)")
+      else 0
+    graft.ext.Curation.qualityClassify(docs, w, dims, thr.toLong)
+      .queryExecution.logical
+  }
+
   // ---- graph family: edge tables (src, dst) → whole-table results ----
 
   /** page_rank(edgesTbl[, iters, damping]) —
@@ -361,6 +378,7 @@ object GraftFunctions {
     "mem_index_probe" -> (memIndexProbeTvf _),
     "line_dedup" -> (lineDedupTvf _),
     "c4_clean" -> (c4CleanTvf _),
+    "quality_classify" -> (qualityClassifyTvf _),
     "page_rank" -> (pageRankTvf _),
     "label_prop" -> (labelPropTvf _),
     "triangle_count" -> (triangleCountTvf _),

@@ -489,6 +489,31 @@ class ExtSpec extends AnyFunSuite {
     assert(q.head.getBoolean(4), "punct+closing-quote line must survive")
   }
 
+  test("quality classify: mean hashed-bigram weight, empty docs score 0, paths agree") {
+    val docs = Seq(Doc(1, "alpha beta gamma"), Doc(2, "single"),
+      Doc(3, "alpha beta")).toDF
+    // weight every bucket 5 micro: any doc with >=1 bigram scores 5
+    val flat = spark.range(1 << 16).select(col("id").as("bucket"),
+      lit(5L).as("w_micro"))
+    val out = Curation.qualityClassify(docs, flat).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1) == ((2, 5L, true)), s"${out(1)}")
+    assert(out(2) == ((0, 0L, true)), "no bigrams -> score 0")
+    assert(out(3) == ((1, 5L, true)), s"${out(3)}")
+    // negative uniform weights fail a positive threshold
+    val neg = spark.range(1 << 16).select(col("id").as("bucket"),
+      lit(-7L).as("w_micro"))
+    val o2 = Curation.qualityClassify(docs, neg, thresholdMicro = 1L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(o2 == Map(1L -> false, 2L -> false, 3L -> false))
+    // broadcast and shuffle join paths agree
+    val a = Curation.qualityClassify(docs, flat).collect().toSet
+    val b = Curation.qualityClassify(docs, flat, broadcastMaxWeights = 0L)
+      .collect().toSet
+    assert(a == b, "size-gated broadcast and shuffle paths must agree")
+  }
+
   test("incremental dedup: recrawls flag dup_history, batch dups flag dup_batch") {
     val hist = Seq(Doc(1, "historical content alpha"), Doc(2, "historical content beta")).toDF
     val index = Dedup.exactGroups(hist).select(col("fingerprint"), col("keeper_id"))

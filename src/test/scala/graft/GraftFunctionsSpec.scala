@@ -170,6 +170,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.ext.Dedup.lineDedup(docs, minDocs = 3))
     sameAs("SELECT * FROM c4_clean('docs_bm25_tvf', 3, 1)",
       graft.ext.Curation.c4Clean(docs, minWords = 3, minKeptLines = 1))
+    spark.range(1 << 16).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_micro"))
+      .createOrReplaceTempView("weights_tvf")
+    sameAs("SELECT * FROM quality_classify('docs_bm25_tvf', 'weights_tvf')",
+      graft.ext.Curation.qualityClassify(docs, spark.table("weights_tvf")))
   }
 
   test("on-disk index probe TVFs are row-identical to the Scala probes") {
