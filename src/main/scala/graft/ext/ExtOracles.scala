@@ -1093,6 +1093,20 @@ object ExtOracles {
         |FROM t JOIN tot ON t.doc_id = tot.doc_id
         |LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
 
+    // char-level Shannon entropy, per-term micro rounding before the
+    // long sum (ln is empirically bit-identical between engines here)
+    "q_char_entropy" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM t),
+        |h AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS INTEGER) AS n_distinct_chars FROM h GROUP BY doc_id),
+        |e AS (SELECT h.doc_id,
+        |        CAST(sum(CAST(round(1000000.0 * cnt * ln(CAST(n AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS s
+        |      FROM h JOIN n ON h.doc_id = n.doc_id GROUP BY h.doc_id)
+        |SELECT n.doc_id, CAST(n.n AS INTEGER) AS n_chars, n.n_distinct_chars,
+        |  CAST(e.s // n.n AS BIGINT) AS entropy_micro
+        |FROM n JOIN e ON n.doc_id = e.doc_id""".stripMargin,
+
     // classifier-apply: hashed-bigram mean micro-weight under the
     // wrapper's Knuth-hash pseudo-model; 60-bit md5 hash contract
     "q_quality_classify" ->

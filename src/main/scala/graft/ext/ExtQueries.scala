@@ -381,6 +381,10 @@ object ExtQueries {
     Curation.qualityClassify(Tables(spark, dir).documents, weights, dims)
   }
 
+  /** Char-entropy quality signal over the raw corpus. */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables(spark, dir).documents)
+
   /** Incremental dedup of a new batch against the historical
     * fingerprint index: history = doc_id % 5 ≠ 4; the new batch is the
     * held-out docs plus simulated re-crawls of every 7th historical

@@ -103,6 +103,45 @@ object TextAnalysis {
     * codegen'd column — the per-term score sum is a FIXED-ORDER
     * left-assoc chain, which is what lets DuckDB replay the doubles
     * bit-for-bit. */
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish/binary/encoded-blob detector that complements
+    * [[graft.ext.Curation.repetitionScore]] (token repetition) and
+    * [[withStats]] (length/punct ratios): natural-language text sits
+    * in a narrow entropy band, base64 blobs and key-mash far outside
+    * it. H = Σ (c/n)·ln(n/c) over the per-doc char histogram; each
+    * char's term is rounded to integer micro-nats BEFORE the per-doc
+    * sum and the mean is a truncating integer division — the
+    * [[graft.ext.Curation.bigramLogProb]] replay-exactness
+    * discipline (summation order cannot perturb a long sum; every
+    * term is ≥ 0 so HALF_UP and half-away-from-zero agree).
+    *
+    * Scale shape: explode is map-side; the histogram is one shuffle
+    * on (doc, char) with partial combine (alphabet-bounded fanout:
+    * ≤ |charset| rows per doc); totals and terms re-key by doc id.
+    * Docs with empty text drop out (no histogram).
+    *
+    * @return (doc_id, n_chars, n_distinct_chars, entropy_micro).
+    */
+  def charEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // two consumers (totals, terms) — materialize the histogram once
+    val h = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val n = h.groupBy(col(idCol)).agg(sum(col("cnt")).as("n"),
+      count(lit(1)).cast(IntegerType).as("n_distinct_chars"))
+    val e = h.join(n.select(col(idCol), col("n")), Seq(idCol))
+      .select(col(idCol),
+        round(lit(1e6) * col("cnt") *
+          log(col("n").cast(DoubleType) / col("cnt")))
+          .cast(LongType).as("term"))
+      .groupBy(col(idCol)).agg(sum(col("term")).as("s"))
+    n.join(e, Seq(idCol))
+      .select(col(idCol), col("n").cast(IntegerType).as("n_chars"),
+        col("n_distinct_chars"), expr("s div n").as("entropy_micro"))
+  }
+
   def bm25TopK(df: DataFrame, terms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -514,6 +514,18 @@ class ExtSpec extends AnyFunSuite {
     assert(a == b, "size-gated broadcast and shuffle paths must agree")
   }
 
+  test("char entropy: closed-form values on degenerate and uniform strings") {
+    val d = Seq(Doc(1, "aaaa"), Doc(2, "abab"), Doc(3, "abcd"),
+      Doc(4, "")).toDF
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(out(1) == ((4, 1, 0L)), "single-char string has zero entropy")
+    assert(out(2) == ((4, 2, 693147L)), "two uniform chars -> ln 2 micro-nats")
+    assert(out(3) == ((4, 4, 1386294L)), "four uniform chars -> ln 4")
+    assert(!out.contains(4L), "empty text drops out")
+  }
+
   test("incremental dedup: recrawls flag dup_history, batch dups flag dup_batch") {
     val hist = Seq(Doc(1, "historical content alpha"), Doc(2, "historical content beta")).toDF
     val index = Dedup.exactGroups(hist).select(col("fingerprint"), col("keeper_id"))
