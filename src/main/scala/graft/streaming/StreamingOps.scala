@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -147,6 +147,31 @@ object StreamingOps {
         col("quality_score") >= minQuality)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         col("fingerprint"))
+
+  /** Streaming twin of [[graft.ext.Curation.c4Clean]]: because the
+    * line rules are document-LOCAL, the streaming form needs no
+    * explode/regroup at all — the per-line predicate runs inside a
+    * `filter` higher-order function over the split array, one row in,
+    * one row out, stateless (no watermark, no state store; the
+    * lambda only references its own element, so no projection-
+    * collapse re-evaluation). Batch callers preferring the
+    * explode shape keep the original; StreamingSpec asserts the two
+    * are row-identical on the same documents. */
+  def c4CleanStream(docs: DataFrame, minWords: Int = 3,
+      minKeptLines: Int = 3): DataFrame = {
+    def keepLine(l: Column): Column =
+      trim(l).rlike("[.!?][\"']?$") &&
+        size(split(trim(l), "\\s+")) >= minWords &&
+        !lower(l).contains("lorem ipsum") && !l.contains("{")
+    docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", filter(col("lines"), keepLine _))
+      .select(col("doc_id"),
+        array_join(col("kept"), "\n").as("text"),
+        size(col("lines")).as("n_lines"),
+        size(col("kept")).as("n_kept"),
+        (size(col("kept")) >= minKeptLines).as("keep_doc"))
+  }
 
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact

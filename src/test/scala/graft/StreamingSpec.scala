@@ -55,6 +55,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming c4 clean ≡ batch twin (stateless per-row line rules)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "a good long sentence here.\nno punct line\nshort.\n" +
+        "lorem ipsum dolor sit amet.\nvar x = { a: 1 }.\n" +
+        "another quality sentence survives!\nand a third one does too?"),
+      (2L, "only one good sentence here.\nsecond good sentence right here."),
+      (3L, "nothing survives this one"))
+    val q = StreamingOps.c4CleanStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("c4_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val batch = graft.ext.Curation.c4Clean(rows.toDF("doc_id", "text"))
+      assert(spark.table("c4_out").collect().toSet == batch.collect().toSet,
+        "streamed c4 clean must be row-identical to the batch operator")
+    } finally q.stop()
+  }
+
   test("streaming curation gate ≡ batch twin; per-source governance agg runs Complete") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
