@@ -629,18 +629,35 @@ object Dedup {
   def lineDedup(df: DataFrame, minDocs: Long = 3,
       broadcastMaxFps: Long = 5000000L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("f", md5(trim(col("line"))))
-    val boiler = lines.groupBy("f")
+    val boiler = explodeLines(df, idCol, textCol).groupBy("f")
       .agg(count_distinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("f"), lit(true).as("isb"))
+      .filter(col("nd") >= minDocs).select("f")
       .localCheckpoint()
-    val small = boiler.count() <= broadcastMaxFps
-    val flagged = lines.join(
-      if (small) broadcast(boiler) else boiler, Seq("f"), "left")
     // boiler's pinned blocks stay live until the caller consumes the
     // result (session owners reclaim via Checkpoints.releaseAll)
+    lineDedupAgainst(df, boiler,
+      boiler.count() <= broadcastMaxFps, idCol, textCol)
+  }
+
+  private def explodeLines(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("f", md5(trim(col("line"))))
+
+  /** Strike every line of `df` whose fingerprint is in `boiler`
+    * ((f) rows — a [[lineDedup]] census, or a persisted
+    * [[graft.operators.BoilerplateIndex]] table) and reassemble.
+    * `forceBroadcast` pins the census to the map side; pass false
+    * when it comes from a bucketed on-disk table so the planner can
+    * use the index's own layout instead. Same output contract as
+    * [[lineDedup]]. */
+  def lineDedupAgainst(df: DataFrame, boiler: DataFrame,
+      forceBroadcast: Boolean = true, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val b = boiler.select(col("f"), lit(true).as("isb"))
+    val flagged = explodeLines(df, idCol, textCol).join(
+      if (forceBroadcast) broadcast(b) else b, Seq("f"), "left")
     flagged.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         count(col("isb")).as("n_removed"),

@@ -2016,5 +2016,6 @@ object ExtOracles {
   // twin's one-shot replay verbatim.
   val all: Map[String, String] = base ++ Map(
     "q_dedup_indexed" -> base("q_dedup_incremental"),
-    "q_memorization_indexed" -> base("q_memorization"))
+    "q_memorization_indexed" -> base("q_memorization"),
+    "q_line_dedup_indexed" -> base("q_line_dedup"))
 }

@@ -339,15 +339,30 @@ object ExtQueries {
     * rights footer on every 4th — those (plus any line the corpus's
     * planted near-dup chains repeat across ≥3 docs) must vanish from
     * every document, with the remaining lines reassembled in order. */
-  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val planted = docs.select(col("doc_id"),
+  private def plantedLineDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"),
       concat_ws("\n",
         when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter")),
         regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n"),
         when(col("doc_id") % 4 === 0, lit("all rights reserved")))
         .as("text"))
-    Dedup.lineDedup(planted, minDocs = 3)
+
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(plantedLineDocs(spark, dir), minDocs = 3)
+
+  /** Disk-index twin of [[qLineDedup]]: the boilerplate census
+    * persisted as a bucketed external table
+    * ([[graft.operators.BoilerplateIndex]]) and probed — the nightly
+    * shape where history's census cleans each new batch without
+    * re-counting history. */
+  def qLineDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedLineDocs(spark, dir)
+    val bpPath = System.getProperty("java.io.tmpdir") + "/graft_bp_idx"
+    ensureIndex(spark, "graft_bp_idx", bpPath, dir) {
+      graft.operators.BoilerplateIndex.writeIndex(
+        planted, "graft_bp_idx", bpPath, minDocs = 3)
+    }
+    graft.operators.BoilerplateIndex.probe(spark, "graft_bp_idx", planted)
   }
 
   /** C4 line-quality cleaning: docs reflowed into 10-token lines;

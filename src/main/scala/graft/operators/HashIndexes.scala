@@ -94,6 +94,43 @@ object FingerprintIndex {
       "fingerprint")
 }
 
+/** On-disk boilerplate-line census: the line fingerprints that
+  * [[graft.ext.Dedup.lineDedup]] would strike, persisted as a
+  * bucketed external table. [[writeIndex]] runs the count-distinct
+  * census over a historical corpus once; [[probe]] cleans any new
+  * batch against it without re-counting history — the nightly-ingest
+  * shape of the CCNet/RefinedWeb cleaning pass. The census is a
+  * thresholded count (not append-mergeable row-by-row), so growing
+  * the reference corpus means re-running [[writeIndex]] on its
+  * cadence rather than appending.
+  */
+object BoilerplateIndex {
+
+  /** Census + persist: line fingerprints appearing in at least
+    * `minDocs` distinct docs of `corpus`, rows (f, n_docs). */
+  def writeIndex(corpus: DataFrame, table: String, path: String,
+      minDocs: Long = 3, idCol: String = "doc_id",
+      textCol: String = "text", numBuckets: Int = 0): Unit = {
+    val census = corpus.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col(idCol), md5(trim(col("line"))).as("f"))
+      .groupBy("f").agg(count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    HashIndexWriter.write(census, table, path, "f", numBuckets)
+  }
+
+  /** Clean `docs` against a written census — identical answers to
+    * [[graft.ext.Dedup.lineDedup]] when the census came from the
+    * same corpus/threshold (IOSpec asserts). The census table is
+    * small; Spark's size-based broadcast threshold picks the probe
+    * side on its own, so no forced hint is needed. */
+  def probe(spark: SparkSession, table: String, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.ext.Dedup.lineDedupAgainst(docs,
+      spark.table(table).select("f"), forceBroadcast = false,
+      idCol, textCol)
+}
+
 /** On-disk memorization/contamination gram index: the distinct salted
   * n-gram 60-bit hash set of a reference corpus
   * ([[graft.ext.Curation.memorizationRefSet]]), bucketed by hash.

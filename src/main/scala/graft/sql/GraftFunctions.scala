@@ -256,6 +256,15 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** bp_index_probe(indexTbl, docsTbl) — clean docs against a written
+    * [[graft.operators.BoilerplateIndex]] line census. */
+  def bpIndexProbeTvf(args: Seq[Expression]): LogicalPlan = {
+    val idx = strArg(args.head, "bp_index_probe(indexTable)")
+    val docs = tableOf(strArg(args(1), "bp_index_probe(docsTable)"))
+    graft.operators.BoilerplateIndex.probe(SparkSession.active, idx, docs)
+      .queryExecution.logical
+  }
+
   /** mem_index_probe(indexTbl, docsTbl[, n]) — score docs against a
     * written [[graft.operators.MemorizationIndex]]; `n` must match
     * the build (default 8). */
@@ -376,6 +385,7 @@ object GraftFunctions {
     "ppl_buckets_approx" -> (pplBucketsApproxTvf _),
     "fp_index_probe" -> (fpIndexProbeTvf _),
     "mem_index_probe" -> (memIndexProbeTvf _),
+    "bp_index_probe" -> (bpIndexProbeTvf _),
     "line_dedup" -> (lineDedupTvf _),
     "c4_clean" -> (c4CleanTvf _),
     "quality_classify" -> (qualityClassifyTvf _),

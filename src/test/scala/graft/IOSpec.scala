@@ -139,6 +139,23 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("boilerplate index probe cleans identically to the in-memory census") {
+    import graft.operators.BoilerplateIndex
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"),
+        concat_ws("\n", lit("shared banner line"),
+          col("text"), lit("footer boilerplate here")).as("text"))
+    BoilerplateIndex.writeIndex(docs, "bp_index_b",
+      tmp("graft-bpidx") + "/idx", minDocs = 3)
+    val viaIndex = BoilerplateIndex.probe(spark, "bp_index_b", docs)
+    val inMemory = graft.ext.Dedup.lineDedup(docs, minDocs = 3)
+    assert(viaIndex.exceptAll(inMemory).isEmpty &&
+      inMemory.exceptAll(viaIndex).isEmpty,
+      "persisted census must clean identically to lineDedup")
+    // every doc lost exactly the two planted universal lines
+    assert(viaIndex.filter(col("n_removed") < 2).count() === 0)
+  }
+
   test("memorization index append keeps gram hashes distinct (scores stay exact)") {
     import graft.operators.MemorizationIndex
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
