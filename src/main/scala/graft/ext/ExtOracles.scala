@@ -1667,6 +1667,43 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // entity resolution: digit-string strong-key blocking (block cap
+    // 64), letter-string edit-distance-1 match, recursive min-label
+    // closure; singletons resolve to themselves
+    "q_entity_resolution" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey AS record_id, c_name AS name FROM customer
+        |  UNION ALL SELECT c_custkey + 1000000,
+        |    replace(c_name, 'Customer', 'Custoomer')
+        |    FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT c_custkey + 2000000,
+        |    replace(c_name, 'Customer', 'Custmer')
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey + 3000000,
+        |    concat('  ', upper(c_name), ' ')
+        |    FROM customer WHERE c_custkey % 3 = 0),
+        |n AS (SELECT record_id,
+        |    regexp_replace(lower(trim(name)), '[^a-z]', '', 'g') AS letters,
+        |    regexp_replace(lower(trim(name)), '[^0-9]', '', 'g') AS digits
+        |  FROM recs),
+        |bc AS (SELECT digits, count(*) AS c FROM n WHERE digits != ''
+        |       GROUP BY 1),
+        |nb AS (SELECT n.* FROM n JOIN bc USING (digits) WHERE bc.c <= 64),
+        |e AS (SELECT a.record_id AS src, b.record_id AS dst
+        |      FROM nb a JOIN nb b USING (digits)
+        |      WHERE a.record_id < b.record_id
+        |        AND levenshtein(a.letters, b.letters) <= 1),
+        |edges AS (SELECT src AS s, dst AS d FROM e
+        |          UNION SELECT dst, src FROM e),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.label FROM reach r JOIN edges e ON e.d = r.node),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach
+        |         GROUP BY node)
+        |SELECT n.record_id, COALESCE(comp.component, n.record_id) AS entity_id
+        |FROM n LEFT JOIN comp ON n.record_id = comp.node""".stripMargin,
+
     // exact 5-NN majority vote on integer-micro squared L2
     "q_knn_classify" ->
       """WITH c AS (SELECT vec_id, label, list_transform(embedding,

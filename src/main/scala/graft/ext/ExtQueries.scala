@@ -676,6 +676,15 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Entity resolution over customers with deterministic dirty
+    * variants (insert/delete typos, case/whitespace noise): strong-key
+    * blocking on the digit string + edit-distance-1 letter match +
+    * transitive closure — every variant family must collapse back to
+    * its clean record's id. */
+  def qEntityResolution(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.resolve(
+      EntityResolution.customerVariants(Tables(spark, dir).customer))
+
   /** Span-removal decontamination: a 12-token benchmark sentence is
     * planted on the bench split (id % 97 == 0) and on every 13th
     * train doc, whose copies must then be cut. */

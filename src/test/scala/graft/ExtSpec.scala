@@ -828,4 +828,35 @@ class ExtSpec extends AnyFunSuite {
       graft.ext.TextAnalysis.tokens($"text")).head.getSeq[String](0).size
     assert(byDoc(1L).size <= g1 - 2, "cannot select more than gram count")
   }
+
+  test("entityResolution: typo variants collapse transitively, strangers stay apart") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "Acme Corp #001122"),       // clean
+      (2L, "Acme Corpp #001122"),      // insertion, dist 1 from clean
+      (3L, "Acme Crp #001122"),        // deletion, dist 1 from clean, 2 from rec 2
+      (4L, "  ACME CORP #001122  "),   // case/space noise, dist 0
+      (5L, "Zenith Ltd #001122"),      // same strong key, far letters
+      (6L, "Acme Corp #009988"),       // same letters, different strong key
+      (7L, "No Digits Here")           // empty strong key -> singleton
+    ).toDF("record_id", "name")
+    val out = EntityResolution.resolve(recs).as[(Long, Long)].collect().toMap
+    // 2 and 3 are edit distance 2 apart — linked only THROUGH 1
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L), s"family broken: $out")
+    assert(out(5L) == 5L && out(6L) == 6L && out(7L) == 7L)
+  }
+
+  test("entityResolution: oversized blocks are never compared pairwise") {
+    import spark.implicits._
+    // 5 identical-letter records share one strong key; cap at 4 blocks
+    // nothing links, every record resolves to itself
+    val recs = (1L to 5L).map(i => (i, s"Same Name #42")).toDF("record_id", "name")
+    val out = EntityResolution.resolve(recs, maxBlock = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(i => out(i) == i), s"block cap ignored: $out")
+    // and with the cap lifted they all merge
+    val merged = EntityResolution.resolve(recs, maxBlock = 64)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(i => merged(i) == 1L), s"expected one entity: $merged")
+  }
 }
