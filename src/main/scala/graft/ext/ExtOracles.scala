@@ -1667,6 +1667,30 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // count-min heavy hitters: bigram keys, 4x256 portable-md5
+    // sketch, sample-proposed candidates estimated as min over the
+    // 4 addressed counters; estimate >= exact by construction
+    "q_cms_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS key
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2) x),
+        |vc AS (SELECT key, count(*) AS exact_n FROM bg GROUP BY 1),
+        |ex AS (SELECT key, exact_n, CAST(seed AS INTEGER) AS seed,
+        |    CAST(concat('0x', substr(md5('cms' || CAST(seed AS VARCHAR)
+        |      || '|' || key), 1, 15)) AS BIGINT) % 256 AS bucket
+        |  FROM vc CROSS JOIN (SELECT unnest(range(0, 4)) AS seed) s),
+        |sk AS (SELECT seed, bucket, CAST(sum(exact_n) AS BIGINT) AS c
+        |       FROM ex GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT key FROM bg WHERE doc_id % 8 = 0),
+        |est AS (SELECT e.key, min(sk.c) AS cms_est
+        |        FROM ex e JOIN sk USING (seed, bucket)
+        |             JOIN cand USING (key)
+        |        GROUP BY 1)
+        |SELECT e.key, vc.exact_n, e.cms_est
+        |FROM est e JOIN vc USING (key)
+        |ORDER BY cms_est DESC, key LIMIT 50""".stripMargin,
+
     // entity resolution: digit-string strong-key blocking (block cap
     // 64), letter-string edit-distance-1 match, recursive min-label
     // closure; singletons resolve to themselves

@@ -676,6 +676,12 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Count-min heavy-hitter bigrams: sample proposes candidates, the
+    * fixed 4×256 sketch scores them at full-corpus weight; exact
+    * counts ride along so `cms_est ≥ exact_n` is oracle-checked. */
+  def qCmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Sketches.cmsHeavyHitters(Tables(spark, dir).documents)
+
   /** Entity resolution over customers with deterministic dirty
     * variants (insert/delete typos, case/whitespace noise): strong-key
     * blocking on the digit string + edit-distance-1 letter match +

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expressions.Md5Hash60
+
+/** Fixed-memory frequency sketches (Cormode–Muthukrishnan count-min).
+  * The sketch answers "how often does key x occur?" with one-sided
+  * error (estimate ≥ truth; overshoot ≤ εN with probability 1−δ at
+  * width e/ε, depth ln 1/δ) in depth×width counters TOTAL — state
+  * does not grow with the corpus, which is the whole point at 100 TB:
+  * vocabulary-sized exact counts need a key-wide shuffle every batch,
+  * while sketch counters are a constant-size mergeable summary that
+  * adds across shards/batches/days by plain +.
+  *
+  * Hashes are the portable md5-60 contract, so a DuckDB replay builds
+  * the bit-identical sketch and every estimate is oracle-checkable.
+  */
+object Sketches {
+
+  private def bucket(keyCol: Column, seed: Int, width: Int): Column =
+    Md5Hash60.hash60(concat(lit(s"cms$seed|"), keyCol)) % width
+
+  /** The ×depth (seed, bucket) expansion of a key column — shared by
+    * the sketch build and the probe so both address identically. */
+  private def addressed(keyCol: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(s =>
+      struct(lit(s).as("seed"), bucket(keyCol, s, width).as("bucket"))): _*))
+
+  /** Build a count-min sketch over a key stream (one row per key
+    * OCCURRENCE, e.g. the exploded token or bigram stream).
+    *
+    * Scale shape: occurrences first collapse to (key, cnt) — one
+    * key-clustered shuffle with map-side combine — so the ×depth
+    * expansion runs over DISTINCT keys, not occurrences; the final
+    * aggregate lands on ≤ depth·width counters, and every executor
+    * holds at most that many partial cells. Sketches from disjoint
+    * corpus shards merge by summing counters cell-wise.
+    *
+    * @return (seed, bucket, c) — ≤ depth·width rows.
+    */
+  def cmsBuild(occurrences: DataFrame, keyCol: String = "key",
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val vocab = occurrences.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    vocab.select(addressed(col(keyCol), depth, width).as("sb"), col("cnt"))
+      .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Point estimate for each candidate key: min over the depth
+    * addressed counters. The sketch is ≤ depth·width rows — always
+    * broadcast; the probe is that join plus a candidate-keyed min. */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame,
+      keyCol: String = "key", depth: Int = 4, width: Int = 256): DataFrame =
+    candidates
+      .select(col(keyCol), addressed(col(keyCol), depth, width).as("sb"))
+      .select(col(keyCol), col("sb.seed").as("seed"),
+        col("sb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("seed", "bucket"))
+      .groupBy(keyCol).agg(min(col("c")).as("cms_est"))
+
+  /** Heavy-hitter BIGRAMS by count-min estimate. Candidates are
+    * proposed from a cheap deterministic document sample (`doc_id %
+    * sampleMod == 0` — at scale the full key space is exactly what
+    * you cannot enumerate, so a sample proposes and the sketch scores
+    * each candidate at FULL-corpus weight). Exact counts ride along
+    * so the one-sided-error invariant (`cms_est ≥ exact_n`) is
+    * visible in the output and oracle-checked; nothing after the
+    * first aggregation is ever occurrence-sized.
+    *
+    * @return top-k (key, exact_n, cms_est) by estimate.
+    */
+  def cmsHeavyHitters(df: DataFrame, k: Int = 50, depth: Int = 4,
+      width: Int = 256, sampleMod: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bg = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        TextAnalysis.adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+      .select(col(idCol), concat(col("b.w1"), lit(" "), col("b.w2")).as("key"))
+    val exact = bg.groupBy("key").agg(count(lit(1)).as("exact_n"))
+    val sketch = exact
+      .select(addressed(col("key"), depth, width).as("sb"), col("exact_n"))
+      .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .agg(sum(col("exact_n")).as("c"))
+    val cands = bg.filter(col(idCol) % sampleMod === 0)
+      .select("key").distinct()
+    cmsEstimate(sketch, cands, "key", depth, width)
+      .join(exact, Seq("key"))
+      .orderBy(col("cms_est").desc, col("key"))
+      .limit(k)
+      .select("key", "exact_n", "cms_est")
+  }
+}

@@ -829,6 +829,40 @@ class ExtSpec extends AnyFunSuite {
     assert(byDoc(1L).size <= g1 - 2, "cannot select more than gram count")
   }
 
+  test("count-min: estimates are one-sided and exact without collisions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),
+      (8L, "gamma delta gamma delta"),
+      (16L, "alpha beta epsilon zeta")).toDF("doc_id", "text")
+    // wide sketch: no collisions possible among a handful of bigrams
+    val hh = Sketches.cmsHeavyHitters(docs, k = 50, width = 1024, sampleMod = 8)
+      .as[(String, Long, Long)].collect()
+    assert(hh.nonEmpty && hh.forall { case (_, ex, est) => est == ex })
+    assert(hh.maxBy(_._3)._1 == "alpha beta")
+    // narrow sketch: collisions force overestimates but NEVER under
+    val tight = Sketches.cmsHeavyHitters(docs, k = 50, width = 2, sampleMod = 8)
+      .as[(String, Long, Long)].collect()
+    assert(tight.forall { case (_, ex, est) => est >= ex })
+    assert(tight.exists { case (_, ex, est) => est > ex },
+      "width 2 over 8 keys must collide")
+  }
+
+  test("count-min: shard sketches merge cell-wise to the full-corpus sketch") {
+    import spark.implicits._
+    val occ = Seq.tabulate(40)(i => s"k${i % 7}").toDF("key")
+    val a = occ.filter($"key" < "k4")
+    val b = occ.filter($"key" >= "k4")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long)].collect()
+        .map { case (s, bk, c) => ((s, bk), c) }.toMap
+    val full = cells(Sketches.cmsBuild(occ, width = 8))
+    val merged = cells(Sketches.cmsBuild(a, width = 8)
+      .unionAll(Sketches.cmsBuild(b, width = 8))
+      .groupBy("seed", "bucket").agg(sum("c").as("c")))
+    assert(merged == full, s"merge mismatch: $merged vs $full")
+  }
+
   test("entityResolution: typo variants collapse transitively, strangers stay apart") {
     import spark.implicits._
     val recs = Seq(
