@@ -461,6 +461,63 @@ object Curation {
       .select(idCol, "n_bigrams", "mean_nll_micro")
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998's fixed-discount form, D = 0.75) — the
+    * smoothing every serious n-gram LM uses where [[bigramLogProb]]
+    * uses add-one:
+    *
+    *   P(w₂|w₁) = (c(w₁w₂)−D)/c(w₁·) + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/T
+    *
+    * with N₁₊(w₁·)/N₁₊(·w₂) the distinct continuation/history counts
+    * and T the bigram-type total — the continuation probability is
+    * "how many contexts does w₂ complete", not raw frequency, which
+    * is the insight that fixes the "san francisco" pathology.
+    *
+    * Portability contract: the returned `pkn_nano` IS the definition
+    * — both discount terms evaluated in EXACT long arithmetic
+    * (D = 3/4 folded into numerators) with truncating division, then
+    * added:  (10⁹·(4c−3)) div (4·c(w₁·)) + (3·10⁹·N₁₊(w₁·)·N₁₊(·w₂))
+    * div (4·c(w₁·)·T). No double ever exists, so no rounding-boundary
+    * or summation-order hazard; a DuckDB `//` replay is bit-identical.
+    * (The per-term truncation vs a single combined fraction differs
+    * by ≤ 1 nano — the split IS the contract. At the tested scales
+    * every intermediate fits a long; a web-scale vocabulary wants the
+    * second numerator in DECIMAL(38).)
+    *
+    * Scale shape: corpus → (w₁,w₂,c) in ONE shuffle (the expensive
+    * pass, materialized once); context and continuation tables are
+    * keyed aggregations OF THAT TABLE (vocabulary-sized, partial-agg
+    * combined); T is one scalar; the final assembly is two keyed
+    * joins of vocab-bounded tables + TakeOrdered top-k. Nothing after
+    * the first aggregation is corpus-sized.
+    *
+    * @return top-K observed bigrams (w1, w2, c, pkn_nano) by count.
+    */
+  def knBigramTable(df: DataFrame, topK: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val bg = df.select(TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        TextAnalysis.adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    // the bigram-count table feeds FOUR consumers (context agg,
+    // continuation agg, the type-count scalar, the final join) —
+    // materialize it once; blocks reclaimed by the session owner
+    val c = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val h = c.groupBy("w1")
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1f"))
+    val f = c.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = c.count()
+    c.join(h, Seq("w1")).join(f, Seq("w2"))
+      .withColumn("pkn_nano", expr(
+        s"(1000000000L * (4 * c - 3)) div (4 * cw1) + " +
+        s"(3000000000L * n1f * n1b) div (4 * cw1 * ${types}L)"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c", "pkn_nano")
+  }
+
   /** Per-source dedup governance report — the accounting layer every
     * production dedup run ships with: for each source, total docs,
     * exact-duplicate docs (fingerprint matches an earlier id), the

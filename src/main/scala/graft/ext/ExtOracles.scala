@@ -1667,6 +1667,27 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // interpolated Kneser-Ney bigram LM, D=3/4 folded into exact
+    // long arithmetic (split-term truncating division IS the
+    // contract); top-100 by count
+    "q_kn_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2) x),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |      FROM bg GROUP BY 1, 2),
+        |h AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+        |        CAST(count(*) AS BIGINT) AS n1f FROM c GROUP BY 1),
+        |f AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+        |      FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS T FROM c)
+        |SELECT w1, w2, c,
+        |  (1000000000 * (4 * c - 3)) // (4 * cw1)
+        |    + (3000000000 * n1f * n1b) // (4 * cw1 * T) AS pkn_nano
+        |FROM c JOIN h USING (w1) JOIN f USING (w2) CROSS JOIN tt
+        |ORDER BY c DESC, w1, w2 LIMIT 100""".stripMargin,
+
     // count-min heavy hitters: bigram keys, 4x256 portable-md5
     // sketch, sample-proposed candidates estimated as min over the
     // 4 addressed counters; estimate >= exact by construction

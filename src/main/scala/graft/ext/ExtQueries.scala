@@ -676,6 +676,11 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Interpolated Kneser–Ney bigram LM over the corpus: top-100
+    * bigrams with exact-long-arithmetic pkn_nano (D = 3/4). */
+  def qKnBigram(spark: SparkSession, dir: String): DataFrame =
+    Curation.knBigramTable(Tables(spark, dir).documents)
+
   /** Count-min heavy-hitter bigrams: sample proposes candidates, the
     * fixed 4×256 sketch scores them at full-corpus weight; exact
     * counts ride along so `cms_est ≥ exact_n` is oracle-checked. */

@@ -313,4 +313,26 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.domainCapApprox(tied, 2).count() === 5)
     assert(Curation.domainCap(tied, 2).count() === 2)
   }
+
+  test("knBigramTable: hand-computed Kneser-Ney nanos on a tiny corpus") {
+    // corpus "a b a b a c": c(ab)=2 c(ba)=2 c(ac)=1; cw1(a)=3 n1f(a)=2,
+    // cw1(b)=2 n1f(b)=1; n1b=1 everywhere; T=3, D=3/4:
+    //   P(b|a) = 1.25/3 + (0.75*2/3)(1/3) -> 416666666 + 166666666
+    //   P(c|a) = 0.25/3 + same backoff    ->  83333333 + 166666666
+    //   P(a|b) = 1.25/2 + (0.75*1/2)(1/3) -> 625000000 + 125000000
+    val docs = Seq(Doc(1, "a b a b a c")).toDF
+    val out = Curation.knBigramTable(docs)
+      .select("w1", "w2", "c", "pkn_nano")
+      .as[(String, String, Long, Long)].collect()
+      .map { case (w1, w2, c, p) => ((w1, w2), (c, p)) }.toMap
+    assert(out(("a", "b")) == (2L, 583333332L), s"got $out")
+    assert(out(("a", "c")) == (1L, 249999999L))
+    assert(out(("b", "a")) == (2L, 750000000L))
+    // interpolated KN is a proper distribution: per history, observed
+    // discounted mass + backoff weight * total continuation mass = 1
+    // (exact in rationals; nano truncation loses < 1 nano per term)
+    val pa = out(("a", "b"))._2 + out(("a", "c"))._2 +
+      (750000000L * 2 / 3) * 1 / 3 // unseen (a,a): backoff-only term
+    assert(math.abs(pa - 1000000000L) < 5, s"P(.|a) mass $pa")
+  }
 }
