@@ -370,6 +370,44 @@ object GraftFunctions {
     graft.ext.TextAnalysis.bm25TopK(df, terms, k).queryExecution.logical
   }
 
+  /** entity_resolution(tbl[, maxEdit, maxBlock]) — record linkage
+    * over (record_id, name) rows
+    * ([[graft.ext.EntityResolution.resolve]]). */
+  def entityResolutionTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "entity_resolution(table)"))
+    val me =
+      if (args.length > 1) intArg(args(1), "entity_resolution(maxEdit)")
+      else 1
+    val mb =
+      if (args.length > 2) intArg(args(2), "entity_resolution(maxBlock)")
+      else 64
+    graft.ext.EntityResolution.resolve(df, maxEdit = me, maxBlock = mb)
+      .queryExecution.logical
+  }
+
+  /** cms_heavy_hitters(tbl[, k, depth, width]) — count-min estimated
+    * heavy-hitter bigrams ([[graft.ext.Sketches.cmsHeavyHitters]]). */
+  def cmsHeavyHittersTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "cms_heavy_hitters(table)"))
+    val k =
+      if (args.length > 1) intArg(args(1), "cms_heavy_hitters(k)") else 50
+    val d =
+      if (args.length > 2) intArg(args(2), "cms_heavy_hitters(depth)") else 4
+    val w =
+      if (args.length > 3) intArg(args(3), "cms_heavy_hitters(width)")
+      else 256
+    graft.ext.Sketches.cmsHeavyHitters(df, k = k, depth = d, width = w)
+      .queryExecution.logical
+  }
+
+  /** kn_bigram(tbl[, topK]) — interpolated Kneser–Ney bigram table
+    * ([[graft.ext.Curation.knBigramTable]]). */
+  def knBigramTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "kn_bigram(table)"))
+    val k = if (args.length > 1) intArg(args(1), "kn_bigram(topK)") else 100
+    graft.ext.Curation.knBigramTable(df, topK = k).queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
@@ -394,7 +432,10 @@ object GraftFunctions {
     "triangle_count" -> (triangleCountTvf _),
     "connected_components" -> (connectedComponentsTvf _),
     "ann_topk" -> (annTopkTvf _),
-    "bm25_topk" -> (bm25TopkTvf _))
+    "bm25_topk" -> (bm25TopkTvf _),
+    "entity_resolution" -> (entityResolutionTvf _),
+    "cms_heavy_hitters" -> (cmsHeavyHittersTvf _),
+    "kn_bigram" -> (knBigramTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -127,6 +127,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.ext.Curation.perplexityBuckets(docs))
     sameAs("SELECT * FROM ppl_buckets_approx('docs_tvf9')",
       graft.ext.Curation.perplexityBucketsApprox(docs))
+    sameAs("SELECT * FROM cms_heavy_hitters('docs_tvf9', 20, 4, 128)",
+      graft.ext.Sketches.cmsHeavyHitters(docs, k = 20, depth = 4, width = 128))
+    sameAs("SELECT * FROM kn_bigram('docs_tvf9', 30)",
+      graft.ext.Curation.knBigramTable(docs, topK = 30))
+    graft.ext.EntityResolution.customerVariants(
+        graft.sources.Tables(spark, "/root/testdata/sf0.001").customer)
+      .createOrReplaceTempView("er_recs_tvf9")
+    sameAs("SELECT * FROM entity_resolution('er_recs_tvf9')",
+      graft.ext.EntityResolution.resolve(spark.table("er_recs_tvf9")))
     // composes downstream: bucket histogram over the TVF output
     val viaSql = spark.sql(
       "SELECT ppl_bucket, count(*) AS n FROM ppl_buckets('docs_tvf9') GROUP BY 1")
