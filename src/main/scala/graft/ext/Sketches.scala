@@ -22,8 +22,9 @@ object Sketches {
     Md5Hash60.hash60(concat(lit(s"cms$seed|"), keyCol)) % width
 
   /** The ×depth (seed, bucket) expansion of a key column — shared by
-    * the sketch build and the probe so both address identically. */
-  private def addressed(keyCol: Column, depth: Int, width: Int): Column =
+    * the sketch build, the probe, and the streaming twin so all
+    * address identically. */
+  def addressed(keyCol: Column, depth: Int, width: Int): Column =
     explode(array((0 until depth).map(s =>
       struct(lit(s).as("seed"), bucket(keyCol, s, width).as("bucket"))): _*))
 

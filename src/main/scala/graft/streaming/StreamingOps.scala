@@ -173,6 +173,32 @@ object StreamingOps {
         (size(col("kept")) >= minKeptLines).as("keep_doc"))
   }
 
+  /** Streaming twin of the count-min sketch build
+    * ([[graft.ext.Sketches.cmsBuild]]): the sketch IS a streaming
+    * aggregation whose state is the counter array itself — ≤
+    * depth·width rows FOREVER, regardless of stream length, which is
+    * the sketch's whole reason to exist online (exact per-key counts
+    * would grow state with the key space). One structural difference
+    * from the batch build, forced by the single-aggregation streaming
+    * rule: occurrences address counters directly (no (key, cnt)
+    * pre-collapse — that would be a second agg), so each micro-batch
+    * shuffles occurrence×depth rows with map-side partial combine.
+    * Addressing is the shared [[graft.ext.Sketches.addressed]], so
+    * the final stream state is CELL-IDENTICAL to the batch sketch of
+    * the same documents (StreamingSpec). Run with Update/Complete
+    * output; works unchanged on a bounded batch frame. */
+  def cmsSketchStream(docs: DataFrame, depth: Int = 4, width: Int = 256,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(graft.ext.TextAnalysis
+        .adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+      .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("key"))
+      .select(graft.ext.Sketches.addressed(col("key"), depth, width).as("sb"))
+      .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

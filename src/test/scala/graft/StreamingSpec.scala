@@ -111,6 +111,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming count-min sketch state is cell-identical to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val b1 = Seq((1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon delta"))
+    val b2 = Seq((3L, "alpha beta zeta eta theta"),
+      (4L, "gamma delta gamma"))
+    val q = StreamingOps.cmsSketchStream(
+        mem.toDF().toDF("doc_id", "text"), depth = 4, width = 32)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cms_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*) // counters must ACCUMULATE across batches
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out").collect().toSet
+      val bg = (b1 ++ b2).toDF("doc_id", "text")
+        .select(graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(graft.ext.TextAnalysis
+          .adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+        .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("key"))
+      val batch = graft.ext.Sketches.cmsBuild(bg, depth = 4, width = 32)
+      assert(streamed == batch.collect().toSet,
+        s"stream state != batch sketch: $streamed")
+      assert(streamed.size <= 4 * 32, "state exceeds the counter array")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
