@@ -1667,6 +1667,38 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // per-source HyperLogLog distinct bigrams: portable md5-60
+    // registers (rho from binary-string length), exact-long harmonic
+    // sum, alpha_micro=718273 for m=256, linear-counting small-range
+    // branch on the proven-portable ln
+    "q_hll_distinct" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+        |bg AS (SELECT source, toks[i] || ' ' || toks[i+1] AS key
+        |       FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2) x),
+        |h AS (SELECT source, key,
+        |    CAST(concat('0x', substr(md5('hll|' || key), 1, 15)) AS BIGINT)
+        |      AS hv FROM bg),
+        |r AS (SELECT source, hv % 256 AS reg,
+        |    CAST(least(53 - length(format('{:b}', hv // 256)), 32)
+        |      AS BIGINT) AS rho FROM h),
+        |m AS (SELECT source, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |agg AS (SELECT source,
+        |    CAST(sum(CAST(1 AS BIGINT) << (32 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * 4294967296 AS est_scaled,
+        |    CAST(256 - count(*) AS BIGINT) AS v
+        |  FROM m GROUP BY 1),
+        |est AS (SELECT source, v,
+        |    (718273 * (281474976710656 // est_scaled)) // 1000000
+        |      AS raw_est FROM agg),
+        |ex AS (SELECT source, CAST(count(DISTINCT key) AS BIGINT) AS true_n
+        |       FROM bg GROUP BY 1)
+        |SELECT e.source, ex.true_n, e.v, e.raw_est,
+        |  CASE WHEN e.v > 0 AND e.raw_est <= 640
+        |       THEN CAST(round(256 * ln(256.0 / e.v), 0) AS BIGINT)
+        |       ELSE e.raw_est END AS hll_est
+        |FROM est e JOIN ex USING (source)""".stripMargin,
+
     // interpolated Kneser-Ney bigram LM, D=3/4 folded into exact
     // long arithmetic (split-term truncating division IS the
     // contract); top-100 by count

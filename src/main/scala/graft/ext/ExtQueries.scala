@@ -676,6 +676,24 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Per-source HLL distinct-bigram estimates beside the exact
+    * count: portable registers, exact-long harmonic sum, proven-ln
+    * linear-counting branch. */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables(spark, dir).documents
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        TextAnalysis.adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+      .select(col("source"),
+        concat(col("b.w1"), lit(" "), col("b.w2")).as("key"))
+      .localCheckpoint() // feeds the sketch AND the exact reference
+    Sketches.hllDistinctBy(bg, "source")
+      .join(bg.groupBy("source").agg(countDistinct("key").as("true_n")),
+        Seq("source"))
+      .select("source", "true_n", "v", "raw_est", "hll_est")
+  }
+
   /** Interpolated Kneser–Ney bigram LM over the corpus: top-100
     * bigrams with exact-long-arithmetic pkn_nano (D = 3/4). */
   def qKnBigram(spark: SparkSession, dir: String): DataFrame =

@@ -60,6 +60,59 @@ object Sketches {
       .join(broadcast(sketch), Seq("seed", "bucket"))
       .groupBy(keyCol).agg(min(col("c")).as("cms_est"))
 
+  /** Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    * 2007) — the "distinct users per day / distinct n-grams per
+    * source" shape at 100 TB, where exact COUNT(DISTINCT) means a
+    * key-wide shuffle per group and the sketch means m registers per
+    * group, mergeable across shards by register-wise max (register
+    * insertion is idempotent, so no pre-distinct pass is needed
+    * either — duplicates simply re-set the same register).
+    *
+    * Portability contract (every step exact integer except the ONE
+    * empirically-portable ln in the small-range branch):
+    * register = h mod m, ρ = min(53 − bitlen(h div m), 32) via the
+    * binary-string length both engines produce identically (Spark
+    * `conv(_,10,2)` ≡ DuckDB `format('{:b}',_)`, including "0" for
+    * 0); registers aggregate by max; the harmonic sum is the exact
+    * long Σ 2^(32−Mⱼ) (+ 2³² per empty register); raw estimate =
+    * (α_micro · (m²·2³² div Σ)) div 10⁶ with α_micro =
+    * round(0.7213/(1+1.079/m)·10⁶); Flajolet's small-range branch
+    * (raw ≤ 2.5m, some register empty) is linear counting
+    * round(m·ln(m/V)) — ln portability is the proven bigram-NLL
+    * contract.
+    *
+    * Scale shape: one shuffle on (group, register) with map-side max
+    * combine — the post-shuffle table is groups×m rows no matter the
+    * corpus; the estimate is a group-keyed fold of that.
+    *
+    * @return (groupCol, v, raw_est, hll_est) — v = empty registers.
+    */
+  def hllDistinctBy(df: DataFrame, groupCol: String, keyCol: String = "key",
+      m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val alphaMicro = math.round(0.7213 / (1 + 1.079 / m) * 1e6)
+    val m2Scaled = m.toLong * m.toLong * 4294967296L
+    val regs = df
+      .select(col(groupCol),
+        Md5Hash60.hash60(concat(lit("hll|"), col(keyCol))).as("hv"))
+      .select(col(groupCol), (col("hv") % m).as("reg"),
+        least(lit(53) - length(conv(expr(s"hv div $m"), 10, 2)), lit(32))
+          .cast("long").as("rho"))
+      .groupBy(col(groupCol), col("reg")).agg(max(col("rho")).as("mj"))
+    regs.groupBy(groupCol)
+      .agg(
+        (sum(expr("shiftleft(1L, cast(32 - mj as int))")) +
+          (lit(m) - count(lit(1))) * 4294967296L).as("est_scaled"),
+        (lit(m) - count(lit(1))).cast("long").as("v"))
+      .withColumn("raw_est",
+        expr(s"($alphaMicro * ($m2Scaled div est_scaled)) div 1000000"))
+      .withColumn("hll_est",
+        when(col("v") > 0 && col("raw_est") <= (5L * m / 2),
+          round(lit(m) * log(lit(m.toDouble) / col("v")), 0).cast("long"))
+          .otherwise(col("raw_est")))
+      .select(groupCol, "v", "raw_est", "hll_est")
+  }
+
   /** Heavy-hitter BIGRAMS by count-min estimate. Candidates are
     * proposed from a cheap deterministic document sample (`doc_id %
     * sampleMod == 0` — at scale the full key space is exactly what

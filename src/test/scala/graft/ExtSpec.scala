@@ -863,6 +863,35 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == full, s"merge mismatch: $merged vs $full")
   }
 
+  test("hll: duplicate-insensitive, small-range branch sane, registers merge by max") {
+    import spark.implicits._
+    val keys = (1 to 40).map(i => ("g", s"key$i")).toDF("grp", "key")
+    val est = Sketches.hllDistinctBy(keys, "grp")
+      .select("hll_est").as[Long].head()
+    // linear-counting zone (40 << 2.5*256): estimate close to truth
+    assert(math.abs(est - 40) <= 8, s"LC estimate $est for 40 keys")
+    // inserting every key three more times changes NOTHING
+    val dup = keys.unionAll(keys).unionAll(keys).unionAll(keys)
+    val estDup = Sketches.hllDistinctBy(dup, "grp")
+      .select("hll_est").as[Long].head()
+    assert(estDup == est, s"duplicates moved the estimate: $estDup vs $est")
+    // shard merge: max over per-shard registers == whole-corpus registers
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.expressions.Md5Hash60.hash60(
+        concat(lit("hll|"), $"key")).as("hv"))
+      .select(($"hv" % 256).as("reg"),
+        least(lit(53) - length(conv(expr("hv div 256"), 10, 2)), lit(32))
+          .cast("long").as("rho"))
+      .groupBy("reg").agg(max($"rho").as("mj"))
+    val shardA = keys.filter($"key" < "key3")
+    val shardB = keys.filter($"key" >= "key3")
+    val merged = regs(shardA).unionAll(regs(shardB))
+      .groupBy("reg").agg(max($"mj").as("mj"))
+      .as[(Long, Long)].collect().toMap
+    val whole = regs(keys).as[(Long, Long)].collect().toMap
+    assert(merged == whole, "register-wise max must merge shards")
+  }
+
   test("entityResolution: typo variants collapse transitively, strangers stay apart") {
     import spark.implicits._
     val recs = Seq(
