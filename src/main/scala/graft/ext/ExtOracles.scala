@@ -1667,6 +1667,83 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // MMR diversified top-5 (lambda=7/10), greedy unrolled 5 steps
+    // (the bpe-train replay discipline): cosine top-20 candidates,
+    // integer-micro scoring 7*rel - 3*maxsim, ties to lowest cid
+    "q_mmr_diversify" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3),
+        |scored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv))
+        |         * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id != query_id),
+        |cand AS (SELECT query_id, nn_id AS cid,
+        |    CAST(round(cos_sim * 1000000, 0) AS BIGINT) AS rel_micro FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, nn_id) AS rn FROM scored) t
+        |  WHERE rn <= 20),
+        |sims AS (SELECT a.query_id, a.cid AS a, b.cid AS b,
+        |    CAST(round(round(list_dot_product(va.v, vb.v)
+        |      / (sqrt(list_dot_product(va.v, va.v))
+        |         * sqrt(list_dot_product(vb.v, vb.v))), 6)
+        |      * 1000000, 0) AS BIGINT) AS sim_micro
+        |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid != b.cid
+        |  JOIN c va ON va.vec_id = a.cid JOIN c vb ON vb.vec_id = b.cid),
+        |p1 AS (SELECT query_id, cid, 1 AS pick_rank, rel_micro FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel_micro DESC, cid) AS rn FROM cand) t WHERE rn = 1),
+        |s2 AS (SELECT query_id, cid, 2 AS pick_rank, rel_micro FROM (
+        |    SELECT m.query_id, m.cid, m.rel_micro,
+        |      row_number() OVER (PARTITION BY m.query_id
+        |        ORDER BY 7 * m.rel_micro - 3 * m.maxsim DESC, m.cid) AS rn
+        |    FROM (SELECT c.query_id, c.cid, c.rel_micro, max(s.sim_micro) AS maxsim
+        |          FROM cand c
+        |          JOIN sims s ON s.query_id = c.query_id AND s.a = c.cid
+        |          JOIN p1 p ON p.query_id = s.query_id AND p.cid = s.b
+        |          WHERE NOT EXISTS (SELECT 1 FROM p1 q
+        |                            WHERE q.query_id = c.query_id AND q.cid = c.cid)
+        |          GROUP BY 1, 2, 3) m) z WHERE rn = 1),
+        |p2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM s2),
+        |s3 AS (SELECT query_id, cid, 3 AS pick_rank, rel_micro FROM (
+        |    SELECT m.query_id, m.cid, m.rel_micro,
+        |      row_number() OVER (PARTITION BY m.query_id
+        |        ORDER BY 7 * m.rel_micro - 3 * m.maxsim DESC, m.cid) AS rn
+        |    FROM (SELECT c.query_id, c.cid, c.rel_micro, max(s.sim_micro) AS maxsim
+        |          FROM cand c
+        |          JOIN sims s ON s.query_id = c.query_id AND s.a = c.cid
+        |          JOIN p2 p ON p.query_id = s.query_id AND p.cid = s.b
+        |          WHERE NOT EXISTS (SELECT 1 FROM p2 q
+        |                            WHERE q.query_id = c.query_id AND q.cid = c.cid)
+        |          GROUP BY 1, 2, 3) m) z WHERE rn = 1),
+        |p3 AS (SELECT * FROM p2 UNION ALL SELECT * FROM s3),
+        |s4 AS (SELECT query_id, cid, 4 AS pick_rank, rel_micro FROM (
+        |    SELECT m.query_id, m.cid, m.rel_micro,
+        |      row_number() OVER (PARTITION BY m.query_id
+        |        ORDER BY 7 * m.rel_micro - 3 * m.maxsim DESC, m.cid) AS rn
+        |    FROM (SELECT c.query_id, c.cid, c.rel_micro, max(s.sim_micro) AS maxsim
+        |          FROM cand c
+        |          JOIN sims s ON s.query_id = c.query_id AND s.a = c.cid
+        |          JOIN p3 p ON p.query_id = s.query_id AND p.cid = s.b
+        |          WHERE NOT EXISTS (SELECT 1 FROM p3 q
+        |                            WHERE q.query_id = c.query_id AND q.cid = c.cid)
+        |          GROUP BY 1, 2, 3) m) z WHERE rn = 1),
+        |p4 AS (SELECT * FROM p3 UNION ALL SELECT * FROM s4),
+        |s5 AS (SELECT query_id, cid, 5 AS pick_rank, rel_micro FROM (
+        |    SELECT m.query_id, m.cid, m.rel_micro,
+        |      row_number() OVER (PARTITION BY m.query_id
+        |        ORDER BY 7 * m.rel_micro - 3 * m.maxsim DESC, m.cid) AS rn
+        |    FROM (SELECT c.query_id, c.cid, c.rel_micro, max(s.sim_micro) AS maxsim
+        |          FROM cand c
+        |          JOIN sims s ON s.query_id = c.query_id AND s.a = c.cid
+        |          JOIN p4 p ON p.query_id = s.query_id AND p.cid = s.b
+        |          WHERE NOT EXISTS (SELECT 1 FROM p4 q
+        |                            WHERE q.query_id = c.query_id AND q.cid = c.cid)
+        |          GROUP BY 1, 2, 3) m) z WHERE rn = 1),
+        |p5 AS (SELECT * FROM p4 UNION ALL SELECT * FROM s5)
+        |SELECT query_id, cid, pick_rank, rel_micro FROM p5""".stripMargin,
+
     // per-source HyperLogLog distinct bigrams: portable md5-60
     // registers (rho from binary-string length), exact-long harmonic
     // sum, alpha_micro=718273 for m=256, linear-counting small-range

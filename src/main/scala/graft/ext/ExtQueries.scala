@@ -676,6 +676,28 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** MMR diversified top-5 over cosine top-20 candidates for 3 query
+    * vectors: integer-micro greedy (λ=0.7), replayed step-for-step by
+    * the unrolled oracle. */
+  def qMmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cands = Similarity.bruteForceTopK(emb, k = 20, numQueries = 3)
+      .select(col("query_id"), col("nn_id").as("cid"),
+        round(col("cos_sim") * 1e6, 0).cast("long").as("rel_micro"))
+      .localCheckpoint() // feeds the pair grid AND the greedy loop
+    val dv = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val sims = cands.select(col("query_id"), col("cid").as("a"))
+      .join(cands.select(col("query_id"), col("cid").as("b")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .join(dv.select(col("vec_id").as("a"), col("v").as("av")), Seq("a"))
+      .join(dv.select(col("vec_id").as("b"), col("v").as("bv")), Seq("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(round(Similarity.cosine(col("av"), col("bv")), 6) * 1e6, 0)
+          .cast("long").as("sim_micro"))
+    Similarity.mmrSelect(cands, sims, k = 5)
+  }
+
   /** Per-source HLL distinct-bigram estimates beside the exact
     * count: portable registers, exact-long harmonic sum, proven-ln
     * linear-counting branch. */

@@ -806,4 +806,60 @@ object Similarity {
       .select(col(idCol), col("lbl").as("label"), col("dist_micro2"),
         (col("dist_micro2") > threshold).as("is_outlier"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick k results balancing relevance against
+    * redundancy — pick t maximizes λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)
+    * over unpicked candidates c given already-picked S. The step that
+    * turns a similarity top-k into a DIVERSE top-k (near-duplicate
+    * hits waste result slots and training batches alike).
+    *
+    * Inputs are integer-micro tables (the portable-similarity
+    * contract): `cands` (query_id, cid, rel_micro) — a bounded
+    * per-query candidate list, e.g. [[bruteForceTopK]] output — and
+    * `sims` (query_id, a, b, sim_micro) holding BOTH directions of
+    * each candidate pair. λ = lambdaNum/lambdaDen; scoring is the
+    * scale-free long `lambdaNum·rel − (lambdaDen−lambdaNum)·maxsim`,
+    * ties to the lowest cid, so the greedy trace replays exactly.
+    *
+    * Scale shape: greedy selection is inherently sequential in k, but
+    * every step is ONE bounded join + window over candidate-list-sized
+    * tables (queries × ≤listK rows) — k small joins, never a
+    * corpus-sized pass; all queries advance in parallel within each
+    * step. The selected set is re-materialized per step so the loop's
+    * plan stays flat (the connectedComponents discipline).
+    *
+    * @return (query_id, cid, pick_rank, rel_micro), pick_rank 1..k.
+    */
+  def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int = 5,
+      lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    require(k >= 1 && lambdaNum > 0 && lambdaNum < lambdaDen)
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_micro").desc, col("cid"))
+    val c0 = cands.select("query_id", "cid", "rel_micro").localCheckpoint()
+    var selected = c0.withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cid"), lit(1).as("pick_rank"),
+        col("rel_micro"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val rem = c0.join(selected.select(col("query_id"), col("cid")),
+        Seq("query_id", "cid"), "left_anti")
+      val msim = rem
+        .join(sims.withColumnRenamed("a", "cid"), Seq("query_id", "cid"))
+        .join(selected.select(col("query_id"), col("cid").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("cid"), col("rel_micro"))
+        .agg(max(col("sim_micro")).as("maxsim"))
+      val wScore = Window.partitionBy(col("query_id")).orderBy(
+        (lit(lambdaNum) * col("rel_micro") -
+          lit(lambdaDen - lambdaNum) * col("maxsim")).desc, col("cid"))
+      val pick = msim.withColumn("rn", row_number().over(wScore))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cid"), lit(step).as("pick_rank"),
+          col("rel_micro"))
+      selected = selected.unionAll(pick).localCheckpoint()
+    }
+    selected
+  }
 }

@@ -863,6 +863,29 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == full, s"merge mismatch: $merged vs $full")
   }
 
+  test("mmrSelect: near-duplicate of the top hit is deferred behind a diverse pick") {
+    import spark.implicits._
+    // B is a near-copy of top hit A (sim .99): pure relevance ranks
+    // A,B,C; MMR must defer B behind the dissimilar C
+    val cands = Seq(
+      (1L, 10L, 900000L), // A
+      (1L, 11L, 800000L), // B ~ A
+      (1L, 12L, 500000L), // C, dissimilar
+      (1L, 13L, 400000L)  // D
+    ).toDF("query_id", "cid", "rel_micro")
+    val simPairs = Seq(
+      (10L, 11L, 990000L), (10L, 12L, 100000L), (10L, 13L, 100000L),
+      (11L, 12L, 100000L), (11L, 13L, 100000L), (12L, 13L, 950000L))
+    val sims = simPairs.flatMap { case (a, b, s) =>
+      Seq((1L, a, b, s), (1L, b, a, s)) }
+      .toDF("query_id", "a", "b", "sim_micro")
+    val picks = Similarity.mmrSelect(cands, sims, k = 4)
+      .orderBy("pick_rank").select("cid").as[Long].collect().toSeq
+    // step2: B 7*8e5-3*9.9e5=2.63e6 < C 7*5e5-3*1e5=3.2e6 -> C;
+    // step3: B 2.63e6 > D 7*4e5-3*9.5e5=-5e4 (D ~ C now) -> B; then D
+    assert(picks == Seq(10L, 12L, 11L, 13L), s"got $picks")
+  }
+
   test("hll: duplicate-insensitive, small-range branch sane, registers merge by max") {
     import spark.implicits._
     val keys = (1 to 40).map(i => ("g", s"key$i")).toDF("grp", "key")
