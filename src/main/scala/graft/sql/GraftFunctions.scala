@@ -408,6 +408,29 @@ object GraftFunctions {
     graft.ext.Curation.knBigramTable(df, topK = k).queryExecution.logical
   }
 
+  /** hll_distinct_by(tbl, 'groupCol'[, 'keyCol', m]) — per-group
+    * HyperLogLog distinct estimate
+    * ([[graft.ext.Sketches.hllDistinctBy]]). */
+  def hllDistinctByTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "hll_distinct_by(table)"))
+    val grp = strArg(args(1), "hll_distinct_by(groupCol)")
+    val key =
+      if (args.length > 2) strArg(args(2), "hll_distinct_by(keyCol)")
+      else "key"
+    val m = if (args.length > 3) intArg(args(3), "hll_distinct_by(m)") else 256
+    graft.ext.Sketches.hllDistinctBy(df, grp, key, m).queryExecution.logical
+  }
+
+  /** mmr_select(candsTbl, simsTbl[, k]) — MMR diversified selection
+    * over (query_id, cid, rel_micro) candidates and (query_id, a, b,
+    * sim_micro) pair similarities ([[graft.ext.Similarity.mmrSelect]]). */
+  def mmrSelectTvf(args: Seq[Expression]): LogicalPlan = {
+    val cands = tableOf(strArg(args.head, "mmr_select(candsTable)"))
+    val sims = tableOf(strArg(args(1), "mmr_select(simsTable)"))
+    val k = if (args.length > 2) intArg(args(2), "mmr_select(k)") else 5
+    graft.ext.Similarity.mmrSelect(cands, sims, k).queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
@@ -435,7 +458,9 @@ object GraftFunctions {
     "bm25_topk" -> (bm25TopkTvf _),
     "entity_resolution" -> (entityResolutionTvf _),
     "cms_heavy_hitters" -> (cmsHeavyHittersTvf _),
-    "kn_bigram" -> (knBigramTvf _))
+    "kn_bigram" -> (knBigramTvf _),
+    "hll_distinct_by" -> (hllDistinctByTvf _),
+    "mmr_select" -> (mmrSelectTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

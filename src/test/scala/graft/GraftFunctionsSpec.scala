@@ -94,6 +94,7 @@ class GraftFunctionsSpec extends AnyFunSuite {
   test("round-9/10 family TVFs from SQL text are row-identical to the Scala API") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
     docs.createOrReplaceTempView("docs_tvf9")
     def sameAs(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
@@ -136,6 +137,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("er_recs_tvf9")
     sameAs("SELECT * FROM entity_resolution('er_recs_tvf9')",
       graft.ext.EntityResolution.resolve(spark.table("er_recs_tvf9")))
+    docs.selectExpr("source AS grp", "lower(text) AS key")
+      .createOrReplaceTempView("hll_keys_tvf9")
+    sameAs("SELECT * FROM hll_distinct_by('hll_keys_tvf9', 'grp')",
+      graft.ext.Sketches.hllDistinctBy(spark.table("hll_keys_tvf9"), "grp"))
+    Seq((1L, 10L, 900000L), (1L, 11L, 800000L), (1L, 12L, 500000L))
+      .toDF("query_id", "cid", "rel_micro")
+      .createOrReplaceTempView("mmr_cands_tvf9")
+    Seq((1L, 10L, 11L, 990000L), (1L, 11L, 10L, 990000L),
+      (1L, 10L, 12L, 100000L), (1L, 12L, 10L, 100000L),
+      (1L, 11L, 12L, 100000L), (1L, 12L, 11L, 100000L))
+      .toDF("query_id", "a", "b", "sim_micro")
+      .createOrReplaceTempView("mmr_sims_tvf9")
+    sameAs("SELECT * FROM mmr_select('mmr_cands_tvf9', 'mmr_sims_tvf9', 3)",
+      graft.ext.Similarity.mmrSelect(spark.table("mmr_cands_tvf9"),
+        spark.table("mmr_sims_tvf9"), k = 3))
     // composes downstream: bucket histogram over the TVF output
     val viaSql = spark.sql(
       "SELECT ppl_bucket, count(*) AS n FROM ppl_buckets('docs_tvf9') GROUP BY 1")
