@@ -1667,6 +1667,42 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // Bloom screening summary: 3x4096 portable-md5 filter over
+    // train-split bigrams, probed by bench bigrams + 200 planted
+    // absents; maybe = all 3 addressed bits set
+    "q_bloom_probe" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS key
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2) x),
+        |train AS (SELECT DISTINCT key FROM bg WHERE doc_id % 97 != 0),
+        |probes AS (SELECT DISTINCT key FROM (
+        |    SELECT key FROM bg WHERE doc_id % 97 = 0
+        |    UNION ALL
+        |    SELECT 'absent' || CAST(i AS VARCHAR)
+        |    FROM (SELECT unnest(range(0, 200)) AS i)) u),
+        |bloom AS (SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5('bloom' || CAST(s AS VARCHAR)
+        |      || '|' || key), 1, 15)) AS BIGINT) % 4096 AS pos
+        |  FROM train CROSS JOIN (SELECT unnest(range(0, 3)) AS s) d),
+        |pr AS (SELECT key,
+        |    CAST(concat('0x', substr(md5('bloom' || CAST(s AS VARCHAR)
+        |      || '|' || key), 1, 15)) AS BIGINT) % 4096 AS pos
+        |  FROM probes CROSS JOIN (SELECT unnest(range(0, 3)) AS s) d),
+        |hits AS (SELECT pr.key,
+        |    CAST(sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS h
+        |  FROM pr LEFT JOIN bloom b ON b.pos = pr.pos GROUP BY 1),
+        |m AS (SELECT key, h = 3 AS maybe_present FROM hits)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+        |  CAST(sum(CASE WHEN tr.key IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_true_present,
+        |  CAST(sum(CASE WHEN maybe_present THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_maybe,
+        |  CAST(sum(CASE WHEN maybe_present AND tr.key IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        |FROM m LEFT JOIN train tr USING (key)""".stripMargin,
+
     // MMR diversified top-5 (lambda=7/10), greedy unrolled 5 steps
     // (the bpe-train replay discipline): cosine top-20 candidates,
     // integer-micro scoring 7*rel - 3*maxsim, ties to lowest cid

@@ -676,6 +676,34 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Bloom-filter screening: train-split bigrams build a 3×4096
+    * filter; the bench split's bigrams plus 200 planted-absent keys
+    * probe it. Summary proves the one-sided contract: every true
+    * member flagged, false positives only among absents. */
+  def qBloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        TextAnalysis.adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+      .select(concat(col("b.w1"), lit(" "), col("b.w2")).as("key"))
+    val trainKeys = bigrams(docs.filter(col("doc_id") % 97 =!= 0))
+      .distinct().localCheckpoint() // builds the filter AND the truth set
+    val probes = bigrams(docs.filter(col("doc_id") % 97 === 0))
+      .unionAll(spark.range(200)
+        .select(concat(lit("absent"), col("id")).as("key")))
+      .distinct()
+    val bloom = Sketches.bloomBuild(trainKeys, depth = 3, m = 4096)
+    Sketches.bloomProbe(bloom, probes, depth = 3, m = 4096)
+      .join(trainKeys.withColumn("truly", lit(true)), Seq("key"), "left")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("truly"), 1L).otherwise(0L)).as("n_true_present"),
+        sum(when(col("maybe_present"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(when(col("maybe_present") && col("truly").isNull, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+  }
+
   /** MMR diversified top-5 over cosine top-20 candidates for 3 query
     * vectors: integer-micro greedy (λ=0.7), replayed step-for-step by
     * the unrolled oracle. */

@@ -60,6 +60,44 @@ object Sketches {
       .join(broadcast(sketch), Seq("seed", "bucket"))
       .groupBy(keyCol).agg(min(col("c")).as("cms_est"))
 
+  /** Build a Bloom filter over a key set: the set-bit POSITIONS table
+    * (≤ m rows of `pos`), which is the natural relational encoding —
+    * filters from disjoint shards merge by plain UNION/distinct
+    * (bitwise OR), and the filter broadcasts at probe time. Positions
+    * are the portable md5-60 addressing, so a DuckDB replay sets the
+    * identical bits. Membership is one-sided like every Bloom filter:
+    * no false negatives ever, false positives at rate ≈
+    * (1−e^(−dn/m))^d — size m to the expected key count.
+    *
+    * Scale shape: keys collapse to distinct once (the only key-wide
+    * shuffle), the ×d expansion runs over distinct keys, and the
+    * result is ≤ m rows regardless of corpus size. */
+  def bloomBuild(keys: DataFrame, keyCol: String = "key",
+      depth: Int = 4, m: Int = 8192): DataFrame =
+    keys.select(col(keyCol)).distinct()
+      .select(explode(array((0 until depth).map(s =>
+        (Md5Hash60.hash60(concat(lit(s"bloom$s|"), col(keyCol))) % m)
+          .as(s"p$s")): _*)).as("pos"))
+      .distinct()
+
+  /** Probe candidate keys against a built filter: a key is
+    * `maybe_present` iff ALL d addressed bits are set. The filter is
+    * ≤ m rows — broadcast; the probe is that join plus a key-keyed
+    * count, nothing corpus-sized.
+    *
+    * @return (keyCol, maybe_present). */
+  def bloomProbe(bloom: DataFrame, candidates: DataFrame,
+      keyCol: String = "key", depth: Int = 4, m: Int = 8192): DataFrame =
+    candidates.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array((0 until depth).map(s =>
+        (Md5Hash60.hash60(concat(lit(s"bloom$s|"), col(keyCol))) % m)
+          .as(s"p$s")): _*)).as("pos"))
+      .join(broadcast(bloom.select(col("pos"), lit(1L).as("hit"))),
+        Seq("pos"), "left")
+      .groupBy(keyCol)
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col(keyCol), (col("hits") === depth).as("maybe_present"))
+
   /** Per-group HyperLogLog distinct-count estimate (Flajolet et al.
     * 2007) — the "distinct users per day / distinct n-grams per
     * source" shape at 100 TB, where exact COUNT(DISTINCT) means a

@@ -863,6 +863,29 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == full, s"merge mismatch: $merged vs $full")
   }
 
+  test("bloom: no false negatives ever; shard filters merge by union") {
+    import spark.implicits._
+    val members = (1 to 50).map(i => s"in$i").toDF("key")
+    val bloom = Sketches.bloomBuild(members, m = 4096, depth = 3)
+    val probes = ((1 to 50).map(i => s"in$i") ++
+      (1 to 50).map(i => s"out$i")).toDF("key")
+    val got = Sketches.bloomProbe(bloom, probes, m = 4096, depth = 3)
+      .as[(String, Boolean)].collect().toMap
+    assert((1 to 50).forall(i => got(s"in$i")), "false negative!")
+    // a TIGHT filter must show false positives (one-sided, not exact)
+    val tight = Sketches.bloomBuild(members, m = 32, depth = 2)
+    val gotTight = Sketches.bloomProbe(tight, probes, m = 32, depth = 2)
+      .as[(String, Boolean)].collect().toMap
+    assert((1 to 50).forall(i => gotTight(s"in$i")), "false negative!")
+    assert((1 to 50).exists(i => gotTight(s"out$i")),
+      "32 bits over 50 keys must collide")
+    // shard merge = position-set union
+    val a = Sketches.bloomBuild(members.filter($"key" < "in3"), m = 4096, depth = 3)
+    val b = Sketches.bloomBuild(members.filter($"key" >= "in3"), m = 4096, depth = 3)
+    assert(a.unionAll(b).distinct().as[Long].collect().toSet ==
+      bloom.as[Long].collect().toSet, "union-merge mismatch")
+  }
+
   test("mmrSelect: near-duplicate of the top hit is deferred behind a diverse pick") {
     import spark.implicits._
     // B is a near-copy of top hit A (sim .99): pure relevance ranks
