@@ -126,17 +126,34 @@ object Sketches {
     * @return (groupCol, v, raw_est, hll_est) — v = empty registers.
     */
   def hllDistinctBy(df: DataFrame, groupCol: String, keyCol: String = "key",
+      m: Int = 256): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol, m), groupCol, m)
+
+  /** The per-group register table (groupCol, reg, mj) — ≤ groups×m
+    * rows. Split out because the register aggregation is exactly what
+    * a STREAM maintains as state
+    * ([[graft.streaming.StreamingOps.hllRegistersStream]]): max is
+    * the streaming-safe fold, and the same table merges across
+    * shards by register-wise max. */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String = "key",
       m: Int = 256): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
-    val alphaMicro = math.round(0.7213 / (1 + 1.079 / m) * 1e6)
-    val m2Scaled = m.toLong * m.toLong * 4294967296L
-    val regs = df
-      .select(col(groupCol),
+    df.select(col(groupCol),
         Md5Hash60.hash60(concat(lit("hll|"), col(keyCol))).as("hv"))
       .select(col(groupCol), (col("hv") % m).as("reg"),
         least(lit(53) - length(conv(expr(s"hv div $m"), 10, 2)), lit(32))
           .cast("long").as("rho"))
       .groupBy(col(groupCol), col("reg")).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Finish an estimate from a register table (batch output of
+    * [[hllRegisters]], a streamed state snapshot, or a max-merge of
+    * shard tables). */
+  def hllEstimate(regs: DataFrame, groupCol: String,
+      m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val alphaMicro = math.round(0.7213 / (1 + 1.079 / m) * 1e6)
+    val m2Scaled = m.toLong * m.toLong * 4294967296L
     regs.groupBy(groupCol)
       .agg(
         (sum(expr("shiftleft(1L, cast(32 - mj as int))")) +

@@ -199,6 +199,20 @@ object StreamingOps {
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming twin of the HyperLogLog register build
+    * ([[graft.ext.Sketches.hllRegisters]]): per-group distinct
+    * tracking whose state is the register table itself — ≤ groups×m
+    * rows FOREVER (exact streaming COUNT DISTINCT state grows with
+    * the key space; the governance aggregate's approx_count_distinct
+    * hides its sketch inside one number, while this exposes the
+    * mergeable registers). max is the streaming-safe fold, so the
+    * state snapshot is cell-identical to the batch register table of
+    * the same rows; finish a snapshot with
+    * [[graft.ext.Sketches.hllEstimate]]. Run Update/Complete. */
+  def hllRegistersStream(df: DataFrame, groupCol: String,
+      keyCol: String = "key", m: Int = 256): DataFrame =
+    graft.ext.Sketches.hllRegisters(df, groupCol, keyCol, m)
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

@@ -142,6 +142,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers accumulate to the batch register table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val b1 = (1 to 30).map(i => ("g", s"k$i"))
+    val b2 = (20 to 60).map(i => ("g", s"k$i")) // overlaps b1: idempotent
+    val q = StreamingOps.hllRegistersStream(
+        mem.toDF().toDF("grp", "key"), "grp", m = 64)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hll_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out").collect().toSet
+      val all = (b1 ++ b2).toDF("grp", "key")
+      val batch = graft.ext.Sketches.hllRegisters(all, "grp", m = 64)
+      assert(streamed == batch.collect().toSet, "state != batch registers")
+      assert(streamed.size <= 64, "state exceeds the register array")
+      // a state snapshot finishes to the batch estimate
+      val est = graft.ext.Sketches
+        .hllEstimate(spark.table("hll_out"), "grp", m = 64)
+      val bEst = graft.ext.Sketches.hllDistinctBy(all, "grp", m = 64)
+      assert(est.collect().toSet == bEst.collect().toSet)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
