@@ -250,4 +250,65 @@ object Graph {
       .crossJoin(nWedges)
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
+
+  /** k-core decomposition (synchronous peeling): repeatedly delete
+    * every node whose degree within the surviving subgraph is < k;
+    * the fixed point is the k-core — the standard "dense part of the
+    * graph" extractor (spam/bot rings, co-citation cores, community
+    * seeds). Returns each core node with its within-core degree.
+    *
+    * Determinism: peeling is order-free in the SYNCHRONOUS form (all
+    * under-k nodes drop together each round), so the trace replays
+    * exactly — the oracle unrolls the same rounds. Each round is one
+    * degree aggregation (shuffle on src, map-side combined) + an
+    * anti-join against the (small — it only shrinks) drop set, which
+    * AQE broadcasts; superseded edge checkpoints are released as soon
+    * as the next round's edges materialize, so long peels don't pin
+    * storage (the round-10 lifecycle discipline). Rounds are data-
+    * bounded, not fixed: convergence is detected by the drop count
+    * reaching zero, with `maxRounds` as a runaway backstop.
+    *
+    * @param edges undirected edge list (aCol, bCol), self-loops
+    *   ignored; both directions are derived internally.
+    * @return (node, core_deg) for k-core members.
+    */
+  def kCore(edges: DataFrame, k: Int = 2, aCol: String = "src",
+      bCol: String = "dst", maxRounds: Int = 50): DataFrame = {
+    var e = edges.filter(col(aCol) =!= col(bCol))
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.filter(col(aCol) =!= col(bCol))
+        .select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    // convergence = the survivor count stops shrinking (no node
+    // dropped → edges unchanged): ONE driver job per round, against
+    // the already-checkpointed survivor table
+    var prevNodes = -1L
+    while (!converged && round < maxRounds) {
+      val survivors = e.groupBy("src")
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("src")
+        .localCheckpoint()
+      val nodes = survivors.count()
+      if (nodes == prevNodes) {
+        graft.ext.Checkpoints.release(survivors)
+        converged = true
+      } else {
+        val next = e
+          .join(survivors, Seq("src"))
+          .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"))
+          .select("src", "dst")
+          .localCheckpoint()
+        graft.ext.Checkpoints.release(e, survivors)
+        e = next
+        prevNodes = nodes
+      }
+      round += 1
+    }
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -145,4 +145,21 @@ object AdvancedAnalytics {
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
     graft.operators.Graph.triangleCount(e)
   }
+
+  /** 2-core of the SUPPORT-2 co-purchase graph (part pairs bought
+    * together in ≥ 2 distinct orders — the support floor sparsifies
+    * the graph so peeling is nontrivial); see
+    * [[graft.operators.Graph.kCore]]. */
+  def qKCore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+      .select("src", "dst")
+    graft.operators.Graph.kCore(e, k = 2)
+  }
 }

@@ -506,6 +506,29 @@ object OperatorOracles {
         |       nw.n_wedges, nt.n_triangles
         |FROM nt CROSS JOIN nw""".stripMargin,
 
+    // 2-core by synchronous peeling, 8 rounds unrolled (converges in
+    // <= 5 at the verified SFs; a deeper graph would hash-mismatch
+    // and flag itself). MATERIALIZED per round or the chained CTEs
+    // re-evaluate multiplicatively.
+    "q_kcore" ->
+      ("""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |p AS MATERIALIZED (SELECT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM p
+        |  UNION SELECT dst, src FROM p)""" +
+        (1 to 8).map { n =>
+          s""",
+            |l$n AS MATERIALIZED (SELECT src FROM e${n - 1}
+            |  GROUP BY src HAVING count(*) >= 2),
+            |e$n AS MATERIALIZED (SELECT e.src, e.dst FROM e${n - 1} e
+            |  JOIN l$n a ON a.src = e.src JOIN l$n b ON b.src = e.dst)"""
+        }.mkString +
+        """
+          |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+          |FROM e8 GROUP BY 1""").stripMargin,
+
     "q_zscore" ->
       """WITH m AS (
         |  SELECT o_orderpriority AS p, COUNT(*) AS n,

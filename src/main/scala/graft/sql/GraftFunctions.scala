@@ -339,6 +339,15 @@ object GraftFunctions {
       tableOf(strArg(args.head, "triangle_count(edgesTable)")))
       .queryExecution.logical
 
+  /** k_core(edgesTbl[, k]) — synchronous-peel k-core over an
+    * undirected (src, dst) edge table
+    * ([[graft.operators.Graph.kCore]]). */
+  def kCoreTvf(args: Seq[Expression]): LogicalPlan = {
+    val e = tableOf(strArg(args.head, "k_core(edgesTable)"))
+    val k = if (args.length > 1) intArg(args(1), "k_core(k)") else 2
+    graft.operators.Graph.kCore(e, k).queryExecution.logical
+  }
+
   /** connected_components(pairsTbl) — union-find over an (a_id, b_id)
     * pair table ([[graft.ext.Dedup.connectedComponents]]); the SQL
     * path to cluster any candidate-pair TVF's output. */
@@ -460,7 +469,8 @@ object GraftFunctions {
     "cms_heavy_hitters" -> (cmsHeavyHittersTvf _),
     "kn_bigram" -> (knBigramTvf _),
     "hll_distinct_by" -> (hllDistinctByTvf _),
-    "mmr_select" -> (mmrSelectTvf _))
+    "mmr_select" -> (mmrSelectTvf _),
+    "k_core" -> (kCoreTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -152,6 +152,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM mmr_select('mmr_cands_tvf9', 'mmr_sims_tvf9', 3)",
       graft.ext.Similarity.mmrSelect(spark.table("mmr_cands_tvf9"),
         spark.table("mmr_sims_tvf9"), k = 3))
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst").createOrReplaceTempView("kcore_edges_tvf9")
+    sameAs("SELECT * FROM k_core('kcore_edges_tvf9', 2)",
+      graft.operators.Graph.kCore(spark.table("kcore_edges_tvf9"), k = 2))
     // composes downstream: bucket histogram over the TVF output
     val viaSql = spark.sql(
       "SELECT ppl_bucket, count(*) AS n FROM ppl_buckets('docs_tvf9') GROUP BY 1")

@@ -66,4 +66,21 @@ class GraphSpec extends AnyFunSuite {
     assert(r._3 == 4L, s"K4 has 4 triangles, got ${r._3}")
     assert(r._2 >= r._3, "every triangle closes a wedge")
   }
+
+  test("kCore: chains peel off round by round, the triangle survives") {
+    // triangle {1,2,3} with a tail 3-4-5: peeling drops 5 (deg 1)
+    // then 4 (deg 1 after round 1) — MULTI-round peel — leaving the
+    // triangle, every member at within-core degree 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core2 = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core2")
+    // k=3: a triangle is NOT a 3-core; everything peels away
+    assert(Graph.kCore(edges, k = 3).isEmpty)
+    // K4 IS a 3-core and survives intact
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val core3 = Graph.kCore(k4, k = 3).as[(Long, Long)].collect().toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
