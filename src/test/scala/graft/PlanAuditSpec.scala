@@ -288,6 +288,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"threshold table must broadcast to the corpus side:\n$pCap")
   }
 
+  test("round-10 sketches/linkage: probes broadcast, candidates stay equi-keyed") {
+    // CMS probe: the <= d*w sketch broadcasts; nothing nested-loops
+    val pCms = plan("q_cms_heavy_hitters")
+    assert(pCms.contains("BroadcastHashJoin"),
+      s"CMS sketch must broadcast at probe:\n$pCms")
+    assert(!pCms.contains("CartesianProduct") &&
+      !pCms.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the CMS probe:\n$pCms")
+    // Bloom probe: position set broadcasts
+    val pBloom = plan("q_bloom_probe")
+    assert(pBloom.contains("BroadcastHashJoin"),
+      s"bloom positions must broadcast at probe:\n$pBloom")
+    assert(!pBloom.contains("CartesianProduct"),
+      s"cartesian in the bloom probe:\n$pBloom")
+    // HLL: no sort anywhere — registers are pure hash aggregation
+    val pHll = plan("q_hll_distinct")
+    assert(!pHll.contains("rangepartitioning"),
+      s"HLL must not global-sort anything:\n$pHll")
+    // entity resolution: pairwise stage is equi-keyed on the blocking
+    // key (the levenshtein predicate is a residual, never a loop join)
+    val pEr = plan("q_entity_resolution")
+    assert(!pEr.contains("CartesianProduct") &&
+      !pEr.contains("BroadcastNestedLoopJoin"),
+      s"ER pairwise stage must stay blocked/equi-keyed:\n$pEr")
+    // KN: assembly joins are keyed; top-k is TakeOrdered, no full sort
+    val pKn = plan("q_kn_bigram")
+    assert(pKn.contains("TakeOrderedAndProject"),
+      s"KN top-k must plan TakeOrderedAndProject:\n$pKn")
+  }
+
   test("graph operators: gated broadcast off ≡ on (pageRank, triangles)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
