@@ -963,6 +963,44 @@ object Curation {
       .limit(k)
   }
 
+  /** word2vec-style negative-sampling draw (Mikolov et al. 2013): k
+    * tokens sampled ∝ count^(3/4) — the tempered-unigram distribution
+    * that keeps frequent words from swamping the negatives without
+    * flattening to uniform. Two portability disciplines compose:
+    * count^(3/4) is computed as sqrt(c·sqrt(c)) — sqrt and × are
+    * IEEE exactly-rounded, so the weight replays bit-identically
+    * where a pow() would not (the temperatureSample rule) — and the
+    * draw is the md5-Gumbel top-k (score = ln w + g, g from the
+    * portable coin; sampling ∝ w without normalization, so no
+    * summation-order hazard ever exists). Both micro-rounded terms
+    * are added as longs.
+    *
+    * Scale shape: one vocabulary-keyed count shuffle with map-side
+    * combine, then a zero-shuffle weight/score map and a TakeOrdered
+    * top-k — the negative table is k rows, never vocab-sized
+    * downstream.
+    *
+    * @return (token, cnt, w_micro, score_micro), highest score first.
+    */
+  def negSamplingDraw(df: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val vocab = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = sqrt(col("cnt").cast(DoubleType) *
+      sqrt(col("cnt").cast(DoubleType)))
+    val u = (Dedup.portableHash60(concat(lit("negs|"), col("token")))
+      .cast(DoubleType) + 0.5) / 1152921504606846976.0 // 2^60 exact
+    vocab
+      .withColumn("w_micro", round(w * 1e6, 0).cast(LongType))
+      .withColumn("score_micro",
+        round(log(w) * 1e6, 0).cast(LongType) +
+          round(-log(-log(u)) * 1e6, 0).cast(LongType))
+      .orderBy(col("score_micro").desc, col("token"))
+      .limit(k)
+      .select("token", "cnt", "w_micro", "score_micro")
+  }
+
   /** Per-document n-gram memorization/overlap audit against a
     * reference corpus (the Carlini-style "how much of this doc already
     * exists verbatim in the training set" measurement — used both to

@@ -1667,6 +1667,23 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // negative-sampling draw: w = cnt^(3/4) as sqrt(c*sqrt(c))
+    // (exactly-rounded ops only), md5-Gumbel top-20 proportional to w
+    "q_neg_sampling" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM (SELECT unnest(toks) AS token FROM t) x GROUP BY 1),
+        |w AS (SELECT token, cnt,
+        |    sqrt(cnt * sqrt(cnt)) AS wt,
+        |    (CAST(concat('0x', substr(md5('negs|' || token), 1, 15))
+        |       AS BIGINT) + 0.5) / 1152921504606846976.0 AS u
+        |  FROM v)
+        |SELECT token, cnt,
+        |  CAST(round(wt * 1000000, 0) AS BIGINT) AS w_micro,
+        |  CAST(round(ln(wt) * 1000000, 0) AS BIGINT)
+        |    + CAST(round(-ln(-ln(u)) * 1000000, 0) AS BIGINT) AS score_micro
+        |FROM w ORDER BY score_micro DESC, token LIMIT 20""".stripMargin,
+
     // Bloom screening summary: 3x4096 portable-md5 filter over
     // train-split bigrams, probed by bench bigrams + 200 planted
     // absents; maybe = all 3 addressed bits set

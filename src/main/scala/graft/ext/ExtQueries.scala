@@ -676,6 +676,11 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Negative-sampling draw: 20 tokens ∝ count^(3/4) via the
+    * double-sqrt weight and md5-Gumbel top-k. */
+  def qNegSampling(spark: SparkSession, dir: String): DataFrame =
+    Curation.negSamplingDraw(Tables(spark, dir).documents)
+
   /** Bloom-filter screening: train-split bigrams build a 3×4096
     * filter; the bench split's bigrams plus 200 planted-absent keys
     * probe it. Summary proves the one-sided contract: every true

@@ -314,6 +314,21 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.domainCap(tied, 2).count() === 2)
   }
 
+  test("negSamplingDraw: ^0.75 tempering lifts rare tokens, draw is deterministic") {
+    // 'rare' appears once, 'common' 16 times: raw ratio 16x, tempered
+    // ratio 16^.75 = 8x — the weight column must show exactly that
+    val docs = Seq(Doc(1, ("common " * 16) + "rare")).toDF
+    val out = Curation.negSamplingDraw(docs, k = 5)
+      .select("token", "cnt", "w_micro").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("rare")._3 == 1000000L) // 1^0.75 = 1
+    assert(out("common")._3 == 8000000L, s"16^0.75 = 8: ${out("common")}")
+    val rerun = Curation.negSamplingDraw(docs, k = 5)
+      .select("token", "cnt", "w_micro").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rerun == out, "draw must be deterministic")
+  }
+
   test("knBigramTable: hand-computed Kneser-Ney nanos on a tiny corpus") {
     // corpus "a b a b a c": c(ab)=2 c(ba)=2 c(ac)=1; cw1(a)=3 n1f(a)=2,
     // cw1(b)=2 n1f(b)=1; n1b=1 everywhere; T=3, D=3/4:
