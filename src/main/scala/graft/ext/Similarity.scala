@@ -858,8 +858,11 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cid"), lit(step).as("pick_rank"),
           col("rel_micro"))
-      selected = selected.unionAll(pick).localCheckpoint()
+      val prev = selected
+      selected = prev.unionAll(pick).localCheckpoint()
+      Checkpoints.release(prev) // folded into the new checkpoint
     }
+    Checkpoints.release(c0) // the final selection is materialized
     selected
   }
 }

@@ -97,6 +97,37 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
     assert(pinned === 0)
   }
 
+  test("kCore releases every superseded peel round (only final edges pinned)") {
+    Checkpoints.releaseAll(spark)
+    // triangle + 2-chain: peels two rounds before converging
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2)
+    assert(core.count() === 3)
+    // every intermediate round's edges + survivor tables are released
+    // inline; only the final edge checkpoint backs the returned plan
+    assert(pinned <= 1, s"expected at most final edges pinned, saw $pinned")
+    Checkpoints.releaseAll(spark)
+    assert(pinned === 0)
+  }
+
+  test("mmrSelect pins only its candidate base and final selection") {
+    Checkpoints.releaseAll(spark)
+    val cands = Seq((1L, 10L, 900000L), (1L, 11L, 800000L),
+      (1L, 12L, 500000L)).toDF("query_id", "cid", "rel_micro")
+    val sims = Seq((1L, 10L, 11L, 990000L), (1L, 11L, 10L, 990000L),
+      (1L, 10L, 12L, 100000L), (1L, 12L, 10L, 100000L),
+      (1L, 11L, 12L, 100000L), (1L, 12L, 11L, 100000L))
+      .toDF("query_id", "a", "b", "sim_micro")
+    val picks = graft.ext.Similarity.mmrSelect(cands, sims, k = 3)
+    assert(picks.count() === 3)
+    // superseded per-step selections and the candidate base are
+    // released inline; only the final selection backs the plan
+    assert(pinned <= 1, s"expected at most the final pick set, saw $pinned")
+    Checkpoints.releaseAll(spark)
+    assert(pinned === 0)
+  }
+
   test("releaseAll after consuming a query restores a clean session") {
     Checkpoints.releaseAll(spark)
     // a representative checkpoint-heavy composite: near-dup candidates

@@ -198,4 +198,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  val keyGen: Gen[String] = Gen.oneOf(
+    Gen.choose(0, 12).map(i => s"hot$i"), // skewed repeats
+    Gen.alphaNumStr.map(s => "k" + s.take(8)))
+
+  test("count-min is one-sided for ANY key multiset, even at width 2") {
+    forAll(Gen.listOfN(60, keyGen)) { keys =>
+      val occ = keys.map(Tuple1(_)).toDF("key")
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sketch = graft.ext.Sketches.cmsBuild(occ, width = 2)
+      val est = graft.ext.Sketches
+        .cmsEstimate(sketch, occ.distinct(), width = 2)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (k, c) =>
+        assert(est(k) >= c, s"UNDERestimate for $k: ${est(k)} < $c") }
+    }
+  }
+
+  test("bloom never false-negatives for ANY member set at ANY width") {
+    forAll(Gen.listOfN(40, keyGen)) { keys =>
+      val members = keys.map(Tuple1(_)).toDF("key")
+      val bloom = graft.ext.Sketches.bloomBuild(members, m = 16, depth = 2)
+      val got = graft.ext.Sketches.bloomProbe(bloom, members, m = 16, depth = 2)
+        .as[(String, Boolean)].collect()
+      got.foreach { case (k, p) => assert(p, s"false negative for $k") }
+    }
+  }
+
+  test("kCore result is sound: every member keeps >= k neighbors in-core") {
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    forAll(edgeGen) { es =>
+      val edges = es.toDF("src", "dst")
+      val core = graft.operators.Graph.kCore(edges, k = 2)
+        .as[(Long, Long)].collect().toMap
+      // soundness: reported degree is the within-core degree and >= k
+      val undirected = es.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      core.foreach { case (n, d) =>
+        val inCore = undirected.count(e => e._1 == n && core.contains(e._2))
+        assert(d == inCore && d >= 2, s"node $n: reported $d, actual $inCore")
+      }
+    }
+  }
 }
