@@ -12,6 +12,58 @@ object ExtOracles {
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
 
+  /** The Lloyd-IVF replay (2 iterations: seeds -> assign ->
+    * integer-micro centroid update -> probe -> per-cluster scoring),
+    * ending with the probed `scored` CTE — shared by the
+    * q_sim_ivf_topk oracle and the q_ann_recall composition,
+    * which append their own final stage. */
+  private val ivfReplayCtes: String =
+    """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id AS id,
+        |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |        FROM c),
+        |dims AS (SELECT unnest(range(1, (SELECT len(nv) FROM nrm LIMIT 1) + 1)) AS pos),
+        |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cluster,
+        |            nv AS cv
+        |          FROM (SELECT id, nv FROM nrm ORDER BY id LIMIT 8) s),
+        |asg1 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent0.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent0.cv) DESC, cent0.cluster) AS rn
+        |    FROM nrm n CROSS JOIN cent0) t WHERE rn = 1),
+        |cent1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg1 a JOIN nrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |asg2 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent1.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent1.cv) DESC, cent1.cluster) AS rn
+        |    FROM nrm n CROSS JOIN cent1) t WHERE rn = 1),
+        |cent2 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg2 a JOIN nrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |probes AS (SELECT query_id, qv, cluster FROM (
+        |    SELECT q.query_id, q.qv, cent2.cluster,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qv, cent2.cv)
+        |          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent2.cv, cent2.cv))) DESC,
+        |        cent2.cluster) AS prn
+        |    FROM q CROSS JOIN cent2) t WHERE prn <= 2),
+        |scored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c JOIN asg2 ON c.vec_id = asg2.id
+        |  JOIN probes ON asg2.cluster = probes.cluster
+        |  WHERE c.vec_id != query_id)""".stripMargin
+
   private val base: Map[String, String] = Map(
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
@@ -834,55 +886,37 @@ object ExtOracles {
     // here vs 0-based in Spark; only their ORDER matters (components
     // are reassembled in pos order on both sides).
     "q_sim_ivf_topk" ->
-      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |nrm AS (SELECT vec_id AS id,
-        |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        |        FROM c),
-        |dims AS (SELECT unnest(range(1, (SELECT len(nv) FROM nrm LIMIT 1) + 1)) AS pos),
-        |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cluster,
-        |            nv AS cv
-        |          FROM (SELECT id, nv FROM nrm ORDER BY id LIMIT 8) s),
-        |asg1 AS (SELECT id, cluster FROM (
-        |    SELECT n.id, cent0.cluster,
-        |      row_number() OVER (PARTITION BY n.id
-        |        ORDER BY list_dot_product(n.nv, cent0.cv) DESC, cent0.cluster) AS rn
-        |    FROM nrm n CROSS JOIN cent0) t WHERE rn = 1),
-        |cent1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
-        |    SELECT a.cluster, d.pos,
-        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*) / 1e6 AS cval
-        |    FROM asg1 a JOIN nrm n ON n.id = a.id CROSS JOIN dims d
-        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
-        |asg2 AS (SELECT id, cluster FROM (
-        |    SELECT n.id, cent1.cluster,
-        |      row_number() OVER (PARTITION BY n.id
-        |        ORDER BY list_dot_product(n.nv, cent1.cv) DESC, cent1.cluster) AS rn
-        |    FROM nrm n CROSS JOIN cent1) t WHERE rn = 1),
-        |cent2 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
-        |    SELECT a.cluster, d.pos,
-        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*) / 1e6 AS cval
-        |    FROM asg2 a JOIN nrm n ON n.id = a.id CROSS JOIN dims d
-        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
-        |probes AS (SELECT query_id, qv, cluster FROM (
-        |    SELECT q.query_id, q.qv, cent2.cluster,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY list_dot_product(q.qv, cent2.cv)
-        |          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent2.cv, cent2.cv))) DESC,
-        |        cent2.cluster) AS prn
-        |    FROM q CROSS JOIN cent2) t WHERE prn <= 2),
-        |scored AS (SELECT query_id, c.vec_id AS nn_id,
-        |    round(list_dot_product(qv, v)
-        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
-        |  FROM c JOIN asg2 ON c.vec_id = asg2.id
-        |  JOIN probes ON asg2.cluster = probes.cluster
-        |  WHERE c.vec_id != query_id)
+      (ivfReplayCtes + """
         |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
-        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+        |  FROM scored) t WHERE rn <= 10""".stripMargin),
+
+    // recall@10 of the IVF path vs exact brute force: both replays
+    // are deterministic, so the measured recall is itself an oracle
+    // contract (per query: hits of the exact top-10 found by IVF)
+    "q_ann_recall" ->
+      (ivfReplayCtes + """,
+        |ivf AS (SELECT query_id, nn_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, nn_id) AS rn FROM scored) t
+        |  WHERE rn <= 10),
+        |exsc AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv))
+        |         * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id != query_id),
+        |ex AS (SELECT query_id, nn_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, nn_id) AS rn FROM exsc) t
+        |  WHERE rn <= 10),
+        |hit AS (SELECT e.query_id, CAST(count(i.nn_id) AS BIGINT) AS n_hits
+        |  FROM ex e LEFT JOIN ivf i
+        |    ON i.query_id = e.query_id AND i.nn_id = e.nn_id
+        |  GROUP BY 1)
+        |SELECT query_id, n_hits, n_hits * 100000 AS recall_micro
+        |FROM hit""".stripMargin),
+
 
     // Every modality carries a REAL container the oracle predicts:
     // PNG (stored-deflate: closed byte length h*(1+3w)+68) decoded by

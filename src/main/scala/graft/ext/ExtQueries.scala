@@ -125,6 +125,26 @@ object ExtQueries {
     Similarity.ivfTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5,
       nprobe = 2, nClusters = 8, kmeansIters = 2)
 
+  /** Recall@10 of the IVF-probed search against exact brute force —
+    * the "measure, don't guess" query for the ANN family: an index
+    * whose recall is unmeasured is a liability, and because BOTH
+    * paths are deterministic the recall itself is oracle-checkable. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val exact = Similarity.bruteForceTopK(emb, k = 10, numQueries = 5)
+      .select("query_id", "nn_id")
+    val ivf = Similarity.ivfTopK(emb, k = 10, numQueries = 5,
+        nprobe = 2, nClusters = 8, kmeansIters = 2)
+      .select(col("query_id"), col("nn_id").as("ivf_id"))
+    exact.join(ivf,
+        exact("query_id") === ivf("query_id") &&
+          exact("nn_id") === ivf("ivf_id"), "left")
+      .groupBy(exact("query_id"))
+      .agg(count(col("ivf_id")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * 100000L).as("recall_micro"))
+  }
+
   /** Deterministic IVF (flat seeds, no Lloyd iterations) — the
     * simplest oracle-verifiable ANN scale path. */
   def qSimIvfFlat(spark: SparkSession, dir: String): DataFrame =
