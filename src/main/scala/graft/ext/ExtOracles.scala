@@ -1701,6 +1701,24 @@ object ExtOracles {
         |  END, '') AS clean_text
         |FROM t LEFT JOIN cov USING (doc_id) WHERE t.doc_id % 97 != 0""".stripMargin,
 
+    // pre-shuffle skew report on o_custkey: hot key (ties to lowest
+    // key string), integer-micro share, per-key micro-rounded entropy
+    "q_skew_report" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |        CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |h AS (SELECT k AS hot_key, n AS hot_n FROM c
+        |      ORDER BY n DESC, k LIMIT 1),
+        |e AS (SELECT CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / t.n_rows)
+        |        * ln(CAST(n AS DOUBLE) / t.n_rows) * 1000000, 0) AS BIGINT))
+        |      AS BIGINT) AS entropy_micro
+        |      FROM c CROSS JOIN t)
+        |SELECT t.n_rows, t.n_keys, h.hot_key, h.hot_n,
+        |  (h.hot_n * 1000000) // t.n_rows AS hot_share_micro,
+        |  e.entropy_micro
+        |FROM t CROSS JOIN h CROSS JOIN e""".stripMargin,
+
     // negative-sampling draw: w = cnt^(3/4) as sqrt(c*sqrt(c))
     // (exactly-rounded ops only), md5-Gumbel top-20 proportional to w
     "q_neg_sampling" ->

@@ -303,6 +303,10 @@ object ExtQueries {
   def qProfileOrders(spark: SparkSession, dir: String): DataFrame =
     Profiler.profile(Tables(spark, dir).orders)
 
+  /** Pre-shuffle skew diagnostic on the order→customer key. */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    Profiler.skewReport(Tables(spark, dir).orders, "o_custkey")
+
   /** Multimodal plumbing: synth payloads -> batch decode (stubbed
     * codec) -> features. The stub derives metadata from the portable
     * md5-60 hash of the payload, so the binary mapPartitions pipeline

@@ -863,6 +863,19 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == full, s"merge mismatch: $merged vs $full")
   }
 
+  test("skewReport: hot key, share, and entropy match hand computation") {
+    import spark.implicits._
+    // 6 rows: key a x3, b x2, c x1 -> hot=a share=500000
+    // H = -(1/2 ln 1/2 + 1/3 ln 1/3 + 1/6 ln 1/6) = 1.011404...
+    val df = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("k")
+    val r = graft.ext.Profiler.skewReport(df, "k").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 6 && r.getAs[Long]("n_keys") == 3)
+    assert(r.getAs[String]("hot_key") == "a" && r.getAs[Long]("hot_n") == 3)
+    assert(r.getAs[Long]("hot_share_micro") == 500000L)
+    val h = r.getAs[Long]("entropy_micro")
+    assert(math.abs(h - 1011404L) <= 2, s"entropy $h")
+  }
+
   test("bloom: no false negatives ever; shard filters merge by union") {
     import spark.implicits._
     val members = (1 to 50).map(i => s"in$i").toDF("key")
