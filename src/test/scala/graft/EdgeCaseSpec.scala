@@ -187,6 +187,52 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.crossNearDups(someDocs, emptyDocs).count() == 0)
   }
 
+  test("round-10 operators tolerate empty and degenerate inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyKeys = Seq.empty[Tuple1[String]].toDF("key")
+    // sketches on empty corpora: empty tables, never errors
+    assert(graft.ext.Sketches.cmsBuild(emptyKeys).count() == 0)
+    assert(graft.ext.Sketches.cmsHeavyHitters(emptyDocs).count() == 0)
+    assert(graft.ext.Sketches.bloomBuild(emptyKeys).count() == 0)
+    // probing an EMPTY bloom: everything is definitively absent
+    val probes = Seq("a", "b").map(Tuple1(_)).toDF("key")
+    val pr = graft.ext.Sketches
+      .bloomProbe(graft.ext.Sketches.bloomBuild(emptyKeys), probes)
+      .as[(String, Boolean)].collect().toMap
+    assert(pr == Map("a" -> false, "b" -> false))
+    // HLL of an empty group stream: no rows (no groups exist)
+    assert(graft.ext.Sketches.hllDistinctBy(
+      Seq.empty[(String, String)].toDF("grp", "key"), "grp").count() == 0)
+    // entity resolution: empty record set, and records with NO digits
+    assert(graft.ext.EntityResolution.resolve(
+      Seq.empty[(Long, String)].toDF("record_id", "name")).count() == 0)
+    val noKey = Seq((1L, "alpha"), (2L, "alpha")).toDF("record_id", "name")
+    val erNk = graft.ext.EntityResolution.resolve(noKey)
+      .as[(Long, Long)].collect().toMap
+    assert(erNk == Map(1L -> 1L, 2L -> 2L),
+      "records without a strong key must stay singletons")
+    // kCore: empty edge list, and k beyond the densest subgraph
+    assert(graft.operators.Graph.kCore(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    assert(graft.operators.Graph.kCore(
+      Seq((1L, 2L)).toDF("src", "dst"), k = 5).count() == 0)
+    // MMR with k beyond the candidate count: returns all candidates
+    val cands = Seq((1L, 10L, 900000L), (1L, 11L, 500000L))
+      .toDF("query_id", "cid", "rel_micro")
+    val sims = Seq((1L, 10L, 11L, 100000L), (1L, 11L, 10L, 100000L))
+      .toDF("query_id", "a", "b", "sim_micro")
+    val picks = graft.ext.Similarity.mmrSelect(cands, sims, k = 5)
+    assert(picks.count() == 2, "k beyond candidates returns what exists")
+    // KN bigram on a corpus with no bigrams at all
+    assert(graft.ext.Curation.knBigramTable(
+      Seq((1L, "word")).toDF("doc_id", "text")).count() == 0)
+    // skew report on a single-key table: share 100%, entropy 0
+    val sk = graft.ext.Profiler.skewReport(
+      Seq("x", "x").map(Tuple1(_)).toDF("k"), "k").collect()(0)
+    assert(sk.getAs[Long]("hot_share_micro") == 1000000L)
+    assert(sk.getAs[Long]("entropy_micro") == 0L)
+  }
+
   test("incremental merge bootstrap from empty batch sequence") {
     val path = java.nio.file.Files.createTempDirectory("graft-edge").toString + "/t"
     val b = Seq((1L, "x")).toDF("id", "v")
