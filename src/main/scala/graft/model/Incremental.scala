@@ -46,6 +46,43 @@ object Incremental {
     swapWrite(spark, merged, path)
   }
 
+  /** CDC apply (the "APPLY CHANGES" shape): fold an insert/update/
+    * delete change stream into the keyed table at `path`. Within the
+    * batch, the row with the highest `seqCol` per key wins (ties to
+    * the op string, so replays are deterministic even on malformed
+    * feeds); a winning 'D' removes the key, anything else upserts the
+    * row. Out-of-order arrival WITHIN a batch is therefore handled;
+    * cross-batch ordering is the caller's feed contract, as in every
+    * CDC sink.
+    *
+    * Scale shape: one bounded per-key window over the batch (batch-
+    * sized, not table-sized), one anti-join of the base against the
+    * batch's key set (broadcastable — change batches are small
+    * relative to the table), one union, one swap-write. The base
+    * table is never shuffled.
+    */
+  def applyChanges(spark: SparkSession, changes: DataFrame, path: String,
+      uniqueKey: Seq[String], opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val exists = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(uniqueKey.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol))
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .drop(opCol, seqCol)
+    val next = if (!exists) upserts else {
+      val existing = spark.read.parquet(path)
+      existing.join(latest.select(uniqueKey.map(col): _*).distinct(),
+          uniqueKey, "left_anti")
+        .unionByName(upserts)
+    }
+    swapWrite(spark, next, path)
+  }
+
   /** dbt snapshot (SCD2, "check" strategy over all non-key columns):
     * maintains valid_from/valid_to/is_current. Changed rows close the
     * current version (valid_to = asOf) and open a new one; unchanged

@@ -62,4 +62,29 @@ class IncrementalSpec extends AnyFunSuite {
     assert(v2.length === 1 && !v2.head.getAs[Boolean]("is_current") &&
       v2.head.getAs[java.sql.Timestamp]("valid_to") === ts("2026-02-02"))
   }
+
+  test("applyChanges: I/U/D fold with in-batch ordering and delete-then-reinsert") {
+    val path = tmp("graft-cdc")
+    // batch 1: inserts (one key arrives twice out of order — seq wins)
+    val b1 = Seq(
+      (1L, "a1", "I", 10L), (2L, "b1", "I", 11L),
+      (2L, "b2", "U", 13L), (3L, "c1", "I", 12L))
+      .toDF("id", "v", "op", "seq")
+    val r1 = Incremental.applyChanges(spark, b1, path, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(r1 == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"), s"got $r1")
+    // batch 2: delete 1, update 3; delete beats a stale earlier update
+    val b2 = Seq(
+      (1L, "a2", "U", 20L), (1L, null.asInstanceOf[String], "D", 21L),
+      (3L, "c2", "U", 22L))
+      .toDF("id", "v", "op", "seq")
+    val r2 = Incremental.applyChanges(spark, b2, path, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(r2 == Map(2L -> "b2", 3L -> "c2"), s"got $r2")
+    // batch 3: re-insert a previously deleted key
+    val b3 = Seq((1L, "a3", "I", 30L)).toDF("id", "v", "op", "seq")
+    val r3 = Incremental.applyChanges(spark, b3, path, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(r3 == Map(1L -> "a3", 2L -> "b2", 3L -> "c2"), s"got $r3")
+  }
 }
