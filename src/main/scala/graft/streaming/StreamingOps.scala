@@ -133,6 +133,25 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming CDC sink: each micro-batch of I/U/D change rows folds
+    * into the keyed table via the batch
+    * [[graft.model.Incremental.applyChanges]] — per-key latest-by-seq
+    * winner within the batch, winning 'D' deletes. No stream-side
+    * state at all: the table on disk IS the state, which is the
+    * standard CDC-sink shape (state survives restarts for free, and
+    * batch + streaming feeds can share one table). Cross-batch
+    * ordering is the feed's contract, as with any CDC consumer. */
+  def cdcSink(changes: DataFrame, path: String, uniqueKey: Seq[String],
+      queryName: String, opCol: String = "op", seqCol: String = "seq")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.model.Incremental.applyChanges(batch.sparkSession,
+            batch.toDF(), path, uniqueKey, opCol, seqCol): Unit
+      }
+      .start()
+
   /** Streaming curation gate: the batch TextAnalysis stats/quality
     * expressions applied unchanged to a document STREAM — entirely
     * stateless (pure column expressions, no watermark, no state

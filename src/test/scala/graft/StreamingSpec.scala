@@ -260,6 +260,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC sink folds inserts, updates, and deletes across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-s").toString + "/t"
+    val q = StreamingOps.cdcSink(
+      mem.toDF().toDF("id", "v", "op", "seq"), path, Seq("id"), "cdc_q")
+    try {
+      mem.addData((1L, "a1", "I", 10L), (2L, "b1", "I", 11L))
+      q.processAllAvailable()
+      mem.addData((1L, "zz", "D", 20L), (2L, "b2", "U", 21L),
+        (3L, "c1", "I", 22L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(path).select("id", "v")
+        .as[(Long, String)].collect().toMap
+      assert(out == Map(2L -> "b2", 3L -> "c1"), s"got $out")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within window only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
