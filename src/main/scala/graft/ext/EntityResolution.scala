@@ -81,6 +81,81 @@ object EntityResolution {
         coalesce(col("component"), col(idCol)).as("entity_id"))
   }
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo
+    * 1995) — the OTHER classic ER strategy: sort all records by a
+    * composite key and compare each record only with its `window−1`
+    * successors. Complements [[resolve]]'s strong-key blocking: a
+    * record with an EMPTY or dirty strong key never enters a block
+    * at all, but still sorts next to its near-duplicates (the sort
+    * key leads with the digit string, then letters, so keyless
+    * records cluster by name). The match rule is unchanged —
+    * digit-equal + letters within `maxEdit` — only candidate
+    * generation differs; with a window covering each key group the
+    * result is identical to blocking (ExtSpec asserts it), and on
+    * keyless records it links where blocking cannot.
+    *
+    * Scale shape: the global rank is NOT a single-partition window —
+    * it is the sort-merge idiom: repartitionByRange on the sort key,
+    * sortWithinPartitions, per-partition sizes collected (one tiny
+    * job, numPartitions longs) and turned into prefix-sum offsets, so
+    * ranks are assigned in a zero-shuffle map pass. The window join
+    * is an equi-join on rank div window (each record joins its own
+    * and the next bucket — bounded 2× fan-out) with the |Δrank| <
+    * window residual, so candidate volume is ≤ 2·window per record
+    * regardless of corpus size — the sort is the method's one real
+    * cost, exactly as in the single-node original.
+    */
+  def resolveSortedNeighborhood(records: DataFrame,
+      idCol: String = "record_id", nameCol: String = "name",
+      window: Int = 8, maxEdit: Int = 1): DataFrame = {
+    require(window >= 2, "window must cover at least one neighbor")
+    val spark = records.sparkSession
+    val n = records.select(col(idCol),
+      stripTo(col(nameCol), "a-z").as("letters"),
+      stripTo(col(nameCol), "0-9").as("digits"))
+      .withColumn("sort_key", concat(col("digits"), lit("|"), col("letters")))
+    // distributed global rank: range-partition by the sort key, sort
+    // within partitions, then add each partition's prefix offset
+    val parts = n.repartitionByRange(col("sort_key"), col(idCol))
+      .sortWithinPartitions(col("sort_key"), col(idCol))
+      .localCheckpoint()
+    val sizes = parts.rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong)) }.collect().sortBy(_._1)
+    val offsets = sizes.map(_._2).scanLeft(0L)(_ + _)
+    val offsetByPart = spark.sparkContext.broadcast(offsets)
+    val ranked = spark.createDataFrame(
+      parts.rdd.mapPartitionsWithIndex { case (i, it) =>
+        var r = offsetByPart.value(i)
+        it.map { row => r += 1
+          org.apache.spark.sql.Row(row.get(0), row.getString(1),
+            row.getString(2), r) }
+      },
+      org.apache.spark.sql.types.StructType(
+        parts.schema.fields.take(3) :+
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType)))
+      .localCheckpoint()
+    Checkpoints.release(parts)
+    // window pairs via bucket equi-join: a record in bucket b meets
+    // bucket b and b+1 — covers every |Δrank| < window pair exactly
+    val a = ranked.select(col(idCol).as("src"), col("letters").as("la"),
+      col("digits").as("da"), col("rank").as("ra"),
+      expr(s"rank div $window").as("bucket"))
+    val b0 = ranked.select(col(idCol).as("dst"), col("letters").as("lb"),
+      col("digits").as("db"), col("rank").as("rb"),
+      expr(s"rank div $window").as("bucket"))
+    val b = b0.unionAll(b0.withColumn("bucket", col("bucket") - 1))
+    val edges = a.join(b, Seq("bucket"))
+      .filter(col("rb") > col("ra") && col("rb") - col("ra") < window &&
+        col("da") === col("db") &&
+        levenshtein(col("la"), col("lb"), maxEdit) >= 0)
+      .select("src", "dst")
+    val comp = Dedup.connectedComponents(edges, "src", "dst")
+    ranked.join(comp.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("entity_id"))
+  }
+
   /** Deterministic dirty-record generator for the demo query/oracle:
     * the clean rows plus typo'd variants (insertion, deletion,
     * case/whitespace noise) at disjoint id offsets — the oracle
@@ -99,5 +174,21 @@ object EntityResolution {
         regexp_replace(col("c_name"), "Customer", "Custmer")))
       .unionAll(variant(3, 3000000L,
         concat(lit("  "), upper(col("c_name")), lit(" "))))
+  }
+
+  /** [[customerVariants]] plus KEYLESS record families (no digits at
+    * all — letters from the md5 of the key, a trailing-letter typo on
+    * the twin): strong-key blocking can never link these, the
+    * sorted-neighborhood pass must. */
+  def customerVariantsKeyless(customer: DataFrame): DataFrame = {
+    val zzName = concat(lit("zz"), regexp_replace(
+      md5(concat(lit("kl|"), col("c_custkey").cast("string"))),
+      "[0-9]", ""))
+    def keyless(offset: Long, name: Column) =
+      customer.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + offset).as("record_id"), name.as("name"))
+    customerVariants(customer)
+      .unionAll(keyless(4000000L, zzName))
+      .unionAll(keyless(5000000L, concat(zzName, lit("x"))))
   }
 }

@@ -1926,6 +1926,51 @@ object ExtOracles {
         |FROM est e JOIN vc USING (key)
         |ORDER BY cms_est DESC, key LIMIT 50""".stripMargin,
 
+    // sorted-neighborhood ER: global rank on digits|letters, window-8
+    // neighbor pairs, same digit-equal + edit-1 match rule; keyless
+    // md5-letter twin families must link (blocking cannot)
+    "q_entity_resolution_sn" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey AS record_id, c_name AS name FROM customer
+        |  UNION ALL SELECT c_custkey + 1000000,
+        |    replace(c_name, 'Customer', 'Custoomer')
+        |    FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT c_custkey + 2000000,
+        |    replace(c_name, 'Customer', 'Custmer')
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey + 3000000,
+        |    concat('  ', upper(c_name), ' ')
+        |    FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL SELECT c_custkey + 4000000,
+        |    concat('zz', regexp_replace(md5('kl|' ||
+        |      CAST(c_custkey AS VARCHAR)), '[0-9]', '', 'g'))
+        |    FROM customer WHERE c_custkey % 13 = 0
+        |  UNION ALL SELECT c_custkey + 5000000,
+        |    concat('zz', regexp_replace(md5('kl|' ||
+        |      CAST(c_custkey AS VARCHAR)), '[0-9]', '', 'g'), 'x')
+        |    FROM customer WHERE c_custkey % 13 = 0),
+        |n AS (SELECT record_id,
+        |    regexp_replace(lower(trim(name)), '[^a-z]', '', 'g') AS letters,
+        |    regexp_replace(lower(trim(name)), '[^0-9]', '', 'g') AS digits
+        |  FROM recs),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY digits || '|' || letters, record_id) AS rank FROM n),
+        |e AS (SELECT a.record_id AS src, b.record_id AS dst
+        |      FROM r a JOIN r b
+        |        ON b.rank > a.rank AND b.rank - a.rank < 8
+        |      WHERE a.digits = b.digits
+        |        AND levenshtein(a.letters, b.letters) <= 1),
+        |edges AS (SELECT src AS s, dst AS d FROM e
+        |          UNION SELECT dst, src FROM e),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e2.s, rr.label FROM reach rr JOIN edges e2 ON e2.d = rr.node),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach
+        |         GROUP BY node)
+        |SELECT n.record_id, COALESCE(comp.component, n.record_id) AS entity_id
+        |FROM n LEFT JOIN comp ON n.record_id = comp.node""".stripMargin,
+
     // entity resolution: digit-string strong-key blocking (block cap
     // 64), letter-string edit-distance-1 match, recursive min-label
     // closure; singletons resolve to themselves

@@ -700,6 +700,13 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Sorted-neighborhood entity resolution over the variant set PLUS
+    * keyless families (empty digit strings) that strong-key blocking
+    * cannot link — each keyless twin pair must resolve together. */
+  def qEntityResolutionSn(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.resolveSortedNeighborhood(
+      EntityResolution.customerVariantsKeyless(Tables(spark, dir).customer))
+
   /** Negative-sampling draw: 20 tokens ∝ count^(3/4) via the
     * double-sqrt weight and md5-Gumbel top-k. */
   def qNegSampling(spark: SparkSession, dir: String): DataFrame =

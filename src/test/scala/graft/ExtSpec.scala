@@ -968,6 +968,29 @@ class ExtSpec extends AnyFunSuite {
     assert(out(5L) == 5L && out(6L) == 6L && out(7L) == 7L)
   }
 
+  test("sorted-neighborhood ER: equals blocking on keyed records, links keyless ones") {
+    import spark.implicits._
+    val keyed = Seq(
+      (1L, "Acme Corp #001122"), (2L, "Acme Corpp #001122"),
+      (3L, "  ACME CORP #001122 "), (4L, "Zenith Ltd #009988"),
+      (5L, "Zenith Ltdd #009988"), (6L, "Solo Vendor #777000"))
+      .toDF("record_id", "name")
+    val byBlock = EntityResolution.resolve(keyed)
+      .as[(Long, Long)].collect().toMap
+    val bySn = EntityResolution.resolveSortedNeighborhood(keyed, window = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(bySn == byBlock,
+      s"window covering each key group must reproduce blocking: $bySn vs $byBlock")
+    // keyless family: blocking leaves singletons, SN links the twins
+    val keyless = keyed.unionAll(Seq(
+      (7L, "zz plain name"), (8L, "zz plain namex")).toDF("record_id", "name"))
+    val b2 = EntityResolution.resolve(keyless).as[(Long, Long)].collect().toMap
+    assert(b2(7L) == 7L && b2(8L) == 8L, "blocking cannot see keyless records")
+    val s2 = EntityResolution.resolveSortedNeighborhood(keyless, window = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(s2(7L) == 7L && s2(8L) == 7L, s"SN must link the keyless twins: $s2")
+  }
+
   test("entityResolution: oversized blocks are never compared pairwise") {
     import spark.implicits._
     // 5 identical-letter records share one strong key; cap at 4 blocks
