@@ -1926,6 +1926,30 @@ object ExtOracles {
         |FROM est e JOIN vc USING (key)
         |ORDER BY cms_est DESC, key LIMIT 50""".stripMargin,
 
+    // native Jaro-Winkler vs DuckDB's built-in, micro-rounded per
+    // within-block pair of the ER variant set
+    "q_jaro_winkler" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS record_id, c_name AS name FROM customer
+        |  UNION ALL SELECT c_custkey + 1000000,
+        |    replace(c_name, 'Customer', 'Custoomer')
+        |    FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT c_custkey + 2000000,
+        |    replace(c_name, 'Customer', 'Custmer')
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey + 3000000,
+        |    concat('  ', upper(c_name), ' ')
+        |    FROM customer WHERE c_custkey % 3 = 0),
+        |n AS (SELECT record_id,
+        |    regexp_replace(lower(trim(name)), '[^a-z]', '', 'g') AS letters,
+        |    regexp_replace(lower(trim(name)), '[^0-9]', '', 'g') AS digits
+        |  FROM recs)
+        |SELECT a.record_id AS src, b.record_id AS dst,
+        |  CAST(round(jaro_winkler_similarity(a.letters, b.letters)
+        |    * 1000000, 0) AS BIGINT) AS jw_micro
+        |FROM n a JOIN n b
+        |  ON a.digits = b.digits AND a.record_id < b.record_id""".stripMargin,
+
     // sorted-neighborhood ER: global rank on digits|letters, window-8
     // neighbor pairs, same digit-equal + edit-1 match rule; keyless
     // md5-letter twin families must link (blocking cannot)

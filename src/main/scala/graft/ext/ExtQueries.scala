@@ -700,6 +700,26 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Native Jaro–Winkler over every within-block candidate pair of
+    * the ER variant set — per-pair micro scores asserted against
+    * DuckDB's built-in comparator. */
+  def qJaroWinkler(spark: SparkSession, dir: String): DataFrame = {
+    val n = EntityResolution
+      .customerVariants(Tables(spark, dir).customer)
+      .select(col("record_id"),
+        regexp_replace(lower(trim(col("name"))), "[^a-z]", "").as("letters"),
+        regexp_replace(lower(trim(col("name"))), "[^0-9]", "").as("digits"))
+    val a = n.select(col("digits"), col("record_id").as("src"),
+      col("letters").as("la"))
+    val b = n.select(col("digits"), col("record_id").as("dst"),
+      col("letters").as("lb"))
+    a.join(b, Seq("digits"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        round(graft.expressions.JaroWinkler.jw(col("la"), col("lb")) * 1e6, 0)
+          .cast("long").as("jw_micro"))
+  }
+
   /** Sorted-neighborhood entity resolution over the variant set PLUS
     * keyless families (empty digit strings) that strong-key blocking
     * cannot link — each keyless twin pair must resolve together. */

@@ -72,6 +72,9 @@ object GraftFunctions {
     // native Unicode NFC normalization (pre-dedup cleaning pass)
     "nfc_normalize" -> ((args: Seq[Expression]) =>
       graft.expressions.NfcNormalize(args(0))),
+    // native Jaro-Winkler name comparator (record-linkage hot loop)
+    "jaro_winkler" -> ((args: Seq[Expression]) =>
+      graft.expressions.JaroWinkler(args(0), args(1))),
     // geo radius predicate; RewriteStDWithin expands it to a pushed
     // bounding box + exact residual (graft.plans.GeoRules)
     "st_dwithin" -> ((args: Seq[Expression]) =>

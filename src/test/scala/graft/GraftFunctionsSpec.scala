@@ -32,6 +32,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(math.abs(mi - 2469) < 10, s"JFK-LAX ~2469mi, got $mi")
   }
 
+  test("jaro_winkler: textbook values, byte semantics, SQL registration") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("crate", "trace"), ("ab", "ba"), ("", ""), ("same", "same"))
+      .toDF("a", "b")
+    val got = pairs.select(
+      graft.expressions.JaroWinkler.jw($"a", $"b").as("jw")).as[Double]
+      .collect()
+    // martha/marhta 0.9611..., dixon/dicksonx 0.8133..., crate/trace
+    // 0.7333... (below boost threshold: no prefix bonus), ab/ba 0
+    // (window 0), both-empty 0 (the DuckDB convention), identical 1
+    val want = Seq(0.9611111111111111, 0.8133333333333332,
+      0.7333333333333334, 0.0, 0.0, 1.0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $g want $w") }
+    // SQL path = expression path
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(viaSql == got(0))
+    // byte semantics on multi-byte input (matches DuckDB's walk)
+    val uni = Seq(("éa", "éb")).toDF("a", "b").select(
+      graft.expressions.JaroWinkler.jw($"a", $"b")).head().getDouble(0)
+    assert(math.abs(uni - 0.8222222222222222) < 1e-12, s"got $uni")
+  }
+
   test("nfc_normalize: canonical equivalence collapses, ascii fast-path is identity") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT nfc_normalize('cafe\u0301') = 'caf\u00e9' AS eq, " +
