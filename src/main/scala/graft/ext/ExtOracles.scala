@@ -1926,6 +1926,43 @@ object ExtOracles {
         |FROM est e JOIN vc USING (key)
         |ORDER BY cms_est DESC, key LIMIT 50""".stripMargin,
 
+    // ER with the Jaro-Winkler residual (micro threshold 900000),
+    // same blocking/closure as q_entity_resolution
+    "q_entity_resolution_jw" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey AS record_id, c_name AS name FROM customer
+        |  UNION ALL SELECT c_custkey + 1000000,
+        |    replace(c_name, 'Customer', 'Custoomer')
+        |    FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT c_custkey + 2000000,
+        |    replace(c_name, 'Customer', 'Custmer')
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT c_custkey + 3000000,
+        |    concat('  ', upper(c_name), ' ')
+        |    FROM customer WHERE c_custkey % 3 = 0),
+        |n AS (SELECT record_id,
+        |    regexp_replace(lower(trim(name)), '[^a-z]', '', 'g') AS letters,
+        |    regexp_replace(lower(trim(name)), '[^0-9]', '', 'g') AS digits
+        |  FROM recs),
+        |bc AS (SELECT digits, count(*) AS c FROM n WHERE digits != ''
+        |       GROUP BY 1),
+        |nb AS (SELECT n.* FROM n JOIN bc USING (digits) WHERE bc.c <= 64),
+        |e AS (SELECT a.record_id AS src, b.record_id AS dst
+        |      FROM nb a JOIN nb b USING (digits)
+        |      WHERE a.record_id < b.record_id
+        |        AND CAST(round(jaro_winkler_similarity(a.letters, b.letters)
+        |          * 1000000, 0) AS BIGINT) >= 900000),
+        |edges AS (SELECT src AS s, dst AS d FROM e
+        |          UNION SELECT dst, src FROM e),
+        |reach(node, label) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e2.s, rr.label FROM reach rr JOIN edges e2 ON e2.d = rr.node),
+        |comp AS (SELECT node, MIN(label) AS component FROM reach
+        |         GROUP BY node)
+        |SELECT n.record_id, COALESCE(comp.component, n.record_id) AS entity_id
+        |FROM n LEFT JOIN comp ON n.record_id = comp.node""".stripMargin,
+
     // native Jaro-Winkler vs DuckDB's built-in, micro-rounded per
     // within-block pair of the ER variant set
     "q_jaro_winkler" ->

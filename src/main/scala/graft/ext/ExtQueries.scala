@@ -700,6 +700,12 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Entity resolution with the Jaro–Winkler residual (micro-compared
+    * threshold 0.9) — same variant families, similarity-based match. */
+  def qEntityResolutionJw(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.resolveJw(
+      EntityResolution.customerVariants(Tables(spark, dir).customer))
+
   /** Native Jaro–Winkler over every within-block candidate pair of
     * the ER variant set — per-pair micro scores asserted against
     * DuckDB's built-in comparator. */
