@@ -397,6 +397,38 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** entity_resolution_jw(tbl[, minJwMicro, maxBlock]) — the
+    * Jaro–Winkler-residual form
+    * ([[graft.ext.EntityResolution.resolveJw]]); the threshold is
+    * passed in MICRO units (900000 = 0.9) so the SQL surface stays
+    * integer-exact. */
+  def entityResolutionJwTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "entity_resolution_jw(table)"))
+    val thr =
+      if (args.length > 1) intArg(args(1), "entity_resolution_jw(minJwMicro)")
+      else 900000
+    val mb =
+      if (args.length > 2) intArg(args(2), "entity_resolution_jw(maxBlock)")
+      else 64
+    graft.ext.EntityResolution.resolveJw(df, minJw = thr / 1e6, maxBlock = mb)
+      .queryExecution.logical
+  }
+
+  /** entity_resolution_sn(tbl[, window, maxEdit]) — sorted-
+    * neighborhood candidate generation
+    * ([[graft.ext.EntityResolution.resolveSortedNeighborhood]]). */
+  def entityResolutionSnTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "entity_resolution_sn(table)"))
+    val w =
+      if (args.length > 1) intArg(args(1), "entity_resolution_sn(window)")
+      else 8
+    val me =
+      if (args.length > 2) intArg(args(2), "entity_resolution_sn(maxEdit)")
+      else 1
+    graft.ext.EntityResolution.resolveSortedNeighborhood(df,
+      window = w, maxEdit = me).queryExecution.logical
+  }
+
   /** cms_heavy_hitters(tbl[, k, depth, width]) — count-min estimated
     * heavy-hitter bigrams ([[graft.ext.Sketches.cmsHeavyHitters]]). */
   def cmsHeavyHittersTvf(args: Seq[Expression]): LogicalPlan = {
@@ -473,7 +505,9 @@ object GraftFunctions {
     "kn_bigram" -> (knBigramTvf _),
     "hll_distinct_by" -> (hllDistinctByTvf _),
     "mmr_select" -> (mmrSelectTvf _),
-    "k_core" -> (kCoreTvf _))
+    "k_core" -> (kCoreTvf _),
+    "entity_resolution_jw" -> (entityResolutionJwTvf _),
+    "entity_resolution_sn" -> (entityResolutionSnTvf _))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = {

@@ -163,6 +163,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("er_recs_tvf9")
     sameAs("SELECT * FROM entity_resolution('er_recs_tvf9')",
       graft.ext.EntityResolution.resolve(spark.table("er_recs_tvf9")))
+    sameAs("SELECT * FROM entity_resolution_jw('er_recs_tvf9', 900000)",
+      graft.ext.EntityResolution.resolveJw(spark.table("er_recs_tvf9")))
+    sameAs("SELECT * FROM entity_resolution_sn('er_recs_tvf9', 8)",
+      graft.ext.EntityResolution
+        .resolveSortedNeighborhood(spark.table("er_recs_tvf9")))
     docs.selectExpr("source AS grp", "lower(text) AS key")
       .createOrReplaceTempView("hll_keys_tvf9")
     sameAs("SELECT * FROM hll_distinct_by('hll_keys_tvf9', 'grp')",
