@@ -1926,6 +1926,26 @@ object ExtOracles {
         |FROM est e JOIN vc USING (key)
         |ORDER BY cms_est DESC, key LIMIT 50""".stripMargin,
 
+    // co-purchase association rules: pair support >= 3, exact
+    // integer-micro confidence and lift, top-50 by lift
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+        |      FROM li),
+        |supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS s
+        |         FROM li GROUP BY 1),
+        |pairs AS (SELECT a.pk AS a, b.pk AS b,
+        |    CAST(count(*) AS BIGINT) AS s_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk != b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.a, p.b, p.s_ab,
+        |  (p.s_ab * 1000000) // sa.s AS conf_micro,
+        |  (p.s_ab * n.n_orders * 1000000) // (sa.s * sb.s) AS lift_micro
+        |FROM pairs p JOIN supp sa ON sa.pk = p.a
+        |  JOIN supp sb ON sb.pk = p.b CROSS JOIN n
+        |ORDER BY lift_micro DESC, a, b LIMIT 50""".stripMargin,
+
     // ER with the Jaro-Winkler residual (micro threshold 900000),
     // same blocking/closure as q_entity_resolution
     "q_entity_resolution_jw" ->

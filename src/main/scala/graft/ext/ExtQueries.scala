@@ -700,6 +700,12 @@ object ExtQueries {
       docs.filter(col("source").isin("src0", "src1", "src2", "src3")))
   }
 
+  /** Co-purchase association rules over lineitem baskets: top-50 by
+    * exact-integer lift, support floor 3. */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame =
+    Association.pairRules(Tables(spark, dir).lineitem,
+      basketCol = "l_orderkey", itemCol = "l_partkey")
+
   /** Entity resolution with the Jaro–Winkler residual (micro-compared
     * threshold 0.9) — same variant families, similarity-based match. */
   def qEntityResolutionJw(spark: SparkSession, dir: String): DataFrame =

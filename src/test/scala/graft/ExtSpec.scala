@@ -863,6 +863,24 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == full, s"merge mismatch: $merged vs $full")
   }
 
+  test("pairRules: hand-computed confidence and lift; popular-but-independent scores lift 1") {
+    import spark.implicits._
+    // 4 baskets: x in all 4 (popular), y in 2, z only ever with y
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (4L, "x")).toDF("ok", "pk")
+    val rules = Association.pairRules(baskets, minSupport = 2, topK = 10)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // y->z: s=2, conf=2/2=1.0, lift=2*4/(2*2)=2.0
+    assert(rules(("y", "z")) == (2L, 1000000L, 2000000L), s"got $rules")
+    // y->x: s=2, conf=1.0, lift=2*4/(2*4)=1.0 (x is just popular)
+    assert(rules(("y", "x")) == (2L, 1000000L, 1000000L))
+    // x->y: conf=2/4=0.5, lift symmetric 1.0
+    assert(rules(("x", "y")) == (2L, 500000L, 1000000L))
+  }
+
   test("skewReport: hot key, share, and entropy match hand computation") {
     import spark.implicits._
     // 6 rows: key a x3, b x2, c x1 -> hot=a share=500000
