@@ -76,6 +76,32 @@ object AdvancedAnalytics {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order Markov transition table over per-user event streams
+    * — the product-analytics "where do users go next" matrix (and the
+    * model behind Markov-chain attribution): adjacent event pairs in
+    * (ts, event_id) order, row-normalized to exact integer-micro
+    * probabilities (n·10⁶ div row total — no doubles, replay-exact).
+    * Scale shape: lead() runs inside per-user windows (one user-keyed
+    * shuffle, bounded frames — never a global sort), the transition
+    * aggregate is event-type²-bounded, and the normalizer joins a
+    * row-cardinality table back; nothing after the window is
+    * event-stream-sized. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val rows = t.groupBy("src").agg(sum(col("n")).as("row_n"))
+    t.join(rows, Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000000) div row_n").as("p_micro"))
+  }
+
   /** Mode (most frequent value) per group, deterministic tie-break on
     * the smaller value. */
   def qMode(spark: SparkSession, dir: String): DataFrame = {

@@ -506,6 +506,22 @@ object OperatorOracles {
         |       nw.n_wedges, nt.n_triangles
         |FROM nt CROSS JOIN nw""".stripMargin,
 
+    // first-order Markov transitions over per-user event streams,
+    // (ts, event_id)-ordered, exact integer-micro row normalization
+    "q_event_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type AS src, next_type AS dst,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_n FROM t
+        |      GROUP BY 1)
+        |SELECT t.src, t.dst, t.n,
+        |  (t.n * 1000000) // r.row_n AS p_micro
+        |FROM t JOIN r USING (src)""".stripMargin,
+
     // 2-core by synchronous peeling, 8 rounds unrolled (converges in
     // <= 5 at the verified SFs; a deeper graph would hash-mismatch
     // and flag itself). MATERIALIZED per round or the chained CTEs
