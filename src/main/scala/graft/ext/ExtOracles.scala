@@ -2429,7 +2429,75 @@ object ExtOracles {
         |  UNION ALL SELECT 5, a2, b2, c2 FROM r2 WHERE s2
         |  UNION ALL SELECT 6, a, b, cnt FROM t3 WHERE rn = 1)
         |SELECT CAST(row_number() OVER (ORDER BY ord) AS INTEGER) AS step, a, b, cnt
-        |FROM sel""".stripMargin
+        |FROM sel""".stripMargin,
+
+    // CUSUM level-shift: mean-cleared scaled-integer cumulative sum
+    // (S'_t = Σ N·x_i − T = N·S_t, argmax-preserving), peak flagged.
+    "q_cusum" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n) AS t, count(*) AS nd FROM s),
+        |cum AS (SELECT d, n,
+        |    sum(nd * n - t) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cusum_scaled
+        |  FROM s CROSS JOIN tot)
+        |SELECT d, CAST(n AS BIGINT) AS n,
+        |  CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+        |  abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM cum)
+        |    AS is_peak
+        |FROM cum""".stripMargin,
+
+    // autocorrelation lags 1..7: exact-long numerator/denominator in
+    // mean-cleared scaled residuals r_t = N·x_t − T (N² cancels).
+    "q_acf" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |idxd AS (SELECT d, CAST(d - (SELECT min(d) FROM s) AS INTEGER) AS idx, n
+        |         FROM s),
+        |tot AS (SELECT sum(n) AS t, count(*) AS nd FROM s),
+        |r AS (SELECT idx, nd * n - t AS r FROM idxd CROSS JOIN tot),
+        |den AS (SELECT sum(r * r) AS den FROM r),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag)
+        |SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(ROUND(CAST(sum(a.r * b.r) AS DOUBLE)
+        |             / (SELECT den FROM den) * 1e6, 0) AS BIGINT)
+        |    AS acf_micro
+        |FROM r a CROSS JOIN lags JOIN r b ON b.idx = a.idx + lag
+        |GROUP BY lag""".stripMargin,
+
+    // EWMA α=1/2 over an 8-day tail: power-of-two weights keep
+    // num/den exact longs; edges renormalize over existing lags.
+    "q_ewma" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |idxd AS (SELECT d, CAST(d - (SELECT min(d) FROM s) AS INTEGER) AS idx, n
+        |         FROM s),
+        |lags AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS lag,
+        |                CAST(power(2, 7 - unnest(range(0, 8))) AS BIGINT) AS w)
+        |SELECT a.d, CAST(a.n AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(sum(b.n * w) AS DOUBLE) / sum(w) * 1e6, 0) AS BIGINT)
+        |    AS ewma_micro
+        |FROM idxd a CROSS JOIN lags
+        |JOIN idxd b ON b.idx = a.idx - lag
+        |GROUP BY a.d, a.n""".stripMargin,
+
+    // MATCH_RECOGNIZE-lite: per-user event-initial string in
+    // (µs-truncated ts, event_id) order, then regex pattern counts.
+    // 'v[^p]*p' cannot cross a purchase, so RE2 (here) and Java regex
+    // (Spark) agree on the non-overlapping match count.
+    "q_seq_pattern" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, substr(event_type, 1, 1) AS c
+        |  FROM events),
+        |seqs AS (SELECT user_id,
+        |    string_agg(c, '' ORDER BY ts, event_id) AS seq
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+        |    AS n_view_to_purchase,
+        |  regexp_matches(seq, 's.*v.*p') AS has_funnel
+        |FROM seqs""".stripMargin
   )
 
   // The disk-index twins answer identically to their in-memory forms

@@ -843,4 +843,18 @@ object ExtQueries {
           lit(" " + boiler)).otherwise(lit(""))).as("text"))
     Curation.decontaminate(planted)
   }
+
+  // ── time-series analytics over the event stream ──────────────────
+
+  def qCusum(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.cusumChangepoint(Tables(spark, dir).events)
+
+  def qAcf(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.acf(Tables(spark, dir).events, maxLag = 7)
+
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.ewma(Tables(spark, dir).events, window = 8)
+
+  def qSeqPattern(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.seqPattern(Tables(spark, dir).events)
 }

@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Time-series analytics over an event stream — the monitoring layer
+  * of a large ingestion pipeline (reference analog: the event-stream
+  * staging models, `/root/reference/models/staging/stg_events.sql`):
+  * once events are aggregated to a daily series, detect level shifts
+  * (CUSUM), measure periodicity (autocorrelation), and smooth for
+  * dashboards (EWMA).
+  *
+  * Scale shape: every operator here first reduces the raw stream with
+  * ONE map-side-partial aggregation (`groupBy(date)` — 100 TB of
+  * events collapse to one row per day per partial before the
+  * shuffle), and all subsequent analysis runs on the tiny aggregated
+  * series. The series-level joins are broadcast by size; nothing
+  * after the first shuffle depends on raw-data volume.
+  *
+  * Exactness contract: daily counts are integers, so deviations from
+  * the mean are computed in MEAN-CLEARED SCALED-INTEGER form —
+  * `r_t = N·x_t − T` (N days, T total) is `N·(x_t − mean)` without
+  * ever forming the non-integer mean — keeping every intermediate a
+  * long. Only the final ratios perform one double division before
+  * micro-rounding, which is bit-identical across engines.
+  */
+object Timeseries {
+
+  /** Daily event counts with a dense 0-based day index (`datediff`
+    * from the series minimum). The index makes lag arithmetic a plain
+    * integer join key — no date arithmetic in the hot path. */
+  def dailySeries(events: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.crossJoin(broadcast(daily.agg(min(col("d")).as("d0"))))
+      .select(col("d"), datediff(col("d"), col("d0")).as("idx"), col("n"))
+  }
+
+  /** CUSUM level-shift detection over the daily series.
+    *
+    * The classic cumulative-sum statistic `S_t = Σ_{i≤t}(x_i − x̄)`
+    * peaks (in absolute value) at the most likely changepoint. To
+    * stay integer-exact the sum is scaled by N: `S'_t = Σ(N·x_i − T)
+    * = N·S_t`, which preserves the argmax. Emits the scaled statistic
+    * and flags the peak day(s).
+    *
+    * @return (d, n, cusum_scaled, is_peak) ordered by date.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val s = dailySeries(events)
+    val tot = s.agg(sum(col("n")).as("t"), count(lit(1)).as("nd"))
+    val dev = s.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        (col("nd") * col("n") - col("t")).as("r"))
+    val cum = dev.withColumn("cusum_scaled",
+      sum(col("r")).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(
+        cum.agg(max(abs(col("cusum_scaled"))).as("peak"))))
+      .select(col("d"), col("n"), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak")).as("is_peak"))
+      .orderBy(col("d"))
+  }
+
+  /** Autocorrelation of the daily series at lags 1..`maxLag`.
+    *
+    * `acf_k = Σ r_t·r_{t+k} / Σ r_t²` with the mean-cleared scaled
+    * residuals `r_t = N·x_t − T` (the N² scale cancels in the ratio).
+    * Numerator and denominator are exact longs; the single final
+    * division is micro-rounded. The lagged pairing is an equi-join on
+    * the dense day index (`b.idx = a.idx + k`), driven by a
+    * broadcast lag dimension — at any data scale this runs on the
+    * ~N-row aggregated series, not the raw stream.
+    *
+    * @return (lag, n_pairs, acf_micro) ordered by lag.
+    */
+  def acf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val s = dailySeries(events)
+    val tot = s.agg(sum(col("n")).as("t"), count(lit(1)).as("nd"))
+    val r = s.crossJoin(broadcast(tot))
+      .select(col("idx"), (col("nd") * col("n") - col("t")).as("r"))
+    val den = r.agg(sum(col("r") * col("r")).as("den"))
+    val lags = r.sparkSession.range(1, maxLag + 1).select(col("id").cast(IntegerType).as("lag"))
+    val a = r.select(col("idx"), col("r").as("ra"))
+    val b = r.select(col("idx").as("bidx"), col("r").as("rb"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("bidx") === col("idx") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ra") * col("rb")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast(DoubleType) / col("den") * 1e6, 0)
+          .cast(LongType).as("acf_micro"))
+      .orderBy(col("lag"))
+  }
+
+  /** EWMA smoothing of the daily series with α = 1/2 over a bounded
+    * `window`-day tail. α = 1/2 makes every weight an exact power of
+    * two — `w_i = 2^(window−1−i)` for lag i — so numerator and
+    * denominator are exact longs; series edges renormalize over the
+    * lags that exist (the standard adjusted/bias-corrected EWMA).
+    * The lag pairing is the same dense-index equi-join as [[acf]].
+    *
+    * @return (d, n, ewma_micro) ordered by date.
+    */
+  def ewma(events: DataFrame, window: Int = 8): DataFrame = {
+    val s = dailySeries(events)
+    val lags = s.sparkSession.range(0, window)
+      .select(col("id").cast(IntegerType).as("lag"),
+        pow(lit(2.0), lit(window - 1) - col("id")).cast(LongType).as("w"))
+    val src = s.select(col("idx").as("sidx"), col("n").as("sn"))
+    s.select(col("d"), col("idx"), col("n"))
+      .crossJoin(broadcast(lags))
+      .join(src, col("sidx") === col("idx") - col("lag"))
+      .groupBy(col("d"), col("n"))
+      .agg(sum(col("sn") * col("w")).as("num"), sum(col("w")).as("den"))
+      .select(col("d"), col("n"),
+        round(col("num").cast(DoubleType) / col("den") * 1e6, 0)
+          .cast(LongType).as("ewma_micro"))
+      .orderBy(col("d"))
+  }
+
+  /** MATCH_RECOGNIZE-lite: regex pattern detection over each user's
+    * time-ordered event-type sequence.
+    *
+    * Each user's events collapse to a character string (one letter
+    * per event type, ordered by (ts, event_id) — event_id breaks
+    * timestamp ties deterministically), then plain regex counts
+    * pattern occurrences: `v[^p]*p` = "a view eventually converting
+    * to a purchase" (non-overlapping, leftmost; `[^p]*` cannot cross
+    * a purchase so leftmost-first and leftmost-longest agree — the
+    * Java-regex vs RE2 engine difference cannot show), and
+    * `s.*v.*p` = the signup→view→purchase funnel as a flag.
+    *
+    * Scale shape: ONE shuffle on user_id; per-user state is the
+    * event-initial string, bounded by that user's activity (the same
+    * per-key bound sessionization carries). For pathological keys,
+    * chunk by (user, week) first — the pattern here is the operator
+    * contract, not a driver-side loop.
+    *
+    * @return (user_id, n_events, n_view_to_purchase, has_funnel).
+    */
+  def seqPattern(events: DataFrame): DataFrame = {
+    val chr: Column = substring(col("event_type"), 1, 1)
+    events
+      .select(col("user_id"), struct(col("ts"), col("event_id"), chr.as("c")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+        e => e.getField("c")), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast(LongType).as("n_events"),
+        size(expr("regexp_extract_all(seq, 'v[^p]*p', 0)"))
+          .cast(LongType).as("n_view_to_purchase"),
+        col("seq").rlike("s.*v.*p").as("has_funnel"))
+      .orderBy(col("user_id"))
+  }
+}
