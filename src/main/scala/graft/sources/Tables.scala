@@ -23,13 +23,22 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-    * default; read nanos as long and convert to a microsecond
-    * timestamp (truncation — matches engines that only carry µs). */
+  /** events.ts layout has varied across testdata generations:
+    * TIMESTAMP(NANOS) (which Spark 4 refuses by default — read nanos
+    * as long and truncate to µs) or TIMESTAMP(MICROS) (arrives as NTZ
+    * — cast to the session-UTC instant type). Dispatch on the footer
+    * schema so both layouts surface the identical µs TimestampType
+    * column downstream queries were verified against. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

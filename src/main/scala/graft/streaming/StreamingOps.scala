@@ -17,22 +17,30 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet carries TIMESTAMP(NANOS); the stream reads ns as
-    * long (legacy conf) and converts to a µs timestamp, matching
-    * graft.sources.Tables#events. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Stream schema for events.parquet with `ts` declared as `tsType`
+    * — file-source streams need the schema up front, and the testdata
+    * ts layout has varied across generations (TIMESTAMP(NANOS) read
+    * as long vs TIMESTAMP(MICROS) read as NTZ). */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Footer peek via a batch read (cheap — metadata only) decides the
+    // declared ts type, matching graft.sources.Tables#events dispatch.
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // File-source streams take a directory; pathGlobFilter restricts
     // the listing to the events table.
-    spark.readStream.schema(eventsSchema)
+    val raw = spark.readStream.schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour windowed counts/sums with a 2-hour watermark —
