@@ -251,6 +251,131 @@ object Graph {
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 
+  /** Multi-source BFS shortest hop distance: every node reachable
+    * from the seed set within `maxHops` hops, with its exact minimum
+    * hop count ("distance to nearest labeled node" — the standard
+    * graph feature for propagating trust/spam/quality labels from a
+    * small audited seed set across a web-scale link graph).
+    *
+    * Frontier form: each round joins only the NEW nodes of the last
+    * round against the edge list (keyed on `src`), never the full
+    * visited set — on a bounded-degree graph round k costs
+    * O(|frontier_k| · d̄) regardless of how large the visited set has
+    * grown. The visited set grows monotonically and is anti-joined to
+    * keep the frontier minimal; both are checkpointed per round with
+    * superseded checkpoints released inline (the round-10 lifecycle
+    * discipline). The frontier count doubles as the convergence probe,
+    * so early exit on an exhausted frontier costs no extra job. The
+    * result equals `maxHops` rounds of min-relaxation — which is how
+    * the DuckDB oracle replays it — because frontier BFS assigns each
+    * node its first-reached (= minimal) hop count.
+    *
+    * @param edges   directed (src, dst); symmetrize upstream for
+    *                undirected semantics.
+    * @param sources seed nodes, one `node` column.
+    * @return (node, dist) — dist in [0, maxHops], seeds at 0.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int = 6,
+      broadcastMaxFrontier: Long = 5000000L): DataFrame = {
+    val e = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")).distinct().localCheckpoint()
+    var dist = sources.select(col("node").cast(LongType).as("node"))
+      .distinct()
+      .withColumn("dist", lit(0).cast(IntegerType))
+      .localCheckpoint()
+    var frontier = dist
+    var frontierRows = frontier.count()
+    var hop = 0
+    while (hop < maxHops && frontierRows > 0L) {
+      // the frontier is usually tiny relative to the edge list —
+      // broadcast it under a gate so the edges never reshuffle
+      val f = if (frontierRows <= broadcastMaxFrontier) broadcast(frontier)
+              else frontier
+      val next = e.join(f.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .groupBy("node").agg(min(col("dist")).cast(IntegerType).as("dist"))
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      val grown = dist.union(next).localCheckpoint()
+      // `grown` materialized FROM dist/next/frontier — all superseded
+      if (frontier ne dist) graft.ext.Checkpoints.release(frontier)
+      graft.ext.Checkpoints.release(dist)
+      dist = grown
+      frontier = next
+      frontierRows = next.count()
+      hop += 1
+    }
+    graft.ext.Checkpoints.release(e)
+    if (frontier ne dist) graft.ext.Checkpoints.release(frontier)
+    dist
+  }
+
+  /** Deterministic random-walk corpus over a directed graph — the
+    * DeepWalk/node2vec(p=q=1) training-data generator: `walksPerNode`
+    * walks of `walkLen` steps from every start node, each step moving
+    * to a uniformly-hash-chosen out-neighbor. "Random" choices are the
+    * portable 60-bit md5 hash of (start|walk|step) reduced mod
+    * out-degree over the dst-rank-ordered adjacency, so the corpus is
+    * reproducible bit-for-bit across engines and runs — an exactness
+    * property the DuckDB oracle exploits to replay whole walks (and
+    * exactly what you want in production: re-running the pipeline on
+    * the same graph yields the same corpus, so downstream shuffles/
+    * dedups stay incremental).
+    *
+    * Scale shape: the adjacency table (src, rk, dst) is ranked once
+    * (one window sort, degree table derived from it) and checkpointed;
+    * each step is (1) a node-keyed join of the positions against the
+    * degree table to compute the pick, then (2) an exact two-key
+    * (src, rk) equi-join into the adjacency — NO neighbor fanout: a
+    * celebrity node with 10⁸ out-edges contributes exactly one row per
+    * walk position, because the rank is computed before the join.
+    * Positions shuffle on the current node each step — the Pregel
+    * shape. Dead-end nodes (out-degree 0) terminate their walk early
+    * via the inner join.
+    *
+    * @return (start, walk, step, node) rows: step 0 is the start node
+    *         itself, steps 1..walkLen the visited nodes.
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, walkLen: Int = 4,
+      walksPerNode: Int = 1,
+      broadcastMaxEdges: Long = 20000000L): DataFrame = {
+    val e = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = e.select(col("src"), col("dst"),
+        row_number().over(w).cast(LongType).as("rk"))
+      .localCheckpoint()
+    val smallGraph = adj.count() <= broadcastMaxEdges
+    def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val walkIds = (0 until walksPerNode).map(i => lit(i)).toArray
+    var pos = starts.select(col("node").cast(LongType).as("start"))
+      .distinct()
+      .select(col("start"), explode(array(walkIds: _*)).as("walk"),
+        col("start").as("node"))
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+      pos.select(col("start"), col("walk"),
+        lit(0).cast(IntegerType).as("step"), col("node")))
+    for (i <- 1 to walkLen) {
+      // pick ∈ [1, odeg]: portable hash of the walk coordinates —
+      // replayable by any engine with md5 (the oracle contract)
+      val pick = pmod(graft.expressions.Md5Hash60.hash60(
+          concat(col("start").cast("string"), lit("|"),
+            col("walk").cast("string"), lit("|"), lit(i).cast("string"))),
+        col("odeg")) + 1
+      pos = pos
+        .join(gate(deg.withColumnRenamed("src", "node")), "node")
+        .select(col("start"), col("walk"),
+          col("node").as("src"), pick.as("rk"))
+        .join(gate(adj), Seq("src", "rk"))
+        .select(col("start"), col("walk"), col("dst").as("node"))
+      steps += pos.select(col("start"), col("walk"),
+        lit(i).cast(IntegerType).as("step"), col("node"))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
   /** k-core decomposition (synchronous peeling): repeatedly delete
     * every node whose degree within the surviving subgraph is < k;
     * the fixed point is the k-core — the standard "dense part of the

@@ -172,6 +172,39 @@ object AdvancedAnalytics {
     graft.operators.Graph.triangleCount(e)
   }
 
+  /** Multi-source BFS over the part↔supplier sourcing graph (same
+    * node encoding as [[qPagerank]]): exact hop distance from the
+    * nearest seed (part nodes ≡ 0 mod 200, i.e. every 100th part) —
+    * the label-propagation-from-audited-seeds shape; see
+    * [[graft.operators.Graph.shortestPaths]]. */
+  def qShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = li.select(col("p").as("src"), col("s").as("dst"))
+      .union(li.select(col("s").as("src"), col("p").as("dst")))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 200 === 0)
+    graft.operators.Graph.shortestPaths(edges, seeds, maxHops = 3)
+  }
+
+  /** Deterministic DeepWalk corpus over the part↔supplier graph: 2
+    * walks × 4 steps from every 25th part node, neighbor choice =
+    * portable md5 hash of the walk coordinates mod out-degree (the
+    * oracle replays whole walks); see
+    * [[graft.operators.Graph.randomWalks]]. */
+  def qRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = li.select(col("p").as("src"), col("s").as("dst"))
+      .union(li.select(col("s").as("src"), col("p").as("dst")))
+    val starts = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 50 === 0)
+    graft.operators.Graph.randomWalks(edges, starts, walkLen = 4,
+      walksPerNode = 2)
+  }
+
   /** 2-core of the SUPPORT-2 co-purchase graph (part pairs bought
     * together in ≥ 2 distinct orders — the support floor sparsifies
     * the graph so peeling is nontrivial); see

@@ -545,6 +545,58 @@ object OperatorOracles {
           |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
           |FROM e8 GROUP BY 1""").stripMargin,
 
+    // multi-source BFS, 3 min-relaxation rounds unrolled (equals the
+    // engine's frontier BFS after the same number of rounds: frontier
+    // assignment is first-reached = minimal hop count)
+    "q_shortest_path" ->
+      ("""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+        |            FROM lineitem),
+        |e AS MATERIALIZED (SELECT p AS src, s AS dst FROM li
+        |      UNION ALL SELECT s AS src, p AS dst FROM li),
+        |d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM e WHERE src % 200 = 0)""" +
+        (1 to 3).map { n =>
+          s""",
+            |d$n AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+            |    SELECT node, dist FROM d${n - 1}
+            |    UNION ALL SELECT e.dst AS node, d.dist + 1 AS dist
+            |    FROM e JOIN d${n - 1} d ON d.node = e.src) x GROUP BY node)"""
+        }.mkString +
+        """
+          |SELECT node, CAST(dist AS INT) AS dist FROM d3""").stripMargin,
+
+    // deterministic random walks, 4 steps unrolled: neighbor pick =
+    // portable md5 hash60(start|walk|step) % out-degree over the
+    // dst-rank-ordered adjacency — replays the engine's walks exactly
+    "q_random_walks" ->
+      ("""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+        |            FROM lineitem),
+        |e AS (SELECT p AS src, s AS dst FROM li
+        |      UNION ALL SELECT s AS src, p AS dst FROM li),
+        |adj AS MATERIALIZED (SELECT src, dst,
+        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rk
+        |  FROM e),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+        |  FROM adj GROUP BY src),
+        |p0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS walk) w
+        |  WHERE src % 50 = 0)""" +
+        (1 to 4).map { n =>
+          s""",
+            |p$n AS MATERIALIZED (SELECT p.start, p.walk, a.dst AS node
+            |  FROM p${n - 1} p
+            |  JOIN deg d ON d.src = p.node
+            |  JOIN adj a ON a.src = p.node AND a.rk =
+            |    CAST(concat('0x', substr(md5(concat(CAST(p.start AS VARCHAR), '|',
+            |      CAST(p.walk AS VARCHAR), '|', '$n')), 1, 15)) AS BIGINT)
+            |    % d.odeg + 1)"""
+        }.mkString +
+        """
+          |SELECT start, walk, CAST(0 AS INT) AS step, node FROM p0""" +
+        (1 to 4).map { n =>
+          s"""
+            |UNION ALL SELECT start, walk, CAST($n AS INT) AS step, node FROM p$n"""
+        }.mkString).stripMargin,
+
     "q_zscore" ->
       """WITH m AS (
         |  SELECT o_orderpriority AS p, COUNT(*) AS n,

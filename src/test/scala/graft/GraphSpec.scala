@@ -83,4 +83,72 @@ class GraphSpec extends AnyFunSuite {
     val core3 = Graph.kCore(k4, k = 3).as[(Long, Long)].collect().toMap
     assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("shortestPaths: exact hop counts on a path graph; hop cap honored") {
+    // path 1–2–3–4–5 (symmetrized), seed {1}
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d = Graph.shortestPaths(edges, seeds, maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4), s"$d")
+    // cap at 2 hops: node 4, 5 unreached
+    val capped = Graph.shortestPaths(edges, seeds, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2), s"$capped")
+    // multi-source takes the nearer seed
+    val multi = Graph.shortestPaths(edges, Seq(1L, 5L).toDF("node"), maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(multi == Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2), s"$multi")
+  }
+
+  test("shortestPaths: no pinned blocks leak; deterministic re-run") {
+    val und = Seq((1L, 2L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val before = graft.ext.Checkpoints.pinnedCount(spark)
+    val d = Graph.shortestPaths(edges, Seq(1L).toDF("node"), maxHops = 4)
+    val r1 = d.as[(Long, Int)].collect().toMap
+    // only the final dist checkpoint may remain pinned
+    assert(graft.ext.Checkpoints.pinnedCount(spark) <= before + 1)
+    graft.ext.Checkpoints.release(d)
+    val r2 = Graph.shortestPaths(edges, Seq(1L).toDF("node"), maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(r1 == r2)
+  }
+
+  test("randomWalks: walks follow edges, have full length, and replay") {
+    // two disjoint 3-cycles so every node has out-degree 1 — walks
+    // are forced deterministic paths around each cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val starts = Seq(1L, 10L).toDF("node")
+    val out = Graph.randomWalks(edges, starts, walkLen = 3, walksPerNode = 2)
+      .as[(Long, Int, Int, Long)].collect()
+    // 2 starts × 2 walks × 4 positions
+    assert(out.length == 16, s"${out.length}")
+    val byWalk = out.groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.sortBy(_._3).map(_._4).toSeq }
+    // out-degree 1 ⇒ the unique cycle path regardless of hash picks
+    assert(byWalk((1L, 0)) == Seq(1L, 2L, 3L, 1L), s"$byWalk")
+    assert(byWalk((10L, 1)) == Seq(10L, 11L, 12L, 10L), s"$byWalk")
+    val rerun = Graph.randomWalks(edges, starts, walkLen = 3, walksPerNode = 2)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(out.toSet == rerun.toSet, "hash-driven walks must replay exactly")
+  }
+
+  test("randomWalks: picks are hash-distributed on a branching node") {
+    // star center 0 with 4 out-neighbors; 16 one-step walks from 0
+    val edges = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val starts = Seq(0L).toDF("node")
+    val out = Graph.randomWalks(edges, starts, walkLen = 1, walksPerNode = 16)
+      .as[(Long, Int, Int, Long)].collect()
+    val step1 = out.filter(_._3 == 1).map(_._4)
+    assert(step1.length == 16)
+    // md5 spreads 16 picks over 4 neighbors: expect >1 distinct target
+    assert(step1.distinct.length > 1, s"degenerate picks: ${step1.toSeq}")
+    // dead ends (leaves have no out-edges) would truncate longer walks
+    val longer = Graph.randomWalks(edges, starts, walkLen = 3, walksPerNode = 1)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(longer.map(_._3).max == 1, "walk must stop at a dead end")
+  }
 }
