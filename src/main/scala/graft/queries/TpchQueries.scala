@@ -312,14 +312,17 @@ object TpchQueries {
     * integer sums. */
   def qTpchQ20(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val sq = t.lineitem
+    val hotParts = t.part.filter(col("p_name").like("hot%")).select(col("p_partkey"))
+    // Semi-join the selective part filter into lineitem BEFORE the
+    // (l_suppkey, l_partkey) aggregate: the groupBy shuffle then only
+    // carries hot-part rows, shrinking it by the p_name selectivity
+    // instead of shuffling the whole date window.
+    val qualified = t.lineitem
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
         col("l_shipdate") < ts("1997-01-01"))
+      .join(broadcast(hotParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast(LongType)).as("qty"))
-    val hotParts = t.part.filter(col("p_name").like("hot%")).select(col("p_partkey"))
-    val qualified = sq
-      .join(broadcast(hotParts), col("l_partkey") === col("p_partkey"))
       .filter(col("qty") > 40)
       .select(col("l_suppkey")).distinct()
     t.supplier

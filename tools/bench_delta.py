@@ -18,7 +18,9 @@ Build-time tool only — NOT part of the Scala library.
 import json, sys
 
 THRESH = 1.5
-MIN_SECONDS = 0.5  # ignore noise on sub-half-second queries
+MIN_DELTA = 0.3  # absolute seconds over floor — sub-second queries flap
+                 # at 1.5-1.8x of floor on pure window variance, so a
+                 # regression must ALSO cost real wall-clock to flag
 
 def load(p):
     with open(p) as f:
@@ -37,7 +39,7 @@ def main(cur_path, floor_path="BENCH_FLOOR.json"):
     bad = 0
     for ratio, q, t, f in rows:
         flag = ""
-        if ratio > THRESH and t > MIN_SECONDS:
+        if ratio > THRESH and (t - f) > MIN_DELTA:
             flag = "  <-- REGRESSION"
             bad += 1
         if ratio > THRESH or ratio < 1 / THRESH:
