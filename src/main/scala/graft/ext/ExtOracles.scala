@@ -892,6 +892,17 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin),
 
+    // the on-disk IVF index (q_ivf_indexed) probes with the SAME
+    // kmeans parameters as the in-memory path, and pruning never
+    // changes answers (IOSpec proves pruned ≡ unpruned) — so the
+    // replay is identical to q_sim_ivf_topk's
+    "q_ivf_indexed" ->
+      (ivfReplayCtes + """
+        |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM scored) t WHERE rn <= 10""".stripMargin),
+
     // recall@10 of the IVF path vs exact brute force: both replays
     // are deterministic, so the measured recall is itself an oracle
     // contract (per query: hits of the exact top-10 found by IVF)

@@ -477,6 +477,28 @@ object ExtQueries {
     graft.operators.FingerprintIndex.probe(spark, "graft_fp_idx", newBatch)
   }
 
+  /** Disk-index twin of [[qSimIvfTopK]]: the corpus written as a
+    * cluster-partitioned parquet IVF index
+    * ([[graft.operators.IvfIndex]]), then probed — same kmeans
+    * parameters, so answers are identical to the in-memory IVF path
+    * and the oracle replays the same arithmetic. The write is the
+    * one-time nightly build (build-once guard as in [[qDedupIndexed]]);
+    * repeated runs time the partition-pruned PROBE, the recurring
+    * production cost. */
+  def qIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_idx"
+    val marker = java.nio.file.Paths.get(path + ".built")
+    val same = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == dir
+    if (!same) {
+      graft.operators.IvfIndex.writeIndex(emb, path, nClusters = 8, iters = 2)
+      java.nio.file.Files.write(marker, dir.getBytes("UTF-8"))
+    }
+    graft.operators.IvfIndex.probeTopK(spark, path,
+      emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+  }
+
   /** Nearest-centroid classification of the embeddings table: fit on
     * vec_id % 5 ≠ 0, classify the rest, confusion counts. */
   def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =

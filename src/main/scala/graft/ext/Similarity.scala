@@ -55,10 +55,26 @@ object Similarity {
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "cos_sim", "rn")
+    topKExplode(scored, Seq("query_id"), k)
+  }
+
+  /** Two-phase exact per-query top-k: bounded-heap partial aggregation
+    * ([[graft.expressions.TopKByScore]]) then posexplode — survivors
+    * and ranks identical to `row_number over (partitionBy query_id
+    * orderBy cos_sim desc, nn_id)`, but no task ever holds more than k
+    * entries per query (the window form sorts the whole scored corpus
+    * for a query in ONE task — a straggler at 100× scale). */
+  private[graft] def topKExplode(scored: DataFrame, keys: Seq[String], k: Int,
+      payload: Column = lit(0L), payloadAs: Option[String] = None): DataFrame = {
+    val keyCols = keys.map(col)
+    val exploded = scored.groupBy(keyCols: _*)
+      .agg(graft.expressions.TopKByScore.topK(
+        col("cos_sim"), col("nn_id"), payload, k).as("topk"))
+      .select(keyCols :+ posexplode(col("topk")): _*)
+    val outCols = keyCols ++ Seq(col("col.id").as("nn_id")) ++
+      payloadAs.map(p => col("col.payload").as(p)).toSeq ++
+      Seq(col("col.score").as("cos_sim"), (col("pos") + 1).as("rn"))
+    exploded.select(outCols: _*)
   }
 
   /** Serving-shaped exact top-k: an ARRIVING query set (a micro-batch
@@ -76,18 +92,15 @@ object Similarity {
       .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
     // NO self-exclusion here: queries and corpus are DISTINCT id
     // spaces in the serving contract (a request id coinciding with a
     // corpus id is a coincidence, not identity) — the self-join eval
     // operators exclude, a server must not. Callers sharing one id
     // space filter `query_id =!= nn_id` downstream.
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("nn_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "cos_sim", "rn")
+    topKExplode(scored, Seq("query_id"), k)
   }
 
   /** Metadata-filtered exact ANN: top-k among only the corpus rows
@@ -111,10 +124,7 @@ object Similarity {
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "cos_sim", "rn")
+    topKExplode(scored, Seq("query_id"), k)
   }
 
   /** Map-side cluster argmax over a driver-side centroid list:
@@ -203,16 +213,13 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cluster"))
     val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
       .join(assign.select(col(idCol).as("nn_id"), col("cluster")), "nn_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    corpus.withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val scored = corpus.withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
       .join(broadcast(probes.withColumn("qn", sqrt(dot(col("qv"), col("qv"))))),
         Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "cos_sim", "rn")
+    topKExplode(scored, Seq("query_id"), k)
   }
 
   /** Non-iterative IVF ("flat" coarse quantizer): centroids are the
@@ -423,15 +430,14 @@ object Similarity {
         col(labelCol).cast(LongType).as("query_label"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id") &&
         col("nn_label") =!= col("query_label"))
       .select(col("query_id"), col("query_label"), col("nn_id"),
-        col("nn_label"),
-        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"),
+        col("nn_label"))
+    topKExplode(scored, Seq("query_id", "query_label"), k,
+        payload = col("nn_label"), payloadAs = Some("nn_label"))
       .select("query_id", "query_label", "nn_id", "nn_label", "cos_sim", "rn")
   }
 

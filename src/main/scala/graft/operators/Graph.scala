@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Iterative graph analytics expressed as DataFrame joins/aggregates —
   * the other half of the graph story next to
@@ -323,37 +323,74 @@ object Graph {
     * dedups stay incremental).
     *
     * Scale shape: the adjacency table (src, rk, dst) is ranked once
-    * (one window sort, degree table derived from it) and checkpointed;
-    * each step is (1) a node-keyed join of the positions against the
-    * degree table to compute the pick, then (2) an exact two-key
+    * and checkpointed. The per-src dst rank is NOT a window (a
+    * per-src row_number would sort a celebrity node's 10⁸ out-edges
+    * in one task — VERDICT r10 #3): edges are range-partitioned and
+    * sorted by (src, dst), a GLOBAL rank is attached with partition
+    * prefix sums (the EntityResolution.resolveSortedNeighborhood
+    * discipline), and each src's rank is the global rank minus the
+    * src's first global rank — one map-side-combined min/count
+    * aggregation and a co-keyed join, every stage straggler-free.
+    * Each step is then (1) a node-keyed join of the positions against
+    * the degree table to compute the pick, then (2) an exact two-key
     * (src, rk) equi-join into the adjacency — NO neighbor fanout: a
-    * celebrity node with 10⁸ out-edges contributes exactly one row per
-    * walk position, because the rank is computed before the join.
-    * Positions shuffle on the current node each step — the Pregel
-    * shape. Dead-end nodes (out-degree 0) terminate their walk early
-    * via the inner join.
+    * celebrity node contributes exactly one row per walk position,
+    * because the rank is computed before the join. Positions shuffle
+    * on the current node each step — the Pregel shape. Dead-end nodes
+    * (out-degree 0) terminate their walk early via the inner join.
+    *
+    * Checkpoint lifecycle: every step's positions are eagerly
+    * localCheckpoint'd (otherwise step k's branch of the final union
+    * re-executes joins 1..k — quadratic in walkLen), and the sorted
+    * edge/adjacency intermediates are released before returning. What
+    * stays pinned is exactly the walkLen position tables the returned
+    * union reads (one row per surviving walk each — tiny); callers
+    * reclaim them with Checkpoints.releaseAll once consumed, as
+    * Verify/Bench do (GraphSpec asserts this count).
     *
     * @return (start, walk, step, node) rows: step 0 is the start node
     *         itself, steps 1..walkLen the visited nodes.
     */
   def randomWalks(edges: DataFrame, starts: DataFrame, walkLen: Int = 4,
       walksPerNode: Int = 1,
-      broadcastMaxEdges: Long = 20000000L): DataFrame = {
+      broadcastMaxEdges: Long = 5000000L): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("src").cast(LongType).as("src"),
-      col("dst").cast(LongType).as("dst")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("dst"))
-    val adj = e.select(col("src"), col("dst"),
-        row_number().over(w).cast(LongType).as("rk"))
+        col("dst").cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    // ---- straggler-free per-src rank over dst ----
+    val parts = e.repartitionByRange(col("src"), col("dst"))
+      .sortWithinPartitions(col("src"), col("dst"))
       .localCheckpoint()
+    val sizes = parts.rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong)) }.collect().sortBy(_._1)
+    val offsets = sizes.map(_._2).scanLeft(0L)(_ + _)
+    val offsetByPart = spark.sparkContext.broadcast(offsets)
+    val granked = spark.createDataFrame(
+      parts.rdd.mapPartitionsWithIndex { case (i, it) =>
+        var r = offsetByPart.value(i)
+        it.map { row => r += 1
+          org.apache.spark.sql.Row(row.getLong(0), row.getLong(1), r) }
+      },
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+        StructField("grank", LongType))))
+    val firsts = granked.groupBy("src")
+      .agg(min(col("grank")).as("g0"), count(lit(1)).as("odeg"))
+    val adj = granked.join(firsts, "src")
+      .select(col("src"), col("dst"),
+        (col("grank") - col("g0") + 1).as("rk"), col("odeg"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(parts)
     val smallGraph = adj.count() <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
-    val deg = adj.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val deg = adj.select("src", "odeg").distinct()
     val walkIds = (0 until walksPerNode).map(i => lit(i)).toArray
     var pos = starts.select(col("node").cast(LongType).as("start"))
       .distinct()
       .select(col("start"), explode(array(walkIds: _*)).as("walk"),
         col("start").as("node"))
+      .localCheckpoint()
     val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
       pos.select(col("start"), col("walk"),
         lit(0).cast(IntegerType).as("step"), col("node")))
@@ -368,11 +405,14 @@ object Graph {
         .join(gate(deg.withColumnRenamed("src", "node")), "node")
         .select(col("start"), col("walk"),
           col("node").as("src"), pick.as("rk"))
-        .join(gate(adj), Seq("src", "rk"))
+        .join(gate(adj.select("src", "dst", "rk")), Seq("src", "rk"))
         .select(col("start"), col("walk"), col("dst").as("node"))
+        .localCheckpoint()
       steps += pos.select(col("start"), col("walk"),
         lit(i).cast(IntegerType).as("step"), col("node"))
     }
+    // every step is materialized — the adjacency is dead weight now
+    graft.ext.Checkpoints.release(adj)
     steps.reduce(_ unionAll _)
   }
 

@@ -68,14 +68,12 @@ object IvfIndex {
       .select(col("cluster"), col(idCol).as("nn_id"),
         transform(col(vecCol), x => x.cast("double")).as("dv"))
       .withColumn("dn", sqrt(Similarity.dot(col("dv"), col("dv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    corpus.join(broadcast(probes), Seq("cluster"))
+    val scored = corpus.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         round(Similarity.dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6)
           .as("cos_sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "cos_sim", "rn")
+    // bounded-heap two-phase top-k (no per-query corpus-wide window)
+    Similarity.topKExplode(scored, Seq("query_id"), k)
   }
 }

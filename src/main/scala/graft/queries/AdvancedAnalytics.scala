@@ -15,6 +15,11 @@ import graft.ext.TextAnalysis
   */
 object AdvancedAnalytics {
 
+  /** q_random_walks parameters, shared with the OperatorOracles replay
+    * builder so query and oracle cannot desynchronize (ADVICE r10). */
+  val randomWalkLen = 4
+  val randomWalksPerNode = 2
+
   /** TF-IDF with top-3 terms per document. tf/df/N are exact integer
     * counts; idf = ln(N/df) as the only transcendental, computed
     * identically on both sides. */
@@ -201,8 +206,9 @@ object AdvancedAnalytics {
       .union(li.select(col("s").as("src"), col("p").as("dst")))
     val starts = edges.select(col("src").as("node")).distinct()
       .filter(col("node") % 50 === 0)
-    graft.operators.Graph.randomWalks(edges, starts, walkLen = 4,
-      walksPerNode = 2)
+    graft.operators.Graph.randomWalks(edges, starts,
+      walkLen = AdvancedAnalytics.randomWalkLen,
+      walksPerNode = AdvancedAnalytics.randomWalksPerNode)
   }
 
   /** 2-core of the SUPPORT-2 co-purchase graph (part pairs bought

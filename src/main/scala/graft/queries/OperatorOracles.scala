@@ -11,6 +11,36 @@ package graft.queries
 object OperatorOracles {
 
   val all: Map[String, String] = Map(
+    // incremental/CDC fold replay: same base slice, same change batch,
+    // latest-by-seq per key with delete-beats-stale — checks the
+    // MATERIALIZED table Incremental.merge/applyChanges produced
+    "q_incremental_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |           FROM orders),
+        |base AS (SELECT * FROM o WHERE o_orderkey % 7 != 0),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 1000.0 AS o_totalprice, 'U' AS op, 2 AS seq
+        |  FROM o WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'I', 1
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D', 3
+        |  FROM o WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice - 500.0, 'U', 1
+        |  FROM o WHERE o_orderkey % 13 = 0),
+        |latest AS (SELECT * FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |                             ORDER BY seq DESC, op) = 1)
+        |SELECT * FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE op != 'D'""".stripMargin,
+
     // ----- aggregations --------------------------------------------------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -564,11 +594,14 @@ object OperatorOracles {
         """
           |SELECT node, CAST(dist AS INT) AS dist FROM d3""").stripMargin,
 
-    // deterministic random walks, 4 steps unrolled: neighbor pick =
+    // deterministic random walks, steps unrolled: neighbor pick =
     // portable md5 hash60(start|walk|step) % out-degree over the
-    // dst-rank-ordered adjacency — replays the engine's walks exactly
+    // dst-rank-ordered adjacency — replays the engine's walks exactly.
+    // Walk length / walks-per-node come from the SAME constants the
+    // query passes to Graph.randomWalks (AdvancedAnalytics), so the
+    // replay cannot drift from the engine parameters.
     "q_random_walks" ->
-      ("""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+      (s"""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
         |            FROM lineitem),
         |e AS (SELECT p AS src, s AS dst FROM li
         |      UNION ALL SELECT s AS src, p AS dst FROM li),
@@ -578,9 +611,11 @@ object OperatorOracles {
         |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS odeg
         |  FROM adj GROUP BY src),
         |p0 AS (SELECT DISTINCT src AS start, w.walk, src AS node
-        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS walk) w
+        |  FROM e CROSS JOIN (SELECT unnest([${
+            (0 until AdvancedAnalytics.randomWalksPerNode).mkString(", ")
+          }]) AS walk) w
         |  WHERE src % 50 = 0)""" +
-        (1 to 4).map { n =>
+        (1 to AdvancedAnalytics.randomWalkLen).map { n =>
           s""",
             |p$n AS MATERIALIZED (SELECT p.start, p.walk, a.dst AS node
             |  FROM p${n - 1} p
@@ -592,7 +627,7 @@ object OperatorOracles {
         }.mkString +
         """
           |SELECT start, walk, CAST(0 AS INT) AS step, node FROM p0""" +
-        (1 to 4).map { n =>
+        (1 to AdvancedAnalytics.randomWalkLen).map { n =>
           s"""
             |UNION ALL SELECT start, walk, CAST($n AS INT) AS step, node FROM p$n"""
         }.mkString).stripMargin,

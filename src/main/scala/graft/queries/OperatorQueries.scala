@@ -225,4 +225,39 @@ object OperatorQueries {
       when(col("c_nationkey").isNotNull, 1).otherwise(0)
     c.select(col("c_custkey"), score.as("score"))
   }
+
+  /** End-to-end incremental/CDC lifecycle over a real on-disk target
+    * ([[graft.model.Incremental]]): bootstrap-merge a base slice of
+    * orders, then APPLY CHANGES with a deterministic mixed batch —
+    * updates (seq 2), inserts of held-out keys (seq 1), deletes
+    * (seq 3, beating any update), and a stale out-of-order update
+    * (seq 1, losing wherever a higher-seq change exists). The oracle
+    * folds the identical batch in SQL (latest-by-seq per key,
+    * delete-beats-stale), so the driver hash-checks the MATERIALIZED
+    * table the merge produced, not just the plan. The target path is
+    * recreated per run — reruns are deterministic. */
+  def qIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val path = System.getProperty("java.io.tmpdir") + "/graft_incr_merge"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.model.Incremental.merge(spark,
+      o.filter(col("o_orderkey") % 7 =!= 0), path, Seq("o_orderkey"))
+    val upd = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(2))
+    val ins = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("op", lit("I")).withColumn("seq", lit(1))
+    val del = o.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(3))
+    val stale = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") - 500.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(1))
+    graft.model.Incremental.applyChanges(spark,
+      upd.unionByName(ins).unionByName(del).unionByName(stale),
+      path, Seq("o_orderkey"))
+  }
 }

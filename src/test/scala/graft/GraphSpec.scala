@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{concat, lit, pmod}
 import graft.operators.Graph
 
 /** Unit evidence for the DataFrame PageRank: hand-computed integer
@@ -134,6 +135,32 @@ class GraphSpec extends AnyFunSuite {
     val rerun = Graph.randomWalks(edges, starts, walkLen = 3, walksPerNode = 2)
       .as[(Long, Int, Int, Long)].collect()
     assert(out.toSet == rerun.toSet, "hash-driven walks must replay exactly")
+  }
+
+  test("randomWalks: high-degree hub ranks match the sorted-dst contract; bounded pins") {
+    // hub 0 with 500 out-edges — enough to span several range
+    // partitions, exercising the prefix-sum rank (the per-src window
+    // this replaced would have put all 500 in one task). With
+    // dsts = 1..500 sorted, rank r ⟺ dst r, so the hash pick is
+    // directly checkable: node(step 1) == hash60("0|w|1") % 500 + 1.
+    val hubDeg = 500L
+    val edges = (1L to hubDeg).map(l => (0L, l)).toDF("src", "dst")
+    val starts = Seq(0L).toDF("node")
+    val before = graft.ext.Checkpoints.pinnedCount(spark)
+    val walkLen = 1
+    val out = Graph.randomWalks(edges, starts, walkLen = walkLen, walksPerNode = 8)
+      .as[(Long, Int, Int, Long)].collect()
+    // pinned: the walkLen+1 position checkpoints only (adj released)
+    assert(graft.ext.Checkpoints.pinnedCount(spark) <= before + walkLen + 1,
+      "randomWalks must release its edge/adjacency checkpoints")
+    val expected = spark.range(8).toDF("walk")
+      .select($"walk",
+        (pmod(graft.expressions.Md5Hash60.hash60(
+          concat(lit("0"), lit("|"), $"walk".cast("string"), lit("|"), lit("1"))),
+          lit(hubDeg)) + 1L).as("dst"))
+      .as[(Long, Long)].collect().toMap
+    val step1 = out.filter(_._3 == 1).map(r => r._2.toLong -> r._4).toMap
+    assert(step1 == expected, s"hub picks diverge: $step1 vs $expected")
   }
 
   test("randomWalks: picks are hash-distributed on a branching node") {

@@ -6,96 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.model._
 import graft.models._
 
-// Fixture row shapes (FIXTURES.md §1); Options model nullables.
-case class UU(id: Long, uuid: String, first_name: String, last_name: String,
-    email: String, `type`: String, race_ethnicity: Option[String],
-    gender: Option[String], self_describe_gender: Option[String],
-    date_joined: java.sql.Timestamp, is_active: Boolean, is_staff: Boolean,
-    birthday: Option[String], location_id: Option[Long])
-case class Widget(id: Long, user_id: Long)
-case class EC(id: Long, site_id: Option[Long], name: String)
-case class ECLM(user_id: Long, classroom_id: Long)
-case class ECE(user_id: Long, classroom_id: Long)
-case class ECI(email: String, classroom_id: Long)
-case class ECIC(code: String, classroom_id: Long)
-case class Site(id: Long, name: String, partner_id: Long)
-case class Partner(id: Long, name: String)
-case class UPIC(id: Long, code: String, partner_id: Long, site_id: Long)
-case class Action(user_id: Long, partner_invite_code_id: Long, action_type: String)
-case class Loc(id: Long, display_name: String, long_name: String,
-    latitude: Option[Double], longitude: Option[Double], slug: String)
-case class LLAC(from_location_id: Long, to_location_id: Long)
-case class LType(location_id: Long, locationtype_id: Long)
-
-/** Shared reference-model fixtures (FIXTURES.md §3 edge cases) — used
-  * by both the DataFrame-model spec and the SQL-shim cross-check. */
-object RefFixtures {
-  def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
-
-  def sources(spark: org.apache.spark.sql.SparkSession): Map[String, DataFrame] = {
-    import spark.implicits._
-    Map(
-    "user_user" -> Seq(
-      UU(1, "u1", "Ann", "Lee", "educator1@example.com", "E",
-        Some("White, Other"), Some("Man, Woman"), None, ts("2020-01-01"),
-        true, false, Some("04-1987"), Some(100L)),
-      UU(2, "u2", "Bob", "Kim", "bob@example.com", "CL", None, None, None,
-        ts("2021-02-02"), true, false, None, None),
-      UU(3, "u3", "Cal", "Rey", "cal@example.com", "IL",
-        Some("Prefer not to say"), Some("Prefer to self-describe"),
-        Some("fluid"), ts("2021-03-03"), true, false, Some("01-2000"), None),
-      UU(4, "u4", "Dee", "Soto", "dee@example.com", "CL",
-        Some("Hispanic or Latinx"), Some("Woman"), None, ts("2022-04-04"),
-        true, false, Some("xx-abcd"), Some(200L)),
-      UU(5, "u5", "Te st", "User", "educatorst1@example.com", "E",
-        Some("Other"), Some("Man"), None, ts("2022-05-05"), false, true,
-        Some("12-2010"), None),
-      UU(6, "u6", "Fay", "Wu", "fay@example.com", "CL",
-        Some("South Asian"), Some("Nonbinary"), None, ts("2023-06-06"),
-        true, false, Some("08-1990"), Some(300L)),
-      UU(7, "u7", "Gil", "Ona", "gil@example.com", "CL",
-        Some("Native American or Alaska Native"), Some("Woman"), None,
-        ts("2023-07-07"), true, false, Some("09-1995"), None)
-    ).toDF,
-    "widget_widgetuserapikey" -> Seq(Widget(1, 2), Widget(2, 2)).toDF,
-    "educator_classroom" -> Seq(
-      EC(1, Some(10L), "Alpha"), EC(2, Some(10L), "Beta"), EC(3, None, "NoSite")).toDF,
-    "educator_classroomlearnermembership" -> Seq(
-      ECLM(2, 1), ECLM(6, 1), ECLM(6, 2)).toDF,
-    "educator_classroom_educators" -> Seq(ECE(1, 1)).toDF,
-    "educator_classroominvitation" -> Seq(ECI(" Educator1@Example.com ", 2)).toDF,
-    "educator_classroominvitecode" -> Seq(ECIC("CC1", 1)).toDF,
-    "user_site" -> Seq(Site(10, "Site A", 20)).toDF,
-    "user_partner" -> Seq(Partner(20, "Partner X")).toDF,
-    "user_partnerinvitecode" -> Seq(
-      UPIC(30, "PC1", 20, 10), UPIC(31, "PC2", 20, 10)).toDF,
-    "action_userjoinsaction" -> Seq(
-      Action(4, 30, "userjoins"), Action(4, 31, "other")).toDF,
-    "location_location" -> Seq(
-      Loc(100, "123 Main St", "123 Main St", Some(40.0), Some(-75.0), "main"),
-      Loc(101, "Springfield", "Springfield", Some(40.05), Some(-75.0), "sprg"),
-      Loc(102, "Shelbyville", "Shelbyville", Some(41.0), Some(-75.0), "shlb"),
-      Loc(103, "Pennsylvania", "Pennsylvania", Some(41.2), Some(-77.2), "pa"),
-      Loc(104, "United States", "United States of America", Some(39.8), Some(-98.6), "us"),
-      Loc(105, "Mont County", "Mont County", Some(40.2), Some(-75.4), "mont"),
-      Loc(200, "Nowhere", "Nowhere", None, None, "nowhere"),
-      Loc(300, "Seoul", "Seoul", Some(37.55), Some(126.99), "seoul"),
-      Loc(400, "Faraway Village", "Faraway Village", Some(40.0), Some(-75.0), "far"),
-      Loc(401, "North Town", "North Town", Some(50.0), Some(-75.0), "nt"),
-      Loc(402, "South Town", "South Town", Some(50.1), Some(-75.0), "st2"),
-      Loc(500, "456 Oak Ave", "456 Oak Ave", Some(40.0), Some(-75.0), "oak"),
-      Loc(501, "Cedar Town", "Cedar Town", Some(50.0), Some(-74.0), "ct"),
-      Loc(502, "Pine Town", "Pine Town", Some(50.2), Some(-74.0), "pt")).toDF,
-    "location_location_address_components" -> Seq(
-      LLAC(100, 101), LLAC(100, 102), LLAC(100, 103), LLAC(100, 104), LLAC(100, 105),
-      LLAC(400, 401), LLAC(400, 402),
-      LLAC(500, 501), LLAC(500, 502)).toDF,
-    "location_location_types" -> Seq(
-      LType(101, 3), LType(102, 4), LType(103, 7), LType(104, 1), LType(105, 8),
-      LType(401, 3), LType(402, 4), LType(501, 3), LType(502, 4)).toDF
-    )
-  }
-}
+/* Fixture row shapes + data live in graft.models.RefFixtures (main
+ * source) so the driver-oracle queries (ReferenceModelQueries) share
+ * the single definition; this spec keeps only the assertions. */
 
 /** End-to-end run of the three reference models over hand-built
   * fixtures covering FIXTURES.md §3's edge cases, through the Runner
