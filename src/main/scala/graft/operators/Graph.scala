@@ -358,33 +358,86 @@ object Graph {
     val e = edges.select(col("src").cast(LongType).as("src"),
         col("dst").cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
     // ---- straggler-free per-src rank over dst ----
+    // Range-partition + sort by (src, dst): equal keys co-locate, so
+    // dedup is an adjacent-row skip inside the sorted partitions (no
+    // separate distinct() shuffle), and the per-src rank is a running
+    // counter; only the ONE src that can span a partition's lower
+    // boundary (its first src — ranges are sorted, so any other src
+    // lies wholly inside) needs an offset, the count of that src's
+    // edges in earlier partitions. The boundary summary is 5 numbers
+    // per partition (bounded collect), so the rank costs one shuffle +
+    // two partition passes — no per-src window (a celebrity's edges
+    // sort across MANY partitions), no rank join.
     val parts = e.repartitionByRange(col("src"), col("dst"))
       .sortWithinPartitions(col("src"), col("dst"))
       .localCheckpoint()
-    val sizes = parts.rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator((i, it.size.toLong)) }.collect().sortBy(_._1)
-    val offsets = sizes.map(_._2).scanLeft(0L)(_ + _)
-    val offsetByPart = spark.sparkContext.broadcast(offsets)
-    val granked = spark.createDataFrame(
+    // (pid, firstSrc, firstCnt, lastSrc, lastCnt, size) per partition,
+    // over DISTINCT (src, dst) rows
+    val bounds = parts.rdd.mapPartitionsWithIndex { case (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var first = Long.MinValue; var firstCnt = 0L
+        var cur = Long.MinValue; var curCnt = 0L; var n = 0L
+        var pd = Long.MinValue; var started = false
+        it.foreach { row =>
+          val s = row.getLong(0); val d = row.getLong(1)
+          if (!started) {
+            started = true; first = s; cur = s; curCnt = 1L; n = 1L; pd = d
+          } else if (s != cur || d != pd) { // adjacent-dup skip
+            n += 1; pd = d
+            if (s == cur) curCnt += 1
+            else { if (cur == first) firstCnt = curCnt; cur = s; curCnt = 1L }
+          }
+        }
+        if (cur == first) firstCnt = curCnt // single-src partition
+        Iterator((i, first, firstCnt, cur, curCnt, n))
+      }
+    }.collect().sortBy(_._1)
+    val nParts = parts.rdd.getNumPartitions
+    val firstSrcOf = Array.fill(nParts)(Long.MinValue)
+    val offsetOf = new Array[Long](nParts)
+    locally {
+      // cumulative edge count per src, fed only by boundary srcs —
+      // an interior src never reappears in a later partition
+      val seen = scala.collection.mutable.Map.empty[Long, Long]
+      bounds.foreach { case (i, first, firstCnt, last, lastCnt, n) =>
+        firstSrcOf(i) = first
+        offsetOf(i) = seen.getOrElse(first, 0L)
+        if (first == last) seen(first) = seen.getOrElse(first, 0L) + n
+        else {
+          seen(first) = seen.getOrElse(first, 0L) + firstCnt
+          seen(last) = lastCnt // fresh start mid-partition
+        }
+      }
+    }
+    val firstB = spark.sparkContext.broadcast(firstSrcOf)
+    val offB = spark.sparkContext.broadcast(offsetOf)
+    val adj = spark.createDataFrame(
       parts.rdd.mapPartitionsWithIndex { case (i, it) =>
-        var r = offsetByPart.value(i)
-        it.map { row => r += 1
-          org.apache.spark.sql.Row(row.getLong(0), row.getLong(1), r) }
+        var cur = Long.MinValue; var rk = 0L
+        var pd = Long.MinValue; var started = false
+        it.flatMap { row =>
+          val s = row.getLong(0); val d = row.getLong(1)
+          if (started && s == cur && d == pd) None // adjacent-dup skip
+          else {
+            if (!started) { started = true; cur = s; rk = offB.value(i) }
+            else if (s != cur) { cur = s; rk = 0L }
+            pd = d; rk += 1
+            Some(org.apache.spark.sql.Row(s, d, rk))
+          }
+        }
       },
       StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
-        StructField("grank", LongType))))
-    val firsts = granked.groupBy("src")
-      .agg(min(col("grank")).as("g0"), count(lit(1)).as("odeg"))
-    val adj = granked.join(firsts, "src")
-      .select(col("src"), col("dst"),
-        (col("grank") - col("g0") + 1).as("rk"), col("odeg"))
+        StructField("rk", LongType))))
       .localCheckpoint()
     graft.ext.Checkpoints.release(parts)
     val smallGraph = adj.count() <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
-    val deg = adj.select("src", "odeg").distinct()
+    // materialized once — each step would otherwise re-aggregate the
+    // whole adjacency; released with adj after the last step
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .localCheckpoint()
     val walkIds = (0 until walksPerNode).map(i => lit(i)).toArray
     var pos = starts.select(col("node").cast(LongType).as("start"))
       .distinct()
@@ -411,8 +464,8 @@ object Graph {
       steps += pos.select(col("start"), col("walk"),
         lit(i).cast(IntegerType).as("step"), col("node"))
     }
-    // every step is materialized — the adjacency is dead weight now
-    graft.ext.Checkpoints.release(adj)
+    // every step is materialized — adjacency/degree are dead weight now
+    graft.ext.Checkpoints.release(adj, deg)
     steps.reduce(_ unionAll _)
   }
 

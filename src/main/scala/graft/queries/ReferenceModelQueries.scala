@@ -47,7 +47,10 @@ object ReferenceModelQueries {
     * design on fixture user 1 (SURVEY §2.3 fan-out looseness), so the
     * count being *stable and explained* is the assertion. */
   def qUserBaseChecks(spark: SparkSession, dir: String): DataFrame = {
-    val mart = qUserBase(spark, dir)
+    // materialize the mart once — both checks read the checkpoint
+    // instead of re-executing the 3-model DAG (callers reclaim via
+    // Checkpoints.releaseAll, as Verify/Bench do between queries)
+    val mart = qUserBase(spark, dir).localCheckpoint()
     val notNull = DataChecks.notNull(mart, "user_id")
       .agg(count(lit(1)).as("violations"))
       .select(lit("not_null_user_id").as("check_name"), col("violations"))

@@ -242,4 +242,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKByScore ≡ row_number window for arbitrary scored pairs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // scores drawn from a SMALL set so cross-id ties are common — the
+    // (score desc, id asc) tie-break is the contract under test
+    val pairGen: Gen[(Long, Long, Double)] = for {
+      q <- Gen.choose(0L, 3L); id <- Gen.choose(0L, 40L)
+      s <- Gen.oneOf(0.1, 0.25, 0.5, 0.5, 0.75, 1.0)
+    } yield (q, id, s)
+    forAll(Gen.listOfN(120, pairGen)) { rows =>
+      val scored = rows.distinctBy(r => (r._1, r._2))
+        .toDF("query_id", "nn_id", "cos_sim")
+      val k = 5
+      val viaWindow = scored.withColumn("rn", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"nn_id")))
+        .filter($"rn" <= k)
+        .select("query_id", "nn_id", "cos_sim", "rn")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val viaHeap = graft.ext.Similarity.topKExplode(scored, Seq("query_id"), k)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(viaHeap == viaWindow,
+        s"heap/window divergence:\n heap=$viaHeap\n wind=$viaWindow")
+    }
+  }
 }
