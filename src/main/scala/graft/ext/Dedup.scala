@@ -224,11 +224,17 @@ object Dedup {
     val labeled = q
       .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("quality_score").desc, col(idCol))
-    labeled.withColumn("rn", row_number().over(w))
+    // keeper = argmax (quality desc, id asc) per component as a
+    // map-side-combined struct-min agg + join — no per-component
+    // window, so a pathological giant duplicate cluster never sorts
+    // in a single task
+    val winners = labeled.groupBy(col("component"))
+      .agg(min(struct((-col("quality_score")).as("nq"),
+        col(idCol).as("kid"))).as("w"))
+      .select(col("component"), col("w.kid").as("__keeper_id"))
+    labeled.join(winners, "component")
       .select(col(idCol), col("component"), col("quality_score"),
-        (col("rn") === 1).as("is_keeper"))
+        (col(idCol) === col("__keeper_id")).as("is_keeper"))
   }
 
   /** Fuzzy cross-corpus contamination — MinHash-LSH near-duplicate

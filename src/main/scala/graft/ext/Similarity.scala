@@ -261,16 +261,13 @@ object Similarity {
       .withColumn("csim", cosine(col("qv"), col("cv")))
       .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cluster"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    assigned.withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val scored = assigned.withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
       .join(broadcast(probes.withColumn("qn", sqrt(dot(col("qv"), col("qv"))))),
         Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "cos_sim", "rn")
+    topKExplode(scored, Seq("query_id"), k)
   }
 
   /** SemDeDup-shaped semantic dedup: partition the embedding space
@@ -398,13 +395,17 @@ object Similarity {
         element_at(typedLit(cb(j).map(_._2)), col(s"c$j") + 1)) * 1e6, 0)
         .cast(LongType)
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ip_micro").desc, col("nn_id"))
-    enc.crossJoin(broadcast(queries))
+    // ip_micro is integer-exact below 2^53, so ranking it as the
+    // heap's double score loses nothing; cast back to long on output
+    val scoredPq = enc.crossJoin(broadcast(queries))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"), terms.reduce(_ + _).as("ip_micro"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "ip_micro", "rn")
+    scoredPq.groupBy("query_id")
+      .agg(graft.expressions.TopKByScore.topK(
+        col("ip_micro").cast(DoubleType), col("nn_id"), lit(0L), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("nn_id"),
+        col("col.score").cast(LongType).as("ip_micro"), (col("pos") + 1).as("rn"))
   }
 
   /** Hard-negative mining for contrastive training: for each query
@@ -525,14 +526,16 @@ object Similarity {
         element_at(typedLit(cb(j).map(_._2)), col(s"c$j") + 1)) * 1e6, 0)
         .cast(LongType)
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ip_micro").desc, col("nn_id"))
-    enc.join(broadcast(probes), Seq("cluster"))
+    val scoredIvfPq = enc.join(broadcast(probes), Seq("cluster"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         (coarseTerm +: resTerms).reduce(_ + _).as("ip_micro"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("query_id", "nn_id", "ip_micro", "rn")
+    scoredIvfPq.groupBy("query_id")
+      .agg(graft.expressions.TopKByScore.topK(
+        col("ip_micro").cast(DoubleType), col("nn_id"), lit(0L), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("nn_id"),
+        col("col.score").cast(LongType).as("ip_micro"), (col("pos") + 1).as("rn"))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector
@@ -770,10 +773,16 @@ object Similarity {
           .join(test.withColumn("blk",
             explode(sequence(lit(0), lit(b - 1)))), "blk")
       }
-    val w = Window.partitionBy(col("tid")).orderBy(col("d2"), col("nid"))
+    // nearest-k = top-k by NEGATED distance (exact below 2^53), ties
+    // to the lowest nid — identical to the (d2 asc, nid asc) window
     val top = pairs
       .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("tid"), col("true_lbl"))
+      .agg(graft.expressions.TopKByScore.topK(
+        (-col("d2")).cast(DoubleType), col("nid"),
+        col("n_lbl").cast(LongType), k).as("topk"))
+      .select(col("tid"), col("true_lbl"), posexplode(col("topk")))
+      .select(col("tid"), col("true_lbl"), col("col.payload").as("n_lbl"))
     top.groupBy(col("tid"), col("true_lbl"), col("n_lbl"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("tid"), col("true_lbl"))

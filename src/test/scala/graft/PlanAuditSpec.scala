@@ -111,9 +111,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"q_tpch_q21 supplier join not broadcast:\n$p")
   }
 
-  test("PQ top-k pushes a partial WindowGroupLimit; no cartesian product") {
+  test("PQ top-k: bounded-heap partial agg, no window, no cartesian product") {
     val p = plan("q_sim_pq_topk")
-    assert(p.contains("WindowGroupLimit"), s"q_sim_pq_topk lacks WindowGroupLimit:\n$p")
+    assert(!p.contains("Window"), s"q_sim_pq_topk still plans a window:\n$p")
+    assert(p.contains("partial_top_k_by_score"), s"q_sim_pq_topk lacks partial top-k:\n$p")
     assert(!p.contains("CartesianProduct"), s"CartesianProduct in q_sim_pq_topk:\n$p")
   }
 

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Timeseries
+
+/** Hand-computed evidence for the time-series layer: integer-exact
+  * CUSUM peaks a constructed level shift, ACF of a period-2 series is
+  * large-negative at lag 1 and large-positive at lag 2 (exact
+  * fractions), EWMA's power-of-two weights renormalize at the series
+  * edge, and the sequence-pattern regex counts non-overlapping
+  * conversions.
+  */
+class TimeseriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def ts(day: Int, i: Int) =
+    java.sql.Timestamp.valueOf(f"2026-01-${day + 1}%02d 00:00:${i % 60}%02d")
+
+  /** `perDay(d) = count` expanded to (user_id, event_id, ts, event_type). */
+  private def series(perDay: Seq[Int]) = {
+    val rows = for {
+      (cnt, day) <- perDay.zipWithIndex
+      i <- 0 until cnt
+    } yield (1L, (day * 1000 + i).toLong, ts(day, i), "view")
+    rows.toDF("user_id", "event_id", "ts", "event_type")
+  }
+
+  test("dailySeries: dense 0-based index from the series minimum") {
+    val out = Timeseries.dailySeries(series(Seq(2, 3, 1)))
+      .select("idx", "n").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, 2L), (1, 3L), (2, 1L)))
+  }
+
+  test("cusum: level shift peaks at the last pre-shift day, integer-exact") {
+    // 10,10,10,10,20,20,20,20: N=8, T=120, r = 8n-120 = ∓40
+    // cumsum: -40,-80,-120,-160,-120,-80,-40,0 -> |peak|=160 at day 3
+    val out = Timeseries.cusumChangepoint(series(Seq(10, 10, 10, 10, 20, 20, 20, 20)))
+      .select("cusum_scaled", "is_peak").as[(Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq ==
+      Seq(-40L, -80L, -120L, -160L, -120L, -80L, -40L, 0L))
+    assert(out.map(_._2).toSeq ==
+      Seq(false, false, false, true, false, false, false, false))
+  }
+
+  test("acf: period-2 series has acf(1) = -5/6, acf(2) = +2/3 exactly") {
+    // 10,20 ×3: N=6, T=90, r = 6n-90 = ∓30; den = 6·900 = 5400
+    // lag1: 5 pairs, each -900 -> -4500/5400 = -0.833333...
+    // lag2: 4 pairs, each +900 -> +3600/5400 = +0.666667
+    val out = Timeseries.acf(series(Seq(10, 20, 10, 20, 10, 20)), maxLag = 2)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 5L, -833333L), (2, 4L, 666667L)))
+  }
+
+  test("ewma: power-of-two weights, edge renormalization") {
+    // window=2 -> weights (2,1). day0: 10 (only itself);
+    // day1: (2·40 + 1·10)/3 = 30 exactly
+    val out = Timeseries.ewma(series(Seq(10, 40)), window = 2)
+      .select("ewma_micro").as[Long].collect()
+    assert(out.toSeq == Seq(10000000L, 30000000L))
+  }
+
+  test("seqPattern: non-overlapping v..p conversions + funnel flag") {
+    val rows = Seq(
+      // user 1: s v x p v p -> 2 conversions, funnel present
+      (1L, 1L, ts(0, 1), "signup"), (1L, 2L, ts(0, 2), "view"),
+      (1L, 3L, ts(0, 3), "x_other"), (1L, 4L, ts(0, 4), "purchase"),
+      (1L, 5L, ts(0, 5), "view"), (1L, 6L, ts(0, 6), "purchase"),
+      // user 2: p v -> no conversion, no funnel
+      (2L, 7L, ts(0, 1), "purchase"), (2L, 8L, ts(0, 2), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Timeseries.seqPattern(rows)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 6L, 2L, true), (2L, 2L, 0L, false)))
+  }
+}
