@@ -1892,6 +1892,26 @@ object ExtOracles {
         |       ELSE e.raw_est END AS hll_est
         |FROM est e JOIN ex USING (source)""".stripMargin,
 
+    // mergeable quantile sketch: the deterministic md5-threshold
+    // sample replays exactly, quantile_cont ≡ Spark percentile
+    "q_quantile_sketch" ->
+      """WITH s AS (SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE CAST(concat('0x',
+        |      substr(md5('qs|' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 8 = 0),
+        |est AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_sampled,
+        |    round(quantile_cont(o_totalprice, 0.5), 4) AS p50_est,
+        |    round(quantile_cont(o_totalprice, 0.9), 4) AS p90_est
+        |  FROM s GROUP BY 1),
+        |ex AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        |    round(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact
+        |  FROM orders GROUP BY 1)
+        |SELECT ex.o_orderpriority, ex.n, est.n_sampled,
+        |  est.p50_est, est.p90_est, ex.p50_exact, ex.p90_exact
+        |FROM ex LEFT JOIN est USING (o_orderpriority)""".stripMargin,
+
     // interpolated Kneser-Ney bigram LM, D=3/4 folded into exact
     // long arithmetic (split-term truncating division IS the
     // contract); top-100 by count

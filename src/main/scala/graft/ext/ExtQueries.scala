@@ -834,6 +834,15 @@ object ExtQueries {
       .select("source", "true_n", "v", "raw_est", "hll_est")
   }
 
+  /** Mergeable quantile sketch over orders: per-priority p50/p90 from
+    * the deterministic 1/8 hash-threshold sample, exact quantiles
+    * riding along so the sampling error is measured, not promised
+    * ([[Sketches.quantileSketch]]). */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    Sketches.quantileSketch(Tables(spark, dir).orders,
+      groupCol = "o_orderpriority", keyCol = "o_orderkey",
+      valCol = "o_totalprice", shift = 3)
+
   /** Interpolated Kneser–Ney bigram LM over the corpus: top-100
     * bigrams with exact-long-arithmetic pkn_nano (D = 3/4). */
   def qKnBigram(spark: SparkSession, dir: String): DataFrame =

@@ -201,4 +201,41 @@ object Sketches {
       .limit(k)
       .select("key", "exact_n", "cms_est")
   }
+
+  /** Mergeable quantile sketch ("sampled companions"): the sketch
+    * state is the deterministic hash-threshold sample — rows whose
+    * md5-60 of the key ≡ 0 mod 2^shift, a 1/2^shift uniform subset.
+    * Because membership depends only on the key hash, the union of
+    * shard/batch samples IS the sample of the union — the sketch
+    * merges by plain UNION like the other sketches' states, and a
+    * 100 TB quantile query sorts only corpus/2^shift rows (rank error
+    * O(1/√sample) by standard order-statistics bounds). Quantiles over
+    * the sample use the exact interpolated `percentile`, so estimates
+    * are deterministic and the DuckDB oracle replays them
+    * bit-identically; exact full-data quantiles ride along (the
+    * hllDistinctBy pattern) so the measured error is visible in the
+    * output rather than promised.
+    *
+    * @return (groupCol, n, n_sampled, p50_est, p90_est, p50_exact,
+    *         p90_exact)
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, keyCol: String,
+      valCol: String, shift: Int = 3): DataFrame = {
+    require(shift >= 0 && shift < 30, "shift out of range")
+    val rate = 1L << shift
+    val sampled = df.filter(
+      pmod(Md5Hash60.hash60(concat(lit("qs|"), col(keyCol).cast("string"))),
+        lit(rate)) === 0)
+    val est = sampled.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(percentile(col(valCol), lit(0.5)), 4).as("p50_est"),
+        round(percentile(col(valCol), lit(0.9)), 4).as("p90_est"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col(valCol), lit(0.5)), 4).as("p50_exact"),
+        round(percentile(col(valCol), lit(0.9)), 4).as("p90_exact"))
+    exact.join(est, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("n_sampled"),
+        col("p50_est"), col("p90_est"), col("p50_exact"), col("p90_exact"))
+  }
 }

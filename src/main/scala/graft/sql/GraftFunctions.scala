@@ -120,6 +120,21 @@ object GraftFunctions {
     out.queryExecution.logical
   }
 
+  /** quantile_sketch(tbl, groupCol, keyCol, valCol[, shift]) —
+    * [[graft.ext.Sketches.quantileSketch]]. */
+  def quantileSketchTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4,
+      "quantile_sketch(table, groupCol, keyCol, valCol[, shift])")
+    val df = tableOf(strArg(args.head, "quantile_sketch(table)"))
+    graft.ext.Sketches.quantileSketch(df,
+      groupCol = strArg(args(1), "quantile_sketch(groupCol)"),
+      keyCol = strArg(args(2), "quantile_sketch(keyCol)"),
+      valCol = strArg(args(3), "quantile_sketch(valCol)"),
+      shift = if (args.length > 4) intArg(args(4), "quantile_sketch(shift)")
+              else 3)
+      .queryExecution.logical
+  }
+
   /** hash_split(tbl[, trainPct, valPct]) — [[graft.ext.Curation.hashSplit]]. */
   def hashSplitTvf(args: Seq[Expression]): LogicalPlan = {
     val df = tableOf(strArg(args.head, "hash_split(table)"))
@@ -478,6 +493,7 @@ object GraftFunctions {
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
+    "quantile_sketch" -> (quantileSketchTvf _),
     "dedup_candidates" -> (dedupCandidatesTvf _),
     "text_stats" -> (textStatsTvf _),
     "dsir_score" -> (dsirScoreTvf _),

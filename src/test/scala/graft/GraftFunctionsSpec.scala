@@ -187,6 +187,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .toDF("src", "dst").createOrReplaceTempView("kcore_edges_tvf9")
     sameAs("SELECT * FROM k_core('kcore_edges_tvf9', 2)",
       graft.operators.Graph.kCore(spark.table("kcore_edges_tvf9"), k = 2))
+    graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
+      .createOrReplaceTempView("orders_tvf9")
+    sameAs("SELECT * FROM quantile_sketch('orders_tvf9', 'o_orderpriority', " +
+        "'o_orderkey', 'o_totalprice', 2)",
+      graft.ext.Sketches.quantileSketch(spark.table("orders_tvf9"),
+        "o_orderpriority", "o_orderkey", "o_totalprice", shift = 2))
     // composes downstream: bucket histogram over the TVF output
     val viaSql = spark.sql(
       "SELECT ppl_bucket, count(*) AS n FROM ppl_buckets('docs_tvf9') GROUP BY 1")
