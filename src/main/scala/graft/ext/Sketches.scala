@@ -219,13 +219,17 @@ object Sketches {
     * @return (groupCol, n, n_sampled, p50_est, p90_est, p50_exact,
     *         p90_exact)
     */
+  /** The quantile sketch's membership predicate — shared by the batch
+    * build and the streaming twin so their states are row-identical. */
+  def quantileSampleFilter(keyCol: Column, shift: Int): Column = {
+    require(shift >= 0 && shift < 30, "shift out of range")
+    pmod(Md5Hash60.hash60(concat(lit("qs|"), keyCol.cast("string"))),
+      lit(1L << shift)) === 0
+  }
+
   def quantileSketch(df: DataFrame, groupCol: String, keyCol: String,
       valCol: String, shift: Int = 3): DataFrame = {
-    require(shift >= 0 && shift < 30, "shift out of range")
-    val rate = 1L << shift
-    val sampled = df.filter(
-      pmod(Md5Hash60.hash60(concat(lit("qs|"), col(keyCol).cast("string"))),
-        lit(rate)) === 0)
+    val sampled = df.filter(quantileSampleFilter(col(keyCol), shift))
     val est = sampled.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_sampled"),
         round(percentile(col(valCol), lit(0.5)), 4).as("p50_est"),

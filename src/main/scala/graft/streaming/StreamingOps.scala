@@ -240,6 +240,19 @@ object StreamingOps {
       keyCol: String = "key", m: Int = 256): DataFrame =
     graft.ext.Sketches.hllRegisters(df, groupCol, keyCol, m)
 
+  /** Streaming twin of the quantile-sketch STATE
+    * ([[graft.ext.Sketches.quantileSketch]]): the hash-threshold
+    * sample predicate is STATELESS (membership depends only on the
+    * key hash), so the sketch state accumulates as an append-only
+    * sampled stream — stream/2^shift rows, with zero Spark state
+    * store usage — and the union across micro-batches is
+    * row-identical to the batch sample of the same rows
+    * (StreamingSpec). Finish a state snapshot into quantiles with the
+    * batch estimate step; runs unchanged on bounded frames. */
+  def quantileSampleStream(df: DataFrame, keyCol: String,
+      shift: Int = 3): DataFrame =
+    df.filter(graft.ext.Sketches.quantileSampleFilter(col(keyCol), shift))
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

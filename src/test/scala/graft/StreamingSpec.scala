@@ -142,6 +142,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile-sketch sample accumulates to the batch sample") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val b1 = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.5))
+    val b2 = (201L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.5))
+    val q = StreamingOps.quantileSampleStream(
+        mem.toDF().toDF("key", "grp", "v"), "key", shift = 2)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qs_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qs_out").collect().toSet
+      val all = (b1 ++ b2).toDF("key", "grp", "v")
+      val batchSample = all.filter(
+        graft.ext.Sketches.quantileSampleFilter(col("key"), 2))
+      assert(streamed == batchSample.collect().toSet,
+        "stream sample != batch sample")
+      // ~1/4 rate: the sample is a real subset, not a pass-through
+      assert(streamed.size > 0 && streamed.size < 400 / 2,
+        s"implausible sample size ${streamed.size}")
+      // a state snapshot finishes to the batch estimates
+      val fromSnapshot = graft.ext.Sketches.quantileSketch(
+        all, "grp", "key", "v", shift = 2)
+        .select("grp", "n_sampled", "p50_est", "p90_est")
+        .collect().toSet
+      val est = spark.table("qs_out").groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(percentile(col("v"), lit(0.5)), 4).as("p50_est"),
+          round(percentile(col("v"), lit(0.9)), 4).as("p90_est"))
+        .collect().toSet
+      assert(est == fromSnapshot, "snapshot finish != batch estimates")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers accumulate to the batch register table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
