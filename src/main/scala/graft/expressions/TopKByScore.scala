@@ -115,11 +115,6 @@ case class TopKByScore(
 object TopKByScore {
   final case class Entry(score: Double, id: Long, payload: Long)
 
-  /** a strictly better than b under (score DESC, id ASC). */
-  private def better(a: Entry, b: Entry): Boolean =
-    if (a.score != b.score) java.lang.Double.compare(a.score, b.score) > 0
-    else a.id < b.id
-
   /** Heap order with the WORST entry at the head (what poll evicts). */
   private val worstFirst: Comparator[Entry] = new Comparator[Entry] {
     override def compare(a: Entry, b: Entry): Int = {
@@ -127,6 +122,13 @@ object TopKByScore {
       if (c != 0) c else java.lang.Long.compare(b.id, a.id)
     }
   }
+
+  /** a strictly better than b under (score DESC, id ASC) — defined VIA
+    * the heap comparator so eviction and final ranking use one total
+    * order (a primitive `!=` on scores would treat -0.0 == 0.0 while
+    * Double.compare orders them, splitting the two orders). */
+  private def better(a: Entry, b: Entry): Boolean =
+    worstFirst.compare(a, b) > 0
 
   /** Column entry point: top-k (score, id, payload) per group. */
   def topK(score: Column, id: Column, payload: Column, k: Int): Column =

@@ -224,13 +224,15 @@ object Dedup {
     val labeled = q
       .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .withColumn("component", coalesce(col("component"), col(idCol)))
-    // keeper = argmax (quality desc, id asc) per component as a
-    // map-side-combined struct-min agg + join — no per-component
+    // keeper = argmax (quality desc NULLS LAST, id asc) per component
+    // as a map-side-combined struct-min agg + join — no per-component
     // window, so a pathological giant duplicate cluster never sorts
-    // in a single task
+    // in a single task. The explicit null flag preserves the window's
+    // NULLS LAST: struct-min alone would sort a null quality FIRST
+    // and crown a null-quality doc.
     val winners = labeled.groupBy(col("component"))
-      .agg(min(struct((-col("quality_score")).as("nq"),
-        col(idCol).as("kid"))).as("w"))
+      .agg(min(struct(col("quality_score").isNull.cast("int").as("nn"),
+        (-col("quality_score")).as("nq"), col(idCol).as("kid"))).as("w"))
       .select(col("component"), col("w.kid").as("__keeper_id"))
     labeled.join(winners, "component")
       .select(col(idCol), col("component"), col("quality_score"),

@@ -488,7 +488,10 @@ object ExtQueries {
   def qIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_idx"
-    val marker = java.nio.file.Paths.get(path + ".built")
+    // marker INSIDE the index directory (the ensureIndex discipline):
+    // it dies with the index, so a cleaned-up directory always
+    // triggers a rebuild rather than a probe of a missing path
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_BUILT_FROM")
     val same = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == dir
     if (!same) {

@@ -202,6 +202,14 @@ object Sketches {
       .select("key", "exact_n", "cms_est")
   }
 
+  /** The quantile sketch's membership predicate — shared by the batch
+    * build and the streaming twin so their states are row-identical. */
+  def quantileSampleFilter(keyCol: Column, shift: Int): Column = {
+    require(shift >= 0 && shift < 30, "shift out of range")
+    pmod(Md5Hash60.hash60(concat(lit("qs|"), keyCol.cast("string"))),
+      lit(1L << shift)) === 0
+  }
+
   /** Mergeable quantile sketch ("sampled companions"): the sketch
     * state is the deterministic hash-threshold sample — rows whose
     * md5-60 of the key ≡ 0 mod 2^shift, a 1/2^shift uniform subset.
@@ -219,14 +227,6 @@ object Sketches {
     * @return (groupCol, n, n_sampled, p50_est, p90_est, p50_exact,
     *         p90_exact)
     */
-  /** The quantile sketch's membership predicate — shared by the batch
-    * build and the streaming twin so their states are row-identical. */
-  def quantileSampleFilter(keyCol: Column, shift: Int): Column = {
-    require(shift >= 0 && shift < 30, "shift out of range")
-    pmod(Md5Hash60.hash60(concat(lit("qs|"), keyCol.cast("string"))),
-      lit(1L << shift)) === 0
-  }
-
   def quantileSketch(df: DataFrame, groupCol: String, keyCol: String,
       valCol: String, shift: Int = 3): DataFrame = {
     val sampled = df.filter(quantileSampleFilter(col(keyCol), shift))

@@ -458,7 +458,7 @@ object Graph {
         .join(gate(deg.withColumnRenamed("src", "node")), "node")
         .select(col("start"), col("walk"),
           col("node").as("src"), pick.as("rk"))
-        .join(gate(adj.select("src", "dst", "rk")), Seq("src", "rk"))
+        .join(gate(adj), Seq("src", "rk"))
         .select(col("start"), col("walk"), col("dst").as("node"))
         .localCheckpoint()
       steps += pos.select(col("start"), col("walk"),

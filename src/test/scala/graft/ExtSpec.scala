@@ -355,6 +355,13 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L)._3 && !out(1L)._3, s"quality must pick the keeper: $out")
     assert(out(1L)._2 == 1L && out(2L)._2 == 1L, "paired docs share a component")
     assert(out(3L)._3 && out(3L)._2 == 3L, "singleton keeps itself")
+    // NULLS LAST: a null-text doc (null quality score) must never win
+    // its cluster over a scored doc (the window semantics the
+    // struct-min agg preserves via the explicit null flag)
+    val withNull = Seq(Doc(1L, null), Doc(2L, "a scored document")).toDF
+    val nOut = graft.ext.Dedup.dedupKeepBest(withNull, Seq((1L, 2L)).toDF("a_id", "b_id"))
+      .select("doc_id", "is_keeper").as[(Long, Boolean)].collect().toMap
+    assert(nOut(2L) && !nOut(1L), s"null-quality doc must not be keeper: $nOut")
   }
 
   test("simhashNearDups: identical docs pair at hamming 0, disjoint text does not pair") {

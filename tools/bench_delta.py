@@ -16,8 +16,10 @@ A query is flagged as a REGRESSION only when BOTH hold:
     window; iterative queries read 1.4-2.1 s run-to-run with identical
     plans (PlanAuditSpec locks the plans), so a query that reads the
     same as the reference run has not regressed, whatever the floor
-    says.
-Exit 1 if any regression survives both tests.
+    says. A query ABSENT from the reference run (e.g. newly added this
+    round) is judged on the floor test alone — its floor was set from
+    its own recent runs, so exceeding it by 1.5x+0.3s is a real signal.
+Exit 1 if any regression survives the applicable tests.
 
 Warm-min protocol: graft.Bench reports the MIN of SPARK_GRAFT_BENCH_REPS
 (default 2) back-to-back reps per query, so both sides of this
