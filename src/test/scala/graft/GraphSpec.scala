@@ -163,6 +163,22 @@ class GraphSpec extends AnyFunSuite {
     assert(step1 == expected, s"hub picks diverge: $step1 vs $expected")
   }
 
+  test("randomWalks: duplicate input edges don't perturb ranks or degrees") {
+    // the adjacency dedups ADJACENT rows inside the range-sorted
+    // partitions (no separate distinct shuffle) — triplicated input
+    // must produce exactly the walks of the clean edge list
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val dup = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)) ++
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)) ++
+      Seq((1L, 3L), (3L, 1L))).toDF("src", "dst")
+    val starts = Seq(1L, 2L).toDF("node")
+    val a = Graph.randomWalks(clean, starts, walkLen = 3, walksPerNode = 4)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val b = Graph.randomWalks(dup, starts, walkLen = 3, walksPerNode = 4)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(a == b, s"duplicate edges changed the walks:\n a=$a\n b=$b")
+  }
+
   test("randomWalks: picks are hash-distributed on a branching node") {
     // star center 0 with 4 out-neighbors; 16 one-step walks from 0
     val edges = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
