@@ -1912,6 +1912,48 @@ object ExtOracles {
         |  est.p50_est, est.p90_est, ex.p50_exact, ex.p90_exact
         |FROM ex LEFT JOIN est USING (o_orderpriority)""".stripMargin,
 
+    // KMV bottom-k overlap: replay the bottom-256 distinct md5-60
+    // hashes per returnflag (window-rank formulation — fine in an
+    // oracle), then the identical IEEE-double union/intersection
+    // estimates; exact pairwise intersection rides along
+    "q_kmv_overlap" ->
+      """WITH li AS (SELECT l_returnflag AS grp,
+        |    CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+        |h AS (SELECT DISTINCT grp,
+        |    CAST(concat('0x', substr(md5('kmv|' || key), 1, 15)) AS BIGINT)
+        |      AS h FROM li),
+        |rk AS (SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT grp, list(h ORDER BY h) AS hs
+        |       FROM rk WHERE rn <= 256 GROUP BY grp),
+        |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, a.hs AS hs_a, b.hs AS hs_b
+        |      FROM sk a JOIN sk b ON a.grp < b.grp),
+        |c AS (SELECT grp_a, grp_b, hs_a, hs_b,
+        |    list_sort(list_distinct(list_concat(hs_a, hs_b)))[1:256] AS l
+        |  FROM p),
+        |e AS (SELECT grp_a, grp_b, hs_a, hs_b, l, len(l) AS kp,
+        |    CASE WHEN len(l) < 256 THEN CAST(len(l) AS DOUBLE)
+        |         ELSE round(255.0 * pow(2, 60) / CAST(l[256] AS DOUBLE), 2)
+        |    END AS est_union,
+        |    len(list_filter(l, x -> list_contains(hs_a, x)
+        |          AND list_contains(hs_b, x))) AS common
+        |  FROM c),
+        |d AS (SELECT DISTINCT grp, key FROM li),
+        |ex AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |    CAST(count(*) AS BIGINT) AS inter_exact
+        |  FROM d a JOIN d b ON a.key = b.key AND a.grp < b.grp GROUP BY 1, 2)
+        |SELECT e.grp_a, e.grp_b,
+        |  CASE WHEN len(e.hs_a) < 256 THEN CAST(len(e.hs_a) AS DOUBLE)
+        |       ELSE round(255.0 * pow(2, 60) / CAST(e.hs_a[256] AS DOUBLE), 2)
+        |  END AS est_a,
+        |  CASE WHEN len(e.hs_b) < 256 THEN CAST(len(e.hs_b) AS DOUBLE)
+        |       ELSE round(255.0 * pow(2, 60) / CAST(e.hs_b[256] AS DOUBLE), 2)
+        |  END AS est_b,
+        |  e.est_union,
+        |  round(CAST(e.common AS DOUBLE) / e.kp * e.est_union, 2) AS est_inter,
+        |  ex.inter_exact
+        |FROM e JOIN ex USING (grp_a, grp_b)""".stripMargin,
+
     // interpolated Kneser-Ney bigram LM, D=3/4 folded into exact
     // long arithmetic (split-term truncating division IS the
     // contract); top-100 by count

@@ -846,6 +846,29 @@ object ExtQueries {
       groupCol = "o_orderpriority", keyCol = "o_orderkey",
       valCol = "o_totalprice", shift = 3)
 
+  /** Audience overlap via KMV bottom-k sketches: per-returnflag
+    * distinct-partkey sketches composed into pairwise union AND
+    * intersection estimates ([[Sketches.kmvOverlap]]) — the segment-
+    * overlap question HLL cannot answer. The exact pairwise
+    * intersection rides along (the key-wide self-join shuffle the
+    * sketch replaces at 100 TB) so the measured error is visible and
+    * oracle-checked. */
+  def qKmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("grp"), col("l_partkey").as("key"))
+    val sk = Sketches.kmvSketchBy(li, "grp", "key", k)
+    val d = li.distinct().localCheckpoint() // exact companion only
+    val exact = d.as("a")
+      .join(d.as("b"), col("a.key") === col("b.key") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    Sketches.kmvOverlap(sk, "grp", k)
+      .join(exact, Seq("grp_a", "grp_b"))
+      .select("grp_a", "grp_b", "est_a", "est_b", "est_union", "est_inter",
+        "inter_exact")
+  }
+
   /** Interpolated Kneser–Ney bigram LM over the corpus: top-100
     * bigrams with exact-long-arithmetic pkn_nano (D = 3/4). */
   def qKnBigram(spark: SparkSession, dir: String): DataFrame =

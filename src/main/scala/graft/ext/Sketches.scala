@@ -202,6 +202,73 @@ object Sketches {
       .select("key", "exact_n", "cms_est")
   }
 
+  /** The KMV hash contract — shared by the batch build, the set-op
+    * estimates, the streaming twin, and the DuckDB oracle replay
+    * (first 15 hex chars of md5, the repo-wide portable 60-bit hash). */
+  def kmvHash(keyCol: Column): Column =
+    Md5Hash60.hash60(concat(lit("kmv|"), keyCol.cast("string")))
+
+  /** Per-group KMV (bottom-k theta) distinct sketch
+    * ([[graft.expressions.KmvSketchAgg]]): the k smallest distinct
+    * 60-bit key hashes, ascending. THE overlap sketch at 100 TB —
+    * unlike HLL registers, two groups' states compose into union AND
+    * intersection estimates ([[kmvOverlap]]), which is the
+    * "distinct users in segment A ∩ segment B" question exact
+    * COUNT(DISTINCT) needs a key-wide self-join shuffle to answer.
+    *
+    * Scale shape: ONE aggregation, no pre-distinct — insertion is
+    * idempotent, so raw occurrence rows feed the bounded TreeSet
+    * directly; map-side partials are ≤ k longs per group and shards
+    * merge by folding (StreamingSpec proves the stream-state twin
+    * value-identical). @return (groupCol, hs: array<long>). */
+  def kmvSketchBy(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 256): DataFrame =
+    df.select(col(groupCol), kmvHash(col(keyCol)).as("h"))
+      .groupBy(groupCol)
+      .agg(graft.expressions.KmvSketchAgg.kmv(col("h"), k).as("hs"))
+
+  /** Distinct estimate from a sketch column: exact size when the
+    * sketch is unsaturated (it then holds EVERY distinct hash), else
+    * the classic (k−1)·2^60/θ with θ = the k-th minimum. Pure IEEE
+    * double arithmetic on both engines — deterministic and
+    * oracle-replayable. */
+  def kmvEstimate(hs: Column, k: Int): Column =
+    when(size(hs) < k, size(hs).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          element_at(hs, k).cast("double"), 2))
+
+  /** Pairwise set-operation estimates between every two group
+    * sketches: combine A∪B's k smallest hashes into the union sketch
+    * L, estimate |A∪B| from its threshold, and scale by the fraction
+    * of L present in BOTH sketches for the intersection (Bar-Yossef
+    * bottom-k composition). When L is unsaturated both inputs are
+    * exhaustive, so both estimates degrade to EXACT counts.
+    *
+    * Scale shape: runs entirely on the sketch table (groups × k longs
+    * — broadcast-sized); per-pair work is O(k²) array ops. Nothing
+    * here touches the corpus. @return one row per unordered pair. */
+  def kmvOverlap(sketches: DataFrame, groupCol: String,
+      k: Int = 256): DataFrame = {
+    val a = sketches.select(col(groupCol).as("grp_a"), col("hs").as("hs_a"))
+    val b = sketches.select(col(groupCol).as("grp_b"), col("hs").as("hs_b"))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("l", slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, k))
+      .withColumn("kp", size(col("l")))
+      .withColumn("est_union",
+        when(col("kp") < k, col("kp").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            element_at(col("l"), col("kp")).cast("double"), 2)))
+      .withColumn("common", size(filter(col("l"), h =>
+        array_contains(col("hs_a"), h) && array_contains(col("hs_b"), h))))
+      .withColumn("est_inter",
+        round(col("common").cast("double") / col("kp") * col("est_union"), 2))
+      .select(col("grp_a"), col("grp_b"),
+        kmvEstimate(col("hs_a"), k).as("est_a"),
+        kmvEstimate(col("hs_b"), k).as("est_b"),
+        col("est_union"), col("est_inter"))
+  }
+
   /** The quantile sketch's membership predicate — shared by the batch
     * build and the streaming twin so their states are row-identical. */
   def quantileSampleFilter(keyCol: Column, shift: Int): Column = {

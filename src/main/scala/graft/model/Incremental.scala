@@ -83,6 +83,26 @@ object Incremental {
     swapWrite(spark, next, path)
   }
 
+  /** dbt incremental with insert_overwrite strategy: every partition
+    * VALUE present in the batch is replaced wholesale; untouched
+    * partitions are left as-is. The idempotent-backfill shape (re-run
+    * a day, get exactly that day's rows replaced) that merge-by-key
+    * cannot express when the grain is a partition, not a key.
+    *
+    * Scale shape: this is Spark's dynamic partition overwrite — the
+    * target is written `partitionBy(partitionCol)` and only the
+    * batch's partition directories are rewritten; the base table is
+    * neither read nor shuffled. First run bootstraps the target. */
+  def insertOverwrite(spark: SparkSession, batch: DataFrame, path: String,
+      partitionCol: String): DataFrame = {
+    batch.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** dbt snapshot (SCD2, "check" strategy over all non-key columns):
     * maintains valid_from/valid_to/is_current. Changed rows close the
     * current version (valid_to = asOf) and open a new one; unchanged

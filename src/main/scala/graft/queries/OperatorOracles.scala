@@ -41,6 +41,48 @@ object OperatorOracles {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM latest WHERE op != 'D'""".stripMargin,
 
+    // insert_overwrite fold: replaced months come ONLY from the batch,
+    // untouched months ONLY from the base
+    "q_insert_overwrite" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice,
+        |    substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month FROM orders),
+        |batch AS (SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+        |    month FROM base
+        |  WHERE month IN ('1995-03', '1995-04') AND o_orderkey % 2 = 0)
+        |SELECT * FROM base WHERE month NOT IN ('1995-03', '1995-04')
+        |UNION ALL SELECT * FROM batch""".stripMargin,
+
+    // SCD2 snapshot fold: replay the two batches with value-equality
+    // joins (engine's md5 change-hash ⟺ value equality); four paths —
+    // still-open from t1, closed-changed, closed-deleted, opened at t2
+    "q_scd2_snapshot" ->
+      """WITH base1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |base2 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |still AS (SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM base1 s JOIN base2 b ON s.o_orderkey = b.o_orderkey
+        |    AND s.o_orderstatus = b.o_orderstatus
+        |    AND s.o_totalprice = b.o_totalprice),
+        |closing AS (SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS valid_to, false AS is_current
+        |  FROM base1 s LEFT JOIN base2 b ON s.o_orderkey = b.o_orderkey
+        |    AND s.o_orderstatus = b.o_orderstatus
+        |    AND s.o_totalprice = b.o_totalprice
+        |  WHERE b.o_orderkey IS NULL),
+        |opening AS (SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+        |  FROM base2 b LEFT JOIN still s ON b.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL)
+        |SELECT * FROM still UNION ALL SELECT * FROM closing
+        |UNION ALL SELECT * FROM opening""".stripMargin,
+
     // ----- aggregations --------------------------------------------------
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

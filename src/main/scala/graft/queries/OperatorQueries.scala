@@ -260,4 +260,58 @@ object OperatorQueries {
       upd.unionByName(ins).unionByName(del).unionByName(stale),
       path, Seq("o_orderkey"))
   }
+
+  /** Driver-oracle row for the insert_overwrite incremental strategy
+    * ([[graft.model.Incremental.insertOverwrite]]): bootstrap a
+    * month-partitioned orders table, then re-run two months with a
+    * THINNER drifted batch (only the even keys, prices bumped) — the
+    * partitions must be REPLACED (rows disappear), not merged, while
+    * every other month is untouched. The oracle folds the same
+    * replacement set-algebraically. */
+  def qInsertOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
+    val path = System.getProperty("java.io.tmpdir") + "/graft_insert_overwrite"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.model.Incremental.insertOverwrite(spark, base, path, "month")
+    val batch = base
+      .filter(col("month").isin("1995-03", "1995-04") &&
+        col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+    graft.model.Incremental.insertOverwrite(spark, batch, path, "month")
+  }
+
+  /** Driver-oracle row for the dbt-snapshot (SCD2) materialization
+    * ([[graft.model.Incremental.snapshot]]): two snapshot runs onto an
+    * on-disk table — t1 over two-thirds of orders, t2 over a drifted
+    * batch (prices bumped on the %5 keys, the %7 keys gone, the %3
+    * keys newly arrived) — exercising all four lifecycle paths at
+    * once: unchanged rows stay open from t1, changed and deleted rows
+    * close at t2, changed and new keys open at t2. The DuckDB oracle
+    * folds the same two batches with value-equality joins (the md5
+    * change-hash is an internal detail — equal hash ⟺ equal values),
+    * so the whole valid_from/valid_to/is_current history hash-matches.
+    */
+  def qScd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = System.getProperty("java.io.tmpdir") + "/graft_scd2"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    graft.model.Incremental.snapshot(spark,
+      o.filter(col("o_orderkey") % 3 =!= 0), path, Seq("o_orderkey"), t1)
+    graft.model.Incremental.snapshot(spark,
+      o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice"))),
+      path, Seq("o_orderkey"), t2)
+      .drop("__hash")
+  }
 }

@@ -490,7 +490,23 @@ object GraftFunctions {
     graft.ext.Similarity.mmrSelect(cands, sims, k).queryExecution.logical
   }
 
+  /** kmv_overlap(tbl, groupCol, keyCol[, k]) — per-group KMV sketches
+    * composed into pairwise union/intersection distinct estimates
+    * ([[graft.ext.Sketches.kmvSketchBy]] + [[graft.ext.Sketches.kmvOverlap]]). */
+  def kmvOverlapTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3, "kmv_overlap(table, groupCol, keyCol[, k])")
+    val df = tableOf(strArg(args.head, "kmv_overlap(table)"))
+    val k = if (args.length > 3) intArg(args(3), "kmv_overlap(k)") else 256
+    graft.ext.Sketches.kmvOverlap(
+      graft.ext.Sketches.kmvSketchBy(df,
+        strArg(args(1), "kmv_overlap(groupCol)"),
+        strArg(args(2), "kmv_overlap(keyCol)"), k),
+      strArg(args(1), "kmv_overlap(groupCol)"), k)
+      .queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "kmv_overlap" -> (kmvOverlapTvf _),
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),
     "quantile_sketch" -> (quantileSketchTvf _),

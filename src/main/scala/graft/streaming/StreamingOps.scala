@@ -253,6 +253,18 @@ object StreamingOps {
       shift: Int = 3): DataFrame =
     df.filter(graft.ext.Sketches.quantileSampleFilter(col(keyCol), shift))
 
+  /** Streaming twin of the KMV bottom-k distinct sketch
+    * ([[graft.ext.Sketches.kmvSketchBy]]): insertion into the bounded
+    * TreeSet is idempotent (a duplicate hash is a no-op), so the SAME
+    * TypedImperativeAggregate is its own streaming state fold — state
+    * is ≤ groups×k longs forever, and a Complete-mode snapshot is
+    * value-identical to the batch sketch of the same rows
+    * (StreamingSpec). Finish a snapshot into overlap estimates with
+    * [[graft.ext.Sketches.kmvOverlap]]. */
+  def kmvSketchStream(df: DataFrame, groupCol: String,
+      keyCol: String = "key", k: Int = 256): DataFrame =
+    graft.ext.Sketches.kmvSketchBy(df, groupCol, keyCol, k)
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

@@ -976,6 +976,60 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == whole, "register-wise max must merge shards")
   }
 
+  test("kmv: duplicate-insensitive, exact when unsaturated, shards fold to the whole") {
+    import spark.implicits._
+    val keys = (1 to 500).map(i => ("g", s"key$i")).toDF("grp", "key")
+    val k = 64
+    val sk = Sketches.kmvSketchBy(keys, "grp", "key", k)
+    val hs = sk.select("hs").as[Seq[Long]].head()
+    assert(hs.size == k && hs == hs.sorted && hs.distinct.size == k,
+      "sketch must be k distinct ascending hashes")
+    // duplicates are TreeSet no-ops
+    val dup = keys.unionAll(keys).unionAll(keys)
+    assert(Sketches.kmvSketchBy(dup, "grp", "key", k)
+      .select("hs").as[Seq[Long]].head() == hs,
+      "duplicates changed the sketch")
+    // shard fold: sketch of (sketch(A) ∪ sketch(B)) == sketch of A∪B
+    val hsA = Sketches.kmvSketchBy(keys.filter($"key" < "key3"),
+      "grp", "key", k).select("hs").as[Seq[Long]].head()
+    val hsB = Sketches.kmvSketchBy(keys.filter($"key" >= "key3"),
+      "grp", "key", k).select("hs").as[Seq[Long]].head()
+    assert((hsA ++ hsB).distinct.sorted.take(k) == hs,
+      "bottom-k of shard-sketch union must equal the whole-corpus sketch")
+    // estimate: saturated branch lands near truth (deterministic seed)
+    val est = sk.select(Sketches.kmvEstimate($"hs", k)).as[Double].head()
+    assert(math.abs(est - 500) < 150, s"KMV estimate $est for 500 keys")
+    // unsaturated branch is EXACT
+    val small = (1 to 20).map(i => ("g", s"key$i")).toDF("grp", "key")
+    val estSmall = Sketches.kmvSketchBy(small, "grp", "key", k)
+      .select(Sketches.kmvEstimate($"hs", k)).as[Double].head()
+    assert(estSmall == 20.0, s"unsaturated estimate must be exact: $estSmall")
+  }
+
+  test("kmvOverlap: unsaturated pairs give exact set algebra, saturated stay near truth") {
+    import spark.implicits._
+    val k = 64
+    // A = 1..30, B = 16..45: |A|=30 |B|=30 |A∩B|=15 |A∪B|=45 — all < k
+    val df = ((1 to 30).map(i => ("A", s"u$i")) ++
+      (16 to 45).map(i => ("B", s"u$i"))).toDF("grp", "key")
+    val sk = Sketches.kmvSketchBy(df, "grp", "key", k)
+    val row = Sketches.kmvOverlap(sk, "grp", k).collect().head
+    assert(row.getAs[String]("grp_a") == "A" && row.getAs[String]("grp_b") == "B")
+    assert(row.getAs[Double]("est_a") == 30.0 && row.getAs[Double]("est_b") == 30.0)
+    assert(row.getAs[Double]("est_union") == 45.0)
+    assert(row.getAs[Double]("est_inter") == 15.0,
+      s"unsaturated intersection must be exact: $row")
+    // saturated: 600 vs 600 with 300 shared — estimates within 35%
+    val big = ((1 to 600).map(i => ("A", s"u$i")) ++
+      (301 to 900).map(i => ("B", s"u$i"))).toDF("grp", "key")
+    val bigRow = Sketches.kmvOverlap(
+      Sketches.kmvSketchBy(big, "grp", "key", k), "grp", k).collect().head
+    val eu = bigRow.getAs[Double]("est_union")
+    val ei = bigRow.getAs[Double]("est_inter")
+    assert(math.abs(eu - 900) < 315, s"union estimate $eu for 900")
+    assert(math.abs(ei - 300) < 150, s"intersection estimate $ei for 300")
+  }
+
   test("entityResolution: typo variants collapse transitively, strangers stay apart") {
     import spark.implicits._
     val recs = Seq(

@@ -193,6 +193,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
         "'o_orderkey', 'o_totalprice', 2)",
       graft.ext.Sketches.quantileSketch(spark.table("orders_tvf9"),
         "o_orderpriority", "o_orderkey", "o_totalprice", shift = 2))
+    sameAs("SELECT * FROM kmv_overlap('orders_tvf9', 'o_orderpriority', " +
+        "'o_custkey', 32)",
+      graft.ext.Sketches.kmvOverlap(
+        graft.ext.Sketches.kmvSketchBy(spark.table("orders_tvf9"),
+          "o_orderpriority", "o_custkey", 32), "o_orderpriority", 32))
     // composes downstream: bucket histogram over the TVF output
     val viaSql = spark.sql(
       "SELECT ppl_bucket, count(*) AS n FROM ppl_buckets('docs_tvf9') GROUP BY 1")

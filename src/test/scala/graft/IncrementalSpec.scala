@@ -63,6 +63,19 @@ class IncrementalSpec extends AnyFunSuite {
       v2.head.getAs[java.sql.Timestamp]("valid_to") === ts("2026-02-02"))
   }
 
+  test("insertOverwrite: batch partitions replaced wholesale, others untouched") {
+    val path = tmp("graft-iow")
+    val b1 = Seq((1L, "m1", 10), (2L, "m1", 20), (3L, "m2", 30), (4L, "m3", 40))
+      .toDF("id", "pt", "n")
+    Incremental.insertOverwrite(spark, b1, path, "pt")
+    // re-run m1 THINNER (one row) and m2 changed; m3 untouched
+    val b2 = Seq((9L, "m1", 99), (3L, "m2", 31)).toDF("id", "pt", "n")
+    val r = Incremental.insertOverwrite(spark, b2, path, "pt")
+      .select("id", "pt", "n").as[(Long, String, Int)].collect().toSet
+    assert(r === Set((9L, "m1", 99), (3L, "m2", 31), (4L, "m3", 40)),
+      s"got $r")
+  }
+
   test("applyChanges: I/U/D fold with in-batch ordering and delete-then-reinsert") {
     val path = tmp("graft-cdc")
     // batch 1: inserts (one key arrives twice out of order — seq wins)

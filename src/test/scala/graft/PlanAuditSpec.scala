@@ -368,6 +368,19 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.operators.Graph.randomWalks(edges, starts, walkLen = 2))
   }
 
+  test("KMV overlap: bounded-TreeSet partial agg, no pre-distinct, no corpus window") {
+    // the sketch build must feed raw occurrences straight into the
+    // idempotent aggregate — a distinct or window before it would
+    // shuffle the whole key space (the thing the sketch replaces);
+    // the one Window in the plan belongs to nothing (exact companion
+    // is a join+count), and the overlap math runs on sketch rows only
+    val p = plan("q_kmv_overlap")
+    assert(p.contains("ObjectHashAggregate"), s"no object-hash agg:\n$p")
+    assert(p.contains("partial_kmv_sketch"), s"sketch agg not partial:\n$p")
+    assert(!p.contains("Window"), s"q_kmv_overlap plans a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in overlap:\n$p")
+  }
+
   test("exact ANN top-k: bounded-heap partial agg, no corpus-wide window") {
     // VERDICT r10 #2: the exact path must not sort a query's whole
     // scored corpus in one task — TopKByScore under ObjectHashAggregate

@@ -208,6 +208,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch accumulates to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val b1 = (1 to 40).map(i => ("g", s"k$i"))
+    val b2 = (25 to 80).map(i => ("g", s"k$i")) // overlaps b1: idempotent
+    val q = StreamingOps.kmvSketchStream(
+        mem.toDF().toDF("grp", "key"), "grp", k = 16)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("kmv_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out")
+        .select("grp", "hs").as[(String, Seq[Long])].collect().toSet
+      val all = (b1 ++ b2).toDF("grp", "key")
+      val batch = graft.ext.Sketches.kmvSketchBy(all, "grp", "key", k = 16)
+        .select("grp", "hs").as[(String, Seq[Long])].collect().toSet
+      assert(streamed == batch, "stream state != batch sketch")
+      assert(streamed.head._2.size <= 16, "state exceeds k")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
