@@ -92,10 +92,16 @@ object Incremental {
     * Scale shape: this is Spark's dynamic partition overwrite — the
     * target is written `partitionBy(partitionCol)` and only the
     * batch's partition directories are rewritten; the base table is
-    * neither read nor shuffled. First run bootstraps the target. */
+    * neither read nor shuffled. The batch is REBALANCE-hinted on the
+    * partition key first (AQE coalesces to ~one file per partition
+    * value and still splits skewed values), the small-files
+    * discipline a repeatedly-backfilled 100 TB table needs — without
+    * it every shuffle task writes a sliver into every partition
+    * directory. First run bootstraps the target. */
   def insertOverwrite(spark: SparkSession, batch: DataFrame, path: String,
       partitionCol: String): DataFrame = {
-    batch.write
+    batch.hint("rebalance", org.apache.spark.sql.functions.col(partitionCol))
+      .write
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .partitionBy(partitionCol)

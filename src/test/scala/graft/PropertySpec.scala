@@ -226,6 +226,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch equals the sort-take formulation for ANY key multiset") {
+    forAll(Gen.listOfN(60, Gen.zip(Gen.oneOf("g1", "g2"), keyGen))) { rows =>
+      val df = rows.toDF("grp", "key")
+      val k = 8
+      val got = graft.ext.Sketches.kmvSketchBy(df, "grp", "key", k)
+        .as[(String, Seq[Long])].collect().toMap
+      // reference: hash, distinct, sort ascending, take k — per group
+      val want = rows.toDF("grp", "key")
+        .select($"grp", graft.ext.Sketches.kmvHash($"key").as("h"))
+        .as[(String, Long)].collect().toSeq
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted.take(k)).toMap
+      assert(got.view.mapValues(_.toSeq).toMap == want,
+        s"heap sketch != sort-take reference")
+    }
+  }
+
   test("kCore result is sound: every member keeps >= k neighbors in-core") {
     val edgeGen = Gen.listOfN(30,
       Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
