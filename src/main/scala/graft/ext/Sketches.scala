@@ -255,14 +255,14 @@ object Sketches {
     a.join(b, col("grp_a") < col("grp_b"))
       .withColumn("l", slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, k))
       .withColumn("kp", size(col("l")))
-      .withColumn("est_union",
-        when(col("kp") < k, col("kp").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
-            element_at(col("l"), col("kp")).cast("double"), 2)))
+      .withColumn("est_union", kmvEstimate(col("l"), k))
       .withColumn("common", size(filter(col("l"), h =>
         array_contains(col("hs_a"), h) && array_contains(col("hs_b"), h))))
       .withColumn("est_inter",
-        round(col("common").cast("double") / col("kp") * col("est_union"), 2))
+        // kp = 0 (two all-null-key groups) must degrade to 0.0, not
+        // a non-ANSI 0/0 null
+        when(col("kp") === 0, lit(0.0)).otherwise(
+          round(col("common").cast("double") / col("kp") * col("est_union"), 2)))
       .select(col("grp_a"), col("grp_b"),
         kmvEstimate(col("hs_a"), k).as("est_a"),
         kmvEstimate(col("hs_b"), k).as("est_b"),

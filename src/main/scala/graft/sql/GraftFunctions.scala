@@ -496,12 +496,11 @@ object GraftFunctions {
   def kmvOverlapTvf(args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 3, "kmv_overlap(table, groupCol, keyCol[, k])")
     val df = tableOf(strArg(args.head, "kmv_overlap(table)"))
+    val grp = strArg(args(1), "kmv_overlap(groupCol)")
     val k = if (args.length > 3) intArg(args(3), "kmv_overlap(k)") else 256
     graft.ext.Sketches.kmvOverlap(
-      graft.ext.Sketches.kmvSketchBy(df,
-        strArg(args(1), "kmv_overlap(groupCol)"),
-        strArg(args(2), "kmv_overlap(keyCol)"), k),
-      strArg(args(1), "kmv_overlap(groupCol)"), k)
+      graft.ext.Sketches.kmvSketchBy(df, grp,
+        strArg(args(2), "kmv_overlap(keyCol)"), k), grp, k)
       .queryExecution.logical
   }
 

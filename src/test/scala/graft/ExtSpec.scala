@@ -1019,6 +1019,13 @@ class ExtSpec extends AnyFunSuite {
     assert(row.getAs[Double]("est_union") == 45.0)
     assert(row.getAs[Double]("est_inter") == 15.0,
       s"unsaturated intersection must be exact: $row")
+    // all-null-key groups: empty sketches degrade to exact 0.0 across
+    // the board, never a 0/0 null
+    val nulls = Seq(("A", null: String), ("B", null: String)).toDF("grp", "key")
+    val zRow = Sketches.kmvOverlap(
+      Sketches.kmvSketchBy(nulls, "grp", "key", k), "grp", k).collect().head
+    assert(zRow.getAs[Double]("est_union") == 0.0 &&
+      zRow.getAs[Double]("est_inter") == 0.0, s"empty-sketch pair: $zRow")
     // saturated: 600 vs 600 with 300 shared — estimates within 35%
     val big = ((1 to 600).map(i => ("A", s"u$i")) ++
       (301 to 900).map(i => ("B", s"u$i"))).toDF("grp", "key")
