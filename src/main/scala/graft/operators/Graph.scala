@@ -310,6 +310,57 @@ object Graph {
     dist
   }
 
+  /** Hierarchy flattening — the `WITH RECURSIVE` ancestor expansion
+    * (org charts, category trees, order→customer→nation→region
+    * dimension chains) that Spark SQL lacks, re-expressed as the
+    * iterative-join BFS this file already owns: level d+1 is the
+    * frontier joined one hop up the edge list, new (node, ancestor)
+    * pairs only (first arrival in BFS = minimal depth, so the
+    * anti-join IS the MIN(depth) of the recursive formulation — the
+    * shortestPaths argument). Checkpoint lifecycle and the
+    * broadcast-gated frontier follow shortestPaths verbatim; rounds
+    * are bounded by the hierarchy's actual depth (early-out on an
+    * empty frontier), with `maxDepth` as the cycle backstop.
+    *
+    * @param edges (child, parent) rows; self-loops dropped.
+    * @return (node, ancestor, depth) — depth 1 = direct parent.
+    */
+  def ancestors(edges: DataFrame, maxDepth: Int = 12,
+      broadcastMaxFrontier: Long = 5000000L): DataFrame = {
+    val e = edges.select(col("child").cast(LongType).as("child"),
+        col("parent").cast(LongType).as("parent"))
+      .filter(col("child").isNotNull && col("parent").isNotNull &&
+        col("child") =!= col("parent"))
+      .distinct().localCheckpoint()
+    var acc = e.select(col("child").as("node"), col("parent").as("ancestor"),
+      lit(1).cast(IntegerType).as("depth")).localCheckpoint()
+    var frontier = acc
+    var frontierRows = frontier.count()
+    var d = 1
+    while (d < maxDepth && frontierRows > 0L) {
+      val f = if (frontierRows <= broadcastMaxFrontier) broadcast(frontier)
+              else frontier
+      val next = f.select(col("node"), col("ancestor").as("child"))
+        .join(e, "child")
+        .select(col("node"), col("parent").as("ancestor"))
+        .distinct()
+        .join(acc.select("node", "ancestor"), Seq("node", "ancestor"),
+          "left_anti")
+        .withColumn("depth", lit(d + 1).cast(IntegerType))
+        .localCheckpoint()
+      val grown = acc.union(next).localCheckpoint()
+      if (frontier ne acc) graft.ext.Checkpoints.release(frontier)
+      graft.ext.Checkpoints.release(acc)
+      acc = grown
+      frontier = next
+      frontierRows = next.count()
+      d += 1
+    }
+    graft.ext.Checkpoints.release(e)
+    if (frontier ne acc) graft.ext.Checkpoints.release(frontier)
+    acc
+  }
+
   /** Deterministic random-walk corpus over a directed graph — the
     * DeepWalk/node2vec(p=q=1) training-data generator: `walksPerNode`
     * walks of `walkLen` steps from every start node, each step moving

@@ -227,4 +227,62 @@ object AdvancedAnalytics {
       .select("src", "dst")
     graft.operators.Graph.kCore(e, k = 2)
   }
+
+  /** Recursive-CTE hierarchy flatten over the 4-level
+    * order→customer→nation→region dimension chain (ids offset into
+    * disjoint ranges so one typed edge table holds all levels) — the
+    * `WITH RECURSIVE` expansion DuckDB replays natively and Spark
+    * runs as the BFS of [[graft.operators.Graph.ancestors]]. */
+  def qHierarchyFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = t.orders.select(
+        (col("o_orderkey") + 1000000L).as("child"),
+        col("o_custkey").as("parent"))
+      .unionAll(t.customer.select(col("c_custkey").as("child"),
+        (col("c_nationkey") + 100000L).as("parent")))
+      .unionAll(t.nation.select((col("n_nationkey") + 100000L).as("child"),
+        (col("n_regionkey") + 200000L).as("parent")))
+    graft.operators.Graph.ancestors(edges, maxDepth = 8)
+  }
+
+  /** Multi-touch attribution: every purchase credits the clicks in
+    * its trailing 7-day window under three models at once — linear
+    * (equal split), first-touch, last-touch. Money moves in integer
+    * micro-dollars with truncating division (the repo's exact-sum
+    * contract: per-click credits are longs, so sums are
+    * order-independent and the oracle replays them bit-for-bit).
+    *
+    * Scale shape: the click↔purchase pairing is an equi-join on
+    * user_id with the time range as a residual; the rank/count
+    * windows partition by purchase id — bounded by one user's clicks
+    * in one 7-day window, never corpus-sized. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"),
+        round(col("value") * 1e6).cast(LongType).as("value_micro"))
+    val pairs = clicks.join(purchases, "user_id")
+      .filter(col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val wOrd = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("cts"), col("click_id"))
+    val wAll = Window.partitionBy(col("purchase_id"))
+    val credited = pairs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("user_id"), col("click_id"),
+        expr("value_micro div n").as("linear_micro"),
+        when(col("rn") === 1, col("value_micro")).otherwise(lit(0L))
+          .as("first_micro"),
+        when(col("rn") === col("n"), col("value_micro")).otherwise(lit(0L))
+          .as("last_micro"))
+    credited.groupBy(col("user_id"), col("click_id"))
+      .agg(sum(col("linear_micro")).as("linear_micro"),
+        sum(col("first_micro")).as("first_micro"),
+        sum(col("last_micro")).as("last_micro"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -333,4 +333,39 @@ object AnalyticsQueries {
     Tables(spark, dir).events
       .select(col("event_id"),
         regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(IntegerType).as("k"))
+
+  /** RFM customer segmentation (recency / frequency / monetary
+    * quintiles) WITHOUT the textbook global-ntile — `ntile(5) OVER
+    * (ORDER BY …)` is an unpartitioned window that sorts every
+    * customer in ONE task. Instead: exact interpolated quintile
+    * cutoffs (one tiny agg row, broadcast back over the corpus — the
+    * weighted-sample stats discipline) and per-row comparisons, so
+    * the plan is two aggregates and a broadcast join at any scale.
+    * Ties land deterministically (same value ⟹ same bucket — arguably
+    * SOUNDER than ntile's arbitrary equal-size splits, and exactly
+    * replayable by quantile_cont in the oracle). Recency buckets are
+    * inverted: the most recent fifth scores 5. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast(LongType)
+    val perCust = Tables(spark, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(datediff(lit("1998-12-31").cast(DateType), max(col("o_orderdate")))
+          .as("r_days"),
+        count(lit(1)).as("freq"),
+        sum(cents).as("m_cents"))
+    val cutCols = Seq("r_days", "freq", "m_cents").flatMap { m =>
+      Seq(2, 4, 6, 8).map(q =>
+        percentile(col(m), lit(q / 10.0)).as(s"${m}_c$q"))
+    }
+    val cuts = perCust.agg(cutCols.head, cutCols.tail: _*)
+    def bucket(x: Column, m: String): Column =
+      lit(1) + Seq(2, 4, 6, 8).map(q =>
+        when(x > col(s"${m}_c$q"), 1).otherwise(0): Column).reduce(_ + _)
+    perCust.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("r_days"), col("freq"), col("m_cents"),
+        (lit(6) - bucket(col("r_days"), "r_days")).as("r"),
+        bucket(col("freq"), "freq").as("f"),
+        bucket(col("m_cents"), "m_cents").as("m"))
+      .withColumn("rfm_score", col("r") * 100 + col("f") * 10 + col("m"))
+  }
 }

@@ -446,6 +446,80 @@ object OperatorOracles {
         |  NULLIF(COUNT(*) FILTER (o_orderstatus = 'P'), 0) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
+    // hierarchy flatten: DuckDB runs the real recursive CTE; BFS
+    // first-arrival in the engine == MIN(depth) here
+    "q_hierarchy_flatten" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT o_orderkey + 1000000 AS child, o_custkey AS parent
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey + 100000 FROM customer
+        |  UNION ALL
+        |  SELECT n_nationkey + 100000, n_regionkey + 200000 FROM nation),
+        |anc AS (
+        |  SELECT DISTINCT child AS node, parent AS ancestor, 1 AS depth
+        |  FROM edges
+        |  UNION ALL
+        |  SELECT a.node, e.parent, a.depth + 1
+        |  FROM anc a JOIN edges e ON a.ancestor = e.child)
+        |SELECT node, ancestor, CAST(MIN(depth) AS INTEGER) AS depth
+        |FROM anc GROUP BY 1, 2""".stripMargin,
+
+    // multi-touch attribution: integer-micro money, truncating split
+    // (positive values, so // == Spark's div), rank/count windows per
+    // purchase
+    "q_attribution" ->
+      """WITH clicks AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, event_id AS purchase_id, ts AS pts,
+        |    CAST(round(value * 1000000) AS BIGINT) AS value_micro
+        |  FROM events WHERE event_type = 'purchase'),
+        |pairs AS (SELECT c.user_id, c.click_id, p.value_micro,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |                       ORDER BY c.cts, c.click_id) AS rn,
+        |    count(*) OVER (PARTITION BY p.purchase_id) AS n
+        |  FROM clicks c JOIN purchases p ON c.user_id = p.user_id
+        |    AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 7 DAY)
+        |SELECT user_id, click_id,
+        |  CAST(sum(value_micro // n) AS BIGINT) AS linear_micro,
+        |  CAST(sum(CASE WHEN rn = 1 THEN value_micro ELSE 0 END) AS BIGINT)
+        |    AS first_micro,
+        |  CAST(sum(CASE WHEN rn = n THEN value_micro ELSE 0 END) AS BIGINT)
+        |    AS last_micro
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // RFM quintiles via broadcast quantile_cont cutoffs (no global
+    // ntile window); recency inverted so fresher = higher
+    "q_rfm" ->
+      """WITH per_cust AS (SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate), DATE '1998-12-31') AS r_days,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM orders GROUP BY 1),
+        |cuts AS (SELECT
+        |    quantile_cont(r_days, 0.2) AS r2, quantile_cont(r_days, 0.4) AS r4,
+        |    quantile_cont(r_days, 0.6) AS r6, quantile_cont(r_days, 0.8) AS r8,
+        |    quantile_cont(freq, 0.2) AS f2, quantile_cont(freq, 0.4) AS f4,
+        |    quantile_cont(freq, 0.6) AS f6, quantile_cont(freq, 0.8) AS f8,
+        |    quantile_cont(m_cents, 0.2) AS m2, quantile_cont(m_cents, 0.4) AS m4,
+        |    quantile_cont(m_cents, 0.6) AS m6, quantile_cont(m_cents, 0.8) AS m8
+        |  FROM per_cust)
+        |SELECT o_custkey, CAST(r_days AS INTEGER) AS r_days, freq, m_cents,
+        |  6 - (1 + (r_days > r2)::INT + (r_days > r4)::INT
+        |         + (r_days > r6)::INT + (r_days > r8)::INT) AS r,
+        |  1 + (freq > f2)::INT + (freq > f4)::INT
+        |    + (freq > f6)::INT + (freq > f8)::INT AS f,
+        |  1 + (m_cents > m2)::INT + (m_cents > m4)::INT
+        |    + (m_cents > m6)::INT + (m_cents > m8)::INT AS m,
+        |  (6 - (1 + (r_days > r2)::INT + (r_days > r4)::INT
+        |          + (r_days > r6)::INT + (r_days > r8)::INT)) * 100
+        |  + (1 + (freq > f2)::INT + (freq > f4)::INT
+        |       + (freq > f6)::INT + (freq > f8)::INT) * 10
+        |  + (1 + (m_cents > m2)::INT + (m_cents > m4)::INT
+        |       + (m_cents > m6)::INT + (m_cents > m8)::INT) AS rfm_score
+        |FROM per_cust, cuts""".stripMargin,
+
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -179,6 +179,24 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b, s"duplicate edges changed the walks:\n a=$a\n b=$b")
   }
 
+  test("ancestors: diamond DAG keeps min depth; cycles stop at the backstop") {
+    // diamond: 1 -> {2, 3} -> 4 -> 5, plus a shortcut 1 -> 4:
+    // ancestor 4 of node 1 is reachable at depth 1 (shortcut) and 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("child", "parent")
+    val anc = Graph.ancestors(edges).as[(Long, Long, Int)].collect().toSet
+    assert(anc == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 2),
+      (2L, 4L, 1), (2L, 5L, 2), (3L, 4L, 1), (3L, 5L, 2), (4L, 5L, 1)),
+      s"got $anc")
+    // a 3-cycle terminates at maxDepth and reports each node's
+    // reachable set (everyone, incl. itself through the loop)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
+    val c = Graph.ancestors(cyc, maxDepth = 4).as[(Long, Long, Int)].collect()
+    assert(c.length == 9 && c.map(_._3).max <= 4, s"cycle run: ${c.toSeq}")
+    // no pinned checkpoint leak beyond the returned accumulator
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("randomWalks: picks are hash-distributed on a branching node") {
     // star center 0 with 4 out-neighbors; 16 one-step walks from 0
     val edges = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")

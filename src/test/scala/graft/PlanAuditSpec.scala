@@ -368,6 +368,15 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.operators.Graph.randomWalks(edges, starts, walkLen = 2))
   }
 
+  test("RFM buckets by broadcast cutoffs, not a global ntile window") {
+    // the textbook ntile(5) OVER (ORDER BY ...) sorts every customer
+    // in one task; the plan must instead broadcast the one-row
+    // quantile cutoffs over the per-customer aggregate
+    val p = plan("q_rfm")
+    assert(!p.contains("Window"), s"q_rfm plans a window:\n$p")
+    assert(p.contains("Broadcast"), s"q_rfm cutoffs must broadcast:\n$p")
+  }
+
   test("KMV overlap: bounded-TreeSet partial agg, no pre-distinct, no corpus window") {
     // the sketch build must feed raw occurrences straight into the
     // idempotent aggregate — a distinct or window before it would
