@@ -109,6 +109,47 @@ object Incremental {
     spark.read.parquet(path)
   }
 
+  /** Change-feed generation — the inverse of [[applyChanges]]: diff
+    * two versions of a keyed table into the minimal I/U/D stream that
+    * replays old → new. One full-outer co-keyed join; value equality
+    * via the same null-safe concat-hash the snapshot uses. U and I
+    * rows carry the NEW values, D rows the old (so downstreams can
+    * key their tombstones). At 100 TB both versions are typically
+    * bucketed by the key, making the join co-located and shuffle-free.
+    *
+    * @return (op, key..., value...) — unchanged keys emit nothing.
+    */
+  def changeFeed(oldV: DataFrame, newV: DataFrame,
+      uniqueKey: Seq[String]): DataFrame = {
+    val valueCols = oldV.columns.filterNot(uniqueKey.contains).toSeq
+    def hashOf(df: DataFrame, as: String): DataFrame =
+      df.withColumn(as, md5(concat_ws("\u0001",
+        valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    val o = hashOf(oldV, "__oh")
+      .select((uniqueKey.map(col) :+ col("__oh")) ++
+        valueCols.map(c => col(c).as(s"__o_$c")): _*)
+    val n = hashOf(newV, "__nh")
+    val joined = o.join(n, uniqueKey, "full_outer")
+    joined
+      .withColumn("op",
+        when(col("__oh").isNull, "I")
+          .when(col("__nh").isNull, "D")
+          .when(col("__oh") =!= col("__nh"), "U"))
+      .filter(col("op").isNotNull)
+      .select((col("op") +: uniqueKey.map(col)) ++
+        valueCols.map(c =>
+          when(col("op") === "D", col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Time travel over an SCD2 [[snapshot]] table: the rows current AS
+    * OF `ts` — open before-or-at ts and not closed until after it.
+    * Partition-prunable when the snapshot is stored partitioned by
+    * is_current / valid_to date. */
+  def scd2AsOf(snap: DataFrame, ts: java.sql.Timestamp): DataFrame =
+    snap.filter(col("valid_from") <= lit(ts) &&
+        (col("valid_to").isNull || col("valid_to") > lit(ts)))
+      .drop("valid_from", "valid_to", "is_current", "__hash")
+
   /** dbt snapshot (SCD2, "check" strategy over all non-key columns):
     * maintains valid_from/valid_to/is_current. Changed rows close the
     * current version (valid_to = asOf) and open a new one; unchanged

@@ -52,6 +52,32 @@ object OperatorOracles {
         |SELECT * FROM base WHERE month NOT IN ('1995-03', '1995-04')
         |UNION ALL SELECT * FROM batch""".stripMargin,
 
+    // change feed: I/D by anti-join, U by value inequality
+    "q_change_feed" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |oldv AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+        |newv AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 7 <> 0)
+        |SELECT 'I' AS op, n.o_orderkey, n.o_orderstatus, n.o_totalprice
+        |FROM newv n LEFT JOIN oldv v ON n.o_orderkey = v.o_orderkey
+        |WHERE v.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'D', v.o_orderkey, v.o_orderstatus, v.o_totalprice
+        |FROM oldv v LEFT JOIN newv n ON n.o_orderkey = v.o_orderkey
+        |WHERE n.o_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'U', n.o_orderkey, n.o_orderstatus, n.o_totalprice
+        |FROM newv n JOIN oldv v ON n.o_orderkey = v.o_orderkey
+        |WHERE n.o_orderstatus <> v.o_orderstatus
+        |   OR n.o_totalprice <> v.o_totalprice""".stripMargin,
+
+    // SCD2 as-of between the two rounds == exactly the round-1 table
+    "q_scd2_asof" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
+
     // SCD2 snapshot fold: replay the two batches with value-equality
     // joins (engine's md5 change-hash ⟺ value equality); four paths —
     // still-open from t1, closed-changed, closed-deleted, opened at t2

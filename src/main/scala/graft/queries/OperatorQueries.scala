@@ -284,6 +284,47 @@ object OperatorQueries {
     graft.model.Incremental.insertOverwrite(spark, batch, path, "month")
   }
 
+  /** Change-feed generation ([[graft.model.Incremental.changeFeed]]):
+    * diff two drifted versions of orders into the minimal I/U/D
+    * stream. The oracle derives the same feed set-algebraically
+    * (anti-joins for I/D, value-inequality join for U). */
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val oldV = o.filter(col("o_orderkey") % 3 =!= 0)
+    val newV = o.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+    graft.model.Incremental.changeFeed(oldV, newV, Seq("o_orderkey"))
+  }
+
+  /** SCD2 time travel ([[graft.model.Incremental.scd2AsOf]]): build
+    * the two-round snapshot, then read it AS OF a timestamp between
+    * the rounds — exactly the round-1 table, whatever happened at
+    * round 2 (closed rows keep their original values, round-2 opens
+    * are invisible). */
+  def qScd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = System.getProperty("java.io.tmpdir") + "/graft_scd2_asof"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    graft.model.Incremental.snapshot(spark,
+      o.filter(col("o_orderkey") % 3 =!= 0), path, Seq("o_orderkey"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val snap = graft.model.Incremental.snapshot(spark,
+      o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice"))),
+      path, Seq("o_orderkey"),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    graft.model.Incremental.scd2AsOf(snap,
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+  }
+
   /** Driver-oracle row for the dbt-snapshot (SCD2) materialization
     * ([[graft.model.Incremental.snapshot]]): two snapshot runs onto an
     * on-disk table — t1 over two-thirds of orders, t2 over a drifted

@@ -76,6 +76,41 @@ class IncrementalSpec extends AnyFunSuite {
       s"got $r")
   }
 
+  test("changeFeed: minimal I/U/D between versions; applying it replays old -> new") {
+    val oldV = Seq((1L, "a", 10), (2L, "b", 20), (3L, null: String, 30))
+      .toDF("id", "v", "n")
+    val newV = Seq((1L, "a", 10), (2L, "b2", 20), (4L, "d", 40))
+      .toDF("id", "v", "n")
+    val feed = Incremental.changeFeed(oldV, newV, Seq("id"))
+      .as[(String, Long, String, Int)].collect().toSet
+    assert(feed === Set(("U", 2L, "b2", 20), ("D", 3L, null, 30),
+      ("I", 4L, "d", 40)), s"got $feed")
+    // identical versions -> empty feed (null-safe hash: null == null)
+    assert(Incremental.changeFeed(oldV, oldV, Seq("id")).isEmpty)
+    // round trip: applyChanges(feed) onto old == new
+    val path = tmp("graft-feed")
+    Incremental.merge(spark, oldV, path, Seq("id"))
+    val replayed = Incremental.applyChanges(spark,
+      Incremental.changeFeed(oldV, newV, Seq("id")).withColumn("seq", lit(1)),
+      path, Seq("id"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(replayed === newV.as[(Long, String, Int)].collect().toSet)
+  }
+
+  test("scd2AsOf: mid-history timestamp returns the round-1 table") {
+    val path = tmp("graft-asof")
+    val day1 = Seq((1L, "alice", "NY"), (2L, "bob", "LA")).toDF("id", "name", "city")
+    val day2 = Seq((1L, "alice", "SF"), (3L, "cara", "CHI")).toDF("id", "name", "city")
+    Incremental.snapshot(spark, day1, path, Seq("id"), ts("2024-01-01"))
+    val snap = Incremental.snapshot(spark, day2, path, Seq("id"), ts("2024-02-01"))
+    val asOfMid = Incremental.scd2AsOf(snap, ts("2024-01-15"))
+      .as[(Long, String, String)].collect().toSet
+    assert(asOfMid === Set((1L, "alice", "NY"), (2L, "bob", "LA")))
+    val asOfEnd = Incremental.scd2AsOf(snap, ts("2024-02-01"))
+      .as[(Long, String, String)].collect().toSet
+    assert(asOfEnd === Set((1L, "alice", "SF"), (3L, "cara", "CHI")))
+  }
+
   test("applyChanges: I/U/D fold with in-batch ordering and delete-then-reinsert") {
     val path = tmp("graft-cdc")
     // batch 1: inserts (one key arrives twice out of order — seq wins)
