@@ -1954,6 +1954,63 @@ object ExtOracles {
         |  ex.inter_exact
         |FROM e JOIN ex USING (grp_a, grp_b)""".stripMargin,
 
+    // joinability: the q_kmv_overlap replay over six key columns,
+    // plus directed containment = est_inter/est_a and the exact
+    // intersection (0 for disjoint pairs, as the engine coalesces)
+    "q_joinability" ->
+      """WITH li AS (
+        |  SELECT 'orders.o_custkey' AS grp, CAST(o_custkey AS VARCHAR) AS key FROM orders
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey', CAST(c_custkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'part.p_partkey', CAST(p_partkey AS VARCHAR) FROM part
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'supplier.s_suppkey', CAST(s_suppkey AS VARCHAR) FROM supplier),
+        |h AS (SELECT DISTINCT grp,
+        |    CAST(concat('0x', substr(md5('kmv|' || key), 1, 15)) AS BIGINT)
+        |      AS h FROM li),
+        |rk AS (SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT grp, list(h ORDER BY h) AS hs
+        |       FROM rk WHERE rn <= 256 GROUP BY grp),
+        |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, a.hs AS hs_a, b.hs AS hs_b
+        |      FROM sk a JOIN sk b ON a.grp < b.grp),
+        |c AS (SELECT grp_a, grp_b, hs_a, hs_b,
+        |    list_sort(list_distinct(list_concat(hs_a, hs_b)))[1:256] AS l
+        |  FROM p),
+        |e AS (SELECT grp_a, grp_b, hs_a, hs_b, l, len(l) AS kp,
+        |    CASE WHEN len(l) < 256 THEN CAST(len(l) AS DOUBLE)
+        |         ELSE round(255.0 * pow(2, 60) / CAST(l[256] AS DOUBLE), 2)
+        |    END AS est_union,
+        |    len(list_filter(l, x -> list_contains(hs_a, x)
+        |          AND list_contains(hs_b, x))) AS common
+        |  FROM c),
+        |o AS (SELECT grp_a, grp_b,
+        |    CASE WHEN len(hs_a) < 256 THEN CAST(len(hs_a) AS DOUBLE)
+        |         ELSE round(255.0 * pow(2, 60) / CAST(hs_a[256] AS DOUBLE), 2)
+        |    END AS est_a,
+        |    CASE WHEN len(hs_b) < 256 THEN CAST(len(hs_b) AS DOUBLE)
+        |         ELSE round(255.0 * pow(2, 60) / CAST(hs_b[256] AS DOUBLE), 2)
+        |    END AS est_b,
+        |    est_union,
+        |    CASE WHEN kp = 0 THEN 0.0
+        |         ELSE round(CAST(common AS DOUBLE) / kp * est_union, 2)
+        |    END AS est_inter
+        |  FROM e),
+        |d AS (SELECT DISTINCT grp, key FROM li),
+        |ex AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |    CAST(count(*) AS BIGINT) AS inter_exact
+        |  FROM d a JOIN d b ON a.key = b.key AND a.grp < b.grp GROUP BY 1, 2)
+        |SELECT o.grp_a, o.grp_b, o.est_a, o.est_b, o.est_union, o.est_inter,
+        |  COALESCE(ex.inter_exact, 0) AS inter_exact,
+        |  round(o.est_inter / o.est_a, 4) AS containment_a,
+        |  round(o.est_inter / o.est_b, 4) AS containment_b
+        |FROM o LEFT JOIN ex ON o.grp_a = ex.grp_a AND o.grp_b = ex.grp_b""".stripMargin,
+
     // interpolated Kneser-Ney bigram LM, D=3/4 folded into exact
     // long arithmetic (split-term truncating division IS the
     // contract); top-100 by count

@@ -869,6 +869,41 @@ object ExtQueries {
         "inter_exact")
   }
 
+  /** Joinability discovery (the Aurum-style data-catalog question:
+    * which columns JOIN with which?): KMV sketches over six key
+    * columns across five tables, composed into pairwise DIRECTED
+    * containment estimates — est_inter/est_a ≈ |A∩B|/|A|, the "is
+    * this column a foreign key into that one" score — without ever
+    * joining the tables themselves. Mixed saturation by design
+    * (suppkey's 100 values stay exact, partkey/custkey saturate the
+    * sketch), so both estimator branches are oracle-checked; the
+    * exact intersection rides along. At lake scale this is the whole
+    * point: profiling C columns pairwise needs C sketch scans, not
+    * C² joins. */
+  def qJoinability(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val t = Tables(spark, dir)
+    def colSet(df: DataFrame, c: String, name: String): DataFrame =
+      df.select(col(c).cast("long").as("key"), lit(name).as("grp"))
+    val all = colSet(t.orders, "o_custkey", "orders.o_custkey")
+      .unionAll(colSet(t.customer, "c_custkey", "customer.c_custkey"))
+      .unionAll(colSet(t.lineitem, "l_partkey", "lineitem.l_partkey"))
+      .unionAll(colSet(t.part, "p_partkey", "part.p_partkey"))
+      .unionAll(colSet(t.lineitem, "l_suppkey", "lineitem.l_suppkey"))
+      .unionAll(colSet(t.supplier, "s_suppkey", "supplier.s_suppkey"))
+    val sk = Sketches.kmvSketchBy(all, "grp", "key", k)
+    val d = all.distinct().localCheckpoint() // exact companion only
+    val exact = d.as("a")
+      .join(d.as("b"), col("a.key") === col("b.key") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    Sketches.kmvOverlap(sk, "grp", k)
+      .join(exact, Seq("grp_a", "grp_b"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("containment_a", round(col("est_inter") / col("est_a"), 4))
+      .withColumn("containment_b", round(col("est_inter") / col("est_b"), 4))
+  }
+
   /** Interpolated Kneser–Ney bigram LM over the corpus: top-100
     * bigrams with exact-long-arithmetic pkn_nano (D = 3/4). */
   def qKnBigram(spark: SparkSession, dir: String): DataFrame =

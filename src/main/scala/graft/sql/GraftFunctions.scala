@@ -366,6 +366,26 @@ object GraftFunctions {
     graft.operators.Graph.kCore(e, k).queryExecution.logical
   }
 
+  /** ancestors(edgesTbl[, maxDepth]) — WITH RECURSIVE hierarchy
+    * flatten over (child, parent) edges
+    * ([[graft.operators.Graph.ancestors]]). */
+  def ancestorsTvf(args: Seq[Expression]): LogicalPlan = {
+    val e = tableOf(strArg(args.head, "ancestors(edgesTable)"))
+    val d = if (args.length > 1) intArg(args(1), "ancestors(maxDepth)") else 12
+    graft.operators.Graph.ancestors(e, d).queryExecution.logical
+  }
+
+  /** change_feed(oldTbl, newTbl, keyCol...) — minimal I/U/D diff
+    * between two keyed table versions
+    * ([[graft.model.Incremental.changeFeed]]). */
+  def changeFeedTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3, "change_feed(oldTable, newTable, keyCol...)")
+    val oldV = tableOf(strArg(args.head, "change_feed(oldTable)"))
+    val newV = tableOf(strArg(args(1), "change_feed(newTable)"))
+    val keys = args.drop(2).map(strArg(_, "change_feed(keyCol)"))
+    graft.model.Incremental.changeFeed(oldV, newV, keys).queryExecution.logical
+  }
+
   /** connected_components(pairsTbl) — union-find over an (a_id, b_id)
     * pair table ([[graft.ext.Dedup.connectedComponents]]); the SQL
     * path to cluster any candidate-pair TVF's output. */
@@ -537,6 +557,8 @@ object GraftFunctions {
     "hll_distinct_by" -> (hllDistinctByTvf _),
     "mmr_select" -> (mmrSelectTvf _),
     "k_core" -> (kCoreTvf _),
+    "ancestors" -> (ancestorsTvf _),
+    "change_feed" -> (changeFeedTvf _),
     "entity_resolution_jw" -> (entityResolutionJwTvf _),
     "entity_resolution_sn" -> (entityResolutionSnTvf _))
 

@@ -187,6 +187,17 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .toDF("src", "dst").createOrReplaceTempView("kcore_edges_tvf9")
     sameAs("SELECT * FROM k_core('kcore_edges_tvf9', 2)",
       graft.operators.Graph.kCore(spark.table("kcore_edges_tvf9"), k = 2))
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("child", "parent")
+      .createOrReplaceTempView("anc_edges_tvf11")
+    sameAs("SELECT * FROM ancestors('anc_edges_tvf11', 6)",
+      graft.operators.Graph.ancestors(spark.table("anc_edges_tvf11"), 6))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("cf_old_tvf11")
+    Seq((1L, "a"), (2L, "b2"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("cf_new_tvf11")
+    sameAs("SELECT * FROM change_feed('cf_old_tvf11', 'cf_new_tvf11', 'id')",
+      graft.model.Incremental.changeFeed(spark.table("cf_old_tvf11"),
+        spark.table("cf_new_tvf11"), Seq("id")))
     graft.sources.Tables(spark, "/root/testdata/sf0.001").orders
       .createOrReplaceTempView("orders_tvf9")
     sameAs("SELECT * FROM quantile_sketch('orders_tvf9', 'o_orderpriority', " +
