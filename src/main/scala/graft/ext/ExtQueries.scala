@@ -322,6 +322,20 @@ object ExtQueries {
         Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents)),
       stride = 2).toDF()
 
+  /** Image near-dup via difference perceptual hash: one block-mosaic
+    * PNG per document (REAL container), REAL javax.imageio decode +
+    * 9×8 average-pool into a 64-bit dHash, then the SimHash-style
+    * 4×16 banded Hamming join (complete for distance ≤ 3, never
+    * all-pairs). Within-family variants differ by hash-placed
+    * perturbation blocks; the oracle recomputes the mosaics from the
+    * shared md5-60 formulas and brute-forces Hamming — so a
+    * hash-match proves encoder, decoder, pooling, banding, and
+    * popcount all at once. */
+  def qImageNearDup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.nearDupImages(
+      Multimodal.imageDHashes(
+        Multimodal.patternImages(spark, Tables(spark, dir).documents)))
+
   /** Concat-and-chunk sequence packing of the document corpus into
     * 512-token context windows across 8 hash shards (per-shard window
     * = no global serial pass; see [[Curation.packChunks]]). */

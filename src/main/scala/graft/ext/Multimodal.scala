@@ -97,6 +97,45 @@ object Multimodal {
       crc.update(kb); crc.update(data)
       out.putInt(crc.getValue.toInt)
     }
+
+    /** Block-pattern grayscale variant: pixel (x, y) carries
+      * r = g = b = v(x/8, y/8) — an 8×8-block mosaic, the shape the
+      * perceptual-hash pipeline needs (a solid color d-hashes to all
+      * zeros). Same container layout as [[encode]]. */
+    def encodeGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val rawLen = h * (1 + 3 * w)
+      require(rawLen <= 0xffff, s"single stored block only (raw $rawLen)")
+      val raw = new Array[Byte](rawLen)
+      var p = 0
+      for (y <- 0 until h) {
+        raw(p) = 0 // filter: None
+        p += 1
+        for (x <- 0 until w) {
+          val g = (v(x / 8, y / 8) & 0xff).toByte
+          raw(p) = g; raw(p + 1) = g; raw(p + 2) = g
+          p += 3
+        }
+      }
+      val out = java.nio.ByteBuffer.allocate(pngLength(w, h))
+      out.put(SIG)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      putChunk(out, "IHDR", ihdr.array())
+      val idat = java.nio.ByteBuffer.allocate(rawLen + 11)
+      idat.put(0x78.toByte).put(0x01.toByte)
+      idat.put(0x01.toByte)
+      idat.put((rawLen & 0xff).toByte).put(((rawLen >> 8) & 0xff).toByte)
+      idat.put((~rawLen & 0xff).toByte).put(((~rawLen >> 8) & 0xff).toByte)
+      idat.put(raw)
+      val adler = new java.util.zip.Adler32
+      adler.update(raw)
+      idat.putInt(adler.getValue.toInt)
+      putChunk(out, "IDAT", idat.array())
+      putChunk(out, "IEND", Array.emptyByteArray)
+      out.array()
+    }
   }
 
   /** Minimal deterministic WAV writer: canonical 44-byte PCM16-mono
@@ -452,5 +491,137 @@ object Multimodal {
   def resizeAll(feats: Dataset[MediaFeatures], maxDim: Int = 32): Dataset[MediaFeatures] = {
     import feats.sparkSession.implicits._
     feats.map(MediaCodec.resizeStub(_, maxDim))
+  }
+
+  // ---- perceptual-hash image near-dup (dHash) -------------------------
+
+  /** JVM twin of the portable md5-60 string hash (first 15 hex chars
+    * of md5 == top 60 bits of the digest) — the generator/oracle
+    * contract for the pattern images. */
+  def hash60Str(md: MessageDigest, s: String): Long =
+    MediaCodec.hash60(md, s.getBytes("UTF-8"))
+
+  /** Block value of pattern image `id` at block (bx, by): families
+    * (id div 3) share a base mosaic; variant (id mod 3) overlays that
+    * many +96 perturbation blocks at hash-chosen coordinates, so
+    * within-family pairs differ in ≤ 2 blocks (≤ 4 d-hash bits) and
+    * cross-family pairs are unrelated mosaics. Every term is the
+    * portable md5-60, so the DuckDB oracle recomputes the exact grid
+    * without decoding anything. */
+  def patternBlockValue(md: MessageDigest, id: Long, bx: Int, by: Int): Int = {
+    val fam = id / 3
+    val variant = (id % 3).toInt
+    var v = (hash60Str(md, s"px|$fam|$bx|$by") % 256).toInt
+    var j = 1
+    while (j <= variant) {
+      if (bx == (hash60Str(md, s"pb|$fam|$j") % 9).toInt &&
+          by == (hash60Str(md, s"pq|$fam|$j") % 8).toInt)
+        v = (v + 96) % 256
+      j += 1
+    }
+    v
+  }
+
+  /** One 72×64 block-mosaic PNG per document id (REAL container, like
+    * [[mediaFromDocuments]] — payload born on the executor, never
+    * shuffled). */
+  def patternImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      val md = MessageDigest.getInstance("MD5")
+      ids.map { id =>
+        // materialize the 9×8 mosaic once (72 md5 calls) — the
+        // encoder's per-pixel callback must not re-hash per pixel
+        val grid = Array.tabulate(9, 8)(patternBlockValue(md, id, _, _))
+        MediaRow(id, "image", PngCodec.encodeGray(72, 64, (bx, by) => grid(bx)(by)))
+      }
+    }
+  }
+
+  /** The classic difference perceptual hash over a DECODED image:
+    * average-pool the grayscale to a 9×8 grid, emit one bit per
+    * horizontally adjacent cell pair (avg[cx] < avg[cx+1]) — 64 bits.
+    * Cell means are exact integer math (sum of r+g+b over the cell
+    * div 3·cellArea), so the hash is bit-deterministic. Dims must
+    * grid-align (the generator emits 72×64). */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    require(w % 9 == 0 && h % 8 == 0, s"dims $w x $h not 9x8-grid-aligned")
+    val cw = w / 9; val ch = h / 8
+    // one bulk raster grab — per-pixel getRGB pays a color-model
+    // lookup per call and dominates decode on small images
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val sums = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val cy = y / ch
+      var x = 0
+      while (x < w) {
+        val rgb = px(y * w + x)
+        sums(x / cw)(cy) +=
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val avg = Array.tabulate(9, 8)((cx, cy) => sums(cx)(cy) / (3L * cw * ch))
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (avg(bx)(cy) < avg(bx + 1)(cy)) bits |= 1L << (cy * 8 + bx)
+        bx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** Batch perceptual hashing: decode every payload with the
+    * per-partition reader context (the [[extractFeatures]] shape) and
+    * d-hash the real pixels. @return (media_id, dhash). */
+  def imageDHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      var disposed = false
+      def dispose(): Unit = if (!disposed) { disposed = true; reader.dispose() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dispose()))
+      rows.map { m =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        reader.setInput(iis)
+        val img = try reader.read(0) finally iis.close()
+        (m.media_id, dHash64(img))
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Banded Hamming near-dup join over d-hashes — the SimHash
+    * discipline applied to images: 4 bands × 16 bits, so any pair at
+    * Hamming ≤ 3 shares a clean band (pigeonhole) and candidate
+    * generation is four equi-joins, never all-pairs; candidates are
+    * then EXACTLY verified by popcount. @return (id_a, id_b, hamming
+    * ≤ maxHamming). */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding is complete only for Hamming <= 3")
+    val banded = hashes.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(dhash >> ${16 * b}) & 65535").as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 }

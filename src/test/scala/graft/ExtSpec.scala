@@ -228,6 +228,39 @@ class ExtSpec extends AnyFunSuite {
     assert(((rgb >> 16) & 0xff) == 200 && ((rgb >> 8) & 0xff) == 5 && (rgb & 0xff) == 0)
   }
 
+  test("multimodal: dHash of a decoded pattern PNG equals the mosaic formula") {
+    import Multimodal._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- Seq(0L, 1L, 2L, 7L)) {
+      val grid = Array.tabulate(9, 8)(patternBlockValue(md, id, _, _))
+      val png = PngCodec.encodeGray(72, 64, (bx, by) => grid(bx)(by))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      // expectation straight from the mosaic (cells == uniform blocks)
+      var want = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (grid(cx)(cy) < grid(cx + 1)(cy)) want |= 1L << (cy * 8 + cx)
+      assert(dHash64(img) == want, s"id $id: decode+pool != formula")
+    }
+  }
+
+  test("multimodal: banded image near-dup finds family variants, not strangers") {
+    import spark.implicits._
+    // 4 families x 3 variants
+    val docs = (0L until 12L).toDF("doc_id")
+    val hashes = Multimodal.imageDHashes(Multimodal.patternImages(spark, docs))
+    val got = Multimodal.nearDupImages(hashes)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // ground truth: brute-force over the collected hashes
+    val hs = hashes.as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(got == want, s"banding != brute force:\n got=$got\n want=$want")
+    // sanity: variant 1 of family 0 sits within 2 bits of variant 0
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(1L)) <= 2)
+  }
+
   test("multimodal: real WAV parse round-trip (javax.sound.sampled)") {
     import Multimodal._
     val wav = WavCodec.encode(11000, 50, 700)
