@@ -524,6 +524,36 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Banded Hamming near-dup pairs over ANY 64-bit hash column — the
+    * candidate machinery shared by [[simhashNearDups]] (text) and
+    * [[Multimodal.nearDupImages]] (dHash): 4 bands × 16 bits, so any
+    * pair within Hamming ≤ 3 shares a clean band (pigeonhole);
+    * candidates are four equi-joins on (band, value), never
+    * all-pairs, then exactly verified by popcount.
+    *
+    * @param hashes one row per id: (idCol, hashCol: long).
+    * @return (a_id, b_id, hamming ≤ maxHamming). */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
+    val sh = hashes.select(col(idCol), col(hashCol))
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("blk"),
+        shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFF).as("v")))
+    val ex = sh.select(col(idCol), explode(array(blocks: _*)).as("bk"))
+    val cand = ex.select(col(idCol).as("a_id"), col("bk"))
+      .join(ex.select(col(idCol).as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.select(col(idCol).as("a_id"), col(hashCol).as("ha")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col(hashCol).as("hb")), "b_id")
+      .withColumn("hamming", hamming(col("ha"), col("hb")).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** SimHash near-duplicate pairs (the Manku/Jain/Sarma web-dedup
     * pipeline — the FOURTH candidate-generation strategy next to
     * MinHash-LSH banding, the df-capped all-pairs, and the PPJoin
@@ -545,25 +575,9 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    require(maxHamming <= 3,
-      s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
-    val sh = simhash64(df, idCol, textCol, tokenHash).localCheckpoint()
-    val blocks = (0 until 4).map(b =>
-      struct(lit(b).as("blk"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("v")))
-    val ex = sh.select(col(idCol), explode(array(blocks: _*)).as("bk"))
-    val cand = ex.select(col(idCol).as("a_id"), col("bk"))
-      .join(ex.select(col(idCol).as("b_id"), col("bk")), Seq("bk"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    cand
-      .join(sh.select(col(idCol).as("a_id"), col("simhash").as("ha")), "a_id")
-      .join(sh.select(col(idCol).as("b_id"), col("simhash").as("hb")), "b_id")
-      .withColumn("hamming", hamming(col("ha"), col("hb")).cast(IntegerType))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
-  }
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    bandedHammingPairs(simhash64(df, idCol, textCol, tokenHash).localCheckpoint(),
+      idCol, "simhash", maxHamming)
 
   /** C4-style duplicate-passage removal with reassembly: split each
     * doc into consecutive `span`-token passages, drop every passage

@@ -860,6 +860,17 @@ object ExtQueries {
       groupCol = "o_orderpriority", keyCol = "o_orderkey",
       valCol = "o_totalprice", shift = 3)
 
+  /** Exact pairwise (grp, key) intersection counts — the key-wide
+    * self-join companion the KMV queries ride along for measured
+    * error. @return (grp_a, grp_b, inter_exact) for grp_a < grp_b. */
+  private def exactPairIntersections(gk: DataFrame): DataFrame = {
+    val d = gk.distinct().localCheckpoint()
+    d.as("a")
+      .join(d.as("b"), col("a.key") === col("b.key") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+  }
+
   /** Audience overlap via KMV bottom-k sketches: per-returnflag
     * distinct-partkey sketches composed into pairwise union AND
     * intersection estimates ([[Sketches.kmvOverlap]]) — the segment-
@@ -872,13 +883,8 @@ object ExtQueries {
     val li = Tables(spark, dir).lineitem
       .select(col("l_returnflag").as("grp"), col("l_partkey").as("key"))
     val sk = Sketches.kmvSketchBy(li, "grp", "key", k)
-    val d = li.distinct().localCheckpoint() // exact companion only
-    val exact = d.as("a")
-      .join(d.as("b"), col("a.key") === col("b.key") && col("a.grp") < col("b.grp"))
-      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
-      .agg(count(lit(1)).as("inter_exact"))
     Sketches.kmvOverlap(sk, "grp", k)
-      .join(exact, Seq("grp_a", "grp_b"))
+      .join(exactPairIntersections(li), Seq("grp_a", "grp_b"))
       .select("grp_a", "grp_b", "est_a", "est_b", "est_union", "est_inter",
         "inter_exact")
   }
@@ -906,13 +912,8 @@ object ExtQueries {
       .unionAll(colSet(t.lineitem, "l_suppkey", "lineitem.l_suppkey"))
       .unionAll(colSet(t.supplier, "s_suppkey", "supplier.s_suppkey"))
     val sk = Sketches.kmvSketchBy(all, "grp", "key", k)
-    val d = all.distinct().localCheckpoint() // exact companion only
-    val exact = d.as("a")
-      .join(d.as("b"), col("a.key") === col("b.key") && col("a.grp") < col("b.grp"))
-      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
-      .agg(count(lit(1)).as("inter_exact"))
     Sketches.kmvOverlap(sk, "grp", k)
-      .join(exact, Seq("grp_a", "grp_b"), "left")
+      .join(exactPairIntersections(all), Seq("grp_a", "grp_b"), "left")
       .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
       .withColumn("containment_a", round(col("est_inter") / col("est_a"), 4))
       .withColumn("containment_b", round(col("est_inter") / col("est_b"), 4))

@@ -54,18 +54,28 @@ object Multimodal {
     def pngLength(w: Int, h: Int): Int = h * (1 + 3 * w) + 68
 
     def encode(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
-      val rawLen = h * (1 + 3 * w)
-      require(rawLen <= 0xffff, s"single stored block only (raw $rawLen)")
-      val raw = new Array[Byte](rawLen)
+      val raw = scanlines(w, h)
       var p = 0
       for (_ <- 0 until h) {
-        raw(p) = 0 // filter: None
-        p += 1
+        p += 1 // filter byte (already 0 = None)
         for (_ <- 0 until w) {
           raw(p) = r.toByte; raw(p + 1) = g.toByte; raw(p + 2) = b.toByte
           p += 3
         }
       }
+      container(w, h, raw)
+    }
+
+    private def scanlines(w: Int, h: Int): Array[Byte] = {
+      val rawLen = h * (1 + 3 * w)
+      require(rawLen <= 0xffff, s"single stored block only (raw $rawLen)")
+      new Array[Byte](rawLen)
+    }
+
+    /** Wrap filled scanlines in the PNG container (IHDR + one
+      * stored-deflate IDAT + IEND) — shared by both pixel fills. */
+    private def container(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
+      val rawLen = raw.length
       val out = java.nio.ByteBuffer.allocate(pngLength(w, h))
       out.put(SIG)
       val ihdr = java.nio.ByteBuffer.allocate(13)
@@ -103,38 +113,17 @@ object Multimodal {
       * perceptual-hash pipeline needs (a solid color d-hashes to all
       * zeros). Same container layout as [[encode]]. */
     def encodeGray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
-      val rawLen = h * (1 + 3 * w)
-      require(rawLen <= 0xffff, s"single stored block only (raw $rawLen)")
-      val raw = new Array[Byte](rawLen)
+      val raw = scanlines(w, h)
       var p = 0
       for (y <- 0 until h) {
-        raw(p) = 0 // filter: None
-        p += 1
+        p += 1 // filter byte (already 0 = None)
         for (x <- 0 until w) {
           val g = (v(x / 8, y / 8) & 0xff).toByte
           raw(p) = g; raw(p + 1) = g; raw(p + 2) = g
           p += 3
         }
       }
-      val out = java.nio.ByteBuffer.allocate(pngLength(w, h))
-      out.put(SIG)
-      val ihdr = java.nio.ByteBuffer.allocate(13)
-      ihdr.putInt(w).putInt(h)
-        .put(8.toByte).put(2.toByte)
-        .put(0.toByte).put(0.toByte).put(0.toByte)
-      putChunk(out, "IHDR", ihdr.array())
-      val idat = java.nio.ByteBuffer.allocate(rawLen + 11)
-      idat.put(0x78.toByte).put(0x01.toByte)
-      idat.put(0x01.toByte)
-      idat.put((rawLen & 0xff).toByte).put(((rawLen >> 8) & 0xff).toByte)
-      idat.put((~rawLen & 0xff).toByte).put(((~rawLen >> 8) & 0xff).toByte)
-      idat.put(raw)
-      val adler = new java.util.zip.Adler32
-      adler.update(raw)
-      idat.putInt(adler.getValue.toInt)
-      putChunk(out, "IDAT", idat.array())
-      putChunk(out, "IEND", Array.emptyByteArray)
-      out.array()
+      container(w, h, raw)
     }
   }
 
@@ -501,38 +490,37 @@ object Multimodal {
   def hash60Str(md: MessageDigest, s: String): Long =
     MediaCodec.hash60(md, s.getBytes("UTF-8"))
 
-  /** Block value of pattern image `id` at block (bx, by): families
-    * (id div 3) share a base mosaic; variant (id mod 3) overlays that
-    * many +96 perturbation blocks at hash-chosen coordinates, so
-    * within-family pairs differ in ≤ 2 blocks (≤ 4 d-hash bits) and
-    * cross-family pairs are unrelated mosaics. Every term is the
-    * portable md5-60, so the DuckDB oracle recomputes the exact grid
-    * without decoding anything. */
-  def patternBlockValue(md: MessageDigest, id: Long, bx: Int, by: Int): Int = {
+  /** The 9×8 block mosaic of pattern image `id`: families (id div 3)
+    * share a base mosaic; variant (id mod 3) overlays that many +96
+    * perturbation blocks at hash-chosen coordinates applied ONCE per
+    * image (not per block lookup), so within-family pairs differ in
+    * ≤ 2 blocks (≤ 4 d-hash bits) and cross-family pairs are
+    * unrelated mosaics. Every term is the portable md5-60, so the
+    * DuckDB oracle recomputes the exact grid without decoding
+    * anything. */
+  def patternGrid(md: MessageDigest, id: Long): Array[Array[Int]] = {
     val fam = id / 3
     val variant = (id % 3).toInt
-    var v = (hash60Str(md, s"px|$fam|$bx|$by") % 256).toInt
-    var j = 1
-    while (j <= variant) {
-      if (bx == (hash60Str(md, s"pb|$fam|$j") % 9).toInt &&
-          by == (hash60Str(md, s"pq|$fam|$j") % 8).toInt)
-        v = (v + 96) % 256
-      j += 1
+    val grid = Array.tabulate(9, 8)((bx, by) =>
+      (hash60Str(md, s"px|$fam|$bx|$by") % 256).toInt)
+    for (j <- 1 to variant) {
+      val px = (hash60Str(md, s"pb|$fam|$j") % 9).toInt
+      val py = (hash60Str(md, s"pq|$fam|$j") % 8).toInt
+      grid(px)(py) = (grid(px)(py) + 96) % 256
     }
-    v
+    grid
   }
 
   /** One 72×64 block-mosaic PNG per document id (REAL container, like
     * [[mediaFromDocuments]] — payload born on the executor, never
-    * shuffled). */
+    * shuffled). The mosaic is materialized once per image — the
+    * encoder's per-pixel callback must not re-hash per pixel. */
   def patternImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       val md = MessageDigest.getInstance("MD5")
       ids.map { id =>
-        // materialize the 9×8 mosaic once (72 md5 calls) — the
-        // encoder's per-pixel callback must not re-hash per pixel
-        val grid = Array.tabulate(9, 8)(patternBlockValue(md, id, _, _))
+        val grid = patternGrid(md, id)
         MediaRow(id, "image", PngCodec.encodeGray(72, 64, (bx, by) => grid(bx)(by)))
       }
     }
@@ -601,27 +589,10 @@ object Multimodal {
   }
 
   /** Banded Hamming near-dup join over d-hashes — the SimHash
-    * discipline applied to images: 4 bands × 16 bits, so any pair at
-    * Hamming ≤ 3 shares a clean band (pigeonhole) and candidate
-    * generation is four equi-joins, never all-pairs; candidates are
-    * then EXACTLY verified by popcount. @return (id_a, id_b, hamming
-    * ≤ maxHamming). */
-  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4x16 banding is complete only for Hamming <= 3")
-    val banded = hashes.select(col("media_id"), col("dhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            expr(s"(dhash >> ${16 * b}) & 65535").as("key"))): _*)).as("bk"))
-      .select(col("media_id"), col("dhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-  }
+    * candidate machinery ([[Dedup.bandedHammingPairs]]) applied to
+    * images: never all-pairs, exact popcount verify.
+    * @return (id_a, id_b, hamming ≤ maxHamming). */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(hashes, "media_id", "dhash", maxHamming)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("hamming"))
 }

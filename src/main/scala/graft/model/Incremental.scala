@@ -109,6 +109,13 @@ object Incremental {
     spark.read.parquet(path)
   }
 
+  /** The null-safe value hash shared by [[snapshot]] and
+    * [[changeFeed]]: equal hash ⟺ equal value tuple (control-char
+    * separator/sentinel keep concatenation unambiguous). */
+  private def valueHash(valueCols: Seq[String]) =
+    md5(concat_ws("\u0001",
+      valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+
   /** Change-feed generation — the inverse of [[applyChanges]]: diff
     * two versions of a keyed table into the minimal I/U/D stream that
     * replays old → new. One full-outer co-keyed join; value equality
@@ -120,25 +127,28 @@ object Incremental {
     * @return (op, key..., value...) — unchanged keys emit nothing.
     */
   def changeFeed(oldV: DataFrame, newV: DataFrame,
-      uniqueKey: Seq[String]): DataFrame = {
+      uniqueKey: Seq[String], opCol: String = "op"): DataFrame = {
     val valueCols = oldV.columns.filterNot(uniqueKey.contains).toSeq
+    val reserved = Seq(opCol, "__oh", "__nh") ++ valueCols.map(c => s"__o_$c")
+    require(!oldV.columns.exists(reserved.contains),
+      s"changeFeed: input columns collide with ${reserved.filter(oldV.columns.contains)}; " +
+        "pass a different opCol or rename the column")
     def hashOf(df: DataFrame, as: String): DataFrame =
-      df.withColumn(as, md5(concat_ws("\u0001",
-        valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+      df.withColumn(as, valueHash(valueCols))
     val o = hashOf(oldV, "__oh")
       .select((uniqueKey.map(col) :+ col("__oh")) ++
         valueCols.map(c => col(c).as(s"__o_$c")): _*)
     val n = hashOf(newV, "__nh")
     val joined = o.join(n, uniqueKey, "full_outer")
     joined
-      .withColumn("op",
+      .withColumn(opCol,
         when(col("__oh").isNull, "I")
           .when(col("__nh").isNull, "D")
           .when(col("__oh") =!= col("__nh"), "U"))
-      .filter(col("op").isNotNull)
-      .select((col("op") +: uniqueKey.map(col)) ++
+      .filter(col(opCol).isNotNull)
+      .select((col(opCol) +: uniqueKey.map(col)) ++
         valueCols.map(c =>
-          when(col("op") === "D", col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
+          when(col(opCol) === "D", col(s"__o_$c")).otherwise(col(c)).as(c)): _*)
   }
 
   /** Time travel over an SCD2 [[snapshot]] table: the rows current AS
@@ -160,10 +170,8 @@ object Incremental {
       spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
     val valueCols = current.columns.filterNot(uniqueKey.contains).toSeq
-    val hashOf = md5(concat_ws("\u0001",
-      valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val incoming = current
-      .withColumn("__hash", hashOf)
+      .withColumn("__hash", valueHash(valueCols))
       .withColumn("valid_from", lit(asOf))
       .withColumn("valid_to", lit(null).cast("timestamp"))
       .withColumn("is_current", lit(true))

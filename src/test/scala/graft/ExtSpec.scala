@@ -232,7 +232,7 @@ class ExtSpec extends AnyFunSuite {
     import Multimodal._
     val md = java.security.MessageDigest.getInstance("MD5")
     for (id <- Seq(0L, 1L, 2L, 7L)) {
-      val grid = Array.tabulate(9, 8)(patternBlockValue(md, id, _, _))
+      val grid = patternGrid(md, id)
       val png = PngCodec.encodeGray(72, 64, (bx, by) => grid(bx)(by))
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
       // expectation straight from the mosaic (cells == uniform blocks)
