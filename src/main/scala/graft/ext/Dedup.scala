@@ -533,15 +533,26 @@ object Dedup {
     *
     * @param hashes one row per id: (idCol, hashCol: long).
     * @return (a_id, b_id, hamming ≤ maxHamming). */
+  /** The 4×16-bit band expansion of a 64-bit hash table — one row per
+    * (id, hash, blk, v); shared by [[bandedHammingPairs]] and the
+    * on-disk [[graft.operators.DHashIndex]] layout (which buckets on
+    * `v`). */
+  def bandRows(hashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("blk"),
+        shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFF).as("v")))
+    hashes.select(col(idCol), col(hashCol), explode(array(blocks: _*)).as("bk"))
+      .select(col(idCol), col(hashCol),
+        col("bk.blk").as("blk"), col("bk.v").as("v"))
+  }
+
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
     val sh = hashes.select(col(idCol), col(hashCol))
-    val blocks = (0 until 4).map(b =>
-      struct(lit(b).as("blk"),
-        shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFF).as("v")))
-    val ex = sh.select(col(idCol), explode(array(blocks: _*)).as("bk"))
+    val ex = bandRows(sh, idCol, hashCol)
+      .select(col(idCol), struct(col("blk"), col("v")).as("bk"))
     val cand = ex.select(col(idCol).as("a_id"), col("bk"))
       .join(ex.select(col(idCol).as("b_id"), col("bk")), Seq("bk"))
       .filter(col("a_id") < col("b_id"))

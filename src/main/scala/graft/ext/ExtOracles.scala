@@ -984,6 +984,70 @@ object ExtOracles {
         |  FROM halves a JOIN halves b ON a.id < b.id)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
 
+    // indexed image dedup: same mosaic-formula hashes; batch ids
+    // (%4 == 0) classified against history by (hamming, id) argmin,
+    // history beating the pairwise smaller-id batch rule
+    "q_image_dedup_indexed" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 3 AS fam,
+        |    CAST(doc_id % 3 AS INTEGER) AS variant FROM documents),
+        |grid AS (SELECT t1.range AS bx, t2.range AS by
+        |         FROM range(9) t1, range(8) t2),
+        |base AS (SELECT i.id, i.fam, i.variant, g.bx, g.by,
+        |    CAST(concat('0x', substr(md5('px|' || i.fam || '|' || g.bx
+        |      || '|' || g.by), 1, 15)) AS BIGINT) % 256 AS v0
+        |  FROM ids i, grid g),
+        |pert AS (SELECT f.fam, t.range AS j,
+        |    CAST(concat('0x', substr(md5('pb|' || f.fam || '|' || t.range),
+        |      1, 15)) AS BIGINT) % 9 AS px,
+        |    CAST(concat('0x', substr(md5('pq|' || f.fam || '|' || t.range),
+        |      1, 15)) AS BIGINT) % 8 AS py
+        |  FROM (SELECT DISTINCT fam FROM ids) f, range(1, 3) t),
+        |hits AS (SELECT i.id, p.px, p.py, count(*) AS n
+        |  FROM ids i JOIN pert p ON p.fam = i.fam AND p.j <= i.variant
+        |  GROUP BY 1, 2, 3),
+        |vals AS (SELECT b.id, b.bx, b.by,
+        |    (b.v0 + 96 * COALESCE(h.n, 0)) % 256 AS v
+        |  FROM base b LEFT JOIN hits h
+        |    ON h.id = b.id AND h.px = b.bx AND h.py = b.by),
+        |bits AS (SELECT v1.id, v1.by AS cy, v1.bx AS cx,
+        |    CASE WHEN v1.v < v2.v THEN 1 ELSE 0 END AS bit
+        |  FROM vals v1 JOIN vals v2
+        |    ON v1.id = v2.id AND v1.by = v2.by AND v2.bx = v1.bx + 1
+        |  WHERE v1.bx < 8),
+        |halves AS (SELECT id,
+        |    CAST(sum(CASE WHEN cy * 8 + cx < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+        |      ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN cy * 8 + cx >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx - 32))
+        |      ELSE 0 END) AS BIGINT) AS h2
+        |  FROM bits GROUP BY id),
+        |hist AS (SELECT * FROM halves WHERE id % 4 <> 0),
+        |batch AS (SELECT * FROM halves WHERE id % 4 = 0),
+        |hm AS (SELECT * FROM (SELECT b.id, h.id AS hist_id,
+        |    CAST(bit_count(xor(b.h1, h.h1)) + bit_count(xor(b.h2, h.h2))
+        |      AS INTEGER) AS d
+        |  FROM batch b, hist h) WHERE d <= 3),
+        |histbest AS (SELECT id, hist_id, d FROM (SELECT id, hist_id, d,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, hist_id) AS rn
+        |  FROM hm) WHERE rn = 1),
+        |bm AS (SELECT * FROM (SELECT b.id, a.id AS a_id,
+        |    CAST(bit_count(xor(b.h1, a.h1)) + bit_count(xor(b.h2, a.h2))
+        |      AS INTEGER) AS d
+        |  FROM batch b JOIN batch a ON a.id < b.id) WHERE d <= 3),
+        |batchbest AS (SELECT id, a_id, d FROM (SELECT id, a_id, d,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, a_id) AS rn
+        |  FROM bm) WHERE rn = 1)
+        |SELECT b.id AS media_id,
+        |  CASE WHEN hb.id IS NOT NULL THEN 'dup_history'
+        |       WHEN bb.id IS NOT NULL THEN 'dup_batch'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN hb.id IS NOT NULL THEN hb.hist_id ELSE bb.a_id END
+        |    AS dup_of,
+        |  CASE WHEN hb.id IS NOT NULL THEN hb.d ELSE bb.d END AS hamming
+        |FROM batch b LEFT JOIN histbest hb ON hb.id = b.id
+        |LEFT JOIN batchbest bb ON bb.id = b.id""".stripMargin,
+
     "q_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |    CAST(doc_id % 3 AS INTEGER) AS k3,

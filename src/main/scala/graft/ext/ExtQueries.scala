@@ -336,6 +336,28 @@ object ExtQueries {
       Multimodal.imageDHashes(
         Multimodal.patternImages(spark, Tables(spark, dir).documents)))
 
+  /** Disk-index twin of [[qImageNearDup]] — the nightly image-ingest
+    * shape: history's d-hash band rows persisted as a bucketed
+    * external table ([[graft.operators.DHashIndex]]), a new batch
+    * decoded and probed against it (history beats batch; pairwise
+    * smaller-id rule within the batch). The oracle recomputes every
+    * mosaic hash from the md5-60 formulas and classifies the batch
+    * with the same (hamming, id) argmin. */
+  def qImageDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val path = System.getProperty("java.io.tmpdir") + "/graft_dhash_idx"
+    ensureIndex(spark, "graft_dhash_idx", path, dir) {
+      graft.operators.DHashIndex.writeIndex(
+        Multimodal.imageDHashes(Multimodal.patternImages(spark,
+          docs.filter(col("doc_id") % 4 =!= 0))),
+        "graft_dhash_idx", path)
+    }
+    graft.operators.DHashIndex.probe(spark, "graft_dhash_idx",
+        Multimodal.imageDHashes(Multimodal.patternImages(spark,
+          docs.filter(col("doc_id") % 4 === 0))))
+      .select("media_id", "status", "dup_of", "hamming")
+  }
+
   /** Concat-and-chunk sequence packing of the document corpus into
     * 512-token context windows across 8 hash shards (per-shard window
     * = no global serial pass; see [[Curation.packChunks]]). */

@@ -170,3 +170,80 @@ object MemorizationIndex {
         .join(spark.table(table), Seq("h"), "left_anti"),
       "h")
 }
+
+/** On-disk perceptual-hash (dHash) band index — the image twin of
+  * [[FingerprintIndex]]: each historical image contributes four rows
+  * keyed by `band_key = blk·2¹⁶ + v` (band index and 16-bit band
+  * value folded into ONE column — a single-key equi-join is what
+  * lets the planner reuse the bucketed layout; a two-key join
+  * refuses it), bucketed by that key, so a nightly batch probe
+  * co-locates the index side from disk and only the batch moves.
+  * Candidates are then exactly verified by popcount — banding keeps
+  * history×batch from ever being all-pairs.
+  */
+object DHashIndex {
+
+  private def bandKeyed(hashes: DataFrame): DataFrame =
+    Dedup.bandRows(hashes, "media_id", "dhash")
+      .select(col("media_id"), col("dhash"),
+        (col("blk") * 65536L + col("v")).as("band_key"))
+
+  /** Persist the band rows of a historical corpus' d-hashes
+    * ((media_id, dhash) — [[graft.ext.Multimodal.imageDHashes]]
+    * output). */
+  def writeIndex(hashes: DataFrame, table: String, path: String,
+      numBuckets: Int = 0): Unit =
+    HashIndexWriter.write(bandKeyed(hashes), table, path, "band_key",
+      numBuckets)
+
+  /** Screen a new image batch against the index AND itself:
+    * status ∈ kept | dup_batch | dup_history (history beats batch,
+    * the [[FingerprintIndex]] convention); dup_of = the best match by
+    * (hamming, id) — deterministic. dup_batch uses the pairwise
+    * smaller-id rule (transitive clustering is
+    * [[graft.ext.Dedup.connectedComponents]]' job).
+    * @return (media_id, dhash, status, dup_of, hamming). */
+  def probe(spark: SparkSession, table: String, newHashes: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val batchBands = bandKeyed(newHashes)
+    val hist = spark.table(table)
+    val histBest = batchBands
+      .join(hist.select(col("band_key"),
+          col("media_id").as("hist_id"), col("dhash").as("hh")),
+        Seq("band_key"))
+      .select(col("media_id"), col("dhash"), col("hist_id"), col("hh"))
+      .distinct()
+      .withColumn("d", Dedup.hamming(col("dhash"), col("hh")).cast("int"))
+      .filter(col("d") <= maxHamming)
+      .groupBy("media_id")
+      .agg(min(struct(col("d"), col("hist_id"))).as("m"))
+      .select(col("media_id"), col("m.hist_id").as("hist_of"),
+        col("m.d").as("hist_d"))
+    val batchBest = Dedup
+      .bandedHammingPairs(newHashes, "media_id", "dhash", maxHamming)
+      .groupBy(col("b_id").as("media_id"))
+      .agg(min(struct(col("hamming"), col("a_id"))).as("m"))
+      .select(col("media_id"), col("m.a_id").as("batch_of"),
+        col("m.hamming").as("batch_d"))
+    newHashes.select("media_id", "dhash")
+      .join(histBest, Seq("media_id"), "left")
+      .join(batchBest, Seq("media_id"), "left")
+      .select(col("media_id"), col("dhash"),
+        when(col("hist_of").isNotNull, lit("dup_history"))
+          .when(col("batch_of").isNotNull, lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("hist_of").isNotNull, col("hist_of"))
+          .otherwise(col("batch_of")).as("dup_of"),
+        when(col("hist_of").isNotNull, col("hist_d"))
+          .otherwise(col("batch_d")).as("hamming"))
+  }
+
+  /** Fold a probe's kept images back into the index — the O(batch)
+    * nightly append ([[FingerprintIndex.appendKept]] discipline). */
+  def appendKept(spark: SparkSession, table: String,
+      probeResult: DataFrame): Unit =
+    HashIndexWriter.append(spark, table,
+      bandKeyed(probeResult.filter(col("status") === "kept")
+        .select("media_id", "dhash")),
+      "band_key")
+}

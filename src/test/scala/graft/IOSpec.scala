@@ -87,6 +87,36 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("bucketed dHash index: shuffle-free probe; history beats batch; kept appends back") {
+    import graft.operators.DHashIndex
+    // hashes chosen by bit pattern: 10L/11L differ in 1 bit; 9999... far
+    val hist = Seq((1L, 10L), (2L, 0x7000000000000000L)).toDF("media_id", "dhash")
+    DHashIndex.writeIndex(hist, "dhash_idx_b", tmp("graft-dhidx") + "/idx")
+    // batch: 100 matches history (d=1 to id 1), 101 matches only its
+    // smaller batch sibling 100 (d=0), 102 matches nothing
+    val batch = Seq((100L, 11L), (101L, 11L), (102L, 0x0F0F0F0F0F0F0F0FL))
+      .toDF("media_id", "dhash")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = DHashIndex.probe(spark, "dhash_idx_b", batch)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan must use its bucketed layout:\n$plan")
+      val st = out.collect()
+        .map(r => r.getLong(0) -> (r.getString(2), Option(r.get(3)))).toMap
+      assert(st(100L) == ("dup_history", Some(1L)), s"$st")
+      assert(st(101L) == ("dup_history", Some(1L)), s"$st") // d=1 hist beats d=0 batch
+      assert(st(102L) == ("kept", None), s"$st")
+      // fold kept back: next wave sees 102's hash as history
+      DHashIndex.appendKept(spark, "dhash_idx_b", out)
+      val wave2 = Seq((200L, 0x0F0F0F0F0F0F0F0EL)).toDF("media_id", "dhash")
+      val st2 = DHashIndex.probe(spark, "dhash_idx_b", wave2).collect()
+        .map(r => r.getLong(0) -> (r.getString(2), Option(r.get(3)))).toMap
+      assert(st2(200L) == ("dup_history", Some(102L)), s"$st2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("compact collapses small files without changing data; partitioned layout survives") {
     val src = Tables(spark, "/root/testdata/sf0.001").orders
     // flat case: 16 shards -> 1 file at a generous target
