@@ -265,6 +265,34 @@ object StreamingOps {
       keyCol: String = "key", k: Int = 256): DataFrame =
     graft.ext.Sketches.kmvSketchBy(df, groupCol, keyCol, k)
 
+  /** Streaming image-ingest dedup sink (the [[cdcSink]] discipline):
+    * each micro-batch of images is d-hashed (the batch decode path,
+    * stateless) and run through the EXACT on-disk
+    * [[graft.operators.DHashIndex]] probe — kept|dup_batch|
+    * dup_history per image, history read shuffle-free from its
+    * bucketed layout — then kept images fold back via appendKept, so
+    * the next micro-batch sees them as history. Zero Spark state
+    * store usage: all dedup state IS the on-disk index, which is how
+    * a 100 TB nightly ingest wants it (restarts resume from disk,
+    * and batch/stream share one index). Probe results append to
+    * `outPath`. */
+  def imageIngestSink(media: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRow],
+      indexTable: String, outPath: String, queryName: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRow], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val probed = graft.operators.DHashIndex.probe(spark, indexTable,
+            graft.ext.Multimodal.imageDHashes(batch), maxHamming)
+            .localCheckpoint() // probe once; both writes read the result
+          probed.write.mode("append").parquet(outPath)
+          graft.operators.DHashIndex.appendKept(spark, indexTable, probed)
+          graft.ext.Checkpoints.release(probed)
+        }
+      }
+      .start()
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

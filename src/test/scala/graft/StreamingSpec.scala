@@ -233,6 +233,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image ingest: probe classifies, kept folds back as history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Multimodal
+    import graft.operators.DHashIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgstream").toString
+    // history: family 1's variant 0 (id 3)
+    DHashIndex.writeIndex(
+      Multimodal.imageDHashes(Multimodal.patternImages(spark,
+        Seq(3L).toDF("doc_id"))),
+      "img_ingest_idx", dir + "/idx")
+    val mem = MemoryStream[Long]
+    val q = StreamingOps.imageIngestSink(
+      Multimodal.patternImages(spark, mem.toDF().toDF("doc_id")),
+      "img_ingest_idx", dir + "/out", "img_ingest_q")
+    try {
+      // batch 1: id 4 (family 1 -> dup_history of 3), id 9 (family 3 -> kept)
+      mem.addData(4L, 9L)
+      q.processAllAvailable()
+      // batch 2: id 10 (family 3 variant 1) must now hit 9 AS HISTORY
+      mem.addData(10L)
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir + "/out")
+        .select("media_id", "status", "dup_of")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+      assert(out(4L) == ("dup_history", Some(3L)), s"$out")
+      assert(out(9L) == ("kept", None), s"$out")
+      assert(out(10L) == ("dup_history", Some(9L)), s"$out")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
