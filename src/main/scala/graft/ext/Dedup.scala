@@ -524,19 +524,10 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Banded Hamming near-dup pairs over ANY 64-bit hash column — the
-    * candidate machinery shared by [[simhashNearDups]] (text) and
-    * [[Multimodal.nearDupImages]] (dHash): 4 bands × 16 bits, so any
-    * pair within Hamming ≤ 3 shares a clean band (pigeonhole);
-    * candidates are four equi-joins on (band, value), never
-    * all-pairs, then exactly verified by popcount.
-    *
-    * @param hashes one row per id: (idCol, hashCol: long).
-    * @return (a_id, b_id, hamming ≤ maxHamming). */
   /** The 4×16-bit band expansion of a 64-bit hash table — one row per
     * (id, hash, blk, v); shared by [[bandedHammingPairs]] and the
-    * on-disk [[graft.operators.DHashIndex]] layout (which buckets on
-    * `v`). */
+    * on-disk [[graft.operators.DHashIndex]] layout (which folds
+    * (blk, v) into its single bucket key). */
   def bandRows(hashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("blk"),
@@ -546,6 +537,15 @@ object Dedup {
         col("bk.blk").as("blk"), col("bk.v").as("v"))
   }
 
+  /** Banded Hamming near-dup pairs over ANY 64-bit hash column — the
+    * candidate machinery shared by [[simhashNearDups]] (text) and
+    * [[Multimodal.nearDupImages]] (dHash): 4 bands × 16 bits, so any
+    * pair within Hamming ≤ 3 shares a clean band (pigeonhole);
+    * candidates are four equi-joins on (band, value), never
+    * all-pairs, then exactly verified by popcount.
+    *
+    * @param hashes one row per id: (idCol, hashCol: long).
+    * @return (a_id, b_id, hamming ≤ maxHamming). */
   def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,

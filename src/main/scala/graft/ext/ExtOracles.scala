@@ -8,6 +8,46 @@ package graft.ext
   * seed-hash is the first 15 hex chars of md5(seed|gram).
   */
 object ExtOracles {
+  /** Shared replay of the pattern-image d-hashes (the ivfReplayCtes
+    * discipline): mosaic values from the md5-60 generator formulas,
+    * bits, and the hash as two 32-bit BIGINT halves — used by both
+    * image near-dup oracles so the formulas cannot diverge. */
+  private val dhashReplayCtes =
+    """ids AS (SELECT doc_id AS id, doc_id // 3 AS fam,
+        |    CAST(doc_id % 3 AS INTEGER) AS variant FROM documents),
+        |grid AS (SELECT t1.range AS bx, t2.range AS by
+        |         FROM range(9) t1, range(8) t2),
+        |base AS (SELECT i.id, i.fam, i.variant, g.bx, g.by,
+        |    CAST(concat('0x', substr(md5('px|' || i.fam || '|' || g.bx
+        |      || '|' || g.by), 1, 15)) AS BIGINT) % 256 AS v0
+        |  FROM ids i, grid g),
+        |pert AS (SELECT f.fam, t.range AS j,
+        |    CAST(concat('0x', substr(md5('pb|' || f.fam || '|' || t.range),
+        |      1, 15)) AS BIGINT) % 9 AS px,
+        |    CAST(concat('0x', substr(md5('pq|' || f.fam || '|' || t.range),
+        |      1, 15)) AS BIGINT) % 8 AS py
+        |  FROM (SELECT DISTINCT fam FROM ids) f, range(1, 3) t),
+        |hits AS (SELECT i.id, p.px, p.py, count(*) AS n
+        |  FROM ids i JOIN pert p ON p.fam = i.fam AND p.j <= i.variant
+        |  GROUP BY 1, 2, 3),
+        |vals AS (SELECT b.id, b.bx, b.by,
+        |    (b.v0 + 96 * COALESCE(h.n, 0)) % 256 AS v
+        |  FROM base b LEFT JOIN hits h
+        |    ON h.id = b.id AND h.px = b.bx AND h.py = b.by),
+        |bits AS (SELECT v1.id, v1.by AS cy, v1.bx AS cx,
+        |    CASE WHEN v1.v < v2.v THEN 1 ELSE 0 END AS bit
+        |  FROM vals v1 JOIN vals v2
+        |    ON v1.id = v2.id AND v1.by = v2.by AND v2.bx = v1.bx + 1
+        |  WHERE v1.bx < 8),
+        |halves AS (SELECT id,
+        |    CAST(sum(CASE WHEN cy * 8 + cx < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
+        |      ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN cy * 8 + cx >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx - 32))
+        |      ELSE 0 END) AS BIGINT) AS h2
+        |  FROM bits GROUP BY id)"""
+
 
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
@@ -944,40 +984,7 @@ object ExtOracles {
     // brute-force Hamming <= 3 over all pairs (the oracle may
     // all-pairs; the engine must band)
     "q_image_near_dup" ->
-      """WITH ids AS (SELECT doc_id AS id, doc_id // 3 AS fam,
-        |    CAST(doc_id % 3 AS INTEGER) AS variant FROM documents),
-        |grid AS (SELECT t1.range AS bx, t2.range AS by
-        |         FROM range(9) t1, range(8) t2),
-        |base AS (SELECT i.id, i.fam, i.variant, g.bx, g.by,
-        |    CAST(concat('0x', substr(md5('px|' || i.fam || '|' || g.bx
-        |      || '|' || g.by), 1, 15)) AS BIGINT) % 256 AS v0
-        |  FROM ids i, grid g),
-        |pert AS (SELECT f.fam, t.range AS j,
-        |    CAST(concat('0x', substr(md5('pb|' || f.fam || '|' || t.range),
-        |      1, 15)) AS BIGINT) % 9 AS px,
-        |    CAST(concat('0x', substr(md5('pq|' || f.fam || '|' || t.range),
-        |      1, 15)) AS BIGINT) % 8 AS py
-        |  FROM (SELECT DISTINCT fam FROM ids) f, range(1, 3) t),
-        |hits AS (SELECT i.id, p.px, p.py, count(*) AS n
-        |  FROM ids i JOIN pert p ON p.fam = i.fam AND p.j <= i.variant
-        |  GROUP BY 1, 2, 3),
-        |vals AS (SELECT b.id, b.bx, b.by,
-        |    (b.v0 + 96 * COALESCE(h.n, 0)) % 256 AS v
-        |  FROM base b LEFT JOIN hits h
-        |    ON h.id = b.id AND h.px = b.bx AND h.py = b.by),
-        |bits AS (SELECT v1.id, v1.by AS cy, v1.bx AS cx,
-        |    CASE WHEN v1.v < v2.v THEN 1 ELSE 0 END AS bit
-        |  FROM vals v1 JOIN vals v2
-        |    ON v1.id = v2.id AND v1.by = v2.by AND v2.bx = v1.bx + 1
-        |  WHERE v1.bx < 8),
-        |halves AS (SELECT id,
-        |    CAST(sum(CASE WHEN cy * 8 + cx < 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
-        |      ELSE 0 END) AS BIGINT) AS h1,
-        |    CAST(sum(CASE WHEN cy * 8 + cx >= 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx - 32))
-        |      ELSE 0 END) AS BIGINT) AS h2
-        |  FROM bits GROUP BY id),
+      s"""WITH $dhashReplayCtes,
         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
         |    CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
         |      AS INTEGER) AS hamming
@@ -988,40 +995,7 @@ object ExtOracles {
     // (%4 == 0) classified against history by (hamming, id) argmin,
     // history beating the pairwise smaller-id batch rule
     "q_image_dedup_indexed" ->
-      """WITH ids AS (SELECT doc_id AS id, doc_id // 3 AS fam,
-        |    CAST(doc_id % 3 AS INTEGER) AS variant FROM documents),
-        |grid AS (SELECT t1.range AS bx, t2.range AS by
-        |         FROM range(9) t1, range(8) t2),
-        |base AS (SELECT i.id, i.fam, i.variant, g.bx, g.by,
-        |    CAST(concat('0x', substr(md5('px|' || i.fam || '|' || g.bx
-        |      || '|' || g.by), 1, 15)) AS BIGINT) % 256 AS v0
-        |  FROM ids i, grid g),
-        |pert AS (SELECT f.fam, t.range AS j,
-        |    CAST(concat('0x', substr(md5('pb|' || f.fam || '|' || t.range),
-        |      1, 15)) AS BIGINT) % 9 AS px,
-        |    CAST(concat('0x', substr(md5('pq|' || f.fam || '|' || t.range),
-        |      1, 15)) AS BIGINT) % 8 AS py
-        |  FROM (SELECT DISTINCT fam FROM ids) f, range(1, 3) t),
-        |hits AS (SELECT i.id, p.px, p.py, count(*) AS n
-        |  FROM ids i JOIN pert p ON p.fam = i.fam AND p.j <= i.variant
-        |  GROUP BY 1, 2, 3),
-        |vals AS (SELECT b.id, b.bx, b.by,
-        |    (b.v0 + 96 * COALESCE(h.n, 0)) % 256 AS v
-        |  FROM base b LEFT JOIN hits h
-        |    ON h.id = b.id AND h.px = b.bx AND h.py = b.by),
-        |bits AS (SELECT v1.id, v1.by AS cy, v1.bx AS cx,
-        |    CASE WHEN v1.v < v2.v THEN 1 ELSE 0 END AS bit
-        |  FROM vals v1 JOIN vals v2
-        |    ON v1.id = v2.id AND v1.by = v2.by AND v2.bx = v1.bx + 1
-        |  WHERE v1.bx < 8),
-        |halves AS (SELECT id,
-        |    CAST(sum(CASE WHEN cy * 8 + cx < 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx))
-        |      ELSE 0 END) AS BIGINT) AS h1,
-        |    CAST(sum(CASE WHEN cy * 8 + cx >= 32
-        |      THEN bit * (CAST(1 AS BIGINT) << (cy * 8 + cx - 32))
-        |      ELSE 0 END) AS BIGINT) AS h2
-        |  FROM bits GROUP BY id),
+      s"""WITH $dhashReplayCtes,
         |hist AS (SELECT * FROM halves WHERE id % 4 <> 0),
         |batch AS (SELECT * FROM halves WHERE id % 4 = 0),
         |hm AS (SELECT * FROM (SELECT b.id, h.id AS hist_id,

@@ -205,12 +205,21 @@ object DHashIndex {
     * @return (media_id, dhash, status, dup_of, hamming). */
   def probe(spark: SparkSession, table: String, newHashes: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    val batchBands = bandKeyed(newHashes)
+    // the hash frame feeds five plan subtrees (band join, pair join ×3,
+    // final assembly); checkpoint it once or an expensive upstream —
+    // the documented imageDHashes input DECODES the batch — re-runs
+    // per subtree. Batch-sized pin; callers reclaim via releaseAll.
+    val nh = newHashes.select("media_id", "dhash").localCheckpoint()
+    val batchBands = bandKeyed(nh)
     val hist = spark.table(table)
     val histBest = batchBands
       .join(hist.select(col("band_key"),
           col("media_id").as("hist_id"), col("dhash").as("hh")),
         Seq("band_key"))
+      // self-exclusion: ids can't legitimately recur, but an
+      // at-least-once replay AFTER appendKept folded this batch in
+      // must reproduce the original statuses, not self-matches
+      .filter(col("hist_id") =!= col("media_id"))
       .select(col("media_id"), col("dhash"), col("hist_id"), col("hh"))
       .distinct()
       .withColumn("d", Dedup.hamming(col("dhash"), col("hh")).cast("int"))
@@ -220,12 +229,12 @@ object DHashIndex {
       .select(col("media_id"), col("m.hist_id").as("hist_of"),
         col("m.d").as("hist_d"))
     val batchBest = Dedup
-      .bandedHammingPairs(newHashes, "media_id", "dhash", maxHamming)
+      .bandedHammingPairs(nh, "media_id", "dhash", maxHamming)
       .groupBy(col("b_id").as("media_id"))
       .agg(min(struct(col("hamming"), col("a_id"))).as("m"))
       .select(col("media_id"), col("m.a_id").as("batch_of"),
         col("m.hamming").as("batch_d"))
-    newHashes.select("media_id", "dhash")
+    nh
       .join(histBest, Seq("media_id"), "left")
       .join(batchBest, Seq("media_id"), "left")
       .select(col("media_id"), col("dhash"),

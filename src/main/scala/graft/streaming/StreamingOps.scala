@@ -274,21 +274,30 @@ object StreamingOps {
     * the next micro-batch sees them as history. Zero Spark state
     * store usage: all dedup state IS the on-disk index, which is how
     * a 100 TB nightly ingest wants it (restarts resume from disk,
-    * and batch/stream share one index). Probe results append to
-    * `outPath`. */
+    * and batch/stream share one index).
+    *
+    * Replay safety (foreachBatch is at-least-once): probe results
+    * land in a per-batch directory with OVERWRITE, so a replayed
+    * batch rewrites — not duplicates — its rows; the probe's
+    * self-match exclusion keeps those replayed statuses identical
+    * even after appendKept already folded the batch in; a replayed
+    * appendKept adds duplicate band rows, which the probe's distinct
+    * makes benign (growth bounded by replay count). */
   def imageIngestSink(media: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRow],
       indexTable: String, outPath: String, queryName: String,
       maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream.queryName(queryName)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRow], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRow], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val probed = graft.operators.DHashIndex.probe(spark, indexTable,
             graft.ext.Multimodal.imageDHashes(batch), maxHamming)
             .localCheckpoint() // probe once; both writes read the result
-          probed.write.mode("append").parquet(outPath)
-          graft.operators.DHashIndex.appendKept(spark, indexTable, probed)
-          graft.ext.Checkpoints.release(probed)
+          try {
+            probed.write.mode("overwrite")
+              .parquet(s"$outPath/batch_id=$batchId")
+            graft.operators.DHashIndex.appendKept(spark, indexTable, probed)
+          } finally graft.ext.Checkpoints.release(probed)
         }
       }
       .start()

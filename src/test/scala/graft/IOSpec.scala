@@ -89,11 +89,12 @@ class IOSpec extends AnyFunSuite {
 
   test("bucketed dHash index: shuffle-free probe; history beats batch; kept appends back") {
     import graft.operators.DHashIndex
-    // hashes chosen by bit pattern: 10L/11L differ in 1 bit; 9999... far
+    // hashes chosen by bit pattern: 10L and 11L differ in 1 bit;
+    // 0x70... and 0x0F0F... are far from everything else
     val hist = Seq((1L, 10L), (2L, 0x7000000000000000L)).toDF("media_id", "dhash")
     DHashIndex.writeIndex(hist, "dhash_idx_b", tmp("graft-dhidx") + "/idx")
-    // batch: 100 matches history (d=1 to id 1), 101 matches only its
-    // smaller batch sibling 100 (d=0), 102 matches nothing
+    // batch: 100 and 101 both sit at d=1 from history id 1 (and d=0
+    // from each other — history must WIN for 101); 102 matches nothing
     val batch = Seq((100L, 11L), (101L, 11L), (102L, 0x0F0F0F0F0F0F0F0FL))
       .toDF("media_id", "dhash")
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
