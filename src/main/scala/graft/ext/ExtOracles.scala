@@ -823,6 +823,52 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin,
 
+    // retrieval metrics: same exact ranking as q_sim_cosine_topk,
+    // same-label relevance, integer-nano DCG weights (round half-up
+    // == Java Math.round for positive args), prefix-sum IDCG
+    "q_ranking_metrics" ->
+      """WITH c AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+        |      FROM c WHERE vec_id < 5),
+        |scored AS (SELECT query_id, q_label, c.vec_id AS nn_id,
+        |    c.label AS n_label,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+        |      AS cos_sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id != query_id),
+        |ranked AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cos_sim DESC, nn_id) AS rn
+        |    FROM scored) t WHERE rn <= 10),
+        |wt AS (SELECT CAST(t.range AS INTEGER) AS i,
+        |    CAST(round(1e9 / log2(t.range + 1)) AS BIGINT) AS w
+        |  FROM range(1, 11) t),
+        |pw AS (SELECT i, CAST(sum(w) OVER (ORDER BY i) AS BIGINT) AS pre
+        |       FROM wt),
+        |rel AS (SELECT r.query_id,
+        |    CASE WHEN r.q_label = r.n_label THEN 1 ELSE 0 END AS rel,
+        |    r.rn, wt.w
+        |  FROM ranked r JOIN wt ON wt.i = r.rn),
+        |agg AS (SELECT query_id,
+        |    CAST(sum(rel * w) AS BIGINT) AS dcg_nano,
+        |    min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel
+        |  FROM rel GROUP BY 1),
+        |rtot AS (SELECT q.query_id,
+        |    (SELECT count(*) FROM c WHERE c.label = q.q_label) - 1 AS r_total
+        |  FROM q)
+        |SELECT a.query_id, a.n_rel,
+        |  round(CASE WHEN a.first_rel IS NOT NULL
+        |    THEN 1.0 / a.first_rel ELSE 0.0 END, 6) AS mrr,
+        |  round(CASE WHEN r.r_total > 0
+        |    THEN CAST(a.dcg_nano AS DOUBLE) /
+        |      (SELECT pre FROM pw WHERE i = least(r.r_total, 10))
+        |    ELSE 0.0 END, 6) AS ndcg_at_k,
+        |  round(a.n_rel / 10.0, 6) AS p_at_k
+        |FROM agg a JOIN rtot r ON r.query_id = a.query_id""".stripMargin,
+
     // IVF-flat replay: centroids = 8 lowest-id vectors; assignment and
     // probing rank by the identical cosine expression (left-to-right
     // list_dot_product), ties to the lowest cluster id — bit-for-bit

@@ -145,6 +145,15 @@ object ExtQueries {
         (col("n_hits") * 100000L).as("recall_micro"))
   }
 
+  /** Retrieval-quality metrics (MRR / NDCG@10 / P@10, same-label
+    * relevance) over the exact ranking — closes the ANN evaluation
+    * loop next to [[qAnnRecall]]; integer-nano DCG makes every sum
+    * order-free and oracle-replayable
+    * ([[Similarity.rankingMetrics]]). */
+  def qRankingMetrics(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rankingMetrics(Tables(spark, dir).embeddings,
+      k = 10, numQueries = 5)
+
   /** Deterministic IVF (flat seeds, no Lloyd iterations) — the
     * simplest oracle-verifiable ANN scale path. */
   def qSimIvfFlat(spark: SparkSession, dir: String): DataFrame =

@@ -77,6 +77,53 @@ object Similarity {
     exploded.select(outCols: _*)
   }
 
+  /** Retrieval-quality metrics over the exact top-k ranking — the
+    * evaluation loop the ANN family needs next to [[bruteForceTopK]]
+    * and recall: per query, MRR, NDCG@k, and precision@k under
+    * same-label relevance. DCG uses an exact integer weight table
+    * (wᵢ = round(10⁹/log₂(i+1)) nano-units), so the per-query sums
+    * are order-independent longs — the repo's exact-sum contract —
+    * and the single final division is plain IEEE, replayable by the
+    * oracle. IDCG is the prefix-sum of the same table at
+    * min(R, k) where R = same-label corpus size minus self.
+    *
+    * Scale shape: the ranking is the bounded-heap top-k; labels
+    * attach by keyed joins (query side broadcast); everything after
+    * is queries×k rows. @return (query_id, n_rel, mrr, ndcg_at_k,
+    * p_at_k). */
+  def rankingMetrics(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val w = (1 to k).map(i => math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val ranked = bruteForceTopK(emb, k, numQueries, idCol)
+    val labels = emb.select(col(idCol), col(labelCol))
+    val qLab = labels.select(col(idCol).as("query_id"), col(labelCol).as("q_label"))
+    val nLab = labels.select(col(idCol).as("nn_id"), col(labelCol).as("n_label"))
+    val rel = ranked
+      .join(broadcast(qLab), "query_id")
+      .join(nLab, "nn_id")
+      .withColumn("rel", (col("q_label") === col("n_label")).cast("long"))
+      .withColumn("w", element_at(typedLit(w), col("rn").cast("int")))
+    val labCount = labels.groupBy(labelCol).agg(count(lit(1)).as("n_lab"))
+    val qRel = qLab.join(broadcast(labCount),
+        qLab("q_label") === labCount(labelCol))
+      .select(col("query_id"), (col("n_lab") - 1).as("r_total"))
+    rel.groupBy("query_id")
+      .agg(sum(col("rel") * col("w")).as("dcg_nano"),
+        min(when(col("rel") === 1, col("rn"))).as("first_rel"),
+        sum(col("rel")).as("n_rel"))
+      .join(broadcast(qRel), "query_id")
+      .select(col("query_id"), col("n_rel"),
+        round(when(col("first_rel").isNotNull,
+          lit(1.0) / col("first_rel")).otherwise(0.0), 6).as("mrr"),
+        round(when(col("r_total") > 0,
+            col("dcg_nano").cast("double") /
+              element_at(typedLit(prefix),
+                least(col("r_total"), lit(k)).cast("int")))
+          .otherwise(0.0), 6).as("ndcg_at_k"),
+        round(col("n_rel") / lit(k.toDouble), 6).as("p_at_k"))
+  }
+
   /** Serving-shaped exact top-k: an ARRIVING query set (a micro-batch
     * in streaming, an RPC batch in serving) against a static corpus.
     * The query side is the small side by construction and broadcasts;
