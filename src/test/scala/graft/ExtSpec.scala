@@ -1009,6 +1009,28 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == whole, "register-wise max must merge shards")
   }
 
+  test("rankingMetrics: perfect ranking scores 1.0, no-relevant scores 0, mixed in between") {
+    import spark.implicits._
+    // 2D embeddings: label 0 clusters near (1, 0), label 1 near (0, 1).
+    // Query 0 (label 0) has its 3 same-label vectors closer than every
+    // label-1 vector -> perfect top-k; query 1 (label 2, singleton)
+    // has NO same-label rows -> all-zero metrics.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.1f, 1.0f), 2),
+      (5L, Array(0.9f, 0.1f), 0), (6L, Array(0.8f, 0.2f), 0),
+      (7L, Array(0.7f, 0.3f), 0),
+      (8L, Array(0.0f, 1.0f), 1), (9L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val m = graft.ext.Similarity.rankingMetrics(emb, k = 3, numQueries = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // query 0: 3 relevant of 3 slots, R = 3 -> idcg == dcg -> all 1.0
+    assert(m(0L) == ((3L, 1.0, 1.0, 1.0)), s"got ${m(0L)}")
+    // query 1: zero relevant anywhere
+    assert(m(1L) == ((0L, 0.0, 0.0, 0.0)), s"got ${m(1L)}")
+  }
+
   test("kmv: duplicate-insensitive, exact when unsaturated, shards fold to the whole") {
     import spark.implicits._
     val keys = (1 to 500).map(i => ("g", s"key$i")).toDF("grp", "key")
