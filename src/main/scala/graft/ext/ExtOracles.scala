@@ -2757,7 +2757,25 @@ object ExtOracles {
         |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
         |    AS n_view_to_purchase,
         |  regexp_matches(seq, 's.*v.*p') AS has_funnel
-        |FROM seqs""".stripMargin
+        |FROM seqs""".stripMargin,
+
+    // blocklist screen: multi-substring match ≡ per-term contains()
+    // at oracle scale; matched list in pattern-list order. Terms come
+    // from the shared ExtQueries.BlocklistTerms Seq.
+    "q_blocklist_filter" ->
+      s"""WITH terms(term_idx, term) AS (VALUES ${
+        ExtQueries.BlocklistTerms.zipWithIndex
+          .map { case (t, i) => s"($i, '$t')" }.mkString(", ")}),
+        |t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |m AS (SELECT t.doc_id, tr.term_idx, tr.term
+        |      FROM t JOIN terms tr ON contains(t.lt, tr.term)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matches,
+        |        string_agg(term, ',' ORDER BY term_idx) AS matched_csv
+        |        FROM m GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
+        |  COALESCE(a.matched_csv, '') AS matched_csv,
+        |  a.doc_id IS NULL AS keep
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
   )
 
   // The disk-index twins answer identically to their in-memory forms

@@ -995,4 +995,21 @@ object ExtQueries {
 
   def qSeqPattern(spark: SparkSession, dir: String): DataFrame =
     Timeseries.seqPattern(Tables(spark, dir).events)
+
+  /** Blocklist shared by qBlocklistFilter and its oracle (single
+    * source of truth — the oracle renders this Seq into its VALUES
+    * CTE, so engine and oracle cannot desynchronize). Phrases chosen
+    * to exercise the automaton: cross-token bigrams/trigrams from the
+    * corpus vocabulary, a pattern that is an interior substring of
+    * another hit ("low j" inside "slow join"), a single token, and
+    * two terms absent from the corpus (empty-match path). */
+  val BlocklistTerms: Seq[String] = Seq(
+    "slow join", "batch batch batch", "vector join vector",
+    "spark window", "low j", "dup", "scan merge", "lorem ipsum",
+    "the fast", "errcode")
+
+  /** Aho–Corasick blocklist gate over the raw corpus. */
+  def qBlocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistScreen(Tables(spark, dir).documents,
+      BlocklistTerms)
 }

@@ -445,4 +445,30 @@ object TextAnalysis {
     Checkpoints.release(corpus)
     learned.toSeq.toDF("step", "a", "b", "cnt")
   }
+
+  /** Blocklist screen (the C4 "bad words" gate, list-of-phrases form):
+    * per doc, which blocklist terms occur as SUBSTRINGS of the
+    * lowercased text — phrases crossing token boundaries included —
+    * plus the keep gate (no term fired). One Aho–Corasick automaton
+    * pass per row ([[graft.expressions.MultiMatch]]) instead of
+    * |terms| contains() probes, so the gate costs O(bytes) no matter
+    * how long the list grows; the term list ships inside the
+    * expression (≈ a broadcast, bounded by list size).
+    *
+    * Scale: narrow map-side transform — no shuffle; runs at parquet
+    * scan speed on a 100 TB corpus.
+    *
+    * @return doc_id, n_matches, matched_csv (pattern-list order), keep
+    */
+  def blocklistScreen(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val lowered = terms.map(_.toLowerCase)
+    docs.select(col("doc_id"),
+        graft.expressions.MultiMatch
+          .matchedTerms(lower(col(textCol)), lowered).as("matched"))
+      .select(col("doc_id"),
+        size(col("matched")).as("n_matches"),
+        array_join(col("matched"), ",").as("matched_csv"),
+        (size(col("matched")) === 0).as("keep"))
+  }
 }

@@ -1145,4 +1145,55 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert((1L to 5L).forall(i => merged(i) == 1L), s"expected one entity: $merged")
   }
+
+  test("blocklistScreen: Aho–Corasick finds overlapping/nested patterns") {
+    import spark.implicits._
+    // classic AC stress set: "he" ends inside "she", "hers" extends
+    // "he"; "ushers" fires she+he+hers at overlapping offsets
+    val pats = Seq("he", "she", "hers", "his")
+    val rows = Seq(
+      (1L, "ushers"), (2L, "this"), (3L, "xyz"), (4L, "hehehers"),
+      (5L, ""), (6L, "sh")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(rows, pats)
+      .orderBy("doc_id")
+      .select("doc_id", "matched_csv", "keep")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "he,she,hers", false),
+      (2L, "his", false),
+      (3L, "", true),
+      (4L, "he,hers", false),
+      (5L, "", true),
+      (6L, "", true)), s"got $got")
+  }
+
+  test("blocklistScreen ≡ per-term contains() on the corpus vocabulary") {
+    import spark.implicits._
+    // brute-force witness over arbitrary texts incl. pattern suffixes/
+    // prefixes straddling word boundaries and repeated-byte runs
+    val pats = Seq("ab", "aba", "bab", "ca t", "t c", "zzz")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc tz"
+    val texts = (1L to 60L).map { i =>
+      (i, (0 until rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(df, pats)
+      .select("doc_id", "matched_csv").as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) =>
+      val want = pats.filter(t.contains(_)).mkString(",")
+      assert(got(id) == want, s"doc $id text '$t': got ${got(id)} want $want")
+    }
+  }
+
+  test("blocklistScreen: case-insensitive, multi-byte safe, null text") {
+    import spark.implicits._
+    val rows = Seq((1L, "The FAST path"), (2L, "café fast"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(rows, Seq("Fast", "café"))
+      .orderBy("doc_id")
+      .select("doc_id", "matched_csv").as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, Some("fast")), (2L, Some("fast,café")),
+      (3L, None)), s"got $got")
+  }
 }
