@@ -196,4 +196,68 @@ object Incremental {
     }
     swapWrite(spark, next, path)
   }
+
+  /** Incremental AGGREGATE refresh — the materialized-metrics-rollup
+    * materialization the row-level strategies above cannot express:
+    * the on-disk state is per-key ALGEBRAIC partial-aggregate state
+    * (cnt / sum / min / max plus HyperLogLog registers for distinct),
+    * and each nightly batch folds in as a state-sized merge. A
+    * recompute touches the full history (100 TB); a refresh touches
+    * the batch plus a |keys|-bounded state table — that asymmetry is
+    * the whole point of the shape, and refresh ≡ recompute is exactly
+    * what the driver oracle proves (it recomputes from scratch; the
+    * engine folds batch-by-batch; the hashes must match).
+    *
+    * State layout under `path`: `scalars` (key, cnt, sum_micro,
+    * min_micro, max_micro) and `regs` (key, reg, mj — the
+    * [[graft.ext.Sketches.hllRegisters]] table, ≤ keys×m rows). Both
+    * merges are commutative+associative (sum/sum/min/max and
+    * register-wise max), so batches may arrive in any order and
+    * shard-parallel writers merge cleanly — the streaming twin
+    * ([[graft.streaming.StreamingOps.hllRegistersStream]]) maintains
+    * the identical register state.
+    *
+    * Scale shape: one batch-sized partial aggregate (map-side combine
+    * to ≤ |keys| rows), one state-sized union+re-aggregate, two
+    * swap-writes. The history is never re-read.
+    *
+    * @param valueMicro scaled-integer measure column (the sumCents
+    *   discipline — raw-double sums are order-sensitive)
+    * @param distinctKey column whose per-key distinct count the HLL
+    *   registers track
+    * @return the finished rollup: key, cnt, sum_micro, min_micro,
+    *   max_micro, v, raw_est, hll_est
+    */
+  def aggRefresh(spark: SparkSession, batch: DataFrame, path: String,
+      key: String, valueMicro: org.apache.spark.sql.Column,
+      distinctKey: org.apache.spark.sql.Column, m: Int = 256): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val scalarsPath = path + "/scalars"
+    val regsPath = path + "/regs"
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(scalarsPath))
+
+    val partial = batch
+      .select(col(key), valueMicro.cast("long").as("__v"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"), sum(col("__v")).as("sum_micro"),
+        min(col("__v")).as("min_micro"), max(col("__v")).as("max_micro"))
+    val mergedScalars =
+      if (!exists) partial
+      else spark.read.parquet(scalarsPath).unionByName(partial)
+        .groupBy(col(key))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("sum_micro")).as("sum_micro"),
+          min(col("min_micro")).as("min_micro"), max(col("max_micro")).as("max_micro"))
+    val scalars = swapWrite(spark, mergedScalars, scalarsPath)
+
+    val partialRegs = graft.ext.Sketches.hllRegisters(
+      batch.select(col(key), distinctKey.as("__dk")), key, "__dk", m)
+    val mergedRegs =
+      if (!exists) partialRegs
+      else spark.read.parquet(regsPath).unionByName(partialRegs)
+        .groupBy(col(key), col("reg")).agg(max(col("mj")).as("mj"))
+    val regs = swapWrite(spark, mergedRegs, regsPath)
+
+    scalars.join(graft.ext.Sketches.hllEstimate(regs, key, m), Seq(key))
+  }
 }

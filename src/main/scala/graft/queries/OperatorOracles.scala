@@ -41,6 +41,39 @@ object OperatorOracles {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM latest WHERE op != 'D'""".stripMargin,
 
+    // aggRefresh ≡ one-shot recompute: scalar rollup + the HLL
+    // register replica (same md5-60 / format('{:b}') machinery the
+    // q_hll_distinct oracle proved)
+    "q_agg_refresh" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS val,
+        |    CAST(user_id AS VARCHAR) AS dk FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(val) AS BIGINT) AS sum_micro,
+        |    min(val) AS min_micro, max(val) AS max_micro
+        |  FROM e GROUP BY 1),
+        |h AS (SELECT event_type,
+        |    CAST(concat('0x', substr(md5('hll|' || dk), 1, 15)) AS BIGINT)
+        |      AS hv FROM e),
+        |r AS (SELECT event_type, hv % 256 AS reg,
+        |    CAST(least(53 - length(format('{:b}', hv // 256)), 32)
+        |      AS BIGINT) AS rho FROM h),
+        |mx AS (SELECT event_type, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (32 - mj)) AS BIGINT)
+        |      + (256 - count(*)) * 4294967296 AS est_scaled,
+        |    CAST(256 - count(*) AS BIGINT) AS v
+        |  FROM mx GROUP BY 1),
+        |est AS (SELECT event_type, v,
+        |    (718273 * (281474976710656 // est_scaled)) // 1000000
+        |      AS raw_est FROM agg)
+        |SELECT s.event_type, s.cnt, s.sum_micro, s.min_micro, s.max_micro,
+        |  est.v, est.raw_est,
+        |  CASE WHEN est.v > 0 AND est.raw_est <= 640
+        |       THEN CAST(round(256 * ln(256.0 / est.v), 0) AS BIGINT)
+        |       ELSE est.raw_est END AS hll_est
+        |FROM s JOIN est ON s.event_type = est.event_type""".stripMargin,
+
     // insert_overwrite fold: replaced months come ONLY from the batch,
     // untouched months ONLY from the base
     "q_insert_overwrite" ->

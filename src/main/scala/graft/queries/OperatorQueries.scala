@@ -261,6 +261,27 @@ object OperatorQueries {
       path, Seq("o_orderkey"))
   }
 
+  /** Driver-oracle row for the incremental AGGREGATE refresh
+    * ([[graft.model.Incremental.aggRefresh]]): bootstrap the metrics
+    * rollup from the historical 3/4 of events, then fold two disjoint
+    * nightly batches into the on-disk algebraic state (scalars + HLL
+    * registers). The oracle recomputes the rollup from the FULL event
+    * history in one shot — hash-match proves refresh ≡ recompute,
+    * including the mergeable sketch state. */
+  def qAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val path = System.getProperty("java.io.tmpdir") + "/graft_agg_refresh"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    def fold(pred: Column) = graft.model.Incremental.aggRefresh(spark,
+      e.filter(pred), path, "event_type",
+      round(col("value") * 100, 0), col("user_id"))
+    fold(col("event_id") % 4 =!= 3)                             // bootstrap
+    fold(col("event_id") % 4 === 3 && col("event_id") % 2 === 0) // night A
+    fold(col("event_id") % 4 === 3 && col("event_id") % 2 === 1) // night B
+  }
+
   /** Driver-oracle row for the insert_overwrite incremental strategy
     * ([[graft.model.Incremental.insertOverwrite]]): bootstrap a
     * month-partitioned orders table, then re-run two months with a

@@ -135,4 +135,35 @@ class IncrementalSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(r3 == Map(1L -> "a3", 2L -> "b2", 3L -> "c2"), s"got $r3")
   }
+
+  test("aggRefresh: batch folds ≡ one-shot recompute, in any batch order") {
+    val rows = (1L to 300L).map(i =>
+      (i, s"k${i % 3}", (i % 17).toDouble + 0.25, i % 40)) // dup users per key
+    val full = rows.toDF("event_id", "key", "value", "uid")
+    def run(path: String, splits: Seq[Seq[Long]]): Seq[(String, Long, Long, Long, Long, Long)] = {
+      splits.foldLeft(null: org.apache.spark.sql.DataFrame) { (_, ids) =>
+        Incremental.aggRefresh(spark, full.filter(col("event_id").isin(ids: _*)),
+          path, "key", round(col("value") * 100, 0), col("uid"))
+      }.orderBy("key")
+        .select("key", "cnt", "sum_micro", "min_micro", "max_micro", "hll_est")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    val ids = (1L to 300L)
+    val foldedPath = tmp("graft-aggref-b")
+    val oneShot = run(tmp("graft-aggref-a"), Seq(ids))
+    val threeAsc = run(foldedPath,
+      Seq(ids.filter(_ % 3 == 0), ids.filter(_ % 3 == 1), ids.filter(_ % 3 == 2)))
+    val threeDesc = run(tmp("graft-aggref-c"),
+      Seq(ids.filter(_ % 3 == 2), ids.filter(_ % 3 == 1), ids.filter(_ % 3 == 0)))
+    assert(oneShot == threeAsc, s"fold ≠ recompute:\n$oneShot\n$threeAsc")
+    assert(oneShot == threeDesc, "fold must be batch-order-independent")
+    // scalar state is exact
+    val k0 = oneShot.find(_._1 == "k0").get
+    val expect = rows.filter(_._2 == "k0")
+    assert(k0._2 == expect.size)
+    assert(k0._3 == expect.map(r => math.round(r._3 * 100)).sum)
+    // on-disk state stays bounded: ≤ keys×m register rows, |keys| scalar rows
+    assert(spark.read.parquet(foldedPath + "/scalars").count() == 3)
+    assert(spark.read.parquet(foldedPath + "/regs").count() <= 3 * 256)
+  }
 }
