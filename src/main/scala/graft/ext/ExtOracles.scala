@@ -2775,7 +2775,41 @@ object ExtOracles {
         |SELECT t.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
         |  COALESCE(a.matched_csv, '') AS matched_csv,
         |  a.doc_id IS NULL AS keep
-        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+
+    // JL project-then-rerank: the q_sim_near_dup plane generator (8
+    // planes), reduced-space shortlist of 40 by (rounded cos desc,
+    // nn_id), exact full-width rerank to top 10 — both rankings
+    // replayed with the same tie-break the bounded heap uses
+    "q_sim_jl_rerank" ->
+      """WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |pc AS (SELECT j, i,
+        |         2 * (CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |              / pow(2, 60)) - 1 AS c
+        |       FROM (SELECT unnest(range(0, 8)) AS j) a
+        |       CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b),
+        |planes AS (SELECT j, list(c ORDER BY i) AS plane FROM pc GROUP BY j),
+        |red AS (SELECT s.vec_id, list(list_dot_product(s.v, p.plane) ORDER BY p.j) AS rv
+        |        FROM s CROSS JOIN planes p GROUP BY s.vec_id),
+        |redq AS (SELECT vec_id AS query_id, rv AS qv FROM red WHERE vec_id < 5),
+        |scored_r AS (SELECT query_id, red.vec_id AS nn_id,
+        |    round(list_dot_product(qv, rv)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))), 6) AS cs
+        |  FROM red CROSS JOIN redq WHERE red.vec_id != query_id),
+        |cand AS (SELECT query_id, nn_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                 ORDER BY cs DESC, nn_id) AS srn
+        |    FROM scored_r) t WHERE srn <= 40),
+        |rescored AS (SELECT c.query_id, c.nn_id,
+        |    round(list_dot_product(q.v, n.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cos_sim
+        |  FROM cand c JOIN s q ON q.vec_id = c.query_id
+        |  JOIN s n ON n.vec_id = c.nn_id)
+        |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM rescored) t WHERE rn <= 10""".stripMargin
   )
 
   // The disk-index twins answer identically to their in-memory forms

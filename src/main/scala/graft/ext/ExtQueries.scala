@@ -1012,4 +1012,10 @@ object ExtQueries {
   def qBlocklistFilter(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.blocklistScreen(Tables(spark, dir).documents,
       BlocklistTerms)
+
+  /** JL project-then-rerank ANN: 8-dim coarse scan, top-40 shortlist,
+    * exact rerank to top-10. */
+  def qSimJlRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.jlTopK(Tables(spark, dir).embeddings,
+      k = 10, numQueries = 5, outDim = 8, shortlist = 40)
 }

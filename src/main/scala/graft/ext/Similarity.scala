@@ -653,6 +653,67 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Johnson–Lindenstrauss reduction of an embedding column: out
+    * component j = ⟨v, plane_j⟩ over the deterministic
+    * [[hyperplanes]] matrix — the REAL-VALUED twin of the sign-bit
+    * signatures [[cosineNearDupPairs]] builds from the same planes.
+    * One narrow map-side pass (outDim native dot products per row),
+    * no shuffle. */
+  def jlProject(emb: DataFrame, outDim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val planes = hyperplanes(outDim, dim)
+    emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("rv", array(planes.map(p => dot(col("v"), typedLit(p))): _*))
+      .drop("v")
+  }
+
+  /** Project-then-rerank exact-in-the-shortlist ANN (JL coarse
+    * search): score queries against the corpus in the outDim-wide
+    * REDUCED space (outDim multiplies per pair instead of dim — an
+    * 8× cheaper scan at outDim=8, dim=64), keep a per-query shortlist
+    * via the bounded-heap top-k, then rerank ONLY the shortlist by
+    * exact full-dimension cosine. The serving shape between
+    * brute-force (exact, full-width scan) and IVF (pruned but
+    * recall-bounded by nprobe): the full-width vectors are touched
+    * for shortlist×queries rows only, joined back BY KEY — at 100 TB
+    * the wide embedding table is read once map-side for projection
+    * and then only point-probed.
+    *
+    * Both stages order by (rounded score desc, nn_id), so the
+    * pipeline is deterministic end-to-end and a DuckDB oracle
+    * replays projection, shortlist, and rerank bit-for-bit.
+    *
+    * @return (query_id, nn_id, cos_sim, rn) — exact cosines, ranked.
+    */
+  def jlTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      outDim: Int = 8, shortlist: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val red = jlProject(emb, outDim, idCol, vecCol)
+    val corpusR = red.select(col(idCol).as("nn_id"), col("rv").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val queriesR = red.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), col("rv").as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val scoredR = corpusR.crossJoin(broadcast(queriesR))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
+    val cand = topKExplode(scoredR, Seq("query_id"), shortlist)
+      .select("query_id", "nn_id")
+    // exact rerank: keyed point-probes of the full-width vectors
+    val full = emb.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__fv"))
+      .withColumn("__fn", sqrt(dot(col("__fv"), col("__fv"))))
+    val rescored = cand
+      .join(full.select(col("__id").as("query_id"), col("__fv").as("qv"),
+        col("__fn").as("qn")), "query_id")
+      .join(full.select(col("__id").as("nn_id"), col("__fv").as("cv"),
+        col("__fn").as("cn")), "nn_id")
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
+    topKExplode(rescored, Seq("query_id"), k)
+  }
+
   /** Nearest-centroid embedding classifier — the FineWeb-Edu-style
     * quality-classifier shape: fit per-label centroids on a train
     * split, classify everything else by nearest centroid, report the

@@ -1196,4 +1196,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Seq((1L, Some("fast")), (2L, Some("fast,café")),
       (3L, None)), s"got $got")
   }
+
+  test("jlTopK with a corpus-wide shortlist ≡ exact brute-force top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i =>
+      (i, (0 until 16).map(_ => rnd.nextDouble() - 0.5).map(_.toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(emb, k = 5, numQueries = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val jl = Similarity.jlTopK(emb, k = 5, numQueries = 3, outDim = 4,
+      shortlist = 64)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(jl == exact, "rerank over the full corpus must be exactly brute force")
+    // a narrow shortlist still returns k ranked exact-cosine rows per query
+    val narrow = Similarity.jlTopK(emb, k = 5, numQueries = 3, outDim = 4,
+      shortlist = 8).as[(Long, Long, Double, Int)].collect()
+    assert(narrow.length == 15)
+    val exactByPair = exact.map(r => (r._1, r._2) -> r._3).toMap
+    narrow.foreach { case (q, n, cs, _) =>
+      exactByPair.get((q, n)).foreach(e =>
+        assert(e == cs, s"reranked cosine must be the exact cosine for ($q,$n)")) }
+  }
 }
