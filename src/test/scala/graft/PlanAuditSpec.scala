@@ -401,4 +401,47 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("partial_top_k_by_score"), s"$q lacks partial top-k:\n$p")
     }
   }
+
+  test("blocklist screen is a shuffle-free codegen'd map over the scan") {
+    val p = plan("q_blocklist_filter")
+    assert(!p.contains("Exchange"), s"blocklist gate must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"blocklist gate must not window:\n$p")
+    // executedPlan.toString marks whole-stage codegen stages "*(n)";
+    // the MultiMatch projection must sit inside one
+    assert(p.contains("*(1) Project") && p.contains("multimatch"),
+      s"MultiMatch fell out of whole-stage codegen:\n$p")
+  }
+
+  test("JL rerank: bounded-heap both stages, rerank probes joined by key") {
+    val p = plan("q_sim_jl_rerank")
+    assert(!p.contains("Window"), s"q_sim_jl_rerank plans a window:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"JL stages lack the bounded-heap partial top-k:\n$p")
+    // the only nested-loop allowed is the intended reduced-space
+    // broadcast cross of the tiny query set; the full-width rerank
+    // must be keyed hash joins
+    assert(!p.contains("CartesianProduct"), s"cartesian in JL rerank:\n$p")
+  }
+
+  test("aggRefresh: batch partial-aggregates map-side before touching state") {
+    val path = java.nio.file.Files.createTempDirectory("graft-aggref-plan").toString + "/t"
+    val e = graft.sources.Tables(spark, dir).events
+    // bootstrap writes state; the FOLD is the plan under audit
+    graft.model.Incremental.aggRefresh(spark,
+      e.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0), path,
+      "event_type", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value") * 100, 0),
+      org.apache.spark.sql.functions.col("user_id"))
+    val folded = graft.model.Incremental.aggRefresh(spark,
+      e.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1), path,
+      "event_type", org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value") * 100, 0),
+      org.apache.spark.sql.functions.col("user_id"))
+    val p = folded.queryExecution.executedPlan.toString
+    // the returned rollup reads the two |keys|-bounded state tables —
+    // no window, no cartesian, and partial aggregation everywhere
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"aggRefresh rollup plan regressed:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash agg in rollup:\n$p")
+  }
 }
