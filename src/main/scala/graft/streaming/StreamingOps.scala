@@ -175,6 +175,15 @@ object StreamingOps {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         col("fingerprint"))
 
+  /** Streaming twin of [[graft.ext.TextAnalysis.blocklistScreen]]:
+    * the Aho–Corasick gate is a pure per-row expression (the automaton
+    * rides inside [[graft.expressions.MultiMatch]]), so the streaming
+    * form is stateless — no watermark, no state store — and screens an
+    * unbounded ingest feed at scan speed. StreamingSpec asserts the
+    * streamed output is row-identical to the batch screen. */
+  def blocklistGateStream(docs: DataFrame, terms: Seq[String]): DataFrame =
+    graft.ext.TextAnalysis.blocklistScreen(docs, terms)
+
   /** Streaming twin of [[graft.ext.Curation.c4Clean]]: because the
     * line rules are document-LOCAL, the streaming form needs no
     * explode/regroup at all — the per-line predicate runs inside a

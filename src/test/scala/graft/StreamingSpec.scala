@@ -111,6 +111,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming blocklist gate ≡ batch screen across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val terms = Seq("bad phrase", "spam", "rase")
+    val rows1 = Seq((1L, "a clean document"), (2L, "contains a BAD phrase here"))
+    val rows2 = Seq((3L, "spam and more spam"), (4L, "erase this")) // "rase" inside both
+    val q = StreamingOps.blocklistGateStream(docs, terms)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("blocklist_out").start()
+    try {
+      mem.addData(rows1: _*)
+      q.processAllAvailable()
+      mem.addData(rows2: _*)
+      q.processAllAvailable()
+      val batch = graft.ext.TextAnalysis.blocklistScreen(
+        (rows1 ++ rows2).toDF("doc_id", "text"), terms)
+      assert(spark.table("blocklist_out").collect().toSet ==
+        batch.collect().toSet,
+        "streamed blocklist gate must be row-identical to the batch screen")
+      // and the gate actually fires: 1 clean, 3 blocked
+      assert(spark.table("blocklist_out").filter(col("keep")).count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch state is cell-identical to the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
