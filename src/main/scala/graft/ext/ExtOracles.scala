@@ -2809,7 +2809,18 @@ object ExtOracles {
         |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
-        |  FROM rescored) t WHERE rn <= 10""".stripMargin
+        |  FROM rescored) t WHERE rn <= 10""".stripMargin,
+
+    // Misra–Gries at never-evicting capacity ≡ exact per-source token
+    // counts, (cnt desc, token asc) order — same tie-break eval() uses
+    "q_freq_items" ->
+      s"""WITH t AS (SELECT source, unnest($toks) AS tok FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(rn AS INTEGER) AS rn, tok AS token, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |                               ORDER BY cnt DESC, tok) AS rn
+        |  FROM c) x WHERE rn <= 10""".stripMargin
   )
 
   // The disk-index twins answer identically to their in-memory forms

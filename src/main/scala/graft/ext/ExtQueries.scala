@@ -1018,4 +1018,19 @@ object ExtQueries {
   def qSimJlRerank(spark: SparkSession, dir: String): DataFrame =
     Similarity.jlTopK(Tables(spark, dir).embeddings,
       k = 10, numQueries = 5, outDim = 8, shortlist = 40)
+
+  /** Misra–Gries per-source top tokens. Capacity 4096 ≫ the corpus
+    * vocabulary, so the summary never evicts and the counts are EXACT
+    * (order-independent — the only regime a DuckDB replay can check);
+    * the eviction/merge bound is ExtSpec's job. */
+  def qFreqItems(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    toks.groupBy("source")
+      .agg(graft.expressions.FreqItemsAgg
+        .freqItems(col("tok"), capacity = 4096, emitK = 10).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).as("rn"),
+        col("col.item").as("token"), col("col.cnt").as("cnt"))
+  }
 }

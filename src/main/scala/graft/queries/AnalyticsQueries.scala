@@ -128,6 +128,30 @@ object AnalyticsQueries {
       .select("event_id", "ts", "v_ts")
   }
 
+  /** Feature-store point-in-time join: assemble a leakage-free
+    * training matrix for purchase events by attaching, per feature
+    * stream (clicks, views), the user's most recent feature value AT
+    * OR BEFORE the label timestamp — two chained native as-of joins
+    * ([[graft.plans.AsofJoin]]), each a single per-key merge pass, no
+    * windows, no future rows ever visible. Feature streams are
+    * pre-deduplicated to one row per (user, ts) (max value) so the
+    * as-of pick is well-defined on both engines. */
+  def qPitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val labels = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("label_value"))
+    def feat(tpe: String, pfx: String) = e.filter(col("event_type") === tpe)
+      .groupBy(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"))
+      .agg(max(col("value")).as(s"${pfx}_value"))
+    val withClick = graft.plans.AsofJoin.asofJoin(labels, feat("click", "ck"),
+      Seq("user_id"), Seq("ck_user"), "ts", "ck_ts")
+    val withView = graft.plans.AsofJoin.asofJoin(withClick, feat("view", "vw"),
+      Seq("user_id"), Seq("vw_user"), "ts", "vw_ts")
+    withView.select("event_id", "user_id", "ts", "label_value",
+      "ck_ts", "ck_value", "vw_ts", "vw_value")
+  }
+
   /** Range (interval-containment) join: events assigned to 6-hour
     * blocks by `start <= ts < end`, then aggregated per block. */
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {

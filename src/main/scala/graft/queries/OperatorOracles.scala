@@ -986,6 +986,24 @@ object OperatorOracles {
         |SELECT event_id, ts, v_ts
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts >= v.v_ts""".stripMargin,
 
+    // point-in-time feature assembly: two chained ASOF LEFT JOINs on
+    // (user, ts<=label_ts), feature streams pre-deduped per (user,ts)
+    "q_pit_features" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             value AS label_value
+        |           FROM events WHERE event_type = 'purchase'),
+        |ck AS (SELECT user_id AS ck_user, CAST(ts AS TIMESTAMP) AS ck_ts,
+        |         max(value) AS ck_value
+        |       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |vw AS (SELECT user_id AS vw_user, CAST(ts AS TIMESTAMP) AS vw_ts,
+        |         max(value) AS vw_value
+        |       FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts, label_value,
+        |  ck_ts, ck_value, vw_ts, vw_value
+        |FROM p
+        |ASOF LEFT JOIN ck ON p.user_id = ck.ck_user AND p.ts >= ck.ck_ts
+        |ASOF LEFT JOIN vw ON p.user_id = vw.vw_user AND p.ts >= vw.vw_ts""".stripMargin,
+
     "q_range_join_bucketed" ->
       """WITH blocks AS (
         |  SELECT i AS block_id,

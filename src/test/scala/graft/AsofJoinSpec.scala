@@ -82,4 +82,31 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(plan.contains("AsofJoin"), plan)
     assert(!plan.contains("Window"), "native operator must not plan a window")
   }
+
+  test("PIT feature assembly is leakage-free and picks the latest eligible row") {
+    // every attached feature timestamp is <= the label timestamp, and
+    // is the MAX eligible feature ts for that user — checked against a
+    // recomputation from the raw stream
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.AnalyticsQueries.qPitFeatures(spark, dir)
+      .select("event_id", "user_id", "ts", "ck_ts")
+      .collect()
+    val clicks = graft.sources.Tables(spark, dir).events
+      .filter($"event_type" === "click")
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .collect().groupBy(_._1).map { case (u, v) => u -> v.map(_._2) }
+    assert(out.nonEmpty)
+    var attached = 0
+    out.foreach { r =>
+      val (u, ts, ck) = (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))
+      val eligible = clicks.getOrElse(u, Array.empty[java.sql.Timestamp])
+        .filter(!_.after(ts))
+      if (ck != null) {
+        attached += 1
+        assert(!ck.after(ts), s"leaked future feature: $ck > $ts")
+        assert(ck == eligible.max, s"not the latest eligible click for user $u")
+      } else assert(eligible.isEmpty, s"missed an eligible click for user $u")
+    }
+    assert(attached > 0, "no feature rows attached — join never fired")
+  }
 }

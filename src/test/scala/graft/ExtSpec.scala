@@ -1217,4 +1217,48 @@ class ExtSpec extends AnyFunSuite {
       exactByPair.get((q, n)).foreach(e =>
         assert(e == cs, s"reranked cosine must be the exact cosine for ($q,$n)")) }
   }
+
+  test("FreqItemsAgg at never-evicting capacity ≡ exact counts (any partitioning)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 3000).map(i =>
+      (s"g${i % 2}", s"item${rnd.nextInt(40)}"))
+    val truth = rows.groupBy(identity).map { case ((g, it), v) => (g, it, v.size.toLong) }
+    def run(parts: Int) = rows.toDF("g", "item").repartition(parts)
+      .groupBy("g")
+      .agg(graft.expressions.FreqItemsAgg.freqItems(col("item"), 4096, 1000).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.item"), col("e.cnt"))
+      .as[(String, String, Long)].collect().toSet
+    val one = run(1)
+    assert(one == truth.toSet, "ample capacity must give exact counts")
+    assert(run(8) == one, "result must not depend on partitioning")
+  }
+
+  test("FreqItemsAgg under eviction keeps the Misra–Gries guarantees") {
+    import spark.implicits._
+    // skewed stream: 'hh' appears 400×, 60 noise items ≤ 20× each
+    val rows = (Seq.fill(400)("hh") ++
+      (1 to 60).flatMap(i => Seq.fill(1 + i % 20)(s"n$i")))
+    val n = rows.size.toLong
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cap = 16
+    for (parts <- Seq(1, 8)) {
+      val got = rows.map(("g", _)).toDF("g", "item").repartition(parts)
+        .groupBy("g")
+        .agg(graft.expressions.FreqItemsAgg.freqItems(col("item"), cap, cap).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item"), col("e.cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(got.size <= cap)
+      // counts never overestimate, and underestimate by ≤ n/(cap+1)
+      got.foreach { case (it, c) =>
+        assert(c <= truth(it), s"$it overestimated: $c > ${truth(it)} (parts=$parts)")
+        assert(truth(it) - c <= n / (cap + 1),
+          s"$it under by more than n/(cap+1) (parts=$parts)") }
+      // every truly-frequent item (count > n/(cap+1)) must be present
+      truth.filter(_._2 > n / (cap + 1)).keys.foreach(k =>
+        assert(got.contains(k), s"frequent item $k missing (parts=$parts)"))
+    }
+  }
 }
