@@ -423,6 +423,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in JL rerank:\n$p")
   }
 
+  test("freq-items MG: partial object-hash agg, shuffle bounded by capacity") {
+    val p = plan("q_freq_items")
+    assert(p.contains("ObjectHashAggregate"), s"no object-hash agg:\n$p")
+    assert(p.contains("partial_freq_items_mg"),
+      s"MG summary must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"q_freq_items plans a window:\n$p")
+  }
+
+  test("PIT feature join: two native as-of passes, no window, no cartesian") {
+    val p = plan("q_pit_features")
+    assert("AsofJoin".r.findAllIn(p).size >= 2,
+      s"expected two chained AsofJoin operators:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"PIT join regressed to window/cartesian:\n$p")
+  }
+
   test("aggRefresh: batch partial-aggregates map-side before touching state") {
     val path = java.nio.file.Files.createTempDirectory("graft-aggref-plan").toString + "/t"
     val e = graft.sources.Tables(spark, dir).events

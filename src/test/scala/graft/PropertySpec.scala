@@ -284,4 +284,26 @@ class PropertySpec extends AnyFunSuite {
         s"heap/window divergence:\n heap=$viaHeap\n wind=$viaWindow")
     }
   }
+
+  test("Aho–Corasick ≡ per-pattern contains for arbitrary unicode text") {
+    // multi-byte chars stress the byte-level DFA: é (2 bytes), 中 (3),
+    // 𝄞 (4, surrogate pair) mixed with ASCII and pattern fragments
+    // no lone surrogates: '𝄞' is appended as a whole string, never
+    // split by charAt (an unpaired surrogate UTF-8-encodes lossily and
+    // would diverge from the JVM contains() reference)
+    val pieceGen = Gen.oneOf("a", "b", " ", "é", "中", "x", "𝄞", "ab", "aé")
+    val textGen = Gen.listOfN(20, pieceGen).map(_.mkString)
+    val pats = Seq("ab", "ba", "aé", "é中", "𝄞", "aba", " a ")
+    forAll(Gen.listOfN(25, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.blocklistScreen(df, pats)
+        .select("doc_id", "matched_csv").as[(Long, String)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val want = pats.filter(p => t.toLowerCase.contains(p)).mkString(",")
+        assert(got(i.toLong) == want,
+          s"doc '$t': got ${got(i.toLong)} want $want")
+      }
+    }
+  }
 }
