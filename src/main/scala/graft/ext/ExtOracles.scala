@@ -2811,6 +2811,55 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM rescored) t WHERE rn <= 10""".stripMargin,
 
+    // URL canonicalization: replant the synthetic URLs, replay every
+    // rule (authority lowering, fragment cut, default-port cut,
+    // tracking-param filter + sort, registered-domain suffix cut)
+    "q_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'Site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.example.com' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ':443'
+        |        WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END) ||
+        |  '/Path/' || CAST(doc_id % 11 AS VARCHAR) ||
+        |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+        |        WHEN 1 THEN '?a=1&fbclid=zz'
+        |        WHEN 2 THEN '?z=9' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |low AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([^:/?#]+://[^/?#]*)', 1)) ||
+        |  regexp_replace(url, '^[^:/?#]+://[^/?#]*', '') AS lu FROM u),
+        |nf AS (SELECT doc_id, url, regexp_replace(lu, '#.*$', '') AS v FROM low),
+        |np AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(v,
+        |    '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2'),
+        |    '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2') AS v FROM nf),
+        |q AS (SELECT doc_id, url, v,
+        |  regexp_extract(v, '\?(.*)$', 1) AS qs FROM np),
+        |k AS (SELECT doc_id, url, v,
+        |  list_sort(list_filter(string_split(qs, '&'), p ->
+        |    p != '' AND NOT regexp_matches(p,
+        |      '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept FROM q),
+        |c AS (SELECT doc_id, url,
+        |  regexp_replace(v, '\?.*$', '') ||
+        |  (CASE WHEN len(kept) > 0
+        |        THEN '?' || array_to_string(kept, '&') ELSE '' END)
+        |    AS canon_url FROM k),
+        |d AS (SELECT doc_id, url, canon_url,
+        |  regexp_replace(regexp_extract(canon_url,
+        |    '^[^:/?#]+://([^/:?#]+)', 1), '^www\.', '') AS host FROM c),
+        |s AS (SELECT *, string_split(host, '.') AS labels FROM d)
+        |SELECT doc_id, url, canon_url,
+        |  CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.com.au'
+        |            OR host LIKE '%.co.jp'
+        |    THEN array_to_string(list_slice(labels, len(labels)-2, len(labels)), '.')
+        |    ELSE array_to_string(list_slice(labels,
+        |           greatest(len(labels)-1, 1), len(labels)), '.') END AS domain,
+        |  url != canon_url AS changed
+        |FROM s""".stripMargin,
+
     // Misra–Gries at never-evicting capacity ≡ exact per-source token
     // counts, (cnt desc, token asc) order — same tie-break eval() uses
     "q_freq_items" ->

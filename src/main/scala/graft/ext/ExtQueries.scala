@@ -1019,6 +1019,29 @@ object ExtQueries {
     Similarity.jlTopK(Tables(spark, dir).embeddings,
       k = 10, numQueries = 5, outDim = 8, shortlist = 40)
 
+  /** URL canonicalization screen over deterministically planted URLs
+    * (mixed-case scheme/host, default ports, tracking params,
+    * fragments, a co.uk multi-label suffix — every rule fires on some
+    * residue class). The oracle replants the identical URLs in SQL
+    * and replays every canonicalization regex. */
+  def qUrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, "HTTPS://").otherwise("http://"),
+        when(col("doc_id") % 4 === 0, "WWW.").otherwise(""),
+        lit("Site"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 5 === 0, ".co.uk").otherwise(".example.com"),
+        when(col("doc_id") % 3 === 0, ":443")
+          .when(col("doc_id") % 3 === 1, ":80").otherwise(""),
+        lit("/Path/"), (col("doc_id") % 11).cast("string"),
+        when(col("doc_id") % 4 === 0, "?utm_source=x&b=2&a=1")
+          .when(col("doc_id") % 4 === 1, "?a=1&fbclid=zz")
+          .when(col("doc_id") % 4 === 2, "?z=9").otherwise(""),
+        when(col("doc_id") % 6 === 0, "#frag").otherwise("")).as("url"))
+    WebOps.urlScreen(planted)
+      .select("doc_id", "url", "canon_url", "domain", "changed")
+  }
+
   /** Misra–Gries per-source top tokens. Capacity 4096 ≫ the corpus
     * vocabulary, so the summary never evicts and the counts are EXACT
     * (order-independent — the only regime a DuckDB replay can check);

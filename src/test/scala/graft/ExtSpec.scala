@@ -1218,6 +1218,34 @@ class ExtSpec extends AnyFunSuite {
         assert(e == cs, s"reranked cosine must be the exact cosine for ($q,$n)")) }
   }
 
+  test("URL canonicalization: hand-checked rules and idempotence") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "HTTP://Example.COM:80/A/b?utm_source=t&x=2&a=1#sec",
+        "http://example.com/A/b?a=1&x=2", "example.com"),
+      (2L, "https://www.Shop.co.uk:443/p?fbclid=1",
+        "https://www.shop.co.uk/p", "shop.co.uk"),
+      (3L, "http://a.b.site.com/q", "http://a.b.site.com/q", "site.com"),
+      (4L, "https://single.com:443", "https://single.com", "single.com"),
+      (5L, "http://x.com/p?utm_a=1&utm_b=2", "http://x.com/p", "x.com"),
+      (6L, "http://deep.sub.example.com.au/z",
+        "http://deep.sub.example.com.au/z", "example.com.au"))
+    val out = WebOps.urlScreen(cases.map(c => (c._1, c._2)).toDF("doc_id", "url"))
+      .select("doc_id", "canon_url", "domain")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    cases.zip(out).foreach { case ((id, _, wantCanon, wantDom), (gid, canon, dom)) =>
+      assert(gid == id)
+      assert(canon == wantCanon, s"case $id canon: got $canon want $wantCanon")
+      assert(dom == wantDom, s"case $id domain: got $dom want $wantDom")
+    }
+    // canonicalization is idempotent: canon(canon(u)) == canon(u)
+    val twice = WebOps.urlScreen(
+      out.map(r => (r._1, r._2)).toSeq.toDF("doc_id", "url"))
+      .select("doc_id", "canon_url").as[(Long, String)].collect().sortBy(_._1)
+    out.zip(twice).foreach { case ((_, c1, _), (_, c2)) =>
+      assert(c1 == c2, s"not idempotent: $c1 -> $c2") }
+  }
+
   test("FreqItemsAgg at never-evicting capacity ≡ exact counts (any partitioning)") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
