@@ -235,6 +235,21 @@ object StreamingOps {
       .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming twin of the Misra–Gries frequent-items aggregate
+    * ([[graft.expressions.FreqItemsAgg]]): per-key top items over an
+    * unbounded stream with state bounded by capacity entries per key
+    * — the TypedImperativeAggregate is mergeable (PODS-2012 merge),
+    * so Spark folds each micro-batch's partial summaries into the
+    * state-store summary exactly like a shuffle merge. At ample
+    * capacity the snapshot equals the batch exact counts
+    * (StreamingSpec proves it); under eviction it keeps the
+    * ε = 1/(capacity+1) guarantee per key. Run Complete/Update. */
+  def freqItemsStream(df: DataFrame, keyCol: String, itemCol: String,
+      capacity: Int = 1024, emitK: Int = 10): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(graft.expressions.FreqItemsAgg
+        .freqItems(col(itemCol), capacity, emitK).as("top"))
+
   /** Streaming twin of the HyperLogLog register build
     * ([[graft.ext.Sketches.hllRegisters]]): per-group distinct
     * tracking whose state is the register table itself — ≤ groups×m

@@ -137,6 +137,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MG frequent items ≡ batch exact counts at ample capacity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val b1 = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "x"))
+    val b2 = Seq(("g1", "a"), ("g1", "c"), ("g2", "x"), ("g2", "y"))
+    val q = StreamingOps.freqItemsStream(
+        mem.toDF().toDF("k", "item"), "k", "item", capacity = 64, emitK = 8)
+      .select(col("k"), explode(col("top")).as("e"))
+      .select(col("k"), col("e.item"), col("e.cnt"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("mg_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("mg_out").as[(String, String, Long)].collect().toSet
+      assert(got == Set(("g1", "a", 3L), ("g1", "b", 1L), ("g1", "c", 1L),
+        ("g2", "x", 2L), ("g2", "y", 1L)),
+        s"streamed MG snapshot must be the exact counts: $got")
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch state is cell-identical to the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
