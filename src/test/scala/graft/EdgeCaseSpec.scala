@@ -242,4 +242,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     val r2 = graft.model.Incremental.merge(spark, b, path, Seq("id"))
     assert(r2.count() == 1)
   }
+
+  test("round-11 operators tolerate empty and degenerate inputs") {
+    import graft.ext._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // blocklist on empty corpus and on empty-string text
+    assert(TextAnalysis.blocklistScreen(emptyDocs, Seq("x")).count() == 0)
+    val es = TextAnalysis.blocklistScreen(Seq((1L, "")).toDF("doc_id", "text"),
+      Seq("x")).select("n_matches", "keep").as[(Int, Boolean)].head()
+    assert(es == ((0, true)))
+    // pattern longer than text
+    val long = TextAnalysis.blocklistScreen(
+      Seq((1L, "ab")).toDF("doc_id", "text"), Seq("abc"))
+      .select("keep").as[Boolean].head()
+    assert(long)
+    // JL rerank with queries ∌ corpus split degenerate: 1-row corpus
+    val one = Seq((0L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.jlTopK(one, k = 3, numQueries = 1, outDim = 2,
+      shortlist = 4).count() == 0) // only self, excluded
+    // FreqItemsAgg over all-null items and an empty group result
+    val nulls = Seq(("g", null.asInstanceOf[String]), ("g", null.asInstanceOf[String]))
+      .toDF("g", "item")
+    val fi = nulls.groupBy("g")
+      .agg(graft.expressions.FreqItemsAgg.freqItems(col("item"), 4, 4).as("t"))
+      .select(size(col("t"))).as[Int].head()
+    assert(fi == 0, "null items must not enter the summary")
+    // aggRefresh: empty batch folds leave state unchanged
+    val path = java.nio.file.Files.createTempDirectory("graft-edge-ar").toString + "/t"
+    val ev = Seq((1L, "a", 5.0, 10L), (2L, "a", 7.0, 11L))
+      .toDF("event_id", "k", "value", "uid")
+    val first = graft.model.Incremental.aggRefresh(spark, ev, path, "k",
+      round(col("value") * 100, 0), col("uid")).collect()
+    val afterEmpty = graft.model.Incremental.aggRefresh(spark,
+      ev.filter(col("event_id") < 0), path, "k",
+      round(col("value") * 100, 0), col("uid")).collect()
+    assert(first.toSet == afterEmpty.toSet,
+      "empty fold must be a no-op on the rollup")
+    // URL canonicalization survives a non-URL string (no scheme)
+    val odd = WebOps.urlScreen(Seq((1L, "not a url at all")).toDF("doc_id", "url"))
+      .select("canon_url").as[String].head()
+    assert(odd == "not a url at all")
+  }
 }
