@@ -2811,6 +2811,44 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM rescored) t WHERE rn <= 10""".stripMargin,
 
+    // HTML main-content: replant the identical pages; tag-strip with
+    // the 'g' flag, entity decode, per-block anchor-char sum, and the
+    // division-free cross-multiplied density gate
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title></head><body>' ||
+        |  '<nav><a href="/">Home</a> <a href="/about">About us</a></nav>' ||
+        |  '<p>' || substr(text, 1, 120) || '</p>' ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |    THEN '<div class="ad"><a href="/buy">Buy now great deal</a> <a href="/win">Click here</a></div>'
+        |    ELSE '' END) ||
+        |  '<p>' || substr(text, 121, 4000) || ' &amp; tail</p>' ||
+        |  '<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>' ||
+        |  '</body></html>' AS html FROM documents),
+        |sel AS (SELECT doc_id,
+        |  regexp_extract_all(html,
+        |    '<(?:p|div|nav|footer|li|h1)[^>]*>.*?</(?:p|div|nav|footer|li|h1)>', 0)
+        |    AS blks FROM h)
+        |SELECT doc_id, CAST(len(blks) AS INTEGER) AS n_blocks,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS main_text
+        |FROM (SELECT doc_id, blks,
+        |  list_transform(list_filter(blks, bb ->
+        |    length(replace(replace(replace(replace(trim(
+        |      regexp_replace(bb, '<[^>]*>', '', 'g')),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')) >= 10
+        |    AND COALESCE(list_sum(list_transform(
+        |          regexp_extract_all(bb, '<a [^>]*>([^<]*)</a>', 1),
+        |          a -> length(a))), 0) * 1000000
+        |        < 500000 * length(replace(replace(replace(replace(trim(
+        |            regexp_replace(bb, '<[^>]*>', '', 'g')),
+        |            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'))),
+        |    bb -> replace(replace(replace(replace(trim(
+        |      regexp_replace(bb, '<[^>]*>', '', 'g')),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')) AS kept
+        |  FROM sel) x""".stripMargin,
+
     // URL canonicalization: replant the synthetic URLs, replay every
     // rule (authority lowering, fragment cut, default-port cut,
     // tracking-param filter + sort, registered-domain suffix cut)

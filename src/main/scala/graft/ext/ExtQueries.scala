@@ -1042,6 +1042,27 @@ object ExtQueries {
       .select("doc_id", "url", "canon_url", "domain", "changed")
   }
 
+  /** HTML main-content extraction over deterministically planted
+    * pages: every doc is wrapped in nav/footer boilerplate (link-
+    * dense), docs ≡ 0 mod 3 get an ad block, the body text rides in
+    * two <p> blocks. The link-density gate must drop every
+    * boilerplate block and keep the prose. */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a></nav>"),
+        lit("<p>"), substring(col("text"), 1, 120), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<div class=\"ad\"><a href=\"/buy\">Buy now great deal</a>" +
+            " <a href=\"/win\">Click here</a></div>")).otherwise(lit("")),
+        lit("<p>"), substring(col("text"), 121, 4000), lit(" &amp; tail</p>"),
+        lit("<footer><a href=\"/tos\">Terms</a> <a href=\"/priv\">Privacy</a></footer>"),
+        lit("</body></html>")).as("html"))
+    WebOps.htmlMainContent(planted)
+  }
+
   /** Misra–Gries per-source top tokens. Capacity 4096 ≫ the corpus
     * vocabulary, so the summary never evicts and the counts are EXACT
     * (order-independent — the only regime a DuckDB replay can check);

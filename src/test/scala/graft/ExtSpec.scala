@@ -1246,6 +1246,27 @@ class ExtSpec extends AnyFunSuite {
       assert(c1 == c2, s"not idempotent: $c1 -> $c2") }
   }
 
+  test("HTML main content: link-dense blocks drop, prose survives, entities decode") {
+    import spark.implicits._
+    val page = "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">Links only</a></nav>" +
+      "<p>This is the real article text, clearly long enough.</p>" +
+      "<div><a href=\"/a\">tiny</a> mostly prose around a small link " +
+      "that should survive the density gate easily</div>" +
+      "<p>Fish &amp; chips &lt;3</p>" +
+      "<footer><a href=\"/t\">T</a><a href=\"/p\">P</a></footer>" +
+      "</body></html>"
+    val out = WebOps.htmlMainContent(Seq((1L, page)).toDF("doc_id", "html"))
+      .select("n_blocks", "n_kept", "main_text")
+      .as[(Int, Int, String)].head()
+    assert(out._1 == 5, s"blocks: $out")
+    assert(out._2 == 3, s"kept: $out")
+    val parts = out._3.split("\n")
+    assert(parts(0) == "This is the real article text, clearly long enough.")
+    assert(parts(1).startsWith("tiny mostly prose"))
+    assert(parts(2) == "Fish & chips <3", s"entity decode: ${parts(2)}")
+  }
+
   test("FreqItemsAgg at never-evicting capacity ≡ exact counts (any partitioning)") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
