@@ -78,7 +78,14 @@ object GraftFunctions {
     // geo radius predicate; RewriteStDWithin expands it to a pushed
     // bounding box + exact residual (graft.plans.GeoRules)
     "st_dwithin" -> ((args: Seq[Expression]) =>
-      graft.expressions.StDWithin(args(0), args(1), args(2), args(3), args(4))))
+      graft.expressions.StDWithin(args(0), args(1), args(2), args(3), args(4))),
+    // native Aho–Corasick multi-pattern search: the blocklist gate as
+    // SQL — multi_match(text, 'p1', 'p2', ...) → array of matched
+    // patterns (pattern-list order); patterns must be literals (they
+    // compile into the automaton)
+    "multi_match" -> ((args: Seq[Expression]) =>
+      graft.expressions.MultiMatch(args.head,
+        args.tail.map(e => strArg(e, "multi_match pattern")))))
 
   // ---- table-valued surface for the LLM-pipeline operators ----
   // The ext family (dedup / curation) is whole-table → whole-table,

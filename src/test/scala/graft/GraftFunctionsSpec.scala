@@ -278,4 +278,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val memApi = graft.operators.MemorizationIndex.probe(spark, "mem_tvf_b", docs)
     assert(memSql.exceptAll(memApi).isEmpty && memApi.exceptAll(memSql).isEmpty)
   }
+
+  test("multi_match SQL surface: matched patterns in list order, literal-only") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT multi_match('ushers walk', 'she', 'he', 'walk', 'absent') AS m, " +
+      "multi_match('', 'x') AS e, multi_match(CAST(NULL AS STRING), 'x') AS n").head()
+    assert(r.getSeq[String](0) == Seq("she", "he", "walk"))
+    assert(r.getSeq[String](1) == Seq())
+    assert(r.isNullAt(2))
+    // non-literal pattern is rejected at analysis, not silently wrong
+    intercept[Exception] {
+      spark.sql("SELECT multi_match('a', concat('b', rand())) ").head()
+    }
+  }
 }
