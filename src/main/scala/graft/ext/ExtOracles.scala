@@ -2811,6 +2811,26 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM rescored) t WHERE rn <= 10""".stripMargin,
 
+    // seasonal anomalies: per-weekday exact-long moments, one double
+    // division+sqrt micro-rounded (DuckDB dayofweek is 0-based Sunday,
+    // Spark's is 1-based — hence the +1)
+    "q_seasonal_anomaly" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |w AS (SELECT d, n, dayofweek(d) + 1 AS dow FROM s),
+        |st AS (SELECT dow, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(n) AS BIGINT) AS t, CAST(sum(n * n) AS BIGINT) AS t2
+        |  FROM w GROUP BY 1),
+        |z AS (SELECT w.d, w.n, w.dow,
+        |    CASE WHEN c * t2 - t * t > 0
+        |      THEN CAST(round(CAST(c * n - t AS DOUBLE)
+        |             / sqrt(CAST(c * t2 - t * t AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      ELSE 0 END AS z_micro
+        |  FROM w JOIN st USING (dow))
+        |SELECT d, n, CAST(dow AS INTEGER) AS dow, z_micro,
+        |  abs(z_micro) >= 2000000 AS is_anomaly
+        |FROM z""".stripMargin,
+
     // HTML main-content: replant the identical pages; tag-strip with
     // the 'g' flag, entity decode, per-block anchor-char sum, and the
     // division-free cross-multiplied density gate

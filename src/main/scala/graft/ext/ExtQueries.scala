@@ -996,6 +996,10 @@ object ExtQueries {
   def qSeqPattern(spark: SparkSession, dir: String): DataFrame =
     Timeseries.seqPattern(Tables(spark, dir).events)
 
+  /** Day-of-week-adjusted anomaly scores over the event stream. */
+  def qSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.seasonalAnomalies(Tables(spark, dir).events)
+
   /** Blocklist shared by qBlocklistFilter and its oracle (single
     * source of truth — the oracle renders this Seq into its VALUES
     * CTE, so engine and oracle cannot desynchronize). Phrases chosen

@@ -156,4 +156,35 @@ object Timeseries {
         col("seq").rlike("s.*v.*p").as("has_funnel"))
       .orderBy(col("user_id"))
   }
+
+  /** Seasonality-adjusted daily anomaly scores: each day's count is
+    * z-scored against ITS WEEKDAY's distribution (a quiet Sunday is
+    * normal; the same count on a Wednesday is an outage) — the
+    * day-of-week adjustment plain [[graft.ext.Curation]] z-scoring
+    * misses. Engine-agreement discipline: z's numerator (c·n − t) and
+    * the variance term (c·t2 − t²) are EXACT longs per weekday; the
+    * one double division + sqrt at the end is identically rounded on
+    * both engines, then micro-rounded. Two tiny aggregates over the
+    * ~N-day daily series — at any raw-event scale the work is one
+    * day-keyed count shuffle.
+    *
+    * @return (d, n, dow, z_micro, is_anomaly) ordered by date.
+    */
+  def seasonalAnomalies(events: DataFrame,
+      zThreshMicro: Long = 2000000L): DataFrame = {
+    val s = dailySeries(events).withColumn("dow", dayofweek(col("d")))
+    val stats = s.groupBy("dow").agg(count(lit(1)).as("c"),
+      sum(col("n")).as("t"), sum(col("n") * col("n")).as("t2"))
+    s.join(stats, "dow")
+      .withColumn("num", col("c") * col("n") - col("t"))
+      .withColumn("den", col("c") * col("t2") - col("t") * col("t"))
+      .withColumn("z_micro",
+        when(col("den") > 0,
+          round(col("num").cast("double") / sqrt(col("den").cast("double")) * 1e6, 0)
+            .cast(LongType))
+          .otherwise(lit(0L)))
+      .select(col("d"), col("n"), col("dow"), col("z_micro"),
+        (abs(col("z_micro")) >= zThreshMicro).as("is_anomaly"))
+      .orderBy(col("d"))
+  }
 }

@@ -73,4 +73,26 @@ class TimeseriesSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 6L, 2L, true), (2L, 2L, 0L, false)))
   }
+
+  test("seasonalAnomalies: weekday-relative spike flags; flat weekday scores 0") {
+    // 4 weeks: every day 10 events, except one Wednesday at 30 —
+    // unconditionally z-scoring all days would dilute the spike across
+    // weekdays; seasonal scoring isolates it within the 4 Wednesdays
+    val perDay = Seq.tabulate(28)(d => if (d == 16) 30 else 10)
+    // with 4 samples per weekday a single outlier's population z is
+    // bounded by √3 ≈ 1.732, so gate at 1.5 for the test
+    val out = Timeseries.seasonalAnomalies(series(perDay),
+        zThreshMicro = 1500000L)
+      .select("d", "n", "z_micro", "is_anomaly")
+      .as[(java.sql.Date, Long, Long, Boolean)].collect()
+    assert(out.length == 28)
+    val flagged = out.filter(_._4)
+    assert(flagged.map(_._2).toSeq == Seq(30L),
+      s"only the spiked day may flag: ${flagged.toSeq}")
+    // spiked weekday: mean 15, var (3*25+225)/4 - ... num = 4*30-60=60,
+    // den = 4*1200 - 3600 = 1200 -> z = 60/sqrt(1200) = 1.7320508...
+    assert(flagged.head._3 == 1732051L, s"z: ${flagged.head._3}")
+    // days on weekdays with constant counts score exactly 0
+    assert(out.count(_._3 == 0L) == 24, "constant weekdays must score 0")
+  }
 }
