@@ -2857,16 +2857,16 @@ object ExtOracles {
         |  list_transform(list_filter(blks, bb ->
         |    length(replace(replace(replace(replace(trim(
         |      regexp_replace(bb, '<[^>]*>', '', 'g')),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')) >= 10
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&')) >= 10
         |    AND COALESCE(list_sum(list_transform(
         |          regexp_extract_all(bb, '<a [^>]*>([^<]*)</a>', 1),
         |          a -> length(a))), 0) * 1000000
         |        < 500000 * length(replace(replace(replace(replace(trim(
         |            regexp_replace(bb, '<[^>]*>', '', 'g')),
-        |            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'))),
+        |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'))),
         |    bb -> replace(replace(replace(replace(trim(
         |      regexp_replace(bb, '<[^>]*>', '', 'g')),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')) AS kept
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&')) AS kept
         |  FROM sel) x""".stripMargin,
 
     // URL canonicalization: replant the synthetic URLs, replay every

@@ -462,10 +462,17 @@ object TextAnalysis {
     */
   def blocklistScreen(docs: DataFrame, terms: Seq[String],
       textCol: String = "text"): DataFrame = {
-    val lowered = terms.map(_.toLowerCase)
-    docs.select(col("doc_id"),
-        graft.expressions.MultiMatch
-          .matchedTerms(lower(col(textCol)), lowered).as("matched"))
+    // Locale.ROOT: a tr-locale JVM would lower "INDEX" to dotless-ı
+    // bytes that Spark's locale-independent lower() never produces —
+    // the term would silently never fire
+    val lowered = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+    // null text ≡ empty text for the gate (no term can match), the
+    // same contract the oracle's LEFT JOIN + COALESCE implements — a
+    // null gate column would drop the doc from BOTH keep-filters
+    val matched = coalesce(
+      graft.expressions.MultiMatch.matchedTerms(lower(col(textCol)), lowered),
+      array().cast("array<string>"))
+    docs.select(col("doc_id"), matched.as("matched"))
       .select(col("doc_id"),
         size(col("matched")).as("n_matches"),
         array_join(col("matched"), ",").as("matched_csv"),

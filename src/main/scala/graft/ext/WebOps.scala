@@ -70,10 +70,12 @@ object WebOps {
 
   // ── HTML main-content extraction (jusText/trafilatura-lite) ──────
 
-  /** Strip tags and decode the four core entities. */
+  /** Strip tags and decode the four core entities. `&amp;` decodes
+    * LAST (the HTML5 rule): `&amp;lt;` means the literal text "&lt;",
+    * and amp-first would double-decode it to "<". */
   def htmlToText(html: Column): Column = {
     val noTags = trim(regexp_replace(html, "<[^>]*>", ""))
-    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) =>
         regexp_replace(c, e, java.util.regex.Matcher.quoteReplacement(r)) }
   }

@@ -212,8 +212,11 @@ object Incremental {
     * min_micro, max_micro) and `regs` (key, reg, mj — the
     * [[graft.ext.Sketches.hllRegisters]] table, ≤ keys×m rows). Both
     * merges are commutative+associative (sum/sum/min/max and
-    * register-wise max), so batches may arrive in any order and
-    * shard-parallel writers merge cleanly — the streaming twin
+    * register-wise max), so batches may FOLD in any order; the state
+    * directory itself is single-writer (parquet swap-rename — a
+    * transactional table format supplies multi-writer/crash atomicity
+    * in production, as for the other strategies in this file). The
+    * streaming twin
     * ([[graft.streaming.StreamingOps.hllRegistersStream]]) maintains
     * the identical register state.
     *
@@ -235,10 +238,27 @@ object Incremental {
       spark.sparkContext.hadoopConfiguration)
     val scalarsPath = path + "/scalars"
     val regsPath = path + "/regs"
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(scalarsPath))
+    val haveScalars = fs.exists(new org.apache.hadoop.fs.Path(scalarsPath))
+    val haveRegs = fs.exists(new org.apache.hadoop.fs.Path(regsPath))
+    // the two state tables advance together; half-present state means
+    // a fold died between its swap-writes — refuse to fold on top of
+    // it (re-bootstrapping or restoring is a caller decision). This
+    // library's parquet-directory state is single-writer; a
+    // transactional table format supplies the multi-writer/crash
+    // atomicity story in production, as everywhere else in this file.
+    require(haveScalars == haveRegs,
+      s"aggRefresh state desync at $path: scalars=$haveScalars regs=$haveRegs " +
+        "— a previous fold failed between swap-writes; rebuild the rollup")
+    val exists = haveScalars
 
-    val partial = batch
-      .select(col(key), valueMicro.cast("long").as("__v"))
+    // one materialized pass over the batch feeds BOTH aggregates
+    // (otherwise each swap-write sink re-scans the raw batch)
+    val proj = batch
+      .select(col(key), valueMicro.cast("long").as("__v"),
+        distinctKey.as("__dk"))
+      .localCheckpoint()
+
+    val partial = proj
       .groupBy(col(key))
       .agg(count(lit(1)).as("cnt"), sum(col("__v")).as("sum_micro"),
         min(col("__v")).as("min_micro"), max(col("__v")).as("max_micro"))
@@ -251,12 +271,14 @@ object Incremental {
     val scalars = swapWrite(spark, mergedScalars, scalarsPath)
 
     val partialRegs = graft.ext.Sketches.hllRegisters(
-      batch.select(col(key), distinctKey.as("__dk")), key, "__dk", m)
+      proj.select(col(key), col("__dk")), key, "__dk", m)
     val mergedRegs =
       if (!exists) partialRegs
       else spark.read.parquet(regsPath).unionByName(partialRegs)
         .groupBy(col(key), col("reg")).agg(max(col("mj")).as("mj"))
     val regs = swapWrite(spark, mergedRegs, regsPath)
+    // both states are on disk — the staged batch is dead
+    graft.ext.Checkpoints.release(proj)
 
     scalars.join(graft.ext.Sketches.hllEstimate(regs, key, m), Seq(key))
   }

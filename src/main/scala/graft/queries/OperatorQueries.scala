@@ -277,9 +277,12 @@ object OperatorQueries {
     def fold(pred: Column) = graft.model.Incremental.aggRefresh(spark,
       e.filter(pred), path, "event_type",
       round(col("value") * 100, 0), col("user_id"))
+    // the two nightly batches split the %4==3 residue by mod 8 (ids
+    // ≡3 mod 4 are all odd, so an even/odd split would leave night A
+    // EMPTY and the scenario would degenerate to one real fold)
     fold(col("event_id") % 4 =!= 3)                             // bootstrap
-    fold(col("event_id") % 4 === 3 && col("event_id") % 2 === 0) // night A
-    fold(col("event_id") % 4 === 3 && col("event_id") % 2 === 1) // night B
+    fold(col("event_id") % 8 === 3)                             // night A
+    fold(col("event_id") % 8 === 7)                             // night B
   }
 
   /** Driver-oracle row for the insert_overwrite incremental strategy

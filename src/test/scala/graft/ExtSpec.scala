@@ -1192,9 +1192,12 @@ class ExtSpec extends AnyFunSuite {
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val got = TextAnalysis.blocklistScreen(rows, Seq("Fast", "café"))
       .orderBy("doc_id")
-      .select("doc_id", "matched_csv").as[(Long, Option[String])].collect().toSeq
-    assert(got == Seq((1L, Some("fast")), (2L, Some("fast,café")),
-      (3L, None)), s"got $got")
+      .select("doc_id", "matched_csv", "keep")
+      .as[(Long, String, Boolean)].collect().toSeq
+    // null text ≡ empty text: no matches, keep = true (never a null
+    // gate that would drop the doc from both filter branches)
+    assert(got == Seq((1L, "fast", false), (2L, "fast,café", false),
+      (3L, "", true)), s"got $got")
   }
 
   test("jlTopK with a corpus-wide shortlist ≡ exact brute-force top-k") {
@@ -1253,7 +1256,7 @@ class ExtSpec extends AnyFunSuite {
       "<p>This is the real article text, clearly long enough.</p>" +
       "<div><a href=\"/a\">tiny</a> mostly prose around a small link " +
       "that should survive the density gate easily</div>" +
-      "<p>Fish &amp; chips &lt;3</p>" +
+      "<p>Fish &amp; chips &lt;3 say &amp;lt; literally</p>" +
       "<footer><a href=\"/t\">T</a><a href=\"/p\">P</a></footer>" +
       "</body></html>"
     val out = WebOps.htmlMainContent(Seq((1L, page)).toDF("doc_id", "html"))
@@ -1264,7 +1267,10 @@ class ExtSpec extends AnyFunSuite {
     val parts = out._3.split("\n")
     assert(parts(0) == "This is the real article text, clearly long enough.")
     assert(parts(1).startsWith("tiny mostly prose"))
-    assert(parts(2) == "Fish & chips <3", s"entity decode: ${parts(2)}")
+    // &amp;lt; is the literal text "&lt;" — amp decodes LAST, so it
+    // must NOT double-decode to "<"
+    assert(parts(2) == "Fish & chips <3 say &lt; literally",
+      s"entity decode: ${parts(2)}")
   }
 
   test("FreqItemsAgg at never-evicting capacity ≡ exact counts (any partitioning)") {
