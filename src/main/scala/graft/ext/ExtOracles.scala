@@ -2811,6 +2811,38 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM rescored) t WHERE rn <= 10""".stripMargin,
 
+    // Poisson bootstrap: the 60-bit pre-scaled Poisson(1) thresholds
+    // come from the shared Bootstrap.thresholds60 Seq; replicate
+    // means are exact (num*1000)//den; CI = fixed order statistics
+    "q_bootstrap_ci" ->
+      s"""WITH t AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    CAST(event_id AS VARCHAR) AS id FROM events),
+        |point AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(sum(v) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+        |      AS point_milli FROM t GROUP BY 1),
+        |h AS (SELECT g, v,
+        |    CAST(concat('0x', substr(md5('bs|' || id), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(concat('0x', substr(md5('bs|' || id), 16, 15)) AS BIGINT)
+        |      % 9007199254740992 AS h2b FROM t),
+        |r AS (SELECT g, v, h1, h2b, unnest(range(0, 50)) AS b FROM h),
+        |u AS (SELECT g, v, b,
+        |    (h1 + b * h2b) % 1152921504606846976 AS hv FROM r),
+        |w AS (SELECT g, v, b,
+        |    len(list_filter([${graft.ext.Bootstrap.thresholds60.mkString(", ")}],
+        |      x -> hv >= x)) AS w FROM u),
+        |m AS (SELECT g, b, CAST(sum(w * v) AS BIGINT) AS num,
+        |    CAST(sum(w) AS BIGINT) AS den FROM w GROUP BY 1, 2),
+        |mm AS (SELECT g, b, (num * 1000) // den AS mean_milli
+        |       FROM m WHERE den > 0),
+        |rk AS (SELECT g, b, mean_milli, row_number() OVER (
+        |    PARTITION BY g ORDER BY mean_milli, b) AS rn FROM mm)
+        |SELECT p.g AS event_type, p.n, p.point_milli,
+        |  lo.mean_milli AS lo_milli, hi.mean_milli AS hi_milli
+        |FROM point p
+        |JOIN rk lo ON lo.g = p.g AND lo.rn = 2
+        |JOIN rk hi ON hi.g = p.g AND hi.rn = 49""".stripMargin,
+
     // seasonal anomalies: per-weekday exact-long moments, one double
     // division+sqrt micro-rounded (DuckDB dayofweek is 0-based Sunday,
     // Spark's is 1-based — hence the +1)

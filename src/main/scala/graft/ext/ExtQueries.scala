@@ -1000,6 +1000,14 @@ object ExtQueries {
   def qSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
     Timeseries.seasonalAnomalies(Tables(spark, dir).events)
 
+  /** Poisson-bootstrap ~95% CI on mean event value (cents) per event
+    * type: B=50 replicates in one pass, interval = 2nd/49th order
+    * statistics of the replicate means. */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    Bootstrap.poissonMeanCI(Tables(spark, dir).events, "event_type",
+      round(col("value") * 100, 0), "event_id",
+      b = 50, loRank = 2, hiRank = 49)
+
   /** Blocklist shared by qBlocklistFilter and its oracle (single
     * source of truth — the oracle renders this Seq into its VALUES
     * CTE, so engine and oracle cannot desynchronize). Phrases chosen

@@ -136,4 +136,17 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
     Checkpoints.releaseAll(spark)
     assert(pinned === 0)
   }
+
+  test("aggRefresh releases its staged batch (fully self-cleaning)") {
+    Checkpoints.releaseAll(spark)
+    val before = pinned
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-aggref").toString + "/t"
+    val ev = Seq((1L, "a", 5.0, 10L), (2L, "b", 7.0, 11L))
+      .toDF("event_id", "k", "value", "uid")
+    graft.model.Incremental.aggRefresh(spark, ev, path, "k",
+      round(col("value") * 100, 0), col("uid")).count()
+    assert(pinned === before,
+      "aggRefresh must release the staged-batch checkpoint before returning")
+  }
 }

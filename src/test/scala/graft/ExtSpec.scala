@@ -1221,6 +1221,43 @@ class ExtSpec extends AnyFunSuite {
         assert(e == cs, s"reranked cosine must be the exact cosine for ($q,$n)")) }
   }
 
+  test("Poisson bootstrap: point inside CI, partition-independent, E[w] = 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) "g1" else "g2", 100.0 + rnd.nextGaussian() * 10))
+    def run(parts: Int) = Bootstrap.poissonMeanCI(
+        rows.toDF("id", "g", "v").repartition(parts), "g",
+        round(col("v") * 100, 0), "id", b = 50, loRank = 2, hiRank = 49)
+      .select("g", "n", "point_milli", "lo_milli", "hi_milli")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val a = run(1)
+    assert(a == run(8), "CI must not depend on partitioning")
+    a.foreach { case (g, n, pt, lo, hi) =>
+      assert(n == 1000)
+      assert(lo <= pt && pt <= hi, s"$g: point $pt outside [$lo, $hi]")
+      // true mean 100.00 (=10_000_000 centi-milli): the ~95% interval
+      // on n=1000, sd=10 is ±~0.6 — generous 3x head-room bound
+      assert(math.abs(pt - 10000000L) < 200000L, s"$g point far off: $pt")
+      assert(hi - lo < 400000L && hi - lo > 20000L,
+        s"$g interval width implausible: ${hi - lo}")
+    }
+    // the 60-bit thresholds encode Poisson(1): mean multiplicity ≈ 1
+    val ws = (1 to 20000).map { i =>
+      val hv = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"wcheck|$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      Bootstrap.thresholds60.count(hv >= _)
+    }
+    val meanW = ws.sum.toDouble / ws.size
+    assert(math.abs(meanW - 1.0) < 0.03, s"E[w] drifted: $meanW")
+    assert(ws.count(_ == 0) > 6000 && ws.count(_ == 0) < 8500,
+      s"P(w=0) should be ~e^-1: ${ws.count(_ == 0)}")
+  }
+
   test("URL canonicalization: hand-checked rules and idempotence") {
     import spark.implicits._
     val cases = Seq(
