@@ -1128,4 +1128,67 @@ object Curation {
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("llr_micro")).as("llr_micro"))
+
+  /** Per-source distribution drift vs the whole-corpus mixture — the
+    * "which source changed under me" governance metric a periodically
+    * re-crawled 100 TB corpus needs: each source's hashed-unigram
+    * distribution (add-one smoothing over `buckets` md5 buckets, the
+    * [[dsirSample]] bucket-LM construction) scored against the
+    * all-sources distribution with KL(s‖all) and the symmetric,
+    * bounded Jensen–Shannon divergence (ln-based).
+    *
+    * Exactness contract: probabilities are single IEEE divisions of
+    * exact longs (each product < 2^53, documented below); each
+    * bucket's divergence term takes ONE ln of such a ratio and is
+    * rounded to integer micro BEFORE the per-source sum — every
+    * aggregation is an order-free long sum, so any engine replays it
+    * (the PMI/bigram-NLL discipline).
+    *
+    * Scale shape: one (source, bucket) count shuffle over the token
+    * stream (map-side combined); everything after lives on the
+    * sources×buckets grid (bounded by construction: source
+    * cardinality × a fixed bucket count). Zero-count buckets still
+    * contribute (smoothing) via the exploded grid, not a join
+    * round-trip. @return (source, n_tokens, kl_micro, js_micro). */
+  def corpusDrift(docs: DataFrame, buckets: Int = 256,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val counts = docs.select(col(srcCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("source"),
+        pmod(Dedup.portableHash60(concat(lit("cd|"), col("tok"))),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // sources×buckets-bounded; read 3× below
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val allB = counts.groupBy("bucket").agg(sum(col("c")).as("c_all"))
+    val nAll = counts.agg(sum(col("c")).as("n_all"))
+    // full grid: every (source, bucket) cell, including zero counts
+    val grid = totals
+      .select(col("source"), col("n_s"),
+        explode(sequence(lit(0L), lit(buckets.toLong - 1))).as("bucket"))
+      .join(counts, Seq("source", "bucket"), "left")
+      .join(broadcast(allB), Seq("bucket"), "left")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("bucket"), col("n_s"), col("n_all"),
+        (coalesce(col("c"), lit(0L)) + 1L).as("cs"),
+        (coalesce(col("c_all"), lit(0L)) + 1L).as("ca"))
+    val b = lit(buckets.toLong)
+    // p_s, p_all: exact-long ratios (cs ≤ n_s+B ≤ corpus tokens + B;
+    // cross products cs·(n_all+B) < 2^53 up to ~10⁸-token inputs per
+    // engine-exactness audit — the ratio's ln is the ONE
+    // transcendental, micro-rounded per bucket)
+    val ps = col("cs").cast(DoubleType) / (col("n_s") + b).cast(DoubleType)
+    val pa = col("ca").cast(DoubleType) / (col("n_all") + b).cast(DoubleType)
+    val klRatio = (col("cs") * (col("n_all") + b)).cast(DoubleType) /
+      ((col("n_s") + b) * col("ca")).cast(DoubleType)
+    val mMix = (ps + pa) / 2.0
+    val terms = grid.select(col("source"), col("n_s"),
+      round(ps * log(klRatio) * 1e6, 0).cast(LongType).as("kl_t"),
+      round((ps * log(ps / mMix) / 2.0) * 1e6, 0).cast(LongType).as("js_s"),
+      round((pa * log(pa / mMix) / 2.0) * 1e6, 0).cast(LongType).as("js_a"))
+    terms.groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("kl_t")).as("kl_micro"),
+        (sum(col("js_s")) + sum(col("js_a"))).as("js_micro"))
+  }
 }

@@ -2966,8 +2966,200 @@ object ExtOracles {
   // by construction (same reference slice, same probe batch); the
   // on-disk layout changes I/O, never answers — so each reuses its
   // twin's one-shot replay verbatim.
+  /** q_maxsim_topk: token slices and per-token norms once per row,
+    * per-pair score = Σ_i greatest_j cos(q_i, d_j) with zero-norm
+    * tokens scoring 0 — generated from the SAME (nTokens, tokenDim)
+    * grid constants the Spark query uses, so query and oracle cannot
+    * desynchronize. Fixed-order arithmetic: greatest over identical
+    * IEEE doubles, left-associative i-sum, one round(…, 6). */
+  private val maxsimSql: String = {
+    val n = ExtQueries.maxsimTokens
+    val td = ExtQueries.maxsimTokenDim
+    val tokCols = (0 until n).map { i =>
+      val a = i * td + 1; val b = (i + 1) * td
+      s"v[$a:$b] AS t$i,\n    sqrt(list_dot_product(v[$a:$b], v[$a:$b])) AS n$i"
+    }.mkString(",\n    ")
+    val qCols = (0 until n).map(i => s"t$i AS qt$i, n$i AS qn$i").mkString(", ")
+    val sumTerms = (0 until n).map { i =>
+      val inner = (0 until n).map { j =>
+        s"CASE WHEN q.qn$i * t.n$j = 0 THEN 0.0\n      " +
+          s"ELSE list_dot_product(q.qt$i, t.t$j) / (q.qn$i * t.n$j) END"
+      }.mkString(",\n      ")
+      s"greatest($inner)"
+    }.mkString("\n    + ")
+    s"""WITH c AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+tok AS (SELECT vec_id,
+    $tokCols
+  FROM c),
+q AS (SELECT vec_id AS query_id, $qCols
+      FROM tok WHERE vec_id < 5),
+scored AS (SELECT q.query_id, t.vec_id AS nn_id,
+    round($sumTerms, 6) AS maxsim
+  FROM tok t CROSS JOIN q WHERE t.vec_id != q.query_id)
+SELECT query_id, nn_id, maxsim, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY maxsim DESC, nn_id) AS rn
+  FROM scored) x WHERE rn <= 10"""
+  }
+
+  /** q_bradley_terry: duels → Laplace-smoothed ordered-pair counts →
+    * `btIters` unrolled MM rounds. Every per-item sum is over
+    * pre-rounded nano longs (order-free); the two divisions per
+    * round are single fixed-shape IEEE expressions with
+    * exactly-representable 1e15 scale constants, and round(x, 0)
+    * yields an integer-valued double that casts identically in both
+    * engines (Spark truncates, DuckDB rounds — both identity on
+    * whole numbers). */
+  private val bradleyTerrySql: String = {
+    val iters = (1 to ExtQueries.btIters).map { t =>
+      val pw = if (t == 1) "w0" else s"w${t - 1}"
+      s"""d$t AS MATERIALIZED (SELECT m.i,
+    CAST(sum(CAST(round(CAST(m.m AS DOUBLE) * 1e15 /
+      CAST(wi.w + wj.w AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS dn
+  FROM m JOIN $pw wi ON wi.item = m.i JOIN $pw wj ON wj.item = m.j
+  GROUP BY 1),
+w$t AS MATERIALIZED (SELECT d$t.i AS item,
+    CAST(round(CAST(wt.w_total AS DOUBLE) * 1e15 /
+      CAST(d$t.dn AS DOUBLE), 0) AS BIGINT) AS w
+  FROM d$t JOIN wt ON wt.i = d$t.i)"""
+    }.mkString(",\n")
+    s"""WITH l1 AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk, l_extendedprice AS ep
+      FROM lineitem WHERE l_linenumber = 1),
+l2 AS MATERIALIZED (SELECT l_orderkey AS ok, l_partkey AS pk, l_extendedprice AS ep
+      FROM lineitem WHERE l_linenumber = 2),
+duel AS MATERIALIZED (SELECT
+    CASE WHEN a.ep > b.ep THEN ba.p_brand ELSE bb.p_brand END AS i,
+    CASE WHEN a.ep > b.ep THEN bb.p_brand ELSE ba.p_brand END AS j
+  FROM l1 a JOIN l2 b ON a.ok = b.ok
+  JOIN part ba ON ba.p_partkey = a.pk
+  JOIN part bb ON bb.p_partkey = b.pk
+  WHERE a.ep != b.ep AND ba.p_brand != bb.p_brand),
+wins AS MATERIALIZED (SELECT i, j, count(*) AS n_raw FROM duel GROUP BY 1, 2),
+items AS MATERIALIZED (SELECT DISTINCT u.i AS item
+  FROM (SELECT i FROM wins UNION ALL SELECT j FROM wins) u(i)),
+pairs AS MATERIALIZED (SELECT a.item AS i, b.item AS j,
+    CAST(COALESCE(w.n_raw, 0) + 1 AS BIGINT) AS n
+  FROM items a JOIN items b ON a.item != b.item
+  LEFT JOIN wins w ON w.i = a.item AND w.j = b.item),
+wt AS MATERIALIZED (SELECT i, CAST(sum(n) AS BIGINT) AS w_total FROM pairs GROUP BY 1),
+m AS MATERIALIZED (SELECT a.i, a.j, a.n + b.n AS m
+  FROM pairs a JOIN pairs b ON a.i = b.j AND a.j = b.i),
+w0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS w FROM items),
+$iters
+SELECT item, w AS w_micro,
+  CAST(row_number() OVER (ORDER BY w DESC, item) AS INTEGER) AS rk
+FROM w${ExtQueries.btIters}"""
+  }
+
+  /** q_corpus_drift: add-one-smoothed hashed-unigram distributions on
+    * the full source×bucket grid; ONE ln per divergence term,
+    * micro-rounded before the order-free long sums (the PMI/bigram-NLL
+    * discipline); probabilities are single IEEE divisions of exact
+    * BIGINTs, identical in both engines. */
+  private val corpusDriftSql: String =
+    """WITH tok AS MATERIALIZED (SELECT source,
+      |    CAST(concat('0x', substr(md5('cd|' || t.tok), 1, 15)) AS BIGINT)
+      |      % 256 AS bucket
+      |  FROM documents,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS t(tok)),
+      |counts AS MATERIALIZED (SELECT source, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+      |           FROM counts GROUP BY 1),
+      |allb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS c_all
+      |         FROM counts GROUP BY 1),
+      |nall AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM counts),
+      |grid AS (SELECT t.source, t.n_s, r.range AS bucket, n.n_all,
+      |    COALESCE(c.c, 0) + 1 AS cs, COALESCE(a.c_all, 0) + 1 AS ca
+      |  FROM totals t CROSS JOIN range(256) r CROSS JOIN nall n
+      |  LEFT JOIN counts c ON c.source = t.source AND c.bucket = r.range
+      |  LEFT JOIN allb a ON a.bucket = r.range),
+      |terms AS (SELECT source, n_s,
+      |    CAST(round((CAST(cs AS DOUBLE) / CAST(n_s + 256 AS DOUBLE))
+      |      * ln(CAST(cs * (n_all + 256) AS DOUBLE)
+      |            / CAST((n_s + 256) * ca AS DOUBLE)) * 1e6, 0)
+      |      AS BIGINT) AS kl_t,
+      |    CAST(round(((CAST(cs AS DOUBLE) / CAST(n_s + 256 AS DOUBLE))
+      |      * ln((CAST(cs AS DOUBLE) / CAST(n_s + 256 AS DOUBLE))
+      |            / ((CAST(cs AS DOUBLE) / CAST(n_s + 256 AS DOUBLE)
+      |                + CAST(ca AS DOUBLE) / CAST(n_all + 256 AS DOUBLE)) / 2))
+      |      / 2.0) * 1e6, 0) AS BIGINT) AS js_s,
+      |    CAST(round(((CAST(ca AS DOUBLE) / CAST(n_all + 256 AS DOUBLE))
+      |      * ln((CAST(ca AS DOUBLE) / CAST(n_all + 256 AS DOUBLE))
+      |            / ((CAST(cs AS DOUBLE) / CAST(n_s + 256 AS DOUBLE)
+      |                + CAST(ca AS DOUBLE) / CAST(n_all + 256 AS DOUBLE)) / 2))
+      |      / 2.0) * 1e6, 0) AS BIGINT) AS js_a
+      |  FROM grid)
+      |SELECT source, max(n_s) AS n_tokens,
+      |  CAST(sum(kl_t) AS BIGINT) AS kl_micro,
+      |  CAST(sum(js_s) + sum(js_a) AS BIGINT) AS js_micro
+      |FROM terms GROUP BY source""".stripMargin
+
+  /** q_rouge_overlap: bigrams as 60-bit md5 hashes, clipped-count
+    * overlap Σ min(cc, rc) joined co-keyed on (pair, hash); zero-
+    * denominator pairs score 0; P/R/F1 single IEEE divisions rounded
+    * to 6dp. */
+  private val rougeSql: String =
+    """WITH cand AS (SELECT doc_id AS pair_id, text FROM documents
+      |              WHERE doc_id % 2 = 0),
+      |refs AS (SELECT doc_id - 1 AS pair_id, text FROM documents
+      |         WHERE doc_id % 2 = 1),
+      |ct AS (SELECT pair_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM cand),
+      |rt AS (SELECT pair_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM refs),
+      |cg AS MATERIALIZED (SELECT pair_id,
+      |    CAST(concat('0x', substr(md5('rg|' || g.gram), 1, 15)) AS BIGINT) AS h,
+      |    CAST(count(*) AS BIGINT) AS cc
+      |  FROM ct, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g(gram)
+      |  GROUP BY 1, 2),
+      |rg AS MATERIALIZED (SELECT pair_id,
+      |    CAST(concat('0x', substr(md5('rg|' || g.gram), 1, 15)) AS BIGINT) AS h,
+      |    CAST(count(*) AS BIGINT) AS rc
+      |  FROM rt, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g(gram)
+      |  GROUP BY 1, 2),
+      |ov AS (SELECT pair_id, CAST(sum(least(cc, rc)) AS BIGINT) AS overlap
+      |  FROM cg JOIN rg USING (pair_id, h) GROUP BY 1),
+      |nc AS (SELECT pair_id, CAST(sum(cc) AS BIGINT) AS n_cand
+      |       FROM cg GROUP BY 1),
+      |nr AS (SELECT pair_id, CAST(sum(rc) AS BIGINT) AS n_ref
+      |       FROM rg GROUP BY 1),
+      |base AS (SELECT c.pair_id FROM cand c
+      |         JOIN refs r ON r.pair_id = c.pair_id),
+      |j AS (SELECT b.pair_id,
+      |    COALESCE(ov.overlap, 0) AS overlap,
+      |    COALESCE(nc.n_cand, 0) AS n_cand,
+      |    COALESCE(nr.n_ref, 0) AS n_ref
+      |  FROM base b
+      |  LEFT JOIN nc ON nc.pair_id = b.pair_id
+      |  LEFT JOIN nr ON nr.pair_id = b.pair_id
+      |  LEFT JOIN ov ON ov.pair_id = b.pair_id),
+      |pr AS (SELECT pair_id, overlap, n_cand, n_ref,
+      |    CASE WHEN n_cand > 0
+      |      THEN CAST(overlap AS DOUBLE) / CAST(n_cand AS DOUBLE)
+      |      ELSE 0.0 END AS p,
+      |    CASE WHEN n_ref > 0
+      |      THEN CAST(overlap AS DOUBLE) / CAST(n_ref AS DOUBLE)
+      |      ELSE 0.0 END AS r
+      |  FROM j)
+      |SELECT pair_id, overlap, n_cand, n_ref,
+      |  round(p, 6) AS rouge_p, round(r, 6) AS rouge_r,
+      |  round(CASE WHEN p + r > 0.0 THEN 2.0 * p * r / (p + r)
+      |        ELSE 0.0 END, 6) AS rouge_f1
+      |FROM pr""".stripMargin
+
   val all: Map[String, String] = base ++ Map(
     "q_dedup_indexed" -> base("q_dedup_incremental"),
     "q_memorization_indexed" -> base("q_memorization"),
-    "q_line_dedup_indexed" -> base("q_line_dedup"))
+    "q_line_dedup_indexed" -> base("q_line_dedup"),
+    "q_maxsim_topk" -> maxsimSql,
+    "q_bradley_terry" -> bradleyTerrySql,
+    "q_corpus_drift" -> corpusDriftSql,
+    "q_rouge_overlap" -> rougeSql)
 }

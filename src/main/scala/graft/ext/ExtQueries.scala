@@ -117,6 +117,63 @@ object ExtQueries {
   def qSimCosineTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables(spark, dir).embeddings, k = 10, numQueries = 5)
 
+  /** Shared (nTokens, tokenDim) grid for the MaxSim query AND its
+    * oracle generator — one source of truth, so the two can't
+    * desynchronize (the q_random_walks constant-coupling lesson). */
+  val maxsimTokens = 8
+  val maxsimTokenDim = 8
+
+  /** ColBERT-style MaxSim late interaction: the 64-dim stored vector
+    * read as 8×8-dim token sub-vectors, score = Σ_i max_j cos. */
+  def qMaxsimTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.maxSimTopK(Tables(spark, dir).embeddings, k = 10,
+      numQueries = 5, nTokens = maxsimTokens, tokenDim = maxsimTokenDim)
+
+  /** MM rounds for Bradley–Terry — shared by query and oracle
+    * generator. */
+  val btIters = 3
+
+  /** Per-source hashed-unigram drift (KL / Jensen–Shannon) vs the
+    * whole-corpus mixture — corpus-governance for re-crawled data. */
+  def qCorpusDrift(spark: SparkSession, dir: String): DataFrame =
+    Curation.corpusDrift(Tables(spark, dir).documents, buckets = 256)
+
+  /** ROUGE-2 of each even doc (candidate) against its odd successor
+    * (reference) — the summarization-eval overlap metric as a
+    * text-pair scoring operator. */
+  def qRougeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    TextAnalysis.rougeN(
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text")),
+      d.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text")),
+      n = 2)
+  }
+
+  /** Bradley–Terry strength ranking over part brands, with pairwise
+    * duels synthesized from each order's first two lineitems (winner
+    * = higher extended price; price ties and same-brand duels drop).
+    * The RLHF preference-aggregation shape on relational data. */
+  def qBradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val b1 = t.part.select(col("p_partkey").as("pk1"), col("p_brand").as("b1"))
+    val b2 = t.part.select(col("p_partkey").as("pk2"), col("p_brand").as("b2"))
+    val l1 = t.lineitem.filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk1"),
+        col("l_extendedprice").as("ep1"))
+    val l2 = t.lineitem.filter(col("l_linenumber") === 2)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk2"),
+        col("l_extendedprice").as("ep2"))
+    val duels = l1.join(l2, "ok")
+      .join(broadcast(b1), "pk1").join(broadcast(b2), "pk2")
+      .filter(col("ep1") =!= col("ep2") && col("b1") =!= col("b2"))
+      .select(
+        when(col("ep1") > col("ep2"), col("b1")).otherwise(col("b2")).as("winner"),
+        when(col("ep1") > col("ep2"), col("b2")).otherwise(col("b1")).as("loser"))
+    Preferences.bradleyTerry(duels, iters = btIters)
+  }
+
   /** IVF with the Lloyd k-means quantizer — oracle-verified: centroid
     * averaging accumulates integer micro-units, so the DuckDB oracle
     * replays both iterations (seeds → assign → update → probe → top-k)

@@ -150,6 +150,61 @@ object Similarity {
     topKExplode(scored, Seq("query_id"), k)
   }
 
+  /** ColBERT-style late-interaction (MaxSim) retrieval: each stored
+    * vector is read as `nTokens` fixed-width token sub-vectors of
+    * `tokenDim` dims (a multi-vector representation packed into one
+    * embedding column — the layout a token-level encoder would emit),
+    * and score(q, d) = Σ_i max_j cos(q_i, d_j): every query token
+    * matches its best document token, summed over query tokens
+    * (Khattab & Zaharia, SIGIR 2020). This ranks differently from
+    * single-vector cosine — a document strong on EVERY query facet
+    * beats one globally similar — which is why late interaction is
+    * the reranking layer modern retrieval stacks add above pooled
+    * ANN.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — token slices and
+    * per-token norms are computed ONCE per row map-side (never per
+    * pair), the query side broadcasts, scoring is a zero-shuffle
+    * projection (nTokens² codegen'd [[graft.expressions.DotProduct]]
+    * terms per pair), and the only aggregation is the bounded-heap
+    * top-k. Zero-norm tokens score 0 by contract (no NaN poisoning).
+    * All arithmetic is fixed-order IEEE (greatest over identical
+    * doubles, left-to-right i-sum), so the DuckDB oracle replays the
+    * exact ranking. */
+  def maxSimTopK(emb: DataFrame, k: Int = 10, numQueries: Int = 5,
+      nTokens: Int = 8, tokenDim: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+    val queries = emb.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(graft.expressions.MaxSimScore.maxSim(
+          col("qv"), col("dv"), nTokens, tokenDim), 6).as("cos_sim"))
+    topKExplode(scored, Seq("query_id"), k)
+      .withColumnRenamed("cos_sim", "maxsim")
+  }
+
+  /** Built-in-composed MaxSim (slices + greatest of guarded cosines);
+    * interpreted-path semantics reference the native [[maxSimTopK]]
+    * expression is asserted against in ExtSpec — never the hot path. */
+  private[graft] def maxSimComposed(qv: Column, dv: Column,
+      nTokens: Int, tokenDim: Int): Column = {
+    def tok(vc: Column, i: Int): Column = slice(vc, i * tokenDim + 1, tokenDim)
+    def norm(vc: Column, i: Int): Column =
+      sqrt(foldDot(tok(vc, i), tok(vc, i)))
+    val terms = (0 until nTokens).map { i =>
+      val js = (0 until nTokens).map { j =>
+        val den = norm(qv, i) * norm(dv, j)
+        when(den === 0.0, 0.0)
+          .otherwise(foldDot(tok(qv, i), tok(dv, j)) / den)
+      }
+      if (js.size == 1) js.head else greatest(js: _*)
+    }
+    terms.reduce(_ + _)
+  }
+
   /** Metadata-filtered exact ANN: top-k among only the corpus rows
     * satisfying `corpusPred` (pre-filter semantics — the production
     * "search within label/language/license" shape). The predicate is

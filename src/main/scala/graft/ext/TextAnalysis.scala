@@ -478,4 +478,61 @@ object TextAnalysis {
         array_join(col("matched"), ",").as("matched_csv"),
         (size(col("matched")) === 0).as("keep"))
   }
+
+  /** ROUGE-N overlap between paired (candidate, reference) texts —
+    * the n-gram eval metric (Lin, 2004) a summarization/distillation
+    * pipeline scores its outputs with, and a cheap text-pair
+    * similarity for QA of rewrite/augmentation stages: clipped n-gram
+    * matches Σ min(count_cand, count_ref), recall = overlap/ref-grams
+    * (ROUGE is recall-oriented), precision = overlap/cand-grams, F1.
+    *
+    * Scale shape: n-grams build inside per-row array expressions
+    * (zero shuffle), collapse to (pair, gram-hash) counts (one keyed
+    * shuffle each side, map-side combined), clip-join on
+    * (pair, hash) — co-keyed, no fanout — and roll up per pair.
+    * Grams travel as 60-bit portable hashes, so shuffles move longs
+    * and the DuckDB oracle replays them. Pairs where either side has
+    * < n tokens score 0 by the zero-denominator contract.
+    *
+    * @param cand (idCol, textCol) candidate rows, one per pair id
+    * @param ref  (idCol, textCol) reference rows, same id domain;
+    *             only ids present on BOTH sides are scored
+    * @return (pair_id, overlap, n_cand, n_ref, rouge_p, rouge_r,
+    *         rouge_f1) */
+  def rougeN(cand: DataFrame, ref: DataFrame, n: Int = 2,
+      idCol: String = "pair_id", textCol: String = "text"): DataFrame = {
+    def gramCounts(df: DataFrame, cnt: String): DataFrame =
+      df.select(col(idCol).as("pair_id"), tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("pair_id"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+        .select(col("pair_id"),
+          Dedup.portableHash60(concat(lit("rg|"), col("gram"))).as("h"))
+        .groupBy("pair_id", "h").agg(count(lit(1)).as(cnt))
+    val cg = gramCounts(cand, "cc")
+    val rg = gramCounts(ref, "rc")
+    val ov = cg.join(rg, Seq("pair_id", "h"))
+      .groupBy("pair_id").agg(sum(least(col("cc"), col("rc"))).as("overlap"))
+    val nc = cg.groupBy("pair_id").agg(sum(col("cc")).as("n_cand"))
+    val nr = rg.groupBy("pair_id").agg(sum(col("rc")).as("n_ref"))
+    val base = cand.select(col(idCol).as("pair_id"))
+      .join(ref.select(col(idCol).as("pair_id")), Seq("pair_id"))
+    val p = when(col("n_cand") > 0,
+      col("overlap").cast(DoubleType) / col("n_cand").cast(DoubleType))
+      .otherwise(0.0)
+    val r = when(col("n_ref") > 0,
+      col("overlap").cast(DoubleType) / col("n_ref").cast(DoubleType))
+      .otherwise(0.0)
+    base.join(nc, Seq("pair_id"), "left").join(nr, Seq("pair_id"), "left")
+      .join(ov, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+      .select(col("pair_id"), col("overlap"), col("n_cand"), col("n_ref"),
+        round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
+        round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6)
+          .as("rouge_f1"))
+  }
 }

@@ -350,4 +350,31 @@ class CurationSpec extends AnyFunSuite {
       (750000000L * 2 / 3) * 1 / 3 // unseen (a,a): backoff-only term
     assert(math.abs(pa - 1000000000L) < 5, s"P(.|a) mass $pa")
   }
+
+  test("corpusDrift: divergent source scores above mixture-shaped sources; JS bounded; partition-independent") {
+    val common = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (
+      (0L until 20L).map(i => (i, common, "web")) ++
+      (20L until 40L).map(i => (i, common, "wiki")) ++
+      // drifted source: disjoint vocabulary
+      (40L until 60L).map(i =>
+        (i, "zygote quasar phantom nebula cipher oblique vortex matrix", "spam"))
+    ).toDF("doc_id", "text", "source")
+    val d = Curation.corpusDrift(docs, buckets = 64)
+      .select("source", "kl_micro", "js_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d("spam")._2 > d("web")._2 && d("spam")._2 > d("wiki")._2,
+      s"disjoint-vocab source must lead KL: $d")
+    assert(d("spam")._3 > d("web")._3, s"and JS: $d")
+    // JS ≤ ln 2 (in micro), with smoothing slack
+    d.values.foreach { case (s, _, js) =>
+      assert(js >= -5 && js <= 693148, s"JS out of [0, ln2] for $s: $js") }
+    // sources with identical token distributions score identically
+    assert(d("web")._2 == d("wiki")._2 && d("web")._3 == d("wiki")._3,
+      s"same-distribution sources must tie: $d")
+    val d2 = Curation.corpusDrift(docs.repartition(13), buckets = 64)
+      .select("source", "kl_micro", "js_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d == d2, "partitioning must not change divergences")
+  }
 }

@@ -1009,6 +1009,90 @@ class ExtSpec extends AnyFunSuite {
     assert(merged == whole, "register-wise max must merge shards")
   }
 
+  test("maxSim: swapped-slot match invisible to pooled cosine; nTokens=1 ≡ cosine; zero-norm scores 0") {
+    def e(i: Int, s: Float = 1f) = { val a = Array.fill(8)(0f); a(i) = s; a }
+    val z = Array.fill(8)(0f)
+    def vec(toks: Array[Float]*): Array[Float] =
+      (toks ++ Seq.fill(8 - toks.length)(z)).flatten.toArray
+    val q = vec(e(0), e(1))
+    val a = vec(e(1, 2f), e(0, 3f)) // query tokens present, slots swapped + scaled
+    val b = vec(e(2), e(3))         // unrelated directions
+    val emb = Seq((0L, q), (1L, a), (2L, b), (3L, Array.fill(64)(0f)))
+      .toDF("vec_id", "embedding")
+    val ms = Similarity.maxSimTopK(emb, k = 3, numQueries = 1)
+      .select("nn_id", "maxsim").as[(Long, Double)].collect().toMap
+    assert(ms(1L) == 2.0, s"both query tokens find exact-direction matches: $ms")
+    assert(ms(2L) == 0.0 && ms(3L) == 0.0, s"unrelated/zero score 0, not NaN: $ms")
+    // pooled single-vector cosine is blind to the swapped-slot match
+    val pooled = Similarity.bruteForceTopK(emb, k = 3, numQueries = 1)
+      .select("nn_id", "cos_sim").as[(Long, Double)].collect().toMap
+    assert(pooled(1L) == 0.0, s"full-vector cosine of orthogonal layouts: $pooled")
+    // degenerate 1×64 grid IS pooled cosine — ranks and scores identical
+    val embR = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val one = Similarity.maxSimTopK(embR, k = 5, numQueries = 2,
+        nTokens = 1, tokenDim = 64)
+      .select("query_id", "nn_id", "maxsim", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(embR, k = 5, numQueries = 2)
+      .select("query_id", "nn_id", "cos_sim", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(one == bf, "nTokens=1 must reproduce brute-force cosine exactly")
+  }
+
+  test("rougeN: hand-computed clipped bigram overlap; identity pair scores 1; short pair scores 0") {
+    val cand = Seq((1L, "a b c d"), (2L, "same text here"), (3L, "x"))
+      .toDF("pair_id", "text")
+    val ref = Seq((1L, "a b x c d"), (2L, "same text here"), (3L, "y"))
+      .toDF("pair_id", "text")
+    val out = TextAnalysis.rougeN(cand, ref, n = 2)
+      .select("pair_id", "overlap", "rouge_p", "rouge_r", "rouge_f1")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // cand bigrams {ab,bc,cd}, ref {ab,bx,xc,cd} → overlap 2,
+    // P=2/3, R=2/4, F1=4/7
+    assert(out(1L)._2 == 2L)
+    assert(out(1L)._3 == 0.666667 && out(1L)._4 == 0.5)
+    assert(out(1L)._5 == 0.571429, s"F1: ${out(1L)}")
+    assert(out(2L)._3 == 1.0 && out(2L)._4 == 1.0 && out(2L)._5 == 1.0)
+    assert(out(3L)._2 == 0L && out(3L)._5 == 0.0, "sub-bigram texts score 0")
+  }
+
+  test("MaxSimScore native expression ≡ built-in composition, bit-for-bit") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val pairs = emb
+      .select(col("vec_id").as("nn_id"),
+        transform(col("embedding"), x => x.cast("double")).as("dv"))
+      .crossJoin(q)
+    val diff = pairs.select(
+        graft.expressions.MaxSimScore.maxSim(col("qv"), col("dv"), 8, 8).as("nat"),
+        Similarity.maxSimComposed(col("qv"), col("dv"), 8, 8).as("ref"))
+      .filter(col("nat") =!= col("ref")).count()
+    assert(diff == 0, "native fused loop must be bit-identical to the composition")
+  }
+
+  test("bradleyTerry: transitive dominance ranks A>B>C; result is partitioning-independent") {
+    val duels = Seq(
+      ("A", "B"), ("A", "B"), ("A", "B"),
+      ("B", "C"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("A", "C"), ("A", "C"),
+      ("C", "A") // one upset — strengths still ordered
+    ).toDF("winner", "loser")
+    val w = Preferences.bradleyTerry(duels, iters = 3)
+      .select("item", "w_micro", "rk")
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(w.map(_._1).toSeq == Seq("A", "B", "C"),
+      s"dominance order: ${w.toSeq}")
+    assert(w(0)._2 > w(1)._2 && w(1)._2 > w(2)._2, s"strict strengths: ${w.toSeq}")
+    // exact-sum contract: any input partitioning yields the same iterates
+    val w2 = Preferences.bradleyTerry(duels.repartition(7), iters = 3)
+      .select("item", "w_micro", "rk")
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(w.toSeq == w2.toSeq, "partitioning must not change the fit")
+  }
+
   test("rankingMetrics: perfect ranking scores 1.0, no-relevant scores 0, mixed in between") {
     import spark.implicits._
     // 2D embeddings: label 0 clusters near (1, 0), label 1 near (0, 1).
