@@ -3154,6 +3154,100 @@ FROM w${ExtQueries.btIters}"""
       |        ELSE 0.0 END, 6) AS rouge_f1
       |FROM pr""".stripMargin
 
+  /** q_eval_calibration: explicit floor() before every would-be
+    * integer cast (Spark cast truncates, DuckDB rounds — floor makes
+    * the value integer first); all sums are exact longs. */
+  private val calibrationSql: String =
+    """WITH t AS (SELECT lower(text) AS lt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM documents),
+      |pred AS (SELECT
+      |    least(1000000, CAST(len(list_filter(toks,
+      |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      AS BIGINT) * 125000) AS p,
+      |    CASE WHEN lt LIKE '% the %' THEN 1 ELSE 0 END AS y FROM t),
+      |binned AS (SELECT
+      |    CAST(least(floor(p * 10 / 1000000), 9) AS BIGINT) AS bin, p, y,
+      |    CAST(floor((p - y * 1000000) * (p - y * 1000000) / 1000000)
+      |      AS BIGINT) AS sq FROM pred),
+      |perbin AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_bin,
+      |    CAST(round(CAST(sum(p) AS DOUBLE) / count(*), 0) AS BIGINT)
+      |      AS conf_micro,
+      |    CAST(round(CAST(sum(y) AS DOUBLE) * 1e6 / count(*), 0) AS BIGINT)
+      |      AS acc_micro,
+      |    CAST(sum(sq) AS BIGINT) AS sq
+      |  FROM binned GROUP BY 1),
+      |g AS (SELECT bin, n_bin, conf_micro, acc_micro,
+      |    abs(acc_micro - conf_micro) AS gap_micro, sq FROM perbin),
+      |s AS (SELECT
+      |    CAST(round(CAST(sum(gap_micro * n_bin) AS DOUBLE) / sum(n_bin), 0)
+      |      AS BIGINT) AS ece_micro,
+      |    CAST(max(gap_micro) AS BIGINT) AS mce_micro,
+      |    CAST(round(CAST(sum(sq) AS DOUBLE) / sum(n_bin), 0) AS BIGINT)
+      |      AS brier_micro FROM g)
+      |SELECT bin, n_bin, conf_micro, acc_micro, gap_micro,
+      |  ece_micro, mce_micro, brier_micro
+      |FROM g CROSS JOIN s""".stripMargin
+
+  /** q_cohen_kappa: multi-class κ from exact-long confusion /
+    * marginal counts; pe's numerator Σ nₐ·n_b is long-exact. */
+  private val cohenKappaSql: String =
+    """WITH t AS (SELECT source, lower(text) AS lt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM documents),
+      |lab AS (SELECT source AS grp,
+      |    CASE WHEN len(list_filter(toks,
+      |        x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      >= len(list_filter(toks,
+      |        x -> x IN ('el','la','de','y','es','en','que','los')))
+      |      THEN 'en' ELSE 'es' END AS la,
+      |    CASE WHEN lt LIKE '% the %' THEN 'en' ELSE 'es' END AS lb FROM t),
+      |cells AS MATERIALIZED (SELECT grp, la, lb, CAST(count(*) AS BIGINT) AS c
+      |  FROM lab GROUP BY 1, 2, 3),
+      |n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+      |ag AS (SELECT grp, CAST(sum(c) AS BIGINT) AS agree FROM cells
+      |       WHERE la = lb GROUP BY 1),
+      |ma AS (SELECT grp, la, CAST(sum(c) AS BIGINT) AS na
+      |       FROM cells GROUP BY 1, 2),
+      |mb AS (SELECT grp, lb, CAST(sum(c) AS BIGINT) AS nb
+      |       FROM cells GROUP BY 1, 2),
+      |pe AS (SELECT ma.grp, CAST(sum(na * nb) AS BIGINT) AS pe_num
+      |  FROM ma JOIN mb ON mb.grp = ma.grp AND mb.lb = ma.la GROUP BY 1),
+      |j AS (SELECT n.grp, n.n, COALESCE(ag.agree, 0) AS agree,
+      |    COALESCE(pe.pe_num, 0) AS pe_num
+      |  FROM n LEFT JOIN ag ON ag.grp = n.grp
+      |  LEFT JOIN pe ON pe.grp = n.grp),
+      |f AS (SELECT grp, n, agree,
+      |    CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |    CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe FROM j)
+      |SELECT grp, n, agree, round(po, 6) AS po, round(pe, 6) AS pe,
+      |  round(CASE WHEN pe = 1.0 THEN 0.0
+      |        ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+      |FROM f""".stripMargin
+
+  /** q_vocab_richness: frequency-of-frequencies rollup; Chao1
+    * bias-corrected estimator + Good–Turing coverage. */
+  private val vocabRichnessSql: String =
+    """WITH tok AS (SELECT source,
+      |    CAST(concat('0x', substr(md5('vr|' || t.tok), 1, 15)) AS BIGINT) AS h
+      |  FROM documents,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS t(tok)),
+      |counts AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM counts GROUP BY 1)
+      |SELECT source, n_tokens, vocab, f1, f2,
+      |  round(CAST(vocab AS DOUBLE) +
+      |    CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE), 6)
+      |    AS chao1,
+      |  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |    AS coverage
+      |FROM agg""".stripMargin
+
   val all: Map[String, String] = base ++ Map(
     "q_dedup_indexed" -> base("q_dedup_incremental"),
     "q_memorization_indexed" -> base("q_memorization"),
@@ -3161,5 +3255,8 @@ FROM w${ExtQueries.btIters}"""
     "q_maxsim_topk" -> maxsimSql,
     "q_bradley_terry" -> bradleyTerrySql,
     "q_corpus_drift" -> corpusDriftSql,
-    "q_rouge_overlap" -> rougeSql)
+    "q_rouge_overlap" -> rougeSql,
+    "q_eval_calibration" -> calibrationSql,
+    "q_cohen_kappa" -> cohenKappaSql,
+    "q_vocab_richness" -> vocabRichnessSql)
 }

@@ -138,6 +138,39 @@ object ExtQueries {
   def qCorpusDrift(spark: SparkSession, dir: String): DataFrame =
     Curation.corpusDrift(Tables(spark, dir).documents, buckets = 256)
 
+  /** Reliability diagram + ECE/MCE/Brier of an English-ness
+    * probability (capped stopword-hit score) against a crude
+    * contains-' the ' label — the calibration QA every score-gated
+    * corpus filter needs. */
+  def qEvalCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val preds = Tables(spark, dir).documents.select(
+      least(lit(1000000L), hits.cast("long") * 125000L).as("p_micro"),
+      when(lower(col("text")).like("% the %"), 1L).otherwise(0L).as("y"))
+    Evaluation.calibration(preds, bins = 10)
+  }
+
+  /** Cohen's κ per source between two language annotators: the
+    * stopword-hit lang-id rule vs a contains-' the ' rule. */
+  def qCohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def cnt(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(x => lit(x)): _*)))
+    val labels = Tables(spark, dir).documents.select(
+      col("source").as("group"),
+      when(cnt(TextAnalysis.EnStop) >= cnt(TextAnalysis.EsStop), "en")
+        .otherwise("es").as("label_a"),
+      when(lower(col("text")).like("% the %"), "en").otherwise("es")
+        .as("label_b"))
+    Evaluation.cohenKappa(labels)
+  }
+
+  /** Chao1 vocabulary richness + Good–Turing coverage per source. */
+  def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabRichness(Tables(spark, dir).documents)
+
   /** ROUGE-2 of each even doc (candidate) against its odd successor
     * (reference) — the summarization-eval overlap metric as a
     * text-pair scoring operator. */

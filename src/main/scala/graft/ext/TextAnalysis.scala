@@ -479,6 +479,42 @@ object TextAnalysis {
         (size(col("matched")) === 0).as("keep"))
   }
 
+  /** Vocabulary richness / sample-coverage estimators per source —
+    * the "how much of this source's vocabulary have we actually
+    * seen" corpus statistic that sizes tokenizer vocab and flags
+    * under-crawled sources: bias-corrected Chao1 richness
+    * V + F₁(F₁−1)/(2(F₂+1)) (Chao 1984; F_k = # tokens seen exactly
+    * k times) and Good–Turing sample coverage 1 − F₁/N.
+    *
+    * Scale shape: one (source, token-hash) count shuffle (map-side
+    * combined, hashes are longs), then a source-keyed rollup of the
+    * frequency-of-frequencies — nothing corpus-proportional after
+    * the first aggregate. Estimator divisions are single IEEE ops on
+    * exact longs, rounded to 6dp.
+    *
+    * @return (source, n_tokens, vocab, f1, f2, chao1, coverage) */
+  def vocabRichness(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("source"),
+        Dedup.portableHash60(concat(lit("vr|"), col("tok"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+    counts.groupBy("source").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        round(col("vocab").cast(DoubleType) +
+          (col("f1") * (col("f1") - 1L)).cast(DoubleType) /
+            (lit(2L) * (col("f2") + 1L)).cast(DoubleType), 6).as("chao1"),
+        round(lit(1.0) -
+          col("f1").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("coverage"))
+  }
+
   /** ROUGE-N overlap between paired (candidate, reference) texts —
     * the n-gram eval metric (Lin, 2004) a summarization/distillation
     * pipeline scores its outputs with, and a cheap text-pair

@@ -1057,6 +1057,50 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L && out(3L)._5 == 0.0, "sub-bigram texts score 0")
   }
 
+  test("calibration: perfectly calibrated bins gap 0 (ECE 0); Brier matches hand sum") {
+    val rows = (Seq.fill(8)((800000L, 1L)) ++ Seq.fill(2)((800000L, 0L)) ++
+      Seq.fill(2)((200000L, 1L)) ++ Seq.fill(8)((200000L, 0L)))
+      .toDF("p_micro", "y")
+    val out = Evaluation.calibration(rows, bins = 10)
+      .select("bin", "n_bin", "gap_micro", "ece_micro", "brier_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set(2L, 8L))
+    assert(out.forall(_._3 == 0L), s"calibrated bins must gap 0: ${out.toSeq}")
+    assert(out.head._4 == 0L, "ECE 0")
+    // Brier = (8·0.04 + 2·0.64 + 2·0.64 + 8·0.04)/20 = 0.16
+    assert(out.head._5 == 160000L, s"brier: ${out.head}")
+    val anti = Seq.fill(10)((900000L, 0L)).toDF("p_micro", "y")
+    val a = Evaluation.calibration(anti, bins = 10)
+      .select("ece_micro").as[Long].head()
+    assert(a == 900000L, s"anti-calibrated ECE = confidence: $a")
+  }
+
+  test("cohenKappa: perfect agreement 1; hand-computed 2x2 case; constant-pair convention 0") {
+    val hand = (Seq.fill(6)(("g", "y", "y")) ++ Seq.fill(2)(("g", "n", "n")) ++
+      Seq(("g", "y", "n"), ("g", "n", "y")) ++
+      Seq.fill(4)(("perfect", "a", "a")) ++ Seq.fill(3)(("perfect", "b", "b")) ++
+      Seq.fill(5)(("const", "x", "x")))
+      .toDF("group", "label_a", "label_b")
+    val k = Evaluation.cohenKappa(hand)
+      .select("grp", "po", "pe", "kappa")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // g: po=0.8, pe=0.7·0.7+0.3·0.3=0.58, κ=(0.8−0.58)/0.42
+    assert(k("g")._2 == 0.8 && k("g")._3 == 0.58)
+    assert(k("g")._4 == 0.52381, s"hand κ: ${k("g")}")
+    assert(k("perfect")._4 == 1.0)
+    assert(k("const")._4 == 0.0, "pe=1 degenerate scores 0 by convention")
+  }
+
+  test("vocabRichness: Chao1 and coverage on a hand-counted source") {
+    val docs = Seq((1L, "a a b c", "s1")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.vocabRichness(docs)
+      .select("n_tokens", "vocab", "f1", "f2", "chao1", "coverage")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    // N=4, V=3, F1=2 (b,c), F2=1 (a twice): chao1 = 3 + 2·1/4 = 3.5
+    assert(r == ((4L, 3L, 2L, 1L, 3.5, 0.5)), s"got $r")
+  }
+
   test("MaxSimScore native expression ≡ built-in composition, bit-for-bit") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val q = emb.filter(col("vec_id") < 3)
