@@ -38,10 +38,16 @@ object Evaluation {
     *         acc_micro, gap_micro, ece_micro, mce_micro, brier_micro)
     */
   def calibration(preds: DataFrame, bins: Int = 10,
+      pCol: String = "p_micro", yCol: String = "y"): DataFrame =
+    calibrationFinish(calibrationState(preds, bins, pCol, yCol))
+
+  /** The binned per-row terms (bin, p, y, sq_micro) — stateless, so
+    * it runs unchanged on an unbounded stream. */
+  private[graft] def calibrationTerms(preds: DataFrame, bins: Int,
       pCol: String = "p_micro", yCol: String = "y"): DataFrame = {
     val p = col(pCol).cast(LongType)
     val y = col(yCol).cast(LongType)
-    val binned = preds.select(
+    preds.select(
       // explicit floor(…) in BOTH engines: long/long division is
       // fractional in both, and a bare double→int cast truncates in
       // Spark but rounds in DuckDB — floor makes the value integer
@@ -53,9 +59,23 @@ object Evaluation {
       // per-row Brier term in micro units: floor(d²/1e6), d = p−y·1e6
       floor((p - y * 1000000L) * (p - y * 1000000L) / 1000000L)
         .cast(LongType).as("sq_micro"))
-    val perBin = binned.groupBy("bin")
+  }
+
+  /** The ALGEBRAIC per-bin accumulator (n, Σp, positives, Σsq) — four
+    * commutative long sums, so shards/micro-batches merge freely and
+    * the state is bins rows forever (the streaming-twin state table,
+    * [[graft.streaming.StreamingOps.calibrationStateStream]]). */
+  private[graft] def calibrationState(preds: DataFrame, bins: Int,
+      pCol: String = "p_micro", yCol: String = "y"): DataFrame =
+    calibrationTerms(preds, bins, pCol, yCol).groupBy("bin")
       .agg(count(lit(1)).as("n_bin"), sum(col("p")).as("sum_p"),
         sum(col("y")).as("pos"), sum(col("sq_micro")).as("sq"))
+
+  /** Finish a state snapshot into the reliability table + ECE/MCE/
+    * Brier summary — bins-sized input, identical result whether the
+    * state came from one batch pass or merged micro-batches. */
+  def calibrationFinish(state: DataFrame): DataFrame = {
+    val perBin = state
       .select(col("bin"), col("n_bin"),
         round(col("sum_p").cast(DoubleType) / col("n_bin").cast(DoubleType), 0)
           .cast(LongType).as("conf_micro"),
@@ -113,7 +133,7 @@ object Evaluation {
     val po = col("agree").cast(DoubleType) / col("n").cast(DoubleType)
     val pe = col("pe_num").cast(DoubleType) /
       (col("n") * col("n")).cast(DoubleType)
-    n.join(agree, Seq("grp"), "left").join(peNum, Seq("grp"), "left")
+    val out = n.join(agree, Seq("grp"), "left").join(peNum, Seq("grp"), "left")
       .select(col("grp"), col("n"),
         coalesce(col("agree"), lit(0L)).as("agree"),
         coalesce(col("pe_num"), lit(0L)).as("pe_num"))
@@ -121,5 +141,10 @@ object Evaluation {
         round(po, 6).as("po"), round(pe, 6).as("pe"),
         round(when(pe === 1.0, 0.0).otherwise((po - pe) / (lit(1.0) - pe)), 6)
           .as("kappa"))
+      // groups-sized result materialized so the cells scaffold can be
+      // released here instead of leaking until the caller's releaseAll
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells)
+    out
   }
 }

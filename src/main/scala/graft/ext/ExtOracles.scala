@@ -3154,6 +3154,67 @@ FROM w${ExtQueries.btIters}"""
       |        ELSE 0.0 END, 6) AS rouge_f1
       |FROM pr""".stripMargin
 
+  /** q_lsh_recall: the exact prefix-join replay (q_prefix_jaccard's
+    * chain) LEFT-joined against the banding replay
+    * (q_dedup_lsh_candidates' chain), rolled up per Jaccard decile —
+    * both chains verbatim from their single-query oracles so the
+    * composition cannot drift from the parts. */
+  private def lshRecallSql(toks: String): String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+      |ts AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+      |         range(1, len(toks) - 1),
+      |         i -> CAST(concat('0x', substr(md5(
+      |           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT)))) AS s
+      |       FROM t WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS token FROM ts),
+      |df AS (SELECT token, count(*) AS df FROM ex GROUP BY token),
+      |ranked AS (SELECT e.doc_id, e.token,
+      |    row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.token) AS rnk,
+      |    count(*) OVER (PARTITION BY e.doc_id) AS sz
+      |  FROM ex e JOIN df d USING (token)),
+      |pref AS (SELECT doc_id, token FROM ranked
+      |         WHERE rnk <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM pref a JOIN pref b
+      |           ON a.token = b.token AND a.doc_id < b.doc_id),
+      |ver AS (SELECT a_id, b_id,
+      |    len(list_intersect(sa.s, sb.s)) AS inter,
+      |    len(sa.s) AS la, len(sb.s) AS lb
+      |  FROM cand JOIN ts sa ON sa.doc_id = a_id
+      |            JOIN ts sb ON sb.doc_id = b_id),
+      |exact AS (SELECT a_id, b_id,
+      |    round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+      |  FROM ver WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+      |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+      |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+      |h AS (SELECT doc_id, s,
+      |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
+      |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+      |sig AS (SELECT doc_id,
+      |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+      |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+      |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+      |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+      |FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sig UNION ALL
+      |  SELECT doc_id, 1, m2, m3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, m4, m5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, m6, m7 FROM sig),
+      |lsh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS j_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  round(CAST(sum(CASE WHEN l.a_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS recall
+      |FROM exact e LEFT JOIN lsh l ON l.a_id = e.a_id AND l.b_id = e.b_id
+      |GROUP BY 1""".stripMargin
+
   /** q_eval_calibration: explicit floor() before every would-be
     * integer cast (Spark cast truncates, DuckDB rounds — floor makes
     * the value integer first); all sums are exact longs. */
@@ -3258,5 +3319,6 @@ FROM w${ExtQueries.btIters}"""
     "q_rouge_overlap" -> rougeSql,
     "q_eval_calibration" -> calibrationSql,
     "q_cohen_kappa" -> cohenKappaSql,
-    "q_vocab_richness" -> vocabRichnessSql)
+    "q_vocab_richness" -> vocabRichnessSql,
+    "q_lsh_recall" -> lshRecallSql(toks))
 }

@@ -171,6 +171,30 @@ object ExtQueries {
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)
 
+  /** Empirical LSH recall vs exact ground truth, per Jaccard decile —
+    * the "measure, don't guess" query for the MinHash-banding family
+    * (the dedup twin of q_ann_recall): ground-truth near-dup pairs
+    * from the EXACT prefix-filtered join, probed against the banded
+    * candidate set; per-bucket recall exposes the banding S-curve
+    * (1−(1−s^r)^b) empirically, so a banding-parameter change that
+    * silently drops mid-similarity pairs breaks the hash. */
+  def qLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val exact = Dedup.prefixJaccardJoin(docs, threshold = 0.5)
+    val cands = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, numHashes = 8),
+        numHashes = 8, rowsPerBand = 2)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    exact.join(cands, Seq("a_id", "b_id"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("j_bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_hit"))
+      .select(col("j_bucket"), col("n_pairs"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** ROUGE-2 of each even doc (candidate) against its odd successor
     * (reference) — the summarization-eval overlap metric as a
     * text-pair scoring operator. */

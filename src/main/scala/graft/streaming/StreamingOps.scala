@@ -277,6 +277,19 @@ object StreamingOps {
       shift: Int = 3): DataFrame =
     df.filter(graft.ext.Sketches.quantileSampleFilter(col(keyCol), shift))
 
+  /** Streaming twin of the calibration STATE
+    * ([[graft.ext.Evaluation.calibration]]'s per-bin accumulators):
+    * an online classifier gating live ingest needs its reliability
+    * monitored continuously, and the per-bin (n, Σp, positives,
+    * Σ brier-terms) state is four commutative long sums — micro-
+    * batches fold in exactly, state is ≤ bins rows FOREVER. The
+    * binning projection is stateless, so this is a plain streaming
+    * groupBy-agg; run Update/Complete and finish any snapshot with
+    * [[graft.ext.Evaluation.calibrationFinish]] — cell-identical to
+    * the batch state of the same rows (StreamingSpec twin proof). */
+  def calibrationStateStream(preds: DataFrame, bins: Int = 10): DataFrame =
+    graft.ext.Evaluation.calibrationState(preds, bins)
+
   /** Streaming twin of the KMV bottom-k distinct sketch
     * ([[graft.ext.Sketches.kmvSketchBy]]): insertion into the bounded
     * TreeSet is idempotent (a duplicate hash is a no-op), so the SAME

@@ -1057,6 +1057,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L && out(3L)._5 == 0.0, "sub-bigram texts score 0")
   }
 
+  test("lshRecall composition: planted near-dup pair is ground truth AND recalled") {
+    val exact = Dedup.prefixJaccardJoin(docs, threshold = 0.5)
+    val cands = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docs, numHashes = 8), numHashes = 8, rowsPerBand = 2)
+    val rec = exact.join(cands.select(col("a_id"), col("b_id"),
+          lit(1L).as("hit")), Seq("a_id", "b_id"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("j_bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(rec.nonEmpty && rec.map(_._2).sum >= 1, s"ground truth exists: ${rec.toSeq}")
+    assert(rec.forall(r => r._2 == r._3),
+      s"the banding must recall every planted pair here: ${rec.toSeq}")
+  }
+
   test("calibration: perfectly calibrated bins gap 0 (ECE 0); Brier matches hand sum") {
     val rows = (Seq.fill(8)((800000L, 1L)) ++ Seq.fill(2)((800000L, 0L)) ++
       Seq.fill(2)((200000L, 1L)) ++ Seq.fill(8)((200000L, 0L)))

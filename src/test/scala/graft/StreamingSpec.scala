@@ -137,6 +137,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming calibration state ≡ batch; finished snapshot identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val b1 = Seq((800000L, 1L), (800000L, 1L), (800000L, 0L), (200000L, 0L))
+    val b2 = Seq((200000L, 1L), (200000L, 0L), (950000L, 1L), (50000L, 0L))
+    val q = StreamingOps.calibrationStateStream(
+        mem.toDF().toDF("p_micro", "y"), bins = 10)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cal_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val streamedState = spark.table("cal_out")
+      val all = (b1 ++ b2).toDF("p_micro", "y")
+      val batch = graft.ext.Evaluation.calibration(all, bins = 10)
+      val finished = graft.ext.Evaluation.calibrationFinish(streamedState)
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed state must equal the one-shot batch table")
+    } finally q.stop()
+  }
+
   test("streaming MG frequent items ≡ batch exact counts at ample capacity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
