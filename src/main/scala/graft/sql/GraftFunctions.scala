@@ -531,7 +531,73 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** bradley_terry(tbl[, iters]) — per-item strength from (winner,
+    * loser) comparison rows ([[graft.ext.Preferences.bradleyTerry]]). */
+  def bradleyTerryTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "bradley_terry(table)"))
+    val it = if (args.length > 1) intArg(args(1), "bradley_terry(iters)") else 3
+    graft.ext.Preferences.bradleyTerry(df, iters = it).queryExecution.logical
+  }
+
+  /** rouge_n(candTbl, refTbl[, n]) — clipped n-gram overlap P/R/F1
+    * over (pair_id, text) tables ([[graft.ext.TextAnalysis.rougeN]]). */
+  def rougeNTvf(args: Seq[Expression]): LogicalPlan = {
+    val cand = tableOf(strArg(args.head, "rouge_n(candTable)"))
+    val ref = tableOf(strArg(args(1), "rouge_n(refTable)"))
+    val n = if (args.length > 2) intArg(args(2), "rouge_n(n)") else 2
+    graft.ext.TextAnalysis.rougeN(cand, ref, n).queryExecution.logical
+  }
+
+  /** corpus_drift(tbl[, buckets]) — per-source KL/JS divergence vs
+    * the corpus mixture ([[graft.ext.Curation.corpusDrift]]). */
+  def corpusDriftTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "corpus_drift(table)"))
+    val b = if (args.length > 1) intArg(args(1), "corpus_drift(buckets)") else 256
+    graft.ext.Curation.corpusDrift(df, buckets = b).queryExecution.logical
+  }
+
+  /** maxsim_topk(tbl[, k, numQueries]) — ColBERT late-interaction
+    * retrieval over (vec_id, embedding)
+    * ([[graft.ext.Similarity.maxSimTopK]]). */
+  def maxsimTopkTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "maxsim_topk(table)"))
+    val k = if (args.length > 1) intArg(args(1), "maxsim_topk(k)") else 10
+    val nq = if (args.length > 2) intArg(args(2), "maxsim_topk(numQueries)") else 5
+    graft.ext.Similarity.maxSimTopK(df, k = k, numQueries = nq)
+      .queryExecution.logical
+  }
+
+  /** vocab_richness(tbl) — Chao1 + Good–Turing coverage per source
+    * ([[graft.ext.TextAnalysis.vocabRichness]]). */
+  def vocabRichnessTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.TextAnalysis.vocabRichness(
+      tableOf(strArg(args.head, "vocab_richness(table)")))
+      .queryExecution.logical
+
+  /** cohen_kappa(tbl) — chance-corrected agreement per group over
+    * (group, label_a, label_b) rows
+    * ([[graft.ext.Evaluation.cohenKappa]]). */
+  def cohenKappaTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.cohenKappa(
+      tableOf(strArg(args.head, "cohen_kappa(table)")))
+      .queryExecution.logical
+
+  /** calibration(tbl[, bins]) — reliability table + ECE/MCE/Brier
+    * over (p_micro, y) rows ([[graft.ext.Evaluation.calibration]]). */
+  def calibrationTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "calibration(table)"))
+    val b = if (args.length > 1) intArg(args(1), "calibration(bins)") else 10
+    graft.ext.Evaluation.calibration(df, bins = b).queryExecution.logical
+  }
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "bradley_terry" -> (bradleyTerryTvf _),
+    "rouge_n" -> (rougeNTvf _),
+    "corpus_drift" -> (corpusDriftTvf _),
+    "maxsim_topk" -> (maxsimTopkTvf _),
+    "vocab_richness" -> (vocabRichnessTvf _),
+    "cohen_kappa" -> (cohenKappaTvf _),
+    "calibration" -> (calibrationTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),

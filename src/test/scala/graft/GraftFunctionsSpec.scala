@@ -292,4 +292,47 @@ class GraftFunctionsSpec extends AnyFunSuite {
       spark.sql("SELECT multi_match('a', concat('b', rand())) ").head()
     }
   }
+
+  test("round-11 eval/retrieval TVFs are row-identical to the Scala API") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    docs.createOrReplaceTempView("docs_tvf11")
+    emb.createOrReplaceTempView("emb_tvf11")
+    def sameAs(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.sorted.sameElements(api.columns.sorted),
+        s"schema drift: ${viaSql.columns.toSeq} vs ${api.columns.toSeq}")
+      assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty,
+        s"SQL and Scala results differ for: $sql")
+    }
+    sameAs("SELECT * FROM corpus_drift('docs_tvf11', 64)",
+      graft.ext.Curation.corpusDrift(docs, buckets = 64))
+    sameAs("SELECT * FROM vocab_richness('docs_tvf11')",
+      graft.ext.TextAnalysis.vocabRichness(docs))
+    sameAs("SELECT * FROM maxsim_topk('emb_tvf11', 5, 2)",
+      graft.ext.Similarity.maxSimTopK(emb, k = 5, numQueries = 2))
+    Seq(("a", "b"), ("a", "b"), ("b", "c"), ("a", "c"))
+      .toDF("winner", "loser").createOrReplaceTempView("duels_tvf11")
+    sameAs("SELECT * FROM bradley_terry('duels_tvf11', 2)",
+      graft.ext.Preferences.bradleyTerry(spark.table("duels_tvf11"), iters = 2))
+    Seq((1L, "a b c d")).toDF("pair_id", "text")
+      .createOrReplaceTempView("cand_tvf11")
+    Seq((1L, "a b x c d")).toDF("pair_id", "text")
+      .createOrReplaceTempView("ref_tvf11")
+    sameAs("SELECT * FROM rouge_n('cand_tvf11', 'ref_tvf11', 2)",
+      graft.ext.TextAnalysis.rougeN(
+        spark.table("cand_tvf11"), spark.table("ref_tvf11"), n = 2))
+    Seq(("g", "y", "y"), ("g", "y", "n"), ("g", "n", "n"))
+      .toDF("group", "label_a", "label_b")
+      .createOrReplaceTempView("lab_tvf11")
+    sameAs("SELECT * FROM cohen_kappa('lab_tvf11')",
+      graft.ext.Evaluation.cohenKappa(spark.table("lab_tvf11")))
+    Seq((800000L, 1L), (200000L, 0L), (500000L, 1L))
+      .toDF("p_micro", "y").createOrReplaceTempView("preds_tvf11")
+    sameAs("SELECT * FROM calibration('preds_tvf11', 10)",
+      graft.ext.Evaluation.calibration(spark.table("preds_tvf11"), bins = 10))
+  }
 }
