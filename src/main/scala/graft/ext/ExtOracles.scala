@@ -3215,6 +3215,42 @@ FROM w${ExtQueries.btIters}"""
       |FROM exact e LEFT JOIN lsh l ON l.a_id = e.a_id AND l.b_id = e.b_id
       |GROUP BY 1""".stripMargin
 
+  /** q_hits: `hitsIters` unrolled alternating updates over the
+    * directed part→supplier graph; raw sums are exact longs, each
+    * L1 normalization is one rounded IEEE division against the
+    * scalar round total — generated from the SAME iteration constant
+    * the Spark query uses. */
+  private val hitsSql: String = {
+    val iters = (1 to graft.queries.AdvancedAnalytics.hitsIters).map { t =>
+      val ph = s"h${t - 1}"; val pa = s"a$t"
+      s"""a${t}raw AS MATERIALIZED (SELECT e.dst AS node,
+    CAST(sum(p.s) AS BIGINT) AS raw
+  FROM e JOIN $ph p ON p.node = e.src GROUP BY 1),
+a$t AS MATERIALIZED (SELECT n.node,
+    CAST(round(CAST(COALESCE(r.raw, 0) AS DOUBLE) * 1e12 /
+      CAST((SELECT CAST(sum(raw) AS BIGINT) FROM a${t}raw) AS DOUBLE), 0)
+      AS BIGINT) AS s
+  FROM nodes n LEFT JOIN a${t}raw r ON r.node = n.node),
+h${t}raw AS MATERIALIZED (SELECT e.src AS node,
+    CAST(sum(p.s) AS BIGINT) AS raw
+  FROM e JOIN $pa p ON p.node = e.dst GROUP BY 1),
+h$t AS MATERIALIZED (SELECT n.node,
+    CAST(round(CAST(COALESCE(r.raw, 0) AS DOUBLE) * 1e12 /
+      CAST((SELECT CAST(sum(raw) AS BIGINT) FROM h${t}raw) AS DOUBLE), 0)
+      AS BIGINT) AS s
+  FROM nodes n LEFT JOIN h${t}raw r ON r.node = n.node)"""
+    }.mkString(",\n")
+    val n = graft.queries.AdvancedAnalytics.hitsIters
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS src,
+    l_suppkey * 2 + 1 AS dst FROM lineitem),
+nodes AS MATERIALIZED (SELECT DISTINCT u.node
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+$iters
+SELECT n.node, h$n.s AS hub_micro, a$n.s AS auth_micro
+FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
+  }
+
   /** q_eval_calibration: explicit floor() before every would-be
     * integer cast (Spark cast truncates, DuckDB rounds — floor makes
     * the value integer first); all sums are exact longs. */
@@ -3320,5 +3356,6 @@ FROM w${ExtQueries.btIters}"""
     "q_eval_calibration" -> calibrationSql,
     "q_cohen_kappa" -> cohenKappaSql,
     "q_vocab_richness" -> vocabRichnessSql,
-    "q_lsh_recall" -> lshRecallSql(toks))
+    "q_lsh_recall" -> lshRecallSql(toks),
+    "q_hits" -> hitsSql)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Iterative graph analytics expressed as DataFrame joins/aggregates —
   * the other half of the graph story next to
@@ -124,6 +124,77 @@ object Graph {
       .orderBy(col("rank_micro").desc, col("token"))
     top.select(col("token"), col("rank_micro"),
       row_number().over(w).cast(IntegerType).as("rn"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * edge list: the mutual-reinforcement pair PageRank doesn't give —
+    * a good hub points at good authorities, a good authority is
+    * pointed at by good hubs. The iteration alternates
+    * a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v), each L1-normalized
+    * (Σ = 10¹² integer units) so iterates stay bounded and the DuckDB
+    * oracle replays them bit-for-bit: raw sums are order-free longs,
+    * the normalization is ONE rounded IEEE division per node against
+    * a scalar total.
+    *
+    * Scale shape: pageRank's discipline — edges checkpointed once,
+    * score vectors are node-bound and ship through the size-gated
+    * broadcast (edge table never reshuffles under the gate); each
+    * half-step is one keyed join + one partial-agg'd sum. Per-round
+    * checkpoints keep the two-consumer broadcast sides from
+    * re-executing the chain (the Bradley–Terry lesson); superseded
+    * iterates are released inline.
+    *
+    * @return (node, hub_micro, auth_micro) for every node */
+  def hits(edges: DataFrame, iters: Int = 3,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    val e = edges.select(col("src").cast(LongType).as("src"),
+        col("dst").cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val bcast = nodes.count() <= broadcastMaxNodes
+    def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    def l1Normalize(rawIn: DataFrame, outCol: String): DataFrame = {
+      // the raw sums feed THREE consumers (the scalar total, the
+      // broadcast copy, the join) — checkpoint once (node-bounded) so
+      // the edge join + aggregation runs once per half-step; under
+      // the broadcast gate the vector provably fits one partition, so
+      // collapse it and every downstream half-step stage schedules
+      // one task instead of shuffle-width (above the gate, partitions
+      // stay wide — the scale path)
+      val raw = (if (bcast) rawIn.coalesce(1) else rawIn).localCheckpoint()
+      // Σ out = 10¹² exactly up to per-node rounding: raw·1e12/total is
+      // one fixed-shape IEEE division (identical in any engine), the
+      // total a 1-row broadcast
+      val total = raw.agg(sum(col("raw")).as("total"))
+      val out = nodes.join(small(raw), Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          round(coalesce(col("raw"), lit(0L)).cast(DoubleType) * 1e12 /
+            col("total").cast(DoubleType), 0).cast(LongType).as(outCol))
+        .localCheckpoint()
+      graft.ext.Checkpoints.release(raw)
+      out
+    }
+    var h = nodes.withColumn("hub_micro", lit(1000000L)).localCheckpoint()
+    var a = nodes.withColumn("auth_micro", lit(1000000L)).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val aPrev = a; val hPrev = h
+      a = l1Normalize(
+        e.join(small(h.select(col("node").as("src"), col("hub_micro"))), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub_micro")).as("raw")),
+        "auth_micro")
+      h = l1Normalize(
+        e.join(small(a.select(col("node").as("dst"), col("auth_micro"))), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth_micro")).as("raw")),
+        "hub_micro")
+      graft.ext.Checkpoints.release(aPrev, hPrev)
+    }
+    val out = h.join(a, "node").localCheckpoint()
+    graft.ext.Checkpoints.release(e, nodes, h, a)
+    out
   }
 
   /** Deterministic synchronous label propagation (community

@@ -154,6 +154,20 @@ object AdvancedAnalytics {
   def qTextrank(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.textRank(Tables(spark, dir).documents)
 
+  /** HITS rounds — shared by the query and the oracle generator. */
+  val hitsIters = 2
+
+  /** HITS over the DIRECTED part→supplier sourcing graph: parts are
+    * pure hubs, suppliers pure authorities (the bipartite direction
+    * PageRank's symmetrized walk erases); see
+    * [[graft.operators.Graph.hits]]. */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.hits(li, iters = hitsIters)
+  }
+
   /** Deterministic label-propagation communities over the
     * part↔supplier sourcing graph (same node encoding as
     * [[qPagerank]]); see [[graft.operators.Graph.labelPropagation]]. */

@@ -21,6 +21,30 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks == Map(1L -> 150000L, 2L -> 277500L), s"$ranks")
   }
 
+  test("hits: bipartite direction separates hubs from authorities; in-degree orders authorities") {
+    // parts 1,2,3 → supplier 10; part 1 also → supplier 11
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    // pure sources have authority 0; pure sinks have hub 0
+    assert(Seq(1L, 2L, 3L).forall(r(_)._2 == 0L), s"source auth: $r")
+    assert(Seq(10L, 11L).forall(r(_)._1 == 0L), s"sink hub: $r")
+    // 3 in-edges beat 1; the 2-out-edge hub beats the 1-out-edge hubs
+    assert(r(10L)._2 > r(11L)._2, s"auth order: $r")
+    assert(r(1L)._1 > r(2L)._1 && r(2L)._1 == r(3L)._1, s"hub order: $r")
+    // L1 contract: each score vector sums to ~1e12 (per-node rounding)
+    val hubSum = r.values.map(_._1).sum; val authSum = r.values.map(_._2).sum
+    assert(math.abs(hubSum - 1000000000000L) <= r.size &&
+      math.abs(authSum - 1000000000000L) <= r.size, s"L1: $hubSum $authSum")
+    // deterministic re-run
+    val r2 = Graph.hits(edges.repartition(5), iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r == r2, "partitioning must not change HITS scores")
+  }
+
   test("pagerank: star hub outranks every leaf; deterministic re-run") {
     val edges = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
     val r = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap

@@ -460,4 +460,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"aggRefresh rollup plan regressed:\n$p")
     assert(p.contains("HashAggregate"), s"no hash agg in rollup:\n$p")
   }
+
+  test("MaxSim: broadcast query side, native fused expression, no window") {
+    val p = plan("q_maxsim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"maxsim must broadcast the query side over the corpus scan:\n$p")
+    assert(!p.contains("Window"),
+      s"per-query top-k must be the bounded-heap agg, not a window:\n$p")
+    assert(p.contains("maxsimscore") || p.contains("MaxSimScore"),
+      s"scoring must be the native fused expression, not a composition:\n$p")
+  }
+
+  test("corpusDrift: the only corpus-proportional stage is the first count agg") {
+    val p = plan("q_corpus_drift")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"corpusDrift must stay window/cartesian-free:\n$p")
+    // grid-side joins on the bounded sources×buckets table broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded grid joins should broadcast:\n$p")
+  }
+
+  test("rougeN: clip join is a co-keyed equi-join, no window, no cartesian") {
+    val p = plan("q_rouge_overlap")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"rougeN plan regressed:\n$p")
+  }
+
+  test("calibration: bins-keyed partial aggregation, no sort, no window") {
+    val p = plan("q_eval_calibration")
+    assert(!p.contains("Window") && !p.contains("Sort"),
+      s"calibration must be pure hash aggregation:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+  }
 }
