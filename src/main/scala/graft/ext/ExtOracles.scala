@@ -3215,6 +3215,35 @@ FROM w${ExtQueries.btIters}"""
       |FROM exact e LEFT JOIN lsh l ON l.a_id = e.a_id AND l.b_id = e.b_id
       |GROUP BY 1""".stripMargin
 
+  /** q_holt_forecast: the Holt recurrence replayed as a recursive
+    * CTE over the per-series day index; permille weights / milli
+    * state keep every update numerator < 2⁵³, so floor() of the one
+    * exact-rational division lands identically in both engines. */
+  private val holtSql: String =
+    """WITH RECURSIVE d AS (SELECT event_type AS series,
+      |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT series, day, x,
+      |    CAST(row_number() OVER (PARTITION BY series ORDER BY day)
+      |      AS BIGINT) AS i FROM d),
+      |cnt AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days
+      |        FROM idx GROUP BY 1),
+      |hw AS (
+      |  SELECT series, i, x * 1000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT n.series, n.i,
+      |    CAST(floor(CAST(300 * n.x * 1000 + 700 * (hw.l + hw.b) AS DOUBLE)
+      |      / 1000) AS BIGINT) AS l,
+      |    CAST(floor(CAST(100 * (CAST(floor(
+      |        CAST(300 * n.x * 1000 + 700 * (hw.l + hw.b) AS DOUBLE) / 1000)
+      |        AS BIGINT) - hw.l) + 900 * hw.b AS DOUBLE) / 1000) AS BIGINT) AS b
+      |  FROM hw JOIN idx n ON n.series = hw.series AND n.i = hw.i + 1)
+      |SELECT h.series, c.n_days, h.l AS level_milli, h.b AS trend_milli,
+      |  h.l + h.b AS f1_milli, h.l + 2 * h.b AS f2_milli,
+      |  h.l + 3 * h.b AS f3_milli
+      |FROM hw h JOIN cnt c ON c.series = h.series AND h.i = c.n_days""".stripMargin
+
   /** q_hits: `hitsIters` unrolled alternating updates over the
     * directed part→supplier graph; raw sums are exact longs, each
     * L1 normalization is one rounded IEEE division against the
@@ -3357,5 +3386,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_cohen_kappa" -> cohenKappaSql,
     "q_vocab_richness" -> vocabRichnessSql,
     "q_lsh_recall" -> lshRecallSql(toks),
-    "q_hits" -> hitsSql)
+    "q_hits" -> hitsSql,
+    "q_holt_forecast" -> holtSql)
 }

@@ -171,6 +171,11 @@ object ExtQueries {
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)
 
+  /** Holt double-exponential volume forecast per event type (level +
+    * trend in milli-units, 3-day horizon). */
+  def qHoltForecast(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.holtForecast(Tables(spark, dir).events)
+
   /** Empirical LSH recall vs exact ground truth, per Jaccard decile —
     * the "measure, don't guess" query for the MinHash-banding family
     * (the dedup twin of q_ann_recall): ground-truth near-dup pairs

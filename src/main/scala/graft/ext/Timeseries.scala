@@ -187,4 +187,59 @@ object Timeseries {
         (abs(col("z_micro")) >= zThreshMicro).as("is_anomaly"))
       .orderBy(col("d"))
   }
+
+  /** Holt double-exponential smoothing per series — the capacity/
+    * volume forecast a pipeline's ingest planning needs (EWMA tracks
+    * level only; Holt carries a TREND term, so a steadily-growing
+    * source extrapolates instead of lagging): per series, fold the
+    * ordered daily counts through lₜ = ⌊(α·xₜ·1000 + (1000−α)(lₜ₋₁+
+    * bₜ₋₁))/1000⌋, bₜ = ⌊(β(lₜ−lₜ₋₁) + (1000−β)bₜ₋₁)/1000⌋ (weights
+    * in permille, state in milli-units), forecast ŷ_{T+h} = l_T +
+    * h·b_T.
+    *
+    * Exactness contract: permille weights and milli state keep every
+    * update numerator < 2⁵³ (x ≤ ~10⁹/day/series), so the one double
+    * division per term is exact-rational and floor() lands
+    * identically in any engine (floor-toward−∞ on both, trend may go
+    * negative); the fold order is the sorted day order — no
+    * order-sensitivity to hide. The DuckDB oracle replays the
+    * recurrence as a recursive CTE.
+    *
+    * Scale shape: one (series, day) count shuffle (map-side
+    * combined), then one series-keyed collect into a bounded array
+    * (series length = days of history — hundreds, not corpus-sized)
+    * folded per row. No windows, no iteration shuffles — the
+    * sequential recurrence lives inside a per-row array fold.
+    *
+    * @return (series, n_days, level_milli, trend_milli,
+    *         f1_milli .. f{horizon}_milli) */
+  def holtForecast(events: DataFrame, alphaPermille: Int = 300,
+      betaPermille: Int = 100, horizon: Int = 3,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val a = alphaPermille; val bp = betaPermille
+    def fdiv(n: Column): Column =
+      floor(n.cast(DoubleType) / 1000.0).cast(LongType)
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val folded = daily.groupBy("series")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
+      .select(col("series"), size(col("pts")).as("n_days"),
+        aggregate(
+          expr("slice(pts, 2, greatest(size(pts) - 1, 0))"),
+          struct((element_at(col("pts"), 1)("x") * 1000L).as("l"),
+            lit(0L).as("b")),
+          (acc, p) => {
+            val lNew = fdiv(lit(a.toLong) * p("x") * 1000L +
+              lit(1000L - a) * (acc("l") + acc("b")))
+            struct(lNew.as("l"),
+              fdiv(lit(bp.toLong) * (lNew - acc("l")) +
+                lit(1000L - bp) * acc("b")).as("b"))
+          }).as("st"))
+    val fcols = (1 to horizon).map(h =>
+      (col("st")("l") + col("st")("b") * h.toLong).as(s"f${h}_milli"))
+    folded.select(Seq(col("series"), col("n_days"),
+      col("st")("l").as("level_milli"), col("st")("b").as("trend_milli")) ++
+      fcols: _*)
+  }
 }

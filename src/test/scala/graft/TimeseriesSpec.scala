@@ -95,4 +95,23 @@ class TimeseriesSpec extends AnyFunSuite {
     // days on weekdays with constant counts score exactly 0
     assert(out.count(_._3 == 0L) == 24, "constant weekdays must score 0")
   }
+
+  test("holtForecast: hand-computed level/trend fold; constant series has zero trend") {
+    // x = [10, 20, 30], α=300‰, β=100‰:
+    // l₁=10000 b₁=0; l₂=⌊(6e6+7e6)/1000⌋=13000, b₂=⌊3e5/1000⌋=300;
+    // l₃=⌊(9e6+700·13300)/1000⌋=18310, b₃=⌊(531000+270000)/1000⌋=801
+    val out = Timeseries.holtForecast(series(Seq(10, 20, 30)))
+      .select("n_days", "level_milli", "trend_milli", "f1_milli", "f3_milli")
+      .as[(Int, Long, Long, Long, Long)].head()
+    assert(out == ((3, 18310L, 801L, 19111L, 20713L)), s"got $out")
+    // constant series: level pinned at x·1000, trend exactly 0
+    val const = Timeseries.holtForecast(series(Seq(7, 7, 7, 7)))
+      .select("level_milli", "trend_milli", "f2_milli")
+      .as[(Long, Long, Long)].head()
+    assert(const == ((7000L, 0L, 7000L)), s"constant: $const")
+    // growing series forecasts above the last level
+    val grow = Timeseries.holtForecast(series(Seq(5, 10, 15, 20, 25)))
+      .select("level_milli", "trend_milli").as[(Long, Long)].head()
+    assert(grow._2 > 0, s"trend must be positive on growth: $grow")
+  }
 }
