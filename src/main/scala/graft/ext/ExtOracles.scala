@@ -3244,6 +3244,57 @@ FROM w${ExtQueries.btIters}"""
       |  h.l + 3 * h.b AS f3_milli
       |FROM hw h JOIN cnt c ON c.series = h.series AND h.i = c.n_days""".stripMargin
 
+  /** q_modularity: the q_label_prop replay chain verbatim, then
+    * Newman modularity on the same symmetrized representation —
+    * per-community terms micro-rounded before the order-free sum. */
+  private val modularitySql: String =
+    """WITH li AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |            FROM lineitem),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM li UNION ALL SELECT dst AS src, src AS dst FROM li) x
+      |  WHERE src != dst),
+      |n AS (SELECT DISTINCT src AS node FROM e),
+      |l0 AS (SELECT node, node AS label FROM n),
+      |r1 AS MATERIALIZED (SELECT node, label FROM (
+      |    SELECT e.src AS node, l.label, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY e.src
+      |        ORDER BY count(*) DESC, l.label) AS rn
+      |    FROM e JOIN l0 l ON l.node = e.dst GROUP BY e.src, l.label) t
+      |  WHERE rn = 1),
+      |r2 AS MATERIALIZED (SELECT node, label FROM (
+      |    SELECT e.src AS node, l.label, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY e.src
+      |        ORDER BY count(*) DESC, l.label) AS rn
+      |    FROM e JOIN r1 l ON l.node = e.dst GROUP BY e.src, l.label) t
+      |  WHERE rn = 1),
+      |r3 AS MATERIALIZED (SELECT node, label FROM (
+      |    SELECT e.src AS node, l.label, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY e.src
+      |        ORDER BY count(*) DESC, l.label) AS rn
+      |    FROM e JOIN r2 l ON l.node = e.dst GROUP BY e.src, l.label) t
+      |  WHERE rn = 1),
+      |bigd AS (SELECT CAST(count(*) AS BIGINT) AS big_d FROM e),
+      |win AS (SELECT la.label, CAST(count(*) AS BIGINT) AS w_in
+      |  FROM e JOIN r3 la ON la.node = e.src
+      |         JOIN r3 lb ON lb.node = e.dst
+      |  WHERE la.label = lb.label GROUP BY 1),
+      |dc AS (SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d.deg) AS BIGINT) AS d_tot
+      |  FROM (SELECT src, count(*) AS deg FROM e GROUP BY 1) d
+      |  JOIN r3 l ON l.node = d.src GROUP BY 1),
+      |perc AS (SELECT dc.label, dc.n_nodes,
+      |    COALESCE(win.w_in, 0) AS w_in, dc.d_tot,
+      |    CAST(round((CAST(COALESCE(win.w_in, 0) AS DOUBLE)
+      |        / CAST(big_d AS DOUBLE)
+      |      - (CAST(dc.d_tot AS DOUBLE) / CAST(big_d AS DOUBLE))
+      |        * (CAST(dc.d_tot AS DOUBLE) / CAST(big_d AS DOUBLE)))
+      |      * 1e6, 0) AS BIGINT) AS term_micro
+      |  FROM dc LEFT JOIN win ON win.label = dc.label CROSS JOIN bigd),
+      |s AS (SELECT CAST(sum(term_micro) AS BIGINT) AS modularity_micro
+      |      FROM perc)
+      |SELECT label, n_nodes, w_in, d_tot, term_micro, modularity_micro
+      |FROM perc CROSS JOIN s""".stripMargin
+
   /** q_hits: `hitsIters` unrolled alternating updates over the
     * directed part→supplier graph; raw sums are exact longs, each
     * L1 normalization is one rounded IEEE division against the
@@ -3387,5 +3438,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_vocab_richness" -> vocabRichnessSql,
     "q_lsh_recall" -> lshRecallSql(toks),
     "q_hits" -> hitsSql,
-    "q_holt_forecast" -> holtSql)
+    "q_holt_forecast" -> holtSql,
+    "q_modularity" -> modularitySql)
 }

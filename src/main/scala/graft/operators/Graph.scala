@@ -197,6 +197,60 @@ object Graph {
     out
   }
 
+  /** Newman modularity of a community assignment — the quality score
+    * that makes community detection "measure, don't guess" (the graph
+    * twin of q_ann_recall / q_lsh_recall): Q = Σ_c [ m_c/m −
+    * (d_c/2m)² ] over communities c, with m_c internal edges and d_c
+    * the community's degree sum. Computed on the SAME symmetrized
+    * directed representation [[labelPropagation]] builds (w_c = 2m_c
+    * and D = 2m, so the ratios are identical), each community's term
+    * micro-rounded before the order-free long sum.
+    *
+    * Scale shape: two label joins on the edge endpoints (rank-vector
+    * broadcast economics apply — labels are node-bound), one count
+    * per community, one degree rollup; everything after lives on the
+    * community-cardinality table. @return per community (label,
+    * n_nodes, w_in, d_tot, term_micro) with the global
+    * modularity_micro on every row. */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    val e0 = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // the assignment feeds FOUR consumers (gate count, two endpoint
+    // joins, the degree rollup) and may itself be an iterative plan
+    // (LPA) — materialize once
+    val lab = labels.select(col("node").cast(LongType).as("node"),
+      col("label").cast(LongType).as("label")).localCheckpoint()
+    val nNodes = lab.count()
+    def small(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast(df) else df
+    val dTot = e.agg(count(lit(1)).as("big_d")) // D = 2m, one row
+    val win = e
+      .join(small(lab.select(col("node").as("src"), col("label").as("ls"))), "src")
+      .join(small(lab.select(col("node").as("dst"), col("label").as("ld"))), "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("w_in"))
+    val dc = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(small(lab.select(col("node").as("src"), col("label"))), "src")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    val perC = dc.join(win, Seq("label"), "left")
+      .crossJoin(broadcast(dTot))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("w_in"), lit(0L)).as("w_in"), col("d_tot"),
+        round((coalesce(col("w_in"), lit(0L)).cast(DoubleType) /
+            col("big_d").cast(DoubleType) -
+          (col("d_tot").cast(DoubleType) / col("big_d").cast(DoubleType)) *
+            (col("d_tot").cast(DoubleType) / col("big_d").cast(DoubleType)))
+          * 1e6, 0).cast(LongType).as("term_micro"))
+    val summary = perC.agg(sum(col("term_micro")).as("modularity_micro"))
+    val out = perC.crossJoin(broadcast(summary)).localCheckpoint()
+    graft.ext.Checkpoints.release(e, lab)
+    out
+  }
+
   /** Deterministic synchronous label propagation (community
     * detection): every node starts labeled with its own id; each round
     * a node adopts the most frequent label among its neighbors, ties

@@ -179,6 +179,20 @@ object AdvancedAnalytics {
     graft.operators.Graph.labelPropagation(li, iters = 3)
   }
 
+  /** Modularity of the LPA communities on the part↔supplier graph —
+    * the community-quality measurement (same edges and iteration
+    * count as [[qLabelProp]]); see [[graft.operators.Graph.modularity]]. */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    // the edge list feeds BOTH the LPA run and the scoring pass —
+    // checkpoint so lineitem scans once, not once per consumer
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().localCheckpoint()
+    graft.operators.Graph.modularity(li,
+      graft.operators.Graph.labelPropagation(li, iters = 3))
+  }
+
   /** Exact triangle count of the co-purchase graph (parts sharing an
     * order), degree-oriented; see
     * [[graft.operators.Graph.triangleCount]]. */

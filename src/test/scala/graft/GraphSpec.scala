@@ -45,6 +45,24 @@ class GraphSpec extends AnyFunSuite {
     assert(r == r2, "partitioning must not change HITS scores")
   }
 
+  test("modularity: two clean cliques score 0.5; one-community assignment scores 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val g = Graph.modularity(edges, good)
+      .select("label", "w_in", "d_tot", "term_micro", "modularity_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // per clique: w_in = 6 directed, d = 6, term = 6/12 − (6/12)² = 0.25
+    assert(g.forall(r => r._2 == 6L && r._3 == 6L && r._4 == 250000L), s"$g")
+    assert(g.head._5 == 500000L, s"two-clique Q must be 0.5: ${g.toSeq}")
+    val flat = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "label")
+    val q0 = Graph.modularity(edges, flat)
+      .select("modularity_micro").as[Long].head()
+    assert(q0 == 0L, s"everything-in-one-community must score 0: $q0")
+  }
+
   test("pagerank: star hub outranks every leaf; deterministic re-run") {
     val edges = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
     val r = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap
