@@ -25,15 +25,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * double max (no NaN inputs by the guard); the i-sum is
   * left-to-right. Bit-identical to the slice/greatest/when built-in
   * composition (asserted in ExtSpec) and to the generated DuckDB
-  * replay. Null input array yields null.
+  * replay. Null input arrays — and arrays SHORTER than
+  * nTokens·tokenDim, which the fused loops would otherwise read past
+  * — yield null, never garbage.
   */
 case class MaxSimScore(left: Expression, right: Expression,
     nTokens: Int, tokenDim: Int) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // nullable regardless of children: undersized vectors yield NULL
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val q = a.asInstanceOf[ArrayData]; val d = b.asInstanceOf[ArrayData]
+    // undersized vectors yield NULL, not garbage: the fused loops
+    // index nTokens·tokenDim elements and ArrayData.getDouble does
+    // not bounds-check on the unsafe path
+    if (q.numElements() < nTokens * tokenDim ||
+        d.numElements() < nTokens * tokenDim) return null
     val dn = new Array[Double](nTokens)
     var j = 0
     while (j < nTokens) {
@@ -76,6 +86,10 @@ case class MaxSimScore(left: Expression, right: Expression,
       val dof = ctx.freshName("dof"); val first = ctx.freshName("first")
       val term = ctx.freshName("term")
       s"""
+         |if ($a.numElements() < ${nTokens * tokenDim} ||
+         |    $b.numElements() < ${nTokens * tokenDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
          |double[] $dn = new double[$nTokens];
          |for (int $j = 0; $j < $nTokens; $j++) {
          |  double $s = 0.0;
@@ -108,6 +122,7 @@ case class MaxSimScore(left: Expression, right: Expression,
          |  $score += $best;
          |}
          |${ev.value} = $score;
+         |}
        """.stripMargin
     })
 

@@ -1186,9 +1186,14 @@ object Curation {
       round(ps * log(klRatio) * 1e6, 0).cast(LongType).as("kl_t"),
       round((ps * log(ps / mMix) / 2.0) * 1e6, 0).cast(LongType).as("js_s"),
       round((pa * log(pa / mMix) / 2.0) * 1e6, 0).cast(LongType).as("js_a"))
-    terms.groupBy("source")
+    // source-cardinality result materialized so the counts scaffold
+    // releases here instead of pinning until the caller's releaseAll
+    val out = terms.groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"),
         sum(col("kl_t")).as("kl_micro"),
         (sum(col("js_s")) + sum(col("js_a"))).as("js_micro"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(counts)
+    out
   }
 }

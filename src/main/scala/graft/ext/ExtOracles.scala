@@ -3239,7 +3239,8 @@ FROM w${ExtQueries.btIters}"""
       |        CAST(300 * n.x * 1000 + 700 * (hw.l + hw.b) AS DOUBLE) / 1000)
       |        AS BIGINT) - hw.l) + 900 * hw.b AS DOUBLE) / 1000) AS BIGINT) AS b
       |  FROM hw JOIN idx n ON n.series = hw.series AND n.i = hw.i + 1)
-      |SELECT h.series, c.n_days, h.l AS level_milli, h.b AS trend_milli,
+      |SELECT h.series, CAST(c.n_days AS INTEGER) AS n_days,
+      |  h.l AS level_milli, h.b AS trend_milli,
       |  h.l + h.b AS f1_milli, h.l + 2 * h.b AS f2_milli,
       |  h.l + 3 * h.b AS f3_milli
       |FROM hw h JOIN cnt c ON c.series = h.series AND h.i = c.n_days""".stripMargin

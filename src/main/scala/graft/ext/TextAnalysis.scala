@@ -546,8 +546,14 @@ object TextAnalysis {
         .select(col("pair_id"),
           Dedup.portableHash60(concat(lit("rg|"), col("gram"))).as("h"))
         .groupBy("pair_id", "h").agg(count(lit(1)).as(cnt))
-    val cg = gramCounts(cand, "cc")
-    val rg = gramCounts(ref, "rc")
+    // each gram table feeds TWO consumers (the clip join and its
+    // totals rollup) and the tokenize+md5 pipeline is the dominant
+    // map-side cost — materialize once instead of trusting
+    // ReuseExchange to dedupe the branches (the lshCandidates
+    // discipline); released after the pair-bounded result
+    // materializes below
+    val cg = gramCounts(cand, "cc").localCheckpoint()
+    val rg = gramCounts(ref, "rc").localCheckpoint()
     val ov = cg.join(rg, Seq("pair_id", "h"))
       .groupBy("pair_id").agg(sum(least(col("cc"), col("rc"))).as("overlap"))
     val nc = cg.groupBy("pair_id").agg(sum(col("cc")).as("n_cand"))
@@ -560,7 +566,8 @@ object TextAnalysis {
     val r = when(col("n_ref") > 0,
       col("overlap").cast(DoubleType) / col("n_ref").cast(DoubleType))
       .otherwise(0.0)
-    base.join(nc, Seq("pair_id"), "left").join(nr, Seq("pair_id"), "left")
+    val out = base.join(nc, Seq("pair_id"), "left")
+      .join(nr, Seq("pair_id"), "left")
       .join(ov, Seq("pair_id"), "left")
       .select(col("pair_id"),
         coalesce(col("overlap"), lit(0L)).as("overlap"),
@@ -570,5 +577,8 @@ object TextAnalysis {
         round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
         round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6)
           .as("rouge_f1"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cg, rg)
+    out
   }
 }

@@ -563,8 +563,13 @@ object GraftFunctions {
     val df = tableOf(strArg(args.head, "maxsim_topk(table)"))
     val k = if (args.length > 1) intArg(args(1), "maxsim_topk(k)") else 10
     val nq = if (args.length > 2) intArg(args(2), "maxsim_topk(numQueries)") else 5
-    graft.ext.Similarity.maxSimTopK(df, k = k, numQueries = nq)
-      .queryExecution.logical
+    // the token grid is callable-visible (not welded to the 64-dim
+    // testdata): vectors shorter than nTokens·tokenDim score NULL by
+    // the MaxSimScore contract rather than reading past the array
+    val nt = if (args.length > 3) intArg(args(3), "maxsim_topk(nTokens)") else 8
+    val td = if (args.length > 4) intArg(args(4), "maxsim_topk(tokenDim)") else 8
+    graft.ext.Similarity.maxSimTopK(df, k = k, numQueries = nq,
+      nTokens = nt, tokenDim = td).queryExecution.logical
   }
 
   /** vocab_richness(tbl) — Chao1 + Good–Turing coverage per source

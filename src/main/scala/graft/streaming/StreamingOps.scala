@@ -284,9 +284,12 @@ object StreamingOps {
     * Σ brier-terms) state is four commutative long sums — micro-
     * batches fold in exactly, state is ≤ bins rows FOREVER. The
     * binning projection is stateless, so this is a plain streaming
-    * groupBy-agg; run Update/Complete and finish any snapshot with
-    * [[graft.ext.Evaluation.calibrationFinish]] — cell-identical to
-    * the batch state of the same rows (StreamingSpec twin proof). */
+    * groupBy-agg. Run COMPLETE mode (or an Update sink that UPSERTS
+    * on `bin` — an append-style sink would hold one row per bin per
+    * trigger, and [[graft.ext.Evaluation.calibrationFinish]] assumes
+    * exactly one row per bin); a Complete snapshot finished with
+    * calibrationFinish is cell-identical to the batch state of the
+    * same rows (StreamingSpec twin proof). */
   def calibrationStateStream(preds: DataFrame, bins: Int = 10): DataFrame =
     graft.ext.Evaluation.calibrationState(preds, bins)
 

@@ -1117,6 +1117,18 @@ class ExtSpec extends AnyFunSuite {
     assert(r == ((4L, 3L, 2L, 1L, 3.5, 0.5)), s"got $r")
   }
 
+  test("MaxSimScore: undersized vectors yield null, never out-of-bounds reads") {
+    val df = Seq((Array.fill(32)(1.0), Array.fill(64)(1.0))).toDF("q", "d")
+    val r = df.select(
+      graft.expressions.MaxSimScore.maxSim(col("q"), col("d"), 8, 8).as("s1"),
+      graft.expressions.MaxSimScore.maxSim(col("d"), col("d"), 8, 8).as("s2"))
+      .head()
+    assert(r.isNullAt(0), "a 32-element vector under the 8×8 grid must score null")
+    // sqrt(8)·sqrt(8) ≠ 8 exactly in IEEE — compare with tolerance
+    assert(math.abs(r.getDouble(1) - 8.0) < 1e-9,
+      s"full-size identical vectors: 8 tokens × cos 1, got ${r.getDouble(1)}")
+  }
+
   test("MaxSimScore native expression ≡ built-in composition, bit-for-bit") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val q = emb.filter(col("vec_id") < 3)
