@@ -3245,6 +3245,38 @@ FROM w${ExtQueries.btIters}"""
       |  h.l + 3 * h.b AS f3_milli
       |FROM hw h JOIN cnt c ON c.series = h.series AND h.i = c.n_days""".stripMargin
 
+  /** q_embed_drift: per-dim micro values summed as longs, integer
+    * centroids, distances from the integer vectors with one sqrt/
+    * division each — the centroidClassify parity discipline. */
+  private val embedDriftSql: String =
+    """WITH dims AS MATERIALIZED (SELECT label,
+      |    CAST(u.i AS INTEGER) - 1 AS d,
+      |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS vm
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |perld AS MATERIALIZED (SELECT label, d, CAST(sum(vm) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM dims GROUP BY 1, 2),
+      |cl AS (SELECT label, d, n,
+      |    CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT) AS c
+      |  FROM perld),
+      |cg AS (SELECT d,
+      |    CAST(round(CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 0)
+      |      AS BIGINT) AS g
+      |  FROM perld GROUP BY 1),
+      |agg AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+      |    CAST(sum((c - g) * (c - g)) AS BIGINT) AS l2sq,
+      |    CAST(sum(c * g) AS BIGINT) AS dotlg,
+      |    CAST(sum(c * c) AS BIGINT) AS nl2,
+      |    CAST(sum(g * g) AS BIGINT) AS ng2
+      |  FROM cl JOIN cg USING (d) GROUP BY 1)
+      |SELECT label, n_vecs,
+      |  CAST(round(sqrt(CAST(l2sq AS DOUBLE)), 0) AS BIGINT) AS l2_micro,
+      |  CAST(round(CASE WHEN nl2 > 0 AND ng2 > 0
+      |    THEN CAST(dotlg AS DOUBLE) /
+      |      (sqrt(CAST(nl2 AS DOUBLE)) * sqrt(CAST(ng2 AS DOUBLE))) * 1e6
+      |    ELSE 0.0 END, 0) AS BIGINT) AS cos_micro
+      |FROM agg""".stripMargin
+
   /** q_modularity: the q_label_prop replay chain verbatim, then
     * Newman modularity on the same symmetrized representation —
     * per-community terms micro-rounded before the order-free sum. */
@@ -3440,5 +3472,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_lsh_recall" -> lshRecallSql(toks),
     "q_hits" -> hitsSql,
     "q_holt_forecast" -> holtSql,
-    "q_modularity" -> modularitySql)
+    "q_modularity" -> modularitySql,
+    "q_embed_drift" -> embedDriftSql)
 }

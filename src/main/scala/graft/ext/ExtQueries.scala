@@ -171,6 +171,11 @@ object ExtQueries {
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)
 
+  /** Per-label centroid drift vs the corpus centroid — the dense
+    * twin of q_corpus_drift over the embeddings table. */
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embedDrift(Tables(spark, dir).embeddings)
+
   /** Holt double-exponential volume forecast per event type (level +
     * trend in milli-units, 3-day horizon). */
   def qHoltForecast(spark: SparkSession, dir: String): DataFrame =

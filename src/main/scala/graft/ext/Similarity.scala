@@ -205,6 +205,59 @@ object Similarity {
     terms.reduce(_ + _)
   }
 
+  /** Embedding-space drift per label/source — the dense-vector twin
+    * of [[Curation.corpusDrift]]: when a source is re-crawled or an
+    * encoder is re-run, the cheapest first-order check is whether
+    * each group's centroid moved against the corpus centroid. Emits
+    * per group the micro-L2 shift and the centroid cosine (a cosine
+    * well below 1 means the group points somewhere else in embedding
+    * space — re-cluster / re-index before serving).
+    *
+    * Exactness contract: per-dim values micro-round BEFORE summing
+    * (the centroidClassify discipline), so centroid fitting is
+    * order-free long arithmetic; both distances are computed from
+    * the INTEGER centroids with one sqrt/division each, 6dp-rounded.
+    *
+    * Scale shape: one (label, dim) shuffle with map-side partial
+    * sums; everything after lives on the labels×dims table.
+    *
+    * @return (label, n_vecs, l2_micro, cos_micro) */
+  def embedDrift(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val dims = emb.select(col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))))
+      .select(col("label"), col("pos").as("d"),
+        round(col("col") * 1e6, 0).cast(LongType).as("vm"))
+    val perLD = dims.groupBy("label", "d")
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint() // labels×dims-bounded; feeds both centroids
+    val cl = perLD.select(col("label"), col("d"), col("n"),
+      round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 0)
+        .cast(LongType).as("c"))
+    val cg = perLD.groupBy("d")
+      .agg(round(sum(col("s")).cast(DoubleType) /
+          sum(col("n")).cast(DoubleType), 0)
+        .cast(LongType).as("g"))
+    val out = cl.join(broadcast(cg), "d")
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        sum((col("c") - col("g")) * (col("c") - col("g"))).as("l2sq"),
+        sum(col("c") * col("g")).as("dotlg"),
+        sum(col("c") * col("c")).as("nl2"),
+        sum(col("g") * col("g")).as("ng2"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("l2sq").cast(DoubleType)), 0).cast(LongType)
+          .as("l2_micro"),
+        round(when(col("nl2") > 0 && col("ng2") > 0,
+            col("dotlg").cast(DoubleType) /
+              (sqrt(col("nl2").cast(DoubleType)) *
+                sqrt(col("ng2").cast(DoubleType))) * 1e6)
+          .otherwise(0.0), 0).cast(LongType).as("cos_micro"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(perLD)
+    out
+  }
+
   /** Metadata-filtered exact ANN: top-k among only the corpus rows
     * satisfying `corpusPred` (pre-filter semantics — the production
     * "search within label/language/license" shape). The predicate is

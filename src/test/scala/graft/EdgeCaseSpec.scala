@@ -283,4 +283,47 @@ class EdgeCaseSpec extends AnyFunSuite {
       .select("canon_url").as[String].head()
     assert(odd == "not a url at all")
   }
+
+  test("round-11 eval/retrieval operators tolerate empty and degenerate inputs") {
+    import graft.ext._
+    // Bradley–Terry: no comparisons at all → empty, not a crash
+    val noDuels = Seq.empty[(String, String)].toDF("winner", "loser")
+    assert(Preferences.bradleyTerry(noDuels).count() == 0)
+    // only self-duels (dropped) behave as empty too
+    val selfOnly = Seq(("a", "a"), ("b", "b")).toDF("winner", "loser")
+    assert(Preferences.bradleyTerry(selfOnly).count() == 0)
+    // calibration: empty predictions → empty table (no 0/0 rows)
+    val noPreds = Seq.empty[(Long, Long)].toDF("p_micro", "y")
+    assert(Evaluation.calibration(noPreds).count() == 0)
+    // kappa: a single annotation pair still yields a defined row
+    val one = Seq(("g", "x", "x")).toDF("group", "label_a", "label_b")
+    val k1 = Evaluation.cohenKappa(one)
+      .select("po", "pe", "kappa").as[(Double, Double, Double)].head()
+    assert(k1 == ((1.0, 1.0, 0.0)), s"constant single pair: $k1")
+    // corpusDrift: empty corpus → empty report
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Curation.corpusDrift(emptySrc).count() == 0)
+    // rougeN: pair ids present on only one side are not scored
+    val c = Seq((1L, "a b c")).toDF("pair_id", "text")
+    val r = Seq((2L, "a b c")).toDF("pair_id", "text")
+    assert(TextAnalysis.rougeN(c, r).count() == 0)
+    // vocabRichness: all-singleton source (F2 = 0) stays finite
+    val sing = Seq((1L, "alpha beta gamma", "s")).toDF("doc_id", "text", "source")
+    val v = TextAnalysis.vocabRichness(sing)
+      .select("f1", "f2", "chao1").as[(Long, Long, Double)].head()
+    assert(v._1 == 3L && v._2 == 0L && v._3 == 6.0, s"chao1 V+F1(F1-1)/2: $v")
+    // Holt: empty events → empty forecast; HITS: empty edges → empty
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("event_id", "ts", "event_type")
+    assert(Timeseries.holtForecast(noEvents).count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.hits(noEdges).count() == 0)
+    // modularity of an empty assignment over empty edges
+    assert(graft.operators.Graph.modularity(noEdges,
+      Seq.empty[(Long, Long)].toDF("node", "label")).count() == 0)
+    // embedding drift over an empty corpus
+    assert(Similarity.embedDrift(Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")).count() == 0)
+  }
 }

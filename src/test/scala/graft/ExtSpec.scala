@@ -1117,6 +1117,23 @@ class ExtSpec extends AnyFunSuite {
     assert(r == ((4L, 3L, 2L, 1L, 3.5, 0.5)), s"got $r")
   }
 
+  test("embedDrift: the shifted label drifts furthest; identical labels tie") {
+    val base = Array.fill(8)(1f)
+    val shifted = { val a = Array.fill(8)(1f); a(0) = 11f; a }
+    val emb = Seq((0L, base, 1), (1L, base, 1), (2L, base, 2), (3L, base, 2),
+      (4L, shifted, 3), (5L, shifted, 3)).toDF("vec_id", "embedding", "label")
+    val d = Similarity.embedDrift(emb)
+      .select("label", "l2_micro", "cos_micro")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // global dim-0 centroid = (4·1 + 2·11)/6 ≈ 4.33: label 3 sits
+    // 6.67 away, labels 1/2 only 3.33 — and identically so
+    assert(d(1) == d(2), s"identical labels must tie: $d")
+    assert(d(3)._1 > d(1)._1, s"shifted label must lead L2 drift: $d")
+    // no label sits ON the global centroid (it is the pulled mean),
+    // so every centroid cosine is strictly below 1
+    assert(d.values.forall(_._2 < 1000000L), s"no perfect alignment: $d")
+  }
+
   test("MaxSimScore: undersized vectors yield null, never out-of-bounds reads") {
     val df = Seq((Array.fill(32)(1.0), Array.fill(64)(1.0))).toDF("q", "d")
     val r = df.select(
