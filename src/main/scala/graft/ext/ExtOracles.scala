@@ -3277,6 +3277,39 @@ FROM w${ExtQueries.btIters}"""
       |    ELSE 0.0 END, 0) AS BIGINT) AS cos_micro
       |FROM agg""".stripMargin
 
+  /** q_theil_sen: pairwise slopes / medians replayed with 1-based
+    * DuckDB list arithmetic — each slope ONE IEEE division of exact
+    * longs, medians order statistics of identically-sorted doubles,
+    * residuals exact longs off the rounded integer slope. */
+  private val theilSenSql: String =
+    """WITH d AS (SELECT event_type AS series, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+      |s AS (SELECT series, list(day ORDER BY day) AS days,
+      |    list(x ORDER BY day) AS xs FROM d GROUP BY 1),
+      |w AS (SELECT series, CAST(len(xs) AS INTEGER) AS n_days, xs,
+      |    list_transform(days, dd -> dd - days[1]) AS idx FROM s),
+      |sl AS (SELECT series, n_days, xs, idx,
+      |    list_sort(flatten(list_transform(range(1, len(xs)),
+      |      i -> list_transform(range(i + 1, len(xs) + 1),
+      |        j -> CAST(xs[j] - xs[i] AS DOUBLE) / (idx[j] - idx[i])))))
+      |      AS slopes FROM w),
+      |sm AS (SELECT series, n_days, xs, idx,
+      |    CASE WHEN len(slopes) = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(round((CASE WHEN len(slopes) % 2 = 1
+      |        THEN slopes[(len(slopes) + 1) // 2]
+      |        ELSE (slopes[len(slopes) // 2]
+      |              + slopes[len(slopes) // 2 + 1]) / 2.0 END) * 1e6, 0)
+      |        AS BIGINT) END AS slope_micro FROM sl),
+      |rs AS (SELECT series, n_days, slope_micro,
+      |    list_sort(list_transform(range(1, len(xs) + 1),
+      |      i -> xs[i] * 1000000 - slope_micro * idx[i])) AS res FROM sm)
+      |SELECT series, n_days, slope_micro,
+      |  CASE WHEN len(res) % 2 = 1 THEN res[(len(res) + 1) // 2]
+      |    ELSE CAST(round(CAST(res[len(res) // 2]
+      |      + res[len(res) // 2 + 1] AS DOUBLE) / 2.0, 0) AS BIGINT) END
+      |    AS intercept_micro
+      |FROM rs""".stripMargin
+
   /** q_modularity: the q_label_prop replay chain verbatim, then
     * Newman modularity on the same symmetrized representation —
     * per-community terms micro-rounded before the order-free sum. */
@@ -3473,5 +3506,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_hits" -> hitsSql,
     "q_holt_forecast" -> holtSql,
     "q_modularity" -> modularitySql,
-    "q_embed_drift" -> embedDriftSql)
+    "q_embed_drift" -> embedDriftSql,
+    "q_theil_sen" -> theilSenSql)
 }

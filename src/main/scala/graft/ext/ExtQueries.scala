@@ -181,6 +181,11 @@ object ExtQueries {
   def qHoltForecast(spark: SparkSession, dir: String): DataFrame =
     Timeseries.holtForecast(Tables(spark, dir).events)
 
+  /** Theil–Sen robust daily-volume trend per event type (median of
+    * pairwise slopes; outage days cannot move it). */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.theilSen(Tables(spark, dir).events)
+
   /** Empirical LSH recall vs exact ground truth, per Jaccard decile —
     * the "measure, don't guess" query for the MinHash-banding family
     * (the dedup twin of q_ann_recall): ground-truth near-dup pairs

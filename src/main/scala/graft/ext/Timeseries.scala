@@ -188,6 +188,66 @@ object Timeseries {
       .orderBy(col("d"))
   }
 
+  /** Theil–Sen robust trend per series — the outlier-proof
+    * complement to [[holtForecast]]: the slope estimate is the MEDIAN
+    * of all pairwise slopes (xⱼ−xᵢ)/(dⱼ−dᵢ) over day indices (up to
+    * ~29% corrupted days cannot move it — one crawler outage day
+    * wrecks a least-squares slope but not this one), intercept the
+    * median residual xᵢ·10⁶ − slope·dᵢ at the fitted slope.
+    *
+    * Exactness contract: each pairwise slope is ONE IEEE division of
+    * exact longs (identical in any engine); medians are order
+    * statistics of identically-sorted doubles (even-count median is
+    * the mean of the two middles — same two doubles, same mean);
+    * residuals use the already-rounded integer slope so they are
+    * exact longs. Day gaps are handled by indexing on datediff, not
+    * row number.
+    *
+    * Scale shape: one (series, day) count shuffle, then the n²/2
+    * slope set builds INSIDE a per-row array expression over the
+    * bounded per-series history (90 days → ~4 k slopes per row) —
+    * no pairwise join, no window.
+    *
+    * @return (series, n_days, slope_micro, intercept_micro) */
+  def theilSen(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("series")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
+      .select(col("series"), size(col("pts")).as("n_days"),
+        expr("transform(pts, p -> datediff(p.day, pts[0].day))").as("idx"),
+        expr("transform(pts, p -> p.x)").as("xs"))
+      .select(col("series"), col("n_days"),
+        // guard size<2: Spark's sequence(0, -1) DESCENDS instead of
+        // emitting empty (the q_rouge sequence lesson) — a 1-day
+        // series must yield zero slopes, not garbage indices
+        expr("""CASE WHEN size(xs) < 2 THEN array()
+          ELSE array_sort(flatten(transform(sequence(0, size(xs) - 2),
+            i -> transform(sequence(i + 1, size(xs) - 1),
+              j -> CAST(xs[j] - xs[i] AS DOUBLE) / (idx[j] - idx[i]))))) END""")
+          .as("slopes"),
+        col("idx"), col("xs"))
+      .select(col("series"), col("n_days"), col("idx"), col("xs"),
+        when(size(col("slopes")) === 0, lit(0L)).otherwise(
+          round(when(size(col("slopes")) % 2 === 1,
+              expr("slopes[(size(slopes) - 1) div 2]"))
+            .otherwise((expr("slopes[size(slopes) div 2 - 1]") +
+              expr("slopes[size(slopes) div 2]")) / 2.0) * 1e6, 0)
+            .cast(LongType)).as("slope_micro"))
+      .select(col("series"), col("n_days"), col("slope_micro"),
+        expr("""array_sort(transform(sequence(0, size(xs) - 1),
+          i -> xs[i] * 1000000 - slope_micro * idx[i]))""").as("res"))
+      .select(col("series"), col("n_days"), col("slope_micro"),
+        when(size(col("res")) % 2 === 1,
+            expr("res[(size(res) - 1) div 2]"))
+          .otherwise(round((expr("res[size(res) div 2 - 1]") +
+              expr("res[size(res) div 2]")).cast(DoubleType) / 2.0, 0)
+            .cast(LongType))
+          .as("intercept_micro"))
+  }
+
   /** Holt double-exponential smoothing per series — the capacity/
     * volume forecast a pipeline's ingest planning needs (EWMA tracks
     * level only; Holt carries a TREND term, so a steadily-growing

@@ -96,6 +96,20 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.count(_._3 == 0L) == 24, "constant weekdays must score 0")
   }
 
+  test("theilSen: one outage day cannot move the median slope (least squares would)") {
+    // 10,20,30,1000,50 on days 0..4: 10 pairwise slopes sort to
+    // [-950,10×6,330,490,970] → median slope 10/day exactly; the
+    // residual median is 10·10⁶ despite the 970·10⁶ outlier residual
+    val out = Timeseries.theilSen(series(Seq(10, 20, 30, 1000, 50)))
+      .select("n_days", "slope_micro", "intercept_micro")
+      .as[(Int, Long, Long)].head()
+    assert(out == ((5, 10000000L, 10000000L)), s"got $out")
+    // single-day series: zero slope, intercept = the one observation
+    val one = Timeseries.theilSen(series(Seq(42)))
+      .select("slope_micro", "intercept_micro").as[(Long, Long)].head()
+    assert(one == ((0L, 42000000L)), s"degenerate: $one")
+  }
+
   test("holtForecast: hand-computed level/trend fold; constant series has zero trend") {
     // x = [10, 20, 30], α=300‰, β=100‰:
     // l₁=10000 b₁=0; l₂=⌊(6e6+7e6)/1000⌋=13000, b₂=⌊3e5/1000⌋=300;
