@@ -3277,6 +3277,42 @@ FROM w${ExtQueries.btIters}"""
       |    ELSE 0.0 END, 0) AS BIGINT) AS cos_micro
       |FROM agg""".stripMargin
 
+  /** q_mad_outliers: integer-micro median/MAD with `(a+b) // 2`
+    * even-count midpoints (nonneg longs — identical truncation), one
+    * double robust-z per day micro-rounded; MAD = 0 convention 0/±10⁹. */
+  private val madOutliersSql: String =
+    """WITH d AS (SELECT event_type AS series, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+      |s AS (SELECT series, list(day ORDER BY day) AS days,
+      |    list(x ORDER BY day) AS xs FROM d GROUP BY 1),
+      |m AS (SELECT series, days, xs, sx,
+      |    CASE WHEN len(sx) % 2 = 1 THEN sx[(len(sx) + 1) // 2]
+      |      ELSE (sx[len(sx) // 2] + sx[len(sx) // 2 + 1]) // 2 END AS med
+      |  FROM (SELECT *, list_sort(list_transform(xs, v -> v * 1000000)) AS sx
+      |        FROM s) t),
+      |md AS (SELECT series, days, xs, med,
+      |    CASE WHEN len(dv) % 2 = 1 THEN dv[(len(dv) + 1) // 2]
+      |      ELSE (dv[len(dv) // 2] + dv[len(dv) // 2 + 1]) // 2 END AS mad
+      |  FROM (SELECT *, list_sort(list_transform(xs,
+      |          v -> abs(v * 1000000 - med))) AS dv FROM m) t),
+      |rows_ AS (SELECT series, med, mad, days[u.i] AS day, xs[u.i] AS x
+      |  FROM md, unnest(range(1, len(xs) + 1)) AS u(i))
+      |SELECT series, day, x,
+      |  CASE WHEN mad = 0 THEN
+      |    CASE WHEN x * 1000000 = med THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(sign(CAST(x * 1000000 - med AS DOUBLE)) AS BIGINT)
+      |        * 1000000000 END
+      |  ELSE CAST(round(0.6745 * CAST(x * 1000000 - med AS DOUBLE)
+      |    / CAST(mad AS DOUBLE) * 1e6, 0) AS BIGINT) END AS rz_micro,
+      |  abs(CASE WHEN mad = 0 THEN
+      |    CASE WHEN x * 1000000 = med THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(sign(CAST(x * 1000000 - med AS DOUBLE)) AS BIGINT)
+      |        * 1000000000 END
+      |  ELSE CAST(round(0.6745 * CAST(x * 1000000 - med AS DOUBLE)
+      |    / CAST(mad AS DOUBLE) * 1e6, 0) AS BIGINT) END) >= 3500000
+      |    AS is_outlier
+      |FROM rows_""".stripMargin
+
   /** q_theil_sen: pairwise slopes / medians replayed with 1-based
     * DuckDB list arithmetic — each slope ONE IEEE division of exact
     * longs, medians order statistics of identically-sorted doubles,
@@ -3507,5 +3543,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_holt_forecast" -> holtSql,
     "q_modularity" -> modularitySql,
     "q_embed_drift" -> embedDriftSql,
-    "q_theil_sen" -> theilSenSql)
+    "q_theil_sen" -> theilSenSql,
+    "q_mad_outliers" -> madOutliersSql)
 }

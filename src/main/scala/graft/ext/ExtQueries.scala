@@ -186,6 +186,11 @@ object ExtQueries {
   def qTheilSen(spark: SparkSession, dir: String): DataFrame =
     Timeseries.theilSen(Tables(spark, dir).events)
 
+  /** Median/MAD modified z-score outlier days per event type (50%
+    * breakdown — the spike cannot mask itself). */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.madOutliers(Tables(spark, dir).events)
+
   /** Empirical LSH recall vs exact ground truth, per Jaccard decile —
     * the "measure, don't guess" query for the MinHash-banding family
     * (the dedup twin of q_ann_recall): ground-truth near-dup pairs

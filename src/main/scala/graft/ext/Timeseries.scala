@@ -248,6 +248,56 @@ object Timeseries {
           .as("intercept_micro"))
   }
 
+  /** Median/MAD robust outlier days per series — the heavy-tail-safe
+    * twin of the z-score family ([[seasonalAnomalies]] uses mean/σ,
+    * which an extreme day inflates until it masks ITSELF; median and
+    * MAD have 50% breakdown, so the outage day stays flagged): robust
+    * z = 0.6745·(x − median)/MAD (Iglewicz–Hoaglin modified z-score),
+    * flagged at |z| ≥ 3.5.
+    *
+    * Exactness contract: median and MAD are computed in integer
+    * micro-units with `(a+b) div 2` even-count midpoints (nonneg
+    * longs — truncation identical cross-engine); the robust z is ONE
+    * double expression of exact longs, micro-rounded. MAD = 0
+    * (≥ half the days share the median) scores 0 at the median and
+    * ±10⁹ off it by convention — deterministic, no infinities.
+    *
+    * Scale shape: one (series, day) count shuffle, per-series medians
+    * inside bounded array expressions, one posexplode back to days —
+    * no windows. @return (series, day, x, rz_micro, is_outlier) */
+  def madOutliers(events: DataFrame, threshMicro: Long = 3500000L,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    def medianOf(arr: String): String =
+      s"""CASE WHEN size($arr) % 2 = 1 THEN $arr[(size($arr) - 1) div 2]
+         ELSE ($arr[size($arr) div 2 - 1] + $arr[size($arr) div 2]) div 2 END"""
+    daily.groupBy("series")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
+      .select(col("series"), col("pts"),
+        expr("array_sort(transform(pts, p -> p.x * 1000000))").as("xs"))
+      .select(col("series"), col("pts"),
+        expr(medianOf("xs")).as("med"))
+      .select(col("series"), col("pts"), col("med"),
+        expr("array_sort(transform(pts, p -> abs(p.x * 1000000 - med)))")
+          .as("devs"))
+      .select(col("series"), col("pts"), col("med"),
+        expr(medianOf("devs")).as("mad"))
+      .select(col("series"), col("med"), col("mad"),
+        explode(col("pts")).as("p"))
+      .select(col("series"), col("p.day").as("day"), col("p.x").as("x"),
+        when(col("mad") === 0L,
+            when(col("p.x") * 1000000L === col("med"), lit(0L))
+              .otherwise(signum((col("p.x") * 1000000L - col("med"))
+                .cast(DoubleType)).cast(LongType) * 1000000000L))
+          .otherwise(round(lit(0.6745) *
+              (col("p.x") * 1000000L - col("med")).cast(DoubleType) /
+              col("mad").cast(DoubleType) * 1e6, 0).cast(LongType))
+          .as("rz_micro"))
+      .withColumn("is_outlier", abs(col("rz_micro")) >= threshMicro)
+  }
+
   /** Holt double-exponential smoothing per series — the capacity/
     * volume forecast a pipeline's ingest planning needs (EWMA tracks
     * level only; Holt carries a TREND term, so a steadily-growing

@@ -110,6 +110,22 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(one == ((0L, 42000000L)), s"degenerate: $one")
   }
 
+  test("madOutliers: the spike cannot mask itself; MAD=0 convention flags only off-median days") {
+    // varied series: median 10, MAD 1 → day 100 scores 0.6745·90 ≈ 60.7,
+    // day 12 scores 1.349 (below 3.5)
+    val out = Timeseries.madOutliers(series(Seq(8, 10, 12, 10, 9, 11, 10, 100)))
+      .select("x", "rz_micro", "is_outlier")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(100L)._3 && out(100L)._2 == 60705000L, s"spike: ${out(100L)}")
+    assert(!out(12L)._3 && out(12L)._2 == 1349000L, s"mild day: ${out(12L)}")
+    // >50% identical days → MAD 0: median days score 0, the spike ±1e9
+    val z = Timeseries.madOutliers(series(Seq(10, 10, 10, 10, 10, 100)))
+      .select("x", "rz_micro", "is_outlier")
+      .as[(Long, Long, Boolean)].collect()
+    assert(z.filter(_._1 == 10L).forall(r => r._2 == 0L && !r._3))
+    assert(z.find(_._1 == 100L).get._2 == 1000000000L)
+  }
+
   test("holtForecast: hand-computed level/trend fold; constant series has zero trend") {
     // x = [10, 20, 30], α=300‰, β=100‰:
     // l₁=10000 b₁=0; l₂=⌊(6e6+7e6)/1000⌋=13000, b₂=⌊3e5/1000⌋=300;
