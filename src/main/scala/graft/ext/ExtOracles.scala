@@ -3277,6 +3277,27 @@ FROM w${ExtQueries.btIters}"""
       |    ELSE 0.0 END, 0) AS BIGINT) AS cos_micro
       |FROM agg""".stripMargin
 
+  /** q_mutual_knn: the cosine ranking CTE on the subset, self-joined
+    * both directions for reciprocity. */
+  private val mutualKnnSql: String =
+    """WITH c AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+      |    round(list_dot_product(q.v, c.v)
+      |      / (sqrt(list_dot_product(q.v, q.v))
+      |         * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      |  FROM c CROSS JOIN c q WHERE c.vec_id != q.vec_id),
+      |ranked AS MATERIALIZED (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |                                 ORDER BY cos_sim DESC, nn_id) AS rn
+      |    FROM scored) t WHERE rn <= 5)
+      |SELECT a.query_id AS a_id, a.nn_id AS b_id, a.cos_sim,
+      |  CAST(a.rn AS INTEGER) AS ra, CAST(b.rn AS INTEGER) AS rb
+      |FROM ranked a JOIN ranked b
+      |  ON b.query_id = a.nn_id AND b.nn_id = a.query_id
+      |WHERE a.query_id < a.nn_id""".stripMargin
+
   /** q_mad_outliers: integer-micro median/MAD with `(a+b) // 2`
     * even-count midpoints (nonneg longs — identical truncation), one
     * double robust-z per day micro-rounded; MAD = 0 convention 0/±10⁹. */
@@ -3544,5 +3565,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_modularity" -> modularitySql,
     "q_embed_drift" -> embedDriftSql,
     "q_theil_sen" -> theilSenSql,
-    "q_mad_outliers" -> madOutliersSql)
+    "q_mad_outliers" -> madOutliersSql,
+    "q_mutual_knn" -> mutualKnnSql)
 }

@@ -171,6 +171,12 @@ object ExtQueries {
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)
 
+  /** Reciprocal top-5 pairs over the vec_id%4 subset — the exact
+    * mutual-kNN dedup-candidate rule (reciprocity filters hubness). */
+  def qMutualKnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnn(
+      Tables(spark, dir).embeddings.filter(col("vec_id") % 4 === 0), k = 5)
+
   /** Per-label centroid drift vs the corpus centroid — the dense
     * twin of q_corpus_drift over the embeddings table. */
   def qEmbedDrift(spark: SparkSession, dir: String): DataFrame =

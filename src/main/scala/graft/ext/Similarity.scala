@@ -205,6 +205,48 @@ object Similarity {
     terms.reduce(_ + _)
   }
 
+  /** Mutual (reciprocal) k-nearest-neighbor pairs: (a, b) where each
+    * is in the other's top-k — the high-precision near-duplicate /
+    * same-entity candidate rule (a one-directional neighbor is often
+    * a hub artifact; reciprocity filters hubness, the RNN heuristic
+    * behind SNN clustering and two-tower dedup). Exact all-pairs
+    * scoring over the given corpus: at 100 TB the input is an ANN
+    * shortlist (IVF/LSH candidates), not the raw corpus — this exact
+    * form is the recall oracle for that pipeline.
+    *
+    * Scale shape: the ranking reuses the bounded-heap top-k (never a
+    * corpus-wide window); the query side broadcasts under the size
+    * gate with a plain cross join fallback; the reciprocity check is
+    * ONE co-keyed self-join of the queries×k ranked table
+    * (materialized once — it feeds both sides).
+    *
+    * @return (a_id, b_id, cos_sim, ra, rb) with a_id < b_id */
+  def mutualKnn(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
+    val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+      .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
+    val queries = emb.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val gated = if (emb.count() <= broadcastMaxRows) broadcast(queries) else queries
+    val scored = corpus.crossJoin(gated)
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))
+    val ranked = topKExplode(scored, Seq("query_id"), k).localCheckpoint()
+    val out = ranked.alias("a")
+      .join(ranked.alias("b"),
+        col("b.query_id") === col("a.nn_id") &&
+          col("b.nn_id") === col("a.query_id"))
+      .filter(col("a.query_id") < col("a.nn_id"))
+      .select(col("a.query_id").as("a_id"), col("a.nn_id").as("b_id"),
+        col("a.cos_sim").as("cos_sim"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(ranked)
+    out
+  }
+
   /** Embedding-space drift per label/source — the dense-vector twin
     * of [[Curation.corpusDrift]]: when a source is re-crawled or an
     * encoder is re-run, the cheapest first-order check is whether

@@ -1117,6 +1117,20 @@ class ExtSpec extends AnyFunSuite {
     assert(r == ((4L, 3L, 2L, 1L, 3.5, 0.5)), s"got $r")
   }
 
+  test("mutualKnn: reciprocal pairs inside clusters, none across; hub non-reciprocity filtered") {
+    def v(s: Float*): Array[Float] = s.toArray
+    // two tight 2-clusters plus a lone point whose top-1 is cluster A
+    // but which is nobody's top-1 back at k=1
+    val emb = Seq(
+      (1L, v(1f, 0f, 0f)), (2L, v(0.99f, 0.1f, 0f)),
+      (3L, v(0f, 1f, 0f)), (4L, v(0.1f, 0.99f, 0f)),
+      (5L, v(0.7f, 0.1f, 0.7f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.mutualKnn(emb, k = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)),
+      s"cluster pairs only — the lone hub-seeker must be filtered: $pairs")
+  }
+
   test("embedDrift: the shifted label drifts furthest; identical labels tie") {
     val base = Array.fill(8)(1f)
     val shifted = { val a = Array.fill(8)(1f); a(0) = 11f; a }
