@@ -1152,6 +1152,21 @@ object Curation {
     * round-trip. @return (source, n_tokens, kl_micro, js_micro). */
   def corpusDrift(docs: DataFrame, buckets: Int = 256,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val (lazyOut, counts) = corpusDriftLazy(docs, buckets, srcCol, textCol)
+    // source-cardinality result materialized so the counts scaffold
+    // releases here instead of pinning until the caller's releaseAll
+    val out = lazyOut.localCheckpoint()
+    graft.ext.Checkpoints.release(counts)
+    out
+  }
+
+  /** The un-materialized drift plan + its counts scaffold — the
+    * public [[corpusDrift]] checkpoints and releases; PlanAuditSpec
+    * asserts on THIS plan (a checkpointed result is just an RDD scan
+    * and would make the audit vacuous). */
+  private[graft] def corpusDriftLazy(docs: DataFrame, buckets: Int = 256,
+      srcCol: String = "source", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
     val counts = docs.select(col(srcCol).as("source"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .select(col("source"),
@@ -1186,14 +1201,10 @@ object Curation {
       round(ps * log(klRatio) * 1e6, 0).cast(LongType).as("kl_t"),
       round((ps * log(ps / mMix) / 2.0) * 1e6, 0).cast(LongType).as("js_s"),
       round((pa * log(pa / mMix) / 2.0) * 1e6, 0).cast(LongType).as("js_a"))
-    // source-cardinality result materialized so the counts scaffold
-    // releases here instead of pinning until the caller's releaseAll
     val out = terms.groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"),
         sum(col("kl_t")).as("kl_micro"),
         (sum(col("js_s")) + sum(col("js_a"))).as("js_micro"))
-      .localCheckpoint()
-    graft.ext.Checkpoints.release(counts)
-    out
+    (out, counts)
   }
 }

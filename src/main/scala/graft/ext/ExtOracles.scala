@@ -3277,6 +3277,38 @@ FROM w${ExtQueries.btIters}"""
       |    ELSE 0.0 END, 0) AS BIGINT) AS cos_micro
       |FROM agg""".stripMargin
 
+  /** q_luhn_screen: the same regexp extraction + per-candidate Luhn
+    * fold, with DuckDB's explicit 'g' replace flag; planted valid /
+    * invalid runs prove both checksum branches. */
+  private val luhnScreenSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 50 = 0
+      |        THEN text || ' card 4111 1111 1111 1111 ok'
+      |      WHEN doc_id % 50 = 25 THEN text || ' ref 4111111111111112 x'
+      |      ELSE text END AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id, list_filter(list_transform(
+      |    regexp_extract_all(text, '[0-9][0-9 -]{11,24}[0-9]', 0),
+      |    cc -> regexp_replace(cc, '[ -]', '', 'g')),
+      |    d -> length(d) >= 13 AND length(d) <= 19) AS cands FROM p),
+      |v AS (SELECT doc_id, cands,
+      |    list_filter(cands, d -> list_sum(list_transform(
+      |      range(0, length(d)),
+      |      i -> CASE WHEN i % 2 = 1 THEN
+      |          CASE WHEN CAST(substr(reverse(d), CAST(i + 1 AS INTEGER), 1)
+      |              AS INTEGER) * 2 > 9
+      |            THEN CAST(substr(reverse(d), CAST(i + 1 AS INTEGER), 1)
+      |              AS INTEGER) * 2 - 9
+      |            ELSE CAST(substr(reverse(d), CAST(i + 1 AS INTEGER), 1)
+      |              AS INTEGER) * 2 END
+      |        ELSE CAST(substr(reverse(d), CAST(i + 1 AS INTEGER), 1)
+      |          AS INTEGER) END)) % 10 = 0) AS valids
+      |  FROM c)
+      |SELECT doc_id, CAST(len(cands) AS INTEGER) AS n_candidates,
+      |  CAST(len(valids) AS INTEGER) AS n_luhn_valid,
+      |  len(valids) = 0 AS keep
+      |FROM v""".stripMargin
+
   /** q_mutual_knn: the cosine ranking CTE on the subset, self-joined
     * both directions for reciprocity. */
   private val mutualKnnSql: String =
@@ -3566,5 +3598,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_embed_drift" -> embedDriftSql,
     "q_theil_sen" -> theilSenSql,
     "q_mad_outliers" -> madOutliersSql,
-    "q_mutual_knn" -> mutualKnnSql)
+    "q_mutual_knn" -> mutualKnnSql,
+    "q_luhn_screen" -> luhnScreenSql)
 }

@@ -171,6 +171,19 @@ object ExtQueries {
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)
 
+  /** Luhn-validated card screening over documents with planted
+    * valid (doc_id%50=0) and checksum-failing (doc_id%50=25) runs —
+    * only the Luhn-valid plant may quarantine. */
+  def qLuhnScreen(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" card 4111 1111 1111 1111 ok")))
+        .when(col("doc_id") % 50 === 25,
+          concat(col("text"), lit(" ref 4111111111111112 x")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.luhnScreen(planted)
+  }
+
   /** Reciprocal top-5 pairs over the vec_id%4 subset — the exact
     * mutual-kNN dedup-candidate rule (reciprocity filters hubness). */
   def qMutualKnn(spark: SparkSession, dir: String): DataFrame =

@@ -479,6 +479,43 @@ object TextAnalysis {
         (size(col("matched")) === 0).as("keep"))
   }
 
+  /** Luhn-validated payment-card screening — the PII gate's
+    * high-precision tier: raw digit-run regexes flag phone numbers,
+    * order ids, and timestamps; a 13–19 digit run that passes the
+    * Luhn mod-10 checksum (with optional space/dash grouping) is
+    * card-shaped with ~10× fewer false positives, which is what
+    * decides whether a whole document is quarantined. Candidates
+    * extract with one RE2-safe regexp pass; the checksum runs inside
+    * a per-candidate array fold (double every second digit from the
+    * right, subtract 9 over 9, sum ≡ 0 mod 10).
+    *
+    * Zero shuffle — the whole screen is per-row array expressions at
+    * scan speed; both engines share the regexp and fold arithmetic,
+    * so a DuckDB replay is exact.
+    *
+    * @return (doc_id, n_candidates, n_luhn_valid, keep) */
+  def luhnScreen(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // digit runs of 13-19 allowing single space/dash separators,
+    // bounded both sides by non-digits (RE2-safe: no lookarounds —
+    // anchor on the stripped form's length instead)
+    val cands =
+      expr(s"""filter(transform(
+        regexp_extract_all($textCol, '[0-9][0-9 -]{11,24}[0-9]', 0),
+        c -> regexp_replace(c, '[ -]', '')),
+        d -> length(d) >= 13 AND length(d) <= 19)""")
+    val valid =
+      """filter(cands, d -> aggregate(sequence(0, length(d) - 1), 0,
+        (acc, i) -> acc + (CASE WHEN i % 2 = 1
+          THEN IF(CAST(substring(reverse(d), i + 1, 1) AS INT) * 2 > 9,
+            CAST(substring(reverse(d), i + 1, 1) AS INT) * 2 - 9,
+            CAST(substring(reverse(d), i + 1, 1) AS INT) * 2)
+          ELSE CAST(substring(reverse(d), i + 1, 1) AS INT) END)) % 10 = 0)"""
+    docs.select(col("doc_id"), cands.as("cands"))
+      .select(col("doc_id"), size(col("cands")).as("n_candidates"),
+        size(expr(valid)).as("n_luhn_valid"))
+      .withColumn("keep", col("n_luhn_valid") === 0)
+  }
+
   /** Vocabulary richness / sample-coverage estimators per source —
     * the "how much of this source's vocabulary have we actually
     * seen" corpus statistic that sizes tokenizer vocab and flags
@@ -537,6 +574,18 @@ object TextAnalysis {
     *         rouge_f1) */
   def rougeN(cand: DataFrame, ref: DataFrame, n: Int = 2,
       idCol: String = "pair_id", textCol: String = "text"): DataFrame = {
+    val (lazyOut, cg, rg) = rougeNLazy(cand, ref, n, idCol, textCol)
+    val out = lazyOut.localCheckpoint()
+    graft.ext.Checkpoints.release(cg, rg)
+    out
+  }
+
+  /** Un-materialized ROUGE plan + the two gram-count scaffolds — the
+    * public [[rougeN]] checkpoints and releases; PlanAuditSpec
+    * asserts on THIS plan. */
+  private[graft] def rougeNLazy(cand: DataFrame, ref: DataFrame, n: Int = 2,
+      idCol: String = "pair_id", textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
     def gramCounts(df: DataFrame, cnt: String): DataFrame =
       df.select(col(idCol).as("pair_id"), tokens(col(textCol)).as("toks"))
         .filter(size(col("toks")) >= n)
@@ -577,8 +626,6 @@ object TextAnalysis {
         round(p, 6).as("rouge_p"), round(r, 6).as("rouge_r"),
         round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6)
           .as("rouge_f1"))
-      .localCheckpoint()
-    graft.ext.Checkpoints.release(cg, rg)
-    out
+    (out, cg, rg)
   }
 }

@@ -1117,6 +1117,24 @@ class ExtSpec extends AnyFunSuite {
     assert(r == ((4L, 3L, 2L, 1L, 3.5, 0.5)), s"got $r")
   }
 
+  test("luhnScreen: checksum separates cards from card-shaped numbers; short runs never candidates") {
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 now"),          // valid Luhn
+      (2L, "ref 4111111111111112 invalid"),           // fails checksum
+      (3L, "grouped 4111 1111 1111 1111 card"),       // valid, separators
+      (4L, "phone 123-456-7890 and id 123456789012"), // too short
+      (5L, "amex 378282246310005 works")              // 15-digit valid
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.luhnScreen(docs)
+      .select("doc_id", "n_candidates", "n_luhn_valid", "keep")
+      .as[(Long, Int, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1, 1, false)), s"valid card quarantines: ${out(1L)}")
+    assert(out(2L) == ((2L, 1, 0, true)), s"checksum failure passes: ${out(2L)}")
+    assert(out(3L) == ((3L, 1, 1, false)), s"grouped form detected: ${out(3L)}")
+    assert(out(4L) == ((4L, 0, 0, true)), s"short runs never candidates: ${out(4L)}")
+    assert(out(5L) == ((5L, 1, 1, false)), s"15-digit amex: ${out(5L)}")
+  }
+
   test("mutualKnn: reciprocal pairs inside clusters, none across; hub non-reciprocity filtered") {
     def v(s: Float*): Array[Float] = s.toArray
     // two tight 2-clusters plus a lone point whose top-1 is cluster A

@@ -472,7 +472,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("corpusDrift: the only corpus-proportional stage is the first count agg") {
-    val p = plan("q_corpus_drift")
+    // audit the LAZY plan — the public operator checkpoints its
+    // result, which would reduce the executed plan to an RDD scan
+    val docs = graft.sources.Tables(spark, dir).documents
+    val (lzy, counts) = graft.ext.Curation.corpusDriftLazy(docs, buckets = 64)
+    val p = lzy.queryExecution.executedPlan.toString
+    graft.ext.Checkpoints.release(counts)
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"corpusDrift must stay window/cartesian-free:\n$p")
     // grid-side joins on the bounded sources×buckets table broadcast
@@ -481,9 +486,16 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("rougeN: clip join is a co-keyed equi-join, no window, no cartesian") {
-    val p = plan("q_rouge_overlap")
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables(spark, dir).documents
+    val (lzy, cg, rg) = graft.ext.TextAnalysis.rougeNLazy(
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("pair_id"), col("text")),
+      d.filter(col("doc_id") % 2 === 1).select((col("doc_id") - 1).as("pair_id"), col("text")))
+    val p = lzy.queryExecution.executedPlan.toString
+    graft.ext.Checkpoints.release(cg, rg)
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"rougeN plan regressed:\n$p")
+    assert(p.contains("Join"), s"the clip join must appear in the lazy plan:\n$p")
   }
 
   test("calibration: bins-keyed partial aggregation, no sort, no window") {
