@@ -205,6 +205,25 @@ object Similarity {
     terms.reduce(_ + _)
   }
 
+  /** Serving-shaped MaxSim: an ARRIVING query set against a static
+    * corpus — [[serveTopK]]'s contract (no self-exclusion; the query
+    * side is the small side by construction and broadcasts
+    * unconditionally) with the late-interaction score. Used by
+    * `StreamingOps.maxsimServeStream` inside foreachBatch — the
+    * reranking-layer twin of the cosine ANN serving path. */
+  def maxSimServe(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      nTokens: Int = 8, tokenDim: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("nn_id"),
+        round(graft.expressions.MaxSimScore.maxSim(
+          col("qv"), col("dv"), nTokens, tokenDim), 6).as("cos_sim"))
+    topKExplode(scored, Seq("query_id"), k)
+      .withColumnRenamed("cos_sim", "maxsim")
+  }
+
   /** Mutual (reciprocal) k-nearest-neighbor pairs: (a, b) where each
     * is in the other's top-k — the high-precision near-duplicate /
     * same-entity candidate rule (a one-directional neighbor is often

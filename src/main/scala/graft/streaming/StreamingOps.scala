@@ -399,6 +399,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Late-interaction (MaxSim) serving over arriving query batches —
+    * the reranking layer of [[annServeStream]], same foreachBatch
+    * shape with the fused [[graft.expressions.MaxSimScore]] scoring
+    * ([[graft.ext.Similarity.maxSimServe]]); stream ≡ batch twin in
+    * StreamingSpec. In production the corpus side is the pooled-ANN
+    * shortlist, not the raw table. */
+  def maxsimServeStream(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      nTokens: Int = 8, tokenDim: Int = 8)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Similarity.maxSimServe(batch.toDF(), corpus, k,
+            nTokens, tokenDim))
+      }
+      .start()
+
   /** Online fuzzy-contamination gate: every arriving micro-batch is
     * LSH-joined against the STATIC benchmark corpus with exactly the
     * batch operator ([[graft.ext.Dedup.crossNearDups]]) inside

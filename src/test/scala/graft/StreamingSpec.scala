@@ -546,6 +546,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MaxSim serving ≡ batch maxSimServe per arriving query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queryRows = corpus.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+    val q = StreamingOps.maxsimServeStream(
+        mem.toDF().toDF("vec_id", "embedding"), corpus, k = 4) { batch =>
+      got ++= batch.as[(Long, Long, Double, Int)].collect()
+    }
+    try {
+      mem.addData(queryRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(queryRows.drop(2): _*)
+      q.processAllAvailable()
+      val want = graft.ext.Similarity.maxSimServe(
+          queryRows.toDF("vec_id", "embedding"), corpus, k = 4)
+        .as[(Long, Long, Double, Int)].collect()
+      assert(got.sortBy(r => (r._1, r._4)).toSeq ==
+        want.sortBy(r => (r._1, r._4)).toSeq,
+        "streamed late-interaction top-k must equal the batch twin")
+    } finally q.stop()
+  }
+
   test("streaming ANN serving ≡ batch serveTopK per arriving query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
