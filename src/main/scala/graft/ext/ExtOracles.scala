@@ -3277,6 +3277,27 @@ FROM w${ExtQueries.btIters}"""
       |    ELSE 0.0 END, 0) AS BIGINT) AS cos_micro
       |FROM agg""".stripMargin
 
+  /** q_vocab_pruning: threshold explode over the hashed-token
+    * frequency table; exact-long sums, one micro division. */
+  private val vocabPruningSql: String =
+    """WITH tok AS (SELECT
+      |    CAST(concat('0x', substr(md5('vp|' || t.tok), 1, 15)) AS BIGINT) AS h
+      |  FROM documents,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS t(tok)),
+      |counts AS MATERIALIZED (SELECT h, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+      |th AS (SELECT CAST(u.t AS BIGINT) AS min_count
+      |       FROM unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS u(t))
+      |SELECT th.min_count,
+      |  CAST(count(*) AS BIGINT) AS vocab_size,
+      |  CAST(sum(c.c) AS BIGINT) AS covered_tokens,
+      |  CAST(round(CAST(sum(c.c) AS DOUBLE) * 1e6
+      |    / CAST(max(tot.n_total) AS DOUBLE), 0) AS BIGINT) AS coverage_micro
+      |FROM counts c JOIN th ON c.c >= th.min_count CROSS JOIN tot
+      |GROUP BY 1""".stripMargin
+
   /** q_luhn_screen: the same regexp extraction + per-candidate Luhn
     * fold, with DuckDB's explicit 'g' replace flag; planted valid /
     * invalid runs prove both checksum branches. */
@@ -3599,5 +3620,6 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_theil_sen" -> theilSenSql,
     "q_mad_outliers" -> madOutliersSql,
     "q_mutual_knn" -> mutualKnnSql,
-    "q_luhn_screen" -> luhnScreenSql)
+    "q_luhn_screen" -> luhnScreenSql,
+    "q_vocab_pruning" -> vocabPruningSql)
 }

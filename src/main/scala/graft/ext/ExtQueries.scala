@@ -171,6 +171,11 @@ object ExtQueries {
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)
 
+  /** Min-count vocabulary pruning curve over the corpus (rank-free
+    * tokenizer sizing). */
+  def qVocabPruning(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabPruningCurve(Tables(spark, dir).documents)
+
   /** Luhn-validated card screening over documents with planted
     * valid (doc_id%50=0) and checksum-failing (doc_id%50=25) runs —
     * only the Luhn-valid plant may quarantine. */

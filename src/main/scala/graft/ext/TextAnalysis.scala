@@ -479,6 +479,45 @@ object TextAnalysis {
         (size(col("matched")) === 0).as("keep"))
   }
 
+  /** Vocabulary pruning curve — tokenizer sizing by MIN-COUNT cutoff
+    * (how BPE/WordPiece vocabularies actually prune): for each
+    * threshold t, the surviving vocab size and the fraction of token
+    * OCCURRENCES still covered. Deliberately rank-free: a "top-k
+    * tokens" curve needs a global vocab sort; the min-count framing
+    * is pure aggregation, so the same plan holds at a 10⁹-type
+    * vocabulary ([[vocabRichness]]'s frequency table, read once).
+    *
+    * Scale shape: one (token-hash) count shuffle, then a
+    * thresholds×vocab explode collapsed by ONE map-combined
+    * aggregation — no sort anywhere. All sums exact longs; coverage
+    * is one micro-rounded division.
+    *
+    * @return (min_count, vocab_size, covered_tokens, coverage_micro)
+    */
+  def vocabPruningCurve(docs: DataFrame,
+      thresholds: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L),
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select(Dedup.portableHash60(concat(lit("vp|"), col("tok"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-bounded; feeds the curve AND the total
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val out = counts
+      .select(col("c"), explode(typedLit(thresholds)).as("min_count"))
+      .filter(col("c") >= col("min_count"))
+      .groupBy("min_count")
+      .agg(count(lit(1)).as("vocab_size"), sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("min_count"), col("vocab_size"), col("covered_tokens"),
+        round(col("covered_tokens").cast(DoubleType) * 1e6 /
+          col("n_total").cast(DoubleType), 0).cast(LongType)
+          .as("coverage_micro"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(counts)
+    out
+  }
+
   /** Luhn-validated payment-card screening — the PII gate's
     * high-precision tier: raw digit-run regexes flag phone numbers,
     * order ids, and timestamps; a 13–19 digit run that passes the

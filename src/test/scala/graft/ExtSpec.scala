@@ -1117,6 +1117,19 @@ class ExtSpec extends AnyFunSuite {
     assert(r == ((4L, 3L, 2L, 1L, 3.5, 0.5)), s"got $r")
   }
 
+  test("vocabPruningCurve: hand-counted thresholds; coverage monotone decreasing") {
+    // "a a a a b b c": counts {a:4, b:2, c:1}
+    val d = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabPruningCurve(d, thresholds = Seq(1L, 2L, 3L))
+      .select("min_count", "vocab_size", "covered_tokens", "coverage_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 7L, 1000000L),  // everything
+      (2L, 2L, 6L, 857143L),   // a, b -> 6/7
+      (3L, 1L, 4L, 571429L)),  // a only -> 4/7
+      s"got ${out.toSeq}")
+  }
+
   test("luhnScreen: checksum separates cards from card-shaped numbers; short runs never candidates") {
     val docs = Seq(
       (1L, "pay with 4111111111111111 now"),          // valid Luhn
