@@ -595,7 +595,74 @@ object GraftFunctions {
     graft.ext.Evaluation.calibration(df, bins = b).queryExecution.logical
   }
 
+  /** theil_sen(tbl) / mad_outliers(tbl[, threshMicro]) /
+    * holt_forecast(tbl) — per-series robust trend, robust outliers,
+    * and trend forecasts over (event_type, ts) rows. */
+  def theilSenTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.theilSen(
+      tableOf(strArg(args.head, "theil_sen(table)"))).queryExecution.logical
+
+  def madOutliersTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "mad_outliers(table)"))
+    val t = if (args.length > 1) intArg(args(1), "mad_outliers(threshMicro)")
+      else 3500000
+    graft.ext.Timeseries.madOutliers(df, t.toLong).queryExecution.logical
+  }
+
+  def holtForecastTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.holtForecast(
+      tableOf(strArg(args.head, "holt_forecast(table)")))
+      .queryExecution.logical
+
+  /** mutual_knn(tbl[, k]) — reciprocal nearest-neighbor pairs. */
+  def mutualKnnTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "mutual_knn(table)"))
+    val k = if (args.length > 1) intArg(args(1), "mutual_knn(k)") else 5
+    graft.ext.Similarity.mutualKnn(df, k).queryExecution.logical
+  }
+
+  /** luhn_screen(tbl) — card-checksum PII gate over (doc_id, text). */
+  def luhnScreenTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.TextAnalysis.luhnScreen(
+      tableOf(strArg(args.head, "luhn_screen(table)")))
+      .queryExecution.logical
+
+  /** vocab_pruning(tbl) — min-count coverage curve. */
+  def vocabPruningTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.TextAnalysis.vocabPruningCurve(
+      tableOf(strArg(args.head, "vocab_pruning(table)")))
+      .queryExecution.logical
+
+  /** hits(edgesTbl[, iters]) / modularity(edgesTbl, labelsTbl) —
+    * the directed-graph authority pair and community quality. */
+  def hitsTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "hits(edgesTable)"))
+    val it = if (args.length > 1) intArg(args(1), "hits(iters)") else 3
+    graft.operators.Graph.hits(df, it).queryExecution.logical
+  }
+
+  def modularityTvf(args: Seq[Expression]): LogicalPlan =
+    graft.operators.Graph.modularity(
+      tableOf(strArg(args.head, "modularity(edgesTable)")),
+      tableOf(strArg(args(1), "modularity(labelsTable)")))
+      .queryExecution.logical
+
+  /** embed_drift(tbl) — per-label centroid drift vs corpus. */
+  def embedDriftTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Similarity.embedDrift(
+      tableOf(strArg(args.head, "embed_drift(table)")))
+      .queryExecution.logical
+
   val tableFns: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "theil_sen" -> (theilSenTvf _),
+    "mad_outliers" -> (madOutliersTvf _),
+    "holt_forecast" -> (holtForecastTvf _),
+    "mutual_knn" -> (mutualKnnTvf _),
+    "luhn_screen" -> (luhnScreenTvf _),
+    "vocab_pruning" -> (vocabPruningTvf _),
+    "hits" -> (hitsTvf _),
+    "modularity" -> (modularityTvf _),
+    "embed_drift" -> (embedDriftTvf _),
     "bradley_terry" -> (bradleyTerryTvf _),
     "rouge_n" -> (rougeNTvf _),
     "corpus_drift" -> (corpusDriftTvf _),

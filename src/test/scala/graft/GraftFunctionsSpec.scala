@@ -335,4 +335,46 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM calibration('preds_tvf11', 10)",
       graft.ext.Evaluation.calibration(spark.table("preds_tvf11"), bins = 10))
   }
+
+  test("late round-11 TVFs are row-identical to the Scala API") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
+    docs.createOrReplaceTempView("docs_l11")
+    emb.createOrReplaceTempView("emb_l11")
+    events.createOrReplaceTempView("ev_l11")
+    def sameAs(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.sorted.sameElements(api.columns.sorted),
+        s"schema drift: ${viaSql.columns.toSeq} vs ${api.columns.toSeq}")
+      assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty,
+        s"SQL and Scala results differ for: $sql")
+    }
+    sameAs("SELECT * FROM theil_sen('ev_l11')",
+      graft.ext.Timeseries.theilSen(events))
+    sameAs("SELECT * FROM mad_outliers('ev_l11')",
+      graft.ext.Timeseries.madOutliers(events))
+    sameAs("SELECT * FROM holt_forecast('ev_l11')",
+      graft.ext.Timeseries.holtForecast(events))
+    sameAs("SELECT * FROM mutual_knn('emb_l11', 3)",
+      graft.ext.Similarity.mutualKnn(emb, k = 3))
+    sameAs("SELECT * FROM luhn_screen('docs_l11')",
+      graft.ext.TextAnalysis.luhnScreen(docs))
+    sameAs("SELECT * FROM vocab_pruning('docs_l11')",
+      graft.ext.TextAnalysis.vocabPruningCurve(docs))
+    sameAs("SELECT * FROM embed_drift('emb_l11')",
+      graft.ext.Similarity.embedDrift(emb))
+    Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+      .createOrReplaceTempView("edges_l11")
+    sameAs("SELECT * FROM hits('edges_l11', 2)",
+      graft.operators.Graph.hits(spark.table("edges_l11"), 2))
+    Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+      .createOrReplaceTempView("labels_l11")
+    sameAs("SELECT * FROM modularity('edges_l11', 'labels_l11')",
+      graft.operators.Graph.modularity(
+        spark.table("edges_l11"), spark.table("labels_l11")))
+  }
 }
