@@ -353,6 +353,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rwOn == rwOff, "randomWalks gate must not change walks")
   }
 
+  test("graph operators: gated broadcast off ≡ on (HITS, modularity, mutualKnn)") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 11L), (1L, 11L))
+      .toDF("src", "dst")
+    val hOn = graft.operators.Graph.hits(edges, iters = 2).collect().toSet
+    val hOff = graft.operators.Graph
+      .hits(edges, iters = 2, broadcastMaxNodes = 0L).collect().toSet
+    assert(hOn == hOff, "hits gate must not change scores")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (10L, 1L), (11L, 3L))
+      .toDF("node", "label")
+    val mOn = graft.operators.Graph.modularity(edges, labels).collect().toSet
+    val mOff = graft.operators.Graph
+      .modularity(edges, labels, broadcastMaxNodes = 0L).collect().toSet
+    assert(mOn == mOff, "modularity gate must not change Q")
+    val emb = graft.sources.Tables(spark, dir).embeddings
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val kOn = graft.ext.Similarity.mutualKnn(emb, k = 3).collect().toSet
+    val kOff = graft.ext.Similarity
+      .mutualKnn(emb, k = 3, broadcastMaxRows = 0L).collect().toSet
+    assert(kOn == kOff, "mutualKnn gate must not change pairs")
+  }
+
   test("iterative graph plans: no cartesian product in any round") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
