@@ -147,4 +147,152 @@ object Evaluation {
     graft.ext.Checkpoints.release(cells)
     out
   }
+
+  /** ROC-AUC per group from the Mann–Whitney rank-sum identity with
+    * exact mid-rank tie handling: AUC = U/(P·N) where
+    * U = Σ_s pos(s)·(neg_below(s) + neg(s)/2) over distinct scores s.
+    * The halves are avoided by carrying 2U as an exact long
+    * (u2 = Σ pos·(2·neg_below + neg)), so the only IEEE step is the
+    * final u2/(2·P·N) division — any engine replays it bit-for-bit.
+    * Groups with no positives or no negatives score 0.5 by the
+    * coin-flip convention (AUC is undefined there).
+    *
+    * Scale shape: one (group, score) count shuffle over the
+    * prediction stream (map-side combined), after which EVERYTHING is
+    * score-cardinality-bounded — the cumulative window partitions by
+    * group over the distinct-score table, ≤ 1e6+1 rows per group for
+    * micro-probability scores, never corpus-proportional (the same
+    * bounded-window argument as [[calibration]]'s bins). u2 stays
+    * long-exact through ~3·10⁹ rows per group (pos·neg < 2⁶³).
+    *
+    * @param preds rows with `groupCol`, `scoreCol` (long micro score)
+    *              and `yCol` (0/1 long label)
+    * @return (grp, n_pos, n_neg, u2, auc) — auc 6dp */
+  def aucRoc(preds: DataFrame, groupCol: String = "group",
+      scoreCol: String = "score_micro", yCol: String = "y"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = col(yCol).cast(LongType)
+    val cells = preds
+      .select(col(groupCol).as("grp"), col(scoreCol).cast(LongType).as("s"), y)
+      .groupBy("grp", "s")
+      .agg(sum(col(yCol)).cast(LongType).as("pos"),
+        (count(lit(1)) - sum(col(yCol))).cast(LongType).as("neg"))
+    // score-cardinality-bounded window (distinct scores per group)
+    val wBelow = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = cells.withColumn("negBelow",
+      coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+    val agg = terms.groupBy("grp").agg(
+      sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+      sum(col("pos") * (lit(2L) * col("negBelow") + col("neg"))).as("u2"))
+    agg.select(col("grp"), col("n_pos"), col("n_neg"), col("u2"),
+      round(when(col("n_pos") === 0L || col("n_neg") === 0L, 0.5)
+        .otherwise(col("u2").cast(DoubleType) /
+          (lit(2.0) * col("n_pos").cast(DoubleType) *
+            col("n_neg").cast(DoubleType))), 6).as("auc"))
+  }
+
+  /** Fleiss' κ multi-rater chance-corrected agreement per group
+    * (generalized to variable raters-per-item, the real shape of a
+    * crowd/LLM labeling pipeline): with n_ic the count of raters
+    * putting item i in category c, n_i = Σ_c n_ic,
+    * P̄ₒ = Σ_i Σ_c n_ic(n_ic−1) / Σ_i n_i(n_i−1) and
+    * P̄ₑ = Σ_c (Σ_i n_ic)² / (Σ_i n_i)². Items with a single rating
+    * carry no agreement signal and are excluded from BOTH numerators
+    * and marginals. Degenerate groups with P̄ₑ = 1 score κ = 0.
+    *
+    * Exactness: every numerator/denominator is an order-free long sum
+    * (pe's Σ m_c² is exact while total ratings per group < 3·10⁹);
+    * po/pe/κ are single fixed-shape IEEE divisions, 6dp.
+    *
+    * Scale shape: one (group, item, category) count shuffle, a
+    * per-item rollup keyed on (group, item), then group-sized and
+    * (group × categories)-sized aggregates — nothing after the first
+    * two map-side-combined shuffles is corpus-proportional.
+    *
+    * @param ratings one row per individual rating: `groupCol`,
+    *                `itemCol`, `catCol`
+    * @return (grp, n_items, n_ratings, po, pe, kappa) — 6dp */
+  def fleissKappa(ratings: DataFrame, groupCol: String = "group",
+      itemCol: String = "item", catCol: String = "cat"): DataFrame = {
+    val nic = ratings
+      .select(col(groupCol).as("grp"), col(itemCol).as("item"),
+        col(catCol).as("cat"))
+      .groupBy("grp", "item", "cat").agg(count(lit(1)).as("c"))
+    val perItem = nic.groupBy("grp", "item")
+      .agg(sum(col("c")).as("ni"),
+        sum(col("c") * (col("c") - 1L)).as("po_i"),
+        // category marginals must also drop single-rating items, so
+        // the per-category sums re-aggregate from this keyed rollup
+        collect_list(struct(col("cat"), col("c"))).as("cats"))
+      .filter(col("ni") >= 2L)
+      .localCheckpoint() // items-bounded; read twice below
+    val po = perItem.groupBy("grp").agg(
+      count(lit(1)).as("n_items"), sum(col("ni")).as("n_ratings"),
+      sum(col("po_i")).as("po_num"),
+      sum(col("ni") * (col("ni") - 1L)).as("po_den"))
+    val marg = perItem
+      .select(col("grp"), explode(col("cats")).as("kc"))
+      .groupBy(col("grp"), col("kc.cat"))
+      .agg(sum(col("kc.c")).as("mc"))
+      .groupBy("grp").agg(sum(col("mc") * col("mc")).as("pe_num"))
+    val poD = col("po_num").cast(DoubleType) / col("po_den").cast(DoubleType)
+    val peD = col("pe_num").cast(DoubleType) /
+      (col("n_ratings") * col("n_ratings")).cast(DoubleType)
+    val out = po.join(marg, Seq("grp"), "left")
+      .select(col("grp"), col("n_items"), col("n_ratings"),
+        round(poD, 6).as("po"), round(peD, 6).as("pe"),
+        round(when(peD === 1.0, 0.0)
+          .otherwise((poD - peD) / (lit(1.0) - peD)), 6).as("kappa"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(perItem)
+    out
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group — the
+    * distribution-drift test between two corpora's score columns
+    * (yesterday's crawl vs today's, train vs eval):
+    * D = max_x |F_a(x) − F_b(x)| over the pooled support. The max is
+    * carried as the exact long d_num = max |cumA·n_b − cumB·n_a|, so
+    * the only IEEE step is the final d_num/(n_a·n_b) division.
+    * Groups empty on either side return D = 1 (maximal drift) — a
+    * missing side IS maximal distribution change.
+    *
+    * Scale shape: one (group, value) count shuffle per side (map-side
+    * combined), then a cumulative window over the pooled
+    * distinct-value table — value-cardinality-bounded per group
+    * (≤ 1e6+1 for micro scores), never corpus-proportional. Exact
+    * while n_a·n_b < 2⁶³ (~3·10⁹ rows per side per group).
+    *
+    * @param a,b rows with `groupCol` and `valueCol` (long-castable)
+    * @return (grp, n_a, n_b, d_num, ks) — ks 6dp */
+  def ksTest(a: DataFrame, b: DataFrame, groupCol: String = "group",
+      valueCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, ca: Long, cb: Long): DataFrame = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast(LongType).as("v"))
+      .groupBy("grp", "v")
+      .agg((count(lit(1)) * ca).as("ca"), (count(lit(1)) * cb).as("cb"))
+    val cells = side(a, 1L, 0L).unionAll(side(b, 0L, 1L))
+      .groupBy("grp", "v")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    // value-cardinality-bounded cumulative window per group
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = cells
+      .withColumn("cumA", sum(col("ca")).over(wCum))
+      .withColumn("cumB", sum(col("cb")).over(wCum))
+      .withColumn("tA", sum(col("ca")).over(wAll))
+      .withColumn("tB", sum(col("cb")).over(wAll))
+    val agg = cum.groupBy("grp").agg(
+      max(col("tA")).as("n_a"), max(col("tB")).as("n_b"),
+      max(abs(col("cumA") * col("tB") - col("cumB") * col("tA")))
+        .as("d_num"))
+    agg.select(col("grp"), col("n_a"), col("n_b"), col("d_num"),
+      round(when(col("n_a") === 0L || col("n_b") === 0L, 1.0)
+        .otherwise(col("d_num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)), 6).as("ks"))
+  }
 }

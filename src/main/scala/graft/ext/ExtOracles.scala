@@ -3601,6 +3601,206 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |    AS coverage
       |FROM agg""".stripMargin
 
+  /** q_auc_roc: Mann–Whitney 2U as an exact long over the distinct-
+    * score table (mid-rank ties via 2·neg_below + neg); single IEEE
+    * division, degenerate groups 0.5. */
+  private val aucRocSql: String =
+    """WITH t AS (SELECT lang AS grp, lower(text) AS lt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM documents),
+      |pred AS (SELECT grp,
+      |    least(1000000, CAST(len(list_filter(toks,
+      |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      AS BIGINT) * 125000) AS s,
+      |    CASE WHEN lt LIKE '% the %' THEN 1 ELSE 0 END AS y FROM t),
+      |cells AS (SELECT grp, s, CAST(sum(y) AS BIGINT) AS pos,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+      |  FROM pred GROUP BY 1, 2),
+      |c2 AS (SELECT grp, pos, neg,
+      |    COALESCE(CAST(sum(neg) OVER (PARTITION BY grp ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS nb FROM cells),
+      |agg AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(neg) AS BIGINT) AS n_neg,
+      |    CAST(sum(pos * (2 * nb + neg)) AS BIGINT) AS u2
+      |  FROM c2 GROUP BY 1)
+      |SELECT grp, n_pos, n_neg, u2,
+      |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
+      |    ELSE CAST(u2 AS DOUBLE) /
+      |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6)
+      |    AS auc
+      |FROM agg""".stripMargin
+
+  /** q_fleiss_kappa: three unioned rater rules; po/pe numerators and
+    * denominators exact longs; single-rating items excluded from both
+    * numerators and marginals. */
+  private val fleissKappaSql: String =
+    """WITH t AS (SELECT source AS grp, doc_id AS item, lang,
+      |    lower(text) AS lt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM documents),
+      |r AS (SELECT grp, item,
+      |    CASE WHEN len(list_filter(toks,
+      |        x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      >= len(list_filter(toks,
+      |        x -> x IN ('el','la','de','y','es','en','que','los')))
+      |      THEN 'en' ELSE 'es' END AS cat FROM t
+      |  UNION ALL SELECT grp, item,
+      |    CASE WHEN lt LIKE '% the %' THEN 'en' ELSE 'es' END FROM t
+      |  UNION ALL SELECT grp, item,
+      |    CASE WHEN lang = 'en' THEN 'en' ELSE 'es' END FROM t),
+      |nic AS MATERIALIZED (SELECT grp, item, cat,
+      |    CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2, 3),
+      |it AS MATERIALIZED (SELECT grp, item, CAST(sum(c) AS BIGINT) AS ni,
+      |    CAST(sum(c * (c - 1)) AS BIGINT) AS po_i
+      |  FROM nic GROUP BY 1, 2 HAVING sum(c) >= 2),
+      |po AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(ni) AS BIGINT) AS n_ratings,
+      |    CAST(sum(po_i) AS BIGINT) AS po_num,
+      |    CAST(sum(ni * (ni - 1)) AS BIGINT) AS po_den FROM it GROUP BY 1),
+      |marg AS (SELECT n.grp, n.cat, CAST(sum(n.c) AS BIGINT) AS mc
+      |  FROM nic n JOIN it k ON k.grp = n.grp AND k.item = n.item
+      |  GROUP BY 1, 2),
+      |pe AS (SELECT grp, CAST(sum(mc * mc) AS BIGINT) AS pe_num
+      |  FROM marg GROUP BY 1),
+      |f AS (SELECT po.grp, n_items, n_ratings,
+      |    CAST(po_num AS DOUBLE) / CAST(po_den AS DOUBLE) AS po,
+      |    CAST(COALESCE(pe.pe_num, 0) AS DOUBLE) /
+      |      CAST(n_ratings * n_ratings AS DOUBLE) AS pe
+      |  FROM po LEFT JOIN pe ON pe.grp = po.grp)
+      |SELECT grp, n_items, n_ratings, round(po, 6) AS po,
+      |  round(pe, 6) AS pe,
+      |  round(CASE WHEN pe = 1.0 THEN 0.0
+      |        ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+      |FROM f""".stripMargin
+
+  /** q_ks_drift: exact-long D numerator max |cumA·nB − cumB·nA| over
+    * the pooled distinct-value table; single IEEE division. */
+  private val ksDriftSql: String =
+    """WITH t AS (SELECT doc_id, lang AS grp,
+      |    least(1000000, CAST(len(list_filter(
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x != ''),
+      |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      AS BIGINT) * 125000) AS v FROM documents),
+      |cells AS (SELECT grp, v,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb FROM t GROUP BY 1, 2),
+      |cum AS (SELECT grp,
+      |    CAST(sum(ca) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumA,
+      |    CAST(sum(cb) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumB,
+      |    CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS tA,
+      |    CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS tB
+      |  FROM cells)
+      |SELECT grp, max(tA) AS n_a, max(tB) AS n_b,
+      |  CAST(max(abs(cumA * tB - cumB * tA)) AS BIGINT) AS d_num,
+      |  round(CASE WHEN max(tA) = 0 OR max(tB) = 0 THEN 1.0
+      |    ELSE CAST(max(abs(cumA * tB - cumB * tA)) AS DOUBLE) /
+      |      CAST(max(tA) * max(tB) AS DOUBLE) END, 6) AS ks
+      |FROM cum GROUP BY grp""".stripMargin
+
+  /** q_corpus_bleu: per-order clipped counts as exact longs (order
+    * tag inside the gram hash), corpus-summed before the p_n
+    * divisions; BLEU-2's root is IEEE-exact sqrt; bp's exp runs on
+    * one scalar from exact longs. */
+  private val corpusBleuSql: String =
+    """WITH cand AS (SELECT doc_id AS pair_id, text FROM documents
+      |              WHERE doc_id % 2 = 0),
+      |refs AS (SELECT doc_id - 1 AS pair_id, text FROM documents
+      |         WHERE doc_id % 2 = 1),
+      |ids AS (SELECT c.pair_id FROM cand c
+      |        JOIN refs r ON r.pair_id = c.pair_id),
+      |ct AS MATERIALIZED (SELECT i.pair_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM cand c JOIN ids i USING (pair_id)),
+      |rt AS MATERIALIZED (SELECT i.pair_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM refs r JOIN ids i USING (pair_id)),
+      |cg AS MATERIALIZED (
+      |  SELECT 1 AS n, pair_id,
+      |      CAST(concat('0x', substr(md5('bl|1|' || g.gram), 1, 15))
+      |        AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS cc
+      |    FROM ct, unnest(toks) AS g(gram) GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 2, pair_id,
+      |      CAST(concat('0x', substr(md5('bl|2|' || g.gram), 1, 15))
+      |        AS BIGINT), CAST(count(*) AS BIGINT)
+      |    FROM ct, unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS g(gram) GROUP BY 2, 3),
+      |rg AS MATERIALIZED (
+      |  SELECT 1 AS n, pair_id,
+      |      CAST(concat('0x', substr(md5('bl|1|' || g.gram), 1, 15))
+      |        AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS rc
+      |    FROM rt, unnest(toks) AS g(gram) GROUP BY 2, 3
+      |  UNION ALL
+      |  SELECT 2, pair_id,
+      |      CAST(concat('0x', substr(md5('bl|2|' || g.gram), 1, 15))
+      |        AS BIGINT), CAST(count(*) AS BIGINT)
+      |    FROM rt, unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS g(gram) GROUP BY 2, 3),
+      |clip AS (SELECT n, CAST(sum(least(cc, rc)) AS BIGINT) AS clip
+      |  FROM cg JOIN rg USING (n, pair_id, h) GROUP BY 1),
+      |tot AS (SELECT n, CAST(sum(cc) AS BIGINT) AS tot FROM cg GROUP BY 1),
+      |lens AS (SELECT
+      |    (SELECT COALESCE(CAST(sum(len(toks)) AS BIGINT), 0) FROM ct)
+      |      AS c_len,
+      |    (SELECT COALESCE(CAST(sum(len(toks)) AS BIGINT), 0) FROM rt)
+      |      AS r_len,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_pairs),
+      |ord AS (SELECT t.n, t.tot, COALESCE(c.clip, 0) AS clip,
+      |    CASE WHEN t.tot > 0
+      |      THEN CAST(COALESCE(c.clip, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+      |      ELSE 0.0 END AS p
+      |  FROM tot t LEFT JOIN clip c ON c.n = t.n),
+      |w AS (SELECT
+      |    max(CASE WHEN n = 1 THEN clip END) AS clip_1,
+      |    max(CASE WHEN n = 1 THEN tot END) AS tot_1,
+      |    max(CASE WHEN n = 1 THEN p END) AS p1,
+      |    max(CASE WHEN n = 2 THEN clip END) AS clip_2,
+      |    max(CASE WHEN n = 2 THEN tot END) AS tot_2,
+      |    max(CASE WHEN n = 2 THEN p END) AS p2 FROM ord),
+      |f AS (SELECT n_pairs, c_len, r_len,
+      |    COALESCE(clip_1, 0) AS clip_1, COALESCE(tot_1, 0) AS tot_1,
+      |    COALESCE(p1, 0.0) AS p1,
+      |    COALESCE(clip_2, 0) AS clip_2, COALESCE(tot_2, 0) AS tot_2,
+      |    COALESCE(p2, 0.0) AS p2,
+      |    CASE WHEN c_len >= r_len OR c_len = 0 THEN 1.0
+      |      ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+      |      END AS bp_raw
+      |  FROM w CROSS JOIN lens)
+      |SELECT n_pairs, c_len, r_len, clip_1, tot_1, round(p1, 6) AS p_1,
+      |  clip_2, tot_2, round(p2, 6) AS p_2, round(bp_raw, 6) AS bp,
+      |  round(bp_raw * sqrt(p1 * p2), 6) AS bleu
+      |FROM f""".stripMargin
+
+  /** q_adamic_adar: per-center micro weight round(1e6/ln(deg)) as an
+    * exact long before summing (order-free); wedge self-join on the
+    * center, anti-exists against existing edges. */
+  private val adamicAdarSql: String =
+    """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS s,
+      |    l_suppkey * 2 + 1 AS d FROM lineitem WHERE l_partkey % 20 = 0),
+      |und AS MATERIALIZED (SELECT s AS w, d AS n FROM e0
+      |  UNION SELECT d, s FROM e0),
+      |dt AS (SELECT w,
+      |    CAST(round(1000000.0 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+      |      AS term
+      |  FROM und GROUP BY 1
+      |  HAVING count(*) >= 2 AND count(*) <= 100000),
+      |sc AS (SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS cn,
+      |    CAST(sum(dt.term) AS BIGINT) AS aa_micro
+      |  FROM und a JOIN und b ON b.w = a.w AND a.n < b.n
+      |  JOIN dt ON dt.w = a.w
+      |  GROUP BY 1, 2)
+      |SELECT u, v, cn, aa_micro FROM sc
+      |WHERE NOT EXISTS (SELECT 1 FROM und x
+      |  WHERE x.w = sc.u AND x.n = sc.v)""".stripMargin
+
   val all: Map[String, String] = base ++ Map(
     "q_dedup_indexed" -> base("q_dedup_incremental"),
     "q_memorization_indexed" -> base("q_memorization"),
@@ -3621,5 +3821,10 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_mad_outliers" -> madOutliersSql,
     "q_mutual_knn" -> mutualKnnSql,
     "q_luhn_screen" -> luhnScreenSql,
-    "q_vocab_pruning" -> vocabPruningSql)
+    "q_vocab_pruning" -> vocabPruningSql,
+    "q_auc_roc" -> aucRocSql,
+    "q_fleiss_kappa" -> fleissKappaSql,
+    "q_ks_drift" -> ksDriftSql,
+    "q_corpus_bleu" -> corpusBleuSql,
+    "q_adamic_adar" -> adamicAdarSql)
 }

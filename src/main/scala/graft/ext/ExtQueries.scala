@@ -167,6 +167,69 @@ object ExtQueries {
     Evaluation.cohenKappa(labels)
   }
 
+  /** ROC-AUC per language of the stopword-hit English-ness score
+    * against the contains-' the ' label — does the score actually
+    * rank English docs above the rest? (the threshold-free companion
+    * of [[qEvalCalibration]]). */
+  def qAucRoc(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val preds = Tables(spark, dir).documents.select(
+      col("lang").as("group"),
+      least(lit(1000000L), hits.cast("long") * 125000L).as("score_micro"),
+      when(lower(col("text")).like("% the %"), 1L).otherwise(0L).as("y"))
+    Evaluation.aucRoc(preds)
+  }
+
+  /** Fleiss' κ per source across THREE language annotators — the
+    * stopword-count rule, the contains-' the ' rule, and the corpus
+    * lang tag — one rating row per (doc, rater). */
+  def qFleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def cnt(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(x => lit(x)): _*)))
+    val d = Tables(spark, dir).documents
+    def rater(c: org.apache.spark.sql.Column): DataFrame =
+      d.select(col("source").as("group"), col("doc_id").as("item"), c.as("cat"))
+    val ratings = rater(
+        when(cnt(TextAnalysis.EnStop) >= cnt(TextAnalysis.EsStop), "en")
+          .otherwise("es"))
+      .unionAll(rater(
+        when(lower(col("text")).like("% the %"), "en").otherwise("es")))
+      .unionAll(rater(
+        when(col("lang") === "en", "en").otherwise("es")))
+    Evaluation.fleissKappa(ratings)
+  }
+
+  /** Two-sample KS drift per language between even- and odd-id docs'
+    * English-ness scores — the null-hypothesis wiring of the
+    * distribution-drift gate (same score as [[qAucRoc]]). */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang").as("group"),
+      least(lit(1000000L), hits.cast("long") * 125000L).as("v"))
+    Evaluation.ksTest(
+      scored.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+      scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
+  }
+
+  /** Corpus BLEU-2 of even docs (candidates) against their odd
+    * successors (references) — the precision-oriented twin of
+    * [[qRougeOverlap]] with brevity penalty, over the same pairing. */
+  def qCorpusBleu(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    TextAnalysis.corpusBleu(
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text")),
+      d.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text")),
+      maxN = 2)
+  }
+
   /** Chao1 vocabulary richness + Good–Turing coverage per source. */
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)

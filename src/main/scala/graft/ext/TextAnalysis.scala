@@ -661,4 +661,110 @@ object TextAnalysis {
           .as("rouge_f1"))
     (out, cg, rg)
   }
+
+  /** Corpus-level BLEU-N (Papineni et al., 2002) over candidate/
+    * reference pairs — the MT/distillation eval twin of [[rougeN]]:
+    * per order n ≤ maxN, clipped precision
+    * pₙ = Σ_pairs Σ_g min(countᶜ, countʳ) / Σ_pairs cand-grams, all
+    * corpus-summed BEFORE dividing (the corpus-BLEU definition, which
+    * is what makes the statistic stable), then
+    * BLEU = BP · (Π pₙ)^(1/maxN) with the brevity penalty
+    * BP = min(1, e^(1−r_len/c_len)).
+    *
+    * Exactness: clip/total counts are order-free long sums; each pₙ
+    * is one exact-long division. The root is IEEE-exact for maxN = 2
+    * (sqrt is correctly rounded); BP's exp fires only when the corpus
+    * candidate length is short of the reference and runs on one
+    * group-level scalar built from exact longs — 6dp rounding absorbs
+    * the sub-ulp libm spread (the q_hits/q_dsir micro discipline).
+    *
+    * Scale shape: identical to [[rougeN]] per order — per-row gram
+    * arrays, (order, pair, hash)-keyed counts, co-keyed clip join,
+    * then an orders-sized rollup. One logical pipeline serves all
+    * orders (the order is part of the key, NOT a separate pass), so
+    * the corpus is read once per side regardless of maxN.
+    *
+    * @param cand (idCol, textCol) candidate rows, one per pair id
+    * @param ref  (idCol, textCol) reference rows, same id domain;
+    *             only ids present on both sides are scored
+    * @return one row: (n_pairs, c_len, r_len, clip_1.., tot_1..,
+    *         p_1.., bp, bleu) — p/bp/bleu 6dp */
+  def corpusBleu(cand: DataFrame, ref: DataFrame, maxN: Int = 2,
+      idCol: String = "pair_id", textCol: String = "text"): DataFrame = {
+    val (lazyOut, ids) = corpusBleuLazy(cand, ref, maxN, idCol, textCol)
+    val out = lazyOut.localCheckpoint() // one-row result; release scaffold
+    graft.ext.Checkpoints.release(ids)
+    out
+  }
+
+  /** The lazy BLEU plan + the pinned scored-ids table (PlanAuditSpec
+    * asserts on the plan; [[corpusBleu]] materializes and releases). */
+  private[graft] def corpusBleuLazy(cand: DataFrame, ref: DataFrame,
+      maxN: Int, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    require(maxN >= 1 && maxN <= 4, "maxN in [1,4]")
+    // ids on both sides — pairs-bounded, read by both gram legs
+    val ids = cand.select(col(idCol).as("pair_id"))
+      .join(ref.select(col(idCol).as("pair_id")), Seq("pair_id"))
+      .distinct().localCheckpoint()
+    // (order, pair, hash) counts for every order in ONE pass: the
+    // per-row flatten emits each order's grams tagged with n
+    def gramCounts(df: DataFrame, cnt: String): DataFrame =
+      df.select(col(idCol).as("pair_id"), tokens(col(textCol)).as("toks"))
+        .join(ids, Seq("pair_id"))
+        .select(col("pair_id"), explode(expr(
+          // per-order guard: sequence(1, 0) would DESCEND, not empty
+          (1 to maxN).map(n =>
+            s"if(size(toks) >= $n, " +
+              s"transform(sequence(1, size(toks) - ${n - 1}), " +
+              s"i -> concat('$n|', concat_ws(' ', slice(toks, i, $n)))), " +
+              "array())")
+            .mkString("flatten(array(", ", ", "))"))).as("gram"))
+        .select(col("pair_id"),
+          substring(col("gram"), 1, 1).cast(IntegerType).as("n"),
+          Dedup.portableHash60(concat(lit("bl|"), col("gram"))).as("h"))
+        .groupBy("n", "pair_id", "h").agg(count(lit(1)).as(cnt))
+    val cg = gramCounts(cand, "cc")
+    val rg = gramCounts(ref, "rc")
+    val clip = cg.join(rg, Seq("n", "pair_id", "h"))
+      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("clip"))
+    val tot = cg.groupBy("n").agg(sum(col("cc")).as("tot"))
+    // corpus candidate/reference token lengths over the scored pairs
+    def lenOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("pair_id"), tokens(col(textCol)).as("toks"))
+        .join(ids, Seq("pair_id"))
+        .agg(coalesce(sum(size(col("toks")).cast(LongType)), lit(0L)).as("len"))
+    val orders = tot.join(clip, Seq("n"), "left")
+      .select(col("n"), col("tot"), coalesce(col("clip"), lit(0L)).as("clip"))
+      .withColumn("p", when(col("tot") > 0L,
+        col("clip").cast(DoubleType) / col("tot").cast(DoubleType))
+        .otherwise(0.0))
+    // orders-sized pivot into one row (maxN ≤ 4 columns)
+    val wide = orders.groupBy().pivot("n", (1 to maxN).map(Int.box))
+      .agg(first(col("clip")).as("clip"), first(col("tot")).as("tot"),
+        first(col("p")).as("p"))
+    val nPairs = ids.count()
+    val pProd = (1 to maxN).map(n => coalesce(col(s"${n}_p"), lit(0.0)))
+      .reduce(_ * _)
+    val geo = if (maxN == 1) pProd
+      else if (maxN == 2) sqrt(pProd)
+      else pow(pProd, lit(1.0 / maxN))
+    val out = wide
+      .crossJoin(lenOf(cand).select(col("len").as("c_len")))
+      .crossJoin(lenOf(ref).select(col("len").as("r_len")))
+      .select(
+        (lit(nPairs).as("n_pairs") +:
+          col("c_len") +: col("r_len") +:
+          (1 to maxN).flatMap(n => Seq(
+            coalesce(col(s"${n}_clip"), lit(0L)).as(s"clip_$n"),
+            coalesce(col(s"${n}_tot"), lit(0L)).as(s"tot_$n"),
+            round(coalesce(col(s"${n}_p"), lit(0.0)), 6).as(s"p_$n"))) :+
+          round(when(col("c_len") >= col("r_len") || col("c_len") === 0L, 1.0)
+            .otherwise(exp(lit(1.0) - col("r_len").cast(DoubleType) /
+              col("c_len").cast(DoubleType))), 6).as("bp") :+
+          round(when(col("c_len") >= col("r_len") || col("c_len") === 0L,
+              lit(1.0)).otherwise(exp(lit(1.0) -
+                col("r_len").cast(DoubleType) /
+                col("c_len").cast(DoubleType))) * geo, 6).as("bleu")): _*)
+    (out, ids)
+  }
 }

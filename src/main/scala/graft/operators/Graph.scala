@@ -645,6 +645,60 @@ object Graph {
     steps.reduce(_ unionAll _)
   }
 
+  /** Adamic–Adar link prediction over an undirected graph: for every
+    * non-adjacent node pair (u, v) with at least one common neighbor,
+    * score AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w) — the classic
+    * "who should be linked" heuristic (friend suggestion, related-item
+    * candidates, entity-graph blocking) that discounts promiscuous
+    * hub neighbors.
+    *
+    * Exactness: each center's weight is the micro long
+    * round(1e6/ln(deg)) computed from the exact integer degree, so
+    * the per-pair score is an order-free long sum any engine replays
+    * (the q_hits micro fixed-point discipline); cn is an exact count.
+    *
+    * Scale shape: wedge generation is a self-join of the adjacency
+    * keyed on the CENTER w — Σ_w C(deg_w, 2) rows, the same budget as
+    * [[triangleCount]]'s wedge pass — then one (u,v)-keyed rollup and
+    * a co-keyed anti-join against the existing edges. Centers with
+    * deg > maxCenterDegree are skipped (the standard frequency cap:
+    * a 10⁸-degree hub contributes ≤ 1/ln(10⁸) ≈ 0.054 per pair but
+    * 5·10¹⁵ wedge rows); pass Long.MaxValue to disable. The degree
+    * table is nodes-bounded and joins under the broadcast gate.
+    *
+    * @param edges undirected (src, dst); both directions derived,
+    *              self-loops dropped
+    * @return (u, v, cn, aa_micro) for predicted (non-existing) links
+    *         with cn ≥ 1 common neighbors */
+  def adamicAdar(edges: DataFrame, maxCenterDegree: Long = 100000L,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast(LongType).as("w"), col("dst").cast(LongType).as("n"))
+      .unionAll(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").cast(LongType).as("w"), col("src").cast(LongType).as("n")))
+      .distinct()
+      .localCheckpoint() // read 3×: degree, two wedge legs (+ anti)
+    val deg = und.groupBy("w").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2L && col("deg") <= maxCenterDegree)
+      .withColumn("term", round(lit(1000000.0) /
+        log(col("deg").cast(DoubleType)), 0).cast(LongType))
+    val nNodes = deg.count()
+    val gatedDeg = if (nNodes <= broadcastMaxNodes) broadcast(deg) else deg
+    val wedges = und.select(col("w"), col("n").as("u"))
+      .join(und.select(col("w"), col("n").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .join(gatedDeg, Seq("w"))
+    val scored = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum(col("term")).as("aa_micro"))
+    // predicted links only: drop pairs already adjacent (u<v form)
+    val existing = und.filter(col("w") < col("n"))
+      .select(col("w").as("u"), col("n").as("v"))
+    val out = scored.join(existing, Seq("u", "v"), "left_anti")
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(und)
+    out
+  }
+
   /** k-core decomposition (synchronous peeling): repeatedly delete
     * every node whose degree within the surviving subgraph is < k;
     * the fixed point is the k-core — the standard "dense part of the

@@ -193,6 +193,20 @@ object AdvancedAnalytics {
       graft.operators.Graph.labelPropagation(li, iters = 3))
   }
 
+  /** Adamic–Adar link prediction over the part↔supplier sourcing
+    * graph restricted to every 20th part (same node encoding as
+    * [[qPagerank]]): part–part pairs scored through shared-supplier
+    * centers and supplier–supplier pairs through shared parts — the
+    * "related items you don't yet co-source" candidate generator; see
+    * [[graft.operators.Graph.adamicAdar]]. */
+  def qAdamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .filter(col("l_partkey") % 20 === 0)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.adamicAdar(li)
+  }
+
   /** Exact triangle count of the co-purchase graph (parts sharing an
     * order), degree-oriented; see
     * [[graft.operators.Graph.triangleCount]]. */

@@ -595,6 +595,53 @@ object GraftFunctions {
     graft.ext.Evaluation.calibration(df, bins = b).queryExecution.logical
   }
 
+  /** auc_roc(tbl) — exact rank-sum ROC-AUC per group over
+    * (group, score_micro, y) rows ([[graft.ext.Evaluation.aucRoc]]). */
+  def aucRocTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.aucRoc(
+      tableOf(strArg(args.head, "auc_roc(table)")))
+      .queryExecution.logical
+
+  /** fleiss_kappa(tbl) — multi-rater chance-corrected agreement per
+    * group over (group, item, cat) rating rows
+    * ([[graft.ext.Evaluation.fleissKappa]]). */
+  def fleissKappaTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.fleissKappa(
+      tableOf(strArg(args.head, "fleiss_kappa(table)")))
+      .queryExecution.logical
+
+  /** ks_test(tblA, tblB) — two-sample Kolmogorov–Smirnov distance per
+    * group over (group, v) rows ([[graft.ext.Evaluation.ksTest]]). */
+  def ksTestTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "ks_test(tableA, tableB)")
+    graft.ext.Evaluation.ksTest(
+      tableOf(strArg(args.head, "ks_test(tableA)")),
+      tableOf(strArg(args(1), "ks_test(tableB)")))
+      .queryExecution.logical
+  }
+
+  /** corpus_bleu(candTbl, refTbl[, maxN]) — corpus BLEU with brevity
+    * penalty over (pair_id, text) tables
+    * ([[graft.ext.TextAnalysis.corpusBleu]]). */
+  def corpusBleuTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "corpus_bleu(candTable, refTable[, maxN])")
+    val cand = tableOf(strArg(args.head, "corpus_bleu(candTable)"))
+    val ref = tableOf(strArg(args(1), "corpus_bleu(refTable)"))
+    val n = if (args.length > 2) intArg(args(2), "corpus_bleu(maxN)") else 2
+    graft.ext.TextAnalysis.corpusBleu(cand, ref, maxN = n)
+      .queryExecution.logical
+  }
+
+  /** adamic_adar(tbl[, maxCenterDegree]) — link-prediction scores
+    * over (src, dst) edges ([[graft.operators.Graph.adamicAdar]]). */
+  def adamicAdarTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "adamic_adar(table)"))
+    val cap = if (args.length > 1)
+      intArg(args(1), "adamic_adar(maxCenterDegree)").toLong else 100000L
+    graft.operators.Graph.adamicAdar(df, maxCenterDegree = cap)
+      .queryExecution.logical
+  }
+
   /** theil_sen(tbl) / mad_outliers(tbl[, threshMicro]) /
     * holt_forecast(tbl) — per-series robust trend, robust outliers,
     * and trend forecasts over (event_type, ts) rows. */
@@ -670,6 +717,11 @@ object GraftFunctions {
     "vocab_richness" -> (vocabRichnessTvf _),
     "cohen_kappa" -> (cohenKappaTvf _),
     "calibration" -> (calibrationTvf _),
+    "auc_roc" -> (aucRocTvf _),
+    "fleiss_kappa" -> (fleissKappaTvf _),
+    "ks_test" -> (ksTestTvf _),
+    "corpus_bleu" -> (corpusBleuTvf _),
+    "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),
     "gopher_rules" -> (gopherRulesTvf _),
     "hash_split" -> (hashSplitTvf _),

@@ -1108,6 +1108,88 @@ class ExtSpec extends AnyFunSuite {
     assert(k("const")._4 == 0.0, "pe=1 degenerate scores 0 by convention")
   }
 
+  test("aucRoc: perfect ranking 1; hand 0.75; all-tied and one-class 0.5") {
+    val rows = (
+      Seq(("sep", 90L, 1L), ("sep", 80L, 1L), ("sep", 20L, 0L), ("sep", 10L, 0L)) ++
+      Seq(("m", 10L, 0L), ("m", 20L, 1L), ("m", 30L, 0L), ("m", 40L, 1L)) ++
+      Seq(("tie", 50L, 1L), ("tie", 50L, 0L)) ++
+      Seq(("pos", 70L, 1L), ("pos", 30L, 1L)))
+      .toDF("group", "score_micro", "y")
+    val a = Evaluation.aucRoc(rows)
+      .select("grp", "n_pos", "n_neg", "u2", "auc")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(a("sep")._5 == 1.0, s"separable: ${a("sep")}")
+    // m: pos20 beats neg10 only; pos40 beats both ⇒ U=3/4
+    assert(a("m")._4 == 6L && a("m")._5 == 0.75, s"hand: ${a("m")}")
+    // one pos and one neg at the same score: U = ½ tie
+    assert(a("tie")._4 == 1L && a("tie")._5 == 0.5, s"tie: ${a("tie")}")
+    assert(a("pos")._5 == 0.5, "no negatives: coin-flip convention")
+  }
+
+  test("fleissKappa: hand 2-item 3-rater case; perfect 1; single-rating items excluded") {
+    // g: item 1 rated (en,en,es), item 2 (en,es,es):
+    // po = (2+2)/(2·3·2) = 1/3; marginals en=3, es=3 of N=6 ⇒ pe=0.5;
+    // κ = (1/3 − 1/2)/(1/2) = −1/3. Item 3 has ONE rating — excluded.
+    val g = Seq(
+      ("g", 1L, "en"), ("g", 1L, "en"), ("g", 1L, "es"),
+      ("g", 2L, "en"), ("g", 2L, "es"), ("g", 2L, "es"),
+      ("g", 3L, "en"),
+      ("p", 1L, "a"), ("p", 1L, "a"), ("p", 2L, "b"), ("p", 2L, "b"))
+      .toDF("group", "item", "cat")
+    val k = Evaluation.fleissKappa(g)
+      .select("grp", "n_items", "n_ratings", "po", "pe", "kappa")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(k("g")._2 == 2L && k("g")._3 == 6L, s"item 3 must drop: ${k("g")}")
+    assert(k("g")._4 == 0.333333 && k("g")._5 == 0.5, s"po/pe: ${k("g")}")
+    assert(k("g")._6 == -0.333333, s"hand κ: ${k("g")}")
+    // p: unanimous raters, two balanced categories ⇒ po=1, pe=0.5, κ=1
+    assert(k("p")._6 == 1.0, s"perfect: ${k("p")}")
+  }
+
+  test("ksTest: identical 0; disjoint 1; missing side 1 by convention") {
+    val a = Seq(("same", 1L), ("same", 2L), ("dis", 1L), ("dis", 2L),
+      ("only_a", 5L)).toDF("group", "v")
+    val b = Seq(("same", 1L), ("same", 2L), ("dis", 10L), ("dis", 11L))
+      .toDF("group", "v")
+    val k = Evaluation.ksTest(a, b)
+      .select("grp", "n_a", "n_b", "d_num", "ks")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(k("same")._4 == 0L && k("same")._5 == 0.0, s"identical: ${k("same")}")
+    assert(k("dis")._5 == 1.0, s"disjoint: ${k("dis")}")
+    assert(k("only_a")._3 == 0L && k("only_a")._5 == 1.0,
+      s"one-sided group is maximal drift: ${k("only_a")}")
+  }
+
+  test("corpusBleu: hand clip counts; brevity penalty branch; unpaired ids drop") {
+    // cand "a b c" vs ref "a b d": p1 = 2/3, p2 = 1/2, lens equal ⇒
+    // bp = 1, BLEU-2 = sqrt(1/3) = 0.57735
+    val c1 = Seq((1L, "a b c")).toDF("pair_id", "text")
+    val r1 = Seq((1L, "a b d")).toDF("pair_id", "text")
+    val o1 = TextAnalysis.corpusBleu(c1, r1)
+    val row1 = o1.select("n_pairs", "c_len", "r_len", "clip_1", "tot_1",
+        "p_1", "clip_2", "tot_2", "p_2", "bp", "bleu")
+      .as[(Long, Long, Long, Long, Long, Double, Long, Long, Double, Double, Double)]
+      .head()
+    assert(row1 == ((1L, 3L, 3L, 2L, 3L, 0.666667, 1L, 2L, 0.5, 1.0, 0.57735)),
+      s"hand BLEU: $row1")
+    // short candidate: cand "a b" vs ref "a b c d" ⇒ p1 = p2 = 1,
+    // bp = e^(1 − 4/2) = e^(−1) = 0.367879 = BLEU
+    val c2 = Seq((1L, "a b")).toDF("pair_id", "text")
+    val r2 = Seq((1L, "a b c d")).toDF("pair_id", "text")
+    val row2 = TextAnalysis.corpusBleu(c2, r2).select("bp", "bleu")
+      .as[(Double, Double)].head()
+    assert(row2 == ((0.367879, 0.367879)), s"bp branch: $row2")
+    // a candidate with no matching reference id contributes nothing
+    val c3 = Seq((1L, "a b c"), (9L, "z z z")).toDF("pair_id", "text")
+    val row3 = TextAnalysis.corpusBleu(c3, r1)
+      .select("n_pairs", "c_len").as[(Long, Long)].head()
+    assert(row3 == ((1L, 3L)), s"unpaired drop: $row3")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("vocabRichness: Chao1 and coverage on a hand-counted source") {
     val docs = Seq((1L, "a a b c", "s1")).toDF("doc_id", "text", "source")
     val r = TextAnalysis.vocabRichness(docs)

@@ -377,4 +377,45 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.operators.Graph.modularity(
         spark.table("edges_l11"), spark.table("labels_l11")))
   }
+
+  test("eval/link-prediction TVFs are row-identical to the Scala API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def sameAs(sql: String, api: org.apache.spark.sql.DataFrame): Unit = {
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.sorted.sameElements(api.columns.sorted),
+        s"schema drift: ${viaSql.columns.toSeq} vs ${api.columns.toSeq}")
+      assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty,
+        s"SQL and Scala results differ for: $sql")
+    }
+    Seq(("g", 90L, 1L), ("g", 50L, 1L), ("g", 50L, 0L), ("g", 10L, 0L))
+      .toDF("group", "score_micro", "y")
+      .createOrReplaceTempView("scores_e11")
+    sameAs("SELECT * FROM auc_roc('scores_e11')",
+      graft.ext.Evaluation.aucRoc(spark.table("scores_e11")))
+    Seq(("g", 1L, "en"), ("g", 1L, "en"), ("g", 1L, "es"),
+        ("g", 2L, "en"), ("g", 2L, "es"), ("g", 2L, "es"))
+      .toDF("group", "item", "cat").createOrReplaceTempView("rate_e11")
+    sameAs("SELECT * FROM fleiss_kappa('rate_e11')",
+      graft.ext.Evaluation.fleissKappa(spark.table("rate_e11")))
+    Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
+      .createOrReplaceTempView("ks_a_e11")
+    Seq(("g", 2L), ("g", 9L)).toDF("group", "v")
+      .createOrReplaceTempView("ks_b_e11")
+    sameAs("SELECT * FROM ks_test('ks_a_e11', 'ks_b_e11')",
+      graft.ext.Evaluation.ksTest(
+        spark.table("ks_a_e11"), spark.table("ks_b_e11")))
+    Seq((1L, "a b c")).toDF("pair_id", "text")
+      .createOrReplaceTempView("bleu_c_e11")
+    Seq((1L, "a b d")).toDF("pair_id", "text")
+      .createOrReplaceTempView("bleu_r_e11")
+    sameAs("SELECT * FROM corpus_bleu('bleu_c_e11', 'bleu_r_e11', 2)",
+      graft.ext.TextAnalysis.corpusBleu(
+        spark.table("bleu_c_e11"), spark.table("bleu_r_e11")))
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      .createOrReplaceTempView("edges_e11")
+    sameAs("SELECT * FROM adamic_adar('edges_e11')",
+      graft.operators.Graph.adamicAdar(spark.table("edges_e11")))
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

@@ -254,4 +254,28 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Int, Int, Long)].collect()
     assert(longer.map(_._3).max == 1, "walk must stop at a dead end")
   }
+
+  test("adamicAdar: hand term on a path; adjacent pairs excluded; hub cap") {
+    // path 1—2—3: only (1,3) share a neighbor; deg(2)=2 ⇒
+    // term = round(1e6/ln 2) = 1442695
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.adamicAdar(path).as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 3L, 1L, 1442695L)), s"got ${out.toSeq}")
+    // triangle: every sharing pair is already adjacent ⇒ no predictions
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(tri).count() == 0L, "adjacent pairs excluded")
+    // star center above the degree cap generates no wedges
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, maxCenterDegree = 3L).count() == 0L)
+    // ...and scores all C(5,2) leaf pairs when the cap admits it:
+    // term = round(1e6/ln 5) = 621335, cn = 1 each
+    val full = Graph.adamicAdar(star).as[(Long, Long, Long, Long)].collect()
+    assert(full.length == 10 && full.forall(r => r._3 == 1L && r._4 == 621335L),
+      s"star pairs: ${full.toSeq}")
+    // gate off ≡ on
+    val off = Graph.adamicAdar(path, broadcastMaxNodes = 0L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(off.toSeq == out.toSeq, "broadcast gate must not change scores")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

@@ -526,4 +526,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"calibration must be pure hash aggregation:\n$p")
     assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
   }
+
+  test("aucRoc / ksTest: one corpus aggregation, then score-cardinality-bounded windows") {
+    // the ONLY corpus-proportional stage is the first (group, score)
+    // count agg — the cumulative windows run over its distinct-score
+    // output (bounded by score cardinality, never corpus size). The
+    // partial (map-side) aggregate before the exchange is the proof.
+    for (name <- Seq("q_auc_roc", "q_ks_drift")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$name lost its map-side combine before the shuffle:\n$p")
+      assert(p.contains("Window"), s"$name should plan its bounded window:\n$p")
+    }
+  }
+
+  test("corpusBleu: pure aggregation pipeline — no window, map-side combine present") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables(spark, dir).documents
+    val (lzy, ids) = graft.ext.TextAnalysis.corpusBleuLazy(
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text")),
+      d.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text")),
+      2, "pair_id", "text")
+    val p = lzy.queryExecution.executedPlan.toString
+    graft.ext.Checkpoints.release(ids)
+    // one-row scalar crossJoins at the tail are fine; a Window or an
+    // un-combined gram shuffle is not
+    assert(!p.contains("Window"), s"corpusBleu planned a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"corpusBleu lost its map-side combine:\n$p")
+  }
+
+  test("adamicAdar: center-keyed wedge equi-join, no cartesian, gated degree broadcast") {
+    val lp = SparkEntry.queries("q_adamic_adar")(spark, dir)
+    val p = lp.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q_adamic_adar wedge join degenerated:\n$p")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }
