@@ -169,18 +169,33 @@ object Evaluation {
     *              and `yCol` (0/1 long label)
     * @return (grp, n_pos, n_neg, u2, auc) — auc 6dp */
   def aucRoc(preds: DataFrame, groupCol: String = "group",
-      scoreCol: String = "score_micro", yCol: String = "y"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val y = col(yCol).cast(LongType)
-    val cells = preds
-      .select(col(groupCol).as("grp"), col(scoreCol).cast(LongType).as("s"), y)
+      scoreCol: String = "score_micro", yCol: String = "y"): DataFrame =
+    aucRocFinish(aucRocState(preds, groupCol, scoreCol, yCol))
+
+  /** The ALGEBRAIC (grp, score) accumulator (pos, neg) — two
+    * commutative long sums keyed by group × distinct score, so
+    * shards/micro-batches merge freely and the state is
+    * score-cardinality-bounded forever (the streaming-twin state
+    * table, [[graft.streaming.StreamingOps.aucStateStream]]). */
+  private[graft] def aucRocState(preds: DataFrame,
+      groupCol: String = "group", scoreCol: String = "score_micro",
+      yCol: String = "y"): DataFrame =
+    preds
+      .select(col(groupCol).as("grp"), col(scoreCol).cast(LongType).as("s"),
+        col(yCol).cast(LongType).as("y"))
       .groupBy("grp", "s")
-      .agg(sum(col(yCol)).cast(LongType).as("pos"),
-        (count(lit(1)) - sum(col(yCol))).cast(LongType).as("neg"))
+      .agg(sum(col("y")).cast(LongType).as("pos"),
+        (count(lit(1)) - sum(col("y"))).cast(LongType).as("neg"))
+
+  /** Finish a state snapshot into (grp, n_pos, n_neg, u2, auc) —
+    * state-sized input, identical whether the cells came from one
+    * batch pass or merged micro-batches. */
+  def aucRocFinish(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // score-cardinality-bounded window (distinct scores per group)
     val wBelow = Window.partitionBy("grp").orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val terms = cells.withColumn("negBelow",
+    val terms = state.withColumn("negBelow",
       coalesce(sum(col("neg")).over(wBelow), lit(0L)))
     val agg = terms.groupBy("grp").agg(
       sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
@@ -268,20 +283,36 @@ object Evaluation {
     * @return (grp, n_a, n_b, d_num, ks) — ks 6dp */
   def ksTest(a: DataFrame, b: DataFrame, groupCol: String = "group",
       valueCol: String = "v"): DataFrame = {
+    val tagged = a
+      .select(col(groupCol).as("grp"), col(valueCol).cast(LongType).as("v"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col(groupCol).as("grp"),
+        col(valueCol).cast(LongType).as("v"), lit(1L).as("side")))
+    ksFinish(ksState(tagged))
+  }
+
+  /** The ALGEBRAIC (grp, value) accumulator (ca, cb) over side-tagged
+    * rows (side 0 = sample A, 1 = sample B) — two commutative long
+    * sums, value-cardinality-bounded state (the streaming-twin state
+    * table, [[graft.streaming.StreamingOps.ksStateStream]]). */
+  private[graft] def ksState(tagged: DataFrame, groupCol: String = "grp",
+      valueCol: String = "v", sideCol: String = "side"): DataFrame =
+    tagged
+      .select(col(groupCol).as("grp"), col(valueCol).cast(LongType).as("v"),
+        col(sideCol).cast(LongType).as("side"))
+      .groupBy("grp", "v")
+      .agg(sum(lit(1L) - col("side")).as("ca"), sum(col("side")).as("cb"))
+
+  /** Finish a state snapshot into (grp, n_a, n_b, d_num, ks) — the
+    * cumulative windows run over the state table only. */
+  def ksFinish(state: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def side(df: DataFrame, ca: Long, cb: Long): DataFrame = df
-      .select(col(groupCol).as("grp"), col(valueCol).cast(LongType).as("v"))
-      .groupBy("grp", "v")
-      .agg((count(lit(1)) * ca).as("ca"), (count(lit(1)) * cb).as("cb"))
-    val cells = side(a, 1L, 0L).unionAll(side(b, 0L, 1L))
-      .groupBy("grp", "v")
-      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     // value-cardinality-bounded cumulative window per group
     val wCum = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("grp")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = cells
+    val cum = state
       .withColumn("cumA", sum(col("ca")).over(wCum))
       .withColumn("cumB", sum(col("cb")).over(wCum))
       .withColumn("tA", sum(col("ca")).over(wAll))

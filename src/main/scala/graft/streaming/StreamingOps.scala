@@ -293,6 +293,30 @@ object StreamingOps {
   def calibrationStateStream(preds: DataFrame, bins: Int = 10): DataFrame =
     graft.ext.Evaluation.calibrationState(preds, bins)
 
+  /** Streaming twin of the exact rank-sum ROC-AUC
+    * ([[graft.ext.Evaluation.aucRoc]]): the (grp, score) pos/neg cell
+    * table is two commutative long sums, so micro-batches fold into a
+    * Complete-mode state bounded by group × score cardinality
+    * (≤ 1e6+1 rows per group for micro scores) — never stream length.
+    * Finish a snapshot with [[graft.ext.Evaluation.aucRocFinish]];
+    * the result is row-identical to the one-shot batch AUC of the
+    * same rows (StreamingSpec twin proof). */
+  def aucStateStream(preds: DataFrame, groupCol: String = "group",
+      scoreCol: String = "score_micro", yCol: String = "y"): DataFrame =
+    graft.ext.Evaluation.aucRocState(preds, groupCol, scoreCol, yCol)
+
+  /** Streaming twin of the two-sample Kolmogorov–Smirnov drift test
+    * ([[graft.ext.Evaluation.ksTest]]) over side-tagged rows (side
+    * 0 = baseline sample, 1 = live sample — e.g. a reference scoring
+    * run unioned with the production stream): the (grp, value) cell
+    * table folds two long sums per cell, state bounded by group ×
+    * value cardinality. Finish a Complete snapshot with
+    * [[graft.ext.Evaluation.ksFinish]] — row-identical to the batch
+    * test of the same rows (StreamingSpec twin proof). */
+  def ksStateStream(tagged: DataFrame, groupCol: String = "grp",
+      valueCol: String = "v", sideCol: String = "side"): DataFrame =
+    graft.ext.Evaluation.ksState(tagged, groupCol, valueCol, sideCol)
+
   /** Streaming twin of the KMV bottom-k distinct sketch
     * ([[graft.ext.Sketches.kmvSketchBy]]): insertion into the bounded
     * TreeSet is idempotent (a duplicate hash is a no-op), so the SAME

@@ -161,6 +161,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming AUC state ≡ batch; finished snapshot identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = Seq(("g", 90L, 1L), ("g", 50L, 1L), ("g", 50L, 0L))
+    val b2 = Seq(("g", 10L, 0L), ("h", 70L, 1L), ("h", 20L, 0L))
+    val q = StreamingOps.aucStateStream(
+        mem.toDF().toDF("group", "score_micro", "y"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("auc_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.aucRocFinish(spark.table("auc_out"))
+      val batch = graft.ext.Evaluation.aucRoc(
+        (b1 ++ b2).toDF("group", "score_micro", "y"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed AUC state must equal the one-shot batch table")
+    } finally q.stop()
+  }
+
+  test("streaming KS state ≡ batch; finished snapshot identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = Seq(("g", 1L, 0L), ("g", 2L, 0L), ("g", 2L, 1L))
+    val b2 = Seq(("g", 9L, 1L), ("h", 5L, 0L))
+    val q = StreamingOps.ksStateStream(
+        mem.toDF().toDF("grp", "v", "side"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ks_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.ksFinish(spark.table("ks_out"))
+      val all = (b1 ++ b2).toDF("grp", "v", "side")
+      val batch = graft.ext.Evaluation.ksTest(
+        all.filter(col("side") === 0L).select(col("grp").as("group"), col("v")),
+        all.filter(col("side") === 1L).select(col("grp").as("group"), col("v")))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed KS state must equal the one-shot batch test")
+    } finally q.stop()
+  }
+
   test("streaming MG frequent items ≡ batch exact counts at ample capacity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
