@@ -303,6 +303,89 @@ object Evaluation {
       .groupBy("grp", "v")
       .agg(sum(lit(1L) - col("side")).as("ca"), sum(col("side")).as("cb"))
 
+  /** Population Stability Index per group between a baseline and a
+    * current sample of a micro score — THE model-monitoring drift
+    * gate (industry convention: < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 retrain): scores bucket into `bins` equal-width bins
+    * (the [[calibration]] integer binning, so boundaries cannot drift
+    * between engines), and PSI = Σ_bins (p_b − p_a)·ln(p_b/p_a) with
+    * +1 Laplace smoothing so empty bins stay finite.
+    *
+    * Exactness: per-bin counts are exact longs; each bin's term is
+    * micro-rounded to a long BEFORE summing (order-free — the
+    * [[graft.ext.Curation.corpusDrift]] discipline), with the ln
+    * ratio computed from one exact-long cross product.
+    *
+    * Scale shape: one (group, bin) count shuffle (map-side combined),
+    * then bins-sized arithmetic — nothing corpus-proportional after
+    * the first aggregate. The state is algebraic (two long sums per
+    * cell), so micro-batches fold freely
+    * ([[graft.streaming.StreamingOps.psiStateStream]]).
+    *
+    * @param a baseline rows, @param b current rows — both with
+    *          `groupCol` and `pCol` (long micro score in [0, 1e6])
+    * @return one row per (grp, bin): (grp, bin, a_n, b_n,
+    *         term_micro, psi_micro) — psi_micro repeated per group */
+  def psi(a: DataFrame, b: DataFrame, bins: Int = 10,
+      groupCol: String = "group", pCol: String = "p_micro"): DataFrame = {
+    val tagged = a
+      .select(col(groupCol).as("grp"), col(pCol).cast(LongType).as("p"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col(groupCol).as("grp"),
+        col(pCol).cast(LongType).as("p"), lit(1L).as("side")))
+    psiFinish(psiState(tagged, bins), bins)
+  }
+
+  /** The ALGEBRAIC (grp, bin) accumulator (a_n, b_n) over side-tagged
+    * rows — group × bins-bounded state, commutative long sums. */
+  private[graft] def psiState(tagged: DataFrame, bins: Int,
+      groupCol: String = "grp", pCol: String = "p",
+      sideCol: String = "side"): DataFrame = {
+    val p = col(pCol).cast(LongType)
+    tagged
+      .select(col(groupCol).as("grp"),
+        // the calibration binning: integer floor, top score clamped
+        least(floor(p * bins.toLong / 1000000L), lit(bins.toLong - 1))
+          .cast(LongType).as("bin"),
+        col(sideCol).cast(LongType).as("side"))
+      .groupBy("grp", "bin")
+      .agg(sum(lit(1L) - col("side")).as("a_n"), sum(col("side")).as("b_n"))
+  }
+
+  /** Finish a state snapshot into the per-bin PSI table — bins-sized
+    * input; missing bins enter as zero counts (smoothed). */
+  def psiFinish(state: DataFrame, bins: Int): DataFrame = {
+    val totals = state.groupBy("grp")
+      .agg(sum(col("a_n")).as("ta"), sum(col("b_n")).as("tb"))
+    // probe side renamed: totals derives from the same relation, and
+    // the grid join would otherwise self-join conflicting references
+    // (streaming memory-table state hits the resolver exactly there)
+    val cells = state.select(col("grp").as("cg"), col("bin").as("cbin"),
+      col("a_n").as("ca_n"), col("b_n").as("cb_n"))
+    // full grid: every (grp, bin) cell, including empty bins
+    val grid = totals
+      .select(col("grp"), col("ta"), col("tb"),
+        explode(sequence(lit(0L), lit(bins.toLong - 1))).as("bin"))
+      .join(cells,
+        col("grp") === col("cg") && col("bin") === col("cbin"), "left")
+      .select(col("grp"), col("bin"), col("ta"), col("tb"),
+        coalesce(col("ca_n"), lit(0L)).as("a_n"),
+        coalesce(col("cb_n"), lit(0L)).as("b_n"))
+    val bl = lit(bins.toLong)
+    val pa = (col("a_n") + 1L).cast(DoubleType) / (col("ta") + bl).cast(DoubleType)
+    val pb = (col("b_n") + 1L).cast(DoubleType) / (col("tb") + bl).cast(DoubleType)
+    // ln of ONE exact-long cross ratio; term micro-rounded pre-sum
+    val lnRatio = log(((col("b_n") + 1L) * (col("ta") + bl)).cast(DoubleType) /
+      ((col("a_n") + 1L) * (col("tb") + bl)).cast(DoubleType))
+    val terms = grid.select(col("grp"), col("bin"), col("a_n"), col("b_n"),
+      round((pb - pa) * lnRatio * 1e6, 0).cast(LongType).as("term_micro"))
+    val summary = terms.groupBy(col("grp").as("sg"))
+      .agg(sum(col("term_micro")).as("psi_micro"))
+    terms.join(broadcast(summary), col("grp") === col("sg"))
+      .select(col("grp"), col("bin"), col("a_n"), col("b_n"),
+        col("term_micro"), col("psi_micro"))
+  }
+
   /** Finish a state snapshot into (grp, n_a, n_b, d_num, ks) — the
     * cumulative windows run over the state table only. */
   def ksFinish(state: DataFrame): DataFrame = {

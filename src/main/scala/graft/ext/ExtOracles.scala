@@ -3705,6 +3705,40 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |      CAST(max(tA) * max(tB) AS DOUBLE) END, 6) AS ks
       |FROM cum GROUP BY grp""".stripMargin
 
+  /** q_psi_drift: calibration-style integer bins, +1 Laplace smoothing
+    * over the full bin grid, per-bin term micro-rounded before the
+    * order-free sum; ln of one exact-long cross ratio. */
+  private val psiDriftSql: String =
+    """WITH t AS (SELECT doc_id, lang AS grp,
+      |    least(1000000, CAST(len(list_filter(
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x != ''),
+      |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      AS BIGINT) * 125000) AS p FROM documents),
+      |cells AS (SELECT grp,
+      |    CAST(least(floor(p * 10 / 1000000), 9) AS BIGINT) AS bin,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS a_n,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS b_n FROM t GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(a_n) AS BIGINT) AS ta,
+      |    CAST(sum(b_n) AS BIGINT) AS tb FROM cells GROUP BY 1),
+      |grid AS (SELECT tot.grp, g.bin, tot.ta, tot.tb,
+      |    COALESCE(c.a_n, 0) AS a_n, COALESCE(c.b_n, 0) AS b_n
+      |  FROM tot CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+      |  LEFT JOIN cells c ON c.grp = tot.grp AND c.bin = g.bin),
+      |terms AS (SELECT grp, bin, a_n, b_n,
+      |    CAST(round((
+      |      CAST(b_n + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)
+      |      - CAST(a_n + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+      |      * ln(CAST((b_n + 1) * (ta + 10) AS DOUBLE)
+      |        / CAST((a_n + 1) * (tb + 10) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+      |      AS term_micro FROM grid),
+      |s AS (SELECT grp, CAST(sum(term_micro) AS BIGINT) AS psi_micro
+      |  FROM terms GROUP BY 1)
+      |SELECT t.grp, t.bin, t.a_n, t.b_n, t.term_micro, s.psi_micro
+      |FROM terms t JOIN s ON s.grp = t.grp""".stripMargin
+
   /** q_corpus_bleu: per-order clipped counts as exact longs (order
     * tag inside the gram hash), corpus-summed before the p_n
     * divisions; BLEU-2's root is IEEE-exact sqrt; bp's exp runs on
@@ -3825,6 +3859,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_auc_roc" -> aucRocSql,
     "q_fleiss_kappa" -> fleissKappaSql,
     "q_ks_drift" -> ksDriftSql,
+    "q_psi_drift" -> psiDriftSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

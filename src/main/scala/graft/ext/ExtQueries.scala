@@ -217,6 +217,22 @@ object ExtQueries {
       scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
   }
 
+  /** PSI per language between even- and odd-id docs' English-ness
+    * scores — the binned model-monitoring twin of [[qKsDrift]]
+    * (same score, same split, industry-standard statistic). */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang").as("group"),
+      least(lit(1000000L), hits.cast("long") * 125000L).as("p_micro"))
+    Evaluation.psi(
+      scored.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+      scored.filter(col("doc_id") % 2 === 1).drop("doc_id"),
+      bins = 10)
+  }
+
   /** Corpus BLEU-2 of even docs (candidates) against their odd
     * successors (references) — the precision-oriented twin of
     * [[qRougeOverlap]] with brevity penalty, over the same pairing. */

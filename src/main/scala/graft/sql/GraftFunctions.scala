@@ -620,6 +620,17 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** psi(tblA, tblB[, bins]) — Population Stability Index per group
+    * over (group, p_micro) score rows ([[graft.ext.Evaluation.psi]]). */
+  def psiTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "psi(tableA, tableB[, bins])")
+    val b = if (args.length > 2) intArg(args(2), "psi(bins)") else 10
+    graft.ext.Evaluation.psi(
+      tableOf(strArg(args.head, "psi(tableA)")),
+      tableOf(strArg(args(1), "psi(tableB)")), bins = b)
+      .queryExecution.logical
+  }
+
   /** corpus_bleu(candTbl, refTbl[, maxN]) — corpus BLEU with brevity
     * penalty over (pair_id, text) tables
     * ([[graft.ext.TextAnalysis.corpusBleu]]). */
@@ -720,6 +731,7 @@ object GraftFunctions {
     "auc_roc" -> (aucRocTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
+    "psi" -> (psiTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

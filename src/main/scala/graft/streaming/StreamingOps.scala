@@ -317,6 +317,18 @@ object StreamingOps {
       valueCol: String = "v", sideCol: String = "side"): DataFrame =
     graft.ext.Evaluation.ksState(tagged, groupCol, valueCol, sideCol)
 
+  /** Streaming twin of the Population Stability Index
+    * ([[graft.ext.Evaluation.psi]]) over side-tagged score rows
+    * (side 0 = baseline, 1 = live): the (grp, bin) cell table folds
+    * two long sums per cell — group × bins-bounded state. Finish a
+    * Complete snapshot with [[graft.ext.Evaluation.psiFinish]] —
+    * row-identical to the batch PSI of the same rows (StreamingSpec
+    * twin proof). */
+  def psiStateStream(tagged: DataFrame, bins: Int = 10,
+      groupCol: String = "grp", pCol: String = "p",
+      sideCol: String = "side"): DataFrame =
+    graft.ext.Evaluation.psiState(tagged, bins, groupCol, pCol, sideCol)
+
   /** Streaming twin of the KMV bottom-k distinct sketch
     * ([[graft.ext.Sketches.kmvSketchBy]]): insertion into the bounded
     * TreeSet is idempotent (a duplicate hash is a no-op), so the SAME

@@ -1163,6 +1163,29 @@ class ExtSpec extends AnyFunSuite {
       s"one-sided group is maximal drift: ${k("only_a")}")
   }
 
+  test("psi: identical samples score 0; shifted mass is positive; hand term") {
+    // identical distributions: every term's ratio is 1 ⇒ psi 0
+    val a = (Seq.fill(5)(("g", 150000L)) ++ Seq.fill(5)(("g", 850000L)))
+      .toDF("group", "p_micro")
+    val same = Evaluation.psi(a, a, bins = 10)
+      .select("psi_micro").distinct().as[Long].collect()
+    assert(same.toSeq == Seq(0L), s"identical: ${same.toSeq}")
+    // all baseline mass in bin 1, all current in bin 8 ⇒ large PSI;
+    // hand term for bin 1: pa=(5+1)/15, pb=(0+1)/15 ⇒
+    // (1/15−6/15)·ln(1/6)·1e6 = (−1/3)·(−1.791759)·1e6 = 597253
+    val b = Seq.fill(5)(("g", 850000L)).toDF("group", "p_micro")
+    val a1 = Seq.fill(5)(("g", 150000L)).toDF("group", "p_micro")
+    val out = Evaluation.psi(a1, b, bins = 10)
+      .select("bin", "a_n", "b_n", "term_micro", "psi_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 10, "full bin grid including empty bins")
+    assert(out(1L)._4 == 597253L, s"hand term bin 1: ${out(1L)}")
+    assert(out(8L)._4 == 597253L, s"symmetric shift: ${out(8L)}")
+    assert(out(0L)._4 == 0L, "empty-in-both bin contributes 0")
+    assert(out(1L)._5 > 1000000L, s"psi must flag the shift: ${out(1L)}")
+  }
+
   test("corpusBleu: hand clip counts; brevity penalty branch; unpaired ids drop") {
     // cand "a b c" vs ref "a b d": p1 = 2/3, p2 = 1/2, lens equal ⇒
     // bp = 1, BLEU-2 = sqrt(1/3) = 0.57735

@@ -405,6 +405,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM ks_test('ks_a_e11', 'ks_b_e11')",
       graft.ext.Evaluation.ksTest(
         spark.table("ks_a_e11"), spark.table("ks_b_e11")))
+    Seq(("g", 150000L), ("g", 850000L)).toDF("group", "p_micro")
+      .createOrReplaceTempView("psi_a_e11")
+    Seq(("g", 850000L), ("g", 950000L)).toDF("group", "p_micro")
+      .createOrReplaceTempView("psi_b_e11")
+    sameAs("SELECT * FROM psi('psi_a_e11', 'psi_b_e11', 10)",
+      graft.ext.Evaluation.psi(
+        spark.table("psi_a_e11"), spark.table("psi_b_e11")))
     Seq((1L, "a b c")).toDF("pair_id", "text")
       .createOrReplaceTempView("bleu_c_e11")
     Seq((1L, "a b d")).toDF("pair_id", "text")

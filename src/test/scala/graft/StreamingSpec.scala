@@ -209,6 +209,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PSI state ≡ batch; finished snapshot identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = Seq(("g", 150000L, 0L), ("g", 850000L, 0L), ("g", 150000L, 1L))
+    val b2 = Seq(("g", 950000L, 1L), ("h", 450000L, 0L), ("h", 450000L, 1L))
+    val q = StreamingOps.psiStateStream(
+        mem.toDF().toDF("grp", "p", "side"), bins = 10)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("psi_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.psiFinish(
+        spark.table("psi_out"), bins = 10)
+      val all = (b1 ++ b2).toDF("grp", "p", "side")
+      val batch = graft.ext.Evaluation.psi(
+        all.filter(col("side") === 0L)
+          .select(col("grp").as("group"), col("p").as("p_micro")),
+        all.filter(col("side") === 1L)
+          .select(col("grp").as("group"), col("p").as("p_micro")),
+        bins = 10)
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed PSI state must equal the one-shot batch table")
+    } finally q.stop()
+  }
+
   test("streaming MG frequent items ≡ batch exact counts at ample capacity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
