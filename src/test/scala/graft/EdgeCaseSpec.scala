@@ -326,4 +326,43 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.embedDrift(Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")).count() == 0)
   }
+
+  test("eval/drift/link-prediction operators tolerate empty and degenerate inputs") {
+    import graft.ext._
+    val noScores = Seq.empty[(String, Long, Long)]
+      .toDF("group", "score_micro", "y")
+    assert(Evaluation.aucRoc(noScores).count() == 0)
+    // a group whose every score ties collapses to one cell — still 0.5
+    val allTied = Seq(("g", 5L, 1L), ("g", 5L, 0L), ("g", 5L, 1L))
+      .toDF("group", "score_micro", "y")
+    assert(Evaluation.aucRoc(allTied).select("auc").as[Double].head() == 0.5)
+    // fleiss: every item single-rated → the group itself vanishes
+    val singles = Seq(("g", 1L, "a"), ("g", 2L, "b")).toDF("group", "item", "cat")
+    assert(Evaluation.fleissKappa(singles).count() == 0)
+    val noRatings = Seq.empty[(String, Long, String)].toDF("group", "item", "cat")
+    assert(Evaluation.fleissKappa(noRatings).count() == 0)
+    // KS with both sides empty → empty; PSI with both empty → empty
+    val noVals = Seq.empty[(String, Long)].toDF("group", "v")
+    assert(Evaluation.ksTest(noVals, noVals).count() == 0)
+    val noP = Seq.empty[(String, Long)].toDF("group", "p_micro")
+    assert(Evaluation.psi(noP, noP).count() == 0)
+    // PSI with an empty CURRENT side still reports the full bin grid
+    // (a vanished stream IS drift — smoothing keeps every term finite)
+    val basePs = Seq(("g", 150000L)).toDF("group", "p_micro")
+    val drained = Evaluation.psi(basePs, noP)
+      .select("psi_micro").distinct().as[Long].collect()
+    assert(drained.length == 1, s"one summary per group: ${drained.toSeq}")
+    // BLEU: empty pairing → zero counts, bleu 0, bp 1 (c_len 0 contract)
+    val noPairs = Seq.empty[(Long, String)].toDF("pair_id", "text")
+    val b = TextAnalysis.corpusBleu(noPairs, noPairs)
+      .select("n_pairs", "c_len", "bp", "bleu")
+      .as[(Long, Long, Double, Double)].head()
+    assert(b == ((0L, 0L, 1.0, 0.0)), s"empty BLEU: $b")
+    // adamicAdar: empty edges and a graph with no shared neighbors
+    val noEdges2 = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.adamicAdar(noEdges2).count() == 0)
+    val lone = Seq((1L, 2L)).toDF("src", "dst")
+    assert(graft.operators.Graph.adamicAdar(lone).count() == 0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

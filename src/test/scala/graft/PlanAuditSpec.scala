@@ -539,6 +539,13 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name lost its map-side combine before the shuffle:\n$p")
       assert(p.contains("Window"), s"$name should plan its bounded window:\n$p")
     }
+    // PSI: same bounded-state shape, but window-free — pure keyed
+    // aggregation over the (group, bin) grid
+    val pp = plan("q_psi_drift")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("Window"),
+      s"q_psi_drift must stay a windowless keyed aggregation:\n$pp")
+    assert(pp.contains("partial_count") || pp.contains("partial_sum"),
+      s"q_psi_drift lost its map-side combine:\n$pp")
   }
 
   test("corpusBleu: pure aggregation pipeline — no window, map-side combine present") {
