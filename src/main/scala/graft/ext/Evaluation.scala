@@ -264,6 +264,69 @@ object Evaluation {
     out
   }
 
+  /** Pearson χ² test of independence between two categorical columns
+    * per group, with Cramér's V effect size — the "is my quality
+    * label independent of the source/language?" audit every
+    * classifier-gated corpus needs (a high V means the gate is really
+    * a proxy for the other column): χ² = Σ_cells (o−e)²/e over the
+    * FULL marginal grid (zero-observed cells contribute e), with
+    * e_ij = r_i·c_j/N, and V = √(χ²/(N·min(k_a−1, k_b−1))).
+    *
+    * Exactness: observed/marginal counts are exact longs; each cell's
+    * (o·N − r_i·c_j) difference is long-exact (documented bound
+    * N < 3·10⁹ rows per group), squared and divided in one
+    * fixed-shape double expression per cell, micro-rounded BEFORE the
+    * order-free sum. V's sqrt is IEEE-exact. Degenerate tables
+    * (either column constant ⇒ dof 0) score χ² = 0, V = 0.
+    *
+    * Scale shape: one (group, la, lb) count shuffle, then everything
+    * lives on vocabulary-bounded marginal tables (the [[cohenKappa]]
+    * budget — the grid is |A|×|B| per group, built from the marginals,
+    * never from the corpus).
+    *
+    * @param labels rows with `groupCol`, `aCol`, `bCol`
+    * @return (grp, n, dof, chi2_micro, cramers_v) — V 6dp */
+  def chiSquare(labels: DataFrame, groupCol: String = "group",
+      aCol: String = "label_a", bCol: String = "label_b"): DataFrame = {
+    val cells = labels
+      .select(col(groupCol).as("grp"), col(aCol).as("la"), col(bCol).as("lb"))
+      .groupBy("grp", "la", "lb").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // groups×labels²-bounded; read 3× below
+    val ma = cells.groupBy("grp", "la").agg(sum(col("o")).as("rn"))
+    val mb = cells.groupBy("grp", "lb").agg(sum(col("o")).as("cn"))
+    val n = cells.groupBy("grp").agg(sum(col("o")).as("n"))
+    // full grid from the marginals (includes zero-observed cells)
+    val grid = ma.join(mb, Seq("grp"))
+      .join(n, Seq("grp"))
+      .join(cells, Seq("grp", "la", "lb"), "left")
+      .select(col("grp"), col("n"), col("rn"), col("cn"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    // (o·N − r·c)²/(N·r·c): long-exact difference, fixed-shape double
+    val d = (col("o") * col("n") - col("rn") * col("cn")).cast(DoubleType)
+    val den = col("n").cast(DoubleType) * col("rn").cast(DoubleType) *
+      col("cn").cast(DoubleType)
+    val terms = grid.select(col("grp"), col("n"),
+      round(d * d / den * 1e6, 0).cast(LongType).as("term_micro"))
+    val chi = terms.groupBy("grp")
+      .agg(max(col("n")).as("n"), sum(col("term_micro")).as("chi2_micro"))
+    val ks = ma.groupBy("grp").agg(countDistinct(col("la")).as("ka"))
+      .join(mb.groupBy("grp").agg(countDistinct(col("lb")).as("kb")),
+        Seq("grp"))
+    val minSide = least(col("ka") - 1L, col("kb") - 1L)
+    val out = chi.join(ks, Seq("grp"))
+      .select(col("grp"), col("n"),
+        ((col("ka") - 1L) * (col("kb") - 1L)).as("dof"),
+        when(minSide === 0L, 0L).otherwise(col("chi2_micro"))
+          .as("chi2_micro"),
+        round(when(minSide === 0L, 0.0).otherwise(
+          sqrt(col("chi2_micro").cast(DoubleType) / 1e6 /
+            (col("n").cast(DoubleType) * minSide.cast(DoubleType)))), 6)
+          .as("cramers_v"))
+      .localCheckpoint() // groups-sized; release the cells scaffold
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance per group — the
     * distribution-drift test between two corpora's score columns
     * (yesterday's crawl vs today's, train vs eval):

@@ -3705,6 +3705,84 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |      CAST(max(tA) * max(tB) AS DOUBLE) END, 6) AS ks
       |FROM cum GROUP BY grp""".stripMargin
 
+  /** q_chi_square: χ² over the full marginal grid (zero-observed
+    * cells included); per-cell term from the long-exact (o·N − r·c)
+    * difference, micro-rounded pre-sum; Cramér's V via IEEE sqrt. */
+  private val chiSquareSql: String =
+    """WITH t AS (SELECT source AS grp, lang AS la,
+      |    CASE WHEN len(list_filter(
+      |        list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |          x -> x != ''),
+      |        x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      >= len(list_filter(
+      |        list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |          x -> x != ''),
+      |        x -> x IN ('el','la','de','y','es','en','que','los')))
+      |      THEN 'en' ELSE 'es' END AS lb FROM documents),
+      |cells AS MATERIALIZED (SELECT grp, la, lb,
+      |    CAST(count(*) AS BIGINT) AS o FROM t GROUP BY 1, 2, 3),
+      |ma AS (SELECT grp, la, CAST(sum(o) AS BIGINT) AS rn
+      |  FROM cells GROUP BY 1, 2),
+      |mb AS (SELECT grp, lb, CAST(sum(o) AS BIGINT) AS cn
+      |  FROM cells GROUP BY 1, 2),
+      |n AS (SELECT grp, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY 1),
+      |grid AS (SELECT ma.grp, ma.la, mb.lb, n.n, ma.rn, mb.cn,
+      |    COALESCE(c.o, 0) AS o
+      |  FROM ma JOIN mb ON mb.grp = ma.grp
+      |  JOIN n ON n.grp = ma.grp
+      |  LEFT JOIN cells c ON c.grp = ma.grp AND c.la = ma.la
+      |    AND c.lb = mb.lb),
+      |terms AS (SELECT grp, n,
+      |    CAST(round(CAST(o * n - rn * cn AS DOUBLE)
+      |      * CAST(o * n - rn * cn AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))
+      |      * 1e6, 0) AS BIGINT) AS term_micro FROM grid),
+      |chi AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+      |    CAST(sum(term_micro) AS BIGINT) AS chi2 FROM terms GROUP BY 1),
+      |ks AS (SELECT a.grp, a.ka, b.kb FROM
+      |  (SELECT grp, CAST(count(*) AS BIGINT) AS ka FROM ma GROUP BY 1) a
+      |  JOIN
+      |  (SELECT grp, CAST(count(*) AS BIGINT) AS kb FROM mb GROUP BY 1) b
+      |  ON b.grp = a.grp)
+      |SELECT chi.grp, chi.n, (ka - 1) * (kb - 1) AS dof,
+      |  CASE WHEN least(ka - 1, kb - 1) = 0 THEN 0
+      |    ELSE chi.chi2 END AS chi2_micro,
+      |  round(CASE WHEN least(ka - 1, kb - 1) = 0 THEN 0.0
+      |    ELSE sqrt(CAST(chi.chi2 AS DOUBLE) / 1e6
+      |      / (CAST(chi.n AS DOUBLE)
+      |        * CAST(least(ka - 1, kb - 1) AS DOUBLE))) END, 6)
+      |    AS cramers_v
+      |FROM chi JOIN ks ON ks.grp = chi.grp""".stripMargin
+
+  /** q_ppr: full 3-iteration integer-micro personalized PageRank
+    * replay — seed-only reset, truncating division, positive-rank
+    * frontier filter each round (matching the engine's loop). */
+  private val pprSql: String = {
+    val rounds = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""i$i AS (SELECT e.dst AS node, sum($prev.r // deg.odeg) AS inflow
+         |       FROM e JOIN deg USING (src)
+         |       JOIN $prev ON $prev.node = e.src
+         |       GROUP BY e.dst),
+         |r$i AS (SELECT node, r FROM (
+         |       SELECT COALESCE(s.node, i$i.node) AS node,
+         |         CAST(CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END
+         |           + (85 * COALESCE(i$i.inflow, 0)) // 100 AS BIGINT) AS r
+         |       FROM seeds s FULL JOIN i$i ON i$i.node = s.node) t
+         |       WHERE r > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+       |            FROM lineitem),
+       |e AS (SELECT p AS src, s AS dst FROM li
+       |      UNION SELECT s AS src, p AS dst FROM li),
+       |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |seeds AS (SELECT DISTINCT l_partkey * 2 AS node FROM lineitem
+       |          WHERE l_partkey % 100 = 0),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM seeds),
+       |$rounds
+       |SELECT node, r AS rank_micro FROM r3""".stripMargin
+  }
+
   /** q_psi_drift: calibration-style integer bins, +1 Laplace smoothing
     * over the full bin grid, per-bin term micro-rounded before the
     * order-free sum; ln of one exact-long cross ratio. */
@@ -3860,6 +3938,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_fleiss_kappa" -> fleissKappaSql,
     "q_ks_drift" -> ksDriftSql,
     "q_psi_drift" -> psiDriftSql,
+    "q_chi_square" -> chiSquareSql,
+    "q_ppr" -> pprSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

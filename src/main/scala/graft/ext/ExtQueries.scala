@@ -217,6 +217,21 @@ object ExtQueries {
       scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
   }
 
+  /** Pearson χ² + Cramér's V per source between the corpus lang tag
+    * and the stopword-rule language call — is the rule's output
+    * actually associated with the labeled language, and how strongly? */
+  def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def cnt(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(x => lit(x)): _*)))
+    val labels = Tables(spark, dir).documents.select(
+      col("source").as("group"),
+      col("lang").as("label_a"),
+      when(cnt(TextAnalysis.EnStop) >= cnt(TextAnalysis.EsStop), "en")
+        .otherwise("es").as("label_b"))
+    Evaluation.chiSquare(labels)
+  }
+
   /** PSI per language between even- and odd-id docs' English-ness
     * scores — the binned model-monitoring twin of [[qKsDrift]]
     * (same score, same split, industry-standard statistic). */

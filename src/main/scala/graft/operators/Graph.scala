@@ -81,6 +81,62 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank from a seed set — the graph-proximity
+    * retrieval/recommendation scorer ("rank everything by closeness
+    * to THESE nodes"): identical integer-micro arithmetic to
+    * [[pageRank]], except the damping reset mass returns only to the
+    * seeds, so rank concentrates in the seeds' neighborhood instead
+    * of spreading globally. Nodes never reached keep rank 0 and are
+    * dropped from the result (reachable-set-sized output, not
+    * graph-sized).
+    *
+    * Scale shape: the [[pageRank]] loop with one extra win — each
+    * round's contribution join runs over ONLY the nonzero-rank nodes
+    * (the seed frontier), so early iterations cost
+    * O(frontier·d̄), not O(V); the edge+degree table is checkpointed
+    * once and the rank vector joins under the same broadcast gate.
+    * Determinism: truncating integer division throughout, replayed
+    * bit-for-bit by the DuckDB oracle's unrolled iterations.
+    *
+    * @param seeds one `node` column; rank starts at 1e6 on seeds
+    * @return (node, rank_micro) for nodes with positive rank */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, damping: Int = 85 /* percent */,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
+    val e = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst"))
+    val withDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .localCheckpoint()
+    val s = seeds.select(col("node").cast(LongType).as("node")).distinct()
+      .localCheckpoint()
+    val bcast = s.count() <= broadcastMaxNodes
+    def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    val resetBase = (100 - damping) * 10000L
+    var ranks = s.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 0 until iters) {
+      // contributions flow ONLY from currently-ranked nodes — the
+      // rank table IS the frontier (seed-neighborhood-sized)
+      val contribs = withDeg
+        .join(small(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"),
+          expr("rank_micro div odeg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+      // reset mass returns only to seeds; reached non-seeds keep
+      // their damped inflow — a full outer of the two node-bound sets
+      ranks = s.withColumn("reset", lit(resetBase))
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "full")
+        .select(col("node"),
+          (coalesce(col("reset"), lit(0L)) +
+            expr(s"($damping * coalesce(inflow, 0L)) div 100"))
+            .as("rank_micro"))
+        .filter(col("rank_micro") > 0L)
+    }
+    val out = ranks.localCheckpoint()
+    graft.ext.Checkpoints.release(withDeg, s)
+    out
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
     * corpus-level word co-occurrence graph — an undirected unweighted
     * edge between each pair of ADJACENT distinct tokens — then the

@@ -193,6 +193,22 @@ object AdvancedAnalytics {
       graft.operators.Graph.labelPropagation(li, iters = 3))
   }
 
+  /** Personalized PageRank over the part↔supplier sourcing graph
+    * (same node encoding and seed set as [[qShortestPath]]: every
+    * 100th part) — "closeness to the audited parts" as a retrieval
+    * score; see [[graft.operators.Graph.personalizedPageRank]]. */
+  def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val e = li.unionAll(li.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val seeds = Tables(spark, dir).lineitem
+      .filter(col("l_partkey") % 100 === 0)
+      .select((col("l_partkey") * 2).as("node")).distinct()
+    graft.operators.Graph.personalizedPageRank(e, seeds, iters = 3)
+  }
+
   /** Adamic–Adar link prediction over the part↔supplier sourcing
     * graph restricted to every 20th part (same node encoding as
     * [[qPagerank]]): part–part pairs scored through shared-supplier

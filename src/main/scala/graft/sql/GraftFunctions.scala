@@ -631,6 +631,25 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** chi_square(tbl) — Pearson χ² + Cramér's V per group over
+    * (group, label_a, label_b) rows
+    * ([[graft.ext.Evaluation.chiSquare]]). */
+  def chiSquareTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.chiSquare(
+      tableOf(strArg(args.head, "chi_square(table)")))
+      .queryExecution.logical
+
+  /** ppr(edgesTbl, seedsTbl[, iters]) — personalized PageRank from a
+    * seed table ([[graft.operators.Graph.personalizedPageRank]]). */
+  def pprTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "ppr(edgesTable, seedsTable[, iters])")
+    val it = if (args.length > 2) intArg(args(2), "ppr(iters)") else 3
+    graft.operators.Graph.personalizedPageRank(
+      tableOf(strArg(args.head, "ppr(edgesTable)")),
+      tableOf(strArg(args(1), "ppr(seedsTable)")), iters = it)
+      .queryExecution.logical
+  }
+
   /** corpus_bleu(candTbl, refTbl[, maxN]) — corpus BLEU with brevity
     * penalty over (pair_id, text) tables
     * ([[graft.ext.TextAnalysis.corpusBleu]]). */
@@ -732,6 +751,8 @@ object GraftFunctions {
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),
+    "chi_square" -> (chiSquareTvf _),
+    "ppr" -> (pprTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

@@ -363,6 +363,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.operators.Graph.adamicAdar(noEdges2).count() == 0)
     val lone = Seq((1L, 2L)).toDF("src", "dst")
     assert(graft.operators.Graph.adamicAdar(lone).count() == 0)
+    // chiSquare: empty labels → empty; single row → dof 0, V 0
+    val noLabels = Seq.empty[(String, String, String)]
+      .toDF("group", "label_a", "label_b")
+    assert(Evaluation.chiSquare(noLabels).count() == 0)
+    // personalizedPageRank: empty seeds → empty ranks (nothing to
+    // personalize toward), seeds disjoint from the graph keep reset
+    val someEdges = Seq((1L, 2L)).toDF("src", "dst")
+    assert(graft.operators.Graph.personalizedPageRank(someEdges,
+      Seq.empty[Long].toDF("node")).count() == 0)
+    val orphanSeed = graft.operators.Graph.personalizedPageRank(
+        someEdges, Seq(99L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(orphanSeed == Map(99L -> 150000L),
+      s"orphan seed keeps its reset mass: $orphanSeed")
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }

@@ -1163,6 +1163,25 @@ class ExtSpec extends AnyFunSuite {
       s"one-sided group is maximal drift: ${k("only_a")}")
   }
 
+  test("chiSquare: hand 2x2 case; independent table 0; constant column dof 0") {
+    val hand = (Seq.fill(30)(("g", "a", "x")) ++ Seq.fill(10)(("g", "a", "y")) ++
+      Seq.fill(10)(("g", "b", "x")) ++ Seq.fill(30)(("g", "b", "y")) ++
+      Seq.fill(20)(("ind", "a", "x")) ++ Seq.fill(20)(("ind", "a", "y")) ++
+      Seq.fill(20)(("ind", "b", "x")) ++ Seq.fill(20)(("ind", "b", "y")) ++
+      Seq.fill(5)(("const", "a", "x")) ++ Seq.fill(5)(("const", "a", "y")))
+      .toDF("group", "label_a", "label_b")
+    val out = Evaluation.chiSquare(hand)
+      .select("grp", "n", "dof", "chi2_micro", "cramers_v")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // g: e=20 per cell, (o−e)²/e = 5 per cell ⇒ χ²=20, V=√(20/80)=0.5
+    assert(out("g") == (("g", 80L, 1L, 20000000L, 0.5)), s"hand: ${out("g")}")
+    assert(out("ind")._4 == 0L && out("ind")._5 == 0.0,
+      s"independent: ${out("ind")}")
+    assert(out("const")._3 == 0L && out("const")._5 == 0.0,
+      s"constant column: ${out("const")}")
+  }
+
   test("psi: identical samples score 0; shifted mass is positive; hand term") {
     // identical distributions: every term's ratio is 1 ⇒ psi 0
     val a = (Seq.fill(5)(("g", 150000L)) ++ Seq.fill(5)(("g", 850000L)))

@@ -423,6 +423,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("edges_e11")
     sameAs("SELECT * FROM adamic_adar('edges_e11')",
       graft.operators.Graph.adamicAdar(spark.table("edges_e11")))
+    Seq(("g", "a", "x"), ("g", "a", "y"), ("g", "b", "x"))
+      .toDF("group", "label_a", "label_b")
+      .createOrReplaceTempView("chi_e11")
+    sameAs("SELECT * FROM chi_square('chi_e11')",
+      graft.ext.Evaluation.chiSquare(spark.table("chi_e11")))
+    Seq(1L).toDF("node").createOrReplaceTempView("seeds_e11")
+    sameAs("SELECT * FROM ppr('edges_e11', 'seeds_e11', 2)",
+      graft.operators.Graph.personalizedPageRank(
+        spark.table("edges_e11"), spark.table("seeds_e11"), iters = 2))
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }

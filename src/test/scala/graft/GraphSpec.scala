@@ -255,6 +255,25 @@ class GraphSpec extends AnyFunSuite {
     assert(longer.map(_._3).max == 1, "walk must stop at a dead end")
   }
 
+  test("personalizedPageRank: hand ranks; unreached nodes absent; gate off ≡ on") {
+    // 1→2 with seed {1}: round 1 gives 1 its reset 150000 and 2 its
+    // damped inflow 850000; round 2 damps 1's contribution to 127500
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.personalizedPageRank(e, seeds, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000L, 2L -> 850000L), s"iter1: $r1")
+    val r2 = Graph.personalizedPageRank(e, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L), s"iter2: $r2")
+    // node 3 (non-seed, no inflow) never appears — reachable-set output
+    assert(!r2.contains(3L), "unreached nodes must be absent")
+    val off = Graph.personalizedPageRank(e, seeds, iters = 2,
+      broadcastMaxNodes = 0L).as[(Long, Long)].collect().toMap
+    assert(off == r2, "broadcast gate must not change ranks")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("adamicAdar: hand term on a path; adjacent pairs excluded; hub cap") {
     // path 1—2—3: only (1,3) share a neighbor; deg(2)=2 ⇒
     // term = round(1e6/ln 2) = 1442695

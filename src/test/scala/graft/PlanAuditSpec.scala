@@ -574,4 +574,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_adamic_adar wedge join degenerated:\n$p")
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("chiSquare / PPR: keyed joins only — no cartesian, no window") {
+    for (name <- Seq("q_chi_square", "q_ppr")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+        s"$name plan degenerated:\n$p")
+    }
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }
