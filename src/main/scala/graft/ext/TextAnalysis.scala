@@ -728,11 +728,14 @@ object TextAnalysis {
     val clip = cg.join(rg, Seq("n", "pair_id", "h"))
       .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("clip"))
     val tot = cg.groupBy("n").agg(sum(col("cc")).as("tot"))
-    // corpus candidate/reference token lengths over the scored pairs
-    def lenOf(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("pair_id"), tokens(col(textCol)).as("toks"))
-        .join(ids, Seq("pair_id"))
-        .agg(coalesce(sum(size(col("toks")).cast(LongType)), lit(0L)).as("len"))
+    // corpus token lengths ARE the unigram totals already counted in
+    // the gram legs (each token is exactly one 1-gram) — deriving
+    // them from tot/rg saves two further full corpus scans, and
+    // ReuseExchange shares the gram-leg subtrees across consumers
+    val cLen = tot.filter(col("n") === 1)
+      .agg(coalesce(sum(col("tot")), lit(0L)).as("c_len"))
+    val rLen = rg.filter(col("n") === 1)
+      .agg(coalesce(sum(col("rc")), lit(0L)).as("r_len"))
     val orders = tot.join(clip, Seq("n"), "left")
       .select(col("n"), col("tot"), coalesce(col("clip"), lit(0L)).as("clip"))
       .withColumn("p", when(col("tot") > 0L,
@@ -749,8 +752,8 @@ object TextAnalysis {
       else if (maxN == 2) sqrt(pProd)
       else pow(pProd, lit(1.0 / maxN))
     val out = wide
-      .crossJoin(lenOf(cand).select(col("len").as("c_len")))
-      .crossJoin(lenOf(ref).select(col("len").as("r_len")))
+      .crossJoin(cLen)
+      .crossJoin(rLen)
       .select(
         (lit(nPairs).as("n_pairs") +:
           col("c_len") +: col("r_len") +:
