@@ -3783,6 +3783,45 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_periodogram: the cos/sin micro factors are injected as a
+    * VALUES list from the SAME Scala table the engine joins
+    * ([[graft.ext.Timeseries.periodogramFactors]]) — no libm replay;
+    * residuals, truncating term division, and the power ratio mirror
+    * the engine expression shape exactly. */
+  private val periodogramSql: String = {
+    val factorRows = graft.ext.Timeseries
+      .periodogramFactors(graft.ext.ExtQueries.periodogramMin,
+        graft.ext.ExtQueries.periodogramMax)
+      .map { case (p, m, c, s) => s"($p, $m, $c, $s)" }
+      .mkString(", ")
+    s"""WITH daily AS (SELECT event_type AS series, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |base AS (SELECT series, min(day) AS d0, CAST(sum(x) AS BIGINT) AS t,
+       |    CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1),
+       |r AS (SELECT d.series, datediff('day', b.d0, d.day) AS idx,
+       |    b.nd * d.x - b.t AS r FROM daily d JOIN base b USING (series)),
+       |den AS (SELECT series, CAST(sum(r * r) AS BIGINT) AS den
+       |  FROM r GROUP BY 1),
+       |f(p, m, cos_micro, sin_micro) AS (VALUES $factorRows),
+       |terms AS (SELECT r.series, f.p,
+       |    (r.r * f.cos_micro) // 1000000 AS tc,
+       |    (r.r * f.sin_micro) // 1000000 AS tsn
+       |  FROM r JOIN f ON f.m = r.idx % f.p),
+       |sums AS (SELECT series, p, CAST(sum(tc) AS BIGINT) AS sc,
+       |    CAST(sum(tsn) AS BIGINT) AS ss FROM terms GROUP BY 1, 2),
+       |pw AS (SELECT s.series, CAST(s.p AS INTEGER) AS period, sc, ss,
+       |    CASE WHEN den.den = 0 THEN 0
+       |      ELSE CAST(round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+       |        + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+       |        / (CAST(den.den AS DOUBLE) * CAST(b.nd AS DOUBLE))
+       |        * 1e6, 0) AS BIGINT) END AS power_micro
+       |  FROM sums s JOIN den USING (series) JOIN base b USING (series)),
+       |pk AS (SELECT series, max(power_micro) AS pmax FROM pw GROUP BY 1)
+       |SELECT pw.series, period, sc, ss, power_micro,
+       |  power_micro = pmax AS is_peak
+       |FROM pw JOIN pk USING (series)""".stripMargin
+  }
+
   /** q_psi_drift: calibration-style integer bins, +1 Laplace smoothing
     * over the full bin grid, per-bin term micro-rounded before the
     * order-free sum; ln of one exact-long cross ratio. */
@@ -3940,6 +3979,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_psi_drift" -> psiDriftSql,
     "q_chi_square" -> chiSquareSql,
     "q_ppr" -> pprSql,
+    "q_periodogram" -> periodogramSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

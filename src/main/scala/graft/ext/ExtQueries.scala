@@ -217,6 +217,17 @@ object ExtQueries {
       scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
   }
 
+  /** Candidate period range shared by the periodogram query and its
+    * oracle generator. */
+  val periodogramMin = 2
+  val periodogramMax = 14
+
+  /** DFT power per candidate period over each event type's daily
+    * volume — dominant-cycle detection for ingest monitoring. */
+  def qPeriodogram(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.periodogram(Tables(spark, dir).events,
+      minPeriod = periodogramMin, maxPeriod = periodogramMax)
+
   /** Pearson χ² + Cramér's V per source between the corpus lang tag
     * and the stopword-rule language call — is the rule's output
     * actually associated with the labeled language, and how strongly? */

@@ -248,6 +248,85 @@ object Timeseries {
           .as("intercept_micro"))
   }
 
+  /** The (period, phase) → micro cos/sin factor table shared by
+    * [[periodogram]] and its oracle generator: ONE Scala computation
+    * of the transcendentals, micro-rounded, consumed literally by
+    * both engines (the q_random_walks constant-coupling lesson —
+    * DuckDB's libm replaying cos() could drift an ulp; an injected
+    * VALUES list cannot). Size Σ_{p} p ≤ 105 rows for periods ≤ 14. */
+  def periodogramFactors(minPeriod: Int, maxPeriod: Int)
+      : Seq[(Int, Int, Long, Long)] =
+    for (p <- minPeriod to maxPeriod; m <- 0 until p) yield {
+      val theta = 2.0 * math.Pi * m / p
+      (p, m, math.round(math.cos(theta) * 1e6),
+        math.round(math.sin(theta) * 1e6))
+    }
+
+  /** Periodogram over the per-series daily volume — dominant-cycle
+    * detection ("is this source's crawl volume weekly-periodic?"):
+    * DFT power at each candidate period P,
+    * power(P) ∝ Sc² + Ss² with Sc = Σ_t r_t·cos(2πt/P) over the
+    * mean-cleared scaled residuals r_t = N·x_t − T (the [[acf]]
+    * residual form), normalized by N·Σr² so the statistic lands in
+    * [0, 2] regardless of scale. The per-series max-power period is
+    * flagged `is_peak` (ties flag all).
+    *
+    * Exactness: cos/sin factors come micro-rounded from the SHARED
+    * [[periodogramFactors]] table; each term (r·factor) div 1e6 is a
+    * truncating long product both engines replay; Sc/Ss are
+    * order-free long sums; the power ratio is one fixed-shape double
+    * expression micro-rounded. Constant series (Σr² = 0) score 0.
+    *
+    * Scale shape: ONE corpus-proportional stage — the (series, day)
+    * count shuffle (map-side combined). Everything after runs on the
+    * series×days table crossed with ≤13 candidate periods and joined
+    * to the ≤105-row broadcast factor table; series-bounded
+    * aggregates finish it. @return (series, period, sc, ss,
+    * power_micro, is_peak) */
+  def periodogram(events: DataFrame, seriesCol: String = "event_type",
+      minPeriod: Int = 2, maxPeriod: Int = 14,
+      tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val base = daily.groupBy("series")
+      .agg(min(col("day")).as("d0"), sum(col("x")).as("t"),
+        count(lit(1)).as("nd"))
+    val r = daily.join(broadcast(base), "series")
+      .select(col("series"),
+        datediff(col("day"), col("d0")).as("idx"),
+        (col("nd") * col("x") - col("t")).as("r"))
+    val den = r.groupBy("series").agg(sum(col("r") * col("r")).as("den"))
+      .join(broadcast(base.select(col("series"), col("nd"))), "series")
+    val periods = (minPeriod to maxPeriod).toDF("p")
+    val factors = periodogramFactors(minPeriod, maxPeriod)
+      .toDF("p", "m", "cos_micro", "sin_micro")
+    val terms = r.crossJoin(broadcast(periods))
+      .select(col("series"), col("p"), pmod(col("idx"), col("p")).as("m"),
+        col("r"))
+      .join(broadcast(factors), Seq("p", "m"))
+      .select(col("series"), col("p"),
+        expr("(r * cos_micro) div 1000000").as("tc"),
+        expr("(r * sin_micro) div 1000000").as("tsn"))
+    val sums = terms.groupBy("series", "p")
+      .agg(sum(col("tc")).as("sc"), sum(col("tsn")).as("ss"))
+    val power = sums.join(broadcast(den), "series")
+      .select(col("series"), col("p").as("period"), col("sc"), col("ss"),
+        when(col("den") === 0L, 0L).otherwise(
+          round((col("sc").cast(DoubleType) * col("sc").cast(DoubleType) +
+            col("ss").cast(DoubleType) * col("ss").cast(DoubleType)) /
+            (col("den").cast(DoubleType) * col("nd").cast(DoubleType))
+            * 1e6, 0).cast(LongType)).as("power_micro"))
+    val peak = power.groupBy(col("series").as("ps"))
+      .agg(max(col("power_micro")).as("pmax"))
+    power.join(broadcast(peak), col("series") === col("ps"))
+      .select(col("series"), col("period"), col("sc"), col("ss"),
+        col("power_micro"),
+        (col("power_micro") === col("pmax")).as("is_peak"))
+  }
+
   /** Median/MAD robust outlier days per series — the heavy-tail-safe
     * twin of the z-score family ([[seasonalAnomalies]] uses mean/σ,
     * which an extreme day inflates until it masks ITSELF; median and

@@ -631,6 +631,17 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** periodogram(tbl[, minPeriod, maxPeriod]) — per-series DFT power
+    * at candidate periods over (event_type, ts) rows
+    * ([[graft.ext.Timeseries.periodogram]]). */
+  def periodogramTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "periodogram(table)"))
+    val lo = if (args.length > 1) intArg(args(1), "periodogram(minPeriod)") else 2
+    val hi = if (args.length > 2) intArg(args(2), "periodogram(maxPeriod)") else 14
+    graft.ext.Timeseries.periodogram(df, minPeriod = lo, maxPeriod = hi)
+      .queryExecution.logical
+  }
+
   /** chi_square(tbl) — Pearson χ² + Cramér's V per group over
     * (group, label_a, label_b) rows
     * ([[graft.ext.Evaluation.chiSquare]]). */
@@ -753,6 +764,7 @@ object GraftFunctions {
     "psi" -> (psiTvf _),
     "chi_square" -> (chiSquareTvf _),
     "ppr" -> (pprTvf _),
+    "periodogram" -> (periodogramTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

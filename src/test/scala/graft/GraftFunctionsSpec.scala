@@ -432,6 +432,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM ppr('edges_e11', 'seeds_e11', 2)",
       graft.operators.Graph.personalizedPageRank(
         spark.table("edges_e11"), spark.table("seeds_e11"), iters = 2))
+    (0 until 6).map(d => (d.toLong,
+        java.sql.Timestamp.valueOf(f"2026-02-${d + 1}%02d 00:00:00"), "view"))
+      .toDF("event_id", "ts", "event_type")
+      .createOrReplaceTempView("pgram_e11")
+    sameAs("SELECT * FROM periodogram('pgram_e11', 2, 5)",
+      graft.ext.Timeseries.periodogram(
+        spark.table("pgram_e11"), minPeriod = 2, maxPeriod = 5))
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }

@@ -144,4 +144,31 @@ class TimeseriesSpec extends AnyFunSuite {
       .select("level_milli", "trend_milli").as[(Long, Long)].head()
     assert(grow._2 > 0, s"trend must be positive on growth: $grow")
   }
+
+  test("periodogram: a period-2 alternation peaks at 2 with full power; constant series scores 0") {
+    // counts [3,1,3,1,3,1]: r = [6,−6,…], Sc(P=2) = 36, den = 216,
+    // nd = 6 ⇒ power = 36²/(216·6) = 1 exactly
+    val out = Timeseries.periodogram(series(Seq(3, 1, 3, 1, 3, 1)),
+        minPeriod = 2, maxPeriod = 5)
+      .select("period", "power_micro", "is_peak")
+      .as[(Int, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(2) == ((2, 1000000L, true)), s"full power at 2: ${out(2)}")
+    assert((3 to 5).forall(p => out(p)._2 < 1000000L && !out(p)._3),
+      s"other periods below peak: $out")
+    // constant series: every residual 0 ⇒ den 0 ⇒ all powers 0
+    val const = Timeseries.periodogram(series(Seq(4, 4, 4, 4)),
+        minPeriod = 2, maxPeriod = 3)
+      .select("power_micro").as[Long].collect()
+    assert(const.forall(_ == 0L), s"constant: ${const.toSeq}")
+    // factor table is exact at the cardinal angles
+    val f = Timeseries.periodogramFactors(2, 4).toMap2
+    assert(f((2, 0)) == ((1000000L, 0L)) && f((2, 1)) == ((-1000000L, 0L)),
+      s"cardinal factors: $f")
+  }
+
+  private implicit class FactorOps(s: Seq[(Int, Int, Long, Long)]) {
+    def toMap2: Map[(Int, Int), (Long, Long)] =
+      s.map { case (p, m, c, x) => (p, m) -> (c, x) }.toMap
+  }
 }
