@@ -166,6 +166,45 @@ object Curation {
         (col("n_kept") >= minKeptLines).as("keep_doc"))
   }
 
+  /** Hashing-trick featurization of relational rows (Weinberger et
+    * al., 2009) — the feature-engineering bridge from metadata tables
+    * to the vector operators: each categorical `feature=value` pair
+    * hashes to one of `dim` buckets with a ±1 sign bit, and the row's
+    * sparse vector is the signed count per bucket. Emitted SPARSE
+    * ((id, bucket, w) rows, zero buckets absent) — the honest 100 TB
+    * shape: a dense array column would carry dim·N cells of mostly
+    * zeros through every shuffle, and downstream dot products over
+    * sparse rows are a co-keyed join + sum.
+    *
+    * Exactness: the bucket and sign derive from the portable 60-bit
+    * md5 hash (`fh|col=value`), so any engine replays the layout;
+    * weights are exact long counts.
+    *
+    * Scale shape: per-row map (the feature stack is an inline array
+    * explode, no join), then ONE (id, bucket) rollup with map-side
+    * combine. NULL feature values are skipped, matching the sparse
+    * contract.
+    *
+    * @param featureCols categorical columns to featurize
+    * @return (idCol, bucket, w) — one row per non-zero bucket */
+  def featureHash(df: DataFrame, featureCols: Seq[String], dim: Int = 64,
+      idCol: String = "id"): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    val feats = explode(array(featureCols.map(c =>
+      when(col(c).isNotNull,
+        concat(lit(c + "="), col(c).cast("string")))): _*)).as("feat")
+    val h = Dedup.portableHash60(concat(lit("fh|"), col("feat")))
+    df.select(col(idCol), feats)
+      .filter(col("feat").isNotNull)
+      .select(col(idCol), h.as("h"))
+      .select(col(idCol), pmod(col("h"), lit(dim.toLong)).as("bucket"),
+        when(pmod(expr(s"h div ${dim}L"), lit(2L)) === 0L, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sign")).as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
   /** Model-based quality filtering — the fastText-classifier-apply
     * stage of CCNet/LLaMA-style pipelines: each document scores the
     * MEAN WEIGHT of its hashed word bigrams under a linear model over

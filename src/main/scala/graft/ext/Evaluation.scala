@@ -264,6 +264,41 @@ object Evaluation {
     out
   }
 
+  /** Majority-vote label aggregation over multi-rater ratings — the
+    * weak-supervision baseline (Snorkel's majority model) that turns
+    * N noisy annotator calls per item into one training label with a
+    * confidence: winner = most-voted category, ties broken by
+    * lexicographically smallest category (deterministic — a replay
+    * yields the same corpus) and flagged `is_tie` so callers can drop
+    * or down-weight them.
+    *
+    * Exactness: counts are exact longs; confidence is one division,
+    * 6dp. Scale shape: one (group, item, cat) count shuffle, then a
+    * per-item rollup whose collect_list is CATEGORIES-bounded (the
+    * label vocabulary, never the rater count — votes pre-aggregate).
+    *
+    * @param ratings one row per rating: `groupCol`, `itemCol`, `catCol`
+    * @return (grp, item, label, votes, n_ratings, confidence, is_tie) */
+  def labelVote(ratings: DataFrame, groupCol: String = "group",
+      itemCol: String = "item", catCol: String = "cat"): DataFrame = {
+    val cells = ratings
+      .select(col(groupCol).as("grp"), col(itemCol).as("item"),
+        col(catCol).as("cat"))
+      .groupBy("grp", "item", "cat").agg(count(lit(1)).as("c"))
+    cells.groupBy("grp", "item")
+      .agg(sum(col("c")).as("n_ratings"),
+        sort_array(collect_list(struct((-col("c")).as("nc"), col("cat"))))
+          .as("ranked"))
+      .select(col("grp"), col("item"),
+        expr("ranked[0].cat").as("label"),
+        (-expr("ranked[0].nc")).cast(LongType).as("votes"),
+        col("n_ratings"),
+        round((-expr("ranked[0].nc")).cast(DoubleType) /
+          col("n_ratings").cast(DoubleType), 6).as("confidence"),
+        (size(col("ranked")) > 1 &&
+          expr("ranked[1].nc = ranked[0].nc")).as("is_tie"))
+  }
+
   /** Pearson χ² test of independence between two categorical columns
     * per group, with Cramér's V effect size — the "is my quality
     * label independent of the source/language?" audit every

@@ -3783,6 +3783,60 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_feature_hash: the portable-md5 hashing trick replayed —
+    * bucket = h mod 64, sign from the next hash bit, zero buckets
+    * dropped. */
+  private val featureHashSql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey AS id, 'o_orderstatus=' || o_orderstatus AS feat
+      |    FROM orders WHERE o_orderstatus IS NOT NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, 'o_orderpriority=' || o_orderpriority
+      |    FROM orders WHERE o_orderpriority IS NOT NULL
+      |  UNION ALL
+      |  SELECT o_orderkey, 'cust_cohort=' || CAST(o_custkey % 16 AS VARCHAR)
+      |    FROM orders WHERE o_custkey IS NOT NULL),
+      |h AS (SELECT id,
+      |    CAST(concat('0x', substr(md5('fh|' || feat), 1, 15)) AS BIGINT)
+      |      AS h FROM f),
+      |s AS (SELECT id, CAST(h % 64 AS BIGINT) AS bucket,
+      |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign FROM h),
+      |g AS (SELECT id, bucket, CAST(sum(sign) AS BIGINT) AS w
+      |  FROM s GROUP BY 1, 2)
+      |SELECT id, bucket, w FROM g WHERE w != 0""".stripMargin
+
+  /** q_label_vote: majority per (grp, item) with min-category
+    * tie-break; is_tie = more than one category at the max count. */
+  private val labelVoteSql: String =
+    """WITH t AS (SELECT source AS grp, doc_id AS item, lang,
+      |    lower(text) AS lt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM documents),
+      |r AS (SELECT grp, item,
+      |    CASE WHEN len(list_filter(toks,
+      |        x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      >= len(list_filter(toks,
+      |        x -> x IN ('el','la','de','y','es','en','que','los')))
+      |      THEN 'en' ELSE 'es' END AS cat FROM t
+      |  UNION ALL SELECT grp, item,
+      |    CASE WHEN lt LIKE '% the %' THEN 'en' ELSE 'es' END FROM t
+      |  UNION ALL SELECT grp, item,
+      |    CASE WHEN lang = 'en' THEN 'en' ELSE 'es' END FROM t),
+      |cells AS MATERIALIZED (SELECT grp, item, cat,
+      |    CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2, 3),
+      |cm AS (SELECT grp, item, CAST(max(c) AS BIGINT) AS cmax,
+      |    CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+      |top AS (SELECT c.grp, c.item, min(c.cat) AS label,
+      |    CAST(count(*) AS BIGINT) AS ntop
+      |  FROM cells c JOIN cm ON cm.grp = c.grp AND cm.item = c.item
+      |    AND c.c = cm.cmax
+      |  GROUP BY 1, 2)
+      |SELECT t.grp, t.item, t.label, cm.cmax AS votes, cm.n AS n_ratings,
+      |  round(CAST(cm.cmax AS DOUBLE) / CAST(cm.n AS DOUBLE), 6)
+      |    AS confidence,
+      |  t.ntop > 1 AS is_tie
+      |FROM top t JOIN cm ON cm.grp = t.grp AND cm.item = t.item""".stripMargin
+
   /** q_periodogram: the cos/sin micro factors are injected as a
     * VALUES list from the SAME Scala table the engine joins
     * ([[graft.ext.Timeseries.periodogramFactors]]) — no libm replay;
@@ -3980,6 +4034,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_chi_square" -> chiSquareSql,
     "q_ppr" -> pprSql,
     "q_periodogram" -> periodogramSql,
+    "q_feature_hash" -> featureHashSql,
+    "q_label_vote" -> labelVoteSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

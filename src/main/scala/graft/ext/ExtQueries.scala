@@ -217,6 +217,38 @@ object ExtQueries {
       scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
   }
 
+  /** Hashing-trick featurization of order metadata into 64 sparse
+    * signed-count buckets — the metadata→vector bridge (status,
+    * priority, and customer-mod-sharded cohort as categoricals). */
+  def qFeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(
+      col("o_orderkey").as("id"), col("o_orderstatus"),
+      col("o_orderpriority"),
+      (col("o_custkey") % 16).cast("string").as("cust_cohort"))
+    Curation.featureHash(o,
+      Seq("o_orderstatus", "o_orderpriority", "cust_cohort"), dim = 64)
+  }
+
+  /** Per-doc majority language across the three annotator rules of
+    * [[qFleissKappa]] — the weak-supervision label each doc would
+    * train with, plus confidence and tie flags. */
+  def qLabelVote(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def cnt(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(x => lit(x)): _*)))
+    val d = Tables(spark, dir).documents
+    def rater(c: org.apache.spark.sql.Column): DataFrame =
+      d.select(col("source").as("group"), col("doc_id").as("item"), c.as("cat"))
+    val ratings = rater(
+        when(cnt(TextAnalysis.EnStop) >= cnt(TextAnalysis.EsStop), "en")
+          .otherwise("es"))
+      .unionAll(rater(
+        when(lower(col("text")).like("% the %"), "en").otherwise("es")))
+      .unionAll(rater(
+        when(col("lang") === "en", "en").otherwise("es")))
+    Evaluation.labelVote(ratings)
+  }
+
   /** Candidate period range shared by the periodogram query and its
     * oracle generator. */
   val periodogramMin = 2

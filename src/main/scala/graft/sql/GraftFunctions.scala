@@ -631,6 +631,26 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** label_vote(tbl) — majority-vote weak-supervision labels over
+    * (group, item, cat) rating rows
+    * ([[graft.ext.Evaluation.labelVote]]). */
+  def labelVoteTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.labelVote(
+      tableOf(strArg(args.head, "label_vote(table)")))
+      .queryExecution.logical
+
+  /** feature_hash(tbl, 'col1,col2'[, dim, idCol]) — hashing-trick
+    * sparse featurization ([[graft.ext.Curation.featureHash]]). */
+  def featureHashTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "feature_hash(table, 'col1,col2'[, dim, idCol])")
+    val df = tableOf(strArg(args.head, "feature_hash(table)"))
+    val cols = strArg(args(1), "feature_hash(cols)").split(",").map(_.trim).toSeq
+    val dim = if (args.length > 2) intArg(args(2), "feature_hash(dim)") else 64
+    val id = if (args.length > 3) strArg(args(3), "feature_hash(idCol)") else "id"
+    graft.ext.Curation.featureHash(df, cols, dim = dim, idCol = id)
+      .queryExecution.logical
+  }
+
   /** periodogram(tbl[, minPeriod, maxPeriod]) — per-series DFT power
     * at candidate periods over (event_type, ts) rows
     * ([[graft.ext.Timeseries.periodogram]]). */
@@ -765,6 +785,8 @@ object GraftFunctions {
     "chi_square" -> (chiSquareTvf _),
     "ppr" -> (pprTvf _),
     "periodogram" -> (periodogramTvf _),
+    "label_vote" -> (labelVoteTvf _),
+    "feature_hash" -> (featureHashTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

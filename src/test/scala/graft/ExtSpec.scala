@@ -1163,6 +1163,47 @@ class ExtSpec extends AnyFunSuite {
       s"one-sided group is maximal drift: ${k("only_a")}")
   }
 
+  test("labelVote: majority wins; ties break to smallest category and flag") {
+    val r = Seq(
+      ("g", 1L, "en"), ("g", 1L, "en"), ("g", 1L, "es"),
+      ("g", 2L, "es"), ("g", 2L, "en"),
+      ("g", 3L, "zh"))
+      .toDF("group", "item", "cat")
+    val out = Evaluation.labelVote(r)
+      .select("item", "label", "votes", "n_ratings", "confidence", "is_tie")
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(out(1L) == ((1L, "en", 2L, 3L, 0.666667, false)), s"${out(1L)}")
+    assert(out(2L) == ((2L, "en", 1L, 2L, 0.5, true)),
+      s"tie breaks lexicographically and flags: ${out(2L)}")
+    assert(out(3L) == ((3L, "zh", 1L, 1L, 1.0, false)), s"${out(3L)}")
+  }
+
+  test("featureHash: bounded buckets, null skip, per-id determinism") {
+    // ("color=red", "sz=xl") genuinely cancel at dim=16 (same bucket,
+    // opposite signs — by-design hashing-trick behavior, asserted at
+    // the end); "sz=m" lands in a distinct bucket
+    val df = Seq(
+      (1L, "red", "m"), (2L, "red", "m"), (3L, "blue", null))
+      .toDF("id", "color", "sz")
+    val out = Curation.featureHash(df, Seq("color", "sz"), dim = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16), s"bucket range: ${out.toSeq}")
+    // identical feature rows hash identically: id 1 ≡ id 2 cell-for-cell
+    val by = out.groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet)
+    assert(by(1L) == by(2L), s"determinism: ${by.toMap}")
+    // id 3 contributes only its non-null feature (one signed unit)
+    assert(by(3L).map(_._2).map(math.abs).sum == 1L, s"null skip: ${by(3L)}")
+    // total signed mass per id bounded by feature count
+    assert(out.groupBy(_._1).forall(_._2.map(r => math.abs(r._3)).sum <= 2),
+      s"mass bound: ${out.toSeq}")
+    // exact-cancellation pair (verified md5 collision with opposite
+    // signs at dim=16) drops its id entirely — the sparse contract
+    val cancel = Seq((9L, "red", "xl")).toDF("id", "color", "sz")
+    assert(Curation.featureHash(cancel, Seq("color", "sz"), dim = 16)
+      .count() == 0L, "canceling features must vanish, not emit w=0")
+  }
+
   test("chiSquare: hand 2x2 case; independent table 0; constant column dof 0") {
     val hand = (Seq.fill(30)(("g", "a", "x")) ++ Seq.fill(10)(("g", "a", "y")) ++
       Seq.fill(10)(("g", "b", "x")) ++ Seq.fill(30)(("g", "b", "y")) ++

@@ -439,6 +439,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM periodogram('pgram_e11', 2, 5)",
       graft.ext.Timeseries.periodogram(
         spark.table("pgram_e11"), minPeriod = 2, maxPeriod = 5))
+    sameAs("SELECT * FROM label_vote('rate_e11')",
+      graft.ext.Evaluation.labelVote(spark.table("rate_e11")))
+    Seq((1L, "red", "m"), (2L, "blue", "l")).toDF("id", "color", "sz")
+      .createOrReplaceTempView("fh_e11")
+    sameAs("SELECT * FROM feature_hash('fh_e11', 'color,sz', 16)",
+      graft.ext.Curation.featureHash(
+        spark.table("fh_e11"), Seq("color", "sz"), dim = 16))
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }
