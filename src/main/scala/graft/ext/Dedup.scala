@@ -926,6 +926,82 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact CONTAINMENT join — the asymmetric twin of
+    * [[prefixJaccardJoin]]: score C(a→b) = |Sa ∩ Sb| / |Sa| and emit
+    * directed pairs with C ≥ t. Jaccard misses "short doc quoted
+    * inside a long one" (the union term swamps the overlap);
+    * containment is the quote/partial-copy/boilerplate-inclusion
+    * detector a dedup pipeline runs NEXT TO symmetric near-dup.
+    *
+    * Prefix lemma (containment form): |Sa∩Sb| ≥ t·|Sa| forces a match
+    * inside a's first ⌊(1−t)·|Sa|⌋+1 rarest-first shingles — so only
+    * the CONTAINED side is prefix-filtered; the other side indexes
+    * ALL its shingles. That stays scale-safe because every join key
+    * comes from some document's rare prefix: df-ascending ordering
+    * means prefix tokens have short posting lists, and a stop-shingle
+    * with df 10⁸ sorts to the end of every prefix and never keys the
+    * join. The [[prefixJaccardJoin]] positional filter prunes
+    * candidates whose first-match ranks already bound the overlap
+    * under t·|Sa| before any shingle array moves; verify computes the
+    * exact intersection on survivors.
+    *
+    * @return (src_id, dst_id, containment) — src's shingles ⊆-scored
+    *         against dst, both directions emitted when both hold. */
+  def containmentJoin(df: DataFrame, threshold: Double = 0.9,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastMaxSets: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), array_sort(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => graft.expressions.Md5Hash60.hash60(concat(
+          element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1), lit(" "),
+          element_at(col("toks"), i + 2)))))).as("s"))
+      .localCheckpoint()
+    val ex = ts.select(col(idCol), size(col("s")).as("sz"),
+      explode(col("s")).as("token"))
+    val dfreq = ex.groupBy("token").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "token")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("token"))))
+    // contained side: prefix only; container side: every shingle,
+    // rank riding along for the positional filter
+    val pref = ranked
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol).as("src_id"), col("token"),
+        col("rnk").as("ra"), col("sz").as("sza"))
+    val full = ranked.select(col(idCol).as("dst_id"), col("token"),
+      col("rnk").as("rb"), col("sz").as("szb"))
+    val cand = pref.join(full,
+        Seq("token")).filter(col("src_id") =!= col("dst_id"))
+      .groupBy("src_id", "dst_id")
+      .agg(min(col("ra")).as("ra"), max(col("sza")).as("sza"),
+        min(col("rb")).as("rb"), max(col("szb")).as("szb"))
+      // overlap ≤ 1 + min(|a|−ra, |b|−rb) must reach t·|a| (1e-9
+      // slack errs toward keeping — verify is exact)
+      .filter((lit(1) + least(col("sza") - col("ra"), col("szb") - col("rb")))
+        .cast(DoubleType) >= lit(threshold) * col("sza") - 1e-9)
+      .select(col("src_id"), col("dst_id"))
+    def sets(k: String) =
+      ts.select(col(idCol).as(s"${k}_id"), col("s").as(s"s$k"))
+    val (sa, sb) =
+      if (ts.count() <= broadcastMaxSets) (broadcast(sets("src")), broadcast(sets("dst")))
+      else (sets("src"), sets("dst"))
+    val out = cand
+      .join(sa, "src_id")
+      .join(sb, "dst_id")
+      .withColumn("inter", size(array_intersect(col("ssrc"), col("sdst"))))
+      .withColumn("cont", col("inter").cast(DoubleType) / size(col("ssrc")))
+      .filter(col("cont") >= threshold)
+      .select(col("src_id"), col("dst_id"), round(col("cont"), 6).as("containment"))
+      .localCheckpoint() // pairs-sized; release the shingle scaffold
+    graft.ext.Checkpoints.release(ts)
+    out
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     * MOSS algorithm): hash every `k`-token gram, slide a window of `w`
     * consecutive gram hashes, and in each window select the MINIMUM

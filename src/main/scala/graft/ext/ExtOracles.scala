@@ -3783,6 +3783,38 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_containment: replants the 40%-prefix derived docs with the
+    * same integer arithmetic, then replays exact directed containment
+    * over ALL shared-shingle pairs — a superset of the engine's
+    * prefix-filtered candidates, identical after the exact C ≥ t
+    * filter (the prefix lemma is lossless). */
+  private val containmentSql: String =
+    s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+      |plant AS (SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(toks[1 : CAST(greatest((len(toks) * 2) // 5, 5)
+      |      AS BIGINT)], ' ') AS text
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents
+      |        WHERE doc_id % 7 = 0) p),
+      |base AS (SELECT * FROM t0 UNION ALL SELECT * FROM plant),
+      |t AS (SELECT doc_id, $toks AS toks FROM base),
+      |ts AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> CAST(concat('0x', substr(md5(
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))
+      |        AS BIGINT)))) AS s
+      |  FROM t WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS token FROM ts),
+      |cand AS (SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+      |  FROM ex a JOIN ex b ON b.token = a.token
+      |    AND a.doc_id != b.doc_id),
+      |ver AS (SELECT src_id, dst_id,
+      |    len(list_intersect(sa.s, sb.s)) AS inter, len(sa.s) AS la
+      |  FROM cand JOIN ts sa ON sa.doc_id = src_id
+      |            JOIN ts sb ON sb.doc_id = dst_id)
+      |SELECT src_id, dst_id,
+      |  round(CAST(inter AS DOUBLE) / la, 6) AS containment
+      |FROM ver WHERE CAST(inter AS DOUBLE) / la >= 0.9""".stripMargin
+
   /** q_feature_hash: the portable-md5 hashing trick replayed —
     * bucket = h mod 64, sign from the next hash bit, zero buckets
     * dropped. */
@@ -4036,6 +4068,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_periodogram" -> periodogramSql,
     "q_feature_hash" -> featureHashSql,
     "q_label_vote" -> labelVoteSql,
+    "q_containment" -> containmentSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

@@ -932,6 +932,24 @@ object ExtQueries {
   def qPrefixJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardJoin(Tables(spark, dir).documents)
 
+  /** Directed containment at t = 0.9 with planted partial copies:
+    * every 7th doc spawns a derived short doc (its first 40% of
+    * tokens, id + 1e6) whose shingles are a strict subset of the
+    * host's — the quote/partial-copy case symmetric Jaccard misses.
+    * The token count is integer arithmetic ((n·2) div 5, floor 5) so
+    * the oracle replants identically. */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val planted = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("array_join(slice(toks, 1, " +
+          "greatest((size(toks) * 2) div 5, 5)), ' ')").as("text"))
+    Dedup.containmentJoin(
+      d.select(col("doc_id"), col("text")).unionAll(planted),
+      threshold = 0.9)
+  }
+
   /** Learn the first 3 BPE merges from the corpus. */
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeTrain(Tables(spark, dir).documents)

@@ -631,6 +631,17 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** containment(tbl[, threshold]) — directed shingle-containment
+    * pairs over (doc_id, text) rows
+    * ([[graft.ext.Dedup.containmentJoin]]). */
+  def containmentTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "containment(table)"))
+    val t = if (args.length > 1)
+      dblArg(args(1), "containment(threshold)") else 0.9
+    graft.ext.Dedup.containmentJoin(df, threshold = t)
+      .queryExecution.logical
+  }
+
   /** label_vote(tbl) — majority-vote weak-supervision labels over
     * (group, item, cat) rating rows
     * ([[graft.ext.Evaluation.labelVote]]). */
@@ -787,6 +798,7 @@ object GraftFunctions {
     "periodogram" -> (periodogramTvf _),
     "label_vote" -> (labelVoteTvf _),
     "feature_hash" -> (featureHashTvf _),
+    "containment" -> (containmentTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

@@ -1163,6 +1163,33 @@ class ExtSpec extends AnyFunSuite {
       s"one-sided group is maximal drift: ${k("only_a")}")
   }
 
+  test("containmentJoin: planted prefix slice scores 1.0 one-way; near-dup stays under 0.9") {
+    val host = base // 19 words
+    val short8 = base.split(" ").take(8).mkString(" ")
+    val d = Seq(
+      Doc(1, host), Doc(2, short8), Doc(3, nearDup),
+      Doc(4, "completely different content about spark catalyst optimizer rules today")
+    ).toDF
+    val out = Dedup.containmentJoin(d, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the 8-word prefix's 6 shingles are all inside the host's set
+    assert(out.get((2L, 1L)).contains(1.0), s"planted containment: $out")
+    assert(!out.contains((1L, 2L)), "host is NOT contained in the slice")
+    // one changed word flips 3 of 17 shingles: C ≈ 0.82 < 0.9 both ways
+    assert(!out.contains((1L, 3L)) && !out.contains((3L, 1L)),
+      s"near-dup under threshold must not pair: $out")
+    assert(out.keySet.flatMap(k => Set(k._1, k._2)).subsetOf(Set(1L, 2L, 3L)),
+      s"unrelated doc must stay unpaired: $out")
+    // the same pair DOES clear a lower threshold, both asymmetric ways
+    val lo = Dedup.containmentJoin(d, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(lo.contains((1L, 3L)) && lo.contains((3L, 1L)),
+      s"0.8 admits the near-dup in both directions: $lo")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("labelVote: majority wins; ties break to smallest category and flag") {
     val r = Seq(
       ("g", 1L, "en"), ("g", 1L, "en"), ("g", 1L, "es"),

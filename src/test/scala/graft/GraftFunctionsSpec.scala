@@ -446,6 +446,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM feature_hash('fh_e11', 'color,sz', 16)",
       graft.ext.Curation.featureHash(
         spark.table("fh_e11"), Seq("color", "sz"), dim = 16))
+    Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text").createOrReplaceTempView("cont_e11")
+    sameAs("SELECT * FROM containment('cont_e11', 0.9)",
+      graft.ext.Dedup.containmentJoin(
+        spark.table("cont_e11"), threshold = 0.9))
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }
