@@ -110,7 +110,13 @@ object Graph {
       .localCheckpoint()
     val s = seeds.select(col("node").cast(LongType).as("node")).distinct()
       .localCheckpoint()
-    val bcast = s.count() <= broadcastMaxNodes
+    s.count() // materialize before the loop references it repeatedly
+    // gate on the NODE count, not the seed count: the rank table
+    // grows toward the reachable set as the frontier expands, so a
+    // seed-sized gate would broadcast a graph-sized table by hop k
+    val nNodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct().count()
+    val bcast = nNodes <= broadcastMaxNodes
     def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val resetBase = (100 - damping) * 10000L
     var ranks = s.withColumn("rank_micro", lit(1000000L))

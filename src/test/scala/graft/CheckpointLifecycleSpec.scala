@@ -137,6 +137,50 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
     assert(pinned === 0)
   }
 
+  test("eval/link-prediction family: only the returned result may stay pinned") {
+    Checkpoints.releaseAll(spark)
+    import spark.implicits._
+    // materialize-and-release ops: after releasing the RESULT, zero
+    // pins remain — any residue is an internal scaffold leak
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val aa = Graph.adamicAdar(edges)
+    aa.count(); Checkpoints.release(aa)
+    assert(pinned === 0, "adamicAdar leaked a scaffold")
+    val ppr = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"))
+    ppr.count(); Checkpoints.release(ppr)
+    assert(pinned === 0, "personalizedPageRank leaked a scaffold")
+    val bleu = TextAnalysis.corpusBleu(
+      docs.withColumnRenamed("doc_id", "pair_id"),
+      docs.withColumnRenamed("doc_id", "pair_id"))
+    bleu.count(); Checkpoints.release(bleu)
+    assert(pinned === 0, "corpusBleu leaked a scaffold")
+    val cont = Dedup.containmentJoin(docs, threshold = 0.5)
+    cont.count(); Checkpoints.release(cont)
+    assert(pinned === 0, "containmentJoin leaked a scaffold")
+    val ratings = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "b"),
+      ("g", 2L, "a")).toDF("group", "item", "cat")
+    val fk = graft.ext.Evaluation.fleissKappa(ratings)
+    fk.count(); Checkpoints.release(fk)
+    assert(pinned === 0, "fleissKappa leaked a scaffold")
+    val labels = Seq(("g", "a", "x"), ("g", "b", "y"))
+      .toDF("group", "label_a", "label_b")
+    val chi = graft.ext.Evaluation.chiSquare(labels)
+    chi.count(); Checkpoints.release(chi)
+    assert(pinned === 0, "chiSquare leaked a scaffold")
+    // fully-lazy ops: consuming them must pin nothing at all
+    val preds = Seq(("g", 5L, 1L), ("g", 3L, 0L))
+      .toDF("group", "score_micro", "y")
+    graft.ext.Evaluation.aucRoc(preds).count()
+    val vals = Seq(("g", 1L)).toDF("group", "v")
+    graft.ext.Evaluation.ksTest(vals, vals).count()
+    val ps = Seq(("g", 500000L)).toDF("group", "p_micro")
+    graft.ext.Evaluation.psi(ps, ps).count()
+    graft.ext.Evaluation.labelVote(ratings).count()
+    graft.ext.Curation.featureHash(
+      Seq((1L, "r")).toDF("id", "c"), Seq("c")).count()
+    assert(pinned === 0, "lazy eval ops must not pin")
+  }
+
   test("aggRefresh releases its staged batch (fully self-cleaning)") {
     Checkpoints.releaseAll(spark)
     val before = pinned

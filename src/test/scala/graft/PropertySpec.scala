@@ -306,4 +306,83 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("AUC u2 equals brute-force 2·wins+ties for ANY score/label sample") {
+    val rowGen = Gen.zip(Gen.choose(0L, 8L), Gen.oneOf(0L, 1L))
+    forAll(Gen.listOfN(20, rowGen)) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.map { case (s, y) => ("g", s, y) }
+          .toDF("group", "score_micro", "y")
+        val (u2, auc) = graft.ext.Evaluation.aucRoc(df)
+          .select("u2", "auc").as[(Long, Double)].head()
+        val pos = rows.filter(_._2 == 1L).map(_._1)
+        val neg = rows.filter(_._2 == 0L).map(_._1)
+        val w = for (p <- pos; n <- neg) yield p.compare(n)
+        val brute = 2L * w.count(_ > 0) + w.count(_ == 0)
+        assert(u2 == brute, s"u2 $u2 vs brute $brute for $rows")
+        // strictly monotone rescale preserves AUC exactly
+        val df2 = rows.map { case (s, y) => ("g", s * 3 + 1, y) }
+          .toDF("group", "score_micro", "y")
+        val auc2 = graft.ext.Evaluation.aucRoc(df2)
+          .select("auc").as[Double].head()
+        assert(auc2 == auc, s"monotone transform changed AUC: $auc2 != $auc")
+      }
+    }
+  }
+
+  test("KS d_num is symmetric and matches the brute-force ECDF max") {
+    val vGen = Gen.choose(0L, 6L)
+    forAll(Gen.listOfN(24, vGen)) { vs =>
+      val (va, vb) = vs.splitAt(12)
+      if (va.nonEmpty && vb.nonEmpty) {
+        val a = va.map(("g", _)).toDF("group", "v")
+        val b = vb.map(("g", _)).toDF("group", "v")
+        val d1 = graft.ext.Evaluation.ksTest(a, b)
+          .select("d_num").as[Long].head()
+        val d2 = graft.ext.Evaluation.ksTest(b, a)
+          .select("d_num").as[Long].head()
+        assert(d1 == d2, s"KS must be symmetric: $d1 vs $d2")
+        val na = va.size.toLong; val nb = vb.size.toLong
+        val brute = (0L to 6L).map(x =>
+          math.abs(va.count(_ <= x) * nb - vb.count(_ <= x) * na)).max
+        assert(d1 == brute, s"d_num $d1 vs brute $brute for $va | $vb")
+      }
+    }
+  }
+
+  test("PSI of a sample against itself is 0; every term is non-negative") {
+    val pGen = Gen.choose(0L, 1000000L)
+    forAll(Gen.listOfN(15, pGen)) { ps =>
+      if (ps.nonEmpty) {
+        val df = ps.map(("g", _)).toDF("group", "p_micro")
+        val self = graft.ext.Evaluation.psi(df, df)
+          .select("psi_micro").distinct().as[Long].collect()
+        assert(self.toSeq == Seq(0L), s"self-PSI must be 0: ${self.toSeq}")
+        val (h, t) = ps.splitAt(ps.size / 2)
+        if (h.nonEmpty && t.nonEmpty) {
+          val terms = graft.ext.Evaluation.psi(
+              h.map(("g", _)).toDF("group", "p_micro"),
+              t.map(("g", _)).toDF("group", "p_micro"))
+            .select("term_micro").as[Long].collect()
+          assert(terms.forall(_ >= 0L), s"negative PSI term: ${terms.toSeq}")
+        }
+      }
+    }
+  }
+
+  test("containment always detects a token-prefix slice at 1.0 for ANY doc") {
+    val wordGen = Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx")
+    forAll(Gen.listOfN(14, wordGen)) { words =>
+      // slice ≥ 5 tokens so the derived doc has ≥ 3 shingles
+      val hostText = words.mkString(" ")
+      val sliceText = words.take(7).mkString(" ")
+      val d = Seq((1L, hostText), (2L, sliceText)).toDF("doc_id", "text")
+      val got = graft.ext.Dedup.containmentJoin(d, threshold = 0.99)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got.get((2L, 1L)).contains(1.0),
+        s"prefix slice must be contained: $got for '$hostText'")
+      graft.ext.Checkpoints.releaseAll(spark)
+    }
+  }
 }
