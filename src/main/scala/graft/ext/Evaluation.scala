@@ -322,10 +322,26 @@ object Evaluation {
     * @param labels rows with `groupCol`, `aCol`, `bCol`
     * @return (grp, n, dof, chi2_micro, cramers_v) — V 6dp */
   def chiSquare(labels: DataFrame, groupCol: String = "group",
-      aCol: String = "label_a", bCol: String = "label_b"): DataFrame = {
-    val cells = labels
+      aCol: String = "label_a", bCol: String = "label_b"): DataFrame =
+    chiSquareFinish(chiSquareState(labels, groupCol, aCol, bCol))
+
+  /** The ALGEBRAIC (grp, la, lb) contingency accumulator — one
+    * commutative long count per cell, vocabulary²-bounded state (the
+    * streaming-twin state table,
+    * [[graft.streaming.StreamingOps.chiSquareStateStream]]). */
+  private[graft] def chiSquareState(labels: DataFrame,
+      groupCol: String = "group", aCol: String = "label_a",
+      bCol: String = "label_b"): DataFrame =
+    labels
       .select(col(groupCol).as("grp"), col(aCol).as("la"), col(bCol).as("lb"))
       .groupBy("grp", "la", "lb").agg(count(lit(1)).as("o"))
+
+  /** Finish a contingency snapshot into the χ²/V table — state-sized
+    * input, identical whether cells came from one batch pass or
+    * merged micro-batches. */
+  def chiSquareFinish(state: DataFrame): DataFrame = {
+    val cells = state
+      .select(col("grp"), col("la"), col("lb"), col("o").cast(LongType).as("o"))
       .localCheckpoint() // groups×labels²-bounded; read 3× below
     val ma = cells.groupBy("grp", "la").agg(sum(col("o")).as("rn"))
     val mb = cells.groupBy("grp", "lb").agg(sum(col("o")).as("cn"))

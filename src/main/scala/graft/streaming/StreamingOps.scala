@@ -329,6 +329,16 @@ object StreamingOps {
       sideCol: String = "side"): DataFrame =
     graft.ext.Evaluation.psiState(tagged, bins, groupCol, pCol, sideCol)
 
+  /** Streaming twin of the χ² independence audit
+    * ([[graft.ext.Evaluation.chiSquare]]): the (grp, la, lb)
+    * contingency cell table folds one long count per cell —
+    * vocabulary²-bounded state. Finish a Complete snapshot with
+    * [[graft.ext.Evaluation.chiSquareFinish]] — row-identical to the
+    * batch test of the same rows (StreamingSpec twin proof). */
+  def chiSquareStateStream(labels: DataFrame, groupCol: String = "group",
+      aCol: String = "label_a", bCol: String = "label_b"): DataFrame =
+    graft.ext.Evaluation.chiSquareState(labels, groupCol, aCol, bCol)
+
   /** Streaming twin of the KMV bottom-k distinct sketch
     * ([[graft.ext.Sketches.kmvSketchBy]]): insertion into the bounded
     * TreeSet is idempotent (a duplicate hash is a no-op), so the SAME

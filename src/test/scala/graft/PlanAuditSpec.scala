@@ -575,6 +575,23 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("containment: token-keyed candidate join, no cartesian; gate off ≡ on") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f"),
+      (3L, "x y z w v u t s")).toDF("doc_id", "text")
+    val on = graft.ext.Dedup.containmentJoin(d, threshold = 0.9)
+      .collect().toSet
+    val off = graft.ext.Dedup.containmentJoin(d, threshold = 0.9,
+      broadcastMaxSets = 0L).collect().toSet
+    assert(on == off, "verify-broadcast gate must not change pairs")
+    val p = SparkEntry.queries("q_containment")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"q_containment candidate join degenerated:\n$p")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("chiSquare / PPR: keyed joins only — no cartesian, no window") {
     for (name <- Seq("q_chi_square", "q_ppr")) {
       val p = SparkEntry.queries(name)(spark, dir)

@@ -238,6 +238,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chi-square state ≡ batch; finished snapshot identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val b1 = Seq(("g", "a", "x"), ("g", "a", "x"), ("g", "b", "y"))
+    val b2 = Seq(("g", "a", "y"), ("g", "b", "x"), ("h", "a", "x"))
+    val q = StreamingOps.chiSquareStateStream(
+        mem.toDF().toDF("group", "label_a", "label_b"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("chi_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.chiSquareFinish(
+        spark.table("chi_out"))
+      val batch = graft.ext.Evaluation.chiSquare(
+        (b1 ++ b2).toDF("group", "label_a", "label_b"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed chi-square state must equal the batch table")
+    } finally q.stop()
+  }
+
   test("streaming MG frequent items ≡ batch exact counts at ample capacity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
