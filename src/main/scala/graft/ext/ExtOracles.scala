@@ -3783,6 +3783,44 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_zipf_slope: window-rank replay of the bounded-heap top-K
+    * (count desc, hash asc — the documented heap tie-break), per-term
+    * micro-rounded ln pairs, exact-long OLS sums. */
+  private val zipfSlopeSql: String =
+    s"""WITH tok AS (SELECT source,
+      |    CAST(concat('0x', substr(md5('zf|' || t.tok), 1, 15)) AS BIGINT)
+      |      AS h
+      |  FROM (SELECT source, $toks AS toks FROM documents) d,
+      |    unnest(toks) AS t(tok)),
+      |counts AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |rk AS (SELECT source, c, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY c DESC, h ASC) AS BIGINT) AS rank
+      |  FROM counts),
+      |top AS (SELECT * FROM rk WHERE rank <= 50),
+      |xy AS (SELECT source,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+      |  FROM top),
+      |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy FROM xy GROUP BY 1)
+      |SELECT source, n AS n_terms,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN 0
+      |    ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6, 0) AS BIGINT)
+      |    END AS slope_micro,
+      |  CASE WHEN n * sxx - sx * sx = 0
+      |    THEN CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 0)
+      |      AS BIGINT)
+      |    ELSE CAST(round((CAST(sy AS DOUBLE)
+      |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE))
+      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0) AS BIGINT)
+      |    END AS intercept_micro
+      |FROM agg""".stripMargin
+
   /** q_containment: replants the 40%-prefix derived docs with the
     * same integer arithmetic, then replays exact directed containment
     * over ALL shared-shingle pairs — a superset of the engine's
@@ -4069,6 +4107,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_feature_hash" -> featureHashSql,
     "q_label_vote" -> labelVoteSql,
     "q_containment" -> containmentSql,
+    "q_zipf_slope" -> zipfSlopeSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

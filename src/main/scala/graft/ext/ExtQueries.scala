@@ -304,6 +304,11 @@ object ExtQueries {
       maxN = 2)
   }
 
+  /** Zipf slope over each source's top-50 token frequencies — the
+    * template-corpus detector next to vocab richness. */
+  def qZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(Tables(spark, dir).documents, topK = 50)
+
   /** Chao1 vocabulary richness + Good–Turing coverage per source. */
   def qVocabRichness(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabRichness(Tables(spark, dir).documents)

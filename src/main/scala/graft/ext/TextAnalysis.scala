@@ -662,6 +662,61 @@ object TextAnalysis {
     (out, cg, rg)
   }
 
+  /** Zipf-law slope per source — the corpus-health diagnostic next to
+    * [[vocabRichness]]: natural text follows freq ∝ rank^s with
+    * s ≈ −1; a slope far above −1 (flat) signals template/boilerplate
+    * corpora, far below signals a degenerate vocabulary. Fits OLS of
+    * ln(freq) on ln(rank) over each source's top-`topK` tokens.
+    *
+    * Exactness: ln(rank)/ln(count) are micro-rounded per term before
+    * any sum; the OLS numerator/denominator are exact-long
+    * Σ-products (bounds documented: safe through ~10¹² tokens per
+    * source at topK ≤ 1000); slope and intercept are fixed-shape
+    * double divisions, micro-rounded. Sources whose top-K has one
+    * distinct rank (n < 2) score slope 0 by convention.
+    *
+    * Scale shape: one (source, token-hash) count shuffle, then the
+    * per-source top-K via the bounded-heap partial aggregate
+    * ([[graft.expressions.TopKByScore]] — no task ever holds more
+    * than K entries, where a rank window would sort a source's whole
+    * vocabulary in one task), then source-sized OLS sums.
+    *
+    * @return (source, n_terms, slope_micro, intercept_micro) */
+  def zipfSlope(docs: DataFrame, topK: Int = 50,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("source"),
+        Dedup.portableHash60(concat(lit("zf|"), col("tok"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+    // rank = heap position under (count desc, hash asc) — identical
+    // to the window form, bounded-heap partials instead of a sort
+    val top = counts.groupBy("source")
+      .agg(graft.expressions.TopKByScore.topK(
+        col("c").cast(DoubleType), col("h"), col("c"), topK).as("topk"))
+      .select(col("source"), posexplode(col("topk")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.payload").as("c"))
+    val xy = top.select(col("source"),
+      round(log(col("rank").cast(DoubleType)) * 1e6, 0).cast(LongType).as("x"),
+      round(log(col("c").cast(DoubleType)) * 1e6, 0).cast(LongType).as("y"))
+    val agg = xy.groupBy("source").agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+    val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast(DoubleType) / den.cast(DoubleType)
+    agg.select(col("source"), col("n").as("n_terms"),
+      when(den === 0L, 0L).otherwise(
+        round(slopeRaw * 1e6, 0).cast(LongType)).as("slope_micro"),
+      when(den === 0L, round(col("sy").cast(DoubleType) /
+          col("n").cast(DoubleType), 0).cast(LongType))
+        .otherwise(round((col("sy").cast(DoubleType) -
+          slopeRaw * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType), 0).cast(LongType))
+        .as("intercept_micro"))
+  }
+
   /** Corpus-level BLEU-N (Papineni et al., 2002) over candidate/
     * reference pairs — the MT/distillation eval twin of [[rougeN]]:
     * per order n ≤ maxN, clipped precision

@@ -631,6 +631,14 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** zipf_slope(tbl[, topK]) — per-source Zipf-law OLS fit over top-K
+    * token frequencies ([[graft.ext.TextAnalysis.zipfSlope]]). */
+  def zipfSlopeTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "zipf_slope(table)"))
+    val k = if (args.length > 1) intArg(args(1), "zipf_slope(topK)") else 50
+    graft.ext.TextAnalysis.zipfSlope(df, topK = k).queryExecution.logical
+  }
+
   /** containment(tbl[, threshold]) — directed shingle-containment
     * pairs over (doc_id, text) rows
     * ([[graft.ext.Dedup.containmentJoin]]). */
@@ -799,6 +807,7 @@ object GraftFunctions {
     "label_vote" -> (labelVoteTvf _),
     "feature_hash" -> (featureHashTvf _),
     "containment" -> (containmentTvf _),
+    "zipf_slope" -> (zipfSlopeTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

@@ -1300,6 +1300,25 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("zipfSlope: exact power-law counts fit slope −1; single-token source scores 0") {
+    // counts (12, 6, 4, 3) are exactly 12/rank — a pure Zipf s = −1
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val d = Seq((1L, text, "s1"), (2L, "solo solo solo", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlope(d, topK = 50)
+      .select("source", "n_terms", "slope_micro", "intercept_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("s1")._2 == 4L, s"four ranked terms: ${out("s1")}")
+    assert(math.abs(out("s1")._3 + 1000000L) <= 50,
+      s"pure Zipf must fit −1 (±term rounding): ${out("s1")}")
+    // intercept ≈ ln 12 · 1e6 = 2484907
+    assert(math.abs(out("s1")._4 - 2484907L) <= 50, s"${out("s1")}")
+    assert(out("s2") == (("s2", 1L, 0L, math.round(math.log(3.0) * 1e6))),
+      s"degenerate source: ${out("s2")}")
+  }
+
   test("vocabRichness: Chao1 and coverage on a hand-counted source") {
     val docs = Seq((1L, "a a b c", "s1")).toDF("doc_id", "text", "source")
     val r = TextAnalysis.vocabRichness(docs)

@@ -451,6 +451,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM containment('cont_e11', 0.9)",
       graft.ext.Dedup.containmentJoin(
         spark.table("cont_e11"), threshold = 0.9))
+    Seq((1L, "a a a b b c", "s1")).toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("zipf_e11")
+    sameAs("SELECT * FROM zipf_slope('zipf_e11', 10)",
+      graft.ext.TextAnalysis.zipfSlope(spark.table("zipf_e11"), topK = 10))
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }
