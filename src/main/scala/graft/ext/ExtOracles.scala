@@ -3783,6 +3783,37 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_benford: first digit via decimal string (no float log10),
+    * expected shares injected from the SAME Scala table
+    * ([[graft.ext.Profiler.benfordExpectedMicro]]). */
+  private val benfordSql: String = {
+    val expRows = graft.ext.Profiler.benfordExpectedMicro
+      .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH src AS (SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
+      |digits AS (SELECT grp,
+      |    CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n_digit
+      |  FROM src WHERE v IS NOT NULL AND v > 0 GROUP BY 1, 2),
+      |tot AS (SELECT grp, CAST(sum(n_digit) AS BIGINT) AS n
+      |  FROM digits GROUP BY 1),
+      |exp_t(digit, p_micro) AS (VALUES $expRows),
+      |grid AS (SELECT t.grp, e.digit, t.n,
+      |    COALESCE(d.n_digit, 0) AS n_digit, CAST(e.p_micro AS BIGINT)
+      |      AS p_micro
+      |  FROM tot t CROSS JOIN exp_t e
+      |  LEFT JOIN digits d ON d.grp = t.grp AND d.digit = e.digit),
+      |dev AS (SELECT grp, digit, n_digit, n, p_micro,
+      |    CAST(round(CAST(n_digit AS DOUBLE) * 1e6 / CAST(n AS DOUBLE), 0)
+      |      AS BIGINT) - p_micro AS dev_micro FROM grid),
+      |mad AS (SELECT grp,
+      |    CAST(round(CAST(sum(abs(dev_micro)) AS DOUBLE) / 9.0, 0)
+      |      AS BIGINT) AS mad_micro FROM dev GROUP BY 1)
+      |SELECT d.grp, d.digit, d.n_digit, d.n, d.p_micro, d.dev_micro,
+      |  m.mad_micro
+      |FROM dev d JOIN mad m ON m.grp = d.grp""".stripMargin
+  }
+
   /** q_zipf_slope: window-rank replay of the bounded-heap top-K
     * (count desc, hash asc — the documented heap tie-break), per-term
     * micro-rounded ln pairs, exact-long OLS sums. */
@@ -4108,6 +4139,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_label_vote" -> labelVoteSql,
     "q_containment" -> containmentSql,
     "q_zipf_slope" -> zipfSlopeSql,
+    "q_benford" -> benfordSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

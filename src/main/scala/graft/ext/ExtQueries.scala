@@ -304,6 +304,15 @@ object ExtQueries {
       maxN = 2)
   }
 
+  /** Benford first-digit conformity of order amounts (exact cents)
+    * per order priority — the fabricated-numbers / broken-ETL audit. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(
+      col("o_orderpriority").as("group"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    Profiler.benford(o, "cents")
+  }
+
   /** Zipf slope over each source's top-50 token frequencies — the
     * template-corpus detector next to vocab richness. */
   def qZipfSlope(spark: SparkSession, dir: String): DataFrame =

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Schema-driven column profiling — the data-quality sweep a warehouse
   * runs before trusting a new source: per-column non-null and distinct
@@ -44,6 +45,69 @@ object Profiler {
     * @return one row (n_rows, n_keys, hot_key, hot_n,
     *         hot_share_micro, entropy_micro).
     */
+  /** Benford expected first-digit shares in micro units — ONE Scala
+    * computation injected into both engines (the periodogramFactors
+    * discipline): p_d = log₁₀(1 + 1/d), d ∈ 1..9. */
+  val benfordExpectedMicro: Seq[(Int, Long)] =
+    (1 to 9).map(d => (d, math.round(math.log10(1.0 + 1.0 / d) * 1e6)))
+
+  /** Benford's-law conformity per group over a positive long column —
+    * the classic fabricated-numbers / broken-ETL detector (amounts
+    * whose first digits drift from log₁₀(1+1/d) signal synthesized or
+    * truncated data): per digit, observed count and share deviation;
+    * every row carries the group's MAD (mean absolute deviation, the
+    * Nigrini conformity statistic — < 6000 micro ≈ close conformity).
+    *
+    * Exactness: the first significant digit of a LONG extracts via
+    * decimal string — identical in any engine (no float log10 at the
+    * boundary); shares are single divisions of exact longs,
+    * micro-rounded per digit BEFORE the MAD sum; the expected shares
+    * come micro-rounded from [[benfordExpectedMicro]].
+    *
+    * Scale shape: one (group, digit) count shuffle (map-side
+    * combined), then a ≤ 9-row-per-group grid built from the
+    * broadcast expected table — nothing corpus-proportional after
+    * the first aggregate. Non-positive and NULL values are skipped
+    * (Benford applies to positive magnitudes).
+    *
+    * @param valueCol long-castable positive magnitudes (pre-scale
+    *                 currency to cents upstream — exactness needs
+    *                 integers)
+    * @return (grp, digit, n_digit, n, p_micro, dev_micro, mad_micro) */
+  def benford(df: DataFrame, valueCol: String,
+      groupCol: String = "group"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast(LongType)
+    val digits = df
+      .select(col(groupCol).as("grp"), v.as("v"))
+      .filter(col("v").isNotNull && col("v") > 0L)
+      .select(col("grp"),
+        substring(col("v").cast(StringType), 1, 1).cast(IntegerType)
+          .as("digit"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("n_digit"))
+    val totals = digits.groupBy(col("grp").as("tg"))
+      .agg(sum(col("n_digit")).as("n"))
+    val expected = benfordExpectedMicro.toDF("digit", "p_micro")
+    // full 9-digit grid per group (zero-observed digits deviate too)
+    val grid = totals
+      .crossJoin(broadcast(expected))
+      .join(digits,
+        col("tg") === col("grp") && digits("digit") === expected("digit"),
+        "left")
+      .select(col("tg").as("grp"), expected("digit"), col("n"),
+        coalesce(col("n_digit"), lit(0L)).as("n_digit"), col("p_micro"))
+      .withColumn("dev_micro",
+        round(col("n_digit").cast(DoubleType) * 1e6 /
+          col("n").cast(DoubleType), 0).cast(LongType) - col("p_micro"))
+    val mad = grid.groupBy(col("grp").as("mg"))
+      .agg(round(sum(abs(col("dev_micro"))).cast(DoubleType) / 9.0, 0)
+        .cast(LongType).as("mad_micro"))
+    grid.join(broadcast(mad), col("grp") === col("mg"))
+      .select(col("grp"), col("digit"), col("n_digit"), col("n"),
+        col("p_micro"), col("dev_micro"), col("mad_micro"))
+  }
+
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("string").as("k"))
       .agg(count(lit(1)).as("n"))

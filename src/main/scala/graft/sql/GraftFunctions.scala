@@ -631,6 +631,17 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** benford(tbl, valueCol[, groupCol]) — first-digit conformity per
+    * group ([[graft.ext.Profiler.benford]]). */
+  def benfordTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "benford(table, valueCol[, groupCol])")
+    val df = tableOf(strArg(args.head, "benford(table)"))
+    val vc = strArg(args(1), "benford(valueCol)")
+    val gc = if (args.length > 2) strArg(args(2), "benford(groupCol)")
+      else "group"
+    graft.ext.Profiler.benford(df, vc, groupCol = gc).queryExecution.logical
+  }
+
   /** zipf_slope(tbl[, topK]) — per-source Zipf-law OLS fit over top-K
     * token frequencies ([[graft.ext.TextAnalysis.zipfSlope]]). */
   def zipfSlopeTvf(args: Seq[Expression]): LogicalPlan = {
@@ -808,6 +819,7 @@ object GraftFunctions {
     "feature_hash" -> (featureHashTvf _),
     "containment" -> (containmentTvf _),
     "zipf_slope" -> (zipfSlopeTvf _),
+    "benford" -> (benfordTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

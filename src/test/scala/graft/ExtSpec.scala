@@ -1300,6 +1300,35 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("benford: uniform digits deviate by the hand MAD; non-positive values skip") {
+    // one value per digit 1..9 (plus skipped 0 / negative / null):
+    // every share is round(1e6/9) = 111111
+    val vals: Seq[(String, java.lang.Long)] =
+      (1 to 9).map(d => ("u", java.lang.Long.valueOf(d * 100L - 1))) ++
+        Seq(("u", java.lang.Long.valueOf(0L)),
+          ("u", java.lang.Long.valueOf(-7L)), ("u", null))
+    val df = vals.toDF("group", "cents")
+    val out = Profiler.benford(df, "cents")
+      .select("digit", "n_digit", "n", "p_micro", "dev_micro", "mad_micro")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 9 && out.forall(r => r._2 == 1L && r._3 == 9L),
+      s"skips + full grid: ${out.toSeq}")
+    val expMap = Profiler.benfordExpectedMicro.toMap
+    out.foreach { r =>
+      assert(r._5 == 111111L - expMap(r._1), s"dev hand check: $r")
+    }
+    val madHand = math.round(
+      (1 to 9).map(d => math.abs(111111L - expMap(d))).sum / 9.0)
+    assert(out.head._6 == madHand, s"MAD hand check: ${out.head} vs $madHand")
+    // a perfectly Benford-weighted sample scores MAD ≈ 0: counts
+    // proportional to p_micro themselves
+    val bigVals = (1 to 9).flatMap(d =>
+      Seq.fill((expMap(d) / 1000L).toInt)(("b", java.lang.Long.valueOf(d.toLong))))
+    val mad2 = Profiler.benford(bigVals.toDF("group", "cents"), "cents")
+      .select("mad_micro").distinct().as[Long].head()
+    assert(mad2 < 1500L, s"Benford-weighted sample must conform: $mad2")
+  }
+
   test("zipfSlope: exact power-law counts fit slope −1; single-token source scores 0") {
     // counts (12, 6, 4, 3) are exactly 12/rank — a pure Zipf s = −1
     val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++

@@ -455,6 +455,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("zipf_e11")
     sameAs("SELECT * FROM zipf_slope('zipf_e11', 10)",
       graft.ext.TextAnalysis.zipfSlope(spark.table("zipf_e11"), topK = 10))
+    Seq(("g", 123L), ("g", 77L), ("g", 901L)).toDF("group", "cents")
+      .createOrReplaceTempView("bf_e11")
+    sameAs("SELECT * FROM benford('bf_e11', 'cents')",
+      graft.ext.Profiler.benford(spark.table("bf_e11"), "cents"))
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }

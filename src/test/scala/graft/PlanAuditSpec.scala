@@ -601,4 +601,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("featureHash / labelVote / periodogram / zipf: no corpus window, combine present") {
+    // feature_hash & label_vote & periodogram: windowless keyed aggs;
+    // zipf: the per-source top-K must be the bounded-heap
+    // ObjectHashAggregate, never a rank window over the vocabulary
+    for (name <- Seq("q_feature_hash", "q_label_vote", "q_periodogram",
+        "q_zipf_slope")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+        s"$name plan degenerated:\n$p")
+      assert(p.contains("partial"), s"$name lost its map-side combine:\n$p")
+    }
+    val pz = plan("q_zipf_slope")
+    assert(pz.contains("ObjectHashAggregate"),
+      s"zipf top-K must plan the bounded-heap aggregate:\n$pz")
+  }
 }
