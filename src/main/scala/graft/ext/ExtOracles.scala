@@ -3783,6 +3783,50 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_containment_indexed: replay of the df-capped posting index +
+    * the planted/decoy batch, joined on shingle hash and thresholded
+    * — identical to the bucketed-table probe. */
+  private val containmentIndexedSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+      |hist AS MATERIALIZED (SELECT doc_id, u.h
+      |  FROM (SELECT doc_id, list_distinct(list_transform(
+      |      range(1, len(toks) - 1),
+      |      i -> CAST(concat('0x', substr(md5(
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))
+      |        AS BIGINT))) AS hs
+      |    FROM t WHERE len(toks) >= 3) x, unnest(hs) AS u(h)),
+      |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM hist
+      |  GROUP BY 1) d WHERE df <= 1000),
+      |idx AS (SELECT hi.h, hi.doc_id AS hist_id
+      |  FROM hist hi JOIN rare USING (h)),
+      |batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |      array_to_string(toks[1 : CAST(greatest((len(toks) * 2) // 5, 5)
+      |        AS BIGINT)], ' ') AS text
+      |    FROM t WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |      array_to_string(list_reverse(toks), ' ')
+      |    FROM t WHERE doc_id % 11 = 3),
+      |bt AS (SELECT doc_id, $toks AS toks FROM batch),
+      |bn AS MATERIALIZED (SELECT doc_id, u.h
+      |  FROM (SELECT doc_id, list_distinct(list_transform(
+      |      range(1, len(toks) - 1),
+      |      i -> CAST(concat('0x', substr(md5(
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))
+      |        AS BIGINT))) AS hs
+      |    FROM bt WHERE len(toks) >= 3) x, unnest(hs) AS u(h)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      |  FROM bn GROUP BY 1),
+      |m AS (SELECT bn.doc_id, idx.hist_id, CAST(count(*) AS BIGINT)
+      |    AS inter
+      |  FROM bn JOIN idx USING (h) GROUP BY 1, 2)
+      |SELECT m.doc_id AS src_id, m.hist_id AS dst_id, m.inter, sz.sz,
+      |  round(CAST(m.inter AS DOUBLE) / CAST(sz.sz AS DOUBLE), 6)
+      |    AS containment
+      |FROM m JOIN sz ON sz.doc_id = m.doc_id
+      |WHERE CAST(m.inter AS DOUBLE) / CAST(sz.sz AS DOUBLE) >= 0.9""".stripMargin
+
   /** q_benford: first digit via decimal string (no float log10),
     * expected shares injected from the SAME Scala table
     * ([[graft.ext.Profiler.benfordExpectedMicro]]). */
@@ -4140,6 +4184,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_containment" -> containmentSql,
     "q_zipf_slope" -> zipfSlopeSql,
     "q_benford" -> benfordSql,
+    "q_containment_indexed" -> containmentIndexedSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

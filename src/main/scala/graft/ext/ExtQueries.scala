@@ -304,6 +304,29 @@ object ExtQueries {
       maxN = 2)
   }
 
+  /** Disk-index twin of [[qContainment]]: history's df-capped shingle
+    * postings persisted bucketed ([[graft.operators.ShingleIndex]]),
+    * then a batch of planted prefix slices (contained — expect 1.0)
+    * and token-reversed decoys (shingle-destroyed — expect absent)
+    * probed against the written table. */
+  def qContainmentIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val path = System.getProperty("java.io.tmpdir") + "/graft_shingle_idx"
+    ensureIndex(spark, "graft_shingle_idx", path, dir) {
+      graft.operators.ShingleIndex.writeIndex(docs, "graft_shingle_idx", path)
+    }
+    val withToks = docs.withColumn("toks", TextAnalysis.tokens(col("text")))
+    val slices = withToks.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("array_join(slice(toks, 1, " +
+          "greatest((size(toks) * 2) div 5, 5)), ' ')").as("text"))
+    val decoys = withToks.filter(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("array_join(reverse(toks), ' ')").as("text"))
+    graft.operators.ShingleIndex.probe(spark, "graft_shingle_idx",
+      slices.unionAll(decoys), threshold = 0.9)
+  }
+
   /** Benford first-digit conformity of order amounts (exact cents)
     * per order priority — the fabricated-numbers / broken-ETL audit. */
   def qBenford(spark: SparkSession, dir: String): DataFrame = {

@@ -256,3 +256,94 @@ object DHashIndex {
         .select("media_id", "dhash")),
       "band_key")
 }
+
+/** On-disk containment shingle index: history's (shingle-hash →
+  * doc_id) postings persisted as a bucketed external table, so each
+  * nightly batch answers "is this new doc ≥ t contained in ANY
+  * historical doc?" ([[graft.ext.Dedup.containmentJoin]]'s question)
+  * by probing — the corpus-sized posting side never re-shuffles
+  * (the [[FingerprintIndex]] discipline).
+  *
+  * Frequency cap: shingles present in more than `maxDf` history docs
+  * are NOT indexed — a boilerplate shingle shared by 10⁸ docs would
+  * fan every probe out corpus-wide while carrying no containment
+  * signal (that mass belongs to [[BoilerplateIndex]]). Probed
+  * containment is therefore a LOWER bound that coincides with the
+  * exact statistic whenever no matching shingle is capped (true for
+  * genuine partial copies, whose shared shingles are the rare ones);
+  * the oracle replays the same cap. Append new kept docs' postings
+  * with [[appendKept]] — O(batch), bucket-preserving.
+  */
+object ShingleIndex {
+
+  /** Distinct word-trigram shingle postings, the
+    * [[graft.ext.Dedup.containmentJoin]] shingle formula verbatim
+    * (md5-60 over "w1 w2 w3"). */
+  private def postings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = df
+    .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    .filter(size(col("toks")) >= 3)
+    .select(col(idCol), explode(array_distinct(transform(
+      sequence(lit(1), size(col("toks")) - 2),
+      i => graft.expressions.Md5Hash60.hash60(concat(
+        element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1), lit(" "),
+        element_at(col("toks"), i + 2)))))).as("h"))
+
+  /** Build + persist history's df-capped postings, bucketed by
+    * shingle hash. */
+  def writeIndex(corpus: DataFrame, table: String, path: String,
+      maxDf: Long = 1000L, idCol: String = "doc_id",
+      textCol: String = "text", numBuckets: Int = 0): Unit = {
+    val p = postings(corpus, idCol, textCol)
+    val rare = p.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    HashIndexWriter.write(
+      p.join(rare, "h").select(col("h"), col(idCol).as("hist_id")),
+      table, path, "h", numBuckets)
+  }
+
+  /** Probe a new batch: directed containment of each new doc in each
+    * matched history doc, over the indexed (uncapped) shingles.
+    * @return (src_id, dst_id, inter, sz, containment) for pairs with
+    *         containment ≥ threshold */
+  def probe(spark: SparkSession, table: String, newDocs: DataFrame,
+      threshold: Double = 0.9, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (lazyOut, sn) = probeLazy(spark, table, newDocs, threshold,
+      idCol, textCol)
+    val out = lazyOut.localCheckpoint() // pairs-sized; release postings
+    graft.ext.Checkpoints.release(sn)
+    out
+  }
+
+  /** The lazy probe plan + the pinned batch-posting table (IOSpec
+    * asserts the bucketed index-side scan on THIS plan; [[probe]]
+    * materializes and releases). */
+  private[graft] def probeLazy(spark: SparkSession, table: String,
+      newDocs: DataFrame, threshold: Double, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val sn = postings(newDocs, idCol, textCol)
+      .localCheckpoint() // read twice: size + match legs
+    val sz = sn.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val matches = sn.join(spark.table(table), "h")
+      .groupBy(col(idCol), col("hist_id")).agg(count(lit(1)).as("inter"))
+    val out = matches.join(sz, Seq(idCol))
+      .withColumn("containment", round(
+        col("inter").cast("double") / col("sz").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col(idCol).as("src_id"), col("hist_id").as("dst_id"),
+        col("inter"), col("sz"), col("containment"))
+    (out, sn)
+  }
+
+  /** Fold new kept docs' postings into the index — O(batch),
+    * bucket-preserving. Caller applies its own df discipline (a
+    * batch cannot see corpus-wide df; periodic rebuilds re-cap). */
+  def appendKept(spark: SparkSession, table: String, keptDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    HashIndexWriter.append(spark, table,
+      postings(keptDocs, idCol, textCol)
+        .select(col("h"), col(idCol).as("hist_id")),
+      "h")
+}

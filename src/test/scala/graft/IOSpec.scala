@@ -295,4 +295,42 @@ class IOSpec extends AnyFunSuite {
       .select(sum($"n"), count(lit(1))).as[(Long, Long)].first()
     assert(saltedAgg === plainAgg)
   }
+
+  test("bucketed shingle index: shuffle-free containment probe; kept appends back") {
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    graft.operators.ShingleIndex.writeIndex(hist, "sh_idx_b",
+      tmp("graft-shidx") + "/idx")
+    // batch: a 6-token prefix of doc 1 (contained) + unrelated text
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "completely unrelated fresh words here today"))
+      .toDF("doc_id", "text")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (lzy, sn) = graft.operators.ShingleIndex.probeLazy(
+        spark, "sh_idx_b", batch, 0.9, "doc_id", "text")
+      val plan = lzy.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan must use its bucketed layout:\n$plan")
+      val got = lzy.as[(Long, Long, Long, Long, Double)].collect()
+      graft.ext.Checkpoints.release(sn)
+      assert(got.toSeq == Seq((100L, 1L, 4L, 4L, 1.0)),
+        s"prefix containment via the index: ${got.toSeq}")
+      // fold the unrelated doc in; re-probing a slice of IT now hits
+      graft.operators.ShingleIndex.appendKept(spark, "sh_idx_b",
+        batch.filter($"doc_id" === 101L))
+      val again = graft.operators.ShingleIndex.probe(spark, "sh_idx_b",
+        Seq((200L, "completely unrelated fresh words here"))
+          .toDF("doc_id", "text"), 0.9)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      // 5-token probe → 3 shingles, all inside the appended doc
+      assert(again.toSeq == Seq((200L, 101L, 3L, 3L, 1.0)),
+        s"appended doc must be probable history: ${again.toSeq}")
+      graft.ext.Checkpoints.releaseAll(spark)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
