@@ -67,6 +67,41 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: assign every NEAR-DUP CLUSTER
+    * — not every document — to one split, so a near-duplicate of a
+    * training doc can never land in val/test (the contamination
+    * channel plain [[hashSplit]] leaves open, and the reason
+    * dedup-before-split is a published eval-hygiene requirement).
+    * Cluster id = min doc id reachable in the candidate-pair graph
+    * ([[Dedup.connectedComponents]]); docs with no candidate pair are
+    * their own singleton cluster; the split bucket hashes the CLUSTER
+    * id with the same portable "split|" formula as [[hashSplit]], so
+    * singleton assignments coincide with the plain split.
+    *
+    * Scale shape: the components run on the candidate-PAIR graph
+    * (near-dup-pairs-sized, not corpus-sized); the docs side takes
+    * one left join against the components table and a map-side hash.
+    *
+    * @param candidates (a_id, b_id) near-dup candidate pairs (e.g.
+    *                   [[Dedup.lshCandidates]] output)
+    * @return (idCol, cluster, split) */
+  def leakageSafeSplit(docs: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val cc = Dedup.connectedComponents(candidates)
+      .select(col("node").as(idCol), col("component"))
+    val clustered = docs.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"))
+    val bucket = Dedup.portableHash60(
+      concat(lit("split|"), col("cluster").cast(StringType))) % 100
+    clustered.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Deterministic stratified sample: keep ~`permille`/1000 of rows,
     * hashed on "sample|id" so the sample is reproducible and
     * stratum-independent; strata columns pass through for downstream

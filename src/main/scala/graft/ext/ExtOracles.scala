@@ -3783,6 +3783,59 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_leakage_split: the q_dedup_clusters CC replay, singletons as
+    * their own cluster, split bucket = portable md5 of "split|" ||
+    * cluster (the q_hash_split formula over cluster ids). */
+  private val leakageSplitSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS toks FROM documents),
+      |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+      |grams AS (SELECT DISTINCT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+      |        FROM long_docs) x),
+      |h AS (SELECT doc_id, s,
+      |    CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|'
+      |      || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
+      |  FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+      |sig AS (SELECT doc_id,
+      |  MIN(CASE WHEN s = 0 THEN hv END) AS m0,
+      |  MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+      |  MIN(CASE WHEN s = 2 THEN hv END) AS m2,
+      |  MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+      |  MIN(CASE WHEN s = 4 THEN hv END) AS m4,
+      |  MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+      |  MIN(CASE WHEN s = 6 THEN hv END) AS m6,
+      |  MIN(CASE WHEN s = 7 THEN hv END) AS m7
+      |FROM h GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sig UNION ALL
+      |  SELECT doc_id, 1, m2, m3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, m4, m5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, m6, m7 FROM sig),
+      |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+      |          AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM cand
+      |          UNION SELECT b_id, a_id FROM cand),
+      |reach(node, label) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, r.label FROM reach r JOIN edges e ON e.d = r.node),
+      |cc AS (SELECT node, MIN(label) AS component FROM reach
+      |  GROUP BY node),
+      |clustered AS (SELECT d.doc_id,
+      |    COALESCE(cc.component, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, cluster,
+      |    CAST(concat('0x', substr(md5('split|'
+      |      || CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+      |  FROM clustered) z""".stripMargin
+
   /** q_containment_indexed: replay of the df-capped posting index +
     * the planted/decoy batch, joined on shingle hash and thresholded
     * — identical to the bucketed-table probe. */
@@ -4185,6 +4238,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_zipf_slope" -> zipfSlopeSql,
     "q_benford" -> benfordSql,
     "q_containment_indexed" -> containmentIndexedSql,
+    "q_leakage_split" -> leakageSplitSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

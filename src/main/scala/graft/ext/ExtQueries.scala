@@ -70,6 +70,17 @@ object ExtQueries {
     Dedup.connectedComponents(cand)
   }
 
+  /** Leakage-safe split over the LSH near-dup clusters: every
+    * candidate-connected cluster lands whole in one of train/val/test
+    * ([[Curation.leakageSafeSplit]] over [[qDedupClusters]]'s graph). */
+  def qLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val cand = Dedup.lshCandidates(
+      Dedup.minhashSignatures(docs, numHashes = 8),
+      numHashes = 8, rowsPerBand = 2)
+    Curation.leakageSafeSplit(docs, cand)
+  }
+
   /** Quality-aware keeper selection over the LSH near-dup clusters:
     * same candidate graph as q_dedup_clusters, but the keeper is the
     * best-quality doc per component, not the min id. */

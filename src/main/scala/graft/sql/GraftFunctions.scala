@@ -631,6 +631,19 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** leakage_split(docsTbl, candTbl[, trainPct, valPct]) — near-dup
+    * clusters assigned whole to train/val/test
+    * ([[graft.ext.Curation.leakageSafeSplit]]). */
+  def leakageSplitTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "leakage_split(docsTable, candTable[, trainPct, valPct])")
+    val d = tableOf(strArg(args.head, "leakage_split(docsTable)"))
+    val c = tableOf(strArg(args(1), "leakage_split(candTable)"))
+    val tr = if (args.length > 2) intArg(args(2), "leakage_split(trainPct)") else 80
+    val vl = if (args.length > 3) intArg(args(3), "leakage_split(valPct)") else 10
+    graft.ext.Curation.leakageSafeSplit(d, c, trainPct = tr, valPct = vl)
+      .queryExecution.logical
+  }
+
   /** benford(tbl, valueCol[, groupCol]) — first-digit conformity per
     * group ([[graft.ext.Profiler.benford]]). */
   def benfordTvf(args: Seq[Expression]): LogicalPlan = {
@@ -820,6 +833,7 @@ object GraftFunctions {
     "containment" -> (containmentTvf _),
     "zipf_slope" -> (zipfSlopeTvf _),
     "benford" -> (benfordTvf _),
+    "leakage_split" -> (leakageSplitTvf _),
     "corpus_bleu" -> (corpusBleuTvf _),
     "adamic_adar" -> (adamicAdarTvf _),
     "kmv_overlap" -> (kmvOverlapTvf _),

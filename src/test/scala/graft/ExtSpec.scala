@@ -1163,6 +1163,25 @@ class ExtSpec extends AnyFunSuite {
       s"one-sided group is maximal drift: ${k("only_a")}")
   }
 
+  test("leakageSafeSplit: cluster members share one split; singletons match hashSplit") {
+    val cand = Seq((1L, 2L), (2L, 5L)).toDF("a_id", "b_id")
+    val d = Seq(1L, 2L, 3L, 5L, 9L).toDF("doc_id")
+    val out = Curation.leakageSafeSplit(d, cand)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // {1,2,5} is one component with keeper 1 — one split for all
+    assert(Set(1L, 2L, 5L).map(out(_)._1) == Set(1L),
+      s"cluster keeper: $out")
+    assert(Set(1L, 2L, 5L).map(out(_)._2).size == 1,
+      s"cluster must land whole in one split: $out")
+    // singletons hash their own id — identical to the plain hashSplit
+    val plain = Curation.hashSplit(d).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(out(3L) == ((3L, plain(3L))) && out(9L) == ((9L, plain(9L))),
+      s"singletons must coincide with hashSplit: $out vs $plain")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("containmentJoin: planted prefix slice scores 1.0 one-way; near-dup stays under 0.9") {
     val host = base // 19 words
     val short8 = base.split(" ").take(8).mkString(" ")

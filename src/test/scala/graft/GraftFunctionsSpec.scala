@@ -459,6 +459,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("bf_e11")
     sameAs("SELECT * FROM benford('bf_e11', 'cents')",
       graft.ext.Profiler.benford(spark.table("bf_e11"), "cents"))
+    Seq(1L, 2L, 3L).toDF("doc_id").createOrReplaceTempView("lsd_e11")
+    Seq((1L, 2L)).toDF("a_id", "b_id").createOrReplaceTempView("lsc_e11")
+    sameAs("SELECT * FROM leakage_split('lsd_e11', 'lsc_e11')",
+      graft.ext.Curation.leakageSafeSplit(
+        spark.table("lsd_e11"), spark.table("lsc_e11")))
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }
