@@ -379,4 +379,37 @@ class EdgeCaseSpec extends AnyFunSuite {
       s"orphan seed keeps its reset mass: $orphanSeed")
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("periodogram/zipf/benford/leakage/containment tolerate empty and degenerate inputs") {
+    import graft.ext._
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("event_id", "ts", "event_type")
+    assert(Timeseries.periodogram(noEvents).count() == 0)
+    // single-day series: every residual is 0 — all powers 0, no NaN
+    val oneDay = Seq((1L,
+      java.sql.Timestamp.valueOf("2026-03-01 00:00:00"), "view"))
+      .toDF("event_id", "ts", "event_type")
+    val p1 = Timeseries.periodogram(oneDay, minPeriod = 2, maxPeriod = 3)
+      .select("power_micro").as[Long].collect()
+    assert(p1.nonEmpty && p1.forall(_ == 0L), s"one-day: ${p1.toSeq}")
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.zipfSlope(noDocs).count() == 0)
+    assert(Profiler.benford(
+      Seq.empty[(String, java.lang.Long)].toDF("group", "cents"),
+      "cents").count() == 0)
+    // leakage split with no candidates degrades to plain hashSplit
+    val ids = Seq(4L, 7L).toDF("doc_id")
+    val ls = Curation.leakageSafeSplit(ids,
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val hs = Curation.hashSplit(ids).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(ls == hs, s"no-candidate split must equal hashSplit: $ls vs $hs")
+    // containment over an empty corpus and an all-short corpus
+    assert(Dedup.containmentJoin(noDocs.select("doc_id", "text")).count() == 0)
+    assert(Dedup.containmentJoin(
+      Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")).count() == 0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

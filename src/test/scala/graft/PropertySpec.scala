@@ -370,6 +370,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("adamicAdar matches brute-force wedge scoring on ANY small graph") {
+    val edgeGen = Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L))
+    forAll(Gen.listOfN(10, edgeGen)) { es0 =>
+      val es = es0.filter(e => e._1 != e._2)
+      if (es.nonEmpty) {
+        val got = graft.operators.Graph.adamicAdar(es.toDF("src", "dst"))
+          .as[(Long, Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+        // brute force: symmetric adjacency, all non-adjacent pairs
+        val adj = (es ++ es.map(_.swap)).distinct
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val nodes = adj.keySet
+        val want = (for {
+          u <- nodes.toSeq; v <- nodes.toSeq
+          if u < v && !adj(u).contains(v)
+          cn = adj(u) & adj(v)
+          if cn.nonEmpty
+        } yield (u, v) -> (cn.size.toLong,
+          cn.toSeq.map(w => math.round(1e6 / math.log(adj(w).size))).sum))
+          .toMap
+        assert(got == want, s"AA mismatch for $es: got $got want $want")
+        graft.ext.Checkpoints.releaseAll(spark)
+      }
+    }
+  }
+
+  test("benford digit extraction via string equals the arithmetic first digit") {
+    forAll(Gen.listOfN(25, Gen.choose(1L, 4000000000L))) { vs =>
+      val got = graft.ext.Profiler.benford(
+          vs.map(("g", _)).toDF("group", "cents"), "cents")
+        .select("digit", "n_digit").as[(Int, Long)].collect()
+        .filter(_._2 > 0L).map(r => r._1 -> r._2).toMap
+      val want = vs.groupBy { v =>
+        var n = v; while (n >= 10) n /= 10; n.toInt
+      }.view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"digit census mismatch: $got vs $want for $vs")
+    }
+  }
+
   test("containment always detects a token-prefix slice at 1.0 for ANY doc") {
     val wordGen = Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx")
     forAll(Gen.listOfN(14, wordGen)) { words =>
