@@ -129,13 +129,15 @@ object Graph {
           expr("rank_micro div odeg").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
       // reset mass returns only to seeds; reached non-seeds keep
-      // their damped inflow — a full outer of the two node-bound sets
-      ranks = s.withColumn("reset", lit(resetBase))
-        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "full")
-        .select(col("node"),
-          (coalesce(col("reset"), lit(0L)) +
-            expr(s"($damping * coalesce(inflow, 0L)) div 100"))
-            .as("rank_micro"))
+      // their damped inflow. Union + one keyed sum instead of a full
+      // outer join: same node-bound result through one
+      // map-side-combined hash shuffle per round, where the outer
+      // join sort-merges both sides (parity at sf0.1 — the win is
+      // the shape: no per-round sort of the frontier at scale)
+      ranks = s.select(col("node"), lit(resetBase).as("part"))
+        .unionAll(contribs.select(col("dst").as("node"),
+          expr(s"($damping * inflow) div 100").as("part")))
+        .groupBy("node").agg(sum(col("part")).as("rank_micro"))
         .filter(col("rank_micro") > 0L)
     }
     val out = ranks.localCheckpoint()
