@@ -3783,6 +3783,36 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_fk_audit: dbt relationships audit replay — planted orphan
+    * keys, distinct-key anti-join semantics. */
+  private val fkAuditSql: String =
+    """WITH planted AS (SELECT CASE WHEN l_orderkey % 1000 = 0
+      |    THEN l_orderkey + 1000000000 ELSE l_orderkey END AS k
+      |  FROM lineitem),
+      |ck AS (SELECT k AS orphan_key, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM planted WHERE k IS NOT NULL GROUP BY 1)
+      |SELECT orphan_key, n_rows FROM ck
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = ck.orphan_key)""".stripMargin
+
+  /** q_source_freshness: per-source max-ts lag vs a fixed asOf in
+    * floor-epoch seconds (Spark's long cast truncates); dead feed
+    * classifies error with null max. */
+  private val sourceFreshnessSql: String =
+    """WITH s AS (SELECT DISTINCT event_type AS src FROM events
+      |  UNION ALL SELECT 'ghost'),
+      |m AS (SELECT event_type AS src, max(ts) AS max_loaded_at
+      |  FROM events GROUP BY 1),
+      |j AS (SELECT s.src, m.max_loaded_at,
+      |    CAST(epoch(TIMESTAMP '2024-03-01 00:00:00') AS BIGINT)
+      |      - CAST(floor(epoch(m.max_loaded_at)) AS BIGINT) AS lag_s
+      |  FROM s LEFT JOIN m ON m.src = s.src)
+      |SELECT src, max_loaded_at, lag_s,
+      |  CASE WHEN lag_s IS NULL OR lag_s > 2678400 THEN 'error'
+      |       WHEN lag_s > 2505600 THEN 'warn'
+      |       ELSE 'pass' END AS status
+      |FROM j""".stripMargin
+
   /** q_leakage_split: the q_dedup_clusters CC replay, singletons as
     * their own cluster, split bucket = portable md5 of "split|" ||
     * cluster (the q_hash_split formula over cluster ids). */
@@ -4239,6 +4269,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_benford" -> benfordSql,
     "q_containment_indexed" -> containmentIndexedSql,
     "q_leakage_split" -> leakageSplitSql,
+    "q_fk_audit" -> fkAuditSql,
+    "q_source_freshness" -> sourceFreshnessSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)
 }

@@ -338,6 +338,33 @@ object ExtQueries {
       slices.unionAll(decoys), threshold = 0.9)
   }
 
+  /** dbt `relationships` audit of lineitem→orders with planted
+    * orphans (every 1000th lineitem re-keyed past the order domain) —
+    * real rows must produce zero violations, plants must surface
+    * with their row counts. */
+  def qFkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val planted = t.lineitem.select(
+      when(col("l_orderkey") % 1000 === 0,
+        col("l_orderkey") + 1000000000L).otherwise(col("l_orderkey"))
+        .as("l_orderkey"))
+    graft.model.DataChecks.relationships(
+      planted, "l_orderkey", t.orders, "o_orderkey")
+  }
+
+  /** dbt source-freshness over the event stream per event type, with
+    * a planted dead feed ("ghost") that must classify `error` with a
+    * null max_loaded_at. */
+  def qSourceFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val sources = ev.select(col("event_type").as("source")).distinct()
+      .unionAll(spark.range(1).select(lit("ghost").as("source")))
+    graft.model.DataChecks.sourceFreshness(
+      ev.withColumnRenamed("event_type", "source"), sources,
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+      warnAfterS = 2505600L /* 29d */, errorAfterS = 2678400L /* 31d */)
+  }
+
   /** Benford first-digit conformity of order amounts (exact cents)
     * per order priority — the fabricated-numbers / broken-ETL audit. */
   def qBenford(spark: SparkSession, dir: String): DataFrame = {

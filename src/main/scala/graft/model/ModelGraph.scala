@@ -150,5 +150,50 @@ object DataChecks {
       .count()
       .filter(col("count") > 1)
 
+  /** dbt's `relationships` test, generalized to an audit: child keys
+    * with no matching parent (orphans — referential-integrity
+    * violations). The violating-rows contract holds (pass ⇔ empty);
+    * each violating key carries its row count so the audit doubles as
+    * the orphan census a 100 TB backfill triages by volume. NULL
+    * child keys are not violations (dbt semantics — `not_null` is a
+    * separate test).
+    *
+    * Scale shape: child pre-aggregates to distinct keys+counts
+    * map-side, then ONE left-anti join against the parent's distinct
+    * keys — never a row-level child×parent join. */
+  def relationships(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val ck = child.filter(col(childKey).isNotNull)
+      .groupBy(col(childKey).as("orphan_key"))
+      .agg(count(lit(1)).as("n_rows"))
+    ck.join(parent.select(col(parentKey).as("orphan_key")).distinct(),
+      Seq("orphan_key"), "left_anti")
+  }
+
+  /** dbt's source-freshness check: per source partition, the lag of
+    * the newest row behind `asOf`, classified against the
+    * warn/error thresholds (`loaded_at_field` + `freshness:` block
+    * semantics). Lags are exact-second longs from timestamp
+    * arithmetic; a source with NO rows is an `error` with null
+    * max_loaded_at (a silent dead feed is the worst staleness).
+    *
+    * Scale shape: one (source) max aggregation, map-side combined —
+    * the thresholds apply to a sources-sized table. */
+  def sourceFreshness(rows: DataFrame, sources: DataFrame,
+      asOf: java.sql.Timestamp, warnAfterS: Long, errorAfterS: Long,
+      srcCol: String = "source", tsCol: String = "ts"): DataFrame = {
+    val maxTs = rows.groupBy(col(srcCol).as("src"))
+      .agg(max(col(tsCol)).as("max_loaded_at"))
+    sources.select(col(srcCol).as("src")).distinct()
+      .join(maxTs, Seq("src"), "left")
+      .select(col("src"), col("max_loaded_at"),
+        (lit(asOf).cast("long") - col("max_loaded_at").cast("long"))
+          .as("lag_s"))
+      .select(col("src"), col("max_loaded_at"), col("lag_s"),
+        when(col("lag_s").isNull || col("lag_s") > errorAfterS, "error")
+          .when(col("lag_s") > warnAfterS, "warn")
+          .otherwise("pass").as("status"))
+  }
+
   def passes(violations: DataFrame): Boolean = violations.isEmpty
 }

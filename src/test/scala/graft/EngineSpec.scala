@@ -26,4 +26,43 @@ class EngineSpec extends AnyFunSuite {
     assert(out("top").count() > 0)
     assert(out("base").count() === 25 || out("base").count() > 0)
   }
+
+  test("relationships test: orphans surface with counts; nulls and matches pass") {
+    import spark.implicits._
+    import graft.model.DataChecks
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val viol = DataChecks.relationships(child, "fk", parent, "pk")
+      .as[(Long, Long)].collect().toMap
+    assert(viol == Map(9L -> 3L), s"orphan census: $viol")
+    assert(!DataChecks.passes(
+      DataChecks.relationships(child, "fk", parent, "pk")))
+    val clean = Seq(Some(1L), None).toDF("fk")
+    assert(DataChecks.passes(
+      DataChecks.relationships(clean, "fk", parent, "pk")),
+      "matched + null keys are not violations")
+  }
+
+  test("sourceFreshness: pass/warn/error thresholds; dead feed errors with null max") {
+    import spark.implicits._
+    import graft.model.DataChecks
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("fresh", ts("2024-01-10 00:00:00")),
+      ("stale", ts("2024-01-05 00:00:00")),
+      ("ancient", ts("2024-01-01 00:00:00"))).toDF("source", "ts")
+    val sources = Seq("fresh", "stale", "ancient", "dead").toDF("source")
+    val out = DataChecks.sourceFreshness(rows, sources,
+        ts("2024-01-11 00:00:00"),
+        warnAfterS = 86400L * 2, errorAfterS = 86400L * 7)
+      .select("src", "lag_s", "status")
+      .as[(String, Option[Long], String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("fresh") == (("fresh", Some(86400L), "pass")), s"$out")
+    assert(out("stale") == (("stale", Some(86400L * 6), "warn")), s"$out")
+    assert(out("ancient") == (("ancient", Some(86400L * 10), "error")), s"$out")
+    assert(out("dead") == (("dead", None, "error")),
+      s"a silent feed is an error: $out")
+  }
 }
