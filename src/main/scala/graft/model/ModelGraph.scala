@@ -181,11 +181,29 @@ object DataChecks {
     * the thresholds apply to a sources-sized table. */
   def sourceFreshness(rows: DataFrame, sources: DataFrame,
       asOf: java.sql.Timestamp, warnAfterS: Long, errorAfterS: Long,
-      srcCol: String = "source", tsCol: String = "ts"): DataFrame = {
-    val maxTs = rows.groupBy(col(srcCol).as("src"))
+      srcCol: String = "source", tsCol: String = "ts"): DataFrame =
+    sourceFreshnessFinish(sourceFreshnessState(rows, srcCol, tsCol),
+      sources, asOf, warnAfterS, errorAfterS, srcCol)
+
+  /** The ALGEBRAIC per-source accumulator max(ts) — one commutative
+    * max per source, so micro-batches fold freely and the state is
+    * sources-sized forever (the streaming-twin state table,
+    * [[graft.streaming.StreamingOps.freshnessStateStream]] — live
+    * feed-freshness monitoring is the natural streaming deployment of
+    * this audit). */
+  private[graft] def sourceFreshnessState(rows: DataFrame,
+      srcCol: String = "source", tsCol: String = "ts"): DataFrame =
+    rows.groupBy(col(srcCol).as("src"))
       .agg(max(col(tsCol)).as("max_loaded_at"))
+
+  /** Finish a state snapshot into the classified freshness table —
+    * sources-sized input, identical whether the maxes came from one
+    * batch pass or merged micro-batches. */
+  def sourceFreshnessFinish(state: DataFrame, sources: DataFrame,
+      asOf: java.sql.Timestamp, warnAfterS: Long, errorAfterS: Long,
+      srcCol: String = "source"): DataFrame =
     sources.select(col(srcCol).as("src")).distinct()
-      .join(maxTs, Seq("src"), "left")
+      .join(state, Seq("src"), "left")
       .select(col("src"), col("max_loaded_at"),
         (lit(asOf).cast("long") - col("max_loaded_at").cast("long"))
           .as("lag_s"))
@@ -193,7 +211,6 @@ object DataChecks {
         when(col("lag_s").isNull || col("lag_s") > errorAfterS, "error")
           .when(col("lag_s") > warnAfterS, "warn")
           .otherwise("pass").as("status"))
-  }
 
   def passes(violations: DataFrame): Boolean = violations.isEmpty
 }

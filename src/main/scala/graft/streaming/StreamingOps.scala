@@ -339,6 +339,19 @@ object StreamingOps {
       aCol: String = "label_a", bCol: String = "label_b"): DataFrame =
     graft.ext.Evaluation.chiSquareState(labels, groupCol, aCol, bCol)
 
+  /** Streaming twin of the dbt source-freshness audit
+    * ([[graft.model.DataChecks.sourceFreshness]]): max(ts) per source
+    * is one commutative aggregate — sources-sized Complete-mode
+    * state. Finish a snapshot against the expected-source list with
+    * [[graft.model.DataChecks.sourceFreshnessFinish]] — row-identical
+    * to the batch audit of the same rows (StreamingSpec twin proof).
+    * THIS is the production face of the audit: a feed that stops
+    * arriving surfaces as `error` on the next finish, without any
+    * batch re-scan of history. */
+  def freshnessStateStream(rows: DataFrame, srcCol: String = "source",
+      tsCol: String = "ts"): DataFrame =
+    graft.model.DataChecks.sourceFreshnessState(rows, srcCol, tsCol)
+
   /** Streaming twin of the KMV bottom-k distinct sketch
     * ([[graft.ext.Sketches.kmvSketchBy]]): insertion into the bounded
     * TreeSet is idempotent (a duplicate hash is a no-op), so the SAME

@@ -617,4 +617,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pz.contains("ObjectHashAggregate"),
       s"zipf top-K must plan the bounded-heap aggregate:\n$pz")
   }
+
+  test("fk audit: child pre-aggregates to distinct keys BELOW the anti-join") {
+    // the orphan census must never row-level-join child×parent: the
+    // child side collapses to (key, count) partials first, so the
+    // anti-join moves distinct keys, not rows
+    val p = plan("q_fk_audit")
+    assert(p.contains("partial_count"),
+      s"child side lost its pre-aggregation:\n$p")
+    assert(p.contains("LeftAnti"), s"orphan check must plan an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q_fk_audit:\n$p")
+  }
 }

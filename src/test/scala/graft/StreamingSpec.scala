@@ -262,6 +262,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming freshness state ≡ batch; dead feed errors on finish") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val b1 = Seq(("a", ts("2024-01-05 00:00:00")), ("b", ts("2024-01-01 00:00:00")))
+    val b2 = Seq(("a", ts("2024-01-10 00:00:00"))) // a advances, b stalls
+    val q = StreamingOps.freshnessStateStream(
+        mem.toDF().toDF("source", "ts"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("fresh_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val sources = Seq("a", "b", "dead").toDF("source")
+      val finished = graft.model.DataChecks.sourceFreshnessFinish(
+        spark.table("fresh_out"), sources, ts("2024-01-11 00:00:00"),
+        warnAfterS = 86400L * 2, errorAfterS = 86400L * 7)
+      val batch = graft.model.DataChecks.sourceFreshness(
+        (b1 ++ b2).toDF("source", "ts"), sources,
+        ts("2024-01-11 00:00:00"),
+        warnAfterS = 86400L * 2, errorAfterS = 86400L * 7)
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed freshness must equal the batch audit")
+      val st = finished.select("src", "status")
+        .as[(String, String)].collect().toMap
+      assert(st == Map("a" -> "pass", "b" -> "error", "dead" -> "error"),
+        s"stalled and silent feeds must both error: $st")
+    } finally q.stop()
+  }
+
   test("streaming MG frequent items ≡ batch exact counts at ample capacity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
