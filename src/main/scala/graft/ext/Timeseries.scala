@@ -276,6 +276,11 @@ object Timeseries {
     * truncating long product both engines replay; Sc/Ss are
     * order-free long sums; the power ratio is one fixed-shape double
     * expression micro-rounded. Constant series (Σr² = 0) score 0.
+    * Exactness bound: the pre-division product r·factor needs
+    * |r| = |N·x_t − T| < 2⁶³/1e6 ≈ 9·10¹², i.e. days × peak-daily-
+    * volume < ~10¹² — comfortable for daily series (a 3-year series
+    * holds to ~10⁹ events/day); pre-aggregate to coarser buckets
+    * beyond that.
     *
     * Scale shape: ONE corpus-proportional stage — the (series, day)
     * count shuffle (map-side combined). Everything after runs on the
