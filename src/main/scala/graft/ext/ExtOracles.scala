@@ -3783,6 +3783,25 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |SELECT node, r AS rank_micro FROM r3""".stripMargin
   }
 
+  /** q_audio_frames: formula replay of the constant-amplitude WAV
+    * frames — decoded RMS must land exactly on |amp|·1000 and zcr on
+    * 0, so the hash-match proves encoder, parser, and the framing
+    * arithmetic at once. */
+  private val audioFramesSql: String =
+    """WITH a AS (SELECT doc_id AS media_id,
+      |    CAST(32 + (doc_id // 3) % 64 AS INTEGER) AS ns,
+      |    CAST((doc_id % 100) * 100 AS BIGINT) AS amp
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |f AS (SELECT media_id, ns, amp,
+      |    CAST(u.i AS INTEGER) AS frame_idx,
+      |    CAST((ns + 15) // 16 AS INTEGER) AS nf
+      |  FROM a, unnest(range(0, (ns + 15) // 16)) AS u(i))
+      |SELECT media_id, frame_idx,
+      |  CAST(CASE WHEN frame_idx < nf - 1 OR ns % 16 = 0 THEN 16
+      |       ELSE ns % 16 END AS INTEGER) AS n_samples,
+      |  amp * 1000 AS rms_milli, CAST(0 AS INTEGER) AS zcr
+      |FROM f""".stripMargin
+
   /** q_fk_audit: dbt relationships audit replay — planted orphan
     * keys, distinct-key anti-join semantics. */
   private val fkAuditSql: String =
@@ -4270,6 +4289,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_containment_indexed" -> containmentIndexedSql,
     "q_leakage_split" -> leakageSplitSql,
     "q_fk_audit" -> fkAuditSql,
+    "q_audio_frames" -> audioFramesSql,
     "q_source_freshness" -> sourceFreshnessSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)

@@ -701,6 +701,15 @@ object ExtQueries {
         Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents)),
       stride = 2).toDF()
 
+  /** Per-frame RMS/zero-crossing features over the REAL WAV corpus
+    * rows — the VAD/energy-gating precursor (constant-amplitude
+    * content lands exactly on |amp|·1000 with zcr 0, the oracle
+    * contract; the spec exercises alternating-sign content). */
+  def qAudioFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameFeatures(
+      Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents),
+      frameLen = 16).toDF()
+
   /** Image near-dup via difference perceptual hash: one block-mosaic
     * PNG per document (REAL container), REAL javax.imageio decode +
     * 9×8 average-pool into a 64-bit dHash, then the SimHash-style

@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class AudioFrameRow(media_id: Long, frame_idx: Int, n_samples: Int,
+    rms_milli: Long, zcr: Int)
   case class MediaFeatures(media_id: Long, kind: String, byte_len: Int,
       width: Int, height: Int, n_frames: Int, checksum: Long)
   case class FrameRow(media_id: Long, frame_idx: Int, frame_hash: Long)
@@ -464,6 +466,62 @@ object Multimodal {
         def next(): MediaFeatures =
           try MediaCodec.decode(md, reader, rows.next())
           catch { case e: Throwable => dispose(); throw e }
+      }
+    }
+  }
+
+  /** Per-frame audio features from a REAL WAV decode — the energy/
+    * zero-crossing pass a speech pipeline runs before VAD gating and
+    * silence trimming: the full int16 sample stream parses through
+    * javax.sound.sampled, frames of `frameLen` samples (last frame
+    * partial) each report exact sample count, RMS energy
+    * (milli-units: Σs² is an exact long, the per-frame sqrt is one
+    * IEEE op — for constant-amplitude content it lands EXACTLY on
+    * |amp|·1000, which is the oracle contract), and the zero-crossing
+    * count (sign flips, zero counted non-negative — exact int).
+    *
+    * Scale shape: per-row decode inside mapPartitions (the honest
+    * codec shape — no payload shuffle), output rows bounded by
+    * samples/frameLen. Non-audio rows are skipped. */
+  def audioFrameFeatures(media: Dataset[MediaRow],
+      frameLen: Int = 16): Dataset[AudioFrameRow] = {
+    import media.sparkSession.implicits._
+    require(frameLen >= 1, "frameLen >= 1")
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.payload))
+        try {
+          val frames = ais.getFrameLength.toInt
+          val bytes = new Array[Byte](frames * 2)
+          var off = 0
+          while (off < bytes.length) {
+            val k = ais.read(bytes, off, bytes.length - off)
+            require(k > 0, s"media ${m.media_id}: truncated sample stream")
+            off += k
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrameRow]
+          var idx = 0
+          var i = 0
+          while (i < frames) {
+            val n = math.min(frameLen, frames - i)
+            var sumsq = 0L; var z = 0; var prev = 0
+            var j = 0
+            while (j < n) {
+              val s = (((bytes(2 * (i + j) + 1) & 0xff) << 8) |
+                (bytes(2 * (i + j)) & 0xff)).toShort.toInt
+              sumsq += s.toLong * s
+              if (j > 0 && ((s < 0) != (prev < 0))) z += 1
+              prev = s
+              j += 1
+            }
+            out += AudioFrameRow(m.media_id, idx, n,
+              math.round(math.sqrt(sumsq.toDouble / n) * 1000.0), z)
+            idx += 1
+            i += n
+          }
+          out
+        } finally ais.close()
       }
     }
   }

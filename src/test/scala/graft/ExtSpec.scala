@@ -275,6 +275,44 @@ class ExtSpec extends AnyFunSuite {
     assert(((buf(1) << 8) | (buf(0) & 0xff)) == 700)
   }
 
+  test("audioFrameFeatures: alternating signal counts crossings; partial frame and mixed RMS by hand") {
+    import Multimodal._
+    // hand-built WAV: 20 samples alternating +1000/−1000 (header
+    // mirrors WavCodec byte-for-byte, samples vary)
+    def wavOf(samples: Seq[Int], rate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      bb.putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val alt = (0 until 20).map(i => if (i % 2 == 0) 1000 else -1000)
+    val mixed = Seq(3000, 4000)
+    val media = Seq(
+      MediaRow(1L, "audio", wavOf(alt)),
+      MediaRow(2L, "audio", wavOf(mixed)),
+      MediaRow(3L, "image", Array[Byte](1, 2))) // skipped
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val out = Multimodal.audioFrameFeatures(ds, frameLen = 8)
+      .collect().map(r => (r.media_id, r.frame_idx) -> r).toMap
+    // frames of 8, 8, 4: rms exactly 1000·1000; zcr = n−1 within frame
+    assert(out((1L, 0)).n_samples == 8 && out((1L, 0)).rms_milli == 1000000L
+      && out((1L, 0)).zcr == 7, s"${out((1L, 0))}")
+    assert(out((1L, 2)).n_samples == 4 && out((1L, 2)).zcr == 3,
+      s"partial frame: ${out((1L, 2))}")
+    // mixed: rms = sqrt((9e6+16e6)/2)·1000 = 3535534 milli (rounded)
+    assert(out((2L, 0)) == AudioFrameRow(2L, 0, 2, 3535534L, 0),
+      s"${out((2L, 0))}")
+    assert(!out.keySet.exists(_._1 == 3L), "non-audio rows skip")
+  }
+
   test("multimodal: real AVI container round-trip (RIFF chunk walk)") {
     import Multimodal._
     val avi = AviCodec.encode(37, 21, 4, 200, 5, 9)
