@@ -3802,6 +3802,20 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |  amp * 1000 AS rms_milli, CAST(0 AS INTEGER) AS zcr
       |FROM f""".stripMargin
 
+  /** q_vad_gate: formula replay over the constant-amplitude clips —
+    * amp·1000 ≥ threshold decides every frame of a clip at once. */
+  private val vadGateSql: String =
+    """WITH a AS (SELECT doc_id AS media_id,
+      |    CAST((32 + (doc_id // 3) % 64 + 15) // 16 AS BIGINT) AS nf,
+      |    CAST((doc_id % 100) * 100 AS BIGINT) AS amp
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT media_id, nf AS n_frames,
+      |  CASE WHEN amp * 1000 >= 1000 THEN nf ELSE 0 END AS n_speech,
+      |  CASE WHEN amp * 1000 >= 1000 THEN 1000000 ELSE 0 END
+      |    AS speech_ratio_micro,
+      |  amp * 1000 < 1000 AS is_silent
+      |FROM a""".stripMargin
+
   /** q_fk_audit: dbt relationships audit replay — planted orphan
     * keys, distinct-key anti-join semantics. */
   private val fkAuditSql: String =
@@ -4290,6 +4304,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_leakage_split" -> leakageSplitSql,
     "q_fk_audit" -> fkAuditSql,
     "q_audio_frames" -> audioFramesSql,
+    "q_vad_gate" -> vadGateSql,
     "q_source_freshness" -> sourceFreshnessSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)

@@ -710,6 +710,16 @@ object ExtQueries {
       Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents),
       frameLen = 16).toDF()
 
+  /** VAD gate over the WAV corpus frames: zero-amplitude clips
+    * (doc_id % 100 ≡ 1 mod 3 with amp 0) must flag silent, everything
+    * else is all-speech at this corpus's constant amplitudes. */
+  def qVadGate(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.vadGate(
+      Multimodal.audioFrameFeatures(
+        Multimodal.mediaFromDocuments(spark, Tables(spark, dir).documents),
+        frameLen = 16),
+      rmsThresholdMilli = 1000L)
+
   /** Image near-dup via difference perceptual hash: one block-mosaic
     * PNG per document (REAL container), REAL javax.imageio decode +
     * 9×8 average-pool into a 64-bit dHash, then the SimHash-style

@@ -526,6 +526,28 @@ object Multimodal {
     }
   }
 
+  /** Energy-threshold VAD gate over [[audioFrameFeatures]] output —
+    * the silence-trim decision a speech corpus applies before
+    * transcription (silent clips cost inference budget and train
+    * nothing): per clip, frames at-or-above the RMS threshold count
+    * as speech; clips with zero speech frames flag `is_silent`.
+    * Exact-long counts, one micro-rounded ratio division.
+    * Scale shape: one media-keyed aggregation over the frame rows —
+    * map-side combined, nothing payload-sized moves. */
+  def vadGate(frames: Dataset[AudioFrameRow],
+      rmsThresholdMilli: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frames.toDF().groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("rms_milli") >= rmsThresholdMilli, 1L)
+          .otherwise(0L)).as("n_speech"))
+      .select(col("media_id"), col("n_frames"), col("n_speech"),
+        round(col("n_speech").cast("double") * 1e6 /
+          col("n_frames").cast("double"), 0).cast("long")
+          .as("speech_ratio_micro"),
+        (col("n_speech") === 0L).as("is_silent"))
+  }
+
   /** Per-frame explode with a sampling stride. */
   def sampleFrames(feats: Dataset[MediaFeatures], stride: Int = 2): Dataset[FrameRow] = {
     import feats.sparkSession.implicits._

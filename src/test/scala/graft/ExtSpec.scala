@@ -311,6 +311,21 @@ class ExtSpec extends AnyFunSuite {
     assert(out((2L, 0)) == AudioFrameRow(2L, 0, 2, 3535534L, 0),
       s"${out((2L, 0))}")
     assert(!out.keySet.exists(_._1 == 3L), "non-audio rows skip")
+    // VAD gate over those frames: the alternating clip is all speech
+    // at threshold 1e6 milli; a mixed-silence clip gates per frame
+    val silent = MediaRow(4L, "audio", wavOf(Seq.fill(20)(0)))
+    val ds2 = spark.createDataset(media :+ silent)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val gated = Multimodal.vadGate(
+        Multimodal.audioFrameFeatures(ds2, frameLen = 8),
+        rmsThresholdMilli = 1000000L)
+      .select("media_id", "n_frames", "n_speech", "speech_ratio_micro",
+        "is_silent")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(gated(1L) == ((1L, 3L, 3L, 1000000L, false)), s"${gated(1L)}")
+    assert(gated(4L) == ((4L, 3L, 0L, 0L, true)),
+      s"silent clip must flag: ${gated(4L)}")
   }
 
   test("multimodal: real AVI container round-trip (RIFF chunk walk)") {
