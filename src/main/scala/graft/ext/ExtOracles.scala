@@ -3802,6 +3802,40 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |  amp * 1000 AS rms_milli, CAST(0 AS INTEGER) AS zcr
       |FROM f""".stripMargin
 
+  /** q_image_stats: the mosaic-formula block values (the
+    * dhash-replay vals CTE) rolled into per-image luma statistics —
+    * each 9×8 block covers 8×8 constant pixels, so
+    * mean = Σv·1000/72 and min/max are block-level. */
+  private val imageStatsSql: String =
+    """WITH ids AS (SELECT doc_id AS id, doc_id // 3 AS fam,
+      |    CAST(doc_id % 3 AS INTEGER) AS variant FROM documents),
+      |grid AS (SELECT t1.range AS bx, t2.range AS by
+      |         FROM range(9) t1, range(8) t2),
+      |base AS (SELECT i.id, i.fam, i.variant, g.bx, g.by,
+      |    CAST(concat('0x', substr(md5('px|' || i.fam || '|' || g.bx
+      |      || '|' || g.by), 1, 15)) AS BIGINT) % 256 AS v0
+      |  FROM ids i, grid g),
+      |pert AS (SELECT f.fam, t.range AS j,
+      |    CAST(concat('0x', substr(md5('pb|' || f.fam || '|' || t.range),
+      |      1, 15)) AS BIGINT) % 9 AS px,
+      |    CAST(concat('0x', substr(md5('pq|' || f.fam || '|' || t.range),
+      |      1, 15)) AS BIGINT) % 8 AS py
+      |  FROM (SELECT DISTINCT fam FROM ids) f, range(1, 3) t),
+      |hits AS (SELECT i.id, p.px, p.py, count(*) AS n
+      |  FROM ids i JOIN pert p ON p.fam = i.fam AND p.j <= i.variant
+      |  GROUP BY 1, 2, 3),
+      |vals AS (SELECT b.id, b.bx, b.by,
+      |    (b.v0 + 96 * COALESCE(h.n, 0)) % 256 AS v
+      |  FROM base b LEFT JOIN hits h
+      |    ON h.id = b.id AND h.px = b.bx AND h.py = b.by)
+      |SELECT id AS media_id, CAST(72 AS INTEGER) AS width,
+      |  CAST(64 AS INTEGER) AS height,
+      |  CAST(round(CAST(sum(v) AS DOUBLE) * 1000 / 72, 0) AS BIGINT)
+      |    AS mean_milli,
+      |  CAST(min(v) AS INTEGER) AS min_luma,
+      |  CAST(max(v) AS INTEGER) AS max_luma
+      |FROM vals GROUP BY id""".stripMargin
+
   /** q_vad_gate: formula replay over the constant-amplitude clips —
     * amp·1000 ≥ threshold decides every frame of a clip at once. */
   private val vadGateSql: String =
@@ -4305,6 +4339,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_fk_audit" -> fkAuditSql,
     "q_audio_frames" -> audioFramesSql,
     "q_vad_gate" -> vadGateSql,
+    "q_image_stats" -> imageStatsSql,
     "q_source_freshness" -> sourceFreshnessSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql)

@@ -720,6 +720,14 @@ object ExtQueries {
         frameLen = 16),
       rmsThresholdMilli = 1000L)
 
+  /** Exposure/degenerate-image screen over the REAL pattern-PNG
+    * corpus — decoded mean/min/max luma per image
+    * ([[Multimodal.imageStats]]); the mosaic formulas make the
+    * decoded statistics oracle-predictable. */
+  def qImageStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageStats(
+      Multimodal.patternImages(spark, Tables(spark, dir).documents))
+
   /** Image near-dup via difference perceptual hash: one block-mosaic
     * PNG per document (REAL container), REAL javax.imageio decode +
     * 9×8 average-pool into a 64-bit dHash, then the SimHash-style

@@ -668,6 +668,56 @@ object Multimodal {
     }.toDF("media_id", "dhash")
   }
 
+  /** Per-image luminance statistics from the REAL pixel decode — the
+    * exposure/degenerate-image screen an image corpus runs before
+    * training (all-black scans, blown-out whites, near-constant
+    * frames): exact pixel sum as a long, mean in milli-units (one
+    * rounded division), exact min/max. A near-zero min-max spread is
+    * the constant-image signal the quality gate drops.
+    *
+    * Scale shape: per-row decode in mapPartitions with the shared
+    * reader context (the [[imageDHashes]] discipline) — no payload
+    * shuffle; output is one row per image. The mosaic test corpus
+    * makes the decoded stats md5-predictable, so the oracle replays
+    * them without decoding — a hash-match proves encoder, decoder,
+    * and the pixel accumulation at once. */
+  def imageStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("png").next()
+      var disposed = false
+      def dispose(): Unit = if (!disposed) { disposed = true; reader.dispose() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dispose()))
+      rows.map { m =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        reader.setInput(iis)
+        val img = try reader.read(0) finally iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L; var lo = 255; var hi = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            if (v < lo) lo = v
+            if (v > hi) hi = v
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, w, h,
+          math.round(sum.toDouble * 1000.0 / (w.toLong * h)),
+          lo, hi)
+      }
+    }.toDF("media_id", "width", "height", "mean_milli",
+      "min_luma", "max_luma")
+  }
+
   /** Banded Hamming near-dup join over d-hashes — the SimHash
     * candidate machinery ([[Dedup.bandedHammingPairs]]) applied to
     * images: never all-pairs, exact popcount verify.

@@ -328,6 +328,23 @@ class ExtSpec extends AnyFunSuite {
       s"silent clip must flag: ${gated(4L)}")
   }
 
+  test("imageStats: decoded luma statistics match the mosaic grid by hand") {
+    import Multimodal._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(5L, 6L).toDF("doc_id")
+    val stats = Multimodal.imageStats(patternImages(spark, docs))
+      .as[(Long, Int, Int, Long, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    for (id <- Seq(5L, 6L)) {
+      val g = patternGrid(md, id).flatten
+      val want = (id, 72, 64,
+        math.round(g.map(_.toLong).sum.toDouble * 1000 / 72), g.min, g.max)
+      assert(stats(id) == want, s"image $id: ${stats(id)} vs $want")
+    }
+  }
+
   test("multimodal: real AVI container round-trip (RIFF chunk walk)") {
     import Multimodal._
     val avi = AviCodec.encode(37, 21, 4, 200, 5, 9)
