@@ -143,18 +143,46 @@ object Dedup {
 
   /** LSH banding over minhash signatures (r rows per band): docs
     * sharing all r minhashes of any band become candidate pairs.
-    * Returns (a_id, b_id, n_shared_bands). */
+    * Returns (a_id, b_id, n_shared_bands).
+    *
+    * `bucketCap` bounds the band-bucket self-join fan-out — the
+    * classic LSH scale-killer: web corpora carry 10⁵–10⁷-sized
+    * near-identical template families (empty pages, boilerplate), and
+    * one hot band bucket would otherwise emit n² candidate rows. Each
+    * bucket keeps only its `bucketCap` LOWEST ids (deterministic, so
+    * the semantics replay cross-engine), capping per-bucket output at
+    * cap²/2 pairs. The cap is computed with [[KmvSketchAgg]] — a
+    * map-side-combinable bottom-k aggregate whose per-group state is ≤
+    * cap longs — NOT a per-bucket window sort, so the hot bucket never
+    * concentrates in one task and the shuffle carries ≤ cap ids per
+    * bucket per map partition instead of the full membership. Pairs
+    * inside an over-cap family beyond the kept ids are lost to THIS
+    * path by design (mirroring [[jaccardPairs]]' `dfCap`); identical
+    * docs are exact-dedup's job ([[exactGroups]] runs first in
+    * [[graft.ext.Curation.curationPipeline]]), and the kept ids still
+    * seed the family's cluster for [[connectedComponents]]. Buckets at
+    * or under the cap (the overwhelming majority — that's the point of
+    * banding) are emitted exactly.
+    *
+    * The default (1000) bounds any bucket to ≤ ~5·10⁵ pairs while
+    * being far above real collision-bucket sizes for non-degenerate
+    * corpora. */
   def lshCandidates(sigs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", bucketCap: Int = 1000): DataFrame = {
     val bandKeys = bandStructs(numHashes, rowsPerBand)
-    // materialize the banded table before the self-join: both join
-    // sides reference it, and without a checkpoint the whole upstream
-    // shingle→md5→minhash pipeline is evaluated twice (the md5 digests
-    // are the dominant map-side cost of the dedup family)
+    // materialize the CAPPED banded table before the self-join: both
+    // join sides reference it, and without a checkpoint the whole
+    // upstream shingle→md5→minhash pipeline is evaluated twice (the
+    // md5 digests are the dominant map-side cost of the dedup family).
+    // The bottom-k agg shuffles on bk, so the post-checkpoint
+    // self-join is on the same key the data was just partitioned by.
     val exploded = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    val capped = exploded.groupBy(col("bk"))
+      .agg(graft.expressions.KmvSketchAgg.kmv(col(idCol), bucketCap).as("ids"))
+      .select(col("bk"), explode(col("ids")).as(idCol))
       .localCheckpoint()
-    val l = exploded.select(col(idCol).as("a_id"), col("bk"))
-    val r = exploded.select(col(idCol).as("b_id"), col("bk"))
+    val l = capped.select(col(idCol).as("a_id"), col("bk"))
+    val r = capped.select(col(idCol).as("b_id"), col("bk"))
     l.join(r, Seq("bk")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -263,12 +291,23 @@ object Dedup {
     */
   def crossNearDups(left: DataFrame, right: DataFrame,
       numHashes: Int = 8, rowsPerBand: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Int = 1000): DataFrame = {
     val shL = wordTrigrams(left, idCol, textCol).localCheckpoint()
     val shR = wordTrigrams(right, idCol, textCol).localCheckpoint()
     val keys = bandStructs(numHashes, rowsPerBand)
+    // Same hot-band-bucket cap as [[lshCandidates]], applied to the
+    // LARGE (training) side only: a 10⁶-member template family on the
+    // left would otherwise fan out n·m rows against every right doc in
+    // the bucket. The right side is the small benchmark set — capping
+    // it would silently drop contamination TARGETS, the one thing this
+    // operator must not miss, and its bucket sizes are bounded by the
+    // benchmark's own size.
     val exL = minhashFromShingles(shL, numHashes, idCol)
       .select(col(idCol).as("a_id"), explode(array(keys: _*)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(graft.expressions.KmvSketchAgg.kmv(col("a_id"), bucketCap).as("ids"))
+      .select(col("bk"), explode(col("ids")).as("a_id"))
     val exR = minhashFromShingles(shR, numHashes, idCol)
       .select(col(idCol).as("b_id"), explode(array(keys: _*)).as("bk"))
     val cand = exL.join(exR, Seq("bk"))

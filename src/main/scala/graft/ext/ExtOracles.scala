@@ -424,6 +424,38 @@ object ExtOracles {
         | AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
+    // Cap replay: identical chain to q_dedup_lsh_candidates, but the
+    // bands CTE keeps only the 2 lowest doc_ids per (band, k0, k1)
+    // bucket — the exact deterministic subset KmvSketchAgg's bottom-k
+    // computes — before pairing. Proves the hot-bucket guard's
+    // semantics cross-engine at a cap small enough to actually fire.
+    "q_dedup_lsh_capped" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |h AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
+        |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM h GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM sig UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM sig UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM sig UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM sig),
+        |capped AS (SELECT doc_id, band, k0, k1 FROM bands
+        |           QUALIFY row_number() OVER (PARTITION BY band, k0, k1 ORDER BY doc_id) <= 2)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+        |FROM capped a JOIN capped b
+        |  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        | AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_dedup_lsh_verified" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

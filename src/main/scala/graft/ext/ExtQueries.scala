@@ -56,6 +56,18 @@ object ExtQueries {
     Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2)
   }
 
+  /** LSH candidates with the hot-bucket cap FORCED LOW (bucketCap=2,
+    * under the corpus's largest real bucket) so the cap semantics —
+    * keep the 2 lowest ids per band bucket, pair only among keepers —
+    * are themselves oracle-verified cross-engine, not just
+    * spec-tested. The production default (1000) is a no-op at these
+    * SFs; this query proves the guard computes the DETERMINISTIC
+    * subset the DuckDB replay derives with a per-bucket row_number. */
+  def qDedupLshCapped(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(Tables(spark, dir).documents, numHashes = 8)
+    Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2, bucketCap = 2)
+  }
+
   /** LSH candidates verified with exact Jaccard — the production
     * near-dup pipeline shape (oracle-verified end to end: md5 minhash
     * → banding → candidate join → shingle intersection). */

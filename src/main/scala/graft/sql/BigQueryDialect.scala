@@ -12,8 +12,10 @@ import scala.util.matching.Regex
   *
   * This is a pragmatic textual shim (the reference corpus is 372 lines
   * of SQL in a known shape), not a full BigQuery parser: QUALIFY is
-  * desugared only in its `select * … qualify row_number() over (…) = 1`
-  * form, which is the only form the reference uses
+  * desugared for star AND explicit parens-free select lists with any
+  * of row_number/rank/dense_rank and any integer comparison (see
+  * [[qualifyRe]] for the exact boundary); the reference itself only
+  * uses the `select * … qualify row_number() over (…) = 1` form
   * (locations_clean.sql:83,89,95).
   */
 object BigQueryDialect {
@@ -90,14 +92,20 @@ object BigQueryDialect {
     s"(6371008.8 * 2 * asin(sqrt(pow(sin(radians(($lat2) - ($lat1)) / 2), 2) " +
     s"+ cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
 
-  /** QUALIFY shapes handled: row_number()/rank()/dense_rank() OVER
-    * (...) compared with = | <= | < against an integer literal, with
-    * an optional WHERE before the QUALIFY. Covers the reference's
-    * top-1 filters (locations_clean.sql:83,89,95) plus the common
-    * top-k variants. */
+  /** QUALIFY shapes handled: `select <list> from <tbl> [where …]
+    * qualify row_number()/rank()/dense_rank() OVER (...) <cmp> <int>`,
+    * where <list> is `*` or an explicit parens-free column list
+    * (aliases fine) and <cmp> is any of = <= < >= > != <>. Covers the
+    * reference's top-1 filters (locations_clean.sql:83,89,95) plus
+    * explicit-list top-k variants. Boundary (by design, documented):
+    * the select list may not contain parenthesised expressions — the
+    * parens-free guard is what makes the lazy select-list match unable
+    * to span across an earlier qualify-less SELECT in the same
+    * statement; the OVER clause allows one nesting level (e.g.
+    * `order by coalesce(a, b)`). */
   private val qualifyRe: Regex =
-    ("""(?is)select\s+\*\s+from\s+(\w+)(?:\s+where\s+(.*?))?\s+qualify\s+""" +
-     """((?:row_number|rank|dense_rank)\(\)\s*over\s*\([^)]*\))\s*(=|<=|<)\s*(\d+)""").r
+    ("""(?is)select\s+(\*|[^()]+?)\s+from\s+(\w+)(?:\s+where\s+((?:(?!\bselect\b|\bqualify\b).)*?))?\s+qualify\s+""" +
+     """((?:row_number|rank|dense_rank)\(\)\s*over\s*\((?:[^()]|\([^()]*\))*\))\s*(=|<=|<|>=|>|!=|<>)\s*(\d+)""").r
 
   /** Translate one model's BigQuery SQL to Spark SQL.
     * @param currentDateOverride pin `current_date` to a literal
@@ -150,12 +158,22 @@ object BigQueryDialect {
     s = rewriteCalls(s, "safe_divide")(args => s"TRY_DIVIDE(${args(0)}, ${args(1)})")
     s = """(?i)\bSAFE_CAST\s*\(""".r.replaceAllIn(s, "TRY_CAST(")
     s = """(?i)\bCOUNTIF\s*\(""".r.replaceAllIn(s, "COUNT_IF(")
-    // 8. QUALIFY <ranker>() over (…) (=|<=|<) k  (select * … form)
+    // 8. QUALIFY <ranker>() over (…) <cmp> k — star or explicit list.
+    // The explicit-list form aliases the ranked subquery AS the source
+    // table name so qualified column references in the list keep
+    // resolving; __rn never leaks (the outer list doesn't name it).
     s = qualifyRe.replaceAllIn(s, { m =>
-      val where = Option(m.group(2)).map(w => s" where $w").getOrElse("")
+      val list = m.group(1).trim
+      val tbl = m.group(2)
+      val where = Option(m.group(3)).map(w => s" where $w").getOrElse("")
+      val pred = s"__rn ${m.group(5)} ${m.group(6)}"
       Regex.quoteReplacement(
-        s"select * except(__rn) from (select *, ${m.group(3)} as __rn " +
-        s"from ${m.group(1)}$where) where __rn ${m.group(4)} ${m.group(5)}")
+        if (list == "*")
+          s"select * except(__rn) from (select *, ${m.group(4)} as __rn " +
+          s"from $tbl$where) where $pred"
+        else
+          s"select $list from (select *, ${m.group(4)} as __rn " +
+          s"from $tbl$where) $tbl where $pred")
     })
     // 9. pin current_date for determinism
     currentDateOverride.foreach { d =>

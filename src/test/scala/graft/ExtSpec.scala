@@ -31,6 +31,33 @@ class ExtSpec extends AnyFunSuite {
     assert(!cands.contains((3L, 4L)), "unrelated docs should not collide in every band")
   }
 
+  test("lsh bucketCap bounds a planted 10k-identical family; under-cap pairs keep full recall") {
+    // 10k identical docs collapse every band to ONE bucket per band —
+    // the hot-bucket scale-killer shape. Uncapped this would emit
+    // ~5·10⁷ candidate rows; the cap must bound it to C(cap,2) pairs
+    // among the cap LOWEST ids, while pairs in under-cap buckets (the
+    // planted near-dup) survive untouched.
+    val familyText = "standard legal disclaimer template page copyright " +
+      "notice all rights reserved terms of service privacy policy cookie banner"
+    val family = (1000L until 11000L).map(Doc(_, familyText))
+    val all = (docs.as[Doc].collect().toSeq ++ family).toDF
+    val cap = 50
+    val sigs = Dedup.minhashSignatures(all, numHashes = 8)
+    val cands = Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 2,
+      bucketCap = cap)
+    val rows = cands.select("a_id", "b_id").as[(Long, Long)].collect()
+    // bounded: per band ≤ C(cap,2) pairs; distinct pairs across bands
+    // collapse, so the family contributes ≤ C(cap,2) + under-cap extras
+    assert(rows.length <= cap * (cap - 1) / 2 + 16,
+      s"candidate output not bounded: ${rows.length} pairs")
+    // the family's kept ids are exactly its cap lowest
+    val famIds = rows.toSeq.flatMap(p => Seq(p._1, p._2)).filter(_ >= 1000L).distinct.sorted
+    assert(famIds == (1000L until (1000L + cap)).toSeq,
+      s"kept ids are not the $cap lowest: ${famIds.take(5)}..${famIds.takeRight(5)}")
+    // under-cap recall: the planted near-dup pair (1,2) still surfaces
+    assert(rows.toSet.contains((1L, 2L)), "under-cap pair lost by the cap")
+  }
+
   test("jaccard pairs rank the planted near-dup highest") {
     val pairs = Dedup.jaccardPairs(docs, threshold = 0.0, idMod = 1)
       .orderBy(desc("jaccard")).as[(Long, Long, Double)].collect()

@@ -105,4 +105,37 @@ class SqlShimSpec extends AnyFunSuite {
       "select * from qt where v > 10 qualify dense_rank() over (partition by g order by v desc) = 1"))
     assert(top1.select("x").as[String].collect().toSet == Set("c", "d"))
   }
+
+  test("translator unit: QUALIFY on explicit select-lists (aliases, qualified refs, arbitrary cmp)") {
+    import spark.implicits._
+    Seq((1, "a", 10), (1, "b", 20), (1, "c", 30), (2, "d", 40))
+      .toDF("g", "x", "v").createOrReplaceTempView("qt")
+    // explicit column list with an alias, top-1
+    val t1 = spark.sql(BigQueryDialect.translate(
+      "select x as name, v from qt qualify row_number() over (partition by g order by v desc) = 1"))
+    assert(t1.columns.toSeq == Seq("name", "v"))
+    assert(t1.as[(String, Int)].collect().toSet == Set(("c", 30), ("d", 40)))
+    // qualified references survive (subquery is aliased as the table)
+    val t2 = spark.sql(BigQueryDialect.translate(
+      "select qt.x, qt.v from qt where g = 1 qualify rank() over (order by qt.v desc) <= 2"))
+    assert(t2.as[(String, Int)].collect().toSet == Set(("b", 20), ("c", 30)))
+    // inverted comparison: everything BELOW the top rank
+    val t3 = spark.sql(BigQueryDialect.translate(
+      "select x from qt qualify row_number() over (partition by g order by v desc) > 1"))
+    assert(t3.as[String].collect().toSet == Set("a", "b"))
+    // != form, nested parens inside the OVER clause
+    val t4 = spark.sql(BigQueryDialect.translate(
+      "select x from qt qualify row_number() over (partition by g order by coalesce(v, 0) desc) != 1"))
+    assert(t4.as[String].collect().toSet == Set("a", "b"))
+    // __rn never leaks through the explicit-list form
+    assert(!t1.columns.contains("__rn") && !t3.columns.contains("__rn"))
+    // a qualify-less SELECT ahead of a qualified one in the same
+    // statement must not be spanned by the desugar (the parens-free
+    // select-list guard)
+    val t5 = spark.sql(BigQueryDialect.translate(
+      "with base as (select g, x, v from qt), " +
+      "top as (select x, v from base qualify row_number() over (partition by g order by v desc) = 1) " +
+      "select x from top"))
+    assert(t5.as[String].collect().toSet == Set("c", "d"))
+  }
 }
