@@ -25,9 +25,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * double max (no NaN inputs by the guard); the i-sum is
   * left-to-right. Bit-identical to the slice/greatest/when built-in
   * composition (asserted in ExtSpec) and to the generated DuckDB
-  * replay. Null input arrays — and arrays SHORTER than
-  * nTokens·tokenDim, which the fused loops would otherwise read past
-  * — yield null, never garbage.
+  * replay. Null input arrays, arrays SHORTER than
+  * nTokens·tokenDim (which the fused loops would otherwise read
+  * past), and arrays containing null ELEMENTS (which getDouble would
+  * silently read as 0.0) all yield null, never garbage — matching
+  * the composed slice/greatest reference's null propagation.
   */
 case class MaxSimScore(left: Expression, right: Expression,
     nTokens: Int, tokenDim: Int) extends BinaryExpression {
@@ -44,6 +46,17 @@ case class MaxSimScore(left: Expression, right: Expression,
     // not bounds-check on the unsafe path
     if (q.numElements() < nTokens * tokenDim ||
         d.numElements() < nTokens * tokenDim) return null
+    // null ELEMENTS also yield null (matching the composed
+    // slice/greatest reference, where a null element propagates):
+    // ArrayData.getDouble would silently read 0.0 / undefined bytes
+    // for a null slot. One O(n) flag pass — negligible next to the
+    // O(nTokens^2 * tokenDim) scoring loops. (ADVICE r11)
+    var chk = 0
+    val need = nTokens * tokenDim
+    while (chk < need) {
+      if (q.isNullAt(chk) || d.isNullAt(chk)) return null
+      chk += 1
+    }
     val dn = new Array[Double](nTokens)
     var j = 0
     while (j < nTokens) {
@@ -85,9 +98,14 @@ case class MaxSimScore(left: Expression, right: Expression,
       val v = ctx.freshName("v"); val qo = ctx.freshName("qo")
       val dof = ctx.freshName("dof"); val first = ctx.freshName("first")
       val term = ctx.freshName("term")
+      val nullEl = ctx.freshName("nullEl")
       s"""
-         |if ($a.numElements() < ${nTokens * tokenDim} ||
-         |    $b.numElements() < ${nTokens * tokenDim}) {
+         |boolean ${nullEl} = $a.numElements() < ${nTokens * tokenDim} ||
+         |    $b.numElements() < ${nTokens * tokenDim};
+         |for (int $t = 0; !${nullEl} && $t < ${nTokens * tokenDim}; $t++) {
+         |  ${nullEl} = $a.isNullAt($t) || $b.isNullAt($t);
+         |}
+         |if (${nullEl}) {
          |  ${ev.isNull} = true;
          |} else {
          |double[] $dn = new double[$nTokens];

@@ -492,6 +492,21 @@ object Multimodal {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(m.payload))
         try {
+          // the int16-mono-LE decode below is only valid for exactly
+          // that format — a stereo/8-bit/big-endian WAV would silently
+          // produce garbage features, and an unspecified frame length
+          // (-1) would blow up the buffer sizing, so both fail loudly
+          // with the media id instead (ADVICE r11)
+          val fmt = ais.getFormat
+          require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian,
+            s"media ${m.media_id}: unsupported audio format $fmt " +
+              "(need 16-bit mono little-endian signed PCM)")
+          require(ais.getFrameLength >= 0 &&
+              ais.getFrameLength <= Int.MaxValue / 2,
+            s"media ${m.media_id}: unusable frame length ${ais.getFrameLength}")
           val frames = ais.getFrameLength.toInt
           val bytes = new Array[Byte](frames * 2)
           var off = 0

@@ -719,7 +719,13 @@ object Graph {
     * Exactness: each center's weight is the micro long
     * round(1e6/ln(deg)) computed from the exact integer degree, so
     * the per-pair score is an order-free long sum any engine replays
-    * (the q_hits micro fixed-point discipline); cn is an exact count.
+    * (the q_hits micro fixed-point discipline). cn and aa_micro are
+    * exact only when no common neighbor of the pair exceeds
+    * `maxCenterDegree`; capped centers are dropped from the wedge
+    * join, so both are LOWER BOUNDS whenever a shared neighbor is
+    * capped (the same lower-bound contract as ShingleIndex's df cap),
+    * and a pair whose every common neighbor is capped is missed
+    * entirely. Pass Long.MaxValue for exact-everywhere.
     *
     * Scale shape: wedge generation is a self-join of the adjacency
     * keyed on the CENTER w — Σ_w C(deg_w, 2) rows, the same budget as

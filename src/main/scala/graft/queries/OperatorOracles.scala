@@ -10,6 +10,64 @@ package graft.queries
   */
 object OperatorOracles {
 
+  /** q_haversine_spheroid replay: Vincenty inverse unrolled to
+    * [[graft.expressions.VincentyDistance.Iters]] iterations, every
+    * constant injected from the engine's own object so the two sides
+    * cannot desynchronize. One CTE per iteration; DuckDB's lateral
+    * column-alias references keep each step readable. Operation order
+    * mirrors VincentyDistance.meters token for token. */
+  private def vincentyMilesSql: String = {
+    val V = graft.expressions.VincentyDistance
+    val RAD = V.Rad.toString
+    val F = (1.0 / V.InverseFlattening).toString
+    val A = V.SemiMajorA.toString
+    val B = V.SemiMinorB.toString
+    val n = V.Iters
+    val iters = (1 to n).map { k =>
+      val p = k - 1
+      s""",
+        |i$k AS (SELECT *,
+        |  sin(lam$p) AS sinL$k, cos(lam$p) AS cosL$k,
+        |  cosU2 * sinL$k AS t1_$k,
+        |  cosU1 * sinU2 - sinU1 * cosU2 * cosL$k AS t2_$k,
+        |  sqrt(t1_$k * t1_$k + t2_$k * t2_$k) AS sins$k,
+        |  sinU1 * sinU2 + cosU1 * cosU2 * cosL$k AS coss$k,
+        |  atan2(sins$k, coss$k) AS sig$k,
+        |  CASE WHEN sins$k = 0.0 THEN 0.0 ELSE cosU1 * cosU2 * sinL$k / sins$k END AS sina$k,
+        |  1.0 - sina$k * sina$k AS c2a$k,
+        |  CASE WHEN c2a$k = 0.0 THEN 0.0 ELSE coss$k - 2.0 * sinU1 * sinU2 / c2a$k END AS c2sm$k,
+        |  fc / 16.0 * c2a$k * (4.0 + fc * (4.0 - 3.0 * c2a$k)) AS cc$k,
+        |  bigL + (1.0 - cc$k) * fc * sina$k * (sig$k + cc$k * sins$k * (c2sm$k + cc$k * coss$k * (-1.0 + 2.0 * c2sm$k * c2sm$k))) AS lam$k
+        | FROM i$p)""".stripMargin
+    }.mkString
+    s"""WITH pts AS (
+      |  SELECT c_custkey,
+      |    CAST((c_custkey % 120) - 60 + 0.25 AS DOUBLE) AS lat1,
+      |    CAST((c_custkey % 300) - 150 + 0.5 AS DOUBLE) AS lon1,
+      |    CAST((n_nationkey % 100) - 50 + 0.75 AS DOUBLE) AS lat2,
+      |    CAST((n_nationkey * 13 % 330) - 165 + 0.25 AS DOUBLE) AS lon2
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |i0 AS (SELECT c_custkey,
+      |  CAST($RAD AS DOUBLE) AS radc, CAST($F AS DOUBLE) AS fc,
+      |  (lon2 - lon1) * radc AS bigL,
+      |  sin(atan((1.0 - fc) * tan(lat1 * radc))) AS sinU1,
+      |  cos(atan((1.0 - fc) * tan(lat1 * radc))) AS cosU1,
+      |  sin(atan((1.0 - fc) * tan(lat2 * radc))) AS sinU2,
+      |  cos(atan((1.0 - fc) * tan(lat2 * radc))) AS cosU2,
+      |  (lon2 - lon1) * radc AS lam0
+      | FROM pts)$iters,
+      |fin AS (SELECT c_custkey,
+      |  c2a$n * (CAST($A AS DOUBLE) * CAST($A AS DOUBLE) - CAST($B AS DOUBLE) * CAST($B AS DOUBLE)) / (CAST($B AS DOUBLE) * CAST($B AS DOUBLE)) AS uu,
+      |  1.0 + uu / 16384.0 * (4096.0 + uu * (-768.0 + uu * (320.0 - 175.0 * uu))) AS bigA,
+      |  uu / 1024.0 * (256.0 + uu * (-128.0 + uu * (74.0 - 47.0 * uu))) AS bigB,
+      |  bigB * sins$n * (c2sm$n + bigB / 4.0 * (coss$n * (-1.0 + 2.0 * c2sm$n * c2sm$n) - bigB / 6.0 * c2sm$n * (-3.0 + 4.0 * sins$n * sins$n) * (-3.0 + 4.0 * c2sm$n * c2sm$n))) AS dsig,
+      |  CASE WHEN sins$n = 0.0 THEN 0.0 ELSE CAST($B AS DOUBLE) * bigA * (sig$n - dsig) END AS meters
+      | FROM i$n)
+      |SELECT c_custkey, round(meters / 1609.34, 4) AS dist_mi,
+      |  CASE WHEN round(meters / 1609.34, 4) > 10 THEN 'far' ELSE 'near' END AS proximity
+      |FROM fin""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // incremental/CDC fold replay: same base slice, same change batch,
     // latest-by-seq per key with delete-beats-stale — checks the
@@ -466,6 +524,15 @@ object OperatorOracles {
         |    + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)
         |  )), 4) > 10 THEN 'far' ELSE 'near' END AS proximity
         |FROM pts""".stripMargin,
+
+    // Spheroid replay: the Vincenty λ fixed-point unrolled to the SAME
+    // fixed iteration count the engine runs, generated from the SAME
+    // WGS84/Rad constants (graft.expressions.VincentyDistance), with
+    // squares written x*x and the degree→radian multiply using the
+    // injected Rad literal — never pow()/radians(), whose operation
+    // orders differ between engines. Residual divergence is libm trig
+    // ULPs, far under the 4dp output rounding.
+    "q_haversine_spheroid" -> vincentyMilesSql,
 
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -105,6 +105,28 @@ object ScalarQueries {
       .withColumn("proximity", when(col("dist_mi") > 10, "far").otherwise("near"))
   }
 
+  /** Spheroid-exact variant of [[qHaversine]]: same synthesized
+    * coordinate pairs and the same >10-mile branch, but the distance
+    * is the WGS84 Vincenty geodesic
+    * ([[graft.expressions.VincentyDistance]]) instead of the sphere
+    * haversine — what live BigQuery's ST_DISTANCE computes, so the
+    * reference's 10-mile threshold (locations_clean.sql:63) classifies
+    * identically to production near the boundary. Oracle: the SAME
+    * fixed-iteration formula unrolled in DuckDB, generated from the
+    * shared constants (OperatorOracles.vincentyMilesSql). */
+  def qHaversineSpheroid(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lat1 = (col("c_custkey") % 120) - 60 + 0.25
+    val lon1 = (col("c_custkey") % 300) - 150 + 0.5
+    val lat2 = (col("n_nationkey") % 100) - 50 + 0.75
+    val lon2 = (col("n_nationkey") * 13 % 330) - 165 + 0.25
+    t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"),
+        round(graft.expressions.VincentyDistance.stDistanceSpheroid(
+          lat1, lon1, lat2, lon2) / 1609.34, 4).as("dist_mi"))
+      .withColumn("proximity", when(col("dist_mi") > 10, "far").otherwise("near"))
+  }
+
   /** Geo radius search through the [[graft.expressions.StDWithin]]
     * marker predicate + [[graft.plans.RewriteStDWithin]] optimizer
     * rule: the rule expands the predicate into a literal bounding

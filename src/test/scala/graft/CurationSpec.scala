@@ -314,6 +314,44 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.domainCap(tied, 2).count() === 2)
   }
 
+  test("domainCapApprox: 50k-doc hot domain resolves without ranking documents") {
+    // the hot-domain shape domainCap's window would serialize into one
+    // task's sort at corpus scale: one domain carries 50k docs over a
+    // handful of distinct quality values (template pages all score
+    // alike). The value-count path must (a) finish with its window
+    // over ≤ #distinct-values rows, (b) keep everything at or above
+    // the k-th value, never fewer than k, (c) leave the cold domain
+    // untouched.
+    val hot = (1L to 50000L).map { i =>
+      // 5 rotating text variants → at most 5 distinct quality values
+      val v = (i % 5).toInt
+      (i, ("the a of and is to in it that word " * (v + 2)).trim, "hot")
+    }
+    val docs = (hot :+ ((900000L, "the a of and is unique cold domain text", "cold")))
+      .toDF("doc_id", "text", "source")
+    val k = 7
+    val out = Curation.domainCapApprox(docs, k)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val hotKept = out.count(_._2 == "hot")
+    // threshold keeps the whole boundary value: ≥ k, and ≤ the two
+    // highest-quality variant populations (10k docs each)
+    assert(hotKept >= k, s"hot domain kept $hotKept < k=$k")
+    assert(hotKept <= 20000, s"hot domain kept $hotKept — threshold ignored")
+    assert(out.exists(_._2 == "cold"), "cold domain must survive")
+    // the kept set is exactly { docs with quality >= the k-th value }:
+    // every kept quality value must be >= every dropped one
+    val kept = Curation.domainCapApprox(docs, k)
+      .filter(col("source") === "hot")
+      .select("quality_score").as[Double].collect().min
+    val keptIds = out.map(_._1).toSet
+    val dropped = graft.ext.TextAnalysis.withStats(docs)
+      .filter(col("source") === "hot")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect()
+      .filterNot(r => keptIds.contains(r._1)).map(_._2)
+    assert(dropped.forall(_ < kept),
+      s"dropped a doc at/above the kept threshold $kept")
+  }
+
   test("negSamplingDraw: ^0.75 tempering lifts rare tokens, draw is deterministic") {
     // 'rare' appears once, 'common' 16 times: raw ratio 16x, tempered
     // ratio 16^.75 = 8x — the weight column must show exactly that

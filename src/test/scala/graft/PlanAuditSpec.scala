@@ -76,6 +76,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(probe.count() > 0)
   }
 
+  test("domainCapApprox windows over value counts, never documents (hot-domain safe)") {
+    val p = plan("q_domain_cap_approx")
+    // no per-document ranking anywhere: the only window runs over the
+    // (source, q_micro) value-count aggregate, whose cardinality is
+    // bounded by the 6dp score domain (≤1e6+1 values) regardless of
+    // how hot a domain is — the shape that cannot serialize a 10^8-doc
+    // domain into one task's sort
+    assert(!p.contains("row_number"),
+      s"q_domain_cap_approx plans a per-document ranking:\n$p")
+    assert("(?s)Window.*q_micro.* DESC".r.findFirstIn(p).isDefined,
+      s"q_domain_cap_approx window does not run over the q_micro value domain:\n$p")
+    assert("(?s)HashAggregate\\(keys=\\[source[^\\]]*q_micro".r.findFirstIn(p).isDefined,
+      s"q_domain_cap_approx lacks the value-count aggregate under the window:\n$p")
+    // threshold table broadcasts; the corpus pass is a narrow filter
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_domain_cap_approx threshold join is not broadcast:\n$p")
+    // the exact twin, by contrast, is allowed its per-domain sort —
+    // but must keep the pushed group-limit shape
+    val exact = plan("q_domain_cap")
+    assert(exact.contains("WindowGroupLimit"),
+      s"q_domain_cap lost its pushed window group limit:\n$exact")
+  }
+
   test("native as-of join plans AsofJoinExec (single merge pass, no window)") {
     val p = plan("q_asof_native")
     assert(p.contains("AsofJoin"), s"q_asof_native does not use the native operator:\n$p")

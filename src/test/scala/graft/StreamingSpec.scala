@@ -493,6 +493,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: out-of-order duplicate within watermark dropped; expired state re-admits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val deduped = StreamingOps.dedupStream(mem.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_late_out").start()
+    def ev(id: Long, t: String) =
+      StreamingOps.Event(id, java.sql.Timestamp.valueOf(t), 1, "click", 1.0)
+    try {
+      mem.addData(ev(1, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      // out-of-order duplicate: EARLIER event time, later batch, still
+      // inside the 2h watermark window — must be dropped
+      mem.addData(ev(1, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_late_out").count() == 1,
+        "within-watermark out-of-order duplicate must be dropped")
+      // advance the watermark far past id 1's state (2h delay →
+      // watermark moves to ~16:00), expiring it...
+      mem.addData(ev(2, "2024-01-01 18:00:00"))
+      q.processAllAvailable()
+      // ...so a reappearance of id 1 is RE-ADMITTED: within-watermark
+      // dedup guarantees exactly that window, no more — the bounded-
+      // state contract that keeps the operator viable on an infinite
+      // stream (an unbounded-history guarantee would need O(corpus)
+      // state; that shape is dedupAgainstIndexStream's job)
+      mem.addData(ev(1, "2024-01-01 18:30:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_late_out").select("event_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 1L, 2L),
+        s"expired id must re-admit (bounded state), got $ids")
+    } finally q.stop()
+  }
+
+  test("streaming CDC sink: out-of-order seq within a batch resolves by seq; delete wins ties") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-late").toString + "/t"
+    val q = StreamingOps.cdcSink(
+      mem.toDF().toDF("id", "v", "op", "seq"), path, Seq("id"), "cdc_late_q")
+    try {
+      // one micro-batch, arrival order scrambled vs seq: the higher
+      // seq must win per key regardless of arrival position, and a
+      // winning D must delete even with earlier-seq upserts present
+      mem.addData(
+        (1L, "stale", "U", 30L), (1L, "fresh", "U", 35L),
+        (2L, "kept", "I", 40L),
+        (3L, "resurrect", "U", 50L), (3L, "x", "D", 55L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(path).select("id", "v")
+        .as[(Long, String)].collect().toMap
+      assert(out == Map(1L -> "fresh", 2L -> "kept"), s"got $out")
+      // cross-batch: a later batch folds on top of the table — the
+      // documented contract (cdcSink scaladoc: cross-batch ordering is
+      // the FEED's responsibility, the standard CDC-consumer shape).
+      // This pins that a later batch's row replaces the key even when
+      // its seq is lower, so a feed that cannot guarantee cross-batch
+      // order knows to widen its batches or use upstream sequencing.
+      mem.addData((1L, "late_replay", "U", 20L))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(path).select("id", "v")
+        .as[(Long, String)].collect().toMap
+      assert(out2(1L) == "late_replay",
+        s"cross-batch fold is last-batch-wins by contract, got $out2")
+    } finally q.stop()
+  }
+
   test("Runner.build runs dbt-style checks in DAG order and aborts on failure") {
     import graft.model._
     val wh = java.nio.file.Files.createTempDirectory("graft-build").toString
