@@ -83,6 +83,62 @@ object Incremental {
     swapWrite(spark, next, path)
   }
 
+  /** Cross-batch-safe CDC fold: like [[applyChanges]], but the applied
+    * sequence number is PERSISTED on disk (`__seq`) and deletes are
+    * kept as TOMBSTONES (`__deleted`), so a key only ever moves
+    * FORWARD in sequence: a late-arriving micro-batch replaying a
+    * lower-seq change (an at-least-once feed re-delivery, a lagging
+    * partition of a sharded topic) can neither regress a value nor
+    * resurrect a deleted key — the two failure modes [[applyChanges]]
+    * explicitly leaves to the feed's ordering contract. Ties go to
+    * the delete (same determinism rule as applyChanges's op
+    * tie-break). Read the live table through [[readCdcTable]].
+    *
+    * Scale shape: identical to applyChanges — per-key window over the
+    * BATCH only, then one per-key max-seq resolution between base and
+    * batch winners (a union + batch-sized-keys window would shuffle
+    * the whole base; instead the base anti-joins the batch's key set
+    * and only the TOUCHED keys join seq-to-seq). Tombstones are
+    * bounded by the deleted-key count; compact them by rewriting the
+    * live view when the feed's replay horizon has passed. */
+  def applyChangesGuarded(spark: SparkSession, changes: DataFrame,
+      path: String, uniqueKey: Seq[String], opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    val exists = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+    val w = Window.partitionBy(uniqueKey.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol))
+    val incoming = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__deleted", col(opCol) === "D")
+      .drop(opCol)
+      .withColumnRenamed(seqCol, "__seq")
+    val next = if (!exists) incoming else {
+      val existing = spark.read.parquet(path)
+      val keyCols = uniqueKey.map(col)
+      val untouched = existing.join(
+        incoming.select(keyCols: _*).distinct(), uniqueKey, "left_anti")
+      // touched keys: base row (if any) vs batch winner — higher __seq
+      // wins, delete wins an exact tie
+      val touched = existing.join(
+          incoming.select(keyCols: _*).distinct(), uniqueKey, "left_semi")
+        .unionByName(incoming)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(uniqueKey.map(col): _*)
+            .orderBy(col("__seq").desc, col("__deleted").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+      untouched.unionByName(touched)
+    }
+    swapWrite(spark, next, path)
+  }
+
+  /** Live view of an [[applyChangesGuarded]] table: tombstones and the
+    * bookkeeping columns stripped. */
+  def readCdcTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).filter(!col("__deleted"))
+      .drop("__seq", "__deleted")
+
   /** dbt incremental with insert_overwrite strategy: every partition
     * VALUE present in the batch is replaced wholesale; untouched
     * partitions are left as-is. The idempotent-backfill shape (re-run

@@ -143,6 +143,18 @@ object OperatorOracles {
         |SELECT * FROM base WHERE month NOT IN ('1995-03', '1995-04')
         |UNION ALL SELECT * FROM batch""".stripMargin,
 
+    // guarded CDC fold: final live view computed per key in one CASE;
+    // the %4 branch deliberately ABSENT (its +999 replay arrived at a
+    // lower seq than the persisted one and must not apply) and the %3
+    // keys deleted — a hash match proves the on-disk seq guard and
+    // tombstones held across the two folds
+    "q_cdc_guarded" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.0
+        |       WHEN o_orderkey % 2 = 0 THEN o_totalprice + 100.0
+        |       ELSE o_totalprice END AS v
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
+
     // change feed: I/D by anti-join, U by value inequality
     "q_change_feed" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -261,6 +261,45 @@ object OperatorQueries {
       path, Seq("o_orderkey"))
   }
 
+  /** Driver-oracle row for the cross-batch-safe CDC fold
+    * ([[graft.model.Incremental.applyChangesGuarded]]): two separate
+    * folds where the SECOND batch replays a stale lower-seq update —
+    * the exact out-of-order-across-batches case the unguarded
+    * [[graft.model.Incremental.applyChanges]] leaves to the feed's
+    * ordering contract. Fold 1 inserts every key (seq 1) and updates
+    * even keys (+100, seq 3); fold 2 carries a LATE +999 update at
+    * seq 2 for %4 keys (must lose to the persisted seq 3), a +7
+    * update at seq 5 for %5 keys (applies), and deletes %3 keys at
+    * seq 9 (tombstoned — beats the same batch's seq-5 update where
+    * both hit). The oracle computes the final live view per key in
+    * one CASE; a hash match is only possible if the on-disk seq guard
+    * actually held the stale replay out. */
+  def qCdcGuarded(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+    val path = System.getProperty("java.io.tmpdir") + "/graft_cdc_guarded"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val ins = o.withColumn("op", lit("I")).withColumn("seq", lit(1))
+    val upd = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("v", col("v") + 100.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(3))
+    graft.model.Incremental.applyChangesGuarded(spark,
+      ins.unionByName(upd), path, Seq("o_orderkey"))
+    val lateStale = o.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("v", col("v") + 999.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(2))
+    val fresh = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("v", col("v") + 7.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(5))
+    val del = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(9))
+    graft.model.Incremental.applyChangesGuarded(spark,
+      lateStale.unionByName(fresh).unionByName(del), path, Seq("o_orderkey"))
+    graft.model.Incremental.readCdcTable(spark, path)
+  }
+
   /** Driver-oracle row for the incremental AGGREGATE refresh
     * ([[graft.model.Incremental.aggRefresh]]): bootstrap the metrics
     * rollup from the historical 3/4 of events, then fold two disjoint

@@ -29,6 +29,81 @@ object BigQueryDialect {
   /** Source tables pulled in via {{ source(...) }}. */
   def sources(sql: String): Seq[String] = sourceRe.findAllMatchIn(sql).map(_.group(1)).toSeq
 
+  // ---- Jinja layer beyond ref()/source() (SURVEY §2.11 gap #2) ----
+  // dbt's everyday templating surface: project vars, environment
+  // vars, and conditional blocks. Grammar is deliberately small and
+  // documented: var('n') / var('n', default), env_var('N') /
+  // env_var('N', default), and {% if C %}…{% else %}…{% endif %}
+  // where C is var('n'), var('n') ==/!= 'lit', true, or false.
+  // Nested ifs evaluate innermost-first. Loops/set/macro-def remain
+  // out of scope (the reference uses none of this — its only macro,
+  // coalesce_trim, resolves separately).
+
+  private val varRe: Regex =
+    """\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*('[^']*'|[^)\s][^)]*?))?\s*\)\s*\}\}""".r
+  private val envVarRe: Regex =
+    """\{\{\s*env_var\(\s*'([^']+)'\s*(?:,\s*'([^']*)')?\s*\)\s*\}\}""".r
+  private val ifRe: Regex =
+    ("""(?s)\{%\s*if\s+((?:(?!%\}|\{%).)*?)\s*%\}((?:(?!\{%\s*(?:if|endif)).)*?)""" +
+     """(?:\{%\s*else\s*%\}((?:(?!\{%\s*(?:if|endif)).)*?))?\{%\s*endif\s*%\}""").r
+
+  private def truthy(v: String): Boolean =
+    v.nonEmpty && v != "false" && v != "0" && v != "none"
+
+  private def evalCond(cond: String, vars: Map[String, String]): Boolean = {
+    val eqRe = """var\(\s*'([^']+)'\s*\)\s*(==|!=)\s*'([^']*)'""".r
+    val bareRe = """var\(\s*'([^']+)'\s*\)""".r
+    cond.trim match {
+      case "true" => true
+      case "false" => false
+      case eqRe(n, op, lit) =>
+        val v = vars.getOrElse(n,
+          throw new IllegalArgumentException(s"undefined var '$n' in {% if %}"))
+        if (op == "==") v == lit else v != lit
+      case bareRe(n) => truthy(vars.getOrElse(n, ""))
+      case other => throw new IllegalArgumentException(
+        s"unsupported {% if %} condition: $other")
+    }
+  }
+
+  /** Render the supported Jinja surface: conditionals first (so refs
+    * in dead branches disappear before DAG extraction), then var /
+    * env_var substitution. `envVars` defaults to the real process
+    * environment, like dbt; inject a map for hermetic tests. */
+  def renderJinja(sql: String, vars: Map[String, String] = Map.empty,
+      envVars: Map[String, String] = sys.env): String = {
+    var s = sql
+    // innermost-first fixed point: each pass resolves every if-block
+    // whose body contains no nested if
+    var changed = true
+    while (changed) {
+      val next = ifRe.replaceAllIn(s, m =>
+        Regex.quoteReplacement(
+          if (evalCond(m.group(1), vars)) m.group(2)
+          else Option(m.group(3)).getOrElse("")))
+      changed = next != s
+      s = next
+    }
+    // any surviving statement tag means unsupported Jinja (elif, for,
+    // set, macro, unbalanced if) — fail loudly, never emit raw tags
+    if (s.contains("{%")) throw new IllegalArgumentException(
+      "unsupported or unbalanced Jinja statement block after rendering: " +
+        s.substring(s.indexOf("{%"), math.min(s.length, s.indexOf("{%") + 40)))
+    s = varRe.replaceAllIn(s, { m =>
+      val dflt = Option(m.group(2)).map(_.stripPrefix("'").stripSuffix("'"))
+      Regex.quoteReplacement(vars.get(m.group(1)).orElse(dflt).getOrElse(
+        throw new IllegalArgumentException(
+          s"undefined var '${m.group(1)}' with no default")))
+    })
+    s = envVarRe.replaceAllIn(s, { m =>
+      Regex.quoteReplacement(envVars.get(m.group(1))
+        .orElse(Option(m.group(2))).getOrElse(
+          throw new IllegalArgumentException(
+            s"undefined env_var '${m.group(1)}' with no default")))
+    })
+    s
+  }
+
   /** %-style BigQuery date format → JVM DateTimeFormatter pattern. */
   def mapDateFormat(fmt: String): String =
     fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")

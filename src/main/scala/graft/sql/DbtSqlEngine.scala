@@ -11,7 +11,9 @@ import graft.model.{Materialization, Model, ModelGraph, Runner}
   * rewriting your queries" path for a user of the reference.
   */
 final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
-    currentDateOverride: Option[String] = None, threads: Int = 4) {
+    currentDateOverride: Option[String] = None, threads: Int = 4,
+    vars: Map[String, String] = Map.empty,
+    envVars: Map[String, String] = sys.env) {
 
   /** @param modelSql   model name -> raw (Jinja + BigQuery) SQL
     * @param sources    source table name -> DataFrame
@@ -21,8 +23,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       materializations: Map[String, Materialization] = Map.empty): Map[String, DataFrame] = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val models = modelSql.map { case (name, sql) =>
-      val translated = BigQueryDialect.translate(sql, currentDateOverride)
-      Model(name, BigQueryDialect.refs(sql),
+      // render Jinja FIRST: a ref() inside a false {% if %} branch
+      // must not become a DAG edge (the branch never executes)
+      val rendered = BigQueryDialect.renderJinja(sql, vars, envVars)
+      val translated = BigQueryDialect.translate(rendered, currentDateOverride)
+      Model(name, BigQueryDialect.refs(rendered),
         materializations.getOrElse(name, Materialization.View))(
         _ => spark.sql(translated))
     }.toSeq

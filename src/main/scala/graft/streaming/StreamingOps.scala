@@ -160,6 +160,24 @@ object StreamingOps {
       }
       .start()
 
+  /** Cross-batch-safe streaming CDC sink: folds through
+    * [[graft.model.Incremental.applyChangesGuarded]], so out-of-order
+    * arrival ACROSS micro-batches (at-least-once re-delivery, lagging
+    * topic partitions) cannot regress a key or resurrect a delete —
+    * the boundary [[cdcSink]]'s scaladoc leaves to the feed. Costs the
+    * persisted `__seq`/`__deleted` bookkeeping columns; read the live
+    * view via [[graft.model.Incremental.readCdcTable]]. */
+  def cdcSinkGuarded(changes: DataFrame, path: String, uniqueKey: Seq[String],
+      queryName: String, opCol: String = "op", seqCol: String = "seq")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.model.Incremental.applyChangesGuarded(batch.sparkSession,
+            batch.toDF(), path, uniqueKey, opCol, seqCol): Unit
+      }
+      .start()
+
   /** Streaming curation gate: the batch TextAnalysis stats/quality
     * expressions applied unchanged to a document STREAM — entirely
     * stateless (pure column expressions, no watermark, no state

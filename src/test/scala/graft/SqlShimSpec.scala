@@ -106,6 +106,55 @@ class SqlShimSpec extends AnyFunSuite {
     assert(top1.select("x").as[String].collect().toSet == Set("c", "d"))
   }
 
+  test("jinja layer: var/env_var substitution, defaults, and {% if %} branches") {
+    import graft.sql.BigQueryDialect.renderJinja
+    // var with value, var with default, env_var injected
+    assert(renderJinja("select {{ var('lim') }}", Map("lim" -> "5")) == "select 5")
+    assert(renderJinja("select {{ var('lim', '9') }}") == "select 9")
+    assert(renderJinja("select '{{ env_var('REGION', 'us') }}'",
+      envVars = Map.empty) == "select 'us'")
+    assert(renderJinja("select '{{ env_var('REGION', 'us') }}'",
+      envVars = Map("REGION" -> "eu")) == "select 'eu'")
+    // equality / truthiness / else
+    assert(renderJinja("a {% if var('env') == 'prod' %}P{% else %}D{% endif %} z",
+      Map("env" -> "prod")) == "a P z")
+    assert(renderJinja("a {% if var('env') == 'prod' %}P{% else %}D{% endif %} z",
+      Map("env" -> "dev")) == "a D z")
+    assert(renderJinja("{% if var('flag') %}on{% endif %}",
+      Map("flag" -> "false")) == "")
+    // nested ifs resolve innermost-first
+    assert(renderJinja(
+      "{% if var('a') %}x{% if var('b') %}y{% endif %}z{% endif %}",
+      Map("a" -> "1", "b" -> "1")) == "xyz")
+    assert(renderJinja(
+      "{% if var('a') %}x{% if var('b') %}y{% endif %}z{% endif %}",
+      Map("a" -> "1", "b" -> "")) == "xz")
+    // undefined var with no default fails loudly
+    intercept[IllegalArgumentException](renderJinja("{{ var('nope') }}"))
+    // unsupported statement tags (elif/for/set) fail loudly instead of
+    // leaking raw Jinja into the SQL
+    intercept[IllegalArgumentException](renderJinja(
+      "{% if var('a') %}x{% elif var('b') %}y{% endif %}", Map("a" -> "1", "b" -> "1")))
+    intercept[IllegalArgumentException](renderJinja("{% for i in xs %}{{i}}{% endfor %}"))
+  }
+
+  test("jinja layer: a ref() in a dead {% if %} branch is not a DAG edge and the model runs") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-jinja").toString
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val sql = Map(
+      "base" -> "select id, v from {{ source('raw', 'src_t') }}",
+      "picked" -> ("select * from " +
+        "{% if var('mode') == 'full' %}{{ ref('base') }}" +
+        "{% else %}{{ ref('base_missing') }}{% endif %} where id <= {{ var('lim', '10') }}"))
+    val out = new DbtSqlEngine(spark, wh, vars = Map("mode" -> "full"))
+      .run(sql, Map("src_t" -> src))
+    assert(out("picked").count() == 2)
+    // and the rendered SQL's refs reflect only the live branch
+    val rendered = BigQueryDialect.renderJinja(sql("picked"), Map("mode" -> "full"))
+    assert(BigQueryDialect.refs(rendered) == Seq("base"))
+  }
+
   test("translator unit: QUALIFY on explicit select-lists (aliases, qualified refs, arbitrary cmp)") {
     import spark.implicits._
     Seq((1, "a", 10), (1, "b", 20), (1, "c", 30), (2, "d", 40))

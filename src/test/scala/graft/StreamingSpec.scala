@@ -563,6 +563,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("guarded streaming CDC sink: cross-batch stale replay rejected, deletes stay deleted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val path = java.nio.file.Files.createTempDirectory("graft-cdc-g").toString + "/t"
+    val q = StreamingOps.cdcSinkGuarded(
+      mem.toDF().toDF("id", "v", "op", "seq"), path, Seq("id"), "cdc_g_q")
+    try {
+      mem.addData((1L, "v3", "U", 30L), (2L, "b", "I", 10L), (3L, "c", "I", 11L))
+      q.processAllAvailable()
+      // later micro-batch replays a STALE lower-seq update for key 1
+      // and deletes key 3
+      mem.addData((1L, "stale_replay", "U", 20L), (3L, "x", "D", 40L))
+      q.processAllAvailable()
+      // an even later batch replays a pre-delete update for key 3 —
+      // the tombstone's seq 40 must hold it out (no resurrection)
+      mem.addData((3L, "resurrect", "U", 35L))
+      q.processAllAvailable()
+      val out = graft.model.Incremental.readCdcTable(spark, path)
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(out == Map(1L -> "v3", 2L -> "b"),
+        s"guard must reject stale replay and keep the delete: $out")
+      // and a genuinely NEWER change still applies
+      mem.addData((1L, "v5", "U", 50L))
+      q.processAllAvailable()
+      val out2 = graft.model.Incremental.readCdcTable(spark, path)
+        .select("id", "v").as[(Long, String)].collect().toMap
+      assert(out2(1L) == "v5", s"newer seq must still apply: $out2")
+    } finally q.stop()
+  }
+
   test("Runner.build runs dbt-style checks in DAG order and aborts on failure") {
     import graft.model._
     val wh = java.nio.file.Files.createTempDirectory("graft-build").toString
