@@ -1021,6 +1021,72 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin),
 
+    // IVF append replay: the coarse quantizer is trained on the
+    // resident 2/3 only (same seeded 2-iteration Lloyd chain), the
+    // appended third is assigned against the FROZEN final centroids
+    // (argmax dot on the normalized vector, ties to the lowest
+    // cluster — exactly IvfIndex.appendVectors), and the probe serves
+    // the union. A hash match proves append-then-probe ≡
+    // assign-at-rebuild for the same centroids.
+    "q_ivf_append" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id AS id,
+        |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |        FROM c),
+        |bnrm AS (SELECT * FROM nrm WHERE id % 3 <> 0),
+        |dims AS (SELECT unnest(range(1, (SELECT len(nv) FROM nrm LIMIT 1) + 1)) AS pos),
+        |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cluster,
+        |            nv AS cv
+        |          FROM (SELECT id, nv FROM bnrm ORDER BY id LIMIT 8) s),
+        |asg1 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent0.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent0.cv) DESC, cent0.cluster) AS rn
+        |    FROM bnrm n CROSS JOIN cent0) t WHERE rn = 1),
+        |cent1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg1 a JOIN bnrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |asg2 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent1.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent1.cv) DESC, cent1.cluster) AS rn
+        |    FROM bnrm n CROSS JOIN cent1) t WHERE rn = 1),
+        |cent2 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg2 a JOIN bnrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |asgapp AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent2.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent2.cv) DESC, cent2.cluster) AS rn
+        |    FROM (SELECT * FROM nrm WHERE id % 3 = 0) n CROSS JOIN cent2) t
+        |  WHERE rn = 1),
+        |fullasg AS (SELECT * FROM asg2 UNION ALL SELECT * FROM asgapp),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |probes AS (SELECT query_id, qv, cluster FROM (
+        |    SELECT q.query_id, q.qv, cent2.cluster,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.qv, cent2.cv)
+        |          / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent2.cv, cent2.cv))) DESC,
+        |        cent2.cluster) AS prn
+        |    FROM q CROSS JOIN cent2) t WHERE prn <= 2),
+        |scored AS (SELECT query_id, c.vec_id AS nn_id,
+        |    round(list_dot_product(qv, v)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM c JOIN fullasg ON c.vec_id = fullasg.id
+        |  JOIN probes ON fullasg.cluster = probes.cluster
+        |  WHERE c.vec_id != query_id)
+        |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, nn_id) AS rn
+        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+
     // recall@10 of the IVF path vs exact brute force: both replays
     // are deterministic, so the measured recall is itself an oracle
     // contract (per query: hits of the exact top-10 found by IVF)

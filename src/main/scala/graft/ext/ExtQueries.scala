@@ -956,6 +956,29 @@ object ExtQueries {
       emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
   }
 
+  /** Index-maintenance path: build the IVF index from the resident 2/3
+    * of the embeddings (vec_id % 3 ≠ 0), APPEND the remaining third
+    * through [[graft.operators.IvfIndex.appendVectors]] (nearest
+    * stored centroid, O(batch), no recluster), then probe — served
+    * results must cover old AND new rows exactly as a replay that
+    * assigns the appended batch against the same frozen centroids.
+    * Rebuilt fresh each run (appends are not idempotent under the
+    * marker-reuse discipline). */
+  def qIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_append"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".centroids"), true)
+    graft.operators.IvfIndex.writeIndex(
+      emb.filter(col("vec_id") % 3 =!= 0), path, nClusters = 8, iters = 2)
+    graft.operators.IvfIndex.appendVectors(spark,
+      emb.filter(col("vec_id") % 3 === 0), path)
+    graft.operators.IvfIndex.probeTopK(spark, path,
+      emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+  }
+
   /** Nearest-centroid classification of the embeddings table: fit on
     * vec_id % 5 ≠ 0, classify the rest, confusion counts. */
   def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =

@@ -39,6 +39,38 @@ object IvfIndex {
     cents.write.mode("overwrite").parquet(centroidPath(path))
   }
 
+  /** Nightly-ingest index maintenance: route a NEW batch of vectors to
+    * their nearest existing coarse centroid and append them into the
+    * matching cluster partition directories — O(batch) work against an
+    * index of any size, no recluster, no rewrite of resident
+    * partitions (`mode(append)` + partitionBy only creates files under
+    * the touched cluster dirs). Assignment mirrors
+    * [[Similarity.kmeans]]'s step exactly (row-normalized vector,
+    * argmax dot against the stored centroid, ties to the lowest
+    * cluster id), so an appended vector lands in the same cluster a
+    * full rebuild at the same centroids would give it and
+    * [[probeTopK]] serves old and new rows identically. Centroids are
+    * NOT moved by appends — the standard IVF serving discipline
+    * (centroid drift is a periodic offline rebuild; the append path
+    * must stay cheap and deterministic). */
+  def appendVectors(spark: SparkSession, batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(centroidPath(path))
+    val nv = {
+      val v = transform(col(vecCol), x => x.cast("double"))
+      batch.select(col(idCol),
+        transform(v, x => x / sqrt(Similarity.dot(v, v))).as("nv"))
+    }
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(Similarity.dot(col("nv"), col("centroid")).desc, col("cluster"))
+    val assign = nv.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cluster"))
+    batch.join(assign, Seq(idCol))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+  }
+
   /** Exact top-k within the probed partitions of a written index.
     * Results are identical to scoring the same (query, cluster) pairs
     * over the full corpus — pruning changes I/O, never answers
