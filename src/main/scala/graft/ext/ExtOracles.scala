@@ -1021,6 +1021,73 @@ object ExtOracles {
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
         |  FROM scored) t WHERE rn <= 10""".stripMargin),
 
+    // minhash band index replay: history (%4 != 0) and batch (%4 == 0)
+    // signatures from the shared md5-60 chain, candidates via banded
+    // equality, scored by signature-agreement count (the minhash
+    // Jaccard estimate), best match per batch doc by (cnt desc, id),
+    // history beating batch — mirrors MinHashBandIndex.probe
+    "q_dedup_near_indexed" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |h AS (SELECT doc_id, s,
+        |        CAST(concat('0x', substr(md5(CAST(s // 2 AS VARCHAR) || '|' || gram), 1 + 15 * (s % 2), 15)) AS BIGINT) AS hv
+        |      FROM grams CROSS JOIN (SELECT unnest(range(0, 8)) AS s) seeds),
+        |sig AS (SELECT doc_id,
+        |  MIN(CASE WHEN s = 0 THEN hv END) AS m0, MIN(CASE WHEN s = 1 THEN hv END) AS m1,
+        |  MIN(CASE WHEN s = 2 THEN hv END) AS m2, MIN(CASE WHEN s = 3 THEN hv END) AS m3,
+        |  MIN(CASE WHEN s = 4 THEN hv END) AS m4, MIN(CASE WHEN s = 5 THEN hv END) AS m5,
+        |  MIN(CASE WHEN s = 6 THEN hv END) AS m6, MIN(CASE WHEN s = 7 THEN hv END) AS m7
+        |FROM h GROUP BY doc_id),
+        |hist AS (SELECT * FROM sig WHERE doc_id % 4 <> 0),
+        |batch AS (SELECT * FROM sig WHERE doc_id % 4 = 0),
+        |hb AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM hist UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM hist UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM hist UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM hist),
+        |bb AS (
+        |  SELECT doc_id, 0 AS band, m0 AS k0, m1 AS k1 FROM batch UNION ALL
+        |  SELECT doc_id, 1, m2, m3 FROM batch UNION ALL
+        |  SELECT doc_id, 2, m4, m5 FROM batch UNION ALL
+        |  SELECT doc_id, 3, m6, m7 FROM batch),
+        |candh AS (SELECT DISTINCT b.doc_id AS id, h.doc_id AS hist_id
+        |          FROM bb b JOIN hb h
+        |            ON b.band = h.band AND b.k0 = h.k0 AND b.k1 = h.k1),
+        |cnth AS (SELECT c.id, c.hist_id,
+        |    (CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END + CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END
+        |   + CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END + CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END
+        |   + CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END + CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END
+        |   + CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END + CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) AS cnt
+        |  FROM candh c JOIN batch x ON x.doc_id = c.id
+        |  JOIN hist y ON y.doc_id = c.hist_id),
+        |histbest AS (SELECT id, hist_id, cnt FROM (SELECT id, hist_id, cnt,
+        |    row_number() OVER (PARTITION BY id ORDER BY cnt DESC, hist_id) AS rn
+        |  FROM cnth WHERE cnt >= 3) u WHERE rn = 1),
+        |candb AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |          FROM bb a JOIN bb b
+        |            ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+        |           AND a.doc_id < b.doc_id),
+        |cntb AS (SELECT c.a_id, c.b_id,
+        |    (CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END + CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END
+        |   + CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END + CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END
+        |   + CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END + CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END
+        |   + CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END + CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) AS cnt
+        |  FROM candb c JOIN batch x ON x.doc_id = c.a_id
+        |  JOIN batch y ON y.doc_id = c.b_id),
+        |batchbest AS (SELECT b_id AS id, a_id, cnt FROM (SELECT b_id, a_id, cnt,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY cnt DESC, a_id) AS rn
+        |  FROM cntb WHERE cnt >= 3) u WHERE rn = 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN hx.id IS NOT NULL THEN 'dup_history'
+        |       WHEN bx.id IS NOT NULL THEN 'dup_batch'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN hx.id IS NOT NULL THEN hx.hist_id ELSE bx.a_id END AS dup_of,
+        |  CAST(CASE WHEN hx.id IS NOT NULL THEN hx.cnt ELSE bx.cnt END AS INTEGER) AS n_matches
+        |FROM batch b LEFT JOIN histbest hx ON hx.id = b.doc_id
+        |LEFT JOIN batchbest bx ON bx.id = b.doc_id""".stripMargin,
+
     // IVF append replay: the coarse quantizer is trained on the
     // resident 2/3 only (same seeded 2-iteration Lloyd chain), the
     // appended third is assigned against the FROZEN final centroids

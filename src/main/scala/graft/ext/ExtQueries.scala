@@ -776,6 +776,23 @@ object ExtQueries {
       .select("media_id", "status", "dup_of", "hamming")
   }
 
+  /** Disk-index NEAR-dup twin of [[qDedupIncremental]] — the text
+    * analog of [[qImageDedupIndexed]]: history's (doc_id % 4 ≠ 0)
+    * banded minhash rows persisted as a bucketed table
+    * ([[graft.operators.MinHashBandIndex]]), the % 4 == 0 batch
+    * probed against it and itself, matches scored by signature
+    * agreement (≥ 3 of 8). */
+  def qDedupNearIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val path = System.getProperty("java.io.tmpdir") + "/graft_mhband_idx"
+    ensureIndex(spark, "graft_mhband_idx", path, dir) {
+      graft.operators.MinHashBandIndex.writeIndex(
+        docs.filter(col("doc_id") % 4 =!= 0), "graft_mhband_idx", path)
+    }
+    graft.operators.MinHashBandIndex.probe(spark, "graft_mhband_idx",
+      docs.filter(col("doc_id") % 4 === 0))
+  }
+
   /** Concat-and-chunk sequence packing of the document corpus into
     * 512-token context windows across 8 hash shards (per-shard window
     * = no global serial pass; see [[Curation.packChunks]]). */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Curation, Dedup, TextAnalysis}
@@ -346,4 +346,138 @@ object ShingleIndex {
       postings(keptDocs, idCol, textCol)
         .select(col("h"), col(idCol).as("hist_id")),
       "h")
+}
+
+/** On-disk MinHash-LSH band index — the TEXT near-duplicate analog of
+  * [[DHashIndex]], closing the nightly-ingest family's last gap: the
+  * exact-fingerprint ([[FingerprintIndex]]) and containment
+  * ([[ShingleIndex]]) probes miss lightly-edited near-dups, and the
+  * batch LSH path ([[graft.ext.Dedup.lshVerifiedPairs]]) re-shuffles
+  * the whole corpus every run. Here history's banded minhash rows
+  * ((band|k0|k1) composite key + the full signature) persist as a
+  * bucketed external table: each nightly batch computes its own
+  * signatures (O(batch)), band-joins against the co-located index
+  * side, and scores candidates by SIGNATURE AGREEMENT — the standard
+  * minhash Jaccard estimate matches/numHashes — so no history text or
+  * shingles are ever stored or re-read.
+  *
+  * Hot-bucket guard at BUILD time: each band bucket keeps only its
+  * `bucketCap` lowest ids ([[graft.ext.Dedup.lshCandidates]]'s
+  * KMV-bottom-k discipline), so a 10⁷-doc template family in history
+  * cannot fan a probe out quadratically. [[appendKept]] preserves the
+  * bucketed layout but cannot see resident bucket membership — caps
+  * re-tighten at the periodic rebuild, the same compaction window
+  * that bounds per-bucket file counts.
+  *
+  * Banding completeness: a candidate surfaces iff some band's
+  * `rowsPerBand` hashes all agree, so every reported match has
+  * n_matches ≥ rowsPerBand; `minMatches` then thresholds the
+  * estimated similarity (minMatches/numHashes ≈ the Jaccard floor).
+  */
+object MinHashBandIndex {
+
+  private def bandRows(sigs: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val structs = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r =>
+        col(s"m${b * rowsPerBand + r}").as(s"k$r"))
+      struct(lit(b).as("band") +: ks: _*)
+    }
+    val sigCols = (0 until numHashes).map(i => col(s"m$i"))
+    sigs.select((col(idCol) +: sigCols :+
+        explode(array(structs: _*)).as("bk")): _*)
+      .withColumn("band_key", concat_ws("|",
+        col("bk.band") +: (0 until rowsPerBand).map(i => col(s"bk.k$i")): _*))
+      .drop("bk")
+  }
+
+  /** Build + persist history's capped band rows, bucketed by the
+    * composite band key. */
+  def writeIndex(corpus: DataFrame, table: String, path: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, bucketCap: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = 0): Unit = {
+    val sigs = Dedup.minhashSignatures(corpus, numHashes, idCol, textCol)
+    val rows = bandRows(sigs, idCol, numHashes, rowsPerBand)
+    val keep = rows.groupBy("band_key")
+      .agg(graft.expressions.KmvSketchAgg.kmv(col(idCol), bucketCap).as("ids"))
+      .select(col("band_key"), explode(col("ids")).as(idCol))
+    HashIndexWriter.write(rows.join(keep, Seq("band_key", idCol), "left_semi"),
+      table, path, "band_key", numBuckets)
+  }
+
+  /** Screen a new batch against the index AND itself: status ∈
+    * kept | dup_batch | dup_history (history beats batch, the
+    * [[FingerprintIndex]] convention); dup_of = the best match by
+    * (n_matches desc, lowest id) — deterministic. n_matches = agreeing
+    * minhash positions of the winning match (null for kept).
+    * @return (doc_id, status, dup_of, n_matches). */
+  def probe(spark: SparkSession, table: String, newDocs: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2, minMatches: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // signatures feed three plan subtrees (history band join, batch
+    // self-banding, final assembly) — checkpoint once, callers reclaim
+    val sigs = Dedup.minhashSignatures(newDocs, numHashes, idCol, textCol)
+      .localCheckpoint()
+    val batchBands = bandRows(sigs, idCol, numHashes, rowsPerBand)
+    val hist = spark.table(table)
+    def matches(l: Int => Column, r: Int => Column): Column =
+      (0 until numHashes).map(i =>
+        when(l(i) === r(i), 1).otherwise(0)).reduce(_ + _)
+    val histBest = batchBands.select(col(idCol), col("band_key"))
+      .join(hist.select(col("band_key") +: col(idCol).as("hist_id") +:
+          (0 until numHashes).map(i => col(s"m$i").as(s"h$i")): _*),
+        Seq("band_key"))
+      // at-least-once replay AFTER appendKept folded this batch in
+      // must reproduce the original statuses, not self-matches
+      .filter(col("hist_id") =!= col(idCol))
+      .select((col(idCol) +: col("hist_id") +:
+        (0 until numHashes).map(i => col(s"h$i"))): _*)
+      .distinct()
+      .join(sigs, Seq(idCol))
+      .withColumn("cnt", matches(i => col(s"m$i"), i => col(s"h$i")))
+      .filter(col("cnt") >= minMatches)
+      .groupBy(col(idCol))
+      .agg(min(struct((lit(numHashes) - col("cnt")).as("neg"),
+        col("hist_id"))).as("m"))
+      .select(col(idCol), col("m.hist_id").as("hist_of"),
+        (lit(numHashes) - col("m.neg")).as("hist_cnt"))
+    val batchPairs = Dedup.lshCandidates(sigs, numHashes, rowsPerBand, idCol)
+      .select(col("a_id"), col("b_id"))
+      .join(sigs.select(col(idCol).as("a_id") +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"a$i")): _*), Seq("a_id"))
+      .join(sigs.select(col(idCol).as("b_id") +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"b$i")): _*), Seq("b_id"))
+      .withColumn("cnt", matches(i => col(s"a$i"), i => col(s"b$i")))
+      .filter(col("cnt") >= minMatches)
+    val batchBest = batchPairs
+      .groupBy(col("b_id").as(idCol))
+      .agg(min(struct((lit(numHashes) - col("cnt")).as("neg"),
+        col("a_id"))).as("m"))
+      .select(col(idCol), col("m.a_id").as("batch_of"),
+        (lit(numHashes) - col("m.neg")).as("batch_cnt"))
+    sigs.select(col(idCol))
+      .join(histBest, Seq(idCol), "left")
+      .join(batchBest, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("hist_of").isNotNull, lit("dup_history"))
+          .when(col("batch_of").isNotNull, lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("hist_of").isNotNull, col("hist_of"))
+          .otherwise(col("batch_of")).as("dup_of"),
+        when(col("hist_of").isNotNull, col("hist_cnt"))
+          .otherwise(col("batch_cnt")).cast("int").as("n_matches"))
+  }
+
+  /** Fold a probe's kept docs back into the index — the O(batch)
+    * nightly append ([[FingerprintIndex.appendKept]] discipline).
+    * Recomputes signatures from the kept docs' text. */
+  def appendKept(spark: SparkSession, table: String, keptDocs: DataFrame,
+      numHashes: Int = 8, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    HashIndexWriter.append(spark, table,
+      bandRows(Dedup.minhashSignatures(keptDocs, numHashes, idCol, textCol),
+        idCol, numHashes, rowsPerBand),
+      "band_key")
 }

@@ -419,6 +419,42 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming text near-dup ingest sink — the document twin of
+    * [[imageIngestSink]], completing the realtime face of the
+    * nightly-ingest dedup family: each micro-batch is minhashed
+    * (stateless map) and screened through the on-disk
+    * [[graft.operators.MinHashBandIndex]] probe (kept | dup_batch |
+    * dup_history by signature agreement, history read shuffle-free
+    * from its bucketed layout), then kept docs fold back via
+    * appendKept so the next micro-batch sees them as history. Zero
+    * Spark state store usage — dedup state IS the index, restarts
+    * resume from disk, batch and stream share one table. Same replay
+    * discipline as imageIngestSink: per-batch overwrite output,
+    * self-match exclusion in the probe, distinct-benign appends. */
+  def textIngestSink(docs: DataFrame, indexTable: String, outPath: String,
+      queryName: String, minMatches: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val probed = graft.operators.MinHashBandIndex.probe(spark,
+            indexTable, batch.toDF(), minMatches = minMatches,
+            idCol = idCol, textCol = textCol)
+            .localCheckpoint() // probe once; both writes read the result
+          try {
+            probed.write.mode("overwrite")
+              .parquet(s"$outPath/batch_id=$batchId")
+            graft.operators.MinHashBandIndex.appendKept(spark, indexTable,
+              batch.toDF().join(probed.filter(col("status") === "kept")
+                .select(col(idCol)), Seq(idCol), "left_semi"),
+              idCol = idCol, textCol = textCol)
+          } finally graft.ext.Checkpoints.release(probed)
+        }
+      }
+      .start()
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

@@ -441,6 +441,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming text ingest: minhash-band probe classifies, kept folds back as history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MinHashBandIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-txtstream").toString
+    val textA = "the quick brown fox jumps over the lazy dog while the cat watches from the windowsill every morning"
+    val textB = "spark catalyst optimizer rules rewrite logical plans into efficient physical execution strategies at scale"
+    val textC = "parquet column pruning and predicate pushdown keep large scans cheap on wide analytical tables today"
+    MinHashBandIndex.writeIndex(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      "txt_ingest_idx", dir + "/idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.textIngestSink(
+      mem.toDF().toDF("doc_id", "text"),
+      "txt_ingest_idx", dir + "/out", "txt_ingest_q")
+    try {
+      // batch 1: 10 duplicates history doc 1; 11 is new (kept);
+      // 12 duplicates 11 within the batch (dup_batch, smaller id wins)
+      mem.addData((10L, textA), (11L, textC), (12L, textC))
+      q.processAllAvailable()
+      // batch 2: 20 duplicates 11 — which must now be HISTORY
+      // (appendKept folded batch 1's kept docs in)
+      mem.addData((20L, textC))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir + "/out")
+        .select("doc_id", "status", "dup_of")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+      assert(out(10L) == ("dup_history", Some(1L)), s"$out")
+      assert(out(11L) == ("kept", None), s"$out")
+      assert(out(12L) == ("dup_batch", Some(11L)), s"$out")
+      assert(out(20L) == ("dup_history", Some(11L)), s"$out")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS txt_ingest_idx") }
+  }
+
   test("streaming image ingest: probe classifies, kept folds back as history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
