@@ -979,19 +979,27 @@ object ExtQueries {
     * stored centroid, O(batch), no recluster), then probe — served
     * results must cover old AND new rows exactly as a replay that
     * assigns the appended batch against the same frozen centroids.
-    * Rebuilt fresh each run (appends are not idempotent under the
-    * marker-reuse discipline). */
+    * Build-then-append is deterministic, so the APPENDED index is
+    * marker-reused across runs (a bare append on reuse would
+    * duplicate the batch; the marker guards the whole build+append
+    * unit instead). */
   def qIvfAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
     val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_append"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.delete(new org.apache.hadoop.fs.Path(path + ".centroids"), true)
-    graft.operators.IvfIndex.writeIndex(
-      emb.filter(col("vec_id") % 3 =!= 0), path, nClusters = 8, iters = 2)
-    graft.operators.IvfIndex.appendVectors(spark,
-      emb.filter(col("vec_id") % 3 === 0), path)
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_BUILT_FROM")
+    val same = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == dir
+    if (!same) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".centroids"), true)
+      graft.operators.IvfIndex.writeIndex(
+        emb.filter(col("vec_id") % 3 =!= 0), path, nClusters = 8, iters = 2)
+      graft.operators.IvfIndex.appendVectors(spark,
+        emb.filter(col("vec_id") % 3 === 0), path)
+      java.nio.file.Files.write(marker, dir.getBytes("UTF-8"))
+    }
     graft.operators.IvfIndex.probeTopK(spark, path,
       emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
   }

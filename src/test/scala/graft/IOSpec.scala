@@ -118,6 +118,43 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("bucketed minhash band index: shuffle-free near-dup probe; history beats batch; kept appends back") {
+    import graft.operators.MinHashBandIndex
+    val textA = "the quick brown fox jumps over the lazy dog while the cat watches from the windowsill every single morning"
+    val textB = "spark catalyst optimizer rules rewrite logical plans into efficient physical execution strategies at warehouse scale"
+    val textC = "parquet column pruning and predicate pushdown keep large scans cheap on wide analytical tables every day"
+    MinHashBandIndex.writeIndex(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      "mh_idx_b", tmp("graft-mhidx") + "/idx")
+    // 100 and 101 both duplicate history doc 1 (and each other —
+    // history must WIN for 101); 102 matches nothing
+    val batch = Seq((100L, textA), (101L, textA), (102L, textC))
+      .toDF("doc_id", "text")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = MinHashBandIndex.probe(spark, "mh_idx_b", batch)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan must use its bucketed layout:\n$plan")
+      val st = out.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+      assert(st(100L) == ("dup_history", Some(1L)), s"$st")
+      assert(st(101L) == ("dup_history", Some(1L)), s"$st")
+      assert(st(102L) == ("kept", None), s"$st")
+      // fold kept back: next wave sees 102's text as history
+      MinHashBandIndex.appendKept(spark, "mh_idx_b",
+        Seq((102L, textC)).toDF("doc_id", "text"))
+      val wave2 = Seq((200L, textC)).toDF("doc_id", "text")
+      val st2 = MinHashBandIndex.probe(spark, "mh_idx_b", wave2).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+      assert(st2(200L) == ("dup_history", Some(102L)), s"$st2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS mh_idx_b")
+    }
+  }
+
   test("compact collapses small files without changing data; partitioned layout survives") {
     val src = Tables(spark, "/root/testdata/sf0.001").orders
     // flat case: 16 shards -> 1 file at a generous target
