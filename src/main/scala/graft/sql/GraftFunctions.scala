@@ -53,6 +53,15 @@ object GraftFunctions {
     Multiply(Multiply(lit(6371008.8), lit(2.0)), Asin(Sqrt(a)))
   }
 
+  /** st_distance_spheroid(p1, p2) in meters — WGS84 Vincenty geodesic
+    * ([[graft.expressions.VincentyDistance]]), what live BigQuery's
+    * ST_DISTANCE computes; use when the ≤0.5% sphere divergence
+    * matters (e.g. the 10-mile threshold, locations_clean.sql:63). */
+  def stDistanceSpheroid(args: Seq[Expression]): Expression =
+    graft.expressions.VincentyDistance(
+      field(args(0), "lat"), field(args(0), "lon"),
+      field(args(1), "lat"), field(args(1), "lon"))
+
   /** regexp_contains(s, pattern) -> s RLIKE pattern. */
   def regexpContains(args: Seq[Expression]): Expression = RLike(args(0), args(1))
 
@@ -64,6 +73,7 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_geogpoint" -> stGeogpoint _,
     "st_distance" -> stDistance _,
+    "st_distance_spheroid" -> stDistanceSpheroid _,
     "regexp_contains" -> regexpContains _,
     "date_diff_years" -> dateDiffYears _,
     // native codegen'd ANN hot-loop (graft.expressions.DotProduct)
@@ -278,6 +288,17 @@ object GraftFunctions {
     val idx = strArg(args.head, "fp_index_probe(indexTable)")
     val batch = tableOf(strArg(args(1), "fp_index_probe(batchTable)"))
     graft.operators.FingerprintIndex.probe(SparkSession.active, idx, batch)
+      .queryExecution.logical
+  }
+
+  /** mh_index_probe(indexTbl, batchTbl) — near-dup screen a batch
+    * against a written [[graft.operators.MinHashBandIndex]] (build it
+    * with `MinHashBandIndex.writeIndex`; statuses kept | dup_batch |
+    * dup_history by signature agreement). */
+  def mhIndexProbeTvf(args: Seq[Expression]): LogicalPlan = {
+    val idx = strArg(args.head, "mh_index_probe(indexTable)")
+    val batch = tableOf(strArg(args(1), "mh_index_probe(batchTable)"))
+    graft.operators.MinHashBandIndex.probe(SparkSession.active, idx, batch)
       .queryExecution.logical
   }
 
@@ -853,6 +874,7 @@ object GraftFunctions {
     "fp_index_probe" -> (fpIndexProbeTvf _),
     "mem_index_probe" -> (memIndexProbeTvf _),
     "bp_index_probe" -> (bpIndexProbeTvf _),
+    "mh_index_probe" -> (mhIndexProbeTvf _),
     "line_dedup" -> (lineDedupTvf _),
     "c4_clean" -> (c4CleanTvf _),
     "quality_classify" -> (qualityClassifyTvf _),

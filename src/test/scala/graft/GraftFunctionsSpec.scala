@@ -277,6 +277,43 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val memSql = spark.sql("SELECT * FROM mem_index_probe('mem_tvf_b', 'docs_tvf10')")
     val memApi = graft.operators.MemorizationIndex.probe(spark, "mem_tvf_b", docs)
     assert(memSql.exceptAll(memApi).isEmpty && memApi.exceptAll(memSql).isEmpty)
+    graft.operators.MinHashBandIndex.writeIndex(
+      docs.filter(col("doc_id") % 5 =!= 4), "mh_tvf_b", tmp + "/mh")
+    val mhSql = spark.sql("SELECT * FROM mh_index_probe('mh_tvf_b', 'batch_tvf10')")
+    val mhApi = graft.operators.MinHashBandIndex.probe(
+      spark, "mh_tvf_b", spark.table("batch_tvf10"))
+    assert(mhSql.exceptAll(mhApi).isEmpty && mhApi.exceptAll(mhSql).isEmpty)
+  }
+
+  test("st_distance_spheroid from SQL equals the Column API and stays under haversine divergence") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((40.7128, -74.006, 51.5074, -0.1278),   // NYC–London
+      (35.6762, 139.6503, -33.8688, 151.2093),            // Tokyo–Sydney
+      (0.0, 0.0, 0.0, 90.0), (10.0, 20.0, 10.0, 20.0))    // equator quarter, coincident
+      .toDF("lat1", "lon1", "lat2", "lon2")
+    pts.createOrReplaceTempView("sph_pts")
+    val viaSql = spark.sql(
+      """SELECT st_distance_spheroid(st_geogpoint(lon1, lat1),
+        |       st_geogpoint(lon2, lat2)) AS m FROM sph_pts""".stripMargin)
+      .as[Double].collect()
+    val viaApi = pts.select(graft.expressions.VincentyDistance
+        .stDistanceSpheroid(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .as[Double].collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // NYC–London geodesic is ~5570 km; spheroid must sit within 0.5%
+    // of haversine but NOT equal it (the sphere bias it corrects)
+    val hav = pts.select(graft.functions.BqFunctions
+        .haversineMiles(col("lat1"), col("lon1"), col("lat2"), col("lon2")) * 1609.34)
+      .as[Double].collect()
+    assert(math.abs(viaApi(0) - 5570000.0) < 20000.0, s"NYC-London: ${viaApi(0)}")
+    assert(viaApi(3) == 0.0, "coincident points must be exactly 0")
+    for (i <- 0 until 3) {
+      assert(math.abs(viaApi(i) - hav(i)) / viaApi(i) < 0.005,
+        s"row $i spheroid ${viaApi(i)} vs haversine ${hav(i)}")
+      assert(viaApi(i) != hav(i), s"row $i spheroid should differ from sphere")
+    }
   }
 
   test("multi_match SQL surface: matched patterns in list order, literal-only") {
