@@ -137,6 +137,22 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
     assert(pinned === 0)
   }
 
+  test("MinHashBandIndex probe pins only its signature checkpoint; releaseAll reclaims it") {
+    Checkpoints.releaseAll(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-mh").toString
+    graft.operators.MinHashBandIndex.writeIndex(
+      docs.filter(col("doc_id") <= 2), "ckpt_mh_idx", tmp + "/idx")
+    try {
+      graft.operators.MinHashBandIndex.probe(spark, "ckpt_mh_idx",
+        docs.filter(col("doc_id") > 2)).count()
+      // one batch-sized pin (the probe's signature checkpoint + the
+      // internal lshCandidates band table) is the documented contract;
+      // the session owner reclaims once results are consumed
+      Checkpoints.releaseAll(spark)
+      assert(pinned === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS ckpt_mh_idx")
+  }
+
   test("eval/link-prediction family: only the returned result may stay pinned") {
     Checkpoints.releaseAll(spark)
     import spark.implicits._

