@@ -39,13 +39,17 @@ object BigQueryDialect {
   // out of scope (the reference uses none of this — its only macro,
   // coalesce_trim, resolves separately).
 
+  // `-?` after `{%`/`{{` and before `%}`/`}}`: Jinja's whitespace-
+  // control tags ({%- if -%}, {{- var -}}) are everyday dbt style; we
+  // accept them without implementing the whitespace stripping (SQL
+  // whitespace is insignificant)
   private val varRe: Regex =
-    """\{\{\s*var\(\s*'([^']+)'\s*(?:,\s*('[^']*'|[^)\s][^)]*?))?\s*\)\s*\}\}""".r
+    """\{\{-?\s*var\(\s*'([^']+)'\s*(?:,\s*('[^']*'|[^)\s][^)]*?))?\s*\)\s*-?\}\}""".r
   private val envVarRe: Regex =
-    """\{\{\s*env_var\(\s*'([^']+)'\s*(?:,\s*'([^']*)')?\s*\)\s*\}\}""".r
+    """\{\{-?\s*env_var\(\s*'([^']+)'\s*(?:,\s*'([^']*)')?\s*\)\s*-?\}\}""".r
   private val ifRe: Regex =
-    ("""(?s)\{%\s*if\s+((?:(?!%\}|\{%).)*?)\s*%\}((?:(?!\{%\s*(?:if|endif)).)*?)""" +
-     """(?:\{%\s*else\s*%\}((?:(?!\{%\s*(?:if|endif)).)*?))?\{%\s*endif\s*%\}""").r
+    ("""(?s)\{%-?\s*if\s+((?:(?!%\}|\{%).)*?)\s*-?%\}((?:(?!\{%-?\s*(?:if|endif)).)*?)""" +
+     """(?:\{%-?\s*else\s*-?%\}((?:(?!\{%-?\s*(?:if|endif)).)*?))?\{%-?\s*endif\s*-?%\}""").r
 
   private def truthy(v: String): Boolean =
     v.nonEmpty && v != "false" && v != "0" && v != "none"

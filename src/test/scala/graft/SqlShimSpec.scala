@@ -136,6 +136,12 @@ class SqlShimSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](renderJinja(
       "{% if var('a') %}x{% elif var('b') %}y{% endif %}", Map("a" -> "1", "b" -> "1")))
     intercept[IllegalArgumentException](renderJinja("{% for i in xs %}{{i}}{% endfor %}"))
+    // whitespace-control tag variants ({%- -%}, {{- -}}) are accepted
+    assert(renderJinja("a {%- if var('x') -%} B {%- else -%} C {%- endif -%} z",
+      Map("x" -> "1")).replaceAll("\\s+", "") == "aBz")
+    // the -? variants parse; whitespace stripping itself is NOT
+    // implemented (SQL whitespace is insignificant), so the space stays
+    assert(renderJinja("select {{- var('lim') -}} ", Map("lim" -> "7")).trim == "select 7")
   }
 
   test("jinja layer: a ref() in a dead {% if %} branch is not a DAG edge and the model runs") {
