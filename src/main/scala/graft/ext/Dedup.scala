@@ -589,7 +589,12 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding is complete only for maxHamming <= 3, got $maxHamming")
-    val sh = hashes.select(col(idCol), col(hashCol))
+    // the hash frame feeds FOUR plan subtrees (both band-join sides,
+    // both verify joins) — without a checkpoint an expensive upstream
+    // re-evaluates per subtree (the documented imageDHashes input
+    // DECODES its corpus: measured 4x decode on q_image_near_dup).
+    // Hash-frame-sized pin; callers reclaim via releaseAll.
+    val sh = hashes.select(col(idCol), col(hashCol)).localCheckpoint()
     val ex = bandRows(sh, idCol, hashCol)
       .select(col(idCol), struct(col("blk"), col("v")).as("bk"))
     val cand = ex.select(col(idCol).as("a_id"), col("bk"))
