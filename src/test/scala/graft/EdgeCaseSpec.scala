@@ -412,4 +412,40 @@ class EdgeCaseSpec extends AnyFunSuite {
       Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")).count() == 0)
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("round-12 operators tolerate empty and degenerate inputs") {
+    import graft.ext.Dedup
+    import graft.model.Incremental
+    // bucketCap = 1: every bucket keeps one id — no pairs can form
+    val dups = Seq((1L, "same exact words here now"), (2L, "same exact words here now"))
+      .toDF("doc_id", "text")
+    assert(Dedup.lshCandidates(Dedup.minhashSignatures(dups),
+      bucketCap = 1).count() == 0)
+    // guarded CDC: first batch may contain deletes for unseen keys —
+    // they become tombstones, the live view is empty for those keys
+    val tmp = java.nio.file.Files.createTempDirectory("graft-edge-cdc").toString + "/t"
+    Incremental.applyChangesGuarded(spark,
+      Seq((1L, "x", "D", 5L), (2L, "a", "I", 1L)).toDF("id", "v", "op", "seq"),
+      tmp, Seq("id"))
+    val live = Incremental.readCdcTable(spark, tmp)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(live == Map(2L -> "a"), s"$live")
+    // ...and the tombstone still guards: a later lower-seq insert loses
+    Incremental.applyChangesGuarded(spark,
+      Seq((1L, "resurrect", "I", 3L)).toDF("id", "v", "op", "seq"),
+      tmp, Seq("id"))
+    assert(!Incremental.readCdcTable(spark, tmp)
+      .select("id").as[Long].collect().contains(1L))
+    // vincenty: antipodal-ish pair stays finite and deterministic
+    val d = graft.expressions.VincentyDistance.meters(0.0, 0.0, 0.5, 179.7)
+    assert(d.isFinite && d > 1.9e7 && d < 2.1e7, s"antipodal-ish: $d")
+    // minhash band index probe with an all-short batch (no signatures)
+    val idxTmp = java.nio.file.Files.createTempDirectory("graft-edge-mh").toString
+    graft.operators.MinHashBandIndex.writeIndex(dups, "edge_mh_idx", idxTmp + "/i")
+    try {
+      assert(graft.operators.MinHashBandIndex.probe(spark, "edge_mh_idx",
+        Seq((9L, "ab")).toDF("doc_id", "text")).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS edge_mh_idx")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }
