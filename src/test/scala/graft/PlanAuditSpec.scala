@@ -60,6 +60,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("reference models: no cartesian, no nested-loop fallback, broadcast dims") {
+    // the three reference models are the flagship deliverable — their
+    // plans must stay the 100 TB shape: every join keyed (no cartesian
+    // / nested-loop), at least the small dimension sides broadcast
+    for (q <- Seq("q_locations_clean", "q_stacked_users_partners", "q_user_base")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q falls back to a nested loop:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q broadcasts nothing:\n$p")
+    }
+  }
+
   test("IVF layout: cluster-partitioned parquet prunes unprobed partitions") {
     import graft.ext.Similarity
     import graft.sources.{IO, Tables}
