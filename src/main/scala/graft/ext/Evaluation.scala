@@ -264,6 +264,64 @@ object Evaluation {
     out
   }
 
+  /** Krippendorff's α (nominal metric) over multi-rater ratings WITH
+    * MISSING DATA — the agreement coefficient the other two cannot
+    * express: Cohen's κ needs exactly two complete raters, Fleiss' κ
+    * assumes every rater rates every item; α takes any number of
+    * raters each rating any subset, which is what real annotation
+    * campaigns produce. Coincidence-matrix formulation (Krippendorff
+    * 2004): observed disagreement Do = Σ_u (m_u² − Σ_c c_uc²)/(m_u−1),
+    * expected De = (n² − Σ_c n_c²)/(n−1), α = 1 − Do/De.
+    *
+    * Exactness: the per-unit 1/(m_u−1) weights CANCEL in the category
+    * marginals, so n_c and n are exact longs; each unit's Do term is
+    * micro-rounded and summed as longs (order-free — the
+    * hits/pagerank fixed-point discipline); De is one IEEE division
+    * of exact longs. Items with <2 ratings drop (no pairable
+    * information — standard α). A group with no category variation
+    * (De = 0) reports α = 1 by convention (nothing to disagree
+    * about), flagged by de = 0 in the output.
+    *
+    * Scale shape: one (grp, item, cat) count shuffle, an items-keyed
+    * rollup, and a categories-bounded marginal — nothing
+    * rater-quadratic anywhere.
+    *
+    * @param ratings one row per rating: `groupCol`, `itemCol`, `catCol`
+    * @return (grp, n_items, n_ratings, do_micro, de, alpha) */
+  def krippendorffAlpha(ratings: DataFrame, groupCol: String = "group",
+      itemCol: String = "item", catCol: String = "cat"): DataFrame = {
+    val nic = ratings
+      .select(col(groupCol).as("grp"), col(itemCol).as("item"),
+        col(catCol).as("cat"))
+      .groupBy("grp", "item", "cat").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read twice: unit rollup + marginals
+    val perItem = nic.groupBy("grp", "item")
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("sumc2"))
+      .filter(col("m") >= 2L)
+      .withColumn("du_micro",
+        round(lit(1e6) * (col("m") * col("m") - col("sumc2")).cast(DoubleType)
+          / (col("m") - 1L).cast(DoubleType), 0).cast(LongType))
+      .localCheckpoint() // read twice: Do sum + marginal semi-join
+    val doAgg = perItem.groupBy("grp").agg(
+      count(lit(1)).as("n_items"), sum(col("m")).as("n_ratings"),
+      sum(col("du_micro")).as("do_micro"))
+    val marg = nic
+      .join(perItem.select("grp", "item"), Seq("grp", "item"), "left_semi")
+      .groupBy("grp", "cat").agg(sum(col("c")).as("nc"))
+      .groupBy("grp").agg(sum(col("nc") * col("nc")).as("sum_nc2"))
+    val deNum = col("n_ratings") * col("n_ratings") - col("sum_nc2")
+    val deD = deNum.cast(DoubleType) / (col("n_ratings") - 1L).cast(DoubleType)
+    val out = doAgg.join(marg, Seq("grp"))
+      .select(col("grp"), col("n_items"), col("n_ratings"), col("do_micro"),
+        round(deD, 6).as("de"),
+        when(deNum === 0L, lit(1.0))
+          .otherwise(round(lit(1.0) -
+            (col("do_micro").cast(DoubleType) / 1e6) / deD, 6)).as("alpha"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(nic, perItem)
+    out
+  }
+
   /** Majority-vote label aggregation over multi-rater ratings — the
     * weak-supervision baseline (Snorkel's majority model) that turns
     * N noisy annotator calls per item into one training label with a

@@ -3839,6 +3839,52 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |        ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
       |FROM f""".stripMargin
 
+  /** q_krippendorff_alpha: same three rater rules as fleiss with the
+    * planted missing-data filters; per-unit Do terms micro-rounded
+    * then summed as longs, marginals exact longs (the 1/(m−1)
+    * weights cancel), De one IEEE division; De = 0 → α = 1. */
+  private val krippendorffSql: String =
+    """WITH t AS (SELECT source AS grp, doc_id AS item, lang,
+      |    lower(text) AS lt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM documents),
+      |r AS (SELECT grp, item,
+      |    CASE WHEN len(list_filter(toks,
+      |        x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      >= len(list_filter(toks,
+      |        x -> x IN ('el','la','de','y','es','en','que','los')))
+      |      THEN 'en' ELSE 'es' END AS cat FROM t
+      |  UNION ALL SELECT grp, item,
+      |    CASE WHEN lt LIKE '% the %' THEN 'en' ELSE 'es' END FROM t
+      |    WHERE item % 3 <> 1
+      |  UNION ALL SELECT grp, item,
+      |    CASE WHEN lang = 'en' THEN 'en' ELSE 'es' END FROM t
+      |    WHERE item % 5 <> 2),
+      |nic AS MATERIALIZED (SELECT grp, item, cat,
+      |    CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2, 3),
+      |it AS MATERIALIZED (SELECT grp, item, CAST(sum(c) AS BIGINT) AS m,
+      |    CAST(sum(c * c) AS BIGINT) AS sumc2
+      |  FROM nic GROUP BY 1, 2 HAVING sum(c) >= 2),
+      |du AS (SELECT grp, item, m, CAST(round(
+      |    1000000.0 * CAST(m * m - sumc2 AS DOUBLE) / CAST(m - 1 AS DOUBLE),
+      |    0) AS BIGINT) AS du_micro FROM it),
+      |doa AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(m) AS BIGINT) AS n_ratings,
+      |    CAST(sum(du_micro) AS BIGINT) AS do_micro FROM du GROUP BY 1),
+      |marg AS (SELECT n.grp, n.cat, CAST(sum(n.c) AS BIGINT) AS nc
+      |  FROM nic n JOIN it k ON k.grp = n.grp AND k.item = n.item
+      |  GROUP BY 1, 2),
+      |m2 AS (SELECT grp, CAST(sum(nc * nc) AS BIGINT) AS sum_nc2
+      |  FROM marg GROUP BY 1)
+      |SELECT d.grp, n_items, n_ratings, do_micro,
+      |  round(CAST(n_ratings * n_ratings - sum_nc2 AS DOUBLE)
+      |    / CAST(n_ratings - 1 AS DOUBLE), 6) AS de,
+      |  CASE WHEN n_ratings * n_ratings - sum_nc2 = 0 THEN 1.0
+      |    ELSE round(1.0 - (CAST(do_micro AS DOUBLE) / 1000000.0)
+      |      / (CAST(n_ratings * n_ratings - sum_nc2 AS DOUBLE)
+      |         / CAST(n_ratings - 1 AS DOUBLE)), 6) END AS alpha
+      |FROM doa d JOIN m2 ON m2.grp = d.grp""".stripMargin
+
   /** q_ks_drift: exact-long D numerator max |cumA·nB − cumB·nA| over
     * the pooled distinct-value table; single IEEE division. */
   private val ksDriftSql: String =
@@ -4489,6 +4535,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_vocab_pruning" -> vocabPruningSql,
     "q_auc_roc" -> aucRocSql,
     "q_fleiss_kappa" -> fleissKappaSql,
+    "q_krippendorff_alpha" -> krippendorffSql,
     "q_ks_drift" -> ksDriftSql,
     "q_psi_drift" -> psiDriftSql,
     "q_chi_square" -> chiSquareSql,

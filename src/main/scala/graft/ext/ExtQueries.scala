@@ -225,6 +225,29 @@ object ExtQueries {
     Evaluation.fleissKappa(ratings)
   }
 
+  /** Krippendorff's α per source over the three language-rule raters
+    * with PLANTED MISSING DATA (rater 2 skips doc_id % 3 == 1, rater 3
+    * skips doc_id % 5 == 2) — the incomplete-panel agreement shape
+    * Fleiss' κ cannot express; items left with one rating drop. */
+  def qKrippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def cnt(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(x => lit(x)): _*)))
+    val d = Tables(spark, dir).documents
+    def rater(c: org.apache.spark.sql.Column): DataFrame =
+      d.select(col("source").as("group"), col("doc_id").as("item"), c.as("cat"))
+    val ratings = rater(
+        when(cnt(TextAnalysis.EnStop) >= cnt(TextAnalysis.EsStop), "en")
+          .otherwise("es"))
+      .unionAll(rater(
+        when(lower(col("text")).like("% the %"), "en").otherwise("es"))
+        .filter(col("item") % 3 =!= 1))
+      .unionAll(rater(
+        when(col("lang") === "en", "en").otherwise("es"))
+        .filter(col("item") % 5 =!= 2))
+    Evaluation.krippendorffAlpha(ratings)
+  }
+
   /** Two-sample KS drift per language between even- and odd-id docs'
     * English-ness scores — the null-hypothesis wiring of the
     * distribution-drift gate (same score as [[qAucRoc]]). */

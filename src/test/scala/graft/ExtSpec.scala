@@ -1224,6 +1224,30 @@ class ExtSpec extends AnyFunSuite {
     assert(a("pos")._5 == 0.5, "no negatives: coin-flip convention")
   }
 
+  test("krippendorffAlpha: hand mixed-panel case; De=0 convention 1; single-rating items excluded") {
+    // g (raters per item VARY — the missing-data shape):
+    //  item 1 (a,a): du=0 · item 2 (a,b): du=2 · item 3 (b,b,b): du=0
+    //  item 4 (a,b,b): du=(9−5)/2=2 · item 5 single (a): DROPPED
+    //  n=10, n_a=4, n_b=6 ⇒ Do=4, De=(100−52)/9=16/3, α=1−4/(16/3)=0.25
+    val rows = Seq(
+      ("g", 1L, "a"), ("g", 1L, "a"),
+      ("g", 2L, "a"), ("g", 2L, "b"),
+      ("g", 3L, "b"), ("g", 3L, "b"), ("g", 3L, "b"),
+      ("g", 4L, "a"), ("g", 4L, "b"), ("g", 4L, "b"),
+      ("g", 5L, "a"),
+      ("p", 1L, "x"), ("p", 1L, "x"), ("p", 2L, "x"), ("p", 2L, "x"))
+      .toDF("group", "item", "cat")
+    val a = Evaluation.krippendorffAlpha(rows)
+      .select("grp", "n_items", "n_ratings", "do_micro", "de", "alpha")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(a("g")._2 == 4L && a("g")._3 == 10L, s"item 5 must drop: ${a("g")}")
+    assert(a("g")._4 == 4000000L && a("g")._5 == 5.333333, s"Do/De: ${a("g")}")
+    assert(a("g")._6 == 0.25, s"hand α: ${a("g")}")
+    assert(a("p")._5 == 0.0 && a("p")._6 == 1.0,
+      s"no-variation group is α=1 by convention: ${a("p")}")
+  }
+
   test("fleissKappa: hand 2-item 3-rater case; perfect 1; single-rating items excluded") {
     // g: item 1 rated (en,en,es), item 2 (en,es,es):
     // po = (2+2)/(2·3·2) = 1/3; marginals en=3, es=3 of N=6 ⇒ pe=0.5;
