@@ -52,6 +52,36 @@ object Curation {
           .as("repetition"))
   }
 
+  /** Cross-document n-gram NOVELTY: the corpus-level complement to
+    * [[repetitionScore]]'s within-doc loop gate — per doc, the
+    * fraction of its DISTINCT trigrams that appear in no other
+    * document (df == 1). Template families, mirrored pages, and
+    * quote-heavy docs score low; original content scores high — the
+    * standard "how much does this doc add to the corpus" signal a
+    * mixture planner weights by, and a cheap screen that surfaces
+    * near-dup families the exact fingerprint misses without running a
+    * pairwise candidate join at all.
+    *
+    * Exactness: both counts are exact longs; one 6dp division.
+    * Scale shape: one (gram → df) count shuffle on the uniform gram
+    * hash + one doc-keyed rollup — the [[graft.ext.Dedup]] shingle
+    * budget, no pairwise anything. Docs with <3 tokens drop (no
+    * trigrams — same rule as repetitionScore).
+    *
+    * @return (doc_id, n_grams, n_unique, novelty) */
+  def noveltyScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = Dedup.wordTrigrams(df, idCol, textCol)
+    val dfreq = sh.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    sh.join(dfreq, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idCol), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast(DoubleType) / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   /** Deterministic train/val/test split: bucket = portable hash of
     * "split|id" mod 100. Stable under corpus growth (a doc's split
     * never changes when new docs arrive) — the property a 100 TB

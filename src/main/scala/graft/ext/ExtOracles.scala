@@ -165,6 +165,17 @@ object ExtOracles {
         |  round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 6) AS repetition
         |FROM grams GROUP BY doc_id""".stripMargin,
 
+    "q_novelty_score" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |dfreq AS (SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM grams GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM grams JOIN dfreq USING (gram) GROUP BY doc_id""".stripMargin,
+
     "q_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

@@ -602,6 +602,11 @@ object ExtQueries {
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     Curation.repetitionScore(Tables(spark, dir).documents)
 
+  /** Cross-document trigram novelty per doc (df==1 fraction) — the
+    * corpus-level complement to q_repetition's within-doc gate. */
+  def qNoveltyScore(spark: SparkSession, dir: String): DataFrame =
+    Curation.noveltyScore(Tables(spark, dir).documents)
+
   def qHashSplit(spark: SparkSession, dir: String): DataFrame =
     Curation.hashSplit(Tables(spark, dir).documents)
       .select("doc_id", "split")

@@ -314,6 +314,22 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.domainCap(tied, 2).count() === 2)
   }
 
+  test("noveltyScore: exact dups score 0, unique docs 1, partial overlap exact fraction") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // dup of 2: all grams shared
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four"),                  // fully unique: novelty 1
+      (4L, "alpha beta gamma nine ten eleven"))    // shares ONLY 'alpha beta gamma' with 1/2
+      .toDF("doc_id", "text")
+    val n = graft.ext.Curation.noveltyScore(docs)
+      .select("doc_id", "n_grams", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(n(1L)._4 == 0.0 && n(2L)._4 == 0.0, s"exact dups: $n")
+    assert(n(3L)._3 == 2L && n(3L)._4 == 1.0, s"unique doc: $n")
+    // doc 4: 4 grams, 'alpha beta gamma' shared (df=3) → 3 unique of 4
+    assert(n(4L)._2 == 4L && n(4L)._3 == 3L && n(4L)._4 == 0.75, s"partial: $n")
+  }
+
   test("domainCapApprox: 50k-doc hot domain resolves without ranking documents") {
     // the hot-domain shape domainCap's window would serialize into one
     // task's sort at corpus scale: one domain carries 50k docs over a
