@@ -176,6 +176,18 @@ object ExtOracles {
         |  round(CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
         |FROM grams JOIN dfreq USING (gram) GROUP BY doc_id""".stripMargin,
 
+    "q_novelty_indexed" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |hist AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 4 <> 0),
+        |batch AS (SELECT * FROM grams WHERE doc_id % 4 = 0)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN h.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  round(CAST(sum(CASE WHEN h.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM batch b LEFT JOIN hist h ON h.gram = b.gram GROUP BY b.doc_id""".stripMargin,
+
     "q_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

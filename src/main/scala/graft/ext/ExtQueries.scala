@@ -607,6 +607,22 @@ object ExtQueries {
   def qNoveltyScore(spark: SparkSession, dir: String): DataFrame =
     Curation.noveltyScore(Tables(spark, dir).documents)
 
+  /** Novelty AGAINST HISTORY through the on-disk shingle index (plus
+    * its capped-hot companion, so the df cap cannot distort the
+    * answer): the %4==0 batch's per-doc unseen-trigram fraction vs
+    * the %4!=0 resident corpus — the nightly "how much is new"
+    * measure of an ingest pipeline. */
+  def qNoveltyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val path = System.getProperty("java.io.tmpdir") + "/graft_novelty_idx"
+    ensureIndex(spark, "graft_novelty_idx", path, dir) {
+      graft.operators.ShingleIndex.writeIndex(
+        docs.filter(col("doc_id") % 4 =!= 0), "graft_novelty_idx", path)
+    }
+    graft.operators.ShingleIndex.noveltyProbe(spark, "graft_novelty_idx",
+      docs.filter(col("doc_id") % 4 === 0))
+  }
+
   def qHashSplit(spark: SparkSession, dir: String): DataFrame =
     Curation.hashSplit(Tables(spark, dir).documents)
       .select("doc_id", "split")

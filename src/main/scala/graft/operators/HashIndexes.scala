@@ -295,12 +295,62 @@ object ShingleIndex {
   def writeIndex(corpus: DataFrame, table: String, path: String,
       maxDf: Long = 1000L, idCol: String = "doc_id",
       textCol: String = "text", numBuckets: Int = 0): Unit = {
-    val p = postings(corpus, idCol, textCol)
-    val rare = p.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
+    val p = postings(corpus, idCol, textCol).localCheckpoint()
+    val dfreq = p.groupBy("h").agg(count(lit(1)).as("df")).localCheckpoint()
+    val rare = dfreq.filter(col("df") <= maxDf).select("h")
     HashIndexWriter.write(
       p.join(rare, "h").select(col("h"), col(idCol).as("hist_id")),
       table, path, "h", numBuckets)
+    // companion table of the CAPPED (hot) gram hashes — hot-gram-count
+    // sized, tiny by construction. [[probe]] never needs it (a capped
+    // shingle carries no containment signal), but [[noveltyProbe]]
+    // does: a hot gram is the OPPOSITE of novel, and without this
+    // record its absence from the postings would read as unseen.
+    spark(corpus).sql(s"DROP TABLE IF EXISTS ${table}_hot")
+    dfreq.filter(col("df") > maxDf).select("h")
+      .write.mode(SaveMode.Overwrite).option("path", path + "_hot")
+      .format("parquet").saveAsTable(s"${table}_hot")
+    graft.ext.Checkpoints.release(p, dfreq)
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+
+  /** Per-doc novelty of a new batch AGAINST HISTORY — the on-disk twin
+    * of [[graft.ext.Curation.noveltyScore]]'s corpus-internal df==1
+    * fraction, and the production nightly question ("how much of this
+    * batch is content the corpus has not seen"): fraction of each new
+    * doc's distinct trigrams present in NO history document. Seen =
+    * indexed postings ∪ the capped-hot companion (together exactly
+    * history's distinct gram set, so the df cap never distorts the
+    * answer). O(batch): only the batch's grams shuffle; the index side
+    * reads from its bucketed layout, the hot table is tiny.
+    * @return (doc_id, n_grams, n_unseen, novelty) */
+  def noveltyProbe(spark: SparkSession, table: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sn = postings(newDocs, idCol, textCol).localCheckpoint()
+    val sz = sn.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    // two separate membership legs — a union of the two sources would
+    // force both through one shuffle; split, the postings semi-join
+    // reads the index's bucketed layout and the hot leg broadcasts
+    // the two legs are DISJOINT by construction (writeIndex routes
+    // df<=maxDf to the postings, df>maxDf to the hot table), so their
+    // union double-counts nothing
+    val inIdx = sn.join(spark.table(table).select(col("h")),
+      Seq("h"), "left_semi")
+    val inHot = sn.join(
+      broadcast(spark.table(s"${table}_hot").select(col("h"))),
+      Seq("h"), "left_semi")
+    val matched = inIdx.unionByName(inHot)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    val out = sz.join(matched, Seq(idCol), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .select(col(idCol), col("n_grams"),
+        (col("n_grams") - col("n_seen")).as("n_unseen"),
+        round((col("n_grams") - col("n_seen")).cast("double") /
+          col("n_grams"), 6).as("novelty"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(sn)
+    out
   }
 
   /** Probe a new batch: directed containment of each new doc in each

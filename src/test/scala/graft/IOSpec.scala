@@ -155,6 +155,37 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle index noveltyProbe: df cap cannot distort novelty (hot companion restores exactness)") {
+    import graft.operators.ShingleIndex
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // duplicates make every gram df=2
+      (3L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-novidx")
+    // maxDf = 1: docs 1/2's grams are ALL capped out of the postings —
+    // without the hot companion they would read as unseen
+    ShingleIndex.writeIndex(hist, "nov_idx_b", dir + "/idx", maxDf = 1L)
+    try {
+      val batch = Seq(
+        (100L, "alpha beta gamma delta epsilon"),  // fully seen (all hot)
+        (101L, "one two three nine ten"),          // 1 of 3 grams seen (indexed)
+        (102L, "totally fresh words appearing nowhere"))
+        .toDF("doc_id", "text")
+      val out = ShingleIndex.noveltyProbe(spark, "nov_idx_b", batch)
+        .select("doc_id", "n_grams", "n_unseen", "novelty")
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      assert(out(100L)._3 == 0L && out(100L)._4 == 0.0,
+        s"capped grams must still count as seen: ${out(100L)}")
+      assert(out(101L)._2 == 3L && out(101L)._3 == 2L,
+        s"partially seen: ${out(101L)}")
+      assert(out(102L)._4 == 1.0, s"fresh doc: ${out(102L)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nov_idx_b")
+      spark.sql("DROP TABLE IF EXISTS nov_idx_b_hot")
+    }
+  }
+
   test("compact collapses small files without changing data; partitioned layout survives") {
     val src = Tables(spark, "/root/testdata/sf0.001").orders
     // flat case: 16 shards -> 1 file at a generous target
