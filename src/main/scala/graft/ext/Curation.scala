@@ -52,6 +52,26 @@ object Curation {
           .as("repetition"))
   }
 
+  /** Tokenizer FERTILITY by group (language/source): tokens-per-char
+    * of the BPE-ish pre-tokenizer — the tokenizer-efficiency metric a
+    * multilingual mixture planner tracks (a language whose text costs
+    * 2× the tokens per character consumes 2× the context budget per
+    * unit of content; mixture weights and packing lengths both key on
+    * it). Exact long sums, one 6dp division; map-side combined — one
+    * group-keyed rollup at scan speed.
+    * @return (grp, n_docs, n_tokens, n_chars, fertility) */
+  def tokenFertility(df: DataFrame, byCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    df.select(col(byCol).as("grp"),
+        TextAnalysis.bpeTokenCount(col(textCol)).cast(LongType).as("t"),
+        length(col(textCol)).cast(LongType).as("ch"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast(DoubleType) /
+          col("n_chars").cast(DoubleType), 6).as("fertility"))
+
   /** Cross-document n-gram NOVELTY: the corpus-level complement to
     * [[repetitionScore]]'s within-doc loop gate — per doc, the
     * fraction of its DISTINCT trigrams that appear in no other

@@ -176,6 +176,14 @@ object ExtOracles {
         |  round(CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
         |FROM grams JOIN dfreq USING (gram) GROUP BY doc_id""".stripMargin,
 
+    "q_token_fertility" ->
+      """SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |    / CAST(sum(length(text)) AS DOUBLE), 6) AS fertility
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "q_novelty_indexed" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

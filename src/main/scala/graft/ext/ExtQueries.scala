@@ -602,6 +602,11 @@ object ExtQueries {
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
     Curation.repetitionScore(Tables(spark, dir).documents)
 
+  /** Tokenizer fertility (BPE-ish tokens per char) by language — the
+    * context-budget planning metric of a multilingual mixture. */
+  def qTokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenFertility(Tables(spark, dir).documents)
+
   /** Cross-document trigram novelty per doc (df==1 fraction) — the
     * corpus-level complement to q_repetition's within-doc gate. */
   def qNoveltyScore(spark: SparkSession, dir: String): DataFrame =
