@@ -33,6 +33,38 @@ private[operators] object HashIndexWriter {
       .option("path", path).format("parquet").saveAsTable(table)
   }
 
+  /** Compact a written index in place: every [[append]] adds one file
+    * per bucket, so a nightly append cadence grows per-bucket file
+    * counts linearly until scan-open overhead dominates the probe —
+    * THE maintenance debt of the build-once/probe-many layout. Rewrite
+    * the table through a staging table with the SAME bucket spec (read
+    * back from the catalog, never the session width), then swap: one
+    * file per bucket again, identical rows, identical shuffle-free
+    * probe plan. Run on the same cadence that re-caps df bounds.
+    *
+    * The swap is drop-then-recreate on the ORIGINAL path (parquet
+    * directory tables have no atomic rename in the catalog); callers
+    * run it in the maintenance window that already serializes appends. */
+  def compact(spark: SparkSession, table: String, path: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(sys.error(
+      s"$table is not bucketed — not a hash index"))
+    val bucketCol = spec.bucketColumnNames.head
+    // materialize all rows off the old files before dropping them
+    val rows = spark.table(table).localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // one shuffle to the bucket width → exactly one file per bucket
+    rows.repartition(spec.numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).format("parquet").saveAsTable(table)
+    graft.ext.Checkpoints.release(rows)
+  }
+
   /** Append rows to a written index preserving its bucketed layout:
     * the writer's bucket spec is read back from the catalog (NOT
     * re-derived from the session — the session's shuffle width may
@@ -61,6 +93,12 @@ private[operators] object HashIndexWriter {
   * the layout) rather than rebuilding.
   */
 object FingerprintIndex {
+
+  /** In-place bucket-preserving rewrite bounding per-bucket file
+    * counts after an append cadence — [[HashIndexWriter.compact]]. */
+  def compact(spark: SparkSession, table: String, path: String): Unit =
+    HashIndexWriter.compact(spark, table, path)
+
 
   /** Build + persist the fingerprint→keeper map of `corpus` (keeper =
     * min id per normalized-text fingerprint). */
@@ -183,6 +221,12 @@ object MemorizationIndex {
   */
 object DHashIndex {
 
+  /** In-place bucket-preserving rewrite bounding per-bucket file
+    * counts after an append cadence — [[HashIndexWriter.compact]]. */
+  def compact(spark: SparkSession, table: String, path: String): Unit =
+    HashIndexWriter.compact(spark, table, path)
+
+
   private def bandKeyed(hashes: DataFrame): DataFrame =
     Dedup.bandRows(hashes, "media_id", "dhash")
       .select(col("media_id"), col("dhash"),
@@ -275,6 +319,12 @@ object DHashIndex {
   * with [[appendKept]] — O(batch), bucket-preserving.
   */
 object ShingleIndex {
+
+  /** In-place bucket-preserving rewrite bounding per-bucket file
+    * counts after an append cadence — [[HashIndexWriter.compact]]. */
+  def compact(spark: SparkSession, table: String, path: String): Unit =
+    HashIndexWriter.compact(spark, table, path)
+
 
   /** Distinct word-trigram shingle postings, the
     * [[graft.ext.Dedup.containmentJoin]] shingle formula verbatim
@@ -425,6 +475,12 @@ object ShingleIndex {
   * estimated similarity (minMatches/numHashes ≈ the Jaccard floor).
   */
 object MinHashBandIndex {
+
+  /** In-place bucket-preserving rewrite bounding per-bucket file
+    * counts after an append cadence — [[HashIndexWriter.compact]]. */
+  def compact(spark: SparkSession, table: String, path: String): Unit =
+    HashIndexWriter.compact(spark, table, path)
+
 
   private def bandRows(sigs: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {

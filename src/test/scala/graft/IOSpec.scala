@@ -155,6 +155,45 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("hash index compact: collapses append debt to one file per bucket; probe rows and plan unchanged") {
+    import graft.operators.FingerprintIndex
+    val dir = tmp("graft-fpcomp")
+    val hist = Seq((1L, "aa bb cc"), (2L, "dd ee ff")).toDF("doc_id", "text")
+    FingerprintIndex.writeIndex(hist, "fp_comp_b", dir + "/idx")
+    // two nightly appends: each adds a file per touched bucket
+    def wave(id: Long, txt: String) = {
+      val out = FingerprintIndex.probe(spark, "fp_comp_b",
+        Seq((id, txt)).toDF("doc_id", "text"))
+      FingerprintIndex.appendKept(spark, "fp_comp_b", out)
+    }
+    wave(100L, "gg hh ii"); wave(200L, "jj kk ll")
+    def dataFiles = new java.io.File(dir + "/idx").listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val before = dataFiles
+    assert(before >= 3, s"appends should have grown the file count: $before")
+    val rowsBefore = spark.table("fp_comp_b").collect().toSet
+    FingerprintIndex.compact(spark, "fp_comp_b", dir + "/idx")
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("fp_comp_b"))
+      .bucketSpec.get.numBuckets
+    assert(dataFiles <= buckets, s"compact left ${dataFiles} files for $buckets buckets")
+    assert(spark.table("fp_comp_b").collect().toSet == rowsBefore)
+    // the shuffle-free probe shape survives the rewrite
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = FingerprintIndex.probe(spark, "fp_comp_b",
+        Seq((300L, "gg hh ii")).toDF("doc_id", "text"))
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount"), "compacted index lost its bucketed layout")
+      val st = probe.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(st == Map(300L -> "dup_history"), s"$st")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS fp_comp_b")
+    }
+  }
+
   test("shingle index noveltyProbe: df cap cannot distort novelty (hot companion restores exactness)") {
     import graft.operators.ShingleIndex
     val hist = Seq(
