@@ -455,6 +455,18 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming tokenizer-fertility monitor: the batch
+    * [[graft.ext.Curation.tokenFertility]] aggregation applied to a
+    * document stream (Complete mode) — state is one exact-long sum
+    * pair per group (language cardinality, never stream length), and a
+    * finished snapshot is value-identical to the batch call on the
+    * same rows. The live face of the context-budget metric: a feed
+    * whose fertility drifts (encoding change, language mix shift)
+    * surfaces before it skews packing or mixture weights. */
+  def fertilityStream(docs: DataFrame, byCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    graft.ext.Curation.tokenFertility(docs, byCol, textCol)
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

@@ -439,6 +439,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     // vincenty: antipodal-ish pair stays finite and deterministic
     val d = graft.expressions.VincentyDistance.meters(0.0, 0.0, 0.5, 179.7)
     assert(d.isFinite && d > 1.9e7 && d < 2.1e7, s"antipodal-ish: $d")
+    // novelty: empty corpus and a single doc (all grams unique → 1.0)
+    val noDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ext.Curation.noveltyScore(noDocs2).count() == 0)
+    val solo = graft.ext.Curation.noveltyScore(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"))
+      .select("novelty").as[Double].collect()
+    assert(solo.toSeq == Seq(1.0), s"solo doc: ${solo.toSeq}")
+    // fertility: empty group table → no rows; zero-char docs never
+    // occur (length >= 1 for any non-empty string) but a whitespace
+    // doc still has chars, so the division is safe
+    assert(graft.ext.Curation.tokenFertility(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")).count() == 0)
     // minhash band index probe with an all-short batch (no signatures)
     val idxTmp = java.nio.file.Files.createTempDirectory("graft-edge-mh").toString
     graft.operators.MinHashBandIndex.writeIndex(dups, "edge_mh_idx", idxTmp + "/i")

@@ -137,6 +137,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tokenizer fertility ≡ batch snapshot across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val b1 = Seq((1L, "en", "hello world, this is plain text"),
+      (2L, "es", "hola mundo de los datos"))
+    val b2 = Seq((3L, "en", "second english document with more words"),
+      (4L, "es", "otra frase"))
+    val q = StreamingOps.fertilityStream(
+        mem.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("fert_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val batch = graft.ext.Curation.tokenFertility(
+        (b1 ++ b2).toDF("doc_id", "lang", "text"))
+      assert(spark.table("fert_out").collect().toSet == batch.collect().toSet,
+        "streamed fertility snapshot must equal the batch table")
+    } finally q.stop()
+  }
+
   test("streaming calibration state ≡ batch; finished snapshot identical") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
