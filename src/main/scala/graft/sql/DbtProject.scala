@@ -1,0 +1,148 @@
+package graft.sql
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Materialization
+
+/** Load a dbt project DIRECTORY and run it — the literal switch story
+  * for a user of the reference: point the engine at the checkout
+  * (every `*.sql` under `models/`, plus `models/sources.yml` and `dbt_project.yml`) and
+  * every model materializes on Spark, no per-model wiring. Discovery
+  * mirrors dbt's:
+  *
+  *  - every `*.sql` under `model-paths` is a model named by its file
+  *    stem; its DAG edges come from its own `ref()` calls (after
+  *    Jinja rendering — a ref in a dead `{% if %}` branch is not an
+  *    edge);
+  *  - `sources.yml` declares the raw tables the caller must supply
+  *    (name → DataFrame) — [[load]] surfaces the declared names so a
+  *    missing source fails loudly before any SQL runs;
+  *  - `dbt_project.yml`'s `models:` block sets the materialization
+  *    policy: a project-level `+materialized:` default with per-
+  *    subdirectory overrides (the reference: view default,
+  *    `marts: +materialized: table` — dbt_project.yml:11-17).
+  *
+  * The YAML surface parsed is the indentation-structured subset these
+  * two files actually use (scalar keys, one list form) — deliberately
+  * NOT a YAML library: anchors/flow styles/multi-docs are out of
+  * scope and fail loudly as unrecognized lines where they would
+  * matter. Execution delegates to [[DbtSqlEngine]] (dialect shim,
+  * Jinja vars, topo-ordered threaded Runner).
+  */
+object DbtProject {
+
+  /** A discovered project: model name → raw (Jinja+BigQuery) SQL, the
+    * declared source table names, and the resolved per-model
+    * materializations. */
+  final case class Loaded(
+      modelSql: Map[String, String],
+      sourceTables: Seq[String],
+      materializations: Map[String, Materialization])
+
+  private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
+
+  /** Declared source table names: every `- name: t` nested under a
+    * `tables:` key in any `*.yml`/`*.yaml` beneath the model paths. */
+  private[sql] def parseSourceTables(yml: String): Seq[String] = {
+    val lines = yml.linesIterator.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var tablesIndent = -1
+    val tablesRe = """^(\s*)tables:\s*$""".r
+    val itemRe = """^(\s*)-\s*name:\s*"?([\w.]+)"?\s*$""".r
+    lines.foreach {
+      case tablesRe(ind) => tablesIndent = ind.length
+      case itemRe(ind, name) if tablesIndent >= 0 && ind.length > tablesIndent =>
+        out += name
+      case l if tablesIndent >= 0 &&
+          l.trim.nonEmpty && !l.trim.startsWith("-") &&
+          l.takeWhile(_ == ' ').length <= tablesIndent =>
+        tablesIndent = -1 // dedent closes the tables block
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** Materialization policy from dbt_project.yml's `models:` block:
+    * directory path (Nil = project default) → view|table. */
+  private[sql] def parseMaterializations(yml: String): Map[Seq[String], Materialization] = {
+    val lines = yml.linesIterator.toSeq
+    val out = scala.collection.mutable.Map.empty[Seq[String], Materialization]
+    var inModels = false
+    var stack = List.empty[(Int, String)] // (indent, key) path inside models:
+    val keyRe = """^(\s*)([\w-]+):\s*$""".r
+    val matRe = """^(\s*)\+materialized:\s*"?(\w+)"?\s*$""".r
+    lines.foreach {
+      case keyRe(ind, "models") if ind.isEmpty => inModels = true; stack = Nil
+      case l if inModels =>
+        l match {
+          case matRe(_, m) =>
+            val mat = m match {
+              case "table" => Materialization.Table
+              case "view" => Materialization.View
+              case other => throw new IllegalArgumentException(
+                s"unsupported materialization '$other'")
+            }
+            // stack head is the project name level; drop it from the path
+            out(stack.reverse.map(_._2).drop(1)) = mat
+          case keyRe(ind, k) =>
+            if (ind.isEmpty) inModels = false // next top-level block
+            else {
+              stack = stack.dropWhile(_._1 >= ind.length)
+              stack = (ind.length, k) :: stack
+            }
+          case _ => () // comments, tags, blanks
+        }
+      case _ => ()
+    }
+    out.toMap
+  }
+
+  /** Discover the project at `projectDir`. */
+  def load(projectDir: String): Loaded = {
+    val root = Paths.get(projectDir)
+    val projYml = root.resolve("dbt_project.yml")
+    require(Files.exists(projYml), s"$projectDir has no dbt_project.yml")
+    val policy =
+      if (Files.exists(projYml)) parseMaterializations(read(projYml))
+      else Map.empty[Seq[String], Materialization]
+    val modelsDir = root.resolve("models")
+    require(Files.isDirectory(modelsDir), s"$projectDir has no models/ dir")
+    val files = Files.walk(modelsDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p)).toSeq
+    val modelSql = files.filter(_.toString.endsWith(".sql")).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      name -> read(p)
+    }.toMap
+    val sources = files
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => parseSourceTables(read(p)))
+    val mats = files.filter(_.toString.endsWith(".sql")).map { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      val relDirs = modelsDir.relativize(p.getParent).toString
+        .split("[/\\\\]").toSeq.filter(_.nonEmpty)
+      // most specific directory override wins; fall back to project
+      // default; dbt's own default is view
+      val mat = relDirs.inits.collectFirst {
+        case prefix if policy.contains(prefix) => policy(prefix)
+      }.getOrElse(Materialization.View)
+      name -> mat
+    }.toMap
+    Loaded(modelSql, sources.distinct, mats)
+  }
+
+  /** Load and RUN: all declared sources must be supplied. Returns
+    * model name → materialized DataFrame. */
+  def run(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      currentDateOverride: Option[String] = None, threads: Int = 4,
+      vars: Map[String, String] = Map.empty): Map[String, DataFrame] = {
+    val p = load(projectDir)
+    val missing = p.sourceTables.filterNot(sources.contains)
+    require(missing.isEmpty,
+      s"project declares sources with no supplied DataFrame: $missing")
+    new DbtSqlEngine(spark, warehouseDir, currentDateOverride, threads, vars)
+      .run(p.modelSql, sources, p.materializations)
+  }
+}
