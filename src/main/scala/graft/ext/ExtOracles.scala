@@ -156,6 +156,25 @@ object ExtOracles {
         |                 '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM planted""".stripMargin,
 
+    "q_pii_extract" ->
+      """WITH planted AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |    list_sort(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS em,
+        |    list_sort(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS ph
+        |  FROM planted)
+        |SELECT doc_id, COALESCE(list_aggregate(em, 'string_agg', ','), '') AS emails,
+        |  COALESCE(list_aggregate(ph, 'string_agg', ','), '') AS phones,
+        |  CAST(len(em) AS INTEGER) AS n_emails, CAST(len(ph) AS INTEGER) AS n_phones
+        |FROM x WHERE len(em) > 0 OR len(ph) > 0""".stripMargin,
+
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

@@ -38,6 +38,24 @@ object ExtQueries {
       .select("doc_id", "n_emails", "n_phones", "redacted")
   }
 
+  /** Typed PII extraction report over the same planted corpus as
+    * [[qTextRedact]] — emails/phones as sorted arrays, hits only. */
+  def qPiiExtract(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.piiExtract(planted)
+      .select(col("doc_id"), concat_ws(",", col("emails")).as("emails"),
+        concat_ws(",", col("phones")).as("phones"),
+        col("n_emails"), col("n_phones"))
+  }
+
   def qDedupExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables(spark, dir).documents)
 

@@ -87,6 +87,25 @@ object TextAnalysis {
         regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
   }
 
+  /** Typed PII EXTRACTION — the third face of the PII family next to
+    * [[redact]] (masking) and [[luhnScreen]] (card numbers): the
+    * governance/audit report that lists WHAT was found, per doc, as
+    * typed arrays (sorted for deterministic replay). Only docs with at
+    * least one hit are returned — at corpus scale the report is
+    * incident-sized, not corpus-sized. Map-side regexp extraction at
+    * scan speed, no shuffle.
+    * @return (doc_id, emails, phones, n_emails, n_phones) for hits */
+  def piiExtract(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        array_sort(regexp_extract_all(t, lit(EmailRe), lit(0))).as("emails"),
+        array_sort(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("phones"))
+      .withColumn("n_emails", size(col("emails")))
+      .withColumn("n_phones", size(col("phones")))
+      .filter(col("n_emails") > 0 || col("n_phones") > 0)
+  }
+
   /** BM25 ranking of the corpus against a fixed bag-of-words query —
     * the retrieval scorer quality-filtering and targeted-subset
     * extraction pipelines run over a training corpus ("find documents

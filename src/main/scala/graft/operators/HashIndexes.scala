@@ -377,6 +377,18 @@ object ShingleIndex {
     * @return (doc_id, n_grams, n_unseen, novelty) */
   def noveltyProbe(spark: SparkSession, table: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (lazyOut, sn) = noveltyProbeLazy(spark, table, newDocs, idCol, textCol)
+    val out = lazyOut.localCheckpoint() // docs-sized; release postings
+    graft.ext.Checkpoints.release(sn)
+    out
+  }
+
+  /** The lazy novelty plan + pinned batch postings (IOSpec asserts
+    * the bucketed index-side scan on THIS plan; [[noveltyProbe]]
+    * materializes and releases — the [[probeLazy]] discipline). */
+  private[graft] def noveltyProbeLazy(spark: SparkSession, table: String,
+      newDocs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val sn = postings(newDocs, idCol, textCol).localCheckpoint()
     val sz = sn.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     // two separate membership legs — a union of the two sources would
@@ -398,9 +410,7 @@ object ShingleIndex {
         (col("n_grams") - col("n_seen")).as("n_unseen"),
         round((col("n_grams") - col("n_seen")).cast("double") /
           col("n_grams"), 6).as("novelty"))
-      .localCheckpoint()
-    graft.ext.Checkpoints.release(sn)
-    out
+    (out, sn)
   }
 
   /** Probe a new batch: directed containment of each new doc in each

@@ -211,7 +211,20 @@ class IOSpec extends AnyFunSuite {
         (101L, "one two three nine ten"),          // 1 of 3 grams seen (indexed)
         (102L, "totally fresh words appearing nowhere"))
         .toDF("doc_id", "text")
-      val out = ShingleIndex.noveltyProbe(spark, "nov_idx_b", batch)
+      val probe = ShingleIndex.noveltyProbe(spark, "nov_idx_b", batch)
+      // the postings membership leg must read the index's bucketed
+      // layout (no index-side exchange), like every other probe here
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = try {
+        val (lzy, sn) = ShingleIndex.noveltyProbeLazy(spark, "nov_idx_b",
+          batch, "doc_id", "text")
+        val s = lzy.queryExecution.executedPlan.toString
+        graft.ext.Checkpoints.release(sn); s
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      assert(plan.contains("SelectedBucketsCount"),
+        s"noveltyProbe lost the bucketed index scan:\n$plan")
+      val out = probe
         .select("doc_id", "n_grams", "n_unseen", "novelty")
         .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
       assert(out(100L)._3 == 0L && out(100L)._4 == 0.0,
