@@ -455,6 +455,35 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming novelty monitor — the live face of
+    * [[graft.operators.ShingleIndex.noveltyProbe]]: each micro-batch
+    * reports its per-doc unseen-trigram fraction against the resident
+    * corpus, then folds its own postings in (appendKept), so the NEXT
+    * batch's novelty is measured against everything before it. A feed
+    * replaying stale content trends to 0; a topic shift spikes. Zero
+    * Spark state store usage — corpus memory IS the on-disk index
+    * (the [[imageIngestSink]]/[[textIngestSink]] discipline; same
+    * per-batch-overwrite replay safety; appends re-cap at the periodic
+    * compact/rebuild). */
+  def noveltyIngestSink(docs: DataFrame, indexTable: String, outPath: String,
+      queryName: String, idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val probed = graft.operators.ShingleIndex.noveltyProbe(spark,
+            indexTable, batch.toDF(), idCol, textCol)
+          try {
+            probed.write.mode("overwrite")
+              .parquet(s"$outPath/batch_id=$batchId")
+            graft.operators.ShingleIndex.appendKept(spark, indexTable,
+              batch.toDF(), idCol, textCol)
+          } finally graft.ext.Checkpoints.release(probed)
+        }
+      }
+      .start()
+
   /** Streaming tokenizer-fertility monitor: the batch
     * [[graft.ext.Curation.tokenFertility]] aggregation applied to a
     * document stream (Complete mode) — state is one exact-long sum

@@ -137,6 +137,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming novelty monitor: batch N+1 is measured against batch N's folded content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.ShingleIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-novstream").toString
+    ShingleIndex.writeIndex(
+      Seq((1L, "seed corpus text about spark execution plans")).toDF("doc_id", "text"),
+      "nov_ingest_idx", dir + "/idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.noveltyIngestSink(
+      mem.toDF().toDF("doc_id", "text"),
+      "nov_ingest_idx", dir + "/out", "nov_ingest_q")
+    try {
+      val fresh = "completely novel sentence that the corpus has never seen"
+      mem.addData((10L, fresh))
+      q.processAllAvailable()
+      // batch 2 replays batch 1's content — must now read as fully seen
+      mem.addData((20L, fresh))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir + "/out")
+        .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+      assert(out(10L) == 1.0, s"first sight must be fully novel: $out")
+      assert(out(20L) == 0.0, s"replay must be fully seen after the fold: $out")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS nov_ingest_idx") }
+  }
+
   test("streaming tokenizer fertility ≡ batch snapshot across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
