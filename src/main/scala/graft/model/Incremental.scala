@@ -104,6 +104,9 @@ object Incremental {
   def applyChangesGuarded(spark: SparkSession, changes: DataFrame,
       path: String, uniqueKey: Seq[String], opCol: String = "op",
       seqCol: String = "seq"): DataFrame = {
+    require(!changes.columns.contains("__seq") &&
+        !changes.columns.contains("__deleted"),
+      "__seq/__deleted are reserved bookkeeping columns of the guarded fold")
     val exists = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))

@@ -51,7 +51,10 @@ private[operators] object HashIndexWriter {
     val spec = meta.bucketSpec.getOrElse(sys.error(
       s"$table is not bucketed — not a hash index"))
     val bucketCol = spec.bucketColumnNames.head
-    // materialize all rows off the old files before dropping them
+    // materialize all rows off the old files before dropping them —
+    // localCheckpoint blocks are MEMORY_AND_DISK and distributed
+    // across executors, so an index larger than cluster memory spills
+    // rather than failing; the write below streams from those blocks
     val rows = spark.table(table).localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val fs = org.apache.hadoop.fs.FileSystem.get(
