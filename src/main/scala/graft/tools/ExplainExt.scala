@@ -7,7 +7,7 @@ object ExplainExt {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    for (n <- Seq("q_dedup_lsh_verified","q_dedup_ngram_jaccard","q_asof_join","q_sim_cosine_topk")) {
+    for (n <- (if (args.nonEmpty) args.toSeq else Seq("q_dedup_lsh_verified","q_dedup_ngram_jaccard","q_asof_join","q_sim_cosine_topk"))) {
       println(s"===== $n =====")
       println(graft.SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
