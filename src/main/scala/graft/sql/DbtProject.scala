@@ -45,7 +45,7 @@ object DbtProject {
 
   /** Declared source table names: every `- name: t` nested under a
     * `tables:` key in any `*.yml`/`*.yaml` beneath the model paths. */
-  private[sql] def parseSourceTables(yml: String): Seq[String] = {
+  private[graft] def parseSourceTables(yml: String): Seq[String] = {
     val lines = yml.linesIterator.toSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var tablesIndent = -1
@@ -66,7 +66,7 @@ object DbtProject {
 
   /** Materialization policy from dbt_project.yml's `models:` block:
     * directory path (Nil = project default) → view|table. */
-  private[sql] def parseMaterializations(yml: String): Map[Seq[String], Materialization] = {
+  private[graft] def parseMaterializations(yml: String): Map[Seq[String], Materialization] = {
     val lines = yml.linesIterator.toSeq
     val out = scala.collection.mutable.Map.empty[Seq[String], Materialization]
     var inModels = false

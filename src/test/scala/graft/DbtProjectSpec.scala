@@ -105,6 +105,35 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(out("top").select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("parser edges: unknown materialization fails loudly; schema yml never contaminates sources") {
+    intercept[IllegalArgumentException] {
+      DbtProject.parseMaterializations(
+        """models:
+          |  p:
+          |    +materialized: incremental_exotic
+          |""".stripMargin)
+    }
+    // a marts_schema.yml-style tests file has `- name:` entries but no
+    // `tables:` parent — none of them may surface as source tables
+    assert(DbtProject.parseSourceTables(
+      """version: 2
+        |models:
+        |  - name: user_base
+        |    columns:
+        |      - name: user_id
+        |""".stripMargin).isEmpty)
+    // and dedent closes a tables block before a sibling list
+    assert(DbtProject.parseSourceTables(
+      """sources:
+        |  - name: raw
+        |    tables:
+        |      - name: t1
+        |      - name: t2
+        |exposures:
+        |  - name: not_a_table
+        |""".stripMargin) == Seq("t1", "t2"))
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()
