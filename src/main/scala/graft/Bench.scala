@@ -91,24 +91,36 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     val byName = SparkEntry.queries
+    // Ratio-only trigger: the earlier absolute-delta gate (v−f > 0.3s)
+    // let sub-second queries publish 1.5–2.5× noise readings that then
+    // needed judge adjudication by hand — a 0.15s query re-measures in
+    // 0.3s, so there is nothing to save by skipping it. Top-N by ratio
+    // keeps the cap meaningful under an across-the-board regression.
     val suspects = firstPass
       .flatMap { case (name, v) => floor.get(name).map(f => (name, v, f)) }
-      .filter { case (_, v, f) => v > f * 1.5 && v - f > 0.3 }
-      .sortBy { case (_, v, f) => f - v }
+      .filter { case (_, v, f) => v > f * 1.5 }
+      .sortBy { case (_, v, f) => -(v / f) }
       .take(24)
     val remeasured = suspects.map { case (name, v, _) =>
       System.gc()
       val again = (1 to reps).map(_ => timeOnce(byName(name))).min
       System.err.println(s"[bench] re-measured $name: sweep ${fmt(v)}s -> ${fmt(math.min(v, again))}s")
-      name -> math.min(v, again)
-    }.toMap
+      name -> (v, math.min(v, again))
+    }
+    val remeasuredMin = remeasured.map { case (n, (_, m)) => n -> m }.toMap
     val results = firstPass.map { case (name, v) =>
-      name -> remeasured.getOrElse(name, v)
+      name -> remeasuredMin.getOrElse(name, v)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // the adjudication itself is part of the artifact: every re-measured
+    // query publishes BOTH the raw sweep reading and the kept min, so a
+    // sweep-context slowdown the min masks is still visible downstream
+    val rq = remeasured.map { case (n, (raw, kept)) =>
+      "\"" + n + "\":[" + fmt(raw) + "," + fmt(kept) + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rq,"sf":"$sfDir"}"""
     println(json)
     // Also persist the JSON: sbt prefixes stdout lines with "[info] ",
     // which can defeat line-oriented parsers. The file is the robust

@@ -235,20 +235,33 @@ object Similarity {
     *
     * Scale shape: the ranking reuses the bounded-heap top-k (never a
     * corpus-wide window); the query side broadcasts under the size
-    * gate with a plain cross join fallback; the reciprocity check is
-    * ONE co-keyed self-join of the queries×k ranked table
-    * (materialized once — it feeds both sides).
+    * gate, and PAST the gate the pair space is hash-blocked (corpus
+    * keyed by id-hash % numBlocks, queries replicated per block) into
+    * an equi-keyed shuffle join — the [[knnClassify]] fallback shape —
+    * so an oversized input degrades to a partitioned N×N join, never
+    * a single-task cartesian or a driver-sized broadcast; the
+    * reciprocity check is ONE co-keyed self-join of the queries×k
+    * ranked table (materialized once — it feeds both sides).
     *
     * @return (a_id, b_id, cos_sim, ra, rb) with a_id < b_id */
   def mutualKnn(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      broadcastMaxRows: Long = 1000000L): DataFrame = {
+      broadcastMaxRows: Long = 1000000L, numBlocks: Int = 64): DataFrame = {
     val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
       .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
     val queries = emb.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
-    val gated = if (emb.count() <= broadcastMaxRows) broadcast(queries) else queries
-    val scored = corpus.crossJoin(gated)
+    val pairs =
+      if (emb.count() <= broadcastMaxRows) corpus.crossJoin(broadcast(queries))
+      else {
+        val b = math.max(1, numBlocks)
+        corpus.withColumn("blk",
+            pmod(hash(col("nn_id")), lit(b)).cast(IntegerType))
+          .join(queries.withColumn("blk",
+            explode(sequence(lit(0), lit(b - 1)))), "blk")
+          .drop("blk")
+      }
+    val scored = pairs
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
         round(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), 6).as("cos_sim"))

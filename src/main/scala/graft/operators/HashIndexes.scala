@@ -37,35 +37,54 @@ private[operators] object HashIndexWriter {
     * per bucket, so a nightly append cadence grows per-bucket file
     * counts linearly until scan-open overhead dominates the probe —
     * THE maintenance debt of the build-once/probe-many layout. Rewrite
-    * the table through a staging table with the SAME bucket spec (read
-    * back from the catalog, never the session width), then swap: one
-    * file per bucket again, identical rows, identical shuffle-free
-    * probe plan. Run on the same cadence that re-caps df bounds.
+    * the table through a STAGING table with the SAME bucket spec (read
+    * back from the catalog, never the session width), then swap
+    * delete+rename — the [[graft.model.Incremental]] swapWrite
+    * discipline: the original files stay on disk (and readable through
+    * the catalog entry) until the full compacted copy is durably
+    * written, so a mid-rewrite executor loss or write failure leaves
+    * the index intact. Result: one file per bucket again, identical
+    * rows, identical shuffle-free probe plan. Run on the same cadence
+    * that re-caps df bounds.
     *
-    * The swap is drop-then-recreate on the ORIGINAL path (parquet
-    * directory tables have no atomic rename in the catalog); callers
-    * run it in the maintenance window that already serializes appends. */
+    * The final swap (drop catalog entry, delete dir, rename staging
+    * dir, re-register) is not atomic — parquet directory tables have
+    * no atomic catalog rename — so callers run compact in the
+    * maintenance window that already serializes appends; a failure
+    * INSIDE the swap leaves the complete staging copy on disk for
+    * manual rename, never zero copies. */
   def compact(spark: SparkSession, table: String, path: String): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(sys.error(
       s"$table is not bucketed — not a hash index"))
     val bucketCol = spec.bucketColumnNames.head
-    // materialize all rows off the old files before dropping them —
-    // localCheckpoint blocks are MEMORY_AND_DISK and distributed
-    // across executors, so an index larger than cluster memory spills
-    // rather than failing; the write below streams from those blocks
-    val rows = spark.table(table).localCheckpoint()
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val staging = table + "__staging"
+    val stagingPath = path + "__staging"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    // one shuffle to the bucket width → exactly one file per bucket
-    rows.repartition(spec.numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true)
+    // one shuffle to the bucket width → exactly one file per bucket,
+    // streamed straight from the ORIGINAL files (still live) into the
+    // staging location — no in-memory-only copy ever holds the data
+    spark.table(table)
+      .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(bucketCol))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(spec.numBuckets, bucketCol).sortBy(bucketCol)
-      .option("path", path).format("parquet").saveAsTable(table)
-    graft.ext.Checkpoints.release(rows)
+      .option("path", stagingPath).format("parquet").saveAsTable(staging)
+    // staging copy is complete and durable — now swap. DROP on these
+    // EXTERNAL tables removes only catalog entries, never files.
+    val schemaDdl = spark.table(staging).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(stagingPath),
+      new org.apache.hadoop.fs.Path(path))
+    spark.sql(
+      s"CREATE TABLE $table ($schemaDdl) USING parquet " +
+      s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+      s"INTO ${spec.numBuckets} BUCKETS LOCATION '$path'")
   }
 
   /** Append rows to a written index preserving its bucketed layout:
@@ -396,15 +415,17 @@ object ShingleIndex {
     val sz = sn.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     // two separate membership legs — a union of the two sources would
     // force both through one shuffle; split, the postings semi-join
-    // reads the index's bucketed layout and the hot leg broadcasts
-    // the two legs are DISJOINT by construction (writeIndex routes
-    // df<=maxDf to the postings, df>maxDf to the hot table), so their
-    // union double-counts nothing
-    val inIdx = sn.join(spark.table(table).select(col("h")),
-      Seq("h"), "left_semi")
-    val inHot = sn.join(
-      broadcast(spark.table(s"${table}_hot").select(col("h"))),
-      Seq("h"), "left_semi")
+    // reads the index's bucketed layout and the hot leg broadcasts.
+    // Disjointness is enforced HERE, not assumed: hot grams are routed
+    // out of the batch side (broadcast anti-join, hot table is tiny)
+    // before the postings leg, so even a postings table that came to
+    // contain a hot gram (e.g. via a pre-fix appendKept, which now
+    // also filters — see [[appendKept]]) can never count a gram twice
+    // and push novelty negative
+    val hot = broadcast(spark.table(s"${table}_hot").select(col("h")))
+    val inIdx = sn.join(hot, Seq("h"), "left_anti")
+      .join(spark.table(table).select(col("h")), Seq("h"), "left_semi")
+    val inHot = sn.join(hot, Seq("h"), "left_semi")
     val matched = inIdx.unionByName(inHot)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
     val out = sz.join(matched, Seq(idCol), "left")
@@ -451,12 +472,21 @@ object ShingleIndex {
   }
 
   /** Fold new kept docs' postings into the index — O(batch),
-    * bucket-preserving. Caller applies its own df discipline (a
-    * batch cannot see corpus-wide df; periodic rebuilds re-cap). */
+    * bucket-preserving. Grams already recorded as capped-hot are
+    * EXCLUDED (broadcast anti-join against the tiny `_hot` companion):
+    * writeIndex deliberately routes df>maxDf grams out of the
+    * postings, and appending one back would (a) fan every future
+    * containment probe across its df-wide posting list and (b) break
+    * the postings/_hot disjointness [[noveltyProbe]]'s seen-union
+    * relies on. Batch-local df the index hasn't seen yet cannot be
+    * capped here (a batch can't see corpus-wide df); periodic rebuilds
+    * re-cap. */
   def appendKept(spark: SparkSession, table: String, keptDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     HashIndexWriter.append(spark, table,
       postings(keptDocs, idCol, textCol)
+        .join(broadcast(spark.table(s"${table}_hot").select(col("h"))),
+          Seq("h"), "left_anti")
         .select(col("h"), col(idCol).as("hist_id")),
       "h")
 }

@@ -43,22 +43,33 @@ object DbtProject {
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
 
-  /** Declared source table names: every `- name: t` nested under a
-    * `tables:` key in any `*.yml`/`*.yaml` beneath the model paths. */
+  /** Declared source table names: every `- name: t` list item DIRECTLY
+    * under a `tables:` key in any `*.yml`/`*.yaml` beneath the model
+    * paths. "Directly" is enforced by pinning the list-item indent to
+    * that of the FIRST `- name:` seen after `tables:` — the standard
+    * dbt pattern nests `columns:` blocks (each with their own
+    * `- name:` items at deeper indent) under a table entry, and an
+    * indent-greater-than-tables rule alone would report every column
+    * as a declared source table. */
   private[graft] def parseSourceTables(yml: String): Seq[String] = {
     val lines = yml.linesIterator.toSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var tablesIndent = -1
+    var itemIndent = -1 // indent of the table-entry list items, pinned
     val tablesRe = """^(\s*)tables:\s*$""".r
     val itemRe = """^(\s*)-\s*name:\s*"?([\w.]+)"?\s*$""".r
     lines.foreach {
-      case tablesRe(ind) => tablesIndent = ind.length
-      case itemRe(ind, name) if tablesIndent >= 0 && ind.length > tablesIndent =>
+      case tablesRe(ind) => tablesIndent = ind.length; itemIndent = -1
+      // >= not >: YAML also permits list items at the SAME indent as
+      // their parent key; the pin disambiguates either way
+      case itemRe(ind, name) if tablesIndent >= 0 && ind.length >= tablesIndent &&
+          (itemIndent < 0 || ind.length == itemIndent) =>
+        if (itemIndent < 0) itemIndent = ind.length
         out += name
       case l if tablesIndent >= 0 &&
           l.trim.nonEmpty && !l.trim.startsWith("-") &&
           l.takeWhile(_ == ' ').length <= tablesIndent =>
-        tablesIndent = -1 // dedent closes the tables block
+        tablesIndent = -1; itemIndent = -1 // dedent closes the tables block
       case _ => ()
     }
     out.toSeq

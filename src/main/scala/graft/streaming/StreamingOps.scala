@@ -382,6 +382,19 @@ object StreamingOps {
       keyCol: String = "key", k: Int = 256): DataFrame =
     graft.ext.Sketches.kmvSketchBy(df, groupCol, keyCol, k)
 
+  /** First-writer-wins gate for the at-least-once ingest sinks: a
+    * batch whose per-batch output directory already carries the
+    * committed `_SUCCESS` marker has fully run (output written; only
+    * the trailing index append could have been lost), so a replay
+    * skips it — the original output stands and the index is never
+    * double-appended. */
+  private def batchDone(spark: org.apache.spark.sql.SparkSession,
+      outPath: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$outPath/batch_id=$batchId/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Streaming image-ingest dedup sink (the [[cdcSink]] discipline):
     * each micro-batch of images is d-hashed (the batch decode path,
     * stateless) and run through the EXACT on-disk
@@ -393,19 +406,26 @@ object StreamingOps {
     * a 100 TB nightly ingest wants it (restarts resume from disk,
     * and batch/stream share one index).
     *
-    * Replay safety (foreachBatch is at-least-once): probe results
-    * land in a per-batch directory with OVERWRITE, so a replayed
-    * batch rewrites — not duplicates — its rows; the probe's
-    * self-match exclusion keeps those replayed statuses identical
-    * even after appendKept already folded the batch in; a replayed
-    * appendKept adds duplicate band rows, which the probe's distinct
-    * makes benign (growth bounded by replay count). */
+    * Replay safety (foreachBatch is at-least-once): FIRST-WRITER-WINS
+    * per batch — a replayed batch whose output directory already
+    * carries a _SUCCESS marker is skipped entirely ([[batchDone]]), so
+    * the original probe output is never rewritten and the index is
+    * never double-appended. A re-probe after appendKept folded the
+    * batch in could NOT reproduce the original statuses (the probe's
+    * self-match exclusion handles a doc matching itself, but a
+    * dup_batch row re-reads as dup_history once its batch-mate keeper
+    * is resident), which is exactly why the gate is on the output
+    * marker, not on probe semantics. Residual window: a crash AFTER
+    * the output commit but BEFORE appendKept skips that append on
+    * replay — the index misses one batch's entries (bounded: slightly
+    * fewer dup detections) until the periodic rebuild/compact window
+    * re-derives them; it never corrupts output or index. */
   def imageIngestSink(media: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRow],
       indexTable: String, outPath: String, queryName: String,
       maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream.queryName(queryName)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.ext.Multimodal.MediaRow], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchDone(batch.sparkSession, outPath, batchId)) {
           val spark = batch.sparkSession
           val probed = graft.operators.DHashIndex.probe(spark, indexTable,
             graft.ext.Multimodal.imageDHashes(batch), maxHamming)
@@ -429,15 +449,16 @@ object StreamingOps {
     * appendKept so the next micro-batch sees them as history. Zero
     * Spark state store usage — dedup state IS the index, restarts
     * resume from disk, batch and stream share one table. Same replay
-    * discipline as imageIngestSink: per-batch overwrite output,
-    * self-match exclusion in the probe, distinct-benign appends. */
+    * discipline as imageIngestSink: first-writer-wins on the
+    * per-batch output marker, so a replay neither rewrites output nor
+    * double-appends the index. */
   def textIngestSink(docs: DataFrame, indexTable: String, outPath: String,
       queryName: String, minMatches: Int = 3,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.queryName(queryName)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchDone(batch.sparkSession, outPath, batchId)) {
           val spark = batch.sparkSession
           val probed = graft.operators.MinHashBandIndex.probe(spark,
             indexTable, batch.toDF(), minMatches = minMatches,
@@ -462,15 +483,18 @@ object StreamingOps {
     * batch's novelty is measured against everything before it. A feed
     * replaying stale content trends to 0; a topic shift spikes. Zero
     * Spark state store usage — corpus memory IS the on-disk index
-    * (the [[imageIngestSink]]/[[textIngestSink]] discipline; same
-    * per-batch-overwrite replay safety; appends re-cap at the periodic
+    * (the [[imageIngestSink]]/[[textIngestSink]] discipline:
+    * first-writer-wins on the per-batch output marker — essential
+    * here, since a replayed probe AFTER its own postings were appended
+    * would read all-zero novelty, and a replayed append would
+    * double-post every gram; appends re-cap at the periodic
     * compact/rebuild). */
   def noveltyIngestSink(docs: DataFrame, indexTable: String, outPath: String,
       queryName: String, idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.queryName(queryName)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty && !batchDone(batch.sparkSession, outPath, batchId)) {
           val spark = batch.sparkSession
           val probed = graft.operators.ShingleIndex.noveltyProbe(spark,
             indexTable, batch.toDF(), idCol, textCol)

@@ -132,6 +132,28 @@ class DbtProjectSpec extends AnyFunSuite {
         |exposures:
         |  - name: not_a_table
         |""".stripMargin) == Seq("t1", "t2"))
+    // the standard dbt pattern: columns: blocks nested under a table
+    // entry carry their own `- name:` items at deeper indent — they
+    // are column names, not declared source tables (item indent is
+    // pinned to the first entry directly under tables:)
+    assert(DbtProject.parseSourceTables(
+      """sources:
+        |  - name: raw
+        |    tables:
+        |      - name: users
+        |        columns:
+        |          - name: user_id
+        |          - name: email
+        |      - name: partners
+        |""".stripMargin) == Seq("users", "partners"))
+    // YAML also permits list items at the SAME indent as the parent key
+    assert(DbtProject.parseSourceTables(
+      """sources:
+        |- name: raw
+        |  tables:
+        |  - name: a
+        |  - name: b
+        |""".stripMargin) == Seq("a", "b"))
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {

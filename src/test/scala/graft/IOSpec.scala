@@ -453,4 +453,52 @@ class IOSpec extends AnyFunSuite {
       graft.ext.Checkpoints.releaseAll(spark)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("shingle index appendKept excludes hot grams; novelty never double-counts or goes negative") {
+    import graft.operators.ShingleIndex
+    // "alpha beta gamma" appears in both history docs → df=2 > maxDf=1
+    // → capped to the _hot companion, not the postings
+    val hist = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "one two three four"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-hotapp")
+    ShingleIndex.writeIndex(hist, "hot_idx_b", dir + "/idx", maxDf = 1L)
+    try {
+      // nightly fold of a batch CONTAINING the hot gram: pre-fix this
+      // re-inserted it into the postings, so later probes matched it
+      // on BOTH membership legs and novelty went negative
+      ShingleIndex.appendKept(spark, "hot_idx_b",
+        Seq((100L, "alpha beta gamma nine ten")).toDF("doc_id", "text"))
+      val contaminated = spark.table("hot_idx_b")
+        .join(spark.table("hot_idx_b_hot"), "h").count()
+      assert(contaminated == 0L,
+        "appendKept must not re-insert capped-hot grams into the postings")
+      val probe = ShingleIndex.noveltyProbe(spark, "hot_idx_b",
+        Seq((200L, "alpha beta gamma")).toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Double)].collect()
+      // 1 gram, hot-seen exactly once: novelty 0, never negative
+      assert(probe.toSeq == Seq((200L, 1L, 0L, 0.0)), s"${probe.toSeq}")
+      // defense in depth: even a postings table contaminated by a
+      // pre-fix append cannot double-count — the probe routes hot
+      // grams out of the postings leg before the union
+      import org.apache.spark.sql.SaveMode
+      spark.table("hot_idx_b_hot")
+        .withColumn("hist_id", lit(999L)).select("h", "hist_id")
+        .write.mode(SaveMode.Append)
+        .bucketBy(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("hot_idx_b"))
+          .bucketSpec.get.numBuckets, "h").sortBy("h")
+        .format("parquet").saveAsTable("hot_idx_b")
+      val probe2 = ShingleIndex.noveltyProbe(spark, "hot_idx_b",
+        Seq((201L, "alpha beta gamma")).toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Double)].collect()
+      assert(probe2.toSeq == Seq((201L, 1L, 0L, 0.0)),
+        s"contaminated postings must not double-count: ${probe2.toSeq}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS hot_idx_b")
+      spark.sql("DROP TABLE IF EXISTS hot_idx_b_hot")
+    }
+  }
 }

@@ -409,6 +409,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val kOff = graft.ext.Similarity
       .mutualKnn(emb, k = 3, broadcastMaxRows = 0L).collect().toSet
     assert(kOn == kOff, "mutualKnn gate must not change pairs")
+    // past the gate the pair space is hash-blocked into an equi-keyed
+    // shuffle join — an oversized corpus must never degrade to a
+    // single-task cartesian scan
+    val offPlan = graft.ext.Similarity
+      .mutualKnn(emb, k = 3, broadcastMaxRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!offPlan.contains("CartesianProduct") &&
+      !offPlan.contains("BroadcastNestedLoopJoin"),
+      s"mutualKnn past-gate fallback must be blocked, not cartesian:\n$offPlan")
   }
 
   test("iterative graph plans: no cartesian product in any round") {

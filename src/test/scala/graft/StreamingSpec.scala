@@ -525,6 +525,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS txt_ingest_idx") }
   }
 
+  test("ingest sinks are first-writer-wins: a batch with a committed output marker is skipped on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MinHashBandIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-fww").toString
+    val textA = "the quick brown fox jumps over the lazy dog while the cat watches from the windowsill every morning"
+    MinHashBandIndex.writeIndex(
+      Seq((1L, textA)).toDF("doc_id", "text"), "fww_idx", dir + "/idx")
+    try {
+      val idxRowsBefore = spark.table("fww_idx").count()
+      // simulate the at-least-once replay: batch 0's output directory
+      // already carries its committed marker (and the original rows)
+      val sentinel = Seq((77L, "sentinel", Option.empty[Long], Option.empty[Int]))
+        .toDF("doc_id", "status", "dup_of", "n_matches")
+      sentinel.coalesce(1).write.parquet(dir + "/out/batch_id=0")
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingOps.textIngestSink(
+        mem.toDF().toDF("doc_id", "text"), "fww_idx", dir + "/out", "fww_q")
+      try {
+        // the redelivered batch: a NEW doc that would normally be kept
+        // (output row) and appended (index growth) — both must be
+        // no-ops because batch 0 already committed
+        mem.addData((500L,
+          "completely new words that never appeared in the resident corpus at all right here"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = spark.read.parquet(dir + "/out")
+        .select("doc_id", "status").as[(Long, String)].collect().toSet
+      assert(out == Set((77L, "sentinel")),
+        s"replayed batch must not rewrite committed output: $out")
+      assert(spark.table("fww_idx").count() == idxRowsBefore,
+        "replayed batch must not re-append the index")
+    } finally spark.sql("DROP TABLE IF EXISTS fww_idx")
+  }
+
   test("streaming image ingest: probe classifies, kept folds back as history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
