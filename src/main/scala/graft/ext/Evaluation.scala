@@ -581,4 +581,158 @@ object Evaluation {
         .otherwise(col("d_num").cast(DoubleType) /
           (col("n_a") * col("n_b")).cast(DoubleType)), 6).as("ks"))
   }
+
+  /** Rank correlation between two integer metrics per group — do two
+    * rankers agree? (two quality scorers over a corpus, an ANN
+    * shortlist vs the exact ranking, an LLM judge vs a heuristic):
+    * Spearman's ρ with proper average-rank tie handling, and Kendall's
+    * τ-b (tie-corrected) over a deterministically capped subset.
+    *
+    * Exactness contract: average ranks are carried DOUBLED (2·r̄ =
+    * 2·rank_min + ties − 1, an exact long); ρ is the Pearson formula
+    * over those longs — one IEEE division of exact products, 6dp.
+    * τ-b counts concordant/discordant pairs exactly over the first
+    * `maxPerGroup` rows by id per group (pairs are quadratic — the cap
+    * is the documented contract, the same eval-shaped bound as
+    * [[aucRoc]]'s score windows; ρ has no cap).
+    *
+    * Scale shape: ρ is two group-bounded rank windows + one exact
+    * aggregation. τ-b's pair join is equi-keyed on the group and
+    * bounded by the cap — never corpus-quadratic.
+    *
+    * @return (grp, n, spearman_rho, n_tau, kendall_tau_b) */
+  def rankCorrelation(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String, maxPerGroup: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+    def ar2(c: String) = {
+      val w = Window.partitionBy("grp").orderBy(col(c))
+      (rank().over(w) * 2 + count(lit(1))
+        .over(Window.partitionBy("grp", c)) - lit(1)).cast(LongType)
+    }
+    val ranked = base
+      .withColumn("rx", ar2("x")).withColumn("ry", ar2("y"))
+    val rho = ranked.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("grp"), col("n"),
+        round(when((col("n") * col("sxx") === col("sx") * col("sx")) ||
+            (col("n") * col("syy") === col("sy") * col("sy")), 0.0)
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType) *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast(DoubleType))), 6).as("spearman_rho"))
+    val capped = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("id")))
+      .filter(col("rn") <= maxPerGroup)
+      .select(col("grp"), col("id"), col("x"), col("y"))
+    val pairs = capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+      .select(col("a.grp").as("grp"),
+        (signum((col("a.x") - col("b.x")).cast(DoubleType)) *
+          signum((col("a.y") - col("b.y")).cast(DoubleType)))
+          .cast(LongType).as("s"),
+        (col("a.x") === col("b.x")).cast(LongType).as("tx"),
+        (col("a.y") === col("b.y")).cast(LongType).as("ty"))
+    val tau = pairs.groupBy("grp").agg(
+      sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c"),
+      sum(when(col("s") === -1L, 1L).otherwise(0L)).as("d"),
+      sum(col("tx")).as("n1"), sum(col("ty")).as("n2"),
+      count(lit(1)).as("n0"))
+      .select(col("grp"),
+        round(when(col("n0") === col("n1") || col("n0") === col("n2"), 0.0)
+          .otherwise((col("c") - col("d")).cast(DoubleType) /
+            sqrt((col("n0") - col("n1")).cast(DoubleType) *
+              (col("n0") - col("n2")).cast(DoubleType))), 6)
+          .as("kendall_tau_b"))
+    val nTau = capped.groupBy("grp").agg(count(lit(1)).as("n_tau"))
+    rho.join(nTau, Seq("grp"), "left").join(tau, Seq("grp"), "left")
+  }
+
+  /** Two-proportion pooled z-test — the A/B experiment readout:
+    * within each group (experiment/metric), arm sizes, conversion
+    * counts and rates, and the pooled z statistic
+    * (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)). All inputs are exact long
+    * counts; the statistic is fixed-shape IEEE arithmetic on them,
+    * 6dp-rounded, so any engine replays it. Zero-variance or empty
+    * arms emit z = 0 (no evidence, not ±∞).
+    *
+    * Scale shape: ONE corpus aggregation with map-side combine; the
+    * statistic lives on the groups-sized result.
+    *
+    * @return (grp, n_a, n_b, conv_a, conv_b, rate_a, rate_b, z) */
+  def abTest(df: DataFrame, groupCol: String, armCol: String,
+      convCol: String): DataFrame = {
+    val agg = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(LongType).as("arm"),
+        col(convCol).cast(LongType).as("conv"))
+      .groupBy("grp").agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") =!= 0L, col("conv")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val pB = col("conv_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val pPool = (col("conv_a") + col("conv_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b")).cast(DoubleType)
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_a").cast(DoubleType) +
+        lit(1.0) / col("n_b").cast(DoubleType)))
+    agg.select(col("grp"), col("n_a"), col("n_b"),
+      col("conv_a"), col("conv_b"),
+      round(when(col("n_a") === 0L, 0.0).otherwise(pA), 6).as("rate_a"),
+      round(when(col("n_b") === 0L, 0.0).otherwise(pB), 6).as("rate_b"),
+      round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+        .otherwise(when(se === 0.0, 0.0).otherwise((pA - pB) / se)), 6)
+        .as("z"))
+  }
+
+  /** Per-class precision/recall/F1 from a confusion-count table
+    * ((label, pred_label, n) — the [[graft.ext.Similarity.knnClassify]]
+    * / centroidClassify output shape), the standard classification
+    * report a labeling pipeline reads before trusting a gate model.
+    *
+    * Exactness contract: tp/fp/fn are exact long sums;
+    * precision/recall are the integer micro floors tp·10⁶/(tp+fp) and
+    * tp·10⁶/(tp+fn); F1 is the integer micro 2·p·r/(p+r) computed on
+    * those micros — all truncating long division on non-negative
+    * longs, replayed exactly by DuckDB `//`.
+    *
+    * Scale shape: lives entirely on the classes²-bounded confusion
+    * table — three small aggregations and a join.
+    *
+    * @return (label, support, tp, fp, fn, precision_micro,
+    *         recall_micro, f1_micro) */
+  def classificationReport(confusion: DataFrame): DataFrame = {
+    val tp = confusion.filter(col("label") === col("pred_label"))
+      .groupBy("label").agg(sum(col("n")).as("tp"))
+    val byTrue = confusion.groupBy("label")
+      .agg(sum(col("n")).as("support"))
+    val byPred = confusion.groupBy(col("pred_label").as("label"))
+      .agg(sum(col("n")).as("pred_n"))
+    byTrue
+      .join(byPred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision_micro", when(col("tp") + col("fp") === 0L, 0L)
+        .otherwise(expr("(tp * CAST(1000000 AS BIGINT)) div (tp + fp)")))
+      .withColumn("recall_micro", when(col("tp") + col("fn") === 0L, 0L)
+        .otherwise(expr("(tp * CAST(1000000 AS BIGINT)) div (tp + fn)")))
+      .withColumn("f1_micro",
+        when(col("precision_micro") + col("recall_micro") === 0L, 0L)
+          .otherwise(expr(
+            "(2 * precision_micro * recall_micro) div (precision_micro + recall_micro)")))
+  }
 }

@@ -4604,5 +4604,159 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_image_stats" -> imageStatsSql,
     "q_source_freshness" -> sourceFreshnessSql,
     "q_corpus_bleu" -> corpusBleuSql,
-    "q_adamic_adar" -> adamicAdarSql)
+    "q_adamic_adar" -> adamicAdarSql,
+
+    // RAKE: phrases = maximal stopword-free runs; word score =
+    // floor(deg·10⁶ / freq) with deg = Σ containing-phrase length;
+    // phrase score = Σ word scores; top 3 per doc
+    "q_rake_keywords" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS w,
+        |          toks[i] IN ($enStopSql) AS is_stop
+        |        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |ph AS (SELECT doc_id, pos, w, is_stop,
+        |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        |       FROM tok),
+        |occ AS (SELECT doc_id, pid, pos, w,
+        |          count(*) OVER (PARTITION BY doc_id, pid) AS plen
+        |        FROM ph WHERE NOT is_stop),
+        |ws AS (SELECT w,
+        |         (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS w_score
+        |       FROM occ GROUP BY w),
+        |phr AS (SELECT o.doc_id, o.pid,
+        |          string_agg(o.w, ' ' ORDER BY o.pos) AS phrase,
+        |          CAST(sum(ws.w_score) AS BIGINT) AS score_micro
+        |        FROM occ o JOIN ws USING (w) GROUP BY o.doc_id, o.pid)
+        |SELECT doc_id, phrase, score_micro, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, phrase, pid) AS rn FROM phr) x
+        |WHERE rn <= 3""".stripMargin,
+
+    // Spearman ρ with doubled average ranks (2·rank_min + ties − 1,
+    // exact longs) + Kendall τ-b over the first-200-by-id capped
+    // subset per language
+    "q_rank_corr" ->
+      s"""WITH t AS (SELECT lang AS grp, doc_id AS id,
+        |        CAST(n_chars AS BIGINT) AS x,
+        |        CAST(len($toks) AS BIGINT) AS y FROM documents),
+        |r AS (SELECT grp, id, x, y,
+        |    2 * rank() OVER (PARTITION BY grp ORDER BY x)
+        |      + count(*) OVER (PARTITION BY grp, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY grp ORDER BY y)
+        |      + count(*) OVER (PARTITION BY grp, y) - 1 AS ry
+        |  FROM t),
+        |rho AS (SELECT grp, count(*) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+        |  FROM r GROUP BY grp),
+        |rho2 AS (SELECT grp, n,
+        |    round(CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 0.0
+        |      ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |             CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS spearman_rho
+        |  FROM rho),
+        |cap AS (SELECT grp, id, x, y FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
+        |    FROM t) z WHERE rn <= 200),
+        |p AS (SELECT a.grp AS grp,
+        |        CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+        |             WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1
+        |             ELSE 0 END AS s,
+        |        CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |        CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |      FROM cap a JOIN cap b ON a.grp = b.grp AND a.id < b.id),
+        |tau AS (SELECT grp,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2,
+        |    count(*) AS n0
+        |  FROM p GROUP BY grp),
+        |tau2 AS (SELECT grp,
+        |    round(CASE WHEN n0 = n1 OR n0 = n2 THEN 0.0
+        |      ELSE CAST(c - d AS DOUBLE) /
+        |        sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+        |      END, 6) AS kendall_tau_b
+        |  FROM tau),
+        |nt AS (SELECT grp, count(*) AS n_tau FROM cap GROUP BY grp)
+        |SELECT rho2.grp, rho2.n, rho2.spearman_rho, nt.n_tau,
+        |  tau2.kendall_tau_b
+        |FROM rho2 LEFT JOIN nt USING (grp) LEFT JOIN tau2 USING (grp)""".stripMargin,
+
+    // two-proportion pooled z-test; arm = user_id parity, conversion
+    // = value > 50
+    "q_ab_test" ->
+      """WITH t AS (SELECT event_type AS grp, user_id % 2 AS arm,
+        |        CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS conv
+        |      FROM events),
+        |a AS (SELECT grp,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm != 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM t GROUP BY grp),
+        |b AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+        |        CAST(conv_b AS DOUBLE) / n_b AS pb,
+        |        CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+        |      FROM a),
+        |c AS (SELECT *, sqrt(pp * (1.0 - pp) *
+        |        (1.0 / n_a + 1.0 / n_b)) AS se FROM b)
+        |SELECT grp, n_a, n_b, conv_a, conv_b,
+        |  round(CASE WHEN n_a = 0 THEN 0.0 ELSE pa END, 6) AS rate_a,
+        |  round(CASE WHEN n_b = 0 THEN 0.0 ELSE pb END, 6) AS rate_b,
+        |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+        |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
+        |FROM c""".stripMargin,
+
+    // classification report over the centroid-classify confusion
+    // replay (same CTEs as q_centroid_classify), integer-micro P/R/F1
+    "q_eval_f1" ->
+      """WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |        list_transform(embedding,
+        |          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS mv
+        |      FROM embeddings),
+        |cells AS (SELECT vec_id, lbl, i AS pos, mv[i] AS v
+        |          FROM m, unnest(range(1, len(mv) + 1)) AS u(i)),
+        |cent AS (SELECT lbl, pos, CAST(sum(v) AS BIGINT) // count(*) AS c
+        |         FROM cells WHERE vec_id % 5 != 0 GROUP BY lbl, pos),
+        |d AS (SELECT te.vec_id, te.lbl, cent.lbl AS clbl,
+        |        sum((te.v - cent.c) * (te.v - cent.c)) AS dist
+        |      FROM (SELECT * FROM cells WHERE vec_id % 5 = 0) te
+        |      JOIN cent ON te.pos = cent.pos
+        |      GROUP BY 1, 2, 3),
+        |pr AS (SELECT vec_id, lbl, clbl,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dist, clbl) AS rn
+        |       FROM d),
+        |conf AS (SELECT lbl AS label, clbl AS pred_label, count(*) AS n
+        |         FROM pr WHERE rn = 1 GROUP BY 1, 2),
+        |tpt AS (SELECT label, CAST(sum(n) AS BIGINT) AS tp FROM conf
+        |        WHERE label = pred_label GROUP BY label),
+        |bt AS (SELECT label, CAST(sum(n) AS BIGINT) AS support
+        |       FROM conf GROUP BY label),
+        |bp AS (SELECT pred_label AS label, CAST(sum(n) AS BIGINT) AS pred_n
+        |       FROM conf GROUP BY pred_label),
+        |j AS (SELECT coalesce(bt.label, bp.label) AS label,
+        |        coalesce(bt.support, 0) AS support,
+        |        coalesce(tpt.tp, 0) AS tp,
+        |        coalesce(bp.pred_n, 0) - coalesce(tpt.tp, 0) AS fp,
+        |        coalesce(bt.support, 0) - coalesce(tpt.tp, 0) AS fn
+        |      FROM bt FULL OUTER JOIN bp ON bt.label = bp.label
+        |        LEFT JOIN tpt ON coalesce(bt.label, bp.label) = tpt.label),
+        |k AS (SELECT *,
+        |    CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE (tp * 1000000) // (tp + fp) END AS precision_micro,
+        |    CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE (tp * 1000000) // (tp + fn) END AS recall_micro
+        |  FROM j)
+        |SELECT label, support, tp, fp, fn, precision_micro, recall_micro,
+        |  CASE WHEN precision_micro + recall_micro = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE (2 * precision_micro * recall_micro)
+        |      // (precision_micro + recall_micro) END AS f1_micro
+        |FROM k""".stripMargin)
+
+  private def enStopSql: String =
+    TextAnalysis.EnStop.map(w => s"'$w'").mkString(", ")
 }

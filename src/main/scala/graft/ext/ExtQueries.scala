@@ -1631,4 +1631,35 @@ object ExtQueries {
       .select(col("source"), (col("pos") + 1).as("rn"),
         col("col.item").as("token"), col("col.cnt").as("cnt"))
   }
+
+  /** RAKE keyphrases over the documents table — top 3 candidate
+    * phrases per doc by summed deg/freq word score. */
+  def qRakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rakeKeyphrases(Tables(spark, dir).documents)
+
+  /** Do "longer" and "more tokens" rank documents the same way within
+    * each language? Spearman ρ (all docs) + Kendall τ-b (capped
+    * subset) between n_chars and the token count. */
+  def qRankCorr(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.rankCorrelation(
+      Tables(spark, dir).documents.select(col("lang"), col("doc_id"),
+        col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks")),
+      "lang", "doc_id", "n_chars", "n_toks", maxPerGroup = 200)
+
+  /** Two-proportion z-test per event type: arm = user_id parity,
+    * conversion = value > 50 — the A/B readout shape. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.abTest(
+      Tables(spark, dir).events.select(col("event_type"),
+        pmod(col("user_id"), lit(2)).as("arm"),
+        (col("value") > 50.0).cast("long").as("conv")),
+      "event_type", "arm", "conv")
+
+  /** Classification report (per-class P/R/F1, integer micro) over the
+    * nearest-centroid classifier's confusion counts — the eval step
+    * after [[qCentroidClassify]]. */
+  def qEvalF1(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.classificationReport(
+      Similarity.centroidClassify(Tables(spark, dir).embeddings, trainMod = 5))
 }

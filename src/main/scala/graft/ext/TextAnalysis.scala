@@ -844,4 +844,58 @@ object TextAnalysis {
                 col("c_len").cast(DoubleType))) * geo, 6).as("bleu")): _*)
     (out, ids)
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal stopword-free token runs (boundaries = [[EnStop]]
+    * members); corpus-wide word scores deg(w)/freq(w) where freq
+    * counts occurrences inside candidates and deg sums the length of
+    * the containing phrase per occurrence (co-occurrence incl. self);
+    * a phrase scores the sum of its words' scores, and the top
+    * `topPerDoc` phrases per document are kept.
+    *
+    * Exactness contract: word score is the integer micro floor
+    * deg·10⁶ / freq (both non-negative longs, so Spark's truncating
+    * long division and DuckDB's `//` agree); phrase score is an exact
+    * long sum; ranking ties break (score desc, phrase asc, pid asc).
+    *
+    * Scale shape: one posexplode, per-doc windows (doc-bounded), ONE
+    * corpus-wide word aggregation with map-side combine (vocab-sized
+    * result), one equi-join of occurrences against word scores,
+    * per-doc top-k window. No corpus-wide window, no collect.
+    *
+    * @return (doc_id, phrase, score_micro, rn) — rn in 1..topPerDoc */
+  def rakeKeyphrases(docs: DataFrame, topPerDoc: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("is_stop",
+        col("w").isin(EnStop.map(x => lit(x)): _*))
+    // phrase id = running stopword count; stopwords then drop out
+    val occ = toks
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L))
+        .over(Window.partitionBy(idCol).orderBy("pos")))
+      .filter(!col("is_stop"))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy(idCol, "pid")))
+    // exact long floor-division (never a double intermediate — deg·10⁶
+    // at corpus scale exceeds 2^53)
+    val wordScore = occ.groupBy("w")
+      .agg(expr("(sum(plen) * CAST(1000000 AS BIGINT)) div count(*)")
+        .as("w_score"))
+    val phrases = occ.join(wordScore, "w")
+      .groupBy(col(idCol), col("pid"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"),
+        sum(col("w_score")).as("score_micro"))
+    phrases
+      .withColumn("rn", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("score_micro").desc, col("phrase"), col("pid"))))
+      .filter(col("rn") <= topPerDoc)
+      .select(col(idCol), col("phrase"), col("score_micro"),
+        col("rn").cast(IntegerType).as("rn"))
+  }
 }

@@ -30,83 +30,28 @@ object BigQueryDialect {
   def sources(sql: String): Seq[String] = sourceRe.findAllMatchIn(sql).map(_.group(1)).toSeq
 
   // ---- Jinja layer beyond ref()/source() (SURVEY §2.11 gap #2) ----
-  // dbt's everyday templating surface: project vars, environment
-  // vars, and conditional blocks. Grammar is deliberately small and
-  // documented: var('n') / var('n', default), env_var('N') /
-  // env_var('N', default), and {% if C %}…{% else %}…{% endif %}
-  // where C is var('n'), var('n') ==/!= 'lit', true, or false.
-  // Nested ifs evaluate innermost-first. Loops/set/macro-def remain
-  // out of scope (the reference uses none of this — its only macro,
-  // coalesce_trim, resolves separately).
+  // Delegates to [[Jinja]], a small real template engine: {% if %}/
+  // {% elif %}/{% else %}, {% for %} with loop.*, {% set %},
+  // {% macro %} definitions and calls, var()/env_var() with defaults,
+  // config() capture, comments, and whitespace control — anything
+  // outside that surface fails loudly (raw Jinja must never leak into
+  // SQL). ref()/source() calls re-emit their tag text verbatim so DAG
+  // extraction and table resolution keep operating on rendered output.
 
-  // `-?` after `{%`/`{{` and before `%}`/`}}`: Jinja's whitespace-
-  // control tags ({%- if -%}, {{- var -}}) are everyday dbt style; we
-  // accept them without implementing the whitespace stripping (SQL
-  // whitespace is insignificant)
-  private val varRe: Regex =
-    """\{\{-?\s*var\(\s*'([^']+)'\s*(?:,\s*('[^']*'|[^)\s][^)]*?))?\s*\)\s*-?\}\}""".r
-  private val envVarRe: Regex =
-    """\{\{-?\s*env_var\(\s*'([^']+)'\s*(?:,\s*'([^']*)')?\s*\)\s*-?\}\}""".r
-  private val ifRe: Regex =
-    ("""(?s)\{%-?\s*if\s+((?:(?!%\}|\{%).)*?)\s*-?%\}((?:(?!\{%-?\s*(?:if|endif)).)*?)""" +
-     """(?:\{%-?\s*else\s*-?%\}((?:(?!\{%-?\s*(?:if|endif)).)*?))?\{%-?\s*endif\s*-?%\}""").r
-
-  private def truthy(v: String): Boolean =
-    v.nonEmpty && v != "false" && v != "0" && v != "none"
-
-  private def evalCond(cond: String, vars: Map[String, String]): Boolean = {
-    val eqRe = """var\(\s*'([^']+)'\s*\)\s*(==|!=)\s*'([^']*)'""".r
-    val bareRe = """var\(\s*'([^']+)'\s*\)""".r
-    cond.trim match {
-      case "true" => true
-      case "false" => false
-      case eqRe(n, op, lit) =>
-        val v = vars.getOrElse(n,
-          throw new IllegalArgumentException(s"undefined var '$n' in {% if %}"))
-        if (op == "==") v == lit else v != lit
-      case bareRe(n) => truthy(vars.getOrElse(n, ""))
-      case other => throw new IllegalArgumentException(
-        s"unsupported {% if %} condition: $other")
-    }
-  }
-
-  /** Render the supported Jinja surface: conditionals first (so refs
-    * in dead branches disappear before DAG extraction), then var /
-    * env_var substitution. `envVars` defaults to the real process
-    * environment, like dbt; inject a map for hermetic tests. */
+  /** Render the supported Jinja surface. `envVars` defaults to the
+    * real process environment, like dbt; inject a map for hermetic
+    * tests. Project macros and `config(...)` capture are available
+    * through [[renderJinjaWithConfig]]. */
   def renderJinja(sql: String, vars: Map[String, String] = Map.empty,
-      envVars: Map[String, String] = sys.env): String = {
-    var s = sql
-    // innermost-first fixed point: each pass resolves every if-block
-    // whose body contains no nested if
-    var changed = true
-    while (changed) {
-      val next = ifRe.replaceAllIn(s, m =>
-        Regex.quoteReplacement(
-          if (evalCond(m.group(1), vars)) m.group(2)
-          else Option(m.group(3)).getOrElse("")))
-      changed = next != s
-      s = next
-    }
-    // any surviving statement tag means unsupported Jinja (elif, for,
-    // set, macro, unbalanced if) — fail loudly, never emit raw tags
-    if (s.contains("{%")) throw new IllegalArgumentException(
-      "unsupported or unbalanced Jinja statement block after rendering: " +
-        s.substring(s.indexOf("{%"), math.min(s.length, s.indexOf("{%") + 40)))
-    s = varRe.replaceAllIn(s, { m =>
-      val dflt = Option(m.group(2)).map(_.stripPrefix("'").stripSuffix("'"))
-      Regex.quoteReplacement(vars.get(m.group(1)).orElse(dflt).getOrElse(
-        throw new IllegalArgumentException(
-          s"undefined var '${m.group(1)}' with no default")))
-    })
-    s = envVarRe.replaceAllIn(s, { m =>
-      Regex.quoteReplacement(envVars.get(m.group(1))
-        .orElse(Option(m.group(2))).getOrElse(
-          throw new IllegalArgumentException(
-            s"undefined env_var '${m.group(1)}' with no default")))
-    })
-    s
-  }
+      envVars: Map[String, String] = sys.env): String =
+    Jinja.render(sql, vars, envVars).text
+
+  /** Render with project macros in scope; also returns the model's
+    * `config(...)` kwargs (dbt's in-model materialization override). */
+  def renderJinjaWithConfig(sql: String, vars: Map[String, String],
+      envVars: Map[String, String],
+      macros: Map[String, Jinja.MacroDef]): Jinja.Result =
+    Jinja.render(sql, vars, envVars, macros)
 
   /** %-style BigQuery date format → JVM DateTimeFormatter pattern. */
   def mapDateFormat(fmt: String): String =
@@ -171,20 +116,100 @@ object BigQueryDialect {
     s"(6371008.8 * 2 * asin(sqrt(pow(sin(radians(($lat2) - ($lat1)) / 2), 2) " +
     s"+ cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
 
-  /** QUALIFY shapes handled: `select <list> from <tbl> [where …]
-    * qualify row_number()/rank()/dense_rank() OVER (...) <cmp> <int>`,
-    * where <list> is `*` or an explicit parens-free column list
-    * (aliases fine) and <cmp> is any of = <= < >= > != <>. Covers the
-    * reference's top-1 filters (locations_clean.sql:83,89,95) plus
-    * explicit-list top-k variants. Boundary (by design, documented):
-    * the select list may not contain parenthesised expressions — the
-    * parens-free guard is what makes the lazy select-list match unable
-    * to span across an earlier qualify-less SELECT in the same
-    * statement; the OVER clause allows one nesting level (e.g.
-    * `order by coalesce(a, b)`). */
-  private val qualifyRe: Regex =
-    ("""(?is)select\s+(\*|[^()]+?)\s+from\s+(\w+)(?:\s+where\s+((?:(?!\bselect\b|\bqualify\b).)*?))?\s+qualify\s+""" +
-     """((?:row_number|rank|dense_rank)\(\)\s*over\s*\((?:[^()]|\([^()]*\))*\))\s*(=|<=|<|>=|>|!=|<>)\s*(\d+)""").r
+  /** QUALIFY desugar, paren-aware (round 13 — replaces the earlier
+    * regex whose select lists could not contain parenthesised
+    * expressions). Handled shape, at ANY nesting depth (CTE bodies,
+    * derived tables): `select <list> from <tbl> [where …] qualify
+    * row_number()/rank()/dense_rank() OVER (...) <cmp> <int>` where
+    * <list> is `*` or ANY select list (function calls, CASE, nested
+    * parens all fine — the list is delimited by the depth-matched
+    * FROM, not by a parens-free guard), <tbl> is a single table name,
+    * and <cmp> is any of = <= < >= > != <>. Each QUALIFY binds to the
+    * nearest preceding SELECT at its own paren depth, so a
+    * qualify-less SELECT earlier in the statement is never spanned.
+    * Boundary (loud, not silent): a qualified SELECT with joins,
+    * GROUP BY/HAVING between FROM and QUALIFY, or a non-simple FROM
+    * throws with a message naming the limitation. */
+  private[graft] def desugarQualify(sql: String): String = {
+    // one pass: keyword occurrences outside strings, with paren depth
+    final case class Kw(word: String, pos: Int, end: Int, depth: Int)
+    val lower = sql.toLowerCase
+    val kws = scala.collection.mutable.ArrayBuffer.empty[Kw]
+    var depth = 0; var inStr = false; var i = 0
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c.isLetter && (i == 0 || !isWord(lower.charAt(i - 1)))) {
+        var j = i + 1
+        while (j < lower.length && isWord(lower.charAt(j))) j += 1
+        val w = lower.substring(i, j)
+        if (Set("select", "from", "where", "qualify", "group", "having",
+            "join", "order", "window").contains(w))
+          kws += Kw(w, i, j, depth)
+        i = j
+      } else i += 1
+    }
+    val q = kws.find(_.word == "qualify").getOrElse(return sql)
+    val d = q.depth
+    val sel = kws.filter(k => k.word == "select" && k.depth == d && k.pos < q.pos)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"QUALIFY with no SELECT at its depth: ${sql.substring(q.pos)}"))
+    def between(w: String) = kws.find(k =>
+      k.word == w && k.depth == d && k.pos > sel.pos && k.pos < q.pos)
+    val from = between("from").getOrElse(throw new IllegalArgumentException(
+      "QUALIFY without a FROM clause is not supported"))
+    for (bad <- Seq("group", "having", "join", "order", "window"))
+      if (between(bad).isDefined) throw new IllegalArgumentException(
+        s"QUALIFY shim boundary: $bad between FROM and QUALIFY is not supported " +
+        "(rewrite as a derived table)")
+    val where = between("where")
+    val list = sql.substring(sel.end, from.pos).trim
+    val tbl = sql.substring(from.end, where.map(_.pos).getOrElse(q.pos)).trim
+    if (!tbl.matches("\\w+")) throw new IllegalArgumentException(
+      s"QUALIFY shim boundary: FROM must be a single table name, got '$tbl' " +
+      "(rewrite joins/subqueries as a named derived table)")
+    val whereTxt = where.map(w => " where " + sql.substring(w.end, q.pos).trim)
+      .getOrElse("")
+    // the ranked window expression after QUALIFY: ranker() over (...)
+    val after = sql.substring(q.end)
+    val rankRe = """(?is)^\s*(row_number|rank|dense_rank)\s*\(\s*\)\s*over\s*\(""".r
+    val rm = rankRe.findFirstMatchIn(after).getOrElse(
+      throw new IllegalArgumentException(
+        "QUALIFY shim boundary: only row_number()/rank()/dense_rank() " +
+        s"OVER (...) <cmp> <int> is supported, got: ${after.take(60)}"))
+    // balanced scan to the OVER clause's closing paren
+    var od = 1; var k = q.end + rm.end; var inS = false
+    while (k < sql.length && od > 0) {
+      val c = sql.charAt(k)
+      if (inS) { if (c == '\'') inS = false }
+      else if (c == '\'') inS = true
+      else if (c == '(') od += 1
+      else if (c == ')') od -= 1
+      k += 1
+    }
+    if (od != 0) throw new IllegalArgumentException(
+      "unbalanced OVER clause after QUALIFY")
+    val ranker = sql.substring(q.end + rm.start(1) - rm.start, k).trim
+    val cmpRe = """(?s)^\s*(=|<=|<|>=|>|!=|<>)\s*(\d+)""".r
+    val cm = cmpRe.findFirstMatchIn(sql.substring(k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"QUALIFY shim boundary: expected <cmp> <int> after OVER (...), got: ${sql.substring(k).take(40)}"))
+    val pred = s"__rn ${cm.group(1)} ${cm.group(2)}"
+    val replacement =
+      if (list == "*")
+        s"select * except(__rn) from (select *, $ranker as __rn " +
+        s"from $tbl$whereTxt) where $pred"
+      else
+        s"select $list from (select *, $ranker as __rn " +
+        s"from $tbl$whereTxt) $tbl where $pred"
+    // recurse: later QUALIFYs (other CTEs / deeper tables) still pending
+    desugarQualify(sql.substring(0, sel.pos) + replacement +
+      sql.substring(k + cm.end))
+  }
 
   /** Translate one model's BigQuery SQL to Spark SQL.
     * @param currentDateOverride pin `current_date` to a literal
@@ -237,23 +262,12 @@ object BigQueryDialect {
     s = rewriteCalls(s, "safe_divide")(args => s"TRY_DIVIDE(${args(0)}, ${args(1)})")
     s = """(?i)\bSAFE_CAST\s*\(""".r.replaceAllIn(s, "TRY_CAST(")
     s = """(?i)\bCOUNTIF\s*\(""".r.replaceAllIn(s, "COUNT_IF(")
-    // 8. QUALIFY <ranker>() over (…) <cmp> k — star or explicit list.
-    // The explicit-list form aliases the ranked subquery AS the source
-    // table name so qualified column references in the list keep
-    // resolving; __rn never leaks (the outer list doesn't name it).
-    s = qualifyRe.replaceAllIn(s, { m =>
-      val list = m.group(1).trim
-      val tbl = m.group(2)
-      val where = Option(m.group(3)).map(w => s" where $w").getOrElse("")
-      val pred = s"__rn ${m.group(5)} ${m.group(6)}"
-      Regex.quoteReplacement(
-        if (list == "*")
-          s"select * except(__rn) from (select *, ${m.group(4)} as __rn " +
-          s"from $tbl$where) where $pred"
-        else
-          s"select $list from (select *, ${m.group(4)} as __rn " +
-          s"from $tbl$where) $tbl where $pred")
-    })
+    // 8. QUALIFY <ranker>() over (…) <cmp> k — star or ANY select
+    // list, paren-aware, any nesting depth. The explicit-list form
+    // aliases the ranked subquery AS the source table name so
+    // qualified column references in the list keep resolving; __rn
+    // never leaks (the outer list doesn't name it).
+    s = desugarQualify(s)
     // 9. pin current_date for determinism
     currentDateOverride.foreach { d =>
       s = """(?i)\bcurrent_date\b""".r.replaceAllIn(s, s"DATE '$d'")

@@ -7,15 +7,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.Materialization
 
 /** Load a dbt project DIRECTORY and run it — the literal switch story
-  * for a user of the reference: point the engine at the checkout
-  * (every `*.sql` under `models/`, plus `models/sources.yml` and `dbt_project.yml`) and
+  * for a user of the reference: point the engine at the checkout and
   * every model materializes on Spark, no per-model wiring. Discovery
   * mirrors dbt's:
   *
-  *  - every `*.sql` under `model-paths` is a model named by its file
-  *    stem; its DAG edges come from its own `ref()` calls (after
+  *  - every `*.sql` under the `model-paths` directories declared in
+  *    `dbt_project.yml` (default `models/`) is a model named by its
+  *    file stem; its DAG edges come from its own `ref()` calls (after
   *    Jinja rendering — a ref in a dead `{% if %}` branch is not an
   *    edge);
+  *  - every `*.sql` under `macro-paths` (default `macros/`)
+  *    contributes `{% macro %}` definitions callable from any model
+  *    (ref `macros/utils.sql:1-3`); `threads` comes from a
+  *    checkout-local profiles file when present
+  *    (ref `profiles.example.yml:9`);
   *  - `sources.yml` declares the raw tables the caller must supply
   *    (name → DataFrame) — [[load]] surfaces the declared names so a
   *    missing source fails loudly before any SQL runs;
@@ -34,14 +39,45 @@ import graft.model.Materialization
 object DbtProject {
 
   /** A discovered project: model name → raw (Jinja+BigQuery) SQL, the
-    * declared source table names, and the resolved per-model
-    * materializations. */
+    * declared source table names, the resolved per-model
+    * materializations, the project's macro definitions, and the
+    * `threads` setting found in a checkout-local profiles file (None
+    * if absent — dbt's own default is 4). */
   final case class Loaded(
       modelSql: Map[String, String],
       sourceTables: Seq[String],
-      materializations: Map[String, Materialization])
+      materializations: Map[String, Materialization],
+      macros: Map[String, Jinja.MacroDef] = Map.empty,
+      profileThreads: Option[Int] = None)
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
+
+  /** A `key: [a, b]` flow-style or block-style string list from a
+    * yml document; None when the key is absent. dbt_project.yml uses
+    * the flow style for model-paths/macro-paths (ref
+    * dbt_project.yml:6-8). */
+  private[graft] def parseStringList(yml: String, key: String): Option[Seq[String]] = {
+    val flowRe = (s"""(?m)^$key:\\s*\\[([^\\]]*)\\]\\s*$$""").r
+    val blockHeadRe = (s"""(?m)^$key:\\s*$$""").r
+    flowRe.findFirstMatchIn(yml) match {
+      case Some(m) =>
+        Some(m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"").stripPrefix("'").stripSuffix("'"))
+          .filter(_.nonEmpty))
+      case None => blockHeadRe.findFirstMatchIn(yml).map { m =>
+        val itemRe = """^(\s+)-\s*"?([^"\s]+)"?\s*$""".r
+        yml.substring(m.end).linesIterator
+          .takeWhile(l => l.trim.isEmpty || l.startsWith(" ") || l.startsWith("\t"))
+          .collect { case itemRe(_, v) => v }.toSeq
+      }
+    }
+  }
+
+  /** The first `threads:` scalar in a profiles yml (the active
+    * target's connection setting — ref profiles.example.yml:9). */
+  private[graft] def parseThreads(yml: String): Option[Int] =
+    """(?m)^\s*threads:\s*(\d+)\s*$""".r.findFirstMatchIn(yml)
+      .map(_.group(1).toInt)
 
   /** Declared source table names: every `- name: t` list item DIRECTLY
     * under a `tables:` key in any `*.yml`/`*.yaml` beneath the model
@@ -110,18 +146,27 @@ object DbtProject {
     out.toMap
   }
 
-  /** Discover the project at `projectDir`. */
+  /** Discover the project at `projectDir`: models from every
+    * directory in `model-paths` (default `["models"]`), macros from
+    * every directory in `macro-paths` (default `["macros"]`), and
+    * `threads` from a checkout-local `profiles.yml` (falling back to
+    * `profiles.example.yml`, the template dbt checkouts ship). */
   def load(projectDir: String): Loaded = {
     val root = Paths.get(projectDir)
     val projYml = root.resolve("dbt_project.yml")
     require(Files.exists(projYml), s"$projectDir has no dbt_project.yml")
-    val policy =
-      if (Files.exists(projYml)) parseMaterializations(read(projYml))
-      else Map.empty[Seq[String], Materialization]
-    val modelsDir = root.resolve("models")
-    require(Files.isDirectory(modelsDir), s"$projectDir has no models/ dir")
-    val files = Files.walk(modelsDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p)).toSeq
+    val projText = read(projYml)
+    val policy = parseMaterializations(projText)
+    val modelDirs = parseStringList(projText, "model-paths")
+      .getOrElse(Seq("models")).map(root.resolve)
+    require(modelDirs.exists(Files.isDirectory(_)),
+      s"$projectDir has none of the model-paths directories: " +
+        modelDirs.mkString(", "))
+    val byDir = modelDirs.filter(Files.isDirectory(_)).map { d =>
+      d -> Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p)).toSeq
+    }
+    val files = byDir.flatMap(_._2)
     val modelSql = files.filter(_.toString.endsWith(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       name -> read(p)
@@ -129,31 +174,48 @@ object DbtProject {
     val sources = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => parseSourceTables(read(p)))
-    val mats = files.filter(_.toString.endsWith(".sql")).map { p =>
-      val name = p.getFileName.toString.stripSuffix(".sql")
-      val relDirs = modelsDir.relativize(p.getParent).toString
-        .split("[/\\\\]").toSeq.filter(_.nonEmpty)
-      // most specific directory override wins; fall back to project
-      // default; dbt's own default is view
-      val mat = relDirs.inits.collectFirst {
-        case prefix if policy.contains(prefix) => policy(prefix)
-      }.getOrElse(Materialization.View)
-      name -> mat
+    val mats = byDir.flatMap { case (dir, fs) =>
+      fs.filter(_.toString.endsWith(".sql")).map { p =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        val relDirs = dir.relativize(p.getParent).toString
+          .split("[/\\\\]").toSeq.filter(_.nonEmpty)
+        // most specific directory override wins; fall back to project
+        // default; dbt's own default is view
+        val mat = relDirs.inits.collectFirst {
+          case prefix if policy.contains(prefix) => policy(prefix)
+        }.getOrElse(Materialization.View)
+        name -> mat
+      }
     }.toMap
-    Loaded(modelSql, sources.distinct, mats)
+    val macros = parseStringList(projText, "macro-paths")
+      .getOrElse(Seq("macros")).map(root.resolve)
+      .filter(Files.isDirectory(_))
+      .flatMap(d => Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
+      .flatMap(p => Jinja.parseMacros(read(p)))
+      .toMap
+    val threads = Seq("profiles.yml", "profiles.example.yml")
+      .map(root.resolve).find(Files.exists(_))
+      .flatMap(p => parseThreads(read(p)))
+    Loaded(modelSql, sources.distinct, mats, macros, threads)
   }
 
   /** Load and RUN: all declared sources must be supplied. Returns
-    * model name → materialized DataFrame. */
+    * model name → materialized DataFrame.
+    * @param threads Runner parallelism; 0 (the default) resolves from
+    *        the checkout's profiles file, falling back to dbt's own
+    *        default of 4. */
   def run(spark: SparkSession, projectDir: String,
       sources: Map[String, DataFrame], warehouseDir: String,
-      currentDateOverride: Option[String] = None, threads: Int = 4,
+      currentDateOverride: Option[String] = None, threads: Int = 0,
       vars: Map[String, String] = Map.empty): Map[String, DataFrame] = {
     val p = load(projectDir)
     val missing = p.sourceTables.filterNot(sources.contains)
     require(missing.isEmpty,
       s"project declares sources with no supplied DataFrame: $missing")
-    new DbtSqlEngine(spark, warehouseDir, currentDateOverride, threads, vars)
+    val t = if (threads > 0) threads else p.profileThreads.getOrElse(4)
+    new DbtSqlEngine(spark, warehouseDir, currentDateOverride, t, vars,
+      macros = p.macros)
       .run(p.modelSql, sources, p.materializations)
   }
 }

@@ -156,6 +156,76 @@ class DbtProjectSpec extends AnyFunSuite {
         |""".stripMargin) == Seq("a", "b"))
   }
 
+  test("model-paths/macro-paths/profiles honored; config(materialized) beats project policy; macros + loops run") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fullproj")
+    Files.createDirectories(dir.resolve("transforms"))
+    Files.createDirectories(dir.resolve("helpers"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "full"
+        |model-paths: ["transforms"]
+        |macro-paths: ["helpers"]
+        |models:
+        |  full:
+        |    +materialized: view
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("profiles.yml"),
+      """full_profile:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      type: bigquery
+        |      threads: 2
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("helpers/util.sql"),
+      "{% macro clean(c) %}trim(lower({{ c }})){% endmacro %}"
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("transforms/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: src_t
+        |        columns:
+        |          - name: id
+        |          - name: v
+        |""".stripMargin.getBytes("UTF-8"))
+    // macro call + {% set %} + {% for %} generating the select list
+    Files.write(dir.resolve("transforms/base.sql"),
+      """{% set cols = ['v'] %}
+        |select id{% for c in cols %}, {{ clean(c) }} as {{ c }}_clean{% endfor %}
+        |from {{ source('raw', 'src_t') }}
+        |""".stripMargin.getBytes("UTF-8"))
+    // in-model config(materialized='table') must beat the view policy
+    Files.write(dir.resolve("transforms/mart.sql"),
+      """{{ config(materialized='table') }}
+        |select * from {{ ref('base') }} where id <= {{ var('lim', '10') }}
+        |""".stripMargin.getBytes("UTF-8"))
+    val p = DbtProject.load(dir.toString)
+    assert(p.modelSql.keySet == Set("base", "mart"))
+    assert(p.sourceTables == Seq("src_t"),
+      "columns under the table entry must not read as source tables")
+    assert(p.macros.contains("clean"))
+    assert(p.profileThreads.contains(2))
+    assert(DbtProject.parseStringList(
+      "model-paths: [\"a\", 'b', c]\n", "model-paths")
+      .contains(Seq("a", "b", "c")))
+    assert(DbtProject.parseStringList(
+      "macro-paths:\n  - m1\n  - \"m2\"\nother: x\n", "macro-paths")
+      .contains(Seq("m1", "m2")))
+    val wh = Files.createTempDirectory("graft-fullproj-wh").toString
+    val src = Seq((1L, " A "), (2L, " B "), (3L, " C ")).toDF("id", "v")
+    val out = DbtProject.run(spark, dir.toString, Map("src_t" -> src), wh)
+    assert(out("base").columns.toSeq == Seq("id", "v_clean"))
+    assert(out("base").select("v_clean").as[String].collect().toSet
+      == Set("a", "b", "c"))
+    assert(out("mart").count() == 3)
+    // mart physically materialized (config override made it a table)
+    assert(Files.list(Paths.get(wh)).iterator().asScala.exists(
+      _.getFileName.toString.contains("mart")),
+      "config(materialized='table') must beat the project-level view policy")
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()

@@ -1951,4 +1951,81 @@ class ExtSpec extends AnyFunSuite {
         assert(got.contains(k), s"frequent item $k missing (parts=$parts)"))
     }
   }
+
+  test("rakeKeyphrases: stopword-bounded phrases, deg/freq word scores, deterministic top-k") {
+    import spark.implicits._
+    // "and"/"the" ∈ EnStop split phrases; "apple" appears in two
+    // 2-token phrases → freq 2, deg 4 → score 2e6; every single-count
+    // word in a 2-token phrase scores 2e6
+    val docs = Seq(Doc(1L, "red apple and green apple"),
+      Doc(2L, "the sort merge join")).toDF()
+    val out = TextAnalysis.rakeKeyphrases(docs)
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(out == Set(
+      (1L, "green apple", 4000000L, 1),
+      (1L, "red apple", 4000000L, 2), // tie → phrase asc
+      (2L, "sort merge join", 9000000L, 1)))
+  }
+
+  test("rankCorrelation: perfect agreement, inversion, and tie handling") {
+    import spark.implicits._
+    val agree = Seq(("g", 1L, 10L, 1L), ("g", 2L, 20L, 2L),
+      ("g", 3L, 30L, 3L), ("g", 4L, 40L, 4L))
+      .toDF("grp", "id", "x", "y")
+    val a = Evaluation.rankCorrelation(agree, "grp", "id", "x", "y")
+      .select("spearman_rho", "kendall_tau_b")
+      .as[(Double, Double)].head()
+    assert(a == ((1.0, 1.0)))
+    val invert = Seq(("g", 1L, 10L, 4L), ("g", 2L, 20L, 3L),
+      ("g", 3L, 30L, 2L), ("g", 4L, 40L, 1L))
+      .toDF("grp", "id", "x", "y")
+    val b = Evaluation.rankCorrelation(invert, "grp", "id", "x", "y")
+      .select("spearman_rho", "kendall_tau_b")
+      .as[(Double, Double)].head()
+    assert(b == ((-1.0, -1.0)))
+    // all-x-tied group: ρ and τ-b guard to 0, never NaN
+    val tied = Seq(("g", 1L, 5L, 1L), ("g", 2L, 5L, 2L), ("g", 3L, 5L, 3L))
+      .toDF("grp", "id", "x", "y")
+    val c = Evaluation.rankCorrelation(tied, "grp", "id", "x", "y")
+      .select("spearman_rho", "kendall_tau_b")
+      .as[(Double, Double)].head()
+    assert(c == ((0.0, 0.0)))
+  }
+
+  test("abTest: hand-computed pooled z; empty-arm guard") {
+    import spark.implicits._
+    // arm 0: 2/4 convert; arm 1: 1/4 convert
+    val rows = Seq((0L, 1L), (0L, 1L), (0L, 0L), (0L, 0L),
+      (1L, 1L), (1L, 0L), (1L, 0L), (1L, 0L))
+      .map { case (arm, c) => ("m", arm, c) }.toDF("grp", "arm", "conv")
+    val r = Evaluation.abTest(rows, "grp", "arm", "conv").head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("conv_b") == 1L)
+    val p = 3.0 / 8.0
+    val z = (0.5 - 0.25) / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(r.getAs[Double]("z") -
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val oneArm = Seq(("m", 0L, 1L)).toDF("grp", "arm", "conv")
+    assert(Evaluation.abTest(oneArm, "grp", "arm", "conv")
+      .head().getAs[Double]("z") == 0.0)
+  }
+
+  test("classificationReport: per-class P/R/F1 from confusion counts") {
+    import spark.implicits._
+    // class 1: tp=8, fn=2 (8+2 support), fp=1; class 2: tp=5, fn=1, fp=2
+    val conf = Seq((1L, 1L, 8L), (1L, 2L, 2L), (2L, 2L, 5L), (2L, 1L, 1L))
+      .toDF("label", "pred_label", "n")
+    val r = Evaluation.classificationReport(conf)
+      .select("label", "support", "tp", "fp", "fn",
+        "precision_micro", "recall_micro", "f1_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 10L, 8L, 1L, 2L, 888888L, 800000L, 842104L)))
+    assert(r(2L) == ((2L, 6L, 5L, 2L, 1L, 714285L, 833333L, 769230L)))
+    // a class predicted but never true still reports (support 0)
+    val conf2 = Seq((1L, 3L, 2L), (1L, 1L, 3L)).toDF("label", "pred_label", "n")
+    val r2 = Evaluation.classificationReport(conf2)
+      .filter(col("label") === 3L)
+      .select("support", "tp", "fp").as[(Long, Long, Long)].head()
+    assert(r2 == ((0L, 0L, 2L)))
+  }
 }

@@ -131,17 +131,23 @@ class SqlShimSpec extends AnyFunSuite {
       Map("a" -> "1", "b" -> "")) == "xz")
     // undefined var with no default fails loudly
     intercept[IllegalArgumentException](renderJinja("{{ var('nope') }}"))
-    // unsupported statement tags (elif/for/set) fail loudly instead of
-    // leaking raw Jinja into the SQL
-    intercept[IllegalArgumentException](renderJinja(
-      "{% if var('a') %}x{% elif var('b') %}y{% endif %}", Map("a" -> "1", "b" -> "1")))
+    // …but an undefined var is falsy (not an error) inside a condition
+    assert(renderJinja("{% if var('nope') %}on{% else %}off{% endif %}") == "off")
+    // elif chains pick the first truthy branch
+    assert(renderJinja(
+      "{% if var('a') == '1' %}x{% elif var('b') == '1' %}y{% else %}z{% endif %}",
+      Map("a" -> "0", "b" -> "1")) == "y")
+    // for loops iterate; an undefined iterable still fails loudly
+    assert(renderJinja("{% for i in [1, 2, 3] %}{{ i }}{% endfor %}") == "123")
     intercept[IllegalArgumentException](renderJinja("{% for i in xs %}{{i}}{% endfor %}"))
-    // whitespace-control tag variants ({%- -%}, {{- -}}) are accepted
+    // unsupported statement tags still fail loudly instead of leaking
+    // raw Jinja into the SQL
+    intercept[IllegalArgumentException](renderJinja("{% snapshot s %}x{% endsnapshot %}"))
+    // whitespace-control variants ({%- -%}, {{- -}}) now STRIP, the
+    // real Jinja semantics
     assert(renderJinja("a {%- if var('x') -%} B {%- else -%} C {%- endif -%} z",
-      Map("x" -> "1")).replaceAll("\\s+", "") == "aBz")
-    // the -? variants parse; whitespace stripping itself is NOT
-    // implemented (SQL whitespace is insignificant), so the space stays
-    assert(renderJinja("select {{- var('lim') -}} ", Map("lim" -> "7")).trim == "select 7")
+      Map("x" -> "1")) == "aBz")
+    assert(renderJinja("select {{- var('lim') -}} ", Map("lim" -> "7")) == "select7")
   }
 
   test("jinja layer: a ref() in a dead {% if %} branch is not a DAG edge and the model runs") {
@@ -184,13 +190,32 @@ class SqlShimSpec extends AnyFunSuite {
     assert(t4.as[String].collect().toSet == Set("a", "b"))
     // __rn never leaks through the explicit-list form
     assert(!t1.columns.contains("__rn") && !t3.columns.contains("__rn"))
+    // round 13: parenthesised expressions in the select list — the
+    // old regex's documented boundary — now desugar (paren-aware scan)
+    val q4 = spark.sql(BigQueryDialect.translate(
+      "select concat(x, '!') as xx, coalesce(v, 0) as vv from qt " +
+      "qualify row_number() over (partition by g order by v desc) = 1"))
+    assert(q4.columns.toSeq == Seq("xx", "vv"))
+    assert(q4.as[(String, Int)].collect().toSet == Set(("c!", 30), ("d!", 40)))
+    // CASE + nested calls in the list, rank() top-k
+    val q5 = spark.sql(BigQueryDialect.translate(
+      "select case when v >= 30 then upper(x) else x end as tag from qt " +
+      "qualify rank() over (order by v desc) <= 2"))
+    assert(q5.as[String].collect().toSet == Set("C", "D"))
+    // unsupported shapes fail loudly with the boundary named
+    val e1 = intercept[IllegalArgumentException](BigQueryDialect.translate(
+      "select a.x from qt a join q2 b on a.x = b.x qualify row_number() over (order by a.v) = 1"))
+    assert(e1.getMessage.contains("join"))
+    val e2 = intercept[IllegalArgumentException](BigQueryDialect.translate(
+      "select x, count(*) from qt group by x qualify row_number() over (order by x) = 1"))
+    assert(e2.getMessage.contains("group"))
     // a qualify-less SELECT ahead of a qualified one in the same
-    // statement must not be spanned by the desugar (the parens-free
-    // select-list guard)
-    val t5 = spark.sql(BigQueryDialect.translate(
+    // statement must not be spanned by the desugar (each QUALIFY binds
+    // to the nearest preceding SELECT at its own depth)
+    val q6 = spark.sql(BigQueryDialect.translate(
       "with base as (select g, x, v from qt), " +
       "top as (select x, v from base qualify row_number() over (partition by g order by v desc) = 1) " +
       "select x from top"))
-    assert(t5.as[String].collect().toSet == Set("c", "d"))
+    assert(q6.as[String].collect().toSet == Set("c", "d"))
   }
 }
