@@ -623,6 +623,45 @@ object GraftFunctions {
       tableOf(strArg(args.head, "auc_roc(table)")))
       .queryExecution.logical
 
+  /** rake_keywords(tbl[, topPerDoc]) — RAKE keyphrases over
+    * (doc_id, text) rows ([[graft.ext.TextAnalysis.rakeKeyphrases]]). */
+  def rakeKeywordsTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "rake_keywords(table)"))
+    val out =
+      if (args.length > 1) graft.ext.TextAnalysis.rakeKeyphrases(df,
+        topPerDoc = intArg(args(1), "rake_keywords(topPerDoc)"))
+      else graft.ext.TextAnalysis.rakeKeyphrases(df)
+    out.queryExecution.logical
+  }
+
+  /** rank_corr(tbl[, maxPerGroup]) — Spearman ρ + capped Kendall τ-b
+    * per group over (grp, id, x, y) rows
+    * ([[graft.ext.Evaluation.rankCorrelation]]). */
+  def rankCorrTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "rank_corr(table)"))
+    val out =
+      if (args.length > 1) graft.ext.Evaluation.rankCorrelation(df,
+        "grp", "id", "x", "y",
+        maxPerGroup = intArg(args(1), "rank_corr(maxPerGroup)"))
+      else graft.ext.Evaluation.rankCorrelation(df, "grp", "id", "x", "y")
+    out.queryExecution.logical
+  }
+
+  /** ab_test(tbl) — two-proportion pooled z per group over
+    * (grp, arm, conv) rows ([[graft.ext.Evaluation.abTest]]). */
+  def abTestTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.abTest(
+      tableOf(strArg(args.head, "ab_test(table)")), "grp", "arm", "conv")
+      .queryExecution.logical
+
+  /** classification_report(tbl) — per-class P/R/F1 over
+    * (label, pred_label, n) confusion counts
+    * ([[graft.ext.Evaluation.classificationReport]]). */
+  def classificationReportTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.classificationReport(
+      tableOf(strArg(args.head, "classification_report(table)")))
+      .queryExecution.logical
+
   /** fleiss_kappa(tbl) — multi-rater chance-corrected agreement per
     * group over (group, item, cat) rating rows
     * ([[graft.ext.Evaluation.fleissKappa]]). */
@@ -843,6 +882,10 @@ object GraftFunctions {
     "cohen_kappa" -> (cohenKappaTvf _),
     "calibration" -> (calibrationTvf _),
     "auc_roc" -> (aucRocTvf _),
+    "rake_keywords" -> (rakeKeywordsTvf _),
+    "rank_corr" -> (rankCorrTvf _),
+    "ab_test" -> (abTestTvf _),
+    "classification_report" -> (classificationReportTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

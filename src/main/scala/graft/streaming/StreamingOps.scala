@@ -516,6 +516,17 @@ object StreamingOps {
     * same rows. The live face of the context-budget metric: a feed
     * whose fertility drifts (encoding change, language mix shift)
     * surfaces before it skews packing or mixture weights. */
+  /** Streaming A/B experiment readout: the two-proportion pooled
+    * z-test ([[graft.ext.Evaluation.abTest]]) applied to a live event
+    * stream (Complete mode) — state is four exact long counters per
+    * group (groups-bounded, never stream length), and a snapshot is
+    * value-identical to the batch call on the same rows (StreamingSpec
+    * twin proof). The production shape: an experiment dashboard reads
+    * the current z without ever re-scanning the event log. */
+  def abTestStream(events: DataFrame, groupCol: String = "grp",
+      armCol: String = "arm", convCol: String = "conv"): DataFrame =
+    graft.ext.Evaluation.abTest(events, groupCol, armCol, convCol)
+
   def fertilityStream(docs: DataFrame, byCol: String = "lang",
       textCol: String = "text"): DataFrame =
     graft.ext.Curation.tokenFertility(docs, byCol, textCol)

@@ -478,6 +478,25 @@ class GraftFunctionsSpec extends AnyFunSuite {
         spark.table("pgram_e11"), minPeriod = 2, maxPeriod = 5))
     sameAs("SELECT * FROM label_vote('rate_e11')",
       graft.ext.Evaluation.labelVote(spark.table("rate_e11")))
+    Seq((1L, "red apple and green apple"), (2L, "the sort merge join"))
+      .toDF("doc_id", "text").createOrReplaceTempView("rake_e11")
+    sameAs("SELECT * FROM rake_keywords('rake_e11', 2)",
+      graft.ext.TextAnalysis.rakeKeyphrases(
+        spark.table("rake_e11"), topPerDoc = 2))
+    Seq(("g", 1L, 10L, 1L), ("g", 2L, 20L, 3L), ("g", 3L, 30L, 2L))
+      .toDF("grp", "id", "x", "y").createOrReplaceTempView("rc_e11")
+    sameAs("SELECT * FROM rank_corr('rc_e11', 2)",
+      graft.ext.Evaluation.rankCorrelation(spark.table("rc_e11"),
+        "grp", "id", "x", "y", maxPerGroup = 2))
+    Seq(("m", 0L, 1L), ("m", 0L, 0L), ("m", 1L, 1L), ("m", 1L, 1L))
+      .toDF("grp", "arm", "conv").createOrReplaceTempView("ab_e11")
+    sameAs("SELECT * FROM ab_test('ab_e11')",
+      graft.ext.Evaluation.abTest(spark.table("ab_e11"),
+        "grp", "arm", "conv"))
+    Seq((1L, 1L, 8L), (1L, 2L, 2L), (2L, 2L, 5L))
+      .toDF("label", "pred_label", "n").createOrReplaceTempView("cr_e11")
+    sameAs("SELECT * FROM classification_report('cr_e11')",
+      graft.ext.Evaluation.classificationReport(spark.table("cr_e11")))
     Seq((1L, "red", "m"), (2L, "blue", "l")).toDF("id", "color", "sz")
       .createOrReplaceTempView("fh_e11")
     sameAs("SELECT * FROM feature_hash('fh_e11', 'color,sz', 16)",

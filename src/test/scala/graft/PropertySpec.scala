@@ -461,4 +461,24 @@ class PropertySpec extends AnyFunSuite {
       graft.ext.Checkpoints.releaseAll(spark)
     }
   }
+
+  test("rank correlation is invariant under strictly monotone transforms") {
+    // ρ and τ-b depend only on orderings: x → 3x + 7 and y → y³ (both
+    // strictly increasing on the sampled domain) must not change them
+    val gen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(-50L, 50L)))
+    forAll(gen) { pts =>
+      val rows = pts.zipWithIndex.map { case ((x, y), i) =>
+        ("g", i.toLong, x, y) }
+      val base = graft.ext.Evaluation.rankCorrelation(
+        rows.toDF("grp", "id", "x", "y"), "grp", "id", "x", "y")
+        .select("spearman_rho", "kendall_tau_b")
+        .as[(Double, Double)].collect().toSeq
+      val warped = graft.ext.Evaluation.rankCorrelation(
+        rows.map { case (g, i, x, y) => (g, i, 3 * x + 7, y * y * y) }
+          .toDF("grp", "id", "x", "y"), "grp", "id", "x", "y")
+        .select("spearman_rho", "kendall_tau_b")
+        .as[(Double, Double)].collect().toSeq
+      assert(base == warped, s"monotone transform changed (ρ, τ): $base vs $warped")
+    }
+  }
 }

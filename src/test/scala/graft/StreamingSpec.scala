@@ -491,6 +491,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming A/B z-test snapshot equals the batch readout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = Seq(("m", 0L, 1L), ("m", 0L, 0L), ("m", 1L, 1L))
+    val b2 = Seq(("m", 1L, 0L), ("m", 0L, 1L), ("m", 1L, 1L), ("n", 0L, 0L), ("n", 1L, 1L))
+    val q = StreamingOps.abTestStream(mem.toDF().toDF("grp", "arm", "conv"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ab_out").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("ab_out").collect().toSet
+      val batch = graft.ext.Evaluation.abTest(
+        (b1 ++ b2).toDF("grp", "arm", "conv"), "grp", "arm", "conv")
+        .collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming text ingest: minhash-band probe classifies, kept folds back as history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
