@@ -214,6 +214,110 @@ object EntityResolution {
         concat(lit("  "), upper(col("c_name")), lit(" "))))
   }
 
+  /** One Fellegi–Sunter comparison field: the record column, its
+    * (m, u) probabilities — m = P(agree | same entity),
+    * u = P(agree | different entities) — and the agreement rule
+    * (exact normalized equality by default; Jaro–Winkler ≥ `jwMin`
+    * when `jwMin` < 1). The log₂ likelihood-ratio weights fold to
+    * INTEGER MICRO constants here, on the driver, once — the
+    * distributed plan never evaluates a transcendental, and an
+    * oracle regenerates the identical constants from the same
+    * (m, u). */
+  final case class FsField(field: String, m: Double, u: Double,
+      jwMin: Double = 1.0) {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"need 0 < u < m < 1, got m=$m u=$u")
+    def agreeMicro: Long =
+      math.round(math.log(m / u) / math.log(2.0) * 1e6)
+    def disagreeMicro: Long =
+      math.round(math.log((1 - m) / (1 - u)) / math.log(2.0) * 1e6)
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969, JASA — the model behind every serious master-data /
+    * identity-resolution system): candidate pairs from strong-key
+    * blocking score the SUM of per-field log₂ likelihood-ratio
+    * weights — `agreeMicro` when the field agrees, `disagreeMicro`
+    * when it doesn't — and the two thresholds cut the score line into
+    * match / clerical-review / nonmatch, the paper's decision rule.
+    * Complements [[resolve]]/[[resolveJw]] (single-field yes/no
+    * links): FS weighs EVERY field's evidence, so one noisy field
+    * cannot veto a link that three strong fields support.
+    *
+    * Exactness contract: weights are driver-side integer micro
+    * constants ([[FsField]]); pair scores are exact long sums; JW
+    * agreement compares micro-rounded similarity (the
+    * [[resolveJw]]/DuckDB-parity discipline); thresholds compare
+    * micro longs. The whole trace replays on any engine.
+    *
+    * Scale shape: the pair space is a census-capped equi-join on the
+    * blocking key (never all-pairs — the [[resolve]] discipline);
+    * each pair evaluates a fixed number of codegen'd comparators
+    * (equality / [[graft.expressions.JaroWinkler]]).
+    *
+    * @return (a_id, b_id, score_micro, decision) for every in-block
+    *         pair, decision ∈ match|review|nonmatch. */
+  def fellegiSunter(records: DataFrame, blockCol: String,
+      fields: Seq[FsField], upperMicro: Long, lowerMicro: Long,
+      idCol: String = "record_id", maxBlock: Int = 64): DataFrame = {
+    require(fields.nonEmpty && upperMicro >= lowerMicro)
+    val norm = records.select(col(idCol) +: col(blockCol).as("blk") +:
+      fields.map(f => lower(trim(col(f.field))).as(f.field)): _*)
+    val blockSizes = norm.groupBy("blk").agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") <= maxBlock).select("blk")
+    val nb = norm.join(blockSizes, Seq("blk"))
+    val a = nb.select(col("blk") +: col(idCol).as("a_id") +:
+      fields.map(f => col(f.field).as("a_" + f.field)): _*)
+    val b = nb.select(col("blk") +: col(idCol).as("b_id") +:
+      fields.map(f => col(f.field).as("b_" + f.field)): _*)
+    val score = fields.map { f =>
+      val agree =
+        if (f.jwMin >= 1.0) col("a_" + f.field) === col("b_" + f.field)
+        else round(graft.expressions.JaroWinkler.jw(
+            col("a_" + f.field), col("b_" + f.field)) * 1e6, 0)
+          .cast("long") >= math.round(f.jwMin * 1e6)
+      when(agree, lit(f.agreeMicro)).otherwise(lit(f.disagreeMicro))
+    }.reduce(_ + _)
+    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("score_micro", score)
+      .withColumn("decision",
+        when(col("score_micro") >= upperMicro, lit("match"))
+          .when(col("score_micro") <= lowerMicro, lit("nonmatch"))
+          .otherwise(lit("review")))
+      .select("a_id", "b_id", "score_micro", "decision")
+  }
+
+  /** Deterministic multi-field dirty-record generator for the FS demo
+    * query/oracle: each customer yields a clean record (key·2) and a
+    * twin (key·2+1) with field-selective noise — name typo on key%3
+    * ('Customer'→'Custommer', still above the JW gate), market
+    * segment clobbered on key%4 (disagreement on a 5-category field —
+    * the high-u evidence), synthetic phone's last digit dropped on
+    * key%5 (low-u evidence). Blocking key = key div 10, so twins
+    * always co-block and the other ≤18 records in the block are
+    * near-key strangers — exactly the pairs FS must score apart. */
+  def customerLinkRecords(customer: DataFrame): DataFrame = {
+    val phone = concat(lit("555-"),
+      lpad(col("c_custkey").cast("string"), 9, "0"))
+    val base = customer.select(
+      (col("c_custkey") * 2).as("record_id"),
+      expr("c_custkey div 10").cast("string").as("blk"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      phone.as("phone"))
+    val twin = customer.select(
+      (col("c_custkey") * 2 + 1).as("record_id"),
+      expr("c_custkey div 10").cast("string").as("blk"),
+      when(col("c_custkey") % 3 === 0,
+        regexp_replace(col("c_name"), "Customer", "Custommer"))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 4 === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")).as("segment"),
+      when(col("c_custkey") % 5 === 0, substring(phone, 1, 12))
+        .otherwise(phone).as("phone"))
+    base.unionAll(twin)
+  }
+
   /** [[customerVariants]] plus KEYLESS record families (no digits at
     * all — letters from the md5 of the key, a trailing-letter typo on
     * the twin): strong-key blocking can never link these, the

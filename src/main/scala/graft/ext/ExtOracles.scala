@@ -4605,6 +4605,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_source_freshness" -> sourceFreshnessSql,
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql,
+    "q_fellegi_sunter" -> fellegiSunterSql,
 
     // RAKE: phrases = maximal stopword-free runs; word score =
     // floor(deg·10⁶ / freq) with deg = Σ containing-phrase length;
@@ -4759,4 +4760,49 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
 
   private def enStopSql: String =
     TextAnalysis.EnStop.map(w => s"'$w'").mkString(", ")
+
+  /** Fellegi–Sunter replay: the same dirty-record generator, blocking
+    * census, and INTEGER MICRO weights as the Spark side — the weight
+    * constants interpolate from the SAME FsField (m, u) values
+    * (ExtQueries.fsFields), so no engine ever re-derives a log. */
+  private def fellegiSunterSql: String = {
+    val Seq(nameF, segF, phoneF) = ExtQueries.fsFields
+    val jwMicro = math.round(nameF.jwMin * 1e6)
+    s"""WITH recs AS (
+      |  SELECT c_custkey * 2 AS record_id,
+      |    CAST(c_custkey // 10 AS VARCHAR) AS blk,
+      |    c_name AS name, c_mktsegment AS segment,
+      |    '555-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS phone
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey * 2 + 1, CAST(c_custkey // 10 AS VARCHAR),
+      |    CASE WHEN c_custkey % 3 = 0
+      |      THEN replace(c_name, 'Customer', 'Custommer') ELSE c_name END,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+      |    CASE WHEN c_custkey % 5 = 0
+      |      THEN substr('555-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0'), 1, 12)
+      |      ELSE '555-' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') END
+      |  FROM customer),
+      |n AS (SELECT record_id, blk, lower(trim(name)) AS name,
+      |        lower(trim(segment)) AS segment,
+      |        lower(trim(phone)) AS phone FROM recs),
+      |bc AS (SELECT blk, count(*) AS c FROM n GROUP BY blk),
+      |nb AS (SELECT n.* FROM n JOIN bc USING (blk) WHERE bc.c <= 64),
+      |p AS (SELECT a.record_id AS a_id, b.record_id AS b_id,
+      |        (CASE WHEN CAST(round(jaro_winkler_similarity(a.name, b.name)
+      |             * 1000000, 0) AS BIGINT) >= $jwMicro
+      |           THEN ${nameF.agreeMicro} ELSE ${nameF.disagreeMicro} END
+      |         + CASE WHEN a.segment = b.segment
+      |           THEN ${segF.agreeMicro} ELSE ${segF.disagreeMicro} END
+      |         + CASE WHEN a.phone = b.phone
+      |           THEN ${phoneF.agreeMicro} ELSE ${phoneF.disagreeMicro} END
+      |        ) AS score_micro
+      |      FROM nb a JOIN nb b USING (blk)
+      |      WHERE a.record_id < b.record_id)
+      |SELECT a_id, b_id, CAST(score_micro AS BIGINT) AS score_micro,
+      |  CASE WHEN score_micro >= ${ExtQueries.fsUpperMicro} THEN 'match'
+      |       WHEN score_micro <= ${ExtQueries.fsLowerMicro} THEN 'nonmatch'
+      |       ELSE 'review' END AS decision
+      |FROM p""".stripMargin
+  }
 }

@@ -1662,4 +1662,24 @@ object ExtQueries {
   def qEvalF1(spark: SparkSession, dir: String): DataFrame =
     Evaluation.classificationReport(
       Similarity.centroidClassify(Tables(spark, dir).embeddings, trainMod = 5))
+
+  /** Fellegi–Sunter field spec + thresholds, shared with the oracle
+    * generator so both engines score from the SAME micro weights
+    * (the VincentyDistance shared-constants discipline). */
+  val fsFields: Seq[EntityResolution.FsField] = Seq(
+    EntityResolution.FsField("name", 0.95, 0.05, jwMin = 0.92),
+    // 5-category segment: high u (strangers agree 1 time in 5)
+    EntityResolution.FsField("segment", 0.90, 0.20),
+    EntityResolution.FsField("phone", 0.90, 0.02))
+  val fsUpperMicro = 8000000L
+  val fsLowerMicro = 0L
+
+  /** Probabilistic record linkage over the multi-field dirty customer
+    * records: every in-block pair scored by summed log₂ likelihood
+    * weights, cut into match/review/nonmatch
+    * ([[graft.ext.EntityResolution.fellegiSunter]]). */
+  def qFellegiSunter(spark: SparkSession, dir: String): DataFrame =
+    EntityResolution.fellegiSunter(
+      EntityResolution.customerLinkRecords(Tables(spark, dir).customer),
+      "blk", fsFields, fsUpperMicro, fsLowerMicro)
 }

@@ -2009,6 +2009,44 @@ class ExtSpec extends AnyFunSuite {
       .head().getAs[Double]("z") == 0.0)
   }
 
+  test("fellegiSunter: field evidence sums to exact micro scores; thresholds cut decisions") {
+    import spark.implicits._
+    import graft.ext.EntityResolution.{FsField, fellegiSunter}
+    val fields = Seq(FsField("nm", 0.95, 0.05, jwMin = 0.92),
+      FsField("ad", 0.90, 0.01), FsField("ph", 0.90, 0.02))
+    val Seq(nm, ad, ph) = fields
+    val recs = Seq(
+      (1L, "b", "acme corp", "1 main st", "555"),
+      (2L, "b", "acme corpp", "1 main st", "555"),     // near-name twin
+      (3L, "b", "zzz unrelated name", "9 elm av", "999"),
+      (10L, "c", "solo record", "2 oak", "111"))
+      .toDF("record_id", "blk", "nm", "ad", "ph")
+    val out = fellegiSunter(recs, "blk", fields,
+      upperMicro = 8000000L, lowerMicro = 0L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // (1,2): name JW('acme corp','acme corpp') ≥ .92, addr+phone equal
+    val full = nm.agreeMicro + ad.agreeMicro + ph.agreeMicro
+    assert(out((1L, 2L)) == ((full, "match")), s"${out((1L, 2L))} vs $full")
+    // (1,3)/(2,3): all three fields disagree → deep negative
+    val none = nm.disagreeMicro + ad.disagreeMicro + ph.disagreeMicro
+    assert(out((1L, 3L)) == ((none, "nonmatch")))
+    assert(out((2L, 3L)) == ((none, "nonmatch")))
+    // singleton block yields no pair; weights are the exact driver
+    // constants (log2 ratios in micro)
+    assert(out.size == 3)
+    assert(nm.agreeMicro == math.round(math.log(0.95 / 0.05) / math.log(2) * 1e6))
+    // a mixed pair lands in review: name agrees, addr+phone disagree
+    val mixed = Seq(
+      (1L, "b", "acme corp", "1 main st", "555"),
+      (2L, "b", "acme corp", "9 elm av", "999"))
+      .toDF("record_id", "blk", "nm", "ad", "ph")
+    val m = fellegiSunter(mixed, "blk", fields, 8000000L, -3000000L)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(m._3 == nm.agreeMicro + ad.disagreeMicro + ph.disagreeMicro)
+    assert(m._4 == "review", s"$m")
+  }
+
   test("classificationReport: per-class P/R/F1 from confusion counts") {
     import spark.implicits._
     // class 1: tp=8, fn=2 (8+2 support), fp=1; class 2: tp=5, fn=1, fp=2
