@@ -654,7 +654,11 @@ object Evaluation {
               (col("n0") - col("n2")).cast(DoubleType))), 6)
           .as("kendall_tau_b"))
     val nTau = capped.groupBy("grp").agg(count(lit(1)).as("n_tau"))
+    // total outputs: a group with <2 capped rows has no pairs — τ
+    // reports 0 (no evidence), never NULL
     rho.join(nTau, Seq("grp"), "left").join(tau, Seq("grp"), "left")
+      .withColumn("n_tau", coalesce(col("n_tau"), lit(0L)))
+      .withColumn("kendall_tau_b", coalesce(col("kendall_tau_b"), lit(0.0)))
   }
 
   /** Two-proportion pooled z-test — the A/B experiment readout:

@@ -4682,8 +4682,9 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |      END, 6) AS kendall_tau_b
         |  FROM tau),
         |nt AS (SELECT grp, count(*) AS n_tau FROM cap GROUP BY grp)
-        |SELECT rho2.grp, rho2.n, rho2.spearman_rho, nt.n_tau,
-        |  tau2.kendall_tau_b
+        |SELECT rho2.grp, rho2.n, rho2.spearman_rho,
+        |  coalesce(nt.n_tau, 0) AS n_tau,
+        |  coalesce(tau2.kendall_tau_b, 0.0) AS kendall_tau_b
         |FROM rho2 LEFT JOIN nt USING (grp) LEFT JOIN tau2 USING (grp)""".stripMargin,
 
     // two-proportion pooled z-test; arm = user_id parity, conversion

@@ -48,7 +48,8 @@ object DbtProject {
       sourceTables: Seq[String],
       materializations: Map[String, Materialization],
       macros: Map[String, Jinja.MacroDef] = Map.empty,
-      profileThreads: Option[Int] = None)
+      profileThreads: Option[Int] = None,
+      tests: Seq[DbtTests.DataTest] = Seq.empty)
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
 
@@ -197,7 +198,10 @@ object DbtProject {
     val threads = Seq("profiles.yml", "profiles.example.yml")
       .map(root.resolve).find(Files.exists(_))
       .flatMap(p => parseThreads(read(p)))
-    Loaded(modelSql, sources.distinct, mats, macros, threads)
+    val tests = files
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => DbtTests.parse(read(p)))
+    Loaded(modelSql, sources.distinct, mats, macros, threads, tests)
   }
 
   /** Load and RUN: all declared sources must be supplied. Returns
@@ -217,5 +221,21 @@ object DbtProject {
     new DbtSqlEngine(spark, warehouseDir, currentDateOverride, t, vars,
       macros = p.macros)
       .run(p.modelSql, sources, p.materializations)
+  }
+
+  /** `dbt run` + `dbt test` in one call: materialize every model,
+    * then run every schema-yml data test against the materialized
+    * frames (sources are in scope too, for `relationships` targets).
+    * @return (model frames, test report — [[DbtTests.run]] shape) */
+  def runAndTest(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      currentDateOverride: Option[String] = None, threads: Int = 0,
+      vars: Map[String, String] = Map.empty)
+      : (Map[String, DataFrame], DataFrame) = {
+    val results = run(spark, projectDir, sources, warehouseDir,
+      currentDateOverride, threads, vars)
+    val report = DbtTests.run(spark, sources ++ results,
+      load(projectDir).tests)
+    (results, report)
   }
 }

@@ -1,0 +1,175 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import MiniYaml._
+
+/** dbt schema-yml data tests, discovered and RUN from the project
+  * checkout — the `dbt test` half of the switch story
+  * ([[DbtProject]] is the `dbt run` half). Supported test surface
+  * (the standard four generics plus the one dbt_utils test the
+  * reference declares — `marts_schema.yml:6-15`):
+  *
+  *  - column `not_null`, `unique`
+  *  - column `accepted_values:` (`values:` list; NULLs pass, dbt's
+  *    semantics)
+  *  - column `relationships:` (`to: ref('parent')`, `field: col`;
+  *    NULL child keys pass, dbt's semantics)
+  *  - model-level `dbt_utils.unique_combination_of_columns:`
+  *    (`combination_of_columns:` list)
+  *
+  * Anything else fails loudly at parse time — a silently skipped
+  * test is worse than a missing one. Each test computes ONE
+  * aggregate (violation count) against the materialized frame —
+  * the dbt contract (a test is a query returning violating rows;
+  * status = empty ⇔ pass).
+  */
+object DbtTests {
+
+  /** One declared test: the owning model, the column (None for
+    * model-level tests), the test kind, and its params. */
+  final case class DataTest(model: String, column: Option[String],
+      kind: String, params: Map[String, Seq[String]])
+
+  private val supported = Set("not_null", "unique", "accepted_values",
+    "relationships", "dbt_utils.unique_combination_of_columns")
+
+  private def scalarsOf(n: Node, what: String): Seq[String] = n match {
+    case YList(xs) => xs.map {
+      case YScalar(s) => s
+      case other => throw new IllegalArgumentException(
+        s"$what: expected scalar list items, got $other")
+    }
+    case YScalar(s) => Seq(s)
+    case other => throw new IllegalArgumentException(
+      s"$what: expected a list or scalar, got $other")
+  }
+
+  private def toTest(model: String, column: Option[String],
+      node: Node): DataTest = node match {
+    case YScalar(kind) =>
+      require(supported.contains(kind), s"unsupported data test '$kind'")
+      DataTest(model, column, kind, Map.empty)
+    case YMap(Vector((kind, params))) =>
+      require(supported.contains(kind), s"unsupported data test '$kind'")
+      val p = params match {
+        case pm: YMap => pm.entries.map { case (k, v) =>
+          k -> scalarsOf(v, s"$kind.$k") }.toMap
+        case YNull => Map.empty[String, Seq[String]]
+        case other => throw new IllegalArgumentException(
+          s"unsupported params for test '$kind': $other")
+      }
+      DataTest(model, column, kind, p)
+    case other => throw new IllegalArgumentException(
+      s"unsupported test declaration: $other")
+  }
+
+  /** Every test declared in one schema yml's `models:` block. A yml
+    * without a `models:` list (e.g. sources.yml) declares none. */
+  def parse(yml: String): Seq[DataTest] = MiniYaml.parse(yml) match {
+    case m: YMap => m.get("models") match {
+      case Some(YList(models)) => models.flatMap {
+        case mm: YMap =>
+          val name = mm.get("name") match {
+            case Some(YScalar(s)) => s
+            case _ => throw new IllegalArgumentException(
+              "model entry without a name")
+          }
+          val colTests = mm.get("columns") match {
+            case Some(YList(cols)) => cols.flatMap {
+              case cm: YMap =>
+                val cname = cm.get("name") match {
+                  case Some(YScalar(s)) => s
+                  case _ => throw new IllegalArgumentException(
+                    s"column entry without a name under model $name")
+                }
+                cm.get("tests") match {
+                  case Some(YList(ts)) =>
+                    ts.map(toTest(name, Some(cname), _))
+                  case None | Some(YNull) => Seq.empty
+                  case Some(other) => throw new IllegalArgumentException(
+                    s"unsupported tests form under $name.$cname: $other")
+                }
+              case _ => Seq.empty
+            }
+            case _ => Seq.empty
+          }
+          val modelTests = mm.get("tests") match {
+            case Some(YList(ts)) => ts.map(toTest(name, None, _))
+            case None | Some(YNull) => Seq.empty
+            case Some(other) => throw new IllegalArgumentException(
+              s"unsupported tests form under $name: $other")
+          }
+          colTests ++ modelTests
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    case _ => Seq.empty
+  }
+
+  /** `ref('x')` / `source('a', 'x')` → the frame named x. */
+  private def resolveRef(toExpr: String,
+      frames: Map[String, DataFrame]): DataFrame = {
+    val refRe = """ref\(\s*'(\w+)'\s*\)""".r
+    val srcRe = """source\(\s*'[^']*'\s*,\s*'(\w+)'\s*\)""".r
+    val name = toExpr.trim match {
+      case refRe(n) => n
+      case srcRe(n) => n
+      case bare if bare.matches("\\w+") => bare
+      case other => throw new IllegalArgumentException(
+        s"unsupported relationships 'to' expression: $other")
+    }
+    frames.getOrElse(name, throw new IllegalArgumentException(
+      s"relationships target '$name' is not a known model/source"))
+  }
+
+  /** Violation count for one test — dbt's status rule (0 ⇔ pass). */
+  def violations(t: DataTest, frames: Map[String, DataFrame]): Long = {
+    val df = frames.getOrElse(t.model, throw new IllegalArgumentException(
+      s"test on unknown model '${t.model}'"))
+    t.kind match {
+      case "not_null" =>
+        df.filter(col(t.column.get).isNull).count()
+      case "unique" =>
+        df.filter(col(t.column.get).isNotNull)
+          .groupBy(col(t.column.get)).count()
+          .filter(col("count") > 1).count()
+      case "accepted_values" =>
+        val vals = t.params.getOrElse("values", throw new
+            IllegalArgumentException("accepted_values without values:"))
+        df.filter(col(t.column.get).isNotNull &&
+          !col(t.column.get).cast("string").isin(vals: _*)).count()
+      case "relationships" =>
+        val parent = resolveRef(t.params.getOrElse("to", Seq.empty)
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            "relationships without to:")), frames)
+        val field = t.params.getOrElse("field", Seq.empty).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            "relationships without field:"))
+        df.filter(col(t.column.get).isNotNull)
+          .select(col(t.column.get).as("__k")).distinct()
+          .join(parent.select(col(field).as("__k")).distinct(),
+            Seq("__k"), "left_anti").count()
+      case "dbt_utils.unique_combination_of_columns" =>
+        val cols = t.params.getOrElse("combination_of_columns",
+          throw new IllegalArgumentException(
+            "unique_combination_of_columns without combination_of_columns:"))
+        df.groupBy(cols.map(col): _*).count()
+          .filter(col("count") > 1).count()
+    }
+  }
+
+  /** Run every test; one row per test with its violation count —
+    * the `dbt test` report. @return (model, column, test,
+    * n_violations, status ∈ pass|fail) */
+  def run(spark: SparkSession, frames: Map[String, DataFrame],
+      tests: Seq[DataTest]): DataFrame = {
+    import spark.implicits._
+    tests.map { t =>
+      val n = violations(t, frames)
+      (t.model, t.column.orNull, t.kind, n,
+        if (n == 0L) "pass" else "fail")
+    }.toDF("model", "column", "test", "n_violations", "status")
+  }
+}

@@ -226,6 +226,84 @@ class DbtProjectSpec extends AnyFunSuite {
       "config(materialized='table') must beat the project-level view policy")
   }
 
+  test("schema-yml data tests: reference checkout declares them; run reports pass; violations fail") {
+    import spark.implicits._
+    import graft.sql.DbtTests
+    // the reference's own marts_schema.yml parses into exactly its
+    // two declared tests
+    val refTests = DbtProject.load(refDir).tests
+    assert(refTests.toSet == Set(
+      DbtTests.DataTest("user_base", Some("user_id"), "not_null", Map.empty),
+      DbtTests.DataTest("user_base", None,
+        "dbt_utils.unique_combination_of_columns",
+        Map("combination_of_columns" ->
+          Seq("user_id", "partner_id", "site_id")))), s"$refTests")
+    // dbt run + dbt test on the checkout: not_null passes; the
+    // uniqueness test correctly FAILS — the fixture mart has exactly
+    // 3 duplicated (user_id, partner_id, site_id) combos, the same
+    // number the driver-oracled q_user_base_checks reports
+    val wh = Files.createTempDirectory("graft-dbttest-wh").toString
+    val (_, report) = DbtProject.runAndTest(spark, refDir,
+      RefFixtures.sources(spark), wh,
+      currentDateOverride = Some("2026-08-12"))
+    val rows = report.select("model", "test", "n_violations", "status")
+      .as[(String, String, Long, String)].collect().toSet
+    assert(rows == Set(
+      ("user_base", "not_null", 0L, "pass"),
+      ("user_base", "dbt_utils.unique_combination_of_columns", 3L, "fail")),
+      s"$rows")
+    // synthetic violations: every supported generic fires correctly
+    val dirty = Seq(
+      (Some(1L), "a", "x"), (Some(1L), "b", "zz"), (None, "b", "x"))
+      .toDF("id", "cat", "fk")
+    val parent = Seq("x", "y").toDF("pk")
+    val tests = DbtTests.parse(
+      """version: 2
+        |models:
+        |  - name: dirty
+        |    columns:
+        |      - name: id
+        |        tests: [not_null, unique]
+        |      - name: cat
+        |        tests:
+        |          - accepted_values:
+        |              values: ['a', 'b']
+        |      - name: fk
+        |        tests:
+        |          - relationships:
+        |              to: ref('parent')
+        |              field: pk
+        |    tests:
+        |      - dbt_utils.unique_combination_of_columns:
+        |          combination_of_columns: [id, cat]
+        |""".stripMargin)
+    assert(tests.size == 5)
+    val frames = Map("dirty" -> dirty, "parent" -> parent)
+    val got = DbtTests.run(spark, frames, tests)
+      .select("test", "column", "n_violations")
+      .as[(String, Option[String], Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("not_null", Some("id"))) == 1L)       // the None id
+    assert(got(("unique", Some("id"))) == 1L)         // value 1 duplicated
+    assert(got(("accepted_values", Some("cat"))) == 0L) // a, b both accepted
+    assert(got(("relationships", Some("fk"))) == 1L)  // 'zz' has no parent
+    assert(got(("dbt_utils.unique_combination_of_columns", None)) == 0L)
+    // NULLs pass accepted_values and relationships (dbt semantics)
+    val nullRows = Seq((Option.empty[String], Option.empty[String]))
+      .toDF("cat", "fk")
+    assert(DbtTests.violations(DbtTests.DataTest("m", Some("cat"),
+      "accepted_values", Map("values" -> Seq("a"))),
+      Map("m" -> nullRows)) == 0L)
+    // unsupported test kinds fail loudly at parse time
+    intercept[IllegalArgumentException](DbtTests.parse(
+      """models:
+        |  - name: m
+        |    columns:
+        |      - name: c
+        |        tests: [custom_exotic_test]
+        |""".stripMargin))
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()

@@ -460,4 +460,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS edge_mh_idx")
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("round-13 operators tolerate empty and degenerate inputs") {
+    import graft.ext.{Evaluation, TextAnalysis, EntityResolution}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.rakeKeyphrases(noDocs).count() == 0)
+    // an all-stopword doc yields NO candidate phrases (not a crash,
+    // not an empty-string phrase)
+    assert(TextAnalysis.rakeKeyphrases(
+      Seq((1L, "the of and a")).toDF("doc_id", "text")).count() == 0)
+    // a doc with no stopwords is one whole-doc phrase
+    val whole = TextAnalysis.rakeKeyphrases(
+      Seq((1L, "spark catalyst optimizer")).toDF("doc_id", "text"))
+      .select("phrase").as[String].collect()
+    assert(whole.toSeq == Seq("spark catalyst optimizer"))
+    // rank correlation: single-row group → ρ and τ guard to 0
+    val single = Seq(("g", 1L, 5L, 7L)).toDF("grp", "id", "x", "y")
+    val rc = Evaluation.rankCorrelation(single, "grp", "id", "x", "y")
+      .select("spearman_rho", "kendall_tau_b").as[(Double, Double)].head()
+    assert(rc == ((0.0, 0.0)), s"$rc")
+    assert(Evaluation.rankCorrelation(
+      Seq.empty[(String, Long, Long, Long)].toDF("grp", "id", "x", "y"),
+      "grp", "id", "x", "y").count() == 0)
+    // abTest: empty input → no groups; all-converting arms → se=0 → z=0
+    assert(Evaluation.abTest(
+      Seq.empty[(String, Long, Long)].toDF("grp", "arm", "conv"),
+      "grp", "arm", "conv").count() == 0)
+    val allConv = Seq(("m", 0L, 1L), ("m", 1L, 1L)).toDF("grp", "arm", "conv")
+    assert(Evaluation.abTest(allConv, "grp", "arm", "conv")
+      .head().getAs[Double]("z") == 0.0)
+    // classification report on an empty confusion table
+    assert(Evaluation.classificationReport(
+      Seq.empty[(Long, Long, Long)].toDF("label", "pred_label", "n"))
+      .count() == 0)
+    // FS: a block entirely above maxBlock produces no pairs
+    val big = (1 to 5).map(i => (i.toLong, "b", s"name$i", "s", "p"))
+      .toDF("record_id", "blk", "name", "segment", "phone")
+    assert(EntityResolution.fellegiSunter(big, "blk",
+      graft.ext.ExtQueries.fsFields, 8000000L, 0L, maxBlock = 2)
+      .count() == 0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }
