@@ -18,6 +18,13 @@ object Materialization {
   case object View extends Materialization
   /** Physical: written to parquet and re-read, cutting lineage (dbt table). */
   case object Table extends Materialization
+  /** dbt incremental: first run builds the full table; later runs
+    * fold ONLY the model's (typically is_incremental()-filtered)
+    * output into it — merge on `uniqueKey` when given (batch wins,
+    * [[graft.model.Incremental.merge]]), plain append otherwise
+    * (dbt's default insert strategy). */
+  final case class Incremental(uniqueKey: Seq[String] = Seq.empty)
+    extends Materialization
 }
 
 /** One named transformation. `transform` sees every source table and
@@ -112,6 +119,22 @@ final class Runner(
             val path = s"$warehouseDir/${m.name}"
             df.write.mode("overwrite").parquet(path)
             val reread = spark.read.parquet(path)
+            reread.createOrReplaceTempView(m.name)
+            m.name -> reread
+          case Materialization.Incremental(uniqueKey) =>
+            val path = s"$warehouseDir/${m.name}"
+            val reread =
+              if (uniqueKey.nonEmpty)
+                // merge bootstraps the first run itself
+                Incremental.merge(spark, df, path, uniqueKey)
+              else {
+                val fs = org.apache.hadoop.fs.FileSystem.get(
+                  spark.sparkContext.hadoopConfiguration)
+                if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+                  df.write.mode("overwrite").parquet(path)
+                else df.write.mode("append").parquet(path)
+                spark.read.parquet(path)
+              }
             reread.createOrReplaceTempView(m.name)
             m.name -> reread
         }

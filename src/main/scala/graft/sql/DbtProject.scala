@@ -129,6 +129,9 @@ object DbtProject {
             val mat = m match {
               case "table" => Materialization.Table
               case "view" => Materialization.View
+              // unique_key can only come from in-model config();
+              // a policy-level incremental without one appends
+              case "incremental" => Materialization.Incremental(Seq.empty)
               case other => throw new IllegalArgumentException(
                 s"unsupported materialization '$other'")
             }

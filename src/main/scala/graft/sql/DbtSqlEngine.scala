@@ -18,26 +18,62 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
 
   /** @param modelSql   model name -> raw (Jinja + BigQuery) SQL
     * @param sources    source table name -> DataFrame
-    * @param materializations model name -> View/Table (default View);
-    *        an in-model `{{ config(materialized=...) }}` beats this,
-    *        exactly dbt's precedence (model config > dbt_project.yml)
+    * @param materializations model name -> materialization (default
+    *        View); an in-model `{{ config(materialized=...) }}` beats
+    *        this, exactly dbt's precedence (model config >
+    *        dbt_project.yml)
+    *
+    * Incremental models get dbt's two-phase semantics: a first render
+    * with `is_incremental()` = false decides the materialization (and
+    * the full-build SQL); when the target table already exists on
+    * disk, the model re-renders with `is_incremental()` = true and
+    * `{{ this }}` bound to a temp view over the CURRENT target, so
+    * `where ts > (select max(ts) from {{ this }})` reads the resident
+    * table — then the Runner folds the filtered output in (merge on
+    * `unique_key`, else append).
     */
   def run(modelSql: Map[String, String], sources: Map[String, DataFrame],
       materializations: Map[String, Materialization] = Map.empty): Map[String, DataFrame] = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     val models = modelSql.map { case (name, sql) =>
       // render Jinja FIRST: a ref() inside a false {% if %} branch
       // must not become a DAG edge (the branch never executes)
-      val r = BigQueryDialect.renderJinjaWithConfig(sql, vars, envVars, macros)
-      val translated = BigQueryDialect.translate(r.text, currentDateOverride)
-      val mat = r.config.get("materialized") match {
+      def renderWith(inc: Boolean): Jinja.Result = Jinja.render(sql, vars,
+        envVars, macros,
+        bindings = Map("this" -> Jinja.JRaw(s"${name}__this")),
+        builtins = Map("is_incremental" -> ((_: Seq[Jinja.JV]) =>
+          Jinja.JBool(inc))))
+      val first = renderWith(false)
+      val uniqueKey = first.config.get("unique_key").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val mat = first.config.get("materialized") match {
         case Some("table") => Materialization.Table
         case Some("view") => Materialization.View
+        case Some("incremental") => Materialization.Incremental(uniqueKey)
         case Some(other) => throw new IllegalArgumentException(
           s"model $name: unsupported config(materialized='$other')")
-        case None => materializations.getOrElse(name, Materialization.View)
+        case None => materializations.getOrElse(name, Materialization.View) match {
+          // a policy-level incremental still honors the model's own
+          // config(unique_key=...)
+          case Materialization.Incremental(_) =>
+            Materialization.Incremental(uniqueKey)
+          case other => other
+        }
       }
-      Model(name, BigQueryDialect.refs(r.text), mat)(_ => spark.sql(translated))
+      val targetPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+      val incrementalRun = mat.isInstanceOf[Materialization.Incremental] &&
+        fs.exists(targetPath)
+      val r = if (incrementalRun) renderWith(true) else first
+      val translated = BigQueryDialect.translate(r.text, currentDateOverride)
+      Model(name, BigQueryDialect.refs(r.text), mat)({ _ =>
+        // {{ this }} resolves to the resident target as of THIS run
+        if (incrementalRun)
+          spark.read.parquet(targetPath.toString)
+            .createOrReplaceTempView(s"${name}__this")
+        spark.sql(translated)
+      })
     }.toSeq
     ModelGraph.topoSort(models) // fail fast on cycles before any work
     new Runner(spark, sources, warehouseDir, threads).run(models)

@@ -425,7 +425,8 @@ object Jinja {
       val envVars: Map[String, String],
       val macros: scala.collection.mutable.Map[String, MacroDef],
       val config: scala.collection.mutable.Map[String, String],
-      var scope: List[scala.collection.mutable.Map[String, JV]])
+      var scope: List[scala.collection.mutable.Map[String, JV]],
+      val builtins: Map[String, Seq[JV] => JV])
 
   private def lookup(ctx: Ctx, name: String): Option[JV] =
     ctx.scope.collectFirst { case f if f.contains(name) => f(name) }
@@ -509,7 +510,14 @@ object Jinja {
       case "source" =>
         JRaw(s"{{ source('${strArg(0, "source()")}', '${strArg(1, "source()")}') }}")
       case "config" =>
-        kwargEs.foreach { case (k, e) => ctx.config(k) = show(evalExpr(e, ctx)) }
+        kwargEs.foreach { case (k, e) =>
+          ctx.config(k) = evalExpr(e, ctx) match {
+            // list-valued config (unique_key=['a','b']) folds to a
+            // comma-joined string — the capture map stays flat
+            case JList(xs) => xs.map(show).mkString(",")
+            case v => show(v)
+          }
+        }
         JStr("")
       case "range" => args match {
         case Seq(JInt(n)) => JList((0L until n).map(JInt(_)))
@@ -517,6 +525,7 @@ object Jinja {
           JList((asInt(a, "range") until asInt(b, "range")).map(JInt(_)))
         case _ => fail("range() takes 1 or 2 integer arguments")
       }
+      case n if ctx.builtins.contains(n) => ctx.builtins(n)(args)
       case n if ctx.macros.contains(n) =>
         val d = ctx.macros(n)
         if (args.length > d.params.length)
@@ -572,15 +581,22 @@ object Jinja {
   /** A rendered template plus any `config(...)` kwargs it declared. */
   final case class Result(text: String, config: Map[String, String])
 
+  /** @param bindings extra root-scope identifiers (e.g. dbt's
+    *        `this` → the target relation as a [[JRaw]])
+    * @param builtins extra zero-config functions (e.g. dbt's
+    *        `is_incremental()`), consulted before the unsupported-
+    *        function error */
   def render(template: String, vars: Map[String, String] = Map.empty,
       envVars: Map[String, String] = sys.env,
-      macros: Map[String, MacroDef] = Map.empty): Result = {
+      macros: Map[String, MacroDef] = Map.empty,
+      bindings: Map[String, JV] = Map.empty,
+      builtins: Map[String, Seq[JV] => JV] = Map.empty): Result = {
     val (nodes, _, ender, _) = parseNodes(segment(template), 0, Set.empty)
     if (ender.nonEmpty) fail(s"unexpected {% $ender %}")
     val ctx = new Ctx(vars, envVars,
       scala.collection.mutable.Map.from(macros),
       scala.collection.mutable.Map.empty,
-      List(scala.collection.mutable.Map.empty))
+      List(scala.collection.mutable.Map.from(bindings)), builtins)
     val sb = new StringBuilder
     evalNodes(nodes, ctx, sb)
     Result(sb.toString, ctx.config.toMap)

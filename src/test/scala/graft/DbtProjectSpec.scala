@@ -304,6 +304,48 @@ class DbtProjectSpec extends AnyFunSuite {
         |""".stripMargin))
   }
 
+  test("incremental materialization: is_incremental()/{{ this }} gate the second run; unique_key merges") {
+    import spark.implicits._
+    import graft.sql.DbtSqlEngine
+    val wh = Files.createTempDirectory("graft-incr-wh").toString
+    val sql = Map("inc_model" ->
+      """{{ config(materialized='incremental', unique_key='id') }}
+        |select id, v from {{ source('raw', 'src_inc') }}
+        |{% if is_incremental() %}
+        |where id > (select max(id) from {{ this }}) or id = 1
+        |{% endif %}
+        |""".stripMargin)
+    def runWith(rows: Seq[(Long, String)]): Map[String, org.apache.spark.sql.DataFrame] =
+      new DbtSqlEngine(spark, wh).run(sql,
+        Map("src_inc" -> rows.toDF("id", "v")))
+    // run 1: target absent → is_incremental() false → FULL build
+    val r1 = runWith(Seq((1L, "a"), (2L, "b")))
+    assert(r1("inc_model").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    // run 2: target resident → is_incremental() true; the model reads
+    // max(id) FROM {{ this }} (=2), so only id>2 plus the refreshed
+    // id=1 flow through; merge on unique_key updates 1, appends 3,
+    // and leaves the untouched id=2 in place
+    val r2 = runWith(Seq((1L, "a2"), (2L, "IGNORED"), (3L, "c")))
+    assert(r2("inc_model").as[(Long, String)].collect().toSet
+      == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    // run 3: nothing new → unchanged
+    val r3 = runWith(Seq((1L, "a2"), (2L, "IGNORED")))
+    assert(r3("inc_model").as[(Long, String)].collect().toSet
+      == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    // append flavor (no unique_key): rows accumulate across runs
+    val wh2 = Files.createTempDirectory("graft-incr-wh2").toString
+    val sqlApp = Map("app_model" ->
+      ("{{ config(materialized='incremental') }}" +
+       "select id, v from {{ source('raw', 'src_app') }}"))
+    def runApp(rows: Seq[(Long, String)]) =
+      new DbtSqlEngine(spark, wh2).run(sqlApp,
+        Map("src_app" -> rows.toDF("id", "v")))
+    runApp(Seq((1L, "x")))
+    val a2 = runApp(Seq((2L, "y")))
+    assert(a2("app_model").count() == 2)
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()
