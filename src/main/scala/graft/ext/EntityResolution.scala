@@ -257,10 +257,13 @@ object EntityResolution {
     *
     * @return (a_id, b_id, score_micro, decision) for every in-block
     *         pair, decision ∈ match|review|nonmatch. */
-  def fellegiSunter(records: DataFrame, blockCol: String,
-      fields: Seq[FsField], upperMicro: Long, lowerMicro: Long,
-      idCol: String = "record_id", maxBlock: Int = 64): DataFrame = {
-    require(fields.nonEmpty && upperMicro >= lowerMicro)
+  /** The shared candidate stage: census-capped in-block pairs with a
+    * 0/1 agreement flag per field — the sufficient statistics BOTH
+    * [[fellegiSunter]] (weighting) and [[fellegiSunterEm]]
+    * (estimation) consume.
+    * @return (a_id, b_id, agree_<field>...) */
+  private[graft] def agreementPairs(records: DataFrame, blockCol: String,
+      fields: Seq[FsField], idCol: String, maxBlock: Int): DataFrame = {
     val norm = records.select(col(idCol) +: col(blockCol).as("blk") +:
       fields.map(f => lower(trim(col(f.field))).as(f.field)): _*)
     val blockSizes = norm.groupBy("blk").agg(count(lit(1)).as("block_n"))
@@ -270,21 +273,102 @@ object EntityResolution {
       fields.map(f => col(f.field).as("a_" + f.field)): _*)
     val b = nb.select(col("blk") +: col(idCol).as("b_id") +:
       fields.map(f => col(f.field).as("b_" + f.field)): _*)
-    val score = fields.map { f =>
+    val agreeCols = fields.map { f =>
       val agree =
         if (f.jwMin >= 1.0) col("a_" + f.field) === col("b_" + f.field)
         else round(graft.expressions.JaroWinkler.jw(
             col("a_" + f.field), col("b_" + f.field)) * 1e6, 0)
           .cast("long") >= math.round(f.jwMin * 1e6)
-      when(agree, lit(f.agreeMicro)).otherwise(lit(f.disagreeMicro))
-    }.reduce(_ + _)
+      when(agree, 1).otherwise(0).as("agree_" + f.field)
+    }
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id") +: col("b_id") +: agreeCols: _*)
+  }
+
+  def fellegiSunter(records: DataFrame, blockCol: String,
+      fields: Seq[FsField], upperMicro: Long, lowerMicro: Long,
+      idCol: String = "record_id", maxBlock: Int = 64): DataFrame = {
+    require(fields.nonEmpty && upperMicro >= lowerMicro)
+    val score = fields.map { f =>
+      when(col("agree_" + f.field) === 1, lit(f.agreeMicro))
+        .otherwise(lit(f.disagreeMicro))
+    }.reduce(_ + _)
+    agreementPairs(records, blockCol, fields, idCol, maxBlock)
       .withColumn("score_micro", score)
       .withColumn("decision",
         when(col("score_micro") >= upperMicro, lit("match"))
           .when(col("score_micro") <= lowerMicro, lit("nonmatch"))
           .otherwise(lit("review")))
       .select("a_id", "b_id", "score_micro", "decision")
+  }
+
+  /** Unsupervised (m, u, p) estimation for [[fellegiSunter]] — the EM
+    * fit of the original paper (Winkler 1988's formulation): the
+    * agreement-pattern HISTOGRAM (≤2^k rows for k fields — the only
+    * thing collected to the driver, never the pairs) is a binary
+    * mixture of a match class (rate mᵢ per field, prevalence p) and a
+    * nonmatch class (rate uᵢ); `iters` fixed EM rounds re-estimate
+    * them from the caller's priors (the FsField (m, u) act as the
+    * init). This is how production linkage gets weights WITHOUT
+    * labeled pairs.
+    *
+    * Determinism: the histogram is exact long counts; each EM round
+    * is fixed-shape IEEE arithmetic over ≤2^k patterns summed in
+    * canonical pattern order; outputs round to 6dp — the DuckDB
+    * oracle replays the identical unrolled rounds.
+    *
+    * Scale shape: ONE aggregation over the candidate pairs (map-side
+    * combine to ≤2^k rows); the fit itself is driver math on the
+    * histogram, the same bounded-model-collect discipline as
+    * k-means centroid fitting.
+    *
+    * @return per-field fitted (field, m, u) plus the match prevalence
+    *         p — all clamped into [1e-6, 1−1e-6]. */
+  def fellegiSunterEm(records: DataFrame, blockCol: String,
+      fields: Seq[FsField], iters: Int = 5, pInit: Double = 0.1,
+      idCol: String = "record_id", maxBlock: Int = 64)
+      : (Seq[(String, Double, Double)], Double) = {
+    val k = fields.size
+    val agreeCols = fields.map(f => "agree_" + f.field)
+    val hist = agreementPairs(records, blockCol, fields, idCol, maxBlock)
+      .groupBy(agreeCols.map(col): _*).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (agreeCols.indices.map(i => r.getInt(i)).toVector,
+        r.getLong(k)))
+      .sortBy(_._1.mkString) // canonical order: sums replay exactly
+    var m = fields.map(_.m).toArray
+    var u = fields.map(_.u).toArray
+    var p = pInit
+    for (_ <- 0 until iters) {
+      var sumCR = 0.0; var sumCN = 0.0; var sumC = 0.0
+      val mNum = Array.fill(k)(0.0); val uNum = Array.fill(k)(0.0)
+      for ((pat, c) <- hist) {
+        var wm = p; var wu = 1.0 - p
+        for (i <- 0 until k) {
+          wm *= (if (pat(i) == 1) m(i) else 1.0 - m(i))
+          wu *= (if (pat(i) == 1) u(i) else 1.0 - u(i))
+        }
+        val r = wm / (wm + wu)
+        sumCR += c * r; sumCN += c * (1.0 - r); sumC += c
+        for (i <- 0 until k if pat(i) == 1) {
+          mNum(i) += c * r; uNum(i) += c * (1.0 - r)
+        }
+      }
+      // 12dp round per round: the oracle's sums may associate
+      // differently at the last ulp, and EM iterates — squashing to
+      // 12dp each round keeps both traces identical long before the
+      // 6dp output rounding. Clamp per round too: a rate that hits an
+      // exact 0/1 boundary zeroes a whole weight product and the next
+      // round divides 0/0 — clamped, every weight stays positive and
+      // no guard is ever needed (the oracle replays the same clamp)
+      def r12(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def clamp(x: Double) = math.min(1.0 - 1e-6, math.max(1e-6, x))
+      m = mNum.map(x => clamp(r12(x / sumCR)))
+      u = uNum.map(x => clamp(r12(x / sumCN)))
+      p = clamp(r12(sumCR / sumC))
+    }
+    (fields.indices.map(i => (fields(i).field, m(i), u(i))), p)
   }
 
   /** Deterministic multi-field dirty-record generator for the FS demo

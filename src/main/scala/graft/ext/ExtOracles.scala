@@ -4606,6 +4606,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_corpus_bleu" -> corpusBleuSql,
     "q_adamic_adar" -> adamicAdarSql,
     "q_fellegi_sunter" -> fellegiSunterSql,
+    "q_fs_em" -> fsEmSql(ExtQueries.fsEmIters),
 
     // RAKE: phrases = maximal stopword-free runs; word score =
     // floor(deg·10⁶ / freq) with deg = Σ containing-phrase length;
@@ -4762,13 +4763,9 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   private def enStopSql: String =
     TextAnalysis.EnStop.map(w => s"'$w'").mkString(", ")
 
-  /** Fellegi–Sunter replay: the same dirty-record generator, blocking
-    * census, and INTEGER MICRO weights as the Spark side — the weight
-    * constants interpolate from the SAME FsField (m, u) values
-    * (ExtQueries.fsFields), so no engine ever re-derives a log. */
-  private def fellegiSunterSql: String = {
-    val Seq(nameF, segF, phoneF) = ExtQueries.fsFields
-    val jwMicro = math.round(nameF.jwMin * 1e6)
+  /** The shared recs/blocking/pair CTE prefix of both FS oracles
+    * (identical dirty-record generator and census cap). */
+  private def fsPairPrefix: String =
     s"""WITH recs AS (
       |  SELECT c_custkey * 2 AS record_id,
       |    CAST(c_custkey // 10 AS VARCHAR) AS blk,
@@ -4788,7 +4785,103 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |        lower(trim(segment)) AS segment,
       |        lower(trim(phone)) AS phone FROM recs),
       |bc AS (SELECT blk, count(*) AS c FROM n GROUP BY blk),
-      |nb AS (SELECT n.* FROM n JOIN bc USING (blk) WHERE bc.c <= 64),
+      |nb AS (SELECT n.* FROM n JOIN bc USING (blk) WHERE bc.c <= 64)""".stripMargin
+
+  /** Fellegi–Sunter EM replay: the same agreement-pattern histogram,
+    * pivoted to ONE row with all 2³ pattern counts as columns, then
+    * `iters` EM rounds as pure scalar arithmetic with EXPLICIT
+    * left-associated sums in canonical pattern order — the exact
+    * association the Scala fold uses (zero-count patterns contribute
+    * an exact +0.0 on both sides), with the same per-round 12dp
+    * squash, so the iterated trace is bit-stable across engines. */
+  private def fsEmSql(iters: Int): String = {
+    val Seq(nameF, segF, phoneF) = ExtQueries.fsEmFields
+    val pats = for (a <- 0 to 1; b <- 0 to 1; c <- 0 to 1) yield (a, b, c)
+    def code(p: (Int, Int, Int)) = s"${p._1}${p._2}${p._3}"
+    val pivot = pats.map { p =>
+      s"    coalesce(max(CASE WHEN a1 = ${p._1} AND a2 = ${p._2} AND a3 = ${p._3} " +
+      s"THEN CAST(c AS DOUBLE) END), 0.0) AS c${code(p)}"
+    }.mkString(",\n")
+    def term(bit: Int, v: String) = if (bit == 1) s"q.$v" else s"(1.0 - q.$v)"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      val ws = pats.map { p =>
+        s"    (q.p * ${term(p._1, "m1")} * ${term(p._2, "m2")} * ${term(p._3, "m3")}) AS wm_${code(p)},\n" +
+        s"    ((1.0 - q.p) * ${term(p._1, "u1")} * ${term(p._2, "u2")} * ${term(p._3, "u3")}) AS wu_${code(p)}"
+      }.mkString(",\n")
+      val rs = pats.map(p =>
+        s"    wm_${code(p)} / (wm_${code(p)} + wu_${code(p)}) AS r_${code(p)}")
+        .mkString(",\n")
+      def sum(f: ((Int, Int, Int)) => Option[String]) =
+        pats.flatMap(p => f(p)).mkString(" + ")
+      val sumCR = sum(p => Some(s"c${code(p)} * r_${code(p)}"))
+      val sumCN = sum(p => Some(s"c${code(p)} * (1.0 - r_${code(p)})"))
+      val sumC = sum(p => Some(s"c${code(p)}"))
+      def mNum(bitOf: ((Int, Int, Int)) => Int) =
+        sum(p => if (bitOf(p) == 1) Some(s"c${code(p)} * r_${code(p)}") else None)
+      def uNum(bitOf: ((Int, Int, Int)) => Int) =
+        sum(p => if (bitOf(p) == 1) Some(s"c${code(p)} * (1.0 - r_${code(p)})") else None)
+      val bits = Seq[((Int, Int, Int)) => Int](_._1, _._2, _._3)
+      // the Scala trace's per-round clamp, verbatim: both bounds build
+      // from the same IEEE doubles (cast before arithmetic — a DuckDB
+      // bare decimal literal would otherwise do exact-decimal math)
+      def cl(x: String) =
+        s"least(CAST(1.0 AS DOUBLE) - CAST(0.000001 AS DOUBLE), " +
+        s"greatest(CAST(0.000001 AS DOUBLE), $x))"
+      val params = bits.zipWithIndex.map { case (bit, j) =>
+        s"    ${cl(s"round((${mNum(bit)}) / ($sumCR), 12)")} AS m${j + 1},\n" +
+        s"    ${cl(s"round((${uNum(bit)}) / ($sumCN), 12)")} AS u${j + 1}"
+      }.mkString(",\n")
+      s"""e$i AS (SELECT hp.*,
+        |$ws
+        |  FROM hp, $prev q),
+        |r$i AS (SELECT *,
+        |$rs
+        |  FROM e$i),
+        |p$i AS (SELECT
+        |$params,
+        |    ${cl(s"round(($sumCR) / ($sumC), 12)")} AS p
+        |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    def agreeSql(f: graft.ext.EntityResolution.FsField, idx: Int) =
+      if (f.jwMin >= 1.0)
+        s"CASE WHEN a.${f.field} = b.${f.field} THEN 1 ELSE 0 END AS a$idx"
+      else
+        s"CASE WHEN CAST(round(jaro_winkler_similarity(a.${f.field}, " +
+        s"b.${f.field}) * 1000000, 0) AS BIGINT) >= " +
+        s"${math.round(f.jwMin * 1e6)} THEN 1 ELSE 0 END AS a$idx"
+    s"""$fsPairPrefix,
+      |pr AS (SELECT
+      |    ${agreeSql(nameF, 1)},
+      |    ${agreeSql(segF, 2)},
+      |    ${agreeSql(phoneF, 3)}
+      |  FROM nb a JOIN nb b USING (blk)
+      |  WHERE a.record_id < b.record_id),
+      |h AS (SELECT a1, a2, a3, count(*) AS c FROM pr GROUP BY 1, 2, 3),
+      |hp AS (SELECT
+      |$pivot
+      |  FROM h),
+      |p0 AS (SELECT CAST(${nameF.m} AS DOUBLE) AS m1,
+      |    CAST(${segF.m} AS DOUBLE) AS m2, CAST(${phoneF.m} AS DOUBLE) AS m3,
+      |    CAST(${nameF.u} AS DOUBLE) AS u1, CAST(${segF.u} AS DOUBLE) AS u2,
+      |    CAST(${phoneF.u} AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS p),
+      |$iterCtes
+      |SELECT 'name' AS field, round(m1, 6) AS m, round(u1, 6) AS u,
+      |  round(p, 6) AS p FROM p$iters
+      |UNION ALL SELECT 'segment', round(m2, 6), round(u2, 6), round(p, 6)
+      |  FROM p$iters
+      |UNION ALL SELECT 'phone', round(m3, 6), round(u3, 6), round(p, 6)
+      |  FROM p$iters""".stripMargin
+  }
+
+  /** Fellegi–Sunter replay: the same dirty-record generator, blocking
+    * census, and INTEGER MICRO weights as the Spark side — the weight
+    * constants interpolate from the SAME FsField (m, u) values
+    * (ExtQueries.fsFields), so no engine ever re-derives a log. */
+  private def fellegiSunterSql: String = {
+    val Seq(nameF, segF, phoneF) = ExtQueries.fsFields
+    val jwMicro = math.round(nameF.jwMin * 1e6)
+    s"""$fsPairPrefix,
       |p AS (SELECT a.record_id AS a_id, b.record_id AS b_id,
       |        (CASE WHEN CAST(round(jaro_winkler_similarity(a.name, b.name)
       |             * 1000000, 0) AS BIGINT) >= $jwMicro

@@ -1682,4 +1682,36 @@ object ExtQueries {
     EntityResolution.fellegiSunter(
       EntityResolution.customerLinkRecords(Tables(spark, dir).customer),
       "blk", fsFields, fsUpperMicro, fsLowerMicro)
+
+  /** EM iteration count for [[qFsEm]] — shared with the oracle
+    * generator (unrolled to the same depth). */
+  val fsEmIters = 5
+
+  /** EM demo field spec: EXACT equality on all three fields (names
+    * are unique per customer, so name agreement is the strongly
+    * discriminative feature — twins agree unless the %3 typo fired,
+    * strangers never do; the JW comparator that the WEIGHTING query
+    * wants is nearly constant across these near-key blocks and would
+    * starve the mixture). (m, u) here are the EM INIT, not ground
+    * truth. */
+  val fsEmFields: Seq[EntityResolution.FsField] = Seq(
+    EntityResolution.FsField("name", 0.90, 0.10),
+    EntityResolution.FsField("segment", 0.90, 0.20),
+    EntityResolution.FsField("phone", 0.90, 0.10))
+
+  /** Unsupervised Fellegi–Sunter (m, u, p) estimation over the same
+    * dirty-record pairs: the agreement-pattern histogram EM-fit from
+    * the fsFields priors ([[graft.ext.EntityResolution
+    * .fellegiSunterEm]]); one row per field plus the shared match
+    * prevalence. */
+  def qFsEm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fit, p) = EntityResolution.fellegiSunterEm(
+      EntityResolution.customerLinkRecords(Tables(spark, dir).customer),
+      "blk", fsEmFields, iters = fsEmIters)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    fit.map { case (f, m, u) => (f, r6(m), r6(u), r6(p)) }
+      .toDF("field", "m", "u", "p")
+  }
 }

@@ -2047,6 +2047,35 @@ class ExtSpec extends AnyFunSuite {
     assert(m._4 == "review", s"$m")
   }
 
+  test("fellegiSunterEm recovers a planted agreement mixture") {
+    import spark.implicits._
+    import graft.ext.EntityResolution.{FsField, fellegiSunterEm}
+    // 2 blocks of 10 records: ids 2t/2t+1 are twins agreeing on f1
+    // unless t%3==0 (typo suffix) and on f2 unless t%4==0; strangers
+    // never agree f1 (per-twin tokens) and mostly agree f2 (shared
+    // 'E') — a clean two-class mixture EM must separate
+    val recs2 = (0 until 20).map { k =>
+      val twin = k / 2
+      val f1 = s"t$twin" + (if (k % 2 == 1 && twin % 3 == 0) "x" else "")
+      val f2 = if (k % 2 == 1 && twin % 4 == 0) "Q" + k else "E"
+      (k.toLong, (k / 10).toString, f1, f2)
+    }.toDF("record_id", "blk", "f1", "f2")
+    val fields = Seq(FsField("f1", 0.8, 0.1), FsField("f2", 0.8, 0.3))
+    val (fit, p) = fellegiSunterEm(recs2, "blk", fields, iters = 10)
+    val byField = fit.map(f => (f._1, f._2, f._3)).map(t => t._1 -> t).toMap
+    // 10 twin pairs in 90 total pairs; twins agree f1 at 6/10 (t%3),
+    // f2 at 7/10 (t%4); strangers: f1 never, f2 mostly (both 'E')
+    assert(p > 0.02 && p < 0.5, s"prevalence $p")
+    // 90 pairs is a small sample — assert SEPARATION (match class
+    // agrees far more than nonmatch), not the exact planted rates
+    val (_, m1, u1) = byField("f1")
+    assert(m1 > 0.2 && m1 > 4 * u1, s"f1 fit ($m1, $u1)")
+    val (_, m2, u2) = byField("f2")
+    assert(m2 > 0.5, s"f2 fit ($m2, $u2)")
+    // determinism: a second run reproduces the fit bit-for-bit
+    assert(fellegiSunterEm(recs2, "blk", fields, iters = 10) == ((fit, p)))
+  }
+
   test("classificationReport: per-class P/R/F1 from confusion counts") {
     import spark.implicits._
     // class 1: tp=8, fn=2 (8+2 support), fp=1; class 2: tp=5, fn=1, fp=2
