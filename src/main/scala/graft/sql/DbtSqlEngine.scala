@@ -43,8 +43,9 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       def renderWith(inc: Boolean): Jinja.Result = Jinja.render(sql, vars,
         envVars, macros,
         bindings = Map("this" -> Jinja.JRaw(s"${name}__this")),
-        builtins = Map("is_incremental" -> ((_: Seq[Jinja.JV]) =>
-          Jinja.JBool(inc))))
+        builtins = Map(
+          "is_incremental" -> ((_: Seq[Jinja.JV]) => Jinja.JBool(inc))
+        ) ++ DbtSqlEngine.dbtUtilsBuiltins)
       val first = renderWith(false)
       val uniqueKey = first.config.get("unique_key").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -78,4 +79,36 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     ModelGraph.topoSort(models) // fail fast on cycles before any work
     new Runner(spark, sources, warehouseDir, threads).run(models)
   }
+}
+
+object DbtSqlEngine {
+  /** The dbt_utils macros real projects lean on hardest, as Jinja
+    * builtins expanding to the cross-database SQL dbt_utils itself
+    * generates (same null sentinel, same '-' separator — a surrogate
+    * key computed here matches one computed by dbt+dbt_utils on the
+    * same rows). */
+  private[sql] val dbtUtilsBuiltins: Map[String, Seq[Jinja.JV] => Jinja.JV] = Map(
+    "dbt_utils.generate_surrogate_key" -> { args =>
+      val fields = args.headOption match {
+        case Some(Jinja.JList(xs)) => xs.map {
+          case Jinja.JStr(s) => s
+          case other => throw new IllegalArgumentException(
+            s"generate_surrogate_key: expected column-name strings, got $other")
+        }
+        case Some(Jinja.JStr(s)) => Seq(s)
+        case _ => throw new IllegalArgumentException(
+          "generate_surrogate_key takes a list of column names")
+      }
+      Jinja.JRaw("md5(" + fields.map(f =>
+        s"coalesce(cast($f as string), '_dbt_utils_surrogate_key_null_')")
+        .mkString(" || '-' || ") + ")")
+    },
+    "dbt_utils.safe_cast" -> { args =>
+      args match {
+        case Seq(Jinja.JStr(expr), Jinja.JStr(tpe)) =>
+          Jinja.JRaw(s"try_cast($expr as $tpe)")
+        case _ => throw new IllegalArgumentException(
+          "safe_cast(field, type) takes two strings")
+      }
+    })
 }

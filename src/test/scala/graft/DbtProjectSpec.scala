@@ -346,6 +346,26 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(a2("app_model").count() == 2)
   }
 
+  test("dbt_utils builtins: generate_surrogate_key and safe_cast expand to dbt_utils' own SQL") {
+    import spark.implicits._
+    import graft.sql.DbtSqlEngine
+    val wh = Files.createTempDirectory("graft-dbtutils-wh").toString
+    val sql = Map("sk_model" ->
+      ("select id, {{ dbt_utils.generate_surrogate_key(['id', 'v']) }} as sk, " +
+       "{{ dbt_utils.safe_cast('v', 'int') }} as vi " +
+       "from {{ source('raw', 'src_sk') }}"))
+    val src = Seq((1L, Some("7")), (2L, None)).toDF("id", "v")
+    val out = new DbtSqlEngine(spark, wh).run(sql, Map("src_sk" -> src))
+    val rows = out("sk_model").select("id", "sk", "vi")
+      .as[(Long, String, Option[Int])].collect().map(r => r._1 -> r).toMap
+    // same sentinel + separator as dbt_utils → same md5
+    def sk(id: String, v: String) = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(id + "-" + v)
+    assert(rows(1L)._2 == sk("1", "7") && rows(1L)._3.contains(7))
+    assert(rows(2L)._2 == sk("2", "_dbt_utils_surrogate_key_null_")
+      && rows(2L)._3.isEmpty)
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()
