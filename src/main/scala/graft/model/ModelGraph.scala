@@ -77,6 +77,47 @@ object ModelGraph {
     }
     order.toSeq
   }
+
+  /** dbt node selection (`--select`): space/comma-separated tokens,
+    * each `name`, `name+` (plus descendants), `+name` (plus
+    * ancestors), `+name+`, or `tag:t` (with the same +/+ wrappers);
+    * result = union over tokens. An unknown model name fails loudly
+    * (dbt warns-and-skips; silently running nothing is worse).
+    * Graph closure is transitive over model-to-model edges. */
+  def select(models: Seq[Model], expr: String): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val children = models.flatMap(m =>
+      m.deps.filter(byName.contains).map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def closure(seed: Set[String], next: String => Set[String]): Set[String] = {
+      var seen = seed; var frontier = seed
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(next) -- seen
+        seen ++= nxt; frontier = nxt
+      }
+      seen
+    }
+    val selected = expr.trim.split("[ ,]+").filter(_.nonEmpty).flatMap { tok =>
+      val plusBefore = tok.startsWith("+")
+      val plusAfter = tok.endsWith("+")
+      val core = tok.stripPrefix("+").stripSuffix("+")
+      val base: Set[String] =
+        if (core.startsWith("tag:")) {
+          val t = core.drop(4)
+          models.filter(_.tags.contains(t)).map(_.name).toSet
+        } else {
+          require(byName.contains(core),
+            s"selector '$tok' names no model (have: ${byName.keys.toSeq.sorted})")
+          Set(core)
+        }
+      base ++
+        (if (plusBefore) closure(base,
+          n => byName(n).deps.filter(byName.contains).toSet) else Set.empty) ++
+        (if (plusAfter) closure(base,
+          n => children.getOrElse(n, Set.empty)) else Set.empty)
+    }.toSet
+    models.filter(m => selected.contains(m.name))
+  }
 }
 
 /** Executes a model DAG. Models whose deps are all satisfied run

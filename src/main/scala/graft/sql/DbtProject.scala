@@ -49,7 +49,8 @@ object DbtProject {
       materializations: Map[String, Materialization],
       macros: Map[String, Jinja.MacroDef] = Map.empty,
       profileThreads: Option[Int] = None,
-      tests: Seq[DbtTests.DataTest] = Seq.empty)
+      tests: Seq[DbtTests.DataTest] = Seq.empty,
+      tags: Map[String, Set[String]] = Map.empty)
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
 
@@ -150,6 +151,40 @@ object DbtProject {
     out.toMap
   }
 
+  /** Per-directory `+tags:` from dbt_project.yml's `models:` block —
+    * unlike materializations, tags ACCUMULATE down the directory tree
+    * (dbt's semantics), so a model's tags are the union over all its
+    * path prefixes. */
+  private[graft] def parseTags(yml: String): Map[Seq[String], Set[String]] = {
+    val lines = yml.linesIterator.toSeq
+    val out = scala.collection.mutable.Map.empty[Seq[String], Set[String]]
+    var inModels = false
+    var stack = List.empty[(Int, String)]
+    val keyRe = """^(\s*)([\w-]+):\s*$""".r
+    val tagRe = """^(\s*)\+tags:\s*\[([^\]]*)\]\s*$""".r
+    lines.foreach {
+      case keyRe(ind, "models") if ind.isEmpty => inModels = true; stack = Nil
+      case l if inModels =>
+        l match {
+          case tagRe(_, items) =>
+            val tags = items.split(",").toSet[String]
+              .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+                .stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty)
+            val path = stack.reverse.map(_._2).drop(1)
+            out(path) = out.getOrElse(path, Set.empty) ++ tags
+          case keyRe(ind, k) =>
+            if (ind.isEmpty) inModels = false
+            else {
+              stack = stack.dropWhile(_._1 >= ind.length)
+              stack = (ind.length, k) :: stack
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toMap
+  }
+
   /** Discover the project at `projectDir`: models from every
     * directory in `model-paths` (default `["models"]`), macros from
     * every directory in `macro-paths` (default `["macros"]`), and
@@ -178,6 +213,7 @@ object DbtProject {
     val sources = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => parseSourceTables(read(p)))
+    val tagPolicy = parseTags(projText)
     val mats = byDir.flatMap { case (dir, fs) =>
       fs.filter(_.toString.endsWith(".sql")).map { p =>
         val name = p.getFileName.toString.stripSuffix(".sql")
@@ -189,6 +225,16 @@ object DbtProject {
           case prefix if policy.contains(prefix) => policy(prefix)
         }.getOrElse(Materialization.View)
         name -> mat
+      }
+    }.toMap
+    val modelTags = byDir.flatMap { case (dir, fs) =>
+      fs.filter(_.toString.endsWith(".sql")).map { p =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        val relDirs = dir.relativize(p.getParent).toString
+          .split("[/\\\\]").toSeq.filter(_.nonEmpty)
+        // tags accumulate over every prefix (dbt semantics)
+        name -> relDirs.inits.toSeq
+          .flatMap(prefix => tagPolicy.getOrElse(prefix, Set.empty)).toSet
       }
     }.toMap
     val macros = parseStringList(projText, "macro-paths")
@@ -204,7 +250,8 @@ object DbtProject {
     val tests = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => DbtTests.parse(read(p)))
-    Loaded(modelSql, sources.distinct, mats, macros, threads, tests)
+    Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
+      modelTags)
   }
 
   /** Load and RUN: all declared sources must be supplied. Returns
@@ -212,10 +259,17 @@ object DbtProject {
     * @param threads Runner parallelism; 0 (the default) resolves from
     *        the checkout's profiles file, falling back to dbt's own
     *        default of 4. */
+  /** @param select dbt `--select` expression (see
+    *        [[graft.model.ModelGraph.select]]): `name`, `name+`,
+    *        `+name`, `tag:t`, unions by space/comma. Unselected
+    *        upstreams resolve from their materialized warehouse
+    *        tables; a never-materialized view dependency fails
+    *        loudly. */
   def run(spark: SparkSession, projectDir: String,
       sources: Map[String, DataFrame], warehouseDir: String,
       currentDateOverride: Option[String] = None, threads: Int = 0,
-      vars: Map[String, String] = Map.empty): Map[String, DataFrame] = {
+      vars: Map[String, String] = Map.empty,
+      select: Option[String] = None): Map[String, DataFrame] = {
     val p = load(projectDir)
     val missing = p.sourceTables.filterNot(sources.contains)
     require(missing.isEmpty,
@@ -223,7 +277,7 @@ object DbtProject {
     val t = if (threads > 0) threads else p.profileThreads.getOrElse(4)
     new DbtSqlEngine(spark, warehouseDir, currentDateOverride, t, vars,
       macros = p.macros)
-      .run(p.modelSql, sources, p.materializations)
+      .run(p.modelSql, sources, p.materializations, p.tags, select)
   }
 
   /** `dbt run` + `dbt test` in one call: materialize every model,

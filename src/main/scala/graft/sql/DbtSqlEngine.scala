@@ -33,7 +33,9 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     * `unique_key`, else append).
     */
   def run(modelSql: Map[String, String], sources: Map[String, DataFrame],
-      materializations: Map[String, Materialization] = Map.empty): Map[String, DataFrame] = {
+      materializations: Map[String, Materialization] = Map.empty,
+      tags: Map[String, Set[String]] = Map.empty,
+      select: Option[String] = None): Map[String, DataFrame] = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -68,7 +70,10 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
         fs.exists(targetPath)
       val r = if (incrementalRun) renderWith(true) else first
       val translated = BigQueryDialect.translate(r.text, currentDateOverride)
-      Model(name, BigQueryDialect.refs(r.text), mat)({ _ =>
+      val modelTags = tags.getOrElse(name, Set.empty) ++
+        first.config.get("tags").toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+      Model(name, BigQueryDialect.refs(r.text), mat, tags = modelTags)({ _ =>
         // {{ this }} resolves to the resident target as of THIS run
         if (incrementalRun)
           spark.read.parquet(targetPath.toString)
@@ -77,7 +82,28 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       })
     }.toSeq
     ModelGraph.topoSort(models) // fail fast on cycles before any work
-    new Runner(spark, sources, warehouseDir, threads).run(models)
+    val chosen = select.map(s => ModelGraph.select(models, s))
+      .getOrElse(models)
+    // dbt --select semantics: unselected upstreams are read from the
+    // warehouse (they persist there from earlier runs). In this
+    // engine only Table/Incremental materializations persist; a
+    // selected model depending on an unselected VIEW that was never
+    // materialized fails loudly with the fix spelled out.
+    if (chosen.size != models.size) {
+      val chosenNames = chosen.map(_.name).toSet
+      val allNames = models.map(_.name).toSet
+      chosen.flatMap(_.deps).distinct
+        .filter(d => allNames.contains(d) && !chosenNames.contains(d))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$d")
+          require(fs.exists(p),
+            s"selected models depend on '$d', which is not selected and " +
+            "has no materialized table in the warehouse — widen the " +
+            s"selector (e.g. '+<name>') or run '$d' first")
+          spark.read.parquet(p.toString).createOrReplaceTempView(d)
+        }
+    }
+    new Runner(spark, sources, warehouseDir, threads).run(chosen)
   }
 }
 

@@ -366,6 +366,63 @@ class DbtProjectSpec extends AnyFunSuite {
       && rows(2L)._3.isEmpty)
   }
 
+  test("dbt --select: tag and graph selectors; warehouse-resolved upstreams; loud view-dep failure") {
+    import spark.implicits._
+    import graft.model.{Model, ModelGraph, Materialization}
+    // unit: selector grammar over a toy DAG a -> b -> c, tag on b
+    def m(name: String, deps: Seq[String], tags: Set[String] = Set.empty) =
+      Model(name, deps, Materialization.View, tags)(_ => spark.range(1).toDF())
+    val dag = Seq(m("a", Nil), m("b", Seq("a"), Set("x")), m("c", Seq("b")))
+    def names(expr: String) = ModelGraph.select(dag, expr).map(_.name).toSet
+    assert(names("b") == Set("b"))
+    assert(names("+b") == Set("a", "b"))
+    assert(names("b+") == Set("b", "c"))
+    assert(names("+b+") == Set("a", "b", "c"))
+    assert(names("tag:x+") == Set("b", "c"))
+    assert(names("a, c") == Set("a", "c"))
+    intercept[IllegalArgumentException](names("nope"))
+    // reference checkout: tag selectors come from dbt_project.yml +tags
+    val p = DbtProject.load(refDir)
+    assert(p.tags("locations_clean") == Set("intermediate"), s"${p.tags}")
+    assert(p.tags("user_base") == Set("marts"))
+    val wh = Files.createTempDirectory("graft-sel-wh").toString
+    val interm = DbtProject.run(spark, refDir, RefFixtures.sources(spark), wh,
+      currentDateOverride = Some("2026-08-12"),
+      select = Some("tag:intermediate"))
+    assert(interm.keySet == Set("locations_clean", "stacked_users_partners"))
+    val all = DbtProject.run(spark, refDir, RefFixtures.sources(spark), wh,
+      currentDateOverride = Some("2026-08-12"), select = Some("+user_base"))
+    assert(all.keySet ==
+      Set("locations_clean", "stacked_users_partners", "user_base"))
+    // selecting the mart alone: its view deps were never materialized
+    val wh2 = Files.createTempDirectory("graft-sel-wh2").toString
+    val e = intercept[IllegalArgumentException] {
+      DbtProject.run(spark, refDir, RefFixtures.sources(spark), wh2,
+        currentDateOverride = Some("2026-08-12"), select = Some("user_base"))
+    }
+    assert(e.getMessage.contains("locations_clean") ||
+      e.getMessage.contains("stacked_users_partners"), e.getMessage)
+    // a TABLE upstream resolves from the warehouse on a later
+    // selected-only run (dbt's relation-already-exists semantics)
+    val dir = Files.createTempDirectory("graft-sel-proj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"sel\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/base.sql"),
+      "{{ config(materialized='table') }} select id from {{ source('raw', 'src_s') }}"
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("models/mart.sql"),
+      "select id * 2 as id2 from {{ ref('base') }}".getBytes("UTF-8"))
+    val wh3 = Files.createTempDirectory("graft-sel-wh3").toString
+    val src = Seq(1L, 2L).toDF("id")
+    DbtProject.run(spark, dir.toString, Map("src_s" -> src), wh3,
+      select = Some("base"))
+    val only = DbtProject.run(spark, dir.toString, Map("src_s" -> src), wh3,
+      select = Some("mart"))
+    assert(only.keySet == Set("mart"))
+    assert(only("mart").as[Long].collect().toSet == Set(2L, 4L))
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()

@@ -53,6 +53,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"q_sort_global_limit plan:\n$p")
   }
 
+  test("round-13 queries: keyed joins only, bounded windows") {
+    // FS pair space must stay the census-capped block equi-join; the
+    // rank-correlation tau join equi-keys on the group; RAKE's top-k
+    // is a WindowGroupLimit, never a corpus sort
+    for (q <- Seq("q_fellegi_sunter", "q_fs_em", "q_rank_corr",
+        "q_rake_keywords", "q_ab_test", "q_eval_f1")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q falls back to a nested loop:\n$p")
+    }
+    assert(plan("q_rake_keywords").contains("WindowGroupLimit"),
+      "rake top-k must push the group limit")
+  }
+
   test("flagship joins broadcast their small sides") {
     for (q <- Seq("q_tpch_q3", "q_tpch_q5")) {
       val p = plan(q)
