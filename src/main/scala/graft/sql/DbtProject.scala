@@ -50,7 +50,8 @@ object DbtProject {
       macros: Map[String, Jinja.MacroDef] = Map.empty,
       profileThreads: Option[Int] = None,
       tests: Seq[DbtTests.DataTest] = Seq.empty,
-      tags: Map[String, Set[String]] = Map.empty)
+      tags: Map[String, Set[String]] = Map.empty,
+      targetProps: Map[String, String] = Map.empty)
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
 
@@ -80,6 +81,22 @@ object DbtProject {
   private[graft] def parseThreads(yml: String): Option[Int] =
     """(?m)^\s*threads:\s*(\d+)\s*$""".r.findFirstMatchIn(yml)
       .map(_.group(1).toInt)
+
+  /** The `{{ target }}` properties a profiles yml carries: the active
+    * target name (`target:` — ref profiles.example.yml:2) plus the
+    * first `dataset:`/`schema:`/`database:`/`project:` scalars (dbt's
+    * BigQuery adapter exposes `dataset` AS `schema`, so both keys
+    * bind — ref profiles.example.yml:7-8). */
+  private[graft] def parseTargetProps(yml: String): Map[String, String] = {
+    def first(key: String): Option[String] =
+      (s"""(?m)^\\s*$key:\\s*"?([\\w-]+)"?\\s*$$""").r
+        .findFirstMatchIn(yml).map(_.group(1))
+    val schema = first("dataset").orElse(first("schema"))
+    (first("target").map("name" -> _) ++
+      schema.map("schema" -> _) ++ schema.map("dataset" -> _) ++
+      first("project").orElse(first("database")).map("database" -> _))
+      .toMap
+  }
 
   /** Declared source table names: every `- name: t` list item DIRECTLY
     * under a `tables:` key in any `*.yml`/`*.yaml` beneath the model
@@ -244,14 +261,14 @@ object DbtProject {
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
       .flatMap(p => Jinja.parseMacros(read(p)))
       .toMap
-    val threads = Seq("profiles.yml", "profiles.example.yml")
-      .map(root.resolve).find(Files.exists(_))
-      .flatMap(p => parseThreads(read(p)))
+    val profile = Seq("profiles.yml", "profiles.example.yml")
+      .map(root.resolve).find(Files.exists(_)).map(read)
+    val threads = profile.flatMap(parseThreads)
     val tests = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => DbtTests.parse(read(p)))
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
-      modelTags)
+      modelTags, profile.map(parseTargetProps).getOrElse(Map.empty))
   }
 
   /** Load and RUN: all declared sources must be supplied. Returns
@@ -276,7 +293,7 @@ object DbtProject {
       s"project declares sources with no supplied DataFrame: $missing")
     val t = if (threads > 0) threads else p.profileThreads.getOrElse(4)
     new DbtSqlEngine(spark, warehouseDir, currentDateOverride, t, vars,
-      macros = p.macros)
+      macros = p.macros, targetProps = p.targetProps)
       .run(p.modelSql, sources, p.materializations, p.tags, select)
   }
 

@@ -14,7 +14,8 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     currentDateOverride: Option[String] = None, threads: Int = 4,
     vars: Map[String, String] = Map.empty,
     envVars: Map[String, String] = sys.env,
-    macros: Map[String, Jinja.MacroDef] = Map.empty) {
+    macros: Map[String, Jinja.MacroDef] = Map.empty,
+    targetProps: Map[String, String] = Map.empty) {
 
   /** @param modelSql   model name -> raw (Jinja + BigQuery) SQL
     * @param sources    source table name -> DataFrame
@@ -44,7 +45,14 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       // must not become a DAG edge (the branch never executes)
       def renderWith(inc: Boolean): Jinja.Result = Jinja.render(sql, vars,
         envVars, macros,
-        bindings = Map("this" -> Jinja.JRaw(s"${name}__this")),
+        bindings = Map(
+          "this" -> Jinja.JRaw(s"${name}__this"),
+          // {{ target.name }} / .schema / .dataset / .database — the
+          // env-switching object real projects branch on; name
+          // defaults to dbt's own default target name
+          "target" -> Jinja.JMap(
+            Map("name" -> Jinja.JStr(targetProps.getOrElse("name", "dev"))) ++
+            targetProps.view.mapValues(Jinja.JStr(_)).toMap)),
         builtins = Map(
           "is_incremental" -> ((_: Seq[Jinja.JV]) => Jinja.JBool(inc))
         ) ++ DbtSqlEngine.dbtUtilsBuiltins)

@@ -118,6 +118,8 @@ object Jinja {
   private final case class ForNode(varName: String, iter: Expr,
       body: Seq[Node]) extends Node
   private final case class SetNode(name: String, e: Expr) extends Node
+  private final case class SetBlockNode(name: String,
+      body: Seq[Node]) extends Node
   final case class MacroDef(name: String,
       params: Seq[(String, Option[Expr])], body: Seq[Node])
   private final case class MacroNode(d: MacroDef) extends Node
@@ -391,8 +393,14 @@ object Jinja {
           val setRe = """(?s)^(\w+)\s*=\s*(.*)$""".r
           rest match {
             case setRe(n, e) => out += SetNode(n, parseExprStr(e)); i += 1
-            case other => fail(s"unsupported {% set %} form: $other " +
-              "(only `set name = expr`; block-set is not supported)")
+            case n if n.matches("\\w+") =>
+              // block form: {% set name %} body {% endset %} — the
+              // rendered body binds as a string
+              val (body, nj, ender, _) = parseNodes(segs, i + 1, Set("endset"))
+              if (ender != "endset")
+                fail("unbalanced {% set %}: missing {% endset %}")
+              out += SetBlockNode(n, body); i = nj
+            case other => fail(s"unsupported {% set %} form: $other")
           }
         case StmtSeg("macro", rest) =>
           val macRe = """(?s)^(\w+)\s*\((.*)\)\s*$""".r
@@ -551,6 +559,10 @@ object Jinja {
       case Text(s) => sb.append(s)
       case Out(e) => sb.append(show(evalExpr(e, ctx)))
       case SetNode(n, e) => ctx.scope.head(n) = evalExpr(e, ctx)
+      case SetBlockNode(n, body) =>
+        val inner = new StringBuilder
+        evalNodes(body, ctx, inner)
+        ctx.scope.head(n) = JStr(inner.toString)
       case MacroNode(d) => ctx.macros(d.name) = d
       case IfNode(branches, els) =>
         branches.find { case (c, _) => truthy(evalExpr(c, ctx)) } match {

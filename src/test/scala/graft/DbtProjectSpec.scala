@@ -423,6 +423,42 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(only("mart").as[Long].collect().toSet == Set(2L, 4L))
   }
 
+  test("{{ target }} binds from the checkout's profiles yml") {
+    import spark.implicits._
+    import graft.sql.{DbtProject => DP}
+    // the reference's profiles.example.yml: target dev, dataset
+    // analytics_dev, project oroboro-dw
+    val props = DP.load(refDir).targetProps
+    assert(props("name") == "dev" && props("schema") == "analytics_dev" &&
+      props("database") == "oroboro-dw", s"$props")
+    val wh = Files.createTempDirectory("graft-tgt-wh").toString
+    val dir = Files.createTempDirectory("graft-tgt-proj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"tgt\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("profiles.yml"),
+      """tgt_profile:
+        |  target: prod
+        |  outputs:
+        |    prod:
+        |      schema: gold
+        |      threads: 2
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/env_model.sql"),
+      ("select '{{ target.name }}' as env, '{{ target.schema }}' as sch, " +
+       "{% if target.name == 'prod' %}1{% else %}0{% endif %} as is_prod "
+       + "from {{ source('raw', 'src_t2') }}").getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """sources:
+        |  - name: raw
+        |    tables:
+        |      - name: src_t2
+        |""".stripMargin.getBytes("UTF-8"))
+    val out = DP.run(spark, dir.toString, Map("src_t2" -> Seq(1L).toDF("id")), wh)
+    assert(out("env_model").as[(String, String, Int)].head()
+      == (("prod", "gold", 1)))
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext = it.hasNext; def next() = it.next()

@@ -19,6 +19,10 @@ class JinjaSpec extends AnyFunSuite {
   test("set binds for the rest of the template; expressions compose") {
     assert(r("{% set x = 'users' %}select * from {{ x }}")
       == "select * from users")
+    // block form captures its rendered body as a string
+    assert(r("{% set frag %}coalesce({{ var('c', 'x') }}, 0){% endset %}" +
+      "select {{ frag }} as a, {{ frag }} as b")
+      == "select coalesce(x, 0) as a, coalesce(x, 0) as b")
     assert(r("{% set n = 2 + 3 * 4 %}{{ n }}") == "14")
     assert(r("{% set s = 'a' ~ '_' ~ 'b' %}{{ s | upper }}") == "A_B")
     // set inside a for-loop frame does not leak out of the template
@@ -121,7 +125,8 @@ class JinjaSpec extends AnyFunSuite {
         "{% snapshot s %}{% endsnapshot %}",
         "{% if true %}unclosed",
         "{% for a, b in xs %}{% endfor %}",   // tuple unpacking
-        "{% set a %}block set{% endset %}",    // block-form set
+        "{% set a %}unclosed block set",       // missing {% endset %}
+        "{% endset %}",
         "{{ unknown_fn(1) }}",
         "{{ undefined_ident }}",
         "{% endif %}"))
