@@ -25,9 +25,15 @@ import graft.model.Materialization
   *    (name → DataFrame) — [[load]] surfaces the declared names so a
   *    missing source fails loudly before any SQL runs;
   *  - `dbt_project.yml`'s `models:` block sets the materialization
-  *    policy: a project-level `+materialized:` default with per-
+  *    policy — a project-level `+materialized:` default with per-
   *    subdirectory overrides (the reference: view default,
-  *    `marts: +materialized: table` — dbt_project.yml:11-17).
+  *    `marts: +materialized: table` — dbt_project.yml:11-17) — and
+  *    per-directory `+tags:`, which accumulate down the tree and
+  *    drive `tag:` selectors;
+  *  - schema ymls' `tests:` declarations load as runnable data tests
+  *    ([[DbtTests]]; [[runAndTest]] = `dbt run` + `dbt test`);
+  *  - a checkout-local profiles yml supplies `threads` and the
+  *    `{{ target }}` object.
   *
   * The YAML surface parsed is the indentation-structured subset these
   * two files actually use (scalar keys, one list form) — deliberately
