@@ -1331,4 +1331,48 @@ object Curation {
         (sum(col("js_s")) + sum(col("js_a"))).as("js_micro"))
     (out, counts)
   }
+
+  /** Mixture diversity & concentration of a corpus over a grouping
+    * column (source/domain/language) — the first question about any
+    * training mix: Shannon entropy H = −Σ p·ln p, effective group
+    * count e^H (the "perplexity of the mix" — how many equally-sized
+    * groups this diversity is worth), Herfindahl–Hirschman index
+    * Σ p² (antitrust's concentration measure — 1/HHI is the Simpson
+    * effective count), and the Gini coefficient over group sizes.
+    *
+    * Exactness contract: group counts are exact longs; Σ i·x_(i) for
+    * Gini is exact long arithmetic over the size-sorted groups (ties
+    * ordered by group name — order-invariant for Gini, pinned anyway);
+    * entropy/HHI are fixed-shape IEEE sums over the groups-sized
+    * table, 6dp-rounded.
+    *
+    * Scale shape: ONE corpus aggregation with map-side combine to the
+    * groups-sized table; the window for Gini ranks GROUPS, never rows.
+    *
+    * @return one row: (n_groups, n_docs, entropy, eff_n, hhi, gini) */
+  def mixDiversity(docs: DataFrame, byCol: String = "source"): DataFrame = {
+    val g = docs.groupBy(col(byCol).as("grp"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = g.withColumn("i",
+      row_number().over(Window.orderBy(col("c"), col("grp"))))
+    ranked.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("c")).as("n_docs"),
+        sum(col("i") * col("c")).as("iwx"))
+      .crossJoin(
+        g.crossJoin(g.agg(sum(col("c")).as("tot")))
+          .select((col("c").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("p"))
+          .agg(sum(-col("p") * log(col("p"))).as("h"),
+            sum(col("p") * col("p")).as("hhi")))
+      .select(col("n_groups"), col("n_docs"),
+        round(col("h"), 6).as("entropy"),
+        round(exp(col("h")), 6).as("eff_n"),
+        round(col("hhi"), 6).as("hhi"),
+        round(when(col("n_groups") <= 1L, 0.0).otherwise(
+          lit(2.0) * col("iwx").cast(DoubleType) /
+            (col("n_groups") * col("n_docs")).cast(DoubleType) -
+          (col("n_groups") + 1L).cast(DoubleType) /
+            col("n_groups").cast(DoubleType)), 6).as("gini"))
+  }
 }

@@ -4608,6 +4608,58 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_fellegi_sunter" -> fellegiSunterSql,
     "q_fs_em" -> fsEmSql(ExtQueries.fsEmIters),
 
+    // Flesch–Kincaid: words = whitespace tokens, sentences = [.!?]+
+    // runs (min 1), syllables = [aeiouy]+ runs per word (min 1);
+    // every constant CAST to DOUBLE so DuckDB's decimal literals
+    // don't change the arithmetic shape
+    "q_readability" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(toks, w ->
+        |      greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0)
+        |      AS BIGINT) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |    CAST(0.39 AS DOUBLE) * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+        |    + CAST(11.8 AS DOUBLE) * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    - CAST(15.59 AS DOUBLE) END, 6) AS fk_grade,
+        |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |    CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+        |    - CAST(84.6 AS DOUBLE) * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |    END, 6) AS flesch_ease
+        |FROM s""".stripMargin,
+
+    // mixture diversity: entropy/effective-N/HHI over source shares,
+    // Gini over size-sorted groups (exact long Σ i·x)
+    "q_mix_diversity" ->
+      """WITH g AS (SELECT source AS grp, count(*) AS c
+        |           FROM documents GROUP BY source),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, grp) AS i FROM g),
+        |a AS (SELECT count(*) AS n_groups, CAST(sum(c) AS BIGINT) AS n_docs,
+        |        CAST(sum(i * c) AS BIGINT) AS iwx FROM r),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM g),
+        |e AS (SELECT
+        |    sum(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) AS h,
+        |    sum((CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |      (CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) AS hhi
+        |  FROM g, tot)
+        |SELECT a.n_groups, a.n_docs,
+        |  round(e.h, 6) AS entropy,
+        |  round(exp(e.h), 6) AS eff_n,
+        |  round(e.hhi, 6) AS hhi,
+        |  round(CASE WHEN a.n_groups <= 1 THEN 0.0 ELSE
+        |    CAST(2.0 AS DOUBLE) * CAST(a.iwx AS DOUBLE) /
+        |      CAST(a.n_groups * a.n_docs AS DOUBLE)
+        |    - CAST(a.n_groups + 1 AS DOUBLE) / CAST(a.n_groups AS DOUBLE)
+        |    END, 6) AS gini
+        |FROM a, e""".stripMargin,
+
     // RAKE: phrases = maximal stopword-free runs; word score =
     // floor(deg·10⁶ / freq) with deg = Σ containing-phrase length;
     // phrase score = Σ word scores; top 3 per doc

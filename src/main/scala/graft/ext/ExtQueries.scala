@@ -1683,6 +1683,15 @@ object ExtQueries {
       EntityResolution.customerLinkRecords(Tables(spark, dir).customer),
       "blk", fsFields, fsUpperMicro, fsLowerMicro)
 
+  /** Flesch–Kincaid readability per document — pure map, no shuffle. */
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(Tables(spark, dir).documents)
+
+  /** Mixture diversity/concentration of the corpus by source:
+    * entropy, effective source count, HHI, Gini. */
+  def qMixDiversity(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixDiversity(Tables(spark, dir).documents)
+
   /** EM iteration count for [[qFsEm]] — shared with the oracle
     * generator (unrolled to the same depth). */
   val fsEmIters = 5

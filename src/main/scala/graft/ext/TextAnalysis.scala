@@ -845,6 +845,46 @@ object TextAnalysis {
     (out, ids)
   }
 
+  /** Flesch–Kincaid readability per document — the classic
+    * text-difficulty gate (a training mix skewed to one reading level
+    * is a curation smell, and readability is a standard quality-score
+    * feature). Deterministic heuristic surface, documented: words =
+    * whitespace tokens; sentences = runs of [.!?] (min 1); syllables
+    * per word = vowel-group count [aeiouy]+ (min 1). FK grade =
+    * 0.39·w/s + 11.8·syl/w − 15.59; Flesch ease = 206.835 − 1.015·w/s
+    * − 84.6·syl/w — fixed-shape IEEE on exact integer counts, 6dp.
+    *
+    * Scale shape: a PURE MAP — every count comes from per-row array
+    * expressions, no shuffle at all; the 100 TB pass is a narrow scan.
+    *
+    * @return (doc_id, n_words, n_sentences, n_syllables, fk_grade,
+    *         flesch_ease) */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val w = size(toks).cast(LongType)
+    val s = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+      .cast(LongType)
+    val syl = aggregate(
+      transform(toks, t => greatest(lit(1),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("fk_grade", round(when(col("n_words") === 0L, 0.0)
+        .otherwise(lit(0.39) * col("n_words").cast(DoubleType) /
+            col("n_sentences").cast(DoubleType) +
+          lit(11.8) * col("n_syllables").cast(DoubleType) /
+            col("n_words").cast(DoubleType) - lit(15.59)), 6))
+      .withColumn("flesch_ease", round(when(col("n_words") === 0L, 0.0)
+        .otherwise(lit(206.835) - lit(1.015) *
+            col("n_words").cast(DoubleType) /
+            col("n_sentences").cast(DoubleType) -
+          lit(84.6) * col("n_syllables").cast(DoubleType) /
+            col("n_words").cast(DoubleType)), 6))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents"): candidate phrases are
     * maximal stopword-free token runs (boundaries = [[EnStop]]

@@ -1967,6 +1967,49 @@ class ExtSpec extends AnyFunSuite {
       (2L, "sort merge join", 9000000L, 1)))
   }
 
+  test("readability: hand-computed FK counts and grades") {
+    import spark.implicits._
+    // "the cat sat. it ran away!" → 6 words, 2 sentences, syllables:
+    // the(1) cat(1) sat.(1) it(1) ran(1) away!(2: a, ay) = 7
+    val out = TextAnalysis.readability(
+      Seq((1L, "the cat sat. it ran away!"), (2L, "zzz")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 6L && out(1L)._3 == 2L && out(1L)._4 == 7L,
+      s"${out(1L)}")
+    val fk = 0.39 * 6.0 / 2.0 + 11.8 * 7.0 / 6.0 - 15.59
+    assert(math.abs(out(1L)._5 - BigDecimal(fk)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // no [aeiouy] at all → syllable floor of 1 per word; no terminator
+    // → sentence floor of 1
+    assert(out(2L)._2 == 1L && out(2L)._3 == 1L && out(2L)._4 == 1L)
+  }
+
+  test("mixDiversity: uniform vs concentrated mixtures") {
+    import spark.implicits._
+    // 4 equal groups: entropy ln 4, eff_n 4, hhi 0.25, gini 0
+    val uniform = (0 until 40).map(i => (i.toLong, s"s${i % 4}"))
+      .toDF("doc_id", "source")
+    val u = Curation.mixDiversity(uniform).head()
+    assert(u.getAs[Long]("n_groups") == 4L && u.getAs[Long]("n_docs") == 40L)
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(4.0)) < 1e-5)
+    assert(math.abs(u.getAs[Double]("eff_n") - 4.0) < 1e-5)
+    assert(u.getAs[Double]("hhi") == 0.25)
+    assert(u.getAs[Double]("gini") == 0.0)
+    // 1 dominant + 3 tiny: entropy well below ln 4, hhi near 1, gini high
+    val skewed = ((0 until 37).map(i => (i.toLong, "big")) ++
+      Seq((100L, "a"), (101L, "b"), (102L, "c")))
+      .toDF("doc_id", "source")
+    val s = Curation.mixDiversity(skewed).head()
+    assert(s.getAs[Double]("entropy") < 0.5)
+    assert(s.getAs[Double]("hhi") > 0.8)
+    assert(s.getAs[Double]("gini") > 0.6)
+    // single group: gini guard 0, eff_n 1
+    val one = Seq((1L, "only"), (2L, "only")).toDF("doc_id", "source")
+    val o = Curation.mixDiversity(one).head()
+    assert(o.getAs[Double]("gini") == 0.0 && o.getAs[Double]("eff_n") == 1.0)
+  }
+
   test("rankCorrelation: perfect agreement, inversion, and tie handling") {
     import spark.implicits._
     val agree = Seq(("g", 1L, 10L, 1L), ("g", 2L, 20L, 2L),
