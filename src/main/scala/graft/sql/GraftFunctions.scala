@@ -623,6 +623,25 @@ object GraftFunctions {
       tableOf(strArg(args.head, "auc_roc(table)")))
       .queryExecution.logical
 
+  /** readability(tbl) — Flesch–Kincaid counts + grades over
+    * (doc_id, text) rows ([[graft.ext.TextAnalysis.readability]]). */
+  def readabilityTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.TextAnalysis.readability(
+      tableOf(strArg(args.head, "readability(table)")))
+      .queryExecution.logical
+
+  /** mix_diversity(tbl[, byCol]) — entropy/effective-N/HHI/Gini of
+    * the group mixture ([[graft.ext.Curation.mixDiversity]]). */
+  def mixDiversityTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "mix_diversity(table)"))
+    val out =
+      if (args.length > 1)
+        graft.ext.Curation.mixDiversity(df,
+          strArg(args(1), "mix_diversity(byCol)"))
+      else graft.ext.Curation.mixDiversity(df)
+    out.queryExecution.logical
+  }
+
   /** rake_keywords(tbl[, topPerDoc]) — RAKE keyphrases over
     * (doc_id, text) rows ([[graft.ext.TextAnalysis.rakeKeyphrases]]). */
   def rakeKeywordsTvf(args: Seq[Expression]): LogicalPlan = {
@@ -883,6 +902,8 @@ object GraftFunctions {
     "calibration" -> (calibrationTvf _),
     "auc_roc" -> (aucRocTvf _),
     "rake_keywords" -> (rakeKeywordsTvf _),
+    "readability" -> (readabilityTvf _),
+    "mix_diversity" -> (mixDiversityTvf _),
     "rank_corr" -> (rankCorrTvf _),
     "ab_test" -> (abTestTvf _),
     "classification_report" -> (classificationReportTvf _),

@@ -462,7 +462,7 @@ class EdgeCaseSpec extends AnyFunSuite {
   }
 
   test("round-13 operators tolerate empty and degenerate inputs") {
-    import graft.ext.{Evaluation, TextAnalysis, EntityResolution}
+    import graft.ext.{Evaluation, TextAnalysis, EntityResolution, Curation}
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.rakeKeyphrases(noDocs).count() == 0)
     // an all-stopword doc yields NO candidate phrases (not a crash,
@@ -493,6 +493,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Evaluation.classificationReport(
       Seq.empty[(Long, Long, Long)].toDF("label", "pred_label", "n"))
       .count() == 0)
+    // readability / mixDiversity on empty inputs
+    assert(TextAnalysis.readability(noDocs).count() == 0)
+    assert(Curation.mixDiversity(
+      Seq.empty[(Long, String)].toDF("doc_id", "source")).count() == 1)
     // FS: a block entirely above maxBlock produces no pairs
     val big = (1 to 5).map(i => (i.toLong, "b", s"name$i", "s", "p"))
       .toDF("record_id", "blk", "name", "segment", "phone")

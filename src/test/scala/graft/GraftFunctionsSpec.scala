@@ -497,6 +497,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .toDF("label", "pred_label", "n").createOrReplaceTempView("cr_e11")
     sameAs("SELECT * FROM classification_report('cr_e11')",
       graft.ext.Evaluation.classificationReport(spark.table("cr_e11")))
+    sameAs("SELECT * FROM readability('rake_e11')",
+      graft.ext.TextAnalysis.readability(spark.table("rake_e11")))
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+      .createOrReplaceTempView("mixd_e11")
+    sameAs("SELECT * FROM mix_diversity('mixd_e11')",
+      graft.ext.Curation.mixDiversity(spark.table("mixd_e11")))
     Seq((1L, "red", "m"), (2L, "blue", "l")).toDF("id", "color", "sz")
       .createOrReplaceTempView("fh_e11")
     sameAs("SELECT * FROM feature_hash('fh_e11', 'color,sz', 16)",
