@@ -1332,6 +1332,120 @@ object Curation {
     (out, counts)
   }
 
+  /** Hashed-bigram feature rows shared by [[trainQualityLr]] and
+    * [[lrMargins]] — the [[qualityClassify]] feature map verbatim
+    * (portable md5-60 of "w1 w2" mod dims), collapsed to per-(doc,
+    * bucket) counts. */
+  private def lrFeatures(docs: DataFrame, dims: Int, idCol: String,
+      textCol: String): DataFrame = docs
+    .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    .filter(size(col("toks")) >= 2)
+    .select(col(idCol), explode(expr(
+      TextAnalysis.adjacentPairsExpr("toks", "w1", "w2"))).as("b"))
+    .select(col(idCol), pmod(Dedup.portableHash60(
+        concat(col("b.w1"), lit(" "), col("b.w2"))), lit(dims.toLong))
+      .as("bucket"))
+    .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("x"))
+
+  /** [[lrFeatures]] plus the BIAS feature: bucket `dims` (outside the
+    * hash range), x = 1, for EVERY doc — without it the model can
+    * only express the class prior through content weights and the
+    * sign decision collapses to always-majority on imbalanced labels
+    * (measured: bias lifts the demo's accuracy floor from the 0.77
+    * base rate to 0.94 at 12 rounds). Train and predict must use the
+    * same feature map, so both call THIS. */
+  private def lrFeaturesWithBias(docs: DataFrame, dims: Int,
+      idCol: String, textCol: String): DataFrame =
+    lrFeatures(docs, dims, idCol, textCol).unionByName(
+      docs.select(col(idCol), lit(dims.toLong).as("bucket"),
+        lit(1L).as("x")))
+
+  /** TRAIN the hashed-bigram quality gate inside the engine —
+    * full-batch logistic-regression gradient descent over the labeled
+    * corpus, the learning step [[qualityClassify]] consumes the output
+    * of (fastText-style linear model over hashed bigram counts).
+    * `iters` fixed rounds; each round is margins (one keyed join +
+    * per-doc sum) → residuals σ(margin)−y → gradient (one keyed
+    * aggregation) → weight update.
+    *
+    * Exactness contract (what makes distributed TRAINING replayable at
+    * all): weights, margins, and gradients are EXACT LONGS (micro
+    * scale) whose sums are order-free; the single float per doc-round
+    * is the fixed-shape sigmoid, immediately micro-rounded into the
+    * residual. The update divides by a data-derived `stepDiv`
+    * (Σx div 100, the SF-adaptive learning rate) with
+    * truncate-toward-zero division on both engines. The DuckDB oracle
+    * unrolls the same rounds and reproduces the weight table
+    * bit-for-bit.
+    *
+    * Scale shape: per round, ONE (bucket) join + doc-keyed combine and
+    * ONE bucket-keyed combine — feature rows checkpointed once and
+    * reused; weight state is ≤dims rows, checkpointed per round and
+    * the previous round released (the iterative-loop discipline of
+    * [[graft.operators.Graph]]).
+    *
+    * @return ((bucket, w_micro) sparse non-zero weights, stepDiv) */
+  def trainQualityLr(docs: DataFrame, labelCol: String, iters: Int = 12,
+      dims: Int = 1 << 16, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, Long) = {
+    val spark = docs.sparkSession
+    // stepDiv derives from the CONTENT feature mass only (the bias
+    // row per doc is bookkeeping, not signal)
+    val content = lrFeatures(docs, dims, idCol, textCol)
+    val totalX = Option(content.agg(sum(col("x"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val stepDiv = math.max(1L, totalX / 100L)
+    // pin the features ONCE, pre-hashed on the doc key: every round's
+    // margin combine AND residual join then reuse the layout — the
+    // corpus never re-shuffles inside the training loop
+    val feats = lrFeaturesWithBias(docs, dims, idCol, textCol)
+      .repartition(col(idCol)).localCheckpoint()
+    val labels = docs.select(col(idCol), col(labelCol).cast(LongType).as("y"))
+    var w = spark.range(0)
+      .select(col("id").as("bucket"), col("id").as("w_micro"))
+    for (_ <- 1 to iters) {
+      // the weight state is ≤dims+1 rows by construction — broadcast
+      // unconditionally so the corpus-sized feature table never
+      // re-shuffles for the margin pass (bounded-model broadcast, the
+      // centroid discipline)
+      val margins = feats.join(broadcast(w), Seq("bucket"))
+        .groupBy(col(idCol)).agg(sum(col("x") * col("w_micro")).as("m"))
+      val resid = labels.join(margins, Seq(idCol), "left")
+        .select(col(idCol),
+          round((lit(1.0) / (lit(1.0) + exp(-(coalesce(col("m"), lit(0L))
+              .cast(DoubleType) / lit(1000000.0))))
+            - col("y").cast(DoubleType)) * 1000000.0, 0)
+            .cast(LongType).as("r"))
+      val grad = feats.join(resid, Seq(idCol))
+        .groupBy("bucket").agg(sum(col("x") * col("r")).as("gr"))
+      val next = w.join(grad, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("w_micro"), lit(0L)) -
+            expr(s"coalesce(gr, CAST(0 AS BIGINT)) div CAST($stepDiv AS BIGINT)"))
+            .as("w_micro"))
+        .filter(col("w_micro") =!= 0L)
+        .localCheckpoint()
+      Checkpoints.release(w)
+      w = next
+    }
+    (w, stepDiv)
+  }
+
+  /** Score docs with a trained weight table: exact long margin per doc
+    * (docs with no matched bucket score 0) and the sign decision —
+    * the apply half of [[trainQualityLr]].
+    * @return (doc_id, margin_micro, pred) */
+  def lrMargins(docs: DataFrame, weights: DataFrame, dims: Int = 1 << 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = lrFeaturesWithBias(docs, dims, idCol, textCol)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol)).agg(sum(col("x") * col("w_micro")).as("m"))
+    docs.select(col(idCol)).join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("m"), lit(0L)).as("margin_micro"),
+        (coalesce(col("m"), lit(0L)) > 0L).as("pred"))
+  }
+
   /** Mixture diversity & concentration of a corpus over a grouping
     * column (source/domain/language) — the first question about any
     * training mix: Shannon entropy H = −Σ p·ln p, effective group

@@ -4607,6 +4607,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_adamic_adar" -> adamicAdarSql,
     "q_fellegi_sunter" -> fellegiSunterSql,
     "q_fs_em" -> fsEmSql(ExtQueries.fsEmIters),
+    "q_lr_train" -> lrTrainSql(ExtQueries.lrIters),
 
     // Flesch–Kincaid: words = whitespace tokens, sentences = [.!?]+
     // runs (min 1), syllables = [aeiouy]+ runs per word (min 1);
@@ -4814,6 +4815,64 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
 
   private def enStopSql: String =
     TextAnalysis.EnStop.map(w => s"'$w'").mkString(", ")
+
+  /** Logistic-regression training replay: the same hashed-bigram
+    * features, labels, and SF-adaptive stepDiv; each unrolled round
+    * is margins (exact long sums) → micro-rounded sigmoid residuals
+    * → exact long gradient → truncate-toward-zero weight update
+    * (emulated — DuckDB's `//` floors, Spark's `div` truncates), so
+    * the learned weight table and final margins replay bit-for-bit. */
+  private def lrTrainSql(iters: Int): String = {
+    def truncDiv(a: String) =
+      s"(CASE WHEN $a >= 0 THEN $a // sd.stepdiv " +
+      s"ELSE -((-($a)) // sd.stepdiv) END)"
+    val rounds = (1 to iters).map { i =>
+      val wp = s"w${i - 1}"
+      s"""m$i AS MATERIALIZED (SELECT f.doc_id, CAST(sum(f.x * $wp.w) AS BIGINT) AS m
+        |  FROM f JOIN $wp ON f.bucket = $wp.bucket GROUP BY 1),
+        |r$i AS MATERIALIZED (SELECT lab.doc_id,
+        |    CAST(round((1.0 / (1.0 + exp(-(CAST(coalesce(m$i.m, 0) AS DOUBLE)
+        |      / 1000000.0))) - CAST(lab.y AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT) AS r
+        |  FROM lab LEFT JOIN m$i ON lab.doc_id = m$i.doc_id),
+        |g$i AS MATERIALIZED (SELECT f.bucket, CAST(sum(f.x * r$i.r) AS BIGINT) AS gr
+        |  FROM f JOIN r$i ON f.doc_id = r$i.doc_id GROUP BY 1),
+        |w$i AS MATERIALIZED (SELECT bucket, w FROM (
+        |    SELECT coalesce(wp.bucket, gg.bucket) AS bucket,
+        |      coalesce(wp.w, CAST(0 AS BIGINT)) -
+        |        ${truncDiv("coalesce(gg.gr, CAST(0 AS BIGINT))")} AS w
+        |    FROM w${i - 1} wp FULL OUTER JOIN g$i gg
+        |      ON wp.bucket = gg.bucket
+        |    CROSS JOIN sd) z WHERE z.w != 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+      |g AS (SELECT doc_id, concat(toks[CAST(i AS INTEGER)], ' ',
+      |        toks[CAST(i+1 AS INTEGER)]) AS gram
+      |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |            FROM t) x),
+      |hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(gram), 1, 15))
+      |         AS BIGINT) % 65536 AS bucket FROM g),
+      |f0 AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x
+      |       FROM hh GROUP BY 1, 2),
+      |f AS MATERIALIZED (SELECT * FROM f0
+      |      UNION ALL SELECT doc_id, CAST(65536 AS BIGINT),
+      |        CAST(1 AS BIGINT) FROM documents),
+      |lab AS MATERIALIZED (SELECT doc_id, CASE WHEN lower(text) LIKE '% the %'
+      |          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+      |        FROM documents),
+      |sd AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),
+      |         CAST(sum(x) AS BIGINT) // 100) AS stepdiv FROM f0),
+      |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+      |         CAST(NULL AS BIGINT) AS w WHERE false),
+      |$rounds
+      |SELECT lab.doc_id, lab.y,
+      |  CAST(coalesce(sc.m, 0) AS BIGINT) AS margin_micro,
+      |  coalesce(sc.m, 0) > 0 AS pred
+      |FROM lab LEFT JOIN (
+      |  SELECT f.doc_id, CAST(sum(f.x * w$iters.w) AS BIGINT) AS m
+      |  FROM f JOIN w$iters ON f.bucket = w$iters.bucket GROUP BY 1) sc
+      |  ON lab.doc_id = sc.doc_id""".stripMargin
+  }
 
   /** The shared recs/blocking/pair CTE prefix of both FS oracles
     * (identical dirty-record generator and census cap). */

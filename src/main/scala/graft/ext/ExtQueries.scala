@@ -1692,6 +1692,24 @@ object ExtQueries {
   def qMixDiversity(spark: SparkSession, dir: String): DataFrame =
     Curation.mixDiversity(Tables(spark, dir).documents)
 
+  /** LR training rounds for [[qLrTrain]] — shared with the oracle
+    * generator (unrolled to the same depth). 12 rounds take the demo
+    * label from the 0.77 all-majority base rate to 0.94 accuracy. */
+  val lrIters = 12
+
+  /** Train the hashed-bigram logistic quality gate on a derived
+    * label (contains " the "), then score the corpus with the
+    * learned weights — distributed TRAINING with an exact DuckDB
+    * replay ([[graft.ext.Curation.trainQualityLr]]). */
+  def qLrTrain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("y", lower(col("text")).like("% the %").cast("long"))
+    val (w, _) = Curation.trainQualityLr(docs, "y", iters = lrIters)
+    Curation.lrMargins(docs, w)
+      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .select(col("doc_id"), col("y"), col("margin_micro"), col("pred"))
+  }
+
   /** EM iteration count for [[qFsEm]] — shared with the oracle
     * generator (unrolled to the same depth). */
   val fsEmIters = 5

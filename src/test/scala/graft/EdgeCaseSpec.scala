@@ -493,6 +493,11 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Evaluation.classificationReport(
       Seq.empty[(Long, Long, Long)].toDF("label", "pred_label", "n"))
       .count() == 0)
+    // LR training on an empty corpus: empty weight table, step 1
+    val (we, sde) = Curation.trainQualityLr(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "y"), "y",
+      iters = 2)
+    assert(we.count() == 0 && sde == 1L)
     // readability / mixDiversity on empty inputs
     assert(TextAnalysis.readability(noDocs).count() == 0)
     assert(Curation.mixDiversity(

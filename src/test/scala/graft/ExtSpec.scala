@@ -1985,6 +1985,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L)._2 == 1L && out(2L)._3 == 1L && out(2L)._4 == 1L)
   }
 
+  test("trainQualityLr learns a planted separable signal and replays deterministically") {
+    import spark.implicits._
+    // positives all contain the bigram "good stuff", negatives "bad
+    // stuff" — a perfectly separable signal the trained weights must
+    // pick up (y is balanced, so the base rate is 0.5)
+    val docs = (0 until 30).map { i =>
+      val y = i % 2
+      val txt = if (y == 1) s"doc $i has good stuff inside"
+        else s"doc $i has bad stuff inside"
+      (i.toLong, txt, y.toLong)
+    }.toDF("doc_id", "text", "y")
+    val (w, stepDiv) = Curation.trainQualityLr(docs, "y", iters = 8)
+    assert(stepDiv >= 1L)
+    val scored = Curation.lrMargins(docs, w)
+      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+    val acc = scored.filter((col("y") === 1L) === col("pred")).count()
+      .toDouble / 30.0
+    assert(acc == 1.0, s"separable signal must be learned, got $acc")
+    // bit-determinism: retraining reproduces the identical weight table
+    val (w2, _) = Curation.trainQualityLr(docs, "y", iters = 8)
+    assert(w.collect().toSet == w2.collect().toSet)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("mixDiversity: uniform vs concentrated mixtures") {
     import spark.implicits._
     // 4 equal groups: entropy ln 4, eff_n 4, hhi 0.25, gini 0

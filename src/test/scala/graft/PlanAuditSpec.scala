@@ -57,8 +57,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // FS pair space must stay the census-capped block equi-join; the
     // rank-correlation tau join equi-keys on the group; RAKE's top-k
     // is a WindowGroupLimit, never a corpus sort
+    // (q_mix_diversity is excluded: its plan joins two SINGLE-ROW
+    // aggregates — a 1×1 cross join is the correct shape there)
     for (q <- Seq("q_fellegi_sunter", "q_fs_em", "q_rank_corr",
-        "q_rake_keywords", "q_ab_test", "q_eval_f1")) {
+        "q_rake_keywords", "q_ab_test", "q_eval_f1", "q_readability",
+        "q_lr_train")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
