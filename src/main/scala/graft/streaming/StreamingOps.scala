@@ -516,6 +516,25 @@ object StreamingOps {
     * same rows. The live face of the context-budget metric: a feed
     * whose fertility drifts (encoding change, language mix shift)
     * surfaces before it skews packing or mixture weights. */
+  /** Streaming quality-gate serving: each arriving micro-batch is
+    * scored with a TRAINED static weight table
+    * ([[graft.ext.Curation.trainQualityLr]] output) by exactly the
+    * batch scorer ([[graft.ext.Curation.lrMargins]]) inside
+    * foreachBatch — the [[maxsimServeStream]] discipline: per-batch
+    * state only, margins value-identical to the batch call on the
+    * same rows (StreamingSpec twin proof). The train-offline /
+    * serve-online shape of every production quality gate. */
+  def lrScoreStream(docs: DataFrame, weights: DataFrame,
+      dims: Int = 1 << 16)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.ext.Curation.lrMargins(batch.toDF(), weights, dims))
+      }
+      .start()
+
   /** Streaming A/B experiment readout: the two-proportion pooled
     * z-test ([[graft.ext.Evaluation.abTest]]) applied to a live event
     * stream (Complete mode) — state is four exact long counters per

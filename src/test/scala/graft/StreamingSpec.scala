@@ -491,6 +491,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LR serving ≡ batch lrMargins with trained weights") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // train offline on a separable corpus, serve the stream online
+    val train = (0 until 20).map { i =>
+      val y = i % 2
+      (i.toLong,
+        if (y == 1) s"doc $i has good stuff inside"
+        else s"doc $i has bad stuff inside", y.toLong)
+    }.toDF("doc_id", "text", "y")
+    val (w, _) = graft.ext.Curation.trainQualityLr(train, "y", iters = 6)
+    val arriving = Seq((100L, "fresh doc with good stuff inside"),
+      (101L, "fresh doc with bad stuff inside"))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val q = StreamingOps.lrScoreStream(
+        mem.toDF().toDF("doc_id", "text"), w) { batch =>
+      got ++= batch.as[(Long, Long, Boolean)].collect()
+    }
+    try {
+      mem.addData(arriving.head); q.processAllAvailable()
+      mem.addData(arriving(1)); q.processAllAvailable()
+      val want = graft.ext.Curation.lrMargins(
+          arriving.toDF("doc_id", "text"), w)
+        .as[(Long, Long, Boolean)].collect()
+      assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq,
+        "streamed margins must equal the batch twin")
+      // the served decisions reflect the learned signal
+      val byId = got.map(r => r._1 -> r._3).toMap
+      assert(byId(100L) && !byId(101L), s"$byId")
+    } finally { q.stop(); graft.ext.Checkpoints.releaseAll(spark) }
+  }
+
   test("streaming A/B z-test snapshot equals the batch readout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
