@@ -1428,6 +1428,9 @@ object Curation {
       Checkpoints.release(w)
       w = next
     }
+    // the last round's weight state (the result) stays pinned for the
+    // caller; the feature table is dead once it materialized
+    Checkpoints.release(feats)
     (w, stepDiv)
   }
 

@@ -623,6 +623,30 @@ object GraftFunctions {
       tableOf(strArg(args.head, "auc_roc(table)")))
       .queryExecution.logical
 
+  /** lr_train(tbl[, iters]) — train the hashed-bigram logistic
+    * quality gate over (doc_id, text, y) rows; returns the sparse
+    * (bucket, w_micro) weight table
+    * ([[graft.ext.Curation.trainQualityLr]]). */
+  def lrTrainTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "lr_train(table)"))
+    val w =
+      if (args.length > 1)
+        graft.ext.Curation.trainQualityLr(df, "y",
+          iters = intArg(args(1), "lr_train(iters)"))._1
+      else graft.ext.Curation.trainQualityLr(df, "y")._1
+    w.queryExecution.logical
+  }
+
+  /** lr_margins(docsTbl, weightsTbl) — score (doc_id, text) rows with
+    * a trained weight table ([[graft.ext.Curation.lrMargins]]). */
+  def lrMarginsTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "lr_margins(docsTable, weightsTable)")
+    graft.ext.Curation.lrMargins(
+      tableOf(strArg(args.head, "lr_margins(docsTable)")),
+      tableOf(strArg(args(1), "lr_margins(weightsTable)")))
+      .queryExecution.logical
+  }
+
   /** readability(tbl) — Flesch–Kincaid counts + grades over
     * (doc_id, text) rows ([[graft.ext.TextAnalysis.readability]]). */
   def readabilityTvf(args: Seq[Expression]): LogicalPlan =
@@ -904,6 +928,8 @@ object GraftFunctions {
     "rake_keywords" -> (rakeKeywordsTvf _),
     "readability" -> (readabilityTvf _),
     "mix_diversity" -> (mixDiversityTvf _),
+    "lr_train" -> (lrTrainTvf _),
+    "lr_margins" -> (lrMarginsTvf _),
     "rank_corr" -> (rankCorrTvf _),
     "ab_test" -> (abTestTvf _),
     "classification_report" -> (classificationReportTvf _),

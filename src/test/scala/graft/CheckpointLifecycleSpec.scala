@@ -42,6 +42,19 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
     assert(pinned === 0, "bpeTrain collects its result; nothing may stay pinned")
   }
 
+  test("trainQualityLr pins only the final weight table") {
+    Checkpoints.releaseAll(spark)
+    val labeled = (0 until 10).map(i =>
+      (i.toLong, s"tok$i shared words here", (i % 2).toLong))
+      .toDF("doc_id", "text", "y")
+    val (w, _) = Curation.trainQualityLr(labeled, "y", iters = 3)
+    assert(w.count() >= 0)
+    assert(pinned === 1,
+      "features and superseded rounds must be released; only the result weights stay")
+    Checkpoints.release(w)
+    assert(pinned === 0)
+  }
+
   test("connectedComponents driver fast path leaves nothing pinned") {
     Checkpoints.releaseAll(spark)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")

@@ -503,6 +503,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("mixd_e11")
     sameAs("SELECT * FROM mix_diversity('mixd_e11')",
       graft.ext.Curation.mixDiversity(spark.table("mixd_e11")))
+    (0 until 10).map(i => (i.toLong,
+        if (i % 2 == 1) s"d$i has good stuff" else s"d$i has bad stuff",
+        (i % 2).toLong))
+      .toDF("doc_id", "text", "y").createOrReplaceTempView("lrt_e11")
+    sameAs("SELECT * FROM lr_train('lrt_e11', 4)",
+      graft.ext.Curation.trainQualityLr(spark.table("lrt_e11"), "y",
+        iters = 4)._1)
+    spark.sql("SELECT * FROM lr_train('lrt_e11', 4)")
+      .createOrReplaceTempView("lrw_e11")
+    sameAs("SELECT * FROM lr_margins('lrt_e11', 'lrw_e11')",
+      graft.ext.Curation.lrMargins(spark.table("lrt_e11"),
+        spark.table("lrw_e11")))
     Seq((1L, "red", "m"), (2L, "blue", "l")).toDF("id", "color", "sz")
       .createOrReplaceTempView("fh_e11")
     sameAs("SELECT * FROM feature_hash('fh_e11', 'color,sz', 16)",
