@@ -4608,6 +4608,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_fellegi_sunter" -> fellegiSunterSql,
     "q_fs_em" -> fsEmSql(ExtQueries.fsEmIters),
     "q_lr_train" -> lrTrainSql(ExtQueries.lrIters),
+    "q_lr_eval" -> lrEvalSql(ExtQueries.lrIters),
 
     // Flesch–Kincaid: words = whitespace tokens, sentences = [.!?]+
     // runs (min 1), syllables = [aeiouy]+ runs per word (min 1);
@@ -4822,7 +4823,10 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     * → exact long gradient → truncate-toward-zero weight update
     * (emulated — DuckDB's `//` floors, Spark's `div` truncates), so
     * the learned weight table and final margins replay bit-for-bit. */
-  private def lrTrainSql(iters: Int): String = {
+  /** The WITH-chain shared by q_lr_train and q_lr_eval: features,
+    * labels, stepDiv, `iters` unrolled training rounds, and the final
+    * per-doc margin CTE `fin` (doc_id, y, m). */
+  private def lrChainCtes(iters: Int): String = {
     def truncDiv(a: String) =
       s"(CASE WHEN $a >= 0 THEN $a // sd.stepdiv " +
       s"ELSE -((-($a)) // sd.stepdiv) END)"
@@ -4864,15 +4868,42 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |         CAST(sum(x) AS BIGINT) // 100) AS stepdiv FROM f0),
       |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
       |         CAST(NULL AS BIGINT) AS w WHERE false),
-      |$rounds
-      |SELECT lab.doc_id, lab.y,
-      |  CAST(coalesce(sc.m, 0) AS BIGINT) AS margin_micro,
-      |  coalesce(sc.m, 0) > 0 AS pred
-      |FROM lab LEFT JOIN (
-      |  SELECT f.doc_id, CAST(sum(f.x * w$iters.w) AS BIGINT) AS m
-      |  FROM f JOIN w$iters ON f.bucket = w$iters.bucket GROUP BY 1) sc
-      |  ON lab.doc_id = sc.doc_id""".stripMargin
+      |$rounds,
+      |fin AS MATERIALIZED (SELECT lab.doc_id, lab.y,
+      |    CAST(coalesce(sc.m, 0) AS BIGINT) AS m
+      |  FROM lab LEFT JOIN (
+      |    SELECT f.doc_id, CAST(sum(f.x * w$iters.w) AS BIGINT) AS m
+      |    FROM f JOIN w$iters ON f.bucket = w$iters.bucket GROUP BY 1) sc
+      |    ON lab.doc_id = sc.doc_id)""".stripMargin
   }
+
+  private def lrTrainSql(iters: Int): String =
+    s"""${lrChainCtes(iters)}
+      |SELECT doc_id, y, m AS margin_micro, m > 0 AS pred
+      |FROM fin""".stripMargin
+
+  /** Train, score, then Mann–Whitney AUC of the margins against the
+    * labels — the same finish CTEs as the q_auc_roc replay over the
+    * trained chain. */
+  private def lrEvalSql(iters: Int): String =
+    s"""${lrChainCtes(iters)},
+      |cells AS (SELECT 'all' AS grp, m AS s, CAST(sum(y) AS BIGINT) AS pos,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+      |  FROM fin GROUP BY 1, 2),
+      |c2 AS (SELECT grp, pos, neg,
+      |    COALESCE(CAST(sum(neg) OVER (PARTITION BY grp ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS nb FROM cells),
+      |agg AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(neg) AS BIGINT) AS n_neg,
+      |    CAST(sum(pos * (2 * nb + neg)) AS BIGINT) AS u2
+      |  FROM c2 GROUP BY 1)
+      |SELECT grp, n_pos, n_neg, u2,
+      |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
+      |    ELSE CAST(u2 AS DOUBLE) /
+      |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6)
+      |    AS auc
+      |FROM agg""".stripMargin
 
   /** The shared recs/blocking/pair CTE prefix of both FS oracles
     * (identical dirty-record generator and census cap). */

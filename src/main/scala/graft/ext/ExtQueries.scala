@@ -1710,6 +1710,21 @@ object ExtQueries {
       .select(col("doc_id"), col("y"), col("margin_micro"), col("pred"))
   }
 
+  /** Train → score → EVALUATE: Mann–Whitney AUC of the trained
+    * model's margins against the labels (margins are scores — AUC is
+    * rank-based, no calibration needed). The full quality-gate loop
+    * in one oracle-checked query. */
+  def qLrEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("y", lower(col("text")).like("% the %").cast("long"))
+    val (w, _) = Curation.trainQualityLr(docs, "y", iters = lrIters)
+    val preds = Curation.lrMargins(docs, w)
+      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .select(lit("all").as("group"),
+        col("margin_micro").as("score_micro"), col("y"))
+    Evaluation.aucRoc(preds)
+  }
+
   /** EM iteration count for [[qFsEm]] — shared with the oracle
     * generator (unrolled to the same depth). */
   val fsEmIters = 5

@@ -61,7 +61,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // aggregates — a 1×1 cross join is the correct shape there)
     for (q <- Seq("q_fellegi_sunter", "q_fs_em", "q_rank_corr",
         "q_rake_keywords", "q_ab_test", "q_eval_f1", "q_readability",
-        "q_lr_train")) {
+        "q_lr_train", "q_lr_eval")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
