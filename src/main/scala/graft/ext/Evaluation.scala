@@ -582,6 +582,51 @@ object Evaluation {
           (col("n_a") * col("n_b")).cast(DoubleType)), 6).as("ks"))
   }
 
+  /** Weighted Cohen's κ per group over paired ORDINAL ratings — the
+    * LLM-judge agreement metric ([[cohenKappa]] is nominal; two
+    * judges scoring 1–5 that differ by one point are NOT in full
+    * disagreement). Quadratic weights w_ij = (i−j)² (QWK, the essay-
+    * scoring standard) and linear |i−j| both report:
+    * κ_w = 1 − Σ w·O / Σ w·E with E_ij = row_i·col_j / n, which
+    * algebraically is 1 − n·Σ(w·O) / Σ(w·row·col) — exact long
+    * arithmetic end to end, ONE final division, 6dp. A group whose
+    * marginals admit no weighted disagreement (both raters constant)
+    * reports κ = 1 by convention (the observed weighted disagreement
+    * is then provably 0 too).
+    *
+    * Scale shape: one (grp, r1, r2) aggregation (cells bounded by the
+    * score domain squared), marginals from the cells table, and an
+    * in-group cells×cells join bounded by the score domain — never
+    * corpus-quadratic.
+    *
+    * @return (grp, n, kappa_linear, kappa_quadratic) */
+  def weightedKappa(ratings: DataFrame, groupCol: String = "group",
+      r1Col: String = "r1", r2Col: String = "r2"): DataFrame = {
+    val cells = ratings.select(col(groupCol).as("grp"),
+        col(r1Col).cast(LongType).as("i"), col(r2Col).cast(LongType).as("j"))
+      .groupBy("grp", "i", "j").agg(count(lit(1)).as("o"))
+    def wq(a: Column, b: Column) = (a - b) * (a - b)
+    def wl(a: Column, b: Column) = abs(a - b)
+    val obs = cells.groupBy("grp").agg(
+      sum(col("o")).as("n"),
+      sum(wl(col("i"), col("j")) * col("o")).as("wol"),
+      sum(wq(col("i"), col("j")) * col("o")).as("woq"))
+    val rows = cells.groupBy("grp", "i").agg(sum(col("o")).as("ri"))
+    val cols = cells.groupBy("grp", "j").agg(sum(col("o")).as("cj"))
+    val exp = rows.join(cols, Seq("grp"))
+      .groupBy("grp").agg(
+        sum(wl(col("i"), col("j")) * col("ri") * col("cj")).as("wel"),
+        sum(wq(col("i"), col("j")) * col("ri") * col("cj")).as("weq"))
+    obs.join(exp, Seq("grp"))
+      .select(col("grp"), col("n"),
+        round(when(col("wel") === 0L, 1.0).otherwise(
+          lit(1.0) - (col("n") * col("wol")).cast(DoubleType) /
+            col("wel").cast(DoubleType)), 6).as("kappa_linear"),
+        round(when(col("weq") === 0L, 1.0).otherwise(
+          lit(1.0) - (col("n") * col("woq")).cast(DoubleType) /
+            col("weq").cast(DoubleType)), 6).as("kappa_quadratic"))
+  }
+
   /** Rank correlation between two integer metrics per group — do two
     * rankers agree? (two quality scorers over a corpus, an ANN
     * shortlist vs the exact ranking, an LLM judge vs a heuristic):

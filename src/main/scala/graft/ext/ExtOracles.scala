@@ -4610,6 +4610,37 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_lr_train" -> lrTrainSql(ExtQueries.lrIters),
     "q_lr_eval" -> lrEvalSql(ExtQueries.lrIters),
 
+    // weighted Cohen's κ (linear + quadratic) between two derived 1–5
+    // ordinal judges; κ_w = 1 − n·Σ(w·O)/Σ(w·row·col), exact longs
+    // until the one final division
+    "q_weighted_kappa" ->
+      s"""WITH t AS (SELECT lang AS grp,
+        |    least(5, greatest(1, n_chars // 50)) AS i,
+        |    least(5, greatest(1, CAST(len($toks) AS BIGINT) // 10)) AS j
+        |  FROM documents),
+        |cells AS (SELECT grp, i, j, count(*) AS o FROM t GROUP BY 1, 2, 3),
+        |obs AS (SELECT grp, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum(abs(i - j) * o) AS BIGINT) AS wol,
+        |    CAST(sum((i - j) * (i - j) * o) AS BIGINT) AS woq
+        |  FROM cells GROUP BY grp),
+        |rws AS (SELECT grp, i, CAST(sum(o) AS BIGINT) AS ri
+        |        FROM cells GROUP BY 1, 2),
+        |cls AS (SELECT grp, j, CAST(sum(o) AS BIGINT) AS cj
+        |        FROM cells GROUP BY 1, 2),
+        |ex AS (SELECT rws.grp,
+        |    CAST(sum(abs(rws.i - cls.j) * rws.ri * cls.cj) AS BIGINT) AS wel,
+        |    CAST(sum((rws.i - cls.j) * (rws.i - cls.j) * rws.ri * cls.cj)
+        |      AS BIGINT) AS weq
+        |  FROM rws JOIN cls ON rws.grp = cls.grp GROUP BY 1)
+        |SELECT obs.grp, obs.n,
+        |  round(CASE WHEN ex.wel = 0 THEN 1.0 ELSE
+        |    1.0 - CAST(obs.n * obs.wol AS DOUBLE) / CAST(ex.wel AS DOUBLE)
+        |    END, 6) AS kappa_linear,
+        |  round(CASE WHEN ex.weq = 0 THEN 1.0 ELSE
+        |    1.0 - CAST(obs.n * obs.woq AS DOUBLE) / CAST(ex.weq AS DOUBLE)
+        |    END, 6) AS kappa_quadratic
+        |FROM obs JOIN ex ON obs.grp = ex.grp""".stripMargin,
+
     // Flesch–Kincaid: words = whitespace tokens, sentences = [.!?]+
     // runs (min 1), syllables = [aeiouy]+ runs per word (min 1);
     // every constant CAST to DOUBLE so DuckDB's decimal literals

@@ -1710,6 +1710,19 @@ object ExtQueries {
       .select(col("doc_id"), col("y"), col("margin_micro"), col("pred"))
   }
 
+  /** Weighted κ between two derived ordinal 1–5 "judges" per
+    * language: length-based vs token-count-based scores — the
+    * ordinal-agreement readout for LLM-judge panels. */
+  def qWeightedKappa(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.weightedKappa(
+      Tables(spark, dir).documents.select(col("lang").as("group"),
+        least(lit(5L), greatest(lit(1L),
+          expr("n_chars div 50"))).as("r1"),
+        least(lit(5L), greatest(lit(1L),
+          expr("CAST(size(" +
+            "array_remove(split(lower(text), '\\\\s+'), '')" +
+            ") AS BIGINT) div 10"))).as("r2")))
+
   /** Train → score → EVALUATE: Mann–Whitney AUC of the trained
     * model's margins against the labels (margins are scores — AUC is
     * rank-based, no calibration needed). The full quality-gate loop

@@ -1269,6 +1269,30 @@ class ExtSpec extends AnyFunSuite {
     assert(k("p")._6 == 1.0, s"perfect: ${k("p")}")
   }
 
+  test("weightedKappa: hand ordinal case (linear vs quadratic); perfect 1; constant-pair convention 1") {
+    // g (1–3 scale): (1,1)×2 (2,2)×2 (3,3)×2 (1,3) (2,1), n=8.
+    // wol = |1−3| + |2−1| = 3; woq = 4 + 1 = 5.
+    // Marginals: r1 = {1:3, 2:3, 3:2}, r2 = {1:3, 2:2, 3:3} ⇒
+    // wel = 24+18+16 = 58, weq = 42+18+28 = 88.
+    // κ_l = 1 − 8·3/58 = 34/58; κ_q = 1 − 8·5/88 = 48/88 — the
+    // quadratic weight punishes the 2-step (1,3) miss harder.
+    val hand = (Seq.fill(2)(("g", 1L, 1L)) ++ Seq.fill(2)(("g", 2L, 2L)) ++
+      Seq.fill(2)(("g", 3L, 3L)) ++ Seq(("g", 1L, 3L), ("g", 2L, 1L)) ++
+      Seq(("perfect", 1L, 1L), ("perfect", 2L, 2L)) ++
+      Seq.fill(3)(("const", 2L, 2L)))
+      .toDF("group", "r1", "r2")
+    val k = Evaluation.weightedKappa(hand)
+      .select("grp", "n", "kappa_linear", "kappa_quadratic")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(k("g")._2 == 8L)
+    assert(k("g")._3 == 0.586207, s"hand κ_l: ${k("g")}")
+    assert(k("g")._4 == 0.545455, s"hand κ_q: ${k("g")}")
+    assert(k("perfect")._3 == 1.0 && k("perfect")._4 == 1.0)
+    assert(k("const")._3 == 1.0 && k("const")._4 == 1.0,
+      "no weighted disagreement possible ⇒ 1 by convention")
+  }
+
   test("ksTest: identical 0; disjoint 1; missing side 1 by convention") {
     val a = Seq(("same", 1L), ("same", 2L), ("dis", 1L), ("dis", 2L),
       ("only_a", 5L)).toDF("group", "v")
