@@ -104,6 +104,52 @@ object ExtOracles {
         |  JOIN probes ON asg2.cluster = probes.cluster
         |  WHERE c.vec_id != query_id)""".stripMargin
 
+  /** Build-then-append IVF replay shared by q_ivf_append and
+    * q_ivf_drift: 2-iteration Lloyd on the resident subset
+    * (vec_id % 3 ≠ 0, `bnrm`), the appended third assigned against the
+    * FROZEN cent2 centroids (`asgapp`), membership union in `fullasg`.
+    * Mirrors [[graft.ext.ExtQueries.ensureIvfAppendIndex]] exactly. */
+  private val ivfAppendCtes: String =
+    """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id AS id,
+        |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |        FROM c),
+        |bnrm AS (SELECT * FROM nrm WHERE id % 3 <> 0),
+        |dims AS (SELECT unnest(range(1, (SELECT len(nv) FROM nrm LIMIT 1) + 1)) AS pos),
+        |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cluster,
+        |            nv AS cv
+        |          FROM (SELECT id, nv FROM bnrm ORDER BY id LIMIT 8) s),
+        |asg1 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent0.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent0.cv) DESC, cent0.cluster) AS rn
+        |    FROM bnrm n CROSS JOIN cent0) t WHERE rn = 1),
+        |cent1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg1 a JOIN bnrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |asg2 AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent1.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent1.cv) DESC, cent1.cluster) AS rn
+        |    FROM bnrm n CROSS JOIN cent1) t WHERE rn = 1),
+        |cent2 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
+        |    SELECT a.cluster, d.pos,
+        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |        / COUNT(*) / 1e6 AS cval
+        |    FROM asg2 a JOIN bnrm n ON n.id = a.id CROSS JOIN dims d
+        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
+        |asgapp AS (SELECT id, cluster FROM (
+        |    SELECT n.id, cent2.cluster,
+        |      row_number() OVER (PARTITION BY n.id
+        |        ORDER BY list_dot_product(n.nv, cent2.cv) DESC, cent2.cluster) AS rn
+        |    FROM (SELECT * FROM nrm WHERE id % 3 = 0) n CROSS JOIN cent2) t
+        |  WHERE rn = 1),
+        |fullasg AS (SELECT * FROM asg2 UNION ALL SELECT * FROM asgapp)""".stripMargin
+
   private val base: Map[String, String] = Map(
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
@@ -1146,45 +1192,7 @@ object ExtOracles {
     // the union. A hash match proves append-then-probe ≡
     // assign-at-rebuild for the same centroids.
     "q_ivf_append" ->
-      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |nrm AS (SELECT vec_id AS id,
-        |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        |        FROM c),
-        |bnrm AS (SELECT * FROM nrm WHERE id % 3 <> 0),
-        |dims AS (SELECT unnest(range(1, (SELECT len(nv) FROM nrm LIMIT 1) + 1)) AS pos),
-        |cent0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cluster,
-        |            nv AS cv
-        |          FROM (SELECT id, nv FROM bnrm ORDER BY id LIMIT 8) s),
-        |asg1 AS (SELECT id, cluster FROM (
-        |    SELECT n.id, cent0.cluster,
-        |      row_number() OVER (PARTITION BY n.id
-        |        ORDER BY list_dot_product(n.nv, cent0.cv) DESC, cent0.cluster) AS rn
-        |    FROM bnrm n CROSS JOIN cent0) t WHERE rn = 1),
-        |cent1 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
-        |    SELECT a.cluster, d.pos,
-        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*) / 1e6 AS cval
-        |    FROM asg1 a JOIN bnrm n ON n.id = a.id CROSS JOIN dims d
-        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
-        |asg2 AS (SELECT id, cluster FROM (
-        |    SELECT n.id, cent1.cluster,
-        |      row_number() OVER (PARTITION BY n.id
-        |        ORDER BY list_dot_product(n.nv, cent1.cv) DESC, cent1.cluster) AS rn
-        |    FROM bnrm n CROSS JOIN cent1) t WHERE rn = 1),
-        |cent2 AS (SELECT cluster, list(cval ORDER BY pos) AS cv FROM (
-        |    SELECT a.cluster, d.pos,
-        |      CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
-        |        / COUNT(*) / 1e6 AS cval
-        |    FROM asg2 a JOIN bnrm n ON n.id = a.id CROSS JOIN dims d
-        |    GROUP BY a.cluster, d.pos) u GROUP BY cluster),
-        |asgapp AS (SELECT id, cluster FROM (
-        |    SELECT n.id, cent2.cluster,
-        |      row_number() OVER (PARTITION BY n.id
-        |        ORDER BY list_dot_product(n.nv, cent2.cv) DESC, cent2.cluster) AS rn
-        |    FROM (SELECT * FROM nrm WHERE id % 3 = 0) n CROSS JOIN cent2) t
-        |  WHERE rn = 1),
-        |fullasg AS (SELECT * FROM asg2 UNION ALL SELECT * FROM asgapp),
+      (ivfAppendCtes + """,
         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
         |probes AS (SELECT query_id, qv, cluster FROM (
         |    SELECT q.query_id, q.qv, cent2.cluster,
@@ -1202,7 +1210,37 @@ object ExtOracles {
         |SELECT query_id, nn_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY cos_sim DESC, nn_id) AS rn
-        |  FROM scored) t WHERE rn <= 10""".stripMargin,
+        |  FROM scored) t WHERE rn <= 10""".stripMargin),
+
+    // staleness monitor over the SAME built+appended index as
+    // q_ivf_append: per cluster, cosine (micro-exact long sums) of
+    // the frozen cent2 centroid against the mean of ALL resident
+    // members (asg2 residents + frozen-assigned appends); flag below
+    // the shared threshold (ExtQueries.ivfDriftThresholdMicro)
+    "q_ivf_drift" ->
+      (ivfAppendCtes + s""",
+        |mm AS (SELECT f.cluster, d.pos, COUNT(*) AS n,
+        |    CAST(ROUND(CAST(SUM(CAST(ROUND(n.nv[d.pos] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*), 0) AS BIGINT) AS m
+        |  FROM fullasg f JOIN nrm n ON n.id = f.id CROSS JOIN dims d
+        |  GROUP BY f.cluster, d.pos),
+        |gg AS (SELECT cluster, d.pos,
+        |    CAST(ROUND(cv[d.pos] * 1e6, 0) AS BIGINT) AS g
+        |  FROM cent2 CROSS JOIN dims d),
+        |sums AS (SELECT mm.cluster, MAX(mm.n) AS n_vecs,
+        |    SUM(mm.m * gg.g) AS dotmg, SUM(mm.m * mm.m) AS nm2,
+        |    SUM(gg.g * gg.g) AS ng2
+        |  FROM mm JOIN gg ON mm.cluster = gg.cluster AND mm.pos = gg.pos
+        |  GROUP BY mm.cluster),
+        |rep AS (SELECT cluster, n_vecs,
+        |    CAST(ROUND(CASE WHEN nm2 > 0 AND ng2 > 0
+        |      THEN CAST(dotmg AS DOUBLE)
+        |        / (sqrt(CAST(nm2 AS DOUBLE)) * sqrt(CAST(ng2 AS DOUBLE))) * 1e6
+        |      ELSE 0.0 END, 0) AS BIGINT) AS cos_micro
+        |  FROM sums)
+        |SELECT cluster, n_vecs, cos_micro,
+        |  cos_micro < ${graft.ext.ExtQueries.ivfDriftThresholdMicro} AS recluster
+        |FROM rep""".stripMargin),
 
     // recall@10 of the IVF path vs exact brute force: both replays
     // are deterministic, so the measured recall is itself an oracle

@@ -1052,6 +1052,18 @@ object ExtQueries {
     * unit instead). */
   def qIvfAppend(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
+    val path = ensureIvfAppendIndex(spark, dir)
+    graft.operators.IvfIndex.probeTopK(spark, path,
+      emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+  }
+
+  /** Build-or-reuse the build-then-append IVF index shared by
+    * [[qIvfAppend]] and [[qIvfDrift]]: resident 2/3 (vec_id % 3 ≠ 0)
+    * clustered at build time, the remaining third appended against
+    * the frozen centroids. Marker-guarded as a unit (a bare re-append
+    * would duplicate the batch). */
+  private def ensureIvfAppendIndex(spark: SparkSession, dir: String): String = {
+    val emb = Tables(spark, dir).embeddings
     val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_append"
     val marker = java.nio.file.Paths.get(path, "_GRAFT_BUILT_FROM")
     val same = java.nio.file.Files.exists(marker) &&
@@ -1067,9 +1079,27 @@ object ExtQueries {
         emb.filter(col("vec_id") % 3 === 0), path)
       java.nio.file.Files.write(marker, dir.getBytes("UTF-8"))
     }
-    graft.operators.IvfIndex.probeTopK(spark, path,
-      emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+    path
   }
+
+  /** Staleness report over the appended index of [[qIvfAppend]]:
+    * per-cluster cosine between the frozen build-time centroid and
+    * the CURRENT member mean (residents + the appended third), with
+    * the re-cluster flag at the shared threshold. The oracle replays
+    * the whole lifecycle — 2-iteration Lloyd on the resident subset,
+    * frozen-centroid assignment of the appended batch, then the
+    * micro-exact centroid-vs-mean cosine — so a hash match proves the
+    * monitor measures exactly what the maintenance path produced. */
+  def qIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfAppendIndex(spark, dir)
+    graft.operators.IvfIndex.driftReport(spark, path,
+      thresholdMicro = ivfDriftThresholdMicro)
+  }
+
+  /** Shared by [[qIvfDrift]] and its DuckDB oracle. Tuned so the
+    * synthetic corpus exercises BOTH outcomes (the random embeddings
+    * give centroid-vs-mean agreement around 0.95–0.97). */
+  val ivfDriftThresholdMicro: Long = 960000L
 
   /** Nearest-centroid classification of the embeddings table: fit on
     * vec_id % 5 ≠ 0, classify the rest, confusion counts. */

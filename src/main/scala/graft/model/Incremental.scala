@@ -99,8 +99,8 @@ object Incremental {
     * batch winners (a union + batch-sized-keys window would shuffle
     * the whole base; instead the base anti-joins the batch's key set
     * and only the TOUCHED keys join seq-to-seq). Tombstones are
-    * bounded by the deleted-key count; compact them by rewriting the
-    * live view when the feed's replay horizon has passed. */
+    * bounded by the deleted-key count; [[compactGuarded]] drops the
+    * ones older than the feed's replay horizon. */
   def applyChangesGuarded(spark: SparkSession, changes: DataFrame,
       path: String, uniqueKey: Seq[String], opCol: String = "op",
       seqCol: String = "seq"): DataFrame = {
@@ -141,6 +141,33 @@ object Incremental {
   def readCdcTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).filter(!col("__deleted"))
       .drop("__seq", "__deleted")
+
+  /** Tombstone compaction for an [[applyChangesGuarded]] table: drop
+    * the tombstones whose `__seq` is at or below `horizonSeq` — the
+    * caller's promise that the feed can no longer re-deliver any
+    * change at that sequence or earlier (the retention horizon of the
+    * topic / change log). Live rows keep their `__seq` unconditionally:
+    * the forward-only guard for keys that still exist must survive
+    * compaction, and a tombstone NEWER than the horizon is retained so
+    * an in-horizon replay still cannot resurrect its key. After
+    * compaction, a replay OLDER than the horizon for a compacted-away
+    * key would re-insert it — that is exactly the contract the horizon
+    * parameter encodes, the same trade every log-compacted CDC store
+    * (Kafka compact+delete, Delta VACUUM vs time travel) makes.
+    *
+    * Scale shape: one filtered rewrite of the table through the staged
+    * swap (`__tmp` write first, then delete+rename — the original
+    * survives until the rewrite has fully succeeded). No shuffle at
+    * all: the filter is partition-local.
+    *
+    * @return the compacted on-disk table (bookkeeping columns
+    *   included, so callers can audit what was kept) */
+  def compactGuarded(spark: SparkSession, path: String,
+      horizonSeq: Long): DataFrame = {
+    val t = spark.read.parquet(path)
+    swapWrite(spark, t.filter(!col("__deleted") ||
+      col("__seq") > lit(horizonSeq)), path)
+  }
 
   /** dbt incremental with insert_overwrite strategy: every partition
     * VALUE present in the batch is replaced wholesale; untouched

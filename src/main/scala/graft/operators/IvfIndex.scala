@@ -71,6 +71,61 @@ object IvfIndex {
       .write.mode("append").partitionBy("cluster").parquet(path)
   }
 
+  /** Staleness monitor for the nightly-append lifecycle: since
+    * [[appendVectors]] routes against FROZEN centroids forever, the
+    * index quality decays silently as the appended distribution
+    * drifts. This report measures that decay per cluster — the cosine
+    * (in exact micro space, the [[Similarity.embedDrift]] discipline)
+    * between each frozen centroid and the CURRENT mean of the
+    * vectors actually resident in its partition — and flags the
+    * clusters whose agreement fell below `thresholdMicro` for offline
+    * re-clustering. The "measure, don't guess" loop for the index
+    * family, same as q_ann_recall is for probe quality.
+    *
+    * Scale shape: one pass over the index; per-row work is a
+    * normalize + posexplode, the aggregate is map-side combinable
+    * down to clusters×dims rows, and the centroid side is a
+    * broadcast. No driver-side state beyond the report itself
+    * (clusters rows).
+    *
+    * @return (cluster, n_vecs, cos_micro, recluster) — cos_micro is
+    *   round(cos(frozen centroid, member mean) · 1e6) computed from
+    *   exact long sums of micro-rounded coordinates, so the report
+    *   replays bit-exactly in any engine */
+  def driftReport(spark: SparkSession, path: String,
+      thresholdMicro: Long = 995000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val cents = spark.read.parquet(centroidPath(path))
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val nv = spark.read.parquet(path).select(col("cluster"),
+      transform(v, x => x / sqrt(Similarity.dot(v, v))).as("nv"))
+    val dims = nv.select(col("cluster"), posexplode(col("nv")))
+      .select(col("cluster"), col("pos").as("d"),
+        round(col("col") * 1e6, 0).cast(LongType).as("vm"))
+    val members = dims.groupBy("cluster", "d")
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("d"), col("n"),
+        round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 0)
+          .cast(LongType).as("m"))
+    val frozen = cents.select(col("cluster"), posexplode(col("centroid")))
+      .select(col("cluster"), col("pos").as("d"),
+        round(col("col") * 1e6, 0).cast(LongType).as("g"))
+    members.join(broadcast(frozen), Seq("cluster", "d"))
+      .groupBy("cluster")
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("m") * col("g")).as("dotmg"),
+        sum(col("m") * col("m")).as("nm2"),
+        sum(col("g") * col("g")).as("ng2"))
+      .select(col("cluster"), col("n_vecs"),
+        round(when(col("nm2") > 0 && col("ng2") > 0,
+            col("dotmg").cast(DoubleType) /
+              (sqrt(col("nm2").cast(DoubleType)) *
+                sqrt(col("ng2").cast(DoubleType))) * 1e6)
+          .otherwise(0.0), 0).cast(LongType).as("cos_micro"))
+      .withColumn("recluster", col("cos_micro") < lit(thresholdMicro))
+  }
+
   /** Exact top-k within the probed partitions of a written index.
     * Results are identical to scoring the same (query, cluster) pairs
     * over the full corpus — pruning changes I/O, never answers

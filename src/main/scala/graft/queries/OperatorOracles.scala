@@ -155,6 +155,22 @@ object OperatorOracles {
         |       ELSE o_totalprice END AS v
         |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
 
+    // guarded CDC compaction at horizon 9: %3 tombstones (seq 9) are
+    // gone, %7 tombstones (seq 12, carrying the delete row's original
+    // value) survive, live rows keep their winning forward-only seq
+    "q_cdc_compact" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice
+        |       WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.0
+        |       WHEN o_orderkey % 2 = 0 THEN o_totalprice + 100.0
+        |       ELSE o_totalprice END AS v,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 12
+        |       WHEN o_orderkey % 5 = 0 THEN 5
+        |       WHEN o_orderkey % 2 = 0 THEN 3
+        |       ELSE 1 END AS INTEGER) AS "__seq",
+        |  (o_orderkey % 7 = 0) AS "__deleted"
+        |FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 7 = 0""".stripMargin,
+
     // change feed: I/D by anti-join, U by value inequality
     "q_change_feed" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -300,6 +300,45 @@ object OperatorQueries {
     graft.model.Incremental.readCdcTable(spark, path)
   }
 
+  /** Driver-oracle row for guarded-CDC tombstone compaction
+    * ([[graft.model.Incremental.compactGuarded]]): replays
+    * [[qCdcGuarded]]'s two folds, adds a THIRD fold deleting %7 keys
+    * at seq 12, then compacts at replay horizon 9 — the %3 tombstones
+    * (seq 9 ≤ horizon) must vanish while the %7 tombstones (seq 12 >
+    * horizon) and every live row's forward-only `__seq` survive. The
+    * query returns the RAW on-disk table including the bookkeeping
+    * columns, so the hash check proves exactly which rows the
+    * compaction kept, not just the live view. */
+  def qCdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+    val path = System.getProperty("java.io.tmpdir") + "/graft_cdc_compact"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val ins = o.withColumn("op", lit("I")).withColumn("seq", lit(1))
+    val upd = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("v", col("v") + 100.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(3))
+    graft.model.Incremental.applyChangesGuarded(spark,
+      ins.unionByName(upd), path, Seq("o_orderkey"))
+    val lateStale = o.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("v", col("v") + 999.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(2))
+    val fresh = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("v", col("v") + 7.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(5))
+    val del = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(9))
+    graft.model.Incremental.applyChangesGuarded(spark,
+      lateStale.unionByName(fresh).unionByName(del), path, Seq("o_orderkey"))
+    val del2 = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(12))
+    graft.model.Incremental.applyChangesGuarded(spark,
+      del2, path, Seq("o_orderkey"))
+    graft.model.Incremental.compactGuarded(spark, path, horizonSeq = 9L)
+  }
+
   /** Driver-oracle row for the incremental AGGREGATE refresh
     * ([[graft.model.Incremental.aggRefresh]]): bootstrap the metrics
     * rollup from the historical 3/4 of events, then fold two disjoint

@@ -388,6 +388,40 @@ class IOSpec extends AnyFunSuite {
     assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
+  test("IVF drift report: drifted appends flag re-clustering, untouched clusters don't") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    val p = tmp("graft-ivf-drift") + "/idx"
+    // two orthogonal planted clusters: ids 0/2/3 on e1, ids 1/4/5 on
+    // e2 (seeds are the first k by id, so id0→cluster0=e1, id1→
+    // cluster1=e2 and Lloyd leaves the centroids exactly there)
+    val build = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.writeIndex(build, p, nClusters = 2, iters = 2)
+    // fresh index: both clusters sit exactly on their centroid
+    val before = IvfIndex.driftReport(spark, p, thresholdMicro = 960000L)
+      .select("cluster", "cos_micro", "recluster")
+      .as[(Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(before == Map(0 -> ((1000000L, false)), 1 -> ((1000000L, false))),
+      s"$before")
+    // nightly appends drift cluster 0: (0.8, 0.6) routes to e1 (dot
+    // 0.8 > 0.6) but pulls the member mean off the frozen centroid
+    val batch = (100L to 109L).map(i => (i, Seq(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.appendVectors(spark, batch, p)
+    val after = IvfIndex.driftReport(spark, p, thresholdMicro = 960000L)
+      .select("cluster", "n_vecs", "recluster")
+      .as[(Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // mean of 3×(1,0) + 10×(0.8,0.6): cos vs e1 ≈ 0.88 → flagged;
+    // cluster 1 untouched → still exact
+    assert(after(0) == ((13L, true)), s"$after")
+    assert(after(1) == ((3L, false)), s"$after")
+  }
+
   test("sorted-by-range write produces skippable row groups") {
     val src = Tables(spark, "/root/testdata/sf0.01").orders
     val p = tmp("graft-sorted")

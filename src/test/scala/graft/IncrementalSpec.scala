@@ -136,6 +136,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(r3 == Map(1L -> "a3", 2L -> "b2", 3L -> "c2"), s"got $r3")
   }
 
+  test("compactGuarded: drops only past-horizon tombstones, keeps the seq guard") {
+    val path = tmp("graft-cdc-compact")
+    // fold 1: three keys live; fold 2: delete 1 at seq 4, delete 2 at
+    // seq 9, update 3 to v3b at seq 6
+    Incremental.applyChangesGuarded(spark,
+      Seq((1L, "v1", "I", 1L), (2L, "v2", "I", 1L), (3L, "v3", "I", 1L))
+        .toDF("id", "v", "op", "seq"), path, Seq("id"))
+    Incremental.applyChangesGuarded(spark,
+      Seq((1L, "v1", "D", 4L), (2L, "v2", "D", 9L), (3L, "v3b", "U", 6L))
+        .toDF("id", "v", "op", "seq"), path, Seq("id"))
+    val live0 = Incremental.readCdcTable(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    val compacted = Incremental.compactGuarded(spark, path, horizonSeq = 5L)
+    // live view is untouched by compaction
+    assert(Incremental.readCdcTable(spark, path)
+      .select("id", "v").as[(Long, String)].collect().toSet === live0)
+    // key 1's tombstone (seq 4 ≤ 5) is gone; key 2's (seq 9 > 5) kept;
+    // key 3 keeps its forward-only __seq
+    val raw = compacted.select(col("id"), col("__seq").cast("long"),
+      col("__deleted")).as[(Long, Long, Boolean)].collect().toSet
+    assert(raw === Set((2L, 9L, true), (3L, 6L, false)), s"$raw")
+    // the retained tombstone still blocks an in-horizon replay…
+    Incremental.applyChangesGuarded(spark,
+      Seq((2L, "back", "I", 7L)).toDF("id", "v", "op", "seq"), path, Seq("id"))
+    assert(!Incremental.readCdcTable(spark, path)
+      .select("id").as[Long].collect().contains(2L))
+    // …and the live row's persisted seq still rejects a stale replay
+    Incremental.applyChangesGuarded(spark,
+      Seq((3L, "stale", "U", 2L)).toDF("id", "v", "op", "seq"), path, Seq("id"))
+    assert(Incremental.readCdcTable(spark, path).filter(col("id") === 3)
+      .select("v").as[String].collect().toSeq === Seq("v3b"))
+  }
+
   test("aggRefresh: batch folds ≡ one-shot recompute, in any batch order") {
     val rows = (1L to 300L).map(i =>
       (i, s"k${i % 3}", (i % 17).toDouble + 0.25, i % 40)) // dup users per key
