@@ -1449,6 +1449,124 @@ object Curation {
         (coalesce(col("m"), lit(0L)) > 0L).as("pred"))
   }
 
+  /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics") adapted to the engine's replayable trainer: run the
+    * SAME full-batch LR rounds as [[trainQualityLr]], and after every
+    * weight update score each example's gold-label probability —
+    * per doc across the `iters` rounds, CONFIDENCE (mean p(gold)),
+    * VARIABILITY (std of p(gold)) and the correct-round count. The
+    * classic data-quality readout: high-conf/low-var = easy (safe to
+    * downsample), low-conf/low-var = hard (often mislabeled — audit
+    * these), high-var = ambiguous (the examples worth keeping).
+    *
+    * Exactness contract: round-r gold probabilities are the trainer's
+    * own sigmoid of the EXACT long margin, immediately micro-rounded;
+    * Σpg and Σpg² fold as exact longs; mean and std are one
+    * fixed-shape double expression each (std from the integer
+    * identity n·Σx² − (Σx)², < 2⁵³ through iters ≤ ~90). The DuckDB
+    * oracle unrolls the identical rounds (the m₂…m_iters margin CTEs
+    * the training replay already carries) and reproduces every cell.
+    *
+    * Scale shape: the training loop's own cost plus, per round, ONE
+    * extra margins pass (broadcast weight join, doc-keyed combine)
+    * and ONE doc-keyed state fold — state is 4 longs per doc,
+    * checkpointed per round with the previous round released (the
+    * iterative-loop discipline). Nothing is ever collected.
+    *
+    * @return (doc_id, conf_micro, var_micro, n_correct, region) */
+  def lrCartography(docs: DataFrame, labelCol: String, iters: Int = 12,
+      dims: Int = 1 << 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val content = lrFeatures(docs, dims, idCol, textCol)
+    val totalX = Option(content.agg(sum(col("x"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val stepDiv = math.max(1L, totalX / 100L)
+    val feats = lrFeaturesWithBias(docs, dims, idCol, textCol)
+      .repartition(col(idCol)).localCheckpoint()
+    val labels = docs.select(col(idCol), col(labelCol).cast(LongType).as("y"))
+    var state = labels
+      .withColumn("spg", lit(0L)).withColumn("spg2", lit(0L))
+      .withColumn("ncorr", lit(0L))
+      .localCheckpoint()
+    var w = spark.range(0)
+      .select(col("id").as("bucket"), col("id").as("w_micro"))
+    def marginsOf(weights: DataFrame): DataFrame =
+      feats.join(broadcast(weights), Seq("bucket"))
+        .groupBy(col(idCol)).agg(sum(col("x") * col("w_micro")).as("m"))
+    def fold(snapshot: DataFrame): Unit = {
+      val s = lit(1.0) / (lit(1.0) +
+        exp(-(coalesce(col("m"), lit(0L)).cast(DoubleType) / lit(1000000.0))))
+      val pg = round((when(col("y") === 1L, s).otherwise(lit(1.0) - s))
+        * 1000000.0, 0).cast(LongType)
+      val corr = when((coalesce(col("m"), lit(0L)) > 0L) === (col("y") === 1L),
+        1L).otherwise(0L)
+      val next = state.join(snapshot, Seq(idCol), "left")
+        .select(col(idCol), col("y"),
+          (col("spg") + pg).as("spg"),
+          (col("spg2") + pg * pg).as("spg2"),
+          (col("ncorr") + corr).as("ncorr"))
+        .localCheckpoint()
+      Checkpoints.release(state)
+      state = next
+    }
+    for (i <- 1 to iters) {
+      // the top-of-round margins are scored with the PREVIOUS round's
+      // updated weights — exactly the post-update snapshot of round
+      // i−1 (round 0's all-zero model carries no signal: p = 0.5 for
+      // every doc, a constant offset — so it is not captured). The
+      // margin plan feeds BOTH the state fold and the residual and is
+      // deliberately evaluated twice: the broadcast join over the
+      // checkpointed features re-runs cheaper than materializing the
+      // doc-sized margin table per round (measured 8.0 vs 9.4 s at
+      // sf0.1 — the checkpoint write is the slower path).
+      val margins = marginsOf(w)
+      if (i >= 2) fold(margins)
+      val resid = labels.join(margins, Seq(idCol), "left")
+        .select(col(idCol),
+          round((lit(1.0) / (lit(1.0) + exp(-(coalesce(col("m"), lit(0L))
+              .cast(DoubleType) / lit(1000000.0))))
+            - col("y").cast(DoubleType)) * 1000000.0, 0)
+            .cast(LongType).as("r"))
+      val grad = feats.join(resid, Seq(idCol))
+        .groupBy("bucket").agg(sum(col("x") * col("r")).as("gr"))
+      val next = w.join(grad, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("w_micro"), lit(0L)) -
+            expr(s"coalesce(gr, CAST(0 AS BIGINT)) div CAST($stepDiv AS BIGINT)"))
+            .as("w_micro"))
+        .filter(col("w_micro") =!= 0L)
+        .localCheckpoint()
+      Checkpoints.release(w)
+      w = next
+    }
+    fold(marginsOf(w)) // the final model's snapshot (round `iters`)
+    Checkpoints.release(feats, w)
+    val itersD = lit(iters.toDouble)
+    val varNum = (lit(iters.toLong) * col("spg2") - col("spg") * col("spg"))
+      .cast(DoubleType)
+    val out = state.select(col(idCol),
+        round(col("spg").cast(DoubleType) / itersD, 0)
+          .cast(LongType).as("conf_micro"),
+        round(sqrt(varNum) / itersD, 0).cast(LongType).as("var_micro"),
+        col("ncorr").as("n_correct"))
+      .withColumn("region",
+        when(col("var_micro") >= cartographyVarHiMicro, "ambiguous")
+          .when(col("conf_micro") >= cartographyConfHiMicro, "easy")
+          .when(col("conf_micro") <= cartographyConfLoMicro, "hard")
+          .otherwise("middle"))
+      .localCheckpoint()
+    Checkpoints.release(state)
+    out
+  }
+
+  /** Region thresholds for [[lrCartography]] — shared with the DuckDB
+    * oracle so the map's banding replays exactly. */
+  val cartographyVarHiMicro = 150000L
+  val cartographyConfHiMicro = 700000L
+  val cartographyConfLoMicro = 300000L
+
   /** Mixture diversity & concentration of a corpus over a grouping
     * column (source/domain/language) — the first question about any
     * training mix: Shannon entropy H = −Σ p·ln p, effective group

@@ -784,4 +784,100 @@ object Evaluation {
           .otherwise(expr(
             "(2 * precision_micro * recall_micro) div (precision_micro + recall_micro)")))
   }
+
+  /** McNemar's test for PAIRED classifiers — the significance question
+    * the two-proportion [[abTest]] cannot answer when both models are
+    * scored on the SAME examples (the paired design removes the
+    * between-example variance; only the disagreements carry signal).
+    * Counts the discordant pairs — n01 = A right, B wrong; n10 = A
+    * wrong, B right — and the continuity-corrected statistic
+    * (|n01 − n10| − 1)² / (n01 + n10), χ²(1df) under H₀ "equal error
+    * rates". The standard readout before swapping a quality-gate
+    * model for a challenger scored on the same eval slice.
+    *
+    * Exactness contract: all four cell counts are exact long sums;
+    * the statistic is one fixed-shape double expression over them,
+    * 6dp-rounded. Zero discordance → statistic 0.
+    *
+    * Scale shape: ONE corpus aggregation with map-side combine to a
+    * groups-sized table.
+    *
+    * @param preds (group, y, pred_a, pred_b) — booleans/0-1
+    * @return (grp, n, n_both, n01, n10, n_neither, chi2_cc) */
+  def mcnemar(preds: DataFrame, groupCol: String = "group",
+      yCol: String = "y", aCol: String = "pred_a",
+      bCol: String = "pred_b"): DataFrame = {
+    val ca = (col(aCol).cast(LongType) === col(yCol).cast(LongType))
+    val cb = (col(bCol).cast(LongType) === col(yCol).cast(LongType))
+    val agg = preds.select(col(groupCol).as("grp"),
+        ca.as("ok_a"), cb.as("ok_b"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ok_a") && col("ok_b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("ok_a") && !col("ok_b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ok_a") && col("ok_b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ok_a") && !col("ok_b"), 1L).otherwise(0L)).as("n_neither"))
+    val disc = (col("n01") + col("n10")).cast(DoubleType)
+    val num = (abs(col("n01") - col("n10")) - lit(1L)).cast(DoubleType)
+    agg.select(col("grp"), col("n"), col("n_both"), col("n01"),
+      col("n10"), col("n_neither"),
+      round(when(col("n01") + col("n10") === 0L, 0.0)
+        .otherwise(num * num / disc), 6).as("chi2_cc"))
+  }
+
+  /** Group-fairness audit of a binary classifier: per-group selection
+    * rate, TPR, FPR, plus the gaps against the OVERALL rates —
+    * demographic-parity gap (selection-rate delta) and the
+    * equalized-odds gaps (TPR/FPR deltas). The first report a
+    * labeling or filtering pipeline owes its audit before a gate
+    * model is allowed to drop documents by group (language, source,
+    * domain): a gate whose selection rate collapses for one language
+    * silently rewrites the training mixture.
+    *
+    * Exactness contract: all cells are exact long sums; rates are
+    * fixed-shape doubles 6dp-rounded; a group with no positives (or
+    * negatives) reports TPR (FPR) as 0 — documented, not NULL, so
+    * downstream thresholds don't need null-handling.
+    *
+    * Scale shape: ONE corpus aggregation with map-side combine to the
+    * groups-sized table; the overall row is a broadcast-sized second
+    * aggregate of the SAME partials (no second corpus pass).
+    *
+    * @param preds (group, y, pred) — booleans/0-1
+    * @return (grp, n, n_pos, n_sel, n_tp, n_fp, sel_rate, tpr, fpr,
+    *         dp_gap, tpr_gap, fpr_gap) */
+  def fairnessReport(preds: DataFrame, groupCol: String = "group",
+      yCol: String = "y", predCol: String = "pred"): DataFrame = {
+    val base = preds.select(col(groupCol).as("grp"),
+        col(yCol).cast(LongType).as("y"),
+        col(predCol).cast(LongType).as("p"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("p")).as("n_sel"),
+        sum(col("y") * col("p")).as("n_tp"),
+        sum((lit(1L) - col("y")) * col("p")).as("n_fp"))
+      .localCheckpoint() // groups-sized; feeds per-group AND overall
+    val overall = base.agg(sum(col("n")).as("t_n"),
+      sum(col("n_pos")).as("t_pos"), sum(col("n_sel")).as("t_sel"),
+      sum(col("n_tp")).as("t_tp"), sum(col("n_fp")).as("t_fp"))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0L, 0.0).otherwise(
+        num.cast(DoubleType) / den.cast(DoubleType))
+    val out = base.crossJoin(broadcast(overall))
+      .select(col("grp"), col("n"), col("n_pos"), col("n_sel"),
+        col("n_tp"), col("n_fp"),
+        round(rate(col("n_sel"), col("n")), 6).as("sel_rate"),
+        round(rate(col("n_tp"), col("n_pos")), 6).as("tpr"),
+        round(rate(col("n_fp"), col("n") - col("n_pos")), 6).as("fpr"),
+        round(rate(col("n_sel"), col("n")) -
+          rate(col("t_sel"), col("t_n")), 6).as("dp_gap"),
+        round(rate(col("n_tp"), col("n_pos")) -
+          rate(col("t_tp"), col("t_pos")), 6).as("tpr_gap"),
+        round(rate(col("n_fp"), col("n") - col("n_pos")) -
+          rate(col("t_fp"), col("t_n") - col("t_pos")), 6).as("fpr_gap"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(base)
+    out
+  }
 }

@@ -4647,6 +4647,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_fs_em" -> fsEmSql(ExtQueries.fsEmIters),
     "q_lr_train" -> lrTrainSql(ExtQueries.lrIters),
     "q_lr_eval" -> lrEvalSql(ExtQueries.lrIters),
+    "q_cartography" -> cartographySql(ExtQueries.lrIters),
 
     // weighted Cohen's κ (linear + quadratic) between two derived 1–5
     // ordinal judges; κ_w = 1 − n·Σ(w·O)/Σ(w·row·col), exact longs
@@ -4836,6 +4837,64 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
         |FROM c""".stripMargin,
 
+    // McNemar paired test: discordant-pair cells per language, then
+    // the continuity-corrected chi-square as one double expression
+    "q_mcnemar" ->
+      s"""WITH t AS (SELECT lang AS grp,
+        |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS pa,
+        |    CASE WHEN len($toks) >= 30 THEN 1 ELSE 0 END AS pb
+        |  FROM documents),
+        |c AS (SELECT grp, count(*) AS n,
+        |    CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        |  FROM t GROUP BY 1)
+        |SELECT grp, n, n_both, n01, n10, n_neither,
+        |  round(CASE WHEN n01 + n10 = 0 THEN 0.0
+        |    ELSE CAST(abs(n01 - n10) - 1 AS DOUBLE)
+        |      * CAST(abs(n01 - n10) - 1 AS DOUBLE)
+        |      / CAST(n01 + n10 AS DOUBLE) END, 6) AS chi2_cc
+        |FROM c""".stripMargin,
+
+    // group-fairness audit: per-language cells, overall cells from
+    // the same partials, rates and gaps as fixed-shape doubles
+    "q_fairness" ->
+      """WITH t AS (SELECT lang AS grp,
+        |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS p
+        |  FROM documents),
+        |g AS (SELECT grp, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p) AS BIGINT) AS n_sel,
+        |    CAST(sum(y * p) AS BIGINT) AS n_tp,
+        |    CAST(sum((1 - y) * p) AS BIGINT) AS n_fp
+        |  FROM t GROUP BY 1),
+        |o AS (SELECT CAST(sum(n) AS BIGINT) AS t_n,
+        |    CAST(sum(n_pos) AS BIGINT) AS t_pos,
+        |    CAST(sum(n_sel) AS BIGINT) AS t_sel,
+        |    CAST(sum(n_tp) AS BIGINT) AS t_tp,
+        |    CAST(sum(n_fp) AS BIGINT) AS t_fp FROM g),
+        |r AS (SELECT g.*,
+        |    CASE WHEN n = 0 THEN 0.0
+        |      ELSE CAST(n_sel AS DOUBLE) / CAST(n AS DOUBLE) END AS sr,
+        |    CASE WHEN n_pos = 0 THEN 0.0
+        |      ELSE CAST(n_tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS tp,
+        |    CASE WHEN n - n_pos = 0 THEN 0.0
+        |      ELSE CAST(n_fp AS DOUBLE) / CAST(n - n_pos AS DOUBLE) END AS fp,
+        |    CASE WHEN t_n = 0 THEN 0.0
+        |      ELSE CAST(t_sel AS DOUBLE) / CAST(t_n AS DOUBLE) END AS tsr,
+        |    CASE WHEN t_pos = 0 THEN 0.0
+        |      ELSE CAST(t_tp AS DOUBLE) / CAST(t_pos AS DOUBLE) END AS ttp,
+        |    CASE WHEN t_n - t_pos = 0 THEN 0.0
+        |      ELSE CAST(t_fp AS DOUBLE) / CAST(t_n - t_pos AS DOUBLE) END AS tfp
+        |  FROM g CROSS JOIN o)
+        |SELECT grp, n, n_pos, n_sel, n_tp, n_fp,
+        |  round(sr, 6) AS sel_rate, round(tp, 6) AS tpr, round(fp, 6) AS fpr,
+        |  round(sr - tsr, 6) AS dp_gap, round(tp - ttp, 6) AS tpr_gap,
+        |  round(fp - tfp, 6) AS fpr_gap
+        |FROM r""".stripMargin,
+
     // classification report over the centroid-classify confusion
     // replay (same CTEs as q_centroid_classify), integer-micro P/R/F1
     "q_eval_f1" ->
@@ -4950,6 +5009,48 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     s"""${lrChainCtes(iters)}
       |SELECT doc_id, y, m AS margin_micro, m > 0 AS pred
       |FROM fin""".stripMargin
+
+  /** Dataset-cartography replay: the post-update snapshot of round r
+    * is the margin CTE m(r+1) the training chain already carries
+    * (scored with w_r), and the final round's snapshot is `fin`
+    * (scored with w_iters) — 12 rounds total, same counting as
+    * [[graft.ext.Curation.lrCartography]]'s fold. Gold-probability
+    * micro terms, exact long Σpg/Σpg², then mean/std as one
+    * fixed-shape double each; region bands from the shared Scala
+    * thresholds. */
+  private def cartographySql(iters: Int): String = {
+    val roundSnaps = (1 until iters).map { r =>
+      s"""SELECT lab.doc_id, lab.y,
+        |    CAST(coalesce(m${r + 1}.m, 0) AS BIGINT) AS m
+        |  FROM lab LEFT JOIN m${r + 1} ON lab.doc_id = m${r + 1}.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n") +
+      "\n  UNION ALL\nSELECT doc_id, y, m FROM fin"
+    s"""${lrChainCtes(iters)},
+      |trace AS ($roundSnaps),
+      |pgs AS (SELECT doc_id, y,
+      |    CAST(round((CASE WHEN y = 1 THEN s ELSE 1.0 - s END)
+      |      * 1000000.0, 0) AS BIGINT) AS pg,
+      |    CASE WHEN (m > 0) = (y = 1) THEN 1 ELSE 0 END AS corr
+      |  FROM (SELECT doc_id, y, m,
+      |      1.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0))) AS s
+      |    FROM trace) z),
+      |ag AS (SELECT doc_id, CAST(sum(pg) AS BIGINT) AS spg,
+      |    CAST(sum(pg * pg) AS BIGINT) AS spg2,
+      |    CAST(sum(corr) AS BIGINT) AS ncorr
+      |  FROM pgs GROUP BY 1),
+      |rep AS (SELECT doc_id,
+      |    CAST(round(CAST(spg AS DOUBLE) / $iters.0, 0) AS BIGINT) AS conf_micro,
+      |    CAST(round(sqrt(CAST($iters * spg2 - spg * spg AS DOUBLE))
+      |      / $iters.0, 0) AS BIGINT) AS var_micro,
+      |    ncorr AS n_correct
+      |  FROM ag)
+      |SELECT doc_id, conf_micro, var_micro, n_correct,
+      |  CASE WHEN var_micro >= ${graft.ext.Curation.cartographyVarHiMicro} THEN 'ambiguous'
+      |       WHEN conf_micro >= ${graft.ext.Curation.cartographyConfHiMicro} THEN 'easy'
+      |       WHEN conf_micro <= ${graft.ext.Curation.cartographyConfLoMicro} THEN 'hard'
+      |       ELSE 'middle' END AS region
+      |FROM rep""".stripMargin
+  }
 
   /** Train, score, then Mann–Whitney AUC of the margins against the
     * labels — the same finish CTEs as the q_auc_roc replay over the

@@ -1693,6 +1693,38 @@ object ExtQueries {
     Evaluation.classificationReport(
       Similarity.centroidClassify(Tables(spark, dir).embeddings, trainMod = 5))
 
+  /** McNemar's paired test per language: two heuristic gates scored
+    * on the SAME docs against the contains-" the " label — length
+    * (n_chars ≥ 150) vs token count (≥ 30). Discordant-pair counts
+    * plus the continuity-corrected χ². */
+  def qMcnemar(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.mcnemar(
+      Tables(spark, dir).documents.select(col("lang").as("group"),
+        lower(col("text")).like("% the %").as("y"),
+        (col("n_chars") >= 150L).as("pred_a"),
+        (size(TextAnalysis.tokens(col("text"))) >= 30).as("pred_b")))
+
+  /** Group-fairness audit of the length gate by language: per-lang
+    * selection rate / TPR / FPR and the demographic-parity +
+    * equalized-odds gaps vs the overall rates. The label correlates
+    * with language by construction (" the " is English), so the
+    * report shows real disparity, not noise. */
+  def qFairness(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.fairnessReport(
+      Tables(spark, dir).documents.select(col("lang").as("group"),
+        lower(col("text")).like("% the %").as("y"),
+        (col("n_chars") >= 150L).as("pred")))
+
+  /** Dataset cartography over the LR trainer's own rounds
+    * ([[graft.ext.Curation.lrCartography]]): per doc, confidence /
+    * variability / correct-round count across the 12 training
+    * snapshots, banded into the easy/hard/ambiguous map. */
+  def qCartography(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("y", lower(col("text")).like("% the %").cast("long"))
+    Curation.lrCartography(docs, "y", iters = lrIters)
+  }
+
   /** Fellegi–Sunter field spec + thresholds, shared with the oracle
     * generator so both engines score from the SAME micro weights
     * (the VincentyDistance shared-constants discipline). */

@@ -705,6 +705,22 @@ object GraftFunctions {
       tableOf(strArg(args.head, "classification_report(table)")))
       .queryExecution.logical
 
+  /** mcnemar(tbl) — paired-classifier discordance + continuity-
+    * corrected χ² per group over (group, y, pred_a, pred_b) rows
+    * ([[graft.ext.Evaluation.mcnemar]]). */
+  def mcnemarTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.mcnemar(
+      tableOf(strArg(args.head, "mcnemar(table)")))
+      .queryExecution.logical
+
+  /** fairness_report(tbl) — per-group selection/TPR/FPR and
+    * parity/odds gaps over (group, y, pred) rows
+    * ([[graft.ext.Evaluation.fairnessReport]]). */
+  def fairnessReportTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.fairnessReport(
+      tableOf(strArg(args.head, "fairness_report(table)")))
+      .queryExecution.logical
+
   /** fleiss_kappa(tbl) — multi-rater chance-corrected agreement per
     * group over (group, item, cat) rating rows
     * ([[graft.ext.Evaluation.fleissKappa]]). */
@@ -933,6 +949,8 @@ object GraftFunctions {
     "rank_corr" -> (rankCorrTvf _),
     "ab_test" -> (abTestTvf _),
     "classification_report" -> (classificationReportTvf _),
+    "mcnemar" -> (mcnemarTvf _),
+    "fairness_report" -> (fairnessReportTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

@@ -2100,6 +2100,88 @@ class ExtSpec extends AnyFunSuite {
       .head().getAs[Double]("z") == 0.0)
   }
 
+  test("mcnemar: hand-computed discordance cells and corrected chi-square") {
+    import spark.implicits._
+    // y always true: A right ×4 with B right, A right B wrong ×3,
+    // A wrong B right ×1, both wrong ×2 → χ² = (|3−1|−1)²/4 = 0.25
+    val rows = (Seq.fill(4)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(2)((false, false)))
+      .map { case (a, b) => ("g", true, a, b) }
+      .toDF("group", "y", "pred_a", "pred_b")
+    val r = Evaluation.mcnemar(rows).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_both") == 4L &&
+      r.getAs[Long]("n01") == 3L && r.getAs[Long]("n10") == 1L &&
+      r.getAs[Long]("n_neither") == 2L)
+    assert(r.getAs[Double]("chi2_cc") == 0.25)
+    // zero discordance → statistic 0, not NaN
+    val same = Seq(("g", true, true, true))
+      .toDF("group", "y", "pred_a", "pred_b")
+    assert(Evaluation.mcnemar(same).head().getAs[Double]("chi2_cc") == 0.0)
+  }
+
+  test("fairnessReport: hand-computed rates and gaps; degenerate groups report 0") {
+    import spark.implicits._
+    // group a: n=4 pos=2 sel=2 tp=1 fp=1; group b: n=2 pos=1 sel=0
+    val rows = Seq(
+      ("a", true, true), ("a", true, false), ("a", false, true),
+      ("a", false, false),
+      ("b", true, false), ("b", false, false))
+      .toDF("group", "y", "pred")
+    val m = Evaluation.fairnessReport(rows).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(m("a").getAs[Double]("sel_rate") == 0.5 &&
+      m("a").getAs[Double]("tpr") == 0.5 && m("a").getAs[Double]("fpr") == 0.5)
+    assert(m("b").getAs[Double]("sel_rate") == 0.0 &&
+      m("b").getAs[Double]("tpr") == 0.0 && m("b").getAs[Double]("fpr") == 0.0)
+    // overall: sel 2/6, tpr 1/3, fpr 1/3
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m("a").getAs[Double]("dp_gap") == r6(0.5 - 2.0 / 6.0))
+    assert(m("b").getAs[Double]("tpr_gap") == r6(0.0 - 1.0 / 3.0))
+    // all-positive group: FPR denominator is 0 → reported 0
+    val allPos = Seq(("c", true, true)).toDF("group", "y", "pred")
+    assert(Evaluation.fairnessReport(allPos).head().getAs[Double]("fpr") == 0.0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
+  test("lrCartography: majority label maps confident, contradicted duplicate cannot") {
+    import spark.implicits._
+    // 8 positives and 2 clean negatives are separable; doc 10 carries
+    // the POSITIVE text with a negative label — same margins as the
+    // positives, so its gold-probability is 1−σ(m): low confidence
+    val docs = ((0L to 7L).map(i =>
+        (i, "good great fine text sample", 1L)) ++ Seq(
+        (8L, "bad awful poor text sample", 0L),
+        (9L, "bad awful poor text sample", 0L),
+        (10L, "good great fine text sample", 0L)))
+      .toDF("doc_id", "text", "y")
+    val m = Curation.lrCartography(docs, "y", iters = 12).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // invariants: micro probabilities and round counts in range
+    m.values.foreach { r =>
+      val c = r.getAs[Long]("conf_micro"); val v = r.getAs[Long]("var_micro")
+      assert(c >= 0L && c <= 1000000L && v >= 0L &&
+        r.getAs[Long]("n_correct") <= 12L)
+      // region banding is a pure function of (conf, var)
+      val want =
+        if (v >= Curation.cartographyVarHiMicro) "ambiguous"
+        else if (c >= Curation.cartographyConfHiMicro) "easy"
+        else if (c <= Curation.cartographyConfLoMicro) "hard"
+        else "middle"
+      assert(r.getAs[String]("region") == want)
+    }
+    val conf0 = m(0L).getAs[Long]("conf_micro")
+    val conf10 = m(10L).getAs[Long]("conf_micro")
+    // identical text, opposite labels: per-round gold probs sum to 1
+    // (up to the micro rounding), and the majority side wins
+    assert(math.abs(conf0 + conf10 - 1000000L) <= 2L, s"$conf0 + $conf10")
+    assert(conf0 > 500000L && conf10 < 500000L, s"$conf0 vs $conf10")
+    // the clean negatives train well: more confident than the
+    // contradicted duplicate
+    assert(m(8L).getAs[Long]("conf_micro") > conf10)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("fellegiSunter: field evidence sums to exact micro scores; thresholds cut decisions") {
     import spark.implicits._
     import graft.ext.EntityResolution.{FsField, fellegiSunter}

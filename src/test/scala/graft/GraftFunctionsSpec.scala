@@ -435,6 +435,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .toDF("group", "item", "cat").createOrReplaceTempView("rate_e11")
     sameAs("SELECT * FROM fleiss_kappa('rate_e11')",
       graft.ext.Evaluation.fleissKappa(spark.table("rate_e11")))
+    Seq(("g", true, true, false), ("g", true, false, true),
+        ("g", false, false, false))
+      .toDF("group", "y", "pred_a", "pred_b")
+      .createOrReplaceTempView("mcn_e11")
+    sameAs("SELECT * FROM mcnemar('mcn_e11')",
+      graft.ext.Evaluation.mcnemar(spark.table("mcn_e11")))
+    Seq(("g", true, true), ("g", false, true), ("h", true, false))
+      .toDF("group", "y", "pred").createOrReplaceTempView("fair_e11")
+    sameAs("SELECT * FROM fairness_report('fair_e11')",
+      graft.ext.Evaluation.fairnessReport(spark.table("fair_e11")))
     Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
       .createOrReplaceTempView("ks_a_e11")
     Seq(("g", 2L), ("g", 9L)).toDF("group", "v")
