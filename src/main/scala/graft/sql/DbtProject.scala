@@ -32,6 +32,10 @@ import graft.model.Materialization
   *    drive `tag:` selectors;
   *  - schema ymls' `tests:` declarations load as runnable data tests
   *    ([[DbtTests]]; [[runAndTest]] = `dbt run` + `dbt test`);
+  *  - every `*.csv` under `seed-paths` (default `seeds/`) is a dbt
+  *    SEED: header-named, type-inferred, `ref()`-able from any model
+  *    and testable like any resource (duplicate resource names fail
+  *    loudly, as in dbt);
   *  - a checkout-local profiles yml supplies `threads` and the
   *    `{{ target }}` object.
   *
@@ -57,7 +61,8 @@ object DbtProject {
       profileThreads: Option[Int] = None,
       tests: Seq[DbtTests.DataTest] = Seq.empty,
       tags: Map[String, Set[String]] = Map.empty,
-      targetProps: Map[String, String] = Map.empty)
+      targetProps: Map[String, String] = Map.empty,
+      seeds: Map[String, String] = Map.empty)
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
 
@@ -273,9 +278,33 @@ object DbtProject {
     val tests = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => DbtTests.parse(read(p)))
+    // dbt seeds: every *.csv under seed-paths (default seeds/) is a
+    // ref()-able relation named by its file stem
+    val seeds = parseStringList(projText, "seed-paths")
+      .getOrElse(Seq("seeds")).map(root.resolve)
+      .filter(Files.isDirectory(_))
+      .flatMap(d => Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv")))
+      .map(p => p.getFileName.toString.stripSuffix(".csv") -> p.toString)
+      .toMap
+    val clash = seeds.keySet.intersect(modelSql.keySet)
+    require(clash.isEmpty,
+      s"seed and model share a name (dbt rejects duplicate resources): $clash")
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
-      modelTags, profile.map(parseTargetProps).getOrElse(Map.empty))
+      modelTags, profile.map(parseTargetProps).getOrElse(Map.empty), seeds)
   }
+
+  /** `dbt seed`: each seed CSV as a DataFrame — header row for names,
+    * schema inference for types (dbt's own agate-based inference;
+    * `+column_types` overrides are out of scope and the inferred
+    * schema is what the spec pins). Seeds resolve through `ref()`
+    * like any model, but are leaves: data, not SQL. */
+  private def seedFrames(spark: SparkSession,
+      p: Loaded): Map[String, DataFrame] =
+    p.seeds.map { case (name, path) =>
+      name -> spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+    }
 
   /** Load and RUN: all declared sources must be supplied. Returns
     * model name → materialized DataFrame.
@@ -298,9 +327,12 @@ object DbtProject {
     require(missing.isEmpty,
       s"project declares sources with no supplied DataFrame: $missing")
     val t = if (threads > 0) threads else p.profileThreads.getOrElse(4)
+    // seeds ride alongside the caller's sources: the engine registers
+    // both as resolvable relations before any model SQL runs
     new DbtSqlEngine(spark, warehouseDir, currentDateOverride, t, vars,
       macros = p.macros, targetProps = p.targetProps)
-      .run(p.modelSql, sources, p.materializations, p.tags, select)
+      .run(p.modelSql, sources ++ seedFrames(spark, p),
+        p.materializations, p.tags, select)
   }
 
   /** `dbt run` + `dbt test` in one call: materialize every model,
@@ -314,8 +346,10 @@ object DbtProject {
       : (Map[String, DataFrame], DataFrame) = {
     val results = run(spark, projectDir, sources, warehouseDir,
       currentDateOverride, threads, vars)
-    val report = DbtTests.run(spark, sources ++ results,
-      load(projectDir).tests)
+    val p = load(projectDir)
+    // seeds are testable resources too (dbt runs schema tests on them)
+    val report = DbtTests.run(spark,
+      sources ++ seedFrames(spark, p) ++ results, p.tests)
     (results, report)
   }
 }

@@ -226,6 +226,45 @@ class DbtProjectSpec extends AnyFunSuite {
       "config(materialized='table') must beat the project-level view policy")
   }
 
+  test("dbt seeds: CSVs under seed-paths load, type-infer, and resolve through ref()") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-seedproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("seeds"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"seedy\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("seeds/country_codes.csv"),
+      "code,mult\nUS,2\nDE,3\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: src_t
+        |""".stripMargin.getBytes("UTF-8"))
+    // a seed is ref()-able like any model, but is a DAG leaf of data
+    Files.write(dir.resolve("models/enriched.sql"),
+      """select s.id, s.code, s.id * c.mult as scaled
+        |from {{ source('raw', 'src_t') }} s
+        |join {{ ref('country_codes') }} c on s.code = c.code
+        |""".stripMargin.getBytes("UTF-8"))
+    val p = DbtProject.load(dir.toString)
+    assert(p.seeds.keySet == Set("country_codes"))
+    val wh = Files.createTempDirectory("graft-seed-wh").toString
+    val src = Seq((1L, "US"), (2L, "DE"), (3L, "FR")).toDF("id", "code")
+    val out = DbtProject.run(spark, dir.toString, Map("src_t" -> src), wh)
+    // schema inference typed `mult` numerically — the arithmetic join
+    // would fail on strings
+    assert(out("enriched").select("id", "code", "scaled")
+      .as[(Long, String, Long)].collect().toSet
+      == Set((1L, "US", 2L), (2L, "DE", 6L)))
+    // duplicate resource names fail loudly, as in dbt
+    Files.write(dir.resolve("seeds/enriched.csv"),
+      "a\n1\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DbtProject.load(dir.toString))
+    assert(e.getMessage.contains("enriched"))
+  }
+
   test("schema-yml data tests: reference checkout declares them; run reports pass; violations fail") {
     import spark.implicits._
     import graft.sql.DbtTests
