@@ -1567,6 +1567,58 @@ object Curation {
   val cartographyConfHiMicro = 700000L
   val cartographyConfLoMicro = 300000L
 
+  /** Confident-learning joint (Northcutt et al. 2021, "Confident
+    * Learning: Estimating Uncertainty in Dataset Labels" — the
+    * cleanlab estimator): given every example's noisy label and its
+    * per-class predicted probabilities, estimate the JOINT count
+    * matrix C[noisy][true]. Per class j, the self-confidence
+    * threshold t_j is the mean predicted p_j over examples labeled j;
+    * an example counts toward C[s][ŷ] where ŷ is its highest-p class
+    * among those clearing their threshold (ties to the lexicographic
+    * first class — pinned); examples clearing no threshold abstain.
+    * Off-diagonal mass IS the estimated label-error census — the
+    * audit run before trusting any labeled corpus.
+    *
+    * Exactness contract: probabilities arrive as integer micros;
+    * thresholds are one rounded division of exact long sums; all
+    * comparisons and the argmax are long/string comparisons — the
+    * whole matrix replays bit-exactly.
+    *
+    * Scale shape: thresholds are a classes-sized broadcast; the
+    * candidate filter is row-local; the argmax is two doc-keyed
+    * map-side-combinable aggregations (max then min-class join), one
+    * shuffle each, never a window. Output is classes².
+    *
+    * @param scores long format: (idCol, labelCol, clsCol, pCol) — one
+    *   row per example per class, p in integer micros
+    * @return (noisy, pred, n, off_diag) */
+  def confidentJoint(scores: DataFrame, idCol: String = "doc_id",
+      labelCol: String = "noisy", clsCol: String = "cls",
+      pCol: String = "p_micro"): DataFrame = {
+    // the score table feeds the threshold pass AND both argmax legs —
+    // pin it once instead of re-deriving the upstream (often a full
+    // corpus tokenize) three times
+    val sc = scores.select(col(idCol), col(labelCol), col(clsCol),
+      col(pCol)).localCheckpoint()
+    val t = sc.filter(col(labelCol) === col(clsCol))
+      .groupBy(col(clsCol))
+      .agg(round(sum(col(pCol)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 0)
+        .cast(LongType).as("t_micro"))
+    val cands = sc.join(broadcast(t), Seq(clsCol))
+      .filter(col(pCol) >= col("t_micro"))
+    val mx = cands.groupBy(col(idCol)).agg(max(col(pCol)).as("mx"))
+    val yhat = cands.join(mx, Seq(idCol))
+      .filter(col(pCol) === col("mx"))
+      .groupBy(col(idCol), col(labelCol)).agg(min(col(clsCol)).as("pred"))
+    val out = yhat.groupBy(col(labelCol).as("noisy"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off_diag", col("noisy") =!= col("pred"))
+      .localCheckpoint() // classes²-sized; lets the score pin go
+    Checkpoints.release(sc)
+    out
+  }
+
   /** Mixture diversity & concentration of a corpus over a grouping
     * column (source/domain/language) — the first question about any
     * training mix: Shannon entropy H = −Σ p·ln p, effective group

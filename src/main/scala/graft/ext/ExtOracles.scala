@@ -4837,6 +4837,49 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
         |FROM c""".stripMargin,
 
+    // confident-learning joint: langid hit shares as per-class micro
+    // probabilities, self-confidence mean thresholds, threshold-
+    // cleared argmax (ties to first class), classes^2 count matrix
+    "q_label_noise" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents
+        |  WHERE lang IN ('en','es','fr','de')),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','es','en','que','los'))) AS BIGINT) AS es_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est','les','des','un'))) AS BIGINT) AS fr_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','den','von','mit'))) AS BIGINT) AS de_hits
+        |FROM t),
+        |w AS (SELECT *, en_hits + es_hits + fr_hits + de_hits AS tot
+        |      FROM s),
+        |sc AS (
+        |  SELECT doc_id, lang AS noisy, 'en' AS cls,
+        |    CAST(round(CAST(en_hits AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0) AS BIGINT) AS p
+        |  FROM w WHERE tot > 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'es',
+        |    CAST(round(CAST(es_hits AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0) AS BIGINT)
+        |  FROM w WHERE tot > 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'fr',
+        |    CAST(round(CAST(fr_hits AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0) AS BIGINT)
+        |  FROM w WHERE tot > 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'de',
+        |    CAST(round(CAST(de_hits AS DOUBLE) * 1e6 / CAST(tot AS DOUBLE), 0) AS BIGINT)
+        |  FROM w WHERE tot > 0),
+        |th AS (SELECT cls,
+        |    CAST(round(CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS t_micro
+        |  FROM sc WHERE noisy = cls GROUP BY 1),
+        |cand AS (SELECT sc.* FROM sc
+        |  JOIN th ON sc.cls = th.cls AND sc.p >= th.t_micro),
+        |mx AS (SELECT doc_id, max(p) AS mxp FROM cand GROUP BY 1),
+        |yh AS (SELECT c.doc_id, c.noisy, min(c.cls) AS pred
+        |  FROM cand c JOIN mx ON c.doc_id = mx.doc_id AND c.p = mx.mxp
+        |  GROUP BY 1, 2)
+        |SELECT noisy, pred, CAST(count(*) AS BIGINT) AS n,
+        |  noisy <> pred AS off_diag
+        |FROM yh GROUP BY 1, 2""".stripMargin,
+
     // McNemar paired test: discordant-pair cells per language, then
     // the continuity-corrected chi-square as one double expression
     "q_mcnemar" ->

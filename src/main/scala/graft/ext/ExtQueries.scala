@@ -1715,6 +1715,33 @@ object ExtQueries {
         lower(col("text")).like("% the %").as("y"),
         (col("n_chars") >= 150L).as("pred")))
 
+  /** Label-noise census via confident learning
+    * ([[graft.ext.Curation.confidentJoint]]): the langid stopword
+    * profile supplies per-class probabilities (hit shares), the
+    * corpus's own `lang` column is the noisy label — the joint count
+    * matrix's off-diagonal is the estimated mislabel mass. Docs
+    * outside the four scored classes or with no stopword hits
+    * abstain. */
+  def qLabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withLangId(Tables(spark, dir).documents)
+      .filter(col("lang").isin("en", "es", "fr", "de"))
+      .withColumn("tot", col("en_hits") + col("es_hits") +
+        col("fr_hits") + col("de_hits"))
+      .filter(col("tot") > 0)
+    // one corpus pass: stack the four class shares instead of a
+    // 4-way self-union (which would tokenize the corpus four times)
+    def p(c: String) =
+      round(col(s"${c}_hits").cast("double") * lit(1e6) /
+        col("tot").cast("double"), 0).cast("long")
+    val scores = d.select(col("doc_id"), col("lang").as("noisy"),
+        p("en").as("p_en"), p("es").as("p_es"),
+        p("fr").as("p_fr"), p("de").as("p_de"))
+      .selectExpr("doc_id", "noisy",
+        "stack(4, 'en', p_en, 'es', p_es, 'fr', p_fr, 'de', p_de) " +
+          "as (cls, p_micro)")
+    Curation.confidentJoint(scores)
+  }
+
   /** Dataset cartography over the LR trainer's own rounds
     * ([[graft.ext.Curation.lrCartography]]): per doc, confidence /
     * variability / correct-round count across the 12 training

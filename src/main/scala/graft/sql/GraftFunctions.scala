@@ -721,6 +721,14 @@ object GraftFunctions {
       tableOf(strArg(args.head, "fairness_report(table)")))
       .queryExecution.logical
 
+  /** confident_joint(tbl) — confident-learning label-error census
+    * over (doc_id, noisy, cls, p_micro) long-format class scores
+    * ([[graft.ext.Curation.confidentJoint]]). */
+  def confidentJointTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Curation.confidentJoint(
+      tableOf(strArg(args.head, "confident_joint(table)")))
+      .queryExecution.logical
+
   /** fleiss_kappa(tbl) — multi-rater chance-corrected agreement per
     * group over (group, item, cat) rating rows
     * ([[graft.ext.Evaluation.fleissKappa]]). */
@@ -951,6 +959,7 @@ object GraftFunctions {
     "classification_report" -> (classificationReportTvf _),
     "mcnemar" -> (mcnemarTvf _),
     "fairness_report" -> (fairnessReportTvf _),
+    "confident_joint" -> (confidentJointTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

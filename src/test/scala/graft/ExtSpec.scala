@@ -2144,6 +2144,32 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("confidentJoint: hand-computed thresholds, abstention, and the planted mislabel") {
+    import spark.implicits._
+    // thresholds: t_a = mean(0.9, 0.7) = 0.8; t_b = mean(0.8, 0.2) = 0.5
+    // x1 → (a,a); x2 clears nothing → abstains; x3 → (b,b);
+    // x4 is labeled b but p_a = 0.8 ≥ t_a → (b,a): the planted error
+    val scores = Seq(
+      (1L, "a", "a", 900000L), (1L, "a", "b", 100000L),
+      (2L, "a", "a", 700000L), (2L, "a", "b", 300000L),
+      (3L, "b", "a", 200000L), (3L, "b", "b", 800000L),
+      (4L, "b", "a", 800000L), (4L, "b", "b", 200000L))
+      .toDF("doc_id", "noisy", "cls", "p_micro")
+    val m = Curation.confidentJoint(scores).collect()
+      .map(r => (r.getAs[String]("noisy"), r.getAs[String]("pred")) ->
+        (r.getAs[Long]("n"), r.getAs[Boolean]("off_diag"))).toMap
+    assert(m == Map(("a", "a") -> ((1L, false)), ("b", "b") -> ((1L, false)),
+      ("b", "a") -> ((1L, true))), s"$m")
+    // exact-tie argmax goes to the lexicographic first class
+    val tie = Seq(
+      (1L, "a", "a", 500000L), (1L, "a", "b", 500000L),
+      (2L, "b", "a", 500000L), (2L, "b", "b", 500000L))
+      .toDF("doc_id", "noisy", "cls", "p_micro")
+    val t = Curation.confidentJoint(tie).collect()
+      .map(r => r.getAs[String]("noisy") -> r.getAs[String]("pred")).toMap
+    assert(t == Map("a" -> "a", "b" -> "a"), s"$t")
+  }
+
   test("lrCartography: majority label maps confident, contradicted duplicate cannot") {
     import spark.implicits._
     // 8 positives and 2 clean negatives are separable; doc 10 carries

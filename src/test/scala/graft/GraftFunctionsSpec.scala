@@ -445,6 +445,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .toDF("group", "y", "pred").createOrReplaceTempView("fair_e11")
     sameAs("SELECT * FROM fairness_report('fair_e11')",
       graft.ext.Evaluation.fairnessReport(spark.table("fair_e11")))
+    Seq((1L, "a", "a", 900000L), (1L, "a", "b", 100000L),
+        (2L, "b", "a", 800000L), (2L, "b", "b", 200000L))
+      .toDF("doc_id", "noisy", "cls", "p_micro")
+      .createOrReplaceTempView("cj_e11")
+    sameAs("SELECT * FROM confident_joint('cj_e11')",
+      graft.ext.Curation.confidentJoint(spark.table("cj_e11")))
     Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
       .createOrReplaceTempView("ks_a_e11")
     Seq(("g", 2L), ("g", 9L)).toDF("group", "v")
