@@ -847,8 +847,17 @@ object Evaluation {
     * @return (grp, n, n_pos, n_sel, n_tp, n_fp, sel_rate, tpr, fpr,
     *         dp_gap, tpr_gap, fpr_gap) */
   def fairnessReport(preds: DataFrame, groupCol: String = "group",
-      yCol: String = "y", predCol: String = "pred"): DataFrame = {
-    val base = preds.select(col(groupCol).as("grp"),
+      yCol: String = "y", predCol: String = "pred"): DataFrame =
+    fairnessFinish(fairnessState(preds, groupCol, yCol, predCol))
+
+  /** The ALGEBRAIC per-group accumulator behind [[fairnessReport]] —
+    * five commutative long sums per group, so micro-batches merge
+    * freely and the state is groups rows forever (the streaming-twin
+    * state, [[graft.streaming.StreamingOps.fairnessStateStream]]). */
+  private[graft] def fairnessState(preds: DataFrame,
+      groupCol: String = "group", yCol: String = "y",
+      predCol: String = "pred"): DataFrame =
+    preds.select(col(groupCol).as("grp"),
         col(yCol).cast(LongType).as("y"),
         col(predCol).cast(LongType).as("p"))
       .groupBy("grp").agg(
@@ -857,7 +866,12 @@ object Evaluation {
         sum(col("p")).as("n_sel"),
         sum(col("y") * col("p")).as("n_tp"),
         sum((lit(1L) - col("y")) * col("p")).as("n_fp"))
-      .localCheckpoint() // groups-sized; feeds per-group AND overall
+
+  /** Finish a [[fairnessState]] snapshot into the rates-and-gaps
+    * report — groups-sized input, identical result whether the state
+    * came from one batch pass or merged micro-batches. */
+  def fairnessFinish(state: DataFrame): DataFrame = {
+    val base = state.localCheckpoint() // feeds per-group AND overall
     val overall = base.agg(sum(col("n")).as("t_n"),
       sum(col("n_pos")).as("t_pos"), sum(col("n_sel")).as("t_sel"),
       sum(col("n_tp")).as("t_tp"), sum(col("n_fp")).as("t_fp"))

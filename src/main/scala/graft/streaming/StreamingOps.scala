@@ -550,6 +550,24 @@ object StreamingOps {
       textCol: String = "text"): DataFrame =
     graft.ext.Curation.tokenFertility(docs, byCol, textCol)
 
+  /** Live paired-model comparison (Complete mode): McNemar's cells
+    * fold as five exact long counters per group — a champion/
+    * challenger dashboard reads the current χ² without re-scanning
+    * the eval log. Snapshot ≡ the batch call (StreamingSpec twin). */
+  def mcnemarStream(preds: DataFrame, groupCol: String = "group",
+      yCol: String = "y", aCol: String = "pred_a",
+      bCol: String = "pred_b"): DataFrame =
+    graft.ext.Evaluation.mcnemar(preds, groupCol, yCol, aCol, bCol)
+
+  /** Live fairness monitor state (Complete mode): the five algebraic
+    * per-group counters of [[graft.ext.Evaluation.fairnessReport]];
+    * finish a snapshot with `Evaluation.fairnessFinish` (the overall
+    * row needs the full group table, so the gap arithmetic is a
+    * groups-sized batch finish, the aucState/ksState discipline). */
+  def fairnessStateStream(preds: DataFrame, groupCol: String = "group",
+      yCol: String = "y", predCol: String = "pred"): DataFrame =
+    graft.ext.Evaluation.fairnessState(preds, groupCol, yCol, predCol)
+
   /** Streaming per-source governance: running doc counts, integer-micro
     * mean quality, and approximate distinct fingerprints (HLL — exact
     * count-distinct is unsupported on streams, and the sketch is the

@@ -544,6 +544,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming McNemar snapshot equals the batch readout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Boolean, Boolean, Boolean)]
+    val b1 = Seq(("m", true, true, false), ("m", true, false, true))
+    val b2 = Seq(("m", true, true, true), ("m", false, true, true),
+      ("n", true, true, false))
+    val q = StreamingOps.mcnemarStream(
+        mem.toDF().toDF("group", "y", "pred_a", "pred_b"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("mcn_out").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("mcn_out").collect().toSet
+      val batch = graft.ext.Evaluation.mcnemar(
+        (b1 ++ b2).toDF("group", "y", "pred_a", "pred_b")).collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming fairness state snapshot finishes to the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Boolean, Boolean)]
+    val b1 = Seq(("a", true, true), ("a", true, false), ("b", true, false))
+    val b2 = Seq(("a", false, true), ("a", false, false), ("b", false, false))
+    val q = StreamingOps.fairnessStateStream(
+        mem.toDF().toDF("group", "y", "pred"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("fair_out").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = graft.ext.Evaluation.fairnessFinish(
+        spark.table("fair_out")).collect().toSet
+      val batch = graft.ext.Evaluation.fairnessReport(
+        (b1 ++ b2).toDF("group", "y", "pred")).collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      graft.ext.Checkpoints.releaseAll(spark)
+    } finally q.stop()
+  }
+
   test("streaming text ingest: minhash-band probe classifies, kept folds back as history") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
