@@ -36,6 +36,10 @@ import graft.model.Materialization
   *    SEED: header-named, type-inferred, `ref()`-able from any model
   *    and testable like any resource (duplicate resource names fail
   *    loudly, as in dbt);
+  *  - `{% snapshot %}` blocks under `snapshot-paths` (default
+  *    `snapshots/`) run via [[snapshot]] as SCD2 tables
+  *    ([[graft.model.Incremental.snapshot]] — check strategy); once
+  *    materialized they resolve through `ref()` like any model;
   *  - a checkout-local profiles yml supplies `threads` and the
   *    `{{ target }}` object.
   *
@@ -62,7 +66,8 @@ object DbtProject {
       tests: Seq[DbtTests.DataTest] = Seq.empty,
       tags: Map[String, Set[String]] = Map.empty,
       targetProps: Map[String, String] = Map.empty,
-      seeds: Map[String, String] = Map.empty)
+      seeds: Map[String, String] = Map.empty,
+      snapshots: Map[String, String] = Map.empty)
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
 
@@ -287,11 +292,34 @@ object DbtProject {
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv")))
       .map(p => p.getFileName.toString.stripSuffix(".csv") -> p.toString)
       .toMap
-    val clash = seeds.keySet.intersect(modelSql.keySet)
-    require(clash.isEmpty,
-      s"seed and model share a name (dbt rejects duplicate resources): $clash")
+    // dbt snapshots: {% snapshot name %} blocks under snapshot-paths
+    val snapshots = parseStringList(projText, "snapshot-paths")
+      .getOrElse(Seq("snapshots")).map(root.resolve)
+      .filter(Files.isDirectory(_))
+      .flatMap(d => Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
+      .flatMap(p => parseSnapshotBlocks(read(p)))
+      .toMap
+    val names = Seq("model" -> modelSql.keySet, "seed" -> seeds.keySet,
+      "snapshot" -> snapshots.keySet)
+    for (Seq((ka, a), (kb, b)) <- names.combinations(2)) {
+      val clash = a.intersect(b)
+      require(clash.isEmpty, s"$ka and $kb share a name " +
+        s"(dbt rejects duplicate resources): $clash")
+    }
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
-      modelTags, profile.map(parseTargetProps).getOrElse(Map.empty), seeds)
+      modelTags, profile.map(parseTargetProps).getOrElse(Map.empty), seeds,
+      snapshots)
+  }
+
+  /** `{% snapshot name %} … {% endsnapshot %}` blocks from a
+    * snapshot-paths file: name → the inner template (config() call
+    * plus the select). Parsed BEFORE Jinja rendering — the snapshot
+    * tag frames a resource, it is not control flow. */
+  private[graft] def parseSnapshotBlocks(src: String): Map[String, String] = {
+    val re = ("""(?s)\{%-?\s*snapshot\s+(\w+)\s*-?%\}(.*?)""" +
+      """\{%-?\s*endsnapshot\s*-?%\}""").r
+    re.findAllMatchIn(src).map(m => m.group(1) -> m.group(2)).toMap
   }
 
   /** `dbt seed`: each seed CSV as a DataFrame — header row for names,
@@ -327,12 +355,66 @@ object DbtProject {
     require(missing.isEmpty,
       s"project declares sources with no supplied DataFrame: $missing")
     val t = if (threads > 0) threads else p.profileThreads.getOrElse(4)
+    // snapshots materialized by an earlier `snapshot` call resolve
+    // through ref() from their warehouse tables (dbt's own contract:
+    // `dbt snapshot` runs before the models that read it)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val snapFrames = p.snapshots.keySet.toSeq.flatMap { n =>
+      val path = new org.apache.hadoop.fs.Path(s"$warehouseDir/$n")
+      if (fs.exists(path)) Some(n -> spark.read.parquet(path.toString))
+      else None
+    }.toMap
     // seeds ride alongside the caller's sources: the engine registers
     // both as resolvable relations before any model SQL runs
     new DbtSqlEngine(spark, warehouseDir, currentDateOverride, t, vars,
       macros = p.macros, targetProps = p.targetProps)
-      .run(p.modelSql, sources ++ seedFrames(spark, p),
+      .run(p.modelSql, sources ++ seedFrames(spark, p) ++ snapFrames,
         p.materializations, p.tags, select)
+  }
+
+  /** `dbt snapshot`: render and run every `{% snapshot %}` block,
+    * folding each result into its SCD2 table at
+    * `<warehouseDir>/<name>` via [[graft.model.Incremental.snapshot]]
+    * (valid_from/valid_to/is_current maintained across calls; changed
+    * rows close and reopen, new keys open, vanished keys close).
+    * Supported config: `unique_key` (required) and the
+    * `strategy='check'` / `check_cols='all'` pair (the default);
+    * anything else fails loudly rather than silently snapshotting
+    * with different semantics.
+    *
+    * @param asOf the snapshot validity timestamp (dbt uses the run's
+    *   start time; explicit here so reruns are deterministic)
+    * @return snapshot name → its full SCD2 table */
+  def snapshot(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      asOf: java.sql.Timestamp,
+      vars: Map[String, String] = Map.empty): Map[String, DataFrame] = {
+    val p = load(projectDir)
+    sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    seedFrames(spark, p).foreach { case (n, df) =>
+      df.createOrReplaceTempView(n) }
+    p.snapshots.map { case (name, tpl) =>
+      val r = Jinja.render(tpl, vars, macros = p.macros,
+        bindings = Map("target" -> Jinja.JMap(
+          Map("name" -> Jinja.JStr(p.targetProps.getOrElse("name", "dev"))) ++
+            p.targetProps.view.mapValues(Jinja.JStr(_)).toMap)),
+        builtins = DbtSqlEngine.dbtUtilsBuiltins)
+      val strategy = r.config.getOrElse("strategy", "check")
+      require(strategy == "check",
+        s"snapshot $name: unsupported strategy '$strategy' — only " +
+          "'check' is implemented")
+      val checkCols = r.config.getOrElse("check_cols", "all")
+      require(checkCols == "all",
+        s"snapshot $name: only check_cols='all' is supported, " +
+          s"got '$checkCols'")
+      val uk = r.config.get("unique_key").toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      require(uk.nonEmpty, s"snapshot $name: unique_key is required")
+      val cur = spark.sql(BigQueryDialect.translate(r.text, None))
+      name -> graft.model.Incremental.snapshot(spark, cur,
+        s"$warehouseDir/$name", uk, asOf)
+    }
   }
 
   /** `dbt run` + `dbt test` in one call: materialize every model,

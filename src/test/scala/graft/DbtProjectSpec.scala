@@ -265,6 +265,64 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("enriched"))
   }
 
+  test("dbt snapshots: {% snapshot %} blocks fold SCD2 across runs and resolve through ref()") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snapproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("snapshots"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"snappy\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: customers
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("snapshots/customers_snapshot.sql"),
+      """{% snapshot customers_snapshot %}
+        |{{ config(unique_key='id', strategy='check', check_cols='all') }}
+        |select id, city from {{ source('raw', 'customers') }}
+        |{% endsnapshot %}
+        |""".stripMargin.getBytes("UTF-8"))
+    // a model reads the CURRENT rows off the snapshot through ref()
+    Files.write(dir.resolve("models/current_customers.sql"),
+      """select id, city from {{ ref('customers_snapshot') }}
+        |where is_current
+        |""".stripMargin.getBytes("UTF-8"))
+    val p = DbtProject.load(dir.toString)
+    assert(p.snapshots.keySet == Set("customers_snapshot"))
+    val wh = Files.createTempDirectory("graft-snap-wh").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val day1 = Seq((1L, "NY"), (2L, "LA")).toDF("id", "city")
+    val day2 = Seq((1L, "SF"), (3L, "CHI")).toDF("id", "city")
+    DbtProject.snapshot(spark, dir.toString, Map("customers" -> day1),
+      wh, ts("2024-01-01"))
+    val snap2 = DbtProject.snapshot(spark, dir.toString,
+      Map("customers" -> day2), wh, ts("2024-02-01"))("customers_snapshot")
+    // SCD2: id 1 closed at NY + reopened at SF; id 2 closed
+    // (vanished); id 3 opened
+    val hist = snap2.select("id", "city", "is_current")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(hist == Set((1L, "NY", false), (1L, "SF", true),
+      (2L, "LA", false), (3L, "CHI", true)), s"$hist")
+    // dbt snapshot-then-run: the model reads the materialized table
+    val out = DbtProject.run(spark, dir.toString,
+      Map("customers" -> day2), wh)
+    assert(out("current_customers").select("id", "city")
+      .as[(Long, String)].collect().toSet == Set((1L, "SF"), (3L, "CHI")))
+    // unsupported strategies fail loudly, not silently differently
+    Files.write(dir.resolve("snapshots/bad.sql"),
+      """{% snapshot bad_snap %}
+        |{{ config(unique_key='id', strategy='timestamp', updated_at='u') }}
+        |select 1 as id
+        |{% endsnapshot %}
+        |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DbtProject.snapshot(
+      spark, dir.toString, Map("customers" -> day2), wh, ts("2024-03-01")))
+    assert(e.getMessage.contains("timestamp"))
+  }
+
   test("schema-yml data tests: reference checkout declares them; run reports pass; violations fail") {
     import spark.implicits._
     import graft.sql.DbtTests
