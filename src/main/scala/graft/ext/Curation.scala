@@ -52,6 +52,38 @@ object Curation {
           .as("repetition"))
   }
 
+  /** Corpus distinct-n diversity (Li et al. 2016's distinct-1/2,
+    * extended to n ≤ `maxN`): per group, the fraction of n-gram
+    * OCCURRENCES that are distinct types — the standard
+    * generation-diversity readout (mode-collapsed or templated text
+    * repeats the same n-grams corpus-wide, which per-document
+    * [[repetitionScore]] cannot see). Exact long counts, one 6dp
+    * division.
+    *
+    * Scale shape: per n, one gram explode into a (group, n)-keyed
+    * distinct+count aggregation (Spark's two-phase distinct — partial
+    * dedup map-side, never a window). Docs shorter than n contribute
+    * nothing, on both engines.
+    *
+    * @return (grp, n, n_grams, n_distinct, distinct_ratio) */
+  def distinctNgrams(df: DataFrame, byCol: String = "source",
+      textCol: String = "text", maxN: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = df.select(col(byCol).as("grp"), toks.as("toks"))
+    val grams = (1 to maxN).map { n =>
+      base.filter(size(col("toks")) >= n)
+        .select(col("grp"), lit(n).as("n"), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+    }.reduce(_.unionByName(_))
+    grams.groupBy("grp", "n")
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("gram")).as("n_distinct"))
+      .select(col("grp"), col("n"), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6).as("distinct_ratio"))
+  }
+
   /** Tokenizer FERTILITY by group (language/source): tokens-per-char
     * of the BPE-ish pre-tokenizer — the tokenizer-efficiency metric a
     * multilingual mixture planner tracks (a language whose text costs

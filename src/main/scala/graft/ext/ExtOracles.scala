@@ -3498,6 +3498,51 @@ FROM w${ExtQueries.btIters}"""
       |  h.l + 3 * h.b AS f3_milli
       |FROM hw h JOIN cnt c ON c.series = h.series AND h.i = c.n_days""".stripMargin
 
+  /** q_holt_winters: the additive-seasonal recurrence as a recursive
+    * CTE carrying the rotating 7-slot seasonal LIST; lNew is repeated
+    * inline where bNew/sNew need it (lateral aliases are unreliable
+    * inside recursive CTEs), exactly the holtSql discipline. */
+  private val holtWintersSql: String = {
+    val lNew = "CAST(floor(CAST(300 * (n.x * 1000 - hw.sl[1]) " +
+      "+ 700 * (hw.l + hw.b) AS DOUBLE) / 1000) AS BIGINT)"
+    s"""WITH RECURSIVE d AS (SELECT event_type AS series,
+      |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT series, day, x,
+      |    CAST(row_number() OVER (PARTITION BY series ORDER BY day)
+      |      AS BIGINT) AS i FROM d),
+      |cnt AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days
+      |        FROM idx GROUP BY 1),
+      |ok AS (SELECT series, n_days FROM cnt WHERE n_days > 7),
+      |init AS (SELECT idx.series,
+      |    CAST(floor(CAST(sum(idx.x * 1000) AS DOUBLE) / 7.0) AS BIGINT) AS l0
+      |  FROM idx JOIN ok ON ok.series = idx.series
+      |  WHERE idx.i <= 7 GROUP BY 1),
+      |s0 AS (SELECT idx.series, init.l0,
+      |    list(idx.x * 1000 - init.l0 ORDER BY idx.i) AS sl
+      |  FROM idx JOIN init ON init.series = idx.series
+      |  WHERE idx.i <= 7 GROUP BY 1, 2),
+      |hw AS (
+      |  SELECT series, CAST(7 AS BIGINT) AS i, l0 AS l,
+      |    CAST(0 AS BIGINT) AS b, sl
+      |  FROM s0
+      |  UNION ALL
+      |  SELECT n.series, n.i,
+      |    $lNew,
+      |    CAST(floor(CAST(100 * ($lNew - hw.l) + 900 * hw.b AS DOUBLE)
+      |      / 1000) AS BIGINT),
+      |    list_append(list_slice(hw.sl, 2, 7),
+      |      CAST(floor(CAST(200 * (n.x * 1000 - $lNew) + 800 * hw.sl[1]
+      |        AS DOUBLE) / 1000) AS BIGINT))
+      |  FROM hw JOIN idx n ON n.series = hw.series AND n.i = hw.i + 1)
+      |SELECT h.series, CAST(c.n_days AS INTEGER) AS n_days,
+      |  h.l AS level_milli, h.b AS trend_milli,
+      |  h.l + h.b + h.sl[1] AS f1_milli,
+      |  h.l + 2 * h.b + h.sl[2] AS f2_milli,
+      |  h.l + 3 * h.b + h.sl[3] AS f3_milli
+      |FROM hw h JOIN ok c ON c.series = h.series AND h.i = c.n_days""".stripMargin
+  }
+
   /** q_embed_drift: per-dim micro values summed as longs, integer
     * centroids, distances from the integer vectors with one sqrt/
     * division each — the centroidClassify parity discipline. */
@@ -4614,6 +4659,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_lsh_recall" -> lshRecallSql(toks),
     "q_hits" -> hitsSql,
     "q_holt_forecast" -> holtSql,
+    "q_holt_winters" -> holtWintersSql,
     "q_modularity" -> modularitySql,
     "q_embed_drift" -> embedDriftSql,
     "q_theil_sen" -> theilSenSql,
@@ -4836,6 +4882,31 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
         |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
         |FROM c""".stripMargin,
+
+    // distinct-n diversity: per (source, n) exact occurrence and
+    // distinct-type counts over the same tokenizer
+    "q_distinct_ngrams" ->
+      s"""WITH t AS (SELECT source AS grp, $toks AS toks FROM documents),
+        |g AS (
+        |  SELECT grp, 1 AS n, toks[CAST(i AS INTEGER)] AS gram
+        |  FROM (SELECT grp, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM t) x
+        |  UNION ALL
+        |  SELECT grp, 2, concat(toks[CAST(i AS INTEGER)], ' ',
+        |      toks[CAST(i + 1 AS INTEGER)])
+        |  FROM (SELECT grp, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t) x
+        |  UNION ALL
+        |  SELECT grp, 3, concat(toks[CAST(i AS INTEGER)], ' ',
+        |      toks[CAST(i + 1 AS INTEGER)], ' ',
+        |      toks[CAST(i + 2 AS INTEGER)])
+        |  FROM (SELECT grp, toks, unnest(range(1, len(toks) - 1)) AS i
+        |        FROM t) x)
+        |SELECT grp, n, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(DISTINCT gram) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     // confident-learning joint: langid hit shares as per-class micro
     // probabilities, self-confidence mean thresholds, threshold-

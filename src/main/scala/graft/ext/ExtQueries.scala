@@ -470,6 +470,11 @@ object ExtQueries {
   def qHoltForecast(spark: SparkSession, dir: String): DataFrame =
     Timeseries.holtForecast(Tables(spark, dir).events)
 
+  /** Holt–Winters additive weekly-seasonal forecast per event type —
+    * the seasonal component [[qHoltForecast]] lacks. */
+  def qHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.holtWintersForecast(Tables(spark, dir).events)
+
   /** Theil–Sen robust daily-volume trend per event type (median of
     * pairwise slopes; outage days cannot move it). */
   def qTheilSen(spark: SparkSession, dir: String): DataFrame =
@@ -1780,6 +1785,11 @@ object ExtQueries {
     * entropy, effective source count, HHI, Gini. */
   def qMixDiversity(spark: SparkSession, dir: String): DataFrame =
     Curation.mixDiversity(Tables(spark, dir).documents)
+
+  /** Corpus distinct-1/2/3 generation diversity per source — the
+    * cross-document repetition readout. */
+  def qDistinctNgrams(spark: SparkSession, dir: String): DataFrame =
+    Curation.distinctNgrams(Tables(spark, dir).documents)
 
   /** LR training rounds for [[qLrTrain]] — shared with the oracle
     * generator (unrolled to the same depth). 12 rounds take the demo

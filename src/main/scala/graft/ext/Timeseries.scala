@@ -436,4 +436,70 @@ object Timeseries {
       col("st")("l").as("level_milli"), col("st")("b").as("trend_milli")) ++
       fcols: _*)
   }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing per series — the
+    * seasonality [[holtForecast]] cannot express (weekly traffic
+    * shape, weekday/weekend cycles): alongside level and trend, a
+    * rotating `period`-slot seasonal state
+    * sₜ = γ(xₜ−lₜ) + (1−γ)s₍ₜ₋ₘ₎ folds with the same integer-milli /
+    * floor-division exactness contract as Holt (all three updates are
+    * exact-rational; floor-toward−∞ lands identically in any engine —
+    * seasonal terms and trend may go negative). Initialization is the
+    * standard one: level = mean of the first season, seasonal slots =
+    * the first season's deviations from it, trend 0; series shorter
+    * than one full season are excluded (no seasonal state to
+    * estimate). Forecast h = level + h·trend + the h-th upcoming
+    * seasonal slot.
+    *
+    * Scale shape: identical to Holt — one (series, day) count shuffle
+    * (map-side combined), one series-keyed bounded collect, the
+    * recurrence inside a per-row array fold; the seasonal state adds
+    * `period` longs per series, nothing corpus-proportional. The
+    * DuckDB oracle replays the recurrence as a recursive CTE carrying
+    * the seasonal list.
+    *
+    * @return (series, n_days, level_milli, trend_milli,
+    *         f1_milli .. f{horizon}_milli) */
+  def holtWintersForecast(events: DataFrame, period: Int = 7,
+      alphaPermille: Int = 300, betaPermille: Int = 100,
+      gammaPermille: Int = 200, horizon: Int = 3,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(horizon <= period, "forecast slots rotate once per period")
+    val a = alphaPermille.toLong; val bp = betaPermille.toLong
+    val g = gammaPermille.toLong; val m = period
+    def fdiv(n: Column): Column =
+      floor(n.cast(DoubleType) / 1000.0).cast(LongType)
+    val daily = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val folded = daily.groupBy("series")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
+      .filter(size(col("pts")) > m)
+      .withColumn("l0",
+        floor(aggregate(expr(s"slice(pts, 1, $m)"), lit(0L),
+            (acc, p) => acc + p("x") * 1000L).cast(DoubleType) / m.toDouble)
+          .cast(LongType))
+      .withColumn("s0", expr(s"transform(slice(pts, 1, $m), p -> p.x * 1000 - l0)"))
+      .select(col("series"), size(col("pts")).as("n_days"),
+        aggregate(
+          expr(s"slice(pts, ${m + 1}, size(pts) - $m)"),
+          struct(col("l0").as("l"), lit(0L).as("b"), col("s0").as("sl")),
+          (acc, p) => {
+            val sOld = element_at(acc("sl"), 1)
+            val lNew = fdiv(lit(a) * (p("x") * 1000L - sOld) +
+              lit(1000L - a) * (acc("l") + acc("b")))
+            val bNew = fdiv(lit(bp) * (lNew - acc("l")) +
+              lit(1000L - bp) * acc("b"))
+            val sNew = fdiv(lit(g) * (p("x") * 1000L - lNew) +
+              lit(1000L - g) * sOld)
+            struct(lNew.as("l"), bNew.as("b"),
+              concat(slice(acc("sl"), 2, m - 1), array(sNew)).as("sl"))
+          }).as("st"))
+    val fcols = (1 to horizon).map(h =>
+      (col("st")("l") + col("st")("b") * h.toLong +
+        element_at(col("st")("sl"), ((h - 1) % m) + 1)).as(s"f${h}_milli"))
+    folded.select(Seq(col("series"), col("n_days"),
+      col("st")("l").as("level_milli"), col("st")("b").as("trend_milli")) ++
+      fcols: _*)
+  }
 }

@@ -721,6 +721,14 @@ object GraftFunctions {
       tableOf(strArg(args.head, "fairness_report(table)")))
       .queryExecution.logical
 
+  /** distinct_ngrams(tbl) — corpus distinct-1/2/3 diversity per
+    * `source` over (source, text) rows
+    * ([[graft.ext.Curation.distinctNgrams]]). */
+  def distinctNgramsTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Curation.distinctNgrams(
+      tableOf(strArg(args.head, "distinct_ngrams(table)")))
+      .queryExecution.logical
+
   /** confident_joint(tbl) — confident-learning label-error census
     * over (doc_id, noisy, cls, p_micro) long-format class scores
     * ([[graft.ext.Curation.confidentJoint]]). */
@@ -960,6 +968,7 @@ object GraftFunctions {
     "mcnemar" -> (mcnemarTvf _),
     "fairness_report" -> (fairnessReportTvf _),
     "confident_joint" -> (confidentJointTvf _),
+    "distinct_ngrams" -> (distinctNgramsTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

@@ -2144,6 +2144,22 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("distinctNgrams: hand-computed cross-document type/occurrence counts") {
+    import spark.implicits._
+    // group g: "a b a b" + "a b" → uni 6/2, bi 4/2 ("a b"×3, "b a"),
+    // tri 2/2; a one-token doc contributes only to n=1
+    val docs = Seq(("g", "a b a b"), ("g", "a b"), ("h", "x"))
+      .toDF("source", "text")
+    val m = Curation.distinctNgrams(docs).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("n")) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("distinct_ratio"))).toMap
+    assert(m(("g", 1)) == ((6L, 2L, 0.333333)), s"$m")
+    assert(m(("g", 2)) == ((4L, 2L, 0.5)), s"$m")
+    assert(m(("g", 3)) == ((2L, 2L, 1.0)), s"$m")
+    assert(m(("h", 1)) == ((1L, 1L, 1.0)) && !m.contains(("h", 2)), s"$m")
+  }
+
   test("confidentJoint: hand-computed thresholds, abstention, and the planted mislabel") {
     import spark.implicits._
     // thresholds: t_a = mean(0.9, 0.7) = 0.8; t_b = mean(0.8, 0.2) = 0.5

@@ -451,6 +451,10 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("cj_e11")
     sameAs("SELECT * FROM confident_joint('cj_e11')",
       graft.ext.Curation.confidentJoint(spark.table("cj_e11")))
+    Seq(("g", "a b a"), ("g", "c d")).toDF("source", "text")
+      .createOrReplaceTempView("dn_e11")
+    sameAs("SELECT * FROM distinct_ngrams('dn_e11')",
+      graft.ext.Curation.distinctNgrams(spark.table("dn_e11")))
     Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
       .createOrReplaceTempView("ks_a_e11")
     Seq(("g", 2L), ("g", 9L)).toDF("group", "v")

@@ -71,6 +71,58 @@ class PlanAuditSpec extends AnyFunSuite {
       "rake top-k must push the group limit")
   }
 
+  test("late round-13 queries: no windows, no cartesians, broadcast thresholds") {
+    // mcnemar/fairness/distinct-n are single-pass group aggregates;
+    // holt-winters folds inside a per-row array; the drift report is
+    // a broadcast-centroid join over the index scan. None may plan a
+    // per-row window or a cartesian.
+    for (q <- Seq("q_mcnemar", "q_fairness", "q_distinct_ngrams",
+        "q_holt_winters", "q_ivf_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("row_number"), s"$q plans a per-row ranking:\n$p")
+    }
+  }
+
+  test("confidentJoint/cartography: every EXECUTED stage is window-free; thresholds broadcast") {
+    // their results are checkpointed (the final plan is just a Scan
+    // ExistingRDD), so audit the plans that actually RAN via a
+    // QueryExecutionListener instead of the top-level plan string
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q_label_noise")(spark, dir).count()
+      // listener delivery is async: poll until the broadcast stage
+      // shows up (or time out and fail on the assertions below)
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+          !plans.synchronized(plans.exists(_.contains("BroadcastHashJoin"))))
+        Thread.sleep(100)
+      assert(plans.synchronized(plans.nonEmpty),
+        "listener captured no executed plans")
+      plans.foreach { p =>
+        assert(!p.contains("CartesianProduct"),
+          s"q_label_noise ran a cartesian stage:\n$p")
+        assert(!p.contains("row_number"),
+          s"q_label_noise ran a per-row ranking stage:\n$p")
+      }
+      // the classes-sized threshold table rides as a broadcast — the
+      // score side never shuffles for it
+      assert(plans.exists(_.contains("BroadcastHashJoin")),
+        "confidentJoint must broadcast its threshold table")
+    } finally spark.listenerManager.unregister(listener)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("flagship joins broadcast their small sides") {
     for (q <- Seq("q_tpch_q3", "q_tpch_q5")) {
       val p = plan(q)

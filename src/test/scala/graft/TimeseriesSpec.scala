@@ -145,6 +145,32 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(grow._2 > 0, s"trend must be positive on growth: $grow")
   }
 
+  test("holtWinters: hand-computed seasonal fold; short series excluded") {
+    // x = [10, 14, 12, 18], m=2, α=300‰ β=100‰ γ=200‰:
+    // init l₀=12000, s=[−2000, 2000], b=0
+    // t=3 (x=12, s₋ₘ=−2000): l=⌊(300·14000+700·12000)/1000⌋=12600,
+    //   b=⌊100·600/1000⌋=60, s₃=⌊(200·(−600)+800·(−2000))/1000⌋=−1720
+    // t=4 (x=18, s₋ₘ=2000): l=⌊(300·16000+700·12660)/1000⌋=13662,
+    //   b=⌊(100·1062+900·60)/1000⌋=160,
+    //   s₄=⌊(200·4338+800·2000)/1000⌋=2467 → sl=[−1720, 2467]
+    // f1 = 13662+160−1720 = 12102; f2 = 13662+320+2467 = 16449
+    val out = Timeseries.holtWintersForecast(series(Seq(10, 14, 12, 18)),
+        period = 2, horizon = 2)
+      .select("n_days", "level_milli", "trend_milli", "f1_milli", "f2_milli")
+      .as[(Int, Long, Long, Long, Long)].head()
+    assert(out == ((4, 13662L, 160L, 12102L, 16449L)), s"got $out")
+    // a perfectly periodic series: level flat, trend 0, forecasts
+    // reproduce the alternation exactly
+    val alt = Timeseries.holtWintersForecast(series(Seq(4, 8, 4, 8, 4, 8)),
+        period = 2, horizon = 2)
+      .select("level_milli", "trend_milli", "f1_milli", "f2_milli")
+      .as[(Long, Long, Long, Long)].head()
+    assert(alt == ((6000L, 0L, 4000L, 8000L)), s"periodic: $alt")
+    // series no longer than one period carry no seasonal signal
+    assert(Timeseries.holtWintersForecast(series(Seq(5, 6)),
+      period = 2, horizon = 2).count() == 0)
+  }
+
   test("periodogram: a period-2 alternation peaks at 2 with full power; constant series scores 0") {
     // counts [3,1,3,1,3,1]: r = [6,−6,…], Sc(P=2) = 36, den = 216,
     // nd = 6 ⇒ power = 36²/(216·6) = 1 exactly
