@@ -322,6 +322,59 @@ object Evaluation {
     out
   }
 
+  /** Krippendorff's α with the INTERVAL metric — the ordinal/numeric
+    * companion to the nominal [[krippendorffAlpha]]: disagreement
+    * between two ratings is (v−k)², so a 1-vs-5 judge split costs
+    * 16× a 1-vs-2 split (nominal α scores both as one disagreement —
+    * wrong for Likert/LLM-judge scales). Same incomplete-panel
+    * semantics: single-rating units are excluded everywhere.
+    *
+    * The category grid disappears algebraically:
+    * Σ_{c,k} n_c·n_k·(c−k)² = 2(m·Σv² − (Σv)²), so each unit's
+    * observed-disagreement term needs only its rating count, sum, and
+    * sum of squares — and the expected term needs only the same three
+    * totals over all qualifying units. Exactness contract: ratings
+    * are integer longs; every sum is an exact long; each unit
+    * contributes one micro-rounded division by (m−1) (the nominal
+    * discipline), and De is one double division of exact longs.
+    *
+    * Scale shape: ONE (group, item) rollup with map-side combine,
+    * then a groups-sized finish — no category dimension at all, so
+    * the value vocabulary can be unbounded (real-valued scores work
+    * once scaled to integers).
+    *
+    * @param ratings one row per rating: `groupCol`, `itemCol`,
+    *   integer `valCol`
+    * @return (grp, n_items, n_ratings, do_micro, de, alpha) */
+  def krippendorffAlphaInterval(ratings: DataFrame,
+      groupCol: String = "group", itemCol: String = "item",
+      valCol: String = "v"): DataFrame = {
+    val perItem = ratings
+      .select(col(groupCol).as("grp"), col(itemCol).as("item"),
+        col(valCol).cast(LongType).as("v"))
+      .groupBy("grp", "item")
+      .agg(count(lit(1)).as("m"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+      .filter(col("m") >= 2L)
+      .withColumn("du_micro",
+        round(lit(1e6) *
+            (lit(2L) * (col("m") * col("s2") - col("s1") * col("s1")))
+              .cast(DoubleType) /
+            (col("m") - 1L).cast(DoubleType), 0)
+          .cast(LongType))
+    val agg = perItem.groupBy("grp").agg(
+      count(lit(1)).as("n_items"), sum(col("m")).as("n_ratings"),
+      sum(col("du_micro")).as("do_micro"),
+      sum(col("s1")).as("t1"), sum(col("s2")).as("t2"))
+    val deNum = lit(2L) * (col("n_ratings") * col("t2") - col("t1") * col("t1"))
+    val deD = deNum.cast(DoubleType) / (col("n_ratings") - 1L).cast(DoubleType)
+    agg.select(col("grp"), col("n_items"), col("n_ratings"), col("do_micro"),
+      round(deD, 6).as("de"),
+      when(deNum === 0L, lit(1.0))
+        .otherwise(round(lit(1.0) -
+          (col("do_micro").cast(DoubleType) / 1e6) / deD, 6)).as("alpha"))
+  }
+
   /** Majority-vote label aggregation over multi-rater ratings — the
     * weak-supervision baseline (Snorkel's majority model) that turns
     * N noisy annotator calls per item into one training label with a

@@ -4883,6 +4883,40 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
         |FROM c""".stripMargin,
 
+    // interval Krippendorff: per-unit (m, Σv, Σv²) → 2(m·S2−S1²)
+    // identity — no category grid; incomplete panel via residue drops
+    "q_krippendorff_interval" ->
+      s"""WITH d AS (SELECT lang AS grp, doc_id AS item,
+        |    least(5, greatest(1, n_chars // 50)) AS v1,
+        |    least(5, greatest(1, len($toks) // 10)) AS v2,
+        |    least(5, greatest(1, n_chars // 60)) AS v3
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp, item, v1 AS v FROM d
+        |  UNION ALL SELECT grp, item, v2 FROM d WHERE item % 17 <> 0
+        |  UNION ALL SELECT grp, item, v3 FROM d
+        |    WHERE item % 17 <> 0 AND item % 3 <> 0),
+        |pi AS (SELECT grp, item, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v * v) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1, 2),
+        |pi2 AS (SELECT *,
+        |    CAST(round(1e6 * CAST(2 * (m * s2 - s1 * s1) AS DOUBLE)
+        |      / CAST(m - 1 AS DOUBLE), 0) AS BIGINT) AS du
+        |  FROM pi WHERE m >= 2),
+        |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(m) AS BIGINT) AS n_ratings,
+        |    CAST(sum(du) AS BIGINT) AS do_micro,
+        |    CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(s2) AS BIGINT) AS t2
+        |  FROM pi2 GROUP BY 1),
+        |fin AS (SELECT *, 2 * (n_ratings * t2 - t1 * t1) AS den FROM ag)
+        |SELECT grp, n_items, n_ratings, do_micro,
+        |  round(CAST(den AS DOUBLE) / CAST(n_ratings - 1 AS DOUBLE), 6) AS de,
+        |  CASE WHEN den = 0 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE round(CAST(1.0 AS DOUBLE) - (CAST(do_micro AS DOUBLE) / 1e6)
+        |      / (CAST(den AS DOUBLE) / CAST(n_ratings - 1 AS DOUBLE)), 6)
+        |  END AS alpha
+        |FROM fin""".stripMargin,
+
     // distinct-n diversity: per (source, n) exact occurrence and
     // distinct-type counts over the same tokenizer
     "q_distinct_ngrams" ->

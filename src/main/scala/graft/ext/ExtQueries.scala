@@ -1822,6 +1822,28 @@ object ExtQueries {
             "array_remove(split(lower(text), '\\\\s+'), '')" +
             ") AS BIGINT) div 10"))).as("r2")))
 
+  /** Interval-metric Krippendorff α per language over an INCOMPLETE
+    * ordinal panel: three derived 1–5 judges (two length scales, one
+    * token scale), judge 2 and 3 missing on planted residue classes
+    * and judge-1-only docs excluded as single-rating units. The
+    * squared-difference metric the nominal α cannot express. */
+  def qKrippendorffInterval(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(
+      col("lang").as("group"), col("doc_id").as("item"),
+      least(lit(5L), greatest(lit(1L), expr("n_chars div 50"))).as("v1"),
+      least(lit(5L), greatest(lit(1L),
+        expr("CAST(size(array_remove(split(lower(text), '\\\\s+'), '')) " +
+          "AS BIGINT) div 10"))).as("v2"),
+      least(lit(5L), greatest(lit(1L), expr("n_chars div 60"))).as("v3"))
+    val panel = d.selectExpr("group", "item",
+        "stack(3, 'r1', v1, 'r2', v2, 'r3', v3) as (rater, v)")
+      .filter(col("rater") === "r1" ||
+        (pmod(col("item"), lit(17)) =!= 0 &&
+          (col("rater") === "r2" ||
+            (col("rater") === "r3" && pmod(col("item"), lit(3)) =!= 0))))
+    Evaluation.krippendorffAlphaInterval(panel)
+  }
+
   /** Train → score → EVALUATE: Mann–Whitney AUC of the trained
     * model's margins against the labels (margins are scores — AUC is
     * rank-based, no calibration needed). The full quality-gate loop

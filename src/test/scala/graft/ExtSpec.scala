@@ -2144,6 +2144,39 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("krippendorffAlphaInterval: hand-computed units, exclusions, conventions") {
+    import spark.implicits._
+    // g: unit1 [1,3] → du = 2(2·10−16)/1 = 8; unit2 [2,2] → 0;
+    // unit9 [5] single-rating → excluded. Totals: n=4, t1=8, t2=18,
+    // den = 2(4·18−64) = 16, de = 16/3, α = 1 − 8/(16/3) = −0.5
+    val ratings = Seq(
+      ("g", 1L, 1L), ("g", 1L, 3L), ("g", 2L, 2L), ("g", 2L, 2L),
+      ("g", 9L, 5L),
+      ("h", 1L, 2L), ("h", 1L, 2L), ("h", 2L, 4L), ("h", 2L, 4L),
+      ("z", 1L, 3L), ("z", 1L, 3L), ("z", 2L, 3L), ("z", 2L, 3L))
+      .toDF("group", "item", "v")
+    val m = Evaluation.krippendorffAlphaInterval(ratings).collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("n_ratings"),
+          r.getAs[Long]("do_micro"), r.getAs[Double]("alpha"))).toMap
+    assert(m("g") == ((2L, 4L, 8000000L, -0.5)), s"$m")
+    // perfect within-unit agreement across distinct unit values: α = 1
+    assert(m("h")._4 == 1.0, s"$m")
+    // every rating identical: De = 0 → α = 1 by convention
+    assert(m("z") == ((2L, 4L, 0L, 1.0)), s"$m")
+    // nominal α would punish g's 1-vs-3 split the same as 2-vs-3;
+    // interval must punish a wider split MORE: widen unit1 to [1,5]
+    val wide = Seq(("g", 1L, 1L), ("g", 1L, 5L), ("g", 2L, 2L), ("g", 2L, 2L))
+      .toDF("group", "item", "v")
+    val aWide = Evaluation.krippendorffAlphaInterval(wide)
+      .head().getAs[Double]("alpha")
+    val narrow = Seq(("g", 1L, 2L), ("g", 1L, 3L), ("g", 2L, 2L), ("g", 2L, 2L))
+      .toDF("group", "item", "v")
+    val aNarrow = Evaluation.krippendorffAlphaInterval(narrow)
+      .head().getAs[Double]("alpha")
+    assert(aWide < aNarrow, s"wide $aWide must score below narrow $aNarrow")
+  }
+
   test("distinctNgrams: hand-computed cross-document type/occurrence counts") {
     import spark.implicits._
     // group g: "a b a b" + "a b" → uni 6/2, bi 4/2 ("a b"×3, "b a"),
