@@ -3543,6 +3543,71 @@ FROM w${ExtQueries.btIters}"""
       |FROM hw h JOIN ok c ON c.series = h.series AND h.i = c.n_days""".stripMargin
   }
 
+  /** q_forecast_backtest: the same HW recursion truncated at the
+    * train boundary (n_days − 7), then the 7 held-out days scored
+    * against both the model forecast and the seasonal-naive repeat
+    * of the train window's last season. */
+  private val forecastBacktestSql: String = {
+    val lNew = "CAST(floor(CAST(300 * (n.x * 1000 - hw.sl[1]) " +
+      "+ 700 * (hw.l + hw.b) AS DOUBLE) / 1000) AS BIGINT)"
+    s"""WITH RECURSIVE d AS (SELECT event_type AS series,
+      |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT series, day, x,
+      |    CAST(row_number() OVER (PARTITION BY series ORDER BY day)
+      |      AS BIGINT) AS i FROM d),
+      |cnt AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days
+      |        FROM idx GROUP BY 1),
+      |tr AS (SELECT series, n_days, n_days - 7 AS n_train
+      |       FROM cnt WHERE n_days > 14),
+      |init AS (SELECT idx.series,
+      |    CAST(floor(CAST(sum(idx.x * 1000) AS DOUBLE) / 7.0) AS BIGINT) AS l0
+      |  FROM idx JOIN tr ON tr.series = idx.series
+      |  WHERE idx.i <= 7 GROUP BY 1),
+      |s0 AS (SELECT idx.series, init.l0,
+      |    list(idx.x * 1000 - init.l0 ORDER BY idx.i) AS sl
+      |  FROM idx JOIN init ON init.series = idx.series
+      |  WHERE idx.i <= 7 GROUP BY 1, 2),
+      |hw AS (
+      |  SELECT series, CAST(7 AS BIGINT) AS i, l0 AS l,
+      |    CAST(0 AS BIGINT) AS b, sl
+      |  FROM s0
+      |  UNION ALL
+      |  SELECT n.series, n.i,
+      |    $lNew,
+      |    CAST(floor(CAST(100 * ($lNew - hw.l) + 900 * hw.b AS DOUBLE)
+      |      / 1000) AS BIGINT),
+      |    list_append(list_slice(hw.sl, 2, 7),
+      |      CAST(floor(CAST(200 * (n.x * 1000 - $lNew) + 800 * hw.sl[1]
+      |        AS DOUBLE) / 1000) AS BIGINT))
+      |  FROM hw
+      |  JOIN idx n ON n.series = hw.series AND n.i = hw.i + 1
+      |  JOIN tr ON tr.series = hw.series
+      |  WHERE n.i <= tr.n_train)
+      |, hfin AS (SELECT hw.series, hw.l, hw.b, hw.sl, tr.n_days, tr.n_train
+      |  FROM hw JOIN tr ON tr.series = hw.series AND hw.i = tr.n_train),
+      |hs AS (SELECT series, n_days, n_train, l, b, sl,
+      |    unnest(range(1, 8)) AS h FROM hfin),
+      |terr AS (SELECT hs.series, hs.n_days,
+      |    abs(hs.l + hs.h * hs.b + hs.sl[CAST(hs.h AS INT)]
+      |      - tst.x * 1000) AS em,
+      |    abs(nv.x * 1000 - tst.x * 1000) AS en
+      |  FROM hs
+      |  JOIN idx tst ON tst.series = hs.series
+      |    AND tst.i = hs.n_train + hs.h
+      |  JOIN idx nv ON nv.series = hs.series
+      |    AND nv.i = hs.n_train - 7 + hs.h)
+      |SELECT series, CAST(max(n_days) AS INTEGER) AS n_days,
+      |  CAST(round(CAST(sum(em) AS DOUBLE) / 7.0, 0) AS BIGINT)
+      |    AS mae_model_milli,
+      |  CAST(round(CAST(sum(en) AS DOUBLE) / 7.0, 0) AS BIGINT)
+      |    AS mae_naive_milli,
+      |  round(CASE WHEN sum(en) = 0 THEN 0.0
+      |    ELSE CAST(sum(em) AS DOUBLE) / CAST(sum(en) AS DOUBLE)
+      |  END, 6) AS mase
+      |FROM terr GROUP BY 1""".stripMargin
+  }
+
   /** q_embed_drift: per-dim micro values summed as longs, integer
     * centroids, distances from the integer vectors with one sqrt/
     * division each — the centroidClassify parity discipline. */
@@ -4660,6 +4725,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_hits" -> hitsSql,
     "q_holt_forecast" -> holtSql,
     "q_holt_winters" -> holtWintersSql,
+    "q_forecast_backtest" -> forecastBacktestSql,
     "q_modularity" -> modularitySql,
     "q_embed_drift" -> embedDriftSql,
     "q_theil_sen" -> theilSenSql,

@@ -475,6 +475,11 @@ object ExtQueries {
   def qHoltWinters(spark: SparkSession, dir: String): DataFrame =
     Timeseries.holtWintersForecast(Tables(spark, dir).events)
 
+  /** Forecast backtest: last week held out, Holt–Winters fit on the
+    * rest, MASE against the seasonal-naive repeat. */
+  def qForecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.forecastBacktest(Tables(spark, dir).events)
+
   /** Theil–Sen robust daily-volume trend per event type (median of
     * pairwise slopes; outage days cannot move it). */
   def qTheilSen(spark: SparkSession, dir: String): DataFrame =

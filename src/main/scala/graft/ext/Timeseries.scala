@@ -465,25 +465,43 @@ object Timeseries {
       gammaPermille: Int = 200, horizon: Int = 3,
       seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
     require(horizon <= period, "forecast slots rotate once per period")
-    val a = alphaPermille.toLong; val bp = betaPermille.toLong
-    val g = gammaPermille.toLong; val m = period
-    def fdiv(n: Column): Column =
-      floor(n.cast(DoubleType) / 1000.0).cast(LongType)
-    val daily = events
-      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("x"))
-    val folded = daily.groupBy("series")
+    val m = period
+    val folded = dailyCounts(events, seriesCol, tsCol).groupBy("series")
       .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
       .filter(size(col("pts")) > m)
-      .withColumn("l0",
-        floor(aggregate(expr(s"slice(pts, 1, $m)"), lit(0L),
+      .transform(withHwState("pts", m, alphaPermille.toLong,
+        betaPermille.toLong, gammaPermille.toLong))
+    val fcols = (1 to horizon).map(h =>
+      (col("st")("l") + col("st")("b") * h.toLong +
+        element_at(col("st")("sl"), ((h - 1) % m) + 1)).as(s"f${h}_milli"))
+    folded.select(Seq(col("series"), size(col("pts")).as("n_days"),
+      col("st")("l").as("level_milli"), col("st")("b").as("trend_milli")) ++
+      fcols: _*)
+  }
+
+  private def dailyCounts(events: DataFrame, seriesCol: String,
+      tsCol: String): DataFrame = events
+    .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+    .agg(count(lit(1)).as("x"))
+
+  /** Append the Holt–Winters folded state `st` (l, b, sl) computed
+    * over the (day, x) struct array in `ptsCol` — shared by the
+    * forecaster and the backtest so both run the IDENTICAL
+    * recurrence. */
+  private def withHwState(ptsCol: String, m: Int, a: Long, bp: Long,
+      g: Long)(df: DataFrame): DataFrame = {
+    def fdiv(n: Column): Column =
+      floor(n.cast(DoubleType) / 1000.0).cast(LongType)
+    df.withColumn("__l0",
+        floor(aggregate(expr(s"slice($ptsCol, 1, $m)"), lit(0L),
             (acc, p) => acc + p("x") * 1000L).cast(DoubleType) / m.toDouble)
           .cast(LongType))
-      .withColumn("s0", expr(s"transform(slice(pts, 1, $m), p -> p.x * 1000 - l0)"))
-      .select(col("series"), size(col("pts")).as("n_days"),
+      .withColumn("__s0",
+        expr(s"transform(slice($ptsCol, 1, $m), p -> p.x * 1000 - __l0)"))
+      .withColumn("st",
         aggregate(
-          expr(s"slice(pts, ${m + 1}, size(pts) - $m)"),
-          struct(col("l0").as("l"), lit(0L).as("b"), col("s0").as("sl")),
+          expr(s"slice($ptsCol, ${m + 1}, size($ptsCol) - $m)"),
+          struct(col("__l0").as("l"), lit(0L).as("b"), col("__s0").as("sl")),
           (acc, p) => {
             val sOld = element_at(acc("sl"), 1)
             val lNew = fdiv(lit(a) * (p("x") * 1000L - sOld) +
@@ -494,12 +512,58 @@ object Timeseries {
               lit(1000L - g) * sOld)
             struct(lNew.as("l"), bNew.as("b"),
               concat(slice(acc("sl"), 2, m - 1), array(sNew)).as("sl"))
-          }).as("st"))
-    val fcols = (1 to horizon).map(h =>
-      (col("st")("l") + col("st")("b") * h.toLong +
-        element_at(col("st")("sl"), ((h - 1) % m) + 1)).as(s"f${h}_milli"))
-    folded.select(Seq(col("series"), col("n_days"),
-      col("st")("l").as("level_milli"), col("st")("b").as("trend_milli")) ++
-      fcols: _*)
+          }))
+      .drop("__l0", "__s0")
+  }
+
+  /** Forecast BACKTEST — the "measure, don't guess" loop for the
+    * forecasting family: hold out the last `testDays` days of each
+    * series, fit Holt–Winters on the rest, and score the held-out
+    * days against the SEASONAL-NAIVE baseline (repeat the training
+    * window's last season — the baseline MASE is defined against).
+    * mase < 1 means the model earned its keep; mase ≥ 1 means ship
+    * the naive repeat instead. Everything stays integer-milli exact:
+    * both error sums are exact longs over the same held-out days, so
+    * the ratio is one 6dp division.
+    *
+    * Scale shape: identical to the forecaster — one (series, day)
+    * count shuffle, one bounded per-series collect, and the entire
+    * split/fit/score inside per-row array expressions.
+    *
+    * @return (series, n_days, mae_model_milli, mae_naive_milli, mase)
+    */
+  def forecastBacktest(events: DataFrame, period: Int = 7,
+      testDays: Int = 7, alphaPermille: Int = 300,
+      betaPermille: Int = 100, gammaPermille: Int = 200,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(testDays <= period, "held-out horizon rotates once per period")
+    val m = period; val td = testDays
+    dailyCounts(events, seriesCol, tsCol).groupBy("series")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("all_pts"))
+      .filter(size(col("all_pts")) > m + td)
+      .withColumn("pts", expr(s"slice(all_pts, 1, size(all_pts) - $td)"))
+      .withColumn("test", expr(
+        s"slice(all_pts, size(all_pts) - ${td - 1}, $td)"))
+      .transform(withHwState("pts", m, alphaPermille.toLong,
+        betaPermille.toLong, gammaPermille.toLong))
+      .withColumn("last_season", expr(
+        s"transform(slice(pts, size(pts) - ${m - 1}, $m), p -> p.x * 1000)"))
+      .withColumn("model_abs", expr(
+        s"aggregate(sequence(1, $td), CAST(0 AS BIGINT), (acc, h) -> " +
+          s"acc + abs(st.l + h * st.b + " +
+          s"element_at(st.sl, CAST((h - 1) % $m AS INT) + 1) - " +
+          s"element_at(test, h).x * 1000))"))
+      .withColumn("naive_abs", expr(
+        s"aggregate(sequence(1, $td), CAST(0 AS BIGINT), (acc, h) -> " +
+          s"acc + abs(element_at(last_season, CAST((h - 1) % $m AS INT) + 1) - " +
+          s"element_at(test, h).x * 1000))"))
+      .select(col("series"), size(col("all_pts")).as("n_days"),
+        round(col("model_abs").cast(DoubleType) / td.toDouble, 0)
+          .cast(LongType).as("mae_model_milli"),
+        round(col("naive_abs").cast(DoubleType) / td.toDouble, 0)
+          .cast(LongType).as("mae_naive_milli"),
+        round(when(col("naive_abs") === 0L, 0.0)
+          .otherwise(col("model_abs").cast(DoubleType) /
+            col("naive_abs").cast(DoubleType)), 6).as("mase"))
   }
 }

@@ -171,6 +171,28 @@ class TimeseriesSpec extends AnyFunSuite {
       period = 2, horizon = 2).count() == 0)
   }
 
+  test("forecastBacktest: periodic test week scores exactly; naive ties give mase 1") {
+    // [4,8,4,8,4,8] td=2 m=2: train [4,8,4,8] → l=6000 b=0
+    // sl=[−2000,2000]; forecasts [4000,8000] = test exactly AND the
+    // naive repeat is also exact → both MAEs 0, mase 0 by the
+    // zero-denominator convention
+    val exact = Timeseries.forecastBacktest(series(Seq(4, 8, 4, 8, 4, 8)),
+        period = 2, testDays = 2)
+      .select("n_days", "mae_model_milli", "mae_naive_milli", "mase")
+      .as[(Int, Long, Long, Double)].head()
+    assert(exact == ((6, 0L, 0L, 0.0)), s"$exact")
+    // test [5,8]: model errs |4000−5000|=1000 on day 1, 0 on day 2;
+    // the naive repeat errs identically → mase exactly 1
+    val tied = Timeseries.forecastBacktest(series(Seq(4, 8, 4, 8, 5, 8)),
+        period = 2, testDays = 2)
+      .select("mae_model_milli", "mae_naive_milli", "mase")
+      .as[(Long, Long, Double)].head()
+    assert(tied == ((500L, 500L, 1.0)), s"$tied")
+    // too-short series are excluded (train must exceed one period)
+    assert(Timeseries.forecastBacktest(series(Seq(4, 8, 4, 8)),
+      period = 2, testDays = 2).count() == 0)
+  }
+
   test("periodogram: a period-2 alternation peaks at 2 with full power; constant series scores 0") {
     // counts [3,1,3,1,3,1]: r = [6,−6,…], Sc(P=2) = 36, den = 216,
     // nd = 6 ⇒ power = 36²/(216·6) = 1 exactly
