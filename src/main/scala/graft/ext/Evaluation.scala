@@ -838,6 +838,63 @@ object Evaluation {
             "(2 * precision_micro * recall_micro) div (precision_micro + recall_micro)")))
   }
 
+  /** Split-conformal threshold calibration (Vovk et al.; the
+    * distribution-free coverage guarantee): from a CALIBRATION split
+    * of nonconformity scores, the (1−α) threshold is the k-th
+    * smallest with k = ⌈(n+1)(1−α)⌉ — any exchangeable future score
+    * then lands at or below it with probability ≥ 1−α. The report
+    * also measures the guarantee on a held-out TEST split, the
+    * "measure, don't guess" loop for gate thresholds (a quality gate
+    * tuned by eye has no coverage statement; this one does).
+    *
+    * Exactness: k is exact integer arithmetic
+    * ((n+1)·(1000−α‰)+999 div 1000); the order statistic is selected
+    * by cumulative counts over the VALUE domain, never a per-row
+    * rank; coverage is one 6dp division. k > n (tiny calibration
+    * sets) pins the threshold at the domain max 10⁶ — cover
+    * everything, the standard convention.
+    *
+    * Scale shape: one (group, value) count shuffle; the cumulative
+    * window runs over the micro-score VALUE domain (≤ 1e6+1 rows per
+    * group regardless of corpus size — the domainCapApprox
+    * discipline); thresholds broadcast to the test pass.
+    *
+    * @param scores (group, split 'cal'|'test', s_micro in [0, 1e6])
+    * @return (grp, n_cal, k, threshold_micro, n_test, n_cov,
+    *         coverage) */
+  def conformalThreshold(scores: DataFrame, alphaPermille: Int = 100,
+      groupCol: String = "group", splitCol: String = "split",
+      sCol: String = "s_micro"): DataFrame = {
+    val base = scores.select(col(groupCol).as("grp"),
+        col(splitCol).as("split"), col(sCol).cast(LongType).as("s"))
+      .localCheckpoint() // read twice: calibration pass + test pass
+    val cal = base.filter(col("split") === "cal")
+    val nCal = cal.groupBy("grp").agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr(
+        s"((n_cal + 1) * ${1000 - alphaPermille} + 999) div 1000"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = cal.groupBy("grp", "s").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("grp").orderBy("s")))
+    val thr = cum.join(nCal, Seq("grp"))
+      .filter(col("cum") >= col("k"))
+      .groupBy("grp").agg(min(col("s")).as("thr0"))
+    val thrAll = nCal.join(thr, Seq("grp"), "left")
+      .select(col("grp"), col("n_cal"), col("k"),
+        coalesce(col("thr0"), lit(1000000L)).as("threshold_micro"))
+    val out = base.filter(col("split") === "test")
+      .join(broadcast(thrAll), Seq("grp"))
+      .groupBy("grp", "n_cal", "k", "threshold_micro")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("threshold_micro"), 1L).otherwise(0L))
+          .as("n_cov"))
+      .withColumn("coverage", round(col("n_cov").cast(DoubleType) /
+        col("n_test").cast(DoubleType), 6))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(base)
+    out
+  }
+
   /** McNemar's test for PAIRED classifiers — the significance question
     * the two-proportion [[abTest]] cannot answer when both models are
     * scored on the SAME examples (the paired design removes the

@@ -4710,8 +4710,30 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |WHERE NOT EXISTS (SELECT 1 FROM und x
       |  WHERE x.w = sc.u AND x.n = sc.v)""".stripMargin
 
+  /** q_jaccard_links: same wedge replay as adamicAdarSql with true
+    * (unfiltered) endpoint degrees and the truncating micro division. */
+  private val jaccardLinksSql: String =
+    """WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS s,
+      |    l_suppkey * 2 + 1 AS d FROM lineitem WHERE l_partkey % 20 = 0),
+      |und AS MATERIALIZED (SELECT s AS w, d AS n FROM e0
+      |  UNION SELECT d, s FROM e0),
+      |dall AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS deg
+      |  FROM und GROUP BY 1),
+      |ct AS (SELECT w FROM dall WHERE deg >= 2 AND deg <= 100000),
+      |sc AS (SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS cn
+      |  FROM und a JOIN ct ON ct.w = a.w
+      |  JOIN und b ON b.w = a.w AND a.n < b.n
+      |  GROUP BY 1, 2),
+      |j AS (SELECT sc.u, sc.v, sc.cn, du.deg AS du, dv.deg AS dv,
+      |    (sc.cn * 1000000) // (du.deg + dv.deg - sc.cn) AS jaccard_micro
+      |  FROM sc JOIN dall du ON du.w = sc.u JOIN dall dv ON dv.w = sc.v)
+      |SELECT u, v, cn, du, dv, jaccard_micro FROM j
+      |WHERE NOT EXISTS (SELECT 1 FROM und x
+      |  WHERE x.w = j.u AND x.n = j.v)""".stripMargin
+
   val all: Map[String, String] = base ++ Map(
     "q_dedup_indexed" -> base("q_dedup_incremental"),
+    "q_jaccard_links" -> jaccardLinksSql,
     "q_memorization_indexed" -> base("q_memorization"),
     "q_line_dedup_indexed" -> base("q_line_dedup"),
     "q_maxsim_topk" -> maxsimSql,
@@ -4948,6 +4970,51 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
         |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
         |FROM c""".stripMargin,
+
+    // split-conformal gate: the q_text_stats quality replay feeds
+    // inverted-score nonconformity; k = ceil((n+1)(1-alpha)) by
+    // integer arithmetic; the order statistic via cumulative value
+    // counts; coverage measured on the held-out split
+    "q_conformal_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+        |st AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+        |  length(text) AS n_chars
+        |FROM t),
+        |q AS (SELECT doc_id, lang,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 0.2, 6)
+        |    AS quality_score
+        |FROM st),
+        |sc AS (SELECT lang AS grp,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'test' ELSE 'cal' END AS split,
+        |    1000000 - CAST(round(quality_score * 1e6, 0) AS BIGINT) AS s
+        |  FROM q),
+        |ncal AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+        |    ((count(*) + 1) * 900 + 999) // 1000 AS k
+        |  FROM sc WHERE split = 'cal' GROUP BY 1),
+        |cum AS (SELECT grp, s,
+        |    CAST(sum(count(*)) OVER (PARTITION BY grp ORDER BY s)
+        |      AS BIGINT) AS cum
+        |  FROM sc WHERE split = 'cal' GROUP BY grp, s),
+        |thr AS (SELECT cum.grp, min(cum.s) AS thr0
+        |  FROM cum JOIN ncal ON ncal.grp = cum.grp
+        |  WHERE cum.cum >= ncal.k GROUP BY 1),
+        |ta AS (SELECT ncal.grp, ncal.n_cal, ncal.k,
+        |    coalesce(thr.thr0, 1000000) AS threshold_micro
+        |  FROM ncal LEFT JOIN thr ON thr.grp = ncal.grp)
+        |SELECT ta.grp, ta.n_cal, ta.k, ta.threshold_micro,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN tst.s <= ta.threshold_micro THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cov,
+        |  round(CAST(sum(CASE WHEN tst.s <= ta.threshold_micro THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
+        |FROM sc tst JOIN ta ON ta.grp = tst.grp
+        |WHERE tst.split = 'test'
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // interval Krippendorff: per-unit (m, Σv, Σv²) → 2(m·S2−S1²)
     // identity — no category grid; incomplete panel via residue drops

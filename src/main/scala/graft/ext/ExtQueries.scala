@@ -1827,6 +1827,20 @@ object ExtQueries {
             "array_remove(split(lower(text), '\\\\s+'), '')" +
             ") AS BIGINT) div 10"))).as("r2")))
 
+  /** Split-conformal quality-gate calibration per language: the
+    * nonconformity score is inverted doc quality (low quality = high
+    * nonconformity), doc_id%5 holds out the test split, and the
+    * report carries the finite-sample 90% threshold plus its measured
+    * held-out coverage. */
+  def qConformalGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.conformalThreshold(d.select(col("lang").as("group"),
+      when(pmod(col("doc_id"), lit(5)) === 0, "test")
+        .otherwise("cal").as("split"),
+      (lit(1000000L) - round(col("quality_score") * 1e6, 0).cast("long"))
+        .as("s_micro")))
+  }
+
   /** Interval-metric Krippendorff α per language over an INCOMPLETE
     * ordinal panel: three derived 1–5 judges (two length scales, one
     * token scale), judge 2 and 3 missing on planted residue classes

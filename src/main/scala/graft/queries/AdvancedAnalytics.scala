@@ -223,6 +223,17 @@ object AdvancedAnalytics {
     graft.operators.Graph.adamicAdar(li)
   }
 
+  /** Jaccard link prediction over the same sourcing graph as
+    * [[qAdamicAdar]] — the degree-normalized score; see
+    * [[graft.operators.Graph.jaccardLinks]]. */
+  def qJaccardLinks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .filter(col("l_partkey") % 20 === 0)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.Graph.jaccardLinks(li)
+  }
+
   /** Exact triangle count of the co-purchase graph (parts sharing an
     * order), degree-oriented; see
     * [[graft.operators.Graph.triangleCount]]. */

@@ -2144,6 +2144,33 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("conformalThreshold: k-th order statistic, tiny-set convention, measured coverage") {
+    import spark.implicits._
+    // cal scores 100..900 (n=9), α=10% → k = ⌈10·0.9⌉ = 9 → the 9th
+    // smallest = 900; test [150, 850, 950] covers 2/3
+    val rows = (1 to 9).map(i => ("g", "cal", i * 100L)) ++
+      Seq(("g", "test", 150L), ("g", "test", 850L), ("g", "test", 950L))
+    val r = Evaluation.conformalThreshold(
+      rows.toDF("group", "split", "s_micro")).head()
+    assert(r.getAs[Long]("n_cal") == 9L && r.getAs[Long]("k") == 9L &&
+      r.getAs[Long]("threshold_micro") == 900L, s"$r")
+    assert(r.getAs[Long]("n_test") == 3L && r.getAs[Long]("n_cov") == 2L &&
+      r.getAs[Double]("coverage") == 0.666667, s"$r")
+    // α=20% → k = ⌈10·0.8⌉ = 8 → threshold 800
+    val r2 = Evaluation.conformalThreshold(
+      rows.toDF("group", "split", "s_micro"), alphaPermille = 200).head()
+    assert(r2.getAs[Long]("threshold_micro") == 800L, s"$r2")
+    // n_cal = 3, α=10% → k = ⌈4·0.9⌉ = 4 > n → threshold pinned at
+    // the domain max, coverage 1
+    val tiny = Seq(("g", "cal", 10L), ("g", "cal", 20L), ("g", "cal", 30L),
+      ("g", "test", 999999L)).toDF("group", "split", "s_micro")
+    val t = Evaluation.conformalThreshold(tiny).head()
+    assert(t.getAs[Long]("k") == 4L &&
+      t.getAs[Long]("threshold_micro") == 1000000L &&
+      t.getAs[Double]("coverage") == 1.0, s"$t")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("krippendorffAlphaInterval: hand-computed units, exclusions, conventions") {
     import spark.implicits._
     // g: unit1 [1,3] → du = 2(2·10−16)/1 = 8; unit2 [2,2] → 0;

@@ -297,4 +297,29 @@ class GraphSpec extends AnyFunSuite {
     assert(off.toSeq == out.toSeq, "broadcast gate must not change scores")
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("jaccardLinks: degree-normalized scores; full-overlap pair hits 1") {
+    // path 1—2—3—4: (1,3) share {2}, deg 1/2 → 1e6 div (1+2−1) = 500000;
+    // (2,4) symmetric
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.jaccardLinks(path)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 1L, 1L, 2L, 500000L),
+      (2L, 4L, 1L, 2L, 1L, 500000L)), s"got $out")
+    // diamond 1—2,1—3,2—3,2—4,3—4: (1,4) share BOTH neighbors →
+    // jaccard exactly 1; all sharing pairs that are adjacent excluded
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val d = Graph.jaccardLinks(diamond)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(d == Set((1L, 4L, 2L, 2L, 2L, 1000000L)), s"got $d")
+    // a hub above the center cap generates no wedges
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(Graph.jaccardLinks(star, maxCenterDegree = 3L).count() == 0L)
+    // gate off ≡ on
+    val off = Graph.jaccardLinks(path, broadcastMaxNodes = 0L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(off == out, "broadcast gate must not change scores")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }
