@@ -864,18 +864,35 @@ object Evaluation {
     *         coverage) */
   def conformalThreshold(scores: DataFrame, alphaPermille: Int = 100,
       groupCol: String = "group", splitCol: String = "split",
-      sCol: String = "s_micro"): DataFrame = {
-    val base = scores.select(col(groupCol).as("grp"),
-        col(splitCol).as("split"), col(sCol).cast(LongType).as("s"))
-      .localCheckpoint() // read twice: calibration pass + test pass
+      sCol: String = "s_micro"): DataFrame =
+    conformalFinish(
+      conformalState(scores, groupCol, splitCol, sCol), alphaPermille)
+
+  /** The ALGEBRAIC accumulator behind [[conformalThreshold]]: counts
+    * per (group, split, value) — micro-batches merge freely and the
+    * state is value-domain-bounded (≤ 2·(1e6+1) rows per group), the
+    * streaming-twin state
+    * ([[graft.streaming.StreamingOps.conformalStateStream]]). */
+  private[graft] def conformalState(scores: DataFrame,
+      groupCol: String = "group", splitCol: String = "split",
+      sCol: String = "s_micro"): DataFrame =
+    scores.select(col(groupCol).as("grp"), col(splitCol).as("split"),
+        col(sCol).cast(LongType).as("s"))
+      .groupBy("grp", "split", "s").agg(count(lit(1)).as("c"))
+
+  /** Finish a [[conformalState]] snapshot into the threshold-and-
+    * coverage report — value-domain-sized input, identical result
+    * from one batch pass or merged micro-batches. */
+  def conformalFinish(state: DataFrame,
+      alphaPermille: Int = 100): DataFrame = {
+    val base = state.localCheckpoint() // cal pass + test pass
     val cal = base.filter(col("split") === "cal")
-    val nCal = cal.groupBy("grp").agg(count(lit(1)).as("n_cal"))
+    val nCal = cal.groupBy("grp").agg(sum(col("c")).as("n_cal"))
       .withColumn("k", expr(
         s"((n_cal + 1) * ${1000 - alphaPermille} + 999) div 1000"))
     import org.apache.spark.sql.expressions.Window
-    val cum = cal.groupBy("grp", "s").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy("grp").orderBy("s")))
+    val cum = cal.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy("grp").orderBy("s")))
     val thr = cum.join(nCal, Seq("grp"))
       .filter(col("cum") >= col("k"))
       .groupBy("grp").agg(min(col("s")).as("thr0"))
@@ -885,9 +902,9 @@ object Evaluation {
     val out = base.filter(col("split") === "test")
       .join(broadcast(thrAll), Seq("grp"))
       .groupBy("grp", "n_cal", "k", "threshold_micro")
-      .agg(count(lit(1)).as("n_test"),
-        sum(when(col("s") <= col("threshold_micro"), 1L).otherwise(0L))
-          .as("n_cov"))
+      .agg(sum(col("c")).as("n_test"),
+        sum(when(col("s") <= col("threshold_micro"), col("c"))
+          .otherwise(0L)).as("n_cov"))
       .withColumn("coverage", round(col("n_cov").cast(DoubleType) /
         col("n_test").cast(DoubleType), 6))
       .localCheckpoint()

@@ -559,6 +559,17 @@ object StreamingOps {
       bCol: String = "pred_b"): DataFrame =
     graft.ext.Evaluation.mcnemar(preds, groupCol, yCol, aCol, bCol)
 
+  /** Live conformal-coverage monitor state (Complete mode): counts
+    * per (group, split, micro-value) — value-domain bounded, never
+    * stream length; finish a snapshot with
+    * `Evaluation.conformalFinish` (the order statistic needs the
+    * whole value table, the aucState discipline). The production
+    * shape: a gate dashboard watches whether live coverage still
+    * honors the calibrated guarantee. */
+  def conformalStateStream(scores: DataFrame, groupCol: String = "group",
+      splitCol: String = "split", sCol: String = "s_micro"): DataFrame =
+    graft.ext.Evaluation.conformalState(scores, groupCol, splitCol, sCol)
+
   /** Live fairness monitor state (Complete mode): the five algebraic
     * per-group counters of [[graft.ext.Evaluation.fairnessReport]];
     * finish a snapshot with `Evaluation.fairnessFinish` (the overall

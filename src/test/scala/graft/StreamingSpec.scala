@@ -565,6 +565,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming conformal state snapshot finishes to the batch report") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long)]
+    val b1 = (1 to 5).map(i => ("g", "cal", i * 100L))
+    val b2 = (6 to 9).map(i => ("g", "cal", i * 100L)) ++
+      Seq(("g", "test", 150L), ("g", "test", 850L), ("g", "test", 950L))
+    val q = StreamingOps.conformalStateStream(
+        mem.toDF().toDF("group", "split", "s_micro"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("conf_out").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = graft.ext.Evaluation.conformalFinish(
+        spark.table("conf_out")).collect().toSet
+      val batch = graft.ext.Evaluation.conformalThreshold(
+        (b1 ++ b2).toDF("group", "split", "s_micro")).collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      graft.ext.Checkpoints.releaseAll(spark)
+    } finally q.stop()
+  }
+
   test("streaming fairness state snapshot finishes to the batch report") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
