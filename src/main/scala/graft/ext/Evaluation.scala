@@ -838,6 +838,109 @@ object Evaluation {
             "(2 * precision_micro * recall_micro) div (precision_micro + recall_micro)")))
   }
 
+  /** DeLong's test for comparing two correlated ROC-AUCs (DeLong,
+    * DeLong & Clarke-Pearson 1988) — the rank-side companion to
+    * [[mcnemar]]: both models score the SAME examples, so the AUC
+    * difference must be tested with the paired covariance, not two
+    * independent AUC variances. Uses the structural-component
+    * formulation: per positive i, V10(i) = P̂(s_i > s_neg) with ½ for
+    * ties; per negative j, V01(j) likewise against positives;
+    * AUC = mean V10, and Var(θ̂_A−θ̂_B) =
+    * (S10_A + S10_B − 2·S10_AB)/n_pos + (S01_A + S01_B − 2·S01_AB)/n_neg
+    * with S the sample (co)variances of the components.
+    *
+    * Exactness contract: each component is an exact INTEGER
+    * (2·negBelow + negEq, scale 2·n_neg — the aucRoc u2 discipline,
+    * derived from score-value count tables, never per-row ranks);
+    * every Σv, Σv², Σv_A·v_B is an exact long (< 2⁵³ while
+    * n·(2n)² stays under it — ~2·10⁵ examples per group, the
+    * documented engine-parity bound for the final double cast); the
+    * variance and z are fixed-shape double expressions over those
+    * longs, 6dp. Groups with n_pos < 2 or n_neg < 2, or zero variance
+    * (e.g. identical models), report z = 0.
+    *
+    * Scale shape: two score-value count tables (value-domain bounded)
+    * with cumulative windows over VALUES, two keyed joins back to the
+    * example table, ONE group aggregation — no pairwise expansion
+    * anywhere.
+    *
+    * @param preds (group, y, score_a_micro, score_b_micro)
+    * @return (grp, n_pos, n_neg, auc_a, auc_b, var_diff, z) */
+  def delongTest(preds: DataFrame, groupCol: String = "group",
+      yCol: String = "y", aCol: String = "score_a_micro",
+      bCol: String = "score_b_micro"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = preds.select(col(groupCol).as("grp"),
+        col(yCol).cast(LongType).as("y"),
+        col(aCol).cast(LongType).as("sa"), col(bCol).cast(LongType).as("sb"))
+      .localCheckpoint() // feeds two value tables + the example pass
+    def valueTable(scoreCol: String, v10: String, v01: String): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy("s")
+      base.groupBy(col("grp"), col(scoreCol).as("s"))
+        .agg(sum(col("y")).as("pos"),
+          (count(lit(1)) - sum(col("y"))).as("neg"))
+        .withColumn("negBelow", coalesce(sum(col("neg")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("posAbove", coalesce(sum(col("pos")).over(
+          w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+        .select(col("grp"), col("s").as(scoreCol),
+          (lit(2L) * col("negBelow") + col("neg")).as(v10),
+          (lit(2L) * col("posAbove") + col("pos")).as(v01))
+    }
+    val joined = base
+      .join(valueTable("sa", "v10a", "v01a"), Seq("grp", "sa"))
+      .join(valueTable("sb", "v10b", "v01b"), Seq("grp", "sb"))
+    def s1(c: Column) = sum(when(col("y") === 1L, c).otherwise(0L))
+    def s0(c: Column) = sum(when(col("y") === 0L, c).otherwise(0L))
+    val agg = joined.groupBy("grp").agg(
+      sum(col("y")).as("n_pos"),
+      (count(lit(1)) - sum(col("y"))).as("n_neg"),
+      s1(col("v10a")).as("sa10"), s1(col("v10b")).as("sb10"),
+      s1(col("v10a") * col("v10a")).as("saa10"),
+      s1(col("v10b") * col("v10b")).as("sbb10"),
+      s1(col("v10a") * col("v10b")).as("sab10"),
+      s0(col("v01a")).as("sa01"), s0(col("v01b")).as("sb01"),
+      s0(col("v01a") * col("v01a")).as("saa01"),
+      s0(col("v01b") * col("v01b")).as("sbb01"),
+      s0(col("v01a") * col("v01b")).as("sab01"))
+    // sample covariance of two scaled component columns, in TRUE
+    // units: (Σxy − ΣxΣy/n)/(n−1)/denom² — one canonical shape,
+    // mirrored verbatim by the oracle
+    def cov(sxy: Column, sx: Column, sy: Column, n: Column,
+        denom: Column): Column =
+      (sxy.cast(DoubleType) -
+        sx.cast(DoubleType) * sy.cast(DoubleType) / n.cast(DoubleType)) /
+        (n.cast(DoubleType) - lit(1.0)) /
+        (denom.cast(DoubleType) * denom.cast(DoubleType))
+    val d10 = lit(2L) * col("n_neg"); val d01 = lit(2L) * col("n_pos")
+    val varDiff =
+      (cov(col("saa10"), col("sa10"), col("sa10"), col("n_pos"), d10) +
+        cov(col("sbb10"), col("sb10"), col("sb10"), col("n_pos"), d10) -
+        lit(2.0) * cov(col("sab10"), col("sa10"), col("sb10"), col("n_pos"), d10)) /
+        col("n_pos").cast(DoubleType) +
+      (cov(col("saa01"), col("sa01"), col("sa01"), col("n_neg"), d01) +
+        cov(col("sbb01"), col("sb01"), col("sb01"), col("n_neg"), d01) -
+        lit(2.0) * cov(col("sab01"), col("sa01"), col("sb01"), col("n_neg"), d01)) /
+        col("n_neg").cast(DoubleType)
+    val scale = (col("n_pos") * lit(2L) * col("n_neg")).cast(DoubleType)
+    val aucA = col("sa10").cast(DoubleType) / scale
+    val aucB = col("sb10").cast(DoubleType) / scale
+    val diff = (col("sa10") - col("sb10")).cast(DoubleType) / scale
+    val out = agg.select(col("grp"), col("n_pos"), col("n_neg"),
+      round(when(col("n_pos") === 0L || col("n_neg") === 0L, 0.5)
+        .otherwise(aucA), 6).as("auc_a"),
+      round(when(col("n_pos") === 0L || col("n_neg") === 0L, 0.5)
+        .otherwise(aucB), 6).as("auc_b"),
+      round(when(col("n_pos") < 2L || col("n_neg") < 2L, 0.0)
+        .otherwise(varDiff), 6).as("var_diff"),
+      round(when(col("n_pos") < 2L || col("n_neg") < 2L, 0.0)
+        .otherwise(when(varDiff <= 0.0, 0.0)
+          .otherwise(diff / sqrt(varDiff))), 6).as("z"))
+      .localCheckpoint() // groups-sized; frees the example pin
+    graft.ext.Checkpoints.release(base)
+    out
+  }
+
   /** Split-conformal threshold calibration (Vovk et al.; the
     * distribution-free coverage guarantee): from a CALIBRATION split
     * of nonconformity scores, the (1−α) threshold is the k-th

@@ -4710,6 +4710,94 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |WHERE NOT EXISTS (SELECT 1 FROM und x
       |  WHERE x.w = sc.u AND x.n = sc.v)""".stripMargin
 
+  /** q_delong: covariance of paired AUC structural components; the
+    * cov shape string mirrors Evaluation.delongTest.cov verbatim. */
+  private val delongSql: String = {
+    def covSql(sxy: String, sx: String, sy: String, n: String,
+        d: String): String =
+      s"(CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE) " +
+        s"/ CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0) " +
+        s"/ (CAST($d AS DOUBLE) * CAST($d AS DOUBLE))"
+    val v10 = covSql("saa10", "sa10", "sa10", "n_pos", "2 * n_neg") +
+      " + " + covSql("sbb10", "sb10", "sb10", "n_pos", "2 * n_neg") +
+      " - 2.0 * " + covSql("sab10", "sa10", "sb10", "n_pos", "2 * n_neg")
+    val v01 = covSql("saa01", "sa01", "sa01", "n_neg", "2 * n_pos") +
+      " + " + covSql("sbb01", "sb01", "sb01", "n_neg", "2 * n_pos") +
+      " - 2.0 * " + covSql("sab01", "sa01", "sb01", "n_neg", "2 * n_pos")
+    val varD = s"($v10) / CAST(n_pos AS DOUBLE) " +
+      s"+ ($v01) / CAST(n_neg AS DOUBLE)"
+    s"""WITH t AS (SELECT doc_id, lang, text, n_chars, $toks AS toks
+        |  FROM documents),
+        |st AS (SELECT doc_id, lang, text, n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords
+        |FROM t),
+        |q AS (SELECT lang, text, n_chars,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+        |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.2, 6)
+        |    AS quality_score
+        |FROM st),
+        |sc AS (SELECT lang AS grp,
+        |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(quality_score * 1e6, 0) AS BIGINT) AS sa,
+        |    least(n_chars, 1000) * 1000 AS sb
+        |  FROM q),
+        |vta AS (SELECT grp, sa AS s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg FROM sc GROUP BY 1, 2),
+        |vta2 AS (SELECT grp, s,
+        |    2 * COALESCE(CAST(sum(neg) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + neg AS v10,
+        |    2 * COALESCE(CAST(sum(pos) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0)
+        |      + pos AS v01
+        |  FROM vta),
+        |vtb AS (SELECT grp, sb AS s, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS neg FROM sc GROUP BY 1, 2),
+        |vtb2 AS (SELECT grp, s,
+        |    2 * COALESCE(CAST(sum(neg) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + neg AS v10,
+        |    2 * COALESCE(CAST(sum(pos) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0)
+        |      + pos AS v01
+        |  FROM vtb),
+        |j AS (SELECT sc.grp, sc.y, a.v10 AS v10a, a.v01 AS v01a,
+        |    b.v10 AS v10b, b.v01 AS v01b
+        |  FROM sc JOIN vta2 a ON a.grp = sc.grp AND a.s = sc.sa
+        |  JOIN vtb2 b ON b.grp = sc.grp AND b.s = sc.sb),
+        |ag AS (SELECT grp, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN y = 1 THEN v10a ELSE 0 END) AS BIGINT) AS sa10,
+        |    CAST(sum(CASE WHEN y = 1 THEN v10b ELSE 0 END) AS BIGINT) AS sb10,
+        |    CAST(sum(CASE WHEN y = 1 THEN v10a * v10a ELSE 0 END) AS BIGINT) AS saa10,
+        |    CAST(sum(CASE WHEN y = 1 THEN v10b * v10b ELSE 0 END) AS BIGINT) AS sbb10,
+        |    CAST(sum(CASE WHEN y = 1 THEN v10a * v10b ELSE 0 END) AS BIGINT) AS sab10,
+        |    CAST(sum(CASE WHEN y = 0 THEN v01a ELSE 0 END) AS BIGINT) AS sa01,
+        |    CAST(sum(CASE WHEN y = 0 THEN v01b ELSE 0 END) AS BIGINT) AS sb01,
+        |    CAST(sum(CASE WHEN y = 0 THEN v01a * v01a ELSE 0 END) AS BIGINT) AS saa01,
+        |    CAST(sum(CASE WHEN y = 0 THEN v01b * v01b ELSE 0 END) AS BIGINT) AS sbb01,
+        |    CAST(sum(CASE WHEN y = 0 THEN v01a * v01b ELSE 0 END) AS BIGINT) AS sab01
+        |  FROM j GROUP BY 1)
+        |SELECT grp, n_pos, n_neg,
+        |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
+        |    ELSE CAST(sa10 AS DOUBLE) / CAST(n_pos * 2 * n_neg AS DOUBLE)
+        |    END, 6) AS auc_a,
+        |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
+        |    ELSE CAST(sb10 AS DOUBLE) / CAST(n_pos * 2 * n_neg AS DOUBLE)
+        |    END, 6) AS auc_b,
+        |  round(CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0
+        |    ELSE $varD END, 6) AS var_diff,
+        |  round(CASE WHEN n_pos < 2 OR n_neg < 2 THEN 0.0
+        |    WHEN ($varD) <= 0.0 THEN 0.0
+        |    ELSE (CAST(sa10 - sb10 AS DOUBLE)
+        |      / CAST(n_pos * 2 * n_neg AS DOUBLE)) / sqrt($varD)
+        |  END, 6) AS z
+        |FROM ag""".stripMargin
+  }
+
   /** q_jaccard_links: same wedge replay as adamicAdarSql with true
     * (unfiltered) endpoint degrees and the truncating micro division. */
   private val jaccardLinksSql: String =
@@ -4970,6 +5058,11 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
         |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
         |FROM c""".stripMargin,
+
+    // DeLong paired-AUC replay: structural components from value-
+    // count windows (the aucRoc discipline), one example join, exact
+    // long sums, covariance shapes mirrored from Evaluation.delongTest
+    "q_delong" -> delongSql,
 
     // split-conformal gate: the q_text_stats quality replay feeds
     // inverted-score nonconformity; k = ceil((n+1)(1-alpha)) by

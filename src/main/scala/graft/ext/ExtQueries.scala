@@ -1827,6 +1827,19 @@ object ExtQueries {
             "array_remove(split(lower(text), '\\\\s+'), '')" +
             ") AS BIGINT) div 10"))).as("r2")))
 
+  /** DeLong's paired-AUC test per language: quality score vs a pure
+    * length score against the contains-" the " label, scored on the
+    * SAME docs — the correlated-AUC comparison two independent
+    * Mann–Whitney tests would get wrong. */
+  def qDelong(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.delongTest(d.select(col("lang").as("group"),
+      lower(col("text")).like("% the %").cast("long").as("y"),
+      round(col("quality_score") * 1e6, 0).cast("long")
+        .as("score_a_micro"),
+      (least(col("n_chars"), lit(1000L)) * 1000L).as("score_b_micro")))
+  }
+
   /** Split-conformal quality-gate calibration per language: the
     * nonconformity score is inverted doc quality (low quality = high
     * nonconformity), doc_id%5 holds out the test split, and the

@@ -721,6 +721,14 @@ object GraftFunctions {
       tableOf(strArg(args.head, "fairness_report(table)")))
       .queryExecution.logical
 
+  /** delong_test(tbl) — paired-AUC comparison over
+    * (group, y, score_a_micro, score_b_micro) rows
+    * ([[graft.ext.Evaluation.delongTest]]). */
+  def delongTestTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.delongTest(
+      tableOf(strArg(args.head, "delong_test(table)")))
+      .queryExecution.logical
+
   /** distinct_ngrams(tbl) — corpus distinct-1/2/3 diversity per
     * `source` over (source, text) rows
     * ([[graft.ext.Curation.distinctNgrams]]). */
@@ -969,6 +977,7 @@ object GraftFunctions {
     "fairness_report" -> (fairnessReportTvf _),
     "confident_joint" -> (confidentJointTvf _),
     "distinct_ngrams" -> (distinctNgramsTvf _),
+    "delong_test" -> (delongTestTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

@@ -2144,6 +2144,58 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("delongTest: matches the pairwise brute force; identical models give z=0") {
+    import spark.implicits._
+    // mixed ties across classes on both scorers
+    val ex = Seq( // (y, sa, sb)
+      (1L, 5L, 2L), (1L, 3L, 7L), (1L, 3L, 4L),
+      (0L, 3L, 4L), (0L, 1L, 1L), (0L, 6L, 2L))
+    val df = ex.map { case (y, a, b) => ("g", y, a, b) }
+      .toDF("group", "y", "score_a_micro", "score_b_micro")
+    val r = Evaluation.delongTest(df).head()
+    // brute force: per-example scaled structural components
+    val pos = ex.filter(_._1 == 1L); val neg = ex.filter(_._1 == 0L)
+    def v10(s: Long, f: ((Long, Long, Long)) => Long) =
+      2L * neg.count(f(_) < s) + neg.count(f(_) == s)
+    def v01(s: Long, f: ((Long, Long, Long)) => Long) =
+      2L * pos.count(f(_) > s) + pos.count(f(_) == s)
+    val (np, nn) = (pos.size.toLong, neg.size.toLong)
+    val v10a = pos.map(p => v10(p._2, _._2)); val v10b = pos.map(p => v10(p._3, _._3))
+    val v01a = neg.map(p => v01(p._2, _._2)); val v01b = neg.map(p => v01(p._3, _._3))
+    def cov(xy: Long, x: Long, y: Long, n: Long, d: Long) =
+      (xy.toDouble - x.toDouble * y.toDouble / n.toDouble) /
+        (n.toDouble - 1.0) / (d.toDouble * d.toDouble)
+    def sums(v: Seq[Long], w: Seq[Long]) =
+      (v.sum, w.sum, v.map(x => x * x).sum, w.map(x => x * x).sum,
+        v.zip(w).map { case (x, y) => x * y }.sum)
+    val (sa10, sb10, saa10, sbb10, sab10) = sums(v10a, v10b)
+    val (sa01, sb01, saa01, sbb01, sab01) = sums(v01a, v01b)
+    val vd = (cov(saa10, sa10, sa10, np, 2 * nn) +
+        cov(sbb10, sb10, sb10, np, 2 * nn) -
+        2.0 * cov(sab10, sa10, sb10, np, 2 * nn)) / np.toDouble +
+      (cov(saa01, sa01, sa01, nn, 2 * np) +
+        cov(sbb01, sb01, sb01, nn, 2 * np) -
+        2.0 * cov(sab01, sa01, sb01, nn, 2 * np)) / nn.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scale = (np * 2 * nn).toDouble
+    assert(r.getAs[Double]("auc_a") == r6(sa10 / scale), s"$r")
+    assert(r.getAs[Double]("auc_b") == r6(sb10 / scale), s"$r")
+    assert(r.getAs[Double]("var_diff") == r6(vd), s"$r vs $vd")
+    assert(r.getAs[Double]("z") ==
+      r6(((sa10 - sb10).toDouble / scale) / math.sqrt(vd)), s"$r")
+    // identical scorers: every paired component matches → var 0 → z 0
+    val same = ex.map { case (y, a, _) => ("g", y, a, a) }
+      .toDF("group", "y", "score_a_micro", "score_b_micro")
+    val s = Evaluation.delongTest(same).head()
+    assert(s.getAs[Double]("var_diff") == 0.0 && s.getAs[Double]("z") == 0.0)
+    // degenerate class counts report z = 0, not NaN
+    val onePos = Seq(("g", 1L, 5L, 2L), ("g", 0L, 3L, 4L), ("g", 0L, 1L, 1L))
+      .toDF("group", "y", "score_a_micro", "score_b_micro")
+    assert(Evaluation.delongTest(onePos).head().getAs[Double]("z") == 0.0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("conformalThreshold: k-th order statistic, tiny-set convention, measured coverage") {
     import spark.implicits._
     // cal scores 100..900 (n=9), α=10% → k = ⌈10·0.9⌉ = 9 → the 9th

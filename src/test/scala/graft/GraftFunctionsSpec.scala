@@ -455,6 +455,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("dn_e11")
     sameAs("SELECT * FROM distinct_ngrams('dn_e11')",
       graft.ext.Curation.distinctNgrams(spark.table("dn_e11")))
+    Seq(("g", 1L, 5L, 2L), ("g", 1L, 3L, 7L), ("g", 0L, 3L, 4L),
+        ("g", 0L, 1L, 1L))
+      .toDF("group", "y", "score_a_micro", "score_b_micro")
+      .createOrReplaceTempView("dl_e11")
+    sameAs("SELECT * FROM delong_test('dl_e11')",
+      graft.ext.Evaluation.delongTest(spark.table("dl_e11")))
     Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
       .createOrReplaceTempView("ks_a_e11")
     Seq(("g", 2L), ("g", 9L)).toDF("group", "v")
