@@ -4710,6 +4710,50 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |WHERE NOT EXISTS (SELECT 1 FROM und x
       |  WHERE x.w = sc.u AND x.n = sc.v)""".stripMargin
 
+  /** q_pca_power: exact integer-micro mean/covariance, then the
+    * unrolled power iteration with 12dp squash per round — v₀ =
+    * 1/√dims per element, sequential list_dot_product on both sides. */
+  private def pcaPowerSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""w$r AS (SELECT list(round(list_dot_product(rws.rw, v${r - 1}.v), 12)
+        |    ORDER BY rws.i) AS w FROM rws CROSS JOIN v${r - 1}),
+        |v$r AS (SELECT list_transform(w,
+        |    x -> round(x / sqrt(list_dot_product(w, w)), 12)) AS v
+        |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vm AS MATERIALIZED (SELECT vec_id AS id,
+      |    CAST(u.i AS INTEGER) - 1 AS j,
+      |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |mu AS MATERIALIZED (SELECT j,
+      |    CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 0)
+      |      AS BIGINT) AS m
+      |  FROM vm GROUP BY 1),
+      |cent AS MATERIALIZED (SELECT vm.id, vm.j, vm.x - mu.m AS e
+      |  FROM vm JOIN mu USING (j)),
+      |cov AS MATERIALIZED (SELECT a.j AS i, b.j AS jj,
+      |    CAST(round(CAST(sum(a.e * b.e) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS c
+      |  FROM cent a JOIN cent b ON a.id = b.id GROUP BY 1, 2),
+      |rws AS MATERIALIZED (SELECT i, list(CAST(c AS DOUBLE) ORDER BY jj)
+      |    AS rw FROM cov GROUP BY 1),
+      |dims AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM mu),
+      |v0 AS (SELECT list_transform(range(1, CAST(dims.nd AS INTEGER) + 1),
+      |    x -> CAST(1.0 AS DOUBLE) / sqrt(CAST(dims.nd AS DOUBLE))) AS v
+      |  FROM dims),
+      |$steps,
+      |wf AS (SELECT list(round(list_dot_product(rws.rw, v$rounds.v), 12)
+      |    ORDER BY rws.i) AS w FROM rws CROSS JOIN v$rounds),
+      |ray AS (SELECT list_dot_product(v$rounds.v, wf.w) AS ray
+      |  FROM v$rounds CROSS JOIN wf),
+      |tr AS (SELECT CAST(sum(c) AS BIGINT) AS trace FROM cov WHERE i = jj)
+      |SELECT mu.j AS d, mu.m AS mu_micro,
+      |  round(v$rounds.v[mu.j + 1], 6) AS pc1,
+      |  round(ray.ray, 6) AS eig,
+      |  round(ray.ray / CAST(tr.trace AS DOUBLE), 6) AS explained
+      |FROM mu CROSS JOIN v$rounds CROSS JOIN ray CROSS JOIN tr""".stripMargin
+  }
+
   /** q_delong: covariance of paired AUC structural components; the
     * cov shape string mirrors Evaluation.delongTest.cov verbatim. */
   private val delongSql: String = {
@@ -5063,6 +5107,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     // count windows (the aucRoc discipline), one example join, exact
     // long sums, covariance shapes mirrored from Evaluation.delongTest
     "q_delong" -> delongSql,
+    "q_pca_power" -> pcaPowerSql(ExtQueries.pcaRounds),
 
     // split-conformal gate: the q_text_stats quality replay feeds
     // inverted-score nonconformity; k = ceil((n+1)(1-alpha)) by

@@ -1111,6 +1111,16 @@ object ExtQueries {
     * give centroid-vs-mean agreement around 0.95–0.97). */
   val ivfDriftThresholdMicro: Long = 960000L
 
+  /** Power-iteration rounds for [[qPcaPower]] — shared with the
+    * oracle generator (unrolled to the same depth). */
+  val pcaRounds = 8
+
+  /** Top principal component + explained-variance share of the
+    * embedding table — the anisotropy/collapse diagnostic
+    * ([[graft.ext.Similarity.pcaPower]]). */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pcaPower(Tables(spark, dir).embeddings, rounds = pcaRounds)
+
   /** Nearest-centroid classification of the embeddings table: fit on
     * vec_id % 5 ≠ 0, classify the rest, confusion counts. */
   def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =

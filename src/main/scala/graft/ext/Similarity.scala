@@ -1170,4 +1170,75 @@ object Similarity {
     Checkpoints.release(c0) // the final selection is materialized
     selected
   }
+
+  /** Top principal component of the embedding space by power
+    * iteration — the anisotropy/collapse diagnostic for a learned
+    * embedding table (a healthy space spreads variance; a collapsed
+    * one parks most of it on one direction — `explained` near 1 is
+    * the red flag). Mean and covariance are computed DISTRIBUTED in
+    * exact integer micro space (per-dim micro means; covariance cells
+    * round(Σ eᵢeⱼ / n) from exact long sums — map-side combinable to
+    * dims² cells); the dims²-bounded cell table is then collected
+    * (the centroid discipline) and `rounds` power-iteration steps run
+    * driver-side under the iterated-float contract: every state
+    * element squashes to 12dp per round, every fold is sequential in
+    * index order, v₀ = 1/√dims per element (exactly representable
+    * for power-of-two dims), so the DuckDB oracle unrolls the same
+    * rounds bit-for-bit. No sign canonicalization: the iteration is
+    * fully deterministic from v₀, so both engines land on the same
+    * signed vector.
+    *
+    * @return one row per dimension: (d, mu_micro, pc1 — the
+    *   eigenvector coordinate at 12dp, rounded to 6 for the report —
+    *   plus the Rayleigh eigenvalue and explained-variance share
+    *   replicated on every row, calibration-summary style) */
+  def pcaPower(emb: DataFrame, rounds: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val vm = emb.select(col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))))
+      .select(col("id"), col("pos").as("j"),
+        round(col("col") * 1e6, 0).cast(LongType).as("x"))
+      .localCheckpoint() // two passes: mean, then centered self-join
+    val mu = vm.groupBy("j").agg(
+      round(sum(col("x")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 0)
+        .cast(LongType).as("m"))
+    val cent = vm.join(broadcast(mu), Seq("j"))
+      .select(col("id"), col("j"), (col("x") - col("m")).as("e"))
+    val cov = cent.as("a").join(cent.as("b"), Seq("id"))
+      .groupBy(col("a.j").as("i"), col("b.j").as("jj"))
+      .agg(round(sum(col("a.e") * col("b.e")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 0)
+        .cast(LongType).as("c"))
+    // dims²-bounded collects (64² = 4096 cells)
+    val cells = cov.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val mus = mu.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Checkpoints.release(vm)
+    val dims = mus.size
+    val mat = Array.ofDim[Double](dims, dims)
+    cells.foreach { case (i, j, c) => mat(i)(j) = c.toDouble }
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to rounds) {
+      val w = mat.map(row => r12(dotSeq(row, v)))
+      val nrm = math.sqrt(dotSeq(w, w))
+      v = w.map(x => r12(x / nrm))
+    }
+    val wFinal = mat.map(row => r12(dotSeq(row, v)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val eig = r6(dotSeq(v, wFinal))
+    val trace = cells.collect { case (i, j, c) if i == j => c }.sum
+    val explained = r6(dotSeq(v, wFinal) / trace.toDouble)
+    import spark.implicits._
+    (0 until dims).map(d =>
+        (d, mus(d), r6(v(d)), eig, explained))
+      .toDF("d", "mu_micro", "pc1", "eig", "explained")
+  }
 }

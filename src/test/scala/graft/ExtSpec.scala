@@ -2144,6 +2144,32 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("pcaPower: axis-aligned variance finds the axis; rank-1 space reads collapsed") {
+    import spark.implicits._
+    // variance 4 on axis 0, 1 on axis 1, uncorrelated → pc1 = ±e0,
+    // explained = 4/5
+    val axis = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(-2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.pcaPower(axis).collect()
+      .map(r => r.getAs[Int]("d") -> r).toMap
+    assert(a.values.forall(_.getAs[Long]("mu_micro") == 0L))
+    assert(math.abs(math.abs(a(0).getAs[Double]("pc1")) - 1.0) < 1e-4, s"$a")
+    assert(math.abs(a(1).getAs[Double]("pc1")) < 1e-4, s"$a")
+    assert(math.abs(a(0).getAs[Double]("explained") - 0.8) < 1e-3, s"$a")
+    // rank-1 (collapsed) space: every vector on the (0.6, 0.8) ray →
+    // explained ≈ 1 and the component reproduces the ray's direction
+    val ray = (1L to 4L).map(k =>
+        (k, Seq(0.6f * k, 0.8f * k))).toDF("vec_id", "embedding")
+    val c = Similarity.pcaPower(ray).collect()
+      .map(r => r.getAs[Int]("d") -> r).toMap
+    assert(c(0).getAs[Double]("explained") > 0.9999, s"$c")
+    val (p0, p1) = (c(0).getAs[Double]("pc1"), c(1).getAs[Double]("pc1"))
+    assert(math.abs(p1 / p0 - 0.8 / 0.6) < 1e-5, s"ray direction: $p0 $p1")
+    assert(math.abs(math.sqrt(p0 * p0 + p1 * p1) - 1.0) < 1e-6, "unit norm")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("delongTest: matches the pairwise brute force; identical models give z=0") {
     import spark.implicits._
     // mixed ties across classes on both scorers
