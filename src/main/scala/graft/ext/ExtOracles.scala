@@ -5108,6 +5108,33 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     // long sums, covariance shapes mirrored from Evaluation.delongTest
     "q_delong" -> delongSql,
     "q_pca_power" -> pcaPowerSql(ExtQueries.pcaRounds),
+    // effective rank: the pcaPower covariance cells re-rounded to
+    // unit scale, trace and Frobenius as exact long folds
+    "q_effective_rank" ->
+      """WITH vm AS MATERIALIZED (SELECT vec_id AS id,
+        |    CAST(u.i AS INTEGER) - 1 AS j,
+        |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |mu AS (SELECT j,
+        |    CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 0)
+        |      AS BIGINT) AS m
+        |  FROM vm GROUP BY 1),
+        |cent AS MATERIALIZED (SELECT vm.id, vm.j, vm.x - mu.m AS e
+        |  FROM vm JOIN mu USING (j)),
+        |cov AS (SELECT a.j AS i, b.j AS jj,
+        |    CAST(round(CAST(round(CAST(sum(a.e * b.e) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 0) AS DOUBLE) / 1e6, 0)
+        |      AS BIGINT) AS cr
+        |  FROM cent a JOIN cent b ON a.id = b.id GROUP BY 1, 2)
+        |SELECT CAST(sum(CASE WHEN i = jj THEN 1 ELSE 0 END) AS BIGINT) AS dims,
+        |  CAST(sum(CASE WHEN i = jj THEN cr ELSE 0 END) AS BIGINT)
+        |    AS trace_units,
+        |  CAST(sum(cr * cr) AS BIGINT) AS frob2_units,
+        |  round(CASE WHEN sum(cr * cr) = 0 THEN 0.0
+        |    ELSE CAST(sum(CASE WHEN i = jj THEN cr ELSE 0 END)
+        |        * sum(CASE WHEN i = jj THEN cr ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(cr * cr) AS DOUBLE) END, 6) AS eff_rank
+        |FROM cov""".stripMargin,
 
     // split-conformal gate: the q_text_stats quality replay feeds
     // inverted-score nonconformity; k = ceil((n+1)(1-alpha)) by

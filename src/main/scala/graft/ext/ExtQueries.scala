@@ -1121,6 +1121,12 @@ object ExtQueries {
   def qPcaPower(spark: SparkSession, dir: String): DataFrame =
     Similarity.pcaPower(Tables(spark, dir).embeddings, rounds = pcaRounds)
 
+  /** Effective rank (participation ratio) of the embedding space —
+    * the one-number isotropy diagnostic
+    * ([[graft.ext.Similarity.effectiveRank]]). */
+  def qEffectiveRank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.effectiveRank(Tables(spark, dir).embeddings)
+
   /** Nearest-centroid classification of the embeddings table: fit on
     * vec_id % 5 ≠ 0, classify the rest, confusion counts. */
   def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =

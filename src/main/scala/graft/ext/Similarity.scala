@@ -1192,6 +1192,57 @@ object Similarity {
     *   eigenvector coordinate at 12dp, rounded to 6 for the report —
     *   plus the Rayleigh eigenvalue and explained-variance share
     *   replicated on every row, calibration-summary style) */
+  /** Effective rank (participation ratio) of the embedding space —
+    * (Σλ)²/Σλ² over the covariance spectrum, computed WITHOUT any
+    * eigendecomposition via trace identities: Σλ = tr(C) and
+    * Σλ² = tr(C²) = ‖C‖²_F = Σᵢⱼ cᵢⱼ². An isotropic d-dim space
+    * scores d; a collapsed space scores ≈ 1 — the one-number
+    * companion to [[pcaPower]]'s top direction.
+    *
+    * Exactness: the same integer-micro covariance cells as pcaPower,
+    * re-rounded to unit-variance scale (c div-like round by 1e6) so
+    * squares stay inside exact longs (documented bound: per-dim
+    * variance ≤ ~4·10⁶ unit-scale keeps Σc² < 2⁶³ through 64 dims);
+    * the ratio is one 6dp division. Fully distributed — the cells
+    * never leave the cluster.
+    *
+    * @return one row: (dims, trace_units, frob2_units, eff_rank) */
+  def effectiveRank(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val vm = emb.select(col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))))
+      .select(col("id"), col("pos").as("j"),
+        round(col("col") * 1e6, 0).cast(LongType).as("x"))
+      .localCheckpoint()
+    val mu = vm.groupBy("j").agg(
+      round(sum(col("x")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 0)
+        .cast(LongType).as("m"))
+    val cent = vm.join(broadcast(mu), Seq("j"))
+      .select(col("id"), col("j"), (col("x") - col("m")).as("e"))
+    val cov = cent.as("a").join(cent.as("b"), Seq("id"))
+      .groupBy(col("a.j").as("i"), col("b.j").as("jj"))
+      .agg(round(sum(col("a.e") * col("b.e")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 0)
+        .cast(LongType).as("c"))
+      // micro² → unit-variance scale, so the Frobenius squares fold
+      // as exact longs
+      .withColumn("cr", round(col("c").cast(DoubleType) / 1e6, 0)
+        .cast(LongType))
+    val out = cov.agg(
+        sum(when(col("i") === col("jj"), lit(1L)).otherwise(0L)).as("dims"),
+        sum(when(col("i") === col("jj"), col("cr")).otherwise(0L))
+          .as("trace_units"),
+        sum(col("cr") * col("cr")).as("frob2_units"))
+      .select(col("dims"), col("trace_units"), col("frob2_units"),
+        round(when(col("frob2_units") === 0L, 0.0)
+          .otherwise((col("trace_units") * col("trace_units"))
+            .cast(DoubleType) / col("frob2_units").cast(DoubleType)), 6)
+          .as("eff_rank"))
+      .localCheckpoint()
+    Checkpoints.release(vm)
+    out
+  }
+
   def pcaPower(emb: DataFrame, rounds: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession

@@ -2170,6 +2170,28 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("effectiveRank: isotropic space scores dims, rank-1 scores 1, anisotropic between") {
+    import spark.implicits._
+    // equal variance both axes, uncorrelated → eff_rank = dims = 2
+    val iso = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.effectiveRank(iso).head()
+      .getAs[Double]("eff_rank") == 2.0)
+    // variance 4 vs 1 → (4+1)²/(16+1) = 25/17
+    val aniso = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(-2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.effectiveRank(aniso).head()
+      .getAs[Double]("eff_rank") == 1.470588)
+    // every vector on one ray → rank 1 (cross terms make it exact)
+    val ray = (1L to 4L).map(k =>
+      (k, Seq(0.6f * k, 0.8f * k))).toDF("vec_id", "embedding")
+    val r = Similarity.effectiveRank(ray).head().getAs[Double]("eff_rank")
+    assert(math.abs(r - 1.0) < 1e-3, s"rank-1 space: $r")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("delongTest: matches the pairwise brute force; identical models give z=0") {
     import spark.implicits._
     // mixed ties across classes on both scorers
