@@ -52,6 +52,38 @@ object Curation {
           .as("repetition"))
   }
 
+  /** Functional-dependency discovery over a table's columns — the
+    * data-profiling question behind schema inference, key detection,
+    * and join planning (TANE/Aurum family): for every ordered column
+    * pair, does each lhs value map to exactly ONE rhs value? Reports
+    * the violation mass too (Σ over lhs values of extra rhs values),
+    * so "almost-FDs" (dirty dimensions) are visible, not just the
+    * boolean. NULL is treated as a value via a sentinel — an FD that
+    * holds except when the rhs is missing should fail, as in TANE.
+    *
+    * Exactness: all counts are exact longs. Scale shape: per pair,
+    * ONE lhs-keyed distinct-count aggregation (Spark's two-phase
+    * distinct, map-side partial dedup) folded to a single row —
+    * pairs run as a union of independent aggregates, never a joint
+    * |cols|²-wide shuffle.
+    *
+    * @return (lhs, rhs, n_lhs, n_pairs, holds, violations) */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    pairs.map { case (a, b) =>
+      df.select(
+          coalesce(col(a).cast("string"), lit("__null__")).as("lv"),
+          coalesce(col(b).cast("string"), lit("__null__")).as("rv"))
+        .groupBy("lv").agg(count_distinct(col("rv")).as("k"))
+        .agg(count(lit(1)).as("n_lhs"), sum(col("k")).as("n_pairs"),
+          max(col("k")).as("mx"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),
+          col("n_pairs"), (col("mx") === 1L).as("holds"),
+          (col("n_pairs") - col("n_lhs")).as("violations"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Corpus distinct-n diversity (Li et al. 2016's distinct-1/2,
     * extended to n ≤ `maxN`): per group, the fraction of n-gram
     * OCCURRENCES that are distinct types — the standard

@@ -4842,6 +4842,23 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |FROM ag""".stripMargin
   }
 
+  /** q_fd_discovery: one distinct-count aggregate per ordered column
+    * pair from the SAME shared column list as the engine query. */
+  private val fdDiscoverySql: String = {
+    val cols = ExtQueries.fdCols
+    (for (a <- cols; b <- cols if a != b) yield
+      s"""SELECT '$a' AS lhs, '$b' AS rhs,
+        |  CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(sum(k) AS BIGINT) AS n_pairs,
+        |  max(k) = 1 AS holds,
+        |  CAST(sum(k) - count(*) AS BIGINT) AS violations
+        |FROM (SELECT coalesce(CAST($a AS VARCHAR), '__null__') AS lv,
+        |    CAST(count(DISTINCT coalesce(CAST($b AS VARCHAR), '__null__'))
+        |      AS BIGINT) AS k
+        |  FROM customer GROUP BY 1) z""".stripMargin)
+      .mkString("\nUNION ALL\n")
+  }
+
   /** q_jaccard_links: same wedge replay as adamicAdarSql with true
     * (unfiltered) endpoint degrees and the truncating micro division. */
   private val jaccardLinksSql: String =
@@ -4866,6 +4883,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   val all: Map[String, String] = base ++ Map(
     "q_dedup_indexed" -> base("q_dedup_incremental"),
     "q_jaccard_links" -> jaccardLinksSql,
+    "q_fd_discovery" -> fdDiscoverySql,
     "q_memorization_indexed" -> base("q_memorization"),
     "q_line_dedup_indexed" -> base("q_line_dedup"),
     "q_maxsim_topk" -> maxsimSql,

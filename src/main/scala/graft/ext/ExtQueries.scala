@@ -1548,6 +1548,19 @@ object ExtQueries {
       .withColumn("containment_b", round(col("est_inter") / col("est_b"), 4))
   }
 
+  /** Columns profiled by [[qFdDiscovery]] — shared with the oracle
+    * generator so both engines scan the identical pair grid. */
+  val fdCols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+  /** Functional-dependency discovery over customer's columns
+    * ([[graft.ext.Curation.fdDiscovery]]): the key column determines
+    * everything, names are unique (so name→* holds too), and the
+    * low-cardinality nation/segment pair fails with visible violation
+    * mass — the TANE-style profile a warehouse catalog runs before
+    * trusting joins. */
+  def qFdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    Curation.fdDiscovery(Tables(spark, dir).customer, fdCols)
+
   /** Interpolated Kneser–Ney bigram LM over the corpus: top-100
     * bigrams with exact-long-arithmetic pkn_nano (D = 3/4). */
   def qKnBigram(spark: SparkSession, dir: String): DataFrame =

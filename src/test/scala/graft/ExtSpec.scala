@@ -2170,6 +2170,29 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("fdDiscovery: holds/violations by hand; null is a value") {
+    import spark.implicits._
+    // id→city holds; city→id fails with 1 extra value under 'NY';
+    // a null city is a VALUE: id→city still holds (one value per id)
+    val t = Seq((1L, "NY"), (2L, "NY"), (3L, "LA"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "city")
+    val m = Curation.fdDiscovery(t, Seq("id", "city")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+        (r.getAs[Long]("n_lhs"), r.getAs[Boolean]("holds"),
+          r.getAs[Long]("violations"))).toMap
+    assert(m(("id", "city")) == ((4L, true, 0L)), s"$m")
+    // city values: NY→{1,2} (1 violation), LA→{3}, null→{4}
+    assert(m(("city", "id")) == ((3L, false, 1L)), s"$m")
+    // an rhs null must break an otherwise-clean FD
+    val dirty = Seq((1L, "a"), (1L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val d = Curation.fdDiscovery(dirty, Seq("k", "v")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+        r.getAs[Boolean]("holds")).toMap
+    assert(!d(("k", "v")), s"$d")
+  }
+
   test("effectiveRank: isotropic space scores dims, rank-1 scores 1, anisotropic between") {
     import spark.implicits._
     // equal variance both axes, uncorrelated → eff_rank = dims = 2
