@@ -283,6 +283,56 @@ object Incremental {
     swapWrite(spark, next, path)
   }
 
+  /** dbt snapshot with the TIMESTAMP strategy: a current row is
+    * superseded when the incoming row's `updatedAt` is strictly NEWER
+    * than the stored one — no value hashing, the source system's own
+    * change clock decides (the strategy dbt recommends when a
+    * reliable updated_at exists). Differences from the check-strategy
+    * [[snapshot]]: unchanged-but-touched rows (same updated_at) pass
+    * through, and VANISHED keys stay open — dbt's default (hard
+    * deletes are ignored unless invalidate_hard_deletes is set),
+    * which [[snapshot]]'s value-diff semantics deliberately do not
+    * share.
+    *
+    * Scale shape: identical to [[snapshot]] — one keyed left join of
+    * the current-version table against the batch, unions, one
+    * swap-write; closed history is never re-shuffled. */
+  def snapshotTimestamp(spark: SparkSession, current: DataFrame,
+      path: String, uniqueKey: Seq[String], updatedAt: String,
+      asOf: java.sql.Timestamp): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    val incoming = current
+      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val next = if (!exists) incoming else {
+      val prev = spark.read.parquet(path)
+      val prevCurrent = prev.filter(col("is_current"))
+      val prevClosed = prev.filter(!col("is_current"))
+      val joined = prevCurrent.as("p").join(
+        incoming.select((uniqueKey.map(col) :+
+          col(updatedAt).as("__new_ts")): _*).as("n"),
+        uniqueKey, "left")
+      // stays open: key absent from the batch (dbt default keeps
+      // hard-deleted rows open) OR not newer than the stored clock
+      val stillOpen = joined.filter(col("__new_ts").isNull ||
+        col("__new_ts") <= col(s"p.$updatedAt")).drop("__new_ts")
+      val closing = joined.filter(col("__new_ts").isNotNull &&
+        col("__new_ts") > col(s"p.$updatedAt")).drop("__new_ts")
+        .withColumn("valid_to", lit(asOf))
+        .withColumn("is_current", lit(false))
+      val opening = incoming.join(
+        closing.select(uniqueKey.map(col): _*), uniqueKey, "left_semi")
+        .unionByName(incoming.join(
+          prevCurrent.select(uniqueKey.map(col): _*), uniqueKey, "left_anti"))
+      prevClosed.unionByName(stillOpen).unionByName(closing)
+        .unionByName(opening)
+    }
+    swapWrite(spark, next, path)
+  }
+
   /** Incremental AGGREGATE refresh — the materialized-metrics-rollup
     * materialization the row-level strategies above cannot express:
     * the on-disk state is per-key ALGEBRAIC partial-aggregate state

@@ -376,12 +376,14 @@ object DbtProject {
   /** `dbt snapshot`: render and run every `{% snapshot %}` block,
     * folding each result into its SCD2 table at
     * `<warehouseDir>/<name>` via [[graft.model.Incremental.snapshot]]
-    * (valid_from/valid_to/is_current maintained across calls; changed
-    * rows close and reopen, new keys open, vanished keys close).
-    * Supported config: `unique_key` (required) and the
-    * `strategy='check'` / `check_cols='all'` pair (the default);
-    * anything else fails loudly rather than silently snapshotting
-    * with different semantics.
+    * (valid_from/valid_to/is_current maintained across calls).
+    * Supported config: `unique_key` (required) plus either
+    * `strategy='check'`/`check_cols='all'` (the default — value-diff
+    * detection, vanished keys close) or `strategy='timestamp'` with
+    * `updated_at` ([[graft.model.Incremental.snapshotTimestamp]] —
+    * the source clock decides, vanished keys stay open, dbt's
+    * default hard-delete behavior); anything else fails loudly
+    * rather than silently snapshotting with different semantics.
     *
     * @param asOf the snapshot validity timestamp (dbt uses the run's
     *   start time; explicit here so reruns are deterministic)
@@ -401,19 +403,29 @@ object DbtProject {
             p.targetProps.view.mapValues(Jinja.JStr(_)).toMap)),
         builtins = DbtSqlEngine.dbtUtilsBuiltins)
       val strategy = r.config.getOrElse("strategy", "check")
-      require(strategy == "check",
-        s"snapshot $name: unsupported strategy '$strategy' — only " +
-          "'check' is implemented")
-      val checkCols = r.config.getOrElse("check_cols", "all")
-      require(checkCols == "all",
-        s"snapshot $name: only check_cols='all' is supported, " +
-          s"got '$checkCols'")
       val uk = r.config.get("unique_key").toSeq.flatMap(_.split(","))
         .map(_.trim).filter(_.nonEmpty)
       require(uk.nonEmpty, s"snapshot $name: unique_key is required")
       val cur = spark.sql(BigQueryDialect.translate(r.text, None))
-      name -> graft.model.Incremental.snapshot(spark, cur,
-        s"$warehouseDir/$name", uk, asOf)
+      val table = strategy match {
+        case "check" =>
+          val checkCols = r.config.getOrElse("check_cols", "all")
+          require(checkCols == "all",
+            s"snapshot $name: only check_cols='all' is supported, " +
+              s"got '$checkCols'")
+          graft.model.Incremental.snapshot(spark, cur,
+            s"$warehouseDir/$name", uk, asOf)
+        case "timestamp" =>
+          val ua = r.config.getOrElse("updated_at", "")
+          require(ua.nonEmpty,
+            s"snapshot $name: strategy='timestamp' requires updated_at")
+          graft.model.Incremental.snapshotTimestamp(spark, cur,
+            s"$warehouseDir/$name", uk, ua, asOf)
+        case other => throw new IllegalArgumentException(
+          s"snapshot $name: unsupported strategy '$other' — " +
+            "'check' and 'timestamp' are implemented")
+      }
+      name -> table
     }
   }
 

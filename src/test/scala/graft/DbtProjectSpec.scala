@@ -311,16 +311,50 @@ class DbtProjectSpec extends AnyFunSuite {
       Map("customers" -> day2), wh)
     assert(out("current_customers").select("id", "city")
       .as[(Long, String)].collect().toSet == Set((1L, "SF"), (3L, "CHI")))
-    // unsupported strategies fail loudly, not silently differently
-    Files.write(dir.resolve("snapshots/bad.sql"),
-      """{% snapshot bad_snap %}
+    // timestamp strategy: the source clock decides, vanished keys
+    // stay OPEN (dbt's default hard-delete behavior)
+    Files.createDirectories(dir.resolve("snapshots2"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"snappy\"\nsnapshot-paths: [\"snapshots2\"]\n"
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("snapshots2/ts_snap.sql"),
+      """{% snapshot ts_snap %}
         |{{ config(unique_key='id', strategy='timestamp', updated_at='u') }}
+        |select id, city, u from {{ source('raw', 'customers') }}
+        |{% endsnapshot %}
+        |""".stripMargin.getBytes("UTF-8"))
+    val wh2 = Files.createTempDirectory("graft-snap-wh2").toString
+    def dts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val t1 = Seq((1L, "NY", dts("2024-01-01")), (2L, "LA", dts("2024-01-01")))
+      .toDF("id", "city", "u")
+    // id 1 touched with a NEWER clock; id 2 re-sent UNchanged clock
+    // (must pass through); id 3 new; nothing vanishes-closes
+    val t2 = Seq((1L, "SF", dts("2024-01-15")), (2L, "LA", dts("2024-01-01")),
+      (3L, "CHI", dts("2024-01-20"))).toDF("id", "city", "u")
+    DbtProject.snapshot(spark, dir.toString, Map("customers" -> t1),
+      wh2, ts("2024-01-01"))
+    val snapTs = DbtProject.snapshot(spark, dir.toString,
+      Map("customers" -> t2), wh2, ts("2024-02-01"))("ts_snap")
+    val histTs = snapTs.select("id", "city", "is_current")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(histTs == Set((1L, "NY", false), (1L, "SF", true),
+      (2L, "LA", true), (3L, "CHI", true)), s"$histTs")
+    // a third run where id 2 VANISHES: it stays open (dbt default)
+    val t3 = Seq((1L, "SF", dts("2024-01-15"))).toDF("id", "city", "u")
+    val snapTs3 = DbtProject.snapshot(spark, dir.toString,
+      Map("customers" -> t3), wh2, ts("2024-03-01"))("ts_snap")
+    assert(snapTs3.filter(col("id") === 2 && col("is_current")).count() == 1,
+      "vanished keys stay open under the timestamp strategy")
+    // unsupported strategies still fail loudly
+    Files.write(dir.resolve("snapshots2/bad.sql"),
+      """{% snapshot bad_snap %}
+        |{{ config(unique_key='id', strategy='custom') }}
         |select 1 as id
         |{% endsnapshot %}
         |""".stripMargin.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](DbtProject.snapshot(
-      spark, dir.toString, Map("customers" -> day2), wh, ts("2024-03-01")))
-    assert(e.getMessage.contains("timestamp"))
+      spark, dir.toString, Map("customers" -> t3), wh2, ts("2024-04-01")))
+    assert(e.getMessage.contains("custom"))
   }
 
   test("schema-yml data tests: reference checkout declares them; run reports pass; violations fail") {
