@@ -510,4 +510,72 @@ class EdgeCaseSpec extends AnyFunSuite {
       .count() == 0)
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("round-13 continuation operators tolerate empty and degenerate inputs") {
+    import graft.ext.{Evaluation, Curation, Similarity, Timeseries}
+    // paired tests: empty input → no groups
+    val noPaired = Seq.empty[(String, Boolean, Boolean, Boolean)]
+      .toDF("group", "y", "pred_a", "pred_b")
+    assert(Evaluation.mcnemar(noPaired).count() == 0)
+    assert(Evaluation.fairnessReport(
+      Seq.empty[(String, Boolean, Boolean)].toDF("group", "y", "pred"))
+      .count() == 0)
+    assert(Evaluation.delongTest(
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("group", "y", "score_a_micro", "score_b_micro")).count() == 0)
+    // conformal with NO test rows: the threshold row still reports,
+    // with zero test mass (the left-join-to-test shape must not drop
+    // the calibrated group)… it aggregates over test, so no row —
+    // document: a group with no test rows is absent
+    assert(Evaluation.conformalThreshold(
+      Seq(("g", "cal", 100L)).toDF("group", "split", "s_micro"))
+      .count() == 0)
+    // …and no CAL rows: no thresholds, nothing to cover
+    assert(Evaluation.conformalThreshold(
+      Seq(("g", "test", 100L)).toDF("group", "split", "s_micro"))
+      .count() == 0)
+    // interval alpha: every unit single-rating → no qualifying items
+    assert(Evaluation.krippendorffAlphaInterval(
+      Seq(("g", 1L, 3L), ("g", 2L, 4L)).toDF("group", "item", "v"))
+      .count() == 0)
+    // confident learning: empty scores, and a class with no
+    // self-labeled examples (no threshold) simply never predicts
+    assert(Curation.confidentJoint(
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("doc_id", "noisy", "cls", "p_micro")).count() == 0)
+    val noSelf = Seq((1L, "a", "a", 900000L), (1L, "a", "b", 100000L))
+      .toDF("doc_id", "noisy", "cls", "p_micro") // nobody labeled b
+    val cj = Curation.confidentJoint(noSelf).collect()
+      .map(r => r.getAs[String]("pred")).toSet
+    assert(cj == Set("a"), s"$cj")
+    // distinct-n: empty corpus and a doc shorter than every n
+    assert(Curation.distinctNgrams(
+      Seq.empty[(String, String)].toDF("source", "text")).count() == 0)
+    // fd discovery: all-null column still profiles (sentinel value)
+    val nulls = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("k", "v")
+    val fd = Curation.fdDiscovery(nulls, Seq("k", "v")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[Boolean]("holds"))).toMap
+    assert(fd == Map("k" -> true, "v" -> false), s"$fd")
+    // forecasting: empty events → no series; cartography on an empty
+    // corpus → no rows (the trainer divides by a zero feature mass
+    // only through the guarded stepDiv)
+    val noEvents = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(Timeseries.holtWintersForecast(noEvents).count() == 0)
+    assert(Timeseries.forecastBacktest(noEvents).count() == 0)
+    assert(Curation.lrCartography(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "y"), "y",
+      iters = 2).count() == 0)
+    // graph: empty edges and an all-self-loop graph predict nothing
+    assert(graft.operators.Graph.jaccardLinks(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    assert(graft.operators.Graph.jaccardLinks(
+      Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")).count() == 0)
+    // embeddings: a single vector has zero variance everywhere
+    val solo = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.effectiveRank(solo).head()
+      .getAs[Double]("eff_rank") == 0.0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }
