@@ -797,6 +797,130 @@ object Evaluation {
         .as("z"))
   }
 
+  /** Difference-in-differences estimator — the quasi-experimental
+    * readout when treatment wasn't randomized at the metric grain
+    * (a rollout, a policy change): DiD = (post_t − pre_t) −
+    * (post_c − pre_c) strips both the group baseline and the common
+    * time trend; the z comes from the four independent cell
+    * variances (the standard two-period two-group form).
+    *
+    * Exactness: per-cell n/Σy/Σy² are exact long sums (y in integer
+    * micros; Σy² < 2⁶³ while n·y²_max does — documented bound); the
+    * means, cell variances ((nΣy²−(Σy)²)/(n(n−1))), DiD, and z are
+    * fixed-shape doubles over those longs, 6dp. Any cell with n < 2
+    * reports z = 0 (variance undefined), and a missing cell reports
+    * nothing for the group (all four corners are required).
+    *
+    * Scale shape: ONE corpus aggregation map-side combined to
+    * groups×4 cells, then a groups-sized finish.
+    *
+    * @param df (group, arm 0/1, period 0/1 pre/post, y_micro)
+    * @return (grp, n00, n01, n10, n11, m00, m01, m10, m11,
+    *         did_micro, z) — m_ap = mean of arm a in period p */
+  def didEstimate(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", periodCol: String = "period",
+      yCol: String = "y_micro"): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      col(armCol).cast(LongType).as("a"),
+      col(periodCol).cast(LongType).as("p"),
+      col(yCol).cast(LongType).as("y"))
+    def cell(a: Int, p: Int, e: Column): Column =
+      sum(when(col("a") === a.toLong && col("p") === p.toLong, e)
+        .otherwise(0L))
+    val agg = base.groupBy("grp").agg(
+      cell(0, 0, lit(1L)).as("n00"), cell(0, 1, lit(1L)).as("n01"),
+      cell(1, 0, lit(1L)).as("n10"), cell(1, 1, lit(1L)).as("n11"),
+      cell(0, 0, col("y")).as("s00"), cell(0, 1, col("y")).as("s01"),
+      cell(1, 0, col("y")).as("s10"), cell(1, 1, col("y")).as("s11"),
+      cell(0, 0, col("y") * col("y")).as("q00"),
+      cell(0, 1, col("y") * col("y")).as("q01"),
+      cell(1, 0, col("y") * col("y")).as("q10"),
+      cell(1, 1, col("y") * col("y")).as("q11"))
+    def m(s: String, n: String): Column =
+      col(s).cast(DoubleType) / col(n).cast(DoubleType)
+    def v(q: String, s: String, n: String): Column =
+      (col(n).cast(DoubleType) * col(q).cast(DoubleType) -
+        col(s).cast(DoubleType) * col(s).cast(DoubleType)) /
+        (col(n).cast(DoubleType) * (col(n).cast(DoubleType) - lit(1.0)))
+    val did = (m("s11", "n11") - m("s10", "n10")) -
+      (m("s01", "n01") - m("s00", "n00"))
+    val se = sqrt(v("q00", "s00", "n00") / col("n00").cast(DoubleType) +
+      v("q01", "s01", "n01") / col("n01").cast(DoubleType) +
+      v("q10", "s10", "n10") / col("n10").cast(DoubleType) +
+      v("q11", "s11", "n11") / col("n11").cast(DoubleType))
+    val tiny = col("n00") < 2L || col("n01") < 2L ||
+      col("n10") < 2L || col("n11") < 2L
+    agg
+      .filter(col("n00") > 0L && col("n01") > 0L &&
+        col("n10") > 0L && col("n11") > 0L)
+      .select(col("grp"), col("n00"), col("n01"), col("n10"), col("n11"),
+        round(m("s00", "n00"), 6).as("m00"), round(m("s01", "n01"), 6).as("m01"),
+        round(m("s10", "n10"), 6).as("m10"), round(m("s11", "n11"), 6).as("m11"),
+        round(did, 6).as("did_micro"),
+        round(when(tiny, 0.0).otherwise(
+          when(se === 0.0, 0.0).otherwise(did / se)), 6).as("z"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — the standard
+    * pre-experiment covariate adjustment: θ = cov(X,Y)/var(X) over
+    * the whole group, adjusted metric Y − θ(X − X̄). Per-arm adjusted
+    * mean and the variance-reduction share are derived ALGEBRAICALLY
+    * (mean_adj = ȳ_a − θ(x̄_a − x̄); var_adj = var_a(Y) −
+    * 2θ·cov_a(X,Y) + θ²·var_a(X)) from exact long sums — no per-row
+    * double ever folds, so the whole report is order-free and
+    * replayable.
+    *
+    * Scale shape: ONE aggregation to (group, arm) cells plus a
+    * groups-sized rollup for θ/X̄; nothing corpus-proportional after
+    * the first combine.
+    *
+    * @param df (group, arm 0/1, y_micro, x_micro) — one row per unit
+    * @return (grp, arm, n, mean_y, mean_adj, theta, var_reduction) */
+  def cupedAdjust(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", yCol: String = "y_micro",
+      xCol: String = "x_micro"): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(LongType).as("arm"),
+        col(yCol).cast(LongType).as("y"), col(xCol).cast(LongType).as("x"))
+      .groupBy("grp", "arm").agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .localCheckpoint() // arms-sized; feeds per-arm AND the pooled θ
+    val pooled = cells.groupBy("grp").agg(
+      sum(col("n")).as("tn"), sum(col("sy")).as("tsy"),
+      sum(col("sx")).as("tsx"), sum(col("sxx")).as("tsxx"),
+      sum(col("sxy")).as("tsxy"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val varXNum = d(col("tn")) * d(col("tsxx")) - d(col("tsx")) * d(col("tsx"))
+    val theta = when(varXNum === 0.0, 0.0).otherwise(
+      (d(col("tn")) * d(col("tsxy")) - d(col("tsx")) * d(col("tsy"))) / varXNum)
+    val xbar = d(col("tsx")) / d(col("tn"))
+    val withT = cells.join(broadcast(
+      pooled.select(col("grp"), theta.as("th"), xbar.as("xb"))), Seq("grp"))
+    val meanY = d(col("sy")) / d(col("n"))
+    val meanX = d(col("sx")) / d(col("n"))
+    val nD = d(col("n"))
+    val varY = (nD * d(col("syy")) - d(col("sy")) * d(col("sy"))) /
+      (nD * (nD - lit(1.0)))
+    val varX = (nD * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+      (nD * (nD - lit(1.0)))
+    val covXY = (nD * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (nD * (nD - lit(1.0)))
+    val varAdj = varY - lit(2.0) * col("th") * covXY +
+      col("th") * col("th") * varX
+    val out = withT.select(col("grp"), col("arm"), col("n"),
+        round(meanY, 6).as("mean_y"),
+        round(meanY - col("th") * (meanX - col("xb")), 6).as("mean_adj"),
+        round(col("th"), 6).as("theta"),
+        round(when(col("n") < 2L || varY === 0.0, 0.0)
+          .otherwise(lit(1.0) - varAdj / varY), 6).as("var_reduction"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
+
   /** Per-class precision/recall/F1 from a confusion-count table
     * ((label, pred_label, n) — the [[graft.ext.Similarity.knnClassify]]
     * / centroidClassify output shape), the standard classification

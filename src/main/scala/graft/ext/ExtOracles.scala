@@ -5121,6 +5121,111 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |    WHEN se = 0 THEN 0.0 ELSE (pa - pb) / se END, 6) AS z
         |FROM c""".stripMargin,
 
+    // difference-in-differences: four exact cell sums per group, then
+    // the DiD/z formulas mirrored from Evaluation.didEstimate
+    "q_did" ->
+      """WITH b AS (SELECT event_type AS grp, user_id % 2 AS a,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS p,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y FROM events),
+        |ag AS (SELECT grp,
+        |  CAST(sum(CASE WHEN a=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |  CAST(sum(CASE WHEN a=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN a=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |  CAST(sum(CASE WHEN a=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |  CAST(sum(CASE WHEN a=0 AND p=0 THEN y ELSE 0 END) AS BIGINT) AS s00,
+        |  CAST(sum(CASE WHEN a=0 AND p=1 THEN y ELSE 0 END) AS BIGINT) AS s01,
+        |  CAST(sum(CASE WHEN a=1 AND p=0 THEN y ELSE 0 END) AS BIGINT) AS s10,
+        |  CAST(sum(CASE WHEN a=1 AND p=1 THEN y ELSE 0 END) AS BIGINT) AS s11,
+        |  CAST(sum(CASE WHEN a=0 AND p=0 THEN y*y ELSE 0 END) AS BIGINT) AS q00,
+        |  CAST(sum(CASE WHEN a=0 AND p=1 THEN y*y ELSE 0 END) AS BIGINT) AS q01,
+        |  CAST(sum(CASE WHEN a=1 AND p=0 THEN y*y ELSE 0 END) AS BIGINT) AS q10,
+        |  CAST(sum(CASE WHEN a=1 AND p=1 THEN y*y ELSE 0 END) AS BIGINT) AS q11
+        | FROM b GROUP BY 1),
+        |f AS (SELECT *,
+        |  (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+        |    - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+        |  - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+        |    - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did,
+        |  sqrt(
+        |    (CAST(n00 AS DOUBLE) * CAST(q00 AS DOUBLE)
+        |      - CAST(s00 AS DOUBLE) * CAST(s00 AS DOUBLE))
+        |      / (CAST(n00 AS DOUBLE) * (CAST(n00 AS DOUBLE) - 1.0))
+        |      / CAST(n00 AS DOUBLE) +
+        |    (CAST(n01 AS DOUBLE) * CAST(q01 AS DOUBLE)
+        |      - CAST(s01 AS DOUBLE) * CAST(s01 AS DOUBLE))
+        |      / (CAST(n01 AS DOUBLE) * (CAST(n01 AS DOUBLE) - 1.0))
+        |      / CAST(n01 AS DOUBLE) +
+        |    (CAST(n10 AS DOUBLE) * CAST(q10 AS DOUBLE)
+        |      - CAST(s10 AS DOUBLE) * CAST(s10 AS DOUBLE))
+        |      / (CAST(n10 AS DOUBLE) * (CAST(n10 AS DOUBLE) - 1.0))
+        |      / CAST(n10 AS DOUBLE) +
+        |    (CAST(n11 AS DOUBLE) * CAST(q11 AS DOUBLE)
+        |      - CAST(s11 AS DOUBLE) * CAST(s11 AS DOUBLE))
+        |      / (CAST(n11 AS DOUBLE) * (CAST(n11 AS DOUBLE) - 1.0))
+        |      / CAST(n11 AS DOUBLE)) AS se
+        | FROM ag WHERE n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0)
+        |SELECT grp, n00, n01, n10, n11,
+        |  round(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE), 6) AS m00,
+        |  round(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE), 6) AS m01,
+        |  round(CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE), 6) AS m10,
+        |  round(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE), 6) AS m11,
+        |  round(did, 6) AS did_micro,
+        |  round(CASE WHEN n00 < 2 OR n01 < 2 OR n10 < 2 OR n11 < 2 THEN 0.0
+        |    WHEN se = 0.0 THEN 0.0 ELSE did / se END, 6) AS z
+        |FROM f""".stripMargin,
+
+    // CUPED: pooled theta/xbar from exact sums, per-arm adjusted
+    // mean and variance reduction derived algebraically (no per-row
+    // doubles anywhere) — formulas mirror Evaluation.cupedAdjust
+    "q_cuped" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS post FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN post = 0 THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN post = 1 THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT 'all' AS grp, user_id % 2 AS arm, y, x FROM u),
+        |cells AS (SELECT grp, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM c GROUP BY 1, 2),
+        |pooled AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sx) AS BIGINT) AS tsx,
+        |    CAST(sum(sxx) AS BIGINT) AS tsxx, CAST(sum(sxy) AS BIGINT) AS tsxy
+        |  FROM cells GROUP BY 1),
+        |pt AS (SELECT grp,
+        |    CASE WHEN CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE)
+        |        - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE) = 0.0 THEN 0.0
+        |      ELSE (CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE)
+        |        - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+        |        / (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE)
+        |          - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)) END AS th,
+        |    CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE) AS xb
+        |  FROM pooled),
+        |j AS (SELECT cells.*, pt.th, pt.xb,
+        |    CAST(n AS DOUBLE) AS nd FROM cells JOIN pt USING (grp)),
+        |k AS (SELECT *,
+        |    CAST(sy AS DOUBLE) / nd AS meany,
+        |    CAST(sx AS DOUBLE) / nd AS meanx,
+        |    (nd * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (nd * (nd - 1.0)) AS vary,
+        |    (nd * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (nd * (nd - 1.0)) AS varx,
+        |    (nd * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (nd * (nd - 1.0)) AS covxy
+        |  FROM j)
+        |SELECT grp, arm, n, round(meany, 6) AS mean_y,
+        |  round(meany - th * (meanx - xb), 6) AS mean_adj,
+        |  round(th, 6) AS theta,
+        |  round(CASE WHEN n < 2 OR vary = 0.0 THEN 0.0
+        |    ELSE 1.0 - (vary - 2.0 * th * covxy + th * th * varx) / vary
+        |  END, 6) AS var_reduction
+        |FROM k""".stripMargin,
+
     // DeLong paired-AUC replay: structural components from value-
     // count windows (the aucRoc discipline), one example join, exact
     // long sums, covariance shapes mirrored from Evaluation.delongTest

@@ -1856,6 +1856,34 @@ object ExtQueries {
             "array_remove(split(lower(text), '\\\\s+'), '')" +
             ") AS BIGINT) div 10"))).as("r2")))
 
+  /** Difference-in-differences per event type: arm = user parity,
+    * periods split at Jan 16, outcome in exact cents — the
+    * quasi-experimental readout with the common time trend stripped. */
+  def qDid(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.didEstimate(
+      Tables(spark, dir).events.select(col("event_type").as("group"),
+        pmod(col("user_id"), lit(2)).as("arm"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp"))
+          .cast("long").as("period"),
+        round(col("value") * 100, 0).cast("long").as("y_micro")))
+
+  /** CUPED adjustment: per-user pre-period spend (cents) as the
+    * covariate for post-period spend, arms by user parity — the
+    * variance-reduction readout an experimentation platform applies
+    * before every metric read. */
+  def qCuped(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .withColumn("post",
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).cast("long"))
+    val perUser = e.groupBy(col("user_id")).agg(
+      sum(when(col("post") === 0L, col("cents")).otherwise(0L)).as("x_micro"),
+      sum(when(col("post") === 1L, col("cents")).otherwise(0L)).as("y_micro"))
+    Evaluation.cupedAdjust(perUser.select(lit("all").as("group"),
+      pmod(col("user_id"), lit(2)).as("arm"),
+      col("y_micro"), col("x_micro")))
+  }
+
   /** DeLong's paired-AUC test per language: quality score vs a pure
     * length score against the contains-" the " label, scored on the
     * SAME docs — the correlated-AUC comparison two independent

@@ -721,6 +721,22 @@ object GraftFunctions {
       tableOf(strArg(args.head, "fairness_report(table)")))
       .queryExecution.logical
 
+  /** did(tbl) — difference-in-differences over
+    * (group, arm, period, y_micro) rows
+    * ([[graft.ext.Evaluation.didEstimate]]). */
+  def didTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.didEstimate(
+      tableOf(strArg(args.head, "did(table)")))
+      .queryExecution.logical
+
+  /** cuped(tbl) — covariate-adjusted arm means over
+    * (group, arm, y_micro, x_micro) rows
+    * ([[graft.ext.Evaluation.cupedAdjust]]). */
+  def cupedTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.cupedAdjust(
+      tableOf(strArg(args.head, "cuped(table)")))
+      .queryExecution.logical
+
   /** delong_test(tbl) — paired-AUC comparison over
     * (group, y, score_a_micro, score_b_micro) rows
     * ([[graft.ext.Evaluation.delongTest]]). */
@@ -978,6 +994,8 @@ object GraftFunctions {
     "confident_joint" -> (confidentJointTvf _),
     "distinct_ngrams" -> (distinctNgramsTvf _),
     "delong_test" -> (delongTestTvf _),
+    "did" -> (didTvf _),
+    "cuped" -> (cupedTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

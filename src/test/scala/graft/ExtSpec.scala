@@ -2170,6 +2170,53 @@ class ExtSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("didEstimate: hand-computed cells, effect, and z") {
+    import spark.implicits._
+    // arm0: 11→14 (trend +3); arm1: 21→29 (+8) → DiD = 5;
+    // every cell var = 2, se = sqrt(4·(2/2)) = 2 → z = 2.5
+    val rows = Seq(
+      (0L, 0L, 10L), (0L, 0L, 12L), (0L, 1L, 13L), (0L, 1L, 15L),
+      (1L, 0L, 20L), (1L, 0L, 22L), (1L, 1L, 28L), (1L, 1L, 30L))
+      .map { case (a, p, y) => ("g", a, p, y) }
+      .toDF("group", "arm", "period", "y_micro")
+    val r = Evaluation.didEstimate(rows).head()
+    assert(r.getAs[Double]("m00") == 11.0 && r.getAs[Double]("m11") == 29.0)
+    assert(r.getAs[Double]("did_micro") == 5.0 && r.getAs[Double]("z") == 2.5,
+      s"$r")
+    // a missing cell drops the group; a single-row cell zeroes z
+    assert(Evaluation.didEstimate(rows.filter(col("period") === 0))
+      .count() == 0)
+    val tiny = Seq(("g", 0L, 0L, 10L), ("g", 0L, 1L, 13L),
+      ("g", 1L, 0L, 20L), ("g", 1L, 1L, 28L))
+      .toDF("group", "arm", "period", "y_micro")
+    assert(Evaluation.didEstimate(tiny).head().getAs[Double]("z") == 0.0)
+  }
+
+  test("cupedAdjust: a perfect covariate equalizes arms and removes all variance") {
+    import spark.implicits._
+    // y = x exactly → pooled theta = 1; the arm gap (2 vs 4) is pure
+    // covariate imbalance, so both adjusted means land on the pooled
+    // mean 3 and the variance reduction is total
+    val rows = Seq(("all", 0L, 1L, 1L), ("all", 0L, 3L, 3L),
+      ("all", 1L, 2L, 2L), ("all", 1L, 6L, 6L))
+      .toDF("group", "arm", "y_micro", "x_micro")
+    val m = Evaluation.cupedAdjust(rows).collect()
+      .map(r => r.getAs[Long]("arm") ->
+        (r.getAs[Double]("mean_y"), r.getAs[Double]("mean_adj"),
+          r.getAs[Double]("theta"), r.getAs[Double]("var_reduction"))).toMap
+    assert(m(0L) == ((2.0, 3.0, 1.0, 1.0)), s"$m")
+    assert(m(1L) == ((4.0, 3.0, 1.0, 1.0)), s"$m")
+    // a useless (constant) covariate: theta 0, nothing changes
+    val const = Seq(("all", 0L, 1L, 7L), ("all", 0L, 3L, 7L),
+      ("all", 1L, 2L, 7L), ("all", 1L, 6L, 7L))
+      .toDF("group", "arm", "y_micro", "x_micro")
+    val c = Evaluation.cupedAdjust(const).collect()
+      .map(r => r.getAs[Long]("arm") ->
+        (r.getAs[Double]("mean_adj"), r.getAs[Double]("var_reduction"))).toMap
+    assert(c(0L) == ((2.0, 0.0)) && c(1L) == ((4.0, 0.0)), s"$c")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("fdDiscovery: holds/violations by hand; null is a value") {
     import spark.implicits._
     // id→city holds; city→id fails with 1 extra value under 'NY';

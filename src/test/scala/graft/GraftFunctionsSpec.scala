@@ -461,6 +461,19 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .createOrReplaceTempView("dl_e11")
     sameAs("SELECT * FROM delong_test('dl_e11')",
       graft.ext.Evaluation.delongTest(spark.table("dl_e11")))
+    Seq(("g", 0L, 0L, 10L), ("g", 0L, 0L, 12L), ("g", 0L, 1L, 13L),
+        ("g", 0L, 1L, 15L), ("g", 1L, 0L, 20L), ("g", 1L, 0L, 22L),
+        ("g", 1L, 1L, 28L), ("g", 1L, 1L, 30L))
+      .toDF("group", "arm", "period", "y_micro")
+      .createOrReplaceTempView("did_e11")
+    sameAs("SELECT * FROM did('did_e11')",
+      graft.ext.Evaluation.didEstimate(spark.table("did_e11")))
+    Seq(("all", 0L, 1L, 1L), ("all", 0L, 3L, 3L), ("all", 1L, 2L, 2L),
+        ("all", 1L, 6L, 6L))
+      .toDF("group", "arm", "y_micro", "x_micro")
+      .createOrReplaceTempView("cup_e11")
+    sameAs("SELECT * FROM cuped('cup_e11')",
+      graft.ext.Evaluation.cupedAdjust(spark.table("cup_e11")))
     Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
       .createOrReplaceTempView("ks_a_e11")
     Seq(("g", 2L), ("g", 9L)).toDF("group", "v")
