@@ -58,8 +58,14 @@ object Curation {
     * pair, does each lhs value map to exactly ONE rhs value? Reports
     * the violation mass too (Σ over lhs values of extra rhs values),
     * so "almost-FDs" (dirty dimensions) are visible, not just the
-    * boolean. NULL is treated as a value via a sentinel — an FD that
-    * holds except when the rhs is missing should fail, as in TANE.
+    * boolean. NULL is treated as a value — an FD that holds except
+    * when the rhs is missing should fail, as in TANE — via a
+    * two-column (is_null, value) key, NOT a string sentinel, so a
+    * genuine column value like '__null__' can never collide with a
+    * real NULL. Caveat (documented, intentional): non-string columns
+    * compare via their engine string cast, so float/timestamp
+    * verdicts assume the cast is injective on the column's domain
+    * (true for the integer/varchar profiling columns this targets).
     *
     * Exactness: all counts are exact longs. Scale shape: per pair,
     * ONE lhs-keyed distinct-count aggregation (Spark's two-phase
@@ -73,9 +79,12 @@ object Curation {
     val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
     pairs.map { case (a, b) =>
       df.select(
-          coalesce(col(a).cast("string"), lit("__null__")).as("lv"),
-          coalesce(col(b).cast("string"), lit("__null__")).as("rv"))
-        .groupBy("lv").agg(count_distinct(col("rv")).as("k"))
+          col(a).isNull.as("ln"),
+          coalesce(col(a).cast("string"), lit("")).as("lv"),
+          col(b).isNull.as("rn"),
+          coalesce(col(b).cast("string"), lit("")).as("rv"))
+        .groupBy("ln", "lv")
+        .agg(count_distinct(col("rn"), col("rv")).as("k"))
         .agg(count(lit(1)).as("n_lhs"), sum(col("k")).as("n_pairs"),
           max(col("k")).as("mx"))
         .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs"),

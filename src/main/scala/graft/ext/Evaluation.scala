@@ -1109,7 +1109,11 @@ object Evaluation {
 
   /** Finish a [[conformalState]] snapshot into the threshold-and-
     * coverage report — value-domain-sized input, identical result
-    * from one batch pass or merged micro-batches. */
+    * from one batch pass or merged micro-batches. A group with
+    * calibration rows but NO test rows still reports its calibrated
+    * threshold (n_test=0, n_cov=0, coverage=null) — a live gate
+    * monitor must not lose the threshold during a lull in held-out
+    * traffic. */
   def conformalFinish(state: DataFrame,
       alphaPermille: Int = 100): DataFrame = {
     val base = state.localCheckpoint() // cal pass + test pass
@@ -1126,14 +1130,22 @@ object Evaluation {
     val thrAll = nCal.join(thr, Seq("grp"), "left")
       .select(col("grp"), col("n_cal"), col("k"),
         coalesce(col("thr0"), lit(1000000L)).as("threshold_micro"))
-    val out = base.filter(col("split") === "test")
-      .join(broadcast(thrAll), Seq("grp"))
-      .groupBy("grp", "n_cal", "k", "threshold_micro")
-      .agg(sum(col("c")).as("n_test"),
+    val testCnt = base.filter(col("split") === "test")
+      .join(broadcast(thrAll.select("grp", "threshold_micro")), Seq("grp"))
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n_test0"),
         sum(when(col("s") <= col("threshold_micro"), col("c"))
-          .otherwise(0L)).as("n_cov"))
-      .withColumn("coverage", round(col("n_cov").cast(DoubleType) /
-        col("n_test").cast(DoubleType), 6))
+          .otherwise(0L)).as("n_cov0"))
+    // LEFT join — the calibrated threshold survives an empty test
+    // split; coverage is null (unmeasured), never 0/0
+    val out = thrAll.join(testCnt, Seq("grp"), "left")
+      .select(col("grp"), col("n_cal"), col("k"), col("threshold_micro"),
+        coalesce(col("n_test0"), lit(0L)).as("n_test"),
+        coalesce(col("n_cov0"), lit(0L)).as("n_cov"))
+      .withColumn("coverage",
+        when(col("n_test") === 0L, lit(null).cast(DoubleType))
+          .otherwise(round(col("n_cov").cast(DoubleType) /
+            col("n_test").cast(DoubleType), 6)))
       .localCheckpoint()
     graft.ext.Checkpoints.release(base)
     out

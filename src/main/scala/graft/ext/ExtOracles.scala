@@ -3505,9 +3505,17 @@ FROM w${ExtQueries.btIters}"""
   private val holtWintersSql: String = {
     val lNew = "CAST(floor(CAST(300 * (n.x * 1000 - hw.sl[1]) " +
       "+ 700 * (hw.l + hw.b) AS DOUBLE) / 1000) AS BIGINT)"
-    s"""WITH RECURSIVE d AS (SELECT event_type AS series,
+    s"""WITH RECURSIVE d0 AS (SELECT event_type AS series,
       |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT series, min(day) AS dmin, max(day) AS dmax
+      |  FROM d0 GROUP BY 1),
+      |cal AS (SELECT span.series, CAST(u.day AS DATE) AS day
+      |  FROM span, unnest(generate_series(CAST(dmin AS TIMESTAMP),
+      |    CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS u(day)),
+      |d AS (SELECT cal.series, cal.day, coalesce(d0.x, CAST(0 AS BIGINT)) AS x
+      |  FROM cal LEFT JOIN d0 ON d0.series = cal.series
+      |    AND d0.day = cal.day),
       |idx AS (SELECT series, day, x,
       |    CAST(row_number() OVER (PARTITION BY series ORDER BY day)
       |      AS BIGINT) AS i FROM d),
@@ -3550,9 +3558,17 @@ FROM w${ExtQueries.btIters}"""
   private val forecastBacktestSql: String = {
     val lNew = "CAST(floor(CAST(300 * (n.x * 1000 - hw.sl[1]) " +
       "+ 700 * (hw.l + hw.b) AS DOUBLE) / 1000) AS BIGINT)"
-    s"""WITH RECURSIVE d AS (SELECT event_type AS series,
+    s"""WITH RECURSIVE d0 AS (SELECT event_type AS series,
       |    CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT series, min(day) AS dmin, max(day) AS dmax
+      |  FROM d0 GROUP BY 1),
+      |cal AS (SELECT span.series, CAST(u.day AS DATE) AS day
+      |  FROM span, unnest(generate_series(CAST(dmin AS TIMESTAMP),
+      |    CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS u(day)),
+      |d AS (SELECT cal.series, cal.day, coalesce(d0.x, CAST(0 AS BIGINT)) AS x
+      |  FROM cal LEFT JOIN d0 ON d0.series = cal.series
+      |    AND d0.day = cal.day),
       |idx AS (SELECT series, day, x,
       |    CAST(row_number() OVER (PARTITION BY series ORDER BY day)
       |      AS BIGINT) AS i FROM d),
@@ -4843,7 +4859,10 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   }
 
   /** q_fd_discovery: one distinct-count aggregate per ordered column
-    * pair from the SAME shared column list as the engine query. */
+    * pair from the SAME shared column list as the engine query. The
+    * NULL key is the engine's two-part (is_null, value) key — here a
+    * fixed-prefix concat ('true|'/'false|' differ before any value
+    * content), collision-free against any genuine string value. */
   private val fdDiscoverySql: String = {
     val cols = ExtQueries.fdCols
     (for (a <- cols; b <- cols if a != b) yield
@@ -4852,10 +4871,11 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |  CAST(sum(k) AS BIGINT) AS n_pairs,
         |  max(k) = 1 AS holds,
         |  CAST(sum(k) - count(*) AS BIGINT) AS violations
-        |FROM (SELECT coalesce(CAST($a AS VARCHAR), '__null__') AS lv,
-        |    CAST(count(DISTINCT coalesce(CAST($b AS VARCHAR), '__null__'))
-        |      AS BIGINT) AS k
-        |  FROM customer GROUP BY 1) z""".stripMargin)
+        |FROM (SELECT ($a IS NULL) AS ln,
+        |    coalesce(CAST($a AS VARCHAR), '') AS lv,
+        |    CAST(count(DISTINCT concat(CAST($b IS NULL AS VARCHAR), '|',
+        |      coalesce(CAST($b AS VARCHAR), ''))) AS BIGINT) AS k
+        |  FROM customer GROUP BY 1, 2) z""".stripMargin)
       .mkString("\nUNION ALL\n")
   }
 
@@ -5293,16 +5313,19 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |  WHERE cum.cum >= ncal.k GROUP BY 1),
         |ta AS (SELECT ncal.grp, ncal.n_cal, ncal.k,
         |    coalesce(thr.thr0, 1000000) AS threshold_micro
-        |  FROM ncal LEFT JOIN thr ON thr.grp = ncal.grp)
+        |  FROM ncal LEFT JOIN thr ON thr.grp = ncal.grp),
+        |tc AS (SELECT tst.grp, CAST(count(*) AS BIGINT) AS n_test0,
+        |    CAST(sum(CASE WHEN tst.s <= ta.threshold_micro
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cov0
+        |  FROM sc tst JOIN ta ON ta.grp = tst.grp
+        |  WHERE tst.split = 'test' GROUP BY 1)
         |SELECT ta.grp, ta.n_cal, ta.k, ta.threshold_micro,
-        |  CAST(count(*) AS BIGINT) AS n_test,
-        |  CAST(sum(CASE WHEN tst.s <= ta.threshold_micro THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_cov,
-        |  round(CAST(sum(CASE WHEN tst.s <= ta.threshold_micro THEN 1 ELSE 0 END)
-        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
-        |FROM sc tst JOIN ta ON ta.grp = tst.grp
-        |WHERE tst.split = 'test'
-        |GROUP BY 1, 2, 3, 4""".stripMargin,
+        |  coalesce(tc.n_test0, 0) AS n_test,
+        |  coalesce(tc.n_cov0, 0) AS n_cov,
+        |  CASE WHEN coalesce(tc.n_test0, 0) = 0 THEN NULL
+        |    ELSE round(CAST(tc.n_cov0 AS DOUBLE)
+        |      / CAST(tc.n_test0 AS DOUBLE), 6) END AS coverage
+        |FROM ta LEFT JOIN tc ON tc.grp = ta.grp""".stripMargin,
 
     // interval Krippendorff: per-unit (m, Σv, Σv²) → 2(m·S2−S1²)
     // identity — no category grid; incomplete panel via residue drops

@@ -235,7 +235,11 @@ object Similarity {
     *
     * Scale shape: the ranking reuses the bounded-heap top-k (never a
     * corpus-wide window); the query side broadcasts under the size
-    * gate, and PAST the gate the pair space is hash-blocked (corpus
+    * gate — decided from the caller's `rowCountHint` or the
+    * optimizer's plan statistics, NEVER an eager count() job (a
+    * gate-only corpus scan is real money at 100 TB; unknown stats
+    * fall through to the blocked path) — and PAST the gate the pair
+    * space is hash-blocked (corpus
     * keyed by id-hash % numBlocks, queries replicated per block) into
     * an equi-keyed shuffle join — the [[knnClassify]] fallback shape —
     * so an oversized input degrades to a partitioned N×N join, never
@@ -244,15 +248,33 @@ object Similarity {
     * ranked table (materialized once — it feeds both sides).
     *
     * @return (a_id, b_id, cos_sim, ra, rb) with a_id < b_id */
+  /** ZERO-JOB broadcast gate: the caller's row hint wins; otherwise
+    * the optimizer's plan statistics decide (parquet scans know file
+    * bytes; CBO-analyzed tables know rows). Plans with unknown stats
+    * report a Long.MaxValue-ish size and fall through to the blocked
+    * path — the safe direction. Never runs a count() job: a gate-only
+    * corpus scan is real money at 100 TB. */
+  private[graft] def statsGate(df: DataFrame, maxRows: Long,
+      maxBytes: Long, rowHint: Option[Long]): Boolean = rowHint match {
+    case Some(n) => n <= maxRows
+    case None =>
+      val st = df.queryExecution.optimizedPlan.stats
+      st.rowCount.map(_ <= BigInt(maxRows))
+        .getOrElse(st.sizeInBytes <= BigInt(maxBytes))
+  }
+
   def mutualKnn(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      broadcastMaxRows: Long = 1000000L, numBlocks: Int = 64): DataFrame = {
+      broadcastMaxRows: Long = 1000000L, numBlocks: Int = 64,
+      rowCountHint: Option[Long] = None,
+      broadcastMaxBytes: Long = 256L << 20): DataFrame = {
     val corpus = emb.select(col(idCol).as("nn_id"), asDouble(col(vecCol)).as("dv"))
       .withColumn("dn", sqrt(dot(col("dv"), col("dv"))))
     val queries = emb.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val pairs =
-      if (emb.count() <= broadcastMaxRows) corpus.crossJoin(broadcast(queries))
+      if (statsGate(emb, broadcastMaxRows, broadcastMaxBytes, rowCountHint))
+        corpus.crossJoin(broadcast(queries))
       else {
         val b = math.max(1, numBlocks)
         corpus.withColumn("blk",
@@ -1275,19 +1297,26 @@ object Similarity {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
+    import spark.implicits._
+    val trace = cells.collect { case (i, j, c) if i == j => c }.sum
+    // degenerate guard (matches effectiveRank's convention): a
+    // single-vector or constant table has an all-zero covariance
+    // (PSD ⇒ trace 0 ⟺ zero matrix) — power iteration would divide
+    // by nrm=0 and emit NaN everywhere; pin pc1=0/eig=0/explained=0
+    if (dims == 0 || trace == 0L)
+      return (0 until dims).map(d => (d, mus(d), 0.0, 0.0, 0.0))
+        .toDF("d", "mu_micro", "pc1", "eig", "explained")
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to rounds) {
       val w = mat.map(row => r12(dotSeq(row, v)))
       val nrm = math.sqrt(dotSeq(w, w))
-      v = w.map(x => r12(x / nrm))
+      v = if (nrm == 0.0) w else w.map(x => r12(x / nrm))
     }
     val wFinal = mat.map(row => r12(dotSeq(row, v)))
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val eig = r6(dotSeq(v, wFinal))
-    val trace = cells.collect { case (i, j, c) if i == j => c }.sum
     val explained = r6(dotSeq(v, wFinal) / trace.toDouble)
-    import spark.implicits._
     (0 until dims).map(d =>
         (d, mus(d), r6(v(d)), eig, explained))
       .toDF("d", "mu_micro", "pc1", "eig", "explained")

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Time-series analytics over an event stream — the monitoring layer
-  * of a large ingestion pipeline (reference analog: the event-stream
-  * staging models, `/root/reference/models/staging/stg_events.sql`):
+  * of a large ingestion pipeline (no direct reference analog: the
+  * reference's models are dimension marts,
+  * `/root/reference/models/marts/user_base.sql`; this family covers
+  * the event-stream monitoring a production deployment of it needs):
   * once events are aggregated to a daily series, detect level shifts
   * (CUSUM), measure periodicity (autocorrelation), and smooth for
   * dashboards (EWMA).
@@ -479,10 +481,30 @@ object Timeseries {
       fcols: _*)
   }
 
+  /** Daily counts DENSIFIED to a contiguous calendar range per
+    * series (gaps filled with x=0): the Holt–Winters fold rotates the
+    * seasonal slot array once per ROW, so a missing calendar day
+    * would silently shift the weekly alignment for the rest of the
+    * series and corrupt both the fit and the forecast slot mapping.
+    * The calendar explode is series-history-sized (days, not events)
+    * and the left join runs on the already-aggregated tiny table. */
   private def dailyCounts(events: DataFrame, seriesCol: String,
-      tsCol: String): DataFrame = events
-    .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
-    .agg(count(lit(1)).as("x"))
+      tsCol: String): DataFrame = {
+    val raw = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // span pass + join pass over a days-sized table
+    val cal = raw.groupBy("series")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("series"), explode(
+        sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val out = cal.join(raw, Seq("series", "day"), "left")
+      .select(col("series"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(raw)
+    out
+  }
 
   /** Append the Holt–Winters folded state `st` (l, b, sl) computed
     * over the (day, x) struct array in `ptsCol` — shared by the

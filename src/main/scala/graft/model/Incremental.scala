@@ -292,7 +292,14 @@ object Incremental {
     * through, and VANISHED keys stay open — dbt's default (hard
     * deletes are ignored unless invalidate_hard_deletes is set),
     * which [[snapshot]]'s value-diff semantics deliberately do not
-    * share.
+    * share. Validity intervals carry the SOURCE clock, exactly as
+    * dbt's timestamp strategy records them: valid_from is the row's
+    * own `updatedAt` (not the run time), and a superseded row is
+    * closed at the REPLACING row's `updatedAt` — so point-in-time
+    * joins against the SCD2 table resolve on the upstream change
+    * clock, matching a dbt-produced snapshot table row for row
+    * (`asOf` is kept for API symmetry with [[snapshot]] but stamps
+    * nothing under this strategy).
     *
     * Scale shape: identical to [[snapshot]] — one keyed left join of
     * the current-version table against the batch, unions, one
@@ -304,7 +311,7 @@ object Incremental {
       spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
     val incoming = current
-      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_from", col(updatedAt).cast("timestamp"))
       .withColumn("valid_to", lit(null).cast("timestamp"))
       .withColumn("is_current", lit(true))
     val next = if (!exists) incoming else {
@@ -319,10 +326,12 @@ object Incremental {
       // hard-deleted rows open) OR not newer than the stored clock
       val stillOpen = joined.filter(col("__new_ts").isNull ||
         col("__new_ts") <= col(s"p.$updatedAt")).drop("__new_ts")
+      // closed at the replacing row's source clock (dbt parity)
       val closing = joined.filter(col("__new_ts").isNotNull &&
-        col("__new_ts") > col(s"p.$updatedAt")).drop("__new_ts")
-        .withColumn("valid_to", lit(asOf))
+        col("__new_ts") > col(s"p.$updatedAt"))
+        .withColumn("valid_to", col("__new_ts").cast("timestamp"))
         .withColumn("is_current", lit(false))
+        .drop("__new_ts")
       val opening = incoming.join(
         closing.select(uniqueKey.map(col): _*), uniqueKey, "left_semi")
         .unionByName(incoming.join(

@@ -339,6 +339,15 @@ class DbtProjectSpec extends AnyFunSuite {
       .as[(Long, String, Boolean)].collect().toSet
     assert(histTs == Set((1L, "NY", false), (1L, "SF", true),
       (2L, "LA", true), (3L, "CHI", true)), s"$histTs")
+    // dbt timestamp-strategy interval parity: validity carries the
+    // SOURCE clock — the closed NY row spans its own u (2024-01-01)
+    // to the replacing row's u (2024-01-15), never the run time
+    val iv = snapTs.filter(col("id") === 1)
+      .select("city", "valid_from", "valid_to")
+      .as[(String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(iv("NY") == ((dts("2024-01-01"), Some(dts("2024-01-15")))), s"$iv")
+    assert(iv("SF") == ((dts("2024-01-15"), None)), s"$iv")
     // a third run where id 2 VANISHES: it stays open (dbt default)
     val t3 = Seq((1L, "SF", dts("2024-01-15"))).toDF("id", "city", "u")
     val snapTs3 = DbtProject.snapshot(spark, dir.toString,

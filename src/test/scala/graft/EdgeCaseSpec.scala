@@ -523,13 +523,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Evaluation.delongTest(
       Seq.empty[(String, Long, Long, Long)]
         .toDF("group", "y", "score_a_micro", "score_b_micro")).count() == 0)
-    // conformal with NO test rows: the threshold row still reports,
-    // with zero test mass (the left-join-to-test shape must not drop
-    // the calibrated group)… it aggregates over test, so no row —
-    // document: a group with no test rows is absent
-    assert(Evaluation.conformalThreshold(
-      Seq(("g", "cal", 100L)).toDF("group", "split", "s_micro"))
-      .count() == 0)
+    // conformal with NO test rows: the calibrated threshold row
+    // SURVIVES the empty test split (left-join-to-test shape) with
+    // n_test=0, n_cov=0, coverage=null — a live gate monitor keeps
+    // its threshold during a lull in held-out traffic
+    val calOnly = Evaluation.conformalThreshold(
+      Seq(("g", "cal", 100L)).toDF("group", "split", "s_micro")).head()
+    // n=1 → k=2 > n: the tiny-set convention pins the threshold at
+    // the domain max — the point is the ROW survives, not its value
+    assert(calOnly.getAs[Long]("threshold_micro") == 1000000L)
+    assert(calOnly.getAs[Long]("n_test") == 0L)
+    assert(calOnly.getAs[Long]("n_cov") == 0L)
+    assert(calOnly.isNullAt(calOnly.fieldIndex("coverage")))
     // …and no CAL rows: no thresholds, nothing to cover
     assert(Evaluation.conformalThreshold(
       Seq(("g", "test", 100L)).toDF("group", "split", "s_micro"))

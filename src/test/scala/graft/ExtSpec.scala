@@ -2167,6 +2167,20 @@ class ExtSpec extends AnyFunSuite {
     val (p0, p1) = (c(0).getAs[Double]("pc1"), c(1).getAs[Double]("pc1"))
     assert(math.abs(p1 / p0 - 0.8 / 0.6) < 1e-5, s"ray direction: $p0 $p1")
     assert(math.abs(math.sqrt(p0 * p0 + p1 * p1) - 1.0) < 1e-6, "unit norm")
+    // degenerate inputs (effectiveRank's guarded convention): a
+    // single vector and a constant table both have an all-zero
+    // covariance — the guard pins pc1=0/eig=0/explained=0, never NaN
+    val single = Seq((1L, Seq(0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val s = Similarity.pcaPower(single).collect()
+    assert(s.length == 2 && s.forall(r =>
+      r.getAs[Double]("pc1") == 0.0 && r.getAs[Double]("eig") == 0.0 &&
+        r.getAs[Double]("explained") == 0.0), s"single: ${s.mkString(",")}")
+    val const = (1L to 3L).map(k => (k, Seq(0.5f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val cc = Similarity.pcaPower(const).collect()
+    assert(cc.forall(r => r.getAs[Double]("pc1") == 0.0 &&
+      r.getAs[Double]("eig") == 0.0 &&
+      r.getAs[Double]("explained") == 0.0), s"const: ${cc.mkString(",")}")
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
@@ -2238,6 +2252,18 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
         r.getAs[Boolean]("holds")).toMap
     assert(!d(("k", "v")), s"$d")
+    // a genuine '__null__' STRING must not collide with a real NULL:
+    // k=1 maps to the literal text and k=2 to NULL — two distinct rhs
+    // values per... no: each k has ONE value, so k→v holds; and
+    // v→k must see TWO lhs groups (the text and the null), not one
+    val sentinel = Seq((1L, "__null__"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val sv = Curation.fdDiscovery(sentinel, Seq("k", "v")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+        (r.getAs[Long]("n_lhs"), r.getAs[Boolean]("holds"))).toMap
+    assert(sv(("k", "v")) == ((2L, true)), s"$sv")
+    assert(sv(("v", "k")) == ((2L, true)),
+      s"the '__null__' text and a real NULL are distinct lhs groups: $sv")
   }
 
   test("effectiveRank: isotropic space scores dims, rank-1 scores 1, anisotropic between") {

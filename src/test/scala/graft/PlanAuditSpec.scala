@@ -476,18 +476,49 @@ class PlanAuditSpec extends AnyFunSuite {
     val emb = graft.sources.Tables(spark, dir).embeddings
       .filter(org.apache.spark.sql.functions.col("vec_id") < 20)
     val kOn = graft.ext.Similarity.mutualKnn(emb, k = 3).collect().toSet
+    // forcing the blocked path now takes BOTH gates to zero (row gate
+    // guards the caller hint; the byte gate guards the stats path)
     val kOff = graft.ext.Similarity
-      .mutualKnn(emb, k = 3, broadcastMaxRows = 0L).collect().toSet
+      .mutualKnn(emb, k = 3, broadcastMaxRows = 0L, broadcastMaxBytes = 0L)
+      .collect().toSet
     assert(kOn == kOff, "mutualKnn gate must not change pairs")
     // past the gate the pair space is hash-blocked into an equi-keyed
     // shuffle join — an oversized corpus must never degrade to a
     // single-task cartesian scan
     val offPlan = graft.ext.Similarity
-      .mutualKnn(emb, k = 3, broadcastMaxRows = 0L)
+      .mutualKnn(emb, k = 3, broadcastMaxRows = 0L, broadcastMaxBytes = 0L)
       .queryExecution.executedPlan.toString
     assert(!offPlan.contains("CartesianProduct") &&
       !offPlan.contains("BroadcastNestedLoopJoin"),
       s"mutualKnn past-gate fallback must be blocked, not cartesian:\n$offPlan")
+  }
+
+  test("mutualKnn size gate runs ZERO Spark jobs (stats / caller hint, never a count)") {
+    val emb = graft.sources.Tables(spark, dir).embeddings
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the parquet scan's file size is known to the optimizer → the
+      // tiny table gates to the broadcast path with no job launched
+      assert(graft.ext.Similarity.statsGate(emb,
+        maxRows = 1000000L, maxBytes = 256L << 20, rowHint = None))
+      // both gates at zero → blocked path, still zero jobs
+      assert(!graft.ext.Similarity.statsGate(emb,
+        maxRows = 0L, maxBytes = 0L, rowHint = None))
+      // the caller's hint overrides stats entirely
+      assert(!graft.ext.Similarity.statsGate(emb,
+        maxRows = 10L, maxBytes = Long.MaxValue, rowHint = Some(11L)))
+      // drain the async listener bus before reading the counter
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"the size gate must plan from statistics, not run ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("iterative graph plans: no cartesian product in any round") {

@@ -171,6 +171,25 @@ class TimeseriesSpec extends AnyFunSuite {
       period = 2, horizon = 2).count() == 0)
   }
 
+  test("holtWinters: calendar gaps densify to x=0 — slot alignment survives") {
+    // day 2 has ZERO events (a calendar gap): densification must fold
+    // it as x=0 so the 2-slot rotation stays aligned for days 3..5 —
+    // without it the fold would see 5 rows and every later slot
+    // assignment would be shifted by one.
+    // Hand fold of [4,8,0,8,4,8], m=2, α=300 β=100 γ=200:
+    // l0=6000 s=[−2000,2000] b=0
+    // t3 x=0:  l=4800  b=−120 s→[2000,−2560]
+    // t4 x=8:  l=5076  b=−81  s→[−2560,2184]
+    // t5 x=4:  l=5464  b=−35  s→[2184,−2341]
+    // t6 x=8:  l=5545  b=−24  s→[−2341,2238]
+    val out = Timeseries.holtWintersForecast(series(Seq(4, 8, 0, 8, 4, 8)),
+        period = 2, horizon = 2)
+      .select("n_days", "level_milli", "trend_milli", "f1_milli", "f2_milli")
+      .as[(Int, Long, Long, Long, Long)].head()
+    assert(out._1 == 6, s"densified length counts the gap day: $out")
+    assert(out == ((6, 5545L, -24L, 3180L, 7735L)), s"got $out")
+  }
+
   test("forecastBacktest: periodic test week scores exactly; naive ties give mase 1") {
     // [4,8,4,8,4,8] td=2 m=2: train [4,8,4,8] → l=6000 b=0
     // sl=[−2000,2000]; forecasts [4000,8000] = test exactly AND the
