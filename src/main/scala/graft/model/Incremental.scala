@@ -30,20 +30,83 @@ object Incremental {
 
   /** dbt incremental with merge semantics: rows in `batch` replace
     * existing rows with the same `uniqueKey`; new keys append. First
-    * run bootstraps the target. */
+    * run bootstraps the target.
+    *
+    * Schema evolution follows dbt's `on_schema_change` contract:
+    *  - `ignore` (dbt's default): the TARGET schema is authoritative —
+    *    batch columns the target lacks are dropped (their data is
+    *    lost, exactly dbt's documented behavior), target columns the
+    *    batch lacks fill as NULL for the incoming rows;
+    *  - `fail`: any column-set difference aborts with a diagnostic
+    *    naming the added/removed columns — the safe policy for
+    *    pipelines where silent data loss is worse than a page;
+    *  - `append_new_columns`: batch columns missing from the target
+    *    are ADDED (existing rows read NULL there); columns the batch
+    *    dropped stay in the target and fill as NULL for new rows;
+    *  - `sync_all_columns`: adds new columns AND removes departed
+    *    ones (the full-sync policy; historical data in removed
+    *    columns is dropped).
+    * Type changes on a shared column are out of scope for all four
+    * policies (as in dbt, where the warehouse's ALTER semantics
+    * decide) and surface as a loud analysis error from the union. */
   def merge(spark: SparkSession, batch: DataFrame, path: String,
-      uniqueKey: Seq[String]): DataFrame = {
+      uniqueKey: Seq[String],
+      onSchemaChange: String = "ignore"): DataFrame = {
+    require(Set("ignore", "fail", "append_new_columns",
+        "sync_all_columns").contains(onSchemaChange),
+      s"unsupported on_schema_change '$onSchemaChange'")
     val exists = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
     val merged = if (!exists) batch else {
       val existing = spark.read.parquet(path)
+      require(uniqueKey.forall(batch.columns.contains) &&
+          uniqueKey.forall(existing.columns.contains),
+        s"unique_key $uniqueKey must survive the schema change")
+      val (keepExisting, keepBatch) =
+        resolveSchemaChange(existing, batch, onSchemaChange, path)
       val keyCols = uniqueKey.map(col)
       // batch wins: anti-join existing against batch keys, then union
-      existing.join(batch.select(keyCols: _*).distinct(), uniqueKey, "left_anti")
-        .unionByName(batch)
+      keepExisting
+        .join(batch.select(keyCols: _*).distinct(), uniqueKey, "left_anti")
+        .unionByName(keepBatch, allowMissingColumns = true)
     }
     swapWrite(spark, merged, path)
+  }
+
+  /** Resolve the two sides of an incremental fold onto the
+    * `on_schema_change` policy's target column set (see [[merge]] for
+    * the per-policy contract). Identical columns pass through. */
+  private def resolveSchemaChange(existing: DataFrame, batch: DataFrame,
+      onSchemaChange: String, path: String): (DataFrame, DataFrame) = {
+    val added = batch.columns.filterNot(existing.columns.contains).toSeq
+    val removed = existing.columns.filterNot(batch.columns.contains).toSeq
+    if (onSchemaChange == "fail" && (added.nonEmpty || removed.nonEmpty))
+      throw new IllegalStateException(
+        s"incremental model at $path: schema changed and " +
+          "on_schema_change='fail' — batch adds " +
+          s"${added.mkString("[", ",", "]")}, drops " +
+          s"${removed.mkString("[", ",", "]")}")
+    onSchemaChange match {
+      case "append_new_columns" => (existing, batch)
+      case "sync_all_columns" => (existing.drop(removed: _*), batch)
+      case _ => (existing, batch.drop(added: _*)) // ignore: target wins
+    }
+  }
+
+  /** The APPEND-strategy (no unique_key) fold when the batch schema
+    * drifted: same `on_schema_change` resolution as [[merge]], no key
+    * anti-join — a raw parquet append with a different column set
+    * would leave a directory whose schema depends on which file a
+    * reader samples, so the drifted batch folds through one
+    * swap-write instead. */
+  private[graft] def appendFold(spark: SparkSession, batch: DataFrame,
+      path: String, onSchemaChange: String): DataFrame = {
+    val existing = spark.read.parquet(path)
+    val (keepExisting, keepBatch) =
+      resolveSchemaChange(existing, batch, onSchemaChange, path)
+    swapWrite(spark,
+      keepExisting.unionByName(keepBatch, allowMissingColumns = true), path)
   }
 
   /** CDC apply (the "APPLY CHANGES" shape): fold an insert/update/

@@ -22,8 +22,12 @@ object Materialization {
     * fold ONLY the model's (typically is_incremental()-filtered)
     * output into it — merge on `uniqueKey` when given (batch wins,
     * [[graft.model.Incremental.merge]]), plain append otherwise
-    * (dbt's default insert strategy). */
-  final case class Incremental(uniqueKey: Seq[String] = Seq.empty)
+    * (dbt's default insert strategy). `onSchemaChange` is dbt's
+    * `on_schema_change` config (ignore | fail | append_new_columns |
+    * sync_all_columns — see [[Incremental.merge]] for the exact
+    * column-resolution contract of each). */
+  final case class Incremental(uniqueKey: Seq[String] = Seq.empty,
+      onSchemaChange: String = "ignore")
     extends Materialization
 }
 
@@ -41,7 +45,8 @@ final case class Model(
     checks: Seq[(String, DataFrame => DataFrame)] = Seq.empty)(
     val transform: Map[String, DataFrame] => DataFrame)
 
-final class DataCheckException(msg: String) extends RuntimeException(msg)
+final class DataCheckException(msg: String, val model: String = "")
+  extends RuntimeException(msg)
 
 final class CycleException(msg: String) extends RuntimeException(msg)
 
@@ -135,9 +140,60 @@ final class Runner(
 
   /** dbt `build` semantics: run each model, then run its data checks
     * before any dependent starts (SURVEY §3.3); a failing check aborts
-    * the DAG with DataCheckException. */
+    * the DAG with DataCheckException. For dbt's real skip-don't-abort
+    * behavior, use [[buildGated]]. */
   def build(models: Seq[Model]): Map[String, DataFrame] =
     run(models, runChecks = true)
+
+  /** Materialize one model given its resolved upstream frames. */
+  private def materialize(m: Model,
+      env: Map[String, DataFrame]): (String, DataFrame) = {
+    val df = m.transform(env)
+    m.materialization match {
+      case Materialization.View =>
+        df.createOrReplaceTempView(m.name)
+        m.name -> df
+      case Materialization.Table =>
+        val path = s"$warehouseDir/${m.name}"
+        df.write.mode("overwrite").parquet(path)
+        val reread = spark.read.parquet(path)
+        reread.createOrReplaceTempView(m.name)
+        m.name -> reread
+      case Materialization.Incremental(uniqueKey, onSchemaChange) =>
+        val path = s"$warehouseDir/${m.name}"
+        val reread =
+          if (uniqueKey.nonEmpty)
+            // merge bootstraps the first run itself
+            Incremental.merge(spark, df, path, uniqueKey, onSchemaChange)
+          else {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              spark.sparkContext.hadoopConfiguration)
+            val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+            if (!exists) {
+              df.write.mode("overwrite").parquet(path)
+              spark.read.parquet(path)
+            } else if (spark.read.parquet(path).columns.toSeq ==
+                df.columns.toSeq) {
+              df.write.mode("append").parquet(path)
+              spark.read.parquet(path)
+            } else
+              // schema drifted on the APPEND strategy: fold under
+              // the same on_schema_change policy as merge
+              Incremental.appendFold(spark, df, path, onSchemaChange)
+          }
+        reread.createOrReplaceTempView(m.name)
+        m.name -> reread
+    }
+  }
+
+  private def runChecksOf(m: Model, result: DataFrame): Unit =
+    for ((checkName, check) <- m.checks) {
+      val violations = check(result)
+      if (!violations.isEmpty)
+        throw new DataCheckException(
+          s"model ${m.name} failed check '$checkName': " +
+            s"${violations.count()} violating rows", m.name)
+    }
 
   /** Run all models in dependency order; returns name -> result
     * DataFrame (for Table materializations, the re-read parquet). */
@@ -150,51 +206,59 @@ final class Runner(
     for (m <- order) {
       val depFutures = m.deps.flatMap(done.get)
       done(m.name) = Future.sequence(depFutures).map { resolved =>
-        val env = sources ++ resolved.toMap
-        val df = m.transform(env)
-        m.materialization match {
-          case Materialization.View =>
-            df.createOrReplaceTempView(m.name)
-            m.name -> df
-          case Materialization.Table =>
-            val path = s"$warehouseDir/${m.name}"
-            df.write.mode("overwrite").parquet(path)
-            val reread = spark.read.parquet(path)
-            reread.createOrReplaceTempView(m.name)
-            m.name -> reread
-          case Materialization.Incremental(uniqueKey) =>
-            val path = s"$warehouseDir/${m.name}"
-            val reread =
-              if (uniqueKey.nonEmpty)
-                // merge bootstraps the first run itself
-                Incremental.merge(spark, df, path, uniqueKey)
-              else {
-                val fs = org.apache.hadoop.fs.FileSystem.get(
-                  spark.sparkContext.hadoopConfiguration)
-                if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-                  df.write.mode("overwrite").parquet(path)
-                else df.write.mode("append").parquet(path)
-                spark.read.parquet(path)
-              }
-            reread.createOrReplaceTempView(m.name)
-            m.name -> reread
-        }
-      }.map { case (name, result) =>
-        if (runChecks) {
-          val m = models.find(_.name == name).get
-          for ((checkName, check) <- m.checks) {
-            val violations = check(result)
-            if (!violations.isEmpty)
-              throw new DataCheckException(
-                s"model $name failed check '$checkName': " +
-                s"${violations.count()} violating rows")
-          }
-        }
-        name -> result
+        val out = materialize(m, sources ++ resolved.toMap)
+        if (runChecks) runChecksOf(m, out._2)
+        out
       }
     }
     val res = Await.result(Future.sequence(order.map(m => done(m.name))), Duration.Inf)
     res.toMap
+    } finally pool.shutdown()
+  }
+
+  /** REAL `dbt build` semantics: each model's data checks run
+    * immediately after it materializes and BEFORE any dependent
+    * starts; a failing check marks the model `fail` and SKIPS its
+    * transitive dependents — independent branches keep running (dbt
+    * skips downstream of a failure, it does not abort the invocation).
+    * The failing model's table IS materialized (dbt builds, then
+    * tests); only the gate to dependents closes. Non-check errors
+    * (bad SQL, missing relation) still abort loudly, as in [[run]].
+    *
+    * @return (frames for every model that materialized — including
+    *         ones whose checks then failed — and a status per model:
+    *         `success`, `fail: <detail>`, or `skipped: ...`) */
+  def buildGated(models: Seq[Model])
+      : (Map[String, DataFrame], Map[String, String]) = {
+    val order = ModelGraph.topoSort(models)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // gate futures FAIL on a check failure (closing dependents); the
+    // materialized frame is still recorded for the caller
+    val done = mutable.Map.empty[String, Future[(String, DataFrame)]]
+    val frames = new scala.collection.concurrent.TrieMap[String, DataFrame]
+    try {
+      for (m <- order) {
+        val depFutures = m.deps.flatMap(done.get)
+        done(m.name) = Future.sequence(depFutures).map { resolved =>
+          val out = materialize(m, sources ++ resolved.toMap)
+          frames(m.name) = out._2
+          runChecksOf(m, out._2)
+          out
+        }
+      }
+      val status = order.map { m =>
+        val f = done(m.name)
+        Await.ready(f, Duration.Inf)
+        m.name -> (f.value.get match {
+          case scala.util.Success(_) => "success"
+          case scala.util.Failure(d: DataCheckException) =>
+            if (d.model == m.name) s"fail: ${d.getMessage}"
+            else s"skipped: upstream ${d.model} failed a data test"
+          case scala.util.Failure(other) => throw other
+        })
+      }.toMap
+      (frames.toMap, status)
     } finally pool.shutdown()
   }
 }

@@ -349,7 +349,22 @@ object DbtProject {
       sources: Map[String, DataFrame], warehouseDir: String,
       currentDateOverride: Option[String] = None, threads: Int = 0,
       vars: Map[String, String] = Map.empty,
-      select: Option[String] = None): Map[String, DataFrame] = {
+      select: Option[String] = None,
+      fullRefresh: Boolean = false): Map[String, DataFrame] = {
+    val (p, engine, allFrames) = prepare(spark, projectDir, sources,
+      warehouseDir, currentDateOverride, threads, vars)
+    engine.run(p.modelSql, allFrames, p.materializations, p.tags, select,
+      fullRefresh)
+  }
+
+  /** Shared run/build wiring: load the project, check sources, build
+    * the engine, and assemble the full relation map (caller sources +
+    * seeds + already-materialized snapshots). */
+  private def prepare(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      currentDateOverride: Option[String], threads: Int,
+      vars: Map[String, String])
+      : (Loaded, DbtSqlEngine, Map[String, DataFrame]) = {
     val p = load(projectDir)
     val missing = p.sourceTables.filterNot(sources.contains)
     require(missing.isEmpty,
@@ -367,10 +382,54 @@ object DbtProject {
     }.toMap
     // seeds ride alongside the caller's sources: the engine registers
     // both as resolvable relations before any model SQL runs
-    new DbtSqlEngine(spark, warehouseDir, currentDateOverride, t, vars,
-      macros = p.macros, targetProps = p.targetProps)
-      .run(p.modelSql, sources ++ seedFrames(spark, p) ++ snapFrames,
-        p.materializations, p.tags, select)
+    val engine = new DbtSqlEngine(spark, warehouseDir, currentDateOverride,
+      t, vars, macros = p.macros, targetProps = p.targetProps)
+    (p, engine, sources ++ seedFrames(spark, p) ++ snapFrames)
+  }
+
+  /** `dbt build`: run + test in DAG order with dbt's REAL gating —
+    * each model's declared schema-yml tests execute immediately after
+    * it materializes and before any dependent starts; a failing test
+    * marks the model `fail` and SKIPS its transitive dependents while
+    * independent branches keep running (SURVEY §3.3 — [[runAndTest]]
+    * is the weaker run-all-then-test-all shape). Tests declared on
+    * seeds or sources run FIRST (they are inputs) and are reported,
+    * but do not gate models — dbt gates on resource edges, and a
+    * seed/source test failure shows in the report for triage.
+    *
+    * @return (frames for every model that materialized, report with
+    *   one row per resource/test: (resource, kind, status, detail) —
+    *   kind ∈ model|test, status ∈ success|fail|skipped|pass) */
+  def build(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      currentDateOverride: Option[String] = None, threads: Int = 0,
+      vars: Map[String, String] = Map.empty,
+      select: Option[String] = None,
+      fullRefresh: Boolean = false)
+      : (Map[String, DataFrame], DataFrame) = {
+    val (p, engine, allFrames) = prepare(spark, projectDir, sources,
+      warehouseDir, currentDateOverride, threads, vars)
+    val (modelTests, inputTests) =
+      p.tests.partition(t => p.modelSql.contains(t.model))
+    // seed/source tests run up front against the input frames
+    val inputRows = inputTests.map { t =>
+      val n = DbtTests.violations(t, allFrames)
+      val label = t.column.map(c => s"${t.kind}($c)").getOrElse(t.kind)
+      (s"${t.model}.$label", "test",
+        if (n == 0L) "pass" else "fail", s"$n violating rows")
+    }
+    val (frames, status) = engine.build(p.modelSql, allFrames,
+      p.materializations, p.tags, select, fullRefresh, modelTests)
+    val modelRows = status.toSeq.sortBy(_._1).map { case (name, st) =>
+      val (s, detail) = st.indexOf(':') match {
+        case -1 => (st, "")
+        case i => (st.take(i), st.drop(i + 2))
+      }
+      (name, "model", s, detail)
+    }
+    import spark.implicits._
+    (frames, (modelRows ++ inputRows)
+      .toDF("resource", "kind", "status", "detail"))
   }
 
   /** `dbt snapshot`: render and run every `{% snapshot %}` block,

@@ -36,7 +36,50 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
   def run(modelSql: Map[String, String], sources: Map[String, DataFrame],
       materializations: Map[String, Materialization] = Map.empty,
       tags: Map[String, Set[String]] = Map.empty,
-      select: Option[String] = None): Map[String, DataFrame] = {
+      select: Option[String] = None,
+      fullRefresh: Boolean = false): Map[String, DataFrame] = {
+    val chosen = prepare(modelSql, sources, materializations, tags,
+      select, fullRefresh)
+    new Runner(spark, sources, warehouseDir, threads).run(chosen)
+  }
+
+  /** `dbt build`: like [[run]], but each model's declared data tests
+    * execute immediately after it materializes and gate its
+    * dependents — a failing test SKIPS everything downstream while
+    * independent branches keep running (dbt's skip semantics, not an
+    * abort). Tests whose model is not in `modelSql` (seeds, sources)
+    * are ignored here — the caller runs those against its own frames.
+    * @return (frames for every model that materialized, status per
+    *         model: success | fail: … | skipped: …) */
+  def build(modelSql: Map[String, String], sources: Map[String, DataFrame],
+      materializations: Map[String, Materialization] = Map.empty,
+      tags: Map[String, Set[String]] = Map.empty,
+      select: Option[String] = None,
+      fullRefresh: Boolean = false,
+      tests: Seq[DbtTests.DataTest] = Seq.empty)
+      : (Map[String, DataFrame], Map[String, String]) = {
+    val chosen = prepare(modelSql, sources, materializations, tags,
+      select, fullRefresh)
+    val byModel = tests.groupBy(_.model)
+    val withChecks = chosen.map { m =>
+      val checks = byModel.getOrElse(m.name, Seq.empty).map { t =>
+        val label = t.column.map(c => s"${t.kind}($c)").getOrElse(t.kind)
+        label -> ((df: org.apache.spark.sql.DataFrame) =>
+          DbtTests.violatingRows(t, df, spark))
+      }
+      m.copy(checks = checks)(m.transform)
+    }
+    new Runner(spark, sources, warehouseDir, threads).buildGated(withChecks)
+  }
+
+  /** Render, translate, and wire the model DAG; resolve --select and
+    * warehouse-resident upstreams. Shared by [[run]] and [[build]]. */
+  private def prepare(modelSql: Map[String, String],
+      sources: Map[String, DataFrame],
+      materializations: Map[String, Materialization],
+      tags: Map[String, Set[String]],
+      select: Option[String],
+      fullRefresh: Boolean): Seq[Model] = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -59,21 +102,39 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       val first = renderWith(false)
       val uniqueKey = first.config.get("unique_key").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      // dbt's on_schema_change config (default ignore); validated in
+      // Incremental.merge so a typo fails the first fold, not silently
+      val onSchemaChange =
+        first.config.getOrElse("on_schema_change", "ignore")
       val mat = first.config.get("materialized") match {
         case Some("table") => Materialization.Table
         case Some("view") => Materialization.View
-        case Some("incremental") => Materialization.Incremental(uniqueKey)
+        case Some("incremental") =>
+          Materialization.Incremental(uniqueKey, onSchemaChange)
         case Some(other) => throw new IllegalArgumentException(
           s"model $name: unsupported config(materialized='$other')")
         case None => materializations.getOrElse(name, Materialization.View) match {
           // a policy-level incremental still honors the model's own
           // config(unique_key=...)
-          case Materialization.Incremental(_) =>
-            Materialization.Incremental(uniqueKey)
+          case Materialization.Incremental(_, _) =>
+            Materialization.Incremental(uniqueKey, onSchemaChange)
           case other => other
         }
       }
       val targetPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+      // dbt --full-refresh: drop and rebuild incremental targets; the
+      // model's own config(full_refresh=...) overrides the flag in
+      // BOTH directions (false protects a huge table from an
+      // accidental rebuild; true always rebuilds), dbt's precedence
+      val modelFullRefresh =
+        first.config.get("full_refresh").map(_.toLowerCase) match {
+          case Some("true") => true
+          case Some("false") => false
+          case _ => fullRefresh
+        }
+      if (modelFullRefresh && mat.isInstanceOf[Materialization.Incremental]
+          && fs.exists(targetPath))
+        fs.delete(targetPath, true)
       val incrementalRun = mat.isInstanceOf[Materialization.Incremental] &&
         fs.exists(targetPath)
       val r = if (incrementalRun) renderWith(true) else first
@@ -111,7 +172,7 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
           spark.read.parquet(p.toString).createOrReplaceTempView(d)
         }
     }
-    new Runner(spark, sources, warehouseDir, threads).run(chosen)
+    chosen
   }
 }
 

@@ -108,56 +108,70 @@ object DbtTests {
     case _ => Seq.empty
   }
 
-  /** `ref('x')` / `source('a', 'x')` → the frame named x. */
-  private def resolveRef(toExpr: String,
-      frames: Map[String, DataFrame]): DataFrame = {
+  /** `ref('x')` / `source('a', 'x')` → the relation name x. */
+  private def refName(toExpr: String): String = {
     val refRe = """ref\(\s*'(\w+)'\s*\)""".r
     val srcRe = """source\(\s*'[^']*'\s*,\s*'(\w+)'\s*\)""".r
-    val name = toExpr.trim match {
+    toExpr.trim match {
       case refRe(n) => n
       case srcRe(n) => n
       case bare if bare.matches("\\w+") => bare
       case other => throw new IllegalArgumentException(
         s"unsupported relationships 'to' expression: $other")
     }
-    frames.getOrElse(name, throw new IllegalArgumentException(
-      s"relationships target '$name' is not a known model/source"))
   }
+
+  /** Violating rows for one test against the model's frame — the
+    * Model.checks contract (pass ⇔ empty). `resolve` supplies the
+    * `relationships` target relation by name. */
+  private def violatingRowsWith(t: DataTest, df: DataFrame,
+      resolve: String => DataFrame): DataFrame = t.kind match {
+    case "not_null" =>
+      df.filter(col(t.column.get).isNull).select(t.column.get)
+    case "unique" =>
+      df.filter(col(t.column.get).isNotNull)
+        .groupBy(col(t.column.get)).count()
+        .filter(col("count") > 1)
+    case "accepted_values" =>
+      val vals = t.params.getOrElse("values", throw new
+          IllegalArgumentException("accepted_values without values:"))
+      df.filter(col(t.column.get).isNotNull &&
+        !col(t.column.get).cast("string").isin(vals: _*))
+        .select(t.column.get)
+    case "relationships" =>
+      val parent = resolve(refName(t.params.getOrElse("to", Seq.empty)
+        .headOption.getOrElse(throw new IllegalArgumentException(
+          "relationships without to:"))))
+      val field = t.params.getOrElse("field", Seq.empty).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          "relationships without field:"))
+      df.filter(col(t.column.get).isNotNull)
+        .select(col(t.column.get).as("__k")).distinct()
+        .join(parent.select(col(field).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+    case "dbt_utils.unique_combination_of_columns" =>
+      val cols = t.params.getOrElse("combination_of_columns",
+        throw new IllegalArgumentException(
+          "unique_combination_of_columns without combination_of_columns:"))
+      df.groupBy(cols.map(col): _*).count()
+        .filter(col("count") > 1)
+  }
+
+  /** Violating rows with `relationships` targets resolved from the
+    * session catalog — sources and completed upstreams register temp
+    * views before dependents run, so a test executing right after its
+    * model materializes (the gated `dbt build` shape) sees them. */
+  def violatingRows(t: DataTest, df: DataFrame,
+      spark: SparkSession): DataFrame =
+    violatingRowsWith(t, df, n => spark.table(n))
 
   /** Violation count for one test — dbt's status rule (0 ⇔ pass). */
   def violations(t: DataTest, frames: Map[String, DataFrame]): Long = {
     val df = frames.getOrElse(t.model, throw new IllegalArgumentException(
       s"test on unknown model '${t.model}'"))
-    t.kind match {
-      case "not_null" =>
-        df.filter(col(t.column.get).isNull).count()
-      case "unique" =>
-        df.filter(col(t.column.get).isNotNull)
-          .groupBy(col(t.column.get)).count()
-          .filter(col("count") > 1).count()
-      case "accepted_values" =>
-        val vals = t.params.getOrElse("values", throw new
-            IllegalArgumentException("accepted_values without values:"))
-        df.filter(col(t.column.get).isNotNull &&
-          !col(t.column.get).cast("string").isin(vals: _*)).count()
-      case "relationships" =>
-        val parent = resolveRef(t.params.getOrElse("to", Seq.empty)
-          .headOption.getOrElse(throw new IllegalArgumentException(
-            "relationships without to:")), frames)
-        val field = t.params.getOrElse("field", Seq.empty).headOption
-          .getOrElse(throw new IllegalArgumentException(
-            "relationships without field:"))
-        df.filter(col(t.column.get).isNotNull)
-          .select(col(t.column.get).as("__k")).distinct()
-          .join(parent.select(col(field).as("__k")).distinct(),
-            Seq("__k"), "left_anti").count()
-      case "dbt_utils.unique_combination_of_columns" =>
-        val cols = t.params.getOrElse("combination_of_columns",
-          throw new IllegalArgumentException(
-            "unique_combination_of_columns without combination_of_columns:"))
-        df.groupBy(cols.map(col): _*).count()
-          .filter(col("count") > 1).count()
-    }
+    violatingRowsWith(t, df, n => frames.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"relationships target '$n' is not a known model/source"))).count()
   }
 
   /** Run every test; one row per test with its violation count —

@@ -486,6 +486,145 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(a2("app_model").count() == 2)
   }
 
+  test("dbt build: a failing test on an intermediate SKIPS its dependents; independent branches run; reference checkout builds green") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-build-proj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"gated\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: src_g
+        |""".stripMargin.getBytes("UTF-8"))
+    // base has a NULL v → its not_null test fails → mart (downstream)
+    // must be SKIPPED; indep (no edge to base) must still build
+    Files.write(dir.resolve("models/base.sql"),
+      "select id, v from {{ source('raw', 'src_g') }}".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/mart.sql"),
+      "select id from {{ ref('base') }} where v is not null"
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("models/indep.sql"),
+      "select id from {{ source('raw', 'src_g') }}".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: base
+        |    columns:
+        |      - name: v
+        |        tests:
+        |          - not_null
+        |  - name: indep
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - not_null
+        |""".stripMargin.getBytes("UTF-8"))
+    val wh = Files.createTempDirectory("graft-build-wh").toString
+    val src = Seq((1L, Some("a")), (2L, None)).toDF("id", "v")
+    val (frames, report) = DbtProject.build(spark, dir.toString,
+      Map("src_g" -> src), wh)
+    val st = report.filter(col("kind") === "model")
+      .select("resource", "status").as[(String, String)].collect().toMap
+    assert(st("base") == "fail", s"$st")
+    assert(st("mart") == "skipped", s"$st")
+    assert(st("indep") == "success", s"$st")
+    // the failing model still MATERIALIZED (dbt builds, then tests —
+    // only the gate to dependents closes); the skipped one did not run
+    assert(frames.contains("base") && frames.contains("indep"))
+    assert(!frames.contains("mart"))
+    val detail = report.filter(col("resource") === "base")
+      .select("detail").as[String].head()
+    assert(detail.contains("not_null(v)"), detail)
+    // the reference checkout builds with its OWN declared tests: the
+    // two intermediates succeed; user_base materializes and then its
+    // uniqueness test reports the fixture's known 3 duplicated
+    // (user_id, partner_id, site_id) combos (same count the
+    // run-then-test suite and q_user_base_checks pin) — and since
+    // user_base has no dependents, nothing is skipped
+    assume(available, s"$refDir not present")
+    val wh2 = Files.createTempDirectory("graft-build-wh2").toString
+    val (refFrames, refReport) = DbtProject.build(spark, refDir,
+      RefFixtures.sources(spark), wh2, currentDateOverride = Some(asOfDate))
+    val refSt = refReport.filter(col("kind") === "model")
+      .select("resource", "status", "detail")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(refSt("locations_clean")._1 == "success", s"$refSt")
+    assert(refSt("stacked_users_partners")._1 == "success", s"$refSt")
+    assert(refSt("user_base")._1 == "fail" &&
+      refSt("user_base")._2.contains("3 violating rows"), s"$refSt")
+    assert(!refSt.valuesIterator.exists(_._1 == "skipped"), s"$refSt")
+    val expect = DbtProject.run(spark, refDir, RefFixtures.sources(spark),
+      Files.createTempDirectory("graft-build-wh3").toString,
+      currentDateOverride = Some(asOfDate))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(v => if (v == null) "␀" else v.toString).mkString("|"))
+        .toSeq.sorted
+    }
+    assert(rowsOf(refFrames("user_base")) == rowsOf(expect("user_base")))
+  }
+
+  test("incremental lifecycle: --full-refresh rebuilds; on_schema_change policies per dbt docs") {
+    import spark.implicits._
+    import graft.sql.DbtSqlEngine
+    def proj(cfg: String) = Map("m" ->
+      (s"{{ config(materialized='incremental', unique_key='id'$cfg) }} " +
+        "select * from {{ source('raw', 's') }}"))
+    def run(wh: String, cfg: String, df: org.apache.spark.sql.DataFrame,
+        fullRefresh: Boolean = false) =
+      new DbtSqlEngine(spark, wh).run(proj(cfg), Map("s" -> df),
+        fullRefresh = fullRefresh)("m")
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b2 = Seq((2L, "b2", 20L), (3L, "c", 30L)).toDF("id", "v", "w")
+    // default (ignore): the TARGET schema wins — w is dropped, the
+    // merge lands with the original columns
+    val whI = Files.createTempDirectory("osc-ignore").toString
+    run(whI, "", b1)
+    val r2 = run(whI, "", b2)
+    assert(r2.columns.toSeq == Seq("id", "v"))
+    assert(r2.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // fail: the schema change aborts loudly, naming the column
+    val whF = Files.createTempDirectory("osc-fail").toString
+    run(whF, ", on_schema_change='fail'", b1)
+    val e = intercept[IllegalStateException](
+      run(whF, ", on_schema_change='fail'", b2))
+    assert(e.getMessage.contains("w"), e.getMessage)
+    // append_new_columns: w is ADDED; pre-existing rows read NULL
+    val whA = Files.createTempDirectory("osc-append").toString
+    run(whA, ", on_schema_change='append_new_columns'", b1)
+    val rA = run(whA, ", on_schema_change='append_new_columns'", b2)
+    assert(rA.columns.toSet == Set("id", "v", "w"))
+    assert(rA.select("id", "v", "w").as[(Long, String, Option[Long])]
+      .collect().toSet ==
+      Set((1L, "a", None), (2L, "b2", Some(20L)), (3L, "c", Some(30L))))
+    // sync_all_columns: adds w AND drops a departed column
+    val whS = Files.createTempDirectory("osc-sync").toString
+    run(whS, ", on_schema_change='sync_all_columns'",
+      Seq((1L, "a", true)).toDF("id", "v", "old"))
+    val rS = run(whS, ", on_schema_change='sync_all_columns'", b2)
+    assert(rS.columns.toSet == Set("id", "v", "w"), rS.columns.mkString(","))
+    // --full-refresh: the incremental target rebuilds from scratch —
+    // history (id=1) is GONE, only the current batch remains
+    val whR = Files.createTempDirectory("osc-refresh").toString
+    run(whR, "", b1)
+    val rR = run(whR, "", Seq((9L, "z")).toDF("id", "v"),
+      fullRefresh = true)
+    assert(rR.as[(Long, String)].collect().toSet == Set((9L, "z")))
+    // config(full_refresh=false) PROTECTS the table from the flag
+    val whP = Files.createTempDirectory("osc-protect").toString
+    run(whP, ", full_refresh=false", b1)
+    val rP = run(whP, ", full_refresh=false",
+      Seq((9L, "z")).toDF("id", "v"), fullRefresh = true)
+    assert(rP.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (9L, "z")))
+  }
+
   test("dbt_utils builtins: generate_surrogate_key and safe_cast expand to dbt_utils' own SQL") {
     import spark.implicits._
     import graft.sql.DbtSqlEngine
