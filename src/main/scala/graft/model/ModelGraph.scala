@@ -83,13 +83,19 @@ object ModelGraph {
     order.toSeq
   }
 
-  /** dbt node selection (`--select`): space/comma-separated tokens,
-    * each `name`, `name+` (plus descendants), `+name` (plus
-    * ancestors), `+name+`, or `tag:t` (with the same +/+ wrappers);
-    * result = union over tokens. An unknown model name fails loudly
-    * (dbt warns-and-skips; silently running nothing is worse).
-    * Graph closure is transitive over model-to-model edges. */
-  def select(models: Seq[Model], expr: String): Seq[Model] = {
+  /** dbt node selection (`--select` / `--exclude`): space/comma-
+    * separated tokens, each `name`, `name+` (plus descendants),
+    * `+name` (plus ancestors), `+name+`, `@name` (the model, its
+    * descendants, AND the ancestors of all of those — dbt's at-
+    * operator, the "everything needed to build this subtree" set), or
+    * `tag:t` (with the same wrappers); result = union over tokens.
+    * `exclude` evaluates the same grammar and is subtracted LAST, so
+    * exclude always overrides select (dbt's precedence rule). An
+    * unknown model name fails loudly (dbt warns-and-skips; silently
+    * running nothing is worse). Graph closure is transitive over
+    * model-to-model edges. */
+  def select(models: Seq[Model], expr: String,
+      exclude: String = ""): Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap
     val children = models.flatMap(m =>
       m.deps.filter(byName.contains).map(_ -> m.name))
@@ -102,25 +108,32 @@ object ModelGraph {
       }
       seen
     }
-    val selected = expr.trim.split("[ ,]+").filter(_.nonEmpty).flatMap { tok =>
-      val plusBefore = tok.startsWith("+")
-      val plusAfter = tok.endsWith("+")
-      val core = tok.stripPrefix("+").stripSuffix("+")
-      val base: Set[String] =
-        if (core.startsWith("tag:")) {
-          val t = core.drop(4)
-          models.filter(_.tags.contains(t)).map(_.name).toSet
-        } else {
-          require(byName.contains(core),
-            s"selector '$tok' names no model (have: ${byName.keys.toSeq.sorted})")
-          Set(core)
-        }
-      base ++
-        (if (plusBefore) closure(base,
-          n => byName(n).deps.filter(byName.contains).toSet) else Set.empty) ++
-        (if (plusAfter) closure(base,
-          n => children.getOrElse(n, Set.empty)) else Set.empty)
-    }.toSet
+    def ancestors(seed: Set[String]) = closure(seed,
+      n => byName(n).deps.filter(byName.contains).toSet)
+    def descendants(seed: Set[String]) = closure(seed,
+      n => children.getOrElse(n, Set.empty))
+    def evalTokens(e: String): Set[String] =
+      e.trim.split("[ ,]+").filter(_.nonEmpty).flatMap { tok =>
+        val atOp = tok.startsWith("@")
+        val plusBefore = !atOp && tok.startsWith("+")
+        val plusAfter = !atOp && tok.endsWith("+")
+        val core = tok.stripPrefix("@").stripPrefix("+").stripSuffix("+")
+        val base: Set[String] =
+          if (core.startsWith("tag:")) {
+            val t = core.drop(4)
+            models.filter(_.tags.contains(t)).map(_.name).toSet
+          } else {
+            require(byName.contains(core),
+              s"selector '$tok' names no model (have: ${byName.keys.toSeq.sorted})")
+            Set(core)
+          }
+        if (atOp) ancestors(descendants(base))
+        else base ++
+          (if (plusBefore) ancestors(base) else Set.empty) ++
+          (if (plusAfter) descendants(base) else Set.empty)
+      }.toSet
+    val selected = evalTokens(expr) --
+      (if (exclude.trim.nonEmpty) evalTokens(exclude) else Set.empty)
     models.filter(m => selected.contains(m.name))
   }
 }
@@ -327,6 +340,27 @@ object DataChecks {
   /** Finish a state snapshot into the classified freshness table —
     * sources-sized input, identical whether the maxes came from one
     * batch pass or merged micro-batches. */
+  /** [[sourceFreshnessFinish]] with PER-SOURCE thresholds — the shape
+    * `dbt source freshness` needs, where each table's yml declares its
+    * own `warn_after`/`error_after` ([[graft.sql.DbtProject.sourceFreshness]]
+    * wires it from a checkout). `thresholds` has (src, warn_s, err_s)
+    * with nullable thresholds: a null threshold never fires (dbt
+    * allows warn-only or error-only blocks); a source with no rows is
+    * an `error` regardless (a silent dead feed is the worst
+    * staleness). Same sources-sized join shape as the global finish. */
+  def sourceFreshnessFinishPer(state: DataFrame, thresholds: DataFrame,
+      asOf: java.sql.Timestamp): DataFrame =
+    thresholds.select(col("src"), col("warn_s"), col("err_s"))
+      .join(state, Seq("src"), "left")
+      .select(col("src"), col("max_loaded_at"), col("warn_s"), col("err_s"),
+        (lit(asOf).cast("long") - col("max_loaded_at").cast("long"))
+          .as("lag_s"))
+      .select(col("src"), col("max_loaded_at"), col("lag_s"),
+        when(col("lag_s").isNull, "error")
+          .when(col("err_s").isNotNull && col("lag_s") > col("err_s"), "error")
+          .when(col("warn_s").isNotNull && col("lag_s") > col("warn_s"), "warn")
+          .otherwise("pass").as("status"))
+
   def sourceFreshnessFinish(state: DataFrame, sources: DataFrame,
       asOf: java.sql.Timestamp, warnAfterS: Long, errorAfterS: Long,
       srcCol: String = "source"): DataFrame =

@@ -12,10 +12,11 @@ import scala.util.matching.Regex
   *
   * This is a pragmatic textual shim (the reference corpus is 372 lines
   * of SQL in a known shape), not a full BigQuery parser: QUALIFY is
-  * desugared for star AND explicit parens-free select lists with any
-  * of row_number/rank/dense_rank and any integer comparison (see
-  * [[qualifyRe]] for the exact boundary); the reference itself only
-  * uses the `select * … qualify row_number() over (…) = 1` form
+  * desugared for star AND explicit select lists, over single-table or
+  * JOINED froms, with any of row_number/rank/dense_rank and any
+  * integer comparison (see [[desugarQualify]] for the exact
+  * boundary); the reference itself only uses the
+  * `select * … qualify row_number() over (…) = 1` form
   * (locations_clean.sql:83,89,95).
   */
 object BigQueryDialect {
@@ -123,13 +124,15 @@ object BigQueryDialect {
     * row_number()/rank()/dense_rank() OVER (...) <cmp> <int>` where
     * <list> is `*` or ANY select list (function calls, CASE, nested
     * parens all fine — the list is delimited by the depth-matched
-    * FROM, not by a parens-free guard), <tbl> is a single table name,
-    * and <cmp> is any of = <= < >= > != <>. Each QUALIFY binds to the
-    * nearest preceding SELECT at its own paren depth, so a
-    * qualify-less SELECT earlier in the statement is never spanned.
-    * Boundary (loud, not silent): a qualified SELECT with joins,
-    * GROUP BY/HAVING between FROM and QUALIFY, or a non-simple FROM
-    * throws with a message naming the limitation. */
+    * FROM, not by a parens-free guard), <tbl> is a table name OR any
+    * JOIN chain / derived table (round 14 — the qualified select is
+    * wrapped whole, so aliases in the list and the window spec keep
+    * their FROM scope), and <cmp> is any of = <= < >= > != <>. Each
+    * QUALIFY binds to the nearest preceding SELECT at its own paren
+    * depth, so a qualify-less SELECT earlier in the statement is
+    * never spanned. Boundary (loud, not silent): GROUP BY/HAVING
+    * between FROM and QUALIFY throws with a message naming the
+    * limitation. */
   private[graft] def desugarQualify(sql: String): String = {
     // one pass: keyword occurrences outside strings, with paren depth
     final case class Kw(word: String, pos: Int, end: Int, depth: Int)
@@ -162,16 +165,16 @@ object BigQueryDialect {
       k.word == w && k.depth == d && k.pos > sel.pos && k.pos < q.pos)
     val from = between("from").getOrElse(throw new IllegalArgumentException(
       "QUALIFY without a FROM clause is not supported"))
-    for (bad <- Seq("group", "having", "join", "order", "window"))
+    for (bad <- Seq("group", "having", "order", "window"))
       if (between(bad).isDefined) throw new IllegalArgumentException(
         s"QUALIFY shim boundary: $bad between FROM and QUALIFY is not supported " +
         "(rewrite as a derived table)")
     val where = between("where")
+    // FROM extent: up to the first depth-matched WHERE (or QUALIFY).
+    // JOIN ... ON chains live inside this span; their ON predicates
+    // cannot contain a same-depth WHERE, so the boundary is exact.
     val list = sql.substring(sel.end, from.pos).trim
     val tbl = sql.substring(from.end, where.map(_.pos).getOrElse(q.pos)).trim
-    if (!tbl.matches("\\w+")) throw new IllegalArgumentException(
-      s"QUALIFY shim boundary: FROM must be a single table name, got '$tbl' " +
-      "(rewrite joins/subqueries as a named derived table)")
     val whereTxt = where.map(w => " where " + sql.substring(w.end, q.pos).trim)
       .getOrElse("")
     // the ranked window expression after QUALIFY: ranker() over (...)
@@ -203,9 +206,19 @@ object BigQueryDialect {
       if (list == "*")
         s"select * except(__rn) from (select *, $ranker as __rn " +
         s"from $tbl$whereTxt) where $pred"
-      else
+      else if (tbl.matches("\\w+"))
         s"select $list from (select *, $ranker as __rn " +
         s"from $tbl$whereTxt) $tbl where $pred"
+      else
+        // joined/derived FROM (round 14): the select list and the
+        // ranker both evaluate INSIDE one derived table where every
+        // FROM relation's alias is still in scope (qualified refs
+        // like a.x stay valid in both); the outer query only filters
+        // on the rank and drops it — exactly BigQuery's QUALIFY
+        // evaluation order (window computed with FROM scope, filter
+        // applied after).
+        s"select * except(__rn) from (select $list, $ranker as __rn " +
+        s"from $tbl$whereTxt) where $pred"
     // recurse: later QUALIFYs (other CTEs / deeper tables) still pending
     desugarQualify(sql.substring(0, sel.pos) + replacement +
       sql.substring(k + cm.end))

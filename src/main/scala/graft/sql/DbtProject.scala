@@ -67,7 +67,16 @@ object DbtProject {
       tags: Map[String, Set[String]] = Map.empty,
       targetProps: Map[String, String] = Map.empty,
       seeds: Map[String, String] = Map.empty,
-      snapshots: Map[String, String] = Map.empty)
+      snapshots: Map[String, String] = Map.empty,
+      freshness: Map[String, FreshnessConfig] = Map.empty)
+
+  /** A declared table's resolved `dbt source freshness` config:
+    * which column carries the load timestamp and the staleness
+    * thresholds in seconds (either may be absent — dbt allows
+    * warn-only / error-only blocks). Table-level declarations
+    * override source-level ones wholesale (dbt's merge rule). */
+  final case class FreshnessConfig(loadedAtField: String,
+      warnAfterS: Option[Long] = None, errorAfterS: Option[Long] = None)
 
   private def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
 
@@ -112,6 +121,177 @@ object DbtProject {
       schema.map("schema" -> _) ++ schema.map("dataset" -> _) ++
       first("project").orElse(first("database")).map("database" -> _))
       .toMap
+  }
+
+  /** dbt renders profiles.yml through Jinja before YAML-parsing it —
+    * the one call that matters there is `env_var()` (credentials and
+    * env switching). Expand `{{ env_var('NAME'[, 'default']) }}`
+    * occurrences; an undefined variable with no default fails loudly
+    * (dbt's own behavior — a silently-empty credential is worse). */
+  private[graft] def expandEnvVars(yml: String,
+      env: String => Option[String] = sys.env.get): String =
+    ("""\{\{\s*env_var\(\s*['"]([^'"]+)['"]""" +
+      """\s*(?:,\s*['"]([^'"]*)['"]\s*)?\)\s*\}\}""").r
+      .replaceAllIn(yml, m => {
+        val name = m.group(1)
+        val v = env(name).orElse(Option(m.group(2))).getOrElse(
+          throw new IllegalArgumentException(
+            s"profiles env_var('$name') is undefined and has no default"))
+        scala.util.matching.Regex.quoteReplacement(v)
+      })
+
+  /** Parse a profiles yml with dbt's REAL two-level structure
+    * (`target:` names the active entry under `outputs:` — ref
+    * profiles.example.yml:2-11): returns the active output's scalar
+    * keys (threads, type, project, dataset, …) plus `name` → the
+    * target name. An unknown `target:` fails loudly with the declared
+    * outputs listed. Falls back to a flat first-scalar scan (the
+    * pre-round-14 behavior) when the yml has no `outputs:` block, so
+    * minimal hand-rolled profiles keep working. */
+  private[graft] def parseProfile(yml: String): Map[String, String] = {
+    val scalarRe = """^(\s*)([\w-]+):\s*"?([^"#]*?)"?\s*$""".r
+    val outputsRe = """^(\s*)outputs:\s*$""".r
+    val lines = yml.linesIterator.toSeq
+    val targetName = """(?m)^\s*target:\s*"?([\w-]+)"?\s*$""".r
+      .findFirstMatchIn(yml).map(_.group(1))
+    val oIdx = lines.indexWhere(l => outputsRe.findFirstMatchIn(l).isDefined)
+    if (oIdx < 0)
+      return (targetName.map("name" -> _) ++ parseTargetProps(yml) ++
+        parseThreads(yml).map(t => "threads" -> t.toString)).toMap
+    val oInd = lines(oIdx).takeWhile(_ == ' ').length
+    // children of outputs: keys at the pinned first-child indent;
+    // each names one output whose scalars sit at deeper indent
+    var childInd = -1 // pinned indent of output headers under outputs:
+    val outs = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, String]]
+    var cur: Option[String] = None
+    var curKeys = Map.empty[String, String]
+    var ended = false
+    def flush(): Unit = { cur.foreach(n => outs(n) = curKeys); curKeys = Map.empty }
+    for (line <- lines.drop(oIdx + 1)
+         if !ended && line.trim.nonEmpty && !line.trim.startsWith("#")) {
+      val ind = line.takeWhile(_ == ' ').length
+      if (ind <= oInd) { flush(); cur = None; ended = true }
+      else line match {
+        case scalarRe(sp, k, v) =>
+          if (childInd == -1) childInd = sp.length
+          if (sp.length == childInd && v.isEmpty) { // output header
+            flush(); cur = Some(k)
+          } else if (sp.length > childInd && cur.isDefined && v.nonEmpty)
+            curKeys += (k -> v)
+          // deeper nested blocks inside an output (keyfile dicts …)
+          // and stray empty keys are ignored
+        case _ => ()
+      }
+    }
+    flush()
+    val active = targetName.orElse(outs.keys.headOption).getOrElse(
+      throw new IllegalArgumentException("profiles yml has outputs but no target"))
+    val block = outs.getOrElse(active, throw new IllegalArgumentException(
+      s"profiles target '$active' is not among outputs ${outs.keys.toSeq}"))
+    block + ("name" -> active)
+  }
+
+  /** `loaded_at_field` + `freshness:` blocks from a sources yml →
+    * per-TABLE resolved [[FreshnessConfig]] (dbt's `dbt source
+    * freshness` inputs). Source-level declarations are defaults for
+    * every table; a table-level `loaded_at_field` overrides the
+    * field, a table-level `freshness:` block overrides the thresholds
+    * wholesale. Tables resolving to no `loaded_at_field` or to no
+    * thresholds are skipped (dbt checks only configured tables).
+    * Threshold forms handled: flow `warn_after: {count: 12, period:
+    * hour}` and the two-line block form; periods minute|hour|day. */
+  private[graft] def parseFreshness(yml: String): Map[String, FreshnessConfig] = {
+    val itemRe = """^(\s*)-\s*name:\s*"?([\w.]+)"?\s*$""".r
+    val keyRe = """^(\s*)([\w-]+):\s*(.*?)\s*$""".r
+    val flowRe = """\{\s*count:\s*(\d+)\s*,\s*period:\s*"?(\w+)"?\s*\}""".r
+    def periodS(p: String): Long = p match {
+      case "minute" => 60L
+      case "hour" => 3600L
+      case "day" => 86400L
+      case other => throw new IllegalArgumentException(
+        s"freshness period '$other' is not minute|hour|day")
+    }
+    final case class Fresh(var loaded: Option[String] = None,
+        var warn: Option[Long] = None, var err: Option[Long] = None,
+        var hasBlock: Boolean = false, var optOut: Boolean = false)
+    var srcItemInd = -1
+    var tblItemInd = -1
+    var inTables = false
+    val src = Fresh(); var tbl = Fresh()
+    var curTable: Option[String] = None
+    var pendingThr: Option[String] = None // warn_after/error_after block form
+    var pendingTblScope = false           // scope captured at the header line
+    var pendingCount: Option[Long] = None
+    var pendingPeriod: Option[String] = None
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, FreshnessConfig]
+    def inTable(ind: Int): Boolean =
+      inTables && tblItemInd >= 0 && ind > tblItemInd
+    def scope(ind: Int): Fresh = if (inTable(ind)) tbl else src
+    def closeThr(): Unit = {
+      for (k <- pendingThr; c <- pendingCount; p <- pendingPeriod) {
+        val s = c * periodS(p)
+        val f = if (pendingTblScope) tbl else src
+        if (k == "warn_after") f.warn = Some(s) else f.err = Some(s)
+      }
+      pendingThr = None; pendingCount = None; pendingPeriod = None
+    }
+    def flushTable(): Unit = {
+      closeThr()
+      for (t <- curTable if !tbl.optOut && !src.optOut) {
+        val loaded = tbl.loaded.orElse(src.loaded)
+        val (w, e) = if (tbl.hasBlock) (tbl.warn, tbl.err) else (src.warn, src.err)
+        for (f <- loaded if w.isDefined || e.isDefined)
+          out(t) = FreshnessConfig(f, w, e)
+      }
+      curTable = None; tbl = Fresh()
+    }
+    def flushSource(): Unit = {
+      flushTable()
+      src.loaded = None; src.warn = None; src.err = None
+      src.hasBlock = false; src.optOut = false
+      inTables = false; tblItemInd = -1
+    }
+    for (line <- yml.linesIterator if line.trim.nonEmpty
+         && !line.trim.startsWith("#")) {
+      line match {
+        case itemRe(sp, name) =>
+          val ind = sp.length
+          if (srcItemInd == -1 && !inTables) { srcItemInd = ind; flushSource() }
+          else if (ind == srcItemInd) flushSource()
+          else if (inTables && (tblItemInd == -1 || ind == tblItemInd)) {
+            tblItemInd = ind; flushTable(); curTable = Some(name)
+          } // deeper - name: items are columns; ignore
+        case keyRe(sp, k, v) =>
+          val ind = sp.length
+          k match {
+            case "tables" if v.isEmpty => closeThr(); inTables = true; tblItemInd = -1
+            case "loaded_at_field" => closeThr(); scope(ind).loaded =
+              Some(v.stripPrefix("\"").stripSuffix("\""))
+            case "freshness" if v.isEmpty => closeThr(); scope(ind).hasBlock = true
+            case "freshness" if v == "null" => // dbt's per-table opt-out
+              closeThr(); scope(ind).optOut = true
+            case "warn_after" | "error_after" =>
+              closeThr()
+              scope(ind).hasBlock = true
+              flowRe.findFirstMatchIn(v) match {
+                case Some(m) =>
+                  val s = m.group(1).toLong * periodS(m.group(2))
+                  if (k == "warn_after") scope(ind).warn = Some(s)
+                  else scope(ind).err = Some(s)
+                case None =>
+                  pendingThr = Some(k); pendingTblScope = inTable(ind)
+              }
+            case "count" if pendingThr.isDefined => pendingCount = Some(v.toLong)
+            case "period" if pendingThr.isDefined =>
+              pendingPeriod = Some(v); closeThr()
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    flushSource()
+    out.toMap
   }
 
   /** Declared source table names: every `- name: t` list item DIRECTLY
@@ -277,9 +457,13 @@ object DbtProject {
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
       .flatMap(p => Jinja.parseMacros(read(p)))
       .toMap
+    // profiles: Jinja env_var() expansion first (dbt renders profiles
+    // through Jinja), then target:/outputs: selection — the active
+    // output supplies threads and the {{ target }} scalars
     val profile = Seq("profiles.yml", "profiles.example.yml")
-      .map(root.resolve).find(Files.exists(_)).map(read)
-    val threads = profile.flatMap(parseThreads)
+      .map(root.resolve).find(Files.exists(_)).map(p => expandEnvVars(read(p)))
+    val profProps = profile.map(parseProfile).getOrElse(Map.empty)
+    val threads = profProps.get("threads").map(_.toInt)
     val tests = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => DbtTests.parse(read(p)))
@@ -307,9 +491,19 @@ object DbtProject {
       require(clash.isEmpty, s"$ka and $kb share a name " +
         s"(dbt rejects duplicate resources): $clash")
     }
+    // {{ target }} props from the active output: dbt's BigQuery
+    // adapter exposes `dataset` AS `schema` (and project AS database),
+    // so both names bind
+    val tSchema = profProps.get("dataset").orElse(profProps.get("schema"))
+    val tDb = profProps.get("project").orElse(profProps.get("database"))
+    val targetProps = profProps ++
+      tSchema.map("schema" -> _) ++ tSchema.map("dataset" -> _) ++
+      tDb.map("database" -> _)
+    val freshness = files
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => parseFreshness(read(p))).toMap
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
-      modelTags, profile.map(parseTargetProps).getOrElse(Map.empty), seeds,
-      snapshots)
+      modelTags, targetProps, seeds, snapshots, freshness)
   }
 
   /** `{% snapshot name %} … {% endsnapshot %}` blocks from a
@@ -350,11 +544,12 @@ object DbtProject {
       currentDateOverride: Option[String] = None, threads: Int = 0,
       vars: Map[String, String] = Map.empty,
       select: Option[String] = None,
-      fullRefresh: Boolean = false): Map[String, DataFrame] = {
+      fullRefresh: Boolean = false,
+      exclude: Option[String] = None): Map[String, DataFrame] = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
     engine.run(p.modelSql, allFrames, p.materializations, p.tags, select,
-      fullRefresh)
+      fullRefresh, exclude)
   }
 
   /** Shared run/build wiring: load the project, check sources, build
@@ -405,7 +600,8 @@ object DbtProject {
       currentDateOverride: Option[String] = None, threads: Int = 0,
       vars: Map[String, String] = Map.empty,
       select: Option[String] = None,
-      fullRefresh: Boolean = false)
+      fullRefresh: Boolean = false,
+      exclude: Option[String] = None)
       : (Map[String, DataFrame], DataFrame) = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
@@ -419,7 +615,7 @@ object DbtProject {
         if (n == 0L) "pass" else "fail", s"$n violating rows")
     }
     val (frames, status) = engine.build(p.modelSql, allFrames,
-      p.materializations, p.tags, select, fullRefresh, modelTests)
+      p.materializations, p.tags, select, fullRefresh, modelTests, exclude)
     val modelRows = status.toSeq.sortBy(_._1).map { case (name, st) =>
       val (s, detail) = st.indexOf(':') match {
         case -1 => (st, "")
@@ -430,6 +626,46 @@ object DbtProject {
     import spark.implicits._
     (frames, (modelRows ++ inputRows)
       .toDF("resource", "kind", "status", "detail"))
+  }
+
+  /** `dbt source freshness` from the checkout's own yml: every
+    * declared table with a resolved `loaded_at_field` + `freshness:`
+    * block ([[parseFreshness]] — table-level overrides source-level)
+    * is classified against ITS OWN warn/error thresholds, reusing the
+    * freshness operator's semantics
+    * ([[graft.model.DataChecks.sourceFreshnessFinishPer]]): lag =
+    * `asOf - max(loaded_at)` in exact seconds; a configured table
+    * with no supplied frame or no rows reports `error` (a silent dead
+    * feed is the worst staleness); a null threshold never fires.
+    *
+    * Scale shape: ONE union of (table, ts) projections → one map-side
+    * combined max aggregation; the thresholds join is sources-sized.
+    * @return (src, max_loaded_at, lag_s, status) — one row per
+    *         freshness-configured table. */
+  def sourceFreshness(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame],
+      asOf: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = load(projectDir)
+    require(p.freshness.nonEmpty,
+      s"$projectDir declares no freshness: blocks in its sources yml")
+    val cfg = p.freshness.toSeq.sortBy(_._1)
+    val withFrames = cfg.collect { case (t, fc) if sources.contains(t) =>
+      sources(t).select(lit(t).as("src"),
+        col(fc.loadedAtField).cast("timestamp").as("ts"))
+    }
+    val state =
+      if (withFrames.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, java.sql.Timestamp)].toDF("src", "max_loaded_at")
+      } else
+        graft.model.DataChecks.sourceFreshnessState(
+          withFrames.reduce(_ unionAll _), "src", "ts")
+    import spark.implicits._
+    val thresholds = cfg.map { case (t, fc) =>
+      (t, fc.warnAfterS, fc.errorAfterS)
+    }.toDF("src", "warn_s", "err_s")
+    graft.model.DataChecks.sourceFreshnessFinishPer(state, thresholds, asOf)
   }
 
   /** `dbt snapshot`: render and run every `{% snapshot %}` block,

@@ -37,9 +37,10 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       materializations: Map[String, Materialization] = Map.empty,
       tags: Map[String, Set[String]] = Map.empty,
       select: Option[String] = None,
-      fullRefresh: Boolean = false): Map[String, DataFrame] = {
+      fullRefresh: Boolean = false,
+      exclude: Option[String] = None): Map[String, DataFrame] = {
     val chosen = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh)
+      select, fullRefresh, exclude)
     new Runner(spark, sources, warehouseDir, threads).run(chosen)
   }
 
@@ -56,10 +57,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       tags: Map[String, Set[String]] = Map.empty,
       select: Option[String] = None,
       fullRefresh: Boolean = false,
-      tests: Seq[DbtTests.DataTest] = Seq.empty)
+      tests: Seq[DbtTests.DataTest] = Seq.empty,
+      exclude: Option[String] = None)
       : (Map[String, DataFrame], Map[String, String]) = {
     val chosen = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh)
+      select, fullRefresh, exclude)
     val byModel = tests.groupBy(_.model)
     val withChecks = chosen.map { m =>
       val checks = byModel.getOrElse(m.name, Seq.empty).map { t =>
@@ -79,7 +81,8 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       materializations: Map[String, Materialization],
       tags: Map[String, Set[String]],
       select: Option[String],
-      fullRefresh: Boolean): Seq[Model] = {
+      fullRefresh: Boolean,
+      exclude: Option[String] = None): Seq[Model] = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -151,8 +154,12 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       })
     }.toSeq
     ModelGraph.topoSort(models) // fail fast on cycles before any work
-    val chosen = select.map(s => ModelGraph.select(models, s))
-      .getOrElse(models)
+    val chosen = (select, exclude) match {
+      case (None, None) => models
+      case (sel, ex) => ModelGraph.select(models,
+        sel.getOrElse(models.map(_.name).mkString(" ")),
+        ex.getOrElse(""))
+    }
     // dbt --select semantics: unselected upstreams are read from the
     // warehouse (they persist there from earlier runs). In this
     // engine only Table/Incremental materializations persist; a

@@ -660,6 +660,19 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(names("tag:x+") == Set("b", "c"))
     assert(names("a, c") == Set("a", "c"))
     intercept[IllegalArgumentException](names("nope"))
+    // @-operator: model + descendants + ancestors of those. On a
+    // diamond-with-side-input (a -> b -> d, s -> d), @b must pull in
+    // s (d's other parent) even though s is no ancestor of b.
+    val dag2 = Seq(m("a", Nil), m("b", Seq("a")), m("s", Nil),
+      m("d", Seq("b", "s")))
+    def names2(expr: String, ex: String = "") =
+      ModelGraph.select(dag2, expr, ex).map(_.name).toSet
+    assert(names2("@b") == Set("a", "b", "s", "d"))
+    assert(names2("b+") == Set("b", "d")) // contrast: no s, no a
+    // --exclude subtracts last (overrides select), same grammar
+    assert(names2("@b", "d") == Set("a", "b", "s"))
+    assert(names2("+d", "+b") == Set("s", "d"))
+    assert(names2("a b s d", "b+") == Set("a", "s"))
     // reference checkout: tag selectors come from dbt_project.yml +tags
     val p = DbtProject.load(refDir)
     assert(p.tags("locations_clean") == Set("intermediate"), s"${p.tags}")
@@ -673,6 +686,16 @@ class DbtProjectSpec extends AnyFunSuite {
       currentDateOverride = Some("2026-08-12"), select = Some("+user_base"))
     assert(all.keySet ==
       Set("locations_clean", "stacked_users_partners", "user_base"))
+    // --exclude end-to-end: everything needed for the mart, minus the
+    // mart itself; and exclude-with-no-select = run all but the token
+    val sansMart = DbtProject.run(spark, refDir, RefFixtures.sources(spark),
+      wh, currentDateOverride = Some("2026-08-12"),
+      select = Some("+user_base"), exclude = Some("user_base"))
+    assert(sansMart.keySet == Set("locations_clean", "stacked_users_partners"))
+    val exOnly = DbtProject.run(spark, refDir, RefFixtures.sources(spark),
+      wh, currentDateOverride = Some("2026-08-12"),
+      exclude = Some("user_base"))
+    assert(exOnly.keySet == Set("locations_clean", "stacked_users_partners"))
     // selecting the mart alone: its view deps were never materialized
     val wh2 = Files.createTempDirectory("graft-sel-wh2").toString
     val e = intercept[IllegalArgumentException] {
@@ -736,6 +759,111 @@ class DbtProjectSpec extends AnyFunSuite {
     val out = DP.run(spark, dir.toString, Map("src_t2" -> Seq(1L).toDF("id")), wh)
     assert(out("env_model").as[(String, String, Int)].head()
       == (("prod", "gold", 1)))
+  }
+
+  test("profiles target selection + env_var; dbt source freshness from the checkout yml") {
+    import spark.implicits._
+    import graft.sql.{DbtProject => DP}
+    // --- unit: env_var expansion ---
+    val env = Map("GRAFT_SCHEMA" -> "from_env")
+    assert(DP.expandEnvVars(
+      "x: {{ env_var('GRAFT_SCHEMA') }}\ny: {{ env_var('NOPE', 'dflt') }}",
+      env.get) == "x: from_env\ny: dflt")
+    intercept[IllegalArgumentException](
+      DP.expandEnvVars("x: {{ env_var('NOPE') }}", env.get))
+    // --- unit: two-level outputs, active target NOT first, per-output
+    // threads; the inactive output's values must not leak ---
+    val prof =
+      """my_profile:
+        |  target: ci
+        |  outputs:
+        |    dev:
+        |      type: bigquery
+        |      dataset: analytics_dev
+        |      threads: 4
+        |    ci:
+        |      type: bigquery
+        |      dataset: analytics_ci
+        |      project: proj-ci
+        |      threads: 9
+        |""".stripMargin
+    val p1 = DP.parseProfile(prof)
+    assert(p1("name") == "ci" && p1("dataset") == "analytics_ci" &&
+      p1("threads") == "9" && p1("project") == "proj-ci", s"$p1")
+    // unknown target fails loudly, outputs listed
+    val bad = intercept[IllegalArgumentException](
+      DP.parseProfile(prof.replace("target: ci", "target: prod")))
+    assert(bad.getMessage.contains("prod") && bad.getMessage.contains("dev"))
+    // no-outputs fallback (minimal hand-rolled profile) keeps working
+    val p2 = DP.parseProfile("t:\n  schema: s1\n  threads: 3\n")
+    assert(p2("schema") == "s1" && p2("threads") == "3")
+    // --- end-to-end: checkout with env_var in profiles + freshness ---
+    val dir = Files.createTempDirectory("graft-fresh-proj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"fresh\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("profiles.yml"),
+      """fresh_profile:
+        |  target: {{ env_var('GRAFT_TGT', 'stage') }}
+        |  outputs:
+        |    dev:
+        |      dataset: analytics_dev
+        |      threads: 4
+        |    stage:
+        |      dataset: {{ env_var('GRAFT_DS', 'analytics_stage') }}
+        |      threads: 2
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    loaded_at_field: etl_ts
+        |    freshness:
+        |      warn_after: {count: 1, period: hour}
+        |      error_after: {count: 1, period: day}
+        |    tables:
+        |      - name: feed_a
+        |      - name: feed_b
+        |        loaded_at_field: seen_at
+        |        freshness:
+        |          warn_after:
+        |            count: 30
+        |            period: minute
+        |      - name: feed_nofresh
+        |        freshness: null
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/m.sql"),
+      "select 1 as one".getBytes("UTF-8"))
+    val loaded = DP.load(dir.toString)
+    assert(loaded.targetProps("name") == "stage" &&
+      loaded.targetProps("schema") == "analytics_stage" &&
+      loaded.profileThreads.contains(2), s"${loaded.targetProps}")
+    // freshness config resolved: feed_a inherits source-level; feed_b
+    // overrides field AND thresholds wholesale (no inherited error);
+    // feed_nofresh opts out (dbt's `freshness: null`)
+    assert(loaded.freshness("feed_a") ==
+      DP.FreshnessConfig("etl_ts", Some(3600L), Some(86400L)))
+    assert(loaded.freshness("feed_b") ==
+      DP.FreshnessConfig("seen_at", Some(1800L), None))
+    assert(!loaded.freshness.contains("feed_nofresh"))
+    // the report: asOf fixed; feed_a 2h stale -> warn, feed_b fresh ->
+    // pass, and a configured table with NO supplied frame -> error
+    val asOf = java.sql.Timestamp.valueOf("2026-08-15 12:00:00")
+    def tsDf(c: String, ts: String*) =
+      ts.map(java.sql.Timestamp.valueOf).toDF(c)
+    val rep = DP.sourceFreshness(spark, dir.toString,
+      Map("feed_a" -> tsDf("etl_ts", "2026-08-15 10:00:00",
+        "2026-08-15 09:00:00"),
+        "feed_b" -> tsDf("seen_at", "2026-08-15 11:50:00")), asOf)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(2)).map(_.toString.toLong), r.getString(3))).toMap
+    assert(rep("feed_a") == ((Some(7200L), "warn")), s"$rep")
+    assert(rep("feed_b") == ((Some(600L), "pass")), s"$rep")
+    assert(rep.size == 2)
+    val rep2 = DP.sourceFreshness(spark, dir.toString,
+      Map("feed_a" -> tsDf("etl_ts", "2026-08-15 11:59:00")), asOf)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rep2 == Map("feed_a" -> "pass", "feed_b" -> "error"), s"$rep2")
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {

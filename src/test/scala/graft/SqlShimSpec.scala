@@ -203,9 +203,6 @@ class SqlShimSpec extends AnyFunSuite {
       "qualify rank() over (order by v desc) <= 2"))
     assert(q5.as[String].collect().toSet == Set("C", "D"))
     // unsupported shapes fail loudly with the boundary named
-    val e1 = intercept[IllegalArgumentException](BigQueryDialect.translate(
-      "select a.x from qt a join q2 b on a.x = b.x qualify row_number() over (order by a.v) = 1"))
-    assert(e1.getMessage.contains("join"))
     val e2 = intercept[IllegalArgumentException](BigQueryDialect.translate(
       "select x, count(*) from qt group by x qualify row_number() over (order by x) = 1"))
     assert(e2.getMessage.contains("group"))
@@ -217,5 +214,42 @@ class SqlShimSpec extends AnyFunSuite {
       "top as (select x, v from base qualify row_number() over (partition by g order by v desc) = 1) " +
       "select x from top"))
     assert(q6.as[String].collect().toSet == Set("c", "d"))
+  }
+
+  test("translator unit: QUALIFY over a JOINED FROM (round 14 — the r13 boundary lifted)") {
+    import spark.implicits._
+    val left = Seq((1, "a", 10), (1, "b", 20), (2, "c", 30), (2, "d", 40),
+      (3, "e", 50)).toDF("g", "x", "v")
+    val dim = Seq((1, "one"), (2, "two")).toDF("g", "label")
+    left.createOrReplaceTempView("jq_l")
+    dim.createOrReplaceTempView("jq_d")
+    // inner join + qualified refs in list AND window spec, top-1/group
+    val sqlTxt =
+      "select l.x, d.label, l.v from jq_l l join jq_d d on l.g = d.g " +
+      "qualify row_number() over (partition by l.g order by l.v desc) = 1"
+    val viaShim = spark.sql(BigQueryDialect.translate(sqlTxt))
+    assert(viaShim.columns.toSeq == Seq("x", "label", "v"))
+    // DataFrame equivalent, row-identical
+    import org.apache.spark.sql.expressions.Window
+    val viaDf = left.as("l").join(dim.as("d"), Seq("g"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v".desc)))
+      .filter($"__rn" === 1).select($"x", $"label", $"v")
+    assert(viaShim.as[(String, String, Int)].collect().toSet ==
+      viaDf.as[(String, String, Int)].collect().toSet)
+    assert(viaShim.as[(String, String, Int)].collect().toSet ==
+      Set(("b", "one", 20), ("d", "two", 40)))
+    // star form over a joined FROM with a WHERE, left join included
+    val viaStar = spark.sql(BigQueryDialect.translate(
+      "select * from jq_l l left join jq_d d on l.g = d.g where l.v > 10 " +
+      "qualify rank() over (order by l.v desc) <= 2"))
+    assert(!viaStar.columns.contains("__rn"))
+    assert(viaStar.count() == 2)
+    assert(viaStar.select("x").as[String].collect().toSet == Set("d", "e"))
+    // GROUP BY between FROM and QUALIFY still fails loudly
+    val eg = intercept[IllegalArgumentException](BigQueryDialect.translate(
+      "select l.g, count(*) from jq_l l join jq_d d on l.g = d.g " +
+      "group by l.g qualify row_number() over (order by l.g) = 1"))
+    assert(eg.getMessage.contains("group"))
   }
 }
