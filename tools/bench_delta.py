@@ -47,6 +47,16 @@ def load_queries(p):
                 for k, v in re.findall(r'"(q[\w]*)":([0-9.]+)', d["tail"])}
     raise KeyError(f"{p}: no 'queries' or 'tail'")
 
+def load_fingerprints(p):
+    """Per-query physical-plan fingerprints (round 14: Bench writes
+    them into the file artifact). Empty dict when the artifact
+    predates them."""
+    try:
+        with open(p) as f:
+            return json.loads(f.read().strip()).get("fingerprints", {})
+    except Exception:
+        return {}
+
 def discover_prev():
     import glob, os
     if os.path.exists("BENCH_PREV.json"):
@@ -57,11 +67,28 @@ def discover_prev():
 def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
     cur = load_queries(cur_path)
     floor = load_queries(floor_path)
+    cur_fp = load_fingerprints(cur_path)
+    floor_fp = load_fingerprints(floor_path)
     if prev_path is None:
         prev_path = discover_prev()
     prev = load_queries(prev_path) if prev_path else None
     if prev_path:
         print(f"[reference run: {prev_path}]")
+    # Structural check first: a changed physical-plan fingerprint is
+    # direct evidence the operator tree moved — no wall-time inference
+    # needed. Plan-changed + slower-than-floor = hard regression (the
+    # prev-run noise test does NOT rescue it); plan-changed + at-or-
+    # under floor = an intentional plan improvement, printed for the
+    # record.
+    plan_changed = {q for q in cur_fp
+                    if q in floor_fp and cur_fp[q] != floor_fp[q]
+                    and cur_fp[q] != "err" and floor_fp[q] != "err"}
+    for q in sorted(plan_changed):
+        t, f = cur.get(q), floor.get(q)
+        verdict = ""
+        if t and f and t > f * THRESH and (t - f) > MIN_DELTA:
+            verdict = "  <-- slower AND structurally different"
+        print(f"{q:32s} PLAN CHANGED {floor_fp[q]} -> {cur_fp[q]}{verdict}")
     rows = []
     for q, t in sorted(cur.items()):
         f = floor.get(q)
@@ -74,7 +101,10 @@ def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
         flag = ""
         if ratio > THRESH and (t - f) > MIN_DELTA:
             p = prev.get(q) if prev else None
-            if p is not None and p > 0 and not (
+            if q in plan_changed:
+                flag = "  <-- REGRESSION (plan changed)"
+                bad += 1
+            elif p is not None and p > 0 and not (
                     t / p > PREV_THRESH and (t - p) > PREV_MIN_DELTA):
                 flag = f"  (floor-only; ={t/p:.2f}x of prev {p:.2f}s — not flagged)"
             else:
@@ -85,7 +115,8 @@ def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
     tot_c = sum(t for _, _, t, _ in rows)
     tot_f = sum(f for _, _, _, f in rows)
     print(f"\ntotal {tot_c:.1f}s vs floor {tot_f:.1f}s ({tot_c/tot_f:.2f}x); "
-          f"{bad} regression(s) > {THRESH}x")
+          f"{bad} regression(s) > {THRESH}x; "
+          f"{len(plan_changed)} plan fingerprint change(s)")
     return 1 if bad else 0
 
 if __name__ == "__main__":

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Re-baseline BENCH_FLOOR.json from one or more warm Bench runs.
+
+Usage: python3 tools/make_floor.py run1.json [run2.json ...] > BENCH_FLOOR.json
+
+Each input is a graft.Bench file artifact (SPARK_GRAFT_BENCH_OUT).
+The floor is the per-query MIN across the given runs — all captured
+with the same warm protocol (untimed warmup sweep, min-of-reps,
+convergent re-measure), on the same host class, at the same SF.
+Fingerprints must AGREE across runs (same code, same data ⇒ same
+physical plan); a disagreement aborts, because it means the inputs
+are not comparable runs of one build. The newest run's loadavg is
+recorded so the capture conditions travel with the floor.
+Build-time tool only — NOT part of the Scala library.
+"""
+import json, sys
+
+
+def main(paths):
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append((p, json.loads(f.read().strip())))
+    queries = {}
+    for _, d in runs:
+        for q, t in d["queries"].items():
+            if t > 0 and (q not in queries or t < queries[q]):
+                queries[q] = t
+    fps = {}
+    for p, d in runs:
+        for q, fp in d.get("fingerprints", {}).items():
+            if fp == "err":
+                continue
+            if q in fps and fps[q] != fp:
+                raise SystemExit(
+                    f"fingerprint mismatch for {q}: {fps[q]} vs {fp} ({p}) "
+                    "— inputs are not runs of the same build")
+            fps[q] = fp
+    out = {
+        "metric": "floor",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "sf": runs[-1][1].get("sf"),
+        "loadavg": runs[-1][1].get("loadavg"),
+        "runs": len(runs),
+        "queries": {q: queries[q] for q in sorted(queries)},
+        "fingerprints": {q: fps[q] for q in sorted(fps)},
+    }
+    json.dump(out, sys.stdout, separators=(",", ":"))
+    sys.stdout.write("\n")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    main(sys.argv[1:])
