@@ -1260,4 +1260,650 @@ object Evaluation {
     graft.ext.Checkpoints.release(base)
     out
   }
+
+  /** Cochran's Q test per group — the k-classifier generalization of
+    * [[mcnemar]] (do k binary gates scored on the SAME items have the
+    * same marginal pass rate?): with G_j the j-th rater's pass count
+    * and L_i the i-th item's passes,
+    * Q = (k−1)·(k·ΣG_j² − N²) / (k·N − ΣL_i²) — the clear-fraction
+    * identity keeps every numerator/denominator an EXACT long (no
+    * N/k fractions), so the only IEEE step is the final division.
+    * Items missing any rater carry no k-way signal and are excluded
+    * (the test's complete-block requirement); a zero denominator
+    * (all items unanimous) reports Q = 0.
+    *
+    * Scale shape: one (group, item) rollup and one (group, rater)
+    * rollup over the ratings stream, both map-side combined; exact
+    * while k·ΣG² < 2⁶³ (~10⁹ items per group at k ≤ 8).
+    *
+    * @param ratings one row per (item, rater) verdict: `groupCol`,
+    *                `itemCol`, `raterCol`, `yCol` (0/1)
+    * @return (grp, k, n_items, q) — q 6dp */
+  def cochranQ(ratings: DataFrame, groupCol: String = "group",
+      itemCol: String = "item", raterCol: String = "rater",
+      yCol: String = "y"): DataFrame = {
+    val base = ratings.select(col(groupCol).as("grp"),
+      col(itemCol).as("item"), col(raterCol).as("rater"),
+      col(yCol).cast(LongType).as("y"))
+    val k = base.groupBy("grp")
+      .agg(countDistinct(col("rater")).as("k"))
+    val perItem = base.groupBy("grp", "item")
+      .agg(count(lit(1)).as("nr"), sum(col("y")).as("li"))
+    val complete = perItem.join(broadcast(k), Seq("grp"))
+      .filter(col("nr") === col("k"))
+      .localCheckpoint() // filters BOTH rollups below; released below
+    val itemAgg = complete.groupBy("grp").agg(
+      count(lit(1)).as("n_items"), sum(col("li")).as("n"),
+      sum(col("li") * col("li")).as("l2"))
+    val perRater = base.join(complete.select(col("grp"), col("item")),
+        Seq("grp", "item"), "left_semi")
+      .groupBy("grp", "rater").agg(sum(col("y")).as("gj"))
+      .groupBy("grp").agg(sum(col("gj") * col("gj")).as("g2"))
+    val out = k.join(itemAgg, Seq("grp")).join(perRater, Seq("grp"))
+      .select(col("grp"), col("k"), col("n_items"),
+        round(when(col("k") * col("n") - col("l2") === 0L, 0.0)
+          .otherwise(((col("k") - 1L) *
+            (col("k") * col("g2") - col("n") * col("n"))).cast(DoubleType) /
+            (col("k") * col("n") - col("l2")).cast(DoubleType)), 6).as("q"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(complete)
+    out
+  }
+
+  /** Precision–recall AUC per group — the ranking metric that stays
+    * honest under heavy class imbalance, where [[aucRoc]] saturates:
+    * sweeping thresholds down the distinct-score table (ties enter
+    * wholesale, the standard step interpolation to the right),
+    * AP = Σ_s ΔR_s·P_s with ΔR_s = pos_s/n_pos and
+    * P_s = TP_s/(TP_s+FP_s) at the cumulative cut.
+    *
+    * Exactness: cumulative TP/FP are exact longs from the value-count
+    * window; each step's ΔR·P term is rounded to a NANO long pre-sum,
+    * the sum is exact, and the published pr_auc is one division +
+    * 6dp. Groups with no positives report 0 (no recall axis exists);
+    * no negatives gives P ≡ 1 and pr_auc = 1 by the same formula.
+    *
+    * Scale shape: identical to [[aucRoc]] — one (group, score) count
+    * shuffle, then everything is score-cardinality-bounded.
+    *
+    * @param preds rows with `groupCol`, `scoreCol` (long micro),
+    *              `yCol` (0/1)
+    * @return (grp, n_pos, n_neg, pr_auc) — 6dp */
+  def prAuc(preds: DataFrame, groupCol: String = "group",
+      scoreCol: String = "score_micro", yCol: String = "y"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val state = aucRocState(preds, groupCol, scoreCol, yCol)
+    val wCum = Window.partitionBy("grp").orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("grp")
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val terms = state
+      .withColumn("tp", sum(col("pos")).over(wCum))
+      .withColumn("fp", sum(col("neg")).over(wCum))
+      .withColumn("n_pos", sum(col("pos")).over(wAll))
+      .withColumn("n_neg", sum(col("neg")).over(wAll))
+      .withColumn("term_nano", when(col("pos") === 0L || col("n_pos") === 0L, 0L)
+        .otherwise(nano((col("pos").cast(DoubleType) /
+          col("n_pos").cast(DoubleType)) *
+          (col("tp").cast(DoubleType) /
+            (col("tp") + col("fp")).cast(DoubleType)))))
+    terms.groupBy("grp").agg(
+        max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        sum(col("term_nano")).as("ap_nano"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") === 0L, 0.0)
+          .otherwise(col("ap_nano").cast(DoubleType) / 1e9), 6).as("pr_auc"))
+  }
+
+  /** Log-rank test per group between two arms' survival curves — the
+    * inferential companion of [[kaplanMeier]] (is arm 1's retention
+    * curve different, censoring respected?): at each distinct event
+    * time, arm 1's observed deaths vs the hypergeometric expectation
+    * E₁ = d·n₁/n and variance V = d·(n₁/n)·(n₀/n)·(n−d)/(n−1);
+    * χ² = (ΣO₁ − ΣE₁)²/ΣV.
+    *
+    * Exactness: per-time risk sets and death counts are exact longs
+    * from cumulative windows; each E/V term is rounded to a NANO long
+    * pre-sum; the χ² is a fixed-shape double over the exact sums,
+    * 6dp. Times where the risk set has a single subject carry no
+    * variance (n−1 = 0) and contribute E but no V — the standard
+    * convention. Groups with ΣV = 0 report chi2 = 0.
+    *
+    * Scale shape: one (group, time) count shuffle map-side combined,
+    * then distinct-time-bounded windows — the [[kaplanMeier]] shape.
+    *
+    * @param df one row per subject: `groupCol`, `armCol` (0/1),
+    *           `tCol` (long bucket), `eventCol` (1 = event)
+    * @return (grp, n_times, o1, e1, chi2) — e1/chi2 6dp */
+  def logRank(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", tCol: String = "t",
+      eventCol: String = "event"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(LongType).as("arm"),
+        col(tCol).cast(LongType).as("t"),
+        col(eventCol).cast(LongType).as("event"))
+      .groupBy("grp", "t").agg(
+        sum(col("arm") * col("event")).as("d1"),
+        sum((lit(1L) - col("arm")) * col("event")).as("d0"),
+        sum(col("arm")).as("all1"),
+        count(lit(1)).as("alln"))
+    val wAll = Window.partitionBy("grp")
+    val wPrev = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def dd(c: Column) = c.cast(DoubleType)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val risked = cells
+      .withColumn("n1", sum(col("all1")).over(wAll) -
+        coalesce(sum(col("all1")).over(wPrev), lit(0L)))
+      .withColumn("n", sum(col("alln")).over(wAll) -
+        coalesce(sum(col("alln")).over(wPrev), lit(0L)))
+      .withColumn("d", col("d1") + col("d0"))
+      .filter(col("d") > 0L)
+    val n0 = col("n") - col("n1")
+    val terms = risked.select(col("grp"), col("d1"),
+      nano(dd(col("d")) * dd(col("n1")) / dd(col("n"))).as("e1_nano"),
+      when(col("n") <= 1L, 0L).otherwise(
+        nano(dd(col("d")) * (dd(col("n1")) / dd(col("n"))) *
+          (dd(n0) / dd(col("n"))) * (dd(col("n")) - dd(col("d"))) /
+          (dd(col("n")) - 1.0))).as("v_nano"))
+    val agg = terms.groupBy("grp").agg(count(lit(1)).as("n_times"),
+      sum(col("d1")).as("o1"), sum(col("e1_nano")).as("se"),
+      sum(col("v_nano")).as("sv"))
+    val dev = dd(col("o1")) - dd(col("se")) / 1e9
+    agg.select(col("grp"), col("n_times"), col("o1"),
+      round(dd(col("se")) / 1e9, 6).as("e1"),
+      round(when(col("sv") === 0L, 0.0)
+        .otherwise(dev * dev / (dd(col("sv")) / 1e9)), 6).as("chi2"))
+  }
+
+  /** Standardized effect size per group for a two-arm metric — the
+    * "is it LARGE, not just significant" readout beside [[abTest]]'s
+    * z: Cohen's d = (mean_b − mean_a)/s_pooled with the unbiased
+    * pooled variance, and Hedges' g = J·d with the small-sample
+    * correction J = 1 − 3/(4(n_a+n_b)−9).
+    *
+    * Exactness: per-arm n/Σy/Σy² are exact long sums (y in an
+    * integer scale the CALLER picks so n·y²_max < 2⁶³ — cents for
+    * money-sized metrics, the [[didEstimate]] bound); means, pooled
+    * variance, d and g are fixed-shape doubles over those longs,
+    * 6dp. An arm with n < 2, or zero pooled variance, reports
+    * d = g = 0.
+    *
+    * Scale shape: ONE corpus aggregation map-side combined to a
+    * groups-sized table.
+    *
+    * @param df rows with `groupCol`, `armCol` (0 = a, else b),
+    *           `yCol` (long, caller-scaled)
+    * @return (grp, n_a, n_b, mean_a, mean_b, d, g) — 6dp */
+  def effectSize(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", yCol: String = "y"): DataFrame = {
+    val agg = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(LongType).as("arm"), col(yCol).cast(LongType).as("y"))
+      .groupBy("grp").agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") =!= 0L, col("y")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 0L, col("y") * col("y")).otherwise(0L)).as("qa"),
+        sum(when(col("arm") =!= 0L, col("y") * col("y")).otherwise(0L)).as("qb"))
+    def dd(c: Column) = c.cast(DoubleType)
+    val meanA = dd(col("sa")) / dd(col("n_a"))
+    val meanB = dd(col("sb")) / dd(col("n_b"))
+    // unbiased per-arm variance (n·Σy² − (Σy)²)/(n(n−1)), exact-long
+    // numerators
+    val varA = dd(col("n_a") * col("qa") - col("sa") * col("sa")) /
+      (dd(col("n_a")) * (dd(col("n_a")) - 1.0))
+    val varB = dd(col("n_b") * col("qb") - col("sb") * col("sb")) /
+      (dd(col("n_b")) * (dd(col("n_b")) - 1.0))
+    val sp = sqrt(((dd(col("n_a")) - 1.0) * varA +
+      (dd(col("n_b")) - 1.0) * varB) /
+      (dd(col("n_a")) + dd(col("n_b")) - 2.0))
+    val j = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (dd(col("n_a")) + dd(col("n_b"))) - 9.0)
+    val dEff = (meanB - meanA) / sp
+    val degenerate = col("n_a") < 2L || col("n_b") < 2L
+    agg.select(col("grp"), col("n_a"), col("n_b"),
+      round(when(col("n_a") === 0L, 0.0).otherwise(meanA), 6).as("mean_a"),
+      round(when(col("n_b") === 0L, 0.0).otherwise(meanB), 6).as("mean_b"),
+      round(when(degenerate, 0.0).otherwise(
+        when(sp === 0.0, 0.0).otherwise(dEff)), 6).as("d"),
+      round(when(degenerate, 0.0).otherwise(
+        when(sp === 0.0, 0.0).otherwise(j * dEff)), 6).as("g"))
+  }
+
+  /** Gwet's AC1 chance-corrected agreement per group — the paradox-
+    * resistant sibling of [[cohenKappa]] (κ collapses toward 0 on
+    * skewed-prevalence panels even when raters agree almost always;
+    * AC1's chance term uses the probability of agreeing on a category
+    * BY CHANCE weighted by how un-prevalent it is):
+    * pe_γ = Σ_c π_c(1−π_c)/(K−1) with π_c the two raters' pooled
+    * marginal, AC1 = (po − pe_γ)/(1 − pe_γ).
+    *
+    * Exactness: with m_c the pooled category count, the chance sum is
+    * the EXACT long Σ m_c(2N − m_c); po, pe_γ = that/(4N²(K−1)), and
+    * AC1 are fixed-shape doubles over exact longs, 6dp. A single-
+    * category panel (K = 1 — chance term undefined) reports 0.
+    *
+    * Scale shape: the [[cohenKappa]] shape — one labels²-bounded cell
+    * shuffle, then category-sized rollups.
+    *
+    * @param labels rows with `groupCol`, `aCol`, `bCol`
+    * @return (grp, n, k_cat, po, pe_gamma, ac1) — 6dp */
+  def gwetAC1(labels: DataFrame, groupCol: String = "group",
+      aCol: String = "label_a", bCol: String = "label_b"): DataFrame = {
+    val cells = labels.select(col(groupCol).as("grp"),
+        col(aCol).as("la"), col(bCol).as("lb"))
+      .groupBy("grp", "la", "lb").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // labels²-bounded; read 3× below
+    val n = cells.groupBy("grp").agg(sum(col("c")).as("n"))
+    val agree = cells.filter(col("la") === col("lb"))
+      .groupBy("grp").agg(sum(col("c")).as("agree"))
+    // pooled category marginals m_c = count(la=c) + count(lb=c)
+    val marg = cells.select(col("grp"), col("la").as("cat"), col("c"))
+      .unionAll(cells.select(col("grp"), col("lb").as("cat"), col("c")))
+      .groupBy("grp", "cat").agg(sum(col("c")).as("m"))
+    val chance = marg.join(n, Seq("grp"))
+      .groupBy("grp").agg(
+        countDistinct(col("cat")).as("k_cat"),
+        sum(col("m") * (lit(2L) * col("n") - col("m"))).as("chance_num"))
+    def dd(c: Column) = c.cast(DoubleType)
+    val po = dd(coalesce(col("agree"), lit(0L))) / dd(col("n"))
+    val pe = dd(col("chance_num")) /
+      (lit(4.0) * dd(col("n")) * dd(col("n")) * (dd(col("k_cat")) - 1.0))
+    val out = n.join(agree, Seq("grp"), "left").join(chance, Seq("grp"))
+      .select(col("grp"), col("n"), col("k_cat"),
+        round(po, 6).as("po"),
+        round(when(col("k_cat") <= 1L, 0.0).otherwise(pe), 6).as("pe_gamma"),
+        round(when(col("k_cat") <= 1L, 0.0).otherwise(
+          when(pe === 1.0, 0.0).otherwise((po - pe) / (lit(1.0) - pe))), 6)
+          .as("ac1"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
+
+  /** Rank-biased overlap (truncated) per group between two scored
+    * rankings — the top-weighted list-similarity for comparing
+    * rankers (does the quality ranking agree with the length ranking
+    * where it MATTERS, at the top?): with X_d the overlap of the two
+    * top-d prefixes, RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·X_d/d — depth-d
+    * agreement discounted geometrically (Webber et al. 2010's RBO_min
+    * at truncation depth k, the conservative published form).
+    *
+    * Determinism: both rankings order by (score DESC, item ASC) — the
+    * item tie-break pins ranks exactly; the geometric weights are
+    * COMPILED-IN double literals, so any engine replaying this
+    * formula uses bit-identical constants; each depth's term is a
+    * NANO long pre-sum (exact cumulative X_d from a window), and the
+    * published rbo is one multiply + 6dp.
+    *
+    * Scale shape: two top-k-per-group rank windows (score-sorted,
+    * k-bounded output), one k-bounded join, k-bounded depth windows —
+    * after the rank windows nothing is corpus-proportional. The rank
+    * window is the corpus-touching step and is the same
+    * WindowGroupLimit-able top-k shape as q_window_top1.
+    *
+    * @param a,b rows with `groupCol`, `itemCol`, `scoreCol` (long)
+    * @return (grp, k, overlap_k, rbo) — rbo 6dp */
+  def rboOverlap(a: DataFrame, b: DataFrame, k: Int = 20,
+      p: Double = 0.9, groupCol: String = "group",
+      itemCol: String = "item", scoreCol: String = "score_micro")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, rnk: String) = df
+      .select(col(groupCol).as("grp"), col(itemCol).as("item"),
+        col(scoreCol).cast(LongType).as("s"))
+      .withColumn(rnk, row_number().over(Window.partitionBy("grp")
+        .orderBy(col("s").desc, col("item"))))
+      .filter(col(rnk) <= k).drop("s")
+    val ra = ranked(a, "ra"); val rb = ranked(b, "rb")
+    val joined = ra.join(rb, Seq("grp", "item"))
+      .select(col("grp"), greatest(col("ra"), col("rb")).as("d"))
+      .groupBy("grp", "d").agg(count(lit(1)).as("enter"))
+    // depth scaffold from EITHER ranking's groups: a group whose two
+    // top-k lists share nothing still reports rbo = 0, not no-row
+    val depths = ra.select(col("grp")).unionAll(rb.select(col("grp")))
+      .distinct()
+      .select(col("grp"), explode(sequence(lit(1), lit(k))).as("d"))
+      .join(joined, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("enter"), lit(0L)).as("enter"))
+    val wCum = Window.partitionBy("grp").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // p^{d-1} as compiled-in literals: both engines replay the exact
+    // same doubles (no cross-engine pow())
+    val pows = array((0 until k).map(i => lit(math.pow(p, i))): _*)
+    val terms = depths.withColumn("xd", sum(col("enter")).over(wCum))
+      .withColumn("term_nano", round(element_at(pows, col("d")) *
+        col("xd").cast(DoubleType) / col("d").cast(DoubleType) * 1e9, 0)
+        .cast(LongType))
+    terms.groupBy("grp").agg(
+        max(when(col("d") === k, col("xd"))).as("overlap_k"),
+        sum(col("term_nano")).as("s_nano"))
+      .select(col("grp"), lit(k).as("k"), col("overlap_k"),
+        round(col("s_nano").cast(DoubleType) / 1e9 * (1.0 - p), 6).as("rbo"))
+  }
+
+  /** Trimmed + winsorized mean per group — the robust location pair
+    * for heavy-tailed metrics (one whale order must not own the
+    * dashboard): with g = ⌊N·α⌋ cut from EACH side, the trimmed mean
+    * drops those rows and the winsorized mean clamps them to the
+    * surviving extremes (rank g+1 and rank N−g values).
+    *
+    * Exactness: per-value counts, cumulative ranks, clipped weights,
+    * and both numerators are EXACT longs (the order statistics come
+    * from the cumulative count window, not a sort-and-index); each
+    * mean is one division, 6dp, in the caller's integer scale.
+    * Groups where the trim swallows everything (N ≤ 2g) report 0.
+    *
+    * Scale shape: one (group, value) count shuffle map-side combined,
+    * then value-cardinality-bounded windows — the [[aucRoc]] shape;
+    * never a corpus-wide sort.
+    *
+    * @param df rows with `groupCol`, `vCol` (long, caller-scaled)
+    * @param trimMicro per-side trim fraction in micros (50000 = 5%)
+    * @return (grp, n, trim_n, trimmed_mean, winsor_mean) — 6dp */
+  def robustLocation(df: DataFrame, groupCol: String = "group",
+      vCol: String = "v", trimMicro: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy("grp")
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = cells
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cumPrev", col("cum") - col("c"))
+      // ⌊N·α⌋ in pure integer arithmetic (div, not a double round-trip)
+      .withColumn("lo", expr(s"(n * ${trimMicro}L) div 1000000"))
+    val w = greatest(lit(0L), least(col("cum"), col("n") - col("lo")) -
+      greatest(col("cumPrev"), col("lo")))
+    val agg = ranked.groupBy("grp").agg(
+      max(col("n")).as("n"), max(col("lo")).as("lo"),
+      sum(w * col("v")).as("mid_sum"),
+      // order statistics from the cumulative ranks: value at rank
+      // lo+1 (lower winsor clamp) and at rank N−lo (upper clamp)
+      min(when(col("cum") >= col("lo") + 1L, col("v"))).as("v_lo"),
+      min(when(col("cum") >= col("n") - col("lo"), col("v"))).as("v_hi"))
+    def dd(c: Column) = c.cast(DoubleType)
+    val trimN = col("n") - lit(2L) * col("lo")
+    agg.select(col("grp"), col("n"), col("lo").as("trim_n"),
+      round(when(trimN <= 0L, 0.0)
+        .otherwise(dd(col("mid_sum")) / dd(trimN)), 6).as("trimmed_mean"),
+      round(when(trimN <= 0L, 0.0)
+        .otherwise(dd(col("mid_sum") + col("lo") * col("v_lo") +
+          col("lo") * col("v_hi")) / dd(col("n"))), 6).as("winsor_mean"))
+  }
+
+  /** Mann–Whitney U rank-sum test per group — the NONPARAMETRIC
+    * two-sample comparison (does arm b's metric stochastically
+    * dominate arm a's?) that [[abTest]]'s proportion z-test cannot
+    * express for continuous metrics, and the unpaired sibling of
+    * [[delongTest]] (which owns the correlated same-items case).
+    * U_b = Σ_v n_b(v)·(n_a_below(v) + n_a(v)/2) over distinct metric
+    * values v (exact mid-rank tie handling, same identity as
+    * [[aucRoc]]); z normalizes U_b against its null mean n_a·n_b/2
+    * and tie-corrected variance
+    * (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))).
+    *
+    * Exactness: u2 = 2·U_b and the tie term Σ(t³−t) are exact long
+    * sums (u2 < 2⁶³ through ~3·10⁹ rows/group; t³ through ~2·10⁶
+    * ties on one value); z is a fixed-shape IEEE expression over
+    * those longs, 6dp. A group with an empty arm, or zero variance
+    * (every value tied), reports z = 0.
+    *
+    * Scale shape: one (group, value) count shuffle map-side combined,
+    * then EVERYTHING is value-cardinality-bounded — the cumulative
+    * window partitions by group over the distinct-value table, never
+    * corpus-proportional (the [[aucRoc]] argument).
+    *
+    * @param df rows with `groupCol`, `armCol` (0 = a, else b) and
+    *           `vCol` (long micro metric)
+    * @return (grp, n_a, n_b, u2, z) — z 6dp */
+  def mannWhitney(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v_micro"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val state = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(LongType).as("arm"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "v").agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na_v"),
+        sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("nb_v"))
+    val wBelow = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = state.withColumn("aBelow",
+      coalesce(sum(col("na_v")).over(wBelow), lit(0L)))
+    val agg = terms.groupBy("grp").agg(
+      sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
+      sum(col("nb_v") * (lit(2L) * col("aBelow") + col("na_v"))).as("u2"),
+      sum((col("na_v") + col("nb_v")) * (col("na_v") + col("nb_v")) *
+        (col("na_v") + col("nb_v")) - (col("na_v") + col("nb_v")))
+        .as("tie3"))
+    val nA = col("n_a").cast(DoubleType); val nB = col("n_b").cast(DoubleType)
+    val nn = nA + nB
+    val varU = nA * nB / 12.0 * ((nn + 1.0) -
+      col("tie3").cast(DoubleType) / (nn * (nn - 1.0)))
+    agg.select(col("grp"), col("n_a"), col("n_b"), col("u2"),
+      round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+        .otherwise(when(varU <= 0.0, 0.0).otherwise(
+          (col("u2").cast(DoubleType) - nA * nB) /
+            (lit(2.0) * sqrt(varU)))), 6).as("z"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment per family — the
+    * multiple-comparisons gate a dashboard of per-segment tests
+    * ([[abTest]] / [[chiSquare]] fan-outs) needs before acting on
+    * "significant" cells: adjusted p = min_{j ≥ rank}(p_(j)·m/j),
+    * reject ⟺ p_adj ≤ q. Ties in p break by test name, so ranks —
+    * and therefore the whole report — are deterministic.
+    *
+    * Exactness: p_micro·m is an exact long; each raw adjusted value
+    * is one fixed-shape division rounded to 9dp BEFORE the running
+    * min (cummin over already-rounded values is order-prescribed by
+    * the window — bit-stable in any engine); published p_adj 6dp.
+    *
+    * Scale shape: the input is one row per TEST (a families×tests
+    * table, never corpus rows); both windows partition by family over
+    * that bounded table.
+    *
+    * @param tests rows with `groupCol` (family), `testCol`,
+    *              `pCol` (long micro p-value, 0..1e6)
+    * @return (grp, test, p_micro, rnk, m, p_adj, reject) */
+  def bhAdjust(tests: DataFrame, q: Double = 0.05,
+      groupCol: String = "group", testCol: String = "test",
+      pCol: String = "p_micro"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = tests.select(col(groupCol).as("grp"),
+      col(testCol).as("test"), col(pCol).cast(LongType).as("p_micro"))
+    val wRank = Window.partitionBy("grp").orderBy("p_micro", "test")
+    val wM = Window.partitionBy("grp")
+    val wMin = Window.partitionBy("grp")
+      .orderBy(col("p_micro").desc, col("test").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wM))
+      .withColumn("raw", round(
+        (col("p_micro") * col("m")).cast(DoubleType) /
+          (lit(1e6) * col("rnk").cast(DoubleType)), 9))
+      .withColumn("p_adj", round(least(lit(1.0), min(col("raw")).over(wMin)), 6))
+      .select(col("grp"), col("test"), col("p_micro"), col("rnk"), col("m"),
+        col("p_adj"), (col("p_adj") <= q).as("reject"))
+  }
+
+  /** Mantel–Haenszel stratified 2×2 analysis per group: the common
+    * odds ratio OR_MH = Σ(a·d/n) / Σ(b·c/n) and the continuity-
+    * corrected Cochran–Mantel–Haenszel χ² — the confounding-safe
+    * readout when an exposure/outcome table is Simpson-prone
+    * (pooled [[abTest]] counts flip sign under a lurking stratum).
+    * Cells per stratum: a=(arm1,y1) b=(arm1,y0) c=(arm0,y1)
+    * d=(arm0,y0); E[a] = row1·col1/n,
+    * Var[a] = row1·row0·col1·col0/(n²(n−1)).
+    *
+    * Exactness: cell counts are exact longs; each stratum's R=a·d/n,
+    * S=b·c/n, E and Var terms are single divisions rounded to NANO
+    * longs pre-sum (terms ≤ n ≤ 10⁶ rows/stratum keep nano longs
+    * < 2⁶³ through ~10⁹ strata-rows), the cross-strata sums are
+    * exact, and OR_MH / χ² are fixed-shape doubles over them, 6dp.
+    * Strata with n < 2 carry no Var and are excluded wholesale (the
+    * standard estimator's convention); groups with ΣS = 0 or
+    * ΣVar = 0 report or_mh = 0 / chi2 = 0.
+    *
+    * Scale shape: ONE corpus aggregation map-side combined to
+    * (group × stratum) cells, then a groups-sized rollup.
+    *
+    * @param df rows with `groupCol`, `stratumCol`, `armCol` (0/1),
+    *           `yCol` (0/1)
+    * @return (grp, n_strata, sum_a, or_mh, chi2) — 6dp */
+  def mantelHaenszel(df: DataFrame, groupCol: String = "group",
+      stratumCol: String = "stratum", armCol: String = "arm",
+      yCol: String = "y"): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"),
+        col(stratumCol).as("stratum"),
+        col(armCol).cast(LongType).as("arm"), col(yCol).cast(LongType).as("y"))
+      .groupBy("grp", "stratum").agg(
+        sum(col("arm") * col("y")).as("a"),
+        sum(col("arm") * (lit(1L) - col("y"))).as("b"),
+        sum((lit(1L) - col("arm")) * col("y")).as("c"),
+        sum((lit(1L) - col("arm")) * (lit(1L) - col("y"))).as("d"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2L)
+    def dd(c: Column) = c.cast(DoubleType)
+    val n = dd(col("n"))
+    val row1 = dd(col("a") + col("b")); val row0 = dd(col("c") + col("d"))
+    val col1 = dd(col("a") + col("c")); val col0 = dd(col("b") + col("d"))
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val terms = cells.select(col("grp"), col("a"),
+      nano(dd(col("a")) * dd(col("d")) / n).as("r_nano"),
+      nano(dd(col("b")) * dd(col("c")) / n).as("s_nano"),
+      nano(row1 * col1 / n).as("e_nano"),
+      nano(row1 * row0 * col1 * col0 / (n * n * (n - 1.0))).as("v_nano"))
+    val agg = terms.groupBy("grp").agg(count(lit(1)).as("n_strata"),
+      sum(col("a")).as("sum_a"), sum(col("r_nano")).as("sum_r"),
+      sum(col("s_nano")).as("sum_s"), sum(col("e_nano")).as("sum_e"),
+      sum(col("v_nano")).as("sum_v"))
+    val dev = abs(dd(col("sum_a")) - dd(col("sum_e")) / 1e9) - 0.5
+    agg.select(col("grp"), col("n_strata"), col("sum_a"),
+      round(when(col("sum_s") === 0L, 0.0)
+        .otherwise(dd(col("sum_r")) / dd(col("sum_s"))), 6).as("or_mh"),
+      round(when(col("sum_v") === 0L, 0.0)
+        .otherwise(greatest(dev, lit(0.0)) * greatest(dev, lit(0.0)) /
+          (dd(col("sum_v")) / 1e9)), 6).as("chi2"))
+  }
+
+  /** Jensen–Shannon divergence per group between two sides' token
+    * (or any categorical) distributions — the SYMMETRIC, always-
+    * finite corpus-drift statistic ([[psi]] needs binned numerics
+    * and explodes on empty bins; KL is asymmetric and infinite on
+    * novel tokens): JS = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q)),
+    * bounded by ln 2.
+    *
+    * Exactness: side totals and per-token counts are exact longs;
+    * each token's two ln-terms are rounded to NANO longs pre-sum
+    * (the repo's ln discipline — both engines' ln agree far beyond
+    * 9dp on these magnitudes), cross-vocab sums are exact, and the
+    * published js_nats / js_bits are fixed-shape doubles, 6dp.
+    * A group with an empty side reports 0 (no distribution to
+    * compare).
+    *
+    * Scale shape: one (group, token) count shuffle map-side combined
+    * to vocab-sized cells, a groups-sized totals rollup broadcast
+    * back, then one vocab-sized term sum — never corpus-proportional
+    * after the first shuffle.
+    *
+    * @param df rows with `groupCol`, `sideCol` (0 = p-side, else q),
+    *           `tokCol`
+    * @return (grp, n_a, n_b, vocab, js_nats, js_bits) — 6dp */
+  def jsDivergence(df: DataFrame, groupCol: String = "group",
+      sideCol: String = "side", tokCol: String = "tok"): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"),
+        col(sideCol).cast(LongType).as("side"), col(tokCol).as("tok"))
+      .groupBy("grp", "tok").agg(
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") =!= 0L, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // feeds totals AND terms; released below
+    val totals = cells.groupBy("grp").agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("vocab"))
+    val joined = cells.join(broadcast(totals), Seq("grp"))
+    val p = col("ca").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val q = col("cb").cast(DoubleType) / col("n_b").cast(DoubleType)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val terms = joined.select(col("grp"),
+      when(col("ca") === 0L || col("n_a") === 0L, 0L)
+        .otherwise(nano(p * log(lit(2.0) * p / (p + q)))).as("tp_nano"),
+      when(col("cb") === 0L || col("n_b") === 0L, 0L)
+        .otherwise(nano(q * log(lit(2.0) * q / (p + q)))).as("tq_nano"))
+    val agg = terms.groupBy("grp").agg(
+      sum(col("tp_nano")).as("sp"), sum(col("tq_nano")).as("sq"))
+    val out = totals.join(agg, Seq("grp"))
+      .select(col("grp"), col("n_a"), col("n_b"), col("vocab"),
+        round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+          .otherwise((col("sp") + col("sq")).cast(DoubleType) / 2e9), 6)
+          .as("js_nats"),
+        round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+          .otherwise((col("sp") + col("sq")).cast(DoubleType) / 2e9 /
+            math.log(2.0)), 6).as("js_bits"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
+
+  /** Kaplan–Meier product-limit survival estimator per group — the
+    * censoring-aware retention/lifetime curve (naive "fraction still
+    * alive at t" is biased the moment observation windows differ):
+    * at each distinct event time t, S(t) = Π_{t'≤t} (1 − d_{t'} /
+    * n_risk(t')), with censored subjects leaving the risk set at
+    * their censoring time without contributing an event.
+    *
+    * Exactness: (d, c) per (group, t) and the risk-set cumulative
+    * are exact longs; each factor's ln(1 − d/n) is rounded to a NANO
+    * long pre-sum, the cumulative sum is exact (window-ordered), and
+    * the published survival is one exp + 6dp round. A time where the
+    * whole risk set dies (d = n_risk) pins S to 0 from there on
+    * (ln is undefined; the flag-based zero is the estimator's own
+    * value). Rows are emitted at EVENT times only (d > 0), the
+    * standard KM step points.
+    *
+    * Scale shape: one (group, t) count shuffle map-side combined,
+    * then distinct-time-bounded windows per group (durations arrive
+    * pre-bucketed — days/months — exactly like [[calibration]]'s
+    * bins); never corpus-proportional after the first shuffle.
+    *
+    * @param df one row per subject: `groupCol`, `tCol` (long
+    *           duration bucket), `eventCol` (1 = event, 0 = censored)
+    * @return (grp, t, n_risk, d, c, surv) — surv 6dp */
+  def kaplanMeier(df: DataFrame, groupCol: String = "group",
+      tCol: String = "t", eventCol: String = "event"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val state = df.select(col(groupCol).as("grp"),
+        col(tCol).cast(LongType).as("t"),
+        col(eventCol).cast(LongType).as("event"))
+      .groupBy("grp", "t").agg(
+        sum(col("event")).as("d"),
+        (count(lit(1)) - sum(col("event"))).as("c"))
+    val wAll = Window.partitionBy("grp")
+    val wPrev = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val risked = state
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("term_nano", when(col("d") === 0L, 0L)
+        .when(col("d") >= col("n_risk"), 0L) // zero-surv handled by flag
+        .otherwise(nano(log(lit(1.0) - col("d").cast(DoubleType) /
+          col("n_risk").cast(DoubleType)))))
+      .withColumn("died_out",
+        sum(when(col("d") >= col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("cum_nano", sum(col("term_nano")).over(wCum))
+    risked.filter(col("d") > 0L)
+      .select(col("grp"), col("t"), col("n_risk"), col("d"), col("c"),
+        round(when(col("died_out") > 0L, 0.0)
+          .otherwise(exp(col("cum_nano").cast(DoubleType) / 1e9)), 6)
+          .as("surv"))
+  }
 }

@@ -4290,6 +4290,566 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   /** q_source_freshness: per-source max-ts lag vs a fixed asOf in
     * floor-epoch seconds (Spark's long cast truncates); dead feed
     * classifies error with null max. */
+  /** q_gwet_ac1: pooled-marginal chance term as the exact long
+    * Σ m(2N−m) — mirrored from Evaluation.gwetAC1 over the
+    * cohen-kappa label pair. */
+  private val gwetAc1Sql: String =
+    """WITH t AS (SELECT source, lower(text) AS lt,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '') AS toks FROM documents),
+      |lab AS (SELECT source AS grp,
+      |    CASE WHEN len(list_filter(toks,
+      |        x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      >= len(list_filter(toks,
+      |        x -> x IN ('el','la','de','y','es','en','que','los')))
+      |      THEN 'en' ELSE 'es' END AS la,
+      |    CASE WHEN lt LIKE '% the %' THEN 'en' ELSE 'es' END AS lb FROM t),
+      |cells AS MATERIALIZED (SELECT grp, la, lb, CAST(count(*) AS BIGINT) AS c
+      |  FROM lab GROUP BY 1, 2, 3),
+      |n AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+      |ag AS (SELECT grp, CAST(sum(c) AS BIGINT) AS agree FROM cells
+      |       WHERE la = lb GROUP BY 1),
+      |marg AS (SELECT grp, cat, CAST(sum(c) AS BIGINT) AS m FROM (
+      |    SELECT grp, la AS cat, c FROM cells
+      |    UNION ALL SELECT grp, lb AS cat, c FROM cells)
+      |  GROUP BY 1, 2),
+      |ch AS (SELECT marg.grp,
+      |    CAST(count(DISTINCT cat) AS BIGINT) AS k_cat,
+      |    CAST(sum(m * (2 * n.n - m)) AS BIGINT) AS chance_num
+      |  FROM marg JOIN n ON n.grp = marg.grp GROUP BY 1),
+      |f AS (SELECT n.grp, n.n, ch.k_cat,
+      |    CAST(COALESCE(ag.agree, 0) AS DOUBLE) / CAST(n.n AS DOUBLE) AS po,
+      |    CAST(ch.chance_num AS DOUBLE)
+      |      / (4.0 * CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)
+      |         * (CAST(ch.k_cat AS DOUBLE) - 1.0)) AS pe
+      |  FROM n LEFT JOIN ag ON ag.grp = n.grp
+      |  JOIN ch ON ch.grp = n.grp)
+      |SELECT grp, n, k_cat, round(po, 6) AS po,
+      |  round(CASE WHEN k_cat <= 1 THEN 0.0 ELSE pe END, 6) AS pe_gamma,
+      |  round(CASE WHEN k_cat <= 1 THEN 0.0
+      |    WHEN pe = 1.0 THEN 0.0
+      |    ELSE (po - pe) / (1.0 - pe) END, 6) AS ac1
+      |FROM f""".stripMargin
+
+  /** q_rbo: rank windows with the (score DESC, item ASC) tie-break,
+    * depth scaffold, cumulative overlap, and the SAME compiled-in
+    * p^{d-1} double literals Evaluation.rboOverlap bakes into its
+    * plan — no cross-engine pow(). */
+  private val rboSql: String = {
+    val k = 20; val p = 0.9
+    val pw = (1 to k).map(d =>
+      s"($d, ${java.lang.Double.toString(math.pow(p, d - 1))})")
+      .mkString(", ")
+    val oneMinusP = java.lang.Double.toString(1.0 - p)
+    s"""WITH t AS (SELECT doc_id, lang, text, n_chars, $toks AS toks
+       |  FROM documents),
+       |st AS (SELECT doc_id, lang, n_chars,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+       |  length(text) AS lt
+       |FROM t),
+       |q AS (SELECT doc_id, lang, n_chars,
+       |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(lt, 1)) * 0.2, 6)
+       |    AS quality_score
+       |FROM st),
+       |ra AS (SELECT lang AS grp, doc_id AS item,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY CAST(round(quality_score * 1e6, 0) AS BIGINT) DESC,
+       |        doc_id) AS ra
+       |  FROM q QUALIFY ra <= $k),
+       |rb AS (SELECT lang AS grp, doc_id AS item,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id) AS rb
+       |  FROM q QUALIFY rb <= $k),
+       |ent AS (SELECT ra.grp, greatest(ra.ra, rb.rb) AS d,
+       |    CAST(count(*) AS BIGINT) AS enter
+       |  FROM ra JOIN rb ON rb.grp = ra.grp AND rb.item = ra.item
+       |  GROUP BY 1, 2),
+       |grps AS (SELECT DISTINCT grp FROM ra UNION SELECT DISTINCT grp FROM rb),
+       |depths AS (SELECT grps.grp, CAST(u.d AS INTEGER) AS d
+       |  FROM grps, unnest(range(1, $k + 1)) AS u(d)),
+       |xd AS (SELECT depths.grp, depths.d,
+       |    CAST(sum(COALESCE(ent.enter, 0)) OVER (PARTITION BY depths.grp
+       |      ORDER BY depths.d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS xd
+       |  FROM depths LEFT JOIN ent ON ent.grp = depths.grp
+       |    AND ent.d = depths.d),
+       |pw(d, w) AS (VALUES $pw),
+       |tm AS (SELECT grp, d, xd,
+       |    CAST(round(pw.w * CAST(xd AS DOUBLE) / CAST(d AS DOUBLE) * 1e9, 0)
+       |      AS BIGINT) AS term_nano
+       |  FROM xd JOIN pw USING (d))
+       |SELECT grp, CAST($k AS INTEGER) AS k,
+       |  max(CASE WHEN d = $k THEN xd END) AS overlap_k,
+       |  round(CAST(sum(term_nano) AS DOUBLE) / 1e9 * $oneMinusP, 6) AS rbo
+       |FROM tm GROUP BY 1""".stripMargin
+  }
+
+  /** q_trimmed_mean: value-count cumulative windows, integer ⌊N·α⌋,
+    * clipped weights and rank-order clamps — all exact longs,
+    * mirrored from Evaluation.robustLocation. */
+  private val trimmedMeanSql: String =
+    """WITH cells AS (SELECT event_type AS grp,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT grp, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+      |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM cells),
+      |r AS (SELECT grp, v, c, n, cum, cum - c AS cumPrev,
+      |    (n * 50000) // 1000000 AS lo FROM w),
+      |ag AS (SELECT grp, max(n) AS n, max(lo) AS lo,
+      |    CAST(sum(greatest(0, least(cum, n - lo) - greatest(cumPrev, lo)) * v)
+      |      AS BIGINT) AS mid_sum,
+      |    min(CASE WHEN cum >= lo + 1 THEN v END) AS v_lo,
+      |    min(CASE WHEN cum >= n - lo THEN v END) AS v_hi
+      |  FROM r GROUP BY 1)
+      |SELECT grp, n, lo AS trim_n,
+      |  round(CASE WHEN n - 2 * lo <= 0 THEN 0.0
+      |    ELSE CAST(mid_sum AS DOUBLE) / CAST(n - 2 * lo AS DOUBLE) END, 6)
+      |    AS trimmed_mean,
+      |  round(CASE WHEN n - 2 * lo <= 0 THEN 0.0
+      |    ELSE CAST(mid_sum + lo * v_lo + lo * v_hi AS DOUBLE)
+      |      / CAST(n AS DOUBLE) END, 6) AS winsor_mean
+      |FROM ag""".stripMargin
+
+  /** q_assortativity: Newman's r over the symmetrized part↔supplier
+    * edges — exact-long numerator/denominator, one division. */
+  private val assortativitySql: String =
+    """WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+      |            FROM lineitem),
+      |e AS (SELECT p AS src, s AS dst FROM li
+      |      UNION ALL SELECT s AS src, p AS dst FROM li),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      |        FROM e GROUP BY 1),
+      |paired AS (SELECT da.deg AS dx, db.deg AS dy
+      |  FROM e JOIN deg da ON da.node = e.src
+      |  JOIN deg db ON db.node = e.dst),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) AS m_pairs,
+      |    CAST(sum(dx) AS BIGINT) AS sum_x,
+      |    CAST(sum(dx * dx) AS BIGINT) AS sum_xx,
+      |    CAST(sum(dx * dy) AS BIGINT) AS sum_xy
+      |  FROM paired)
+      |SELECT m_pairs, sum_x, sum_xx, sum_xy,
+      |  round(CASE WHEN m_pairs * sum_xx - sum_x * sum_x = 0 THEN 0.0
+      |    ELSE CAST(m_pairs * sum_xy - sum_x * sum_x AS DOUBLE)
+      |      / CAST(m_pairs * sum_xx - sum_x * sum_x AS DOUBLE) END, 6) AS r
+      |FROM ag""".stripMargin
+
+  /** q_cochran_q: three gates stacked long, complete-panel filter,
+    * clear-fraction identity — every term an exact long. */
+  private val cochranQSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, n_chars, $toks AS toks
+       |  FROM documents),
+       |r AS (SELECT lang AS grp, doc_id AS item, 'len' AS rater,
+       |    CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS y FROM t
+       |  UNION ALL SELECT lang, doc_id, 'tok',
+       |    CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END FROM t
+       |  UNION ALL SELECT lang, doc_id, 'the',
+       |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END FROM t),
+       |kk AS (SELECT grp, CAST(count(DISTINCT rater) AS BIGINT) AS k
+       |  FROM r GROUP BY 1),
+       |li AS (SELECT grp, item, CAST(count(*) AS BIGINT) AS nr,
+       |    CAST(sum(y) AS BIGINT) AS li FROM r GROUP BY 1, 2),
+       |comp AS (SELECT li.grp, li.item, li.li FROM li
+       |  JOIN kk USING (grp) WHERE nr = k),
+       |ia AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(li) AS BIGINT) AS n,
+       |    CAST(sum(li * li) AS BIGINT) AS l2 FROM comp GROUP BY 1),
+       |gj AS (SELECT r.grp, r.rater, CAST(sum(r.y) AS BIGINT) AS gj
+       |  FROM r JOIN comp ON comp.grp = r.grp AND comp.item = r.item
+       |  GROUP BY 1, 2),
+       |g2 AS (SELECT grp, CAST(sum(gj * gj) AS BIGINT) AS g2
+       |  FROM gj GROUP BY 1)
+       |SELECT kk.grp, k, n_items,
+       |  round(CASE WHEN k * n - l2 = 0 THEN 0.0
+       |    ELSE CAST((k - 1) * (k * g2 - n * n) AS DOUBLE)
+       |      / CAST(k * n - l2 AS DOUBLE) END, 6) AS q
+       |FROM kk JOIN ia USING (grp) JOIN g2 USING (grp)""".stripMargin
+
+  /** q_pr_auc: descending distinct-score windows, nano ΔR·P terms
+    * summed exactly — mirrored from Evaluation.prAuc. */
+  private val prAucSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+       |st AS (SELECT lang, text,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords
+       |FROM t),
+       |q AS (SELECT lang, text,
+       |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.2, 6)
+       |    AS quality_score
+       |FROM st),
+       |sc AS (SELECT lang AS grp,
+       |    CAST(round(quality_score * 1e6, 0) AS BIGINT) AS s,
+       |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS y
+       |  FROM q),
+       |cells AS (SELECT grp, s, CAST(sum(y) AS BIGINT) AS pos,
+       |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+       |  FROM sc GROUP BY 1, 2),
+       |w AS (SELECT grp, pos, neg,
+       |    CAST(sum(pos) OVER (PARTITION BY grp ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(sum(neg) OVER (PARTITION BY grp ORDER BY s DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+       |    CAST(sum(pos) OVER (PARTITION BY grp) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg) OVER (PARTITION BY grp) AS BIGINT) AS n_neg
+       |  FROM cells),
+       |tm AS (SELECT grp, n_pos, n_neg,
+       |    CASE WHEN pos = 0 OR n_pos = 0 THEN 0
+       |      ELSE CAST(round(((CAST(pos AS DOUBLE) / CAST(n_pos AS DOUBLE))
+       |        * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))) * 1e9, 0) AS BIGINT)
+       |    END AS term_nano
+       |  FROM w)
+       |SELECT grp, max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+       |  round(CASE WHEN max(n_pos) = 0 THEN 0.0
+       |    ELSE CAST(sum(term_nano) AS DOUBLE) / 1e9 END, 6) AS pr_auc
+       |FROM tm GROUP BY 1""".stripMargin
+
+  /** q_logrank: per-time risk-set windows, nano E/V terms summed
+    * exactly — mirrored from Evaluation.logRank over the
+    * kaplan-meier lifetimes split by customer-key parity. */
+  private val logRankSql: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    min(CAST(o_orderdate AS DATE)) AS f,
+      |    max(CAST(o_orderdate AS DATE)) AS l
+      |  FROM orders GROUP BY 1),
+      |subj AS (SELECT 'all' AS grp, o_custkey % 2 AS arm,
+      |    CAST(floor(date_diff('day', f, l) / 30.0) AS BIGINT) AS t,
+      |    CASE WHEN l < DATE '2001-02-01' THEN 1 ELSE 0 END AS event
+      |  FROM pc),
+      |cells AS (SELECT grp, t,
+      |    CAST(sum(arm * event) AS BIGINT) AS d1,
+      |    CAST(sum((1 - arm) * event) AS BIGINT) AS d0,
+      |    CAST(sum(arm) AS BIGINT) AS all1,
+      |    CAST(count(*) AS BIGINT) AS alln
+      |  FROM subj GROUP BY 1, 2),
+      |r AS (SELECT grp, t, d1, d0, d1 + d0 AS d,
+      |    CAST(sum(all1) OVER (PARTITION BY grp) AS BIGINT)
+      |      - COALESCE(CAST(sum(all1) OVER (PARTITION BY grp ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n1,
+      |    CAST(sum(alln) OVER (PARTITION BY grp) AS BIGINT)
+      |      - COALESCE(CAST(sum(alln) OVER (PARTITION BY grp ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n
+      |  FROM cells),
+      |tm AS (SELECT grp, d1,
+      |    CAST(round((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT) AS e1_nano,
+      |    CASE WHEN n <= 1 THEN 0
+      |      ELSE CAST(round((CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1.0)) * 1e9, 0) AS BIGINT)
+      |    END AS v_nano
+      |  FROM r WHERE d > 0),
+      |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_times,
+      |    CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(e1_nano) AS BIGINT) AS se,
+      |    CAST(sum(v_nano) AS BIGINT) AS sv
+      |  FROM tm GROUP BY 1)
+      |SELECT grp, n_times, o1,
+      |  round(CAST(se AS DOUBLE) / 1e9, 6) AS e1,
+      |  round(CASE WHEN sv = 0 THEN 0.0
+      |    ELSE (CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+      |      * (CAST(o1 AS DOUBLE) - CAST(se AS DOUBLE) / 1e9)
+      |      / (CAST(sv AS DOUBLE) / 1e9) END, 6) AS chi2
+      |FROM ag""".stripMargin
+
+  /** q_effect_size: exact per-arm n/Σy/Σy² longs (cents scale), the
+    * unbiased pooled variance, fixed-shape d and Hedges' g. */
+  private val effectSizeSql: String = {
+    val meanA = "CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val meanB = "CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val varA = "CAST(n_a * qa - sa * sa AS DOUBLE) " +
+      "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+    val varB = "CAST(n_b * qb - sb * sb AS DOUBLE) " +
+      "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+    val sp = s"sqrt(((CAST(n_a AS DOUBLE) - 1.0) * ($varA) " +
+      s"+ (CAST(n_b AS DOUBLE) - 1.0) * ($varB)) " +
+      "/ (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))"
+    val j = "(1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9.0))"
+    val dEff = s"((($meanB) - ($meanA)) / ($sp))"
+    s"""WITH ag AS (SELECT event_type AS grp,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS qa,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS qb
+       |  FROM events GROUP BY 1)
+       |SELECT grp, n_a, n_b,
+       |  round(CASE WHEN n_a = 0 THEN 0.0 ELSE $meanA END, 6) AS mean_a,
+       |  round(CASE WHEN n_b = 0 THEN 0.0 ELSE $meanB END, 6) AS mean_b,
+       |  round(CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+       |    WHEN ($sp) = 0.0 THEN 0.0 ELSE $dEff END, 6) AS d,
+       |  round(CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+       |    WHEN ($sp) = 0.0 THEN 0.0 ELSE $j * $dEff END, 6) AS g
+       |FROM ag""".stripMargin
+  }
+
+  /** q_page_hinkley: N-scaled mean-cleared cumsum minus its running
+    * min — exact longs end-to-end, mirrored from
+    * Timeseries.pageHinkley. */
+  private val pageHinkleySql: String =
+    """WITH s AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |tot AS (SELECT series, CAST(sum(n) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS nd FROM s GROUP BY 1),
+      |dev AS (SELECT s.series, d, n, nd * n - t AS r
+      |  FROM s JOIN tot USING (series)),
+      |cum AS (SELECT series, d, n,
+      |    CAST(sum(r) OVER w AS BIGINT) AS m
+      |  FROM dev WINDOW w AS (PARTITION BY series ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ph AS (SELECT series, d, n,
+      |    m - min(m) OVER w AS ph_scaled
+      |  FROM cum WINDOW w AS (PARTITION BY series ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pk AS (SELECT series, max(ph_scaled) AS peak FROM ph GROUP BY 1)
+      |SELECT ph.series, d, n, ph_scaled,
+      |  (ph_scaled = peak AND peak > 0) AS is_peak
+      |FROM ph JOIN pk USING (series)""".stripMargin
+
+  /** q_mann_whitney: rank-sum via distinct-value count windows (the
+    * aucRoc/delong discipline), exact u2/tie longs, one fixed-shape z. */
+  private val mannWhitneySql: String = {
+    val varU = "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * " +
+      "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) - " +
+      "CAST(tie3 AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) " +
+      "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))"
+    s"""WITH t AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+       |st AS (SELECT lang, text,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords
+       |FROM t),
+       |q AS (SELECT lang, text,
+       |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(length(text), 1)) * 0.2, 6)
+       |    AS quality_score
+       |FROM st),
+       |sc AS (SELECT lang AS grp,
+       |    CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS arm,
+       |    CAST(round(quality_score * 1e6, 0) AS BIGINT) AS v
+       |  FROM q),
+       |cells AS (SELECT grp, v,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+       |    CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+       |  FROM sc GROUP BY 1, 2),
+       |w AS (SELECT grp, na_v, nb_v,
+       |    COALESCE(CAST(sum(na_v) OVER (PARTITION BY grp ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS abelow
+       |  FROM cells),
+       |ag AS (SELECT grp, CAST(sum(na_v) AS BIGINT) AS n_a,
+       |    CAST(sum(nb_v) AS BIGINT) AS n_b,
+       |    CAST(sum(nb_v * (2 * abelow + na_v)) AS BIGINT) AS u2,
+       |    CAST(sum((na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
+       |      - (na_v + nb_v)) AS BIGINT) AS tie3
+       |  FROM w GROUP BY 1)
+       |SELECT grp, n_a, n_b, u2,
+       |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+       |    WHEN ($varU) <= 0.0 THEN 0.0
+       |    ELSE (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       |      / (2.0 * sqrt($varU)) END, 6) AS z
+       |FROM ag""".stripMargin
+  }
+
+  /** q_fdr_bh: abTest z replay (6dp, the published statistic), the
+    * Chernoff-bound p, then the step-up windows — raw adjusted values
+    * 9dp-rounded BEFORE the running min, exactly as bhAdjust. */
+  private val fdrBhSql: String = {
+    val pa = "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val pb = "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val pool = "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    val se = s"sqrt(($pool) * (1.0 - ($pool)) * " +
+      "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    s"""WITH cells AS (SELECT event_type AS grp,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM events GROUP BY 1),
+       |zt AS (SELECT grp,
+       |    round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+       |      WHEN ($se) = 0.0 THEN 0.0
+       |      ELSE (($pa) - ($pb)) / ($se) END, 6) AS z
+       |  FROM cells),
+       |p AS (SELECT 'all' AS grp, grp AS test,
+       |    CAST(round(least(1.0, 2.0 * exp(-(z * z) / 2.0)) * 1e6, 0) AS BIGINT) AS p_micro
+       |  FROM zt),
+       |r AS (SELECT grp, test, p_micro,
+       |    CAST(row_number() OVER (PARTITION BY grp ORDER BY p_micro, test) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+       |  FROM p),
+       |raw AS (SELECT grp, test, p_micro, rnk, m,
+       |    round(CAST(p_micro * m AS DOUBLE) / (1e6 * CAST(rnk AS DOUBLE)), 9) AS rawv
+       |  FROM r),
+       |adj AS (SELECT grp, test, p_micro, rnk, m,
+       |    round(least(1.0, min(rawv) OVER (PARTITION BY grp
+       |      ORDER BY p_micro DESC, test DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_adj
+       |  FROM raw)
+       |SELECT grp, test, p_micro, rnk, m, p_adj, p_adj <= 0.05 AS reject
+       |FROM adj""".stripMargin
+  }
+
+  /** q_mantel_haenszel: per-stratum 2×2 cells, nano-rounded R/S/E/Var
+    * terms summed exactly, fixed-shape OR_MH and continuity-corrected
+    * CMH χ² — mirrored from Evaluation.mantelHaenszel. */
+  private val mantelHaenszelSql: String = {
+    val dev = "abs(CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE) / 1e9) - 0.5"
+    s"""WITH cells AS (SELECT 'all' AS grp, event_type AS stratum,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND NOT (value > 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT (value > 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2 HAVING count(*) >= 2),
+       |t AS (SELECT grp, a,
+       |    CAST(round((CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT) AS r_nano,
+       |    CAST(round((CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT) AS s_nano,
+       |    CAST(round((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT) AS e_nano,
+       |    CAST(round((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) * 1e9, 0) AS BIGINT) AS v_nano
+       |  FROM cells),
+       |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_strata,
+       |    CAST(sum(a) AS BIGINT) AS sum_a, CAST(sum(r_nano) AS BIGINT) AS sum_r,
+       |    CAST(sum(s_nano) AS BIGINT) AS sum_s, CAST(sum(e_nano) AS BIGINT) AS sum_e,
+       |    CAST(sum(v_nano) AS BIGINT) AS sum_v
+       |  FROM t GROUP BY 1)
+       |SELECT grp, n_strata, sum_a,
+       |  round(CASE WHEN sum_s = 0 THEN 0.0
+       |    ELSE CAST(sum_r AS DOUBLE) / CAST(sum_s AS DOUBLE) END, 6) AS or_mh,
+       |  round(CASE WHEN sum_v = 0 THEN 0.0
+       |    ELSE greatest($dev, 0.0) * greatest($dev, 0.0)
+       |      / (CAST(sum_v AS DOUBLE) / 1e9) END, 6) AS chi2
+       |FROM ag""".stripMargin
+  }
+
+  /** q_js_divergence: vocab cells → totals → nano-rounded ln terms
+    * summed exactly — mirrored from Evaluation.jsDivergence (the
+    * ln-at-nano discipline of the logprob oracles). */
+  private val jsDivergenceSql: String =
+    s"""WITH tk AS (SELECT lang AS grp, doc_id % 2 AS side, u.tok AS tok
+       |    FROM (SELECT lang, doc_id, $toks AS toks FROM documents),
+       |    unnest(toks) AS u(tok)),
+       |cells AS (SELECT grp, tok,
+       |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n_a,
+       |    CAST(sum(cb) AS BIGINT) AS n_b, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM cells GROUP BY 1),
+       |pq AS (SELECT c.grp, c.ca, c.cb, t.n_a, t.n_b,
+       |    CAST(c.ca AS DOUBLE) / CAST(t.n_a AS DOUBLE) AS pa,
+       |    CAST(c.cb AS DOUBLE) / CAST(t.n_b AS DOUBLE) AS qa
+       |  FROM cells c JOIN tot t USING (grp)),
+       |terms AS (SELECT grp,
+       |    CASE WHEN ca = 0 OR n_a = 0 THEN 0
+       |      ELSE CAST(round((pa * ln(2.0 * pa / (pa + qa))) * 1e9, 0) AS BIGINT)
+       |    END AS tp,
+       |    CASE WHEN cb = 0 OR n_b = 0 THEN 0
+       |      ELSE CAST(round((qa * ln(2.0 * qa / (pa + qa))) * 1e9, 0) AS BIGINT)
+       |    END AS tq
+       |  FROM pq),
+       |ag AS (SELECT grp, CAST(sum(tp) AS BIGINT) AS sp,
+       |    CAST(sum(tq) AS BIGINT) AS sq FROM terms GROUP BY 1)
+       |SELECT t.grp, t.n_a, t.n_b, t.vocab,
+       |  round(CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN 0.0
+       |    ELSE CAST(sp + sq AS DOUBLE) / 2e9 END, 6) AS js_nats,
+       |  round(CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN 0.0
+       |    ELSE CAST(sp + sq AS DOUBLE) / 2e9 / 0.6931471805599453 END, 6) AS js_bits
+       |FROM tot t JOIN ag USING (grp)""".stripMargin
+
+  /** q_kaplan_meier: risk-set windows over bucketed lifetimes,
+    * nano-rounded ln factors cumulated exactly, died-out flag pins
+    * S = 0 — mirrored from Evaluation.kaplanMeier. */
+  private val kaplanMeierSql: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    min(CAST(o_orderdate AS DATE)) AS f,
+      |    max(CAST(o_orderdate AS DATE)) AS l
+      |  FROM orders GROUP BY 1),
+      |subj AS (SELECT 'all' AS grp,
+      |    CAST(floor(date_diff('day', f, l) / 30.0) AS BIGINT) AS t,
+      |    CASE WHEN l < DATE '2001-02-01' THEN 1 ELSE 0 END AS event
+      |  FROM pc),
+      |st AS (SELECT grp, t, CAST(sum(event) AS BIGINT) AS d,
+      |    CAST(count(*) - sum(event) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2),
+      |r AS (SELECT grp, t, d, c,
+      |    CAST(sum(d + c) OVER (PARTITION BY grp) AS BIGINT)
+      |      - COALESCE(CAST(sum(d + c) OVER (PARTITION BY grp ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS n_risk
+      |  FROM st),
+      |tm AS (SELECT grp, t, d, c, n_risk,
+      |    CASE WHEN d = 0 THEN 0 WHEN d >= n_risk THEN 0
+      |      ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |    END AS term_nano
+      |  FROM r),
+      |cu AS (SELECT grp, t, d, c, n_risk,
+      |    CAST(sum(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w AS BIGINT) AS died_out,
+      |    CAST(sum(term_nano) OVER w AS BIGINT) AS cum_nano
+      |  FROM tm WINDOW w AS (PARTITION BY grp ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT grp, t, n_risk, d, c,
+      |  round(CASE WHEN died_out > 0 THEN 0.0
+      |    ELSE exp(CAST(cum_nano AS DOUBLE) / 1e9) END, 6) AS surv
+      |FROM cu WHERE d > 0""".stripMargin
+
+  /** q_mann_kendall: densified daily series (the holtWinters calendar
+    * fill), pair self-join S, tie-corrected variance, continuity-
+    * corrected z — mirrored from Timeseries.mannKendall. */
+  private val mannKendallSql: String = {
+    val var18 = "(n_days * (n_days - 1) * (2 * n_days + 5) - tie18)"
+    val zPos = s"(CAST(s AS DOUBLE) - 1.0) / sqrt(CAST($var18 AS DOUBLE) / 18.0)"
+    val zNeg = s"(CAST(s AS DOUBLE) + 1.0) / sqrt(CAST($var18 AS DOUBLE) / 18.0)"
+    s"""WITH d0 AS (SELECT event_type AS series, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |span AS (SELECT series, min(day) AS dmin, max(day) AS dmax
+       |  FROM d0 GROUP BY 1),
+       |cal AS (SELECT span.series, CAST(u.day AS DATE) AS day
+       |  FROM span, unnest(generate_series(CAST(dmin AS TIMESTAMP),
+       |    CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS u(day)),
+       |d AS (SELECT cal.series, cal.day, coalesce(d0.x, CAST(0 AS BIGINT)) AS x
+       |  FROM cal LEFT JOIN d0 ON d0.series = cal.series AND d0.day = cal.day),
+       |sst AS (SELECT a.series,
+       |    CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+       |      ELSE 0 END) AS BIGINT) AS s
+       |  FROM d a JOIN d b ON a.series = b.series AND a.day < b.day
+       |  GROUP BY 1),
+       |ties AS (SELECT series, CAST(sum(t) AS BIGINT) AS n_days,
+       |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+       |  FROM (SELECT series, x, CAST(count(*) AS BIGINT) AS t
+       |        FROM d GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT ties.series, n_days, s,
+       |  round(CASE WHEN $var18 <= 0 THEN 0.0
+       |    WHEN s > 0 THEN $zPos
+       |    WHEN s < 0 THEN $zNeg
+       |    ELSE 0.0 END, 6) AS z,
+       |  CASE WHEN $var18 <= 0 THEN 'none'
+       |    WHEN (CASE WHEN s > 0 THEN $zPos WHEN s < 0 THEN $zNeg
+       |      ELSE 0.0 END) > 1.96 THEN 'increasing'
+       |    WHEN (CASE WHEN s > 0 THEN $zPos WHEN s < 0 THEN $zNeg
+       |      ELSE 0.0 END) < -1.96 THEN 'decreasing'
+       |    ELSE 'none' END AS trend
+       |FROM ties JOIN sst ON sst.series = ties.series""".stripMargin
+  }
+
   private val sourceFreshnessSql: String =
     """WITH s AS (SELECT DISTINCT event_type AS src FROM events
       |  UNION ALL SELECT 'ghost'),
@@ -5250,6 +5810,21 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     // count windows (the aucRoc discipline), one example join, exact
     // long sums, covariance shapes mirrored from Evaluation.delongTest
     "q_delong" -> delongSql,
+    "q_mann_whitney" -> mannWhitneySql,
+    "q_fdr_bh" -> fdrBhSql,
+    "q_mantel_haenszel" -> mantelHaenszelSql,
+    "q_js_divergence" -> jsDivergenceSql,
+    "q_kaplan_meier" -> kaplanMeierSql,
+    "q_mann_kendall" -> mannKendallSql,
+    "q_cochran_q" -> cochranQSql,
+    "q_pr_auc" -> prAucSql,
+    "q_logrank" -> logRankSql,
+    "q_effect_size" -> effectSizeSql,
+    "q_page_hinkley" -> pageHinkleySql,
+    "q_gwet_ac1" -> gwetAc1Sql,
+    "q_rbo" -> rboSql,
+    "q_trimmed_mean" -> trimmedMeanSql,
+    "q_assortativity" -> assortativitySql,
     "q_pca_power" -> pcaPowerSql(ExtQueries.pcaRounds),
     // effective rank: the pcaPower covariance cells re-rounded to
     // unit scale, trace and Frobenius as exact long folds

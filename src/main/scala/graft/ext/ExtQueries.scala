@@ -1897,6 +1897,176 @@ object ExtQueries {
       (least(col("n_chars"), lit(1000L)) * 1000L).as("score_b_micro")))
   }
 
+  /** Gwet's AC1 per source over the two language heuristics — the
+    * prevalence-paradox-resistant agreement beside [[qCohenKappa]]
+    * on identical inputs (en-heavy sources skew the marginals; AC1
+    * stays interpretable where κ collapses). */
+  def qGwetAc1(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def cnt(words: Seq[String]) =
+      size(filter(toks, t => t.isin(words.map(x => lit(x)): _*)))
+    Evaluation.gwetAC1(Tables(spark, dir).documents.select(
+      col("source").as("group"),
+      when(cnt(TextAnalysis.EnStop) >= cnt(TextAnalysis.EsStop), "en")
+        .otherwise("es").as("label_a"),
+      when(lower(col("text")).like("% the %"), "en").otherwise("es")
+        .as("label_b")))
+  }
+
+  /** Truncated RBO@20 per language between the quality-score ranking
+    * and the pure-length ranking of docs — does the trained-looking
+    * ranker agree with the trivial one at the top, where serving
+    * decisions happen? */
+  def qRbo(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.rboOverlap(
+      d.select(col("lang").as("group"), col("doc_id").as("item"),
+        round(col("quality_score") * 1e6, 0).cast("long").as("score_micro")),
+      d.select(col("lang").as("group"), col("doc_id").as("item"),
+        col("n_chars").as("score_micro")))
+  }
+
+  /** 5%-trimmed and winsorized mean event value (cents) per event
+    * type — the robust location pair beside the raw means a whale
+    * event would own. */
+  def qTrimmedMean(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.robustLocation(Tables(spark, dir).events.select(
+      col("event_type").as("group"),
+      round(col("value") * 100, 0).cast("long").as("v")))
+
+  /** Degree assortativity of the part↔supplier sourcing graph (the
+    * [[graft.queries.AdvancedAnalytics.qPagerank]] edge encoding) —
+    * bipartite hub-and-spoke structure reads strongly negative. */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = li.select(col("p").as("src"), col("s").as("dst"))
+      .union(li.select(col("s").as("src"), col("p").as("dst")))
+    graft.operators.Graph.assortativity(edges)
+  }
+
+  /** Cochran's Q per language over THREE heuristic gates scored on
+    * the same docs (length, token count, contains-" the ") — the
+    * k-gate generalization of [[qMcnemar]]'s pair. */
+  def qCochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    val base = d.select(col("lang").as("group"), col("doc_id").as("item"),
+      (col("n_chars") >= 150L).cast("long").as("g_len"),
+      (col("n_tokens") >= 30).cast("long").as("g_tok"),
+      lower(col("text")).like("% the %").cast("long").as("g_the"))
+    Evaluation.cochranQ(base.selectExpr("group", "item",
+      "stack(3, 'len', g_len, 'tok', g_tok, 'the', g_the) as (rater, y)"))
+  }
+
+  /** Precision–recall AUC per language of the quality score against
+    * the contains-" the " label — the imbalance-honest companion of
+    * [[qAucRoc]] on identical inputs. */
+  def qPrAuc(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.prAuc(d.select(col("lang").as("group"),
+      round(col("quality_score") * 1e6, 0).cast("long").as("score_micro"),
+      lower(col("text")).like("% the %").cast("long").as("y")))
+  }
+
+  /** Log-rank test between even- and odd-keyed customers' lifetime
+    * curves — the inferential companion of [[qKaplanMeier]] on the
+    * same censored lifetimes (a parity split, so the expected verdict
+    * is "no difference" — the null behaving is itself the check). */
+  def qLogRank(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir).orders.groupBy("o_custkey").agg(
+      min(to_date(col("o_orderdate"))).as("first_d"),
+      max(to_date(col("o_orderdate"))).as("last_d"))
+    Evaluation.logRank(perCust.select(lit("all").as("group"),
+      pmod(col("o_custkey"), lit(2)).as("arm"),
+      expr("datediff(last_d, first_d) div 30").as("t"),
+      (col("last_d") < lit("2001-02-01").cast("date")).cast("long")
+        .as("event")))
+  }
+
+  /** Cohen's d / Hedges' g of the user-parity arm on event value
+    * (cents) per event type — the effect-SIZE readout beside
+    * [[qAbTest]]'s significance z. */
+  def qEffectSize(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.effectSize(Tables(spark, dir).events.select(
+      col("event_type").as("group"), pmod(col("user_id"), lit(2)).as("arm"),
+      round(col("value") * 100, 0).cast("long").as("y")))
+
+  /** Page–Hinkley upward-shift evidence per event type over the daily
+    * series — the running-min sequential detector beside [[qCusum]]'s
+    * global-peak statistic. */
+  def qPageHinkley(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.pageHinkley(Tables(spark, dir).events)
+
+  /** Mann–Whitney rank test per language: does the quality score of
+    * docs containing " the " stochastically dominate the rest? The
+    * unpaired nonparametric sibling of [[qDelong]] (same metric, same
+    * label) — rank-based, so no normality assumption on the score. */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.mannWhitney(d.select(col("lang").as("group"),
+      lower(col("text")).like("% the %").cast("long").as("arm"),
+      round(col("quality_score") * 1e6, 0).cast("long").as("v_micro")))
+  }
+
+  /** Benjamini–Hochberg FDR gate over the per-event-type A/B z-tests
+    * ([[qAbTest]]'s family of comparisons): each test's p comes from
+    * the two-sided Chernoff bound 2·exp(−z²/2) — a TRUE conservative
+    * p-value bound computable exactly in any engine (no normal-CDF
+    * special function), micro-rounded — then the step-up adjustment
+    * decides which event types survive at q = 0.05. */
+  def qFdrBh(spark: SparkSession, dir: String): DataFrame = {
+    val z = Evaluation.abTest(
+      Tables(spark, dir).events.select(col("event_type"),
+        pmod(col("user_id"), lit(2)).as("arm"),
+        (col("value") > 50.0).cast("long").as("conv")),
+      "event_type", "arm", "conv")
+    Evaluation.bhAdjust(z.select(lit("all").as("group"),
+      col("grp").as("test"),
+      round(least(lit(1.0), lit(2.0) * exp(-col("z") * col("z") / 2.0))
+        * 1e6, 0).cast("long").as("p_micro")))
+  }
+
+  /** Mantel–Haenszel common odds ratio + CMH χ² of the user-parity
+    * arm's effect on high-value events, stratified by event type —
+    * the Simpson-safe pooled readout over [[qAbTest]]'s strata. */
+  def qMantelHaenszel(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.mantelHaenszel(Tables(spark, dir).events.select(
+      lit("all").as("group"), col("event_type").as("stratum"),
+      pmod(col("user_id"), lit(2)).as("arm"),
+      (col("value") > 50.0).cast("long").as("y")))
+
+  /** Jensen–Shannon divergence per language between even- and odd-id
+    * docs' token distributions — the symmetric always-finite corpus
+    * drift statistic (novel tokens on either side stay bounded, where
+    * KL explodes and PSI needs numeric bins). */
+  def qJsDivergence(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.jsDivergence(Tables(spark, dir).documents.select(
+      col("lang").as("group"), pmod(col("doc_id"), lit(2)).as("side"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok")))
+
+  /** Kaplan–Meier customer-lifetime curve: per customer, lifetime =
+    * months between first and last order; customers still ordering in
+    * the corpus's final six months (the order stream ends 2001-08-01)
+    * are CENSORED (their true lifetime is longer than observed) — the
+    * estimator reads retention without the censoring bias a naive
+    * survival fraction bakes in. */
+  def qKaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir).orders.groupBy("o_custkey").agg(
+      min(to_date(col("o_orderdate"))).as("first_d"),
+      max(to_date(col("o_orderdate"))).as("last_d"))
+    Evaluation.kaplanMeier(perCust.select(lit("all").as("group"),
+      expr("datediff(last_d, first_d) div 30").as("t"),
+      (col("last_d") < lit("2001-02-01").cast("date")).cast("long")
+        .as("event")))
+  }
+
+  /** Mann–Kendall monotone-trend test per event type over the
+    * densified daily series — the significance readout beside
+    * [[qTheilSen]]'s slope estimate. */
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.mannKendall(Tables(spark, dir).events)
+
   /** Split-conformal quality-gate calibration per language: the
     * nonconformity score is inverted doc quality (low quality = high
     * nonconformity), doc_id%5 holds out the test split, and the

@@ -488,6 +488,95 @@ object Timeseries {
     * series and corrupt both the fit and the forecast slot mapping.
     * The calendar explode is series-history-sized (days, not events)
     * and the left join runs on the already-aggregated tiny table. */
+  /** Page–Hinkley upward-shift detector per series over the daily
+    * series — the running-minimum refinement of [[cusumChangepoint]]
+    * (CUSUM's |S_t| peaks once per series; PH_t = m_t − min_{s≤t} m_s
+    * resets after every downward excursion, so evidence for an UP
+    * shift accumulates from the most recent low, the classic
+    * sequential-detection form with δ = 0): m_t = Σ_{s≤t}(x_s − x̄)
+    * over observed days ([[cusumChangepoint]]'s raw-day convention —
+    * the densified variant is [[mannKendall]]'s job).
+    *
+    * Exactness: the statistic is scaled by N (r_s = N·x_s − T) so the
+    * cumulative sum, running min, and PH are EXACT longs end-to-end;
+    * the peak flag compares exact longs. The argmax is scale-
+    * invariant. A series with no positive excursion (monotone
+    * non-increasing evidence) flags no peak.
+    *
+    * Scale shape: the corpus is touched once by the daily
+    * aggregation (map-side combined); every window runs per series
+    * over the days-sized table.
+    *
+    * @return (series, d, n, ph_scaled, is_peak) */
+  def pageHinkley(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val s = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val tot = s.groupBy("series")
+      .agg(sum(col("n")).as("t"), count(lit(1)).as("nd"))
+    val dev = s.join(broadcast(tot), Seq("series"))
+      .select(col("series"), col("d"), col("n"),
+        (col("nd") * col("n") - col("t")).as("r"))
+    val wCum = Window.partitionBy("series").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ph = dev.withColumn("m", sum(col("r")).over(wCum))
+      .withColumn("ph_scaled", col("m") - min(col("m")).over(wCum))
+    ph.withColumn("peak",
+        max(col("ph_scaled")).over(Window.partitionBy("series")))
+      .select(col("series"), col("d"), col("n"), col("ph_scaled"),
+        (col("ph_scaled") === col("peak") && col("peak") > 0L).as("is_peak"))
+  }
+
+  /** Mann–Kendall trend test per series over the densified daily
+    * series — the NONPARAMETRIC monotone-trend detector (is volume
+    * drifting up, regardless of distribution or outliers?) that
+    * complements [[theilSen]]'s slope estimate with a significance
+    * readout: S = Σ_{i<j} sgn(x_j − x_i) over all day pairs,
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 (tie-corrected —
+    * the densified zero-gap days tie heavily and the correction is
+    * what keeps sparse series honest), z continuity-corrected by ∓1.
+    *
+    * Exactness: S, the pair count, and both variance terms are exact
+    * long sums; z is one fixed-shape IEEE expression over them, 6dp.
+    * Series with Var ≤ 0 (constant series) report z = 0 / 'none'.
+    *
+    * Scale shape: the pair join runs on the DAYS-sized series table
+    * (calendar-bounded — n days ⇒ n²/2 pairs per series, never
+    * corpus-proportional); the corpus itself is touched once by the
+    * dailyCounts aggregation, map-side combined.
+    *
+    * @return (series, n_days, s, z, trend) — trend at |z| > 1.96 */
+  def mannKendall(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val d = dailyCounts(events, seriesCol, tsCol)
+    val a = d.select(col("series"), col("day").as("di"), col("x").as("xi"))
+    val b = d.select(col("series"), col("day").as("dj"), col("x").as("xj"))
+    val s = a.join(b, Seq("series")).filter(col("di") < col("dj"))
+      .groupBy("series").agg(
+        sum(when(col("xj") > col("xi"), 1L)
+          .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+    val ties = d.groupBy(col("series"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("series").agg(
+        sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie18"))
+    val joined = ties.join(s, Seq("series"))
+    val n = col("n_days")
+    val var18 = n * (n - 1L) * (lit(2L) * n + 5L) - col("tie18")
+    val varS = var18.cast(DoubleType) / 18.0
+    val z = when(col("s") > 0L, (col("s").cast(DoubleType) - 1.0) / sqrt(varS))
+      .when(col("s") < 0L, (col("s").cast(DoubleType) + 1.0) / sqrt(varS))
+      .otherwise(0.0)
+    joined.select(col("series"), col("n_days"), col("s"),
+      round(when(var18 <= 0L, 0.0).otherwise(z), 6).as("z"),
+      when(var18 <= 0L, "none")
+        .when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("none").as("trend"))
+  }
+
   private def dailyCounts(events: DataFrame, seriesCol: String,
       tsCol: String): DataFrame = {
     val raw = events

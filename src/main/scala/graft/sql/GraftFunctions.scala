@@ -737,6 +737,131 @@ object GraftFunctions {
       tableOf(strArg(args.head, "cuped(table)")))
       .queryExecution.logical
 
+  /** mann_whitney(tbl) — rank-sum two-sample test over
+    * (group, arm, v_micro) rows
+    * ([[graft.ext.Evaluation.mannWhitney]]). */
+  def mannWhitneyTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.mannWhitney(
+      tableOf(strArg(args.head, "mann_whitney(table)")))
+      .queryExecution.logical
+
+  /** fdr_bh(tbl[, qMicro]) — Benjamini–Hochberg step-up adjustment
+    * over (group, test, p_micro) rows
+    * ([[graft.ext.Evaluation.bhAdjust]]). */
+  def fdrBhTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "fdr_bh(table)"))
+    val q = if (args.length > 1)
+      intArg(args(1), "fdr_bh(qMicro)") / 1e6 else 0.05
+    graft.ext.Evaluation.bhAdjust(df, q).queryExecution.logical
+  }
+
+  /** mantel_haenszel(tbl) — stratified common OR + CMH χ² over
+    * (group, stratum, arm, y) rows
+    * ([[graft.ext.Evaluation.mantelHaenszel]]). */
+  def mantelHaenszelTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.mantelHaenszel(
+      tableOf(strArg(args.head, "mantel_haenszel(table)")))
+      .queryExecution.logical
+
+  /** js_divergence(tbl) — Jensen–Shannon divergence over
+    * (group, side, tok) rows
+    * ([[graft.ext.Evaluation.jsDivergence]]). */
+  def jsDivergenceTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.jsDivergence(
+      tableOf(strArg(args.head, "js_divergence(table)")))
+      .queryExecution.logical
+
+  /** kaplan_meier(tbl) — product-limit survival curve over
+    * (group, t, event) subject rows
+    * ([[graft.ext.Evaluation.kaplanMeier]]). */
+  def kaplanMeierTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.kaplanMeier(
+      tableOf(strArg(args.head, "kaplan_meier(table)")))
+      .queryExecution.logical
+
+  /** mann_kendall(tbl) — monotone-trend test per series over an
+    * event stream's (event_type, ts) rows
+    * ([[graft.ext.Timeseries.mannKendall]]). */
+  def mannKendallTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.mannKendall(
+      tableOf(strArg(args.head, "mann_kendall(table)")))
+      .queryExecution.logical
+
+  /** cochran_q(tbl) — k-rater marginal-homogeneity test over
+    * (group, item, rater, y) rows
+    * ([[graft.ext.Evaluation.cochranQ]]). */
+  def cochranQTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.cochranQ(
+      tableOf(strArg(args.head, "cochran_q(table)")))
+      .queryExecution.logical
+
+  /** pr_auc(tbl) — precision–recall AUC over
+    * (group, score_micro, y) rows ([[graft.ext.Evaluation.prAuc]]). */
+  def prAucTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.prAuc(
+      tableOf(strArg(args.head, "pr_auc(table)")))
+      .queryExecution.logical
+
+  /** logrank(tbl) — two-arm survival-curve test over
+    * (group, arm, t, event) subject rows
+    * ([[graft.ext.Evaluation.logRank]]). */
+  def logRankTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.logRank(
+      tableOf(strArg(args.head, "logrank(table)")))
+      .queryExecution.logical
+
+  /** effect_size(tbl) — Cohen's d / Hedges' g over
+    * (group, arm, y) caller-scaled long metrics
+    * ([[graft.ext.Evaluation.effectSize]]). */
+  def effectSizeTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.effectSize(
+      tableOf(strArg(args.head, "effect_size(table)")))
+      .queryExecution.logical
+
+  /** page_hinkley(tbl) — upward-shift evidence per series over an
+    * event stream's (event_type, ts) rows
+    * ([[graft.ext.Timeseries.pageHinkley]]). */
+  def pageHinkleyTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.pageHinkley(
+      tableOf(strArg(args.head, "page_hinkley(table)")))
+      .queryExecution.logical
+
+  /** gwet_ac1(tbl) — paradox-resistant chance-corrected agreement
+    * over (group, label_a, label_b) rows
+    * ([[graft.ext.Evaluation.gwetAC1]]). */
+  def gwetAc1Tvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.gwetAC1(
+      tableOf(strArg(args.head, "gwet_ac1(table)")))
+      .queryExecution.logical
+
+  /** rbo(tblA, tblB[, k]) — truncated rank-biased overlap between
+    * two (group, item, score_micro) rankings
+    * ([[graft.ext.Evaluation.rboOverlap]]). */
+  def rboTvf(args: Seq[Expression]): LogicalPlan = {
+    val a = tableOf(strArg(args.head, "rbo(tableA)"))
+    val b = tableOf(strArg(args(1), "rbo(tableB)"))
+    val k = if (args.length > 2) intArg(args(2), "rbo(k)") else 20
+    graft.ext.Evaluation.rboOverlap(a, b, k).queryExecution.logical
+  }
+
+  /** robust_location(tbl[, trimMicro]) — trimmed + winsorized mean
+    * over (group, v) rows ([[graft.ext.Evaluation.robustLocation]]). */
+  def robustLocationTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "robust_location(table)"))
+    val t = if (args.length > 1)
+      intArg(args(1), "robust_location(trimMicro)").toLong else 50000L
+    graft.ext.Evaluation.robustLocation(df, trimMicro = t)
+      .queryExecution.logical
+  }
+
+  /** assortativity(tbl) — Newman's degree assortativity over a
+    * symmetrized (src, dst) edge table
+    * ([[graft.operators.Graph.assortativity]]). */
+  def assortativityTvf(args: Seq[Expression]): LogicalPlan =
+    graft.operators.Graph.assortativity(
+      tableOf(strArg(args.head, "assortativity(table)")))
+      .queryExecution.logical
+
   /** delong_test(tbl) — paired-AUC comparison over
     * (group, y, score_a_micro, score_b_micro) rows
     * ([[graft.ext.Evaluation.delongTest]]). */
@@ -996,6 +1121,21 @@ object GraftFunctions {
     "delong_test" -> (delongTestTvf _),
     "did" -> (didTvf _),
     "cuped" -> (cupedTvf _),
+    "mann_whitney" -> (mannWhitneyTvf _),
+    "fdr_bh" -> (fdrBhTvf _),
+    "mantel_haenszel" -> (mantelHaenszelTvf _),
+    "js_divergence" -> (jsDivergenceTvf _),
+    "kaplan_meier" -> (kaplanMeierTvf _),
+    "mann_kendall" -> (mannKendallTvf _),
+    "cochran_q" -> (cochranQTvf _),
+    "pr_auc" -> (prAucTvf _),
+    "logrank" -> (logRankTvf _),
+    "effect_size" -> (effectSizeTvf _),
+    "page_hinkley" -> (pageHinkleyTvf _),
+    "gwet_ac1" -> (gwetAc1Tvf _),
+    "rbo" -> (rboTvf _),
+    "robust_location" -> (robustLocationTvf _),
+    "assortativity" -> (assortativityTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

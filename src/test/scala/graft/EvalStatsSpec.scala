@@ -1,0 +1,335 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Evaluation, Timeseries}
+
+/** Hand-computed textbook examples + degenerate shapes for the round-14
+  * statistics: Mann–Whitney, Benjamini–Hochberg, Mantel–Haenszel,
+  * Jensen–Shannon, Kaplan–Meier, Mann–Kendall. */
+class EvalStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("mannWhitney: hand-computed U and z with ties; degenerate arms") {
+    // arm a: {1,2,3}, arm b: {2,3,4} -> U_b = 7 (two half-ties), u2 = 14
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 2L), (1, 3L), (1, 4L))
+      .toDF("arm", "v_micro").withColumn("group", lit("g"))
+    val r = Evaluation.mannWhitney(df).collect().head
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Long]("u2") == 14L)
+    // z replayed with the operator's exact IEEE shape
+    val varU = 3.0 * 3.0 / 12.0 * ((6.0 + 1.0) - 12.0 / (6.0 * 5.0))
+    val expZ = BigDecimal((14.0 - 9.0) / (2.0 * math.sqrt(varU)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == expZ)
+    // empty arm -> z = 0 by convention
+    val oneArm = Seq((1, 5L), (1, 6L)).toDF("arm", "v_micro")
+      .withColumn("group", lit("g"))
+    assert(Evaluation.mannWhitney(oneArm).collect().head
+      .getAs[Double]("z") == 0.0)
+    // every value tied -> zero variance -> z = 0
+    val tied = Seq((0, 7L), (0, 7L), (1, 7L), (1, 7L))
+      .toDF("arm", "v_micro").withColumn("group", lit("g"))
+    val tr = Evaluation.mannWhitney(tied).collect().head
+    assert(tr.getAs[Double]("z") == 0.0)
+  }
+
+  test("bhAdjust: step-up running min, reject boundary, deterministic tie order") {
+    // p = {.001, .012, .04, .9}, m = 4: raw = {.004, .024, .0533.., .9}
+    val tests = Seq(("t1", 1000L), ("t2", 12000L), ("t3", 40000L),
+      ("t4", 900000L)).toDF("test", "p_micro").withColumn("group", lit("f"))
+    val out = Evaluation.bhAdjust(tests).collect()
+      .map(r => r.getAs[String]("test") ->
+        ((r.getAs[Long]("rnk"), r.getAs[Double]("p_adj"),
+          r.getAs[Boolean]("reject")))).toMap
+    assert(out("t1") == ((1L, 0.004, true)))
+    assert(out("t2") == ((2L, 0.024, true)))
+    assert(out("t3") == ((3L, 0.053333, false))) // > q: fails the gate
+    assert(out("t4") == ((4L, 0.9, false)))
+    // running-min: a LATER small p caps an earlier larger raw value
+    val caps = Seq(("a", 100000L), ("b", 100000L)).toDF("test", "p_micro")
+      .withColumn("group", lit("f"))
+    val c = Evaluation.bhAdjust(caps).collect()
+      .map(r => r.getAs[String]("test") -> r.getAs[Double]("p_adj")).toMap
+    // p=(0.1, 0.1): raw = (0.2, 0.1); min-from-bottom caps rank1 to 0.1
+    assert(c("a") == 0.1 && c("b") == 0.1)
+  }
+
+  test("mantelHaenszel: textbook two-strata OR and CMH chi-square; thin strata excluded") {
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, 1, 1)) ++ Seq.fill(b)((s, 1, 0)) ++
+        Seq.fill(c)((s, 0, 1)) ++ Seq.fill(d)((s, 0, 0))
+    // s1: (4,1,2,3), s2: (2,3,1,4) -> OR_MH = 2.0/0.5 = 4, chi2 = 0.8
+    val rows = (stratum("s1", 4, 1, 2, 3) ++ stratum("s2", 2, 3, 1, 4))
+      .toDF("stratum", "arm", "y").withColumn("group", lit("g"))
+    val r = Evaluation.mantelHaenszel(rows).collect().head
+    assert(r.getAs[Long]("n_strata") == 2 && r.getAs[Long]("sum_a") == 6)
+    assert(r.getAs[Double]("or_mh") == 4.0)
+    assert(r.getAs[Double]("chi2") == 0.8)
+    // a single-row stratum carries no variance and drops wholesale
+    val withThin = (stratum("s1", 4, 1, 2, 3) ++ stratum("s2", 2, 3, 1, 4)
+      ++ Seq(("thin", 1, 1))).toDF("stratum", "arm", "y")
+      .withColumn("group", lit("g"))
+    assert(Evaluation.mantelHaenszel(withThin).collect().head
+      .getAs[Long]("n_strata") == 2)
+  }
+
+  test("jsDivergence: identical sides -> 0; disjoint vocab -> ln 2 (1 bit)") {
+    val same = Seq((0, "x"), (0, "y"), (1, "x"), (1, "y"))
+      .toDF("side", "tok").withColumn("group", lit("g"))
+    val s = Evaluation.jsDivergence(same).collect().head
+    assert(s.getAs[Double]("js_nats") == 0.0 && s.getAs[Double]("js_bits") == 0.0)
+    val disjoint = Seq((0, "x"), (1, "y")).toDF("side", "tok")
+      .withColumn("group", lit("g"))
+    val d = Evaluation.jsDivergence(disjoint).collect().head
+    assert(d.getAs[Double]("js_nats") == 0.693147) // ln 2 at 6dp
+    assert(d.getAs[Double]("js_bits") == 1.0)
+    assert(d.getAs[Long]("vocab") == 2)
+  }
+
+  test("kaplanMeier: textbook curve with censoring; whole-risk-set death pins S=0") {
+    // subjects: event@1, censor@2, event@3, event@4, censor@5
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (4L, 1), (5L, 0))
+      .toDF("t", "event").withColumn("group", lit("g"))
+    val rows = Evaluation.kaplanMeier(subj).collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Double]("surv")))).toMap
+    assert(rows.keySet == Set(1L, 3L, 4L)) // event times only
+    assert(rows(1L)._1 == 5 && math.abs(rows(1L)._2 - 0.8) < 2e-6)
+    assert(rows(3L)._1 == 3 && math.abs(rows(3L)._2 - 0.8 * 2.0 / 3.0) < 2e-6)
+    assert(rows(4L)._1 == 2 && math.abs(rows(4L)._2 - 0.8 / 3.0) < 2e-6)
+    // the whole risk set dying at t pins S to 0 from there on
+    val wipe = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("t", "event")
+      .withColumn("group", lit("g"))
+    val w = Evaluation.kaplanMeier(wipe).collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Double]("surv")).toMap
+    assert(math.abs(w(1L) - 2.0 / 3.0) < 2e-6 && w(2L) == 0.0)
+  }
+
+  test("mannKendall: monotone series detects trend; constant series reports none") {
+    // day i carries i events -> strictly increasing counts, S = C(8,2)
+    val base = java.sql.Timestamp.valueOf("2026-01-01 12:00:00").getTime
+    val up = (1 to 8).flatMap(i => Seq.fill(i)(
+      ("up", new java.sql.Timestamp(base + i * 86400000L))))
+      .toDF("event_type", "ts")
+    val r = Timeseries.mannKendall(up).collect().head
+    assert(r.getAs[Long]("n_days") == 8 && r.getAs[Long]("s") == 28)
+    val varS = (8.0 * 7.0 * 21.0) / 18.0
+    val expZ = BigDecimal(27.0 / math.sqrt(varS))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == expZ)
+    assert(r.getAs[String]("trend") == "increasing")
+    // constant series: every day ties -> variance 0 -> z = 0, none
+    val flat = (1 to 6).flatMap(i => Seq.fill(2)(
+      ("flat", new java.sql.Timestamp(base + i * 86400000L))))
+      .toDF("event_type", "ts")
+    val f = Timeseries.mannKendall(flat).collect().head
+    assert(f.getAs[Double]("z") == 0.0 && f.getAs[String]("trend") == "none")
+  }
+
+  test("cochranQ: hand-computed 3-rater example; incomplete items excluded") {
+    // items i1..i4 × raters r1..r3: L = (3,1,1,1), G = (3,2,1); N = 6
+    // Q = (k-1)(k·ΣG² - N²)/(kN - ΣL²) = 2·(42-36)/(18-12) = 2.0
+    val y = Map(("i1","r1")->1,("i1","r2")->1,("i1","r3")->1,
+      ("i2","r1")->1,("i2","r2")->0,("i2","r3")->0,
+      ("i3","r1")->0,("i3","r2")->1,("i3","r3")->0,
+      ("i4","r1")->1,("i4","r2")->0,("i4","r3")->0)
+    val rows = y.toSeq.map { case ((i, r), v) => (i, r, v) }
+      .toDF("item", "rater", "y").withColumn("group", lit("g"))
+    val out = Evaluation.cochranQ(rows).collect().head
+    assert(out.getAs[Long]("k") == 3 && out.getAs[Long]("n_items") == 4)
+    assert(out.getAs[Double]("q") == 2.0)
+    // an item missing a rater drops; the complete set is unchanged
+    val withPartial = rows.unionAll(Seq(("i5", "r1", 1)).toDF("item", "rater", "y")
+      .withColumn("group", lit("g")).select("item", "rater", "y", "group"))
+    val out2 = Evaluation.cochranQ(withPartial).collect().head
+    assert(out2.getAs[Long]("n_items") == 4 && out2.getAs[Double]("q") == 2.0)
+  }
+
+  test("prAuc: perfect ranking -> 1; random-tie single score -> base rate") {
+    // scores separate perfectly: AP = 1
+    val perfect = Seq((90L, 1), (80L, 1), (20L, 0), (10L, 0))
+      .toDF("score_micro", "y").withColumn("group", lit("g"))
+    assert(Evaluation.prAuc(perfect).collect().head
+      .getAs[Double]("pr_auc") == 1.0)
+    // one tied score bucket: AP = precision at the single cut = 1/3
+    val tied = Seq((50L, 1), (50L, 0), (50L, 0))
+      .toDF("score_micro", "y").withColumn("group", lit("g"))
+    assert(Evaluation.prAuc(tied).collect().head
+      .getAs[Double]("pr_auc") == 0.333333)
+    // no positives -> 0 by convention
+    val nopos = Seq((50L, 0)).toDF("score_micro", "y")
+      .withColumn("group", lit("g"))
+    assert(Evaluation.prAuc(nopos).collect().head
+      .getAs[Double]("pr_auc") == 0.0)
+  }
+
+  test("logRank: identical arms -> chi2 0; disjoint death times separate") {
+    // both arms die at the same times -> O1 = E1 exactly
+    val same = Seq((0, 1L, 1), (1, 1L, 1), (0, 2L, 1), (1, 2L, 1))
+      .toDF("arm", "t", "event").withColumn("group", lit("g"))
+    val s = Evaluation.logRank(same).collect().head
+    assert(s.getAs[Long]("o1") == 2 &&
+      math.abs(s.getAs[Double]("e1") - 2.0) < 1e-6)
+    assert(s.getAs[Double]("chi2") == 0.0)
+    // arm1 dies strictly earlier: textbook 2-subject example
+    // t=1: n=2, n1=1, d=1 (arm1): E1 = 0.5, V = 0.25
+    // t=2: n=1 (arm0 only), d=1: E1 = 0, V = 0 (n-1 = 0)
+    val early = Seq((1, 1L, 1), (0, 2L, 1))
+      .toDF("arm", "t", "event").withColumn("group", lit("g"))
+    val e = Evaluation.logRank(early).collect().head
+    assert(e.getAs[Long]("o1") == 1 &&
+      math.abs(e.getAs[Double]("e1") - 0.5) < 1e-6)
+    assert(math.abs(e.getAs[Double]("chi2") - 1.0) < 1e-5) // 0.25/0.25
+  }
+
+  test("effectSize: known two-arm example; Hedges' g shrinks d; degenerate arms") {
+    // arm a {1,2,3}, arm b {3,4,5}: means 2,4; var 1,1; sp = 1; d = 2
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 3L), (1, 4L), (1, 5L))
+      .toDF("arm", "y").withColumn("group", lit("g"))
+    val r = Evaluation.effectSize(df).collect().head
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 4.0)
+    assert(r.getAs[Double]("d") == 2.0)
+    val expG = BigDecimal((1.0 - 3.0 / (4.0 * 6.0 - 9.0)) * 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("g") == expG)
+    // single-subject arm -> d = g = 0
+    val thin = Seq((0, 1L), (1, 3L), (1, 4L)).toDF("arm", "y")
+      .withColumn("group", lit("g"))
+    val t = Evaluation.effectSize(thin).collect().head
+    assert(t.getAs[Double]("d") == 0.0 && t.getAs[Double]("g") == 0.0)
+  }
+
+  test("pageHinkley: running-min resets evidence after a dip; flat series flags nothing") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 12:00:00").getTime
+    def ev(series: String, dayCounts: Seq[Int]) =
+      dayCounts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(
+        (series, new java.sql.Timestamp(base + (i + 1) * 86400000L))) }
+    // dip then surge: the PH peak lands at the end of the surge, and
+    // the statistic measures rise from the post-dip minimum
+    val df = ev("s", Seq(5, 1, 1, 9, 9)).toDF("event_type", "ts")
+    val rows = graft.ext.Timeseries.pageHinkley(df).collect()
+      .map(r => (r.getAs[java.sql.Date]("d").toString,
+        r.getAs[Long]("ph_scaled"), r.getAs[Boolean]("is_peak")))
+      .sortBy(_._1)
+    assert(rows.last._3, s"peak must be the final surge day: ${rows.toSeq}")
+    assert(rows.count(_._3) == 1)
+    // mean-cleared: day counts 5,1,1,9,9 (mean 5): r = 5(x-5) scaled
+    // m: 0,-20,-40,-20,0; runmin: 0,-20,-40,-40,-40 -> ph: 0,0,0,20,40
+    assert(rows.map(_._2).toSeq == Seq(0L, 0L, 0L, 20L, 40L))
+    val flat = ev("f", Seq(3, 3, 3)).toDF("event_type", "ts")
+    assert(graft.ext.Timeseries.pageHinkley(flat).collect()
+      .forall(!_.getAs[Boolean]("is_peak")))
+  }
+
+  test("gwetAC1: stays high on a skewed panel where kappa collapses") {
+    // 90 (en,en) + 5 (en,es) + 5 (es,en): po=0.9 but en-dominated
+    val rows = (Seq.fill(90)(("en", "en")) ++ Seq.fill(5)(("en", "es")) ++
+      Seq.fill(5)(("es", "en"))).toDF("label_a", "label_b")
+      .withColumn("group", lit("g"))
+    val ac1 = Evaluation.gwetAC1(rows).collect().head
+    val k = Evaluation.cohenKappa(rows).collect().head
+    assert(ac1.getAs[Double]("po") == 0.9)
+    // kappa's paradox: near-zero despite 90% agreement; AC1 stays high
+    assert(k.getAs[Double]("kappa") < 0.05, s"$k")
+    assert(ac1.getAs[Double]("ac1") > 0.85, s"$ac1")
+    // hand check: m_en = 190, m_es = 10, N = 100:
+    // pe = (190·10 + 10·190)/(4·10⁴·1) = 0.095; ac1 = (0.9-.095)/.905
+    assert(ac1.getAs[Double]("pe_gamma") == 0.095)
+    assert(ac1.getAs[Double]("ac1") ==
+      BigDecimal((0.9 - 0.095) / (1.0 - 0.095))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // single-category panel -> 0 by convention
+    val one = Seq(("x", "x"), ("x", "x")).toDF("label_a", "label_b")
+      .withColumn("group", lit("g"))
+    assert(Evaluation.gwetAC1(one).collect().head.getAs[Double]("ac1") == 0.0)
+  }
+
+  test("rboOverlap: identical rankings -> 1; disjoint -> 0; order sensitivity at the top") {
+    def rk(items: Seq[String]) = items.zipWithIndex
+      .map { case (it, i) => (it, (100 - i).toLong) }
+      .toDF("item", "score_micro").withColumn("group", lit("g"))
+    val a = rk(Seq("a", "b", "c", "d"))
+    val same = Evaluation.rboOverlap(a, rk(Seq("a", "b", "c", "d")), k = 4)
+      .collect().head
+    // identical length-4 lists at k=4: X_d = d, terms sum to Σp^{d-1},
+    // (1-p)·Σ = 1 - p^4
+    // replay the operator's exact IEEE term shape ((p^{d-1}·X_d)/d)·1e9
+    val exp = BigDecimal(
+      (1 to 4).map { d =>
+        BigDecimal(math.pow(0.9, d - 1) * d.toDouble / d.toDouble * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum / 1e9 * (1.0 - 0.9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same.getAs[Double]("rbo") == exp)
+    assert(same.getAs[Long]("overlap_k") == 4)
+    val disj = Evaluation.rboOverlap(a, rk(Seq("w", "x", "y", "z")), k = 4)
+      .collect().head
+    assert(disj.getAs[Double]("rbo") == 0.0 && disj.getAs[Long]("overlap_k") == 0)
+    // agreement at the TOP outweighs the same agreement at the bottom
+    val topAgree = Evaluation.rboOverlap(a, rk(Seq("a", "x", "y", "z")), k = 4)
+      .collect().head.getAs[Double]("rbo")
+    val botAgree = Evaluation.rboOverlap(a, rk(Seq("w", "x", "y", "d")), k = 4)
+      .collect().head.getAs[Double]("rbo")
+    assert(topAgree > botAgree)
+  }
+
+  test("robustLocation: a whale moves the mean but not the trimmed/winsorized pair") {
+    // 18 values of 10, one 9, one whale 10000; N = 20, lo = 1
+    val vals = Seq.fill(18)(10L) ++ Seq(9L, 10000L)
+    val df = vals.toDF("v").withColumn("group", lit("g"))
+    val r = Evaluation.robustLocation(df).collect().head
+    assert(r.getAs[Long]("n") == 20 && r.getAs[Long]("trim_n") == 1)
+    assert(r.getAs[Double]("trimmed_mean") == 10.0) // whale and 9 cut
+    // winsorized: clamp 9 -> 10 and 10000 -> 10: all 10s
+    assert(r.getAs[Double]("winsor_mean") == 10.0)
+    // a 50%-per-side trim on two rows swallows everything -> 0
+    val tiny = Seq(5L, 7L).toDF("v").withColumn("group", lit("g"))
+    val t = Evaluation.robustLocation(tiny, trimMicro = 500000L)
+      .collect().head
+    assert(t.getAs[Long]("trim_n") == 1 &&
+      t.getAs[Double]("trimmed_mean") == 0.0)
+  }
+
+  test("assortativity: star graph is strongly disassortative; ring is degree-constant") {
+    // star: hub 0 <-> leaves 1..5 (symmetrized): r = -1
+    val star = (1 to 5).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+      .toDF("src", "dst")
+    val s = graft.operators.Graph.assortativity(star).collect().head
+    assert(s.getAs[Double]("r") == -1.0)
+    // ring: every degree 2 -> zero variance -> r = 0 by convention
+    val n = 6
+    val ring = (0 until n).flatMap(i => Seq(
+      (i.toLong, ((i + 1) % n).toLong), (((i + 1) % n).toLong, i.toLong)))
+      .toDF("src", "dst")
+    assert(graft.operators.Graph.assortativity(ring).collect().head
+      .getAs[Double]("r") == 0.0)
+  }
+
+  test("round-14 TVFs: the new statistics answer from SQL") {
+    graft.sql.GraftFunctions.register(spark)
+    Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L)).toDF("arm", "v_micro")
+      .withColumn("group", lit("g")).createOrReplaceTempView("mw_in")
+    val z = spark.sql("SELECT z FROM mann_whitney('mw_in')")
+      .as[Double].head()
+    assert(z != 0.0)
+    Seq(("t1", 1000L), ("t2", 900000L)).toDF("test", "p_micro")
+      .withColumn("group", lit("f")).createOrReplaceTempView("bh_in")
+    assert(spark.sql("SELECT count(*) FROM fdr_bh('bh_in') WHERE reject")
+      .as[Long].head() == 1L)
+    Seq(("g", 1L, 1), ("g", 3L, 1), ("g", 2L, 0))
+      .toDF("group", "t", "event").createOrReplaceTempView("km_in")
+    assert(spark.sql("SELECT count(*) FROM kaplan_meier('km_in')")
+      .as[Long].head() == 2L)
+    Seq((0, 1L), (0, 2L), (0, 3L), (1, 3L), (1, 4L), (1, 5L))
+      .toDF("arm", "y").withColumn("group", lit("g"))
+      .createOrReplaceTempView("es_in")
+    assert(spark.sql("SELECT d FROM effect_size('es_in')")
+      .as[Double].head() == 2.0)
+    Seq((90L, 1), (10L, 0)).toDF("score_micro", "y")
+      .withColumn("group", lit("g")).createOrReplaceTempView("pr_in")
+    assert(spark.sql("SELECT pr_auc FROM pr_auc('pr_in')")
+      .as[Double].head() == 1.0)
+  }
+}
