@@ -1330,9 +1330,15 @@ object Evaluation {
     *              `yCol` (0/1)
     * @return (grp, n_pos, n_neg, pr_auc) — 6dp */
   def prAuc(preds: DataFrame, groupCol: String = "group",
-      scoreCol: String = "score_micro", yCol: String = "y"): DataFrame = {
+      scoreCol: String = "score_micro", yCol: String = "y"): DataFrame =
+    prAucFinish(aucRocState(preds, groupCol, scoreCol, yCol))
+
+  /** Finish an [[aucRocState]] snapshot into the PR-AUC report — the
+    * SAME state table serves ROC-AUC and PR-AUC (one streamed
+    * accumulator, [[graft.streaming.StreamingOps.aucStateStream]],
+    * two finishes), state-sized input, batch ≡ merged micro-batches. */
+  def prAucFinish(state: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val state = aucRocState(preds, groupCol, scoreCol, yCol)
     val wCum = Window.partitionBy("grp").orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy("grp")
@@ -1663,14 +1669,28 @@ object Evaluation {
     *           `vCol` (long micro metric)
     * @return (grp, n_a, n_b, u2, z) — z 6dp */
   def mannWhitney(df: DataFrame, groupCol: String = "group",
-      armCol: String = "arm", vCol: String = "v_micro"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val state = df.select(col(groupCol).as("grp"),
+      armCol: String = "arm", vCol: String = "v_micro"): DataFrame =
+    mannWhitneyFinish(mannWhitneyState(df, groupCol, armCol, vCol))
+
+  /** The ALGEBRAIC (grp, value) accumulator (n_a, n_b) — two
+    * commutative long sums, so micro-batches fold freely and the
+    * state is value-cardinality-bounded forever (the streaming-twin
+    * state table, [[graft.streaming.StreamingOps.mannWhitneyStateStream]]). */
+  private[graft] def mannWhitneyState(df: DataFrame,
+      groupCol: String = "group", armCol: String = "arm",
+      vCol: String = "v_micro"): DataFrame =
+    df.select(col(groupCol).as("grp"),
         col(armCol).cast(LongType).as("arm"),
         col(vCol).cast(LongType).as("v"))
       .groupBy("grp", "v").agg(
         sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na_v"),
         sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("nb_v"))
+
+  /** Finish a [[mannWhitneyState]] snapshot into the z report —
+    * state-sized input, identical whether cells came from one batch
+    * pass or merged micro-batches. */
+  def mannWhitneyFinish(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wBelow = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val terms = state.withColumn("aBelow",
@@ -1817,12 +1837,26 @@ object Evaluation {
     *           `tokCol`
     * @return (grp, n_a, n_b, vocab, js_nats, js_bits) — 6dp */
   def jsDivergence(df: DataFrame, groupCol: String = "group",
-      sideCol: String = "side", tokCol: String = "tok"): DataFrame = {
-    val cells = df.select(col(groupCol).as("grp"),
+      sideCol: String = "side", tokCol: String = "tok"): DataFrame =
+    jsFinish(jsState(df, groupCol, sideCol, tokCol))
+
+  /** The ALGEBRAIC (grp, token) accumulator (ca, cb) — two
+    * commutative long sums per vocab cell, so micro-batches fold
+    * freely and the state is vocab-bounded forever (the streaming-
+    * twin state table,
+    * [[graft.streaming.StreamingOps.jsStateStream]]). */
+  private[graft] def jsState(df: DataFrame, groupCol: String = "group",
+      sideCol: String = "side", tokCol: String = "tok"): DataFrame =
+    df.select(col(groupCol).as("grp"),
         col(sideCol).cast(LongType).as("side"), col(tokCol).as("tok"))
       .groupBy("grp", "tok").agg(
         sum(when(col("side") === 0L, 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") =!= 0L, 1L).otherwise(0L)).as("cb"))
+
+  /** Finish a [[jsState]] snapshot into the divergence report —
+    * state-sized input, batch ≡ merged micro-batches. */
+  def jsFinish(state: DataFrame): DataFrame = {
+    val cells = state
       .localCheckpoint() // feeds totals AND terms; released below
     val totals = cells.groupBy("grp").agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),

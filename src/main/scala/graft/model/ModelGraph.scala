@@ -90,12 +90,18 @@ object ModelGraph {
     * operator, the "everything needed to build this subtree" set), or
     * `tag:t` (with the same wrappers); result = union over tokens.
     * `exclude` evaluates the same grammar and is subtracted LAST, so
-    * exclude always overrides select (dbt's precedence rule). An
-    * unknown model name fails loudly (dbt warns-and-skips; silently
-    * running nothing is worse). Graph closure is transitive over
-    * model-to-model edges. */
+    * exclude always overrides select (dbt's precedence rule). The
+    * `state:modified` token selects from `modified` — the caller's
+    * changed-since-last-manifest set ([[graft.sql.DbtSqlEngine]]
+    * computes it from the warehouse manifest; raw model text is what
+    * is hashed) — and composes with the same wrappers
+    * (`state:modified+` = changed models and everything downstream,
+    * the classic CI build). An unknown model name fails loudly (dbt
+    * warns-and-skips; silently running nothing is worse). Graph
+    * closure is transitive over model-to-model edges. */
   def select(models: Seq[Model], expr: String,
-      exclude: String = ""): Seq[Model] = {
+      exclude: String = "",
+      modified: Set[String] = Set.empty): Seq[Model] = {
     val byName = models.map(m => m.name -> m).toMap
     val children = models.flatMap(m =>
       m.deps.filter(byName.contains).map(_ -> m.name))
@@ -119,7 +125,9 @@ object ModelGraph {
         val plusAfter = !atOp && tok.endsWith("+")
         val core = tok.stripPrefix("@").stripPrefix("+").stripSuffix("+")
         val base: Set[String] =
-          if (core.startsWith("tag:")) {
+          if (core == "state:modified") {
+            modified.intersect(byName.keySet)
+          } else if (core.startsWith("tag:")) {
             val t = core.drop(4)
             models.filter(_.tags.contains(t)).map(_.name).toSet
           } else {

@@ -41,7 +41,9 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       exclude: Option[String] = None): Map[String, DataFrame] = {
     val chosen = prepare(modelSql, sources, materializations, tags,
       select, fullRefresh, exclude)
-    new Runner(spark, sources, warehouseDir, threads).run(chosen)
+    val out = new Runner(spark, sources, warehouseDir, threads).run(chosen)
+    writeManifest(modelSql)
+    out
   }
 
   /** `dbt build`: like [[run]], but each model's declared data tests
@@ -71,7 +73,54 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       }
       m.copy(checks = checks)(m.transform)
     }
-    new Runner(spark, sources, warehouseDir, threads).buildGated(withChecks)
+    val out = new Runner(spark, sources, warehouseDir, threads)
+      .buildGated(withChecks)
+    writeManifest(modelSql)
+    out
+  }
+
+  /** dbt `state:modified` support: the warehouse carries a manifest
+    * of raw-model-text hashes from the LAST run; the selector
+    * resolves against the diff. Raw text (pre-Jinja) is what hashes —
+    * a var-only change that alters rendering is NOT detected, which
+    * matches hashing-the-source semantics and is documented here
+    * deliberately (dbt's own state:modified has the same
+    * file-content basis). No manifest on disk ⇒ every model counts
+    * modified (first CI run builds the world). */
+  private def manifestPath =
+    new org.apache.hadoop.fs.Path(s"$warehouseDir/manifest.json")
+
+  private def sha(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[graft] def readManifest(): Map[String, String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath)) return Map.empty
+    val in = fs.open(manifestPath)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"([\w.]+)"\s*:\s*"([0-9a-f]+)"""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  private def writeManifest(modelSql: Map[String, String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val json = modelSql.toSeq.sortBy(_._1)
+      .map { case (n, s) => s""""$n": "${sha(s)}"""" }
+      .mkString("{", ", ", "}")
+    val out = fs.create(manifestPath, true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def modifiedSince(modelSql: Map[String, String])
+      : Set[String] = {
+    val prev = readManifest()
+    modelSql.collect {
+      case (n, s) if !prev.get(n).contains(sha(s)) => n
+    }.toSet
   }
 
   /** Render, translate, and wire the model DAG; resolve --select and
@@ -156,9 +205,15 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     ModelGraph.topoSort(models) // fail fast on cycles before any work
     val chosen = (select, exclude) match {
       case (None, None) => models
-      case (sel, ex) => ModelGraph.select(models,
-        sel.getOrElse(models.map(_.name).mkString(" ")),
-        ex.getOrElse(""))
+      case (sel, ex) =>
+        // compute the changed-set lazily: only a state:modified token
+        // pays the manifest read
+        val needState = (sel.toSeq ++ ex.toSeq)
+          .exists(_.contains("state:modified"))
+        ModelGraph.select(models,
+          sel.getOrElse(models.map(_.name).mkString(" ")),
+          ex.getOrElse(""),
+          if (needState) modifiedSince(modelSql) else Set.empty)
     }
     // dbt --select semantics: unselected upstreams are read from the
     // warehouse (they persist there from earlier runs). In this

@@ -323,6 +323,33 @@ object StreamingOps {
       scoreCol: String = "score_micro", yCol: String = "y"): DataFrame =
     graft.ext.Evaluation.aucRocState(preds, groupCol, scoreCol, yCol)
 
+  /** Streaming twin of the Mann–Whitney rank test
+    * ([[graft.ext.Evaluation.mannWhitney]]) — live nonparametric A/B
+    * monitoring of a continuous metric: the (grp, value) cell table
+    * folds two long sums per distinct value, state bounded by
+    * group × value cardinality (≤ 1e6+1 per group for micro
+    * metrics), never stream length. Finish a Complete snapshot with
+    * [[graft.ext.Evaluation.mannWhitneyFinish]] — row-identical to
+    * the batch test of the same rows (StreamingSpec twin proof). */
+  def mannWhitneyStateStream(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v_micro"): DataFrame =
+    graft.ext.Evaluation.mannWhitneyState(df, groupCol, armCol, vCol)
+
+  /** Streaming twin of the Jensen–Shannon corpus-drift statistic
+    * ([[graft.ext.Evaluation.jsDivergence]]) — live distribution
+    * drift between a baseline side and the production stream: the
+    * (grp, token) cell table folds two long counts per vocab cell —
+    * vocab-bounded state. Finish a Complete snapshot with
+    * [[graft.ext.Evaluation.jsFinish]] — row-identical to the batch
+    * statistic of the same rows (StreamingSpec twin proof). Note the
+    * ROC/PR pair needs no new stream: [[aucStateStream]]'s one
+    * accumulator finishes into EITHER
+    * [[graft.ext.Evaluation.aucRocFinish]] or
+    * [[graft.ext.Evaluation.prAucFinish]]. */
+  def jsStateStream(df: DataFrame, groupCol: String = "group",
+      sideCol: String = "side", tokCol: String = "tok"): DataFrame =
+    graft.ext.Evaluation.jsState(df, groupCol, sideCol, tokCol)
+
   /** Streaming twin of the two-sample Kolmogorov–Smirnov drift test
     * ([[graft.ext.Evaluation.ksTest]]) over side-tagged rows (side
     * 0 = baseline sample, 1 = live sample — e.g. a reference scoring

@@ -761,6 +761,49 @@ class DbtProjectSpec extends AnyFunSuite {
       == (("prod", "gold", 1)))
   }
 
+  test("--select state:modified: manifest-diff selection rebuilds only changed models") {
+    import spark.implicits._
+    import graft.sql.{DbtProject => DP}
+    val dir = Files.createTempDirectory("graft-state-proj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"state\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/base.sql"),
+      ("{{ config(materialized='table') }} " +
+       "select id from {{ source('raw', 'src_sm') }}").getBytes("UTF-8"))
+    Files.write(dir.resolve("models/mart.sql"),
+      ("{{ config(materialized='table') }} " +
+       "select id * 2 as v from {{ ref('base') }}").getBytes("UTF-8"))
+    val wh = Files.createTempDirectory("graft-state-wh").toString
+    val src = Map("src_sm" -> Seq(1L, 2L).toDF("id"))
+    // no manifest yet: everything counts modified
+    val first = DP.run(spark, dir.toString, src, wh,
+      select = Some("state:modified"))
+    assert(first.keySet == Set("base", "mart"))
+    // manifest now current: nothing is modified -> empty run
+    val none = DP.run(spark, dir.toString, src, wh,
+      select = Some("state:modified"))
+    assert(none.isEmpty)
+    // touch ONLY the mart: state:modified picks it alone; its table
+    // upstream resolves from the warehouse
+    Files.write(dir.resolve("models/mart.sql"),
+      ("{{ config(materialized='table') }} " +
+       "select id * 3 as v from {{ ref('base') }}").getBytes("UTF-8"))
+    val onlyMart = DP.run(spark, dir.toString, src, wh,
+      select = Some("state:modified"))
+    assert(onlyMart.keySet == Set("mart"))
+    assert(onlyMart("mart").as[Long].collect().sorted.toSeq == Seq(3L, 6L))
+    // touch the BASE: state:modified+ pulls the downstream mart too
+    Files.write(dir.resolve("models/base.sql"),
+      ("{{ config(materialized='table') }} " +
+       "select id + 10 as id from {{ source('raw', 'src_sm') }}")
+        .getBytes("UTF-8"))
+    val cascade = DP.run(spark, dir.toString, src, wh,
+      select = Some("state:modified+"))
+    assert(cascade.keySet == Set("base", "mart"))
+    assert(cascade("mart").as[Long].collect().sorted.toSeq == Seq(33L, 36L))
+  }
+
   test("profiles target selection + env_var; dbt source freshness from the checkout yml") {
     import spark.implicits._
     import graft.sql.{DbtProject => DP}

@@ -307,6 +307,44 @@ class EvalStatsSpec extends AnyFunSuite {
       .getAs[Double]("r") == 0.0)
   }
 
+  test("round-14 operators: empty inputs yield empty reports, not crashes") {
+    val eGl = Seq.empty[(String, Long, Long)].toDF("group", "arm", "v_micro")
+    assert(Evaluation.mannWhitney(eGl).isEmpty)
+    assert(Evaluation.effectSize(eGl.toDF("group", "arm", "y")).isEmpty)
+    assert(Evaluation.bhAdjust(
+      Seq.empty[(String, String, Long)].toDF("group", "test", "p_micro"))
+      .isEmpty)
+    assert(Evaluation.mantelHaenszel(Seq.empty[(String, String, Long, Long)]
+      .toDF("group", "stratum", "arm", "y")).isEmpty)
+    assert(Evaluation.jsDivergence(Seq.empty[(String, Long, String)]
+      .toDF("group", "side", "tok")).isEmpty)
+    assert(Evaluation.kaplanMeier(Seq.empty[(String, Long, Long)]
+      .toDF("group", "t", "event")).isEmpty)
+    assert(Evaluation.logRank(Seq.empty[(String, Long, Long, Long)]
+      .toDF("group", "arm", "t", "event")).isEmpty)
+    assert(Evaluation.cochranQ(Seq.empty[(String, String, String, Long)]
+      .toDF("group", "item", "rater", "y")).isEmpty)
+    assert(Evaluation.prAuc(Seq.empty[(String, Long, Long)]
+      .toDF("group", "score_micro", "y")).isEmpty)
+    assert(Evaluation.gwetAC1(Seq.empty[(String, String, String)]
+      .toDF("group", "label_a", "label_b")).isEmpty)
+    assert(Evaluation.robustLocation(Seq.empty[(String, Long)]
+      .toDF("group", "v")).isEmpty)
+    assert(Evaluation.rboOverlap(
+      Seq.empty[(String, Long, Long)].toDF("group", "item", "score_micro"),
+      Seq.empty[(String, Long, Long)].toDF("group", "item", "score_micro"))
+      .isEmpty)
+    assert(graft.operators.Graph.assortativity(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).collect().head
+      .getAs[Double]("r") == 0.0) // scalar agg: one all-zero row
+    assert(graft.ext.Timeseries.pageHinkley(
+      Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts"))
+      .isEmpty)
+    assert(graft.ext.Timeseries.mannKendall(
+      Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts"))
+      .isEmpty)
+  }
+
   test("round-14 TVFs: the new statistics answer from SQL") {
     graft.sql.GraftFunctions.register(spark)
     Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L)).toDF("arm", "v_micro")

@@ -84,6 +84,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-14 statistics: no cartesians; windows only over bounded cell tables") {
+    // every new statistic's corpus-touching step is ONE map-side-
+    // combined aggregation; the windows that follow partition over
+    // value/vocab/time/depth-bounded cell tables. None may plan a
+    // cartesian or fall back to a nested loop; the RBO rank windows
+    // must push their top-k group limit.
+    for (q <- Seq("q_mann_whitney", "q_fdr_bh", "q_mantel_haenszel",
+        "q_js_divergence", "q_kaplan_meier", "q_logrank", "q_cochran_q",
+        "q_pr_auc", "q_effect_size", "q_page_hinkley", "q_gwet_ac1",
+        "q_trimmed_mean", "q_assortativity", "q_rbo")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q falls back to a nested loop:\n$p")
+    }
+    assert(plan("q_rbo").contains("WindowGroupLimit"),
+      "rbo's top-k rank windows must push the group limit")
+    // effect size / mantel-haenszel / cochran-q never plan a window
+    // at all — pure aggregation chains
+    for (q <- Seq("q_effect_size", "q_mantel_haenszel", "q_cochran_q")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q should not plan any window:\n$p")
+    }
+    // mann-kendall's pair join is an equi-join on the series key over
+    // the days-sized table (hash-joinable, never nested-loop)
+    val mk = plan("q_mann_kendall")
+    assert(!mk.contains("CartesianProduct") &&
+      mk.contains("Join"), s"q_mann_kendall pair join shape:\n$mk")
+  }
+
   test("confidentJoint/cartography: every EXECUTED stage is window-free; thresholds broadcast") {
     // their results are checkpointed (the final plan is just a Scan
     // ExistingRDD), so audit the plans that actually RAN via a

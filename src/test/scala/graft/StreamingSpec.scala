@@ -234,6 +234,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Mann–Whitney state ≡ batch; one AUC stream finishes into ROC and PR") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = Seq(("g", 0L, 10L), ("g", 0L, 20L), ("g", 1L, 20L))
+    val b2 = Seq(("g", 1L, 30L), ("h", 0L, 5L), ("h", 1L, 9L))
+    val q = StreamingOps.mannWhitneyStateStream(
+        mem.toDF().toDF("group", "arm", "v_micro"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("mw_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.mannWhitneyFinish(
+        spark.table("mw_out"))
+      val batch = graft.ext.Evaluation.mannWhitney(
+        (b1 ++ b2).toDF("group", "arm", "v_micro"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed MW state must equal the one-shot batch test")
+    } finally q.stop()
+    // the PR finish rides the SAME auc accumulator: one streamed
+    // state, two metrics
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val p1 = Seq(("g", 90L, 1L), ("g", 50L, 0L))
+    val p2 = Seq(("g", 70L, 1L), ("g", 10L, 0L))
+    val q2 = StreamingOps.aucStateStream(
+        mem2.toDF().toDF("group", "score_micro", "y"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("pr_out").start()
+    try {
+      mem2.addData(p1: _*)
+      q2.processAllAvailable()
+      mem2.addData(p2: _*)
+      q2.processAllAvailable()
+      val snap = spark.table("pr_out")
+      val all = (p1 ++ p2).toDF("group", "score_micro", "y")
+      assert(graft.ext.Evaluation.prAucFinish(snap).collect().toSet ==
+        graft.ext.Evaluation.prAuc(all).collect().toSet)
+      assert(graft.ext.Evaluation.aucRocFinish(snap).collect().toSet ==
+        graft.ext.Evaluation.aucRoc(all).collect().toSet)
+    } finally q2.stop()
+  }
+
+  test("streaming Jensen–Shannon state ≡ batch; finished snapshot identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String)]
+    val b1 = Seq(("g", 0L, "x"), ("g", 0L, "y"), ("g", 1L, "x"))
+    val b2 = Seq(("g", 1L, "z"), ("h", 0L, "a"), ("h", 1L, "a"))
+    val q = StreamingOps.jsStateStream(
+        mem.toDF().toDF("group", "side", "tok"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("js_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.jsFinish(spark.table("js_out"))
+      val batch = graft.ext.Evaluation.jsDivergence(
+        (b1 ++ b2).toDF("group", "side", "tok"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed JS state must equal the one-shot batch statistic")
+    } finally q.stop()
+  }
+
   test("streaming KS state ≡ batch; finished snapshot identical") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
