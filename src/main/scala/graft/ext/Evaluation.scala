@@ -1749,7 +1749,8 @@ object Evaluation {
         (col("p_micro") * col("m")).cast(DoubleType) /
           (lit(1e6) * col("rnk").cast(DoubleType)), 9))
       .withColumn("p_adj", round(least(lit(1.0), min(col("raw")).over(wMin)), 6))
-      .select(col("grp"), col("test"), col("p_micro"), col("rnk"), col("m"),
+      .select(col("grp"), col("test"), col("p_micro"),
+        col("rnk").cast(LongType).as("rnk"), col("m"),
         col("p_adj"), (col("p_adj") <= q).as("reject"))
   }
 

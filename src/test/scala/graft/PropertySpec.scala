@@ -481,4 +481,94 @@ class PropertySpec extends AnyFunSuite {
       assert(base == warped, s"monotone transform changed (ρ, τ): $base vs $warped")
     }
   }
+
+  test("mannWhitney is a RANK test: z invariant under strictly increasing value maps") {
+    import graft.ext.Evaluation
+    val rowGen = for {
+      arm <- Gen.oneOf(0, 1)
+      v <- Gen.chooseNum(-50L, 50L)
+    } yield (arm, v)
+    forAll(Gen.listOfN(60, rowGen)) { rows =>
+      val df = rows.toDF("arm", "v_micro").withColumn("group", lit("g"))
+      // strictly increasing map: v -> 7v + 3 (ties preserved exactly)
+      val warped = rows.map { case (a, v) => (a, 7L * v + 3L) }
+        .toDF("arm", "v_micro").withColumn("group", lit("g"))
+      val z0 = Evaluation.mannWhitney(df).collect().head.getAs[Double]("z")
+      val z1 = Evaluation.mannWhitney(warped).collect().head.getAs[Double]("z")
+      assert(z0 == z1, s"rank test moved under a monotone map: $z0 vs $z1")
+    }
+  }
+
+  test("jsDivergence: symmetric in its sides and bounded by ln 2") {
+    import graft.ext.Evaluation
+    val rowGen = for {
+      side <- Gen.oneOf(0L, 1L)
+      tok <- Gen.oneOf("a", "b", "c", "d", "e")
+    } yield (side, tok)
+    forAll(Gen.listOfN(50, rowGen)) { rows =>
+      val df = rows.toDF("side", "tok").withColumn("group", lit("g"))
+      val swapped = rows.map { case (s, t) => (1L - s, t) }
+        .toDF("side", "tok").withColumn("group", lit("g"))
+      val a = Evaluation.jsDivergence(df).collect().head
+      val b = Evaluation.jsDivergence(swapped).collect().head
+      assert(a.getAs[Double]("js_nats") == b.getAs[Double]("js_nats"),
+        "JS must be symmetric in its sides")
+      val js = a.getAs[Double]("js_nats")
+      assert(js >= 0.0 && js <= 0.693148, s"JS out of [0, ln 2]: $js")
+    }
+  }
+
+  test("BH adjustment: p_adj >= raw p, monotone in rank, never above 1") {
+    import graft.ext.Evaluation
+    forAll(Gen.listOfN(12, Gen.chooseNum(0L, 1000000L))) { ps =>
+      val tests = ps.zipWithIndex.map { case (p, i) => (s"t$i", p) }
+        .toDF("test", "p_micro").withColumn("group", lit("f"))
+      val rows = Evaluation.bhAdjust(tests).collect()
+        .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("p_micro"),
+          r.getAs[Double]("p_adj"))).sortBy(_._1)
+      for ((rnk, p, adj) <- rows) {
+        assert(adj <= 1.0 && adj >= 0.0, s"p_adj out of range at rank $rnk")
+        assert(adj + 5e-7 >= p / 1e6,
+          s"adjusted p below raw p at rank $rnk: $adj < ${p / 1e6}")
+      }
+      for (pair <- rows.toSeq.sliding(2) if rows.length > 1; a = pair.head;
+           b = pair.last)
+        assert(a._3 <= b._3 + 1e-12,
+          s"p_adj not monotone in rank: ${a._3} > ${b._3}")
+    }
+  }
+
+  test("kaplanMeier: survival is non-increasing in t and inside [0, 1]") {
+    import graft.ext.Evaluation
+    val subjGen = for {
+      t <- Gen.chooseNum(1L, 10L)
+      ev <- Gen.oneOf(0, 1)
+    } yield (t, ev)
+    forAll(Gen.listOfN(40, subjGen)) { subs =>
+      val df = subs.toDF("t", "event").withColumn("group", lit("g"))
+      val surv = Evaluation.kaplanMeier(df).collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[Double]("surv")))
+        .sortBy(_._1)
+      surv.foreach { case (_, s) => assert(s >= 0.0 && s <= 1.0) }
+      for (pair <- surv.toSeq.sliding(2) if surv.length > 1; a = pair.head;
+           b = pair.last)
+        assert(b._2 <= a._2 + 1e-9,
+          s"survival increased from t=${a._1} to t=${b._1}: ${surv.toSeq}")
+    }
+  }
+
+  test("assortativity r stays in [-1, 1] on arbitrary symmetrized graphs") {
+    val edgeGen = for {
+      u <- Gen.chooseNum(0L, 8L)
+      v <- Gen.chooseNum(0L, 8L) if v != u
+    } yield (u, v)
+    forAll(Gen.listOfN(20, edgeGen)) { es =>
+      val sym = es.flatMap { case (u, v) => Seq((u, v), (v, u)) }.distinct
+      if (sym.nonEmpty) {
+        val r = graft.operators.Graph.assortativity(sym.toDF("src", "dst"))
+          .collect().head.getAs[Double]("r")
+        assert(r >= -1.000001 && r <= 1.000001, s"r out of range: $r")
+      }
+    }
+  }
 }
