@@ -1643,6 +1643,67 @@ object Evaluation {
           col("lo") * col("v_hi")) / dd(col("n"))), 6).as("winsor_mean"))
   }
 
+  /** Hill tail-index estimator per group — HOW heavy is the heavy
+    * tail that [[robustLocation]] defends against? Over the k
+    * largest positive values, α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1));
+    * α̂ ≤ 2 means infinite variance (whales dominate any mean), and
+    * a Pareto/Zipf corpus reads its shape parameter directly — the
+    * numeric-distribution twin of the rank-frequency zipf-slope.
+    *
+    * Exactness: the top-k membership and per-value weights come from
+    * the descending cumulative count window (exact longs — order
+    * statistics without a sort, the [[robustLocation]] discipline);
+    * each value's ln(v/x_ref) rounds to a NANO long, multiplies by
+    * its integer weight, and sums exactly; α̂ is one division, 6dp.
+    * Groups with fewer than 2 positive values, k_used = 0, or a zero
+    * log-sum report alpha = 0.
+    *
+    * Scale shape: one (group, value) count shuffle map-side combined,
+    * then value-cardinality-bounded windows and a groups-sized
+    * broadcast join of the reference values.
+    *
+    * @param df rows with `groupCol`, `vCol` (long, caller-scaled;
+    *           only v > 0 participates — log scale)
+    * @return (grp, k_used, x_ref, alpha) — alpha 6dp */
+  def hillTail(df: DataFrame, k: Int = 100, groupCol: String = "group",
+      vCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(vCol).cast(LongType).as("v"))
+      .filter(col("v") > 0L)
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("grp").orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("cumPrev", col("cum") - col("c"))
+      .localCheckpoint() // feeds the ref lookup AND the term sum
+    val ref = ranked.groupBy("grp").agg(
+      max(when(col("cum") >= k + 1L, col("v"))).as("x_ref"),
+      sum(col("c")).as("n_pos"))
+    def dd(c: Column) = c.cast(DoubleType)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val terms = ranked.join(broadcast(ref), Seq("grp"))
+      .filter(col("x_ref").isNotNull && col("cumPrev") < k)
+      .select(col("grp"),
+        (greatest(lit(0L), least(col("cum"), lit(k.toLong)) - col("cumPrev")) *
+          nano(log(dd(col("v")) / dd(col("x_ref"))))).as("t_nano"),
+        greatest(lit(0L), least(col("cum"), lit(k.toLong)) - col("cumPrev"))
+          .as("w"))
+    val agg = terms.groupBy("grp").agg(
+      sum(col("w")).as("k_used"), sum(col("t_nano")).as("s_nano"))
+    val out = ref.join(agg, Seq("grp"), "left")
+      .select(col("grp"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"), col("x_ref"),
+        round(when(col("x_ref").isNull || coalesce(col("k_used"), lit(0L)) === 0L
+            || coalesce(col("s_nano"), lit(0L)) <= 0L, 0.0)
+          .otherwise(dd(col("k_used")) /
+            (dd(col("s_nano")) / 1e9)), 6).as("alpha"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(ranked)
+    out
+  }
+
   /** Mann–Whitney U rank-sum test per group — the NONPARAMETRIC
     * two-sample comparison (does arm b's metric stochastically
     * dominate arm a's?) that [[abTest]]'s proportion z-test cannot

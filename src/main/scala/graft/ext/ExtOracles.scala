@@ -4290,6 +4290,66 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   /** q_source_freshness: per-source max-ts lag vs a fixed asOf in
     * floor-epoch seconds (Spark's long cast truncates); dead feed
     * classifies error with null max. */
+  /** q_hill_tail: top-k membership from the descending cumulative
+    * count window, nano ln terms × integer weights — mirrored from
+    * Evaluation.hillTail at k = 100. */
+  private val hillTailSql: String =
+    """WITH cells AS (SELECT event_type AS grp,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE CAST(round(value * 100, 0) AS BIGINT) > 0
+      |  GROUP BY 1, 2),
+      |w AS (SELECT grp, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM cells),
+      |r AS (SELECT grp, v, c, cum, cum - c AS cumPrev FROM w),
+      |ref AS (SELECT grp,
+      |    max(CASE WHEN cum >= 101 THEN v END) AS x_ref,
+      |    CAST(sum(c) AS BIGINT) AS n_pos
+      |  FROM r GROUP BY 1),
+      |tm AS (SELECT r.grp,
+      |    greatest(0, least(cum, 100) - cumPrev)
+      |      * CAST(round(ln(CAST(v AS DOUBLE) / CAST(x_ref AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |      AS t_nano,
+      |    greatest(0, least(cum, 100) - cumPrev) AS wgt
+      |  FROM r JOIN ref ON ref.grp = r.grp
+      |  WHERE ref.x_ref IS NOT NULL AND cumPrev < 100),
+      |ag AS (SELECT grp, CAST(sum(wgt) AS BIGINT) AS k_used,
+      |    CAST(sum(t_nano) AS BIGINT) AS s_nano FROM tm GROUP BY 1)
+      |SELECT ref.grp, COALESCE(ag.k_used, 0) AS k_used, ref.x_ref,
+      |  round(CASE WHEN ref.x_ref IS NULL OR COALESCE(ag.k_used, 0) = 0
+      |      OR COALESCE(ag.s_nano, 0) <= 0 THEN 0.0
+      |    ELSE CAST(ag.k_used AS DOUBLE) / (CAST(ag.s_nano AS DOUBLE) / 1e9)
+      |    END, 6) AS alpha
+      |FROM ref LEFT JOIN ag ON ag.grp = ref.grp""".stripMargin
+
+  /** q_seasonal_strength: weekday (c, Σx, Σx²) rollup, nano SSE/SST
+    * terms — mirrored from Timeseries.seasonalStrength. DuckDB's
+    * dayofweek differs from Spark's numbering, but only GROUPING by
+    * weekday matters, not the label. */
+  private val seasonalStrengthSql: String =
+    """WITH s AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+      |byd AS (SELECT series, dayofweek(d) AS dow,
+      |    CAST(count(*) AS BIGINT) AS c, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM s GROUP BY 1, 2),
+      |sse AS (SELECT series, CAST(sum(c) AS BIGINT) AS n_days,
+      |    CAST(sum(sx) AS BIGINT) AS t, CAST(sum(sxx) AS BIGINT) AS sxx,
+      |    CAST(sum(CASE WHEN c = 0 THEN 0
+      |      ELSE CAST(round(CAST(c * sxx - sx * sx AS DOUBLE)
+      |        / CAST(c AS DOUBLE) * 1e9, 0) AS BIGINT) END) AS BIGINT) AS sse_nano
+      |  FROM byd GROUP BY 1)
+      |SELECT series, n_days,
+      |  round(CASE WHEN CAST(round(CAST(n_days * sxx - t * t AS DOUBLE)
+      |      / CAST(n_days AS DOUBLE) * 1e9, 0) AS BIGINT) <= 0 THEN 0.0
+      |    ELSE greatest(0.0, 1.0 - CAST(sse_nano AS DOUBLE)
+      |      / CAST(CAST(round(CAST(n_days * sxx - t * t AS DOUBLE)
+      |        / CAST(n_days AS DOUBLE) * 1e9, 0) AS BIGINT) AS DOUBLE))
+      |    END, 6) AS strength
+      |FROM sse""".stripMargin
+
   /** q_gwet_ac1: pooled-marginal chance term as the exact long
     * Σ m(2N−m) — mirrored from Evaluation.gwetAC1 over the
     * cohen-kappa label pair. */
@@ -5825,6 +5885,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_rbo" -> rboSql,
     "q_trimmed_mean" -> trimmedMeanSql,
     "q_assortativity" -> assortativitySql,
+    "q_hill_tail" -> hillTailSql,
+    "q_seasonal_strength" -> seasonalStrengthSql,
     "q_pca_power" -> pcaPowerSql(ExtQueries.pcaRounds),
     // effective rank: the pcaPower covariance cells re-rounded to
     // unit scale, trace and Frobenius as exact long folds

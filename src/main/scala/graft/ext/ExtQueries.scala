@@ -1897,6 +1897,20 @@ object ExtQueries {
       (least(col("n_chars"), lit(1000L)) * 1000L).as("score_b_micro")))
   }
 
+  /** Hill tail index of event value (cents) per event type over the
+    * top-100 order statistics — how heavy is the value tail the
+    * robust means defend against. */
+  def qHillTail(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.hillTail(Tables(spark, dir).events.select(
+      col("event_type").as("group"),
+      round(col("value") * 100, 0).cast("long").as("v")), k = 100)
+
+  /** Weekly seasonal strength per event type — the R² of the
+    * day-of-week profile against the daily series, the one-number
+    * screen before seasonal modeling. */
+  def qSeasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.seasonalStrength(Tables(spark, dir).events)
+
   /** Gwet's AC1 per source over the two language heuristics — the
     * prevalence-paradox-resistant agreement beside [[qCohenKappa]]
     * on identical inputs (en-heavy sources skew the marginals; AC1

@@ -488,6 +488,52 @@ object Timeseries {
     * series and corrupt both the fit and the forecast slot mapping.
     * The calendar explode is series-history-sized (days, not events)
     * and the left join runs on the already-aggregated tiny table. */
+  /** Seasonal strength of the weekly cycle per series — HOW MUCH of
+    * the daily series' variance the day-of-week profile explains
+    * (the one-number screen before reaching for [[holtWintersForecast]]
+    * or the seasonal anomaly scorer): strength =
+    * max(0, 1 − SSE/SST) with SSE the within-weekday sum of squares
+    * and SST the total — an R² against the weekday-means model.
+    *
+    * Exactness: per-weekday (c, Σx, Σx²) and the series totals are
+    * exact longs; each weekday's SSE term (c·Σx² − (Σx)²)/c and the
+    * single SST term (n·Σx² − T²)/n round to NANO longs pre-sum; the
+    * strength is one fixed-shape expression over the exact sums,
+    * 6dp (T² stays long-exact while a series' yearly event total is
+    * < ~3·10⁹ — beyond that, pre-scale the daily counts). A constant series (SST = 0) reports 0 — no variance, no
+    * seasonality claim. Raw observed days (the [[cusumChangepoint]]
+    * convention — a gap day is absent, not zero).
+    *
+    * Scale shape: the corpus is touched once by the daily
+    * aggregation; everything after is weekday-bounded (≤ 7 rows per
+    * series).
+    *
+    * @return (series, n_days, strength) */
+  def seasonalStrength(events: DataFrame,
+      seriesCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val s = events
+      .groupBy(col(seriesCol).as("series"), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val byDow = s.groupBy(col("series"), dayofweek(col("d")).as("dow"))
+      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    def dd(c: Column) = c.cast(DoubleType)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val sse = byDow.select(col("series"), col("c"), col("sx"), col("sxx"),
+        when(col("c") === 0L, 0L).otherwise(
+          nano(dd(col("c") * col("sxx") - col("sx") * col("sx")) /
+            dd(col("c")))).as("sse_nano"))
+      .groupBy("series").agg(
+        sum(col("c")).as("n_days"), sum(col("sx")).as("t"),
+        sum(col("sxx")).as("sxx"), sum(col("sse_nano")).as("sse_nano"))
+    val sst = nano(dd(col("n_days") * col("sxx") - col("t") * col("t")) /
+      dd(col("n_days")))
+    sse.select(col("series"), col("n_days"),
+      round(when(sst <= 0L, 0.0).otherwise(
+        greatest(lit(0.0), lit(1.0) -
+          dd(col("sse_nano")) / dd(sst))), 6).as("strength"))
+  }
+
   /** Page–Hinkley upward-shift detector per series over the daily
     * series — the running-minimum refinement of [[cusumChangepoint]]
     * (CUSUM's |S_t| peaks once per series; PH_t = m_t − min_{s≤t} m_s

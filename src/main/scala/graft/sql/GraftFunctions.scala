@@ -862,6 +862,22 @@ object GraftFunctions {
       tableOf(strArg(args.head, "assortativity(table)")))
       .queryExecution.logical
 
+  /** hill_tail(tbl[, k]) — Hill tail-index over (group, v) rows
+    * ([[graft.ext.Evaluation.hillTail]]). */
+  def hillTailTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "hill_tail(table)"))
+    val k = if (args.length > 1) intArg(args(1), "hill_tail(k)") else 100
+    graft.ext.Evaluation.hillTail(df, k).queryExecution.logical
+  }
+
+  /** seasonal_strength(tbl) — weekly-cycle R² per series over an
+    * event stream's (event_type, ts) rows
+    * ([[graft.ext.Timeseries.seasonalStrength]]). */
+  def seasonalStrengthTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.seasonalStrength(
+      tableOf(strArg(args.head, "seasonal_strength(table)")))
+      .queryExecution.logical
+
   /** delong_test(tbl) — paired-AUC comparison over
     * (group, y, score_a_micro, score_b_micro) rows
     * ([[graft.ext.Evaluation.delongTest]]). */
@@ -1136,6 +1152,8 @@ object GraftFunctions {
     "rbo" -> (rboTvf _),
     "robust_location" -> (robustLocationTvf _),
     "assortativity" -> (assortativityTvf _),
+    "hill_tail" -> (hillTailTvf _),
+    "seasonal_strength" -> (seasonalStrengthTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

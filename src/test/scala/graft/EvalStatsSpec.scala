@@ -307,6 +307,51 @@ class EvalStatsSpec extends AnyFunSuite {
       .getAs[Double]("r") == 0.0)
   }
 
+  test("hillTail: exact Pareto sample recovers its index; light tail reads high alpha") {
+    // x_(i) = ceil(1e6 / i^(1/a)) for a = 2: the Hill estimate over
+    // the top k of this deterministic Pareto grid lands near 2
+    val n = 2000; val a = 2.0
+    val vals = (1 to n).map(i =>
+      math.ceil(1e6 / math.pow(i.toDouble, 1.0 / a)).toLong)
+    val df = vals.toDF("v").withColumn("group", lit("g"))
+    val r = Evaluation.hillTail(df, k = 100).collect().head
+    assert(r.getAs[Long]("k_used") == 100)
+    val alpha = r.getAs[Double]("alpha")
+    assert(alpha > 1.6 && alpha < 2.4, s"Pareto(2) tail read alpha=$alpha")
+    // a uniform block (no tail) reads a much larger alpha
+    val flat = (1 to 300).map(i => 1000L + i).toDF("v")
+      .withColumn("group", lit("g"))
+    val fa = Evaluation.hillTail(flat, k = 100).collect().head
+      .getAs[Double]("alpha")
+    assert(fa > 10.0, s"near-uniform values must read a light tail: $fa")
+    // fewer than k+1 positive values -> x_ref null, alpha 0
+    val thin = Seq(5L, 6L).toDF("v").withColumn("group", lit("g"))
+    val t = Evaluation.hillTail(thin, k = 100).collect().head
+    assert(t.getAs[Double]("alpha") == 0.0)
+  }
+
+  test("seasonalStrength: pure weekday profile -> 1; constant series -> 0") {
+    val base = java.sql.Timestamp.valueOf("2026-01-05 12:00:00") // a Monday
+    def series(name: String, counts: Int => Int, days: Int) =
+      (0 until days).flatMap(i => Seq.fill(counts(i))(
+        (name, new java.sql.Timestamp(base.getTime + i * 86400000L))))
+    // counts depend ONLY on weekday -> residual 0 -> strength 1
+    val weekly = series("w", i => 2 + (i % 7), 28).toDF("event_type", "ts")
+    val w = graft.ext.Timeseries.seasonalStrength(weekly).collect().head
+    assert(w.getAs[Long]("n_days") == 28)
+    assert(w.getAs[Double]("strength") == 1.0)
+    // constant daily counts: SST = 0 -> 0 by convention
+    val flat = series("f", _ => 3, 21).toDF("event_type", "ts")
+    assert(graft.ext.Timeseries.seasonalStrength(flat).collect().head
+      .getAs[Double]("strength") == 0.0)
+    // weekday profile + noise on one day: strength strictly inside (0,1)
+    val noisy = series("n", i => 2 + (i % 7) + (if (i == 10) 9 else 0), 28)
+      .toDF("event_type", "ts")
+    val s = graft.ext.Timeseries.seasonalStrength(noisy).collect().head
+      .getAs[Double]("strength")
+    assert(s > 0.0 && s < 1.0, s"noisy weekly strength: $s")
+  }
+
   test("round-14 operators: empty inputs yield empty reports, not crashes") {
     val eGl = Seq.empty[(String, Long, Long)].toDF("group", "arm", "v_micro")
     assert(Evaluation.mannWhitney(eGl).isEmpty)
@@ -341,6 +386,11 @@ class EvalStatsSpec extends AnyFunSuite {
       Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts"))
       .isEmpty)
     assert(graft.ext.Timeseries.mannKendall(
+      Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts"))
+      .isEmpty)
+    assert(Evaluation.hillTail(Seq.empty[(String, Long)]
+      .toDF("group", "v")).isEmpty)
+    assert(graft.ext.Timeseries.seasonalStrength(
       Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts"))
       .isEmpty)
   }

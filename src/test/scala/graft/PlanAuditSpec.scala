@@ -93,7 +93,8 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("q_mann_whitney", "q_fdr_bh", "q_mantel_haenszel",
         "q_js_divergence", "q_kaplan_meier", "q_logrank", "q_cochran_q",
         "q_pr_auc", "q_effect_size", "q_page_hinkley", "q_gwet_ac1",
-        "q_trimmed_mean", "q_assortativity", "q_rbo")) {
+        "q_trimmed_mean", "q_assortativity", "q_rbo", "q_hill_tail",
+        "q_seasonal_strength")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
