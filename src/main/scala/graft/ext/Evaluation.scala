@@ -1643,6 +1643,60 @@ object Evaluation {
           col("lo") * col("v_hi")) / dd(col("n"))), 6).as("winsor_mean"))
   }
 
+  /** Murphy's decomposition of the Brier score over the calibration
+    * bins — WHY is the score what it is: reliability
+    * REL = (1/N)·Σ n_b(f_b − o_b)² (miscalibration — fixable by
+    * remapping scores), resolution RES = (1/N)·Σ n_b(o_b − ō)²
+    * (discrimination — only a better model buys more), and
+    * uncertainty UNC = ō(1−ō) (the base rate's floor). Uses the SAME
+    * binned accumulator as [[calibration]] — one state table
+    * ([[calibrationState]], streamed by
+    * [[graft.streaming.StreamingOps.calibrationStateStream]]), a
+    * third finish. f_b is the bin MEAN forecast, so Brier =
+    * REL − RES + UNC holds up to the within-bin forecast variance —
+    * the report carries the three components, not a reconstruction.
+    *
+    * Exactness: per-bin n/Σp/Σy are exact longs; each bin's REL and
+    * RES terms are NANO longs pre-sum; every published number is a
+    * fixed-shape double over exact longs, 6dp.
+    *
+    * Scale shape: the bins-keyed shuffle of [[calibration]], then
+    * bins-sized arithmetic with the totals broadcast back.
+    *
+    * @return one row: (n, n_bins, o_bar, reliability, resolution,
+    *         uncertainty) — 6dp */
+  def brierDecomposition(preds: DataFrame, bins: Int = 10,
+      pCol: String = "p_micro", yCol: String = "y"): DataFrame =
+    brierDecompositionFinish(calibrationState(preds, bins, pCol, yCol))
+
+  /** Finish a [[calibrationState]] snapshot into the decomposition —
+    * bins-sized input, batch ≡ merged micro-batches. */
+  def brierDecompositionFinish(state: DataFrame): DataFrame = {
+    val st = state.localCheckpoint() // bins-sized; totals + terms
+    val totals = st.agg(sum(col("n_bin")).as("n"), sum(col("pos")).as("p"),
+      count(lit(1)).as("n_bins"))
+    def dd(c: Column) = c.cast(DoubleType)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val f = dd(col("sum_p")) / (dd(col("n_bin")) * 1e6)
+    val o = dd(col("pos")) / dd(col("n_bin"))
+    val oBar = dd(col("p")) / dd(col("n"))
+    val terms = st.crossJoin(broadcast(totals)).select(
+      col("n"), col("p"), col("n_bins"),
+      nano(dd(col("n_bin")) * (f - o) * (f - o)).as("rel_nano"),
+      nano(dd(col("n_bin")) * (o - oBar) * (o - oBar)).as("res_nano"))
+    val out = terms.groupBy("n", "p", "n_bins").agg(
+        sum(col("rel_nano")).as("sr"), sum(col("res_nano")).as("ss"))
+      .select(col("n"), col("n_bins"),
+        round(dd(col("p")) / dd(col("n")), 6).as("o_bar"),
+        round(dd(col("sr")) / 1e9 / dd(col("n")), 6).as("reliability"),
+        round(dd(col("ss")) / 1e9 / dd(col("n")), 6).as("resolution"),
+        round(dd(col("p")) / dd(col("n")) *
+          (lit(1.0) - dd(col("p")) / dd(col("n"))), 6).as("uncertainty"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(st)
+    out
+  }
+
   /** Hill tail-index estimator per group — HOW heavy is the heavy
     * tail that [[robustLocation]] defends against? Over the k
     * largest positive values, α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1));

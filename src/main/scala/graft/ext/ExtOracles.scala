@@ -4290,6 +4290,42 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   /** q_source_freshness: per-source max-ts lag vs a fixed asOf in
     * floor-epoch seconds (Spark's long cast truncates); dead feed
     * classifies error with null max. */
+  /** q_brier_decomp: the calibration bins re-finished into Murphy's
+    * REL/RES/UNC — nano per-bin terms, exact totals, fixed-shape
+    * publications mirrored from Evaluation.brierDecomposition. */
+  private val brierDecompSql: String = {
+    val f = "CAST(sum_p AS DOUBLE) / (CAST(n_bin AS DOUBLE) * 1e6)"
+    val o = "CAST(pos AS DOUBLE) / CAST(n_bin AS DOUBLE)"
+    val obar = "CAST(p AS DOUBLE) / CAST(n AS DOUBLE)"
+    s"""WITH t AS (SELECT lower(text) AS lt,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x != '') AS toks FROM documents),
+       |pred AS (SELECT
+       |    least(1000000, CAST(len(list_filter(toks,
+       |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+       |      AS BIGINT) * 125000) AS p,
+       |    CASE WHEN lt LIKE '% the %' THEN 1 ELSE 0 END AS y FROM t),
+       |binned AS (SELECT
+       |    CAST(least(floor(p * 10 / 1000000), 9) AS BIGINT) AS bin, p, y
+       |  FROM pred),
+       |st AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_bin,
+       |    CAST(sum(p) AS BIGINT) AS sum_p, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM binned GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_bin) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS p,
+       |    CAST(count(*) AS BIGINT) AS n_bins FROM st),
+       |tm AS (SELECT n, p, n_bins,
+       |    CAST(round(CAST(n_bin AS DOUBLE) * (($f) - ($o)) * (($f) - ($o)) * 1e9, 0) AS BIGINT) AS rel_nano,
+       |    CAST(round(CAST(n_bin AS DOUBLE) * (($o) - ($obar)) * (($o) - ($obar)) * 1e9, 0) AS BIGINT) AS res_nano
+       |  FROM st CROSS JOIN tot)
+       |SELECT n, n_bins,
+       |  round($obar, 6) AS o_bar,
+       |  round(CAST(sum(rel_nano) AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS reliability,
+       |  round(CAST(sum(res_nano) AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS resolution,
+       |  round(($obar) * (1.0 - ($obar)), 6) AS uncertainty
+       |FROM tm GROUP BY n, p, n_bins""".stripMargin
+  }
+
   /** q_hill_tail: top-k membership from the descending cumulative
     * count window, nano ln terms × integer weights — mirrored from
     * Evaluation.hillTail at k = 100. */
@@ -5887,6 +5923,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_assortativity" -> assortativitySql,
     "q_hill_tail" -> hillTailSql,
     "q_seasonal_strength" -> seasonalStrengthSql,
+    "q_brier_decomp" -> brierDecompSql,
     "q_pca_power" -> pcaPowerSql(ExtQueries.pcaRounds),
     // effective rank: the pcaPower covariance cells re-rounded to
     // unit scale, trace and Frobenius as exact long folds

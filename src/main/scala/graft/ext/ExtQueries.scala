@@ -193,6 +193,19 @@ object ExtQueries {
     Evaluation.calibration(preds, bins = 10)
   }
 
+  /** Murphy decomposition of [[qEvalCalibration]]'s Brier score —
+    * the same stopword-score forecaster split into miscalibration,
+    * discrimination, and the base-rate floor. */
+  def qBrierDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val preds = Tables(spark, dir).documents.select(
+      least(lit(1000000L), hits.cast("long") * 125000L).as("p_micro"),
+      when(lower(col("text")).like("% the %"), 1L).otherwise(0L).as("y"))
+    Evaluation.brierDecomposition(preds, bins = 10)
+  }
+
   /** Cohen's κ per source between two language annotators: the
     * stopword-hit lang-id rule vs a contains-' the ' rule. */
   def qCohenKappa(spark: SparkSession, dir: String): DataFrame = {

@@ -878,6 +878,15 @@ object GraftFunctions {
       tableOf(strArg(args.head, "seasonal_strength(table)")))
       .queryExecution.logical
 
+  /** brier_decomposition(tbl[, bins]) — Murphy REL/RES/UNC over
+    * (p_micro, y) rows ([[graft.ext.Evaluation.brierDecomposition]]). */
+  def brierDecompositionTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "brier_decomposition(table)"))
+    val b = if (args.length > 1)
+      intArg(args(1), "brier_decomposition(bins)") else 10
+    graft.ext.Evaluation.brierDecomposition(df, b).queryExecution.logical
+  }
+
   /** delong_test(tbl) — paired-AUC comparison over
     * (group, y, score_a_micro, score_b_micro) rows
     * ([[graft.ext.Evaluation.delongTest]]). */
@@ -1154,6 +1163,7 @@ object GraftFunctions {
     "assortativity" -> (assortativityTvf _),
     "hill_tail" -> (hillTailTvf _),
     "seasonal_strength" -> (seasonalStrengthTvf _),
+    "brier_decomposition" -> (brierDecompositionTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "psi" -> (psiTvf _),

@@ -352,6 +352,29 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(s > 0.0 && s < 1.0, s"noisy weekly strength: $s")
   }
 
+  test("brierDecomposition: perfect calibration has zero reliability; constant forecaster zero resolution") {
+    // forecasts EQUAL to in-bin outcome rates: REL = 0 exactly;
+    // RES = (10·0.3² + 10·0.3²)/20 = 0.09
+    val perfect = (Seq.fill(8)((800000L, 1L)) ++ Seq.fill(2)((800000L, 0L)) ++
+      Seq.fill(2)((200000L, 1L)) ++ Seq.fill(8)((200000L, 0L)))
+      .toDF("p_micro", "y")
+    val p = Evaluation.brierDecomposition(perfect).collect().head
+    assert(p.getAs[Long]("n") == 20 && p.getAs[Double]("o_bar") == 0.5)
+    assert(p.getAs[Double]("reliability") == 0.0, s"$p")
+    assert(p.getAs[Double]("resolution") == 0.09, s"$p")
+    assert(p.getAs[Double]("uncertainty") == 0.25)
+    // a constant forecaster at the base rate: RES = 0, REL = 0
+    val const = (Seq.fill(5)((500000L, 1L)) ++ Seq.fill(5)((500000L, 0L)))
+      .toDF("p_micro", "y")
+    val c = Evaluation.brierDecomposition(const).collect().head
+    assert(c.getAs[Double]("resolution") == 0.0)
+    assert(c.getAs[Double]("reliability") == 0.0)
+    // the same streamed state finishes into calibration AND this
+    val snap = Evaluation.calibrationState(perfect, bins = 10)
+    assert(Evaluation.brierDecompositionFinish(snap).collect().toSeq ==
+      Evaluation.brierDecomposition(perfect).collect().toSeq)
+  }
+
   test("round-14 operators: empty inputs yield empty reports, not crashes") {
     val eGl = Seq.empty[(String, Long, Long)].toDF("group", "arm", "v_micro")
     assert(Evaluation.mannWhitney(eGl).isEmpty)
