@@ -165,7 +165,14 @@ object Bench {
         val s = shape(fn(spark, sfDir).queryExecution.executedPlan)
         java.security.MessageDigest.getInstance("MD5").digest(
           s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      } catch { case _: Throwable => "err" }
+      } catch { case t: Throwable =>
+        // "err" drops this query from the structural gate — make the
+        // failure visible so a mass planning breakage can't hide
+        // behind silent err strings in the artifact
+        System.err.println(s"[bench] plan fingerprint for $name errored: " +
+          s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(120)}")
+        "err"
+      }
       "\"" + name + "\":\"" + fp + "\""
     }.mkString("{", ",", "}")
     // Persist the JSON (with fingerprints): sbt prefixes stdout lines

@@ -1285,9 +1285,18 @@ object Evaluation {
     val base = ratings.select(col(groupCol).as("grp"),
       col(itemCol).as("item"), col(raterCol).as("rater"),
       col(yCol).cast(LongType).as("y"))
-    val k = base.groupBy("grp")
+    // at most ONE verdict per (grp, item, rater): duplicate rating
+    // rows would otherwise let an item pass the complete-block filter
+    // (count(*) == k) while a rater is missing, AND double-count y in
+    // L_i/G_j — the statistic would corrupt silently on a malformed
+    // feed. max(y) is the deterministic collapse; after it, nr below
+    // IS the distinct-rater count.
+    val verdicts = base.groupBy("grp", "item", "rater")
+      .agg(max(col("y")).as("y"))
+      .localCheckpoint() // feeds k, perItem, AND perRater; released below
+    val k = verdicts.groupBy("grp")
       .agg(countDistinct(col("rater")).as("k"))
-    val perItem = base.groupBy("grp", "item")
+    val perItem = verdicts.groupBy("grp", "item")
       .agg(count(lit(1)).as("nr"), sum(col("y")).as("li"))
     val complete = perItem.join(broadcast(k), Seq("grp"))
       .filter(col("nr") === col("k"))
@@ -1295,7 +1304,7 @@ object Evaluation {
     val itemAgg = complete.groupBy("grp").agg(
       count(lit(1)).as("n_items"), sum(col("li")).as("n"),
       sum(col("li") * col("li")).as("l2"))
-    val perRater = base.join(complete.select(col("grp"), col("item")),
+    val perRater = verdicts.join(complete.select(col("grp"), col("item")),
         Seq("grp", "item"), "left_semi")
       .groupBy("grp", "rater").agg(sum(col("y")).as("gj"))
       .groupBy("grp").agg(sum(col("gj") * col("gj")).as("g2"))
@@ -1306,7 +1315,7 @@ object Evaluation {
             (col("k") * col("g2") - col("n") * col("n"))).cast(DoubleType) /
             (col("k") * col("n") - col("l2")).cast(DoubleType)), 6).as("q"))
       .localCheckpoint()
-    graft.ext.Checkpoints.release(complete)
+    graft.ext.Checkpoints.release(complete, verdicts)
     out
   }
 

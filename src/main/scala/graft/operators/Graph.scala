@@ -887,10 +887,11 @@ object Graph {
     * Pearson correlation of end-point degrees over edges: do hubs
     * attach to hubs (r > 0, social-network shape) or to leaves
     * (r < 0, hub-and-spoke/star shape, the usual web-crawl and
-    * part-supplier profile)? The input edge list is symmetrized
-    * internally (each undirected edge contributes both (u,v) and
-    * (v,u)), which makes the two marginals identical and the formula
-    * the single-variable form
+    * part-supplier profile)? The caller MUST supply every undirected
+    * edge in BOTH directions (see @param — the repo's graph-query
+    * convention; this function does NOT symmetrize). With both
+    * directions present the two marginals are identical and the
+    * formula is the single-variable form
     * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) over the M directed pairs.
     *
     * Exactness: degrees and all three sums are exact longs; the

@@ -130,9 +130,11 @@ object BigQueryDialect {
     * their FROM scope), and <cmp> is any of = <= < >= > != <>. Each
     * QUALIFY binds to the nearest preceding SELECT at its own paren
     * depth, so a qualify-less SELECT earlier in the statement is
-    * never spanned. Boundary (loud, not silent): GROUP BY/HAVING
-    * between FROM and QUALIFY throws with a message naming the
-    * limitation. */
+    * never spanned. GROUP BY/HAVING between FROM and QUALIFY is
+    * handled (round 15): the whole grouped select wraps as the derived
+    * table with the ranker appended post-aggregation. Boundary (loud,
+    * not silent): ORDER BY / WINDOW between FROM and QUALIFY throws
+    * with a message naming the limitation. */
   private[graft] def desugarQualify(sql: String): String = {
     // one pass: keyword occurrences outside strings, with paren depth
     final case class Kw(word: String, pos: Int, end: Int, depth: Int)
@@ -165,10 +167,14 @@ object BigQueryDialect {
       k.word == w && k.depth == d && k.pos > sel.pos && k.pos < q.pos)
     val from = between("from").getOrElse(throw new IllegalArgumentException(
       "QUALIFY without a FROM clause is not supported"))
-    for (bad <- Seq("group", "having", "order", "window"))
+    for (bad <- Seq("order", "window"))
       if (between(bad).isDefined) throw new IllegalArgumentException(
         s"QUALIFY shim boundary: $bad between FROM and QUALIFY is not supported " +
         "(rewrite as a derived table)")
+    // GROUP BY/HAVING between FROM and QUALIFY (round 15): legal
+    // BigQuery — QUALIFY evaluates AFTER grouping, and a window
+    // function in a grouped select already sees the aggregated rows
+    val grouped = between("group").isDefined || between("having").isDefined
     val where = between("where")
     // FROM extent: up to the first depth-matched WHERE (or QUALIFY).
     // JOIN ... ON chains live inside this span; their ON predicates
@@ -203,7 +209,21 @@ object BigQueryDialect {
         s"QUALIFY shim boundary: expected <cmp> <int> after OVER (...), got: ${sql.substring(k).take(40)}"))
     val pred = s"__rn ${cm.group(1)} ${cm.group(2)}"
     val replacement =
-      if (list == "*")
+      if (grouped) {
+        if (list == "*") throw new IllegalArgumentException(
+          "QUALIFY over a grouped SELECT * is not valid SQL — " +
+          "a grouped select needs an explicit select list")
+        // the WHOLE grouped select (from/where/group by/having spans
+        // included verbatim) becomes the derived table, with the ranker
+        // appended to its list — the rank is computed post-aggregation
+        // (so `row_number() over (order by count(*) desc)` sees the
+        // grouped rows) and the outer query only filters it out,
+        // exactly BigQuery's QUALIFY evaluation order.
+        val body = sql.substring(from.end, q.pos).trim
+        s"select * except(__rn) from (select $list, $ranker as __rn " +
+        s"from $body) where $pred"
+      }
+      else if (list == "*")
         s"select * except(__rn) from (select *, $ranker as __rn " +
         s"from $tbl$whereTxt) where $pred"
       else if (tbl.matches("\\w+"))

@@ -42,7 +42,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     val chosen = prepare(modelSql, sources, materializations, tags,
       select, fullRefresh, exclude)
     val out = new Runner(spark, sources, warehouseDir, threads).run(chosen)
-    writeManifest(modelSql)
+    // only the models actually built this run advance in the manifest:
+    // a select/exclude-restricted run must NOT record excluded models'
+    // new hashes as current, or a later --select state:modified would
+    // silently treat them as unmodified and never rebuild them
+    writeManifest(modelSql, chosen.map(_.name).toSet)
     out
   }
 
@@ -75,7 +79,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     }
     val out = new Runner(spark, sources, warehouseDir, threads)
       .buildGated(withChecks)
-    writeManifest(modelSql)
+    // only SUCCESSFUL models advance: a model that failed its gated
+    // tests (or was skipped) keeps its old manifest hash, so the next
+    // state:modified run still sees it as modified and rebuilds it
+    writeManifest(modelSql, out._2.collect {
+      case (n, st) if st == "success" => n }.toSet)
     out
   }
 
@@ -105,11 +113,18 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
-  private def writeManifest(modelSql: Map[String, String]): Unit = {
+  /** Merge the hashes of the models ACTUALLY (and successfully) built
+    * this run into the previous manifest — never record a hash for a
+    * model that was excluded from the run or failed its gated tests
+    * (its old hash stays, so state:modified keeps selecting it). */
+  private def writeManifest(modelSql: Map[String, String],
+      built: Set[String]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val json = modelSql.toSeq.sortBy(_._1)
-      .map { case (n, s) => s""""$n": "${sha(s)}"""" }
+    val merged = readManifest() ++ modelSql.collect {
+      case (n, s) if built(n) => n -> sha(s) }
+    val json = merged.toSeq.sortBy(_._1)
+      .map { case (n, h) => s""""$n": "$h"""" }
       .mkString("{", ", ", "}")
     val out = fs.create(manifestPath, true)
     try out.write((json + "\n").getBytes("UTF-8")) finally out.close()

@@ -202,10 +202,12 @@ class SqlShimSpec extends AnyFunSuite {
       "select case when v >= 30 then upper(x) else x end as tag from qt " +
       "qualify rank() over (order by v desc) <= 2"))
     assert(q5.as[String].collect().toSet == Set("C", "D"))
-    // unsupported shapes fail loudly with the boundary named
-    val e2 = intercept[IllegalArgumentException](BigQueryDialect.translate(
-      "select x, count(*) from qt group by x qualify row_number() over (order by x) = 1"))
-    assert(e2.getMessage.contains("group"))
+    // grouped QUALIFY desugars (round 15) — count per x, keep the first
+    val q2g = spark.sql(BigQueryDialect.translate(
+      "select x, count(*) as c from qt group by x " +
+      "qualify row_number() over (order by x) = 1"))
+    assert(q2g.columns.toSeq == Seq("x", "c"))
+    assert(q2g.count() == 1L)
     // a qualify-less SELECT ahead of a qualified one in the same
     // statement must not be spanned by the desugar (each QUALIFY binds
     // to the nearest preceding SELECT at its own depth)
@@ -246,10 +248,42 @@ class SqlShimSpec extends AnyFunSuite {
     assert(!viaStar.columns.contains("__rn"))
     assert(viaStar.count() == 2)
     assert(viaStar.select("x").as[String].collect().toSet == Set("d", "e"))
-    // GROUP BY between FROM and QUALIFY still fails loudly
-    val eg = intercept[IllegalArgumentException](BigQueryDialect.translate(
-      "select l.g, count(*) from jq_l l join jq_d d on l.g = d.g " +
-      "group by l.g qualify row_number() over (order by l.g) = 1"))
-    assert(eg.getMessage.contains("group"))
+    // ORDER BY between FROM and QUALIFY still fails loudly (that
+    // clause order is not even legal BigQuery — QUALIFY precedes it)
+    val eo = intercept[IllegalArgumentException](BigQueryDialect.translate(
+      "select l.x from jq_l l order by l.v " +
+      "qualify row_number() over (order by l.v) = 1"))
+    assert(eo.getMessage.contains("order"))
+  }
+
+  test("translator unit: QUALIFY over a GROUPED select (round 15 — GROUP BY/HAVING boundary lifted)") {
+    import spark.implicits._
+    val t = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5),
+      ("c", 6), ("d", 7)).toDF("k", "v")
+    t.createOrReplaceTempView("gq_t")
+    // top-3 groups by row count: the ranker's ORDER BY references the
+    // aggregate itself, so it MUST evaluate post-aggregation
+    val viaShim = spark.sql(BigQueryDialect.translate(
+      "select k, count(*) as c from gq_t group by k " +
+      "qualify row_number() over (order by count(*) desc, k) <= 3"))
+    assert(viaShim.columns.toSeq == Seq("k", "c"))
+    import org.apache.spark.sql.expressions.Window
+    val viaDf = t.groupBy($"k").agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy($"c".desc, $"k")))
+      .filter($"__rn" <= 3).select($"k", $"c")
+    assert(viaShim.as[(String, Long)].collect().toSet ==
+      viaDf.as[(String, Long)].collect().toSet)
+    assert(viaShim.as[(String, Long)].collect().toSet ==
+      Set(("a", 3L), ("b", 2L), ("c", 1L)))
+    // HAVING between GROUP BY and QUALIFY rides along in the wrap
+    val viaHaving = spark.sql(BigQueryDialect.translate(
+      "select k, sum(v) as s from gq_t group by k having count(*) > 1 " +
+      "qualify rank() over (order by sum(v) desc) = 1"))
+    assert(viaHaving.as[(String, Long)].collect().toSet == Set(("b", 9L)))
+    // grouped SELECT * under QUALIFY is rejected loudly (invalid SQL)
+    val es = intercept[IllegalArgumentException](BigQueryDialect.translate(
+      "select * from gq_t group by k qualify row_number() over (order by k) = 1"))
+    assert(es.getMessage.contains("grouped"))
   }
 }

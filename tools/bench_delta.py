@@ -114,10 +114,24 @@ def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
             print(f"{q:32s} {t:8.2f}s vs floor {f:8.2f}s  ({ratio:4.2f}x){flag}")
     tot_c = sum(t for _, _, t, _ in rows)
     tot_f = sum(f for _, _, _, f in rows)
+    # "err" fingerprints mean planning THREW for that query — a mass
+    # planning failure would otherwise silently disable the structural
+    # gate (every err query drops out of plan_changed), so the count is
+    # part of the gate output.
+    errs = sorted(q for q, fp in cur_fp.items() if fp == "err")
+    if errs:
+        print(f"WARNING: {len(errs)} query plan fingerprint(s) errored "
+              f"(structural gate blind there): {', '.join(errs[:10])}"
+              + (" ..." if len(errs) > 10 else ""))
     print(f"\ntotal {tot_c:.1f}s vs floor {tot_f:.1f}s ({tot_c/tot_f:.2f}x); "
           f"{bad} regression(s) > {THRESH}x; "
-          f"{len(plan_changed)} plan fingerprint change(s)")
+          f"{len(plan_changed)} plan fingerprint change(s); "
+          f"{len(errs)} fingerprint error(s)")
     return 1 if bad else 0
 
 if __name__ == "__main__":
+    if not 2 <= len(sys.argv) <= 4:
+        print("usage: bench_delta.py <current_bench.json> "
+              "[floor_bench.json] [prev_bench.json]", file=sys.stderr)
+        sys.exit(2)
     sys.exit(main(*sys.argv[1:]))
