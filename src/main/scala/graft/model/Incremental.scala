@@ -309,16 +309,39 @@ object Incremental {
         (col("valid_to").isNull || col("valid_to") > lit(ts)))
       .drop("valid_from", "valid_to", "is_current", "__hash")
 
-  /** dbt snapshot (SCD2, "check" strategy over all non-key columns):
-    * maintains valid_from/valid_to/is_current. Changed rows close the
-    * current version (valid_to = asOf) and open a new one; unchanged
-    * rows pass through; new keys open their first version. */
+  /** dbt snapshot (SCD2, "check" strategy): maintains
+    * valid_from/valid_to/is_current. Changed rows close the current
+    * version (valid_to = asOf) and open a new one; unchanged rows pass
+    * through; new keys open their first version.
+    *
+    * @param checkCols the dbt `check_cols` column subset — change
+    *   detection hashes ONLY these columns (a row whose other columns
+    *   move does NOT version); empty (the default) means all non-key
+    *   columns (dbt's `check_cols='all'`). Must be consistent across
+    *   runs of one snapshot table (the stored `__hash` is of these
+    *   columns).
+    * @param invalidateHardDeletes whether a key ABSENT from the batch
+    *   closes its current row at `asOf` (dbt's
+    *   `invalidate_hard_deletes=true`). Defaults TRUE — this engine's
+    *   historical check-strategy behavior (value-diff semantics treat
+    *   a vanished row as a change); pass false for dbt's own default
+    *   of leaving hard-deleted keys open. */
   def snapshot(spark: SparkSession, current: DataFrame, path: String,
-      uniqueKey: Seq[String], asOf: java.sql.Timestamp): DataFrame = {
+      uniqueKey: Seq[String], asOf: java.sql.Timestamp,
+      checkCols: Seq[String] = Seq.empty,
+      invalidateHardDeletes: Boolean = true): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
-    val valueCols = current.columns.filterNot(uniqueKey.contains).toSeq
+    require(checkCols.forall(current.columns.contains),
+      s"check_cols ${checkCols.filterNot(current.columns.contains)} " +
+        s"not in the snapshot select (${current.columns.toSeq})")
+    require(checkCols.intersect(uniqueKey).isEmpty,
+      s"check_cols must not include the unique_key: " +
+        checkCols.intersect(uniqueKey))
+    val valueCols =
+      if (checkCols.nonEmpty) checkCols
+      else current.columns.filterNot(uniqueKey.contains).toSeq
     val incoming = current
       .withColumn("__hash", valueHash(valueCols))
       .withColumn("valid_from", lit(asOf))
@@ -331,11 +354,16 @@ object Incremental {
       val joined = prevCurrent.as("p").join(
         incoming.select((uniqueKey.map(col) :+ col("__hash").as("__new_hash")): _*).as("n"),
         uniqueKey, "left")
-      // unchanged current rows stay open; changed/deleted rows close
-      val stillOpen = joined.filter(col("__new_hash").isNotNull &&
-        col("__hash") === col("__new_hash")).drop("__new_hash")
-      val closing = joined.filter(col("__new_hash").isNull ||
-        col("__hash") =!= col("__new_hash")).drop("__new_hash")
+      // unchanged current rows stay open; changed rows close; vanished
+      // keys close only when hard deletes invalidate (see @param)
+      val vanishedOpen =
+        if (invalidateHardDeletes) lit(false) else col("__new_hash").isNull
+      val stillOpen = joined.filter(vanishedOpen ||
+        (col("__new_hash").isNotNull &&
+          col("__hash") === col("__new_hash"))).drop("__new_hash")
+      val closing = joined.filter(!vanishedOpen &&
+        (col("__new_hash").isNull ||
+          col("__hash") =!= col("__new_hash"))).drop("__new_hash")
         .withColumn("valid_to", lit(asOf))
         .withColumn("is_current", lit(false))
       // incoming rows that are new keys or changed values open a version
@@ -367,9 +395,15 @@ object Incremental {
     * Scale shape: identical to [[snapshot]] — one keyed left join of
     * the current-version table against the batch, unions, one
     * swap-write; closed history is never re-shuffled. */
+  /** @param invalidateHardDeletes dbt's `invalidate_hard_deletes`:
+    *   when true, a key ABSENT from the batch closes its current row
+    *   at `asOf` — the RUN clock, since a hard delete carries no
+    *   source clock (dbt stamps the same way). Default false = dbt's
+    *   default (vanished keys stay open). */
   def snapshotTimestamp(spark: SparkSession, current: DataFrame,
       path: String, uniqueKey: Seq[String], updatedAt: String,
-      asOf: java.sql.Timestamp): DataFrame = {
+      asOf: java.sql.Timestamp,
+      invalidateHardDeletes: Boolean = false): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
@@ -385,22 +419,33 @@ object Incremental {
         incoming.select((uniqueKey.map(col) :+
           col(updatedAt).as("__new_ts")): _*).as("n"),
         uniqueKey, "left")
-      // stays open: key absent from the batch (dbt default keeps
-      // hard-deleted rows open) OR not newer than the stored clock
-      val stillOpen = joined.filter(col("__new_ts").isNull ||
-        col("__new_ts") <= col(s"p.$updatedAt")).drop("__new_ts")
-      // closed at the replacing row's source clock (dbt parity)
+      // stays open: key absent from the batch (unless hard deletes
+      // invalidate — see @param) OR not newer than the stored clock
+      val vanishedOpen =
+        if (invalidateHardDeletes) lit(false) else col("__new_ts").isNull
+      val stillOpen = joined.filter(vanishedOpen ||
+        (col("__new_ts").isNotNull &&
+          col("__new_ts") <= col(s"p.$updatedAt"))).drop("__new_ts")
+      // superseded rows close at the replacing row's source clock (dbt
+      // parity); hard-deleted rows (when invalidating) close at the
+      // RUN clock — a delete has no source clock
       val closing = joined.filter(col("__new_ts").isNotNull &&
         col("__new_ts") > col(s"p.$updatedAt"))
         .withColumn("valid_to", col("__new_ts").cast("timestamp"))
         .withColumn("is_current", lit(false))
         .drop("__new_ts")
+      val closingDeleted =
+        if (!invalidateHardDeletes) None
+        else Some(joined.filter(col("__new_ts").isNull).drop("__new_ts")
+          .withColumn("valid_to", lit(asOf))
+          .withColumn("is_current", lit(false)))
       val opening = incoming.join(
         closing.select(uniqueKey.map(col): _*), uniqueKey, "left_semi")
         .unionByName(incoming.join(
           prevCurrent.select(uniqueKey.map(col): _*), uniqueKey, "left_anti"))
-      prevClosed.unionByName(stillOpen).unionByName(closing)
-        .unionByName(opening)
+      closingDeleted.foldLeft(
+        prevClosed.unionByName(stillOpen).unionByName(closing)
+          .unionByName(opening))(_ unionByName _)
     }
     swapWrite(spark, next, path)
   }

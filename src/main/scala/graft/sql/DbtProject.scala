@@ -673,12 +673,15 @@ object DbtProject {
     * `<warehouseDir>/<name>` via [[graft.model.Incremental.snapshot]]
     * (valid_from/valid_to/is_current maintained across calls).
     * Supported config: `unique_key` (required) plus either
-    * `strategy='check'`/`check_cols='all'` (the default — value-diff
-    * detection, vanished keys close) or `strategy='timestamp'` with
-    * `updated_at` ([[graft.model.Incremental.snapshotTimestamp]] —
-    * the source clock decides, vanished keys stay open, dbt's
-    * default hard-delete behavior); anything else fails loudly
-    * rather than silently snapshotting with different semantics.
+    * `strategy='check'` with `check_cols` = 'all' (the default) or a
+    * column-name subset (change detection hashes only those columns)
+    * or `strategy='timestamp'` with `updated_at`
+    * ([[graft.model.Incremental.snapshotTimestamp]] — the source
+    * clock decides). `invalidate_hard_deletes` controls whether a
+    * vanished key closes its current row: default true for check
+    * (this engine's value-diff behavior), false for timestamp (dbt's
+    * own default). Anything else fails loudly rather than silently
+    * snapshotting with different semantics.
     *
     * @param asOf the snapshot validity timestamp (dbt uses the run's
     *   start time; explicit here so reruns are deterministic)
@@ -702,20 +705,36 @@ object DbtProject {
         .map(_.trim).filter(_.nonEmpty)
       require(uk.nonEmpty, s"snapshot $name: unique_key is required")
       val cur = spark.sql(BigQueryDialect.translate(r.text, None))
+      // dbt's invalidate_hard_deletes config; absent uses each
+      // strategy's engine default (check closes vanished keys — this
+      // engine's documented value-diff behavior; timestamp keeps them
+      // open, dbt's own default)
+      val ihd = r.config.get("invalidate_hard_deletes")
+        .map(_.trim.toLowerCase).map {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"snapshot $name: invalidate_hard_deletes must be " +
+              s"true|false, got '$other'")
+        }
       val table = strategy match {
         case "check" =>
-          val checkCols = r.config.getOrElse("check_cols", "all")
-          require(checkCols == "all",
-            s"snapshot $name: only check_cols='all' is supported, " +
-              s"got '$checkCols'")
+          // check_cols: 'all' (default) or a column-name list (the
+          // Jinja config capture folds lists to comma-joined strings)
+          val checkCols = r.config.getOrElse("check_cols", "all") match {
+            case "all" => Seq.empty[String]
+            case cols => cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          }
           graft.model.Incremental.snapshot(spark, cur,
-            s"$warehouseDir/$name", uk, asOf)
+            s"$warehouseDir/$name", uk, asOf, checkCols,
+            invalidateHardDeletes = ihd.getOrElse(true))
         case "timestamp" =>
           val ua = r.config.getOrElse("updated_at", "")
           require(ua.nonEmpty,
             s"snapshot $name: strategy='timestamp' requires updated_at")
           graft.model.Incremental.snapshotTimestamp(spark, cur,
-            s"$warehouseDir/$name", uk, ua, asOf)
+            s"$warehouseDir/$name", uk, ua, asOf,
+            invalidateHardDeletes = ihd.getOrElse(false))
         case other => throw new IllegalArgumentException(
           s"snapshot $name: unsupported strategy '$other' — " +
             "'check' and 'timestamp' are implemented")

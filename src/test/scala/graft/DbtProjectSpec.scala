@@ -366,6 +366,106 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("custom"))
   }
 
+  test("snapshot config breadth: check_cols subsets and invalidate_hard_deletes (round 15)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snapcfg")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("snapshots"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"snapcfg\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: customers
+        |""".stripMargin.getBytes("UTF-8"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // check_cols subset: only `city` is change-tracked; a move in
+    // `visits` alone must NOT version the row
+    Files.write(dir.resolve("snapshots/cust_snap.sql"),
+      """{% snapshot cust_snap %}
+        |{{ config(unique_key='id', strategy='check', check_cols=['city']) }}
+        |select id, city, visits from {{ source('raw', 'customers') }}
+        |{% endsnapshot %}
+        |""".stripMargin.getBytes("UTF-8"))
+    val wh = Files.createTempDirectory("graft-snapcfg-wh").toString
+    val d1 = Seq((1L, "NY", 10L), (2L, "LA", 20L)).toDF("id", "city", "visits")
+    // id 1: visits moved, city unchanged -> passes through (no new
+    // version); id 2: city moved -> versions
+    val d2 = Seq((1L, "NY", 99L), (2L, "SF", 20L)).toDF("id", "city", "visits")
+    DbtProject.snapshot(spark, dir.toString, Map("customers" -> d1),
+      wh, ts("2024-01-01"))
+    val snap = DbtProject.snapshot(spark, dir.toString,
+      Map("customers" -> d2), wh, ts("2024-02-01"))("cust_snap")
+    val hist = snap.select("id", "city", "visits", "is_current")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(hist == Set((1L, "NY", 10L, true), (2L, "LA", 20L, false),
+      (2L, "SF", 20L, true)), s"$hist")
+    // check strategy with invalidate_hard_deletes=false: the vanished
+    // key stays open (dbt's own default behavior, opt-in here)
+    Files.write(dir.resolve("snapshots/cust_snap.sql"),
+      ("{% snapshot cust_snap %}\n" +
+        "{{ config(unique_key='id', strategy='check', " +
+        "invalidate_hard_deletes=false) }}\n" +
+        "select id, city from {{ source('raw', 'customers') }}\n" +
+        "{% endsnapshot %}\n").getBytes("UTF-8"))
+    val whK = Files.createTempDirectory("graft-snapcfg-whk").toString
+    DbtProject.snapshot(spark, dir.toString,
+      Map("customers" -> Seq((1L, "NY"), (2L, "LA")).toDF("id", "city")),
+      whK, ts("2024-01-01"))
+    val snapK = DbtProject.snapshot(spark, dir.toString,
+      Map("customers" -> Seq((1L, "NY")).toDF("id", "city")),
+      whK, ts("2024-02-01"))("cust_snap")
+    assert(snapK.filter(col("id") === 2 && col("is_current")).count() == 1,
+      "invalidate_hard_deletes=false keeps the vanished key open")
+    // timestamp strategy with invalidate_hard_deletes=true: the
+    // vanished key closes at the RUN clock (a delete has no source
+    // clock)
+    Files.write(dir.resolve("snapshots/cust_snap.sql"),
+      ("{% snapshot cust_snap %}\n" +
+        "{{ config(unique_key='id', strategy='timestamp', " +
+        "updated_at='u', invalidate_hard_deletes=true) }}\n" +
+        "select id, city, u from {{ source('raw', 'customers') }}\n" +
+        "{% endsnapshot %}\n").getBytes("UTF-8"))
+    val whT = Files.createTempDirectory("graft-snapcfg-wht").toString
+    val t1 = Seq((1L, "NY", ts("2024-01-01")), (2L, "LA", ts("2024-01-01")))
+      .toDF("id", "city", "u")
+    val t2 = Seq((1L, "NY", ts("2024-01-01"))).toDF("id", "city", "u")
+    DbtProject.snapshot(spark, dir.toString, Map("customers" -> t1),
+      whT, ts("2024-01-05"))
+    val snapT = DbtProject.snapshot(spark, dir.toString,
+      Map("customers" -> t2), whT, ts("2024-02-01"))("cust_snap")
+    val closed = snapT.filter(col("id") === 2)
+      .select("is_current", "valid_to")
+      .as[(Boolean, Option[java.sql.Timestamp])].collect().toSeq
+    assert(closed == Seq((false, Some(ts("2024-02-01")))), s"$closed")
+    assert(snapT.filter(col("id") === 1 && col("is_current")).count() == 1)
+    // malformed invalidate_hard_deletes fails loudly
+    Files.write(dir.resolve("snapshots/cust_snap.sql"),
+      ("{% snapshot cust_snap %}\n" +
+        "{{ config(unique_key='id', strategy='check', " +
+        "invalidate_hard_deletes='maybe') }}\n" +
+        "select id, city from {{ source('raw', 'customers') }}\n" +
+        "{% endsnapshot %}\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DbtProject.snapshot(
+      spark, dir.toString,
+      Map("customers" -> Seq((1L, "NY")).toDF("id", "city")),
+      whT, ts("2024-03-01")))
+    assert(e.getMessage.contains("invalidate_hard_deletes"))
+    // check_cols naming a column missing from the select fails loudly
+    Files.write(dir.resolve("snapshots/cust_snap.sql"),
+      ("{% snapshot cust_snap %}\n" +
+        "{{ config(unique_key='id', strategy='check', check_cols=['nope']) }}\n" +
+        "select id, city from {{ source('raw', 'customers') }}\n" +
+        "{% endsnapshot %}\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](DbtProject.snapshot(
+      spark, dir.toString,
+      Map("customers" -> Seq((1L, "NY")).toDF("id", "city")),
+      Files.createTempDirectory("graft-snapcfg-whx").toString, ts("2024-03-01")))
+    assert(e2.getMessage.contains("check_cols"))
+  }
+
   test("schema-yml data tests: reference checkout declares them; run reports pass; violations fail") {
     import spark.implicits._
     import graft.sql.DbtTests
