@@ -18,6 +18,15 @@ object Materialization {
   case object View extends Materialization
   /** Physical: written to parquet and re-read, cutting lineage (dbt table). */
   case object Table extends Materialization
+  /** dbt ephemeral: NEVER materialized — the model's rendered SELECT
+    * is inlined as a CTE (dbt names it `__dbt__cte__<name>`) into
+    * every dependent's SQL at compile time ([[graft.sql.DbtSqlEngine]]
+    * does the inlining); the model is excluded from run/build reports
+    * and from the Runner's DAG. A plan-level zero-cost node: the
+    * dependent's optimizer sees the full expression tree, so filters
+    * and pruning push THROUGH the ephemeral boundary — exactly why
+    * dbt projects use it for staging models. */
+  case object Ephemeral extends Materialization
   /** dbt incremental: first run builds the full table; later runs
     * fold ONLY the model's (typically is_incremental()-filtered)
     * output into it — merge on `uniqueKey` when given (batch wins,
@@ -171,6 +180,13 @@ final class Runner(
       env: Map[String, DataFrame]): (String, DataFrame) = {
     val df = m.transform(env)
     m.materialization match {
+      case Materialization.Ephemeral =>
+        // ephemeral models never reach the Runner — DbtSqlEngine
+        // inlines them as CTEs and drops them from the model list;
+        // reaching here means a caller wired one in by hand
+        throw new IllegalStateException(
+          s"ephemeral model ${m.name} must be inlined into its " +
+            "dependents, not executed as a DAG node")
       case Materialization.View =>
         df.createOrReplaceTempView(m.name)
         m.name -> df

@@ -69,6 +69,17 @@ object OperatorOracles {
   }
 
   val all: Map[String, String] = Map(
+    // ephemeral-materialization replay: the two inlined staging CTEs
+    // compose to one filtered join-aggregate — the oracle runs the
+    // composition directly (inline-as-CTE must be semantically
+    // invisible)
+    "q_ephemeral_cte" ->
+      """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'O'
+        |GROUP BY c.c_mktsegment""".stripMargin,
     // incremental/CDC fold replay: same base slice, same change batch,
     // latest-by-seq per key with delete-beats-stale — checks the
     // MATERIALIZED table Incremental.merge/applyChanges produced

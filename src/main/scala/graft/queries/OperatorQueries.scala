@@ -457,4 +457,42 @@ object OperatorQueries {
       path, Seq("o_orderkey"), t2)
       .drop("__hash")
   }
+
+  /** dbt ephemeral materialization end-to-end (SURVEY §2.11, round
+    * 15 — dbt's fourth materialization; the reference checkout uses
+    * view/table but its dbt runtime offers ephemeral): a TWO-DEEP
+    * ephemeral staging chain inlines as `__dbt__cte__` CTEs into the
+    * mart; the staging models never materialize anywhere. The oracle
+    * replays the logical composition as one plain SQL query — proving
+    * inline-as-CTE ≡ the composed query. Scale note: because the mart
+    * is ONE statement, Catalyst pushes the status filter through both
+    * ephemeral layers into the orders scan and prunes to the three
+    * referenced columns — ephemeral staging costs nothing at 100 TB,
+    * which is exactly why dbt projects stage this way. */
+  def qEphemeralCte(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val wh = System.getProperty("java.io.tmpdir") + "/graft_ephwh"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    val out = new graft.sql.DbtSqlEngine(spark, wh).run(
+      modelSql = Map(
+        "stg_orders" ->
+          ("{{ config(materialized='ephemeral') }}\n" +
+            "select o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+            "from {{ source('raw', 'orders') }}"),
+        "stg_open_orders" ->
+          ("{{ config(materialized='ephemeral') }}\n" +
+            "select o_orderkey, o_custkey, o_totalprice " +
+            "from {{ ref('stg_orders') }} where o_orderstatus = 'O'"),
+        "mart_segment_revenue" ->
+          ("select c.c_mktsegment as mktsegment, count(*) as n_orders, " +
+            "sum(cast(round(o.o_totalprice * 100, 0) as bigint)) as revenue_cents " +
+            "from {{ ref('stg_open_orders') }} o " +
+            "join {{ source('raw', 'customer') }} c " +
+            "on o.o_custkey = c.c_custkey " +
+            "group by c.c_mktsegment")),
+      sources = Map("orders" -> t.orders, "customer" -> t.customer))
+    out("mart_segment_revenue")
+  }
 }

@@ -343,6 +343,7 @@ object DbtProject {
             val mat = m match {
               case "table" => Materialization.Table
               case "view" => Materialization.View
+              case "ephemeral" => Materialization.Ephemeral
               // unique_key can only come from in-model config();
               // a policy-level incremental without one appends
               case "incremental" => Materialization.Incremental(Seq.empty)

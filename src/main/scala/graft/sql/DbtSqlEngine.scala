@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
 import graft.model.{Materialization, Model, ModelGraph, Runner}
 
 /** Runs a dbt-style project of BigQuery-dialect SQL models on Spark:
@@ -39,14 +40,15 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       select: Option[String] = None,
       fullRefresh: Boolean = false,
       exclude: Option[String] = None): Map[String, DataFrame] = {
-    val chosen = prepare(modelSql, sources, materializations, tags,
+    val prep = prepare(modelSql, sources, materializations, tags,
       select, fullRefresh, exclude)
-    val out = new Runner(spark, sources, warehouseDir, threads).run(chosen)
+    val out = new Runner(spark, sources, warehouseDir, threads)
+      .run(prep.chosen)
     // only the models actually built this run advance in the manifest:
     // a select/exclude-restricted run must NOT record excluded models'
     // new hashes as current, or a later --select state:modified would
     // silently treat them as unmodified and never rebuild them
-    writeManifest(modelSql, chosen.map(_.name).toSet)
+    writeManifest(prep.effectiveSql, prep.chosen.map(_.name).toSet)
     out
   }
 
@@ -66,10 +68,16 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       tests: Seq[DbtTests.DataTest] = Seq.empty,
       exclude: Option[String] = None)
       : (Map[String, DataFrame], Map[String, String]) = {
-    val chosen = prepare(modelSql, sources, materializations, tags,
+    val prep = prepare(modelSql, sources, materializations, tags,
       select, fullRefresh, exclude)
+    // dbt compiles tests on ephemeral models against the inlined CTE;
+    // this engine does not — fail loudly instead of silently skipping
+    val ephTested = tests.filter(t => prep.ephemerals.contains(t.model))
+    require(ephTested.isEmpty,
+      "data tests on ephemeral models are not supported (they never " +
+        s"materialize): ${ephTested.map(t => s"${t.model}.${t.kind}").distinct}")
     val byModel = tests.groupBy(_.model)
-    val withChecks = chosen.map { m =>
+    val withChecks = prep.chosen.map { m =>
       val checks = byModel.getOrElse(m.name, Seq.empty).map { t =>
         val label = t.column.map(c => s"${t.kind}($c)").getOrElse(t.kind)
         label -> ((df: org.apache.spark.sql.DataFrame) =>
@@ -82,7 +90,7 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     // only SUCCESSFUL models advance: a model that failed its gated
     // tests (or was skipped) keeps its old manifest hash, so the next
     // state:modified run still sees it as modified and rebuilds it
-    writeManifest(modelSql, out._2.collect {
+    writeManifest(prep.effectiveSql, out._2.collect {
       case (n, st) if st == "success" => n }.toSet)
     out
   }
@@ -138,7 +146,10 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     }.toSet
   }
 
-  /** Render, translate, and wire the model DAG; resolve --select and
+  import DbtSqlEngine.Prepared
+
+  /** Render, translate, and wire the model DAG; inline ephemeral
+    * models as `__dbt__cte__<name>` CTEs; resolve --select and
     * warehouse-resident upstreams. Shared by [[run]] and [[build]]. */
   private def prepare(modelSql: Map[String, String],
       sources: Map[String, DataFrame],
@@ -146,13 +157,18 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       tags: Map[String, Set[String]],
       select: Option[String],
       fullRefresh: Boolean,
-      exclude: Option[String] = None): Seq[Model] = {
+      exclude: Option[String] = None): Prepared = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val models = modelSql.map { case (name, sql) =>
-      // render Jinja FIRST: a ref() inside a false {% if %} branch
-      // must not become a DAG edge (the branch never executes)
+    // ---- pass 1: render Jinja (a ref() inside a false {% if %}
+    // branch must not become a DAG edge) and decide materializations —
+    // the ephemeral set must be known before ANY model translates,
+    // because dependents splice ephemeral texts into their own SQL
+    final case class Rendered(name: String, raw: String,
+        first: Jinja.Result, mat: Materialization,
+        render: Boolean => Jinja.Result)
+    val pass1 = modelSql.map { case (name, sql) =>
       def renderWith(inc: Boolean): Jinja.Result = Jinja.render(sql, vars,
         envVars, macros,
         bindings = Map(
@@ -176,6 +192,7 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       val mat = first.config.get("materialized") match {
         case Some("table") => Materialization.Table
         case Some("view") => Materialization.View
+        case Some("ephemeral") => Materialization.Ephemeral
         case Some("incremental") =>
           Materialization.Incremental(uniqueKey, onSchemaChange)
         case Some(other) => throw new IllegalArgumentException(
@@ -188,6 +205,48 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
           case other => other
         }
       }
+      Rendered(name, sql, first, mat, renderWith)
+    }.toSeq
+    val ephNames = pass1.collect {
+      case r if r.mat == Materialization.Ephemeral => r.name }.toSet
+    val firstText = pass1.map(r => r.name -> r.first.text).toMap
+    // rewrite `{{ ref('eph') }}` placeholders to the dbt CTE name;
+    // refs to real models pass through untouched
+    def renameEphRefs(text: String): String =
+      DbtSqlEngine.refPlaceholderRe.replaceAllIn(text, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          if (ephNames.contains(m.group(1))) s"__dbt__cte__${m.group(1)}"
+          else m.matched))
+    // dependencies-first closure of the ephemeral models a text
+    // inlines (ephemerals may ref ephemerals); cycles fail loudly
+    def ephClosure(seed: Seq[String]): Seq[String] = {
+      val seen = mutable.LinkedHashSet.empty[String]
+      val visiting = mutable.Set.empty[String]
+      def visit(n: String): Unit = if (!seen.contains(n)) {
+        require(visiting.add(n), s"cycle among ephemeral models at '$n'")
+        BigQueryDialect.refs(firstText(n)).distinct
+          .filter(ephNames.contains).foreach(visit)
+        visiting -= n
+        seen += n
+      }
+      seed.foreach(visit)
+      seen.toSeq
+    }
+    val real = pass1.filter(_.mat != Materialization.Ephemeral)
+    // effective raw text = own text + every inlined ephemeral's text:
+    // what state:modified hashes, so an ephemeral edit marks every
+    // dependent modified even though the dependent's own file is
+    // untouched (the ephemeral itself is never a manifest entry)
+    val effectiveSql = real.map { r =>
+      val cls = ephClosure(BigQueryDialect.refs(r.first.text).distinct
+        .filter(ephNames.contains))
+      r.name -> (r.raw + cls.map(e =>
+        s"\n-- __dbt__cte__$e\n${modelSql(e)}").mkString)
+    }.toMap
+    val models = real.map { r =>
+      val name = r.name
+      val first = r.first
+      val mat = r.mat
       val targetPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
       // dbt --full-refresh: drop and rebuild incremental targets; the
       // model's own config(full_refresh=...) overrides the flag in
@@ -204,19 +263,33 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
         fs.delete(targetPath, true)
       val incrementalRun = mat.isInstanceOf[Materialization.Incremental] &&
         fs.exists(targetPath)
-      val r = if (incrementalRun) renderWith(true) else first
-      val translated = BigQueryDialect.translate(r.text, currentDateOverride)
+      val rr = if (incrementalRun) r.render(true) else first
+      // splice the needed ephemeral bodies (dependencies first) as
+      // __dbt__cte__ CTEs, then translate the COMBINED text — the
+      // dialect shim (QUALIFY desugar included) sees one statement,
+      // and Catalyst sees one expression tree to optimize through
+      val needed = ephClosure(BigQueryDialect.refs(rr.text).distinct
+        .filter(ephNames.contains))
+      val combined =
+        if (needed.isEmpty) rr.text
+        else DbtSqlEngine.inlineCtes(renameEphRefs(rr.text),
+          needed.map(e => e -> renameEphRefs(firstText(e))))
+      val translated = BigQueryDialect.translate(combined, currentDateOverride)
       val modelTags = tags.getOrElse(name, Set.empty) ++
         first.config.get("tags").toSeq.flatMap(_.split(","))
           .map(_.trim).filter(_.nonEmpty)
-      Model(name, BigQueryDialect.refs(r.text), mat, tags = modelTags)({ _ =>
+      // deps come from the COMBINED text: refs through an ephemeral
+      // land on the ephemeral's own upstreams, so the DAG edge (and
+      // selector closure) survives the inlining
+      Model(name, BigQueryDialect.refs(combined).distinct, mat,
+          tags = modelTags)({ _ =>
         // {{ this }} resolves to the resident target as of THIS run
         if (incrementalRun)
           spark.read.parquet(targetPath.toString)
             .createOrReplaceTempView(s"${name}__this")
         spark.sql(translated)
       })
-    }.toSeq
+    }
     ModelGraph.topoSort(models) // fail fast on cycles before any work
     val chosen = (select, exclude) match {
       case (None, None) => models
@@ -228,7 +301,7 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
         ModelGraph.select(models,
           sel.getOrElse(models.map(_.name).mkString(" ")),
           ex.getOrElse(""),
-          if (needState) modifiedSince(modelSql) else Set.empty)
+          if (needState) modifiedSince(effectiveSql) else Set.empty)
     }
     // dbt --select semantics: unselected upstreams are read from the
     // warehouse (they persist there from earlier runs). In this
@@ -249,11 +322,47 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
           spark.read.parquet(p.toString).createOrReplaceTempView(d)
         }
     }
-    chosen
+    Prepared(chosen, effectiveSql, ephNames)
   }
 }
 
 object DbtSqlEngine {
+  /** What `prepare` hands back to run/build: the selected Models
+    * (ephemeral models already inlined and EXCLUDED), the effective
+    * raw text per real model for manifest hashing (own text + the
+    * texts of every inlined ephemeral, so an ephemeral edit re-hashes
+    * its dependents and `state:modified` selects them), and the
+    * ephemeral names (so build() can loud-reject tests on them). */
+  private[sql] final case class Prepared(chosen: Seq[Model],
+      effectiveSql: Map[String, String], ephemerals: Set[String])
+
+  /** A `{{ ref('name') }}` placeholder as the Jinja layer leaves it
+    * (the dialect shim resolves these to bare relation names; the
+    * ephemeral inliner resolves them to CTE names FIRST). */
+  private[graft] val refPlaceholderRe =
+    """\{\{\s*ref\(\s*'(\w+)'\s*\)\s*\}\}""".r
+
+  /** Splice ephemeral model bodies into `text` as dbt-named CTEs
+    * (`__dbt__cte__<name>`), dependencies first. If the text already
+    * opens with a WITH clause (leading whitespace / line comments /
+    * block comments skipped), the CTEs merge INTO it — two WITH
+    * keywords would not parse; otherwise a new WITH wraps the text.
+    * Runs BEFORE dialect translation, so the combined statement goes
+    * through the shim (QUALIFY desugar included) exactly once. */
+  private[graft] def inlineCtes(text: String,
+      ctes: Seq[(String, String)]): String = {
+    if (ctes.isEmpty) return text
+    val cteTxt = ctes.map { case (n, body) =>
+      s"__dbt__cte__$n as (\n$body\n)" }.mkString(",\n")
+    val withRe = """(?is)^(?:\s|--[^\n]*\n?|/\*.*?\*/)*(with)\b""".r
+    withRe.findFirstMatchIn(text) match {
+      case Some(m) =>
+        val end = m.end(1)
+        text.substring(0, end) + "\n" + cteTxt + ",\n" + text.substring(end)
+      case None => s"with\n$cteTxt\n$text"
+    }
+  }
+
   /** The dbt_utils macros real projects lean on hardest, as Jinja
     * builtins expanding to the cross-database SQL dbt_utils itself
     * generates (same null sentinel, same '-' separator — a surrogate

@@ -366,6 +366,126 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("custom"))
   }
 
+  test("ephemeral materialization: models inline as __dbt__cte__ CTEs, never materialize (round 15)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ephproj")
+    Files.createDirectories(dir.resolve("models/staging"))
+    Files.createDirectories(dir.resolve("models/marts"))
+    // staging is ephemeral BY POLICY (dbt_project.yml), marts are
+    // tables — the classic dbt layout
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "ephy"
+        |models:
+        |  ephy:
+        |    staging:
+        |      +materialized: ephemeral
+        |    marts:
+        |      +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: payments
+        |""".stripMargin.getBytes("UTF-8"))
+    // eph -> eph chain: stg_payments (from source) <- stg_completed
+    // (refs stg_payments, and has its own WITH to prove CTE merging)
+    Files.write(dir.resolve("models/staging/stg_payments.sql"),
+      """select id, amount, status from {{ source('raw', 'payments') }}
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/staging/stg_completed.sql"),
+      """with ok as (
+        |  select id, amount from {{ ref('stg_payments') }}
+        |  where status = 'done'
+        |)
+        |select id, amount from ok
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/marts/pay_summary.sql"),
+      """select count(*) as n, sum(amount) as total
+        |from {{ ref('stg_completed') }}
+        |""".stripMargin.getBytes("UTF-8"))
+    val payments = Seq((1L, 10L, "done"), (2L, 20L, "done"),
+      (3L, 99L, "void")).toDF("id", "amount", "status")
+    val wh = Files.createTempDirectory("graft-eph-wh")
+    val out = DbtProject.run(spark, dir.toString,
+      Map("payments" -> payments), wh.toString)
+    // ephemeral models do not appear in the result map; the mart sees
+    // through both CTE layers
+    assert(out.keySet == Set("pay_summary"), s"${out.keySet}")
+    assert(out("pay_summary").as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 30L)))
+    // NOTHING was written to the warehouse for the ephemeral models
+    val whFiles = java.nio.file.Files.list(wh).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!whFiles.exists(_.contains("stg_")), s"$whFiles")
+    // row-identical to the same project with view staging models
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "ephy"
+        |models:
+        |  ephy:
+        |    staging:
+        |      +materialized: view
+        |    marts:
+        |      +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    val outView = DbtProject.run(spark, dir.toString,
+      Map("payments" -> payments),
+      Files.createTempDirectory("graft-eph-whv").toString)
+    assert(outView("pay_summary").as[(Long, Long)].collect().toSeq ==
+      out("pay_summary").as[(Long, Long)].collect().toSeq)
+    // back to ephemeral: config(materialized='ephemeral') in-model
+    // beats policy, and `dbt build` reports only real models
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"ephy\"\nmodels:\n  ephy:\n    marts:\n      +materialized: table\n"
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("models/staging/stg_payments.sql"),
+      ("{{ config(materialized='ephemeral') }}\n" +
+        "select id, amount, status from {{ source('raw', 'payments') }}\n")
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("models/staging/stg_completed.sql"),
+      ("{{ config(materialized='ephemeral') }}\n" +
+        "with ok as (\n  select id, amount from {{ ref('stg_payments') }}\n" +
+        "  where status = 'done'\n)\nselect id, amount from ok\n")
+        .getBytes("UTF-8"))
+    val wh2 = Files.createTempDirectory("graft-eph-wh2").toString
+    val (frames, report) = DbtProject.build(spark, dir.toString,
+      Map("payments" -> payments), wh2)
+    assert(frames.keySet == Set("pay_summary"))
+    val reported = report.select("resource").as[String].collect().toSet
+    assert(!reported.exists(_.startsWith("stg_")), s"$reported")
+    // state:modified THROUGH the ephemeral: editing an ephemeral marks
+    // its dependent modified (the dependent's own file is untouched)
+    val before = DbtProject.run(spark, dir.toString,
+      Map("payments" -> payments), wh2,
+      select = Some("state:modified"))
+    assert(before.isEmpty, s"nothing modified after a full run: $before")
+    Files.write(dir.resolve("models/staging/stg_completed.sql"),
+      ("{{ config(materialized='ephemeral') }}\n" +
+        "select id, amount from {{ ref('stg_payments') }} " +
+        "where status = 'done' and amount > 15\n").getBytes("UTF-8"))
+    val after = DbtProject.run(spark, dir.toString,
+      Map("payments" -> payments), wh2,
+      select = Some("state:modified"))
+    assert(after.keySet == Set("pay_summary"), s"${after.keySet}")
+    assert(after("pay_summary").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 20L)))
+    // tests declared on an ephemeral model fail loudly in build
+    Files.write(dir.resolve("models/staging/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: stg_completed
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - not_null
+        |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DbtProject.build(
+      spark, dir.toString, Map("payments" -> payments),
+      Files.createTempDirectory("graft-eph-wh3").toString))
+    assert(e.getMessage.contains("ephemeral"))
+  }
+
   test("snapshot config breadth: check_cols subsets and invalidate_hard_deletes (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snapcfg")
