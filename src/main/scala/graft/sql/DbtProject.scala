@@ -68,7 +68,8 @@ object DbtProject {
       targetProps: Map[String, String] = Map.empty,
       seeds: Map[String, String] = Map.empty,
       snapshots: Map[String, String] = Map.empty,
-      freshness: Map[String, FreshnessConfig] = Map.empty)
+      freshness: Map[String, FreshnessConfig] = Map.empty,
+      singularTests: Map[String, String] = Map.empty)
 
   /** A declared table's resolved `dbt source freshness` config:
     * which column carries the load timestamp and the staleness
@@ -485,8 +486,20 @@ object DbtProject {
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
       .flatMap(p => parseSnapshotBlocks(read(p)))
       .toMap
+    // dbt singular tests: every *.sql under test-paths (default
+    // tests/) is a test named by its file stem — Jinja-rendered (ref/
+    // source resolve), run as a violating-rows query by runAndTest and
+    // build; severity comes from an in-file {{ config(...) }}
+    val singularTests = parseStringList(projText, "test-paths")
+      .getOrElse(Seq("tests")).map(root.resolve)
+      .filter(Files.isDirectory(_))
+      .flatMap(d => Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
+      .map(p => p.getFileName.toString.stripSuffix(".sql") -> read(p))
+      .toMap
     val names = Seq("model" -> modelSql.keySet, "seed" -> seeds.keySet,
-      "snapshot" -> snapshots.keySet)
+      "snapshot" -> snapshots.keySet,
+      "singular test" -> singularTests.keySet)
     for (Seq((ka, a), (kb, b)) <- names.combinations(2)) {
       val clash = a.intersect(b)
       require(clash.isEmpty, s"$ka and $kb share a name " +
@@ -504,8 +517,19 @@ object DbtProject {
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => parseFreshness(read(p))).toMap
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
-      modelTags, targetProps, seeds, snapshots, freshness)
+      modelTags, targetProps, seeds, snapshots, freshness, singularTests)
   }
+
+  /** Render one singular test's Jinja (ref()/source() placeholders
+    * survive for the dialect shim; `{{ config(severity=...) }}` is
+    * captured for [[DbtTests.statusOf]]). */
+  private def renderSingular(p: Loaded, tpl: String,
+      vars: Map[String, String]): Jinja.Result =
+    Jinja.render(tpl, vars, macros = p.macros,
+      bindings = Map("target" -> Jinja.JMap(
+        Map("name" -> Jinja.JStr(p.targetProps.getOrElse("name", "dev"))) ++
+          p.targetProps.view.mapValues(Jinja.JStr(_)).toMap)),
+      builtins = DbtSqlEngine.dbtUtilsBuiltins)
 
   /** `{% snapshot name %} … {% endsnapshot %}` blocks from a
     * snapshot-paths file: name → the inner template (config() call
@@ -613,9 +637,9 @@ object DbtProject {
       val n = DbtTests.violations(t, allFrames)
       val label = t.column.map(c => s"${t.kind}($c)").getOrElse(t.kind)
       (s"${t.model}.$label", "test",
-        if (n == 0L) "pass" else "fail", s"$n violating rows")
+        DbtTests.statusOf(n, t.config), s"$n violating rows")
     }
-    val (frames, status) = engine.build(p.modelSql, allFrames,
+    val (frames, status, testRows) = engine.build(p.modelSql, allFrames,
       p.materializations, p.tags, select, fullRefresh, modelTests, exclude)
     val modelRows = status.toSeq.sortBy(_._1).map { case (name, st) =>
       val (s, detail) = st.indexOf(':') match {
@@ -624,8 +648,30 @@ object DbtProject {
       }
       (name, "model", s, detail)
     }
+    // every gated schema test that EXECUTED reports its own row —
+    // warn outcomes are visible here even though they don't gate
+    val gatedRows = testRows.map { case (model, label, n, st) =>
+      (s"$model.$label", "test", st, s"$n violating rows")
+    }
+    // singular tests (tests/*.sql) run LAST: they read materialized
+    // models, so one with a non-built upstream is reported skipped
+    // (dbt's own ordering — test nodes depend on their refs)
+    val singularRows = p.singularTests.toSeq.sortBy(_._1).map {
+      case (name, tpl) =>
+        val r = renderSingular(p, tpl, vars)
+        BigQueryDialect.refs(r.text)
+          .find(d => status.get(d).exists(_ != "success")) match {
+          case Some(d) =>
+            (name, "test", "skipped", s"upstream $d did not build")
+          case None =>
+            val n = spark.sql(BigQueryDialect.translate(r.text,
+              currentDateOverride)).count()
+            (name, "test", DbtTests.statusOf(n, r.config),
+              s"$n violating rows")
+        }
+    }
     import spark.implicits._
-    (frames, (modelRows ++ inputRows)
+    (frames, (modelRows ++ gatedRows ++ inputRows ++ singularRows)
       .toDF("resource", "kind", "status", "detail"))
   }
 
@@ -759,6 +805,16 @@ object DbtProject {
     // seeds are testable resources too (dbt runs schema tests on them)
     val report = DbtTests.run(spark,
       sources ++ seedFrames(spark, p) ++ results, p.tests)
-    (results, report)
+    // singular tests (tests/*.sql): every materialized model is a
+    // temp view by now, so the rendered SQL executes directly
+    import spark.implicits._
+    val singular = p.singularTests.toSeq.sortBy(_._1).map {
+      case (name, tpl) =>
+        val r = renderSingular(p, tpl, vars)
+        val n = spark.sql(BigQueryDialect.translate(r.text,
+          currentDateOverride)).count()
+        (name, null: String, "singular", n, DbtTests.statusOf(n, r.config))
+    }.toDF("model", "column", "test", "n_violations", "status")
+    (results, report.unionByName(singular))
   }
 }

@@ -54,12 +54,17 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
 
   /** `dbt build`: like [[run]], but each model's declared data tests
     * execute immediately after it materializes and gate its
-    * dependents — a failing test SKIPS everything downstream while
-    * independent branches keep running (dbt's skip semantics, not an
-    * abort). Tests whose model is not in `modelSql` (seeds, sources)
-    * are ignored here — the caller runs those against its own frames.
+    * dependents — a test whose [[DbtTests.statusOf]] resolves to
+    * `fail` SKIPS everything downstream while independent branches
+    * keep running (dbt's skip semantics, not an abort); a `warn`
+    * outcome is REPORTED but does not gate (dbt's severity contract).
+    * Tests whose model is not in `modelSql` (seeds, sources) are
+    * ignored here — the caller runs those against its own frames.
     * @return (frames for every model that materialized, status per
-    *         model: success | fail: … | skipped: …) */
+    *         model: success | fail: … | skipped: …, one row per
+    *         EXECUTED test: (model, test label, violations, status ∈
+    *         pass|warn|fail) — tests of skipped models don't run and
+    *         are absent) */
   def build(modelSql: Map[String, String], sources: Map[String, DataFrame],
       materializations: Map[String, Materialization] = Map.empty,
       tags: Map[String, Set[String]] = Map.empty,
@@ -67,7 +72,8 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       fullRefresh: Boolean = false,
       tests: Seq[DbtTests.DataTest] = Seq.empty,
       exclude: Option[String] = None)
-      : (Map[String, DataFrame], Map[String, String]) = {
+      : (Map[String, DataFrame], Map[String, String],
+         Seq[(String, String, Long, String)]) = {
     val prep = prepare(modelSql, sources, materializations, tags,
       select, fullRefresh, exclude)
     // dbt compiles tests on ephemeral models against the inlined CTE;
@@ -77,22 +83,39 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       "data tests on ephemeral models are not supported (they never " +
         s"materialize): ${ephTested.map(t => s"${t.model}.${t.kind}").distinct}")
     val byModel = tests.groupBy(_.model)
+    // every executed test logs here (checks run concurrently under the
+    // Runner's thread pool); (model, label) keys the report rows
+    val testLog = new scala.collection.concurrent.TrieMap[
+      (String, String), (Long, String)]
     val withChecks = prep.chosen.map { m =>
       val checks = byModel.getOrElse(m.name, Seq.empty).map { t =>
         val label = t.column.map(c => s"${t.kind}($c)").getOrElse(t.kind)
-        label -> ((df: org.apache.spark.sql.DataFrame) =>
-          DbtTests.violatingRows(t, df, spark))
+        label -> ((df: org.apache.spark.sql.DataFrame) => {
+          val n = DbtTests.violatingRows(t, df, spark).count()
+          val st = DbtTests.statusOf(n, t.config)
+          testLog((m.name, label)) = (n, st)
+          if (st == "fail")
+            // same exception (and message shape) the Runner's own
+            // gate raises — buildGated's skip semantics apply
+            throw new graft.model.DataCheckException(
+              s"model ${m.name} failed check '$label': " +
+                s"$n violating rows", m.name)
+          // pass/warn: nothing to gate on
+          df.limit(0)
+        })
       }
       m.copy(checks = checks)(m.transform)
     }
-    val out = new Runner(spark, sources, warehouseDir, threads)
+    val (frames, status) = new Runner(spark, sources, warehouseDir, threads)
       .buildGated(withChecks)
     // only SUCCESSFUL models advance: a model that failed its gated
     // tests (or was skipped) keeps its old manifest hash, so the next
     // state:modified run still sees it as modified and rebuilds it
-    writeManifest(prep.effectiveSql, out._2.collect {
+    writeManifest(prep.effectiveSql, status.collect {
       case (n, st) if st == "success" => n }.toSet)
-    out
+    val testRows = testLog.toSeq.sortBy(_._1).map {
+      case ((model, label), (n, st)) => (model, label, n, st) }
+    (frames, status, testRows)
   }
 
   /** dbt `state:modified` support: the warehouse carries a manifest

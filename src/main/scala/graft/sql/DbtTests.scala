@@ -27,12 +27,52 @@ import MiniYaml._
 object DbtTests {
 
   /** One declared test: the owning model, the column (None for
-    * model-level tests), the test kind, and its params. */
+    * model-level tests), the test kind, its params, and its dbt test
+    * CONFIG (`severity`, `error_if`, `warn_if`, `where` — inline or
+    * under a nested `config:` key). */
   final case class DataTest(model: String, column: Option[String],
-      kind: String, params: Map[String, Seq[String]])
+      kind: String, params: Map[String, Seq[String]],
+      config: Map[String, String] = Map.empty)
 
   private val supported = Set("not_null", "unique", "accepted_values",
-    "relationships", "dbt_utils.unique_combination_of_columns")
+    "relationships", "dbt_utils.unique_combination_of_columns",
+    "dbt_utils.expression_is_true")
+
+  /** dbt test config keys understood here; anything else in a test's
+    * `config:` block fails loudly. `quote` is accepted-and-inert on
+    * accepted_values (this engine compares by value, so quoting is
+    * not a degree of freedom the way it is in generated SQL). */
+  private val configKeys = Set("severity", "error_if", "warn_if",
+    "where", "quote")
+
+  /** dbt's test-status rule: severity 'warn' can only warn; severity
+    * 'error' (the default) fails when `error_if` (default `!=0`)
+    * holds against the violation count, otherwise warns when
+    * `warn_if` (default `!=0`) holds, otherwise passes. Conditions
+    * are `<cmp> <int>` with cmp ∈ != = > >= < <=. */
+  def statusOf(n: Long, config: Map[String, String]): String = {
+    def holds(cond: String): Boolean = {
+      val m = """^\s*(!=|>=|<=|=|>|<)\s*(\d+)\s*$""".r
+        .findFirstMatchIn(cond).getOrElse(
+          throw new IllegalArgumentException(
+            s"unsupported test condition '$cond' (use <cmp> <int>)"))
+      val v = m.group(2).toLong
+      m.group(1) match {
+        case "!=" => n != v
+        case "="  => n == v
+        case ">"  => n > v
+        case ">=" => n >= v
+        case "<"  => n < v
+        case "<=" => n <= v
+      }
+    }
+    val sev = config.getOrElse("severity", "error").toLowerCase
+    require(sev == "error" || sev == "warn",
+      s"unsupported test severity '$sev' (error|warn)")
+    if (sev == "error" && holds(config.getOrElse("error_if", "!=0"))) "fail"
+    else if (holds(config.getOrElse("warn_if", "!=0"))) "warn"
+    else "pass"
+  }
 
   private def scalarsOf(n: Node, what: String): Seq[String] = n match {
     case YList(xs) => xs.map {
@@ -45,6 +85,12 @@ object DbtTests {
       s"$what: expected a list or scalar, got $other")
   }
 
+  private def scalarOf(n: Node, what: String): String = n match {
+    case YScalar(s) => s
+    case other => throw new IllegalArgumentException(
+      s"$what: expected a scalar, got $other")
+  }
+
   private def toTest(model: String, column: Option[String],
       node: Node): DataTest = node match {
     case YScalar(kind) =>
@@ -52,14 +98,25 @@ object DbtTests {
       DataTest(model, column, kind, Map.empty)
     case YMap(Vector((kind, params))) =>
       require(supported.contains(kind), s"unsupported data test '$kind'")
-      val p = params match {
-        case pm: YMap => pm.entries.map { case (k, v) =>
-          k -> scalarsOf(v, s"$kind.$k") }.toMap
-        case YNull => Map.empty[String, Seq[String]]
+      val p = scala.collection.mutable.Map.empty[String, Seq[String]]
+      val cfg = scala.collection.mutable.Map.empty[String, String]
+      params match {
+        case pm: YMap => pm.entries.foreach {
+          // dbt accepts config keys inline OR under a config: block
+          case ("config", cm: YMap) => cm.entries.foreach { case (ck, cv) =>
+            require(configKeys.contains(ck),
+              s"unsupported test config '$ck' under $kind")
+            cfg(ck) = scalarOf(cv, s"$kind.config.$ck")
+          }
+          case (k, v) if configKeys.contains(k) =>
+            cfg(k) = scalarOf(v, s"$kind.$k")
+          case (k, v) => p(k) = scalarsOf(v, s"$kind.$k")
+        }
+        case YNull => ()
         case other => throw new IllegalArgumentException(
           s"unsupported params for test '$kind': $other")
       }
-      DataTest(model, column, kind, p)
+      DataTest(model, column, kind, p.toMap, cfg.toMap)
     case other => throw new IllegalArgumentException(
       s"unsupported test declaration: $other")
   }
@@ -124,8 +181,13 @@ object DbtTests {
   /** Violating rows for one test against the model's frame — the
     * Model.checks contract (pass ⇔ empty). `resolve` supplies the
     * `relationships` target relation by name. */
-  private def violatingRowsWith(t: DataTest, df: DataFrame,
-      resolve: String => DataFrame): DataFrame = t.kind match {
+  private def violatingRowsWith(t: DataTest, df0: DataFrame,
+      resolve: String => DataFrame): DataFrame = {
+    // dbt's `where` test config: the test runs against the filtered
+    // model (rows outside the predicate can't violate)
+    val df = t.config.get("where").map(w => df0.filter(expr(w)))
+      .getOrElse(df0)
+    t.kind match {
     case "not_null" =>
       df.filter(col(t.column.get).isNull).select(t.column.get)
     case "unique" =>
@@ -155,6 +217,14 @@ object DbtTests {
           "unique_combination_of_columns without combination_of_columns:"))
       df.groupBy(cols.map(col): _*).count()
         .filter(col("count") > 1)
+    case "dbt_utils.expression_is_true" =>
+      // violating rows are those where the expression is NOT true
+      // (false OR null — dbt_utils generates the same NOT(coalesce))
+      val e = t.params.getOrElse("expression", Seq.empty).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          "expression_is_true without expression:"))
+      df.filter(!coalesce(expr(e), lit(false)))
+  }
   }
 
   /** Violating rows with `relationships` targets resolved from the
@@ -176,14 +246,14 @@ object DbtTests {
 
   /** Run every test; one row per test with its violation count —
     * the `dbt test` report. @return (model, column, test,
-    * n_violations, status ∈ pass|fail) */
+    * n_violations, status ∈ pass|warn|fail — [[statusOf]] applies the
+    * test's severity/error_if/warn_if config) */
   def run(spark: SparkSession, frames: Map[String, DataFrame],
       tests: Seq[DataTest]): DataFrame = {
     import spark.implicits._
     tests.map { t =>
       val n = violations(t, frames)
-      (t.model, t.column.orNull, t.kind, n,
-        if (n == 0L) "pass" else "fail")
+      (t.model, t.column.orNull, t.kind, n, statusOf(n, t.config))
     }.toDF("model", "column", "test", "n_violations", "status")
   }
 }

@@ -366,6 +366,125 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("custom"))
   }
 
+  test("singular tests + severity config: tests/*.sql run as tests; warn does not gate (round 15)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-singproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("tests"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"singy\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: txns
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/clean_txns.sql"),
+      """select id, amount from {{ source('raw', 'txns') }}
+        |where amount is not null
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/txn_total.sql"),
+      """select sum(amount) as total from {{ ref('clean_txns') }}
+        |""".stripMargin.getBytes("UTF-8"))
+    // a FAILING singular test (negative amounts exist) and a PASSING
+    // one; the failing one carries severity config via {{ config }}
+    Files.write(dir.resolve("tests/assert_no_negative_amounts.sql"),
+      """{{ config(severity='warn') }}
+        |select id from {{ ref('clean_txns') }} where amount < 0
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("tests/assert_some_rows.sql"),
+      """select 1 as one from {{ ref('clean_txns') }} having count(*) = 0
+        |""".stripMargin.getBytes("UTF-8"))
+    // schema test with warn severity on the model: fails but must NOT
+    // gate txn_total; a second with error_if threshold passes at n<=2
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: clean_txns
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - unique:
+        |              severity: warn
+        |          - not_null:
+        |              config:
+        |                error_if: ">2"
+        |                warn_if: ">0"
+        |""".stripMargin.getBytes("UTF-8"))
+    val txns = Seq((1L, 10L), (1L, 10L), (2L, -5L), (3L, 7L))
+      .toDF("id", "amount")
+    val wh = Files.createTempDirectory("graft-sing-wh").toString
+    val p = DbtProject.load(dir.toString)
+    assert(p.singularTests.keySet ==
+      Set("assert_no_negative_amounts", "assert_some_rows"))
+    val (frames, report) = DbtProject.build(spark, dir.toString,
+      Map("txns" -> txns), wh)
+    val rows = report.select("resource", "kind", "status")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // duplicate id=1 → unique fails, but severity warn does NOT skip
+    // the dependent; not_null has 0 violations → pass under thresholds
+    assert(rows("clean_txns") == (("model", "success")), s"$rows")
+    assert(rows("txn_total") == (("model", "success")), s"$rows")
+    assert(rows("clean_txns.unique(id)") == (("test", "warn")), s"$rows")
+    assert(rows("clean_txns.not_null(id)") == (("test", "pass")), s"$rows")
+    // singular tests: the negative-amount test violates (1 row) but is
+    // warn-severity; the row-count test passes
+    assert(rows("assert_no_negative_amounts") == (("test", "warn")), s"$rows")
+    assert(rows("assert_some_rows") == (("test", "pass")), s"$rows")
+    assert(frames.keySet == Set("clean_txns", "txn_total"))
+    // runAndTest surfaces singular tests in the dbt-test report shape
+    val (_, testReport) = DbtProject.runAndTest(spark, dir.toString,
+      Map("txns" -> txns), wh)
+    val sing = testReport.filter(col("test") === "singular")
+      .select("model", "n_violations", "status")
+      .as[(String, Long, String)].collect().toSet
+    assert(sing == Set(("assert_no_negative_amounts", 1L, "warn"),
+      ("assert_some_rows", 0L, "pass")), s"$sing")
+    // error-severity singular test GATES the report status to fail
+    Files.write(dir.resolve("tests/assert_no_negative_amounts.sql"),
+      """select id from {{ ref('clean_txns') }} where amount < 0
+        |""".stripMargin.getBytes("UTF-8"))
+    val (_, report2) = DbtProject.build(spark, dir.toString,
+      Map("txns" -> txns), wh)
+    val st2 = report2.filter(col("resource") === "assert_no_negative_amounts")
+      .select("status").as[String].collect().toSeq
+    assert(st2 == Seq("fail"), s"$st2")
+    // a singular test whose upstream model failed its ERROR-severity
+    // gate reports skipped
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: clean_txns
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - unique
+        |""".stripMargin.getBytes("UTF-8"))
+    val (_, report3) = DbtProject.build(spark, dir.toString,
+      Map("txns" -> txns), wh)
+    val r3 = report3.select("resource", "status")
+      .as[(String, String)].collect().toMap
+    assert(r3("clean_txns") == "fail", s"$r3")
+    assert(r3("txn_total") == "skipped", s"$r3")
+    assert(r3("assert_no_negative_amounts") == "skipped", s"$r3")
+    // malformed severity fails loudly
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: clean_txns
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - unique:
+        |              severity: whisper
+        |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[Exception](DbtProject.build(spark, dir.toString,
+      Map("txns" -> txns), Files.createTempDirectory("graft-sing-wh2").toString))
+    assert(e.getMessage != null && e.getMessage.contains("severity"))
+  }
+
   test("ephemeral materialization: models inline as __dbt__cte__ CTEs, never materialize (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ephproj")
