@@ -44,14 +44,20 @@ object Materialization {
   * every upstream model output by name — the engine's ref()/source().
   * `checks` are dbt-style data tests: each maps the model's output to
   * its violating rows; the model passes iff all are empty
-  * (marts_schema.yml:6-15).
+  * (marts_schema.yml:6-15). `preHooks`/`postHooks` are dbt's
+  * pre-hook/post-hook: side-effecting statements the Runner executes
+  * immediately before the model's transform and immediately after it
+  * materializes (the model's own relation is queryable by name in a
+  * post-hook), in declaration order.
   */
 final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization = Materialization.View,
     tags: Set[String] = Set.empty,
-    checks: Seq[(String, DataFrame => DataFrame)] = Seq.empty)(
+    checks: Seq[(String, DataFrame => DataFrame)] = Seq.empty,
+    preHooks: Seq[() => Unit] = Seq.empty,
+    postHooks: Seq[() => Unit] = Seq.empty)(
     val transform: Map[String, DataFrame] => DataFrame)
 
 final class DataCheckException(msg: String, val model: String = "")
@@ -175,8 +181,19 @@ final class Runner(
   def build(models: Seq[Model]): Map[String, DataFrame] =
     run(models, runChecks = true)
 
-  /** Materialize one model given its resolved upstream frames. */
+  /** Materialize one model given its resolved upstream frames.
+    * Pre-hooks run first; post-hooks run after the result is
+    * materialized AND registered (so a post-hook can query the model
+    * by name — audit inserts, grants-analogs). */
   private def materialize(m: Model,
+      env: Map[String, DataFrame]): (String, DataFrame) = {
+    m.preHooks.foreach(_())
+    val out = materializeInner(m, env)
+    m.postHooks.foreach(_())
+    out
+  }
+
+  private def materializeInner(m: Model,
       env: Map[String, DataFrame]): (String, DataFrame) = {
     val df = m.transform(env)
     m.materialization match {

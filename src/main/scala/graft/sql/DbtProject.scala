@@ -69,7 +69,8 @@ object DbtProject {
       seeds: Map[String, String] = Map.empty,
       snapshots: Map[String, String] = Map.empty,
       freshness: Map[String, FreshnessConfig] = Map.empty,
-      singularTests: Map[String, String] = Map.empty)
+      singularTests: Map[String, String] = Map.empty,
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
 
   /** A declared table's resolved `dbt source freshness` config:
     * which column carries the load timestamp and the staleness
@@ -400,6 +401,51 @@ object DbtProject {
     out.toMap
   }
 
+  /** Per-directory `+pre-hook:`/`+post-hook:` from dbt_project.yml's
+    * `models:` block — like tags, hooks ACCUMULATE down the directory
+    * tree (dbt runs project-level hooks plus model-level ones).
+    * Scalar (quoted or bare) values only: a flow LIST of hooks cannot
+    * be split safely here (hook SQL contains commas) and fails loudly
+    * — declare multiple hooks via in-model `config(post_hook=[...])`,
+    * where the list survives intact. */
+  private[graft] def parseHooks(yml: String)
+      : Map[Seq[String], (Seq[String], Seq[String])] = {
+    val lines = yml.linesIterator.toSeq
+    val out = scala.collection.mutable.Map
+      .empty[Seq[String], (Seq[String], Seq[String])]
+    var inModels = false
+    var stack = List.empty[(Int, String)]
+    val keyRe = """^(\s*)([\w-]+):\s*$""".r
+    val hookRe = """^(\s*)\+(pre-hook|post-hook):\s*(.+?)\s*$""".r
+    lines.foreach {
+      case keyRe(ind, "models") if ind.isEmpty => inModels = true; stack = Nil
+      case l if inModels =>
+        l match {
+          case hookRe(_, which, raw) =>
+            require(!raw.startsWith("["),
+              s"+$which: list form is not supported in dbt_project.yml " +
+                "(hook SQL contains commas) — use in-model " +
+                "config(pre_hook=[...]/post_hook=[...]) for multiple hooks")
+            val sql = raw.stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("'").stripSuffix("'")
+            val path = stack.reverse.map(_._2).drop(1)
+            val (pre, post) = out.getOrElse(path, (Seq.empty, Seq.empty))
+            out(path) =
+              if (which == "pre-hook") (pre :+ sql, post)
+              else (pre, post :+ sql)
+          case keyRe(ind, k) =>
+            if (ind.isEmpty) inModels = false
+            else {
+              stack = stack.dropWhile(_._1 >= ind.length)
+              stack = (ind.length, k) :: stack
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toMap
+  }
+
   /** Discover the project at `projectDir`: models from every
     * directory in `model-paths` (default `["models"]`), macros from
     * every directory in `macro-paths` (default `["macros"]`), and
@@ -452,6 +498,29 @@ object DbtProject {
           .flatMap(prefix => tagPolicy.getOrElse(prefix, Set.empty)).toSet
       }
     }.toMap
+    // dbt on-run-start/on-run-end: project-level lifecycle hooks are
+    // not implemented — losing them silently (grants, audit setup)
+    // is worse than failing here
+    for (k <- Seq("on-run-start", "on-run-end"))
+      require(!(s"""(?m)^$k:""").r.findFirstIn(projText).isDefined,
+        s"dbt_project.yml declares $k, which this engine does not " +
+          "support — model-level pre-hook/post-hook are supported")
+    // +pre-hook/+post-hook accumulate down the tree, outermost first
+    // (project-policy hooks run before the model's own config hooks)
+    val hookPolicy = parseHooks(projText)
+    val modelHooks = byDir.flatMap { case (dir, fs) =>
+      fs.filter(_.toString.endsWith(".sql")).map { p =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        val relDirs = dir.relativize(p.getParent).toString
+          .split("[/\\\\]").toSeq.filter(_.nonEmpty)
+        val prefixes = relDirs.inits.toSeq.reverse // outermost first
+        name -> prefixes.foldLeft((Seq.empty[String], Seq.empty[String])) {
+          case ((pre, post), prefix) =>
+            val (p2, q2) = hookPolicy.getOrElse(prefix, (Seq.empty, Seq.empty))
+            (pre ++ p2, post ++ q2)
+        }
+      }
+    }.toMap.filter { case (_, (pre, post)) => pre.nonEmpty || post.nonEmpty }
     val macros = parseStringList(projText, "macro-paths")
       .getOrElse(Seq("macros")).map(root.resolve)
       .filter(Files.isDirectory(_))
@@ -517,7 +586,8 @@ object DbtProject {
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => parseFreshness(read(p))).toMap
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
-      modelTags, targetProps, seeds, snapshots, freshness, singularTests)
+      modelTags, targetProps, seeds, snapshots, freshness, singularTests,
+      modelHooks)
   }
 
   /** Render one singular test's Jinja (ref()/source() placeholders
@@ -574,7 +644,7 @@ object DbtProject {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
     engine.run(p.modelSql, allFrames, p.materializations, p.tags, select,
-      fullRefresh, exclude)
+      fullRefresh, exclude, p.hooks)
   }
 
   /** Shared run/build wiring: load the project, check sources, build
@@ -640,7 +710,8 @@ object DbtProject {
         DbtTests.statusOf(n, t.config), s"$n violating rows")
     }
     val (frames, status, testRows) = engine.build(p.modelSql, allFrames,
-      p.materializations, p.tags, select, fullRefresh, modelTests, exclude)
+      p.materializations, p.tags, select, fullRefresh, modelTests, exclude,
+      p.hooks)
     val modelRows = status.toSeq.sortBy(_._1).map { case (name, st) =>
       val (s, detail) = st.indexOf(':') match {
         case -1 => (st, "")

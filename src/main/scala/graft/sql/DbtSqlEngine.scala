@@ -39,9 +39,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       tags: Map[String, Set[String]] = Map.empty,
       select: Option[String] = None,
       fullRefresh: Boolean = false,
-      exclude: Option[String] = None): Map[String, DataFrame] = {
+      exclude: Option[String] = None,
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
+      : Map[String, DataFrame] = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh, exclude)
+      select, fullRefresh, exclude, hooks)
     val out = new Runner(spark, sources, warehouseDir, threads)
       .run(prep.chosen)
     // only the models actually built this run advance in the manifest:
@@ -71,11 +73,12 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       select: Option[String] = None,
       fullRefresh: Boolean = false,
       tests: Seq[DbtTests.DataTest] = Seq.empty,
-      exclude: Option[String] = None)
+      exclude: Option[String] = None,
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
       : (Map[String, DataFrame], Map[String, String],
          Seq[(String, String, Long, String)]) = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh, exclude)
+      select, fullRefresh, exclude, hooks)
     // dbt compiles tests on ephemeral models against the inlined CTE;
     // this engine does not — fail loudly instead of silently skipping
     val ephTested = tests.filter(t => prep.ephemerals.contains(t.model))
@@ -180,7 +183,9 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       tags: Map[String, Set[String]],
       select: Option[String],
       fullRefresh: Boolean,
-      exclude: Option[String] = None): Prepared = {
+      exclude: Option[String] = None,
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
+      : Prepared = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -232,6 +237,12 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     }.toSeq
     val ephNames = pass1.collect {
       case r if r.mat == Materialization.Ephemeral => r.name }.toSet
+    // an ephemeral model never executes, so its hooks would silently
+    // never fire — reject loudly (dbt disallows this too)
+    for (r <- pass1 if ephNames.contains(r.name);
+         k <- Seq("pre_hook", "post_hook") if r.first.config.contains(k))
+      throw new IllegalArgumentException(
+        s"ephemeral model ${r.name} cannot declare $k (it never executes)")
     val firstText = pass1.map(r => r.name -> r.first.text).toMap
     // rewrite `{{ ref('eph') }}` placeholders to the dbt CTE name;
     // refs to real models pass through untouched
@@ -301,11 +312,26 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       val modelTags = tags.getOrElse(name, Set.empty) ++
         first.config.get("tags").toSeq.flatMap(_.split(","))
           .map(_.trim).filter(_.nonEmpty)
+      // dbt pre-hook/post-hook: policy-level (dbt_project.yml) hooks
+      // first, then the model's own config(pre_hook=..., post_hook=...)
+      // — each a statement run via spark.sql after dialect translation.
+      // configList carries list-valued hooks verbatim (hook SQL may
+      // contain commas); a scalar hook reads from the flat config.
+      def hookSqls(key: String): Seq[String] =
+        first.configList.getOrElse(key, first.config.get(key).toSeq)
+      val (policyPre, policyPost) =
+        hooks.getOrElse(name, (Seq.empty[String], Seq.empty[String]))
+      def hookFn(h: String): () => Unit = () => {
+        spark.sql(BigQueryDialect.translate(h, currentDateOverride))
+          .collect(); ()
+      }
+      val preHooks = (policyPre ++ hookSqls("pre_hook")).map(hookFn)
+      val postHooks = (policyPost ++ hookSqls("post_hook")).map(hookFn)
       // deps come from the COMBINED text: refs through an ephemeral
       // land on the ephemeral's own upstreams, so the DAG edge (and
       // selector closure) survives the inlining
       Model(name, BigQueryDialect.refs(combined).distinct, mat,
-          tags = modelTags)({ _ =>
+          tags = modelTags, preHooks = preHooks, postHooks = postHooks)({ _ =>
         // {{ this }} resolves to the resident target as of THIS run
         if (incrementalRun)
           spark.read.parquet(targetPath.toString)

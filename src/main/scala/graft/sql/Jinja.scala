@@ -434,7 +434,12 @@ object Jinja {
       val macros: scala.collection.mutable.Map[String, MacroDef],
       val config: scala.collection.mutable.Map[String, String],
       var scope: List[scala.collection.mutable.Map[String, JV]],
-      val builtins: Map[String, Seq[JV] => JV])
+      val builtins: Map[String, Seq[JV] => JV],
+      // list-valued config kwargs, items preserved (the flat `config`
+      // map comma-joins them, which is lossy for SQL-bearing lists
+      // like post_hook=[...])
+      val configLists: scala.collection.mutable.Map[String, Seq[String]] =
+        scala.collection.mutable.Map.empty)
 
   private def lookup(ctx: Ctx, name: String): Option[JV] =
     ctx.scope.collectFirst { case f if f.contains(name) => f(name) }
@@ -521,8 +526,13 @@ object Jinja {
         kwargEs.foreach { case (k, e) =>
           ctx.config(k) = evalExpr(e, ctx) match {
             // list-valued config (unique_key=['a','b']) folds to a
-            // comma-joined string — the capture map stays flat
-            case JList(xs) => xs.map(show).mkString(",")
+            // comma-joined string — the capture map stays flat; the
+            // items also land in configLists verbatim for consumers
+            // whose values may themselves contain commas (hooks)
+            case JList(xs) =>
+              val items = xs.map(show)
+              ctx.configLists(k) = items
+              items.mkString(",")
             case v => show(v)
           }
         }
@@ -590,8 +600,12 @@ object Jinja {
     }
 
   // ---------- public API ----------
-  /** A rendered template plus any `config(...)` kwargs it declared. */
-  final case class Result(text: String, config: Map[String, String])
+  /** A rendered template plus any `config(...)` kwargs it declared.
+    * `configList` carries list-valued kwargs with their items intact
+    * (the flat `config` comma-joins them, lossy for SQL-bearing
+    * lists like `post_hook=[...]`). */
+  final case class Result(text: String, config: Map[String, String],
+      configList: Map[String, Seq[String]] = Map.empty)
 
   /** @param bindings extra root-scope identifiers (e.g. dbt's
     *        `this` → the target relation as a [[JRaw]])
@@ -611,7 +625,7 @@ object Jinja {
       List(scala.collection.mutable.Map.from(bindings)), builtins)
     val sb = new StringBuilder
     evalNodes(nodes, ctx, sb)
-    Result(sb.toString, ctx.config.toMap)
+    Result(sb.toString, ctx.config.toMap, ctx.configLists.toMap)
   }
 
   /** Parse a macro file (dbt `macro-paths` entry): every top-level

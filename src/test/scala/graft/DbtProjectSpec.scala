@@ -366,6 +366,74 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("custom"))
   }
 
+  test("hooks: config pre_hook/post_hook + project-yml hooks execute around materialization (round 15)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_hook_audit")
+    spark.sql("CREATE TABLE graft_hook_audit (model STRING, phase STRING) USING parquet")
+    try {
+      val dir = Files.createTempDirectory("graft-hookproj")
+      Files.createDirectories(dir.resolve("models/marts"))
+      Files.write(dir.resolve("dbt_project.yml"),
+        """name: "hooky"
+          |models:
+          |  hooky:
+          |    marts:
+          |      +pre-hook: "insert into graft_hook_audit values ('policy', 'pre')"
+          |""".stripMargin.getBytes("UTF-8"))
+      Files.write(dir.resolve("models/sources.yml"),
+        """version: 2
+          |sources:
+          |  - name: raw
+          |    tables:
+          |      - name: people
+          |""".stripMargin.getBytes("UTF-8"))
+      // list-valued post_hook: TWO hooks, SQL containing commas —
+      // must not be comma-split; a post-hook can read the model by
+      // name (it is registered by the time post-hooks fire)
+      Files.write(dir.resolve("models/marts/adults.sql"),
+        ("{{ config(post_hook=[" +
+          "\"insert into graft_hook_audit values ('adults', 'post1')\", " +
+          "\"insert into graft_hook_audit select name, 'post2' from adults\"" +
+          "]) }}\n" +
+          "select name, age from {{ source('raw', 'people') }} where age >= 18\n")
+          .getBytes("UTF-8"))
+      val people = Seq(("ann", 34L), ("bob", 11L)).toDF("name", "age")
+      val out = DbtProject.run(spark, dir.toString,
+        Map("people" -> people),
+        Files.createTempDirectory("graft-hook-wh").toString)
+      assert(out("adults").count() == 1L)
+      val audit = spark.table("graft_hook_audit")
+        .as[(String, String)].collect().toSet
+      assert(audit == Set(("policy", "pre"), ("adults", "post1"),
+        ("ann", "post2")), s"$audit")
+      // on-run-start in dbt_project.yml fails loudly
+      Files.write(dir.resolve("dbt_project.yml"),
+        "name: \"hooky\"\non-run-start: \"select 1\"\n".getBytes("UTF-8"))
+      val e1 = intercept[IllegalArgumentException](DbtProject.load(dir.toString))
+      assert(e1.getMessage.contains("on-run-start"))
+      // list-form +post-hook in dbt_project.yml fails loudly
+      Files.write(dir.resolve("dbt_project.yml"),
+        ("name: \"hooky\"\nmodels:\n  hooky:\n" +
+          "    +post-hook: [\"a\", \"b\"]\n").getBytes("UTF-8"))
+      val e2 = intercept[IllegalArgumentException](DbtProject.load(dir.toString))
+      assert(e2.getMessage.contains("list form"))
+      // hooks on an ephemeral model fail loudly (they would never run)
+      Files.write(dir.resolve("dbt_project.yml"),
+        "name: \"hooky\"\n".getBytes("UTF-8"))
+      Files.write(dir.resolve("models/marts/adults.sql"),
+        ("{{ config(materialized='ephemeral', " +
+          "post_hook='insert into graft_hook_audit values (1, 2)') }}\n" +
+          "select name from {{ source('raw', 'people') }}\n")
+          .getBytes("UTF-8"))
+      Files.write(dir.resolve("models/marts/uses_adults.sql"),
+        "select * from {{ ref('adults') }}\n".getBytes("UTF-8"))
+      val e3 = intercept[IllegalArgumentException](DbtProject.run(
+        spark, dir.toString, Map("people" -> people),
+        Files.createTempDirectory("graft-hook-wh2").toString))
+      assert(e3.getMessage.contains("ephemeral"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_hook_audit")
+  }
+
   test("singular tests + severity config: tests/*.sql run as tests; warn does not gate (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-singproj")
