@@ -366,6 +366,83 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e.getMessage.contains("custom"))
   }
 
+  test("test generics breadth: expression_is_true, where config, accepted_values quote (round 15)") {
+    import spark.implicits._
+    import graft.sql.DbtTests
+    val df = Seq((1L, 10L, 2L, "us"), (2L, 5L, 9L, "eu"),
+      (3L, -1L, 0L, "apac")).toDF("id", "gross", "net", "region")
+    val frames = Map("m" -> df)
+    // expression_is_true: net <= gross violated by id=2 (9 > 5) and
+    // id=3 (0 > -1)
+    val t1 = DbtTests.parse(
+      """version: 2
+        |models:
+        |  - name: m
+        |    tests:
+        |      - dbt_utils.expression_is_true:
+        |          expression: "net <= gross"
+        |""".stripMargin)
+    assert(t1.size == 1)
+    assert(DbtTests.violations(t1.head, frames) == 2L)
+    // where config narrows the tested rows: only region='us' checked
+    val t2 = DbtTests.parse(
+      """version: 2
+        |models:
+        |  - name: m
+        |    tests:
+        |      - dbt_utils.expression_is_true:
+        |          expression: "gross >= 0"
+        |          config:
+        |            where: "region = 'us'"
+        |""".stripMargin)
+    assert(DbtTests.violations(t2.head, frames) == 0L)
+    // same test unfiltered sees the apac violation
+    val t2b = t2.head.copy(config = Map.empty)
+    assert(DbtTests.violations(t2b, frames) == 1L)
+    // accepted_values with quote: false parses and checks by value
+    val t3 = DbtTests.parse(
+      """version: 2
+        |models:
+        |  - name: m
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - accepted_values:
+        |              values: [1, 2, 3]
+        |              quote: false
+        |""".stripMargin)
+    assert(DbtTests.violations(t3.head, frames) == 0L)
+    // relationships honors where (orphans outside the filter pass)
+    val parent = Seq(1L, 2L).toDF("pid")
+    val t4 = DbtTests.parse(
+      """version: 2
+        |models:
+        |  - name: m
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - relationships:
+        |              to: parent
+        |              field: pid
+        |              where: "region != 'apac'"
+        |""".stripMargin)
+    assert(DbtTests.violations(t4.head, frames + ("parent" -> parent)) == 0L)
+    assert(DbtTests.violations(t4.head.copy(config = Map.empty),
+      frames + ("parent" -> parent)) == 1L)
+    // unknown config key fails loudly
+    val e = intercept[IllegalArgumentException](DbtTests.parse(
+      """version: 2
+        |models:
+        |  - name: m
+        |    tests:
+        |      - dbt_utils.expression_is_true:
+        |          expression: "1 = 1"
+        |          config:
+        |            retries: 3
+        |""".stripMargin))
+    assert(e.getMessage.contains("retries"))
+  }
+
   test("hooks: config pre_hook/post_hook + project-yml hooks execute around materialization (round 15)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_hook_audit")
