@@ -93,6 +93,139 @@ object Curation {
     }.reduce(_.unionByName(_))
   }
 
+  /** Pairwise mutual information between a table's categorical
+    * columns — [[fdDiscovery]]'s information-theoretic sibling: an FD
+    * answers "does X DETERMINE Y" as a boolean; MI grades HOW MUCH
+    * knowing X says about Y (redundant feature columns, hidden
+    * dependencies a leakage audit must flag, join-key candidates).
+    * Reports MI in nats, both marginal entropies, and the normalized
+    * MI / min(H_x, H_y) ∈ [0, 1]. NULL is a value via the
+    * (is_null, value) key — the [[fdDiscovery]] sentinel-free
+    * contract — and the same string-cast caveat applies.
+    *
+    * Exactness: joint and marginal counts are exact longs; each
+    * cell's p·ln term is rounded to a NANO long pre-sum so folds are
+    * exact and order-free; published statistics are single divisions,
+    * 6dp.
+    *
+    * Scale shape: per pair, ONE joint-grid aggregation (map-side
+    * combined), marginals derived from the grid (cell-cardinality
+    * bounded, never a second pass over rows), co-keyed grid↔marginal
+    * joins, one scalar rollup — pairs run as a union of independent
+    * single-row aggregates, exactly [[fdDiscovery]]'s plan shape.
+    *
+    * @return (lhs, rhs, n, grid_cells, mi_nats, h_lhs, h_rhs, nmi) */
+  def columnMi(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for (i <- cols.indices; j <- i + 1 until cols.size)
+      yield (cols(i), cols(j))
+    def d(c: Column) = c.cast(DoubleType)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    pairs.map { case (a, b) =>
+      val grid = df.select(
+          col(a).isNull.as("xn"),
+          coalesce(col(a).cast("string"), lit("")).as("xv"),
+          col(b).isNull.as("yn"),
+          coalesce(col(b).cast("string"), lit("")).as("yv"))
+        .groupBy("xn", "xv", "yn", "yv").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds marginals, total, and MI terms
+      val mx = grid.groupBy("xn", "xv").agg(sum(col("c")).as("cx"))
+      val my = grid.groupBy("yn", "yv").agg(sum(col("c")).as("cy"))
+      val tot = grid.agg(sum(col("c")).as("n"),
+        count(lit(1)).as("grid_cells"))
+      val mi = grid.join(mx, Seq("xn", "xv")).join(my, Seq("yn", "yv"))
+        .crossJoin(broadcast(tot.select("n")))
+        .select(nano(d(col("c")) / d(col("n")) *
+          log(d(col("n")) * d(col("c")) / (d(col("cx")) * d(col("cy")))))
+          .as("t"))
+        .agg(coalesce(sum(col("t")), lit(0L)).as("mi_nano"))
+      def entropy(m: DataFrame, cc: String): DataFrame = m
+        .crossJoin(broadcast(tot.select("n")))
+        .select(nano(d(col(cc)) / d(col("n")) *
+          log(d(col(cc)) / d(col("n")))).as("t"))
+        .agg(coalesce(-sum(col("t")), lit(0L)).as(s"h_$cc"))
+      val out = tot.crossJoin(mi)
+        .crossJoin(entropy(mx, "cx")).crossJoin(entropy(my, "cy"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n"),
+          col("grid_cells"),
+          round(d(col("mi_nano")) / 1e9, 6).as("mi_nats"),
+          round(d(col("h_cx")) / 1e9, 6).as("h_lhs"),
+          round(d(col("h_cy")) / 1e9, 6).as("h_rhs"),
+          round(when(least(col("h_cx"), col("h_cy")) <= 0L, 0.0)
+            .otherwise(d(col("mi_nano")) /
+              d(least(col("h_cx"), col("h_cy")))), 6).as("nmi"))
+        .localCheckpoint()
+      graft.ext.Checkpoints.release(grid)
+      out
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cross-source quantile normalization of a score column — map
+    * each source's score distribution onto the POOLED distribution so
+    * scores from differently-calibrated scorers (two quality models,
+    * two annotation vendors) become comparable before a global
+    * threshold or mixture cut. For a source cell at value v:
+    * rank fraction f = cum_s(v)/n_s (ties share their cell's END
+    * position — deterministic), normalized value = the pooled order
+    * statistic at position ⌈f·N⌉.
+    *
+    * Exactness: every cumulative and position is an exact long (the
+    * ⌈⌉ via integer `div`); the lookup is a value-domain order
+    * statistic, so the output is always an OBSERVED pooled value —
+    * no interpolation, no floats anywhere.
+    *
+    * Scale shape: one (group, source, value) count shuffle map-side
+    * combined; the pooled table derives from the same cells; the
+    * position lookup is the union-and-window as-of pattern over
+    * value-cardinality-bounded rows per group (probes and pooled
+    * boundaries sorted together, each probe reads the first boundary
+    * at-or-after its position) — never a corpus sort, never a range
+    * join.
+    *
+    * @param df rows with `groupCol`, `srcCol`, `vCol` (long micro)
+    * @return (grp, source, v, n, qn) — qn the pooled-domain value */
+  def quantileNormalize(df: DataFrame, groupCol: String = "group",
+      srcCol: String = "source", vCol: String = "v"): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"),
+        col(srcCol).cast(StringType).as("source"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "source", "v").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds source cums, pooled cums, the probes
+    val wSrc = Window.partitionBy("grp", "source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wSrcAll = Window.partitionBy("grp", "source")
+    val pooled = cells.groupBy("grp", "v").agg(sum(col("n")).as("np"))
+      .withColumn("cum_p", sum(col("np")).over(
+        Window.partitionBy("grp").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val nTot = pooled.groupBy("grp").agg(sum(col("np")).as("n_total"))
+    val probes = cells
+      .withColumn("cum_s", sum(col("n")).over(wSrc))
+      .withColumn("n_s", sum(col("n")).over(wSrcAll))
+      .join(broadcast(nTot), Seq("grp"))
+      // k = ⌈(cum_s/n_s)·N⌉ = (cum_s·N + n_s − 1) div n_s, exact longs
+      .select(col("grp"), col("source"), col("v"), col("n"),
+        expr("(cum_s * n_total + n_s - 1) div n_s").as("k"))
+    // as-of union: probes (tag 0) read the first pooled boundary
+    // (tag 1, key = cum_p) at-or-after their k via a forward min —
+    // boundary v is monotone in cum_p, so min(v) over the following
+    // frame IS the first boundary's value
+    val u = probes.select(col("grp"), col("k").as("key"), lit(0L).as("tag"),
+        col("source"), col("v"), col("n"), lit(null).cast(LongType).as("vb"))
+      .unionByName(pooled.select(col("grp"), col("cum_p").as("key"),
+        lit(1L).as("tag"), lit(null).cast(StringType).as("source"),
+        lit(null).cast(LongType).as("v"), lit(null).cast(LongType).as("n"),
+        col("v").as("vb")))
+    val wFwd = Window.partitionBy("grp").orderBy(col("key"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val out = u.withColumn("qn", min(col("vb")).over(wFwd))
+      .filter(col("tag") === 0L)
+      .select(col("grp"), col("source"), col("v"), col("n"), col("qn"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
+
   /** Corpus distinct-n diversity (Li et al. 2016's distinct-1/2,
     * extended to n ≤ `maxN`): per group, the fraction of n-gram
     * OCCURRENCES that are distinct types — the standard

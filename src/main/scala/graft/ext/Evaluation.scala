@@ -2065,4 +2065,568 @@ object Evaluation {
           .otherwise(exp(col("cum_nano").cast(DoubleType) / 1e9)), 6)
           .as("surv"))
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator per group — the
+    * additive sibling of [[kaplanMeier]] on the same censored
+    * lifetimes: H(t) = Σ_{t'≤t} d_{t'}/n_risk(t') with variance
+    * Σ d/n², and the Fleming–Harrington survival exp(−H(t)) (the
+    * small-risk-set-robust alternative to the KM product — KM pins
+    * to 0 the moment one risk set dies out; NA keeps estimating).
+    *
+    * Exactness: (d, c) and the risk-set cumulative are exact longs;
+    * each hazard/variance increment is rounded to a NANO long
+    * pre-sum so the group cumulative is an exact window sum; the
+    * published columns are one division / one exp, 6dp. Emitted at
+    * event times only (d > 0), like KM.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one (group, t)
+    * count shuffle map-side combined, then distinct-time-bounded
+    * windows per group.
+    *
+    * @param df one row per subject: `groupCol`, `tCol` (long
+    *           duration bucket), `eventCol` (1 = event, 0 = censored)
+    * @return (grp, t, n_risk, d, c, cum_haz, var_haz, fh_surv) — 6dp */
+  def nelsonAalen(df: DataFrame, groupCol: String = "group",
+      tCol: String = "t", eventCol: String = "event"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val state = df.select(col(groupCol).as("grp"),
+        col(tCol).cast(LongType).as("t"),
+        col(eventCol).cast(LongType).as("event"))
+      .groupBy("grp", "t").agg(
+        sum(col("event")).as("d"),
+        (count(lit(1)) - sum(col("event"))).as("c"))
+    val wAll = Window.partitionBy("grp")
+    val wPrev = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("grp").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val nRisk = col("n_risk").cast(DoubleType)
+    val risked = state
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("h_nano", when(col("d") === 0L, 0L)
+        .otherwise(nano(col("d").cast(DoubleType) / nRisk)))
+      .withColumn("v_nano", when(col("d") === 0L, 0L)
+        .otherwise(nano(col("d").cast(DoubleType) / (nRisk * nRisk))))
+      .withColumn("cum_h", sum(col("h_nano")).over(wCum))
+      .withColumn("cum_v", sum(col("v_nano")).over(wCum))
+    risked.filter(col("d") > 0L)
+      .select(col("grp"), col("t"), col("n_risk"), col("d"), col("c"),
+        round(col("cum_h").cast(DoubleType) / 1e9, 6).as("cum_haz"),
+        round(col("cum_v").cast(DoubleType) / 1e9, 6).as("var_haz"),
+        round(exp(-col("cum_h").cast(DoubleType) / 1e9), 6).as("fh_surv"))
+  }
+
+  /** Welch's unequal-variance t-test per group — the two-sample MEAN
+    * comparison [[abTest]]'s proportion z cannot express and
+    * [[mannWhitney]]'s rank test deliberately avoids (rank tests read
+    * stochastic dominance, not the mean difference a revenue metric
+    * reports). Welch's form drops the equal-variance assumption the
+    * pooled t silently bakes in: t = (ȳ_b − ȳ_a)/√(s²_a/n_a +
+    * s²_b/n_b), df via Welch–Satterthwaite.
+    *
+    * Exactness: per-arm (n, Σy, Σy²) are exact long sums (Σy²
+    * overflows past |y| ≈ 3·10⁶ micro on 10⁶-row arms — size the
+    * metric's unit accordingly; cents-scale business metrics sit far
+    * below); means/variances/t/df are one fixed-shape IEEE expression
+    * over those longs, 6dp. An arm with n < 2 or zero pooled
+    * standard error reports t = 0, df = 0.
+    *
+    * Scale shape: ONE map-side-combined (group, arm) shuffle carrying
+    * three long sums — nothing value- or corpus-proportional after
+    * it. The state is algebraic, so micro-batches fold freely
+    * (streaming twin: [[graft.streaming.StreamingOps]]).
+    *
+    * @param df rows with `groupCol`, `armCol` (0 = a, else b) and
+    *           `yCol` (long micro metric)
+    * @return (grp, n_a, n_b, mean_a, mean_b, t_stat, df) — 6dp */
+  def welchTTest(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", yCol: String = "y"): DataFrame =
+    welchFinish(welchState(df, groupCol, armCol, yCol))
+
+  /** The ALGEBRAIC (grp, arm) accumulator (n, Σy, Σy²) — three
+    * commutative long sums, the streaming-twin state table. */
+  private[graft] def welchState(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", yCol: String = "y"): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        when(col(armCol).cast(LongType) === 0L, 0L).otherwise(1L).as("arm"),
+        col(yCol).cast(LongType).as("y"))
+      .groupBy("grp", "arm").agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+
+  /** Finish a [[welchState]] snapshot into the t report —
+    * state-sized input, batch ≡ merged micro-batches. */
+  def welchFinish(state: DataFrame): DataFrame = {
+    val agg = state.groupBy("grp").agg(
+      sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("s")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === 0L, col("ss")).otherwise(0L)).as("ss_a"),
+      sum(when(col("arm") =!= 0L, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") =!= 0L, col("s")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") =!= 0L, col("ss")).otherwise(0L)).as("ss_b"))
+    def d(c: String) = col(c).cast(DoubleType)
+    // sample variance from exact sums: (n·Σy² − (Σy)²) / (n(n−1))
+    val varA = (d("n_a") * d("ss_a") - d("s_a") * d("s_a")) /
+      (d("n_a") * (d("n_a") - 1.0))
+    val varB = (d("n_b") * d("ss_b") - d("s_b") * d("s_b")) /
+      (d("n_b") * (d("n_b") - 1.0))
+    val sea = varA / d("n_a"); val seb = varB / d("n_b")
+    val se2 = sea + seb
+    val degenerate = col("n_a") < 2L || col("n_b") < 2L
+    agg.select(col("grp"), col("n_a"), col("n_b"),
+      round(when(col("n_a") === 0L, 0.0)
+        .otherwise(d("s_a") / d("n_a")), 6).as("mean_a"),
+      round(when(col("n_b") === 0L, 0.0)
+        .otherwise(d("s_b") / d("n_b")), 6).as("mean_b"),
+      round(when(degenerate, 0.0).otherwise(when(se2 <= 0.0, 0.0)
+        .otherwise((d("s_b") / d("n_b") - d("s_a") / d("n_a")) /
+          sqrt(se2))), 6).as("t_stat"),
+      round(when(degenerate, 0.0).otherwise(when(se2 <= 0.0, 0.0)
+        .otherwise(se2 * se2 / (sea * sea / (d("n_a") - 1.0) +
+          seb * seb / (d("n_b") - 1.0)))), 6).as("df"))
+  }
+
+  /** Kruskal–Wallis H rank test per group — the k-SAMPLE extension of
+    * [[mannWhitney]] (three or more arms; MW handles exactly two):
+    * does at least one arm's metric distribution sit above the rest?
+    * H = 12/(N(N+1)) · Σ_j n_j(R̄_j − (N+1)/2)² over mid-ranks, with
+    * the tie correction H' = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Exactness: per-(arm, value) counts, the doubled rank sums
+    * 2R_j = Σ_v cnt·(2·below + t_v + 1) and the tie masses are exact
+    * longs (2R_j < 2⁶³ through ~3·10⁹ rows/group, the [[mannWhitney]]
+    * bound); each arm's normalized H term is rounded to a MICRO long
+    * pre-sum (terms are O(N) — the micro long holds through ~10¹²-row
+    * groups), so the cross-arm fold is exact and order-free; the tie
+    * correction is one fixed-shape IEEE expression. A group with
+    * k < 2 arms, or every value tied (correction 0), reports 0.
+    *
+    * Scale shape: one (group, arm, value) count shuffle map-side
+    * combined, then EVERYTHING is value-cardinality-bounded — the
+    * cumulative window runs over the distinct-value table per group,
+    * the arm rollup over (arm × value) cells ([[aucRoc]] argument).
+    *
+    * @param df rows with `groupCol`, `armCol` (the treatment label,
+    *           any type) and `vCol` (long micro metric)
+    * @return (grp, k_arms, n, h, h_adj) — 6dp */
+  def kruskalWallis(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v"): DataFrame =
+    kwFinish(kwState(df, groupCol, armCol, vCol))
+
+  /** The ALGEBRAIC (grp, arm, value) accumulator — one commutative
+    * long count per cell, so micro-batches fold freely and the state
+    * is (arm × value)-cardinality-bounded forever (the streaming-twin
+    * state table, [[graft.streaming.StreamingOps.kruskalStateStream]]). */
+  private[graft] def kwState(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v"): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        col(armCol).cast(StringType).as("arm"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "arm", "v").agg(count(lit(1)).as("cnt"))
+
+  /** Finish a [[kwState]] snapshot into the H report — state-sized
+    * input, batch ≡ merged micro-batches. */
+  def kwFinish(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = state
+      .localCheckpoint() // feeds the value table AND the arm rollup
+    val wPrev = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tv = cells.groupBy("grp", "v").agg(sum(col("cnt")).as("t_v"))
+      .withColumn("below", coalesce(sum(col("t_v")).over(wPrev), lit(0L)))
+      .localCheckpoint() // feeds the rank join AND the tie rollup
+    val perArm = cells.join(tv, Seq("grp", "v"))
+      .groupBy("grp", "arm").agg(sum(col("cnt")).as("n_j"),
+        sum(col("cnt") * (lit(2L) * col("below") + col("t_v") + 1L))
+          .as("r2_j"))
+    val ties = tv.groupBy("grp").agg(
+      sum(col("t_v") * col("t_v") * col("t_v") - col("t_v")).as("tie3"),
+      sum(col("t_v")).as("n_total"))
+    def d(c: Column) = c.cast(DoubleType)
+    // normalized-per-arm H term, micro-rounded pre-sum (order-free):
+    // 12·n_j·(R̄_j − (N+1)/2)² / (N(N+1)), R̄_j = r2_j/(2·n_j)
+    val dev = d(col("r2_j")) / (lit(2.0) * d(col("n_j"))) -
+      (d(col("n_total")) + 1.0) / 2.0
+    val termed = perArm.join(broadcast(ties), Seq("grp"))
+      .select(col("grp"), col("n_total"), col("tie3"),
+        round(lit(12.0) * d(col("n_j")) * dev * dev /
+          (d(col("n_total")) * (d(col("n_total")) + 1.0)) * 1e6, 0)
+          .cast(LongType).as("term_micro"))
+    val agg = termed.groupBy("grp").agg(count(lit(1)).as("k_arms"),
+      first(col("n_total")).as("n"), first(col("tie3")).as("tie3"),
+      sum(col("term_micro")).as("h_micro"))
+    val corr = lit(1.0) - d(col("tie3")) /
+      (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))
+    val h = d(col("h_micro")) / 1e6
+    val out = agg.select(col("grp"), col("k_arms"), col("n"),
+      round(when(col("k_arms") < 2L, 0.0).otherwise(h), 6).as("h"),
+      round(when(col("k_arms") < 2L, 0.0).otherwise(
+        when(corr <= 0.0, 0.0).otherwise(h / corr)), 6).as("h_adj"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells, tv)
+    out
+  }
+
+  /** Brown–Forsythe variance-equality test per group (Levene's test
+    * with MEDIAN centers — the robust variant): are the k arms'
+    * spreads equal? The gate a Welch-vs-pooled choice, a mixture
+    * rebalance, or a variance-targeting data filter actually needs —
+    * mean tests say nothing about spread. Per arm, z = |y − median_j|;
+    * the statistic is the one-way ANOVA F on z.
+    *
+    * Exactness: medians are exact value-domain order statistics from
+    * cumulative counts (even n uses the true midpoint via DOUBLED
+    * units: z2 = |2y − (v_low + v_high)| stays an exact long); per-arm
+    * (n, Σz2, Σz2²) are exact longs (Σz2² overflows past |z2| ≈ 3·10⁶
+    * on 10⁶-row arms — the [[welchTTest]] sizing note); the
+    * N-normalized SSB/SSW terms are micro-rounded pre-sum so cross-arm
+    * folds are exact; F is one division, 6dp. k < 2 arms or zero
+    * within-spread reports 0.
+    *
+    * Scale shape: one (group, arm, value) count shuffle map-side
+    * combined; medians, deviations, and both sums-of-squares all live
+    * on the value-cardinality-bounded cell table — no second pass
+    * over rows and nothing corpus-proportional after the first
+    * shuffle.
+    *
+    * @param df rows with `groupCol`, `armCol`, `vCol` (long micro)
+    * @return (grp, k_arms, n, f) — 6dp */
+  def brownForsythe(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(StringType).as("arm"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "arm", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the median scan AND the deviation pass
+    val wCum = Window.partitionBy("grp", "arm").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("grp", "arm")
+    val med = cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_j", sum(col("cnt")).over(wAll))
+      .groupBy("grp", "arm").agg(
+        // integer div via SQL `div` — Column./ on longs is DOUBLE
+        // division, which would shift the order-statistic positions
+        min(when(col("cum") >= expr("(n_j + 1) div 2"), col("v"))).as("v_lo"),
+        min(when(col("cum") >= expr("n_j div 2 + 1"), col("v"))).as("v_hi"))
+      .select(col("grp"), col("arm"),
+        (col("v_lo") + col("v_hi")).as("med2"))
+    val z = cells.join(med, Seq("grp", "arm"))
+      .select(col("grp"), col("arm"), col("cnt"),
+        abs(lit(2L) * col("v") - col("med2")).as("z2"))
+    val perArm = z.groupBy("grp", "arm").agg(sum(col("cnt")).as("n_j"),
+      sum(col("cnt") * col("z2")).as("sz"),
+      sum(col("cnt") * col("z2") * col("z2")).as("szz"))
+    val grand = perArm.groupBy("grp").agg(count(lit(1)).as("k_arms"),
+      sum(col("n_j")).as("n"), sum(col("sz")).as("s"))
+    def d(c: Column) = c.cast(DoubleType)
+    // N-normalized between/within terms, micro-rounded pre-sum:
+    // ssb_j = n_j(z̄_j − z̄)²/N, ssw_j = (Σz² − (Σz)²/n_j)/N — the
+    // shared 1/N keeps both O(z²) so micro longs hold; it cancels in F
+    val joined = perArm.join(broadcast(grand), Seq("grp"))
+    val meanJ = d(col("sz")) / d(col("n_j"))
+    val meanG = d(col("s")) / d(col("n"))
+    val termed = joined.select(col("grp"), col("k_arms"), col("n"),
+      round(d(col("n_j")) * (meanJ - meanG) * (meanJ - meanG) /
+        d(col("n")) * 1e6, 0).cast(LongType).as("ssb_micro"),
+      round((d(col("szz")) - d(col("sz")) * d(col("sz")) / d(col("n_j"))) /
+        d(col("n")) * 1e6, 0).cast(LongType).as("ssw_micro"))
+    val agg = termed.groupBy("grp").agg(first(col("k_arms")).as("k_arms"),
+      first(col("n")).as("n"), sum(col("ssb_micro")).as("ssb"),
+      sum(col("ssw_micro")).as("ssw"))
+    val out = agg.select(col("grp"), col("k_arms"), col("n"),
+      round(when(col("k_arms") < 2L || col("n") <= col("k_arms") ||
+          col("ssw") <= 0L, 0.0)
+        .otherwise((d(col("ssb")) / (d(col("k_arms")) - 1.0)) /
+          (d(col("ssw")) / (d(col("n")) - d(col("k_arms"))))), 6).as("f"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
+
+  /** Kendall's coefficient of concordance W per group — DO the m
+    * raters agree on the RANKING of n items? The ordinal-consensus
+    * statistic the κ family (categorical) and [[cochranQ]] (binary)
+    * cannot express, and the multi-rater extension of a rank
+    * correlation: W = 12S / (m²(n³−n) − m·ΣT), S = Σ_i (R_i − R̄)²
+    * over per-item rank sums, T_j = Σ(t³−t) the per-rater tie mass.
+    *
+    * Complete-block contract (like [[cochranQ]]): only items rated by
+    * ALL m raters enter (m = the group's distinct-rater count), and
+    * at most one score per (rater, item) — duplicates collapse to
+    * max(score) so malformed panels cannot inflate rank sums.
+    *
+    * Exactness: mid-ranks arrive DOUBLED (2·mr = 2·below + t + 1) so
+    * per-item rank sums r2_i = Σ_j 2·mr_j are exact longs; 4S =
+    * Σr2² − 2c·Σr2 + n·c² with c = m(n+1) is an exact long identity
+    * (bounded through m²n³ < 2⁶³, e.g. 100 raters × 10⁵ items); W is
+    * one fixed-shape IEEE division, 6dp. Degenerate (n < 2 or zero
+    * denominator) reports 0.
+    *
+    * Scale shape: the rank window runs over (group, rater, value)
+    * cells — value-cardinality-bounded per rater; every join is
+    * co-keyed on (grp, rater, score) or (grp, item); nothing is ever
+    * corpus-proportional after the first count shuffle.
+    *
+    * @param df rows with `groupCol`, `raterCol`, `itemCol`,
+    *           `scoreCol` (long)
+    * @return (grp, m_raters, n_items, s4, tie_sum, w) — w 6dp */
+  def kendallW(df: DataFrame, groupCol: String = "group",
+      raterCol: String = "rater", itemCol: String = "item",
+      scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val one = df.select(col(groupCol).as("grp"),
+        col(raterCol).cast(StringType).as("rater"),
+        col(itemCol).cast(StringType).as("item"),
+        col(scoreCol).cast(LongType).as("score"))
+      .groupBy("grp", "rater", "item").agg(max(col("score")).as("score"))
+      .localCheckpoint() // feeds panel census, rank cells, item join
+    val mTab = one.groupBy("grp").agg(countDistinct(col("rater")).as("m"))
+    val keep = one.groupBy("grp", "item")
+      .agg(countDistinct(col("rater")).as("cr"))
+      .join(broadcast(mTab), Seq("grp"))
+      .filter(col("cr") === col("m")).select("grp", "item")
+    val ratings = one.join(keep, Seq("grp", "item"))
+      .localCheckpoint() // complete panel; feeds cells AND the rank join
+    val cells = ratings.groupBy("grp", "rater", "score")
+      .agg(count(lit(1)).as("t"))
+    val wPrev = Window.partitionBy("grp", "rater").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("below",
+        coalesce(sum(col("t")).over(wPrev), lit(0L)))
+      .select(col("grp"), col("rater"), col("score"),
+        (lit(2L) * col("below") + col("t") + 1L).as("mr2"),
+        (col("t") * col("t") * col("t") - col("t")).as("tie"))
+      .localCheckpoint() // feeds the item join AND the tie rollup
+    val perItem = ratings.join(ranked.select("grp", "rater", "score", "mr2"),
+        Seq("grp", "rater", "score"))
+      .groupBy("grp", "item").agg(sum(col("mr2")).as("r2_i"))
+    val tieSum = ranked.groupBy("grp").agg(sum(col("tie")).as("tie_sum"))
+    val agg = perItem.groupBy("grp").agg(count(lit(1)).as("n_items"),
+      sum(col("r2_i")).as("sr"), sum(col("r2_i") * col("r2_i")).as("srr"))
+      .join(broadcast(mTab), Seq("grp"))
+      .join(broadcast(tieSum), Seq("grp"))
+    def d(c: Column) = c.cast(DoubleType)
+    // 4S = Σr2² − 2c·Σr2 + n·c², c = m(n+1) — exact long identity
+    val s4 = col("srr") - lit(2L) * col("m") * (col("n_items") + 1L) *
+      col("sr") + col("n_items") * col("m") * (col("n_items") + 1L) *
+      col("m") * (col("n_items") + 1L)
+    val denom = d(col("m")) * d(col("m")) *
+      (d(col("n_items")) * d(col("n_items")) * d(col("n_items")) -
+        d(col("n_items"))) - d(col("m")) * d(col("tie_sum"))
+    val out = agg.select(col("grp"), col("m").as("m_raters"),
+      col("n_items"), s4.as("s4"), col("tie_sum"),
+      round(when(col("n_items") < 2L, 0.0).otherwise(
+        when(denom <= 0.0, 0.0).otherwise(lit(3.0) * d(s4) / denom)), 6)
+        .as("w"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(one, ratings, ranked)
+    out
+  }
+
+  /** Cronbach's α per group — INTERNAL CONSISTENCY of a k-item scale
+    * (do the k rubric dimensions / probe questions measure one
+    * underlying trait?): α = k/(k−1) · (1 − Σ_i σ²_i / σ²_total),
+    * item variances against the variance of per-subject total scores.
+    * The instrument-reliability check that precedes trusting any
+    * multi-item eval rubric; the agreement family ([[cohenKappa]],
+    * [[kendallW]]) asks whether RATERS agree — α asks whether ITEMS do.
+    *
+    * Complete-block contract: only subjects scored on ALL k items
+    * enter (k = the group's distinct-item count); duplicate
+    * (subject, item) rows collapse to max(score).
+    *
+    * Exactness: per-item and per-subject-total (n, Σ, Σ²) are exact
+    * longs (Σ² bounds as in [[welchTTest]]); each item's sample
+    * variance is micro-rounded pre-sum so the k-item fold is exact
+    * and order-free; α is one fixed-shape IEEE expression, 6dp.
+    * k < 2, n < 2, or zero total variance reports 0.
+    *
+    * Scale shape: one (group, subject, item) dedup shuffle, a
+    * k-bounded item rollup, and a subject-keyed total rollup — both
+    * map-side combined; nothing after them exceeds k or subject
+    * cardinality.
+    *
+    * @param df rows with `groupCol`, `subjectCol`, `itemCol`,
+    *           `scoreCol` (long)
+    * @return (grp, k_items, n_subjects, item_var_sum, total_var,
+    *         alpha) — 6dp */
+  def cronbachAlpha(df: DataFrame, groupCol: String = "group",
+      subjectCol: String = "subject", itemCol: String = "item",
+      scoreCol: String = "score"): DataFrame = {
+    val one = df.select(col(groupCol).as("grp"),
+        col(subjectCol).cast(StringType).as("subject"),
+        col(itemCol).cast(StringType).as("item"),
+        col(scoreCol).cast(LongType).as("score"))
+      .groupBy("grp", "subject", "item").agg(max(col("score")).as("score"))
+      .localCheckpoint() // feeds item census + both variance passes
+    val kTab = one.groupBy("grp").agg(countDistinct(col("item")).as("k"))
+    val keep = one.groupBy("grp", "subject")
+      .agg(countDistinct(col("item")).as("ci"))
+      .join(broadcast(kTab), Seq("grp"))
+      .filter(col("ci") === col("k")).select("grp", "subject")
+    val scores = one.join(keep, Seq("grp", "subject"))
+      .localCheckpoint() // complete panel; feeds items AND totals
+    def d(c: Column) = c.cast(DoubleType)
+    def sampVar(n: Column, s: Column, ss: Column): Column =
+      (d(n) * d(ss) - d(s) * d(s)) / (d(n) * (d(n) - 1.0))
+    val perItem = scores.groupBy("grp", "item").agg(
+        count(lit(1)).as("n"), sum(col("score")).as("s"),
+        sum(col("score") * col("score")).as("ss"))
+      .select(col("grp"), col("n"),
+        round(when(col("n") < 2L, 0.0)
+          .otherwise(sampVar(col("n"), col("s"), col("ss"))) * 1e6, 0)
+          .cast(LongType).as("var_micro"))
+    val itemAgg = perItem.groupBy("grp").agg(
+      sum(col("var_micro")).as("ivar_micro"), max(col("n")).as("n_subjects"))
+    val totals = scores.groupBy("grp", "subject")
+      .agg(sum(col("score")).as("tot"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("tot")).as("s"),
+        sum(col("tot") * col("tot")).as("ss"))
+    val joined = itemAgg.join(broadcast(kTab), Seq("grp"))
+      .join(totals, Seq("grp"))
+    val tVar = sampVar(col("n"), col("s"), col("ss"))
+    val out = joined.select(col("grp"), col("k").as("k_items"),
+      col("n_subjects"),
+      round(d(col("ivar_micro")) / 1e6, 6).as("item_var_sum"),
+      round(when(col("n") < 2L, 0.0).otherwise(tVar), 6).as("total_var"),
+      round(when(col("k") < 2L || col("n") < 2L, 0.0).otherwise(
+        when(tVar <= 0.0, 0.0).otherwise(
+          d(col("k")) / (d(col("k")) - 1.0) *
+            (lit(1.0) - d(col("ivar_micro")) / 1e6 / tVar))), 6).as("alpha"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(one, scores)
+    out
+  }
+
+  /** Post-stratified average treatment effect per group — the
+    * direct-standardization estimator between [[mantelHaenszel]]
+    * (binary outcomes, odds scale) and [[cupedAdjust]] (covariate
+    * regression): ATE = Σ_s (n_s/N)·(ȳ₁ₛ − ȳ₀ₛ) over strata, with
+    * SE² = Σ_s (n_s/N)²·(s²₁ₛ/n₁ₛ + s²₀ₛ/n₀ₛ). The Simpson-safe mean
+    * readout when arms are imbalanced across strata — the pooled
+    * [[welchTTest]] would confound stratum mix with treatment.
+    *
+    * Strata missing an arm (or with a single-row arm, undefined
+    * variance) are EXCLUDED from the estimate and counted in
+    * n_strata − n_used — dbt-test-style visibility instead of a
+    * silent bias.
+    *
+    * Exactness: per-(stratum, arm) (n, Σy, Σy²) are exact longs
+    * ([[welchTTest]] sizing note); each stratum's ATE and variance
+    * contribution is rounded to a NANO long pre-sum (stratum terms
+    * are O(y), the fold is strata-bounded and order-free); the
+    * published effect/SE/z are single fixed-shape IEEE expressions,
+    * 6dp. No usable stratum reports 0.
+    *
+    * Scale shape: ONE (group, stratum, arm) shuffle map-side
+    * combined, then everything is strata-bounded.
+    *
+    * @param df rows with `groupCol`, `stratumCol`, `armCol`
+    *           (0 = control, else treated) and `yCol` (long micro)
+    * @return (grp, n_strata, n_used, n, ate, se, z) — 6dp */
+  def postStratifiedAte(df: DataFrame, groupCol: String = "group",
+      stratumCol: String = "stratum", armCol: String = "arm",
+      yCol: String = "y"): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"),
+        col(stratumCol).cast(StringType).as("stratum"),
+        when(col(armCol).cast(LongType) === 0L, 0L).otherwise(1L).as("arm"),
+        col(yCol).cast(LongType).as("y"))
+      .groupBy("grp", "stratum", "arm").agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val strata = cells.groupBy("grp", "stratum").agg(
+      sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0L, col("s")).otherwise(0L)).as("s0"),
+      sum(when(col("arm") === 0L, col("ss")).otherwise(0L)).as("ss0"),
+      sum(when(col("arm") =!= 0L, col("n")).otherwise(0L)).as("n1"),
+      sum(when(col("arm") =!= 0L, col("s")).otherwise(0L)).as("s1"),
+      sum(when(col("arm") =!= 0L, col("ss")).otherwise(0L)).as("ss1"))
+    val usable = col("n0") >= 2L && col("n1") >= 2L
+    val totals = strata.groupBy("grp").agg(
+      count(lit(1)).as("n_strata"),
+      sum(when(usable, 1L).otherwise(0L)).as("n_used"),
+      sum(when(usable, col("n0") + col("n1")).otherwise(0L)).as("n"))
+    def sampVar(n: String, s: String, ss: String): Column =
+      (d(n) * d(ss) - d(s) * d(s)) / (d(n) * (d(n) - 1.0))
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val joined = strata.join(broadcast(totals), Seq("grp"))
+    val w = (d("n0") + d("n1")) / d("n")
+    val diff = d("s1") / d("n1") - d("s0") / d("n0")
+    val varT = sampVar("n1", "s1", "ss1") / d("n1") +
+      sampVar("n0", "s0", "ss0") / d("n0")
+    val termed = joined.filter(usable).select(col("grp"),
+      nano(w * diff).as("ate_nano"), nano(w * w * varT).as("var_nano"))
+    val agg = termed.groupBy("grp").agg(
+      sum(col("ate_nano")).as("ate_nano"), sum(col("var_nano")).as("var_nano"))
+    val se = sqrt(coalesce(d("var_nano"), lit(0.0)) / 1e9)
+    totals.join(agg, Seq("grp"), "left")
+      .select(col("grp"), col("n_strata"), col("n_used"), col("n"),
+        round(coalesce(d("ate_nano"), lit(0.0)) / 1e9, 6).as("ate"),
+        round(se, 6).as("se"),
+        round(when(coalesce(col("var_nano"), lit(0L)) <= 0L, 0.0)
+          .otherwise(coalesce(d("ate_nano"), lit(0.0)) / 1e9 / se), 6)
+          .as("z"))
+  }
+
+  /** Cumulative gain / lift table per group — the "how much better
+    * than random is this ranking" business readout beside [[aucRoc]]'s
+    * single number: rank by score descending, cut into `buckets`
+    * equal-population bins, report per-bin and cumulative capture.
+    * The decision table behind "score the corpus, keep the top 20%".
+    *
+    * Determinism contract: bins are assigned on the DISTINCT-SCORE
+    * cell table — a score cell lands whole in the bin its LAST
+    * cumulative row falls in (⌈cum·B/N⌉, integer arithmetic), so tied
+    * scores can never straddle a boundary differently in two engines
+    * (a row_number/ntile cut would). Bins may therefore be slightly
+    * unequal under heavy ties — that is the published semantics.
+    *
+    * Exactness: all counts and the cumulatives are exact longs on
+    * score-cardinality-bounded windows (the [[aucRoc]] argument);
+    * gain and lift are single fixed-shape IEEE divisions, 6dp. A
+    * group with zero positives reports gain = lift = 0.
+    *
+    * @param df rows with `groupCol`, `scoreCol` (long micro) and
+    *           `yCol` (0/1 label)
+    * @return (grp, bucket, n, pos, cum_n, cum_pos, gain, lift) */
+  def liftGain(df: DataFrame, groupCol: String = "group",
+      scoreCol: String = "score_micro", yCol: String = "y",
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(scoreCol).cast(LongType).as("score"),
+        col(yCol).cast(LongType).as("y"))
+      .groupBy("grp", "score").agg(count(lit(1)).as("cnt"),
+        sum(when(col("y") =!= 0L, 1L).otherwise(0L)).as("pos"))
+    val wCum = Window.partitionBy("grp").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("grp")
+    val binned = cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_total", sum(col("cnt")).over(wAll))
+      .withColumn("p_total", sum(col("pos")).over(wAll))
+      // ⌈cum·B/N⌉ via (cum·B + N − 1) div N — SQL `div` (Column./ on
+      // longs is DOUBLE division and would fractionalize the bucket)
+      .withColumn("bucket",
+        expr(s"(cum * $buckets + n_total - 1) div n_total"))
+    val perBin = binned.groupBy("grp", "bucket").agg(
+      sum(col("cnt")).as("n"), sum(col("pos")).as("pos"),
+      max(col("n_total")).as("n_total"), max(col("p_total")).as("p_total"))
+    val wBin = Window.partitionBy("grp").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: String) = col(c).cast(DoubleType)
+    perBin
+      .withColumn("cum_n", sum(col("n")).over(wBin))
+      .withColumn("cum_pos", sum(col("pos")).over(wBin))
+      .select(col("grp"), col("bucket"), col("n"), col("pos"),
+        col("cum_n"), col("cum_pos"),
+        round(when(col("p_total") === 0L, 0.0)
+          .otherwise(d("cum_pos") / d("p_total")), 6).as("gain"),
+        round(when(col("p_total") === 0L, 0.0)
+          .otherwise((d("cum_pos") / d("cum_n")) /
+            (d("p_total") / d("n_total"))), 6).as("lift"))
+  }
 }

@@ -4873,6 +4873,588 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   /** q_kaplan_meier: risk-set windows over bucketed lifetimes,
     * nano-rounded ln factors cumulated exactly, died-out flag pins
     * S = 0 — mirrored from Evaluation.kaplanMeier. */
+  /** q_changepoint: prefix-sum SSE scan over the per-series daily
+    * table, micro-rounded gains, row_number argmax (ties to the
+    * earliest day — the engine's struct-min order) — mirrored from
+    * Timeseries.changePoint. */
+  private val changepointSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val sseT = s"(${dd("tss")} - ${dd("ts_")} * ${dd("ts_")} / ${dd("nd")})"
+    val sseL = s"(${dd("css")} - ${dd("cs")} * ${dd("cs")} / ${dd("i")})"
+    val sseR = s"((${dd("tss")} - ${dd("css")}) - (${dd("ts_")} - ${dd("cs")})" +
+      s" * (${dd("ts_")} - ${dd("cs")}) / (${dd("nd")} - ${dd("i")}))"
+    s"""WITH s AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+       |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |w AS (SELECT series, d,
+       |    CAST(count(*) OVER wc AS BIGINT) AS i,
+       |    CAST(sum(n) OVER wc AS BIGINT) AS cs,
+       |    CAST(sum(n * n) OVER wc AS BIGINT) AS css,
+       |    CAST(count(*) OVER wa AS BIGINT) AS nd,
+       |    CAST(sum(n) OVER wa AS BIGINT) AS ts_,
+       |    CAST(sum(n * n) OVER wa AS BIGINT) AS tss
+       |  FROM s WINDOW wc AS (PARTITION BY series ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wa AS (PARTITION BY series)),
+       |cand AS (SELECT series, d, i, cs, nd, ts_,
+       |    CAST(round(($sseT - $sseL - $sseR) * 1e6, 0) AS BIGINT)
+       |      AS gain_micro
+       |  FROM w WHERE i < nd),
+       |pick AS (SELECT *, row_number() OVER (PARTITION BY series
+       |    ORDER BY gain_micro DESC, d) AS rn FROM cand)
+       |SELECT series, nd AS n_days, d AS cp_d, i AS n_left,
+       |  round(CAST(cs AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_left,
+       |  round(CAST(ts_ - cs AS DOUBLE) / CAST(nd - i AS DOUBLE), 6)
+       |    AS mean_right,
+       |  round(CAST(gain_micro AS DOUBLE) / 1e6, 6) AS gain
+       |FROM pick WHERE rn = 1""".stripMargin
+  }
+
+  /** q_local_clustering: the q_triangles degree-orientation replay,
+    * with each closed triangle exploded to its three member credits —
+    * mirrored from Graph.localClustering. */
+  private val localClusteringSql: String =
+    """WITH pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
+      |    b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs) x
+      |  GROUP BY node),
+      |o AS MATERIALIZED (SELECT
+      |    CASE WHEN (du.deg, p.u) > (dv.deg, p.v) THEN p.v ELSE p.u END AS src,
+      |    CASE WHEN (du.deg, p.u) > (dv.deg, p.v) THEN p.u ELSE p.v END AS dst
+      |  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v),
+      |tri AS MATERIALIZED (SELECT e.src AS a, e.dst AS b, x.dst AS w
+      |  FROM o e JOIN o x ON x.src = e.src
+      |  JOIN o y ON y.src = e.dst AND y.dst = x.dst),
+      |cr AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+      |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |        UNION ALL SELECT w FROM tri) z
+      |  GROUP BY 1)
+      |SELECT deg.node, deg.deg, COALESCE(cr.tri, 0) AS tri,
+      |  round(CASE WHEN deg.deg < 2 THEN 0.0
+      |    ELSE 2.0 * CAST(COALESCE(cr.tri, 0) AS DOUBLE)
+      |      / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END, 6) AS lcc
+      |FROM deg LEFT JOIN cr ON cr.node = deg.node""".stripMargin
+
+  /** q_lift_gain: the quality-score replay feeding whole-cell decile
+    * assignment (⌈cum·B/N⌉ on the distinct-score table — ties can
+    * never straddle a boundary), exact cumulatives, single divisions —
+    * mirrored from Evaluation.liftGain. */
+  private val liftGainSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
+       |st0 AS (SELECT lang,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+       |  length(text) AS n_chars
+       |FROM t),
+       |q AS (SELECT lang,
+       |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 0.2, 6)
+       |    AS quality_score
+       |FROM st0),
+       |sc AS (SELECT 'all' AS grp,
+       |    CAST(round(quality_score * 1e6, 0) AS BIGINT) AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM q),
+       |cells AS (SELECT grp, score, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sc GROUP BY 1, 2),
+       |b AS (SELECT grp, score, cnt, pos,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n_total,
+       |    CAST(sum(pos) OVER (PARTITION BY grp) AS BIGINT) AS p_total
+       |  FROM cells),
+       |bn AS (SELECT grp, (cum * 10 + n_total - 1) // n_total AS bucket,
+       |    cnt, pos, n_total, p_total FROM b),
+       |pb AS (SELECT grp, bucket, CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(pos) AS BIGINT) AS pos,
+       |    max(n_total) AS n_total, max(p_total) AS p_total
+       |  FROM bn GROUP BY 1, 2),
+       |fin AS (SELECT grp, bucket, n, pos,
+       |    CAST(sum(n) OVER wb AS BIGINT) AS cum_n,
+       |    CAST(sum(pos) OVER wb AS BIGINT) AS cum_pos, n_total, p_total
+       |  FROM pb WINDOW wb AS (PARTITION BY grp ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT grp, bucket, n, pos, cum_n, cum_pos,
+       |  round(CASE WHEN p_total = 0 THEN 0.0
+       |    ELSE CAST(cum_pos AS DOUBLE) / CAST(p_total AS DOUBLE) END, 6)
+       |    AS gain,
+       |  round(CASE WHEN p_total = 0 THEN 0.0
+       |    ELSE (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+       |      / (CAST(p_total AS DOUBLE) / CAST(n_total AS DOUBLE)) END, 6)
+       |    AS lift
+       |FROM fin""".stripMargin
+
+  /** q_column_mi: per-pair joint grids, nano-rounded p·ln terms and
+    * marginal entropies, union of single-row pair results — mirrored
+    * from Curation.columnMi (the profiling columns are non-null, so
+    * the (is_null, value) key reduces to the value). */
+  private val columnMiSql: String = {
+    def pairBlock(a: String, b: String): String = {
+      val term = "CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "* ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE) " +
+        "/ (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e9, 0) AS BIGINT)"
+      def ent(cc: String) = s"CAST(round(CAST($cc AS DOUBLE) " +
+        s"/ CAST(n AS DOUBLE) * ln(CAST($cc AS DOUBLE) " +
+        s"/ CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+      s"""SELECT '$a' AS lhs, '$b' AS rhs, n, grid_cells,
+         |  round(CAST(mi_nano AS DOUBLE) / 1e9, 6) AS mi_nats,
+         |  round(CAST(h_cx AS DOUBLE) / 1e9, 6) AS h_lhs,
+         |  round(CAST(h_cy AS DOUBLE) / 1e9, 6) AS h_rhs,
+         |  round(CASE WHEN least(h_cx, h_cy) <= 0 THEN 0.0
+         |    ELSE CAST(mi_nano AS DOUBLE)
+         |      / CAST(least(h_cx, h_cy) AS DOUBLE) END, 6) AS nmi
+         |FROM (
+         |  SELECT
+         |    (SELECT CAST(sum(c) AS BIGINT) FROM g_${a}_$b) AS n,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM g_${a}_$b) AS grid_cells,
+         |    (SELECT COALESCE(CAST(sum($term) AS BIGINT), 0) FROM
+         |      (SELECT g.c, mx.cx, my.cy, t.n FROM g_${a}_$b g
+         |       JOIN (SELECT x, CAST(sum(c) AS BIGINT) AS cx
+         |             FROM g_${a}_$b GROUP BY 1) mx ON mx.x = g.x
+         |       JOIN (SELECT y, CAST(sum(c) AS BIGINT) AS cy
+         |             FROM g_${a}_$b GROUP BY 1) my ON my.y = g.y
+         |       CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n
+         |             FROM g_${a}_$b) t) z) AS mi_nano,
+         |    (SELECT COALESCE(-CAST(sum(${ent("cx")}) AS BIGINT), 0) FROM
+         |      (SELECT cx, n FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cx
+         |          FROM g_${a}_$b GROUP BY 1) m
+         |        CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n
+         |          FROM g_${a}_$b) t) z) AS h_cx,
+         |    (SELECT COALESCE(-CAST(sum(${ent("cy")}) AS BIGINT), 0) FROM
+         |      (SELECT cy, n FROM (SELECT y, CAST(sum(c) AS BIGINT) AS cy
+         |          FROM g_${a}_$b GROUP BY 1) m
+         |        CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n
+         |          FROM g_${a}_$b) t) z) AS h_cy
+         |) f""".stripMargin
+    }
+    val grids = Seq(("status", "priority"), ("status", "month"),
+      ("priority", "month")).map { case (a, b) =>
+      s"""g_${a}_$b AS MATERIALIZED (SELECT $a AS x, $b AS y,
+         |    CAST(count(*) AS BIGINT) AS c FROM src GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val blocks = Seq(("status", "priority"), ("status", "month"),
+      ("priority", "month")).map { case (a, b) => pairBlock(a, b) }
+      .mkString("\nUNION ALL\n")
+    s"""WITH src AS MATERIALIZED (SELECT o_orderstatus AS status,
+       |    o_orderpriority AS priority,
+       |    strftime(o_orderdate, '%Y-%m') AS month FROM orders),
+       |$grids
+       |$blocks""".stripMargin
+  }
+
+  /** q_dp_dispersion: portable-hash token cells, window-rank replay
+    * of the bounded-heap top-K (count desc, hash asc), the dense
+    * term × source deviation grid with micro-rounded terms — mirrored
+    * from TextAnalysis.dpDispersion. */
+  private val dpDispersionSql: String =
+    s"""WITH tok AS (SELECT source,
+       |    CAST(concat('0x', substr(md5('dp|' || t.tok), 1, 15)) AS BIGINT)
+       |      AS h
+       |  FROM (SELECT source, $toks AS toks FROM documents) d,
+       |    unnest(toks) AS t(tok)),
+       |base AS MATERIALIZED (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS s_n
+       |  FROM base GROUP BY 1),
+       |nc AS (SELECT CAST(sum(s_n) AS BIGINT) AS n_corpus FROM st),
+       |tt AS (SELECT h, CAST(sum(c) AS BIGINT) AS total
+       |  FROM base GROUP BY 1),
+       |top AS (SELECT h, total FROM (SELECT h, total, row_number() OVER (
+       |    ORDER BY total DESC, h ASC) AS rn FROM tt) z WHERE rn <= 20),
+       |grid AS (SELECT top.h, top.total, st.source, st.s_n, nc.n_corpus,
+       |    COALESCE(base.c, 0) AS c
+       |  FROM top CROSS JOIN st CROSS JOIN nc
+       |  LEFT JOIN base ON base.source = st.source AND base.h = top.h),
+       |dev AS (SELECT h, total,
+       |    CAST(round(abs(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)
+       |      - CAST(s_n AS DOUBLE) / CAST(n_corpus AS DOUBLE)) * 1e6, 0)
+       |      AS BIGINT) AS dev_micro
+       |  FROM grid)
+       |SELECT h, max(total) AS total,
+       |  round(CAST(sum(dev_micro) AS DOUBLE) / 2e6, 6) AS dp
+       |FROM dev GROUP BY 1""".stripMargin
+
+  /** q_strat_ate: per-(stratum, arm) exact moment longs, NANO-rounded
+    * stratum ATE/variance terms, single-division effect/SE/z —
+    * mirrored from Evaluation.postStratifiedAte. */
+  private val stratAteSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    def sv(n: String, s: String, ss: String) =
+      s"((${dd(n)} * ${dd(ss)} - ${dd(s)} * ${dd(s)}) " +
+        s"/ (${dd(n)} * (${dd(n)} - 1.0)))"
+    val w = s"((${dd("n0")} + ${dd("n1")}) / ${dd("n")})"
+    val diff = s"(${dd("s1")} / ${dd("n1")} - ${dd("s0")} / ${dd("n0")})"
+    val varT = s"(${sv("n1", "s1", "ss1")} / ${dd("n1")} " +
+      s"+ ${sv("n0", "s0", "ss0")} / ${dd("n0")})"
+    val cents = "CAST(round(value * 100, 0) AS BIGINT)"
+    s"""WITH cells AS (SELECT 'all' AS grp, event_type AS stratum,
+       |    CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum($cents) AS BIGINT) AS s,
+       |    CAST(sum($cents * $cents) AS BIGINT) AS ss
+       |  FROM events GROUP BY 1, 2, 3),
+       |st AS (SELECT grp, stratum,
+       |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN arm = 0 THEN s ELSE 0 END) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN arm = 0 THEN ss ELSE 0 END) AS BIGINT) AS ss0,
+       |    CAST(sum(CASE WHEN arm <> 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN arm <> 0 THEN s ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN arm <> 0 THEN ss ELSE 0 END) AS BIGINT) AS ss1
+       |  FROM cells GROUP BY 1, 2),
+       |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_strata,
+       |    CAST(sum(CASE WHEN n0 >= 2 AND n1 >= 2 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_used,
+       |    CAST(sum(CASE WHEN n0 >= 2 AND n1 >= 2 THEN n0 + n1 ELSE 0 END)
+       |      AS BIGINT) AS n
+       |  FROM st GROUP BY 1),
+       |tm AS (SELECT st.grp,
+       |    CAST(round($w * $diff * 1e9, 0) AS BIGINT) AS ate_nano,
+       |    CAST(round($w * $w * $varT * 1e9, 0) AS BIGINT) AS var_nano
+       |  FROM st JOIN tot ON tot.grp = st.grp
+       |  WHERE n0 >= 2 AND n1 >= 2),
+       |ag AS (SELECT grp, CAST(sum(ate_nano) AS BIGINT) AS ate_nano,
+       |    CAST(sum(var_nano) AS BIGINT) AS var_nano
+       |  FROM tm GROUP BY 1)
+       |SELECT tot.grp, n_strata, n_used, n,
+       |  round(COALESCE(CAST(ate_nano AS DOUBLE), 0.0) / 1e9, 6) AS ate,
+       |  round(sqrt(COALESCE(CAST(var_nano AS DOUBLE), 0.0) / 1e9), 6) AS se,
+       |  round(CASE WHEN COALESCE(var_nano, 0) <= 0 THEN 0.0
+       |    ELSE COALESCE(CAST(ate_nano AS DOUBLE), 0.0) / 1e9
+       |      / sqrt(COALESCE(CAST(var_nano AS DOUBLE), 0.0) / 1e9) END, 6)
+       |    AS z
+       |FROM tot LEFT JOIN ag ON ag.grp = tot.grp""".stripMargin
+  }
+
+  /** q_quantile_norm: the quality replay feeding per-source cell
+    * positions k = ⌈(cum_s/n_s)·N⌉ (integer //), pooled order
+    * statistics read via the union-and-forward-min as-of pattern —
+    * mirrored from Curation.quantileNormalize. */
+  private val quantileNormSql: String =
+    s"""WITH t AS (SELECT source, text, $toks AS toks FROM documents),
+       |st0 AS (SELECT source,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+       |  length(text) AS n_chars
+       |FROM t),
+       |q AS (SELECT source,
+       |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 0.2, 6)
+       |    AS quality_score
+       |FROM st0),
+       |sc AS (SELECT 'all' AS grp, source,
+       |    CAST(round(quality_score * 1e6, 0) AS BIGINT) AS v FROM q),
+       |cells AS (SELECT grp, source, v, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1, 2, 3),
+       |pooled AS (SELECT grp, v, CAST(sum(n) AS BIGINT) AS np
+       |  FROM cells GROUP BY 1, 2),
+       |pc AS (SELECT grp, v, CAST(sum(np) OVER (PARTITION BY grp ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_p
+       |  FROM pooled),
+       |nt AS (SELECT grp, CAST(sum(np) AS BIGINT) AS n_total
+       |  FROM pooled GROUP BY 1),
+       |pr AS (SELECT cells.grp, source, v, n,
+       |    (CAST(sum(n) OVER (PARTITION BY cells.grp, source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      * n_total
+       |      + CAST(sum(n) OVER (PARTITION BY cells.grp, source) AS BIGINT)
+       |      - 1)
+       |    // CAST(sum(n) OVER (PARTITION BY cells.grp, source) AS BIGINT)
+       |      AS k
+       |  FROM cells JOIN nt ON nt.grp = cells.grp),
+       |u AS (SELECT grp, k AS key, 0 AS tag, source, v, n,
+       |    CAST(NULL AS BIGINT) AS vb FROM pr
+       |  UNION ALL SELECT grp, cum_p, 1, NULL, NULL, NULL, v FROM pc),
+       |wq AS (SELECT *, min(vb) OVER (PARTITION BY grp ORDER BY key, tag
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qn
+       |  FROM u)
+       |SELECT grp, source, v, n, qn FROM wq WHERE tag = 0""".stripMargin
+
+  /** q_welch_ttest: per-arm exact (n, Σy, Σy²) longs, then the t and
+    * Welch–Satterthwaite df as one fixed-shape IEEE expression —
+    * mirrored from Evaluation.welchTTest. */
+  private val welchTtestSql: String = {
+    val varA = "(CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) " +
+      "- CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) " +
+      "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+    val varB = "(CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) " +
+      "- CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) " +
+      "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+    val sea = s"(($varA) / CAST(n_a AS DOUBLE))"
+    val seb = s"(($varB) / CAST(n_b AS DOUBLE))"
+    val se2 = s"($sea + $seb)"
+    s"""WITH ag AS (SELECT event_type AS grp,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_b,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS ss_b
+       |  FROM events GROUP BY 1)
+       |SELECT grp, n_a, n_b,
+       |  round(CASE WHEN n_a = 0 THEN 0.0
+       |    ELSE CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) END, 6) AS mean_a,
+       |  round(CASE WHEN n_b = 0 THEN 0.0
+       |    ELSE CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END, 6) AS mean_b,
+       |  round(CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+       |    WHEN $se2 <= 0.0 THEN 0.0
+       |    ELSE (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |      - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / sqrt($se2)
+       |  END, 6) AS t_stat,
+       |  round(CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+       |    WHEN $se2 <= 0.0 THEN 0.0
+       |    ELSE $se2 * $se2 / ($sea * $sea / (CAST(n_a AS DOUBLE) - 1.0)
+       |      + $seb * $seb / (CAST(n_b AS DOUBLE) - 1.0))
+       |  END, 6) AS df
+       |FROM ag""".stripMargin
+  }
+
+  /** q_kruskal_wallis: (arm, value) count cells, doubled rank sums
+    * from cumulative value windows, MICRO-rounded per-arm H terms,
+    * fixed-shape tie correction — mirrored from
+    * Evaluation.kruskalWallis. */
+  private val kruskalWallisSql: String = {
+    val dev = "(CAST(r2_j AS DOUBLE) / (2.0 * CAST(n_j AS DOUBLE)) " +
+      "- (CAST(n_total AS DOUBLE) + 1.0) / 2.0)"
+    val corr = "(1.0 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) " +
+      "* CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+    s"""WITH cells AS (SELECT lang AS grp, source AS arm,
+       |    CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2, 3),
+       |tv AS (SELECT grp, v, CAST(sum(cnt) AS BIGINT) AS t_v
+       |  FROM cells GROUP BY 1, 2),
+       |tw AS (SELECT grp, v, t_v,
+       |    COALESCE(CAST(sum(t_v) OVER (PARTITION BY grp ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS below
+       |  FROM tv),
+       |pa AS (SELECT cells.grp, arm, CAST(sum(cnt) AS BIGINT) AS n_j,
+       |    CAST(sum(cnt * (2 * below + t_v + 1)) AS BIGINT) AS r2_j
+       |  FROM cells JOIN tw ON tw.grp = cells.grp AND tw.v = cells.v
+       |  GROUP BY 1, 2),
+       |ties AS (SELECT grp,
+       |    CAST(sum(t_v * t_v * t_v - t_v) AS BIGINT) AS tie3,
+       |    CAST(sum(t_v) AS BIGINT) AS n_total
+       |  FROM tv GROUP BY 1),
+       |tm AS (SELECT pa.grp, n_total, tie3,
+       |    CAST(round(12.0 * CAST(n_j AS DOUBLE) * $dev * $dev
+       |      / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+       |      * 1e6, 0) AS BIGINT) AS term_micro
+       |  FROM pa JOIN ties ON ties.grp = pa.grp),
+       |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_arms,
+       |    min(n_total) AS n, min(tie3) AS tie3,
+       |    CAST(sum(term_micro) AS BIGINT) AS h_micro
+       |  FROM tm GROUP BY 1)
+       |SELECT grp, k_arms, n,
+       |  round(CASE WHEN k_arms < 2 THEN 0.0
+       |    ELSE CAST(h_micro AS DOUBLE) / 1e6 END, 6) AS h,
+       |  round(CASE WHEN k_arms < 2 THEN 0.0
+       |    WHEN $corr <= 0.0 THEN 0.0
+       |    ELSE CAST(h_micro AS DOUBLE) / 1e6 / $corr END, 6) AS h_adj
+       |FROM ag""".stripMargin
+  }
+
+  /** q_brown_forsythe: exact value-domain medians in DOUBLED units,
+    * |2v − med2| deviations, N-normalized micro-rounded SSB/SSW terms,
+    * one F division — mirrored from Evaluation.brownForsythe. */
+  private val brownForsytheSql: String = {
+    val meanJ = "(CAST(sz AS DOUBLE) / CAST(n_j AS DOUBLE))"
+    val meanG = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH cells AS (SELECT 'all' AS grp, event_type AS arm,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2, 3),
+       |cw AS (SELECT grp, arm, v, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp, arm ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY grp, arm) AS BIGINT) AS n_j
+       |  FROM cells),
+       |med AS (SELECT grp, arm,
+       |    min(CASE WHEN cum >= (n_j + 1) // 2 THEN v END)
+       |      + min(CASE WHEN cum >= n_j // 2 + 1 THEN v END) AS med2
+       |  FROM cw GROUP BY 1, 2),
+       |z AS (SELECT cells.grp, cells.arm, cnt,
+       |    abs(2 * v - med2) AS z2
+       |  FROM cells JOIN med ON med.grp = cells.grp AND med.arm = cells.arm),
+       |pa AS (SELECT grp, arm, CAST(sum(cnt) AS BIGINT) AS n_j,
+       |    CAST(sum(cnt * z2) AS BIGINT) AS sz,
+       |    CAST(sum(cnt * z2 * z2) AS BIGINT) AS szz
+       |  FROM z GROUP BY 1, 2),
+       |gr AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_arms,
+       |    CAST(sum(n_j) AS BIGINT) AS n, CAST(sum(sz) AS BIGINT) AS s
+       |  FROM pa GROUP BY 1),
+       |tm AS (SELECT pa.grp, k_arms, n,
+       |    CAST(round(CAST(n_j AS DOUBLE) * ($meanJ - $meanG)
+       |      * ($meanJ - $meanG) / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT)
+       |      AS ssb_micro,
+       |    CAST(round((CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+       |        * CAST(sz AS DOUBLE) / CAST(n_j AS DOUBLE))
+       |      / CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT) AS ssw_micro
+       |  FROM pa JOIN gr ON gr.grp = pa.grp),
+       |ag AS (SELECT grp, min(k_arms) AS k_arms, min(n) AS n,
+       |    CAST(sum(ssb_micro) AS BIGINT) AS ssb,
+       |    CAST(sum(ssw_micro) AS BIGINT) AS ssw
+       |  FROM tm GROUP BY 1)
+       |SELECT grp, k_arms, n,
+       |  round(CASE WHEN k_arms < 2 OR n <= k_arms OR ssw <= 0 THEN 0.0
+       |    ELSE (CAST(ssb AS DOUBLE) / (CAST(k_arms AS DOUBLE) - 1.0))
+       |      / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE)
+       |        - CAST(k_arms AS DOUBLE)))
+       |  END, 6) AS f
+       |FROM ag""".stripMargin
+  }
+
+  /** q_kendall_w: complete-panel filter, doubled mid-ranks per rater
+    * from value-count windows, the exact-long 4S identity, one W
+    * division — mirrored from Evaluation.kendallW. */
+  private val kendallWSql: String = {
+    val denom = "(CAST(m AS DOUBLE) * CAST(m AS DOUBLE) " +
+      "* (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE) " +
+      "* CAST(n_items AS DOUBLE) - CAST(n_items AS DOUBLE)) " +
+      "- CAST(m AS DOUBLE) * CAST(tie_sum AS DOUBLE))"
+    s"""WITH one AS (SELECT 'all' AS grp, o_orderpriority AS rater,
+       |    strftime(o_orderdate, '%Y-%m') AS item,
+       |    CAST(count(*) AS BIGINT) AS score
+       |  FROM orders GROUP BY 1, 2, 3),
+       |mt AS (SELECT grp, CAST(count(DISTINCT rater) AS BIGINT) AS m
+       |  FROM one GROUP BY 1),
+       |keep AS (SELECT one.grp, item FROM one
+       |  JOIN mt ON mt.grp = one.grp
+       |  GROUP BY one.grp, item, m HAVING count(DISTINCT rater) = m),
+       |ratings AS (SELECT one.* FROM one
+       |  JOIN keep ON keep.grp = one.grp AND keep.item = one.item),
+       |cells AS (SELECT grp, rater, score, CAST(count(*) AS BIGINT) AS t
+       |  FROM ratings GROUP BY 1, 2, 3),
+       |rk AS (SELECT grp, rater, score,
+       |    2 * COALESCE(CAST(sum(t) OVER (PARTITION BY grp, rater
+       |      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING) AS BIGINT), 0) + t + 1 AS mr2,
+       |    t * t * t - t AS tie
+       |  FROM cells),
+       |pi AS (SELECT r.grp, item, CAST(sum(mr2) AS BIGINT) AS r2_i
+       |  FROM ratings r JOIN rk ON rk.grp = r.grp
+       |    AND rk.rater = r.rater AND rk.score = r.score
+       |  GROUP BY 1, 2),
+       |ts AS (SELECT grp, CAST(sum(tie) AS BIGINT) AS tie_sum
+       |  FROM rk GROUP BY 1),
+       |ag AS (SELECT pi.grp, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(r2_i) AS BIGINT) AS sr,
+       |    CAST(sum(r2_i * r2_i) AS BIGINT) AS srr
+       |  FROM pi GROUP BY 1),
+       |fin AS (SELECT ag.grp, m, n_items, tie_sum,
+       |    srr - 2 * m * (n_items + 1) * sr
+       |      + n_items * m * (n_items + 1) * m * (n_items + 1) AS s4
+       |  FROM ag JOIN mt ON mt.grp = ag.grp
+       |  JOIN ts ON ts.grp = ag.grp)
+       |SELECT grp, m AS m_raters, n_items, s4, tie_sum,
+       |  round(CASE WHEN n_items < 2 THEN 0.0
+       |    WHEN $denom <= 0.0 THEN 0.0
+       |    ELSE 3.0 * CAST(s4 AS DOUBLE) / $denom END, 6) AS w
+       |FROM fin""".stripMargin
+  }
+
+  /** q_cronbach_alpha: complete-panel activity scores, micro-rounded
+    * per-item sample variances, total-score variance from exact
+    * sums, one α expression — mirrored from Evaluation.cronbachAlpha. */
+  private val cronbachAlphaSql: String = {
+    def sv(n: String, s: String, ss: String) =
+      s"(CAST($n AS DOUBLE) * CAST($ss AS DOUBLE) " +
+        s"- CAST($s AS DOUBLE) * CAST($s AS DOUBLE)) " +
+        s"/ (CAST($n AS DOUBLE) * (CAST($n AS DOUBLE) - 1.0))"
+    val tVar = sv("n", "s", "ss")
+    s"""WITH act AS (SELECT 'all' AS grp, user_id AS subject,
+       |    event_type AS item, CAST(count(*) AS BIGINT) AS score
+       |  FROM events GROUP BY 1, 2, 3),
+       |kt AS (SELECT grp, CAST(count(DISTINCT item) AS BIGINT) AS k
+       |  FROM act GROUP BY 1),
+       |keep AS (SELECT act.grp, subject FROM act
+       |  JOIN kt ON kt.grp = act.grp
+       |  GROUP BY act.grp, subject, k HAVING count(DISTINCT item) = k),
+       |sc AS (SELECT act.* FROM act
+       |  JOIN keep ON keep.grp = act.grp AND keep.subject = act.subject),
+       |pi AS (SELECT grp, item, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(score) AS BIGINT) AS s,
+       |    CAST(sum(score * score) AS BIGINT) AS ss
+       |  FROM sc GROUP BY 1, 2),
+       |pim AS (SELECT grp, n,
+       |    CAST(round((CASE WHEN n < 2 THEN 0.0
+       |      ELSE ${sv("n", "s", "ss")} END) * 1e6, 0) AS BIGINT) AS var_micro
+       |  FROM pi),
+       |ia AS (SELECT grp, CAST(sum(var_micro) AS BIGINT) AS ivar_micro,
+       |    max(n) AS n_subjects
+       |  FROM pim GROUP BY 1),
+       |tot AS (SELECT grp, subject, CAST(sum(score) AS BIGINT) AS tot
+       |  FROM sc GROUP BY 1, 2),
+       |ta AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(tot) AS BIGINT) AS s,
+       |    CAST(sum(tot * tot) AS BIGINT) AS ss
+       |  FROM tot GROUP BY 1)
+       |SELECT ia.grp, k AS k_items, n_subjects,
+       |  round(CAST(ivar_micro AS DOUBLE) / 1e6, 6) AS item_var_sum,
+       |  round(CASE WHEN n < 2 THEN 0.0 ELSE $tVar END, 6) AS total_var,
+       |  round(CASE WHEN k < 2 OR n < 2 THEN 0.0
+       |    WHEN ($tVar) <= 0.0 THEN 0.0
+       |    ELSE CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+       |      * (1.0 - CAST(ivar_micro AS DOUBLE) / 1e6 / ($tVar))
+       |  END, 6) AS alpha
+       |FROM ia JOIN kt ON kt.grp = ia.grp JOIN ta ON ta.grp = ia.grp""".stripMargin
+  }
+
+  /** q_nelson_aalen: the kaplanMeier risk-set replay with additive
+    * NANO hazard/variance increments and the Fleming–Harrington
+    * survival — mirrored from Evaluation.nelsonAalen. */
+  private val nelsonAalenSql: String =
+    """WITH pc AS (SELECT o_custkey,
+      |    min(CAST(o_orderdate AS DATE)) AS f,
+      |    max(CAST(o_orderdate AS DATE)) AS l
+      |  FROM orders GROUP BY 1),
+      |subj AS (SELECT 'all' AS grp,
+      |    CAST(floor(date_diff('day', f, l) / 30.0) AS BIGINT) AS t,
+      |    CASE WHEN l < DATE '2001-02-01' THEN 1 ELSE 0 END AS event
+      |  FROM pc),
+      |st AS (SELECT grp, t, CAST(sum(event) AS BIGINT) AS d,
+      |    CAST(count(*) - sum(event) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1, 2),
+      |r AS (SELECT grp, t, d, c,
+      |    CAST(sum(d + c) OVER (PARTITION BY grp) AS BIGINT)
+      |      - COALESCE(CAST(sum(d + c) OVER (PARTITION BY grp ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS n_risk
+      |  FROM st),
+      |tm AS (SELECT grp, t, d, c, n_risk,
+      |    CASE WHEN d = 0 THEN 0
+      |      ELSE CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e9, 0) AS BIGINT)
+      |    END AS h_nano,
+      |    CASE WHEN d = 0 THEN 0
+      |      ELSE CAST(round(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+      |        * CAST(n_risk AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |    END AS v_nano
+      |  FROM r),
+      |cu AS (SELECT grp, t, d, c, n_risk,
+      |    CAST(sum(h_nano) OVER w AS BIGINT) AS cum_h,
+      |    CAST(sum(v_nano) OVER w AS BIGINT) AS cum_v
+      |  FROM tm WINDOW w AS (PARTITION BY grp ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT grp, t, n_risk, d, c,
+      |  round(CAST(cum_h AS DOUBLE) / 1e9, 6) AS cum_haz,
+      |  round(CAST(cum_v AS DOUBLE) / 1e9, 6) AS var_haz,
+      |  round(exp(-CAST(cum_h AS DOUBLE) / 1e9), 6) AS fh_surv
+      |FROM cu WHERE d > 0""".stripMargin
+
   private val kaplanMeierSql: String =
     """WITH pc AS (SELECT o_custkey,
       |    min(CAST(o_orderdate AS DATE)) AS f,
@@ -5911,6 +6493,19 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_mantel_haenszel" -> mantelHaenszelSql,
     "q_js_divergence" -> jsDivergenceSql,
     "q_kaplan_meier" -> kaplanMeierSql,
+    "q_nelson_aalen" -> nelsonAalenSql,
+    "q_welch_ttest" -> welchTtestSql,
+    "q_kruskal_wallis" -> kruskalWallisSql,
+    "q_brown_forsythe" -> brownForsytheSql,
+    "q_kendall_w" -> kendallWSql,
+    "q_cronbach_alpha" -> cronbachAlphaSql,
+    "q_changepoint" -> changepointSql,
+    "q_local_clustering" -> localClusteringSql,
+    "q_lift_gain" -> liftGainSql,
+    "q_column_mi" -> columnMiSql,
+    "q_dp_dispersion" -> dpDispersionSql,
+    "q_strat_ate" -> stratAteSql,
+    "q_quantile_norm" -> quantileNormSql,
     "q_mann_kendall" -> mannKendallSql,
     "q_cochran_q" -> cochranQSql,
     "q_pr_auc" -> prAucSql,

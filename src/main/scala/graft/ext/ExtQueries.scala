@@ -2176,4 +2176,138 @@ object ExtQueries {
     fit.map { case (f, m, u) => (f, r6(m), r6(u), r6(p)) }
       .toDF("field", "m", "u", "p")
   }
+
+  /** Welch's t on event value (cents) between the user-parity arms,
+    * per event type — the MEAN-difference readout beside [[qAbTest]]'s
+    * proportion z and [[qMannWhitney]]'s rank test (a parity split, so
+    * the expected verdict is "no difference" — the null behaving is
+    * itself the check). */
+  def qWelchTtest(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.welchTTest(Tables(spark, dir).events.select(
+      col("event_type").as("group"), pmod(col("user_id"), lit(2)).as("arm"),
+      round(col("value") * 100, 0).cast("long").as("y")))
+
+  /** Kruskal–Wallis across SOURCES within each language: does at
+    * least one source's document-length distribution sit above the
+    * rest? The k-sample extension of [[qMannWhitney]] — the corpus-mix
+    * diagnostic that flags a source whose length profile diverges. */
+  def qKruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.kruskalWallis(Tables(spark, dir).documents.select(
+      col("lang").as("group"), col("source").as("arm"),
+      col("n_chars").as("v")))
+
+  /** Brown–Forsythe variance-equality across event types on event
+    * value (cents) — are the five types equally spread, or does one
+    * carry the tail? The spread-side complement of [[qWelchTtest]]. */
+  def qBrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.brownForsythe(Tables(spark, dir).events.select(
+      lit("all").as("group"), col("event_type").as("arm"),
+      round(col("value") * 100, 0).cast("long").as("v")))
+
+  /** Kendall's W over the five order-priority classes as "raters"
+    * ranking months by order volume — do the priority tiers agree on
+    * which months are busy? A concordance readout over the same
+    * orders stream [[qMonthlyGrowth]] trends. */
+  def qKendallW(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders.groupBy(
+        col("o_orderpriority").as("rater"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("item"))
+      .agg(count(lit(1)).as("score"))
+    Evaluation.kendallW(monthly.select(lit("all").as("group"),
+      col("rater"), col("item"), col("score")))
+  }
+
+  /** Cronbach's α over the five event types as scale "items" scored
+    * by per-user activity counts — do the event types measure one
+    * underlying engagement trait? Users active in all five types form
+    * the complete panel. */
+  def qCronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables(spark, dir).events.groupBy(
+        col("user_id").as("subject"), col("event_type").as("item"))
+      .agg(count(lit(1)).as("score"))
+    Evaluation.cronbachAlpha(activity.select(lit("all").as("group"),
+      col("subject"), col("item"), col("score")))
+  }
+
+  /** Nelson–Aalen cumulative hazard on the same censored customer
+    * lifetimes as [[qKaplanMeier]] — the additive estimator plus the
+    * Fleming–Harrington survival it implies. */
+  def qNelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir).orders.groupBy("o_custkey").agg(
+      min(to_date(col("o_orderdate"))).as("first_d"),
+      max(to_date(col("o_orderdate"))).as("last_d"))
+    Evaluation.nelsonAalen(perCust.select(lit("all").as("group"),
+      expr("datediff(last_d, first_d) div 30").as("t"),
+      (col("last_d") < lit("2001-02-01").cast("date")).cast("long")
+        .as("event")))
+  }
+
+  /** SSE-optimal single change point per event type's daily series —
+    * the exact binary-segmentation split beside [[qCusum]]'s cumsum
+    * peak and [[qPageHinkley]]'s sequential detector. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.changePoint(Tables(spark, dir).events)
+
+  /** Per-part local clustering coefficient of the co-purchase graph
+    * (parts sharing an order) — the node-level community-embeddedness
+    * feature beside [[graft.queries.AdvancedAnalytics.qTriangles]]'s
+    * global count; see
+    * [[graft.operators.Graph.localClustering]]. */
+  def qLocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graph.localClustering(e)
+  }
+
+  /** Decile lift/gain table of the quality score as a ranker for
+    * English documents — "keep the top 20% by score" quantified; the
+    * business-table view of the ranking [[qDelong]] and AUC grade
+    * with one number. */
+  def qLiftGain(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.liftGain(d.select(lit("all").as("group"),
+      round(col("quality_score") * 1e6, 0).cast("long").as("score_micro"),
+      (col("lang") === "en").cast("long").as("y")))
+  }
+
+  /** Pairwise mutual information between the orders table's
+    * categorical profiling columns (status, priority, order month) —
+    * [[graft.ext.Curation.columnMi]], the graded companion of
+    * q_fd_discovery's boolean FDs. */
+  def qColumnMi(spark: SparkSession, dir: String): DataFrame =
+    Curation.columnMi(Tables(spark, dir).orders.select(
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month")),
+      Seq("status", "priority", "month"))
+
+  /** Gries' DP dispersion of the corpus's top-20 tokens across
+    * sources — which frequent terms are EVERYWHERE (function words,
+    * DP ≈ 0) vs concentrated in one source (template/boilerplate
+    * markers)? */
+  def qDpDispersion(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dpDispersion(Tables(spark, dir).documents)
+
+  /** Post-stratified ATE of the user-parity arm on event value
+    * (cents), standardized over event-type strata — the Simpson-safe
+    * mean effect beside [[qMantelHaenszel]]'s odds scale and
+    * [[qCuped]]'s covariate adjustment. */
+  def qStratAte(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.postStratifiedAte(Tables(spark, dir).events.select(
+      lit("all").as("group"), col("event_type").as("stratum"),
+      pmod(col("user_id"), lit(2)).as("arm"),
+      round(col("value") * 100, 0).cast("long").as("y")))
+
+  /** Quantile-normalize the quality score across sources — each
+    * source's score distribution mapped onto the pooled one, so one
+    * global threshold treats differently-calibrated sources fairly. */
+  def qQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Curation.quantileNormalize(d.select(lit("all").as("group"),
+      col("source"),
+      round(col("quality_score") * 1e6, 0).cast("long").as("v")))
+  }
 }

@@ -938,4 +938,57 @@ object TextAnalysis {
       .select(col(idCol), col("phrase"), col("score_micro"),
         col("rn").cast(IntegerType).as("rn"))
   }
+
+  /** Gries' Deviation of Proportions (DP) for the corpus's top-K
+    * terms — the term DISPERSION diagnostic frequency alone hides: a
+    * term can be corpus-frequent because it is everywhere (DP ≈ 0,
+    * a function word) or because ONE source spams it (DP → 1, a
+    * boilerplate/template marker worth a cleaning rule).
+    * DP(t) = Σ_sources |share-of-t-in-source − source-size-share| / 2.
+    *
+    * Exactness: all counts are exact longs; each source's absolute
+    * deviation is rounded to a MICRO long pre-sum (sources-bounded
+    * fold, order-free); DP is one division, 6dp. Terms travel as the
+    * portable md5-60 hash so any engine replays identity.
+    *
+    * Scale shape: one (source, term-hash) count shuffle map-side
+    * combined; the top-K selection is the bounded-heap
+    * [[graft.expressions.TopKByScore]] aggregate (O(K) state per
+    * partial, no corpus-wide sort); the deviation grid is K × sources
+    * rows built from a broadcast semi-filter of the count table —
+    * nothing corpus-proportional after the first shuffle. Sources
+    * where a top term is ABSENT still contribute their size share
+    * (the grid is dense by construction).
+    *
+    * @return (h, total, dp) — top-K terms by (count desc, hash asc) */
+  def dpDispersion(docs: DataFrame, topK: Int = 20,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("source"),
+        Dedup.portableHash60(concat(lit("dp|"), col("tok"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds source sizes, term totals, the grid
+    val srcTot = base.groupBy("source").agg(sum(col("c")).as("s_n"))
+    val top = base.groupBy("h").agg(sum(col("c")).as("t"))
+      .agg(graft.expressions.TopKByScore.topK(
+        col("t").cast(DoubleType), col("h"), col("t"), topK).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id").as("h"), col("e.payload").as("total"))
+    val cand = base.join(broadcast(top.select("h")), Seq("h"), "left_semi")
+    def d(c: String) = col(c).cast(DoubleType)
+    val grid = top.crossJoin(srcTot)
+      .crossJoin(broadcast(srcTot.agg(sum(col("s_n")).as("n_corpus"))))
+      .join(cand, Seq("source", "h"), "left")
+      .select(col("h"), col("total"),
+        round(abs(coalesce(d("c"), lit(0.0)) / d("total") -
+          d("s_n") / d("n_corpus")) * 1e6, 0).cast(LongType).as("dev_micro"))
+    val out = grid.groupBy("h").agg(max(col("total")).as("total"),
+        sum(col("dev_micro")).as("dev"))
+      .select(col("h"), col("total"),
+        round(col("dev").cast(DoubleType) / 2e6, 6).as("dp"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(base)
+    out
+  }
 }

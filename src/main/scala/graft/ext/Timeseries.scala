@@ -723,4 +723,64 @@ object Timeseries {
           .otherwise(col("model_abs").cast(DoubleType) /
             col("naive_abs").cast(DoubleType)), 6).as("mase"))
   }
+
+  /** Single change-point detection per series by least-squares binary
+    * segmentation (depth 1 — the first split PELT/BinSeg would make):
+    * the day t* that MINIMIZES pooled SSE when the daily series is
+    * modeled as two constant segments, reported with the variance
+    * explained. [[cusumChangepoint]] flags the peak of the cumsum —
+    * the mean-shift heuristic; this is the exact SSE-optimal split of
+    * the same series, the readout a "did the feed change level, and
+    * where" alert actually wants.
+    *
+    * Exactness: prefix sums Σy and Σy² are exact longs from ordered
+    * day windows (Σy² bounds as in the stats family — daily counts
+    * through ~3·10⁶/day on 10⁶-day series); each candidate's gain
+    * SSE_total − SSE_left − SSE_right is a fixed-shape IEEE
+    * expression over those longs, MICRO-rounded before the argmax so
+    * the winner (earliest day on ties) is engine-independent.
+    *
+    * Scale shape: the [[dailySeries]] reduction per series (100 TB of
+    * events → one row per (series, day) map-side), then windows and
+    * the argmax run on the days-sized table — the [[cusumChangepoint]]
+    * bound. Series with a single day emit nothing (no split exists).
+    *
+    * @return (series, n_days, cp_d, n_left, mean_left, mean_right,
+    *         gain) — cp_d the LAST day of the left segment; 6dp */
+  def changePoint(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val s = events.groupBy(col(seriesCol).as("series"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("series").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("series")
+    val pre = s
+      .withColumn("i", count(lit(1)).over(wCum))
+      .withColumn("cs", sum(col("n")).over(wCum))
+      .withColumn("css", sum(col("n") * col("n")).over(wCum))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("ts_", sum(col("n")).over(wAll))
+      .withColumn("tss", sum(col("n") * col("n")).over(wAll))
+    def d(c: String) = col(c).cast(DoubleType)
+    val sseL = d("css") - d("cs") * d("cs") / d("i")
+    val rs = d("ts_") - d("cs")
+    val sseR = (d("tss") - d("css")) - rs * rs / (d("nd") - d("i"))
+    val sseT = d("tss") - d("ts_") * d("ts_") / d("nd")
+    val cand = pre.filter(col("i") < col("nd"))
+      .select(col("series"), col("d"), col("i"), col("cs"), col("nd"),
+        col("ts_"),
+        round((sseT - sseL - sseR) * 1e6, 0).cast(LongType).as("gain_micro"))
+    cand.groupBy("series").agg(
+        min(struct((-col("gain_micro")).as("ng"), col("d").as("cp_d"),
+          col("i").as("nl"), col("cs").as("sl"), col("nd").as("nd"),
+          col("ts_").as("ts"))).as("m"))
+      .select(col("series"), col("m.nd").as("n_days"),
+        col("m.cp_d").as("cp_d"), col("m.nl").as("n_left"),
+        round(col("m.sl").cast(DoubleType) /
+          col("m.nl").cast(DoubleType), 6).as("mean_left"),
+        round((col("m.ts") - col("m.sl")).cast(DoubleType) /
+          (col("m.nd") - col("m.nl")).cast(DoubleType), 6).as("mean_right"),
+        round((-col("m.ng")).cast(DoubleType) / 1e6, 6).as("gain"))
+  }
 }

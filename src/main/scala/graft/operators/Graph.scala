@@ -932,4 +932,71 @@ object Graph {
     graft.ext.Checkpoints.release(e)
     out
   }
+
+  /** Per-node local clustering coefficient — the NODE-level view of
+    * [[triangleCount]]'s global statistic: lcc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)), the fraction of v's neighbor pairs that are
+    * themselves connected. The community-embeddedness feature a spam/
+    * quality classifier reads off a link graph (spam farms show star
+    * shapes, lcc ≈ 0; tight communities lcc → 1) where the global
+    * triangle count is just one number.
+    *
+    * Scale shape: the [[triangleCount]] degree-orientation discipline
+    * verbatim — adjacency lists bounded at O(√m) by orientation, the
+    * intersection work O(m^1.5) worst case — except each closed
+    * triangle is EXPLODED to its three member credits instead of
+    * summed (output rows = 3·triangles, each a (node, 1) credit
+    * aggregated map-side). Degrees come from the same undirected edge
+    * list; nodes with deg < 2 report lcc = 0 (no pairs to close).
+    *
+    * @param edges (src, dst) rows in either orientation; normalized,
+    *              deduplicated, self-loops dropped internally.
+    * @return (node, deg, tri, lcc) — lcc 6dp */
+  def localClustering(edges: DataFrame,
+      broadcastMaxEdges: Long = 20000000L): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast(LongType).as("u"),
+        greatest(col("src"), col("dst")).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val nEdges = und.count()
+    val smallGraph = nEdges <= broadcastMaxEdges
+    def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
+    val oriented = und
+      .join(gate(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+      .join(gate(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .select(
+        when(flip, col("v")).otherwise(col("u")).as("src"),
+        when(flip, col("u")).otherwise(col("v")).as("dst"))
+      .localCheckpoint()
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .localCheckpoint()
+    def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
+    // each triangle (src, dst, w) credits all three member nodes
+    val tri = oriented
+      .join(gate(side("a")), col("src") === col("a"))
+      .join(gate(side("b")), col("dst") === col("b"))
+      .select(col("src"), col("dst"),
+        explode(array_intersect(col("n_a"), col("n_b"))).as("w"))
+    val credits = tri.select(col("src").as("node"))
+      .union(tri.select(col("dst").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val out = deg.join(credits, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round(when(col("deg") < 2L, 0.0)
+          .otherwise(lit(2.0) * coalesce(col("tri"), lit(0L))
+            .cast(DoubleType) /
+            (col("deg") * (col("deg") - 1L)).cast(DoubleType)), 6)
+          .as("lcc"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(und, oriented, adj)
+    out
+  }
 }

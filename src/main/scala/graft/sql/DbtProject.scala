@@ -70,7 +70,8 @@ object DbtProject {
       snapshots: Map[String, String] = Map.empty,
       freshness: Map[String, FreshnessConfig] = Map.empty,
       singularTests: Map[String, String] = Map.empty,
-      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
+      runHooks: (Seq[String], Seq[String]) = (Seq.empty, Seq.empty))
 
   /** A declared table's resolved `dbt source freshness` config:
     * which column carries the load timestamp and the staleness
@@ -498,13 +499,13 @@ object DbtProject {
           .flatMap(prefix => tagPolicy.getOrElse(prefix, Set.empty)).toSet
       }
     }.toMap
-    // dbt on-run-start/on-run-end: project-level lifecycle hooks are
-    // not implemented — losing them silently (grants, audit setup)
-    // is worse than failing here
-    for (k <- Seq("on-run-start", "on-run-end"))
-      require(!(s"""(?m)^$k:""").r.findFirstIn(projText).isDefined,
-        s"dbt_project.yml declares $k, which this engine does not " +
-          "support — model-level pre-hook/post-hook are supported")
+    // dbt on-run-start/on-run-end: project-level lifecycle hooks
+    // (audit setup, grants) — scalar or block-list SQL, executed via
+    // spark.sql around the whole run/build (dbt's semantics). Flow
+    // lists stay a loud reject: hook SQL contains commas, so a
+    // bracket split cannot be safe.
+    val runHooks = (parseRunHooks(projText, "on-run-start"),
+      parseRunHooks(projText, "on-run-end"))
     // +pre-hook/+post-hook accumulate down the tree, outermost first
     // (project-policy hooks run before the model's own config hooks)
     val hookPolicy = parseHooks(projText)
@@ -587,12 +588,70 @@ object DbtProject {
       .flatMap(p => parseFreshness(read(p))).toMap
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
       modelTags, targetProps, seeds, snapshots, freshness, singularTests,
-      modelHooks)
+      modelHooks, runHooks)
+  }
+
+  /** `on-run-start:`/`on-run-end:` hook SQL from dbt_project.yml —
+    * one scalar statement or a block list of them (each item the full
+    * quoted/bare statement; blanks skipped). A flow list (`[...]`)
+    * fails loudly: hook SQL contains commas, so splitting on them
+    * would corrupt the statements. */
+  private[graft] def parseRunHooks(yml: String, key: String): Seq[String] = {
+    def unquote(s: String): String = {
+      val t = s.trim
+      if ((t.startsWith("\"") && t.endsWith("\"") && t.length >= 2) ||
+          (t.startsWith("'") && t.endsWith("'") && t.length >= 2))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    // [ \t]* not \s*: \s crosses newlines and would swallow a block
+    // list's first `- "..."` item into a bogus scalar match
+    val scalarRe = (s"""(?m)^$key:[ \\t]*(\\S.*?)[ \\t]*$$""").r
+    val blockRe = (s"""(?m)^$key:[ \\t]*$$""").r
+    scalarRe.findFirstMatchIn(yml) match {
+      case Some(m) =>
+        require(!m.group(1).startsWith("["),
+          s"$key: flow-style hook lists are not supported (hook SQL " +
+            "contains commas) — use a block list (one `- \"...\"` per hook)")
+        Seq(unquote(m.group(1)))
+      case None => blockRe.findFirstMatchIn(yml).map { m =>
+        val itemRe = """^\s+-\s*(.+?)\s*$""".r
+        yml.substring(m.end).linesIterator
+          .takeWhile(l => l.trim.isEmpty || l.startsWith(" ") ||
+            l.startsWith("\t"))
+          .collect { case itemRe(v) => unquote(v) }.toSeq
+      }.getOrElse(Seq.empty)
+    }
   }
 
   /** Render one singular test's Jinja (ref()/source() placeholders
     * survive for the dialect shim; `{{ config(severity=...) }}` is
     * captured for [[DbtTests.statusOf]]). */
+  /** `dbt run-operation <macro>`: render one project macro with the
+    * given kwargs (string values; quotes rejected — they would need
+    * SQL escaping this shim does not attempt) and execute the
+    * resulting statement via spark.sql. The maintenance-task entry
+    * point (grants, manual audit inserts, cleanup DDL) a dbt user
+    * drives from the CLI.
+    *
+    * @return the executed statement's result frame */
+  def runOperation(spark: SparkSession, projectDir: String,
+      macroName: String, args: Map[String, String] = Map.empty,
+      vars: Map[String, String] = Map.empty,
+      currentDateOverride: Option[String] = None): DataFrame = {
+    val p = load(projectDir)
+    require(p.macros.contains(macroName),
+      s"run-operation: unknown macro '$macroName' (project declares: " +
+        s"${p.macros.keys.toSeq.sorted.mkString(", ")})")
+    args.values.foreach(v => require(!v.contains("'") && !v.contains("\""),
+      s"run-operation: quote characters in arg values are not supported"))
+    val call = s"{{ $macroName(" +
+      args.toSeq.sortBy(_._1).map { case (k, v) => s"$k='$v'" }
+        .mkString(", ") + ") }}"
+    val r = renderSingular(p, call, vars)
+    spark.sql(BigQueryDialect.translate(r.text, currentDateOverride))
+  }
+
   private def renderSingular(p: Loaded, tpl: String,
       vars: Map[String, String]): Jinja.Result =
     Jinja.render(tpl, vars, macros = p.macros,
@@ -643,9 +702,21 @@ object DbtProject {
       exclude: Option[String] = None): Map[String, DataFrame] = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
-    engine.run(p.modelSql, allFrames, p.materializations, p.tags, select,
-      fullRefresh, exclude, p.hooks)
+    runLevelHooks(spark, p.runHooks._1, currentDateOverride)
+    val out = engine.run(p.modelSql, allFrames, p.materializations, p.tags,
+      select, fullRefresh, exclude, p.hooks)
+    runLevelHooks(spark, p.runHooks._2, currentDateOverride)
+    out
   }
+
+  /** Execute on-run-start/on-run-end hook SQL (dialect-translated,
+    * like model hooks) in declaration order. */
+  private def runLevelHooks(spark: SparkSession, hooks: Seq[String],
+      currentDateOverride: Option[String]): Unit =
+    hooks.foreach { h =>
+      spark.sql(BigQueryDialect.translate(h, currentDateOverride))
+        .collect(); ()
+    }
 
   /** Shared run/build wiring: load the project, check sources, build
     * the engine, and assemble the full relation map (caller sources +
@@ -700,6 +771,7 @@ object DbtProject {
       : (Map[String, DataFrame], DataFrame) = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
+    runLevelHooks(spark, p.runHooks._1, currentDateOverride)
     val (modelTests, inputTests) =
       p.tests.partition(t => p.modelSql.contains(t.model))
     // seed/source tests run up front against the input frames
@@ -735,12 +807,22 @@ object DbtProject {
           case Some(d) =>
             (name, "test", "skipped", s"upstream $d did not build")
           case None =>
-            val n = spark.sql(BigQueryDialect.translate(r.text,
-              currentDateOverride)).count()
+            val vr = spark.sql(BigQueryDialect.translate(r.text,
+              currentDateOverride))
+            // dbt `store_failures` on a singular test: persist the
+            // test query's rows under the audit dir, count from disk
+            val n = if (r.config.get("store_failures")
+                .exists(_.trim.toBoolean)) {
+              val path = s"$warehouseDir/dbt_test__audit/" +
+                DbtTests.auditName(name, "singular")
+              vr.write.mode("overwrite").parquet(path)
+              spark.read.parquet(path).count()
+            } else vr.count()
             (name, "test", DbtTests.statusOf(n, r.config),
               s"$n violating rows")
         }
     }
+    runLevelHooks(spark, p.runHooks._2, currentDateOverride)
     import spark.implicits._
     (frames, (modelRows ++ gatedRows ++ inputRows ++ singularRows)
       .toDF("resource", "kind", "status", "detail"))

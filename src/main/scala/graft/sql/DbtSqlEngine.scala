@@ -94,7 +94,17 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       val checks = byModel.getOrElse(m.name, Seq.empty).map { t =>
         val label = t.column.map(c => s"${t.kind}($c)").getOrElse(t.kind)
         label -> ((df: org.apache.spark.sql.DataFrame) => {
-          val n = DbtTests.violatingRows(t, df, spark).count()
+          val vr = DbtTests.violatingRows(t, df, spark)
+          // dbt `store_failures`: persist the test's result rows (the
+          // audit-schema analog); the count then reads the written
+          // table so the violating-rows plan runs once
+          val n =
+            if (t.config.get("store_failures").exists(_.trim.toBoolean)) {
+              val path = s"$warehouseDir/dbt_test__audit/" +
+                DbtTests.auditName(m.name, label)
+              vr.write.mode("overwrite").parquet(path)
+              spark.read.parquet(path).count()
+            } else vr.count()
           val st = DbtTests.statusOf(n, t.config)
           testLog((m.name, label)) = (n, st)
           if (st == "fail")

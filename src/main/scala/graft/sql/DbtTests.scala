@@ -41,9 +41,15 @@ object DbtTests {
   /** dbt test config keys understood here; anything else in a test's
     * `config:` block fails loudly. `quote` is accepted-and-inert on
     * accepted_values (this engine compares by value, so quoting is
-    * not a degree of freedom the way it is in generated SQL). */
+    * not a degree of freedom the way it is in generated SQL).
+    * `store_failures: true` persists the test's violating rows under
+    * `<warehouse>/dbt_test__audit/` (dbt's audit-schema analog). */
   private val configKeys = Set("severity", "error_if", "warn_if",
-    "where", "quote")
+    "where", "quote", "store_failures")
+
+  /** Filesystem-safe audit table name for a stored test result. */
+  def auditName(model: String, label: String): String =
+    s"${model}__$label".replaceAll("\\W+", "_")
 
   /** dbt's test-status rule: severity 'warn' can only warn; severity
     * 'error' (the default) fails when `error_if` (default `!=0`)

@@ -779,6 +779,112 @@ object GraftFunctions {
       tableOf(strArg(args.head, "kaplan_meier(table)")))
       .queryExecution.logical
 
+  /** nelson_aalen(tbl) — cumulative-hazard curve over
+    * (group, t, event) subject rows
+    * ([[graft.ext.Evaluation.nelsonAalen]]). */
+  def nelsonAalenTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.nelsonAalen(
+      tableOf(strArg(args.head, "nelson_aalen(table)")))
+      .queryExecution.logical
+
+  /** welch_ttest(tbl) — unequal-variance two-sample t over
+    * (group, arm, y) long-metric rows
+    * ([[graft.ext.Evaluation.welchTTest]]). */
+  def welchTtestTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.welchTTest(
+      tableOf(strArg(args.head, "welch_ttest(table)")))
+      .queryExecution.logical
+
+  /** kruskal_wallis(tbl) — k-sample rank test over
+    * (group, arm, v) long-metric rows
+    * ([[graft.ext.Evaluation.kruskalWallis]]). */
+  def kruskalWallisTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.kruskalWallis(
+      tableOf(strArg(args.head, "kruskal_wallis(table)")))
+      .queryExecution.logical
+
+  /** brown_forsythe(tbl) — median-centered variance-equality test
+    * over (group, arm, v) long-metric rows
+    * ([[graft.ext.Evaluation.brownForsythe]]). */
+  def brownForsytheTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.brownForsythe(
+      tableOf(strArg(args.head, "brown_forsythe(table)")))
+      .queryExecution.logical
+
+  /** kendall_w(tbl) — rank concordance over
+    * (group, rater, item, score) rows
+    * ([[graft.ext.Evaluation.kendallW]]). */
+  def kendallWTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.kendallW(
+      tableOf(strArg(args.head, "kendall_w(table)")))
+      .queryExecution.logical
+
+  /** cronbach_alpha(tbl) — k-item internal consistency over
+    * (group, subject, item, score) rows
+    * ([[graft.ext.Evaluation.cronbachAlpha]]). */
+  def cronbachAlphaTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.cronbachAlpha(
+      tableOf(strArg(args.head, "cronbach_alpha(table)")))
+      .queryExecution.logical
+
+  /** changepoint(tbl) — SSE-optimal single split per series over an
+    * event stream's (event_type, ts) rows
+    * ([[graft.ext.Timeseries.changePoint]]). */
+  def changepointTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.changePoint(
+      tableOf(strArg(args.head, "changepoint(table)")))
+      .queryExecution.logical
+
+  /** local_clustering(tbl) — per-node clustering coefficient over
+    * (src, dst) edge rows
+    * ([[graft.operators.Graph.localClustering]]). */
+  def localClusteringTvf(args: Seq[Expression]): LogicalPlan =
+    graft.operators.Graph.localClustering(
+      tableOf(strArg(args.head, "local_clustering(table)")))
+      .queryExecution.logical
+
+  /** lift_gain(tbl[, buckets]) — cumulative gain/lift deciles over
+    * (group, score_micro, y) rows ([[graft.ext.Evaluation.liftGain]]). */
+  def liftGainTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "lift_gain(table)"))
+    val b = if (args.length > 1) intArg(args(1), "lift_gain(buckets)") else 10
+    graft.ext.Evaluation.liftGain(df, buckets = b).queryExecution.logical
+  }
+
+  /** column_mi(tbl) — pairwise mutual information between ALL of the
+    * table's columns ([[graft.ext.Curation.columnMi]]). */
+  def columnMiTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "column_mi(table)"))
+    graft.ext.Curation.columnMi(df, df.columns.toSeq)
+      .queryExecution.logical
+  }
+
+  /** strat_ate(tbl) — post-stratified average treatment effect over
+    * (group, stratum, arm, y) rows
+    * ([[graft.ext.Evaluation.postStratifiedAte]]). */
+  def stratAteTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.postStratifiedAte(
+      tableOf(strArg(args.head, "strat_ate(table)")))
+      .queryExecution.logical
+
+  /** quantile_normalize(tbl) — pooled-quantile score mapping over
+    * (group, source, v) rows
+    * ([[graft.ext.Curation.quantileNormalize]]). */
+  def quantileNormalizeTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Curation.quantileNormalize(
+      tableOf(strArg(args.head, "quantile_normalize(table)")))
+      .queryExecution.logical
+
+  /** dp_dispersion(tbl[, k]) — Gries' DP of the top-k terms across
+    * sources over (source, text) rows
+    * ([[graft.ext.TextAnalysis.dpDispersion]]). */
+  def dpDispersionTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "dp_dispersion(table)"))
+    val k = if (args.length > 1) intArg(args(1), "dp_dispersion(k)") else 20
+    graft.ext.TextAnalysis.dpDispersion(df, topK = k)
+      .queryExecution.logical
+  }
+
   /** mann_kendall(tbl) — monotone-trend test per series over an
     * event stream's (event_type, ts) rows
     * ([[graft.ext.Timeseries.mannKendall]]). */
@@ -1151,6 +1257,19 @@ object GraftFunctions {
     "mantel_haenszel" -> (mantelHaenszelTvf _),
     "js_divergence" -> (jsDivergenceTvf _),
     "kaplan_meier" -> (kaplanMeierTvf _),
+    "nelson_aalen" -> (nelsonAalenTvf _),
+    "welch_ttest" -> (welchTtestTvf _),
+    "kruskal_wallis" -> (kruskalWallisTvf _),
+    "brown_forsythe" -> (brownForsytheTvf _),
+    "kendall_w" -> (kendallWTvf _),
+    "cronbach_alpha" -> (cronbachAlphaTvf _),
+    "changepoint" -> (changepointTvf _),
+    "local_clustering" -> (localClusteringTvf _),
+    "lift_gain" -> (liftGainTvf _),
+    "column_mi" -> (columnMiTvf _),
+    "dp_dispersion" -> (dpDispersionTvf _),
+    "strat_ate" -> (stratAteTvf _),
+    "quantile_normalize" -> (quantileNormalizeTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),
     "pr_auc" -> (prAucTvf _),

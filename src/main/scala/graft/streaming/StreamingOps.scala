@@ -350,6 +350,27 @@ object StreamingOps {
       sideCol: String = "side", tokCol: String = "tok"): DataFrame =
     graft.ext.Evaluation.jsState(df, groupCol, sideCol, tokCol)
 
+  /** Streaming twin of Welch's unequal-variance t-test
+    * ([[graft.ext.Evaluation.welchTTest]]) — the live mean-difference
+    * monitor over an experiment's metric stream: per (grp, arm) the
+    * state is three commutative long sums (n, Σy, Σy²) — GROUPS×2
+    * rows forever. Finish a Complete snapshot with
+    * [[graft.ext.Evaluation.welchFinish]] — row-identical to the
+    * batch test of the same rows (StreamingSpec twin proof). */
+  def welchStateStream(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", yCol: String = "y"): DataFrame =
+    graft.ext.Evaluation.welchState(df, groupCol, armCol, yCol)
+
+  /** Streaming twin of the Kruskal–Wallis k-sample rank test
+    * ([[graft.ext.Evaluation.kruskalWallis]]) — [[mannWhitneyStateStream]]'s
+    * k-arm sibling: one long count per (grp, arm, value) cell,
+    * state bounded by arm × value cardinality. Finish a Complete
+    * snapshot with [[graft.ext.Evaluation.kwFinish]] — row-identical
+    * to the batch test of the same rows (StreamingSpec twin proof). */
+  def kruskalStateStream(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v"): DataFrame =
+    graft.ext.Evaluation.kwState(df, groupCol, armCol, vCol)
+
   /** Streaming twin of the two-sample Kolmogorov–Smirnov drift test
     * ([[graft.ext.Evaluation.ksTest]]) over side-tagged rows (side
     * 0 = baseline sample, 1 = live sample — e.g. a reference scoring

@@ -431,4 +431,31 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(d == d2, "partitioning must not change divergences")
   }
+
+  test("columnMi: perfect dependence = ln2 with NMI 1; constant column guards to 0") {
+    // x == y over a uniform 2-value domain: MI = H(X) = H(Y) = ln 2
+    val dep = Seq(("a", "a", "z"), ("a", "a", "z"), ("b", "b", "z"),
+      ("b", "b", "z")).toDF("x", "y", "konst")
+    val out = graft.ext.Curation.columnMi(dep, Seq("x", "y", "konst"))
+      .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+        ((r.getAs[Double]("mi_nats"), r.getAs[Double]("nmi")))).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("x", "y")) == ((ln2, 1.0)))
+    // a constant column has zero entropy: MI 0, NMI guarded to 0
+    assert(out(("x", "konst")) == ((0.0, 0.0)))
+    assert(out(("y", "konst")) == ((0.0, 0.0)))
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
+  test("dpDispersion: even spread scores 0, single-source term scores 0.5") {
+    val docs = Seq(("s1", "aa bb"), ("s2", "aa cc")).toDF("source", "text")
+    val out = graft.ext.TextAnalysis.dpDispersion(docs, topK = 10)
+      .collect().map(r => r.getAs[Long]("total") -> r.getAs[Double]("dp"))
+    // 'aa' (total 2) appears in both sources at exactly their size
+    // share -> DP 0; 'bb'/'cc' (total 1) live in one source -> DP 0.5
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq == Seq(0.0))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq.sorted == Seq(0.5, 0.5))
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

@@ -483,11 +483,35 @@ class DbtProjectSpec extends AnyFunSuite {
         .as[(String, String)].collect().toSet
       assert(audit == Set(("policy", "pre"), ("adults", "post1"),
         ("ann", "post2")), s"$audit")
-      // on-run-start in dbt_project.yml fails loudly
+      // on-run-start (scalar) + on-run-end (block list) execute once
+      // around the whole run, in declaration order (round 15)
+      Files.write(dir.resolve("models/marts/adults.sql"),
+        "select name, age from {{ source('raw', 'people') }} where age >= 18\n"
+          .getBytes("UTF-8"))
       Files.write(dir.resolve("dbt_project.yml"),
-        "name: \"hooky\"\non-run-start: \"select 1\"\n".getBytes("UTF-8"))
+        ("""name: "hooky"
+          |on-run-start: "insert into graft_hook_audit values ('run', 'start')"
+          |on-run-end:
+          |  - "insert into graft_hook_audit values ('run', 'end1')"
+          |  - "insert into graft_hook_audit select name, 'end2' from adults"
+          |models:
+          |  hooky:
+          |    marts:
+          |      +pre-hook: "insert into graft_hook_audit values ('policy', 'pre')"
+          |""").stripMargin.getBytes("UTF-8"))
+      spark.sql("TRUNCATE TABLE graft_hook_audit")
+      DbtProject.run(spark, dir.toString, Map("people" -> people),
+        Files.createTempDirectory("graft-hook-wh1b").toString)
+      val audit2 = spark.table("graft_hook_audit")
+        .as[(String, String)].collect().toSet
+      assert(audit2 == Set(("run", "start"), ("policy", "pre"),
+        ("run", "end1"), ("ann", "end2")), s"$audit2")
+      // a flow-style on-run-* list still fails loudly (hook SQL
+      // contains commas; a bracket split cannot be safe)
+      Files.write(dir.resolve("dbt_project.yml"),
+        "name: \"hooky\"\non-run-start: [\"a\", \"b\"]\n".getBytes("UTF-8"))
       val e1 = intercept[IllegalArgumentException](DbtProject.load(dir.toString))
-      assert(e1.getMessage.contains("on-run-start"))
+      assert(e1.getMessage.contains("flow-style"))
       // list-form +post-hook in dbt_project.yml fails loudly
       Files.write(dir.resolve("dbt_project.yml"),
         ("name: \"hooky\"\nmodels:\n  hooky:\n" +
@@ -535,7 +559,7 @@ class DbtProjectSpec extends AnyFunSuite {
     // a FAILING singular test (negative amounts exist) and a PASSING
     // one; the failing one carries severity config via {{ config }}
     Files.write(dir.resolve("tests/assert_no_negative_amounts.sql"),
-      """{{ config(severity='warn') }}
+      """{{ config(severity='warn', store_failures=true) }}
         |select id from {{ ref('clean_txns') }} where amount < 0
         |""".stripMargin.getBytes("UTF-8"))
     Files.write(dir.resolve("tests/assert_some_rows.sql"),
@@ -552,6 +576,7 @@ class DbtProjectSpec extends AnyFunSuite {
         |        tests:
         |          - unique:
         |              severity: warn
+        |              store_failures: true
         |          - not_null:
         |              config:
         |                error_if: ">2"
@@ -579,6 +604,17 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(rows("assert_no_negative_amounts") == (("test", "warn")), s"$rows")
     assert(rows("assert_some_rows") == (("test", "pass")), s"$rows")
     assert(frames.keySet == Set("clean_txns", "txn_total"))
+    // store_failures (round 15): violating rows persisted under the
+    // warehouse audit dir — the schema test's (id, count) row and the
+    // singular test's violating id
+    val audit1 = spark.read
+      .parquet(s"$wh/dbt_test__audit/clean_txns__unique_id_")
+      .as[(Long, Long)].collect().toSeq
+    assert(audit1 == Seq((1L, 2L)), s"$audit1")
+    val audit2 = spark.read
+      .parquet(s"$wh/dbt_test__audit/assert_no_negative_amounts__singular")
+      .as[Long].collect().toSeq
+    assert(audit2 == Seq(2L), s"$audit2")
     // runAndTest surfaces singular tests in the dbt-test report shape
     val (_, testReport) = DbtProject.runAndTest(spark, dir.toString,
       Map("txns" -> txns), wh)
@@ -1391,6 +1427,32 @@ class DbtProjectSpec extends AnyFunSuite {
       Map("feed_a" -> tsDf("etl_ts", "2026-08-15 11:59:00")), asOf)
       .collect().map(r => r.getString(0) -> r.getString(3)).toMap
     assert(rep2 == Map("feed_a" -> "pass", "feed_b" -> "error"), s"$rep2")
+  }
+
+  test("run-operation: a project macro renders and executes; unknown macro loud (round 15)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-opproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("macros"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"oppy\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("macros/ops.sql"),
+      """{% macro row_probe(tbl, min_rows) %}
+        |select '{{ tbl }}' as tbl, count(*) >= {{ min_rows }} as ok
+        |from {{ tbl }}
+        |{% endmacro %}
+        |""".stripMargin.getBytes("UTF-8"))
+    Seq(1L, 2L, 3L).toDF("x").createOrReplaceTempView("op_probe_src")
+    val out = DbtProject.runOperation(spark, dir.toString, "row_probe",
+      Map("tbl" -> "op_probe_src", "min_rows" -> "2"))
+      .as[(String, Boolean)].collect().toSeq
+    assert(out == Seq(("op_probe_src", true)))
+    val e = intercept[IllegalArgumentException](DbtProject.runOperation(
+      spark, dir.toString, "nope"))
+    assert(e.getMessage.contains("unknown macro"))
+    val e2 = intercept[IllegalArgumentException](DbtProject.runOperation(
+      spark, dir.toString, "row_probe", Map("tbl" -> "x'y")))
+    assert(e2.getMessage.contains("quote"))
   }
 
   private implicit class IterOps[A](it: java.util.Iterator[A]) {

@@ -443,4 +443,212 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT pr_auc FROM pr_auc('pr_in')")
       .as[Double].head() == 1.0)
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df; degenerate arm") {
+    // arm a: {1,2,3}, arm b: {4,5,7} -> var_a = 1, var_b = 7/3
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 4L), (1, 5L), (1, 7L))
+      .toDF("arm", "y").withColumn("group", lit("g"))
+    val r = Evaluation.welchTTest(df).collect().head
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mean_b") == r6(16.0 / 3.0))
+    val varA = (3.0 * 14.0 - 36.0) / (3.0 * 2.0)
+    val varB = (3.0 * 90.0 - 256.0) / (3.0 * 2.0)
+    val sea = varA / 3.0; val seb = varB / 3.0; val se2 = sea + seb
+    assert(r.getAs[Double]("t_stat") ==
+      r6((16.0 / 3.0 - 6.0 / 3.0) / math.sqrt(se2)))
+    assert(r.getAs[Double]("df") ==
+      r6(se2 * se2 / (sea * sea / 2.0 + seb * seb / 2.0)))
+    // single-row arm -> degenerate by contract
+    val thin = Seq((0, 1L), (0, 2L), (1, 9L)).toDF("arm", "y")
+      .withColumn("group", lit("g"))
+    val tr = Evaluation.welchTTest(thin).collect().head
+    assert(tr.getAs[Double]("t_stat") == 0.0 && tr.getAs[Double]("df") == 0.0)
+  }
+
+  test("kruskalWallis: textbook tie-free H; single arm degenerate") {
+    // arms a={1,2}, b={3,4}, c={5,6}: ranks 1..6, H = 4.571429
+    // (micro-rounded pre-sum: each nonzero term 2.285714 -> 4.571428)
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("arm", "v").withColumn("group", lit("g"))
+    val r = Evaluation.kruskalWallis(df).collect().head
+    assert(r.getAs[Long]("k_arms") == 3 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Double]("h") == 4.571428)
+    assert(r.getAs[Double]("h_adj") == 4.571428) // no ties: correction 1
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("arm", "v")
+      .withColumn("group", lit("g"))
+    assert(Evaluation.kruskalWallis(one).collect().head
+      .getAs[Double]("h") == 0.0)
+  }
+
+  test("brownForsythe: hand-computed F on unequal spreads; even-n medians exact") {
+    // a={1,2,3,4} (med2=5), b={10,20,30,40} (med2=50):
+    // SSB=81, SSW=50.5, F = 81/(50.5/6) = 9.623762
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 20L), ("b", 30L), ("b", 40L))
+      .toDF("arm", "v").withColumn("group", lit("g"))
+    val r = Evaluation.brownForsythe(df).collect().head
+    assert(r.getAs[Long]("k_arms") == 2 && r.getAs[Long]("n") == 8)
+    assert(r.getAs[Double]("f") == r6(81.0 / (50.5 / 6.0)))
+    // equal spreads -> F = 0 exactly (both deviation sets identical)
+    val eq = Seq(("a", 1L), ("a", 3L), ("b", 11L), ("b", 13L))
+      .toDF("arm", "v").withColumn("group", lit("g"))
+    assert(Evaluation.brownForsythe(eq).collect().head
+      .getAs[Double]("f") == 0.0)
+  }
+
+  test("kendallW: perfect concordance = 1; incomplete items and dup rows handled") {
+    // 3 raters score 4 items identically -> identical rankings, W = 1
+    val base = for (r <- Seq("r1", "r2", "r3"); i <- 1 to 4)
+      yield (r, s"i$i", i.toLong * 10)
+    val df = base.toDF("rater", "item", "score").withColumn("group", lit("g"))
+    val w1 = Evaluation.kendallW(df).collect().head
+    assert(w1.getAs[Long]("m_raters") == 3 && w1.getAs[Long]("n_items") == 4)
+    assert(w1.getAs[Long]("s4") == 180L) // 4S, S = 45
+    assert(w1.getAs[Double]("w") == 1.0)
+    // an item missing one rater is excluded; a duplicate (rater, item)
+    // row collapses to max(score) -> W stays 1 on the complete panel
+    val noisy = (base ++ Seq(("r1", "i5", 99L), ("r2", "i5", 98L),
+      ("r1", "i1", 1L))).toDF("rater", "item", "score")
+      .withColumn("group", lit("g"))
+    val w2 = Evaluation.kendallW(noisy).collect().head
+    assert(w2.getAs[Long]("n_items") == 4 && w2.getAs[Double]("w") == 1.0)
+  }
+
+  test("cronbachAlpha: perfectly correlated items = 1; incomplete subjects excluded") {
+    // 2 items, subjects score (1,1),(2,2),(3,3): Σvar_i = 2, var_tot = 4
+    val df = Seq(("s1", "q1", 1L), ("s1", "q2", 1L), ("s2", "q1", 2L),
+      ("s2", "q2", 2L), ("s3", "q1", 3L), ("s3", "q2", 3L))
+      .toDF("subject", "item", "score").withColumn("group", lit("g"))
+    val r = Evaluation.cronbachAlpha(df).collect().head
+    assert(r.getAs[Long]("k_items") == 2 && r.getAs[Long]("n_subjects") == 3)
+    assert(r.getAs[Double]("item_var_sum") == 2.0)
+    assert(r.getAs[Double]("total_var") == 4.0)
+    assert(r.getAs[Double]("alpha") == 1.0)
+    // a subject missing one item drops from the panel entirely
+    val sparse = df.union(Seq(("s4", "q1", 9L)).toDF("subject", "item", "score")
+      .withColumn("group", lit("g")).select("subject", "item", "score", "group"))
+    val r2 = Evaluation.cronbachAlpha(sparse).collect().head
+    assert(r2.getAs[Long]("n_subjects") == 3)
+    assert(r2.getAs[Double]("alpha") == 1.0)
+  }
+
+  test("nelsonAalen: hand-computed cumulative hazard, variance, FH survival") {
+    // (t, event): (1,1),(2,1),(2,0),(3,1)
+    val df = Seq((1L, 1), (2L, 1), (2L, 0), (3L, 1)).toDF("t", "event")
+      .withColumn("group", lit("g"))
+    val rows = Evaluation.nelsonAalen(df).collect()
+      .map(r => r.getAs[Long]("t") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L).getAs[Long]("n_risk") == 4)
+    assert(rows(1L).getAs[Double]("cum_haz") == 0.25)
+    assert(rows(1L).getAs[Double]("var_haz") == 0.0625)
+    assert(rows(1L).getAs[Double]("fh_surv") == r6(math.exp(-0.25)))
+    assert(rows(2L).getAs[Long]("n_risk") == 3)
+    assert(rows(2L).getAs[Double]("cum_haz") == 0.583333)
+    assert(rows(2L).getAs[Double]("var_haz") == r6(0.0625 + 0.111111111))
+    assert(rows(3L).getAs[Long]("n_risk") == 1)
+    assert(rows(3L).getAs[Double]("cum_haz") == 1.583333)
+    // FH survival keeps estimating where KM pins to zero (d = n_risk)
+    assert(rows(3L).getAs[Double]("fh_surv") ==
+      r6(math.exp(-1.583333333)))
+  }
+
+  test("liftGain: hand-computed two-bucket table; tied cells stay whole") {
+    // scores 40,30,20,10 with y = 1,1,0,0 and 2 buckets: the top half
+    // captures every positive -> gain 1, lift 2
+    val df = Seq((40L, 1), (30L, 1), (20L, 0), (10L, 0))
+      .toDF("score_micro", "y").withColumn("group", lit("g"))
+    val out = Evaluation.liftGain(df, buckets = 2).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("cum_pos"),
+          r.getAs[Double]("gain"), r.getAs[Double]("lift")))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0, 2.0)))
+    assert(out(2L) == ((2L, 2L, 1.0, 1.0)))
+    // a tied score cell lands WHOLE in the bucket of its last row:
+    // three tied rows ending at position 3 of 4 -> all in bucket 2
+    val tied = Seq((40L, 1), (40L, 1), (40L, 0), (10L, 0))
+      .toDF("score_micro", "y").withColumn("group", lit("g"))
+    val t = Evaluation.liftGain(tied, buckets = 2).collect()
+    assert(t.map(_.getAs[Long]("bucket")).toSet == Set(2L))
+    assert(t.head.getAs[Long]("n") == 4L)
+    // zero positives -> gain/lift guard to 0
+    val none = Seq((40L, 0), (10L, 0)).toDF("score_micro", "y")
+      .withColumn("group", lit("g"))
+    assert(Evaluation.liftGain(none).collect()
+      .forall(r => r.getAs[Double]("gain") == 0.0 &&
+        r.getAs[Double]("lift") == 0.0))
+  }
+
+  test("postStratifiedAte: hand-computed two-strata effect; thin strata excluded") {
+    // stratum A: arm0 {1,3}, arm1 {5,7} -> diff 4, w .5, varT 2
+    // stratum B: arm0 {2,4}, arm1 {4,6} -> diff 2, w .5, varT 2
+    // stratum C: arm0 only -> excluded
+    // ATE = 3, Var = .25*2 + .25*2 = 1, se = 1, z = 3
+    val df = Seq(("A", 0, 1L), ("A", 0, 3L), ("A", 1, 5L), ("A", 1, 7L),
+      ("B", 0, 2L), ("B", 0, 4L), ("B", 1, 4L), ("B", 1, 6L),
+      ("C", 0, 9L), ("C", 0, 11L))
+      .toDF("stratum", "arm", "y").withColumn("group", lit("g"))
+    val r = Evaluation.postStratifiedAte(df).collect().head
+    assert(r.getAs[Long]("n_strata") == 3 && r.getAs[Long]("n_used") == 2)
+    assert(r.getAs[Long]("n") == 8)
+    assert(r.getAs[Double]("ate") == 3.0)
+    assert(r.getAs[Double]("se") == 1.0)
+    assert(r.getAs[Double]("z") == 3.0)
+    // no usable stratum -> everything guards to 0
+    val thin = Seq(("A", 0, 1L), ("A", 1, 2L)).toDF("stratum", "arm", "y")
+      .withColumn("group", lit("g"))
+    val t = Evaluation.postStratifiedAte(thin).collect().head
+    assert(t.getAs[Long]("n_used") == 0 && t.getAs[Double]("z") == 0.0)
+  }
+
+  test("quantileNormalize: pooled order statistics; single source is identity") {
+    import graft.ext.Curation
+    // a={1,2}, b={10,20}: pooled {1,2,10,20}; both sources map to {2,20}
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L))
+      .toDF("source", "v").withColumn("group", lit("g"))
+    val out = Curation.quantileNormalize(df).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("v")) ->
+        r.getAs[Long]("qn")).toMap
+    assert(out(("a", 1L)) == 2L && out(("a", 2L)) == 20L)
+    assert(out(("b", 10L)) == 2L && out(("b", 20L)) == 20L)
+    // one source: the mapping is the identity (k = cum, boundary = own cell)
+    val solo = Seq(("s", 5L), ("s", 5L), ("s", 9L), ("s", 42L))
+      .toDF("source", "v").withColumn("group", lit("g"))
+    val ident = Curation.quantileNormalize(solo).collect()
+    assert(ident.forall(r => r.getAs[Long]("qn") == r.getAs[Long]("v")))
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
+  test("round-15 stats TVF surface smoke") {
+    import spark.implicits._
+    graft.sql.GraftFunctions.register(spark)
+    Seq((0, 1L), (0, 2L), (1, 8L), (1, 9L)).toDF("arm", "y")
+      .withColumn("group", lit("g")).createOrReplaceTempView("wt_in")
+    assert(spark.sql("SELECT t_stat FROM welch_ttest('wt_in')")
+      .as[Double].head() > 0.0)
+    Seq(("a", 1L), ("a", 2L), ("b", 8L), ("b", 9L)).toDF("arm", "v")
+      .withColumn("group", lit("g")).createOrReplaceTempView("kw_in")
+    assert(spark.sql("SELECT h FROM kruskal_wallis('kw_in')")
+      .as[Double].head() > 0.0)
+    assert(spark.sql("SELECT f FROM brown_forsythe('kw_in')")
+      .as[Double].head() == 0.0) // equal spreads
+    Seq(("r1", "i1", 1L), ("r1", "i2", 2L), ("r2", "i1", 1L),
+      ("r2", "i2", 2L)).toDF("rater", "item", "score")
+      .withColumn("group", lit("g")).createOrReplaceTempView("kwc_in")
+    assert(spark.sql("SELECT w FROM kendall_w('kwc_in')")
+      .as[Double].head() == 1.0)
+    Seq(("s1", "q1", 1L), ("s1", "q2", 1L), ("s2", "q1", 3L),
+      ("s2", "q2", 3L)).toDF("subject", "item", "score")
+      .withColumn("group", lit("g")).createOrReplaceTempView("ca_in")
+    assert(spark.sql("SELECT alpha FROM cronbach_alpha('ca_in')")
+      .as[Double].head() == 1.0)
+    Seq((1L, 1), (2L, 0)).toDF("t", "event")
+      .withColumn("group", lit("g")).createOrReplaceTempView("na_in")
+    assert(spark.sql("SELECT count(*) FROM nelson_aalen('na_in')")
+      .as[Long].head() == 1L)
+  }
 }

@@ -322,4 +322,25 @@ class GraphSpec extends AnyFunSuite {
     assert(off == out, "broadcast gate must not change scores")
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("localClustering: triangle + pendant, hand-computed coefficients") {
+    // triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3,
+    // lcc(4)=0 (deg < 2)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.localClustering(e).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+          r.getAs[Double]("lcc")))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 0.333333)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    // duplicate/reversed edges normalize away; per-node credits agree
+    // with the global count on the same graph
+    val dup = e.union(Seq((2L, 1L), (4L, 3L)).toDF("src", "dst"))
+    val tri3 = Graph.localClustering(dup)
+      .agg(org.apache.spark.sql.functions.sum("tri")).as[Long].head()
+    assert(tri3 == 3L, "three credits per triangle")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

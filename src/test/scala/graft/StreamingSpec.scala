@@ -234,6 +234,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Welch and Kruskal–Wallis states ≡ batch (round 15)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val b1 = Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 1L, 4L))
+    val b2 = Seq(("g", 0L, 3L), ("g", 1L, 5L), ("g", 1L, 7L))
+    val q = StreamingOps.welchStateStream(
+        mem.toDF().toDF("group", "arm", "y"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("welch_out").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.welchFinish(
+        spark.table("welch_out"))
+      val batch = graft.ext.Evaluation.welchTTest(
+        (b1 ++ b2).toDF("group", "arm", "y"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed Welch state must equal the one-shot batch test")
+    } finally q.stop()
+    val mem2 = MemoryStream[(String, String, Long)]
+    val k1 = Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "b", 3L))
+    val k2 = Seq(("g", "b", 4L), ("g", "c", 5L), ("g", "c", 6L))
+    val q2 = StreamingOps.kruskalStateStream(
+        mem2.toDF().toDF("group", "arm", "v"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("kw_out").start()
+    try {
+      mem2.addData(k1: _*)
+      q2.processAllAvailable()
+      mem2.addData(k2: _*)
+      q2.processAllAvailable()
+      val finished = graft.ext.Evaluation.kwFinish(spark.table("kw_out"))
+      val batch = graft.ext.Evaluation.kruskalWallis(
+        (k1 ++ k2).toDF("group", "arm", "v"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed KW state must equal the one-shot batch test")
+    } finally q2.stop()
+  }
+
   test("streaming Mann–Whitney state ≡ batch; one AUC stream finishes into ROC and PR") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -238,4 +238,23 @@ class TimeseriesSpec extends AnyFunSuite {
     def toMap2: Map[(Int, Int), (Long, Long)] =
       s.map { case (p, m, c, x) => (p, m) -> (c, x) }.toMap
   }
+
+  test("changePoint: SSE-optimal split on a planted level shift") {
+    // 1,1,1,9,9,9: total SSE 96, split after day 3 explains all of it
+    val r = Timeseries.changePoint(series(Seq(1, 1, 1, 9, 9, 9)))
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 6)
+    assert(r.getAs[java.sql.Date]("cp_d").toString == "2026-01-03")
+    assert(r.getAs[Long]("n_left") == 3)
+    assert(r.getAs[Double]("mean_left") == 1.0)
+    assert(r.getAs[Double]("mean_right") == 9.0)
+    assert(r.getAs[Double]("gain") == 96.0)
+    // constant series: every split has gain 0; ties resolve to the
+    // EARLIEST day (the struct-min contract)
+    val flat = Timeseries.changePoint(series(Seq(5, 5, 5, 5))).collect().head
+    assert(flat.getAs[Double]("gain") == 0.0)
+    assert(flat.getAs[java.sql.Date]("cp_d").toString == "2026-01-01")
+    // a single-day series has no split to offer
+    assert(Timeseries.changePoint(series(Seq(7))).count() == 0)
+  }
 }
