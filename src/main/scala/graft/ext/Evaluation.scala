@@ -2501,6 +2501,86 @@ object Evaluation {
     out
   }
 
+  /** Intraclass correlation ICC(2,1) per group — absolute-agreement
+    * reliability of CONTINUOUS ratings under the two-way random
+    * effects model (Shrout & Fleiss 1979): the κ family reads
+    * categories, [[kendallW]] reads rankings, [[cronbachAlpha]] reads
+    * scale consistency — ICC is the number for "do raters give the
+    * same SCORE", the standard readout for scored eval rubrics.
+    * ICC(2,1) = (MSR − MSE) / (MSR + (k−1)·MSE + k·(MSC − MSE)/n)
+    * from the two-way ANOVA decomposition over a complete n×k panel.
+    *
+    * Complete-block contract (as [[cronbachAlpha]]): only subjects
+    * scored by ALL k raters enter; duplicate (subject, rater) rows
+    * collapse to max(score).
+    *
+    * Exactness: the four sufficient statistics — G = Σy, Q = Σy²,
+    * SR = Σ_i T_i² (squared subject totals), SC = Σ_j C_j² (squared
+    * rater totals) — are exact long sums (T_i² ≤ (k·|y|max)²; size
+    * the score unit so SR stays under 2⁶³ — rubric scores in small
+    * integers sit far below); every mean square and the ICC are one
+    * fixed-shape IEEE expression over them, 6dp. n < 2, k < 2, or a
+    * zero denominator reports 0.
+    *
+    * Scale shape: one (grp, subject, rater) dedup shuffle, then a
+    * subject-keyed and a rater-keyed rollup (both map-side combined)
+    * folding to four longs per group — nothing after the first
+    * shuffle exceeds subject or rater cardinality.
+    *
+    * @param df rows with `groupCol`, `subjectCol`, `raterCol`,
+    *           `scoreCol` (long)
+    * @return (grp, n_subjects, k_raters, msr, msc, mse, icc) — 6dp */
+  def icc21(df: DataFrame, groupCol: String = "group",
+      subjectCol: String = "subject", raterCol: String = "rater",
+      scoreCol: String = "score"): DataFrame = {
+    val one = df.select(col(groupCol).as("grp"),
+        col(subjectCol).cast(StringType).as("subject"),
+        col(raterCol).cast(StringType).as("rater"),
+        col(scoreCol).cast(LongType).as("score"))
+      .groupBy("grp", "subject", "rater").agg(max(col("score")).as("score"))
+      .localCheckpoint() // feeds the panel census + three rollups
+    val kTab = one.groupBy("grp").agg(countDistinct(col("rater")).as("k"))
+    val keep = one.groupBy("grp", "subject")
+      .agg(countDistinct(col("rater")).as("cr"))
+      .join(broadcast(kTab), Seq("grp"))
+      .filter(col("cr") === col("k")).select("grp", "subject")
+    val scores = one.join(keep, Seq("grp", "subject"))
+      .localCheckpoint() // complete panel; feeds all three rollups
+    val bySubject = scores.groupBy("grp", "subject")
+      .agg(sum(col("score")).as("t"))
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("t") * col("t")).as("sr"), sum(col("t")).as("g"))
+    val byRater = scores.groupBy("grp", "rater")
+      .agg(sum(col("score")).as("c"))
+      .groupBy("grp").agg(sum(col("c") * col("c")).as("sc"))
+    val q = scores.groupBy("grp")
+      .agg(sum(col("score") * col("score")).as("q"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val joined = bySubject.join(byRater, Seq("grp")).join(q, Seq("grp"))
+      .join(broadcast(kTab), Seq("grp"))
+    val nk = d("n") * d("k")
+    val corr = d("g") * d("g") / nk
+    val ssr = d("sr") / d("k") - corr
+    val ssc = d("sc") / d("n") - corr
+    val sst = d("q") - corr
+    val sse = sst - ssr - ssc
+    val msr = ssr / (d("n") - 1.0)
+    val msc = ssc / (d("k") - 1.0)
+    val mse = sse / ((d("n") - 1.0) * (d("k") - 1.0))
+    val den = msr + (d("k") - 1.0) * mse + d("k") * (msc - mse) / d("n")
+    val degenerate = col("n") < 2L || col("k") < 2L
+    val out = joined.select(col("grp"), col("n").as("n_subjects"),
+      col("k").as("k_raters"),
+      round(when(degenerate, 0.0).otherwise(msr), 6).as("msr"),
+      round(when(degenerate, 0.0).otherwise(msc), 6).as("msc"),
+      round(when(degenerate, 0.0).otherwise(mse), 6).as("mse"),
+      round(when(degenerate, 0.0).otherwise(
+        when(den <= 0.0, 0.0).otherwise((msr - mse) / den)), 6).as("icc"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(one, scores)
+    out
+  }
+
   /** Post-stratified average treatment effect per group — the
     * direct-standardization estimator between [[mantelHaenszel]]
     * (binary outcomes, odds scale) and [[cupedAdjust]] (covariate

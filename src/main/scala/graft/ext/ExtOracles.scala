@@ -5080,6 +5080,96 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |  round(CAST(sum(dev_micro) AS DOUBLE) / 2e6, 6) AS dp
        |FROM dev GROUP BY 1""".stripMargin
 
+  /** q_icc: complete-panel activity scores, the four sufficient longs
+    * (G, Q, ΣT², ΣC²), two-way ANOVA mean squares and the ICC(2,1)
+    * ratio as one fixed-shape expression — mirrored from
+    * Evaluation.icc21. */
+  private val iccSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val nk = s"(${dd("n")} * ${dd("k")})"
+    val corr = s"(${dd("g")} * ${dd("g")} / $nk)"
+    val ssr = s"(${dd("sr")} / ${dd("k")} - $corr)"
+    val ssc = s"(${dd("scq")} / ${dd("n")} - $corr)"
+    val sse = s"((${dd("q")} - $corr) - $ssr - $ssc)"
+    val msr = s"($ssr / (${dd("n")} - 1.0))"
+    val msc = s"($ssc / (${dd("k")} - 1.0))"
+    val mse = s"($sse / ((${dd("n")} - 1.0) * (${dd("k")} - 1.0)))"
+    val den = s"($msr + (${dd("k")} - 1.0) * $mse " +
+      s"+ ${dd("k")} * ($msc - $mse) / ${dd("n")})"
+    s"""WITH act AS (SELECT 'all' AS grp, user_id AS subject,
+       |    event_type AS rater, CAST(count(*) AS BIGINT) AS score
+       |  FROM events GROUP BY 1, 2, 3),
+       |kt AS (SELECT grp, CAST(count(DISTINCT rater) AS BIGINT) AS k
+       |  FROM act GROUP BY 1),
+       |keep AS (SELECT act.grp, subject FROM act
+       |  JOIN kt ON kt.grp = act.grp
+       |  GROUP BY act.grp, subject, k HAVING count(DISTINCT rater) = k),
+       |sc AS (SELECT act.* FROM act
+       |  JOIN keep ON keep.grp = act.grp AND keep.subject = act.subject),
+       |bs AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(t * t) AS BIGINT) AS sr, CAST(sum(t) AS BIGINT) AS g
+       |  FROM (SELECT grp, subject, CAST(sum(score) AS BIGINT) AS t
+       |        FROM sc GROUP BY 1, 2) z
+       |  GROUP BY 1),
+       |br AS (SELECT grp, CAST(sum(c * c) AS BIGINT) AS scq
+       |  FROM (SELECT grp, rater, CAST(sum(score) AS BIGINT) AS c
+       |        FROM sc GROUP BY 1, 2) z
+       |  GROUP BY 1),
+       |qq AS (SELECT grp, CAST(sum(score * score) AS BIGINT) AS q
+       |  FROM sc GROUP BY 1)
+       |SELECT bs.grp, n AS n_subjects, k AS k_raters,
+       |  round(CASE WHEN n < 2 OR k < 2 THEN 0.0 ELSE $msr END, 6) AS msr,
+       |  round(CASE WHEN n < 2 OR k < 2 THEN 0.0 ELSE $msc END, 6) AS msc,
+       |  round(CASE WHEN n < 2 OR k < 2 THEN 0.0 ELSE $mse END, 6) AS mse,
+       |  round(CASE WHEN n < 2 OR k < 2 THEN 0.0
+       |    WHEN $den <= 0.0 THEN 0.0
+       |    ELSE ($msr - $mse) / $den END, 6) AS icc
+       |FROM bs JOIN br ON br.grp = bs.grp JOIN qq ON qq.grp = bs.grp
+       |JOIN kt ON kt.grp = bs.grp""".stripMargin
+  }
+
+  /** q_runs_test: exact doubled median of the daily counts, sign-run
+    * boundaries from a day-ordered lag, the Wald–Wolfowitz z —
+    * mirrored from Timeseries.runsTest. */
+  private val runsTestSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val nn = s"(${dd("n1")} + ${dd("n2")})"
+    val mu = s"(2.0 * ${dd("n1")} * ${dd("n2")} / $nn + 1.0)"
+    val sig2 = s"(2.0 * ${dd("n1")} * ${dd("n2")} " +
+      s"* (2.0 * ${dd("n1")} * ${dd("n2")} - ${dd("n1")} - ${dd("n2")}) " +
+      s"/ ($nn * $nn * ($nn - 1.0)))"
+    s"""WITH s AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+       |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+       |cw AS (SELECT series, n,
+       |    CAST(count(*) OVER (PARTITION BY series ORDER BY n
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS nd
+       |  FROM s),
+       |med AS (SELECT series,
+       |    min(CASE WHEN cum >= (nd + 1) // 2 THEN n END)
+       |      + min(CASE WHEN cum >= nd // 2 + 1 THEN n END) AS med2
+       |  FROM cw GROUP BY 1),
+       |sg AS (SELECT s.series, d,
+       |    CASE WHEN 2 * n > med2 THEN 1 ELSE 0 END AS sign
+       |  FROM s JOIN med ON med.series = s.series
+       |  WHERE 2 * n <> med2),
+       |rn AS (SELECT series, sign,
+       |    CASE WHEN lag(sign) OVER (PARTITION BY series ORDER BY d)
+       |      IS NULL OR lag(sign) OVER (PARTITION BY series ORDER BY d)
+       |      <> sign THEN 1 ELSE 0 END AS brk
+       |  FROM sg),
+       |ag AS (SELECT series, CAST(sum(sign) AS BIGINT) AS n1,
+       |    CAST(sum(1 - sign) AS BIGINT) AS n2,
+       |    CAST(sum(brk) AS BIGINT) AS runs
+       |  FROM rn GROUP BY 1)
+       |SELECT series, n1, n2, runs,
+       |  round(CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+       |    WHEN $sig2 <= 0.0 THEN 0.0
+       |    ELSE (${dd("runs")} - $mu) / sqrt($sig2) END, 6) AS z
+       |FROM ag""".stripMargin
+  }
+
   /** q_strat_ate: per-(stratum, arm) exact moment longs, NANO-rounded
     * stratum ATE/variance terms, single-division effect/SE/z —
     * mirrored from Evaluation.postStratifiedAte. */
@@ -6506,6 +6596,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_dp_dispersion" -> dpDispersionSql,
     "q_strat_ate" -> stratAteSql,
     "q_quantile_norm" -> quantileNormSql,
+    "q_icc" -> iccSql,
+    "q_runs_test" -> runsTestSql,
     "q_mann_kendall" -> mannKendallSql,
     "q_cochran_q" -> cochranQSql,
     "q_pr_auc" -> prAucSql,

@@ -2301,6 +2301,25 @@ object ExtQueries {
       pmod(col("user_id"), lit(2)).as("arm"),
       round(col("value") * 100, 0).cast("long").as("y")))
 
+  /** ICC(2,1) over the five event types as "raters" scoring per-user
+    * activity — the continuous-score absolute-agreement companion of
+    * [[qCronbachAlpha]] (same complete panel, a different question:
+    * consistency of the SCALE vs agreement of the RATERS). */
+  def qIcc(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables(spark, dir).events.groupBy(
+        col("user_id").as("subject"), col("event_type").as("rater"))
+      .agg(count(lit(1)).as("score"))
+    Evaluation.icc21(activity.select(lit("all").as("group"),
+      col("subject"), col("rater"), col("score")))
+  }
+
+  /** Wald–Wolfowitz runs test on each event type's daily series —
+    * does the above/below-median sign pattern clump (regimes) or
+    * alternate (flapping)? The sign-pattern randomness check beside
+    * [[qCusum]]/[[qPageHinkley]]/[[qChangepoint]]'s level shifts. */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.runsTest(Tables(spark, dir).events)
+
   /** Quantile-normalize the quality score across sources — each
     * source's score distribution mapped onto the pooled one, so one
     * global threshold treats differently-calibrated sources fairly. */

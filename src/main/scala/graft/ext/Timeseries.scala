@@ -724,6 +724,65 @@ object Timeseries {
             col("naive_abs").cast(DoubleType)), 6).as("mase"))
   }
 
+  /** Wald–Wolfowitz runs test per series — is the daily series's
+    * above/below-median sequence RANDOM, or does it clump (regimes,
+    * slow drifts) or alternate (overcorrection, load-balancer
+    * flapping)? The randomness check [[acf]] reads linearly and
+    * [[mannKendall]] reads monotonically; runs reads SIGN PATTERNS.
+    * Days are labeled above (+) / below (−) the series median (days
+    * AT the median are dropped — the standard treatment); R = number
+    * of sign runs; z = (R − μ)/σ with μ = 2n₁n₂/(n₁+n₂) + 1 and
+    * σ² = 2n₁n₂(2n₁n₂−n₁−n₂) / ((n₁+n₂)²(n₁+n₂−1)).
+    *
+    * Exactness: the median is an exact value-domain order statistic
+    * in DOUBLED units (the [[graft.ext.Evaluation.brownForsythe]]
+    * midpoint trick); run boundaries come from a lag over the ordered
+    * day window (exact long sum); μ/σ/z are one fixed-shape IEEE
+    * expression, 6dp. n₁ = 0 or n₂ = 0 (or σ = 0) reports z = 0.
+    *
+    * Scale shape: the [[dailySeries]]-per-series reduction, then
+    * everything runs on days-sized windows per series.
+    *
+    * @return (series, n1, n2, runs, z) — 6dp */
+  def runsTest(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val s = events.groupBy(col(seriesCol).as("series"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wCumV = Window.partitionBy("series").orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("series")
+    // exact doubled median of the daily counts per series
+    val med = s
+      .withColumn("cum", count(lit(1)).over(wCumV))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .groupBy("series").agg(
+        min(when(col("cum") >= expr("(nd + 1) div 2"), col("n"))).as("v_lo"),
+        min(when(col("cum") >= expr("nd div 2 + 1"), col("n"))).as("v_hi"))
+      .select(col("series"), (col("v_lo") + col("v_hi")).as("med2"))
+    val signed = s.join(med, Seq("series"))
+      .filter(lit(2L) * col("n") =!= col("med2"))
+      .withColumn("sign", (lit(2L) * col("n") > col("med2")).cast(LongType))
+    val wDay = Window.partitionBy("series").orderBy("d")
+    val runs = signed
+      .withColumn("brk", when(lag(col("sign"), 1).over(wDay).isNull ||
+        lag(col("sign"), 1).over(wDay) =!= col("sign"), 1L).otherwise(0L))
+      .groupBy("series").agg(
+        sum(col("sign")).as("n1"),
+        sum(lit(1L) - col("sign")).as("n2"),
+        sum(col("brk")).as("runs"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val nn = d("n1") + d("n2")
+    val mu = lit(2.0) * d("n1") * d("n2") / nn + 1.0
+    val sig2 = lit(2.0) * d("n1") * d("n2") *
+      (lit(2.0) * d("n1") * d("n2") - d("n1") - d("n2")) /
+      (nn * nn * (nn - 1.0))
+    runs.select(col("series"), col("n1"), col("n2"), col("runs"),
+      round(when(col("n1") === 0L || col("n2") === 0L, 0.0)
+        .otherwise(when(sig2 <= 0.0, 0.0)
+          .otherwise((d("runs") - mu) / sqrt(sig2))), 6).as("z"))
+  }
+
   /** Single change-point detection per series by least-squares binary
     * segmentation (depth 1 — the first split PELT/BinSeg would make):
     * the day t* that MINIMIZES pooled SSE when the daily series is

@@ -859,6 +859,22 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** icc(tbl) — ICC(2,1) absolute-agreement reliability over
+    * (group, subject, rater, score) rows
+    * ([[graft.ext.Evaluation.icc21]]). */
+  def iccTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.icc21(
+      tableOf(strArg(args.head, "icc(table)")))
+      .queryExecution.logical
+
+  /** runs_test(tbl) — Wald–Wolfowitz sign-runs randomness test per
+    * series over an event stream's (event_type, ts) rows
+    * ([[graft.ext.Timeseries.runsTest]]). */
+  def runsTestTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.runsTest(
+      tableOf(strArg(args.head, "runs_test(table)")))
+      .queryExecution.logical
+
   /** strat_ate(tbl) — post-stratified average treatment effect over
     * (group, stratum, arm, y) rows
     * ([[graft.ext.Evaluation.postStratifiedAte]]). */
@@ -1270,6 +1286,8 @@ object GraftFunctions {
     "dp_dispersion" -> (dpDispersionTvf _),
     "strat_ate" -> (stratAteTvf _),
     "quantile_normalize" -> (quantileNormalizeTvf _),
+    "icc" -> (iccTvf _),
+    "runs_test" -> (runsTestTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),
     "pr_auc" -> (prAucTvf _),

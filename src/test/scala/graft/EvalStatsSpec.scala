@@ -623,6 +623,32 @@ class EvalStatsSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("icc21: perfect agreement = 1; pure rater bias penalized to 2/3") {
+    // two raters identical on scores (2,4,6): MSE = MSC = 0 -> ICC 1
+    val perfect = Seq(("s1", "r1", 2L), ("s1", "r2", 2L), ("s2", "r1", 4L),
+      ("s2", "r2", 4L), ("s3", "r1", 6L), ("s3", "r2", 6L))
+      .toDF("subject", "rater", "score").withColumn("group", lit("g"))
+    val p = Evaluation.icc21(perfect).collect().head
+    assert(p.getAs[Long]("n_subjects") == 3 && p.getAs[Long]("k_raters") == 2)
+    assert(p.getAs[Double]("icc") == 1.0)
+    // r2 = r1 + 1 (constant bias): MSR=2, MSC=1.5, MSE=0 -> ICC(2,1)
+    // = 2 / (2 + 2*1.5/3) = 2/3 — absolute agreement sees the bias
+    val biased = Seq(("s1", "r1", 1L), ("s1", "r2", 2L), ("s2", "r1", 2L),
+      ("s2", "r2", 3L), ("s3", "r1", 3L), ("s3", "r2", 4L))
+      .toDF("subject", "rater", "score").withColumn("group", lit("g"))
+    val b = Evaluation.icc21(biased).collect().head
+    assert(b.getAs[Double]("msr") == 2.0)
+    assert(b.getAs[Double]("msc") == 1.5)
+    assert(b.getAs[Double]("mse") == 0.0)
+    assert(b.getAs[Double]("icc") == 0.666667)
+    // a subject missing one rater drops from the panel
+    val sparse = biased.union(Seq(("s4", "r1", 9L))
+      .toDF("subject", "rater", "score").withColumn("group", lit("g"))
+      .select("subject", "rater", "score", "group"))
+    assert(Evaluation.icc21(sparse).collect().head
+      .getAs[Long]("n_subjects") == 3)
+  }
+
   test("round-15 stats TVF surface smoke") {
     import spark.implicits._
     graft.sql.GraftFunctions.register(spark)

@@ -257,4 +257,24 @@ class TimeseriesSpec extends AnyFunSuite {
     // a single-day series has no split to offer
     assert(Timeseries.changePoint(series(Seq(7))).count() == 0)
   }
+
+  test("runsTest: clumped signs score negative, alternating positive, median days drop") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 1,1,1,9,9,9: two runs of three -> z = (2-4)/sqrt(1.2)
+    val clump = Timeseries.runsTest(series(Seq(1, 1, 1, 9, 9, 9)))
+      .collect().head
+    assert(clump.getAs[Long]("n1") == 3 && clump.getAs[Long]("n2") == 3)
+    assert(clump.getAs[Long]("runs") == 2)
+    assert(clump.getAs[Double]("z") == r6((2.0 - 4.0) / math.sqrt(1.2)))
+    // 1,9,1,9: four runs -> z = 1/sqrt(2/3) > 0
+    val alt = Timeseries.runsTest(series(Seq(1, 9, 1, 9))).collect().head
+    assert(alt.getAs[Long]("runs") == 4)
+    assert(alt.getAs[Double]("z") ==
+      r6(1.0 / math.sqrt(2.0 * 2.0 * 2.0 * (8.0 - 4.0) / (16.0 * 3.0))))
+    // a day AT the median drops; the 2-day remainder has sigma 0 -> z 0
+    val thin = Timeseries.runsTest(series(Seq(1, 2, 9))).collect().head
+    assert(thin.getAs[Long]("n1") == 1 && thin.getAs[Long]("n2") == 1)
+    assert(thin.getAs[Double]("z") == 0.0)
+  }
 }
