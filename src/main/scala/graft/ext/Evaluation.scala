@@ -1810,21 +1810,29 @@ object Evaluation {
         sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na_v"),
         sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("nb_v"))
 
-  /** Finish a [[mannWhitneyState]] snapshot into the z report —
-    * state-sized input, identical whether cells came from one batch
-    * pass or merged micro-batches. */
-  def mannWhitneyFinish(state: DataFrame): DataFrame = {
+  /** The shared rank-sum rollup over a [[mannWhitneyState]] snapshot:
+    * (grp, n_a, n_b, u2, tie3) exact longs — one cumulative window +
+    * one agg, consumed by BOTH [[mannWhitneyFinish]] (the z test) and
+    * [[cliffsDeltaFinish]] (the effect size). */
+  private def mwAgg(state: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wBelow = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val terms = state.withColumn("aBelow",
       coalesce(sum(col("na_v")).over(wBelow), lit(0L)))
-    val agg = terms.groupBy("grp").agg(
+    terms.groupBy("grp").agg(
       sum(col("na_v")).as("n_a"), sum(col("nb_v")).as("n_b"),
       sum(col("nb_v") * (lit(2L) * col("aBelow") + col("na_v"))).as("u2"),
       sum((col("na_v") + col("nb_v")) * (col("na_v") + col("nb_v")) *
         (col("na_v") + col("nb_v")) - (col("na_v") + col("nb_v")))
         .as("tie3"))
+  }
+
+  /** Finish a [[mannWhitneyState]] snapshot into the z report —
+    * state-sized input, identical whether cells came from one batch
+    * pass or merged micro-batches. */
+  def mannWhitneyFinish(state: DataFrame): DataFrame = {
+    val agg = mwAgg(state)
     val nA = col("n_a").cast(DoubleType); val nB = col("n_b").cast(DoubleType)
     val nn = nA + nB
     val varU = nA * nB / 12.0 * ((nn + 1.0) -
@@ -1834,6 +1842,78 @@ object Evaluation {
         .otherwise(when(varU <= 0.0, 0.0).otherwise(
           (col("u2").cast(DoubleType) - nA * nB) /
             (lit(2.0) * sqrt(varU)))), 6).as("z"))
+  }
+
+  /** Cliff's delta ordinal effect size per group — HOW OFTEN does arm
+    * b's metric beat arm a's (δ = P(b > a) − P(a > b) ∈ [−1, 1])?
+    * The magnitude companion of [[mannWhitney]]'s significance z (a
+    * huge sample makes a trivial shift "significant"; δ says whether
+    * anyone should care), derived from the SAME state table and the
+    * same rank rollup: δ = u2/(n_a·n_b) − 1 exactly (mid-rank ties
+    * cancel in pairs). Banded by the Romano et al. (2006) thresholds
+    * on the published 6dp value: negligible < 0.147 ≤ small < 0.33 ≤
+    * medium < 0.474 ≤ large.
+    *
+    * @param df rows as [[mannWhitney]]
+    * @return (grp, n_a, n_b, u2, delta, magnitude) — delta 6dp */
+  def cliffsDelta(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v_micro"): DataFrame =
+    cliffsDeltaFinish(mannWhitneyState(df, groupCol, armCol, vCol))
+
+  /** Finish a [[mannWhitneyState]] snapshot into the effect-size
+    * report — one streamed state, a second metric (the
+    * [[prAucFinish]]-off-[[aucRoc]] discipline). */
+  def cliffsDeltaFinish(state: DataFrame): DataFrame = {
+    val agg = mwAgg(state)
+    def dd(c: String) = col(c).cast(DoubleType)
+    val delta = round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+      .otherwise(dd("u2") / (dd("n_a") * dd("n_b")) - 1.0), 6)
+    agg.select(col("grp"), col("n_a"), col("n_b"), col("u2"),
+      delta.as("delta"),
+      when(col("n_a") === 0L || col("n_b") === 0L, "none")
+        .when(abs(delta) < 0.147, "negligible")
+        .when(abs(delta) < 0.33, "small")
+        .when(abs(delta) < 0.474, "medium")
+        .otherwise("large").as("magnitude"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit over the calibration bins — the
+    * χ²-shaped SIGNIFICANCE companion of [[calibration]]'s ECE and
+    * [[brierDecomposition]]'s reliability term (ECE says how big the
+    * miscalibration is; HL says whether it exceeds chance at this
+    * sample size): HL = Σ_b (O_b − E_b)² / (E_b·(1 − E_b/n_b)) with
+    * E_b = Σp/10⁶, df = usable bins − 2. A FOURTH finish over the one
+    * [[calibrationState]] accumulator (streamed by
+    * calibrationStateStream) — no new pass over predictions.
+    *
+    * Exactness: O/n are exact longs and E derives from the exact Σp;
+    * each bin's term is a NANO long pre-sum (terms are O(n_bin) — the
+    * nano long holds through ~10⁹-row bins); bins with a degenerate
+    * denominator (E = 0 or E = n) are excluded and visible via
+    * bins_used. One division publishes HL, 6dp.
+    *
+    * @return one row: (n, n_bins, bins_used, hl, df) */
+  def hosmerLemeshow(preds: DataFrame, bins: Int = 10,
+      pCol: String = "p_micro", yCol: String = "y"): DataFrame =
+    hosmerLemeshowFinish(calibrationState(preds, bins, pCol, yCol))
+
+  /** Finish a [[calibrationState]] snapshot into the HL report —
+    * bins-sized input, batch ≡ merged micro-batches. */
+  def hosmerLemeshowFinish(state: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast(DoubleType)
+    def nano(x: Column) = round(x * 1e9, 0).cast(LongType)
+    val e = dd(col("sum_p")) / 1e6
+    val denom = e * (lit(1.0) - e / dd(col("n_bin")))
+    val terms = state.select(col("n_bin"),
+      when(denom <= 0.0, 0L).otherwise(
+        nano((dd(col("pos")) - e) * (dd(col("pos")) - e) / denom))
+        .as("t_nano"),
+      when(denom <= 0.0, 0L).otherwise(1L).as("used"))
+    terms.agg(sum(col("n_bin")).as("n"), count(lit(1)).as("n_bins"),
+        sum(col("used")).as("bins_used"), sum(col("t_nano")).as("hl_nano"))
+      .select(col("n"), col("n_bins"), col("bins_used"),
+        round(dd(col("hl_nano")) / 1e9, 6).as("hl"),
+        greatest(col("bins_used") - 2L, lit(0L)).as("df"))
   }
 
   /** Benjamini–Hochberg step-up FDR adjustment per family — the

@@ -4717,13 +4717,12 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |  (ph_scaled = peak AND peak > 0) AS is_peak
       |FROM ph JOIN pk USING (series)""".stripMargin
 
-  /** q_mann_whitney: rank-sum via distinct-value count windows (the
-    * aucRoc/delong discipline), exact u2/tie longs, one fixed-shape z. */
-  private val mannWhitneySql: String = {
-    val varU = "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * " +
-      "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) - " +
-      "CAST(tie3 AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) " +
-      "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))"
+  /** The shared Mann–Whitney replay chain (quality scores → per-lang
+    * ' the ' arms → (grp, value) cells → rank rollup `ag` with exact
+    * n_a/n_b/u2/tie3 longs) — consumed by the q_mann_whitney z oracle
+    * and the q_cliffs_delta effect-size oracle, mirroring the
+    * engine's shared mwAgg. */
+  private val mwChainCtes: String =
     s"""WITH t AS (SELECT doc_id, lang, text, $toks AS toks FROM documents),
        |st AS (SELECT lang, text,
        |  CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -4754,13 +4753,74 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |    CAST(sum(nb_v * (2 * abelow + na_v)) AS BIGINT) AS u2,
        |    CAST(sum((na_v + nb_v) * (na_v + nb_v) * (na_v + nb_v)
        |      - (na_v + nb_v)) AS BIGINT) AS tie3
-       |  FROM w GROUP BY 1)
+       |  FROM w GROUP BY 1)""".stripMargin
+
+  /** q_mann_whitney: rank-sum via distinct-value count windows (the
+    * aucRoc/delong discipline), exact u2/tie longs, one fixed-shape z. */
+  private val mannWhitneySql: String = {
+    val varU = "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * " +
+      "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) - " +
+      "CAST(tie3 AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) " +
+      "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))"
+    s"""$mwChainCtes
        |SELECT grp, n_a, n_b, u2,
        |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
        |    WHEN ($varU) <= 0.0 THEN 0.0
        |    ELSE (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
        |      / (2.0 * sqrt($varU)) END, 6) AS z
        |FROM ag""".stripMargin
+  }
+
+  /** q_cliffs_delta: the mwChainCtes rank rollup finished into the
+    * ordinal effect size δ = u2/(n_a·n_b) − 1, banded on the 6dp
+    * value — mirrored from Evaluation.cliffsDelta. */
+  private val cliffsDeltaSql: String = {
+    val delta = "round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0 " +
+      "ELSE CAST(u2 AS DOUBLE) / (CAST(n_a AS DOUBLE) " +
+      "* CAST(n_b AS DOUBLE)) - 1.0 END, 6)"
+    s"""$mwChainCtes
+       |SELECT grp, n_a, n_b, u2, $delta AS delta,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN 'none'
+       |    WHEN abs($delta) < 0.147 THEN 'negligible'
+       |    WHEN abs($delta) < 0.33 THEN 'small'
+       |    WHEN abs($delta) < 0.474 THEN 'medium'
+       |    ELSE 'large' END AS magnitude
+       |FROM ag""".stripMargin
+  }
+
+  /** q_hosmer_lemeshow: the calibrationState replay finished into the
+    * HL χ² — per-bin NANO (O−E)²/(E(1−E/n)) terms, degenerate bins
+    * excluded-and-counted — mirrored from Evaluation.hosmerLemeshow. */
+  private val hosmerLemeshowSql: String = {
+    val e = "(CAST(sum_p AS DOUBLE) / 1e6)"
+    val denom = s"($e * (1.0 - $e / CAST(n_bin AS DOUBLE)))"
+    s"""WITH t AS (SELECT lower(text) AS lt,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x != '') AS toks FROM documents),
+       |pred AS (SELECT
+       |    least(1000000, CAST(len(list_filter(toks,
+       |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+       |      AS BIGINT) * 125000) AS p,
+       |    CASE WHEN lt LIKE '% the %' THEN 1 ELSE 0 END AS y FROM t),
+       |binned AS (SELECT
+       |    CAST(least(floor(p * 10 / 1000000), 9) AS BIGINT) AS bin, p, y
+       |  FROM pred),
+       |st AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_bin,
+       |    CAST(sum(p) AS BIGINT) AS sum_p, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM binned GROUP BY 1),
+       |tm AS (SELECT n_bin,
+       |    CASE WHEN $denom <= 0.0 THEN 0
+       |      ELSE CAST(round((CAST(pos AS DOUBLE) - $e)
+       |        * (CAST(pos AS DOUBLE) - $e) / $denom * 1e9, 0) AS BIGINT)
+       |    END AS t_nano,
+       |    CASE WHEN $denom <= 0.0 THEN 0 ELSE 1 END AS used
+       |  FROM st)
+       |SELECT CAST(sum(n_bin) AS BIGINT) AS n,
+       |  CAST(count(*) AS BIGINT) AS n_bins,
+       |  CAST(sum(used) AS BIGINT) AS bins_used,
+       |  round(CAST(sum(t_nano) AS DOUBLE) / 1e9, 6) AS hl,
+       |  greatest(CAST(sum(used) AS BIGINT) - 2, 0) AS df
+       |FROM tm""".stripMargin
   }
 
   /** q_fdr_bh: abTest z replay (6dp, the published statistic), the
@@ -6598,6 +6658,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_quantile_norm" -> quantileNormSql,
     "q_icc" -> iccSql,
     "q_runs_test" -> runsTestSql,
+    "q_cliffs_delta" -> cliffsDeltaSql,
+    "q_hosmer_lemeshow" -> hosmerLemeshowSql,
     "q_mann_kendall" -> mannKendallSql,
     "q_cochran_q" -> cochranQSql,
     "q_pr_auc" -> prAucSql,

@@ -2301,6 +2301,31 @@ object ExtQueries {
       pmod(col("user_id"), lit(2)).as("arm"),
       round(col("value") * 100, 0).cast("long").as("y")))
 
+  /** Cliff's delta of the quality score between the ' the ' arms per
+    * language — the ordinal effect SIZE beside [[qMannWhitney]]'s
+    * significance z, finished from the same rank state. */
+  def qCliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.cliffsDelta(d.select(col("lang").as("group"),
+      lower(col("text")).like("% the %").cast("long").as("arm"),
+      round(col("quality_score") * 1e6, 0).cast("long").as("v_micro")))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit on the stopword-share
+    * pseudo-probability vs the ' the ' label — the χ²-shaped
+    * significance companion of [[qEvalCalibration]]'s ECE and
+    * [[qBrierDecomp]]'s reliability, a FOURTH finish over the same
+    * binned calibration state. */
+  def qHosmerLemeshow(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val preds = Tables(spark, dir).documents.select(
+      least(lit(1000000L), hits.cast("long") * 125000L).as("p_micro"),
+      when(lower(col("text")).like("% the %"), 1L).otherwise(0L).as("y"))
+    Evaluation.hosmerLemeshow(preds, bins = 10)
+  }
+
   /** ICC(2,1) over the five event types as "raters" scoring per-user
     * activity — the continuous-score absolute-agreement companion of
     * [[qCronbachAlpha]] (same complete panel, a different question:

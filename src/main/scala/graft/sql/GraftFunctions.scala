@@ -859,6 +859,23 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** cliffs_delta(tbl) — ordinal effect size over
+    * (group, arm, v_micro) rows
+    * ([[graft.ext.Evaluation.cliffsDelta]]). */
+  def cliffsDeltaTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.cliffsDelta(
+      tableOf(strArg(args.head, "cliffs_delta(table)")))
+      .queryExecution.logical
+
+  /** hosmer_lemeshow(tbl[, bins]) — calibration goodness-of-fit over
+    * (p_micro, y) rows ([[graft.ext.Evaluation.hosmerLemeshow]]). */
+  def hosmerLemeshowTvf(args: Seq[Expression]): LogicalPlan = {
+    val df = tableOf(strArg(args.head, "hosmer_lemeshow(table)"))
+    val b = if (args.length > 1)
+      intArg(args(1), "hosmer_lemeshow(bins)") else 10
+    graft.ext.Evaluation.hosmerLemeshow(df, b).queryExecution.logical
+  }
+
   /** icc(tbl) — ICC(2,1) absolute-agreement reliability over
     * (group, subject, rater, score) rows
     * ([[graft.ext.Evaluation.icc21]]). */
@@ -1288,6 +1305,8 @@ object GraftFunctions {
     "quantile_normalize" -> (quantileNormalizeTvf _),
     "icc" -> (iccTvf _),
     "runs_test" -> (runsTestTvf _),
+    "cliffs_delta" -> (cliffsDeltaTvf _),
+    "hosmer_lemeshow" -> (hosmerLemeshowTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),
     "pr_auc" -> (prAucTvf _),

@@ -649,6 +649,50 @@ class EvalStatsSpec extends AnyFunSuite {
       .getAs[Long]("n_subjects") == 3)
   }
 
+  test("cliffsDelta: dominance 1, tie-heavy 0; shares the MW rank state") {
+    // full dominance: every b beats every a
+    val dom = Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L))
+      .toDF("arm", "v_micro").withColumn("group", lit("g"))
+    val r = Evaluation.cliffsDelta(dom).collect().head
+    assert(r.getAs[Long]("u2") == 8L)
+    assert(r.getAs[Double]("delta") == 1.0)
+    assert(r.getAs[String]("magnitude") == "large")
+    // all tied: mid-ranks cancel pairwise -> delta 0, negligible
+    val tied = Seq((0, 5L), (0, 5L), (1, 5L), (1, 5L))
+      .toDF("arm", "v_micro").withColumn("group", lit("g"))
+    val t = Evaluation.cliffsDelta(tied).collect().head
+    assert(t.getAs[Double]("delta") == 0.0)
+    assert(t.getAs[String]("magnitude") == "negligible")
+    // the MW spec's half-tied case: u2 = 14 -> delta = 14/9 - 1
+    val mw = Seq((0, 1L), (0, 2L), (0, 3L), (1, 2L), (1, 3L), (1, 4L))
+      .toDF("arm", "v_micro").withColumn("group", lit("g"))
+    val m = Evaluation.cliffsDelta(mw).collect().head
+    assert(m.getAs[Double]("delta") == r6(14.0 / 9.0 - 1.0))
+    // a finish over the SAME state table as mannWhitney
+    val viaState = Evaluation.cliffsDeltaFinish(
+      Evaluation.mannWhitneyState(mw)).collect().head
+    assert(viaState.getAs[Double]("delta") == m.getAs[Double]("delta"))
+  }
+
+  test("hosmerLemeshow: perfectly calibrated bins score 0; degenerate bins excluded") {
+    // p = 0.5 over 4 rows with 2 positives and p = 0.25 over 4 rows
+    // with 1 positive: every (O - E) is 0 -> HL = 0
+    val good = Seq((500000L, 1), (500000L, 1), (500000L, 0), (500000L, 0),
+      (250000L, 1), (250000L, 0), (250000L, 0), (250000L, 0))
+      .toDF("p_micro", "y")
+    val g = Evaluation.hosmerLemeshow(good).collect().head
+    assert(g.getAs[Double]("hl") == 0.0)
+    assert(g.getAs[Long]("bins_used") == 2)
+    assert(g.getAs[Long]("df") == 0)
+    // p = 0.5 over 4 rows but ALL positive: (4-2)^2/(2*(1-0.5)) = 4;
+    // a p = 0 bin is degenerate (E = 0) and is excluded-and-counted
+    val bad = Seq((500000L, 1), (500000L, 1), (500000L, 1), (500000L, 1),
+      (0L, 0), (0L, 0)).toDF("p_micro", "y")
+    val b = Evaluation.hosmerLemeshow(bad).collect().head
+    assert(b.getAs[Double]("hl") == 4.0)
+    assert(b.getAs[Long]("n_bins") == 2 && b.getAs[Long]("bins_used") == 1)
+  }
+
   test("round-15 stats TVF surface smoke") {
     import spark.implicits._
     graft.sql.GraftFunctions.register(spark)
