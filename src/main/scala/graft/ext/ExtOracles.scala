@@ -5140,6 +5140,25 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |  round(CAST(sum(dev_micro) AS DOUBLE) / 2e6, 6) AS dp
        |FROM dev GROUP BY 1""".stripMargin
 
+  /** q_yules_k: frequency-of-frequencies second moment over portable
+    * token-hash cells — mirrored from TextAnalysis.yulesK. */
+  private val yulesKSql: String =
+    s"""WITH tok AS (SELECT source,
+       |    CAST(concat('0x', substr(md5('yk|' || t.tok), 1, 15)) AS BIGINT)
+       |      AS h
+       |  FROM (SELECT source, $toks AS toks FROM documents) d,
+       |    unnest(toks) AS t(tok)),
+       |counts AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(c * c) AS BIGINT) AS m2
+       |  FROM counts GROUP BY 1)
+       |SELECT source, n_tokens, vocab,
+       |  round(10000.0 * (CAST(m2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+       |    / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS k
+       |FROM ag""".stripMargin
+
   /** q_icc: complete-panel activity scores, the four sufficient longs
     * (G, Q, ΣT², ΣC²), two-way ANOVA mean squares and the ICC(2,1)
     * ratio as one fixed-shape expression — mirrored from
@@ -6660,6 +6679,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_runs_test" -> runsTestSql,
     "q_cliffs_delta" -> cliffsDeltaSql,
     "q_hosmer_lemeshow" -> hosmerLemeshowSql,
+    "q_yules_k" -> yulesKSql,
     "q_mann_kendall" -> mannKendallSql,
     "q_cochran_q" -> cochranQSql,
     "q_pr_auc" -> prAucSql,

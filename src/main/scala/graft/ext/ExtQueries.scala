@@ -2301,6 +2301,12 @@ object ExtQueries {
       pmod(col("user_id"), lit(2)).as("arm"),
       round(col("value") * 100, 0).cast("long").as("y")))
 
+  /** Yule's K lexical repetitiveness per source — the
+    * sample-size-invariant "small vocabulary worked hard" corpus
+    * diagnostic beside [[qVocabRichness]]'s coverage estimators. */
+  def qYulesK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.yulesK(Tables(spark, dir).documents)
+
   /** Cliff's delta of the quality score between the ' the ' arms per
     * language — the ordinal effect SIZE beside [[qMannWhitney]]'s
     * significance z, finished from the same rank state. */

@@ -939,6 +939,42 @@ object TextAnalysis {
         col("rn").cast(IntegerType).as("rn"))
   }
 
+  /** Yule's characteristic K per source — lexical REPETITIVENESS
+    * that, unlike raw type/token ratios, is (approximately) sample-
+    * size invariant: K = 10⁴·(Σ_f f²·V_f − N)/N² over the frequency-
+    * of-frequencies (V_f = tokens occurring exactly f times). High K
+    * = a small vocabulary worked hard (templates, boilerplate, spun
+    * text); the corpus-level cousin of per-document
+    * [[graft.ext.Curation.repetitionScore]], and the repetitiveness
+    * complement of [[vocabRichness]]'s coverage estimators (same
+    * count table, a different moment).
+    *
+    * Exactness: the token-count cells and both moments Σc² and Σc
+    * are exact long sums (Σc² bounds: a single token repeated ~3·10⁹
+    * times saturates; document corpora sit far below); K is one
+    * fixed-shape IEEE expression, 6dp. A source with N < 1 token is
+    * absent; N = tiny is reported as-is (the caller reads n_tokens).
+    *
+    * Scale shape: ONE (source, token-hash) count shuffle map-side
+    * combined, then a source-keyed rollup — [[vocabRichness]]'s plan.
+    *
+    * @return (source, n_tokens, vocab, k) — k 6dp */
+  def yulesK(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("source"),
+        Dedup.portableHash60(concat(lit("yk|"), col("tok"))).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+    def d(c: String) = col(c).cast(DoubleType)
+    counts.groupBy("source").agg(
+        sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c") * col("c")).as("m2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(lit(10000.0) * (d("m2") - d("n_tokens")) /
+          (d("n_tokens") * d("n_tokens")), 6).as("k"))
+  }
+
   /** Gries' Deviation of Proportions (DP) for the corpus's top-K
     * terms — the term DISPERSION diagnostic frequency alone hides: a
     * term can be corpus-frequent because it is everywhere (DP ≈ 0,

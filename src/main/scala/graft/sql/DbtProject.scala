@@ -627,6 +627,33 @@ object DbtProject {
   /** Render one singular test's Jinja (ref()/source() placeholders
     * survive for the dialect shim; `{{ config(severity=...) }}` is
     * captured for [[DbtTests.statusOf]]). */
+  /** `dbt ls` — one row per discovered project resource with its
+    * kind, materialization POLICY (dbt_project.yml; an in-model
+    * `config(materialized=...)` override resolves at render time and
+    * is not visible to this static listing), and accumulated tags,
+    * in (kind, name) order. The inventory a user reads before a
+    * selective run; selector-scoped execution itself lives on
+    * [[run]]/[[build]]'s `select`/`exclude` parameters. */
+  def list(spark: SparkSession, projectDir: String): DataFrame = {
+    val p = load(projectDir)
+    import spark.implicits._
+    val rows: Seq[(String, String, String, String)] =
+      p.modelSql.keys.map(n => (n, "model",
+        p.materializations.get(n).map {
+          case Materialization.View => "view"
+          case Materialization.Table => "table"
+          case Materialization.Ephemeral => "ephemeral"
+          case _: Materialization.Incremental => "incremental"
+        }.getOrElse("view"),
+        p.tags.getOrElse(n, Set.empty).toSeq.sorted.mkString(","))).toSeq ++
+      p.seeds.keys.map(n => (n, "seed", "seed", "")).toSeq ++
+      p.snapshots.keys.map(n => (n, "snapshot", "snapshot", "")).toSeq ++
+      p.singularTests.keys.map(n => (n, "test", "singular", "")).toSeq ++
+      p.sourceTables.map(n => (n, "source", "source", ""))
+    rows.sortBy(r => (r._2, r._1))
+      .toDF("resource", "kind", "materialization", "tags")
+  }
+
   /** `dbt run-operation <macro>`: render one project macro with the
     * given kwargs (string values; quotes rejected — they would need
     * SQL escaping this shim does not attempt) and execute the

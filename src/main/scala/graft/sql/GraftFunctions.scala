@@ -859,6 +859,13 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** yules_k(tbl) — Yule's characteristic K per source over
+    * (source, text) rows ([[graft.ext.TextAnalysis.yulesK]]). */
+  def yulesKTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.TextAnalysis.yulesK(
+      tableOf(strArg(args.head, "yules_k(table)")))
+      .queryExecution.logical
+
   /** cliffs_delta(tbl) — ordinal effect size over
     * (group, arm, v_micro) rows
     * ([[graft.ext.Evaluation.cliffsDelta]]). */
@@ -1307,6 +1314,7 @@ object GraftFunctions {
     "runs_test" -> (runsTestTvf _),
     "cliffs_delta" -> (cliffsDeltaTvf _),
     "hosmer_lemeshow" -> (hosmerLemeshowTvf _),
+    "yules_k" -> (yulesKTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),
     "pr_auc" -> (prAucTvf _),

@@ -448,6 +448,19 @@ class CurationSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("yulesK: repetitive source scores high, all-distinct scores 0") {
+    val docs = Seq(("rep", "a a a b"), ("div", "a b c d"))
+      .toDF("source", "text")
+    val out = graft.ext.TextAnalysis.yulesK(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Double]("k")))).toMap
+    // rep: counts {3,1}, m2 = 10, K = 1e4*(10-4)/16 = 3750
+    assert(out("rep") == ((4L, 2L, 3750.0)))
+    // every token distinct: m2 = N, K = 0 exactly
+    assert(out("div") == ((4L, 4L, 0.0)))
+  }
+
   test("dpDispersion: even spread scores 0, single-source term scores 0.5") {
     val docs = Seq(("s1", "aa bb"), ("s2", "aa cc")).toDF("source", "text")
     val out = graft.ext.TextAnalysis.dpDispersion(docs, topK = 10)

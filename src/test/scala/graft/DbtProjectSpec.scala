@@ -1429,6 +1429,38 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(rep2 == Map("feed_a" -> "pass", "feed_b" -> "error"), s"$rep2")
   }
 
+  test("dbt ls: one row per resource with kind/materialization/tags (round 15)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lsproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("tests"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "lsy"
+        |models:
+        |  lsy:
+        |    +materialized: table
+        |    +tags: ["nightly"]
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: txns
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/clean.sql"),
+      "select * from {{ source('raw', 'txns') }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("tests/assert_ok.sql"),
+      "select 1 as one from {{ ref('clean') }} having count(*) < 0\n"
+        .getBytes("UTF-8"))
+    val rows = DbtProject.list(spark, dir.toString)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("clean", "model", "table", "nightly"),
+      ("txns", "source", "source", ""),
+      ("assert_ok", "test", "singular", "")), s"$rows")
+  }
+
   test("run-operation: a project macro renders and executes; unknown macro loud (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-opproj")
