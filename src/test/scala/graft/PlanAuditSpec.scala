@@ -805,4 +805,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"orphan check must plan an anti-join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in q_fk_audit:\n$p")
   }
+
+  test("round-15 stats (lazy plans): map-side combine present, no cartesian") {
+    // the non-checkpointing statistics expose their full plan at the
+    // top level: the raw stream must aggregate ONCE (map-side
+    // combined) before any window
+    for (q <- Seq("q_welch_ttest", "q_strat_ate", "q_lift_gain")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
+  test("round-15 stats (checkpointed): every EXECUTED stage cartesian-free, combine present") {
+    // kruskalWallis/brownForsythe/kendallW/cronbachAlpha/icc21/
+    // quantileNormalize checkpoint their results (final plan = Scan
+    // ExistingRDD), so audit the stages that actually RAN via the
+    // QueryExecutionListener (the confidentJoint discipline)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(name: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      for (q <- Seq("q_kruskal_wallis", "q_brown_forsythe", "q_kendall_w",
+          "q_cronbach_alpha", "q_icc", "q_quantile_norm",
+          "q_local_clustering"))
+        SparkEntry.queries(q)(spark, dir).count()
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+          !plans.synchronized(plans.exists(_.contains("partial_"))))
+        Thread.sleep(100)
+      val snap = plans.synchronized(plans.toSeq)
+      assert(snap.nonEmpty, "listener captured no executed plans")
+      snap.foreach { p =>
+        assert(!p.contains("CartesianProduct"),
+          s"a round-15 stat ran a cartesian stage:\n$p")
+      }
+      assert(snap.exists(_.contains("partial_")),
+        "no executed stage shows map-side combine")
+    } finally spark.listenerManager.unregister(listener)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

@@ -208,6 +208,13 @@ class StreamingSpec extends AnyFunSuite {
       val finished = graft.ext.Evaluation.calibrationFinish(streamedState)
       assert(finished.collect().toSet == batch.collect().toSet,
         "finished streamed state must equal the one-shot batch table")
+      // the Hosmer–Lemeshow finish rides the SAME streamed state
+      // (round 15) — one accumulator, a fourth metric
+      assert(graft.ext.Evaluation.hosmerLemeshowFinish(streamedState)
+        .collect().toSet ==
+        graft.ext.Evaluation.hosmerLemeshow(all, bins = 10)
+          .collect().toSet,
+        "streamed HL finish must equal the one-shot batch test")
     } finally q.stop()
   }
 
@@ -297,6 +304,12 @@ class StreamingSpec extends AnyFunSuite {
         (b1 ++ b2).toDF("group", "arm", "v_micro"))
       assert(finished.collect().toSet == batch.collect().toSet,
         "finished streamed MW state must equal the one-shot batch test")
+      // Cliff's delta rides the SAME streamed rank state (round 15)
+      assert(graft.ext.Evaluation.cliffsDeltaFinish(spark.table("mw_out"))
+        .collect().toSet ==
+        graft.ext.Evaluation.cliffsDelta(
+          (b1 ++ b2).toDF("group", "arm", "v_micro")).collect().toSet,
+        "streamed Cliff's delta finish must equal the one-shot batch")
     } finally q.stop()
     // the PR finish rides the SAME auc accumulator: one streamed
     // state, two metrics
