@@ -2731,6 +2731,60 @@ object Evaluation {
           .as("z"))
   }
 
+  /** First-order partial correlation per group — does x predict y
+    * BEYOND the shared confounder z? r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). The "is this correlation just length"
+    * check every corpus-feature analysis needs before believing a
+    * raw Pearson r ([[graft.ext.Curation.columnMi]] grades
+    * categorical dependence; this is the continuous-triple analog).
+    *
+    * Exactness: all nine co-moments (n, Σx, Σy, Σz, Σx², Σy², Σz²,
+    * Σxy, Σxz, Σyz) are exact long sums (cross-product bounds as in
+    * [[welchTTest]] — size the metric units so |x·y|·n < 2⁶³); the
+    * three Pearson r's and the partial are one fixed-shape IEEE
+    * expression, 6dp. n < 3, a zero marginal variance, or a
+    * degenerate denominator (|r_xz| or |r_yz| = 1) reports 0.
+    *
+    * Scale shape: ONE map-side-combined aggregation per group —
+    * nothing else.
+    *
+    * @param df rows with `groupCol`, `xCol`, `yCol`, `zCol` (longs)
+    * @return (grp, n, r_xy, r_xz, r_yz, r_partial) — 6dp */
+  def partialCorr(df: DataFrame, groupCol: String = "group",
+      xCol: String = "x", yCol: String = "y", zCol: String = "z")
+      : DataFrame = {
+    val agg = df.select(col(groupCol).as("grp"),
+        col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"),
+        col(zCol).cast(LongType).as("z"))
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+    def d(c: String) = col(c).cast(DoubleType)
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column = {
+      val num = d("n") * d(sab) - d(sa) * d(sb)
+      val den = sqrt((d("n") * d(saa) - d(sa) * d(sa)) *
+        (d("n") * d(sbb) - d(sb) * d(sb)))
+      when(den <= 0.0, 0.0).otherwise(num / den)
+    }
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = r("syz", "sy", "sz", "syy", "szz")
+    val pden = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    agg.select(col("grp"), col("n"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round(when(col("n") < 3L, 0.0).otherwise(
+        when(pden <= 0.0, 0.0).otherwise((rxy - rxz * ryz) / pden)), 6)
+        .as("r_partial"))
+  }
+
   /** Cumulative gain / lift table per group — the "how much better
     * than random is this ranking" business readout beside [[aucRoc]]'s
     * single number: rank by score descending, cut into `buckets`

@@ -5140,6 +5140,82 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |  round(CAST(sum(dev_micro) AS DOUBLE) / 2e6, 6) AS dp
        |FROM dev GROUP BY 1""".stripMargin
 
+  /** q_durbin_watson: N-scaled integer residuals (the acf discipline),
+    * exact-long lag-difference and variance sums, one division —
+    * mirrored from Timeseries.durbinWatson. */
+  private val durbinWatsonSql: String =
+    """WITH s AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |w AS (SELECT series, d, n,
+      |    CAST(count(*) OVER (PARTITION BY series) AS BIGINT) AS nd,
+      |    CAST(sum(n) OVER (PARTITION BY series) AS BIGINT) AS t
+      |  FROM s),
+      |r AS (SELECT series, d, nd, nd * n - t AS r FROM w),
+      |l AS (SELECT series, nd, r,
+      |    lag(r) OVER (PARTITION BY series ORDER BY d) AS rp FROM r),
+      |ag AS (SELECT series, max(nd) AS n_days,
+      |    CAST(sum(r * r) AS BIGINT) AS den,
+      |    CAST(sum(CASE WHEN rp IS NULL THEN 0
+      |      ELSE (r - rp) * (r - rp) END) AS BIGINT) AS num
+      |  FROM l GROUP BY 1)
+      |SELECT series, n_days,
+      |  round(CASE WHEN n_days < 2 OR den = 0 THEN 0.0
+      |    ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END, 6) AS dw
+      |FROM ag""".stripMargin
+
+  /** q_partial_corr: the quality replay feeding ten exact co-moment
+    * longs per language, three Pearson shapes and the first-order
+    * partial as one fixed expression — mirrored from
+    * Evaluation.partialCorr. */
+  private val partialCorrSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    def rr(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): String = {
+      val num = s"(${dd("n")} * ${dd(sab)} - ${dd(sa)} * ${dd(sb)})"
+      val den = s"sqrt((${dd("n")} * ${dd(saa)} - ${dd(sa)} * ${dd(sa)}) " +
+        s"* (${dd("n")} * ${dd(sbb)} - ${dd(sb)} * ${dd(sb)}))"
+      s"(CASE WHEN $den <= 0.0 THEN 0.0 ELSE $num / $den END)"
+    }
+    val rxy = rr("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = rr("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = rr("syz", "sy", "sz", "syy", "szz")
+    val pden = s"sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz))"
+    s"""WITH t AS (SELECT lang, text, n_chars, $toks AS toks FROM documents),
+       |st AS (SELECT lang, n_chars,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','it','that'))) AS INTEGER) AS n_stopwords,
+       |  length(text) AS len_chars
+       |FROM t),
+       |q AS (SELECT lang, n_chars, n_tokens,
+       |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 0.4
+       |      + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |      + (1.0 - CAST(n_punct AS DOUBLE) / greatest(len_chars, 1)) * 0.2, 6)
+       |    AS quality_score
+       |FROM st),
+       |v AS (SELECT lang AS grp,
+       |    CAST(round(quality_score * 1e6, 0) AS BIGINT) AS x,
+       |    CAST(n_chars AS BIGINT) AS y,
+       |    CAST(n_tokens AS BIGINT) AS z
+       |  FROM q),
+       |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(z) AS BIGINT) AS sz,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(z * z) AS BIGINT) AS szz,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * z) AS BIGINT) AS sxz,
+       |    CAST(sum(y * z) AS BIGINT) AS syz
+       |  FROM v GROUP BY 1)
+       |SELECT grp, n, round($rxy, 6) AS r_xy, round($rxz, 6) AS r_xz,
+       |  round($ryz, 6) AS r_yz,
+       |  round(CASE WHEN n < 3 THEN 0.0
+       |    WHEN $pden <= 0.0 THEN 0.0
+       |    ELSE ($rxy - $rxz * $ryz) / $pden END, 6) AS r_partial
+       |FROM ag""".stripMargin
+  }
+
   /** q_yules_k: frequency-of-frequencies second moment over portable
     * token-hash cells — mirrored from TextAnalysis.yulesK. */
   private val yulesKSql: String =
@@ -6680,6 +6756,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_cliffs_delta" -> cliffsDeltaSql,
     "q_hosmer_lemeshow" -> hosmerLemeshowSql,
     "q_yules_k" -> yulesKSql,
+    "q_durbin_watson" -> durbinWatsonSql,
+    "q_partial_corr" -> partialCorrSql,
     "q_mann_kendall" -> mannKendallSql,
     "q_cochran_q" -> cochranQSql,
     "q_pr_auc" -> prAucSql,

@@ -2301,6 +2301,24 @@ object ExtQueries {
       pmod(col("user_id"), lit(2)).as("arm"),
       round(col("value") * 100, 0).cast("long").as("y")))
 
+  /** Durbin–Watson on each event type's daily residuals — the lag-1
+    * autocorrelation single number beside [[qAcf]]'s per-lag table
+    * and [[qRunsTest]]'s sign patterns. */
+  def qDurbinWatson(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.durbinWatson(Tables(spark, dir).events)
+
+  /** Partial correlation per language: does the quality score track
+    * raw character length BEYOND token count (the confounder both
+    * share)? The "is this correlation just length" check before
+    * believing a raw Pearson r. */
+  def qPartialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withStats(Tables(spark, dir).documents)
+    Evaluation.partialCorr(d.select(col("lang").as("group"),
+      round(col("quality_score") * 1e6, 0).cast("long").as("x"),
+      col("n_chars").cast("long").as("y"),
+      col("n_tokens").cast("long").as("z")))
+  }
+
   /** Yule's K lexical repetitiveness per source — the
     * sample-size-invariant "small vocabulary worked hard" corpus
     * diagnostic beside [[qVocabRichness]]'s coverage estimators. */

@@ -724,6 +724,47 @@ object Timeseries {
             col("naive_abs").cast(DoubleType)), 6).as("mase"))
   }
 
+  /** Durbin–Watson statistic per series — the classic lag-1
+    * autocorrelation test on the mean-cleared daily residuals:
+    * DW = Σ(r_t − r_{t−1})² / Σr_t² ∈ [0, 4], ≈ 2 for white noise,
+    * → 0 under positive autocorrelation (slow drifts the mean hides),
+    * → 4 under negative (flapping). The single-number companion of
+    * [[acf]]'s per-lag table and [[runsTest]]'s sign patterns.
+    *
+    * Exactness: residuals use the N-SCALED integer form r_t = N·x_t −
+    * T (the [[acf]] discipline — the N² scale cancels in the ratio),
+    * so numerator and denominator are EXACT longs end-to-end; DW is
+    * one division, 6dp. Series with < 2 days or zero variance report
+    * 0.
+    *
+    * Scale shape: the per-series daily reduction, then a days-sized
+    * lag window per series.
+    *
+    * @return (series, n_days, dw) — 6dp */
+  def durbinWatson(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val s = events.groupBy(col(seriesCol).as("series"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy("series")
+    val wDay = Window.partitionBy("series").orderBy("d")
+    val r = s
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("t", sum(col("n")).over(wAll))
+      .withColumn("r", col("nd") * col("n") - col("t"))
+      .withColumn("rp", lag(col("r"), 1).over(wDay))
+    val agg = r.groupBy("series").agg(
+      max(col("nd")).as("n_days"),
+      sum(col("r") * col("r")).as("den"),
+      sum(when(col("rp").isNull, 0L)
+        .otherwise((col("r") - col("rp")) * (col("r") - col("rp"))))
+        .as("num"))
+    agg.select(col("series"), col("n_days"),
+      round(when(col("n_days") < 2L || col("den") === 0L, 0.0)
+        .otherwise(col("num").cast(DoubleType) /
+          col("den").cast(DoubleType)), 6).as("dw"))
+  }
+
   /** Wald–Wolfowitz runs test per series — is the daily series's
     * above/below-median sequence RANDOM, or does it clump (regimes,
     * slow drifts) or alternate (overcorrection, load-balancer

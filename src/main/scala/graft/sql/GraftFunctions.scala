@@ -859,6 +859,22 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** durbin_watson(tbl) — lag-1 residual autocorrelation per series
+    * over an event stream's (event_type, ts) rows
+    * ([[graft.ext.Timeseries.durbinWatson]]). */
+  def durbinWatsonTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.durbinWatson(
+      tableOf(strArg(args.head, "durbin_watson(table)")))
+      .queryExecution.logical
+
+  /** partial_corr(tbl) — first-order partial correlation over
+    * (group, x, y, z) long rows
+    * ([[graft.ext.Evaluation.partialCorr]]). */
+  def partialCorrTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.partialCorr(
+      tableOf(strArg(args.head, "partial_corr(table)")))
+      .queryExecution.logical
+
   /** yules_k(tbl) — Yule's characteristic K per source over
     * (source, text) rows ([[graft.ext.TextAnalysis.yulesK]]). */
   def yulesKTvf(args: Seq[Expression]): LogicalPlan =
@@ -1315,6 +1331,8 @@ object GraftFunctions {
     "cliffs_delta" -> (cliffsDeltaTvf _),
     "hosmer_lemeshow" -> (hosmerLemeshowTvf _),
     "yules_k" -> (yulesKTvf _),
+    "durbin_watson" -> (durbinWatsonTvf _),
+    "partial_corr" -> (partialCorrTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),
     "pr_auc" -> (prAucTvf _),

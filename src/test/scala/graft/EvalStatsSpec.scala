@@ -693,6 +693,23 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("n_bins") == 2 && b.getAs[Long]("bins_used") == 1)
   }
 
+  test("partialCorr: confounder-cleared residuals; degenerate marginals guard to 0") {
+    // x={1,2,3,4}, y={2,1,4,3}, z={1,1,2,2}: r_xy=0.6, r_xz=r_yz=
+    // 8/sqrt(80); controlling z the residuals are perfectly
+    // anticorrelated -> partial = (0.6 - 0.8)/0.2 = -1
+    val df = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 2L), (4L, 3L, 2L))
+      .toDF("x", "y", "z").withColumn("group", lit("g"))
+    val r = Evaluation.partialCorr(df).collect().head
+    assert(r.getAs[Double]("r_xy") == 0.6)
+    assert(r.getAs[Double]("r_xz") == r6(8.0 / math.sqrt(80.0)))
+    assert(r.getAs[Double]("r_partial") == -1.0)
+    // x == z: |r_xz| = 1, the partial is undefined -> 0 by contract
+    val dgen = Seq((1L, 2L, 1L), (2L, 1L, 2L), (3L, 4L, 3L))
+      .toDF("x", "y", "z").withColumn("group", lit("g"))
+    assert(Evaluation.partialCorr(dgen).collect().head
+      .getAs[Double]("r_partial") == 0.0)
+  }
+
   test("round-15 stats TVF surface smoke") {
     import spark.implicits._
     graft.sql.GraftFunctions.register(spark)

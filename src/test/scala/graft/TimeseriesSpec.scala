@@ -258,6 +258,20 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(Timeseries.changePoint(series(Seq(7))).count() == 0)
   }
 
+  test("durbinWatson: alternation scores above 2, clumping below, constant guards to 0") {
+    // 1,9,1,9: r = {-16,16,-16,16}, num = 3*32^2, den = 4*16^2 -> DW 3
+    val alt = Timeseries.durbinWatson(series(Seq(1, 9, 1, 9))).collect().head
+    assert(alt.getAs[Long]("n_days") == 4)
+    assert(alt.getAs[Double]("dw") == 3.0)
+    // 1,1,9,9: one nonzero jump -> DW 1 (positive autocorrelation)
+    val clump = Timeseries.durbinWatson(series(Seq(1, 1, 9, 9)))
+      .collect().head
+    assert(clump.getAs[Double]("dw") == 1.0)
+    // constant series: zero variance -> 0 by contract
+    assert(Timeseries.durbinWatson(series(Seq(5, 5, 5))).collect().head
+      .getAs[Double]("dw") == 0.0)
+  }
+
   test("runsTest: clumped signs score negative, alternating positive, median days drop") {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
