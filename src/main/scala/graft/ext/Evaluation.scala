@@ -635,6 +635,67 @@ object Evaluation {
           (col("n_a") * col("n_b")).cast(DoubleType)), 6).as("ks"))
   }
 
+  /** 1-D Wasserstein (earth mover's) distance per group between two
+    * samples of a long-valued score — the drift MAGNITUDE beside
+    * [[ksTest]]'s max-gap significance shape: KS says "the CDFs
+    * differ somewhere by D"; W₁ = ∫|F_a − F_b| dx says "moving one
+    * distribution onto the other costs this much score-mass·distance"
+    * (a mean shift of δ gives W₁ ≈ δ where KS saturates). Finished
+    * from the SAME algebraic (grp, value) → (ca, cb) state as
+    * [[ksTest]] — the shared-state discipline of [[cliffsDelta]].
+    *
+    * Exactness: per-interval terms |cumA·n_b − cumB·n_a|·Δv are exact
+    * longs summed order-free; the only IEEE step is the final
+    * division by n_a·n_b. Exact while n_a·n_b·(v_max − v_min) < 2⁶³
+    * (micro scores in [0, 1e6]: ~9·10¹² per-side-row products — far
+    * above any per-group corpus). A group empty on either side
+    * reports w1 = 0 with its n_a/n_b zero — unlike KS there is no
+    * finite "maximal" distance to pin to; callers gate on the counts.
+    *
+    * Scale shape: identical to [[ksTest]] — one (group, value) count
+    * shuffle per side (map-side combined), then cumulative + lead
+    * windows over the pooled distinct-value table
+    * (value-cardinality-bounded, never corpus-proportional).
+    *
+    * @param a,b rows with `groupCol` and `valueCol` (long-castable)
+    * @return (grp, n_a, n_b, w1_num, w1) — w1 in `valueCol` units, 6dp */
+  def wasserstein1(a: DataFrame, b: DataFrame, groupCol: String = "group",
+      valueCol: String = "v"): DataFrame = {
+    val tagged = a
+      .select(col(groupCol).as("grp"), col(valueCol).cast(LongType).as("v"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col(groupCol).as("grp"),
+        col(valueCol).cast(LongType).as("v"), lit(1L).as("side")))
+    w1Finish(ksState(tagged))
+  }
+
+  /** Finish a KS-state snapshot into (grp, n_a, n_b, w1_num, w1) —
+    * the [[ksFinish]] windows plus one lead() for the interval width;
+    * state-table-bounded like every shared-state finish. */
+  def w1Finish(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLead = Window.partitionBy("grp").orderBy("v")
+    val cum = state
+      .withColumn("cumA", sum(col("ca")).over(wCum))
+      .withColumn("cumB", sum(col("cb")).over(wCum))
+      .withColumn("tA", sum(col("ca")).over(wAll))
+      .withColumn("tB", sum(col("cb")).over(wAll))
+      .withColumn("nextV", lead(col("v"), 1).over(wLead))
+    val agg = cum.groupBy("grp").agg(
+      max(col("tA")).as("n_a"), max(col("tB")).as("n_b"),
+      sum(when(col("nextV").isNull, 0L).otherwise(
+        abs(col("cumA") * col("tB") - col("cumB") * col("tA")) *
+          (col("nextV") - col("v")))).as("w1_num"))
+    agg.select(col("grp"), col("n_a"), col("n_b"), col("w1_num"),
+      round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+        .otherwise(col("w1_num").cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)), 6).as("w1"))
+  }
+
   /** Weighted Cohen's κ per group over paired ORDINAL ratings — the
     * LLM-judge agreement metric ([[cohenKappa]] is nominal; two
     * judges scoring 1–5 that differ by one point are NOT in full
@@ -2456,6 +2517,61 @@ object Evaluation {
   def kendallW(df: DataFrame, groupCol: String = "group",
       raterCol: String = "rater", itemCol: String = "item",
       scoreCol: String = "score"): DataFrame = {
+    val agg = kendallWState(df, groupCol, raterCol, itemCol, scoreCol)
+    def d(c: Column) = c.cast(DoubleType)
+    agg.select(col("grp"), col("m").as("m_raters"),
+      col("n_items"), kwS4.as("s4"), col("tie_sum"),
+      round(when(col("n_items") < 2L, 0.0).otherwise(
+        when(kwDenom <= 0.0, 0.0).otherwise(lit(3.0) * d(kwS4) / kwDenom)),
+        6).as("w"))
+  }
+
+  /** Friedman's rank test per group — the SIGNIFICANCE shape on the
+    * [[kendallW]] consensus: for m raters (blocks) ranking n items
+    * (treatments), χ²_F = m·(n−1)·W with the tie-corrected W, df =
+    * n−1 — the classic identity, so the statistic is a SECOND FINISH
+    * over the one concordance state (the [[cliffsDelta]]-off-
+    * Mann–Whitney discipline; same complete-block contract, same
+    * exact-long 4S identity). Large χ²_F at df = n−1 rejects "the
+    * raters rank the items interchangeably".
+    *
+    * Degenerate (n < 2 or zero denominator) reports 0 like W itself.
+    *
+    * @return (grp, m_raters, n_items, dof, chi2_f) — chi2_f 6dp */
+  def friedmanTest(df: DataFrame, groupCol: String = "group",
+      raterCol: String = "rater", itemCol: String = "item",
+      scoreCol: String = "score"): DataFrame = {
+    val agg = kendallWState(df, groupCol, raterCol, itemCol, scoreCol)
+    def d(c: Column) = c.cast(DoubleType)
+    agg.select(col("grp"), col("m").as("m_raters"), col("n_items"),
+      (col("n_items") - 1L).as("dof"),
+      round(when(col("n_items") < 2L, 0.0).otherwise(
+        when(kwDenom <= 0.0, 0.0).otherwise(
+          d(col("m")) * (d(col("n_items")) - 1.0) *
+            (lit(3.0) * d(kwS4) / kwDenom))), 6).as("chi2_f"))
+  }
+
+  /** 4S = Σr2² − 2c·Σr2 + n·c², c = m(n+1) — exact long identity
+    * over the [[kendallWState]] columns. */
+  private def kwS4: Column =
+    col("srr") - lit(2L) * col("m") * (col("n_items") + 1L) *
+      col("sr") + col("n_items") * col("m") * (col("n_items") + 1L) *
+      col("m") * (col("n_items") + 1L)
+
+  /** Tie-corrected W denominator m²(n³−n) − m·ΣT over the state. */
+  private def kwDenom: Column = {
+    def d(c: Column) = c.cast(DoubleType)
+    d(col("m")) * d(col("m")) *
+      (d(col("n_items")) * d(col("n_items")) * d(col("n_items")) -
+        d(col("n_items"))) - d(col("m")) * d(col("tie_sum"))
+  }
+
+  /** The shared concordance state (grp, n_items, sr, srr, m,
+    * tie_sum) both [[kendallW]] and [[friedmanTest]] finish from —
+    * complete-block census, doubled mid-ranks, per-rater tie masses;
+    * groups-sized and checkpointed, scaffolds released. */
+  private[graft] def kendallWState(df: DataFrame, groupCol: String,
+      raterCol: String, itemCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val one = df.select(col(groupCol).as("grp"),
         col(raterCol).cast(StringType).as("rater"),
@@ -2484,23 +2600,10 @@ object Evaluation {
         Seq("grp", "rater", "score"))
       .groupBy("grp", "item").agg(sum(col("mr2")).as("r2_i"))
     val tieSum = ranked.groupBy("grp").agg(sum(col("tie")).as("tie_sum"))
-    val agg = perItem.groupBy("grp").agg(count(lit(1)).as("n_items"),
+    val out = perItem.groupBy("grp").agg(count(lit(1)).as("n_items"),
       sum(col("r2_i")).as("sr"), sum(col("r2_i") * col("r2_i")).as("srr"))
       .join(broadcast(mTab), Seq("grp"))
       .join(broadcast(tieSum), Seq("grp"))
-    def d(c: Column) = c.cast(DoubleType)
-    // 4S = Σr2² − 2c·Σr2 + n·c², c = m(n+1) — exact long identity
-    val s4 = col("srr") - lit(2L) * col("m") * (col("n_items") + 1L) *
-      col("sr") + col("n_items") * col("m") * (col("n_items") + 1L) *
-      col("m") * (col("n_items") + 1L)
-    val denom = d(col("m")) * d(col("m")) *
-      (d(col("n_items")) * d(col("n_items")) * d(col("n_items")) -
-        d(col("n_items"))) - d(col("m")) * d(col("tie_sum"))
-    val out = agg.select(col("grp"), col("m").as("m_raters"),
-      col("n_items"), s4.as("s4"), col("tie_sum"),
-      round(when(col("n_items") < 2L, 0.0).otherwise(
-        when(denom <= 0.0, 0.0).otherwise(lit(3.0) * d(s4) / denom)), 6)
-        .as("w"))
       .localCheckpoint()
     graft.ext.Checkpoints.release(one, ratings, ranked)
     out

@@ -4130,6 +4130,42 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |      CAST(max(tA) * max(tB) AS DOUBLE) END, 6) AS ks
       |FROM cum GROUP BY grp""".stripMargin
 
+  /** q_wasserstein: exact-long per-interval terms
+    * |cumA·nB − cumB·nA|·Δv over the pooled distinct-value table;
+    * single IEEE division — mirrored from Evaluation.wasserstein1. */
+  private val wassersteinSql: String =
+    """WITH t AS (SELECT doc_id, lang AS grp,
+      |    least(1000000, CAST(len(list_filter(
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x != ''),
+      |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      AS BIGINT) * 125000) AS v FROM documents),
+      |cells AS (SELECT grp, v,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb FROM t GROUP BY 1, 2),
+      |cum AS (SELECT grp, v,
+      |    CAST(sum(ca) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumA,
+      |    CAST(sum(cb) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumB,
+      |    CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS tA,
+      |    CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS tB,
+      |    lead(v) OVER (PARTITION BY grp ORDER BY v) AS nextV
+      |  FROM cells)
+      |SELECT grp, max(tA) AS n_a, max(tB) AS n_b,
+      |  CAST(sum(CASE WHEN nextV IS NULL THEN 0
+      |    ELSE abs(cumA * tB - cumB * tA) * (nextV - v) END) AS BIGINT)
+      |    AS w1_num,
+      |  round(CASE WHEN max(tA) = 0 OR max(tB) = 0 THEN 0.0
+      |    ELSE CAST(sum(CASE WHEN nextV IS NULL THEN 0
+      |      ELSE abs(cumA * tB - cumB * tA) * (nextV - v) END) AS DOUBLE) /
+      |      CAST(max(tA) * max(tB) AS DOUBLE) END, 6) AS w1
+      |FROM cum GROUP BY grp""".stripMargin
+
   /** q_chi_square: χ² over the full marginal grid (zero-observed
     * cells included); per-cell term from the long-exact (o·N − r·c)
     * difference, micro-rounded pre-sum; Cramér's V via IEEE sqrt. */
@@ -5612,6 +5648,56 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |FROM fin""".stripMargin
   }
 
+  /** q_friedman: the kendallW state replay finished as
+    * χ²_F = m(n−1)·W, df = n−1 — mirrored from
+    * Evaluation.friedmanTest. */
+  private val friedmanSql: String = {
+    val denom = "(CAST(m AS DOUBLE) * CAST(m AS DOUBLE) " +
+      "* (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE) " +
+      "* CAST(n_items AS DOUBLE) - CAST(n_items AS DOUBLE)) " +
+      "- CAST(m AS DOUBLE) * CAST(tie_sum AS DOUBLE))"
+    s"""WITH one AS (SELECT 'all' AS grp, o_orderpriority AS rater,
+       |    strftime(o_orderdate, '%Y-%m') AS item,
+       |    CAST(count(*) AS BIGINT) AS score
+       |  FROM orders GROUP BY 1, 2, 3),
+       |mt AS (SELECT grp, CAST(count(DISTINCT rater) AS BIGINT) AS m
+       |  FROM one GROUP BY 1),
+       |keep AS (SELECT one.grp, item FROM one
+       |  JOIN mt ON mt.grp = one.grp
+       |  GROUP BY one.grp, item, m HAVING count(DISTINCT rater) = m),
+       |ratings AS (SELECT one.* FROM one
+       |  JOIN keep ON keep.grp = one.grp AND keep.item = one.item),
+       |cells AS (SELECT grp, rater, score, CAST(count(*) AS BIGINT) AS t
+       |  FROM ratings GROUP BY 1, 2, 3),
+       |rk AS (SELECT grp, rater, score,
+       |    2 * COALESCE(CAST(sum(t) OVER (PARTITION BY grp, rater
+       |      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING) AS BIGINT), 0) + t + 1 AS mr2,
+       |    t * t * t - t AS tie
+       |  FROM cells),
+       |pi AS (SELECT r.grp, item, CAST(sum(mr2) AS BIGINT) AS r2_i
+       |  FROM ratings r JOIN rk ON rk.grp = r.grp
+       |    AND rk.rater = r.rater AND rk.score = r.score
+       |  GROUP BY 1, 2),
+       |ts AS (SELECT grp, CAST(sum(tie) AS BIGINT) AS tie_sum
+       |  FROM rk GROUP BY 1),
+       |ag AS (SELECT pi.grp, CAST(count(*) AS BIGINT) AS n_items,
+       |    CAST(sum(r2_i) AS BIGINT) AS sr,
+       |    CAST(sum(r2_i * r2_i) AS BIGINT) AS srr
+       |  FROM pi GROUP BY 1),
+       |fin AS (SELECT ag.grp, m, n_items, tie_sum,
+       |    srr - 2 * m * (n_items + 1) * sr
+       |      + n_items * m * (n_items + 1) * m * (n_items + 1) AS s4
+       |  FROM ag JOIN mt ON mt.grp = ag.grp
+       |  JOIN ts ON ts.grp = ag.grp)
+       |SELECT grp, m AS m_raters, n_items, n_items - 1 AS dof,
+       |  round(CASE WHEN n_items < 2 THEN 0.0
+       |    WHEN $denom <= 0.0 THEN 0.0
+       |    ELSE CAST(m AS DOUBLE) * (CAST(n_items AS DOUBLE) - 1.0)
+       |      * (3.0 * CAST(s4 AS DOUBLE) / $denom) END, 6) AS chi2_f
+       |FROM fin""".stripMargin
+  }
+
   /** q_cronbach_alpha: complete-panel activity scores, micro-rounded
     * per-item sample variances, total-score variance from exact
     * sums, one α expression — mirrored from Evaluation.cronbachAlpha. */
@@ -6412,6 +6498,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_fleiss_kappa" -> fleissKappaSql,
     "q_krippendorff_alpha" -> krippendorffSql,
     "q_ks_drift" -> ksDriftSql,
+    "q_wasserstein" -> wassersteinSql,
     "q_psi_drift" -> psiDriftSql,
     "q_chi_square" -> chiSquareSql,
     "q_ppr" -> pprSql,
@@ -6491,6 +6578,37 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
         |    - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
         |    - CAST(84.6 AS DOUBLE) * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
         |    END, 6) AS flesch_ease
+        |FROM s""".stripMargin,
+
+    // fog/SMOG/Coleman–Liau on the shared readability heuristics:
+    // complex = 3+ vowel groups, letters = [A-Za-z] count
+    "q_readability_ext" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(list_filter(toks, w ->
+        |      len(regexp_extract_all(w, '[aeiouy]+')) >= 3)) AS BIGINT)
+        |      AS n_complex,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+        |      AS n_letters
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_complex, n_letters,
+        |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |    CAST(0.4 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+        |    + CAST(100.0 AS DOUBLE) * CAST(n_complex AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    END, 6) AS fog,
+        |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |    CAST(1.0430 AS DOUBLE) * sqrt(CAST(n_complex AS DOUBLE)
+        |      * CAST(30.0 AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + CAST(3.1291 AS DOUBLE) END, 6) AS smog,
+        |  round(CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |    CAST(0.0588 AS DOUBLE) * (CAST(100.0 AS DOUBLE)
+        |      * CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - CAST(0.296 AS DOUBLE) * (CAST(100.0 AS DOUBLE)
+        |      * CAST(n_sentences AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - CAST(15.8 AS DOUBLE) END, 6) AS coleman_liau
         |FROM s""".stripMargin,
 
     // mixture diversity: entropy/effective-N/HHI over source shares,
@@ -6743,6 +6861,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_brown_forsythe" -> brownForsytheSql,
     "q_kendall_w" -> kendallWSql,
+    "q_friedman" -> friedmanSql,
     "q_cronbach_alpha" -> cronbachAlphaSql,
     "q_changepoint" -> changepointSql,
     "q_local_clustering" -> localClusteringSql,

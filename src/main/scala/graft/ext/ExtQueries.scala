@@ -294,6 +294,22 @@ object ExtQueries {
       scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
   }
 
+  /** 1-D Wasserstein drift per language between even- and odd-id
+    * docs' English-ness scores — the drift MAGNITUDE beside
+    * [[qKsDrift]]'s max-gap shape, finished from the same
+    * (grp, value) state. */
+  def qWasserstein(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang").as("group"),
+      least(lit(1000000L), hits.cast("long") * 125000L).as("v"))
+    Evaluation.wasserstein1(
+      scored.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+      scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
+  }
+
   /** Hashing-trick featurization of order metadata into 64 sparse
     * signed-count buckets — the metadata→vector bridge (status,
     * priority, and customer-mod-sharded cohort as categoricals). */
@@ -1828,6 +1844,12 @@ object ExtQueries {
   def qReadability(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.readability(Tables(spark, dir).documents)
 
+  /** Gunning fog / SMOG / Coleman–Liau per document — the
+    * cross-check indices beside [[qReadability]]'s FK pair; pure
+    * map, no shuffle. */
+  def qReadabilityExt(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readabilityExtended(Tables(spark, dir).documents)
+
   /** Mixture diversity/concentration of the corpus by source:
     * entropy, effective source count, HHI, Gini. */
   def qMixDiversity(spark: SparkSession, dir: String): DataFrame =
@@ -2214,6 +2236,18 @@ object ExtQueries {
         date_format(col("o_orderdate"), "yyyy-MM").as("item"))
       .agg(count(lit(1)).as("score"))
     Evaluation.kendallW(monthly.select(lit("all").as("group"),
+      col("rater"), col("item"), col("score")))
+  }
+
+  /** Friedman's χ² on the same priority-ranks-months panel as
+    * [[qKendallW]] — the significance shape finished from the SAME
+    * concordance state (χ²_F = m(n−1)W, df = n−1). */
+  def qFriedman(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders.groupBy(
+        col("o_orderpriority").as("rater"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("item"))
+      .agg(count(lit(1)).as("score"))
+    Evaluation.friedmanTest(monthly.select(lit("all").as("group"),
       col("rater"), col("item"), col("score")))
   }
 

@@ -885,6 +885,52 @@ object TextAnalysis {
             col("n_words").cast(DoubleType)), 6))
   }
 
+  /** Gunning fog, SMOG, and Coleman–Liau per document — the OTHER
+    * three classic readability indices beside [[readability]]'s
+    * Flesch–Kincaid pair; corpora graded by one index only inherit
+    * its quirks (FK leans on syllables-per-word, Coleman–Liau on
+    * characters — a curation gate should cross-check). Shared
+    * deterministic heuristics with [[readability]] (words =
+    * whitespace tokens, sentences = runs of [.!?], syllables =
+    * [aeiouy]+ groups), plus: complex words = syllable count ≥ 3;
+    * letters = [A-Za-z] characters. fog = 0.4·(w/s + 100·cw/w);
+    * SMOG = 1.0430·√(cw·30/s) + 3.1291; CL = 0.0588·(100·L/w) −
+    * 0.296·(100·s/w) − 15.8 — fixed-shape IEEE on exact integer
+    * counts, 6dp; w = 0 reports all three as 0.
+    *
+    * Scale shape: a PURE MAP like [[readability]] — per-row array
+    * expressions only, no shuffle; the 100 TB pass is a narrow scan.
+    *
+    * @return (doc_id, n_words, n_sentences, n_complex, n_letters,
+    *         fog, smog, coleman_liau) */
+  def readabilityExtended(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val w = size(toks).cast(LongType)
+    val s = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+      .cast(LongType)
+    val cw = size(filter(toks, t =>
+      size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))) >= 3))
+      .cast(LongType)
+    val letters = length(
+      regexp_replace(col(textCol), "[^A-Za-z]", "")).cast(LongType)
+    def d(c: Column) = c.cast(DoubleType)
+    docs.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        cw.as("n_complex"), letters.as("n_letters"))
+      .withColumn("fog", round(when(col("n_words") === 0L, 0.0)
+        .otherwise(lit(0.4) * (d(col("n_words")) / d(col("n_sentences")) +
+          lit(100.0) * d(col("n_complex")) / d(col("n_words")))), 6))
+      .withColumn("smog", round(when(col("n_words") === 0L, 0.0)
+        .otherwise(lit(1.0430) * sqrt(d(col("n_complex")) * lit(30.0) /
+          d(col("n_sentences"))) + lit(3.1291)), 6))
+      .withColumn("coleman_liau", round(when(col("n_words") === 0L, 0.0)
+        .otherwise(lit(0.0588) * (lit(100.0) * d(col("n_letters")) /
+            d(col("n_words"))) -
+          lit(0.296) * (lit(100.0) * d(col("n_sentences")) /
+            d(col("n_words"))) - lit(15.8)), 6))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
     * Extraction from Individual Documents"): candidate phrases are
     * maximal stopword-free token runs (boundaries = [[EnStop]]

@@ -654,6 +654,14 @@ object GraftFunctions {
       tableOf(strArg(args.head, "readability(table)")))
       .queryExecution.logical
 
+  /** readability_ext(tbl) — Gunning fog / SMOG / Coleman–Liau over
+    * (doc_id, text) rows
+    * ([[graft.ext.TextAnalysis.readabilityExtended]]). */
+  def readabilityExtTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.TextAnalysis.readabilityExtended(
+      tableOf(strArg(args.head, "readability_ext(table)")))
+      .queryExecution.logical
+
   /** mix_diversity(tbl[, byCol]) — entropy/effective-N/HHI/Gini of
     * the group mixture ([[graft.ext.Curation.mixDiversity]]). */
   def mixDiversityTvf(args: Seq[Expression]): LogicalPlan = {
@@ -817,6 +825,14 @@ object GraftFunctions {
   def kendallWTvf(args: Seq[Expression]): LogicalPlan =
     graft.ext.Evaluation.kendallW(
       tableOf(strArg(args.head, "kendall_w(table)")))
+      .queryExecution.logical
+
+  /** friedman_test(tbl) — Friedman's χ² over
+    * (group, rater, item, score) rows
+    * ([[graft.ext.Evaluation.friedmanTest]]). */
+  def friedmanTestTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.friedmanTest(
+      tableOf(strArg(args.head, "friedman_test(table)")))
       .queryExecution.logical
 
   /** cronbach_alpha(tbl) — k-item internal consistency over
@@ -1091,6 +1107,16 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** wasserstein(tblA, tblB) — 1-D earth mover's distance per group
+    * over (group, v) rows ([[graft.ext.Evaluation.wasserstein1]]). */
+  def wassersteinTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "wasserstein(tableA, tableB)")
+    graft.ext.Evaluation.wasserstein1(
+      tableOf(strArg(args.head, "wasserstein(tableA)")),
+      tableOf(strArg(args(1), "wasserstein(tableB)")))
+      .queryExecution.logical
+  }
+
   /** psi(tblA, tblB[, bins]) — Population Stability Index per group
     * over (group, p_micro) score rows ([[graft.ext.Evaluation.psi]]). */
   def psiTvf(args: Seq[Expression]): LogicalPlan = {
@@ -1295,6 +1321,7 @@ object GraftFunctions {
     "auc_roc" -> (aucRocTvf _),
     "rake_keywords" -> (rakeKeywordsTvf _),
     "readability" -> (readabilityTvf _),
+    "readability_ext" -> (readabilityExtTvf _),
     "mix_diversity" -> (mixDiversityTvf _),
     "lr_train" -> (lrTrainTvf _),
     "lr_margins" -> (lrMarginsTvf _),
@@ -1318,6 +1345,7 @@ object GraftFunctions {
     "kruskal_wallis" -> (kruskalWallisTvf _),
     "brown_forsythe" -> (brownForsytheTvf _),
     "kendall_w" -> (kendallWTvf _),
+    "friedman_test" -> (friedmanTestTvf _),
     "cronbach_alpha" -> (cronbachAlphaTvf _),
     "changepoint" -> (changepointTvf _),
     "local_clustering" -> (localClusteringTvf _),
@@ -1348,6 +1376,7 @@ object GraftFunctions {
     "brier_decomposition" -> (brierDecompositionTvf _),
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
+    "wasserstein" -> (wassersteinTvf _),
     "psi" -> (psiTvf _),
     "chi_square" -> (chiSquareTvf _),
     "ppr" -> (pprTvf _),

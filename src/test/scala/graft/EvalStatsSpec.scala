@@ -728,6 +728,9 @@ class EvalStatsSpec extends AnyFunSuite {
       .withColumn("group", lit("g")).createOrReplaceTempView("kwc_in")
     assert(spark.sql("SELECT w FROM kendall_w('kwc_in')")
       .as[Double].head() == 1.0)
+    // Friedman off the same state: chi2 = m(n−1)W = 2·1·1 = 2
+    assert(spark.sql("SELECT chi2_f FROM friedman_test('kwc_in')")
+      .as[Double].head() == 2.0)
     Seq(("s1", "q1", 1L), ("s1", "q2", 1L), ("s2", "q1", 3L),
       ("s2", "q2", 3L)).toDF("subject", "item", "score")
       .withColumn("group", lit("g")).createOrReplaceTempView("ca_in")
@@ -737,5 +740,53 @@ class EvalStatsSpec extends AnyFunSuite {
       .withColumn("group", lit("g")).createOrReplaceTempView("na_in")
     assert(spark.sql("SELECT count(*) FROM nelson_aalen('na_in')")
       .as[Long].head() == 1L)
+  }
+
+  test("wasserstein1: unit mean shift costs exactly 1; identical -> 0; empty side") {
+    // A = {0,1}, B = {1,2}: F gaps of 1/2 over two unit intervals
+    // -> W1 = 1 (num |cumA·nB − cumB·nA|·Δv = 2 + 2 over nA·nB = 4)
+    val a = Seq(("g", 0L), ("g", 1L)).toDF("group", "v")
+    val b = Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
+    val r = Evaluation.wasserstein1(a, b).collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("w1_num") == 4L)
+    assert(r.getAs[Double]("w1") == 1.0)
+    // identical samples -> 0 where KS would also be 0
+    val same = Evaluation.wasserstein1(a, a).collect().head
+    assert(same.getAs[Long]("w1_num") == 0L &&
+      same.getAs[Double]("w1") == 0.0)
+    // a missing side has no finite distance: 0 with its count zeroed
+    val none = Seq.empty[(String, Long)].toDF("group", "v")
+    val e = Evaluation.wasserstein1(a, none).collect().head
+    assert(e.getAs[Long]("n_b") == 0 && e.getAs[Double]("w1") == 0.0)
+    // a SECOND FINISH over the ksTest state: same (grp, v) accumulator
+    val tagged = a.select(col("group").as("grp"), col("v"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col("group").as("grp"), col("v"),
+        lit(1L).as("side")))
+    val viaState = Evaluation.w1Finish(Evaluation.ksState(tagged))
+      .collect().head
+    assert(viaState.getAs[Double]("w1") == r.getAs[Double]("w1"))
+  }
+
+  test("friedmanTest: perfect concordance chi2 = m(n-1); identity with kendallW") {
+    // 3 raters rank 4 items identically -> W = 1, chi2 = 3·(4−1)·1 = 9
+    val base = for (r <- Seq("r1", "r2", "r3"); i <- 1 to 4)
+      yield (r, s"i$i", i.toLong * 10)
+    val df = base.toDF("rater", "item", "score").withColumn("group", lit("g"))
+    val f = Evaluation.friedmanTest(df).collect().head
+    assert(f.getAs[Long]("m_raters") == 3 && f.getAs[Long]("n_items") == 4)
+    assert(f.getAs[Long]("dof") == 3L)
+    assert(f.getAs[Double]("chi2_f") == 9.0)
+    // partial agreement with a tie: chi2_f tracks m(n−1)·w
+    val mixed = Seq(
+      ("r1", "i1", 1L), ("r1", "i2", 2L), ("r1", "i3", 3L),
+      ("r2", "i1", 2L), ("r2", "i2", 1L), ("r2", "i3", 3L),
+      ("r3", "i1", 1L), ("r3", "i2", 1L), ("r3", "i3", 2L))
+      .toDF("rater", "item", "score").withColumn("group", lit("g"))
+    val w = Evaluation.kendallW(mixed).collect().head.getAs[Double]("w")
+    val chi = Evaluation.friedmanTest(mixed).collect().head
+      .getAs[Double]("chi2_f")
+    assert(math.abs(chi - 3.0 * 2.0 * w) < 1e-4, s"chi=$chi w=$w")
   }
 }

@@ -2009,6 +2009,36 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2L)._2 == 1L && out(2L)._3 == 1L && out(2L)._4 == 1L)
   }
 
+  test("readabilityExtended: hand-computed fog, SMOG, Coleman-Liau") {
+    import spark.implicits._
+    // "The cat sat. Amazing elephants everywhere!" -> 6 words,
+    // 2 sentences, complex (3+ vowel groups): amazing(a,a,i),
+    // elephants(e,e,a), everywhere(e,e,y,e,e) = 3; letters = 35
+    val out = TextAnalysis.readabilityExtended(
+      Seq((1L, "The cat sat. Amazing elephants everywhere!"),
+        (2L, "zzz")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") == 6L &&
+      d1.getAs[Long]("n_sentences") == 2L)
+    assert(d1.getAs[Long]("n_complex") == 3L, s"$d1")
+    assert(d1.getAs[Long]("n_letters") == 35L)
+    // fog = 0.4·(6/2 + 100·3/6) = 21.2 exactly
+    assert(d1.getAs[Double]("fog") == 21.2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1.getAs[Double]("smog") ==
+      r6(1.0430 * math.sqrt(45.0) + 3.1291))
+    assert(d1.getAs[Double]("coleman_liau") ==
+      r6(0.0588 * 3500.0 / 6.0 - 0.296 * 200.0 / 6.0 - 15.8))
+    // vowel-free text: no complex words, SMOG floors at its intercept
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_complex") == 0L &&
+      d2.getAs[Long]("n_letters") == 3L)
+    assert(d2.getAs[Double]("fog") == 0.4)
+    assert(d2.getAs[Double]("smog") == 3.1291)
+  }
+
   test("trainQualityLr learns a planted separable signal and replays deterministically") {
     import spark.implicits._
     // positives all contain the bigram "good stuff", negatives "bad

@@ -481,6 +481,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM ks_test('ks_a_e11', 'ks_b_e11')",
       graft.ext.Evaluation.ksTest(
         spark.table("ks_a_e11"), spark.table("ks_b_e11")))
+    sameAs("SELECT * FROM wasserstein('ks_a_e11', 'ks_b_e11')",
+      graft.ext.Evaluation.wasserstein1(
+        spark.table("ks_a_e11"), spark.table("ks_b_e11")))
     Seq(("g", 150000L), ("g", 850000L)).toDF("group", "p_micro")
       .createOrReplaceTempView("psi_a_e11")
     Seq(("g", 850000L), ("g", 950000L)).toDF("group", "p_micro")
@@ -538,6 +541,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.ext.Evaluation.classificationReport(spark.table("cr_e11")))
     sameAs("SELECT * FROM readability('rake_e11')",
       graft.ext.TextAnalysis.readability(spark.table("rake_e11")))
+    sameAs("SELECT * FROM readability_ext('rake_e11')",
+      graft.ext.TextAnalysis.readabilityExtended(spark.table("rake_e11")))
     Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
       .createOrReplaceTempView("mixd_e11")
     sameAs("SELECT * FROM mix_diversity('mixd_e11')",

@@ -379,6 +379,13 @@ class StreamingSpec extends AnyFunSuite {
         all.filter(col("side") === 1L).select(col("grp").as("group"), col("v")))
       assert(finished.collect().toSet == batch.collect().toSet,
         "finished streamed KS state must equal the one-shot batch test")
+      // the W1 finish rides the SAME state snapshot — twin for free
+      val w1Finished = graft.ext.Evaluation.w1Finish(spark.table("ks_out"))
+      val w1Batch = graft.ext.Evaluation.wasserstein1(
+        all.filter(col("side") === 0L).select(col("grp").as("group"), col("v")),
+        all.filter(col("side") === 1L).select(col("grp").as("group"), col("v")))
+      assert(w1Finished.collect().toSet == w1Batch.collect().toSet,
+        "finished streamed W1 must equal the one-shot batch distance")
     } finally q.stop()
   }
 
