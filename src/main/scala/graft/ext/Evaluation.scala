@@ -696,6 +696,66 @@ object Evaluation {
           (col("n_a") * col("n_b")).cast(DoubleType)), 6).as("w1"))
   }
 
+  /** Two-sample Cramér–von Mises statistic per group — the
+    * WHOLE-CURVE drift test completing the trio on the shared
+    * (grp, value) state: [[ksTest]] reads the single worst CDF gap,
+    * [[wasserstein1]] the area between the CDFs, and CvM the
+    * pooled-weighted SQUARED gap T = (n_a·n_b/N²)·Σ_x w_x·(F_a(x) −
+    * F_b(x))² (w_x = pooled multiplicity) — sensitive to many small
+    * departures a max-gap test under-weights (tail-shape drift).
+    *
+    * Exactness: the gap enters as the exact long cumA·n_b − cumB·n_a;
+    * each distinct value's term w_x·(gap/(n_a·n_b))² is nano-rounded
+    * to a long pre-sum (value-cardinality-bounded fold, order-free);
+    * T is one fixed-shape IEEE expression, 6dp. A group empty on
+    * either side reports 0 with its count zeroed (callers gate on
+    * n_a/n_b, the [[wasserstein1]] contract).
+    *
+    * Scale shape: identical to [[ksTest]] — cumulative windows over
+    * the pooled distinct-value table only.
+    *
+    * @param a,b rows with `groupCol` and `valueCol` (long-castable)
+    * @return (grp, n_a, n_b, cvm) — cvm 6dp */
+  def cramerVonMises(a: DataFrame, b: DataFrame,
+      groupCol: String = "group", valueCol: String = "v"): DataFrame = {
+    val tagged = a
+      .select(col(groupCol).as("grp"), col(valueCol).cast(LongType).as("v"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col(groupCol).as("grp"),
+        col(valueCol).cast(LongType).as("v"), lit(1L).as("side")))
+    cvmFinish(ksState(tagged))
+  }
+
+  /** Finish a KS-state snapshot into (grp, n_a, n_b, cvm) — third
+    * finish over the one drift accumulator. */
+  def cvmFinish(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def d(c: Column) = c.cast(DoubleType)
+    val cum = state
+      .withColumn("cumA", sum(col("ca")).over(wCum))
+      .withColumn("cumB", sum(col("cb")).over(wCum))
+      .withColumn("tA", sum(col("ca")).over(wAll))
+      .withColumn("tB", sum(col("cb")).over(wAll))
+    val gapFrac = d(col("cumA") * col("tB") - col("cumB") * col("tA")) /
+      (d(col("tA")) * d(col("tB")))
+    val terms = cum.select(col("grp"), col("tA"), col("tB"),
+      when(col("tA") === 0L || col("tB") === 0L, 0L).otherwise(
+        round(d(col("ca") + col("cb")) * gapFrac * gapFrac * lit(1e9), 0)
+          .cast(LongType)).as("term_nano"))
+    val agg = terms.groupBy("grp").agg(
+      max(col("tA")).as("n_a"), max(col("tB")).as("n_b"),
+      sum(col("term_nano")).as("tsum"))
+    val nTot = d(col("n_a")) + d(col("n_b"))
+    agg.select(col("grp"), col("n_a"), col("n_b"),
+      round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+        .otherwise(d(col("n_a")) * d(col("n_b")) / (nTot * nTot) *
+          d(col("tsum")) / lit(1e9)), 6).as("cvm"))
+  }
+
   /** Weighted Cohen's κ per group over paired ORDINAL ratings — the
     * LLM-judge agreement metric ([[cohenKappa]] is nominal; two
     * judges scoring 1–5 that differ by one point are NOT in full

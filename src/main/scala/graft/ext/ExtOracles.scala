@@ -2979,6 +2979,39 @@ object ExtOracles {
         |FROM r a CROSS JOIN lags JOIN r b ON b.idx = a.idx + lag
         |GROUP BY lag""".stripMargin,
 
+    // Ljung–Box: rho_k from the hash-matched acf_micro contract,
+    // per-lag terms nano-rounded pre-sum, one Q expression.
+    "q_ljung_box" ->
+      """WITH s AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |idxd AS (SELECT d, CAST(d - (SELECT min(d) FROM s) AS INTEGER) AS idx, n
+        |         FROM s),
+        |tot AS (SELECT sum(n) AS t, count(*) AS nd FROM s),
+        |r AS (SELECT idx, nd * n - t AS r FROM idxd CROSS JOIN tot),
+        |den AS (SELECT sum(r * r) AS den FROM r),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+        |ac AS (SELECT lag,
+        |    CAST(ROUND(CAST(sum(a.r * b.r) AS DOUBLE)
+        |               / (SELECT den FROM den) * 1e6, 0) AS BIGINT)
+        |      AS acf_micro
+        |  FROM r a CROSS JOIN lags JOIN r b ON b.idx = a.idx + lag
+        |  GROUP BY lag),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM s),
+        |terms AS (SELECT n_days,
+        |    CAST(round((CAST(acf_micro AS DOUBLE) / 1e6)
+        |      * (CAST(acf_micro AS DOUBLE) / 1e6)
+        |      / (CAST(n_days AS DOUBLE) - CAST(lag AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS term_nano
+        |  FROM ac CROSS JOIN nd)
+        |SELECT CAST(count(*) AS BIGINT) AS m_lags,
+        |  coalesce(max(n_days), 0) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS dof,
+        |  round(CASE WHEN count(*) = 0 THEN 0.0
+        |    ELSE CAST(max(n_days) AS DOUBLE)
+        |      * (CAST(max(n_days) AS DOUBLE) + 2.0)
+        |      * CAST(sum(term_nano) AS DOUBLE) / 1e9 END, 6) AS q_stat
+        |FROM terms""".stripMargin,
+
     // EWMA α=1/2 over an 8-day tail: power-of-two weights keep
     // num/den exact longs; edges renormalize over existing lags.
     "q_ewma" ->
@@ -4165,6 +4198,51 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |      ELSE abs(cumA * tB - cumB * tA) * (nextV - v) END) AS DOUBLE) /
       |      CAST(max(tA) * max(tB) AS DOUBLE) END, 6) AS w1
       |FROM cum GROUP BY grp""".stripMargin
+
+  /** q_cvm: pooled-multiplicity squared CDF gaps, per-value terms
+    * nano-rounded pre-sum, one T expression — mirrored from
+    * Evaluation.cramerVonMises. */
+  private val cvmSql: String =
+    """WITH t AS (SELECT doc_id, lang AS grp,
+      |    least(1000000, CAST(len(list_filter(
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x != ''),
+      |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+      |      AS BIGINT) * 125000) AS v FROM documents),
+      |cells AS (SELECT grp, v,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb FROM t GROUP BY 1, 2),
+      |cum AS (SELECT grp, ca, cb,
+      |    CAST(sum(ca) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumA,
+      |    CAST(sum(cb) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumB,
+      |    CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS tA,
+      |    CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS tB
+      |  FROM cells),
+      |terms AS (SELECT grp, tA, tB,
+      |    CASE WHEN tA = 0 OR tB = 0 THEN 0
+      |      ELSE CAST(round(CAST(ca + cb AS DOUBLE)
+      |        * (CAST(cumA * tB - cumB * tA AS DOUBLE)
+      |           / (CAST(tA AS DOUBLE) * CAST(tB AS DOUBLE)))
+      |        * (CAST(cumA * tB - cumB * tA AS DOUBLE)
+      |           / (CAST(tA AS DOUBLE) * CAST(tB AS DOUBLE)))
+      |        * 1e9, 0) AS BIGINT) END AS term_nano
+      |  FROM cum),
+      |ag AS (SELECT grp, max(tA) AS n_a, max(tB) AS n_b,
+      |    CAST(sum(term_nano) AS BIGINT) AS tsum
+      |  FROM terms GROUP BY 1)
+      |SELECT grp, n_a, n_b,
+      |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+      |    ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |         * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+      |      * CAST(tsum AS DOUBLE) / 1e9 END, 6) AS cvm
+      |FROM ag""".stripMargin
 
   /** q_chi_square: χ² over the full marginal grid (zero-observed
     * cells included); per-cell term from the long-exact (o·N − r·c)
@@ -6499,6 +6577,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_krippendorff_alpha" -> krippendorffSql,
     "q_ks_drift" -> ksDriftSql,
     "q_wasserstein" -> wassersteinSql,
+    "q_cvm" -> cvmSql,
     "q_psi_drift" -> psiDriftSql,
     "q_chi_square" -> chiSquareSql,
     "q_ppr" -> pprSql,

@@ -310,6 +310,21 @@ object ExtQueries {
       scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
   }
 
+  /** Cramér–von Mises drift per language on the same even/odd
+    * English-ness split — the squared-gap whole-curve test
+    * completing the KS / W₁ trio off one state. */
+  def qCramerVonMises(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang").as("group"),
+      least(lit(1000000L), hits.cast("long") * 125000L).as("v"))
+    Evaluation.cramerVonMises(
+      scored.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+      scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
+  }
+
   /** Hashing-trick featurization of order metadata into 64 sparse
     * signed-count buckets — the metadata→vector bridge (status,
     * priority, and customer-mod-sharded cohort as categoricals). */
@@ -1632,6 +1647,12 @@ object ExtQueries {
 
   def qEwma(spark: SparkSession, dir: String): DataFrame =
     Timeseries.ewma(Tables(spark, dir).events, window = 8)
+
+  /** Ljung–Box joint white-noise test over the first 7 lags of the
+    * daily series — the portmanteau gate beside [[qAcf]]'s per-lag
+    * table and [[qDurbinWatson]]'s lag-1 statistic. */
+  def qLjungBox(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.ljungBox(Tables(spark, dir).events, maxLag = 7)
 
   def qSeqPattern(spark: SparkSession, dir: String): DataFrame =
     Timeseries.seqPattern(Tables(spark, dir).events)

@@ -98,6 +98,42 @@ object Timeseries {
       .orderBy(col("lag"))
   }
 
+  /** Ljung–Box portmanteau test on the daily series — is the series
+    * white noise ACROSS the first `maxLag` autocorrelations jointly?
+    * [[acf]] reads one lag at a time and [[durbinWatson]] only lag 1;
+    * Q = n(n+2)·Σ_{k≤m} ρ_k²/(n−k) (χ² at df = m under the null) is
+    * the standard "any structure at all?" gate before trusting a
+    * residual series. Built ON the published [[acf]] contract: ρ_k
+    * enters as the micro-rounded acf_micro/1e6 — already
+    * hash-matched across engines — and each lag's term is
+    * nano-rounded pre-sum (m-bounded fold, order-free); Q is one
+    * fixed-shape IEEE expression, 6dp. Lags with no pairs (k ≥ n)
+    * drop out of [[acf]] and therefore out of Q; m_lags reports the
+    * count actually used.
+    *
+    * Scale shape: [[acf]]'s — one daily aggregation, then
+    * series-sized arithmetic; the Q rollup is m rows.
+    *
+    * @return (m_lags, n_days, dof, q_stat) — q_stat 6dp */
+  def ljungBox(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val a = acf(events, maxLag)
+    val nd = dailySeries(events).agg(count(lit(1)).as("n_days"))
+    def d(c: Column) = c.cast(DoubleType)
+    val rho = d(col("acf_micro")) / lit(1e6)
+    val terms = a.crossJoin(broadcast(nd))
+      .select(col("n_days"),
+        round(rho * rho / (d(col("n_days")) - d(col("lag"))) * lit(1e9), 0)
+          .cast(LongType).as("term_nano"))
+    terms.groupBy()
+      .agg(count(lit(1)).as("m_lags"),
+        coalesce(max(col("n_days")), lit(0L)).as("n_days"),
+        coalesce(sum(col("term_nano")), lit(0L)).as("tsum"))
+      .select(col("m_lags"), col("n_days"), col("m_lags").as("dof"),
+        round(when(col("m_lags") === 0L, 0.0).otherwise(
+          d(col("n_days")) * (d(col("n_days")) + 2.0) *
+            d(col("tsum")) / lit(1e9)), 6).as("q_stat"))
+  }
+
   /** EWMA smoothing of the daily series with α = 1/2 over a bounded
     * `window`-day tail. α = 1/2 makes every weight an exact power of
     * two — `w_i = 2^(window−1−i)` for lag i — so numerator and

@@ -883,6 +883,15 @@ object GraftFunctions {
       tableOf(strArg(args.head, "durbin_watson(table)")))
       .queryExecution.logical
 
+  /** ljung_box(tbl[, maxLag]) — joint white-noise Q over an event
+    * stream's daily series ([[graft.ext.Timeseries.ljungBox]]). */
+  def ljungBoxTvf(args: Seq[Expression]): LogicalPlan = {
+    val m = if (args.length > 1) intArg(args(1), "ljung_box(maxLag)") else 7
+    graft.ext.Timeseries.ljungBox(
+      tableOf(strArg(args.head, "ljung_box(table)")), maxLag = m)
+      .queryExecution.logical
+  }
+
   /** partial_corr(tbl) — first-order partial correlation over
     * (group, x, y, z) long rows
     * ([[graft.ext.Evaluation.partialCorr]]). */
@@ -1114,6 +1123,16 @@ object GraftFunctions {
     graft.ext.Evaluation.wasserstein1(
       tableOf(strArg(args.head, "wasserstein(tableA)")),
       tableOf(strArg(args(1), "wasserstein(tableB)")))
+      .queryExecution.logical
+  }
+
+  /** cvm_test(tblA, tblB) — two-sample Cramér–von Mises per group
+    * over (group, v) rows ([[graft.ext.Evaluation.cramerVonMises]]). */
+  def cvmTestTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "cvm_test(tableA, tableB)")
+    graft.ext.Evaluation.cramerVonMises(
+      tableOf(strArg(args.head, "cvm_test(tableA)")),
+      tableOf(strArg(args(1), "cvm_test(tableB)")))
       .queryExecution.logical
   }
 
@@ -1360,6 +1379,7 @@ object GraftFunctions {
     "hosmer_lemeshow" -> (hosmerLemeshowTvf _),
     "yules_k" -> (yulesKTvf _),
     "durbin_watson" -> (durbinWatsonTvf _),
+    "ljung_box" -> (ljungBoxTvf _),
     "partial_corr" -> (partialCorrTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),
@@ -1377,6 +1397,7 @@ object GraftFunctions {
     "fleiss_kappa" -> (fleissKappaTvf _),
     "ks_test" -> (ksTestTvf _),
     "wasserstein" -> (wassersteinTvf _),
+    "cvm_test" -> (cvmTestTvf _),
     "psi" -> (psiTvf _),
     "chi_square" -> (chiSquareTvf _),
     "ppr" -> (pprTvf _),

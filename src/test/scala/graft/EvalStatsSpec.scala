@@ -769,6 +769,31 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(viaState.getAs[Double]("w1") == r.getAs[Double]("w1"))
   }
 
+  test("cramerVonMises: hand-computed pooled squared gaps; identical -> 0") {
+    // A = {0,1}, B = {1,2}: gaps 1/2, 1/2, 0 with pooled weights
+    // 1, 2, 1 -> sum w·gap² = 0.75; T = (4/16)·0.75 = 0.1875
+    val a = Seq(("g", 0L), ("g", 1L)).toDF("group", "v")
+    val b = Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
+    val r = Evaluation.cramerVonMises(a, b).collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("cvm") == 0.1875)
+    // identical samples -> every gap is 0
+    assert(Evaluation.cramerVonMises(a, a).collect().head
+      .getAs[Double]("cvm") == 0.0)
+    // empty side -> 0 with the count zeroed (the wasserstein contract)
+    val none = Seq.empty[(String, Long)].toDF("group", "v")
+    val e = Evaluation.cramerVonMises(a, none).collect().head
+    assert(e.getAs[Long]("n_b") == 0 && e.getAs[Double]("cvm") == 0.0)
+    // THIRD finish over the ksTest state
+    val tagged = a.select(col("group").as("grp"), col("v"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col("group").as("grp"), col("v"),
+        lit(1L).as("side")))
+    val viaState = Evaluation.cvmFinish(Evaluation.ksState(tagged))
+      .collect().head
+    assert(viaState.getAs[Double]("cvm") == r.getAs[Double]("cvm"))
+  }
+
   test("friedmanTest: perfect concordance chi2 = m(n-1); identity with kendallW") {
     // 3 raters rank 4 items identically -> W = 1, chi2 = 3·(4−1)·1 = 9
     val base = for (r <- Seq("r1", "r2", "r3"); i <- 1 to 4)

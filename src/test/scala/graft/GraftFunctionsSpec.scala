@@ -484,6 +484,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM wasserstein('ks_a_e11', 'ks_b_e11')",
       graft.ext.Evaluation.wasserstein1(
         spark.table("ks_a_e11"), spark.table("ks_b_e11")))
+    sameAs("SELECT * FROM cvm_test('ks_a_e11', 'ks_b_e11')",
+      graft.ext.Evaluation.cramerVonMises(
+        spark.table("ks_a_e11"), spark.table("ks_b_e11")))
     Seq(("g", 150000L), ("g", 850000L)).toDF("group", "p_micro")
       .createOrReplaceTempView("psi_a_e11")
     Seq(("g", 850000L), ("g", 950000L)).toDF("group", "p_micro")
@@ -518,6 +521,9 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM periodogram('pgram_e11', 2, 5)",
       graft.ext.Timeseries.periodogram(
         spark.table("pgram_e11"), minPeriod = 2, maxPeriod = 5))
+    sameAs("SELECT * FROM ljung_box('pgram_e11', 3)",
+      graft.ext.Timeseries.ljungBox(
+        spark.table("pgram_e11"), maxLag = 3))
     sameAs("SELECT * FROM label_vote('rate_e11')",
       graft.ext.Evaluation.labelVote(spark.table("rate_e11")))
     Seq((1L, "red apple and green apple"), (2L, "the sort merge join"))

@@ -52,6 +52,22 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 5L, -833333L), (2, 4L, 666667L)))
   }
 
+  test("ljungBox: hand-computed Q on an alternating series; lags past the data drop out") {
+    // 2,1,2,1: N=4, T=6, r = 4n−6 = [2,−2,2,−2], den = 16
+    // ρ1 = −12/16 = −0.75, ρ2 = 8/16 = 0.5, ρ3 = −4/16 = −0.25
+    // Q = 4·6·(0.5625/3 + 0.25/2 + 0.0625/1) = 24·0.375 = 9
+    val out = Timeseries.ljungBox(series(Seq(2, 1, 2, 1)), maxLag = 7)
+      .collect().head
+    assert(out.getAs[Long]("m_lags") == 3L) // lags 4..7 have no pairs
+    assert(out.getAs[Long]("n_days") == 4L)
+    assert(out.getAs[Long]("dof") == 3L)
+    assert(out.getAs[Double]("q_stat") == 9.0)
+    // a constant series has zero autocorrelation at every lag -> Q = 0
+    val flat = Timeseries.ljungBox(series(Seq(5, 5, 5, 5)), maxLag = 2)
+      .collect().head
+    assert(flat.getAs[Double]("q_stat") == 0.0)
+  }
+
   test("ewma: power-of-two weights, edge renormalization") {
     // window=2 -> weights (2,1). day0: 10 (only itself);
     // day1: (2·40 + 1·10)/3 = 30 exactly
