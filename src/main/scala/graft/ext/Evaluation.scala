@@ -2547,6 +2547,174 @@ object Evaluation {
     out
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test per group — does
+    * the metric TREND with an ordered factor (dose tiers, priority
+    * classes, quality buckets)? [[kruskalWallis]] only asks "any arm
+    * different"; JT pools the pairwise Mann–Whitney counts in the
+    * arm ORDER, J = Σ_{i<j} U_ij, and gains power exactly when the
+    * alternative is monotone. Positive z = the metric rises with the
+    * arm index.
+    *
+    * Exactness: carried as the exact long 2J = Σ_pairs Σ_v
+    * c_j(v)·(2·below_i(v) + c_i(v)) (doubled so half-ties stay
+    * integral — the [[mannWhitney]] u2 discipline); E[2J] =
+    * (N² − Σn_i²) `div` 2 · 2 is exact; the tie-corrected
+    * Hollander–Wolfe null variance folds three arm moments and three
+    * pooled-tie moments, each an exact long (cubic terms — exact
+    * while 2·max(n_j, t)³ < 2⁶³, ~1.6·10⁶ rows per arm or tie class
+    * per group); z is one fixed-shape IEEE expression, 6dp.
+    * Degenerate (k < 2, N < 3, or zero variance) reports z = 0.
+    *
+    * Scale shape: one (group, arm, value) count shuffle map-side
+    * combined; each cell fans out to its (k−1) ordered pairs (k
+    * arms, k² pairs — a handful); the below_i lookups are cumulative
+    * windows over (group, pair)-pooled distinct values — value-
+    * cardinality-bounded, never corpus-proportional.
+    *
+    * @param df rows with `groupCol`, `armCol` (long — the ORDER),
+    *           `vCol` (long)
+    * @return (grp, k_arms, n, j2, e2j, z) — z 6dp */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(LongType).as("arm"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "arm", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds pair grid, arm sizes, tie moments
+    val arms = cells.select("grp", "arm").distinct()
+    val pairs = arms.select(col("grp").as("pg"), col("arm").as("ai"))
+      .join(arms.select(col("grp").as("g2"), col("arm").as("aj")),
+        col("pg") === col("g2") && col("ai") < col("aj"))
+      .select(col("pg"), col("ai"), col("aj"))
+    // pooled per-pair value table: c0 = lower arm's count, c1 = upper
+    val side0 = cells.join(pairs, col("grp") === col("pg") &&
+        col("arm") === col("ai"))
+      .select(col("grp"), col("ai"), col("aj"), col("v"),
+        col("cnt").as("c0"), lit(0L).as("c1"))
+    val side1 = cells.join(pairs, col("grp") === col("pg") &&
+        col("arm") === col("aj"))
+      .select(col("grp"), col("ai"), col("aj"), col("v"),
+        lit(0L).as("c0"), col("cnt").as("c1"))
+    val pooled = side0.unionAll(side1)
+      .groupBy("grp", "ai", "aj", "v")
+      .agg(sum(col("c0")).as("c0"), sum(col("c1")).as("c1"))
+    val wPrev = Window.partitionBy("grp", "ai", "aj").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j2Tab = pooled
+      .withColumn("below", coalesce(sum(col("c0")).over(wPrev), lit(0L)))
+      .groupBy("grp").agg(
+        sum(col("c1") * (lit(2L) * col("below") + col("c0"))).as("j2"))
+    // arm-size and pooled-tie moments for E[2J] and the HW variance
+    val armN = cells.groupBy("grp", "arm").agg(sum(col("cnt")).as("n_j"))
+    val armMom = armN.groupBy("grp").agg(
+      count(lit(1)).as("k_arms"), sum(col("n_j")).as("n"),
+      sum(col("n_j") * col("n_j")).as("sn2"),
+      sum(col("n_j") * (col("n_j") - 1L) * (lit(2L) * col("n_j") + 5L))
+        .as("a_arm"),
+      sum(col("n_j") * (col("n_j") - 1L) * (col("n_j") - 2L)).as("b_arm"),
+      sum(col("n_j") * (col("n_j") - 1L)).as("c_arm"))
+    val tieMom = cells.groupBy("grp", "v").agg(sum(col("cnt")).as("t"))
+      .groupBy("grp").agg(
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("a_tie"),
+        sum(col("t") * (col("t") - 1L) * (col("t") - 2L)).as("b_tie"),
+        sum(col("t") * (col("t") - 1L)).as("c_tie"))
+    def d(c: Column) = c.cast(DoubleType)
+    val agg = armMom.join(broadcast(tieMom), Seq("grp"))
+      .join(broadcast(j2Tab), Seq("grp"), "left")
+      .select(col("grp"), col("k_arms"), col("n"), col("sn2"),
+        col("a_arm"), col("b_arm"), col("c_arm"),
+        col("a_tie"), col("b_tie"), col("c_tie"),
+        coalesce(col("j2"), lit(0L)).as("j2"),
+        expr("(n * n - sn2) div 2").as("e2j_half"))
+    val nD = d(col("n"))
+    val aTerm = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) - d(col("a_arm")) -
+      d(col("a_tie"))) / 72.0
+    val bTerm = d(col("b_arm")) * d(col("b_tie")) /
+      (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0))
+    val cTerm = d(col("c_arm")) * d(col("c_tie")) /
+      (lit(8.0) * nD * (nD - 1.0))
+    val varJ = aTerm + bTerm + cTerm
+    val out = agg.select(col("grp"), col("k_arms"), col("n"), col("j2"),
+      col("e2j_half").as("e2j"),
+      round(when(col("k_arms") < 2L || col("n") < 3L, 0.0)
+        .otherwise(when(varJ <= 0.0, 0.0).otherwise(
+          (d(col("j2")) - d(col("e2j_half"))) /
+            (lit(2.0) * sqrt(varJ)))), 6).as("z"))
+      .localCheckpoint() // groups-sized; release the cells scaffold
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
+
+  /** Bartlett's test for equality of variances per group — the
+    * PARAMETRIC complement of [[brownForsythe]]: under normality it
+    * is the most powerful k-sample variance-equality test (BF trades
+    * power for outlier robustness; run both — disagreement flags
+    * heavy tails). χ² = [(N−k)·ln(s_p²) − Σ_j(n_j−1)·ln(s_j²)] / C,
+    * C = 1 + (Σ 1/(n_j−1) − 1/(N−k)) / (3(k−1)), df = k−1.
+    *
+    * Exactness: per-arm (n, Σy, Σy²) are exact longs (the
+    * [[welchTTest]] sufficient statistics); each arm's pooled-
+    * variance share (n_j−1)s_j²/(N−k) and weighted-ln term
+    * (n_j−1)·ln(s_j²) are micro-rounded pre-sum and the 1/(n_j−1)
+    * reciprocals nano-rounded pre-sum (k-bounded order-free folds);
+    * χ² is one fixed-shape IEEE expression, 6dp. Exact while
+    * s_j²·10⁶ < 2⁶³ — micro-scaled inputs in [0, 10⁶] bound s_j² by
+    * 2.5·10¹¹, three orders inside. Arms with n_j < 2 or zero
+    * variance cannot enter a log and are EXCLUDED-AND-COUNTED
+    * (k_used reports survivors); k_used < 2 reports χ² = 0.
+    *
+    * Scale shape: one (group, arm) aggregation map-side combined,
+    * then groups×arms-sized joins — nothing corpus-proportional
+    * after the first shuffle.
+    *
+    * @param df rows with `groupCol`, `armCol`, `vCol` (long)
+    * @return (grp, k_arms, k_used, n_used, dof, chi2) — chi2 6dp */
+  def bartlett(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v"): DataFrame = {
+    val state = df.select(col(groupCol).as("grp"),
+        col(armCol).cast(StringType).as("arm"),
+        col(vCol).cast(LongType).as("y"))
+      .groupBy("grp", "arm").agg(count(lit(1)).as("n"),
+        sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+    def d(c: Column) = c.cast(DoubleType)
+    val ok = col("n") >= 2L &&
+      (col("n") * col("ss") - col("s") * col("s")) > 0L
+    val flagged = state.select(col("grp"), col("n"), col("s"), col("ss"),
+      ok.as("ok"))
+    val tot = flagged.groupBy("grp").agg(
+      count(lit(1)).as("k_arms"),
+      sum(when(col("ok"), 1L).otherwise(0L)).as("k_used"),
+      sum(when(col("ok"), col("n")).otherwise(0L)).as("n_used"))
+    val varJ = (d(col("n")) * d(col("ss")) - d(col("s")) * d(col("s"))) /
+      (d(col("n")) * (d(col("n")) - 1.0))
+    val nk = d(col("n_used")) - d(col("k_used"))
+    val terms = flagged.join(broadcast(tot), Seq("grp"))
+      .filter(col("ok") && col("k_used") >= 2L)
+      .select(col("grp"),
+        round((d(col("n")) - 1.0) * varJ / nk * lit(1e6), 0)
+          .cast(LongType).as("pool_micro"),
+        round((d(col("n")) - 1.0) * log(varJ) * lit(1e6), 0)
+          .cast(LongType).as("ln_micro"),
+        round(lit(1e9) / (d(col("n")) - 1.0), 0)
+          .cast(LongType).as("inv_nano"))
+    val folded = terms.groupBy("grp").agg(
+      sum(col("pool_micro")).as("pool"), sum(col("ln_micro")).as("lns"),
+      sum(col("inv_nano")).as("invs"))
+    val agg = tot.join(folded, Seq("grp"), "left")
+    val nkA = d(col("n_used")) - d(col("k_used"))
+    val sp2 = d(col("pool")) / lit(1e6)
+    val num = nkA * log(sp2) - d(col("lns")) / lit(1e6)
+    val cFac = lit(1.0) + (d(col("invs")) / lit(1e9) - lit(1.0) / nkA) /
+      (lit(3.0) * (d(col("k_used")) - 1.0))
+    agg.select(col("grp"), col("k_arms"), col("k_used"), col("n_used"),
+      greatest(col("k_used") - 1L, lit(0L)).as("dof"),
+      round(when(col("k_used") < 2L || col("pool").isNull ||
+          col("pool") <= 0L, 0.0)
+        .otherwise(num / cFac), 6).as("chi2"))
+  }
+
   /** Kendall's coefficient of concordance W per group — DO the m
     * raters agree on the RANKING of n items? The ordinal-consensus
     * statistic the κ family (categorical) and [[cochranQ]] (binary)

@@ -5630,6 +5630,113 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   /** q_brown_forsythe: exact value-domain medians in DOUBLED units,
     * |2v − med2| deviations, N-normalized micro-rounded SSB/SSW terms,
     * one F division — mirrored from Evaluation.brownForsythe. */
+  /** q_jonckheere: doubled pairwise MW counts over ordered-arm-pair
+    * pooled value windows; exact-long arm/tie cubic moments; one
+    * Hollander–Wolfe z expression — mirrored from
+    * Evaluation.jonckheereTerpstra. */
+  private val jonckheereSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val nD = dd("n")
+    val aTerm = s"(($nD * ($nD - 1.0) * (2.0 * $nD + 5.0) " +
+      s"- ${dd("a_arm")} - ${dd("a_tie")}) / 72.0)"
+    val bTerm = s"(${dd("b_arm")} * ${dd("b_tie")} " +
+      s"/ (36.0 * $nD * ($nD - 1.0) * ($nD - 2.0)))"
+    val cTerm = s"(${dd("c_arm")} * ${dd("c_tie")} " +
+      s"/ (8.0 * $nD * ($nD - 1.0)))"
+    val varJ = s"($aTerm + $bTerm + $cTerm)"
+    s"""WITH src AS (SELECT 'all' AS grp,
+       |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS arm,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+       |  FROM orders),
+       |cells AS (SELECT grp, arm, v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM src GROUP BY 1, 2, 3),
+       |arms AS (SELECT DISTINCT grp, arm FROM cells),
+       |pairs AS (SELECT a.grp, a.arm AS ai, b.arm AS aj
+       |  FROM arms a JOIN arms b ON b.grp = a.grp AND a.arm < b.arm),
+       |pooled AS (SELECT p.grp, ai, aj, v,
+       |    CAST(sum(CASE WHEN c.arm = p.ai THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS c0,
+       |    CAST(sum(CASE WHEN c.arm = p.aj THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS c1
+       |  FROM pairs p JOIN cells c ON c.grp = p.grp
+       |    AND (c.arm = p.ai OR c.arm = p.aj)
+       |  GROUP BY 1, 2, 3, 4),
+       |below AS (SELECT grp, c0, c1,
+       |    COALESCE(CAST(sum(c0) OVER (PARTITION BY grp, ai, aj
+       |      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING) AS BIGINT), 0) AS b0
+       |  FROM pooled),
+       |jt AS (SELECT grp, CAST(sum(c1 * (2 * b0 + c0)) AS BIGINT) AS j2
+       |  FROM below GROUP BY 1),
+       |an AS (SELECT grp, arm, CAST(sum(cnt) AS BIGINT) AS n_j
+       |  FROM cells GROUP BY 1, 2),
+       |am AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_arms,
+       |    CAST(sum(n_j) AS BIGINT) AS n,
+       |    CAST(sum(n_j * n_j) AS BIGINT) AS sn2,
+       |    CAST(sum(n_j * (n_j - 1) * (2 * n_j + 5)) AS BIGINT) AS a_arm,
+       |    CAST(sum(n_j * (n_j - 1) * (n_j - 2)) AS BIGINT) AS b_arm,
+       |    CAST(sum(n_j * (n_j - 1)) AS BIGINT) AS c_arm
+       |  FROM an GROUP BY 1),
+       |tm AS (SELECT grp,
+       |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS a_tie,
+       |    CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS b_tie,
+       |    CAST(sum(t * (t - 1)) AS BIGINT) AS c_tie
+       |  FROM (SELECT grp, v, CAST(sum(cnt) AS BIGINT) AS t
+       |    FROM cells GROUP BY 1, 2) GROUP BY 1)
+       |SELECT am.grp, k_arms, n, COALESCE(j2, 0) AS j2,
+       |  (n * n - sn2) // 2 AS e2j,
+       |  round(CASE WHEN k_arms < 2 OR n < 3 THEN 0.0
+       |    WHEN $varJ <= 0.0 THEN 0.0
+       |    ELSE (CAST(COALESCE(j2, 0) AS DOUBLE)
+       |      - CAST((n * n - sn2) // 2 AS DOUBLE))
+       |      / (2.0 * sqrt($varJ)) END, 6) AS z
+       |FROM am JOIN tm ON tm.grp = am.grp
+       |LEFT JOIN jt ON jt.grp = am.grp""".stripMargin
+  }
+
+  /** q_bartlett: welch-style per-arm (n, Σy, Σy²) longs; pooled-share
+    * and weighted-ln terms micro-rounded pre-sum, reciprocals
+    * nano-rounded; one χ²/C expression — mirrored from
+    * Evaluation.bartlett. */
+  private val bartlettSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val varJ = s"((${dd("n")} * ${dd("ss")} - ${dd("s")} * ${dd("s")}) " +
+      s"/ (${dd("n")} * (${dd("n")} - 1.0)))"
+    val nk = s"(${dd("n_used")} - ${dd("k_used")})"
+    s"""WITH v AS (SELECT 'all' AS grp, event_type AS arm,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS y FROM events),
+       |st AS (SELECT grp, arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+       |  FROM v GROUP BY 1, 2),
+       |fl AS (SELECT grp, n, s, ss,
+       |    (n >= 2 AND n * ss - s * s > 0) AS ok FROM st),
+       |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_arms,
+       |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS k_used,
+       |    CAST(sum(CASE WHEN ok THEN n ELSE 0 END) AS BIGINT) AS n_used
+       |  FROM fl GROUP BY 1),
+       |terms AS (SELECT fl.grp,
+       |    CAST(round((${dd("n")} - 1.0) * $varJ / $nk * 1e6, 0) AS BIGINT)
+       |      AS pool_micro,
+       |    CAST(round((${dd("n")} - 1.0) * ln($varJ) * 1e6, 0) AS BIGINT)
+       |      AS ln_micro,
+       |    CAST(round(1e9 / (${dd("n")} - 1.0), 0) AS BIGINT) AS inv_nano
+       |  FROM fl JOIN tot ON tot.grp = fl.grp
+       |  WHERE ok AND k_used >= 2),
+       |fold AS (SELECT grp, CAST(sum(pool_micro) AS BIGINT) AS pool,
+       |    CAST(sum(ln_micro) AS BIGINT) AS lns,
+       |    CAST(sum(inv_nano) AS BIGINT) AS invs
+       |  FROM terms GROUP BY 1)
+       |SELECT t.grp, k_arms, k_used, n_used,
+       |  greatest(k_used - 1, 0) AS dof,
+       |  round(CASE WHEN k_used < 2 OR pool IS NULL OR pool <= 0 THEN 0.0
+       |    ELSE ((${dd("n_used")} - ${dd("k_used")})
+       |        * ln(${dd("pool")} / 1e6) - ${dd("lns")} / 1e6)
+       |      / (1.0 + (${dd("invs")} / 1e9
+       |          - 1.0 / (${dd("n_used")} - ${dd("k_used")}))
+       |        / (3.0 * (${dd("k_used")} - 1.0))) END, 6) AS chi2
+       |FROM tot t LEFT JOIN fold f ON f.grp = t.grp""".stripMargin
+  }
+
   private val brownForsytheSql: String = {
     val meanJ = "(CAST(sz AS DOUBLE) / CAST(n_j AS DOUBLE))"
     val meanG = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
@@ -6939,6 +7046,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_welch_ttest" -> welchTtestSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_brown_forsythe" -> brownForsytheSql,
+    "q_bartlett" -> bartlettSql,
+    "q_jonckheere" -> jonckheereSql,
     "q_kendall_w" -> kendallWSql,
     "q_friedman" -> friedmanSql,
     "q_cronbach_alpha" -> cronbachAlphaSql,

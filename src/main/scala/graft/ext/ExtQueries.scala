@@ -2247,6 +2247,23 @@ object ExtQueries {
       lit("all").as("group"), col("event_type").as("arm"),
       round(col("value") * 100, 0).cast("long").as("v")))
 
+  /** Jonckheere–Terpstra ordered trend of order value (cents) across
+    * the five priority tiers (1-URGENT → 5-LOW as the dose order) —
+    * the monotone-alternative power [[qKruskalWallis]] gives up. */
+  def qJonckheere(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.jonckheereTerpstra(Tables(spark, dir).orders.select(
+      lit("all").as("group"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("arm"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("v")))
+
+  /** Bartlett's variance-equality χ² across event types on the same
+    * cents input as [[qBrownForsythe]] — the parametric power side of
+    * the pair (disagreement between the two flags heavy tails). */
+  def qBartlett(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.bartlett(Tables(spark, dir).events.select(
+      lit("all").as("group"), col("event_type").as("arm"),
+      round(col("value") * 100, 0).cast("long").as("v")))
+
   /** Kendall's W over the five order-priority classes as "raters"
     * ranking months by order volume — do the priority tiers agree on
     * which months are busy? A concordance readout over the same

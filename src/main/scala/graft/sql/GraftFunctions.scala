@@ -819,6 +819,22 @@ object GraftFunctions {
       tableOf(strArg(args.head, "brown_forsythe(table)")))
       .queryExecution.logical
 
+  /** jonckheere(tbl) — ordered-alternative trend test over
+    * (group, arm, v) rows with arm as the numeric order
+    * ([[graft.ext.Evaluation.jonckheereTerpstra]]). */
+  def jonckheereTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.jonckheereTerpstra(
+      tableOf(strArg(args.head, "jonckheere(table)")))
+      .queryExecution.logical
+
+  /** bartlett(tbl) — parametric variance-equality χ² over
+    * (group, arm, v) long-metric rows
+    * ([[graft.ext.Evaluation.bartlett]]). */
+  def bartlettTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.bartlett(
+      tableOf(strArg(args.head, "bartlett(table)")))
+      .queryExecution.logical
+
   /** kendall_w(tbl) — rank concordance over
     * (group, rater, item, score) rows
     * ([[graft.ext.Evaluation.kendallW]]). */
@@ -1363,6 +1379,8 @@ object GraftFunctions {
     "welch_ttest" -> (welchTtestTvf _),
     "kruskal_wallis" -> (kruskalWallisTvf _),
     "brown_forsythe" -> (brownForsytheTvf _),
+    "bartlett" -> (bartlettTvf _),
+    "jonckheere" -> (jonckheereTvf _),
     "kendall_w" -> (kendallWTvf _),
     "friedman_test" -> (friedmanTestTvf _),
     "cronbach_alpha" -> (cronbachAlphaTvf _),

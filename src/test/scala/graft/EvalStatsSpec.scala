@@ -723,6 +723,12 @@ class EvalStatsSpec extends AnyFunSuite {
       .as[Double].head() > 0.0)
     assert(spark.sql("SELECT f FROM brown_forsythe('kw_in')")
       .as[Double].head() == 0.0) // equal spreads
+    assert(spark.sql("SELECT chi2 FROM bartlett('kw_in')")
+      .as[Double].head() == 0.0) // equal variances
+    Seq((1L, 1L), (1L, 2L), (2L, 8L), (2L, 9L)).toDF("arm", "v")
+      .withColumn("group", lit("g")).createOrReplaceTempView("jt_in")
+    assert(spark.sql("SELECT z FROM jonckheere('jt_in')")
+      .as[Double].head() > 0.0) // rising trend
     Seq(("r1", "i1", 1L), ("r1", "i2", 2L), ("r2", "i1", 1L),
       ("r2", "i2", 2L)).toDF("rater", "item", "score")
       .withColumn("group", lit("g")).createOrReplaceTempView("kwc_in")
@@ -767,6 +773,50 @@ class EvalStatsSpec extends AnyFunSuite {
     val viaState = Evaluation.w1Finish(Evaluation.ksState(tagged))
       .collect().head
     assert(viaState.getAs[Double]("w1") == r.getAs[Double]("w1"))
+  }
+
+  test("bartlett: equal variances -> 0; hand-computed unequal case; zero-var arm excluded") {
+    // arm0 {1,3}, arm1 {5,7}: both s² = 2 -> chi2 rounds to 0
+    val eq = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L))
+      .toDF("arm", "v").withColumn("group", lit("g"))
+    val e = Evaluation.bartlett(eq).collect().head
+    assert(e.getAs[Long]("k_used") == 2 && e.getAs[Long]("dof") == 1)
+    assert(e.getAs[Double]("chi2") == 0.0)
+    // arm0 {0,2} s²=2, arm1 {0,6} s²=18: sp²=10, lns micro-rounded
+    // = (693147 + 2890372)/1e6, C = 1.5
+    val uneq = Seq(("a", 0L), ("a", 2L), ("b", 0L), ("b", 6L))
+      .toDF("arm", "v").withColumn("group", lit("g"))
+    val u = Evaluation.bartlett(uneq).collect().head
+    assert(u.getAs[Double]("chi2") ==
+      r6((2.0 * math.log(10.0) - 3.583519) / 1.5))
+    // a constant arm has no log-variance: excluded-and-counted,
+    // k_used = 1 -> degenerate 0
+    val dgen = Seq(("a", 5L), ("a", 5L), ("b", 1L), ("b", 3L))
+      .toDF("arm", "v").withColumn("group", lit("g"))
+    val d0 = Evaluation.bartlett(dgen).collect().head
+    assert(d0.getAs[Long]("k_arms") == 2 && d0.getAs[Long]("k_used") == 1)
+    assert(d0.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("jonckheereTerpstra: perfect monotone trend; all-tied panel z = 0") {
+    // arms 1<2<3 with strictly increasing values: 2J = 24, E[2J] = 12,
+    // var = 456/72 (no ties) -> z = 12 / (2·sqrt(456/72))
+    val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (3L, 6L))
+      .toDF("arm", "v").withColumn("group", lit("g"))
+    val r = Evaluation.jonckheereTerpstra(up).collect().head
+    assert(r.getAs[Long]("k_arms") == 3 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("j2") == 24L && r.getAs[Long]("e2j") == 12L)
+    assert(r.getAs[Double]("z") ==
+      r6(12.0 / (2.0 * math.sqrt(456.0 / 72.0))))
+    // reversing the arm order flips the sign exactly
+    val down = up.withColumn("arm", lit(4L) - col("arm"))
+    assert(Evaluation.jonckheereTerpstra(down).collect().head
+      .getAs[Double]("z") == -r.getAs[Double]("z"))
+    // every value tied: 2J = E[2J] and the variance degenerates -> 0
+    val tied = up.withColumn("v", lit(7L))
+    val t = Evaluation.jonckheereTerpstra(tied).collect().head
+    assert(t.getAs[Long]("j2") == t.getAs[Long]("e2j"))
+    assert(t.getAs[Double]("z") == 0.0)
   }
 
   test("cramerVonMises: hand-computed pooled squared gaps; identical -> 0") {
