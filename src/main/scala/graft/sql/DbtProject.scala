@@ -654,6 +654,70 @@ object DbtProject {
       .toDF("resource", "kind", "materialization", "tags")
   }
 
+  /** `dbt compile`: render + dialect-translate every selected model
+    * EXACTLY as [[run]] would execute it (incremental models render
+    * `is_incremental()` = true when their target is resident,
+    * ephemerals inline as `__dbt__cte__` CTEs) and write each text
+    * under `<warehouseDir>/target/compiled/<name>.sql` — the target/
+    * artifact dir rides the warehouse because the checkout itself may
+    * be read-only. NOTHING executes and the state:modified manifest
+    * does not advance.
+    *
+    * @return one row per compiled model: (resource, path, sql), in
+    *         name order */
+  def compile(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      currentDateOverride: Option[String] = None,
+      vars: Map[String, String] = Map.empty,
+      select: Option[String] = None,
+      exclude: Option[String] = None): DataFrame = {
+    val (p, engine, allFrames) = prepare(spark, projectDir, sources,
+      warehouseDir, currentDateOverride, 0, vars)
+    val compiled = engine.compile(p.modelSql, allFrames,
+      p.materializations, p.tags, select, exclude)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    compiled.toSeq.sortBy(_._1).map { case (name, sql) =>
+      val path = new org.apache.hadoop.fs.Path(
+        s"$warehouseDir/target/compiled/$name.sql")
+      val out = fs.create(path, true)
+      try out.write(sql.getBytes("UTF-8")) finally out.close()
+      (name, path.toString, sql)
+    }.toDF("resource", "path", "sql")
+  }
+
+  /** `dbt docs generate` (the catalog slice): one row per COLUMN of
+    * every relation the warehouse actually holds for this project's
+    * models, seeds, and snapshots — (resource, kind, column, dtype,
+    * ordinal, n_rows). Views never persist in this engine, so (like
+    * dbt's own catalog.json, which reads the live warehouse) they
+    * appear only after a run materialized a table for them. The loop
+    * is project-sized (schema reads + one count per relation), never
+    * data-proportional beyond the counts. */
+  def catalog(spark: SparkSession, projectDir: String,
+      warehouseDir: String): DataFrame = {
+    val p = load(projectDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val resources: Seq[(String, String)] =
+      p.modelSql.keys.map(_ -> "model").toSeq ++
+      p.seeds.keys.map(_ -> "seed").toSeq ++
+      p.snapshots.keys.map(_ -> "snapshot").toSeq
+    resources.sortBy(_._1).flatMap { case (name, kind) =>
+      val path = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+      if (!fs.exists(path)) Seq.empty
+      else {
+        val df = spark.read.parquet(path.toString)
+        val n = df.count()
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          (name, kind, f.name, f.dataType.simpleString, i, n)
+        }.toSeq
+      }
+    }.toDF("resource", "kind", "column", "dtype", "ordinal", "n_rows")
+  }
+
   /** `dbt run-operation <macro>`: render one project macro with the
     * given kwargs (string values; quotes rejected — they would need
     * SQL escaping this shim does not attempt) and execute the

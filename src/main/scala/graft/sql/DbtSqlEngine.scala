@@ -340,7 +340,7 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       // deps come from the COMBINED text: refs through an ephemeral
       // land on the ephemeral's own upstreams, so the DAG edge (and
       // selector closure) survives the inlining
-      Model(name, BigQueryDialect.refs(combined).distinct, mat,
+      val model = Model(name, BigQueryDialect.refs(combined).distinct, mat,
           tags = modelTags, preHooks = preHooks, postHooks = postHooks)({ _ =>
         // {{ this }} resolves to the resident target as of THIS run
         if (incrementalRun)
@@ -348,17 +348,20 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
             .createOrReplaceTempView(s"${name}__this")
         spark.sql(translated)
       })
+      (model, translated)
     }
-    ModelGraph.topoSort(models) // fail fast on cycles before any work
+    val compiled = models.map { case (m, sql) => m.name -> sql }.toMap
+    val modelSeq = models.map(_._1)
+    ModelGraph.topoSort(modelSeq) // fail fast on cycles before any work
     val chosen = (select, exclude) match {
-      case (None, None) => models
+      case (None, None) => modelSeq
       case (sel, ex) =>
         // compute the changed-set lazily: only a state:modified token
         // pays the manifest read
         val needState = (sel.toSeq ++ ex.toSeq)
           .exists(_.contains("state:modified"))
-        ModelGraph.select(models,
-          sel.getOrElse(models.map(_.name).mkString(" ")),
+        ModelGraph.select(modelSeq,
+          sel.getOrElse(modelSeq.map(_.name).mkString(" ")),
           ex.getOrElse(""),
           if (needState) modifiedSince(effectiveSql) else Set.empty)
     }
@@ -367,9 +370,9 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     // engine only Table/Incremental materializations persist; a
     // selected model depending on an unselected VIEW that was never
     // materialized fails loudly with the fix spelled out.
-    if (chosen.size != models.size) {
+    if (chosen.size != modelSeq.size) {
       val chosenNames = chosen.map(_.name).toSet
-      val allNames = models.map(_.name).toSet
+      val allNames = modelSeq.map(_.name).toSet
       chosen.flatMap(_.deps).distinct
         .filter(d => allNames.contains(d) && !chosenNames.contains(d))
         .foreach { d =>
@@ -381,7 +384,26 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
           spark.read.parquet(p.toString).createOrReplaceTempView(d)
         }
     }
-    Prepared(chosen, effectiveSql, ephNames)
+    Prepared(chosen, effectiveSql, ephNames, compiled)
+  }
+
+  /** `dbt compile`: the exact translated SQL [[run]] would execute
+    * per REAL model — Jinja rendered (incremental models render with
+    * `is_incremental()` = true when their target is resident, just
+    * like a run), ephemerals inlined as `__dbt__cte__` CTEs, dialect
+    * shim applied. NOTHING executes: no Runner, no hooks, no manifest
+    * write (a compile must never advance `state:modified`).
+    * @return model name → compiled Spark SQL text */
+  def compile(modelSql: Map[String, String],
+      sources: Map[String, DataFrame],
+      materializations: Map[String, Materialization] = Map.empty,
+      tags: Map[String, Set[String]] = Map.empty,
+      select: Option[String] = None,
+      exclude: Option[String] = None): Map[String, String] = {
+    val prep = prepare(modelSql, sources, materializations, tags,
+      select, fullRefresh = false, exclude, Map.empty)
+    val keep = prep.chosen.map(_.name).toSet
+    prep.compiled.filter { case (n, _) => keep.contains(n) }
   }
 }
 
@@ -393,7 +415,8 @@ object DbtSqlEngine {
     * its dependents and `state:modified` selects them), and the
     * ephemeral names (so build() can loud-reject tests on them). */
   private[sql] final case class Prepared(chosen: Seq[Model],
-      effectiveSql: Map[String, String], ephemerals: Set[String])
+      effectiveSql: Map[String, String], ephemerals: Set[String],
+      compiled: Map[String, String])
 
   /** A `{{ ref('name') }}` placeholder as the Jinja layer leaves it
     * (the dialect shim resolves these to bare relation names; the

@@ -1461,6 +1461,70 @@ class DbtProjectSpec extends AnyFunSuite {
       ("assert_ok", "test", "singular", "")), s"$rows")
   }
 
+  test("dbt compile: rendered SQL lands under target/, executes verbatim, no manifest advance (round 15)") {
+    assume(available, s"$refDir not present")
+    val wh = Files.createTempDirectory("graft-compile-wh").toString
+    val env = RefFixtures.sources(spark)
+    val rows = DbtProject.compile(spark, refDir, env, wh,
+        currentDateOverride = Some(asOfDate))
+      .collect().map(r => r.getAs[String]("resource") -> r).toMap
+    assert(rows.keySet ==
+      Set("locations_clean", "stacked_users_partners", "user_base"))
+    // every artifact file exists and holds the returned text, fully
+    // rendered (no Jinja survives) and dialect-translated
+    for ((name, r) <- rows) {
+      val path = Paths.get(
+        r.getAs[String]("path").stripPrefix("file:"))
+      val onDisk = new String(Files.readAllBytes(path), "UTF-8")
+      assert(onDisk == r.getAs[String]("sql"), s"$name artifact diverges")
+      assert(!onDisk.contains("{{") && !onDisk.contains("{%"),
+        s"$name compiled text still contains Jinja")
+    }
+    // the compiled text IS what a run executes: the view model's SQL
+    // runs as-is (compile registered the source temp views) and is
+    // row-identical to the hand-written DataFrame model
+    val lc = spark.sql(rows("locations_clean").getAs[String]("sql"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(v => if (v == null) "␀" else v.toString)
+          .mkString("|")).toSeq.sorted
+    }
+    assert(rowsOf(lc) == rowsOf(LocationsClean(env)))
+    // compile must never advance state:modified
+    assert(!Files.exists(Paths.get(wh, "manifest.json")),
+      "compile wrote a manifest — a later state:modified run would skip")
+    // selector scoping compiles only the selection
+    val one = DbtProject.compile(spark, refDir, env, wh,
+      currentDateOverride = Some(asOfDate),
+      select = Some("locations_clean"))
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("locations_clean"))
+  }
+
+  test("dbt docs catalog: columns/dtypes/row counts of what the warehouse holds (round 15)") {
+    assume(available, s"$refDir not present")
+    val wh = Files.createTempDirectory("graft-catalog-wh").toString
+    // before any run the warehouse is empty -> empty catalog
+    assert(DbtProject.catalog(spark, refDir, wh).count() == 0)
+    val out = DbtProject.run(spark, refDir, RefFixtures.sources(spark), wh,
+      currentDateOverride = Some(asOfDate))
+    val cat = DbtProject.catalog(spark, refDir, wh).collect()
+    // only the table-materialized mart persists; views never do
+    assert(cat.map(_.getAs[String]("resource")).toSet == Set("user_base"))
+    val ub = out("user_base")
+    val byCol = cat.map(r => r.getAs[String]("column") -> r).toMap
+    assert(byCol.keySet == ub.schema.fieldNames.toSet)
+    for (f <- ub.schema.fields) {
+      val r = byCol(f.name)
+      assert(r.getAs[String]("dtype") == f.dataType.simpleString)
+      assert(r.getAs[Long]("n_rows") == ub.count())
+      assert(r.getAs[String]("kind") == "model")
+    }
+    // ordinals preserve the materialized column order
+    assert(cat.sortBy(_.getAs[Int]("ordinal")).map(_.getAs[String]("column"))
+      .toSeq == spark.read.parquet(s"$wh/user_base").columns.toSeq)
+  }
+
   test("run-operation: a project macro renders and executes; unknown macro loud (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-opproj")
