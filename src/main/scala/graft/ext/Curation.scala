@@ -1868,4 +1868,49 @@ object Curation {
           (col("n_groups") + 1L).cast(DoubleType) /
             col("n_groups").cast(DoubleType)), 6).as("gini"))
   }
+
+  /** Gini index of a non-negative VALUE column per group — within-
+    * group inequality ([[mixDiversity]]'s gini reads the SIZE mixture
+    * across groups; this one asks "inside each segment, how
+    * concentrated is the value mass?", the revenue/token-budget
+    * skew number). G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the
+    * value-ascending ranking.
+    *
+    * Exactness: the rank-weighted sum folds per (group, value) CELL
+    * — a cell of `cnt` copies of v starting after `b` lower rows
+    * contributes v·(b·cnt + cnt(cnt+1)/2), an exact long identity,
+    * so ties can never split between engines; G is one IEEE
+    * division, 6dp. Exact while n²·v_max < 2⁶³ (~10⁶ rows of 10⁷-
+    * cent values per group). n < 2 or Σx ≤ 0 reports 0; the
+    * non-negative-value contract is the caller's (a negative total
+    * makes Gini meaningless and the guard returns 0).
+    *
+    * Scale shape: one (group, value) count shuffle map-side
+    * combined; the cumulative window runs over distinct values only
+    * (value-cardinality-bounded), never corpus-proportional.
+    *
+    * @param df rows with `groupCol` and `vCol` (long-castable, ≥ 0)
+    * @return (grp, n, total, gini) — gini 6dp */
+  def giniValue(df: DataFrame, groupCol: String = "group",
+      vCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("b", coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .select(col("grp"), col("cnt"), col("v"),
+        (col("v") * (col("b") * col("cnt") +
+          expr("(cnt * (cnt + 1)) div 2"))).as("iwx"))
+    val agg = ranked.groupBy("grp").agg(sum(col("cnt")).as("n"),
+      sum(col("v") * col("cnt")).as("total"), sum(col("iwx")).as("iwx"))
+    def d(c: Column) = c.cast(DoubleType)
+    agg.select(col("grp"), col("n"), col("total"),
+      round(when(col("n") < 2L || col("total") <= 0L, 0.0)
+        .otherwise((lit(2.0) * d(col("iwx")) -
+          (d(col("n")) + 1.0) * d(col("total"))) /
+          (d(col("n")) * d(col("total")))), 6).as("gini"))
+  }
 }

@@ -5086,6 +5086,61 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
   /** q_local_clustering: the q_triangles degree-orientation replay,
     * with each closed triangle exploded to its three member credits —
     * mirrored from Graph.localClustering. */
+  /** q_rich_club: node/min-endpoint-degree histograms, exact
+    * threshold sums per k rung, one φ division — mirrored from
+    * Graph.richClub. */
+  private val richClubSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (SELECT a.pk AS s, b.pk AS d FROM li a
+      |  JOIN li b ON b.ok = a.ok AND a.pk < b.pk),
+      |und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      |  FROM e0 WHERE s != d),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      |  GROUP BY 1),
+      |nh AS (SELECT deg, CAST(count(*) AS BIGINT) AS nn FROM deg
+      |  GROUP BY 1),
+      |eh AS (SELECT least(du.deg, dv.deg) AS mdeg,
+      |    CAST(count(*) AS BIGINT) AS ne
+      |  FROM und JOIN deg du ON du.n = und.u
+      |  JOIN deg dv ON dv.n = und.v
+      |  GROUP BY 1),
+      |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS INTEGER) AS k),
+      |nk AS (SELECT k, CAST(sum(CASE WHEN deg > k THEN nn ELSE 0 END)
+      |    AS BIGINT) AS n_nodes FROM ks CROSS JOIN nh GROUP BY 1),
+      |ek AS (SELECT k, CAST(sum(CASE WHEN mdeg > k THEN ne ELSE 0 END)
+      |    AS BIGINT) AS n_edges FROM ks CROSS JOIN eh GROUP BY 1)
+      |SELECT nk.k, n_nodes, n_edges,
+      |  round(CASE WHEN n_nodes < 2 THEN 0.0
+      |    ELSE 2.0 * CAST(n_edges AS DOUBLE)
+      |      / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) END, 6) AS phi
+      |FROM nk JOIN ek ON ek.k = nk.k""".stripMargin
+
+  /** q_gini: rank-weighted value sum folded per (group, value) cell
+    * (exact tie identity), one G division — mirrored from
+    * Curation.giniValue. */
+  private val giniSql: String =
+    """WITH src AS (SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
+      |cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM src GROUP BY 1, 2),
+      |r AS (SELECT grp, v, cnt,
+      |    COALESCE(CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS b
+      |  FROM cells),
+      |ag AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(v * cnt) AS BIGINT) AS total,
+      |    CAST(sum(v * (b * cnt + (cnt * (cnt + 1)) // 2)) AS BIGINT)
+      |      AS iwx
+      |  FROM r GROUP BY 1)
+      |SELECT grp, n, total,
+      |  round(CASE WHEN n < 2 OR total <= 0 THEN 0.0
+      |    ELSE (2.0 * CAST(iwx AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) END, 6) AS gini
+      |FROM ag""".stripMargin
+
   private val localClusteringSql: String =
     """WITH pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
       |    b.l_partkey AS v
@@ -7053,6 +7108,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_cronbach_alpha" -> cronbachAlphaSql,
     "q_changepoint" -> changepointSql,
     "q_local_clustering" -> localClusteringSql,
+    "q_rich_club" -> richClubSql,
+    "q_gini" -> giniSql,
     "q_lift_gain" -> liftGainSql,
     "q_column_mi" -> columnMiSql,
     "q_dp_dispersion" -> dpDispersionSql,

@@ -2334,6 +2334,26 @@ object ExtQueries {
     graft.operators.Graph.localClustering(e)
   }
 
+  /** Rich-club φ(k) of the co-purchase parts graph — do frequently
+    * co-ordered parts cluster among themselves as degree rises? The
+    * hub-core diagnostic beside [[qLocalClustering]]'s node view. */
+  def qRichClub(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graph.richClub(e)
+  }
+
+  /** Gini inequality of order revenue WITHIN each priority tier —
+    * is one tier's revenue whale-driven while another's is flat?
+    * The value-mass complement of [[qMixDiversity]]'s size gini. */
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    Curation.giniValue(Tables(spark, dir).orders.select(
+      col("o_orderpriority").as("group"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("v")))
+
   /** Decile lift/gain table of the quality score as a ranker for
     * English documents — "keep the top 20% by score" quantified; the
     * business-table view of the ranking [[qDelong]] and AUC grade

@@ -999,4 +999,63 @@ object Graph {
     graft.ext.Checkpoints.release(und, oriented, adj)
     out
   }
+
+  /** Rich-club coefficient φ(k) over a degree ladder — do the HUBS
+    * preferentially link to each other? φ(k) = 2·E_{>k} /
+    * (N_{>k}(N_{>k}−1)) restricted to nodes of degree > k; rising
+    * φ(k) with k is the "core of well-connected entities trade among
+    * themselves" signature (a marketplace/collusion diagnostic the
+    * node-level [[localClustering]] and the global [[assortativity]]
+    * single number both miss).
+    *
+    * Exactness: node and edge counts are exact longs read off two
+    * HISTOGRAMS (node count per degree; edge count per min-endpoint
+    * degree), so each rung is one exact threshold sum and one IEEE
+    * division, 6dp. N_{>k} < 2 reports 0.
+    *
+    * Scale shape: degrees from one exploded-edge aggregation
+    * (map-side combined); each edge's min-endpoint degree from two
+    * co-keyed joins against the degree table; both histograms are
+    * degree-cardinality-bounded, so the k-ladder scan is a broadcast
+    * cross of two tiny tables — nothing edge-proportional after the
+    * joins.
+    *
+    * @param edges (src, dst) rows in either orientation; normalized,
+    *              deduplicated, self-loops dropped internally.
+    * @return one row per k: (k, n_nodes, n_edges, phi) — phi 6dp */
+  def richClub(edges: DataFrame,
+      ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast(LongType).as("u"),
+        greatest(col("src"), col("dst")).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // feeds degrees AND the per-edge min lookup
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds the node histogram AND two edge joins
+    val nodeHist = deg.groupBy("deg").agg(count(lit(1)).as("nn"))
+    val edgeHist = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("mdeg"))
+      .groupBy("mdeg").agg(count(lit(1)).as("ne"))
+    import und.sparkSession.implicits._
+    val kdf = ks.toDF("k")
+    val nK = kdf.crossJoin(broadcast(nodeHist)).groupBy("k")
+      .agg(sum(when(col("deg") > col("k"), col("nn")).otherwise(0L))
+        .as("n_nodes"))
+    val eK = kdf.crossJoin(broadcast(edgeHist)).groupBy("k")
+      .agg(sum(when(col("mdeg") > col("k"), col("ne")).otherwise(0L))
+        .as("n_edges"))
+    val out = nK.join(eK, Seq("k"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        round(when(col("n_nodes") < 2L, 0.0)
+          .otherwise(lit(2.0) * col("n_edges").cast(DoubleType) /
+            (col("n_nodes") * (col("n_nodes") - 1L)).cast(DoubleType)), 6)
+          .as("phi"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(und, deg)
+    out
+  }
 }

@@ -875,6 +875,20 @@ object GraftFunctions {
       tableOf(strArg(args.head, "local_clustering(table)")))
       .queryExecution.logical
 
+  /** rich_club(tbl) — rich-club coefficient ladder over (src, dst)
+    * edge rows ([[graft.operators.Graph.richClub]]). */
+  def richClubTvf(args: Seq[Expression]): LogicalPlan =
+    graft.operators.Graph.richClub(
+      tableOf(strArg(args.head, "rich_club(table)")))
+      .queryExecution.logical
+
+  /** gini_value(tbl) — within-group value inequality over
+    * (group, v) rows ([[graft.ext.Curation.giniValue]]). */
+  def giniValueTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Curation.giniValue(
+      tableOf(strArg(args.head, "gini_value(table)")))
+      .queryExecution.logical
+
   /** lift_gain(tbl[, buckets]) — cumulative gain/lift deciles over
     * (group, score_micro, y) rows ([[graft.ext.Evaluation.liftGain]]). */
   def liftGainTvf(args: Seq[Expression]): LogicalPlan = {
@@ -1386,6 +1400,8 @@ object GraftFunctions {
     "cronbach_alpha" -> (cronbachAlphaTvf _),
     "changepoint" -> (changepointTvf _),
     "local_clustering" -> (localClusteringTvf _),
+    "rich_club" -> (richClubTvf _),
+    "gini_value" -> (giniValueTvf _),
     "lift_gain" -> (liftGainTvf _),
     "column_mi" -> (columnMiTvf _),
     "dp_dispersion" -> (dpDispersionTvf _),

@@ -471,4 +471,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 1L).map(_._2).toSeq.sorted == Seq(0.5, 0.5))
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("giniValue: equal values 0, one whale hits the n=4 maximum, ties fold per cell") {
+    val df = Seq(("eq", 5L), ("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("whale", 0L), ("whale", 0L), ("whale", 0L), ("whale", 10L),
+      ("one", 7L))
+      .toDF("group", "v")
+    val out = graft.ext.Curation.giniValue(df)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("eq").getAs[Double]("gini") == 0.0)
+    // {0,0,0,10}: iwx = 10·4 = 40 -> G = (80 − 50)/40 = 0.75, the
+    // (n−1)/n maximum for n = 4
+    assert(out("whale").getAs[Long]("total") == 10L)
+    assert(out("whale").getAs[Double]("gini") == 0.75)
+    // a single row has no inequality to measure
+    assert(out("one").getAs[Double]("gini") == 0.0)
+  }
 }

@@ -343,4 +343,24 @@ class GraphSpec extends AnyFunSuite {
     assert(tri3 == 3L, "three credits per triangle")
     graft.ext.Checkpoints.releaseAll(spark)
   }
+
+  test("richClub: clique core with pendants, hand-computed phi ladder") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + pendants 5,6 on node 1: deg(1)=5,
+    // deg(2..4)=3, deg(5)=deg(6)=1
+    val clique = for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)
+    val edges = (clique ++ Seq((1L, 5L), (1L, 6L))).toDF("src", "dst")
+    val out = graft.operators.Graph.richClub(edges, ks = Seq(1, 2, 4))
+      .collect().map(r => r.getAs[Int]("k") -> r).toMap
+    // k=1 and k=2: the rich set is the clique, fully connected inside
+    for (k <- Seq(1, 2)) {
+      assert(out(k).getAs[Long]("n_nodes") == 4L, s"k=$k")
+      assert(out(k).getAs[Long]("n_edges") == 6L, s"k=$k")
+      assert(out(k).getAs[Double]("phi") == 1.0, s"k=$k")
+    }
+    // k=4: only node 1 survives -> no pairs, phi 0 by contract
+    assert(out(4).getAs[Long]("n_nodes") == 1L)
+    assert(out(4).getAs[Double]("phi") == 0.0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
 }

@@ -115,6 +115,28 @@ class PlanAuditSpec extends AnyFunSuite {
       mk.contains("Join"), s"q_mann_kendall pair join shape:\n$mk")
   }
 
+  test("round-15 continuation stats: no cartesians; readability_ext is a pure map") {
+    // lazy plans: every corpus-touching step is one map-side-combined
+    // aggregation; windows run over value-cardinality-bounded state
+    for (q <- Seq("q_wasserstein", "q_cvm", "q_gini")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q falls back to a nested loop:\n$p")
+    }
+    // ljung_box crosses ONE-ROW broadcast totals (the acf discipline)
+    // and bartlett's grp key is the literal 'all' in this wiring, so
+    // Catalyst folds its groups-sized broadcast join to a BNLJ over
+    // one row — fine; a cartesian is not
+    for (q <- Seq("q_ljung_box", "q_bartlett"))
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian")
+    // extended readability must stay shuffle-free end to end
+    val re = plan("q_readability_ext")
+    assert(!re.contains("Exchange"),
+      s"q_readability_ext should be a pure map, found a shuffle:\n$re")
+  }
+
   test("confidentJoint/cartography: every EXECUTED stage is window-free; thresholds broadcast") {
     // their results are checkpointed (the final plan is just a Scan
     // ExistingRDD), so audit the plans that actually RAN via a
