@@ -5116,6 +5116,39 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |      / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) END, 6) AS phi
       |FROM nk JOIN ek ON ek.k = nk.k""".stripMargin
 
+  /** q_ktruss: the kCore-oracle unroll pattern on EDGE supports —
+    * 8 peel rounds (fixpoint-idempotent, so extra rounds are no-ops
+    * once the engine's convergence is reached), each a both-
+    * directions wedge join; final supports recomputed on the
+    * surviving set — mirrored from Graph.kTruss (k = 4). */
+  private val kTrussSql: String = {
+    val rounds = 8
+    ("""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+      |    l_partkey AS pk FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+      |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk)""" +
+      (1 to rounds).map { n =>
+        s""",
+          |b$n AS MATERIALIZED (SELECT u AS src, v AS dst FROM e${n - 1}
+          |  UNION ALL SELECT v AS src, u AS dst FROM e${n - 1}),
+          |s$n AS MATERIALIZED (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS s
+          |  FROM e${n - 1} e JOIN b$n x ON x.src = e.u
+          |  JOIN b$n y ON y.src = e.v AND y.dst = x.dst
+          |  GROUP BY 1, 2),
+          |e$n AS MATERIALIZED (SELECT e.u, e.v FROM e${n - 1} e
+          |  JOIN s$n s ON s.u = e.u AND s.v = e.v AND s.s >= 2)"""
+      }.mkString +
+      s""",
+        |bf AS MATERIALIZED (SELECT u AS src, v AS dst FROM e$rounds
+        |  UNION ALL SELECT v AS src, u AS dst FROM e$rounds),
+        |sf AS MATERIALIZED (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS s
+        |  FROM e$rounds e JOIN bf x ON x.src = e.u
+        |  JOIN bf y ON y.src = e.v AND y.dst = x.dst GROUP BY 1, 2)
+        |SELECT e.u AS src, e.v AS dst, COALESCE(sf.s, 0) AS support
+        |FROM e$rounds e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v""")
+      .stripMargin
+  }
+
   /** q_gini: rank-weighted value sum folded per (group, value) cell
     * (exact tie identity), one G division — mirrored from
     * Curation.giniValue. */
@@ -7109,6 +7142,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_changepoint" -> changepointSql,
     "q_local_clustering" -> localClusteringSql,
     "q_rich_club" -> richClubSql,
+    "q_ktruss" -> kTrussSql,
     "q_gini" -> giniSql,
     "q_lift_gain" -> liftGainSql,
     "q_column_mi" -> columnMiSql,

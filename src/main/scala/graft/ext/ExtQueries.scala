@@ -2346,6 +2346,19 @@ object ExtQueries {
     graft.operators.Graph.richClub(e)
   }
 
+  /** k-truss (k=4) of the repeat-co-purchase graph — the triangle-
+    * cohesion edge core [[qRichClub]]'s degree ladder and kCore's
+    * node shells both overstate (stars survive a core, not a truss). */
+  def qKTruss(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graph.kTruss(e, k = 4)
+  }
+
   /** Gini inequality of order revenue WITHIN each priority tier —
     * is one tier's revenue whale-driven while another's is flat?
     * The value-mass complement of [[qMixDiversity]]'s size gini. */

@@ -1000,6 +1000,71 @@ object Graph {
     out
   }
 
+  /** k-truss of an undirected graph — the EDGE-level cohesion core:
+    * the maximal subgraph where every surviving edge closes at least
+    * k−2 triangles WITH OTHER SURVIVORS. Stricter than [[kCore]]
+    * (a k-truss is always inside the (k−1)-core but prunes harder):
+    * kCore keeps hub-and-spoke stars whose spokes never interlock;
+    * the truss demands actual triangle cohesion — the community-core
+    * extractor for co-occurrence graphs where stars are noise.
+    *
+    * Same peel discipline as [[kCore]]: per round, count each edge's
+    * triangle support via the both-directions wedge join, drop edges
+    * under k−2, re-checkpoint survivors, converge when the edge
+    * count stops shrinking (one driver count per round against the
+    * checkpointed table — fixpoint-idempotent, so bounded-round
+    * replays agree once converged). Support counts are exact longs.
+    *
+    * Scale shape: each round is two co-keyed joins of the survivor
+    * list against its own both-directions view plus one map-side-
+    * combined count — the [[triangleCount]] wedge shape without the
+    * orientation trick (support must credit the EDGE, not the node).
+    * Rounds are data-dependent but small (peeling removes whole
+    * shells); maxRounds bounds the worst case.
+    *
+    * @param edges (src, dst) rows in either orientation; normalized,
+    *              deduplicated, self-loops dropped internally.
+    * @return surviving edges (src, dst, support), src < dst; support
+    *         = triangles inside the truss */
+  def kTruss(edges: DataFrame, k: Int = 4, maxRounds: Int = 30): DataFrame = {
+    var e = edges.select(
+        least(col("src"), col("dst")).cast(LongType).as("u"),
+        greatest(col("src"), col("dst")).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    def support(ed: DataFrame): DataFrame = {
+      val bi = ed.select(col("u").as("bs"), col("v").as("bd"))
+        .unionAll(ed.select(col("v").as("bs"), col("u").as("bd")))
+      ed.join(bi.select(col("bs").as("xs"), col("bd").as("w")),
+          col("xs") === col("u"))
+        .join(bi.select(col("bs").as("ys"), col("bd").as("w2")),
+          col("ys") === col("v") && col("w2") === col("w"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    }
+    var converged = false
+    var round = 0
+    var prevEdges = -1L
+    while (!converged && round < maxRounds) {
+      val cnt = e.count()
+      if (cnt == prevEdges) converged = true
+      else {
+        val keep = support(e).filter(col("support") >= (k - 2).toLong)
+          .select("u", "v")
+        val next = e.join(keep, Seq("u", "v")).localCheckpoint()
+        graft.ext.Checkpoints.release(e)
+        e = next
+        prevEdges = cnt
+      }
+      round += 1
+    }
+    val out = e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u").as("src"), col("v").as("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(e)
+    out
+  }
+
   /** Rich-club coefficient φ(k) over a degree ladder — do the HUBS
     * preferentially link to each other? φ(k) = 2·E_{>k} /
     * (N_{>k}(N_{>k}−1)) restricted to nodes of degree > k; rising

@@ -882,6 +882,15 @@ object GraftFunctions {
       tableOf(strArg(args.head, "rich_club(table)")))
       .queryExecution.logical
 
+  /** k_truss(tbl[, k]) — triangle-cohesion edge core over (src, dst)
+    * edge rows ([[graft.operators.Graph.kTruss]]). */
+  def kTrussTvf(args: Seq[Expression]): LogicalPlan = {
+    val k = if (args.length > 1) intArg(args(1), "k_truss(k)") else 4
+    graft.operators.Graph.kTruss(
+      tableOf(strArg(args.head, "k_truss(table)")), k = k)
+      .queryExecution.logical
+  }
+
   /** gini_value(tbl) — within-group value inequality over
     * (group, v) rows ([[graft.ext.Curation.giniValue]]). */
   def giniValueTvf(args: Seq[Expression]): LogicalPlan =
@@ -1401,6 +1410,7 @@ object GraftFunctions {
     "changepoint" -> (changepointTvf _),
     "local_clustering" -> (localClusteringTvf _),
     "rich_club" -> (richClubTvf _),
+    "k_truss" -> (kTrussTvf _),
     "gini_value" -> (giniValueTvf _),
     "lift_gain" -> (liftGainTvf _),
     "column_mi" -> (columnMiTvf _),

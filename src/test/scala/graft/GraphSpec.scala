@@ -344,6 +344,27 @@ class GraphSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("kTruss: 4-clique survives k=4 with support 2; tail and lone triangle peel away") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}, a pendant path 4-5-6, and a separate
+    // triangle {7,8,9}: at k=4 only the clique's 6 edges survive
+    // (every clique edge closes exactly 2 in-truss triangles); the
+    // lone triangle's edges have support 1 and peel in round one
+    val clique = for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L))).toDF("src", "dst")
+    val out = graft.operators.Graph.kTruss(edges, k = 4).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+        r.getAs[Long]("support")).toMap
+    assert(out.keySet == clique.toSet, s"${out.keySet}")
+    assert(out.values.forall(_ == 2L), s"$out")
+    // k=3 keeps the lone triangle too (support 1 within itself)
+    val k3 = graft.operators.Graph.kTruss(edges, k = 3).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(k3 == clique.toSet ++ Set((7L, 8L), (8L, 9L), (7L, 9L)), s"$k3")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("richClub: clique core with pendants, hand-computed phi ladder") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + pendants 5,6 on node 1: deg(1)=5,
