@@ -2672,25 +2672,45 @@ object Evaluation {
     * @param df rows with `groupCol`, `armCol`, `vCol` (long)
     * @return (grp, k_arms, k_used, n_used, dof, chi2) — chi2 6dp */
   def bartlett(df: DataFrame, groupCol: String = "group",
-      armCol: String = "arm", vCol: String = "v"): DataFrame = {
-    val state = df.select(col(groupCol).as("grp"),
+      armCol: String = "arm", vCol: String = "v"): DataFrame =
+    bartlettFinish(bartlettState(df, groupCol, armCol, vCol))
+
+  /** The ALGEBRAIC (grp, arm) accumulator (n, Σy, Σy²) — the k-arm
+    * sibling of [[welchState]] (arm stays a string key instead of
+    * binarizing), three commutative long sums, groups×arms state
+    * forever (the streaming-twin state table,
+    * [[graft.streaming.StreamingOps.bartlettStateStream]]). */
+  private[graft] def bartlettState(df: DataFrame,
+      groupCol: String = "group", armCol: String = "arm",
+      vCol: String = "v"): DataFrame =
+    df.select(col(groupCol).as("grp"),
         col(armCol).cast(StringType).as("arm"),
         col(vCol).cast(LongType).as("y"))
       .groupBy("grp", "arm").agg(count(lit(1)).as("n"),
         sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+
+  /** Finish a [[bartlettState]] snapshot into the χ² report —
+    * state-sized input, batch ≡ merged micro-batches. */
+  def bartlettFinish(state: DataFrame): DataFrame = {
     def d(c: Column) = c.cast(DoubleType)
     val ok = col("n") >= 2L &&
       (col("n") * col("ss") - col("s") * col("s")) > 0L
     val flagged = state.select(col("grp"), col("n"), col("s"), col("ss"),
       ok.as("ok"))
-    val tot = flagged.groupBy("grp").agg(
-      count(lit(1)).as("k_arms"),
-      sum(when(col("ok"), 1L).otherwise(0L)).as("k_used"),
-      sum(when(col("ok"), col("n")).otherwise(0L)).as("n_used"))
+    // totals derive from the same relation as the probe side; rename
+    // the grouping key so a streaming memory-table state never hits
+    // the resolver's conflicting-references check (the psiFinish fix)
+    val tot = state.select(col("grp").as("tg"),
+        col("n").as("tn"), ok.as("tok"))
+      .groupBy("tg").agg(
+        count(lit(1)).as("k_arms"),
+        sum(when(col("tok"), 1L).otherwise(0L)).as("k_used"),
+        sum(when(col("tok"), col("tn")).otherwise(0L)).as("n_used"))
     val varJ = (d(col("n")) * d(col("ss")) - d(col("s")) * d(col("s"))) /
       (d(col("n")) * (d(col("n")) - 1.0))
     val nk = d(col("n_used")) - d(col("k_used"))
-    val terms = flagged.join(broadcast(tot), Seq("grp"))
+    val terms = flagged
+      .join(broadcast(tot), col("grp") === col("tg"))
       .filter(col("ok") && col("k_used") >= 2L)
       .select(col("grp"),
         round((d(col("n")) - 1.0) * varJ / nk * lit(1e6), 0)
@@ -2702,13 +2722,14 @@ object Evaluation {
     val folded = terms.groupBy("grp").agg(
       sum(col("pool_micro")).as("pool"), sum(col("ln_micro")).as("lns"),
       sum(col("inv_nano")).as("invs"))
-    val agg = tot.join(folded, Seq("grp"), "left")
+    val agg = tot.join(folded, col("tg") === folded("grp"), "left")
     val nkA = d(col("n_used")) - d(col("k_used"))
     val sp2 = d(col("pool")) / lit(1e6)
     val num = nkA * log(sp2) - d(col("lns")) / lit(1e6)
     val cFac = lit(1.0) + (d(col("invs")) / lit(1e9) - lit(1.0) / nkA) /
       (lit(3.0) * (d(col("k_used")) - 1.0))
-    agg.select(col("grp"), col("k_arms"), col("k_used"), col("n_used"),
+    agg.select(col("tg").as("grp"), col("k_arms"), col("k_used"),
+      col("n_used"),
       greatest(col("k_used") - 1L, lit(0L)).as("dof"),
       round(when(col("k_used") < 2L || col("pool").isNull ||
           col("pool") <= 0L, 0.0)
@@ -2909,6 +2930,75 @@ object Evaluation {
             (lit(1.0) - d(col("ivar_micro")) / 1e6 / tVar))), 6).as("alpha"))
       .localCheckpoint()
     graft.ext.Checkpoints.release(one, scores)
+    out
+  }
+
+  /** Split-half reliability with the Spearman–Brown correction per
+    * group — [[cronbachAlpha]]'s classical cross-check: split the k
+    * items into two fixed halves (odd/even by the item-name rank —
+    * deterministic, no sampling), correlate the per-subject
+    * half-sums, and step the half-length r up to full length:
+    * SB = 2r/(1+r). α assumes tau-equivalence; a split-half far
+    * below α flags a scale whose items do NOT measure one trait
+    * evenly (the α-vs-SB gap is the diagnostic).
+    *
+    * Complete-block contract and dedup exactly as [[cronbachAlpha]].
+    * Exactness: half-sums and all five co-moments (n, Σx, Σy, Σx²,
+    * Σy², Σxy) are exact longs; r and SB are one fixed-shape IEEE
+    * expression, 6dp. Degenerate (k < 2, n < 2, zero variance in
+    * either half, or 1 + r ≤ 0) reports 0.
+    *
+    * Scale shape: the [[cronbachAlpha]] plan with one extra
+    * row_number over the (group, item) table (k-bounded) — one
+    * dedup shuffle, one subject-keyed rollup, nothing more.
+    *
+    * @return (grp, k_items, n_subjects, r_halves, sb) — 6dp */
+  def splitHalf(df: DataFrame, groupCol: String = "group",
+      subjectCol: String = "subject", itemCol: String = "item",
+      scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val one = df.select(col(groupCol).as("grp"),
+        col(subjectCol).cast(StringType).as("subject"),
+        col(itemCol).cast(StringType).as("item"),
+        col(scoreCol).cast(LongType).as("score"))
+      .groupBy("grp", "subject", "item").agg(max(col("score")).as("score"))
+      .localCheckpoint() // feeds item census + the half-sum pass
+    val kTab = one.groupBy("grp").agg(countDistinct(col("item")).as("k"))
+    val keep = one.groupBy("grp", "subject")
+      .agg(countDistinct(col("item")).as("ci"))
+      .join(broadcast(kTab), Seq("grp"))
+      .filter(col("ci") === col("k")).select("grp", "subject")
+    val halves = one.select("grp", "item").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy("item")))
+      .select(col("grp"), col("item"), (col("rk") % 2).as("half"))
+    val sums = one.join(keep, Seq("grp", "subject"))
+      .join(broadcast(halves), Seq("grp", "item"))
+      .groupBy("grp", "subject").agg(
+        sum(when(col("half") === 1, col("score")).otherwise(0L)).as("x"),
+        sum(when(col("half") === 0, col("score")).otherwise(0L)).as("y"))
+    val agg = sums.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .join(broadcast(kTab), Seq("grp"))
+    def d(c: Column) = c.cast(DoubleType)
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt((d(col("n")) * d(col("sxx")) -
+      d(col("sx")) * d(col("sx"))) *
+      (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    val r = num / den
+    val out = agg.select(col("grp"), col("k").as("k_items"),
+      col("n").as("n_subjects"),
+      round(when(col("k") < 2L || col("n") < 2L, 0.0)
+        .otherwise(when(den <= 0.0, 0.0).otherwise(r)), 6).as("r_halves"),
+      round(when(col("k") < 2L || col("n") < 2L, 0.0)
+        .otherwise(when(den <= 0.0, 0.0).otherwise(
+          when(lit(1.0) + r <= 0.0, 0.0)
+            .otherwise(lit(2.0) * r / (lit(1.0) + r)))), 6).as("sb"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(one)
     out
   }
 

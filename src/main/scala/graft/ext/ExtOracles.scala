@@ -3012,6 +3012,67 @@ object ExtOracles {
         |      * CAST(sum(term_nano) AS DOUBLE) / 1e9 END, 6) AS q_stat
         |FROM terms""".stripMargin,
 
+    // Hurst R/S: per-block rescaled ranges from mean-cleared scaled
+    // residuals, micro-rounded pre-average; ln(w) constants from the
+    // SAME Scala list as the engine call; slope from exact co-moment
+    // longs.
+    "q_hurst" -> {
+      val vals = ExtQueries.hurstWindows.map(w =>
+        s"(CAST($w AS BIGINT), " +
+          s"CAST(${math.round(math.log(w.toDouble) * 1e6)} AS BIGINT))")
+        .mkString(", ")
+      s"""WITH s AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |idxd AS (SELECT d, CAST(d - (SELECT min(d) FROM s) AS BIGINT)
+        |    AS idx, n FROM s),
+        |wt(w, lnw_micro) AS (VALUES $vals),
+        |blocks AS (SELECT w, lnw_micro, idx, n, idx // w AS blk
+        |  FROM idxd CROSS JOIN wt),
+        |bt AS (SELECT w, blk, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(n) AS BIGINT) AS t
+        |  FROM blocks GROUP BY 1, 2 HAVING count(*) = w),
+        |r AS (SELECT b.w, b.lnw_micro, b.blk, b.idx, b.w * b.n - bt.t AS r
+        |  FROM blocks b JOIN bt ON bt.w = b.w AND bt.blk = b.blk),
+        |cum AS (SELECT w, lnw_micro, blk, idx, r,
+        |    CAST(sum(r) OVER (PARTITION BY w, blk ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS z
+        |  FROM r),
+        |pb AS (SELECT w, lnw_micro,
+        |    CASE WHEN sum(r * r) > 0 THEN
+        |      CAST(round(CAST(max(z) - min(z) AS DOUBLE)
+        |        * sqrt(CAST(w AS DOUBLE)) / sqrt(CAST(sum(r * r) AS DOUBLE))
+        |        * 1e6, 0) AS BIGINT) END AS rs_micro
+        |  FROM cum GROUP BY w, lnw_micro, blk),
+        |pw AS (SELECT w, lnw_micro,
+        |    CAST(count(rs_micro) AS BIGINT) AS n_blocks,
+        |    CAST(sum(rs_micro) AS BIGINT) AS sum_rs
+        |  FROM pb GROUP BY 1, 2),
+        |pw2 AS (SELECT w, lnw_micro, n_blocks,
+        |    CASE WHEN n_blocks > 0 AND sum_rs > 0 THEN
+        |      CAST(sum_rs AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e6
+        |    END AS avg_rs
+        |  FROM pw),
+        |pw3 AS (SELECT w, lnw_micro, n_blocks, avg_rs,
+        |    CASE WHEN avg_rs IS NOT NULL THEN
+        |      CAST(round(ln(avg_rs) * 1e6, 0) AS BIGINT) END AS lnrs_micro
+        |  FROM pw2),
+        |pts AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(lnw_micro) AS BIGINT) AS su,
+        |    CAST(sum(lnrs_micro) AS BIGINT) AS sv,
+        |    CAST(sum(lnw_micro * lnw_micro) AS BIGINT) AS suu,
+        |    CAST(sum(lnw_micro * lnrs_micro) AS BIGINT) AS suv
+        |  FROM pw3 WHERE lnrs_micro IS NOT NULL),
+        |h AS (SELECT round(CASE WHEN np < 2
+        |      OR np * suu - su * su = 0 THEN 0.0
+        |    ELSE CAST(np * suv - su * sv AS DOUBLE)
+        |      / CAST(np * suu - su * su AS DOUBLE) END, 6) AS hurst
+        |  FROM pts)
+        |SELECT w AS wsize, n_blocks, round(COALESCE(avg_rs, 0.0), 6)
+        |    AS avg_rs, hurst
+        |FROM pw3 CROSS JOIN h""".stripMargin
+    },
+
     // EWMA α=1/2 over an 8-day tail: power-of-two weights keep
     // num/den exact longs; edges renormalize over existing lags.
     "q_ewma" ->
@@ -5872,6 +5933,52 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |FROM ag""".stripMargin
   }
 
+  /** q_split_half: cronbach's complete-panel census; odd/even item
+    * split by name rank; five exact co-moment longs; one r and one
+    * Spearman–Brown expression — mirrored from Evaluation.splitHalf. */
+  private val splitHalfSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val num = s"(${dd("n")} * ${dd("sxy")} - ${dd("sx")} * ${dd("sy")})"
+    val den = s"sqrt((${dd("n")} * ${dd("sxx")} - ${dd("sx")} * ${dd("sx")}) " +
+      s"* (${dd("n")} * ${dd("syy")} - ${dd("sy")} * ${dd("sy")}))"
+    val r = s"($num / $den)"
+    s"""WITH act AS (SELECT 'all' AS grp, user_id AS subject,
+       |    event_type AS item, CAST(count(*) AS BIGINT) AS score
+       |  FROM events GROUP BY 1, 2, 3),
+       |kt AS (SELECT grp, CAST(count(DISTINCT item) AS BIGINT) AS k
+       |  FROM act GROUP BY 1),
+       |keep AS (SELECT act.grp, subject FROM act
+       |  JOIN kt ON kt.grp = act.grp
+       |  GROUP BY act.grp, subject, k HAVING count(DISTINCT item) = k),
+       |hv AS (SELECT grp, item,
+       |    CAST(row_number() OVER (PARTITION BY grp ORDER BY item) % 2
+       |      AS BIGINT) AS half
+       |  FROM (SELECT DISTINCT grp, item FROM act)),
+       |sums AS (SELECT a.grp, a.subject,
+       |    CAST(sum(CASE WHEN half = 1 THEN score ELSE 0 END) AS BIGINT)
+       |      AS x,
+       |    CAST(sum(CASE WHEN half = 0 THEN score ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM act a JOIN keep ON keep.grp = a.grp
+       |    AND keep.subject = a.subject
+       |  JOIN hv ON hv.grp = a.grp AND hv.item = a.item
+       |  GROUP BY 1, 2),
+       |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM sums GROUP BY 1)
+       |SELECT ag.grp, k AS k_items, n AS n_subjects,
+       |  round(CASE WHEN k < 2 OR n < 2 THEN 0.0
+       |    WHEN $den <= 0.0 THEN 0.0 ELSE $r END, 6) AS r_halves,
+       |  round(CASE WHEN k < 2 OR n < 2 THEN 0.0
+       |    WHEN $den <= 0.0 THEN 0.0
+       |    WHEN 1.0 + $r <= 0.0 THEN 0.0
+       |    ELSE 2.0 * $r / (1.0 + $r) END, 6) AS sb
+       |FROM ag JOIN kt ON kt.grp = ag.grp""".stripMargin
+  }
+
   /** q_kendall_w: complete-panel filter, doubled mid-ranks per rater
     * from value-count windows, the exact-long 4S identity, one W
     * division — mirrored from Evaluation.kendallW. */
@@ -7138,6 +7245,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_jonckheere" -> jonckheereSql,
     "q_kendall_w" -> kendallWSql,
     "q_friedman" -> friedmanSql,
+    "q_split_half" -> splitHalfSql,
     "q_cronbach_alpha" -> cronbachAlphaSql,
     "q_changepoint" -> changepointSql,
     "q_local_clustering" -> localClusteringSql,

@@ -524,6 +524,18 @@ object ExtQueries {
   def qForecastBacktest(spark: SparkSession, dir: String): DataFrame =
     Timeseries.forecastBacktest(Tables(spark, dir).events)
 
+  /** Window ladder for [[qHurst]] — ONE constant list feeds the
+    * engine call and the DuckDB oracle's ln(w) VALUES table (the
+    * randomWalks shared-constant discipline), sized to the ~30-day
+    * event window the test data carries. */
+  private[ext] val hurstWindows: Seq[Int] = Seq(4, 8, 16)
+
+  /** Hurst exponent of the global daily series — long-memory
+    * persistence beside [[qAcf]]'s fixed lags and [[qLjungBox]]'s
+    * joint white-noise gate. */
+  def qHurst(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.hurstRS(Tables(spark, dir).events, hurstWindows)
+
   /** Theil–Sen robust daily-volume trend per event type (median of
     * pairwise slopes; outage days cannot move it). */
   def qTheilSen(spark: SparkSession, dir: String): DataFrame =
@@ -2255,6 +2267,17 @@ object ExtQueries {
       lit("all").as("group"),
       substring(col("o_orderpriority"), 1, 1).cast("long").as("arm"),
       round(col("o_totalprice") * 100, 0).cast("long").as("v")))
+
+  /** Split-half (Spearman–Brown) reliability of the five event types
+    * as scale items on the same per-user activity panel as
+    * [[qCronbachAlpha]] — the α-vs-SB gap diagnoses uneven items. */
+  def qSplitHalf(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables(spark, dir).events.groupBy(
+        col("user_id").as("subject"), col("event_type").as("item"))
+      .agg(count(lit(1)).as("score"))
+    Evaluation.splitHalf(activity.select(lit("all").as("group"),
+      col("subject"), col("item"), col("score")))
+  }
 
   /** Bartlett's variance-equality χ² across event types on the same
     * cents input as [[qBrownForsythe]] — the parametric power side of

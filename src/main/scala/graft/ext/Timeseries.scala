@@ -134,6 +134,88 @@ object Timeseries {
             d(col("tsum")) / lit(1e9)), 6).as("q_stat"))
   }
 
+  /** Hurst exponent of the daily series by rescaled-range (R/S)
+    * analysis — LONG-MEMORY detection: H ≈ 0.5 is a random walk,
+    * H > 0.5 persistent trends (load grows for weeks at a time),
+    * H < 0.5 mean reversion. The complement of [[acf]]'s fixed-lag
+    * view and [[ljungBox]]'s joint test: R/S reads dependence at
+    * EVERY horizon via log-log scaling across dyadic windows.
+    *
+    * Per window size w: the series splits into consecutive COMPLETE
+    * w-day blocks; each block's mean-cleared scaled residuals
+    * r_t = w·x_t − T (exact longs, the [[dailySeries]] discipline)
+    * cumulate to Z_k with Z_w = 0 by construction, and
+    * R/S = (max Z − min Z)·√w / √(Σr²) — one fixed-shape IEEE
+    * expression per block, micro-rounded pre-average (block-count-
+    * bounded fold); zero-variance blocks are excluded-and-counted.
+    * H is the OLS slope of ln(avg R/S) on ln(w), with the ln(w)
+    * constants injected from ONE Scala table into both engines (the
+    * periodogram discipline) and ln(avg R/S) micro-rounded per
+    * window, so the five co-moment sums are exact longs and the
+    * slope is a single long-ratio division. Fewer than 2 usable
+    * window points (or a degenerate denominator) reports H = 0.
+    *
+    * Scale shape: the raw stream collapses to daily counts map-side
+    * first; everything after runs on days × |windows| rows.
+    *
+    * @return one row per window: (wsize, n_blocks, avg_rs, hurst) —
+    *         avg_rs/hurst 6dp, hurst repeated across rows */
+  def hurstRS(events: DataFrame,
+      windows: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(windows.size >= 2 && windows.forall(_ >= 2),
+      s"hurstRS needs >= 2 window sizes of >= 2 days, got $windows")
+    val s = dailySeries(events)
+    val spark = s.sparkSession
+    import spark.implicits._
+    // ONE constant table feeds both engines' ln(w) values
+    val wdf = broadcast(windows.map(w =>
+      (w.toLong, math.round(math.log(w.toDouble) * 1e6)))
+      .toDF("w", "lnw_micro"))
+    val blocks = s.crossJoin(wdf)
+      .select(col("w"), col("lnw_micro"), col("idx"), col("n"),
+        expr("idx div w").as("blk"))
+    val bTot = blocks.groupBy("w", "blk")
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("t"))
+      .filter(col("cnt") === col("w"))
+    val r = blocks.join(bTot, Seq("w", "blk"))
+      .select(col("w"), col("lnw_micro"), col("blk"), col("idx"),
+        (col("w") * col("n") - col("t")).as("r"))
+    val wCum = Window.partitionBy("w", "blk").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = r.withColumn("z", sum(col("r")).over(wCum))
+    def d(c: Column) = c.cast(DoubleType)
+    val perBlock = cum.groupBy("w", "lnw_micro", "blk").agg(
+        (max(col("z")) - min(col("z"))).as("rng"),
+        sum(col("r") * col("r")).as("sr2"))
+      .select(col("w"), col("lnw_micro"),
+        when(col("sr2") > 0L,
+          round(d(col("rng")) * sqrt(d(col("w"))) / sqrt(d(col("sr2"))) *
+            lit(1e6), 0).cast(LongType)).as("rs_micro"))
+    val perW = perBlock.groupBy("w", "lnw_micro").agg(
+        count(col("rs_micro")).as("n_blocks"),
+        sum(col("rs_micro")).as("sum_rs"))
+      .withColumn("avg_rs",
+        when(col("n_blocks") > 0L && col("sum_rs") > 0L,
+          d(col("sum_rs")) / d(col("n_blocks")) / lit(1e6)))
+      .withColumn("lnrs_micro",
+        when(col("avg_rs").isNotNull,
+          round(log(col("avg_rs")) * lit(1e6), 0).cast(LongType)))
+    val pts = perW.filter(col("lnrs_micro").isNotNull)
+      .agg(count(lit(1)).as("np"),
+        sum(col("lnw_micro")).as("su"), sum(col("lnrs_micro")).as("sv"),
+        sum(col("lnw_micro") * col("lnw_micro")).as("suu"),
+        sum(col("lnw_micro") * col("lnrs_micro")).as("suv"))
+    val den = col("np") * col("suu") - col("su") * col("su")
+    val hurst = pts.select(
+      round(when(col("np") < 2L || den === 0L, 0.0)
+        .otherwise(d(col("np") * col("suv") - col("su") * col("sv")) /
+          d(den)), 6).as("hurst"))
+    perW.crossJoin(broadcast(hurst))
+      .select(col("w").as("wsize"), col("n_blocks"),
+        round(coalesce(col("avg_rs"), lit(0.0)), 6).as("avg_rs"),
+        col("hurst"))
+  }
+
   /** EWMA smoothing of the daily series with α = 1/2 over a bounded
     * `window`-day tail. α = 1/2 makes every weight an exact power of
     * two — `w_i = 2^(window−1−i)` for lag i — so numerator and

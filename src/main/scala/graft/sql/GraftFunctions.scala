@@ -827,6 +827,14 @@ object GraftFunctions {
       tableOf(strArg(args.head, "jonckheere(table)")))
       .queryExecution.logical
 
+  /** split_half(tbl) — Spearman–Brown split-half reliability over
+    * (group, subject, item, score) rows
+    * ([[graft.ext.Evaluation.splitHalf]]). */
+  def splitHalfTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.splitHalf(
+      tableOf(strArg(args.head, "split_half(table)")))
+      .queryExecution.logical
+
   /** bartlett(tbl) — parametric variance-equality χ² over
     * (group, arm, v) long-metric rows
     * ([[graft.ext.Evaluation.bartlett]]). */
@@ -930,6 +938,13 @@ object GraftFunctions {
       tableOf(strArg(args.head, "ljung_box(table)")), maxLag = m)
       .queryExecution.logical
   }
+
+  /** hurst_rs(tbl) — rescaled-range Hurst exponent over an event
+    * stream's daily series ([[graft.ext.Timeseries.hurstRS]]). */
+  def hurstRsTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.hurstRS(
+      tableOf(strArg(args.head, "hurst_rs(table)")))
+      .queryExecution.logical
 
   /** partial_corr(tbl) — first-order partial correlation over
     * (group, x, y, z) long rows
@@ -1404,6 +1419,7 @@ object GraftFunctions {
     "brown_forsythe" -> (brownForsytheTvf _),
     "bartlett" -> (bartlettTvf _),
     "jonckheere" -> (jonckheereTvf _),
+    "split_half" -> (splitHalfTvf _),
     "kendall_w" -> (kendallWTvf _),
     "friedman_test" -> (friedmanTestTvf _),
     "cronbach_alpha" -> (cronbachAlphaTvf _),
@@ -1424,6 +1440,7 @@ object GraftFunctions {
     "yules_k" -> (yulesKTvf _),
     "durbin_watson" -> (durbinWatsonTvf _),
     "ljung_box" -> (ljungBoxTvf _),
+    "hurst_rs" -> (hurstRsTvf _),
     "partial_corr" -> (partialCorrTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),

@@ -361,6 +361,16 @@ object StreamingOps {
       armCol: String = "arm", yCol: String = "y"): DataFrame =
     graft.ext.Evaluation.welchState(df, groupCol, armCol, yCol)
 
+  /** Streaming twin of Bartlett's variance-equality test
+    * ([[graft.ext.Evaluation.bartlett]]) — [[welchStateStream]]'s
+    * k-arm sibling: three commutative long sums (n, Σy, Σy²) per
+    * (grp, arm) cell, groups×arms state forever. Finish a Complete
+    * snapshot with [[graft.ext.Evaluation.bartlettFinish]] —
+    * row-identical to the batch test (StreamingSpec twin proof). */
+  def bartlettStateStream(df: DataFrame, groupCol: String = "group",
+      armCol: String = "arm", vCol: String = "v"): DataFrame =
+    graft.ext.Evaluation.bartlettState(df, groupCol, armCol, vCol)
+
   /** Streaming twin of the Kruskal–Wallis k-sample rank test
     * ([[graft.ext.Evaluation.kruskalWallis]]) — [[mannWhitneyStateStream]]'s
     * k-arm sibling: one long count per (grp, arm, value) cell,

@@ -775,6 +775,26 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(viaState.getAs[Double]("w1") == r.getAs[Double]("w1"))
   }
 
+  test("splitHalf: perfectly correlated halves -> SB 1; anti-correlated guards to 0") {
+    // items a (half 1), b (half 0); y = 2x across subjects -> r = 1
+    val df = Seq(("s1", "a", 1L), ("s1", "b", 2L),
+      ("s2", "a", 2L), ("s2", "b", 4L), ("s3", "a", 3L), ("s3", "b", 6L),
+      ("s4", "a", 9L)) // incomplete subject: excluded by the census
+      .toDF("subject", "item", "score").withColumn("group", lit("g"))
+    val r = Evaluation.splitHalf(df).collect().head
+    assert(r.getAs[Long]("k_items") == 2 && r.getAs[Long]("n_subjects") == 3)
+    assert(r.getAs[Double]("r_halves") == 1.0)
+    assert(r.getAs[Double]("sb") == 1.0)
+    // y falls as x rises: r = -1, the Spearman-Brown step-up is
+    // undefined (1 + r = 0) -> 0 by contract
+    val anti = Seq(("s1", "a", 1L), ("s1", "b", 6L),
+      ("s2", "a", 2L), ("s2", "b", 4L), ("s3", "a", 3L), ("s3", "b", 2L))
+      .toDF("subject", "item", "score").withColumn("group", lit("g"))
+    val a = Evaluation.splitHalf(anti).collect().head
+    assert(a.getAs[Double]("r_halves") == -1.0)
+    assert(a.getAs[Double]("sb") == 0.0)
+  }
+
   test("bartlett: equal variances -> 0; hand-computed unequal case; zero-var arm excluded") {
     // arm0 {1,3}, arm1 {5,7}: both s² = 2 -> chi2 rounds to 0
     val eq = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L))

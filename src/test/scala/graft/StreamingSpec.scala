@@ -281,6 +281,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(finished.collect().toSet == batch.collect().toSet,
         "finished streamed KW state must equal the one-shot batch test")
     } finally q2.stop()
+    // Bartlett rides the SAME (grp, arm) sufficient-sums shape as
+    // Welch, just k-armed — twin for free off its own state stream
+    val mem3 = MemoryStream[(String, String, Long)]
+    val v1 = Seq(("g", "a", 1L), ("g", "a", 3L), ("g", "b", 5L))
+    val v2 = Seq(("g", "b", 7L), ("g", "c", 2L), ("g", "c", 8L))
+    val q3 = StreamingOps.bartlettStateStream(
+        mem3.toDF().toDF("group", "arm", "v"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("bart_out").start()
+    try {
+      mem3.addData(v1: _*)
+      q3.processAllAvailable()
+      mem3.addData(v2: _*)
+      q3.processAllAvailable()
+      val finished = graft.ext.Evaluation.bartlettFinish(
+        spark.table("bart_out"))
+      val batch = graft.ext.Evaluation.bartlett(
+        (v1 ++ v2).toDF("group", "arm", "v"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed Bartlett state must equal the one-shot batch test")
+    } finally q3.stop()
   }
 
   test("streaming Mann–Whitney state ≡ batch; one AUC stream finishes into ROC and PR") {

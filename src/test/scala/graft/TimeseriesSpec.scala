@@ -68,6 +68,28 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(flat.getAs[Double]("q_stat") == 0.0)
   }
 
+  test("hurstRS: alternating series scores R/S = 1 at every window; ramp reads persistent") {
+    // 1,3 alternating over 8 days: every block's Z path is (-k, 0,
+    // ...) with range exactly sqrt(sum r²/w) -> R/S = 1, ln = 0 at
+    // both windows -> slope (hurst) = 0
+    val alt = Timeseries.hurstRS(series(Seq(1, 3, 1, 3, 1, 3, 1, 3)),
+      windows = Seq(2, 4)).collect()
+    assert(alt.map(_.getAs[Long]("n_blocks")).toSeq.sorted == Seq(2L, 4L))
+    alt.foreach { r =>
+      assert(r.getAs[Double]("avg_rs") == 1.0, s"$r")
+      assert(r.getAs[Double]("hurst") == 0.0, s"$r")
+    }
+    // a strictly rising ramp has persistent increments: R/S grows
+    // faster than sqrt(w) and the slope reads > 0.5
+    val ramp = Timeseries.hurstRS(series((1 to 16).toSeq),
+      windows = Seq(2, 4, 8)).collect()
+    val h = ramp.head.getAs[Double]("hurst")
+    assert(h > 0.5, s"ramp hurst = $h")
+    // w=2 blocks of consecutive integers score exactly R/S = 1
+    val w2 = ramp.find(_.getAs[Long]("wsize") == 2L).get
+    assert(w2.getAs[Double]("avg_rs") == 1.0)
+  }
+
   test("ewma: power-of-two weights, edge renormalization") {
     // window=2 -> weights (2,1). day0: 10 (only itself);
     // day1: (2·40 + 1·10)/3 = 30 exactly
