@@ -2388,6 +2388,63 @@ object Evaluation {
           seb * seb / (d("n_b") - 1.0)))), 6).as("df"))
   }
 
+  /** Always-valid A/B inference via the normal-mixture mSPRT per
+    * group — the PEEKING-SAFE companion to [[welchTTest]]/[[abTest]]:
+    * a fixed-horizon t/z test read daily inflates false positives;
+    * the mixture sequential probability ratio
+    * Λ = √(se²/(se²+τ²))·exp(δ̂²τ²/(2se²(se²+τ²))) admits
+    * p = min(1, 1/Λ) valid at EVERY look (Robbins' mixture martingale
+    * — the "always-valid p-value" industry A/B platforms ship).
+    * Reported as log Λ so extreme evidence cannot overflow; the
+    * snapshot p is 1/Λ capped at 1 (a monitoring caller takes the
+    * running min across snapshots — each is individually valid).
+    *
+    * A FINISH over the [[welchState]] (grp, arm) sufficient sums —
+    * the shared-state discipline, so it streams via
+    * [[graft.streaming.StreamingOps.welchStateStream]] for free.
+    * Exactness: the state is exact longs; log Λ and p are one
+    * fixed-shape IEEE expression, 6dp. Degenerate (either arm n < 2
+    * or se² ≤ 0) reports log Λ = 0, p = 1.
+    *
+    * @param tau mixture prior scale on the mean difference, in yCol
+    *            units — the caller's "effect size worth detecting"
+    * @return (grp, n_a, n_b, delta, log_lambda, p_always) — 6dp */
+  def msprt(df: DataFrame, tau: Double = 100.0,
+      groupCol: String = "group", armCol: String = "arm",
+      yCol: String = "y"): DataFrame =
+    msprtFinish(welchState(df, groupCol, armCol, yCol), tau)
+
+  /** Finish a [[welchState]] snapshot into the always-valid report —
+    * state-sized input, batch ≡ merged micro-batches. */
+  def msprtFinish(state: DataFrame, tau: Double): DataFrame = {
+    val agg = state.groupBy("grp").agg(
+      sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("s")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === 0L, col("ss")).otherwise(0L)).as("ss_a"),
+      sum(when(col("arm") =!= 0L, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") =!= 0L, col("s")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") =!= 0L, col("ss")).otherwise(0L)).as("ss_b"))
+    def d(c: String) = col(c).cast(DoubleType)
+    val varA = (d("n_a") * d("ss_a") - d("s_a") * d("s_a")) /
+      (d("n_a") * (d("n_a") - 1.0))
+    val varB = (d("n_b") * d("ss_b") - d("s_b") * d("s_b")) /
+      (d("n_b") * (d("n_b") - 1.0))
+    val se2 = varA / d("n_a") + varB / d("n_b")
+    val delta = d("s_b") / d("n_b") - d("s_a") / d("n_a")
+    val t2 = lit(tau * tau)
+    val logLam = lit(0.5) * log(se2 / (se2 + t2)) +
+      delta * delta * t2 / (lit(2.0) * se2 * (se2 + t2))
+    val degenerate = col("n_a") < 2L || col("n_b") < 2L
+    agg.select(col("grp"), col("n_a"), col("n_b"),
+      round(when(degenerate, 0.0).otherwise(when(se2 <= 0.0, 0.0)
+        .otherwise(delta)), 6).as("delta"),
+      round(when(degenerate, 0.0).otherwise(when(se2 <= 0.0, 0.0)
+        .otherwise(logLam)), 6).as("log_lambda"),
+      round(when(degenerate, 1.0).otherwise(when(se2 <= 0.0, 1.0)
+        .otherwise(when(logLam <= 0.0, 1.0)
+          .otherwise(exp(-logLam)))), 6).as("p_always"))
+  }
+
   /** Kruskal–Wallis H rank test per group — the k-SAMPLE extension of
     * [[mannWhitney]] (three or more arms; MW handles exactly two):
     * does at least one arm's metric distribution sit above the rest?

@@ -5731,6 +5731,50 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |FROM ag""".stripMargin
   }
 
+  /** q_msprt: the welch state replay finished as the normal-mixture
+    * mSPRT log Λ and always-valid p (τ = 100 cents) — mirrored from
+    * Evaluation.msprt. */
+  private val msprtSql: String = {
+    val varA = "(CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) " +
+      "- CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) " +
+      "/ (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+    val varB = "(CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) " +
+      "- CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) " +
+      "/ (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+    val se2 = s"((($varA) / CAST(n_a AS DOUBLE)) " +
+      s"+ (($varB) / CAST(n_b AS DOUBLE)))"
+    val delta = "(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) " +
+      "- CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val t2 = "CAST(10000.0 AS DOUBLE)"
+    val logLam = s"(CAST(0.5 AS DOUBLE) * ln($se2 / ($se2 + $t2)) " +
+      s"+ $delta * $delta * $t2 " +
+      s"/ (CAST(2.0 AS DOUBLE) * $se2 * ($se2 + $t2)))"
+    s"""WITH ag AS (SELECT event_type AS grp,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_b,
+       |    CAST(sum(CASE WHEN user_id % 2 <> 0
+       |      THEN CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS ss_b
+       |  FROM events GROUP BY 1)
+       |SELECT grp, n_a, n_b,
+       |  round(CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+       |    WHEN $se2 <= 0.0 THEN 0.0 ELSE $delta END, 6) AS delta,
+       |  round(CASE WHEN n_a < 2 OR n_b < 2 THEN 0.0
+       |    WHEN $se2 <= 0.0 THEN 0.0 ELSE $logLam END, 6) AS log_lambda,
+       |  round(CASE WHEN n_a < 2 OR n_b < 2 THEN 1.0
+       |    WHEN $se2 <= 0.0 THEN 1.0
+       |    WHEN $logLam <= 0.0 THEN 1.0
+       |    ELSE exp(-$logLam) END, 6) AS p_always
+       |FROM ag""".stripMargin
+  }
+
   /** q_kruskal_wallis: (arm, value) count cells, doubled rank sums
     * from cumulative value windows, MICRO-rounded per-arm H terms,
     * fixed-shape tie correction — mirrored from
@@ -7239,6 +7283,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_kaplan_meier" -> kaplanMeierSql,
     "q_nelson_aalen" -> nelsonAalenSql,
     "q_welch_ttest" -> welchTtestSql,
+    "q_msprt" -> msprtSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_brown_forsythe" -> brownForsytheSql,
     "q_bartlett" -> bartlettSql,

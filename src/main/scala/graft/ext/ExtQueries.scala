@@ -2242,6 +2242,14 @@ object ExtQueries {
       col("event_type").as("group"), pmod(col("user_id"), lit(2)).as("arm"),
       round(col("value") * 100, 0).cast("long").as("y")))
 
+  /** Always-valid mSPRT on the same per-event-type user-parity arms
+    * as [[qWelchTtest]], τ = 100 cents — the peeking-safe p beside
+    * the fixed-horizon t. */
+  def qMsprt(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.msprt(Tables(spark, dir).events.select(
+      col("event_type").as("group"), pmod(col("user_id"), lit(2)).as("arm"),
+      round(col("value") * 100, 0).cast("long").as("y")), tau = 100.0)
+
   /** Kruskal–Wallis across SOURCES within each language: does at
     * least one source's document-length distribution sit above the
     * rest? The k-sample extension of [[qMannWhitney]] — the corpus-mix

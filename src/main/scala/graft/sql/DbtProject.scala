@@ -71,7 +71,17 @@ object DbtProject {
       freshness: Map[String, FreshnessConfig] = Map.empty,
       singularTests: Map[String, String] = Map.empty,
       hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
-      runHooks: (Seq[String], Seq[String]) = (Seq.empty, Seq.empty))
+      runHooks: (Seq[String], Seq[String]) = (Seq.empty, Seq.empty),
+      exposures: Seq[Exposure] = Seq.empty)
+
+  /** A declared `exposures:` entry — the downstream consumer
+    * (dashboard, notebook, ML job) a dbt project documents so
+    * lineage reaches PAST the warehouse. `dependsOn` holds resolved
+    * relation names (`ref('m')` → m, `source('s','t')` → t — this
+    * engine keys sources by table name, as `source()` itself does). */
+  final case class Exposure(name: String, exposureType: String,
+      maturity: Option[String], owner: Option[String],
+      dependsOn: Seq[String])
 
   /** A declared table's resolved `dbt source freshness` config:
     * which column carries the load timestamp and the staleness
@@ -326,6 +336,68 @@ object DbtProject {
         tablesIndent = -1; itemIndent = -1 // dedent closes the tables block
       case _ => ()
     }
+    out.toSeq
+  }
+
+  /** `exposures:` entries from a schema yml — name, type (dbt's
+    * closed vocabulary, loud-rejected otherwise), optional maturity
+    * and owner (owner.name under the owner: block, or owner.email if
+    * that's all the project declares), and depends_on refs resolved
+    * to relation names. Line-based like [[parseSourceTables]]. */
+  private[graft] def parseExposures(yml: String): Seq[Exposure] = {
+    val allowed = Set("dashboard", "notebook", "analysis", "ml",
+      "application")
+    val lines = yml.linesIterator.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[Exposure]
+    var expIndent = -1
+    var inOwner = false
+    var cur: Option[(String, Option[String], Option[String],
+      Option[String], Seq[String])] = None
+    def flush(): Unit = cur.foreach { case (n, t, m, o, d) =>
+      val ty = t.getOrElse(throw new IllegalArgumentException(
+        s"exposure '$n' declares no type"))
+      require(allowed.contains(ty),
+        s"exposure '$n': unsupported type '$ty' (dbt allows: " +
+          s"${allowed.toSeq.sorted.mkString(", ")})")
+      out += Exposure(n, ty, m, o, d)
+    }
+    val expRe = """^(\s*)exposures:\s*$""".r
+    val itemRe = """^\s*-\s*name:\s*"?([\w.]+)"?\s*$""".r
+    val typeRe = """^\s*type:\s*"?(\w+)"?\s*$""".r
+    val matRe = """^\s*maturity:\s*"?(\w+)"?\s*$""".r
+    val ownerRe = """^\s*owner:\s*$""".r
+    val oNameRe = """^\s*name:\s*"?(.+?)"?\s*$""".r
+    val oMailRe = """^\s*email:\s*"?(\S+?)"?\s*$""".r
+    val refRe = """^\s*-\s*ref\('([\w.]+)'\)\s*$""".r
+    val srcRe = """^\s*-\s*source\('([\w.]+)'\s*,\s*'([\w.]+)'\)\s*$""".r
+    lines.foreach {
+      case expRe(ind) => expIndent = ind.length
+      case l if expIndent >= 0 => l match {
+        case itemRe(name) =>
+          flush(); inOwner = false
+          cur = Some((name, None, None, None, Seq.empty))
+        case typeRe(t) if cur.isDefined && !inOwner =>
+          cur = cur.map(c => (c._1, Some(t), c._3, c._4, c._5))
+        case matRe(m) if cur.isDefined =>
+          cur = cur.map(c => (c._1, c._2, Some(m), c._4, c._5))
+        case ownerRe() if cur.isDefined => inOwner = true
+        case oNameRe(n) if cur.isDefined && inOwner =>
+          cur = cur.map(c => (c._1, c._2, c._3, Some(n), c._5))
+        case oMailRe(e) if cur.isDefined && inOwner &&
+            cur.exists(_._4.isEmpty) =>
+          cur = cur.map(c => (c._1, c._2, c._3, Some(e), c._5))
+        case refRe(r) if cur.isDefined =>
+          cur = cur.map(c => (c._1, c._2, c._3, c._4, c._5 :+ r))
+        case srcRe(_, t) if cur.isDefined =>
+          cur = cur.map(c => (c._1, c._2, c._3, c._4, c._5 :+ t))
+        case other if other.trim.nonEmpty && !other.trim.startsWith("-") &&
+            !other.startsWith(" ") =>
+          flush(); cur = None; expIndent = -1; inOwner = false
+        case _ => ()
+      }
+      case _ => ()
+    }
+    flush()
     out.toSeq
   }
 
@@ -586,9 +658,12 @@ object DbtProject {
     val freshness = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => parseFreshness(read(p))).toMap
+    val exposures = files
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => parseExposures(read(p)))
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
       modelTags, targetProps, seeds, snapshots, freshness, singularTests,
-      modelHooks, runHooks)
+      modelHooks, runHooks, exposures)
   }
 
   /** `on-run-start:`/`on-run-end:` hook SQL from dbt_project.yml —
@@ -649,7 +724,8 @@ object DbtProject {
       p.seeds.keys.map(n => (n, "seed", "seed", "")).toSeq ++
       p.snapshots.keys.map(n => (n, "snapshot", "snapshot", "")).toSeq ++
       p.singularTests.keys.map(n => (n, "test", "singular", "")).toSeq ++
-      p.sourceTables.map(n => (n, "source", "source", ""))
+      p.sourceTables.map(n => (n, "source", "source", "")) ++
+      p.exposures.map(e => (e.name, "exposure", e.exposureType, ""))
     rows.sortBy(r => (r._2, r._1))
       .toDF("resource", "kind", "materialization", "tags")
   }
@@ -716,6 +792,26 @@ object DbtProject {
         }.toSeq
       }
     }.toDF("resource", "kind", "column", "dtype", "ordinal", "n_rows")
+  }
+
+  /** `dbt ls --resource-type exposure` / the docs lineage tail: one
+    * row per declared exposure with its resolved upstream relations.
+    * Unknown upstreams (a ref to a model/seed/snapshot/source the
+    * project does not declare) fail loudly — an exposure pointing at
+    * nothing is a docs bug worth catching at load time. */
+  def exposures(spark: SparkSession, projectDir: String): DataFrame = {
+    val p = load(projectDir)
+    val known = p.modelSql.keySet ++ p.seeds.keySet ++
+      p.snapshots.keySet ++ p.sourceTables.toSet
+    for (e <- p.exposures; d <- e.dependsOn)
+      require(known.contains(d),
+        s"exposure '${e.name}' depends on undeclared relation '$d'")
+    import spark.implicits._
+    p.exposures.map(e => (e.name, e.exposureType,
+        e.maturity.getOrElse(""), e.owner.getOrElse(""),
+        e.dependsOn.mkString(",")))
+      .sortBy(_._1)
+      .toDF("exposure", "type", "maturity", "owner", "depends_on")
   }
 
   /** `dbt run-operation <macro>`: render one project macro with the

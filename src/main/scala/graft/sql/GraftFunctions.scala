@@ -835,6 +835,15 @@ object GraftFunctions {
       tableOf(strArg(args.head, "split_half(table)")))
       .queryExecution.logical
 
+  /** msprt(tbl[, tau]) — always-valid mixture-SPRT A/B inference
+    * over (group, arm, y) rows ([[graft.ext.Evaluation.msprt]]). */
+  def msprtTvf(args: Seq[Expression]): LogicalPlan = {
+    val tau = if (args.length > 1) dblArg(args(1), "msprt(tau)") else 100.0
+    graft.ext.Evaluation.msprt(
+      tableOf(strArg(args.head, "msprt(table)")), tau = tau)
+      .queryExecution.logical
+  }
+
   /** bartlett(tbl) — parametric variance-equality χ² over
     * (group, arm, v) long-metric rows
     * ([[graft.ext.Evaluation.bartlett]]). */
@@ -1420,6 +1429,7 @@ object GraftFunctions {
     "bartlett" -> (bartlettTvf _),
     "jonckheere" -> (jonckheereTvf _),
     "split_half" -> (splitHalfTvf _),
+    "msprt" -> (msprtTvf _),
     "kendall_w" -> (kendallWTvf _),
     "friedman_test" -> (friedmanTestTvf _),
     "cronbach_alpha" -> (cronbachAlphaTvf _),

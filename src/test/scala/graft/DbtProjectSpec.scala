@@ -1453,12 +1453,61 @@ class DbtProjectSpec extends AnyFunSuite {
     Files.write(dir.resolve("tests/assert_ok.sql"),
       "select 1 as one from {{ ref('clean') }} having count(*) < 0\n"
         .getBytes("UTF-8"))
+    Files.write(dir.resolve("models/exposures.yml"),
+      """version: 2
+        |exposures:
+        |  - name: weekly_kpis
+        |    type: dashboard
+        |    maturity: high
+        |    owner:
+        |      name: Data Team
+        |      email: data@example.com
+        |    depends_on:
+        |      - ref('clean')
+        |      - source('raw', 'txns')
+        |  - name: churn_model
+        |    type: ml
+        |    owner:
+        |      email: ml@example.com
+        |    depends_on:
+        |      - ref('clean')
+        |""".stripMargin.getBytes("UTF-8"))
     val rows = DbtProject.list(spark, dir.toString)
       .as[(String, String, String, String)].collect().toSeq
     assert(rows == Seq(
+      ("churn_model", "exposure", "ml", ""),
+      ("weekly_kpis", "exposure", "dashboard", ""),
       ("clean", "model", "table", "nightly"),
       ("txns", "source", "source", ""),
       ("assert_ok", "test", "singular", "")), s"$rows")
+    // the exposures surface: resolved upstreams, owner from the
+    // owner block (name preferred, email fallback)
+    val ex = DbtProject.exposures(spark, dir.toString)
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(ex == Seq(
+      ("churn_model", "ml", "", "ml@example.com", "clean"),
+      ("weekly_kpis", "dashboard", "high", "Data Team", "clean,txns")),
+      s"$ex")
+    // an exposure on an undeclared relation fails loudly
+    Files.write(dir.resolve("models/exposures.yml"),
+      """exposures:
+        |  - name: broken
+        |    type: dashboard
+        |    depends_on:
+        |      - ref('ghost')
+        |""".stripMargin.getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      DbtProject.exposures(spark, dir.toString) }
+    assert(err.getMessage.contains("ghost"))
+    // an unsupported exposure type is rejected at parse time
+    Files.write(dir.resolve("models/exposures.yml"),
+      """exposures:
+        |  - name: odd
+        |    type: spreadsheet
+        |""".stripMargin.getBytes("UTF-8"))
+    val err2 = intercept[IllegalArgumentException] {
+      DbtProject.load(dir.toString) }
+    assert(err2.getMessage.contains("spreadsheet"))
   }
 
   test("dbt compile: rendered SQL lands under target/, executes verbatim, no manifest advance (round 15)") {

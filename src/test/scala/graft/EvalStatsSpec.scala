@@ -775,6 +775,29 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(viaState.getAs[Double]("w1") == r.getAs[Double]("w1"))
   }
 
+  test("msprt: hand-computed log-lambda on a strong effect; null and degenerate report p = 1") {
+    // a = {1,2,3}, b = {11,12,13}, tau = 1: varA = varB = 1,
+    // se2 = 2/3, delta = 10 -> logLam = 0.5·ln(0.4) + 100/(2·(2/3)·(5/3))
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 11L), (1, 12L), (1, 13L))
+      .toDF("arm", "y").withColumn("group", lit("g"))
+    val r = Evaluation.msprt(df, tau = 1.0).collect().head
+    val expect = 0.5 * math.log((2.0 / 3.0) / (2.0 / 3.0 + 1.0)) +
+      100.0 * 1.0 / (2.0 * (2.0 / 3.0) * (2.0 / 3.0 + 1.0))
+    assert(r.getAs[Double]("delta") == 10.0)
+    assert(r.getAs[Double]("log_lambda") == r6(expect))
+    assert(r.getAs[Double]("p_always") == 0.0) // exp(-44.5) under 6dp
+    // identical arms: delta 0, logLam < 0 -> p capped at 1
+    val same = Seq((0, 1L), (0, 2L), (1, 1L), (1, 2L))
+      .toDF("arm", "y").withColumn("group", lit("g"))
+    val s = Evaluation.msprt(same, tau = 1.0).collect().head
+    assert(s.getAs[Double]("p_always") == 1.0)
+    // a one-row arm cannot estimate a variance -> degenerate p = 1
+    val dgen = Seq((0, 1L), (0, 2L), (1, 5L))
+      .toDF("arm", "y").withColumn("group", lit("g"))
+    assert(Evaluation.msprt(dgen, tau = 1.0).collect().head
+      .getAs[Double]("p_always") == 1.0)
+  }
+
   test("splitHalf: perfectly correlated halves -> SB 1; anti-correlated guards to 0") {
     // items a (half 1), b (half 0); y = 2x across subjects -> r = 1
     val df = Seq(("s1", "a", 1L), ("s1", "b", 2L),

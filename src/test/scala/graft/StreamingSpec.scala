@@ -262,6 +262,13 @@ class StreamingSpec extends AnyFunSuite {
         (b1 ++ b2).toDF("group", "arm", "y"))
       assert(finished.collect().toSet == batch.collect().toSet,
         "finished streamed Welch state must equal the one-shot batch test")
+      // the always-valid mSPRT finishes the SAME state snapshot
+      val avFinished = graft.ext.Evaluation.msprtFinish(
+        spark.table("welch_out"), tau = 2.0)
+      val avBatch = graft.ext.Evaluation.msprt(
+        (b1 ++ b2).toDF("group", "arm", "y"), tau = 2.0)
+      assert(avFinished.collect().toSet == avBatch.collect().toSet,
+        "finished streamed mSPRT must equal the one-shot batch report")
     } finally q.stop()
     val mem2 = MemoryStream[(String, String, Long)]
     val k1 = Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "b", 3L))
