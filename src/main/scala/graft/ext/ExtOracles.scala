@@ -1649,6 +1649,40 @@ object ExtOracles {
         |SELECT lbl AS label, clbl AS pred_label, count(*) AS n
         |FROM pr WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
+    // simplified silhouette: whole-table integer-micro centroids
+    // (embed_outliers' fit), own vs nearest-rival distances, per-point
+    // s micro-rounded pre-average
+    "q_silhouette" ->
+      """WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |        list_transform(embedding,
+        |          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT)) AS mv
+        |      FROM embeddings),
+        |cells AS (SELECT vec_id, lbl, i AS pos, mv[i] AS v
+        |          FROM m, unnest(range(1, len(mv) + 1)) AS u(i)),
+        |cent AS (SELECT lbl, pos, CAST(sum(v) AS BIGINT) // count(*) AS c
+        |         FROM cells GROUP BY lbl, pos),
+        |d AS (SELECT cells.vec_id, cells.lbl, cent.lbl AS clbl,
+        |        CAST(sum((v - c) * (v - c)) AS BIGINT) AS dist
+        |      FROM cells JOIN cent ON cells.pos = cent.pos
+        |      GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, lbl,
+        |        max(CASE WHEN clbl = lbl THEN dist END) AS a2,
+        |        min(CASE WHEN clbl <> lbl THEN dist END) AS b2
+        |      FROM d GROUP BY 1, 2),
+        |s AS (SELECT lbl,
+        |        CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+        |            sqrt(CAST(b2 AS DOUBLE))) <= 0.0 THEN 0
+        |          ELSE CAST(round((sqrt(CAST(b2 AS DOUBLE))
+        |            - sqrt(CAST(a2 AS DOUBLE)))
+        |            / greatest(sqrt(CAST(a2 AS DOUBLE)),
+        |              sqrt(CAST(b2 AS DOUBLE))) * 1e6, 0) AS BIGINT)
+        |        END AS s_micro
+        |      FROM ab)
+        |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(s_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1e6, 6) AS silhouette
+        |FROM s GROUP BY 1""".stripMargin,
+
     // whole-table centroid fit + integer squared distance to the own-
     // label centroid, replayed exactly
     "q_embed_outliers" ->

@@ -1188,6 +1188,12 @@ object ExtQueries {
   def qCentroidClassify(spark: SparkSession, dir: String): DataFrame =
     Similarity.centroidClassify(Tables(spark, dir).embeddings, trainMod = 5)
 
+  /** Simplified silhouette of the embedding labels — per-class
+    * cluster quality beside [[qCentroidClassify]]'s confusion matrix
+    * and [[qEmbedOutliers]]'s per-point distances. */
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteByLabel(Tables(spark, dir).embeddings)
+
   /** Prototypicality outliers: distance to own-label centroid in
     * integer micro space; threshold tuned so the synthetic corpus
     * splits (its labels are random, so distances are broad). */

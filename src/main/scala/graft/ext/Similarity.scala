@@ -968,6 +968,59 @@ object Similarity {
         (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
+  /** Simplified silhouette per label over the label-centroid model —
+    * CLUSTER QUALITY as one number per class: s = (b − a)/max(a, b)
+    * with a = distance to the own-label centroid and b = the nearest
+    * OTHER centroid (the standard simplified silhouette — per-point
+    * pair distances are replaced by centroid distances, the form
+    * that scales). s → 1 means tight, well-separated labels; s ≤ 0
+    * means the label's points sit closer to a rival centroid than
+    * their own — the label-noise smell [[embedOutliers]] reads
+    * point-by-point and [[centroidClassify]] reads as confusion.
+    *
+    * Exactness: centroids and squared distances are exact
+    * integer-micro longs (the [[embedOutliers]] whole-table fit);
+    * per-point s takes two IEEE sqrts and one division, micro-
+    * rounded pre-average (order-free fold); the per-label mean is
+    * one final division, 6dp. Fewer than 2 labels (no "other"
+    * centroid exists) reports s = 0 for every label; a point
+    * coinciding with both centroids (max = 0) scores 0.
+    *
+    * Scale shape: one k×d centroid fit (map-side combined; only the
+    * model touches the driver), then a PURE MAP — every point
+    * evaluates k literal centroid expressions, no join, no shuffle
+    * beyond the label rollup.
+    *
+    * @return (label, n, silhouette) — silhouette 6dp */
+  def silhouetteByLabel(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val micro = emb.select(col(idCol), col(labelCol).cast(LongType).as("lbl"),
+      microVec(vecCol).as("m"))
+    val cents = fitCentroidsMicro(micro)
+    if (cents.size < 2)
+      return micro.groupBy(col("lbl").as("label"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("label"), col("n"), lit(0.0).as("silhouette"))
+    // a² = own-label distance; b² = nearest rival (own label masked
+    // to Long.MaxValue inside the least() fold)
+    val a2 = cents.map { case (l, cv) =>
+      when(col("lbl") === l, microDist2(cv)) }
+      .reduce((x, y) => coalesce(x, y))
+    val b2 = least(cents.map { case (l, cv) =>
+      when(col("lbl") === l, lit(Long.MaxValue)).otherwise(microDist2(cv))
+    }: _*)
+    def d(c: Column) = c.cast(DoubleType)
+    val aD = sqrt(d(a2)); val bD = sqrt(d(b2))
+    val sMicro = when(greatest(aD, bD) <= 0.0, lit(0L))
+      .otherwise(round((bD - aD) / greatest(aD, bD) * lit(1e6), 0)
+        .cast(LongType))
+    micro.select(col("lbl"), sMicro.as("s_micro"))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n"), sum(col("s_micro")).as("ssum"))
+      .select(col("label"), col("n"),
+        round(d(col("ssum")) / d(col("n")) / lit(1e6), 6).as("silhouette"))
+  }
+
   def centroidClassify(emb: DataFrame, trainMod: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {

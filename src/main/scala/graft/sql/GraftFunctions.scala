@@ -835,6 +835,14 @@ object GraftFunctions {
       tableOf(strArg(args.head, "split_half(table)")))
       .queryExecution.logical
 
+  /** silhouette(tbl) — simplified per-label silhouette over
+    * (vec_id, embedding, label) rows
+    * ([[graft.ext.Similarity.silhouetteByLabel]]). */
+  def silhouetteTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Similarity.silhouetteByLabel(
+      tableOf(strArg(args.head, "silhouette(table)")))
+      .queryExecution.logical
+
   /** msprt(tbl[, tau]) — always-valid mixture-SPRT A/B inference
     * over (group, arm, y) rows ([[graft.ext.Evaluation.msprt]]). */
   def msprtTvf(args: Seq[Expression]): LogicalPlan = {
@@ -1430,6 +1438,7 @@ object GraftFunctions {
     "jonckheere" -> (jonckheereTvf _),
     "split_half" -> (splitHalfTvf _),
     "msprt" -> (msprtTvf _),
+    "silhouette" -> (silhouetteTvf _),
     "kendall_w" -> (kendallWTvf _),
     "friedman_test" -> (friedmanTestTvf _),
     "cronbach_alpha" -> (cronbachAlphaTvf _),

@@ -778,6 +778,37 @@ class ExtSpec extends AnyFunSuite {
     assert(conf.values.sum == 4L, s"4 test rows expected: $conf")
   }
 
+  test("silhouetteByLabel: tight separated labels score 1; single label degenerates to 0") {
+    // two point-mass labels at (0,0,0,0) and (1,1,0,0): every point
+    // sits ON its centroid (a = 0) with the rival at sqrt(2) -> s = 1
+    val emb = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f), 0), (2L, Seq(0f, 0f, 0f, 0f), 0),
+      (3L, Seq(1f, 1f, 0f, 0f), 1), (4L, Seq(1f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.silhouetteByLabel(emb).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n") == 2L)
+      assert(r.getAs[Double]("silhouette") == 1.0, s"$r")
+    }
+    // a label whose points straddle a rival centroid scores below the
+    // tight ones: move one label-0 point onto label 1's centroid
+    val noisy = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f), 0), (2L, Seq(1f, 1f, 0f, 0f), 0),
+      (3L, Seq(1f, 1f, 0f, 0f), 1), (4L, Seq(1f, 1f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val n0 = Similarity.silhouetteByLabel(noisy).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Double]("silhouette"))
+      .toMap
+    assert(n0(0L) < 1.0 && n0(1L) <= 1.0, s"$n0")
+    // with a single label there is no rival centroid: 0 by contract
+    val one = Seq((1L, Seq(0f, 0f, 0f, 0f), 7), (2L, Seq(1f, 0f, 0f, 0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val s1 = Similarity.silhouetteByLabel(one).collect()
+    assert(s1.length == 1 && s1.head.getAs[Double]("silhouette") == 0.0)
+  }
+
   test("IVF-PQ: deterministic rerun; k per query with dense ranks; candidates respect probes") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
     val out = Similarity.ivfPqTopK(emb, k = 10, numQueries = 3,
