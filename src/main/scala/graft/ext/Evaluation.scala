@@ -2905,14 +2905,55 @@ object Evaluation {
     val perItem = ratings.join(ranked.select("grp", "rater", "score", "mr2"),
         Seq("grp", "rater", "score"))
       .groupBy("grp", "item").agg(sum(col("mr2")).as("r2_i"))
+      // item POSITION by name order (items-bounded window) — feeds
+      // [[pageTrend]]'s Σj·R_j moment; W and Friedman ignore it
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy("item")).cast(LongType))
     val tieSum = ranked.groupBy("grp").agg(sum(col("tie")).as("tie_sum"))
     val out = perItem.groupBy("grp").agg(count(lit(1)).as("n_items"),
-      sum(col("r2_i")).as("sr"), sum(col("r2_i") * col("r2_i")).as("srr"))
+      sum(col("r2_i")).as("sr"), sum(col("r2_i") * col("r2_i")).as("srr"),
+      sum(col("rk") * col("r2_i")).as("sjr"))
       .join(broadcast(mTab), Seq("grp"))
       .join(broadcast(tieSum), Seq("grp"))
       .localCheckpoint()
     graft.ext.Checkpoints.release(one, ratings, ranked)
     out
+  }
+
+  /** Page's L trend test per group — the ORDERED-alternative shape on
+    * the [[kendallW]] panel, completing the trio the way
+    * [[jonckheereTerpstra]] completes [[kruskalWallis]]: items carry
+    * a natural order (months, doses, versions — here the item-name
+    * sort), and L = Σ_j j·R_j concentrates power on "the rank sums
+    * RISE along that order" where Friedman only asks "differ at
+    * all?". χ²_L = (12L − 3mn(n+1)²)² / (m n²(n+1)(n²−1)), df = 1;
+    * `trend` reports the direction (+1 rising, −1 falling).
+    *
+    * A THIRD FINISH over [[kendallWState]] (complete-block census,
+    * doubled mid-ranks): L rides the state's Σ position·R2_i moment,
+    * so 12L = 6·Σj·r2 and the χ² numerator is an exact long;
+    * mid-rank ties flow into L exactly while the χ² normalization
+    * keeps the classical tie-free null variance (documented
+    * contract — Page's own tables assume it). Exact while
+    * 3mn(n+1)² < 2⁶³ (~10⁶ items at 100 raters). Degenerate (n < 2
+    * or a zero denominator) reports 0.
+    *
+    * @return (grp, m_raters, n_items, l2, dof, chi2_l, trend) */
+  def pageTrend(df: DataFrame, groupCol: String = "group",
+      raterCol: String = "rater", itemCol: String = "item",
+      scoreCol: String = "score"): DataFrame = {
+    val agg = kendallWState(df, groupCol, raterCol, itemCol, scoreCol)
+    def d(c: Column) = c.cast(DoubleType)
+    val n = col("n_items")
+    val num = lit(6L) * col("sjr") -
+      lit(3L) * col("m") * n * (n + 1L) * (n + 1L)
+    val den = col("m") * n * n * (n + 1L) * (n * n - 1L)
+    agg.select(col("grp"), col("m").as("m_raters"), col("n_items"),
+      col("sjr").as("l2"), lit(1L).as("dof"),
+      round(when(n < 2L || den === 0L, 0.0)
+        .otherwise(d(num) * d(num) / d(den)), 6).as("chi2_l"),
+      when(n < 2L || den === 0L, 0L)
+        .otherwise(signum(d(num)).cast(LongType)).as("trend"))
   }
 
   /** Cronbach's α per group — INTERNAL CONSISTENCY of a k-item scale

@@ -6156,6 +6156,53 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
        |FROM fin""".stripMargin
   }
 
+  /** q_page_trend: the kendallW state replay plus the item-position
+    * moment Σj·R2_j; exact-long χ² numerator 6·L2 − 3mn(n+1)², one
+    * division — mirrored from Evaluation.pageTrend. */
+  private val pageTrendSql: String =
+    s"""WITH one AS (SELECT 'all' AS grp, o_orderpriority AS rater,
+       |    strftime(o_orderdate, '%Y-%m') AS item,
+       |    CAST(count(*) AS BIGINT) AS score
+       |  FROM orders GROUP BY 1, 2, 3),
+       |mt AS (SELECT grp, CAST(count(DISTINCT rater) AS BIGINT) AS m
+       |  FROM one GROUP BY 1),
+       |keep AS (SELECT one.grp, item FROM one
+       |  JOIN mt ON mt.grp = one.grp
+       |  GROUP BY one.grp, item, m HAVING count(DISTINCT rater) = m),
+       |ratings AS (SELECT one.* FROM one
+       |  JOIN keep ON keep.grp = one.grp AND keep.item = one.item),
+       |cells AS (SELECT grp, rater, score, CAST(count(*) AS BIGINT) AS t
+       |  FROM ratings GROUP BY 1, 2, 3),
+       |rk AS (SELECT grp, rater, score,
+       |    2 * COALESCE(CAST(sum(t) OVER (PARTITION BY grp, rater
+       |      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING) AS BIGINT), 0) + t + 1 AS mr2
+       |  FROM cells),
+       |pi AS (SELECT r.grp, item, CAST(sum(mr2) AS BIGINT) AS r2_i
+       |  FROM ratings r JOIN rk ON rk.grp = r.grp
+       |    AND rk.rater = r.rater AND rk.score = r.score
+       |  GROUP BY 1, 2),
+       |pr AS (SELECT grp, r2_i,
+       |    CAST(row_number() OVER (PARTITION BY grp ORDER BY item)
+       |      AS BIGINT) AS rk2
+       |  FROM pi),
+       |ag AS (SELECT pr.grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(rk2 * r2_i) AS BIGINT) AS sjr
+       |  FROM pr GROUP BY 1),
+       |fin AS (SELECT ag.grp, m, n, sjr,
+       |    6 * sjr - 3 * m * n * (n + 1) * (n + 1) AS num,
+       |    m * n * n * (n + 1) * (n * n - 1) AS den
+       |  FROM ag JOIN mt ON mt.grp = ag.grp)
+       |SELECT grp, m AS m_raters, n AS n_items, sjr AS l2,
+       |  CAST(1 AS BIGINT) AS dof,
+       |  round(CASE WHEN n < 2 OR den = 0 THEN 0.0
+       |    ELSE CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+       |      / CAST(den AS DOUBLE) END, 6) AS chi2_l,
+       |  CAST(CASE WHEN n < 2 OR den = 0 THEN 0
+       |    WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT)
+       |    AS trend
+       |FROM fin""".stripMargin
+
   /** q_cronbach_alpha: complete-panel activity scores, micro-rounded
     * per-item sample variances, total-score variance from exact
     * sums, one α expression — mirrored from Evaluation.cronbachAlpha. */
@@ -7324,6 +7371,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_jonckheere" -> jonckheereSql,
     "q_kendall_w" -> kendallWSql,
     "q_friedman" -> friedmanSql,
+    "q_page_trend" -> pageTrendSql,
     "q_split_half" -> splitHalfSql,
     "q_cronbach_alpha" -> cronbachAlphaSql,
     "q_changepoint" -> changepointSql,

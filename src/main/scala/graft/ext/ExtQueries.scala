@@ -2326,6 +2326,19 @@ object ExtQueries {
       col("rater"), col("item"), col("score")))
   }
 
+  /** Page's L on the priority-ranks-months panel — do monthly
+    * volumes RISE chronologically consistently across tiers? The
+    * ordered third finish beside [[qKendallW]] and [[qFriedman]]
+    * (month names sort chronologically, so the item order is time). */
+  def qPageTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir).orders.groupBy(
+        col("o_orderpriority").as("rater"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("item"))
+      .agg(count(lit(1)).as("score"))
+    Evaluation.pageTrend(monthly.select(lit("all").as("group"),
+      col("rater"), col("item"), col("score")))
+  }
+
   /** Cronbach's α over the five event types as scale "items" scored
     * by per-user activity counts — do the event types measure one
     * underlying engagement trait? Users active in all five types form

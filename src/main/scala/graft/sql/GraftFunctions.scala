@@ -868,6 +868,14 @@ object GraftFunctions {
       tableOf(strArg(args.head, "kendall_w(table)")))
       .queryExecution.logical
 
+  /** page_trend(tbl) — Page's ordered L trend over
+    * (group, rater, item, score) rows, items ordered by name
+    * ([[graft.ext.Evaluation.pageTrend]]). */
+  def pageTrendTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Evaluation.pageTrend(
+      tableOf(strArg(args.head, "page_trend(table)")))
+      .queryExecution.logical
+
   /** friedman_test(tbl) — Friedman's χ² over
     * (group, rater, item, score) rows
     * ([[graft.ext.Evaluation.friedmanTest]]). */
@@ -1441,6 +1449,7 @@ object GraftFunctions {
     "silhouette" -> (silhouetteTvf _),
     "kendall_w" -> (kendallWTvf _),
     "friedman_test" -> (friedmanTestTvf _),
+    "page_trend" -> (pageTrendTvf _),
     "cronbach_alpha" -> (cronbachAlphaTvf _),
     "changepoint" -> (changepointTvf _),
     "local_clustering" -> (localClusteringTvf _),

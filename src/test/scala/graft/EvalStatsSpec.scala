@@ -862,6 +862,31 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(t.getAs[Double]("z") == 0.0)
   }
 
+  test("pageTrend: rising panel chi2 = 6 with trend +1; flip reverses; ties flatten to 0") {
+    // 3 raters score items a<b<c rising: L = m·Σj² = 42, l2 = 84,
+    // num = 6·84 − 3·3·3·16 = 72, den = 3·9·4·8 = 864 -> chi2 = 6
+    def panel(scores: Map[String, Long]) =
+      (for (r <- Seq("r1", "r2", "r3"); (i, s) <- scores.toSeq)
+        yield (r, i, s)).toDF("rater", "item", "score")
+        .withColumn("group", lit("g"))
+    val up = Evaluation.pageTrend(
+      panel(Map("a" -> 10L, "b" -> 20L, "c" -> 30L))).collect().head
+    assert(up.getAs[Long]("l2") == 84L)
+    assert(up.getAs[Double]("chi2_l") == 6.0)
+    assert(up.getAs[Long]("trend") == 1L)
+    // scores falling along the item order: same evidence, sign flips
+    val down = Evaluation.pageTrend(
+      panel(Map("a" -> 30L, "b" -> 20L, "c" -> 10L))).collect().head
+    assert(down.getAs[Double]("chi2_l") == 6.0)
+    assert(down.getAs[Long]("trend") == -1L)
+    // every rater ties every item: mid-ranks level, L sits at its
+    // null mean -> chi2 0, no direction
+    val flat = Evaluation.pageTrend(
+      panel(Map("a" -> 5L, "b" -> 5L, "c" -> 5L))).collect().head
+    assert(flat.getAs[Double]("chi2_l") == 0.0)
+    assert(flat.getAs[Long]("trend") == 0L)
+  }
+
   test("cramerVonMises: hand-computed pooled squared gaps; identical -> 0") {
     // A = {0,1}, B = {1,2}: gaps 1/2, 1/2, 0 with pooled weights
     // 1, 2, 1 -> sum w·gap² = 0.75; T = (4/16)·0.75 = 0.1875
