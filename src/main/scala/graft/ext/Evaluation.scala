@@ -756,6 +756,76 @@ object Evaluation {
           d(col("tsum")) / lit(1e9)), 6).as("cvm"))
   }
 
+  /** Two-sample Anderson–Darling statistic per group — the
+    * TAIL-WEIGHTED member completing the drift quartet on the shared
+    * (grp, value) state: KS reads the worst gap, W₁ the area, CvM
+    * the pooled squared gap, and AD re-weights the squared gap by
+    * 1/(F(1−F)) so departures in the DISTRIBUTION TAILS — where
+    * rare-token and outlier drift lives — count hardest. The
+    * Scholz–Stephens (1987) midrank tie version: with B_j the
+    * mid-block pooled count and M_j the mid-block count from sample
+    * A, A² = (N−1)/N² · (1/n_a + 1/n_b) ·
+    * Σ_j t_j·(N·M_j − n_a·B_j)² / (B_j(N−B_j) − N·t_j/4).
+    *
+    * Exactness: carried in DOUBLED block counts (2B and 2M are exact
+    * longs even at half-block midpoints — the [[mannWhitney]] mid-
+    * rank discipline), which cancels the /4 exactly:
+    * (N·M − n_a·B)²/(B(N−B) − Nt/4) = (N·m2 − n_a·b2)²/(b2(2N−b2) −
+    * N·t). Each value's fully-scaled term is nano-rounded pre-sum
+    * (value-cardinality-bounded, order-free); A² is the final /1e9.
+    * Blocks with a zero denominator (a single block spanning the
+    * pool) drop out; a group empty on either side reports 0 with its
+    * count zeroed (the [[wasserstein1]] contract).
+    *
+    * Scale shape: identical to [[ksTest]] — cumulative windows over
+    * the pooled distinct-value table only.
+    *
+    * @param a,b rows with `groupCol` and `valueCol` (long-castable)
+    * @return (grp, n_a, n_b, a2) — a2 6dp */
+  def andersonDarling(a: DataFrame, b: DataFrame,
+      groupCol: String = "group", valueCol: String = "v"): DataFrame = {
+    val tagged = a
+      .select(col(groupCol).as("grp"), col(valueCol).cast(LongType).as("v"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col(groupCol).as("grp"),
+        col(valueCol).cast(LongType).as("v"), lit(1L).as("side")))
+    adFinish(ksState(tagged))
+  }
+
+  /** Finish a KS-state snapshot into (grp, n_a, n_b, a2) — fourth
+    * finish over the one drift accumulator. */
+  def adFinish(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def d(c: Column) = c.cast(DoubleType)
+    val cum = state
+      .withColumn("cumA", sum(col("ca")).over(wCum))
+      .withColumn("cumB", sum(col("cb")).over(wCum))
+      .withColumn("tA", sum(col("ca")).over(wAll))
+      .withColumn("tB", sum(col("cb")).over(wAll))
+    val nTot = col("tA") + col("tB")
+    val t = col("ca") + col("cb")
+    val b2 = lit(2L) * (col("cumA") + col("cumB")) - t // doubled mid-B
+    val m2 = lit(2L) * col("cumA") - col("ca")         // doubled mid-M
+    val num = nTot * m2 - col("tA") * b2               // exact long
+    val den = b2 * (lit(2L) * nTot - b2) - nTot * t    // exact long
+    val cFac = (d(nTot) - 1.0) / (d(nTot) * d(nTot)) *
+      (lit(1.0) / d(col("tA")) + lit(1.0) / d(col("tB")))
+    val terms = cum.select(col("grp"), col("tA"), col("tB"),
+      when(col("tA") === 0L || col("tB") === 0L || den <= 0L, 0L)
+        .otherwise(round(cFac * d(t) * d(num) * d(num) / d(den) * lit(1e9),
+          0).cast(LongType)).as("term_nano"))
+    val agg = terms.groupBy("grp").agg(
+      max(col("tA")).as("n_a"), max(col("tB")).as("n_b"),
+      sum(col("term_nano")).as("tsum"))
+    agg.select(col("grp"), col("n_a"), col("n_b"),
+      round(when(col("n_a") === 0L || col("n_b") === 0L, 0.0)
+        .otherwise(d(col("tsum")) / lit(1e9)), 6).as("a2"))
+  }
+
   /** Weighted Cohen's κ per group over paired ORDINAL ratings — the
     * LLM-judge agreement metric ([[cohenKappa]] is nominal; two
     * judges scoring 1–5 that differ by one point are NOT in full

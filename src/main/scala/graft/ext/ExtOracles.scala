@@ -4339,6 +4339,56 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |      * CAST(tsum AS DOUBLE) / 1e9 END, 6) AS cvm
       |FROM ag""".stripMargin
 
+  /** q_anderson_darling: Scholz–Stephens midrank A² in doubled block
+    * counts (the /4 cancels exactly); per-value fully-scaled terms
+    * nano-rounded pre-sum — mirrored from Evaluation.andersonDarling. */
+  private val andersonDarlingSql: String = {
+    def dd(c: String) = s"CAST($c AS DOUBLE)"
+    val nTot = "(tA + tB)"
+    val t = "(ca + cb)"
+    val b2 = s"(2 * (cumA + cumB) - $t)"
+    val m2 = "(2 * cumA - ca)"
+    val num = s"($nTot * $m2 - tA * $b2)"
+    val den = s"($b2 * (2 * $nTot - $b2) - $nTot * $t)"
+    val cFac = s"((CAST($nTot AS DOUBLE) - 1.0) " +
+      s"/ (CAST($nTot AS DOUBLE) * CAST($nTot AS DOUBLE)) " +
+      s"* (1.0 / ${dd("tA")} + 1.0 / ${dd("tB")}))"
+    s"""WITH t0 AS (SELECT doc_id, lang AS grp,
+       |    least(1000000, CAST(len(list_filter(
+       |      list_filter(regexp_split_to_array(lower(text), '${"\\s"}+'),
+       |        x -> x != ''),
+       |      x -> x IN ('the','a','of','and','is','to','in','it','that')))
+       |      AS BIGINT) * 125000) AS v FROM documents),
+       |cells AS (SELECT grp, v,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cb FROM t0 GROUP BY 1, 2),
+       |cum AS (SELECT grp, ca, cb,
+       |    CAST(sum(ca) OVER (PARTITION BY grp ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cumA,
+       |    CAST(sum(cb) OVER (PARTITION BY grp ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cumB,
+       |    CAST(sum(ca) OVER (PARTITION BY grp) AS BIGINT) AS tA,
+       |    CAST(sum(cb) OVER (PARTITION BY grp) AS BIGINT) AS tB
+       |  FROM cells),
+       |terms AS (SELECT grp, tA, tB,
+       |    CASE WHEN tA = 0 OR tB = 0 OR $den <= 0 THEN 0
+       |      ELSE CAST(round($cFac * CAST($t AS DOUBLE)
+       |        * CAST($num AS DOUBLE) * CAST($num AS DOUBLE)
+       |        / CAST($den AS DOUBLE) * 1e9, 0) AS BIGINT) END AS term_nano
+       |  FROM cum),
+       |ag AS (SELECT grp, max(tA) AS n_a, max(tB) AS n_b,
+       |    CAST(sum(term_nano) AS BIGINT) AS tsum
+       |  FROM terms GROUP BY 1)
+       |SELECT grp, n_a, n_b,
+       |  round(CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+       |    ELSE CAST(tsum AS DOUBLE) / 1e9 END, 6) AS a2
+       |FROM ag""".stripMargin
+  }
+
   /** q_chi_square: χ² over the full marginal grid (zero-observed
     * cells included); per-cell term from the long-exact (o·N − r·c)
     * difference, micro-rounded pre-sum; Cramér's V via IEEE sqrt. */
@@ -7005,6 +7055,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_ks_drift" -> ksDriftSql,
     "q_wasserstein" -> wassersteinSql,
     "q_cvm" -> cvmSql,
+    "q_anderson_darling" -> andersonDarlingSql,
     "q_psi_drift" -> psiDriftSql,
     "q_chi_square" -> chiSquareSql,
     "q_ppr" -> pprSql,

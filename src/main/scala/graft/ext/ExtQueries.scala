@@ -325,6 +325,21 @@ object ExtQueries {
       scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
   }
 
+  /** Anderson–Darling drift per language on the same even/odd
+    * English-ness split — the tail-weighted fourth finish completing
+    * the KS / W₁ / CvM quartet off one state. */
+  def qAndersonDarling(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val hits = size(filter(toks,
+      t => t.isin(TextAnalysis.EnStop.map(x => lit(x)): _*)))
+    val scored = Tables(spark, dir).documents.select(
+      col("doc_id"), col("lang").as("group"),
+      least(lit(1000000L), hits.cast("long") * 125000L).as("v"))
+    Evaluation.andersonDarling(
+      scored.filter(col("doc_id") % 2 === 0).drop("doc_id"),
+      scored.filter(col("doc_id") % 2 === 1).drop("doc_id"))
+  }
+
   /** Hashing-trick featurization of order metadata into 64 sparse
     * signed-count buckets — the metadata→vector bridge (status,
     * priority, and customer-mod-sharded cohort as categoricals). */

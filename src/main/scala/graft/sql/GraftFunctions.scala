@@ -1215,6 +1215,16 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** ad_test(tblA, tblB) — two-sample Anderson–Darling per group
+    * over (group, v) rows ([[graft.ext.Evaluation.andersonDarling]]). */
+  def adTestTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "ad_test(tableA, tableB)")
+    graft.ext.Evaluation.andersonDarling(
+      tableOf(strArg(args.head, "ad_test(tableA)")),
+      tableOf(strArg(args(1), "ad_test(tableB)")))
+      .queryExecution.logical
+  }
+
   /** psi(tblA, tblB[, bins]) — Population Stability Index per group
     * over (group, p_micro) score rows ([[graft.ext.Evaluation.psi]]). */
   def psiTvf(args: Seq[Expression]): LogicalPlan = {
@@ -1487,6 +1497,7 @@ object GraftFunctions {
     "ks_test" -> (ksTestTvf _),
     "wasserstein" -> (wassersteinTvf _),
     "cvm_test" -> (cvmTestTvf _),
+    "ad_test" -> (adTestTvf _),
     "psi" -> (psiTvf _),
     "chi_square" -> (chiSquareTvf _),
     "ppr" -> (pprTvf _),

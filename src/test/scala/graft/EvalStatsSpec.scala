@@ -912,6 +912,29 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(viaState.getAs[Double]("cvm") == r.getAs[Double]("cvm"))
   }
 
+  test("andersonDarling: hand-computed midrank A2; identical -> 0; empty side") {
+    // A = {0,1}, B = {1,2}: terms 0.25 + 0.75 + 0.25 -> A2 = 1.25
+    val a = Seq(("g", 0L), ("g", 1L)).toDF("group", "v")
+    val b = Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
+    val r = Evaluation.andersonDarling(a, b).collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Double]("a2") == 1.25)
+    // identical samples: every numerator N·m2 − n_a·b2 is 0
+    assert(Evaluation.andersonDarling(a, a).collect().head
+      .getAs[Double]("a2") == 0.0)
+    // empty side -> 0 with the count zeroed (the wasserstein contract)
+    val none = Seq.empty[(String, Long)].toDF("group", "v")
+    val e = Evaluation.andersonDarling(a, none).collect().head
+    assert(e.getAs[Long]("n_b") == 0 && e.getAs[Double]("a2") == 0.0)
+    // FOURTH finish over the ksTest state
+    val tagged = a.select(col("group").as("grp"), col("v"),
+        lit(0L).as("side"))
+      .unionAll(b.select(col("group").as("grp"), col("v"),
+        lit(1L).as("side")))
+    assert(Evaluation.adFinish(Evaluation.ksState(tagged)).collect().head
+      .getAs[Double]("a2") == r.getAs[Double]("a2"))
+  }
+
   test("friedmanTest: perfect concordance chi2 = m(n-1); identity with kendallW") {
     // 3 raters rank 4 items identically -> W = 1, chi2 = 3·(4−1)·1 = 9
     val base = for (r <- Seq("r1", "r2", "r3"); i <- 1 to 4)
