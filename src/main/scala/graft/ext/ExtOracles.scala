@@ -3107,6 +3107,28 @@ object ExtOracles {
         |FROM pw3 CROSS JOIN h""".stripMargin
     },
 
+    // Fisher dispersion: per-series (n, Σx, Σx²) longs, VMR and D as
+    // single divisions.
+    "q_dispersion_test" ->
+      """WITH s AS (SELECT event_type AS series, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |ag AS (SELECT series, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS t,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM s GROUP BY 1)
+        |SELECT series, n_days,
+        |  round(CASE WHEN n_days = 0 THEN 0.0
+        |    ELSE CAST(t AS DOUBLE) / CAST(n_days AS DOUBLE) END, 6) AS mean,
+        |  round(CASE WHEN n_days < 2 OR t = 0 THEN 0.0
+        |    ELSE CAST(n_days * sxx - t * t AS DOUBLE)
+        |      / ((CAST(n_days AS DOUBLE) - 1.0) * CAST(t AS DOUBLE))
+        |    END, 6) AS vmr,
+        |  round(CASE WHEN n_days < 2 OR t = 0 THEN 0.0
+        |    ELSE CAST(n_days * sxx - t * t AS DOUBLE) / CAST(t AS DOUBLE)
+        |    END, 6) AS d_stat,
+        |  greatest(n_days - 1, 0) AS dof
+        |FROM ag""".stripMargin,
+
     // EWMA α=1/2 over an 8-day tail: power-of-two weights keep
     // num/den exact longs; edges renormalize over existing lags.
     "q_ewma" ->

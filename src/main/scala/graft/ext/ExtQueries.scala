@@ -551,6 +551,12 @@ object ExtQueries {
   def qHurst(spark: SparkSession, dir: String): DataFrame =
     Timeseries.hurstRS(Tables(spark, dir).events, hurstWindows)
 
+  /** Poisson-or-bursty per event type: VMR and Fisher's index of
+    * dispersion over the daily counts — the distributional check
+    * beside [[qDurbinWatson]]'s serial one. */
+  def qDispersionTest(spark: SparkSession, dir: String): DataFrame =
+    Timeseries.dispersionTest(Tables(spark, dir).events)
+
   /** Theil–Sen robust daily-volume trend per event type (median of
     * pairwise slopes; outage days cannot move it). */
   def qTheilSen(spark: SparkSession, dir: String): DataFrame =

@@ -242,6 +242,44 @@ object Timeseries {
       .orderBy(col("d"))
   }
 
+  /** Fisher's dispersion test per series — IS the daily count
+    * Poisson, or bursty? The variance-to-mean ratio (VMR = 1 under
+    * Poisson; > 1 overdispersed = flash-crowd/bot bursts, < 1
+    * underdispersed = rate-limited/scheduled traffic) plus the index
+    * of dispersion D = Σ(x−x̄)²/x̄ (χ² at df = n−1 under the null) —
+    * the distributional companion to [[durbinWatson]]'s serial
+    * structure and [[theilSen]]'s trend: a series can be flat and
+    * uncorrelated yet still non-Poisson.
+    *
+    * Exactness: per-series (n_days, Σx, Σx²) are exact longs;
+    * D = (n·Σx² − T²)/T and VMR = (n·Σx² − T²)/((n−1)·T) are single
+    * fixed-shape IEEE divisions, 6dp. T = 0 or n < 2 reports 0.
+    *
+    * Scale shape: the raw stream collapses to (series, day) counts
+    * map-side first; everything after is a series-keyed rollup of
+    * three longs.
+    *
+    * @return (series, n_days, mean, vmr, d_stat, dof) — 6dp */
+  def dispersionTest(events: DataFrame, seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val s = events.groupBy(col(seriesCol).cast("string").as("series"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val agg = s.groupBy("series").agg(count(lit(1)).as("n_days"),
+      sum(col("x")).as("t"), sum(col("x") * col("x")).as("sxx"))
+    def d(c: Column) = c.cast(DoubleType)
+    val num = col("n_days") * col("sxx") - col("t") * col("t") // exact
+    agg.select(col("series"), col("n_days"),
+      round(when(col("n_days") === 0L, 0.0)
+        .otherwise(d(col("t")) / d(col("n_days"))), 6).as("mean"),
+      round(when(col("n_days") < 2L || col("t") === 0L, 0.0)
+        .otherwise(d(num) / ((d(col("n_days")) - 1.0) * d(col("t")))), 6)
+        .as("vmr"),
+      round(when(col("n_days") < 2L || col("t") === 0L, 0.0)
+        .otherwise(d(num) / d(col("t"))), 6).as("d_stat"),
+      greatest(col("n_days") - 1L, lit(0L)).as("dof"))
+  }
+
   /** MATCH_RECOGNIZE-lite: regex pattern detection over each user's
     * time-ordered event-type sequence.
     *

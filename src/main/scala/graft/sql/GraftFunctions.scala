@@ -964,6 +964,14 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** dispersion_test(tbl) — Poisson VMR / Fisher dispersion per
+    * series over (event_type, ts) rows
+    * ([[graft.ext.Timeseries.dispersionTest]]). */
+  def dispersionTestTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Timeseries.dispersionTest(
+      tableOf(strArg(args.head, "dispersion_test(table)")))
+      .queryExecution.logical
+
   /** hurst_rs(tbl) — rescaled-range Hurst exponent over an event
     * stream's daily series ([[graft.ext.Timeseries.hurstRS]]). */
   def hurstRsTvf(args: Seq[Expression]): LogicalPlan =
@@ -1479,6 +1487,7 @@ object GraftFunctions {
     "durbin_watson" -> (durbinWatsonTvf _),
     "ljung_box" -> (ljungBoxTvf _),
     "hurst_rs" -> (hurstRsTvf _),
+    "dispersion_test" -> (dispersionTestTvf _),
     "partial_corr" -> (partialCorrTvf _),
     "mann_kendall" -> (mannKendallTvf _),
     "cochran_q" -> (cochranQTvf _),

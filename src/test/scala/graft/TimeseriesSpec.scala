@@ -90,6 +90,25 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(w2.getAs[Double]("avg_rs") == 1.0)
   }
 
+  test("dispersionTest: constant series VMR 0; hand-computed bursty case") {
+    // constant 5,5,5,5: variance 0 -> VMR = D = 0
+    val flat = Timeseries.dispersionTest(series(Seq(5, 5, 5, 5)))
+      .collect().head
+    assert(flat.getAs[Long]("n_days") == 4L)
+    assert(flat.getAs[Double]("mean") == 5.0)
+    assert(flat.getAs[Double]("vmr") == 0.0)
+    // 1,1,1,9: T = 12, Σx² = 84, n = 4 -> num = 4·84 − 144 = 192;
+    // VMR = 192/(3·12) = 16/3; D = 192/12 = 16
+    val burst = Timeseries.dispersionTest(series(Seq(1, 1, 1, 9)))
+      .collect().head
+    assert(burst.getAs[Double]("mean") == 3.0)
+    assert(burst.getAs[Double]("vmr") ==
+      BigDecimal(16.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(burst.getAs[Double]("d_stat") == 16.0)
+    assert(burst.getAs[Long]("dof") == 3L)
+  }
+
   test("ewma: power-of-two weights, edge renormalization") {
     // window=2 -> weights (2,1). day0: 10 (only itself);
     // day1: (2·40 + 1·10)/3 = 30 exactly
