@@ -1026,12 +1026,15 @@ object Graph {
     *              deduplicated, self-loops dropped internally.
     * @return surviving edges (src, dst, support), src < dst; support
     *         = triangles inside the truss */
-  def kTruss(edges: DataFrame, k: Int = 4, maxRounds: Int = 30): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int = 4, maxRounds: Int = 30,
+      broadcastMaxEdges: Long = 20000000L): DataFrame = {
     var e = edges.select(
         least(col("src"), col("dst")).cast(LongType).as("u"),
         greatest(col("src"), col("dst")).cast(LongType).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    val smallGraph = e.count() <= broadcastMaxEdges
+    def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
     // per-round support via the [[triangleCount]] degree-orientation
     // discipline: adjacency lists bounded O(√m), each triangle
     // enumerated ONCE and exploded to its three member-edge credits —
@@ -1043,8 +1046,8 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
       val oriented = ed
-        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .join(gate(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
+        .join(gate(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
         .select(
           when(flip, col("v")).otherwise(col("u")).as("src"),
           when(flip, col("u")).otherwise(col("v")).as("dst"))
@@ -1053,8 +1056,8 @@ object Graph {
         .agg(collect_list(col("dst")).as("nbrs"))
       def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
       val tri = oriented
-        .join(side("a"), col("src") === col("a"))
-        .join(side("b"), col("dst") === col("b"))
+        .join(gate(side("a")), col("src") === col("a"))
+        .join(gate(side("b")), col("dst") === col("b"))
         .select(col("src"), col("dst"),
           explode(array_intersect(col("n_a"), col("n_b"))).as("w"))
       val credits = tri.select(
@@ -1072,21 +1075,27 @@ object Graph {
     var converged = false
     var round = 0
     var prevEdges = -1L
+    var lastSup: DataFrame = null
     while (!converged && round < maxRounds) {
       val cnt = e.count()
       if (cnt == prevEdges) converged = true
       else {
+        if (lastSup != null) graft.ext.Checkpoints.release(lastSup)
         val sup = support(e)
         val keep = sup.filter(col("support") >= (k - 2).toLong)
           .select("u", "v")
         val next = e.join(keep, Seq("u", "v")).localCheckpoint()
-        graft.ext.Checkpoints.release(e, sup)
+        graft.ext.Checkpoints.release(e)
         e = next
+        lastSup = sup
         prevEdges = cnt
       }
       round += 1
     }
-    val supF = support(e)
+    // at convergence the last support pass ran on an edge set EQUAL
+    // to the final one (the filter removed nothing), so its table is
+    // the final supports — one whole triangle pass saved
+    val supF = if (converged && lastSup != null) lastSup else support(e)
     val out = e.join(supF, Seq("u", "v"), "left")
       .select(col("u").as("src"), col("v").as("dst"),
         coalesce(col("support"), lit(0L)).as("support"))
