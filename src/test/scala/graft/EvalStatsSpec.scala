@@ -375,6 +375,39 @@ class EvalStatsSpec extends AnyFunSuite {
       Evaluation.brierDecomposition(perfect).collect().toSeq)
   }
 
+  test("round-15 late operators: empty inputs yield empty reports, not crashes") {
+    val eGv = Seq.empty[(String, Long)].toDF("group", "v")
+    assert(Evaluation.wasserstein1(eGv, eGv).isEmpty)
+    assert(Evaluation.cramerVonMises(eGv, eGv).isEmpty)
+    assert(Evaluation.andersonDarling(eGv, eGv).isEmpty)
+    val eArm = Seq.empty[(String, String, Long)].toDF("group", "arm", "v")
+    assert(Evaluation.bartlett(eArm).isEmpty)
+    assert(Evaluation.jonckheereTerpstra(
+      Seq.empty[(String, Long, Long)].toDF("group", "arm", "v")).isEmpty)
+    assert(Evaluation.msprt(
+      Seq.empty[(String, Long, Long)].toDF("group", "arm", "y")).isEmpty)
+    val ePanel = Seq.empty[(String, String, String, Long)]
+      .toDF("group", "rater", "item", "score")
+    assert(Evaluation.friedmanTest(ePanel).isEmpty)
+    assert(Evaluation.pageTrend(ePanel).isEmpty)
+    assert(Evaluation.splitHalf(
+      ePanel.toDF("group", "subject", "item", "score")).isEmpty)
+    val eEvents = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(graft.ext.Timeseries.dispersionTest(eEvents).isEmpty)
+    assert(graft.ext.Timeseries.hurstRS(eEvents).isEmpty)
+    // ljungBox reports one zero row (its rollup is global by design)
+    val lb = graft.ext.Timeseries.ljungBox(eEvents).collect().head
+    assert(lb.getAs[Long]("m_lags") == 0L && lb.getAs[Double]("q_stat") == 0.0)
+    val eEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.kTruss(eEdges).isEmpty)
+    assert(graft.operators.Graph.richClub(eEdges).isEmpty)
+    val eEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(graft.ext.Similarity.silhouetteByLabel(eEmb).isEmpty)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("round-14 operators: empty inputs yield empty reports, not crashes") {
     val eGl = Seq.empty[(String, Long, Long)].toDF("group", "arm", "v_micro")
     assert(Evaluation.mannWhitney(eGl).isEmpty)

@@ -124,13 +124,28 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q falls back to a nested loop:\n$p")
     }
-    // ljung_box crosses ONE-ROW broadcast totals (the acf discipline)
-    // and bartlett's grp key is the literal 'all' in this wiring, so
-    // Catalyst folds its groups-sized broadcast join to a BNLJ over
-    // one row — fine; a cartesian is not
-    for (q <- Seq("q_ljung_box", "q_bartlett"))
+    // ljung_box/hurst cross ONE-ROW broadcast totals (the acf
+    // discipline) and bartlett's grp key is the literal 'all' in this
+    // wiring, so Catalyst folds its groups-sized broadcast join to a
+    // BNLJ over one row — fine; a cartesian is not
+    for (q <- Seq("q_ljung_box", "q_bartlett", "q_hurst"))
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a cartesian")
+    // the late-session finishes: anderson-darling windows only over
+    // the bounded state; msprt and the dispersion test are pure
+    // aggregation chains (no join, no window at all); silhouette is
+    // a pure map over literal centroids after the driver-side fit
+    val ad = plan("q_anderson_darling")
+    assert(!ad.contains("CartesianProduct") &&
+      !ad.contains("BroadcastNestedLoopJoin"), s"q_anderson_darling:\n$ad")
+    for (q <- Seq("q_msprt", "q_dispersion_test")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q should not plan any join:\n$p")
+      assert(!p.contains("Window"), s"$q should not plan any window:\n$p")
+    }
+    val sil = plan("q_silhouette")
+    assert(!sil.contains("Join"),
+      s"q_silhouette must stay join-free after the centroid fit:\n$sil")
     // extended readability must stay shuffle-free end to end
     val re = plan("q_readability_ext")
     assert(!re.contains("Exchange"),
