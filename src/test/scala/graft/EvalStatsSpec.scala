@@ -781,6 +781,57 @@ class EvalStatsSpec extends AnyFunSuite {
       .as[Long].head() == 1L)
   }
 
+  test("late round-15 TVF surface: every new function answers from SQL") {
+    import spark.implicits._
+    graft.sql.GraftFunctions.register(spark)
+    Seq(("g", 0L), ("g", 1L)).toDF("group", "v")
+      .createOrReplaceTempView("dr_a")
+    Seq(("g", 1L), ("g", 2L)).toDF("group", "v")
+      .createOrReplaceTempView("dr_b")
+    assert(spark.sql("SELECT w1 FROM wasserstein('dr_a', 'dr_b')")
+      .as[Double].head() == 1.0)
+    assert(spark.sql("SELECT a2 FROM ad_test('dr_a', 'dr_b')")
+      .as[Double].head() == 1.25)
+    Seq(("r1", "i1", 1L), ("r1", "i2", 2L), ("r2", "i1", 1L),
+      ("r2", "i2", 2L)).toDF("rater", "item", "score")
+      .withColumn("group", lit("g")).createOrReplaceTempView("pg_in")
+    assert(spark.sql("SELECT trend FROM page_trend('pg_in')")
+      .as[Long].head() == 1L)
+    Seq(("s1", "a", 1L), ("s1", "b", 2L), ("s2", "a", 2L), ("s2", "b", 4L))
+      .toDF("subject", "item", "score").withColumn("group", lit("g"))
+      .createOrReplaceTempView("sh_in")
+    assert(spark.sql("SELECT sb FROM split_half('sh_in')")
+      .as[Double].head() == 1.0)
+    Seq((0, 1L), (0, 2L), (1, 1L), (1, 2L)).toDF("arm", "y")
+      .withColumn("group", lit("g")).createOrReplaceTempView("ms_in")
+    assert(spark.sql("SELECT p_always FROM msprt('ms_in', 1.0)")
+      .as[Double].head() == 1.0)
+    Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+      .createOrReplaceTempView("tr_in")
+    assert(spark.sql("SELECT count(*) FROM k_truss('tr_in', 3)")
+      .as[Long].head() == 3L) // a triangle is its own 3-truss
+    assert(spark.sql("SELECT max(phi) FROM rich_club('tr_in')")
+      .as[Double].head() == 1.0)
+    Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 10L)).toDF("group", "v")
+      .createOrReplaceTempView("gv_in")
+    assert(spark.sql("SELECT gini FROM gini_value('gv_in')")
+      .as[Double].head() == 0.75)
+    Seq((1L, Seq(0f, 0f), 0), (2L, Seq(0f, 0f), 0),
+      (3L, Seq(1f, 1f), 1), (4L, Seq(1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("sil_in")
+    assert(spark.sql("SELECT min(silhouette) FROM silhouette('sil_in')")
+      .as[Double].head() == 1.0)
+    (0 until 16).map(i => (i.toLong, i.toLong,
+        java.sql.Timestamp.valueOf(f"2026-03-${i + 1}%02d 00:00:00"), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .createOrReplaceTempView("hr_in")
+    assert(spark.sql("SELECT count(*) FROM hurst_rs('hr_in')")
+      .as[Long].head() >= 1L)
+    assert(spark.sql("SELECT vmr FROM dispersion_test('hr_in')")
+      .as[Double].head() == 0.0) // one event per day: constant series
+  }
+
   test("wasserstein1: unit mean shift costs exactly 1; identical -> 0; empty side") {
     // A = {0,1}, B = {1,2}: F gaps of 1/2 over two unit intervals
     // -> W1 = 1 (num |cumA·nB − cumB·nA|·Δv = 2 + 2 over nA·nB = 4)
