@@ -5316,6 +5316,40 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       .stripMargin
   }
 
+  /** q_boxplot: doubled median + type-1 quartiles from cumulative
+    * value counts; Tukey fences compared in doubled units — mirrored
+    * from Profiler.boxplotStats. */
+  private val boxplotSql: String =
+    """WITH src AS (SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
+      |cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM src GROUP BY 1, 2),
+      |sc AS (SELECT grp, v, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+      |  FROM cells),
+      |st AS (SELECT grp, max(n) AS n, min(v) AS v_min, max(v) AS v_max,
+      |    min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS m_lo,
+      |    min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS m_hi,
+      |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+      |  FROM sc GROUP BY 1),
+      |fn AS (SELECT grp AS fg, q1, q3,
+      |    2 * q1 - 3 * (q3 - q1) AS lo2, 2 * q3 + 3 * (q3 - q1) AS hi2
+      |  FROM st),
+      |ol AS (SELECT cells.grp,
+      |    CAST(sum(CASE WHEN 2 * v < lo2 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS n_low_outliers,
+      |    CAST(sum(CASE WHEN 2 * v > hi2 THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS n_high_outliers
+      |  FROM cells JOIN fn ON fn.fg = cells.grp GROUP BY 1)
+      |SELECT st.grp, n, v_min, q1,
+      |  round(CAST(m_lo + m_hi AS DOUBLE) / 2.0, 6) AS median,
+      |  q3, v_max, q3 - q1 AS iqr, n_low_outliers, n_high_outliers
+      |FROM st JOIN ol ON ol.grp = st.grp""".stripMargin
+
   /** q_gini: rank-weighted value sum folded per (group, value) cell
     * (exact tie identity), one G division — mirrored from
     * Curation.giniValue. */
@@ -7452,6 +7486,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_rich_club" -> richClubSql,
     "q_ktruss" -> kTrussSql,
     "q_gini" -> giniSql,
+    "q_boxplot" -> boxplotSql,
     "q_lift_gain" -> liftGainSql,
     "q_column_mi" -> columnMiSql,
     "q_dp_dispersion" -> dpDispersionSql,

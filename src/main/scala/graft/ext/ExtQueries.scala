@@ -2438,6 +2438,14 @@ object ExtQueries {
       col("o_orderpriority").as("group"),
       round(col("o_totalprice") * 100, 0).cast("long").as("v")))
 
+  /** Exact boxplot of order revenue per priority tier — the
+    * five-number + Tukey-fence profile beside [[qGini]]'s
+    * concentration number and the approximate [[qQuantileSketch]]. */
+  def qBoxplot(spark: SparkSession, dir: String): DataFrame =
+    Profiler.boxplotStats(Tables(spark, dir).orders.select(
+      col("o_orderpriority").as("group"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("v")))
+
   /** Decile lift/gain table of the quality score as a ranker for
     * English documents — "keep the top 20% by score" quantified; the
     * business-table view of the ranking [[qDelong]] and AUC grade

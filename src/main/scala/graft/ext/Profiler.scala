@@ -126,4 +126,67 @@ object Profiler {
         expr("hot_n * 1000000 div n_rows").as("hot_share_micro"),
         col("entropy_micro"))
   }
+
+  /** EXACT five-number summary with Tukey fences per group — the
+    * boxplot table [[graft.ext.Sketches.quantileSketch]] only
+    * approximates: min/Q1/median/Q3/max plus 1.5·IQR fence outlier
+    * counts, the first profile anyone draws of a metric column.
+    *
+    * Conventions, pinned so both engines agree bit-for-bit: the
+    * median is the DOUBLED lo+hi order-statistic pair (the
+    * [[graft.ext.Evaluation.brownForsythe]] discipline — even n
+    * midpoints stay exact, one /2.0 at publication); Q1/Q3 are
+    * inverse-ECDF (type-1) values at positions ⌈n/4⌉ and ⌈3n/4⌉ —
+    * single data values, exact longs; fences compare in DOUBLED
+    * units (2v vs 2Q1 − 3·IQR) so the half-step of 1.5·IQR never
+    * leaves integer arithmetic. n < 4 still reports (the quartile
+    * positions degenerate onto order statistics that exist).
+    *
+    * Scale shape: one (group, value) count shuffle map-side
+    * combined; cumulative windows over distinct values only; the
+    * fence pass re-reads the same checkpointed cell table against a
+    * broadcast groups-sized fence table.
+    *
+    * @param df rows with `groupCol`, `vCol` (long-castable)
+    * @return (grp, n, v_min, q1, median, q3, v_max, iqr,
+    *         n_low_outliers, n_high_outliers) — median 6dp */
+  def boxplotStats(df: DataFrame, groupCol: String = "group",
+      vCol: String = "v"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("grp"),
+        col(vCol).cast(LongType).as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the order-stat scan AND the fences
+    val wCum = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("grp")
+    val scanned = cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val stats = scanned.groupBy("grp").agg(
+      max(col("n")).as("n"), min(col("v")).as("v_min"),
+      max(col("v")).as("v_max"),
+      min(when(col("cum") >= expr("(n + 3) div 4"), col("v"))).as("q1"),
+      min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("m_lo"),
+      min(when(col("cum") >= expr("n div 2 + 1"), col("v"))).as("m_hi"),
+      min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
+    val fences = stats.select(col("grp").as("fg"), col("q1"), col("q3"),
+      (lit(2L) * col("q1") - lit(3L) * (col("q3") - col("q1"))).as("lo2"),
+      (lit(2L) * col("q3") + lit(3L) * (col("q3") - col("q1"))).as("hi2"))
+    val outliers = cells.join(broadcast(fences), col("grp") === col("fg"))
+      .groupBy(col("grp")).agg(
+        sum(when(lit(2L) * col("v") < col("lo2"), col("cnt"))
+          .otherwise(0L)).as("n_low_outliers"),
+        sum(when(lit(2L) * col("v") > col("hi2"), col("cnt"))
+          .otherwise(0L)).as("n_high_outliers"))
+    val out = stats.join(outliers, Seq("grp"))
+      .select(col("grp"), col("n"), col("v_min"), col("q1"),
+        round((col("m_lo") + col("m_hi")).cast(DoubleType) / 2.0, 6)
+          .as("median"),
+        col("q3"), col("v_max"), (col("q3") - col("q1")).as("iqr"),
+        col("n_low_outliers"), col("n_high_outliers"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(cells)
+    out
+  }
 }

@@ -924,6 +924,13 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** boxplot(tbl) — exact five-number summary + Tukey fences over
+    * (group, v) rows ([[graft.ext.Profiler.boxplotStats]]). */
+  def boxplotTvf(args: Seq[Expression]): LogicalPlan =
+    graft.ext.Profiler.boxplotStats(
+      tableOf(strArg(args.head, "boxplot(table)")))
+      .queryExecution.logical
+
   /** gini_value(tbl) — within-group value inequality over
     * (group, v) rows ([[graft.ext.Curation.giniValue]]). */
   def giniValueTvf(args: Seq[Expression]): LogicalPlan =
@@ -1474,6 +1481,7 @@ object GraftFunctions {
     "rich_club" -> (richClubTvf _),
     "k_truss" -> (kTrussTvf _),
     "gini_value" -> (giniValueTvf _),
+    "boxplot" -> (boxplotTvf _),
     "lift_gain" -> (liftGainTvf _),
     "column_mi" -> (columnMiTvf _),
     "dp_dispersion" -> (dpDispersionTvf _),

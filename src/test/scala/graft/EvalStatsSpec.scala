@@ -375,6 +375,30 @@ class EvalStatsSpec extends AnyFunSuite {
       Evaluation.brierDecomposition(perfect).collect().toSeq)
   }
 
+  test("boxplotStats: hand-computed five numbers; whale crosses the Tukey fence") {
+    val df = ((1L to 8L).map(("even", _)) ++
+      Seq(("odd", 1L), ("odd", 2L), ("odd", 3L), ("odd", 4L), ("odd", 100L)))
+      .toDF("group", "v")
+    val out = graft.ext.Profiler.boxplotStats(df).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val e = out("even") // 1..8: q1=2, med=4.5, q3=6, no outliers
+    assert(e.getAs[Long]("n") == 8 && e.getAs[Long]("v_min") == 1 &&
+      e.getAs[Long]("v_max") == 8)
+    assert(e.getAs[Long]("q1") == 2 && e.getAs[Long]("q3") == 6)
+    assert(e.getAs[Double]("median") == 4.5)
+    assert(e.getAs[Long]("iqr") == 4)
+    assert(e.getAs[Long]("n_low_outliers") == 0 &&
+      e.getAs[Long]("n_high_outliers") == 0)
+    // {1,2,3,4,100}: q1=2, med=3, q3=4, iqr=2 -> high fence 7; the
+    // whale is the one outlier
+    val o = out("odd")
+    assert(o.getAs[Long]("q1") == 2 && o.getAs[Double]("median") == 3.0 &&
+      o.getAs[Long]("q3") == 4)
+    assert(o.getAs[Long]("n_high_outliers") == 1 &&
+      o.getAs[Long]("n_low_outliers") == 0)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("round-15 late operators: empty inputs yield empty reports, not crashes") {
     val eGv = Seq.empty[(String, Long)].toDF("group", "v")
     assert(Evaluation.wasserstein1(eGv, eGv).isEmpty)
