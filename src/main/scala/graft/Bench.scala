@@ -184,5 +184,12 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))
     spark.stop()
+    // Re-print the result JSON AFTER spark.stop(): executor-shutdown
+    // WARN spew otherwise buries the early println outside the
+    // driver's bounded stdout-tail window (r14/r15 artifacts parsed
+    // null). Post-stop, nothing else writes to stdout, so this is
+    // verifiably the last line.
+    println(json)
+    System.out.flush()
   }
 }

@@ -121,13 +121,17 @@ object Timeseries {
     def d(c: Column) = c.cast(DoubleType)
     val rho = d(col("acf_micro")) / lit(1e6)
     val terms = a.crossJoin(broadcast(nd))
-      .select(col("n_days"),
+      .select(
         round(rho * rho / (d(col("n_days")) - d(col("lag"))) * lit(1e9), 0)
           .cast(LongType).as("term_nano"))
+    // n_days rides in from the one-row dailySeries total, NOT via
+    // max() over the per-lag terms — a series with days but zero
+    // usable lags (e.g. a 1-day series) has an EMPTY terms relation,
+    // and max-over-empty would misreport n_days = 0.
     terms.groupBy()
       .agg(count(lit(1)).as("m_lags"),
-        coalesce(max(col("n_days")), lit(0L)).as("n_days"),
         coalesce(sum(col("term_nano")), lit(0L)).as("tsum"))
+      .crossJoin(broadcast(nd))
       .select(col("m_lags"), col("n_days"), col("m_lags").as("dof"),
         round(when(col("m_lags") === 0L, 0.0).otherwise(
           d(col("n_days")) * (d(col("n_days")) + 2.0) *
@@ -251,20 +255,34 @@ object Timeseries {
     * structure and [[theilSen]]'s trend: a series can be flat and
     * uncorrelated yet still non-Poisson.
     *
+    * The daily series is DENSIFIED per series across that series'
+    * observed [min day, max day] span — zero-event days enter as
+    * x = 0 (a Poisson dispersion test on a zero-truncated series
+    * biases VMR and D downward-blind for sparse/gappy series: the
+    * gaps ARE the burstiness evidence). n_days is therefore the span
+    * length, not the observed-day count.
+    *
     * Exactness: per-series (n_days, Σx, Σx²) are exact longs;
     * D = (n·Σx² − T²)/T and VMR = (n·Σx² − T²)/((n−1)·T) are single
     * fixed-shape IEEE divisions, 6dp. T = 0 or n < 2 reports 0.
     *
     * Scale shape: the raw stream collapses to (series, day) counts
-    * map-side first; everything after is a series-keyed rollup of
-    * three longs.
+    * map-side first; densification is one bounded sequence-explode
+    * of the series-level span table (series × span-days rows) plus
+    * one series+day left join; everything after is a series-keyed
+    * rollup of three longs.
     *
     * @return (series, n_days, mean, vmr, d_stat, dof) — 6dp */
   def dispersionTest(events: DataFrame, seriesCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
-    val s = events.groupBy(col(seriesCol).cast("string").as("series"),
+    val s0 = events.groupBy(col(seriesCol).cast("string").as("series"),
         to_date(col(tsCol)).as("d"))
       .agg(count(lit(1)).as("x"))
+    val dense = s0.groupBy("series")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("series"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val s = dense.join(s0, Seq("series", "d"), "left")
+      .select(col("series"), coalesce(col("x"), lit(0L)).as("x"))
     val agg = s.groupBy("series").agg(count(lit(1)).as("n_days"),
       sum(col("x")).as("t"), sum(col("x") * col("x")).as("sxx"))
     def d(c: Column) = c.cast(DoubleType)

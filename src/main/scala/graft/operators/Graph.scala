@@ -1076,7 +1076,13 @@ object Graph {
     var round = 0
     var prevEdges = -1L
     var lastSup: DataFrame = null
-    while (!converged && round < maxRounds) {
+    // k <= 2: every edge satisfies support >= k-2 = 0 by definition
+    // (the 2-truss IS the whole graph), so skip peeling entirely —
+    // the in-loop inner join against the support table would silently
+    // drop triangle-free edges (support rows only exist for edges in
+    // at least one triangle); the tail's left-join + coalesce(0)
+    // handles them correctly.
+    while (!converged && round < maxRounds && k > 2) {
       val cnt = e.count()
       if (cnt == prevEdges) converged = true
       else {

@@ -365,14 +365,24 @@ object DbtProject {
     val itemRe = """^\s*-\s*name:\s*"?([\w.]+)"?\s*$""".r
     val typeRe = """^\s*type:\s*"?(\w+)"?\s*$""".r
     val matRe = """^\s*maturity:\s*"?(\w+)"?\s*$""".r
-    val ownerRe = """^\s*owner:\s*$""".r
+    val ownerRe = """^(\s*)owner:\s*$""".r
     val oNameRe = """^\s*name:\s*"?(.+?)"?\s*$""".r
     val oMailRe = """^\s*email:\s*"?(\S+?)"?\s*$""".r
     val refRe = """^\s*-\s*ref\('([\w.]+)'\)\s*$""".r
     val srcRe = """^\s*-\s*source\('([\w.]+)'\s*,\s*'([\w.]+)'\)\s*$""".r
+    var ownerIndent = -1
     lines.foreach {
       case expRe(ind) => expIndent = ind.length
-      case l if expIndent >= 0 => l match {
+      case l if expIndent >= 0 =>
+        // the owner: block ends as soon as a non-empty line dedents
+        // back to (or above) the owner: key's own indent — without
+        // this, a later `name:`/`email:` anywhere in the same entry
+        // (e.g. inside a meta: sub-block) silently overwrites the
+        // parsed owner
+        if (inOwner && l.trim.nonEmpty &&
+            l.takeWhile(c => c == ' ' || c == '\t').length <= ownerIndent)
+          inOwner = false
+        l match {
         case itemRe(name) =>
           flush(); inOwner = false
           cur = Some((name, None, None, None, Seq.empty))
@@ -380,7 +390,8 @@ object DbtProject {
           cur = cur.map(c => (c._1, Some(t), c._3, c._4, c._5))
         case matRe(m) if cur.isDefined =>
           cur = cur.map(c => (c._1, c._2, Some(m), c._4, c._5))
-        case ownerRe() if cur.isDefined => inOwner = true
+        case ownerRe(ind) if cur.isDefined =>
+          inOwner = true; ownerIndent = ind.length
         case oNameRe(n) if cur.isDefined && inOwner =>
           cur = cur.map(c => (c._1, c._2, c._3, Some(n), c._5))
         case oMailRe(e) if cur.isDefined && inOwner &&

@@ -1488,6 +1488,21 @@ class DbtProjectSpec extends AnyFunSuite {
       ("churn_model", "ml", "", "ml@example.com", "clean"),
       ("weekly_kpis", "dashboard", "high", "Data Team", "clean,txns")),
       s"$ex")
+    // a name:/email: in a LATER sub-block (meta:) of the same entry
+    // must not overwrite the parsed owner — the owner: block ends at
+    // the first dedent back to its own indent
+    val metaParsed = DbtProject.parseExposures(
+      """exposures:
+        |  - name: with_meta
+        |    type: dashboard
+        |    owner:
+        |      name: Real Owner
+        |    meta:
+        |      name: bogus-dashboard-id
+        |      email: noreply@example.com
+        |""".stripMargin)
+    assert(metaParsed.map(e => (e.name, e.owner)) ==
+      Seq(("with_meta", Some("Real Owner"))), s"$metaParsed")
     // an exposure on an undeclared relation fails loudly
     Files.write(dir.resolve("models/exposures.yml"),
       """exposures:

@@ -365,6 +365,22 @@ class GraphSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("kTruss: k=2 is the whole graph — triangle-free edges survive with support 0") {
+    import spark.implicits._
+    // path 1-2-3 (no triangles) + triangle {4,5,6}: the 2-truss is
+    // by definition every edge (support >= 0 always holds), so the
+    // path edges must NOT be dropped by the support table's
+    // triangles-only domain
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("src", "dst")
+    val out = graft.operators.Graph.kTruss(edges, k = 2).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+        r.getAs[Long]("support")).toMap
+    assert(out == Map((1L, 2L) -> 0L, (2L, 3L) -> 0L,
+      (4L, 5L) -> 1L, (5L, 6L) -> 1L, (4L, 6L) -> 1L), s"$out")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("richClub: clique core with pendants, hand-computed phi ladder") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + pendants 5,6 on node 1: deg(1)=5,

@@ -109,6 +109,31 @@ class TimeseriesSpec extends AnyFunSuite {
     assert(burst.getAs[Long]("dof") == 3L)
   }
 
+  test("dispersionTest: zero-event days densify into the series (gap day counts)") {
+    // 1,<gap>,5 over days 0..2: densified x = [1,0,5] -> n=3, T=6,
+    // Σx²=26, num = 3·26−36 = 42; mean = 2; VMR = 42/(2·6) = 3.5;
+    // D = 42/6 = 7. The zero-truncated (observed-days-only) series
+    // would read n=2, VMR = 16/6 — the gap IS burstiness evidence.
+    val gap = Timeseries.dispersionTest(series(Seq(1, 0, 5)))
+      .collect().head
+    assert(gap.getAs[Long]("n_days") == 3L)
+    assert(gap.getAs[Double]("mean") == 2.0)
+    assert(gap.getAs[Double]("vmr") == 3.5)
+    assert(gap.getAs[Double]("d_stat") == 7.0)
+    assert(gap.getAs[Long]("dof") == 2L)
+  }
+
+  test("ljungBox: a 1-day series reports n_days = 1 with zero usable lags") {
+    // no lag has a pair -> terms is EMPTY; n_days must still come
+    // from the daily-series total, not max() over the empty terms
+    val one = Timeseries.ljungBox(series(Seq(4)), maxLag = 7)
+      .collect().head
+    assert(one.getAs[Long]("m_lags") == 0L)
+    assert(one.getAs[Long]("n_days") == 1L)
+    assert(one.getAs[Long]("dof") == 0L)
+    assert(one.getAs[Double]("q_stat") == 0.0)
+  }
+
   test("ewma: power-of-two weights, edge renormalization") {
     // window=2 -> weights (2,1). day0: 10 (only itself);
     // day1: (2·40 + 1·10)/3 = 30 exactly
