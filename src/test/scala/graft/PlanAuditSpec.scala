@@ -132,17 +132,27 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a cartesian")
     // the late-session finishes: anderson-darling windows only over
-    // the bounded state; msprt and the dispersion test are pure
-    // aggregation chains (no join, no window at all); silhouette is
-    // a pure map over literal centroids after the driver-side fit
+    // the bounded state; msprt is a pure aggregation chain (no join,
+    // no window at all); silhouette is a pure map over literal
+    // centroids after the driver-side fit
     val ad = plan("q_anderson_darling")
     assert(!ad.contains("CartesianProduct") &&
       !ad.contains("BroadcastNestedLoopJoin"), s"q_anderson_darling:\n$ad")
-    for (q <- Seq("q_msprt", "q_dispersion_test")) {
+    for (q <- Seq("q_msprt")) {
       val p = plan(q)
       assert(!p.contains("Join"), s"$q should not plan any join:\n$p")
       assert(!p.contains("Window"), s"$q should not plan any window:\n$p")
     }
+    // the dispersion test densifies each series across its day span
+    // (round 16): ONE hash-equi left join of the sequence-exploded
+    // span table onto the observed (series, day) counts — bounded by
+    // series × span-days, never a cartesian or a window
+    val disp = plan("q_dispersion_test")
+    assert(disp.contains("HashJoin") &&
+      !disp.contains("CartesianProduct") &&
+      !disp.contains("BroadcastNestedLoopJoin") &&
+      !disp.contains("Window"),
+      s"q_dispersion_test densify-join shape:\n$disp")
     val sil = plan("q_silhouette")
     assert(!sil.contains("Join"),
       s"q_silhouette must stay join-free after the centroid fit:\n$sil")
@@ -889,6 +899,77 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(snap.exists(_.contains("partial_")),
         "no executed stage shows map-side combine")
     } finally spark.listenerManager.unregister(listener)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
+  test("unpartitioned WindowExec inventory: exactly the known bounded-table windows") {
+    // The bench tail logs `WindowExec: No Partition Defined` per
+    // single-partition window stage. This pins WHICH queries plan
+    // one, so the warnings are attributed instead of re-investigated
+    // each round. Every member is a window over a BOUNDED table or a
+    // pushed top-k — never a corpus-sized global sort:
+    //  - q_cusum: running sum over the daily series (date-domain
+    //    bounded — Timeseries.cusumChangepoint)
+    //  - q_mix_diversity: group-size rank over the sources table
+    //    (groups-bounded — Curation.mixDiversity)
+    //  - q_data_mixture: the explicit Window.partitionBy() over the
+    //    sources table (groups-bounded — Curation mixture weights)
+    //  - q_fdr_bh: p-value rank over the tests table (one row per
+    //    hypothesis, grp folded — hypothesis-count bounded)
+    //  - q_kaplan_meier / q_nelson_aalen / q_logrank: cumulative
+    //    windows over DISTINCT event times (time-domain bounded)
+    //  - q_lift_gain / q_lr_eval: cumulative windows over the
+    //    DISTINCT-score table (micro-rounded score domain, grp='all'
+    //    literal folded out of the partition spec by Catalyst)
+    //  - q_rrf_fusion: rank over two fused top-20 lists (≤40 rows
+    //    by construction — TextAnalysis.rrfFuse; the per-modality
+    //    retrievers did the heavy lifting)
+    //  - q_pmi_collocations / q_textrank: global top-k rank + filter
+    //    over vocab-derived tables — planned with a pushed limit
+    //    (WindowGroupLimit, or LimitPushDownThroughWindow's
+    //    TakeOrderedAndProject beneath the window), so each
+    //    partition pre-prunes to k before the single reduce
+    //    (asserted below)
+    // A NEW query appearing here means a corpus-sized global window
+    // sneaked in — bound it or justify it in this list.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case x => x
+      }
+      expanded +: (expanded.children ++
+        expanded.subqueries).flatMap(walk)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val hasGlobal = try {
+        walk(SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan).exists {
+            case w: WindowExec => w.partitionSpec.isEmpty
+            case _ => false
+          }
+      } catch { case t: Throwable =>
+        fail(s"planning $name errored: ${t.getMessage}")
+      }
+      if (hasGlobal) Some(name) else None
+    }
+    assert(offenders == Seq("q_cusum", "q_data_mixture", "q_fdr_bh",
+      "q_kaplan_meier", "q_lift_gain", "q_logrank", "q_lr_eval",
+      "q_mix_diversity", "q_nelson_aalen", "q_pmi_collocations",
+      "q_rrf_fusion", "q_textrank"),
+      s"unpartitioned-window query set changed: $offenders")
+    // the corpus-derived top-k members must keep a pushed limit — a
+    // bare global row_number would sort the whole candidate table on
+    // one partition (q_rrf_fusion is exempt: its window INPUT is two
+    // top-20 lists, bounded by construction)
+    for (q <- Seq("q_pmi_collocations", "q_textrank")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit") ||
+        p.contains("TakeOrderedAndProject"),
+        s"$q global top-k lost its pushed limit:\n$p")
+    }
     graft.ext.Checkpoints.releaseAll(spark)
   }
 }
