@@ -1008,19 +1008,31 @@ object Graph {
     * the truss demands actual triangle cohesion — the community-core
     * extractor for co-occurrence graphs where stars are noise.
     *
-    * Same peel discipline as [[kCore]]: per round, count each edge's
-    * triangle support via the both-directions wedge join, drop edges
-    * under k−2, re-checkpoint survivors, converge when the edge
-    * count stops shrinking (one driver count per round against the
-    * checkpointed table — fixpoint-idempotent, so bounded-round
-    * replays agree once converged). Support counts are exact longs.
+    * Peel discipline with INCREMENTAL support maintenance: the full
+    * degree-oriented triangle enumeration (the [[triangleCount]]
+    * wedge shape) runs ONCE, materializing each triangle as its
+    * three canonical member edges. Every subsequent round only (a)
+    * anti-joins away triangles that lost a member edge to the
+    * previous removal set and (b) re-aggregates supports from the
+    * surviving triangle table — exact by construction, because the
+    * triangles of the peeled graph are precisely the original
+    * triangles whose three edges all survive (edges are only ever
+    * removed). Converges when a round removes nothing; support
+    * counts are exact longs. Result-identical to recomputing the
+    * wedge pass per round (same surviving edges, same supports).
     *
-    * Scale shape: each round is two co-keyed joins of the survivor
-    * list against its own both-directions view plus one map-side-
-    * combined count — the [[triangleCount]] wedge shape without the
-    * orientation trick (support must credit the EDGE, not the node).
-    * Rounds are data-dependent but small (peeling removes whole
-    * shells); maxRounds bounds the worst case.
+    * Scale shape: one wedge pass total (adjacency lists O(√m)-
+    * bounded by orientation), then per round three hash anti-joins
+    * of the triangle table against the (shrinking, usually
+    * broadcastable under AQE) removed-edge set plus one map-side-
+    * combined count. The materialized triangle table is the SAME
+    * cardinality as the credit stream the per-round wedge pass
+    * would shuffle anyway (3 rows per triangle), so holding it in
+    * the block store (localCheckpoint spills to disk) costs no more
+    * than one round of the old plan — and saves a full wedge pass
+    * every round after the first. Rounds are data-dependent but
+    * small (peeling removes whole shells); maxRounds bounds the
+    * worst case.
     *
     * @param edges (src, dst) rows in either orientation; normalized,
     *              deduplicated, self-loops dropped internally.
@@ -1035,12 +1047,13 @@ object Graph {
       .localCheckpoint()
     val smallGraph = e.count() <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
-    // per-round support via the [[triangleCount]] degree-orientation
-    // discipline: adjacency lists bounded O(√m), each triangle
-    // enumerated ONCE and exploded to its three member-edge credits —
-    // the naive both-directions wedge join is Σdeg² and melts on
-    // heavy-tailed co-occurrence graphs (140 s → ~4 s/round at sf0.1)
-    def support(ed: DataFrame): DataFrame = {
+    // One-shot triangle enumeration via the [[triangleCount]]
+    // degree-orientation discipline: adjacency lists bounded O(√m),
+    // each triangle enumerated ONCE — the naive both-directions
+    // wedge join is Σdeg² and melts on heavy-tailed co-occurrence
+    // graphs (140 s → ~4 s/pass at sf0.1). Emits each triangle as
+    // its three canonical (u < v) member edges.
+    def triangles(ed: DataFrame): DataFrame = {
       val deg = ed.select(col("u").as("node"))
         .unionAll(ed.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1055,26 +1068,32 @@ object Graph {
       val adj = oriented.groupBy(col("src"))
         .agg(collect_list(col("dst")).as("nbrs"))
       def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
-      val tri = oriented
+      val out = oriented
         .join(gate(side("a")), col("src") === col("a"))
         .join(gate(side("b")), col("dst") === col("b"))
         .select(col("src"), col("dst"),
           explode(array_intersect(col("n_a"), col("n_b"))).as("w"))
-      val credits = tri.select(
-          least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .unionAll(tri.select(least(col("src"), col("w")).as("u"),
-          greatest(col("src"), col("w")).as("v")))
-        .unionAll(tri.select(least(col("dst"), col("w")).as("u"),
-          greatest(col("dst"), col("w")).as("v")))
-      val out = credits.groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .select(
+          least(col("src"), col("dst")).as("e1u"),
+          greatest(col("src"), col("dst")).as("e1v"),
+          least(col("src"), col("w")).as("e2u"),
+          greatest(col("src"), col("w")).as("e2v"),
+          least(col("dst"), col("w")).as("e3u"),
+          greatest(col("dst"), col("w")).as("e3v"))
         .localCheckpoint()
       graft.ext.Checkpoints.release(oriented)
       out
     }
+    // per-edge supports = 3 credits per surviving triangle, one
+    // map-side-combined count
+    def supportOf(t: DataFrame): DataFrame =
+      t.select(col("e1u").as("u"), col("e1v").as("v"))
+        .unionAll(t.select(col("e2u").as("u"), col("e2v").as("v")))
+        .unionAll(t.select(col("e3u").as("u"), col("e3v").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    var tri = triangles(e)
     var converged = false
     var round = 0
-    var prevEdges = -1L
     var lastSup: DataFrame = null
     // k <= 2: every edge satisfies support >= k-2 = 0 by definition
     // (the 2-truss IS the whole graph), so skip peeling entirely —
@@ -1083,30 +1102,49 @@ object Graph {
     // at least one triangle); the tail's left-join + coalesce(0)
     // handles them correctly.
     while (!converged && round < maxRounds && k > 2) {
-      val cnt = e.count()
-      if (cnt == prevEdges) converged = true
+      if (lastSup != null) graft.ext.Checkpoints.release(lastSup)
+      val sup = supportOf(tri).localCheckpoint()
+      val keep = sup.filter(col("support") >= (k - 2).toLong)
+        .select("u", "v")
+      val next = e.join(keep, Seq("u", "v")).localCheckpoint()
+      val removed = e.join(keep, Seq("u", "v"), "left_anti")
+        .localCheckpoint()
+      lastSup = sup
+      graft.ext.Checkpoints.release(e)
+      e = next
+      if (removed.isEmpty) converged = true
       else {
-        if (lastSup != null) graft.ext.Checkpoints.release(lastSup)
-        val sup = support(e)
-        val keep = sup.filter(col("support") >= (k - 2).toLong)
-          .select("u", "v")
-        val next = e.join(keep, Seq("u", "v")).localCheckpoint()
-        graft.ext.Checkpoints.release(e)
-        e = next
-        lastSup = sup
-        prevEdges = cnt
+        // drop every triangle that lost a member edge — the
+        // surviving table is EXACTLY the peeled graph's triangles.
+        // The removed set shrinks fast (whole shells peel at once),
+        // so AQE turns these anti-joins into broadcast probes.
+        val nextTri = Seq(("e1u", "e1v"), ("e2u", "e2v"), ("e3u", "e3v"))
+          .foldLeft(tri) { case (t, (cu, cv)) =>
+            t.join(removed.select(col("u").as(cu), col("v").as(cv)),
+              Seq(cu, cv), "left_anti")
+          }.localCheckpoint()
+        graft.ext.Checkpoints.release(tri)
+        tri = nextTri
       }
+      graft.ext.Checkpoints.release(removed)
       round += 1
     }
-    // at convergence the last support pass ran on an edge set EQUAL
-    // to the final one (the filter removed nothing), so its table is
-    // the final supports — one whole triangle pass saved
-    val supF = if (converged && lastSup != null) lastSup else support(e)
+    // converged: the round's support table was computed on a
+    // triangle set identical to the final one (nothing was removed),
+    // so it IS the final supports; maxRounds bail-out or k <= 2
+    // recomputes from the current triangle table
+    val supF = if (converged && lastSup != null) lastSup
+      else {
+        // maxRounds bail-out: the last round's table is stale (its
+        // triangle set shrank after it was computed) — recompute
+        if (lastSup != null) graft.ext.Checkpoints.release(lastSup)
+        supportOf(tri).localCheckpoint()
+      }
     val out = e.join(supF, Seq("u", "v"), "left")
       .select(col("u").as("src"), col("v").as("dst"),
         coalesce(col("support"), lit(0L)).as("support"))
       .localCheckpoint()
-    graft.ext.Checkpoints.release(e, supF)
+    graft.ext.Checkpoints.release(e, supF, tri)
     out
   }
 
