@@ -117,6 +117,54 @@ object ModelGraph {
   def select(models: Seq[Model], expr: String,
       exclude: String = "",
       modified: Set[String] = Set.empty): Seq[Model] = {
+    val ev = tokenEvaluator(models, modified)
+    val selected = ev(expr) --
+      (if (exclude.trim.nonEmpty) ev(exclude) else Set.empty)
+    models.filter(m => selected.contains(m.name))
+  }
+
+  /** A named selector definition from `selectors.yml` — the same
+    * token grammar as [[select]] at the leaves (`Cli`), composed by
+    * set algebra: `Compose(union = true)` unions its includes,
+    * `union = false` intersects them, and `exclude` members subtract
+    * LAST (dbt's precedence rule, same as `--exclude`). */
+  sealed trait SelectorDef
+  object SelectorDef {
+    final case class Cli(expr: String) extends SelectorDef
+    final case class Compose(union: Boolean, include: Seq[SelectorDef],
+        exclude: Seq[SelectorDef] = Seq.empty) extends SelectorDef
+  }
+
+  /** Evaluate a [[SelectorDef]] to the selected model-name set. */
+  def evalSelector(models: Seq[Model], sd: SelectorDef,
+      modified: Set[String] = Set.empty): Set[String] = {
+    val ev = tokenEvaluator(models, modified)
+    def go(s: SelectorDef): Set[String] = s match {
+      case SelectorDef.Cli(e) => ev(e)
+      case SelectorDef.Compose(union, inc, exc) =>
+        val incSets = inc.map(go)
+        val base =
+          if (incSets.isEmpty) Set.empty[String]
+          else if (union) incSets.reduce(_ union _)
+          else incSets.reduce(_ intersect _)
+        base -- exc.map(go).foldLeft(Set.empty[String])(_ union _)
+    }
+    go(sd)
+  }
+
+  /** Does any leaf expression reference `state:modified`? (Callers
+    * only pay the manifest read when one does.) */
+  def selectorNeedsState(sd: SelectorDef): Boolean = sd match {
+    case SelectorDef.Cli(e) => e.contains("state:modified")
+    case SelectorDef.Compose(_, inc, exc) =>
+      (inc ++ exc).exists(selectorNeedsState)
+  }
+
+  /** The token-expression evaluator [[select]] and [[evalSelector]]
+    * share: one call evaluates one space/comma-separated union of
+    * selector tokens against the model graph. */
+  private def tokenEvaluator(models: Seq[Model],
+      modified: Set[String]): String => Set[String] = {
     val byName = models.map(m => m.name -> m).toMap
     val children = models.flatMap(m =>
       m.deps.filter(byName.contains).map(_ -> m.name))
@@ -155,9 +203,7 @@ object ModelGraph {
           (if (plusBefore) ancestors(base) else Set.empty) ++
           (if (plusAfter) descendants(base) else Set.empty)
       }.toSet
-    val selected = evalTokens(expr) --
-      (if (exclude.trim.nonEmpty) evalTokens(exclude) else Set.empty)
-    models.filter(m => selected.contains(m.name))
+    evalTokens
   }
 }
 

@@ -72,7 +72,20 @@ object DbtProject {
       singularTests: Map[String, String] = Map.empty,
       hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
       runHooks: (Seq[String], Seq[String]) = (Seq.empty, Seq.empty),
-      exposures: Seq[Exposure] = Seq.empty)
+      exposures: Seq[Exposure] = Seq.empty,
+      docsBlocks: Map[String, String] = Map.empty,
+      descriptions: Map[String, ResourceDocs] = Map.empty,
+      selectors: Map[String, graft.model.ModelGraph.SelectorDef] = Map.empty,
+      defaultSelector: Option[String] = None)
+
+  /** One resource's documentation from schema ymls: the resource-
+    * level `description:` plus per-column descriptions, with any
+    * `{{ doc('name') }}` references already resolved against the
+    * project's `{% docs %}` blocks (unknown names fail loudly at
+    * load — a dangling doc ref is a docs bug worth catching before
+    * `docs generate`). */
+  final case class ResourceDocs(description: Option[String],
+      columns: Map[String, String])
 
   /** A declared `exposures:` entry — the downstream consumer
     * (dashboard, notebook, ML job) a dbt project documents so
@@ -337,6 +350,189 @@ object DbtProject {
       case _ => ()
     }
     out.toSeq
+  }
+
+  /** `selectors.yml` named selectors: each entry's `definition` is
+    * either a CLI-style scalar (the [[graft.model.ModelGraph.select]]
+    * token grammar) or a structured composition —
+    * `union:`/`intersection:` lists whose items are scalars,
+    * `method:`/`value:` leaves (methods fqn/tag/state, with the
+    * `children`/`parents`/`childrens_parents` graph flags), nested
+    * compositions, or an `exclude:` list subtracted last. Unknown
+    * methods/keys fail loudly. Returns (name → definition, the
+    * `default: true` selector if one is declared — dbt applies it
+    * when a run names no other selection). */
+  private[graft] def parseSelectors(yml: String)
+      : (Map[String, graft.model.ModelGraph.SelectorDef], Option[String]) = {
+    import MiniYaml._
+    import graft.model.ModelGraph.SelectorDef
+    def leafToken(m: YMap): String = {
+      def flag(k: String) = m.get(k) match {
+        case Some(YScalar(s)) => s.trim.equalsIgnoreCase("true")
+        case _ => false
+      }
+      val method = m.get("method") match {
+        case Some(YScalar(s)) => s.trim
+        case _ => throw new IllegalArgumentException(
+          s"selector leaf without a method: $m")
+      }
+      val value = m.get("value") match {
+        case Some(YScalar(s)) => s.trim
+        case _ => throw new IllegalArgumentException(
+          s"selector leaf without a value: $m")
+      }
+      val core = method match {
+        // fqn paths address by trailing name segment in this engine
+        case "fqn" => value.split("\\.").last
+        case "tag" => s"tag:$value"
+        case "state" => s"state:$value"
+        case other => throw new IllegalArgumentException(
+          s"unsupported selector method '$other' (supported: fqn, tag, state)")
+      }
+      if (flag("childrens_parents")) s"@$core"
+      else (if (flag("parents")) "+" else "") + core +
+        (if (flag("children")) "+" else "")
+    }
+    def parseDef(n: Node): SelectorDef = n match {
+      case YScalar(s) => SelectorDef.Cli(s)
+      case m: YMap if m.get("method").isDefined => SelectorDef.Cli(leafToken(m))
+      case m: YMap =>
+        val (union, itemsNode) =
+          (m.get("union"), m.get("intersection")) match {
+            case (Some(u), None) => (true, u)
+            case (None, Some(i)) => (false, i)
+            case _ => throw new IllegalArgumentException(
+              s"selector composition needs exactly one of union:/intersection:: $m")
+          }
+        val items = itemsNode match {
+          case YList(is) => is
+          case other => throw new IllegalArgumentException(
+            s"union:/intersection: must hold a list, got $other")
+        }
+        val (excludes, includes) = items.partition {
+          case im: YMap => im.get("exclude").isDefined &&
+            im.entries.size == 1
+          case _ => false
+        }
+        val excludeDefs = excludes.flatMap {
+          case im: YMap => im.get("exclude") match {
+            case Some(YList(es)) => es.map(parseDef)
+            case Some(other) => Seq(parseDef(other))
+            case None => Seq.empty
+          }
+          case _ => Seq.empty
+        }
+        SelectorDef.Compose(union, includes.map(parseDef), excludeDefs)
+      case other => throw new IllegalArgumentException(
+        s"unsupported selector definition node: $other")
+    }
+    MiniYaml.parse(yml) match {
+      case m: YMap => m.get("selectors") match {
+        case Some(YList(items)) =>
+          val parsed = items.map {
+            case im: YMap =>
+              val name = im.get("name") match {
+                case Some(YScalar(s)) => s.trim
+                case _ => throw new IllegalArgumentException(
+                  "selectors.yml entry without a name")
+              }
+              val isDefault = im.get("default") match {
+                case Some(YScalar(s)) => s.trim.equalsIgnoreCase("true")
+                case _ => false
+              }
+              val defn = im.get("definition").getOrElse(
+                throw new IllegalArgumentException(
+                  s"selector '$name' declares no definition"))
+              (name, isDefault, parseDef(defn))
+            case other => throw new IllegalArgumentException(
+              s"unsupported selectors.yml entry: $other")
+          }
+          val dup = parsed.groupBy(_._1)
+            .collect { case (n, vs) if vs.size > 1 => n }
+          require(dup.isEmpty,
+            s"duplicate selector name(s): ${dup.toSeq.sorted.mkString(", ")}")
+          val defaults = parsed.filter(_._2).map(_._1)
+          require(defaults.size <= 1,
+            s"multiple default selectors: ${defaults.mkString(", ")}")
+          (parsed.map(p => p._1 -> p._3).toMap, defaults.headOption)
+        case _ => (Map.empty, None)
+      }
+      case _ => (Map.empty, None)
+    }
+  }
+
+  /** `{% docs name %} … {% enddocs %}` blocks from a markdown file
+    * (dbt scans .md files under the model/docs paths). Whitespace-
+    * control variants (`{%-`/`-%}`) accepted; body trimmed. A name
+    * declared twice in one file fails loudly (dbt rejects duplicate
+    * doc blocks). */
+  private[graft] def parseDocsBlocks(md: String): Map[String, String] = {
+    val blockRe = ("""(?s)\{%-?\s*docs\s+([\w.]+)\s*-?%\}(.*?)""" +
+      """\{%-?\s*enddocs\s*-?%\}""").r
+    val found = blockRe.findAllMatchIn(md)
+      .map(m => m.group(1) -> m.group(2).trim).toSeq
+    val dup = found.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate {% docs %} block name(s): ${dup.toSeq.sorted.mkString(", ")}")
+    found.toMap
+  }
+
+  /** Replace every `{{ doc('name') }}` reference in a description
+    * with its `{% docs %}` block body; an unknown name fails loudly
+    * (dbt's own `docs generate` behavior — a silently-empty
+    * description hides the bug). */
+  private[graft] def resolveDocRefs(text: String,
+      docs: Map[String, String]): String = {
+    val refRe = """\{\{\s*doc\(\s*['"]([\w.]+)['"]\s*\)\s*\}\}""".r
+    refRe.replaceAllIn(text, m => {
+      val name = m.group(1)
+      val body = docs.getOrElse(name, throw new IllegalArgumentException(
+        s"doc('$name') references no {% docs %} block (project declares: " +
+          s"${docs.keys.toSeq.sorted.mkString(", ")})"))
+      scala.util.matching.Regex.quoteReplacement(body)
+    })
+  }
+
+  /** `description:` strings from one schema yml's `models:`/`seeds:`/
+    * `snapshots:` lists — resource-level plus per-column, raw (doc()
+    * refs resolved later against the whole project's docs blocks).
+    * Resources without any description are omitted. */
+  private[graft] def parseDescriptions(yml: String): Map[String, ResourceDocs] = {
+    import MiniYaml._
+    def scalar(n: Option[Node]): Option[String] = n match {
+      case Some(YScalar(s)) if s.trim.nonEmpty => Some(s.trim)
+      case _ => None
+    }
+    MiniYaml.parse(yml) match {
+      case m: YMap =>
+        Seq("models", "seeds", "snapshots").flatMap { section =>
+          m.get(section) match {
+            case Some(YList(items)) => items.flatMap {
+              case im: YMap =>
+                val name = scalar(im.get("name")).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"$section entry without a name"))
+                val desc = scalar(im.get("description"))
+                val cols = im.get("columns") match {
+                  case Some(YList(cs)) => cs.flatMap {
+                    case cm: YMap =>
+                      for {
+                        cn <- scalar(cm.get("name"))
+                        cd <- scalar(cm.get("description"))
+                      } yield cn -> cd
+                    case _ => None
+                  }.toMap
+                  case _ => Map.empty[String, String]
+                }
+                if (desc.isEmpty && cols.isEmpty) None
+                else Some(name -> ResourceDocs(desc, cols))
+              case _ => None
+            }
+            case _ => Seq.empty
+          }
+        }.toMap
+      case _ => Map.empty
+    }
   }
 
   /** `exposures:` entries from a schema yml — name, type (dbt's
@@ -672,9 +868,39 @@ object DbtProject {
     val exposures = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => parseExposures(read(p)))
+    // {% docs %} blocks from every .md under model-paths (+ declared
+    // docs-paths); descriptions from every schema yml, doc() refs
+    // resolved HERE so a dangling reference fails at load, not at
+    // docs generate
+    val docsSeq = (modelDirs ++ parseStringList(projText, "docs-paths")
+        .getOrElse(Seq.empty).map(root.resolve))
+      .filter(Files.isDirectory(_)).distinct
+      .flatMap(d => Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".md")))
+      .flatMap(p => parseDocsBlocks(read(p)).toSeq)
+    val docsDup = docsSeq.groupBy(_._1)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(docsDup.isEmpty, "duplicate {% docs %} block name(s) across " +
+      s"files: ${docsDup.toSeq.sorted.mkString(", ")}")
+    val docsBlocks = docsSeq.toMap
+    val descriptions = files
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => parseDescriptions(read(p)))
+      .toMap.map { case (name, rd) => name -> ResourceDocs(
+        rd.description.map(resolveDocRefs(_, docsBlocks)),
+        rd.columns.map { case (c, d) => c -> resolveDocRefs(d, docsBlocks) })
+      }
+    // selectors.yml sits next to dbt_project.yml (dbt's location)
+    val (selectors, defaultSel) = {
+      val sy = root.resolve("selectors.yml")
+      if (Files.exists(sy)) parseSelectors(read(sy))
+      else (Map.empty[String, graft.model.ModelGraph.SelectorDef],
+        Option.empty[String])
+    }
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
       modelTags, targetProps, seeds, snapshots, freshness, singularTests,
-      modelHooks, runHooks, exposures)
+      modelHooks, runHooks, exposures, docsBlocks, descriptions,
+      selectors, defaultSel)
   }
 
   /** `on-run-start:`/`on-run-end:` hook SQL from dbt_project.yml —
@@ -757,11 +983,13 @@ object DbtProject {
       currentDateOverride: Option[String] = None,
       vars: Map[String, String] = Map.empty,
       select: Option[String] = None,
-      exclude: Option[String] = None): DataFrame = {
+      exclude: Option[String] = None,
+      selector: Option[String] = None): DataFrame = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, 0, vars)
     val compiled = engine.compile(p.modelSql, allFrames,
-      p.materializations, p.tags, select, exclude)
+      p.materializations, p.tags, select, exclude,
+      resolveSelector(p, selector, select, exclude))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
@@ -777,11 +1005,15 @@ object DbtProject {
   /** `dbt docs generate` (the catalog slice): one row per COLUMN of
     * every relation the warehouse actually holds for this project's
     * models, seeds, and snapshots — (resource, kind, column, dtype,
-    * ordinal, n_rows). Views never persist in this engine, so (like
-    * dbt's own catalog.json, which reads the live warehouse) they
-    * appear only after a run materialized a table for them. The loop
-    * is project-sized (schema reads + one count per relation), never
-    * data-proportional beyond the counts. */
+    * ordinal, n_rows, description, resource_description). The two
+    * description columns carry the schema-yml text (doc() refs
+    * already resolved at load), empty when undocumented — dbt's
+    * catalog.json merges the live warehouse schema with the manifest
+    * descriptions the same way. Views never persist in this engine,
+    * so (like dbt's own catalog.json, which reads the live
+    * warehouse) they appear only after a run materialized a table
+    * for them. The loop is project-sized (schema reads + one count
+    * per relation), never data-proportional beyond the counts. */
   def catalog(spark: SparkSession, projectDir: String,
       warehouseDir: String): DataFrame = {
     val p = load(projectDir)
@@ -798,11 +1030,16 @@ object DbtProject {
       else {
         val df = spark.read.parquet(path.toString)
         val n = df.count()
+        val rd = p.descriptions.get(name)
+        val resourceDesc = rd.flatMap(_.description).getOrElse("")
         df.schema.fields.zipWithIndex.map { case (f, i) =>
-          (name, kind, f.name, f.dataType.simpleString, i, n)
+          (name, kind, f.name, f.dataType.simpleString, i, n,
+            rd.flatMap(_.columns.get(f.name)).getOrElse(""),
+            resourceDesc)
         }.toSeq
       }
-    }.toDF("resource", "kind", "column", "dtype", "ordinal", "n_rows")
+    }.toDF("resource", "kind", "column", "dtype", "ordinal", "n_rows",
+      "description", "resource_description")
   }
 
   /** `dbt ls --resource-type exposure` / the docs lineage tail: one
@@ -897,14 +1134,35 @@ object DbtProject {
       vars: Map[String, String] = Map.empty,
       select: Option[String] = None,
       fullRefresh: Boolean = false,
-      exclude: Option[String] = None): Map[String, DataFrame] = {
+      exclude: Option[String] = None,
+      selector: Option[String] = None): Map[String, DataFrame] = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
+    val sd = resolveSelector(p, selector, select, exclude)
     runLevelHooks(spark, p.runHooks._1, currentDateOverride)
     val out = engine.run(p.modelSql, allFrames, p.materializations, p.tags,
-      select, fullRefresh, exclude, p.hooks)
+      select, fullRefresh, exclude, p.hooks, sd)
     runLevelHooks(spark, p.runHooks._2, currentDateOverride)
     out
+  }
+
+  /** `--selector name` resolution against selectors.yml: mutually
+    * exclusive with `--select`/`--exclude` (dbt's CLI rule), unknown
+    * names loud. With NO selection of any kind, the `default: true`
+    * selector applies when one is declared (dbt's default-selector
+    * contract). */
+  private def resolveSelector(p: Loaded, selector: Option[String],
+      select: Option[String], exclude: Option[String])
+      : Option[graft.model.ModelGraph.SelectorDef] = selector match {
+    case Some(name) =>
+      require(select.isEmpty && exclude.isEmpty,
+        "--selector cannot combine with --select/--exclude (dbt CLI rule)")
+      Some(p.selectors.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown selector '$name' (selectors.yml declares: " +
+          s"${p.selectors.keys.toSeq.sorted.mkString(", ")})")))
+    case None if select.isEmpty && exclude.isEmpty =>
+      p.defaultSelector.map(p.selectors)
+    case None => None
   }
 
   /** Execute on-run-start/on-run-end hook SQL (dialect-translated,
@@ -965,7 +1223,8 @@ object DbtProject {
       vars: Map[String, String] = Map.empty,
       select: Option[String] = None,
       fullRefresh: Boolean = false,
-      exclude: Option[String] = None)
+      exclude: Option[String] = None,
+      selector: Option[String] = None)
       : (Map[String, DataFrame], DataFrame) = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
@@ -981,7 +1240,7 @@ object DbtProject {
     }
     val (frames, status, testRows) = engine.build(p.modelSql, allFrames,
       p.materializations, p.tags, select, fullRefresh, modelTests, exclude,
-      p.hooks)
+      p.hooks, resolveSelector(p, selector, select, exclude))
     val modelRows = status.toSeq.sortBy(_._1).map { case (name, st) =>
       val (s, detail) = st.indexOf(':') match {
         case -1 => (st, "")

@@ -40,10 +40,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       select: Option[String] = None,
       fullRefresh: Boolean = false,
       exclude: Option[String] = None,
-      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
+      selectorDef: Option[ModelGraph.SelectorDef] = None)
       : Map[String, DataFrame] = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh, exclude, hooks)
+      select, fullRefresh, exclude, hooks, selectorDef)
     val out = new Runner(spark, sources, warehouseDir, threads)
       .run(prep.chosen)
     // only the models actually built this run advance in the manifest:
@@ -74,11 +75,12 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       fullRefresh: Boolean = false,
       tests: Seq[DbtTests.DataTest] = Seq.empty,
       exclude: Option[String] = None,
-      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
+      selectorDef: Option[ModelGraph.SelectorDef] = None)
       : (Map[String, DataFrame], Map[String, String],
          Seq[(String, String, Long, String)]) = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh, exclude, hooks)
+      select, fullRefresh, exclude, hooks, selectorDef)
     // dbt compiles tests on ephemeral models against the inlined CTE;
     // this engine does not — fail loudly instead of silently skipping
     val ephTested = tests.filter(t => prep.ephemerals.contains(t.model))
@@ -194,7 +196,8 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       select: Option[String],
       fullRefresh: Boolean,
       exclude: Option[String] = None,
-      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty)
+      hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
+      selectorDef: Option[ModelGraph.SelectorDef] = None)
       : Prepared = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -353,17 +356,28 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     val compiled = models.map { case (m, sql) => m.name -> sql }.toMap
     val modelSeq = models.map(_._1)
     ModelGraph.topoSort(modelSeq) // fail fast on cycles before any work
-    val chosen = (select, exclude) match {
-      case (None, None) => modelSeq
-      case (sel, ex) =>
-        // compute the changed-set lazily: only a state:modified token
-        // pays the manifest read
-        val needState = (sel.toSeq ++ ex.toSeq)
-          .exists(_.contains("state:modified"))
-        ModelGraph.select(modelSeq,
-          sel.getOrElse(modelSeq.map(_.name).mkString(" ")),
-          ex.getOrElse(""),
-          if (needState) modifiedSince(effectiveSql) else Set.empty)
+    val chosen = selectorDef match {
+      // a named selectors.yml selector: evaluated by the shared
+      // token grammar, composed by its own union/intersection/
+      // exclude algebra (callers enforce it never combines with
+      // --select/--exclude, dbt's CLI rule)
+      case Some(sd) =>
+        val names = ModelGraph.evalSelector(modelSeq, sd,
+          if (ModelGraph.selectorNeedsState(sd)) modifiedSince(effectiveSql)
+          else Set.empty)
+        modelSeq.filter(m => names.contains(m.name))
+      case None => (select, exclude) match {
+        case (None, None) => modelSeq
+        case (sel, ex) =>
+          // compute the changed-set lazily: only a state:modified token
+          // pays the manifest read
+          val needState = (sel.toSeq ++ ex.toSeq)
+            .exists(_.contains("state:modified"))
+          ModelGraph.select(modelSeq,
+            sel.getOrElse(modelSeq.map(_.name).mkString(" ")),
+            ex.getOrElse(""),
+            if (needState) modifiedSince(effectiveSql) else Set.empty)
+      }
     }
     // dbt --select semantics: unselected upstreams are read from the
     // warehouse (they persist there from earlier runs). In this
@@ -399,9 +413,10 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       materializations: Map[String, Materialization] = Map.empty,
       tags: Map[String, Set[String]] = Map.empty,
       select: Option[String] = None,
-      exclude: Option[String] = None): Map[String, String] = {
+      exclude: Option[String] = None,
+      selectorDef: Option[ModelGraph.SelectorDef] = None): Map[String, String] = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh = false, exclude, Map.empty)
+      select, fullRefresh = false, exclude, Map.empty, selectorDef)
     val keep = prep.chosen.map(_.name).toSet
     prep.compiled.filter { case (n, _) => keep.contains(n) }
   }

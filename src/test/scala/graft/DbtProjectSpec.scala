@@ -1589,6 +1589,154 @@ class DbtProjectSpec extends AnyFunSuite {
       .toSeq == spark.read.parquet(s"$wh/user_base").columns.toSeq)
   }
 
+  test("docs blocks + descriptions: doc() resolves into the catalog; dangling/duplicate loud (round 16)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-docsproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "docsy"
+        |models:
+        |  docsy:
+        |    +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/accounts.sql"),
+      "select 1 as id, 'acme' as org\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/overview.md"),
+      """{% docs accounts_overview %}
+        |One row per **billing account**.
+        |{% enddocs %}
+        |
+        |{%- docs org_col -%}The owning organization slug.{%- enddocs -%}
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: accounts
+        |    description: "{{ doc('accounts_overview') }}"
+        |    columns:
+        |      - name: id
+        |        description: "surrogate key"
+        |      - name: org
+        |        description: "{{ doc('org_col') }}"
+        |""".stripMargin.getBytes("UTF-8"))
+    // load resolves doc() refs eagerly
+    val loaded = DbtProject.load(dir.toString)
+    assert(loaded.docsBlocks.keySet == Set("accounts_overview", "org_col"))
+    assert(loaded.descriptions("accounts").description ==
+      Some("One row per **billing account**."))
+    assert(loaded.descriptions("accounts").columns("org") ==
+      "The owning organization slug.")
+    // the catalog carries both description columns
+    val wh = Files.createTempDirectory("graft-docsproj-wh").toString
+    DbtProject.run(spark, dir.toString, Map.empty, wh)
+    val cat = DbtProject.catalog(spark, dir.toString, wh).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[String]("description"),
+          r.getAs[String]("resource_description"))).toMap
+    assert(cat == Map(
+      "id" -> ("surrogate key", "One row per **billing account**."),
+      "org" -> ("The owning organization slug.",
+        "One row per **billing account**.")), s"$cat")
+    // a dangling doc() reference fails at load, naming the ref
+    Files.write(dir.resolve("models/schema.yml"),
+      """models:
+        |  - name: accounts
+        |    description: "{{ doc('ghost_block') }}"
+        |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DbtProject.load(dir.toString))
+    assert(e.getMessage.contains("ghost_block"), e.getMessage)
+    // duplicate docs names across files fail at load
+    Files.write(dir.resolve("models/schema.yml"),
+      "models: []\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/extra.md"),
+      "{% docs org_col %}dup{% enddocs %}\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](DbtProject.load(dir.toString))
+    assert(e2.getMessage.contains("org_col"), e2.getMessage)
+  }
+
+  test("selectors.yml: named selectors compose union/intersection/exclude over the graph (round 16)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-selproj")
+    Files.createDirectories(dir.resolve("models/core"))
+    Files.createDirectories(dir.resolve("models/extra"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "selly"
+        |models:
+        |  selly:
+        |    +materialized: table
+        |    core:
+        |      +tags: ["nightly"]
+        |""".stripMargin.getBytes("UTF-8"))
+    // DAG: base -> mid -> leaf (core, tagged nightly); loose (extra)
+    Files.write(dir.resolve("models/core/base.sql"),
+      "select 1 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/core/mid.sql"),
+      "select id from {{ ref('base') }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/core/leaf.sql"),
+      "select id from {{ ref('mid') }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/extra/loose.sql"),
+      "select 9 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("selectors.yml"),
+      """selectors:
+        |  - name: nightly_no_leaf
+        |    definition:
+        |      union:
+        |        - method: tag
+        |          value: nightly
+        |        - exclude:
+        |            - leaf
+        |  - name: mid_and_up
+        |    definition:
+        |      intersection:
+        |        - method: fqn
+        |          value: mid
+        |          parents: true
+        |        - method: tag
+        |          value: nightly
+        |  - name: cli_style
+        |    definition: "base+"
+        |  - name: just_loose
+        |    default: true
+        |    definition: loose
+        |""".stripMargin.getBytes("UTF-8"))
+    def ranSet(selector: Option[String] = None,
+        select: Option[String] = None): Set[String] = {
+      val wh = Files.createTempDirectory("graft-selproj-wh").toString
+      DbtProject.run(spark, dir.toString, Map.empty, wh,
+        selector = selector, select = select).keySet
+    }
+    // union minus exclude
+    assert(ranSet(selector = Some("nightly_no_leaf")) == Set("base", "mid"))
+    // intersection of an ancestors-closure with a tag set
+    assert(ranSet(selector = Some("mid_and_up")) == Set("base", "mid"))
+    // a CLI-style scalar definition uses the select grammar verbatim
+    assert(ranSet(selector = Some("cli_style")) ==
+      Set("base", "mid", "leaf"))
+    // no selection of any kind -> the default selector applies
+    assert(ranSet() == Set("loose"))
+    // ... but an explicit --select overrides the default
+    assert(ranSet(select = Some("base")) == Set("base"))
+    // --selector + --select is the dbt CLI error
+    val e = intercept[IllegalArgumentException](
+      ranSet(selector = Some("cli_style"), select = Some("base")))
+    assert(e.getMessage.contains("--selector"), e.getMessage)
+    // unknown selector name is loud and lists what exists
+    val e2 = intercept[IllegalArgumentException](
+      ranSet(selector = Some("nope")))
+    assert(e2.getMessage.contains("nope") &&
+      e2.getMessage.contains("cli_style"), e2.getMessage)
+    // parser rejects an unknown method
+    val e3 = intercept[IllegalArgumentException](DbtProject.parseSelectors(
+      """selectors:
+        |  - name: bad
+        |    definition:
+        |      union:
+        |        - method: package
+        |          value: x
+        |""".stripMargin))
+    assert(e3.getMessage.contains("package"), e3.getMessage)
+  }
+
   test("run-operation: a project macro renders and executes; unknown macro loud (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-opproj")
