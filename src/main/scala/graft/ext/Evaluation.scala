@@ -2702,12 +2702,20 @@ object Evaluation {
     *           `vCol` (long)
     * @return (grp, k_arms, n, j2, e2j, z) — z 6dp */
   def jonckheereTerpstra(df: DataFrame, groupCol: String = "group",
-      armCol: String = "arm", vCol: String = "v"): DataFrame = {
+      armCol: String = "arm", vCol: String = "v"): DataFrame =
+    jtFinish(kwState(df, groupCol, armCol, vCol))
+
+  /** Finish a [[kwState]] snapshot into the JT trend report — the
+    * SAME (grp, arm, value)-count accumulator Kruskal–Wallis streams
+    * ([[graft.streaming.StreamingOps.kruskalStateStream]]) serves a
+    * second test for free, the [[cliffsDeltaFinish]]-off-
+    * [[mannWhitneyState]] discipline. Arms must be numeric (they
+    * carry the ORDER); the state's string arm key casts back to
+    * long here. State-sized input, batch ≡ merged micro-batches. */
+  def jtFinish(state: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.select(col(groupCol).as("grp"),
-        col(armCol).cast(LongType).as("arm"),
-        col(vCol).cast(LongType).as("v"))
-      .groupBy("grp", "arm", "v").agg(count(lit(1)).as("cnt"))
+    val cells = state.select(col("grp"),
+        col("arm").cast(LongType).as("arm"), col("v"), col("cnt"))
       .localCheckpoint() // feeds pair grid, arm sizes, tie moments
     val arms = cells.select("grp", "arm").distinct()
     val pairs = arms.select(col("grp").as("pg"), col("arm").as("ai"))

@@ -307,7 +307,10 @@ object StreamingOps {
     * trigger, and [[graft.ext.Evaluation.calibrationFinish]] assumes
     * exactly one row per bin); a Complete snapshot finished with
     * calibrationFinish is cell-identical to the batch state of the
-    * same rows (StreamingSpec twin proof). */
+    * same rows (StreamingSpec twin proof). The same snapshot also
+    * finishes into the Hosmer–Lemeshow χ² via
+    * [[graft.ext.Evaluation.hosmerLemeshowFinish]] — calibration
+    * magnitude (ECE) and significance (HL) off one accumulator. */
   def calibrationStateStream(preds: DataFrame, bins: Int = 10): DataFrame =
     graft.ext.Evaluation.calibrationState(preds, bins)
 
@@ -330,7 +333,10 @@ object StreamingOps {
     * group × value cardinality (≤ 1e6+1 per group for micro
     * metrics), never stream length. Finish a Complete snapshot with
     * [[graft.ext.Evaluation.mannWhitneyFinish]] — row-identical to
-    * the batch test of the same rows (StreamingSpec twin proof). */
+    * the batch test of the same rows (StreamingSpec twin proof) —
+    * or into Cliff's delta effect size via
+    * [[graft.ext.Evaluation.cliffsDeltaFinish]]: significance and
+    * magnitude off one accumulator. */
   def mannWhitneyStateStream(df: DataFrame, groupCol: String = "group",
       armCol: String = "arm", vCol: String = "v_micro"): DataFrame =
     graft.ext.Evaluation.mannWhitneyState(df, groupCol, armCol, vCol)
@@ -376,7 +382,10 @@ object StreamingOps {
     * k-arm sibling: one long count per (grp, arm, value) cell,
     * state bounded by arm × value cardinality. Finish a Complete
     * snapshot with [[graft.ext.Evaluation.kwFinish]] — row-identical
-    * to the batch test of the same rows (StreamingSpec twin proof). */
+    * to the batch test of the same rows (StreamingSpec twin proof).
+    * The SAME snapshot also finishes into the Jonckheere–Terpstra
+    * ordered-trend z via [[graft.ext.Evaluation.jtFinish]] (numeric
+    * arms carry the order) — two tests, one accumulator. */
   def kruskalStateStream(df: DataFrame, groupCol: String = "group",
       armCol: String = "arm", vCol: String = "v"): DataFrame =
     graft.ext.Evaluation.kwState(df, groupCol, armCol, vCol)

@@ -311,6 +311,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("round-16 finishes ride existing state streams: JT, Cliff's delta, Hosmer–Lemeshow ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // Jonckheere–Terpstra off the SAME kruskal state stream (numeric
+    // arms carry the dose order)
+    val mem = MemoryStream[(String, Long, Long)]
+    val j1 = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 3L))
+    val j2 = Seq(("g", 2L, 4L), ("g", 3L, 5L), ("g", 3L, 7L))
+    val q = StreamingOps.kruskalStateStream(
+        mem.toDF().toDF("group", "arm", "v"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("jt_out").start()
+    try {
+      mem.addData(j1: _*)
+      q.processAllAvailable()
+      mem.addData(j2: _*)
+      q.processAllAvailable()
+      val finished = graft.ext.Evaluation.jtFinish(spark.table("jt_out"))
+      val batch = graft.ext.Evaluation.jonckheereTerpstra(
+        (j1 ++ j2).toDF("group", "arm", "v"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed JT trend must equal the one-shot batch test")
+    } finally q.stop()
+    // Cliff's delta off the SAME Mann–Whitney state stream
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val c1 = Seq(("g", 0L, 10L), ("g", 0L, 20L), ("g", 1L, 20L))
+    val c2 = Seq(("g", 1L, 30L), ("h", 0L, 5L), ("h", 1L, 9L))
+    val q2 = StreamingOps.mannWhitneyStateStream(
+        mem2.toDF().toDF("group", "arm", "v_micro"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cd_out").start()
+    try {
+      mem2.addData(c1: _*)
+      q2.processAllAvailable()
+      mem2.addData(c2: _*)
+      q2.processAllAvailable()
+      val finished = graft.ext.Evaluation.cliffsDeltaFinish(
+        spark.table("cd_out"))
+      val batch = graft.ext.Evaluation.cliffsDelta(
+        (c1 ++ c2).toDF("group", "arm", "v_micro"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed Cliff's delta must equal the one-shot batch")
+    } finally q2.stop()
+    // Hosmer–Lemeshow off the SAME calibration state stream
+    val mem3 = MemoryStream[(Long, Long)]
+    val h1 = Seq((150000L, 0L), (250000L, 1L), (650000L, 1L))
+    val h2 = Seq((750000L, 1L), (850000L, 0L), (950000L, 1L))
+    val q3 = StreamingOps.calibrationStateStream(
+        mem3.toDF().toDF("p_micro", "y"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hl_out").start()
+    try {
+      mem3.addData(h1: _*)
+      q3.processAllAvailable()
+      mem3.addData(h2: _*)
+      q3.processAllAvailable()
+      val finished = graft.ext.Evaluation.hosmerLemeshowFinish(
+        spark.table("hl_out"))
+      val batch = graft.ext.Evaluation.hosmerLemeshow(
+        (h1 ++ h2).toDF("p_micro", "y"))
+      assert(finished.collect().toSet == batch.collect().toSet,
+        "finished streamed Hosmer–Lemeshow must equal the one-shot batch")
+    } finally q3.stop()
+  }
+
   test("streaming Mann–Whitney state ≡ batch; one AUC stream finishes into ROC and PR") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
