@@ -1162,6 +1162,82 @@ object Curation {
       .select(col(idCol), col(srcCol), col("rate_micro"))
   }
 
+  /** Per-source TOKEN-budget allocator — the "fit this corpus into a
+    * fixed training budget" closed form the rate-based
+    * [[mixtureSample]]/[[temperatureSample]] family lacks: given a
+    * hard budget B of tokens, allocate each source
+    * a_s = min(T_s, ⌊R·w_s/W⌋) by exact integer waterfilling, where
+    * T_s is the source's available tokens, w_s = round(T_s^α·10⁶)
+    * the temperature weight (α = 1 proportional, α = 0 uniform,
+    * α = 0.5 the sqrt rebalance), and (R, W) are the
+    * remaining-budget / unsaturated-weight totals after saturated
+    * sources (those whose fair share exceeds their capacity) are
+    * granted their whole T_s and removed from the pool. Classic
+    * water-filling; the loop adds ≥ 1 saturated source per
+    * effective round, so it runs ≤ #sources rounds.
+    *
+    * Exactness: T_s and all shares are exact integers (BigInt
+    * products — R·w_s reaches 10²⁴ at corpus scale, past long
+    * range); w_s is the one IEEE pow, micro-rounded; ⌊R·w_s/W⌋ on
+    * positives matches the oracle's HUGEINT `//`. Σ allocations ≤ B
+    * always, with < #unsaturated tokens of floor slack. alloc_frac
+    * is a Spark-side round(a/T, 6).
+    *
+    * Scale shape: ONE map-side-combined corpus aggregation to the
+    * sources-sized table; the waterfill iterates on a driver copy of
+    * that table — #sources rows by construction (the k-seed-collect
+    * discipline), never corpus-proportional. NULL sources are
+    * excluded (the [[temperatureSample]] rule).
+    *
+    * @return (source, n_docs, tokens_available, weight_micro,
+    *         tokens_alloc, saturated, alloc_frac) */
+  def tokenBudgetAllocate(docs: DataFrame, budgetTokens: Long,
+      alpha: Double = 0.5, byCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val srcs = docs.filter(col(byCol).isNotNull)
+      .groupBy(col(byCol).cast(StringType).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast(LongType))
+          .as("ts"))
+      .select(col("source"), col("n_docs"), col("ts"),
+        round(pow(col("ts").cast(DoubleType), lit(alpha)) * 1e6, 0)
+          .cast(LongType).as("w"))
+      .collect() // sources-bounded by construction
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var sat = Set.empty[String]
+    var done = srcs.isEmpty
+    var remFin = BigInt(budgetTokens)
+    var wsumFin = BigInt(0)
+    while (!done) {
+      val rem = BigInt(budgetTokens) -
+        srcs.filter(s => sat.contains(s._1)).map(s => BigInt(s._3)).sum
+      val unsat = srcs.filterNot(s => sat.contains(s._1))
+      val wsum = unsat.map(s => BigInt(s._4)).sum
+      remFin = rem; wsumFin = wsum
+      if (wsum == 0) done = true
+      else {
+        val newSat = unsat.filter(s => rem * s._4 / wsum >= s._3).map(_._1)
+        if (newSat.isEmpty) done = true else sat ++= newSat
+      }
+    }
+    val rows = srcs.toSeq.map { case (src, nd, ts, w) =>
+      val alloc =
+        if (sat.contains(src) || wsumFin == 0) ts
+        else (remFin * w / wsumFin).min(BigInt(ts)).toLong
+      (src, nd, ts, w, alloc, sat.contains(src))
+    }
+    val out = spark.createDataFrame(rows)
+      .toDF("source", "n_docs", "tokens_available", "weight_micro",
+        "tokens_alloc", "saturated")
+    out.withColumn("alloc_frac",
+      round(when(col("tokens_available") === 0L, 0.0)
+        .otherwise(col("tokens_alloc").cast(DoubleType) /
+          col("tokens_available").cast(DoubleType)), 6))
+  }
+
   /** Benchmark decontamination with SPAN REMOVAL — [[contamination]]
     * flags documents; this operator actually cuts the overlapping
     * text: every maximal train-doc token span whose `span`-token

@@ -852,6 +852,55 @@ object Dedup {
         col("old_fp"), col("new_fp"))
   }
 
+  /** Re-express each document as its TURN-HASH text — the adapter
+    * that lifts the WHOLE shingle-dedup family to SEQUENCE level
+    * (multi-turn conversations, session logs, any ordered-sub-unit
+    * data): the token stream splits into fixed-size turns of
+    * `turnTokens` tokens (the last, possibly short, turn kept —
+    * genuinely turn-delimited data should pre-split on its own
+    * separator upstream and pass turnTokens large), each turn
+    * collapses to the 15-hex-char md5 prefix of its space-joined
+    * tokens, and the output `text` is the space-joined turn-hash
+    * sequence in order.
+    *
+    * Why an adapter instead of a new operator family: word-trigrams
+    * OVER TURN HASHES are exactly ordered turn-trigram shingles, so
+    * [[jaccardPairs]], [[containmentJoin]], [[minhashSignatures]],
+    * [[prefixJaccardJoin]], and the on-disk
+    * [[graft.operators.ShingleIndex]] all operate at the sequence
+    * level verbatim — zero new join code, every existing scale
+    * guard (df caps, rarest-first prefixes, bucketed probes)
+    * inherited. Map-side only: one projection, no shuffle.
+    *
+    * @return (idCol, text) — text = space-joined turn hashes */
+  def turnText(df: DataFrame, turnTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(turnTokens >= 1, s"turnTokens must be >= 1, got $turnTokens")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), expr(
+        s"""CASE WHEN size(toks) = 0 THEN ''
+           |ELSE array_join(transform(
+           |  sequence(0, (size(toks) + $turnTokens - 1) div $turnTokens - 1),
+           |  i -> substring(md5(array_join(
+           |    slice(toks, i * $turnTokens + 1, $turnTokens), ' ')), 1, 15)),
+           |  ' ') END""".stripMargin).as("text"))
+  }
+
+  /** Sequence-level near-duplicate pairs for conversation-shaped
+    * data: [[turnText]] then the df-capped exact trigram-Jaccard
+    * join — a pair scores high only when it shares ordered runs of
+    * 3·turnTokens tokens, so reordered or interleaved content that
+    * fools bag-of-shingles similarity does NOT collide here.
+    * Same scale shape as [[jaccardPairs]] (its guards verbatim).
+    *
+    * @return (a_id, b_id, jaccard) with Jaccard ≥ threshold over
+    *         turn-trigram shingles */
+  def conversationNearDups(df: DataFrame, threshold: Double = 0.1,
+      turnTokens: Int = 8, dfCap: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardPairs(turnText(df, turnTokens, idCol, textCol), threshold,
+      idMod = 1, dfCap, idCol, "text")
+
   def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = newDocs.select(col(idCol),

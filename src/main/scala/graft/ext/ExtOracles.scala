@@ -413,6 +413,94 @@ object ExtOracles {
         |              JOIN sizes nb ON nb.doc_id = b_id) p
         |WHERE jaccard >= 0.02""".stripMargin,
 
+    // Sequence-level conversation dedup: docs re-expressed as ordered
+    // turn-hash text (8-token turns, md5-hex15 per turn), then the
+    // ngram-jaccard pipeline verbatim over the turn tokens — pairs
+    // score only on shared ordered 3-turn runs.
+    "q_conv_near_dups" -> {
+      val tt = ExtQueries.convTurnTokens
+      val th = ExtQueries.convThreshold
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+        |turns AS (SELECT doc_id, i,
+        |    substr(md5(array_to_string(toks[(i*$tt+1):(i*$tt+$tt)], ' ')), 1, 15) AS th
+        |  FROM (SELECT doc_id, toks,
+        |        unnest(range(0, CAST((len(toks) + $tt - 1) // $tt AS INT))) AS i
+        |        FROM t0) x),
+        |tt AS (SELECT doc_id, string_agg(th, ' ' ORDER BY i) AS text
+        |       FROM turns GROUP BY 1),
+        |t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '${"\\s"}+'), x -> x != '') AS toks
+        |  FROM tt),
+        |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),
+        |grams AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |          FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM long_docs) x),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |rare AS (SELECT g.doc_id, g.gram FROM grams g
+        |         JOIN (SELECT gram, count(*) AS gdf FROM grams GROUP BY 1) d USING (gram)
+        |         WHERE d.gdf <= 100),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM rare a JOIN rare b USING (gram)
+        |         WHERE a.doc_id < b.doc_id),
+        |shared AS (SELECT c.a_id, c.b_id, count(*) AS n_shared
+        |           FROM cand c
+        |           JOIN grams ga ON ga.doc_id = c.a_id
+        |           JOIN grams gb ON gb.doc_id = c.b_id AND gb.gram = ga.gram
+        |           GROUP BY 1, 2)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a_id, b_id,
+        |    round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
+        |  FROM shared JOIN sizes na ON na.doc_id = a_id
+        |              JOIN sizes nb ON nb.doc_id = b_id) p
+        |WHERE jaccard >= $th""".stripMargin
+    },
+
+    // Per-source token-budget waterfill, α = 0.5: exact-integer
+    // shares ⌊R·w/W⌋ in HUGEINT (the engine's BigInt), saturation
+    // rounds unrolled. UNROLL PIN: the loop adds ≥1 saturated source
+    // per effective round, so rounds needed ≤ #sources (20 in the
+    // documents table at every sweep SF); 24 rounds carry headroom
+    // and are idempotent once the saturated set stabilizes. Each
+    // round CTE is MATERIALIZED — DuckDB inlines CTEs, and each
+    // round references its predecessor twice (rows + totals), so
+    // un-materialized rounds re-evaluate 2^24 times.
+    "q_token_budget" -> {
+      val rounds = 24
+      val b = ExtQueries.tokenBudget
+      val alpha = ExtQueries.tokenBudgetAlpha
+      (s"""WITH t AS MATERIALIZED (SELECT CAST(source AS VARCHAR) AS source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len($toks)) AS BIGINT) AS ts
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT source, n_docs, ts,
+        |    CAST(round(pow(CAST(ts AS DOUBLE), CAST($alpha AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w,
+        |    FALSE AS sat FROM t)""" +
+        (1 to rounds).map { n =>
+          s""",
+            |a$n AS MATERIALIZED (SELECT
+            |    CAST($b AS BIGINT) - COALESCE(SUM(CASE WHEN sat THEN ts END), 0) AS rem,
+            |    COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS wsum
+            |  FROM r${n - 1}),
+            |r$n AS MATERIALIZED (SELECT source, n_docs, ts, w,
+            |    sat OR (wsum > 0 AND (CAST(rem AS HUGEINT) * w) // wsum >= ts) AS sat
+            |  FROM r${n - 1} CROSS JOIN a$n)"""
+        }.mkString +
+        s""",
+          |af AS (SELECT
+          |    CAST($b AS BIGINT) - COALESCE(SUM(CASE WHEN sat THEN ts END), 0) AS rem,
+          |    COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS wsum
+          |  FROM r$rounds)
+          |SELECT source, n_docs, ts AS tokens_available, w AS weight_micro,
+          |  CASE WHEN sat OR wsum = 0 THEN ts
+          |    ELSE least(ts, CAST((CAST(rem AS HUGEINT) * w) // wsum AS BIGINT))
+          |    END AS tokens_alloc,
+          |  sat AS saturated,
+          |  round(CASE WHEN ts = 0 THEN 0.0
+          |    ELSE CAST(CASE WHEN sat OR wsum = 0 THEN ts
+          |      ELSE least(ts, CAST((CAST(rem AS HUGEINT) * w) // wsum AS BIGINT)) END
+          |      AS DOUBLE) / CAST(ts AS DOUBLE) END, 6) AS alloc_frac
+          |FROM r$rounds CROSS JOIN af""").stripMargin
+    },
+
     "q_dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

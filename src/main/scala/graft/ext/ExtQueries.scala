@@ -65,6 +65,29 @@ object ExtQueries {
   def qDedupMinhashSig(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(Tables(spark, dir).documents, numHashes = 8)
 
+  // shared engine/oracle constants (the hurstWindows discipline):
+  // 8-token turns, trigram-Jaccard threshold over turn runs
+  private[ext] val convTurnTokens: Int = 8
+  private[ext] val convThreshold: Double = 0.3
+
+  /** Sequence-level (conversation-shaped) near-dup pairs: docs
+    * re-expressed as ordered turn-hash text, then the df-capped
+    * trigram-Jaccard join runs at the TURN level — pairs score only
+    * on shared ordered 3-turn runs. */
+  def qConvNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.conversationNearDups(Tables(spark, dir).documents,
+      threshold = convThreshold, turnTokens = convTurnTokens)
+
+  // budget below the sf0.01 corpus total (27,165 tokens) so the
+  // waterfill saturates the small sources and redistributes
+  private[ext] val tokenBudget: Long = 26000L
+  private[ext] val tokenBudgetAlpha: Double = 0.5
+
+  /** Per-source token-budget waterfill at the sqrt temperature. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetAllocate(Tables(spark, dir).documents,
+      budgetTokens = tokenBudget, alpha = tokenBudgetAlpha)
+
   /** LSH candidates over the minhash signatures — pure operator
     * output (the portable-md5 minhash makes the candidate set itself
     * oracle-checkable; non-emptiness at the verified SFs is a property

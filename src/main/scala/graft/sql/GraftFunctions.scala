@@ -531,6 +531,32 @@ object GraftFunctions {
   /** mmr_select(candsTbl, simsTbl[, k]) — MMR diversified selection
     * over (query_id, cid, rel_micro) candidates and (query_id, a, b,
     * sim_micro) pair similarities ([[graft.ext.Similarity.mmrSelect]]). */
+  /** conversation_near_dups(docsTbl[, threshold, turnTokens]) —
+    * sequence-level near-dup pairs over ordered turn-hash trigrams
+    * ([[graft.ext.Dedup.conversationNearDups]]). */
+  def conversationNearDupsTvf(args: Seq[Expression]): LogicalPlan = {
+    val docs = tableOf(strArg(args.head,
+      "conversation_near_dups(docsTable)"))
+    val th = if (args.length > 1)
+      dblArg(args(1), "conversation_near_dups(threshold)") else 0.1
+    val tt = if (args.length > 2)
+      intArg(args(2), "conversation_near_dups(turnTokens)") else 8
+    graft.ext.Dedup.conversationNearDups(docs, th, tt)
+      .queryExecution.logical
+  }
+
+  /** token_budget(docsTbl, budget[, alpha]) — per-source token-budget
+    * waterfill allocation ([[graft.ext.Curation.tokenBudgetAllocate]]). */
+  def tokenBudgetTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2, "token_budget(docsTable, budget[, alpha])")
+    val docs = tableOf(strArg(args.head, "token_budget(docsTable)"))
+    val b = intArg(args(1), "token_budget(budget)").toLong
+    val a = if (args.length > 2) dblArg(args(2), "token_budget(alpha)")
+      else 0.5
+    graft.ext.Curation.tokenBudgetAllocate(docs, b, a)
+      .queryExecution.logical
+  }
+
   def mmrSelectTvf(args: Seq[Expression]): LogicalPlan = {
     val cands = tableOf(strArg(args.head, "mmr_select(candsTable)"))
     val sims = tableOf(strArg(args(1), "mmr_select(simsTable)"))
@@ -1559,6 +1585,8 @@ object GraftFunctions {
     "kn_bigram" -> (knBigramTvf _),
     "hll_distinct_by" -> (hllDistinctByTvf _),
     "mmr_select" -> (mmrSelectTvf _),
+    "conversation_near_dups" -> (conversationNearDupsTvf _),
+    "token_budget" -> (tokenBudgetTvf _),
     "k_core" -> (kCoreTvf _),
     "ancestors" -> (ancestorsTvf _),
     "change_feed" -> (changeFeedTvf _),

@@ -111,6 +111,47 @@ class CurationSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq, "deterministic")
   }
 
+  test("tokenBudgetAllocate: exact waterfill — saturation, redistribution, budget kept") {
+    import spark.implicits._
+    // sources with 10/20/70 tokens (one doc each of that many words)
+    def words(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val docs = Seq((1L, "a", words(10)), (2L, "b", words(20)),
+      (3L, "c", words(70))).toDF("doc_id", "source", "text")
+    // α = 0 (uniform weights 1e6), B = 60:
+    // round 1: share = 60/3 = 20 -> a (10) and b (20) saturate
+    // round 2: rem = 30, share = 30 < 70 -> done
+    // allocs (10, 20, 30), Σ = 60 = B exactly
+    val out = Curation.tokenBudgetAllocate(docs, 60L, alpha = 0.0)
+      .select("source", "tokens_available", "weight_micro",
+        "tokens_alloc", "saturated", "alloc_frac")
+      .as[(String, Long, Long, Long, Boolean, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("a", 10L, 1000000L, 10L, true, 1.0),
+      ("b", 20L, 1000000L, 20L, true, 1.0),
+      ("c", 70L, 1000000L, 30L, false, 0.428571)), s"$out")
+    // α = 1 proportional, B = 50: shares 50·T/100 = (5,10,35), no
+    // saturation, Σ = 50
+    val prop = Curation.tokenBudgetAllocate(docs, 50L, alpha = 1.0)
+      .select("source", "tokens_alloc", "saturated")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(prop == Seq(("a", 5L, false), ("b", 10L, false),
+      ("c", 35L, false)), s"$prop")
+    // budget above capacity: everyone saturates at their own T
+    val all = Curation.tokenBudgetAllocate(docs, 200L, alpha = 0.5)
+      .select("source", "tokens_alloc", "saturated")
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(all == Seq(("a", 10L, true), ("b", 20L, true),
+      ("c", 70L, true)), s"$all")
+    // zero budget allocates nothing; NULL sources are excluded
+    val zero = Curation.tokenBudgetAllocate(
+      docs.unionAll(Seq((9L, null: String, "x y")).toDF(
+        "doc_id", "source", "text")), 0L)
+    assert(zero.count() == 3 &&
+      zero.agg(org.apache.spark.sql.functions.sum("tokens_alloc"))
+        .head.getLong(0) == 0L)
+  }
+
   test("temperatureSample: rare sources upweighted, hot sources capped below 1") {
     // source "hot": 900 docs, "rare": 100 docs. √-temperature gives
     // rare a ~3x higher accept rate than hot (√900:√100 = 3:1 weight

@@ -70,6 +70,16 @@ class EdgeCaseSpec extends AnyFunSuite {
       graft.ext.Dedup.minhashSignatures(single)).count() == 0)
     val short = Seq((1L, "ab")).toDF("doc_id", "text") // <3 tokens: no shingles
     assert(graft.ext.Dedup.wordTrigrams(short).count() == 0)
+    // round 16: conversation dedup and the budget allocator on empty
+    // input; a <3-turn conversation yields no turn trigrams -> no pairs
+    assert(graft.ext.Dedup.conversationNearDups(empty).count() == 0)
+    assert(graft.ext.Dedup.conversationNearDups(
+      Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text"),
+      threshold = 0.0, turnTokens = 2).count() == 0)
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(graft.ext.Curation.tokenBudgetAllocate(emptySrc, 100L)
+      .count() == 0)
   }
 
   test("connected components on empty pair list") {

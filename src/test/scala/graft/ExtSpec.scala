@@ -65,6 +65,38 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.7)
   }
 
+  test("turnText: fixed-size turns hash to the md5-hex15 sequence; short tail turn kept") {
+    import spark.implicits._
+    def h(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val docs = Seq((1L, "A b  c D e")).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.turnText(docs, turnTokens = 2)
+      .as[(Long, String)].collect().toSeq
+    // lowercased tokens, 2-token turns, last turn short: "a b","c d","e"
+    assert(out == Seq((1L, s"${h("a b")} ${h("c d")} ${h("e")}")), s"$out")
+    // empty text -> empty turn text, not a crash
+    val empty = graft.ext.Dedup.turnText(
+      Seq((2L, "  ")).toDF("doc_id", "text"), turnTokens = 2)
+      .as[(Long, String)].collect().toSeq
+    assert(empty == Seq((2L, "")), s"$empty")
+  }
+
+  test("conversationNearDups: shared ordered turn runs score; reordered turns do not") {
+    import spark.implicits._
+    // turnTokens = 1 -> trigrams are ordered token triples.
+    // A {123,234,345}, B shares {123,234} -> J = 2/4 = 0.5;
+    // C is A's bag REORDERED -> zero shared ordered runs, no pair.
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4 x5"),
+      (2L, "x1 x2 x3 x4 z5"),
+      (3L, "x3 x2 x1 x5 x4")).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.conversationNearDups(docs,
+        threshold = 0.3, turnTokens = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0.5)), s"$pairs")
+  }
+
   test("connected components: planted chain and separate pair cluster correctly") {
     // chain 1-2-3 plus pair (10,11): two components keyed by min id
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")

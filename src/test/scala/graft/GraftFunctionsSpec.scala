@@ -183,6 +183,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
     sameAs("SELECT * FROM mmr_select('mmr_cands_tvf9', 'mmr_sims_tvf9', 3)",
       graft.ext.Similarity.mmrSelect(spark.table("mmr_cands_tvf9"),
         spark.table("mmr_sims_tvf9"), k = 3))
+    sameAs("SELECT * FROM conversation_near_dups('docs_tvf9', 0.3, 8)",
+      graft.ext.Dedup.conversationNearDups(docs, threshold = 0.3,
+        turnTokens = 8))
+    sameAs("SELECT * FROM token_budget('docs_tvf9', 26000, 0.5)",
+      graft.ext.Curation.tokenBudgetAllocate(docs, 26000L, alpha = 0.5))
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst").createOrReplaceTempView("kcore_edges_tvf9")
     sameAs("SELECT * FROM k_core('kcore_edges_tvf9', 2)",

@@ -902,6 +902,22 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("round-16 queries: conversation dedup keyed-join only; token budget collapses to literals") {
+    // conversation near-dups inherits jaccardPairs' guards: candidate
+    // generation keyed on rare turn-trigram shingles, never a
+    // cartesian or nested loop
+    val cd = plan("q_conv_near_dups")
+    assert(cd.contains("HashJoin") && !cd.contains("CartesianProduct") &&
+      !cd.contains("BroadcastNestedLoopJoin"),
+      s"q_conv_near_dups candidate-join shape:\n$cd")
+    // the waterfill runs on the collected sources-sized table at
+    // build time (the k-seed-collect discipline); the published plan
+    // is a local relation projection — no shuffle survives
+    val tb = plan("q_token_budget")
+    assert(!tb.contains("Exchange") && !tb.contains("Join"),
+      s"q_token_budget should publish a local allocation table:\n$tb")
+  }
+
   test("unpartitioned WindowExec inventory: exactly the known bounded-table windows") {
     // The bench tail logs `WindowExec: No Partition Defined` per
     // single-partition window stage. This pins WHICH queries plan
