@@ -6796,6 +6796,50 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |  round(CAST(inter AS DOUBLE) / la, 6) AS containment
       |FROM ver WHERE CAST(inter AS DOUBLE) / la >= 0.9""".stripMargin
 
+  /** q_conv_containment: [[containmentSql]]'s plant-then-verify
+    * replay at SEQUENCE level — planted prefixes snapped to the
+    * 4-token turn boundary, both sides re-expressed as turn-hash
+    * text, then the identical shingle-containment tail. */
+  private val convContainmentSql: String = {
+    val tt = ExtQueries.convContainTurn
+    s"""WITH t0 AS (SELECT doc_id, text FROM documents),
+      |plant AS (SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(toks[1 : CAST(greatest(
+      |      ((len(toks) * 2) // 5 // $tt) * $tt, ${2 * tt}) AS BIGINT)],
+      |      ' ') AS text
+      |  FROM (SELECT doc_id, $toks AS toks FROM documents
+      |        WHERE doc_id % 7 = 0) p),
+      |base AS (SELECT * FROM t0 UNION ALL SELECT * FROM plant),
+      |bt AS (SELECT doc_id, $toks AS toks FROM base),
+      |turns AS (SELECT doc_id, i,
+      |    substr(md5(array_to_string(toks[(i*$tt+1):(i*$tt+$tt)], ' ')), 1, 15) AS th
+      |  FROM (SELECT doc_id, toks,
+      |        unnest(range(0, CAST((len(toks) + $tt - 1) // $tt AS INT))) AS i
+      |        FROM bt) x),
+      |ttx AS (SELECT doc_id, string_agg(th, ' ' ORDER BY i) AS text
+      |        FROM turns GROUP BY 1),
+      |t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '${"\\s"}+'),
+      |      x -> x != '') AS toks FROM ttx),
+      |ts AS MATERIALIZED (SELECT doc_id, list_sort(list_distinct(
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> CAST(concat('0x', substr(md5(
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))
+      |        AS BIGINT)))) AS s
+      |  FROM t WHERE len(toks) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS token FROM ts),
+      |cand AS (SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+      |  FROM ex a JOIN ex b ON b.token = a.token
+      |    AND a.doc_id != b.doc_id),
+      |ver AS (SELECT src_id, dst_id,
+      |    len(list_intersect(sa.s, sb.s)) AS inter, len(sa.s) AS la
+      |  FROM cand JOIN ts sa ON sa.doc_id = src_id
+      |            JOIN ts sb ON sb.doc_id = dst_id)
+      |SELECT src_id, dst_id,
+      |  round(CAST(inter AS DOUBLE) / la, 6) AS containment
+      |FROM ver WHERE CAST(inter AS DOUBLE) / la >= 0.9""".stripMargin
+  }
+
   /** q_feature_hash: the portable-md5 hashing trick replayed —
     * bucket = h mod 64, sign from the next hash bit, zero buckets
     * dropped. */
@@ -7232,6 +7276,7 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_feature_hash" -> featureHashSql,
     "q_label_vote" -> labelVoteSql,
     "q_containment" -> containmentSql,
+    "q_conv_containment" -> convContainmentSql,
     "q_zipf_slope" -> zipfSlopeSql,
     "q_benford" -> benfordSql,
     "q_containment_indexed" -> containmentIndexedSql,

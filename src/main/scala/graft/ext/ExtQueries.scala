@@ -78,6 +78,28 @@ object ExtQueries {
     Dedup.conversationNearDups(Tables(spark, dir).documents,
       threshold = convThreshold, turnTokens = convTurnTokens)
 
+  // 4-token turns; planted prefixes snapped to a turn boundary so a
+  // true sequence-prefix copy scores containment 1.0
+  private[ext] val convContainTurn: Int = 4
+
+  /** Sequence-level containment: plant turn-aligned prefix copies
+    * (2/5 of each 7th doc's tokens, snapped to the turn size), then
+    * [[graft.ext.Dedup.containmentJoin]] over the turn-hash text —
+    * "is this conversation a prefix/sub-sequence of another?" via
+    * the rarest-first prefix filter, unchanged. */
+  def qConvContainment(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val tt = convContainTurn
+    val plant = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), expr(
+        s"array_join(slice(toks, 1, " +
+          s"greatest(((size(toks) * 2) div 5 div $tt) * $tt, ${2 * tt})), ' ')")
+        .as("text"))
+    Dedup.containmentJoin(
+      Dedup.turnText(d.unionAll(plant), turnTokens = tt), threshold = 0.9)
+  }
+
   // budget below the sf0.01 corpus total (27,165 tokens) so the
   // waterfill saturates the small sources and redistributes
   private[ext] val tokenBudget: Long = 26000L

@@ -488,6 +488,33 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("turnText composes with the on-disk shingle index: sequence-level containment probe (round 16)") {
+    // conversation history indexed at TURN level: the turn-hash text
+    // feeds ShingleIndex verbatim, so a new conversation whose turn
+    // SEQUENCE is contained in a historical one hits via the same
+    // bucketed shuffle-free probe — and a bag-identical but
+    // reordered conversation does NOT
+    def turnify(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Dedup.turnText(df, turnTokens = 2)
+    val hist = Seq(
+      (1L, "h1 h2 u1 u2 h3 h4 u3 u4 h5 h6 u5 u6")) // 6 turns
+      .toDF("doc_id", "text")
+    graft.operators.ShingleIndex.writeIndex(turnify(hist), "conv_idx_b",
+      tmp("graft-convidx") + "/idx")
+    val batch = Seq(
+      (100L, "h1 h2 u1 u2 h3 h4 u3 u4 h5 h6"), // first 5 turns of 1
+      (101L, "h5 h6 u5 u6 h3 h4 u3 u4 h1 h2")) // same turns, reordered
+      .toDF("doc_id", "text")
+    val got = graft.operators.ShingleIndex.probe(spark, "conv_idx_b",
+        turnify(batch), 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // 5 turns -> 3 turn-trigrams, all inside history doc 1; the
+    // reordered conversation shares NO ordered 3-turn run
+    assert(got.toSeq == Seq((100L, 1L, 3L, 3L, 1.0)),
+      s"sequence containment via the index: ${got.toSeq}")
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("shingle index appendKept excludes hot grams; novelty never double-counts or goes negative") {
     import graft.operators.ShingleIndex
     // "alpha beta gamma" appears in both history docs → df=2 > maxDf=1
