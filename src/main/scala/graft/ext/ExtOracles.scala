@@ -5389,12 +5389,13 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     * directions wedge join; final supports recomputed on the
     * surviving set — mirrored from Graph.kTruss (k = 4).
     *
-    * UNROLL-COUNT PIN: the lineitem co-occurrence graph converges
-    * well inside 8 peel rounds at both sweep scales (the 8-round
-    * unroll hash-matched the converged engine at sf0.01 through r15;
-    * at sf0.1 the engine needs 3 support passes — 1,109,228
-    * surviving edges), so rounds = 12 carries comfortable headroom.
-    * The engine peels to convergence (maxRounds = 30) —
+    * UNROLL-COUNT PIN: the sf0.1 lineitem co-occurrence graph needs
+    * 8 synchronous peel rounds (measured removal shells: 61,909 →
+    * 22,380 → 1,719 → 658 → 81 → 21 → 4 → 0; 1,109,228 surviving
+    * edges), and sf0.01 converged inside the 8-round unroll through
+    * r15, so rounds = 12 carries headroom at both sweep scales. The
+    * engine peels to convergence (worklist fast path, or the
+    * distributed loop's maxRounds = 30) —
     * if the data scale or slice ever changes, a not-yet-converged
     * oracle would flag a FALSE mismatch: re-check the convergence
     * round count at the new scale and keep rounds comfortably above

@@ -365,6 +365,27 @@ class GraphSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("kTruss: driver fast path ≡ distributed decremental loop") {
+    import spark.implicits._
+    // overlapping cliques + a bridge + pendants: enough structure
+    // for several peel rounds. collectThreshold = 0 forces the
+    // distributed path; the peel is confluent, so both must agree
+    // edge-for-edge including supports.
+    val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val c2 = for (a <- 4 to 8; b <- (a + 1) to 8) yield (a.toLong, b.toLong)
+    val edges = (c1 ++ c2 ++ Seq((8L, 9L), (9L, 10L), (10L, 8L),
+      (1L, 20L), (20L, 21L))).toDF("src", "dst")
+    for (kk <- Seq(2, 3, 4, 5)) {
+      val fast = graft.operators.Graph.kTruss(edges, k = kk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val dist = graft.operators.Graph.kTruss(edges, k = kk,
+          collectThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == dist, s"k=$kk fast/distributed disagree:\n$fast\n$dist")
+    }
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("kTruss: k=2 is the whole graph — triangle-free edges survive with support 0") {
     import spark.implicits._
     // path 1-2-3 (no triangles) + triangle {4,5,6}: the 2-truss is
