@@ -1238,6 +1238,30 @@ object Curation {
           col("tokens_available").cast(DoubleType)), 6))
   }
 
+  /** Apply a [[tokenBudgetAllocate]] allocation as a deterministic
+    * per-source document sample: each source's docs accept at rate
+    * alloc_frac (micro-scaled, the [[temperatureSample]] hash rule
+    * with its own salt), so the KEPT token mass approximates the
+    * source's allocation in expectation while staying replayable
+    * (same corpus → same sample) and embarrassingly parallel — the
+    * rates table is sources-sized and broadcast, the filter is
+    * map-side.
+    *
+    * @return (idCol, byCol, rate_micro) — kept docs only */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+      alpha: Double = 0.5, byCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rates = tokenBudgetAllocate(docs, budgetTokens, alpha, byCol,
+        textCol)
+      .select(col("source").as(byCol),
+        round(col("alloc_frac") * 1e6, 0).cast(LongType).as("rate_micro"))
+    docs.join(broadcast(rates), byCol)
+      .filter(Dedup.portableHash60(
+          concat(lit("tbudget|"), col(idCol).cast(StringType))) % 1000000L
+        < col("rate_micro"))
+      .select(col(idCol), col(byCol), col("rate_micro"))
+  }
+
   /** Benchmark decontamination with SPAN REMOVAL — [[contamination]]
     * flags documents; this operator actually cuts the overlapping
     * text: every maximal train-doc token span whose `span`-token

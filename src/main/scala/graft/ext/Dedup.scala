@@ -874,17 +874,58 @@ object Dedup {
     *
     * @return (idCol, text) — text = space-joined turn hashes */
   def turnText(df: DataFrame, turnTokens: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    turnHashes(df, turnTokens, idCol, textCol)
+      .select(col(idCol), array_join(col("turns"), " ").as("text"))
+
+  /** The ordered turn-hash ARRAY behind [[turnText]] — (idCol,
+    * turns: array&lt;string&gt;), empty array for empty docs. */
+  private[graft] def turnHashes(df: DataFrame, turnTokens: Int,
+      idCol: String, textCol: String): DataFrame = {
     require(turnTokens >= 1, s"turnTokens must be >= 1, got $turnTokens")
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col(idCol), expr(
-        s"""CASE WHEN size(toks) = 0 THEN ''
-           |ELSE array_join(transform(
+        s"""CASE WHEN size(toks) = 0 THEN array()
+           |ELSE transform(
            |  sequence(0, (size(toks) + $turnTokens - 1) div $turnTokens - 1),
            |  i -> substring(md5(array_join(
-           |    slice(toks, i * $turnTokens + 1, $turnTokens), ' ')), 1, 15)),
-           |  ' ') END""".stripMargin).as("text"))
+           |    slice(toks, i * $turnTokens + 1, $turnTokens), ' ')), 1, 15))
+           |END""".stripMargin).cast("array<string>").as("turns"))
   }
+
+  /** WITHIN-conversation turn repetition — the degenerate-generation
+    * / agent-loop detector batch dedup cannot see (a conversation
+    * that repeats its own turn over and over is unique corpus-wide
+    * yet worthless as training data): per document, the turn count,
+    * distinct-turn count, the LONGEST run of consecutive identical
+    * turns, and repeat_frac = 1 − distinct/n.
+    *
+    * Exactness: counts are exact ints off the turn array; the run
+    * length is one aggregate() fold over the array (turn-count
+    * bounded); repeat_frac is one division, 6dp.
+    *
+    * Scale shape: pure map — one projection per document, no
+    * shuffle, no join (the [[turnText]] family's zero-shuffle rule).
+    *
+    * @return (idCol, n_turns, n_distinct_turns, max_run,
+    *         repeat_frac) */
+  def turnRepetition(df: DataFrame, turnTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    turnHashes(df, turnTokens, idCol, textCol)
+      .select(col(idCol),
+        size(col("turns")).as("n_turns"),
+        size(array_distinct(col("turns"))).as("n_distinct_turns"),
+        expr("""aggregate(turns,
+          |  struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best),
+          |  (s, x) -> struct(x AS prev,
+          |    CASE WHEN x = s.prev THEN s.run + 1 ELSE 1 END AS run,
+          |    greatest(s.best,
+          |      CASE WHEN x = s.prev THEN s.run + 1 ELSE 1 END) AS best),
+          |  s -> s.best)""".stripMargin).as("max_run"),
+        round(when(size(col("turns")) === 0, 0.0)
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("turns"))).cast(DoubleType) /
+              size(col("turns")).cast(DoubleType)), 6).as("repeat_frac"))
 
   /** Sequence-level near-duplicate pairs for conversation-shaped
     * data: [[turnText]] then the df-capped exact trigram-Jaccard

@@ -463,42 +463,51 @@ object ExtOracles {
     // round CTE is MATERIALIZED — DuckDB inlines CTEs, and each
     // round references its predecessor twice (rows + totals), so
     // un-materialized rounds re-evaluate 2^24 times.
-    "q_token_budget" -> {
-      val rounds = 24
-      val b = ExtQueries.tokenBudget
-      val alpha = ExtQueries.tokenBudgetAlpha
-      (s"""WITH t AS MATERIALIZED (SELECT CAST(source AS VARCHAR) AS source,
-        |    CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len($toks)) AS BIGINT) AS ts
-        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
-        |r0 AS MATERIALIZED (SELECT source, n_docs, ts,
-        |    CAST(round(pow(CAST(ts AS DOUBLE), CAST($alpha AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w,
-        |    FALSE AS sat FROM t)""" +
-        (1 to rounds).map { n =>
-          s""",
-            |a$n AS MATERIALIZED (SELECT
-            |    CAST($b AS BIGINT) - COALESCE(SUM(CASE WHEN sat THEN ts END), 0) AS rem,
-            |    COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS wsum
-            |  FROM r${n - 1}),
-            |r$n AS MATERIALIZED (SELECT source, n_docs, ts, w,
-            |    sat OR (wsum > 0 AND (CAST(rem AS HUGEINT) * w) // wsum >= ts) AS sat
-            |  FROM r${n - 1} CROSS JOIN a$n)"""
-        }.mkString +
-        s""",
-          |af AS (SELECT
-          |    CAST($b AS BIGINT) - COALESCE(SUM(CASE WHEN sat THEN ts END), 0) AS rem,
-          |    COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS wsum
-          |  FROM r$rounds)
-          |SELECT source, n_docs, ts AS tokens_available, w AS weight_micro,
-          |  CASE WHEN sat OR wsum = 0 THEN ts
-          |    ELSE least(ts, CAST((CAST(rem AS HUGEINT) * w) // wsum AS BIGINT))
-          |    END AS tokens_alloc,
-          |  sat AS saturated,
-          |  round(CASE WHEN ts = 0 THEN 0.0
-          |    ELSE CAST(CASE WHEN sat OR wsum = 0 THEN ts
-          |      ELSE least(ts, CAST((CAST(rem AS HUGEINT) * w) // wsum AS BIGINT)) END
-          |      AS DOUBLE) / CAST(ts AS DOUBLE) END, 6) AS alloc_frac
-          |FROM r$rounds CROSS JOIN af""").stripMargin
+    "q_token_budget" ->
+      (tokenBudgetCtes +
+        """
+          |SELECT source, n_docs, ts AS tokens_available,
+          |  w AS weight_micro, alloc AS tokens_alloc, sat AS saturated,
+          |  frac AS alloc_frac FROM alloc""".stripMargin),
+
+    // the allocation APPLIED: per-source accept rate = alloc_frac
+    // micro, portable-md5 hash rule (the temperatureSample oracle
+    // pattern with its own salt)
+    "q_token_budget_sample" ->
+      (tokenBudgetCtes +
+        s"""
+          |SELECT d.doc_id, d.source,
+          |  CAST(round(a.frac * 1e6, 0) AS BIGINT) AS rate_micro
+          |FROM documents d JOIN alloc a ON a.source = d.source
+          |WHERE CAST(concat('0x', substr(md5('tbudget|' ||
+          |    CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+          |  < CAST(round(a.frac * 1e6, 0) AS BIGINT)""".stripMargin),
+
+    // Within-conversation turn repetition: turn hashes as in
+    // q_conv_near_dups; the longest identical-turn run via
+    // gaps-and-islands (i − row_number per (doc, turn) = island id).
+    "q_turn_repetition" -> {
+      val tt = ExtQueries.convTurnTokens
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+        |turns AS (SELECT doc_id, i,
+        |    substr(md5(array_to_string(toks[(i*$tt+1):(i*$tt+$tt)], ' ')), 1, 15) AS th
+        |  FROM (SELECT doc_id, toks,
+        |        unnest(range(0, CAST((len(toks) + $tt - 1) // $tt AS INT))) AS i
+        |        FROM t0) x),
+        |runs AS (SELECT doc_id, th,
+        |    i - row_number() OVER (PARTITION BY doc_id, th ORDER BY i) AS isl
+        |  FROM turns),
+        |rl AS (SELECT doc_id, count(*) AS cnt
+        |  FROM runs GROUP BY doc_id, th, isl),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_turns,
+        |    CAST(count(DISTINCT th) AS INTEGER) AS n_distinct_turns
+        |  FROM turns GROUP BY 1),
+        |mr AS (SELECT doc_id, CAST(max(cnt) AS INTEGER) AS max_run
+        |  FROM rl GROUP BY 1)
+        |SELECT agg.doc_id, n_turns, n_distinct_turns, max_run,
+        |  round(1.0 - CAST(n_distinct_turns AS DOUBLE)
+        |    / CAST(n_turns AS DOUBLE), 6) AS repeat_frac
+        |FROM agg JOIN mr ON mr.doc_id = agg.doc_id""".stripMargin
     },
 
     "q_dedup_minhash_sig" ->
@@ -6796,6 +6805,56 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
       |SELECT src_id, dst_id,
       |  round(CAST(inter AS DOUBLE) / la, 6) AS containment
       |FROM ver WHERE CAST(inter AS DOUBLE) / la >= 0.9""".stripMargin
+
+  /** The token-budget waterfill CTE chain shared by q_token_budget
+    * and q_token_budget_sample: exact-integer shares ⌊R·w/W⌋ in
+    * HUGEINT (the engine's BigInt), saturation rounds unrolled.
+    * UNROLL PIN: the loop adds ≥1 saturated source per effective
+    * round, so rounds needed ≤ #sources (20 in the documents table
+    * at every sweep SF); 24 rounds carry headroom and are idempotent
+    * once the saturated set stabilizes. Each round CTE is
+    * MATERIALIZED — DuckDB inlines CTEs, and each round references
+    * its predecessor twice (rows + totals), so un-materialized
+    * rounds re-evaluate 2^24 times. Ends with `alloc`:
+    * (source, n_docs, ts, w, alloc, sat, frac). */
+  // lazy: referenced by a query map declared ABOVE this definition —
+  // a strict val would still be null at that map's initialization
+  private lazy val tokenBudgetCtes: String = {
+    val rounds = 24
+    val b = ExtQueries.tokenBudget
+    val alpha = ExtQueries.tokenBudgetAlpha
+    (s"""WITH t AS MATERIALIZED (SELECT CAST(source AS VARCHAR) AS source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len($toks)) AS BIGINT) AS ts
+      |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      |r0 AS MATERIALIZED (SELECT source, n_docs, ts,
+      |    CAST(round(pow(CAST(ts AS DOUBLE), CAST($alpha AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w,
+      |    FALSE AS sat FROM t)""" +
+      (1 to rounds).map { n =>
+        s""",
+          |a$n AS MATERIALIZED (SELECT
+          |    CAST($b AS BIGINT) - COALESCE(SUM(CASE WHEN sat THEN ts END), 0) AS rem,
+          |    COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS wsum
+          |  FROM r${n - 1}),
+          |r$n AS MATERIALIZED (SELECT source, n_docs, ts, w,
+          |    sat OR (wsum > 0 AND (CAST(rem AS HUGEINT) * w) // wsum >= ts) AS sat
+          |  FROM r${n - 1} CROSS JOIN a$n)"""
+      }.mkString +
+      s""",
+        |af AS (SELECT
+        |    CAST($b AS BIGINT) - COALESCE(SUM(CASE WHEN sat THEN ts END), 0) AS rem,
+        |    COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS wsum
+        |  FROM r$rounds),
+        |alloc AS MATERIALIZED (SELECT source, n_docs, ts, w, sat,
+        |    CASE WHEN sat OR wsum = 0 THEN ts
+        |      ELSE least(ts, CAST((CAST(rem AS HUGEINT) * w) // wsum AS BIGINT))
+        |      END AS alloc,
+        |    round(CASE WHEN ts = 0 THEN 0.0
+        |      ELSE CAST(CASE WHEN sat OR wsum = 0 THEN ts
+        |        ELSE least(ts, CAST((CAST(rem AS HUGEINT) * w) // wsum AS BIGINT)) END
+        |        AS DOUBLE) / CAST(ts AS DOUBLE) END, 6) AS frac
+        |  FROM r$rounds CROSS JOIN af)""").stripMargin
+  }
 
   /** q_conv_containment: [[containmentSql]]'s plant-then-verify
     * replay at SEQUENCE level — planted prefixes snapped to the

@@ -110,6 +110,19 @@ object ExtQueries {
     Curation.tokenBudgetAllocate(Tables(spark, dir).documents,
       budgetTokens = tokenBudget, alpha = tokenBudgetAlpha)
 
+  /** The allocation APPLIED as a deterministic per-source doc
+    * sample — kept token mass ≈ each source's allocation. */
+  def qTokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetSample(Tables(spark, dir).documents,
+      budgetTokens = tokenBudget, alpha = tokenBudgetAlpha)
+
+  /** Within-conversation turn repetition (degenerate-generation /
+    * agent-loop detector): turn counts, distinct turns, longest
+    * identical-turn run, repeat fraction. */
+  def qTurnRepetition(spark: SparkSession, dir: String): DataFrame =
+    Dedup.turnRepetition(Tables(spark, dir).documents,
+      turnTokens = convTurnTokens)
+
   /** LSH candidates over the minhash signatures — pure operator
     * output (the portable-md5 minhash makes the candidate set itself
     * oracle-checkable; non-emptiness at the verified SFs is a property

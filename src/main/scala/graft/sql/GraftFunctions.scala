@@ -557,6 +557,30 @@ object GraftFunctions {
       .queryExecution.logical
   }
 
+  /** turn_repetition(docsTbl[, turnTokens]) — within-conversation
+    * identical-turn runs and repeat fraction
+    * ([[graft.ext.Dedup.turnRepetition]]). */
+  def turnRepetitionTvf(args: Seq[Expression]): LogicalPlan = {
+    val docs = tableOf(strArg(args.head, "turn_repetition(docsTable)"))
+    val tt = if (args.length > 1)
+      intArg(args(1), "turn_repetition(turnTokens)") else 8
+    graft.ext.Dedup.turnRepetition(docs, tt).queryExecution.logical
+  }
+
+  /** token_budget_sample(docsTbl, budget[, alpha]) — deterministic
+    * per-source sample at the waterfill allocation rates
+    * ([[graft.ext.Curation.tokenBudgetSample]]). */
+  def tokenBudgetSampleTvf(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 2,
+      "token_budget_sample(docsTable, budget[, alpha])")
+    val docs = tableOf(strArg(args.head, "token_budget_sample(docsTable)"))
+    val b = intArg(args(1), "token_budget_sample(budget)").toLong
+    val a = if (args.length > 2)
+      dblArg(args(2), "token_budget_sample(alpha)") else 0.5
+    graft.ext.Curation.tokenBudgetSample(docs, b, a)
+      .queryExecution.logical
+  }
+
   def mmrSelectTvf(args: Seq[Expression]): LogicalPlan = {
     val cands = tableOf(strArg(args.head, "mmr_select(candsTable)"))
     val sims = tableOf(strArg(args(1), "mmr_select(simsTable)"))
@@ -1587,6 +1611,8 @@ object GraftFunctions {
     "mmr_select" -> (mmrSelectTvf _),
     "conversation_near_dups" -> (conversationNearDupsTvf _),
     "token_budget" -> (tokenBudgetTvf _),
+    "token_budget_sample" -> (tokenBudgetSampleTvf _),
+    "turn_repetition" -> (turnRepetitionTvf _),
     "k_core" -> (kCoreTvf _),
     "ancestors" -> (ancestorsTvf _),
     "change_feed" -> (changeFeedTvf _),

@@ -152,6 +152,30 @@ class CurationSpec extends AnyFunSuite {
         .head.getLong(0) == 0L)
   }
 
+  test("tokenBudgetSample: rates follow the allocation; saturated sources keep everything") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("t").mkString(" ")
+    // α = 0, B = 600 of 1000 total tokens: round 1 share = 200 each,
+    // so a (100 tokens) and b (200) both saturate; round 2 hands c
+    // the remaining 300 of its 700 -> rate 300/700 = 428571 micro
+    val docs = ((1L to 10L).map(i => (i, "a", words(10))) ++
+      (101L to 120L).map(i => (i, "b", words(10))) ++
+      (201L to 270L).map(i => (i, "c", words(10))))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.tokenBudgetSample(docs, 600L, alpha = 0.0)
+      .as[(Long, String, Long)].collect()
+    val rates = out.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(rates("a") == 1000000L && rates("b") == 1000000L,
+      s"saturated sources sample at rate 1: $rates")
+    assert(rates("c") == 428571L, s"c's rate must be alloc/T: $rates")
+    // saturated sources keep EVERY doc (rate 1e6 accepts all hashes)
+    assert(out.count(_._2 == "a") == 10 && out.count(_._2 == "b") == 20)
+    // deterministic replay
+    val rerun = Curation.tokenBudgetSample(docs, 600L, alpha = 0.0)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq)
+  }
+
   test("temperatureSample: rare sources upweighted, hot sources capped below 1") {
     // source "hot": 900 docs, "rare": 100 docs. √-temperature gives
     // rare a ~3x higher accept rate than hot (√900:√100 = 3:1 weight

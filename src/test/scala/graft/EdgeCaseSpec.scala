@@ -80,6 +80,14 @@ class EdgeCaseSpec extends AnyFunSuite {
       .toDF("doc_id", "source", "text")
     assert(graft.ext.Curation.tokenBudgetAllocate(emptySrc, 100L)
       .count() == 0)
+    assert(graft.ext.Curation.tokenBudgetSample(emptySrc, 100L)
+      .count() == 0)
+    assert(graft.ext.Dedup.turnRepetition(empty).count() == 0)
+    // a whitespace-only doc has zero turns and must not divide by it
+    val blank = graft.ext.Dedup.turnRepetition(
+      Seq((5L, "  ")).toDF("doc_id", "text")).collect().head
+    assert(blank.getAs[Int]("n_turns") == 0 &&
+      blank.getAs[Double]("repeat_frac") == 0.0)
   }
 
   test("connected components on empty pair list") {

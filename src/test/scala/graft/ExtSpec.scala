@@ -97,6 +97,26 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L, 0.5)), s"$pairs")
   }
 
+  test("turnRepetition: hand-computed runs, distinct counts, repeat fraction") {
+    import spark.implicits._
+    // turnTokens = 1: turns are the tokens themselves (hashed).
+    // "a a a b b c": n=6, distinct=3, longest run = 3 (aaa),
+    // repeat_frac = 1 - 3/6 = 0.5. "x y x y": runs all 1, frac 0.5.
+    val docs = Seq((1L, "a a a b b c"), (2L, "x y x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.turnRepetition(docs, turnTokens = 1)
+      .as[(Long, Int, Int, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 6, 3, 3, 0.5),
+      (2L, 4, 2, 1, 0.5),
+      (3L, 1, 1, 1, 0.0)), s"$out")
+    // an agent loop: one turn repeated wall-to-wall
+    val loop = graft.ext.Dedup.turnRepetition(
+      Seq((9L, "do it do it do it do it")).toDF("doc_id", "text"),
+      turnTokens = 2).as[(Long, Int, Int, Int, Double)].collect().head
+    assert(loop == ((9L, 4, 1, 4, 0.75)), s"$loop")
+  }
+
   test("connected components: planted chain and separate pair cluster correctly") {
     // chain 1-2-3 plus pair (10,11): two components keyed by min id
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
