@@ -557,6 +557,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget waterfill invariants on arbitrary source mixes") {
+    // for ANY source sizes / budget / temperature:
+    //   Σ alloc ≤ min(budget, Σ T)   (never overspends)
+    //   alloc_s ≤ T_s                (never over-grants a source)
+    //   saturated ⇒ alloc = T        (grant-in-full semantics)
+    val srcGen = for {
+      n <- Gen.chooseNum(1, 30)
+    } yield n
+    forAll(Gen.listOfN(5, srcGen)) { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        // one doc of n tokens per source keeps T_s = n exactly
+        Seq((s.toLong, s"s$s", Seq.fill(n)("w").mkString(" ")))
+      }.toDF("doc_id", "source", "text")
+      for (b <- Seq(0L, 7L, 40L, 1000L); a <- Seq(0.0, 0.5, 1.0)) {
+        val rows = graft.ext.Curation
+          .tokenBudgetAllocate(docs, b, alpha = a)
+          .select("tokens_available", "tokens_alloc", "saturated")
+          .as[(Long, Long, Boolean)].collect()
+        val total = rows.map(_._1).sum
+        val spent = rows.map(_._2).sum
+        assert(spent <= math.min(b, total),
+          s"overspend: $spent > min($b, $total) at alpha=$a")
+        rows.foreach { case (t, al, sat) =>
+          assert(al <= t, s"over-grant: $al > $t")
+          assert(!sat || al == t, s"saturated but alloc $al != $t")
+        }
+      }
+    }
+  }
+
+  test("turnRepetition bounds on arbitrary token streams") {
+    val tokGen = Gen.oneOf("a", "b", "c", "aa", "xyz")
+    forAll(Gen.listOfN(24, tokGen)) { toks =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      for (tt <- Seq(1, 2, 4)) {
+        val r = graft.ext.Dedup.turnRepetition(df, turnTokens = tt)
+          .collect().head
+        val n = r.getAs[Int]("n_turns")
+        val nd = r.getAs[Int]("n_distinct_turns")
+        val run = r.getAs[Int]("max_run")
+        val frac = r.getAs[Double]("repeat_frac")
+        assert(n == (toks.size + tt - 1) / tt, s"turn count tt=$tt")
+        assert(nd >= 1 && nd <= n, s"distinct bound: $nd of $n")
+        assert(run >= 1 && run <= n, s"run bound: $run of $n")
+        assert(frac >= 0.0 && frac < 1.0, s"frac range: $frac")
+      }
+    }
+  }
+
   test("assortativity r stays in [-1, 1] on arbitrary symmetrized graphs") {
     val edgeGen = for {
       u <- Gen.chooseNum(0L, 8L)
