@@ -193,6 +193,23 @@ object StreamingOps {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         col("fingerprint"))
 
+  /** Streaming loop-gate over conversation-shaped ingest
+    * ([[graft.ext.Dedup.turnRepetition]]): drop documents whose own
+    * turns degenerate (an agent transcript stuck repeating one turn,
+    * a generation loop) BEFORE they reach the corpus — the
+    * within-document companion to the cross-document ingest dedup
+    * sinks. The detector is one per-row aggregate() fold over the
+    * turn array, so the streaming form is stateless — no watermark,
+    * no state store — and gates at scan speed (StreamingSpec:
+    * streamed ≡ batch twin).
+    * @return kept docs' (doc_id, n_turns, n_distinct_turns, max_run,
+    *         repeat_frac) */
+  def loopGateStream(docs: DataFrame, turnTokens: Int = 8,
+      maxRun: Int = 3, maxRepeatFrac: Double = 0.5): DataFrame =
+    graft.ext.Dedup.turnRepetition(docs, turnTokens)
+      .filter(col("max_run") <= maxRun &&
+        col("repeat_frac") <= maxRepeatFrac)
+
   /** Streaming twin of [[graft.ext.TextAnalysis.blocklistScreen]]:
     * the Aho–Corasick gate is a pure per-row expression (the automaton
     * rides inside [[graft.expressions.MultiMatch]]), so the streaming

@@ -77,6 +77,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming loop gate ≡ batch twin (stateless turn-repetition filter)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "plan step act step check done plan step"), // varied turns
+      (2L, "do it do it do it do it do it do it"),     // agent loop
+      (3L, "alpha beta alpha beta gamma delta"))
+    val q = StreamingOps.loopGateStream(
+        mem.toDF().toDF("doc_id", "text"), turnTokens = 2,
+        maxRun = 2, maxRepeatFrac = 0.5)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("loop_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val batch = graft.ext.Dedup.turnRepetition(
+          rows.toDF("doc_id", "text"), turnTokens = 2)
+        .filter($"max_run" <= 2 && $"repeat_frac" <= 0.5)
+      val got = spark.table("loop_out").collect().toSet
+      assert(got == batch.collect().toSet,
+        "streamed loop gate must be row-identical to the batch filter")
+      // the wall-to-wall loop is gated out; varied docs survive
+      assert(got.map(_.getLong(0)) == Set(1L, 3L), s"$got")
+    } finally q.stop()
+  }
+
   test("streaming curation gate ≡ batch twin; per-source governance agg runs Complete") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
