@@ -1127,7 +1127,13 @@ object DbtProject {
     *        `+name`, `tag:t`, unions by space/comma. Unselected
     *        upstreams resolve from their materialized warehouse
     *        tables; a never-materialized view dependency fails
-    *        loudly. */
+    *        loudly.
+    * @param defer dbt `--defer`: a PRODUCTION warehouse dir that
+    *        unselected upstreams ABSENT from this run's warehouse
+    *        resolve from (the slim-CI workflow:
+    *        `--select state:modified+ --defer` builds only what
+    *        changed, reading the rest from prod). A locally
+    *        materialized table always wins over the deferred one. */
   def run(spark: SparkSession, projectDir: String,
       sources: Map[String, DataFrame], warehouseDir: String,
       currentDateOverride: Option[String] = None, threads: Int = 0,
@@ -1135,13 +1141,14 @@ object DbtProject {
       select: Option[String] = None,
       fullRefresh: Boolean = false,
       exclude: Option[String] = None,
-      selector: Option[String] = None): Map[String, DataFrame] = {
+      selector: Option[String] = None,
+      defer: Option[String] = None): Map[String, DataFrame] = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
     val sd = resolveSelector(p, selector, select, exclude)
     runLevelHooks(spark, p.runHooks._1, currentDateOverride)
     val out = engine.run(p.modelSql, allFrames, p.materializations, p.tags,
-      select, fullRefresh, exclude, p.hooks, sd)
+      select, fullRefresh, exclude, p.hooks, sd, defer)
     runLevelHooks(spark, p.runHooks._2, currentDateOverride)
     out
   }
@@ -1224,7 +1231,8 @@ object DbtProject {
       select: Option[String] = None,
       fullRefresh: Boolean = false,
       exclude: Option[String] = None,
-      selector: Option[String] = None)
+      selector: Option[String] = None,
+      defer: Option[String] = None)
       : (Map[String, DataFrame], DataFrame) = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, threads, vars)
@@ -1240,7 +1248,7 @@ object DbtProject {
     }
     val (frames, status, testRows) = engine.build(p.modelSql, allFrames,
       p.materializations, p.tags, select, fullRefresh, modelTests, exclude,
-      p.hooks, resolveSelector(p, selector, select, exclude))
+      p.hooks, resolveSelector(p, selector, select, exclude), defer)
     val modelRows = status.toSeq.sortBy(_._1).map { case (name, st) =>
       val (s, detail) = st.indexOf(':') match {
         case -1 => (st, "")

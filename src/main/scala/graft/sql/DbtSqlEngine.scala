@@ -41,10 +41,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       fullRefresh: Boolean = false,
       exclude: Option[String] = None,
       hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
-      selectorDef: Option[ModelGraph.SelectorDef] = None)
+      selectorDef: Option[ModelGraph.SelectorDef] = None,
+      deferDir: Option[String] = None)
       : Map[String, DataFrame] = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh, exclude, hooks, selectorDef)
+      select, fullRefresh, exclude, hooks, selectorDef, deferDir)
     val out = new Runner(spark, sources, warehouseDir, threads)
       .run(prep.chosen)
     // only the models actually built this run advance in the manifest:
@@ -76,11 +77,12 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       tests: Seq[DbtTests.DataTest] = Seq.empty,
       exclude: Option[String] = None,
       hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
-      selectorDef: Option[ModelGraph.SelectorDef] = None)
+      selectorDef: Option[ModelGraph.SelectorDef] = None,
+      deferDir: Option[String] = None)
       : (Map[String, DataFrame], Map[String, String],
          Seq[(String, String, Long, String)]) = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh, exclude, hooks, selectorDef)
+      select, fullRefresh, exclude, hooks, selectorDef, deferDir)
     // dbt compiles tests on ephemeral models against the inlined CTE;
     // this engine does not — fail loudly instead of silently skipping
     val ephTested = tests.filter(t => prep.ephemerals.contains(t.model))
@@ -197,7 +199,8 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       fullRefresh: Boolean,
       exclude: Option[String] = None,
       hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
-      selectorDef: Option[ModelGraph.SelectorDef] = None)
+      selectorDef: Option[ModelGraph.SelectorDef] = None,
+      deferDir: Option[String] = None)
       : Prepared = {
     sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -391,11 +394,22 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
         .filter(d => allNames.contains(d) && !chosenNames.contains(d))
         .foreach { d =>
           val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$d")
-          require(fs.exists(p),
+          // dbt --defer: an upstream ABSENT from the current (dev)
+          // warehouse resolves from the deferred (production) state
+          // instead; a locally materialized table always wins, so a
+          // dev rebuild of one upstream composes with deferred reads
+          // of the rest (dbt's own precedence without favor-state)
+          val src = if (fs.exists(p)) Some(p)
+            else deferDir.map(dd => new org.apache.hadoop.fs.Path(s"$dd/$d"))
+              .filter(fs.exists)
+          require(src.isDefined,
             s"selected models depend on '$d', which is not selected and " +
-            "has no materialized table in the warehouse — widen the " +
-            s"selector (e.g. '+<name>') or run '$d' first")
-          spark.read.parquet(p.toString).createOrReplaceTempView(d)
+            "has no materialized table in the warehouse" +
+            deferDir.map(dd => s" (nor in the --defer state at $dd)")
+              .getOrElse("") +
+            s" — widen the selector (e.g. '+<name>'), run '$d' first, " +
+            "or pass defer = <production warehouse>")
+          spark.read.parquet(src.get.toString).createOrReplaceTempView(d)
         }
     }
     Prepared(chosen, effectiveSql, ephNames, compiled)

@@ -1737,6 +1737,47 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("package"), e3.getMessage)
   }
 
+  test("--defer: unselected upstreams read from the production state; local wins (round 16)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-deferproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "defy"
+        |models:
+        |  defy:
+        |    +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/base.sql"),
+      "select 1 as id, 10 as v\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/leaf.sql"),
+      "select id, v * 2 as v2 from {{ ref('base') }}\n".getBytes("UTF-8"))
+    // production run materializes everything
+    val prodWh = Files.createTempDirectory("graft-defer-prod").toString
+    DbtProject.run(spark, dir.toString, Map.empty, prodWh)
+    // dev: select only leaf in a FRESH warehouse — without defer the
+    // missing upstream is loud and names the fix
+    val devWh = Files.createTempDirectory("graft-defer-dev").toString
+    val e = intercept[IllegalArgumentException](DbtProject.run(
+      spark, dir.toString, Map.empty, devWh, select = Some("leaf")))
+    assert(e.getMessage.contains("base") &&
+      e.getMessage.contains("defer"), e.getMessage)
+    // with defer, leaf builds against prod's base
+    val out = DbtProject.run(spark, dir.toString, Map.empty, devWh,
+      select = Some("leaf"), defer = Some(prodWh))
+    assert(out.keySet == Set("leaf"))
+    assert(out("leaf").as[(Int, Int)].collect().toSeq == Seq((1, 20)))
+    // a LOCALLY materialized upstream beats the deferred one: change
+    // base, run it into dev, then the deferred leaf run reads local
+    Files.write(dir.resolve("models/base.sql"),
+      "select 1 as id, 100 as v\n".getBytes("UTF-8"))
+    DbtProject.run(spark, dir.toString, Map.empty, devWh,
+      select = Some("base"))
+    val out2 = DbtProject.run(spark, dir.toString, Map.empty, devWh,
+      select = Some("leaf"), defer = Some(prodWh))
+    assert(out2("leaf").as[(Int, Int)].collect().toSeq == Seq((1, 200)),
+      "local materialization must win over the deferred state")
+  }
+
   test("run-operation: a project macro renders and executes; unknown macro loud (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-opproj")
