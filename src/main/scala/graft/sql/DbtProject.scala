@@ -1062,6 +1062,62 @@ object DbtProject {
       .toDF("exposure", "type", "maturity", "owner", "depends_on")
   }
 
+  /** `dbt clone`: copy the selected resources' MATERIALIZED tables
+    * from a source (production) warehouse into this one — the
+    * other half of the state workflow beside `--defer` (defer READS
+    * prod in place; clone takes a physical copy so the dev schema
+    * is self-contained). With no `select`, every model, seed, and
+    * snapshot clones; with one, the full
+    * [[graft.model.ModelGraph.select]] grammar applies over the
+    * STATIC model DAG (raw-text `ref()` edges + accumulated tags —
+    * the `dbt ls` resolution level; `state:modified` has no meaning
+    * here, the state IS the source). Nothing renders and no manifest
+    * advances. Relations the source warehouse does not hold report
+    * `missing in state` instead of failing the whole clone — the
+    * returned report is the loudness (dbt clones what the state
+    * has; views never persist in either engine).
+    *
+    * @return one row per targeted relation: (resource, status ∈
+    *         cloned | missing in state), name order */
+  def clone(spark: SparkSession, projectDir: String,
+      fromWarehouse: String, toWarehouse: String,
+      select: Option[String] = None,
+      exclude: Option[String] = None): DataFrame = {
+    val p = load(projectDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val names: Seq[String] = select match {
+      case None =>
+        require(exclude.isEmpty || exclude.exists(_.trim.isEmpty),
+          "clone: exclude without select is not supported — pass both")
+        (p.modelSql.keys ++ p.seeds.keys ++ p.snapshots.keys).toSeq
+      case Some(sel) =>
+        // static DAG: {{ ref('x') }} edges from the RAW model text
+        // (pre-Jinja — the dbt ls resolution level)
+        val static = p.modelSql.map { case (n, sql) =>
+          graft.model.Model(n,
+            DbtSqlEngine.refPlaceholderRe.findAllMatchIn(sql)
+              .map(_.group(1)).filter(p.modelSql.contains).toSeq.distinct,
+            tags = p.tags.getOrElse(n, Set.empty))(
+            _ => throw new IllegalStateException(
+              "static selection model never runs"))
+        }.toSeq
+        graft.model.ModelGraph.select(static, sel,
+          exclude.getOrElse("")).map(_.name)
+    }
+    names.sorted.map { n =>
+      val src = new org.apache.hadoop.fs.Path(s"$fromWarehouse/$n")
+      if (!fs.exists(src)) (n, "missing in state")
+      else {
+        spark.read.parquet(src.toString).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$toWarehouse/$n")
+        (n, "cloned")
+      }
+    }.toDF("resource", "status")
+  }
+
   /** `dbt run-operation <macro>`: render one project macro with the
     * given kwargs (string values; quotes rejected — they would need
     * SQL escaping this shim does not attempt) and execute the

@@ -1778,6 +1778,43 @@ class DbtProjectSpec extends AnyFunSuite {
       "local materialization must win over the deferred state")
   }
 
+  test("dbt clone: selected state tables copy in; missing relations reported (round 16)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cloneproj")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "clony"
+        |models:
+        |  clony:
+        |    +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/base.sql"),
+      "select 7 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/leaf.sql"),
+      "select id from {{ ref('base') }}\n".getBytes("UTF-8"))
+    val prodWh = Files.createTempDirectory("graft-clone-prod").toString
+    DbtProject.run(spark, dir.toString, Map.empty, prodWh)
+    // clone base+ (the static graph closure) into a fresh dev wh
+    val devWh = Files.createTempDirectory("graft-clone-dev").toString
+    val rep = DbtProject.clone(spark, dir.toString, prodWh, devWh,
+      select = Some("base+")).as[(String, String)].collect().toSeq
+    assert(rep == Seq(("base", "cloned"), ("leaf", "cloned")), s"$rep")
+    assert(spark.read.parquet(s"$devWh/base").as[Int].collect()
+      .toSeq == Seq(7))
+    // the cloned state serves a deferred dev run directly
+    val out = DbtProject.run(spark, dir.toString, Map.empty,
+      Files.createTempDirectory("graft-clone-dev2").toString,
+      select = Some("leaf"), defer = Some(devWh))
+    assert(out("leaf").as[Int].collect().toSeq == Seq(7))
+    // a relation the state never materialized reports, not crashes
+    Files.write(dir.resolve("models/ghost.sql"),
+      "select 1 as x\n".getBytes("UTF-8"))
+    val rep2 = DbtProject.clone(spark, dir.toString, prodWh, devWh)
+      .as[(String, String)].collect().toMap
+    assert(rep2("ghost") == "missing in state" &&
+      rep2("base") == "cloned", s"$rep2")
+  }
+
   test("run-operation: a project macro renders and executes; unknown macro loud (round 15)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-opproj")
