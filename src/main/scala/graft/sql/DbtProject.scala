@@ -946,11 +946,50 @@ object DbtProject {
     * in (kind, name) order. The inventory a user reads before a
     * selective run; selector-scoped execution itself lives on
     * [[run]]/[[build]]'s `select`/`exclude` parameters. */
-  def list(spark: SparkSession, projectDir: String): DataFrame = {
+  def list(spark: SparkSession, projectDir: String,
+      select: Option[String] = None,
+      exclude: Option[String] = None,
+      selector: Option[String] = None): DataFrame = {
     val p = load(projectDir)
     import spark.implicits._
+    // dbt ls selection: the full selector grammar over the STATIC
+    // raw-text ref() DAG (the [[clone]] resolution level) — model
+    // rows filter to the selected set; non-model resources list only
+    // on an unselected ls (this engine's selectors name models).
+    // state:modified needs a warehouse manifest ls does not have —
+    // loud, not silently-empty.
+    val modelFilter: Option[Set[String]] =
+      if (select.isEmpty && exclude.isEmpty && selector.isEmpty) None
+      else {
+        val static = p.modelSql.map { case (n, sql) =>
+          graft.model.Model(n,
+            DbtSqlEngine.refPlaceholderRe.findAllMatchIn(sql)
+              .map(_.group(1)).filter(p.modelSql.contains).toSeq.distinct,
+            tags = p.tags.getOrElse(n, Set.empty))(
+            _ => throw new IllegalStateException(
+              "static selection model never runs"))
+        }.toSeq
+        val sd = resolveSelector(p, selector, select, exclude)
+        sd match {
+          case Some(d) =>
+            require(!graft.model.ModelGraph.selectorNeedsState(d),
+              "ls: state:modified needs a warehouse manifest — use " +
+                "run/build for state-based selection")
+            Some(graft.model.ModelGraph.evalSelector(static, d))
+          case None =>
+            require(!(select.toSeq ++ exclude.toSeq)
+              .exists(_.contains("state:modified")),
+              "ls: state:modified needs a warehouse manifest — use " +
+                "run/build for state-based selection")
+            Some(graft.model.ModelGraph.select(static,
+              select.getOrElse(static.map(_.name).mkString(" ")),
+              exclude.getOrElse("")).map(_.name).toSet)
+        }
+      }
+    val modelRows = p.modelSql.keys
+      .filter(n => modelFilter.forall(_.contains(n)))
     val rows: Seq[(String, String, String, String)] =
-      p.modelSql.keys.map(n => (n, "model",
+      modelRows.map(n => (n, "model",
         p.materializations.get(n).map {
           case Materialization.View => "view"
           case Materialization.Table => "table"
@@ -958,11 +997,12 @@ object DbtProject {
           case _: Materialization.Incremental => "incremental"
         }.getOrElse("view"),
         p.tags.getOrElse(n, Set.empty).toSeq.sorted.mkString(","))).toSeq ++
-      p.seeds.keys.map(n => (n, "seed", "seed", "")).toSeq ++
-      p.snapshots.keys.map(n => (n, "snapshot", "snapshot", "")).toSeq ++
-      p.singularTests.keys.map(n => (n, "test", "singular", "")).toSeq ++
-      p.sourceTables.map(n => (n, "source", "source", "")) ++
-      p.exposures.map(e => (e.name, "exposure", e.exposureType, ""))
+      (if (modelFilter.isDefined) Seq.empty else
+        p.seeds.keys.map(n => (n, "seed", "seed", "")).toSeq ++
+        p.snapshots.keys.map(n => (n, "snapshot", "snapshot", "")).toSeq ++
+        p.singularTests.keys.map(n => (n, "test", "singular", "")).toSeq ++
+        p.sourceTables.map(n => (n, "source", "source", "")) ++
+        p.exposures.map(e => (e.name, "exposure", e.exposureType, "")))
     rows.sortBy(r => (r._2, r._1))
       .toDF("resource", "kind", "materialization", "tags")
   }

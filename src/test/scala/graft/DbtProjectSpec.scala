@@ -1778,6 +1778,35 @@ class DbtProjectSpec extends AnyFunSuite {
       "local materialization must win over the deferred state")
   }
 
+  test("dbt ls --select/--selector: model rows filter on the static DAG (round 16)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lssel")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"lsel\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/base.sql"),
+      "select 1 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/leaf.sql"),
+      "select id from {{ ref('base') }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/loose.sql"),
+      "select 2 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("selectors.yml"),
+      """selectors:
+        |  - name: core
+        |    definition: "base+"
+        |""".stripMargin.getBytes("UTF-8"))
+    def names(sel: Option[String] = None, named: Option[String] = None) =
+      DbtProject.list(spark, dir.toString, select = sel, selector = named)
+        .select("resource").as[String].collect().toSet
+    assert(names(sel = Some("base+")) == Set("base", "leaf"))
+    assert(names(named = Some("core")) == Set("base", "leaf"))
+    assert(names() == Set("base", "leaf", "loose"))
+    // state:modified has no manifest in ls — loud
+    val e = intercept[IllegalArgumentException](
+      names(sel = Some("state:modified")))
+    assert(e.getMessage.contains("state:modified"), e.getMessage)
+  }
+
   test("dbt clone: selected state tables copy in; missing relations reported (round 16)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cloneproj")
