@@ -958,8 +958,13 @@ object DbtProject {
     // on an unselected ls (this engine's selectors name models).
     // state:modified needs a warehouse manifest ls does not have —
     // loud, not silently-empty.
+    // the default selector applies to ls too (dbt: defaults bind
+    // every node-selecting command) — resolveSelector below handles
+    // that case, so "no selection of any kind" here must also mean
+    // "and no default selector declared"
     val modelFilter: Option[Set[String]] =
-      if (select.isEmpty && exclude.isEmpty && selector.isEmpty) None
+      if (select.isEmpty && exclude.isEmpty && selector.isEmpty &&
+          p.defaultSelector.isEmpty) None
       else {
         val static = p.modelSql.map { case (n, sql) =>
           graft.model.Model(n,

@@ -1805,6 +1805,16 @@ class DbtProjectSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       names(sel = Some("state:modified")))
     assert(e.getMessage.contains("state:modified"), e.getMessage)
+    // a default selector binds ls too (dbt: defaults apply to every
+    // node-selecting command); an explicit --select overrides it
+    Files.write(dir.resolve("selectors.yml"),
+      """selectors:
+        |  - name: core
+        |    default: true
+        |    definition: "base+"
+        |""".stripMargin.getBytes("UTF-8"))
+    assert(names() == Set("base", "leaf"))
+    assert(names(sel = Some("loose")) == Set("loose"))
   }
 
   test("dbt clone: selected state tables copy in; missing relations reported (round 16)") {
