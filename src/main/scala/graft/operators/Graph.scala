@@ -1132,6 +1132,11 @@ object Graph {
       while (i < eRows.length) { idx.put(eRows(i), i); i += 1 }
       val support = new Array[Int](eRows.length)
       val triEdge = new Array[Int](tRows.length * 3)
+      // every triangle's three canonical edges are members of e BY
+      // CONSTRUCTION (the enumeration intersects e's own oriented
+      // adjacency lists), so these lookups cannot miss — the
+      // fast≡distributed GraphSpec equivalence and the sf0.1
+      // result-identity back the invariant empirically
       i = 0
       while (i < tRows.length) {
         val t = tRows(i)
