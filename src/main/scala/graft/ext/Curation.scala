@@ -1181,7 +1181,11 @@ object Curation {
     * range); w_s is the one IEEE pow, micro-rounded; ⌊R·w_s/W⌋ on
     * positives matches the oracle's HUGEINT `//`. Σ allocations ≤ B
     * always, with < #unsaturated tokens of floor slack. alloc_frac
-    * is a Spark-side round(a/T, 6).
+    * is a Spark-side round(a/T, 6). Envelope: w = T^α·10⁶ must fit
+    * a long (T^α < 9.2·10¹² — any α ≤ 1 at trillion-token sources;
+    * a super-linear α past that silently saturates Spark's
+    * double→long cast while DuckDB raises, so keep α ≤ 1 at extreme
+    * scale).
     *
     * Scale shape: ONE map-side-combined corpus aggregation to the
     * sources-sized table; the waterfill iterates on a driver copy of
