@@ -1029,12 +1029,13 @@ object DbtProject {
       vars: Map[String, String] = Map.empty,
       select: Option[String] = None,
       exclude: Option[String] = None,
-      selector: Option[String] = None): DataFrame = {
+      selector: Option[String] = None,
+      defer: Option[String] = None): DataFrame = {
     val (p, engine, allFrames) = prepare(spark, projectDir, sources,
       warehouseDir, currentDateOverride, 0, vars)
     val compiled = engine.compile(p.modelSql, allFrames,
       p.materializations, p.tags, select, exclude,
-      resolveSelector(p, selector, select, exclude))
+      resolveSelector(p, selector, select, exclude), defer)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     import spark.implicits._

@@ -428,9 +428,10 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       tags: Map[String, Set[String]] = Map.empty,
       select: Option[String] = None,
       exclude: Option[String] = None,
-      selectorDef: Option[ModelGraph.SelectorDef] = None): Map[String, String] = {
+      selectorDef: Option[ModelGraph.SelectorDef] = None,
+      deferDir: Option[String] = None): Map[String, String] = {
     val prep = prepare(modelSql, sources, materializations, tags,
-      select, fullRefresh = false, exclude, Map.empty, selectorDef)
+      select, fullRefresh = false, exclude, Map.empty, selectorDef, deferDir)
     val keep = prep.chosen.map(_.name).toSet
     prep.compiled.filter { case (n, _) => keep.contains(n) }
   }

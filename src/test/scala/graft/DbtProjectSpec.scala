@@ -1776,6 +1776,14 @@ class DbtProjectSpec extends AnyFunSuite {
       select = Some("leaf"), defer = Some(prodWh))
     assert(out2("leaf").as[(Int, Int)].collect().toSeq == Seq((1, 200)),
       "local materialization must win over the deferred state")
+    // compile honors defer too: a select-scoped compile against a
+    // fresh warehouse renders leaf with its upstream resolved from
+    // the deferred state instead of failing
+    val freshWh = Files.createTempDirectory("graft-defer-c").toString
+    val comp = DbtProject.compile(spark, dir.toString, Map.empty, freshWh,
+      select = Some("leaf"), defer = Some(prodWh))
+      .select("resource").as[String].collect().toSeq
+    assert(comp == Seq("leaf"), s"$comp")
   }
 
   test("dbt ls --select/--selector: model rows filter on the static DAG (round 16)") {
