@@ -187,9 +187,19 @@ object Bench {
     // Re-print the result JSON AFTER spark.stop(): executor-shutdown
     // WARN spew otherwise buries the early println outside the
     // driver's bounded stdout-tail window (r14/r15 artifacts parsed
-    // null). Post-stop, nothing else writes to stdout, so this is
-    // verifiably the last line.
+    // null). Post-stop, nothing else writes to stdout.
     println(json)
+    // The full 357-query line is ~8 KB — larger than the driver's
+    // 2000-char stdout tail, so its head is truncated and it never
+    // parses (r14-r16 artifacts all read "parsed": null). The LAST
+    // line must therefore be a compact summary that fits the tail
+    // whole even with sbt's trailing "[success]" line (~75 chars):
+    // total + the 5 most expensive queries + a pointer to the full
+    // per-query artifact on disk.
+    val top5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"n":${results.size},"loadavg":${fmt(loadAvg)},"sf":"$sfDir","full":"$outPath"}""")
     System.out.flush()
   }
 }

@@ -504,10 +504,14 @@ object ExtOracles {
         |  FROM turns GROUP BY 1),
         |mr AS (SELECT doc_id, CAST(max(cnt) AS INTEGER) AS max_run
         |  FROM rl GROUP BY 1)
-        |SELECT agg.doc_id, n_turns, n_distinct_turns, max_run,
-        |  round(1.0 - CAST(n_distinct_turns AS DOUBLE)
-        |    / CAST(n_turns AS DOUBLE), 6) AS repeat_frac
-        |FROM agg JOIN mr ON mr.doc_id = agg.doc_id""".stripMargin
+        |SELECT d.doc_id, coalesce(n_turns, 0) AS n_turns,
+        |  coalesce(n_distinct_turns, 0) AS n_distinct_turns,
+        |  coalesce(max_run, 0) AS max_run,
+        |  coalesce(round(1.0 - CAST(n_distinct_turns AS DOUBLE)
+        |    / CAST(n_turns AS DOUBLE), 6), 0.0) AS repeat_frac
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |LEFT JOIN mr ON mr.doc_id = d.doc_id""".stripMargin
     },
 
     "q_dedup_minhash_sig" ->
@@ -7703,6 +7707,8 @@ FROM nodes n JOIN h$n ON h$n.node = n.node JOIN a$n ON a$n.node = n.node"""
     "q_local_clustering" -> localClusteringSql,
     "q_rich_club" -> richClubSql,
     "q_ktruss" -> kTrussSql,
+    // forced-distributed variant: path differs, fixpoint identical
+    "q_ktruss_dist" -> kTrussSql,
     "q_gini" -> giniSql,
     "q_boxplot" -> boxplotSql,
     "q_lift_gain" -> liftGainSql,

@@ -2488,6 +2488,22 @@ object ExtQueries {
     graft.operators.Graph.kTruss(e, k = 4)
   }
 
+  /** [[qKTruss]] with the driver fast path DISABLED
+    * (collectThreshold = 0): the bench/correctness probe for the
+    * distributed peel loop — the actual 100 TB path — which sf0.1
+    * (1.1M edges, under the 5M gate) otherwise never exercises. Same
+    * graph, same oracle, same surviving edges; only the execution
+    * path differs. */
+  def qKTrussDist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graph.kTruss(e, k = 4, collectThreshold = 0L)
+  }
+
   /** Gini inequality of order revenue WITHIN each priority tier —
     * is one tier's revenue whale-driven while another's is flat?
     * The value-mass complement of [[qMixDiversity]]'s size gini. */

@@ -1168,32 +1168,61 @@ object Graph {
       val alive = Array.fill(eRows.length)(true)
       val triAlive = Array.fill(tRows.length)(true)
       val need = (k - 2).max(0)
-      val queue = new java.util.ArrayDeque[Int]()
+      // Shell-structured peel (round 17): each round removes ALL
+      // currently-below-threshold edges at once, exactly like one
+      // distributed round, capped by the SAME maxRounds — so a
+      // maxRounds bail-out leaves the identical (unconverged) edge
+      // set AND support values on both paths. A flat worklist (plain
+      // BFS queue) peels to full fixpoint regardless of maxRounds
+      // and the paths would only agree when maxRounds exceeded the
+      // rounds needed. `alive` = not yet removed (flips only when an
+      // edge's removal round actually executes — a bail-out leaves
+      // the pending shell in the output, matching the distributed
+      // exit); `pending` only guards duplicate queuing. Decrements
+      // keep applying to pending-but-not-yet-removed edges, exactly
+      // as the distributed sup table keeps decrementing edges that
+      // are still in e.
       if (need > 0) {
+        val pending = new Array[Boolean](eRows.length)
+        var frontier = new java.util.ArrayDeque[Int]()
         i = 0
         while (i < eRows.length) {
-          if (support(i) < need) { queue.add(i); alive(i) = false }
+          if (support(i) < need) { frontier.add(i); pending(i) = true }
           i += 1
         }
-        while (!queue.isEmpty) {
-          val ei = queue.poll()
-          var p = degT(ei)
-          while (p < degT(ei + 1)) {
-            val t = csr(p)
-            if (triAlive(t)) {
-              triAlive(t) = false
-              var j = 0
-              while (j < 3) {
-                val ej = triEdge(3 * t + j)
-                if (ej != ei && alive(ej)) {
-                  support(ej) -= 1
-                  if (support(ej) < need) { alive(ej) = false; queue.add(ej) }
+        var rnd = 0
+        while (!frontier.isEmpty && rnd < maxRounds) {
+          val nextFrontier = new java.util.ArrayDeque[Int]()
+          // remove this round's whole shell FIRST: a triangle with
+          // two same-shell edges must not credit a decrement to
+          // either (the distributed round drops both before the dead
+          // -triangle credits are counted)
+          val it0 = frontier.iterator()
+          while (it0.hasNext) alive(it0.next()) = false
+          while (!frontier.isEmpty) {
+            val ei = frontier.poll()
+            var p = degT(ei)
+            while (p < degT(ei + 1)) {
+              val t = csr(p)
+              if (triAlive(t)) {
+                triAlive(t) = false
+                var j = 0
+                while (j < 3) {
+                  val ej = triEdge(3 * t + j)
+                  if (ej != ei && alive(ej)) {
+                    support(ej) -= 1
+                    if (support(ej) < need && !pending(ej)) {
+                      pending(ej) = true; nextFrontier.add(ej)
+                    }
+                  }
+                  j += 1
                 }
-                j += 1
               }
+              p += 1
             }
-            p += 1
           }
+          frontier = nextFrontier
+          rnd += 1
         }
       }
       val out = eRows.indices.collect {
@@ -1238,10 +1267,16 @@ object Graph {
         def flag(cu: String, cv: String, d: String) =
           rGate(removed.select(col("u").as(cu), col("v").as(cv),
             lit(true).as(d)))
-        def marked = tri
+        // Materialized ONCE per round (r17): as a def, the three
+        // flag joins over the full checkpointed triangle table ran
+        // twice — once for nextTri's survivors, once for supDelta's
+        // dead set. The checkpoint is triangle-table-sized, same as
+        // nextTri's, and is released before the round ends.
+        val marked = tri
           .join(flag("e1u", "e1v", "d1"), Seq("e1u", "e1v"), "left")
           .join(flag("e2u", "e2v", "d2"), Seq("e2u", "e2v"), "left")
           .join(flag("e3u", "e3v", "d3"), Seq("e3u", "e3v"), "left")
+          .localCheckpoint()
         val isDead = col("d1").isNotNull || col("d2").isNotNull ||
           col("d3").isNotNull
         val triCols = Seq("e1u", "e1v", "e2u", "e2v", "e3u", "e3v")
@@ -1260,7 +1295,7 @@ object Graph {
               .as("support"))
           .filter(col("support") > 0L)
           .localCheckpoint()
-        graft.ext.Checkpoints.release(tri, sup, removed)
+        graft.ext.Checkpoints.release(tri, sup, removed, marked)
         tri = nextTri
         sup = nextSup
       }

@@ -953,27 +953,40 @@ object DbtProject {
     val p = load(projectDir)
     import spark.implicits._
     // dbt ls selection: the full selector grammar over the STATIC
-    // raw-text ref() DAG (the [[clone]] resolution level) — model
-    // rows filter to the selected set; non-model resources list only
-    // on an unselected ls (this engine's selectors name models).
+    // raw-text ref() DAG (the [[clone]] resolution level) — model,
+    // seed, AND snapshot rows all filter through it (they are legal
+    // fqn targets in dbt, and seeds/snapshots participate in ref()
+    // edges, so `my_seed+` selects its downstream models here just
+    // as dbt does). Tests/sources/exposures still list only on an
+    // unselected ls — dbt additionally routes those through the
+    // selector via attachment/`source:` methods this static listing
+    // does not model (documented deviation).
     // state:modified needs a warehouse manifest ls does not have —
     // loud, not silently-empty.
     // the default selector applies to ls too (dbt: defaults bind
     // every node-selecting command) — resolveSelector below handles
     // that case, so "no selection of any kind" here must also mean
     // "and no default selector declared"
-    val modelFilter: Option[Set[String]] =
+    val nodeFilter: Option[Set[String]] =
       if (select.isEmpty && exclude.isEmpty && selector.isEmpty &&
           p.defaultSelector.isEmpty) None
       else {
-        val static = p.modelSql.map { case (n, sql) =>
+        // seeds have no upstream text; snapshot blocks carry raw
+        // {{ ref() }} edges exactly like model files
+        val allNames = p.modelSql.keySet ++ p.seeds.keySet ++
+          p.snapshots.keySet
+        val static = (p.modelSql ++ p.snapshots).map { case (n, sql) =>
           graft.model.Model(n,
             DbtSqlEngine.refPlaceholderRe.findAllMatchIn(sql)
-              .map(_.group(1)).filter(p.modelSql.contains).toSeq.distinct,
+              .map(_.group(1)).filter(allNames.contains).toSeq.distinct,
             tags = p.tags.getOrElse(n, Set.empty))(
             _ => throw new IllegalStateException(
               "static selection model never runs"))
-        }.toSeq
+        }.toSeq ++ p.seeds.keys.map(n =>
+          graft.model.Model(n, Seq.empty,
+            tags = p.tags.getOrElse(n, Set.empty))(
+            _ => throw new IllegalStateException(
+              "static selection model never runs")))
         val sd = resolveSelector(p, selector, select, exclude)
         sd match {
           case Some(d) =>
@@ -991,10 +1004,9 @@ object DbtProject {
               exclude.getOrElse("")).map(_.name).toSet)
         }
       }
-    val modelRows = p.modelSql.keys
-      .filter(n => modelFilter.forall(_.contains(n)))
+    def selected(n: String): Boolean = nodeFilter.forall(_.contains(n))
     val rows: Seq[(String, String, String, String)] =
-      modelRows.map(n => (n, "model",
+      p.modelSql.keys.filter(selected).map(n => (n, "model",
         p.materializations.get(n).map {
           case Materialization.View => "view"
           case Materialization.Table => "table"
@@ -1002,9 +1014,11 @@ object DbtProject {
           case _: Materialization.Incremental => "incremental"
         }.getOrElse("view"),
         p.tags.getOrElse(n, Set.empty).toSeq.sorted.mkString(","))).toSeq ++
-      (if (modelFilter.isDefined) Seq.empty else
-        p.seeds.keys.map(n => (n, "seed", "seed", "")).toSeq ++
-        p.snapshots.keys.map(n => (n, "snapshot", "snapshot", "")).toSeq ++
+      p.seeds.keys.filter(selected)
+        .map(n => (n, "seed", "seed", "")).toSeq ++
+      p.snapshots.keys.filter(selected)
+        .map(n => (n, "snapshot", "snapshot", "")).toSeq ++
+      (if (nodeFilter.isDefined) Seq.empty else
         p.singularTests.keys.map(n => (n, "test", "singular", "")).toSeq ++
         p.sourceTables.map(n => (n, "source", "source", "")) ++
         p.exposures.map(e => (e.name, "exposure", e.exposureType, "")))

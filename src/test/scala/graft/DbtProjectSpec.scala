@@ -1825,6 +1825,42 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(names(sel = Some("loose")) == Set("loose"))
   }
 
+  test("dbt ls: seeds and snapshots ride the static selection (round 17)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lsseed")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("seeds"))
+    Files.createDirectories(dir.resolve("snapshots"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"lsx\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("seeds/country_codes.csv"),
+      "id,code\n1,US\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/base.sql"),
+      "select 1 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/leaf.sql"),
+      "select id from {{ ref('country_codes') }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("snapshots/snap_base.sql"),
+      """{% snapshot snap_base %}
+        |{{ config(unique_key='id', strategy='check', check_cols='all') }}
+        |select * from {{ ref('base') }}
+        |{% endsnapshot %}
+        |""".stripMargin.getBytes("UTF-8"))
+    def names(sel: String) =
+      DbtProject.list(spark, dir.toString, select = Some(sel))
+        .select("resource").as[String].collect().toSet
+    // seeds are legal fqn targets and participate in ref() edges:
+    // downstream closure from a seed reaches its consuming model
+    assert(names("country_codes+") == Set("country_codes", "leaf"))
+    // snapshots hang off the graph through their own ref() edges
+    assert(names("base+") == Set("base", "snap_base"))
+    assert(names("snap_base") == Set("snap_base"))
+    // an unselected ls still lists every resource kind
+    val all = DbtProject.list(spark, dir.toString)
+      .select("resource", "kind").as[(String, String)].collect().toSet
+    assert(all == Set(("base", "model"), ("leaf", "model"),
+      ("country_codes", "seed"), ("snap_base", "snapshot")), s"$all")
+  }
+
   test("dbt clone: selected state tables copy in; missing relations reported (round 16)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cloneproj")

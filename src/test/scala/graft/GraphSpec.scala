@@ -386,6 +386,42 @@ class GraphSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("kTruss: maxRounds bail-out parity — fast path peels in shells (round 17)") {
+    import spark.implicits._
+    // depth-3 "triangle tree": root edge (1,2) expanded by {3,4}
+    // (triangles 1-2-3, 1-2-4), each depth-1 edge expanded by two
+    // fresh vertices. k=4 peels it one level per round — leaves
+    // (support 1) in round 1, depth-1 edges (dropping 3 -> 1) in
+    // round 2, the root (2 -> 0) in round 3 — so maxRounds binds at
+    // 1 and 2, and BOTH paths must leave the identical unconverged
+    // edge set with identical maintained supports at the cap.
+    var nextV = 5L
+    val d1 = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val d2 = d1.flatMap { case (u, v) =>
+      val (w1, w2) = (nextV, nextV + 1); nextV += 2
+      Seq((u, w1), (v, w1), (u, w2), (v, w2))
+    }
+    val edges = (Seq((1L, 2L)) ++ d1 ++ d2).toDF("src", "dst")
+    def run(mr: Int, thresh: Long) =
+      graft.operators.Graph.kTruss(edges, k = 4, maxRounds = mr,
+          collectThreshold = thresh).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (mr <- Seq(1, 2, 3)) {
+      val fast = run(mr, Long.MaxValue)
+      val dist = run(mr, 0L)
+      assert(fast == dist, s"maxRounds=$mr fast/dist:\n$fast\n$dist")
+      graft.ext.Checkpoints.releaseAll(spark)
+    }
+    // the cap really binds: one round retains root + depth-1 shell
+    // (with post-round supports), three rounds reach the empty
+    // fixpoint
+    val one = run(1, Long.MaxValue)
+    assert(one == (d1.map(e => e -> 1L) :+ ((1L, 2L) -> 2L)).toMap,
+      s"$one")
+    assert(run(3, Long.MaxValue).isEmpty)
+    graft.ext.Checkpoints.releaseAll(spark)
+  }
+
   test("kTruss: k=2 is the whole graph — triangle-free edges survive with support 0") {
     import spark.implicits._
     // path 1-2-3 (no triangles) + triangle {4,5,6}: the 2-truss is

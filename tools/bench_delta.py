@@ -34,6 +34,13 @@ THRESH = 1.5
 MIN_DELTA = 0.3
 PREV_THRESH = 1.25
 PREV_MIN_DELTA = 0.2
+# Loadavg discipline (round 17): the r16 driver sweep ran at loadavg
+# 5.3 on 32 cpus and published a spurious 1.26x with 29 remeasures —
+# the judge had to adjudicate noise by hand. A sweep captured above
+# this 1-min loadavg carries no regression authority: the gate verdict
+# is WITHHELD (exit 3) instead of flagging phantom regressions, and
+# the caller re-runs on a quiet host.
+MAX_LOADAVG = 3.0
 
 def load_queries(p):
     with open(p) as f:
@@ -127,6 +134,19 @@ def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
           f"{bad} regression(s) > {THRESH}x; "
           f"{len(plan_changed)} plan fingerprint change(s); "
           f"{len(errs)} fingerprint error(s)")
+    # A wall-time regression verdict from a contended sweep is noise
+    # dressed as signal — withhold it. Plan-fingerprint changes are
+    # load-independent and stand regardless.
+    try:
+        with open(cur_path) as f:
+            la = json.loads(f.read().strip()).get("loadavg")
+    except Exception:
+        la = None
+    if bad and la is not None and la > MAX_LOADAVG:
+        print(f"NOISY SWEEP: loadavg {la:.2f} > {MAX_LOADAVG} — wall-time "
+              f"regression verdict WITHHELD; re-run on a quiet host "
+              f"(plan-change findings above remain valid)")
+        return 3
     return 1 if bad else 0
 
 if __name__ == "__main__":

@@ -16,11 +16,23 @@ Build-time tool only — NOT part of the Scala library.
 import json, sys
 
 
+MAX_LOADAVG = 3.0  # floors are best-known CLEAN minimums — a
+# contended capture (r16 driver sweep: loadavg 5.3, 29 remeasures)
+# must never be folded in, or the floor itself inherits the noise
+
+
 def main(paths):
     runs = []
     for p in paths:
         with open(p) as f:
             runs.append((p, json.loads(f.read().strip())))
+    for p, d in runs:
+        la = d.get("loadavg")
+        if la is not None and la > MAX_LOADAVG:
+            raise SystemExit(
+                f"{p}: captured at loadavg {la} > {MAX_LOADAVG} — "
+                "not a clean sweep; re-run on a quiet host before "
+                "folding it into the floor")
     queries = {}
     for _, d in runs:
         for q, t in d["queries"].items():
