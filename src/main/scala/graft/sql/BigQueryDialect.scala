@@ -295,6 +295,17 @@ object BigQueryDialect {
     s = rewriteCalls(s, "safe_divide")(args => s"TRY_DIVIDE(${args(0)}, ${args(1)})")
     s = """(?i)\bSAFE_CAST\s*\(""".r.replaceAllIn(s, "TRY_CAST(")
     s = """(?i)\bCOUNTIF\s*\(""".r.replaceAllIn(s, "COUNT_IF(")
+    // 7c. BigQuery type names in cast targets: `CAST(x AS INT64)` is
+    // everyday BigQuery SQL and Spark knows none of these names. The
+    // `AS <type>` anchor keeps the rewrite away from column
+    // references; an unquoted alias literally named int64 would be
+    // caught too, but BigQuery itself reserves nothing here and no
+    // real schema aliases columns after its scalar type names.
+    for ((bq, sp) <- Seq("INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE",
+        "BOOL" -> "BOOLEAN", "BYTES" -> "BINARY",
+        "NUMERIC" -> "DECIMAL(38,9)", "BIGNUMERIC" -> "DECIMAL(38,18)",
+        "DATETIME" -> "TIMESTAMP_NTZ"))
+      s = s"""(?i)\\bAS\\s+$bq\\b""".r.replaceAllIn(s, s"AS $sp")
     // 8. QUALIFY <ranker>() over (…) <cmp> k — star or ANY select
     // list, paren-aware, any nesting depth. The explicit-list form
     // aliases the ranked subquery AS the source table name so

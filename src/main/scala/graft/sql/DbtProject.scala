@@ -76,7 +76,19 @@ object DbtProject {
       docsBlocks: Map[String, String] = Map.empty,
       descriptions: Map[String, ResourceDocs] = Map.empty,
       selectors: Map[String, graft.model.ModelGraph.SelectorDef] = Map.empty,
-      defaultSelector: Option[String] = None)
+      defaultSelector: Option[String] = None,
+      contracts: Map[String, DbtContracts.ModelContract] = Map.empty,
+      unitTests: Seq[UnitTestDef] = Seq.empty)
+
+  /** One `unit_tests:` entry (dbt ≥ 1.8): render `model` against the
+    * inline `given` fixture rows and diff the result against
+    * `expect` rows. `given` keys are resolved relation names
+    * (ref('x') → x, source('s','t') → t); each row is column →
+    * scalar (None = NULL). */
+  final case class UnitTestDef(name: String, model: String,
+      given: Seq[(String, Seq[Map[String, Option[String]]])],
+      expect: Seq[Map[String, Option[String]]],
+      description: Option[String] = None)
 
   /** One resource's documentation from schema ymls: the resource-
     * level `description:` plus per-column descriptions, with any
@@ -493,6 +505,101 @@ object DbtProject {
     })
   }
 
+  /** `unit_tests:` entries (dbt ≥ 1.8) from one yml. Unknown keys in
+    * a unit test (overrides, versions, …) and non-dict fixture
+    * formats fail loudly — a silently skipped unit test is worse
+    * than a missing one (the DbtTests discipline). */
+  private[graft] def parseUnitTests(yml: String): Seq[UnitTestDef] = {
+    import MiniYaml._
+    def scalar(n: Node, what: String): String = n match {
+      case YScalar(s) => s
+      case other => throw new IllegalArgumentException(
+        s"$what: expected a scalar, got $other")
+    }
+    val refRe = """ref\(\s*'(\w+)'\s*\)""".r
+    val srcRe = """source\(\s*'[^']*'\s*,\s*'(\w+)'\s*\)""".r
+    def relationOf(expr0: String, what: String): String = expr0.trim match {
+      case refRe(n) => n
+      case srcRe(n) => n
+      case bare if bare.matches("\\w+") => bare
+      case other => throw new IllegalArgumentException(
+        s"$what: unsupported input expression '$other' " +
+          "(ref('m') | source('s','t') | bare name)")
+    }
+    def rowsOf(n: YMap, what: String): Seq[Map[String, Option[String]]] = {
+      n.entries.foreach { case (k, _) =>
+        require(Set("rows", "format", "input").contains(k),
+          s"$what: unsupported key '$k' (rows, format)") }
+      n.get("format").foreach(f => require(
+        scalar(f, s"$what.format") == "dict",
+        s"$what: only format: dict is supported (csv/sql fixtures are not)"))
+      n.get("rows") match {
+        case Some(YList(rs)) => rs.map {
+          case rm: YMap => rm.entries.map { case (k, v) =>
+            k -> (v match {
+              case YNull => None
+              case YScalar(s) if s.equalsIgnoreCase("null") || s == "~" => None
+              case YScalar(s) => Some(s)
+              case other => throw new IllegalArgumentException(
+                s"$what: unsupported cell value for '$k': $other")
+            })
+          }.toMap
+          case other => throw new IllegalArgumentException(
+            s"$what: each row must be a mapping, got $other")
+        }
+        // an absent/empty rows list is a legal fixture: the relation
+        // exists and is EMPTY
+        case None | Some(YNull) => Seq.empty
+        case Some(other) => throw new IllegalArgumentException(
+          s"$what: unsupported rows form: $other")
+      }
+    }
+    MiniYaml.parse(yml) match {
+      case m: YMap => m.get("unit_tests") match {
+        case Some(YList(tests)) => tests.map {
+          case tm: YMap =>
+            val name = scalar(tm.get("name").getOrElse(
+              throw new IllegalArgumentException(
+                "unit test entry without a name")), "unit_tests.name")
+            tm.entries.foreach { case (k, _) =>
+              require(Set("name", "model", "given", "expect",
+                "description").contains(k),
+                s"unit test $name: unsupported key '$k' " +
+                  "(name, model, given, expect, description)") }
+            val model = scalar(tm.get("model").getOrElse(
+              throw new IllegalArgumentException(
+                s"unit test $name declares no model")), s"$name.model")
+            val given = tm.get("given") match {
+              case Some(YList(gs)) => gs.map {
+                case gm: YMap =>
+                  val in = relationOf(scalar(gm.get("input").getOrElse(
+                    throw new IllegalArgumentException(
+                      s"unit test $name: given entry without input")),
+                    s"$name.given.input"), s"$name.given.input")
+                  in -> rowsOf(gm, s"$name.given($in)")
+                case other => throw new IllegalArgumentException(
+                  s"unit test $name: unsupported given entry: $other")
+              }
+              case None | Some(YNull) => Seq.empty
+              case Some(other) => throw new IllegalArgumentException(
+                s"unit test $name: unsupported given form: $other")
+            }
+            val expect = tm.get("expect") match {
+              case Some(em: YMap) => rowsOf(em, s"$name.expect")
+              case _ => throw new IllegalArgumentException(
+                s"unit test $name declares no expect: rows")
+            }
+            UnitTestDef(name, model, given, expect,
+              tm.get("description").collect { case YScalar(s) => s })
+          case other => throw new IllegalArgumentException(
+            s"unsupported unit_tests entry: $other")
+        }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+  }
+
   /** `description:` strings from one schema yml's `models:`/`seeds:`/
     * `snapshots:` lists — resource-level plus per-column, raw (doc()
     * refs resolved later against the whole project's docs blocks).
@@ -897,10 +1004,35 @@ object DbtProject {
       else (Map.empty[String, graft.model.ModelGraph.SelectorDef],
         Option.empty[String])
     }
+    // model contracts from every schema yml; one model contracted in
+    // two files is a project bug worth naming
+    val contractSeq = files
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => DbtContracts.parse(read(p)).toSeq)
+    val contractDup = contractSeq.groupBy(_._1)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(contractDup.isEmpty, "model(s) contracted in more than one " +
+      s"schema yml: ${contractDup.toSeq.sorted.mkString(", ")}")
+    val contracts = contractSeq.toMap
+    contracts.collect { case (n, c) if c.enforced => n }
+      .foreach(n => require(modelSql.contains(n),
+        s"enforced contract declared for unknown model '$n' (dbt " +
+          "contracts apply to models)"))
+    // dbt >= 1.8 unit_tests: parsed from every yml; unknown target
+    // models and duplicate names are project bugs, loud at load
+    val unitTests = files
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => parseUnitTests(read(p)))
+    val utDup = unitTests.groupBy(_.name)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(utDup.isEmpty,
+      s"duplicate unit test name(s): ${utDup.toSeq.sorted.mkString(", ")}")
+    unitTests.foreach(ut => require(modelSql.contains(ut.model),
+      s"unit test ${ut.name} targets unknown model '${ut.model}'"))
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
       modelTags, targetProps, seeds, snapshots, freshness, singularTests,
       modelHooks, runHooks, exposures, docsBlocks, descriptions,
-      selectors, defaultSel)
+      selectors, defaultSel, contracts, unitTests)
   }
 
   /** `on-run-start:`/`on-run-end:` hook SQL from dbt_project.yml —
@@ -1005,7 +1137,12 @@ object DbtProject {
         }
       }
     def selected(n: String): Boolean = nodeFilter.forall(_.contains(n))
-    val rows: Seq[(String, String, String, String)] =
+    // the contract flag rides the listing (dbt ls --output json
+    // carries config.contract.enforced) — a user auditing which marts
+    // are schema-pinned reads it here
+    def contractFlag(n: String): String =
+      if (p.contracts.get(n).exists(_.enforced)) "enforced" else ""
+    val rows: Seq[(String, String, String, String, String)] =
       p.modelSql.keys.filter(selected).map(n => (n, "model",
         p.materializations.get(n).map {
           case Materialization.View => "view"
@@ -1013,17 +1150,216 @@ object DbtProject {
           case Materialization.Ephemeral => "ephemeral"
           case _: Materialization.Incremental => "incremental"
         }.getOrElse("view"),
-        p.tags.getOrElse(n, Set.empty).toSeq.sorted.mkString(","))).toSeq ++
+        p.tags.getOrElse(n, Set.empty).toSeq.sorted.mkString(","),
+        contractFlag(n))).toSeq ++
       p.seeds.keys.filter(selected)
-        .map(n => (n, "seed", "seed", "")).toSeq ++
+        .map(n => (n, "seed", "seed", "", "")).toSeq ++
       p.snapshots.keys.filter(selected)
-        .map(n => (n, "snapshot", "snapshot", "")).toSeq ++
+        .map(n => (n, "snapshot", "snapshot", "", "")).toSeq ++
       (if (nodeFilter.isDefined) Seq.empty else
-        p.singularTests.keys.map(n => (n, "test", "singular", "")).toSeq ++
-        p.sourceTables.map(n => (n, "source", "source", "")) ++
-        p.exposures.map(e => (e.name, "exposure", e.exposureType, "")))
+        p.singularTests.keys.map(n => (n, "test", "singular", "", "")).toSeq ++
+        p.sourceTables.map(n => (n, "source", "source", "", "")) ++
+        p.exposures.map(e => (e.name, "exposure", e.exposureType, "", "")))
     rows.sortBy(r => (r._2, r._1))
-      .toDF("resource", "kind", "materialization", "tags")
+      .toDF("resource", "kind", "materialization", "tags", "contract")
+  }
+
+  /** `dbt test` over the project's `unit_tests:` (dbt ≥ 1.8): each
+    * entry renders its target model against the inline `given`
+    * fixture rows — every ref()/source() the model (plus its inlined
+    * ephemeral closure) reads STATICALLY must have a fixture, and a
+    * fixture for a relation the model never reads is loud too (a
+    * typo'd input would otherwise silently test nothing) — and diffs
+    * the result against `expect` as a multiset over the expect rows'
+    * columns (dbt's dict-format semantics: you compare the columns
+    * you name; row order never matters).
+    *
+    * Renders with `is_incremental()` = false (dbt's unit-test
+    * default) and NEVER touches the warehouse: fixtures are session
+    * temp views torn down afterwards, and no manifest advances.
+    *
+    * Scale shape: fixtures are literal rows (KBs); the only Spark
+    * work is one local plan per test.
+    *
+    * @return one row per unit test: (unit_test, model, status ∈
+    *         pass|fail|error, detail), in name order */
+  def unitTest(spark: SparkSession, projectDir: String,
+      currentDateOverride: Option[String] = None,
+      vars: Map[String, String] = Map.empty,
+      select: Option[String] = None): DataFrame = {
+    val p = load(projectDir)
+    import spark.implicits._
+    // a throwaway warehouse: nothing materializes, but prepare()
+    // probes it to decide is_incremental (absent target => false,
+    // dbt's unit-test rendering)
+    val scratch = Files.createTempDirectory("graft-unittest").toString
+    val engine = new DbtSqlEngine(spark, scratch, currentDateOverride,
+      1, vars, macros = p.macros, targetProps = p.targetProps)
+    // static ephemeral detection (policy + in-model config text):
+    // ephemerals inline into the model under test, so fixtures target
+    // the ephemeral's OWN upstreams — the same resolution run uses
+    val ephRe = """materialized\s*=\s*['"]ephemeral['"]""".r
+    val ephemerals = p.modelSql.keySet.filter { n =>
+      p.materializations.get(n).contains(Materialization.Ephemeral) ||
+        ephRe.findFirstIn(p.modelSql(n)).isDefined
+    }
+    val chosen = select match {
+      case Some(s) => p.unitTests.filter(ut =>
+        ut.name == s || ut.model == s)
+      case None => p.unitTests
+    }
+    val rows = chosen.sortBy(_.name).map { ut =>
+      val outcome = try {
+        // the model + the ephemeral closure it actually inlines,
+        // compiled WITHOUT dep resolution (no other real models in
+        // the subset => prepare never demands warehouse-resident
+        // upstreams); an UNREACHABLE ephemeral must not drag its own
+        // inputs into the fixture requirement
+        val closure = {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          def visit(n: String): Unit =
+            if (ephemerals.contains(n) && p.modelSql.contains(n) &&
+                seen.add(n))
+              BigQueryDialect.refs(p.modelSql(n)).foreach(visit)
+          BigQueryDialect.refs(p.modelSql(ut.model)).foreach(visit)
+          seen.toSet
+        }
+        val subset = p.modelSql.filter { case (n, _) =>
+          n == ut.model || closure.contains(n) }
+        val compiled = engine.compile(subset, Map.empty,
+          p.materializations, p.tags, select = Some(ut.model))(ut.model)
+        // static read set: refs+sources of the model and of EVERY
+        // ephemeral (transitively inlined texts are subset members)
+        val rels = subset.keys.flatMap(n =>
+            BigQueryDialect.refs(p.modelSql(n)) ++
+              BigQueryDialect.sources(p.modelSql(n)))
+          .toSeq.distinct.filterNot(subset.keySet)
+        val givenMap = ut.given.toMap
+        val missing = rels.filterNot(givenMap.contains)
+        require(missing.isEmpty, s"unit test ${ut.name}: no fixture " +
+          s"for input(s): ${missing.sorted.mkString(", ")}")
+        val stray = givenMap.keys.filterNot(rels.contains)
+        require(stray.isEmpty, s"unit test ${ut.name}: fixture(s) for " +
+          s"relation(s) the model never reads: " +
+          stray.toSeq.sorted.mkString(", "))
+        rels.foreach { r =>
+          fixtureFrame(spark, givenMap(r), s"${ut.name}.given($r)")
+            .createOrReplaceTempView(r)
+        }
+        try {
+          val actual = spark.sql(compiled)
+          val expCols = ut.expect.flatMap(_.keys).distinct
+          val absent = expCols.filterNot(actual.columns.contains)
+          require(absent.isEmpty, s"unit test ${ut.name}: expect " +
+            s"names column(s) the model does not return: " +
+            s"${absent.mkString(", ")} (model returns: " +
+            s"${actual.columns.mkString(", ")})")
+          val got = (if (expCols.isEmpty) actual
+            else actual.select(expCols.map(org.apache.spark.sql
+              .functions.col): _*)).collect()
+            .map(r => expCols.indices.map(i => canonCell(r.get(i))).toVector)
+            .toVector
+          val want = ut.expect.map(row => expCols.map(c =>
+            row.get(c).flatten match {
+              case None => "␀"
+              case Some(s) => canonScalar(s)
+            }).toVector).toVector
+          val diffA = multisetMinus(got, want)
+          val diffE = multisetMinus(want, got)
+          if (diffA.isEmpty && diffE.isEmpty) ("pass", "")
+          else ("fail",
+            s"columns [${expCols.mkString(", ")}]; " +
+            (if (diffE.nonEmpty) s"expected but absent: " +
+              s"${diffE.take(5).map(_.mkString("(", ",", ")")).mkString(" ")}; "
+             else "") +
+            (if (diffA.nonEmpty) s"returned but unexpected: " +
+              s"${diffA.take(5).map(_.mkString("(", ",", ")")).mkString(" ")}"
+             else ""))
+        } finally rels.foreach(spark.catalog.dropTempView(_))
+      } catch {
+        case e: Exception =>
+          ("error", s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(300))
+      }
+      (ut.name, ut.model, outcome._1, outcome._2)
+    }
+    rows.toDF("unit_test", "model", "status", "detail")
+  }
+
+  /** Multiset difference a − b (each b occurrence cancels one a). */
+  private def multisetMinus(a: Vector[Vector[String]],
+      b: Vector[Vector[String]]): Vector[Vector[String]] = {
+    val counts = scala.collection.mutable.Map.empty[Vector[String], Int]
+    b.foreach(r => counts(r) = counts.getOrElse(r, 0) + 1)
+    a.filter { r =>
+      val c = counts.getOrElse(r, 0)
+      if (c > 0) { counts(r) = c - 1; false } else true
+    }
+  }
+
+  /** Canonical comparison text for one actual cell: numbers via
+    * BigDecimal (trailing zeros stripped, so 200, 200L and 200.0 all
+    * read "200"), NULL as a sentinel, everything else toString
+    * (dates/timestamps print ISO). */
+  private def canonCell(v: Any): String = v match {
+    case null => "␀"
+    case d: java.lang.Double => canonNum(BigDecimal(d))
+    case f: java.lang.Float => canonNum(BigDecimal(f.toDouble))
+    case b: java.math.BigDecimal => canonNum(BigDecimal(b))
+    case n: java.lang.Long => canonNum(BigDecimal(n))
+    case n: java.lang.Integer => canonNum(BigDecimal(n.toLong))
+    case n: java.lang.Short => canonNum(BigDecimal(n.toLong))
+    case n: java.lang.Byte => canonNum(BigDecimal(n.toLong))
+    case other => other.toString
+  }
+
+  private def canonScalar(s: String): String =
+    try canonNum(BigDecimal(s.trim)) catch {
+      case _: NumberFormatException => s }
+
+  private def canonNum(b: BigDecimal): String =
+    b.underlying.stripTrailingZeros.toPlainString
+
+  /** Literal fixture rows → DataFrame. Column types are inferred
+    * from the cells (boolean, long, double, ISO date, else string);
+    * a column that is null in every row types as string. Rows may
+    * declare different key subsets; absent keys are NULL (dbt's
+    * dict-format rule). */
+  private def fixtureFrame(spark: SparkSession,
+      rows: Seq[Map[String, Option[String]]], what: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = rows.flatMap(_.keys).distinct
+    val dateRe = """^\d{4}-\d{2}-\d{2}$""".r
+    def typeOf(vs: Seq[String]): DataType =
+      if (vs.isEmpty) StringType
+      else if (vs.forall(v => v.equalsIgnoreCase("true") ||
+        v.equalsIgnoreCase("false"))) BooleanType
+      else if (vs.forall(v => scala.util.Try(v.trim.toLong).isSuccess))
+        LongType
+      else if (vs.forall(v => scala.util.Try(v.trim.toDouble).isSuccess))
+        DoubleType
+      else if (vs.forall(v => dateRe.findFirstIn(v.trim).isDefined))
+        DateType
+      else StringType
+    val types = cols.map(c =>
+      c -> typeOf(rows.flatMap(_.get(c).flatten.map(_.toString))))
+    val schema = StructType(types.map { case (c, t) =>
+      StructField(c, t, nullable = true) })
+    val data = rows.map { r =>
+      org.apache.spark.sql.Row.fromSeq(types.map { case (c, t) =>
+        r.get(c).flatten match {
+          case None => null
+          case Some(s) => t match {
+            case BooleanType => java.lang.Boolean.valueOf(s.trim)
+            case LongType => java.lang.Long.valueOf(s.trim)
+            case DoubleType => java.lang.Double.valueOf(s.trim)
+            case DateType => java.sql.Date.valueOf(s.trim)
+            case _ => s
+          }
+        }
+      })
+    }
+    spark.createDataFrame(data.asJava, schema)
   }
 
   /** `dbt compile`: render + dialect-translate every selected model
@@ -1323,7 +1659,8 @@ object DbtProject {
     // seeds ride alongside the caller's sources: the engine registers
     // both as resolvable relations before any model SQL runs
     val engine = new DbtSqlEngine(spark, warehouseDir, currentDateOverride,
-      t, vars, macros = p.macros, targetProps = p.targetProps)
+      t, vars, macros = p.macros, targetProps = p.targetProps,
+      contracts = p.contracts)
     (p, engine, sources ++ seedFrames(spark, p) ++ snapFrames)
   }
 

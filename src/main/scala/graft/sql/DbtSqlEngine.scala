@@ -16,7 +16,8 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     vars: Map[String, String] = Map.empty,
     envVars: Map[String, String] = sys.env,
     macros: Map[String, Jinja.MacroDef] = Map.empty,
-    targetProps: Map[String, String] = Map.empty) {
+    targetProps: Map[String, String] = Map.empty,
+    contracts: Map[String, DbtContracts.ModelContract] = Map.empty) {
 
   /** @param modelSql   model name -> raw (Jinja + BigQuery) SQL
     * @param sources    source table name -> DataFrame
@@ -259,6 +260,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
          k <- Seq("pre_hook", "post_hook") if r.first.config.contains(k))
       throw new IllegalArgumentException(
         s"ephemeral model ${r.name} cannot declare $k (it never executes)")
+    // an enforced contract on a model that never materializes can
+    // never be checked against a real relation — dbt rejects it too
+    for (n <- ephNames if contracts.get(n).exists(_.enforced))
+      throw new IllegalArgumentException(s"model $n: contracts cannot " +
+        "be enforced on ephemeral models (they never materialize)")
     val firstText = pass1.map(r => r.name -> r.first.text).toMap
     // rewrite `{{ ref('eph') }}` placeholders to the dbt CTE name;
     // refs to real models pass through untouched
@@ -352,7 +358,11 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
         if (incrementalRun)
           spark.read.parquet(targetPath.toString)
             .createOrReplaceTempView(s"${name}__this")
-        spark.sql(translated)
+        val df = spark.sql(translated)
+        // contract gate BEFORE the Runner writes anything — dbt's
+        // ordering (contract check at DDL time, ahead of the insert)
+        contracts.get(name).map(DbtContracts.enforce(name, mat, df, _))
+          .getOrElse(df)
       })
       (model, translated)
     }

@@ -29,14 +29,49 @@ object MiniYaml {
     else t
   }
 
-  /** Inline value: flow list, quoted scalar, or plain scalar. */
+  /** Split `s` on commas at nesting depth 0 (quotes and [] {}
+    * respected) — the flow-collection item separator. */
+  private def splitTop(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0; var start = 0; var depth = 0; var q: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else c match {
+        case '\'' | '"' => q = c
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** Inline value: flow list, flow map (`{id: 1, v: a}` — the dbt
+    * unit-test fixture-row shape), quoted scalar, or plain scalar.
+    * A `{{ jinja }}` expression is NOT a flow map — it stays a
+    * scalar for the layers that render it. */
   private def inline(v: String): Node = {
     val t = v.trim
     if (t.isEmpty) YNull
     else if (t.startsWith("[") && t.endsWith("]")) {
       val body = t.substring(1, t.length - 1).trim
       if (body.isEmpty) YList(Vector.empty)
-      else YList(body.split(",").toVector.map(x => YScalar(unquote(x))))
+      else YList(splitTop(body).map(x => inline(x)))
+    } else if (t.startsWith("{") && !t.startsWith("{{") && t.endsWith("}")) {
+      val body = t.substring(1, t.length - 1).trim
+      if (body.isEmpty) YMap(Vector.empty)
+      else YMap(splitTop(body).map { kv =>
+        keySplit(kv.trim) match {
+          case Some((k, rest)) => k -> inline(rest)
+          case None => throw new IllegalArgumentException(
+            s"flow map entry without 'key: value' shape: '$kv'")
+        }
+      })
     } else YScalar(unquote(t))
   }
 
@@ -49,8 +84,8 @@ object MiniYaml {
       if (q != 0) { if (c == q) q = 0 }
       else c match {
         case '\'' | '"' => q = c
-        case '[' => depth += 1
-        case ']' => depth -= 1
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1
         case ':' if depth == 0 &&
             (i + 1 == s.length || s.charAt(i + 1) == ' ') =>
           return Some((unquote(s.substring(0, i)), s.substring(i + 1)))

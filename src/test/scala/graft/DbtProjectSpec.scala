@@ -1473,13 +1473,13 @@ class DbtProjectSpec extends AnyFunSuite {
         |      - ref('clean')
         |""".stripMargin.getBytes("UTF-8"))
     val rows = DbtProject.list(spark, dir.toString)
-      .as[(String, String, String, String)].collect().toSeq
+      .as[(String, String, String, String, String)].collect().toSeq
     assert(rows == Seq(
-      ("churn_model", "exposure", "ml", ""),
-      ("weekly_kpis", "exposure", "dashboard", ""),
-      ("clean", "model", "table", "nightly"),
-      ("txns", "source", "source", ""),
-      ("assert_ok", "test", "singular", "")), s"$rows")
+      ("churn_model", "exposure", "ml", "", ""),
+      ("weekly_kpis", "exposure", "dashboard", "", ""),
+      ("clean", "model", "table", "nightly", ""),
+      ("txns", "source", "source", "", ""),
+      ("assert_ok", "test", "singular", "", "")), s"$rows")
     // the exposures surface: resolved upstreams, owner from the
     // owner block (name preferred, email fallback)
     val ex = DbtProject.exposures(spark, dir.toString)
@@ -1823,6 +1823,247 @@ class DbtProjectSpec extends AnyFunSuite {
         |""".stripMargin.getBytes("UTF-8"))
     assert(names() == Set("base", "leaf"))
     assert(names(sel = Some("loose")) == Set("loose"))
+  }
+
+  test("dbt model contracts: enforced schema + constraints gate materialization (round 17)") {
+    import spark.implicits._
+    def proj(modelSql: String, schemaYml: String): java.nio.file.Path = {
+      val dir = Files.createTempDirectory("graft-contract")
+      Files.createDirectories(dir.resolve("models"))
+      Files.write(dir.resolve("dbt_project.yml"),
+        """name: "conty"
+          |models:
+          |  conty:
+          |    +materialized: table
+          |""".stripMargin.getBytes("UTF-8"))
+      Files.write(dir.resolve("models/mart.sql"),
+        modelSql.getBytes("UTF-8"))
+      Files.write(dir.resolve("models/schema.yml"),
+        schemaYml.getBytes("UTF-8"))
+      dir
+    }
+    val contracted =
+      """version: 2
+        |models:
+        |  - name: mart
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: id
+        |        data_type: int64
+        |        constraints:
+        |          - type: not_null
+        |      - name: label
+        |        data_type: string
+        |""".stripMargin
+    // satisfied: exact columns, exact types, no nulls
+    val okDir = proj(
+      "select cast(1 as int64) as id, 'a' as label\n", contracted)
+    val wh1 = Files.createTempDirectory("graft-contract-wh").toString
+    val out = DbtProject.run(spark, okDir.toString, Map.empty, wh1)
+    assert(out("mart").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // the ls contract flag
+    val flag = DbtProject.list(spark, okDir.toString)
+      .filter(col("resource") === "mart")
+      .select("contract").as[String].head()
+    assert(flag == "enforced")
+    // violated type: loud, naming the column and both types
+    val badType = proj(
+      "select cast(1 as float64) as id, 'a' as label\n", contracted)
+    val e1 = intercept[IllegalArgumentException] {
+      DbtProject.run(spark, badType.toString, Map.empty,
+        Files.createTempDirectory("graft-cwh").toString) }
+    assert(e1.getMessage.contains("'id'") &&
+      e1.getMessage.contains("DOUBLE") &&
+      e1.getMessage.contains("int64"), e1.getMessage)
+    // missing + extra columns both named
+    val badCols = proj(
+      "select cast(1 as int64) as id, 2 as stray\n", contracted)
+    val e2 = intercept[IllegalArgumentException] {
+      DbtProject.run(spark, badCols.toString, Map.empty,
+        Files.createTempDirectory("graft-cwh2").toString) }
+    assert(e2.getMessage.contains("label") &&
+      e2.getMessage.contains("stray"), e2.getMessage)
+    // not_null constraint: violated data refuses to materialize
+    val badNull = proj(
+      "select cast(null as int64) as id, 'a' as label\n", contracted)
+    val e3 = intercept[IllegalArgumentException] {
+      DbtProject.run(spark, badNull.toString, Map.empty,
+        Files.createTempDirectory("graft-cwh3").toString) }
+    assert(e3.getMessage.contains("not_null(id)"), e3.getMessage)
+    // nothing was written for the violating model
+    // enforced contract demands a data_type on every column — load-time
+    val untyped = proj("select 1 as id\n",
+      """version: 2
+        |models:
+        |  - name: mart
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: id
+        |""".stripMargin)
+    val e4 = intercept[IllegalArgumentException] {
+      DbtProject.load(untyped.toString) }
+    assert(e4.getMessage.contains("data_type"), e4.getMessage)
+    // check constraint: SQL semantics (NULL passes, FALSE violates)
+    val checked = proj(
+      "select cast(5 as int64) as id, cast(null as string) as label\n",
+      """version: 2
+        |models:
+        |  - name: mart
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: id
+        |        data_type: int64
+        |        constraints:
+        |          - type: check
+        |            expression: "id > 0"
+        |      - name: label
+        |        data_type: string
+        |        constraints:
+        |          - type: check
+        |            expression: "length(label) > 0"
+        |""".stripMargin)
+    val wh5 = Files.createTempDirectory("graft-cwh5").toString
+    // id > 0 holds; length(null) > 0 is UNKNOWN -> passes
+    DbtProject.run(spark, checked.toString, Map.empty, wh5)
+    val badCheck = proj(
+      "select cast(-5 as int64) as id, 'a' as label\n",
+      """version: 2
+        |models:
+        |  - name: mart
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: id
+        |        data_type: int64
+        |        constraints:
+        |          - type: check
+        |            expression: "id > 0"
+        |      - name: label
+        |        data_type: string
+        |""".stripMargin)
+    val e5 = intercept[IllegalArgumentException] {
+      DbtProject.run(spark, badCheck.toString, Map.empty,
+        Files.createTempDirectory("graft-cwh6").toString) }
+    assert(e5.getMessage.contains("check(id: id > 0)"), e5.getMessage)
+    // an UNenforced contract with declared types is inert metadata
+    val lax = proj("select cast(1 as float64) as id, 'a' as label\n",
+      """version: 2
+        |models:
+        |  - name: mart
+        |    columns:
+        |      - name: id
+        |        data_type: int64
+        |""".stripMargin)
+    DbtProject.run(spark, lax.toString, Map.empty,
+      Files.createTempDirectory("graft-cwh7").toString)
+  }
+
+  test("dbt unit tests: given/expect fixtures render one model; pass, fail, and error surfaces (round 17)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-unit")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"uty\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: txns
+        |""".stripMargin.getBytes("UTF-8"))
+    // an ephemeral upstream: the unit test mocks the EPHEMERAL's
+    // inputs (it inlines, exactly as run would)
+    Files.write(dir.resolve("models/eph_clean.sql"),
+      ("{{ config(materialized='ephemeral') }}\n" +
+        "select id, upper(name) as name from {{ ref('base') }}\n")
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("models/mart.sql"),
+      ("select e.id, e.name, t.amount * 2 as amount2\n" +
+        "from {{ ref('eph_clean') }} e\n" +
+        "join {{ source('raw', 'txns') }} t on t.id = e.id\n")
+        .getBytes("UTF-8"))
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_mart_doubles
+        |    model: mart
+        |    given:
+        |      - input: ref('base')
+        |        rows:
+        |          - {id: 1, name: ann}
+        |          - {id: 2, name: bo}
+        |      - input: source('raw', 'txns')
+        |        rows:
+        |          - {id: 1, amount: 100}
+        |    expect:
+        |      rows:
+        |        - {id: 1, name: ANN, amount2: 200}
+        |  - name: ut_mart_wrong
+        |    model: mart
+        |    given:
+        |      - input: ref('base')
+        |        rows:
+        |          - {id: 1, name: ann}
+        |      - input: source('raw', 'txns')
+        |        rows:
+        |          - {id: 1, amount: 100}
+        |    expect:
+        |      rows:
+        |        - {id: 1, name: ann, amount2: 999}
+        |""".stripMargin.getBytes("UTF-8"))
+    val rep = DbtProject.unitTest(spark, dir.toString)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(rep.map(r => (r._1, r._3)) ==
+      Seq(("ut_mart_doubles", "pass"), ("ut_mart_wrong", "fail")), s"$rep")
+    val failDetail = rep.find(_._1 == "ut_mart_wrong").get._4
+    assert(failDetail.contains("999") && failDetail.contains("200"),
+      failDetail)
+    // a missing fixture is an error row naming the input
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_missing
+        |    model: mart
+        |    given:
+        |      - input: ref('base')
+        |        rows:
+        |          - {id: 1, name: x}
+        |    expect:
+        |      rows:
+        |        - {id: 1}
+        |""".stripMargin.getBytes("UTF-8"))
+    val rep2 = DbtProject.unitTest(spark, dir.toString)
+      .as[(String, String, String, String)].collect().toSeq
+    assert(rep2.head._3 == "error" && rep2.head._4.contains("txns"),
+      s"$rep2")
+    // unknown keys are loud at load; so is an unknown target model
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_bad
+        |    model: mart
+        |    overrides:
+        |      macros: {}
+        |    expect:
+        |      rows: []
+        |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DbtProject.load(dir.toString) }
+    assert(e.getMessage.contains("overrides"), e.getMessage)
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_ghost
+        |    model: ghost
+        |    expect:
+        |      rows: []
+        |""".stripMargin.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      DbtProject.load(dir.toString) }
+    assert(e2.getMessage.contains("ghost"), e2.getMessage)
   }
 
   test("dbt ls: seeds and snapshots ride the static selection (round 17)") {
