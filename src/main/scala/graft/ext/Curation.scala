@@ -1197,15 +1197,35 @@ object Curation {
     *         tokens_alloc, saturated, alloc_frac) */
   def tokenBudgetAllocate(docs: DataFrame, budgetTokens: Long,
       alpha: Double = 0.5, byCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val srcs = docs.filter(col(byCol).isNotNull)
+      textCol: String = "text"): DataFrame =
+    tokenBudgetFinish(tokenBudgetState(docs, byCol, textCol),
+      budgetTokens, alpha)
+
+  /** The allocator's sufficient statistics: per-source doc and token
+    * counts — ONE map-side-combined aggregation to a sources-bounded
+    * table. Streaming-legal as-is (a single grouped aggregation runs
+    * Complete mode; see `StreamingOps.tokenBudgetStateStream`), and a
+    * snapshot finishes into the full allocation via
+    * [[tokenBudgetFinish]] — snapshot ≡ batch by construction because
+    * [[tokenBudgetAllocate]] IS finish ∘ state.
+    * @return (source, n_docs, ts) */
+  def tokenBudgetState(docs: DataFrame, byCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(byCol).isNotNull)
       .groupBy(col(byCol).cast(StringType).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextAnalysis.tokens(col(textCol))).cast(LongType))
           .as("ts"))
+
+  /** Waterfill a (source, n_docs, ts) state table into the full
+    * allocation — the driver-side half of [[tokenBudgetAllocate]],
+    * shared verbatim by its streaming twin. */
+  def tokenBudgetFinish(state: DataFrame, budgetTokens: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val srcs = state
       .select(col("source"), col("n_docs"), col("ts"),
         round(pow(col("ts").cast(DoubleType), lit(alpha)) * 1e6, 0)
           .cast(LongType).as("w"))

@@ -927,6 +927,75 @@ object Dedup {
             size(array_distinct(col("turns"))).cast(DoubleType) /
               size(col("turns")).cast(DoubleType)), 6).as("repeat_frac"))
 
+  /** Role-aware conversation STRUCTURE checks — the transcript-shape
+    * lints [[turnRepetition]]'s content view cannot see: a chat
+    * transcript whose lines carry `system:` / `user:` / `assistant:`
+    * markers is parsed into role turns (marker line opens a turn;
+    * unmarked lines continue the open turn; blank lines are ignored;
+    * lines before any marker count as preamble) and each document
+    * reports the defects that make it worthless as instruction-
+    * tuning data: same-role back-to-back turns (alternation
+    * violations, system turns exempt), empty turns (a marker with no
+    * content — the classic truncated-generation artifact), and a
+    * last turn that stops mid-sentence (no terminal punctuation).
+    *
+    * Exactness: one left-to-right fold over the line array per
+    * document; counts are exact ints; `truncated_last` is a regexp
+    * on the final turn's trimmed content.
+    *
+    * Scale shape: pure map — one projection per document, zero
+    * shuffle, zero join (the [[turnText]] family rule).
+    *
+    * @return (idCol, n_turns, n_user, n_assistant, n_system,
+    *         n_pre_lines, first_role, last_role,
+    *         alternation_violations, n_empty_turns, truncated_last)
+    *         — one row per document, zeros/'' for markerless text */
+  def conversationStructure(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rx = "^\\\\s*(system|user|assistant)\\\\s*:"
+    df.select(col(idCol), col(textCol)).selectExpr(idCol,
+      s"""aggregate(split($textCol, '\\n'),
+         |  named_struct(
+         |    'roles', cast(array() as array<string>),
+         |    'contents', cast(array() as array<string>),
+         |    'pre', 0),
+         |  (s, l) -> CASE
+         |    WHEN trim(l) = '' THEN s
+         |    WHEN regexp_extract(l, '$rx', 1) != '' THEN named_struct(
+         |      'roles', s.roles || array(regexp_extract(l, '$rx', 1)),
+         |      'contents', s.contents ||
+         |        array(trim(regexp_replace(l, '$rx', ''))),
+         |      'pre', s.pre)
+         |    WHEN size(s.roles) = 0 THEN named_struct('roles', s.roles,
+         |      'contents', s.contents, 'pre', s.pre + 1)
+         |    ELSE named_struct('roles', s.roles,
+         |      'contents', slice(s.contents, 1, size(s.contents) - 1) ||
+         |        array(trim(concat(element_at(s.contents, -1), ' ',
+         |          trim(l)))),
+         |      'pre', s.pre)
+         |    END,
+         |  s -> s) AS conv""".stripMargin)
+      .selectExpr(idCol, "conv",
+        // non-system role sequence once, not once per lambda step
+        "filter(conv.roles, r -> r != 'system') AS nonsys")
+      .selectExpr(idCol,
+        "size(conv.roles) AS n_turns",
+        "size(filter(conv.roles, r -> r = 'user')) AS n_user",
+        "size(filter(conv.roles, r -> r = 'assistant')) AS n_assistant",
+        "size(filter(conv.roles, r -> r = 'system')) AS n_system",
+        "conv.pre AS n_pre_lines",
+        "coalesce(element_at(conv.roles, 1), '') AS first_role",
+        "coalesce(element_at(conv.roles, -1), '') AS last_role",
+        """CASE WHEN size(nonsys) < 2 THEN 0 ELSE size(filter(
+          |  transform(sequence(2, size(nonsys)),
+          |    i -> element_at(nonsys, i) = element_at(nonsys, i - 1)),
+          |  x -> x)) END AS alternation_violations""".stripMargin,
+        "size(filter(conv.contents, c -> c = '')) AS n_empty_turns",
+        """size(conv.roles) > 0 AND
+          |NOT element_at(conv.contents, -1) rlike '[.!?]$'
+          |AS truncated_last""".stripMargin)
+  }
+
   /** Sequence-level near-duplicate pairs for conversation-shaped
     * data: [[turnText]] then the df-capped exact trigram-Jaccard
     * join — a pair scores high only when it shares ordered runs of

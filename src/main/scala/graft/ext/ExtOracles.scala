@@ -514,6 +514,74 @@ object ExtOracles {
         |LEFT JOIN mr ON mr.doc_id = d.doc_id""".stripMargin
     },
 
+    // Role-aware conversation structure over the SAME deterministic
+    // transcript synthesis as the engine query (8-token chunks,
+    // parity roles, doc_id%3 system opener, %5 forced repeat, %7
+    // blank turn, %4 unmarked continuation at line 3, odd-doc
+    // terminal period) — but the expected structure is recomputed
+    // DIRECTLY from the chunk table (continuations merged by join,
+    // violations by lag), never by re-running the line parser, so
+    // the oracle checks the parser rather than mirroring it.
+    "q_conv_structure" ->
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+        |dims AS (SELECT doc_id, toks,
+        |    CAST((len(toks) + 7) // 8 AS INT) AS nch FROM t0),
+        |chunk AS (SELECT doc_id, nch, i,
+        |    CASE WHEN i = 0 AND doc_id % 3 = 0 THEN 'system'
+        |         WHEN doc_id % 5 = 0 AND i = 2 THEN 'user'
+        |         WHEN (i + doc_id) % 2 = 0 THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    (doc_id % 4 = 0 AND i = 3) AS cont,
+        |    concat(
+        |      CASE WHEN doc_id % 7 = 0 AND i = 1 THEN ''
+        |           ELSE array_to_string(toks[(i*8+1):(i*8+8)], ' ') END,
+        |      CASE WHEN i = nch - 1 AND doc_id % 2 = 1 THEN '.'
+        |           ELSE '' END) AS content
+        |  FROM (SELECT doc_id, toks, nch,
+        |        unnest(range(0, nch)) AS i FROM dims) x),
+        |turns AS (SELECT b.doc_id, b.i, b.role,
+        |    CASE WHEN b.doc_id % 4 = 0 AND b.i = 2 AND b.nch >= 4
+        |         THEN b.content || ' ' || c.content
+        |         ELSE b.content END AS content
+        |  FROM chunk b LEFT JOIN chunk c
+        |    ON c.doc_id = b.doc_id AND c.i = 3
+        |       AND b.i = 2 AND b.doc_id % 4 = 0
+        |  WHERE NOT b.cont),
+        |nonsys AS (SELECT doc_id, role,
+        |    lag(role) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM turns WHERE role != 'system'),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(*) AS INTEGER) AS n_turns,
+        |    CAST(count(*) FILTER (WHERE role = 'user') AS INTEGER)
+        |      AS n_user,
+        |    CAST(count(*) FILTER (WHERE role = 'assistant') AS INTEGER)
+        |      AS n_assistant,
+        |    CAST(count(*) FILTER (WHERE role = 'system') AS INTEGER)
+        |      AS n_system,
+        |    arg_min(role, i) AS first_role,
+        |    arg_max(role, i) AS last_role,
+        |    CAST(count(*) FILTER (WHERE content = '') AS INTEGER)
+        |      AS n_empty_turns,
+        |    NOT regexp_matches(arg_max(content, i), '[.!?]$$')
+        |      AS truncated_last
+        |  FROM turns GROUP BY 1),
+        |viol AS (SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE role = prev) AS INTEGER) AS av
+        |  FROM nonsys GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_turns, 0) AS n_turns,
+        |  coalesce(n_user, 0) AS n_user,
+        |  coalesce(n_assistant, 0) AS n_assistant,
+        |  coalesce(n_system, 0) AS n_system,
+        |  CAST(0 AS INTEGER) AS n_pre_lines,
+        |  coalesce(first_role, '') AS first_role,
+        |  coalesce(last_role, '') AS last_role,
+        |  coalesce(av, 0) AS alternation_violations,
+        |  coalesce(n_empty_turns, 0) AS n_empty_turns,
+        |  coalesce(truncated_last, false) AS truncated_last
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id)
+        |LEFT JOIN viol ON viol.doc_id = d.doc_id""".stripMargin,
+
     "q_dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

@@ -123,6 +123,48 @@ object ExtQueries {
     Dedup.turnRepetition(Tables(spark, dir).documents,
       turnTokens = convTurnTokens)
 
+  /** Role-aware conversation structure lints
+    * ([[graft.ext.Dedup.conversationStructure]]) over transcripts
+    * synthesized DETERMINISTICALLY from the documents table (the
+    * corpus has no chat markup, so the query manufactures it the
+    * way the containment query plants prefixes): each doc's tokens
+    * chunk into 8-token turns; roles alternate user/assistant with
+    * a doc_id-parity phase, doc_id%3 docs open with a system turn,
+    * doc_id%5 docs force a same-role repeat at turn 2 (alternation
+    * violations), doc_id%7 docs blank turn 1's content (empty
+    * turns), doc_id%4 docs demote line 3 to an unmarked
+    * continuation, and odd docs end with terminal punctuation (so
+    * truncated_last splits the corpus). Every defect class the
+    * operator reports is therefore populated at every SF, and the
+    * oracle recomputes the expected structure independently of the
+    * parser. */
+  def qConvStructure(spark: SparkSession, dir: String): DataFrame = {
+    val transcripts = Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .selectExpr("doc_id", "toks",
+        "CAST((size(toks) + 7) div 8 AS INT) AS nch")
+      .selectExpr("doc_id",
+        """CASE WHEN nch = 0 THEN '' ELSE array_join(
+          |  transform(sequence(0, nch - 1), i -> CASE
+          |    WHEN doc_id % 4 = 0 AND i = 3 THEN
+          |      array_join(slice(toks, i * 8 + 1, 8), ' ')
+          |    ELSE concat(
+          |      CASE WHEN i = 0 AND doc_id % 3 = 0 THEN 'system'
+          |           WHEN doc_id % 5 = 0 AND i = 2 THEN 'user'
+          |           WHEN (i + doc_id) % 2 = 0 THEN 'user'
+          |           ELSE 'assistant' END,
+          |      ': ',
+          |      concat(
+          |        CASE WHEN doc_id % 7 = 0 AND i = 1 THEN ''
+          |             ELSE array_join(slice(toks, i * 8 + 1, 8), ' ')
+          |             END,
+          |        CASE WHEN i = nch - 1 AND doc_id % 2 = 1 THEN '.'
+          |             ELSE '' END))
+          |    END),
+          |  '\n') END AS text""".stripMargin)
+    Dedup.conversationStructure(transcripts)
+  }
+
   /** LSH candidates over the minhash signatures — pure operator
     * output (the portable-md5 minhash makes the candidate set itself
     * oracle-checkable; non-emptiness at the verified SFs is a property

@@ -567,6 +567,15 @@ object GraftFunctions {
     graft.ext.Dedup.turnRepetition(docs, tt).queryExecution.logical
   }
 
+  /** conversation_structure(docsTbl) — role-aware transcript lints:
+    * alternation violations, empty turns, truncated last turn
+    * ([[graft.ext.Dedup.conversationStructure]]). */
+  def conversationStructureTvf(args: Seq[Expression]): LogicalPlan = {
+    val docs = tableOf(strArg(args.head,
+      "conversation_structure(docsTable)"))
+    graft.ext.Dedup.conversationStructure(docs).queryExecution.logical
+  }
+
   /** token_budget_sample(docsTbl, budget[, alpha]) — deterministic
     * per-source sample at the waterfill allocation rates
     * ([[graft.ext.Curation.tokenBudgetSample]]). */
@@ -1613,6 +1622,7 @@ object GraftFunctions {
     "token_budget" -> (tokenBudgetTvf _),
     "token_budget_sample" -> (tokenBudgetSampleTvf _),
     "turn_repetition" -> (turnRepetitionTvf _),
+    "conversation_structure" -> (conversationStructureTvf _),
     "k_core" -> (kCoreTvf _),
     "ancestors" -> (ancestorsTvf _),
     "change_feed" -> (changeFeedTvf _),

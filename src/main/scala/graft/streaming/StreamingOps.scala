@@ -210,6 +210,23 @@ object StreamingOps {
       .filter(col("max_run") <= maxRun &&
         col("repeat_frac") <= maxRepeatFrac)
 
+  /** Streaming twin of the per-source token-budget allocator
+    * ([[graft.ext.Curation.tokenBudgetAllocate]]): the allocator's
+    * whole state is its sufficient-statistics table — per-source
+    * (n_docs, ts) running sums, ONE grouped aggregation bounded by
+    * #sources forever — so the streaming form is that aggregation
+    * run in Complete mode, and a snapshot finishes into the full
+    * exact waterfill with
+    * [[graft.ext.Curation.tokenBudgetFinish]]. snapshot ≡ batch is
+    * structural: the batch allocator IS finish ∘ state over the same
+    * rows (StreamingSpec proves it end-to-end). This is the "retune
+    * the mixture as the crawl grows" loop: the budget/α decision
+    * replays against a live table instead of a corpus rescan.
+    * @return (source, n_docs, ts) running state */
+  def tokenBudgetStateStream(docs: DataFrame, byCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    graft.ext.Curation.tokenBudgetState(docs, byCol, textCol)
+
   /** Streaming twin of [[graft.ext.TextAnalysis.blocklistScreen]]:
     * the Aho–Corasick gate is a pure per-row expression (the automaton
     * rides inside [[graft.expressions.MultiMatch]]), so the streaming

@@ -117,6 +117,38 @@ class ExtSpec extends AnyFunSuite {
     assert(loop == ((9L, 4, 1, 4, 0.75)), s"$loop")
   }
 
+  test("conversationStructure: hand-computed roles, continuations, preamble, truncation (round 17)") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean 3-turn chat, alternating, sentence-final
+      (1L, "system: be helpful\nuser: hi there\nassistant: hello!"),
+      // preamble lines, a continuation, a same-role repeat, no
+      // terminal punctuation
+      (2L, "export of a chat\nsecond preamble\nuser: first ask\n" +
+        "continues the ask\nuser: asked again\nassistant: reply"),
+      // empty turn (marker with no content), blank lines ignored
+      (3L, "user: question?\n\nassistant:\nuser: still there."),
+      // markerless text: zero turns, every line preamble
+      (4L, "no roles here\njust text"),
+      // empty text
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.conversationStructure(docs)
+      .as[(Long, Int, Int, Int, Int, Int, String, String, Int, Int,
+        Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3, 1, 1, 1, 0, "system", "assistant", 0, 0, false),
+      // doc 2: turns user/user/assistant; "continues the ask" folds
+      // into turn 1; user,user adjacent = 1 violation; last content
+      // "reply" has no terminal punctuation
+      (2L, 3, 2, 1, 0, 2, "user", "assistant", 1, 0, true),
+      // doc 3: assistant turn is empty; alternation is clean; last
+      // turn ends with '.'
+      (3L, 3, 2, 1, 0, 0, "user", "user", 0, 1, false),
+      (4L, 0, 0, 0, 0, 2, "", "", 0, 0, false),
+      (5L, 0, 0, 0, 0, 0, "", "", 0, 0, false)), s"$out")
+  }
+
   test("connected components: planted chain and separate pair cluster correctly") {
     // chain 1-2-3 plus pair (10,11): two components keyed by min id
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")

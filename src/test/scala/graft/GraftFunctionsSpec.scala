@@ -192,6 +192,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.ext.Curation.tokenBudgetSample(docs, 26000L, alpha = 0.5))
     sameAs("SELECT * FROM turn_repetition('docs_tvf9', 8)",
       graft.ext.Dedup.turnRepetition(docs, turnTokens = 8))
+    sameAs("SELECT * FROM conversation_structure('docs_tvf9')",
+      graft.ext.Dedup.conversationStructure(docs))
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst").createOrReplaceTempView("kcore_edges_tvf9")
     sameAs("SELECT * FROM k_core('kcore_edges_tvf9', 2)",

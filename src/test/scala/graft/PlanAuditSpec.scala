@@ -918,6 +918,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_token_budget should publish a local allocation table:\n$tb")
   }
 
+  test("round-17: conversation structure is a zero-shuffle map (transcript synthesis + fold)") {
+    // transcript synthesis and the role-fold are both per-row
+    // expressions; a corpus Exchange or any Join here would mean the
+    // lint stopped being map-side and became a scale hazard
+    val p = plan("q_conv_structure")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"q_conv_structure must be a zero-shuffle per-row map:\n$p")
+  }
+
   test("unpartitioned WindowExec inventory: exactly the known bounded-table windows") {
     // The bench tail logs `WindowExec: No Partition Defined` per
     // single-partition window stage. This pins WHICH queries plan

@@ -138,6 +138,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming token-budget state: snapshot finishes into the batch allocation (round 17)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val rows1 = Seq(
+      (1L, "one two three four five six seven eight", "web"),
+      (2L, "alpha beta gamma", "web"),
+      (3L, "a b c d e f g h i j k l m n o p q r s t", "books"))
+    val rows2 = Seq(
+      (4L, "just a few tokens", "books"),
+      (5L, "x y z", "code"))
+    val q = StreamingOps.tokenBudgetStateStream(docs)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tbudget_state").start()
+    try {
+      mem.addData(rows1: _*)
+      q.processAllAvailable()
+      mem.addData(rows2: _*)
+      q.processAllAvailable()
+      val snap = spark.table("tbudget_state")
+      // state is sources-bounded: 3 rows after 5 docs
+      assert(snap.count() == 3)
+      // a tight budget forces a genuine waterfill (small sources
+      // saturate); snapshot-finish must equal the batch allocator
+      // cell-for-cell
+      val fromStream = graft.ext.Curation
+        .tokenBudgetFinish(snap, budgetTokens = 30, alpha = 0.5)
+        .collect().toSet
+      val batch = graft.ext.Curation.tokenBudgetAllocate(
+        (rows1 ++ rows2).toDF("doc_id", "text", "source"),
+        budgetTokens = 30, alpha = 0.5).collect().toSet
+      assert(fromStream == batch,
+        s"snapshot-finish != batch allocate:\n$fromStream\n$batch")
+      assert(batch.nonEmpty && batch.exists(_.getAs[Boolean]("saturated")),
+        "fixture must exercise the saturation branch")
+    } finally q.stop()
+  }
+
   test("streaming blocklist gate ≡ batch screen across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
