@@ -505,6 +505,62 @@ object DbtProject {
     })
   }
 
+  /** `versions:` declarations (dbt ≥ 1.5 model versions) from one
+    * schema yml: model name → (latest_version, version →
+    * defined_in). `latest_version` defaults to the highest declared
+    * v; a latest_version pointing at an undeclared version is loud.
+    * Only integer versions are supported (dbt allows dotted strings;
+    * none of the naming below would be stable for them). */
+  private[graft] def parseVersions(yml: String)
+      : Map[String, (Int, Map[Int, Option[String]])] = {
+    import MiniYaml._
+    MiniYaml.parse(yml) match {
+      case m: YMap => m.get("models") match {
+        case Some(YList(models)) => models.flatMap {
+          case mm: YMap =>
+            val name = mm.get("name") match {
+              case Some(YScalar(s)) => s
+              case _ => throw new IllegalArgumentException(
+                "model entry without a name")
+            }
+            mm.get("versions") match {
+              case Some(YList(vs)) =>
+                val vers = vs.map {
+                  case vm: YMap =>
+                    val v = vm.get("v") match {
+                      case Some(YScalar(s)) => s.trim.toInt
+                      case _ => throw new IllegalArgumentException(
+                        s"model $name: versions entry without v:")
+                    }
+                    v -> vm.get("defined_in").collect {
+                      case YScalar(s) => s }
+                  case other => throw new IllegalArgumentException(
+                    s"model $name: unsupported versions entry: $other")
+                }
+                val dup = vers.groupBy(_._1)
+                  .collect { case (v, xs) if xs.size > 1 => v }
+                require(dup.isEmpty,
+                  s"model $name declares duplicate version(s): " +
+                    dup.toSeq.sorted.mkString(", "))
+                val latest = mm.get("latest_version") match {
+                  case Some(YScalar(s)) => s.trim.toInt
+                  case _ => vers.map(_._1).max
+                }
+                require(vers.exists(_._1 == latest),
+                  s"model $name: latest_version $latest is not a " +
+                    s"declared version (${vers.map(_._1).sorted
+                      .mkString(", ")})")
+                Some(name -> (latest, vers.toMap))
+              case _ => None
+            }
+          case _ => None
+        }.toMap
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+  }
+
   /** `unit_tests:` entries (dbt ≥ 1.8) from one yml. Unknown keys in
     * a unit test (overrides, versions, …) and non-dict fixture
     * formats fail loudly — a silently skipped unit test is worse
@@ -854,10 +910,64 @@ object DbtProject {
         .filter(p => Files.isRegularFile(p)).toSeq
     }
     val files = byDir.flatMap(_._2)
-    val modelSql = files.filter(_.toString.endsWith(".sql")).map { p =>
+    val modelSqlRaw = files.filter(_.toString.endsWith(".sql")).map { p =>
       val name = p.getFileName.toString.stripSuffix(".sql")
       name -> read(p)
     }.toMap
+    // dbt model versions: each version's FILE (defined_in, default
+    // <model>_v<N>) registers under the canonical relation name
+    // <model>_v<N>, and every ref resolves TEXTUALLY before Jinja —
+    // ref('m', v=N) -> ref('m_vN'), unversioned ref('m') ->
+    // ref('m_v<latest>'). Resolving on raw text keeps the Jinja
+    // engine and dialect shim version-free, and means a
+    // latest_version bump re-hashes every dependent, so
+    // state:modified selects them (dbt's own behavior).
+    val versionDecls = {
+      val decls = files
+        .filter(p => p.toString.endsWith(".yml") ||
+          p.toString.endsWith(".yaml"))
+        .flatMap(p => parseVersions(read(p)).toSeq)
+      val dup = decls.groupBy(_._1)
+        .collect { case (n, vs) if vs.size > 1 => n }
+      require(dup.isEmpty, "model(s) versioned in more than one " +
+        s"schema yml: ${dup.toSeq.sorted.mkString(", ")}")
+      decls.toMap
+    }
+    val versionRenames: Map[String, String] =
+      versionDecls.toSeq.flatMap { case (m, (_, vers)) =>
+        vers.toSeq.map { case (n, definedIn) =>
+          val file = definedIn.getOrElse(s"${m}_v$n")
+          require(modelSqlRaw.contains(file),
+            s"model $m version $n: no model file '$file.sql'")
+          file -> s"${m}_v$n"
+        }
+      }.toMap
+    val renamed = modelSqlRaw.map { case (k, v) =>
+      versionRenames.getOrElse(k, k) -> v }
+    require(renamed.size == modelSqlRaw.size,
+      "model version canonical names collide with existing models: " +
+        versionRenames.values.filter(modelSqlRaw.contains)
+          .toSeq.sorted.mkString(", "))
+    val versionedRefRe =
+      """\{\{\s*ref\(\s*'(\w+)'\s*,\s*(?:v|version)\s*=\s*(\d+)\s*\)\s*\}\}""".r
+    def resolveVersionRefs(text: String): String = {
+      val t1 = versionedRefRe.replaceAllIn(text, mm => {
+        val (m, n) = (mm.group(1), mm.group(2).toInt)
+        val (_, vers) = versionDecls.getOrElse(m,
+          throw new IllegalArgumentException(
+            s"ref('$m', v=$n): model '$m' declares no versions"))
+        require(vers.contains(n), s"ref('$m', v=$n): declared " +
+          s"versions are ${vers.keys.toSeq.sorted.mkString(", ")}")
+        scala.util.matching.Regex.quoteReplacement(s"{{ ref('${m}_v$n') }}")
+      })
+      DbtSqlEngine.refPlaceholderRe.replaceAllIn(t1, mm =>
+        scala.util.matching.Regex.quoteReplacement(
+          versionDecls.get(mm.group(1)) match {
+            case Some((latest, _)) => s"{{ ref('${mm.group(1)}_v$latest') }}"
+            case None => mm.matched
+          }))
+    }
+    val modelSql = renamed.view.mapValues(resolveVersionRefs).toMap
     val sources = files
       .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
       .flatMap(p => parseSourceTables(read(p)))
@@ -874,7 +984,7 @@ object DbtProject {
         }.getOrElse(Materialization.View)
         name -> mat
       }
-    }.toMap
+    }.toMap.map { case (k, v) => versionRenames.getOrElse(k, k) -> v }
     val modelTags = byDir.flatMap { case (dir, fs) =>
       fs.filter(_.toString.endsWith(".sql")).map { p =>
         val name = p.getFileName.toString.stripSuffix(".sql")
@@ -884,7 +994,7 @@ object DbtProject {
         name -> relDirs.inits.toSeq
           .flatMap(prefix => tagPolicy.getOrElse(prefix, Set.empty)).toSet
       }
-    }.toMap
+    }.toMap.map { case (k, v) => versionRenames.getOrElse(k, k) -> v }
     // dbt on-run-start/on-run-end: project-level lifecycle hooks
     // (audit setup, grants) — scalar or block-list SQL, executed via
     // spark.sql around the whole run/build (dbt's semantics). Flow
@@ -908,6 +1018,7 @@ object DbtProject {
         }
       }
     }.toMap.filter { case (_, (pre, post)) => pre.nonEmpty || post.nonEmpty }
+      .map { case (k, v) => versionRenames.getOrElse(k, k) -> v }
     val macros = parseStringList(projText, "macro-paths")
       .getOrElse(Seq("macros")).map(root.resolve)
       .filter(Files.isDirectory(_))
@@ -941,7 +1052,7 @@ object DbtProject {
       .flatMap(d => Files.walk(d).iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
       .flatMap(p => parseSnapshotBlocks(read(p)))
-      .toMap
+      .toMap.view.mapValues(resolveVersionRefs).toMap
     // dbt singular tests: every *.sql under test-paths (default
     // tests/) is a test named by its file stem — Jinja-rendered (ref/
     // source resolve), run as a violating-rows query by runAndTest and
@@ -951,7 +1062,8 @@ object DbtProject {
       .filter(Files.isDirectory(_))
       .flatMap(d => Files.walk(d).iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".sql")))
-      .map(p => p.getFileName.toString.stripSuffix(".sql") -> read(p))
+      .map(p => p.getFileName.toString.stripSuffix(".sql") ->
+        resolveVersionRefs(read(p)))
       .toMap
     val names = Seq("model" -> modelSql.keySet, "seed" -> seeds.keySet,
       "snapshot" -> snapshots.keySet,
@@ -1013,7 +1125,16 @@ object DbtProject {
       .collect { case (n, vs) if vs.size > 1 => n }
     require(contractDup.isEmpty, "model(s) contracted in more than one " +
       s"schema yml: ${contractDup.toSeq.sorted.mkString(", ")}")
-    val contracts = contractSeq.toMap
+    // a contract declared on a VERSIONED model binds every version
+    // (dbt's rule: versioned models require a contract and all
+    // versions share it unless a version overrides — overrides are
+    // not supported here)
+    val contracts = contractSeq.toMap.flatMap { case (n, c) =>
+      versionDecls.get(n) match {
+        case Some((_, vers)) => vers.keys.map(v => s"${n}_v$v" -> c)
+        case None => Seq(n -> c)
+      }
+    }
     contracts.collect { case (n, c) if c.enforced => n }
       .foreach(n => require(modelSql.contains(n),
         s"enforced contract declared for unknown model '$n' (dbt " +

@@ -519,6 +519,14 @@ object Jinja {
           else JUndef(s"undefined env_var '$n' with no default")
         }
       case "ref" =>
+        // versioned refs (ref('m', v=2)) are resolved to concrete
+        // relation names by DbtProject.load BEFORE rendering; a
+        // multi-arg ref surviving to here would otherwise silently
+        // drop its version and read the wrong relation
+        if (argEs.length > 1 || kwargEs.nonEmpty)
+          fail("ref() with a version (or extra args) must resolve at " +
+            "project load — is the model declared under `versions:` " +
+            "in a schema yml?")
         JRaw(s"{{ ref('${strArg(0, "ref()")}') }}")
       case "source" =>
         JRaw(s"{{ source('${strArg(0, "source()")}', '${strArg(1, "source()")}') }}")

@@ -2066,6 +2066,69 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ghost"), e2.getMessage)
   }
 
+  test("dbt model versions: ref('m') follows latest_version, ref('m', v=N) pins (round 17)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-versions")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "very"
+        |models:
+        |  very:
+        |    +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/fct_v1.sql"),
+      "select 1 as id, 10 as v\n".getBytes("UTF-8"))
+    // v2 lives in a custom file; the relation is still fct_v2
+    Files.write(dir.resolve("models/fct_next.sql"),
+      "select 1 as id, 20 as v\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/latest_user.sql"),
+      "select v from {{ ref('fct') }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/pinned_user.sql"),
+      "select v from {{ ref('fct', v=1) }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: fct
+        |    latest_version: 2
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |        defined_in: fct_next
+        |""".stripMargin.getBytes("UTF-8"))
+    val wh = Files.createTempDirectory("graft-versions-wh").toString
+    val out = DbtProject.run(spark, dir.toString, Map.empty, wh)
+    assert(out.keySet ==
+      Set("fct_v1", "fct_v2", "latest_user", "pinned_user"), out.keySet)
+    assert(out("latest_user").as[Int].collect().toSeq == Seq(20))
+    assert(out("pinned_user").as[Int].collect().toSeq == Seq(10))
+    // flipping latest re-points the unversioned ref (and re-hashes
+    // the dependent, so state:modified would rebuild it)
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: fct
+        |    latest_version: 1
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |        defined_in: fct_next
+        |""".stripMargin.getBytes("UTF-8"))
+    val out2 = DbtProject.run(spark, dir.toString, Map.empty, wh)
+    assert(out2("latest_user").as[Int].collect().toSeq == Seq(10))
+    // a pin to an undeclared version is loud
+    Files.write(dir.resolve("models/pinned_user.sql"),
+      "select v from {{ ref('fct', v=9) }}\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DbtProject.load(dir.toString) }
+    assert(e.getMessage.contains("v=9"), e.getMessage)
+    // a versioned ref to an unversioned model is loud
+    Files.write(dir.resolve("models/pinned_user.sql"),
+      "select v from {{ ref('latest_user', v=1) }}\n".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      DbtProject.load(dir.toString) }
+    assert(e2.getMessage.contains("declares no versions"), e2.getMessage)
+  }
+
   test("dbt ls: seeds and snapshots ride the static selection (round 17)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lsseed")
