@@ -1308,8 +1308,17 @@ object DbtProject {
       currentDateOverride: Option[String] = None,
       vars: Map[String, String] = Map.empty,
       select: Option[String] = None): DataFrame = {
-    val p = load(projectDir)
     import spark.implicits._
+    unitTestRows(spark, load(projectDir), currentDateOverride, vars,
+      select).toDF("unit_test", "model", "status", "detail")
+  }
+
+  /** The unit-test evaluation behind [[unitTest]] and [[build]]'s
+    * pre-materialization gate. */
+  private def unitTestRows(spark: SparkSession, p: Loaded,
+      currentDateOverride: Option[String],
+      vars: Map[String, String],
+      select: Option[String]): Seq[(String, String, String, String)] = {
     // a throwaway warehouse: nothing materializes, but prepare()
     // probes it to decide is_incremental (absent target => false,
     // dbt's unit-test rendering)
@@ -1404,7 +1413,7 @@ object DbtProject {
       }
       (ut.name, ut.model, outcome._1, outcome._2)
     }
-    rows.toDF("unit_test", "model", "status", "detail")
+    rows
   }
 
   /** Multiset difference a − b (each b occurrence cancels one a). */
@@ -1820,9 +1829,19 @@ object DbtProject {
       (s"${t.model}.$label", "test",
         DbtTests.statusOf(n, t.config), s"$n violating rows")
     }
+    // dbt >= 1.8: unit tests run FIRST (they need no warehouse), and
+    // a model with a failing/erroring unit test never materializes —
+    // engine.build gates it and skips its dependents
+    val unitRows = unitTestRows(spark, p, currentDateOverride, vars,
+      select = None)
+    val unitFailed: Map[String, String] = unitRows
+      .filter(r => r._3 == "fail" || r._3 == "error")
+      .groupBy(_._2).map { case (model, rs) =>
+        model -> rs.map(r => s"${r._1} (${r._3})").mkString(", ") }
     val (frames, status, testRows) = engine.build(p.modelSql, allFrames,
       p.materializations, p.tags, select, fullRefresh, modelTests, exclude,
-      p.hooks, resolveSelector(p, selector, select, exclude), defer)
+      p.hooks, resolveSelector(p, selector, select, exclude), defer,
+      preFailed = unitFailed)
     val modelRows = status.toSeq.sortBy(_._1).map { case (name, st) =>
       val (s, detail) = st.indexOf(':') match {
         case -1 => (st, "")
@@ -1863,7 +1882,11 @@ object DbtProject {
     }
     runLevelHooks(spark, p.runHooks._2, currentDateOverride)
     import spark.implicits._
-    (frames, (modelRows ++ gatedRows ++ inputRows ++ singularRows)
+    val unitReportRows = unitRows.map { case (name, model, st, detail) =>
+      (s"$model.$name", "unit_test", st, detail)
+    }
+    (frames,
+      (modelRows ++ gatedRows ++ inputRows ++ singularRows ++ unitReportRows)
       .toDF("resource", "kind", "status", "detail"))
   }
 

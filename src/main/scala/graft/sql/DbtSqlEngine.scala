@@ -79,11 +79,24 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
       exclude: Option[String] = None,
       hooks: Map[String, (Seq[String], Seq[String])] = Map.empty,
       selectorDef: Option[ModelGraph.SelectorDef] = None,
-      deferDir: Option[String] = None)
+      deferDir: Option[String] = None,
+      preFailed: Map[String, String] = Map.empty)
       : (Map[String, DataFrame], Map[String, String],
          Seq[(String, String, Long, String)]) = {
     val prep = prepare(modelSql, sources, materializations, tags,
       select, fullRefresh, exclude, hooks, selectorDef, deferDir)
+    // dbt >= 1.8 build ordering: a model whose UNIT tests failed is
+    // never materialized — its transform throws the same gate
+    // exception the data-test machinery uses, so buildGated marks it
+    // fail and skips its dependents while independent branches run
+    val gated = prep.chosen.map { m =>
+      preFailed.get(m.name) match {
+        case Some(reason) => m.copy()(_ =>
+          throw new graft.model.DataCheckException(
+            s"model ${m.name} failed unit test: $reason", m.name))
+        case None => m
+      }
+    }
     // dbt compiles tests on ephemeral models against the inlined CTE;
     // this engine does not — fail loudly instead of silently skipping
     val ephTested = tests.filter(t => prep.ephemerals.contains(t.model))
@@ -95,7 +108,7 @@ final class DbtSqlEngine(spark: SparkSession, warehouseDir: String,
     // Runner's thread pool); (model, label) keys the report rows
     val testLog = new scala.collection.concurrent.TrieMap[
       (String, String), (Long, String)]
-    val withChecks = prep.chosen.map { m =>
+    val withChecks = gated.map { m =>
       val checks = byModel.getOrElse(m.name, Seq.empty).map { t =>
         val label = t.column.map(c => s"${t.kind}($c)").getOrElse(t.kind)
         label -> ((df: org.apache.spark.sql.DataFrame) => {

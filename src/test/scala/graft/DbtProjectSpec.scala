@@ -2129,6 +2129,62 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("declares no versions"), e2.getMessage)
   }
 
+  test("dbt build: a failing unit test gates its model BEFORE materialization (round 17)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-unitgate")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "ugy"
+        |models:
+        |  ugy:
+        |    +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/doubler.sql"),
+      "select 1 as id, 2 + 2 as v\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/leaf.sql"),
+      "select v from {{ ref('doubler') }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/solo.sql"),
+      "select 9 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_wrong_math
+        |    model: doubler
+        |    expect:
+        |      rows:
+        |        - {id: 1, v: 5}
+        |""".stripMargin.getBytes("UTF-8"))
+    val wh = Files.createTempDirectory("graft-unitgate-wh").toString
+    val (frames, report) = DbtProject.build(spark, dir.toString,
+      Map.empty, wh)
+    val rows = report.as[(String, String, String, String)].collect()
+      .map(r => (r._1, r._3)).toMap
+    // the unit test failed; its model never built; the dependent
+    // skipped; the independent branch ran
+    assert(rows("doubler.ut_wrong_math") == "fail", s"$rows")
+    assert(rows("doubler") == "fail" &&
+      rows("leaf") == "skipped" && rows("solo") == "success", s"$rows")
+    assert(!frames.contains("doubler") &&
+      !new java.io.File(s"$wh/doubler").exists(),
+      "a unit-test-failed model must not materialize")
+    // fix the expectation: everything builds and the unit row passes
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_right_math
+        |    model: doubler
+        |    expect:
+        |      rows:
+        |        - {id: 1, v: 4}
+        |""".stripMargin.getBytes("UTF-8"))
+    val (frames2, report2) = DbtProject.build(spark, dir.toString,
+      Map.empty, wh)
+    val rows2 = report2.as[(String, String, String, String)].collect()
+      .map(r => (r._1, r._3)).toMap
+    assert(rows2("doubler.ut_right_math") == "pass" &&
+      rows2("doubler") == "success" && rows2("leaf") == "success",
+      s"$rows2")
+    assert(frames2("leaf").as[Int].collect().toSeq == Seq(4))
+  }
+
   test("dbt ls: seeds and snapshots ride the static selection (round 17)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lsseed")
