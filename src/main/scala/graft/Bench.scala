@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 1-min loadavg BEFORE any work starts: the contention gate's
+    // input. The publish-time loadavg (also recorded) includes the
+    // sweep's OWN tail — the q_ktruss_dist fingerprint pass alone
+    // drives it past 3 on an otherwise idle box — so make_floor/
+    // bench_delta gate on THIS reading and keep the publish one for
+    // the record.
+    val loadAvgStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -144,7 +152,7 @@ object Bench {
     // to re-measure by hand to adjudicate environment vs regression).
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rq,"loadavg":${fmt(loadAvg)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"remeasured":$rq,"loadavg":${fmt(loadAvg)},"loadavg_start":${fmt(loadAvgStart)},"sf":"$sfDir"}"""
     println(json)
     // Per-query plan fingerprints: a hash of the physical operator
     // tree (node names + tree shape, expression ids and file paths
@@ -199,7 +207,7 @@ object Bench {
     val top5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"n":${results.size},"loadavg":${fmt(loadAvg)},"sf":"$sfDir","full":"$outPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top5,"n":${results.size},"loadavg":${fmt(loadAvg)},"loadavg_start":${fmt(loadAvgStart)},"sf":"$sfDir","full":"$outPath"}""")
     System.out.flush()
   }
 }

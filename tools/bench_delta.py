@@ -137,9 +137,12 @@ def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
     # A wall-time regression verdict from a contended sweep is noise
     # dressed as signal — withhold it. Plan-fingerprint changes are
     # load-independent and stand regardless.
+    # gate on the PRE-SWEEP loadavg when recorded (the publish-time
+    # reading includes the sweep's own fingerprint-pass tail)
     try:
         with open(cur_path) as f:
-            la = json.loads(f.read().strip()).get("loadavg")
+            d = json.loads(f.read().strip())
+            la = d.get("loadavg_start", d.get("loadavg"))
     except Exception:
         la = None
     if bad and la is not None and la > MAX_LOADAVG:

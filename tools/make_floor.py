@@ -27,7 +27,15 @@ def main(paths):
         with open(p) as f:
             runs.append((p, json.loads(f.read().strip())))
     for p, d in runs:
-        la = d.get("loadavg")
+        # a prior FLOOR file is per-query minima, not a sweep — its
+        # recorded loadavg is the capture condition of the newest
+        # input at the last fold, not this input's own cleanliness
+        if d.get("metric") == "floor":
+            continue
+        # gate on the PRE-SWEEP loadavg when recorded: the publish-
+        # time reading includes the sweep's own fingerprint-pass tail
+        # (q_ktruss_dist alone pushes it past 3 on an idle box)
+        la = d.get("loadavg_start", d.get("loadavg"))
         if la is not None and la > MAX_LOADAVG:
             raise SystemExit(
                 f"{p}: captured at loadavg {la} > {MAX_LOADAVG} — "
