@@ -1230,48 +1230,59 @@ object Graph {
       }
       return out.toSeq.toDF("src", "dst", "support")
     }
-    // the ONE full 3-credits-per-triangle count; every later round
-    // only DECREMENTS it by the dead triangles' credits — recounting
-    // the full table per round costs nearly as much as the wedge
-    // pass itself (the credit shuffle dominates, not the adjacency
-    // intersection)
-    var sup = supportOf(tri).localCheckpoint()
+    // the ONE full 3-credits-per-triangle count, seeded over EVERY
+    // edge with zeros retained (r17 rework). A CLEAN support table —
+    // removed edges leave it, zero-support survivors stay — makes
+    // the removal shell a FILTER on sup, the update one
+    // broadcast-gated anti + left map-side pass, and the final
+    // output sup itself. The previous design kept sup dirty and
+    // maintained the edge set separately, paying TWO edge-sized
+    // shuffle joins (e ⋈ keep, e anti keep) every round plus a
+    // final e ⋈ sup; dropping them reads 21.3s -> 20.4s at sf0.1
+    // (QBENCH_REPS=3 mins — modest there because the probe's phase
+    // profile is dominated by the per-round FIXED cost of scanning/
+    // rewriting the 1.9M-triangle table while the tail shells are
+    // tiny; at 100 TB, where shells are huge and edge-table shuffles
+    // are real network, the three removed joins are the ones that
+    // matter). Every later round only DECREMENTS by the dead
+    // triangles' credits — recounting the full table per round
+    // costs nearly as much as the wedge pass itself.
+    var sup = e.join(supportOf(tri), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint()
+    graft.ext.Checkpoints.release(e)
     var converged = false
     var round = 0
     // k <= 2: every edge satisfies support >= k-2 = 0 by definition
-    // (the 2-truss IS the whole graph), so skip peeling entirely —
-    // the in-loop inner join against the support table would silently
-    // drop triangle-free edges (support rows only exist for edges in
-    // at least one triangle); the tail's left-join + coalesce(0)
-    // handles them correctly.
+    // (the 2-truss IS the whole graph) — skip peeling; the seeded
+    // sup, zeros and all, is already the answer.
     while (!converged && round < maxRounds && k > 2) {
-      val keep = sup.filter(col("support") >= (k - 2).toLong)
-        .select("u", "v")
-      val removed = e.join(keep, Seq("u", "v"), "left_anti")
-        .localCheckpoint()
-      val removedCnt = removed.count()
-      if (removedCnt == 0) {
+      val below = sup.filter(col("support") < (k - 2).toLong)
+        .select("u", "v").localCheckpoint()
+      val belowCnt = below.count()
+      if (belowCnt == 0) {
         converged = true
-        graft.ext.Checkpoints.release(removed)
+        graft.ext.Checkpoints.release(below)
       } else {
-        val next = e.join(keep, Seq("u", "v")).localCheckpoint()
-        graft.ext.Checkpoints.release(e)
-        e = next
-        // one scan of the triangle table, three removed-edge flag
-        // joins (map-side while the removal shell broadcasts —
-        // shuffle fallback past the gate): dead triangles lost an
-        // edge this round, the rest survive verbatim. Rows in `tri`
-        // are unique by construction, so `dead` needs no distinct.
+        // one scan of the triangle table, three removal-shell flag
+        // joins (map-side while the shell broadcasts — shuffle
+        // fallback past the gate): dead triangles lost an edge this
+        // round, the rest survive verbatim. Rows in `tri` are unique
+        // by construction, so `dead` needs no distinct.
         val rGate: DataFrame => DataFrame =
-          if (removedCnt <= broadcastMaxEdges) broadcast else identity
+          if (belowCnt <= broadcastMaxEdges) broadcast else identity
         def flag(cu: String, cv: String, d: String) =
-          rGate(removed.select(col("u").as(cu), col("v").as(cv),
+          rGate(below.select(col("u").as(cu), col("v").as(cv),
             lit(true).as(d)))
         // Materialized ONCE per round (r17): as a def, the three
         // flag joins over the full checkpointed triangle table ran
         // twice — once for nextTri's survivors, once for supDelta's
-        // dead set. The checkpoint is triangle-table-sized, same as
-        // nextTri's, and is released before the round ends.
+        // dead set. A/B-measured at sf0.1 (QBENCH_REPS=3 mins):
+        // materialized 21.3s vs dual-evaluation 29.1s for the whole
+        // q_ktruss_dist — even with BROADCAST flag joins, scanning
+        // the 1.9M-triangle table twice per round costs more than
+        // one checkpoint write. Released before the round ends.
         val marked = tri
           .join(flag("e1u", "e1v", "d1"), Seq("e1u", "e1v"), "left")
           .join(flag("e2u", "e2v", "d2"), Seq("e2u", "e2v"), "left")
@@ -1284,31 +1295,37 @@ object Graph {
         val nextTri = marked.filter(!isDead).select(triCols: _*)
           .localCheckpoint()
         // each dead triangle decrements each of its three member
-        // edges by exactly 1; zero-support survivors leave the table
-        // (matching supportOf's triangles-only domain)
+        // edges by exactly 1. supDelta is materialized and COUNTED
+        // before its join gate: the dead-edge count is not bounded
+        // by the shell size, so its broadcast decision needs real
+        // rows, not a proxy.
         val supDelta = supportOf(marked.filter(isDead)
             .select(triCols: _*))
           .withColumnRenamed("support", "delta")
-        val nextSup = sup.join(supDelta, Seq("u", "v"), "left")
+          .localCheckpoint()
+        val dGate: DataFrame => DataFrame =
+          if (supDelta.count() <= broadcastMaxEdges) broadcast
+          else identity
+        val nextSup = sup
+          .join(rGate(below), Seq("u", "v"), "left_anti")
+          .join(dGate(supDelta), Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             (col("support") - coalesce(col("delta"), lit(0L)))
               .as("support"))
-          .filter(col("support") > 0L)
           .localCheckpoint()
-        graft.ext.Checkpoints.release(tri, sup, removed, marked)
+        graft.ext.Checkpoints.release(tri, sup, below, marked, supDelta)
         tri = nextTri
         sup = nextSup
       }
       round += 1
     }
-    // `sup` is maintained exactly in lock-step with `tri`, so it is
-    // the final support table on every exit path (convergence,
-    // maxRounds bail-out, and the k <= 2 short-circuit alike)
-    val out = e.join(sup, Seq("u", "v"), "left")
-      .select(col("u").as("src"), col("v").as("dst"),
-        coalesce(col("support"), lit(0L)).as("support"))
-      .localCheckpoint()
-    graft.ext.Checkpoints.release(e, sup, tri)
+    // sup IS the survivor table on every exit path — clean by
+    // construction at convergence, at a maxRounds bail-out (the
+    // pending shell stays, with its maintained supports — identical
+    // to the fast path's shell-capped exit), and for k <= 2
+    val out = sup.select(col("u").as("src"), col("v").as("dst"),
+        col("support")).localCheckpoint()
+    graft.ext.Checkpoints.release(sup, tri)
     out
   }
 
