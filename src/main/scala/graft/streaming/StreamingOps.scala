@@ -210,6 +210,24 @@ object StreamingOps {
       .filter(col("max_run") <= maxRun &&
         col("repeat_frac") <= maxRepeatFrac)
 
+  /** Streaming structure-gate over role-marked transcript ingest
+    * ([[graft.ext.Dedup.conversationStructure]]): drop conversations
+    * whose SHAPE is broken — same-role back-to-back turns, empty
+    * turns, optionally a truncated last turn — before they reach the
+    * corpus; the role-aware sibling of [[loopGateStream]]'s content
+    * gate. The lint is one per-row fold, so the streaming form is
+    * stateless (no watermark, no state store) and gates at scan
+    * speed (StreamingSpec: streamed ≡ batch twin).
+    * @return kept docs' full structure row (doc_id, n_turns, …) */
+  def conversationGateStream(docs: DataFrame,
+      maxAlternationViolations: Int = 0, maxEmptyTurns: Int = 0,
+      dropTruncatedLast: Boolean = false): DataFrame =
+    graft.ext.Dedup.conversationStructure(docs)
+      .filter(col("n_turns") > 0 &&
+        col("alternation_violations") <= maxAlternationViolations &&
+        col("n_empty_turns") <= maxEmptyTurns &&
+        (if (dropTruncatedLast) !col("truncated_last") else lit(true)))
+
   /** Streaming twin of the per-source token-budget allocator
     * ([[graft.ext.Curation.tokenBudgetAllocate]]): the allocator's
     * whole state is its sufficient-statistics table — per-source

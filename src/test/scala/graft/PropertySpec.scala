@@ -606,6 +606,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("conversationStructure invariants on arbitrary role/content transcripts") {
+    // build transcripts FROM a known turn structure, then assert the
+    // parser recovers its invariants: turn count = marker count,
+    // role tallies partition it, violations = adjacent same-role
+    // pairs in the non-system sequence, trailing '.' clears
+    // truncated_last, and appending a system turn never changes the
+    // violation count
+    val turnGen = for {
+      role <- Gen.oneOf("system", "user", "assistant")
+      words <- Gen.chooseNum(0, 3)
+    } yield (role, Seq.fill(words)("w").mkString(" "))
+    forAll(Gen.listOfN(6, turnGen)) { turns0 =>
+      val turns = turns0
+      def text(ts: List[(String, String)]): String =
+        ts.map { case (r, c) => s"$r: $c" }.mkString("\n")
+      def structOf(ts: List[(String, String)]) =
+        graft.ext.Dedup.conversationStructure(
+          Seq((1L, text(ts))).toDF("doc_id", "text")).collect().head
+      val r = structOf(turns)
+      assert(r.getAs[Int]("n_turns") == turns.size)
+      assert(r.getAs[Int]("n_user") + r.getAs[Int]("n_assistant") +
+        r.getAs[Int]("n_system") == turns.size, "roles partition turns")
+      val nonsys = turns.map(_._1).filter(_ != "system")
+      val expViol = nonsys.sliding(2).count {
+        case Seq(a, b) => a == b; case _ => false }
+      assert(r.getAs[Int]("alternation_violations") == expViol,
+        s"violations of ${turns.map(_._1)}")
+      assert(r.getAs[Int]("n_empty_turns") ==
+        turns.count(_._2.trim.isEmpty), "empty turns")
+      if (turns.nonEmpty) {
+        // terminal punctuation on the last turn clears the flag
+        val dotted = turns.init :+ (turns.last._1, turns.last._2 + " done.")
+        assert(!structOf(dotted).getAs[Boolean]("truncated_last"))
+        assert(structOf(turns :+ (("system", "note"))) // system never
+          .getAs[Int]("alternation_violations") == expViol) // violates
+      }
+    }
+  }
+
   test("assortativity r stays in [-1, 1] on arbitrary symmetrized graphs") {
     val edgeGen = for {
       u <- Gen.chooseNum(0L, 8L)

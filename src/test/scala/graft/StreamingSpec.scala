@@ -138,6 +138,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming conversation gate ≡ batch structure filter (round 17)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "user: hi there\nassistant: hello!"),          // clean
+      (2L, "user: one\nuser: two\nassistant: ok."),        // violation
+      (3L, "user: ask?\nassistant:\nuser: still here."),   // empty turn
+      (4L, "plain text, no markers at all"))               // zero turns
+    val q = StreamingOps.conversationGateStream(docs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("conv_gate_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("conv_gate_out").collect().toSet
+      val batch = StreamingOps.conversationGateStream(
+        rows.toDF("doc_id", "text")).collect().toSet
+      assert(got == batch,
+        "streamed conversation gate must be row-identical to batch")
+      assert(got.map(_.getLong(0)) == Set(1L), s"$got")
+    } finally q.stop()
+  }
+
   test("streaming token-budget state: snapshot finishes into the batch allocation (round 17)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
