@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: sbt's default
+// LoggedOutput decorates every line with "[info] ", which turns the
+// bench main's final bare-JSON summary line into non-JSON and defeated
+// the driver's line-oriented artifact parser for four rounds
+// (BENCH_r14..r17 all "parsed": null). StdoutOutput writes the child
+// process's stdout straight to sbt's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." line so the compact
+// JSON printed after spark.stop() is the LAST line of stdout.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

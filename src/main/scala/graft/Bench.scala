@@ -59,8 +59,16 @@ object Bench {
     // and a production caller reclaims the same way once a stage's
     // results are consumed.
     def reclaim(): Unit = graft.ext.Checkpoints.releaseAll(spark)
+    // Optional subset for local iteration (comma-separated query
+    // names). The driver never sets it — full sweeps stay the default.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         reclaim()
       }
@@ -78,7 +86,7 @@ object Bench {
       reclaim()
       dt
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (1 to reps).map(_ => timeOnce(fn)).min
     }
     // Adjudicating second pass: a reading can still be contaminated by
@@ -98,7 +106,7 @@ object Bench {
         "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
-    val byName = SparkEntry.queries
+    val byName = selected
     // Convergent re-measure (round 14 — replaces the fixed take(24)
     // cap the r13 sweep overflowed, publishing 43 unadjudicated noisy
     // readings): EVERY query still above 1.5x its floor is re-measured
@@ -168,7 +176,7 @@ object Bench {
       case _ => p.nodeName + (if (p.children.isEmpty) ""
         else p.children.map(shape).mkString("(", ",", ")"))
     }
-    val fps = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val fps = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val fp = try {
         val s = shape(fn(spark, sfDir).queryExecution.executedPlan)
         java.security.MessageDigest.getInstance("MD5").digest(
