@@ -1111,10 +1111,17 @@ object Graph {
     }
     // per-edge supports = 3 credits per surviving triangle, one
     // map-side-combined count
+    // ONE pass over t (round 18): the union-of-three-projections
+    // shape read the triangle table three times per call; explode
+    // yields the same (u,v,count) in a single scan — at 100 TB the
+    // triangle table doesn't sit in page cache, so the 3× read is
+    // real I/O, not a free memory rescan.
     def supportOf(t: DataFrame): DataFrame =
-      t.select(col("e1u").as("u"), col("e1v").as("v"))
-        .unionAll(t.select(col("e2u").as("u"), col("e2v").as("v")))
-        .unionAll(t.select(col("e3u").as("u"), col("e3v").as("v")))
+      t.select(explode(array(
+          struct(col("e1u").as("u"), col("e1v").as("v")),
+          struct(col("e2u").as("u"), col("e2v").as("v")),
+          struct(col("e3u").as("u"), col("e3v").as("v")))).as("te"))
+        .select(col("te.u").as("u"), col("te.v").as("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
     var tri = triangles(e)
     val triCnt = tri.count()
