@@ -84,6 +84,22 @@ object BigQueryDialect {
     throw new IllegalArgumentException(s"unbalanced parens after offset $openParen")
   }
 
+  /** Apply `f` to the text between single-quoted string literals,
+    * leaving the literals themselves (and their quotes) untouched —
+    * the masking step for rewrites that must never edit data. */
+  private def mapUnquoted(text: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inStr = false
+    for (c <- text) {
+      if (inStr) { out += c; if (c == '\'') inStr = false }
+      else if (c == '\'') { out.append(f(seg.toString)); seg.clear(); out += c; inStr = true }
+      else seg += c
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
   /** Rewrite every `name(args…)` using `build(args)`, case-insensitive. */
   private def rewriteCalls(sql: String, name: String)(build: Seq[String] => String): String = {
     val lower = name.toLowerCase
@@ -295,17 +311,28 @@ object BigQueryDialect {
     s = rewriteCalls(s, "safe_divide")(args => s"TRY_DIVIDE(${args(0)}, ${args(1)})")
     s = """(?i)\bSAFE_CAST\s*\(""".r.replaceAllIn(s, "TRY_CAST(")
     s = """(?i)\bCOUNTIF\s*\(""".r.replaceAllIn(s, "COUNT_IF(")
-    // 7c. BigQuery type names in cast targets: `CAST(x AS INT64)` is
-    // everyday BigQuery SQL and Spark knows none of these names. The
-    // `AS <type>` anchor keeps the rewrite away from column
-    // references; an unquoted alias literally named int64 would be
-    // caught too, but BigQuery itself reserves nothing here and no
-    // real schema aliases columns after its scalar type names.
-    for ((bq, sp) <- Seq("INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE",
-        "BOOL" -> "BOOLEAN", "BYTES" -> "BINARY",
-        "NUMERIC" -> "DECIMAL(38,9)", "BIGNUMERIC" -> "DECIMAL(38,18)",
-        "DATETIME" -> "TIMESTAMP_NTZ"))
-      s = s"""(?i)\\bAS\\s+$bq\\b""".r.replaceAllIn(s, s"AS $sp")
+    // 7c. BigQuery type names in CAST targets ONLY (round 18): the
+    // rewrite used to run `AS <type>` over the whole statement, so it
+    // also renamed column aliases (`count_if(x) AS bool` silently
+    // became `AS BOOLEAN`, breaking downstream refs/contracts) and
+    // edited string literals containing e.g. 'as numeric'. It is now
+    // confined to CAST/TRY_CAST argument text with quoted literals
+    // masked; SAFE_CAST became TRY_CAST in 7b, so both spellings land
+    // here. Word-bounded replacement inside the argument also covers
+    // nested types (`CAST(x AS ARRAY<INT64>)`), which the AS-anchored
+    // regex missed.
+    val bqCastTypes = Seq("INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE",
+      "BOOL" -> "BOOLEAN", "BYTES" -> "BINARY",
+      "NUMERIC" -> "DECIMAL(38,9)", "BIGNUMERIC" -> "DECIMAL(38,18)",
+      "DATETIME" -> "TIMESTAMP_NTZ")
+    def bqTypeNames(text: String): String = mapUnquoted(text) { seg =>
+      bqCastTypes.foldLeft(seg) { case (acc, (bq, sp)) =>
+        s"""(?i)\\b$bq\\b""".r.replaceAllIn(acc, sp)
+      }
+    }
+    for (fn <- Seq("cast", "try_cast"))
+      s = rewriteCalls(s, fn)(args =>
+        s"${fn.toUpperCase}(${args.map(bqTypeNames).mkString(", ")})")
     // 8. QUALIFY <ranker>() over (…) <cmp> k — star or ANY select
     // list, paren-aware, any nesting depth. The explicit-list form
     // aliases the ranked subquery AS the source table name so

@@ -199,8 +199,18 @@ object DbtContracts {
         s"model $name: not_null/check constraints require a " +
           "materialized relation (table or incremental) — dbt does not " +
           "support enforced constraints on views either")
+      // Pin the model's rows ONCE and both verify and return the
+      // pinned frame: aggregating `df` directly would execute the
+      // model a first time here and a second time when the Runner
+      // materializes it — and for a non-deterministic model
+      // (current_timestamp, rand) the rows checked would not be the
+      // rows written, so a contract could pass while violating rows
+      // land on disk. The checkpoint is released on the failure path
+      // (nothing downstream may read it); on success the Runner
+      // writes it and the session's releaseAll reclaims the blocks.
+      val pinned = df.localCheckpoint()
       // one pass, one reduced row: a count-if per constraint
-      val counts = df.agg(
+      val counts = pinned.agg(
         count(lit(1)).as("_n"),
         checked.map { case (label, bad) =>
           sum(when(bad, 1L).otherwise(0L)).as(label) }: _*).head()
@@ -208,10 +218,13 @@ object DbtContracts {
         case ((label, _), i) if counts.getLong(i + 1) > 0 =>
           s"$label: ${counts.getLong(i + 1)} violating row(s)"
       }
-      require(violated.isEmpty,
-        s"model $name violates its contract constraints:\n  " +
-          violated.mkString("\n  "))
-    }
-    df
+      if (violated.nonEmpty) {
+        graft.ext.Checkpoints.release(pinned)
+        throw new IllegalArgumentException(
+          s"requirement failed: model $name violates its contract " +
+            s"constraints:\n  " + violated.mkString("\n  "))
+      }
+      pinned
+    } else df
   }
 }

@@ -78,7 +78,18 @@ object DbtProject {
       selectors: Map[String, graft.model.ModelGraph.SelectorDef] = Map.empty,
       defaultSelector: Option[String] = None,
       contracts: Map[String, DbtContracts.ModelContract] = Map.empty,
-      unitTests: Seq[UnitTestDef] = Seq.empty)
+      unitTests: Seq[UnitTestDef] = Seq.empty,
+      groups: Map[String, String] = Map.empty,
+      modelGov: Map[String, ModelGov] = Map.empty,
+      analyses: Map[String, String] = Map.empty)
+
+  /** dbt ≥ 1.6 model governance: the model's `group:` membership and
+    * `access:` level (public | protected | private; dbt's default is
+    * protected). `private` restricts ref() to same-group models —
+    * enforced at load over the static DAG, dbt's own parse-time
+    * behavior. `protected` restricts to the same package; a single-
+    * package checkout makes that vacuously true here. */
+  final case class ModelGov(group: Option[String], access: String)
 
   /** One `unit_tests:` entry (dbt ≥ 1.8): render `model` against the
     * inline `given` fixture rows and diff the result against
@@ -553,6 +564,78 @@ object DbtProject {
                 Some(name -> (latest, vers.toMap))
               case _ => None
             }
+          case _ => None
+        }.toMap
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+  }
+
+  /** Top-level `groups:` declarations from one schema yml →
+    * group name → owner display text. dbt requires an owner with at
+    * least one property — loud here, at load time. */
+  private[graft] def parseGroups(yml: String): Map[String, String] = {
+    import MiniYaml._
+    def scalar(n: Option[Node]): Option[String] = n match {
+      case Some(YScalar(s)) if s.trim.nonEmpty => Some(s.trim)
+      case _ => None
+    }
+    MiniYaml.parse(yml) match {
+      case m: YMap => m.get("groups") match {
+        case Some(YList(gs)) => gs.flatMap {
+          case gm: YMap =>
+            val name = scalar(gm.get("name")).getOrElse(
+              throw new IllegalArgumentException(
+                "group entry without a name"))
+            val owner = gm.get("owner") match {
+              case Some(om: YMap) =>
+                val texts = om.entries.flatMap { case (k, v) =>
+                  scalar(Some(v)).map(t => s"$k: $t") }
+                require(texts.nonEmpty, s"group $name: owner needs at " +
+                  "least one property (dbt requires name or email)")
+                texts.mkString(", ")
+              case _ => throw new IllegalArgumentException(
+                s"group $name: dbt requires an owner block")
+            }
+            Some(name -> owner)
+          case _ => None
+        }.toMap
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+  }
+
+  /** Per-model `group:` / `access:` from one schema yml's `models:`
+    * list (model level or under `config:` — dbt accepts both).
+    * Access values are validated here; membership/visibility checks
+    * happen at load where the whole project is in hand. */
+  private[graft] def parseModelGov(yml: String): Map[String, ModelGov] = {
+    import MiniYaml._
+    def scalar(n: Option[Node]): Option[String] = n match {
+      case Some(YScalar(s)) if s.trim.nonEmpty => Some(s.trim)
+      case _ => None
+    }
+    MiniYaml.parse(yml) match {
+      case m: YMap => m.get("models") match {
+        case Some(YList(models)) => models.flatMap {
+          case mm: YMap =>
+            val name = scalar(mm.get("name")).getOrElse(
+              throw new IllegalArgumentException(
+                "model entry without a name"))
+            val cfg = mm.get("config").collect { case c: YMap => c }
+            val group = scalar(mm.get("group"))
+              .orElse(cfg.flatMap(c => scalar(c.get("group"))))
+            val access = scalar(mm.get("access"))
+              .orElse(cfg.flatMap(c => scalar(c.get("access"))))
+            access.foreach(a => require(
+              Set("public", "protected", "private").contains(a),
+              s"model $name: access '$a' is not public | protected | " +
+                "private"))
+            if (group.isEmpty && access.isEmpty) None
+            else Some(name -> ModelGov(group,
+              access.getOrElse("protected")))
           case _ => None
         }.toMap
         case _ => Map.empty
@@ -1150,10 +1233,91 @@ object DbtProject {
       s"duplicate unit test name(s): ${utDup.toSeq.sorted.mkString(", ")}")
     unitTests.foreach(ut => require(modelSql.contains(ut.model),
       s"unit test ${ut.name} targets unknown model '${ut.model}'"))
+    // dbt ≥ 1.6 groups + access: declared in schema ymls, validated
+    // and ENFORCED here — parse time, dbt's own behavior. A private
+    // model is ref()-able only from models in its own group; the
+    // error names the group so the fix is obvious.
+    val ymlFiles = files.filter(p =>
+      p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+    val groupSeq = ymlFiles.flatMap(p => parseGroups(read(p)).toSeq)
+    val groupDup = groupSeq.groupBy(_._1)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(groupDup.isEmpty, "group(s) declared more than once: " +
+      s"${groupDup.toSeq.sorted.mkString(", ")}")
+    val groups = groupSeq.toMap
+    val govSeq = ymlFiles.flatMap(p => parseModelGov(read(p)).toSeq)
+    val govDup = govSeq.groupBy(_._1)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(govDup.isEmpty, "model(s) with group/access in more than " +
+      s"one schema yml: ${govDup.toSeq.sorted.mkString(", ")}")
+    // a declaration on a versioned model's base name binds every
+    // version (same rule as contracts)
+    val modelGov = govSeq.toMap.flatMap { case (n, g) =>
+      versionDecls.get(n) match {
+        case Some((_, vers)) => vers.keys.map(v => s"${n}_v$v" -> g)
+        case None => Seq(n -> g)
+      }
+    }
+    modelGov.foreach { case (n, g) =>
+      require(modelSql.contains(n),
+        s"group/access declared for unknown model '$n'")
+      g.group.foreach(gr => require(groups.contains(gr),
+        s"model $n: group '$gr' is not declared in any groups: block"))
+      if (g.access == "private") require(g.group.nonEmpty,
+        s"model $n: access private requires a group (dbt's rule — " +
+          "visibility is scoped to the group)")
+    }
+    for {
+      (m, sql) <- modelSql ++ snapshots
+      r <- BigQueryDialect.refs(sql).distinct
+      g <- modelGov.get(r) if g.access == "private"
+    } require(modelGov.get(m).flatMap(_.group) == g.group,
+      s"model '$m' cannot ref private model '$r': '$r' belongs to " +
+        s"group '${g.group.get}' and '$m' " +
+        modelGov.get(m).flatMap(_.group).map(x => s"belongs to group '$x'")
+          .getOrElse("has no group"))
+    // `analysis-paths` (default analyses/): SQL that COMPILES with
+    // the full Jinja + ref()/source() surface but never runs, never
+    // materializes, and is not ref-able. Version refs resolve the
+    // same way model text does; unknown refs and undeclared sources
+    // are loud here — a broken analysis is a project bug even though
+    // it never executes (dbt errors at parse too).
+    val analysisDirs = parseStringList(projText, "analysis-paths")
+      .getOrElse(Seq("analyses")).map(root.resolve)
+    val analyses = analysisDirs.filter(Files.isDirectory(_))
+      .flatMap(d => Files.walk(d).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".sql")).toSeq)
+      .map { p =>
+        val n = p.getFileName.toString.stripSuffix(".sql")
+        n -> resolveVersionRefs(read(p))
+      }.toMap
+    analyses.keys.filter(modelSql.contains).toSeq.sorted match {
+      case Nil => ()
+      case clash => throw new IllegalArgumentException(
+        s"analysis name(s) collide with models: ${clash.mkString(", ")}")
+    }
+    val knownRels = modelSql.keySet ++ seeds.keySet ++ snapshots.keySet
+    for ((n, sql) <- analyses) {
+      BigQueryDialect.refs(sql).filterNot(knownRels)
+        .toSeq.sorted match {
+        case Nil => ()
+        case bad => throw new IllegalArgumentException(
+          s"analysis $n refs unknown relation(s): ${bad.mkString(", ")}")
+      }
+      BigQueryDialect.sources(sql).filterNot(sources.toSet)
+        .toSeq.sorted match {
+        case Nil => ()
+        case bad => throw new IllegalArgumentException(
+          s"analysis $n names undeclared source table(s): " +
+            bad.mkString(", "))
+      }
+    }
     Loaded(modelSql, sources.distinct, mats, macros, threads, tests,
       modelTags, targetProps, seeds, snapshots, freshness, singularTests,
       modelHooks, runHooks, exposures, docsBlocks, descriptions,
-      selectors, defaultSel, contracts, unitTests)
+      selectors, defaultSel, contracts, unitTests, groups, modelGov,
+      analyses)
   }
 
   /** `on-run-start:`/`on-run-end:` hook SQL from dbt_project.yml —
@@ -1199,6 +1363,58 @@ object DbtProject {
     * in (kind, name) order. The inventory a user reads before a
     * selective run; selector-scoped execution itself lives on
     * [[run]]/[[build]]'s `select`/`exclude` parameters. */
+  /** Resolve a --select/--exclude/--selector (or default-selector)
+    * combination over the STATIC raw-text ref() DAG — models, seeds,
+    * and snapshots all participate, exactly the [[list]] resolution
+    * level. None = no selection of any kind (everything is in scope).
+    * `state:modified` needs a warehouse manifest this static path
+    * does not have: `lenientState = false` (ls) rejects it loudly;
+    * `lenientState = true` (build's unit-test scoping) returns None —
+    * the conservative "no scoping" answer, never a wrong subset. */
+  private def staticSelection(p: Loaded, select: Option[String],
+      exclude: Option[String], selector: Option[String],
+      lenientState: Boolean): Option[Set[String]] =
+    if (select.isEmpty && exclude.isEmpty && selector.isEmpty &&
+        p.defaultSelector.isEmpty) None
+    else {
+      // seeds have no upstream text; snapshot blocks carry raw
+      // {{ ref() }} edges exactly like model files
+      val allNames = p.modelSql.keySet ++ p.seeds.keySet ++
+        p.snapshots.keySet
+      val static = (p.modelSql ++ p.snapshots).map { case (n, sql) =>
+        graft.model.Model(n,
+          DbtSqlEngine.refPlaceholderRe.findAllMatchIn(sql)
+            .map(_.group(1)).filter(allNames.contains).toSeq.distinct,
+          tags = p.tags.getOrElse(n, Set.empty))(
+          _ => throw new IllegalStateException(
+            "static selection model never runs"))
+      }.toSeq ++ p.seeds.keys.map(n =>
+        graft.model.Model(n, Seq.empty,
+          tags = p.tags.getOrElse(n, Set.empty))(
+          _ => throw new IllegalStateException(
+            "static selection model never runs")))
+      val sd = resolveSelector(p, selector, select, exclude)
+      sd match {
+        case Some(d) =>
+          if (graft.model.ModelGraph.selectorNeedsState(d)) {
+            require(lenientState,
+              "ls: state:modified needs a warehouse manifest — use " +
+                "run/build for state-based selection")
+            None
+          } else Some(graft.model.ModelGraph.evalSelector(static, d))
+        case None =>
+          if ((select.toSeq ++ exclude.toSeq)
+              .exists(_.contains("state:modified"))) {
+            require(lenientState,
+              "ls: state:modified needs a warehouse manifest — use " +
+                "run/build for state-based selection")
+            None
+          } else Some(graft.model.ModelGraph.select(static,
+            select.getOrElse(static.map(_.name).mkString(" ")),
+            exclude.getOrElse("")).map(_.name).toSet)
+      }
+    }
+
   def list(spark: SparkSession, projectDir: String,
       select: Option[String] = None,
       exclude: Option[String] = None,
@@ -1221,49 +1437,21 @@ object DbtProject {
     // that case, so "no selection of any kind" here must also mean
     // "and no default selector declared"
     val nodeFilter: Option[Set[String]] =
-      if (select.isEmpty && exclude.isEmpty && selector.isEmpty &&
-          p.defaultSelector.isEmpty) None
-      else {
-        // seeds have no upstream text; snapshot blocks carry raw
-        // {{ ref() }} edges exactly like model files
-        val allNames = p.modelSql.keySet ++ p.seeds.keySet ++
-          p.snapshots.keySet
-        val static = (p.modelSql ++ p.snapshots).map { case (n, sql) =>
-          graft.model.Model(n,
-            DbtSqlEngine.refPlaceholderRe.findAllMatchIn(sql)
-              .map(_.group(1)).filter(allNames.contains).toSeq.distinct,
-            tags = p.tags.getOrElse(n, Set.empty))(
-            _ => throw new IllegalStateException(
-              "static selection model never runs"))
-        }.toSeq ++ p.seeds.keys.map(n =>
-          graft.model.Model(n, Seq.empty,
-            tags = p.tags.getOrElse(n, Set.empty))(
-            _ => throw new IllegalStateException(
-              "static selection model never runs")))
-        val sd = resolveSelector(p, selector, select, exclude)
-        sd match {
-          case Some(d) =>
-            require(!graft.model.ModelGraph.selectorNeedsState(d),
-              "ls: state:modified needs a warehouse manifest — use " +
-                "run/build for state-based selection")
-            Some(graft.model.ModelGraph.evalSelector(static, d))
-          case None =>
-            require(!(select.toSeq ++ exclude.toSeq)
-              .exists(_.contains("state:modified")),
-              "ls: state:modified needs a warehouse manifest — use " +
-                "run/build for state-based selection")
-            Some(graft.model.ModelGraph.select(static,
-              select.getOrElse(static.map(_.name).mkString(" ")),
-              exclude.getOrElse("")).map(_.name).toSet)
-        }
-      }
+      staticSelection(p, select, exclude, selector, lenientState = false)
     def selected(n: String): Boolean = nodeFilter.forall(_.contains(n))
     // the contract flag rides the listing (dbt ls --output json
     // carries config.contract.enforced) — a user auditing which marts
     // are schema-pinned reads it here
     def contractFlag(n: String): String =
       if (p.contracts.get(n).exists(_.enforced)) "enforced" else ""
-    val rows: Seq[(String, String, String, String, String)] =
+    // group membership + access level ride the listing too (dbt ls
+    // --output json carries them) — the audit surface for which marts
+    // are private and who owns the group
+    def groupOf(n: String): String =
+      p.modelGov.get(n).flatMap(_.group).getOrElse("")
+    def accessOf(n: String): String =
+      p.modelGov.get(n).map(_.access).getOrElse("")
+    val rows: Seq[(String, String, String, String, String, String, String)] =
       p.modelSql.keys.filter(selected).map(n => (n, "model",
         p.materializations.get(n).map {
           case Materialization.View => "view"
@@ -1272,17 +1460,22 @@ object DbtProject {
           case _: Materialization.Incremental => "incremental"
         }.getOrElse("view"),
         p.tags.getOrElse(n, Set.empty).toSeq.sorted.mkString(","),
-        contractFlag(n))).toSeq ++
+        contractFlag(n), groupOf(n), accessOf(n))).toSeq ++
       p.seeds.keys.filter(selected)
-        .map(n => (n, "seed", "seed", "", "")).toSeq ++
+        .map(n => (n, "seed", "seed", "", "", "", "")).toSeq ++
       p.snapshots.keys.filter(selected)
-        .map(n => (n, "snapshot", "snapshot", "", "")).toSeq ++
+        .map(n => (n, "snapshot", "snapshot", "", "", "", "")).toSeq ++
       (if (nodeFilter.isDefined) Seq.empty else
-        p.singularTests.keys.map(n => (n, "test", "singular", "", "")).toSeq ++
-        p.sourceTables.map(n => (n, "source", "source", "", "")) ++
-        p.exposures.map(e => (e.name, "exposure", e.exposureType, "", "")))
+        p.singularTests.keys.map(n =>
+          (n, "test", "singular", "", "", "", "")).toSeq ++
+        p.sourceTables.map(n => (n, "source", "source", "", "", "", "")) ++
+        p.exposures.map(e =>
+          (e.name, "exposure", e.exposureType, "", "", "", "")) ++
+        p.analyses.keys.map(n =>
+          (n, "analysis", "analysis", "", "", "", "")).toSeq)
     rows.sortBy(r => (r._2, r._1))
-      .toDF("resource", "kind", "materialization", "tags", "contract")
+      .toDF("resource", "kind", "materialization", "tags", "contract",
+        "group", "access")
   }
 
   /** `dbt test` over the project's `unit_tests:` (dbt ≥ 1.8): each
@@ -1318,11 +1511,16 @@ object DbtProject {
   private def unitTestRows(spark: SparkSession, p: Loaded,
       currentDateOverride: Option[String],
       vars: Map[String, String],
-      select: Option[String]): Seq[(String, String, String, String)] = {
+      select: Option[String],
+      onlyModels: Option[Set[String]] = None)
+      : Seq[(String, String, String, String)] = {
     // a throwaway warehouse: nothing materializes, but prepare()
     // probes it to decide is_incremental (absent target => false,
-    // dbt's unit-test rendering)
-    val scratch = Files.createTempDirectory("graft-unittest").toString
+    // dbt's unit-test rendering). Deleted before returning — one
+    // leaked temp dir per invocation otherwise.
+    val scratchPath = Files.createTempDirectory("graft-unittest")
+    val scratch = scratchPath.toString
+    try {
     val engine = new DbtSqlEngine(spark, scratch, currentDateOverride,
       1, vars, macros = p.macros, targetProps = p.targetProps)
     // static ephemeral detection (policy + in-model config text):
@@ -1333,11 +1531,11 @@ object DbtProject {
       p.materializations.get(n).contains(Materialization.Ephemeral) ||
         ephRe.findFirstIn(p.modelSql(n)).isDefined
     }
-    val chosen = select match {
+    val chosen = (select match {
       case Some(s) => p.unitTests.filter(ut =>
         ut.name == s || ut.model == s)
       case None => p.unitTests
-    }
+    }).filter(ut => onlyModels.forall(_.contains(ut.model)))
     val rows = chosen.sortBy(_.name).map { ut =>
       val outcome = try {
         // the model + the ephemeral closure it actually inlines,
@@ -1372,6 +1570,17 @@ object DbtProject {
         require(stray.isEmpty, s"unit test ${ut.name}: fixture(s) for " +
           s"relation(s) the model never reads: " +
           stray.toSeq.sorted.mkString(", "))
+        // Fixture views bind on bare relation names. A PRE-EXISTING
+        // session temp view with the same name (e.g. a source table
+        // the caller registered) must survive the test: snapshot its
+        // plan first and re-register it afterwards — the old
+        // create-then-drop clobbered it and then removed it entirely.
+        val priors: Map[String, DataFrame] = rels.flatMap { r =>
+          if (spark.catalog.tableExists(r) &&
+              spark.catalog.getTable(r).isTemporary)
+            Some(r -> spark.table(r))
+          else None
+        }.toMap
         rels.foreach { r =>
           fixtureFrame(spark, givenMap(r), s"${ut.name}.given($r)")
             .createOrReplaceTempView(r)
@@ -1389,10 +1598,18 @@ object DbtProject {
               .functions.col): _*)).collect()
             .map(r => expCols.indices.map(i => canonCell(r.get(i))).toVector)
             .toVector
+          // expect-side canonicalization follows the ACTUAL column
+          // type: numeric columns compare numerically (200 == 200.0),
+          // but a string column compares verbatim — numeric-folding
+          // '007' to '7' would make string ids unmatchable
+          val strCols: Set[String] = actual.schema.fields.collect {
+            case f if f.dataType ==
+              org.apache.spark.sql.types.StringType => f.name
+          }.toSet
           val want = ut.expect.map(row => expCols.map(c =>
             row.get(c).flatten match {
               case None => "␀"
-              case Some(s) => canonScalar(s)
+              case Some(s) => if (strCols(c)) s else canonScalar(s)
             }).toVector).toVector
           val diffA = multisetMinus(got, want)
           val diffE = multisetMinus(want, got)
@@ -1405,7 +1622,10 @@ object DbtProject {
             (if (diffA.nonEmpty) s"returned but unexpected: " +
               s"${diffA.take(5).map(_.mkString("(", ",", ")")).mkString(" ")}"
              else ""))
-        } finally rels.foreach(spark.catalog.dropTempView(_))
+        } finally rels.foreach { r =>
+          spark.catalog.dropTempView(r)
+          priors.get(r).foreach(_.createOrReplaceTempView(r))
+        }
       } catch {
         case e: Exception =>
           ("error", s"${e.getClass.getSimpleName}: " +
@@ -1414,6 +1634,15 @@ object DbtProject {
       (ut.name, ut.model, outcome._1, outcome._2)
     }
     rows
+    } finally deleteRecursively(scratchPath)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
   }
 
   /** Multiset difference a − b (each b occurrence cancels one a). */
@@ -1460,10 +1689,17 @@ object DbtProject {
     import org.apache.spark.sql.types._
     val cols = rows.flatMap(_.keys).distinct
     val dateRe = """^\d{4}-\d{2}-\d{2}$""".r
+    // a leading-zero "number" ('01', '007') is a STRING id in every
+    // real schema — inferring long would strip the zeros and make
+    // joins against string-typed expressions silently empty, failing
+    // (or passing) unit tests for type reasons invisible to the user
+    val leadingZeroRe = """^-?0\d+$""".r
     def typeOf(vs: Seq[String]): DataType =
       if (vs.isEmpty) StringType
       else if (vs.forall(v => v.equalsIgnoreCase("true") ||
         v.equalsIgnoreCase("false"))) BooleanType
+      else if (vs.exists(v => leadingZeroRe.findFirstIn(v.trim).isDefined))
+        StringType
       else if (vs.forall(v => scala.util.Try(v.trim.toLong).isSuccess))
         LongType
       else if (vs.forall(v => scala.util.Try(v.trim.toDouble).isSuccess))
@@ -1516,16 +1752,58 @@ object DbtProject {
     val compiled = engine.compile(p.modelSql, allFrames,
       p.materializations, p.tags, select, exclude,
       resolveSelector(p, selector, select, exclude), defer)
+    // analyses compile through the SAME engine pass (ephemeral
+    // inlining, QUALIFY desugar, dialect translation all apply) by
+    // riding as extra nodes beside the full model set; they are
+    // compile-only, so they join only the unselected (compile-
+    // everything) invocation — dbt's selection treats analyses as
+    // their own selectable nodes, which this static surface does not
+    // model (documented deviation).
+    val analysisCompiled: Seq[(String, String, String)] =
+      if (p.analyses.isEmpty ||
+          select.nonEmpty || exclude.nonEmpty || selector.nonEmpty) Seq.empty
+      else {
+        val all = engine.compile(p.modelSql ++ p.analyses, allFrames,
+          p.materializations, p.tags, None, None, None, defer)
+        p.analyses.keys.toSeq.sorted.map(n =>
+          (n, s"$warehouseDir/target/compiled/analysis/$n.sql", all(n)))
+      }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
-    compiled.toSeq.sortBy(_._1).map { case (name, sql) =>
-      val path = new org.apache.hadoop.fs.Path(
-        s"$warehouseDir/target/compiled/$name.sql")
-      val out = fs.create(path, true)
+    def write(path: String, sql: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val out = fs.create(hp, true)
       try out.write(sql.getBytes("UTF-8")) finally out.close()
-      (name, path.toString, sql)
-    }.toDF("resource", "path", "sql")
+      hp.toString
+    }
+    (compiled.toSeq.sortBy(_._1).map { case (name, sql) =>
+      (name, write(s"$warehouseDir/target/compiled/$name.sql", sql), sql)
+    } ++ analysisCompiled.map { case (name, path, sql) =>
+      (name, write(path, sql), sql)
+    }).toDF("resource", "path", "sql")
+  }
+
+  /** `dbt show --inline "select …"`: compile one inline query with
+    * the full Jinja + ref()/source() surface against the project (the
+    * model set resolves refs; ephemerals inline; the dialect shim
+    * translates) and execute it against the warehouse, returning the
+    * first `limit` rows — dbt's preview surface (its default limit is
+    * 5). Nothing materializes and no manifest advances. */
+  def showInline(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      inline: String, limit: Int = 5,
+      currentDateOverride: Option[String] = None,
+      vars: Map[String, String] = Map.empty): DataFrame = {
+    require(limit > 0, s"show --inline: limit must be positive, got $limit")
+    val (p, engine, allFrames) = prepare(spark, projectDir, sources,
+      warehouseDir, currentDateOverride, 0, vars)
+    val name = "__dbt_show_inline__"
+    require(!p.modelSql.contains(name), s"model named $name shadows " +
+      "the inline-show slot")
+    val compiled = engine.compile(p.modelSql + (name -> inline),
+      allFrames, p.materializations, p.tags, select = Some(name))(name)
+    spark.sql(compiled).limit(limit)
   }
 
   /** `dbt docs generate` (the catalog slice): one row per COLUMN of
@@ -1831,9 +2109,16 @@ object DbtProject {
     }
     // dbt >= 1.8: unit tests run FIRST (they need no warehouse), and
     // a model with a failing/erroring unit test never materializes —
-    // engine.build gates it and skips its dependents
+    // engine.build gates it and skips its dependents. Scoped to the
+    // build's own selection (dbt attaches unit tests to their model):
+    // a broken unit test on an UNSELECTED model must not add
+    // fail/error rows or compile work to a narrowed build. State
+    // selectors resolve leniently to "no scoping" — conservative,
+    // never a wrong subset.
+    val unitScope = staticSelection(p, select, exclude, selector,
+      lenientState = true)
     val unitRows = unitTestRows(spark, p, currentDateOverride, vars,
-      select = None)
+      select = None, onlyModels = unitScope)
     val unitFailed: Map[String, String] = unitRows
       .filter(r => r._3 == "fail" || r._3 == "error")
       .groupBy(_._2).map { case (model, rs) =>

@@ -1473,13 +1473,14 @@ class DbtProjectSpec extends AnyFunSuite {
         |      - ref('clean')
         |""".stripMargin.getBytes("UTF-8"))
     val rows = DbtProject.list(spark, dir.toString)
-      .as[(String, String, String, String, String)].collect().toSeq
+      .as[(String, String, String, String, String, String, String)]
+      .collect().toSeq
     assert(rows == Seq(
-      ("churn_model", "exposure", "ml", "", ""),
-      ("weekly_kpis", "exposure", "dashboard", "", ""),
-      ("clean", "model", "table", "nightly", ""),
-      ("txns", "source", "source", "", ""),
-      ("assert_ok", "test", "singular", "", "")), s"$rows")
+      ("churn_model", "exposure", "ml", "", "", "", ""),
+      ("weekly_kpis", "exposure", "dashboard", "", "", "", ""),
+      ("clean", "model", "table", "nightly", "", "", ""),
+      ("txns", "source", "source", "", "", "", ""),
+      ("assert_ok", "test", "singular", "", "", "", "")), s"$rows")
     // the exposures surface: resolved upstreams, owner from the
     // owner block (name preferred, email fallback)
     val ex = DbtProject.exposures(spark, dir.toString)
@@ -1965,6 +1966,84 @@ class DbtProjectSpec extends AnyFunSuite {
       Files.createTempDirectory("graft-cwh7").toString)
   }
 
+  test("dbt model contracts on VIEWS: schema enforced, constraints loud-rejected (round 18)") {
+    // dbt's warehouse reality: contract DDL (schema) applies to view
+    // materializations, but not_null/check constraints need a real
+    // relation to verify against — BigQuery/dbt do not support
+    // enforced constraints on views. This engine takes the LOUD
+    // position (reject at run) rather than silently skipping, so a
+    // user who believes a view's rows are constraint-checked learns
+    // otherwise immediately. This spec pins that deviation.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-viewcontract")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"vcy\"\n".getBytes("UTF-8"))
+    def schema(constraints: String): Unit =
+      Files.write(dir.resolve("models/schema.yml"),
+        s"""version: 2
+           |models:
+           |  - name: v
+           |    config:
+           |      contract:
+           |        enforced: true
+           |    columns:
+           |      - name: id
+           |        data_type: int64
+           |$constraints""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/v.sql"),
+      "select cast(1 as int64) as id\n".getBytes("UTF-8"))
+    // schema-only contract on a view: enforced, run succeeds…
+    schema("")
+    val wh = Files.createTempDirectory("graft-viewcontract-wh").toString
+    val out = DbtProject.run(spark, dir.toString, Map.empty, wh)
+    assert(out("v").as[Long].collect().toSeq == Seq(1L))
+    // …and a schema VIOLATION on the view still gates (plan-only check)
+    Files.write(dir.resolve("models/v.sql"),
+      "select cast(1 as float64) as id\n".getBytes("UTF-8"))
+    val e0 = intercept[IllegalArgumentException] {
+      DbtProject.run(spark, dir.toString, Map.empty,
+        Files.createTempDirectory("graft-vcwh2").toString) }
+    assert(e0.getMessage.contains("contract"), e0.getMessage)
+    // constraints on a view: rejected loudly, naming the rule
+    Files.write(dir.resolve("models/v.sql"),
+      "select cast(1 as int64) as id\n".getBytes("UTF-8"))
+    schema("        constraints:\n          - not_null\n")
+    val e = intercept[IllegalArgumentException] {
+      DbtProject.run(spark, dir.toString, Map.empty,
+        Files.createTempDirectory("graft-vcwh3").toString) }
+    assert(e.getMessage.contains("view"), e.getMessage)
+  }
+
+  test("dbt model contracts: constraint check and the written rows are ONE execution (round 18)") {
+    // the rows the constraint aggregate saw must be the rows the
+    // Runner writes — for a non-deterministic model a re-execution
+    // could pass the check yet materialize violating rows. enforce()
+    // pins the frame once; an accumulator counts row evaluations.
+    import graft.sql.DbtContracts
+    import graft.model.Materialization
+    val evals = spark.sparkContext.longAccumulator("contract-evals")
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(1L, 2L, 3L), 1)
+        .map { i => evals.add(1L); org.apache.spark.sql.Row(i) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val contract = DbtContracts.ModelContract(enforced = true,
+      columns = Seq(DbtContracts.ColumnContract("id", "int64",
+        Seq(DbtContracts.Constraint("not_null", None)))))
+    val out = DbtContracts.enforce("m", Materialization.Table, src, contract)
+    val afterCheck = evals.value
+    assert(afterCheck == 3L,
+      s"constraint pass should evaluate each row exactly once, saw $afterCheck")
+    // consuming the returned frame re-reads the pinned checkpoint,
+    // not the source — zero further evaluations
+    assert(out.count() == 3L)
+    assert(evals.value == afterCheck,
+      s"write-side consumption re-executed the model: ${evals.value}")
+    graft.ext.Checkpoints.release(out)
+  }
+
   test("dbt unit tests: given/expect fixtures render one model; pass, fail, and error surfaces (round 17)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-unit")
@@ -2183,6 +2262,214 @@ class DbtProjectSpec extends AnyFunSuite {
       rows2("doubler") == "success" && rows2("leaf") == "success",
       s"$rows2")
     assert(frames2("leaf").as[Int].collect().toSeq == Seq(4))
+  }
+
+  test("dbt build: unit tests scope to the build's selection (round 18)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-unitscope")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "usy"
+        |models:
+        |  usy:
+        |    +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/alpha.sql"),
+      "select 1 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/beta.sql"),
+      "select 2 as id\n".getBytes("UTF-8"))
+    // beta carries a BROKEN unit test; a build narrowed to alpha
+    // must neither run it nor report it (dbt scopes unit tests to
+    // the selection)
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_beta_broken
+        |    model: beta
+        |    expect:
+        |      rows:
+        |        - {id: 999}
+        |""".stripMargin.getBytes("UTF-8"))
+    val wh = Files.createTempDirectory("graft-unitscope-wh").toString
+    val (_, narrow) = DbtProject.build(spark, dir.toString, Map.empty,
+      wh, select = Some("alpha"))
+    val narrowRows = narrow.as[(String, String, String, String)]
+      .collect().map(r => (r._1, r._3)).toMap
+    assert(narrowRows.get("alpha").contains("success") &&
+      !narrowRows.contains("beta.ut_beta_broken"), s"$narrowRows")
+    // the unscoped build still runs (and fails) it
+    val (_, full) = DbtProject.build(spark, dir.toString, Map.empty,
+      Files.createTempDirectory("graft-unitscope-wh2").toString)
+    val fullRows = full.as[(String, String, String, String)]
+      .collect().map(r => (r._1, r._3)).toMap
+    assert(fullRows.get("beta.ut_beta_broken").contains("fail") &&
+      fullRows.get("beta").contains("fail"), s"$fullRows")
+  }
+
+  test("dbt unit tests: fixture views restore clobbered session temp views; leading-zero ids stay strings (round 18)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-unitview")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"uvy\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: accounts
+        |""".stripMargin.getBytes("UTF-8"))
+    // the model compares the id against a STRING literal with a
+    // leading zero: long-typed fixture inference would strip it and
+    // silently return an empty frame
+    Files.write(dir.resolve("models/keyed.sql"),
+      ("select id from {{ source('raw', 'accounts') }} " +
+        "where id = '007'\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("models/unit.yml"),
+      """unit_tests:
+        |  - name: ut_leading_zero
+        |    model: keyed
+        |    given:
+        |      - input: accounts
+        |        rows:
+        |          - {id: "007"}
+        |          - {id: "042"}
+        |    expect:
+        |      rows:
+        |        - {id: "007"}
+        |""".stripMargin.getBytes("UTF-8"))
+    // a PRE-EXISTING session temp view colliding with the fixture
+    // relation name must survive the unit-test run intact
+    Seq(("prior", 1)).toDF("tag", "n").createOrReplaceTempView("accounts")
+    val report = DbtProject.unitTest(spark, dir.toString)
+      .as[(String, String, String, String)].collect()
+    assert(report.length == 1 && report.head._3 == "pass",
+      report.mkString("; "))
+    assert(spark.table("accounts").columns.toSeq == Seq("tag", "n"),
+      "fixture run clobbered the caller's temp view")
+    spark.catalog.dropTempView("accounts")
+  }
+
+  test("dbt groups + access: cross-group private ref rejected at load; same-group resolves; ls carries both (round 18)") {
+    import spark.implicits._
+    def proj(martGroup: String): java.nio.file.Path = {
+      val dir = Files.createTempDirectory("graft-groups")
+      Files.createDirectories(dir.resolve("models"))
+      Files.write(dir.resolve("dbt_project.yml"),
+        "name: \"ggy\"\n".getBytes("UTF-8"))
+      Files.write(dir.resolve("models/fin_core.sql"),
+        "select 10 as amount\n".getBytes("UTF-8"))
+      Files.write(dir.resolve("models/mart.sql"),
+        "select amount from {{ ref('fin_core') }}\n".getBytes("UTF-8"))
+      Files.write(dir.resolve("models/schema.yml"),
+        s"""version: 2
+           |groups:
+           |  - name: finance
+           |    owner:
+           |      name: Fin Team
+           |  - name: growth
+           |    owner:
+           |      email: growth@example.com
+           |models:
+           |  - name: fin_core
+           |    group: finance
+           |    access: private
+           |  - name: mart
+           |    group: $martGroup
+           |""".stripMargin.getBytes("UTF-8"))
+      dir
+    }
+    // cross-group ref of a private model: loud at LOAD, naming the group
+    val e = intercept[IllegalArgumentException] {
+      DbtProject.load(proj("growth").toString) }
+    assert(e.getMessage.contains("private") &&
+      e.getMessage.contains("finance") &&
+      e.getMessage.contains("growth"), e.getMessage)
+    // same group: resolves and runs
+    val ok = proj("finance")
+    val out = DbtProject.run(spark, ok.toString, Map.empty,
+      Files.createTempDirectory("graft-groups-wh").toString)
+    assert(out("mart").as[Int].collect().toSeq == Seq(10))
+    // ls carries group + access
+    val lsRows = DbtProject.list(spark, ok.toString)
+      .select("resource", "group", "access")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lsRows("fin_core") == (("finance", "private")), s"$lsRows")
+    assert(lsRows("mart") == (("finance", "protected")), s"$lsRows")
+    // a private model with no group is a config bug, loud at load
+    val ng = proj("finance")
+    Files.write(ng.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: fin_core
+        |    access: private
+        |""".stripMargin.getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      DbtProject.load(ng.toString) }
+    assert(e2.getMessage.contains("requires a group"), e2.getMessage)
+    // an undeclared group is loud too
+    val ug = proj("finance")
+    Files.write(ug.resolve("models/schema.yml"),
+      """version: 2
+        |models:
+        |  - name: fin_core
+        |    group: ghosts
+        |""".stripMargin.getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      DbtProject.load(ug.toString) }
+    assert(e3.getMessage.contains("ghosts"), e3.getMessage)
+  }
+
+  test("dbt analyses + show --inline: compile-only SQL renders verbatim-executable; undeclared sources are loud (round 18)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-analysis")
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("analyses"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      """name: "any"
+        |models:
+        |  any:
+        |    +materialized: table
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(dir.resolve("models/base.sql"),
+      "select 1 as id, 10 as v union all select 2, 20\n".getBytes("UTF-8"))
+    // the analysis uses ref() + QUALIFY — the full shim applies, and
+    // the compiled text must execute verbatim on Spark
+    Files.write(dir.resolve("analyses/top_v.sql"),
+      ("select id, v from {{ ref('base') }} " +
+        "qualify row_number() over (order by v desc) = 1\n")
+        .getBytes("UTF-8"))
+    val wh = Files.createTempDirectory("graft-analysis-wh").toString
+    DbtProject.run(spark, dir.toString, Map.empty, wh)
+    val compiled = DbtProject.compile(spark, dir.toString, Map.empty, wh)
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(compiled.contains("top_v"), compiled.keys.toSeq.sorted.toString)
+    val (path, sql) = compiled("top_v")
+    assert(path.contains("compiled/analysis/top_v.sql"))
+    assert(new java.io.File(new java.net.URI(path).getPath).exists ||
+      new java.io.File(path.stripPrefix("file:")).exists, path)
+    // verbatim-executable against the materialized warehouse
+    assert(spark.sql(sql).as[(Int, Int)].collect().toSeq == Seq((2, 20)))
+    // analyses never materialize and are not ref-able targets
+    assert(!new java.io.File(s"$wh/top_v").exists,
+      "an analysis must never materialize")
+    // ls lists it as its own kind
+    val lsKinds = DbtProject.list(spark, dir.toString)
+      .select("resource", "kind").as[(String, String)].collect().toMap
+    assert(lsKinds.get("top_v").contains("analysis"), s"$lsKinds")
+    // an analysis naming an undeclared source is loud at load
+    Files.write(dir.resolve("analyses/bad_src.sql"),
+      "select * from {{ source('raw', 'ghost_tbl') }}\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DbtProject.load(dir.toString) }
+    assert(e.getMessage.contains("ghost_tbl"), e.getMessage)
+    Files.delete(dir.resolve("analyses/bad_src.sql"))
+    // dbt show --inline: previews against the warehouse, limit applies
+    val shown = DbtProject.showInline(spark, dir.toString, Map.empty, wh,
+      "select id, v * 2 as v2 from {{ ref('base') }} order by id",
+      limit = 1)
+    assert(shown.as[(Int, Int)].collect().toSeq == Seq((1, 20)))
   }
 
   test("dbt ls: seeds and snapshots ride the static selection (round 17)") {

@@ -74,6 +74,30 @@ class SqlShimSpec extends AnyFunSuite {
     assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
+  test("translator unit: BigQuery CAST type names rewrite ONLY in cast positions (round 18)") {
+    // type names in CAST/TRY_CAST/SAFE_CAST arguments translate…
+    val t1 = BigQueryDialect.translate(
+      "select cast(x as int64) a, try_cast(y as float64) b, " +
+        "safe_cast(z as numeric) c, cast(w as bignumeric) d from t")
+    assert(t1.contains("CAST(x as BIGINT)") &&
+      t1.contains("TRY_CAST(y as DOUBLE)") &&
+      t1.contains("TRY_CAST(z as DECIMAL(38,9))") &&
+      t1.contains("CAST(w as DECIMAL(38,18))"), t1)
+    // …including nested types the old AS-anchored regex missed…
+    val t2 = BigQueryDialect.translate("select cast(x as array<int64>) from t")
+    assert(t2.contains("CAST(x as array<BIGINT>)"), t2)
+    // …but a column ALIAS named after a type is not renamed…
+    val t3 = BigQueryDialect.translate(
+      "select countif(x) as bool, y as numeric, z as datetime from t")
+    assert(t3.contains("COUNT_IF(x) as bool") &&
+      t3.contains("y as numeric") && t3.contains("z as datetime"), t3)
+    // …and string literals are never edited, even inside a cast
+    val t4 = BigQueryDialect.translate(
+      "select 'keep as numeric here' s, cast(concat(x, ' as int64 ') as string) c from t")
+    assert(t4.contains("'keep as numeric here'") &&
+      t4.contains("' as int64 '"), t4)
+  }
+
   test("translator unit: QUALIFY, SAFE.PARSE_DATE, DATE_DIFF, r-strings, st_distance") {
     val t1 = BigQueryDialect.translate(
       "select * from t where x = 1 qualify row_number() over (partition by a order by b) = 1")
