@@ -996,6 +996,105 @@ object Dedup {
           |AS truncated_last""".stripMargin)
   }
 
+  /** Structured-OUTPUT lints for assistant turns — the ingest gate
+    * for tool-call / agent transcripts, sibling of
+    * [[conversationStructure]] (which checks the turn SHAPE; this
+    * checks what the assistant emitted INSIDE its turns). Lines are
+    * folded once left-to-right tracking the current role (same
+    * marker grammar); within assistant turns only:
+    *  - ``` fence lines toggle a code block (info string = language);
+    *    a block still open at end of document is the classic
+    *    truncated-generation artifact (`unclosed_fence`);
+    *  - closed ```json blocks must parse (`get_json_object` = strict
+    *    Jackson; an unquoted value or missing brace reads NULL);
+    *  - a single non-fence line bracketed `{…}`/`[…]` is an inline
+    *    JSON candidate, validated the same way.
+    * Fences and JSON in user/system turns are deliberately IGNORED —
+    * quoting broken JSON back at the model is fine; emitting it is
+    * not.
+    *
+    * Scale shape: pure map — one projection per document, zero
+    * shuffle, zero join (the [[conversationStructure]] rule); the
+    * JSON validation runs on block bodies already folded into the
+    * row, never on a re-scan.
+    *
+    * @return (idCol, n_fences, n_code_blocks, unclosed_fence,
+    *         n_json_blocks, n_json_invalid, n_inline_json,
+    *         n_inline_json_invalid) — one row per document, zeros
+    *         for text with no assistant structure */
+  def structuredOutputLint(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rx = "^\\\\s*(system|user|assistant)\\\\s*:"
+    df.select(col(idCol), col(textCol)).selectExpr(idCol,
+      // pass 1 (pure array transform): split a role-marker line into
+      // a role SENTINEL item (\u0001-prefixed — the tokenizer strips
+      // control chars from real text, so it cannot collide) followed
+      // by the marker line's remaining content, so the fold below
+      // processes every item uniformly under "current role"
+      s"""flatten(transform(split($textCol, '\\n'), l -> CASE
+         |  WHEN regexp_extract(l, '$rx', 1) != '' THEN array(
+         |    concat(char(1), regexp_extract(l, '$rx', 1)),
+         |    trim(regexp_replace(l, '$rx', '')))
+         |  ELSE array(l) END)) AS items""".stripMargin)
+      .selectExpr(idCol,
+        s"""aggregate(items,
+           |  named_struct(
+           |    'role', CAST('' AS STRING),
+           |    'open', false,
+           |    'lang', CAST('' AS STRING),
+           |    'body', CAST('' AS STRING),
+           |    'started', false,
+           |    'blocks',
+           |      cast(array() as array<struct<lang:string,body:string>>),
+           |    'fences', 0,
+           |    'inline', cast(array() as array<string>)),
+           |  (s, l) -> CASE
+           |    WHEN startswith(l, char(1)) THEN named_struct(
+           |      'role', substr(l, 2), 'open', s.open, 'lang', s.lang,
+           |      'body', s.body, 'started', s.started,
+           |      'blocks', s.blocks, 'fences', s.fences,
+           |      'inline', s.inline)
+           |    WHEN s.role != 'assistant' THEN s
+           |    WHEN trim(l) rlike '^```' THEN CASE
+           |      WHEN NOT s.open THEN named_struct('role', s.role,
+           |        'open', true, 'lang', trim(substr(trim(l), 4)),
+           |        'body', '', 'started', false, 'blocks', s.blocks,
+           |        'fences', s.fences + 1, 'inline', s.inline)
+           |      ELSE named_struct('role', s.role, 'open', false,
+           |        'lang', '', 'body', '', 'started', false,
+           |        'blocks', s.blocks ||
+           |          array(named_struct('lang', s.lang, 'body', s.body)),
+           |        'fences', s.fences + 1, 'inline', s.inline)
+           |      END
+           |    WHEN s.open THEN named_struct('role', s.role,
+           |      'open', true, 'lang', s.lang,
+           |      'body', CASE WHEN s.started
+           |        THEN concat(s.body, '\\n', l) ELSE l END,
+           |      'started', true, 'blocks', s.blocks,
+           |      'fences', s.fences, 'inline', s.inline)
+           |    WHEN trim(l) rlike '^[\\\\[{].*[\\\\]}]$$' THEN
+           |      named_struct('role', s.role, 'open', s.open,
+           |        'lang', s.lang, 'body', s.body,
+           |        'started', s.started, 'blocks', s.blocks,
+           |        'fences', s.fences,
+           |        'inline', s.inline || array(trim(l)))
+           |    ELSE s
+           |    END,
+           |  s -> s) AS lint""".stripMargin)
+      .selectExpr(idCol,
+        "lint.fences AS n_fences",
+        "size(lint.blocks) AS n_code_blocks",
+        "lint.open AS unclosed_fence",
+        "size(filter(lint.blocks, b -> b.lang = 'json')) AS n_json_blocks",
+        """size(filter(lint.blocks, b -> b.lang = 'json' AND
+          |  get_json_object(b.body, '$') IS NULL)) AS n_json_invalid"""
+          .stripMargin,
+        "size(lint.inline) AS n_inline_json",
+        """size(filter(lint.inline, j ->
+          |  get_json_object(j, '$') IS NULL)) AS n_inline_json_invalid"""
+          .stripMargin)
+  }
+
   /** Sequence-level near-duplicate pairs for conversation-shaped
     * data: [[turnText]] then the df-capped exact trigram-Jaccard
     * join — a pair scores high only when it shares ordered runs of

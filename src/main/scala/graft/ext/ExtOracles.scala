@@ -582,6 +582,46 @@ object ExtOracles {
         |LEFT JOIN agg USING (doc_id)
         |LEFT JOIN viol ON viol.doc_id = d.doc_id""".stripMargin,
 
+    // The lint oracle NEVER parses the transcript: every expected
+    // count derives from the synthesis arithmetic (chunk role and
+    // block-kind are pure functions of doc_id and chunk index), so
+    // the engine's line fold + strict JSON validation is the only
+    // parser under test. Kinds per assistant chunk i, m=(doc_id+i)%5:
+    // 0 valid ```json, 1 invalid ```json, 2 ```python,
+    // 3 inline JSON (valid for even doc_id, '{broken}' for odd),
+    // 4 prose. User chunks contribute fences only when
+    // doc_id%3=0 ∧ i=0 — and those must NOT count. Every 7th doc
+    // gains a trailing unclosed ```json.
+    "q_struct_lint" ->
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+        |dims AS (SELECT doc_id,
+        |    CAST((len(toks) + 7) // 8 AS INT) AS nch FROM t0),
+        |chunk AS (SELECT doc_id, i,
+        |    ((i + doc_id) % 2 = 1) AS ast,
+        |    ((doc_id + i) % 5) AS m
+        |  FROM (SELECT doc_id, nch,
+        |        unnest(range(0, nch)) AS i FROM dims) x),
+        |agg AS (SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE ast AND m = 0) AS INTEGER) AS na,
+        |    CAST(count(*) FILTER (WHERE ast AND m = 1) AS INTEGER) AS nb,
+        |    CAST(count(*) FILTER (WHERE ast AND m = 2) AS INTEGER) AS nc,
+        |    CAST(count(*) FILTER (WHERE ast AND m = 3
+        |      AND doc_id % 2 = 0) AS INTEGER) AS nd,
+        |    CAST(count(*) FILTER (WHERE ast AND m = 3
+        |      AND doc_id % 2 = 1) AS INTEGER) AS ne
+        |  FROM chunk GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(2 * (na + nb + nc), 0) +
+        |    CASE WHEN d.doc_id % 7 = 0 AND nch > 0 THEN 1 ELSE 0 END
+        |    AS n_fences,
+        |  coalesce(na + nb + nc, 0) AS n_code_blocks,
+        |  (d.doc_id % 7 = 0 AND nch > 0) AS unclosed_fence,
+        |  coalesce(na + nb, 0) AS n_json_blocks,
+        |  coalesce(nb, 0) AS n_json_invalid,
+        |  coalesce(nd + ne, 0) AS n_inline_json,
+        |  coalesce(ne, 0) AS n_inline_json_invalid
+        |FROM dims d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q_dedup_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
         |long_docs AS (SELECT * FROM t WHERE len(toks) >= 3),

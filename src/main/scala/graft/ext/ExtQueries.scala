@@ -165,6 +165,63 @@ object ExtQueries {
     Dedup.conversationStructure(transcripts)
   }
 
+  /** Structured-output lint over synthesized AGENT transcripts: the
+    * documents table's tokens are folded into deterministic
+    * user/assistant chat with fenced code blocks (valid json,
+    * invalid json, python), inline JSON lines (valid and broken),
+    * fences inside USER turns (which must NOT count), and a
+    * trailing unclosed ```json block on every 7th document — so
+    * every defect class the linter reports populates at every SF.
+    * The oracle never parses: it derives each count from the same
+    * chunk arithmetic BY CONSTRUCTION, so the engine's fold +
+    * strict-JSON validation is what is actually under test. */
+  def qStructLint(spark: SparkSession, dir: String): DataFrame = {
+    val transcripts = Tables(spark, dir).documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .selectExpr("doc_id", "toks",
+        "CAST((size(toks) + 7) div 8 AS INT) AS nch")
+      .selectExpr("doc_id",
+        """CASE WHEN nch = 0 THEN '' ELSE concat(array_join(
+          |  flatten(transform(sequence(0, nch - 1), i ->
+          |    CASE
+          |    WHEN (i + doc_id) % 2 = 0 THEN
+          |      CASE WHEN doc_id % 3 = 0 AND i = 0 THEN array(
+          |          'user: see', '```python',
+          |          concat('print(', regexp_replace(
+          |            element_at(toks, i * 8 + 1), '[^a-z0-9]', ''),
+          |            ')'), '```')
+          |        ELSE array(concat('user: ',
+          |          array_join(slice(toks, i * 8 + 1, 8), ' ')))
+          |        END
+          |    WHEN (doc_id + i) % 5 = 0 THEN array(
+          |      'assistant: result', '```json',
+          |      concat('{"k": "', regexp_replace(
+          |        element_at(toks, i * 8 + 1), '[^a-z0-9]', ''),
+          |        '"}'), '```')
+          |    WHEN (doc_id + i) % 5 = 1 THEN array(
+          |      'assistant: result', '```json',
+          |      concat('{"k": x', regexp_replace(
+          |        element_at(toks, i * 8 + 1), '[^a-z0-9]', ''),
+          |        '}'), '```')
+          |    WHEN (doc_id + i) % 5 = 2 THEN array(
+          |      'assistant: code', '```python',
+          |      concat('print("', regexp_replace(
+          |        element_at(toks, i * 8 + 1), '[^a-z0-9]', ''),
+          |        '")'), '```')
+          |    WHEN (doc_id + i) % 5 = 3 AND doc_id % 2 = 0 THEN array(
+          |      'assistant: data', concat('{"v": ', i, '}'))
+          |    WHEN (doc_id + i) % 5 = 3 THEN array(
+          |      'assistant: data', '{broken}')
+          |    ELSE array(concat('assistant: ',
+          |      array_join(slice(toks, i * 8 + 1, 8), ' ')))
+          |    END)), '\n'),
+          |  CASE WHEN doc_id % 7 = 0 THEN concat('\n',
+          |    array_join(array('assistant: tail', '```json',
+          |      '{"partial":'), '\n')) ELSE '' END)
+          |END AS text""".stripMargin)
+    Dedup.structuredOutputLint(transcripts)
+  }
+
   /** LSH candidates over the minhash signatures — pure operator
     * output (the portable-md5 minhash makes the candidate set itself
     * oracle-checkable; non-emptiness at the verified SFs is a property

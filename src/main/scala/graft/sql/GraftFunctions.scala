@@ -576,6 +576,16 @@ object GraftFunctions {
     graft.ext.Dedup.conversationStructure(docs).queryExecution.logical
   }
 
+  /** structured_output_lint(docsTbl) — assistant-turn code-fence and
+    * JSON emission lints: unclosed fences, unparseable ```json
+    * blocks, inline JSON validity
+    * ([[graft.ext.Dedup.structuredOutputLint]]). */
+  def structuredOutputLintTvf(args: Seq[Expression]): LogicalPlan = {
+    val docs = tableOf(strArg(args.head,
+      "structured_output_lint(docsTable)"))
+    graft.ext.Dedup.structuredOutputLint(docs).queryExecution.logical
+  }
+
   /** token_budget_sample(docsTbl, budget[, alpha]) — deterministic
     * per-source sample at the waterfill allocation rates
     * ([[graft.ext.Curation.tokenBudgetSample]]). */
@@ -1623,6 +1633,7 @@ object GraftFunctions {
     "token_budget_sample" -> (tokenBudgetSampleTvf _),
     "turn_repetition" -> (turnRepetitionTvf _),
     "conversation_structure" -> (conversationStructureTvf _),
+    "structured_output_lint" -> (structuredOutputLintTvf _),
     "k_core" -> (kCoreTvf _),
     "ancestors" -> (ancestorsTvf _),
     "change_feed" -> (changeFeedTvf _),

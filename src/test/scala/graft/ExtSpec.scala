@@ -149,6 +149,37 @@ class ExtSpec extends AnyFunSuite {
       (5L, 0, 0, 0, 0, 0, "", "", 0, 0, false)), s"$out")
   }
 
+  test("structuredOutputLint: hand-computed fences, json validity, role scoping, truncation (round 18)") {
+    import spark.implicits._
+    val docs = Seq(
+      // one valid json block + one invalid + inline valid
+      (1L, "user: please\nassistant: here\n```json\n{\"a\": 1}\n```\n" +
+        "assistant: and\n```json\n{bad\n```\n{\"ok\": true}"),
+      // fence in USER turn ignored; assistant python block counts;
+      // inline invalid counted
+      (2L, "user: mine\n```json\n{ignored\n```\nassistant: code\n" +
+        "```python\nprint(1)\n```\n{broken}"),
+      // unclosed fence at EOF (truncated generation)
+      (3L, "assistant: partial\n```json\n{\"cut\":"),
+      // multi-line json body folds with newlines and validates
+      (4L, "assistant: multi\n```json\n{\"a\": 1,\n \"b\": [2, 3]}\n```"),
+      // markerless text: nothing counts
+      (5L, "```json\n{loose}\n```\n{\"x\": 1}"),
+      // empty text
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.structuredOutputLint(docs)
+      .as[(Long, Int, Int, Boolean, Int, Int, Int, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 4, 2, false, 2, 1, 1, 0),
+      (2L, 2, 1, false, 0, 0, 1, 1),
+      (3L, 1, 0, true, 0, 0, 0, 0),
+      (4L, 2, 1, false, 1, 0, 0, 0),
+      (5L, 0, 0, false, 0, 0, 0, 0),
+      (6L, 0, 0, false, 0, 0, 0, 0)), s"$out")
+  }
+
   test("connected components: planted chain and separate pair cluster correctly") {
     // chain 1-2-3 plus pair (10,11): two components keyed by min id
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")

@@ -194,6 +194,8 @@ class GraftFunctionsSpec extends AnyFunSuite {
       graft.ext.Dedup.turnRepetition(docs, turnTokens = 8))
     sameAs("SELECT * FROM conversation_structure('docs_tvf9')",
       graft.ext.Dedup.conversationStructure(docs))
+    sameAs("SELECT * FROM structured_output_lint('docs_tvf9')",
+      graft.ext.Dedup.structuredOutputLint(docs))
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst").createOrReplaceTempView("kcore_edges_tvf9")
     sameAs("SELECT * FROM k_core('kcore_edges_tvf9', 2)",

@@ -927,6 +927,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_conv_structure must be a zero-shuffle per-row map:\n$p")
   }
 
+  test("round-18: structured-output lint is a zero-shuffle map (transcript synthesis + fold + json checks)") {
+    // fence fold, role tracking, and get_json_object validation are
+    // all per-row expressions over already-folded block bodies; an
+    // Exchange or Join here would mean the ingest gate re-scans or
+    // shuffles the corpus
+    val p = plan("q_struct_lint")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"q_struct_lint must be a zero-shuffle per-row map:\n$p")
+  }
+
   test("unpartitioned WindowExec inventory: exactly the known bounded-table windows") {
     // The bench tail logs `WindowExec: No Partition Defined` per
     // single-partition window stage. This pins WHICH queries plan
