@@ -645,6 +645,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("structuredOutputLint invariants on transcripts built from known blocks") {
+    // build assistant turns FROM a known block structure, then assert
+    // the linter recovers it: closed-block count, json tally and
+    // validity, fence parity, and that the SAME blocks inside a user
+    // turn contribute nothing
+    sealed trait Blk
+    case object ValidJson extends Blk
+    case object BadJson extends Blk
+    case object Py extends Blk
+    case object InlineOk extends Blk
+    case object InlineBad extends Blk
+    case object Prose extends Blk
+    val blkGen: Gen[Blk] = Gen.oneOf(ValidJson, BadJson, Py,
+      InlineOk, InlineBad, Prose)
+    def render(b: Blk): Seq[String] = b match {
+      case ValidJson => Seq("```json", "{\"a\": 1}", "```")
+      case BadJson => Seq("```json", "{nope", "```")
+      case Py => Seq("```python", "print(1)", "```")
+      case InlineOk => Seq("{\"ok\": true}")
+      case InlineBad => Seq("{broken}")
+      case Prose => Seq("plain words here")
+    }
+    forAll(Gen.listOfN(5, blkGen)) { blocks =>
+      for (trailOpen <- Seq(true, false)) {
+        val body = blocks.flatMap(b => "assistant: says" +: render(b))
+        val lines = ("user: hi" +: body) ++
+          (if (trailOpen) Seq("assistant: cut", "```json", "{\"p\":")
+           else Seq.empty)
+        val r = graft.ext.Dedup.structuredOutputLint(
+          Seq((1L, lines.mkString("\n"))).toDF("doc_id", "text"))
+          .collect().head
+        val fenced = blocks.count(b =>
+          b == ValidJson || b == BadJson || b == Py)
+        assert(r.getAs[Int]("n_code_blocks") == fenced)
+        assert(r.getAs[Int]("n_fences") ==
+          2 * fenced + (if (trailOpen) 1 else 0))
+        assert(r.getAs[Boolean]("unclosed_fence") == trailOpen)
+        assert(r.getAs[Int]("n_json_blocks") ==
+          blocks.count(b => b == ValidJson || b == BadJson))
+        assert(r.getAs[Int]("n_json_invalid") == blocks.count(_ == BadJson))
+        assert(r.getAs[Int]("n_inline_json") ==
+          blocks.count(b => b == InlineOk || b == InlineBad))
+        assert(r.getAs[Int]("n_inline_json_invalid") ==
+          blocks.count(_ == InlineBad))
+        // the same rendered blocks inside a USER turn are invisible
+        val asUser = ("user: quote" +:
+          blocks.flatMap(b => "user: says" +: render(b))).mkString("\n")
+        val ru = graft.ext.Dedup.structuredOutputLint(
+          Seq((1L, asUser)).toDF("doc_id", "text")).collect().head
+        assert(ru.getAs[Int]("n_fences") == 0 &&
+          ru.getAs[Int]("n_code_blocks") == 0 &&
+          ru.getAs[Int]("n_inline_json") == 0 &&
+          !ru.getAs[Boolean]("unclosed_fence"), "user turns must not lint")
+      }
+    }
+  }
+
   test("assortativity r stays in [-1, 1] on arbitrary symmetrized graphs") {
     val edgeGen = for {
       u <- Gen.chooseNum(0L, 8L)
