@@ -1784,6 +1784,26 @@ object DbtProject {
     }).toDF("resource", "path", "sql")
   }
 
+  /** `dbt show --select <model>`: compile ONE model exactly as run
+    * would (ephemerals inline, dialect translates, upstreams resolve
+    * against the warehouse/sources) and execute it for a `limit`-row
+    * preview — nothing materializes and no manifest advances. */
+  def show(spark: SparkSession, projectDir: String,
+      sources: Map[String, DataFrame], warehouseDir: String,
+      model: String, limit: Int = 5,
+      currentDateOverride: Option[String] = None,
+      vars: Map[String, String] = Map.empty): DataFrame = {
+    require(limit > 0, s"show: limit must be positive, got $limit")
+    val (p, engine, allFrames) = prepare(spark, projectDir, sources,
+      warehouseDir, currentDateOverride, 0, vars)
+    require(p.modelSql.contains(model),
+      s"show: unknown model '$model' (models: " +
+        s"${p.modelSql.keys.toSeq.sorted.mkString(", ")})")
+    val compiled = engine.compile(p.modelSql, allFrames,
+      p.materializations, p.tags, select = Some(model))(model)
+    spark.sql(compiled).limit(limit)
+  }
+
   /** `dbt show --inline "select …"`: compile one inline query with
     * the full Jinja + ref()/source() surface against the project (the
     * model set resolves refs; ephemerals inline; the dialect shim

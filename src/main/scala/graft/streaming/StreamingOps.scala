@@ -228,6 +228,25 @@ object StreamingOps {
         col("n_empty_turns") <= maxEmptyTurns &&
         (if (dropTruncatedLast) !col("truncated_last") else lit(true)))
 
+  /** Streaming OUTPUT-gate over agent-transcript ingest
+    * ([[graft.ext.Dedup.structuredOutputLint]]): drop transcripts
+    * whose assistant turns emitted broken structure — an unclosed
+    * code fence (truncated generation), unparseable ```json blocks,
+    * invalid inline JSON — before they reach the corpus; completes
+    * the ingest-gate trio beside [[loopGateStream]] (content) and
+    * [[conversationGateStream]] (shape). The lint is one per-row
+    * fold, so the streaming form is stateless (no watermark, no
+    * state store) and gates at scan speed (StreamingSpec: streamed ≡
+    * batch twin).
+    * @return kept docs' full lint row (doc_id, n_fences, …) */
+  def structuredOutputGateStream(docs: DataFrame,
+      maxJsonInvalid: Int = 0, maxInlineJsonInvalid: Int = 0,
+      dropUnclosedFence: Boolean = true): DataFrame =
+    graft.ext.Dedup.structuredOutputLint(docs)
+      .filter(col("n_json_invalid") <= maxJsonInvalid &&
+        col("n_inline_json_invalid") <= maxInlineJsonInvalid &&
+        (if (dropUnclosedFence) !col("unclosed_fence") else lit(true)))
+
   /** Streaming twin of the per-source token-budget allocator
     * ([[graft.ext.Curation.tokenBudgetAllocate]]): the allocator's
     * whole state is its sufficient-statistics table — per-source

@@ -2470,6 +2470,14 @@ class DbtProjectSpec extends AnyFunSuite {
       "select id, v * 2 as v2 from {{ ref('base') }} order by id",
       limit = 1)
     assert(shown.as[(Int, Int)].collect().toSeq == Seq((1, 20)))
+    // dbt show --select: previews one model's compiled result
+    val shownModel = DbtProject.show(spark, dir.toString, Map.empty, wh,
+      "base", limit = 10)
+    assert(shownModel.as[(Int, Int)].collect().toSet ==
+      Set((1, 10), (2, 20)))
+    val eGhost = intercept[IllegalArgumentException] {
+      DbtProject.show(spark, dir.toString, Map.empty, wh, "ghost") }
+    assert(eGhost.getMessage.contains("ghost"), eGhost.getMessage)
   }
 
   test("dbt ls: seeds and snapshots ride the static selection (round 17)") {

@@ -163,6 +163,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming structured-output gate ≡ batch lint filter (round 18)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val rows = Seq(
+      // clean: one valid json block
+      (1L, "user: go\nassistant: sure\n```json\n{\"a\": 1}\n```"),
+      // broken json block
+      (2L, "assistant: out\n```json\n{nope\n```"),
+      // unclosed fence (truncated generation)
+      (3L, "assistant: cut\n```json\n{\"p\":"),
+      // invalid inline json
+      (4L, "assistant: data\n{broken}"),
+      // no structure at all — kept (nothing invalid)
+      (5L, "user: hi\nassistant: plain reply."))
+    val q = StreamingOps.structuredOutputGateStream(docs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sol_gate_out").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sol_gate_out").collect().toSet
+      val batch = StreamingOps.structuredOutputGateStream(
+        rows.toDF("doc_id", "text")).collect().toSet
+      assert(got == batch,
+        "streamed structured-output gate must be row-identical to batch")
+      assert(got.map(_.getLong(0)) == Set(1L, 5L), s"$got")
+    } finally q.stop()
+  }
+
   test("streaming token-budget state: snapshot finishes into the batch allocation (round 17)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
