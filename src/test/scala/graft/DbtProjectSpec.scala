@@ -2420,6 +2420,61 @@ class DbtProjectSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("ghosts"), e3.getMessage)
   }
 
+  test("dbt groups + access bind every version of a versioned model (round 18)") {
+    val dir = Files.createTempDirectory("graft-groupver")
+    Files.createDirectories(dir.resolve("models"))
+    Files.write(dir.resolve("dbt_project.yml"),
+      "name: \"gvy\"\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/core_v1.sql"),
+      "select 1 as id\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/core_v2.sql"),
+      "select 2 as id\n".getBytes("UTF-8"))
+    // outsider refs the OLD version explicitly — access on the base
+    // name must still protect it
+    Files.write(dir.resolve("models/outsider.sql"),
+      "select id from {{ ref('core', v=1) }}\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |groups:
+        |  - name: core_team
+        |    owner:
+        |      name: Core
+        |models:
+        |  - name: core
+        |    group: core_team
+        |    access: private
+        |    latest_version: 2
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DbtProject.load(dir.toString) }
+    assert(e.getMessage.contains("core_v1") &&
+      e.getMessage.contains("core_team"), e.getMessage)
+    // same-group outsider resolves
+    Files.write(dir.resolve("models/schema.yml"),
+      """version: 2
+        |groups:
+        |  - name: core_team
+        |    owner:
+        |      name: Core
+        |models:
+        |  - name: core
+        |    group: core_team
+        |    access: private
+        |    latest_version: 2
+        |    versions:
+        |      - v: 1
+        |      - v: 2
+        |  - name: outsider
+        |    group: core_team
+        |""".stripMargin.getBytes("UTF-8"))
+    val p = DbtProject.load(dir.toString)
+    assert(p.modelGov("core_v1").access == "private" &&
+      p.modelGov("core_v2").access == "private")
+  }
+
   test("dbt analyses + show --inline: compile-only SQL renders verbatim-executable; undeclared sources are loud (round 18)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-analysis")
