@@ -1718,31 +1718,58 @@ object Curation {
   def trainQualityLr(docs: DataFrame, labelCol: String, iters: Int = 12,
       dims: Int = 1 << 16, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, Long) = {
+    val (w, stepDiv, feats) =
+      trainQualityLrWithFeats(docs, labelCol, iters, dims, idCol, textCol)
+    // the last round's weight state (the result) stays pinned for the
+    // caller; the feature table is dead once it materialized
+    Checkpoints.release(feats)
+    (w, stepDiv)
+  }
+
+  /** [[trainQualityLr]] that ALSO hands back the pinned label-carrying
+    * feature checkpoint, so a caller that scores the same corpus with
+    * the trained weights ([[lrScoreOnFeats]]) skips a full re-tokenize
+    * + re-shuffle of the corpus. Caller owns releasing `feats`.
+    * @return (weights, stepDiv, feats (idCol, bucket, x, y)) */
+  private[ext] def trainQualityLrWithFeats(docs: DataFrame,
+      labelCol: String, iters: Int = 12, dims: Int = 1 << 16,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, Long, DataFrame) = {
     val spark = docs.sparkSession
+    // pin the features ONCE, pre-hashed on the doc key, with the
+    // label folded onto every feature row (r18): every round's margin
+    // combine reads y off the feature table itself — the per-round
+    // label-table scan + re-shuffle + join of the previous shape is
+    // gone, and the corpus never re-shuffles inside the training loop
+    val labels = docs.select(col(idCol), col(labelCol).cast(LongType).as("y"))
+    val feats = lrFeaturesWithBias(docs, dims, idCol, textCol)
+      .join(labels, Seq(idCol))
+      .repartition(col(idCol)).localCheckpoint()
     // stepDiv derives from the CONTENT feature mass only (the bias
-    // row per doc is bookkeeping, not signal)
-    val content = lrFeatures(docs, dims, idCol, textCol)
-    val totalX = Option(content.agg(sum(col("x"))).head().get(0))
+    // row per doc is bookkeeping, not signal) — read off the pinned
+    // feature table (bias rows are exactly bucket = dims), not a
+    // second tokenize pass over the corpus (r18)
+    val totalX = Option(feats.filter(col("bucket") =!= lit(dims.toLong))
+        .agg(sum(col("x"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val stepDiv = math.max(1L, totalX / 100L)
-    // pin the features ONCE, pre-hashed on the doc key: every round's
-    // margin combine AND residual join then reuse the layout — the
-    // corpus never re-shuffles inside the training loop
-    val feats = lrFeaturesWithBias(docs, dims, idCol, textCol)
-      .repartition(col(idCol)).localCheckpoint()
-    val labels = docs.select(col(idCol), col(labelCol).cast(LongType).as("y"))
     var w = spark.range(0)
       .select(col("id").as("bucket"), col("id").as("w_micro"))
     for (_ <- 1 to iters) {
       // the weight state is ≤dims+1 rows by construction — broadcast
       // unconditionally so the corpus-sized feature table never
       // re-shuffles for the margin pass (bounded-model broadcast, the
-      // centroid discipline)
-      val margins = feats.join(broadcast(w), Seq("bucket"))
-        .groupBy(col(idCol)).agg(sum(col("x") * col("w_micro")).as("m"))
-      val resid = labels.join(margins, Seq(idCol), "left")
+      // centroid discipline). LEFT join + coalesce-to-0 (r18): every
+      // doc keeps its group via the bias row, so Σ x·w is identical
+      // to the inner-join-then-coalesce-missing-docs shape, and the
+      // residual is computed inline off the same aggregation — no
+      // separate label join per round.
+      val resid = feats.join(broadcast(w), Seq("bucket"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("x") * coalesce(col("w_micro"), lit(0L))).as("m"),
+          min(col("y")).as("y"))
         .select(col(idCol),
-          round((lit(1.0) / (lit(1.0) + exp(-(coalesce(col("m"), lit(0L))
+          round((lit(1.0) / (lit(1.0) + exp(-(col("m")
               .cast(DoubleType) / lit(1000000.0))))
             - col("y").cast(DoubleType)) * 1000000.0, 0)
             .cast(LongType).as("r"))
@@ -1758,11 +1785,24 @@ object Curation {
       Checkpoints.release(w)
       w = next
     }
-    // the last round's weight state (the result) stays pinned for the
-    // caller; the feature table is dead once it materialized
-    Checkpoints.release(feats)
-    (w, stepDiv)
+    (w, stepDiv, feats)
   }
+
+  /** Score the corpus off an already-pinned label-carrying feature
+    * table ([[trainQualityLrWithFeats]]) with a trained weight table:
+    * the [[lrMargins]] result (plus the label) without re-tokenizing
+    * the corpus. Every doc appears via its bias row, so the left
+    * broadcast join + sum reproduces lrMargins' coalesce-to-0 margin
+    * exactly. @return (idCol, y, margin_micro, pred) */
+  private[ext] def lrScoreOnFeats(feats: DataFrame, weights: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * coalesce(col("w_micro"), lit(0L)))
+          .as("margin_micro"),
+        min(col("y")).as("y"))
+      .select(col(idCol), col("y"), col("margin_micro"),
+        (col("margin_micro") > 0L).as("pred"))
 
   /** Score docs with a trained weight table: exact long margin per doc
     * (docs with no matched bucket score 0) and the sign decision —
@@ -1809,22 +1849,34 @@ object Curation {
       dims: Int = 1 << 16, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val content = lrFeatures(docs, dims, idCol, textCol)
-    val totalX = Option(content.agg(sum(col("x"))).head().get(0))
+    // label-carrying feature checkpoint + stepDiv off it, exactly the
+    // [[trainQualityLrWithFeats]] discipline (r18): one tokenize pass
+    // total, no per-round label scan/join
+    val labels = docs.select(col(idCol), col(labelCol).cast(LongType).as("y"))
+    val feats = lrFeaturesWithBias(docs, dims, idCol, textCol)
+      .join(labels, Seq(idCol))
+      .repartition(col(idCol)).localCheckpoint()
+    val totalX = Option(feats.filter(col("bucket") =!= lit(dims.toLong))
+        .agg(sum(col("x"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val stepDiv = math.max(1L, totalX / 100L)
-    val feats = lrFeaturesWithBias(docs, dims, idCol, textCol)
-      .repartition(col(idCol)).localCheckpoint()
-    val labels = docs.select(col(idCol), col(labelCol).cast(LongType).as("y"))
-    var state = labels
+    // the doc-keyed state seeds off the feature table's bias rows
+    // (exactly one per doc) instead of a second corpus scan
+    var state = feats.filter(col("bucket") === lit(dims.toLong))
+      .select(col(idCol), col("y"))
       .withColumn("spg", lit(0L)).withColumn("spg2", lit(0L))
       .withColumn("ncorr", lit(0L))
       .localCheckpoint()
     var w = spark.range(0)
       .select(col("id").as("bucket"), col("id").as("w_micro"))
+    // margins + label in ONE aggregation over the pinned features
+    // (left broadcast join: the bias row keeps every doc in the
+    // group, so Σ x·w equals the inner-join-then-coalesce shape)
     def marginsOf(weights: DataFrame): DataFrame =
-      feats.join(broadcast(weights), Seq("bucket"))
-        .groupBy(col(idCol)).agg(sum(col("x") * col("w_micro")).as("m"))
+      feats.join(broadcast(weights), Seq("bucket"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("x") * coalesce(col("w_micro"), lit(0L))).as("m"),
+          min(col("y")).as("my"))
     def fold(snapshot: DataFrame): Unit = {
       val s = lit(1.0) / (lit(1.0) +
         exp(-(coalesce(col("m"), lit(0L)).cast(DoubleType) / lit(1000000.0))))
@@ -1832,7 +1884,8 @@ object Curation {
         * 1000000.0, 0).cast(LongType)
       val corr = when((coalesce(col("m"), lit(0L)) > 0L) === (col("y") === 1L),
         1L).otherwise(0L)
-      val next = state.join(snapshot, Seq(idCol), "left")
+      val next = state.join(snapshot.select(col(idCol), col("m")),
+          Seq(idCol), "left")
         .select(col(idCol), col("y"),
           (col("spg") + pg).as("spg"),
           (col("spg2") + pg * pg).as("spg2"),
@@ -1853,11 +1906,11 @@ object Curation {
       // sf0.1 — the checkpoint write is the slower path).
       val margins = marginsOf(w)
       if (i >= 2) fold(margins)
-      val resid = labels.join(margins, Seq(idCol), "left")
+      val resid = margins
         .select(col(idCol),
-          round((lit(1.0) / (lit(1.0) + exp(-(coalesce(col("m"), lit(0L))
+          round((lit(1.0) / (lit(1.0) + exp(-(col("m")
               .cast(DoubleType) / lit(1000000.0))))
-            - col("y").cast(DoubleType)) * 1000000.0, 0)
+            - col("my").cast(DoubleType)) * 1000000.0, 0)
             .cast(LongType).as("r"))
       val grad = feats.join(resid, Seq(idCol))
         .groupBy("bucket").agg(sum(col("x") * col("r")).as("gr"))

@@ -2089,9 +2089,12 @@ object ExtQueries {
   def qLrTrain(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .withColumn("y", lower(col("text")).like("% the %").cast("long"))
-    val (w, _) = Curation.trainQualityLr(docs, "y", iters = lrIters)
-    Curation.lrMargins(docs, w)
-      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+    // score off the trainer's own pinned feature table (r18): the
+    // previous lrMargins + label-join shape re-tokenized and
+    // re-shuffled the whole corpus a second time for the same rows
+    val (w, _, feats) =
+      Curation.trainQualityLrWithFeats(docs, "y", iters = lrIters)
+    Curation.lrScoreOnFeats(feats, w)
       .select(col("doc_id"), col("y"), col("margin_micro"), col("pred"))
   }
 
@@ -2376,9 +2379,10 @@ object ExtQueries {
   def qLrEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .withColumn("y", lower(col("text")).like("% the %").cast("long"))
-    val (w, _) = Curation.trainQualityLr(docs, "y", iters = lrIters)
-    val preds = Curation.lrMargins(docs, w)
-      .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+    // same single-tokenize scoring as [[qLrTrain]] (r18)
+    val (w, _, feats) =
+      Curation.trainQualityLrWithFeats(docs, "y", iters = lrIters)
+    val preds = Curation.lrScoreOnFeats(feats, w)
       .select(lit("all").as("group"),
         col("margin_micro").as("score_micro"), col("y"))
     Evaluation.aucRoc(preds)

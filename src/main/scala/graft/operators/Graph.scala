@@ -844,7 +844,8 @@ object Graph {
     * @return (node, core_deg) for k-core members.
     */
   def kCore(edges: DataFrame, k: Int = 2, aCol: String = "src",
-      bCol: String = "dst", maxRounds: Int = 50): DataFrame = {
+      bCol: String = "dst", maxRounds: Int = 50,
+      broadcastMaxNodes: Long = 5000000L): DataFrame = {
     var e = edges.filter(col(aCol) =!= col(bCol))
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.filter(col(aCol) =!= col(bCol))
@@ -868,9 +869,15 @@ object Graph {
         graft.ext.Checkpoints.release(survivors)
         converged = true
       } else {
+        // survivors is node-bound — broadcast under the rank-vector
+        // gate so the edge table never reshuffles per round (r18:
+        // both endpoint filters were keyed joins, two edge-sized
+        // shuffles every round); keyed fallback above the gate
+        def g(t: DataFrame): DataFrame =
+          if (nodes <= broadcastMaxNodes) broadcast(t) else t
         val next = e
-          .join(survivors, Seq("src"))
-          .join(survivors.withColumnRenamed("src", "dst"), Seq("dst"))
+          .join(g(survivors), Seq("src"))
+          .join(g(survivors.withColumnRenamed("src", "dst")), Seq("dst"))
           .select("src", "dst")
           .localCheckpoint()
         graft.ext.Checkpoints.release(e, survivors)
@@ -977,15 +984,17 @@ object Graph {
       .agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint()
     def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
-    // each triangle (src, dst, w) credits all three member nodes
-    val tri = oriented
+    // each triangle (src, dst, w) credits all three member nodes —
+    // in ONE pass (r18): `tri` is lazy (the wedge join), so the
+    // previous union-of-three-projections re-ran the adjacency
+    // intersection three times; exploding the member array keeps the
+    // wedge work single-pass and the credit count map-side combined.
+    val credits = oriented
       .join(gate(side("a")), col("src") === col("a"))
       .join(gate(side("b")), col("dst") === col("b"))
       .select(col("src"), col("dst"),
         explode(array_intersect(col("n_a"), col("n_b"))).as("w"))
-    val credits = tri.select(col("src").as("node"))
-      .union(tri.select(col("dst").as("node")))
-      .union(tri.select(col("w").as("node")))
+      .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     val out = deg.join(credits, Seq("node"), "left")
       .select(col("node"), col("deg"),
@@ -1076,9 +1085,12 @@ object Graph {
     // degree-orientation discipline: adjacency lists bounded O(√m),
     // each triangle enumerated ONCE — the naive both-directions
     // wedge join is Σdeg² and melts on heavy-tailed co-occurrence
-    // graphs (140 s → ~4 s/pass at sf0.1). Emits each triangle as
-    // its three canonical (u < v) member edges.
-    def triangles(ed: DataFrame): DataFrame = {
+    // graphs (140 s → ~4 s/pass at sf0.1). Stored as the RAW
+    // (src, dst, w) triple (round 18): half the checkpoint bytes and
+    // half the fast-path collect volume of the canonical 6-column
+    // member-edge form, which is a pure codegen map re-derived where
+    // needed (canonCols below).
+    def triangles3(ed: DataFrame): DataFrame = {
       val deg = ed.select(col("u").as("node"))
         .unionAll(ed.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1098,42 +1110,45 @@ object Graph {
         .join(gate(side("b")), col("dst") === col("b"))
         .select(col("src"), col("dst"),
           explode(array_intersect(col("n_a"), col("n_b"))).as("w"))
-        .select(
-          least(col("src"), col("dst")).as("e1u"),
-          greatest(col("src"), col("dst")).as("e1v"),
-          least(col("src"), col("w")).as("e2u"),
-          greatest(col("src"), col("w")).as("e2v"),
-          least(col("dst"), col("w")).as("e3u"),
-          greatest(col("dst"), col("w")).as("e3v"))
         .localCheckpoint()
       graft.ext.Checkpoints.release(oriented)
       out
     }
-    // per-edge supports = 3 credits per surviving triangle, one
-    // map-side-combined count
-    // ONE pass over t (round 18): the union-of-three-projections
-    // shape read the triangle table three times per call; explode
-    // yields the same (u,v,count) in a single scan — at 100 TB the
-    // triangle table doesn't sit in page cache, so the 3× read is
-    // real I/O, not a free memory rescan.
-    def supportOf(t: DataFrame): DataFrame =
-      t.select(explode(array(
+    // canonical (u < v) member edges of a (src, dst, w) triangle row
+    val canonCols = Seq(
+      least(col("src"), col("dst")).as("e1u"),
+      greatest(col("src"), col("dst")).as("e1v"),
+      least(col("src"), col("w")).as("e2u"),
+      greatest(col("src"), col("w")).as("e2v"),
+      least(col("dst"), col("w")).as("e3u"),
+      greatest(col("dst"), col("w")).as("e3v"))
+    // per-edge credits = 3 per triangle, ONE pass over the input
+    // (r18: explode, not union-of-three-projections — at 100 TB the
+    // triangle table doesn't sit in page cache, so a 3× read is real
+    // I/O). Input must carry the canonical e1u..e3v columns.
+    def creditsOf(t6: DataFrame): DataFrame =
+      t6.select(explode(array(
           struct(col("e1u").as("u"), col("e1v").as("v")),
           struct(col("e2u").as("u"), col("e2v").as("v")),
           struct(col("e3u").as("u"), col("e3v").as("v")))).as("te"))
         .select(col("te.u").as("u"), col("te.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
-    var tri = triangles(e)
-    val triCnt = tri.count()
+    var tri3 = triangles3(e)
+    val triCnt = tri3.count()
     if (eCnt <= collectThreshold && triCnt <= collectThreshold) {
       // in-memory worklist peel: CSR edge→triangle index, each dead
       // triangle hands one decrement to each of its other live edges
       val callerSession = e.sparkSession
       import callerSession.implicits._
       val eRows = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val tRows = tri.collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
-      graft.ext.Checkpoints.release(e, tri) // on the driver now
+      // canonicalize the 3-col triangle rows on the driver — the
+      // min/max per row is driver-trivial next to halving the
+      // collect's row width
+      val tRows = tri3.collect().map { r =>
+        val s = r.getLong(0); val d = r.getLong(1); val w = r.getLong(2)
+        (math.min(s, d), math.max(s, d), math.min(s, w), math.max(s, w),
+          math.min(d, w), math.max(d, w))
+      }
+      graft.ext.Checkpoints.release(e, tri3) // on the driver now
       val idx = new java.util.HashMap[(Long, Long), Int](eRows.length * 2)
       var i = 0
       while (i < eRows.length) { idx.put(eRows(i), i); i += 1 }
@@ -1237,102 +1252,220 @@ object Graph {
       }
       return out.toSeq.toDF("src", "dst", "support")
     }
-    // the ONE full 3-credits-per-triangle count, seeded over EVERY
-    // edge with zeros retained (r17 rework). A CLEAN support table —
-    // removed edges leave it, zero-support survivors stay — makes
-    // the removal shell a FILTER on sup, the update one
-    // broadcast-gated anti + left map-side pass, and the final
-    // output sup itself. The previous design kept sup dirty and
-    // maintained the edge set separately, paying TWO edge-sized
-    // shuffle joins (e ⋈ keep, e anti keep) every round plus a
-    // final e ⋈ sup; dropping them reads 21.3s -> 20.4s at sf0.1
-    // (QBENCH_REPS=3 mins — modest there because the probe's phase
-    // profile is dominated by the per-round FIXED cost of scanning/
-    // rewriting the 1.9M-triangle table while the tail shells are
-    // tiny; at 100 TB, where shells are huge and edge-table shuffles
-    // are real network, the three removed joins are the ones that
-    // matter). Every later round only DECREMENTS by the dead
-    // triangles' credits — recounting the full table per round
-    // costs nearly as much as the wedge pass itself.
-    var sup = e.join(supportOf(tri), Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        coalesce(col("support"), lit(0L)).as("support"))
-      .localCheckpoint()
+    // the ONE full 3-credits-per-triangle count. r18: seeding is a
+    // single map-side-combined hash aggregation — the previous left
+    // join of e against a separately aggregated support table paid a
+    // second shuffle plus a sort-merge of both sides for the same
+    // result. Zero-support edges are seeded ONLY for k <= 2 (where
+    // they are the answer): for k > 2 an edge in no triangle is in
+    // round 0's removal shell by definition, and removing it kills
+    // no triangle and credits nothing — dropping it up front leaves
+    // every other edge's peel trajectory, and the survivor set,
+    // bit-identical while skipping an edge-table-sized union through
+    // the seeding shuffle.
+    var sup = {
+      val credits = creditsOf(tri3.select(canonCols: _*))
+        .select(col("u"), col("v"), lit(1L).as("c"))
+      // (maxRounds >= 1 guard: a zero-round call never executes the
+      // shell that would have removed the zero-support edges, so
+      // they must then stay in the output like the fast path's)
+      (if (k > 2 && maxRounds >= 1) credits
+       else credits.unionAll(e.select(col("u"), col("v"), lit(0L).as("c"))))
+        .groupBy("u", "v").agg(sum(col("c")).as("support"))
+        .localCheckpoint()
+    }
     graft.ext.Checkpoints.release(e)
+    // ---- tombstone accumulators (round 18) ----
+    // While shells are small, neither the triangle table nor the
+    // support table is rewritten per round: removed edges (remAcc)
+    // and dead-triangle credits (delAcc) accumulate in small
+    // broadcastable side tables consulted by every scan, and the
+    // expensive compaction (rewrite tri3 + sup, reset accumulators)
+    // runs only when an accumulator outgrows the broadcast gate —
+    // at which point a round costs exactly what every round used to.
+    // KtrussProbe attribution motivating this: at sf0.1 the tail
+    // rounds spent 1.5-2.5 s/round rewriting a 1.9M-row triangle
+    // table + 1.2M-row support table to remove shells of 4-1700
+    // edges. At 100 TB early rounds have huge shells (they compact,
+    // as before) and tail rounds tiny ones (they stay virtual) —
+    // the scheme is scale-adaptive, not local-tuned.
+    var remAcc: DataFrame = null; var remCnt = 0L
+    var delAcc: DataFrame = null; var delCnt = 0L
+    def bflag(d: DataFrame, cu: String, cv: String, f: String) =
+      broadcast(d.select(col("u").as(cu), col("v").as(cv),
+        lit(true).as(f)))
+    // current support = seeded sup minus tombstoned edges, minus
+    // accumulated credits — a join view over the checkpointed
+    // tables, no rewrite (map-side while the accumulators fit the
+    // gate; keyed fallback above it, e.g. the round right before a
+    // compaction folds them down)
+    def curSup(): DataFrame = {
+      def g(d: DataFrame, c: Long) =
+        if (c <= broadcastMaxEdges) broadcast(d) else d
+      var s = sup
+      if (remCnt > 0) s = s.join(g(remAcc, remCnt), Seq("u", "v"), "left_anti")
+      if (delCnt > 0) s = s.join(g(delAcc, delCnt), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          (col("support") - coalesce(col("delta"), lit(0L))).as("support"))
+      s
+    }
+    // fold the accumulators into materialized sup/tri3 and reset —
+    // the scale path's per-round rewrite, now paid only when the
+    // accumulated state demands it (each side join gated on its own
+    // real count: broadcast map-side under the gate, shuffle above)
+    def compact(): Unit = if (remCnt > 0 || delCnt > 0) {
+      def g(d: DataFrame, c: Long) =
+        if (c <= broadcastMaxEdges) broadcast(d) else d
+      var s = sup
+      if (remCnt > 0) s = s.join(g(remAcc, remCnt), Seq("u", "v"), "left_anti")
+      if (delCnt > 0) s = s.join(g(delAcc, delCnt), Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          (col("support") - coalesce(col("delta"), lit(0L))).as("support"))
+      val nextSup = s.localCheckpoint()
+      val t6 = tri3.select((col("src") +: col("dst") +: col("w") +:
+        canonCols): _*)
+      def rflag(cu: String, cv: String, f: String) =
+        g(remAcc.select(col("u").as(cu), col("v").as(cv),
+          lit(true).as(f)), remCnt)
+      val nextTri =
+        (if (remCnt > 0)
+          t6.join(rflag("e1u", "e1v", "c1"), Seq("e1u", "e1v"), "left")
+            .join(rflag("e2u", "e2v", "c2"), Seq("e2u", "e2v"), "left")
+            .join(rflag("e3u", "e3v", "c3"), Seq("e3u", "e3v"), "left")
+            .filter(col("c1").isNull && col("c2").isNull && col("c3").isNull)
+            .select(col("src"), col("dst"), col("w"))
+        else tri3).localCheckpoint()
+      val dead = Seq(Option(sup), Option(tri3), Option(remAcc),
+        Option(delAcc)).flatten
+      graft.ext.Checkpoints.release(dead: _*)
+      sup = nextSup; tri3 = nextTri
+      remAcc = null; delAcc = null; remCnt = 0L; delCnt = 0L
+    }
     var converged = false
     var round = 0
+    val need = (k - 2).toLong
     // k <= 2: every edge satisfies support >= k-2 = 0 by definition
     // (the 2-truss IS the whole graph) — skip peeling; the seeded
     // sup, zeros and all, is already the answer.
     while (!converged && round < maxRounds && k > 2) {
-      val below = sup.filter(col("support") < (k - 2).toLong)
+      val below = curSup().filter(col("support") < need)
         .select("u", "v").localCheckpoint()
       val belowCnt = below.count()
       if (belowCnt == 0) {
         converged = true
         graft.ext.Checkpoints.release(below)
+      } else if (belowCnt <= broadcastMaxEdges &&
+          remCnt + belowCnt <= broadcastMaxEdges &&
+          remCnt + belowCnt <= eCnt / 2 &&
+          delCnt <= broadcastMaxEdges) {
+        // (the eCnt/2 guard bounds scan waste: once half the edges
+        // are tombstoned, the per-round full scan of a mostly-dead
+        // triangle table costs more than folding it down once)
+        // ---- virtual round: scans only, no table rewrite ----
+        // newly-dead triangles = lost an edge to THIS round's shell
+        // and had no edge already tombstoned (those died in an
+        // earlier round and were credited then). One scan of tri3
+        // with ≤6 broadcast flag joins; rows in tri3 are unique by
+        // construction, so `dead` needs no distinct.
+        val t6 = tri3.select(canonCols: _*)
+        var dead = t6
+          .join(bflag(below, "e1u", "e1v", "d1"), Seq("e1u", "e1v"), "left")
+          .join(bflag(below, "e2u", "e2v", "d2"), Seq("e2u", "e2v"), "left")
+          .join(bflag(below, "e3u", "e3v", "d3"), Seq("e3u", "e3v"), "left")
+        if (remCnt > 0) dead = dead
+          .join(bflag(remAcc, "e1u", "e1v", "c1"), Seq("e1u", "e1v"), "left")
+          .join(bflag(remAcc, "e2u", "e2v", "c2"), Seq("e2u", "e2v"), "left")
+          .join(bflag(remAcc, "e3u", "e3v", "c3"), Seq("e3u", "e3v"), "left")
+          .filter(col("c1").isNull && col("c2").isNull && col("c3").isNull)
+        dead = dead.filter(col("d1").isNotNull || col("d2").isNotNull ||
+          col("d3").isNotNull)
+        // each newly-dead triangle credits each member edge once;
+        // fold this round's credits into the accumulator (tiny:
+        // bounded by 3 × cumulative dead triangles since the last
+        // compaction, counted for the gate above)
+        val roundDelta = creditsOf(dead)
+          .groupBy("u", "v").agg(count(lit(1)).as("delta"))
+        val nextDel =
+          (if (delCnt > 0) delAcc.unionAll(roundDelta)
+            .groupBy("u", "v").agg(sum(col("delta")).as("delta"))
+          else roundDelta).localCheckpoint()
+        delCnt = nextDel.count()
+        // below is already checkpointed — it IS the accumulator when
+        // none existed; union-and-rematerialize only when folding
+        val nextRem =
+          if (remCnt > 0) remAcc.unionAll(below).localCheckpoint()
+          else below
+        val deadCk = Seq(Option(delAcc),
+          Option(if (remCnt > 0) remAcc else null),
+          Option(if (remCnt > 0) below else null)).flatten
+        remCnt += belowCnt
+        graft.ext.Checkpoints.release(deadCk: _*)
+        delAcc = nextDel; remAcc = nextRem
       } else {
-        // one scan of the triangle table, three removal-shell flag
-        // joins (map-side while the shell broadcasts — shuffle
-        // fallback past the gate): dead triangles lost an edge this
-        // round, the rest survive verbatim. Rows in `tri` are unique
-        // by construction, so `dead` needs no distinct.
-        val rGate: DataFrame => DataFrame =
+        // shell or accumulators outgrew the broadcast gate — fold
+        // everything down (the materializing round: one triangle
+        // rewrite + one support rewrite, keyed joins above the gate),
+        // leaving this round's shell to the NEXT iteration's below
+        // pass over the compacted tables. To guarantee progress the
+        // shell itself joins in as tombstones first.
+        val hadRem = remCnt > 0
+        val nextRem =
+          if (hadRem) remAcc.unionAll(below).localCheckpoint()
+          else below
+        remCnt += belowCnt
+        // credit deltas for triangles newly dead to this shell must
+        // be folded BEFORE the shell enters remAcc-compaction, so
+        // compute them against the pre-shell tombstone state
+        val t6 = tri3.select(canonCols: _*)
+        val bGate: DataFrame => DataFrame =
           if (belowCnt <= broadcastMaxEdges) broadcast else identity
-        def flag(cu: String, cv: String, d: String) =
-          rGate(below.select(col("u").as(cu), col("v").as(cv),
-            lit(true).as(d)))
-        // Materialized ONCE per round (r17): as a def, the three
-        // flag joins over the full checkpointed triangle table ran
-        // twice — once for nextTri's survivors, once for supDelta's
-        // dead set. A/B-measured at sf0.1 (QBENCH_REPS=3 mins):
-        // materialized 21.3s vs dual-evaluation 29.1s for the whole
-        // q_ktruss_dist — even with BROADCAST flag joins, scanning
-        // the 1.9M-triangle table twice per round costs more than
-        // one checkpoint write. Released before the round ends.
-        val marked = tri
-          .join(flag("e1u", "e1v", "d1"), Seq("e1u", "e1v"), "left")
-          .join(flag("e2u", "e2v", "d2"), Seq("e2u", "e2v"), "left")
-          .join(flag("e3u", "e3v", "d3"), Seq("e3u", "e3v"), "left")
-          .localCheckpoint()
-        val isDead = col("d1").isNotNull || col("d2").isNotNull ||
-          col("d3").isNotNull
-        val triCols = Seq("e1u", "e1v", "e2u", "e2v", "e3u", "e3v")
-          .map(col)
-        val nextTri = marked.filter(!isDead).select(triCols: _*)
-          .localCheckpoint()
-        // each dead triangle decrements each of its three member
-        // edges by exactly 1. supDelta is materialized and COUNTED
-        // before its join gate: the dead-edge count is not bounded
-        // by the shell size, so its broadcast decision needs real
-        // rows, not a proxy.
-        val supDelta = supportOf(marked.filter(isDead)
-            .select(triCols: _*))
-          .withColumnRenamed("support", "delta")
-          .localCheckpoint()
-        val dGate: DataFrame => DataFrame =
-          if (supDelta.count() <= broadcastMaxEdges) broadcast
-          else identity
-        val nextSup = sup
-          .join(rGate(below), Seq("u", "v"), "left_anti")
-          .join(dGate(supDelta), Seq("u", "v"), "left")
-          .select(col("u"), col("v"),
-            (col("support") - coalesce(col("delta"), lit(0L)))
-              .as("support"))
-          .localCheckpoint()
-        graft.ext.Checkpoints.release(tri, sup, below, marked, supDelta)
-        tri = nextTri
-        sup = nextSup
+        def sflag(cu: String, cv: String, f: String) =
+          bGate(below.select(col("u").as(cu), col("v").as(cv),
+            lit(true).as(f)))
+        var dead = t6
+          .join(sflag("e1u", "e1v", "d1"), Seq("e1u", "e1v"), "left")
+          .join(sflag("e2u", "e2v", "d2"), Seq("e2u", "e2v"), "left")
+          .join(sflag("e3u", "e3v", "d3"), Seq("e3u", "e3v"), "left")
+        if (hadRem) {
+          def cflag(cu: String, cv: String, f: String) =
+            (if (remCnt - belowCnt <= broadcastMaxEdges)
+              broadcast(remAcc.select(col("u").as(cu), col("v").as(cv),
+                lit(true).as(f)))
+            else remAcc.select(col("u").as(cu), col("v").as(cv),
+              lit(true).as(f)))
+          dead = dead
+            .join(cflag("e1u", "e1v", "c1"), Seq("e1u", "e1v"), "left")
+            .join(cflag("e2u", "e2v", "c2"), Seq("e2u", "e2v"), "left")
+            .join(cflag("e3u", "e3v", "c3"), Seq("e3u", "e3v"), "left")
+            .filter(col("c1").isNull && col("c2").isNull && col("c3").isNull)
+        }
+        dead = dead.filter(col("d1").isNotNull || col("d2").isNotNull ||
+          col("d3").isNotNull)
+        val roundDelta = creditsOf(dead)
+          .groupBy("u", "v").agg(count(lit(1)).as("delta"))
+        val nextDel =
+          (if (delCnt > 0) delAcc.unionAll(roundDelta)
+            .groupBy("u", "v").agg(sum(col("delta")).as("delta"))
+          else roundDelta).localCheckpoint()
+        delCnt = nextDel.count()
+        val deadCk = Seq(Option(delAcc),
+          Option(if (hadRem) remAcc else null),
+          Option(if (hadRem) below else null)).flatten
+        graft.ext.Checkpoints.release(deadCk: _*)
+        delAcc = nextDel; remAcc = nextRem
+        compact()
       }
       round += 1
     }
-    // sup IS the survivor table on every exit path — clean by
+    // fold any pending tombstones into the survivor table — clean by
     // construction at convergence, at a maxRounds bail-out (the
     // pending shell stays, with its maintained supports — identical
     // to the fast path's shell-capped exit), and for k <= 2
-    val out = sup.select(col("u").as("src"), col("v").as("dst"),
+    val out = curSup().select(col("u").as("src"), col("v").as("dst"),
         col("support")).localCheckpoint()
-    graft.ext.Checkpoints.release(sup, tri)
+    val deadFin = Seq(Option(sup), Option(tri3), Option(remAcc),
+      Option(delAcc)).flatten
+    graft.ext.Checkpoints.release(deadFin: _*)
     out
   }
 
@@ -1360,20 +1493,27 @@ object Graph {
     *              deduplicated, self-loops dropped internally.
     * @return one row per k: (k, n_nodes, n_edges, phi) — phi 6dp */
   def richClub(edges: DataFrame,
-      ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)): DataFrame = {
+      ks: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
+      broadcastMaxEdges: Long = 20000000L): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).cast(LongType).as("u"),
         greatest(col("src"), col("dst")).cast(LongType).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint() // feeds degrees AND the per-edge min lookup
+    // deg is node-bound — under the [[triangleCount]] edge gate it
+    // broadcasts, so the two per-edge degree lookups below are
+    // map-side and the edge table never shuffles (r18: they were
+    // ungated keyed joins, two full shuffles of the edge list)
+    val smallGraph = und.count() <= broadcastMaxEdges
+    def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
     val deg = und.select(col("u").as("n"))
       .unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .localCheckpoint() // feeds the node histogram AND two edge joins
     val nodeHist = deg.groupBy("deg").agg(count(lit(1)).as("nn"))
     val edgeHist = und
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .join(gate(deg.select(col("n").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(gate(deg.select(col("n").as("v"), col("deg").as("dv"))), Seq("v"))
       .select(least(col("du"), col("dv")).as("mdeg"))
       .groupBy("mdeg").agg(count(lit(1)).as("ne"))
     import und.sparkSession.implicits._
