@@ -2557,39 +2557,26 @@ object ExtQueries {
     * feature beside [[graft.queries.AdvancedAnalytics.qTriangles]]'s
     * global count; see
     * [[graft.operators.Graph.localClustering]]. */
-  def qLocalClustering(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-    graft.operators.Graph.localClustering(e)
-  }
+  def qLocalClustering(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.localClustering(
+      graft.queries.AdvancedAnalytics.coPurchasePairs(
+        Tables(spark, dir).lineitem))
 
   /** Rich-club φ(k) of the co-purchase parts graph — do frequently
     * co-ordered parts cluster among themselves as degree rises? The
     * hub-core diagnostic beside [[qLocalClustering]]'s node view. */
-  def qRichClub(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-    graft.operators.Graph.richClub(e)
-  }
+  def qRichClub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.richClub(
+      graft.queries.AdvancedAnalytics.coPurchasePairs(
+        Tables(spark, dir).lineitem))
 
   /** k-truss (k=4) of the repeat-co-purchase graph — the triangle-
     * cohesion edge core [[qRichClub]]'s degree ladder and kCore's
     * node shells both overstate (stars survive a core, not a truss). */
-  def qKTruss(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-    graft.operators.Graph.kTruss(e, k = 4)
-  }
+  def qKTruss(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kTruss(
+      graft.queries.AdvancedAnalytics.coPurchasePairs(
+        Tables(spark, dir).lineitem), k = 4)
 
   /** [[qKTruss]] with the driver fast path DISABLED
     * (collectThreshold = 0): the bench/correctness probe for the
@@ -2597,15 +2584,10 @@ object ExtQueries {
     * (1.1M edges, under the 5M gate) otherwise never exercises. Same
     * graph, same oracle, same surviving edges; only the execution
     * path differs. */
-  def qKTrussDist(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-    graft.operators.Graph.kTruss(e, k = 4, collectThreshold = 0L)
-  }
+  def qKTrussDist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kTruss(
+      graft.queries.AdvancedAnalytics.coPurchasePairs(
+        Tables(spark, dir).lineitem), k = 4, collectThreshold = 0L)
 
   /** Gini inequality of order revenue WITHIN each priority tier —
     * is one tier's revenue whale-driven while another's is flat?

@@ -694,18 +694,29 @@ object Graph {
           concat(col("start").cast("string"), lit("|"),
             col("walk").cast("string"), lit("|"), lit(i).cast("string"))),
         col("odeg")) + 1
+      // NOT checkpointed per step (r18): a step is two joins against
+      // the pinned adjacency/degree tables, so the whole walk runs as
+      // ONE lazy job — step k's subtree recurs inside steps k+1..L,
+      // but under the broadcast gate those are pure map layers over
+      // the walk table (re-running a layer costs less than a
+      // materialization barrier per step), and above the gate every
+      // repeated keyed join reuses the SAME shuffle exchange
+      // (canonical-plan exchange reuse), so the keyed path re-pays
+      // nothing either. Four checkpoint jobs + per-job broadcast
+      // rebuilds of the 1.2M-row adjacency collapse into one job
+      // with one broadcast build.
       pos = pos
         .join(gate(deg.withColumnRenamed("src", "node")), "node")
         .select(col("start"), col("walk"),
           col("node").as("src"), pick.as("rk"))
         .join(gate(adj), Seq("src", "rk"))
         .select(col("start"), col("walk"), col("dst").as("node"))
-        .localCheckpoint()
       steps += pos.select(col("start"), col("walk"),
         lit(i).cast(IntegerType).as("step"), col("node"))
     }
-    // every step is materialized — adjacency/degree are dead weight now
-    graft.ext.Checkpoints.release(adj, deg)
+    // adj/deg/pos feed the LAZY union — the caller's action reads
+    // their pinned blocks, and the bench/session owner reclaims them
+    // afterwards (Checkpoints.releaseAll), the engine-wide contract
     steps.reduce(_ unionAll _)
   }
 

@@ -20,6 +20,25 @@ object AdvancedAnalytics {
   val randomWalkLen = 4
   val randomWalksPerNode = 2
 
+  /** Distinct co-purchase part pairs per order — (src < dst) for every
+    * pair of distinct parts sharing an order. r18: ONE shuffle (the
+    * per-order grouping) with pairs generated map-side from the sorted
+    * distinct basket array, replacing the self-join shape that
+    * shuffled+sorted the lineitem projection twice for a sort-merge
+    * on l_orderkey. Identical pair SET per order (array_distinct +
+    * ascending sort ⟺ the a.pk < b.pk join over distinct (ok, pk)
+    * rows). Basket sizes in this schema are bounded (≤ 7 lineitems),
+    * so per-row pair fanout is constant; the consumers dedup across
+    * orders themselves. */
+  def coPurchasePairs(li: DataFrame): DataFrame = li
+    .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("parts"))
+    .select(explode(expr(
+      "flatten(transform(parts, (x, i) -> " +
+        "transform(slice(parts, i + 2, size(parts) - i - 1), " +
+        "y -> struct(x AS src, y AS dst))))")).as("p"))
+    .select(col("p.src").as("src"), col("p.dst").as("dst"))
+
   /** TF-IDF with top-3 terms per document. tf/df/N are exact integer
     * counts; idf = ln(N/df) as the only transcendental, computed
     * identically on both sides. */
@@ -237,14 +256,9 @@ object AdvancedAnalytics {
   /** Exact triangle count of the co-purchase graph (parts sharing an
     * order), degree-oriented; see
     * [[graft.operators.Graph.triangleCount]]. */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-    graft.operators.Graph.triangleCount(e)
-  }
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCount(
+      coPurchasePairs(Tables(spark, dir).lineitem))
 
   /** Multi-source BFS over the part↔supplier sourcing graph (same
     * node encoding as [[qPagerank]]): exact hop distance from the
@@ -285,12 +299,10 @@ object AdvancedAnalytics {
     * the graph so peeling is nontrivial); see
     * [[graft.operators.Graph.kCore]]. */
   def qKCore(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+    // support = number of distinct orders sharing the pair (the
+    // per-order pair stream is distinct-within-order by construction)
+    val e = coPurchasePairs(Tables(spark, dir).lineitem)
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= 2)
       .select("src", "dst")

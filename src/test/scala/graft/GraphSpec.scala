@@ -192,9 +192,12 @@ class GraphSpec extends AnyFunSuite {
     val walkLen = 1
     val out = Graph.randomWalks(edges, starts, walkLen = walkLen, walksPerNode = 8)
       .as[(Long, Int, Int, Long)].collect()
-    // pinned: the walkLen+1 position checkpoints only (adj released)
-    assert(graft.ext.Checkpoints.pinnedCount(spark) <= before + walkLen + 1,
-      "randomWalks must release its edge/adjacency checkpoints")
+    // pinned: a CONSTANT three tables (start positions + adjacency +
+    // degrees) regardless of walk length — steps are lazy layers over
+    // them (r18), and the session owner reclaims after consuming
+    assert(graft.ext.Checkpoints.pinnedCount(spark) <= before + 3,
+      "randomWalks must pin only starts/adjacency/degrees")
+    graft.ext.Checkpoints.releaseAll(spark)
     val expected = spark.range(8).toDF("walk")
       .select($"walk",
         (pmod(graft.expressions.Md5Hash60.hash60(
