@@ -34,17 +34,29 @@ object Association {
   def pairRules(df: DataFrame, basketCol: String = "ok",
       itemCol: String = "pk", minSupport: Long = 3,
       topK: Int = 50): DataFrame = {
-    val li = df.select(col(basketCol).as("ok"), col(itemCol).as("pk"))
-      .distinct()
+    // r18: one per-basket grouping replaces the distinct + self-join
+    // on the basket key (which shuffled and sorted the item table
+    // twice); pairs are generated map-side from the sorted distinct
+    // basket array. Only ORDERED pairs (a < b) flow through the
+    // pair-support shuffle — half the bytes (guide: shuffle fewer
+    // bytes) — and both rule directions are mirrored from the
+    // aggregated table (s_ab is symmetric).
+    val baskets = df.select(col(basketCol).as("ok"), col(itemCol).as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("items"))
       .localCheckpoint() // feeds supports, pairs, and the basket total
-    val nOrders = li.select(countDistinct(col("ok"))).head().getLong(0)
-    val supp = li.groupBy("pk").agg(count(lit(1)).as("s"))
-    val a = li.select(col("ok"), col("pk").as("a"))
-    val b = li.select(col("ok"), col("pk").as("b"))
-    val pairs = a.join(b, Seq("ok"))
-      .filter(col("a") =!= col("b"))
+    val nOrders = baskets.count()
+    val supp = baskets.select(explode(col("items")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("s"))
+    val pairsOrd = baskets
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
       .filter(col("s_ab") >= minSupport)
+    val pairs = pairsOrd.unionAll(pairsOrd.select(
+      col("b").as("a"), col("a").as("b"), col("s_ab")))
     pairs
       .join(supp.select(col("pk").as("a"), col("s").as("s_a")), Seq("a"))
       .join(supp.select(col("pk").as("b"), col("s").as("s_b")), Seq("b"))

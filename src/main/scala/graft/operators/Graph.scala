@@ -290,7 +290,10 @@ object Graph {
     val nNodes = lab.count()
     def small(df: DataFrame): DataFrame =
       if (nNodes <= broadcastMaxNodes) broadcast(df) else df
-    val dTot = e.agg(count(lit(1)).as("big_d")) // D = 2m, one row
+    // D = 2m as a literal off the checkpointed edge table's own count
+    // (metadata-cheap) — r18: was a separate aggregation job whose
+    // 1-row result then rode a broadcast join
+    val dTot = lit(e.count()).as("big_d")
     val win = e
       .join(small(lab.select(col("node").as("src"), col("label").as("ls"))), "src")
       .join(small(lab.select(col("node").as("dst"), col("label").as("ld"))), "dst")
@@ -301,7 +304,7 @@ object Graph {
       .groupBy("label")
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
     val perC = dc.join(win, Seq("label"), "left")
-      .crossJoin(broadcast(dTot))
+      .withColumn("big_d", dTot)
       .select(col("label"), col("n_nodes"),
         coalesce(col("w_in"), lit(0L)).as("w_in"), col("d_tot"),
         round((coalesce(col("w_in"), lit(0L)).cast(DoubleType) /
@@ -401,16 +404,23 @@ object Graph {
     val nEdges = und.count()
     val smallGraph = nEdges <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
-    val deg = und.select(col("u").as("node"))
+    // one broadcast each for deg and adj through ALIASED references
+    // (r18): per-side renamed projections made the two sides'
+    // broadcast subtrees canonically different — the same table was
+    // built and shipped twice per join pair; aliases share one
+    // exchange via reuse
+    val deg = gate(und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
-    val oriented = und
-      .join(gate(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
-      .join(gate(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+      .groupBy("node").agg(count(lit(1)).as("deg")))
+    val flip = struct(col("du"), col("eu")) > struct(col("dv"), col("ev"))
+    val oriented = und.select(col("u").as("eu"), col("v").as("ev"))
+      .join(deg.as("D1"), col("eu") === col("D1.node"))
+      .join(deg.as("D2"), col("ev") === col("D2.node"))
+      .select(col("eu"), col("ev"),
+        col("D1.deg").as("du"), col("D2.deg").as("dv"))
       .select(
-        when(flip, col("v")).otherwise(col("u")).as("src"),
-        when(flip, col("u")).otherwise(col("v")).as("dst"))
+        when(flip, col("ev")).otherwise(col("eu")).as("src"),
+        when(flip, col("eu")).otherwise(col("ev")).as("dst"))
       .localCheckpoint()
     // und is fully folded into `oriented` (deg was a lazy subtree of
     // the orientation job) and n_edges is the literal above — release
@@ -423,17 +433,17 @@ object Graph {
     // wedge set as rows — on a dense co-purchase graph the row-based
     // wedge join produced 34× more intermediate rows than edges.
     // Orientation still bounds every adjacency list at O(√m) entries.
-    val adj = oriented.groupBy(col("src"))
+    val adjT = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("od"))
       .localCheckpoint()
     // wedge count = Σ C(outdeg, 2) — an aggregation, never a join
-    val nWedges = adj.agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L))
+    val nWedges = adjT.agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L))
       .as("n_wedges"))
-    def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
-    oriented
-      .join(gate(side("a")), col("src") === col("a"))
-      .join(gate(side("b")), col("dst") === col("b"))
-      .select(size(array_intersect(col("n_a"), col("n_b"))).as("tc"))
+    val adj = gate(adjT.select(col("src"), col("nbrs")))
+    oriented.select(col("src").as("ps"), col("dst").as("pd"))
+      .join(adj.as("A"), col("ps") === col("A.src"))
+      .join(adj.as("B"), col("pd") === col("B.src"))
+      .select(size(array_intersect(col("A.nbrs"), col("B.nbrs"))).as("tc"))
       .agg(coalesce(sum(col("tc")), lit(0L)).as("n_triangles"))
       .withColumn("n_edges", lit(nEdges))
       .crossJoin(nWedges)
@@ -980,31 +990,39 @@ object Graph {
     val nEdges = und.count()
     val smallGraph = nEdges <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
+    // deg feeds the two orientation lookups AND the final lcc join —
+    // checkpoint once; broadcast through ALIASED references so both
+    // orientation sides share one exchange (r18, the triangleCount
+    // discipline)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
-    val oriented = und
-      .join(gate(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
-      .join(gate(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
-      .select(
-        when(flip, col("v")).otherwise(col("u")).as("src"),
-        when(flip, col("u")).otherwise(col("v")).as("dst"))
       .localCheckpoint()
-    val adj = oriented.groupBy(col("src"))
+    val degB = gate(deg)
+    val flip = struct(col("du"), col("eu")) > struct(col("dv"), col("ev"))
+    val oriented = und.select(col("u").as("eu"), col("v").as("ev"))
+      .join(degB.as("D1"), col("eu") === col("D1.node"))
+      .join(degB.as("D2"), col("ev") === col("D2.node"))
+      .select(col("eu"), col("ev"),
+        col("D1.deg").as("du"), col("D2.deg").as("dv"))
+      .select(
+        when(flip, col("ev")).otherwise(col("eu")).as("src"),
+        when(flip, col("eu")).otherwise(col("ev")).as("dst"))
+      .localCheckpoint()
+    val adjC = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint()
-    def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
+    val adj = gate(adjC)
     // each triangle (src, dst, w) credits all three member nodes —
     // in ONE pass (r18): `tri` is lazy (the wedge join), so the
     // previous union-of-three-projections re-ran the adjacency
     // intersection three times; exploding the member array keeps the
     // wedge work single-pass and the credit count map-side combined.
-    val credits = oriented
-      .join(gate(side("a")), col("src") === col("a"))
-      .join(gate(side("b")), col("dst") === col("b"))
-      .select(col("src"), col("dst"),
-        explode(array_intersect(col("n_a"), col("n_b"))).as("w"))
+    val credits = oriented.select(col("src").as("ps"), col("dst").as("pd"))
+      .join(adj.as("A"), col("ps") === col("A.src"))
+      .join(adj.as("B"), col("pd") === col("B.src"))
+      .select(col("ps").as("src"), col("pd").as("dst"),
+        explode(array_intersect(col("A.nbrs"), col("B.nbrs"))).as("w"))
       .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     val out = deg.join(credits, Seq("node"), "left")
@@ -1016,7 +1034,7 @@ object Graph {
             (col("deg") * (col("deg") - 1L)).cast(DoubleType)), 6)
           .as("lcc"))
       .localCheckpoint()
-    graft.ext.Checkpoints.release(und, oriented, adj)
+    graft.ext.Checkpoints.release(und, oriented, adjC, deg)
     out
   }
 
@@ -1102,25 +1120,31 @@ object Graph {
     // member-edge form, which is a pure codegen map re-derived where
     // needed (canonCols below).
     def triangles3(ed: DataFrame): DataFrame = {
-      val deg = ed.select(col("u").as("node"))
+      // one broadcast each for deg and adj, referenced through ALIASES
+      // (r18): projecting per-side column renames made the two sides'
+      // broadcast subtrees canonically different, so the same table
+      // was built and shipped twice per join pair; aliased references
+      // share one exchange via reuse.
+      val deg = gate(ed.select(col("u").as("node"))
         .unionAll(ed.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val flip = struct(col("du"), col("u")) > struct(col("dv"), col("v"))
-      val oriented = ed
-        .join(gate(deg.select(col("node").as("u"), col("deg").as("du"))), "u")
-        .join(gate(deg.select(col("node").as("v"), col("deg").as("dv"))), "v")
+        .groupBy("node").agg(count(lit(1)).as("deg")))
+      val flip = struct(col("du"), col("eu")) > struct(col("dv"), col("ev"))
+      val oriented = ed.select(col("u").as("eu"), col("v").as("ev"))
+        .join(deg.as("D1"), col("eu") === col("D1.node"))
+        .join(deg.as("D2"), col("ev") === col("D2.node"))
+        .select(col("eu"), col("ev"),
+          col("D1.deg").as("du"), col("D2.deg").as("dv"))
         .select(
-          when(flip, col("v")).otherwise(col("u")).as("src"),
-          when(flip, col("u")).otherwise(col("v")).as("dst"))
+          when(flip, col("ev")).otherwise(col("eu")).as("src"),
+          when(flip, col("eu")).otherwise(col("ev")).as("dst"))
         .localCheckpoint()
-      val adj = oriented.groupBy(col("src"))
-        .agg(collect_list(col("dst")).as("nbrs"))
-      def side(k: String) = adj.select(col("src").as(k), col("nbrs").as(s"n_$k"))
-      val out = oriented
-        .join(gate(side("a")), col("src") === col("a"))
-        .join(gate(side("b")), col("dst") === col("b"))
-        .select(col("src"), col("dst"),
-          explode(array_intersect(col("n_a"), col("n_b"))).as("w"))
+      val adj = gate(oriented.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs")))
+      val out = oriented.select(col("src").as("ps"), col("dst").as("pd"))
+        .join(adj.as("A"), col("ps") === col("A.src"))
+        .join(adj.as("B"), col("pd") === col("B.src"))
+        .select(col("ps").as("src"), col("pd").as("dst"),
+          explode(array_intersect(col("A.nbrs"), col("B.nbrs"))).as("w"))
         .localCheckpoint()
       graft.ext.Checkpoints.release(oriented)
       out
@@ -1302,9 +1326,27 @@ object Graph {
     // the scheme is scale-adaptive, not local-tuned.
     var remAcc: DataFrame = null; var remCnt = 0L
     var delAcc: DataFrame = null; var delCnt = 0L
-    def bflag(d: DataFrame, cu: String, cv: String, f: String) =
-      broadcast(d.select(col("u").as(cu), col("v").as(cv),
-        lit(true).as(f)))
+    // flag a canonical-edge triple against an (u, v) edge table in
+    // THREE aliased left joins over ONE broadcast (r18): per-side
+    // renamed projections made each side's broadcast subtree
+    // canonically distinct, so the same tiny shell table was built
+    // and shipped three times per scan; aliased references share one
+    // exchange. Matched side-k ⟺ col("<pre>k.u").isNotNull.
+    def flag3(t6: DataFrame, edges: DataFrame, pre: String,
+        bcast: Boolean): DataFrame = {
+      val f = if (bcast) broadcast(edges) else edges
+      t6.join(f.as(s"${pre}1"),
+          col("e1u") === col(s"${pre}1.u") &&
+            col("e1v") === col(s"${pre}1.v"), "left")
+        .join(f.as(s"${pre}2"),
+          col("e2u") === col(s"${pre}2.u") &&
+            col("e2v") === col(s"${pre}2.v"), "left")
+        .join(f.as(s"${pre}3"),
+          col("e3u") === col(s"${pre}3.u") &&
+            col("e3v") === col(s"${pre}3.v"), "left")
+    }
+    def anyHit(pre: String) = col(s"${pre}1.u").isNotNull ||
+      col(s"${pre}2.u").isNotNull || col(s"${pre}3.u").isNotNull
     // current support = seeded sup minus tombstoned edges, minus
     // accumulated credits — a join view over the checkpointed
     // tables, no rewrite (map-side while the accumulators fit the
@@ -1335,15 +1377,10 @@ object Graph {
       val nextSup = s.localCheckpoint()
       val t6 = tri3.select((col("src") +: col("dst") +: col("w") +:
         canonCols): _*)
-      def rflag(cu: String, cv: String, f: String) =
-        g(remAcc.select(col("u").as(cu), col("v").as(cv),
-          lit(true).as(f)), remCnt)
       val nextTri =
         (if (remCnt > 0)
-          t6.join(rflag("e1u", "e1v", "c1"), Seq("e1u", "e1v"), "left")
-            .join(rflag("e2u", "e2v", "c2"), Seq("e2u", "e2v"), "left")
-            .join(rflag("e3u", "e3v", "c3"), Seq("e3u", "e3v"), "left")
-            .filter(col("c1").isNull && col("c2").isNull && col("c3").isNull)
+          flag3(t6, remAcc, "c", remCnt <= broadcastMaxEdges)
+            .filter(!anyHit("c"))
             .select(col("src"), col("dst"), col("w"))
         else tri3).localCheckpoint()
       val dead = Seq(Option(sup), Option(tri3), Option(remAcc),
@@ -1376,20 +1413,13 @@ object Graph {
         // newly-dead triangles = lost an edge to THIS round's shell
         // and had no edge already tombstoned (those died in an
         // earlier round and were credited then). One scan of tri3
-        // with ≤6 broadcast flag joins; rows in tri3 are unique by
-        // construction, so `dead` needs no distinct.
+        // with ≤6 flag joins over ≤2 shared broadcasts; rows in tri3
+        // are unique by construction, so `dead` needs no distinct.
         val t6 = tri3.select(canonCols: _*)
-        var dead = t6
-          .join(bflag(below, "e1u", "e1v", "d1"), Seq("e1u", "e1v"), "left")
-          .join(bflag(below, "e2u", "e2v", "d2"), Seq("e2u", "e2v"), "left")
-          .join(bflag(below, "e3u", "e3v", "d3"), Seq("e3u", "e3v"), "left")
-        if (remCnt > 0) dead = dead
-          .join(bflag(remAcc, "e1u", "e1v", "c1"), Seq("e1u", "e1v"), "left")
-          .join(bflag(remAcc, "e2u", "e2v", "c2"), Seq("e2u", "e2v"), "left")
-          .join(bflag(remAcc, "e3u", "e3v", "c3"), Seq("e3u", "e3v"), "left")
-          .filter(col("c1").isNull && col("c2").isNull && col("c3").isNull)
-        dead = dead.filter(col("d1").isNotNull || col("d2").isNotNull ||
-          col("d3").isNotNull)
+        var dead = flag3(t6, below, "d", bcast = true)
+        if (remCnt > 0) dead =
+          flag3(dead, remAcc, "c", bcast = true).filter(!anyHit("c"))
+        dead = dead.filter(anyHit("d"))
         // each newly-dead triangle credits each member edge once;
         // fold this round's credits into the accumulator (tiny:
         // bounded by 3 × cumulative dead triangles since the last
@@ -1428,30 +1458,11 @@ object Graph {
         // be folded BEFORE the shell enters remAcc-compaction, so
         // compute them against the pre-shell tombstone state
         val t6 = tri3.select(canonCols: _*)
-        val bGate: DataFrame => DataFrame =
-          if (belowCnt <= broadcastMaxEdges) broadcast else identity
-        def sflag(cu: String, cv: String, f: String) =
-          bGate(below.select(col("u").as(cu), col("v").as(cv),
-            lit(true).as(f)))
-        var dead = t6
-          .join(sflag("e1u", "e1v", "d1"), Seq("e1u", "e1v"), "left")
-          .join(sflag("e2u", "e2v", "d2"), Seq("e2u", "e2v"), "left")
-          .join(sflag("e3u", "e3v", "d3"), Seq("e3u", "e3v"), "left")
-        if (hadRem) {
-          def cflag(cu: String, cv: String, f: String) =
-            (if (remCnt - belowCnt <= broadcastMaxEdges)
-              broadcast(remAcc.select(col("u").as(cu), col("v").as(cv),
-                lit(true).as(f)))
-            else remAcc.select(col("u").as(cu), col("v").as(cv),
-              lit(true).as(f)))
-          dead = dead
-            .join(cflag("e1u", "e1v", "c1"), Seq("e1u", "e1v"), "left")
-            .join(cflag("e2u", "e2v", "c2"), Seq("e2u", "e2v"), "left")
-            .join(cflag("e3u", "e3v", "c3"), Seq("e3u", "e3v"), "left")
-            .filter(col("c1").isNull && col("c2").isNull && col("c3").isNull)
-        }
-        dead = dead.filter(col("d1").isNotNull || col("d2").isNotNull ||
-          col("d3").isNotNull)
+        var dead = flag3(t6, below, "d", belowCnt <= broadcastMaxEdges)
+        if (hadRem) dead = flag3(dead, remAcc, "c",
+            remCnt - belowCnt <= broadcastMaxEdges)
+          .filter(!anyHit("c"))
+        dead = dead.filter(anyHit("d"))
         val roundDelta = creditsOf(dead)
           .groupBy("u", "v").agg(count(lit(1)).as("delta"))
         val nextDel =
