@@ -413,6 +413,9 @@ object Graph {
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg")))
     val flip = struct(col("du"), col("eu")) > struct(col("dv"), col("ev"))
+    // oriented is LAZY (r18): its only consumer is the adjacency
+    // aggregation right below, so checkpointing it paid a full
+    // edge-table materialization for nothing
     val oriented = und.select(col("u").as("eu"), col("v").as("ev"))
       .join(deg.as("D1"), col("eu") === col("D1.node"))
       .join(deg.as("D2"), col("ev") === col("D2.node"))
@@ -421,10 +424,6 @@ object Graph {
       .select(
         when(flip, col("ev")).otherwise(col("eu")).as("src"),
         when(flip, col("eu")).otherwise(col("ev")).as("dst"))
-      .localCheckpoint()
-    // und is fully folded into `oriented` (deg was a lazy subtree of
-    // the orientation job) and n_edges is the literal above — release
-    graft.ext.Checkpoints.release(und)
     // Adjacency-intersection counting: for each oriented edge (a, b),
     // triangles closed through it are |N⁺(a) ∩ N⁺(b)| (the third
     // vertex is the ≺-max, so each triangle is counted exactly once
@@ -436,14 +435,24 @@ object Graph {
     val adjT = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("od"))
       .localCheckpoint()
+    // und fed the adjacency job just materialized; n_edges is the
+    // literal above — release
+    graft.ext.Checkpoints.release(und)
     // wedge count = Σ C(outdeg, 2) — an aggregation, never a join
     val nWedges = adjT.agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L))
       .as("n_wedges"))
     val adj = gate(adjT.select(col("src"), col("nbrs")))
-    oriented.select(col("src").as("ps"), col("dst").as("pd"))
-      .join(adj.as("A"), col("ps") === col("A.src"))
+    // The probe stream IS the adjacency table exploded (r18): each
+    // (src → nbrs) row yields exactly the oriented edges (src, dst)
+    // with N⁺(src) already attached, so the former oriented-side
+    // checkpoint AND its join against adj both disappear — one scan
+    // of adjT replaces [checkpoint write + read + join]; above the
+    // broadcast gate it is one exchange fewer (the explode inherits
+    // adjT's partitioning, only the dst-keyed join shuffles).
+    adjT.as("A")
+      .select(col("A.nbrs").as("n_a"), explode(col("A.nbrs")).as("pd"))
       .join(adj.as("B"), col("pd") === col("B.src"))
-      .select(size(array_intersect(col("A.nbrs"), col("B.nbrs"))).as("tc"))
+      .select(size(array_intersect(col("n_a"), col("B.nbrs"))).as("tc"))
       .agg(coalesce(sum(col("tc")), lit(0L)).as("n_triangles"))
       .withColumn("n_edges", lit(nEdges))
       .crossJoin(nWedges)
@@ -1000,6 +1009,8 @@ object Graph {
       .localCheckpoint()
     val degB = gate(deg)
     val flip = struct(col("du"), col("eu")) > struct(col("dv"), col("ev"))
+    // oriented is LAZY (r18): its only consumer is the adjacency
+    // aggregation — see triangleCount for the discipline
     val oriented = und.select(col("u").as("eu"), col("v").as("ev"))
       .join(degB.as("D1"), col("eu") === col("D1.node"))
       .join(degB.as("D2"), col("ev") === col("D2.node"))
@@ -1008,7 +1019,6 @@ object Graph {
       .select(
         when(flip, col("ev")).otherwise(col("eu")).as("src"),
         when(flip, col("eu")).otherwise(col("ev")).as("dst"))
-      .localCheckpoint()
     val adjC = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint()
@@ -1018,11 +1028,16 @@ object Graph {
     // previous union-of-three-projections re-ran the adjacency
     // intersection three times; exploding the member array keeps the
     // wedge work single-pass and the credit count map-side combined.
-    val credits = oriented.select(col("src").as("ps"), col("dst").as("pd"))
-      .join(adj.as("A"), col("ps") === col("A.src"))
+    // The probe stream is adjC EXPLODED (r18): each (src → nbrs) row
+    // yields the oriented edges with N⁺(src) attached, so the former
+    // oriented checkpoint and its adj join disappear (one exchange
+    // fewer above the broadcast gate).
+    val credits = adjC.as("A")
+      .select(col("A.src").as("ps"), col("A.nbrs").as("n_a"),
+        explode(col("A.nbrs")).as("pd"))
       .join(adj.as("B"), col("pd") === col("B.src"))
       .select(col("ps").as("src"), col("pd").as("dst"),
-        explode(array_intersect(col("A.nbrs"), col("B.nbrs"))).as("w"))
+        explode(array_intersect(col("n_a"), col("B.nbrs"))).as("w"))
       .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     val out = deg.join(credits, Seq("node"), "left")
@@ -1034,7 +1049,7 @@ object Graph {
             (col("deg") * (col("deg") - 1L)).cast(DoubleType)), 6)
           .as("lcc"))
       .localCheckpoint()
-    graft.ext.Checkpoints.release(und, oriented, adjC, deg)
+    graft.ext.Checkpoints.release(und, adjC, deg)
     out
   }
 
@@ -1129,6 +1144,9 @@ object Graph {
         .unionAll(ed.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg")))
       val flip = struct(col("du"), col("eu")) > struct(col("dv"), col("ev"))
+      // oriented is LAZY (r18): its only consumer is the adjacency
+      // aggregation, so checkpointing it paid a full edge-table
+      // materialization for nothing
       val oriented = ed.select(col("u").as("eu"), col("v").as("ev"))
         .join(deg.as("D1"), col("eu") === col("D1.node"))
         .join(deg.as("D2"), col("ev") === col("D2.node"))
@@ -1137,16 +1155,24 @@ object Graph {
         .select(
           when(flip, col("ev")).otherwise(col("eu")).as("src"),
           when(flip, col("eu")).otherwise(col("ev")).as("dst"))
+      val adjC = oriented.groupBy(col("src"))
+        .agg(collect_list(col("dst")).as("nbrs"))
         .localCheckpoint()
-      val adj = gate(oriented.groupBy(col("src"))
-        .agg(collect_list(col("dst")).as("nbrs")))
-      val out = oriented.select(col("src").as("ps"), col("dst").as("pd"))
-        .join(adj.as("A"), col("ps") === col("A.src"))
+      val adj = gate(adjC)
+      // The probe stream is adjC EXPLODED (r18): each (src → nbrs)
+      // row yields exactly the oriented edges (src, dst) with N⁺(src)
+      // already attached, so the former oriented checkpoint AND its
+      // join against adj both disappear; above the broadcast gate it
+      // is one exchange fewer (the explode inherits adjC's
+      // partitioning — only the dst-keyed probe join shuffles).
+      val out = adjC.as("A")
+        .select(col("A.src").as("ps"), col("A.nbrs").as("n_a"),
+          explode(col("A.nbrs")).as("pd"))
         .join(adj.as("B"), col("pd") === col("B.src"))
         .select(col("ps").as("src"), col("pd").as("dst"),
-          explode(array_intersect(col("A.nbrs"), col("B.nbrs"))).as("w"))
+          explode(array_intersect(col("n_a"), col("B.nbrs"))).as("w"))
         .localCheckpoint()
-      graft.ext.Checkpoints.release(oriented)
+      graft.ext.Checkpoints.release(adjC)
       out
     }
     // canonical (u < v) member edges of a (src, dst, w) triangle row

@@ -441,6 +441,32 @@ class GraphSpec extends AnyFunSuite {
     graft.ext.Checkpoints.releaseAll(spark)
   }
 
+  test("triangle enumeration: wheel-graph hand counts, broadcast gate off ≡ on (r18 exploded probe stream)") {
+    import spark.implicits._
+    // Wheel W5: hub 0 joined to a 5-cycle 1-2-3-4-5-1. 10 edges,
+    // 5 triangles (one per rim edge), every rim node lcc = 2/3
+    // (deg 3, 2 triangles), hub lcc = 5/C(5,2) = 0.5. The hub's
+    // orientation out-degree is large relative to the graph — the
+    // exploded-adjacency probe stream (r18) must still enumerate
+    // each triangle exactly once, on BOTH sides of the edge gate
+    // (gate off forces the keyed-join exchange shape).
+    val rim = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val edges = (rim ++ (1 to 5).map(i => (0L, i.toLong))).toDF("src", "dst")
+    for (gate <- Seq(20000000L, 0L)) {
+      val t = Graph.triangleCount(edges, broadcastMaxEdges = gate)
+        .as[(Long, Long, Long)].head()
+      assert(t._1 == 10L, s"gate=$gate edges: $t")
+      assert(t._3 == 5L, s"gate=$gate triangles: $t")
+      val lcc = Graph.localClustering(edges, broadcastMaxEdges = gate)
+        .collect().map(r => r.getAs[Long]("node") ->
+          ((r.getAs[Long]("tri"), r.getAs[Double]("lcc")))).toMap
+      assert(lcc(0L) == ((5L, 0.5)), s"gate=$gate hub: $lcc")
+      for (n <- 1L to 5L)
+        assert(lcc(n) == ((2L, 0.666667)), s"gate=$gate rim $n: $lcc")
+      graft.ext.Checkpoints.releaseAll(spark)
+    }
+  }
+
   test("richClub: clique core with pendants, hand-computed phi ladder") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + pendants 5,6 on node 1: deg(1)=5,
