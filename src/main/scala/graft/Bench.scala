@@ -4,6 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Hard wall budget (seconds) for the WHOLE run: the r18 32-core
+    // driver capture was killed externally (rc 124) mid-sweep and
+    // published nothing — an artifact with a degraded phase beats no
+    // artifact. Phases degrade in order of least information lost:
+    // warmup (skippable — readings get noisier, stay valid), second
+    // rep (min-of-1 instead of min-of-2), re-measure adjudication
+    // (bounded anyway), plan fingerprints (file-artifact only). The
+    // timed METHODOLOGY is unchanged whenever the budget is not hit.
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1800").toDouble
     // 1-min loadavg BEFORE any work starts: the contention gate's
     // input. The publish-time loadavg (also recorded) includes the
     // sweep's OWN tail — the q_ktruss_dist fingerprint pass alone
@@ -67,11 +78,21 @@ object Bench {
     val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0") {
+      var warmSkipped = 0
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        reclaim()
+        // a host so slow that warmup alone eats 35% of the budget
+        // cannot afford to warm the rest — readings for the skipped
+        // tail are noisier (codegen charged to rep 1, min-of-reps
+        // absorbs most of it) but the run FINISHES and publishes
+        if (elapsed < budget * 0.35) {
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          reclaim()
+        } else warmSkipped += 1
       }
+      if (warmSkipped > 0)
+        System.err.println(s"[bench] budget: skipped warmup for $warmSkipped queries")
+    }
     // 3-decimal (ms) precision keeps the whole line ~2.4 KB: the
     // driver captures a bounded tail of stdout, and full-precision
     // doubles pushed the single JSON line past that window (r1/r2
@@ -87,7 +108,11 @@ object Bench {
       dt
     }
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (1 to reps).map(_ => timeOnce(fn)).min
+      // past 60% of the budget, min-of-1 for the remaining queries:
+      // a single warm rep is the same methodology with one fewer
+      // sample, and it halves the remaining measured-pass cost
+      val r = if (elapsed < budget * 0.60) reps else 1
+      name -> (1 to r).map(_ => timeOnce(fn)).min
     }
     // Adjudicating second pass: a reading can still be contaminated by
     // sweep context (GC debt from the 250+ preceding queries, OS page
@@ -118,29 +143,57 @@ object Bench {
     // or two non-improving passes instead of doubling bench time.
     val kept = scala.collection.mutable.LinkedHashMap(firstPass: _*)
     val adjudicated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    var active = kept.toSeq.collect {
-      case (n, v) if floor.get(n).exists(f => v > f * 1.5) => n
-    }
+    // Drift-adaptive trigger (round 19): floors are best-EVER minima,
+    // often captured on an exceptionally fast window, while this
+    // host's effective speed moves ±30-60% between windows UNIFORMLY
+    // across queries (r18 adjudication: 123 remeasures on a loadavg-
+    // 4.8 window, every one tracking the untouched controls — pure
+    // drift, and the phase's cost is what got the 32-core driver
+    // capture killed). Re-measurement cannot fix uniform drift — the
+    // re-reads land on the same slow window — so the suspect trigger
+    // scales by the sweep's own median reading/floor ratio: only a
+    // query slow RELATIVE TO THIS WINDOW is sweep-context noise worth
+    // re-measuring. Uniform inflation still publishes (the readings
+    // and loadavg_start are in the artifact; tools/bench_delta.py
+    // withholds wall-time verdicts above loadavg 3 and flags real
+    // regressions vs floor+PREV regardless).
+    val ratios = firstPass.collect {
+      case (n, v) if v > 0 && floor.get(n).exists(_ > 0) => v / floor(n)
+    }.sorted
+    val driftEst = math.max(1.0,
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2))
+    def suspectAt(n: String, v: Double): Boolean =
+      floor.get(n).exists(f => v > f * 1.5 * driftEst)
+    var active = kept.toSeq.collect { case (n, v) if suspectAt(n, v) => n }
+    System.err.println(f"[bench] drift estimate (median reading/floor): $driftEst%.2f; " +
+      s"${active.size} suspects")
     var pass = 0
-    while (active.nonEmpty && pass < 6) {
+    var adjTruncated = false
+    // time-box: the phase stops at 75% of the wall budget no matter
+    // how many suspects remain — the summary publishes regardless
+    while (active.nonEmpty && pass < 6 && !adjTruncated) {
       val next = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (name <- active) {
-        System.gc()
-        val prev = kept(name)
-        val again = (1 to reps).map(_ => timeOnce(byName(name))).min
-        if (again > 0 && again < prev) {
-          adjudicated.getOrElseUpdate(name, firstPass.toMap.apply(name))
-          kept(name) = again
+      for (name <- active if !adjTruncated) {
+        if (elapsed > budget * 0.75) { adjTruncated = true }
+        else {
+          System.gc()
+          val prev = kept(name)
+          val again = (1 to reps).map(_ => timeOnce(byName(name))).min
+          if (again > 0 && again < prev) {
+            adjudicated.getOrElseUpdate(name, firstPass.toMap.apply(name))
+            kept(name) = again
+          }
+          // still improving >20% AND still a suspect at this window's
+          // drift → one more look; otherwise the reading has converged
+          // (real cost or real regression) and this query is settled
+          if (again > 0 && again < prev * 0.8 && suspectAt(name, kept(name)))
+            next += name
         }
-        // still improving >20% AND still above 1.5x floor → one more
-        // look; otherwise the reading has converged (real cost or
-        // real regression) and this query is settled
-        if (again > 0 && again < prev * 0.8 &&
-            floor.get(name).exists(f => kept(name) > f * 1.5)) next += name
       }
       pass += 1
       System.err.println(s"[bench] re-measure pass $pass: " +
-        s"${active.size} suspects, ${next.size} still improving")
+        s"${active.size} suspects, ${next.size} still improving" +
+        (if (adjTruncated) " (budget: phase truncated)" else ""))
       active = next.toSeq
     }
     val remeasured = adjudicated.toSeq.map { case (n, raw) => n -> (raw, kept(n)) }
@@ -176,8 +229,13 @@ object Bench {
       case _ => p.nodeName + (if (p.children.isEmpty) ""
         else p.children.map(shape).mkString("(", ",", ")"))
     }
+    var fpSkipped = 0
     val fps = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val fp = try {
+      // fingerprints are file-artifact only; past 92% of the budget
+      // the remaining ones are marked "skip" (tools treat skip like
+      // err: structurally blind there, counted, never a false match)
+      val fp = if (elapsed > budget * 0.92) { fpSkipped += 1; "skip" }
+      else try {
         val s = shape(fn(spark, sfDir).queryExecution.executedPlan)
         java.security.MessageDigest.getInstance("MD5").digest(
           s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
@@ -195,7 +253,10 @@ object Bench {
     // with "[info] ", which can defeat line-oriented parsers. The file
     // is the robust machine-readable artifact (tools/bench_delta.py
     // reads it).
-    val fileJson = json.stripSuffix("}") + s""","fingerprints":$fps}"""
+    if (fpSkipped > 0)
+      System.err.println(s"[bench] budget: skipped $fpSkipped plan fingerprints")
+    val fileJson = json.stripSuffix("}") +
+      s""","drift_est":${fmt(driftEst)},"budget":${fmt(budget)},"elapsed":${fmt(elapsed)},"fingerprints":$fps}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileJson + "\n").getBytes("UTF-8"))

@@ -1860,13 +1860,6 @@ object Curation {
         .agg(sum(col("x"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val stepDiv = math.max(1L, totalX / 100L)
-    // the doc-keyed state seeds off the feature table's bias rows
-    // (exactly one per doc) instead of a second corpus scan
-    var state = feats.filter(col("bucket") === lit(dims.toLong))
-      .select(col(idCol), col("y"))
-      .withColumn("spg", lit(0L)).withColumn("spg2", lit(0L))
-      .withColumn("ncorr", lit(0L))
-      .localCheckpoint()
     var w = spark.range(0)
       .select(col("id").as("bucket"), col("id").as("w_micro"))
     // margins + label in ONE aggregation over the pinned features
@@ -1877,35 +1870,33 @@ object Curation {
         .groupBy(col(idCol))
         .agg(sum(col("x") * coalesce(col("w_micro"), lit(0L))).as("m"),
           min(col("y")).as("my"))
-    def fold(snapshot: DataFrame): Unit = {
-      val s = lit(1.0) / (lit(1.0) +
-        exp(-(coalesce(col("m"), lit(0L)).cast(DoubleType) / lit(1000000.0))))
-      val pg = round((when(col("y") === 1L, s).otherwise(lit(1.0) - s))
-        * 1000000.0, 0).cast(LongType)
-      val corr = when((coalesce(col("m"), lit(0L)) > 0L) === (col("y") === 1L),
-        1L).otherwise(0L)
-      val next = state.join(snapshot.select(col(idCol), col("m")),
-          Seq(idCol), "left")
-        .select(col(idCol), col("y"),
-          (col("spg") + pg).as("spg"),
-          (col("spg2") + pg * pg).as("spg2"),
-          (col("ncorr") + corr).as("ncorr"))
-        .localCheckpoint()
-      Checkpoints.release(state)
-      state = next
-    }
+    // Batched fold (round 19, §2.4 remove passes): the sequential
+    // per-round state fold paid a doc-keyed join + a doc-sized
+    // localCheckpoint EVERY round (12 materializations whose job+
+    // checkpoint latency, not arithmetic, was the cost — the VERDICT
+    // r18 ask). Σpg, Σpg² and Σcorrect are exact-long sums per doc
+    // and long addition is order-free, so folding ALL round
+    // snapshots in ONE union aggregation at the end is bit-identical
+    // to the sequential fold — the DuckDB oracle replays the same
+    // unrolled margins either way. Each captured snapshot references
+    // that round's checkpointed weight table, which therefore stays
+    // pinned (tiny: ≤dims rows of 2 longs) until the final aggregate
+    // materializes.
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pinnedW = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iters) {
       // the top-of-round margins are scored with the PREVIOUS round's
       // updated weights — exactly the post-update snapshot of round
       // i−1 (round 0's all-zero model carries no signal: p = 0.5 for
       // every doc, a constant offset — so it is not captured). The
-      // margin plan feeds BOTH the state fold and the residual and is
-      // deliberately evaluated twice: the broadcast join over the
-      // checkpointed features re-runs cheaper than materializing the
-      // doc-sized margin table per round (measured 8.0 vs 9.4 s at
-      // sf0.1 — the checkpoint write is the slower path).
+      // margin plan feeds BOTH the snapshot buffer and the residual
+      // and is deliberately evaluated lazily twice: the broadcast
+      // join over the checkpointed features re-runs cheaper than
+      // materializing the doc-sized margin table per round (measured
+      // 8.0 vs 9.4 s at sf0.1 — the checkpoint write is the slower
+      // path).
       val margins = marginsOf(w)
-      if (i >= 2) fold(margins)
+      if (i >= 2) { snapshots += margins; pinnedW += w }
       val resid = margins
         .select(col(idCol),
           round((lit(1.0) / (lit(1.0) + exp(-(col("m")
@@ -1921,11 +1912,28 @@ object Curation {
             .as("w_micro"))
         .filter(col("w_micro") =!= 0L)
         .localCheckpoint()
-      Checkpoints.release(w)
+      // a pinned w feeds a captured snapshot — released after the
+      // final aggregate materializes, not per round
+      if (i < 2) Checkpoints.release(w)
       w = next
     }
-    fold(marginsOf(w)) // the final model's snapshot (round `iters`)
-    Checkpoints.release(feats, w)
+    snapshots += marginsOf(w) // the final model's snapshot (round `iters`)
+    pinnedW += w
+    // ONE union aggregation over all round snapshots — same pg/corr
+    // expressions the sequential fold applied, same exact-long sums
+    val sig = lit(1.0) / (lit(1.0) +
+      exp(-(coalesce(col("m"), lit(0L)).cast(DoubleType) / lit(1000000.0))))
+    val pg = round((when(col("y") === 1L, sig).otherwise(lit(1.0) - sig))
+      * 1000000.0, 0).cast(LongType)
+    val corr = when((coalesce(col("m"), lit(0L)) > 0L) === (col("y") === 1L),
+      1L).otherwise(0L)
+    val state = snapshots
+      .map(_.select(col(idCol), col("my").as("y"), col("m")))
+      .reduce(_.unionAll(_))
+      .select(col(idCol), pg.as("pg"), (pg * pg).as("pg2"), corr.as("corr"))
+      .groupBy(col(idCol))
+      .agg(sum(col("pg")).as("spg"), sum(col("pg2")).as("spg2"),
+        sum(col("corr")).as("ncorr"))
     val itersD = lit(iters.toDouble)
     val varNum = (lit(iters.toLong) * col("spg2") - col("spg") * col("spg"))
       .cast(DoubleType)
@@ -1940,7 +1948,7 @@ object Curation {
           .when(col("conf_micro") <= cartographyConfLoMicro, "hard")
           .otherwise("middle"))
       .localCheckpoint()
-    Checkpoints.release(state)
+    Checkpoints.release((feats +: pinnedW.toSeq): _*)
     out
   }
 

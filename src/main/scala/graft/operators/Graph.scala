@@ -1116,13 +1116,22 @@ object Graph {
     *         = triangles inside the truss */
   def kTruss(edges: DataFrame, k: Int = 4, maxRounds: Int = 30,
       broadcastMaxEdges: Long = 20000000L,
-      collectThreshold: Long = 5000000L): DataFrame = {
-    var e = edges.select(
+      collectThreshold: Long = 5000000L,
+      // phase-attribution hook (label, seconds): no-op by default;
+      // graft.tools.KtrussProbe passes a printer so attribution is
+      // measured ON the shipping operator instead of a mirror that
+      // goes stale (the r18 probe mirrored the pre-tombstone loop)
+      phaseTimer: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    def pt[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      phaseTimer(label, (System.nanoTime() - t0) / 1e9); r
+    }
+    var e = pt("edges ckpt") { edges.select(
         least(col("src"), col("dst")).cast(LongType).as("u"),
         greatest(col("src"), col("dst")).cast(LongType).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    val eCnt = e.count()
+      .localCheckpoint() }
+    val eCnt = pt("edges count")(e.count())
     val smallGraph = eCnt <= broadcastMaxEdges
     def gate(t: DataFrame): DataFrame = if (smallGraph) broadcast(t) else t
     // One-shot triangle enumeration via the [[triangleCount]]
@@ -1155,9 +1164,9 @@ object Graph {
         .select(
           when(flip, col("ev")).otherwise(col("eu")).as("src"),
           when(flip, col("eu")).otherwise(col("ev")).as("dst"))
-      val adjC = oriented.groupBy(col("src"))
+      val adjC = pt("adjacency ckpt") { oriented.groupBy(col("src"))
         .agg(collect_list(col("dst")).as("nbrs"))
-        .localCheckpoint()
+        .localCheckpoint() }
       val adj = gate(adjC)
       // The probe stream is adjC EXPLODED (r18): each (src → nbrs)
       // row yields exactly the oriented edges (src, dst) with N⁺(src)
@@ -1165,13 +1174,13 @@ object Graph {
       // join against adj both disappear; above the broadcast gate it
       // is one exchange fewer (the explode inherits adjC's
       // partitioning — only the dst-keyed probe join shuffles).
-      val out = adjC.as("A")
+      val out = pt("tri3 ckpt") { adjC.as("A")
         .select(col("A.src").as("ps"), col("A.nbrs").as("n_a"),
           explode(col("A.nbrs")).as("pd"))
         .join(adj.as("B"), col("pd") === col("B.src"))
         .select(col("ps").as("src"), col("pd").as("dst"),
           explode(array_intersect(col("n_a"), col("B.nbrs"))).as("w"))
-        .localCheckpoint()
+        .localCheckpoint() }
       graft.ext.Checkpoints.release(adjC)
       out
     }
@@ -1194,22 +1203,24 @@ object Graph {
           struct(col("e3u").as("u"), col("e3v").as("v")))).as("te"))
         .select(col("te.u").as("u"), col("te.v").as("v"))
     var tri3 = triangles3(e)
-    val triCnt = tri3.count()
+    val triCnt = pt("tri3 count")(tri3.count())
     if (eCnt <= collectThreshold && triCnt <= collectThreshold) {
       // in-memory worklist peel: CSR edge→triangle index, each dead
       // triangle hands one decrement to each of its other live edges
       val callerSession = e.sparkSession
       import callerSession.implicits._
-      val eRows = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val eRows = pt("fast collect edges") {
+        e.collect().map(r => (r.getLong(0), r.getLong(1))) }
       // canonicalize the 3-col triangle rows on the driver — the
       // min/max per row is driver-trivial next to halving the
       // collect's row width
-      val tRows = tri3.collect().map { r =>
+      val tRows = pt("fast collect triangles") { tri3.collect().map { r =>
         val s = r.getLong(0); val d = r.getLong(1); val w = r.getLong(2)
         (math.min(s, d), math.max(s, d), math.min(s, w), math.max(s, w),
           math.min(d, w), math.max(d, w))
-      }
+      } }
       graft.ext.Checkpoints.release(e, tri3) // on the driver now
+      val tIdx0 = System.nanoTime()
       val idx = new java.util.HashMap[(Long, Long), Int](eRows.length * 2)
       var i = 0
       while (i < eRows.length) { idx.put(eRows(i), i); i += 1 }
@@ -1248,6 +1259,7 @@ object Graph {
         }
         i += 1
       }
+      phaseTimer("fast index+csr build", (System.nanoTime() - tIdx0) / 1e9)
       val alive = Array.fill(eRows.length)(true)
       val triAlive = Array.fill(tRows.length)(true)
       val need = (k - 2).max(0)
@@ -1265,7 +1277,7 @@ object Graph {
       // keep applying to pending-but-not-yet-removed edges, exactly
       // as the distributed sup table keeps decrementing edges that
       // are still in e.
-      if (need > 0) {
+      if (need > 0) pt("fast peel") {
         val pending = new Array[Boolean](eRows.length)
         var frontier = new java.util.ArrayDeque[Int]()
         i = 0
@@ -1308,9 +1320,9 @@ object Graph {
           rnd += 1
         }
       }
-      val out = eRows.indices.collect {
+      val out = pt("fast result build") { eRows.indices.collect {
         case j if alive(j) => (eRows(j)._1, eRows(j)._2, support(j).toLong)
-      }
+      } }
       return out.toSeq.toDF("src", "dst", "support")
     }
     // the ONE full 3-credits-per-triangle count. r18: seeding is a
@@ -1324,7 +1336,7 @@ object Graph {
     // every other edge's peel trajectory, and the survivor set,
     // bit-identical while skipping an edge-table-sized union through
     // the seeding shuffle.
-    var sup = {
+    var sup = pt("seed sup ckpt") {
       val credits = creditsOf(tri3.select(canonCols: _*))
         .select(col("u"), col("v"), lit(1L).as("c"))
       // (maxRounds >= 1 guard: a zero-round call never executes the
@@ -1422,8 +1434,9 @@ object Graph {
     // (the 2-truss IS the whole graph) — skip peeling; the seeded
     // sup, zeros and all, is already the answer.
     while (!converged && round < maxRounds && k > 2) {
-      val below = curSup().filter(col("support") < need)
-        .select("u", "v").localCheckpoint()
+      val below = pt(s"r$round below ckpt") {
+        curSup().filter(col("support") < need)
+          .select("u", "v").localCheckpoint() }
       val belowCnt = below.count()
       if (belowCnt == 0) {
         converged = true
@@ -1450,18 +1463,18 @@ object Graph {
         // fold this round's credits into the accumulator (tiny:
         // bounded by 3 × cumulative dead triangles since the last
         // compaction, counted for the gate above)
-        val roundDelta = creditsOf(dead)
-          .groupBy("u", "v").agg(count(lit(1)).as("delta"))
-        val nextDel =
+        val nextDel = pt(s"r$round delta ckpt") {
+          val roundDelta = creditsOf(dead)
+            .groupBy("u", "v").agg(count(lit(1)).as("delta"))
           (if (delCnt > 0) delAcc.unionAll(roundDelta)
             .groupBy("u", "v").agg(sum(col("delta")).as("delta"))
-          else roundDelta).localCheckpoint()
+          else roundDelta).localCheckpoint() }
         delCnt = nextDel.count()
         // below is already checkpointed — it IS the accumulator when
         // none existed; union-and-rematerialize only when folding
-        val nextRem =
+        val nextRem = pt(s"r$round rem ckpt") {
           if (remCnt > 0) remAcc.unionAll(below).localCheckpoint()
-          else below
+          else below }
         val deadCk = Seq(Option(delAcc),
           Option(if (remCnt > 0) remAcc else null),
           Option(if (remCnt > 0) below else null)).flatten
@@ -1476,9 +1489,9 @@ object Graph {
         // pass over the compacted tables. To guarantee progress the
         // shell itself joins in as tombstones first.
         val hadRem = remCnt > 0
-        val nextRem =
+        val nextRem = pt(s"r$round rem ckpt (pre-compact)") {
           if (hadRem) remAcc.unionAll(below).localCheckpoint()
-          else below
+          else below }
         remCnt += belowCnt
         // credit deltas for triangles newly dead to this shell must
         // be folded BEFORE the shell enters remAcc-compaction, so
@@ -1489,19 +1502,19 @@ object Graph {
             remCnt - belowCnt <= broadcastMaxEdges)
           .filter(!anyHit("c"))
         dead = dead.filter(anyHit("d"))
-        val roundDelta = creditsOf(dead)
-          .groupBy("u", "v").agg(count(lit(1)).as("delta"))
-        val nextDel =
+        val nextDel = pt(s"r$round delta ckpt (pre-compact)") {
+          val roundDelta = creditsOf(dead)
+            .groupBy("u", "v").agg(count(lit(1)).as("delta"))
           (if (delCnt > 0) delAcc.unionAll(roundDelta)
             .groupBy("u", "v").agg(sum(col("delta")).as("delta"))
-          else roundDelta).localCheckpoint()
+          else roundDelta).localCheckpoint() }
         delCnt = nextDel.count()
         val deadCk = Seq(Option(delAcc),
           Option(if (hadRem) remAcc else null),
           Option(if (hadRem) below else null)).flatten
         graft.ext.Checkpoints.release(deadCk: _*)
         delAcc = nextDel; remAcc = nextRem
-        compact()
+        pt(s"r$round compact")(compact())
       }
       round += 1
     }
@@ -1509,8 +1522,9 @@ object Graph {
     // construction at convergence, at a maxRounds bail-out (the
     // pending shell stays, with its maintained supports — identical
     // to the fast path's shell-capped exit), and for k <= 2
-    val out = curSup().select(col("u").as("src"), col("v").as("dst"),
-        col("support")).localCheckpoint()
+    val out = pt("final fold ckpt") {
+      curSup().select(col("u").as("src"), col("v").as("dst"),
+        col("support")).localCheckpoint() }
     val deadFin = Seq(Option(sup), Option(tri3), Option(remAcc),
       Option(delAcc)).flatten
     graft.ext.Checkpoints.release(deadFin: _*)

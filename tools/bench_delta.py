@@ -89,7 +89,8 @@ def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
     # record.
     plan_changed = {q for q in cur_fp
                     if q in floor_fp and cur_fp[q] != floor_fp[q]
-                    and cur_fp[q] != "err" and floor_fp[q] != "err"}
+                    and cur_fp[q] not in ("err", "skip")
+                    and floor_fp[q] not in ("err", "skip")}
     for q in sorted(plan_changed):
         t, f = cur.get(q), floor.get(q)
         verdict = ""
@@ -125,7 +126,7 @@ def main(cur_path, floor_path="BENCH_FLOOR.json", prev_path=None):
     # planning failure would otherwise silently disable the structural
     # gate (every err query drops out of plan_changed), so the count is
     # part of the gate output.
-    errs = sorted(q for q, fp in cur_fp.items() if fp == "err")
+    errs = sorted(q for q, fp in cur_fp.items() if fp in ("err", "skip"))
     if errs:
         print(f"WARNING: {len(errs)} query plan fingerprint(s) errored "
               f"(structural gate blind there): {', '.join(errs[:10])}"

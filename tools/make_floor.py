@@ -49,7 +49,7 @@ def main(paths):
     fps = {}
     for p, d in runs:
         for q, fp in d.get("fingerprints", {}).items():
-            if fp == "err":
+            if fp in ("err", "skip"):
                 continue
             if q in fps and fps[q] != fp:
                 raise SystemExit(
