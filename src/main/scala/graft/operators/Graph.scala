@@ -1209,49 +1209,79 @@ object Graph {
       // triangle hands one decrement to each of its other live edges
       val callerSession = e.sparkSession
       import callerSession.implicits._
-      val eRows = pt("fast collect edges") {
-        e.collect().map(r => (r.getLong(0), r.getLong(1))) }
-      // canonicalize the 3-col triangle rows on the driver — the
-      // min/max per row is driver-trivial next to halving the
-      // collect's row width
-      val tRows = pt("fast collect triangles") { tri3.collect().map { r =>
-        val s = r.getLong(0); val d = r.getLong(1); val w = r.getLong(2)
-        (math.min(s, d), math.max(s, d), math.min(s, w), math.max(s, w),
-          math.min(d, w), math.max(d, w))
-      } }
+      // Primitive-array collect + open-addressing edge index (r19):
+      // the boxed (Long, Long) tuple array and java.util.HashMap
+      // index cost more than the whole peel — the phase probe read
+      // 3.8-5.1 s of index build against 0.03 s of peel at sf0.1,
+      // nearly all boxing, tuple allocation and GC. Two parallel
+      // long arrays + linear-probing open addressing (power-of-2
+      // capacity, load <= 0.5, mixed 64-bit hash — endpoint ids are
+      // arbitrary longs, no 32-bit packing) make the index ~free.
+      val eRowsRaw = pt("fast collect edges")(e.collect())
+      val m = eRowsRaw.length
+      val eu = new Array[Long](m); val ev = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val r = eRowsRaw(i); eu(i) = r.getLong(0); ev(i) = r.getLong(1)
+        i += 1
+      }
+      val tRowsRaw = pt("fast collect triangles")(tri3.collect())
       graft.ext.Checkpoints.release(e, tri3) // on the driver now
       val tIdx0 = System.nanoTime()
-      val idx = new java.util.HashMap[(Long, Long), Int](eRows.length * 2)
-      var i = 0
-      while (i < eRows.length) { idx.put(eRows(i), i); i += 1 }
-      val support = new Array[Int](eRows.length)
-      val triEdge = new Array[Int](tRows.length * 3)
+      var cap = 4
+      while (cap < m * 2) cap <<= 1
+      val mask = cap - 1
+      val slot = new Array[Int](cap)
+      java.util.Arrays.fill(slot, -1)
+      def mix(u: Long, v: Long): Int = {
+        var h = u * 0x9E3779B97F4A7C15L ^ (v + 0xC2B2AE3D27D4EB4FL)
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        (h & mask).toInt
+      }
+      i = 0
+      while (i < m) {
+        var s = mix(eu(i), ev(i))
+        while (slot(s) != -1) s = (s + 1) & mask
+        slot(s) = i
+        i += 1
+      }
       // every triangle's three canonical edges are members of e BY
       // CONSTRUCTION (the enumeration intersects e's own oriented
-      // adjacency lists), so these lookups cannot miss — the
-      // fast≡distributed GraphSpec equivalence and the sf0.1
-      // result-identity back the invariant empirically
+      // adjacency lists), so these lookups cannot miss — a miss
+      // fail-fasts on the -1 sentinel (the documented invariant; the
+      // fast≡distributed GraphSpec equivalence backs it empirically)
+      def edgeIdx(u: Long, v: Long): Int = {
+        var s = mix(u, v)
+        var e0 = slot(s)
+        while (eu(e0) != u || ev(e0) != v) { s = (s + 1) & mask; e0 = slot(s) }
+        e0
+      }
+      val nTri = tRowsRaw.length
+      val support = new Array[Int](m)
+      val triEdge = new Array[Int](nTri * 3)
+      // canonicalize the 3-col triangle rows on the fly — min/max per
+      // row is driver-trivial next to halving the collect's row width
       i = 0
-      while (i < tRows.length) {
-        val t = tRows(i)
-        triEdge(3 * i) = idx.get((t._1, t._2))
-        triEdge(3 * i + 1) = idx.get((t._3, t._4))
-        triEdge(3 * i + 2) = idx.get((t._5, t._6))
-        support(triEdge(3 * i)) += 1
-        support(triEdge(3 * i + 1)) += 1
-        support(triEdge(3 * i + 2)) += 1
+      while (i < nTri) {
+        val r = tRowsRaw(i)
+        val s0 = r.getLong(0); val d0 = r.getLong(1); val w0 = r.getLong(2)
+        val a = edgeIdx(math.min(s0, d0), math.max(s0, d0))
+        val b = edgeIdx(math.min(s0, w0), math.max(s0, w0))
+        val c = edgeIdx(math.min(d0, w0), math.max(d0, w0))
+        triEdge(3 * i) = a; triEdge(3 * i + 1) = b; triEdge(3 * i + 2) = c
+        support(a) += 1; support(b) += 1; support(c) += 1
         i += 1
       }
       // CSR: per-edge triangle membership lists
-      val degT = new Array[Int](eRows.length + 1)
+      val degT = new Array[Int](m + 1)
       i = 0
       while (i < triEdge.length) { degT(triEdge(i) + 1) += 1; i += 1 }
       i = 1
-      while (i <= eRows.length) { degT(i) += degT(i - 1); i += 1 }
+      while (i <= m) { degT(i) += degT(i - 1); i += 1 }
       val csr = new Array[Int](triEdge.length)
-      val fill = java.util.Arrays.copyOf(degT, eRows.length)
+      val fill = java.util.Arrays.copyOf(degT, m)
       i = 0
-      while (i < tRows.length) {
+      while (i < nTri) {
         var j = 0
         while (j < 3) {
           val ei = triEdge(3 * i + j)
@@ -1260,8 +1290,8 @@ object Graph {
         i += 1
       }
       phaseTimer("fast index+csr build", (System.nanoTime() - tIdx0) / 1e9)
-      val alive = Array.fill(eRows.length)(true)
-      val triAlive = Array.fill(tRows.length)(true)
+      val alive = Array.fill(m)(true)
+      val triAlive = Array.fill(nTri)(true)
       val need = (k - 2).max(0)
       // Shell-structured peel (round 17): each round removes ALL
       // currently-below-threshold edges at once, exactly like one
@@ -1278,10 +1308,10 @@ object Graph {
       // as the distributed sup table keeps decrementing edges that
       // are still in e.
       if (need > 0) pt("fast peel") {
-        val pending = new Array[Boolean](eRows.length)
+        val pending = new Array[Boolean](m)
         var frontier = new java.util.ArrayDeque[Int]()
         i = 0
-        while (i < eRows.length) {
+        while (i < m) {
           if (support(i) < need) { frontier.add(i); pending(i) = true }
           i += 1
         }
@@ -1320,10 +1350,34 @@ object Graph {
           rnd += 1
         }
       }
-      val out = pt("fast result build") { eRows.indices.collect {
-        case j if alive(j) => (eRows(j)._1, eRows(j)._2, support(j).toLong)
-      } }
-      return out.toSeq.toDF("src", "dst", "support")
+      // Parallel result materialization (r19): the LocalRelation path
+      // (`Seq.toDF` — driver-side row encode of ~1.1M boxed tuples +
+      // a single-threaded LocalTableScan) was the fast path's hidden
+      // tail, ~3.5 s at sf0.1 outside every probe phase. A range-
+      // keyed mapPartitions converts slices in PARALLEL; the survivor
+      // arrays ride the stage's task binary once, not per row.
+      val (oSrc, oDst, oSup) = pt("fast result build") {
+        var n = 0
+        i = 0
+        while (i < m) { if (alive(i)) n += 1; i += 1 }
+        val a = new Array[Long](n); val b = new Array[Long](n)
+        val c = new Array[Long](n)
+        var j = 0
+        i = 0
+        while (i < m) {
+          if (alive(i)) {
+            a(j) = eu(i); b(j) = ev(i); c(j) = support(i).toLong; j += 1
+          }
+          i += 1
+        }
+        (a, b, c)
+      }
+      val slices = math.max(1, callerSession.sparkContext.defaultParallelism)
+      return callerSession.range(0, oSrc.length.toLong, 1, slices)
+        .mapPartitions(it => it.map { id =>
+          val j = id.toInt; (oSrc(j), oDst(j), oSup(j))
+        })
+        .toDF("src", "dst", "support")
     }
     // the ONE full 3-credits-per-triangle count. r18: seeding is a
     // single map-side-combined hash aggregation — the previous left
@@ -1362,6 +1416,14 @@ object Graph {
     // edges. At 100 TB early rounds have huge shells (they compact,
     // as before) and tail rounds tiny ones (they stay virtual) —
     // the scheme is scale-adaptive, not local-tuned.
+    // (r19 A/B-refuted alternative, NOT kept: holding the
+    // accumulators as lazy unions of per-round checkpointed parts —
+    // skipping the per-round rem re-checkpoint and delta
+    // re-aggregation — made each round's below scan GROW 0.23→1.9 s as
+    // the union view deepened, because curSup() and its broadcast
+    // builds re-evaluate the view every round. Materialized
+    // accumulators re-pay one small checkpoint per round and keep
+    // every consumer's plan flat; measured 18-23 s vs 31-36 s total.)
     var remAcc: DataFrame = null; var remCnt = 0L
     var delAcc: DataFrame = null; var delCnt = 0L
     // flag a canonical-edge triple against an (u, v) edge table in
