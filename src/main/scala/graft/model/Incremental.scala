@@ -182,19 +182,31 @@ object Incremental {
       .withColumnRenamed(seqCol, "__seq")
     val next = if (!exists) incoming else {
       val existing = spark.read.parquet(path)
-      val keyCols = uniqueKey.map(col)
-      val untouched = existing.join(
-        incoming.select(keyCols: _*).distinct(), uniqueKey, "left_anti")
-      // touched keys: base row (if any) vs batch winner — higher __seq
-      // wins, delete wins an exact tie
-      val touched = existing.join(
-          incoming.select(keyCols: _*).distinct(), uniqueKey, "left_semi")
-        .unionByName(incoming)
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(uniqueKey.map(col): _*)
-            .orderBy(col("__seq").desc, col("__deleted").desc)))
-        .filter(col("__rn") === 1).drop("__rn")
-      untouched.unionByName(touched)
+      // ONE full-outer join replaces the anti-join + semi-join +
+      // union + table-wide window of the previous shape (r19, §2.4):
+      // base and batch winner are both UNIQUE per key, so resolution
+      // is a two-row comparison, not a window — the base table is
+      // scanned once instead of twice and nothing re-sorts. Batch
+      // wins on strictly higher __seq, or an equal __seq when it is
+      // a delete and the base row is not (exactly the old window's
+      // (__seq desc, __deleted desc) order); a FULL tie — same seq,
+      // same tombstone state, possibly different values — was
+      // nondeterministic under the window and is now pinned to the
+      // base side.
+      val dataCols = incoming.columns.filterNot(uniqueKey.contains)
+      def packed(df: DataFrame, as: String) = df.select(
+        uniqueKey.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
+      val batchWins = col("__b")("__seq") > col("__e")("__seq") ||
+        (col("__b")("__seq") === col("__e")("__seq") &&
+          col("__b")("__deleted") && !col("__e")("__deleted"))
+      packed(existing, "__e").join(packed(incoming, "__b"),
+          uniqueKey, "full_outer")
+        .select(uniqueKey.map(col) ++ dataCols.map { c =>
+          when(col("__e").isNull, col("__b")(c))
+            .when(col("__b").isNull, col("__e")(c))
+            .when(batchWins, col("__b")(c))
+            .otherwise(col("__e")(c)).as(c)
+        }: _*)
     }
     swapWrite(spark, next, path)
   }

@@ -47,11 +47,6 @@ object Graph {
       broadcastMaxNodes: Long = 5000000L): DataFrame = {
     val e = edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
-    // out-degree rides along with each edge so the per-iteration join
-    // touches ONE small table (src, dst, odeg) instead of two
-    val withDeg = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
-      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
@@ -65,13 +60,48 @@ object Graph {
     // the count here is a cheap scan of materialized partitions.
     val bcast = nodes.count() <= broadcastMaxNodes
     def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // Gate-dependent iteration state (r19, VERDICT ask #5). BELOW the
+    // gate the rank vector broadcasts and every iteration is a
+    // map-side join over the checkpointed state — there the per-edge
+    // (src, dst, odeg) form measures fastest (A/B at sf0.1: the
+    // chunked-adjacency build's collect_list pass cost more than 3
+    // broadcast iterations recover, 1.93 → 2.10 s). ABOVE the gate
+    // each iteration's rank join is a keyed shuffle probing the
+    // state table, so the NODE-bound chunked adjacency
+    // (src, odeg, chk, nbrs) wins: ~V rows into every rank join
+    // instead of E, contributions derived by explode AFTER the join
+    // — the same (dst, rank div odeg) multiset through an order-free
+    // long sum, so ranks are bit-identical on both shapes (GraphSpec
+    // pins gate-off ≡ gate-on). Chunking bounds every adjacency row
+    // at 1024 neighbors via a deterministic dst-hash, so a celebrity
+    // hub cannot become one multi-GB array cell (the §2.5 giant-key
+    // failure plain collect_list would reintroduce; triangleCount
+    // gets the bound free from orientation, PageRank does not), and
+    // it adds NO exchange: the degree join leaves edges partitioned
+    // by src, which satisfies the (src, odeg, chk) clustering.
+    val deg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val chunk = 1024L
+    val iterState = (if (bcast) e.join(deg, "src")
+      else e.join(deg, "src")
+        .select(col("src"), col("odeg"),
+          pmod(xxhash64(col("dst")),
+            expr(s"(odeg + ${chunk - 1}) div $chunk")).as("chk"),
+          col("dst"))
+        .groupBy("src", "odeg", "chk")
+        .agg(collect_list(col("dst")).as("nbrs")))
+      .localCheckpoint()
+    def contribsOf(ranks: DataFrame): DataFrame = {
+      val joined = iterState
+        .join(small(ranks.withColumnRenamed("node", "src")), "src")
+      (if (bcast) joined.select(col("dst"),
+          expr("rank_micro div odeg").as("contrib"))
+       else joined.select(explode(col("nbrs")).as("dst"),
+          expr("rank_micro div odeg").as("contrib")))
+        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+    }
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 0 until iters) {
-      val contribs = withDeg
-        .join(small(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst"),
-          expr("rank_micro div odeg").as("contrib"))
-        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+      val contribs = contribsOf(ranks)
       ranks = nodes
         .join(small(contribs.withColumnRenamed("dst", "node")), Seq("node"), "left")
         .select(col("node"),
@@ -105,9 +135,6 @@ object Graph {
       broadcastMaxNodes: Long = 5000000L): DataFrame = {
     val e = edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
-    val withDeg = e.join(
-        e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
-      .localCheckpoint()
     val s = seeds.select(col("node").cast(LongType).as("node")).distinct()
       .localCheckpoint()
     s.count() // materialize before the loop references it repeatedly
@@ -118,16 +145,37 @@ object Graph {
       .union(e.select(col("dst").as("n"))).distinct().count()
     val bcast = nNodes <= broadcastMaxNodes
     def small(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // gate-dependent iteration state, exactly the [[pageRank]] r19
+    // shape (see the comment there): per-edge (src, dst, odeg) under
+    // the broadcast gate (measured faster at bench scale), NODE-bound
+    // chunked adjacency above it so the keyed frontier join probes
+    // ~V rows, not E — identical contribution multiset either way
+    val deg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val chunk = 1024L
+    val iterState = (if (bcast) e.join(deg, "src")
+      else e.join(deg, "src")
+        .select(col("src"), col("odeg"),
+          pmod(xxhash64(col("dst")),
+            expr(s"(odeg + ${chunk - 1}) div $chunk")).as("chk"),
+          col("dst"))
+        .groupBy("src", "odeg", "chk")
+        .agg(collect_list(col("dst")).as("nbrs")))
+      .localCheckpoint()
+    def contribsOf(ranks: DataFrame): DataFrame = {
+      val joined = iterState
+        .join(small(ranks.withColumnRenamed("node", "src")), "src")
+      (if (bcast) joined.select(col("dst"),
+          expr("rank_micro div odeg").as("contrib"))
+       else joined.select(explode(col("nbrs")).as("dst"),
+          expr("rank_micro div odeg").as("contrib")))
+        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+    }
     val resetBase = (100 - damping) * 10000L
     var ranks = s.withColumn("rank_micro", lit(1000000L))
     for (_ <- 0 until iters) {
       // contributions flow ONLY from currently-ranked nodes — the
       // rank table IS the frontier (seed-neighborhood-sized)
-      val contribs = withDeg
-        .join(small(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst"),
-          expr("rank_micro div odeg").as("contrib"))
-        .groupBy("dst").agg(sum(col("contrib")).as("inflow"))
+      val contribs = contribsOf(ranks)
       // reset mass returns only to seeds; reached non-seeds keep
       // their damped inflow. Union + one keyed sum instead of a full
       // outer join: same node-bound result through one
@@ -141,7 +189,7 @@ object Graph {
         .filter(col("rank_micro") > 0L)
     }
     val out = ranks.localCheckpoint()
-    graft.ext.Checkpoints.release(withDeg, s)
+    graft.ext.Checkpoints.release(iterState, s)
     out
   }
 

@@ -72,6 +72,21 @@ class GraphSpec extends AnyFunSuite {
     assert(r == r2, "integer-micro ranks must be bit-identical across runs")
   }
 
+  test("pagerank: broadcast gate off ≡ on (r19 chunked-adjacency scale shape)") {
+    // gate off forces the node-bound chunked adjacency iteration state
+    // (the 100 TB keyed-shuffle shape); gate on keeps the per-edge
+    // (src, dst, odeg) form — ranks must be bit-identical, including a
+    // hub whose out-degree spans multiple 1024-neighbor chunks... at
+    // test scale the chunk count is 1 per node, so ALSO pin the chunk
+    // math by checking a hub star plus cross-links
+    val edges = ((1L to 5L).flatMap(l => Seq((0L, l), (l, 0L))) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 4L))).toDF("src", "dst")
+    val on = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap
+    val off = Graph.pageRank(edges, iters = 3, broadcastMaxNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(on == off, s"gate-off adjacency ranks must match: $on vs $off")
+  }
+
   test("textrank: connective tokens outrank rare ones; rn dense from 1") {
     // "the" neighbors every content word — highest co-occurrence
     // degree ⇒ highest rank. "zzz" appears once at a sentence edge.
