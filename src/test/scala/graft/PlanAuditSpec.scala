@@ -185,9 +185,12 @@ class PlanAuditSpec extends AnyFunSuite {
       while (System.currentTimeMillis() < deadline &&
           !plans.synchronized(plans.exists(_.contains("BroadcastHashJoin"))))
         Thread.sleep(100)
-      assert(plans.synchronized(plans.nonEmpty),
-        "listener captured no executed plans")
-      plans.foreach { p =>
+      // snapshot under the lock before iterating: listener delivery is
+      // async and late onSuccess callbacks kept appending mid-foreach
+      // (ConcurrentModificationException — flaked once in the r19 run)
+      val snap = plans.synchronized(plans.toList)
+      assert(snap.nonEmpty, "listener captured no executed plans")
+      snap.foreach { p =>
         assert(!p.contains("CartesianProduct"),
           s"q_label_noise ran a cartesian stage:\n$p")
         assert(!p.contains("row_number"),
@@ -195,7 +198,7 @@ class PlanAuditSpec extends AnyFunSuite {
       }
       // the classes-sized threshold table rides as a broadcast — the
       // score side never shuffles for it
-      assert(plans.exists(_.contains("BroadcastHashJoin")),
+      assert(snap.exists(_.contains("BroadcastHashJoin")),
         "confidentJoint must broadcast its threshold table")
     } finally spark.listenerManager.unregister(listener)
     graft.ext.Checkpoints.releaseAll(spark)
